@@ -1,0 +1,196 @@
+"""TTL-refreshed table snapshots — the engine's core source semantics.
+
+The reference's one real operator is a periodically-refreshed full-table
+snapshot fed to every micro-batch
+(`src/main/scala/io/cdap/plugin/table/streaming/TableInputDStream.scala:26-28`
+scaladoc; refresh logic `TableInputDStream.scala:56-62`).  Spark-first
+re-expression:
+
+- the *scan* is ``spark.read.parquet`` / ``spark.table`` — Catalyst gives us
+  column pruning + predicate pushdown the reference never had (it fetched
+  whole rows, `TableInputDStream.scala:59`);
+- the *TTL cache* is ``persist(MEMORY_AND_DISK)`` plus driver-side
+  epoch-aligned refresh arithmetic identical to `TableInputDStream.scala:57`;
+- unlike the reference (which leaks the old cached RDD on refresh —
+  `TableInputDStream.scala:59` replaces the reference without freeing), we
+  ``unpersist`` the previous snapshot on swap;
+- ``start()`` zeroes the refresh clock forcing a fresh scan on (re)start,
+  matching `TableInputDStream.scala:42-45`.
+
+At 100 TB the snapshot side of an enrichment join is a *dimension* table —
+small relative to the stream.  ``persist`` keeps it hot across micro-batches;
+for multi-executor clusters the enrichment join should broadcast it
+(``F.broadcast``) when under the broadcast threshold, which
+:func:`table_streaming_source_spark.streaming.enrichment.enrich_stream`
+does automatically.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from table_streaming_source_spark.config import FailureCollector, SourceConfig
+
+
+def load_snapshot(
+    spark: SparkSession,
+    name_or_path: str,
+    schema=None,
+    row_field: Optional[str] = None,
+) -> DataFrame:
+    """Scan a table into a schema-projected DataFrame (reference A1+A3).
+
+    The reference scans the whole table then decodes each row to a
+    ``StructuredRecord`` per the declared schema, with ``rowField`` decoded
+    from the row key (`TableStreamingSource.java:95`, `:101-118`;
+    `TableInputDStream.scala:59`).  With a columnar source the decode is a
+    projection: select the schema's columns with their declared types —
+    Catalyst prunes and pushes down into the parquet scan.
+
+    ``row_field``, when given, is surfaced first (the "key column") and
+    checked non-null, preserving the reference's key semantics
+    (`TableStreamingSourceConfig.java:131-143`).
+    """
+    if name_or_path.endswith(".parquet") or "/" in name_or_path:
+        df = spark.read.parquet(name_or_path)
+    else:
+        df = spark.table(name_or_path)
+
+    if schema is not None:
+        available = {f.name for f in df.schema.fields}
+        missing = [f.name for f in schema.fields if f.name not in available]
+        if missing:
+            raise ValueError(
+                f"Schema fields {missing} not present in table {name_or_path!r}"
+            )
+        df = df.select(
+            [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+
+    if row_field is not None:
+        if row_field not in df.columns:
+            raise ValueError(
+                f"rowField {row_field!r} not present in table {name_or_path!r}"
+            )
+        others = [c for c in df.columns if c != row_field]
+        df = df.select([row_field, *others]).filter(F.col(row_field).isNotNull())
+    return df
+
+
+def _aligned_threshold(last_refresh_ms: int, interval_ms: int) -> int:
+    """Next epoch-aligned refresh boundary after ``last_refresh_ms``.
+
+    Exactly the reference's arithmetic (`TableInputDStream.scala:57`)::
+
+        threshold = lastRefreshTime + refreshInterval
+                    - lastRefreshTime % refreshInterval
+
+    i.e. the next *multiple of the interval* — all restarts/instances
+    converge on the same cadence rather than drifting by start time.
+    """
+    return last_refresh_ms + interval_ms - last_refresh_ms % interval_ms
+
+
+class SnapshotManager:
+    """Driver-side TTL cache of a table snapshot (reference A2).
+
+    Every call to :meth:`current` within a TTL window returns the *same*
+    persisted DataFrame (the reference returns the same cached RDD to every
+    intervening batch, `TableInputDStream.scala:51-54`); once wall-clock
+    passes the epoch-aligned boundary the table is re-scanned, the new
+    snapshot persisted, and the old one unpersisted.
+
+    ``clock_ms`` is injectable for deterministic tests (the reference's
+    equivalent is the batch ``validTime`` passed into ``compute``,
+    `TableInputDStream.scala:51`).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        loader: Callable[[], DataFrame] | str,
+        refresh_interval_ms: int = 3_600_000,
+        clock_ms: Optional[Callable[[], int]] = None,
+        storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+        eager: bool = False,
+    ) -> None:
+        if isinstance(loader, str):
+            path = loader
+            loader = lambda: load_snapshot(spark, path)  # noqa: E731
+        self._spark = spark
+        self._loader = loader
+        self._interval_ms = max(1, int(refresh_interval_ms))
+        self._clock_ms = clock_ms or (lambda: int(time.time() * 1000))
+        self._storage_level = storage_level
+        self._eager = eager
+        self._df: Optional[DataFrame] = None
+        self._last_refresh_ms = 0
+        self.refresh_count = 0
+
+    @classmethod
+    def from_config(
+        cls,
+        spark: SparkSession,
+        config: SourceConfig,
+        clock_ms: Optional[Callable[[], int]] = None,
+        **kwargs,
+    ) -> "SnapshotManager":
+        """Build from a validated :class:`SourceConfig` — the runtime path of
+        the reference (`TableStreamingSource.java:73-96`): re-validate, then
+        construct the snapshot stream."""
+        collector = FailureCollector()
+        config.validate(collector)
+        collector.get_or_throw()
+        schema = config.get_schema() if config.schema_json else None
+        return cls(
+            spark,
+            loader=lambda: load_snapshot(
+                spark, config.name, schema=schema, row_field=config.row_field
+            ),
+            refresh_interval_ms=config.get_refresh_interval_ms(),
+            clock_ms=clock_ms,
+            **kwargs,
+        )
+
+    def start(self) -> "SnapshotManager":
+        """(Re)start: zero the refresh clock so the next access re-scans,
+        matching ``TableInputDStream.start`` (`TableInputDStream.scala:42-45`)."""
+        self._last_refresh_ms = 0
+        return self
+
+    def current(self) -> DataFrame:
+        """The current snapshot DataFrame, refreshing if the TTL elapsed
+        (reference ``compute`` → ``refreshIfNeeded``,
+        `TableInputDStream.scala:51-62`)."""
+        self._refresh_if_needed(self._clock_ms())
+        assert self._df is not None
+        return self._df
+
+    def _refresh_if_needed(self, now_ms: int) -> None:
+        threshold = _aligned_threshold(self._last_refresh_ms, self._interval_ms)
+        # first access always refreshes (`TableInputDStream.scala:58`:
+        # ``lastRefreshTime == 0 || currentTime > threshold``)
+        if self._df is None or self._last_refresh_ms == 0 or now_ms > threshold:
+            old = self._df
+            new = self._loader().persist(self._storage_level)
+            if self._eager:
+                new.count()  # materialize the cache eagerly
+            self._df = new
+            self._last_refresh_ms = now_ms
+            self.refresh_count += 1
+            if old is not None:
+                # the reference leaks here (`TableInputDStream.scala:59`);
+                # we free the old snapshot once the new one is in place.
+                old.unpersist()
+
+    def stop(self) -> None:
+        """Release the cached snapshot."""
+        if self._df is not None:
+            self._df.unpersist()
+            self._df = None
+        self._last_refresh_ms = 0

@@ -1,0 +1,134 @@
+"""Config-validation unit tests.
+
+Mirrors every case of the reference's
+`src/test/java/io/cdap/plugin/table/streaming/TableStreamingSourceConfigTest.java`
+(shared fixture schema at `:34-40`; cases at `:48-131`), plus duration-parser
+unit tests for `TableStreamingSourceConfig.java:109-111`.
+"""
+
+import json
+
+import pytest
+
+from table_streaming_source_spark.config import (
+    FailureCollector,
+    SourceConfig,
+    ValidationException,
+    parse_duration_ms,
+)
+
+# `simpleTableSchema` fixture (`TableStreamingSourceConfigTest.java:34-40`):
+# string_value: non-null string; int_value: nullable long;
+# float_value: nullable double; boolean_value: nullable boolean.
+SIMPLE_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "simpleTableSchema",
+        "fields": [
+            {"name": "string_value", "type": "string"},
+            {"name": "int_value", "type": ["null", "long"]},
+            {"name": "float_value", "type": ["null", "double"]},
+            {"name": "boolean_value", "type": ["null", "boolean"]},
+        ],
+    }
+)
+
+
+def validate(config: SourceConfig) -> FailureCollector:
+    collector = FailureCollector()
+    config.validate(collector)
+    return collector
+
+
+def assert_validation_failed(collector: FailureCollector, prop: str) -> None:
+    # mirrors `assertValidationFailed` (`ConfigTest.java:133-150`): exactly
+    # one failure, attributed to the right config property.
+    assert len(collector.failures) == 1
+    assert collector.failures[0].property == prop
+
+
+def test_valid_config():
+    # `ConfigTest.java:48-53`
+    collector = validate(SourceConfig(name="t", schema_json=SIMPLE_SCHEMA))
+    assert collector.failures == []
+    collector.get_or_throw()  # no-op when clean
+
+
+def test_valid_row_field():
+    # `ConfigTest.java:56-64` — non-nullable field accepted as rowField
+    collector = validate(
+        SourceConfig(name="t", schema_json=SIMPLE_SCHEMA, row_field="string_value")
+    )
+    assert collector.failures == []
+
+
+def test_valid_refresh_interval():
+    # `ConfigTest.java:66-75` — "5d" accepted
+    config = SourceConfig(name="t", schema_json=SIMPLE_SCHEMA, refresh_interval="5d")
+    assert validate(config).failures == []
+    assert config.get_refresh_interval_ms() == 5 * 86_400_000
+
+
+def test_nonexistent_row_field():
+    # `ConfigTest.java:77-89`
+    collector = validate(
+        SourceConfig(name="t", schema_json=SIMPLE_SCHEMA, row_field="test")
+    )
+    assert_validation_failed(collector, SourceConfig.PROP_ROW_FIELD)
+
+
+def test_nullable_row_field():
+    # `ConfigTest.java:91-103` — int_value is nullable → rejected
+    collector = validate(
+        SourceConfig(name="t", schema_json=SIMPLE_SCHEMA, row_field="int_value")
+    )
+    assert_validation_failed(collector, SourceConfig.PROP_ROW_FIELD)
+
+
+def test_invalid_refresh_interval():
+    # `ConfigTest.java:105-117` — "t3" rejected by the `\d+[dhms]$` regex
+    collector = validate(
+        SourceConfig(name="t", schema_json=SIMPLE_SCHEMA, refresh_interval="t3")
+    )
+    assert_validation_failed(collector, SourceConfig.PROP_REFRESH_INTERVAL)
+
+
+def test_invalid_schema():
+    # `ConfigTest.java:119-131` — unparseable schema string
+    collector = validate(SourceConfig(name="t", schema_json="test"))
+    assert_validation_failed(collector, SourceConfig.PROP_SCHEMA)
+
+
+def test_collected_not_fail_fast():
+    # collected validation: bad interval AND bad schema → two failures
+    collector = validate(
+        SourceConfig(name="t", schema_json="test", refresh_interval="t3")
+    )
+    assert {f.property for f in collector.failures} == {
+        SourceConfig.PROP_SCHEMA,
+        SourceConfig.PROP_REFRESH_INTERVAL,
+    }
+    with pytest.raises(ValidationException) as exc:
+        collector.get_or_throw()
+    assert len(exc.value.failures) == 2
+
+
+@pytest.mark.parametrize(
+    ("text", "ms"),
+    [
+        ("5s", 5_000),
+        ("10m", 600_000),
+        ("6h", 21_600_000),
+        ("5d", 432_000_000),
+        (None, 3_600_000),  # default 1h (`Config.java:110`)
+        ("", 3_600_000),
+    ],
+)
+def test_parse_duration(text, ms):
+    assert parse_duration_ms(text) == ms
+
+
+@pytest.mark.parametrize("bad", ["t3", "5", "s5", "5ss", "5w", "-5s", "5 s"])
+def test_parse_duration_invalid(bad):
+    with pytest.raises(ValueError):
+        parse_duration_ms(bad)
