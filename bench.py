@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed twice; the first (cold) run pays JVM/codegen warmup,
+the reported time is the second run — the steady-state number that scales
+to cluster throughput.  ``value`` is the sum of per-query seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# headline set: one per operator family (scan+join+agg, windows, dedup,
+# similarity, text, multimodal, as-of)
+HEADLINE = [
+    "flagship_enrichment",
+    "pricing_summary",
+    "join_asof",
+    "window_topk_per_group",
+    "window_session",
+    "dedup_minhash_lsh",
+    "sim_topk",
+    "text_tfidf",
+    "multimodal_decode",
+    "scalar_json",
+]
+
+
+def main() -> None:
+    from table_streaming_source_spark.plans.catalog import QUERIES
+    from table_streaming_source_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="tsss-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""Relational + extension operators, composed from Spark built-ins.
+
+The reference delegates its entire downstream operator surface to the host
+pipeline (its declared purpose is to feed a Joiner —
+`TableStreamingSource.java:49-51`).  This package provides that surface
+natively; SURVEY.md §2B is the inventory, one module per family.
+"""
+
+from table_streaming_source_spark.operators.joins import asof_join
+from table_streaming_source_spark.operators.dedup import (
+    exact_dedup,
+    fingerprint,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from table_streaming_source_spark.operators.similarity import (
+    cosine,
+    cosine_topk,
+    cosine_pairs_blocked,
+)
+from table_streaming_source_spark.operators.text import (
+    tokenize,
+    token_stats,
+    quality_score,
+    language_id,
+    tfidf_top_terms,
+)
+from table_streaming_source_spark.operators.multimodal import (
+    with_content_address,
+    decode_media,
+)
+from table_streaming_source_spark.operators.windows import sessionize
+
+__all__ = [
+    "asof_join",
+    "exact_dedup",
+    "fingerprint",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "cosine",
+    "cosine_topk",
+    "cosine_pairs_blocked",
+    "tokenize",
+    "token_stats",
+    "quality_score",
+    "language_id",
+    "tfidf_top_terms",
+    "with_content_address",
+    "decode_media",
+    "sessionize",
+]

@@ -1,0 +1,194 @@
+"""Text analysis operators for training-data pipelines: tokenization,
+quality scoring, language ID, tf-idf — all JVM-side built-ins (split /
+higher-order array functions / groupBy), no Python UDFs in the hot path.
+
+Scale notes: every operator here is a narrow map or a hash aggregate on a
+token/term key.  The tf-idf document-frequency join broadcasts the df table
+when the vocabulary is small; for web-scale vocabularies it is a shuffled
+hash join on the term — salt terms if a stop-word-like skew appears (or
+pre-filter stopwords, which is also the right quality call).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: tiny default stopword list (shared with the DuckDB oracle definitions)
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is")
+
+#: deterministic marker-word lists for the n-gram/keyword language-ID
+#: heuristic.  On real corpora these would be char-n-gram profiles per
+#: language; the heuristic structure (score per language → argmax) is the
+#: operator under test.
+LANG_MARKERS: Mapping[str, tuple[str, ...]] = {
+    "en": ("the", "customer", "row", "table"),
+    "de": ("batch", "hash", "fast", "und"),
+    "es": ("agg", "join", "column", "el"),
+    "fr": ("vector", "query", "value", "le"),
+    "zh": ("part", "data", "sort", "zh"),
+}
+
+
+def tokenize(df: DataFrame, text_col: str, key: str) -> DataFrame:
+    """Whitespace tokenization → one ``(key, pos, token)`` row per token."""
+    toks = F.split(F.col(text_col), r"\s+")
+    return df.select(
+        F.col(key), F.posexplode(toks).alias("pos", "token")
+    ).filter(F.length("token") > 0)
+
+
+def _tokens(text_col: str) -> Column:
+    return F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > F.lit(0)
+    )
+
+
+def token_stats(df: DataFrame, text_col: str, key: str) -> DataFrame:
+    """Per-document token counting: total tokens, distinct tokens,
+    type-token ratio, plus a BPE-ish subword count (4-char pieces, an
+    engine-side proxy for token-budget estimation)."""
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    total_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return df.select(
+        F.col(key),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        (n_distinct.cast("double") / n_tokens).alias("type_token_ratio"),
+        # ceil(len/4) per token ≈ BPE subword count proxy
+        F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("int"),
+        ).alias("n_subwords"),
+        total_chars.alias("n_token_chars"),
+    )
+
+
+def quality_score(
+    df: DataFrame,
+    text_col: str,
+    key: str,
+    stopwords: Sequence[str] = STOPWORDS,
+) -> DataFrame:
+    """Heuristic document quality: length, mean token length, stopword
+    ratio, and a composite score.  Mirrors the classic Gopher/C4-style
+    length+stopword filters; every ratio is a deterministic double."""
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    sw = F.array([F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    mean_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    ).cast("double") / n_tokens
+    stop_ratio = n_stop.cast("double") / n_tokens
+    return df.select(
+        F.col(key),
+        F.length(F.col(text_col)).alias("n_chars_text"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        # composite: long enough, not stopword-saturated
+        F.round(
+            F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
+            * (F.lit(1.0) - stop_ratio),
+            6,
+        ).alias("quality"),
+    )
+
+
+def language_id(
+    df: DataFrame,
+    text_col: str,
+    key: str,
+    markers: Mapping[str, Sequence[str]] = LANG_MARKERS,
+) -> DataFrame:
+    """Keyword/n-gram language-ID heuristic: score(lang) = fraction of
+    tokens in that language's marker list; prediction = argmax score with
+    lexicographic tiebreak.  Returns ``(key, pred_lang, pred_score)``."""
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    scores = []
+    for lang in sorted(markers):
+        arr = F.array([F.lit(w) for w in markers[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scores.append(
+            F.struct(
+                F.round(hits.cast("double") / n_tokens, 6).alias("score"),
+                # tiebreak: HIGHER score wins; equal scores → alphabetically
+                # first language.  array_max picks lexicographically-largest
+                # struct, so invert the lang for the tiebreak field.
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # argmax with deterministic tie-break: sort by (score desc, lang asc)
+    best = F.element_at(
+        F.reverse(
+            F.array_sort(
+                F.array(*scores),
+                lambda l, r: F.when(l["score"] < r["score"], -1)
+                .when(l["score"] > r["score"], 1)
+                # equal scores: larger lang sorts earlier after reverse →
+                # compare descending on lang so reverse yields asc
+                .when(l["lang"] > r["lang"], -1)
+                .when(l["lang"] < r["lang"], 1)
+                .otherwise(0),
+            )
+        ),
+        1,
+    )
+    return df.select(
+        F.col(key),
+        best["lang"].alias("pred_lang"),
+        best["score"].alias("pred_score"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str,
+    key: str,
+    *,
+    top_n: int = 3,
+) -> DataFrame:
+    """Top-``top_n`` terms per document by tf-idf.
+
+    tf = term count in doc; idf = ln(N / df); ties broken by term asc.
+    Returns ``(key, term, tf, df, tfidf, rank)``.
+    """
+    tok = tokenize(df, text_col, key)
+    tf = tok.groupBy(key, "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.count()  # scalar; computed once driver-side
+    dfreq = (
+        tok.select(key, "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(F.broadcast(dfreq), "token").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ),
+    )
+    w = Window.partitionBy(key).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            key,
+            F.col("token").alias("term"),
+            "tf",
+            "df",
+            "tfidf",
+            "rank",
+        )
+    )

@@ -1,0 +1,450 @@
+"""LLM-data-pipeline extension catalog (SURVEY.md §2B ⁺ rows): dedup
+(exact / fingerprint / MinHash-LSH / SimHash / n-gram Jaccard), vector
+similarity search, text analysis, multimodal columns.
+
+Every operator that is SQL-expressible gets a full DuckDB oracle — the
+MinHash pipeline included (portable salted-md5 hashing makes the entire
+shingle→minhash→band→bucket-join→verify pipeline engine-independent).
+SimHash (bit-arithmetic) and the approx variants are rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from table_streaming_source_spark.operators import dedup as D
+from table_streaming_source_spark.operators import multimodal as M
+from table_streaming_source_spark.operators import similarity as S
+from table_streaming_source_spark.operators import text as X
+from table_streaming_source_spark.plans.common import t
+
+ORACLES: dict[str, str] = {}
+
+# shared CTE: whitespace-normalized token lists + 3-gram shingles (the SQL
+# twin of operators.dedup._shingles / shingle_table with n=3)
+_SQL_SHINGLES3 = """
+toks AS (
+  SELECT doc_id,
+         STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+  FROM toks, UNNEST(RANGE(1, GREATEST(LEN(tk) - 2, 0) + 1)) AS u(i)
+  WHERE LEN(tk) >= 3
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical doc per distinct text (hash-aggregate on the
+    md5 digest — payload never shuffles)."""
+    return D.exact_dedup(t(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+ORACLES["dedup_exact"] = """
+SELECT MD5(text) AS digest, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY MD5(text)
+"""
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint + canonical id per fingerprint
+    group."""
+    return D.fingerprint(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+ORACLES["dedup_fingerprint"] = """
+WITH fp AS (
+  SELECT doc_id,
+         MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, fingerprint,
+       MIN(doc_id) OVER (PARTITION BY fingerprint) AS canonical_doc_id
+FROM fp
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.2).  The shingle
+    equi-join prunes the n² space; at 100 TB use the MinHash-LSH variant."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.trim("text"), r"\s+")) >= 3
+    )
+    return D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.2
+    )
+
+
+ORACLES["dedup_ngram_jaccard"] = f"""
+WITH {_SQL_SHINGLES3},
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT key_a, key_b,
+       inter / (za.sz + zb.sz - inter) AS jaccard
+FROM inter
+JOIN sz za ON za.doc_id = key_a
+JOIN sz zb ON zb.doc_id = key_b
+WHERE inter / (za.sz + zb.sz - inter) >= 0.2
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, exact-Jaccard verified (threshold
+    0.2; 16 hashes × 4 bands).  The full pipeline has a DuckDB oracle
+    because the hash family is portable salted md5."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.trim("text"), r"\s+")) >= 3
+    )
+    return D.minhash_lsh_pairs(
+        docs,
+        "text",
+        "doc_id",
+        n=3,
+        num_hashes=16,
+        bands=4,
+        threshold=0.2,
+    )
+
+
+ORACLES["dedup_minhash_lsh"] = f"""
+WITH {_SQL_SHINGLES3},
+mh AS (
+  SELECT doc_id, i AS h, MIN(MD5(i || ':' || shingle)) AS minhash
+  FROM sh, UNNEST(RANGE(0, 16)) AS u(i)
+  GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, CAST(FLOOR(h / 4) AS INT) AS band,
+         MD5(STRING_AGG(minhash, ',' ORDER BY h)) AS band_key
+  FROM mh GROUP BY doc_id, CAST(FLOOR(h / 4) AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.key_a, c.key_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.key_a
+  JOIN sh sb ON sb.doc_id = c.key_b AND sb.shingle = sa.shingle
+  GROUP BY c.key_a, c.key_b
+)
+SELECT key_a, key_b, inter / (za.sz + zb.sz - inter) AS jaccard
+FROM inter
+JOIN sz za ON za.doc_id = key_a
+JOIN sz zb ON zb.doc_id = key_b
+WHERE inter / (za.sz + zb.sz - inter) >= 0.2
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints (rows-only check: the bit-vote pipeline
+    is not portably SQL-expressible; determinism is covered by unit
+    tests)."""
+    return D.simhash(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the query set vec_id < 20 —
+    query side broadcast, zero corpus shuffle."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, round_digits=6
+    )
+
+
+ORACLES["sim_topk"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+s AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(
+           LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.qv, c.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (SQRT(LIST_SUM(LIST_TRANSFORM(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * SQRT(LIST_SUM(LIST_TRANSFORM(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cos_sim
+  FROM q, embeddings c
+  WHERE q.query_id != c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style blocked similar pairs: cosine >= 0.3 within the same
+    label cell — the 100 TB path (compare only within coarse cells)."""
+    return S.cosine_pairs_blocked(
+        t(spark, sf_dir, "embeddings"),
+        block_col="label",
+        threshold=0.3,
+        round_digits=6,
+    )
+
+
+ORACLES["sim_pairs_blocked"] = """
+WITH s AS (
+  SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+         ROUND(
+           LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cos_sim
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT key_a, key_b, cos_sim FROM s WHERE cos_sim >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per document: totals, distincts, type-token ratio,
+    BPE-ish subword proxy."""
+    return X.token_stats(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+ORACLES["text_token_stats"] = """
+WITH toks AS (
+  SELECT doc_id,
+         STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents
+)
+SELECT doc_id,
+       CAST(LEN(tk) AS INT) AS n_tokens,
+       CAST(LEN(LIST_DISTINCT(tk)) AS INT) AS n_distinct,
+       CAST(LEN(LIST_DISTINCT(tk)) AS DOUBLE) / LEN(tk) AS type_token_ratio,
+       CAST(LIST_SUM(LIST_TRANSFORM(tk, x -> CAST(CEIL(LENGTH(x) / 4.0) AS INT))) AS INT) AS n_subwords,
+       CAST(LIST_SUM(LIST_TRANSFORM(tk, x -> LENGTH(x))) AS INT) AS n_token_chars
+FROM toks
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality heuristics: length, mean token length,
+    stopword ratio, composite score."""
+    return X.quality_score(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_SW = "', '".join(X.STOPWORDS)
+ORACLES["text_quality"] = f"""
+WITH toks AS (
+  SELECT doc_id, LENGTH(text) AS n_chars_text,
+         STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents
+)
+SELECT doc_id, n_chars_text,
+       CAST(LEN(tk) AS INT) AS n_tokens,
+       ROUND(CAST(LIST_SUM(LIST_TRANSFORM(tk, x -> LENGTH(x))) AS DOUBLE) / LEN(tk), 6) AS mean_token_len,
+       ROUND(CAST(LEN(LIST_FILTER(tk, x -> x IN ('{_SW}'))) AS DOUBLE) / LEN(tk), 6) AS stopword_ratio,
+       ROUND(LEAST(CAST(LEN(tk) AS DOUBLE) / 100.0, 1.0)
+             * (1.0 - CAST(LEN(LIST_FILTER(tk, x -> x IN ('{_SW}'))) AS DOUBLE) / LEN(tk)), 6) AS quality
+FROM toks
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-marker language-ID heuristic: argmax marker-hit ratio with
+    alphabetical tiebreak."""
+    return X.language_id(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _langid_sql() -> str:
+    score_cols = []
+    for lang in sorted(X.LANG_MARKERS):
+        words = "', '".join(X.LANG_MARKERS[lang])
+        score_cols.append(
+            f"ROUND(CAST(LEN(LIST_FILTER(tk, x -> x IN ('{words}'))) AS DOUBLE)"
+            f" / LEN(tk), 6) AS s_{lang}"
+        )
+    scores = ",\n       ".join(score_cols)
+    langs = sorted(X.LANG_MARKERS)
+    m = "GREATEST(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    case = " ".join(f"WHEN s_{la} = m THEN '{la}'" for la in langs)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+       {scores}
+  FROM toks
+),
+best AS (SELECT *, {m} AS m FROM scored)
+SELECT doc_id, CASE {case} END AS pred_lang, m AS pred_score
+FROM best
+"""
+
+
+ORACLES["text_langid"] = _langid_sql()
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document (corpus-wide df), restricted to
+    doc_id < 200 for output size."""
+    docs = t(spark, sf_dir, "documents")
+    return X.tfidf_top_terms(docs, "text", "doc_id", top_n=3).filter(
+        F.col("doc_id") < 200
+    )
+
+
+ORACLES["text_tfidf"] = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+  FROM tf, dfreq, n WHERE tf.token = dfreq.token
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, token AS term, tf, df, tfidf, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3 AND doc_id < 200
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document sketch: lexicographic min of the salted md5
+    over 5-gram shingles (a 1-hash MinHash — stable under small edits away
+    from the minimizing window)."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.trim("text"), r"\s+")) >= 5
+    )
+    sh = D.shingle_table(docs, "text", "doc_id", n=5)
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5(F.col("shingle"))).alias("sketch")
+    )
+
+
+ORACLES["text_fingerprint"] = """
+WITH toks AS (
+  SELECT doc_id,
+         STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] AS shingle
+  FROM toks, UNNEST(RANGE(1, GREATEST(LEN(tk) - 4, 0) + 1)) AS u(i)
+  WHERE LEN(tk) >= 5
+)
+SELECT doc_id, MIN(MD5(shingle)) AS sketch FROM sh GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal columns
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata: content-address (sha2 over bytes),
+    byte length, media-type facets.  Payload-pruned metadata queries are
+    the 100 TB requirement; the digest aggregation never shuffles bytes."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.with_content_address(
+        M.attach_payload(docs, "text", "doc_id")
+    )
+    return media.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.countDistinct("content_id").alias("n_distinct_content"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+    )
+
+
+ORACLES["multimodal_meta"] = """
+SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+       COUNT(*) AS n_items,
+       COUNT(DISTINCT SHA256(text)) AS n_distinct_content,
+       CAST(SUM(OCTET_LENGTH(ENCODE(text))) AS BIGINT) AS total_bytes
+FROM documents
+GROUP BY ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]
+"""
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode pipeline (stubbed codec deriving
+    deterministic pseudo-metadata from the payload digest) — the Spark-side
+    plumbing under oracle check via portable md5-hex arithmetic."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.attach_payload(docs, "text", "doc_id")
+    return M.decode_media(media, key="doc_id", decoder="fake")
+
+
+ORACLES["multimodal_decode"] = """
+WITH m AS (
+  SELECT doc_id AS key,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         MD5(text) AS h,
+         CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes
+  FROM documents
+),
+d AS (
+  SELECT key, media_type, n_bytes,
+         64 + CAST('0x' || SUBSTR(h, 1, 2) AS INTEGER) % 192 AS width0,
+         64 + CAST('0x' || SUBSTR(h, 3, 2) AS INTEGER) % 192 AS height0,
+         1 + CAST('0x' || SUBSTR(h, 5, 2) AS INTEGER) % 16 AS n_frames0
+  FROM m
+)
+SELECT key, media_type,
+       CAST(CASE WHEN media_type = 'audio' THEN -1 ELSE width0 END AS INT) AS width,
+       CAST(CASE WHEN media_type = 'audio' THEN -1 ELSE height0 END AS INT) AS height,
+       CAST(CASE WHEN media_type = 'image' THEN 1 ELSE n_frames0 END AS INT) AS n_frames,
+       n_bytes
+FROM d
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_fingerprint": q_dedup_fingerprint,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "sim_topk": q_sim_topk,
+    "sim_pairs_blocked": q_sim_pairs_blocked,
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_tfidf": q_text_tfidf,
+    "text_fingerprint": q_text_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
+}

@@ -1,0 +1,903 @@
+"""Relational operator catalog (SURVEY.md §2B top half): scans, filters,
+joins (equi/semi/anti/theta/as-of), aggregations (incl. rollup/cube/
+grouping sets/statistics), window functions, sort/limit/top-k, set ops,
+scalar function packs (string/date/math/json/array), and batch analogues of
+the streaming windows.
+
+Each ``q_*`` takes ``(spark, sf_dir)`` and returns a DataFrame; ``ORACLES``
+holds the DuckDB twin for every query.  The reference provides none of
+these natively — they are the operator surface its host pipeline supplies
+downstream of the snapshot source (`TableStreamingSource.java:49-51`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from table_streaming_source_spark.operators.joins import asof_join
+from table_streaming_source_spark.plans.common import (
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+    t,
+)
+
+ORACLES: dict[str, str] = {}
+
+
+# ---------------------------------------------------------------------------
+# scans / projection (reference A1+A3: snapshot scan + schema projection)
+# ---------------------------------------------------------------------------
+
+def q_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full snapshot scan with rowField-first projection — the reference's
+    entire operator surface (`TableInputDStream.scala:51-59`,
+    `TableStreamingSource.java:95-118`) as a batch query."""
+    from table_streaming_source_spark.snapshot import load_snapshot
+
+    return load_snapshot(
+        spark, f"{sf_dir}/customer.parquet", row_field="c_custkey"
+    )
+
+
+ORACLES["snapshot_scan"] = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer WHERE c_custkey IS NOT NULL
+"""
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + projection with a computed column; both predicates and the
+    two-column read reach the parquet scan (PushedFilters / ReadSchema)."""
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.filter((F.col("l_quantity") >= 30) & (F.col("l_discount") >= 0.05))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+ORACLES["filter_project"] = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem WHERE l_quantity >= 30 AND l_discount >= 0.05
+"""
+
+
+# ---------------------------------------------------------------------------
+# aggregations
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: partial+final hash aggregate over a
+    date-filtered scan."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(disc_price, 6).alias("sum_disc_price"),
+        dsum(charge, 6).alias("sum_charge"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        davg("l_discount", 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+ORACLES["pricing_summary"] = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+       {sql_davg('l_quantity')} AS avg_qty,
+       {sql_davg('l_extendedprice')} AS avg_price,
+       {sql_davg('l_discount', 6)} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region→nation hierarchy with subtotal labels."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum("c_acctbal").alias("sum_acctbal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_cust",
+            "sum_acctbal",
+        )
+    )
+
+
+ORACLES["agg_rollup"] = f"""
+SELECT COALESCE(r_name, 'ALL') AS region,
+       COALESCE(n_name, 'ALL') AS nation,
+       COUNT(*) AS n_cust,
+       {sql_dsum('c_acctbal')} AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two grouping dimensions with subtotal labels."""
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_lines",
+            "sum_qty",
+        )
+    )
+
+
+ORACLES["agg_cube"] = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n_lines,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (the engine exposes both
+    the DataFrame and spark.sql entry points)."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).createOrReplaceTempView(
+        "__cn"
+    )
+    return spark.sql(
+        """
+        SELECT COALESCE(n_name, 'ALL') AS nation,
+               COALESCE(c_mktsegment, 'ALL') AS segment,
+               COUNT(*) AS n_cust
+        FROM __cn
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        """
+    )
+
+
+ORACLES["agg_grouping_sets"] = """
+SELECT COALESCE(n_name, 'ALL') AS nation,
+       COALESCE(c_mktsegment, 'ALL') AS segment,
+       COUNT(*) AS n_cust
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+"""
+
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + plain aggregates in one pass (Catalyst expand)."""
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_cust"),
+        dsum("c_acctbal").alias("sum_acctbal"),
+    )
+
+
+ORACLES["agg_distinct"] = f"""
+SELECT c_mktsegment,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
+       COUNT(*) AS n_cust,
+       {sql_dsum('c_acctbal')} AS sum_acctbal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/correlation/exact
+    percentile.  libm/stability-sensitive results are rounded to 6 digits
+    on both sides."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+    )
+
+
+ORACLES["agg_stats"] = """
+SELECT l_returnflag,
+       ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+       ROUND(VAR_SAMP(l_quantity), 6) AS var_qty,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS median_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — sketch algorithms differ across
+    engines, so this is a rows-only check (no oracle); the exact
+    counterpart is ``agg_distinct``."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custs"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join (fact ⋈ broadcast dim) + aggregate."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_total"),
+        )
+    )
+
+
+ORACLES["join_inner"] = f"""
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS sum_total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers without orders; null-safe
+    aggregation over the padded side."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_big_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("sum_big"),
+        )
+    )
+
+
+ORACLES["join_outer"] = f"""
+SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders,
+       COALESCE({sql_dsum('o_totalprice')}, 0.0) AS sum_big
+FROM customer LEFT JOIN (
+    SELECT * FROM orders WHERE o_totalprice > 100000
+) o ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: customers having at least one URGENT order."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+ORACLES["join_semi"] = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with no orders at all."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+ORACLES["join_anti"] = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range (band) join: lineitems whose quantity falls within ±5
+    of the part's size.  The equi key keeps this a hash join; the band
+    predicate is evaluated post-probe."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    cond = (
+        (l.l_partkey == p.p_partkey)
+        & (l.l_quantity >= p.p_size - 5)
+        & (l.l_quantity <= p.p_size + 5)
+    )
+    return (
+        l.join(F.broadcast(p), cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+ORACLES["join_theta_range"] = f"""
+SELECT p_brand, COUNT(*) AS n_lines, {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem JOIN part
+  ON l_partkey = p_partkey
+ AND l_quantity >= p_size - 5 AND l_quantity <= p_size + 5
+GROUP BY p_brand
+"""
+
+
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) self-join: each order paired with the same
+    customer's most recent strictly-earlier order."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    j = asof_join(
+        o,
+        o,
+        on=["o_custkey"],
+        left_time="o_orderdate",
+        right_time="o_orderdate",
+        right_tiebreakers=["o_orderkey"],
+        strict=True,
+        suffix="_prev",
+    )
+    return j.select(
+        "o_orderkey",
+        F.col("o_orderkey_prev").alias("prev_orderkey"),
+        F.col("o_totalprice_prev").alias("prev_totalprice"),
+        F.datediff("o_orderdate", F.col("o_orderdate_prev")).alias("gap_days"),
+    )
+
+
+ORACLES["join_asof"] = """
+WITH j AS (
+  SELECT l.o_orderkey,
+         r.o_orderkey AS prev_orderkey,
+         r.o_totalprice AS prev_totalprice,
+         DATE_DIFF('day', r.o_orderdate, l.o_orderdate) AS gap_days,
+         ROW_NUMBER() OVER (
+           PARTITION BY l.o_orderkey
+           ORDER BY r.o_orderdate DESC, r.o_orderkey DESC) AS rn
+  FROM orders l
+  JOIN orders r
+    ON l.o_custkey = r.o_custkey AND r.o_orderdate < l.o_orderdate
+)
+SELECT o_orderkey, prev_orderkey, prev_totalprice, CAST(gap_days AS INT) AS gap_days
+FROM j WHERE rn = 1
+"""
+
+
+def q_flagship_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's documented enrichment pattern
+    (`docs/Table-streamingsource.md:10-14`) — fact stream enriched through
+    the snapshot dimension chain customer→nation→region, then aggregated.
+    Dimensions broadcast; the only shuffle is the final aggregation."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(revenue, 6).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+ORACLES["flagship_enrichment"] = f"""
+SELECT r_name, n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+       COUNT(DISTINCT o_orderkey) AS n_orders,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# window functions / sort / top-k
+# ---------------------------------------------------------------------------
+
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per market segment via ranking window (the scalable
+    top-k-per-group: no global sort, one hash partition by group)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+ORACLES["window_topk_per_group"] = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rn <= 3
+"""
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) aggregates per customer over order history —
+    ROWS frame with a fully deterministic ordering."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("running_n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+ORACLES["window_running"] = """
+SELECT o_custkey, o_orderkey,
+       COUNT(*) OVER w AS running_n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation over each customer's order history."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        prev.alias("prev_total"),
+        F.lead("o_totalprice").over(w).alias("next_total"),
+        (F.col("o_totalprice") - prev).alias("delta_total"),
+    )
+
+
+ORACLES["window_lag_lead"] = """
+SELECT o_custkey, o_orderkey,
+       LAG(o_totalprice) OVER w AS prev_total,
+       LEAD(o_totalprice) OVER w AS next_total,
+       o_totalprice - LAG(o_totalprice) OVER w AS delta_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_order_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k with deterministic tie-breaking — Spark plans this as
+    TakeOrderedAndProject (per-partition top-k + driver merge), no full
+    sort."""
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(15)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+ORACLES["order_limit_topk"] = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 15
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over two customer key sets, tagged."""
+    c = t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") < 1000).select("c_custkey")
+    return (
+        a.union(b).distinct().select(F.lit("union").alias("tag"), "c_custkey")
+        .unionByName(
+            a.intersect(b).select(F.lit("intersect").alias("tag"), "c_custkey")
+        )
+        .unionByName(
+            a.exceptAll(b).distinct().select(
+                F.lit("except").alias("tag"), "c_custkey"
+            )
+        )
+    )
+
+
+ORACLES["set_ops"] = """
+WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+     b AS (SELECT c_custkey FROM customer WHERE c_acctbal < 1000)
+SELECT 'union' AS tag, c_custkey FROM (SELECT c_custkey FROM a UNION SELECT c_custkey FROM b)
+UNION ALL
+SELECT 'intersect' AS tag, c_custkey FROM (SELECT c_custkey FROM a INTERSECT SELECT c_custkey FROM b)
+UNION ALL
+SELECT 'except' AS tag, c_custkey FROM (SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b)
+"""
+
+
+# ---------------------------------------------------------------------------
+# scalar function packs
+# ---------------------------------------------------------------------------
+
+def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String pack: case, substring, length, concat, regexp, replace."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_name", "^[a-z]+", 0).alias("first_word"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+    )
+
+
+ORACLES["scalar_string"] = """
+SELECT p_partkey,
+       LOWER(p_name) AS name_lower,
+       UPPER(p_brand) AS brand_upper,
+       SUBSTRING(p_type, 1, 5) AS type5,
+       LENGTH(p_name) AS name_len,
+       CONCAT_WS('#', p_brand, p_type) AS brand_type,
+       REGEXP_EXTRACT(p_name, '^[a-z]+') AS first_word,
+       REPLACE(p_name, ' ', '_') AS name_snake
+FROM part
+"""
+
+
+def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time pack: trunc, extract, format, interval arithmetic."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .cast("date")
+        .alias("ship_by"),
+    )
+
+
+ORACLES["scalar_date"] = """
+SELECT o_orderkey,
+       CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month,
+       CAST(YEAR(o_orderdate) AS INT) AS order_year,
+       CAST(DAY(o_orderdate) AS INT) AS order_day,
+       STRFTIME(o_orderdate, '%Y-%m') AS order_ym,
+       CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS ship_by
+FROM orders
+"""
+
+
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math pack.  sqrt/abs/round/floor/power are IEEE-deterministic;
+    ln/exp go through libm and are rounded to 9 digits on both sides."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc"),
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_quantity").cast("long").alias("qty_floor"),
+        F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 9).alias("price_ln"),
+        F.round(F.exp("l_discount"), 9).alias("disc_exp"),
+        F.pow("l_quantity", 2).alias("qty_sq"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+ORACLES["scalar_math"] = """
+SELECT l_orderkey, l_linenumber,
+       ABS(l_discount - 0.05) AS abs_disc,
+       ROUND(l_extendedprice, 1) AS price_r1,
+       CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+       CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+       SQRT(l_extendedprice) AS price_sqrt,
+       ROUND(LN(l_extendedprice), 9) AS price_ln,
+       ROUND(EXP(l_discount), 9) AS disc_exp,
+       POWER(l_quantity, 2) AS qty_sq,
+       SIGN(l_discount - 0.05) AS disc_sign
+FROM lineitem
+"""
+
+
+def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON pack over the events.props column: path extraction + typed
+    cast, then grouped aggregation of the extracted value."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLES["scalar_json"] = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       COUNT(DISTINCT CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)) AS n_distinct_k,
+       MIN(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array pack over embeddings: size, element access, higher-order
+    aggregate (sequential double fold — deterministic), max."""
+    e = t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    sum_sq = F.aggregate(
+        vec, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    )
+    return e.select(
+        "vec_id",
+        F.size(vec).alias("dim"),
+        F.element_at(vec, 1).cast("double").alias("first_val"),
+        F.round(
+            F.aggregate(vec, F.lit(0.0), lambda acc, v: acc + v.cast("double")),
+            6,
+        ).alias("vec_sum"),
+        F.round(F.sqrt(sum_sq), 6).alias("l2_norm"),
+        F.array_max(vec).cast("double").alias("max_val"),
+    )
+
+
+ORACLES["scalar_array"] = """
+SELECT vec_id,
+       CAST(LEN(embedding) AS INT) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS first_val,
+       ROUND(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))), 6) AS vec_sum,
+       ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+       CAST(LIST_MAX(embedding) AS DOUBLE) AS max_val
+FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
+# time windows (batch analogues of the streaming operators)
+# ---------------------------------------------------------------------------
+
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (same F.window used under a
+    watermark in streaming mode)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+ORACLES["window_tumbling"] = f"""
+SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+FROM events GROUP BY DATE_TRUNC('hour', ts), event_type
+"""
+
+
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 2-hour length, 1-hour slide (each event lands in
+    two windows)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+ORACLES["window_sliding"] = f"""
+SELECT window_start, COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+FROM (
+  SELECT UNNEST([DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR,
+                 DATE_TRUNC('hour', ts)]) AS window_start, value
+  FROM events
+) GROUP BY window_start
+"""
+
+
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user via F.session_window; the
+    oracle is the gaps-and-islands formulation."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLES["window_session"] = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessioned AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                               ) AS session_seq
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+       COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM sessioned GROUP BY user_id, session_seq
+"""
+
+
+def q_stream_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by event id over a duplicated stream (batch analogue of
+    dropDuplicates in streaming mode)."""
+    e = t(spark, sf_dir, "events")
+    doubled = e.unionAll(e)
+    return (
+        doubled.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+ORACLES["stream_dedup_batch"] = f"""
+SELECT event_type, COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+FROM (
+  SELECT DISTINCT * FROM (
+    SELECT * FROM events UNION ALL SELECT * FROM events
+  )
+) GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "snapshot_scan": q_snapshot_scan,
+    "filter_project": q_filter_project,
+    "pricing_summary": q_pricing_summary,
+    "agg_rollup": q_agg_rollup,
+    "agg_cube": q_agg_cube,
+    "agg_grouping_sets": q_agg_grouping_sets,
+    "agg_distinct": q_agg_distinct,
+    "agg_stats": q_agg_stats,
+    "agg_approx_distinct": q_agg_approx_distinct,
+    "join_inner": q_join_inner,
+    "join_outer": q_join_outer,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
+    "join_theta_range": q_join_theta_range,
+    "join_asof": q_join_asof,
+    "flagship_enrichment": q_flagship_enrichment,
+    "window_topk_per_group": q_window_topk_per_group,
+    "window_running": q_window_running,
+    "window_lag_lead": q_window_lag_lead,
+    "order_limit_topk": q_order_limit_topk,
+    "set_ops": q_set_ops,
+    "scalar_string": q_scalar_string,
+    "scalar_date": q_scalar_date,
+    "scalar_math": q_scalar_math,
+    "scalar_json": q_scalar_json,
+    "scalar_array": q_scalar_array,
+    "window_tumbling": q_window_tumbling,
+    "window_sliding": q_window_sliding,
+    "window_session": q_window_session,
+    "stream_dedup_batch": q_stream_dedup_batch,
+}
