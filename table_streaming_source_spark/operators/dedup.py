@@ -29,6 +29,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+
+def _spread(df: DataFrame, parallelism: Optional[int] = None) -> DataFrame:
+    """Round-robin repartition before CPU-heavy row-local compute.
+
+    Fixture tables arrive as one parquet file → one input partition; the
+    signature/fingerprint expressions are pure per-row CPU, so spreading
+    them across the cluster is a cheap narrow-ish shuffle of the (small)
+    document rows that unlocks full parallelism.  At 100 TB the input is
+    already thousands of splits and this becomes a no-op (pass
+    ``parallelism=0`` to disable).
+    """
+    if parallelism == 0:
+        return df
+    n = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def exact_dedup(
     df: DataFrame,
     cols: Sequence[str],
@@ -85,6 +102,24 @@ def shingle_table(
     )
 
 
+def _signature_array(shingles: "F.Column", num_hashes: int) -> "F.Column":
+    """The full MinHash signature as one array expression — evaluated
+    entirely inside the row projection (whole-stage codegen, ZERO shuffle):
+    ``sig[h] = min over shingles s of md5(h || ':' || s)``.
+
+    The salted-md5 hash family is a string minimum, portable to any engine
+    (the DuckDB oracle reproduces it verbatim).
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda h: F.array_min(
+            F.transform(
+                shingles, lambda s: F.md5(F.concat_ws(":", h, s))
+            )
+        ),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -95,22 +130,14 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures as ``(key, h, minhash)`` rows.
 
-    Hash family ``h`` (0..num_hashes-1) is simulated by salting:
-    ``minhash(d, h) = min over shingles s of md5(h || ':' || s)`` — a string
-    minimum, portable to any engine.  Equality of minima across documents
-    estimates Jaccard similarity exactly as with integer minhash.
+    Computed as a per-row array expression (no explode/groupBy — the naive
+    formulation shuffles |docs|·|shingles|·num_hashes rows; this one
+    shuffles nothing), then unpacked with posexplode.
     """
-    shingled = shingle_table(df, text_col, key, n)
-    hashed = shingled.select(
-        key,
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"),
-        F.col("shingle"),
-    ).select(
-        key,
-        "h",
-        F.md5(F.concat_ws(":", F.col("h"), F.col("shingle"))).alias("hv"),
+    sig = _signature_array(_shingles(text_col, n), num_hashes)
+    return df.select(
+        F.col(key), F.posexplode(sig).alias("h", "minhash")
     )
-    return hashed.groupBy(key, "h").agg(F.min("hv").alias("minhash"))
 
 
 def minhash_lsh_pairs(
@@ -137,75 +164,87 @@ def minhash_lsh_pairs(
 
     ``max_bucket`` drops LSH buckets larger than the cap (boilerplate
     explosion guard for web-scale corpora).
+
+    Physical shape: the signature and band keys are row-local array
+    expressions, each materialized in its own projection so codegen
+    evaluates them exactly once per document (ZERO shuffle); candidate
+    generation is ONE hash aggregation on ``(band, band_key)`` with
+    row-local in-bucket pair expansion — no self-join, so the expensive
+    signature subtree exists in exactly one plan branch.  Verification
+    joins the (tiny) candidate set back to the shingle arrays and uses
+    ``array_intersect`` — the shingle table is never exploded or shuffled.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(
-        df, text_col, key, n=n, num_hashes=num_hashes
-    ).withColumn("band", F.col("h") / F.lit(rows_per_band))
-    sig = sig.withColumn("band", F.floor("band").cast("int"))
 
-    # band key: md5 of the band's minhashes in h order
-    band_keys = (
-        sig.groupBy(key, "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("h", "minhash"))
-                        ),
-                        lambda s: s["minhash"],
-                    ),
-                )
-            ).alias("band_key")
+    with_sh = _spread(df).select(
+        F.col(key), _shingles(text_col, n).alias("__sh")
+    )
+    # separate projections: __sig evaluated once, then referenced by the
+    # band lambdas (inlining the transform into each lambda would
+    # recompute the |shingles|×num_hashes md5 work per band)
+    with_sig = with_sh.select(
+        F.col(key),
+        _signature_array(F.col("__sh"), num_hashes).alias("__sig"),
+    )
+    band_key_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.concat_ws(
+                ",",
+                F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
+            )
+        ),
+    )
+    banded = with_sig.select(
+        F.col(key), F.posexplode(band_key_arr).alias("band", "band_key")
+    )
+
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list(key)).alias("bucket"))
+        .filter(F.size("bucket") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("bucket") <= max_bucket)
+
+    # all (a < b) pairs within each bucket, expanded row-locally
+    arr = F.col("bucket")
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.transform(
+                F.sequence(F.lit(0), i - 1),
+                lambda j: F.struct(
+                    F.element_at(arr, (j + 1).cast("int")).alias("key_a"),
+                    F.element_at(arr, (i + 1).cast("int")).alias("key_b"),
+                ),
+            ),
         )
     )
-
-    if max_bucket is not None:
-        from pyspark.sql import Window
-
-        wb = Window.partitionBy("band", "band_key")
-        band_keys = band_keys.withColumn(
-            "__bucket_n", F.count(F.lit(1)).over(wb)
-        ).filter(F.col("__bucket_n") <= max_bucket).drop("__bucket_n")
-
-    a = band_keys.select(
-        F.col(key).alias("key_a"), "band", "band_key"
-    )
-    b = band_keys.select(
-        F.col(key).alias("key_b"), "band", "band_key"
-    )
     candidates = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b")
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.key_a").alias("key_a"), F.col("p.key_b").alias("key_b"))
         .distinct()
     )
 
-    # exact-Jaccard verification of candidates only
-    shingled = shingle_table(df, text_col, key, n)
-    sizes = shingled.groupBy(key).agg(F.count(F.lit(1)).alias("sz"))
-    sh_a = shingled.select(F.col(key).alias("key_a"), "shingle")
-    sh_b = shingled.select(F.col(key).alias("key_b"), "shingle")
-    inter = (
-        candidates.join(sh_a, "key_a")
-        .join(sh_b, ["key_b", "shingle"])
-        .groupBy("key_a", "key_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # exact-Jaccard verification of candidates only, via array intersection
+    sh_a = with_sh.select(
+        F.col(key).alias("key_a"), F.col("__sh").alias("__sh_a")
     )
-    sz_a = sizes.select(F.col(key).alias("key_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col(key).alias("key_b"), F.col("sz").alias("sz_b"))
+    sh_b = with_sh.select(
+        F.col(key).alias("key_b"), F.col("__sh").alias("__sh_b")
+    )
+    inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
+    union = (
+        F.size(F.col("__sh_a")) + F.size(F.col("__sh_b")) - inter
+    )
     return (
-        inter.join(sz_a, "key_a")
-        .join(sz_b, "key_b")
+        candidates.join(sh_a, "key_a")
+        .join(sh_b, "key_b")
         .select(
             "key_a",
             "key_b",
-            (
-                F.col("inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-            ).alias("jaccard"),
+            (inter / union).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -226,7 +265,7 @@ def ngram_jaccard_pairs(
     is the exact oracle-checkable semantics).
     Returns ``(key_a, key_b, jaccard)`` with ``key_a < key_b``.
     """
-    shingled = shingle_table(df, text_col, key, n)
+    shingled = shingle_table(_spread(df), text_col, key, n)
     sizes = shingled.groupBy(key).agg(F.count(F.lit(1)).alias("sz"))
     a = shingled.select(F.col(key).alias("key_a"), "shingle")
     b = shingled.select(F.col(key).alias("key_b"), "shingle")
@@ -268,35 +307,36 @@ def simhash(
     Near-dup candidates are rows within small Hamming distance; pair
     generation over fingerprints should block on bit-bands like LSH.
     """
-    toks = df.select(
-        F.col(key),
-        F.explode(
-            F.array_distinct(F.split(F.col(text_col), r"\s+"))
-        ).alias("tok"),
-    ).filter(F.length("tok") > 0)
-    # 64-bit token hash from md5 hex (conv hex→dec, cast); conv returns
-    # unsigned-ish string, cast to decimal then shift into signed range
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
-    toks = toks.withColumn("th", h)
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
-    votes = (
-        toks.select(key, "th", bit)
-        .withColumn(
-            "vote",
-            F.when(
-                F.expr("shiftright(th, b) & 1") == 1, F.lit(1)
-            ).otherwise(F.lit(-1)),
-        )
-        .groupBy(key, "b")
-        .agg(F.sum("vote").alias("v"))
+    toks = F.filter(
+        F.array_distinct(F.split(F.col(text_col), r"\s+")),
+        lambda t: F.length(t) > F.lit(0),
     )
-    return (
-        votes.withColumn(
-            "bitval",
-            F.when(
-                F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")
-            ).otherwise(F.lit(0).cast("long")),
-        )
-        .groupBy(key)
-        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    # 60-bit token hashes from md5 hex (conv hex→dec), one per token —
+    # a row-local array; the whole fingerprint is computed without any
+    # explode or shuffle (two nested folds inside whole-stage codegen).
+    th_arr = F.transform(
+        toks,
+        lambda tok: F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast(
+            "long"
+        ),
     )
+    pow2 = F.array([F.lit(1 << i).cast("long") for i in range(bits)])
+
+    def bit_votes(b):
+        mask = F.element_at(pow2, (b + 1).cast("int"))
+        return F.aggregate(
+            th_arr,
+            F.lit(0),
+            lambda acc, th: acc
+            + F.when(th.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
+    fingerprint = F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.when(
+            bit_votes(b) > 0, F.element_at(pow2, (b + 1).cast("int"))
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return _spread(df).select(F.col(key), fingerprint.alias("simhash"))

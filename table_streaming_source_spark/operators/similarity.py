@@ -68,7 +68,9 @@ def cosine_topk(
     q = queries.select(
         F.col(key).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    c = corpus.select(
+    c = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    ).select(
         F.col(key).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
     sim = F.col("__sim")
@@ -110,6 +112,7 @@ def cosine_pairs_blocked(
     all-pairs cosine.  Returns ``(key_a, key_b, cos_sim)``, ``key_a <
     key_b``, ``cos_sim >= threshold``.
     """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     a = df.select(
         F.col(block_col).alias("__blk"),
         F.col(key).alias("key_a"),
