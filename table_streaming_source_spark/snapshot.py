@@ -127,7 +127,7 @@ class SnapshotManager:
         self._interval_ms = max(1, int(refresh_interval_ms))
         self._clock_ms = clock_ms or (lambda: int(time.time() * 1000))
         self._storage_level = storage_level
-        self._eager = eager
+        self.eager = eager
         self._df: Optional[DataFrame] = None
         self._last_refresh_ms = 0
         self.refresh_count = 0
@@ -178,7 +178,7 @@ class SnapshotManager:
         if self._df is None or self._last_refresh_ms == 0 or now_ms > threshold:
             old = self._df
             new = self._loader().persist(self._storage_level)
-            if self._eager:
+            if self.eager:
                 new.count()  # materialize the cache eagerly
             self._df = new
             self._last_refresh_ms = now_ms

@@ -1,0 +1,230 @@
+"""Structured Streaming e2e tests.
+
+Mirrors the reference's `PipelineTest.java` flow (`:82-177`): deploy a
+source→sink stream, seed the table, poll the sink until it converges
+(`Tasks.waitFor`, `:113-127`); then verify (a) refresh after TTL
+(`:129-149`), (b) restart recovery + freshness (`:151-177`).
+Plus enrichment-mode and watermark/window/stream-dedup coverage.
+"""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from table_streaming_source_spark.snapshot import SnapshotManager
+from table_streaming_source_spark.streaming import (
+    register_snapshot_source,
+    start_enriched_stream,
+)
+from table_streaming_source_spark.streaming.enrichment import (
+    stream_dedup,
+    windowed_stream_agg,
+)
+
+
+def wait_for(predicate, timeout_s=60, interval_s=0.5, message="condition"):
+    """`Tasks.waitFor` analogue (`PipelineTest.java:113-127`)."""
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if predicate():
+            return
+        time.sleep(interval_s)
+    raise AssertionError(f"timed out waiting for {message}")
+
+
+def write_rows(spark, path, rows, mode="append"):
+    spark.createDataFrame(rows, "id long, name string").coalesce(1).write.mode(
+        mode
+    ).parquet(path)
+
+
+@pytest.mark.streaming
+def test_fidelity_source_refresh_and_restart(spark, tmp_path):
+    """The three phases of PipelineTest: initial / post-refresh /
+    post-restart, against the snapshot_table streaming source."""
+    register_snapshot_source(spark)
+    table = str(tmp_path / "item")
+    write_rows(spark, table, [(1, "Samuel")], mode="overwrite")
+
+    def start_query(name):
+        return (
+            spark.readStream.format("snapshot_table")
+            .option("path", table)
+            .option("refreshInterval", "5s")
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    def sink_ids(name):
+        # fidelity mode re-emits the snapshot per batch → the *set* of ids
+        # in the sink is the union of emitted snapshots
+        return {
+            r.id for r in spark.sql(f"SELECT DISTINCT id FROM {name}").collect()
+        }
+
+    q = start_query("fidelity1")
+    try:
+        # phase 1: initial snapshot appears (`PipelineTest.java:100-127`)
+        wait_for(lambda: sink_ids("fidelity1") == {1}, message="initial row")
+        # phase 2: append a row; appears after the 5s TTL (`:129-149`)
+        write_rows(spark, table, [(2, "L")])
+        wait_for(
+            lambda: sink_ids("fidelity1") == {1, 2},
+            timeout_s=30,
+            message="post-refresh rows",
+        )
+    finally:
+        q.stop()
+
+    # phase 3: restart; new reader scans fresh (`:151-177`,
+    # `TableInputDStream.scala:42-45`)
+    write_rows(spark, table, [(3, "Jackson")])
+    q2 = start_query("fidelity2")
+    try:
+        wait_for(
+            lambda: sink_ids("fidelity2") == {1, 2, 3},
+            timeout_s=30,
+            message="post-restart rows",
+        )
+    finally:
+        q2.stop()
+
+
+@pytest.mark.streaming
+def test_enrichment_mode_ttl_refresh(spark, tmp_path):
+    """Production mode: rate stream enriched by a TTL-refreshed snapshot;
+    a dimension change shows up in batches after the TTL."""
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(0, "zero"), (1, "one")], "key long, label string"
+    ).write.mode("overwrite").parquet(dim_path)
+
+    mgr = SnapshotManager(
+        spark, lambda: spark.read.parquet(dim_path), refresh_interval_ms=3_000
+    )
+    seen: list[tuple] = []
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "10")
+        .load()
+        .select((F.col("value") % 2).alias("key"), "timestamp")
+    )
+    q = start_enriched_stream(
+        stream,
+        mgr,
+        on="key",
+        sink=lambda df, bid: seen.extend(
+            (r.key, r.label) for r in df.select("key", "label").collect()
+        ),
+        trigger="500 milliseconds",
+    )
+    try:
+        wait_for(
+            lambda: {"zero", "one"} <= {lab for _, lab in seen},
+            message="initial enrichment",
+        )
+        # dimension update: labels change; post-TTL batches must use them
+        spark.createDataFrame(
+            [(0, "ZERO"), (1, "ONE")], "key long, label string"
+        ).write.mode("overwrite").parquet(dim_path)
+        wait_for(
+            lambda: {"ZERO", "ONE"} <= {lab for _, lab in seen},
+            timeout_s=30,
+            message="post-TTL enrichment",
+        )
+    finally:
+        q.stop()
+        mgr.stop()
+
+
+@pytest.mark.streaming
+def test_watermark_window_agg_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked tumbling-window aggregation over a bounded stream equals
+    the batch computation (availableNow drain)."""
+    from table_streaming_source_spark.io import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    )
+    src = str(tmp_path / "stream_in")
+    events.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = windowed_stream_agg(
+        stream,
+        ts_col="ts",
+        watermark="10 minutes",
+        window="1 hour",
+        keys=["event_type"],
+        aggs={"n": F.count(F.lit(1))},
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("winagg")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in spark.sql("SELECT * FROM winagg").collect()
+    }
+    expected = {
+        (r.ws, r.event_type): r.n
+        for r in events.groupBy(
+            F.window("ts", "1 hour").start.alias("ws"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # append mode only emits windows the watermark has passed; every
+    # emitted window must match batch, and most windows must be emitted
+    assert got
+    for k, v in got.items():
+        assert expected[k] == v, k
+    assert len(got) >= len(expected) - len(
+        {k for k in expected if k[0] == max(e[0] for e in expected)}
+    )
+
+
+@pytest.mark.streaming
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark over a stream with duplicated event
+    ids yields each id once."""
+    from table_streaming_source_spark.io import load_table
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type")
+        .limit(200)
+    )
+    src = str(tmp_path / "dedup_in")
+    # write the same events twice → exact duplicates in the stream
+    events.write.mode("overwrite").parquet(src)
+    events.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    deduped = stream_dedup(
+        stream, ["event_id"], ts_col="ts", watermark="1 hour"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT event_id, COUNT(*) c FROM dedup_sink GROUP BY event_id"
+    ).collect()
+    assert len(rows) == 200
+    assert all(r.c == 1 for r in rows)
