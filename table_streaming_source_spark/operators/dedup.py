@@ -3,10 +3,13 @@ n-gram Jaccard — the LLM-data-pipeline surface (SURVEY.md §2B ⁺ rows).
 
 Design decisions for 100 TB:
 
-- **Portable hashing.** Every hash is derived from ``md5`` of a salted
-  string.  md5 is identical in every engine (and in the DuckDB correctness
-  oracle), deterministic across partitions/executors, and JVM-evaluated via
-  ``F.md5`` (no Python in the hot path).
+- **Portable hashing.** Every hash bottoms out in ``md5`` — identical in
+  every engine (and in the DuckDB correctness oracle), deterministic
+  across partitions/executors, and JVM-evaluated via ``F.md5`` (no Python
+  in the hot path).  The MinHash family hashes each shingle with md5
+  *once* and derives all family members by exact ``(a·x+b) mod P`` int64
+  arithmetic — portable and ~``num_hashes``× cheaper than per-member
+  salted digests.
 - **Exact dedup** is a hash-aggregate on a digest — ``groupBy(md5(text))``
   shuffles 16-byte keys, not document bodies.  At 100 TB, shuffle bytes are
   the cost; never shuffle the payload to dedup it.
@@ -102,21 +105,69 @@ def shingle_table(
     )
 
 
-def _signature_array(shingles: "F.Column", num_hashes: int) -> "F.Column":
-    """The full MinHash signature as one array expression — evaluated
-    entirely inside the row projection (whole-stage codegen, ZERO shuffle):
-    ``sig[h] = min over shingles s of md5(h || ':' || s)``.
+# Mersenne prime 2^31-1: (a·x + b) mod P stays well inside int64 for
+# a < 2^5 and x < P, so both engines evaluate it exactly.
+MINHASH_P = 2_147_483_647
 
-    The salted-md5 hash family is a string minimum, portable to any engine
-    (the DuckDB oracle reproduces it verbatim).
+
+def _bind(expr: "F.Column", fn) -> "F.Column":
+    """Evaluate ``expr`` exactly once per row and pass the result to ``fn``
+    as a higher-order-function lambda variable.
+
+    Catalyst's CollapseProject inlines intermediate projection columns into
+    the lambdas that reference them, so an expensive array expression
+    "materialized" in its own ``select`` is still re-evaluated once per
+    element of any outer ``transform``/``aggregate`` that uses it.  Binding
+    through ``transform(array(e), v -> fn(v))[0]`` forces single evaluation:
+    ArrayTransform evaluates its argument once, then runs the lambda over
+    the one element.
+    """
+    return F.transform(F.array(expr), fn)[0]
+
+
+def _shingle_ints(shingles: "F.Column") -> "F.Column":
+    """One 60-bit integer per shingle: ``conv(md5[:15], 16, 10) % P``.
+
+    md5 is computed ONCE per shingle; the ``num_hashes`` family members are
+    derived from this integer with exact int64 arithmetic (16× less hashing
+    than salting md5 per family member — the dominant cost at corpus
+    scale).  Portable: DuckDB's ``CAST('0x' || SUBSTR(MD5(s),1,15) AS
+    BIGINT) % P`` produces bit-identical values.
+    """
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % MINHASH_P,
+    )
+
+
+def _signature_from_ints(xs: "F.Column", num_hashes: int) -> "F.Column":
+    """MinHash signature from pre-hashed shingle integers — evaluated
+    entirely inside the row projection (whole-stage codegen, ZERO shuffle):
+    ``sig[h] = min over x of ((2h+1)·x + h) mod P``.
+
+    ``xs`` must be a *bound lambda variable* (see :func:`_bind`): an inline
+    expression — even one "materialized" in its own select — would be
+    re-inlined by CollapseProject and re-evaluated per family member.
     """
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda h: F.array_min(
             F.transform(
-                shingles, lambda s: F.md5(F.concat_ws(":", h, s))
+                xs,
+                lambda x: ((h * 2 + 1) * x + h) % MINHASH_P,
             )
         ),
+    )
+
+
+def _signature_array(shingles: "F.Column", num_hashes: int) -> "F.Column":
+    """Full MinHash signature of a shingle array in one expression:
+    md5→int per shingle (once, via :func:`_bind`), then the ``(a·x+b) mod
+    P`` family minimum per member."""
+    return _bind(
+        _shingle_ints(shingles),
+        lambda xs: _signature_from_ints(xs, num_hashes),
     )
 
 
@@ -154,48 +205,48 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via MinHash + LSH banding, verified with exact
     Jaccard.
 
-    Pipeline: shingles → salted-md5 minhash signature (``num_hashes``
-    values) → ``bands`` bands of ``num_hashes/bands`` rows each, band key =
-    md5 of the concatenated band slice → self-join on (band, band_key) →
-    exact Jaccard over shingle sets for the candidates → filter
-    ``jaccard >= threshold``.
+    Pipeline: shingles → md5→int shingle hashes → ``(a·x+b) mod P``
+    minhash signature (``num_hashes`` values) → ``bands`` bands of
+    ``num_hashes/bands`` rows each, band key = md5 of the concatenated
+    band slice → exact Jaccard over shingle sets for the bucket-cohabiting
+    candidates → filter ``jaccard >= threshold``.
 
     Returns ``(key_a, key_b, jaccard)`` with ``key_a < key_b``.
 
     ``max_bucket`` drops LSH buckets larger than the cap (boilerplate
     explosion guard for web-scale corpora).
 
-    Physical shape: the signature and band keys are row-local array
-    expressions, each materialized in its own projection so codegen
-    evaluates them exactly once per document (ZERO shuffle); candidate
-    generation is ONE hash aggregation on ``(band, band_key)`` with
-    row-local in-bucket pair expansion — no self-join, so the expensive
-    signature subtree exists in exactly one plan branch.  Verification
-    joins the (tiny) candidate set back to the shingle arrays and uses
-    ``array_intersect`` — the shingle table is never exploded or shuffled.
+    Physical shape: shingles → hash ints → signature → band keys is ONE
+    row-local expression chain, each stage bound as a lambda variable (see
+    :func:`_bind`) so codegen evaluates it exactly once per document (ZERO
+    shuffle); candidate generation is ONE hash aggregation on
+    ``(band, band_key)`` with row-local in-bucket pair expansion — no
+    self-join.  Verification semi-joins the input down to candidate
+    documents *before* recomputing their shingle arrays, so the expensive
+    shingling runs over the full corpus exactly once (banding) plus the
+    tiny candidate set (verify); ``array_intersect`` computes exact
+    Jaccard — the shingle table is never exploded or shuffled.
     """
     rows_per_band = num_hashes // bands
 
-    with_sh = _spread(df).select(
-        F.col(key), _shingles(text_col, n).alias("__sh")
+    def band_keys_of(sig: "F.Column") -> "F.Column":
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                )
+            ),
+        )
+
+    band_key_arr = _bind(
+        _signature_array(_shingles(text_col, n), num_hashes), band_keys_of
     )
-    # separate projections: __sig evaluated once, then referenced by the
-    # band lambdas (inlining the transform into each lambda would
-    # recompute the |shingles|×num_hashes md5 work per band)
-    with_sig = with_sh.select(
-        F.col(key),
-        _signature_array(F.col("__sh"), num_hashes).alias("__sig"),
-    )
-    band_key_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.md5(
-            F.concat_ws(
-                ",",
-                F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
-            )
-        ),
-    )
-    banded = with_sig.select(
+    banded = _spread(df).select(
         F.col(key), F.posexplode(band_key_arr).alias("band", "band_key")
     )
 
@@ -225,13 +276,30 @@ def minhash_lsh_pairs(
         buckets.select(F.explode(pair_arr).alias("p"))
         .select(F.col("p.key_a").alias("key_a"), F.col("p.key_b").alias("key_b"))
         .distinct()
+        # the candidate set is referenced by four plan branches (verify
+        # join + key-pruning); checkpointing materializes the banding
+        # pipeline once instead of once per branch.  Lazy (eager=False):
+        # no job runs until the operator's output is consumed.
+        .localCheckpoint(eager=False)
     )
 
-    # exact-Jaccard verification of candidates only, via array intersection
-    sh_a = with_sh.select(
+    # exact-Jaccard verification of candidates only: prune the corpus to
+    # candidate documents first (broadcast semi-join on keys), THEN shingle
+    # just those rows — at near-dup rates the verify-side shingling touches
+    # a tiny fraction of the corpus
+    cand_keys = (
+        candidates.select(F.col("key_a").alias(key))
+        .union(candidates.select(F.col("key_b").alias(key)))
+        .distinct()
+    )
+    cand_sh = (
+        df.join(F.broadcast(cand_keys), key, "left_semi")
+        .select(F.col(key), _shingles(text_col, n).alias("__sh"))
+    )
+    sh_a = cand_sh.select(
         F.col(key).alias("key_a"), F.col("__sh").alias("__sh_a")
     )
-    sh_b = with_sh.select(
+    sh_b = cand_sh.select(
         F.col(key).alias("key_b"), F.col("__sh").alias("__sh_b")
     )
     inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
@@ -314,6 +382,8 @@ def simhash(
     # 60-bit token hashes from md5 hex (conv hex→dec), one per token —
     # a row-local array; the whole fingerprint is computed without any
     # explode or shuffle (two nested folds inside whole-stage codegen).
+    # The token-hash array is bound as a lambda variable so the md5 work
+    # runs once per token, not once per (token, bit).
     th_arr = F.transform(
         toks,
         lambda tok: F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast(
@@ -322,21 +392,24 @@ def simhash(
     )
     pow2 = F.array([F.lit(1 << i).cast("long") for i in range(bits)])
 
-    def bit_votes(b):
-        mask = F.element_at(pow2, (b + 1).cast("int"))
+    def fingerprint_of(th):
+        def bit_votes(b):
+            mask = F.element_at(pow2, (b + 1).cast("int"))
+            return F.aggregate(
+                th,
+                F.lit(0),
+                lambda acc, x: acc
+                + F.when(x.bitwiseAND(mask) != 0, 1).otherwise(-1),
+            )
+
         return F.aggregate(
-            th_arr,
-            F.lit(0),
-            lambda acc, th: acc
-            + F.when(th.bitwiseAND(mask) != 0, 1).otherwise(-1),
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc
+            + F.when(
+                bit_votes(b) > 0, F.element_at(pow2, (b + 1).cast("int"))
+            ).otherwise(F.lit(0).cast("long")),
         )
 
-    fingerprint = F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, b: acc
-        + F.when(
-            bit_votes(b) > 0, F.element_at(pow2, (b + 1).cast("int"))
-        ).otherwise(F.lit(0).cast("long")),
-    )
+    fingerprint = _bind(th_arr, fingerprint_of)
     return _spread(df).select(F.col(key), fingerprint.alias("simhash"))

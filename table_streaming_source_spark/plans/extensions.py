@@ -3,9 +3,10 @@
 similarity search, text analysis, multimodal columns.
 
 Every operator that is SQL-expressible gets a full DuckDB oracle — the
-MinHash pipeline included (portable salted-md5 hashing makes the entire
-shingle→minhash→band→bucket-join→verify pipeline engine-independent).
-SimHash (bit-arithmetic) and the approx variants are rows-only checks.
+MinHash pipeline included (md5-seeded ``(a·x+b) mod P`` hashing makes the
+entire shingle→minhash→band→bucket-join→verify pipeline
+engine-independent).  SimHash (bit-arithmetic) and the approx variants are
+rows-only checks.
 """
 
 from __future__ import annotations
@@ -102,7 +103,7 @@ WHERE inter / (za.sz + zb.sz - inter) >= 0.2
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, exact-Jaccard verified (threshold
     0.2; 16 hashes × 4 bands).  The full pipeline has a DuckDB oracle
-    because the hash family is portable salted md5."""
+    because the hash family (md5-seeded ``(a·x+b) mod P``) is portable."""
     docs = t(spark, sf_dir, "documents").filter(
         F.size(F.split(F.trim("text"), r"\s+")) >= 3
     )
@@ -119,14 +120,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["dedup_minhash_lsh"] = f"""
 WITH {_SQL_SHINGLES3},
+xs AS (
+  SELECT doc_id,
+         CAST('0x' || SUBSTR(MD5(shingle), 1, 15) AS BIGINT) % 2147483647 AS x
+  FROM sh
+),
 mh AS (
-  SELECT doc_id, i AS h, MIN(MD5(i || ':' || shingle)) AS minhash
-  FROM sh, UNNEST(RANGE(0, 16)) AS u(i)
+  SELECT doc_id, i AS h, MIN(((2 * i + 1) * x + i) % 2147483647) AS minhash
+  FROM xs, UNNEST(RANGE(0, 16)) AS u(i)
   GROUP BY doc_id, i
 ),
 bands AS (
   SELECT doc_id, CAST(FLOOR(h / 4) AS INT) AS band,
-         MD5(STRING_AGG(minhash, ',' ORDER BY h)) AS band_key
+         MD5(STRING_AGG(CAST(minhash AS VARCHAR), ',' ORDER BY h)) AS band_key
   FROM mh GROUP BY doc_id, CAST(FLOOR(h / 4) AS INT)
 ),
 cand AS (
