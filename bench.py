@@ -28,7 +28,9 @@ HEADLINE = [
     "window_topk_per_group",
     "window_session",
     "dedup_minhash_lsh",
+    "dedup_embedding",
     "sim_topk",
+    "sim_ann_lsh",
     "text_tfidf",
     "multimodal_decode",
     "scalar_json",

@@ -16,9 +16,13 @@ from table_streaming_source_spark.operators.dedup import (
     simhash,
 )
 from table_streaming_source_spark.operators.similarity import (
+    ann_topk_lsh,
     cosine,
     cosine_topk,
     cosine_pairs_blocked,
+    embedding_dedup,
+    hyperplane_bucket,
+    lsh_planes,
 )
 from table_streaming_source_spark.operators.text import (
     tokenize,
@@ -41,9 +45,13 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash",
+    "ann_topk_lsh",
     "cosine",
     "cosine_topk",
     "cosine_pairs_blocked",
+    "embedding_dedup",
+    "hyperplane_bucket",
+    "lsh_planes",
     "tokenize",
     "token_stats",
     "quality_score",

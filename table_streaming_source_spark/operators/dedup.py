@@ -31,6 +31,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from table_streaming_source_spark.operators.hof import bind_once as _bind
+
 
 
 def _spread(df: DataFrame, parallelism: Optional[int] = None) -> DataFrame:
@@ -110,19 +112,6 @@ def shingle_table(
 MINHASH_P = 2_147_483_647
 
 
-def _bind(expr: "F.Column", fn) -> "F.Column":
-    """Evaluate ``expr`` exactly once per row and pass the result to ``fn``
-    as a higher-order-function lambda variable.
-
-    Catalyst's CollapseProject inlines intermediate projection columns into
-    the lambdas that reference them, so an expensive array expression
-    "materialized" in its own ``select`` is still re-evaluated once per
-    element of any outer ``transform``/``aggregate`` that uses it.  Binding
-    through ``transform(array(e), v -> fn(v))[0]`` forces single evaluation:
-    ArrayTransform evaluates its argument once, then runs the lambda over
-    the one element.
-    """
-    return F.transform(F.array(expr), fn)[0]
 
 
 def _shingle_ints(shingles: "F.Column") -> "F.Column":

@@ -19,8 +19,12 @@ Scale path (100 TB / billions of vectors):
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from table_streaming_source_spark.operators.hof import bind_once
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -132,4 +136,184 @@ def cosine_pairs_blocked(
         .withColumn("cos_sim", sim)
         .filter(F.col("cos_sim") >= threshold)
         .select("key_a", "key_b", "cos_sim")
+    )
+
+
+def lsh_planes(num_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 random-hyperplane matrix, seeded by md5 of
+    ``"{plane}:{dim}"`` at plan-build time.
+
+    Generated driver-side with :mod:`hashlib` and embedded as literals in
+    both the Spark plan and the DuckDB oracle SQL — the sign matrix is
+    engine-independent data, not runtime compute.
+    """
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for d in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def hyperplane_bucket(
+    vec: Column, planes: list[list[int]]
+) -> Column:
+    """SimHash-style LSH bucket id of a vector: bit ``p`` is set iff
+    ``dot(vec, planes[p]) >= 0``.
+
+    Entirely row-local JVM expression (no shuffle, no Python): one
+    ``zip_with``+``aggregate`` dot product per plane, bound once (see
+    :func:`~table_streaming_source_spark.operators.hof.bind_once`), then a
+    bit-assembly fold.  Nearby vectors (small angle) agree on most
+    hyperplane signs, so they land in the same bucket with high
+    probability — the standard random-hyperplane LSH for cosine.
+    """
+    planes_lit = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in planes]
+    )
+    dots = F.transform(
+        planes_lit,
+        lambda row: F.aggregate(
+            F.zip_with(vec, row, lambda x, r: x.cast("double") * r),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    pow2 = F.array(
+        *[F.lit(1 << p).cast("long") for p in range(len(planes))]
+    )
+    return bind_once(
+        dots,
+        lambda ds: F.aggregate(
+            F.sequence(F.lit(0), F.lit(len(planes) - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc
+            + F.when(
+                F.element_at(ds, (p + 1).cast("int")) >= 0,
+                F.element_at(pow2, (p + 1).cast("int")),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Approximate nearest neighbors via random-hyperplane LSH bucketing.
+
+    The 100 TB scale path for top-k search: bucket corpus and queries by
+    :func:`hyperplane_bucket`, then rank by exact cosine *within* the
+    shared bucket only — the candidate set per query is ``|corpus| /
+    2^num_planes`` in expectation instead of ``|corpus|``.  The bucket
+    equi-join replaces :func:`cosine_topk`'s broadcast cross-join; recall
+    is tunable via ``num_planes`` (fewer planes → bigger buckets → higher
+    recall, more compute).  Multi-probe (flipping low-margin bits) raises
+    recall without growing buckets; single-probe here keeps the semantics
+    oracle-checkable.
+
+    Returns ``(query_id, neighbor_id, cos_sim, rank)`` like
+    :func:`cosine_topk` — on matching buckets only.
+    """
+    planes = lsh_planes(num_planes, dim)
+    c = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    ).select(
+        F.col(key).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("__b"),
+    )
+    q = queries.select(
+        F.col(key).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("__b"),
+    )
+    sim = F.col("__sim")
+    scored = (
+        F.broadcast(q)
+        .join(c, "__b")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__sim", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    if round_digits is not None:
+        scored = scored.withColumn("__sim", F.round(sim, round_digits))
+    w = Window.partitionBy("query_id").orderBy(
+        sim.desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            sim.alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def embedding_dedup(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    block_col: str = "label",
+    threshold: float = 0.95,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate assignment: every row mapped to the
+    minimum key among its cosine-neighbors (including itself).
+
+    One-hop canonicalization over the :func:`cosine_pairs_blocked` graph —
+    the embedding analogue of content fingerprint dedup (pairs above
+    ``threshold`` are "the same" document in embedding space).  Full
+    transitive closure needs iterative label propagation; one hop is the
+    deterministic, oracle-checkable contract that already collapses the
+    dominant case (tight duplicate clusters).
+
+    Returns ``(key, canonical_key, n_neighbors)``.
+    """
+    pairs = cosine_pairs_blocked(
+        df,
+        vec_col=vec_col,
+        key=key,
+        block_col=block_col,
+        threshold=threshold,
+        round_digits=round_digits,
+        # the pair graph feeds both union branches below; checkpointing
+        # runs the blocked cosine join once instead of per branch
+    ).localCheckpoint(eager=False)
+    # undirected neighbor edges (a < b stored once → emit both directions)
+    neighbors = pairs.select(
+        F.col("key_a").alias(key), F.col("key_b").alias("__nb")
+    ).union(
+        pairs.select(F.col("key_b").alias(key), F.col("key_a").alias("__nb"))
+    )
+    agg = neighbors.groupBy(key).agg(
+        F.min("__nb").alias("__min_nb"),
+        F.count(F.lit(1)).alias("__n_nb"),
+    )
+    return (
+        df.select(F.col(key))
+        .join(agg, key, "left")
+        .select(
+            F.col(key),
+            # explicit coalesce: engines disagree on NULL handling in LEAST
+            F.least(
+                F.col(key), F.coalesce(F.col("__min_nb"), F.col(key))
+            ).alias(f"canonical_{key}"),
+            F.coalesce(F.col("__n_nb"), F.lit(0)).cast("int").alias(
+                "n_neighbors"
+            ),
+        )
     )

@@ -228,6 +228,95 @@ SELECT key_a, key_b, cos_sim FROM s WHERE cos_sim >= 0.3
 """
 
 
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH approximate top-5 — the 100 TB ANN path:
+    bucket equi-join instead of cross-join, exact cosine only within the
+    shared bucket.  The deterministic md5-seeded plane matrix makes the
+    approximation itself oracle-checkable."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.ann_topk_lsh(
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        k=5,
+        num_planes=8,
+        dim=64,
+        round_digits=6,
+    )
+
+
+def _ann_sql(num_planes: int = 8, dim: int = 64, k: int = 5) -> str:
+    planes = S.lsh_planes(num_planes, dim)
+    bucket = " + ".join(
+        f"(CASE WHEN LIST_SUM(LIST_TRANSFORM(LIST_ZIP(embedding, {planes[p]}),"
+        f" z -> CAST(z[1] AS DOUBLE) * z[2])) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(num_planes)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(
+           LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.embedding, c.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (SQRT(LIST_SUM(LIST_TRANSFORM(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * SQRT(LIST_SUM(LIST_TRANSFORM(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cos_sim
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  WHERE q.vec_id < 20
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+ORACLES["sim_ann_lsh"] = _ann_sql()
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: one-hop canonical assignment over the
+    within-label cosine graph (threshold 0.4) — the embedding analogue of
+    fingerprint dedup."""
+    return S.embedding_dedup(
+        t(spark, sf_dir, "embeddings"),
+        block_col="label",
+        threshold=0.4,
+        round_digits=6,
+    )
+
+
+ORACLES["dedup_embedding"] = """
+WITH p AS (
+  SELECT a.vec_id AS key_a, b.vec_id AS key_b
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND(
+          LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
+                   z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+          / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+          6) >= 0.4
+),
+nb AS (
+  SELECT key_a AS vec_id, key_b AS nb FROM p
+  UNION ALL
+  SELECT key_b AS vec_id, key_a AS nb FROM p
+),
+agg AS (SELECT vec_id, MIN(nb) AS mn, COUNT(*) AS n FROM nb GROUP BY vec_id)
+SELECT e.vec_id,
+       LEAST(e.vec_id, COALESCE(agg.mn, e.vec_id)) AS canonical_vec_id,
+       CAST(COALESCE(agg.n, 0) AS INT) AS n_neighbors
+FROM embeddings e LEFT JOIN agg USING (vec_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -444,8 +533,10 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
     "sim_topk": q_sim_topk,
     "sim_pairs_blocked": q_sim_pairs_blocked,
+    "sim_ann_lsh": q_sim_ann_lsh,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,

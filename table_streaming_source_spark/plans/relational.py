@@ -745,6 +745,105 @@ FROM embeddings
 """
 
 
+def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map pack over events.props parsed as map<string,string>: keys,
+    size, typed element access."""
+    e = t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return e.select(
+        "event_id",
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("prop_keys"),
+        F.size(m).alias("n_props"),
+        F.element_at(m, "k").cast("int").alias("k_val"),
+    )
+
+
+ORACLES["scalar_map"] = """
+SELECT event_id,
+       ARRAY_TO_STRING(LIST_SORT(json_keys(props)), ',') AS prop_keys,
+       CAST(LEN(json_keys(props)) AS INT) AS n_props,
+       CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_val
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# UDF / UDAF / UDTF surface (Python extension points; see functions/)
+# ---------------------------------------------------------------------------
+
+def q_udf_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas UDF (numpy float64 arithmetic —
+    bit-identical to the equivalent JVM expression)."""
+    from table_streaming_source_spark.functions import discounted_revenue
+
+    l = t(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        discounted_revenue("l_extendedprice", "l_discount", "l_tax").alias(
+            "revenue"
+        ),
+    )
+
+
+ORACLES["udf_vectorized"] = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS revenue
+FROM lineitem
+"""
+
+
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDAF (quantity-weighted mean price).
+    Output rounded to 2 digits: pandas pairwise summation vs sequential
+    SQL summation differ in low-order bits."""
+    from table_streaming_source_spark.functions import weighted_avg
+
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(
+            weighted_avg(F.col("l_extendedprice"), F.col("l_quantity")), 2
+        ).alias("wavg_price")
+    )
+
+
+ORACLES["udaf_grouped"] = """
+SELECT l_returnflag,
+       ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 2) AS wavg_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via LATERAL join: (pos, token) per document.  Per-row
+    Python — the extension point for logic builtins can't express; plain
+    tokenization would use posexplode(split(...)) (see docstring in
+    functions.vectorized.Tokenize)."""
+    from table_streaming_source_spark.functions import register_udtfs
+
+    register_udtfs(spark)
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, tt.pos, tt.token
+        FROM __docs_udtf d, LATERAL tokenize(d.text) tt
+        """
+    )
+
+
+ORACLES["udtf_tokenize"] = """
+WITH toks AS (
+  SELECT doc_id,
+         STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, tk[i] AS token
+FROM toks, UNNEST(RANGE(1, LEN(tk) + 1)) AS u(i)
+"""
+
+
 # ---------------------------------------------------------------------------
 # time windows (batch analogues of the streaming operators)
 # ---------------------------------------------------------------------------
@@ -896,6 +995,10 @@ QUERIES = {
     "scalar_math": q_scalar_math,
     "scalar_json": q_scalar_json,
     "scalar_array": q_scalar_array,
+    "scalar_map": q_scalar_map,
+    "udf_vectorized": q_udf_vectorized,
+    "udaf_grouped": q_udaf_grouped,
+    "udtf_tokenize": q_udtf_tokenize,
     "window_tumbling": q_window_tumbling,
     "window_sliding": q_window_sliding,
     "window_session": q_window_session,

@@ -1,0 +1,183 @@
+"""Operator unit tests: extension-operator invariants (dedup, ANN,
+embedding dedup) and physical-plan shape assertions (broadcast selection,
+parquet pushdown, top-k strategy) — the scale-design checks SURVEY.md §6
+calls for on top of the DuckDB value oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from table_streaming_source_spark.io import load_table
+from table_streaming_source_spark.operators import (
+    ann_topk_lsh,
+    cosine_topk,
+    embedding_dedup,
+    lsh_planes,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.trim("text"), r"\s+")) >= 3
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# dedup invariants
+# ---------------------------------------------------------------------------
+
+def test_minhash_pairs_subset_of_exact_jaccard(docs):
+    """Every LSH-surviving pair passes the exact-Jaccard threshold, and is
+    therefore also found by the exhaustive n-gram comparison (LSH may miss
+    pairs — candidate recall — but must never emit a false positive: the
+    verify step recomputes exact Jaccard)."""
+    lsh = {
+        (r.key_a, r.key_b)
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", n=3, num_hashes=16, bands=4, threshold=0.2
+        ).collect()
+    }
+    exact = {
+        (r.key_a, r.key_b)
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.2
+        ).collect()
+    }
+    assert lsh <= exact
+    # the fixture's near-dups are tight (high Jaccard) → LSH should catch
+    # most of them at 16×4 banding
+    if exact:
+        assert len(lsh) / len(exact) >= 0.5
+
+
+def test_minhash_deterministic(docs):
+    a = sorted(
+        map(
+            tuple,
+            minhash_lsh_pairs(
+                docs, "text", "doc_id", n=3, num_hashes=16, bands=4,
+                threshold=0.2,
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            minhash_lsh_pairs(
+                docs, "text", "doc_id", n=3, num_hashes=16, bands=4,
+                threshold=0.2,
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# similarity / ANN
+# ---------------------------------------------------------------------------
+
+def test_lsh_planes_deterministic_pm1():
+    p1 = lsh_planes(8, 64)
+    p2 = lsh_planes(8, 64)
+    assert p1 == p2
+    assert all(v in (-1, 1) for row in p1 for v in row)
+    # not degenerate: both signs occur in every plane
+    assert all(len(set(row)) == 2 for row in p1)
+
+
+def test_ann_is_bucketed_brute_force(emb):
+    """ANN results are exactly the brute-force ranking restricted to
+    bucket-mates: every reported neighbor appears in the full ranking with
+    the same similarity, and ranks are dense from 1."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    ann = ann_topk_lsh(emb, queries, k=5, num_planes=4, dim=64).collect()
+    brute = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in cosine_topk(emb, queries, k=10**9).collect()
+    }
+    by_q = {}
+    for r in ann:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert brute[(r.query_id, r.neighbor_id)] == pytest.approx(
+            r.cos_sim, abs=1e-9
+        )
+    for rows in by_q.values():
+        assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+
+
+def test_ann_recall_reasonable(emb):
+    """With few planes (big buckets) LSH recall@5 against brute force
+    should be substantial on the small fixture."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    ann = ann_topk_lsh(emb, queries, k=5, num_planes=2, dim=64).collect()
+    brute = cosine_topk(emb, queries, k=5).collect()
+    ann_set = {(r.query_id, r.neighbor_id) for r in ann}
+    brute_set = {(r.query_id, r.neighbor_id) for r in brute}
+    assert len(ann_set & brute_set) / len(brute_set) >= 0.25
+
+
+def test_embedding_dedup_invariants(emb):
+    rows = embedding_dedup(emb, threshold=0.3).collect()
+    assert len(rows) == emb.count()  # one row per input vector
+    for r in rows:
+        assert r.canonical_vec_id <= r.vec_id
+        assert (r.n_neighbors == 0) == (r.canonical_vec_id == r.vec_id) or (
+            r.n_neighbors > 0
+        )
+
+
+# ---------------------------------------------------------------------------
+# physical plan shape (scale design assertions)
+# ---------------------------------------------------------------------------
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_broadcasts_dimensions(spark, sf_dir):
+    from table_streaming_source_spark.plans.catalog import QUERIES
+
+    plan = _plan(QUERIES["flagship_enrichment"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # dims broadcast, no dim shuffle
+
+
+def test_filter_project_pushdown(spark, sf_dir):
+    """Predicates and the pruned column set must reach the parquet scan.
+
+    Spark's CacheManager substitutes any matching cached snapshot plan, so
+    the cache is cleared first to observe the real scan; with the snapshot
+    cache active the same filter/pruning applies to InMemoryTableScan
+    batches instead.
+    """
+    from table_streaming_source_spark.io import clear_snapshot_cache
+
+    clear_snapshot_cache(spark)
+    df = (
+        load_table(spark, sf_dir, "lineitem", cached=False)
+        .filter(F.col("l_quantity") >= 30)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,30" in plan
+    assert "l_extendedprice" not in plan  # column pruning
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    from table_streaming_source_spark.plans.catalog import QUERIES
+
+    plan = _plan(QUERIES["order_limit_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k + merge
+
+
+def test_snapshot_cache_returns_same_plan(spark, sf_dir):
+    a = load_table(spark, sf_dir, "customer")
+    b = load_table(spark, sf_dir, "customer")
+    assert a is b
+    assert load_table(spark, sf_dir, "customer", cached=False) is not a
