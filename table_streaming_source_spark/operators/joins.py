@@ -1,16 +1,19 @@
 """Join operators beyond plain ``df.join``: as-of (point-in-time) join.
 
-Spark has no native as-of join; we compose one from an equi/range join plus
-a per-left-row window top-1 — all Catalyst built-ins, so predicate pushdown
-and AQE still apply (SURVEY.md §2B "Joins — theta/range/interval/as-of").
+Spark has no native as-of join; the scalable formulation is the
+**union + ordered window** one: interleave left probes and right events in
+one relation partitioned by the equi-key and ordered by time, then carry
+the most recent right payload forward with ``last(..., ignorenulls=True)``
+(SURVEY.md §2B "Joins — theta/range/interval/as-of").
 
-Scale notes (100 TB): the range condition makes the join a *band* join; at
-scale the win is to keep the equi-key (`on`) in the condition so Spark uses
-a shuffled hash / sort-merge join partitioned by that key rather than a
-nested-loop.  The window that follows re-uses the same hash partitioning
-(partitionBy includes the left key), so AQE coalesces without an extra
-shuffle of the joined relation.  For highly skewed keys enable AQE skew-join
-(on by default in our session factory).
+Scale notes (100 TB): the naive formulation — range join to *all* earlier
+right rows, then top-1 per left row — explodes to O(k²) pairs for a key
+with k rows and shuffles the exploded relation a second time for the
+ranking window.  The union form shuffles each input row exactly once (hash
+partition on the key), sorts within partitions, and emits exactly |left|
+rows: linear in input, robust to keys with long histories.  Skewed keys
+sort within one partition — the one shape AQE cannot split (order matters);
+salt the key upstream when a single key's history exceeds task memory.
 """
 
 from __future__ import annotations
@@ -39,37 +42,77 @@ def asof_join(
     equi-key ``on``.
 
     ``tolerance`` (an INTERVAL string like ``'30 days'``) additionally
-    requires ``right_time >= left_time - tolerance`` — which also bounds the
-    band-join's blow-up at scale.  ``right_tiebreakers`` make the pick
-    deterministic when several right rows share the as-of time.
-    ``how='left'`` keeps unmatched left rows with nulls.  ``strict`` is the
-    self-as-of mode (previous row, excluding simultaneous ones).
+    requires ``right_time >= left_time - tolerance``.  ``right_tiebreakers``
+    make the pick deterministic when several right rows share the as-of
+    time (the greatest tiebreaker tuple wins).  ``how='left'`` keeps
+    unmatched left rows with nulls; ``strict`` is the self-as-of mode
+    (previous row, excluding simultaneous ones).
+
+    Physical shape: one hash shuffle of ``left ∪ right`` on ``on``, one
+    within-partition sort by ``(time, side, tiebreakers)``, one windowed
+    ``last(right_payload, ignorenulls=True)`` pass — no pair explosion.
     """
     on = list(on)
-    lt, rt = F.col(f"l.{left_time}"), F.col(f"r.{right_time}")
-    cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in on] + [
-        rt < lt if strict else rt <= lt
-    ]
+    right = right.filter(F.col(right_time).isNotNull())
+
+    r_payload = F.struct(*[F.col(c) for c in right.columns])
+    r_payload_type = right.select(r_payload.alias("__r")).schema["__r"].dataType
+
+    # side priority at equal times: non-strict → rights first (visible to
+    # same-time lefts); strict → rights after lefts (invisible)
+    l_pri, r_pri = (0, 1) if strict else (1, 0)
+    tb = [F.col(f"__tb{i}") for i in range(len(right_tiebreakers))]
+
+    l2 = left.select(
+        *[F.col(c).alias(f"__k{i}") for i, c in enumerate(on)],
+        F.col(left_time).alias("__t"),
+        F.lit(l_pri).alias("__pri"),
+        F.lit(True).alias("__is_l"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast(r_payload_type).alias("__r"),
+        # typed nulls: tiebreakers keep their native type so ordering is
+        # numeric where the column is numeric
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__tb{i}")
+          for i, c in enumerate(right_tiebreakers)],
+    )
+    r2 = right.select(
+        *[F.col(c).alias(f"__k{i}") for i, c in enumerate(on)],
+        F.col(right_time).alias("__t"),
+        F.lit(r_pri).alias("__pri"),
+        F.lit(False).alias("__is_l"),
+        F.lit(None).cast(l2.schema["__l"].dataType).alias("__l"),
+        r_payload.alias("__r"),
+        *[F.col(c).alias(f"__tb{i}")
+          for i, c in enumerate(right_tiebreakers)],
+    )
+
+    keys = [F.col(f"__k{i}") for i in range(len(on))]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col("__pri").asc(), *[c.asc() for c in tb])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l2.unionByName(r2)
+        .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__is_l"))
+    )
+
+    m = F.col("__m")
     if tolerance is not None:
-        cond.append(rt >= lt - F.expr(f"INTERVAL {tolerance}"))
-
-    # unique left-row id so duplicate left rows each keep their match
-    l = left.withColumn("__lid", F.monotonically_increasing_id()).alias("l")
-    r = right.alias("r")
-    joined = l.join(r, cond, "left" if how == "left" else "inner")
-
-    # deterministic top-1 per left row: latest right_time, then tiebreakers
-    order = [F.col(f"r.{right_time}").desc()] + [
-        F.col(f"r.{c}").desc() for c in right_tiebreakers
-    ]
-    w = Window.partitionBy(F.col("l.__lid")).orderBy(*order)
-    ranked = joined.withColumn("__rn", F.row_number().over(w))
+        # null out matches older than the tolerance horizon; the matched
+        # struct carries its own time, so this is exact
+        m = F.when(
+            m[right_time] >= F.col("__t") - F.expr(f"INTERVAL {tolerance}"), m
+        )
+    matched = matched.withColumn("__m", m)
+    if how != "left":
+        matched = matched.filter(F.col("__m").isNotNull())
 
     right_cols = [
-        F.col(f"r.{c}").alias(c + suffix if c in left.columns else c)
+        F.col("__m")[c].alias(c + suffix if c in left.columns else c)
         for c in right.columns
     ]
-    return (
-        ranked.filter(F.col("__rn") == 1)
-        .select([F.col(f"l.{c}").alias(c) for c in left.columns] + right_cols)
+    return matched.select(
+        [F.col("__l")[c].alias(c) for c in left.columns] + right_cols
     )

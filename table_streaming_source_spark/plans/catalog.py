@@ -11,14 +11,23 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from table_streaming_source_spark.plans import extensions, relational
+from table_streaming_source_spark.plans import (
+    extensions,
+    relational,
+    streaming_queries,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **relational.QUERIES,
     **extensions.QUERIES,
+    **streaming_queries.QUERIES,
 }
 
-ORACLES: dict[str, str] = {**relational.ORACLES, **extensions.ORACLES}
+ORACLES: dict[str, str] = {
+    **relational.ORACLES,
+    **extensions.ORACLES,
+    **streaming_queries.ORACLES,
+}
 
 # every oracle key must have a query; queries without an oracle are the
 # documented rows-only checks (approx sketches, bit-level fingerprints)

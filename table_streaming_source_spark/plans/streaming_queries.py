@@ -1,0 +1,105 @@
+"""Streaming catalog entries: the reference's core use case driven
+end-to-end through Structured Streaming, with full DuckDB value oracles.
+
+The enrichment pipeline (stream ⋈ TTL-refreshed snapshot,
+`docs/Table-streamingsource.md:10-14`) is deterministic in its *union of
+batches*: micro-batching partitions the stream but the per-batch join is
+the same relation regardless of the partitioning, so the accumulated
+result equals the batch join — which is exactly what the oracle states in
+SQL.  This makes the engine's streaming execution value-checkable, not
+just rows-countable.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from table_streaming_source_spark.plans.common import dsum, sql_dsum, t
+
+ORACLES: dict[str, str] = {}
+
+
+def q_streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Structured Streaming enrichment (availableNow drain):
+    events streamed file-by-file, each micro-batch joined against the
+    TTL-managed customer snapshot inside ``foreachBatch``, enriched rows
+    appended to a sink, then aggregated per (segment, event_type).
+
+    Exercises the full production path — file stream source → snapshot
+    broadcast join → parquet sink — and still hash-matches the batch SQL
+    because the union of per-batch inner joins equals the batch join.
+    """
+    from table_streaming_source_spark.snapshot import SnapshotManager
+    from table_streaming_source_spark.streaming.enrichment import (
+        start_enriched_stream,
+    )
+
+    events = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("c_custkey"),
+        "event_type",
+        "value",
+    )
+    base = tempfile.mkdtemp(prefix="tsss_streaming_enrichment_")
+    src, out = f"{base}/in", f"{base}/out"
+    # several input files → several micro-batches under maxFilesPerTrigger
+    events.repartition(8).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    snapshot = SnapshotManager(
+        spark,
+        loader=lambda: t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        ),
+        refresh_interval_ms=3_600_000,
+    )
+    query = start_enriched_stream(
+        stream,
+        snapshot,
+        on="c_custkey",
+        sink=lambda batch_df, _id: batch_df.write.mode("append").parquet(out),
+        available_now=True,
+        checkpoint=f"{base}/ckpt",
+    )
+    try:
+        query.awaitTermination(300)
+    finally:
+        query.stop()
+        snapshot.stop()
+
+    enriched = spark.read.parquet(out)
+    result = (
+        enriched.groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 6).alias("sum_value"),
+            F.countDistinct("c_custkey").alias("n_users"),
+        )
+        # materialize before the temp dir disappears
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+ORACLES["streaming_enrichment"] = f"""
+SELECT c_mktsegment, event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value', 6)} AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+"""
+
+
+QUERIES = {
+    "streaming_enrichment": q_streaming_enrichment,
+}

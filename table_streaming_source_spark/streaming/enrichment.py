@@ -35,6 +35,7 @@ def start_enriched_stream(
     how: str = "inner",
     broadcast_snapshot: bool = True,
     trigger: Optional[str] = "1 second",
+    available_now: bool = False,
     checkpoint: Optional[str] = None,
     query_name: Optional[str] = None,
 ) -> StreamingQuery:
@@ -74,7 +75,11 @@ def start_enriched_stream(
     writer = stream.writeStream.foreachBatch(process)
     if query_name:
         writer = writer.queryName(query_name)
-    if trigger:
+    if available_now:
+        # bounded drain: process everything available, then stop (batch
+        # replay of the stream — used by gates and backfills)
+        writer = writer.trigger(availableNow=True)
+    elif trigger:
         writer = writer.trigger(processingTime=trigger)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
