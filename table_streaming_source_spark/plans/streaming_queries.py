@@ -100,6 +100,72 @@ GROUP BY c_mktsegment, event_type
 """
 
 
+def q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation over a bounded stream,
+    drained with availableNow in **complete** output mode — every window is
+    emitted once all input is processed, so the result equals the batch
+    windowed aggregation and hash-matches the same SQL."""
+    from table_streaming_source_spark.streaming.enrichment import (
+        windowed_stream_agg,
+    )
+
+    events = t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    base = tempfile.mkdtemp(prefix="tsss_streaming_window_")
+    src = f"{base}/in"
+    events.repartition(8).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    agg = windowed_stream_agg(
+        stream,
+        ts_col="ts",
+        watermark="10 minutes",
+        window="1 hour",
+        keys=["event_type"],
+        aggs={
+            "n": F.count(F.lit(1)),
+            "sum_value": dsum("value"),
+        },
+    )
+    name = f"__stream_win_{abs(hash(base)) % 10**8}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(300)
+    finally:
+        query.stop()
+
+    result = (
+        spark.table(name)
+        .select(
+            F.col("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+ORACLES["streaming_window_agg"] = f"""
+SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+FROM events GROUP BY DATE_TRUNC('hour', ts), event_type
+"""
+
+
 QUERIES = {
     "streaming_enrichment": q_streaming_enrichment,
+    "streaming_window_agg": q_streaming_window_agg,
 }

@@ -17,9 +17,11 @@ from table_streaming_source_spark.streaming.fidelity_source import (
     SnapshotTableDataSource,
     register_snapshot_source,
 )
+from table_streaming_source_spark.streaming.stateful import running_totals_stream
 
 __all__ = [
     "start_enriched_stream",
     "SnapshotTableDataSource",
     "register_snapshot_source",
+    "running_totals_stream",
 ]

@@ -228,3 +228,54 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
     ).collect()
     assert len(rows) == 200
     assert all(r.c == 1 for r in rows)
+
+
+@pytest.mark.streaming
+def test_stateful_running_totals_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState running totals: the last emission per key
+    after an availableNow drain equals the batch groupBy aggregate, with
+    state carried across multiple micro-batches."""
+    from pyspark.sql import Window
+    from table_streaming_source_spark.io import load_table
+    from table_streaming_source_spark.streaming import running_totals_stream
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    src = str(tmp_path / "stateful_in")
+    events.repartition(6).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "2")  # force several micro-batches
+        .parquet(src)
+    )
+    q = (
+        running_totals_stream(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    # update mode emits one row per (key, batch); the final emission has
+    # the largest running count n
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    got = {
+        r.user_id: (r.n, r.total)
+        for r in spark.table("stateful_totals")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    expected = {
+        r.user_id: (r.n, r.total)
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for uid, (n, total) in expected.items():
+        assert got[uid][0] == n, uid
+        assert got[uid][1] == pytest.approx(total, rel=1e-9), uid
