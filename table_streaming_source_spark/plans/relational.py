@@ -249,6 +249,31 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one output column per pivoted key value (explicit value list
+    — required at scale: an unlisted pivot forces a pre-pass distinct
+    scan to discover the columns)."""
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("qty_f"),
+            F.col("O").alias("qty_o"),
+        )
+    )
+
+
+ORACLES["agg_pivot"] = f"""
+SELECT l_returnflag,
+       {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_f,
+       {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_o
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — sketch algorithms differ across
     engines, so this is a rows-only check (no oracle); the exact
@@ -977,6 +1002,7 @@ QUERIES = {
     "agg_grouping_sets": q_agg_grouping_sets,
     "agg_distinct": q_agg_distinct,
     "agg_stats": q_agg_stats,
+    "agg_pivot": q_agg_pivot,
     "agg_approx_distinct": q_agg_approx_distinct,
     "join_inner": q_join_inner,
     "join_outer": q_join_outer,

@@ -1,0 +1,118 @@
+"""Scale-strategy tests: bucketed co-located joins (no shuffle), salted
+join/agg equivalence — executable proof of docs/SCALE.md's claims."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from table_streaming_source_spark.io import load_table
+from table_streaming_source_spark.operators.skew import salted_agg, salted_join
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders")
+
+
+@pytest.fixture(scope="module")
+def customer(spark, sf_dir):
+    return load_table(spark, sf_dir, "customer")
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, orders):
+    """Writing both fact tables bucketed on the join key makes the
+    fact ⋈ fact sort-merge join exchange-free — the recurring-key layout
+    recommendation of docs/SCALE.md §3/§11."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    n_buckets = 4
+    for name, df, key in (
+        ("t_lineitem_b", lineitem, "l_orderkey"),
+        ("t_orders_b", orders, "o_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    # disable broadcast so the join strategy under test is sort-merge (the
+    # 100 TB fact ⋈ fact shape — tiny fixtures would otherwise broadcast)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        lb, ob = spark.table("t_lineitem_b"), spark.table("t_orders_b")
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        got = sorted(map(tuple, joined.collect()))
+        # final adaptive plan only (strip AQE's echoed pre-optimization tree)
+        plan = _plan(joined).split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in plan
+        # nothing below the join may shuffle: bucket co-location feeds
+        # both sides directly (SelectedBucketsCount in the scans)
+        below_join = plan.split("SortMergeJoin", 1)[-1]
+        assert "Exchange" not in below_join, below_join
+        assert "SelectedBucketsCount" in below_join
+        # and it computes the same thing as the unbucketed plan
+        expected = (
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert got == sorted(map(tuple, expected.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_salted_join_matches_plain_join(orders, customer):
+    plain = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        "o_orderkey", "c_custkey", "c_mktsegment"
+    )
+    salted = salted_join(
+        orders, customer.withColumnRenamed("c_custkey", "o_custkey"),
+        on=["o_custkey"], salt=5,
+    ).select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"), "c_mktsegment"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_salted_agg_matches_plain_agg(orders):
+    plain = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+    salted = salted_agg(
+        orders,
+        ["o_orderpriority"],
+        {
+            "n": ("count", "o_orderkey"),
+            "total": ("sum", F.col("o_totalprice").cast("decimal(18,2)")),
+            "first_date": ("min", "o_orderdate"),
+            "last_date": ("max", "o_orderdate"),
+        },
+        salt=7,
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_salted_agg_rejects_non_algebraic(orders):
+    with pytest.raises(ValueError, match="not algebraic"):
+        salted_agg(orders, ["o_orderpriority"], {"bad": ("avg", "o_totalprice")})
