@@ -34,6 +34,8 @@ from table_streaming_source_spark.operators.text import (
 from table_streaming_source_spark.operators.multimodal import (
     with_content_address,
     decode_media,
+    resize_media,
+    sample_frames,
 )
 from table_streaming_source_spark.operators.windows import sessionize
 
@@ -59,5 +61,7 @@ __all__ = [
     "tfidf_top_terms",
     "with_content_address",
     "decode_media",
+    "resize_media",
+    "sample_frames",
     "sessionize",
 ]

@@ -134,3 +134,62 @@ def decode_media(
             yield out
 
     return df.select(cols).mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+def sample_frames(
+    decoded: DataFrame,
+    *,
+    every_nth: int = 4,
+    key: str = "key",
+) -> DataFrame:
+    """Frame sampling over decoded video metadata: one row per kept frame
+    (``frame_idx = 0, every_nth, 2·every_nth, …``).
+
+    JVM-side ``explode(sequence(...))`` — the *plumbing* of frame
+    extraction (row explosion, downstream per-frame processing) without
+    touching payload bytes; an actual frame grab plugs into
+    :func:`decode_media`'s batch loop and emits binary frames here
+    instead.  Non-video rows pass through with ``frame_idx = 0`` (their
+    single representation)."""
+    idx = F.when(
+        (F.col("media_type") == "video") & (F.col("n_frames") > 0),
+        F.sequence(
+            F.lit(0), F.col("n_frames") - 1, F.lit(every_nth)
+        ),
+    ).otherwise(F.array(F.lit(0)))
+    return decoded.select(
+        F.col(key),
+        "media_type",
+        "n_frames",
+        F.explode(idx).alias("frame_idx"),
+    )
+
+
+def resize_media(
+    decoded: DataFrame,
+    *,
+    max_side: int = 128,
+) -> DataFrame:
+    """Resize-to-fit metadata transform via Arrow-batched ``mapInPandas``:
+    scale (width, height) so the longer side is ``max_side``, preserving
+    aspect ratio (floor semantics, min 1 px).  The pixel resample is
+    stubbed exactly like :func:`decode_media`'s codec — a real deployment
+    replaces the arithmetic with the image library call on the payload
+    batch; the batch shape, schema, and partition-preservation are the
+    real contract."""
+
+    def resize_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            geom = (out["width"] > 0) & (out["height"] > 0)
+            longer = out[["width", "height"]].max(axis=1)
+            scale = (max_side / longer).clip(upper=1.0)
+            for c in ("width", "height"):
+                out.loc[geom, c] = (
+                    (out.loc[geom, c] * scale[geom]).astype(int).clip(lower=1)
+                )
+            yield out
+
+    return decoded.mapInPandas(resize_batches, schema=decoded.schema)

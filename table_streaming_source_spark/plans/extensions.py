@@ -527,6 +527,82 @@ FROM d
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (every 4th frame of videos, single row otherwise) —
+    the per-frame row explosion a video pipeline fans out on, with the
+    payload column untouched."""
+    docs = t(spark, sf_dir, "documents")
+    decoded = M.decode_media(
+        M.attach_payload(docs, "text", "doc_id"), key="doc_id"
+    )
+    return M.sample_frames(decoded, every_nth=4)
+
+
+ORACLES["multimodal_frames"] = """
+WITH d AS (
+  SELECT doc_id AS key,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         MD5(text) AS h
+  FROM documents
+),
+m AS (
+  SELECT key, media_type,
+         CAST(CASE WHEN media_type = 'image' THEN 1
+                   ELSE 1 + CAST('0x' || SUBSTR(h, 5, 2) AS INTEGER) % 16
+              END AS INT) AS n_frames
+  FROM d
+)
+SELECT key, media_type, n_frames, CAST(fi AS INT) AS frame_idx
+FROM m, UNNEST(CASE WHEN media_type = 'video'
+                    THEN RANGE(0, n_frames, 4)
+                    ELSE [0] END) AS u(fi)
+"""
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-to-fit (longer side ≤ 96 px) over decoded geometry via
+    mapInPandas — stubbed pixel resample, real Arrow batch plumbing."""
+    docs = t(spark, sf_dir, "documents")
+    decoded = M.decode_media(
+        M.attach_payload(docs, "text", "doc_id"), key="doc_id"
+    )
+    return M.resize_media(decoded, max_side=96)
+
+
+ORACLES["multimodal_resize"] = """
+WITH m AS (
+  SELECT doc_id AS key,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         MD5(text) AS h,
+         CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes
+  FROM documents
+),
+d AS (
+  SELECT key, media_type, n_bytes,
+         64 + CAST('0x' || SUBSTR(h, 1, 2) AS INTEGER) % 192 AS width0,
+         64 + CAST('0x' || SUBSTR(h, 3, 2) AS INTEGER) % 192 AS height0,
+         1 + CAST('0x' || SUBSTR(h, 5, 2) AS INTEGER) % 16 AS n_frames0
+  FROM m
+),
+g AS (
+  SELECT key, media_type, n_bytes,
+         CAST(CASE WHEN media_type = 'audio' THEN -1 ELSE width0 END AS INT) AS width,
+         CAST(CASE WHEN media_type = 'audio' THEN -1 ELSE height0 END AS INT) AS height,
+         CAST(CASE WHEN media_type = 'image' THEN 1 ELSE n_frames0 END AS INT) AS n_frames
+  FROM d
+)
+SELECT key, media_type,
+       CAST(CASE WHEN width > 0 AND height > 0
+                 THEN GREATEST(CAST(FLOOR(width * LEAST(96.0 / GREATEST(width, height), 1.0)) AS INT), 1)
+                 ELSE width END AS INT) AS width,
+       CAST(CASE WHEN width > 0 AND height > 0
+                 THEN GREATEST(CAST(FLOOR(height * LEAST(96.0 / GREATEST(width, height), 1.0)) AS INT), 1)
+                 ELSE height END AS INT) AS height,
+       n_frames, n_bytes
+FROM g
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
@@ -544,4 +620,6 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
 }

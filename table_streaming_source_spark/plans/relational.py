@@ -480,6 +480,49 @@ GROUP BY r_name, n_name
 """
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue where customer and supplier share a nation
+    — six-table join with two broadcast dimension chains hanging off the
+    fact spine (lineitem⋈orders shuffles; everything else broadcasts)."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(revenue, 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+ORACLES["local_supplier_volume"] = f"""
+SELECT r_name, n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # window functions / sort / top-k
 # ---------------------------------------------------------------------------
@@ -1011,6 +1054,7 @@ QUERIES = {
     "join_theta_range": q_join_theta_range,
     "join_asof": q_join_asof,
     "flagship_enrichment": q_flagship_enrichment,
+    "local_supplier_volume": q_local_supplier_volume,
     "window_topk_per_group": q_window_topk_per_group,
     "window_running": q_window_running,
     "window_lag_lead": q_window_lag_lead,
