@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) for the pure-Python kernel: the
+Avro-JSON ↔ StructType translator round-trips arbitrary schemas, and the
+duration parser accepts exactly the reference's grammar
+(`TableStreamingSourceConfig.java:115` regex ``\\d+[dhms]{1}$``)."""
+
+import json
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from table_streaming_source_spark.avro_schema import (
+    parse_avro_json,
+    struct_to_avro_json,
+)
+from table_streaming_source_spark.config import parse_duration_ms
+
+_PRIMITIVES = st.sampled_from(
+    [
+        BooleanType(),
+        IntegerType(),
+        LongType(),
+        FloatType(),
+        DoubleType(),
+        StringType(),
+    ]
+)
+
+_types = st.recursive(
+    _PRIMITIVES,
+    lambda inner: st.one_of(
+        st.builds(ArrayType, inner, st.booleans()),
+        st.builds(MapType, st.just(StringType()), inner, st.booleans()),
+        st.builds(
+            StructType,
+            st.lists(
+                st.builds(
+                    StructField,
+                    st.uuids().map(lambda u: f"f_{u.hex[:8]}"),
+                    inner,
+                    st.booleans(),
+                ),
+                min_size=1,
+                max_size=4,
+                unique_by=lambda f: f.name,
+            ),
+        ),
+    ),
+    max_leaves=8,
+)
+
+_schemas = st.builds(
+    StructType,
+    st.lists(
+        st.builds(
+            StructField,
+            st.uuids().map(lambda u: f"c_{u.hex[:8]}"),
+            _types,
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda f: f.name,
+    ),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_schemas)
+def test_avro_roundtrip_identity(schema):
+    assert parse_avro_json(json.dumps(struct_to_avro_json(schema))) == schema
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=10**6), st.sampled_from("smhd"))
+def test_duration_parses_reference_grammar(n, unit):
+    ms = {"s": 1_000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}[unit]
+    assert parse_duration_ms(f"{n}{unit}") == n * ms
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=12))
+def test_duration_rejects_exactly_non_grammar(s):
+    """Anything outside the reference regex raises; anything inside
+    parses (`Config.java:115`: ``\\d+[dhms]{1}$``)."""
+    matches = re.fullmatch(r"\d+[dhms]", s) is not None
+    if matches and len(s) <= 10:  # avoid overflow-range inputs
+        assert parse_duration_ms(s) >= 0
+    elif not matches:
+        try:
+            parse_duration_ms(s)
+            ok = True
+        except ValueError:
+            ok = False
+        assert not ok or s == "", s
