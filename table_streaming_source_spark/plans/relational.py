@@ -480,6 +480,112 @@ GROUP BY r_name, n_name
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped orders by revenue for one segment
+    — selective dimension filter broadcast into the fact spine, grouped
+    revenue, global top-k."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") > cutoff)
+        .join(o.filter(F.col("o_orderdate") < cutoff),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+ORACLES["shipping_priority"] = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single filtered scan + global aggregate — the
+    pushdown showcase (all three predicates reach the parquet reader)."""
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+ORACLES["forecast_revenue"] = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount', 6)} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate <  TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (<=>): rows with NULL keys match each other —
+    the join variant plain equality silently drops."""
+    e = t(spark, sf_dir, "events")
+    k = F.nullif(
+        F.get_json_object("props", "$.k").cast("int") % 7, F.lit(0)
+    )
+    left = e.select("event_id", k.alias("mk"))
+    dim = (
+        e.select(k.alias("mk"))
+        .distinct()
+        .withColumn("mk_tag", F.coalesce(F.col("mk").cast("string"), F.lit("NULL")))
+    )
+    return (
+        left.join(F.broadcast(dim), left.mk.eqNullSafe(dim.mk))
+        .groupBy("mk_tag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLES["join_null_safe"] = """
+WITH l AS (
+  SELECT event_id,
+         NULLIF(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) % 7, 0) AS mk
+  FROM events
+),
+d AS (
+  SELECT mk, COALESCE(CAST(mk AS VARCHAR), 'NULL') AS mk_tag
+  FROM (SELECT DISTINCT mk FROM l)
+)
+SELECT d.mk_tag, COUNT(*) AS n
+FROM l JOIN d ON l.mk IS NOT DISTINCT FROM d.mk
+GROUP BY d.mk_tag
+"""
+
+
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: revenue where customer and supplier share a nation
     — six-table join with two broadcast dimension chains hanging off the
@@ -1053,6 +1159,9 @@ QUERIES = {
     "join_anti": q_join_anti,
     "join_theta_range": q_join_theta_range,
     "join_asof": q_join_asof,
+    "join_null_safe": q_join_null_safe,
+    "shipping_priority": q_shipping_priority,
+    "forecast_revenue": q_forecast_revenue,
     "flagship_enrichment": q_flagship_enrichment,
     "local_supplier_volume": q_local_supplier_volume,
     "window_topk_per_group": q_window_topk_per_group,
