@@ -35,6 +35,18 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Broadcast threshold sized to executor memory, not the 10 MB
+        # legacy default: on 100+ GiB executors a 64 MB dimension is cheap
+        # to ship and saves a full shuffle of the fact side; genuinely
+        # large relations still exceed it and fall back to sort-merge.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_BROADCAST_THRESHOLD", "64m"),
+        )
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_BROADCAST_THRESHOLD", "64m"),
+        )
         # Arrow for any pandas-UDF / toPandas path (vectorized transfer).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic timestamp semantics for oracle comparison.
