@@ -8,6 +8,7 @@ natively; SURVEY.md §2B is the inventory, one module per family.
 
 from table_streaming_source_spark.operators.joins import asof_join
 from table_streaming_source_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     fingerprint,
     minhash_signatures,
@@ -41,6 +42,7 @@ from table_streaming_source_spark.operators.windows import sessionize
 
 __all__ = [
     "asof_join",
+    "connected_components",
     "exact_dedup",
     "fingerprint",
     "minhash_signatures",

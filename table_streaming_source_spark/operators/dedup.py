@@ -307,6 +307,76 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    key: str = "key",
+    src: str = "key_a",
+    dst: str = "key_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the full
+    transitive closure of a near-duplicate pair graph (every member of a
+    dup cluster maps to the cluster's minimum key).
+
+    Each round every vertex takes the minimum label among itself and its
+    neighbors; convergence after at most ``diameter`` rounds.  The loop is
+    driver-side *control flow* (a scalar changed-count per round — never
+    data collection); per-round ``localCheckpoint`` truncates the plan so
+    iteration ``k`` does not re-execute rounds ``1..k-1``.  At 100 TB each
+    round is one shuffle of (vertex, label) pairs joined against the edge
+    list — the standard large-graph CC pattern short of GraphX/Pregel.
+
+    Returns ``(key, component)`` with ``component`` = min key in the
+    component.  Raises if not converged within ``max_iter`` (pass a larger
+    bound for graphs with long chains).
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+
+    labels = vertices.select(
+        F.col(key).alias("u"), F.col(key).alias("lbl")
+    ).localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(
+                    F.col("u").alias("v"), F.col("lbl").alias("nlbl")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("nlbl").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(nbr, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("u", F.col("lbl").alias("old")), "u"
+            )
+            .filter(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(
+                F.col("u").alias(key), F.col("lbl").alias("component")
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

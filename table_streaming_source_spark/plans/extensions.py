@@ -527,6 +527,50 @@ FROM d
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full transitive closure of the embedding near-dup graph (threshold
+    0.35 within label blocks): iterative min-label propagation on Spark,
+    recursive-CTE reachability in the oracle — the iterative-algorithm
+    class, still value-checked."""
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = S.cosine_pairs_blocked(
+        emb, block_col="label", threshold=0.35, round_digits=6
+    )
+    from table_streaming_source_spark.operators.dedup import (
+        connected_components,
+    )
+
+    return connected_components(
+        emb, pairs, key="vec_id", src="key_a", dst="key_b"
+    )
+
+
+ORACLES["dedup_components"] = """
+WITH RECURSIVE p AS (
+  SELECT a.vec_id AS key_a, b.vec_id AS key_b
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND(
+          LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
+                   z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+          / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+          6) >= 0.35
+),
+e AS (
+  SELECT key_a AS u, key_b AS v FROM p
+  UNION ALL
+  SELECT key_b AS u, key_a AS v FROM p
+),
+reach(u, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.u, r.lbl FROM e JOIN reach r ON r.u = e.v
+)
+SELECT u AS vec_id, MIN(lbl) AS component FROM reach GROUP BY u
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling (every 4th frame of videos, single row otherwise) —
     the per-frame row explosion a video pipeline fans out on, with the
@@ -610,6 +654,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_components": q_dedup_components,
     "sim_topk": q_sim_topk,
     "sim_pairs_blocked": q_sim_pairs_blocked,
     "sim_ann_lsh": q_sim_ann_lsh,

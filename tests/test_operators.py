@@ -181,3 +181,21 @@ def test_snapshot_cache_returns_same_plan(spark, sf_dir):
     b = load_table(spark, sf_dir, "customer")
     assert a is b
     assert load_table(spark, sf_dir, "customer", cached=False) is not a
+
+
+def test_connected_components_closure(spark):
+    from table_streaming_source_spark.operators import connected_components
+
+    vertices = spark.createDataFrame(
+        [(i,) for i in range(8)], "key long"
+    )
+    # chain 0-1-2-3, triangle 4-5-6 (6-4 closes it), isolated 7
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (6, 4)],
+        "key_a long, key_b long",
+    )
+    got = {
+        r.key: r.component
+        for r in connected_components(vertices, edges).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7}
