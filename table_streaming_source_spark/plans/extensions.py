@@ -465,6 +465,45 @@ SELECT doc_id, MIN(MD5(shingle)) AS sketch FROM sh GROUP BY doc_id
 """
 
 
+def q_text_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (90/5/5 on
+    ``md5(doc_id) mod 100``) with per-(language, split) counts — the
+    reproducible sampling a training pipeline needs: membership is a pure
+    function of the key, stable across engines, partitionings, and reruns
+    (unlike seeded Bernoulli sampling, whose draws are engine-specific)."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(F.col("lang"), split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLES["text_sample_split"] = """
+WITH b AS (
+  SELECT lang,
+         CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM b GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal columns
 # ---------------------------------------------------------------------------
@@ -663,6 +702,7 @@ QUERIES = {
     "text_langid": q_text_langid,
     "text_tfidf": q_text_tfidf,
     "text_fingerprint": q_text_fingerprint,
+    "text_sample_split": q_text_sample_split,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,

@@ -714,6 +714,37 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function pack: rank, dense_rank, percent_rank, cume_dist,
+    ntile over each segment's customers by balance."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+ORACLES["window_ranks"] = """
+SELECT c_mktsegment, c_custkey,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       CAST(NTILE(4) OVER w AS INT) AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
 def q_order_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k with deterministic tie-breaking — Spark plans this as
     TakeOrderedAndProject (per-partition top-k + driver merge), no full
@@ -1167,6 +1198,7 @@ QUERIES = {
     "window_topk_per_group": q_window_topk_per_group,
     "window_running": q_window_running,
     "window_lag_lead": q_window_lag_lead,
+    "window_ranks": q_window_ranks,
     "order_limit_topk": q_order_limit_topk,
     "set_ops": q_set_ops,
     "scalar_string": q_scalar_string,
