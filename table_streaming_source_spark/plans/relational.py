@@ -1019,6 +1019,37 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-group z-score normalization — each
+    group arrives as one pandas DataFrame (Arrow transfer).  The window
+    formulation ((x-avg)/std OVER (PARTITION BY ...)) is the builtin
+    equivalent; applyInPandas is for per-group logic windows can't express
+    (model fits, iterative solvers).  Rounded to 6: pandas pairwise vs SQL
+    sequential summation differ in low-order bits."""
+    import pandas as pd
+
+    l = t(spark, sf_dir, "lineitem")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["l_quantity"]
+        pdf["qty_z"] = ((x - x.mean()) / x.std(ddof=1)).round(6)
+        return pdf[["l_orderkey", "l_linenumber", "l_returnflag", "qty_z"]]
+
+    return l.groupBy("l_returnflag").applyInPandas(
+        zscore,
+        schema="l_orderkey long, l_linenumber int, l_returnflag string, qty_z double",
+    )
+
+
+ORACLES["udf_grouped_map"] = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       ROUND((l_quantity - AVG(l_quantity) OVER w)
+             / STDDEV_SAMP(l_quantity) OVER w, 6) AS qty_z
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag)
+"""
+
+
 def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF via LATERAL join: (pos, token) per document.  Per-row
     Python — the extension point for logic builtins can't express; plain
@@ -1209,6 +1240,7 @@ QUERIES = {
     "scalar_map": q_scalar_map,
     "udf_vectorized": q_udf_vectorized,
     "udaf_grouped": q_udaf_grouped,
+    "udf_grouped_map": q_udf_grouped_map,
     "udtf_tokenize": q_udtf_tokenize,
     "window_tumbling": q_window_tumbling,
     "window_sliding": q_window_sliding,
