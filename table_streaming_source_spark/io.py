@@ -41,8 +41,10 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 # tables smaller than this stay at their natural partitioning (spreading a
-# 25-row dimension across 32 partitions just adds scheduling overhead)
-_SPREAD_MIN_BYTES = 1 << 20
+# 25-row dimension across 32 partitions just adds scheduling overhead);
+# 256 KB catches the CPU-heavy documents/embeddings tables whose per-row
+# work (hashing, dot products) dwarfs their byte size
+_SPREAD_MIN_BYTES = 256 << 10
 
 # (session java id, path) → persisted snapshot DataFrame
 _SNAPSHOT_CACHE: dict[tuple[int, str], DataFrame] = {}

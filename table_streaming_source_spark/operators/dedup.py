@@ -32,23 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from table_streaming_source_spark.operators.hof import bind_once as _bind
-
-
-
-def _spread(df: DataFrame, parallelism: Optional[int] = None) -> DataFrame:
-    """Round-robin repartition before CPU-heavy row-local compute.
-
-    Fixture tables arrive as one parquet file → one input partition; the
-    signature/fingerprint expressions are pure per-row CPU, so spreading
-    them across the cluster is a cheap narrow-ish shuffle of the (small)
-    document rows that unlocks full parallelism.  At 100 TB the input is
-    already thousands of splits and this becomes a no-op (pass
-    ``parallelism=0`` to disable).
-    """
-    if parallelism == 0:
-        return df
-    n = parallelism or df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n)
+from table_streaming_source_spark.operators.hof import spread as _spread
 
 
 def exact_dedup(

@@ -1,9 +1,32 @@
-"""Shared higher-order-function expression helpers."""
+"""Shared expression/plan helpers for operators."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def spread(df: DataFrame, parallelism: Optional[int] = None) -> DataFrame:
+    """Round-robin repartition before CPU-heavy row-local compute — only
+    when the input is underparallelized.
+
+    Single-file fixture tables arrive as one input partition; per-row
+    signature/dot-product work then runs on one core.  If the input is
+    already spread (e.g. a cached snapshot from ``io.load_table``), this
+    is a no-op — no extra exchange.  At 100 TB inputs arrive in thousands
+    of splits and this never fires.  ``parallelism=0`` disables.
+    """
+    if parallelism == 0:
+        return df
+    n = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= max(2, n // 2):
+            return df
+    except Exception:
+        pass
+    return df.repartition(n)
 
 
 def bind_once(expr: Column, fn) -> Column:

@@ -24,7 +24,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from table_streaming_source_spark.operators.hof import bind_once
+from table_streaming_source_spark.operators.hof import bind_once, spread
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -72,9 +72,7 @@ def cosine_topk(
     q = queries.select(
         F.col(key).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    c = corpus.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism
-    ).select(
+    c = spread(corpus).select(
         F.col(key).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
     sim = F.col("__sim")
@@ -116,7 +114,7 @@ def cosine_pairs_blocked(
     all-pairs cosine.  Returns ``(key_a, key_b, cos_sim)``, ``key_a <
     key_b``, ``cos_sim >= threshold``.
     """
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df = spread(df)
     a = df.select(
         F.col(block_col).alias("__blk"),
         F.col(key).alias("key_a"),
@@ -226,9 +224,7 @@ def ann_topk_lsh(
     :func:`cosine_topk` — on matching buckets only.
     """
     planes = lsh_planes(num_planes, dim)
-    c = corpus.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism
-    ).select(
+    c = spread(corpus).select(
         F.col(key).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         hyperplane_bucket(F.col(vec_col), planes).alias("__b"),
