@@ -4,8 +4,8 @@
 documented snapshot-enrichment pattern, `docs/Table-streamingsource.md:10-14`)
 at sf0.001.  ``queries()`` / ``oracle_sql()`` expose the full catalog from
 ``table_streaming_source_spark.plans.catalog`` — one entry per implemented
-operator of SURVEY.md §2, each with a DuckDB oracle twin except the
-documented rows-only sketches (approx_count_distinct, SimHash).
+operator of SURVEY.md §2 (map in §2C), each with a DuckDB oracle twin
+except the documented rows-only sketch (approx_count_distinct).
 """
 
 from __future__ import annotations

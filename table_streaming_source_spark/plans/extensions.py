@@ -3,10 +3,11 @@
 similarity search, text analysis, multimodal columns.
 
 Every operator that is SQL-expressible gets a full DuckDB oracle — the
-MinHash pipeline included (md5-seeded ``(a·x+b) mod P`` hashing makes the
-entire shingle→minhash→band→bucket-join→verify pipeline
-engine-independent).  SimHash (bit-arithmetic) and the approx variants are
-rows-only checks.
+MinHash pipeline (md5-seeded ``(a·x+b) mod P`` hashing), SimHash
+(bit-exact integer votes), LSH ANN (literal plane matrix), and the
+connected-components fixpoint (recursive CTE) included.  Only the
+HyperLogLog approx variant is a rows-only check (sketch internals are
+engine-specific).
 """
 
 from __future__ import annotations
@@ -158,10 +159,38 @@ WHERE inter / (za.sz + zb.sz - inter) >= 0.2
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash fingerprints (rows-only check: the bit-vote pipeline
-    is not portably SQL-expressible; determinism is covered by unit
-    tests)."""
+    """60-bit SimHash fingerprints.  Fully oracle-checked: the md5-derived
+    token hashes, per-bit ±1 votes, and bit reassembly are exact integer
+    arithmetic in both engines."""
     return D.simhash(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+ORACLES["dedup_simhash"] = """
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(LIST_DISTINCT(
+           STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ')
+         )) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id, CAST('0x' || SUBSTR(MD5(tok), 1, 15) AS BIGINT) AS h
+  FROM toks WHERE LENGTH(tok) > 0
+),
+votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, UNNEST(RANGE(0, 60)) AS u(b)
+  GROUP BY doc_id, b
+),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(fp.simhash, 0) AS simhash
+FROM documents d LEFT JOIN fp USING (doc_id)
+"""
 
 
 # ---------------------------------------------------------------------------

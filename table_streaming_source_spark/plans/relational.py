@@ -1179,6 +1179,39 @@ FROM sessioned GROUP BY user_id, session_seq
 """
 
 
+def q_window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session ids via the gaps-and-islands operator
+    (operators/windows.py::sessionize) — same session semantics as
+    F.session_window but keeping event granularity."""
+    from table_streaming_source_spark.operators.windows import sessionize
+
+    e = t(spark, sf_dir, "events")
+    s = sessionize(
+        e.select("user_id", "ts", "event_id"),
+        ts_col="ts",
+        key="user_id",
+        gap="30 minutes",
+    )
+    return s.select(
+        "user_id", "event_id", F.col("session_seq").cast("int").alias("session_seq")
+    )
+
+
+ORACLES["window_sessionize"] = """
+SELECT user_id, event_id,
+       CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_seq
+FROM (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+"""
+
+
 def q_stream_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by event id over a duplicated stream (batch analogue of
     dropDuplicates in streaming mode)."""
@@ -1245,5 +1278,6 @@ QUERIES = {
     "window_tumbling": q_window_tumbling,
     "window_sliding": q_window_sliding,
     "window_session": q_window_session,
+    "window_sessionize": q_window_sessionize,
     "stream_dedup_batch": q_stream_dedup_batch,
 }
