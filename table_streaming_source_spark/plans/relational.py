@@ -550,6 +550,38 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01'
 """
 
 
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery via the SQL surface: customers above
+    their own nation's average balance.  Catalyst decorrelates to an
+    aggregate + join; the decimal-path average keeps the threshold
+    bit-identical across engines."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("__cust_sq")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM __cust_sq c
+        WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*)
+            FROM __cust_sq c2
+            WHERE c2.c_nationkey = c.c_nationkey
+        )
+        """
+    )
+
+
+ORACLES["subquery_correlated"] = """
+SELECT c_custkey, c_nationkey, c_acctbal
+FROM customer c
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*)
+    FROM customer c2
+    WHERE c2.c_nationkey = c.c_nationkey
+)
+"""
+
+
 def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equi join (<=>): rows with NULL keys match each other —
     the join variant plain equality silently drops."""
@@ -1255,6 +1287,7 @@ QUERIES = {
     "join_theta_range": q_join_theta_range,
     "join_asof": q_join_asof,
     "join_null_safe": q_join_null_safe,
+    "subquery_correlated": q_subquery_correlated,
     "shipping_priority": q_shipping_priority,
     "forecast_revenue": q_forecast_revenue,
     "flagship_enrichment": q_flagship_enrichment,
