@@ -206,6 +206,7 @@ def ann_topk_lsh(
     k: int = 5,
     num_planes: int = 8,
     dim: int = 64,
+    multi_probe: bool = False,
     round_digits: int | None = 6,
 ) -> DataFrame:
     """Approximate nearest neighbors via random-hyperplane LSH bucketing.
@@ -216,9 +217,14 @@ def ann_topk_lsh(
     2^num_planes`` in expectation instead of ``|corpus|``.  The bucket
     equi-join replaces :func:`cosine_topk`'s broadcast cross-join; recall
     is tunable via ``num_planes`` (fewer planes → bigger buckets → higher
-    recall, more compute).  Multi-probe (flipping low-margin bits) raises
-    recall without growing buckets; single-probe here keeps the semantics
-    oracle-checkable.
+    recall, more compute).
+
+    ``multi_probe=True`` additionally probes every Hamming-distance-1
+    bucket of each query (the query side explodes to ``1 + num_planes``
+    probe buckets; the corpus stays single-bucket, so neighbors are never
+    duplicated): expected candidates grow ~``(1+P)/2^P`` of the corpus
+    while recall rises steeply — the standard multi-probe LSH trade, and
+    still exactly reproducible (the probe set is pure bit arithmetic).
 
     Returns ``(query_id, neighbor_id, cos_sim, rank)`` like
     :func:`cosine_topk` — on matching buckets only.
@@ -232,8 +238,21 @@ def ann_topk_lsh(
     q = queries.select(
         F.col(key).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        hyperplane_bucket(F.col(vec_col), planes).alias("__b"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("__b0"),
     )
+    if multi_probe:
+        probe_arr = F.array(
+            F.col("__b0"),
+            *[
+                F.col("__b0").bitwiseXOR(F.lit(1 << p).cast("long"))
+                for p in range(num_planes)
+            ],
+        )
+        q = q.select(
+            "query_id", "__qv", F.explode(probe_arr).alias("__b")
+        )
+    else:
+        q = q.withColumnRenamed("__b0", "__b")
     sim = F.col("__sim")
     scored = (
         F.broadcast(q)

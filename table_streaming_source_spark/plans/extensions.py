@@ -309,6 +309,64 @@ FROM ranked WHERE rank <= {k}
 ORACLES["sim_ann_lsh"] = _ann_sql()
 
 
+def q_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: each query also probes every
+    Hamming-distance-1 bucket (9 probes at 8 planes) — recall rises
+    steeply for ~9/256 of the brute-force candidate work."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.ann_topk_lsh(
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        k=5,
+        num_planes=8,
+        dim=64,
+        multi_probe=True,
+        round_digits=6,
+    )
+
+
+def _ann_multiprobe_sql(num_planes: int = 8, dim: int = 64, k: int = 5) -> str:
+    planes = S.lsh_planes(num_planes, dim)
+    bucket = " + ".join(
+        f"(CASE WHEN LIST_SUM(LIST_TRANSFORM(LIST_ZIP(embedding, {planes[p]}),"
+        f" z -> CAST(z[1] AS DOUBLE) * z[2])) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(num_planes)
+    )
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(num_planes)]
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+qp AS (
+  SELECT vec_id, embedding, UNNEST([{probes}]) AS probe
+  FROM b WHERE vec_id < 20
+),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(
+           LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.embedding, c.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (SQRT(LIST_SUM(LIST_TRANSFORM(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * SQRT(LIST_SUM(LIST_TRANSFORM(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cos_sim
+  FROM qp q JOIN b c ON q.probe = c.bucket AND q.vec_id != c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+ORACLES["sim_ann_multiprobe"] = _ann_multiprobe_sql()
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: one-hop canonical assignment over the
     within-label cosine graph (threshold 0.4) — the embedding analogue of
@@ -726,6 +784,7 @@ QUERIES = {
     "sim_topk": q_sim_topk,
     "sim_pairs_blocked": q_sim_pairs_blocked,
     "sim_ann_lsh": q_sim_ann_lsh,
+    "sim_ann_multiprobe": q_sim_ann_multiprobe,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,

@@ -550,6 +550,45 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01'
 """
 
 
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (HAVING over an aggregate), joined back to order/customer detail —
+    the aggregate-filter-then-rejoin pattern.  The filtered key set is
+    small, so the join back is broadcast."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+ORACLES["large_volume_orders"] = f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, {sql_dsum('l_quantity')} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {sql_dsum('l_quantity')} > 250
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery via the SQL surface: customers above
     their own nation's average balance.  Catalyst decorrelates to an
@@ -1289,6 +1328,7 @@ QUERIES = {
     "join_null_safe": q_join_null_safe,
     "subquery_correlated": q_subquery_correlated,
     "shipping_priority": q_shipping_priority,
+    "large_volume_orders": q_large_volume_orders,
     "forecast_revenue": q_forecast_revenue,
     "flagship_enrichment": q_flagship_enrichment,
     "local_supplier_volume": q_local_supplier_volume,

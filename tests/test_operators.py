@@ -199,3 +199,25 @@ def test_connected_components_closure(spark):
         for r in connected_components(vertices, edges).collect()
     }
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7}
+
+
+def test_multiprobe_improves_recall(emb):
+    """Hamming-1 multi-probe must dominate single-probe recall@5."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(multi):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ann_topk_lsh(
+                emb, queries, k=5, num_planes=8, dim=64, multi_probe=multi
+            ).collect()
+        }
+        return len(got & brute) / len(brute)
+
+    single, multi = recall(False), recall(True)
+    assert multi >= single
+    assert multi > 0

@@ -279,3 +279,58 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir, tmp_path):
     for uid, (n, total) in expected.items():
         assert got[uid][0] == n, uid
         assert got[uid][1] == pytest.approx(total, rel=1e-9), uid
+
+
+@pytest.mark.streaming
+def test_rocksdb_state_store_matches_batch(spark, sf_dir, tmp_path):
+    """The RocksDB state store provider (the at-scale state backend,
+    docs/SCALE.md §10) produces identical windowed-aggregation results —
+    a pure config switch, no code change."""
+    from table_streaming_source_spark.io import load_table
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        events = load_table(spark, sf_dir, "events").select(
+            "ts", "event_type", "value"
+        )
+        src = str(tmp_path / "rocks_in")
+        events.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").start.alias("ws"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("rocks_win")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        got = {
+            (r.ws, r.event_type): r.n
+            for r in spark.table("rocks_win").collect()
+        }
+        expected = {
+            (r.ws, r.event_type): r.n
+            for r in events.groupBy(
+                F.window("ts", "1 hour").start.alias("ws"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == expected
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
