@@ -589,6 +589,163 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_priority_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted — fixtures lack commit/receipt dates, so
+    "late" is shipped >30 days after the order date): order-priority
+    checking via EXISTS.  The semi join carries an equi key plus a
+    cross-table non-equi residual, so Catalyst plans a shuffled semi
+    join with the lateness predicate as a post-join filter — the
+    EXISTS decorrelation pattern."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.date_add(o.o_orderdate, 30)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLES["priority_wait"] = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted lateness: shipped >60 days after order
+    date): suppliers who were the *sole late supplier* on a
+    multi-supplier order.
+
+    The textbook form is two correlated self-joins on lineitem (EXISTS
+    another supplier, NOT EXISTS another late supplier) — that is what
+    the oracle runs.  Spark-first, we rewrite both exists-checks into
+    ONE window pass over the order-joined lineitems: per order,
+    ``n_supps = count(distinct supp)`` and ``n_late_supps =
+    count(distinct supp) filtered to late``; a late row qualifies iff
+    ``n_supps > 1 AND n_late_supps = 1``.  One shuffle by l_orderkey
+    replaces two self-join shuffles of the fact table — the rewrite
+    that matters at 100 TB, proven equivalent by the oracle."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = t(spark, sf_dir, "supplier")
+    base = l.join(o, l.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).cast(
+            "int"
+        ),
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = base.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supps"),
+        F.size(
+            F.collect_set(
+                F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+            ).over(w)
+        ).alias("n_late_supps"),
+    )
+    return (
+        flagged.filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supps") > 1)
+            & (F.col("n_late_supps") == 1)
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+ORACLES["waiting_suppliers"] = """
+WITH base AS (
+  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM base l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM base l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM base l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s.s_name
+"""
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance who
+    placed no order in a window (every fixture customer has *some*
+    order, so the anti join targets H1-1996) — a scalar aggregate subquery (broadcast as a
+    1-row cross join) feeding a left-anti join against the fact table,
+    rolled up by market segment."""
+    c = t(spark, sf_dir, "customer")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal").alias("__avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+ORACLES["idle_customers"] = f"""
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       {sql_dsum('c_acctbal')} AS totacctbal
+FROM customer c
+WHERE c_acctbal > (
+    SELECT {sql_davg('c_acctbal')} FROM customer WHERE c_acctbal > 0
+)
+AND NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+)
+GROUP BY c_mktsegment
+"""
+
+
 def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery via the SQL surface: customers above
     their own nation's average balance.  Catalyst decorrelates to an
@@ -1329,6 +1486,9 @@ QUERIES = {
     "subquery_correlated": q_subquery_correlated,
     "shipping_priority": q_shipping_priority,
     "large_volume_orders": q_large_volume_orders,
+    "priority_wait": q_priority_wait,
+    "waiting_suppliers": q_waiting_suppliers,
+    "idle_customers": q_idle_customers,
     "forecast_revenue": q_forecast_revenue,
     "flagship_enrichment": q_flagship_enrichment,
     "local_supplier_volume": q_local_supplier_volume,

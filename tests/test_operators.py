@@ -176,6 +176,17 @@ def test_global_topk_avoids_full_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan  # per-partition top-k + merge
 
 
+def test_waiting_suppliers_single_fact_shuffle(spark, sf_dir):
+    """The Q21 agg-rewrite must shuffle the fact table exactly once (by
+    l_orderkey, for the window) — the textbook double EXISTS self-join
+    would shuffle lineitem three times.  Dimensions broadcast."""
+    from table_streaming_source_spark.plans.catalog import QUERIES
+
+    plan = _plan(QUERIES["waiting_suppliers"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(l_orderkey") == 1
+    assert "SortMergeJoin" not in plan  # no lineitem self-join
+
+
 def test_snapshot_cache_returns_same_plan(spark, sf_dir):
     a = load_table(spark, sf_dir, "customer")
     b = load_table(spark, sf_dir, "customer")
