@@ -174,6 +174,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     max_bucket: Optional[int] = None,
+    mega_bucket: str = "drop",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, verified with exact
     Jaccard.
@@ -186,8 +187,16 @@ def minhash_lsh_pairs(
 
     Returns ``(key_a, key_b, jaccard)`` with ``key_a < key_b``.
 
-    ``max_bucket`` drops LSH buckets larger than the cap (boilerplate
-    explosion guard for web-scale corpora).
+    ``max_bucket`` guards the boilerplate-bucket explosion at web scale: a
+    bucket of ``m`` docs expands to ``m(m-1)/2`` candidate pairs, so one
+    million-doc boilerplate bucket would dominate the whole job.  Two
+    policies for buckets over the cap: ``mega_bucket="drop"`` skips them
+    (loses those clusters); ``mega_bucket="star"`` emits only the ``m-1``
+    hub pairs (first member vs each other member) — linear in the bucket,
+    and since dedup consumes pairs through transitive closure
+    (:func:`connected_components`), the cluster still comes out connected.
+    False hub edges are killed by the exact-Jaccard verify like any other
+    candidate.
 
     Physical shape: shingles → hash ints → signature → band keys is ONE
     row-local expression chain, each stage bound as a lambda variable (see
@@ -228,7 +237,7 @@ def minhash_lsh_pairs(
         .agg(F.array_sort(F.collect_list(key)).alias("bucket"))
         .filter(F.size("bucket") >= 2)
     )
-    if max_bucket is not None:
+    if max_bucket is not None and mega_bucket == "drop":
         buckets = buckets.filter(F.size("bucket") <= max_bucket)
 
     # all (a < b) pairs within each bucket, expanded row-locally
@@ -245,6 +254,17 @@ def minhash_lsh_pairs(
             ),
         )
     )
+    if max_bucket is not None and mega_bucket == "star":
+        star_arr = F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.struct(
+                F.element_at(arr, 1).alias("key_a"),
+                F.element_at(arr, (i + 1).cast("int")).alias("key_b"),
+            ),
+        )
+        pair_arr = F.when(F.size(arr) <= max_bucket, pair_arr).otherwise(
+            star_arr
+        )
     candidates = (
         buckets.select(F.explode(pair_arr).alias("p"))
         .select(F.col("p.key_a").alias("key_a"), F.col("p.key_b").alias("key_b"))

@@ -119,6 +119,76 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_minhash_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with the mega-bucket guard in star mode (cap 3): LSH
+    buckets over the cap emit only their ``m-1`` hub pairs (min-key member
+    vs each other) instead of ``m(m-1)/2`` — the policy that keeps a
+    million-doc boilerplate bucket linear at 100 TB while transitive
+    closure still connects the cluster.  Same hash family as
+    ``dedup_minhash_lsh``, so the full pipeline incl. the cap policy is
+    value-oracle-checked."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.trim("text"), r"\s+")) >= 3
+    )
+    return D.minhash_lsh_pairs(
+        docs,
+        "text",
+        "doc_id",
+        n=3,
+        num_hashes=16,
+        bands=4,
+        threshold=0.2,
+        max_bucket=3,
+        mega_bucket="star",
+    )
+
+
+ORACLES["dedup_minhash_star"] = f"""
+WITH {_SQL_SHINGLES3},
+xs AS (
+  SELECT doc_id,
+         CAST('0x' || SUBSTR(MD5(shingle), 1, 15) AS BIGINT) % 2147483647 AS x
+  FROM sh
+),
+mh AS (
+  SELECT doc_id, i AS h, MIN(((2 * i + 1) * x + i) % 2147483647) AS minhash
+  FROM xs, UNNEST(RANGE(0, 16)) AS u(i)
+  GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, CAST(FLOOR(h / 4) AS INT) AS band,
+         MD5(STRING_AGG(CAST(minhash AS VARCHAR), ',' ORDER BY h)) AS band_key
+  FROM mh GROUP BY doc_id, CAST(FLOOR(h / 4) AS INT)
+),
+bucketed AS (
+  SELECT doc_id, band, band_key,
+         MIN(doc_id) OVER (PARTITION BY band, band_key) AS hub,
+         COUNT(*) OVER (PARTITION BY band, band_key) AS bsz
+  FROM bands
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+  FROM bucketed a
+  JOIN bucketed b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+  WHERE a.bsz <= 3 OR a.doc_id = a.hub
+),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.key_a, c.key_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.key_a
+  JOIN sh sb ON sb.doc_id = c.key_b AND sb.shingle = sa.shingle
+  GROUP BY c.key_a, c.key_b
+)
+SELECT key_a, key_b, inter / (za.sz + zb.sz - inter) AS jaccard
+FROM inter
+JOIN sz za ON za.doc_id = key_a
+JOIN sz zb ON zb.doc_id = key_b
+WHERE inter / (za.sz + zb.sz - inter) >= 0.2
+"""
+
+
 ORACLES["dedup_minhash_lsh"] = f"""
 WITH {_SQL_SHINGLES3},
 xs AS (
@@ -778,6 +848,7 @@ QUERIES = {
     "dedup_fingerprint": q_dedup_fingerprint,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_star": q_dedup_minhash_star,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "dedup_components": q_dedup_components,

@@ -79,6 +79,35 @@ def test_minhash_deterministic(docs):
     assert a == b
 
 
+def test_mega_bucket_star_keeps_clusters_connected(docs):
+    """With a tiny cap, drop-mode loses over-cap buckets entirely; star-mode
+    keeps linear hub edges instead.  Star pairs are still exact-Jaccard
+    verified (subset of the exhaustive pair set), and every doc that the
+    uncapped run connects to something stays connected in star mode."""
+    kw = dict(n=3, num_hashes=16, bands=4, threshold=0.2)
+    full = {
+        (r.key_a, r.key_b)
+        for r in minhash_lsh_pairs(docs, "text", "doc_id", **kw).collect()
+    }
+    star = {
+        (r.key_a, r.key_b)
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", max_bucket=2, mega_bucket="star", **kw
+        ).collect()
+    }
+    exact = {
+        (r.key_a, r.key_b)
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.2
+        ).collect()
+    }
+    assert star <= exact  # verify step still holds
+    # no doc that had a true near-dup partner is orphaned by the cap
+    def keys(pairs):
+        return {k for p in pairs for k in p}
+    assert keys(full) <= keys(star)
+
+
 # ---------------------------------------------------------------------------
 # similarity / ANN
 # ---------------------------------------------------------------------------
