@@ -746,6 +746,172 @@ GROUP BY c_mktsegment
 """
 
 
+def _rev() -> "F.Column":
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+_SQL_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between distinct nation pairs by
+    year.  The fact spine (lineitem⋈orders) shuffles once; both nation
+    lookups ride broadcast chains (customer⋈nation on one side,
+    supplier⋈nation on the other), so adding the second dimension chain
+    costs zero extra fact shuffles."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(n.select(
+                F.col("n_nationkey").alias("__cnk"),
+                F.col("n_name").alias("cust_nation"),
+            )),
+            F.col("c_nationkey") == F.col("__cnk"),
+        )
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n.select(
+                F.col("n_nationkey").alias("__snk"),
+                F.col("n_name").alias("supp_nation"),
+            )),
+            F.col("s_nationkey") == F.col("__snk"),
+        )
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(dsum(_rev(), 6).alias("revenue"))
+    )
+
+
+ORACLES["nation_volume"] = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(YEAR(l_shipdate) AS INT) AS l_year,
+       {sql_dsum(_SQL_REV, 6)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name, CAST(YEAR(l_shipdate) AS INT)
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    quarter.  Global top-k over an aggregate: Catalyst plans
+    TakeOrderedAndProject (per-partition heap + driver merge), never a
+    full sort.  Tie-broken on c_custkey so the limit boundary is
+    deterministic across engines."""
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(_rev(), 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+ORACLES["returned_items"] = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {sql_dsum(_SQL_REV, 6)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month — conditional
+    aggregation over a broadcast part join, reduced to a single scalar
+    row.  Both the conditional and total sums ride the decimal path so
+    the ratio is bit-identical."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (100 * dsum(promo, 6) / dsum(_rev(), 6)).alias("promo_revenue")
+        )
+    )
+
+
+ORACLES["promo_revenue"] = f"""
+SELECT 100 * {sql_dsum(f"CASE WHEN p_type = 'PROMO' THEN {_SQL_REV} ELSE 0.0 END", 6)}
+       / {sql_dsum(_SQL_REV, 6)} AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q_discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of brand/size/quantity conjunctions.
+    The OR-of-ANDs references both join sides, so it must stay a
+    post-join filter — but the partkey equi-key still drives a broadcast
+    hash join, and Catalyst extracts the common single-side conjuncts
+    for pushdown."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    b = F.col("p_brand")
+    sz = F.col("p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((b == "Brand#1") & (sz.between(1, 10)) & (q.between(1, 11)))
+        | ((b == "Brand#13") & (sz.between(1, 20)) & (q.between(10, 20)))
+        | ((b == "Brand#25") & (sz.between(1, 35)) & (q.between(20, 30)))
+    )
+    return j.filter(cond).agg(dsum(_rev(), 6).alias("revenue"))
+
+
+ORACLES["discounted_brand_revenue"] = f"""
+SELECT {sql_dsum(_SQL_REV, 6)} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery via the SQL surface: customers above
     their own nation's average balance.  Catalyst decorrelates to an
@@ -1487,6 +1653,10 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "large_volume_orders": q_large_volume_orders,
     "priority_wait": q_priority_wait,
+    "nation_volume": q_nation_volume,
+    "returned_items": q_returned_items,
+    "promo_revenue": q_promo_revenue,
+    "discounted_brand_revenue": q_discounted_brand_revenue,
     "waiting_suppliers": q_waiting_suppliers,
     "idle_customers": q_idle_customers,
     "forecast_revenue": q_forecast_revenue,
