@@ -165,7 +165,76 @@ FROM events GROUP BY DATE_TRUNC('hour', ts), event_type
 """
 
 
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream interval join (symmetric hash join with keyed state):
+    purchases within 6 hours of a click by the same user, both sides live
+    file streams drained with availableNow.  The watermark (90 days)
+    exceeds the fixture's 30-day span, so no state is evicted and no row
+    is late — the streamed result is exactly the batch interval join the
+    oracle states.  At scale the watermark shrinks to the real disorder
+    bound and state is reclaimed continuously."""
+    from table_streaming_source_spark.streaming.joins import interval_join
+
+    events = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    base = tempfile.mkdtemp(prefix="tsss_streaming_ivj_")
+    src = f"{base}/in"
+    events.repartition(8).write.mode("overwrite").parquet(src)
+
+    def side(event_type: str, prefix: str):
+        return (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                "user_id",
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+
+    joined = interval_join(
+        side("click", "click"),
+        side("purchase", "purchase"),
+        key="user_id",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        upper_bound="6 HOURS",
+        watermark="90 days",
+    ).select("user_id", "click_id", "purchase_id")
+
+    name = f"__stream_ivj_{abs(hash(base)) % 10**8}"
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(300)
+    finally:
+        query.stop()
+
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+ORACLES["streaming_interval_join"] = """
+SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id
+FROM events a
+JOIN events b ON a.user_id = b.user_id
+  AND a.event_type = 'click' AND b.event_type = 'purchase'
+  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+"""
+
+
 QUERIES = {
     "streaming_enrichment": q_streaming_enrichment,
     "streaming_window_agg": q_streaming_window_agg,
+    "streaming_interval_join": q_streaming_interval_join,
 }

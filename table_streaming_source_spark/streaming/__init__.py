@@ -17,6 +17,7 @@ from table_streaming_source_spark.streaming.fidelity_source import (
     SnapshotTableDataSource,
     register_snapshot_source,
 )
+from table_streaming_source_spark.streaming.joins import interval_join
 from table_streaming_source_spark.streaming.stateful import running_totals_stream
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "SnapshotTableDataSource",
     "register_snapshot_source",
     "running_totals_stream",
+    "interval_join",
 ]

@@ -1,0 +1,55 @@
+"""Stream–stream interval join.
+
+The reference feeds a downstream Joiner (`TableStreamingSource.java:49-51`)
+but only ever supplies the *static* side; joining two live streams is the
+capability its host framework reserves for itself.  Structured Streaming
+implements it natively as a symmetric hash join: both sides are buffered
+in keyed state, each arriving row probes the opposite buffer, and the
+event-time range condition plus watermarks bound how much state is
+retained (state for a left row is freed once the watermark passes
+``left.ts + upper_bound``).
+
+Scale shape: state is partitioned by the join key, so a 1000-executor
+cluster holds ``state/1000`` per node; the watermark delay is the knob
+that trades completeness against state size.  With the RocksDB state
+store provider (see ``docs/SCALE.md`` §10) the buffers spill off-heap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    upper_bound: str,
+    watermark: str,
+) -> DataFrame:
+    """Inner-join two streaming DataFrames on ``key`` where
+    ``left_ts <= right_ts <= left_ts + upper_bound``.
+
+    Both sides get ``watermark`` as their event-time watermark — it must
+    be at least the expected disorder of the input; rows later than the
+    watermark are dropped and buffered state older than
+    ``watermark + upper_bound`` is reclaimed.  For a bounded replay where
+    completeness is asserted (tests, oracles), pass a watermark longer
+    than the stream's whole time span: the join is then exactly the batch
+    interval join.
+
+    Column collision rule: ``key`` is kept once (from the left); all other
+    columns must already be disambiguated by the caller.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {upper_bound}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])
