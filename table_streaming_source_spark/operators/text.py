@@ -71,6 +71,77 @@ def token_stats(df: DataFrame, text_col: str, key: str) -> DataFrame:
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    text_col: str,
+    key: str,
+    *,
+    budget: int = 512,
+    shards: int = 8,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM-pretraining
+    layout: documents are concatenated in a deterministic order and cut
+    into fixed ``budget``-token context windows; a document starting at
+    token ``offset`` belongs to pack ``floor(offset / budget)`` (its tail
+    may spill into the next pack, exactly like the training layout).
+
+    Scale shape: one shuffle on the md5-derived shard key (so layout is
+    reproducible across engines/partitionings — seeded RNG is not), then
+    a single running-sum window per shard.  ``shards`` is the parallelism
+    knob: packs never span shards, so 1000 executors pack 1000 shards
+    independently.
+
+    Returns ``(key, shard, n_tokens, offset, pack_id)``.
+    """
+    h = (
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % shards
+    )
+    base = df.select(
+        F.col(key),
+        h.alias("shard"),
+        F.size(_tokens(text_col)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        F.col(key),
+        "shard",
+        "n_tokens",
+        offset.alias("offset"),
+        F.floor(offset / budget).cast("int").alias("pack_id"),
+    )
+
+
+def remove_repeated_tokens(df: DataFrame, text_col: str, key: str) -> DataFrame:
+    """Within-document repetition removal (Gopher/RefinedWeb-style, at
+    token granularity): drop every repeat of an already-seen token,
+    keeping first occurrences in order.  ``array_distinct`` is
+    order-preserving in Spark, so the whole cleanup is one row-local
+    JVM expression — no explode, no shuffle, no Python.
+
+    Returns ``(key, n_tokens, n_kept, repetition_ratio, clean_text)``.
+    """
+    toks = _tokens(text_col)
+    deduped = F.array_distinct(toks)
+    n_tokens = F.size(toks)
+    n_kept = F.size(deduped)
+    return df.select(
+        F.col(key),
+        n_tokens.alias("n_tokens"),
+        n_kept.alias("n_kept"),
+        ((n_tokens - n_kept).cast("double") / n_tokens).alias(
+            "repetition_ratio"
+        ),
+        F.concat_ws(" ", deduped).alias("clean_text"),
+    )
+
+
 def quality_score(
     df: DataFrame,
     text_col: str,

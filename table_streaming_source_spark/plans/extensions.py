@@ -646,6 +646,65 @@ def q_text_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (budget 512, 8 shards): the
+    LLM-pretraining context-window layout as one window pass per
+    md5-sharded document stream."""
+    docs = t(spark, sf_dir, "documents")
+    return X.pack_sequences(docs, "text", "doc_id", budget=512, shards=8)
+
+
+ORACLES["text_pack_sequences"] = """
+WITH b AS (
+  SELECT doc_id,
+         CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS shard,
+         LEN(LIST_FILTER(STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' '),
+                         x -> LEN(x) > 0)) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - n_tokens AS "offset"
+  FROM b
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(n_tokens AS INT) AS n_tokens,
+       CAST("offset" AS BIGINT) AS "offset",
+       CAST(FLOOR("offset" / 512.0) AS INT) AS pack_id
+FROM c
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition removal: order-preserving token dedup as
+    one row-local expression (no explode/shuffle); emits the cleaned text
+    and the repetition ratio used as a quality filter."""
+    docs = t(spark, sf_dir, "documents")
+    return X.remove_repeated_tokens(docs, "text", "doc_id")
+
+
+ORACLES["text_repetition"] = """
+WITH b AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' '),
+                     x -> LEN(x) > 0) AS tk
+  FROM documents
+),
+d AS (
+  SELECT doc_id, tk,
+         [tk[i] FOR i IN RANGE(1, LEN(tk) + 1) IF LIST_POSITION(tk, tk[i]) = i] AS kept
+  FROM b
+)
+SELECT doc_id,
+       CAST(LEN(tk) AS INT) AS n_tokens,
+       CAST(LEN(kept) AS INT) AS n_kept,
+       CAST(LEN(tk) - LEN(kept) AS DOUBLE) / LEN(tk) AS repetition_ratio,
+       ARRAY_TO_STRING(kept, ' ') AS clean_text
+FROM d
+"""
+
+
 ORACLES["text_sample_split"] = """
 WITH b AS (
   SELECT lang,
@@ -862,6 +921,8 @@ QUERIES = {
     "text_tfidf": q_text_tfidf,
     "text_fingerprint": q_text_fingerprint,
     "text_sample_split": q_text_sample_split,
+    "text_pack_sequences": q_text_pack_sequences,
+    "text_repetition": q_text_repetition,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
