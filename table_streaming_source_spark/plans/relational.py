@@ -753,6 +753,63 @@ def _rev() -> "F.Column":
 _SQL_REV = "l_extendedprice * (1 - l_discount)"
 
 
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median / p90 / p99) per return flag.  Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the same
+    linear-interpolation definition, so the doubles are bit-identical —
+    no rounding needed.  Exact percentile sorts within each group; at
+    100 TB swap in ``approx_percentile`` (t-digest, mergeable partials)
+    and accept the documented error bound."""
+    l = t(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            pct.getItem(0).alias("p50"),
+            pct.getItem(1).alias("p90"),
+            pct.getItem(2).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+ORACLES["agg_percentiles"] = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.9) AS p90,
+       quantile_cont(l_extendedprice, 0.99) AS p99,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (50k buckets): binning is a
+    row-local floor division, so the whole histogram is one hash
+    aggregate on the bin id — the scalable way to profile a 100 TB
+    column (never sort, never collect)."""
+    o = t(spark, sf_dir, "orders")
+    bin_id = F.floor(F.col("o_totalprice") / 50_000).cast("int")
+    return (
+        o.groupBy(bin_id.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+ORACLES["agg_histogram"] = """
+SELECT CAST(FLOOR(o_totalprice / 50000) AS INT) AS bin,
+       COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY CAST(FLOOR(o_totalprice / 50000) AS INT)
+"""
+
+
 def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: shipping volume between distinct nation pairs by
     year.  The fact spine (lineitem⋈orders) shuffles once; both nation
@@ -1654,6 +1711,8 @@ QUERIES = {
     "large_volume_orders": q_large_volume_orders,
     "priority_wait": q_priority_wait,
     "nation_volume": q_nation_volume,
+    "agg_percentiles": q_agg_percentiles,
+    "agg_histogram": q_agg_histogram,
     "returned_items": q_returned_items,
     "promo_revenue": q_promo_revenue,
     "discounted_brand_revenue": q_discounted_brand_revenue,
