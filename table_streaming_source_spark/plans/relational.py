@@ -1141,6 +1141,84 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """
 
 
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue over the daily rollup — a RANGE frame keyed
+    on event time (every row whose day falls in ``[day-7d, day]``),
+    including days with gaps, which a ROWS frame would get wrong.  The
+    window runs over the *daily* aggregate (365 rows/year — driver-side
+    tiny even at 100 TB), so the unpartitioned window is harmless; the
+    heavy lifting is the preceding hash aggregate, which scales out."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        dsum("o_totalprice").alias("day_revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    day_s = F.unix_timestamp(F.col("day").cast("timestamp"))
+    w = (
+        Window.orderBy(day_s)
+        .rangeBetween(-7 * 86400, Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        "day_revenue",
+        "n_orders",
+        F.sum(F.col("day_revenue").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_7d_revenue"),
+        F.sum("n_orders").over(w).alias("trailing_7d_orders"),
+    )
+
+
+ORACLES["window_range_frame"] = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         {sql_dsum('o_totalprice')} AS day_revenue,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+)
+SELECT day, day_revenue, n_orders,
+       CAST(SUM(CAST(day_revenue AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         AS trailing_7d_revenue,
+       SUM(n_orders) OVER w AS trailing_7d_orders
+FROM daily
+WINDOW w AS (ORDER BY EPOCH(CAST(day AS TIMESTAMP))
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) the four lineitem measures into (metric, value)
+    rows, then aggregate per metric — wide→long reshaping as a row-local
+    generator (no shuffle until the final 4-group aggregate)."""
+    l = t(spark, sf_dir, "lineitem")
+    melted = l.unpivot(
+        ["l_orderkey"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+    return melted.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("val", 6).alias("total"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+ORACLES["agg_unpivot"] = f"""
+WITH m AS (
+  SELECT l_orderkey, metric, val
+  FROM (SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_tax
+        FROM lineitem)
+  UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+)
+SELECT metric, COUNT(*) AS n, {sql_dsum('val', 6)} AS total,
+       MIN(val) AS min_val, MAX(val) AS max_val
+FROM m GROUP BY metric
+"""
+
+
 def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead navigation over each customer's order history."""
     o = t(spark, sf_dir, "orders")
@@ -1723,6 +1801,8 @@ QUERIES = {
     "local_supplier_volume": q_local_supplier_volume,
     "window_topk_per_group": q_window_topk_per_group,
     "window_running": q_window_running,
+    "window_range_frame": q_window_range_frame,
+    "agg_unpivot": q_agg_unpivot,
     "window_lag_lead": q_window_lag_lead,
     "window_ranks": q_window_ranks,
     "order_limit_topk": q_order_limit_topk,
