@@ -17,12 +17,14 @@ from table_streaming_source_spark.operators.dedup import (
     simhash,
 )
 from table_streaming_source_spark.operators.similarity import (
+    ann_index,
     ann_topk_lsh,
     cosine,
     cosine_topk,
     cosine_pairs_blocked,
     embedding_dedup,
     hyperplane_bucket,
+    clear_ann_index_cache,
     lsh_planes,
 )
 from table_streaming_source_spark.operators.text import (
@@ -49,12 +51,14 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash",
+    "ann_index",
     "ann_topk_lsh",
     "cosine",
     "cosine_topk",
     "cosine_pairs_blocked",
     "embedding_dedup",
     "hyperplane_bucket",
+    "clear_ann_index_cache",
     "lsh_planes",
     "tokenize",
     "token_stats",

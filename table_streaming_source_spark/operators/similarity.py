@@ -197,6 +197,69 @@ def hyperplane_bucket(
     )
 
 
+#: process-level cache of bucketed-corpus ANN indexes, keyed by
+#: (session, corpus plan semantic hash, vec_col, key, planes, dim)
+_ANN_INDEX_CACHE: dict[tuple, DataFrame] = {}
+
+
+def ann_index(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    num_planes: int = 8,
+    dim: int = 64,
+    cache: bool = True,
+) -> DataFrame:
+    """Build (or fetch) the LSH index of a corpus: each vector tagged with
+    its :func:`hyperplane_bucket` id, persisted MEMORY_AND_DISK.
+
+    An ANN index exists to amortize: the bucket assignment is a full pass
+    over the corpus, the lookups that follow touch one bucket per probe.
+    Keyed by the corpus plan's semantic hash, so the same logical corpus
+    (however the DataFrame object was re-derived) reuses the same
+    materialized index — the process-level analogue of a vector DB
+    keeping its IVF lists resident.  At 100 TB the persisted index is the
+    thing you'd write to a bucketed table instead (see docs/SCALE.md).
+    """
+    planes = lsh_planes(num_planes, dim)
+
+    def build() -> DataFrame:
+        return spread(corpus).select(
+            F.col(key).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            hyperplane_bucket(F.col(vec_col), planes).alias("__b"),
+        )
+
+    if not cache:
+        return build()
+    from pyspark.storagelevel import StorageLevel
+
+    k = (
+        id(corpus.sparkSession._jsparkSession),
+        corpus._jdf.queryExecution().analyzed().semanticHash(),
+        vec_col,
+        key,
+        num_planes,
+        dim,
+    )
+    df = _ANN_INDEX_CACHE.get(k)
+    if df is None:
+        df = build().persist(StorageLevel.MEMORY_AND_DISK)
+        _ANN_INDEX_CACHE[k] = df
+    return df
+
+
+def clear_ann_index_cache() -> None:
+    """Unpersist and drop every cached ANN index."""
+    for k, df in list(_ANN_INDEX_CACHE.items()):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+        del _ANN_INDEX_CACHE[k]
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -230,10 +293,8 @@ def ann_topk_lsh(
     :func:`cosine_topk` — on matching buckets only.
     """
     planes = lsh_planes(num_planes, dim)
-    c = spread(corpus).select(
-        F.col(key).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        hyperplane_bucket(F.col(vec_col), planes).alias("__b"),
+    c = ann_index(
+        corpus, vec_col=vec_col, key=key, num_planes=num_planes, dim=dim
     )
     q = queries.select(
         F.col(key).alias("query_id"),
