@@ -25,6 +25,7 @@ from table_streaming_source_spark.operators.similarity import (
     embedding_dedup,
     hyperplane_bucket,
     clear_ann_index_cache,
+    ivf_assign,
     lsh_planes,
 )
 from table_streaming_source_spark.operators.text import (
@@ -59,6 +60,7 @@ __all__ = [
     "embedding_dedup",
     "hyperplane_bucket",
     "clear_ann_index_cache",
+    "ivf_assign",
     "lsh_planes",
     "tokenize",
     "token_stats",

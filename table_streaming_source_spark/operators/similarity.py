@@ -197,6 +197,61 @@ def hyperplane_bucket(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    num_cells: int = 8,
+    dim: int = 64,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Coarse-quantizer (IVF) cell assignment: each vector goes to the
+    centroid with the highest dot product (equal-norm ±1 centroids, so
+    max-dot = nearest-Euclidean), ties to the lowest cell id.
+
+    This is the *assignment step* of IVF index construction — the k-means
+    iteration that would learn the centroids is the same assignment plus
+    a per-cell mean, both plain hash aggregates.  Deterministic centroids
+    (md5-derived, :func:`lsh_planes`) keep the operator value-checkable
+    across engines; production swaps in learned centroids without
+    touching the plan shape.  Entirely row-local JVM expressions — the
+    only shuffle in a full IVF build is the per-cell re-aggregation.
+
+    Returns ``(key, cell, score)``; feed to
+    :func:`cosine_pairs_blocked` with ``block_col="cell"`` for IVF-style
+    search.
+    """
+    cents = lsh_planes(num_cells, dim)
+    cents_lit = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in cents]
+    )
+    dots = F.transform(
+        cents_lit,
+        lambda row: F.aggregate(
+            F.zip_with(
+                F.col(vec_col), row, lambda x, r: x.cast("double") * r
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    score = F.array_max(F.col("__dots"))
+    out = (
+        df.select(F.col(key), dots.alias("__dots"))
+        .select(
+            F.col(key),
+            (F.array_position(F.col("__dots"), score) - 1)
+            .cast("int")
+            .alias("cell"),
+            score.alias("score"),
+        )
+    )
+    if round_digits is not None:
+        out = out.withColumn("score", F.round("score", round_digits))
+    return out
+
+
 #: process-level cache of bucketed-corpus ANN indexes, keyed by
 #: (session, corpus plan semantic hash, vec_col, key, planes, dim)
 _ANN_INDEX_CACHE: dict[tuple, DataFrame] = {}

@@ -12,7 +12,7 @@ engine-specific).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from table_streaming_source_spark.operators import dedup as D
@@ -298,6 +298,35 @@ ranked AS (
 SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
 """
+
+
+def q_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer assignment: every vector to its max-dot
+    centroid (8 deterministic ±1 centroids) — the index-construction
+    step of IVF search, as pure row-local JVM expressions."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.ivf_assign(emb, num_cells=8, dim=64, round_digits=6)
+
+
+def _ivf_sql(num_cells: int = 8, dim: int = 64) -> str:
+    cents = S.lsh_planes(num_cells, dim)
+    dots = ", ".join(
+        f"LIST_SUM(LIST_TRANSFORM(LIST_ZIP(embedding, {cents[p]}),"
+        f" z -> CAST(z[1] AS DOUBLE) * z[2]))"
+        for p in range(num_cells)
+    )
+    return f"""
+WITH d AS (
+  SELECT vec_id, [{dots}] AS dots FROM embeddings
+)
+SELECT vec_id,
+       CAST(LIST_POSITION(dots, LIST_AGGREGATE(dots, 'max')) - 1 AS INT) AS cell,
+       ROUND(LIST_AGGREGATE(dots, 'max'), 6) AS score
+FROM d
+"""
+
+
+ORACLES["sim_ivf_assign"] = _ivf_sql()
 
 
 def q_sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -646,6 +675,36 @@ def q_text_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified fixed-quota sampling: exactly 30 documents per language,
+    selected by md5-hash order — exact quotas (unlike Bernoulli fractions)
+    and fully deterministic across engines, partitionings, and reruns.
+    One window per stratum; the hash order is data-independent, so no
+    stratum skews the take."""
+    docs = t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        docs.select("doc_id", "lang", h.alias("__h"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 30)
+        .select("doc_id", "lang", F.col("sample_rank").cast("int").alias("sample_rank"))
+    )
+
+
+ORACLES["text_stratified_sample"] = """
+WITH r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS sample_rank
+  FROM documents
+)
+SELECT doc_id, lang, CAST(sample_rank AS INT) AS sample_rank
+FROM r WHERE sample_rank <= 30
+"""
+
+
 def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (budget 512, 8 shards): the
     LLM-pretraining context-window layout as one window pass per
@@ -913,6 +972,7 @@ QUERIES = {
     "dedup_components": q_dedup_components,
     "sim_topk": q_sim_topk,
     "sim_pairs_blocked": q_sim_pairs_blocked,
+    "sim_ivf_assign": q_sim_ivf_assign,
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_ann_multiprobe": q_sim_ann_multiprobe,
     "text_token_stats": q_text_token_stats,
@@ -921,6 +981,7 @@ QUERIES = {
     "text_tfidf": q_text_tfidf,
     "text_fingerprint": q_text_fingerprint,
     "text_sample_split": q_text_sample_split,
+    "text_stratified_sample": q_text_stratified_sample,
     "text_pack_sequences": q_text_pack_sequences,
     "text_repetition": q_text_repetition,
     "multimodal_meta": q_multimodal_meta,
