@@ -1,0 +1,99 @@
+"""Graph operators beyond connected components (which lives with its
+dedup use case in :mod:`.dedup`): fixed-iteration PageRank.
+
+The reference has no graph surface at all (absence verified in SURVEY.md
+§2B); a training-data pipeline needs one for link-graph quality signals
+(domain authority for web corpora) and for ranking dup-cluster canonical
+picks.  The implementation pattern is the one every large-scale Spark
+graph job uses short of GraphX/Pregel: the vertex state is a DataFrame,
+one iteration is one join against the edge list plus one aggregation,
+and the driver loop is pure control flow — no data ever reaches the
+driver.
+
+Determinism discipline (what makes the operator value-checkable across
+engines and partitionings): per-edge contributions are scaled to
+integers (``round(rank/outdeg · 1e12)``) before the per-vertex sum, so
+the aggregation is associative — double addition is not, and a
+partitioning-dependent sum order would otherwise leak into the low bits
+and diverge from any oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale for contribution sums (12 decimal digits)
+_SCALE = 1_000_000_000_000
+
+
+def pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    key: str = "v",
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 3,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """PageRank with a fixed iteration count over a directed edge list.
+
+    ``rank_0 = 1/N``; each iteration sets ``rank(v) = (1-d)/N + d ·
+    Σ_{(u,v)∈E} rank(u)/outdeg(u)``.  Dangling mass (vertices with no
+    out-edges) is dropped rather than redistributed — deterministic, and
+    the variant most link-quality uses want anyway (a page hoarding rank
+    it cannot pass on should not inflate everyone uniformly).
+
+    Scale shape: one iteration = one equi-join of the edge list with the
+    rank vector on ``src`` (both partitioned by vertex id — co-located
+    after the first shuffle) plus one hash aggregate on ``dst``.
+    ``localCheckpoint`` truncates lineage so iteration ``k`` never
+    re-runs ``1..k-1``.  The driver sees only ``N`` (a metadata scalar).
+
+    Returns ``(key, pagerank)``.
+    """
+    n = vertices.count()
+    v0 = vertices.select(F.col(key).alias("__v"))
+    e = edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
+    outdeg = e.groupBy("__u").agg(F.count(F.lit(1)).alias("__outdeg"))
+    ranks = v0.select("__v", F.lit(1.0 / n).alias("__rank"))
+
+    for _ in range(n_iter):
+        contribs = (
+            e.join(outdeg, "__u")
+            .join(
+                ranks.select(
+                    F.col("__v").alias("__u"), F.col("__rank").alias("__ur")
+                ),
+                "__u",
+            )
+            .select(
+                "__v",
+                F.round(F.col("__ur") / F.col("__outdeg") * _SCALE)
+                .cast("long")
+                .alias("__c"),
+            )
+            .groupBy("__v")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        ranks = (
+            v0.join(contribs, "__v", "left")
+            .select(
+                "__v",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + damping
+                    * (F.coalesce(F.col("__s"), F.lit(0)) / F.lit(_SCALE))
+                ).alias("__rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    rank_col = F.col("__rank")
+    if round_digits is not None:
+        rank_col = F.round(rank_col, round_digits)
+    return ranks.select(
+        F.col("__v").alias(key), rank_col.alias("pagerank")
+    )

@@ -300,6 +300,76 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (3 rounds, d=0.85) over the
+    customer→supplier purchase graph (vertex ids namespaced even/odd).
+    Contributions are fixed-point-scaled before summation so the rank
+    vector is identical under any partitioning — which is what lets the
+    unrolled recursive SQL oracle agree bit-for-bit."""
+    from table_streaming_source_spark.operators.graph import pagerank
+
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    verts = c.select((F.col("c_custkey") * 2).alias("v")).union(
+        s.select((F.col("s_suppkey") * 2 + 1).alias("v"))
+    )
+    return pagerank(verts, edges, key="v", damping=0.85, n_iter=3)
+
+
+def _pagerank_sql(n_iter: int = 3) -> str:
+    # IEEE-exact twins of the Spark arithmetic: every literal cast to
+    # DOUBLE (DuckDB decimal literals would divide differently), ROUND
+    # before the BIGINT cast (Spark's cast truncates, DuckDB's rounds —
+    # an integral double makes them agree)
+    d = "CAST(0.85 AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    scale = "1000000000000"
+    iters = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        iters.append(f"""
+c{i} AS (
+  SELECT e.v, SUM(CAST(ROUND(r.rank / od.outdeg * {scale}) AS BIGINT)) AS s
+  FROM e JOIN od USING (u) JOIN {prev} r ON r.v = e.u
+  GROUP BY e.v
+),
+r{i} AS (
+  SELECT verts.v,
+         ({one} - {d}) / (SELECT n FROM n)
+         + {d} * (COALESCE(c{i}.s, 0) / {scale}) AS rank
+  FROM verts LEFT JOIN c{i} USING (v)
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH verts AS (
+  SELECT c_custkey * 2 AS v FROM customer
+  UNION ALL
+  SELECT s_suppkey * 2 + 1 FROM supplier
+),
+e AS (
+  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+n AS (SELECT COUNT(*) AS n FROM verts),
+od AS (SELECT u, COUNT(*) AS outdeg FROM e GROUP BY u),
+r0 AS (SELECT v, {one} / (SELECT n FROM n) AS rank FROM verts),{",".join(iters)}
+SELECT v, ROUND(rank, 6) AS pagerank FROM {prev}
+"""
+
+
+ORACLES["graph_pagerank"] = _pagerank_sql()
+
+
 def q_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer assignment: every vector to its max-dot
     centroid (8 deterministic ±1 centroids) — the index-construction
@@ -973,6 +1043,7 @@ QUERIES = {
     "sim_topk": q_sim_topk,
     "sim_pairs_blocked": q_sim_pairs_blocked,
     "sim_ivf_assign": q_sim_ivf_assign,
+    "graph_pagerank": q_graph_pagerank,
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_ann_multiprobe": q_sim_ann_multiprobe,
     "text_token_stats": q_text_token_stats,

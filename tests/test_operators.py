@@ -205,6 +205,24 @@ def test_global_topk_avoids_full_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan  # per-partition top-k + merge
 
 
+def test_pagerank_invariants(spark):
+    from table_streaming_source_spark.operators.graph import pagerank
+
+    verts = spark.createDataFrame([(i,) for i in range(4)], "v long")
+    # star into 3: 0 -> 1,2,3 plus a 1->2 edge
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2)], "src long, dst long"
+    )
+    got = {r.v: r.pagerank for r in pagerank(verts, edges, n_iter=3).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert all(r > 0 for r in got.values())
+    # 0 receives nothing → floor rank; 2 is the best-fed vertex
+    assert got[0] == min(got.values())
+    assert got[2] == max(got.values())
+    # dangling mass leaks (2 and 3 have no out-edges) → total < 1
+    assert sum(got.values()) < 1.0
+
+
 def test_waiting_suppliers_single_fact_shuffle(spark, sf_dir):
     """The Q21 agg-rewrite must shuffle the fact table exactly once (by
     l_orderkey, for the window) — the textbook double EXISTS self-join
