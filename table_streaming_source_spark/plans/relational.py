@@ -969,6 +969,72 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
 """
 
 
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a hot grouping key (5 event
+    types × thousands of rows each): partial aggregate on
+    ``(key, salt)`` spreads each hot key over 16 reducers before the
+    final combine.  The oracle is the *plain* GROUP BY — salting is a
+    physical rewrite and must be value-invisible (the sum rides the
+    decimal path precisely so the two-phase re-combination is exact)."""
+    from table_streaming_source_spark.operators.skew import salted_agg
+
+    e = t(spark, sf_dir, "events")
+    out = salted_agg(
+        e,
+        ["event_type"],
+        {
+            "n": ("count", "event_id"),
+            "sum_value": ("sum", F.col("value").cast("decimal(18,6)")),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        salt=16,
+    )
+    return out.withColumn("sum_value", F.col("sum_value").cast("double"))
+
+
+ORACLES["agg_salted"] = f"""
+SELECT event_type, COUNT(event_id) AS n,
+       {sql_dsum('value', 6)} AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join of the skewed fact (every row carries one of 5 hot
+    event types) against a small dimension, replicated 16× so each hot
+    key splits across reducers.  Again the oracle is the plain join —
+    identical results, different physical distribution."""
+    from table_streaming_source_spark.operators.skew import salted_join
+
+    e = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = (
+        t(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn("type_tag", F.upper("event_type"))
+    )
+    return (
+        salted_join(e, dim, ["event_type"], salt=16)
+        .groupBy("type_tag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", 6).alias("sum_value"),
+        )
+    )
+
+
+ORACLES["join_salted"] = f"""
+SELECT UPPER(e.event_type) AS type_tag, COUNT(*) AS n,
+       {sql_dsum('e.value', 6)} AS sum_value
+FROM events e
+JOIN (SELECT DISTINCT event_type FROM events) d
+  ON e.event_type = d.event_type
+GROUP BY UPPER(e.event_type)
+"""
+
+
 def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery via the SQL surface: customers above
     their own nation's average balance.  Catalyst decorrelates to an
@@ -1796,6 +1862,8 @@ QUERIES = {
     "discounted_brand_revenue": q_discounted_brand_revenue,
     "waiting_suppliers": q_waiting_suppliers,
     "idle_customers": q_idle_customers,
+    "agg_salted": q_agg_salted,
+    "join_salted": q_join_salted,
     "forecast_revenue": q_forecast_revenue,
     "flagship_enrichment": q_flagship_enrichment,
     "local_supplier_volume": q_local_supplier_volume,
