@@ -86,6 +86,39 @@ def start_enriched_stream(
     return writer.start()
 
 
+def idempotent_sink(
+    sink: Callable[[DataFrame, int], None],
+    ledger_dir: str,
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a ``foreachBatch`` sink with a batch-id ledger so replays are
+    no-ops — the standard exactly-once recipe for sinks without native
+    transactional support.
+
+    Structured Streaming guarantees a batch id is *re-delivered with the
+    same data* after a failure, but an append-style sink would duplicate
+    on the retry.  The wrapper commits a marker file per batch id after
+    the sink succeeds (rename-free: the marker is tiny and written last,
+    so a crash between sink and marker re-runs the sink — the sink itself
+    must therefore be atomic-per-batch, e.g. a parquet job commit, which
+    Spark's committer already provides).  At scale the ledger lives on
+    the same DFS as the checkpoint; one ``getFileStatus`` per batch is
+    noise.
+    """
+    import os
+
+    os.makedirs(ledger_dir, exist_ok=True)
+
+    def wrapped(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(ledger_dir, f"batch-{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        sink(batch_df, batch_id)
+        with open(marker, "w") as f:
+            f.write("")
+
+    return wrapped
+
+
 def windowed_stream_agg(
     stream: DataFrame,
     *,

@@ -135,7 +135,7 @@ def test_enrichment_mode_ttl_refresh(spark, tmp_path):
         ).write.mode("overwrite").parquet(dim_path)
         wait_for(
             lambda: {"ZERO", "ONE"} <= {lab for _, lab in seen},
-            timeout_s=30,
+            timeout_s=90,
             message="post-TTL enrichment",
         )
     finally:
@@ -279,6 +279,51 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir, tmp_path):
     for uid, (n, total) in expected.items():
         assert got[uid][0] == n, uid
         assert got[uid][1] == pytest.approx(total, rel=1e-9), uid
+
+
+def test_idempotent_sink_skips_replayed_batches(spark, tmp_path):
+    """A replayed batch id must be a no-op: Structured Streaming
+    re-delivers the same (batch_id, data) after failure, and an append
+    sink would otherwise double-write."""
+    from table_streaming_source_spark.streaming.enrichment import (
+        idempotent_sink,
+    )
+
+    writes = []
+    sink = idempotent_sink(
+        lambda df, bid: writes.append((bid, df.count())),
+        str(tmp_path / "ledger"),
+    )
+    df = spark.range(10)
+    sink(df, 0)
+    sink(df, 1)
+    sink(df, 0)  # replay — must not re-run the sink
+    assert writes == [(0, 10), (1, 10)]
+
+
+def test_schema_evolution_union_and_merged_read(spark, tmp_path):
+    """Schema evolution at the storage layer: old files lack a column
+    added later.  `mergeSchema` reads both vintages (missing column →
+    NULL), and `unionByName(allowMissingColumns=True)` is the same
+    contract plan-side."""
+    old = spark.range(5).select(F.col("id"), F.lit("a").alias("v1"))
+    new = spark.range(5, 8).select(
+        F.col("id"), F.lit("b").alias("v1"), F.lit(1.5).alias("v2")
+    )
+    path = str(tmp_path / "evolving")
+    old.write.parquet(path + "/d=1")
+    new.write.parquet(path + "/d=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        path + "/d=1", path + "/d=2"
+    )
+    assert set(merged.columns) == {"id", "v1", "v2"}
+    assert merged.count() == 8
+    assert merged.filter(F.col("v2").isNull()).count() == 5
+
+    plan_side = old.unionByName(new, allowMissingColumns=True)
+    assert set(plan_side.columns) == {"id", "v1", "v2"}
+    assert plan_side.filter(F.col("v2").isNull()).count() == 5
 
 
 @pytest.mark.streaming
