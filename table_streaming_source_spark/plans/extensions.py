@@ -745,6 +745,150 @@ def q_text_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation — the composition every
+    LLM data pipeline runs, as ONE declarative plan Catalyst optimizes
+    whole: repetition cleanup (row-local) → quality gate (row-local
+    filter) → exact dedup on the cleaned text (one digest shuffle,
+    min-key canonical) → sequence packing (one shard shuffle + window).
+    Two shuffles total for the whole pipeline; every stage's semantics
+    are individually oracle-checked elsewhere, and the composition is
+    value-checked here."""
+    docs = t(spark, sf_dir, "documents")
+    rep = X.remove_repeated_tokens(docs, "text", "doc_id")
+    base = docs.select("doc_id", "lang").join(rep, "doc_id")
+    kept = base.filter(
+        (F.col("n_tokens") >= 5) & (F.col("repetition_ratio") <= 0.8)
+    )
+    fp = F.md5(F.lower(F.col("clean_text")))
+    canon = F.min("doc_id").over(Window.partitionBy("__fp"))
+    dd = (
+        kept.withColumn("__fp", fp)
+        .withColumn("__canon", canon)
+        .filter(F.col("doc_id") == F.col("__canon"))
+    )
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 8
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offset = F.sum("n_kept").over(w) - F.col("n_kept")
+    return (
+        dd.withColumn("shard", shard)
+        .select(
+            "doc_id",
+            "lang",
+            "shard",
+            F.col("n_kept").alias("n_clean_tokens"),
+            offset.alias("offset"),
+            F.floor(offset / 512).cast("int").alias("pack_id"),
+        )
+    )
+
+
+ORACLES["pipeline_corpus_prep"] = """
+WITH b AS (
+  SELECT doc_id, lang,
+         LIST_FILTER(STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' '),
+                     x -> LEN(x) > 0) AS tk
+  FROM documents
+),
+d AS (
+  SELECT doc_id, lang, tk,
+         [tk[i] FOR i IN RANGE(1, LEN(tk) + 1) IF LIST_POSITION(tk, tk[i]) = i] AS kept
+  FROM b
+),
+q AS (
+  SELECT doc_id, lang,
+         LEN(kept) AS n_kept,
+         ARRAY_TO_STRING(kept, ' ') AS clean_text
+  FROM d
+  WHERE LEN(tk) >= 5
+    AND CAST(LEN(tk) - LEN(kept) AS DOUBLE) / LEN(tk) <= 0.8
+),
+dd AS (
+  SELECT doc_id, lang, n_kept,
+         MIN(doc_id) OVER (PARTITION BY MD5(LOWER(clean_text))) AS canon
+  FROM q
+),
+sh AS (
+  SELECT doc_id, lang, n_kept,
+         CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS shard
+  FROM dd WHERE doc_id = canon
+),
+p AS (
+  SELECT doc_id, lang, shard, n_kept,
+         SUM(n_kept) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - n_kept AS "offset"
+  FROM sh
+)
+SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard,
+       CAST(n_kept AS INT) AS n_clean_tokens,
+       CAST("offset" AS BIGINT) AS "offset",
+       CAST(FLOOR("offset" / 512.0) AS INT) AS pack_id
+FROM p
+"""
+
+
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram log-probability scoring (the classic LM-free
+    fluency/quality signal): two hash aggregates (unigram counts, then
+    per-doc sum of log probs) + one broadcast join on the token.  Log
+    values are rounded to 9 digits and summed on the decimal path —
+    libm's ln differs across engines in the last ulp, and a double sum
+    would also be order-dependent; rounding+decimal gives bit-stable
+    scores on both sides."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.trim("text"), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("token"),
+    )
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.count()
+    lp = F.round(F.log(F.col("cnt") / F.lit(total)), 9).cast(
+        "decimal(18,9)"
+    )
+    return (
+        toks.join(F.broadcast(uni), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                (F.sum(lp).cast("double") / F.count(F.lit(1))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+ORACLES["text_unigram_logprob"] = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(LIST_FILTER(
+           STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' '),
+           x -> LEN(x) > 0)) AS token
+  FROM documents
+),
+uni AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+total AS (SELECT COUNT(*) AS n FROM toks)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(CAST(ROUND(LN(u.cnt / (SELECT n FROM total)), 9)
+                           AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*),
+             6) AS avg_logprob
+FROM toks t JOIN uni u ON t.token = u.token
+GROUP BY t.doc_id
+"""
+
+
 def q_text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified fixed-quota sampling: exactly 30 documents per language,
     selected by md5-hash order — exact quotas (unlike Bernoulli fractions)
@@ -1053,6 +1197,8 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_sample_split": q_text_sample_split,
     "text_stratified_sample": q_text_stratified_sample,
+    "text_unigram_logprob": q_text_unigram_logprob,
+    "pipeline_corpus_prep": q_pipeline_corpus_prep,
     "text_pack_sequences": q_text_pack_sequences,
     "text_repetition": q_text_repetition,
     "multimodal_meta": q_multimodal_meta,

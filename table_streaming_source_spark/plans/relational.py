@@ -969,6 +969,57 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
 """
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: unit price observed from lineitem stands
+    in for the missing partsupp cost): the cheapest supplier per part.
+    The argmin is ``min(struct(price, suppkey))`` — one hash aggregate,
+    deterministic under ties (lexicographic on the struct), where the
+    textbook correlated-min subquery would join the fact twice."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    unit = (F.col("l_extendedprice") / F.col("l_quantity"))
+    best = (
+        l.select(
+            "l_partkey",
+            F.struct(
+                F.round(unit, 6).alias("unit_price"),
+                F.col("l_suppkey").alias("suppkey"),
+            ).alias("__cand"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.min("__cand").alias("best"))
+        .select(
+            "l_partkey",
+            F.col("best.unit_price").alias("unit_price"),
+            F.col("best.suppkey").alias("suppkey"),
+        )
+    )
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.suppkey == s.s_suppkey)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "unit_price")
+    )
+
+
+ORACLES["min_cost_supplier"] = """
+WITH ranked AS (
+  SELECT l_partkey, l_suppkey,
+         ROUND(l_extendedprice / l_quantity, 6) AS unit_price,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_partkey
+           ORDER BY ROUND(l_extendedprice / l_quantity, 6), l_suppkey
+         ) AS rn
+  FROM lineitem
+)
+SELECT p_partkey, p_name, s_suppkey, s_name, unit_price
+FROM ranked
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE rn = 1
+"""
+
+
 def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over a hot grouping key (5 event
     types × thousands of rows each): partial aggregate on
@@ -1863,6 +1914,7 @@ QUERIES = {
     "waiting_suppliers": q_waiting_suppliers,
     "idle_customers": q_idle_customers,
     "agg_salted": q_agg_salted,
+    "min_cost_supplier": q_min_cost_supplier,
     "join_salted": q_join_salted,
     "forecast_revenue": q_forecast_revenue,
     "flagship_enrichment": q_flagship_enrichment,
