@@ -2,10 +2,11 @@
 
 ``entry(spark)`` runs the flagship enrichment query (the reference's
 documented snapshot-enrichment pattern, `docs/Table-streamingsource.md:10-14`)
-at sf0.001.  ``queries()`` / ``oracle_sql()`` expose the full catalog from
-``table_streaming_source_spark.plans.catalog`` — one entry per implemented
-operator of SURVEY.md §2 (map in §2C), each with a DuckDB oracle twin
-except the documented rows-only sketch (approx_count_distinct).
+at sf0.001.  ``queries()`` / ``oracle_sql()`` expose the full catalog
+(90+ entries) from ``table_streaming_source_spark.plans.catalog`` — one
+entry per implemented operator of SURVEY.md §2 (map in §2C), each with a
+DuckDB oracle twin except the documented rows-only sketch
+(approx_count_distinct, HLL internals are engine-specific).
 """
 
 from __future__ import annotations

@@ -205,6 +205,17 @@ def test_global_topk_avoids_full_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan  # per-partition top-k + merge
 
 
+def test_corpus_prep_pipeline_two_shuffles(spark, sf_dir):
+    """The composed clean→gate→dedup→pack pipeline must cost exactly two
+    hash shuffles (dedup fingerprint window + pack shard window); all
+    row-local stages fuse, the self-join broadcasts."""
+    from table_streaming_source_spark.plans.catalog import QUERIES
+
+    plan = _plan(QUERIES["pipeline_corpus_prep"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "SortMergeJoin" not in plan
+
+
 def test_pagerank_invariants(spark):
     from table_streaming_source_spark.operators.graph import pagerank
 
