@@ -745,6 +745,41 @@ def q_text_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: Levenshtein distance between each document
+    and its successor (a linear chain instead of the n² cross product —
+    the blocking discipline applies to edit distance exactly as to
+    Jaccard).  Integer DP result, so parity is exact.  Normalized
+    distance (per max length) is the near-dup signal."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.col("text").alias("next_text"),
+    )
+    dist = F.levenshtein("text", "next_text")
+    return (
+        docs.join(nxt, "doc_id")
+        .select(
+            "doc_id",
+            dist.alias("edit_distance"),
+            F.round(
+                dist
+                / F.greatest(F.length("text"), F.length("next_text")),
+                6,
+            ).alias("norm_distance"),
+        )
+    )
+
+
+ORACLES["text_edit_distance"] = """
+SELECT a.doc_id,
+       LEVENSHTEIN(a.text, b.text) AS edit_distance,
+       ROUND(LEVENSHTEIN(a.text, b.text)
+             / GREATEST(LEN(a.text), LEN(b.text)), 6) AS norm_distance
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+"""
+
+
 def q_pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus preparation — the composition every
     LLM data pipeline runs, as ONE declarative plan Catalyst optimizes
@@ -1199,6 +1234,7 @@ QUERIES = {
     "text_stratified_sample": q_text_stratified_sample,
     "text_unigram_logprob": q_text_unigram_logprob,
     "pipeline_corpus_prep": q_pipeline_corpus_prep,
+    "text_edit_distance": q_text_edit_distance,
     "text_pack_sequences": q_text_pack_sequences,
     "text_repetition": q_text_repetition,
     "multimodal_meta": q_multimodal_meta,

@@ -969,6 +969,78 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
 """
 
 
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue — an aggregate, a scalar max over it, and an equality join
+    back (the view-based formulation; Spark reuses the aggregate subplan
+    for both branches).  Decimal-path revenue makes the max-equality
+    test exact, so ties are handled identically everywhere."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = t(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(
+        dsum(_rev(), 6).alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("__m"))
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == F.col("__m"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+ORACLES["top_supplier"] = f"""
+WITH rev AS (
+  SELECT l_suppkey, {sql_dsum(_SQL_REV, 6)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+def q_scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expression pack: CASE chains, coalesce, nullif,
+    least/greatest — all row-local, all inside whole-stage codegen."""
+    o = t(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50_000, "small")
+        .when(F.col("o_totalprice") < 200_000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            band.alias("price_band"),
+            F.coalesce(
+                F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("terminal")
+            ).alias("status_tag"),
+            F.least(F.col("o_totalprice"), F.lit(100_000.0)).alias("capped"),
+            F.greatest(F.col("o_totalprice") - 150_000, F.lit(0.0)).alias(
+                "excess"
+            ),
+        )
+    )
+
+
+ORACLES["scalar_conditional"] = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 200000 THEN 'medium'
+            ELSE 'large' END AS price_band,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'terminal') AS status_tag,
+       LEAST(o_totalprice, 100000.0) AS capped,
+       GREATEST(o_totalprice - 150000, 0.0) AS excess
+FROM orders
+"""
+
+
 def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (adapted: unit price observed from lineitem stands
     in for the missing partsupp cost): the cheapest supplier per part.
@@ -1915,6 +1987,8 @@ QUERIES = {
     "idle_customers": q_idle_customers,
     "agg_salted": q_agg_salted,
     "min_cost_supplier": q_min_cost_supplier,
+    "top_supplier": q_top_supplier,
+    "scalar_conditional": q_scalar_conditional,
     "join_salted": q_join_salted,
     "forecast_revenue": q_forecast_revenue,
     "flagship_enrichment": q_flagship_enrichment,
