@@ -26,6 +26,7 @@ from table_streaming_source_spark.operators.similarity import (
     hyperplane_bucket,
     clear_ann_index_cache,
     ivf_assign,
+    kmeans_refine,
     lsh_planes,
 )
 from table_streaming_source_spark.operators.text import (
@@ -61,6 +62,7 @@ __all__ = [
     "hyperplane_bucket",
     "clear_ann_index_cache",
     "ivf_assign",
+    "kmeans_refine",
     "lsh_planes",
     "tokenize",
     "token_stats",

@@ -252,6 +252,99 @@ def ivf_assign(
     return out
 
 
+#: fixed-point scales for k-means: vector components and squared
+#: distances are scaled to integers so every aggregation is associative
+#: (partitioning-independent) — same discipline as operators.graph
+_KM_VSCALE = 1_000_000_000  # 1e9 on components
+_KM_DSCALE = 1_000_000_000_000  # 1e12 on squared-distance terms
+
+
+def kmeans_refine(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    num_cells: int = 8,
+    dim: int = 64,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Lloyd's k-means refinement of the IVF coarse quantizer: start from
+    the deterministic :func:`ivf_assign` cells, then ``n_iter`` rounds of
+    (per-cell per-dimension mean) → (re-assign each vector to the
+    nearest learned centroid, squared Euclidean, ties to the lowest
+    cell).
+
+    Everything runs in *long format* — ``(id, dim, value)`` rows — so
+    both the centroid means and the distance sums are plain hash
+    aggregates (no array rebuilding, no UDFs), and the same relational
+    plan is expressible in any SQL engine, which is how the operator
+    stays value-checkable.  Components and distance terms ride
+    fixed-point integer scaling: double addition is not associative, and
+    an unordered shuffle sum would otherwise make the centroids (hence
+    the assignment at decision boundaries) partitioning-dependent.
+
+    Scale shape per iteration: one shuffle of ``rows × dim`` long-format
+    rows on ``cell,dim`` (centroid means — ``cells × dim`` output rows),
+    one broadcast of the centroids into the ``dim``-join, one shuffle on
+    ``(id, cell)`` for the distance sums.  The ``rows × dim × cells``
+    intermediate never materializes beyond the aggregation's partial
+    buffers.
+
+    Returns ``(key, cell, dist2_scaled)`` — the final assignment and its
+    scaled squared distance.
+    """
+    v = df.select(
+        F.col(key), F.posexplode(F.col(vec_col)).alias("__dim", "__raw")
+    ).select(
+        F.col(key),
+        "__dim",
+        F.col("__raw").cast("double").alias("__val"),
+        F.round(F.col("__raw").cast("double") * _KM_VSCALE)
+        .cast("long")
+        .alias("__vs"),
+    )
+    assign = ivf_assign(
+        df, vec_col=vec_col, key=key, num_cells=num_cells, dim=dim
+    ).select(F.col(key), "cell")
+
+    for _ in range(n_iter):
+        cent = (
+            v.join(assign, key)
+            .groupBy("cell", "__dim")
+            .agg(
+                (
+                    F.sum("__vs").cast("double")
+                    / F.count(F.lit(1))
+                    / F.lit(float(_KM_VSCALE))
+                ).alias("__mean")
+            )
+        )
+        diff = F.col("__val") - F.col("__mean")
+        dist = (
+            v.join(F.broadcast(cent), "__dim")
+            .select(
+                F.col(key),
+                "cell",
+                F.round(diff * diff * _KM_DSCALE).cast("long").alias("__t"),
+            )
+            .groupBy(key, "cell")
+            .agg(F.sum("__t").alias("dist2_scaled"))
+        )
+        assign = (
+            dist.groupBy(key)
+            .agg(
+                F.min(F.struct("dist2_scaled", "cell")).alias("__b")
+            )
+            .select(
+                F.col(key),
+                F.col("__b.cell").alias("cell"),
+                F.col("__b.dist2_scaled").alias("dist2_scaled"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return assign
+
+
 #: process-level cache of bucketed-corpus ANN indexes, keyed by
 #: (session, corpus plan semantic hash, vec_col, key, planes, dim)
 _ANN_INDEX_CACHE: dict[tuple, DataFrame] = {}

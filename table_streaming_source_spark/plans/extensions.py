@@ -399,6 +399,74 @@ FROM d
 ORACLES["sim_ivf_assign"] = _ivf_sql()
 
 
+def q_sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations refining the IVF coarse quantizer (learned
+    centroids), entirely as relational long-format aggregates with
+    fixed-point sums — assignment and distances bit-match the unrolled
+    SQL, proving the iterative ML loop is engine-exact, not just
+    approximately right."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.kmeans_refine(emb, num_cells=8, dim=64, n_iter=2)
+
+
+def _kmeans_sql(num_cells: int = 8, dim: int = 64, n_iter: int = 2) -> str:
+    cents = S.lsh_planes(num_cells, dim)
+    dots = ", ".join(
+        f"LIST_SUM(LIST_TRANSFORM(LIST_ZIP(embedding, {cents[p]}),"
+        f" z -> CAST(z[1] AS DOUBLE) * z[2]))"
+        for p in range(num_cells)
+    )
+    vs, ds = "1000000000", "1000000000000"
+    parts = [f"""
+v AS (
+  SELECT vec_id, i - 1 AS dim,
+         CAST(embedding[i] AS DOUBLE) AS val,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {vs}) AS BIGINT) AS vsc
+  FROM embeddings, UNNEST(RANGE(1, LEN(embedding) + 1)) AS u(i)
+),
+dts AS (SELECT vec_id, [{dots}] AS dots FROM embeddings),
+a0 AS (
+  SELECT vec_id,
+         CAST(LIST_POSITION(dots, LIST_AGGREGATE(dots, 'max')) - 1 AS INT) AS cell
+  FROM dts
+)"""]
+    prev = "a0"
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+cent{i} AS (
+  SELECT a.cell, v.dim,
+         CAST(SUM(v.vsc) AS DOUBLE) / COUNT(*) / {vs}.0 AS mean
+  FROM v JOIN {prev} a USING (vec_id)
+  GROUP BY a.cell, v.dim
+),
+d{i} AS (
+  SELECT v.vec_id, c.cell,
+         SUM(CAST(ROUND((v.val - c.mean) * (v.val - c.mean) * {ds})
+                  AS BIGINT)) AS dist2
+  FROM v JOIN cent{i} c ON v.dim = c.dim
+  GROUP BY v.vec_id, c.cell
+),
+a{i} AS (
+  SELECT vec_id, cell, dist2 FROM (
+    SELECT vec_id, cell, dist2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist2, cell) AS rn
+    FROM d{i}
+  ) WHERE rn = 1
+)""")
+        prev = f"a{i}"
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+SELECT vec_id, CAST(cell AS INT) AS cell, dist2 AS dist2_scaled
+FROM {prev}
+"""
+    )
+
+
+ORACLES["sim_kmeans_refine"] = _kmeans_sql()
+
+
 def q_sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style blocked similar pairs: cosine >= 0.3 within the same
     label cell — the 100 TB path (compare only within coarse cells)."""
@@ -1222,6 +1290,7 @@ QUERIES = {
     "sim_topk": q_sim_topk,
     "sim_pairs_blocked": q_sim_pairs_blocked,
     "sim_ivf_assign": q_sim_ivf_assign,
+    "sim_kmeans_refine": q_sim_kmeans_refine,
     "graph_pagerank": q_graph_pagerank,
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_ann_multiprobe": q_sim_ann_multiprobe,
