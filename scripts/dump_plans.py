@@ -36,7 +36,17 @@ NOTES = {
     "preserving, payload column pruned elsewhere.",
     "scalar_json": "JSON path extraction inside whole-stage codegen + one "
     "aggregation.",
+    "waiting_suppliers": "Q21 double-EXISTS rewritten to one window pass: "
+    "exactly one fact shuffle (hashpartitioning on l_orderkey), dims "
+    "broadcast, no self-join.",
+    "pipeline_corpus_prep": "composed clean→gate→dedup→pack pipeline: two "
+    "hash shuffles total, all row-local stages fused by codegen.",
+    "sim_kmeans_refine": "two Lloyd iterations as long-format hash "
+    "aggregates; centroid table broadcasts into the dim join.",
 }
+
+#: extra showcase plans beyond the bench headline set
+EXTRA = ["waiting_suppliers", "pipeline_corpus_prep", "sim_kmeans_refine"]
 
 
 def main() -> None:
@@ -58,7 +68,7 @@ def main() -> None:
         "full scale reasoning.",
         "",
     ]
-    for name in HEADLINE:
+    for name in HEADLINE + EXTRA:
         df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         plan = (
