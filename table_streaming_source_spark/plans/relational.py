@@ -969,6 +969,95 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
 """
 
 
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier-nation's share of regional revenue
+    per year — conditional-sum over total-sum on the same aggregate
+    (numerator rides the same decimal sums as the denominator, so the
+    ratio is exact).  The fact spine shuffles once; both nation chains
+    broadcast."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = t(spark, sf_dir, "region")
+    cust_nation = n.select(
+        F.col("n_nationkey").alias("__cnk"),
+        F.col("n_regionkey").alias("__crk"),
+    )
+    supp_nation = n.select(
+        F.col("n_nationkey").alias("__snk"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol = F.col("__vol")
+    target = F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cust_nation), c.c_nationkey == F.col("__cnk"))
+        .join(F.broadcast(r), F.col("__crk") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(supp_nation), s.s_nationkey == F.col("__snk"))
+        .withColumn("__vol", _rev())
+        .groupBy(
+            "r_name", F.year("o_orderdate").alias("o_year")
+        )
+        .agg(
+            (dsum(target, 6) / dsum(vol, 6)).alias("mkt_share"),
+        )
+    )
+
+
+ORACLES["market_share"] = f"""
+SELECT r_name, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       {sql_dsum(f"CASE WHEN sn.n_name = 'NATION_7' THEN {_SQL_REV} ELSE 0.0 END", 6)}
+       / {sql_dsum(_SQL_REV, 6)} AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+GROUP BY r_name, CAST(YEAR(o_orderdate) AS INT)
+"""
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed k orders, including
+    k=0 — the left outer join that keeps orderless customers, then an
+    aggregate OF an aggregate (count per customer → histogram of those
+    counts).  The filter (non-urgent orders) rides the join so the zero
+    bucket is customers with no *qualifying* order."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+ORACLES["customer_distribution"] = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
 def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
     revenue — an aggregate, a scalar max over it, and an equality join
@@ -1988,6 +2077,8 @@ QUERIES = {
     "agg_salted": q_agg_salted,
     "min_cost_supplier": q_min_cost_supplier,
     "top_supplier": q_top_supplier,
+    "market_share": q_market_share,
+    "customer_distribution": q_customer_distribution,
     "scalar_conditional": q_scalar_conditional,
     "join_salted": q_join_salted,
     "forecast_revenue": q_forecast_revenue,
