@@ -116,3 +116,54 @@ def test_salted_agg_matches_plain_agg(orders):
 def test_salted_agg_rejects_non_algebraic(orders):
     with pytest.raises(ValueError, match="not algebraic"):
         salted_agg(orders, ["o_orderpriority"], {"bad": ("avg", "o_totalprice")})
+
+
+def test_bloom_runtime_filter_prunes_fact_scan(spark, sf_dir):
+    """When a selective fact⋈fact join cannot broadcast, Spark's runtime
+    Bloom filter (built from the selective side's join keys) must reach
+    the big side as a `might_contain` pre-filter — row-level scan pruning
+    the 100 TB shape depends on.  Values are unchanged (the filter only
+    skips rows the join would drop)."""
+    from table_streaming_source_spark.io import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1b",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        l = load_table(spark, sf_dir, "lineitem", cached=False)
+        o = load_table(spark, sf_dir, "orders", cached=False).filter(
+            F.col("o_totalprice") > 450_000
+        )
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+
+        got = {(r.l_returnflag, r.n) for r in j.collect()}
+        for k, v in confs.items():  # plain plan, no bloom/no-broadcast bans
+            spark.conf.unset(k)
+        plain = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert {(r.l_returnflag, r.n) for r in plain.collect()} == got
+    finally:
+        for k, v in old.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)
