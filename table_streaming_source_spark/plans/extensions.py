@@ -830,10 +830,15 @@ def q_text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             dist.alias("edit_distance"),
-            F.round(
-                dist
-                / F.greatest(F.length("text"), F.length("next_text")),
-                6,
+            # integer-boundary rounding (scale-then-round) — digit
+            # rounding of rational doubles diverges across engines
+            (
+                F.round(
+                    dist
+                    * 1_000_000
+                    / F.greatest(F.length("text"), F.length("next_text"))
+                ).cast("long")
+                / 1_000_000
             ).alias("norm_distance"),
         )
     )
@@ -842,8 +847,9 @@ def q_text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["text_edit_distance"] = """
 SELECT a.doc_id,
        LEVENSHTEIN(a.text, b.text) AS edit_distance,
-       ROUND(LEVENSHTEIN(a.text, b.text)
-             / GREATEST(LEN(a.text), LEN(b.text)), 6) AS norm_distance
+       CAST(ROUND(LEVENSHTEIN(a.text, b.text) * 1000000
+                  / GREATEST(LEN(a.text), LEN(b.text))) AS BIGINT)
+       / 1000000 AS norm_distance
 FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
 """
 

@@ -1139,12 +1139,18 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").select("p_partkey", "p_name")
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    unit = (F.col("l_extendedprice") / F.col("l_quantity"))
+    # fixed-point micro-price, NOT round(x, 6): digit-rounding of doubles
+    # disagrees across engines at half boundaries (Spark rounds the
+    # shortest decimal repr, DuckDB the exact binary value); scaling to
+    # an integer first is boundary-free and makes the argmin exact
+    micro = F.round(
+        F.col("l_extendedprice") / F.col("l_quantity") * 1_000_000
+    ).cast("long")
     best = (
         l.select(
             "l_partkey",
             F.struct(
-                F.round(unit, 6).alias("unit_price"),
+                micro.alias("micro"),
                 F.col("l_suppkey").alias("suppkey"),
             ).alias("__cand"),
         )
@@ -1152,7 +1158,7 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("__cand").alias("best"))
         .select(
             "l_partkey",
-            F.col("best.unit_price").alias("unit_price"),
+            (F.col("best.micro") / 1_000_000).alias("unit_price"),
             F.col("best.suppkey").alias("suppkey"),
         )
     )
@@ -1166,14 +1172,16 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["min_cost_supplier"] = """
 WITH ranked AS (
   SELECT l_partkey, l_suppkey,
-         ROUND(l_extendedprice / l_quantity, 6) AS unit_price,
+         CAST(ROUND(l_extendedprice / l_quantity * 1000000) AS BIGINT) AS micro,
          ROW_NUMBER() OVER (
            PARTITION BY l_partkey
-           ORDER BY ROUND(l_extendedprice / l_quantity, 6), l_suppkey
+           ORDER BY CAST(ROUND(l_extendedprice / l_quantity * 1000000) AS BIGINT),
+                    l_suppkey
          ) AS rn
   FROM lineitem
 )
-SELECT p_partkey, p_name, s_suppkey, s_name, unit_price
+SELECT p_partkey, p_name, s_suppkey, s_name,
+       micro / 1000000 AS unit_price
 FROM ranked
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -1533,8 +1541,12 @@ def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
-        F.round(F.percent_rank().over(w), 6).alias("prnk"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        # scale-then-round: these are ratios of small integers, where
+        # digit-rounding of doubles hits half boundaries engines disagree on
+        (F.round(F.percent_rank().over(w) * 1_000_000).cast("long") / 1_000_000)
+        .alias("prnk"),
+        (F.round(F.cume_dist().over(w) * 1_000_000).cast("long") / 1_000_000)
+        .alias("cume"),
         F.ntile(4).over(w).alias("quartile"),
     )
 
@@ -1543,8 +1555,8 @@ ORACLES["window_ranks"] = """
 SELECT c_mktsegment, c_custkey,
        RANK() OVER w AS rnk,
        DENSE_RANK() OVER w AS drnk,
-       ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
-       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       CAST(ROUND(PERCENT_RANK() OVER w * 1000000) AS BIGINT) / 1000000 AS prnk,
+       CAST(ROUND(CUME_DIST() OVER w * 1000000) AS BIGINT) / 1000000 AS cume,
        CAST(NTILE(4) OVER w AS INT) AS quartile
 FROM customer
 WINDOW w AS (PARTITION BY c_mktsegment
