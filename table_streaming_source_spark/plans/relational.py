@@ -969,6 +969,67 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
 """
 
 
+def q_sql_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point end-to-end (SURVEY §3: `spark.sql` is a
+    first-class front door, not just the DataFrame API): a CTE + window
+    + join query text planned by Catalyst identically to its DataFrame
+    twin.  Top-3 orders per customer segment by total price."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("__sql_orders")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("__sql_customer")
+    return spark.sql(
+        """
+        WITH ranked AS (
+          SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                    ORDER BY o.o_totalprice DESC,
+                                             o.o_orderkey) AS rn
+          FROM __sql_orders o JOIN __sql_customer c
+            ON o.o_custkey = c.c_custkey
+        )
+        SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+        FROM ranked WHERE rn <= 3
+        """
+    )
+
+
+ORACLES["sql_cte_window"] = """
+WITH ranked AS (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= 3
+"""
+
+
+def q_scalar_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error handling: try_cast of non-numeric strings → NULL
+    (never a job abort — one malformed row must not kill a 100 TB scan),
+    try_divide → NULL on zero denominators."""
+    e = t(spark, sf_dir, "events")
+    maybe_num = F.regexp_extract("props", r"(\d+)", 1)
+    return e.select(
+        "event_id",
+        F.col("event_type").try_cast("int").alias("type_as_int"),
+        maybe_num.try_cast("int").alias("digits"),
+        F.try_divide(
+            F.col("value"), F.get_json_object("props", "$.k").cast("int") % 5
+        ).alias("per_k"),
+    )
+
+
+ORACLES["scalar_try"] = """
+SELECT event_id,
+       TRY_CAST(event_type AS INTEGER) AS type_as_int,
+       TRY_CAST(REGEXP_EXTRACT(props, '(\\d+)', 1) AS INTEGER) AS digits,
+       value / NULLIF(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) % 5, 0)
+         AS per_k
+FROM events
+"""
+
+
 def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one supplier-nation's share of regional revenue
     per year — conditional-sum over total-sum on the same aggregate
@@ -2090,6 +2151,8 @@ QUERIES = {
     "min_cost_supplier": q_min_cost_supplier,
     "top_supplier": q_top_supplier,
     "market_share": q_market_share,
+    "sql_cte_window": q_sql_cte_window,
+    "scalar_try": q_scalar_try,
     "customer_distribution": q_customer_distribution,
     "scalar_conditional": q_scalar_conditional,
     "join_salted": q_join_salted,
