@@ -1566,6 +1566,66 @@ FROM m GROUP BY metric
 """
 
 
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-boundary navigation: first_value / last_value / nth_value
+    over each customer's order history with an explicit full-partition
+    frame (the default running frame makes last_value useless — a
+    classic window-semantics trap, pinned here)."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_total"),
+        F.last("o_totalprice").over(w).alias("last_total"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_total"),
+    )
+
+
+ORACLES["window_first_last"] = """
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_totalprice) OVER w AS first_total,
+       LAST_VALUE(o_totalprice) OVER w AS last_total,
+       NTH_VALUE(o_totalprice, 2) OVER w AS second_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered / boolean aggregation: count_if, bool_and/bool_or, and a
+    conditional decimal sum per return flag — the FILTER-clause family
+    as single-pass aggregates (never one sub-query per condition)."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+        F.count_if(F.col("l_discount") == 0).alias("n_no_discount"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        dsum(
+            F.when(F.col("l_quantity") > 25, F.col("l_extendedprice"))
+            .otherwise(F.lit(0.0))
+        ).alias("bulk_revenue"),
+    )
+
+
+ORACLES["agg_filtered"] = f"""
+SELECT l_returnflag,
+       COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+       COUNT(*) FILTER (WHERE l_discount = 0) AS n_no_discount,
+       BOOL_AND(l_quantity > 0) AS all_positive_qty,
+       BOOL_OR(l_tax > 0.07) AS any_high_tax,
+       {sql_dsum('CASE WHEN l_quantity > 25 THEN l_extendedprice ELSE 0.0 END')}
+         AS bulk_revenue
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead navigation over each customer's order history."""
     o = t(spark, sf_dir, "orders")
@@ -2162,6 +2222,8 @@ QUERIES = {
     "window_topk_per_group": q_window_topk_per_group,
     "window_running": q_window_running,
     "window_range_frame": q_window_range_frame,
+    "window_first_last": q_window_first_last,
+    "agg_filtered": q_agg_filtered,
     "agg_unpivot": q_agg_unpivot,
     "window_lag_lead": q_window_lag_lead,
     "window_ranks": q_window_ranks,
