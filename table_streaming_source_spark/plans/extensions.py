@@ -409,7 +409,28 @@ def q_sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.kmeans_refine(emb, num_cells=8, dim=64, n_iter=2)
 
 
-def _kmeans_sql(num_cells: int = 8, dim: int = 64, n_iter: int = 2) -> str:
+def q_sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-IVF search end to end: k-means-refined cells become the
+    blocking key for within-cell cosine pairs (threshold 0.3) — the full
+    construct-then-search IVF pattern.  The n² comparison shrinks to
+    within-cell pairs; recall follows cell quality, which is exactly
+    what the refinement improves."""
+    emb = t(spark, sf_dir, "embeddings")
+    cells = S.kmeans_refine(emb, num_cells=8, dim=64, n_iter=2).select(
+        "vec_id", "cell"
+    )
+    blocked = emb.join(cells, "vec_id")
+    return S.cosine_pairs_blocked(
+        blocked, block_col="cell", threshold=0.3, round_digits=6
+    )
+
+
+def _kmeans_sql(
+    num_cells: int = 8,
+    dim: int = 64,
+    n_iter: int = 2,
+    final_sql: str | None = None,
+) -> str:
     cents = S.lsh_planes(num_cells, dim)
     dots = ", ".join(
         f"LIST_SUM(LIST_TRANSFORM(LIST_ZIP(embedding, {cents[p]}),"
@@ -455,16 +476,36 @@ a{i} AS (
   ) WHERE rn = 1
 )""")
         prev = f"a{i}"
-    return (
-        "WITH " + ",".join(parts)
-        + f"""
+    tail = final_sql if final_sql is not None else f"""
 SELECT vec_id, CAST(cell AS INT) AS cell, dist2 AS dist2_scaled
 FROM {prev}
 """
-    )
+    return "WITH " + ",".join(parts) + tail
 
 
 ORACLES["sim_kmeans_refine"] = _kmeans_sql()
+
+
+ORACLES["sim_ivf_search"] = _kmeans_sql(final_sql="""
+, blocked AS (
+  SELECT e.vec_id, e.embedding, a.cell
+  FROM embeddings e JOIN a2 a ON e.vec_id = a.vec_id
+)
+SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+       ROUND(
+         LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         6) AS cos_sim
+FROM blocked a JOIN blocked b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE ROUND(
+         LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         6) >= 0.3
+""")
 
 
 def q_sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1297,6 +1338,7 @@ QUERIES = {
     "sim_pairs_blocked": q_sim_pairs_blocked,
     "sim_ivf_assign": q_sim_ivf_assign,
     "sim_kmeans_refine": q_sim_kmeans_refine,
+    "sim_ivf_search": q_sim_ivf_search,
     "graph_pagerank": q_graph_pagerank,
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_ann_multiprobe": q_sim_ann_multiprobe,
