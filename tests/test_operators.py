@@ -205,6 +205,28 @@ def test_global_topk_avoids_full_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan  # per-partition top-k + merge
 
 
+def test_approx_distinct_within_error_bound(spark, sf_dir):
+    """The rows-only catalog entry still has checkable semantics: HLL++
+    at default rsd (0.05) must land within 3× the standard error of the
+    exact distinct count per group."""
+    from table_streaming_source_spark.plans.catalog import QUERIES
+
+    approx = {
+        r.o_orderstatus: r.approx_custs
+        for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.o_orderstatus: r.n
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 0.15 * n), (k, approx[k], n)
+
+
 def test_corpus_prep_pipeline_two_shuffles(spark, sf_dir):
     """The composed clean→gate→dedup→pack pipeline must cost exactly two
     hash shuffles (dedup fingerprint window + pack shard window); all
