@@ -233,8 +233,58 @@ JOIN events b ON a.user_id = b.user_id
 """
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True streaming deduplication: the events table written TWICE into
+    the stream source (every row a duplicate), drained with
+    ``dropDuplicatesWithinWatermark`` state.  The watermark (90 days)
+    exceeds the fixture span, so no dedup state expires mid-drain and
+    the result is exactly DISTINCT — which is the oracle.  At scale the
+    watermark shrinks to the real re-delivery horizon and state stays
+    bounded: (horizon × arrival rate) keys, in RocksDB."""
+    events = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    base = tempfile.mkdtemp(prefix="tsss_streaming_dedup_")
+    src = f"{base}/in"
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    events.repartition(4).write.mode("append").parquet(src)  # dup copy
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "3")
+        .parquet(src)
+    )
+    deduped = (
+        stream.withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = f"__stream_dd_{abs(hash(base)) % 10**8}"
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(300)
+    finally:
+        query.stop()
+
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+ORACLES["streaming_dedup"] = """
+SELECT DISTINCT event_id, ts, event_type FROM events
+"""
+
+
 QUERIES = {
     "streaming_enrichment": q_streaming_enrichment,
     "streaming_window_agg": q_streaming_window_agg,
     "streaming_interval_join": q_streaming_interval_join,
+    "streaming_dedup": q_streaming_dedup,
 }
