@@ -74,12 +74,17 @@ def fingerprint(df: DataFrame, text_col: str, key: str) -> DataFrame:
 def _shingles(text_col: str, n: int) -> "F.Column":
     """Distinct word ``n``-gram shingles of a text column (JVM-side:
     split + sequence + transform + array_distinct)."""
-    toks = F.split(F.col(text_col), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
     )
-    return F.array_distinct(F.filter(grams, lambda g: F.length(g) > F.lit(0)))
+    # docs shorter than n tokens produce NO shingles (idx would be an
+    # empty/invalid sequence) rather than a bogus (n-1)-gram
+    full = F.array_distinct(F.filter(grams, lambda g: F.length(g) > F.lit(0)))
+    return F.when(F.size(toks) >= n, full).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def shingle_table(

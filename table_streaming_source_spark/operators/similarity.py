@@ -107,13 +107,30 @@ def cosine_pairs_blocked(
     block_col: str = "label",
     threshold: float = 0.99,
     round_digits: int | None = 6,
+    max_block: int | None = None,
+    mega_block: str = "star",
 ) -> DataFrame:
     """Near-duplicate vector pairs within a blocking key (IVF-style).
 
     Compares only pairs sharing ``block_col`` — the scale answer to
     all-pairs cosine.  Returns ``(key_a, key_b, cos_sim)``, ``key_a <
     key_b``, ``cos_sim >= threshold``.
+
+    ``max_block`` guards the skewed-block explosion (the same
+    boilerplate-bucket problem :func:`~table_streaming_source_spark.operators.dedup.minhash_lsh_pairs`
+    caps): a block of ``m`` vectors yields ``m(m-1)/2`` pairs, so one
+    giant IVF cell / label reintroduces the quadratic blowup the blocking
+    exists to avoid.  For blocks over the cap, ``mega_block="star"``
+    emits only the ``m-1`` hub pairs (minimum key vs every other member —
+    linear, and downstream transitive closure still connects the
+    cluster); ``mega_block="drop"`` skips the block entirely.  The cap is
+    enforced *before* the self-join: per-block ``(count, hub)`` is one
+    tiny hash aggregate broadcast onto the left side, which for a mega
+    block is pruned to the single hub row — the join never produces the
+    quadratic output.
     """
+    if mega_block not in ("star", "drop"):
+        raise ValueError(f"mega_block must be 'star' or 'drop': {mega_block!r}")
     df = spread(df)
     a = df.select(
         F.col(block_col).alias("__blk"),
@@ -125,6 +142,20 @@ def cosine_pairs_blocked(
         F.col(key).alias("key_b"),
         F.col(vec_col).alias("__vb"),
     )
+    if max_block is not None:
+        stats = a.groupBy("__blk").agg(
+            F.count(F.lit(1)).alias("__m"),
+            F.min("key_a").alias("__hub"),
+        )
+        a = a.join(F.broadcast(stats), "__blk")
+        if mega_block == "drop":
+            a = a.filter(F.col("__m") <= max_block)
+        else:  # star: mega blocks keep only the hub row on the left side
+            a = a.filter(
+                (F.col("__m") <= max_block)
+                | (F.col("key_a") == F.col("__hub"))
+            )
+        a = a.select("__blk", "key_a", "__va")
     sim = cosine(F.col("__va"), F.col("__vb"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
@@ -494,6 +525,8 @@ def embedding_dedup(
     block_col: str = "label",
     threshold: float = 0.95,
     round_digits: int | None = 6,
+    max_block: int | None = None,
+    mega_block: str = "star",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate assignment: every row mapped to the
     minimum key among its cosine-neighbors (including itself).
@@ -505,6 +538,12 @@ def embedding_dedup(
     deterministic, oracle-checkable contract that already collapses the
     dominant case (tight duplicate clusters).
 
+    ``max_block``/``mega_block`` pass through to
+    :func:`cosine_pairs_blocked` — the skew guard for giant blocks.  Note
+    the star policy interacts benignly with one-hop canonicalization: the
+    hub is the block's *minimum* key, so every above-threshold hub
+    neighbor still canonicalizes to it.
+
     Returns ``(key, canonical_key, n_neighbors)``.
     """
     pairs = cosine_pairs_blocked(
@@ -514,6 +553,8 @@ def embedding_dedup(
         block_col=block_col,
         threshold=threshold,
         round_digits=round_digits,
+        max_block=max_block,
+        mega_block=mega_block,
         # the pair graph feeds both union branches below; checkpointing
         # runs the blocked cosine join once instead of per branch
     ).localCheckpoint(eager=False)

@@ -420,8 +420,15 @@ def q_sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "cell"
     )
     blocked = emb.join(cells, "vec_id")
+    # max_block: a degenerate/skewed k-means cell stays linear (hub star)
+    # instead of quadratic — mirrored exactly in the oracle SQL
     return S.cosine_pairs_blocked(
-        blocked, block_col="cell", threshold=0.3, round_digits=6
+        blocked,
+        block_col="cell",
+        threshold=0.3,
+        round_digits=6,
+        max_block=200,
+        mega_block="star",
     )
 
 
@@ -487,9 +494,17 @@ ORACLES["sim_kmeans_refine"] = _kmeans_sql()
 
 
 ORACLES["sim_ivf_search"] = _kmeans_sql(final_sql="""
-, blocked AS (
+, blocked0 AS (
   SELECT e.vec_id, e.embedding, a.cell
   FROM embeddings e JOIN a2 a ON e.vec_id = a.vec_id
+),
+cs AS (
+  SELECT cell, COUNT(*) AS m, MIN(vec_id) AS hub FROM blocked0 GROUP BY cell
+),
+blocked AS (
+  SELECT b.vec_id, b.embedding, b.cell
+  FROM blocked0 b JOIN cs USING (cell)
+  WHERE cs.m <= 200 OR b.vec_id = cs.hub
 )
 SELECT a.vec_id AS key_a, b.vec_id AS key_b,
        ROUND(
@@ -498,7 +513,7 @@ SELECT a.vec_id AS key_a, b.vec_id AS key_b,
          / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
             * SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
          6) AS cos_sim
-FROM blocked a JOIN blocked b ON a.cell = b.cell AND a.vec_id < b.vec_id
+FROM blocked a JOIN blocked0 b ON a.cell = b.cell AND a.vec_id < b.vec_id
 WHERE ROUND(
          LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
@@ -668,6 +683,57 @@ WITH p AS (
           / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
              * SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
           6) >= 0.4
+),
+nb AS (
+  SELECT key_a AS vec_id, key_b AS nb FROM p
+  UNION ALL
+  SELECT key_b AS vec_id, key_a AS nb FROM p
+),
+agg AS (SELECT vec_id, MIN(nb) AS mn, COUNT(*) AS n FROM nb GROUP BY vec_id)
+SELECT e.vec_id,
+       LEAST(e.vec_id, COALESCE(agg.mn, e.vec_id)) AS canonical_vec_id,
+       CAST(COALESCE(agg.n, 0) AS INT) AS n_neighbors
+FROM embeddings e LEFT JOIN agg USING (vec_id)
+"""
+
+
+def q_dedup_embedding_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-guarded embedding dedup: same one-hop canonicalization as
+    ``dedup_embedding`` but with the mega-block star policy live
+    (``max_block=40`` — every ~50-row label block in the fixture exceeds
+    it, so the pair graph collapses to hub stars).  This is the 100 TB
+    configuration: a skewed IVF cell / label never generates quadratic
+    pairs, only its ``m-1`` hub edges."""
+    return S.embedding_dedup(
+        t(spark, sf_dir, "embeddings"),
+        block_col="label",
+        threshold=0.3,
+        round_digits=6,
+        max_block=40,
+        mega_block="star",
+    )
+
+
+ORACLES["dedup_embedding_capped"] = """
+WITH bs AS (
+  SELECT label, COUNT(*) AS m, MIN(vec_id) AS hub
+  FROM embeddings GROUP BY label
+),
+lft AS (
+  SELECT e.vec_id, e.label, e.embedding
+  FROM embeddings e JOIN bs USING (label)
+  WHERE bs.m <= 40 OR e.vec_id = bs.hub
+),
+p AS (
+  SELECT a.vec_id AS key_a, b.vec_id AS key_b
+  FROM lft a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND(
+          LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
+                   z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+          / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+          6) >= 0.3
 ),
 nb AS (
   SELECT key_a AS vec_id, key_b AS nb FROM p
@@ -1333,6 +1399,7 @@ QUERIES = {
     "dedup_minhash_star": q_dedup_minhash_star,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_capped": q_dedup_embedding_capped,
     "dedup_components": q_dedup_components,
     "sim_topk": q_sim_topk,
     "sim_pairs_blocked": q_sim_pairs_blocked,

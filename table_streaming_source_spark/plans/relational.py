@@ -275,14 +275,34 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct — sketch algorithms differ across
-    engines, so this is a rows-only check (no oracle); the exact
-    counterpart is ``agg_distinct``."""
+    """HyperLogLog++ approximate distinct.  Sketch internals differ across
+    engines, so the oracle-comparable surface is (a) the *exact* distinct
+    count (both engines agree) and (b) a deterministic boolean asserting
+    the HLL++ estimate landed within 5 % of it — Spark's sketch is
+    deterministic for a given input, so the boolean is stable, and the
+    DuckDB oracle emits a literal TRUE.  The raw estimate stays available
+    via the error-bound unit test (tests/test_operators.py)."""
     o = t(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_custs"),
+        F.count_distinct("o_custkey").alias("exact_custs"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", rsd=0.01).cast("double")
+                - F.count_distinct("o_custkey").cast("double")
+            )
+            <= 0.05 * F.count_distinct("o_custkey").cast("double")
+        ).alias("approx_within_5pct"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+ORACLES["agg_approx_distinct"] = """
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS exact_custs,
+       TRUE AS approx_within_5pct,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1316,6 +1336,44 @@ GROUP BY UPPER(e.event_type)
 """
 
 
+def q_join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately hot-keyed join left to AQE's skew-join splitting (the
+    complement of ``join_salted``'s manual rewrite): a third of all
+    orders are remapped to customer key 1, and the ``merge`` hint forces
+    the shuffled sort-merge path (a broadcast would dissolve the skew and
+    prove nothing).  AQE splits the hot partition at runtime
+    (``spark.sql.adaptive.skewJoin.enabled``, on in session.py); the
+    oracle is the plain join — skew handling must be value-invisible.
+    The accompanying plan proof (``skew=true`` on the executed
+    SortMergeJoin) is tests/test_scale_strategies.py::test_aqe_skew_join_splits_hot_partition."""
+    o = t(spark, sf_dir, "orders").withColumn(
+        "skew_custkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(1).cast("long")).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.hint("merge")
+        .join(c, o.skew_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_total"),
+        )
+    )
+
+
+ORACLES["join_skew_aqe"] = f"""
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS sum_total
+FROM (SELECT *, CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE o_custkey END
+             AS skew_custkey FROM orders) o
+JOIN customer c ON o.skew_custkey = c.c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery via the SQL surface: customers above
     their own nation's average balance.  Catalyst decorrelates to an
@@ -1527,7 +1585,7 @@ WITH daily AS (
 SELECT day, day_revenue, n_orders,
        CAST(SUM(CAST(day_revenue AS DECIMAL(18,2))) OVER w AS DOUBLE)
          AS trailing_7d_revenue,
-       SUM(n_orders) OVER w AS trailing_7d_orders
+       CAST(SUM(n_orders) OVER w AS BIGINT) AS trailing_7d_orders
 FROM daily
 WINDOW w AS (ORDER BY EPOCH(CAST(day AS TIMESTAMP))
              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
@@ -2216,6 +2274,7 @@ QUERIES = {
     "customer_distribution": q_customer_distribution,
     "scalar_conditional": q_scalar_conditional,
     "join_salted": q_join_salted,
+    "join_skew_aqe": q_join_skew_aqe,
     "forecast_revenue": q_forecast_revenue,
     "flagship_enrichment": q_flagship_enrichment,
     "local_supplier_volume": q_local_supplier_volume,

@@ -256,7 +256,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = (
         stream.withWatermark("ts", "90 days")
-        .dropDuplicatesWithinWatermark(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id", "ts", "event_type"])
     )
     name = f"__stream_dd_{abs(hash(base)) % 10**8}"
     query = (

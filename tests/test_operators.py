@@ -206,14 +206,21 @@ def test_global_topk_avoids_full_sort(spark, sf_dir):
 
 
 def test_approx_distinct_within_error_bound(spark, sf_dir):
-    """The rows-only catalog entry still has checkable semantics: HLL++
-    at default rsd (0.05) must land within 3× the standard error of the
-    exact distinct count per group."""
+    """The catalog entry's oracle-checkable contract is (exact count,
+    within-5% boolean); this test additionally pins the raw HLL++
+    estimate (rsd 0.01, as the entry uses) against the exact count, and
+    cross-checks the entry's own exact_custs column."""
     from table_streaming_source_spark.plans.catalog import QUERIES
 
+    rows = QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
+    entry_exact = {r.o_orderstatus: r.exact_custs for r in rows}
+    assert all(r.approx_within_5pct for r in rows), rows
     approx = {
         r.o_orderstatus: r.approx_custs
-        for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_custs"))
+        .collect()
     }
     exact = {
         r.o_orderstatus: r.n
@@ -222,9 +229,10 @@ def test_approx_distinct_within_error_bound(spark, sf_dir):
         .agg(F.countDistinct("o_custkey").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
+    assert set(approx) == set(exact) == set(entry_exact)
     for k, n in exact.items():
-        assert abs(approx[k] - n) <= max(3, 0.15 * n), (k, approx[k], n)
+        assert entry_exact[k] == n
+        assert abs(approx[k] - n) <= max(3, 0.05 * n), (k, approx[k], n)
 
 
 def test_corpus_prep_pipeline_two_shuffles(spark, sf_dir):

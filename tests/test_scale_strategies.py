@@ -167,3 +167,49 @@ def test_bloom_runtime_filter_prunes_fact_scan(spark, sf_dir):
                     pass
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """docs/SCALE.md §11 claims AQE's skew-join handles moderate skew
+    without manual salting — prove it: a deliberately hot key (20% of
+    the fact on one key) through a forced sort-merge join must show
+    ``skew=true`` on the executed SortMergeJoin, and the values must
+    equal the plain join's.  Thresholds are lowered so fixture-sized
+    data exhibits the same runtime re-plan a 100 TB hot partition would."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 500_000).select(
+            F.when(F.col("id") % 5 == 0, F.lit(0))
+            .otherwise(F.pmod("id", 5_000))
+            .alias("k"),
+            F.lpad(F.col("id").cast("string"), 32, "x").alias("payload"),
+        )
+        small = spark.range(0, 5_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        # collect() executes joined's own queryExecution, so the final
+        # adaptive plan we assert on is the one that actually ran (count()
+        # would run a different plan and leave this one isFinalPlan=false)
+        joined = big.hint("merge").join(small, "k").select(F.lit(1).alias("one"))
+        n = len(joined.collect())
+        plan = _plan(joined).split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in plan
+        assert "skew=true" in plan, plan
+        assert n == 500_000
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
