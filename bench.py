@@ -20,7 +20,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # headline set: one per operator family (scan+join+agg, windows, dedup,
-# similarity, text, multimodal, as-of)
+# similarity, text, multimodal, as-of), plus the composed/iterative heavy
+# hitters (corpus pipeline, pagerank, connected components, learned-IVF
+# search, streaming interval join, AQE skew join) so regressions in the
+# hardest plans are visible round over round
 HEADLINE = [
     "flagship_enrichment",
     "pricing_summary",
@@ -34,6 +37,12 @@ HEADLINE = [
     "text_tfidf",
     "multimodal_decode",
     "scalar_json",
+    "pipeline_corpus_prep",
+    "graph_pagerank",
+    "dedup_components",
+    "sim_ivf_search",
+    "streaming_interval_join",
+    "join_skew_aqe",
 ]
 
 

@@ -29,8 +29,11 @@ from table_streaming_source_spark.config import (
     FailureCollector,
     SourceConfig,
     ValidationException,
+    contains_macro,
     parse_duration_ms,
+    resolve_macros,
 )
+from table_streaming_source_spark.pipeline import configure_pipeline, start_stream
 from table_streaming_source_spark.snapshot import SnapshotManager, load_snapshot
 
 __all__ = [
@@ -39,7 +42,11 @@ __all__ = [
     "FailureCollector",
     "SourceConfig",
     "ValidationException",
+    "contains_macro",
     "parse_duration_ms",
+    "resolve_macros",
+    "configure_pipeline",
+    "start_stream",
     "SnapshotManager",
     "load_snapshot",
 ]

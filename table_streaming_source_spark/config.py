@@ -27,6 +27,42 @@ from table_streaming_source_spark.avro_schema import AvroSchemaError, parse_avro
 #: Reference regex at `TableStreamingSourceConfig.java:115`: ``\d+[dhms]{1}$``
 DURATION_RE = re.compile(r"^\d+[dhms]$")
 
+#: Unresolved late-binding placeholder, ``${variable}`` — the reference's
+#: macro syntax (`TableStreamingSourceConfig.java:41-44` marks ``name``
+#: ``@Macro``, i.e. its value may still be a placeholder at configure time).
+MACRO_RE = re.compile(r"\$\{([^${}]*)\}")
+
+
+def contains_macro(value: Optional[str]) -> bool:
+    """True iff *value* holds at least one unresolved ``${...}`` placeholder
+    (the reference's ``config.containsMacro(...)``,
+    `TableStreamingSource.java:67`)."""
+    return bool(value) and MACRO_RE.search(value) is not None
+
+
+def resolve_macros(value: str, variables: dict[str, str]) -> str:
+    """Substitute every ``${var}`` in *value* from *variables* — the runtime
+    half of macro late-binding (the reference framework resolves macros
+    before ``getStream`` runs).  Raises :class:`ValueError` listing any
+    placeholder with no binding, so a half-resolved name can never reach
+    DDL or a scan."""
+    unresolved: list[str] = []
+
+    def _sub(m: "re.Match[str]") -> str:
+        var = m.group(1)
+        if var not in variables:
+            unresolved.append(var)
+            return m.group(0)
+        return str(variables[var])
+
+    out = MACRO_RE.sub(_sub, value)
+    if unresolved:
+        raise ValueError(
+            f"Unresolved macro variable(s) {sorted(set(unresolved))} in "
+            f"{value!r}."
+        )
+    return out
+
 _UNIT_MS = {"s": 1_000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
 
 #: Reference default at `TableStreamingSourceConfig.java:110`: ``"1h"``.
@@ -138,6 +174,34 @@ class SourceConfig:
     PROP_SCHEMA = "schema"
     PROP_ROW_FIELD = "rowField"
     PROP_REFRESH_INTERVAL = "refreshInterval"
+
+    def contains_macro(self, prop: str) -> bool:
+        """Whether *prop*'s configured value is still an unresolved
+        ``${...}`` placeholder (reference ``config.containsMacro("name")``,
+        `TableStreamingSource.java:67`).  Only ``name`` is macro-enabled in
+        the reference (`TableStreamingSourceConfig.java:41-44`); other
+        properties always answer False so configure-time validation runs on
+        them unconditionally."""
+        if prop == self.PROP_NAME:
+            return contains_macro(self.name)
+        return False
+
+    def resolved(self, variables: dict[str, str]) -> "SourceConfig":
+        """A copy with every macro in ``name`` substituted from *variables*
+        — the stream-build-time resolution step.  No-op (same values) when
+        ``name`` has no placeholders; raises if a placeholder has no
+        binding."""
+        name = (
+            resolve_macros(self.name, variables)
+            if contains_macro(self.name)
+            else self.name
+        )
+        return SourceConfig(
+            name=name,
+            schema_json=self.schema_json,
+            row_field=self.row_field,
+            refresh_interval=self.refresh_interval,
+        )
 
     def get_schema(self) -> StructType:
         """Parse ``schema_json`` → ``StructType``

@@ -36,7 +36,7 @@ def ensure_table(
     name: str,
     schema: StructType,
     *,
-    row_field: str,
+    row_field: str | None,
     location: str | None = None,
     table_format: str = "parquet",
 ) -> None:
@@ -46,22 +46,28 @@ def ensure_table(
     config validation does (present + non-nullable,
     `TableStreamingSourceConfig.java:131-143`) and recorded as a table
     property, mirroring the reference's dataset properties
-    (`TableStreamingSource.java:120-126`).  ``location`` makes the table
-    external — at scale the path is the governed data lake prefix, not
-    the warehouse default.
+    (`TableStreamingSource.java:120-126`; the reference's rowField property
+    may be null, so ``None`` skips the property).  ``location`` makes the
+    table external — at scale the path is the governed data lake prefix,
+    not the warehouse default.
     """
-    _validate_row_field(schema, row_field)
+    if row_field is not None:
+        _validate_row_field(schema, row_field)
     cols = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
         f"{'' if f.nullable else ' NOT NULL'}"
         for f in schema.fields
     )
     loc = f" LOCATION '{location}'" if location else ""
+    props = (
+        f" TBLPROPERTIES ('rowField' = '{row_field}')"
+        if row_field is not None
+        else ""
+    )
     try:
         spark.sql(
             f"CREATE TABLE IF NOT EXISTS {name} ({cols}) "
-            f"USING {table_format}{loc} "
-            f"TBLPROPERTIES ('rowField' = '{row_field}')"
+            f"USING {table_format}{loc}{props}"
         )
     except Exception as exc:  # create race: another session won — fine
         if "already exists" not in str(exc).lower():

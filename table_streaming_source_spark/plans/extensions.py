@@ -1239,35 +1239,48 @@ GROUP BY ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode pipeline (stubbed codec deriving
-    deterministic pseudo-metadata from the payload digest) — the Spark-side
-    plumbing under oracle check via portable md5-hex arithmetic."""
+    """REAL metadata decode: spec-valid PNG/WAV/AVI container bytes
+    (attach_container_payload) parsed back with the pure-Python struct
+    parser (decoder='parse') inside Arrow-batched mapInPandas.  The
+    oracle states the expected metadata from the synthesis formulas; the
+    Spark side must actually parse the binary headers to match — the
+    media type itself comes from the magic bytes, not the input column."""
     docs = t(spark, sf_dir, "documents")
-    media = M.attach_payload(docs, "text", "doc_id")
-    return M.decode_media(media, key="doc_id", decoder="fake")
+    media = M.attach_container_payload(docs, "doc_id")
+    return M.decode_media(media, key="key", decoder="parse")
 
 
-ORACLES["multimodal_decode"] = """
-WITH m AS (
-  SELECT doc_id AS key,
-         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
-         MD5(text) AS h,
-         CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes
-  FROM documents
+# synthesis formulas (operators/multimodal.py::attach_container_payload):
+# image: 57-byte PNG, w=64+(k*7)%192, h=64+(k*13)%192
+# audio: WAV, n_samples=100+k%400, channels=1+k%2, 44+samples*ch*2 bytes
+# video: 88-byte AVI, w=64+(k*11)%192, h=64+(k*17)%192, frames=1+k%16
+_MM_META = """
+m AS (
+  SELECT doc_id AS key, CAST(doc_id % 3 AS INT) AS mt FROM documents
 ),
 d AS (
-  SELECT key, media_type, n_bytes,
-         64 + CAST('0x' || SUBSTR(h, 1, 2) AS INTEGER) % 192 AS width0,
-         64 + CAST('0x' || SUBSTR(h, 3, 2) AS INTEGER) % 192 AS height0,
-         1 + CAST('0x' || SUBSTR(h, 5, 2) AS INTEGER) % 16 AS n_frames0
+  SELECT key,
+         CASE mt WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+         CAST(CASE mt WHEN 0 THEN 64 + (key * 7) % 192
+                      WHEN 1 THEN -1
+                      ELSE 64 + (key * 11) % 192 END AS INT) AS width,
+         CAST(CASE mt WHEN 0 THEN 64 + (key * 13) % 192
+                      WHEN 1 THEN -1
+                      ELSE 64 + (key * 17) % 192 END AS INT) AS height,
+         CAST(CASE mt WHEN 0 THEN 1
+                      WHEN 1 THEN 100 + key % 400
+                      ELSE 1 + key % 16 END AS INT) AS n_frames,
+         CAST(CASE mt WHEN 0 THEN 57
+                      WHEN 1 THEN 44 + (100 + key % 400) * (1 + key % 2) * 2
+                      ELSE 88 END AS BIGINT) AS n_bytes
   FROM m
 )
-SELECT key, media_type,
-       CAST(CASE WHEN media_type = 'audio' THEN -1 ELSE width0 END AS INT) AS width,
-       CAST(CASE WHEN media_type = 'audio' THEN -1 ELSE height0 END AS INT) AS height,
-       CAST(CASE WHEN media_type = 'image' THEN 1 ELSE n_frames0 END AS INT) AS n_frames,
-       n_bytes
-FROM d
+"""
+
+ORACLES["multimodal_decode"] = f"""
+WITH {_MM_META}
+SELECT key, media_type, width, height, n_frames, n_bytes FROM d
 """
 
 
@@ -1317,68 +1330,38 @@ SELECT u AS vec_id, MIN(lbl) AS component FROM reach GROUP BY u
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling (every 4th frame of videos, single row otherwise) —
-    the per-frame row explosion a video pipeline fans out on, with the
-    payload column untouched."""
+    the per-frame row explosion a video pipeline fans out on, fed by the
+    real container-parsing decode path."""
     docs = t(spark, sf_dir, "documents")
     decoded = M.decode_media(
-        M.attach_payload(docs, "text", "doc_id"), key="doc_id"
+        M.attach_container_payload(docs, "doc_id"), key="key", decoder="parse"
     )
     return M.sample_frames(decoded, every_nth=4)
 
 
-ORACLES["multimodal_frames"] = """
-WITH d AS (
-  SELECT doc_id AS key,
-         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
-         MD5(text) AS h
-  FROM documents
-),
-m AS (
-  SELECT key, media_type,
-         CAST(CASE WHEN media_type = 'image' THEN 1
-                   ELSE 1 + CAST('0x' || SUBSTR(h, 5, 2) AS INTEGER) % 16
-              END AS INT) AS n_frames
-  FROM d
-)
+ORACLES["multimodal_frames"] = f"""
+WITH {_MM_META}
 SELECT key, media_type, n_frames, CAST(fi AS INT) AS frame_idx
-FROM m, UNNEST(CASE WHEN media_type = 'video'
+FROM d, UNNEST(CASE WHEN media_type = 'video'
                     THEN RANGE(0, n_frames, 4)
                     ELSE [0] END) AS u(fi)
 """
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize-to-fit (longer side ≤ 96 px) over decoded geometry via
-    mapInPandas — stubbed pixel resample, real Arrow batch plumbing."""
+    """Resize-to-fit (longer side ≤ 96 px) over real parsed container
+    geometry via mapInPandas — stubbed pixel resample, real Arrow batch
+    plumbing over really-parsed dimensions."""
     docs = t(spark, sf_dir, "documents")
     decoded = M.decode_media(
-        M.attach_payload(docs, "text", "doc_id"), key="doc_id"
+        M.attach_container_payload(docs, "doc_id"), key="key", decoder="parse"
     )
     return M.resize_media(decoded, max_side=96)
 
 
-ORACLES["multimodal_resize"] = """
-WITH m AS (
-  SELECT doc_id AS key,
-         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
-         MD5(text) AS h,
-         CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes
-  FROM documents
-),
-d AS (
-  SELECT key, media_type, n_bytes,
-         64 + CAST('0x' || SUBSTR(h, 1, 2) AS INTEGER) % 192 AS width0,
-         64 + CAST('0x' || SUBSTR(h, 3, 2) AS INTEGER) % 192 AS height0,
-         1 + CAST('0x' || SUBSTR(h, 5, 2) AS INTEGER) % 16 AS n_frames0
-  FROM m
-),
-g AS (
-  SELECT key, media_type, n_bytes,
-         CAST(CASE WHEN media_type = 'audio' THEN -1 ELSE width0 END AS INT) AS width,
-         CAST(CASE WHEN media_type = 'audio' THEN -1 ELSE height0 END AS INT) AS height,
-         CAST(CASE WHEN media_type = 'image' THEN 1 ELSE n_frames0 END AS INT) AS n_frames
-  FROM d
-)
+ORACLES["multimodal_resize"] = f"""
+WITH {_MM_META},
+g AS (SELECT key, media_type, width, height, n_frames, n_bytes FROM d)
 SELECT key, media_type,
        CAST(CASE WHEN width > 0 AND height > 0
                  THEN GREATEST(CAST(FLOOR(width * LEAST(96.0 / GREATEST(width, height), 1.0)) AS INT), 1)

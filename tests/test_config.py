@@ -132,3 +132,55 @@ def test_parse_duration(text, ms):
 def test_parse_duration_invalid(bad):
     with pytest.raises(ValueError):
         parse_duration_ms(bad)
+
+
+# ---------------------------------------------------------------------------
+# macro late-binding (`TableStreamingSourceConfig.java:41-44` @Macro name;
+# skip-create branch `TableStreamingSource.java:67-69`)
+# ---------------------------------------------------------------------------
+
+def test_contains_macro_detection():
+    from table_streaming_source_spark.config import contains_macro
+
+    assert contains_macro("${runtime.table}")
+    assert contains_macro("prefix_${env}_events")
+    assert not contains_macro("plain_table")
+    assert not contains_macro(None)
+    assert not contains_macro("")
+
+
+def test_config_contains_macro_only_for_name():
+    cfg = SourceConfig(name="${tbl}", schema_json=SIMPLE_SCHEMA)
+    assert cfg.contains_macro(SourceConfig.PROP_NAME)
+    # only `name` is @Macro in the reference — other props never report one
+    assert not cfg.contains_macro(SourceConfig.PROP_SCHEMA)
+    concrete = SourceConfig(name="t", schema_json=SIMPLE_SCHEMA)
+    assert not concrete.contains_macro(SourceConfig.PROP_NAME)
+
+
+def test_resolve_macros_substitutes_and_raises_on_missing():
+    from table_streaming_source_spark.config import resolve_macros
+
+    assert resolve_macros("${a}_x_${b}", {"a": "t1", "b": "t2"}) == "t1_x_t2"
+    with pytest.raises(ValueError, match=r"\['b'\]"):
+        resolve_macros("${a}_x_${b}", {"a": "t1"})
+
+
+def test_resolved_returns_concrete_copy():
+    cfg = SourceConfig(
+        name="${env}_events", schema_json=SIMPLE_SCHEMA, refresh_interval="5m"
+    )
+    out = cfg.resolved({"env": "prod"})
+    assert out.name == "prod_events"
+    assert out.schema_json == cfg.schema_json
+    assert out.refresh_interval == "5m"
+    assert cfg.name == "${env}_events"  # original untouched
+
+
+def test_macro_name_still_validates_other_properties():
+    # the reference validates everything else at configure time even when
+    # `name` is a macro — a bad refresh interval must fail the deploy
+    collector = validate(
+        SourceConfig(name="${tbl}", schema_json=SIMPLE_SCHEMA, refresh_interval="t3")
+    )
+    assert_validation_failed(collector, SourceConfig.PROP_REFRESH_INTERVAL)

@@ -1,0 +1,84 @@
+"""Multimodal container synthesis + parsing unit tests (the de-stubbed
+metadata decode path) and the Spark plumbing around it."""
+
+import pytest
+
+from table_streaming_source_spark.operators.multimodal import (
+    attach_container_payload,
+    decode_media,
+    parse_container,
+    synth_avi,
+    synth_png,
+    synth_wav,
+)
+
+
+def test_png_round_trip():
+    payload = synth_png(640, 480)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    assert parse_container(payload) == ("image", 640, 480, 1)
+
+
+def test_wav_round_trip():
+    payload = synth_wav(1234, channels=2, sample_rate=44100)
+    assert len(payload) == 44 + 1234 * 4
+    assert parse_container(payload) == ("audio", -1, -1, 1234)
+
+
+def test_avi_round_trip():
+    payload = synth_avi(320, 240, 42)
+    assert len(payload) == 88
+    assert parse_container(payload) == ("video", 320, 240, 42)
+
+
+def test_parse_rejects_unknown_and_truncated():
+    with pytest.raises(ValueError, match="Unknown container"):
+        parse_container(b"not a container at all")
+    with pytest.raises(ValueError):
+        parse_container(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4)  # no IHDR
+    with pytest.raises(ValueError, match="fmt/data"):
+        parse_container(b"RIFF\x04\x00\x00\x00WAVE")  # chunkless WAVE
+
+
+def test_wav_parser_honors_odd_chunk_padding():
+    # RIFF chunks are word-aligned: an odd-sized unknown chunk before
+    # fmt/data must not desync the walk
+    import struct
+
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad byte
+    wav = synth_wav(10)
+    payload = wav[:12] + odd + wav[12:]
+    assert parse_container(payload) == ("audio", -1, -1, 10)
+
+
+def test_decode_media_parse_path_on_spark(spark, sf_dir):
+    from table_streaming_source_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    media = attach_container_payload(docs, "doc_id")
+    out = decode_media(media, key="key", decoder="parse").collect()
+    assert len(out) == 30
+    for r in out:
+        k = r.key
+        if k % 3 == 0:
+            assert (r.media_type, r.width, r.height, r.n_frames, r.n_bytes) == (
+                "image", 64 + (k * 7) % 192, 64 + (k * 13) % 192, 1, 57
+            )
+        elif k % 3 == 1:
+            ns, ch = 100 + k % 400, 1 + k % 2
+            assert (r.media_type, r.width, r.height, r.n_frames, r.n_bytes) == (
+                "audio", -1, -1, ns, 44 + ns * ch * 2
+            )
+        else:
+            assert (r.media_type, r.width, r.height, r.n_frames, r.n_bytes) == (
+                "video", 64 + (k * 11) % 192, 64 + (k * 17) % 192, 1 + k % 16, 88
+            )
+
+
+def test_decoder_real_still_raises_for_pixel_decode(spark, sf_dir):
+    from table_streaming_source_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(1)
+    media = attach_container_payload(docs, "doc_id")
+    with pytest.raises(NotImplementedError, match="parse"):
+        decode_media(media, key="key", decoder="real")
