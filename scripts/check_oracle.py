@@ -40,13 +40,39 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-def compare(name, spark_pdf, duck_pdf, verbose=False):
+def _dtype_kind(s: "pd.Series") -> str:
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "ts"
+    return "obj"
+
+
+def compare(name, spark_pdf, duck_pdf, verbose=False, strict_dtypes=False):
     problems = []
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
         problems.append(
             f"schema: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
         )
         return problems
+    if strict_dtypes:
+        # the driver's value-hash is dtype-sensitive: a DuckDB HUGEINT /
+        # DECIMAL fetched as float64 against a Spark int64 hashes
+        # differently even when every value matches (the exact failure mode
+        # of round 1's window_range_frame).  Flag kind mismatches that the
+        # value comparison below would normalize away.
+        for c in spark_pdf.columns:
+            sk, dk = _dtype_kind(spark_pdf[c]), _dtype_kind(duck_pdf[c])
+            if sk != dk:
+                problems.append(
+                    f"dtype-kind col {c}: spark={spark_pdf[c].dtype}({sk}) "
+                    f"duck={duck_pdf[c].dtype}({dk}) — driver hash would "
+                    "diverge; cast the oracle (or the Spark side) explicitly"
+                )
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"rowcount: spark={len(spark_pdf)} duck={len(duck_pdf)}")
     s, d = normalize(spark_pdf), normalize(duck_pdf)
@@ -81,6 +107,12 @@ def main():
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--only", default=None)
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument(
+        "--strict-dtypes",
+        action="store_true",
+        help="also flag dtype-kind mismatches (int vs float) that the "
+        "driver's value-hash would reject even when values agree",
+    )
     args = ap.parse_args()
 
     from table_streaming_source_spark.plans.catalog import ORACLES, QUERIES, ROWS_ONLY
@@ -116,7 +148,10 @@ def main():
             failed.append(name)
             print(f"FAIL {name}: duckdb error: {exc}")
             continue
-        problems = compare(name, spark_pdf, duck_pdf, args.verbose)
+        problems = compare(
+            name, spark_pdf, duck_pdf, args.verbose,
+            strict_dtypes=args.strict_dtypes,
+        )
         if problems:
             failed.append(name)
             print(f"FAIL {name} ({len(spark_pdf)} vs {len(duck_pdf)} rows):")

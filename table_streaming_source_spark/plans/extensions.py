@@ -484,7 +484,8 @@ a{i} AS (
 )""")
         prev = f"a{i}"
     tail = final_sql if final_sql is not None else f"""
-SELECT vec_id, CAST(cell AS INT) AS cell, dist2 AS dist2_scaled
+SELECT vec_id, CAST(cell AS INT) AS cell,
+       CAST(dist2 AS BIGINT) AS dist2_scaled
 FROM {prev}
 """
     return "WITH " + ",".join(parts) + tail

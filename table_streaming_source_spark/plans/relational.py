@@ -1564,7 +1564,10 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(-7 * 86400, Window.currentRow)
     )
     return daily.select(
-        "day",
+        # timestamp, not date: Spark DATE reaches pandas as python date
+        # objects while DuckDB DATE arrives as datetime64 — a dtype-kind
+        # skew the driver's value hash rejects even with equal values
+        F.col("day").cast("timestamp").alias("day"),
         "day_revenue",
         "n_orders",
         F.sum(F.col("day_revenue").cast("decimal(18,2)"))
@@ -1582,7 +1585,7 @@ WITH daily AS (
          COUNT(*) AS n_orders
   FROM orders GROUP BY CAST(o_orderdate AS DATE)
 )
-SELECT day, day_revenue, n_orders,
+SELECT CAST(day AS TIMESTAMP) AS day, day_revenue, n_orders,
        CAST(SUM(CAST(day_revenue AS DECIMAL(18,2))) OVER w AS DOUBLE)
          AS trailing_7d_revenue,
        CAST(SUM(n_orders) OVER w AS BIGINT) AS trailing_7d_orders
@@ -1833,23 +1836,24 @@ def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        # timestamp (not date): Spark DATE surfaces as python date
+        # objects in Arrow/pandas while DuckDB DATE surfaces as
+        # datetime64 — a dtype-kind skew the driver hash rejects
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
         F.year("o_orderdate").cast("int").alias("order_year"),
         F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
         F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
-        .cast("date")
-        .alias("ship_by"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("ship_by"),
     )
 
 
 ORACLES["scalar_date"] = """
 SELECT o_orderkey,
-       CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month,
+       CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
        CAST(YEAR(o_orderdate) AS INT) AS order_year,
        CAST(DAY(o_orderdate) AS INT) AS order_day,
        STRFTIME(o_orderdate, '%Y-%m') AS order_ym,
-       CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS ship_by
+       CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS ship_by
 FROM orders
 """
 
@@ -1883,7 +1887,7 @@ SELECT l_orderkey, l_linenumber,
        ROUND(LN(l_extendedprice), 9) AS price_ln,
        ROUND(EXP(l_discount), 9) AS disc_exp,
        POWER(l_quantity, 2) AS qty_sq,
-       SIGN(l_discount - 0.05) AS disc_sign
+       CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign
 FROM lineitem
 """
 
