@@ -55,9 +55,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
+        t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        cold[name] = round(time.time() - t0, 3)  # first-run (planning+codegen)
         best = float("inf")
         for _ in range(2):  # min of two timed runs: steady state, low noise
             t0 = time.time()
@@ -73,6 +76,10 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                # first-run numbers (planning + codegen + JVM warmup) so a
+                # cold-path regression is visible even when steady state
+                # holds; informational — `value` stays the steady-state sum
+                "queries_cold": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -8,6 +8,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+#: memoized partition counts keyed by (session id, analyzed-plan semantic
+#: hash): ``df.rdd`` builds a physical plan + RDD DAG per call, which is
+#: pure overhead when the same logical input is probed repeatedly
+#: (k-means iterations, multi-branch dedup plans)
+_SPREAD_NPART_CACHE: dict[tuple[int, int], int] = {}
+
+
 def spread(df: DataFrame, parallelism: Optional[int] = None) -> DataFrame:
     """Round-robin repartition before CPU-heavy row-local compute — only
     when the input is underparallelized.
@@ -17,12 +24,24 @@ def spread(df: DataFrame, parallelism: Optional[int] = None) -> DataFrame:
     already spread (e.g. a cached snapshot from ``io.load_table``), this
     is a no-op — no extra exchange.  At 100 TB inputs arrive in thousands
     of splits and this never fires.  ``parallelism=0`` disables.
+
+    The partition probe (``df.rdd.getNumPartitions()``) materializes a
+    physical plan, so its result is memoized per (session, semantic hash)
+    — repeat calls on the same logical input are free.
     """
     if parallelism == 0:
         return df
     n = parallelism or df.sparkSession.sparkContext.defaultParallelism
     try:
-        if df.rdd.getNumPartitions() >= max(2, n // 2):
+        key = (
+            id(df.sparkSession._jsparkSession),
+            df._jdf.queryExecution().analyzed().semanticHash(),
+        )
+        nparts = _SPREAD_NPART_CACHE.get(key)
+        if nparts is None:
+            nparts = df.rdd.getNumPartitions()
+            _SPREAD_NPART_CACHE[key] = nparts
+        if nparts >= max(2, n // 2):
             return df
     except Exception:
         pass
