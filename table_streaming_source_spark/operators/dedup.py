@@ -359,24 +359,22 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("nlbl").alias("nmin"))
         )
-        new_labels = (
+        # carry the previous label through the checkpoint so the
+        # convergence count is a filter over materialized rows — no extra
+        # join (and no extra shuffle) per round
+        stepped = (
             labels.join(nbr, "u", "left")
             .select(
                 "u",
                 F.least(
                     F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
                 ).alias("lbl"),
+                F.col("lbl").alias("__old"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(
-                labels.select("u", F.col("lbl").alias("old")), "u"
-            )
-            .filter(F.col("lbl") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("lbl") != F.col("__old")).count()
+        labels = stepped.select("u", "lbl")
         if changed == 0:
             return labels.select(
                 F.col("u").alias(key), F.col("lbl").alias("component")
