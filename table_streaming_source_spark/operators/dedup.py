@@ -479,3 +479,40 @@ def simhash(
 
     fingerprint = _bind(th_arr, fingerprint_of)
     return _spread(df).select(F.col(key), fingerprint.alias("simhash"))
+
+
+def incremental_dedup(
+    history: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    key: str,
+) -> DataFrame:
+    """Dedup a new ingest batch against an already-accepted corpus — the
+    steady-state shape of a continuously fed training-data pipeline (the
+    full-corpus dedup runs once; every later ingest only needs this).
+
+    Two stages, both on 16-byte digests:
+
+    1. *within-batch*: keep the minimum key per content fingerprint
+       (normalized-text md5 — same normalization as :func:`fingerprint`);
+    2. *against history*: drop batch fingerprints that already exist in
+       the accepted corpus via a left-anti join on the digest.
+
+    Only digests shuffle; the history side reduces to its distinct
+    fingerprint set, which is the thing to persist as the pipeline's
+    dedup index at 100 TB (append-only, bucketed by digest).
+
+    Returns the surviving ``(key, fingerprint)`` rows of the batch.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    b = batch.select(F.col(key), F.md5(norm).alias("fingerprint"))
+    h = history.select(F.md5(norm).alias("fingerprint")).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint")
+    within = (
+        b.withColumn("__min_key", F.min(key).over(w))
+        .filter(F.col(key) == F.col("__min_key"))
+        .drop("__min_key")
+    )
+    return within.join(h, "fingerprint", "left_anti").select(key, "fingerprint")

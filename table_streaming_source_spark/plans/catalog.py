@@ -32,6 +32,7 @@ from table_streaming_source_spark.plans import (
 _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **relational.QUERIES,
     **extensions.QUERIES,
+    **extensions.QUERIES_DEFERRED,
     **streaming_queries.QUERIES,
 }
 

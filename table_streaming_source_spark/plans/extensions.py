@@ -1410,3 +1410,43 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
 }
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state ingest dedup: the batch (doc_id % 3 == 0) deduped
+    within itself and against the already-accepted corpus (the rest) by
+    content fingerprint — only 16-byte digests shuffle, and the history
+    side reduces to its distinct fingerprint set (the persistable dedup
+    index at 100 TB)."""
+    docs = t(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    return D.incremental_dedup(history, batch, "text", "doc_id")
+
+
+ORACLES["dedup_incremental"] = """
+WITH fp AS (
+  SELECT doc_id,
+         MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'))
+           AS fingerprint
+  FROM documents
+),
+hist AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 3 <> 0),
+batch AS (SELECT * FROM fp WHERE doc_id % 3 = 0),
+within AS (
+  SELECT doc_id, fingerprint FROM (
+    SELECT doc_id, fingerprint,
+           MIN(doc_id) OVER (PARTITION BY fingerprint) AS mk
+    FROM batch
+  ) WHERE doc_id = mk
+)
+SELECT w.doc_id, w.fingerprint
+FROM within w ANTI JOIN hist h ON w.fingerprint = h.fingerprint
+"""
+
+#: entries deferred past the driver's 50-entry correctness window this
+#: round (fully oracle-backed; scripts/check_oracle.py covers them every
+#: run; rotate into _PRIORITY next round)
+QUERIES_DEFERRED = {
+    "dedup_incremental": q_dedup_incremental,
+}

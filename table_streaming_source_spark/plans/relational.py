@@ -48,6 +48,62 @@ FROM customer WHERE c_custkey IS NOT NULL
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two TTL refreshes of the orders snapshot
+    (snapshot.py::snapshot_diff): the "new" snapshot deterministically
+    deletes every 7th key, bumps the price of every remaining 5th key,
+    and inserts re-keyed copies of every 11th key.  Only (key, digest)
+    pairs shuffle — the reference's re-emit-everything refresh
+    (`TableInputDStream.scala:51-54`) becomes a delta at 100 TB."""
+    from table_streaming_source_spark.snapshot import snapshot_diff
+
+    o = t(spark, sf_dir, "orders")
+    surviving = o.filter(F.col("o_orderkey") % 7 != 0)
+    updated = surviving.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+        "o_orderkey", -F.col("o_orderkey")
+    )
+    new = updated.unionByName(inserts)
+    return snapshot_diff(
+        o, new, key="o_orderkey",
+        compare_cols=["o_orderstatus", "o_totalprice"],
+    )
+
+
+ORACLES["snapshot_diff"] = """
+WITH surviving AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+new_snap AS (
+  SELECT * FROM surviving
+  UNION ALL
+  SELECT -o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+old_snap AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            WHEN (o.o_orderstatus, o.o_totalprice)
+                 IS DISTINCT FROM (n.o_orderstatus, n.o_totalprice)
+                 THEN 'update' END AS change
+FROM old_snap o FULL OUTER JOIN new_snap n USING (o_orderkey)
+WHERE CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+           WHEN n.o_orderkey IS NULL THEN 'delete'
+           WHEN (o.o_orderstatus, o.o_totalprice)
+                IS DISTINCT FROM (n.o_orderstatus, n.o_totalprice)
+                THEN 'update' END IS NOT NULL
+"""
+
+
 def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter + projection with a computed column; both predicates and the
     two-column read reach the parquet scan (PushedFilters / ReadSchema)."""
@@ -2241,6 +2297,7 @@ FROM (
 
 QUERIES = {
     "snapshot_scan": q_snapshot_scan,
+    "snapshot_diff": q_snapshot_diff,
     "filter_project": q_filter_project,
     "pricing_summary": q_pricing_summary,
     "agg_rollup": q_agg_rollup,

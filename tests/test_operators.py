@@ -320,3 +320,26 @@ def test_multiprobe_improves_recall(emb):
     single, multi = recall(False), recall(True)
     assert multi >= single
     assert multi > 0
+
+
+def test_incremental_dedup_two_stage(spark):
+    """Within-batch min-key survival + anti-join against the accepted
+    corpus: a batch doc whose normalized text already exists in history is
+    dropped; duplicate texts inside the batch keep only the minimum key."""
+    from table_streaming_source_spark.operators.dedup import incremental_dedup
+
+    history = spark.createDataFrame(
+        [(100, "seen before"), (101, "also   SEEN  before")],
+        "doc_id int, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "Seen Before"),        # dup of history (normalization)
+            (2, "fresh text"),
+            (3, "fresh  TEXT "),       # in-batch dup of 2 → dropped
+            (4, "unique"),
+        ],
+        "doc_id int, text string",
+    )
+    out = incremental_dedup(history, batch, "text", "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [2, 4]

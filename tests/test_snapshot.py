@@ -190,3 +190,32 @@ def test_manager_from_config_invalid(spark):
     config = SourceConfig(name="t", schema_json="test", refresh_interval="t3")
     with pytest.raises(ValidationException):
         SnapshotManager.from_config(spark, config)
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    from table_streaming_source_spark.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        # 1 unchanged, 2 value-updated, 3 deleted, 5 inserted
+        [(1, "a", 10.0), (2, "b", 99.0), (4, "d", 40.0), (5, "e", 50.0)],
+        "k int, s string, v double",
+    )
+    got = {r.k: r.change for r in snapshot_diff(old, new, key="k").collect()}
+    assert got == {2: "update", 3: "delete", 5: "insert"}
+
+
+def test_snapshot_diff_compare_cols_subset(spark):
+    """Columns outside compare_cols never produce an update row."""
+    from table_streaming_source_spark.snapshot import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", 1.0)], "k int, s string, v double")
+    new = spark.createDataFrame([(1, "a", 2.0)], "k int, s string, v double")
+    assert snapshot_diff(old, new, key="k", compare_cols=["s"]).count() == 0
+    assert (
+        snapshot_diff(old, new, key="k", compare_cols=["v"]).head().change
+        == "update"
+    )
