@@ -2295,6 +2295,280 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H remainder (Q9/Q11/Q12/Q16/Q17/Q20 shapes, adapted to the fixture
+# schema: no partsupp table, no l_shipmode/commitdate — supply cost and
+# ship-mode analogues are derived deterministically from existing columns)
+# ---------------------------------------------------------------------------
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp, so unit supply cost is proxied
+    by 10% of the part's retail price): profit by supplier nation × order
+    year over parts matching a name fragment.  Three broadcast dimensions
+    into the fact spine; the only big-big shuffle is lineitem⋈orders on
+    the order key."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * 0.1 * F.col("l_quantity")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(profit, 4).alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+ORACLES["product_profit"] = f"""
+SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+       {sql_dsum(
+           "l_extendedprice * (1 - l_discount)"
+           " - p_retailprice * 0.1 * l_quantity", 4)} AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY 1, 2 DESC
+"""
+
+
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: "stock value" is one nation's suppliers'
+    shipped revenue per part): per-part value, kept only where it exceeds
+    a fraction of the nation total.  The global threshold is a one-row
+    broadcast (crossJoin), not a shuffle; both the per-part and the total
+    sums take the exact decimal path so the HAVING comparison is
+    bit-identical on both engines."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")).join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    per_part = base.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        dsum(value, 4).alias("value")
+    )
+    total = base.agg((dsum(value, 4) * 0.001).alias("__threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("__threshold"))
+        .select("partkey", "value")
+        .orderBy(F.col("value").desc(), F.col("partkey"))
+    )
+
+
+ORACLES["important_stock"] = f"""
+WITH base AS (
+  SELECT l_partkey, l_extendedprice * (1 - l_discount) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+)
+SELECT l_partkey AS partkey, {sql_dsum('v', 4)} AS value
+FROM base
+GROUP BY l_partkey
+HAVING {sql_dsum('v', 4)} >
+       (SELECT {sql_dsum('v', 4)} * 0.001 FROM base)
+ORDER BY value DESC, partkey
+"""
+
+
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no l_shipmode, so lines are classed by
+    ship lag — days between order and ship date): per class, how many
+    lines belong to critical-priority orders vs not.  Conditional sums
+    inside one aggregate over the single fact⋈orders join."""
+    l = t(spark, sf_dir, "lineitem")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    o_full = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    ship_class = (
+        F.when(lag < 0, "EARLY")
+        .when(lag < 30, "FAST")
+        .when(lag < 90, "NORMAL")
+        .otherwise("SLOW")
+    )
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o_full, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(ship_class.alias("ship_class"))
+        .agg(
+            F.sum(F.when(critical, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(critical, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+ORACLES["shipmode_priority"] = """
+SELECT CASE WHEN DATEDIFF('day', o_orderdate, l_shipdate) < 0  THEN 'EARLY'
+            WHEN DATEDIFF('day', o_orderdate, l_shipdate) < 30 THEN 'FAST'
+            WHEN DATEDIFF('day', o_orderdate, l_shipdate) < 90 THEN 'NORMAL'
+            ELSE 'SLOW' END AS ship_class,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY ship_class
+ORDER BY ship_class
+"""
+
+
+def q_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: part–supplier pairs come from observed
+    lineitem shipments; "complaint" suppliers are those with negative
+    account balance): distinct-supplier count per (brand, type, size) for
+    an attribute slice, excluding complaint suppliers by anti-join."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").startswith("PROMO"))
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    complaints = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    pairs = l.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(complaints),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+ORACLES["supplier_cnt"] = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders (below 20% of the part's mean order quantity) were not taken,
+    for one brand.  The per-part mean is a broadcast aggregate joined
+    back to the fact — no correlated re-scan; the mean takes the decimal
+    path so the 20% threshold compares identically on both engines."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    brand_lines = l.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_part_avg = brand_lines.groupBy(
+        F.col("l_partkey").alias("__pk")
+    ).agg(davg("l_quantity", 2).alias("__avg_qty"))
+    return (
+        brand_lines.join(
+            F.broadcast(per_part_avg), F.col("l_partkey") == F.col("__pk")
+        )
+        .filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
+        .agg((dsum("l_extendedprice", 2) / 7.0).alias("avg_yearly"))
+    )
+
+
+ORACLES["small_qty_revenue"] = f"""
+WITH brand_lines AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'
+),
+per_part AS (
+  SELECT l_partkey AS pk, {sql_davg('l_quantity', 2)} AS avg_qty
+  FROM brand_lines GROUP BY l_partkey
+)
+SELECT {sql_dsum('l_extendedprice', 2)} / 7.0 AS avg_yearly
+FROM brand_lines JOIN per_part ON l_partkey = pk
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: "availability" is the supplier's shipped
+    volume of a part in 1996): suppliers who moved more than a threshold
+    quantity of any name-prefixed part — a semi-join chain (shipped agg →
+    promo-part semi → supplier semi), never materializing a wide join."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    promo = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    shipped = (
+        l.filter(F.year("l_shipdate") == 1996)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_quantity", 2).alias("__qty"))
+    )
+    cand = (
+        shipped.join(
+            F.broadcast(promo),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .filter(F.col("__qty") > 50.0)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(
+            F.broadcast(cand),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+ORACLES["excess_suppliers"] = f"""
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM (
+    SELECT l_partkey, l_suppkey, {sql_dsum('l_quantity', 2)} AS qty
+    FROM lineitem
+    WHERE YEAR(l_shipdate) = 1996
+    GROUP BY l_partkey, l_suppkey
+  )
+  WHERE qty > 50.0
+    AND l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_name LIKE 'small%')
+)
+ORDER BY s_name
+"""
+
+
 QUERIES = {
     "snapshot_scan": q_snapshot_scan,
     "snapshot_diff": q_snapshot_diff,
@@ -2329,6 +2603,12 @@ QUERIES = {
     "agg_salted": q_agg_salted,
     "min_cost_supplier": q_min_cost_supplier,
     "top_supplier": q_top_supplier,
+    "product_profit": q_product_profit,
+    "important_stock": q_important_stock,
+    "shipmode_priority": q_shipmode_priority,
+    "supplier_cnt": q_supplier_cnt,
+    "small_qty_revenue": q_small_qty_revenue,
+    "excess_suppliers": q_excess_suppliers,
     "market_share": q_market_share,
     "sql_cte_window": q_sql_cte_window,
     "scalar_try": q_scalar_try,
