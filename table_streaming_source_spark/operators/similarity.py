@@ -582,3 +582,187 @@ def embedding_dedup(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ / ADC) — the memory-side answer at 100 TB:
+# a 64-float vector compresses to m small codes (here 8 codes of 4 bits'
+# worth of ids), and search never touches the original floats
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for PQ distances/scores: encode argmins and ADC
+#: partial dots become exact integer comparisons/sums, so results are
+#: partitioning-independent and engine-exact (same discipline as k-means)
+_PQ_SCALE = 1_000_000_000
+
+
+def pq_codebook(
+    m: int = 8, k: int = 16, subdim: int = 8
+) -> list[tuple[int, int, list[float]]]:
+    """Deterministic PQ codebooks: ``k`` codewords per subspace, each a
+    ``subdim``-vector with md5-derived components in ``[-0.25, 0.25]``
+    (4-decimal literals parse to identical doubles in every engine).
+
+    Like :func:`lsh_planes`, the codebook is engine-independent *data*
+    generated at plan-build time and embedded as literals on both sides;
+    production swaps in k-means-trained codewords (see
+    :func:`kmeans_refine` — the training loop is the same plan shape per
+    subspace) without touching the encode/search plans.
+    """
+    rows = []
+    for s in range(m):
+        for c in range(k):
+            vec = [
+                round(
+                    (
+                        int(
+                            hashlib.md5(
+                                f"pq:{s}:{c}:{d}".encode()
+                            ).hexdigest()[:4],
+                            16,
+                        )
+                        / 65535.0
+                        * 2.0
+                        - 1.0
+                    )
+                    * 0.25,
+                    4,
+                )
+                for d in range(subdim)
+            ]
+            rows.append((s, c, vec))
+    return rows
+
+
+def _codebook_df(df: DataFrame, m: int, k: int, subdim: int) -> DataFrame:
+    return df.sparkSession.createDataFrame(
+        pq_codebook(m, k, subdim), "subspace int, code int, cw array<double>"
+    )
+
+
+def _subvectors(
+    df: DataFrame, vec_col: str, key_out: str, key: str, m: int, subdim: int
+) -> DataFrame:
+    """Explode each vector into ``(key, subspace, __sub)`` slices."""
+    slices = F.array(
+        *[F.slice(F.col(vec_col), s * subdim + 1, subdim) for s in range(m)]
+    )
+    return df.select(
+        F.col(key).alias(key_out),
+        F.posexplode(slices).alias("subspace", "__sub"),
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantize vectors: per subspace, the id of the nearest
+    codeword (squared Euclidean, fixed-point, ties to the lowest id).
+
+    Returns long-format ``(key, subspace, code)`` — ``m`` rows per
+    vector, each code in ``[0, k)``.  At 100 TB this is the stored
+    index: ``m`` small ints instead of ``dim`` floats (16× smaller at
+    the defaults), and it never shuffles during search — only the tiny
+    distance table moves.
+
+    Plan shape: slice (row-local) → broadcast join with the ``m·k``-row
+    codebook → per-``(key, subspace)`` struct-min.  The squared distance
+    folds in fixed element order and is scaled to integer before the
+    argmin, so the chosen code is bit-stable across engines and
+    partitionings.
+    """
+    subdim = dim // m
+    cb = _codebook_df(df, m, k, subdim)
+    subs = _subvectors(df, vec_col, key, key, m, subdim)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("__sub"),
+            F.col("cw"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cand = F.struct(
+        F.round(d2 * _PQ_SCALE).cast("long").alias("d"),
+        F.col("code").alias("c"),
+    )
+    return (
+        subs.join(F.broadcast(cb), "subspace")
+        .select(F.col(key), "subspace", cand.alias("__cand"))
+        .groupBy(key, "subspace")
+        .agg(F.min("__cand").alias("__b"))
+        .select(F.col(key), "subspace", F.col("__b.c").alias("code"))
+    )
+
+
+def pq_search(
+    queries: DataFrame,
+    codes: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    query_key: str = "query_id",
+    key: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    topk: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over a PQ-encoded corpus.
+
+    The classic PQ search split: per query, precompute the ``m × k``
+    table of partial dot products between the query's subvectors and
+    every codeword; a corpus vector's score is then just ``m`` table
+    lookups summed — the corpus floats are never read.
+
+    Plan shape: the distance table (``|queries| · m · k`` rows — KBs) is
+    a broadcast build side; the probe side is the long-format code
+    index, whose lookup join is map-side only.  The per-``(query, vec)``
+    sum rides fixed-point longs (associative → partitioning-independent)
+    and partial-aggregates map-side before the single shuffle on the
+    pair key; the final top-k is a per-query window.
+
+    Returns ``(query_key, key, rank, score)``.
+    """
+    subdim = dim // m
+    cb = _codebook_df(queries, m, k, subdim)
+    qsubs = _subvectors(queries, vec_col, query_key, key, m, subdim)
+    partial = F.aggregate(
+        F.zip_with(
+            F.col("__sub"),
+            F.col("cw"),
+            lambda x, c: x.cast("double") * c,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dtable = qsubs.join(F.broadcast(cb), "subspace").select(
+        F.col(query_key),
+        "subspace",
+        "code",
+        F.round(partial * _PQ_SCALE).cast("long").alias("__p"),
+    )
+    scored = (
+        codes.join(F.broadcast(dtable), ["subspace", "code"])
+        .groupBy(query_key, key)
+        .agg(F.sum("__p").alias("__s"))
+    )
+    w = Window.partitionBy(query_key).orderBy(
+        F.col("__s").desc(), F.col(key)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col(query_key),
+            F.col(key),
+            "rank",
+            (F.col("__s") / F.lit(float(_PQ_SCALE))).alias("score"),
+        )
+    )

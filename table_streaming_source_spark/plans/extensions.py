@@ -1444,9 +1444,105 @@ SELECT w.doc_id, w.fingerprint
 FROM within w ANTI JOIN hist h ON w.fingerprint = h.fingerprint
 """
 
+def _pq_cb_sql(m: int = 8, k: int = 16, subdim: int = 8) -> str:
+    """The deterministic PQ codebook as a VALUES CTE — literal twin of
+    operators.similarity.pq_codebook (engine-independent data)."""
+    rows = ",\n    ".join(
+        f"({s}, {c}, {vec})" for s, c, vec in S.pq_codebook(m, k, subdim)
+    )
+    return f"cb(subspace, code, cw) AS (VALUES\n    {rows})"
+
+
+_PQ_ENCODE_CORE = """
+sv AS (
+  SELECT vec_id, CAST(u.s AS INT) AS subspace,
+         LIST_SLICE(embedding, u.s * 8 + 1, u.s * 8 + 8) AS sub
+  FROM embeddings, UNNEST(RANGE(0, 8)) AS u(s){corpus_filter}
+),
+scored AS (
+  SELECT vec_id, subspace, code,
+         CAST(ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(sub, cw),
+              z -> (CAST(z[1] AS DOUBLE) - z[2])
+                   * (CAST(z[1] AS DOUBLE) - z[2])))
+              * 1000000000) AS BIGINT) AS d
+  FROM sv JOIN cb USING (subspace)
+),
+codes AS (
+  SELECT vec_id, subspace, code
+  FROM (SELECT vec_id, subspace, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY d, code) AS rn
+        FROM scored)
+  WHERE rn = 1
+)"""
+
+
+def q_sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantize every embedding: 8 subspaces × 16 deterministic
+    codewords, nearest by fixed-point squared distance — the 16×
+    compressed index (8 small codes instead of 64 floats) that ADC
+    search reads instead of the corpus."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.pq_encode(emb, m=8, k=16, dim=64)
+
+
+ORACLES["sim_pq_encode"] = f"""
+WITH {_pq_cb_sql()},
+{_PQ_ENCODE_CORE.format(corpus_filter="")}
+SELECT vec_id, subspace, code FROM codes
+"""
+
+
+def q_sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ top-5: queries (vec_id < 10) build a
+    per-query distance table over the codebook (broadcast KBs); the
+    PQ-encoded corpus (vec_id ≥ 10) is scored by pure table lookups —
+    the corpus floats are never read at search time, which is the whole
+    point at 100 TB."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    codes = S.pq_encode(
+        emb.filter(F.col("vec_id") >= 10), m=8, k=16, dim=64
+    )
+    return S.pq_search(queries, codes, m=8, k=16, dim=64, topk=5)
+
+
+ORACLES["sim_pq_search"] = f"""
+WITH {_pq_cb_sql()},
+{_PQ_ENCODE_CORE.format(corpus_filter=" WHERE vec_id >= 10")},
+qs AS (
+  SELECT vec_id AS query_id, CAST(u.s AS INT) AS subspace,
+         LIST_SLICE(embedding, u.s * 8 + 1, u.s * 8 + 8) AS qsub
+  FROM embeddings, UNNEST(RANGE(0, 8)) AS u(s)
+  WHERE vec_id < 10
+),
+dt AS (
+  SELECT query_id, subspace, code,
+         CAST(ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(qsub, cw),
+              z -> CAST(z[1] AS DOUBLE) * z[2]))
+              * 1000000000) AS BIGINT) AS p
+  FROM qs JOIN cb USING (subspace)
+),
+pair AS (
+  SELECT query_id, vec_id, CAST(SUM(p) AS BIGINT) AS s_scaled
+  FROM codes JOIN dt USING (subspace, code)
+  GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id, rank, s_scaled / 1000000000.0 AS score
+FROM (SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY s_scaled DESC, vec_id) AS rank,
+             s_scaled
+      FROM pair)
+WHERE rank <= 5
+"""
+
+
 #: entries deferred past the driver's 50-entry correctness window this
 #: round (fully oracle-backed; scripts/check_oracle.py covers them every
 #: run; rotate into _PRIORITY next round)
 QUERIES_DEFERRED = {
     "dedup_incremental": q_dedup_incremental,
+    "sim_pq_encode": q_sim_pq_encode,
+    "sim_pq_search": q_sim_pq_search,
 }

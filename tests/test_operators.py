@@ -343,3 +343,41 @@ def test_incremental_dedup_two_stage(spark):
     )
     out = incremental_dedup(history, batch, "text", "doc_id")
     assert sorted(r.doc_id for r in out.collect()) == [2, 4]
+
+
+def test_pq_adc_score_equals_reconstructed_dot(spark, emb):
+    """The ADC score of (query, corpus vector) must equal the dot product
+    of the query with the corpus vector's codebook reconstruction (up to
+    the documented fixed-point rounding of each subspace partial)."""
+    from table_streaming_source_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+        pq_search,
+        _PQ_SCALE,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    codes = pq_encode(corpus, m=8, k=16, dim=64)
+    hits = pq_search(queries, codes, m=8, k=16, dim=64, topk=3).collect()
+    assert {r.query_id for r in hits} == {0, 1, 2}
+    assert all(1 <= r.rank <= 3 for r in hits)
+
+    cb = {(s, c): vec for s, c, vec in pq_codebook(8, 16, 8)}
+    code_map = {}
+    for r in codes.collect():
+        code_map.setdefault(r.vec_id, {})[r.subspace] = r.code
+    qvec = {r.vec_id: r.embedding for r in queries.collect()}
+    for r in hits:
+        q = qvec[r.query_id]
+        expected = sum(
+            round(
+                sum(
+                    q[s * 8 + d] * cb[(s, code_map[r.vec_id][s])][d]
+                    for d in range(8)
+                )
+                * _PQ_SCALE
+            )
+            for s in range(8)
+        ) / _PQ_SCALE
+        assert abs(r.score - expected) < 1e-9
