@@ -341,9 +341,14 @@ def connected_components(
     component.  Raises if not converged within ``max_iter`` (pass a larger
     bound for graphs with long chains).
     """
-    sym = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    # the symmetrized edge list is loop-invariant and its upstream (a
+    # near-dup pair computation) is usually the expensive part — checkpoint
+    # once so no propagation round re-derives it
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint(eager=False)
+    )
 
     labels = vertices.select(
         F.col(key).alias("u"), F.col(key).alias("lbl")

@@ -58,12 +58,16 @@ def pagerank(
     v0 = vertices.select(F.col(key).alias("__v"))
     e = edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
     outdeg = e.groupBy("__u").agg(F.count(F.lit(1)).alias("__outdeg"))
+    # the degree-annotated edge list is loop-invariant: checkpoint it once
+    # so no iteration re-derives the (possibly expensive) edge expression
+    # or re-shuffles the degree join — iterations then cost exactly one
+    # join with the rank vector plus one hash aggregate each
+    e_deg = e.join(outdeg, "__u").localCheckpoint(eager=False)
     ranks = v0.select("__v", F.lit(1.0 / n).alias("__rank"))
 
     for _ in range(n_iter):
         contribs = (
-            e.join(outdeg, "__u")
-            .join(
+            e_deg.join(
                 ranks.select(
                     F.col("__v").alias("__u"), F.col("__rank").alias("__ur")
                 ),

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import shutil
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -21,6 +22,24 @@ from pyspark.sql import functions as F
 from table_streaming_source_spark.plans.common import dsum, sql_dsum, t
 
 ORACLES: dict[str, str] = {}
+
+
+@contextmanager
+def _stream_shuffle(spark: SparkSession, n: int = 4):
+    """Scope the stateful-operator partition count to the drained stream.
+
+    A streaming query pins its state-store count to
+    ``spark.sql.shuffle.partitions`` at first batch; the catalog's drains
+    carry KBs of state, where 32 HDFS-backed stores × N micro-batches is
+    pure fixed overhead.  On a real cluster the same knob is *raised* to
+    match state volume — the point is that it is per-query, not ambient.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def q_streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,19 +80,22 @@ def q_streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         refresh_interval_ms=3_600_000,
     )
-    query = start_enriched_stream(
-        stream,
-        snapshot,
-        on="c_custkey",
-        sink=lambda batch_df, _id: batch_df.write.mode("append").parquet(out),
-        available_now=True,
-        checkpoint=f"{base}/ckpt",
-    )
-    try:
-        query.awaitTermination(300)
-    finally:
-        query.stop()
-        snapshot.stop()
+    with _stream_shuffle(spark):
+        query = start_enriched_stream(
+            stream,
+            snapshot,
+            on="c_custkey",
+            sink=lambda batch_df, _id: batch_df.write.mode("append").parquet(
+                out
+            ),
+            available_now=True,
+            checkpoint=f"{base}/ckpt",
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
+            snapshot.stop()
 
     enriched = spark.read.parquet(out)
     result = (
@@ -131,17 +153,18 @@ def q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     name = f"__stream_win_{abs(hash(base)) % 10**8}"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        query.awaitTermination(300)
-    finally:
-        query.stop()
+    with _stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
 
     result = (
         spark.table(name)
@@ -209,17 +232,18 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "click_id", "purchase_id")
 
     name = f"__stream_ivj_{abs(hash(base)) % 10**8}"
-    query = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        query.awaitTermination(300)
-    finally:
-        query.stop()
+    with _stream_shuffle(spark):
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
 
     result = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
@@ -262,17 +286,18 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id", "ts", "event_type"])
     )
     name = f"__stream_dd_{abs(hash(base)) % 10**8}"
-    query = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        query.awaitTermination(300)
-    finally:
-        query.stop()
+    with _stream_shuffle(spark):
+        query = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
 
     result = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
