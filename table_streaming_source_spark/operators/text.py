@@ -263,3 +263,122 @@ def tfidf_top_terms(
             "rank",
         )
     )
+
+
+#: redaction patterns shared with the DuckDB oracles — conservative
+#: syntax valid in both Java regex (Spark) and RE2 (DuckDB)
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
+    (r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str, key: str) -> DataFrame:
+    """Redact emails, phone numbers, and IPv4 addresses — the standard
+    pre-training privacy pass.
+
+    Pure row-local ``regexp_replace`` chain (JVM, codegen'd — no Python,
+    no shuffle); ``n_redactions`` counts the matches before replacement
+    so the pipeline can monitor redaction rates per source.  Pattern
+    order matters (emails redact before the phone pattern can claim
+    their digit runs) and is identical in the oracle.
+
+    Returns ``(key, clean_text, n_redactions)``.
+    """
+    clean = F.col(text_col)
+    n_red = F.lit(0)
+    for pat, repl in PII_PATTERNS:
+        n_red = n_red + F.size(F.regexp_extract_all(clean, F.lit(pat), 0))
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select(
+        F.col(key),
+        clean.alias("clean_text"),
+        n_red.cast("bigint").alias("n_redactions"),
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str,
+    key: str,
+    *,
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """Corpus-wide chunk-level deduplication: split each document into
+    consecutive ``chunk_tokens``-token chunks, keep only the first
+    occurrence of each distinct chunk corpus-wide (ordered by
+    ``(key, chunk index)``), and reassemble documents from their
+    surviving chunks.
+
+    This is the classic boilerplate-line removal of C4/RefinedWeb-style
+    cleaning (drop repeated headers/footers/nav text that exact
+    document-level dedup misses), with fixed-size token chunks standing
+    in for lines.  Shape: posexplode to chunk rows → one shuffle
+    partitioned by the chunk content → first-occurrence filter → ordered
+    reassembly per document.  Only chunk rows shuffle; at 100 TB
+    partition instead by ``xxhash64(chunk)`` buckets to keep reducer
+    keys narrow, and pre-aggregate counts if only *frequent* chunks
+    (true boilerplate) should drop.
+
+    Returns ``(key, clean_text, n_chunks, n_kept)``; documents whose
+    every chunk was seen elsewhere come back with an empty string.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+        lambda t: F.length(t) > F.lit(0),
+    )
+    n_chunks = F.ceil(F.size("__toks") / chunk_tokens).cast("int")
+    chunks = (
+        df.select(F.col(key), toks.alias("__toks"))
+        .select(
+            F.col(key),
+            F.posexplode(
+                # empty docs produce no chunk rows (sequence(0,-1) would
+                # otherwise step backwards) — dropped on both engines
+                F.when(
+                    n_chunks > 0,
+                    F.transform(
+                        F.sequence(F.lit(0), n_chunks - 1),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.slice(
+                                F.col("__toks"),
+                                i * chunk_tokens + 1,
+                                chunk_tokens,
+                            ),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("ci", "chunk"),
+        )
+    )
+    w = Window.partitionBy("chunk")
+    first = F.min(F.struct(F.col(key), F.col("ci"))).over(w)
+    kept = chunks.withColumn(
+        "__keep",
+        (F.col(key) == first[key]) & (F.col("ci") == first["ci"]),
+    )
+    return (
+        kept.groupBy(key)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct(F.col("ci"), F.col("chunk")),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.col("__keep").cast("int")).cast("bigint").alias(
+                "n_kept"
+            ),
+        )
+    )

@@ -1538,6 +1538,167 @@ WHERE rank <= 5
 """
 
 
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails/phones/IPv4 → typed placeholders) over
+    documents deterministically augmented with synthetic PII (the
+    fixture corpus carries none) — the pre-training privacy pass as a
+    row-local regexp chain, with per-doc redaction counts."""
+    docs = t(spark, sf_dir, "documents")
+    aug = F.concat_ws(
+        "",
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call +1 555 010122"),
+    )
+    return X.pii_scrub(
+        docs.withColumn("text", aug), "text", "doc_id"
+    )
+
+
+def _pii_sql() -> str:
+    email, phone, ip = (p for p, _ in X.PII_PATTERNS)
+    after_email = f"REGEXP_REPLACE(text, '{email}', '<EMAIL>', 'g')"
+    after_phone = (
+        f"REGEXP_REPLACE({after_email}, '{phone}', '<PHONE>', 'g')"
+    )
+    clean = f"REGEXP_REPLACE({after_phone}, '{ip}', '<IP>', 'g')"
+    n_red = (
+        f"LEN(REGEXP_EXTRACT_ALL(text, '{email}'))"
+        f" + LEN(REGEXP_EXTRACT_ALL({after_email}, '{phone}'))"
+        f" + LEN(REGEXP_EXTRACT_ALL({after_phone}, '{ip}'))"
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 call +1 555 010122' AS text
+  FROM documents
+)
+SELECT doc_id, {clean} AS clean_text,
+       CAST({n_red} AS BIGINT) AS n_redactions
+FROM aug
+"""
+
+
+ORACLES["text_pii_scrub"] = _pii_sql()
+
+
+def q_text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide chunk-level dedup (5-token chunks standing in for
+    boilerplate lines): first occurrence wins, documents reassembled
+    from surviving chunks — the C4-style repeated-line removal that
+    document-level dedup misses.  One shuffle, partitioned by chunk
+    content."""
+    docs = t(spark, sf_dir, "documents")
+    return X.chunk_dedup(docs, "text", "doc_id", chunk_tokens=5)
+
+
+ORACLES["text_chunk_dedup"] = """
+WITH toks AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' '),
+                     tk -> LEN(tk) > 0) AS tk
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, CAST(u.i AS INT) AS ci,
+         ARRAY_TO_STRING(LIST_SLICE(tk, u.i * 5 + 1, u.i * 5 + 5), ' ') AS chunk
+  FROM toks,
+       UNNEST(RANGE(0, CAST(CEIL(LEN(tk) / 5.0) AS BIGINT))) AS u(i)
+),
+kept AS (
+  SELECT doc_id, ci, chunk,
+         ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, ci) = 1
+           AS keep
+  FROM ch
+)
+SELECT doc_id,
+       COALESCE(STRING_AGG(CASE WHEN keep THEN chunk END, ' ' ORDER BY ci),
+                '') AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM kept
+GROUP BY doc_id
+"""
+
+
+_SQ_ENC = """
+  SELECT vec_id, embedding,
+         LIST_MAX(LIST_TRANSFORM(embedding,
+                  x -> ABS(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings{flt}
+"""
+
+_SQ_CODES = (
+    "LIST_TRANSFORM(embedding, x -> CAST("
+    "CASE WHEN scale = 0 THEN 0"
+    " ELSE ROUND(CAST(x AS DOUBLE) / scale) END AS INT))"
+)
+
+
+def q_sim_sq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of every embedding (per-vector
+    max-abs scale) — 4× smaller storage whose search-time dot products
+    are exact integer sums.  Long format for the value check."""
+    emb = t(spark, sf_dir, "embeddings")
+    enc = S.sq_encode(emb)
+    return enc.select(
+        "vec_id", "scale", F.posexplode("codes").alias("dim", "code")
+    )
+
+
+ORACLES["sim_sq_encode"] = f"""
+WITH enc AS ({_SQ_ENC.format(flt="")})
+SELECT vec_id, scale, CAST(u.i - 1 AS INT) AS dim,
+       CAST(CASE WHEN scale = 0 THEN 0
+                 ELSE ROUND(CAST(embedding[u.i] AS DOUBLE) / scale)
+            END AS INT) AS code
+FROM enc, UNNEST(RANGE(1, LEN(embedding) + 1)) AS u(i)
+"""
+
+
+def q_sim_sq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 top-5 dot-product search: queries (vec_id < 10) broadcast
+    against the quantized corpus (vec_id ≥ 10); pair scores are exact
+    integer code dots rescaled by the two per-vector scales — no float
+    summation anywhere, so ranking is partitioning-independent."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.sq_search(
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") >= 10),
+        topk=5,
+    )
+
+
+ORACLES["sim_sq_search"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, scale AS qs, {_SQ_CODES} AS qc
+  FROM ({_SQ_ENC.format(flt=" WHERE vec_id < 10")})
+),
+x AS (
+  SELECT vec_id, scale AS xs, {_SQ_CODES} AS xc
+  FROM ({_SQ_ENC.format(flt=" WHERE vec_id >= 10")})
+),
+pair AS (
+  SELECT query_id, vec_id,
+         CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(qc, xc),
+              z -> CAST(z[1] AS BIGINT) * z[2])) AS BIGINT)
+           * qs * xs AS score
+  FROM x CROSS JOIN q
+)
+SELECT query_id, vec_id, rank, score
+FROM (SELECT query_id, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM pair)
+WHERE rank <= 5
+"""
+
+
 #: entries deferred past the driver's 50-entry correctness window this
 #: round (fully oracle-backed; scripts/check_oracle.py covers them every
 #: run; rotate into _PRIORITY next round)
@@ -1545,4 +1706,8 @@ QUERIES_DEFERRED = {
     "dedup_incremental": q_dedup_incremental,
     "sim_pq_encode": q_sim_pq_encode,
     "sim_pq_search": q_sim_pq_search,
+    "text_pii_scrub": q_text_pii_scrub,
+    "text_chunk_dedup": q_text_chunk_dedup,
+    "sim_sq_encode": q_sim_sq_encode,
+    "sim_sq_search": q_sim_sq_search,
 }

@@ -381,3 +381,61 @@ def test_pq_adc_score_equals_reconstructed_dot(spark, emb):
             for s in range(8)
         ) / _PQ_SCALE
         assert abs(r.score - expected) < 1e-9
+
+
+def test_pii_scrub_patterns(spark):
+    from table_streaming_source_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-y.co.uk now"),
+            (2, "call +1 (555) 010-1222 or 5550101222"),
+            (3, "host 192.168.0.1 up"),
+            (4, "a@1.2.3.4 mixed"),  # no alpha TLD: not an email, IP redacts
+            (5, "clean text only"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in pii_scrub(df, "text", "doc_id").collect()}
+    assert out[1].clean_text == "mail <EMAIL> now"
+    assert out[2].clean_text == "call <PHONE> or <PHONE>"
+    assert out[3].clean_text == "host <IP> up"
+    assert out[4].clean_text == "a@<IP> mixed"
+    assert out[5].clean_text == "clean text only"
+    assert out[5].n_redactions == 0
+    assert out[2].n_redactions == 2
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    from table_streaming_source_spark.operators.text import chunk_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),      # chunks: "a b c", "d e f"
+            (2, "a b c x y z"),      # "a b c" duplicates doc 1's chunk
+            (3, "d e f"),            # fully duplicated -> empty
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in chunk_dedup(df, "text", "doc_id", chunk_tokens=3).collect()
+    }
+    assert out[1].clean_text == "a b c d e f"
+    assert out[2].clean_text == "x y z"
+    assert out[3].clean_text == ""
+    assert (out[3].n_chunks, out[3].n_kept) == (1, 0)
+
+
+def test_sq_roundtrip_error_bound(spark, emb):
+    """Reconstruction x' = code*scale must be within scale/2 of x per
+    component (the int8 quantization contract)."""
+    from table_streaming_source_spark.operators.similarity import sq_encode
+
+    enc = sq_encode(emb.limit(20))
+    joined = enc.join(emb.limit(20), "vec_id").collect()
+    for r in joined:
+        assert len(r.codes) == len(r.embedding)
+        assert all(abs(c) <= 127 for c in r.codes)
+        for c, x in zip(r.codes, r.embedding):
+            assert abs(c * r.scale - x) <= r.scale / 2 + 1e-12
