@@ -34,6 +34,7 @@ _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **extensions.QUERIES,
     **extensions.QUERIES_DEFERRED,
     **streaming_queries.QUERIES,
+    **streaming_queries.QUERIES_DEFERRED,
 }
 
 #: names pinned into the driver's 50-entry correctness window, in order

@@ -30,9 +30,19 @@ def interval_join(
     right_ts: str,
     upper_bound: str,
     watermark: str,
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join two streaming DataFrames on ``key`` where
+    """Join two streaming DataFrames on ``key`` where
     ``left_ts <= right_ts <= left_ts + upper_bound``.
+
+    ``how`` is ``inner`` or ``left_outer``.  Left-outer emission is
+    watermark-driven: an unmatched left row is emitted (with nulls) only
+    once the watermark passes ``left_ts + upper_bound`` — in a bounded
+    replay, advance the watermark past the data (e.g. a sentinel row) or
+    the unmatched rows stay buffered forever.  Beware predicate pushdown
+    when draining: a post-join filter that references pre-join columns
+    is pushed into the source scan and will eat such sentinels (filter
+    the *sink output* instead).
 
     Both sides get ``watermark`` as their event-time watermark — it must
     be at least the expected disorder of the input; rows later than the
@@ -45,6 +55,8 @@ def interval_join(
     Column collision rule: ``key`` is kept once (from the left); all other
     columns must already be disambiguated by the caller.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported interval join type: {how!r}")
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = (
@@ -52,4 +64,4 @@ def interval_join(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {upper_bound}"))
     )
-    return lw.join(rw, cond, "inner").drop(rw[key])
+    return lw.join(rw, cond, how).drop(rw[key])
