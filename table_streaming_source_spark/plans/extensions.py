@@ -1702,6 +1702,40 @@ WHERE rank <= 5
 #: entries deferred past the driver's 50-entry correctness window this
 #: round (fully oracle-backed; scripts/check_oracle.py covers them every
 #: run; rotate into _PRIORITY next round)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM sample decode + windowed audio features: every audio key
+    gets a spec-valid tone WAV (formula-stated int16 samples), and the
+    Spark side must genuinely decode the bytes to produce per-256-sample
+    energy (exact integer Σs²) and zero-crossing counts.  The oracle
+    recomputes the signal from the synthesis formula — all-integer, so
+    the match is bit-exact.  This retires the 'sample decode stubbed'
+    caveat for PCM audio; compressed codecs still stub."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    tones = M.attach_tone_payload(docs, "doc_id")
+    return M.audio_features(tones, window=256)
+
+
+ORACLES["multimodal_audio_features"] = """
+WITH au AS (SELECT doc_id AS key FROM documents WHERE doc_id % 3 = 1),
+s AS (
+  SELECT key, u.i AS i,
+         ((u.i * (3 + key % 7) + key) % 4096) - 2048 AS v
+  FROM au, UNNEST(RANGE(0, 100 + key % 400)) AS u(i)
+),
+labeled AS (
+  SELECT key, CAST(i // 256 AS INT) AS w, v,
+         LAG(v) OVER (PARTITION BY key, i // 256 ORDER BY i) AS pv
+  FROM s
+)
+SELECT key, w, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       CAST(SUM(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS crossings
+FROM labeled
+GROUP BY key, w
+"""
+
+
 QUERIES_DEFERRED = {
     "dedup_incremental": q_dedup_incremental,
     "sim_pq_encode": q_sim_pq_encode,
@@ -1710,4 +1744,5 @@ QUERIES_DEFERRED = {
     "text_chunk_dedup": q_text_chunk_dedup,
     "sim_sq_encode": q_sim_sq_encode,
     "sim_sq_search": q_sim_sq_search,
+    "multimodal_audio_features": q_multimodal_audio_features,
 }

@@ -82,3 +82,35 @@ def test_decoder_real_still_raises_for_pixel_decode(spark, sf_dir):
     media = attach_container_payload(docs, "doc_id")
     with pytest.raises(NotImplementedError, match="parse"):
         decode_media(media, key="key", decoder="real")
+
+
+def test_wav_pcm_roundtrip_and_features(spark):
+    """synth_wav_tone → wav_pcm must round-trip the formula samples, and
+    audio_features must match a direct numpy computation."""
+    import numpy as np
+
+    from table_streaming_source_spark.operators.multimodal import (
+        attach_tone_payload,
+        audio_features,
+        synth_wav_tone,
+        wav_pcm,
+    )
+
+    s = wav_pcm(synth_wav_tone(300, seed=11))
+    i = np.arange(300, dtype=np.int64)
+    expect = ((i * (3 + 11 % 7) + 11) % 4096) - 2048
+    assert (s == expect).all()
+
+    df = spark.createDataFrame([(11,), (42,)], "doc_id long")
+    feats = audio_features(
+        attach_tone_payload(df, "doc_id"), window=128
+    ).collect()
+    for r in feats:
+        k = r.key
+        n_samples = 100 + k % 400
+        j = np.arange(n_samples, dtype=np.int64)
+        sig = ((j * (3 + k % 7) + k) % 4096) - 2048
+        seg = sig[r.w * 128 : (r.w + 1) * 128]
+        assert r.n == len(seg)
+        assert r.sum_sq == int((seg * seg).sum())
+        assert r.crossings == int(((seg[:-1] * seg[1:]) < 0).sum())
