@@ -43,6 +43,13 @@ HEADLINE = [
     "sim_ivf_search",
     "streaming_interval_join",
     "join_skew_aqe",
+    # round 2 additions: CDC delta, steady-state ingest dedup, PQ/ADC
+    # search, chunk-level boilerplate removal, real PCM feature extract
+    "snapshot_diff",
+    "dedup_incremental",
+    "sim_pq_search",
+    "text_chunk_dedup",
+    "multimodal_audio_features",
 ]
 
 
