@@ -235,8 +235,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-ORACLES["dedup_simhash"] = """
-WITH toks AS (
+# shared CTE chain: 60-bit SimHash fingerprints for every document
+# (md5 token hashes → per-bit ±1 votes → bit reassembly)
+_SIMHASH_CORE = """
+toks AS (
   SELECT doc_id,
          UNNEST(LIST_DISTINCT(
            STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ')
@@ -257,9 +259,50 @@ fp AS (
   SELECT doc_id,
          CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
   FROM votes GROUP BY doc_id
+),
+fps AS (
+  SELECT d.doc_id, COALESCE(fp.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN fp USING (doc_id)
+)"""
+
+ORACLES["dedup_simhash"] = f"""
+WITH {_SIMHASH_CORE}
+SELECT doc_id, simhash FROM fps
+"""
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-Hamming SimHash near-dup pairs: 4 bands of 15 bits block
+    the fingerprint space — by pigeonhole, any pair within Hamming
+    distance < 4 agrees *exactly* on ≥1 band, so recall at this
+    threshold is 100%, not probabilistic; candidates are verified by
+    exact popcount of the XOR.  Only (band, 15-bit value) keys shuffle —
+    the LSH-for-Hamming twin of the MinHash pipeline.
+    Hamming ≤ 2 on this fixture isolates the true dup clusters from the
+    low-entropy word-soup background (whose random-pair prints hump at
+    distance ≥ 3)."""
+    return D.simhash_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=2
+    )
+
+
+ORACLES["dedup_simhash_pairs"] = f"""
+WITH {_SIMHASH_CORE},
+banded AS (
+  SELECT doc_id, simhash, CAST(u.b AS INT) AS band,
+         (simhash >> (u.b * 15)) & 32767 AS bval
+  FROM fps, UNNEST(RANGE(0, 4)) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b,
+         a.simhash AS fa, b.simhash AS fb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
 )
-SELECT d.doc_id, COALESCE(fp.simhash, 0) AS simhash
-FROM documents d LEFT JOIN fp USING (doc_id)
+SELECT key_a, key_b,
+       CAST(BIT_COUNT(XOR(fa, fb)) AS INT) AS hamming
+FROM cand
+WHERE BIT_COUNT(XOR(fa, fb)) <= 2
 """
 
 
@@ -1738,6 +1781,7 @@ GROUP BY key, w
 
 QUERIES_DEFERRED = {
     "dedup_incremental": q_dedup_incremental,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "sim_pq_encode": q_sim_pq_encode,
     "sim_pq_search": q_sim_pq_search,
     "text_pii_scrub": q_text_pii_scrub,

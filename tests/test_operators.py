@@ -439,3 +439,29 @@ def test_sq_roundtrip_error_bound(spark, emb):
         assert all(abs(c) <= 127 for c in r.codes)
         for c, x in zip(r.codes, r.embedding):
             assert abs(c * r.scale - x) <= r.scale / 2 + 1e-12
+
+
+def test_simhash_pairs_pigeonhole_recall(spark, docs):
+    """With bands=4, every pair within Hamming distance < 4 must be found
+    (pigeonhole: <4 flipped bits cannot touch all 4 bands) — banded
+    candidates vs the exhaustive fingerprint cross-check."""
+    from itertools import combinations
+
+    from table_streaming_source_spark.operators.dedup import (
+        simhash,
+        simhash_pairs,
+    )
+
+    fps = {r[0]: r[1] for r in simhash(docs, "text", "doc_id").collect()}
+    exhaustive = {
+        (a, b)
+        for a, b in combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r.key_a, r.key_b)
+        for r in simhash_pairs(
+            docs, "text", "doc_id", max_hamming=3
+        ).collect()
+    }
+    assert got == exhaustive
