@@ -2569,6 +2569,43 @@ ORDER BY s_name
 """
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel per user (operators.windows
+    .funnel): earliest view, earliest click at-or-after it, earliest
+    purchase after that — strict ordering, so out-of-order conversions
+    don't count.  Every aggregate and join partitions on user_id; step
+    count adds depth, not shuffle keys."""
+    from table_streaming_source_spark.operators.windows import funnel
+
+    e = t(spark, sf_dir, "events")
+    return funnel(e, ["view", "click", "purchase"])
+
+
+ORACLES["funnel_steps"] = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.t_view
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.t_click
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       CAST(1 + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END
+            AS INT) AS stage
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
 QUERIES = {
     "snapshot_scan": q_snapshot_scan,
     "snapshot_diff": q_snapshot_diff,
@@ -2609,6 +2646,7 @@ QUERIES = {
     "supplier_cnt": q_supplier_cnt,
     "small_qty_revenue": q_small_qty_revenue,
     "excess_suppliers": q_excess_suppliers,
+    "funnel_steps": q_funnel_steps,
     "market_share": q_market_share,
     "sql_cte_window": q_sql_cte_window,
     "scalar_try": q_scalar_try,

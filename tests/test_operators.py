@@ -465,3 +465,32 @@ def test_simhash_pairs_pigeonhole_recall(spark, docs):
         ).collect()
     }
     assert got == exhaustive
+
+
+def test_funnel_strict_ordering(spark):
+    """A purchase before the first view must not count as conversion."""
+    from datetime import datetime
+
+    from table_streaming_source_spark.operators.windows import funnel
+
+    T = datetime
+    rows = [
+        # user 1: full ordered path
+        (1, "view", T(2024, 1, 1)), (1, "click", T(2024, 1, 2)),
+        (1, "purchase", T(2024, 1, 3)),
+        # user 2: purchase precedes view -> stage 2 only
+        (2, "purchase", T(2024, 1, 1)), (2, "view", T(2024, 1, 2)),
+        (2, "click", T(2024, 1, 3)),
+        # user 3: never viewed -> absent
+        (3, "click", T(2024, 1, 1)),
+        # user 4: view only
+        (4, "view", T(2024, 1, 5)),
+    ]
+    e = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = {r.user_id: r for r in funnel(e, ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1].stage == 3
+    assert out[2].stage == 2 and out[2].t_purchase is None
+    assert out[4].stage == 1 and out[4].t_click is None
