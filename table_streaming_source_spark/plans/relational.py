@@ -104,6 +104,48 @@ WHERE CASE WHEN o.o_orderkey IS NULL THEN 'insert'
 """
 
 
+def q_snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC round-trip law: ``apply(old, diff(old, new)) ≡ new``.  The
+    changeset (diff with values — payload cost proportional to the
+    delta) replays onto the old snapshot via a broadcast anti-join +
+    union, and the oracle states the *target snapshot directly* — the
+    strongest possible check of both operators at once."""
+    from table_streaming_source_spark.snapshot import (
+        snapshot_apply,
+        snapshot_diff,
+    )
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    surviving = o.filter(F.col("o_orderkey") % 7 != 0)
+    updated = surviving.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+        "o_orderkey", -F.col("o_orderkey")
+    )
+    new = updated.unionByName(inserts)
+    changeset = snapshot_diff(
+        o, new, key="o_orderkey", include_values=True
+    )
+    return snapshot_apply(o, changeset, key="o_orderkey")
+
+
+ORACLES["snapshot_roundtrip"] = """
+SELECT o_orderkey, o_orderstatus,
+       CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+            ELSE o_totalprice END AS o_totalprice
+FROM orders WHERE o_orderkey % 7 <> 0
+UNION ALL
+SELECT -o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey % 11 = 0
+"""
+
+
 def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter + projection with a computed column; both predicates and the
     two-column read reach the parquet scan (PushedFilters / ReadSchema)."""
@@ -1683,6 +1725,36 @@ FROM m GROUP BY metric
 """
 
 
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile(4) / percent_rank /
+    cume_dist over customer balances per market segment.  The ordering
+    key is made total with a custkey tiebreak, so every rank-derived
+    value is deterministic on both engines (rank arithmetic, no float
+    summation)."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal"), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+ORACLES["window_distribution"] = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       CAST(NTILE(4) OVER w AS INT) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
 def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-boundary navigation: first_value / last_value / nth_value
     over each customer's order history with an explicit full-partition
@@ -2647,6 +2719,7 @@ QUERIES = {
     "small_qty_revenue": q_small_qty_revenue,
     "excess_suppliers": q_excess_suppliers,
     "funnel_steps": q_funnel_steps,
+    "snapshot_roundtrip": q_snapshot_roundtrip,
     "market_share": q_market_share,
     "sql_cte_window": q_sql_cte_window,
     "scalar_try": q_scalar_try,
@@ -2661,6 +2734,7 @@ QUERIES = {
     "window_running": q_window_running,
     "window_range_frame": q_window_range_frame,
     "window_first_last": q_window_first_last,
+    "window_distribution": q_window_distribution,
     "agg_filtered": q_agg_filtered,
     "agg_unpivot": q_agg_unpivot,
     "window_lag_lead": q_window_lag_lead,

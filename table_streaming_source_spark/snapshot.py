@@ -202,6 +202,7 @@ def snapshot_diff(
     *,
     key: str,
     compare_cols: Optional[list[str]] = None,
+    include_values: bool = False,
 ) -> DataFrame:
     """Change-data-capture between two snapshots of the same table: which
     rows were inserted, deleted, or updated between TTL refreshes.
@@ -219,12 +220,18 @@ def snapshot_diff(
 
     Returns ``(key, change)`` with ``change`` ∈ ``insert | delete |
     update`` — unchanged rows are dropped (the whole point of a delta).
+    With ``include_values`` the new-side row values ride along (null for
+    deletes), making the result a *changeset* that
+    :func:`snapshot_apply` can replay onto the old snapshot.  The values
+    are fetched by re-joining only the (small) delta against ``new`` —
+    the digest comparison itself still shuffles digests only, so the
+    payload cost is proportional to the delta, not the table.
     """
     cols = compare_cols or [c for c in new.columns if c != key]
     digest = F.xxhash64(*[F.col(c) for c in cols])
     o = old.select(F.col(key), digest.alias("__h_old"))
     n = new.select(F.col(key), digest.alias("__h_new"))
-    return (
+    delta = (
         o.join(n, key, "full_outer")
         .withColumn(
             "change",
@@ -235,3 +242,37 @@ def snapshot_diff(
         .filter(F.col("change").isNotNull())
         .select(key, "change")
     )
+    if not include_values:
+        return delta
+    return delta.join(new, key, "left").select(key, "change", *[
+        c for c in new.columns if c != key
+    ])
+
+
+def snapshot_apply(
+    old: DataFrame,
+    changeset: DataFrame,
+    *,
+    key: str,
+    change_col: str = "change",
+) -> DataFrame:
+    """Replay a changeset (``snapshot_diff(..., include_values=True)``
+    shape: key, change, new-side values) onto a snapshot: drop every
+    changed key from the old snapshot, then union the insert/update
+    rows.  ``apply(old, diff(old, new)) ≡ new`` — the round-trip law the
+    catalog entry's oracle states directly.
+
+    Shape: one anti-join of the old snapshot against the (small) changed
+    key set — broadcast it when the delta is small, which is the
+    steady-state — plus a union; the old payload never shuffles when the
+    anti-join broadcasts.
+    """
+    value_cols = [c for c in changeset.columns if c not in (key, change_col)]
+    changed_keys = changeset.select(key)
+    upserts = changeset.filter(
+        F.col(change_col).isin("insert", "update")
+    ).select(key, *value_cols)
+    kept = old.join(F.broadcast(changed_keys), key, "left_anti").select(
+        key, *value_cols
+    )
+    return kept.unionByName(upserts)

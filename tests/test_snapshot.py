@@ -219,3 +219,30 @@ def test_snapshot_diff_compare_cols_subset(spark):
         snapshot_diff(old, new, key="k", compare_cols=["v"]).head().change
         == "update"
     )
+
+
+def test_snapshot_apply_roundtrip(spark):
+    from table_streaming_source_spark.snapshot import (
+        snapshot_apply,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        # 1 updated, 2 deleted, 4 inserted, 3 unchanged
+        [(1, "a", 99.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k int, s string, v double",
+    )
+    cs = snapshot_diff(old, new, key="k", include_values=True)
+    rows = {r.k: r for r in cs.collect()}
+    assert rows[2].change == "delete" and rows[2].s is None
+    assert rows[1].change == "update" and rows[1].v == 99.0
+    assert rows[4].change == "insert"
+    got = sorted(
+        map(tuple, snapshot_apply(old, cs, key="k").collect())
+    )
+    want = sorted(map(tuple, new.collect()))
+    assert got == want
