@@ -36,22 +36,30 @@ def asof_join(
     how: str = "inner",
     suffix: str = "_right",
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row, attach the most recent right row with
-    ``right_time <= left_time`` (``<`` when ``strict``) sharing the
-    equi-key ``on``.
+    """For every left row, attach the as-of right row sharing the
+    equi-key ``on``: with ``direction='backward'`` (default) the most
+    recent right row with ``right_time <= left_time`` (``<`` when
+    ``strict``); ``'forward'`` the earliest right row at-or-after;
+    ``'nearest'`` whichever of the two is closer in time (ties →
+    backward) — the full pandas ``merge_asof`` direction surface.
 
-    ``tolerance`` (an INTERVAL string like ``'30 days'``) additionally
-    requires ``right_time >= left_time - tolerance``.  ``right_tiebreakers``
-    make the pick deterministic when several right rows share the as-of
-    time (the greatest tiebreaker tuple wins).  ``how='left'`` keeps
-    unmatched left rows with nulls; ``strict`` is the self-as-of mode
-    (previous row, excluding simultaneous ones).
+    ``tolerance`` (an INTERVAL string like ``'30 days'``) bounds the
+    match horizon on the search side (both sides for ``nearest``).
+    ``right_tiebreakers`` make the pick deterministic when several right
+    rows share the as-of time (the greatest tiebreaker tuple wins).
+    ``how='left'`` keeps unmatched left rows with nulls; ``strict`` is
+    the self-as-of mode (excludes simultaneous rows).
 
     Physical shape: one hash shuffle of ``left ∪ right`` on ``on``, one
     within-partition sort by ``(time, side, tiebreakers)``, one windowed
     ``last(right_payload, ignorenulls=True)`` pass — no pair explosion.
+    ``nearest`` adds the opposite-direction sort over the *same*
+    exchange (two window passes, still one shuffle).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unsupported as-of direction: {direction!r}")
     on = list(on)
     right = right.filter(F.col(right_time).isNotNull())
 
@@ -87,24 +95,56 @@ def asof_join(
     )
 
     keys = [F.col(f"__k{i}") for i in range(len(on))]
-    w = (
+    w_back = (
         Window.partitionBy(*keys)
         .orderBy(F.col("__t").asc(), F.col("__pri").asc(), *[c.asc() for c in tb])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = (
-        l2.unionByName(r2)
-        .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
-        .filter(F.col("__is_l"))
-    )
-
-    m = F.col("__m")
-    if tolerance is not None:
-        # null out matches older than the tolerance horizon; the matched
-        # struct carries its own time, so this is exact
-        m = F.when(
-            m[right_time] >= F.col("__t") - F.expr(f"INTERVAL {tolerance}"), m
+    # descending time: "preceding" rows are the later ones, so the same
+    # last(ignorenulls) carry-forward picks the earliest right row
+    # at-or-after the probe — forward as-of over the same exchange
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(
+            F.col("__t").desc(), F.col("__pri").asc(), *[c.asc() for c in tb]
         )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    union = l2.unionByName(r2)
+
+    def in_tolerance(m, fwd: bool):
+        if tolerance is None:
+            return m
+        horizon = F.expr(f"INTERVAL {tolerance}")
+        cond = (
+            m[right_time] <= F.col("__t") + horizon
+            if fwd
+            else m[right_time] >= F.col("__t") - horizon
+        )
+        return F.when(cond, m)
+
+    if direction == "nearest":
+        matched = (
+            union.withColumn("__mb", F.last("__r", ignorenulls=True).over(w_back))
+            .withColumn("__mf", F.last("__r", ignorenulls=True).over(w_fwd))
+            .filter(F.col("__is_l"))
+        )
+        mb = in_tolerance(F.col("__mb"), fwd=False)
+        mf = in_tolerance(F.col("__mf"), fwd=True)
+        d_back = F.unix_micros(F.col("__t")) - F.unix_micros(mb[right_time])
+        d_fwd = F.unix_micros(mf[right_time]) - F.unix_micros(F.col("__t"))
+        m = (
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(d_fwd < d_back, mf)
+            .otherwise(mb)
+        )
+    else:
+        w = w_fwd if direction == "forward" else w_back
+        matched = union.withColumn(
+            "__m", F.last("__r", ignorenulls=True).over(w)
+        ).filter(F.col("__is_l"))
+        m = in_tolerance(F.col("__m"), fwd=direction == "forward")
     matched = matched.withColumn("__m", m)
     if how != "left":
         matched = matched.filter(F.col("__m").isNotNull())

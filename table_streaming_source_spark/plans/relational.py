@@ -2641,6 +2641,62 @@ ORDER BY s_name
 """
 
 
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (the pandas ``merge_asof
+    direction='nearest'`` surface): each click paired with the same
+    user's closest-in-time purchase, ties → the earlier (backward) side,
+    simultaneous purchases → greatest event id.  Two window passes over
+    one exchange — no pair explosion; the oracle is the quadratic
+    formulation."""
+    from table_streaming_source_spark.operators.joins import asof_join
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    j = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_time="click_ts",
+        right_time="purchase_ts",
+        right_tiebreakers=["purchase_id"],
+        direction="nearest",
+    )
+    return j.select("user_id", "click_id", "purchase_id", "purchase_ts")
+
+
+ORACLES["join_asof_nearest"] = """
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS pt
+  FROM events WHERE event_type = 'purchase'
+),
+cand AS (
+  SELECT c.user_id, c.click_id, p.purchase_id, p.pt,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.click_id ORDER BY
+             ABS(EPOCH_US(p.pt) - EPOCH_US(c.click_ts)),
+             CASE WHEN p.pt <= c.click_ts THEN 0 ELSE 1 END,
+             p.purchase_id DESC
+         ) AS rn
+  FROM c JOIN p ON c.user_id = p.user_id
+)
+SELECT user_id, click_id, purchase_id, pt AS purchase_ts
+FROM cand WHERE rn = 1
+"""
+
+
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase funnel per user (operators.windows
     .funnel): earliest view, earliest click at-or-after it, earliest
@@ -2720,6 +2776,7 @@ QUERIES = {
     "excess_suppliers": q_excess_suppliers,
     "funnel_steps": q_funnel_steps,
     "snapshot_roundtrip": q_snapshot_roundtrip,
+    "join_asof_nearest": q_join_asof_nearest,
     "market_share": q_market_share,
     "sql_cte_window": q_sql_cte_window,
     "scalar_try": q_scalar_try,

@@ -494,3 +494,40 @@ def test_funnel_strict_ordering(spark):
     assert out[1].stage == 3
     assert out[2].stage == 2 and out[2].t_purchase is None
     assert out[4].stage == 1 and out[4].t_click is None
+
+
+def test_asof_directions(spark):
+    from datetime import datetime
+
+    from table_streaming_source_spark.operators.joins import asof_join
+
+    T = datetime
+    left = spark.createDataFrame(
+        [(1, T(2024, 1, 10))], "k int, lt timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, T(2024, 1, 7)), (1, 200, T(2024, 1, 12))],
+        "k int, rid int, rt timestamp",
+    )
+    def hit(direction, **kw):
+        rows = asof_join(
+            left, right, on=["k"], left_time="lt", right_time="rt",
+            direction=direction, how="left", **kw
+        ).collect()
+        assert len(rows) == 1
+        return rows[0].rid
+
+    assert hit("backward") == 100
+    assert hit("forward") == 200
+    assert hit("nearest") == 200          # 2 days forward beats 3 back
+    assert hit("nearest", tolerance="1 day") is None  # both out of horizon
+    # equidistant -> backward wins
+    right2 = spark.createDataFrame(
+        [(1, 100, T(2024, 1, 8)), (1, 200, T(2024, 1, 12))],
+        "k int, rid int, rt timestamp",
+    )
+    got = asof_join(
+        left, right2, on=["k"], left_time="lt", right_time="rt",
+        direction="nearest",
+    ).collect()
+    assert got[0].rid == 100
