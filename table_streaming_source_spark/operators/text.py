@@ -315,8 +315,9 @@ def chunk_dedup(
     cleaning (drop repeated headers/footers/nav text that exact
     document-level dedup misses), with fixed-size token chunks standing
     in for lines.  Shape: posexplode to chunk rows → one shuffle
-    partitioned by the chunk content → first-occurrence filter → ordered
-    reassembly per document.  Only chunk rows shuffle; at 100 TB
+    partitioned by the chunk content (first-occurrence filter) → one
+    shuffle on the document key (ordered reassembly).  Only chunk rows
+    shuffle; at 100 TB
     partition instead by ``xxhash64(chunk)`` buckets to keep reducer
     keys narrow, and pre-aggregate counts if only *frequent* chunks
     (true boilerplate) should drop.

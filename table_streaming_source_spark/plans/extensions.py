@@ -1634,8 +1634,8 @@ def q_text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide chunk-level dedup (5-token chunks standing in for
     boilerplate lines): first occurrence wins, documents reassembled
     from surviving chunks — the C4-style repeated-line removal that
-    document-level dedup misses.  One shuffle, partitioned by chunk
-    content."""
+    document-level dedup misses.  Two shuffles: chunk-content
+    first-occurrence filter, then document-key reassembly."""
     docs = t(spark, sf_dir, "documents")
     return X.chunk_dedup(docs, "text", "doc_id", chunk_tokens=5)
 
