@@ -502,3 +502,155 @@ def audio_features(
             )
 
     return df.mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# image: real PNG pixel decode (zlib inflate + unfilter — stdlib only)
+# and integer-exact pixel statistics
+# ---------------------------------------------------------------------------
+
+def synth_png_pixels(width: int, height: int, seed: int) -> bytes:
+    """A spec-valid 8-bit *grayscale* PNG whose pixels follow the
+    deterministic pattern ``p(x, y) = (7x + 13y + seed) % 256`` —
+    filter type 0 per scanline, real zlib IDAT, real CRCs.  A SQL
+    oracle can restate the pixels from the formula while the Spark
+    side must genuinely inflate and unfilter the bytes it reads."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    px = ((7 * x + 13 * y + seed) % 256).astype(np.uint8)
+    raw = b"".join(b"\x00" + px[r].tobytes() for r in range(height))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_pixels(payload: bytes) -> "object":
+    """Decode an 8-bit grayscale, filter-0 PNG to an ``(h, w)`` uint8
+    numpy array — the real pixel-decode path, stdlib-only (zlib inflate
+    + scanline unfilter).  Filtered or non-grayscale PNGs raise: a real
+    pipeline adds the other four filter types (pure arithmetic) or a
+    codec library behind the same contract."""
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    off, width, height, depth, ctype = 8, None, None, None, None
+    idat = b""
+    while off + 8 <= len(payload):
+        size = struct.unpack(">I", payload[off : off + 4])[0]
+        cid = payload[off + 4 : off + 8]
+        data = payload[off + 8 : off + 8 + size]
+        if cid == b"IHDR":
+            width, height, depth, ctype = struct.unpack(">IIBB", data[:10])
+        elif cid == b"IDAT":
+            idat += data
+        elif cid == b"IEND":
+            break
+        off += 12 + size  # len + type + data + crc
+    if width is None:
+        raise ValueError("PNG without IHDR")
+    if (depth, ctype) != (8, 0):
+        raise ValueError("only 8-bit grayscale supported by this decoder")
+    raw = zlib.decompress(idat)
+    stride = width + 1
+    if len(raw) != stride * height:
+        raise ValueError("IDAT size mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
+    if (arr[:, 0] != 0).any():
+        raise ValueError("only filter type 0 supported by this decoder")
+    return arr[:, 1:]
+
+
+def attach_pixel_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one :func:`synth_png_pixels` per key
+    (``w = 16 + (7k) % 48``, ``h = 16 + (13k) % 48``, ``seed = k``)."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_png_pixels(
+                            16 + (7 * int(k)) % 48,
+                            16 + (13 * int(k)) % 48,
+                            int(k),
+                        )
+                        for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("key", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("sum_px", LongType(), False),
+        StructField("min_px", IntegerType(), False),
+        StructField("max_px", IntegerType(), False),
+        StructField("edge_energy", LongType(), False),
+    ]
+)
+
+
+def image_pixel_stats(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    key: str = "key",
+) -> DataFrame:
+    """Per-image statistics from *decoded pixels*: geometry, exact
+    integer brightness sum, min/max, and horizontal edge energy
+    (``Σ |p(x+1,y) − p(x,y)|`` — the gradient magnitude quality
+    filters threshold on).  All-integer → engine-exact; Arrow-batched
+    ``mapInPandas``, no shuffle."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "key", "width", "height", "sum_px", "min_px", "max_px",
+                "edge_energy",
+            )}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                px = png_pixels(bytes(payload)).astype(np.int64)
+                out["key"].append(int(k))
+                out["height"].append(px.shape[0])
+                out["width"].append(px.shape[1])
+                out["sum_px"].append(int(px.sum()))
+                out["min_px"].append(int(px.min()))
+                out["max_px"].append(int(px.max()))
+                out["edge_energy"].append(
+                    int(np.abs(np.diff(px, axis=1)).sum())
+                )
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(out["key"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "sum_px": pd.Series(out["sum_px"], dtype="int64"),
+                    "min_px": pd.Series(out["min_px"], dtype="int32"),
+                    "max_px": pd.Series(out["max_px"], dtype="int32"),
+                    "edge_energy": pd.Series(
+                        out["edge_energy"], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=PIXEL_STATS_SCHEMA)

@@ -1779,6 +1779,46 @@ GROUP BY key, w
 """
 
 
+def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG pixel decode: every image key gets a spec-valid 8-bit
+    grayscale PNG (zlib-compressed IDAT, formula-stated pixels); the
+    Spark side must genuinely inflate + unfilter the scanlines to
+    produce geometry, exact brightness sums, min/max, and horizontal
+    edge energy.  The oracle restates the pixels from the synthesis
+    formula — all-integer, bit-exact.  With audio PCM this retires the
+    pixel/sample-decode stub for uncompressed formats; only true codec
+    formats (JPEG/H.264/MP3) still stub."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    imgs = M.attach_pixel_payload(docs, "doc_id")
+    return M.image_pixel_stats(imgs)
+
+
+ORACLES["multimodal_pixel_stats"] = """
+WITH im AS (
+  SELECT doc_id AS key,
+         16 + (7 * doc_id) % 48 AS w,
+         16 + (13 * doc_id) % 48 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT key, w, h, ux.x AS x, uy.y AS y,
+         (7 * ux.x + 13 * uy.y + key) % 256 AS p
+  FROM im, UNNEST(RANGE(0, w)) AS ux(x), UNNEST(RANGE(0, h)) AS uy(y)
+)
+SELECT key,
+       CAST(ANY_VALUE(w) AS INT) AS width,
+       CAST(ANY_VALUE(h) AS INT) AS height,
+       CAST(SUM(p) AS BIGINT) AS sum_px,
+       CAST(MIN(p) AS INT) AS min_px,
+       CAST(MAX(p) AS INT) AS max_px,
+       CAST(SUM(CASE WHEN x < w - 1
+                     THEN ABS((7 * (x + 1) + 13 * y + key) % 256 - p)
+                     ELSE 0 END) AS BIGINT) AS edge_energy
+FROM px
+GROUP BY key
+"""
+
+
 QUERIES_DEFERRED = {
     "dedup_incremental": q_dedup_incremental,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1789,4 +1829,5 @@ QUERIES_DEFERRED = {
     "sim_sq_encode": q_sim_sq_encode,
     "sim_sq_search": q_sim_sq_search,
     "multimodal_audio_features": q_multimodal_audio_features,
+    "multimodal_pixel_stats": q_multimodal_pixel_stats,
 }

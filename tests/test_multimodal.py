@@ -114,3 +114,34 @@ def test_wav_pcm_roundtrip_and_features(spark):
         assert r.n == len(seg)
         assert r.sum_sq == int((seg * seg).sum())
         assert r.crossings == int(((seg[:-1] * seg[1:]) < 0).sum())
+
+
+def test_png_pixel_decode_roundtrip(spark):
+    """synth_png_pixels → png_pixels must round-trip the formula, and
+    image_pixel_stats must match direct numpy computation."""
+    import numpy as np
+
+    from table_streaming_source_spark.operators.multimodal import (
+        attach_pixel_payload,
+        image_pixel_stats,
+        png_pixels,
+        synth_png_pixels,
+    )
+
+    px = png_pixels(synth_png_pixels(20, 10, seed=5))
+    assert px.shape == (10, 20)
+    x = np.arange(20)[None, :]; y = np.arange(10)[:, None]
+    assert (px == ((7 * x + 13 * y + 5) % 256)).all()
+
+    df = spark.createDataFrame([(5,), (12,)], "doc_id long")
+    stats = {
+        r.key: r
+        for r in image_pixel_stats(attach_pixel_payload(df, "doc_id")).collect()
+    }
+    for k, r in stats.items():
+        w, h = 16 + (7 * k) % 48, 16 + (13 * k) % 48
+        xx = np.arange(w)[None, :]; yy = np.arange(h)[:, None]
+        p = ((7 * xx + 13 * yy + k) % 256).astype(np.int64)
+        assert (r.width, r.height) == (w, h)
+        assert r.sum_px == int(p.sum())
+        assert r.edge_energy == int(np.abs(np.diff(p, axis=1)).sum())
