@@ -864,3 +864,81 @@ def sq_search(
         .filter(F.col("rank") <= topk)
         .select(query_key, key, "rank", "score")
     )
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    query_key: str = "query_id",
+    key: str = "vec_id",
+    num_cells: int = 8,
+    m: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    topk: int = 5,
+) -> DataFrame:
+    """IVF-PQ search end to end — the production ANN index shape
+    (FAISS ``IVFx,PQy``): a coarse quantizer routes each vector to a
+    cell (inverted list), the corpus stores only PQ codes per cell, and
+    a query ADC-scans just its own cell's codes (``nprobe=1``; probing
+    neighbor cells is the recall knob, same plan shape).
+
+    Composition of :func:`ivf_assign` (row-local cell routing) and
+    :func:`pq_encode`/ADC scoring: the per-query distance table joins
+    the code index on ``(cell, subspace, code)`` — the cell key prunes
+    the scan to the inverted list, the code key makes scoring a lookup.
+    Everything that grows with the corpus is 2+m small ints per vector;
+    scores are fixed-point sums (partitioning-independent).
+
+    Returns ``(query_key, key, rank, score)``.
+    """
+    subdim = dim // m
+    qcells = ivf_assign(
+        queries, vec_col=vec_col, key=key, num_cells=num_cells, dim=dim
+    ).select(F.col(key).alias(query_key), "cell")
+    xcells = ivf_assign(
+        corpus, vec_col=vec_col, key=key, num_cells=num_cells, dim=dim
+    ).select(F.col(key), "cell")
+    codes = pq_encode(
+        corpus, vec_col=vec_col, key=key, m=m, k=k_codes, dim=dim
+    ).join(xcells, key)
+
+    cb = _codebook_df(queries, m, k_codes, subdim)
+    qsubs = _subvectors(queries, vec_col, query_key, key, m, subdim)
+    partial = F.aggregate(
+        F.zip_with(
+            F.col("__sub"), F.col("cw"), lambda x, c: x.cast("double") * c
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dtable = (
+        qsubs.join(F.broadcast(cb), "subspace")
+        .select(
+            F.col(query_key),
+            "subspace",
+            "code",
+            F.round(partial * _PQ_SCALE).cast("long").alias("__p"),
+        )
+        .join(qcells, query_key)
+    )
+    scored = (
+        codes.join(F.broadcast(dtable), ["cell", "subspace", "code"])
+        .groupBy(query_key, key)
+        .agg(F.sum("__p").alias("__s"))
+    )
+    w = Window.partitionBy(query_key).orderBy(
+        F.col("__s").desc(), F.col(key)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col(query_key),
+            F.col(key),
+            "rank",
+            (F.col("__s") / F.lit(float(_PQ_SCALE))).alias("score"),
+        )
+    )

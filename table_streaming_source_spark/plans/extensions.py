@@ -1779,6 +1779,78 @@ GROUP BY key, w
 """
 
 
+def _ivf_cells_sql(flt: str = "") -> str:
+    """Coarse-quantizer cell per vector as a subquery (literal twin of
+    operators.similarity.ivf_assign, cells only)."""
+    cents = S.lsh_planes(8, 64)
+    dots = ", ".join(
+        f"LIST_SUM(LIST_TRANSFORM(LIST_ZIP(embedding, {cents[p]}),"
+        f" z -> CAST(z[1] AS DOUBLE) * z[2]))"
+        for p in range(8)
+    )
+    return f"""(
+  SELECT vec_id,
+         CAST(LIST_POSITION(dots, LIST_AGGREGATE(dots, 'max')) - 1 AS INT)
+           AS cell
+  FROM (SELECT vec_id, [{dots}] AS dots FROM embeddings{flt})
+)"""
+
+
+def q_sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ end to end (the FAISS-style production index): coarse
+    cells route vectors to inverted lists, the corpus stores only 8 PQ
+    codes per vector, and each query ADC-scans its own cell's codes
+    (nprobe=1).  The per-corpus-vector state is 2+m small ints; scores
+    are fixed-point lookup sums."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.ivfpq_search(
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") >= 10),
+        num_cells=8,
+        m=8,
+        k_codes=16,
+        dim=64,
+        topk=5,
+    )
+
+
+ORACLES["sim_ivfpq_search"] = f"""
+WITH {_pq_cb_sql()},
+{_PQ_ENCODE_CORE.format(corpus_filter=" WHERE vec_id >= 10")},
+xcells AS (SELECT * FROM {_ivf_cells_sql(" WHERE vec_id >= 10")}),
+qcells AS (SELECT vec_id AS query_id, cell
+           FROM {_ivf_cells_sql(" WHERE vec_id < 10")}),
+qs AS (
+  SELECT vec_id AS query_id, CAST(u.s AS INT) AS subspace,
+         LIST_SLICE(embedding, u.s * 8 + 1, u.s * 8 + 8) AS qsub
+  FROM embeddings, UNNEST(RANGE(0, 8)) AS u(s)
+  WHERE vec_id < 10
+),
+dt AS (
+  SELECT query_id, qcells.cell, subspace, code,
+         CAST(ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(qsub, cw),
+              z -> CAST(z[1] AS DOUBLE) * z[2]))
+              * 1000000000) AS BIGINT) AS p
+  FROM qs JOIN cb USING (subspace) JOIN qcells USING (query_id)
+),
+pair AS (
+  SELECT query_id, codes.vec_id, CAST(SUM(p) AS BIGINT) AS s_scaled
+  FROM codes
+  JOIN xcells ON codes.vec_id = xcells.vec_id
+  JOIN dt ON dt.cell = xcells.cell
+         AND dt.subspace = codes.subspace AND dt.code = codes.code
+  GROUP BY query_id, codes.vec_id
+)
+SELECT query_id, vec_id, rank, s_scaled / 1000000000.0 AS score
+FROM (SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY s_scaled DESC, vec_id) AS rank,
+             s_scaled
+      FROM pair)
+WHERE rank <= 5
+"""
+
+
 def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG pixel decode: every image key gets a spec-valid 8-bit
     grayscale PNG (zlib-compressed IDAT, formula-stated pixels); the
@@ -1830,4 +1902,5 @@ QUERIES_DEFERRED = {
     "sim_sq_search": q_sim_sq_search,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_pixel_stats": q_multimodal_pixel_stats,
+    "sim_ivfpq_search": q_sim_ivfpq_search,
 }
