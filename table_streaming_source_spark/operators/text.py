@@ -383,3 +383,75 @@ def chunk_dedup(
             ),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    key: str,
+    *,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash every
+    ``k``-token gram, slide a ``w``-hash window, select each window's
+    minimum (rightmost on ties), keep the distinct ``(position, hash)``
+    selections.  Guarantee: any shared token run of length ≥ ``k+w-1``
+    yields at least one shared fingerprint — the local-sampling property
+    that makes winnowing the standard plagiarism/overlap detector.
+
+    Entirely row-local JVM arrays (gram hashes computed once via
+    ``bind_once``, windows as a transform over the hash array) followed
+    by one explode — no shuffle; downstream overlap detection is an
+    equi-join on ``fp``.  Hashes are the portable 60-bit md5 prefix used
+    across the dedup family.
+
+    Returns ``(key, pos, fp)``; documents shorter than ``k+w-1`` tokens
+    emit nothing.
+    """
+    from table_streaming_source_spark.operators.hof import bind_once
+
+    toks = _tokens(text_col)
+
+    def gram_hashes(ts):
+        return F.transform(
+            F.sequence(F.lit(0), F.size(ts) - k),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(ts, i + 1, k))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+
+    def selections(hs):
+        def one(i):
+            sl = F.slice(hs, i + 1, w)
+            m = F.array_min(sl)
+            rp = F.array_position(F.reverse(sl), m)
+            return F.struct(
+                (i + F.lit(w) - rp).cast("int").alias("pos"),
+                m.alias("fp"),
+            )
+
+        return F.array_distinct(
+            F.transform(F.sequence(F.lit(0), F.size(hs) - w), one)
+        )
+
+    return (
+        df.select(F.col(key), toks.alias("__toks"))
+        .filter(F.size("__toks") >= k + w - 1)
+        .select(
+            F.col(key),
+            bind_once(
+                bind_once(F.col("__toks"), gram_hashes), selections
+            ).alias("__fps"),
+        )
+        .select(F.col(key), F.explode("__fps").alias("__s"))
+        .select(
+            F.col(key),
+            F.col("__s.pos").alias("pos"),
+            F.col("__s.fp").alias("fp"),
+        )
+    )

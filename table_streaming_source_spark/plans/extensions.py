@@ -1745,6 +1745,43 @@ WHERE rank <= 5
 #: entries deferred past the driver's 50-entry correctness window this
 #: round (fully oracle-backed; scripts/check_oracle.py covers them every
 #: run; rotate into _PRIORITY next round)
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints: k=3-gram hashes, w=4 windows,
+    rightmost-min selection — any shared token run ≥ 6 tokens shares a
+    fingerprint.  Row-local arrays + one explode; overlap detection
+    downstream is an equi-join on fp."""
+    docs = t(spark, sf_dir, "documents")
+    return X.winnow_fingerprints(docs, "text", "doc_id", k=3, w=4)
+
+
+ORACLES["text_winnow"] = """
+WITH toks AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' '),
+                     tk -> LEN(tk) > 0) AS tk
+  FROM documents
+),
+hs AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(RANGE(0, LEN(tk) - 2),
+            i -> CAST('0x' || SUBSTR(MD5(ARRAY_TO_STRING(
+                   LIST_SLICE(tk, i + 1, i + 3), ' ')), 1, 15) AS BIGINT))
+           AS h
+  FROM toks WHERE LEN(tk) >= 6
+),
+wins AS (
+  SELECT doc_id, CAST(u.i AS INT) AS i,
+         LIST_SLICE(h, u.i + 1, u.i + 4) AS sl
+  FROM hs, UNNEST(RANGE(0, LEN(h) - 3)) AS u(i)
+)
+SELECT DISTINCT doc_id,
+       CAST(i + 4 - LIST_POSITION(LIST_REVERSE(sl),
+                                  LIST_AGGREGATE(sl, 'min')) AS INT) AS pos,
+       LIST_AGGREGATE(sl, 'min') AS fp
+FROM wins
+"""
+
+
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM sample decode + windowed audio features: every audio key
     gets a spec-valid tone WAV (formula-stated int16 samples), and the
@@ -1903,4 +1940,5 @@ QUERIES_DEFERRED = {
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_pixel_stats": q_multimodal_pixel_stats,
     "sim_ivfpq_search": q_sim_ivfpq_search,
+    "text_winnow": q_text_winnow,
 }

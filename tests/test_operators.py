@@ -531,3 +531,24 @@ def test_asof_directions(spark):
         direction="nearest",
     ).collect()
     assert got[0].rid == 100
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Two docs sharing a >= k+w-1 = 6-token run must share at least one
+    fingerprint; disjoint-vocabulary docs share none."""
+    from table_streaming_source_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "prefix alpha beta gamma delta epsilon zeta suffix"),
+            (3, "one two three four five six seven eight"),
+        ],
+        "doc_id int, text string",
+    )
+    fps = winnow_fingerprints(df, "text", "doc_id", k=3, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2]          # shared 6-token run
+    assert not (by_doc[1] & by_doc[3])    # disjoint vocab
