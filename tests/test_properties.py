@@ -105,3 +105,62 @@ def test_duration_rejects_exactly_non_grammar(s):
         except ValueError:
             ok = False
         assert not ok or s == "", s
+
+
+# ---------------------------------------------------------------------------
+# multimodal codec round-trips: synth → parse/decode must invert exactly
+# for arbitrary geometry/seeds (pure Python, no Spark per example)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=1, max_value=300), st.integers(min_value=0, max_value=10**9))
+def test_wav_tone_pcm_roundtrip(n_samples, seed):
+    import numpy as np
+
+    from table_streaming_source_spark.operators.multimodal import (
+        synth_wav_tone,
+        wav_pcm,
+    )
+
+    s = wav_pcm(synth_wav_tone(n_samples, seed))
+    i = np.arange(n_samples, dtype=np.int64)
+    assert (s == ((i * (3 + seed % 7) + seed) % 4096) - 2048).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=48),
+    st.integers(min_value=1, max_value=48),
+    st.integers(min_value=0, max_value=10**9),
+)
+def test_png_pixels_roundtrip(w, h, seed):
+    import numpy as np
+
+    from table_streaming_source_spark.operators.multimodal import (
+        png_pixels,
+        synth_png_pixels,
+    )
+
+    px = png_pixels(synth_png_pixels(w, h, seed))
+    assert px.shape == (h, w)
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    assert (px == ((7 * x + 13 * y + seed) % 256)).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=60),
+    st.integers(min_value=1, max_value=2),
+)
+def test_wav_container_parse_roundtrip(n_samples, channels):
+    from table_streaming_source_spark.operators.multimodal import (
+        parse_container,
+        synth_wav,
+    )
+
+    mt, width, height, n_frames = parse_container(
+        synth_wav(n_samples, channels=channels)
+    )
+    assert (mt, width, height) == ("audio", -1, -1)
+    assert n_frames == n_samples
