@@ -654,3 +654,74 @@ def image_pixel_stats(
             )
 
     return df.mapInPandas(batches, schema=PIXEL_STATS_SCHEMA)
+
+
+QUARANTINE_SCHEMA = StructType(
+    [
+        StructField("key", LongType(), False),
+        StructField("status", StringType(), False),
+        StructField("error_kind", StringType(), True),
+        StructField("media_type", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("n_bytes", LongType(), False),
+    ]
+)
+
+
+def quarantine_decode(
+    df: DataFrame,
+    *,
+    key: str = "key",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Metadata decode with per-row error routing: rows whose container
+    parse fails emit ``status='error'`` with a stable ``error_kind``
+    instead of failing the job — the quarantine pattern every real
+    ingest pipeline needs (one poisoned blob must not kill a 100 TB
+    scan).  Healthy rows carry the parsed metadata; every row keeps its
+    byte length for volume accounting.  Partition-preserving
+    ``mapInPandas``; route ``status='error'`` rows to a quarantine sink
+    downstream and reprocess after codec fixes.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "key", "status", "error_kind", "media_type", "width",
+                "height", "n_frames", "n_bytes",
+            )}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                b = bytes(payload)
+                rows["key"].append(int(k))
+                rows["n_bytes"].append(len(b))
+                try:
+                    mt, w, h, nf = parse_container(b)
+                    rows["status"].append("ok")
+                    rows["error_kind"].append(None)
+                    rows["media_type"].append(mt)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["n_frames"].append(nf)
+                except ValueError:
+                    rows["status"].append("error")
+                    rows["error_kind"].append("invalid_container")
+                    rows["media_type"].append(None)
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["n_frames"].append(None)
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "status": rows["status"],
+                    "error_kind": rows["error_kind"],
+                    "media_type": rows["media_type"],
+                    "width": pd.Series(rows["width"], dtype="Int32"),
+                    "height": pd.Series(rows["height"], dtype="Int32"),
+                    "n_frames": pd.Series(rows["n_frames"], dtype="Int32"),
+                    "n_bytes": pd.Series(rows["n_bytes"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=QUARANTINE_SCHEMA)

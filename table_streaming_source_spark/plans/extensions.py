@@ -1745,6 +1745,37 @@ WHERE rank <= 5
 #: entries deferred past the driver's 50-entry correctness window this
 #: round (fully oracle-backed; scripts/check_oracle.py covers them every
 #: run; rotate into _PRIORITY next round)
+def q_multimodal_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisoned-blob quarantine: every 5th payload is corrupted to
+    non-container bytes; the decode must route those rows to
+    status='error' (stable error_kind, byte length preserved) while
+    parsing the rest — one bad blob must not kill a 100 TB scan."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.attach_container_payload(docs, "doc_id")
+    corrupted = media.withColumn(
+        "payload",
+        F.when(
+            F.col("key") % 5 == 0,
+            F.encode(F.lit("not a container"), "utf-8"),
+        ).otherwise(F.col("payload")),
+    )
+    return M.quarantine_decode(corrupted, key="key")
+
+
+ORACLES["multimodal_quarantine"] = f"""
+WITH {_MM_META}
+SELECT key,
+       CASE WHEN key % 5 = 0 THEN 'error' ELSE 'ok' END AS status,
+       CASE WHEN key % 5 = 0 THEN 'invalid_container' END AS error_kind,
+       CASE WHEN key % 5 = 0 THEN NULL ELSE media_type END AS media_type,
+       CASE WHEN key % 5 = 0 THEN NULL ELSE width END AS width,
+       CASE WHEN key % 5 = 0 THEN NULL ELSE height END AS height,
+       CASE WHEN key % 5 = 0 THEN NULL ELSE n_frames END AS n_frames,
+       CASE WHEN key % 5 = 0 THEN 15 ELSE n_bytes END AS n_bytes
+FROM d
+"""
+
+
 def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprints: k=3-gram hashes, w=4 windows,
     rightmost-min selection — any shared token run ≥ 6 tokens shares a
@@ -1941,4 +1972,5 @@ QUERIES_DEFERRED = {
     "multimodal_pixel_stats": q_multimodal_pixel_stats,
     "sim_ivfpq_search": q_sim_ivfpq_search,
     "text_winnow": q_text_winnow,
+    "multimodal_quarantine": q_multimodal_quarantine,
 }
