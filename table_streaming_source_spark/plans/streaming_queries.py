@@ -411,8 +411,70 @@ QUERIES = {
     "streaming_dedup": q_streaming_dedup,
 }
 
+def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator e2e (applyInPandasWithState): per-user
+    running (count, sum) carried in keyed state across micro-batches,
+    drained with availableNow in update mode.  The running count is
+    strictly monotone per key, so the final state per key is the
+    max-n emission — and because the sum accumulates in integer cents,
+    that final emission is bit-identical to the batch aggregate under
+    ANY batching, which is what the oracle states."""
+    events = t(spark, sf_dir, "events").select("user_id", "value")
+    base = tempfile.mkdtemp(prefix="tsss_streaming_rt_")
+    src = f"{base}/in"
+    events.repartition(8).write.mode("overwrite").parquet(src)
+
+    from table_streaming_source_spark.streaming.stateful import (
+        running_totals_stream,
+    )
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    name = f"__stream_rt_{abs(hash(base)) % 10**8}"
+    with _stream_shuffle(spark):
+        query = (
+            running_totals_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
+
+    emissions = spark.table(name)
+    final = (
+        emissions.groupBy("user_id")
+        .agg(F.max(F.struct("n", "total")).alias("__f"))
+        .select(
+            "user_id",
+            F.col("__f.n").alias("n"),
+            F.col("__f.total").alias("total"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(base, ignore_errors=True)
+    return final
+
+
+ORACLES["streaming_running_totals"] = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events
+GROUP BY user_id
+"""
+
+
 #: past the driver's 50-entry correctness window this round (covered by
 #: scripts/check_oracle.py; rotate into _PRIORITY next round)
 QUERIES_DEFERRED = {
     "streaming_interval_join_outer": q_streaming_interval_join_outer,
+    "streaming_running_totals": q_streaming_running_totals,
 }

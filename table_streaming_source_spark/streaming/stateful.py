@@ -18,21 +18,26 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-_STATE_SCHEMA = "n LONG, total DOUBLE"
+_STATE_SCHEMA = "n LONG, cents LONG"
 _OUTPUT_SCHEMA = "user_id LONG, n LONG, total DOUBLE"
 
 
 def _accumulate(
     key, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
-    """Running (count, sum) per key across micro-batches."""
-    n, total = state.get if state.exists else (0, 0.0)
+    """Running (count, sum) per key across micro-batches.
+
+    The sum accumulates in integer cents: double addition is not
+    associative, and batch/row order is an execution detail — integer
+    state makes the emitted totals bit-identical under any batching,
+    which is what lets a value oracle check the drained stream."""
+    n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    state.update((n, cents))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n": [n], "total": [total]}
+        {"user_id": [key[0]], "n": [n], "total": [cents / 100.0]}
     )
 
 
