@@ -593,3 +593,85 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str,
+    key: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via **prefix filtering** (the
+    PPJoin-family candidate pruning): identical output to
+    :func:`ngram_jaccard_pairs`, asymptotically fewer candidates.
+
+    Each document's shingle set is sorted by global document frequency
+    (rarest first, shingle text as tiebreaker — one consistent total
+    order); only the first ``|x| − ⌈t·|x|⌉ + 1`` shingles (the *prefix*)
+    index into the candidate join.  Completeness: ``J(x,y) ≥ t`` implies
+    ``|x∩y| ≥ t·|x∪y| ≥ t·|x|``, so if the prefixes shared nothing the
+    intersection would be at most ``⌈t·|x|⌉ − 1 < t·|x|`` — every true
+    pair survives, which is why the exhaustive-join oracle can check
+    this operator *exactly*.
+
+    Scale: the candidate join now keys on rare shingles only — the
+    frequent-shingle hot buckets that dominate the exhaustive join
+    (stop-word-like shingles shared by half the corpus) never enter the
+    pair space; the document-frequency ranking is one extra hash
+    aggregate + broadcast-or-shuffle join on the shingle.
+
+    Returns ``(key_a, key_b, jaccard)`` with ``key_a < key_b``.
+    """
+    from pyspark.sql import Window
+
+    shingled = shingle_table(_spread(df), text_col, key, n)
+    freq = shingled.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    w = Window.partitionBy(key).orderBy(F.col("__df"), F.col("shingle"))
+    ranked = (
+        shingled.join(freq, "shingle")
+        .select(
+            F.col(key),
+            "shingle",
+            F.row_number().over(w).alias("__pos"),
+            F.count(F.lit(1)).over(Window.partitionBy(key)).alias("__sz"),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("__pos")
+        <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+    )
+    cand = (
+        prefix.select(F.col(key).alias("key_a"), "shingle")
+        .join(prefix.select(F.col(key).alias("key_b"), "shingle"), "shingle")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .distinct()
+    )
+    sizes = ranked.groupBy(key).agg(F.max("__sz").alias("sz"))
+    a = shingled.select(F.col(key).alias("key_a"), "shingle")
+    b = shingled.select(F.col(key).alias("key_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .join(cand, ["key_a", "key_b"], "left_semi")
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(key).alias("key_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(key).alias("key_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "key_a")
+        .join(sz_b, "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -101,6 +101,23 @@ WHERE inter / (za.sz + zb.sz - inter) >= 0.2
 """
 
 
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard (PPJoin-family candidate pruning):
+    only each document's rarest ``|x| − ⌈t·|x|⌉ + 1`` shingles index
+    into the candidate join, provably losing no pair with J ≥ t — so
+    the oracle is the *exhaustive* formulation, checked exactly.  The
+    frequent-shingle hot buckets that dominate the exhaustive join
+    never enter the pair space."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.trim("text"), r"\s+")) >= 3
+    )
+    return D.jaccard_prefix_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+
+
+# identical result contract to the exhaustive join — that IS the check
+ORACLES["dedup_jaccard_prefix"] = ORACLES["dedup_ngram_jaccard"]
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, exact-Jaccard verified (threshold
     0.2; 16 hashes × 4 bands).  The full pipeline has a DuckDB oracle
@@ -1973,4 +1990,5 @@ QUERIES_DEFERRED = {
     "sim_ivfpq_search": q_sim_ivfpq_search,
     "text_winnow": q_text_winnow,
     "multimodal_quarantine": q_multimodal_quarantine,
+    "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
 }

@@ -552,3 +552,29 @@ def test_winnow_shared_run_guarantee(spark):
         by_doc.setdefault(r.doc_id, set()).add(r.fp)
     assert by_doc[1] & by_doc[2]          # shared 6-token run
     assert not (by_doc[1] & by_doc[3])    # disjoint vocab
+
+
+def test_prefix_filter_equals_exhaustive(docs):
+    """Prefix filtering must lose no pair: identical output to the
+    exhaustive shingle join at the same threshold."""
+    from table_streaming_source_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+    )
+
+    exhaustive = sorted(
+        map(
+            tuple,
+            ngram_jaccard_pairs(
+                docs, "text", "doc_id", n=3, threshold=0.2
+            ).collect(),
+        )
+    )
+    pruned = sorted(
+        map(
+            tuple,
+            jaccard_prefix_pairs(
+                docs, "text", "doc_id", n=3, threshold=0.2
+            ).collect(),
+        )
+    )
+    assert pruned == exhaustive
