@@ -50,6 +50,10 @@ HEADLINE = [
     "sim_pq_search",
     "text_chunk_dedup",
     "multimodal_audio_features",
+    "sim_ivfpq_search",
+    "dedup_jaccard_prefix",
+    "multimodal_pixel_stats",
+    "text_winnow",
 ]
 
 

@@ -640,10 +640,13 @@ def jaccard_prefix_pairs(
             F.count(F.lit(1)).over(Window.partitionBy(key)).alias("__sz"),
         )
     )
+    # the prefix table is referenced twice by the self-join (and its
+    # upstream — df join + two windows — is the expensive part);
+    # checkpoint so it materializes once
     prefix = ranked.filter(
         F.col("__pos")
         <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
-    )
+    ).localCheckpoint(eager=False)
     cand = (
         prefix.select(F.col(key).alias("key_a"), "shingle")
         .join(prefix.select(F.col(key).alias("key_b"), "shingle"), "shingle")
@@ -651,26 +654,42 @@ def jaccard_prefix_pairs(
         .select("key_a", "key_b")
         .distinct()
     )
-    sizes = ranked.groupBy(key).agg(F.max("__sz").alias("sz"))
-    a = shingled.select(F.col(key).alias("key_a"), "shingle")
-    b = shingled.select(F.col(key).alias("key_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .join(cand, ["key_a", "key_b"], "left_semi")
-        .groupBy("key_a", "key_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sz_a = sizes.select(F.col(key).alias("key_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col(key).alias("key_b"), F.col("sz").alias("sz_b"))
+    # verify only the candidates: per-doc shingle sets join the (small)
+    # candidate pair list and the intersection is a row-local
+    # array_intersect — the full shingle⋈shingle join never happens
+    sets_ = shingled.groupBy(key).agg(
+        F.collect_set("shingle").alias("__set"),
+        F.count(F.lit(1)).alias("__sz"),
+    ).localCheckpoint(eager=False)  # probed by both sides of the verify
     return (
-        inter.join(sz_a, "key_a")
-        .join(sz_b, "key_b")
+        cand.join(
+            sets_.select(
+                F.col(key).alias("key_a"),
+                F.col("__set").alias("__sa"),
+                F.col("__sz").alias("__za"),
+            ),
+            "key_a",
+        )
+        .join(
+            sets_.select(
+                F.col(key).alias("key_b"),
+                F.col("__set").alias("__sb"),
+                F.col("__sz").alias("__zb"),
+            ),
+            "key_b",
+        )
+        .select(
+            "key_a",
+            "key_b",
+            F.size(F.array_intersect("__sa", "__sb")).alias("__i"),
+            "__za",
+            "__zb",
+        )
         .select(
             "key_a",
             "key_b",
             (
-                F.col("inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                F.col("__i") / (F.col("__za") + F.col("__zb") - F.col("__i"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -107,15 +107,46 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the candidate join, provably losing no pair with J ≥ t — so
     the oracle is the *exhaustive* formulation, checked exactly.  The
     frequent-shingle hot buckets that dominate the exhaustive join
-    never enter the pair space."""
+    never enter the pair space.  Parameters are the realistic near-dup
+    operating point — t=0.8 (prefix ≈ 20% of each document's shingles;
+    at low thresholds the filter is provably weak, prefix length
+    |x|(1−t)+1) and n=5 (shingles with real entropy: on this fixture
+    the pruned form beats the exhaustive join ~4×, measured, while
+    3-gram shingles from the tiny vocabulary are never rare)."""
     docs = t(spark, sf_dir, "documents").filter(
-        F.size(F.split(F.trim("text"), r"\s+")) >= 3
+        F.size(F.split(F.trim("text"), r"\s+")) >= 5
     )
-    return D.jaccard_prefix_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    return D.jaccard_prefix_pairs(docs, "text", "doc_id", n=5, threshold=0.8)
 
 
-# identical result contract to the exhaustive join — that IS the check
-ORACLES["dedup_jaccard_prefix"] = ORACLES["dedup_ngram_jaccard"]
+# identical result contract to the exhaustive join (5-gram, t=0.8) —
+# that IS the check
+ORACLES["dedup_jaccard_prefix"] = """
+WITH toks AS (
+  SELECT doc_id,
+         STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+               || ' ' || tk[i+4] AS shingle
+  FROM toks, UNNEST(RANGE(1, GREATEST(LEN(tk) - 4, 0) + 1)) AS u(i)
+  WHERE LEN(tk) >= 5
+),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT key_a, key_b,
+       inter / (za.sz + zb.sz - inter) AS jaccard
+FROM inter
+JOIN sz za ON za.doc_id = key_a
+JOIN sz zb ON zb.doc_id = key_b
+WHERE inter / (za.sz + zb.sz - inter) >= 0.8
+"""
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
