@@ -455,3 +455,56 @@ def winnow_fingerprints(
             F.col("__s.fp").alias("fp"),
         )
     )
+
+
+def pack_stats(
+    df: DataFrame,
+    text_col: str,
+    key: str,
+    *,
+    budget: int = 512,
+    shards: int = 8,
+) -> DataFrame:
+    """Pack-utilization accounting over :func:`pack_sequences`: each
+    document's token span ``[offset, offset+n)`` is apportioned to the
+    packs it overlaps (documents spill across pack boundaries exactly
+    like the training layout), giving per-pack occupancy, document
+    counts, and fill ratio — the tail pack of every shard is the one
+    under 100%, which is what padding-overhead monitoring watches.
+
+    Shape: the pack explosion is a row-local ``sequence`` (a document
+    touches ``⌈n/budget⌉+1`` packs at most) followed by one hash
+    aggregate on ``(shard, pack_id)``.  All counts are exact integers;
+    the fill ratio is one deterministic division.
+
+    Returns ``(shard, pack_id, n_docs, tokens_in_pack, fill_ratio)``.
+    """
+    base = pack_sequences(
+        df, text_col, key, budget=budget, shards=shards
+    ).filter(F.col("n_tokens") > 0)
+    p0 = F.floor(F.col("offset") / budget)
+    p1 = F.floor((F.col("offset") + F.col("n_tokens") - 1) / budget)
+    exploded = base.select(
+        "shard",
+        "offset",
+        "n_tokens",
+        F.explode(F.sequence(p0, p1)).alias("pack_id"),
+    )
+    overlap = F.least(
+        (F.col("pack_id") + 1) * budget,
+        F.col("offset") + F.col("n_tokens"),
+    ) - F.greatest(F.col("pack_id") * budget, F.col("offset"))
+    return (
+        exploded.select(
+            "shard", F.col("pack_id").cast("int").alias("pack_id"),
+            overlap.alias("__ov"),
+        )
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__ov").cast("bigint").alias("tokens_in_pack"),
+        )
+        .withColumn(
+            "fill_ratio", F.col("tokens_in_pack") / F.lit(float(budget))
+        )
+    )

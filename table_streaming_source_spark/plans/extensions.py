@@ -1257,6 +1257,45 @@ FROM c
 """
 
 
+def q_text_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack-utilization accounting (per-pack occupancy with cross-pack
+    document spill): every shard's tail pack is the one under 100% fill
+    — the padding-overhead number a training-data pipeline monitors."""
+    docs = t(spark, sf_dir, "documents")
+    return X.pack_stats(docs, "text", "doc_id", budget=512, shards=8)
+
+
+ORACLES["text_pack_stats"] = """
+WITH b AS (
+  SELECT doc_id,
+         CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS shard,
+         LEN(LIST_FILTER(STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' '),
+                         x -> LEN(x) > 0)) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS off
+  FROM b WHERE n_tokens > 0
+),
+ex AS (
+  SELECT shard, CAST(u.p AS INT) AS pack_id,
+         LEAST((u.p + 1) * 512, off + n_tokens)
+           - GREATEST(u.p * 512, off) AS ov
+  FROM c, UNNEST(RANGE(off // 512, (off + n_tokens - 1) // 512 + 1)) AS u(p)
+)
+SELECT CAST(shard AS BIGINT) AS shard, pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ov) AS BIGINT) AS tokens_in_pack,
+       CAST(SUM(ov) AS BIGINT) / 512.0 AS fill_ratio
+FROM ex
+GROUP BY shard, pack_id
+"""
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition removal: order-preserving token dedup as
     one row-local expression (no explode/shuffle); emits the cleaned text
@@ -2022,4 +2061,5 @@ QUERIES_DEFERRED = {
     "text_winnow": q_text_winnow,
     "multimodal_quarantine": q_multimodal_quarantine,
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+    "text_pack_stats": q_text_pack_stats,
 }
