@@ -146,6 +146,108 @@ FROM orders WHERE o_orderkey % 11 = 0
 """
 
 
+def q_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction (latest-row-wins): a synthetic 3-version CDC
+    log per order key collapses to current state — the Delta/Hudi
+    read-side primitive, as one struct-max hash aggregate (version
+    rides first in the struct, so ties are impossible and the payload
+    never sorts globally).  At 100 TB this is the compaction job that
+    bounds changelog reads; the aggregate is partial/map-side
+    combinable."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    log = (
+        o.withColumn("version", F.lit(1))
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 2 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 10.0)
+            .withColumn("version", F.lit(2))
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 6 == 0)
+            .withColumn("o_orderstatus", F.lit("X"))
+            .withColumn("o_totalprice", F.col("o_totalprice") + 20.0)
+            .withColumn("version", F.lit(3))
+        )
+    )
+    return (
+        log.groupBy("o_orderkey")
+        .agg(
+            F.max(
+                F.struct("version", "o_orderstatus", "o_totalprice")
+            ).alias("__cur")
+        )
+        .select(
+            "o_orderkey",
+            F.col("__cur.version").alias("version"),
+            F.col("__cur.o_orderstatus").alias("o_orderstatus"),
+            F.col("__cur.o_totalprice").alias("o_totalprice"),
+        )
+    )
+
+
+ORACLES["changelog_compact"] = """
+WITH log AS (
+  SELECT o_orderkey, 1 AS version, o_orderstatus, o_totalprice
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 2, o_orderstatus, o_totalprice + 10.0
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, 3, 'X', o_totalprice + 20.0
+  FROM orders WHERE o_orderkey % 6 = 0
+)
+SELECT o_orderkey, version, o_orderstatus, o_totalprice
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                   ORDER BY version DESC) AS rn
+      FROM log)
+WHERE rn = 1
+"""
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key: bit-interleave two join/filter
+    dimensions so a single sort co-locates both — the multi-dimension
+    data-skipping layout (row-group min/max stats prune on BOTH columns
+    after writing in z-order).  Pure row-local integer bit arithmetic,
+    identical in the oracle; the sort is the one shuffle a layout job
+    pays."""
+    o = t(spark, sf_dir, "orders")
+    a = (F.col("o_custkey") % 1024).cast("long")
+    b = (F.col("o_orderkey") % 1024).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(10):
+        z = (
+            z.bitwiseOR(
+                F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            ).bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1
+                )
+            )
+        )
+    return o.select(
+        "o_orderkey", "o_custkey", z.alias("zkey")
+    ).orderBy("zkey", "o_orderkey")
+
+
+def _zorder_sql() -> str:
+    bits = " | ".join(
+        f"((((o_custkey % 1024) >> {i}) & 1) << {2 * i})"
+        f" | ((((o_orderkey % 1024) >> {i}) & 1) << {2 * i + 1})"
+        for i in range(10)
+    )
+    return f"""
+SELECT o_orderkey, o_custkey, CAST({bits} AS BIGINT) AS zkey
+FROM orders
+ORDER BY zkey, o_orderkey
+"""
+
+
+ORACLES["zorder_key"] = _zorder_sql()
+
+
 def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter + projection with a computed column; both predicates and the
     two-column read reach the parquet scan (PushedFilters / ReadSchema)."""
@@ -2777,6 +2879,8 @@ QUERIES = {
     "funnel_steps": q_funnel_steps,
     "snapshot_roundtrip": q_snapshot_roundtrip,
     "join_asof_nearest": q_join_asof_nearest,
+    "changelog_compact": q_changelog_compact,
+    "zorder_key": q_zorder_key,
     "market_share": q_market_share,
     "sql_cte_window": q_sql_cte_window,
     "scalar_try": q_scalar_try,
