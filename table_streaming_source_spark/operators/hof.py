@@ -61,3 +61,22 @@ def bind_once(expr: Column, fn) -> Column:
     lambda over the one element.
     """
     return F.transform(F.array(expr), fn)[0]
+
+
+def morton_key(a, b, *, bits: int = 10):
+    """Morton (Z-order) interleave of two ``bits``-wide nonnegative
+    integer columns: ``a``'s bit *i* lands at position ``2i``, ``b``'s at
+    ``2i+1``.  Row-local integer arithmetic; sorting by the result
+    co-locates both dimensions for min/max data skipping
+    (``tests/test_scale_strategies.py`` proves the pruning on real
+    parquet footers)."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z

@@ -213,20 +213,14 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     after writing in z-order).  Pure row-local integer bit arithmetic,
     identical in the oracle; the sort is the one shuffle a layout job
     pays."""
+    from table_streaming_source_spark.operators.hof import morton_key
+
     o = t(spark, sf_dir, "orders")
-    a = (F.col("o_custkey") % 1024).cast("long")
-    b = (F.col("o_orderkey") % 1024).cast("long")
-    z = F.lit(0).cast("long")
-    for i in range(10):
-        z = (
-            z.bitwiseOR(
-                F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
-            ).bitwiseOR(
-                F.shiftleft(
-                    F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1
-                )
-            )
-        )
+    z = morton_key(
+        (F.col("o_custkey") % 1024).cast("long"),
+        (F.col("o_orderkey") % 1024).cast("long"),
+        bits=10,
+    )
     return o.select(
         "o_orderkey", "o_custkey", z.alias("zkey")
     ).orderBy("zkey", "o_orderkey")

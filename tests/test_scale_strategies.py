@@ -213,3 +213,69 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_layout_improves_file_skipping(spark, sf_dir, tmp_path):
+    """Z-ordered layout lets BOTH dimensions prune: with 16
+    range-partitioned files, a box on dim_a skips most z-ordered files
+    (each file pins the high bits of both dims) while the layout sorted
+    on dim_b alone cannot skip any — proven on real parquet footer
+    min/max stats.  Dims are hash-spread so both cover their full range
+    at every SF."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from table_streaming_source_spark.io import load_table
+    from table_streaming_source_spark.operators.hof import morton_key
+
+    dim_a = F.pmod(F.xxhash64(F.col("o_custkey")), F.lit(1024)).cast("long")
+    dim_b = F.pmod(F.xxhash64(F.col("o_orderkey")), F.lit(1024)).cast("long")
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            dim_a.alias("dim_a"),
+            dim_b.alias("dim_b"),
+        )
+        .withColumn(
+            "zkey", morton_key(F.col("dim_a"), F.col("dim_b"), bits=10)
+        )
+    )
+
+    def write_layout(order_col, path):
+        (
+            base.repartitionByRange(16, F.col(order_col))
+            .sortWithinPartitions(order_col)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    zpath, npath = str(tmp_path / "zorder"), str(tmp_path / "naive")
+    write_layout("zkey", zpath)
+    write_layout("dim_b", npath)
+
+    def files_overlapping_box(path):
+        hits = total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            if md.num_rows == 0:
+                continue
+            total += 1
+            cols = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.num_columns)
+            }
+            amin = min(
+                md.row_group(rg).column(cols["dim_a"]).statistics.min
+                for rg in range(md.num_row_groups)
+            )
+            if amin <= 127:  # box: dim_a < 128
+                hits += 1
+        return hits, total
+
+    z_hits, z_total = files_overlapping_box(zpath)
+    n_hits, n_total = files_overlapping_box(npath)
+    assert z_total >= 8 and n_total >= 8
+    assert n_hits == n_total          # dim_b sort cannot prune dim_a
+    assert z_hits <= z_total // 2     # z-order skips most files
