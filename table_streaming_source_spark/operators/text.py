@@ -457,6 +457,159 @@ def winnow_fingerprints(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    key: str,
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination by n-gram overlap — the standard
+    pre-training hygiene pass (GPT-3 §C / PaLM-style): a corpus document
+    is contaminated when it shares any word ``n``-gram with the held-out
+    benchmark set.
+
+    Scale shape: the benchmark side reduces to its **distinct shingle
+    set** (eval suites are tiny next to a 100 TB corpus) and is
+    broadcast, so corpus shingles never shuffle — the whole operator is
+    one broadcast-hash semi-count over the exploded corpus shingles plus
+    one co-partitioned left join to re-attach zero-overlap documents.
+    For a benchmark too large to broadcast, the same plan degrades to a
+    shuffled join on the 16-byte shingle hash.
+
+    Returns ``(key, n_shingles, n_overlap, contamination, contaminated)``;
+    documents with fewer than ``n`` tokens emit no row (they have no
+    shingles to match).
+    """
+    from table_streaming_source_spark.operators.dedup import shingle_table
+
+    corp_sh = shingle_table(corpus, text_col, key, n)
+    bench_set = (
+        shingle_table(benchmark, text_col, key, n)
+        .select("shingle")
+        .distinct()
+    )
+    sz = corp_sh.groupBy(key).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    hits = (
+        corp_sh.join(F.broadcast(bench_set), "shingle")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    n_ov = F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint")
+    return sz.join(hits, key, "left").select(
+        F.col(key),
+        F.col("n_shingles"),
+        n_ov.alias("n_overlap"),
+        F.round(n_ov / F.col("n_shingles"), 6).alias("contamination"),
+        (n_ov > 0).alias("contaminated"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    key: str,
+    *,
+    alpha: float = 0.7,
+    target: int = 300,
+) -> DataFrame:
+    """Temperature-weighted domain mixture sampling: stratum ``s`` gets a
+    quota ``⌊target · n_s^α / Σ n_t^α⌋`` documents (α < 1 upsamples rare
+    domains relative to proportional sampling — the multilingual /
+    domain-mixing rule of mBERT/XLM-R and LLM data recipes), filled by
+    the ``md5(key)``-smallest documents so membership is a pure function
+    of the key: reproducible across engines, partitionings, and reruns.
+
+    Scale shape: the per-stratum count table is tiny (one row per
+    domain) — aggregated, weighted, and broadcast back; the only big-data
+    shuffle is the per-stratum ``row_number`` exchange, which at 100 TB
+    is the same sort the stratified-quota sampler already pays (salt the
+    hash-rank into ``P`` subpartitions per stratum and take per-salt
+    quotas if one domain dominates the corpus).
+
+    Returns selected rows ``(key, strata, n_stratum, quota, rk)``.
+    """
+    counts = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_stratum")
+    )
+    pw = counts.withColumn(
+        "__pw", F.pow(F.col("n_stratum").cast("double"), F.lit(alpha))
+    )
+    tot = pw.agg(F.sum("__pw").alias("__t"))
+    quota = (
+        pw.crossJoin(F.broadcast(tot))
+        .select(
+            strata_col,
+            "n_stratum",
+            F.floor(F.lit(float(target)) * F.col("__pw") / F.col("__t"))
+            .cast("bigint")
+            .alias("quota"),
+        )
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(key).cast("string")), F.col(key)
+    )
+    ranked = df.select(
+        F.col(key),
+        F.col(strata_col),
+        F.row_number().over(w).cast("int").alias("rk"),
+    )
+    return (
+        ranked.join(F.broadcast(quota), strata_col)
+        .filter(F.col("rk") <= F.col("quota"))
+        .select(key, strata_col, "n_stratum", "quota", "rk")
+    )
+
+
+def vocab_coverage(
+    df: DataFrame, text_col: str, *, top_k: int = 500
+) -> DataFrame:
+    """Corpus vocabulary head: the ``top_k`` most frequent tokens with
+    rank, cumulative count, and cumulative corpus-coverage fraction —
+    the heavy-hitter / coverage curve a tokenizer-training or
+    stopword-selection pass reads first.
+
+    Scale shape: one hash aggregate on the token (map-side partial
+    combine does the heavy lifting; the post-aggregate vocabulary is
+    ≪ corpus size), then a single-partition rank window over vocab-sized
+    data.  At true web scale, pre-prune with a per-partition top-``k``
+    (any token in the global top-k is in some partition's top-k) before
+    the global window so the exchange carries ``partitions × k`` rows,
+    not the full vocabulary.
+
+    Returns ``(token, cnt, rank, cum_cnt, coverage)``.
+    """
+    tok = df.select(F.explode(_tokens(text_col)).alias("token"))
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = counts.agg(F.sum("cnt").cast("bigint").alias("__t"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    ranked = counts.select(
+        "token",
+        "cnt",
+        F.row_number().over(w).cast("int").alias("rank"),
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_cnt"),
+    )
+    return (
+        ranked.filter(F.col("rank") <= top_k)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "cnt",
+            "rank",
+            "cum_cnt",
+            F.round(F.col("cum_cnt") / F.col("__t"), 6).alias("coverage"),
+        )
+    )
+
+
 def pack_stats(
     df: DataFrame,
     text_col: str,

@@ -2046,7 +2046,109 @@ GROUP BY key
 """
 
 
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 3-gram with the
+    held-out benchmark slice (doc_id % 17 == 0) are flagged.  The
+    benchmark reduces to a broadcast distinct-shingle set — corpus
+    shingles never shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return X.decontaminate(corpus, bench, "text", "doc_id", n=3)
+
+
+ORACLES["text_decontaminate"] = f"""
+WITH {_SQL_SHINGLES3},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+corp AS (SELECT * FROM sh WHERE doc_id % 17 <> 0),
+sz AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corp GROUP BY doc_id),
+hit AS (
+  SELECT c.doc_id, COUNT(*) AS n_overlap
+  FROM corp c JOIN bench b USING (shingle)
+  GROUP BY c.doc_id
+)
+SELECT sz.doc_id,
+       sz.n_shingles,
+       COALESCE(hit.n_overlap, 0) AS n_overlap,
+       ROUND(COALESCE(hit.n_overlap, 0) / sz.n_shingles, 6)
+         AS contamination,
+       COALESCE(hit.n_overlap, 0) > 0 AS contaminated
+FROM sz LEFT JOIN hit USING (doc_id)
+"""
+
+
+def q_text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixture (α=0.7, target 300 docs):
+    per-source quotas ∝ n_s^α, filled by md5-hash order — the
+    domain-mixing sampler of multilingual / LLM data recipes."""
+    return X.mixture_sample(
+        t(spark, sf_dir, "documents"), "source", "doc_id",
+        alpha=0.7, target=300,
+    )
+
+
+ORACLES["text_mixture_sample"] = """
+WITH c AS (SELECT source, COUNT(*) AS n_stratum FROM documents GROUP BY source),
+w AS (SELECT source, n_stratum, POWER(CAST(n_stratum AS DOUBLE), 0.7) AS pw FROM c),
+tw AS (SELECT SUM(pw) AS t FROM w),
+q AS (
+  SELECT source, n_stratum,
+         CAST(FLOOR(300.0 * pw / (SELECT t FROM tw)) AS BIGINT) AS quota
+  FROM w
+),
+r AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS INT) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.source, q.n_stratum, q.quota, r.rk
+FROM r JOIN q USING (source)
+WHERE r.rk <= q.quota
+"""
+
+
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-500 tokens with rank, cumulative
+    count, and corpus-coverage fraction — the heavy-hitter curve a
+    tokenizer-training pass reads first."""
+    return X.vocab_coverage(
+        t(spark, sf_dir, "documents"), "text", top_k=500
+    )
+
+
+ORACLES["text_vocab_coverage"] = """
+WITH tok AS (
+  SELECT UNNEST(STRING_SPLIT(
+           REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token, COUNT(*) AS cnt FROM tok
+  WHERE LEN(token) > 0 GROUP BY token
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM counts),
+ranked AS (
+  SELECT token, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INT) AS rank,
+         CAST(SUM(cnt) OVER (
+           ORDER BY cnt DESC, token
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_cnt
+  FROM counts
+)
+SELECT token, cnt, rank, cum_cnt,
+       ROUND(cum_cnt / (SELECT t FROM tot), 6) AS coverage
+FROM ranked WHERE rank <= 500
+"""
+
+
 QUERIES_DEFERRED = {
+    "text_decontaminate": q_text_decontaminate,
+    "text_mixture_sample": q_text_mixture_sample,
+    "text_vocab_coverage": q_text_vocab_coverage,
     "dedup_incremental": q_dedup_incremental,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "sim_pq_encode": q_sim_pq_encode,

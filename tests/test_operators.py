@@ -578,3 +578,65 @@ def test_prefix_filter_equals_exhaustive(docs):
         )
     )
     assert pruned == exhaustive
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from table_streaming_source_spark.operators.text import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id int, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words then alpha beta gamma delta and more"),
+            (2, "totally different tokens here now"),
+            (3, "xy"),  # < n tokens: no shingles, no row
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in decontaminate(corpus, bench, "text", "doc_id", n=3).collect()
+    }
+    assert set(out) == {1, 2}
+    # doc 1 shares "alpha beta gamma" and "beta gamma delta"
+    assert out[1].contaminated and out[1].n_overlap == 2
+    assert not out[2].contaminated and out[2].n_overlap == 0
+
+
+def test_mixture_sample_quotas_and_determinism(spark):
+    from table_streaming_source_spark.operators.text import mixture_sample
+
+    rows = [(i, "big" if i < 80 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    out = mixture_sample(df, "source", "doc_id", alpha=0.5, target=20)
+    pdf = out.toPandas()
+    by_src = pdf.groupby("source").size().to_dict()
+    # alpha < 1 upsamples the rare stratum vs proportional (80/20)
+    quota = pdf.set_index("source")["quota"].to_dict()
+    assert by_src == {k: int(v) for k, v in quota.items()}
+    assert quota["small"] > 20 * (20 / 100) - 1  # above proportional share
+    assert (pdf["rk"] <= pdf["quota"]).all()
+    # deterministic across reruns
+    again = mixture_sample(
+        df, "source", "doc_id", alpha=0.5, target=20
+    ).toPandas()
+    assert sorted(again["doc_id"]) == sorted(pdf["doc_id"])
+
+
+def test_vocab_coverage_monotone_and_exact(spark):
+    from table_streaming_source_spark.operators.text import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d")], "doc_id int, text string"
+    )
+    pdf = (
+        vocab_coverage(df, "text", top_k=10)
+        .toPandas()
+        .sort_values("rank", ignore_index=True)
+    )
+    assert list(pdf["token"]) == ["a", "b", "c", "d"]
+    assert list(pdf["cnt"]) == [4, 3, 1, 1]
+    assert list(pdf["cum_cnt"]) == [4, 7, 8, 9]
+    assert abs(pdf["coverage"].iloc[-1] - 1.0) < 1e-9
+    assert pdf["coverage"].is_monotonic_increasing
