@@ -2830,8 +2830,154 @@ LEFT JOIN p ON v.user_id = p.user_id
 """
 
 
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill: monthly order counts and revenue
+    per priority on a **dense** month grid — missing (priority, month)
+    cells come back as explicit zeros, the precondition for any
+    window/EWMA pass over the series.
+
+    Scale shape: the grid is ``|priorities| × |months|`` — tiny, built
+    from a 1-row global-bounds aggregate cross-joined with the distinct
+    priorities and exploded via ``sequence()`` — and the dense grid
+    left-joins the aggregated facts (post-aggregation size, not fact
+    size).  At 100 TB the expensive side is the first hash aggregate,
+    which partial-combines map-side; the gap-fill itself never touches
+    raw facts.
+
+    Month is emitted as a ``yyyy-MM`` string on both engines (driver
+    hash compares dtype kinds; date vs datetime64 would skew).
+    """
+    o = t(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    actual = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            month.alias("m"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+    bounds = o.agg(F.min(month).alias("lo"), F.max(month).alias("hi"))
+    grid = (
+        o.select(F.col("o_orderpriority").alias("priority"))
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "priority",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 month"))
+            ).alias("m"),
+        )
+    )
+    return (
+        grid.join(actual, ["priority", "m"], "left")
+        .select(
+            "priority",
+            F.date_format("m", "yyyy-MM").alias("month"),
+            F.coalesce("n_orders", F.lit(0)).cast("bigint").alias(
+                "n_orders"
+            ),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+    )
+
+
+ORACLES["ts_gapfill"] = f"""
+WITH actual AS (
+  SELECT o_orderpriority AS priority,
+         CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS m,
+         COUNT(*) AS n_orders,
+         {sql_dsum('o_totalprice')} AS revenue
+  FROM orders GROUP BY 1, 2
+),
+b AS (
+  SELECT CAST(DATE_TRUNC('month', MIN(o_orderdate)) AS DATE) AS lo,
+         CAST(DATE_TRUNC('month', MAX(o_orderdate)) AS DATE) AS hi
+  FROM orders
+),
+grid AS (
+  SELECT p.priority, CAST(u.m AS DATE) AS m
+  FROM (SELECT DISTINCT o_orderpriority AS priority FROM orders) p,
+       b,
+       UNNEST(GENERATE_SERIES(b.lo, b.hi, INTERVAL 1 MONTH)) AS u(m)
+)
+SELECT g.priority,
+       STRFTIME(g.m, '%Y-%m') AS month,
+       COALESCE(a.n_orders, 0) AS n_orders,
+       COALESCE(a.revenue, 0) AS revenue
+FROM grid g LEFT JOIN actual a ON a.priority = g.priority AND a.m = g.m
+"""
+
+
+def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-lookback exponential moving average (decay 0.7 over the
+    trailing 8 events) per event type — the smoothing pass monitoring
+    pipelines run over metric streams.
+
+    Spark has no EWMA aggregate; instead of a Python UDAF the frame is
+    materialized row-locally (``collect_list`` over the ordered window —
+    at most 8 elements regardless of data size) and folded JVM-side with
+    ``F.aggregate``, newest-first, carrying ``(weighted sum, weight,
+    weight total)`` through one pass.  One exchange on ``event_type``;
+    everything after is codegen'd array arithmetic, no UDF, state bounded
+    by the frame length — the 100 TB cost is exactly the sort any
+    per-key window already pays.
+
+    The oracle states the same quantity as the closed-form weighted
+    self-join (``POWER(decay, rank_gap)`` over the trailing frame).
+    """
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, 0)
+    )
+    frame = F.reverse(F.collect_list("value").over(w))
+    acc = F.aggregate(
+        frame,
+        F.struct(
+            F.lit(0.0).alias("s"),
+            F.lit(1.0).alias("w"),
+            F.lit(0.0).alias("z"),
+        ),
+        lambda a, x: F.struct(
+            (a["s"] + a["w"] * x).alias("s"),
+            (a["w"] * F.lit(0.7)).alias("w"),
+            (a["z"] + a["w"]).alias("z"),
+        ),
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.round(acc["s"] / acc["z"], 6).alias("ewma"),
+    )
+
+
+ORACLES["window_ewma"] = """
+WITH r AS (
+  SELECT event_id, event_type, ts, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+         ) AS rn
+  FROM events
+)
+SELECT a.event_id, a.event_type, a.ts, a.value,
+       ROUND(SUM(POWER(0.7, a.rn - b.rn) * b.value)
+             / SUM(POWER(0.7, a.rn - b.rn)), 6) AS ewma
+FROM r a JOIN r b
+  ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 7 AND a.rn
+GROUP BY a.event_id, a.event_type, a.ts, a.value
+"""
+
+
 QUERIES = {
     "snapshot_scan": q_snapshot_scan,
+    "ts_gapfill": q_ts_gapfill,
+    "window_ewma": q_window_ewma,
     "snapshot_diff": q_snapshot_diff,
     "filter_project": q_filter_project,
     "pricing_summary": q_pricing_summary,
