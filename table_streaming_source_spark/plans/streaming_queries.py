@@ -472,9 +472,101 @@ GROUP BY user_id
 """
 
 
+def q_streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True-streaming session windows (30-minute gap) per user:
+    ``session_window`` + watermark over a multi-batch file stream,
+    drained with availableNow in complete mode.  Sessions MERGE across
+    micro-batches in the state store (a later event can bridge two
+    open sessions into one) — the stateful behavior batch twins can't
+    exercise — yet the drained result equals the batch gaps-and-islands
+    session computation, so the same oracle as ``window_session``
+    value-checks it.
+
+    Session stores apply the late-row filter even in complete mode, so
+    the watermark (90 days) exceeds the fixture's 30-day span: the
+    unordered multi-batch file drain never classifies an event as late
+    and no session evicts.  At scale the watermark shrinks to the real
+    disorder bound and per-user session state is reclaimed continuously;
+    the state-store partition count is scoped per-query via
+    ``_stream_shuffle``."""
+    events = t(spark, sf_dir, "events").select("ts", "user_id", "value")
+    base = tempfile.mkdtemp(prefix="tsss_streaming_sess_")
+    src = f"{base}/in"
+    events.repartition(8).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "90 days")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+    name = f"__stream_sess_{abs(hash(base)) % 10**8}"
+    with _stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
+
+    result = (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+# identical contract to the batch twin window_session: the streamed,
+# state-merged sessions must equal the gaps-and-islands formulation
+ORACLES["streaming_session_agg"] = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessioned AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                               ) AS session_seq
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+       COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM sessioned GROUP BY user_id, session_seq
+"""
+
+
 #: past the driver's 50-entry correctness window this round (covered by
 #: scripts/check_oracle.py; rotate into _PRIORITY next round)
 QUERIES_DEFERRED = {
     "streaming_interval_join_outer": q_streaming_interval_join_outer,
     "streaming_running_totals": q_streaming_running_totals,
+    "streaming_session_agg": q_streaming_session_agg,
 }
