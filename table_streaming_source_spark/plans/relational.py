@@ -2974,10 +2974,122 @@ GROUP BY a.event_id, a.event_type, a.ts, a.value
 """
 
 
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: flag events whose value deviates from
+    the per-type median by more than 2.5× the median absolute deviation
+    (MAD) — the standard robust z-score monitor (median/MAD shrug off
+    the very outliers that poison mean/stddev).
+
+    Scale shape: two exact-percentile aggregates over the fact table
+    (each one shuffle on ``event_type``; swap in ``approx_percentile``'s
+    mergeable t-digest at 100 TB) produce one tiny (type, med, mad) row
+    per group, broadcast back onto the facts — flagging itself is a
+    row-local filter, no extra exchange.  Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the interpolation definition, so
+    med/mad (and every derived double) are bit-identical, no rounding.
+    """
+    e = t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "__ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("__ad", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("__ad") > 2.5 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "med",
+            "mad",
+            (F.col("__ad") / F.col("mad")).alias("mad_ratio"),
+        )
+    )
+
+
+ORACLES["anomaly_mad"] = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         ABS(e.value - m.med) AS ad
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.value, d.med, m2.mad,
+       d.ad / m2.mad AS mad_ratio
+FROM dev d JOIN mad m2 USING (event_type)
+WHERE d.ad > 2.5 * m2.mad
+"""
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence mining: the per-user event-type transition matrix
+    (Markov counts + conditional probabilities) — which action follows
+    which, the first thing session-behavior analysis computes.
+
+    Scale shape: one ``lead`` window per user (the same user-keyed sort
+    every sessionization pass pays), then a hash aggregate on the
+    (from, to) pair — a key space of |types|², tiny — and a window sum
+    for the row-normalized probabilities.  Probabilities are exact
+    BIGINT/BIGINT divisions, identical on both engines.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = F.sum("n").over(Window.partitionBy("event_type")).cast("bigint")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        (F.col("n") / tot).alias("p"),
+    )
+
+
+ORACLES["markov_transitions"] = """
+WITH s AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type, next_type, COUNT(*) AS n
+  FROM s WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, n,
+       n / CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS p
+FROM c
+"""
+
+
 QUERIES = {
     "snapshot_scan": q_snapshot_scan,
     "ts_gapfill": q_ts_gapfill,
     "window_ewma": q_window_ewma,
+    "anomaly_mad": q_anomaly_mad,
+    "markov_transitions": q_markov_transitions,
     "snapshot_diff": q_snapshot_diff,
     "filter_project": q_filter_project,
     "pricing_summary": q_pricing_summary,
