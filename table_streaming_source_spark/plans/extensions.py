@@ -2145,10 +2145,100 @@ FROM ranked WHERE rank <= 500
 """
 
 
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram language-model fluency score with add-1 smoothing:
+    per-doc mean ``ln P(w_i | w_{i-1})`` where ``P = (c2+1)/(c1+V)``
+    over corpus-wide bigram/history counts — the step up from the
+    unigram scorer, sensitive to word *order* scrambling that unigram
+    stats can't see.
+
+    Shape: bigrams are built row-locally (a transform over the token
+    array — no self-join on position), then one hash aggregate each for
+    bigram and history counts, broadcast back onto the exploded bigram
+    rows.  At web scale the (w1, w2) count table outgrows broadcast:
+    the same plan degrades to a shuffled join on the bigram key.  Log
+    values round to 9 digits and sum on the decimal path (libm-ulp and
+    order-proof, the ``text_unigram_logprob`` convention)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim("text"), r"\s+"), lambda x: F.length(x) > 0
+    )
+    pair_t = "array<struct<w1:string,w2:string>>"
+    bigrams = (
+        docs.select("doc_id", toks.alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("__toks") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("__toks") - 2),
+                        lambda i: F.struct(
+                            F.element_at("__toks", i + 1).alias("w1"),
+                            F.element_at("__toks", i + 2).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast(pair_t))
+            ).alias("__bg"),
+        )
+        .select("doc_id", F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    )
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        docs.select(F.explode(toks).alias("token")).distinct().count()
+    )
+    lp = F.round(
+        F.log((F.col("c2") + 1) / (F.col("c1") + F.lit(vocab))), 9
+    ).cast("decimal(18,9)")
+    return (
+        bigrams.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(lp).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+ORACLES["text_bigram_lm"] = """
+WITH toks AS (
+  SELECT doc_id,
+         STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents
+),
+big AS (
+  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+  FROM toks, UNNEST(RANGE(1, LEN(tk))) AS u(i)
+  WHERE LEN(tk) >= 2 AND LEN(tk[1]) > 0
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+v AS (
+  SELECT COUNT(DISTINCT token) AS v FROM (
+    SELECT UNNEST(tk) AS token FROM toks
+  ) WHERE LEN(token) > 0
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(ROUND(
+               LN((c2.c2 + 1) / (c1.c1 + (SELECT v FROM v))), 9)
+             AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+FROM big b
+JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+JOIN c1 ON b.w1 = c1.w1
+GROUP BY b.doc_id
+"""
+
+
 QUERIES_DEFERRED = {
     "text_decontaminate": q_text_decontaminate,
     "text_mixture_sample": q_text_mixture_sample,
     "text_vocab_coverage": q_text_vocab_coverage,
+    "text_bigram_lm": q_text_bigram_lm,
     "dedup_incremental": q_dedup_incremental,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "sim_pq_encode": q_sim_pq_encode,

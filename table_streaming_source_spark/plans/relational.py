@@ -3084,12 +3084,149 @@ FROM c
 """
 
 
+def q_agg_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles with a *provable* rank-bound check — the
+    same treatment ``agg_approx_distinct`` gives HLL.  The GK sketch
+    behind ``percentile_approx`` is merge-order-dependent (unlike HLL's
+    commutative register-max), so the approximate VALUE cannot be
+    hash-compared across engines; what IS deterministic is its
+    guarantee: rank error ≤ n/accuracy.  We verify the guarantee inside
+    the engine — count rows ≤ the approx answer and check the rank —
+    and emit the exact quantile plus the boolean; the oracle states the
+    exact quantile and literal TRUE.
+
+    Scale shape: the exact percentile is the checkable baseline at test
+    SF; the approx path (mergeable constant-size sketch partials, no
+    per-group sort) is what survives 100 TB — this entry proves its
+    error contract rather than trusting it."""
+    l = t(spark, sf_dir, "lineitem")
+    acc = 1000
+    exact = l.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50_exact"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    approx = l.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", F.lit(0.5), F.lit(acc)
+        ).alias("__p50_approx")
+    )
+    ranked = (
+        l.join(F.broadcast(approx), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("__p50_approx")).cast(
+                    "long"
+                )
+            ).alias("__rank")
+        )
+    )
+    return (
+        exact.join(ranked, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "p50_exact",
+            "n",
+            (
+                F.abs(F.col("__rank") - 0.5 * F.col("n"))
+                <= F.col("n") / acc + 1
+            ).alias("approx_rank_ok"),
+        )
+    )
+
+
+ORACLES["agg_approx_quantile_bound"] = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+       COUNT(*) AS n,
+       TRUE AS approx_rank_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention analysis: users grouped by first-activity week,
+    distinct active users per (cohort, week offset), retention as the
+    fraction of the cohort still active — the canonical product-metrics
+    rollup.
+
+    Scale shape: one user-keyed aggregate for first-activity, one
+    distinct-reduce of (user, week) activity, one shuffled join back on
+    ``user_id`` (all three co-partition on the same key), then a hash
+    aggregate on the tiny (cohort, offset) key space and a broadcast of
+    the offset-0 cohort sizes.  Offsets are exact integer day
+    arithmetic; retention is BIGINT/BIGINT division, identical on both
+    engines."""
+    e = t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("__cohort")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("__wk")
+    ).distinct()
+    counts = (
+        activity.join(first, "user_id")
+        .groupBy(
+            "__cohort",
+            F.floor(
+                F.datediff(
+                    F.col("__wk").cast("date"), F.col("__cohort").cast("date")
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+    base = counts.filter(F.col("week_offset") == 0).select(
+        "__cohort", F.col("n_users").alias("__n0")
+    )
+    return (
+        counts.join(F.broadcast(base), "__cohort")
+        .select(
+            F.date_format("__cohort", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+            (F.col("n_users") / F.col("__n0")).alias("retention"),
+        )
+    )
+
+
+ORACLES["cohort_retention"] = """
+WITH first AS (
+  SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort FROM events
+  GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS wk FROM events
+),
+counts AS (
+  SELECT f.cohort,
+         CAST(FLOOR(DATE_DIFF('day', f.cohort, a.wk) / 7) AS INT)
+           AS week_offset,
+         COUNT(DISTINCT a.user_id) AS n_users
+  FROM activity a JOIN first f USING (user_id)
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT cohort, n_users AS n0 FROM counts WHERE week_offset = 0
+)
+SELECT STRFTIME(c.cohort, '%Y-%m-%d') AS cohort_week,
+       c.week_offset, c.n_users,
+       c.n_users / b.n0 AS retention
+FROM counts c JOIN base b USING (cohort)
+"""
+
+
 QUERIES = {
     "snapshot_scan": q_snapshot_scan,
     "ts_gapfill": q_ts_gapfill,
     "window_ewma": q_window_ewma,
     "anomaly_mad": q_anomaly_mad,
     "markov_transitions": q_markov_transitions,
+    "agg_approx_quantile_bound": q_agg_approx_quantile_bound,
+    "cohort_retention": q_cohort_retention,
     "snapshot_diff": q_snapshot_diff,
     "filter_project": q_filter_project,
     "pricing_summary": q_pricing_summary,
