@@ -54,6 +54,10 @@ HEADLINE = [
     "dedup_jaccard_prefix",
     "multimodal_pixel_stats",
     "text_winnow",
+    # round 2b additions: stateful session merge, decontamination, EWMA
+    "streaming_session_agg",
+    "text_decontaminate",
+    "window_ewma",
 ]
 
 

@@ -535,8 +535,16 @@ def mixture_sample(
     counts = df.groupBy(strata_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_stratum")
     )
+    # weights ride the rounded-decimal path: a double SUM's merge order
+    # varies run to run (and engine to engine), which can flip floor()
+    # at a quota boundary.  round-9 absorbs libm pow ulp skew while
+    # n_stratum^alpha ≪ 1e4 (ulp ~1e-13); the decimal sum is exact and
+    # associative, so the total is bit-stable under any partitioning.
     pw = counts.withColumn(
-        "__pw", F.pow(F.col("n_stratum").cast("double"), F.lit(alpha))
+        "__pw",
+        F.round(
+            F.pow(F.col("n_stratum").cast("double"), F.lit(alpha)), 9
+        ).cast("decimal(18,9)"),
     )
     tot = pw.agg(F.sum("__pw").alias("__t"))
     quota = (
@@ -544,7 +552,11 @@ def mixture_sample(
         .select(
             strata_col,
             "n_stratum",
-            F.floor(F.lit(float(target)) * F.col("__pw") / F.col("__t"))
+            F.floor(
+                F.lit(float(target))
+                * F.col("__pw").cast("double")
+                / F.col("__t").cast("double")
+            )
             .cast("bigint")
             .alias("quota"),
         )

@@ -2089,11 +2089,15 @@ def q_text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["text_mixture_sample"] = """
 WITH c AS (SELECT source, COUNT(*) AS n_stratum FROM documents GROUP BY source),
-w AS (SELECT source, n_stratum, POWER(CAST(n_stratum AS DOUBLE), 0.7) AS pw FROM c),
+w AS (SELECT source, n_stratum,
+             CAST(ROUND(POWER(CAST(n_stratum AS DOUBLE), 0.7), 9)
+                  AS DECIMAL(18,9)) AS pw
+      FROM c),
 tw AS (SELECT SUM(pw) AS t FROM w),
 q AS (
   SELECT source, n_stratum,
-         CAST(FLOOR(300.0 * pw / (SELECT t FROM tw)) AS BIGINT) AS quota
+         CAST(FLOOR(300.0 * CAST(pw AS DOUBLE)
+                    / (SELECT CAST(t AS DOUBLE) FROM tw)) AS BIGINT) AS quota
   FROM w
 ),
 r AS (
