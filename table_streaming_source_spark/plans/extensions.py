@@ -2238,8 +2238,61 @@ GROUP BY b.doc_id
 """
 
 
+def q_sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation as a first-class operator: per-query
+    recall@5 of the multi-probe LSH path against the exact brute-force
+    top-5 — the metric an index-tuning loop (planes / probes / cells)
+    optimizes, computed inside the engine instead of in a notebook.
+
+    Both sides are existing catalog plans; the eval adds one equi-join
+    on (query, neighbor) and a per-query aggregate.  Recall is an exact
+    integer ratio.  The oracle recomputes BOTH paths in SQL (the
+    deterministic md5-seeded plane matrix makes the approximation
+    itself reproducible) — so the metric, not just the inputs, is
+    value-checked."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = S.cosine_topk(emb, q, k=5, round_digits=6).select(
+        "query_id", "neighbor_id"
+    )
+    ann = (
+        S.ann_topk_lsh(
+            emb, q, k=5, num_planes=8, dim=64,
+            multi_probe=True, round_digits=6,
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        exact.join(ann, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits")
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits") / F.lit(5)).alias("recall"),
+        )
+    )
+
+
+ORACLES["sim_recall_eval"] = f"""
+SELECT e.query_id,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+       COUNT(a.neighbor_id) / 5 AS recall
+FROM ({ORACLES["sim_topk"]}) e
+LEFT JOIN ({_ann_multiprobe_sql()}) a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
 QUERIES_DEFERRED = {
     "text_decontaminate": q_text_decontaminate,
+    "sim_recall_eval": q_sim_recall_eval,
     "text_mixture_sample": q_text_mixture_sample,
     "text_vocab_coverage": q_text_vocab_coverage,
     "text_bigram_lm": q_text_bigram_lm,
