@@ -156,3 +156,64 @@ def asof_join(
     return matched.select(
         [F.col("__l")[c].alias(c) for c in left.columns] + right_cols
     )
+
+
+def bloom_prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    *,
+    m_bits: int = 1 << 16,
+    num_hashes: int = 3,
+    how: str = "inner",
+) -> DataFrame:
+    """Explicit Bloom-filter semi-join reduction: prune the fact side
+    *before* its shuffle using an ``m_bits``-bit fingerprint of the dim
+    keys, then run the exact join.
+
+    The 100 TB shape this exists for: the dim side is too big to
+    broadcast (so the join is sort-merge, both sides shuffle), but its
+    key *fingerprint* — here 8 KB at the defaults — broadcasts for
+    free.  Fact rows that cannot match never enter the exchange; false
+    positives (bounded by the classic ``(1-e^{-kn/m})^k``) merely ride
+    along and are dropped by the exact join, so the operator is
+    value-invisible — the result equals the plain join, which is
+    exactly what the oracle states.  Spark's own runtime bloom
+    (``spark.sql.optimizer.runtime.bloomFilter``) does this adaptively
+    for selective joins; this surface is the *explicit* form for when
+    the planner can't see the selectivity (e.g. the dim side is the
+    output of an upstream pipeline stage).
+
+    Build: ``num_hashes`` positions per key → distinct → OR-fold into
+    64-bit words → one map row, broadcast.  All JVM bit arithmetic, no
+    UDFs, no collect.
+    """
+    hashes = [
+        F.pmod(F.xxhash64(F.col(key), F.lit(j)), F.lit(m_bits))
+        for j in range(num_hashes)
+    ]
+    pos = dim.select(F.explode(F.array(*hashes)).alias("__p")).distinct()
+    words = pos.groupBy(
+        F.shiftright(F.col("__p"), 6).alias("__w")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(1L, cast(__p % 64 as int)))"
+        ).alias("__bits")
+    )
+    bm = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__w", "__bits"))
+        ).alias("__bm")
+    )
+    pruned = fact.crossJoin(F.broadcast(bm))
+    for j in range(num_hashes):
+        # SQL form: shift amounts must be expressions, which the Python
+        # shiftright/shiftleft helpers don't accept
+        h = f"pmod(xxhash64(`{key}`, {j}), {m_bits})"
+        pruned = pruned.filter(
+            F.expr(
+                f"(shiftright(coalesce(element_at(__bm, shiftright({h}, 6)),"
+                f" 0L), cast({h} % 64 as int)) & 1) = 1"
+            )
+        )
+    return pruned.drop("__bm").join(dim, key, how)

