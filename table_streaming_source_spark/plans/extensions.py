@@ -2290,9 +2290,41 @@ GROUP BY e.query_id
 """
 
 
+def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall evaluation as a first-class operator: what fraction of
+    the true near-dup pairs (exhaustive 3-gram Jaccard ≥ 0.2) does the
+    MinHash-LSH pipeline recover?  The band/hash tuning loop optimizes
+    exactly this number; computing it in-engine keeps the evaluation on
+    the same data path as production.  Both sides are existing catalog
+    plans; the verified LSH output is a subset of the truth (same
+    shingle definition, same threshold), so recall is one exact
+    BIGINT/BIGINT ratio."""
+    truth = q_dedup_ngram_jaccard(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    found = q_dedup_minhash_lsh(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_found")
+    )
+    return truth.crossJoin(found).select(
+        "n_true",
+        "n_found",
+        (F.col("n_found") / F.col("n_true")).alias("recall"),
+    )
+
+
+ORACLES["dedup_recall_eval"] = f"""
+SELECT t.n_true, f.n_found, f.n_found / t.n_true AS recall
+FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_true
+      FROM ({ORACLES["dedup_ngram_jaccard"]})) t,
+     (SELECT CAST(COUNT(*) AS BIGINT) AS n_found
+      FROM ({ORACLES["dedup_minhash_lsh"]})) f
+"""
+
+
 QUERIES_DEFERRED = {
     "text_decontaminate": q_text_decontaminate,
     "sim_recall_eval": q_sim_recall_eval,
+    "dedup_recall_eval": q_dedup_recall_eval,
     "text_mixture_sample": q_text_mixture_sample,
     "text_vocab_coverage": q_text_vocab_coverage,
     "text_bigram_lm": q_text_bigram_lm,
