@@ -495,8 +495,11 @@ def q_streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.repartition(8).write.mode("overwrite").parquet(src)
 
     stream = (
+        # 4 of 8 files per trigger → 2 micro-batches: sessions still merge
+        # across batches in the store (the behavior under test), at half
+        # the complete-mode re-emission + state-checkpoint overhead
         spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", "2")
+        .option("maxFilesPerTrigger", "4")
         .parquet(src)
     )
     agg = (
