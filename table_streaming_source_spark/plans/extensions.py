@@ -2321,10 +2321,117 @@ FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_true
 """
 
 
+def q_pipeline_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining data *recipe* as one declarative plan —
+    complement of ``pipeline_corpus_prep`` (which is the cleaning
+    side): benchmark decontamination → exact dedup → temperature-
+    weighted domain mixing → context-window packing, ending in the
+    exact layout a trainer consumes.
+
+    Shuffle budget: shingle explode + broadcast benchmark semi-count
+    (decontamination), one digest-partition window (dedup), one
+    per-stratum rank exchange (mixing), one shard shuffle + window
+    (packing).  Every stage is individually oracle-checked elsewhere;
+    the composition — where stage-ordering bugs live — is value-checked
+    here."""
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    deco = (
+        X.decontaminate(corpus, bench, "text", "doc_id", n=3)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    clean = corpus.join(deco, "doc_id")
+    fp = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    )
+    w = Window.partitionBy("__fp")
+    dd = (
+        clean.withColumn("__fp", fp)
+        .withColumn("__canon", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__canon"))
+        .select("doc_id", "source", "text")
+    )
+    sel = X.mixture_sample(dd, "source", "doc_id", alpha=0.7, target=200)
+    picked = dd.join(sel.select("doc_id"), "doc_id")
+    pack = X.pack_sequences(picked, "text", "doc_id", budget=512, shards=4)
+    return pack.join(picked.select("doc_id", "source"), "doc_id")
+
+
+ORACLES["pipeline_pretrain_mix"] = f"""
+WITH {_SQL_SHINGLES3},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+corp_sh AS (SELECT * FROM sh WHERE doc_id % 17 <> 0),
+contaminated AS (
+  SELECT DISTINCT c.doc_id FROM corp_sh c JOIN bench b USING (shingle)
+),
+clean AS (
+  SELECT d.doc_id, d.source, d.text FROM documents d
+  WHERE d.doc_id % 17 <> 0
+    AND d.doc_id IN (SELECT DISTINCT doc_id FROM corp_sh)
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+fp AS (
+  SELECT doc_id, source, text,
+         MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS f
+  FROM clean
+),
+dd AS (
+  SELECT doc_id, source, text FROM (
+    SELECT fp.*, MIN(doc_id) OVER (PARTITION BY f) AS canon FROM fp
+  ) WHERE doc_id = canon
+),
+c AS (SELECT source, COUNT(*) AS n_stratum FROM dd GROUP BY source),
+wgt AS (SELECT source,
+               CAST(ROUND(POWER(CAST(n_stratum AS DOUBLE), 0.7), 9)
+                    AS DECIMAL(18,9)) AS pw
+        FROM c),
+tw AS (SELECT SUM(pw) AS t FROM wgt),
+q AS (SELECT source,
+             CAST(FLOOR(200.0 * CAST(pw AS DOUBLE)
+                        / (SELECT CAST(t AS DOUBLE) FROM tw)) AS BIGINT)
+               AS quota
+      FROM wgt),
+r AS (
+  SELECT doc_id, source, text,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM dd
+),
+picked AS (SELECT r.doc_id, r.source, r.text
+           FROM r JOIN q USING (source) WHERE r.rk <= q.quota),
+b AS (
+  SELECT doc_id, source,
+         CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           % 4 AS shard,
+         LEN(LIST_FILTER(
+           STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' '),
+           x -> LEN(x) > 0)) AS n_tokens
+  FROM picked
+),
+c2 AS (
+  SELECT doc_id, source, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - n_tokens AS "offset"
+  FROM b
+)
+SELECT doc_id, source, CAST(shard AS BIGINT) AS shard,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST("offset" AS BIGINT) AS "offset",
+       CAST(FLOOR("offset" / 512.0) AS INT) AS pack_id
+FROM c2
+"""
+
+
 QUERIES_DEFERRED = {
     "text_decontaminate": q_text_decontaminate,
     "sim_recall_eval": q_sim_recall_eval,
     "dedup_recall_eval": q_dedup_recall_eval,
+    "pipeline_pretrain_mix": q_pipeline_pretrain_mix,
     "text_mixture_sample": q_text_mixture_sample,
     "text_vocab_coverage": q_text_vocab_coverage,
     "text_bigram_lm": q_text_bigram_lm,
