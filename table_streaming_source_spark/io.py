@@ -57,16 +57,21 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Raw parquet read of one fixture table (TESTDATA.md contract).
 
-    ``events.parquet`` stores nanosecond timestamps, which Spark's parquet
-    reader rejects by default; we read them as longs
-    (``spark.sql.legacy.parquet.nanosAsLong``, a dynamic conf) and convert
-    to microsecond timestamps with exact integer division (``div`` — a
-    double-path division would lose low bits above 2^53 ns).  DuckDB
-    truncates ns→µs the same way, so oracle comparison is exact.
+    The fixture timestamps are tz-naive (parquet isAdjustedToUTC=false):
+    read them as TIMESTAMP (UTC instants) rather than TIMESTAMP_NTZ —
+    watermarks require TIMESTAMP event time, and under the UTC session
+    zone the wall-clock values are identical to what DuckDB's oracle
+    sees.  Older fixture generations stored ``events.ts`` as nanosecond
+    timestamps, which Spark's parquet reader rejects by default; that
+    path reads them as longs (``spark.sql.legacy.parquet.nanosAsLong``)
+    and converts with exact integer division (``div`` — a double-path
+    division would lose low bits above 2^53 ns), matching DuckDB's
+    ns→µs truncation.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = f"{sf_dir}/{name}.parquet"
     if name != "events":
         return spark.read.parquet(path)

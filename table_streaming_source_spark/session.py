@@ -49,7 +49,12 @@ def get_spark(
         )
         # Arrow for any pandas-UDF / toPandas path (vectorized transfer).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Deterministic timestamp semantics for oracle comparison.
+        # Deterministic timestamp semantics for oracle comparison.  The
+        # fixture parquet stores tz-naive timestamps (isAdjustedToUTC=false);
+        # reading them as TIMESTAMP_NTZ would break watermarks (Spark
+        # requires TIMESTAMP event time), so read them as UTC instants —
+        # identical wall-clock under the UTC session zone below.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
