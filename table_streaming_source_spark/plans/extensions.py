@@ -1147,7 +1147,9 @@ FROM p
 def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram log-probability scoring (the classic LM-free
     fluency/quality signal): two hash aggregates (unigram counts, then
-    per-doc sum of log probs) + one broadcast join on the token.  Log
+    per-doc sum of log probs) + one equi join on the token (the vocab
+    table grows with the corpus — Heaps' law — so no forced broadcast;
+    AQE converts when it is actually small).  Log
     values are rounded to 9 digits and summed on the decimal path —
     libm's ln differs across engines in the last ulp, and a double sum
     would also be order-dependent; rounding+decimal gives bit-stable
@@ -1168,7 +1170,7 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,9)"
     )
     return (
-        toks.join(F.broadcast(uni), "token")
+        toks.join(uni, "token")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -2196,8 +2198,8 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log((F.col("c2") + 1) / (F.col("c1") + F.lit(vocab))), 9
     ).cast("decimal(18,9)")
     return (
-        bigrams.join(F.broadcast(c2), ["w1", "w2"])
-        .join(F.broadcast(c1), "w1")
+        bigrams.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),

@@ -504,11 +504,16 @@ FROM orders GROUP BY o_orderstatus
 # ---------------------------------------------------------------------------
 
 def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi inner join (fact ⋈ broadcast dim) + aggregate."""
+    """Equi inner join (fact ⋈ dim) + aggregate.
+
+    No broadcast hint on ``customer``: it grows with SF (150k × SF rows),
+    so a forced hint would OOM executors at 100×. AQE converts the join
+    to broadcast at runtime whenever the build side is actually small.
+    """
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -595,7 +600,7 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (l.l_quantity <= p.p_size + 5)
     )
     return (
-        l.join(F.broadcast(p), cond)
+        l.join(p, cond)
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
@@ -659,7 +664,9 @@ def q_flagship_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: the reference's documented enrichment pattern
     (`docs/Table-streamingsource.md:10-14`) — fact stream enriched through
     the snapshot dimension chain customer→nation→region, then aggregated.
-    Dimensions broadcast; the only shuffle is the final aggregation."""
+    Only the bounded dims (nation 25 rows, region 5 rows) carry broadcast
+    hints; ``customer`` scales with the fact data, so AQE decides its join
+    strategy at runtime from observed sizes."""
     l = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
@@ -668,7 +675,7 @@ def q_flagship_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -696,8 +703,9 @@ GROUP BY r_name, n_name
 
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: top-10 unshipped orders by revenue for one segment
-    — selective dimension filter broadcast into the fact spine, grouped
-    revenue, global top-k."""
+    — selective dimension filter into the fact spine, grouped revenue,
+    global top-k.  ``customer`` carries no broadcast hint (it scales with
+    the facts); AQE picks the join strategy from runtime sizes."""
     l = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer").filter(
@@ -709,7 +717,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") > cutoff)
         .join(o.filter(F.col("o_orderdate") < cutoff),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(revenue, 6).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
@@ -768,7 +776,9 @@ def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
     (HAVING over an aggregate), joined back to order/customer detail —
     the aggregate-filter-then-rejoin pattern.  The filtered key set is
-    small, so the join back is broadcast."""
+    usually tiny, but it scales with the fact data, so it carries no
+    forced broadcast hint — AQE converts the join back to broadcast at
+    runtime when the filtered side is actually small."""
     l = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
@@ -778,8 +788,8 @@ def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sum_qty") > 250)
     )
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -1026,10 +1036,9 @@ GROUP BY CAST(FLOOR(o_totalprice / 50000) AS INT)
 
 def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: shipping volume between distinct nation pairs by
-    year.  The fact spine (lineitem⋈orders) shuffles once; both nation
-    lookups ride broadcast chains (customer⋈nation on one side,
-    supplier⋈nation on the other), so adding the second dimension chain
-    costs zero extra fact shuffles."""
+    year.  The fact spine (lineitem⋈orders) shuffles once; the bounded
+    nation projections broadcast on both chains.  ``customer`` (which
+    scales with the facts) has no forced hint — AQE decides it."""
     l = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -1040,7 +1049,7 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(n.select(
                 F.col("n_nationkey").alias("__cnk"),
@@ -1097,8 +1106,8 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(_rev(), 6).alias("revenue"))
@@ -1125,7 +1134,8 @@ LIMIT 20
 
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promo revenue share for one month — conditional
-    aggregation over a broadcast part join, reduced to a single scalar
+    aggregation over the part join (no forced broadcast — part scales
+    with SF; AQE converts when small), reduced to a single scalar
     row.  Both the conditional and total sums ride the decimal path so
     the ratio is bit-identical."""
     l = t(spark, sf_dir, "lineitem").filter(
@@ -1135,7 +1145,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
     promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             (100 * dsum(promo, 6) / dsum(_rev(), 6)).alias("promo_revenue")
         )
@@ -1154,12 +1164,12 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-01'
 def q_discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunction of brand/size/quantity conjunctions.
     The OR-of-ANDs references both join sides, so it must stay a
-    post-join filter — but the partkey equi-key still drives a broadcast
-    hash join, and Catalyst extracts the common single-side conjuncts
-    for pushdown."""
+    post-join filter — but the partkey equi-key keeps this a hash join
+    (broadcast via AQE when the part side is small), and Catalyst
+    extracts the common single-side conjuncts for pushdown."""
     l = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    j = l.join(p, l.l_partkey == p.p_partkey)
     b = F.col("p_brand")
     sz = F.col("p_size")
     q = F.col("l_quantity")
@@ -1248,8 +1258,9 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one supplier-nation's share of regional revenue
     per year — conditional-sum over total-sum on the same aggregate
     (numerator rides the same decimal sums as the denominator, so the
-    ratio is exact).  The fact spine shuffles once; both nation chains
-    broadcast."""
+    ratio is exact).  The fact spine shuffles once; the bounded nation/
+    region/supplier sides broadcast, while ``customer`` is left to
+    AQE."""
     l = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
@@ -1270,7 +1281,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cust_nation), c.c_nationkey == F.col("__cnk"))
         .join(F.broadcast(r), F.col("__crk") == r.r_regionkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
@@ -1438,7 +1449,7 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        best.join(p, best.l_partkey == p.p_partkey)
         .join(F.broadcast(s), best.suppkey == s.s_suppkey)
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "unit_price")
     )
@@ -1638,8 +1649,9 @@ GROUP BY d.mk_tag
 
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: revenue where customer and supplier share a nation
-    — six-table join with two broadcast dimension chains hanging off the
-    fact spine (lineitem⋈orders shuffles; everything else broadcasts)."""
+    — six-table join with dimension chains hanging off the fact spine
+    (lineitem⋈orders shuffles; bounded dims broadcast by hint, customer
+    by AQE when small)."""
     l = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
@@ -1649,7 +1661,7 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
             (l.l_suppkey == s.s_suppkey)
@@ -1688,7 +1700,7 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k-per-group: no global sort, one hash partition by group)."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
-    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    j = o.join(c, o.o_custkey == c.c_custkey)
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
@@ -2472,9 +2484,10 @@ FROM (
 def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (adapted: no partsupp, so unit supply cost is proxied
     by 10% of the part's retail price): profit by supplier nation × order
-    year over parts matching a name fragment.  Three broadcast dimensions
-    into the fact spine; the only big-big shuffle is lineitem⋈orders on
-    the order key."""
+    year over parts matching a name fragment.  Bounded dims broadcast by
+    hint; the name-filtered ``part`` slice scales with SF so AQE decides
+    it; the only unavoidable big-big shuffle is lineitem⋈orders on the
+    order key."""
     l = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
@@ -2485,7 +2498,7 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("p_retailprice") * 0.1 * F.col("l_quantity")
     )
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -2618,7 +2631,7 @@ def q_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     complaints = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     pairs = l.select("l_partkey", "l_suppkey").distinct()
     return (
-        pairs.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        pairs.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(
             F.broadcast(complaints),
             F.col("l_suppkey") == F.col("s_suppkey"),
@@ -2649,21 +2662,18 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: average yearly revenue lost if small-quantity
     orders (below 20% of the part's mean order quantity) were not taken,
-    for one brand.  The per-part mean is a broadcast aggregate joined
-    back to the fact — no correlated re-scan; the mean takes the decimal
+    for one brand.  The per-part mean is an aggregate joined back to
+    the fact (AQE broadcasts it when small) — no correlated re-scan; the
+    mean takes the decimal
     path so the 20% threshold compares identically on both engines."""
     l = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
-    brand_lines = l.join(
-        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
-    )
+    brand_lines = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
     per_part_avg = brand_lines.groupBy(
         F.col("l_partkey").alias("__pk")
     ).agg(davg("l_quantity", 2).alias("__avg_qty"))
     return (
-        brand_lines.join(
-            F.broadcast(per_part_avg), F.col("l_partkey") == F.col("__pk")
-        )
+        brand_lines.join(per_part_avg, F.col("l_partkey") == F.col("__pk"))
         .filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
         .agg((dsum("l_extendedprice", 2) / 7.0).alias("avg_yearly"))
     )
@@ -2700,7 +2710,7 @@ def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         shipped.join(
-            F.broadcast(promo),
+            promo,
             F.col("l_partkey") == F.col("p_partkey"),
             "left_semi",
         )

@@ -1,0 +1,221 @@
+"""Golden-plan regression gates.
+
+Plan-shape invariants for the headline queries — the properties that make
+them survive a 100× scale-up — pinned as tests so a regressed hint or an
+accidental extra shuffle fails CI, not the 100 TB run:
+
+* **No forced broadcast of scale-growing tables.** With
+  ``autoBroadcastJoinThreshold=-1`` (and AQE off) the planner broadcasts
+  ONLY where the code carries an explicit ``F.broadcast`` hint, so the
+  set of base tables scanned under ``BroadcastExchange`` nodes is exactly
+  the set of hinted builds.  Golden sets below allow bounded dims
+  (nation 25, region 5, supplier SF×10k — the reference's snapshot-dim
+  scale) and bounded-cardinality derived aggregates, never a raw
+  customer/orders/lineitem/part scan.  Re-adding ``F.broadcast(customer)``
+  flips a golden set and fails the test.
+* **Stats/AQE still deliver broadcast at fixture scale.**  Removing the
+  hints must not cost the small-SF plan its BroadcastHashJoin — the
+  planner's own statistics pick it when the side is genuinely small.
+* **Shuffle budgets.**  Each query's count of shuffle exchanges in the
+  final adaptive plan has a golden upper bound; an accidental
+  repartition/extra aggregation step breaks it.
+* **Top-k stays TakeOrderedAndProject** — never a global sort.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from table_streaming_source_spark.plans import catalog
+
+#: column-prefix → TPC-H table, for classifying scans inside a broadcast
+_PFX = {
+    "l_": "lineitem",
+    "o_": "orders",
+    "c_": "customer",
+    "n_": "nation",
+    "r_": "region",
+    "s_": "supplier",
+    "p_": "part",
+}
+
+#: golden: base tables scanned under BroadcastExchange when ONLY explicit
+#: hints can broadcast.  "lineitem"/"part" entries are bounded-cardinality
+#: derived aggregates (a scalar max, a supplier-keyed candidate set) whose
+#: subtree scans those tables — not raw-table broadcasts.
+_HINTED_BROADCASTS = {
+    "flagship_enrichment": {"nation", "region"},
+    "join_inner": set(),
+    "shipping_priority": set(),
+    "large_volume_orders": set(),
+    "returned_items": {"nation"},
+    "market_share": {"nation", "region", "supplier"},
+    "local_supplier_volume": {"nation", "region", "supplier"},
+    "nation_volume": {"nation", "supplier"},
+    "product_profit": {"nation", "supplier"},
+    "supplier_cnt": {"supplier"},
+    "small_qty_revenue": set(),
+    "excess_suppliers": {"lineitem", "part"},  # supplier-keyed candidate set
+    "promo_revenue": set(),
+    "discounted_brand_revenue": set(),
+    "min_cost_supplier": {"supplier"},
+    "window_topk_per_group": set(),
+    "join_theta_range": set(),
+    "top_supplier": {"lineitem", "supplier"},  # scalar max-revenue row
+    "pricing_summary": set(),
+}
+
+
+def _walk(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk(ch.apply(i))
+
+
+def _broadcast_tables(df) -> set[str]:
+    """Base tables scanned under any BroadcastExchange in the prepared
+    (unexecuted) physical plan."""
+    out: set[str] = set()
+    for n in _walk(df._jdf.queryExecution().executedPlan()):
+        if "BroadcastExchange" not in n.nodeName():
+            continue
+        for m in _walk(n):
+            if "Scan" not in m.nodeName():
+                continue
+            head = m.toString().split("\n")[0]
+            cols = re.search(r"\[([a-z_0-9#, L]+)\]", head)
+            first = cols.group(1).split(",")[0].strip() if cols else ""
+            out.add(
+                next(
+                    (t for p, t in _PFX.items() if first.startswith(p)),
+                    f"other:{first}",
+                )
+            )
+    return out
+
+
+@pytest.fixture(scope="module")
+def hints_only(spark):
+    """Planner state where broadcast can ONLY come from explicit hints."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    yield spark
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize("name", sorted(_HINTED_BROADCASTS))
+def test_hinted_broadcasts_are_bounded_dims_only(hints_only, sf_dir, name):
+    df = catalog.QUERIES[name](hints_only, sf_dir)
+    got = _broadcast_tables(df)
+    assert got == _HINTED_BROADCASTS[name], (
+        f"{name}: hinted broadcast set changed — raw customer/orders/"
+        f"lineitem/part must never carry a forced hint (got {sorted(got)})"
+    )
+    assert not any(t.startswith("other:") for t in got), got
+
+
+def _final_plan(df) -> str:
+    df.write.format("noop").mode("overwrite").save()
+    return (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+
+
+def _broadcast_subtrees(plan: str) -> list[str]:
+    """Text of each BroadcastExchange subtree in a rendered plan tree."""
+    lines = plan.split("\n")
+
+    def indent(s: str) -> int:
+        return len(s) - len(s.lstrip(" :+-|"))
+
+    out = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        base = indent(line)
+        sub = [line]
+        for nxt in lines[i + 1 :]:
+            if nxt.strip() and indent(nxt) <= base:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
+@pytest.fixture
+def stats_planner(spark):
+    """Explicit default-stats planner state (AQE on, 10 MB threshold) —
+    self-contained so ordering against the module-scoped ``hints_only``
+    fixture cannot leak ``-1`` thresholds into this test."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "10485760",
+        "spark.sql.adaptive.enabled": "true",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    yield spark
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_unhinted_customer_still_broadcasts_at_fixture_scale(
+    stats_planner, sf_dir
+):
+    """Removing the forced hint must not cost the small-SF plan its
+    broadcast: the planner's statistics (or AQE at runtime) still build
+    a BroadcastHashJoin on customer when it is actually small."""
+    plan = _final_plan(
+        catalog.QUERIES["flagship_enrichment"](stats_planner, sf_dir)
+    )
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert any(
+        "c_custkey" in sub or "c_nationkey" in sub
+        for sub in _broadcast_subtrees(plan)
+    ), f"customer no longer broadcast at fixture scale:\n{plan}"
+
+
+#: golden upper bound on shuffle exchanges in the final adaptive plan
+_SHUFFLE_BUDGET = {
+    "pricing_summary": 1,  # partial+final agg = one exchange
+    "window_topk_per_group": 2,  # join + window partition (AQE may fuse)
+    "flagship_enrichment": 3,  # fact⋈fact + distinct-agg pair
+    "shipping_priority": 3,  # two fact sides + group agg (top-k no sort)
+    "order_limit_topk": 1,  # TakeOrderedAndProject, no global sort
+    "text_tfidf": 4,  # tf agg + df agg + term join + final
+    "sim_topk": 1,  # corpus never shuffles; per-query top-k window
+}
+
+
+@pytest.mark.parametrize("name", sorted(_SHUFFLE_BUDGET))
+def test_shuffle_budget(stats_planner, sf_dir, name):
+    plan = _final_plan(catalog.QUERIES[name](stats_planner, sf_dir))
+    n = len(re.findall(r"Exchange (?:hash|range|SinglePartition)", plan))
+    assert n <= _SHUFFLE_BUDGET[name], (
+        f"{name}: {n} shuffle exchanges > budget "
+        f"{_SHUFFLE_BUDGET[name]}\n{plan}"
+    )
+
+
+@pytest.mark.parametrize("name", ["shipping_priority", "order_limit_topk"])
+def test_topk_never_global_sorts(stats_planner, sf_dir, name):
+    plan = _final_plan(catalog.QUERIES[name](stats_planner, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
