@@ -102,6 +102,8 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_interval_join_outer",
     "streaming_running_totals",
     "streaming_session_agg",
+    # --- new this round ---
+    "streaming_session_agg_update",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"

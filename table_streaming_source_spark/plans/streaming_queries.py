@@ -566,10 +566,131 @@ FROM sessioned GROUP BY user_id, session_seq
 """
 
 
+def q_streaming_session_agg_update(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Production-shape streaming session aggregation: session windows in
+    **append output mode with a real watermark and a parquet file sink** —
+    the shape that survives 100× state, unlike the complete-mode demo twin
+    (``q_streaming_session_agg``), which re-emits ALL session state every
+    micro-batch.  Here a session is emitted exactly once, when the
+    watermark passes its end, and its state is evicted; steady-state
+    store size is (disorder bound × arrival rate), not total history.
+
+    Append mode drops any event older than the watermark, so a naive
+    unordered file drain would nondeterministically lose rows.  The
+    fixture is therefore replayed in event-time order: four time-range
+    chunks whose forced, strictly-increasing mtimes make FileStreamSource
+    process them oldest-first (it lists by (mtime, path)), guaranteeing
+    no event ever arrives behind the watermark — which is precisely how a
+    live stream with bounded disorder looks to the engine.
+
+    Emission boundary (verified empirically on this Spark): a session is
+    finalized iff ``last_ts + gap <= max(ts) − watermark``; the
+    availableNow drain runs a trailing no-data micro-batch that flushes
+    sessions eligible under the final watermark.  Sessions newer than
+    that stay open in the store — exactly the rows the oracle excludes.
+    """
+    events = t(spark, sf_dir, "events").select("ts", "user_id", "value")
+    base = tempfile.mkdtemp(prefix="tsss_streaming_sessu_")
+    src, out, ck = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+
+    import os as _os
+
+    mm = events.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).head()
+    lo, hi = mm.lo, mm.hi
+    cuts = [lo + (hi - lo) * k / 4 for k in (1, 2, 3)]
+    ranges = list(zip([None, *cuts], [*cuts, None]))
+    _os.makedirs(src, exist_ok=True)
+    stamp = 1_700_000_000  # any fixed base; only the ordering matters
+    for i, (start, end) in enumerate(ranges):
+        chunk = events
+        if start is not None:
+            chunk = chunk.filter(F.col("ts") >= F.lit(start))
+        if end is not None:
+            chunk = chunk.filter(F.col("ts") < F.lit(end))
+        seen = set(_os.listdir(src))
+        chunk.coalesce(1).write.mode("append").parquet(src)
+        for name in set(_os.listdir(src)) - seen:
+            _os.utime(f"{src}/{name}", (stamp + i, stamp + i))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "7 days")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    with _stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
+
+    result = spark.read.parquet(out).localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+# the oracle states the append-mode contract directly: exactly the
+# sessions the watermark finalized (last event + gap at or before
+# max(ts) − 7 days), none of the still-open ones
+ORACLES["streaming_session_agg_update"] = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessioned AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                               ) AS session_seq
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts,
+         COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+  FROM sessioned GROUP BY user_id, session_seq
+)
+SELECT user_id, session_start, n_events, sum_value
+FROM sess
+WHERE last_ts + INTERVAL 30 MINUTE
+      <= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY
+"""
+
+
 #: past the driver's 50-entry correctness window this round (covered by
 #: scripts/check_oracle.py; rotate into _PRIORITY next round)
 QUERIES_DEFERRED = {
     "streaming_interval_join_outer": q_streaming_interval_join_outer,
     "streaming_running_totals": q_streaming_running_totals,
     "streaming_session_agg": q_streaming_session_agg,
+    "streaming_session_agg_update": q_streaming_session_agg_update,
 }
