@@ -9,9 +9,13 @@ never read the bytes).
 ``decode_media`` is the decode/feature-extract step as an Arrow-batched
 ``mapInPandas`` pipeline.  The metadata path is REAL: ``decoder='parse'``
 sniffs and parses container headers with :mod:`struct` alone (PNG IHDR,
-RIFF/WAVE fmt+data, RIFF/AVI avih — :func:`parse_container`), and the
-fixture adapter :func:`attach_container_payload` synthesizes spec-valid
-container bytes to parse.  Only the full pixel/sample decode is stubbed
+GIF87a/89a screen+image descriptors, RIFF/WAVE fmt+data, RIFF/AVI avih —
+:func:`parse_container`), and the fixture adapter
+:func:`attach_container_payload` synthesizes spec-valid container bytes
+to parse.  Full pixel/sample decode is REAL for the formats stdlib can
+express: PNG (zlib inflate + unfilter, :func:`png_pixels`), GIF
+(variable-width LZW + palette, :func:`gif_pixels`), WAV PCM
+(:func:`wav_pcm`).  Only true lossy codecs are stubbed
 (``decoder='real'`` raises — Pillow/av/ffmpeg are not in this container);
 ``decoder='fake'`` remains for non-container fixture payloads.
 """
@@ -164,6 +168,28 @@ def parse_container(payload: bytes) -> tuple[str, int, int, int]:
         if not block_align or data_size is None:
             raise ValueError("WAVE without fmt/data chunks")
         return "audio", -1, -1, data_size // block_align
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 13:
+            raise ValueError("truncated GIF header")
+        width, height, packed, _, _ = struct.unpack("<HHBBB", payload[6:13])
+        off = 13 + (3 * (2 << (packed & 0x07)) if packed & 0x80 else 0)
+        n_frames = 0
+        while off < len(payload) and payload[off] != 0x3B:
+            marker = payload[off]
+            if marker == 0x21:  # extension
+                _, off = _gif_subblocks(payload, off + 2)
+            elif marker == 0x2C:  # image descriptor
+                ipacked = payload[off + 9]
+                off += 10
+                if ipacked & 0x80:
+                    off += 3 * (2 << (ipacked & 0x07))
+                _, off = _gif_subblocks(payload, off + 1)
+                n_frames += 1
+            else:
+                raise ValueError(f"unknown GIF block 0x{marker:02x}")
+        if n_frames == 0:
+            raise ValueError("GIF without an image descriptor")
+        return "image", width, height, n_frames
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         idx = payload.find(b"avih")
         if idx < 0 or idx + 8 + 56 > len(payload):
@@ -629,7 +655,7 @@ def image_pixel_stats(
                 "edge_energy",
             )}
             for k, payload in zip(pdf[key], pdf[payload_col]):
-                px = png_pixels(bytes(payload)).astype(np.int64)
+                px = decode_pixels(bytes(payload)).astype(np.int64)
                 out["key"].append(int(k))
                 out["height"].append(px.shape[0])
                 out["width"].append(px.shape[1])
@@ -654,6 +680,267 @@ def image_pixel_stats(
             )
 
     return df.mapInPandas(batches, schema=PIXEL_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# image: real GIF (LZW) pixel decode — the second true-codec path the
+# sandbox permits stdlib-only (variable-width LZW per the public GIF89a
+# spec), alongside PNG zlib-inflate.  JPEG/H.264/MP3 remain stubbed.
+# ---------------------------------------------------------------------------
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF variable-width LZW compress (LSB-first bit packing).
+
+    Width-growth discipline matches the classic GIF encoder lineage
+    (emit with current width, THEN grow when the next assignable code
+    no longer fits, THEN add the new entry); table reset via CLEAR at
+    4096 entries.  The decoder below is its spec-exact inverse — the
+    pairing is verified by round-trip property tests plus a known
+    in-the-wild GIF fixture."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    next_code = eoi + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    buf = bytearray()
+    acc = nbits = 0
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    w = b""
+    for ch in indices:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        put(table[w])
+        if next_code > (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+        else:  # table full: emit CLEAR (at width 12) and start over
+            put(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            width = min_code_size + 1
+            next_code = eoi + 1
+        w = bytes([ch])
+    if w:
+        put(table[w])
+        if next_code > (1 << width) - 1 and width < 12:
+            width += 1
+    put(eoi)
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF variable-width LZW decompress (the standard decoder: entry
+    added per code read, width grows when the table reaches the current
+    code range, KwKwK case handled, CLEAR resets).  Tolerates a missing
+    end-of-information code — common in minimal GIFs in the wild."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: dict[int, bytes] = {}
+    width = min_code_size + 1
+    next_code = eoi + 1
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, next_code, prev
+        table = {i: bytes([i]) for i in range(clear)}
+        width = min_code_size + 1
+        next_code = eoi + 1
+        prev = None
+
+    reset()
+    out = bytearray()
+    acc = nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= clear:
+                raise ValueError("first LZW code is not a literal")
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def synth_gif_pixels(width: int, height: int, seed: int) -> bytes:
+    """A spec-valid GIF89a whose pixels follow the same deterministic
+    formula as :func:`synth_png_pixels` (``p(x,y) = (7x+13y+seed) % 256``):
+    256-entry grayscale global palette (identity: index i → gray i),
+    real variable-width LZW image data in ≤255-byte sub-blocks.  A SQL
+    oracle restates the pixels from the formula while the Spark side
+    must genuinely LZW-decompress the bytes it reads."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    px = ((7 * x + 13 * y + seed) % 256).astype(np.uint8)
+    palette = bytes(c for i in range(256) for c in (i, i, i))
+    # logical screen descriptor: GCT present, color res 7, GCT size 7 (256)
+    lsd = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    imgdesc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    lzw = _lzw_encode(px.tobytes(), 8)
+    blocks = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return (
+        b"GIF89a" + lsd + palette + imgdesc + b"\x08" + blocks + b"\x00"
+        + b"\x3b"
+    )
+
+
+def _gif_subblocks(payload: bytes, off: int) -> tuple[bytes, int]:
+    """Concatenate GIF data sub-blocks starting at ``off``; return
+    (data, offset past the block terminator)."""
+    data = bytearray()
+    while True:
+        if off >= len(payload):
+            raise ValueError("truncated GIF sub-blocks")
+        size = payload[off]
+        off += 1
+        if size == 0:
+            return bytes(data), off
+        data += payload[off : off + size]
+        if len(payload) < off + size:
+            raise ValueError("truncated GIF sub-blocks")
+        off += size
+
+
+def gif_pixels(payload: bytes) -> "object":
+    """Decode the first frame of a GIF87a/89a to an ``(h, w)`` uint8
+    numpy array of gray values — real stdlib-only LZW decompression +
+    palette lookup.  Non-grayscale palettes and interlaced frames
+    raise: a real pipeline routes those rows to quarantine or plugs a
+    full codec in behind the same contract."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    _, _, packed, _, _ = struct.unpack("<HHBBB", payload[6:13])
+    off = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[off : off + 3 * n]
+        off += 3 * n
+    while off < len(payload):
+        marker = payload[off]
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x21:  # extension: label + sub-blocks
+            _, off = _gif_subblocks(payload, off + 2)
+            continue
+        if marker != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{marker:02x}")
+        if off + 10 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        _, _, w, h, ipacked = struct.unpack(
+            "<HHHHB", payload[off + 1 : off + 10]
+        )
+        off += 10
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF not supported by this decoder")
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = payload[off : off + 3 * n]
+            off += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame without a palette")
+        min_code_size = payload[off]
+        data, off = _gif_subblocks(payload, off + 1)
+        idx = np.frombuffer(
+            _lzw_decode(data, min_code_size), dtype=np.uint8
+        )
+        if idx.size != w * h:
+            raise ValueError("GIF pixel count mismatch")
+        p = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+        if (p[:, 0] != p[:, 1]).any() or (p[:, 1] != p[:, 2]).any():
+            raise ValueError(
+                "only grayscale palettes supported by this decoder"
+            )
+        return p[idx, 0].reshape(h, w)
+    raise ValueError("GIF without an image descriptor")
+
+
+def decode_pixels(payload: bytes) -> "object":
+    """Sniff-and-dispatch pixel decode: PNG (zlib inflate + unfilter)
+    or GIF (LZW + palette).  Other containers raise ``ValueError`` —
+    route them through :func:`quarantine_decode`."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_pixels(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_pixels(payload)
+    raise ValueError(f"no pixel decoder for magic {payload[:6]!r}")
+
+
+def attach_gif_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one :func:`synth_gif_pixels` per key (same
+    geometry formulas as :func:`attach_pixel_payload`)."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_gif_pixels(
+                            16 + (7 * int(k)) % 48,
+                            16 + (13 * int(k)) % 48,
+                            int(k),
+                        )
+                        for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
 
 
 QUARANTINE_SCHEMA = StructType(

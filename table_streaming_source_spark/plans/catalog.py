@@ -104,6 +104,7 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_session_agg",
     # --- new this round ---
     "streaming_session_agg_update",
+    "multimodal_gif_stats",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"

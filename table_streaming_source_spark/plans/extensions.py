@@ -2048,6 +2048,46 @@ GROUP BY key
 """
 
 
+def q_multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF pixel decode: every image key gets a spec-valid GIF89a
+    (variable-width LZW image data, 256-entry grayscale palette,
+    formula-stated pixels); the Spark side must genuinely LZW-decompress
+    and palette-map the bytes to produce geometry, exact brightness
+    sums, min/max, and horizontal edge energy.  Same stats contract and
+    oracle form as ``multimodal_pixel_stats`` — the decode path under
+    test is the LZW codec instead of zlib inflate.  With PNG and WAV
+    this leaves only true lossy codecs (JPEG/H.264/MP3) stubbed."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    imgs = M.attach_gif_payload(docs, "doc_id")
+    return M.image_pixel_stats(imgs)
+
+
+ORACLES["multimodal_gif_stats"] = """
+WITH im AS (
+  SELECT doc_id AS key,
+         16 + (7 * doc_id) % 48 AS w,
+         16 + (13 * doc_id) % 48 AS h
+  FROM documents WHERE doc_id % 3 = 1
+),
+px AS (
+  SELECT key, w, h, ux.x AS x, uy.y AS y,
+         (7 * ux.x + 13 * uy.y + key) % 256 AS p
+  FROM im, UNNEST(RANGE(0, w)) AS ux(x), UNNEST(RANGE(0, h)) AS uy(y)
+)
+SELECT key,
+       CAST(ANY_VALUE(w) AS INT) AS width,
+       CAST(ANY_VALUE(h) AS INT) AS height,
+       CAST(SUM(p) AS BIGINT) AS sum_px,
+       CAST(MIN(p) AS INT) AS min_px,
+       CAST(MAX(p) AS INT) AS max_px,
+       CAST(SUM(CASE WHEN x < w - 1
+                     THEN ABS((7 * (x + 1) + 13 * y + key) % 256 - p)
+                     ELSE 0 END) AS BIGINT) AS edge_energy
+FROM px
+GROUP BY key
+"""
+
+
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing any 3-gram with the
     held-out benchmark slice (doc_id % 17 == 0) are flagged.  The
@@ -2447,6 +2487,7 @@ QUERIES_DEFERRED = {
     "sim_sq_search": q_sim_sq_search,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_pixel_stats": q_multimodal_pixel_stats,
+    "multimodal_gif_stats": q_multimodal_gif_stats,
     "sim_ivfpq_search": q_sim_ivfpq_search,
     "text_winnow": q_text_winnow,
     "multimodal_quarantine": q_multimodal_quarantine,

@@ -145,3 +145,78 @@ def test_png_pixel_decode_roundtrip(spark):
         assert (r.width, r.height) == (w, h)
         assert r.sum_px == int(p.sum())
         assert r.edge_energy == int(np.abs(np.diff(p, axis=1)).sum())
+
+
+def test_gif_lzw_round_trip_and_spec_anchor():
+    """The LZW encoder/decoder pair must round-trip data that forces
+    code-width growth and ≥1 full-table (4096) CLEAR reset, and the
+    decoder must read a known in-the-wild GIF (CLEAR handling, missing
+    EOI tolerated) — anchoring it to the public spec, not merely to the
+    sibling encoder."""
+    import base64
+    import random
+
+    from table_streaming_source_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+        gif_pixels,
+    )
+
+    rng = random.Random(7)
+    for n in (1, 300, 5000, 40000):  # 40k random bytes ⇒ table resets
+        data = bytes(rng.randrange(256) for _ in range(n))
+        assert _lzw_decode(_lzw_encode(data, 8), 8) == data
+    runs = bytes([i // 100 % 4 for i in range(30000)])  # KwKwK chains
+    assert _lzw_decode(_lzw_encode(runs, 2), 2) == runs
+
+    tiny = base64.b64decode(  # the classic 1×1 black GIF
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    px = gif_pixels(tiny)
+    assert px.shape == (1, 1) and px[0, 0] == 0
+
+
+def test_gif_pixel_decode_roundtrip(spark):
+    """synth_gif_pixels → gif_pixels must round-trip the formula;
+    image_pixel_stats must dispatch GIF and PNG payloads alike; broken
+    frames raise ValueError (the quarantine contract)."""
+    import numpy as np
+
+    from table_streaming_source_spark.operators.multimodal import (
+        attach_gif_payload,
+        attach_pixel_payload,
+        gif_pixels,
+        image_pixel_stats,
+        parse_container,
+        synth_gif_pixels,
+    )
+
+    px = gif_pixels(synth_gif_pixels(20, 10, seed=5))
+    assert px.shape == (10, 20)
+    x = np.arange(20)[None, :]; y = np.arange(10)[:, None]
+    assert (px == ((7 * x + 13 * y + 5) % 256)).all()
+    assert parse_container(synth_gif_pixels(20, 10, 5)) == (
+        "image", 20, 10, 1,
+    )
+
+    df = spark.createDataFrame([(5,), (12,)], "doc_id long")
+    gif_stats = {
+        r.key: r
+        for r in image_pixel_stats(attach_gif_payload(df, "doc_id")).collect()
+    }
+    png_stats = {
+        r.key: r
+        for r in image_pixel_stats(
+            attach_pixel_payload(df, "doc_id")
+        ).collect()
+    }
+    # same formula, two codecs: stats must agree exactly
+    for k in (5, 12):
+        assert gif_stats[k] == png_stats[k]
+
+    for bad in (
+        synth_gif_pixels(8, 8, 0)[:20],  # truncated
+        b"GIF89a\x00",  # no screen descriptor
+    ):
+        with pytest.raises(ValueError):
+            gif_pixels(bad)
