@@ -58,6 +58,10 @@ HEADLINE = [
     "streaming_session_agg",
     "text_decontaminate",
     "window_ewma",
+    # round 3 additions: production-shape (append-mode, file-sink) session
+    # aggregation and the GIF LZW decode path
+    "streaming_session_agg_update",
+    "multimodal_gif_stats",
 ]
 
 

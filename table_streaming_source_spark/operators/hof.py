@@ -8,40 +8,37 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-#: memoized partition counts keyed by (session id, analyzed-plan semantic
-#: hash): ``df.rdd`` builds a physical plan + RDD DAG per call, which is
-#: pure overhead when the same logical input is probed repeatedly
-#: (k-means iterations, multi-branch dedup plans)
-_SPREAD_NPART_CACHE: dict[tuple[int, int], int] = {}
-
-
 def spread(df: DataFrame, parallelism: Optional[int] = None) -> DataFrame:
     """Round-robin repartition before CPU-heavy row-local compute — only
     when the input is underparallelized.
 
     Single-file fixture tables arrive as one input partition; per-row
-    signature/dot-product work then runs on one core.  If the input is
-    already spread (e.g. a cached snapshot from ``io.load_table``), this
-    is a no-op — no extra exchange.  At 100 TB inputs arrive in thousands
-    of splits and this never fires.  ``parallelism=0`` disables.
+    signature/dot-product work then runs on one core.  If the input
+    already reads from enough splits, this is a no-op — no extra
+    exchange.  At 100 TB inputs arrive in thousands of splits and this
+    never fires.  ``parallelism=0`` disables.
 
-    The partition probe (``df.rdd.getNumPartitions()``) materializes a
-    physical plan, so its result is memoized per (session, semantic hash)
-    — repeat calls on the same logical input are free.
+    The probe never touches ``df.rdd`` (which would build a full
+    physical plan + RDD DAG per call).  Two cheap driver-side signals:
+
+    - ``df.storageLevel``: a persisted input is the snapshot cache from
+      ``io.load_table``, which already applied its spread-at-cache
+      policy (repartition to default parallelism for tables above the
+      size floor) — re-shuffling it here would add an exchange per call
+      and defeat the cache.
+    - ``df.inputFiles()``: file-scan-rooted plans report their split
+      count from metadata the relation has already listed.  Plans with
+      no file root (in-memory fixtures, streaming) report zero files and
+      take the repartition: correct for their actual fixture size, and
+      the shuffled volume is by construction small.
     """
     if parallelism == 0:
         return df
     n = parallelism or df.sparkSession.sparkContext.defaultParallelism
     try:
-        key = (
-            id(df.sparkSession._jsparkSession),
-            df._jdf.queryExecution().analyzed().semanticHash(),
-        )
-        nparts = _SPREAD_NPART_CACHE.get(key)
-        if nparts is None:
-            nparts = df.rdd.getNumPartitions()
-            _SPREAD_NPART_CACHE[key] = nparts
-        if nparts >= max(2, n // 2):
+        if df.storageLevel.useMemory or df.storageLevel.useDisk:
+            return df
+        if len(df.inputFiles()) >= max(2, n // 2):
             return df
     except Exception:
         pass
