@@ -67,21 +67,39 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and converts with exact integer division (``div`` — a double-path
     division would lose low bits above 2^53 ns), matching DuckDB's
     ns→µs truncation.
+
+    Sessions built by :func:`session.get_spark` already pin the NTZ conf;
+    for externally-created sessions the confs here are a defensive
+    fallback, snapshotted and restored after schema resolution (which is
+    when parquet type mapping consults them) so a passed-in session's
+    state is not mutated.  The one exception: when the legacy nanos path
+    is actually active, ``nanosAsLong`` stays set — the runtime scan of
+    the cached plan still needs it.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    ntz_key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    nanos_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior_ntz = spark.conf.get(ntz_key, None)
+    spark.conf.set(ntz_key, "false")
     path = f"{sf_dir}/{name}.parquet"
-    if name != "events":
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    if isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return df
+    try:
+        if name != "events":
+            return spark.read.parquet(path)
+        prior_nanos = spark.conf.get(nanos_key, None)
+        spark.conf.set(nanos_key, "true")
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif prior_nanos is not None:
+            spark.conf.set(nanos_key, prior_nanos)
+        return df
+    finally:
+        if prior_ntz is not None:
+            spark.conf.set(ntz_key, prior_ntz)
 
 
 def load_table(

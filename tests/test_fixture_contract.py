@@ -14,6 +14,7 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     FloatType,
+    IntegerType,
     LongType,
     StringType,
     TimestampType,
@@ -44,8 +45,51 @@ _REQUIRED = {
         "vec_id": LongType(),
         "embedding": ArrayType(FloatType()),
     },
-    "orders": {"o_orderdate": TimestampType()},
-    "lineitem": {"l_shipdate": TimestampType()},
+    # the numeric join/aggregate columns every oracle-compared TPC-H plan
+    # relies on: a storage-type drift (e.g. l_quantity double→decimal)
+    # must fail here, not as an obscure hash mismatch downstream
+    "region": {"r_regionkey": IntegerType(), "r_name": StringType()},
+    "nation": {
+        "n_nationkey": IntegerType(),
+        "n_name": StringType(),
+        "n_regionkey": IntegerType(),
+    },
+    "customer": {
+        "c_custkey": LongType(),
+        "c_nationkey": IntegerType(),
+        "c_acctbal": DoubleType(),
+        "c_mktsegment": StringType(),
+    },
+    "supplier": {
+        "s_suppkey": LongType(),
+        "s_nationkey": IntegerType(),
+        "s_acctbal": DoubleType(),
+    },
+    "part": {
+        "p_partkey": LongType(),
+        "p_brand": StringType(),
+        "p_type": StringType(),
+        "p_size": IntegerType(),
+        "p_retailprice": DoubleType(),
+    },
+    "orders": {
+        "o_orderkey": LongType(),
+        "o_custkey": LongType(),
+        "o_totalprice": DoubleType(),
+        "o_orderdate": TimestampType(),
+        "o_orderpriority": StringType(),
+    },
+    "lineitem": {
+        "l_orderkey": LongType(),
+        "l_partkey": LongType(),
+        "l_suppkey": LongType(),
+        "l_quantity": DoubleType(),
+        "l_extendedprice": DoubleType(),
+        "l_discount": DoubleType(),
+        "l_tax": DoubleType(),
+        "l_returnflag": StringType(),
+        "l_shipdate": TimestampType(),
+    },
 }
 
 
@@ -61,3 +105,25 @@ def test_loaded_schema_matches_contract(spark, sf_dir, table):
 def test_all_tables_load_nonempty(spark, sf_dir):
     for table in TABLES:
         assert load_table(spark, sf_dir, table).limit(1).count() == 1, table
+
+
+def test_read_table_restores_session_confs(spark, sf_dir):
+    """_read_table must not leak its parquet-reader conf overrides into
+    an externally-owned session (ADVICE round 2)."""
+    from table_streaming_source_spark.io import load_table
+
+    ntz = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    nanos = "spark.sql.legacy.parquet.nanosAsLong"
+    old_ntz, old_nanos = spark.conf.get(ntz), spark.conf.get(nanos)
+    try:
+        spark.conf.set(ntz, "true")
+        spark.conf.set(nanos, "false")
+        load_table(spark, sf_dir, "orders", cached=False)
+        load_table(spark, sf_dir, "events", cached=False)
+        assert spark.conf.get(ntz) == "true"
+        # current fixtures store µs timestamps → the legacy nanos path is
+        # inactive and the conf must be restored
+        assert spark.conf.get(nanos) == "false"
+    finally:
+        spark.conf.set(ntz, old_ntz)
+        spark.conf.set(nanos, old_nanos)
