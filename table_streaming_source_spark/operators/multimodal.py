@@ -844,12 +844,13 @@ def _gif_subblocks(payload: bytes, off: int) -> tuple[bytes, int]:
         off += size
 
 
-def gif_pixels(payload: bytes) -> "object":
-    """Decode the first frame of a GIF87a/89a to an ``(h, w)`` uint8
-    numpy array of gray values — real stdlib-only LZW decompression +
-    palette lookup.  Non-grayscale palettes and interlaced frames
-    raise: a real pipeline routes those rows to quarantine or plugs a
-    full codec in behind the same contract."""
+def gif_frames(payload: bytes) -> "list":
+    """Decode EVERY frame of a GIF87a/89a to a list of ``(h, w)`` uint8
+    numpy arrays of gray values — real stdlib-only LZW decompression +
+    palette lookup per frame (animated GIFs carry one image descriptor
+    per frame).  Non-grayscale palettes and interlaced frames raise: a
+    real pipeline routes those rows to quarantine or plugs a full codec
+    in behind the same contract."""
     import numpy as np
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -863,6 +864,7 @@ def gif_pixels(payload: bytes) -> "object":
         n = 2 << (packed & 0x07)
         gct = payload[off : off + 3 * n]
         off += 3 * n
+    frames = []
     while off < len(payload):
         marker = payload[off]
         if marker == 0x3B:  # trailer
@@ -899,8 +901,15 @@ def gif_pixels(payload: bytes) -> "object":
             raise ValueError(
                 "only grayscale palettes supported by this decoder"
             )
-        return p[idx, 0].reshape(h, w)
-    raise ValueError("GIF without an image descriptor")
+        frames.append(p[idx, 0].reshape(h, w))
+    if not frames:
+        raise ValueError("GIF without an image descriptor")
+    return frames
+
+
+def gif_pixels(payload: bytes) -> "object":
+    """First frame of :func:`gif_frames` — the single-image decode."""
+    return gif_frames(payload)[0]
 
 
 def decode_pixels(payload: bytes) -> "object":
@@ -912,6 +921,129 @@ def decode_pixels(payload: bytes) -> "object":
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return gif_pixels(payload)
     raise ValueError(f"no pixel decoder for magic {payload[:6]!r}")
+
+
+def synth_gif_animation(
+    width: int, height: int, n_frames: int, seed: int
+) -> bytes:
+    """A spec-valid multi-frame GIF89a: one image descriptor + LZW data
+    block per frame, all sharing the grayscale global palette.  Frame
+    ``f`` follows the formula ``p(x,y,f) = (7x + 13y + 17f + seed) % 256``
+    so a SQL oracle can restate any frame."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    palette = bytes(c for i in range(256) for c in (i, i, i))
+    lsd = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    out = bytearray(b"GIF89a" + lsd + palette)
+    for f in range(n_frames):
+        px = ((7 * x + 13 * y + 17 * f + seed) % 256).astype(np.uint8)
+        lzw = _lzw_encode(px.tobytes(), 8)
+        blocks = b"".join(
+            bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+            for i in range(0, len(lzw), 255)
+        )
+        out += (
+            b"\x2c"
+            + struct.pack("<HHHHB", 0, 0, width, height, 0)
+            + b"\x08"
+            + blocks
+            + b"\x00"
+        )
+    out += b"\x3b"
+    return bytes(out)
+
+
+def attach_gif_animation_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one :func:`synth_gif_animation` per key
+    (``w = 16 + (7k) % 32``, ``h = 16 + (13k) % 32``,
+    ``n_frames = 2 + k % 4``, ``seed = k``)."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_gif_animation(
+                            16 + (7 * int(k)) % 32,
+                            16 + (13 * int(k)) % 32,
+                            2 + int(k) % 4,
+                            int(k),
+                        )
+                        for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("key", LongType(), False),
+        StructField("frame", IntegerType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("sum_px", LongType(), False),
+        StructField("min_px", IntegerType(), False),
+        StructField("max_px", IntegerType(), False),
+    ]
+)
+
+
+def gif_frame_stats(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    key: str = "key",
+    stride: int = 1,
+) -> DataFrame:
+    """Frame sampling + per-frame statistics from *decoded* animated-GIF
+    frames: every ``stride``-th frame (the video-pipeline frame-sample
+    pattern, here over real LZW-decoded pixels instead of container
+    metadata).  Arrow-batched ``mapInPandas``, partition-preserving, one
+    output row per sampled frame."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "key", "frame", "width", "height", "sum_px", "min_px",
+                "max_px",
+            )}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                for f, px in enumerate(gif_frames(bytes(payload))):
+                    if f % stride:
+                        continue
+                    p = px.astype(np.int64)
+                    out["key"].append(int(k))
+                    out["frame"].append(f)
+                    out["height"].append(p.shape[0])
+                    out["width"].append(p.shape[1])
+                    out["sum_px"].append(int(p.sum()))
+                    out["min_px"].append(int(p.min()))
+                    out["max_px"].append(int(p.max()))
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(out["key"], dtype="int64"),
+                    "frame": pd.Series(out["frame"], dtype="int32"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "sum_px": pd.Series(out["sum_px"], dtype="int64"),
+                    "min_px": pd.Series(out["min_px"], dtype="int32"),
+                    "max_px": pd.Series(out["max_px"], dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FRAME_STATS_SCHEMA)
 
 
 def attach_gif_payload(df: DataFrame, key: str) -> DataFrame:

@@ -2088,6 +2088,49 @@ GROUP BY key
 """
 
 
+def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over REAL multi-frame decode: every image key gets
+    an animated GIF89a (2–5 frames, per-frame LZW data blocks), and the
+    engine samples every 2nd frame with per-frame brightness stats from
+    genuinely decoded pixels — the video-pipeline frame-sample pattern
+    exercised at the pixel level rather than on container metadata
+    (contrast ``multimodal_frames``, which samples the RIFF/AVI header's
+    frame *count*)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    gifs = M.attach_gif_animation_payload(docs, "doc_id")
+    return M.gif_frame_stats(gifs, stride=2)
+
+
+ORACLES["multimodal_gif_frames"] = """
+WITH im AS (
+  SELECT doc_id AS key,
+         16 + (7 * doc_id) % 32 AS w,
+         16 + (13 * doc_id) % 32 AS h,
+         2 + doc_id % 4 AS nf
+  FROM documents WHERE doc_id % 3 = 2
+),
+fr AS (
+  SELECT key, w, h, uf.f AS f
+  FROM im, UNNEST(RANGE(0, nf)) AS uf(f)
+  WHERE uf.f % 2 = 0
+),
+px AS (
+  SELECT key, f, w, h,
+         (7 * ux.x + 13 * uy.y + 17 * f + key) % 256 AS p
+  FROM fr, UNNEST(RANGE(0, w)) AS ux(x), UNNEST(RANGE(0, h)) AS uy(y)
+)
+SELECT key,
+       CAST(f AS INT) AS frame,
+       CAST(ANY_VALUE(w) AS INT) AS width,
+       CAST(ANY_VALUE(h) AS INT) AS height,
+       CAST(SUM(p) AS BIGINT) AS sum_px,
+       CAST(MIN(p) AS INT) AS min_px,
+       CAST(MAX(p) AS INT) AS max_px
+FROM px
+GROUP BY key, f
+"""
+
+
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing any 3-gram with the
     held-out benchmark slice (doc_id % 17 == 0) are flagged.  The
@@ -2488,6 +2531,7 @@ QUERIES_DEFERRED = {
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_pixel_stats": q_multimodal_pixel_stats,
     "multimodal_gif_stats": q_multimodal_gif_stats,
+    "multimodal_gif_frames": q_multimodal_gif_frames,
     "sim_ivfpq_search": q_sim_ivfpq_search,
     "text_winnow": q_text_winnow,
     "multimodal_quarantine": q_multimodal_quarantine,

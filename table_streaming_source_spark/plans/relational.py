@@ -1541,6 +1541,68 @@ GROUP BY UPPER(e.event_type)
 """
 
 
+#: (session id, sf_dir) → registered bucketed-table names
+_BUCKETED_TABLES: dict[tuple[int, str], tuple[str, str]] = {}
+
+
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact⋈fact join: lineitem and orders are
+    materialized ONCE per session as bucketed tables (8 buckets on the
+    order key, sorted within buckets), after which the join needs ZERO
+    shuffle exchanges — each task merge-joins its co-located bucket
+    pair.  This is the storage-level answer to the one big-big shuffle
+    the TPC-H spine otherwise always pays; at 100 TB the bucket count
+    scales with the data and every *repeated* join on the bucket key
+    (the common case for fact spines) skips its exchange.  Bucketing is
+    value-invisible, so the oracle is the plain join; the zero-exchange
+    plan proof is tests/test_scale_strategies.py and the golden plan
+    gate in tests/test_plans.py."""
+    import tempfile
+
+    key = (id(spark._jsparkSession), sf_dir)
+    names = _BUCKETED_TABLES.get(key)
+    if names is None or not all(spark.catalog.tableExists(n) for n in names):
+        tag = abs(hash(key)) % 10**8
+        names = (f"tsss_bl_{tag}", f"tsss_bo_{tag}")
+        base = tempfile.mkdtemp(prefix="tsss_bucketed_")
+        (
+            t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", f"{base}/l")
+            .mode("overwrite")
+            .saveAsTable(names[0])
+        )
+        (
+            t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", f"{base}/o")
+            .mode("overwrite")
+            .saveAsTable(names[1])
+        )
+        _BUCKETED_TABLES[key] = names
+    bl, bo = spark.table(names[0]), spark.table(names[1])
+    return (
+        bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(_rev(), 6).alias("revenue"),
+        )
+    )
+
+
+ORACLES["join_bucketed"] = f"""
+SELECT o_orderpriority, COUNT(*) AS n_lines,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def q_join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deliberately hot-keyed join left to AQE's skew-join splitting (the
     complement of ``join_salted``'s manual rewrite): a third of all
@@ -3328,6 +3390,7 @@ QUERIES = {
     "scalar_conditional": q_scalar_conditional,
     "join_salted": q_join_salted,
     "join_skew_aqe": q_join_skew_aqe,
+    "join_bucketed": q_join_bucketed,
     "forecast_revenue": q_forecast_revenue,
     "flagship_enrichment": q_flagship_enrichment,
     "local_supplier_volume": q_local_supplier_volume,

@@ -220,3 +220,36 @@ def test_gif_pixel_decode_roundtrip(spark):
     ):
         with pytest.raises(ValueError):
             gif_pixels(bad)
+
+
+def test_gif_animation_frames_decode(spark):
+    """Multi-frame GIF: gif_frames must decode every frame to its
+    formula, and gif_frame_stats must sample every stride-th frame."""
+    import numpy as np
+
+    from table_streaming_source_spark.operators.multimodal import (
+        attach_gif_animation_payload,
+        gif_frame_stats,
+        gif_frames,
+        parse_container,
+        synth_gif_animation,
+    )
+
+    payload = synth_gif_animation(12, 9, 4, seed=3)
+    frames = gif_frames(payload)
+    assert len(frames) == 4
+    x = np.arange(12)[None, :]; y = np.arange(9)[:, None]
+    for f, px in enumerate(frames):
+        assert (px == ((7 * x + 13 * y + 17 * f + 3) % 256)).all()
+    assert parse_container(payload) == ("image", 12, 9, 4)
+
+    df = spark.createDataFrame([(2,), (5,)], "doc_id long")
+    rows = gif_frame_stats(
+        attach_gif_animation_payload(df, "doc_id"), stride=2
+    ).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.key, []).append(r.frame)
+    # n_frames = 2 + k % 4 → k=2: 4 frames → sampled {0, 2}; k=5: 3 → {0, 2}
+    assert sorted(by_key[2]) == [0, 2]
+    assert sorted(by_key[5]) == [0, 2]

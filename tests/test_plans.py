@@ -202,6 +202,9 @@ _SHUFFLE_BUDGET = {
     "order_limit_topk": 1,  # TakeOrderedAndProject, no global sort
     "text_tfidf": 4,  # tf agg + df agg + term join + final
     "sim_topk": 1,  # corpus never shuffles; per-query top-k window
+    # bucketed co-located join: the join itself is exchange-free (bucket
+    # pairs merge-join in place); only the final aggregation shuffles
+    "join_bucketed": 1,
 }
 
 
