@@ -242,6 +242,123 @@ ORDER BY zkey, o_orderkey
 ORACLES["zorder_key"] = _zorder_sql()
 
 
+#: (session id, sf_dir, format) → materialized source dir
+_SOURCE_FIXTURES: dict[tuple[int, str, str], str] = {}
+
+
+def _source_fixture(
+    spark: SparkSession, sf_dir: str, fmt: str
+) -> str:
+    """Materialize the events table once per session in an alternate
+    source format (CSV / JSON / event_type-partitioned parquet) so the
+    scan entries measure the reader, not fixture synthesis."""
+    import tempfile
+
+    key = (id(spark._jsparkSession), sf_dir, fmt)
+    path = _SOURCE_FIXTURES.get(key)
+    if path is not None:
+        return path
+    path = tempfile.mkdtemp(prefix=f"tsss_source_{fmt}_")
+    events = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    if fmt == "csv":
+        events.repartition(4).write.mode("overwrite").option(
+            "header", "true"
+        ).csv(path)
+    elif fmt == "json":
+        events.repartition(4).write.mode("overwrite").json(path)
+    elif fmt == "partitioned":
+        events.write.mode("overwrite").partitionBy("event_type").parquet(
+            path
+        )
+    else:
+        raise ValueError(fmt)
+    _SOURCE_FIXTURES[key] = path
+    return path
+
+
+def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source scan with an explicit schema (never inferSchema at
+    scale — inference reads the data twice) feeding an aggregation.
+    Text sources carry no column statistics or pushdown, so at 100 TB
+    the right pattern is exactly this: scan once with a declared schema,
+    project only needed columns, and convert to parquet for anything
+    repeated.  Values round-trip exactly: ids are integers and ``value``
+    has 2 decimal digits, so CSV decimal text parses back to the
+    identical double."""
+    path = _source_fixture(spark, sf_dir, "csv")
+    df = (
+        spark.read.schema(
+            "event_id long, user_id long, event_type string, value double"
+        )
+        .option("header", "true")
+        .csv(path)
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", 6).alias("sum_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+ORACLES["source_csv"] = f"""
+SELECT event_type, COUNT(*) AS n, {sql_dsum('value', 6)} AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source scan with an explicit schema — the landing
+    format of most event pipelines.  Same declared-schema discipline as
+    CSV (schema inference is a second full read at 100 TB); downstream
+    plan identical, so the oracle is shared shape with ``source_csv``."""
+    path = _source_fixture(spark, sf_dir, "json")
+    df = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double"
+    ).json(path)
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", 6).alias("sum_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+ORACLES["source_json"] = ORACLES["source_csv"]
+
+
+def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-level partition pruning: events stored partitioned by
+    ``event_type``; a filter on the partition column prunes entire
+    directories at *planning* time (PartitionFilters in the scan — a
+    different mechanism from row-group PushedFilters, and the single
+    biggest scan saver on date/tenant-partitioned 100 TB layouts).
+    The pruned-scan aggregate is value-identical to filtering the flat
+    table, which is what the oracle states."""
+    path = _source_fixture(spark, sf_dir, "partitioned")
+    df = spark.read.parquet(path).filter(
+        F.col("event_type") == "purchase"
+    )
+    return df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", 6).alias("sum_value"),
+    )
+
+
+ORACLES["scan_partition_pruned"] = f"""
+SELECT user_id, COUNT(*) AS n, {sql_dsum('value', 6)} AS sum_value
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id
+"""
+
+
 def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter + projection with a computed column; both predicates and the
     two-column read reach the parquet scan (PushedFilters / ReadSchema)."""
@@ -3333,6 +3450,9 @@ GROUP BY o_orderpriority
 
 QUERIES = {
     "snapshot_scan": q_snapshot_scan,
+    "source_csv": q_source_csv,
+    "source_json": q_source_json,
+    "scan_partition_pruned": q_scan_partition_pruned,
     "ts_gapfill": q_ts_gapfill,
     "window_ewma": q_window_ewma,
     "anomaly_mad": q_anomaly_mad,

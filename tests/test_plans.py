@@ -222,3 +222,38 @@ def test_shuffle_budget(stats_planner, sf_dir, name):
 def test_topk_never_global_sorts(stats_planner, sf_dir, name):
     plan = _final_plan(catalog.QUERIES[name](stats_planner, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def _t_events(spark, sf_dir):
+    from table_streaming_source_spark.plans.common import t
+
+    return t(spark, sf_dir, "events")
+
+
+def test_partition_pruning_reaches_the_scan(stats_planner, sf_dir):
+    """scan_partition_pruned must prune at directory level: the scan node
+    carries the event_type predicate as a PartitionFilter and reads only
+    the matching partition directory."""
+    df = catalog.QUERIES["scan_partition_pruned"](stats_planner, sf_dir)
+    # sparkPlan: pre-AQE physical tree (the adaptive wrapper hides its
+    # children until execution)
+    scan = next(
+        n.toString()
+        for n in _walk(df._jdf.queryExecution().sparkPlan())
+        if "Scan" in n.nodeName() and "parquet" in n.toString().lower()
+    )
+    assert "PartitionFilters: [" in scan and "event_type" in scan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0], scan
+    # the pruned scan reads exactly the one matching partition directory
+    n_parts = catalog.QUERIES["scan_partition_pruned"](
+        stats_planner, sf_dir
+    ).count()
+    flat = (
+        _t_events(stats_planner, sf_dir)
+        .filter("event_type = 'purchase'")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert n_parts == flat
