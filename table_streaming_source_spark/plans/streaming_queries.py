@@ -725,6 +725,109 @@ WHERE last_ts + INTERVAL 30 MINUTE
 """
 
 
+def q_streaming_timeout_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Custom stateful sessionization with event-time TIMEOUTS
+    (``applyInPandasWithState`` + ``GroupStateTimeout.EventTimeTimeout``)
+    — the stateful API surface ``session_window`` cannot express:
+    arbitrary per-session state plus watermark-driven eviction through
+    timeout callbacks.  Sessions closed by a later event are emitted by
+    the batch that observes the gap; each user's final open session is
+    emitted by its timeout firing, which happens only when the watermark
+    passes ``last_ts + gap`` STRICTLY (boundary verified empirically) —
+    the oracle states exactly that split.  Replays the same time-ordered
+    chunk fixture as ``streaming_session_agg_update``; O(1) state per
+    key, integer-cents sums for bit-stable emissions."""
+    from table_streaming_source_spark.streaming.stateful import (
+        timeout_sessions_stream,
+    )
+
+    events = t(spark, sf_dir, "events").select("ts", "user_id", "value")
+
+    def _write(d: str) -> None:
+        mm = events.agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).head()
+        lo, hi = mm.lo, mm.hi
+        cuts = [lo + (hi - lo) * k / 4 for k in (1, 2, 3)]
+        stamp = 1_700_000_000
+        for i, (start, end) in enumerate(zip([None, *cuts], [*cuts, None])):
+            chunk = events
+            if start is not None:
+                chunk = chunk.filter(F.col("ts") >= F.lit(start))
+            if end is not None:
+                chunk = chunk.filter(F.col("ts") < F.lit(end))
+            seen = set(os.listdir(d))
+            chunk.coalesce(1).write.mode("append").parquet(d)
+            _bump_mtimes(d, set(os.listdir(d)) - seen, stamp + i)
+
+    src = _stream_fixture(spark, sf_dir, "sessu", _write)
+    base = tempfile.mkdtemp(prefix="tsss_streaming_tosess_")
+    out, ck = f"{base}/out", f"{base}/ckpt"
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sessions = timeout_sessions_stream(stream.withWatermark("ts", "7 days"))
+    with _stream_shuffle(spark):
+        query = (
+            sessions.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
+
+    result = spark.read.parquet(out).localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+# emitted = every session closed by a later event (all non-final sessions
+# per user) + final sessions whose timeout fired (watermark passed
+# last_ts + gap strictly)
+ORACLES["streaming_timeout_sessions"] = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessioned AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                               ) AS session_seq
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, session_seq, MIN(ts) AS session_start,
+         MAX(ts) AS last_ts,
+         COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+  FROM sessioned GROUP BY user_id, session_seq
+),
+ranked AS (
+  SELECT *, MAX(last_ts) OVER (PARTITION BY user_id) AS user_last
+  FROM sess
+)
+SELECT user_id, session_start, n_events, sum_value
+FROM ranked
+WHERE last_ts < user_last
+   OR last_ts + INTERVAL 30 MINUTE
+      < (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY
+"""
+
+
 #: past the driver's 50-entry correctness window this round (covered by
 #: scripts/check_oracle.py; rotate into _PRIORITY next round)
 QUERIES_DEFERRED = {
@@ -732,4 +835,5 @@ QUERIES_DEFERRED = {
     "streaming_running_totals": q_streaming_running_totals,
     "streaming_session_agg": q_streaming_session_agg,
     "streaming_session_agg_update": q_streaming_session_agg_update,
+    "streaming_timeout_sessions": q_streaming_timeout_sessions,
 }

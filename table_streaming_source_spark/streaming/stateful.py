@@ -69,3 +69,98 @@ def running_totals_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_SESS_GAP_MS = 30 * 60 * 1000
+_SESS_STATE_SCHEMA = "start_us LONG, last_us LONG, n LONG, cents LONG"
+_SESS_OUTPUT_SCHEMA = (
+    "user_id LONG, session_start TIMESTAMP, n_events LONG, sum_value DOUBLE"
+)
+
+
+def _session_frame(key, sessions):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series([key] * len(sessions), dtype="int64"),
+            "session_start": pd.to_datetime(
+                pd.Series([s[0] for s in sessions], dtype="int64") * 1000
+            ),
+            "n_events": pd.Series([s[1] for s in sessions], dtype="int64"),
+            "sum_value": pd.Series(
+                [s[2] / 100.0 for s in sessions], dtype="float64"
+            ),
+        }
+    )
+
+
+def _sessionize(key, pdfs, state: GroupState):
+    """Gap-based sessionization in custom state with **event-time
+    timeouts**: sessions closed by a later event are emitted in the batch
+    that observes the gap; the open tail session lives in state with a
+    timeout at ``last_ts + gap``, and is emitted by the state store when
+    the watermark passes it (strictly — boundary verified empirically).
+    State per key is one (start, last, n, cents) tuple — O(1), never raw
+    events; sums accumulate in integer cents so emissions are
+    bit-identical under any batching."""
+    import pandas as pd
+
+    if state.hasTimedOut:
+        start_us, last_us, n, cents = state.get
+        state.remove()
+        yield _session_frame(key[0], [(start_us, n, cents)])
+        return
+
+    pdf = pd.concat(list(pdfs)).sort_values("ts")
+    ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+    cents_arr = (
+        (pdf["value"] * 100).round().astype("int64").to_numpy()
+    )
+    gap_us = _SESS_GAP_MS * 1000
+    if state.exists:
+        start_us, last_us, n, cents = state.get
+    else:
+        start_us, last_us, n, cents = int(ts_us[0]), int(ts_us[0]), 0, 0
+    closed = []
+    for t, c in zip(ts_us, cents_arr):
+        t = int(t)
+        if n and t - last_us > gap_us:
+            closed.append((start_us, n, cents))
+            start_us, n, cents = t, 0, 0
+        last_us, n, cents = t, n + 1, cents + int(c)
+    state.update((start_us, last_us, n, cents))
+    state.setTimeoutTimestamp(last_us // 1000 + _SESS_GAP_MS)
+    yield _session_frame(key[0], closed)
+
+
+def timeout_sessions_stream(
+    stream: DataFrame,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Custom sessionization on ``applyInPandasWithState`` with
+    ``GroupStateTimeout.EventTimeTimeout`` — the stateful surface
+    ``session_window`` can't express: arbitrary per-session state plus
+    watermark-driven state EVICTION through timeouts (close callbacks,
+    decaying state, enrichment caches all follow this template).
+
+    Requires TIMESTAMP event time with a watermark on ``ts``; input must
+    arrive with bounded disorder (a live stream, or a time-ordered
+    bounded replay) because append-mode custom state drops
+    behind-watermark rows like every stateful operator."""
+    return (
+        stream.selectExpr(
+            f"{key} AS user_id", f"{ts} AS ts", f"{value} AS value"
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=_SESS_OUTPUT_SCHEMA,
+            stateStructType=_SESS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
