@@ -3333,6 +3333,107 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count–min sketch built in-engine from portable md5 hashing
+    (depth 3 × width 256), queried for the top-50 heaviest users — the
+    last member of the sketch family (HLL distinct, GK quantiles, Bloom
+    prefilter) done with full value parity: the hash family is portable,
+    so DuckDB replicates the entire sketch and the estimates compare
+    bit-for-bit, including each key's overestimate.
+
+    Scale shape: the sketch is ONE hash aggregate into a fixed
+    depth×width = 768-cell table — constant memory regardless of key
+    cardinality (the whole point of CMS at 100 TB: frequency estimates
+    for unbounded key spaces in fixed space); the query side joins that
+    constant-size table broadcast (bounded by construction, unlike the
+    data-dependent dims the catalog leaves to AQE).  CMS guarantees
+    est ≥ true always; the emitted ``overestimate`` column makes the
+    collision inflation directly visible and value-checked."""
+    ev = t(spark, sf_dir, "events").select("user_id")
+
+    def bucket(j: int) -> "F.Column":
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit(str(j)),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 256
+        )
+
+    rows = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), bucket(j).alias("b"))
+            for j in range(3)
+        ]
+    )
+    sketch = (
+        ev.select(F.explode(rows).alias("r"))
+        .groupBy(F.col("r.j").alias("j"), F.col("r.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    probes = exact.select(
+        "user_id", "n_exact", F.explode(rows).alias("r")
+    ).select("user_id", "n_exact", F.col("r.j").alias("j"), F.col("r.b").alias("b"))
+    return (
+        probes.join(F.broadcast(sketch), ["j", "b"])
+        .groupBy("user_id")
+        .agg(
+            F.first("n_exact").alias("n_exact"),
+            F.min("cell").alias("n_est"),
+        )
+        .select(
+            "user_id",
+            "n_exact",
+            "n_est",
+            (F.col("n_est") - F.col("n_exact")).alias("overestimate"),
+        )
+        .orderBy(F.desc("n_exact"), "user_id")
+        .limit(50)
+    )
+
+
+ORACLES["agg_cms_heavy_hitters"] = """
+WITH pairs AS (
+  SELECT user_id, d.j,
+         CAST('0x' || SUBSTR(MD5(CAST(d.j AS VARCHAR) || ':' ||
+                                 CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 256 AS b
+  FROM events CROSS JOIN (VALUES (0), (1), (2)) AS d(j)
+),
+sketch AS (
+  SELECT j, b, COUNT(*) AS cell FROM pairs GROUP BY j, b
+),
+exact AS (
+  SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY user_id
+),
+probes AS (
+  SELECT DISTINCT user_id, j, b FROM pairs
+),
+est AS (
+  SELECT p.user_id, MIN(s.cell) AS n_est
+  FROM probes p JOIN sketch s USING (j, b)
+  GROUP BY p.user_id
+)
+SELECT e.user_id, e.n_exact, est.n_est,
+       est.n_est - e.n_exact AS overestimate
+FROM exact e JOIN est USING (user_id)
+ORDER BY e.n_exact DESC, e.user_id
+LIMIT 50
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention analysis: users grouped by first-activity week,
     distinct active users per (cohort, week offset), retention as the
@@ -3511,6 +3612,7 @@ QUERIES = {
     "join_salted": q_join_salted,
     "join_skew_aqe": q_join_skew_aqe,
     "join_bucketed": q_join_bucketed,
+    "agg_cms_heavy_hitters": q_agg_cms_heavy_hitters,
     "forecast_revenue": q_forecast_revenue,
     "flagship_enrichment": q_flagship_enrichment,
     "local_supplier_volume": q_local_supplier_volume,
