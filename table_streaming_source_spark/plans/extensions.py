@@ -149,6 +149,55 @@ WHERE inter / (za.sz + zb.sz - inter) >= 0.8
 """
 
 
+def q_sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (the vector-DB staple): top-5 cosine
+    neighbors among only the corpus vectors whose joined metadata
+    passes a predicate (documents.lang = 'en').  PRE-filtering — prune
+    the corpus via a metadata semi-join BEFORE any distance math — is
+    the scale-correct order: the filter is a key-only join that never
+    touches the float payload, and the expensive similarity work runs
+    on the surviving fraction.  (Post-filtering top-k instead would
+    return < k rows whenever the filter knocks out near neighbors.)"""
+    emb = t(spark, sf_dir, "embeddings")
+    en_ids = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    corpus = emb.join(en_ids, "vec_id", "left_semi")
+    return S.cosine_topk(
+        corpus, emb.filter(F.col("vec_id") < 20), k=5, round_digits=6
+    )
+
+
+ORACLES["sim_topk_filtered"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+corp AS (
+  SELECT * FROM embeddings
+  WHERE vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+),
+s AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(
+           LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.qv, c.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (SQRT(LIST_SUM(LIST_TRANSFORM(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * SQRT(LIST_SUM(LIST_TRANSFORM(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cos_sim
+  FROM q, corp c
+  WHERE q.query_id != c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, exact-Jaccard verified (threshold
     0.2; 16 hashes × 4 bands).  The full pipeline has a DuckDB oracle
@@ -1518,6 +1567,7 @@ QUERIES = {
     "dedup_embedding_capped": q_dedup_embedding_capped,
     "dedup_components": q_dedup_components,
     "sim_topk": q_sim_topk,
+    "sim_topk_filtered": q_sim_topk_filtered,
     "sim_pairs_blocked": q_sim_pairs_blocked,
     "sim_ivf_assign": q_sim_ivf_assign,
     "sim_kmeans_refine": q_sim_kmeans_refine,

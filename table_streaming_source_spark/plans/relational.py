@@ -359,6 +359,57 @@ GROUP BY user_id
 """
 
 
+def q_sink_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The idempotent daily-backfill sink pattern (sinks.py
+    ``write_partitioned``): the events table lands partitioned by
+    ``event_type``; a corrected slice of ONE partition ('purchase',
+    values bumped by 1) is then overwritten in dynamic mode, which must
+    replace only the partitions present in the incoming frame.  The
+    read-back aggregate proves it: every other partition still holds its
+    original rows (a static overwrite would have deleted them), and the
+    purchase partition holds exactly the corrected rows — which is what
+    the oracle states."""
+    import shutil as _shutil
+    import tempfile
+
+    from table_streaming_source_spark.sinks import write_partitioned
+
+    events = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="tsss_sink_dpo_")
+    write_partitioned(
+        events, path, partition_by=["event_type"], dynamic=True
+    )
+    corrected = events.filter(F.col("event_type") == "purchase").withColumn(
+        "value", F.col("value") + 1
+    )
+    write_partitioned(
+        corrected, path, partition_by=["event_type"], dynamic=True
+    )
+    result = (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", 6).alias("sum_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["sink_partition_overwrite"] = f"""
+SELECT event_type, COUNT(*) AS n,
+       {sql_dsum("value + CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END", 6)}
+         AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter + projection with a computed column; both predicates and the
     two-column read reach the parquet scan (PushedFilters / ReadSchema)."""
@@ -3554,6 +3605,7 @@ QUERIES = {
     "source_csv": q_source_csv,
     "source_json": q_source_json,
     "scan_partition_pruned": q_scan_partition_pruned,
+    "sink_partition_overwrite": q_sink_partition_overwrite,
     "ts_gapfill": q_ts_gapfill,
     "window_ewma": q_window_ewma,
     "anomaly_mad": q_anomaly_mad,
