@@ -149,6 +149,60 @@ WHERE inter / (za.sz + zb.sz - inter) >= 0.8
 """
 
 
+def q_scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing pack (`parse_url`) over deterministically constructed
+    crawl-style URLs — the host/path/query extraction every web-corpus
+    pipeline needs for domain-based dedup, per-domain capping, and
+    domain mixing.  Row-local JVM expressions inside codegen; the oracle
+    restates the extraction with portable string functions."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    url = F.concat_ws(
+        "",
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=crawl&id="),
+        F.col("doc_id").cast("string"),
+    )
+    with_url = docs.withColumn("url", url)
+    return (
+        with_url.select(
+            "doc_id",
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref"),
+        )
+        .withColumn(
+            "domain",
+            F.regexp_extract("host", r"^([^.]+)\.", 1),
+        )
+    )
+
+
+ORACLES["scalar_url"] = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || lang || '/' ||
+           CAST(doc_id AS VARCHAR) || '?ref=crawl&id=' ||
+           CAST(doc_id AS VARCHAR) AS url,
+         source
+  FROM documents
+)
+SELECT doc_id,
+       SPLIT_PART(SPLIT_PART(url, '://', 2), '/', 1) AS host,
+       '/' || SPLIT_PART(SPLIT_PART(SPLIT_PART(url, '://', 2), '?', 1),
+                         '/', 2)
+            || '/' || SPLIT_PART(SPLIT_PART(url, '?', 1), '/', 5)
+            || '/' || SPLIT_PART(SPLIT_PART(url, '?', 1), '/', 6) AS path,
+       'crawl' AS ref,
+       source AS domain
+FROM u
+"""
+
+
 def q_sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered vector search (the vector-DB staple): top-5 cosine
     neighbors among only the corpus vectors whose joined metadata
@@ -1568,6 +1622,7 @@ QUERIES = {
     "dedup_components": q_dedup_components,
     "sim_topk": q_sim_topk,
     "sim_topk_filtered": q_sim_topk_filtered,
+    "scalar_url": q_scalar_url,
     "sim_pairs_blocked": q_sim_pairs_blocked,
     "sim_ivf_assign": q_sim_ivf_assign,
     "sim_kmeans_refine": q_sim_kmeans_refine,
