@@ -828,6 +828,61 @@ WHERE last_ts < user_last
 """
 
 
+def q_streaming_fidelity_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The reference's LITERAL semantics as an oracle-checked entry: the
+    ``snapshot_table`` Python streaming DataSource
+    (`streaming/fidelity_source.py`, mirroring
+    `TableInputDStream.scala:26-62`) emits the ENTIRE customer table
+    into every micro-batch.  The drain appends two snapshot emissions to
+    a memory sink; because fidelity mode re-emits the same full table
+    each trigger and customer keys are unique, the DISTINCT of the sink
+    equals the table itself — which is what the oracle states.  (The
+    TTL-refresh and restart phases of the reference's PipelineTest are
+    covered by tests/test_streaming.py; this entry puts the
+    emit-whole-table-per-trigger contract itself into the official
+    correctness record.)"""
+    import time as _time
+
+    from table_streaming_source_spark.streaming import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    name = f"__fidelity_{abs(hash(sf_dir)) % 10**8}"
+    with _stream_shuffle(spark):
+        query = (
+            spark.readStream.format("snapshot_table")
+            .option("path", f"{sf_dir}/customer.parquet")
+            .option("refreshInterval", "1h")
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                if len(query.recentProgress) >= 2:  # ≥2 snapshot emissions
+                    break
+                _time.sleep(0.2)
+        finally:
+            query.stop()
+
+    result = spark.table(name).distinct().localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return result
+
+
+ORACLES["streaming_fidelity_snapshot"] = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer
+"""
+
+
 #: past the driver's 50-entry correctness window this round (covered by
 #: scripts/check_oracle.py; rotate into _PRIORITY next round)
 QUERIES_DEFERRED = {
@@ -836,4 +891,5 @@ QUERIES_DEFERRED = {
     "streaming_session_agg": q_streaming_session_agg,
     "streaming_session_agg_update": q_streaming_session_agg_update,
     "streaming_timeout_sessions": q_streaming_timeout_sessions,
+    "streaming_fidelity_snapshot": q_streaming_fidelity_snapshot,
 }
