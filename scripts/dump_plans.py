@@ -43,10 +43,15 @@ NOTES = {
     "hash shuffles total, all row-local stages fused by codegen.",
     "sim_kmeans_refine": "two Lloyd iterations as long-format hash "
     "aggregates; centroid table broadcasts into the dim join.",
+    "join_bucketed": "bucketed co-located fact⋈fact join: NO exchange "
+    "under the SortMergeJoin (bucket pairs merge in place); the only "
+    "shuffle is the final aggregation.",
+    "streaming_session_agg_update": "append-mode session windows with "
+    "watermark eviction + parquet sink — the production stateful shape.",
 }
 
 #: extra showcase plans beyond the bench headline set
-EXTRA = ["waiting_suppliers", "pipeline_corpus_prep", "sim_kmeans_refine"]
+EXTRA = ["waiting_suppliers", "pipeline_corpus_prep", "sim_kmeans_refine", "join_bucketed"]
 
 
 def main() -> None:

@@ -21,6 +21,16 @@ round 2), ``snapshot_roundtrip`` (twin ``snapshot_scan`` green both
 rounds) and ``stream_dedup_batch`` (twins ``stream_dedup``/
 ``streaming_dedup`` green).  Every entry, in or out of the window, stays
 covered by ``scripts/check_oracle.py`` locally.
+
+Round-4 rotation backlog (entries with no official driver row yet, all
+locally green at sf0.001 AND sf0.01): the eight round-3 deferrals
+(``scalar_string/date/math/array/map``, ``window_sessionize``,
+``snapshot_roundtrip``, ``stream_dedup_batch``) plus the round-3
+additions past the window (``multimodal_gif_frames``, ``join_bucketed``,
+``agg_cms_heavy_hitters``, ``source_csv``, ``source_json``,
+``scan_partition_pruned``, ``sink_partition_overwrite``,
+``sim_topk_filtered``, ``scalar_url``, ``streaming_timeout_sessions``,
+``streaming_fidelity_snapshot``).
 """
 
 from __future__ import annotations

@@ -164,3 +164,48 @@ def test_wav_container_parse_roundtrip(n_samples, channels):
     )
     assert (mt, width, height) == ("audio", -1, -1)
     assert n_frames == n_samples
+
+
+@given(
+    data=st.binary(min_size=0, max_size=6000),
+    min_code_size=st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_roundtrip_property(data, min_code_size):
+    """GIF LZW encode∘decode is the identity for arbitrary byte strings
+    whose symbols fit the code size — across code-width growth and
+    (for low code sizes) full-table CLEAR resets."""
+    from table_streaming_source_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    alphabet = 1 << min_code_size
+    symbols = bytes(b % alphabet for b in data)
+    assert _lzw_decode(_lzw_encode(symbols, min_code_size), min_code_size) == symbols
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    n_frames=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=25, deadline=None)
+def test_gif_animation_roundtrip_property(w, h, n_frames, seed):
+    """synth_gif_animation → gif_frames restores every frame's formula
+    pixels for arbitrary geometry/frame-count/seed."""
+    import numpy as np
+
+    from table_streaming_source_spark.operators.multimodal import (
+        gif_frames,
+        synth_gif_animation,
+    )
+
+    frames = gif_frames(synth_gif_animation(w, h, n_frames, seed))
+    assert len(frames) == n_frames
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    for f, px in enumerate(frames):
+        assert px.shape == (h, w)
+        assert (px == ((7 * x + 13 * y + 17 * f + seed) % 256)).all()
