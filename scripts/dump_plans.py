@@ -43,9 +43,12 @@ NOTES = {
     "hash shuffles total, all row-local stages fused by codegen.",
     "sim_kmeans_refine": "two Lloyd iterations as long-format hash "
     "aggregates; centroid table broadcasts into the dim join.",
-    "join_bucketed": "bucketed co-located fact⋈fact join: NO exchange "
-    "under the SortMergeJoin (bucket pairs merge in place); the only "
-    "shuffle is the final aggregation.",
+    "join_bucketed": "bucketed scan (SelectedBucketsCount 8/8); at "
+    "fixture scale the planner broadcasts the small side, at scale the "
+    "same layout merge-joins bucket pairs with no exchange "
+    "(tests/test_scale_strategies.py proves the SMJ shape with "
+    "broadcast disabled); either way the only shuffle is the final "
+    "aggregation.",
     "streaming_session_agg_update": "append-mode session windows with "
     "watermark eviction + parquet sink — the production stateful shape.",
 }
