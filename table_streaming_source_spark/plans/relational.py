@@ -1771,6 +1771,76 @@ GROUP BY o_orderpriority
 """
 
 
+def q_join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure band join (NO equi key) made scalable by time-binning: click
+    → purchase pairs across ALL users within ±30 minutes.  Without an
+    equi component Spark can only BroadcastNestedLoop/cartesian such a
+    predicate; the standard fix is to quantize time into fixed bins,
+    explode each left row into the bins its band can reach (here: its
+    own 30-minute bin and both neighbors — 3 bins, constant blow-up),
+    equi-join on the bin, and re-apply the exact predicate.  Every pair
+    within the band shares a reachable bin, so the rewrite is lossless
+    (the plan gate asserts no Cartesian/BNLJ node), and the shuffle key
+    is the bin — bounded-skew by construction when event time is roughly
+    uniform.  Counts per click keep the result compact."""
+    e = t(spark, sf_dir, "events")
+    bin_s = 30 * 60
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.floor(F.col("ts").cast("double") / bin_s).alias("bin"),
+    )
+    exploded = clicks.select(
+        "click_id",
+        "click_ts",
+        F.explode(
+            F.array(
+                *[
+                    (F.floor(F.col("click_ts").cast("double") / bin_s) + d)
+                    for d in (-1, 0, 1)
+                ]
+            )
+        ).alias("bin"),
+    )
+    # fractional-epoch arithmetic: unix_timestamp() truncates to whole
+    # seconds, which disagrees with the oracle's EPOCH() on sub-second
+    # timestamps at the band boundary
+    within = (
+        F.abs(
+            F.col("purchase_ts").cast("double")
+            - F.col("click_ts").cast("double")
+        )
+        <= bin_s
+    )
+    return (
+        exploded.join(purchases, "bin")
+        .filter(within)
+        .groupBy("click_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_nearby"),
+            F.min("purchase_id").alias("first_purchase_id"),
+        )
+        .orderBy("click_id")
+    )
+
+
+ORACLES["join_interval_binned"] = """
+SELECT c.event_id AS click_id,
+       COUNT(*) AS n_nearby,
+       MIN(p.event_id) AS first_purchase_id
+FROM events c
+JOIN events p
+  ON c.event_type = 'click' AND p.event_type = 'purchase'
+ AND ABS(EPOCH(p.ts) - EPOCH(c.ts)) <= 1800
+GROUP BY c.event_id
+ORDER BY c.event_id
+"""
+
+
 def q_join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deliberately hot-keyed join left to AQE's skew-join splitting (the
     complement of ``join_salted``'s manual rewrite): a third of all
@@ -3663,6 +3733,7 @@ QUERIES = {
     "scalar_conditional": q_scalar_conditional,
     "join_salted": q_join_salted,
     "join_skew_aqe": q_join_skew_aqe,
+    "join_interval_binned": q_join_interval_binned,
     "join_bucketed": q_join_bucketed,
     "agg_cms_heavy_hitters": q_agg_cms_heavy_hitters,
     "forecast_revenue": q_forecast_revenue,

@@ -257,3 +257,15 @@ def test_partition_pruning_reaches_the_scan(stats_planner, sf_dir):
         .count()
     )
     assert n_parts == flat
+
+
+def test_binned_band_join_avoids_cartesian(stats_planner, sf_dir):
+    """join_interval_binned's bin rewrite must execute as a hash/merge
+    equi-join on the bin — never a CartesianProduct or
+    BroadcastNestedLoopJoin, which is what the raw band predicate would
+    plan as."""
+    plan = _final_plan(
+        catalog.QUERIES["join_interval_binned"](stats_planner, sf_dir)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
