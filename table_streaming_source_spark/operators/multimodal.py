@@ -1075,6 +1075,102 @@ def attach_gif_payload(df: DataFrame, key: str) -> DataFrame:
     return df.select(key).mapInPandas(batches, schema=schema)
 
 
+def attach_pixel_payload_dups(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter with REPEATED image classes: geometry and seed
+    derive from small moduli (``w = 16 + (k%5)·4``, ``h = 16 + (k%3)·4``,
+    ``seed = k%7``), so distinct keys frequently carry byte-identical
+    images — the shape a perceptual-dedup entry needs true duplicates
+    for."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_png_pixels(
+                            16 + (int(k) % 5) * 4,
+                            16 + (int(k) % 3) * 4,
+                            int(k) % 7,
+                        )
+                        for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("key", LongType(), False),
+        StructField("hash_hi", LongType(), False),
+        StructField("hash_lo", LongType(), False),
+    ]
+)
+
+
+def image_ahash(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    key: str = "key",
+) -> DataFrame:
+    """64-bit average hash (aHash) from *decoded* pixels — the classic
+    perceptual fingerprint for image near-dup detection: partition the
+    image into an 8×8 block grid (pixel (x,y) → block ((8x)//w, (8y)//h)
+    — pure integer arithmetic), set bit ``i*8+j`` iff the block's mean
+    brightness exceeds the global mean.  The comparison is done by
+    integer cross-multiplication (``block_sum·w·h > total_sum·block_n``)
+    so every bit is engine-exact — no float averaging anywhere.  Emitted
+    as two 32-bit halves to stay in signed-int64 range.  Downstream
+    dedup is an aggregate on the 8-byte hash; pixels never shuffle."""
+    import numpy as np
+
+    def ahash(px: "object") -> tuple:
+        p = px.astype(np.int64)
+        h, w = p.shape
+        total = int(p.sum())
+        yb = (8 * np.arange(h)) // h
+        xb = (8 * np.arange(w)) // w
+        bits_hi = bits_lo = 0
+        for i in range(8):
+            rows = p[yb == i]
+            for j in range(8):
+                block = rows[:, xb == j]
+                if int(block.sum()) * w * h > total * block.size:
+                    k = i * 8 + j
+                    if k < 32:
+                        bits_lo |= 1 << k
+                    else:
+                        bits_hi |= 1 << (k - 32)
+        return bits_hi, bits_lo
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"key": [], "hash_hi": [], "hash_lo": []}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                hi, lo = ahash(decode_pixels(bytes(payload)))
+                out["key"].append(int(k))
+                out["hash_hi"].append(hi)
+                out["hash_lo"].append(lo)
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(out["key"], dtype="int64"),
+                    "hash_hi": pd.Series(out["hash_hi"], dtype="int64"),
+                    "hash_lo": pd.Series(out["hash_lo"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=AHASH_SCHEMA)
+
+
 QUARANTINE_SCHEMA = StructType(
     [
         StructField("key", LongType(), False),

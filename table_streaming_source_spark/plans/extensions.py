@@ -2236,6 +2236,72 @@ GROUP BY key, f
 """
 
 
+def q_multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over REAL pixel decode: every key gets a
+    spec-valid PNG from a small class of repeated (geometry, seed)
+    combinations, the engine decodes the pixels and computes a 64-bit
+    average hash (8×8 block grid, bit = block mean > global mean via
+    integer cross-multiplication — engine-exact, no float averaging),
+    then dedups on the 8-byte hash.  The content-dedup pattern for image
+    corpora: pixels never shuffle, only hashes do; the oracle restates
+    the pixels from the synthesis formula and reassembles the identical
+    bits in SQL."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    imgs = M.attach_pixel_payload_dups(docs, "doc_id")
+    return (
+        M.image_ahash(imgs)
+        .groupBy("hash_hi", "hash_lo")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            F.min("key").alias("canonical_key"),
+        )
+    )
+
+
+ORACLES["multimodal_dedup_phash"] = """
+WITH im AS (
+  SELECT doc_id AS key,
+         16 + (doc_id % 5) * 4 AS w,
+         16 + (doc_id % 3) * 4 AS h,
+         doc_id % 7 AS seed
+  FROM documents WHERE doc_id % 2 = 0
+),
+px AS (
+  SELECT key, w, h,
+         (8 * uy.y) // h AS i, (8 * ux.x) // w AS j,
+         (7 * ux.x + 13 * uy.y + seed) % 256 AS p
+  FROM im, UNNEST(RANGE(0, w)) AS ux(x), UNNEST(RANGE(0, h)) AS uy(y)
+),
+blocks AS (
+  SELECT key, w, h, i, j, SUM(p) AS bsum, COUNT(*) AS bn
+  FROM px GROUP BY key, w, h, i, j
+),
+tot AS (
+  SELECT key, SUM(p) AS tsum FROM px GROUP BY key
+),
+bits AS (
+  SELECT b.key, b.i, b.j,
+         CASE WHEN b.bsum * b.w * b.h > t.tsum * b.bn
+              THEN 1 ELSE 0 END AS bit
+  FROM blocks b JOIN tot t USING (key)
+),
+hashes AS (
+  SELECT key,
+         CAST(SUM(CASE WHEN bit = 1 AND i * 8 + j >= 32
+                       THEN (CAST(1 AS BIGINT) << (i * 8 + j - 32))
+                       ELSE 0 END) AS BIGINT) AS hash_hi,
+         CAST(SUM(CASE WHEN bit = 1 AND i * 8 + j < 32
+                       THEN (CAST(1 AS BIGINT) << (i * 8 + j))
+                       ELSE 0 END) AS BIGINT) AS hash_lo
+  FROM bits GROUP BY key
+)
+SELECT hash_hi, hash_lo,
+       COUNT(*) AS n_images,
+       MIN(key) AS canonical_key
+FROM hashes GROUP BY hash_hi, hash_lo
+"""
+
+
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing any 3-gram with the
     held-out benchmark slice (doc_id % 17 == 0) are flagged.  The
@@ -2637,6 +2703,7 @@ QUERIES_DEFERRED = {
     "multimodal_pixel_stats": q_multimodal_pixel_stats,
     "multimodal_gif_stats": q_multimodal_gif_stats,
     "multimodal_gif_frames": q_multimodal_gif_frames,
+    "multimodal_dedup_phash": q_multimodal_dedup_phash,
     "sim_ivfpq_search": q_sim_ivfpq_search,
     "text_winnow": q_text_winnow,
     "multimodal_quarantine": q_multimodal_quarantine,
