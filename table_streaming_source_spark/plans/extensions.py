@@ -2302,6 +2302,123 @@ FROM hashes GROUP BY hash_hi, hash_lo
 """
 
 
+def q_multimodal_phash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate images by banded Hamming over perceptual hashes:
+    the 64-bit aHash splits into four 16-bit bands; pairs sharing any
+    band value are candidates (pigeonhole: any two hashes within
+    Hamming distance 3 MUST share a band — complete recall below the
+    band count), then the exact XOR popcount filters to distance ≤ 6.
+    The image analogue of ``dedup_simhash_pairs``, over genuinely
+    decoded pixels; only 8-byte hashes and band keys shuffle."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    hashes = M.image_ahash(M.attach_pixel_payload_dups(docs, "doc_id"))
+    bands = hashes.select(
+        "key",
+        "hash_hi",
+        "hash_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftrightunsigned(
+                                F.col("hash_lo" if b < 2 else "hash_hi"),
+                                (b % 2) * 16,
+                            )
+                            % (1 << 16)
+                        ).alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select(
+        "key", "hash_hi", "hash_lo",
+        F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val"),
+    )
+    a = bands.select(
+        F.col("key").alias("key_a"),
+        F.col("hash_hi").alias("hi_a"),
+        F.col("hash_lo").alias("lo_a"),
+        "band",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("key").alias("key_b"),
+        F.col("hash_hi").alias("hi_b"),
+        F.col("hash_lo").alias("lo_b"),
+        "band",
+        "band_val",
+    )
+    hamming = F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a", "key_b", hamming.cast("bigint").alias("hamming")
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+ORACLES["multimodal_phash_near"] = """
+WITH im AS (
+  SELECT doc_id AS key,
+         16 + (doc_id % 5) * 4 AS w,
+         16 + (doc_id % 3) * 4 AS h,
+         doc_id % 7 AS seed
+  FROM documents WHERE doc_id % 2 = 0
+),
+px AS (
+  SELECT key, w, h,
+         (8 * uy.y) // h AS i, (8 * ux.x) // w AS j,
+         (7 * ux.x + 13 * uy.y + seed) % 256 AS p
+  FROM im, UNNEST(RANGE(0, w)) AS ux(x), UNNEST(RANGE(0, h)) AS uy(y)
+),
+blocks AS (
+  SELECT key, w, h, i, j, SUM(p) AS bsum, COUNT(*) AS bn
+  FROM px GROUP BY key, w, h, i, j
+),
+tot AS (SELECT key, SUM(p) AS tsum FROM px GROUP BY key),
+bits AS (
+  SELECT b.key, b.i, b.j,
+         CASE WHEN b.bsum * b.w * b.h > t.tsum * b.bn
+              THEN 1 ELSE 0 END AS bit
+  FROM blocks b JOIN tot t USING (key)
+),
+hashes AS (
+  SELECT key,
+         CAST(SUM(CASE WHEN bit = 1 AND i * 8 + j >= 32
+                       THEN (CAST(1 AS BIGINT) << (i * 8 + j - 32))
+                       ELSE 0 END) AS BIGINT) AS hi,
+         CAST(SUM(CASE WHEN bit = 1 AND i * 8 + j < 32
+                       THEN (CAST(1 AS BIGINT) << (i * 8 + j))
+                       ELSE 0 END) AS BIGINT) AS lo
+  FROM bits GROUP BY key
+),
+bands AS (
+  SELECT key, hi, lo, d.band,
+         CASE d.band
+           WHEN 0 THEN lo % 65536
+           WHEN 1 THEN (lo // 65536) % 65536
+           WHEN 2 THEN hi % 65536
+           ELSE (hi // 65536) % 65536
+         END AS band_val
+  FROM hashes CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(band)
+)
+SELECT DISTINCT a.key AS key_a, b.key AS key_b,
+       CAST(BIT_COUNT(XOR(a.hi, b.hi)) + BIT_COUNT(XOR(a.lo, b.lo))
+            AS BIGINT) AS hamming
+FROM bands a JOIN bands b USING (band, band_val)
+WHERE a.key < b.key
+  AND BIT_COUNT(XOR(a.hi, b.hi)) + BIT_COUNT(XOR(a.lo, b.lo)) <= 6
+"""
+
+
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing any 3-gram with the
     held-out benchmark slice (doc_id % 17 == 0) are flagged.  The
@@ -2704,6 +2821,7 @@ QUERIES_DEFERRED = {
     "multimodal_gif_stats": q_multimodal_gif_stats,
     "multimodal_gif_frames": q_multimodal_gif_frames,
     "multimodal_dedup_phash": q_multimodal_dedup_phash,
+    "multimodal_phash_near": q_multimodal_phash_near,
     "sim_ivfpq_search": q_sim_ivfpq_search,
     "text_winnow": q_text_winnow,
     "multimodal_quarantine": q_multimodal_quarantine,
