@@ -2419,6 +2419,99 @@ WHERE a.key < b.key
 """
 
 
+def q_pipeline_image_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed image-modality pipeline as ONE declarative plan —
+    `pipeline_corpus_prep`'s sibling for binary payloads: poison a
+    deterministic slice of the images (truncated blobs), route them out
+    through quarantine instead of failing the scan, decode the healthy
+    payloads and perceptually dedup them (aHash canonical = min key),
+    then join document metadata and report per-language kept/duplicate
+    counts.  Every stage is an already-oracled operator; the composition
+    shows the stages FUSE — payloads are decoded once, only keys/hashes
+    shuffle, and the final aggregate is over language cardinality."""
+    docs = t(spark, sf_dir, "documents")
+    slice_ = docs.filter(F.col("doc_id") % 2 == 0)
+    imgs = M.attach_pixel_payload_dups(slice_, "doc_id")
+    poisoned = imgs.withColumn(
+        "payload",
+        F.when(
+            F.col("key") % 97 == 0, F.expr("substring(payload, 1, 8)")
+        ).otherwise(F.col("payload")),
+    )
+    healthy_keys = (
+        M.quarantine_decode(poisoned)
+        .filter(F.col("status") == "ok")
+        .select("key")
+    )
+    healthy = poisoned.join(healthy_keys, "key", "left_semi")
+    canon = (
+        M.image_ahash(healthy)
+        .groupBy("hash_hi", "hash_lo")
+        .agg(
+            F.min("key").alias("key"),
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        )
+    )
+    return (
+        canon.join(
+            docs.select(F.col("doc_id").alias("key"), "lang"), "key"
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_canonical"),
+            F.sum("n_images").cast("bigint").alias("n_images"),
+        )
+    )
+
+
+ORACLES["pipeline_image_prep"] = """
+WITH im AS (
+  SELECT doc_id AS key,
+         16 + (doc_id % 5) * 4 AS w,
+         16 + (doc_id % 3) * 4 AS h,
+         doc_id % 7 AS seed
+  FROM documents
+  WHERE doc_id % 2 = 0 AND NOT (doc_id % 97 = 0)
+),
+px AS (
+  SELECT key, w, h,
+         (8 * uy.y) // h AS i, (8 * ux.x) // w AS j,
+         (7 * ux.x + 13 * uy.y + seed) % 256 AS p
+  FROM im, UNNEST(RANGE(0, w)) AS ux(x), UNNEST(RANGE(0, h)) AS uy(y)
+),
+blocks AS (
+  SELECT key, w, h, i, j, SUM(p) AS bsum, COUNT(*) AS bn
+  FROM px GROUP BY key, w, h, i, j
+),
+tot AS (SELECT key, SUM(p) AS tsum FROM px GROUP BY key),
+bits AS (
+  SELECT b.key, b.i, b.j,
+         CASE WHEN b.bsum * b.w * b.h > t.tsum * b.bn
+              THEN 1 ELSE 0 END AS bit
+  FROM blocks b JOIN tot t USING (key)
+),
+hashes AS (
+  SELECT key,
+         CAST(SUM(CASE WHEN bit = 1 AND i * 8 + j >= 32
+                       THEN (CAST(1 AS BIGINT) << (i * 8 + j - 32))
+                       ELSE 0 END) AS BIGINT) AS hi,
+         CAST(SUM(CASE WHEN bit = 1 AND i * 8 + j < 32
+                       THEN (CAST(1 AS BIGINT) << (i * 8 + j))
+                       ELSE 0 END) AS BIGINT) AS lo
+  FROM bits GROUP BY key
+),
+canon AS (
+  SELECT MIN(key) AS key, COUNT(*) AS n_images
+  FROM hashes GROUP BY hi, lo
+)
+SELECT d.lang,
+       COUNT(*) AS n_canonical,
+       CAST(SUM(c.n_images) AS BIGINT) AS n_images
+FROM canon c JOIN documents d ON d.doc_id = c.key
+GROUP BY d.lang
+"""
+
+
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing any 3-gram with the
     held-out benchmark slice (doc_id % 17 == 0) are flagged.  The
@@ -2822,6 +2915,7 @@ QUERIES_DEFERRED = {
     "multimodal_gif_frames": q_multimodal_gif_frames,
     "multimodal_dedup_phash": q_multimodal_dedup_phash,
     "multimodal_phash_near": q_multimodal_phash_near,
+    "pipeline_image_prep": q_pipeline_image_prep,
     "sim_ivfpq_search": q_sim_ivfpq_search,
     "text_winnow": q_text_winnow,
     "multimodal_quarantine": q_multimodal_quarantine,
