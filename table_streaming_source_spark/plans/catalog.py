@@ -30,7 +30,9 @@ additions past the window (``multimodal_gif_frames``, ``join_bucketed``,
 ``agg_cms_heavy_hitters``, ``source_csv``, ``source_json``,
 ``scan_partition_pruned``, ``sink_partition_overwrite``,
 ``sim_topk_filtered``, ``scalar_url``, ``streaming_timeout_sessions``,
-``streaming_fidelity_snapshot``).
+``streaming_fidelity_snapshot``, ``join_interval_binned``,
+``multimodal_dedup_phash``, ``multimodal_phash_near``,
+``pipeline_image_prep``).
 """
 
 from __future__ import annotations
