@@ -55,68 +55,42 @@ _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **streaming_queries.QUERIES_DEFERRED,
 }
 
-#: names pinned into the driver's 50-entry correctness window, in order
+#: names pinned into the driver's 50-entry correctness window, in order.
+#: Round-4 rotation: the 23 entries that have never had an official driver
+#: row (8 round-3 deferrals + 15 round-3 additions past the window), the
+#: usual 3 cross-round sentinels, plus this round's new entries.  After
+#: this round every catalog entry has an official row in some round —
+#: 166/166 lifetime coverage for the pre-round-4 surface.
 _PRIORITY: tuple[str, ...] = (
-    # cross-round regression sentinels (driver-green rounds 1 and/or 2)
+    # cross-round regression sentinels (driver-green every prior round)
     "flagship_enrichment",
     "streaming_enrichment",
     "dedup_minhash_lsh",
-    # --- never-driver-checked: time-series / behavioral analytics ---
-    "ts_gapfill",
-    "window_ewma",
-    "anomaly_mad",
-    "markov_transitions",
-    "agg_approx_quantile_bound",
-    "cohort_retention",
-    "funnel_steps",
-    "window_distribution",
-    # --- never-driver-checked: TPC-H remainder (Q9 Q11 Q12 Q16 Q17 Q20) ---
-    "product_profit",
-    "important_stock",
-    "shipmode_priority",
-    "supplier_cnt",
-    "small_qty_revenue",
-    "excess_suppliers",
-    # --- never-driver-checked: storage / snapshot surface ---
-    "snapshot_diff",
-    "changelog_compact",
-    "zorder_key",
-    "join_bloom_prefilter",
-    "join_asof_nearest",
-    "scalar_json",
-    # --- never-driver-checked: dedup family remainder ---
-    "dedup_incremental",
-    "dedup_simhash_pairs",
-    "dedup_jaccard_prefix",
-    "dedup_recall_eval",
-    # --- never-driver-checked: quantization / ANN remainder ---
-    "sim_pq_encode",
-    "sim_pq_search",
-    "sim_sq_encode",
-    "sim_sq_search",
-    "sim_ivfpq_search",
-    "sim_recall_eval",
-    # --- never-driver-checked: text / corpus-prep remainder ---
-    "text_decontaminate",
-    "text_mixture_sample",
-    "text_vocab_coverage",
-    "text_bigram_lm",
-    "text_pii_scrub",
-    "text_chunk_dedup",
-    "text_winnow",
-    "text_pack_stats",
-    "pipeline_pretrain_mix",
-    # --- never-driver-checked: multimodal remainder ---
-    "multimodal_audio_features",
-    "multimodal_pixel_stats",
-    "multimodal_quarantine",
-    # --- never-driver-checked: deferred streaming entries ---
-    "streaming_interval_join_outer",
-    "streaming_running_totals",
-    "streaming_session_agg",
-    # --- new this round ---
-    "streaming_session_agg_update",
-    "multimodal_gif_stats",
+    # --- round-3 deferrals (siblings green; now getting official rows) ---
+    "scalar_string",
+    "scalar_date",
+    "scalar_math",
+    "scalar_array",
+    "scalar_map",
+    "window_sessionize",
+    "snapshot_roundtrip",
+    "stream_dedup_batch",
+    # --- round-3 additions that landed past the checked window ---
+    "join_bucketed",
+    "join_interval_binned",
+    "agg_cms_heavy_hitters",
+    "source_csv",
+    "source_json",
+    "scan_partition_pruned",
+    "sink_partition_overwrite",
+    "sim_topk_filtered",
+    "scalar_url",
+    "streaming_timeout_sessions",
+    "streaming_fidelity_snapshot",
+    "multimodal_dedup_phash",
+    "multimodal_phash_near",
+    "multimodal_gif_frames",
+    "pipeline_image_prep",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"
