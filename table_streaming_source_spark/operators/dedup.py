@@ -284,16 +284,21 @@ def minhash_lsh_pairs(
     )
 
     # exact-Jaccard verification of candidates only: prune the corpus to
-    # candidate documents first (broadcast semi-join on keys), THEN shingle
-    # just those rows — at near-dup rates the verify-side shingling touches
-    # a tiny fraction of the corpus
+    # candidate documents first (semi-join on keys), THEN shingle just
+    # those rows — at near-dup rates the verify-side shingling touches a
+    # tiny fraction of the corpus.  No broadcast hint: the candidate-key
+    # cardinality grows with the corpus duplication rate, so it is NOT
+    # bounded by design; a forced hint would bypass
+    # autoBroadcastJoinThreshold on a pathologically duplicated corpus.
+    # AQE still converts the semi-join to broadcast at runtime whenever
+    # the key set is genuinely small (the common case).
     cand_keys = (
         candidates.select(
             F.explode(F.array("key_a", "key_b")).alias(key)
         ).distinct()
     )
     cand_sh = (
-        df.join(F.broadcast(cand_keys), key, "left_semi")
+        df.join(cand_keys, key, "left_semi")
         .select(F.col(key), _shingles(text_col, n).alias("__sh"))
     )
     sh_a = cand_sh.select(

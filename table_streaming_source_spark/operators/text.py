@@ -242,7 +242,12 @@ def tfidf_top_terms(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    scored = tf.join(F.broadcast(dfreq), "token").withColumn(
+    # Shuffle-join on token — NO broadcast hint.  The vocabulary is a
+    # corpus-derived table (10^8–10^9 distinct tokens at 100 TB); a forced
+    # broadcast would bypass autoBroadcastJoinThreshold and OOM the
+    # executors.  Token is the natural shuffle key and AQE still picks a
+    # broadcast join at runtime when the vocabulary is genuinely small.
+    scored = tf.join(dfreq, "token").withColumn(
         "tfidf",
         F.round(
             F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6

@@ -126,6 +126,43 @@ def test_hinted_broadcasts_are_bounded_dims_only(hints_only, sf_dir, name):
     assert not any(t.startswith("other:") for t in got), got
 
 
+#: golden hinted-broadcast sets for the extension families (documents /
+#: embeddings surface).  Keys are first-scanned-column names with the
+#: unstable ``#exprId`` suffix stripped.  Every allowed entry is bounded
+#: BY DESIGN, never by luck:
+#:   * ``text_decontaminate`` → the benchmark shingle set (benchmarks are
+#:     small by definition; the corpus side is never hinted);
+#:   * ``sim_ivfpq_search`` → PQ codebooks (k×m centroids) and the
+#:     per-query ADC lookup tables / query vectors (bounded by the query
+#:     batch, not the corpus).
+#: Corpus-derived unbounded tables (tf-idf vocabulary, LSH candidate
+#: keys) must NEVER appear here — that is the 100 TB scale-killer class
+#: round 2 purged from plans/relational.py and round 4 purged from
+#: operators/text.py and operators/dedup.py.
+_EXTENSION_HINTED_BROADCASTS = {
+    "text_tfidf": set(),
+    "dedup_minhash_lsh": set(),
+    "dedup_ngram_jaccard": set(),
+    "pipeline_image_prep": set(),
+    "text_decontaminate": {"doc_id"},
+    "sim_ivfpq_search": {"embedding", "subspace", "vec_id"},
+}
+
+
+@pytest.mark.parametrize("name", sorted(_EXTENSION_HINTED_BROADCASTS))
+def test_extension_hinted_broadcasts_are_bounded(hints_only, sf_dir, name):
+    df = catalog.QUERIES[name](hints_only, sf_dir)
+    got = {
+        t.split(":", 1)[1].split("#")[0] if t.startswith("other:") else t
+        for t in _broadcast_tables(df)
+    }
+    assert got == _EXTENSION_HINTED_BROADCASTS[name], (
+        f"{name}: hinted broadcast set changed — corpus-derived tables "
+        f"(vocabularies, candidate keys, shingle tables) must never carry "
+        f"a forced hint (got {sorted(got)})"
+    )
+
+
 def _final_plan(df) -> str:
     df.write.format("noop").mode("overwrite").save()
     return (
@@ -205,6 +242,15 @@ _SHUFFLE_BUDGET = {
     # bucketed co-located join: the join itself is exchange-free (bucket
     # pairs merge-join in place); only the final aggregation shuffles
     "join_bucketed": 1,
+    # extension families — the scale shapes pinned alongside TPC-H's:
+    # band-bucket explode + distinct + verify join; payloads never shuffle
+    "dedup_minhash_lsh": 2,
+    # cell assign + within-cell ADC agg + top-k; codebooks broadcast
+    "sim_ivfpq_search": 3,
+    # corpus shingle agg + benchmark semi-join + doc-level rollup
+    "text_decontaminate": 3,
+    # quarantine routing + phash dedup join; blobs never shuffle
+    "pipeline_image_prep": 2,
 }
 
 
