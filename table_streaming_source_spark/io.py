@@ -96,10 +96,15 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         elif prior_nanos is not None:
             spark.conf.set(nanos_key, prior_nanos)
+        else:
+            # previously UNSET — restore means unset, not leave-set
+            spark.conf.unset(nanos_key)
         return df
     finally:
         if prior_ntz is not None:
             spark.conf.set(ntz_key, prior_ntz)
+        else:
+            spark.conf.unset(ntz_key)
 
 
 def load_table(

@@ -251,14 +251,16 @@ def _source_fixture(
 ) -> str:
     """Materialize the events table once per session in an alternate
     source format (CSV / JSON / event_type-partitioned parquet) so the
-    scan entries measure the reader, not fixture synthesis."""
-    import tempfile
+    scan entries measure the reader, not fixture synthesis.  Scratch
+    paths are deterministic per (sf_dir, fmt) and removed at exit
+    (plans/_scratch.py) — repeated runs overwrite instead of orphaning."""
+    from table_streaming_source_spark.plans import _scratch
 
     key = (id(spark._jsparkSession), sf_dir, fmt)
     path = _SOURCE_FIXTURES.get(key)
     if path is not None:
         return path
-    path = tempfile.mkdtemp(prefix=f"tsss_source_{fmt}_")
+    path = _scratch.scratch_dir(f"source_{fmt}", sf_dir, fresh=True)
     events = t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
@@ -372,14 +374,13 @@ def q_sink_partition_overwrite(
     purchase partition holds exactly the corrected rows — which is what
     the oracle states."""
     import shutil as _shutil
-    import tempfile
-
+    from table_streaming_source_spark.plans import _scratch
     from table_streaming_source_spark.sinks import write_partitioned
 
     events = t(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    path = tempfile.mkdtemp(prefix="tsss_sink_dpo_")
+    path = _scratch.scratch_dir("sink_dpo", sf_dir, fresh=True)
     write_partitioned(
         events, path, partition_by=["event_type"], dynamic=True
     )
@@ -1725,14 +1726,19 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-invisible, so the oracle is the plain join; the zero-exchange
     plan proof is tests/test_scale_strategies.py and the golden plan
     gate in tests/test_plans.py."""
-    import tempfile
+    from table_streaming_source_spark.plans import _scratch
 
     key = (id(spark._jsparkSession), sf_dir)
     names = _BUCKETED_TABLES.get(key)
     if names is None or not all(spark.catalog.tableExists(n) for n in names):
-        tag = abs(hash(key)) % 10**8
+        # deterministic per sf_dir (never PYTHONHASHSEED-random): repeat
+        # runs overwrite the same metastore names + data dir in place,
+        # and both are cleaned up at exit (plans/_scratch.py)
+        tag = _scratch.deterministic_tag(sf_dir)
         names = (f"tsss_bl_{tag}", f"tsss_bo_{tag}")
-        base = tempfile.mkdtemp(prefix="tsss_bucketed_")
+        base = _scratch.scratch_dir("bucketed", sf_dir, fresh=True)
+        for n in names:
+            _scratch.register_table(spark, n)
         (
             t(spark, sf_dir, "lineitem")
             .select("l_orderkey", "l_extendedprice", "l_discount")

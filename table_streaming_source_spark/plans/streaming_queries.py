@@ -21,6 +21,7 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from table_streaming_source_spark.plans import _scratch
 from table_streaming_source_spark.plans.common import dsum, sql_dsum, t
 
 ORACLES: dict[str, str] = {}
@@ -44,7 +45,10 @@ def _stream_fixture(
     key = (id(spark._jsparkSession), sf_dir, name)
     src = _FIXTURE_CACHE.get(key)
     if src is None or not os.path.isdir(src):
-        src = tempfile.mkdtemp(prefix=f"tsss_src_{name}_")
+        # deterministic path + fresh wipe: repeated runs overwrite in
+        # place instead of orphaning a new mkdtemp per process; the dir
+        # is also removed at interpreter exit (plans/_scratch.py)
+        src = _scratch.scratch_dir(f"src_{name}", sf_dir, fresh=True)
         writer(src)
         _FIXTURE_CACHE[key] = src
     return src
@@ -103,7 +107,7 @@ def q_streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "enrichment",
         lambda d: events.repartition(8).write.mode("overwrite").parquet(d),
     )
-    base = tempfile.mkdtemp(prefix="tsss_streaming_enrichment_")
+    base = _scratch.scratch_dir("streaming_enrichment", sf_dir, fresh=True)
     out = f"{base}/out"
 
     stream = (
@@ -650,7 +654,7 @@ def q_streaming_session_agg_update(
             _bump_mtimes(d, set(os.listdir(d)) - seen, stamp + i)
 
     src = _stream_fixture(spark, sf_dir, "sessu", _write)
-    base = tempfile.mkdtemp(prefix="tsss_streaming_sessu_")
+    base = _scratch.scratch_dir("streaming_sessu", sf_dir, fresh=True)
     out, ck = f"{base}/out", f"{base}/ckpt"
 
     stream = (
@@ -763,7 +767,7 @@ def q_streaming_timeout_sessions(
             _bump_mtimes(d, set(os.listdir(d)) - seen, stamp + i)
 
     src = _stream_fixture(spark, sf_dir, "sessu", _write)
-    base = tempfile.mkdtemp(prefix="tsss_streaming_tosess_")
+    base = _scratch.scratch_dir("streaming_tosess", sf_dir, fresh=True)
     out, ck = f"{base}/out", f"{base}/ckpt"
 
     stream = (

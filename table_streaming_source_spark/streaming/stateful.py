@@ -103,7 +103,20 @@ def _sessionize(key, pdfs, state: GroupState):
     the watermark passes it (strictly — boundary verified empirically).
     State per key is one (start, last, n, cents) tuple — O(1), never raw
     events; sums accumulate in integer cents so emissions are
-    bit-identical under any batching."""
+    bit-identical under any batching.
+
+    Late tolerance (ADVICE round 3): an above-watermark straggler from an
+    earlier batch may carry ``t < last_us``.  The state is late-tolerant:
+
+    * ``start_us - gap ≤ t ≤ last_us + gap`` → merge into the open
+      session, with ``start_us = min(start_us, t)`` and
+      ``last_us = max(last_us, t)`` — the timeout horizon never moves
+      backward and the session start reflects the true earliest event;
+    * ``t < start_us - gap`` → the event can never merge with the open
+      session (anything bridging the gap would itself be even later) —
+      emitted as its own already-closed singleton session;
+    * ``t > last_us + gap`` → normal gap close, new session starts.
+    """
     import pandas as pd
 
     if state.hasTimedOut:
@@ -121,14 +134,21 @@ def _sessionize(key, pdfs, state: GroupState):
     if state.exists:
         start_us, last_us, n, cents = state.get
     else:
-        start_us, last_us, n, cents = int(ts_us[0]), int(ts_us[0]), 0, 0
+        start_us, last_us, n, cents = 0, 0, 0, 0
     closed = []
     for t, c in zip(ts_us, cents_arr):
         t = int(t)
-        if n and t - last_us > gap_us:
+        if n == 0:
+            start_us, last_us, n, cents = t, t, 1, int(c)
+        elif t - last_us > gap_us:
             closed.append((start_us, n, cents))
-            start_us, n, cents = t, 0, 0
-        last_us, n, cents = t, n + 1, cents + int(c)
+            start_us, last_us, n, cents = t, t, 1, int(c)
+        elif start_us - t > gap_us:
+            closed.append((t, 1, int(c)))
+        else:
+            start_us = min(start_us, t)
+            last_us = max(last_us, t)
+            n, cents = n + 1, cents + int(c)
     state.update((start_us, last_us, n, cents))
     state.setTimeoutTimestamp(last_us // 1000 + _SESS_GAP_MS)
     yield _session_frame(key[0], closed)
@@ -147,10 +167,14 @@ def timeout_sessions_stream(
     watermark-driven state EVICTION through timeouts (close callbacks,
     decaying state, enrichment caches all follow this template).
 
-    Requires TIMESTAMP event time with a watermark on ``ts``; input must
-    arrive with bounded disorder (a live stream, or a time-ordered
-    bounded replay) because append-mode custom state drops
-    behind-watermark rows like every stateful operator."""
+    Requires TIMESTAMP event time with a watermark on ``ts``.  Rows below
+    the watermark are dropped like every stateful operator's; rows ABOVE
+    the watermark but behind the per-key state (cross-batch stragglers)
+    are handled late-tolerantly — merged into the open session when
+    within the gap of either end (session start/end expand to cover
+    them; the timeout horizon never shrinks), emitted as singleton
+    sessions when older than the open session by more than the gap (see
+    ``_sessionize``)."""
     return (
         stream.selectExpr(
             f"{key} AS user_id", f"{ts} AS ts", f"{value} AS value"

@@ -127,3 +127,28 @@ def test_read_table_restores_session_confs(spark, sf_dir):
     finally:
         spark.conf.set(ntz, old_ntz)
         spark.conf.set(nanos, old_nanos)
+
+
+def test_read_table_restores_unset_confs(spark, sf_dir):
+    """The unset-prior case (ADVICE round 3): a conf that was never set
+    must come back UNSET after the read, not pinned to the override —
+    ``conf.get(key, None) is None`` both before and after."""
+    from table_streaming_source_spark.io import load_table
+
+    ntz = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    nanos = "spark.sql.legacy.parquet.nanosAsLong"
+    old_ntz = spark.conf.get(ntz, None)
+    old_nanos = spark.conf.get(nanos, None)
+    try:
+        spark.conf.unset(ntz)
+        spark.conf.unset(nanos)
+        load_table(spark, sf_dir, "orders", cached=False)
+        load_table(spark, sf_dir, "events", cached=False)
+        assert spark.conf.get(ntz, None) is None, "ntz leaked as set"
+        assert spark.conf.get(nanos, None) is None, "nanos leaked as set"
+    finally:
+        for key, old in ((ntz, old_ntz), (nanos, old_nanos)):
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)

@@ -379,3 +379,102 @@ def test_rocksdb_state_store_matches_batch(spark, sf_dir, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+class _FakeGroupState:
+    """Duck-typed GroupState for driving _sessionize's state machine
+    directly (no streaming harness)."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.timeout_ts = None
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = tuple(v)
+
+    def remove(self):
+        self._value, self.removed = None, True
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_ts = ts
+
+
+def _sess_step(events_us_cents, state):
+    """Run one _sessionize micro-batch; returns (closed_sessions, state)."""
+    import pandas as pd
+
+    from table_streaming_source_spark.streaming.stateful import _sessionize
+
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                pd.Series([t for t, _ in events_us_cents], dtype="int64")
+                * 1000
+            ),
+            "value": [c / 100.0 for _, c in events_us_cents],
+        }
+    )
+    out = list(_sessionize((7,), [pdf], state))
+    sessions = [
+        (int(r.session_start.value // 1000), int(r.n_events), float(r.sum_value))
+        for r in out[0].itertuples()
+    ]
+    return sessions, state
+
+
+def test_sessionize_late_event_within_gap_merges_and_expands(spark):
+    """A cross-batch straggler inside the gap must merge: session start
+    moves back to it, last/timeout never move backward (ADVICE round 3)."""
+    gap_us = 30 * 60 * 1000 * 1000
+    t0 = 10 * gap_us
+    st = _FakeGroupState()
+    _sess_step([(t0, 100), (t0 + 1000, 100)], st)
+    assert st.get == (t0, t0 + 1000, 2, 200)
+    horizon = st.timeout_ts
+    # next batch: above-watermark straggler slightly BEFORE the stored
+    # session start but within the gap
+    closed, st = _sess_step([(t0 - 5000, 50)], st)
+    assert closed == []  # merged, not emitted
+    assert st.get == (t0 - 5000, t0 + 1000, 3, 250)
+    assert st.timeout_ts == horizon  # horizon did not shrink
+
+
+def test_sessionize_straggler_older_than_gap_is_singleton(spark):
+    """A straggler more than one gap before the open session can never
+    merge — emitted as its own closed singleton session."""
+    gap_us = 30 * 60 * 1000 * 1000
+    t0 = 10 * gap_us
+    st = _FakeGroupState()
+    _sess_step([(t0, 100)], st)
+    closed, st = _sess_step([(t0 - 2 * gap_us, 75)], st)
+    assert closed == [(t0 - 2 * gap_us, 1, 0.75)]
+    assert st.get == (t0, t0, 1, 100)  # open session untouched
+
+
+def test_sessionize_gap_close_and_timeout_emission(spark):
+    """Ordered path unchanged: a gap closes the prior session in-batch;
+    a timeout emits the stored tail session and clears state."""
+    gap_us = 30 * 60 * 1000 * 1000
+    t0 = 10 * gap_us
+    st = _FakeGroupState()
+    closed, st = _sess_step([(t0, 100), (t0 + 2 * gap_us, 40)], st)
+    assert closed == [(t0, 1, 1.0)]
+    assert st.get == (t0 + 2 * gap_us, t0 + 2 * gap_us, 1, 40)
+    # watermark passes → state-store timeout path
+    from table_streaming_source_spark.streaming.stateful import _sessionize
+
+    out = list(_sessionize((7,), [], _FakeGroupState(st.get, timed_out=True)))
+    rows = out[0]
+    assert len(rows) == 1
+    assert int(rows.n_events.iloc[0]) == 1
+    assert float(rows.sum_value.iloc[0]) == 0.4
