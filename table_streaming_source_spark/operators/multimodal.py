@@ -196,6 +196,28 @@ def parse_container(payload: bytes) -> tuple[str, int, int, int]:
             raise ValueError("AVI without avih header")
         fields = struct.unpack("<14I", payload[idx + 8 : idx + 8 + 56])
         return "video", fields[8], fields[9], fields[4]
+    if payload[:2] == b"\xff\xd8":  # JPEG: walk markers to the frame header
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError("bad JPEG marker alignment")
+            marker = payload[pos + 1]
+            if marker == 0xFF:
+                pos += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                pos += 2
+                continue
+            size = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+            if marker in (0xC0, 0xC1, 0xC2):  # any SOFn geometry
+                height, width = struct.unpack(
+                    ">HH", payload[pos + 5 : pos + 9]
+                )
+                return "image", width, height, 1
+            if marker == 0xDA:
+                break
+            pos += 2 + size
+        raise ValueError("JPEG without a frame header")
     raise ValueError(f"Unknown container (magic {payload[:8]!r})")
 
 
@@ -295,9 +317,11 @@ def decode_media(
     """
     if decoder == "real":
         raise NotImplementedError(
-            "Full pixel/sample decoding requires Pillow/av/ffmpeg, not "
-            "available in this environment; decoder='parse' covers the "
-            "metadata path with a pure-Python container parser."
+            "Generic pixel/sample decoding for lossy A/V codecs "
+            "(H.264/MP3) requires av/ffmpeg, not available in this "
+            "environment.  PNG, GIF, baseline JPEG and WAV PCM decode "
+            "for REAL via decode_pixels/wav_pcm (pure-Python codecs); "
+            "decoder='parse' covers the metadata path."
         )
     if decoder not in ("fake", "parse"):
         raise ValueError(f"Unknown decoder {decoder!r}")
@@ -913,13 +937,16 @@ def gif_pixels(payload: bytes) -> "object":
 
 
 def decode_pixels(payload: bytes) -> "object":
-    """Sniff-and-dispatch pixel decode: PNG (zlib inflate + unfilter)
-    or GIF (LZW + palette).  Other containers raise ``ValueError`` —
-    route them through :func:`quarantine_decode`."""
+    """Sniff-and-dispatch pixel decode: PNG (zlib inflate + unfilter),
+    GIF (LZW + palette), or baseline JPEG (huffman + dequant + IDCT).
+    Other containers raise ``ValueError`` — route them through
+    :func:`quarantine_decode`."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return png_pixels(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return gif_pixels(payload)
+    if payload[:2] == b"\xff\xd8":
+        return jpeg_pixels(payload)
     raise ValueError(f"no pixel decoder for magic {payload[:6]!r}")
 
 
@@ -1240,3 +1267,437 @@ def quarantine_decode(
             )
 
     return df.mapInPandas(batches, schema=QUARANTINE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# image: real baseline JPEG decode (huffman + dequant + IDCT) — the third
+# true-codec path the sandbox permits, written to the public ITU-T T.81
+# spec with stdlib + numpy only.  Reference parity: the reference treats
+# media as opaque payloads and delegates decode to the host framework
+# (reference src/main has no codec surface); this is the north-star
+# training-pipeline extension, same extension point as PNG/GIF above.
+# Progressive (SOF2) and arithmetic-coded JPEGs raise ValueError → route
+# through quarantine_decode; only H.264/MP3 remain library-gated.
+# ---------------------------------------------------------------------------
+
+#: zigzag scan position → linear (row-major) coefficient index (T.81 fig 5)
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+#: T.81 Annex K.3 typical luminance huffman tables (public spec constants)
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = tuple(
+    int(h, 16)
+    for h in (
+        "01 02 03 00 04 11 05 12 21 31 41 06 13 51 61 07 22 71 14 32 "
+        "81 91 a1 08 23 42 b1 c1 15 52 d1 f0 24 33 62 72 82 09 0a 16 "
+        "17 18 19 1a 25 26 27 28 29 2a 34 35 36 37 38 39 3a 43 44 45 "
+        "46 47 48 49 4a 53 54 55 56 57 58 59 5a 63 64 65 66 67 68 69 "
+        "6a 73 74 75 76 77 78 79 7a 83 84 85 86 87 88 89 8a 92 93 94 "
+        "95 96 97 98 99 9a a2 a3 a4 a5 a6 a7 a8 a9 aa b2 b3 b4 b5 b6 "
+        "b7 b8 b9 ba c2 c3 c4 c5 c6 c7 c8 c9 ca d2 d3 d4 d5 d6 d7 d8 "
+        "d9 da e1 e2 e3 e4 e5 e6 e7 e8 e9 ea f1 f2 f3 f4 f5 f6 f7 f8 "
+        "f9 fa"
+    ).split()
+)
+
+
+def _huff_decode_table(bits, vals) -> dict:
+    """Canonical huffman (T.81 C.2): (code length, code) → symbol."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_table(bits, vals) -> dict:
+    """Canonical huffman: symbol → (code, length)."""
+    return {
+        sym: (code, length)
+        for (length, code), sym in _huff_decode_table(bits, vals).items()
+    }
+
+
+def _idct_basis():
+    """Orthonormal 8×8 DCT-III basis ``A`` with ``A[u, x] =
+    c(u)/2 · cos((2x+1)uπ/16)``; spatial block = ``Aᵀ·S·A``."""
+    import numpy as np
+
+    u = np.arange(8, dtype=np.float64)[:, None]
+    x = np.arange(8, dtype=np.float64)[None, :]
+    a = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    a[0, :] *= 1.0 / np.sqrt(2.0)
+    return a
+
+
+def _idct_block(coeffs):
+    """Dequantized 8×8 coefficient block → spatial block (float)."""
+    import numpy as np
+
+    a = _idct_basis()
+    return a.T @ np.asarray(coeffs, dtype=np.float64).reshape(8, 8) @ a
+
+
+class _JpegBitWriter:
+    """MSB-first bit packer with 0xFF→0xFF00 byte stuffing (T.81 B.1.1.5)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((code >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:
+                    self.out.append(0x00)
+                self._acc, self._n = 0, 0
+
+    def flush(self) -> None:
+        while self._n:
+            self.write(1, 1)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data; skips stuffed zero
+    bytes, stops at markers (T.81 B.1.1.5)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data, self.pos = data, pos
+        self._acc, self._n = 0, 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("marker inside entropy data")
+            self._acc, self._n = b, 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 17:
+            code = (code << 1) | self.bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code")
+
+    def align(self) -> None:
+        self._n = 0
+
+
+def _receive_extend(r: "_JpegBitReader", t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: t magnitude bits → signed coefficient."""
+    if t == 0:
+        return 0
+    v = r.bits(t)
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _mag_bits(v: int) -> tuple:
+    """Signed value → (category, appended bits) per T.81 F.1.2.1."""
+    t = abs(v).bit_length()
+    return t, (v if v >= 0 else v + (1 << t) - 1)
+
+
+def encode_jpeg_gray_coeffs(
+    qblocks, width: int, height: int, qtable, *, restart_interval: int = 0
+) -> bytes:
+    """Entropy-encode pre-quantized coefficient blocks into a complete
+    baseline JPEG (grayscale, Annex K huffman tables).  ``qblocks`` is a
+    raster-order list of 64 quantized coefficients in NATURAL (row-major)
+    order; ``qtable`` likewise natural order.  Coefficient-domain input
+    makes the encoder LOSSLESS, so tests can check the decoder bit-exactly
+    against an independent dequant+IDCT pipeline with no lossy tolerance."""
+    dc_enc = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    qzz = bytes(qtable[_JPEG_ZIGZAG[i]] for i in range(64))
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xDB, b"\x00" + qzz)  # DQT: 8-bit, id 0
+    out += seg(  # SOF0: 8-bit precision, 1 component, 1x1 sampling
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0)),
+    )
+    out += seg(0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(0xC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))  # SOS
+
+    w = _JpegBitWriter()
+    prev_dc, rst = 0, 0
+    for i, blk in enumerate(qblocks):
+        if restart_interval and i and i % restart_interval == 0:
+            w.flush()
+            out += w.out
+            out += bytes((0xFF, 0xD0 + rst))
+            rst = (rst + 1) % 8
+            w = _JpegBitWriter()
+            prev_dc = 0
+        zz = [int(blk[_JPEG_ZIGZAG[k]]) for k in range(64)]
+        t, mag = _mag_bits(zz[0] - prev_dc)
+        prev_dc = zz[0]
+        code, length = dc_enc[t]
+        w.write(code, length)
+        w.write(mag, t)
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_enc[0xF0]  # ZRL
+                w.write(code, length)
+                run -= 16
+            t, mag = _mag_bits(zz[k])
+            code, length = ac_enc[(run << 4) | t]
+            w.write(code, length)
+            w.write(mag, t)
+            run = 0
+        if run:
+            code, length = ac_enc[0x00]  # EOB
+            w.write(code, length)
+    w.flush()
+    out += w.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def jpeg_pixels(payload: bytes) -> "object":
+    """Decode a baseline sequential JPEG (SOF0/SOF1, huffman) to an
+    ``(h, w)`` uint8 array (grayscale) or ``(h, w, 3)`` uint8 RGB
+    (3-component 4:4:4) — the REAL pipeline: marker parse → canonical
+    huffman decode → dequant → 2-D IDCT → level shift, with restart
+    markers honored.  Progressive (SOF2), arithmetic-coded, and
+    subsampled JPEGs raise ``ValueError`` — route through
+    :func:`quarantine_decode`."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qtables: dict = {}
+    htables: dict = {}
+    restart_interval = 0
+    comps = None
+    width = height = None
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte (T.81 B.1.1.2)
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers carry no length field
+            continue
+        size = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        body = payload[pos + 4 : pos + 2 + size]
+        pos += 2 + size
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                i += 1
+                if pq:
+                    vals = struct.unpack(f">{64}H", body[i : i + 128])
+                    i += 128
+                else:
+                    vals = body[i : i + 64]
+                    i += 64
+                nat = [0] * 64
+                for k in range(64):
+                    nat[_JPEG_ZIGZAG[k]] = int(vals[k])
+                qtables[tq] = nat
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+            _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            comps = []
+            for c in range(ncomp):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError(
+                        "chroma subsampling not supported (4:4:4 only)"
+                    )
+                comps.append({"id": cid, "tq": tq})
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG not supported — quarantine")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                        0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG not supported — quarantine")
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = tuple(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = tuple(body[i + 17 : i + 17 + n])
+                htables[(tc, th)] = _huff_decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS → entropy-coded data follows
+            if comps is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cid)
+                scan.append(
+                    (comp, htables[(0, tabs >> 4)], htables[(1, tabs & 0xF)])
+                )
+            bw = (width + 7) // 8
+            bh = (height + 7) // 8
+            planes = [
+                np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in scan
+            ]
+            r = _JpegBitReader(payload, pos)
+            prev = [0] * len(scan)
+            for m in range(bw * bh):
+                if restart_interval and m and m % restart_interval == 0:
+                    r.align()
+                    if not (
+                        r.data[r.pos] == 0xFF
+                        and 0xD0 <= r.data[r.pos + 1] <= 0xD7
+                    ):
+                        raise ValueError("expected restart marker")
+                    r.pos += 2
+                    prev = [0] * len(scan)
+                by, bx = divmod(m, bw)
+                for ci, (comp, dct, act) in enumerate(scan):
+                    q = qtables[comp["tq"]]
+                    zz = [0] * 64
+                    t = r.huff(dct)
+                    prev[ci] += _receive_extend(r, t)
+                    zz[0] = prev[ci]
+                    k = 1
+                    while k < 64:
+                        rs = r.huff(act)
+                        run, size_ = rs >> 4, rs & 0xF
+                        if size_ == 0:
+                            if run == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC index overflow")
+                        zz[k] = _receive_extend(r, size_)
+                        k += 1
+                    coeffs = [0.0] * 64
+                    for k in range(64):
+                        nat = _JPEG_ZIGZAG[k]
+                        coeffs[nat] = zz[k] * q[nat]
+                    planes[ci][
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ] = _idct_block(coeffs)
+            out = [
+                np.clip(np.round(p[:height, :width] + 128.0), 0, 255)
+                for p in planes
+            ]
+            if len(out) == 1:
+                return out[0].astype(np.uint8)
+            if len(out) == 3:
+                y, cb, cr = out
+                rgb = np.stack(
+                    [
+                        y + 1.402 * (cr - 128.0),
+                        y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                        y + 1.772 * (cb - 128.0),
+                    ],
+                    axis=-1,
+                )
+                return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+            raise ValueError(f"unsupported component count {len(out)}")
+    raise ValueError("JPEG without SOS")
+
+
+#: DC quant step 8 makes the flat-block DC round-trip EXACT:
+#: S(0,0) = 8·(v−128) for a flat block, so quantized DC = v−128 with no
+#: rounding loss, and the IDCT of a DC-only block is flat — decoded
+#: pixels equal the stated formula bit-for-bit despite a lossy codec.
+_JPEG_SYNTH_QTABLE = tuple([8] + [16] * 63)
+
+
+def synth_jpeg_blocks(width: int, height: int, seed: int) -> bytes:
+    """A spec-valid baseline JPEG whose 8×8 blocks are constant:
+    ``p(x, y) = (7·(x//8) + 13·(y//8) + seed) % 256``.  Block-constant
+    pixels have a DC-only spectrum, and with DC quant step 8 the
+    quantization is exact (see ``_JPEG_SYNTH_QTABLE``) — so a SQL oracle
+    can restate every decoded pixel while the Spark side genuinely runs
+    huffman → dequant → IDCT.  Dimensions must be multiples of 8."""
+    if width % 8 or height % 8:
+        raise ValueError("synth dimensions must be multiples of 8")
+    bw, bh = width // 8, height // 8
+    qblocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            v = (7 * bx + 13 * by + seed) % 256
+            blk = [0] * 64
+            blk[0] = v - 128  # quantized DC (step 8 over S00 = 8·(v−128))
+            qblocks.append(blk)
+    return encode_jpeg_gray_coeffs(
+        qblocks, width, height, _JPEG_SYNTH_QTABLE
+    )
+
+
+def attach_jpeg_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one :func:`synth_jpeg_blocks` per key
+    (``w = 8·(2 + (7k) % 6)``, ``h = 8·(2 + (13k) % 6)``, ``seed = k``)."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_jpeg_blocks(
+                            8 * (2 + (7 * int(k)) % 6),
+                            8 * (2 + (13 * int(k)) % 6),
+                            int(k),
+                        )
+                        for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)

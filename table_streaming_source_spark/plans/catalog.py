@@ -91,6 +91,8 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_phash_near",
     "multimodal_gif_frames",
     "pipeline_image_prep",
+    # --- new this round ---
+    "multimodal_jpeg_stats",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"

@@ -253,3 +253,88 @@ def test_gif_animation_frames_decode(spark):
     # n_frames = 2 + k % 4 → k=2: 4 frames → sampled {0, 2}; k=5: 3 → {0, 2}
     assert sorted(by_key[2]) == [0, 2]
     assert sorted(by_key[5]) == [0, 2]
+
+
+def test_jpeg_synth_decode_is_bit_exact():
+    """Block-constant synthesis + DC quant step 8 → the lossy codec
+    round-trips exactly; the decoder earns the pixels through huffman +
+    dequant + IDCT."""
+    import numpy as np
+
+    from table_streaming_source_spark.operators import multimodal as M
+
+    for seed in (0, 5, 123, 250):
+        w = 8 * (2 + (7 * seed) % 6)
+        h = 8 * (2 + (13 * seed) % 6)
+        px = M.jpeg_pixels(M.synth_jpeg_blocks(w, h, seed))
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        want = ((7 * (x // 8) + 13 * (y // 8) + seed) % 256).astype(np.uint8)
+        assert px.shape == (h, w)
+        assert (px == want).all()
+
+
+def test_jpeg_coefficient_roundtrip_with_ac():
+    """The coefficient-domain encoder is lossless, so the decoder must
+    reproduce an independent dequant+IDCT+clamp pipeline bit-exactly —
+    proving huffman run/size codes, zigzag, ZRL/EOB, and the IDCT on
+    dense AC spectra, not just flat DC blocks."""
+    import numpy as np
+
+    from table_streaming_source_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(7)
+    qt = np.full(64, 16, dtype=np.int64)
+    qt[0] = 10
+    w, h = 32, 24
+    nb = (w // 8) * (h // 8)
+    blocks = []
+    for _ in range(nb):
+        blk = np.zeros(64, dtype=np.int64)
+        blk[0] = rng.randint(-120, 121)
+        idx = rng.choice(np.arange(1, 64), size=12, replace=False)
+        blk[idx] = rng.randint(-40, 41, size=12)
+        blocks.append(blk)
+
+    for dri in (0, 3):
+        payload = M.encode_jpeg_gray_coeffs(
+            blocks, w, h, qt.tolist(), restart_interval=dri
+        )
+        got = M.jpeg_pixels(payload)
+        u = np.arange(8)[:, None]
+        xx = np.arange(8)[None, :]
+        a = 0.5 * np.cos((2 * xx + 1) * u * np.pi / 16.0)
+        a[0] /= np.sqrt(2)
+        ref = np.zeros((h, w))
+        for m, blk in enumerate(blocks):
+            by, bx = divmod(m, w // 8)
+            s = (blk * qt).reshape(8, 8).astype(float)
+            ref[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = a.T @ s @ a
+        ref = np.clip(np.round(ref + 128), 0, 255).astype(np.uint8)
+        assert (got == ref).all(), f"dri={dri}"
+
+
+def test_jpeg_progressive_routes_to_quarantine():
+    """SOF2 must raise (decoder) and quarantine as a parsed-but-
+    undecodable image (metadata parse still reads SOFn geometry)."""
+    import pytest
+
+    from table_streaming_source_spark.operators import multimodal as M
+
+    payload = M.synth_jpeg_blocks(16, 16, 1)
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="progressive"):
+        M.jpeg_pixels(prog)
+    # container metadata still parses geometry from any SOFn
+    assert M.parse_container(prog) == ("image", 16, 16, 1)
+    # truncated garbage JPEG raises in both paths
+    with pytest.raises(ValueError):
+        M.parse_container(b"\xff\xd8\xff\xfe\x00\x04ab")
+
+
+def test_jpeg_container_parse_geometry():
+    from table_streaming_source_spark.operators import multimodal as M
+
+    payload = M.synth_jpeg_blocks(40, 24, 9)
+    assert M.parse_container(payload) == ("image", 40, 24, 1)
+    assert M.decode_pixels(payload).shape == (24, 40)
