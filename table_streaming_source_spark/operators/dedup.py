@@ -169,6 +169,12 @@ def minhash_signatures(
     )
 
 
+#: (input plan id, parameters) → verify-broadcast gate decision; see
+#: minhash_lsh_pairs — corpus cardinality is session-stable, so the
+#: scalar candidate-count job runs once per distinct input
+_VERIFY_GATE_MEMO: dict = {}
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -180,9 +186,17 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket: Optional[int] = None,
     mega_bucket: str = "drop",
+    verify_broadcast_max_keys: int = 1_000_000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, verified with exact
     Jaccard.
+
+    ``verify_broadcast_max_keys`` gates the verify prefilter's broadcast:
+    the candidate pairs are counted (a scalar job over the checkpointed
+    banding output, which the verify must materialize anyway) and the
+    key set is broadcast ONLY when ``2 × n_candidates`` fits under the
+    gate — a corpus with pathological duplication degrades to a shuffled
+    semi-join instead of OOMing the executors.
 
     Pipeline: shingles → md5→int shingle hashes → ``(a·x+b) mod P``
     minhash signature (``num_hashes`` values) → ``bands`` bands of
@@ -286,17 +300,34 @@ def minhash_lsh_pairs(
     # exact-Jaccard verification of candidates only: prune the corpus to
     # candidate documents first (semi-join on keys), THEN shingle just
     # those rows — at near-dup rates the verify-side shingling touches a
-    # tiny fraction of the corpus.  No broadcast hint: the candidate-key
-    # cardinality grows with the corpus duplication rate, so it is NOT
-    # bounded by design; a forced hint would bypass
-    # autoBroadcastJoinThreshold on a pathologically duplicated corpus.
-    # AQE still converts the semi-join to broadcast at runtime whenever
-    # the key set is genuinely small (the common case).
+    # tiny fraction of the corpus.  The broadcast hint is COUNT-GATED
+    # (round 4): candidate-key cardinality grows with the corpus
+    # duplication rate, so it is not bounded by design — an unconditional
+    # hint would bypass autoBroadcastJoinThreshold on a pathologically
+    # duplicated corpus.  Counting the (already-checkpointed) candidate
+    # pairs materializes work the verify join needs anyway, and the
+    # scalar answer picks the plan: small → hinted broadcast semi-join
+    # (the corpus side never shuffles — AQE's runtime conversion would
+    # still pay the corpus map pass); large → plain shuffle semi-join,
+    # which AQE skew-splits like any other join.  The decision is
+    # memoized per (input plan, parameters): corpus statistics do not
+    # change within a session, so repeated invocations skip the scalar
+    # job (a stale entry can only flip a plan choice, never correctness).
+    gate_key = (
+        id(df._jdf), text_col, key, n, num_hashes, bands, threshold,
+        max_bucket, mega_bucket, verify_broadcast_max_keys,
+    )
+    small = _VERIFY_GATE_MEMO.get(gate_key)
+    if small is None:
+        small = 2 * candidates.count() <= verify_broadcast_max_keys
+        _VERIFY_GATE_MEMO[gate_key] = small
     cand_keys = (
         candidates.select(
             F.explode(F.array("key_a", "key_b")).alias(key)
         ).distinct()
     )
+    if small:
+        cand_keys = F.broadcast(cand_keys)
     cand_sh = (
         df.join(cand_keys, key, "left_semi")
         .select(F.col(key), _shingles(text_col, n).alias("__sh"))
@@ -631,29 +662,60 @@ def jaccard_prefix_pairs(
 
     Returns ``(key_a, key_b, jaccard)`` with ``key_a < key_b``.
     """
-    from pyspark.sql import Window
-
-    shingled = shingle_table(_spread(df), text_col, key, n)
+    # the shingle explode feeds the frequency agg AND the rarity join;
+    # checkpoint so the explode (split + n-gram transform over every
+    # document) runs once, not once per consumer.  Shingle STRINGS are
+    # hashed to 64-bit ids at the explode (round 4, xxhash64 — one cheap
+    # JVM-side hash per shingle) — every downstream exchange, sort, and
+    # intersection then moves 8-byte longs instead of multi-word
+    # strings.  Collisions would merge two shingles corpus-wide; at 10⁶
+    # distinct shingles the birthday odds over 2⁶⁴ are ~10⁻⁷, and the
+    # exhaustive string-based oracle would catch one.
+    shingled = (
+        shingle_table(_spread(df), text_col, key, n)
+        .select(F.col(key), F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint(eager=False)
+    )
     freq = shingled.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("__df")
     )
-    w = Window.partitionBy(key).orderBy(F.col("__df"), F.col("shingle"))
-    ranked = (
+    # Rarity ranking WITHOUT window functions (round 4: the former
+    # row_number/count window pair cost a full SortExec over every
+    # (key, __df, shingle) row — ~20% of the operator): group each doc's
+    # (df, shingle) pairs and sort the per-doc ARRAY row-locally.  Same
+    # two exchanges (join on shingle, agg on key), no wide sort, and the
+    # verify-side sets fall out of the same aggregate for free.
+    # The frequency attach stays a JOIN — aggregating collect_list(key)
+    # per shingle would be the cheaper-looking alternative, but a
+    # stop-shingle's key list is unbounded (mega-bucket) while a doc's
+    # shingle array is bounded by document length; the join is the shape
+    # AQE can skew-split.
+    per_doc = (
         shingled.join(freq, "shingle")
+        .groupBy(key)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__df"), F.col("shingle")))
+            ).alias("__arr")
+        )
         .select(
             F.col(key),
-            "shingle",
-            F.row_number().over(w).alias("__pos"),
-            F.count(F.lit(1)).over(Window.partitionBy(key)).alias("__sz"),
+            F.transform("__arr", lambda s: s["shingle"]).alias("__set"),
+            F.size("__arr").alias("__sz"),
         )
+        # referenced by the prefix self-join (twice) and the verify join
+        # (twice); materialize the join+agg once
+        .localCheckpoint(eager=False)
     )
-    # the prefix table is referenced twice by the self-join (and its
-    # upstream — df join + two windows — is the expensive part);
-    # checkpoint so it materializes once
-    prefix = ranked.filter(
-        F.col("__pos")
-        <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
-    ).localCheckpoint(eager=False)
+    n_prefix = (
+        F.col("__sz")
+        - F.ceil(F.lit(threshold) * F.col("__sz")).cast("int")
+        + 1
+    )
+    prefix = per_doc.select(
+        F.col(key),
+        F.explode(F.slice("__set", F.lit(1), n_prefix)).alias("shingle"),
+    )
     cand = (
         prefix.select(F.col(key).alias("key_a"), "shingle")
         .join(prefix.select(F.col(key).alias("key_b"), "shingle"), "shingle")
@@ -664,10 +726,7 @@ def jaccard_prefix_pairs(
     # verify only the candidates: per-doc shingle sets join the (small)
     # candidate pair list and the intersection is a row-local
     # array_intersect — the full shingle⋈shingle join never happens
-    sets_ = shingled.groupBy(key).agg(
-        F.collect_set("shingle").alias("__set"),
-        F.count(F.lit(1)).alias("__sz"),
-    ).localCheckpoint(eager=False)  # probed by both sides of the verify
+    sets_ = per_doc
     return (
         cand.join(
             sets_.select(

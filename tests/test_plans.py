@@ -141,7 +141,14 @@ def test_hinted_broadcasts_are_bounded_dims_only(hints_only, sf_dir, name):
 #: operators/text.py and operators/dedup.py.
 _EXTENSION_HINTED_BROADCASTS = {
     "text_tfidf": set(),
-    "dedup_minhash_lsh": set(),
+    # the verify-prefilter broadcast is COUNT-GATED (operators/dedup.py::
+    # minhash_lsh_pairs, verify_broadcast_max_keys): the hint only exists
+    # because the materialized candidate count came back under the gate,
+    # so the fixture-scale plan legitimately shows the doc_id key set
+    # under a BroadcastExchange; a pathological corpus takes the
+    # shuffled-semi-join branch instead (the scan under the exchange is
+    # the candidate-pair checkpoint, first column key_a)
+    "dedup_minhash_lsh": {"key_a"},
     "dedup_ngram_jaccard": set(),
     "pipeline_image_prep": set(),
     "text_decontaminate": {"doc_id"},
