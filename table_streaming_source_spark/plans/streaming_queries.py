@@ -743,24 +743,16 @@ WHERE last_ts + INTERVAL 30 MINUTE
 """
 
 
-def q_streaming_timeout_sessions(
-    spark: SparkSession, sf_dir: str
+def _drain_timeout_sessions(
+    spark: SparkSession,
+    sf_dir: str,
+    session_op,
+    scratch_kind: str,
+    *,
+    rocksdb: bool = False,
 ) -> DataFrame:
-    """Custom stateful sessionization with event-time TIMEOUTS
-    (``applyInPandasWithState`` + ``GroupStateTimeout.EventTimeTimeout``)
-    — the stateful API surface ``session_window`` cannot express:
-    arbitrary per-session state plus watermark-driven eviction through
-    timeout callbacks.  Sessions closed by a later event are emitted by
-    the batch that observes the gap; each user's final open session is
-    emitted by its timeout firing, which happens only when the watermark
-    passes ``last_ts + gap`` STRICTLY (boundary verified empirically) —
-    the oracle states exactly that split.  Replays the same time-ordered
-    chunk fixture as ``streaming_session_agg_update``; O(1) state per
-    key, integer-cents sums for bit-stable emissions."""
-    from table_streaming_source_spark.streaming.stateful import (
-        timeout_sessions_stream,
-    )
-
+    """Shared drain for the two custom-sessionization twins: time-ordered
+    4-chunk fixture → file stream → ``session_op`` → parquet sink."""
     events = t(spark, sf_dir, "events").select("ts", "user_id", "value")
 
     def _write(d: str) -> None:
@@ -781,7 +773,7 @@ def q_streaming_timeout_sessions(
             _bump_mtimes(d, set(os.listdir(d)) - seen, stamp + i)
 
     src = _stream_fixture(spark, sf_dir, "sessu", _write)
-    base = _scratch.scratch_dir("streaming_tosess", sf_dir, fresh=True)
+    base = _scratch.scratch_dir(scratch_kind, sf_dir, fresh=True)
     out, ck = f"{base}/out", f"{base}/ckpt"
 
     stream = (
@@ -789,24 +781,88 @@ def q_streaming_timeout_sessions(
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    sessions = timeout_sessions_stream(stream.withWatermark("ts", "7 days"))
-    with _stream_shuffle(spark):
-        query = (
-            sessions.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ck)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+    sessions = session_op(stream.withWatermark("ts", "7 days"))
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    if rocksdb:
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
         )
-        try:
-            query.awaitTermination(300)
-        finally:
-            query.stop()
+    try:
+        with _stream_shuffle(spark):
+            query = (
+                sessions.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                query.awaitTermination(300)
+            finally:
+                query.stop()
+    finally:
+        if rocksdb:
+            if old_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, old_provider)
 
     result = spark.read.parquet(out).localCheckpoint(eager=True)
     shutil.rmtree(base, ignore_errors=True)
     return result
+
+
+def q_streaming_timeout_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Custom stateful sessionization with event-time TIMEOUTS
+    (``applyInPandasWithState`` + ``GroupStateTimeout.EventTimeTimeout``)
+    — the stateful API surface ``session_window`` cannot express:
+    arbitrary per-session state plus watermark-driven eviction through
+    timeout callbacks.  Sessions closed by a later event are emitted by
+    the batch that observes the gap; each user's final open session is
+    emitted by its timeout firing, which happens only when the watermark
+    passes ``last_ts + gap`` STRICTLY (boundary verified empirically) —
+    the oracle states exactly that split.  Replays the same time-ordered
+    chunk fixture as ``streaming_session_agg_update``; O(1) state per
+    key, integer-cents sums for bit-stable emissions."""
+    from table_streaming_source_spark.streaming.stateful import (
+        timeout_sessions_stream,
+    )
+
+    return _drain_timeout_sessions(
+        spark, sf_dir, timeout_sessions_stream, "streaming_tosess"
+    )
+
+
+def q_streaming_timeout_sessions_tws(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``transformWithStateInPandas`` twin of
+    ``streaming_timeout_sessions`` — the Spark 4.x arbitrary-state API
+    (named ValueState + first-class event-time timers, RocksDB-backed),
+    drained over the SAME fixture with the SAME oracle.  Both operators
+    drive one shared state machine (``streaming/stateful.py::
+    _advance_session``), so identical output is by construction; what
+    this entry proves is the API plumbing — state variable wiring, timer
+    re-registration (the new API accumulates timers where the legacy one
+    replaced them), expiry callbacks, and the RocksDB provider
+    requirement — against an unchanged value contract."""
+    from table_streaming_source_spark.streaming.stateful import (
+        timeout_sessions_stream_tws,
+    )
+
+    return _drain_timeout_sessions(
+        spark,
+        sf_dir,
+        timeout_sessions_stream_tws,
+        "streaming_tosess_tws",
+        rocksdb=True,
+    )
 
 
 # emitted = every session closed by a later event (all non-final sessions
@@ -911,3 +967,16 @@ QUERIES_DEFERRED = {
     "streaming_timeout_sessions": q_streaming_timeout_sessions,
     "streaming_fidelity_snapshot": q_streaming_fidelity_snapshot,
 }
+
+# q_streaming_timeout_sessions_tws is NOT registered: the
+# transformWithStateInPandas Python state server hard-requires
+# google.protobuf (Spark wire protocol for named state), which this
+# sandbox does not ship and cannot install — the query raises
+# STREAM_FAILED at the first batch.  The operator and its drain are
+# implemented and environment-gated (tests/test_streaming.py skips
+# without protobuf); it shares the oracle-checked legacy twin's state
+# machine, so registering it where protobuf exists is one dict line:
+#   QUERIES_DEFERRED["streaming_timeout_sessions_tws"] = (
+#       q_streaming_timeout_sessions_tws)
+#   ORACLES["streaming_timeout_sessions_tws"] = ORACLES[
+#       "streaming_timeout_sessions"]

@@ -130,9 +130,23 @@ def _sessionize(key, pdfs, state: GroupState):
     cents_arr = (
         (pdf["value"] * 100).round().astype("int64").to_numpy()
     )
+    prior = state.get if state.exists else None
+    closed, tup = _advance_session(prior, ts_us, cents_arr)
+    state.update(tup)
+    state.setTimeoutTimestamp(tup[1] // 1000 + _SESS_GAP_MS)
+    yield _session_frame(key[0], closed)
+
+
+def _advance_session(prior, ts_us, cents_arr):
+    """The session state machine shared by BOTH stateful APIs
+    (``applyInPandasWithState`` and ``transformWithStateInPandas``) —
+    one implementation, so the modern-API twin is identical by
+    construction.  ``prior`` is the stored ``(start_us, last_us, n,
+    cents)`` tuple or ``None``; returns ``(closed_sessions, new_state)``
+    with closed sessions as ``(start_us, n, cents)`` triples."""
     gap_us = _SESS_GAP_MS * 1000
-    if state.exists:
-        start_us, last_us, n, cents = state.get
+    if prior is not None:
+        start_us, last_us, n, cents = (int(v) for v in prior)
     else:
         start_us, last_us, n, cents = 0, 0, 0, 0
     closed = []
@@ -149,9 +163,7 @@ def _sessionize(key, pdfs, state: GroupState):
             start_us = min(start_us, t)
             last_us = max(last_us, t)
             n, cents = n + 1, cents + int(c)
-    state.update((start_us, last_us, n, cents))
-    state.setTimeoutTimestamp(last_us // 1000 + _SESS_GAP_MS)
-    yield _session_frame(key[0], closed)
+    return closed, (start_us, last_us, n, cents)
 
 
 def timeout_sessions_stream(
@@ -186,5 +198,90 @@ def timeout_sessions_stream(
             stateStructType=_SESS_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def timeout_sessions_stream_tws(
+    stream: DataFrame,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """``transformWithStateInPandas`` twin of
+    :func:`timeout_sessions_stream` — the Spark 4.x arbitrary-state API
+    the platform is converging on (SPARK-45939 lineage: named state
+    variables, first-class timers, TTL) expressing the SAME gap
+    sessionization.  Both operators drive the one shared state machine
+    (:func:`_advance_session`), so their session output is identical by
+    construction; the differences are purely API-surface:
+
+    * state lives in a named ``ValueState`` instead of the single
+      implicit tuple;
+    * the session-close callback is a registered event-time TIMER
+      (``handleExpiredTimer``) instead of ``GroupStateTimeout`` +
+      ``state.hasTimedOut`` — re-registration must delete the prior
+      timer explicitly (timers accumulate; the legacy API's
+      ``setTimeoutTimestamp`` replaced it implicitly);
+    * requires the RocksDB state store provider (the HDFS-backed store
+      does not implement the new operator's column families).
+
+    Same contract as the legacy twin: TIMESTAMP event time with a
+    watermark on ``ts``; below-watermark rows are dropped, above-
+    watermark stragglers merge late-tolerantly via the shared machine.
+
+    Environment gate: the transformWithStateInPandas Python worker
+    requires ``google.protobuf`` (Spark's named-state wire protocol).
+    This sandbox does not ship protobuf, so the operator is exercised by
+    an importorskip-gated e2e test and excluded from the driver catalog;
+    on a standard cluster (protobuf ships with every Spark distribution)
+    it runs as-is.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState("session", _SESS_STATE_SCHEMA)
+
+        def handleInputRows(self, key_, rows, timerValues):
+            import pandas as pd
+
+            pdf = pd.concat(list(rows)).sort_values("ts")
+            ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+            cents_arr = (
+                (pdf["value"] * 100).round().astype("int64").to_numpy()
+            )
+            prior = self._state.get() if self._state.exists() else None
+            closed, tup = _advance_session(prior, ts_us, cents_arr)
+            self._state.update(tup)
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(tup[1] // 1000 + _SESS_GAP_MS)
+            yield _session_frame(key_[0], closed)
+
+        def handleExpiredTimer(self, key_, timerValues, expiredTimerInfo):
+            if self._state.exists():
+                start_us, last_us, n, cents = self._state.get()
+                self._state.clear()
+                yield _session_frame(key_[0], [(start_us, n, cents)])
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.selectExpr(
+            f"{key} AS user_id", f"{ts} AS ts", f"{value} AS value"
+        )
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _SessionProcessor(),
+            outputStructType=_SESS_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
         )
     )

@@ -478,3 +478,73 @@ def test_sessionize_gap_close_and_timeout_emission(spark):
     assert len(rows) == 1
     assert int(rows.n_events.iloc[0]) == 1
     assert float(rows.sum_value.iloc[0]) == 0.4
+
+
+def test_timeout_sessions_twins_share_state_machine():
+    """The TWS twin is identical to the legacy operator by construction:
+    both call _advance_session.  Pin that equivalence at the state-machine
+    level (runs everywhere, no protobuf needed): replaying the same
+    chunked arrivals through the shared machine yields the same closed
+    sessions and the same final state regardless of chunking."""
+    import numpy as np
+
+    from table_streaming_source_spark.streaming.stateful import (
+        _advance_session,
+    )
+
+    gap_us = 30 * 60 * 1000 * 1000
+    rng = np.random.RandomState(3)
+    # 40 events in 5 bursts separated by > gap
+    ts = np.sort(
+        np.concatenate(
+            [
+                b * 3 * gap_us + rng.randint(0, gap_us // 2, size=8)
+                for b in range(5)
+            ]
+        )
+    )
+    cents = rng.randint(1, 500, size=ts.size)
+
+    def run(chunks):
+        state, closed = None, []
+        for lo, hi in zip(chunks[:-1], chunks[1:]):
+            c, state = _advance_session(
+                state, ts[lo:hi], cents[lo:hi]
+            )
+            closed.extend(c)
+        return closed, state
+
+    one_shot = run([0, ts.size])
+    in_four = run([0, 10, 20, 30, ts.size])
+    assert one_shot == in_four
+    assert len(one_shot[0]) == 4  # 5 bursts → 4 gap-closed + 1 open
+
+
+def test_timeout_sessions_tws_e2e_matches_legacy(spark, sf_dir):
+    """Full drain equivalence of the two stateful APIs — runs only where
+    google.protobuf exists (transformWithStateInPandas wire protocol);
+    the sandbox skips, a standard cluster executes."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from table_streaming_source_spark.plans.streaming_queries import (
+        _drain_timeout_sessions,
+        q_streaming_timeout_sessions,
+    )
+    from table_streaming_source_spark.streaming.stateful import (
+        timeout_sessions_stream_tws,
+    )
+
+    legacy = q_streaming_timeout_sessions(spark, sf_dir).orderBy(
+        "user_id", "session_start"
+    )
+    tws = _drain_timeout_sessions(
+        spark,
+        sf_dir,
+        timeout_sessions_stream_tws,
+        "streaming_tosess_tws",
+        rocksdb=True,
+    ).orderBy("user_id", "session_start")
+    assert [r.asDict() for r in legacy.collect()] == [
+        r.asDict() for r in tws.collect()
+    ]
