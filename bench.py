@@ -62,6 +62,8 @@ HEADLINE = [
     # aggregation and the GIF LZW decode path
     "streaming_session_agg_update",
     "multimodal_gif_stats",
+    # round 4 addition: the baseline JPEG huffman+IDCT decode path
+    "multimodal_jpeg_stats",
 ]
 
 

@@ -338,3 +338,73 @@ def test_jpeg_container_parse_geometry():
     payload = M.synth_jpeg_blocks(40, 24, 9)
     assert M.parse_container(payload) == ("image", 40, 24, 1)
     assert M.decode_pixels(payload).shape == (24, 40)
+
+
+def test_jpeg_color_444_decode():
+    """3-component 4:4:4 baseline JPEG → RGB: hand-assemble an
+    interleaved-MCU color JPEG from the module's own huffman/bit-writer
+    primitives (flat DC-only planes, DC quant step 8 → exact YCbCr),
+    then check the decoder's YCbCr→RGB against the same T.81 formula."""
+    import struct
+
+    import numpy as np
+
+    from table_streaming_source_spark.operators import multimodal as M
+
+    w = h = 16
+    y_v, cb_v, cr_v = 120, 90, 180
+
+    def seg(marker, body):
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    qzz = bytes(
+        M._JPEG_SYNTH_QTABLE[M._JPEG_ZIGZAG[i]] for i in range(64)
+    )
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + qzz)
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes((1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0)),
+    )
+    out += seg(0xC4, b"\x00" + bytes(M._JPEG_DC_BITS) + bytes(M._JPEG_DC_VALS))
+    out += seg(0xC4, b"\x10" + bytes(M._JPEG_AC_BITS) + bytes(M._JPEG_AC_VALS))
+    out += seg(0xDA, bytes((3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)))
+
+    dc_enc = M._huff_encode_table(M._JPEG_DC_BITS, M._JPEG_DC_VALS)
+    ac_enc = M._huff_encode_table(M._JPEG_AC_BITS, M._JPEG_AC_VALS)
+    bw = M._JpegBitWriter()
+    prev = [0, 0, 0]
+    for _mcu in range(4):  # 16x16 → 2x2 MCUs of one block per component
+        for ci, v in enumerate((y_v, cb_v, cr_v)):
+            dc = v - 128
+            t, mag = M._mag_bits(dc - prev[ci])
+            prev[ci] = dc
+            code, length = dc_enc[t]
+            bw.write(code, length)
+            bw.write(mag, t)
+            code, length = ac_enc[0x00]
+            bw.write(code, length)
+    bw.flush()
+    out += bw.out + b"\xff\xd9"
+
+    rgb = M.jpeg_pixels(bytes(out))
+    assert rgb.shape == (h, w, 3)
+    want = np.clip(
+        np.round(
+            np.array(
+                [
+                    y_v + 1.402 * (cr_v - 128.0),
+                    y_v
+                    - 0.344136 * (cb_v - 128.0)
+                    - 0.714136 * (cr_v - 128.0),
+                    y_v + 1.772 * (cb_v - 128.0),
+                ]
+            )
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    assert (rgb == want[None, None, :]).all()
+    # container metadata reads color geometry too
+    assert M.parse_container(bytes(out)) == ("image", 16, 16, 1)

@@ -313,3 +313,64 @@ def test_bloom_prefilter_join_exact_and_pruning(spark, sf_dir):
     # bloom hit, and all true matches survive
     n_pruned = bloom_prefilter_join(o, c, "custkey", how="left_semi").count()
     assert plain.select("custkey").count() <= n_pruned <= o.count()
+
+
+def test_minhash_verify_gate_both_branches(spark, sf_dir):
+    """The verify-prefilter broadcast is count-gated
+    (minhash_lsh_pairs ``verify_broadcast_max_keys``): under the gate the
+    semi-join is a hinted broadcast (corpus side never shuffles); with
+    the gate forced to zero the SAME query plans the shuffled semi-join
+    fallback — the branch a pathologically duplicated corpus takes
+    instead of OOMing.  Results are identical either way."""
+    from table_streaming_source_spark.operators.dedup import (
+        _VERIFY_GATE_MEMO,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def plan_of(**kw):
+        _VERIFY_GATE_MEMO.clear()
+        df = minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=8, bands=4, threshold=0.5,
+            **kw,
+        )
+        return df, df._jdf.queryExecution().executedPlan().toString()
+
+    hinted_df, _ = plan_of()
+    fallback_df, _ = plan_of(verify_broadcast_max_keys=0)
+
+    def semi_nodes(df):
+        return [
+            ln
+            for ln in df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("\n")
+            if "LeftSemi" in ln
+        ]
+
+    # gate open → the semi-join builds a broadcast side
+    assert any("Broadcast" in ln for ln in semi_nodes(hinted_df)), (
+        semi_nodes(hinted_df)
+    )
+    # gate closed → no broadcast semi-join anywhere in the prepared plan
+    # (AQE may still convert at RUNTIME, which is exactly the intended
+    # degradation: no forced hint bypassing the threshold)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        _VERIFY_GATE_MEMO.clear()
+        forced = minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=8, bands=4, threshold=0.5,
+            verify_broadcast_max_keys=0,
+        )
+        assert not any("Broadcast" in ln for ln in semi_nodes(forced))
+    finally:
+        spark.conf.unset("spark.sql.adaptive.enabled")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    _VERIFY_GATE_MEMO.clear()
+
+    a = sorted(map(tuple, hinted_df.collect()))
+    b = sorted(map(tuple, fallback_df.collect()))
+    assert a == b and a  # same pairs from both branches
