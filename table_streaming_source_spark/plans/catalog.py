@@ -78,6 +78,9 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_image_prep",
     # --- new this round ---
     "multimodal_jpeg_stats",
+    "source_orc",
+    "source_avro",
+    "udf_grouped_arrow",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"

@@ -270,6 +270,8 @@ def _source_fixture(
         ).csv(path)
     elif fmt == "json":
         events.repartition(4).write.mode("overwrite").json(path)
+    elif fmt == "orc":
+        events.repartition(4).write.mode("overwrite").orc(path)
     elif fmt == "partitioned":
         events.write.mode("overwrite").partitionBy("event_type").parquet(
             path
@@ -334,6 +336,98 @@ def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["source_json"] = ORACLES["source_csv"]
+
+
+def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source scan — the other columnar format Spark ships natively.
+    Unlike the text sources, ORC carries types, column pruning, and
+    predicate pushdown, so the declared-schema discipline is free;
+    downstream plan identical to ``source_csv``/``source_json``, shared
+    oracle.  At 100 TB the read path matters: ORC stripes split like
+    parquet row groups, so the scan parallelizes without small-file
+    repair."""
+    path = _source_fixture(spark, sf_dir, "orc")
+    df = spark.read.orc(path)
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", 6).alias("sum_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+ORACLES["source_orc"] = ORACLES["source_csv"]
+
+
+#: the reference's configure-time contract: an Avro-flavoured JSON schema
+#: (TableStreamingSourceConfig.java:101-107) — here declaring the events
+#: wire shape, including a timestamp-micros logical type
+_EVENTS_AVRO_SCHEMA = (
+    '{"type": "record", "name": "event", "fields": ['
+    '{"name": "event_id", "type": "long"}, '
+    '{"name": "user_id", "type": "long"}, '
+    '{"name": "event_type", "type": "string"}, '
+    '{"name": "value", "type": "double"}, '
+    '{"name": "ts", "type": {"type": "long", '
+    '"logicalType": "timestamp-micros"}}]}'
+)
+
+
+def q_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro container-file source — the reference's native wire format
+    (its config declares an Avro-JSON schema; A6 bridges it to
+    StructType), read WITHOUT the spark-avro jar: spec-compliant
+    pure-Python OCF decode (``sources/avro_ocf.py``, deflate codec,
+    zigzag varints, sync-marker validation) distributed over the
+    built-in ``binaryFile`` source + Arrow ``mapInPandas`` — one
+    container per executor task, payloads never on the driver.  The
+    aggregation includes ``max(ts)`` so the timestamp-micros logical
+    type must decode exactly; doubles round-trip bit-exact (raw IEEE
+    bits on the wire)."""
+    from table_streaming_source_spark.sources.avro_ocf import (
+        read_avro,
+        write_ocf,
+    )
+
+    key = (id(spark._jsparkSession), sf_dir, "avro")
+    path = _SOURCE_FIXTURES.get(key)
+    if path is None:
+        from table_streaming_source_spark.plans import _scratch
+
+        path = _scratch.scratch_dir("source_avro", sf_dir, fresh=True)
+        pdf = (
+            t(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type", "value", "ts")
+            .toPandas()
+        )
+        pdf["ts"] = pdf["ts"].astype("int64") // 1000  # ns → µs
+        rows = list(pdf.itertuples(index=False, name=None))
+        quarter = (len(rows) + 3) // 4
+        for i in range(4):
+            chunk = rows[i * quarter : (i + 1) * quarter]
+            with open(f"{path}/part-{i}.avro", "wb") as fh:
+                fh.write(write_ocf(_EVENTS_AVRO_SCHEMA, chunk))
+        _SOURCE_FIXTURES[key] = path
+
+    df = read_avro(spark, path, _EVENTS_AVRO_SCHEMA)
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", 6).alias("sum_value"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.max("ts").alias("max_ts"),
+        )
+    )
+
+
+ORACLES["source_avro"] = f"""
+SELECT event_type, COUNT(*) AS n, {sql_dsum('value', 6)} AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users, MAX(ts) AS max_ts
+FROM events GROUP BY event_type
+"""
 
 
 def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2594,6 +2688,48 @@ WINDOW w AS (PARTITION BY l_returnflag)
 """
 
 
+def q_udf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInArrow`` — the Spark 4.x Arrow-native twin of
+    ``udf_grouped_map``: each group arrives as ONE ``pyarrow.Table``
+    (zero pandas conversion, columnar end to end), the shape to reach
+    for when the per-group logic is itself vectorized (Arrow compute,
+    numpy over zero-copy buffers, DuckDB-on-Arrow).  Per-group min
+    offset keeps the arithmetic integer-exact (quantities are whole
+    numbers), so no rounding tolerance is needed anywhere."""
+    l = t(spark, sf_dir, "lineitem")
+
+    def min_offset(key, table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        qty = table.column("l_quantity")
+        off = pc.subtract(qty, pc.min(qty))
+        return pa.table(
+            {
+                "l_orderkey": table.column("l_orderkey"),
+                "l_linenumber": table.column("l_linenumber"),
+                "l_returnflag": table.column("l_returnflag"),
+                "qty_off": off,
+            }
+        )
+
+    return l.groupBy("l_returnflag").applyInArrow(
+        min_offset,
+        schema=(
+            "l_orderkey long, l_linenumber int, l_returnflag string, "
+            "qty_off double"
+        ),
+    )
+
+
+ORACLES["udf_grouped_arrow"] = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       l_quantity - MIN(l_quantity) OVER (PARTITION BY l_returnflag)
+           AS qty_off
+FROM lineitem
+"""
+
+
 def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF via LATERAL join: (pos, token) per document.  Per-row
     Python — the extension point for logic builtins can't express; plain
@@ -3680,6 +3816,8 @@ QUERIES = {
     "snapshot_scan": q_snapshot_scan,
     "source_csv": q_source_csv,
     "source_json": q_source_json,
+    "source_orc": q_source_orc,
+    "source_avro": q_source_avro,
     "scan_partition_pruned": q_scan_partition_pruned,
     "sink_partition_overwrite": q_sink_partition_overwrite,
     "ts_gapfill": q_ts_gapfill,
@@ -3765,6 +3903,7 @@ QUERIES = {
     "udf_vectorized": q_udf_vectorized,
     "udaf_grouped": q_udaf_grouped,
     "udf_grouped_map": q_udf_grouped_map,
+    "udf_grouped_arrow": q_udf_grouped_arrow,
     "udtf_tokenize": q_udtf_tokenize,
     "window_tumbling": q_window_tumbling,
     "window_sliding": q_window_sliding,
