@@ -81,6 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_orc",
     "source_avro",
     "udf_grouped_arrow",
+    "streaming_avro_ingest",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"

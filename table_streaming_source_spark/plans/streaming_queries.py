@@ -902,6 +902,84 @@ WHERE last_ts < user_last
 """
 
 
+def q_streaming_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Avro ingest — the reference's concept end to end with
+    its native wire format: Avro object containers land in a directory,
+    the file stream decodes each batch of newly arrived containers with
+    the pure-Python OCF codec (``sources/avro_ocf.py``, shared with the
+    batch ``source_avro`` entry), and a complete-mode aggregate tracks
+    per-type counts/sums.  8 containers at 2 per trigger → 4 genuine
+    micro-batches; the final complete-mode table equals the batch
+    aggregate, which is exactly what the oracle states.  The decode is
+    stateless (partition-preserving mapInPandas), so the only stateful
+    operator is the aggregation — state is one row per event_type."""
+    from table_streaming_source_spark.plans.relational import (
+        _EVENTS_AVRO_SCHEMA,
+    )
+    from table_streaming_source_spark.sources.avro_ocf import (
+        stream_avro,
+        write_ocf,
+    )
+
+    events = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+
+    def _write(d: str) -> None:
+        pdf = events.toPandas()
+        pdf["ts"] = pdf["ts"].astype("int64") // 1000  # ns → µs
+        rows = list(pdf.itertuples(index=False, name=None))
+        n = (len(rows) + 7) // 8
+        stamp = 1_700_000_000
+        for i in range(8):
+            name = f"part-{i}.avro"
+            with open(os.path.join(d, name), "wb") as fh:
+                fh.write(
+                    write_ocf(
+                        _EVENTS_AVRO_SCHEMA, rows[i * n : (i + 1) * n]
+                    )
+                )
+            _bump_mtimes(d, {name}, stamp + i)
+
+    src = _stream_fixture(spark, sf_dir, "avroing", _write)
+    stream = stream_avro(
+        spark, src, _EVENTS_AVRO_SCHEMA, maxFilesPerTrigger=2
+    )
+    # no count_distinct: distinct aggregation is unsupported on streams
+    # (state would be unbounded per group); approx_count_distinct is the
+    # streaming answer, but the oracle contract here is exact values
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", 6).alias("sum_value"),
+        F.max("ts").alias("max_ts"),
+    )
+
+    name = f"__stream_avro_{abs(hash(src)) % 10**8}"
+    with _stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
+
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return result
+
+
+ORACLES["streaming_avro_ingest"] = f"""
+SELECT event_type, COUNT(*) AS n, {sql_dsum('value', 6)} AS sum_value,
+       MAX(ts) AS max_ts
+FROM events GROUP BY event_type
+"""
+
+
 def q_streaming_fidelity_snapshot(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -965,6 +1043,7 @@ QUERIES_DEFERRED = {
     "streaming_session_agg": q_streaming_session_agg,
     "streaming_session_agg_update": q_streaming_session_agg_update,
     "streaming_timeout_sessions": q_streaming_timeout_sessions,
+    "streaming_avro_ingest": q_streaming_avro_ingest,
     "streaming_fidelity_snapshot": q_streaming_fidelity_snapshot,
 }
 

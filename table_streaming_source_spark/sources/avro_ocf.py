@@ -280,14 +280,19 @@ def decode_ocf(blob: bytes) -> tuple[dict, list]:
     return schema, rows
 
 
-def read_avro(spark, path: str, schema_json: str):
-    """Distributed OCF read: ``binaryFile`` scan → Arrow ``mapInPandas``
-    decode, one container per executor task, payloads never on the
-    driver.  The declared schema (the reference's configure-time
-    contract) is validated against every file's embedded writer schema —
-    mismatched field names/order raise rather than silently misalign.
-    Returns a DataFrame with the Spark translation of ``schema_json``
-    (via :func:`..avro_schema.parse_avro_json`)."""
+#: binaryFile's fixed output schema — needed explicitly on the STREAMING
+#: reader (file stream sources require a user schema)
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def _arrow_decoder(schema_json: str):
+    """Build the shared Arrow ``mapInPandas`` decoder for ``schema_json``:
+    returns ``(decode_batches, struct_type)``.  The declared schema (the
+    reference's configure-time contract) is validated against every
+    file's embedded writer schema — mismatched field names/order raise
+    rather than silently misalign."""
     import pandas as pd
 
     from table_streaming_source_spark.avro_schema import parse_avro_json
@@ -327,8 +332,36 @@ def read_avro(spark, path: str, schema_json: str):
                 out[c] = pd.to_datetime(out[c], unit="us")
             yield out
 
+    return decode_batches, struct_type
+
+
+def read_avro(spark, path: str, schema_json: str):
+    """Distributed OCF read: ``binaryFile`` scan → Arrow ``mapInPandas``
+    decode, one container per executor task, payloads never on the
+    driver.  Returns a DataFrame with the Spark translation of
+    ``schema_json`` (via :func:`..avro_schema.parse_avro_json`)."""
+    decode_batches, struct_type = _arrow_decoder(schema_json)
     return (
         spark.read.format("binaryFile")
+        .load(path)
+        .select("content")
+        .mapInPandas(decode_batches, schema=struct_type)
+    )
+
+
+def stream_avro(spark, path: str, schema_json: str, **reader_options):
+    """STREAMING OCF ingest — the reference's concept end to end: Avro
+    containers land in a directory, each micro-batch decodes the newly
+    arrived files (same Arrow decoder as :func:`read_avro`, stateless →
+    partition-preserving), downstream operators see typed rows.
+    ``reader_options`` pass through to the file stream source
+    (``maxFilesPerTrigger`` controls batch granularity)."""
+    decode_batches, struct_type = _arrow_decoder(schema_json)
+    reader = spark.readStream.format("binaryFile")
+    for k, v in reader_options.items():
+        reader = reader.option(k, str(v))
+    return (
+        reader.schema(_BINARYFILE_SCHEMA)
         .load(path)
         .select("content")
         .mapInPandas(decode_batches, schema=struct_type)
