@@ -82,6 +82,8 @@ _PRIORITY: tuple[str, ...] = (
     "source_avro",
     "udf_grouped_arrow",
     "streaming_avro_ingest",
+    "join_scd2",
+    "window_attribution",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"

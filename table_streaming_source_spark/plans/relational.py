@@ -881,6 +881,82 @@ GROUP BY p_brand
 """
 
 
+def q_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 temporal join — facts against a versioned dimension's
+    validity window (``key equal AND ts ∈ [valid_from, valid_to)``), the
+    standard warehouse shape for slowly-changing dimensions.  The dim is
+    derived deterministically: each customer gets three versions with
+    per-customer cut dates (``1994/1996-01-01 + (custkey % 365) days``),
+    so the oracle restates it in SQL.  The equi key keeps the plan a
+    hash/merge join with the window predicate evaluated post-probe —
+    never a range-only nested loop; exactly one version matches each
+    order, which the count oracle implicitly proves (n_orders sums to
+    |orders|)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    off = (F.col("c_custkey") % 365).cast("int")
+    lo = F.lit("1000-01-01").cast("date")
+    cut1 = F.date_add(F.lit("1994-01-01").cast("date"), off)
+    cut2 = F.date_add(F.lit("1996-01-01").cast("date"), off)
+    hi = F.lit("9999-12-31").cast("date")
+    dim = c.select(
+        "c_custkey",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("v0").alias("version"),
+                    lo.alias("valid_from"),
+                    cut1.alias("valid_to"),
+                ),
+                F.struct(
+                    F.lit("v1").alias("version"),
+                    cut1.alias("valid_from"),
+                    cut2.alias("valid_to"),
+                ),
+                F.struct(
+                    F.lit("v2").alias("version"),
+                    cut2.alias("valid_from"),
+                    hi.alias("valid_to"),
+                ),
+            )
+        ).alias("v"),
+    ).select("c_custkey", "v.version", "v.valid_from", "v.valid_to")
+    j = o.join(
+        dim,
+        (o.o_custkey == dim.c_custkey)
+        & (o.o_orderdate >= dim.valid_from)
+        & (o.o_orderdate < dim.valid_to),
+    )
+    return j.groupBy("version").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", 6).alias("revenue"),
+    )
+
+
+ORACLES["join_scd2"] = f"""
+WITH dim AS (
+  SELECT c_custkey, v.version,
+         CASE v.version
+           WHEN 'v0' THEN DATE '1000-01-01'
+           WHEN 'v1' THEN DATE '1994-01-01' + INTERVAL ((c_custkey % 365)) DAY
+           ELSE DATE '1996-01-01' + INTERVAL ((c_custkey % 365)) DAY
+         END AS valid_from,
+         CASE v.version
+           WHEN 'v0' THEN DATE '1994-01-01' + INTERVAL ((c_custkey % 365)) DAY
+           WHEN 'v1' THEN DATE '1996-01-01' + INTERVAL ((c_custkey % 365)) DAY
+           ELSE DATE '9999-12-31'
+         END AS valid_to
+  FROM customer, (VALUES ('v0'), ('v1'), ('v2')) AS v(version)
+)
+SELECT version, COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice', 6)} AS revenue
+FROM orders JOIN dim
+  ON o_custkey = c_custkey
+ AND o_orderdate >= valid_from AND o_orderdate < valid_to
+GROUP BY version
+"""
+
+
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time (as-of) self-join: each order paired with the same
     customer's most recent strictly-earlier order."""
@@ -3363,6 +3439,73 @@ FROM grid g LEFT JOIN actual a ON a.priority = g.priority AND a.m = g.m
 """
 
 
+def q_window_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution — every purchase attributed to the user's
+    most recent PRECEDING click within a 7-day lookback, the standard
+    marketing-analytics assignment.  One running ``last(click,
+    ignorenulls)`` window over the user's time-ordered event stream (a
+    single shuffle on the user key), then a row-local recency test; no
+    self-join, no per-pair explosion — the shape that survives a 100×
+    event volume.  Ties (same timestamp) break toward the later event id
+    in the ordering, which the oracle restates identically."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click = F.when(
+        F.col("event_type") == "click",
+        F.struct(F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")),
+    )
+    attributed = (
+        e.withColumn("last_click", F.last(click, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            "ts",
+            F.col("last_click.c_id").alias("click_id"),
+            F.col("last_click.c_ts").alias("click_ts"),
+        )
+        .withColumn(
+            "attributed",
+            F.col("click_ts").isNotNull()
+            & (F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .select(
+            "user_id",
+            "purchase_id",
+            F.when(F.col("attributed"), F.col("click_id")).alias("click_id"),
+            "attributed",
+        )
+    )
+    return attributed
+
+
+ORACLES["window_attribution"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, ts,
+         LAST_VALUE(CASE WHEN event_type = 'click'
+                         THEN struct_pack(ts := ts, event_id := event_id)
+                         END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click
+  FROM events WHERE event_type IN ('click', 'purchase')
+)
+SELECT user_id, event_id AS purchase_id,
+       CASE WHEN last_click IS NOT NULL
+             AND last_click.ts >= ts - INTERVAL 7 DAY
+            THEN last_click.event_id END AS click_id,
+       (last_click IS NOT NULL
+        AND last_click.ts >= ts - INTERVAL 7 DAY) AS attributed
+FROM e WHERE event_type = 'purchase'
+"""
+
+
 def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-lookback exponential moving average (decay 0.7 over the
     trailing 8 events) per event type — the smoothing pass monitoring
@@ -3822,6 +3965,7 @@ QUERIES = {
     "sink_partition_overwrite": q_sink_partition_overwrite,
     "ts_gapfill": q_ts_gapfill,
     "window_ewma": q_window_ewma,
+    "window_attribution": q_window_attribution,
     "anomaly_mad": q_anomaly_mad,
     "markov_transitions": q_markov_transitions,
     "agg_approx_quantile_bound": q_agg_approx_quantile_bound,
@@ -3842,6 +3986,7 @@ QUERIES = {
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
     "join_theta_range": q_join_theta_range,
+    "join_scd2": q_join_scd2,
     "join_asof": q_join_asof,
     "join_null_safe": q_join_null_safe,
     "subquery_correlated": q_subquery_correlated,
