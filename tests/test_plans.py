@@ -258,6 +258,14 @@ _SHUFFLE_BUDGET = {
     "text_decontaminate": 3,
     # quarantine routing + phash dedup join; blobs never shuffle
     "pipeline_image_prep": 2,
+    # round-4 additions: SCD2 equi-keyed temporal join (dim broadcast at
+    # fixture scale; 2 join-input exchanges + agg if it grows to SMJ)
+    "join_scd2": 3,
+    # one running window over the user key — no self-join ever
+    "window_attribution": 1,
+    # binaryFile scan → Arrow decode → partial/final agg pair
+    "source_avro": 2,
+    "udf_grouped_arrow": 1,
 }
 
 
