@@ -231,17 +231,33 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
 
     def band_keys_of(sig: "F.Column") -> "F.Column":
+        # 60-bit integer band keys (round 4): the banding shuffle keys on
+        # (band, band_key) for docs × bands rows, so an 8-byte long in
+        # place of the 32-char md5 hex string quarters that exchange at
+        # corpus scale.  Same portable mapping as the shingle ints —
+        # DuckDB restates it bit-identically via
+        # CAST('0x' || SUBSTR(MD5(...), 1, 15) AS BIGINT).
         return F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(sig, b * rows_per_band + 1, rows_per_band),
-                        lambda v: v.cast("string"),
+            lambda b: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    sig, b * rows_per_band + 1, rows_per_band
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
                     ),
-                )
-            ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
         )
 
     band_key_arr = _bind(

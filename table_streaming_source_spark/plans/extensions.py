@@ -308,7 +308,7 @@ mh AS (
 ),
 bands AS (
   SELECT doc_id, CAST(FLOOR(h / 4) AS INT) AS band,
-         MD5(STRING_AGG(CAST(minhash AS VARCHAR), ',' ORDER BY h)) AS band_key
+         CAST('0x' || SUBSTR(MD5(STRING_AGG(CAST(minhash AS VARCHAR), ',' ORDER BY h)), 1, 15) AS BIGINT) AS band_key
   FROM mh GROUP BY doc_id, CAST(FLOOR(h / 4) AS INT)
 ),
 bucketed AS (
@@ -354,7 +354,7 @@ mh AS (
 ),
 bands AS (
   SELECT doc_id, CAST(FLOOR(h / 4) AS INT) AS band,
-         MD5(STRING_AGG(CAST(minhash AS VARCHAR), ',' ORDER BY h)) AS band_key
+         CAST('0x' || SUBSTR(MD5(STRING_AGG(CAST(minhash AS VARCHAR), ',' ORDER BY h)), 1, 15) AS BIGINT) AS band_key
   FROM mh GROUP BY doc_id, CAST(FLOOR(h / 4) AS INT)
 ),
 cand AS (
