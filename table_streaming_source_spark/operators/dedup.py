@@ -169,9 +169,14 @@ def minhash_signatures(
     )
 
 
-#: (input plan id, parameters) → verify-broadcast gate decision; see
-#: minhash_lsh_pairs — corpus cardinality is session-stable, so the
-#: scalar candidate-count job runs once per distinct input
+#: (input plan semantic hash, parameters) → verify-broadcast gate
+#: decision; see minhash_lsh_pairs — corpus cardinality is
+#: session-stable, so the scalar candidate-count job runs once per
+#: distinct logical input.  Keyed on the analyzed plan's semantic hash,
+#: NOT object identity: a re-created DataFrame over the same source
+#: hits the memo (the common catalog pattern builds a fresh frame per
+#: call), and a genuinely different corpus hashes differently — no
+#: recycled-id aliasing.  Bounded: cleared past 256 entries.
 _VERIFY_GATE_MEMO: dict = {}
 
 
@@ -330,12 +335,14 @@ def minhash_lsh_pairs(
     # change within a session, so repeated invocations skip the scalar
     # job (a stale entry can only flip a plan choice, never correctness).
     gate_key = (
-        id(df._jdf), text_col, key, n, num_hashes, bands, threshold,
+        df.semanticHash(), text_col, key, n, num_hashes, bands, threshold,
         max_bucket, mega_bucket, verify_broadcast_max_keys,
     )
     small = _VERIFY_GATE_MEMO.get(gate_key)
     if small is None:
         small = 2 * candidates.count() <= verify_broadcast_max_keys
+        if len(_VERIFY_GATE_MEMO) >= 256:
+            _VERIFY_GATE_MEMO.clear()
         _VERIFY_GATE_MEMO[gate_key] = small
     cand_keys = (
         candidates.select(

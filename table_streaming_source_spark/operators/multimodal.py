@@ -1328,16 +1328,23 @@ def _huff_encode_table(bits, vals) -> dict:
     }
 
 
+_IDCT_BASIS = None
+
+
 def _idct_basis():
     """Orthonormal 8×8 DCT-III basis ``A`` with ``A[u, x] =
-    c(u)/2 · cos((2x+1)uπ/16)``; spatial block = ``Aᵀ·S·A``."""
-    import numpy as np
+    c(u)/2 · cos((2x+1)uπ/16)``; spatial block = ``Aᵀ·S·A``.  Computed
+    once per process — the decode loop calls this per 8×8 block."""
+    global _IDCT_BASIS
+    if _IDCT_BASIS is None:
+        import numpy as np
 
-    u = np.arange(8, dtype=np.float64)[:, None]
-    x = np.arange(8, dtype=np.float64)[None, :]
-    a = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
-    a[0, :] *= 1.0 / np.sqrt(2.0)
-    return a
+        u = np.arange(8, dtype=np.float64)[:, None]
+        x = np.arange(8, dtype=np.float64)[None, :]
+        a = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+        a[0, :] *= 1.0 / np.sqrt(2.0)
+        _IDCT_BASIS = a
+    return _IDCT_BASIS
 
 
 def _idct_block(coeffs):

@@ -388,7 +388,7 @@ def q_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits on the wire)."""
     from table_streaming_source_spark.sources.avro_ocf import (
         read_avro,
-        write_ocf,
+        write_avro_chunks,
     )
 
     key = (id(spark._jsparkSession), sf_dir, "avro")
@@ -402,13 +402,7 @@ def q_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "user_id", "event_type", "value", "ts")
             .toPandas()
         )
-        pdf["ts"] = pdf["ts"].astype("int64") // 1000  # ns → µs
-        rows = list(pdf.itertuples(index=False, name=None))
-        quarter = (len(rows) + 3) // 4
-        for i in range(4):
-            chunk = rows[i * quarter : (i + 1) * quarter]
-            with open(f"{path}/part-{i}.avro", "wb") as fh:
-                fh.write(write_ocf(_EVENTS_AVRO_SCHEMA, chunk))
+        write_avro_chunks(pdf, _EVENTS_AVRO_SCHEMA, path, 4)
         _SOURCE_FIXTURES[key] = path
 
     df = read_avro(spark, path, _EVENTS_AVRO_SCHEMA)

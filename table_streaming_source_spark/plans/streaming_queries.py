@@ -624,6 +624,30 @@ FROM sessioned GROUP BY user_id, session_seq
 """
 
 
+def _write_ordered_chunks(events, d: str) -> None:
+    """Shared 'sessu' fixture writer: the events table split into four
+    event-time-range chunks with forced strictly-increasing mtimes, so
+    FileStreamSource (which lists by (mtime, path)) replays them
+    oldest-first — a bounded-disorder live stream as the engine sees it.
+    One definition feeds every consumer of the shared fixture; editing
+    the chunking here keeps the contract consistent for all of them."""
+    mm = events.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).head()
+    lo, hi = mm.lo, mm.hi
+    cuts = [lo + (hi - lo) * k / 4 for k in (1, 2, 3)]
+    stamp = 1_700_000_000  # any fixed base; only the ordering matters
+    for i, (start, end) in enumerate(zip([None, *cuts], [*cuts, None])):
+        chunk = events
+        if start is not None:
+            chunk = chunk.filter(F.col("ts") >= F.lit(start))
+        if end is not None:
+            chunk = chunk.filter(F.col("ts") < F.lit(end))
+        seen = set(os.listdir(d))
+        chunk.coalesce(1).write.mode("append").parquet(d)
+        _bump_mtimes(d, set(os.listdir(d)) - seen, stamp + i)
+
+
 def q_streaming_session_agg_update(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -650,24 +674,9 @@ def q_streaming_session_agg_update(
     that stay open in the store — exactly the rows the oracle excludes.
     """
     events = t(spark, sf_dir, "events").select("ts", "user_id", "value")
-    def _write(d: str) -> None:
-        mm = events.agg(
-            F.min("ts").alias("lo"), F.max("ts").alias("hi")
-        ).head()
-        lo, hi = mm.lo, mm.hi
-        cuts = [lo + (hi - lo) * k / 4 for k in (1, 2, 3)]
-        stamp = 1_700_000_000  # any fixed base; only the ordering matters
-        for i, (start, end) in enumerate(zip([None, *cuts], [*cuts, None])):
-            chunk = events
-            if start is not None:
-                chunk = chunk.filter(F.col("ts") >= F.lit(start))
-            if end is not None:
-                chunk = chunk.filter(F.col("ts") < F.lit(end))
-            seen = set(os.listdir(d))
-            chunk.coalesce(1).write.mode("append").parquet(d)
-            _bump_mtimes(d, set(os.listdir(d)) - seen, stamp + i)
-
-    src = _stream_fixture(spark, sf_dir, "sessu", _write)
+    src = _stream_fixture(
+        spark, sf_dir, "sessu", lambda d: _write_ordered_chunks(events, d)
+    )
     base = _scratch.scratch_dir("streaming_sessu", sf_dir, fresh=True)
     out, ck = f"{base}/out", f"{base}/ckpt"
 
@@ -755,24 +764,9 @@ def _drain_timeout_sessions(
     4-chunk fixture → file stream → ``session_op`` → parquet sink."""
     events = t(spark, sf_dir, "events").select("ts", "user_id", "value")
 
-    def _write(d: str) -> None:
-        mm = events.agg(
-            F.min("ts").alias("lo"), F.max("ts").alias("hi")
-        ).head()
-        lo, hi = mm.lo, mm.hi
-        cuts = [lo + (hi - lo) * k / 4 for k in (1, 2, 3)]
-        stamp = 1_700_000_000
-        for i, (start, end) in enumerate(zip([None, *cuts], [*cuts, None])):
-            chunk = events
-            if start is not None:
-                chunk = chunk.filter(F.col("ts") >= F.lit(start))
-            if end is not None:
-                chunk = chunk.filter(F.col("ts") < F.lit(end))
-            seen = set(os.listdir(d))
-            chunk.coalesce(1).write.mode("append").parquet(d)
-            _bump_mtimes(d, set(os.listdir(d)) - seen, stamp + i)
-
-    src = _stream_fixture(spark, sf_dir, "sessu", _write)
+    src = _stream_fixture(
+        spark, sf_dir, "sessu", lambda d: _write_ordered_chunks(events, d)
+    )
     base = _scratch.scratch_dir(scratch_kind, sf_dir, fresh=True)
     out, ck = f"{base}/out", f"{base}/ckpt"
 
@@ -918,7 +912,7 @@ def q_streaming_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from table_streaming_source_spark.sources.avro_ocf import (
         stream_avro,
-        write_ocf,
+        write_avro_chunks,
     )
 
     events = t(spark, sf_dir, "events").select(
@@ -926,19 +920,10 @@ def q_streaming_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _write(d: str) -> None:
-        pdf = events.toPandas()
-        pdf["ts"] = pdf["ts"].astype("int64") // 1000  # ns → µs
-        rows = list(pdf.itertuples(index=False, name=None))
-        n = (len(rows) + 7) // 8
         stamp = 1_700_000_000
-        for i in range(8):
-            name = f"part-{i}.avro"
-            with open(os.path.join(d, name), "wb") as fh:
-                fh.write(
-                    write_ocf(
-                        _EVENTS_AVRO_SCHEMA, rows[i * n : (i + 1) * n]
-                    )
-                )
+        for i, name in enumerate(
+            write_avro_chunks(events.toPandas(), _EVENTS_AVRO_SCHEMA, d, 8)
+        ):
             _bump_mtimes(d, {name}, stamp + i)
 
     src = _stream_fixture(spark, sf_dir, "avroing", _write)

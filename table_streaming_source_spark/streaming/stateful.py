@@ -112,9 +112,10 @@ def _sessionize(key, pdfs, state: GroupState):
       session, with ``start_us = min(start_us, t)`` and
       ``last_us = max(last_us, t)`` — the timeout horizon never moves
       backward and the session start reflects the true earliest event;
-    * ``t < start_us - gap`` → the event can never merge with the open
-      session (anything bridging the gap would itself be even later) —
-      emitted as its own already-closed singleton session;
+    * ``t < start_us - gap`` → resolved in a post-pass: straggler chains
+      reaching within one gap of the batch's final session start merge
+      into the open session; the rest fold among themselves by the gap
+      rule and emit as closed sessions (see :func:`_advance_session`);
     * ``t > last_us + gap`` → normal gap close, new session starts.
     """
     import pandas as pd
@@ -143,13 +144,23 @@ def _advance_session(prior, ts_us, cents_arr):
     one implementation, so the modern-API twin is identical by
     construction.  ``prior`` is the stored ``(start_us, last_us, n,
     cents)`` tuple or ``None``; returns ``(closed_sessions, new_state)``
-    with closed sessions as ``(start_us, n, cents)`` triples."""
+    with closed sessions as ``(start_us, n, cents)`` triples.
+
+    Stragglers (events more than one gap before the open session's
+    start) are COLLECTED during the scan and resolved in a post-pass
+    against the batch's FINAL open-session start: any straggler chain
+    reaching within one gap of the start merges into the open session
+    (largest-first, so within-gap chains cascade correctly), and the
+    rest fold among THEMSELVES by the same gap rule before emitting —
+    two stragglers one second apart emit as one 2-event session, not
+    two singletons."""
     gap_us = _SESS_GAP_MS * 1000
     if prior is not None:
         start_us, last_us, n, cents = (int(v) for v in prior)
     else:
         start_us, last_us, n, cents = 0, 0, 0, 0
     closed = []
+    stale = []
     for t, c in zip(ts_us, cents_arr):
         t = int(t)
         if n == 0:
@@ -158,11 +169,32 @@ def _advance_session(prior, ts_us, cents_arr):
             closed.append((start_us, n, cents))
             start_us, last_us, n, cents = t, t, 1, int(c)
         elif start_us - t > gap_us:
-            closed.append((t, 1, int(c)))
+            stale.append((t, int(c)))
         else:
             start_us = min(start_us, t)
             last_us = max(last_us, t)
             n, cents = n + 1, cents + int(c)
+    if stale:
+        # largest-first: each merge moves start_us down, letting a
+        # within-gap chain of stragglers cascade into the open session
+        rest = []
+        for t, c in sorted(stale, reverse=True):
+            if n and start_us - t <= gap_us:
+                start_us = t
+                n, cents = n + 1, cents + c
+            else:
+                rest.append((t, c))
+        # remaining stragglers fold among themselves (ascending)
+        cur = None
+        for t, c in sorted(rest):
+            if cur is not None and t - cur[3] <= gap_us:
+                cur = (cur[0], cur[1] + 1, cur[2] + c, t)
+            else:
+                if cur is not None:
+                    closed.append(cur[:3])
+                cur = (t, 1, c, t)
+        if cur is not None:
+            closed.append(cur[:3])
     return closed, (start_us, last_us, n, cents)
 
 
@@ -184,9 +216,9 @@ def timeout_sessions_stream(
     the watermark but behind the per-key state (cross-batch stragglers)
     are handled late-tolerantly — merged into the open session when
     within the gap of either end (session start/end expand to cover
-    them; the timeout horizon never shrinks), emitted as singleton
-    sessions when older than the open session by more than the gap (see
-    ``_sessionize``)."""
+    them; the timeout horizon never shrinks), folded among themselves
+    into closed sessions when older than the open session by more than
+    the gap (see ``_sessionize``)."""
     return (
         stream.selectExpr(
             f"{key} AS user_id", f"{ts} AS ts", f"{value} AS value"

@@ -548,3 +548,40 @@ def test_timeout_sessions_tws_e2e_matches_legacy(spark, sf_dir):
     assert [r.asDict() for r in legacy.collect()] == [
         r.asDict() for r in tws.collect()
     ]
+
+
+def test_sessionize_stragglers_merge_among_themselves(spark):
+    """Two same-batch stragglers within one gap of each other form ONE
+    closed session, not two singletons (round-4 review fix)."""
+    gap_us = 30 * 60 * 1000 * 1000
+    t0 = 10 * gap_us
+    st = _FakeGroupState()
+    _sess_step([(t0, 100)], st)
+    closed, st = _sess_step(
+        [(t0 - 3 * gap_us, 40), (t0 - 3 * gap_us + 1_000_000, 60)], st
+    )
+    assert closed == [(t0 - 3 * gap_us, 2, 1.0)]
+    assert st.get == (t0, t0, 1, 100)
+
+
+def test_sessionize_straggler_chain_cascades_into_open_session(spark):
+    """A chain of stragglers whose links are each within one gap must
+    cascade into the open session (largest-first merge): the session
+    start walks back across the whole chain."""
+    gap_us = 30 * 60 * 1000 * 1000
+    t0 = 10 * gap_us
+    st = _FakeGroupState()
+    _sess_step([(t0, 100)], st)
+    horizon = st.timeout_ts
+    # 1.5 gaps and 0.8 gaps before start: the nearer one merges, pulling
+    # start back so the farther one is then within gap and merges too
+    closed, st = _sess_step(
+        [
+            (t0 - gap_us - gap_us // 2, 25),
+            (int(t0 - 0.8 * gap_us), 50),
+        ],
+        st,
+    )
+    assert closed == []
+    assert st.get == (t0 - gap_us - gap_us // 2, t0, 3, 175)
+    assert st.timeout_ts == horizon  # horizon never shrinks
