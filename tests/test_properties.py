@@ -209,3 +209,52 @@ def test_gif_animation_roundtrip_property(w, h, n_frames, seed):
     for f, px in enumerate(frames):
         assert px.shape == (h, w)
         assert (px == ((7 * x + 13 * y + 17 * f + seed) % 256)).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=4),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=63),  # AC position
+            st.integers(min_value=-64, max_value=64),  # quantized value
+        ),
+        max_size=10,
+    ),
+)
+def test_jpeg_entropy_layer_lossless_property(seed, bw, bh, ac):
+    """Property: the coefficient-domain JPEG encoder + decoder are an
+    exact inverse pair around the entropy layer — random sparse AC
+    spectra survive huffman/zigzag/ZRL/EOB bit-exactly vs an independent
+    dequant+IDCT reference."""
+    import numpy as np
+
+    from table_streaming_source_spark.operators import multimodal as M
+
+    qt = np.full(64, 16, dtype=np.int64)
+    qt[0] = 10
+    w, h = bw * 8, bh * 8
+    rng = np.random.RandomState(seed)
+    blocks = []
+    for _ in range(bw * bh):
+        blk = np.zeros(64, dtype=np.int64)
+        blk[0] = rng.randint(-128, 128)
+        for pos, val in ac:
+            blk[pos] = val
+        blocks.append(blk)
+    payload = M.encode_jpeg_gray_coeffs(blocks, w, h, qt.tolist())
+    got = M.jpeg_pixels(payload)
+
+    u = np.arange(8)[:, None]
+    xx = np.arange(8)[None, :]
+    a = 0.5 * np.cos((2 * xx + 1) * u * np.pi / 16.0)
+    a[0] /= np.sqrt(2)
+    ref = np.zeros((h, w))
+    for m, blk in enumerate(blocks):
+        by, bx = divmod(m, bw)
+        s = (blk * qt).reshape(8, 8).astype(float)
+        ref[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = a.T @ s @ a
+    ref = np.clip(np.round(ref + 128), 0, 255).astype(np.uint8)
+    assert (got == ref).all()
