@@ -1501,14 +1501,16 @@ def encode_jpeg_gray_coeffs(
     return bytes(out)
 
 
-def jpeg_pixels(payload: bytes) -> "object":
-    """Decode a baseline sequential JPEG (SOF0/SOF1, huffman) to an
-    ``(h, w)`` uint8 array (grayscale) or ``(h, w, 3)`` uint8 RGB
-    (3-component 4:4:4) — the REAL pipeline: marker parse → canonical
-    huffman decode → dequant → 2-D IDCT → level shift, with restart
-    markers honored.  Progressive (SOF2), arithmetic-coded, and
-    subsampled JPEGs raise ``ValueError`` — route through
-    :func:`quarantine_decode`."""
+def jpeg_planes(payload: bytes) -> "list":
+    """Decode a baseline sequential JPEG (SOF0/SOF1, huffman) to its
+    per-component uint8 planes (Y, or Y/Cb/Cr for 4:4:4 color), AFTER
+    level shift + clip but BEFORE color conversion — the REAL pipeline:
+    marker parse → canonical huffman decode → dequant → 2-D IDCT, with
+    restart markers honored.  Component planes are the bit-exact
+    contract (the DC path round-trips integers exactly); the float
+    YCbCr→RGB conversion layers on top in :func:`jpeg_pixels`.
+    Progressive (SOF2), arithmetic-coded, and subsampled JPEGs raise
+    ``ValueError`` — route through :func:`quarantine_decode`."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -1631,25 +1633,35 @@ def jpeg_pixels(payload: bytes) -> "object":
                     planes[ci][
                         by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
                     ] = _idct_block(coeffs)
-            out = [
+            return [
                 np.clip(np.round(p[:height, :width] + 128.0), 0, 255)
+                .astype(np.uint8)
                 for p in planes
             ]
-            if len(out) == 1:
-                return out[0].astype(np.uint8)
-            if len(out) == 3:
-                y, cb, cr = out
-                rgb = np.stack(
-                    [
-                        y + 1.402 * (cr - 128.0),
-                        y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
-                        y + 1.772 * (cb - 128.0),
-                    ],
-                    axis=-1,
-                )
-                return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-            raise ValueError(f"unsupported component count {len(out)}")
     raise ValueError("JPEG without SOS")
+
+
+def jpeg_pixels(payload: bytes) -> "object":
+    """:func:`jpeg_planes` + color conversion: ``(h, w)`` uint8 for
+    grayscale, ``(h, w, 3)`` uint8 RGB (JFIF YCbCr→RGB, float matrix +
+    round + clip) for 4:4:4 color."""
+    import numpy as np
+
+    out = jpeg_planes(payload)
+    if len(out) == 1:
+        return out[0]
+    if len(out) == 3:
+        y, cb, cr = (p.astype(np.float64) for p in out)
+        rgb = np.stack(
+            [
+                y + 1.402 * (cr - 128.0),
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                y + 1.772 * (cb - 128.0),
+            ],
+            axis=-1,
+        )
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    raise ValueError(f"unsupported component count {len(out)}")
 
 
 #: DC quant step 8 makes the flat-block DC round-trip EXACT:
@@ -1708,3 +1720,189 @@ def attach_jpeg_payload(df: DataFrame, key: str) -> DataFrame:
             )
 
     return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def encode_jpeg_color_coeffs(
+    qblocks_per_comp, width: int, height: int, qtable
+) -> bytes:
+    """Entropy-encode pre-quantized coefficient blocks into a complete
+    3-component 4:4:4 baseline JPEG (interleaved MCUs, one block per
+    component per MCU, shared Annex-K tables and quant table).
+    ``qblocks_per_comp`` is ``[y_blocks, cb_blocks, cr_blocks]``, each a
+    raster-order list of 64 quantized coefficients in natural order.
+    Coefficient-domain input keeps the encoder LOSSLESS, like the
+    grayscale twin."""
+    dc_enc = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    qzz = bytes(qtable[_JPEG_ZIGZAG[i]] for i in range(64))
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + qzz)
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes((1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0)),
+    )
+    out += seg(0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(0xC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    out += seg(0xDA, bytes((3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)))
+
+    w = _JpegBitWriter()
+    prev = [0, 0, 0]
+    n_mcus = len(qblocks_per_comp[0])
+    for m in range(n_mcus):
+        for ci in range(3):
+            zz = [
+                int(qblocks_per_comp[ci][m][_JPEG_ZIGZAG[k]])
+                for k in range(64)
+            ]
+            t, mag = _mag_bits(zz[0] - prev[ci])
+            prev[ci] = zz[0]
+            code, length = dc_enc[t]
+            w.write(code, length)
+            w.write(mag, t)
+            run = 0
+            for k in range(1, 64):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_enc[0xF0]
+                    w.write(code, length)
+                    run -= 16
+                t, mag = _mag_bits(zz[k])
+                code, length = ac_enc[(run << 4) | t]
+                w.write(code, length)
+                w.write(mag, t)
+                run = 0
+            if run:
+                code, length = ac_enc[0x00]
+                w.write(code, length)
+    w.flush()
+    out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+#: per-component block formulas for the color synthesizer — distinct
+#: coefficient patterns per channel so a plane swap cannot pass the oracle
+_JPEG_COLOR_FORMULAS = ((7, 13), (11, 3), (5, 17))
+
+
+def synth_jpeg_color(width: int, height: int, seed: int) -> bytes:
+    """A spec-valid 4:4:4 color baseline JPEG with block-constant
+    component planes: ``Y = (7bx + 13by + s) % 256``,
+    ``Cb = (11bx + 3by + s) % 256``, ``Cr = (5bx + 17by + s) % 256``.
+    DC-only spectra + DC quant step 8 → every decoded component plane is
+    bit-exact against its formula (see ``_JPEG_SYNTH_QTABLE``)."""
+    if width % 8 or height % 8:
+        raise ValueError("synth dimensions must be multiples of 8")
+    bw, bh = width // 8, height // 8
+    per_comp = []
+    for ax, ay in _JPEG_COLOR_FORMULAS:
+        blocks = []
+        for by in range(bh):
+            for bx in range(bw):
+                v = (ax * bx + ay * by + seed) % 256
+                blk = [0] * 64
+                blk[0] = v - 128
+                blocks.append(blk)
+        per_comp.append(blocks)
+    return encode_jpeg_color_coeffs(
+        per_comp, width, height, _JPEG_SYNTH_QTABLE
+    )
+
+
+def attach_jpeg_color_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one :func:`synth_jpeg_color` per key
+    (``w = 8·(2 + (7k) % 5)``, ``h = 8·(2 + (11k) % 5)``, ``seed = k``)."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_jpeg_color(
+                            8 * (2 + (7 * int(k)) % 5),
+                            8 * (2 + (11 * int(k)) % 5),
+                            int(k),
+                        )
+                        for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+JPEG_COLOR_STATS_SCHEMA = StructType(
+    [
+        StructField("key", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("sum_y", LongType(), False),
+        StructField("sum_cb", LongType(), False),
+        StructField("sum_cr", LongType(), False),
+        StructField("max_y", IntegerType(), False),
+        StructField("min_cr", IntegerType(), False),
+    ]
+)
+
+
+def jpeg_color_stats(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    key: str = "key",
+) -> DataFrame:
+    """Per-image statistics from the decoded Y/Cb/Cr COMPONENT planes of
+    color JPEGs (:func:`jpeg_planes`) — the bit-exact contract for the
+    3-component interleaved-MCU decode path (three DC predictor chains,
+    per-component dequant, plane assembly).  Stats are taken before the
+    float YCbCr→RGB conversion, so every value is an exact integer a SQL
+    oracle can restate; the RGB layer is covered by unit tests.
+    Arrow-batched ``mapInPandas``, no shuffle."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "key", "width", "height", "sum_y", "sum_cb", "sum_cr",
+                "max_y", "min_cr",
+            )}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                y, cb, cr = (
+                    p.astype(np.int64) for p in jpeg_planes(bytes(payload))
+                )
+                out["key"].append(int(k))
+                out["height"].append(y.shape[0])
+                out["width"].append(y.shape[1])
+                out["sum_y"].append(int(y.sum()))
+                out["sum_cb"].append(int(cb.sum()))
+                out["sum_cr"].append(int(cr.sum()))
+                out["max_y"].append(int(y.max()))
+                out["min_cr"].append(int(cr.min()))
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(out["key"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "sum_y": pd.Series(out["sum_y"], dtype="int64"),
+                    "sum_cb": pd.Series(out["sum_cb"], dtype="int64"),
+                    "sum_cr": pd.Series(out["sum_cr"], dtype="int64"),
+                    "max_y": pd.Series(out["max_y"], dtype="int32"),
+                    "min_cr": pd.Series(out["min_cr"], dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=JPEG_COLOR_STATS_SCHEMA)

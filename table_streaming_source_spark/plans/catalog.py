@@ -84,6 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_avro_ingest",
     "join_scd2",
     "window_attribution",
+    "multimodal_jpeg_color",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"

@@ -2280,6 +2280,45 @@ GROUP BY key
 """
 
 
+def q_multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color (3-component 4:4:4) baseline JPEG decode: interleaved MCUs,
+    THREE DC predictor chains, per-component dequant and plane assembly
+    — the decode path a grayscale entry cannot reach.  Stats are taken
+    on the decoded Y/Cb/Cr component planes (bit-exact integers via the
+    DC-exact synthesis; distinct per-channel formulas make a plane swap
+    fail the oracle); the float YCbCr→RGB layer is unit-tested."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
+    imgs = M.attach_jpeg_color_payload(docs, "doc_id")
+    return M.jpeg_color_stats(imgs)
+
+
+ORACLES["multimodal_jpeg_color"] = """
+WITH im AS (
+  SELECT doc_id AS key,
+         8 * (2 + (7 * doc_id) % 5) AS w,
+         8 * (2 + (11 * doc_id) % 5) AS h
+  FROM documents WHERE doc_id % 4 = 1
+),
+px AS (
+  SELECT key, w, h,
+         (7 * (ux.x // 8) + 13 * (uy.y // 8) + key) % 256 AS y_v,
+         (11 * (ux.x // 8) + 3 * (uy.y // 8) + key) % 256 AS cb_v,
+         (5 * (ux.x // 8) + 17 * (uy.y // 8) + key) % 256 AS cr_v
+  FROM im, UNNEST(RANGE(0, w)) AS ux(x), UNNEST(RANGE(0, h)) AS uy(y)
+)
+SELECT key,
+       CAST(ANY_VALUE(w) AS INT) AS width,
+       CAST(ANY_VALUE(h) AS INT) AS height,
+       CAST(SUM(y_v) AS BIGINT) AS sum_y,
+       CAST(SUM(cb_v) AS BIGINT) AS sum_cb,
+       CAST(SUM(cr_v) AS BIGINT) AS sum_cr,
+       CAST(MAX(y_v) AS INT) AS max_y,
+       CAST(MIN(cr_v) AS INT) AS min_cr
+FROM px
+GROUP BY key
+"""
+
+
 def q_multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup over REAL pixel decode: every key gets a
     spec-valid PNG from a small class of repeated (geometry, seed)
@@ -2958,6 +2997,7 @@ QUERIES_DEFERRED = {
     "multimodal_gif_stats": q_multimodal_gif_stats,
     "multimodal_gif_frames": q_multimodal_gif_frames,
     "multimodal_jpeg_stats": q_multimodal_jpeg_stats,
+    "multimodal_jpeg_color": q_multimodal_jpeg_color,
     "multimodal_dedup_phash": q_multimodal_dedup_phash,
     "multimodal_phash_near": q_multimodal_phash_near,
     "pipeline_image_prep": q_pipeline_image_prep,
