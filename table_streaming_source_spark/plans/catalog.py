@@ -85,6 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_scd2",
     "window_attribution",
     "multimodal_jpeg_color",
+    "scalar_bitwise",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"

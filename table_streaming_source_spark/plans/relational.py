@@ -2598,6 +2598,45 @@ FROM lineitem
 """
 
 
+def q_scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise pack — the feature-hashing / bitmap-index toolkit: AND /
+    OR / XOR / NOT, shifts, popcount, and the modulo bucketing they
+    feed.  All exact int64 arithmetic, identical across engines."""
+    l = t(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    p = F.col("l_partkey")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(p).alias("k_and"),
+        k.bitwiseOR(p).alias("k_or"),
+        k.bitwiseXOR(p).alias("k_xor"),
+        F.bitwise_not(k).alias("k_not"),
+        F.shiftleft(k, 3).alias("k_shl"),
+        F.shiftright(k, 2).alias("k_shr"),
+        F.bit_count(p).cast("int").alias("p_bits"),
+        F.bit_count(k.bitwiseXOR(F.shiftleft(p, 17))).cast("int").alias(
+            "mix_bits"
+        ),
+        (k % 64).cast("long").alias("bucket"),
+    )
+
+
+ORACLES["scalar_bitwise"] = """
+SELECT l_orderkey, l_linenumber,
+       l_orderkey & l_partkey AS k_and,
+       l_orderkey | l_partkey AS k_or,
+       xor(l_orderkey, l_partkey) AS k_xor,
+       ~l_orderkey AS k_not,
+       l_orderkey << 3 AS k_shl,
+       l_orderkey >> 2 AS k_shr,
+       CAST(bit_count(l_partkey) AS INT) AS p_bits,
+       CAST(bit_count(xor(l_orderkey, l_partkey << 17)) AS INT) AS mix_bits,
+       l_orderkey % 64 AS bucket
+FROM lineitem
+"""
+
+
 def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON pack over the events.props column: path extraction + typed
     cast, then grouped aggregation of the extracted value."""
@@ -4036,6 +4075,7 @@ QUERIES = {
     "scalar_string": q_scalar_string,
     "scalar_date": q_scalar_date,
     "scalar_math": q_scalar_math,
+    "scalar_bitwise": q_scalar_bitwise,
     "scalar_json": q_scalar_json,
     "scalar_array": q_scalar_array,
     "scalar_map": q_scalar_map,
