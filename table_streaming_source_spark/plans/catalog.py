@@ -86,6 +86,8 @@ _PRIORITY: tuple[str, ...] = (
     "window_attribution",
     "multimodal_jpeg_color",
     "scalar_bitwise",
+    "merge_upsert",
+    "ts_resample_ohlc",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"

@@ -206,6 +206,144 @@ WHERE rn = 1
 """
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert): apply one CDC batch of inserts/updates/deletes
+    to a keyed target in a single pass — the Delta/Hudi/Iceberg write-side
+    primitive the reference's host pipelines use to maintain the very
+    tables its snapshot source re-reads (`TableInputDStream.scala:51-59`).
+
+    Semantics (ANSI MERGE):  matched & op='D' → delete; matched & op='U'
+    → update to source values; NOT matched & op='I' → insert; unmatched
+    'U'/'D' rows are no-ops; a matched 'I' keeps the target row (engines
+    differ here — documented choice, not exercised by this batch).
+
+    Physical shape (snapshot.py::merge_into): ONE full-outer shuffle
+    join on the key — both sides hash-partition once, every merge
+    decision is a row-local CASE, and the output is exchange-free
+    afterwards.  At 100 TB the CDC batch is ≪ the target, so AQE
+    broadcasts it and the target never shuffles at all; there is no
+    per-row lookup, no driver loop, no second pass.  The synthetic
+    batch derives deterministically from orders: delete every 9th key,
+    reprice every remaining 4th, insert re-keyed copies of every
+    13th."""
+    from table_streaming_source_spark.snapshot import merge_into
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    src = (
+        o.filter(F.col("o_orderkey") % 9 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("D").alias("op"),
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            F.lit(None).cast("double").alias("o_totalprice"),
+        )
+        .unionByName(
+            o.filter(
+                (F.col("o_orderkey") % 9 != 0)
+                & (F.col("o_orderkey") % 4 == 0)
+            ).select(
+                "o_orderkey",
+                F.lit("U").alias("op"),
+                F.lit("P").alias("o_orderstatus"),
+                (F.col("o_totalprice") + 5.0).alias("o_totalprice"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 13 == 0).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"),
+                F.lit("I").alias("op"),
+                F.lit("N").alias("o_orderstatus"),
+                F.col("o_totalprice").alias("o_totalprice"),
+            )
+        )
+    )
+    return merge_into(o, src, key="o_orderkey")
+
+
+ORACLES["merge_upsert"] = """
+WITH src AS (
+  SELECT o_orderkey, 'D' AS op, CAST(NULL AS VARCHAR) AS s_status,
+         CAST(NULL AS DOUBLE) AS s_price
+  FROM orders WHERE o_orderkey % 9 = 0
+  UNION ALL
+  SELECT o_orderkey, 'U', 'P', o_totalprice + 5.0
+  FROM orders WHERE o_orderkey % 9 <> 0 AND o_orderkey % 4 = 0
+  UNION ALL
+  SELECT -o_orderkey, 'I', 'N', o_totalprice
+  FROM orders WHERE o_orderkey % 13 = 0
+),
+tgt AS (SELECT o_orderkey, o_orderstatus, o_totalprice, TRUE AS t
+        FROM orders)
+SELECT COALESCE(tgt.o_orderkey, src.o_orderkey) AS o_orderkey,
+       CASE WHEN (t AND op = 'U') OR (t IS NULL AND op = 'I')
+            THEN s_status ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN (t AND op = 'U') OR (t IS NULL AND op = 'I')
+            THEN s_price ELSE o_totalprice END AS o_totalprice
+FROM tgt FULL OUTER JOIN src USING (o_orderkey)
+WHERE op IS NULL OR (t AND op = 'U') OR (t IS NULL AND op = 'I')
+      OR (t AND op = 'I')
+"""
+
+
+def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to OHLC bars: events → hourly
+    open/high/low/close/volume per event type — the downsampling rollup
+    every metrics store runs over its raw stream.
+
+    Open/close are struct-min/struct-max over ``(ts, event_id, value)``
+    — ties impossible (event_id is unique), and the aggregate is
+    partial/map-side combinable, so the whole bar computation is ONE
+    hash aggregation with no window sort and no second pass.  At 100 TB
+    the input is already partitioned by arrival date; the per-(hour,
+    type) groups are tiny and uniform — no skew, one shuffle of partial
+    aggregates only."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).alias("__o"),
+            F.max(F.struct("ts", "event_id", "value")).alias("__c"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            dsum("value").alias("volume"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "bucket",
+            "event_type",
+            F.col("__o.value").alias("open"),
+            "high",
+            "low",
+            F.col("__c.value").alias("close"),
+            "volume",
+            "n",
+        )
+    )
+
+
+ORACLES["ts_resample_ohlc"] = f"""
+WITH ranked AS (
+  SELECT DATE_TRUNC('hour', ts) AS bucket, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY DATE_TRUNC('hour', ts), event_type
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY DATE_TRUNC('hour', ts), event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT bucket, event_type,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high, MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       {sql_dsum('value')} AS volume, COUNT(*) AS n
+FROM ranked GROUP BY bucket, event_type
+"""
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key: bit-interleave two join/filter
     dimensions so a single sort co-locates both — the multi-dimension
@@ -4047,6 +4185,8 @@ QUERIES = {
     "snapshot_roundtrip": q_snapshot_roundtrip,
     "join_asof_nearest": q_join_asof_nearest,
     "changelog_compact": q_changelog_compact,
+    "merge_upsert": q_merge_upsert,
+    "ts_resample_ohlc": q_ts_resample_ohlc,
     "zorder_key": q_zorder_key,
     "market_share": q_market_share,
     "sql_cte_window": q_sql_cte_window,

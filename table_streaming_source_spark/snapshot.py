@@ -276,3 +276,64 @@ def snapshot_apply(
         key, *value_cols
     )
     return kept.unionByName(upserts)
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    *,
+    key: str,
+    op_col: str = "op",
+    insert: str = "I",
+    update: str = "U",
+    delete: str = "D",
+) -> DataFrame:
+    """ANSI ``MERGE INTO`` as one full-outer shuffle join: apply a CDC
+    batch of inserts/updates/deletes to a keyed target.
+
+    ``source`` carries ``key``, ``op_col`` ∈ {insert, update, delete},
+    and the target's value columns (null-allowed for deletes).  Rules:
+
+    - matched & delete  → row removed
+    - matched & update  → source values win
+    - not matched & insert → row added
+    - not matched & update/delete → no-op (nothing to change)
+    - matched & insert → target row kept unchanged (engines disagree
+      here — Delta errors, Hudi upserts; keeping the target is the
+      conservative documented choice)
+
+    Physical shape: both sides hash-partition ONCE on the key; every
+    merge decision is a row-local CASE over the joined row, and no
+    second pass or per-row lookup exists.  At 100 TB the batch is ≪ the
+    target, so AQE converts the join to broadcast and the target never
+    shuffles; a reused partitioning on ``key`` (bucketed target) makes
+    the merge exchange-free entirely.  This is the write-side operator
+    that maintains the tables the reference's snapshot source re-reads
+    (`TableInputDStream.scala:51-59`).
+    """
+    value_cols = [c for c in target.columns if c != key]
+    src = source.select(
+        F.col(key),
+        F.col(op_col).alias("__op"),
+        *[F.col(c).alias(f"__s_{c}") for c in value_cols],
+    )
+    tgt = target.withColumn("__t", F.lit(True))
+    m = tgt.join(src, key, "full_outer")
+    matched = F.col("__t").isNotNull()
+    op = F.col("__op")
+    keep = (
+        op.isNull()
+        | (matched & (op == update))
+        | (~matched & (op == insert))
+        | (matched & (op == insert))
+    )
+    take_src = (matched & (op == update)) | (~matched & (op == insert))
+    return m.filter(keep).select(
+        key,
+        *[
+            F.when(take_src, F.col(f"__s_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in value_cols
+        ],
+    )

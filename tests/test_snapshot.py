@@ -246,3 +246,44 @@ def test_snapshot_apply_roundtrip(spark):
     )
     want = sorted(map(tuple, new.collect()))
     assert got == want
+
+
+def test_merge_into_all_rules(spark):
+    """Every MERGE rule, including the corner cases the catalog entry's
+    synthetic batch never reaches: unmatched update/delete are no-ops,
+    and a matched insert keeps the target row (documented choice)."""
+    from table_streaming_source_spark.snapshot import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k int, s string, v double",
+    )
+    source = spark.createDataFrame(
+        [
+            (2, "U", "bb", 99.0),   # matched update → source wins
+            (3, "D", None, None),   # matched delete → removed
+            (5, "I", "e", 50.0),    # unmatched insert → added
+            (6, "U", "x", 1.0),     # unmatched update → no-op
+            (7, "D", None, None),   # unmatched delete → no-op
+            (4, "I", "zz", 0.0),    # matched insert → target kept
+        ],
+        "k int, op string, s string, v double",
+    )
+    got = sorted(map(tuple, merge_into(target, source, key="k").collect()))
+    assert got == [
+        (1, "a", 10.0),
+        (2, "bb", 99.0),
+        (4, "d", 40.0),
+        (5, "e", 50.0),
+    ]
+
+
+def test_merge_into_empty_batch_is_identity(spark):
+    from table_streaming_source_spark.snapshot import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k int, s string, v double"
+    )
+    source = spark.createDataFrame([], "k int, op string, s string, v double")
+    got = sorted(map(tuple, merge_into(target, source, key="k").collect()))
+    assert got == sorted(map(tuple, target.collect()))
