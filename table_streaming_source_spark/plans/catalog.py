@@ -88,6 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_bitwise",
     "merge_upsert",
     "ts_resample_ohlc",
+    "streaming_changelog_upsert",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"

@@ -462,11 +462,124 @@ SELECT DISTINCT event_id, ts, event_type FROM events
 """
 
 
+def q_streaming_changelog_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming CDC upsert: a changelog of insert/update/delete records
+    drained file-per-trigger through ``foreachBatch``, each micro-batch
+    MERGE-d into a keyed parquet state table via the versioned
+    stage-and-swap sink (`sinks.py::upsert_sink`) — the streaming half
+    of ``merge_upsert``, and the job that *maintains* the very tables
+    the reference's snapshot source re-reads
+    (`TableInputDStream.scala:51-59`).
+
+    Three ordered CDC batches over orders: (1) initial insert of every
+    row into empty state; (2) reprice every even key, delete every 5th;
+    (3) flag every 6th key (absolute values — unmatched rows among them
+    hit the deleted keys and correctly no-op), insert re-keyed copies of
+    every 11th.  The final committed state equals the sequential MERGE
+    the oracle states directly.  Replayed batches rewrite the same
+    version from the same input — exactly-once state under
+    at-least-once delivery."""
+    from table_streaming_source_spark.sinks import upsert_sink
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def _cdc_batches(src: DataFrame) -> list[DataFrame]:
+        k = F.col("o_orderkey")
+        b1 = src.select(
+            "o_orderkey", F.lit("I").alias("op"),
+            "o_orderstatus", "o_totalprice",
+        )
+        b2 = (
+            src.filter((k % 2 == 0) & (k % 5 != 0))
+            .select(
+                "o_orderkey", F.lit("U").alias("op"),
+                "o_orderstatus",
+                (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+            )
+            .unionByName(
+                src.filter(k % 5 == 0).select(
+                    "o_orderkey", F.lit("D").alias("op"),
+                    F.lit(None).cast("string").alias("o_orderstatus"),
+                    F.lit(None).cast("double").alias("o_totalprice"),
+                )
+            )
+        )
+        b3 = (
+            src.filter(k % 6 == 0)
+            .select(
+                "o_orderkey", F.lit("U").alias("op"),
+                F.lit("X").alias("o_orderstatus"),
+                (F.col("o_totalprice") + 20.0).alias("o_totalprice"),
+            )
+            .unionByName(
+                src.filter(k % 11 == 0).select(
+                    (-k).alias("o_orderkey"), F.lit("I").alias("op"),
+                    F.lit("N").alias("o_orderstatus"),
+                    F.col("o_totalprice").alias("o_totalprice"),
+                )
+            )
+        )
+        return [b1, b2, b3]
+
+    def _write(d: str) -> None:
+        stamp = 1_700_000_000
+        for i, batch in enumerate(_cdc_batches(o)):
+            seen = set(os.listdir(d))
+            batch.coalesce(1).write.mode("append").parquet(d)
+            _bump_mtimes(d, set(os.listdir(d)) - seen, stamp + i)
+
+    src = _stream_fixture(spark, sf_dir, "cdc_upsert", _write)
+    base = _scratch.scratch_dir("streaming_cdc_upsert", sf_dir, fresh=True)
+
+    cdc_schema = _cdc_batches(o)[0].schema
+    stream = (
+        spark.readStream.schema(cdc_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    on_batch, current = upsert_sink(
+        spark, f"{base}/state", key="o_orderkey"
+    )
+    with _stream_shuffle(spark):
+        query = (
+            stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
+
+    result = current().localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+ORACLES["streaming_changelog_upsert"] = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 6 = 0 THEN 'X'
+            ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 20.0
+            WHEN o_orderkey % 2 = 0 THEN o_totalprice + 10.0
+            ELSE o_totalprice END AS o_totalprice
+FROM orders WHERE o_orderkey % 5 <> 0
+UNION ALL
+SELECT -o_orderkey, 'N', o_totalprice FROM orders WHERE o_orderkey % 11 = 0
+"""
+
+
 QUERIES = {
     "streaming_enrichment": q_streaming_enrichment,
     "streaming_window_agg": q_streaming_window_agg,
     "streaming_interval_join": q_streaming_interval_join,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_changelog_upsert": q_streaming_changelog_upsert,
 }
 
 def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -112,3 +112,90 @@ def compact(
     fs.rename(hpath, jvm.org.apache.hadoop.fs.Path(retired))
     fs.rename(jvm.org.apache.hadoop.fs.Path(staging), hpath)
     fs.delete(jvm.org.apache.hadoop.fs.Path(retired), True)
+
+
+def upsert_sink(
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    key: str,
+    op_col: str = "op",
+):
+    """``foreachBatch`` sink that maintains the *current state* of a keyed
+    table under ``state_dir`` by MERGE-ing every CDC micro-batch into it
+    (`snapshot.py::merge_into`) — the streaming half of the table-format
+    upsert story (Delta ``MERGE`` in ``foreachBatch``, reduced to its
+    parquet essence).
+
+    Layout: state version ``n`` lives at ``state_dir/v{n}``; the single
+    pointer file ``state_dir/_CURRENT`` names the live version and flips
+    via atomic rename.  Each batch reads the pointed-at state, merges,
+    writes ``v{batch_id + 1}``, then flips the pointer:
+
+    - **Readers never see partial state** — they resolve the pointer to a
+      fully-committed directory.
+    - **Replays are idempotent** — a restarted batch ``b`` rewrites
+      ``v{b+1}`` from the same ``v{b}`` input and re-flips the pointer to
+      the same value, so at-least-once delivery yields exactly-once
+      state (same mechanism as ``idempotent_sink``'s ledger, carried by
+      the version naming itself).
+    - Old versions are pruned after the flip, keeping two on disk for
+      the replay window.
+
+    Returns ``(on_batch, current)``: pass ``on_batch`` to
+    ``writeStream.foreachBatch``; call ``current()`` after the drain for
+    the live state DataFrame.  First batch bootstraps the state from the
+    batch's own schema (minus ``op_col``) — no priming write needed.
+    """
+    import os
+
+    from table_streaming_source_spark.snapshot import merge_into
+
+    pointer = os.path.join(state_dir, "_CURRENT")
+
+    def _live_version() -> int | None:
+        try:
+            with open(pointer) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def current(version: int | None = None) -> DataFrame:
+        v = version if version is not None else _live_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed state under {state_dir}")
+        return spark.read.parquet(os.path.join(state_dir, f"v{v}"))
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        v = _live_version()
+        if v is None:
+            state = batch_df.sparkSession.createDataFrame(
+                [],
+                batch_df.drop(op_col).schema,
+            )
+        else:
+            state = current(v)
+        merged = merge_into(state, batch_df, key=key, op_col=op_col)
+        new_v = batch_id + 1
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{new_v}")
+        )
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(new_v))
+        os.replace(tmp, pointer)  # atomic pointer flip
+        # prune all but the two newest committed versions (replay window)
+        import re
+        import shutil
+
+        versions = sorted(
+            int(m.group(1))
+            for n in os.listdir(state_dir)
+            if (m := re.fullmatch(r"v(\d+)", n))
+        )
+        for old in versions[:-2]:
+            shutil.rmtree(
+                os.path.join(state_dir, f"v{old}"), ignore_errors=True
+            )
+
+    return on_batch, current

@@ -98,3 +98,41 @@ def test_compact_reduces_file_count_preserves_rows(spark, sf_dir, tmp_path):
     assert back.count() == events.count()
     dsum = F.sum(F.col("value").cast("decimal(18,6)"))
     assert back.agg(dsum).first()[0] == events.agg(dsum).first()[0]
+
+
+def test_upsert_sink_merges_and_replays_idempotently(spark, tmp_path):
+    """The versioned stage-and-swap upsert sink: batches merge in order,
+    the pointer always names fully-committed state, and re-running a
+    batch (at-least-once delivery) rewrites the same version without
+    double-applying."""
+    from table_streaming_source_spark.sinks import upsert_sink
+
+    state_dir = str(tmp_path / "state")
+    import os
+
+    os.makedirs(state_dir)
+    on_batch, current = upsert_sink(spark, state_dir, key="k")
+
+    b0 = spark.createDataFrame(
+        [(1, "I", "a", 10.0), (2, "I", "b", 20.0)],
+        "k int, op string, s string, v double",
+    )
+    b1 = spark.createDataFrame(
+        [(1, "U", "aa", 99.0), (2, "D", None, None), (3, "I", "c", 30.0)],
+        "k int, op string, s string, v double",
+    )
+    on_batch(b0, 0)
+    assert sorted(map(tuple, current().collect())) == [
+        (1, "a", 10.0),
+        (2, "b", 20.0),
+    ]
+    on_batch(b1, 1)
+    want = [(1, "aa", 99.0), (3, "c", 30.0)]
+    assert sorted(map(tuple, current().collect())) == want
+    # replay batch 1 (restart after crash-before-checkpoint): the merge
+    # re-reads v1 and rewrites v2 — state unchanged, not double-applied
+    on_batch(b1, 1)
+    assert sorted(map(tuple, current().collect())) == want
+    # replay window: only the two newest versions remain on disk
+    versions = sorted(n for n in os.listdir(state_dir) if n.startswith("v"))
+    assert versions == ["v1", "v2"]
