@@ -1073,6 +1073,251 @@ def gif_frame_stats(
     return df.mapInPandas(batches, schema=FRAME_STATS_SCHEMA)
 
 
+def synth_avi_video(
+    width: int, height: int, n_frames: int, seed: int
+) -> bytes:
+    """A spec-valid RIFF-AVI with genuinely decodable video: ``hdrl``
+    (``avih`` MainAVIHeader + ``strl`` with ``strh``/``strf``
+    BITMAPINFOHEADER) and a ``movi`` LIST of ``00db`` chunks, each one
+    uncompressed 24-bit BI_RGB DIB frame — **bottom-up row order, BGR
+    byte order, rows padded to 4-byte stride**, per the public
+    AVI/BMP specifications.  Frame ``f``'s *display-orientation* RGB is
+
+        r(x,y,f) = (7x + 13y + 17f + seed) % 256
+        g(x,y,f) = (11x + 5y + 19f + seed) % 256
+        b(x,y,f) = (3x + 23y + 29f + seed) % 256
+
+    so a SQL oracle can restate any frame; a decoder that forgets the
+    bottom-up flip, the BGR swap, or the row stride produces different
+    position-weighted statistics."""
+    import numpy as np
+
+    stride = (3 * width + 3) & ~3
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    frames = []
+    for f in range(n_frames):
+        r = ((7 * x + 13 * y + 17 * f + seed) % 256).astype(np.uint8)
+        g = ((11 * x + 5 * y + 19 * f + seed) % 256).astype(np.uint8)
+        b = ((3 * x + 23 * y + 29 * f + seed) % 256).astype(np.uint8)
+        # display orientation (y=0 at top) → DIB storage: bottom-up, BGR
+        dib = np.flipud(np.stack([b, g, r], axis=-1))
+        rows = np.zeros((height, stride), dtype=np.uint8)
+        rows[:, : 3 * width] = dib.reshape(height, 3 * width)
+        frames.append(rows.tobytes())
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return cid + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) & 1 else b""
+        )
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", 4 + len(payload)) + ltype + payload
+
+    avih = struct.pack(
+        "<14I", 40_000, 0, 0, 0, n_frames, 0, 1, 0, width, height, 0, 0, 0, 0
+    )
+    # AVISTREAMHEADER: dwFlags, wPriority, wLanguage, dwInitialFrames,
+    # dwScale, dwRate, dwStart, dwLength, dwSuggestedBufferSize,
+    # dwQuality, dwSampleSize, rcFrame
+    strh = (
+        b"vids"
+        + b"DIB "
+        + struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, 25, 0, n_frames, 0, 0, 0
+        )
+        + struct.pack("<hhhh", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+        stride * height, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", fr) for fr in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_frames(payload: bytes) -> list:
+    """REAL uncompressed-AVI video decode (stdlib + numpy): walk the RIFF
+    tree to the ``strf`` BITMAPINFOHEADER, verify 24-bit BI_RGB, then
+    decode every ``00db``/``00dc`` DIB frame in the ``movi`` LIST —
+    honoring the 4-byte row stride, bottom-up storage, and BGR byte
+    order.  Returns display-orientation ``(H, W, 3)`` uint8 RGB arrays.
+    Raises :class:`ValueError` on non-AVI, compressed, or malformed
+    input (quarantine-routable, like every decoder here)."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF-AVI container")
+
+    def walk(buf: bytes, off: int, end: int):
+        # a RIFF size field may promise more than the buffer holds
+        # (truncated upload) — clamp and fail as ValueError, never
+        # struct.error, so quarantine routing sees one exception type
+        end = min(end, len(buf))
+        while off + 8 <= end:
+            cid = buf[off : off + 4]
+            size = struct.unpack("<I", buf[off + 4 : off + 8])[0]
+            if off + 8 + size > end:
+                raise ValueError("truncated RIFF chunk")
+            yield cid, off + 8, size
+            off += 8 + size + (size & 1)
+
+    strf = None
+    movi: list[tuple[int, int]] = []
+
+    def scan(off: int, end: int) -> None:
+        nonlocal strf
+        for cid, body, size in walk(payload, off, end):
+            if cid == b"LIST":
+                ltype = payload[body : body + 4]
+                if ltype == b"movi":
+                    for fid, fbody, fsize in walk(
+                        payload, body + 4, body + size
+                    ):
+                        if fid in (b"00db", b"00dc"):
+                            movi.append((fbody, fsize))
+                else:
+                    scan(body + 4, body + size)
+            elif cid == b"strf":
+                strf = payload[body : body + size]
+
+    scan(12, 8 + struct.unpack("<I", payload[4:8])[0])
+    if strf is None or len(strf) < 40:
+        raise ValueError("AVI without a BITMAPINFOHEADER strf")
+    (_, width, height, _, bitcount, compression) = struct.unpack(
+        "<IiiHHI", strf[:20]
+    )
+    if bitcount != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported DIB format ({bitcount}bpp, compression="
+            f"{compression}) — only uncompressed 24-bit BI_RGB"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    row_stride = (3 * width + 3) & ~3
+    frames = []
+    for body, size in movi:
+        if size < row_stride * height:
+            raise ValueError("truncated DIB frame")
+        rows = np.frombuffer(
+            payload[body : body + row_stride * height], dtype=np.uint8
+        ).reshape(height, row_stride)
+        bgr = rows[:, : 3 * width].reshape(height, width, 3)
+        if bottom_up:
+            bgr = np.flipud(bgr)
+        frames.append(bgr[:, :, ::-1].copy())  # BGR → RGB
+    return frames
+
+
+def attach_avi_video_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one :func:`synth_avi_video` per key
+    (``w = 8 + (5k) % 16``, ``h = 8 + (3k) % 16``,
+    ``n_frames = 2 + k % 4``, ``seed = k``)."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_avi_video(
+                            8 + (5 * int(k)) % 16,
+                            8 + (3 * int(k)) % 16,
+                            2 + int(k) % 4,
+                            int(k),
+                        )
+                        for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+VIDEO_FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("key", LongType(), False),
+        StructField("frame", IntegerType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("sum_r", LongType(), False),
+        StructField("sum_g", LongType(), False),
+        StructField("sum_b", LongType(), False),
+        StructField("wsum_r", LongType(), False),
+    ]
+)
+
+
+def avi_frame_stats(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    key: str = "key",
+    stride: int = 1,
+) -> DataFrame:
+    """Keyframe sampling + per-frame statistics from *decoded* AVI video
+    frames (every ``stride``-th frame).  ``wsum_r`` is position-weighted
+    (``Σ (x + w·y)·r`` in display orientation), so a decoder that skips
+    the bottom-up flip or the row stride cannot pass.  Arrow-batched
+    ``mapInPandas``, partition-preserving; only fixed-width integer
+    features leave the executor — never media bytes."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                k: []
+                for k in (
+                    "key", "frame", "width", "height",
+                    "sum_r", "sum_g", "sum_b", "wsum_r",
+                )
+            }
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                for f, rgb in enumerate(avi_frames(bytes(payload))):
+                    if f % stride:
+                        continue
+                    p = rgb.astype(np.int64)
+                    h, w = p.shape[:2]
+                    pos = (
+                        np.arange(w, dtype=np.int64)[None, :]
+                        + w * np.arange(h, dtype=np.int64)[:, None]
+                    )
+                    out["key"].append(int(k))
+                    out["frame"].append(f)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sum_r"].append(int(p[:, :, 0].sum()))
+                    out["sum_g"].append(int(p[:, :, 1].sum()))
+                    out["sum_b"].append(int(p[:, :, 2].sum()))
+                    out["wsum_r"].append(int((pos * p[:, :, 0]).sum()))
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(out["key"], dtype="int64"),
+                    "frame": pd.Series(out["frame"], dtype="int32"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "sum_r": pd.Series(out["sum_r"], dtype="int64"),
+                    "sum_g": pd.Series(out["sum_g"], dtype="int64"),
+                    "sum_b": pd.Series(out["sum_b"], dtype="int64"),
+                    "wsum_r": pd.Series(out["wsum_r"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=VIDEO_FRAME_STATS_SCHEMA)
+
+
 def attach_gif_payload(df: DataFrame, key: str) -> DataFrame:
     """Fixture adapter: one :func:`synth_gif_pixels` per key (same
     geometry formulas as :func:`attach_pixel_payload`)."""

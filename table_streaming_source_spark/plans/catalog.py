@@ -89,6 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     "merge_upsert",
     "ts_resample_ohlc",
     "streaming_changelog_upsert",
+    "multimodal_video_frames",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"

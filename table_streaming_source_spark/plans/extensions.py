@@ -2206,6 +2206,55 @@ def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.gif_frame_stats(gifs, stride=2)
 
 
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode: every third document key gets a spec-valid
+    RIFF-AVI whose ``movi`` chunks carry uncompressed 24-bit BI_RGB DIB
+    frames, and the engine samples every 2nd frame with per-channel sums
+    from genuinely decoded pixels (`operators/multimodal.py::avi_frames`
+    — bottom-up flip, BGR swap, 4-byte row stride all honored; the
+    position-weighted ``wsum_r`` makes each of those mistakes
+    detectable).  This moves the video modality from container-metadata
+    parsing (``multimodal_frames``) to real frame decode, the same step
+    GIF took in round 3; only fixed-width integer features ever leave
+    the executors."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    vids = M.attach_avi_video_payload(docs, "doc_id")
+    return M.avi_frame_stats(vids, stride=2)
+
+
+ORACLES["multimodal_video_frames"] = """
+WITH im AS (
+  SELECT doc_id AS key,
+         8 + (5 * doc_id) % 16 AS w,
+         8 + (3 * doc_id) % 16 AS h,
+         2 + doc_id % 4 AS nf
+  FROM documents WHERE doc_id % 3 = 0
+),
+fr AS (
+  SELECT key, w, h, uf.f AS f
+  FROM im, UNNEST(RANGE(0, nf)) AS uf(f)
+  WHERE uf.f % 2 = 0
+),
+px AS (
+  SELECT key, f, w, h, ux.x AS x, uy.y AS y,
+         (7 * ux.x + 13 * uy.y + 17 * f + key) % 256 AS r,
+         (11 * ux.x + 5 * uy.y + 19 * f + key) % 256 AS g,
+         (3 * ux.x + 23 * uy.y + 29 * f + key) % 256 AS b
+  FROM fr, UNNEST(RANGE(0, w)) AS ux(x), UNNEST(RANGE(0, h)) AS uy(y)
+)
+SELECT key,
+       CAST(f AS INT) AS frame,
+       CAST(ANY_VALUE(w) AS INT) AS width,
+       CAST(ANY_VALUE(h) AS INT) AS height,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM((x + w * y) * r) AS BIGINT) AS wsum_r
+FROM px
+GROUP BY key, f
+"""
+
+
 ORACLES["multimodal_gif_frames"] = """
 WITH im AS (
   SELECT doc_id AS key,
@@ -2996,6 +3045,7 @@ QUERIES_DEFERRED = {
     "multimodal_pixel_stats": q_multimodal_pixel_stats,
     "multimodal_gif_stats": q_multimodal_gif_stats,
     "multimodal_gif_frames": q_multimodal_gif_frames,
+    "multimodal_video_frames": q_multimodal_video_frames,
     "multimodal_jpeg_stats": q_multimodal_jpeg_stats,
     "multimodal_jpeg_color": q_multimodal_jpeg_color,
     "multimodal_dedup_phash": q_multimodal_dedup_phash,
