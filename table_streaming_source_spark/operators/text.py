@@ -678,3 +678,162 @@ def pack_stats(
             "fill_ratio", F.col("tokens_in_pack") / F.lit(float(budget))
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE subword tokenization (Sennrich et al. 2016, word-level training)
+# ---------------------------------------------------------------------------
+
+#: symbol separator inside the merge fold's string accumulator — never
+#: appears in a symbol (symbols are built from [a-z] only), which is what
+#: makes the suffix test identify the *last whole symbol* exactly.
+_BPE_US = "\x1f"
+
+
+def _bpe_chars(word: Column) -> Column:
+    """Initial BPE state: the word as an array of single characters."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: F.substr(word, i, F.lit(1)),
+    )
+
+
+def _bpe_pairs(syms: Column) -> Column:
+    """All adjacent symbol pairs of a word, as an array of (a, b) structs
+    — ``zip_with`` over two shifted slices, so a 1-symbol word yields an
+    empty array with no conditional."""
+    n = F.size(syms)
+    return F.zip_with(
+        F.slice(syms, F.lit(1), n - 1),
+        F.slice(syms, F.lit(2), n - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+
+
+def _bpe_merge(syms: Column, a: Column, b: Column) -> Column:
+    """Greedy left-to-right non-overlapping merge of the pair ``(a, b)``
+    in one pass — the BPE apply step as a single ``aggregate`` fold.
+
+    Each symbol is tagged with a separator prefix and folded into a
+    string accumulator; the pair merges exactly when the accumulator's
+    last *whole symbol* equals ``a`` and the incoming symbol is ``b``,
+    in which case appending ``b``'s bare text fuses them.  Because a
+    fused ``a||b`` no longer ends with the separator-delimited ``a``,
+    overlapping runs (``aaa`` under merge ``(a,a)``) resolve left-to-
+    right exactly as BPE specifies.  The identical fold is expressible
+    in DuckDB (``list_reduce``), which is what makes learned-merge
+    training value-checkable end to end."""
+    us = F.lit(_BPE_US)
+    tagged = F.transform(syms, lambda s: F.concat(us, s))
+    folded = F.aggregate(
+        F.slice(tagged, F.lit(2), F.size(tagged) - 1),
+        F.element_at(tagged, 1),
+        lambda acc, x: F.when(
+            acc.endswith(F.concat(us, a)) & (x == F.concat(us, b)),
+            F.concat(acc, F.substr(x, F.lit(2))),
+        ).otherwise(F.concat(acc, x)),
+    )
+    return F.split(F.substr(folded, F.lit(2)), _BPE_US)
+
+
+def bpe_word_counts(df: DataFrame, text_col: str, key: str) -> DataFrame:
+    """The BPE training corpus: lowercase ``[a-z]+`` words with corpus
+    frequencies.  This is the classic reduction that makes BPE training
+    tractable at any scale — all pair statistics are per *distinct word*
+    weighted by frequency, so a 100 TB corpus collapses to a vocabulary
+    of a few million rows before any iteration runs."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda w: F.length(w) > 0,
+    )
+    return (
+        df.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def bpe_train(
+    word_counts: DataFrame, *, rounds: int = 4
+) -> tuple[DataFrame, DataFrame]:
+    """Learn ``rounds`` BPE merges: per round, ONE hash aggregate counts
+    adjacent symbol pairs (weighted by word frequency, overlaps counted
+    — the standard formulation), a 1-row top-1 picks the most frequent
+    pair (ties broken lexicographically), and the merge applies to every
+    vocabulary word as a row-local fold.
+
+    Returns ``(merges, vocab)``: the learned
+    ``(merge_round, merge_a, merge_b, cnt)`` table and the final
+    symbolized vocabulary ``(word, freq, syms)`` for :func:`bpe_encode`.
+
+    Scale shape: iterations run over the *word-count vocabulary*, never
+    the corpus; the pair count is a map-combinable aggregate on the pair
+    key; the winning pair is a broadcast SCALAR (always exactly one row
+    — bounded by design, unlike the corpus-derived tables this module
+    refuses to force-broadcast); and the merge application is pure
+    row-local expression code under whole-stage codegen — no UDF, no
+    driver loop over rows."""
+    from functools import reduce
+
+    vocab = word_counts.withColumn("syms", _bpe_chars(F.col("word")))
+    merges = []
+    for r in range(rounds):
+        pairs = (
+            vocab.select(
+                "freq", F.explode(_bpe_pairs(F.col("syms"))).alias("p")
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        # 1-row argmax, consumed twice (output row + merge application):
+        # lazy localCheckpoint cuts the round-over-round lineage growth
+        best = (
+            pairs.orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        merges.append(
+            best.select(
+                F.lit(r).alias("merge_round"),
+                F.col("a").alias("merge_a"),
+                F.col("b").alias("merge_b"),
+                F.col("cnt"),
+            )
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(best))
+            .withColumn(
+                "syms", _bpe_merge(F.col("syms"), F.col("a"), F.col("b"))
+            )
+            .drop("a", "b", "cnt")
+        )
+    return reduce(DataFrame.unionByName, merges), vocab
+
+
+def bpe_encode_counts(
+    df: DataFrame, vocab: DataFrame, text_col: str, key: str
+) -> DataFrame:
+    """Encode documents with a trained BPE vocabulary: per document, the
+    word count and the total subword-token count under the learned
+    merges — the token-budget estimator a pretraining pipeline runs over
+    every candidate document.
+
+    One shuffle join on ``word`` (the vocabulary is corpus-derived, so
+    it is NOT force-broadcast — AQE converts genuinely small vocabs at
+    runtime) followed by one hash aggregate on the document key."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda w: F.length(w) > 0,
+    )
+    doc_words = df.select(F.col(key), F.explode(words).alias("word"))
+    pieces = vocab.select(
+        "word", F.size("syms").alias("__n_pieces")
+    )
+    return (
+        doc_words.join(pieces, "word")
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__n_pieces").cast("bigint").alias("n_tokens"),
+        )
+    )

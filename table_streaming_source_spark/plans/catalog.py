@@ -90,6 +90,8 @@ _PRIORITY: tuple[str, ...] = (
     "ts_resample_ohlc",
     "streaming_changelog_upsert",
     "multimodal_video_frames",
+    "text_bpe_train",
+    "text_bpe_encode",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"

@@ -2747,6 +2747,103 @@ FROM ranked WHERE rank <= 500
 """
 
 
+_BPE_ROUNDS = 4
+
+
+def _bpe_sql_ctes(rounds: int) -> str:
+    """The DuckDB twin of ``operators.text.bpe_train``: word counts →
+    char symbols → per-round (pair count → lexicographic-tie-broken
+    argmax → ``list_reduce`` greedy merge fold), unrolled like the
+    k-means and z-order oracles."""
+    parts = [
+        """
+WITH words AS (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY word
+),
+s0 AS (
+  SELECT word, freq,
+         list_transform(range(1, length(word) + 1),
+                        i -> substr(word, i, 1)) AS syms
+  FROM words
+)"""
+    ]
+    for r in range(rounds):
+        parts.append(f""",
+p{r} AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, SUM(freq) AS cnt
+  FROM s{r}, UNNEST(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2
+),
+b{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+s{r + 1} AS (
+  SELECT word, freq,
+         str_split(substr(list_reduce(
+           list_transform(syms, s -> chr(31) || s),
+           (acc, x) -> CASE WHEN ends_with(acc, chr(31) || b{r}.a)
+                             AND x = chr(31) || b{r}.b
+                       THEN acc || substr(x, 2)
+                       ELSE acc || x END), 2), chr(31)) AS syms
+  FROM s{r}, b{r}
+)""")
+    return "".join(parts)
+
+
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL byte-pair-encoding training (Sennrich et al. 2016): learn
+    the top merges over the documents corpus — per round, one
+    map-combinable pair-count aggregate over the *word-count
+    vocabulary* (never the corpus), a 1-row argmax, and a row-local
+    greedy merge fold (`operators/text.py::bpe_train`).  Value-checked
+    end to end: DuckDB restates every round with the identical
+    ``list_reduce`` fold, so a wrong tie-break, an overlap-handling
+    bug, or a miscounted pair all hash-mismatch."""
+    docs = t(spark, sf_dir, "documents")
+    merges, _ = X.bpe_train(
+        X.bpe_word_counts(docs, "text", "doc_id"), rounds=_BPE_ROUNDS
+    )
+    return merges
+
+
+ORACLES["text_bpe_train"] = _bpe_sql_ctes(_BPE_ROUNDS) + "\n" + "\nUNION ALL\n".join(
+    f"SELECT CAST({r} AS INT) AS merge_round, a AS merge_a, b AS merge_b,"
+    f" CAST(cnt AS BIGINT) AS cnt FROM b{r}"
+    for r in range(_BPE_ROUNDS)
+)
+
+
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document with the vocabulary just trained by
+    ``text_bpe_train``: per-doc word and subword-token counts under the
+    learned merges — the token-budget estimate a pretraining pipeline
+    attaches to every candidate document.  One shuffle join on ``word``
+    (the vocabulary is corpus-derived → deliberately NOT force-
+    broadcast; AQE converts small vocabs at runtime) + one hash
+    aggregate on the doc key."""
+    docs = t(spark, sf_dir, "documents")
+    _, vocab = X.bpe_train(
+        X.bpe_word_counts(docs, "text", "doc_id"), rounds=_BPE_ROUNDS
+    )
+    return X.bpe_encode_counts(docs, vocab, "text", "doc_id")
+
+
+ORACLES["text_bpe_encode"] = _bpe_sql_ctes(_BPE_ROUNDS) + f""",
+doc_words AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id,
+           UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS word
+    FROM documents
+  ) WHERE word <> ''
+)
+SELECT doc_id, COUNT(*) AS n_words,
+       CAST(SUM(len(s{_BPE_ROUNDS}.syms)) AS BIGINT) AS n_tokens
+FROM doc_words JOIN s{_BPE_ROUNDS} USING (word)
+GROUP BY doc_id
+"""
+
+
 def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-bigram language-model fluency score with add-1 smoothing:
     per-doc mean ``ln P(w_i | w_{i-1})`` where ``P = (c2+1)/(c1+V)``
@@ -3033,6 +3130,8 @@ QUERIES_DEFERRED = {
     "text_mixture_sample": q_text_mixture_sample,
     "text_vocab_coverage": q_text_vocab_coverage,
     "text_bigram_lm": q_text_bigram_lm,
+    "text_bpe_train": q_text_bpe_train,
+    "text_bpe_encode": q_text_bpe_encode,
     "dedup_incremental": q_dedup_incremental,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "sim_pq_encode": q_sim_pq_encode,

@@ -723,3 +723,67 @@ def test_size_bytes_parses_spark_conf_forms():
     assert _size_bytes("134217728b") == 128 << 20
     assert _size_bytes("1048576") == 1 << 20
     assert _size_bytes("1g") == 1 << 30
+
+
+def test_bpe_merge_fold_is_greedy_left_to_right(spark):
+    """The single-pass merge fold implements BPE's greedy non-overlap
+    rule: 'aaa' under merge (a,a) → [aa, a], and a symbol produced by a
+    merge this round never immediately re-merges."""
+    from table_streaming_source_spark.operators.text import (
+        _bpe_chars,
+        _bpe_merge,
+    )
+
+    df = spark.createDataFrame(
+        [("aaab", "a", "a"), ("banana", "a", "n"), ("aaaa", "a", "a"),
+         ("x", "x", "y")],
+        "word string, a string, b string",
+    )
+    got = {
+        r.word: r.m
+        for r in df.select(
+            "word",
+            _bpe_merge(
+                _bpe_chars(F.col("word")), F.col("a"), F.col("b")
+            ).alias("m"),
+        ).collect()
+    }
+    assert got["aaab"] == ["aa", "a", "b"]
+    assert got["banana"] == ["b", "an", "an", "a"]
+    assert got["aaaa"] == ["aa", "aa"]
+    assert got["x"] == ["x"]
+
+
+def test_bpe_train_learns_cascading_merges(spark):
+    """On a corpus where 'ab' dominates and then '(ab)c' dominates, the
+    trainer must cascade: round 0 merges (a,b), round 1 merges the
+    *learned* symbol with c — proving rounds feed each other.  Frequency
+    weighting (not distinct-word counting) is pinned by the counts."""
+    from table_streaming_source_spark.operators.text import (
+        bpe_train,
+        bpe_word_counts,
+        bpe_encode_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc abc abc abd"), (2, "abc abd zq")],
+        "doc_id long, text string",
+    )
+    wc = bpe_word_counts(docs, "text", "doc_id")
+    merges, vocab = bpe_train(wc, rounds=2)
+    got = [
+        (r.merge_round, r.merge_a, r.merge_b, r.cnt)
+        for r in merges.orderBy("merge_round").collect()
+    ]
+    # (a,b) appears in every abc/abd occurrence = 6; then (ab,c) in 4
+    assert got == [(0, "a", "b", 6), (1, "ab", "c", 4)]
+    syms = {r.word: r.syms for r in vocab.collect()}
+    assert syms["abc"] == ["abc"]
+    assert syms["abd"] == ["ab", "d"]
+    assert syms["zq"] == ["z", "q"]
+    enc = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in bpe_encode_counts(docs, vocab, "text", "doc_id").collect()
+    }
+    assert enc[1] == (4, 1 + 1 + 1 + 2)   # abc abc abc abd
+    assert enc[2] == (3, 1 + 2 + 2)       # abc abd zq
