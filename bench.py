@@ -64,6 +64,12 @@ HEADLINE = [
     "multimodal_gif_stats",
     # round 4 addition: the baseline JPEG huffman+IDCT decode path
     "multimodal_jpeg_stats",
+    # round 4b additions: CDC MERGE (full-outer upsert), iterative BPE
+    # training (the multi-round argmax+fold pipeline), and the AVI DIB
+    # video decode path
+    "merge_upsert",
+    "text_bpe_train",
+    "multimodal_video_frames",
 ]
 
 

@@ -255,6 +255,7 @@ def snapshot_apply(
     *,
     key: str,
     change_col: str = "change",
+    broadcast_max_keys: int = 1_000_000,
 ) -> DataFrame:
     """Replay a changeset (``snapshot_diff(..., include_values=True)``
     shape: key, change, new-side values) onto a snapshot: drop every
@@ -262,17 +263,27 @@ def snapshot_apply(
     rows.  ``apply(old, diff(old, new)) ≡ new`` — the round-trip law the
     catalog entry's oracle states directly.
 
-    Shape: one anti-join of the old snapshot against the (small) changed
-    key set — broadcast it when the delta is small, which is the
-    steady-state — plus a union; the old payload never shuffles when the
-    anti-join broadcasts.
+    Shape: one anti-join of the old snapshot against the changed key
+    set plus a union.  The broadcast hint on the key set is
+    COUNT-GATED, not unconditional: delta size tracks the table's churn
+    rate, which is not bounded by design — a full-churn refresh would
+    OOM a forced broadcast (the ``dedup.py`` verify-gate discipline).
+    The changeset is lazily checkpointed first, so the scalar count
+    materializes work both consumers (anti-join keys + upsert rows)
+    need anyway; in the small-delta steady state the hinted broadcast
+    keeps the old payload from ever shuffling, and past the gate the
+    plan degrades to a shuffled anti-join that AQE still converts when
+    runtime stats allow.
     """
     value_cols = [c for c in changeset.columns if c not in (key, change_col)]
+    changeset = changeset.localCheckpoint(eager=False)
     changed_keys = changeset.select(key)
+    if changeset.count() <= broadcast_max_keys:
+        changed_keys = F.broadcast(changed_keys)
     upserts = changeset.filter(
         F.col(change_col).isin("insert", "update")
     ).select(key, *value_cols)
-    kept = old.join(F.broadcast(changed_keys), key, "left_anti").select(
+    kept = old.join(changed_keys, key, "left_anti").select(
         key, *value_cols
     )
     return kept.unionByName(upserts)

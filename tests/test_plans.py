@@ -266,6 +266,19 @@ _SHUFFLE_BUDGET = {
     # binaryFile scan → Arrow decode → partial/final agg pair
     "source_avro": 2,
     "udf_grouped_arrow": 1,
+    # round-4 additions (second batch)
+    # MERGE = ONE full-outer join: each side partitions once, then every
+    # decision is row-local — a third exchange means a second pass crept in
+    "merge_upsert": 2,
+    # OHLC bars are one map-combinable struct-min/max hash aggregate:
+    # open/close via a window sort would show as an extra range exchange
+    "ts_resample_ohlc": 1,
+    # word-count agg + vocab join + doc rollup; the per-round pair
+    # aggregates live behind the 1-row merge checkpoints (train twin
+    # shows 0 for the same reason)
+    "text_bpe_encode": 3,
+    # pure mapInPandas decode chain — media bytes must never shuffle
+    "multimodal_video_frames": 0,
 }
 
 
