@@ -92,6 +92,8 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_video_frames",
     "text_bpe_train",
     "text_bpe_encode",
+    "pipeline_video_prep",
+    "source_parquet_evolved",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"

@@ -2644,6 +2644,91 @@ GROUP BY d.lang
 """
 
 
+def q_pipeline_video_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed video-modality pipeline as ONE declarative plan —
+    `pipeline_image_prep`'s sibling for the video surface: poison a
+    deterministic slice of the AVIs (truncated blobs), route them out
+    through quarantine instead of failing the scan, decode the healthy
+    payloads' frames for real (every 2nd frame,
+    `operators/multimodal.py::avi_frames`), then join document metadata
+    and report per-language healthy/quarantined counts plus decoded
+    frame volume and red-channel mass.  Payloads are synthesized and
+    decoded in place — only keys, statuses, and fixed-width frame
+    features ever shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    slice_ = docs.filter(F.col("doc_id") % 3 == 0)
+    vids = M.attach_avi_video_payload(slice_, "doc_id")
+    poisoned = vids.withColumn(
+        "payload",
+        F.when(
+            F.col("key") % 97 == 0, F.expr("substring(payload, 1, 32)")
+        ).otherwise(F.col("payload")),
+    )
+    status = M.quarantine_decode(poisoned).select("key", "status")
+    lang = docs.select(F.col("doc_id").alias("key"), "lang")
+    counts = (
+        status.join(lang, "key")
+        .groupBy("lang")
+        .agg(
+            F.sum((F.col("status") == "ok").cast("long"))
+            .cast("bigint").alias("n_ok"),
+            F.sum((F.col("status") == "error").cast("long"))
+            .cast("bigint").alias("n_quarantined"),
+        )
+    )
+    healthy = poisoned.join(
+        status.filter(F.col("status") == "ok").select("key"),
+        "key", "left_semi",
+    )
+    frames = (
+        M.avi_frame_stats(healthy, stride=2)
+        .join(lang, "key")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled_frames"),
+            F.sum("sum_r").cast("bigint").alias("sum_r"),
+        )
+    )
+    return counts.join(frames, "lang")
+
+
+ORACLES["pipeline_video_prep"] = """
+WITH vids AS (
+  SELECT doc_id AS key, lang,
+         8 + (5 * doc_id) % 16 AS w,
+         8 + (3 * doc_id) % 16 AS h,
+         2 + doc_id % 4 AS nf,
+         (doc_id % 97 = 0) AS poisoned
+  FROM documents WHERE doc_id % 3 = 0
+),
+counts AS (
+  SELECT lang,
+         CAST(SUM(CASE WHEN poisoned THEN 0 ELSE 1 END) AS BIGINT) AS n_ok,
+         CAST(SUM(CASE WHEN poisoned THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_quarantined
+  FROM vids GROUP BY lang
+),
+fr AS (
+  SELECT key, lang, w, h, uf.f AS f
+  FROM vids, UNNEST(RANGE(0, nf)) AS uf(f)
+  WHERE NOT poisoned AND uf.f % 2 = 0
+),
+px AS (
+  SELECT key, lang, f,
+         (7 * ux.x + 13 * uy.y + 17 * f + key) % 256 AS r
+  FROM fr, UNNEST(RANGE(0, w)) AS ux(x), UNNEST(RANGE(0, h)) AS uy(y)
+),
+frames AS (
+  SELECT lang,
+         CAST(COUNT(DISTINCT (key, f)) AS BIGINT) AS n_sampled_frames,
+         CAST(SUM(r) AS BIGINT) AS sum_r
+  FROM px GROUP BY lang
+)
+SELECT lang, n_ok, n_quarantined, n_sampled_frames, sum_r
+FROM counts JOIN frames USING (lang)
+"""
+
+
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing any 3-gram with the
     held-out benchmark slice (doc_id % 17 == 0) are flagged.  The
@@ -3150,6 +3235,7 @@ QUERIES_DEFERRED = {
     "multimodal_dedup_phash": q_multimodal_dedup_phash,
     "multimodal_phash_near": q_multimodal_phash_near,
     "pipeline_image_prep": q_pipeline_image_prep,
+    "pipeline_video_prep": q_pipeline_video_prep,
     "sim_ivfpq_search": q_sim_ivfpq_search,
     "text_winnow": q_text_winnow,
     "multimodal_quarantine": q_multimodal_quarantine,

@@ -499,6 +499,56 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["source_orc"] = ORACLES["source_csv"]
 
 
+def q_source_parquet_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations under one source —
+    generation 1 written before ``o_orderstatus`` existed, generation 2
+    after — read with ``mergeSchema`` so the union schema applies and
+    pre-evolution rows surface the new column as NULL.  This is the
+    long-lived-table reality every 100 TB lake hits: columns are added
+    over years and a scan must reconcile footers across generations.
+    (Without the option the reader picks one file's footer — the entry
+    genuinely exercises the merge.)  The aggregate groups on the evolved
+    column, so the NULL back-fill is value-checked, not just
+    schema-checked."""
+    import os
+
+    key = (id(spark._jsparkSession), sf_dir, "pq_evolved")
+    path = _SOURCE_FIXTURES.get(key)
+    if path is None or not os.path.isdir(path):
+        from table_streaming_source_spark.plans import _scratch
+
+        path = _scratch.scratch_dir("source_pq_evolved", sf_dir, fresh=True)
+        o = t(spark, sf_dir, "orders")
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(f"{path}/gen1")
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        ).write.mode("overwrite").parquet(f"{path}/gen2")
+        _SOURCE_FIXTURES[key] = path
+
+    df = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/gen1", f"{path}/gen2"
+    )
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+ORACLES["source_parquet_evolved"] = f"""
+WITH ev AS (
+  SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT o_orderstatus, COUNT(*) AS n, {sql_dsum('o_totalprice')} AS sum_price
+FROM ev GROUP BY o_orderstatus
+"""
+
+
 #: the reference's configure-time contract: an Avro-flavoured JSON schema
 #: (TableStreamingSourceConfig.java:101-107) — here declaring the events
 #: wire shape, including a timestamp-micros logical type
@@ -4131,6 +4181,7 @@ QUERIES = {
     "source_csv": q_source_csv,
     "source_json": q_source_json,
     "source_orc": q_source_orc,
+    "source_parquet_evolved": q_source_parquet_evolved,
     "source_avro": q_source_avro,
     "scan_partition_pruned": q_scan_partition_pruned,
     "sink_partition_overwrite": q_sink_partition_overwrite,
