@@ -837,3 +837,102 @@ def bpe_encode_counts(
             F.sum("__n_pieces").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# trainable quality classifier (linear model, unrolled gradient steps)
+# ---------------------------------------------------------------------------
+
+def _hard_sigmoid(z: Column) -> Column:
+    """``clip(0.25·z + 0.5, 0, 1)`` — the piecewise-linear logistic link.
+    Chosen over ``exp``-based sigmoid deliberately: it is EXACT integer/
+    IEEE arithmetic in both engines, so training is value-checkable
+    bit-for-bit (a libm ``exp`` differs across engines by ulps, which
+    compound over gradient steps)."""
+    return F.least(F.lit(1.0), F.greatest(F.lit(0.0), 0.25 * z + 0.5))
+
+
+def quality_features(df: DataFrame, text_col: str, key: str) -> DataFrame:
+    """Deterministic per-doc features for the quality classifier: bias,
+    scaled char count, scaled whitespace-token count; label = is-English.
+    All per-row IEEE arithmetic — exact in any engine."""
+    tk = F.split(
+        F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " "
+    )
+    return df.select(
+        F.col(key),
+        (F.col("lang") == "en").cast("double").alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.col("n_chars") / F.lit(1000.0)).alias("x1"),
+        (F.size(tk) / F.lit(100.0)).alias("x2"),
+    )
+
+
+def train_linear_quality(
+    feats: DataFrame, *, steps: int = 3, lr: float = 0.1
+) -> DataFrame:
+    """Train a linear quality classifier IN-ENGINE by ``steps`` unrolled
+    batch-gradient updates — the SQL-expressible core of the fastText-
+    style quality scorers every pretraining pipeline runs.
+
+    Update rule per step (linear probability model, hard-sigmoid link):
+    ``w_j ← round(w_j + lr · Σ_i (y_i − p_i)·x_ij / n, 9)`` with
+    ``p = clip(0.25·w·x + 0.5, 0, 1)``.  Per-row products round to 9
+    decimals and sum on the exact decimal path, so every step is
+    associative and partitioning-independent — the same fixed-point
+    discipline as `sim_kmeans_refine`, which is what lets DuckDB restate
+    the whole training loop.
+
+    Scale shape: each step is ONE map-combinable aggregate over the
+    feature table plus a 1-row broadcast-scalar weight update (bounded
+    by design); nothing iterates driver-side over rows.  Returns one row:
+    final weights, training accuracy, corpus size."""
+    spark = feats.sparkSession
+    w = spark.range(1).select(
+        F.lit(0.0).alias("w0"), F.lit(0.0).alias("w1"),
+        F.lit(0.0).alias("w2"),
+    )
+    for _ in range(steps):
+        j = feats.crossJoin(F.broadcast(w))
+        z = (
+            F.col("w0") * F.col("x0")
+            + F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2")
+        )
+        p = _hard_sigmoid(z)
+        g = j.agg(
+            *[
+                F.sum(
+                    F.round((F.col("y") - p) * F.col(f"x{k}"), 9)
+                    .cast("decimal(18,9)")
+                ).cast("double").alias(f"g{k}")
+                for k in range(3)
+            ],
+            F.count(F.lit(1)).alias("n"),
+            *[F.first(f"w{k}").alias(f"w{k}") for k in range(3)],
+        )
+        w = g.select(
+            *[
+                F.round(
+                    F.col(f"w{k}") + F.lit(lr) * F.col(f"g{k}") / F.col("n"),
+                    9,
+                ).alias(f"w{k}")
+                for k in range(3)
+            ]
+        ).localCheckpoint(eager=False)
+    scored = feats.crossJoin(F.broadcast(w))
+    z = (
+        F.col("w0") * F.col("x0")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+    )
+    correct = (
+        (_hard_sigmoid(z) >= 0.5) == (F.col("y") == 1.0)
+    ).cast("long")
+    return scored.agg(
+        *[F.first(f"w{k}").alias(f"w{k}") for k in range(3)],
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(correct).cast("double") / F.count(F.lit(1)), 6
+        ).alias("accuracy"),
+    )

@@ -94,6 +94,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_encode",
     "pipeline_video_prep",
     "source_parquet_evolved",
+    "text_quality_train",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"

@@ -2832,6 +2832,76 @@ FROM ranked WHERE rank <= 500
 """
 
 
+_LR_STEPS = 3
+
+
+def _quality_train_sql(steps: int, lr: float = 0.1) -> str:
+    """DuckDB twin of ``operators.text.train_linear_quality`` — the
+    gradient loop unrolled CTE-per-step, with the identical hard-sigmoid
+    link and rounded-decimal gradient path."""
+    feats = r"""
+WITH feats AS (
+  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         1.0 AS x0,
+         n_chars / 1000.0 AS x1,
+         LEN(STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'),
+                          ' ')) / 100.0 AS x2
+  FROM documents
+),
+ws0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"""
+
+    def p_of(ws: str) -> str:
+        return (
+            f"LEAST(1.0, GREATEST(0.0, 0.25 * ({ws}.w0 * x0 + {ws}.w1 * x1"
+            f" + {ws}.w2 * x2) + 0.5))"
+        )
+
+    parts = [feats]
+    for s in range(steps):
+        gsums = ", ".join(
+            f"CAST(SUM(CAST(ROUND((y - {p_of(f'ws{s}')}) * x{k}, 9)"
+            f" AS DECIMAL(18,9))) AS DOUBLE) AS g{k}"
+            for k in range(3)
+        )
+        wnext = ", ".join(
+            f"ROUND(w{k} + {lr} * g{k} / n, 9) AS w{k}" for k in range(3)
+        )
+        parts.append(f""",
+gr{s} AS (
+  SELECT {gsums}, COUNT(*) AS n,
+         ANY_VALUE(ws{s}.w0) AS w0, ANY_VALUE(ws{s}.w1) AS w1,
+         ANY_VALUE(ws{s}.w2) AS w2
+  FROM feats, ws{s}
+),
+ws{s + 1} AS (SELECT {wnext} FROM gr{s})""")
+    parts.append(f"""
+SELECT ANY_VALUE(ws{steps}.w0) AS w0, ANY_VALUE(ws{steps}.w1) AS w1,
+       ANY_VALUE(ws{steps}.w2) AS w2,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(CASE WHEN ({p_of(f'ws{steps}')} >= 0.5) = (y = 1.0)
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS accuracy
+FROM feats, ws{steps}""")
+    return "".join(parts)
+
+
+def q_text_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a linear document-quality classifier in-engine: three
+    unrolled batch-gradient steps over deterministic per-doc features
+    (`operators/text.py::train_linear_quality`), hard-sigmoid link so
+    every step is exact IEEE/decimal arithmetic — no libm, no ulp
+    drift.  DuckDB restates the entire training loop CTE-per-step, so
+    the learned weights AND the training accuracy hash-match — the
+    k-means treatment applied to supervised learning."""
+    docs = t(spark, sf_dir, "documents")
+    return X.train_linear_quality(
+        X.quality_features(docs, "text", "doc_id"), steps=_LR_STEPS
+    )
+
+
+ORACLES["text_quality_train"] = _quality_train_sql(_LR_STEPS)
+
+
 _BPE_ROUNDS = 4
 
 
@@ -3215,6 +3285,7 @@ QUERIES_DEFERRED = {
     "text_mixture_sample": q_text_mixture_sample,
     "text_vocab_coverage": q_text_vocab_coverage,
     "text_bigram_lm": q_text_bigram_lm,
+    "text_quality_train": q_text_quality_train,
     "text_bpe_train": q_text_bpe_train,
     "text_bpe_encode": q_text_bpe_encode,
     "dedup_incremental": q_dedup_incremental,

@@ -787,3 +787,30 @@ def test_bpe_train_learns_cascading_merges(spark):
     }
     assert enc[1] == (4, 1 + 1 + 1 + 2)   # abc abc abc abd
     assert enc[2] == (3, 1 + 2 + 2)       # abc abd zq
+
+
+def test_linear_quality_training_moves_weights(spark, sf_dir):
+    """The gradient loop genuinely learns: weights move off zero, the
+    first step's update matches the hand-computed closed form (all p=0.5
+    at w=0, so g_j = Σ(y-0.5)x_j), and accuracy is a valid rate."""
+    from table_streaming_source_spark.operators.text import (
+        quality_features,
+        train_linear_quality,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(docs, "text", "doc_id")
+    row = train_linear_quality(feats, steps=1).head()
+    import pyspark.sql.functions as SF
+
+    agg = feats.agg(
+        SF.sum(SF.round((SF.col("y") - 0.5) * SF.col("x0"), 9)
+               .cast("decimal(18,9)")).cast("double").alias("g0"),
+        SF.count(SF.lit(1)).alias("n"),
+    ).head()
+    want_w0 = round(0.0 + 0.1 * agg.g0 / agg.n, 9)
+    assert row.w0 == want_w0
+    assert row.n_docs == docs.count()
+    assert 0.0 <= row.accuracy <= 1.0
+    multi = train_linear_quality(feats, steps=3).head()
+    assert (multi.w0, multi.w1, multi.w2) != (row.w0, row.w1, row.w2)
