@@ -936,3 +936,52 @@ def train_linear_quality(
             F.sum(correct).cast("double") / F.count(F.lit(1)), 6
         ).alias("accuracy"),
     )
+
+
+def feature_hash(
+    df: DataFrame,
+    text_col: str,
+    key: str,
+    *,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Hashing-trick vectorizer (Weinberger et al. 2009): tokens hash
+    into ``n_buckets`` signed buckets — the fixed-width featurizer that
+    lets a linear model train over an unbounded vocabulary with NO
+    vocabulary table at all (contrast :func:`tfidf_top_terms`, which
+    must aggregate one).
+
+    Portable arithmetic: the 60-bit md5 token hash picks the bucket
+    (``h % n_buckets``) and an INDEPENDENT md5 hex digit the sign (the
+    16th digit's parity — independent of the bucket bits by
+    construction, and integer-exact in both engines, where a ``h //
+    n_buckets`` on a 60-bit value would round through a double), so
+    DuckDB restates it exactly; signed counts cancel hash collisions in
+    expectation, per the paper.  Shape: row-local hashing + ONE
+    partial/final hash aggregate on (doc, bucket) — at 100 TB the
+    output is ``docs × n_buckets`` fixed-width rows and the token
+    explosion never shuffles (map-side combine collapses it)."""
+    tk = F.filter(
+        F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " "),
+        lambda t: F.length(t) > 0,
+    )
+    h = F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    sign_digit = F.conv(F.substring(F.md5(F.col("__tok")), 16, 1), 16, 10).cast(
+        "long"
+    )
+    sign = F.when(sign_digit % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        df.select(F.col(key), F.explode(tk).alias("__tok"))
+        .select(
+            F.col(key),
+            (h % n_buckets).cast("int").alias("bucket"),
+            sign.alias("__sign"),
+        )
+        .groupBy(key, "bucket")
+        .agg(
+            F.sum("__sign").cast("bigint").alias("feat"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+    )

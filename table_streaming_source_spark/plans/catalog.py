@@ -95,6 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_video_prep",
     "source_parquet_evolved",
     "text_quality_train",
+    "text_feature_hash",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"

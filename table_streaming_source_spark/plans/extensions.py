@@ -2832,6 +2832,39 @@ FROM ranked WHERE rank <= 500
 """
 
 
+def q_text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (`operators/text.py::feature_hash`):
+    tokens hash into 16 signed buckets with NO vocabulary table — the
+    fixed-width featurizer for linear models over unbounded
+    vocabularies.  Bucket and sign come from independent md5 digits
+    (integer-exact both engines); one hash aggregate on (doc, bucket)."""
+    return X.feature_hash(
+        t(spark, sf_dir, "documents"), "text", "doc_id", n_buckets=16
+    )
+
+
+ORACLES["text_feature_hash"] = """
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'),
+                             ' ')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || SUBSTR(MD5(tok), 1, 15) AS BIGINT) % 16
+              AS INT) AS bucket,
+         CASE WHEN CAST('0x' || SUBSTR(MD5(tok), 16, 1) AS BIGINT) % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM toks WHERE tok <> ''
+)
+SELECT doc_id, bucket,
+       CAST(SUM(sgn) AS BIGINT) AS feat,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM hashed GROUP BY doc_id, bucket
+"""
+
+
 _LR_STEPS = 3
 
 
@@ -3286,6 +3319,7 @@ QUERIES_DEFERRED = {
     "text_vocab_coverage": q_text_vocab_coverage,
     "text_bigram_lm": q_text_bigram_lm,
     "text_quality_train": q_text_quality_train,
+    "text_feature_hash": q_text_feature_hash,
     "text_bpe_train": q_text_bpe_train,
     "text_bpe_encode": q_text_bpe_encode,
     "dedup_incremental": q_dedup_incremental,
