@@ -96,6 +96,8 @@ _PRIORITY: tuple[str, ...] = (
     "source_parquet_evolved",
     "text_quality_train",
     "text_feature_hash",
+    "ts_interpolate",
+    "graph_triangles",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"

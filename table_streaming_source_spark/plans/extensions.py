@@ -564,6 +564,55 @@ SELECT v, ROUND(rank, 6) AS pagerank FROM {prev}
 ORACLES["graph_pagerank"] = _pagerank_sql()
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counting (`operators/graph.py::
+    triangle_counts`) over a deterministic graph derived from orders
+    (nodes = key residues, canonicalized distinct edges): the local
+    clustering signal used for community/quality analysis of link
+    graphs.  Ordered a<b<c enumeration — two equi-joins, each triangle
+    found exactly once, each vertex credited once per incident
+    triangle."""
+    from table_streaming_source_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    u = (F.col("o_custkey") % 40).cast("long")
+    v = (F.col("o_orderkey") % 40).cast("long")
+    edges = (
+        o.select(
+            F.least(u, v).alias("a"), F.greatest(u, v).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return triangle_counts(edges).orderBy("node")
+
+
+ORACLES["graph_triangles"] = """
+WITH edges AS (
+  SELECT DISTINCT LEAST(o_custkey % 40, o_orderkey % 40) AS a,
+         GREATEST(o_custkey % 40, o_orderkey % 40) AS b
+  FROM orders
+  WHERE o_custkey % 40 <> o_orderkey % 40
+),
+tri AS (
+  SELECT e1.a AS a, e1.b AS m, e2.b AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  WHERE EXISTS (SELECT 1 FROM edges e3
+                WHERE e3.a = e1.a AND e3.b = e2.b)
+),
+nodes AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT m FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY node ORDER BY node
+"""
+
+
 def q_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer assignment: every vector to its max-dot
     centroid (8 deterministic ±1 centroids) — the index-construction
@@ -1628,6 +1677,7 @@ QUERIES = {
     "sim_kmeans_refine": q_sim_kmeans_refine,
     "sim_ivf_search": q_sim_ivf_search,
     "graph_pagerank": q_graph_pagerank,
+    "graph_triangles": q_graph_triangles,
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_ann_multiprobe": q_sim_ann_multiprobe,
     "text_token_stats": q_text_token_stats,

@@ -3579,6 +3579,99 @@ LEFT JOIN p ON v.user_id = p.user_id
 """
 
 
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series linear interpolation: hourly per-type means with a
+    deterministic dropout mask (every 5th hour bucket), missing points
+    reconstructed from their nearest non-null neighbors —
+    ``prev + (next − prev)·(t − t₀)/(t₁ − t₀)`` — with edge buckets
+    clamped to the available neighbor.  The repair step every
+    sensor/metrics pipeline runs between gap *detection*
+    (``ts_gapfill``) and modeling (``window_ewma``).
+
+    Shape: one hash aggregate builds the series (map-combinable; the
+    raw facts are touched exactly once), then two ignore-nulls
+    navigation windows over the tiny aggregated series — per-type
+    ordered state, the same bounded-partition discipline as the other
+    window entries.  All interpolation arithmetic is row-local IEEE on
+    integer hour indices, bit-identical in the oracle."""
+    e = t(spark, sf_dir, "events")
+    hour = (F.unix_timestamp("ts") / 3600).cast("bigint")
+    series = (
+        e.groupBy(F.col("event_type"), hour.alias("h"))
+        .agg(davg("value", 6).alias("__v"))
+        .withColumn(
+            "v_raw",
+            F.when(F.col("h") % 5 != 2, F.col("__v")),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last("v_raw", ignorenulls=True).over(w_prev)
+    prev_h = F.last(
+        F.when(F.col("v_raw").isNotNull(), F.col("h")), ignorenulls=True
+    ).over(w_prev)
+    next_v = F.first("v_raw", ignorenulls=True).over(w_next)
+    next_h = F.first(
+        F.when(F.col("v_raw").isNotNull(), F.col("h")), ignorenulls=True
+    ).over(w_next)
+    frac = (F.col("h") - prev_h) / (next_h - prev_h)
+    interp = (
+        F.when(F.col("v_raw").isNotNull(), F.col("v_raw"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return series.select(
+        "event_type", "h", "v_raw", interp.alias("v_interp")
+    )
+
+
+ORACLES["ts_interpolate"] = f"""
+WITH series AS (
+  SELECT event_type,
+         CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS h,
+         {sql_davg('value', 6)} AS v
+  FROM events GROUP BY 1, 2
+),
+masked AS (
+  SELECT event_type, h,
+         CASE WHEN h % 5 <> 2 THEN v END AS v_raw
+  FROM series
+),
+nav AS (
+  SELECT event_type, h, v_raw,
+         LAST_VALUE(v_raw IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         LAST_VALUE(CASE WHEN v_raw IS NOT NULL THEN h END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+         FIRST_VALUE(v_raw IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         FIRST_VALUE(CASE WHEN v_raw IS NOT NULL THEN h END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+  FROM masked
+)
+SELECT event_type, h, v_raw,
+       CASE WHEN v_raw IS NOT NULL THEN v_raw
+            WHEN prev_v IS NULL THEN next_v
+            WHEN next_v IS NULL THEN prev_v
+            ELSE prev_v + (next_v - prev_v) * ((h - prev_h) / (next_h - prev_h))
+       END AS v_interp
+FROM nav
+"""
+
+
 def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample + gap-fill: monthly order counts and revenue
     per priority on a **dense** month grid — missing (priority, month)
@@ -4239,6 +4332,7 @@ QUERIES = {
     "merge_upsert": q_merge_upsert,
     "ts_resample_ohlc": q_ts_resample_ohlc,
     "zorder_key": q_zorder_key,
+    "ts_interpolate": q_ts_interpolate,
     "market_share": q_market_share,
     "sql_cte_window": q_sql_cte_window,
     "scalar_try": q_scalar_try,

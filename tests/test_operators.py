@@ -814,3 +814,17 @@ def test_linear_quality_training_moves_weights(spark, sf_dir):
     assert 0.0 <= row.accuracy <= 1.0
     multi = train_linear_quality(feats, steps=3).head()
     assert (multi.w0, multi.w1, multi.w2) != (row.w0, row.w1, row.w2)
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 minus one edge has exactly two triangles; vertex credits match
+    incidence (the shared-edge endpoints sit in both triangles)."""
+    from table_streaming_source_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        # K4 on {1,2,3,4} minus edge (1,4): triangles (1,2,3) and (2,3,4)
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)],
+        "a int, b int",
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
