@@ -98,6 +98,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_feature_hash",
     "ts_interpolate",
     "graph_triangles",
+    "sql_lateral",
+    "scalar_variant",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"

@@ -1737,6 +1737,79 @@ def q_sql_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through the SQL front door (ANSI
+    LATERAL, Spark ≥3.2 decorrelation): per market segment, the top-3
+    orders by total price computed in a correlated derived table — the
+    modern SQL idiom for per-group top-k that Catalyst decorrelates
+    into the same join+window plan as the DataFrame form.  DuckDB runs
+    the very same query text."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("__sql_orders")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("__sql_customer")
+    return spark.sql(
+        """
+        SELECT s.c_mktsegment, t.o_orderkey, t.o_totalprice
+        FROM (SELECT DISTINCT c_mktsegment FROM __sql_customer) s,
+        LATERAL (
+          SELECT o.o_orderkey, o.o_totalprice
+          FROM __sql_orders o JOIN __sql_customer c
+            ON o.o_custkey = c.c_custkey
+          WHERE c.c_mktsegment = s.c_mktsegment
+          ORDER BY o.o_totalprice DESC, o.o_orderkey
+          LIMIT 3
+        ) t
+        """
+    )
+
+
+ORACLES["sql_lateral"] = """
+SELECT s.c_mktsegment, t.o_orderkey, t.o_totalprice
+FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+LATERAL (
+  SELECT o.o_orderkey, o.o_totalprice
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = s.c_mktsegment
+  ORDER BY o.o_totalprice DESC, o.o_orderkey
+  LIMIT 3
+) t
+"""
+
+
+def q_scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 VARIANT type over the events JSON column:
+    ``parse_json`` → binary variant, typed path extraction with
+    ``variant_get`` and null-safe ``try_variant_get`` on a missing
+    path.  VARIANT is the lake-native semi-structured answer to
+    repeated ``get_json_object`` string re-parsing (the binary encoding
+    parses once and extracts by path); the oracle restates the
+    extraction with DuckDB's JSON operators over the same column."""
+    e = t(spark, sf_dir, "events")
+    e.createOrReplaceTempView("__sql_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(variant_get(parse_json(props), '$.k', 'long')) AS sum_k,
+               MAX(variant_get(parse_json(props), '$.k', 'int')) AS max_k,
+               COUNT(try_variant_get(parse_json(props), '$.missing', 'int'))
+                 AS n_missing_extracts
+        FROM __sql_events
+        GROUP BY event_type
+        """
+    )
+
+
+ORACLES["scalar_variant"] = """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       MAX(CAST(props->>'$.k' AS INT)) AS max_k,
+       COUNT(CAST(props->>'$.missing' AS INT)) AS n_missing_extracts
+FROM events
+GROUP BY event_type
+"""
+
+
 ORACLES["sql_cte_window"] = """
 WITH ranked AS (
   SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
@@ -4335,6 +4408,8 @@ QUERIES = {
     "ts_interpolate": q_ts_interpolate,
     "market_share": q_market_share,
     "sql_cte_window": q_sql_cte_window,
+    "sql_lateral": q_sql_lateral,
+    "scalar_variant": q_scalar_variant,
     "scalar_try": q_scalar_try,
     "customer_distribution": q_customer_distribution,
     "scalar_conditional": q_scalar_conditional,
