@@ -13,11 +13,15 @@ distinct entries.  This round's window is exactly the 23 entries that
 have never had an official row (the eight round-3 deferrals plus the
 fifteen round-3 additions that landed past the window), the usual three
 cross-round regression sentinels (``flagship_enrichment``,
-``streaming_enrichment``, ``dedup_minhash_lsh``), and this round's new
-entries — after this round, every pre-round-4 catalog entry has an
-official driver row in some round (166/166 lifetime coverage).  Every
-entry, in or out of the window, stays covered by
-``scripts/check_oracle.py`` locally.
+``streaming_enrichment``, ``dedup_minhash_lsh``), and this round's 23
+new entries — after this round, every pre-round-4 catalog entry has an
+official driver row in some round (166/166 lifetime coverage), and the
+round-4 surface (CDC MERGE batch+streaming, OHLC/interpolation
+time series, real AVI video decode + composed video pipeline, BPE
+train/encode, trainable quality classifier, feature hashing, triangle
+counting, LATERAL/VARIANT SQL, evolved-schema parquet) is officially
+checked the round it lands.  Every entry, in or out of the window,
+stays covered by ``scripts/check_oracle.py`` locally.
 """
 
 from __future__ import annotations
