@@ -828,3 +828,88 @@ def test_triangle_counts_hand_graph(spark):
     )
     got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
     assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_bpe_merge_fold_exhaustive_vs_model(spark):
+    """EXHAUSTIVE check of the merge fold: every word over {a,b} up to
+    length 8 (510 words) × every merge pair over {a,b}, compared against
+    a reference Python implementation of BPE's greedy left-to-right
+    non-overlapping merge.  One Spark job per pair."""
+    from itertools import product
+
+    from table_streaming_source_spark.operators.text import (
+        _bpe_chars,
+        _bpe_merge,
+    )
+
+    def model(word: str, a: str, b: str) -> list:
+        out = []
+        for s in word:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        return out
+
+    words = [
+        "".join(w)
+        for n in range(1, 9)
+        for w in product("ab", repeat=n)
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    for a, b in product("ab", repeat=2):
+        got = {
+            r.word: r.m
+            for r in df.select(
+                "word",
+                _bpe_merge(
+                    _bpe_chars(F.col("word")), F.lit(a), F.lit(b)
+                ).alias("m"),
+            ).collect()
+        }
+        for w in words:
+            assert got[w] == model(w, a, b), (w, a, b, got[w])
+
+
+def test_merge_into_randomized_vs_model(spark):
+    """Randomized MERGE check: 300 seeded-random CDC rows over a random
+    target, compared against a dict-model applying the documented rules
+    (update wins, delete drops, insert adds, unmatched-U/D no-op,
+    matched-I keeps target)."""
+    import random
+
+    from table_streaming_source_spark.snapshot import merge_into
+
+    rng = random.Random(20260814)
+    tgt_rows = [
+        (k, f"s{k}", float(k * 10))
+        for k in rng.sample(range(200), 120)
+    ]
+    src_keys = rng.sample(range(250), 150)  # some match, some don't
+    src_rows = [
+        (
+            k,
+            rng.choice("IUD"),
+            f"n{k}",
+            float(k) + 0.5,
+        )
+        for k in src_keys
+    ]
+    target = spark.createDataFrame(tgt_rows, "k int, s string, v double")
+    source = spark.createDataFrame(
+        src_rows, "k int, op string, s string, v double"
+    )
+
+    model = {k: (s, v) for k, s, v in tgt_rows}
+    for k, op, s, v in src_rows:
+        if op == "U" and k in model:
+            model[k] = (s, v)
+        elif op == "D" and k in model:
+            del model[k]
+        elif op == "I" and k not in model:
+            model[k] = (s, v)
+    got = {
+        r.k: (r.s, r.v)
+        for r in merge_into(target, source, key="k").collect()
+    }
+    assert got == model
