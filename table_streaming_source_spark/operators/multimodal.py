@@ -1169,10 +1169,11 @@ def avi_frames(payload: bytes) -> list:
             off += 8 + size + (size & 1)
 
     strf = None
+    in_vids = False
     movi: list[tuple[int, int]] = []
 
     def scan(off: int, end: int) -> None:
-        nonlocal strf
+        nonlocal strf, in_vids
         for cid, body, size in walk(payload, off, end):
             if cid == b"LIST":
                 ltype = payload[body : body + 4]
@@ -1183,8 +1184,15 @@ def avi_frames(payload: bytes) -> list:
                         if fid in (b"00db", b"00dc"):
                             movi.append((fbody, fsize))
                 else:
+                    if ltype == b"strl":
+                        in_vids = False  # reset per stream header list
                     scan(body + 4, body + size)
-            elif cid == b"strf":
+            elif cid == b"strh":
+                # bind the following strf only for the VIDEO stream —
+                # an audio strl's WAVEFORMATEX must not overwrite the
+                # BITMAPINFOHEADER (multi-stream AVIs are the norm)
+                in_vids = payload[body : body + 4] == b"vids"
+            elif cid == b"strf" and in_vids and strf is None:
                 strf = payload[body : body + size]
 
     scan(12, 8 + struct.unpack("<I", payload[4:8])[0])

@@ -800,10 +800,19 @@ def bpe_train(
                 F.col("cnt"),
             )
         )
+        # LEFT join on TRUE, not crossJoin: when a round has no pairs
+        # left to merge (tiny corpus, or rounds > learnable merges) the
+        # argmax is EMPTY, and a cross join would annihilate the whole
+        # vocabulary; the left join keeps every word with null (a, b)
+        # and the merge becomes a per-row no-op for that round.
         vocab = (
-            vocab.crossJoin(F.broadcast(best))
+            vocab.join(F.broadcast(best), F.lit(True), "left")
             .withColumn(
-                "syms", _bpe_merge(F.col("syms"), F.col("a"), F.col("b"))
+                "syms",
+                F.when(
+                    F.col("a").isNotNull(),
+                    _bpe_merge(F.col("syms"), F.col("a"), F.col("b")),
+                ).otherwise(F.col("syms")),
             )
             .drop("a", "b", "cnt")
         )

@@ -120,6 +120,7 @@ def upsert_sink(
     *,
     key: str,
     op_col: str = "op",
+    sequence_col: str | None = None,
 ):
     """``foreachBatch`` sink that maintains the *current state* of a keyed
     table under ``state_dir`` by MERGE-ing every CDC micro-batch into it
@@ -129,23 +130,45 @@ def upsert_sink(
 
     Layout: state version ``n`` lives at ``state_dir/v{n}``; the single
     pointer file ``state_dir/_CURRENT`` names the live version and flips
-    via atomic rename.  Each batch reads the pointed-at state, merges,
-    writes ``v{batch_id + 1}``, then flips the pointer:
+    via atomic rename.  Batch ``b`` reads **``v{b}``** (the state its
+    predecessor produced — NOT the live pointer), merges, writes
+    ``v{b + 1}``, then flips the pointer:
 
     - **Readers never see partial state** — they resolve the pointer to a
       fully-committed directory.
-    - **Replays are idempotent** — a restarted batch ``b`` rewrites
-      ``v{b+1}`` from the same ``v{b}`` input and re-flips the pointer to
-      the same value, so at-least-once delivery yields exactly-once
-      state (same mechanism as ``idempotent_sink``'s ledger, carried by
-      the version naming itself).
-    - Old versions are pruned after the flip, keeping two on disk for
-      the replay window.
+    - **Replays are idempotent** — a restarted batch ``b`` re-reads the
+      same ``v{b}`` even when the pointer already moved to ``v{b+1}``
+      (the crash-between-flip-and-checkpoint window): reading by batch
+      id rather than by pointer is what keeps the replay from consuming
+      — and overwriting in place — its own previous output.  Pruning
+      keeps the two newest versions, so ``v{b}`` survives its own
+      replay window.
+    - A fresh stream (batch 0) over a state dir that already has a
+      committed pointer raises instead of silently re-bootstrapping
+      empty state over it; a missing ``v{b}`` mid-stream (pruned too
+      deep, manual deletion) also raises rather than merging into
+      nothing.
+
+    ``sequence_col`` (the CDC feed's LSN / offset) is forwarded to
+    ``merge_into`` so a micro-batch carrying several ops for one key is
+    compacted latest-wins before the merge — raw streaming CDC batches
+    routinely do.  Giving a sequence column also switches the merge to
+    ``upsert=True`` (insert/update treated as insert-or-update): that
+    is the mode under which latest-wins compaction is equivalent to
+    sequential application, so an insert-then-update key inside one
+    batch lands correctly instead of compacting to a lone no-op
+    update.
+
+    The pointer protocol uses local-filesystem primitives
+    (``os.replace``); for an HDFS/S3 state root this sink's pointer is
+    exactly the piece a table format's metadata log replaces — the
+    parquet/merge shape is unchanged (`docs/SCALE.md` §9b).
 
     Returns ``(on_batch, current)``: pass ``on_batch`` to
     ``writeStream.foreachBatch``; call ``current()`` after the drain for
     the live state DataFrame.  First batch bootstraps the state from the
-    batch's own schema (minus ``op_col``) — no priming write needed.
+    batch's own schema (minus ``op_col``/``sequence_col``) — no priming
+    write needed.
     """
     import os
 
@@ -157,29 +180,60 @@ def upsert_sink(
         try:
             with open(pointer) as f:
                 return int(f.read().strip())
-        except (OSError, ValueError):
+        except FileNotFoundError:
             return None
+        except ValueError as e:
+            # half-written pointer content is corruption, not absence
+            raise RuntimeError(
+                f"corrupt state pointer {pointer!r}"
+            ) from e
+        # any other OSError (EIO, EACCES, non-local path…) propagates:
+        # treating it as "no state yet" would silently re-bootstrap
+        # empty state over committed data
+
+    def _vdir(v: int) -> str:
+        return os.path.join(state_dir, f"v{v}")
 
     def current(version: int | None = None) -> DataFrame:
         v = version if version is not None else _live_version()
         if v is None:
             raise FileNotFoundError(f"no committed state under {state_dir}")
-        return spark.read.parquet(os.path.join(state_dir, f"v{v}"))
+        return spark.read.parquet(_vdir(v))
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        v = _live_version()
-        if v is None:
-            state = batch_df.sparkSession.createDataFrame(
-                [],
-                batch_df.drop(op_col).schema,
-            )
-        else:
-            state = current(v)
-        merged = merge_into(state, batch_df, key=key, op_col=op_col)
-        new_v = batch_id + 1
-        merged.write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"v{new_v}")
+        live = _live_version()
+        drop_cols = [op_col] + (
+            [sequence_col] if sequence_col is not None else []
         )
+        if batch_id == 0:
+            # live == 1 is batch 0's own output → legitimate replay of
+            # batch 0, which re-bootstraps empty identically; anything
+            # newer means a FRESH stream pointed at an established state
+            if live is not None and live > 1:
+                raise RuntimeError(
+                    f"fresh stream (batch 0) over committed state v{live} "
+                    f"at {state_dir} — refusing to re-bootstrap; clear the "
+                    f"state dir or resume from the original checkpoint"
+                )
+            state = batch_df.sparkSession.createDataFrame(
+                [], batch_df.drop(*drop_cols).schema
+            )
+        elif os.path.isdir(_vdir(batch_id)):
+            # read by BATCH ID, not by pointer: on replay after a flip
+            # the pointer names this batch's own output
+            state = current(batch_id)
+        else:
+            raise RuntimeError(
+                f"state v{batch_id} missing under {state_dir} "
+                f"(live={live}) — replay window exceeded"
+            )
+        merged = merge_into(
+            state, batch_df, key=key, op_col=op_col,
+            sequence_col=sequence_col,
+            upsert=sequence_col is not None,
+        )
+        new_v = batch_id + 1
+        merged.write.mode("overwrite").parquet(_vdir(new_v))
         tmp = pointer + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(new_v))
@@ -194,8 +248,6 @@ def upsert_sink(
             if (m := re.fullmatch(r"v(\d+)", n))
         )
         for old in versions[:-2]:
-            shutil.rmtree(
-                os.path.join(state_dir, f"v{old}"), ignore_errors=True
-            )
+            shutil.rmtree(_vdir(old), ignore_errors=True)
 
     return on_batch, current

@@ -256,6 +256,7 @@ def snapshot_apply(
     key: str,
     change_col: str = "change",
     broadcast_max_keys: int = 1_000_000,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Replay a changeset (``snapshot_diff(..., include_values=True)``
     shape: key, change, new-side values) onto a snapshot: drop every
@@ -274,11 +275,22 @@ def snapshot_apply(
     keeps the old payload from ever shuffling, and past the gate the
     plan degrades to a shuffled anti-join that AQE still converts when
     runtime stats allow.
+
+    The default gate makes plan CONSTRUCTION eager (the count runs
+    when the function is called, not when the result executes).  A
+    caller composing many apply plans speculatively can pass
+    ``broadcast=True/False`` to decide statically and keep construction
+    fully lazy.
     """
     value_cols = [c for c in changeset.columns if c not in (key, change_col)]
     changeset = changeset.localCheckpoint(eager=False)
     changed_keys = changeset.select(key)
-    if changeset.count() <= broadcast_max_keys:
+    small = (
+        broadcast
+        if broadcast is not None
+        else changeset.count() <= broadcast_max_keys
+    )
+    if small:
         changed_keys = F.broadcast(changed_keys)
     upserts = changeset.filter(
         F.col(change_col).isin("insert", "update")
@@ -298,12 +310,26 @@ def merge_into(
     insert: str = "I",
     update: str = "U",
     delete: str = "D",
+    sequence_col: str | None = None,
+    upsert: bool = False,
 ) -> DataFrame:
     """ANSI ``MERGE INTO`` as one full-outer shuffle join: apply a CDC
     batch of inserts/updates/deletes to a keyed target.
 
     ``source`` carries ``key``, ``op_col`` ∈ {insert, update, delete},
-    and the target's value columns (null-allowed for deletes).  Rules:
+    and the target's value columns (null-allowed for deletes).
+
+    **One source row per key is a precondition** — the same one ANSI
+    MERGE enforces by erroring when a target row matches twice.  A raw
+    CDC feed routinely violates it (several ops for one key inside one
+    batch); pass ``sequence_col`` (the feed's LSN / offset / version)
+    and the batch is first compacted latest-wins per key with a
+    struct-max aggregate — the ``changelog_compact`` primitive fused in
+    front of the merge.  Without a sequence column there is no defined
+    order to compact by, so the caller must guarantee uniqueness (a
+    duplicate-key batch would otherwise emit duplicate keyed rows).
+
+    Strict-MERGE rules (``upsert=False``):
 
     - matched & delete  → row removed
     - matched & update  → source values win
@@ -312,6 +338,15 @@ def merge_into(
     - matched & insert → target row kept unchanged (engines disagree
       here — Delta errors, Hudi upserts; keeping the target is the
       conservative documented choice)
+
+    ``upsert=True`` treats insert and update identically as
+    *insert-or-update* (matched → source wins, unmatched → row added),
+    which is the changelog-application semantics for feeds carrying
+    full row images — and the mode under which latest-wins compaction
+    is EQUIVALENT to applying the batch's ops sequentially (under the
+    strict rules an insert-then-update key would compact to a lone
+    unmatched update and vanish).  Sequenced CDC application wants
+    ``upsert=True``; strict mode is for curated single-op batches.
 
     Physical shape: both sides hash-partition ONCE on the key; every
     merge decision is a row-local CASE over the joined row, and no
@@ -323,6 +358,24 @@ def merge_into(
     (`TableInputDStream.scala:51-59`).
     """
     value_cols = [c for c in target.columns if c != key]
+    if sequence_col is not None:
+        # latest-wins compaction: one struct-max hash aggregate (the
+        # sequence rides first, so ties are impossible given a feed's
+        # monotone per-key sequence) — map-side combinable, same
+        # exchange key as the merge join that follows
+        source = (
+            source.groupBy(key)
+            .agg(
+                F.max(
+                    F.struct(sequence_col, op_col, *value_cols)
+                ).alias("__last")
+            )
+            .select(
+                key,
+                F.col(f"__last.{op_col}").alias(op_col),
+                *[F.col(f"__last.{c}").alias(c) for c in value_cols],
+            )
+        )
     src = source.select(
         F.col(key),
         F.col(op_col).alias("__op"),
@@ -332,13 +385,19 @@ def merge_into(
     m = tgt.join(src, key, "full_outer")
     matched = F.col("__t").isNotNull()
     op = F.col("__op")
-    keep = (
-        op.isNull()
-        | (matched & (op == update))
-        | (~matched & (op == insert))
-        | (matched & (op == insert))
-    )
-    take_src = (matched & (op == update)) | (~matched & (op == insert))
+    if upsert:
+        keep = op.isNull() | op.isin(insert, update)
+        take_src = op.isin(insert, update)
+    else:
+        keep = (
+            op.isNull()
+            | (matched & (op == update))
+            | (~matched & (op == insert))
+            | (matched & (op == insert))
+        )
+        take_src = (matched & (op == update)) | (
+            ~matched & (op == insert)
+        )
     return m.filter(keep).select(
         key,
         *[

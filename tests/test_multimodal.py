@@ -477,3 +477,77 @@ def test_avi_frame_stats_samples_stride_on_spark(spark):
             assert (row.width, row.height) == (w, h)
             assert row.sum_r == int(r.sum())
             assert row.wsum_r == int((pos * r).sum())
+
+
+def test_avi_decoder_binds_video_strf_in_multistream_file():
+    """An AVI with both a vids and an auds stream must decode from the
+    VIDEO BITMAPINFOHEADER — an audio WAVEFORMATEX must neither
+    overwrite it nor be misparsed as one; audio-only files reject."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from table_streaming_source_spark.operators import multimodal as M
+
+    def chunk(cid, data):
+        return cid + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) & 1 else b""
+        )
+
+    def lst(t, p):
+        return b"LIST" + struct.pack("<I", 4 + len(p)) + t + p
+
+    w, h, nf, seed = 8, 8, 2, 3
+    stride = (3 * w + 3) & ~3
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    frames = []
+    for f in range(nf):
+        r = ((7 * x + 13 * y + 17 * f + seed) % 256).astype(np.uint8)
+        g = ((11 * x + 5 * y + 19 * f + seed) % 256).astype(np.uint8)
+        b = ((3 * x + 23 * y + 29 * f + seed) % 256).astype(np.uint8)
+        dib = np.flipud(np.stack([b, g, r], axis=-1))
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : 3 * w] = dib.reshape(h, 3 * w)
+        frames.append(rows.tobytes())
+    avih = struct.pack(
+        "<14I", 40000, 0, 0, 0, nf, 0, 2, 0, w, h, 0, 0, 0, 0
+    )
+    strh_v = (
+        b"vids" + b"DIB "
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 25, 0, nf, 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, w, h)
+    )
+    strf_v = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0
+    )
+    strh_a = (
+        b"auds" + b"\x00" * 4
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 16000, 0, 100, 0, 0, 2)
+        + struct.pack("<hhhh", 0, 0, 0, 0)
+    )
+    # ≥40 bytes so the old last-strf-wins code would misparse it
+    strf_a = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16) + b"\x00" * 28
+    movi = lst(b"movi", b"".join(chunk(b"00db", fr) for fr in frames))
+
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_v))
+        + lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a)),
+    )
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    frames_out = M.avi_frames(avi)
+    assert len(frames_out) == nf
+    assert (frames_out[0][:, :, 0] == (7 * x + 13 * y + seed) % 256).all()
+
+    hdrl_a = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a)),
+    )
+    body = b"AVI " + hdrl_a + movi
+    with _pytest.raises(ValueError, match="without a BITMAPINFOHEADER"):
+        M.avi_frames(b"RIFF" + struct.pack("<I", len(body)) + body)

@@ -871,11 +871,12 @@ def test_bpe_merge_fold_exhaustive_vs_model(spark):
             assert got[w] == model(w, a, b), (w, a, b, got[w])
 
 
-def test_merge_into_randomized_vs_model(spark):
-    """Randomized MERGE check: 300 seeded-random CDC rows over a random
-    target, compared against a dict-model applying the documented rules
-    (update wins, delete drops, insert adds, unmatched-U/D no-op,
-    matched-I keeps target)."""
+def test_merge_into_randomized_vs_model_with_duplicate_ops(spark):
+    """Randomized MERGE check with keys drawn WITH replacement, so
+    batches genuinely contain several ops for one key — the raw-CDC
+    shape.  ``sequence_col`` compacts latest-wins per key; the dict
+    model applies only the last-sequence op per key (which is what
+    latest-wins means — NOT sequential application of every op)."""
     import random
 
     from table_streaming_source_spark.snapshot import merge_into
@@ -885,23 +886,28 @@ def test_merge_into_randomized_vs_model(spark):
         (k, f"s{k}", float(k * 10))
         for k in rng.sample(range(200), 120)
     ]
-    src_keys = rng.sample(range(250), 150)  # some match, some don't
     src_rows = [
         (
-            k,
+            rng.randrange(250),   # with replacement → duplicate keys
+            seq,
             rng.choice("IUD"),
-            f"n{k}",
-            float(k) + 0.5,
+            f"n{seq}",
+            float(seq) + 0.5,
         )
-        for k in src_keys
+        for seq in range(300)
     ]
     target = spark.createDataFrame(tgt_rows, "k int, s string, v double")
     source = spark.createDataFrame(
-        src_rows, "k int, op string, s string, v double"
+        src_rows, "k int, seq int, op string, s string, v double"
     )
+    n_dupes = len(src_rows) - len({k for k, *_ in src_rows})
+    assert n_dupes > 50  # the duplicate-key shape is really exercised
 
+    last = {}
+    for k, seq, op, s, v in src_rows:  # seq is increasing → last wins
+        last[k] = (op, s, v)
     model = {k: (s, v) for k, s, v in tgt_rows}
-    for k, op, s, v in src_rows:
+    for k, (op, s, v) in last.items():
         if op == "U" and k in model:
             model[k] = (s, v)
         elif op == "D" and k in model:
@@ -910,6 +916,8 @@ def test_merge_into_randomized_vs_model(spark):
             model[k] = (s, v)
     got = {
         r.k: (r.s, r.v)
-        for r in merge_into(target, source, key="k").collect()
+        for r in merge_into(
+            target, source, key="k", sequence_col="seq"
+        ).collect()
     }
     assert got == model

@@ -136,3 +136,92 @@ def test_upsert_sink_merges_and_replays_idempotently(spark, tmp_path):
     # replay window: only the two newest versions remain on disk
     versions = sorted(n for n in os.listdir(state_dir) if n.startswith("v"))
     assert versions == ["v1", "v2"]
+
+
+def test_upsert_sink_replay_after_pointer_flip_reads_by_batch_id(
+    spark, tmp_path
+):
+    """The crash-between-flip-and-checkpoint window: after batch 1's
+    pointer flip, its replay must read v1 (by batch id), not the live
+    pointer (which names the replay's own output directory)."""
+    import os
+
+    from table_streaming_source_spark.sinks import upsert_sink
+
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    on_batch, current = upsert_sink(spark, state_dir, key="k")
+    b0 = spark.createDataFrame(
+        [(1, "I", "a", 1.0)], "k int, op string, s string, v double"
+    )
+    b1 = spark.createDataFrame(
+        [(1, "U", "aa", 2.0), (2, "I", "b", 3.0)],
+        "k int, op string, s string, v double",
+    )
+    on_batch(b0, 0)
+    on_batch(b1, 1)  # pointer now at v2
+    want = sorted(map(tuple, current().collect()))
+    on_batch(b1, 1)  # replay AFTER the flip
+    assert sorted(map(tuple, current().collect())) == want
+
+
+def test_upsert_sink_refuses_fresh_stream_over_state(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from table_streaming_source_spark.sinks import upsert_sink
+
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    on_batch, _ = upsert_sink(spark, state_dir, key="k")
+    b = spark.createDataFrame(
+        [(1, "I", "a", 1.0)], "k int, op string, s string, v double"
+    )
+    on_batch(b, 0)
+    on_batch(b, 1)  # live = v2
+    with _pytest.raises(RuntimeError, match="fresh stream"):
+        on_batch(b, 0)  # a new checkpoint restarting over old state
+
+
+def test_upsert_sink_compacts_duplicate_ops_with_sequence(spark, tmp_path):
+    """A raw CDC micro-batch with several ops for one key compacts
+    latest-wins under upsert semantics — which IS sequential
+    application for full-row-image feeds: insert-then-update lands the
+    update, anything-then-delete lands the delete, and out-of-order
+    sequence numbers inside the batch resolve by sequence, not by row
+    order."""
+    import os
+
+    from table_streaming_source_spark.sinks import upsert_sink
+
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    on_batch, current = upsert_sink(
+        spark, state_dir, key="k", sequence_col="seq"
+    )
+    b0 = spark.createDataFrame(
+        # key 1: insert then update → final image a2/2.0
+        # key 2: insert then delete → absent
+        # key 4: out-of-order seq — 31 wins over 29 regardless of order
+        [(1, 10, "I", "a", 1.0), (1, 11, "U", "a2", 2.0),
+         (2, 12, "I", "b", 3.0), (2, 13, "D", None, None),
+         (4, 31, "U", "d2", 2.0), (4, 29, "I", "x", 9.0)],
+        "k int, seq int, op string, s string, v double",
+    )
+    on_batch(b0, 0)
+    assert sorted(map(tuple, current().collect())) == [
+        (1, "a2", 2.0),
+        (4, "d2", 2.0),
+    ]
+    b1 = spark.createDataFrame(
+        # update existing key 1; delete key 4; re-insert key 2
+        [(1, 20, "U", "a3", 5.0), (4, 21, "D", None, None),
+         (2, 22, "I", "b2", 7.0)],
+        "k int, seq int, op string, s string, v double",
+    )
+    on_batch(b1, 1)
+    assert sorted(map(tuple, current().collect())) == [
+        (1, "a3", 5.0),
+        (2, "b2", 7.0),
+    ]
