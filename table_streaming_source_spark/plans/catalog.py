@@ -104,6 +104,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_triangles",
     "sql_lateral",
     "scalar_variant",
+    "merge_upsert_sequenced",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"

@@ -287,6 +287,79 @@ WHERE op IS NULL OR (t AND op = 'U') OR (t IS NULL AND op = 'I')
 """
 
 
+def q_merge_upsert_sequenced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE over a RAW CDC batch: several ops per key (insert + later
+    update, update + later delete), disambiguated by the feed's
+    sequence number — latest-wins struct-max compaction fused in front
+    of the upsert-mode merge (`snapshot.py::merge_into(sequence_col=,
+    upsert=True)`).  This is the shape an actual changelog consumer
+    faces; the strict one-op-per-key `merge_upsert` twin is the curated
+    ANSI case.  The oracle compacts with a ROW_NUMBER-latest pass and
+    applies the same insert-or-update/delete rules."""
+    from table_streaming_source_spark.snapshot import merge_into
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    src = (
+        # seq 1: upsert image for every 3rd key (insert-or-update)
+        o.filter(k % 3 == 0).select(
+            "o_orderkey", F.lit(1).alias("seq"), F.lit("I").alias("op"),
+            F.lit("A").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+        )
+        # seq 2: a LATER update for every 6th key (same key as above!)
+        .unionByName(
+            o.filter(k % 6 == 0).select(
+                "o_orderkey", F.lit(2).alias("seq"), F.lit("U").alias("op"),
+                F.lit("B").alias("o_orderstatus"),
+                (F.col("o_totalprice") + 2.0).alias("o_totalprice"),
+            )
+        )
+        # seq 3: a final delete for every 12th key (overrides both)
+        .unionByName(
+            o.filter(k % 12 == 0).select(
+                "o_orderkey", F.lit(3).alias("seq"), F.lit("D").alias("op"),
+                F.lit(None).cast("string").alias("o_orderstatus"),
+                F.lit(None).cast("double").alias("o_totalprice"),
+            )
+        )
+    )
+    return merge_into(
+        o, src, key="o_orderkey", sequence_col="seq", upsert=True
+    )
+
+
+ORACLES["merge_upsert_sequenced"] = """
+WITH src AS (
+  SELECT o_orderkey, 1 AS seq, 'I' AS op, 'A' AS s_status,
+         o_totalprice + 1.0 AS s_price
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, 2, 'U', 'B', o_totalprice + 2.0
+  FROM orders WHERE o_orderkey % 6 = 0
+  UNION ALL
+  SELECT o_orderkey, 3, 'D', CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+  FROM orders WHERE o_orderkey % 12 = 0
+),
+compacted AS (
+  SELECT o_orderkey, op, s_status, s_price FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                 ORDER BY seq DESC) AS rn
+    FROM src
+  ) WHERE rn = 1
+)
+SELECT COALESCE(t.o_orderkey, c.o_orderkey) AS o_orderkey,
+       CASE WHEN c.op IN ('I', 'U') THEN c.s_status
+            ELSE t.o_orderstatus END AS o_orderstatus,
+       CASE WHEN c.op IN ('I', 'U') THEN c.s_price
+            ELSE t.o_totalprice END AS o_totalprice
+FROM orders t FULL OUTER JOIN compacted c USING (o_orderkey)
+WHERE c.op IS NULL OR c.op IN ('I', 'U')
+"""
+
+
 def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resampling to OHLC bars: events → hourly
     open/high/low/close/volume per event type — the downsampling rollup
@@ -4403,6 +4476,7 @@ QUERIES = {
     "join_asof_nearest": q_join_asof_nearest,
     "changelog_compact": q_changelog_compact,
     "merge_upsert": q_merge_upsert,
+    "merge_upsert_sequenced": q_merge_upsert_sequenced,
     "ts_resample_ohlc": q_ts_resample_ohlc,
     "zorder_key": q_zorder_key,
     "ts_interpolate": q_ts_interpolate,
