@@ -554,6 +554,65 @@ def audio_features(
     return df.mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)
 
 
+AUDIO_RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("key", LongType(), False),
+        StructField("n_in", LongType(), False),
+        StructField("n_out", LongType(), False),
+        StructField("sum_sq", LongType(), False),
+        StructField("min_s", IntegerType(), False),
+        StructField("max_s", IntegerType(), False),
+    ]
+)
+
+
+def audio_resample_stats(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    key: str = "key",
+    factor: int = 4,
+) -> DataFrame:
+    """Integer decimation over *decoded PCM samples*: keep every
+    ``factor``-th sample (phase 0) and emit per-clip statistics of the
+    decimated signal — the sample-rate-reduction step of an audio
+    pipeline, exercised on genuinely decoded bytes.  (Proper resampling
+    low-pass-filters first; plain decimation is the deterministic,
+    integer-exact building block that a filter stage would precede — the
+    decimation index arithmetic is what this operator pins.)
+
+    Arrow-batched ``mapInPandas``, partition-preserving; one fixed-width
+    stats row per clip — media bytes never shuffle."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "key", "n_in", "n_out", "sum_sq", "min_s", "max_s",
+            )}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                s = wav_pcm(bytes(payload)).astype(np.int64)
+                d = s[::factor]
+                rows["key"].append(int(k))
+                rows["n_in"].append(len(s))
+                rows["n_out"].append(len(d))
+                rows["sum_sq"].append(int((d * d).sum()))
+                rows["min_s"].append(int(d.min()))
+                rows["max_s"].append(int(d.max()))
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "n_in": pd.Series(rows["n_in"], dtype="int64"),
+                    "n_out": pd.Series(rows["n_out"], dtype="int64"),
+                    "sum_sq": pd.Series(rows["sum_sq"], dtype="int64"),
+                    "min_s": pd.Series(rows["min_s"], dtype="int32"),
+                    "max_s": pd.Series(rows["max_s"], dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=AUDIO_RESAMPLE_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # image: real PNG pixel decode (zlib inflate + unfilter — stdlib only)
 # and integer-exact pixel statistics

@@ -99,6 +99,47 @@ def cosine_topk(
     )
 
 
+def cosine_range(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    threshold: float = 0.3,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Radius (range) search: every corpus vector with cosine ≥
+    ``threshold`` of each query — the retrieval mode for "all documents
+    similar enough", where top-k's fixed fan-out is wrong (dedup
+    candidate pulls, near-duplicate sweeps, recall-oriented retrieval).
+
+    Same scale shape as :func:`cosine_topk`: the query batch broadcasts
+    (bounded by the batch, not the corpus), the corpus never shuffles,
+    and — unlike top-k — no ranking window exists at all, so the output
+    is a pure filter over the scored stream: embarrassingly parallel at
+    any corpus size.  Returns ``(query_id, neighbor_id, cos_sim)``.
+    """
+    q = queries.select(
+        F.col(key).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = spread(corpus).select(
+        F.col(key).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__sim", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    if round_digits is not None:
+        scored = scored.withColumn(
+            "__sim", F.round(F.col("__sim"), round_digits)
+        )
+    return scored.filter(F.col("__sim") >= threshold).select(
+        "query_id", "neighbor_id", F.col("__sim").alias("cos_sim")
+    )
+
+
 def cosine_pairs_blocked(
     df: DataFrame,
     *,

@@ -22,6 +22,9 @@ train/encode, trainable quality classifier, feature hashing, triangle
 counting, LATERAL/VARIANT SQL, evolved-schema parquet) is officially
 checked the round it lands.  Every entry, in or out of the window,
 stays covered by ``scripts/check_oracle.py`` locally.
+
+Round-5 rotation backlog (landed after the round-4 window filled, local
+replay green): ``multimodal_audio_resample``, ``sim_range_search``.
 """
 
 from __future__ import annotations

@@ -470,6 +470,44 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search (`operators/similarity.py::cosine_range`): every
+    corpus vector with cosine ≥ 0.3 of each query (vec_id < 10) — the
+    fixed-fan-out-free retrieval mode for recall-oriented pulls.  No
+    ranking window anywhere: the scored stream filters row-locally, so
+    the plan stays embarrassingly parallel at any corpus size."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.cosine_range(
+        emb, emb.filter(F.col("vec_id") < 10),
+        threshold=0.3, round_digits=6,
+    )
+
+
+ORACLES["sim_range_search"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 10)
+SELECT q.query_id, c.vec_id AS neighbor_id,
+       ROUND(
+         LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.qv, c.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (SQRT(LIST_SUM(LIST_TRANSFORM(q.qv,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * SQRT(LIST_SUM(LIST_TRANSFORM(c.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         6) AS cos_sim
+FROM q, embeddings c
+WHERE q.query_id != c.vec_id
+  AND ROUND(
+        LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.qv, c.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        / (SQRT(LIST_SUM(LIST_TRANSFORM(q.qv,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * SQRT(LIST_SUM(LIST_TRANSFORM(c.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        6) >= 0.3
+"""
+
+
 ORACLES["sim_topk"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
 s AS (
@@ -1670,6 +1708,7 @@ QUERIES = {
     "dedup_embedding_capped": q_dedup_embedding_capped,
     "dedup_components": q_dedup_components,
     "sim_topk": q_sim_topk,
+    "sim_range_search": q_sim_range_search,
     "sim_topk_filtered": q_sim_topk_filtered,
     "scalar_url": q_scalar_url,
     "sim_pairs_blocked": q_sim_pairs_blocked,
@@ -2088,6 +2127,39 @@ SELECT key, w, CAST(COUNT(*) AS BIGINT) AS n,
          AS crossings
 FROM labeled
 GROUP BY key, w
+"""
+
+
+def q_multimodal_audio_resample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sample-rate decimation over REAL decoded PCM: every audio key's
+    tone WAV decodes and decimates 4:1 (phase 0), with per-clip
+    integer-exact stats of the decimated signal — the rate-reduction
+    stage of an audio pipeline.  The oracle recomputes the synthesis
+    formula at the decimated indices (i % 4 = 0), so a phase or stride
+    slip is value-visible."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    tones = M.attach_tone_payload(docs, "doc_id")
+    return M.audio_resample_stats(tones, factor=4)
+
+
+ORACLES["multimodal_audio_resample"] = """
+WITH au AS (SELECT doc_id AS key FROM documents WHERE doc_id % 3 = 1),
+s AS (
+  SELECT key, u.i AS i,
+         ((u.i * (3 + key % 7) + key) % 4096) - 2048 AS v,
+         100 + key % 400 AS n_in
+  FROM au, UNNEST(RANGE(0, 100 + key % 400)) AS u(i)
+  WHERE u.i % 4 = 0
+)
+SELECT key,
+       CAST(ANY_VALUE(n_in) AS BIGINT) AS n_in,
+       CAST(COUNT(*) AS BIGINT) AS n_out,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       CAST(MIN(v) AS INT) AS min_s,
+       CAST(MAX(v) AS INT) AS max_s
+FROM s GROUP BY key
 """
 
 
@@ -3381,6 +3453,7 @@ QUERIES_DEFERRED = {
     "sim_sq_encode": q_sim_sq_encode,
     "sim_sq_search": q_sim_sq_search,
     "multimodal_audio_features": q_multimodal_audio_features,
+    "multimodal_audio_resample": q_multimodal_audio_resample,
     "multimodal_pixel_stats": q_multimodal_pixel_stats,
     "multimodal_gif_stats": q_multimodal_gif_stats,
     "multimodal_gif_frames": q_multimodal_gif_frames,
