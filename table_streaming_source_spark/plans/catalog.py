@@ -24,7 +24,8 @@ checked the round it lands.  Every entry, in or out of the window,
 stays covered by ``scripts/check_oracle.py`` locally.
 
 Round-5 rotation backlog (landed after the round-4 window filled, local
-replay green): ``multimodal_audio_resample``, ``sim_range_search``.
+replay green): ``multimodal_audio_resample``, ``sim_range_search``,
+``window_pattern_negation``.
 """
 
 from __future__ import annotations

@@ -3818,6 +3818,75 @@ FROM nav
 """
 
 
+def q_window_pattern_negation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sequence pattern with NEGATION — MATCH_RECOGNIZE-lite: a ``view``
+    converts iff the user's next ``purchase`` lands within 6 hours AND
+    no ``click`` occurs strictly between them (the interference pattern
+    funnels can't express: ``A → B within t, no C between``).
+
+    Shape: everything is forward-looking navigation over ONE
+    user-ordered window pass — conditional min-over-following frames
+    give the next purchase/click timestamps, the pattern is a row-local
+    predicate, and a per-user aggregate reports views vs conversions.
+    No self-join, no pair explosion; per-user ordered state is the same
+    bounded-partition discipline as every window entry."""
+    e = t(spark, sf_dir, "events")
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w_next)
+    next_click = F.min(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w_next)
+    flagged = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        next_purchase.alias("__np"),
+        next_click.alias("__nc"),
+    ).filter(F.col("event_type") == "view")
+    converted = (
+        F.col("__np").isNotNull()
+        & (F.col("__np") <= F.col("ts") + F.expr("INTERVAL 6 HOURS"))
+        & (F.col("__nc").isNull() | (F.col("__nc") > F.col("__np")))
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.sum(converted.cast("long")).cast("bigint")
+            .alias("n_converted"),
+        )
+    )
+
+
+ORACLES["window_pattern_negation"] = """
+WITH nav AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_views,
+       CAST(SUM(CASE WHEN np IS NOT NULL
+                      AND np <= ts + INTERVAL 6 HOUR
+                      AND (nc IS NULL OR nc > np)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM nav WHERE event_type = 'view'
+GROUP BY user_id
+"""
+
+
 def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample + gap-fill: monthly order counts and revenue
     per priority on a **dense** month grid — missing (priority, month)
@@ -4480,6 +4549,7 @@ QUERIES = {
     "ts_resample_ohlc": q_ts_resample_ohlc,
     "zorder_key": q_zorder_key,
     "ts_interpolate": q_ts_interpolate,
+    "window_pattern_negation": q_window_pattern_negation,
     "market_share": q_market_share,
     "sql_cte_window": q_sql_cte_window,
     "sql_lateral": q_sql_lateral,
