@@ -492,6 +492,51 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    key: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """DIRECTED shingle containment ``|A∩B| / |A|`` — the asymmetric
+    near-dup measure Jaccard misses: a short document quoted wholesale
+    inside a long one has containment ≈ 1 while Jaccard ≈ |A|/|B| ≈ 0.
+    This is the subset/quotation detector (boilerplate inclusions,
+    doc-in-doc scrapes) a corpus-dedup pass runs beside symmetric
+    Jaccard.
+
+    Returns ordered ``(key_a, key_b, containment)`` rows meaning "A is
+    ≥ threshold contained in B" — both directions are evaluated, so a
+    mutual near-dup emits two rows.  Same physical shape as
+    :func:`ngram_jaccard_pairs` (shingle equi-join prunes the n² space,
+    only shingles/keys shuffle); at 100 TB block through MinHash-style
+    banding first — containment even admits a one-sided LSH (only A's
+    signature length matters).
+    """
+    shingled = shingle_table(_spread(df), text_col, key, n)
+    sizes = shingled.groupBy(key).agg(F.count(F.lit(1)).alias("sz"))
+    a = shingled.select(F.col(key).alias("key_a"), "shingle")
+    b = shingled.select(F.col(key).alias("key_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("key_a") != F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(key).alias("key_a"), F.col("sz").alias("sz_a"))
+    return (
+        inter.join(sz_a, "key_a")
+        .select(
+            "key_a",
+            "key_b",
+            (F.col("inter") / F.col("sz_a")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def simhash(
     df: DataFrame, text_col: str, key: str, *, bits: int = 60
 ) -> DataFrame:

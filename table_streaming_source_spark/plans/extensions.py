@@ -101,6 +101,34 @@ WHERE inter / (za.sz + zb.sz - inter) >= 0.2
 """
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment |A∩B|/|A| ≥ 0.6
+    (`operators/dedup.py::containment_pairs`) — the asymmetric
+    quote/subset detector: a short document fully quoted inside a long
+    one has containment ≈ 1 while Jaccard vanishes.  Both directions
+    evaluated; only shingles and keys shuffle."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.trim("text"), r"\s+")) >= 3
+    )
+    return D.containment_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.6
+    )
+
+
+ORACLES["dedup_containment"] = f"""
+WITH {_SQL_SHINGLES3},
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT key_a, key_b, inter / za.sz AS containment
+FROM inter JOIN sz za ON za.doc_id = key_a
+WHERE inter / za.sz >= 0.6
+"""
+
+
 def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered exact Jaccard (PPJoin-family candidate pruning):
     only each document's rarest ``|x| − ⌈t·|x|⌉ + 1`` shingles index
@@ -1701,6 +1729,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_containment": q_dedup_containment,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_star": q_dedup_minhash_star,
     "dedup_simhash": q_dedup_simhash,
