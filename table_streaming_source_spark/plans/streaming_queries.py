@@ -462,6 +462,62 @@ SELECT DISTINCT event_id, ts, event_type FROM events
 """
 
 
+def q_streaming_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline STATE-STORE introspection (Spark 4 state data source):
+    drain a multi-batch streaming aggregation, then read the
+    checkpoint's keyed state back as a DataFrame with
+    ``spark.read.format("statestore")`` — the operational surface for
+    debugging state bloat, auditing watermark eviction, and seeding
+    state migrations.  The state of a complete-mode aggregate is the
+    aggregate itself, so the inspection is fully value-checkable: the
+    oracle states the batch aggregation the state must equal.  Sums
+    ride the decimal path INSIDE the state buffer, so the drained
+    micro-batch order cannot perturb the comparison."""
+    events = t(spark, sf_dir, "events").select("event_type", "value")
+    src = _stream_fixture(
+        spark, sf_dir, "state_inspect",
+        lambda d: events.repartition(4).write.mode("overwrite").parquet(d),
+    )
+    base = _scratch.scratch_dir("streaming_state_inspect", sf_dir, fresh=True)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value")
+    )
+    with _stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("noop")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
+    state = spark.read.format("statestore").load(f"{base}/ckpt")
+    result = (
+        state.select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.sum").cast("double").alias("sum_value"),
+        )
+        .localCheckpoint(eager=True)  # materialize before base is removed
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+ORACLES["streaming_state_inspect"] = """
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 def q_streaming_changelog_upsert(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -580,6 +636,7 @@ QUERIES = {
     "streaming_interval_join": q_streaming_interval_join,
     "streaming_dedup": q_streaming_dedup,
     "streaming_changelog_upsert": q_streaming_changelog_upsert,
+    "streaming_state_inspect": q_streaming_state_inspect,
 }
 
 def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
