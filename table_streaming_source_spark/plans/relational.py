@@ -3887,6 +3887,63 @@ GROUP BY user_id
 """
 
 
+def q_window_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days — the canonical islands detection via the date-minus-dense-rank
+    trick (consecutive days share ``day − rank`` as a constant island
+    key), engagement analytics' streak metric.
+
+    Shape: one distinct-days aggregate, one per-user ordered window for
+    the rank, then two hash aggregates (island length → per-user max).
+    All group keys are user-bounded; the window partition is a user's
+    distinct days — the bounded-partition discipline of every window
+    entry."""
+    e = t(spark, sf_dir, "events")
+    days = (
+        e.select(
+            "user_id", F.to_date("ts").alias("day")
+        ).distinct()
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("day")
+    )
+    islands = days.select(
+        "user_id",
+        "day",
+        F.date_sub(F.col("day"), rk).alias("__island"),
+    )
+    return (
+        islands.groupBy("user_id", "__island")
+        .agg(F.count(F.lit(1)).alias("__len"))
+        .groupBy("user_id")
+        .agg(
+            F.max("__len").cast("bigint").alias("longest_streak"),
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        )
+    )
+
+
+ORACLES["window_streaks"] = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+islands AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY day) AS INT) AS island
+  FROM days
+),
+runs AS (
+  SELECT user_id, island, COUNT(*) AS len
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM runs GROUP BY user_id
+"""
+
+
 def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample + gap-fill: monthly order counts and revenue
     per priority on a **dense** month grid — missing (priority, month)
@@ -4550,6 +4607,7 @@ QUERIES = {
     "zorder_key": q_zorder_key,
     "ts_interpolate": q_ts_interpolate,
     "window_pattern_negation": q_window_pattern_negation,
+    "window_streaks": q_window_streaks,
     "market_share": q_market_share,
     "sql_cte_window": q_sql_cte_window,
     "sql_lateral": q_sql_lateral,
