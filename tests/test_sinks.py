@@ -225,3 +225,45 @@ def test_upsert_sink_compacts_duplicate_ops_with_sequence(spark, tmp_path):
         (1, "a3", 5.0),
         (2, "b2", 7.0),
     ]
+
+
+def test_upsert_sink_random_batch_sequence_vs_model(spark, tmp_path):
+    """End-to-end randomized run: six seeded-random CDC micro-batches
+    (duplicate keys inside batches, upsert semantics via sequence_col)
+    applied through the sink, with the final state compared against a
+    dict model that applies every op in sequence order."""
+    import os
+    import random
+
+    from table_streaming_source_spark.sinks import upsert_sink
+
+    rng = random.Random(4)
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    on_batch, current = upsert_sink(
+        spark, state_dir, key="k", sequence_col="seq"
+    )
+    model: dict = {}
+    seq = 0
+    for b in range(6):
+        rows = []
+        for _ in range(rng.randrange(5, 25)):
+            k = rng.randrange(30)
+            op = rng.choice("IUD")
+            rows.append((k, seq, op, f"s{seq}", float(seq)))
+            seq += 1
+        batch = spark.createDataFrame(
+            rows, "k int, seq int, op string, s string, v double"
+        )
+        on_batch(batch, b)
+        # model: latest op per key within the batch, upsert semantics
+        last = {}
+        for k, sq, op, s, v in rows:
+            last[k] = (op, s, v)
+        for k, (op, s, v) in last.items():
+            if op in ("I", "U"):
+                model[k] = (s, v)
+            elif k in model:
+                del model[k]
+    got = {r.k: (r.s, r.v) for r in current().collect()}
+    assert got == model
