@@ -1813,6 +1813,141 @@ def encode_jpeg_gray_coeffs(
     return bytes(out)
 
 
+#: AC huffman table for progressive scans: the Annex K baseline AC table
+#: has no EOBn symbols (r<<4, r ≥ 1), which progressive end-of-band runs
+#: require — so progressive files carry a custom table (as real encoders
+#: do).  All 176 symbols at code length 9 (canonical, 176 < 2⁹−1).
+_JPEG_PROG_AC_VALS = tuple(
+    [0x00, 0xF0]
+    + [r << 4 for r in range(1, 15)]
+    + [(run << 4) | s for run in range(16) for s in range(1, 11)]
+)
+_JPEG_PROG_AC_BITS = (0, 0, 0, 0, 0, 0, 0, 0, len(_JPEG_PROG_AC_VALS),
+                      0, 0, 0, 0, 0, 0, 0)
+
+
+def encode_jpeg_gray_progressive(
+    qblocks, width: int, height: int, qtable
+) -> bytes:
+    """Entropy-encode pre-quantized coefficient blocks into a complete
+    PROGRESSIVE (SOF2) grayscale JPEG using spectral selection plus DC
+    successive approximation — four scans per T.81 Annex G:
+
+    1. DC first pass (Ss=0, Se=0, Ah=0, Al=1): diffs of ``dc >> 1``;
+    2. DC refinement (Ah=1, Al=0): one raw bit (``dc & 1``) per block;
+    3. AC band 1–5 first pass (Al=0), with EOBn run coalescing;
+    4. AC band 6–63 first pass (Al=0), likewise.
+
+    Coefficient-domain input keeps the encoder lossless (the baseline
+    encoder's property), so the decoder can be checked bit-exactly.
+    Consecutive end-of-band blocks coalesce into EOBn codes, so the
+    decoder's EOBRUN path is genuinely exercised."""
+    dc_enc = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    qzz = bytes(qtable[_JPEG_ZIGZAG[i]] for i in range(64))
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + qzz)
+    out += seg(  # SOF2: progressive DCT, 1 component, 1x1 sampling
+        0xC2,
+        struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0)),
+    )
+    out += seg(0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(
+        0xC4,
+        b"\x11" + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS),
+    )
+    ac_enc = _huff_encode_table(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+
+    zz_blocks = [
+        [int(blk[_JPEG_ZIGZAG[k]]) for k in range(64)] for blk in qblocks
+    ]
+
+    # scan 1: DC first pass, point transform Al=1 (arithmetic shift)
+    out += seg(0xDA, bytes((1, 1, 0x00, 0, 0, 0x01)))
+    w = _JpegBitWriter()
+    prev = 0
+    for zz in zz_blocks:
+        v = zz[0] >> 1
+        t, mag = _mag_bits(v - prev)
+        prev = v
+        code, length = dc_enc[t]
+        w.write(code, length)
+        w.write(mag, t)
+    w.flush()
+    out += w.out
+
+    # scan 2: DC refinement — one raw bit per block, no huffman
+    out += seg(0xDA, bytes((1, 1, 0x00, 0, 0, 0x10)))
+    w = _JpegBitWriter()
+    for zz in zz_blocks:
+        w.write(zz[0] & 1, 1)
+    w.flush()
+    out += w.out
+
+    # scans 3 + 4: AC spectral bands, first pass, EOBn coalescing
+    # (AC table id 1 — the progressive table carrying EOBn symbols)
+    for ss, se in ((1, 5), (6, 63)):
+        out += seg(0xDA, bytes((1, 1, 0x01, ss, se, 0x00)))
+        w = _JpegBitWriter()
+        eobrun = 0
+
+        def flush_eob(w=w):
+            # EOBn: symbol r<<4 declares run ∈ [2^r, 2^{r+1}), the r
+            # appended bits carry run − 2^r (T.81 G.1.2.2); runs over
+            # 32767 split across codes
+            nonlocal eobrun
+            while eobrun:
+                n = min(eobrun, 32767)
+                r = n.bit_length() - 1
+                code, length = ac_enc[r << 4]
+                w.write(code, length)
+                if r:
+                    w.write(n - (1 << r), r)
+                eobrun -= n
+        for zz in zz_blocks:
+            band = zz[ss : se + 1]
+            if not any(band):
+                eobrun += 1
+                continue
+            flush_eob()
+            run = 0
+            last_nz = max(i for i, v in enumerate(band) if v)
+            for i, v in enumerate(band[: last_nz + 1]):
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_enc[0xF0]
+                    w.write(code, length)
+                    run -= 16
+                t, mag = _mag_bits(v)
+                code, length = ac_enc[(run << 4) | t]
+                w.write(code, length)
+                w.write(mag, t)
+                run = 0
+            if last_nz < se - ss:
+                eobrun += 1  # this block's own end-of-band
+        flush_eob()
+        w.flush()
+        out += w.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _next_marker(payload: bytes, pos: int) -> int:
+    """First position ≥ pos of a real marker (0xFF followed by neither
+    0x00 stuffing nor another fill 0xFF)."""
+    while pos + 1 < len(payload):
+        if payload[pos] == 0xFF and payload[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    raise ValueError("ran off JPEG stream looking for a marker")
+
+
 def jpeg_planes(payload: bytes) -> "list":
     """Decode a baseline sequential JPEG (SOF0/SOF1, huffman) to its
     per-component uint8 planes (Y, or Y/Cb/Cr for 4:4:4 color), AFTER
@@ -1821,7 +1956,12 @@ def jpeg_planes(payload: bytes) -> "list":
     restart markers honored.  Component planes are the bit-exact
     contract (the DC path round-trips integers exactly); the float
     YCbCr→RGB conversion layers on top in :func:`jpeg_pixels`.
-    Progressive (SOF2), arithmetic-coded, and subsampled JPEGs raise
+
+    Progressive (SOF2) grayscale decodes for REAL (round 4): per-scan
+    coefficient accumulation across DC first/refinement passes and AC
+    spectral bands with EOBn runs (T.81 Annex G), then the shared
+    dequant+IDCT.  Progressive color, AC successive-approximation
+    refinement, arithmetic-coded, and subsampled JPEGs raise
     ``ValueError`` — route through :func:`quarantine_decode`."""
     import numpy as np
 
@@ -1832,8 +1972,10 @@ def jpeg_planes(payload: bytes) -> "list":
     restart_interval = 0
     comps = None
     width = height = None
+    progressive = False
+    prog_coef = None  # per-block zigzag-order int coefficients
     pos = 2
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad marker alignment")
         marker = payload[pos + 1]
@@ -1841,10 +1983,30 @@ def jpeg_planes(payload: bytes) -> "list":
             pos += 1
             continue
         if marker == 0xD9:  # EOI
+            if progressive and prog_coef is not None:
+                bw = (width + 7) // 8
+                bh = (height + 7) // 8
+                q = qtables[comps[0]["tq"]]
+                plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+                for m, zz in enumerate(prog_coef):
+                    by, bx = divmod(m, bw)
+                    coeffs = [0.0] * 64
+                    for k in range(64):
+                        nat = _JPEG_ZIGZAG[k]
+                        coeffs[nat] = zz[k] * q[nat]
+                    plane[
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ] = _idct_block(coeffs)
+                return [
+                    np.clip(np.round(plane[:height, :width] + 128.0), 0, 255)
+                    .astype(np.uint8)
+                ]
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             pos += 2  # standalone markers carry no length field
             continue
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment header")
         size = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
         body = payload[pos + 4 : pos + 2 + size]
         pos += 2 + size
@@ -1873,8 +2035,22 @@ def jpeg_planes(payload: bytes) -> "list":
                         "chroma subsampling not supported (4:4:4 only)"
                     )
                 comps.append({"id": cid, "tq": tq})
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG not supported — quarantine")
+        elif marker == 0xC2:  # SOF2: progressive DCT
+            _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 1:
+                raise ValueError(
+                    "progressive color not supported (grayscale only) — "
+                    "quarantine"
+                )
+            cid, samp, tq = body[6:9]
+            if samp != 0x11:
+                raise ValueError("chroma subsampling not supported")
+            comps = [{"id": cid, "tq": tq}]
+            progressive = True
+            prog_coef = [
+                [0] * 64
+                for _ in range(((width + 7) // 8) * ((height + 7) // 8))
+            ]
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
             raise ValueError("non-baseline JPEG not supported — quarantine")
@@ -1889,6 +2065,89 @@ def jpeg_planes(payload: bytes) -> "list":
                 i += 17 + n
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA and progressive:
+            # one progressive scan (T.81 Annex G): DC first / DC refine /
+            # AC band first pass; coefficient state persists across scans
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("interleaved progressive scan — quarantine")
+            tabs = body[2]
+            ss, se, a = body[3], body[4], body[5]
+            ah, al = a >> 4, a & 0xF
+            r = _JpegBitReader(payload, pos)
+            nblocks = len(prog_coef)
+            if ss == 0:
+                if se != 0:
+                    raise ValueError(
+                        "progressive scan mixes DC and AC bands"
+                    )
+                if ah == 0:  # DC first pass (point transform << Al)
+                    dct = htables[(0, tabs >> 4)]
+                    pred = 0
+                    for m in range(nblocks):
+                        if (
+                            restart_interval
+                            and m
+                            and m % restart_interval == 0
+                        ):
+                            r.align()
+                            if not (
+                                r.data[r.pos] == 0xFF
+                                and 0xD0 <= r.data[r.pos + 1] <= 0xD7
+                            ):
+                                raise ValueError("expected restart marker")
+                            r.pos += 2
+                            pred = 0
+                        t = r.huff(dct)
+                        pred += _receive_extend(r, t)
+                        prog_coef[m][0] = pred << al
+                else:  # DC refinement: one raw correction bit per block
+                    for m in range(nblocks):
+                        prog_coef[m][0] |= r.bit() << al
+            else:
+                if ah != 0:
+                    raise ValueError(
+                        "AC successive-approximation refinement not "
+                        "supported — quarantine"
+                    )
+                act = htables[(1, tabs & 0xF)]
+                eobrun = 0
+                for m in range(nblocks):
+                    if (
+                        restart_interval
+                        and m
+                        and m % restart_interval == 0
+                    ):
+                        r.align()
+                        if not (
+                            r.data[r.pos] == 0xFF
+                            and 0xD0 <= r.data[r.pos + 1] <= 0xD7
+                        ):
+                            raise ValueError("expected restart marker")
+                        r.pos += 2
+                        eobrun = 0
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = r.huff(act)
+                        run, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if run == 15:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            # EOBn: run length incl. this block
+                            eobrun = (1 << run) - 1
+                            if run:
+                                eobrun += r.bits(run)
+                            break
+                        k += run
+                        if k > se:
+                            raise ValueError("AC band index overflow")
+                        prog_coef[m][k] = _receive_extend(r, s) << al
+                        k += 1
+            pos = _next_marker(payload, r.pos)
         elif marker == 0xDA:  # SOS → entropy-coded data follows
             if comps is None:
                 raise ValueError("SOS before SOF")
@@ -2003,6 +2262,59 @@ def synth_jpeg_blocks(width: int, height: int, seed: int) -> bytes:
     return encode_jpeg_gray_coeffs(
         qblocks, width, height, _JPEG_SYNTH_QTABLE
     )
+
+
+def synth_jpeg_progressive(width: int, height: int, seed: int) -> bytes:
+    """The :func:`synth_jpeg_blocks` image as a PROGRESSIVE (SOF2) JPEG:
+    same block-constant pixel formula (DC-exact), encoded across four
+    scans (DC first + DC refinement + two AC spectral bands).  The DC
+    value reassembles from TWO scans — ``(dc >> 1) << 1`` plus the
+    refinement bit — so a decoder that skips the successive-
+    approximation merge cannot produce the formula's pixels; the
+    all-zero AC bands drain through EOBn run codes, exercising the
+    EOBRUN path on every block."""
+    if width % 8 or height % 8:
+        raise ValueError("synth dimensions must be multiples of 8")
+    bw, bh = width // 8, height // 8
+    qblocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            v = (7 * bx + 13 * by + seed) % 256
+            blk = [0] * 64
+            blk[0] = v - 128
+            qblocks.append(blk)
+    return encode_jpeg_gray_progressive(
+        qblocks, width, height, _JPEG_SYNTH_QTABLE
+    )
+
+
+def attach_jpeg_progressive_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one :func:`synth_jpeg_progressive` per key (same
+    geometry formulas as :func:`attach_jpeg_payload`)."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_jpeg_progressive(
+                            8 * (2 + (7 * int(k)) % 6),
+                            8 * (2 + (13 * int(k)) % 6),
+                            int(k),
+                        )
+                        for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
 
 
 def attach_jpeg_payload(df: DataFrame, key: str) -> DataFrame:

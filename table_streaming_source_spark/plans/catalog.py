@@ -26,7 +26,8 @@ stays covered by ``scripts/check_oracle.py`` locally.
 Round-5 rotation backlog (landed after the round-4 window filled, local
 replay green): ``multimodal_audio_resample``, ``sim_range_search``,
 ``window_pattern_negation``, ``dedup_containment``,
-``streaming_state_inspect``, ``window_streaks``.
+``streaming_state_inspect``, ``window_streaks``,
+``multimodal_jpeg_progressive``.
 """
 
 from __future__ import annotations

@@ -2453,6 +2453,52 @@ def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_pixel_stats(imgs)
 
 
+def q_multimodal_jpeg_progressive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL progressive JPEG decode (SOF2, T.81 Annex G): every image
+    key gets a four-scan progressive file — DC first pass, DC
+    successive-approximation refinement, and two AC spectral bands with
+    EOBn run codes — and the engine reconstructs coefficients across
+    scans before the shared dequant+IDCT
+    (`operators/multimodal.py::jpeg_planes`).  The DC value only
+    assembles correctly from BOTH approximation scans, so the oracle's
+    block formula is unreachable without the progressive merge; this
+    retires the round-3/4 'progressive routes to quarantine' caveat
+    for grayscale spectral-selection files (AC successive-approximation
+    refinement and progressive color still quarantine, documented)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    imgs = M.attach_jpeg_progressive_payload(docs, "doc_id")
+    return M.image_pixel_stats(imgs)
+
+
+ORACLES["multimodal_jpeg_progressive"] = """
+WITH im AS (
+  SELECT doc_id AS key,
+         8 * (2 + (7 * doc_id) % 6) AS w,
+         8 * (2 + (13 * doc_id) % 6) AS h
+  FROM documents WHERE doc_id % 3 = 1
+),
+px AS (
+  SELECT key, w, h, ux.x AS x, uy.y AS y,
+         (7 * (ux.x // 8) + 13 * (uy.y // 8) + key) % 256 AS p
+  FROM im, UNNEST(RANGE(0, w)) AS ux(x), UNNEST(RANGE(0, h)) AS uy(y)
+)
+SELECT key,
+       CAST(ANY_VALUE(w) AS INT) AS width,
+       CAST(ANY_VALUE(h) AS INT) AS height,
+       CAST(SUM(p) AS BIGINT) AS sum_px,
+       CAST(MIN(p) AS INT) AS min_px,
+       CAST(MAX(p) AS INT) AS max_px,
+       CAST(SUM(CASE WHEN x < w - 1
+                     THEN ABS((7 * ((x + 1) // 8) + 13 * (y // 8) + key)
+                              % 256 - p)
+                     ELSE 0 END) AS BIGINT) AS edge_energy
+FROM px
+GROUP BY key
+"""
+
+
 ORACLES["multimodal_jpeg_stats"] = """
 WITH im AS (
   SELECT doc_id AS key,
@@ -3488,6 +3534,7 @@ QUERIES_DEFERRED = {
     "multimodal_gif_frames": q_multimodal_gif_frames,
     "multimodal_video_frames": q_multimodal_video_frames,
     "multimodal_jpeg_stats": q_multimodal_jpeg_stats,
+    "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
     "multimodal_jpeg_color": q_multimodal_jpeg_color,
     "multimodal_dedup_phash": q_multimodal_dedup_phash,
     "multimodal_phash_near": q_multimodal_phash_near,

@@ -314,22 +314,67 @@ def test_jpeg_coefficient_roundtrip_with_ac():
         assert (got == ref).all(), f"dri={dri}"
 
 
-def test_jpeg_progressive_routes_to_quarantine():
-    """SOF2 must raise (decoder) and quarantine as a parsed-but-
-    undecodable image (metadata parse still reads SOFn geometry)."""
+def test_jpeg_progressive_unsupported_shapes_quarantine():
+    """A baseline body relabeled SOF2 is INVALID progressive (a
+    progressive scan must be DC-only or AC-only, never Ss=0..Se=63) and
+    must raise; AC successive-approximation refinement scans are the
+    documented unsupported remainder and must raise too."""
+    import struct
+
     import pytest
 
     from table_streaming_source_spark.operators import multimodal as M
 
     payload = M.synth_jpeg_blocks(16, 16, 1)
     prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="DC and AC"):
         M.jpeg_pixels(prog)
     # container metadata still parses geometry from any SOFn
     assert M.parse_container(prog) == ("image", 16, 16, 1)
     # truncated garbage JPEG raises in both paths
     with pytest.raises(ValueError):
         M.parse_container(b"\xff\xd8\xff\xfe\x00\x04ab")
+    # AC refinement (Ah > 0) quarantines with an explicit message
+    good = bytearray(M.synth_jpeg_progressive(16, 16, 1))
+    # first AC scan header: FF DA len=8, ns=1 cid=1 tabs=0x01 Ss=1 Se=5 a=0
+    i = good.find(b"\xff\xda\x00\x08\x01\x01\x01\x01\x05\x00")
+    assert i > 0
+    good[i + 9] = 0x10  # Ah=1, Al=0 → refinement
+    with pytest.raises(ValueError, match="refinement"):
+        M.jpeg_pixels(bytes(good))
+
+
+def test_jpeg_progressive_decodes_bit_exactly():
+    """Progressive (SOF2) decode equals the baseline decode of the SAME
+    coefficient blocks — DC reassembled across two successive-
+    approximation scans, AC drained through EOBn runs — for random
+    sparse spectra and for a long all-EOB chain."""
+    import numpy as np
+
+    from table_streaming_source_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(11)
+    q = [8] + [16] * 63
+    for _ in range(4):
+        bw, bh = rng.randint(1, 5), rng.randint(1, 5)
+        w, h = bw * 8, bh * 8
+        blocks = []
+        for _ in range(bw * bh):
+            blk = np.zeros(64, dtype=np.int64)
+            blk[0] = rng.randint(-200, 200)
+            if rng.rand() > 0.4:
+                for _ in range(rng.randint(1, 8)):
+                    blk[rng.randint(1, 64)] = rng.randint(-80, 80)
+            blocks.append(blk.tolist())
+        base = M.encode_jpeg_gray_coeffs(blocks, w, h, q)
+        prog = M.encode_jpeg_gray_progressive(blocks, w, h, q)
+        assert (M.jpeg_planes(base)[0] == M.jpeg_planes(prog)[0]).all()
+        assert M.parse_container(prog) == ("image", w, h, 1)
+    # 64 DC-only blocks: both AC scans are one EOBn chain (run > 32)
+    blocks = [[v, *([0] * 63)] for v in range(-30, 34)]
+    base = M.encode_jpeg_gray_coeffs(blocks, 64, 64, q)
+    prog = M.encode_jpeg_gray_progressive(blocks, 64, 64, q)
+    assert (M.jpeg_planes(base)[0] == M.jpeg_planes(prog)[0]).all()
 
 
 def test_jpeg_container_parse_geometry():
