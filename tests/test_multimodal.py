@@ -596,3 +596,44 @@ def test_avi_decoder_binds_video_strf_in_multistream_file():
     body = b"AVI " + hdrl_a + movi
     with _pytest.raises(ValueError, match="without a BITMAPINFOHEADER"):
         M.avi_frames(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_jpeg_progressive_hand_assembled_bitstream_anchor():
+    """Independent spec anchor: a progressive stream assembled BY HAND
+    from T.81 (not via our encoder) — DC first pass carries diff=5 as
+    Annex-K category-3 code '100'+'101' under point transform Al=1, the
+    refinement scan contributes bit 1 (with 0xFF byte stuffing forced
+    by the padding), and each AC band is one 9-bit EOB0 from the
+    custom progressive table.  DC = (5<<1)|1 = 11 → S00 = 88 → flat
+    block 11 → pixel 139 everywhere.  Proves the decoder semantics
+    independently of encoder/decoder co-evolution."""
+    import struct
+
+    from table_streaming_source_spark.operators import multimodal as M
+
+    def seg(marker, body):
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    q = [8] + [16] * 63
+    qzz = bytes(q[M._JPEG_ZIGZAG[i]] for i in range(64))
+    f = bytearray(b"\xff\xd8")
+    f += seg(0xDB, b"\x00" + qzz)
+    f += seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes((1, 0x11, 0)))
+    f += seg(0xC4, b"\x00" + bytes(M._JPEG_DC_BITS) + bytes(M._JPEG_DC_VALS))
+    f += seg(
+        0xC4,
+        b"\x11" + bytes(M._JPEG_PROG_AC_BITS) + bytes(M._JPEG_PROG_AC_VALS),
+    )
+    # DC first (Al=1): cat-3 '100' + magnitude '101' + pad '11' = 0x97
+    f += seg(0xDA, bytes((1, 1, 0x00, 0, 0, 0x01))) + bytes([0b10010111])
+    # DC refinement: correction bit 1 + all-ones padding = 0xFF (stuffed)
+    f += seg(0xDA, bytes((1, 1, 0x00, 0, 0, 0x10))) + bytes([0xFF, 0x00])
+    # AC bands: one EOB0 (9-bit code 000000000) + padding
+    for ss, se in ((1, 5), (6, 63)):
+        f += seg(0xDA, bytes((1, 1, 0x01, ss, se, 0x00))) + bytes(
+            [0x00, 0x7F]
+        )
+    f += b"\xff\xd9"
+    plane = M.jpeg_planes(bytes(f))[0]
+    assert plane.shape == (8, 8)
+    assert (plane == 139).all()
