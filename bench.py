@@ -64,6 +64,7 @@ HEADLINE = [
     "multimodal_gif_stats",
     # round 4 addition: the baseline JPEG huffman+IDCT decode path
     "multimodal_jpeg_stats",
+    "multimodal_jpeg_progressive",
     # round 4b additions: CDC MERGE (full-outer upsert), iterative BPE
     # training (the multi-round argmax+fold pipeline), and the AVI DIB
     # video decode path

@@ -27,7 +27,7 @@ Round-5 rotation backlog (landed after the round-4 window filled, local
 replay green): ``multimodal_audio_resample``, ``sim_range_search``,
 ``window_pattern_negation``, ``dedup_containment``,
 ``streaming_state_inspect``, ``window_streaks``,
-``multimodal_jpeg_progressive``.
+``scalar_bitwise``.
 """
 
 from __future__ import annotations
@@ -95,7 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_scd2",
     "window_attribution",
     "multimodal_jpeg_color",
-    "scalar_bitwise",
+    "multimodal_jpeg_progressive",
     "merge_upsert",
     "ts_resample_ohlc",
     "streaming_changelog_upsert",
