@@ -921,3 +921,30 @@ def test_merge_into_randomized_vs_model_with_duplicate_ops(spark):
         ).collect()
     }
     assert got == model
+
+
+def test_cosine_range_threshold_and_no_ranking(spark):
+    """Radius search returns exactly the above-threshold pairs, and its
+    plan contains no window/sort operator (the scale property: a pure
+    filter over the scored stream)."""
+    from table_streaming_source_spark.operators.similarity import (
+        cosine_range,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),     # cos=1.0 with 1
+            (3, [0.0, 1.0]),     # cos=0.0 with 1
+            (4, [1.0, 1.0]),     # cos≈0.7071 with 1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = cosine_range(
+        emb, emb.filter(F.col("vec_id") == 1), threshold=0.5
+    )
+    got = {(r.query_id, r.neighbor_id): r.cos_sim for r in out.collect()}
+    assert set(got) == {(1, 2), (1, 4)}
+    assert got[(1, 2)] == 1.0 and abs(got[(1, 4)] - 0.707107) < 1e-6
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Sort" not in plan
