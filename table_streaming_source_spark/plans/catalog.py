@@ -27,7 +27,7 @@ Round-5 rotation backlog (landed after the round-4 window filled, local
 replay green): ``multimodal_audio_resample``, ``sim_range_search``,
 ``window_pattern_negation``, ``dedup_containment``,
 ``streaming_state_inspect``, ``window_streaks``,
-``scalar_bitwise``.
+``scalar_bitwise``, ``text_lm_heldout_eval``.
 """
 
 from __future__ import annotations

@@ -3318,6 +3318,115 @@ GROUP BY b.doc_id
 """
 
 
+def q_text_lm_heldout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT language-model evaluation — the train/test discipline
+    the in-corpus ``text_bigram_lm`` scorer deliberately skips: an 80/20
+    deterministic hash split, bigram counts learned on train only, and
+    every held-out document scored under add-1 smoothing with UNSEEN
+    bigrams and histories handled through the left joins (count 0, the
+    smoothing's whole point).  This is the fluency-filter eval loop
+    (CCNet-style) run inside the engine; the scores differ from
+    train-set scoring precisely on the OOV mass, which the oracle
+    reproduces exactly."""
+    docs = t(spark, sf_dir, "documents")
+    split = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+            16, 10,
+        ).cast("long") % 10
+    )
+    train = docs.filter(split < 8)
+    test = docs.filter(split >= 8)
+    toks = F.filter(
+        F.split(F.trim("text"), r"\s+"), lambda x: F.length(x) > 0
+    )
+    pair_t = "array<struct<w1:string,w2:string>>"
+
+    def bigrams(d: DataFrame) -> DataFrame:
+        return (
+            d.select("doc_id", toks.alias("__toks"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.when(
+                        F.size("__toks") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(0), F.size("__toks") - 2),
+                            lambda i: F.struct(
+                                F.element_at("__toks", i + 1).alias("w1"),
+                                F.element_at("__toks", i + 2).alias("w2"),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast(pair_t))
+                ).alias("__bg"),
+            )
+            .select(
+                "doc_id",
+                F.col("__bg.w1").alias("w1"),
+                F.col("__bg.w2").alias("w2"),
+            )
+        )
+
+    tb = bigrams(train)
+    c2 = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = tb.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = train.select(F.explode(toks).alias("t")).distinct().count()
+    lp = F.round(
+        F.log(
+            (F.coalesce(F.col("c2"), F.lit(0)) + 1)
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(vocab))
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    return (
+        bigrams(test)
+        .join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(lp).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+ORACLES["text_lm_heldout_eval"] = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 10 AS bucket,
+         STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents
+),
+big AS (
+  SELECT doc_id, bucket, tk[i] AS w1, tk[i+1] AS w2
+  FROM toks, UNNEST(RANGE(1, LEN(tk))) AS u(i)
+  WHERE LEN(tk) >= 2 AND LEN(tk[1]) > 0
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big WHERE bucket < 8
+       GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM big WHERE bucket < 8 GROUP BY w1),
+v AS (
+  SELECT COUNT(DISTINCT token) AS v FROM (
+    SELECT UNNEST(tk) AS token FROM toks WHERE bucket < 8
+  ) WHERE LEN(token) > 0
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(ROUND(
+               LN((COALESCE(c2.c2, 0) + 1)
+                  / (COALESCE(c1.c1, 0) + (SELECT v FROM v))), 9)
+             AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+FROM big b
+LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+LEFT JOIN c1 ON b.w1 = c1.w1
+WHERE b.bucket >= 8
+GROUP BY b.doc_id
+"""
+
+
 def q_sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation as a first-class operator: per-query
     recall@5 of the multi-probe LSH path against the exact brute-force
@@ -3515,6 +3624,7 @@ QUERIES_DEFERRED = {
     "text_mixture_sample": q_text_mixture_sample,
     "text_vocab_coverage": q_text_vocab_coverage,
     "text_bigram_lm": q_text_bigram_lm,
+    "text_lm_heldout_eval": q_text_lm_heldout_eval,
     "text_quality_train": q_text_quality_train,
     "text_feature_hash": q_text_feature_hash,
     "text_bpe_train": q_text_bpe_train,
