@@ -450,6 +450,35 @@ def connected_components(
     )
 
 
+def _shingle_intersections(
+    df: DataFrame, text_col: str, key: str, n: int, *, ordered: bool
+) -> tuple[DataFrame, DataFrame]:
+    """Shared pruning scaffold for the exact set-overlap family: shingle
+    each document, self-join on the shingle (only co-occurring pairs
+    enter the pair space), and count intersections.  ``ordered=True``
+    keeps each unordered pair once (``key_a < key_b``, the symmetric
+    Jaccard shape); ``ordered=False`` keeps both directions (the
+    directed containment shape).  Returns ``(inter, sizes)`` where
+    ``inter`` is ``(key_a, key_b, inter)`` and ``sizes`` is the per-key
+    distinct-shingle count."""
+    shingled = shingle_table(_spread(df), text_col, key, n)
+    sizes = shingled.groupBy(key).agg(F.count(F.lit(1)).alias("sz"))
+    a = shingled.select(F.col(key).alias("key_a"), "shingle")
+    b = shingled.select(F.col(key).alias("key_b"), "shingle")
+    pair_pred = (
+        (F.col("key_a") < F.col("key_b"))
+        if ordered
+        else (F.col("key_a") != F.col("key_b"))
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(pair_pred)
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return inter, sizes
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -465,15 +494,8 @@ def ngram_jaccard_pairs(
     is the exact oracle-checkable semantics).
     Returns ``(key_a, key_b, jaccard)`` with ``key_a < key_b``.
     """
-    shingled = shingle_table(_spread(df), text_col, key, n)
-    sizes = shingled.groupBy(key).agg(F.count(F.lit(1)).alias("sz"))
-    a = shingled.select(F.col(key).alias("key_a"), "shingle")
-    b = shingled.select(F.col(key).alias("key_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("key_a") < F.col("key_b"))
-        .groupBy("key_a", "key_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    inter, sizes = _shingle_intersections(
+        df, text_col, key, n, ordered=True
     )
     sz_a = sizes.select(F.col(key).alias("key_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(key).alias("key_b"), F.col("sz").alias("sz_b"))
@@ -515,15 +537,8 @@ def containment_pairs(
     banding first — containment even admits a one-sided LSH (only A's
     signature length matters).
     """
-    shingled = shingle_table(_spread(df), text_col, key, n)
-    sizes = shingled.groupBy(key).agg(F.count(F.lit(1)).alias("sz"))
-    a = shingled.select(F.col(key).alias("key_a"), "shingle")
-    b = shingled.select(F.col(key).alias("key_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("key_a") != F.col("key_b"))
-        .groupBy("key_a", "key_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    inter, sizes = _shingle_intersections(
+        df, text_col, key, n, ordered=False
     )
     sz_a = sizes.select(F.col(key).alias("key_a"), F.col("sz").alias("sz_a"))
     return (

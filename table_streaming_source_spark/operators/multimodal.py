@@ -1974,6 +1974,7 @@ def jpeg_planes(payload: bytes) -> "list":
     width = height = None
     progressive = False
     prog_coef = None  # per-block zigzag-order int coefficients
+    prog_scans = 0  # scans decoded — zero at EOI means no image data
     pos = 2
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -1983,6 +1984,11 @@ def jpeg_planes(payload: bytes) -> "list":
             pos += 1
             continue
         if marker == 0xD9:  # EOI
+            if progressive and prog_scans == 0:
+                # SOF2 with no decoded scan: fabricating an all-gray
+                # plane from zero coefficients would hand plausible
+                # stats to a file holding no image data
+                raise ValueError("JPEG without SOS")
             if progressive and prog_coef is not None:
                 bw = (width + 7) // 8
                 bh = (height + 7) // 8
@@ -2103,6 +2109,18 @@ def jpeg_planes(payload: bytes) -> "list":
                         prog_coef[m][0] = pred << al
                 else:  # DC refinement: one raw correction bit per block
                     for m in range(nblocks):
+                        if (
+                            restart_interval
+                            and m
+                            and m % restart_interval == 0
+                        ):
+                            r.align()
+                            if not (
+                                r.data[r.pos] == 0xFF
+                                and 0xD0 <= r.data[r.pos + 1] <= 0xD7
+                            ):
+                                raise ValueError("expected restart marker")
+                            r.pos += 2
                         prog_coef[m][0] |= r.bit() << al
             else:
                 if ah != 0:
@@ -2147,6 +2165,7 @@ def jpeg_planes(payload: bytes) -> "list":
                             raise ValueError("AC band index overflow")
                         prog_coef[m][k] = _receive_extend(r, s) << al
                         k += 1
+            prog_scans += 1
             pos = _next_marker(payload, r.pos)
         elif marker == 0xDA:  # SOS → entropy-coded data follows
             if comps is None:

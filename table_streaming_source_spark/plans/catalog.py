@@ -9,25 +9,26 @@ entries in dict order (verified round 1 — ``CORRECTNESS_r01.json`` is
 exactly ``list(QUERIES)[:50]``).  ``_PRIORITY`` pins the checked window.
 
 Round-4 rotation: rounds 1–3 produced official driver rows for 143
-distinct entries.  This round's window is exactly the 23 entries that
-have never had an official row (the eight round-3 deferrals plus the
-fifteen round-3 additions that landed past the window), the usual three
+distinct entries.  This round's 50-entry window = the usual 3
 cross-round regression sentinels (``flagship_enrichment``,
-``streaming_enrichment``, ``dedup_minhash_lsh``), and this round's 23
-new entries — after this round, every pre-round-4 catalog entry has an
-official driver row in some round (166/166 lifetime coverage), and the
-round-4 surface (CDC MERGE batch+streaming, OHLC/interpolation
-time series, real AVI video decode + composed video pipeline, BPE
+``streaming_enrichment``, ``dedup_minhash_lsh``) + the 23 entries that
+had never had an official row (eight round-3 deferrals plus fifteen
+round-3 additions past the window) + 24 of this round's new entries
+(CDC MERGE batch/sequenced/streaming, OHLC/interpolation time series,
+real AVI video + progressive JPEG decode, composed video pipeline, BPE
 train/encode, trainable quality classifier, feature hashing, triangle
-counting, LATERAL/VARIANT SQL, evolved-schema parquet) is officially
-checked the round it lands.  Every entry, in or out of the window,
-stays covered by ``scripts/check_oracle.py`` locally.
+counting, LATERAL/VARIANT SQL, evolved-schema parquet, state
+inspection's siblings).  After this round every pre-round-4 catalog
+entry has an official driver row in some round (166/166 lifetime
+coverage).  Every entry, in or out of the window, stays covered by
+``scripts/check_oracle.py`` locally.
 
-Round-5 rotation backlog (landed after the round-4 window filled, local
-replay green): ``multimodal_audio_resample``, ``sim_range_search``,
-``window_pattern_negation``, ``dedup_containment``,
-``streaming_state_inspect``, ``window_streaks``,
-``scalar_bitwise``, ``text_lm_heldout_eval``.
+Round-5 rotation backlog (round-4 additions past the filled window,
+local replay green at sf0.01): ``multimodal_audio_resample``,
+``sim_range_search``, ``window_pattern_negation``,
+``dedup_containment``, ``streaming_state_inspect``,
+``window_streaks``, ``scalar_bitwise`` (swapped out for the
+progressive-JPEG entry), ``text_lm_heldout_eval``.
 """
 
 from __future__ import annotations

@@ -513,26 +513,21 @@ def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["sim_range_search"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-           FROM embeddings WHERE vec_id < 10)
-SELECT q.query_id, c.vec_id AS neighbor_id,
-       ROUND(
-         LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.qv, c.embedding),
-                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-         / (SQRT(LIST_SUM(LIST_TRANSFORM(q.qv,
-                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-            * SQRT(LIST_SUM(LIST_TRANSFORM(c.embedding,
-                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-         6) AS cos_sim
-FROM q, embeddings c
-WHERE q.query_id != c.vec_id
-  AND ROUND(
-        LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.qv, c.embedding),
-                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-        / (SQRT(LIST_SUM(LIST_TRANSFORM(q.qv,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-           * SQRT(LIST_SUM(LIST_TRANSFORM(c.embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-        6) >= 0.3
+           FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(
+           LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.qv, c.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (SQRT(LIST_SUM(LIST_TRANSFORM(q.qv,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * SQRT(LIST_SUM(LIST_TRANSFORM(c.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cos_sim
+  FROM q, embeddings c
+  WHERE q.query_id != c.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM scored WHERE cos_sim >= 0.3
 """
 
 

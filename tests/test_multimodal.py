@@ -637,3 +637,27 @@ def test_jpeg_progressive_hand_assembled_bitstream_anchor():
     plane = M.jpeg_planes(bytes(f))[0]
     assert plane.shape == (8, 8)
     assert (plane == 139).all()
+
+
+def test_jpeg_progressive_without_scans_raises():
+    """SOF2 + headers + EOI but NO scan must raise like its baseline
+    twin, not fabricate an all-gray plane from zero coefficients."""
+    import struct
+
+    import pytest
+
+    from table_streaming_source_spark.operators import multimodal as M
+
+    def seg(marker, body):
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    q = [8] + [16] * 63
+    qzz = bytes(q[M._JPEG_ZIGZAG[i]] for i in range(64))
+    f = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + qzz)
+        + seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes((1, 0x11, 0)))
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="without SOS"):
+        M.jpeg_planes(f)
