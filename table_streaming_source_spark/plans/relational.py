@@ -3887,6 +3887,63 @@ GROUP BY user_id
 """
 
 
+def q_agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation and covariance per group — built from exact
+    decimal-path moment sums (Σx, Σy, Σxy, Σx², Σy²) instead of the
+    engines' native ``corr``/``covar`` (whose float accumulation order
+    differs across partitionings): the moments are associative and
+    partitioning-independent, the final ratio is one deterministic
+    row-local double expression, and the oracle states the identical
+    formula.  One map-combinable hash aggregate — the statistics shape
+    that scales exactly like a sum."""
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_discount")
+
+    def m(e, scale=6):
+        return F.sum(e.cast(f"decimal(28,{scale})")).cast("double")
+
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        m(x).alias("__sx"),
+        m(y).alias("__sy"),
+        m(x * y).alias("__sxy"),
+        m(x * x).alias("__sxx"),
+        m(y * y).alias("__syy"),
+    )
+    n = F.col("n")
+    cov_num = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    var_x = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    var_y = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(cov_num / (n * (n - 1)), 9).alias("covar_samp"),
+        F.round(cov_num / F.sqrt(var_x * var_y), 9).alias("corr"),
+    )
+
+
+ORACLES["agg_correlation"] = """
+WITH moments AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(28,6)))
+              AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+              AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(28,6)))
+              AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((n * sxy - sx * sy) / (n * (n - 1)), 9) AS covar_samp,
+       ROUND((n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS corr
+FROM moments
+"""
+
+
 def q_window_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: each user's LONGEST run of consecutive active
     days — the canonical islands detection via the date-minus-dense-rank
@@ -4608,6 +4665,7 @@ QUERIES = {
     "ts_interpolate": q_ts_interpolate,
     "window_pattern_negation": q_window_pattern_negation,
     "window_streaks": q_window_streaks,
+    "agg_correlation": q_agg_correlation,
     "market_share": q_market_share,
     "sql_cte_window": q_sql_cte_window,
     "sql_lateral": q_sql_lateral,
