@@ -3313,6 +3313,108 @@ GROUP BY b.doc_id
 """
 
 
+_BM25_QUERY = ("customer", "table", "data")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring — the search-engine ranking function the
+    tf-idf entry stops short of: for a fixed term query, every matching
+    document scores ``Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
+    with the Robertson-Sparck-Jones idf ``ln((N−df+0.5)/(df+0.5)+1)``.
+
+    Determinism: idf and the per-(doc, term) contribution round to 9
+    decimals and the score sums on the exact decimal path, so ranking
+    is partitioning-independent; N/avgdl are 1-row aggregates
+    (broadcast scalars, bounded by design), df comes from one hash
+    aggregate over matching postings only — the corpus posting list is
+    filtered to the query's terms BEFORE any join, which is the
+    scale order (query terms ≪ vocabulary)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    lengths = docs.select(
+        "doc_id", F.size(toks).alias("dl")
+    )
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    postings = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            + 1.0
+        ),
+        9,
+    )
+    contrib = F.round(
+        idf
+        * (F.col("tf") * (_BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    return (
+        postings.join(df_t, "term")
+        .join(lengths, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+            F.sum(contrib).cast("double").alias("bm25"),
+        )
+    )
+
+
+ORACLES["text_bm25_rank"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT(REGEXP_REPLACE(TRIM(LOWER(text)),
+                     '\\s+', ' ', 'g'), ' '), x -> LEN(x) > 0) AS tk
+  FROM documents
+),
+lengths AS (SELECT doc_id, LEN(tk) AS dl FROM toks),
+stats AS (SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM lengths),
+postings AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, UNNEST(tk) AS term FROM toks
+  ) WHERE term IN ('customer', 'table', 'data')
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term)
+SELECT p.doc_id,
+       COUNT(*) AS n_terms_hit,
+       CAST(SUM(CAST(ROUND(
+         ROUND(LN((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0), 9)
+         * (p.tf * ({_BM25_K1} + 1))
+         / (p.tf + {_BM25_K1}
+            * (1 - {_BM25_B} + {_BM25_B} * lengths.dl / stats.avgdl)), 9)
+       AS DECIMAL(18,9))) AS DOUBLE) AS bm25
+FROM postings p
+JOIN dft USING (term)
+JOIN lengths USING (doc_id)
+CROSS JOIN stats
+GROUP BY p.doc_id
+"""
+
+
 def q_text_lm_heldout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HELD-OUT language-model evaluation — the train/test discipline
     the in-corpus ``text_bigram_lm`` scorer deliberately skips: an 80/20
@@ -3620,6 +3722,7 @@ QUERIES_DEFERRED = {
     "text_vocab_coverage": q_text_vocab_coverage,
     "text_bigram_lm": q_text_bigram_lm,
     "text_lm_heldout_eval": q_text_lm_heldout_eval,
+    "text_bm25_rank": q_text_bm25_rank,
     "text_quality_train": q_text_quality_train,
     "text_feature_hash": q_text_feature_hash,
     "text_bpe_train": q_text_bpe_train,
