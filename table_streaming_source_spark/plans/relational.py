@@ -3887,6 +3887,50 @@ GROUP BY user_id
 """
 
 
+def q_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group standardization (z-score) without a second pass: the
+    group's exact decimal moment sums ride a whole-partition window, so
+    every row gets ``(x − μ)/σ`` from ONE shuffle — the feature-scaling
+    step of any per-segment anomaly or ML-prep pipeline.  Population σ
+    from the moment identity; the rounded result is deterministic under
+    any partitioning (the ``agg_correlation`` discipline applied
+    row-wise)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    sx = F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double")
+    sxx = (
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,6)"))
+        .over(w)
+        .cast("double")
+    )
+    n = F.count(F.lit(1)).over(w)
+    mean = sx / n
+    var = sxx / n - mean * mean
+    return e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round((F.col("value") - mean) / F.sqrt(var), 9).alias("zscore"),
+    )
+
+
+ORACLES["window_zscore"] = """
+WITH m AS (
+  SELECT event_id, event_type, value,
+         CAST(SUM(CAST(value AS DECIMAL(28,6)))
+              OVER (PARTITION BY event_type) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value * value AS DECIMAL(28,6)))
+              OVER (PARTITION BY event_type) AS DOUBLE) AS sxx,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_id, event_type, value,
+       ROUND((value - sx / n) / SQRT(sxx / n - (sx / n) * (sx / n)), 9)
+         AS zscore
+FROM m
+"""
+
+
 def q_agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation and covariance per group — built from exact
     decimal-path moment sums (Σx, Σy, Σxy, Σx², Σy²) instead of the
@@ -4666,6 +4710,7 @@ QUERIES = {
     "window_pattern_negation": q_window_pattern_negation,
     "window_streaks": q_window_streaks,
     "agg_correlation": q_agg_correlation,
+    "window_zscore": q_window_zscore,
     "market_share": q_market_share,
     "sql_cte_window": q_sql_cte_window,
     "sql_lateral": q_sql_lateral,
