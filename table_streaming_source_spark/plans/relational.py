@@ -4642,6 +4642,212 @@ GROUP BY o_orderpriority
 """
 
 
+def q_agg_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares (y = a + b·x, plus R²) from
+    exact decimal-path moment sums — the closed-form regression every
+    per-segment trend/forecast pass needs, built with the
+    ``agg_correlation`` discipline: Σx, Σy, Σxy, Σx², Σy² accumulate as
+    decimals (associative, partitioning-independent), the slope/
+    intercept/R² ratios are one deterministic row-local double
+    expression each, and the oracle states the identical formulas.
+
+    Scale shape: ONE map-combinable hash aggregate over the fact table —
+    a per-group model fit that costs exactly what a per-group sum costs,
+    at any scale.  No second pass, no driver-side math."""
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+
+    def m(e):
+        return F.sum(e.cast("decimal(28,6)")).cast("double")
+
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        m(x).alias("__sx"),
+        m(y).alias("__sy"),
+        m(x * y).alias("__sxy"),
+        m(x * x).alias("__sxx"),
+        m(y * y).alias("__syy"),
+    )
+    n = F.col("n")
+    sxy_c = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    sxx_c = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    syy_c = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    slope = sxy_c / sxx_c
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 9).alias("slope"),
+        F.round((F.col("__sy") - slope * F.col("__sx")) / n, 9)
+        .alias("intercept"),
+        F.round(sxy_c * sxy_c / (sxx_c * syy_c), 9).alias("r2"),
+    )
+
+
+ORACLES["agg_linear_fit"] = """
+WITH moments AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6)))
+              AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+              AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                       AS DECIMAL(28,6))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 9)
+         AS intercept,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS r2
+FROM moments
+"""
+
+
+def q_ts_rollup_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level continuous aggregate (the hypertable rollup contract):
+    events are FIRST rolled up to minute grain, and the hourly answer is
+    re-aggregated *from the minute rollup* — never from raw rows.  The
+    moments (count, decimal sum) are associative, so the two-level
+    result equals the direct hourly aggregate bit-for-bit, which is
+    exactly what the oracle states (it aggregates raw events straight to
+    hours).
+
+    Scale shape: this is how 100 TB time-series serving works — the
+    minute rollup is the materialized view that absorbs the raw-event
+    volume once, and every coarser grain (hour/day/month) re-aggregates
+    from it at 1/60th the cost.  Choosing re-aggregatable moments
+    (count/sum, not avg) is the design point being pinned."""
+    e = t(spark, sf_dir, "events")
+    minute = e.groupBy(
+        F.date_trunc("minute", "ts").alias("minute"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("sv"),
+    )
+    hourly = minute.groupBy(
+        F.date_trunc("hour", "minute").alias("hour"),
+        "event_type",
+    ).agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("sv").alias("__sv"),
+    )
+    return hourly.select(
+        "hour",
+        "event_type",
+        "n_events",
+        F.round(F.col("__sv").cast("double"), 6).alias("sum_value"),
+        F.round(
+            F.col("__sv").cast("double") / F.col("n_events"), 9
+        ).alias("avg_value"),
+    )
+
+
+ORACLES["ts_rollup_reagg"] = """
+SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+         AS sum_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(*), 9) AS avg_value
+FROM events GROUP BY DATE_TRUNC('hour', ts), event_type
+"""
+
+
+def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median (5-row trailing frame per user) — the robust
+    smoother percentile_approx can't give exactly.  The frame's values
+    ride a ``collect_list`` window, are sorted row-locally, and the
+    median is ``(x[⌈n/2⌉] + x[⌊n/2⌋+1]) / 2`` — for odd n the two
+    indices coincide and ``(a+a)/2`` is IEEE-exact, so both engines
+    agree bit-for-bit.  The oracle restates the same sorted-frame
+    arithmetic (no engine MEDIAN — interpolation formulas differ across
+    engines, ours is pinned).
+
+    Scale shape: one window shuffle on ``user_id``; the frame array is
+    O(k)=5 per row regardless of history length — rolling-percentile
+    state that never grows with the partition."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    frame = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(frame)
+    # explicit FLOOR on both sides: a bare double→int cast truncates in
+    # Spark but rounds half-to-even in DuckDB
+    lo = F.element_at(frame, F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at(frame, F.floor(n / 2).cast("int") + 1)
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        ((lo + hi) / 2).alias("rolling_median"),
+    )
+
+
+ORACLES["window_rolling_median"] = """
+WITH f AS (
+  SELECT event_id, user_id, value,
+         LIST_SORT(LIST(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS frame
+  FROM events
+)
+SELECT event_id, user_id, value,
+       (frame[CAST(FLOOR((LEN(frame) + 1) / 2) AS INT)]
+        + frame[CAST(FLOOR(LEN(frame) / 2) AS INT) + 1]) / 2
+         AS rolling_median
+FROM f
+"""
+
+
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: each event type's most frequent
+    hour-of-day, ties broken toward the smaller hour — native ``mode()``
+    is non-deterministic under ties, so the argmax rides a struct-max
+    ``(count, -hour)`` and stays partitioning-independent.
+
+    Scale shape: two hash aggregates, the second over at most
+    |types|×24 rows — the frequency table IS the shuffle, payloads never
+    move."""
+    e = t(spark, sf_dir, "events")
+    freq = e.groupBy("event_type", F.hour("ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    best = freq.groupBy("event_type").agg(
+        F.max(F.struct(F.col("cnt"), (-F.col("hour")).alias("nh")))
+        .alias("__b")
+    )
+    return best.select(
+        "event_type",
+        (-F.col("__b.nh")).cast("int").alias("modal_hour"),
+        F.col("__b.cnt").cast("bigint").alias("n_at_mode"),
+    )
+
+
+ORACLES["agg_mode"] = """
+WITH freq AS (
+  SELECT event_type, EXTRACT(HOUR FROM ts) AS hour, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, EXTRACT(HOUR FROM ts)
+),
+rk AS (
+  SELECT event_type, hour, cnt,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cnt DESC, hour ASC) AS r
+  FROM freq
+)
+SELECT event_type, CAST(hour AS INT) AS modal_hour,
+       CAST(cnt AS BIGINT) AS n_at_mode
+FROM rk WHERE r = 1
+"""
+
+
 QUERIES = {
     "snapshot_scan": q_snapshot_scan,
     "source_csv": q_source_csv,
@@ -4710,6 +4916,10 @@ QUERIES = {
     "window_pattern_negation": q_window_pattern_negation,
     "window_streaks": q_window_streaks,
     "agg_correlation": q_agg_correlation,
+    "agg_linear_fit": q_agg_linear_fit,
+    "agg_mode": q_agg_mode,
+    "ts_rollup_reagg": q_ts_rollup_reagg,
+    "window_rolling_median": q_window_rolling_median,
     "window_zscore": q_window_zscore,
     "market_share": q_market_share,
     "sql_cte_window": q_sql_cte_window,
