@@ -138,3 +138,58 @@ def triangle_counts(
     return tri_nodes.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+def bfs_distances(
+    sources: DataFrame,
+    edges: DataFrame,
+    *,
+    key: str = "v",
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance (≤ ``max_hops``) from any
+    seed vertex, the reachability/diffusion primitive (crawl-frontier
+    expansion, contamination spread through a link graph, "within k
+    citation hops of a benchmark").
+
+    One hop = one equi-join of the frontier with the edge list on the
+    source endpoint, a ``distinct``, and an anti-join against the
+    settled set — all shuffles are on vertex ids, distances are exact
+    integers, so the result is partitioning-independent with no
+    fixed-point tricks needed.  ``localCheckpoint`` truncates lineage so
+    hop ``k`` never replays hops ``1..k-1``; the driver sees no data.
+
+    At 100 TB the frontier/settled sets are key-only tables (8-byte
+    ids); the edge list is the only large operand and it is never
+    materialized beyond each hop's join — the standard iterative-BFS
+    shape Spark graph jobs use short of Pregel.
+
+    Returns ``(key, dist)`` for every vertex reachable within
+    ``max_hops`` (seeds at distance 0).
+    """
+    e = edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
+    settled = (
+        sources.select(F.col(key).alias("__v"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=False)
+    )
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        # rename the frontier key before joining: after hop 1 the
+        # frontier descends from ``e`` and an unaliased self-join is
+        # ambiguous
+        nxt = (
+            frontier.select(F.col("__v").alias("__f"))
+            .join(e, F.col("__f") == F.col("__u"))
+            .select("__v")
+            .distinct()
+            .join(settled.select("__v"), "__v", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=False)
+        )
+        settled = settled.union(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return settled.select(F.col("__v").alias(key), "dist")

@@ -994,3 +994,37 @@ def feature_hash(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         )
     )
+
+
+def url_canonical_dedup(
+    df: DataFrame, url_col: str, key: str
+) -> DataFrame:
+    """URL-canonicalization dedup — the first dedup pass of every web
+    corpus (Common-Crawl-style): two fetches of the same page under
+    scheme/host case noise and tracking query params are one document.
+
+    Canonical form: ``https://`` + lowercased host + path with any
+    trailing slash stripped; the query string is dropped entirely (the
+    fixture URLs carry only tracking params — a production variant keeps
+    an allowlist, which slots into the same expression).  Extraction
+    uses Spark's ``parse_url`` (row-local, codegen'd); the group key is
+    the canonical string, so the aggregate is one hash-shuffle of
+    URL-sized keys — payloads never move, the exact-dedup discipline
+    applied at the URL layer.
+
+    Returns one row per canonical URL: ``(canonical_url, keep_<key> =
+    min key, n_copies)``.
+    """
+    host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+    path = F.regexp_replace(
+        F.parse_url(F.col(url_col), F.lit("PATH")), "/$", ""
+    )
+    canonical = F.concat(F.lit("https://"), host, path)
+    return (
+        df.select(F.col(key).alias("__k"), canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("__k").alias(f"keep_{key}"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+    )

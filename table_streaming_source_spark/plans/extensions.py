@@ -674,6 +674,108 @@ FROM nodes GROUP BY node ORDER BY node
 """
 
 
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (`operators/graph.py::bfs_distances`) over the
+    undirected customer↔supplier purchase graph: minimum hop distance
+    (≤3) from the seed customers (custkey % 50 == 0) — the
+    within-k-hops reachability primitive (crawl frontiers, influence
+    spread, contamination radius).  Exact integer distances make the
+    iterative frontier expansion value-checkable against a recursive-CTE
+    oracle."""
+    from table_streaming_source_spark.operators.graph import bfs_distances
+
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    fwd = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 50 == 0)
+        .select((F.col("c_custkey") * 2).alias("v"))
+    )
+    return bfs_distances(seeds, edges, key="v", max_hops=3)
+
+
+ORACLES["graph_bfs"] = """
+WITH RECURSIVE fwd AS (
+  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (SELECT u, v FROM fwd UNION ALL SELECT v, u FROM fwd),
+walk(v, dist) AS (
+  SELECT c_custkey * 2, 0 FROM customer WHERE c_custkey % 50 = 0
+  UNION
+  SELECT e.v, walk.dist + 1
+  FROM walk JOIN e ON e.u = walk.v
+  WHERE walk.dist < 3
+)
+SELECT v, CAST(MIN(dist) AS INT) AS dist FROM walk GROUP BY v
+"""
+
+
+def q_text_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (`operators/text.py::
+    url_canonical_dedup`): crawl-style URLs with deterministic
+    scheme/host-case and tracking-parameter noise collapse to one
+    canonical page each — the cheapest and first dedup pass of a web
+    corpus, before any content hashing.  One hash aggregate on the
+    canonical string; the oracle restates host-lowercasing, trailing-
+    slash stripping, and query dropping with portable string
+    functions."""
+    docs = t(spark, sf_dir, "documents")
+    host_raw = F.concat(F.col("source"), F.lit(".Example.COM"))
+    host = F.when(
+        F.col("doc_id") % 3 == 1, F.upper(host_raw)
+    ).when(F.col("doc_id") % 3 == 2, F.lower(host_raw)).otherwise(host_raw)
+    path = F.concat(
+        F.lit("/p/"),
+        (F.col("doc_id") % 400).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    query = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.lit("?utm_source=feed&utm_campaign=x"),
+    ).otherwise(F.lit(""))
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, path, query).alias("url"),
+    )
+    return X.url_canonical_dedup(urls, "url", "doc_id")
+
+
+ORACLES["text_url_dedup"] = """
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 1
+                THEN UPPER(source || '.Example.COM')
+              WHEN doc_id % 3 = 2
+                THEN LOWER(source || '.Example.COM')
+              ELSE source || '.Example.COM' END AS host,
+         '/p/' || CAST(doc_id % 400 AS VARCHAR)
+           || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END AS path
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         'https://' || LOWER(host)
+           || REGEXP_REPLACE(path, '/$', '') AS canonical_url
+  FROM u
+)
+SELECT canonical_url, MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM canon GROUP BY canonical_url
+"""
+
+
 def q_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer assignment: every vector to its max-dot
     centroid (8 deterministic ±1 centroids) — the index-construction
@@ -1741,6 +1843,8 @@ QUERIES = {
     "sim_ivf_search": q_sim_ivf_search,
     "graph_pagerank": q_graph_pagerank,
     "graph_triangles": q_graph_triangles,
+    "graph_bfs": q_graph_bfs,
+    "text_url_dedup": q_text_url_dedup,
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_ann_multiprobe": q_sim_ann_multiprobe,
     "text_token_stats": q_text_token_stats,
