@@ -614,6 +614,222 @@ def audio_resample_stats(
 
 
 # ---------------------------------------------------------------------------
+# audio: real IMA-ADPCM decode (WAVE format tag 0x11) — the compressed
+# audio codec, written stdlib-only to the public IMA/DVI ADPCM spec
+# ---------------------------------------------------------------------------
+
+#: IMA/DVI ADPCM quantizer step table (89 entries, public spec)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+#: step-index adaptation per nibble magnitude (sign bit mirrors)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _adpcm_nibbles(key: int) -> tuple:
+    """Deterministic per-key nibble stream with a CLOSED-FORM state
+    trajectory: every nibble's magnitude is ≤ 3 (index adaptation is
+    always −1, so ``idx_j = max(k0 − j, 0)`` exactly), and the drift is
+    bounded so the 16-bit predictor clamp never fires — which is what
+    lets a SQL oracle restate the decode as a prefix sum over the
+    embedded step table.  16 descending nibbles (sign-only, 8) then an
+    alternating ±m tail with ``m = 1 + key % 3``."""
+    k0 = key % 40
+    n_nib = 64 + (key % 64) * 2
+    nibs = []
+    m = 1 + key % 3
+    for j in range(n_nib):
+        if j < 16:
+            nibs.append(8)  # magnitude 0, negative
+        elif (j - 16) % 2 == 0:
+            nibs.append(m)
+        else:
+            nibs.append(m | 8)
+    return k0, nibs
+
+
+def synth_wav_adpcm(key: int) -> bytes:
+    """A spec-valid mono IMA-ADPCM WAV (format tag 0x11): fmt chunk with
+    ``wBitsPerSample=4`` + ``wSamplesPerBlock`` extension, a fact chunk
+    (required for compressed WAVE), and ONE data block — 4-byte header
+    (initial int16 predictor, step index, reserved) followed by
+    low-nibble-first packed codes from :func:`_adpcm_nibbles`."""
+    p0 = ((key * 37) % 4096) - 2048
+    k0, nibs = _adpcm_nibbles(key)
+    packed = bytearray()
+    for j in range(0, len(nibs), 2):
+        packed.append(nibs[j] | (nibs[j + 1] << 4))
+    block = struct.pack("<hBB", p0, k0, 0) + bytes(packed)
+    n_samples = len(nibs) + 1
+    block_align = len(block)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, 8000, 8000 * block_align // (2 * len(nibs)),
+        block_align, 4, 2, n_samples,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4 + 8 + len(block))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"fact"
+        + struct.pack("<II", 4, n_samples)
+        + b"data"
+        + struct.pack("<I", len(block))
+        + block
+    )
+
+
+def adpcm_pcm(payload: bytes) -> "object":
+    """Decode a mono IMA-ADPCM WAV (format tag 0x11) to int64 samples —
+    a GENERAL decoder to the public IMA/DVI spec: per-block predictor /
+    step-index header, low-nibble-first codes, full step and
+    index-adaptation tables, 16-bit predictor clamp and [0, 88] index
+    clamp, any number of blocks (the fixture's closed-form stream is
+    just one input it handles).  Cited semantics: the reference has no
+    codec surface (SURVEY.md §2B, multimodal ⁺ row is a north-star
+    extension)."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    off = 12
+    block_align = None
+    spb = None
+    data = None
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        size = struct.unpack("<I", payload[off + 4 : off + 8])[0]
+        body = payload[off + 8 : off + 8 + size]
+        if cid == b"fmt ":
+            tag, ch, _, _, block_align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if tag != 0x11 or ch != 1 or bits != 4:
+                raise ValueError("not mono 4-bit IMA ADPCM")
+            if size >= 20:
+                spb = struct.unpack("<H", body[18:20])[0]
+        elif cid == b"data":
+            data = body
+        off += 8 + size + (size & 1)
+    if data is None or block_align is None:
+        raise ValueError("WAV without fmt/data chunks")
+    out = []
+    for b0 in range(0, len(data), block_align):
+        block = data[b0 : b0 + block_align]
+        if len(block) < 4:
+            break
+        pred, idx = struct.unpack("<hB", block[:3])
+        idx = min(max(idx, 0), 88)
+        samples = [pred]
+        want = spb if spb is not None else (len(block) - 4) * 2 + 1
+        for byte in block[4:]:
+            for nib in (byte & 0xF, byte >> 4):
+                if len(samples) >= want:
+                    break
+                step = _IMA_STEPS[idx]
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = min(max(pred, -32768), 32767)
+                idx = min(max(idx + _IMA_INDEX[nib & 7], 0), 88)
+                samples.append(pred)
+        out.extend(samples)
+    return np.asarray(out, dtype=np.int64)
+
+
+def attach_adpcm_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one :func:`synth_wav_adpcm` per key,
+    Arrow-batched."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_wav_adpcm(int(k)) for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+ADPCM_STATS_SCHEMA = StructType(
+    [
+        StructField("key", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("sum_sq", LongType(), False),
+        StructField("min_s", IntegerType(), False),
+        StructField("max_s", IntegerType(), False),
+        StructField("last_s", IntegerType(), False),
+    ]
+)
+
+
+def adpcm_stats(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Per-clip integer-exact statistics of REAL IMA-ADPCM-decoded
+    samples (count, Σs², min/max, final predictor) — any slip in the
+    step table, nibble order, sign handling, or index clamp shifts the
+    prefix-sum chain and is value-visible.  Arrow-batched
+    ``mapInPandas``, partition-preserving; compressed audio bytes never
+    shuffle."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "key", "n_samples", "sum_sq", "min_s", "max_s", "last_s",
+            )}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                s = adpcm_pcm(bytes(payload))
+                rows["key"].append(int(k))
+                rows["n_samples"].append(len(s))
+                rows["sum_sq"].append(int((s * s).sum()))
+                rows["min_s"].append(int(s.min()))
+                rows["max_s"].append(int(s.max()))
+                rows["last_s"].append(int(s[-1]))
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "n_samples": pd.Series(
+                        rows["n_samples"], dtype="int64"
+                    ),
+                    "sum_sq": pd.Series(rows["sum_sq"], dtype="int64"),
+                    "min_s": pd.Series(rows["min_s"], dtype="int32"),
+                    "max_s": pd.Series(rows["max_s"], dtype="int32"),
+                    "last_s": pd.Series(rows["last_s"], dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=ADPCM_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # image: real PNG pixel decode (zlib inflate + unfilter — stdlib only)
 # and integer-exact pixel statistics
 # ---------------------------------------------------------------------------

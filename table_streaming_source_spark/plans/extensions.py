@@ -2291,6 +2291,73 @@ FROM s GROUP BY key
 """
 
 
+def q_multimodal_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode: every audio key gets a spec-valid
+    mono IMA-ADPCM WAV (format tag 0x11), and the Spark side runs a
+    general IMA/DVI decoder (`operators/multimodal.py::adpcm_pcm` —
+    step/index tables, low-nibble-first codes, both clamps, per-block
+    headers) to produce integer-exact per-clip stats.  The fixture's
+    nibble streams keep the codec state in closed form (magnitudes ≤ 3
+    ⇒ the step index only decays; bounded drift ⇒ the 16-bit clamp
+    never fires), so the oracle restates the decode as a prefix sum
+    over the embedded 89-entry step table — any slip in table, order,
+    sign, or clamping shifts the chain and is value-visible.  This
+    moves 'compressed audio' from the stub column to the decoded one;
+    perceptual codecs (MP3) stay library-gated."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    clips = M.attach_adpcm_payload(docs, "doc_id")
+    return M.adpcm_stats(clips)
+
+
+_ADPCM_STEPS_SQL = "[" + ", ".join(str(s) for s in M._IMA_STEPS) + "]"
+
+ORACLES["multimodal_adpcm"] = f"""
+WITH au AS (
+  SELECT doc_id AS key,
+         ((doc_id * 37) % 4096) - 2048 AS p0,
+         doc_id % 40 AS k0,
+         64 + (doc_id % 64) * 2 AS n_nib,
+         1 + doc_id % 3 AS m
+  FROM documents WHERE doc_id % 3 = 2
+),
+nib AS (
+  SELECT key, p0, n_nib, u.j AS j,
+         CASE WHEN u.j < 16 THEN 0 ELSE m END AS mag,
+         CASE WHEN u.j < 16 OR (u.j - 16) % 2 = 1 THEN -1 ELSE 1 END AS sgn,
+         {_ADPCM_STEPS_SQL}[GREATEST(k0 - u.j, 0) + 1] AS st
+  FROM au, UNNEST(RANGE(0, n_nib)) AS u(j)
+),
+d AS (
+  SELECT key, p0, n_nib, j,
+         sgn * ((st // 8)
+                + CASE WHEN mag % 2 = 1 THEN st // 4 ELSE 0 END
+                + CASE WHEN mag >= 2 THEN st // 2 ELSE 0 END) AS dd
+  FROM nib
+),
+s AS (
+  SELECT key, n_nib, j,
+         p0 + SUM(dd) OVER (PARTITION BY key ORDER BY j
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS v
+  FROM d
+),
+allsamp AS (
+  SELECT key, p0 AS v FROM au
+  UNION ALL
+  SELECT key, v FROM s
+)
+SELECT a.key,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(a.v * a.v) AS BIGINT) AS sum_sq,
+       CAST(MIN(a.v) AS INT) AS min_s,
+       CAST(MAX(a.v) AS INT) AS max_s,
+       CAST(ANY_VALUE(lastv.v) AS INT) AS last_s
+FROM allsamp a
+JOIN (SELECT key, v FROM s WHERE j = n_nib - 1) lastv USING (key)
+GROUP BY a.key
+"""
+
+
 def _ivf_cells_sql(flt: str = "") -> str:
     """Coarse-quantizer cell per vector as a subquery (literal twin of
     operators.similarity.ivf_assign, cells only)."""
@@ -3841,6 +3908,7 @@ QUERIES_DEFERRED = {
     "sim_sq_search": q_sim_sq_search,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_audio_resample": q_multimodal_audio_resample,
+    "multimodal_adpcm": q_multimodal_adpcm,
     "multimodal_pixel_stats": q_multimodal_pixel_stats,
     "multimodal_gif_stats": q_multimodal_gif_stats,
     "multimodal_gif_frames": q_multimodal_gif_frames,

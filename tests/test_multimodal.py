@@ -661,3 +661,136 @@ def test_jpeg_progressive_without_scans_raises():
     )
     with pytest.raises(ValueError, match="without SOS"):
         M.jpeg_planes(f)
+
+
+# ---------------------------------------------------------------------------
+# IMA-ADPCM: general-decoder paths the closed-form fixture can't reach
+# ---------------------------------------------------------------------------
+
+def _ima_reference(nibbles, pred, idx):
+    """Straight-line reference decode (independent loop shape from the
+    production decoder's byte/nibble walker)."""
+    from table_streaming_source_spark.operators.multimodal import (
+        _IMA_INDEX,
+        _IMA_STEPS,
+    )
+
+    out = [pred]
+    for nib in nibbles:
+        step = _IMA_STEPS[idx]
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = min(max(pred, -32768), 32767)
+        idx = min(max(idx + _IMA_INDEX[nib & 7], 0), 88)
+        out.append(pred)
+    return out
+
+
+def _wrap_adpcm_blocks(blocks, block_align, n_samples_per_block):
+    import struct
+
+    data = b"".join(blocks)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, 8000, 4000, block_align, 4, 2,
+        n_samples_per_block,
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def _pack_block(pred, idx, nibbles):
+    import struct
+
+    packed = bytearray()
+    for j in range(0, len(nibbles), 2):
+        packed.append(nibbles[j] | (nibbles[j + 1] << 4))
+    return struct.pack("<hBB", pred, idx, 0) + bytes(packed)
+
+
+def test_adpcm_large_magnitudes_and_index_growth():
+    """Nibbles with magnitude ≥ 4 push the step index UP (adaptation
+    +2/+4/+6/+8) — the half of the index table the catalog fixture never
+    uses."""
+    from table_streaming_source_spark.operators.multimodal import adpcm_pcm
+
+    nibbles = [7, 15, 6, 14, 5, 13, 4, 12] * 8
+    wav = _wrap_adpcm_blocks(
+        [_pack_block(100, 5, nibbles)], 4 + len(nibbles) // 2,
+        len(nibbles) + 1,
+    )
+    assert adpcm_pcm(wav).tolist() == _ima_reference(nibbles, 100, 5)
+
+
+def test_adpcm_predictor_clamps_at_int16():
+    """A run of max-magnitude positive nibbles from a high start must
+    saturate at 32767 (and the index at 88), not overflow."""
+    from table_streaming_source_spark.operators.multimodal import adpcm_pcm
+
+    nibbles = [7] * 64
+    wav = _wrap_adpcm_blocks(
+        [_pack_block(30000, 80, nibbles)], 4 + len(nibbles) // 2,
+        len(nibbles) + 1,
+    )
+    got = adpcm_pcm(wav)
+    assert got.tolist() == _ima_reference(nibbles, 30000, 80)
+    assert got.max() == 32767
+
+
+def test_adpcm_multi_block_resets_state():
+    """Each block restarts from its own header predictor/index — state
+    never leaks across blocks."""
+    from table_streaming_source_spark.operators.multimodal import adpcm_pcm
+
+    n1 = [3, 11, 7, 15] * 4
+    n2 = [1, 9] * 8
+    ba = 4 + len(n1) // 2
+    wav = _wrap_adpcm_blocks(
+        [_pack_block(-500, 20, n1), _pack_block(700, 0, n2)], ba,
+        len(n1) + 1,
+    )
+    exp = _ima_reference(n1, -500, 20) + _ima_reference(n2, 700, 0)
+    assert adpcm_pcm(wav).tolist() == exp
+
+
+def test_adpcm_rejects_pcm_and_stereo():
+    import struct
+
+    from table_streaming_source_spark.operators.multimodal import (
+        adpcm_pcm,
+        synth_wav,
+    )
+
+    with pytest.raises(ValueError, match="IMA ADPCM"):
+        adpcm_pcm(synth_wav(100))
+    fmt = struct.pack("<HHIIHHHH", 0x11, 2, 8000, 4000, 12, 4, 2, 17)
+    stereo = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    )
+    with pytest.raises(ValueError, match="IMA ADPCM"):
+        adpcm_pcm(stereo)
+
+
+def test_adpcm_fixture_stream_is_clamp_free_and_spec_sized():
+    """The catalog fixture's closed-form guarantee: index only decays,
+    predictor never clamps, sample count = nibbles + 1."""
+    from table_streaming_source_spark.operators.multimodal import (
+        _adpcm_nibbles,
+        adpcm_pcm,
+        synth_wav_adpcm,
+    )
+
+    for key in (0, 7, 39, 40, 63, 101, 4999):
+        s = adpcm_pcm(synth_wav_adpcm(key))
+        _, nibs = _adpcm_nibbles(key)
+        assert len(s) == len(nibs) + 1
+        assert abs(s).max() < 32767
