@@ -28,7 +28,10 @@ local replay green at sf0.01): ``multimodal_audio_resample``,
 ``sim_range_search``, ``window_pattern_negation``,
 ``dedup_containment``, ``streaming_state_inspect``,
 ``window_streaks``, ``scalar_bitwise`` (swapped out for the
-progressive-JPEG entry), ``text_lm_heldout_eval``, ``agg_correlation``, ``text_bm25_rank``, ``window_zscore``.
+progressive-JPEG entry), ``text_lm_heldout_eval``, ``agg_correlation``,
+``text_bm25_rank``, ``window_zscore``, ``agg_linear_fit``,
+``agg_mode``, ``ts_rollup_reagg``, ``window_rolling_median``,
+``graph_bfs``, ``text_url_dedup``, ``multimodal_adpcm``.
 """
 
 from __future__ import annotations
