@@ -279,6 +279,20 @@ _SHUFFLE_BUDGET = {
     "text_bpe_encode": 3,
     # pure mapInPandas decode chain — media bytes must never shuffle
     "multimodal_video_frames": 0,
+    # round-4 additions (third batch)
+    # the model fit is ONE map-combinable hash aggregate — a second
+    # exchange means a two-pass formulation crept in
+    "agg_linear_fit": 1,
+    # minute rollup + hour re-aggregate; raw events partition once
+    "ts_rollup_reagg": 2,
+    # frequency table + struct-max argmax
+    "agg_mode": 2,
+    # one window partition exchange; the frame array is row-local
+    "window_rolling_median": 1,
+    # canonicalization is row-local; one hash aggregate on the string
+    "text_url_dedup": 1,
+    # pure mapInPandas decode chain — compressed audio never shuffles
+    "multimodal_adpcm": 0,
 }
 
 
