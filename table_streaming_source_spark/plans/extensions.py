@@ -3586,6 +3586,113 @@ GROUP BY p.doc_id
 """
 
 
+_NDCG_K = 10
+#: 1/log2(i+1) for ranks 1..K, materialized ONCE in Python and embedded
+#: as identical literals on both engines — log2 is libm-dependent and the
+#: last ulp may differ across implementations, a fixed table cannot
+_NDCG_DISCOUNTS = tuple(
+    round(1.0 / __import__("math").log2(i + 1), 12)
+    for i in range(1, _NDCG_K + 1)
+)
+
+
+def q_text_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation in-engine: NDCG@10 of the BM25 run
+    (`text_bm25_rank`) against deterministic graded relevance labels
+    (``rel = 3`` if doc_id % 7 = 0, ``1`` if % 3 = 0, else 0) — the
+    eval loop a retrieval/reranker pipeline runs after every index or
+    scorer change, value-checked like the recall evals.  Gains are
+    integers, discounts come from a shared literal table (no libm in
+    the hot math), per-rank contributions round to 9 decimals and sum
+    on the exact decimal path — DCG, ideal DCG, and the ratio are all
+    bit-stable under any partitioning.
+
+    Scale shape: the run is already |matching docs| ≪ corpus; both
+    rankings are one window over that small table and the metric is a
+    1-row aggregate.  At 100 TB, with many queries, the same plan
+    partitions the windows by query id — per-query lists stay
+    bounded."""
+    run = q_text_bm25_rank(spark, sf_dir)
+    rel = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit(3))
+        .when(F.col("doc_id") % 3 == 0, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    labeled = run.select("doc_id", "bm25", rel.alias("rel"))
+    disc = F.array(*[F.lit(d) for d in _NDCG_DISCOUNTS])
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+
+    def dcg_of(order_cols):
+        rk = F.row_number().over(Window.orderBy(*order_cols))
+        contrib = F.round(
+            gain * F.element_at(disc, F.col("rk")), 9
+        ).cast("decimal(18,9)")
+        return (
+            labeled.withColumn("rk", rk)
+            .filter(F.col("rk") <= _NDCG_K)
+            .select(contrib.alias("c"))
+            .agg(F.sum("c").cast("double").alias("dcg"))
+        )
+
+    dcg = dcg_of([F.col("bm25").desc(), F.col("doc_id")])
+    idcg = dcg_of([F.col("rel").desc(), F.col("doc_id")])
+    n = labeled.agg(F.count(F.lit(1)).cast("bigint").alias("n_ranked"))
+    return (
+        n.crossJoin(dcg)
+        .crossJoin(idcg.select(F.col("dcg").alias("idcg")))
+        .select(
+            "n_ranked",
+            F.round("dcg", 9).alias("dcg"),
+            F.round("idcg", 9).alias("idcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 9).alias("ndcg"),
+        )
+    )
+
+
+_NDCG_DISC_SQL = "[" + ", ".join(repr(d) for d in _NDCG_DISCOUNTS) + "]"
+
+
+def _ndcg_sql() -> str:
+    run = ORACLES["text_bm25_rank"]
+    return f"""
+WITH run AS ({run}),
+labeled AS (
+  SELECT doc_id, bm25,
+         CASE WHEN doc_id % 7 = 0 THEN 3
+              WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS rel
+  FROM run
+),
+by_score AS (
+  SELECT rel, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+  FROM labeled
+),
+by_rel AS (
+  SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rk
+  FROM labeled
+),
+dcg AS (
+  SELECT CAST(SUM(CAST(ROUND((POWER(2.0, rel) - 1.0)
+               * ({_NDCG_DISC_SQL})[rk], 9) AS DECIMAL(18,9)))
+         AS DOUBLE) AS dcg
+  FROM by_score WHERE rk <= {_NDCG_K}
+),
+idcg AS (
+  SELECT CAST(SUM(CAST(ROUND((POWER(2.0, rel) - 1.0)
+               * ({_NDCG_DISC_SQL})[rk], 9) AS DECIMAL(18,9)))
+         AS DOUBLE) AS idcg
+  FROM by_rel WHERE rk <= {_NDCG_K}
+)
+SELECT (SELECT COUNT(*) FROM labeled) AS n_ranked,
+       ROUND(dcg.dcg, 9) AS dcg,
+       ROUND(idcg.idcg, 9) AS idcg,
+       ROUND(dcg.dcg / idcg.idcg, 9) AS ndcg
+FROM dcg, idcg
+"""
+
+
+ORACLES["text_ndcg_eval"] = _ndcg_sql()
+
+
 def q_text_lm_heldout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HELD-OUT language-model evaluation — the train/test discipline
     the in-corpus ``text_bigram_lm`` scorer deliberately skips: an 80/20
@@ -3894,6 +4001,7 @@ QUERIES_DEFERRED = {
     "text_bigram_lm": q_text_bigram_lm,
     "text_lm_heldout_eval": q_text_lm_heldout_eval,
     "text_bm25_rank": q_text_bm25_rank,
+    "text_ndcg_eval": q_text_ndcg_eval,
     "text_quality_train": q_text_quality_train,
     "text_feature_hash": q_text_feature_hash,
     "text_bpe_train": q_text_bpe_train,

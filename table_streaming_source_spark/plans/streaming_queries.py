@@ -630,6 +630,65 @@ SELECT -o_orderkey, 'N', o_totalprice FROM orders WHERE o_orderkey % 11 = 0
 """
 
 
+def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained leaderboard: the global top-5 users by
+    exact decimal spend, in COMPLETE output mode — sort + limit over a
+    streaming aggregate is legal exactly there, and the drained result
+    must equal the batch top-5.  Determinism: the spend sums on the
+    decimal path and ties break on ``user_id``, so the emitted SET is
+    partitioning- and batching-independent (the oracle states the same
+    ORDER BY … LIMIT).
+
+    Scale shape: the state is one row per user (the aggregate), and the
+    per-trigger sort runs over the *aggregated* table, not raw events —
+    a leaderboard over 100 TB of events costs one map-combinable
+    aggregate plus a top-k of |users| rows per emission."""
+    events = t(spark, sf_dir, "events").select("user_id", "value")
+    src = _stream_fixture(
+        spark, sf_dir, "topk",
+        lambda d: events.repartition(8).write.mode("overwrite").parquet(d),
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    board = (
+        stream.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dsum("value", 6).alias("total_value"),
+        )
+        .orderBy(F.col("total_value").desc(), F.col("user_id"))
+        .limit(5)
+    )
+    name = f"__stream_topk_{abs(hash(src)) % 10**8}"
+    with _stream_shuffle(spark):
+        query = (
+            board.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return result
+
+
+ORACLES["streaming_topk"] = f"""
+SELECT user_id, COUNT(*) AS n_events,
+       {sql_dsum('value', 6)} AS total_value
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id
+LIMIT 5
+"""
+
+
 QUERIES = {
     "streaming_enrichment": q_streaming_enrichment,
     "streaming_window_agg": q_streaming_window_agg,
@@ -637,6 +696,7 @@ QUERIES = {
     "streaming_dedup": q_streaming_dedup,
     "streaming_changelog_upsert": q_streaming_changelog_upsert,
     "streaming_state_inspect": q_streaming_state_inspect,
+    "streaming_topk": q_streaming_topk,
 }
 
 def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
