@@ -983,3 +983,80 @@ def ivfpq_search(
             (F.col("__s") / F.lit(float(_PQ_SCALE))).alias("score"),
         )
     )
+
+
+def prefix_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    prefix_dim: int = 16,
+    shortlist: int = 50,
+    k: int = 5,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Two-phase coarse→exact search (the Matryoshka / truncated-dim
+    pattern): phase 1 scores every corpus vector with a CHEAP dot
+    product over only the first ``prefix_dim`` dimensions and keeps a
+    per-query ``shortlist``; phase 2 computes the exact full-dimension
+    cosine ONLY on the shortlist and ranks the final top-``k``.
+
+    Why it scales: the full-width vectors are read once but the O(|Q|·|C|)
+    score work drops by dims/prefix_dim (4× here), and the expensive exact
+    cosine touches ``shortlist × |Q|`` rows instead of the corpus.  With
+    prefix-truncation-trained embeddings the shortlist recall is near 1;
+    the operator is exact GIVEN the shortlist, and both phases round
+    before ranking so the result is engine- and partitioning-stable.
+
+    Plan shape: queries broadcast in both phases, zero corpus shuffle in
+    phase 1; phase 2 joins the shortlist (key-only) back to the corpus on
+    the vector key — the only exchange of vector payloads is
+    |shortlist|-bounded.
+
+    Returns ``(query_id, neighbor_id, cos_sim, rank)``.
+    """
+    q = queries.select(
+        F.col(key).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.slice(F.col(vec_col), 1, prefix_dim).alias("__qp"),
+    )
+    c1 = spread(corpus).select(
+        F.col(key).alias("neighbor_id"),
+        F.slice(F.col(vec_col), 1, prefix_dim).alias("__cp"),
+    )
+    coarse = F.round(_dot(F.col("__qp"), F.col("__cp")), round_digits)
+    wshort = Window.partitionBy("query_id").orderBy(
+        F.col("__coarse").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        F.broadcast(q.select("query_id", "__qp"))
+        .crossJoin(c1)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__coarse", coarse)
+        .withColumn("__srank", F.row_number().over(wshort))
+        .filter(F.col("__srank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    cv = corpus.select(
+        F.col(key).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    exact = F.round(
+        cosine(F.col("__qv"), F.col("__cv")), round_digits
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        short.join(cv, "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "__qv")), "query_id")
+        .withColumn("cos_sim", exact)
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -498,6 +498,63 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase coarse→exact vector search (`operators/similarity.py::
+    prefix_rerank_topk` — the Matryoshka/truncated-dimension pattern):
+    a 16-dim prefix dot product shortlists 50 candidates per query with
+    zero corpus shuffle, then the exact 64-dim cosine reranks only the
+    shortlist to top-5.  The oracle restates both phases literally, so
+    the shortlist boundary itself is value-checked."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.prefix_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 20),
+        prefix_dim=16, shortlist=50, k=5, round_digits=6,
+    )
+
+
+ORACLES["sim_prefix_rerank"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                  embedding[1:16] AS qp
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+             embedding[1:16] AS cp
+      FROM embeddings),
+coarse AS (
+  SELECT q.query_id, c.neighbor_id,
+         ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.qp, c.cp),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6)
+           AS sc
+  FROM q, c WHERE q.query_id != c.neighbor_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sc DESC, neighbor_id) AS r
+    FROM coarse) WHERE r <= 50
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         ROUND(
+           LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.qv, c.cv),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (SQRT(LIST_SUM(LIST_TRANSFORM(q.qv,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * SQRT(LIST_SUM(LIST_TRANSFORM(c.cv,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cos_sim
+  FROM short s
+  JOIN q ON q.query_id = s.query_id
+  JOIN c ON c.neighbor_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM exact) WHERE rank <= 5
+"""
+
+
 def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius search (`operators/similarity.py::cosine_range`): every
     corpus vector with cosine ≥ 0.3 of each query (vec_id < 10) — the
@@ -1835,6 +1892,7 @@ QUERIES = {
     "dedup_components": q_dedup_components,
     "sim_topk": q_sim_topk,
     "sim_range_search": q_sim_range_search,
+    "sim_prefix_rerank": q_sim_prefix_rerank,
     "sim_topk_filtered": q_sim_topk_filtered,
     "scalar_url": q_scalar_url,
     "sim_pairs_blocked": q_sim_pairs_blocked,

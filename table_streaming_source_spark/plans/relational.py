@@ -4642,6 +4642,136 @@ GROUP BY o_orderpriority
 """
 
 
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality verification (the Deequ-style expectation
+    suite every ingest gate runs): null-rate, value-range, domain-set,
+    and key-uniqueness checks computed in ONE pass over orders, plus a
+    referential-integrity check (lineitem keys without a parent order)
+    as a key-only anti-join — emitted as one row per check with
+    violation counts and a pass flag.
+
+    Scale shape: the four row-local checks share a single
+    map-combinable aggregate (adding a check adds an expression, not a
+    pass); uniqueness rides the same aggregate via COUNT DISTINCT; the
+    FK check shuffles only 8-byte keys.  At 100 TB this is the audit
+    you can afford on every load."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    one = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("v_null"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("v_range"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+        ).alias("v_domain"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_uniq"),
+    )
+    checks = one.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(
+                    F.lit("custkey_not_null"),
+                    F.lit("totalprice_positive"),
+                    F.lit("status_in_domain"),
+                    F.lit("orderkey_unique"),
+                ),
+                F.array("v_null", "v_range", "v_domain", "v_uniq"),
+            )
+        ).alias("check_name", "n_violations"),
+        F.col("n_rows").alias("n_checked"),
+    )
+    orphans = (
+        li.join(o.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(
+            F.lit("lineitem_fk_orders").alias("check_name"),
+            F.col("n_violations").cast("long"),
+        )
+        .crossJoin(li.agg(F.count(F.lit(1)).alias("n_checked")))
+    )
+    return (
+        checks.select("check_name", "n_violations", "n_checked")
+        .union(orphans.select("check_name", "n_violations", "n_checked"))
+        .withColumn("passed", F.col("n_violations") == 0)
+    )
+
+
+ORACLES["dq_expectations"] = """
+WITH one AS (
+  SELECT COUNT(*) AS n_rows,
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_null,
+         SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_range,
+         SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                  THEN 1 ELSE 0 END) AS v_domain,
+         COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_uniq
+  FROM orders
+),
+checks AS (
+  SELECT 'custkey_not_null' AS check_name, v_null AS n_violations,
+         n_rows AS n_checked FROM one
+  UNION ALL
+  SELECT 'totalprice_positive', v_range, n_rows FROM one
+  UNION ALL
+  SELECT 'status_in_domain', v_domain, n_rows FROM one
+  UNION ALL
+  SELECT 'orderkey_unique', v_uniq, n_rows FROM one
+  UNION ALL
+  SELECT 'lineitem_fk_orders',
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+         (SELECT COUNT(*) FROM lineitem)
+)
+SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+       CAST(n_checked AS BIGINT) AS n_checked,
+       n_violations = 0 AS passed
+FROM checks
+"""
+
+
+_RECURSIVE_CTE_SQL = """
+WITH RECURSIVE fwd AS (
+  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+  FROM {lineitem} JOIN {orders} ON l_orderkey = o_orderkey
+),
+e AS (SELECT u, v FROM fwd UNION ALL SELECT v, u FROM fwd),
+walk(v, dist) AS (
+  SELECT c_custkey * 2, 0 FROM {customer} WHERE c_custkey % 100 = 0
+  UNION ALL
+  SELECT e.v, walk.dist + 1
+  FROM walk JOIN e ON e.u = walk.v
+  WHERE walk.dist < 2
+),
+md AS (SELECT v, MIN(dist) AS dist FROM walk GROUP BY v)
+SELECT dist, COUNT(*) AS n_vertices FROM md GROUP BY dist
+"""
+
+
+def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ``WITH RECURSIVE`` through the SQL front door (Spark ≥ 4.0):
+    bounded-depth reachability over the undirected customer↔supplier
+    purchase graph, the SAME query text on both engines — the SQL twin
+    of the DataFrame-loop `graph_bfs`.  The recursion is UNION ALL with
+    an explicit depth bound (portable semantics — recursive-UNION dedup
+    behavior differs across engines), and the walk collapses through
+    MIN(dist), so path multiplicity cannot leak into the answer."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("__sql_orders")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("__sql_lineitem")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("__sql_customer")
+    return spark.sql(
+        _RECURSIVE_CTE_SQL.format(
+            lineitem="__sql_lineitem",
+            orders="__sql_orders",
+            customer="__sql_customer",
+        )
+    )
+
+
+ORACLES["sql_recursive_cte"] = _RECURSIVE_CTE_SQL.format(
+    lineitem="lineitem", orders="orders", customer="customer"
+)
+
+
 def q_agg_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group ordinary least squares (y = a + b·x, plus R²) from
     exact decimal-path moment sums — the closed-form regression every
@@ -4924,6 +5054,8 @@ QUERIES = {
     "market_share": q_market_share,
     "sql_cte_window": q_sql_cte_window,
     "sql_lateral": q_sql_lateral,
+    "sql_recursive_cte": q_sql_recursive_cte,
+    "dq_expectations": q_dq_expectations,
     "scalar_variant": q_scalar_variant,
     "scalar_try": q_scalar_try,
     "customer_distribution": q_customer_distribution,
