@@ -31,7 +31,9 @@ local replay green at sf0.01): ``multimodal_audio_resample``,
 progressive-JPEG entry), ``text_lm_heldout_eval``, ``agg_correlation``,
 ``text_bm25_rank``, ``window_zscore``, ``agg_linear_fit``,
 ``agg_mode``, ``ts_rollup_reagg``, ``window_rolling_median``,
-``graph_bfs``, ``text_url_dedup``, ``multimodal_adpcm``.
+``graph_bfs``, ``text_url_dedup``, ``multimodal_adpcm``,
+``streaming_topk``, ``text_ndcg_eval``, ``sim_prefix_rerank``,
+``dq_expectations``, ``sql_recursive_cte``.
 """
 
 from __future__ import annotations
