@@ -948,3 +948,87 @@ def test_cosine_range_threshold_and_no_ranking(spark):
     assert got[(1, 2)] == 1.0 and abs(got[(1, 4)] - 0.707107) < 1e-6
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "Sort" not in plan
+
+
+def test_bfs_distances_tiny_graph(spark):
+    """Hand-checkable BFS: path graph 1-2-3-4-5 plus isolated 9; seeds
+    {1}; max_hops=2 → only vertices within 2 hops appear, at their
+    minimum distance."""
+    from table_streaming_source_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (2, 1), (3, 2), (4, 3), (5, 4)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,)], "v long")
+    got = {r.v: r.dist for r in bfs_distances(
+        seeds, edges, max_hops=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_min_distance_wins_over_longer_path(spark):
+    """Diamond 1→2→4 and 1→3, 3→4 plus direct 1→4: vertex 4 must report
+    dist 1 (the anti-join against settled, not last-writer-wins)."""
+    from table_streaming_source_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 4), (1, 3), (3, 4), (1, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "v long")
+    got = {r.v: r.dist for r in bfs_distances(
+        seeds, edges, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 1}
+
+
+def test_prefix_rerank_matches_bruteforce_when_shortlist_covers(spark):
+    """With shortlist ≥ corpus the two-phase search must equal the
+    brute-force top-k exactly (the coarse phase only prunes)."""
+    from table_streaming_source_spark.operators.similarity import (
+        cosine_topk,
+        prefix_rerank_topk,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 3)
+    brute = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(emb, q, k=4).collect()
+    }
+    two = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in prefix_rerank_topk(
+            emb, q, prefix_dim=4, shortlist=100, k=4
+        ).collect()
+    }
+    assert two == brute
+
+
+def test_prefix_rerank_shortlist_is_prefix_scored(spark):
+    """A vector orthogonal in the prefix dims but identical in the tail
+    must be excluded when the shortlist is tight — proving phase 1
+    really scores only the prefix."""
+    from table_streaming_source_spark.operators.similarity import (
+        prefix_rerank_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 5.0, 5.0]),   # query
+            (1, [1.0, 0.0, 5.0, 5.0]),   # prefix-aligned twin
+            (2, [0.9, 0.1, 5.0, 5.0]),   # prefix-close
+            (3, [0.0, 0.0, 5.0, 5.0]),   # prefix-orthogonal, tail-identical
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = prefix_rerank_topk(
+        emb, emb.filter(F.col("vec_id") == 0),
+        prefix_dim=2, shortlist=2, k=3,
+    ).collect()
+    kept = {r.neighbor_id for r in out}
+    assert kept == {1, 2}  # 3 pruned by the prefix phase despite tail
