@@ -689,6 +689,105 @@ LIMIT 5
 """
 
 
+def q_streaming_dual_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplexed sink fan-out: ONE ``foreachBatch`` writes each
+    micro-batch to two destinations — the raw enriched rows (append
+    parquet) and per-batch PARTIAL aggregates (decimal sums, so the
+    partials re-aggregate exactly) — wrapped in the batch-id ledger
+    (`streaming/enrichment.py::idempotent_sink`), the standard
+    exactly-once recipe when one stream feeds both a lake table and a
+    serving rollup.  The batch is persisted once so the two writes share
+    a single computation.
+
+    The returned frame reconciles BOTH sinks per event type: row-level
+    counts/sums from sink A and re-aggregated partials from sink B must
+    each equal the batch truth (what the oracle states twice) — a slip
+    in either write path, or a double-write on replay, is
+    value-visible."""
+    events = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    src = _stream_fixture(
+        spark, sf_dir, "dualsink",
+        lambda d: events.repartition(8).write.mode("overwrite").parquet(d),
+    )
+    base = _scratch.scratch_dir("streaming_dual_sink", sf_dir, fresh=True)
+    out_rows, out_agg = f"{base}/rows", f"{base}/agg"
+
+    from table_streaming_source_spark.streaming.enrichment import (
+        idempotent_sink,
+    )
+
+    def fanout(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.persist()
+        try:
+            b.write.mode("append").parquet(out_rows)
+            (
+                b.groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("pn"),
+                    F.sum(F.col("value").cast("decimal(18,6)")).alias("psv"),
+                )
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(out_agg)
+            )
+        finally:
+            b.unpersist()
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    with _stream_shuffle(spark):
+        query = (
+            stream.writeStream.foreachBatch(
+                idempotent_sink(fanout, f"{base}/ledger")
+            )
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
+
+    rows_side = (
+        spark.read.parquet(out_rows)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum("value", 6).alias("sum_rows"),
+        )
+    )
+    partial_side = (
+        spark.read.parquet(out_agg)
+        .groupBy("event_type")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_partials"),
+            F.sum("psv").cast("double").alias("sum_partials"),
+        )
+    )
+    result = (
+        rows_side.join(partial_side, "event_type")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+ORACLES["streaming_dual_sink"] = f"""
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       {sql_dsum('value', 6)} AS sum_rows,
+       COUNT(*) AS n_partials,
+       {sql_dsum('value', 6)} AS sum_partials
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "streaming_enrichment": q_streaming_enrichment,
     "streaming_window_agg": q_streaming_window_agg,
@@ -697,6 +796,7 @@ QUERIES = {
     "streaming_changelog_upsert": q_streaming_changelog_upsert,
     "streaming_state_inspect": q_streaming_state_inspect,
     "streaming_topk": q_streaming_topk,
+    "streaming_dual_sink": q_streaming_dual_sink,
 }
 
 def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
