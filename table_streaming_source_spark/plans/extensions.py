@@ -2416,6 +2416,41 @@ GROUP BY a.key
 """
 
 
+def q_multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-audio decode: every audio key gets a spec-valid
+    mono 16-bit FLAC file (fLaC marker, STREAMINFO with true MD5, two
+    frames, CRC-8-verified headers, CRC-16 trailers), and the Spark side
+    runs a genuine FLAC decoder (`operators/multimodal.py::flac_pcm` —
+    frame sync walk, CONSTANT/VERBATIM/FIXED subframes to order 4, Rice
+    residuals with any partition order and escape codes, integer
+    predictor reconstruction).  FLAC is lossless, so the oracle simply
+    recomputes the synthesis formula — a slip anywhere in the bit walk
+    diverges integer-exactly.  LPC subframes route to quarantine."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 3)
+    clips = M.attach_flac_payload(docs, "doc_id")
+    return M.flac_stats(clips)
+
+
+ORACLES["multimodal_flac"] = """
+WITH au AS (SELECT doc_id AS key, 96 + doc_id % 160 AS n
+            FROM documents WHERE doc_id % 4 = 3),
+s AS (
+  SELECT key, u.i AS i,
+         ((u.i * (3 + key % 7) + key) % 4096) - 2048 AS v,
+         n
+  FROM au, UNNEST(RANGE(0, n)) AS u(i)
+)
+SELECT key,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       CAST(MIN(v) AS INT) AS min_s,
+       CAST(MAX(v) AS INT) AS max_s,
+       CAST(MIN(CASE WHEN i = 0 THEN v END) AS INT) AS first_s,
+       CAST(MIN(CASE WHEN i = n - 1 THEN v END) AS INT) AS last_s
+FROM s GROUP BY key
+"""
+
+
 def _ivf_cells_sql(flt: str = "") -> str:
     """Coarse-quantizer cell per vector as a subquery (literal twin of
     operators.similarity.ivf_assign, cells only)."""
@@ -4075,6 +4110,7 @@ QUERIES_DEFERRED = {
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_audio_resample": q_multimodal_audio_resample,
     "multimodal_adpcm": q_multimodal_adpcm,
+    "multimodal_flac": q_multimodal_flac,
     "multimodal_pixel_stats": q_multimodal_pixel_stats,
     "multimodal_gif_stats": q_multimodal_gif_stats,
     "multimodal_gif_frames": q_multimodal_gif_frames,

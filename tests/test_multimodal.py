@@ -794,3 +794,170 @@ def test_adpcm_fixture_stream_is_clamp_free_and_spec_sized():
         _, nibs = _adpcm_nibbles(key)
         assert len(s) == len(nibs) + 1
         assert abs(s).max() < 32767
+
+
+# ---------------------------------------------------------------------------
+# FLAC: general-decoder paths the tone fixture can't reach
+# ---------------------------------------------------------------------------
+
+def _flac_frame(blk, subframe_writer, block_index=0):
+    """Assemble one spec-valid mono 16-bit frame around a custom
+    subframe body."""
+    import struct
+
+    from table_streaming_source_spark.operators.multimodal import (
+        _crc8,
+        _crc16,
+        _flac_utf8_number,
+        _FlacBitWriter,
+    )
+
+    hdr = _FlacBitWriter()
+    hdr.write(0x3FFE, 14); hdr.write(0, 1); hdr.write(0, 1)
+    hdr.write(0b0111, 4); hdr.write(0b1001, 4)
+    hdr.write(0, 4); hdr.write(0b100, 3); hdr.write(0, 1)
+    hdr.align()
+    head = hdr.bytes() + _flac_utf8_number(block_index)
+    head += struct.pack(">H", len(blk) - 1)
+    head += bytes([_crc8(head)])
+    body = _FlacBitWriter()
+    subframe_writer(body)
+    body.align()
+    frame = head + body.bytes()
+    return frame + struct.pack(">H", _crc16(frame))
+
+
+def _flac_file(samples, frames):
+    import hashlib
+    import struct
+
+    from table_streaming_source_spark.operators.multimodal import (
+        _FlacBitWriter,
+    )
+
+    si = _FlacBitWriter()
+    si.write(16, 16); si.write(65535, 16)
+    si.write(0, 24); si.write(0, 24)
+    si.write(44100, 20); si.write(0, 3); si.write(15, 5)
+    si.write(len(samples), 36)
+    raw = b"".join(struct.pack("<h", s) for s in samples)
+    streaminfo = si.bytes() + hashlib.md5(raw).digest()
+    meta = bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:] + streaminfo
+    return b"fLaC" + meta + b"".join(frames)
+
+
+def test_flac_constant_and_verbatim_subframes():
+    from table_streaming_source_spark.operators.multimodal import flac_pcm
+
+    const_blk = [-123] * 24
+
+    def write_const(b):
+        b.write(0, 1); b.write(0, 6); b.write(0, 1)
+        b.write(-123 & 0xFFFF, 16)
+
+    verb_blk = [5, -5, 32767, -32768] * 4
+
+    def write_verb(b):
+        b.write(0, 1); b.write(1, 6); b.write(0, 1)
+        for s in verb_blk:
+            b.write(s & 0xFFFF, 16)
+
+    payload = _flac_file(
+        const_blk + verb_blk,
+        [_flac_frame(const_blk, write_const, 0),
+         _flac_frame(verb_blk, write_verb, 1)],
+    )
+    assert flac_pcm(payload).tolist() == const_blk + verb_blk
+
+
+def test_flac_rice_escape_and_partition_order():
+    """Partition order 1 (two partitions) with the second escape-coded
+    (raw 5-bit residuals) — the fixture always uses order 0, no
+    escapes."""
+    from table_streaming_source_spark.operators.multimodal import flac_pcm
+
+    blk = [10, 11, 13, 10, 4, -2, 6, 9, 12, 1, -8, 0, 3, 3, -1, 2]
+    order = 1
+    res = [blk[i] - blk[i - 1] for i in range(1, len(blk))]
+    p1 = res[: len(blk) // 2 - order]
+    p2 = res[len(blk) // 2 - order:]
+
+    def write_fixed(b):
+        b.write(0, 1); b.write(0b001000 | order, 6); b.write(0, 1)
+        b.write(blk[0] & 0xFFFF, 16)
+        b.write(0b00, 2)
+        b.write(1, 4)            # partition order 1
+        b.write(3, 4)            # rice param 3 for partition 1
+        for x in p1:
+            z = (x << 1) if x >= 0 else ((-x) << 1) - 1
+            b.write_unary(z >> 3)
+            b.write(z, 3)
+        b.write(15, 4)           # escape
+        b.write(5, 5)            # 5 raw bits
+        for x in p2:
+            b.write(x & 0x1F, 5)
+
+    payload = _flac_file(blk, [_flac_frame(blk, write_fixed)])
+    assert flac_pcm(payload).tolist() == blk
+
+
+def test_flac_fixed_orders_3_and_4():
+    from table_streaming_source_spark.operators.multimodal import (
+        flac_pcm,
+        _FlacBitWriter,
+    )
+    import random
+
+    rng = random.Random(11)
+    blk = [rng.randrange(-900, 900) for _ in range(40)]
+
+    for order, coef in ((3, [3, -3, 1]), (4, [4, -6, 4, -1])):
+        res = []
+        for i in range(order, len(blk)):
+            pred = sum(c * blk[i - 1 - j] for j, c in enumerate(coef))
+            res.append(blk[i] - pred)
+
+        def write_fixed(b, order=order, res=res):
+            b.write(0, 1); b.write(0b001000 | order, 6); b.write(0, 1)
+            for w in blk[:order]:
+                b.write(w & 0xFFFF, 16)
+            b.write(0b00, 2); b.write(0, 4)
+            mx = max(abs(x) for x in res)
+            param = min(14, max(1, (2 * mx + 1).bit_length() - 1))
+            b.write(param, 4)
+            for x in res:
+                z = (x << 1) if x >= 0 else ((-x) << 1) - 1
+                b.write_unary(z >> param)
+                b.write(z, param)
+
+        payload = _flac_file(blk, [_flac_frame(blk, write_fixed)])
+        assert flac_pcm(payload).tolist() == blk, order
+
+
+def test_flac_header_crc_mismatch_raises():
+    from table_streaming_source_spark.operators.multimodal import (
+        flac_pcm,
+        synth_flac,
+    )
+
+    good = bytearray(synth_flac(7))
+    # find the first frame sync (0xFF 0xF8) after metadata and corrupt a
+    # header byte (the 16-bit blocksize field two bytes later)
+    idx = good.find(b"\xff\xf8", 4)
+    assert idx > 0
+    good[idx + 5] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        flac_pcm(bytes(good))
+
+
+def test_flac_lpc_subframe_quarantines():
+    from table_streaming_source_spark.operators.multimodal import flac_pcm
+
+    blk = [0] * 8
+
+    def write_lpc(b):
+        b.write(0, 1); b.write(0b100000, 6); b.write(0, 1)
+
+    payload = _flac_file(blk, [_flac_frame(blk, write_lpc)])
+    with pytest.raises(ValueError, match="LPC"):
+        flac_pcm(payload)
