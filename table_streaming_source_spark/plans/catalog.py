@@ -33,7 +33,8 @@ progressive-JPEG entry), ``text_lm_heldout_eval``, ``agg_correlation``,
 ``agg_mode``, ``ts_rollup_reagg``, ``window_rolling_median``,
 ``graph_bfs``, ``text_url_dedup``, ``multimodal_adpcm``,
 ``streaming_topk``, ``text_ndcg_eval``, ``sim_prefix_rerank``,
-``dq_expectations``, ``sql_recursive_cte``.
+``dq_expectations``, ``sql_recursive_cte``,
+``streaming_dual_sink``, ``multimodal_flac``.
 """
 
 from __future__ import annotations
