@@ -4888,6 +4888,126 @@ FROM events GROUP BY DATE_TRUNC('hour', ts), event_type
 """
 
 
+def q_agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group skewness and excess kurtosis from exact decimal-path
+    raw moments (Σx … Σx⁴) — the distribution-shape statistics native
+    ``skewness``/``kurtosis`` compute with partitioning-dependent float
+    accumulation.  ``l_quantity`` is integer-valued, so every power and
+    sum is exact; the central-moment identities and final ratios are
+    row-local double expressions the oracle restates verbatim.  Still
+    ONE map-combinable hash aggregate — shape analytics at the cost of
+    a sum."""
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+
+    def m(e):
+        return F.sum(e.cast("decimal(28,6)")).cast("double")
+
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        m(x).alias("__s1"),
+        m(x * x).alias("__s2"),
+        m(x * x * x).alias("__s3"),
+        m(x * x * x * x).alias("__s4"),
+    )
+    n = F.col("n")
+    mu = F.col("__s1") / n
+    m2 = F.col("__s2") / n - mu * mu
+    m3 = F.col("__s3") / n - 3 * mu * F.col("__s2") / n + 2 * mu * mu * mu
+    m4 = (
+        F.col("__s4") / n
+        - 4 * mu * F.col("__s3") / n
+        + 6 * mu * mu * F.col("__s2") / n
+        - 3 * mu * mu * mu * mu
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(F.sqrt(m2), 9).alias("stddev_pop"),
+        F.round(m3 / F.pow(m2, F.lit(1.5)), 9).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3.0, 9).alias("kurtosis_excess"),
+    )
+
+
+ORACLES["agg_higher_moments"] = """
+WITH s AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+              AS DOUBLE) AS s2,
+         CAST(SUM(CAST(l_quantity * l_quantity * l_quantity
+                       AS DECIMAL(28,6))) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+                       AS DECIMAL(28,6))) AS DOUBLE) AS s4
+  FROM lineitem GROUP BY l_returnflag
+),
+c AS (
+  SELECT l_returnflag, n,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3 * (s1 / n) * s2 / n
+           + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         s4 / n - 4 * (s1 / n) * s3 / n
+           + 6 * (s1 / n) * (s1 / n) * s2 / n
+           - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM s
+)
+SELECT l_returnflag, n,
+       ROUND(SQRT(m2), 9) AS stddev_pop,
+       ROUND(m3 / POWER(m2, 1.5), 9) AS skewness,
+       ROUND(m4 / (m2 * m2) - 3.0, 9) AS kurtosis_excess
+FROM c
+"""
+
+
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median per group: the smallest extended price
+    whose cumulative quantity weight reaches half the group's total —
+    the robust center engines only offer unweighted (and approximate).
+    Cumulative weights ride one ordered window in exact decimals and
+    the half-total test compares ``2·cumw ≥ W`` integer-exactly; the
+    crossing row is unique given the (price, orderkey, linenumber)
+    total order, so both engines pick the same value.
+
+    Scale shape: one window shuffle on the group key + a 1-row-per-group
+    argmin — no iteration, no driver math.  (At extreme skew the same
+    semantics decomposes into a two-pass histogram split; this is the
+    exact single-window form.)"""
+    li = t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wq = F.col("l_quantity").cast("decimal(18,2)")
+    cum = F.sum(wq).over(w)
+    tot = F.sum(wq).over(Window.partitionBy("l_returnflag"))
+    crossing = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        (2 * cum >= tot).cast("int").alias("__crossed"),
+    ).filter(F.col("__crossed") == 1)
+    return crossing.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("weighted_median_price")
+    )
+
+
+ORACLES["agg_weighted_median"] = """
+WITH cw AS (
+  SELECT l_returnflag, l_extendedprice,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+           PARTITION BY l_returnflag) AS w
+  FROM lineitem
+)
+SELECT l_returnflag, MIN(l_extendedprice) AS weighted_median_price
+FROM cw WHERE 2 * cumw >= w
+GROUP BY l_returnflag
+"""
+
+
 def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact rolling median (5-row trailing frame per user) — the robust
     smoother percentile_approx can't give exactly.  The frame's values
@@ -5048,6 +5168,8 @@ QUERIES = {
     "agg_correlation": q_agg_correlation,
     "agg_linear_fit": q_agg_linear_fit,
     "agg_mode": q_agg_mode,
+    "agg_higher_moments": q_agg_higher_moments,
+    "agg_weighted_median": q_agg_weighted_median,
     "ts_rollup_reagg": q_ts_rollup_reagg,
     "window_rolling_median": q_window_rolling_median,
     "window_zscore": q_window_zscore,
