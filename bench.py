@@ -71,6 +71,13 @@ HEADLINE = [
     "merge_upsert",
     "text_bpe_train",
     "multimodal_video_frames",
+    # round 4c additions: two-phase prefix rerank (the exact-rerank ANN
+    # shape), the FLAC rice/predictor decode path, iterative BFS, and
+    # the one-pass data-quality audit
+    "sim_prefix_rerank",
+    "multimodal_flac",
+    "graph_bfs",
+    "dq_expectations",
 ]
 
 

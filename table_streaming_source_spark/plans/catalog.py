@@ -34,7 +34,8 @@ progressive-JPEG entry), ``text_lm_heldout_eval``, ``agg_correlation``,
 ``graph_bfs``, ``text_url_dedup``, ``multimodal_adpcm``,
 ``streaming_topk``, ``text_ndcg_eval``, ``sim_prefix_rerank``,
 ``dq_expectations``, ``sql_recursive_cte``,
-``streaming_dual_sink``, ``multimodal_flac``.
+``streaming_dual_sink``, ``multimodal_flac``,
+``agg_higher_moments``, ``agg_weighted_median``.
 """
 
 from __future__ import annotations

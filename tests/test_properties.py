@@ -258,3 +258,99 @@ def test_jpeg_entropy_layer_lossless_property(seed, bw, bh, ac):
         ref[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = a.T @ s @ a
     ref = np.clip(np.round(ref + 128), 0, 255).astype(np.uint8)
     assert (got == ref).all()
+
+
+@given(
+    st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=30, deadline=None)
+def test_flac_synth_decode_lossless_property(key):
+    """FLAC is lossless: decode(synth(key)) must equal the synthesis
+    formula exactly for ANY key (covers every fixed order 0-2, both
+    frame-split parities, and the full rice-parameter range the
+    residuals hit)."""
+    from table_streaming_source_spark.operators.multimodal import (
+        flac_pcm,
+        synth_flac,
+    )
+
+    n = 96 + key % 160
+    exp = [((i * (3 + key % 7) + key) % 4096) - 2048 for i in range(n)]
+    assert flac_pcm(synth_flac(key)).tolist() == exp
+
+
+@given(
+    st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=30, deadline=None)
+def test_adpcm_synth_decode_closed_form_property(key):
+    """The ADPCM fixture keeps its state trajectory in closed form:
+    idx_j = max(k0 - j, 0) and no predictor clamp — the decoder must
+    reproduce that prefix sum for any key."""
+    from table_streaming_source_spark.operators.multimodal import (
+        _IMA_STEPS,
+        _adpcm_nibbles,
+        adpcm_pcm,
+        synth_wav_adpcm,
+    )
+
+    p0 = ((key * 37) % 4096) - 2048
+    k0, nibs = _adpcm_nibbles(key)
+    exp = [p0]
+    for j, nib in enumerate(nibs):
+        step = _IMA_STEPS[max(k0 - j, 0)]
+        m = nib & 7
+        d = step >> 3
+        if m & 1:
+            d += step >> 2
+        if m & 2:
+            d += step >> 1
+        exp.append(exp[-1] - d if nib & 8 else exp[-1] + d)
+    got = adpcm_pcm(synth_wav_adpcm(key)).tolist()
+    assert got == exp
+    assert max(abs(v) for v in got) < 32767  # clamp never fires
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sets(st.integers(min_value=0, max_value=11), min_size=1, max_size=3),
+)
+@settings(max_examples=15, deadline=None)
+def test_bfs_matches_reference_search(spark, edge_list, seed_set):
+    """bfs_distances equals a plain dict-based BFS on random directed
+    graphs (min distance within 3 hops, unreachable absent)."""
+    from table_streaming_source_spark.operators.graph import bfs_distances
+
+    edges = [(a, b) for a, b in edge_list if a != b]
+    if not edges:
+        edges = [(0, 1)]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    dist = {s: 0 for s in seed_set}
+    frontier = set(seed_set)
+    for h in (1, 2, 3):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    nxt.add(v)
+        for v in nxt:
+            dist[v] = h
+        frontier = nxt
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame(
+        [(s,) for s in seed_set], "v long"
+    )
+    got = {
+        r.v: r.dist
+        for r in bfs_distances(sdf, edf, max_hops=3).collect()
+    }
+    assert got == dist
