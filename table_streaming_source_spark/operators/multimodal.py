@@ -3175,3 +3175,114 @@ def flac_stats(
             )
 
     return df.mapInPandas(batches, schema=FLAC_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio: multi-codec dispatch (the "decode whatever arrives" stage)
+# ---------------------------------------------------------------------------
+
+def synth_mixed_audio(key: int) -> bytes:
+    """Format dispatch fixture: PCM tone WAV, IMA-ADPCM WAV, FLAC, or a
+    poisoned RIFF stub, selected by ``key % 4`` — one corpus, four
+    on-disk realities, like any crawled audio bucket."""
+    k = key % 4
+    if k == 0:
+        return synth_wav_tone(100 + key % 400, key)
+    if k == 1:
+        return synth_wav_adpcm(key)
+    if k == 2:
+        return synth_flac(key)
+    # poisoned: RIFF magic, truncated body — must quarantine, not fail
+    return b"RIFF\x10\x00\x00\x00WAVEjunk" + bytes([key % 256]) * 4
+
+
+def attach_mixed_audio_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one :func:`synth_mixed_audio` per key."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_mixed_audio(int(k)) for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+MIXED_AUDIO_SCHEMA = StructType(
+    [
+        StructField("key", LongType(), False),
+        StructField("codec", StringType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("sum_sq", LongType(), False),
+    ]
+)
+
+
+def _sniff_decode_audio(payload: bytes):
+    """Container sniff → codec dispatch → decoded samples.  Returns
+    (codec, samples); raises on undecodable bytes (caller
+    quarantines)."""
+    if payload[:4] == b"fLaC":
+        return "flac", flac_pcm(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        # read the fmt tag to pick the decoder
+        off = 12
+        while off + 8 <= len(payload):
+            cid = payload[off : off + 4]
+            size = struct.unpack("<I", payload[off + 4 : off + 8])[0]
+            if cid == b"fmt ":
+                tag = struct.unpack(
+                    "<H", payload[off + 8 : off + 10]
+                )[0]
+                if tag == 1:
+                    return "pcm", wav_pcm(payload)
+                if tag == 0x11:
+                    return "adpcm", adpcm_pcm(payload)
+                raise ValueError(f"unsupported WAVE format tag {tag}")
+            off += 8 + size + (size & 1)
+    raise ValueError("unrecognized audio container")
+
+
+def mixed_audio_stats(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Decode a MIXED-format audio corpus: sniff each blob's container,
+    dispatch to the right REAL decoder (PCM / IMA-ADPCM / FLAC), emit
+    uniform integer-exact per-clip stats; undecodable blobs become
+    ``codec='quarantined'`` rows instead of failing the job — the
+    format-dispatch front door every crawled-audio pipeline needs.
+    Arrow-batched ``mapInPandas``, partition-preserving."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            keys, codecs, ns, sqs = [], [], [], []
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                try:
+                    codec, s = _sniff_decode_audio(bytes(payload))
+                    n, sq = len(s), int((s * s).sum())
+                except ValueError:
+                    codec, n, sq = "quarantined", 0, 0
+                keys.append(int(k))
+                codecs.append(codec)
+                ns.append(n)
+                sqs.append(sq)
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(keys, dtype="int64"),
+                    "codec": pd.Series(codecs, dtype="object"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "sum_sq": pd.Series(sqs, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=MIXED_AUDIO_SCHEMA)

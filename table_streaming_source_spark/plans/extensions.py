@@ -2451,6 +2451,109 @@ FROM s GROUP BY key
 """
 
 
+def q_pipeline_audio_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed multi-codec audio pipeline: a mixed corpus (PCM WAV
+    / IMA-ADPCM WAV / FLAC / poisoned blobs by ``doc_id % 4``) flows
+    through container sniffing → per-format REAL decode → quarantine
+    routing → metadata join → per-(language, codec) rollup, as ONE
+    declarative plan (`operators/multimodal.py::mixed_audio_stats`).
+    This is the format-dispatch front door of a crawled-audio corpus;
+    the oracle restates all three decode families (tone formula, ADPCM
+    prefix sum over the step table, lossless FLAC formula) plus the
+    quarantine counts."""
+    docs = t(spark, sf_dir, "documents")
+    clips = M.attach_mixed_audio_payload(docs, "doc_id")
+    stats = M.mixed_audio_stats(clips)
+    return (
+        stats.join(
+            docs.select(F.col("doc_id").alias("key"), "lang"), "key"
+        )
+        .groupBy("lang", "codec")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clips"),
+            F.sum("n_samples").cast("bigint").alias("n_samples"),
+            F.sum("sum_sq").cast("bigint").alias("sum_sq"),
+        )
+    )
+
+
+ORACLES["pipeline_audio_prep"] = f"""
+WITH pcm_s AS (
+  SELECT d.doc_id AS key, d.lang, 'pcm' AS codec,
+         COUNT(*) AS n_samples,
+         SUM(((u.i * (3 + d.doc_id % 7) + d.doc_id) % 4096 - 2048)
+             * ((u.i * (3 + d.doc_id % 7) + d.doc_id) % 4096 - 2048))
+           AS sum_sq
+  FROM documents d,
+       UNNEST(RANGE(0, 100 + d.doc_id % 400)) AS u(i)
+  WHERE d.doc_id % 4 = 0
+  GROUP BY d.doc_id, d.lang
+),
+ad AS (
+  SELECT doc_id AS key, lang,
+         ((doc_id * 37) % 4096) - 2048 AS p0,
+         doc_id % 40 AS k0,
+         64 + (doc_id % 64) * 2 AS n_nib,
+         1 + doc_id % 3 AS m
+  FROM documents WHERE doc_id % 4 = 1
+),
+ad_nib AS (
+  SELECT key, lang, p0, n_nib, u.j AS j,
+         CASE WHEN u.j < 16 THEN 0 ELSE m END AS mag,
+         CASE WHEN u.j < 16 OR (u.j - 16) % 2 = 1 THEN -1 ELSE 1 END AS sgn,
+         {_ADPCM_STEPS_SQL}[GREATEST(k0 - u.j, 0) + 1] AS st
+  FROM ad, UNNEST(RANGE(0, n_nib)) AS u(j)
+),
+ad_d AS (
+  SELECT key, lang, p0, j,
+         sgn * ((st // 8)
+                + CASE WHEN mag % 2 = 1 THEN st // 4 ELSE 0 END
+                + CASE WHEN mag >= 2 THEN st // 2 ELSE 0 END) AS dd
+  FROM ad_nib
+),
+ad_walk AS (
+  SELECT key, lang,
+         p0 + SUM(dd) OVER (PARTITION BY key ORDER BY j
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS v
+  FROM ad_d
+),
+ad_all AS (
+  SELECT key, lang, p0 AS v FROM ad
+  UNION ALL SELECT key, lang, v FROM ad_walk
+),
+ad_s AS (
+  SELECT key, lang, 'adpcm' AS codec, COUNT(*) AS n_samples,
+         SUM(v * v) AS sum_sq
+  FROM ad_all GROUP BY key, lang
+),
+fl_s AS (
+  SELECT d.doc_id AS key, d.lang, 'flac' AS codec,
+         COUNT(*) AS n_samples,
+         SUM(((u.i * (3 + d.doc_id % 7) + d.doc_id) % 4096 - 2048)
+             * ((u.i * (3 + d.doc_id % 7) + d.doc_id) % 4096 - 2048))
+           AS sum_sq
+  FROM documents d,
+       UNNEST(RANGE(0, 96 + d.doc_id % 160)) AS u(i)
+  WHERE d.doc_id % 4 = 2
+  GROUP BY d.doc_id, d.lang
+),
+quar AS (
+  SELECT doc_id AS key, lang, 'quarantined' AS codec,
+         0 AS n_samples, 0 AS sum_sq
+  FROM documents WHERE doc_id % 4 = 3
+),
+clip AS (
+  SELECT * FROM pcm_s UNION ALL SELECT * FROM ad_s
+  UNION ALL SELECT * FROM fl_s UNION ALL SELECT * FROM quar
+)
+SELECT lang, codec, CAST(COUNT(*) AS BIGINT) AS n_clips,
+       CAST(SUM(n_samples) AS BIGINT) AS n_samples,
+       CAST(SUM(sum_sq) AS BIGINT) AS sum_sq
+FROM clip GROUP BY lang, codec
+"""
+
+
 def _ivf_cells_sql(flt: str = "") -> str:
     """Coarse-quantizer cell per vector as a subquery (literal twin of
     operators.similarity.ivf_assign, cells only)."""
@@ -4111,6 +4214,7 @@ QUERIES_DEFERRED = {
     "multimodal_audio_resample": q_multimodal_audio_resample,
     "multimodal_adpcm": q_multimodal_adpcm,
     "multimodal_flac": q_multimodal_flac,
+    "pipeline_audio_prep": q_pipeline_audio_prep,
     "multimodal_pixel_stats": q_multimodal_pixel_stats,
     "multimodal_gif_stats": q_multimodal_gif_stats,
     "multimodal_gif_frames": q_multimodal_gif_frames,
