@@ -1417,16 +1417,11 @@ def synth_avi_video(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def avi_frames(payload: bytes) -> list:
-    """REAL uncompressed-AVI video decode (stdlib + numpy): walk the RIFF
-    tree to the ``strf`` BITMAPINFOHEADER, verify 24-bit BI_RGB, then
-    decode every ``00db``/``00dc`` DIB frame in the ``movi`` LIST —
-    honoring the 4-byte row stride, bottom-up storage, and BGR byte
-    order.  Returns display-orientation ``(H, W, 3)`` uint8 RGB arrays.
-    Raises :class:`ValueError` on non-AVI, compressed, or malformed
-    input (quarantine-routable, like every decoder here)."""
-    import numpy as np
-
+def _avi_video_chunks(payload: bytes):
+    """Shared RIFF walk: return the video stream's ``strf``
+    BITMAPINFOHEADER bytes and the ``movi`` frame chunk spans
+    ``(offset, size)`` — the container plumbing both the uncompressed
+    DIB and the MJPEG decoders sit on."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF-AVI container")
 
@@ -1445,7 +1440,7 @@ def avi_frames(payload: bytes) -> list:
 
     strf = None
     in_vids = False
-    movi: list[tuple[int, int]] = []
+    movi: list = []
 
     def scan(off: int, end: int) -> None:
         nonlocal strf, in_vids
@@ -1473,6 +1468,20 @@ def avi_frames(payload: bytes) -> list:
     scan(12, 8 + struct.unpack("<I", payload[4:8])[0])
     if strf is None or len(strf) < 40:
         raise ValueError("AVI without a BITMAPINFOHEADER strf")
+    return strf, movi
+
+
+def avi_frames(payload: bytes) -> list:
+    """REAL uncompressed-AVI video decode (stdlib + numpy): walk the RIFF
+    tree to the ``strf`` BITMAPINFOHEADER, verify 24-bit BI_RGB, then
+    decode every ``00db``/``00dc`` DIB frame in the ``movi`` LIST —
+    honoring the 4-byte row stride, bottom-up storage, and BGR byte
+    order.  Returns display-orientation ``(H, W, 3)`` uint8 RGB arrays.
+    Raises :class:`ValueError` on non-AVI, compressed, or malformed
+    input (quarantine-routable, like every decoder here)."""
+    import numpy as np
+
+    strf, movi = _avi_video_chunks(payload)
     (_, width, height, _, bitcount, compression) = struct.unpack(
         "<IiiHHI", strf[:20]
     )
@@ -3286,3 +3295,164 @@ def mixed_audio_stats(
             )
 
     return df.mapInPandas(batches, schema=MIXED_AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# video: MJPEG-in-AVI — real COMPRESSED video frames, decoded by the
+# baseline JPEG pipeline inside the AVI container walk
+# ---------------------------------------------------------------------------
+
+#: BITMAPINFOHEADER biCompression fourcc for motion JPEG
+_MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
+
+
+def synth_avi_mjpeg(
+    width: int, height: int, n_frames: int, seed: int
+) -> bytes:
+    """A spec-valid RIFF-AVI whose video stream is MOTION JPEG: strh
+    fccHandler and strf biCompression are ``MJPG`` and every ``00dc``
+    chunk is a complete baseline grayscale JPEG (DC-exact block
+    synthesis, frame ``f``'s blocks at
+    ``v = (7·bx + 13·by + 17·f + seed) % 256``) — compressed video a
+    SQL oracle can still restate exactly."""
+    frames = [
+        synth_jpeg_blocks(width, height, (17 * f + seed) % 256)
+        for f in range(n_frames)
+    ]
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return cid + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) & 1 else b""
+        )
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", 4 + len(payload)) + ltype + payload
+
+    avih = struct.pack(
+        "<14I", 40_000, 0, 0, 0, n_frames, 0, 1, 0, width, height, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, 25, 0, n_frames, 0, 0, 0
+        )
+        + struct.pack("<hhhh", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, _MJPG_FOURCC,
+        0, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", fr) for fr in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_mjpeg_frames(payload: bytes) -> list:
+    """REAL compressed-video decode: walk the AVI container, require
+    ``MJPG`` biCompression, and run the full baseline-JPEG pipeline
+    (huffman → dequant → IDCT) on every ``00dc`` chunk.  Returns
+    grayscale ``(H, W)`` uint8 arrays.  Non-MJPEG compression raises
+    (the uncompressed path is :func:`avi_frames`; H.264 etc. stay
+    quarantine-routed)."""
+    strf, movi = _avi_video_chunks(payload)
+    (_, _, _, _, _, compression) = struct.unpack("<IiiHHI", strf[:20])
+    if compression != _MJPG_FOURCC:
+        raise ValueError("not an MJPEG AVI")
+    frames = []
+    for body, size in movi:
+        frames.append(jpeg_pixels(payload[body : body + size]))
+    return frames
+
+
+def attach_mjpeg_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one :func:`synth_avi_mjpeg` per key —
+    ``w = 8·(2 + k%3)``, ``h = 8·(2 + k%2)``, ``2 + k%3`` frames."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_avi_mjpeg(
+                            8 * (2 + int(k) % 3),
+                            8 * (2 + int(k) % 2),
+                            2 + int(k) % 3,
+                            int(k),
+                        )
+                        for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+MJPEG_STATS_SCHEMA = StructType(
+    [
+        StructField("key", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("n_px", LongType(), False),
+        StructField("sum_p", LongType(), False),
+        StructField("wsum_p", LongType(), False),
+    ]
+)
+
+
+def mjpeg_frame_stats(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    key: str = "key",
+    step: int = 2,
+) -> DataFrame:
+    """Keyframe sampling over REAL MJPEG decode: every ``step``-th frame
+    of each clip is huffman-decoded and reduced to integer-exact stats —
+    pixel count, Σp, and the block-position-weighted
+    ``Σ p·(x//8 + 2·(y//8))`` that makes a transposed or re-ordered
+    decode value-visible.  Arrow-batched ``mapInPandas``; compressed
+    video bytes never shuffle."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "key", "frame_idx", "n_px", "sum_p", "wsum_p",
+            )}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                frames = avi_mjpeg_frames(bytes(payload))
+                for f in range(0, len(frames), step):
+                    px = frames[f].astype(np.int64)
+                    h, w = px.shape
+                    wgt = (
+                        np.arange(w, dtype=np.int64)[None, :] // 8
+                        + 2 * (np.arange(h, dtype=np.int64)[:, None] // 8)
+                    )
+                    rows["key"].append(int(k))
+                    rows["frame_idx"].append(f)
+                    rows["n_px"].append(h * w)
+                    rows["sum_p"].append(int(px.sum()))
+                    rows["wsum_p"].append(int((px * wgt).sum()))
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                    "n_px": pd.Series(rows["n_px"], dtype="int64"),
+                    "sum_p": pd.Series(rows["sum_p"], dtype="int64"),
+                    "wsum_p": pd.Series(rows["wsum_p"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=MJPEG_STATS_SCHEMA)

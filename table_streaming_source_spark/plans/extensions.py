@@ -2554,6 +2554,51 @@ FROM clip GROUP BY lang, codec
 """
 
 
+def q_multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-video decode: MJPEG-in-AVI clips (strf
+    biCompression ``MJPG``, every ``00dc`` chunk a complete baseline
+    JPEG) keyframe-sampled every 2nd frame through the full
+    huffman→dequant→IDCT pipeline (`operators/multimodal.py::
+    avi_mjpeg_frames`) — the container walk and the image codec
+    composed, which is exactly how real MJPEG corpora decode.  DC-exact
+    block synthesis keeps the lossy codec's round trip integer-exact,
+    so the oracle restates every sampled frame's pixel sums (including
+    a block-position-weighted sum that catches transposed or re-ordered
+    decodes)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    clips = M.attach_mjpeg_payload(docs, "doc_id")
+    return M.mjpeg_frame_stats(clips, step=2)
+
+
+ORACLES["multimodal_mjpeg_frames"] = """
+WITH geo AS (
+  SELECT doc_id AS key,
+         2 + doc_id % 3 AS bw,
+         2 + doc_id % 2 AS bh,
+         2 + doc_id % 3 AS nf
+  FROM documents WHERE doc_id % 5 = 0
+),
+fr AS (
+  SELECT key, bw, bh, u.f AS f
+  FROM geo, UNNEST(RANGE(0, nf)) AS u(f)
+  WHERE u.f % 2 = 0
+),
+blk AS (
+  SELECT key, f, bw, bh,
+         bx.i AS bx, by.i AS by,
+         (7 * bx.i + 13 * by.i + 17 * f + key) % 256 AS v
+  FROM fr,
+       UNNEST(RANGE(0, bw)) AS bx(i),
+       UNNEST(RANGE(0, bh)) AS by(i)
+)
+SELECT key, CAST(f AS INT) AS frame_idx,
+       CAST(64 * MAX(bw) * MAX(bh) AS BIGINT) AS n_px,
+       CAST(64 * SUM(v) AS BIGINT) AS sum_p,
+       CAST(64 * SUM(v * (bx + 2 * by)) AS BIGINT) AS wsum_p
+FROM blk GROUP BY key, f
+"""
+
+
 def _ivf_cells_sql(flt: str = "") -> str:
     """Coarse-quantizer cell per vector as a subquery (literal twin of
     operators.similarity.ivf_assign, cells only)."""
@@ -4215,6 +4260,7 @@ QUERIES_DEFERRED = {
     "multimodal_adpcm": q_multimodal_adpcm,
     "multimodal_flac": q_multimodal_flac,
     "pipeline_audio_prep": q_pipeline_audio_prep,
+    "multimodal_mjpeg_frames": q_multimodal_mjpeg_frames,
     "multimodal_pixel_stats": q_multimodal_pixel_stats,
     "multimodal_gif_stats": q_multimodal_gif_stats,
     "multimodal_gif_frames": q_multimodal_gif_frames,

@@ -961,3 +961,44 @@ def test_flac_lpc_subframe_quarantines():
     payload = _flac_file(blk, [_flac_frame(blk, write_lpc)])
     with pytest.raises(ValueError, match="LPC"):
         flac_pcm(payload)
+
+
+def test_mjpeg_avi_rejects_uncompressed_and_vice_versa():
+    from table_streaming_source_spark.operators.multimodal import (
+        avi_frames,
+        avi_mjpeg_frames,
+        synth_avi_mjpeg,
+        synth_avi_video,
+    )
+
+    mjpeg = synth_avi_mjpeg(16, 16, 2, 3)
+    dib = synth_avi_video(16, 16, 2, 3)
+    with pytest.raises(ValueError, match="MJPEG"):
+        avi_mjpeg_frames(dib)
+    with pytest.raises(ValueError, match="only uncompressed"):
+        avi_frames(mjpeg)
+
+
+def test_mjpeg_frame_geometry_and_sampling(spark):
+    from table_streaming_source_spark.operators.multimodal import (
+        attach_mjpeg_payload,
+        mjpeg_frame_stats,
+    )
+
+    df = spark.createDataFrame([(2,), (5,)], "doc_id long")
+    out = mjpeg_frame_stats(
+        attach_mjpeg_payload(df, "doc_id"), step=2
+    ).collect()
+    got = {(r.key, r.frame_idx): (r.n_px, r.sum_p) for r in out}
+    # key 2: 4 blocks wide x 2 high, 4 frames -> sampled 0, 2
+    # key 5: 4x3 blocks? w=8*(2+5%3)=8*4, h=8*(2+5%2)=8*3, nf=2+5%3=4
+    assert set(got) == {(2, 0), (2, 2), (5, 0), (5, 2)}
+    for (k, f), (n_px, sum_p) in got.items():
+        bw = 2 + k % 3
+        bh = 2 + k % 2
+        assert n_px == 64 * bw * bh
+        exp = 64 * sum(
+            (7 * bx + 13 * by + 17 * f + k) % 256
+            for bx in range(bw) for by in range(bh)
+        )
+        assert sum_p == exp
