@@ -35,7 +35,8 @@ progressive-JPEG entry), ``text_lm_heldout_eval``, ``agg_correlation``,
 ``streaming_topk``, ``text_ndcg_eval``, ``sim_prefix_rerank``,
 ``dq_expectations``, ``sql_recursive_cte``,
 ``streaming_dual_sink``, ``multimodal_flac``,
-``agg_higher_moments``, ``agg_weighted_median``.
+``agg_higher_moments``, ``agg_weighted_median``,
+``pipeline_audio_prep``, ``multimodal_mjpeg_frames``.
 """
 
 from __future__ import annotations
