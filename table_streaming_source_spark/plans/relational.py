@@ -5008,6 +5008,130 @@ GROUP BY l_returnflag
 """
 
 
+def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each event type's hour-of-day distribution —
+    the diversity/uniformity signal data-curation passes use (a spiky
+    distribution flags bots or batch imports).  Probabilities are exact
+    integer ratios; each ``p·ln p`` term rounds to 9 decimals and sums
+    on the decimal path (the ``text_bigram_lm`` libm discipline), so
+    the aggregate entropy is bit-stable across engines.  Two hash
+    aggregates, the second over ≤ |types|×24 rows."""
+    e = t(spark, sf_dir, "events")
+    freq = e.groupBy("event_type", F.hour("ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = Window.partitionBy("event_type")
+    p = F.col("c") / F.sum("c").over(tot)
+    term = F.round(p * F.log(p), 9).cast("decimal(18,9)")
+    per = freq.select(
+        "event_type",
+        F.col("c"),
+        term.alias("__t"),
+    )
+    return per.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        (-F.sum("__t").cast("double")).alias("entropy"),
+    )
+
+
+ORACLES["agg_entropy"] = """
+WITH freq AS (
+  SELECT event_type, EXTRACT(HOUR FROM ts) AS hour, COUNT(*) AS c
+  FROM events GROUP BY event_type, EXTRACT(HOUR FROM ts)
+),
+p AS (
+  SELECT event_type, c,
+         CAST(ROUND((c / SUM(c) OVER (PARTITION BY event_type))
+               * LN(c / SUM(c) OVER (PARTITION BY event_type)), 9)
+              AS DECIMAL(18,9)) AS t
+  FROM freq
+)
+SELECT event_type,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       -CAST(SUM(t) AS DOUBLE) AS entropy
+FROM p GROUP BY event_type
+"""
+
+
+def q_pipeline_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed behavioral pipeline: gap sessionization (30 min) →
+    per-session facts (event count, purchase flag, exact integer
+    duration) → session-depth × conversion profile, ONE declarative
+    plan — the sessionize/funnel operators composed the way a product
+    analytics job actually runs them (the depth-vs-conversion curve).
+
+    Scale shape: everything keys on ``user_id`` — the sessionize
+    window and the session aggregate reuse one user-hashed exchange
+    lineage; the final rollup is ≤ 10 rows.  Durations are
+    epoch-second differences (exact integers)."""
+    from table_streaming_source_spark.operators.windows import sessionize
+
+    e = t(spark, sf_dir, "events")
+    s = sessionize(
+        e.select("user_id", "ts", "event_id", "event_type"),
+        ts_col="ts",
+        key="user_id",
+        gap="30 minutes",
+    )
+    sess = s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max((F.col("event_type") == "purchase").cast("int"))
+        .alias("has_purchase"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("dur_s"),
+    )
+    depth = F.least(F.col("n_events"), F.lit(5)).cast("int")
+    return (
+        sess.groupBy(
+            depth.alias("session_depth"),
+            F.col("has_purchase").cast("int").alias("has_purchase"),
+        )
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("dur_s").cast("bigint").alias("total_dur_s"),
+        )
+    )
+
+
+ORACLES["pipeline_behavior"] = """
+WITH marked AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessioned AS (
+  SELECT user_id, ts, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM marked
+),
+sess AS (
+  SELECT user_id, session_seq, COUNT(*) AS n_events,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS has_purchase,
+         DATE_DIFF('second', MIN(ts), MAX(ts)) AS dur_s
+  FROM sessioned GROUP BY user_id, session_seq
+)
+SELECT CAST(LEAST(n_events, 5) AS INT) AS session_depth,
+       CAST(has_purchase AS INT) AS has_purchase,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(dur_s) AS BIGINT) AS total_dur_s
+FROM sess
+GROUP BY LEAST(n_events, 5), has_purchase
+"""
+
+
 def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact rolling median (5-row trailing frame per user) — the robust
     smoother percentile_approx can't give exactly.  The frame's values
@@ -5169,6 +5293,8 @@ QUERIES = {
     "agg_linear_fit": q_agg_linear_fit,
     "agg_mode": q_agg_mode,
     "agg_higher_moments": q_agg_higher_moments,
+    "agg_entropy": q_agg_entropy,
+    "pipeline_behavior": q_pipeline_behavior,
     "agg_weighted_median": q_agg_weighted_median,
     "ts_rollup_reagg": q_ts_rollup_reagg,
     "window_rolling_median": q_window_rolling_median,
