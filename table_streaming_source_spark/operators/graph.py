@@ -169,7 +169,12 @@ def bfs_distances(
     Returns ``(key, dist)`` for every vertex reachable within
     ``max_hops`` (seeds at distance 0).
     """
-    e = edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
+    # the edge list is loop-invariant: checkpoint it once so no hop
+    # re-derives the (possibly expensive) edge expression — same
+    # discipline as pagerank's degree-annotated edge table
+    e = edges.select(
+        F.col(src).alias("__u"), F.col(dst).alias("__v")
+    ).localCheckpoint(eager=False)
     settled = (
         sources.select(F.col(key).alias("__v"))
         .distinct()

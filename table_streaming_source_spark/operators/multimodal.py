@@ -2261,11 +2261,21 @@ def jpeg_planes(payload: bytes) -> "list":
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise ValueError(
-                        "chroma subsampling not supported (4:4:4 only)"
-                    )
-                comps.append({"id": cid, "tq": tq})
+                comps.append(
+                    {"id": cid, "tq": tq, "h": samp >> 4, "v": samp & 0xF}
+                )
+            samps = [(c["h"], c["v"]) for c in comps]
+            # supported geometries: any all-1×1 layout (grayscale or
+            # 4:4:4) and the dominant web layout 4:2:0 (luma 2×2,
+            # chroma 1×1); exotic factors quarantine
+            if not (
+                all(s == (1, 1) for s in samps)
+                or (ncomp == 3 and samps == [(2, 2), (1, 1), (1, 1)])
+            ):
+                raise ValueError(
+                    "unsupported chroma subsampling geometry "
+                    f"{samps} — only 1x1 and 4:2:0"
+                )
         elif marker == 0xC2:  # SOF2: progressive DCT
             _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if ncomp != 1:
@@ -2403,14 +2413,23 @@ def jpeg_planes(payload: bytes) -> "list":
                 scan.append(
                     (comp, htables[(0, tabs >> 4)], htables[(1, tabs & 0xF)])
                 )
-            bw = (width + 7) // 8
-            bh = (height + 7) // 8
+            # generalized MCU walk (T.81 A.2): an MCU carries h×v blocks
+            # per component; the all-1×1 case degenerates to one block
+            # per component per MCU (the original 4:4:4/grayscale path)
+            hmax = max(c["h"] for c, _, _ in scan)
+            vmax = max(c["v"] for c, _, _ in scan)
+            mcw = (width + 8 * hmax - 1) // (8 * hmax)
+            mch = (height + 8 * vmax - 1) // (8 * vmax)
             planes = [
-                np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in scan
+                np.zeros(
+                    (mch * 8 * comp["v"], mcw * 8 * comp["h"]),
+                    dtype=np.float64,
+                )
+                for comp, _, _ in scan
             ]
             r = _JpegBitReader(payload, pos)
             prev = [0] * len(scan)
-            for m in range(bw * bh):
+            for m in range(mcw * mch):
                 if restart_interval and m and m % restart_interval == 0:
                     r.align()
                     if not (
@@ -2420,39 +2439,47 @@ def jpeg_planes(payload: bytes) -> "list":
                         raise ValueError("expected restart marker")
                     r.pos += 2
                     prev = [0] * len(scan)
-                by, bx = divmod(m, bw)
+                my, mx = divmod(m, mcw)
                 for ci, (comp, dct, act) in enumerate(scan):
                     q = qtables[comp["tq"]]
-                    zz = [0] * 64
-                    t = r.huff(dct)
-                    prev[ci] += _receive_extend(r, t)
-                    zz[0] = prev[ci]
-                    k = 1
-                    while k < 64:
-                        rs = r.huff(act)
-                        run, size_ = rs >> 4, rs & 0xF
-                        if size_ == 0:
-                            if run == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += run
-                        if k > 63:
-                            raise ValueError("AC index overflow")
-                        zz[k] = _receive_extend(r, size_)
-                        k += 1
-                    coeffs = [0.0] * 64
-                    for k in range(64):
-                        nat = _JPEG_ZIGZAG[k]
-                        coeffs[nat] = zz[k] * q[nat]
-                    planes[ci][
-                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                    ] = _idct_block(coeffs)
-            return [
-                np.clip(np.round(p[:height, :width] + 128.0), 0, 255)
-                .astype(np.uint8)
-                for p in planes
-            ]
+                    for bv in range(comp["v"]):
+                        for bhh in range(comp["h"]):
+                            zz = [0] * 64
+                            t = r.huff(dct)
+                            prev[ci] += _receive_extend(r, t)
+                            zz[0] = prev[ci]
+                            k = 1
+                            while k < 64:
+                                rs = r.huff(act)
+                                run, size_ = rs >> 4, rs & 0xF
+                                if size_ == 0:
+                                    if run == 15:  # ZRL
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += run
+                                if k > 63:
+                                    raise ValueError("AC index overflow")
+                                zz[k] = _receive_extend(r, size_)
+                                k += 1
+                            coeffs = [0.0] * 64
+                            for k in range(64):
+                                nat = _JPEG_ZIGZAG[k]
+                                coeffs[nat] = zz[k] * q[nat]
+                            by = my * comp["v"] + bv
+                            bx = mx * comp["h"] + bhh
+                            planes[ci][
+                                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                            ] = _idct_block(coeffs)
+            out_planes = []
+            for (comp, _, _), p in zip(scan, planes):
+                ch = -(-height * comp["v"] // vmax)
+                cw = -(-width * comp["h"] // hmax)
+                out_planes.append(
+                    np.clip(np.round(p[:ch, :cw] + 128.0), 0, 255)
+                    .astype(np.uint8)
+                )
+            return out_planes
     raise ValueError("JPEG without SOS")
 
 
@@ -2466,7 +2493,17 @@ def jpeg_pixels(payload: bytes) -> "object":
     if len(out) == 1:
         return out[0]
     if len(out) == 3:
-        y, cb, cr = (p.astype(np.float64) for p in out)
+        y = out[0].astype(np.float64)
+        # 4:2:0 chroma → replicate 2× each axis (nearest-neighbor
+        # upsampling, deterministic) and crop to the luma grid
+        ups = []
+        for p in out[1:]:
+            pf = p.astype(np.float64)
+            if pf.shape != y.shape:
+                pf = pf.repeat(2, axis=0).repeat(2, axis=1)
+                pf = pf[: y.shape[0], : y.shape[1]]
+            ups.append(pf)
+        cb, cr = ups
         rgb = np.stack(
             [
                 y + 1.402 * (cr - 128.0),
@@ -3456,3 +3493,205 @@ def mjpeg_frame_stats(
             )
 
     return df.mapInPandas(batches, schema=MJPEG_STATS_SCHEMA)
+
+
+def encode_jpeg_420_coeffs(
+    y_blocks, c_blocks, width: int, height: int, qtable
+) -> bytes:
+    """Entropy-encode pre-quantized coefficient blocks into a complete
+    4:2:0 baseline JPEG — luma sampling 2×2, chroma 1×1, interleaved
+    MCUs of 4 Y blocks + Cb + Cr, shared Annex-K tables.  ``y_blocks``
+    is raster order over the (2·mcw)×(2·mch) luma block grid;
+    ``c_blocks`` is ``[cb_blocks, cr_blocks]`` over the mcw×mch chroma
+    grid.  Coefficient-domain input keeps the encoder lossless, like
+    its grayscale and 4:4:4 twins."""
+    dc_enc = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    qzz = bytes(qtable[_JPEG_ZIGZAG[i]] for i in range(64))
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + qzz)
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes((1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0)),
+    )
+    out += seg(0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(0xC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    out += seg(0xDA, bytes((3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)))
+
+    mcw, mch = (width + 15) // 16, (height + 15) // 16
+    w = _JpegBitWriter()
+    prev = [0, 0, 0]
+
+    def put_block(zz_nat, ci):
+        zz = [int(zz_nat[_JPEG_ZIGZAG[k]]) for k in range(64)]
+        t, mag = _mag_bits(zz[0] - prev[ci])
+        prev[ci] = zz[0]
+        code, length = dc_enc[t]
+        w.write(code, length)
+        w.write(mag, t)
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_enc[0xF0]
+                w.write(code, length)
+                run -= 16
+            t, mag = _mag_bits(zz[k])
+            code, length = ac_enc[(run << 4) | t]
+            w.write(code, length)
+            w.write(mag, t)
+            run = 0
+        if run:
+            code, length = ac_enc[0x00]
+            w.write(code, length)
+
+    for m in range(mcw * mch):
+        my, mx = divmod(m, mcw)
+        for bv in (0, 1):
+            for bhh in (0, 1):
+                put_block(
+                    y_blocks[(2 * my + bv) * 2 * mcw + 2 * mx + bhh], 0
+                )
+        put_block(c_blocks[0][m], 1)
+        put_block(c_blocks[1][m], 2)
+    w.flush()
+    out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def synth_jpeg_420(width: int, height: int, seed: int) -> bytes:
+    """A spec-valid 4:2:0 baseline JPEG with DC-exact block synthesis:
+    luma block (bx, by) is the flat value ``(7bx + 13by + seed) % 256``;
+    chroma MCU (mx, my) is flat ``(5mx + 11my + seed) % 256`` (Cb) and
+    ``(3mx + 17my + 2·seed) % 256`` (Cr) — the dominant web JPEG
+    geometry with every decoded sample SQL-restatable.  Dimensions must
+    be multiples of 16."""
+    if width % 16 or height % 16:
+        raise ValueError("synth dimensions must be multiples of 16")
+    mcw, mch = width // 16, height // 16
+
+    def flat(v):
+        blk = [0] * 64
+        blk[0] = v - 128
+        return blk
+
+    y_blocks = [
+        flat((7 * bx + 13 * by + seed) % 256)
+        for by in range(2 * mch)
+        for bx in range(2 * mcw)
+    ]
+    cb = [
+        flat((5 * mx + 11 * my + seed) % 256)
+        for my in range(mch)
+        for mx in range(mcw)
+    ]
+    cr = [
+        flat((3 * mx + 17 * my + 2 * seed) % 256)
+        for my in range(mch)
+        for mx in range(mcw)
+    ]
+    return encode_jpeg_420_coeffs(
+        y_blocks, [cb, cr], width, height, _JPEG_SYNTH_QTABLE
+    )
+
+
+def attach_jpeg_420_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one :func:`synth_jpeg_420` per key —
+    ``w = 16·(1 + k%3)``, ``h = 16·(1 + k%2)``."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_jpeg_420(
+                            16 * (1 + int(k) % 3),
+                            16 * (1 + int(k) % 2),
+                            int(k) % 256,
+                        )
+                        for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+JPEG420_STATS_SCHEMA = StructType(
+    [
+        StructField("key", LongType(), False),
+        StructField("y_w", IntegerType(), False),
+        StructField("y_h", IntegerType(), False),
+        StructField("c_w", IntegerType(), False),
+        StructField("c_h", IntegerType(), False),
+        StructField("sum_y", LongType(), False),
+        StructField("sum_cb", LongType(), False),
+        StructField("sum_cr", LongType(), False),
+        StructField("wsum_y", LongType(), False),
+    ]
+)
+
+
+def jpeg_420_stats(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Integer-exact per-plane statistics of REAL 4:2:0 JPEG decode —
+    plane geometries prove the subsampled MCU walk (chroma at half
+    resolution), Σ per plane proves the three DC predictor chains, and
+    the block-position-weighted luma sum catches any block placement
+    slip in the 2×2 interleave.  Arrow-batched ``mapInPandas``."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "key", "y_w", "y_h", "c_w", "c_h",
+                "sum_y", "sum_cb", "sum_cr", "wsum_y",
+            )}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                y, cb, cr = jpeg_planes(bytes(payload))
+                yy = y.astype(np.int64)
+                h, w = yy.shape
+                wgt = (
+                    np.arange(w, dtype=np.int64)[None, :] // 8
+                    + 2 * (np.arange(h, dtype=np.int64)[:, None] // 8)
+                )
+                rows["key"].append(int(k))
+                rows["y_w"].append(w)
+                rows["y_h"].append(h)
+                rows["c_w"].append(cb.shape[1])
+                rows["c_h"].append(cb.shape[0])
+                rows["sum_y"].append(int(yy.sum()))
+                rows["sum_cb"].append(int(cb.astype(np.int64).sum()))
+                rows["sum_cr"].append(int(cr.astype(np.int64).sum()))
+                rows["wsum_y"].append(int((yy * wgt).sum()))
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "y_w": pd.Series(rows["y_w"], dtype="int32"),
+                    "y_h": pd.Series(rows["y_h"], dtype="int32"),
+                    "c_w": pd.Series(rows["c_w"], dtype="int32"),
+                    "c_h": pd.Series(rows["c_h"], dtype="int32"),
+                    "sum_y": pd.Series(rows["sum_y"], dtype="int64"),
+                    "sum_cb": pd.Series(rows["sum_cb"], dtype="int64"),
+                    "sum_cr": pd.Series(rows["sum_cr"], dtype="int64"),
+                    "wsum_y": pd.Series(rows["wsum_y"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=JPEG420_STATS_SCHEMA)

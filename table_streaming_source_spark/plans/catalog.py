@@ -36,7 +36,8 @@ progressive-JPEG entry), ``text_lm_heldout_eval``, ``agg_correlation``,
 ``dq_expectations``, ``sql_recursive_cte``,
 ``streaming_dual_sink``, ``multimodal_flac``,
 ``agg_higher_moments``, ``agg_weighted_median``,
-``pipeline_audio_prep``, ``multimodal_mjpeg_frames``.
+``pipeline_audio_prep``, ``multimodal_mjpeg_frames``,
+``agg_entropy``, ``pipeline_behavior``.
 """
 
 from __future__ import annotations

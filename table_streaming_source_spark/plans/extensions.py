@@ -2599,6 +2599,63 @@ FROM blk GROUP BY key, f
 """
 
 
+def q_multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 4:2:0 JPEG decode — the dominant web-JPEG geometry: 2×2
+    luma sampling, interleaved MCUs of 4 Y blocks + Cb + Cr, chroma at
+    half resolution (`operators/multimodal.py::jpeg_planes`, the
+    generalized T.81 A.2 MCU walk).  DC-exact block synthesis keeps the
+    lossy codec integer-exact; the oracle restates each plane's
+    geometry and sums, plus a block-position-weighted luma sum that
+    catches any slip in the 2×2 interleave order."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
+    imgs = M.attach_jpeg_420_payload(docs, "doc_id")
+    return M.jpeg_420_stats(imgs)
+
+
+ORACLES["multimodal_jpeg_420"] = """
+WITH geo AS (
+  SELECT doc_id AS key,
+         2 * (1 + doc_id % 3) AS ybw,
+         2 * (1 + doc_id % 2) AS ybh,
+         1 + doc_id % 3 AS cbw,
+         1 + doc_id % 2 AS cbh,
+         doc_id % 256 AS seed
+  FROM documents WHERE doc_id % 4 = 1
+),
+yb AS (
+  SELECT key, ybw, ybh, cbw, cbh, seed,
+         bx.i AS bx, by.i AS by,
+         (7 * bx.i + 13 * by.i + seed) % 256 AS v
+  FROM geo,
+       UNNEST(RANGE(0, ybw)) AS bx(i),
+       UNNEST(RANGE(0, ybh)) AS by(i)
+),
+ys AS (
+  SELECT key, SUM(v) AS sv, SUM(v * (bx + 2 * by)) AS wv
+  FROM yb GROUP BY key
+),
+cbs AS (
+  SELECT g.key,
+         SUM((5 * mx.i + 11 * my.i + g.seed) % 256) AS scb,
+         SUM((3 * mx.i + 17 * my.i + 2 * g.seed) % 256) AS scr
+  FROM geo g,
+       UNNEST(RANGE(0, g.cbw)) AS mx(i),
+       UNNEST(RANGE(0, g.cbh)) AS my(i)
+  GROUP BY g.key
+)
+SELECT g.key,
+       CAST(8 * g.ybw AS INT) AS y_w,
+       CAST(8 * g.ybh AS INT) AS y_h,
+       CAST(8 * g.cbw AS INT) AS c_w,
+       CAST(8 * g.cbh AS INT) AS c_h,
+       CAST(64 * ys.sv AS BIGINT) AS sum_y,
+       CAST(64 * cbs.scb AS BIGINT) AS sum_cb,
+       CAST(64 * cbs.scr AS BIGINT) AS sum_cr,
+       CAST(64 * ys.wv AS BIGINT) AS wsum_y
+FROM geo g JOIN ys ON ys.key = g.key JOIN cbs ON cbs.key = g.key
+"""
+
+
 def _ivf_cells_sql(flt: str = "") -> str:
     """Coarse-quantizer cell per vector as a subquery (literal twin of
     operators.similarity.ivf_assign, cells only)."""
@@ -4261,6 +4318,7 @@ QUERIES_DEFERRED = {
     "multimodal_flac": q_multimodal_flac,
     "pipeline_audio_prep": q_pipeline_audio_prep,
     "multimodal_mjpeg_frames": q_multimodal_mjpeg_frames,
+    "multimodal_jpeg_420": q_multimodal_jpeg_420,
     "multimodal_pixel_stats": q_multimodal_pixel_stats,
     "multimodal_gif_stats": q_multimodal_gif_stats,
     "multimodal_gif_frames": q_multimodal_gif_frames,

@@ -1002,3 +1002,35 @@ def test_mjpeg_frame_geometry_and_sampling(spark):
             for bx in range(bw) for by in range(bh)
         )
         assert sum_p == exp
+
+
+def test_jpeg_420_rejects_other_subsampling_geometries():
+    """4:2:2 (2×1) and 1×2 layouts must quarantine, not mis-decode."""
+    import struct as _s
+
+    from table_streaming_source_spark.operators.multimodal import (
+        jpeg_planes,
+        synth_jpeg_420,
+    )
+
+    good = bytearray(synth_jpeg_420(16, 16, 9))
+    sof = bytes(good).find(b"\xff\xc0")
+    # luma sampling byte lives at SOF body offset 7 (after len, prec,
+    # h, w, ncomp, cid)
+    good[sof + 2 + 2 + 6 + 1] = 0x21  # 4:2:2
+    with pytest.raises(ValueError, match="subsampling"):
+        jpeg_planes(bytes(good))
+
+
+def test_jpeg_420_chroma_half_resolution_and_upsample():
+    from table_streaming_source_spark.operators.multimodal import (
+        jpeg_pixels,
+        jpeg_planes,
+        synth_jpeg_420,
+    )
+
+    payload = synth_jpeg_420(48, 32, 200)
+    y, cb, cr = jpeg_planes(payload)
+    assert y.shape == (32, 48)
+    assert cb.shape == cr.shape == (16, 24)
+    assert jpeg_pixels(payload).shape == (32, 48, 3)

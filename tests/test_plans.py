@@ -293,6 +293,25 @@ _SHUFFLE_BUDGET = {
     "text_url_dedup": 1,
     # pure mapInPandas decode chain — compressed audio never shuffles
     "multimodal_adpcm": 0,
+    # round-4 additions (fourth batch)
+    # decode chains stay shuffle-free end to end
+    "multimodal_flac": 0,
+    "multimodal_mjpeg_frames": 0,
+    # one hash aggregate — the model-fit-at-the-cost-of-a-sum contract
+    "agg_higher_moments": 1,
+    # frequency aggregate + entropy rollup (the per-type window fuses
+    # into the same exchange)
+    "agg_entropy": 2,
+    # ordered cumulative-weight window + crossing argmin
+    "agg_weighted_median": 2,
+    # prefix phase shuffles nothing (queries broadcast); the shortlist
+    # key join + rerank window bound the exchanges
+    "sim_prefix_rerank": 3,
+    # sessionize window + session agg + profile rollup share the
+    # user-hashed lineage
+    "pipeline_behavior": 3,
+    # mixed-codec decode is mapInPandas; metadata join + rollup
+    "pipeline_audio_prep": 3,
 }
 
 
