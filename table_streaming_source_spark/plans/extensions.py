@@ -555,6 +555,104 @@ SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def q_sim_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification in-engine (the Rocchio /
+    prototype classifier, and the eval loop of any labeled-embedding
+    pipeline): per-label centroids learned on the 80% train split by
+    exact decimal per-dimension means, the held-out 20% classified by
+    max rounded dot product (ties to the smaller label), reported as a
+    confusion matrix.  One explode+aggregate learns the centroids
+    (64·|labels| cells), the classify pass broadcasts them — the
+    corpus never shuffles.
+
+    Determinism: dimension sums ride ``decimal(28,12)`` (associative),
+    means divide as doubles, scores round to 6 before the argmax — the
+    whole train→classify→eval loop is bit-stable across engines."""
+    emb = t(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 5 != 0)
+    test = emb.filter(F.col("vec_id") % 5 == 0)
+    ex = train.select(
+        "label", F.posexplode("embedding").alias("d", "x")
+    )
+    cent = ex.groupBy("label", "d").agg(
+        (
+            F.sum(F.col("x").cast("double").cast("decimal(28,12)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    carr = (
+        cent.groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("d", "c"))).alias("__sc")
+        )
+        .select(
+            F.col("label").alias("cand_label"),
+            F.transform("__sc", lambda s: s["c"]).alias("centroid"),
+        )
+    )
+    score = F.round(
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                "centroid",
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    wk = Window.partitionBy("vec_id").orderBy(
+        F.col("__s").desc(), F.col("cand_label").asc()
+    )
+    pred = (
+        test.crossJoin(F.broadcast(carr))
+        .withColumn("__s", score)
+        .withColumn("__r", F.row_number().over(wk))
+        .filter(F.col("__r") == 1)
+    )
+    return pred.groupBy(
+        F.col("label").alias("true_label"),
+        F.col("cand_label").alias("pred_label"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+ORACLES["sim_centroid_classify"] = """
+WITH train AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
+test AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
+ex AS (
+  SELECT label, u.i - 1 AS d,
+         CAST(CAST(embedding[u.i] AS DOUBLE) AS DECIMAL(28,12)) AS x
+  FROM train, UNNEST(RANGE(1, 65)) AS u(i)
+),
+cent AS (
+  SELECT label, d, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS c
+  FROM ex GROUP BY label, d
+),
+carr AS (
+  SELECT label AS cand_label, LIST(c ORDER BY d) AS centroid
+  FROM cent GROUP BY label
+),
+scored AS (
+  SELECT t.vec_id, t.label AS true_label, c.cand_label,
+         ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(t.embedding, c.centroid),
+               p -> CAST(p[1] AS DOUBLE) * p[2])), 6) AS s
+  FROM test t, carr c
+),
+pred AS (
+  SELECT true_label, cand_label,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY s DESC, cand_label) AS r
+  FROM scored
+)
+SELECT true_label, cand_label AS pred_label,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM pred WHERE r = 1
+GROUP BY true_label, cand_label
+"""
+
+
 def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius search (`operators/similarity.py::cosine_range`): every
     corpus vector with cosine ≥ 0.3 of each query (vec_id < 10) — the
@@ -1893,6 +1991,7 @@ QUERIES = {
     "sim_topk": q_sim_topk,
     "sim_range_search": q_sim_range_search,
     "sim_prefix_rerank": q_sim_prefix_rerank,
+    "sim_centroid_classify": q_sim_centroid_classify,
     "sim_topk_filtered": q_sim_topk_filtered,
     "scalar_url": q_scalar_url,
     "sim_pairs_blocked": q_sim_pairs_blocked,

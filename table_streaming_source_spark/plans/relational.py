@@ -5008,6 +5008,106 @@ GROUP BY l_returnflag
 """
 
 
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..3 autocorrelation of each event type's hourly volume
+    series — the seasonality probe run before any forecasting model.
+    The series aggregates once (decimal-exact hourly sums, rounded to a
+    stable double), lagged pairs come from ONE ordered window with
+    three ``lag`` columns unpivoted via ``stack``, and each lag's
+    Pearson coefficient uses the exact-decimal moment discipline of
+    ``agg_correlation`` — bit-stable across engines and partitionings.
+
+    Scale shape: raw events are touched by one hash aggregate; the
+    window and moment pass run over |types|×|hours| rows.  One series
+    per key, bounded partitions — the standard ACF shape."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6
+        ).alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    lagged = hourly.select(
+        "event_type",
+        "v",
+        F.lag("v", 1).over(w).alias("l1"),
+        F.lag("v", 2).over(w).alias("l2"),
+        F.lag("v", 3).over(w).alias("l3"),
+    )
+    pairs = lagged.select(
+        "event_type",
+        F.expr(
+            "stack(3, 1, l1, 2, l2, 3, l3) AS (lag, x)"
+        ),
+        F.col("v").alias("y"),
+    ).filter(F.col("x").isNotNull())
+
+    def m(c):
+        return F.sum(c.cast("decimal(28,6)")).cast("double")
+
+    x, y = F.col("x"), F.col("y")
+    agg = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        m(x).alias("__sx"),
+        m(y).alias("__sy"),
+        m(x * y).alias("__sxy"),
+        m(x * x).alias("__sxx"),
+        m(y * y).alias("__syy"),
+    )
+    n = F.col("n_pairs")
+    num = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = F.sqrt(
+        (n * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+        * (n * F.col("__syy") - F.col("__sy") * F.col("__sy"))
+    )
+    return agg.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        n.cast("bigint").alias("n_pairs"),
+        F.round(num / den, 9).alias("acf"),
+    )
+
+
+ORACLES["ts_autocorr"] = """
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS v
+  FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)
+),
+lagged AS (
+  SELECT event_type, v,
+         LAG(v, 1) OVER w AS l1,
+         LAG(v, 2) OVER w AS l2,
+         LAG(v, 3) OVER w AS l3
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+),
+pairs AS (
+  SELECT event_type, 1 AS lag, l1 AS x, v AS y FROM lagged WHERE l1 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 2, l2, v FROM lagged WHERE l2 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 3, l3, v FROM lagged WHERE l3 IS NOT NULL
+),
+mom AS (
+  SELECT event_type, lag, COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS syy
+  FROM pairs GROUP BY event_type, lag
+)
+SELECT event_type, CAST(lag AS INT) AS lag,
+       CAST(n AS BIGINT) AS n_pairs,
+       ROUND((n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS acf
+FROM mom
+"""
+
+
 def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy of each event type's hour-of-day distribution —
     the diversity/uniformity signal data-curation passes use (a spiky
@@ -5297,6 +5397,7 @@ QUERIES = {
     "pipeline_behavior": q_pipeline_behavior,
     "agg_weighted_median": q_agg_weighted_median,
     "ts_rollup_reagg": q_ts_rollup_reagg,
+    "ts_autocorr": q_ts_autocorr,
     "window_rolling_median": q_window_rolling_median,
     "window_zscore": q_window_zscore,
     "market_share": q_market_share,
