@@ -37,7 +37,8 @@ progressive-JPEG entry), ``text_lm_heldout_eval``, ``agg_correlation``,
 ``streaming_dual_sink``, ``multimodal_flac``,
 ``agg_higher_moments``, ``agg_weighted_median``,
 ``pipeline_audio_prep``, ``multimodal_mjpeg_frames``,
-``agg_entropy``, ``pipeline_behavior``.
+``agg_entropy``, ``pipeline_behavior``, ``multimodal_jpeg_420``,
+``sim_centroid_classify``, ``ts_autocorr``.
 """
 
 from __future__ import annotations
