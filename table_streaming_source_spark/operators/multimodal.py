@@ -3695,3 +3695,192 @@ def jpeg_420_stats(
             )
 
     return df.mapInPandas(batches, schema=JPEG420_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# image metadata: real TIFF/EXIF IFD walk (both byte orders, out-of-line
+# values, EXIF sub-IFD) — the metadata layer image pipelines read first
+# ---------------------------------------------------------------------------
+
+def synth_tiff_exif(key: int) -> bytes:
+    """A spec-valid TIFF with an EXIF sub-IFD: header in little- or
+    big-endian by key parity, IFD0 carrying ImageWidth/ImageLength/
+    Orientation and the ExifIFD pointer (tag 34665), the sub-IFD
+    carrying DateTimeOriginal (ASCII, stored out-of-line — offsets must
+    really be followed).  Geometry and fields are formula-stated so a
+    SQL oracle can restate every extracted value."""
+    import struct as _s
+
+    le = key % 2 == 0
+    bo = "<" if le else ">"
+    width = 16 * (1 + key % 8)
+    height = 16 * (1 + key % 5)
+    orient = 1 + key % 8
+    dt = f"2024:01:{1 + key % 28:02d} {key % 24:02d}:{key % 60:02d}:00"
+    dt_bytes = dt.encode() + b"\x00"
+
+    def entry(tag, typ, count, value_or_off):
+        return _s.pack(bo + "HHI", tag, typ, count) + value_or_off
+
+    def short_val(v):
+        return _s.pack(bo + "H", v) + b"\x00\x00"
+
+    def long_val(v):
+        return _s.pack(bo + "I", v)
+
+    # layout: header(8) IFD0(2 + 4*12 + 4) EXIF-IFD(2 + 1*12 + 4) dt
+    ifd0_off = 8
+    ifd0_size = 2 + 4 * 12 + 4
+    exif_off = ifd0_off + ifd0_size
+    exif_size = 2 + 1 * 12 + 4
+    dt_off = exif_off + exif_size
+
+    ifd0 = _s.pack(bo + "H", 4)
+    ifd0 += entry(256, 3, 1, short_val(width))     # ImageWidth SHORT
+    ifd0 += entry(257, 4, 1, long_val(height))     # ImageLength LONG
+    ifd0 += entry(274, 3, 1, short_val(orient))    # Orientation
+    ifd0 += entry(34665, 4, 1, long_val(exif_off))  # ExifIFDPointer
+    ifd0 += _s.pack(bo + "I", 0)                   # next IFD: none
+
+    exif = _s.pack(bo + "H", 1)
+    exif += entry(36867, 2, len(dt_bytes), long_val(dt_off))
+    exif += _s.pack(bo + "I", 0)
+
+    header = (b"II" if le else b"MM") + _s.pack(bo + "H", 42)
+    header += _s.pack(bo + "I", ifd0_off)
+    return header + ifd0 + exif + dt_bytes
+
+
+def tiff_exif_meta(payload: bytes) -> dict:
+    """Parse a TIFF's IFD chain and EXIF sub-IFD to the metadata image
+    pipelines key on: width, height, orientation, DateTimeOriginal.
+    Real parser to the public TIFF 6.0 / EXIF specs: both byte orders,
+    SHORT/LONG/ASCII types, inline vs out-of-line values (count·size >
+    4 follows the offset), sub-IFD recursion.  Raises ValueError on
+    non-TIFF or malformed structures (quarantine-routable)."""
+    import struct as _s
+
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF stream")
+
+    def read_ifd(off: int) -> dict:
+        if off + 2 > len(payload):
+            raise ValueError("truncated IFD")
+        n = _s.unpack_from(bo + "H", payload, off)[0]
+        if off + 2 + 12 * n + 4 > len(payload):
+            raise ValueError("truncated IFD entry table")
+        fields = {}
+        for i in range(n):
+            eoff = off + 2 + 12 * i
+            tag, typ, count = _s.unpack_from(bo + "HHI", payload, eoff)
+            vbytes = payload[eoff + 8 : eoff + 12]
+            size = {1: 1, 2: 1, 3: 2, 4: 4}.get(typ)
+            if size is None:
+                continue  # unhandled type: skip per spec guidance
+            total = size * count
+            if total > 4:
+                voff = _s.unpack_from(bo + "I", vbytes)[0]
+                raw = payload[voff : voff + total]
+                if len(raw) < total:
+                    raise ValueError("out-of-line value truncated")
+            else:
+                raw = vbytes[:total]
+            if typ == 2:
+                fields[tag] = raw.split(b"\x00")[0].decode(
+                    "ascii", "replace"
+                )
+            elif typ == 3:
+                fields[tag] = _s.unpack(bo + "H", raw[:2])[0]
+            elif typ == 4:
+                fields[tag] = _s.unpack(bo + "I", raw[:4])[0]
+            else:
+                fields[tag] = raw[0]
+        return fields
+
+    ifd0_off = _s.unpack_from(bo + "I", payload, 4)[0]
+    f = read_ifd(ifd0_off)
+    out = {
+        "width": int(f.get(256, 0)),
+        "height": int(f.get(257, 0)),
+        "orientation": int(f.get(274, 1)),
+        "datetime_original": "",
+    }
+    if 34665 in f:
+        sub = read_ifd(int(f[34665]))
+        out["datetime_original"] = str(sub.get(36867, ""))
+    return out
+
+
+TIFF_META_SCHEMA = StructType(
+    [
+        StructField("key", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("orientation", IntegerType(), False),
+        StructField("datetime_original", StringType(), False),
+    ]
+)
+
+
+def attach_tiff_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one :func:`synth_tiff_exif` per key."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_tiff_exif(int(k)) for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def tiff_meta_stats(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Extract TIFF/EXIF metadata per image — the rotation/size/capture
+    -time layer an image-prep pipeline reads before any pixel decode
+    (orientation decides the resize transform; capture time drives
+    dedup windows).  Arrow-batched ``mapInPandas``."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "key", "width", "height", "orientation",
+                "datetime_original",
+            )}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                m = tiff_exif_meta(bytes(payload))
+                rows["key"].append(int(k))
+                rows["width"].append(m["width"])
+                rows["height"].append(m["height"])
+                rows["orientation"].append(m["orientation"])
+                rows["datetime_original"].append(m["datetime_original"])
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "orientation": pd.Series(
+                        rows["orientation"], dtype="int32"
+                    ),
+                    "datetime_original": pd.Series(
+                        rows["datetime_original"], dtype="object"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=TIFF_META_SCHEMA)

@@ -2755,6 +2755,32 @@ FROM geo g JOIN ys ON ys.key = g.key JOIN cbs ON cbs.key = g.key
 """
 
 
+def q_multimodal_tiff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF/EXIF metadata extraction (`operators/multimodal.py::
+    tiff_exif_meta`): both byte orders (key parity picks II vs MM),
+    SHORT/LONG/ASCII types, out-of-line ASCII values whose offsets must
+    genuinely be followed, and the EXIF sub-IFD (tag 34665) holding
+    DateTimeOriginal — the orientation/size/capture-time layer an image
+    pipeline reads before any pixel decode.  Every field is
+    formula-stated, so the oracle restates the extraction exactly."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    imgs = M.attach_tiff_payload(docs, "doc_id")
+    return M.tiff_meta_stats(imgs)
+
+
+ORACLES["multimodal_tiff_meta"] = """
+SELECT doc_id AS key,
+       CAST(16 * (1 + doc_id % 8) AS INT) AS width,
+       CAST(16 * (1 + doc_id % 5) AS INT) AS height,
+       CAST(1 + doc_id % 8 AS INT) AS orientation,
+       '2024:01:' || LPAD(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+         || ' ' || LPAD(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+         || ':' || LPAD(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+         || ':00' AS datetime_original
+FROM documents WHERE doc_id % 2 = 0
+"""
+
+
 def _ivf_cells_sql(flt: str = "") -> str:
     """Coarse-quantizer cell per vector as a subquery (literal twin of
     operators.similarity.ivf_assign, cells only)."""
@@ -4418,6 +4444,7 @@ QUERIES_DEFERRED = {
     "pipeline_audio_prep": q_pipeline_audio_prep,
     "multimodal_mjpeg_frames": q_multimodal_mjpeg_frames,
     "multimodal_jpeg_420": q_multimodal_jpeg_420,
+    "multimodal_tiff_meta": q_multimodal_tiff_meta,
     "multimodal_pixel_stats": q_multimodal_pixel_stats,
     "multimodal_gif_stats": q_multimodal_gif_stats,
     "multimodal_gif_frames": q_multimodal_gif_frames,

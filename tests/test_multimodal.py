@@ -1034,3 +1034,41 @@ def test_jpeg_420_chroma_half_resolution_and_upsample():
     assert y.shape == (32, 48)
     assert cb.shape == cr.shape == (16, 24)
     assert jpeg_pixels(payload).shape == (32, 48, 3)
+
+
+def test_tiff_exif_both_endians_and_rejects():
+    from table_streaming_source_spark.operators.multimodal import (
+        synth_tiff_exif,
+        tiff_exif_meta,
+    )
+
+    little = synth_tiff_exif(4)   # even → II
+    big = synth_tiff_exif(5)      # odd → MM
+    assert little[:2] == b"II" and big[:2] == b"MM"
+    assert tiff_exif_meta(little)["width"] == 16 * (1 + 4 % 8)
+    assert tiff_exif_meta(big)["orientation"] == 1 + 5 % 8
+    with pytest.raises(ValueError, match="TIFF"):
+        tiff_exif_meta(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError, match="truncated"):
+        tiff_exif_meta(little[:10])
+
+
+def test_tiff_exif_out_of_line_offset_is_followed():
+    """Corrupting the DateTimeOriginal offset must surface as a
+    truncation error, proving the parser dereferences it rather than
+    reading the inline bytes."""
+    import struct
+
+    from table_streaming_source_spark.operators.multimodal import (
+        synth_tiff_exif,
+        tiff_exif_meta,
+    )
+
+    raw = bytearray(synth_tiff_exif(2))
+    # EXIF IFD starts after IFD0; its single entry's value-offset field
+    # sits 2 (count) + 8 bytes in
+    ifd0_size = 2 + 4 * 12 + 4
+    voff_pos = 8 + ifd0_size + 2 + 8
+    struct.pack_into("<I", raw, voff_pos, len(raw) + 100)
+    with pytest.raises(ValueError, match="out-of-line"):
+        tiff_exif_meta(bytes(raw))
