@@ -3546,6 +3546,73 @@ FROM sz LEFT JOIN hit USING (doc_id)
 """
 
 
+def q_text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source contamination matrix: exact 3-gram Jaccard between
+    every pair of corpus sources — the domain-overlap audit a data
+    recipe runs before mixing (two 'different' domains sharing half
+    their shingles will double-weight that content).  Shingles
+    aggregate to DISTINCT (source, shingle) postings first, the pair
+    join runs on the shingle key over those postings (never documents),
+    and source sizes broadcast — the same payload-never-shuffles
+    discipline as the document-level dedup family, one level up."""
+    docs = t(spark, sf_dir, "documents")
+    from table_streaming_source_spark.operators.dedup import (
+        shingle_table,
+    )
+
+    sh = (
+        shingle_table(docs, "text", "doc_id", 3)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("source").alias("src_a"), "shingle")
+    b = sh.select(F.col("source").alias("src_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    za = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("__za"))
+    zb = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("__zb"))
+    return (
+        inter.join(F.broadcast(za), "src_a")
+        .join(F.broadcast(zb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(
+                F.col("n_shared")
+                / (F.col("__za") + F.col("__zb") - F.col("n_shared")),
+                9,
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLES["text_source_overlap"] = f"""
+WITH {_SQL_SHINGLES3},
+ssh AS (
+  SELECT DISTINCT d.source, s.shingle
+  FROM sh s JOIN documents d USING (doc_id)
+),
+sizes AS (SELECT source, COUNT(*) AS sz FROM ssh GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+  FROM ssh a JOIN ssh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+       ROUND(n_shared / (za.sz + zb.sz - n_shared), 9) AS jaccard
+FROM inter
+JOIN sizes za ON za.source = src_a
+JOIN sizes zb ON zb.source = src_b
+"""
+
+
 def q_text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted domain mixture (α=0.7, target 300 docs):
     per-source quotas ∝ n_s^α, filled by md5-hash order — the
@@ -4420,6 +4487,7 @@ QUERIES_DEFERRED = {
     "dedup_recall_eval": q_dedup_recall_eval,
     "pipeline_pretrain_mix": q_pipeline_pretrain_mix,
     "text_mixture_sample": q_text_mixture_sample,
+    "text_source_overlap": q_text_source_overlap,
     "text_vocab_coverage": q_text_vocab_coverage,
     "text_bigram_lm": q_text_bigram_lm,
     "text_lm_heldout_eval": q_text_lm_heldout_eval,

@@ -354,3 +354,50 @@ def test_bfs_matches_reference_search(spark, edge_list, seed_set):
         for r in bfs_distances(sdf, edf, max_hops=3).collect()
     }
     assert got == dist
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(max_examples=20, deadline=None)
+def test_weighted_median_crossing_reference(spark, rows):
+    """The window crossing test equals a straightforward sorted
+    cumulative-weight scan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    data = [(float(v), int(w), i) for i, (v, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "v double, w int, i long")
+    win = Window.orderBy("v", "i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.sum(F.col("w").cast("decimal(18,2)")).over(win)
+    tot = F.sum(F.col("w").cast("decimal(18,2)")).over(
+        Window.partitionBy()
+    )
+    got = (
+        df.select("v", (2 * cum >= tot).alias("c"))
+        .filter("c")
+        .agg(F.min("v"))
+        .collect()[0][0]
+    )
+    ordered = sorted(data, key=lambda r: (r[0], r[2]))
+    total = sum(w for _, w, _ in ordered)
+    acc = 0
+    exp = None
+    for v, w, _ in ordered:
+        acc += w
+        if 2 * acc >= total:
+            exp = v
+            break
+    assert got == exp
