@@ -38,7 +38,8 @@ progressive-JPEG entry), ``text_lm_heldout_eval``, ``agg_correlation``,
 ``agg_higher_moments``, ``agg_weighted_median``,
 ``pipeline_audio_prep``, ``multimodal_mjpeg_frames``,
 ``agg_entropy``, ``pipeline_behavior``, ``multimodal_jpeg_420``,
-``sim_centroid_classify``, ``ts_autocorr``, ``multimodal_tiff_meta``.
+``sim_centroid_classify``, ``ts_autocorr``, ``multimodal_tiff_meta``,
+``text_source_overlap``.
 """
 
 from __future__ import annotations
