@@ -3613,6 +3613,85 @@ JOIN sizes zb ON zb.source = src_b
 """
 
 
+def q_text_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: each doc's top-3 terms by
+    tf·idf (idf = ln(N/df), both factors rounded to 9 decimals before
+    the product, ties to the lexicographically smaller token) — the
+    doc-level summarization/tagging pass on top of the corpus-level
+    tf-idf machinery.  Token counts and document frequencies are two
+    hash aggregates on the token key; N is a broadcast scalar; the
+    per-doc ranking window partitions by doc (bounded lists).  The
+    vocabulary join is deliberately NOT hint-broadcast (corpus-derived
+    — the ``text_tfidf`` discipline)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("__n"))
+    idf = F.round(F.log(F.col("__n") / F.col("df")), 9)
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * idf, 9),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+ORACLES["text_doc_keywords"] = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT(
+           REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g'), ' '),
+           x -> LEN(x) > 0)) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         ROUND(tf.tf * ROUND(LN(CAST(nd.n AS DOUBLE) / dfreq.df), 9), 9)
+           AS score
+  FROM tf JOIN dfreq USING (token), nd
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, score,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT doc_id, token, tf, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 def q_text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted domain mixture (α=0.7, target 300 docs):
     per-source quotas ∝ n_s^α, filled by md5-hash order — the
@@ -4488,6 +4567,7 @@ QUERIES_DEFERRED = {
     "pipeline_pretrain_mix": q_pipeline_pretrain_mix,
     "text_mixture_sample": q_text_mixture_sample,
     "text_source_overlap": q_text_source_overlap,
+    "text_doc_keywords": q_text_doc_keywords,
     "text_vocab_coverage": q_text_vocab_coverage,
     "text_bigram_lm": q_text_bigram_lm,
     "text_lm_heldout_eval": q_text_lm_heldout_eval,

@@ -5008,6 +5008,73 @@ GROUP BY l_returnflag
 """
 
 
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order value per market segment — the
+    concentration/inequality metric (is revenue dominated by a few
+    giant orders?).  Uses the rank identity ``G = 2·Σ(i·xᵢ)/(n·Σx) −
+    (n+1)/n`` over one ordered window: ranks are exact integers, the
+    two sums ride decimals (``i·xᵢ`` scaled into DECIMAL(38,2) — rank ×
+    price stays well inside), and the final expression is one
+    deterministic double per group.
+
+    Scale shape: one join to segment, one window sort per segment, one
+    hash aggregate.  (At extreme scale the sort swaps for a two-pass
+    histogram approximation; this is the exact form.)"""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    seg = o.join(
+        c.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+        "o_custkey",
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = seg.select(
+        "c_mktsegment",
+        "o_totalprice",
+        F.row_number().over(w).alias("i"),
+    )
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("__sx"),
+        F.sum(
+            (F.col("i") * F.col("o_totalprice")).cast("decimal(38,2)")
+        )
+        .cast("double")
+        .alias("__six"),
+    )
+    n = F.col("n")
+    return agg.select(
+        "c_mktsegment",
+        n.cast("bigint").alias("n"),
+        F.round(
+            2 * F.col("__six") / (n * F.col("__sx")) - (n + 1) / n, 9
+        ).alias("gini"),
+    )
+
+
+ORACLES["agg_gini"] = """
+WITH ranked AS (
+  SELECT c_mktsegment, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice, o_orderkey) AS i
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+agg AS (
+  SELECT c_mktsegment, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(i * o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+           AS six
+  FROM ranked GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+       ROUND(2 * six / (n * sx) - (n + 1.0) / n, 9) AS gini
+FROM agg
+"""
+
+
 def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-1..3 autocorrelation of each event type's hourly volume
     series — the seasonality probe run before any forecasting model.
@@ -5394,6 +5461,7 @@ QUERIES = {
     "agg_mode": q_agg_mode,
     "agg_higher_moments": q_agg_higher_moments,
     "agg_entropy": q_agg_entropy,
+    "agg_gini": q_agg_gini,
     "pipeline_behavior": q_pipeline_behavior,
     "agg_weighted_median": q_agg_weighted_median,
     "ts_rollup_reagg": q_ts_rollup_reagg,
