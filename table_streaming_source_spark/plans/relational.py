@@ -5175,6 +5175,130 @@ FROM mom
 """
 
 
+def q_ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over each event type's
+    hourly series, with α = β = ½ — chosen so EVERY step is exact IEEE
+    arithmetic (multiplying by 0.5 is a pure exponent decrement), which
+    lets both engines fold the same recursion bit-for-bit with no
+    rounding in the loop: ``l' = ½y + ½(l+b)``, ``b' = ½(l'−l) + ½b``,
+    initialized ``l₀=y₀, b₀=y₁−y₀``.  The 3-step-ahead forecast is
+    ``l + 3b``.  The series folds as a JVM array expression
+    (`F.aggregate` over the hour-sorted values); the oracle replays the
+    identical recursion with DuckDB's ``list_reduce``.
+
+    Scale shape: the raw events collapse in one hash aggregate; each
+    series then folds row-locally (state = 2 doubles) — per-key
+    smoothing with no iteration framework, the same shape as
+    ``window_ewma`` generalized to two coupled states."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6
+        ).alias("v")
+    )
+    series = hourly.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("hour", "v"))),
+            lambda s: s["v"],
+        ).alias("ys")
+    )
+    acc0 = F.struct(
+        F.lit(0.0).alias("l"),
+        F.lit(0.0).alias("b"),
+        F.lit(0).cast("int").alias("i"),
+        F.lit(0.0).alias("y0"),
+    )
+
+    def step(acc, y):
+        i = acc["i"]
+        lp = 0.5 * y + 0.5 * (acc["l"] + acc["b"])
+        return (
+            F.when(
+                i == 0,
+                F.struct(
+                    acc["l"].alias("l"),
+                    acc["b"].alias("b"),
+                    (i + 1).alias("i"),
+                    y.alias("y0"),
+                ),
+            )
+            .when(
+                i == 1,
+                F.struct(
+                    acc["y0"].alias("l"),
+                    (y - acc["y0"]).alias("b"),
+                    (i + 1).alias("i"),
+                    acc["y0"].alias("y0"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    lp.alias("l"),
+                    (0.5 * (lp - acc["l"]) + 0.5 * acc["b"]).alias("b"),
+                    (i + 1).alias("i"),
+                    acc["y0"].alias("y0"),
+                )
+            )
+        )
+
+    folded = series.select(
+        "event_type",
+        F.size("ys").alias("n_hours"),
+        F.aggregate("ys", acc0, step).alias("__st"),
+    )
+    # the i==1 branch consumed y1 for initialization, so the recursion
+    # proper starts at the third element — matching the classic Holt
+    # convention where (l, b) are defined after two observations
+    return folded.select(
+        "event_type",
+        F.col("n_hours").cast("bigint").alias("n_hours"),
+        F.round(F.col("__st.l"), 9).alias("level"),
+        F.round(F.col("__st.b"), 9).alias("trend"),
+        F.round(F.col("__st.l") + 3 * F.col("__st.b"), 9)
+        .alias("forecast_3"),
+    )
+
+
+ORACLES["ts_holt_linear"] = """
+WITH RECURSIVE hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS v
+  FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)
+),
+idx AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+),
+-- the Holt recursion as a recursive CTE (NOT list_reduce: DuckDB 1.0
+-- evaluates lambda struct fields in place, so a later field reads the
+-- current step's already-updated values — a plain recursive SELECT is
+-- pure)
+walk(event_type, i, n, l, b) AS (
+  SELECT a.event_type, CAST(2 AS BIGINT), a.n, a.v, bb.v - a.v
+  FROM idx a JOIN idx bb
+    ON bb.event_type = a.event_type AND bb.i = 2
+  WHERE a.i = 1
+  UNION ALL
+  SELECT w.event_type, w.i + 1, w.n,
+         0.5e0 * s.v + 0.5e0 * (w.l + w.b),
+         0.5e0 * ((0.5e0 * s.v + 0.5e0 * (w.l + w.b)) - w.l)
+           + 0.5e0 * w.b
+  FROM walk w JOIN idx s
+    ON s.event_type = w.event_type AND s.i = w.i + 1
+  WHERE w.i < w.n
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+       ROUND(l, 9) AS level,
+       ROUND(b, 9) AS trend,
+       ROUND(l + 3 * b, 9) AS forecast_3
+FROM walk WHERE i = n
+"""
+
+
 def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy of each event type's hour-of-day distribution —
     the diversity/uniformity signal data-curation passes use (a spiky
@@ -5466,6 +5590,7 @@ QUERIES = {
     "agg_weighted_median": q_agg_weighted_median,
     "ts_rollup_reagg": q_ts_rollup_reagg,
     "ts_autocorr": q_ts_autocorr,
+    "ts_holt_linear": q_ts_holt_linear,
     "window_rolling_median": q_window_rolling_median,
     "window_zscore": q_window_zscore,
     "market_share": q_market_share,
