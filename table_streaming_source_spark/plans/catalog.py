@@ -39,7 +39,8 @@ progressive-JPEG entry), ``text_lm_heldout_eval``, ``agg_correlation``,
 ``pipeline_audio_prep``, ``multimodal_mjpeg_frames``,
 ``agg_entropy``, ``pipeline_behavior``, ``multimodal_jpeg_420``,
 ``sim_centroid_classify``, ``ts_autocorr``, ``multimodal_tiff_meta``,
-``text_source_overlap``.
+``text_source_overlap``, ``agg_gini``, ``text_doc_keywords``,
+``ts_holt_linear``.
 """
 
 from __future__ import annotations
