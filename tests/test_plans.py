@@ -153,6 +153,15 @@ _EXTENSION_HINTED_BROADCASTS = {
     "pipeline_image_prep": set(),
     "text_decontaminate": {"doc_id"},
     "sim_ivfpq_search": {"embedding", "subspace", "vec_id"},
+    # round-4 additions: every hint below is bounded BY DESIGN — the
+    # query set (user-chosen, KBs), per-label centroids (|labels|×64
+    # cells), per-source sizes (|sources| rows), or a 1-row scalar.
+    # Corpus-derived tables (the keyword vocabulary join, the overlap
+    # posting join) must stay unhinted.
+    "sim_prefix_rerank": {"embedding"},
+    "sim_centroid_classify": {"embedding"},
+    "text_doc_keywords": {""},  # 1-row COUNT(*) scalar (column-less scan)
+    "text_source_overlap": {"doc_id"},  # per-source size table (|sources| rows)
 }
 
 
