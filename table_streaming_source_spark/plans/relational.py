@@ -5175,6 +5175,94 @@ FROM mom
 """
 
 
+def q_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling correlation between every pair of event-type hourly
+    series (24-observation trailing window) — the co-movement monitor
+    of pairs analytics and metric-drift detection.  The hourly series
+    aggregates once; the pair table is a self-join on the hour key with
+    ``type_a < type_b``; five decimal moment sums ride ONE ordered
+    window per pair and the Pearson ratio is row-local, emitted only
+    for full windows — the ``agg_correlation`` discipline under a
+    moving frame.
+
+    Scale shape: |types|²/2 pairs × |hours| rows after the one raw-data
+    aggregate; windows partition by pair (bounded series).  Frames
+    count observations, not wall hours — missing hours contract the
+    window rather than zero-filling (compose with ``ts_gapfill``
+    upstream when calendar alignment matters)."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6
+        ).alias("v")
+    )
+    a = hourly.select(
+        F.col("event_type").alias("type_a"), "hour",
+        F.col("v").alias("x"),
+    )
+    b = hourly.select(
+        F.col("event_type").alias("type_b"), "hour",
+        F.col("v").alias("y"),
+    )
+    pairs = a.join(b, "hour").filter(F.col("type_a") < F.col("type_b"))
+    w = (
+        Window.partitionBy("type_a", "type_b")
+        .orderBy("hour")
+        .rowsBetween(-23, 0)
+    )
+
+    def m(c):
+        return F.sum(c.cast("decimal(28,6)")).over(w).cast("double")
+
+    x, y = F.col("x"), F.col("y")
+    n = F.count(F.lit(1)).over(w)
+    sx, sy = m(x), m(y)
+    sxy, sxx, syy = m(x * y), m(x * x), m(y * y)
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "hour",
+        n.alias("__n"),
+        F.round(num / den, 9).alias("rolling_corr"),
+    ).filter(F.col("__n") == 24).drop("__n")
+
+
+ORACLES["ts_rolling_corr"] = """
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS v
+  FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, a.hour,
+         a.v AS x, b.v AS y
+  FROM hourly a JOIN hourly b
+    ON a.hour = b.hour AND a.event_type < b.event_type
+),
+roll AS (
+  SELECT type_a, type_b, hour,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(28,6))) OVER w AS DOUBLE) AS syy
+  FROM pairs
+  WINDOW w AS (PARTITION BY type_a, type_b ORDER BY hour
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT type_a, type_b, hour,
+       ROUND((n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+         AS rolling_corr
+FROM roll WHERE n = 24
+"""
+
+
 def q_ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt's linear-trend exponential smoothing over each event type's
     hourly series, with α = β = ½ — chosen so EVERY step is exact IEEE
@@ -5591,6 +5679,7 @@ QUERIES = {
     "ts_rollup_reagg": q_ts_rollup_reagg,
     "ts_autocorr": q_ts_autocorr,
     "ts_holt_linear": q_ts_holt_linear,
+    "ts_rolling_corr": q_ts_rolling_corr,
     "window_rolling_median": q_window_rolling_median,
     "window_zscore": q_window_zscore,
     "market_share": q_market_share,
