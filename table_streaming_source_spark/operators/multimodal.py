@@ -3277,8 +3277,17 @@ MIXED_AUDIO_SCHEMA = StructType(
 
 def _sniff_decode_audio(payload: bytes):
     """Container sniff → codec dispatch → decoded samples.  Returns
-    (codec, samples); raises on undecodable bytes (caller
-    quarantines)."""
+    (codec, samples); raises :class:`ValueError` on undecodable bytes
+    (caller quarantines).  A truncated chunk body surfaces from the
+    walkers as ``struct.error`` — normalized here so quarantine routing
+    sees ONE exception type (the ``_avi_video_chunks`` discipline)."""
+    try:
+        return _sniff_decode_audio_inner(payload)
+    except struct.error as e:
+        raise ValueError(f"truncated audio container: {e}") from e
+
+
+def _sniff_decode_audio_inner(payload: bytes):
     if payload[:4] == b"fLaC":
         return "flac", flac_pcm(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -3390,20 +3399,23 @@ def synth_avi_mjpeg(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def avi_mjpeg_frames(payload: bytes) -> list:
+def avi_mjpeg_frames(payload: bytes, *, step: int = 1) -> list:
     """REAL compressed-video decode: walk the AVI container, require
     ``MJPG`` biCompression, and run the full baseline-JPEG pipeline
-    (huffman → dequant → IDCT) on every ``00dc`` chunk.  Returns
-    grayscale ``(H, W)`` uint8 arrays.  Non-MJPEG compression raises
-    (the uncompressed path is :func:`avi_frames`; H.264 etc. stay
+    (huffman → dequant → IDCT) on every ``step``-th ``00dc`` chunk —
+    sampling happens BEFORE the expensive decode, so a keyframe pass
+    pays only for the frames it keeps.  Returns ``(frame_idx, (H, W)
+    uint8 array)`` pairs.  Non-MJPEG compression raises (the
+    uncompressed path is :func:`avi_frames`; H.264 etc. stay
     quarantine-routed)."""
     strf, movi = _avi_video_chunks(payload)
     (_, _, _, _, _, compression) = struct.unpack("<IiiHHI", strf[:20])
     if compression != _MJPG_FOURCC:
         raise ValueError("not an MJPEG AVI")
     frames = []
-    for body, size in movi:
-        frames.append(jpeg_pixels(payload[body : body + size]))
+    for f in range(0, len(movi), step):
+        body, size = movi[f]
+        frames.append((f, jpeg_pixels(payload[body : body + size])))
     return frames
 
 
@@ -3455,8 +3467,9 @@ def mjpeg_frame_stats(
     key: str = "key",
     step: int = 2,
 ) -> DataFrame:
-    """Keyframe sampling over REAL MJPEG decode: every ``step``-th frame
-    of each clip is huffman-decoded and reduced to integer-exact stats —
+    """Keyframe sampling over REAL MJPEG decode: ONLY every
+    ``step``-th frame of each clip is huffman-decoded (sampling
+    precedes the expensive decode) and reduced to integer-exact stats —
     pixel count, Σp, and the block-position-weighted
     ``Σ p·(x//8 + 2·(y//8))`` that makes a transposed or re-ordered
     decode value-visible.  Arrow-batched ``mapInPandas``; compressed
@@ -3469,9 +3482,10 @@ def mjpeg_frame_stats(
                 "key", "frame_idx", "n_px", "sum_p", "wsum_p",
             )}
             for k, payload in zip(pdf[key], pdf[payload_col]):
-                frames = avi_mjpeg_frames(bytes(payload))
-                for f in range(0, len(frames), step):
-                    px = frames[f].astype(np.int64)
+                for f, frame in avi_mjpeg_frames(
+                    bytes(payload), step=step
+                ):
+                    px = frame.astype(np.int64)
                     h, w = px.shape
                     wgt = (
                         np.arange(w, dtype=np.int64)[None, :] // 8

@@ -1019,7 +1019,15 @@ def url_canonical_dedup(
     path = F.regexp_replace(
         F.parse_url(F.col(url_col), F.lit("PATH")), "/$", ""
     )
-    canonical = F.concat(F.lit("https://"), host, path)
+    # parse_url yields NULL for malformed URLs; a NULL canonical would
+    # merge every unparseable row into ONE group (unrelated documents
+    # "deduplicated" together).  Unparseable rows stay singletons under
+    # a per-key sentinel — route them to a quarantine/repair pass
+    # upstream when they matter.
+    canonical = F.coalesce(
+        F.concat(F.lit("https://"), host, path),
+        F.concat(F.lit("unparseable:"), F.col(key).cast("string")),
+    )
     return (
         df.select(F.col(key).alias("__k"), canonical.alias("canonical_url"))
         .groupBy("canonical_url")

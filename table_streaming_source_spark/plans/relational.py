@@ -5339,7 +5339,9 @@ def q_ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the i==1 branch consumed y1 for initialization, so the recursion
     # proper starts at the third element — matching the classic Holt
     # convention where (l, b) are defined after two observations
-    return folded.select(
+    # a 1-observation series has no defined (level, trend): drop it,
+    # exactly as the oracle's base case (which requires i=2) does
+    return folded.filter(F.col("n_hours") >= 2).select(
         "event_type",
         F.col("n_hours").cast("bigint").alias("n_hours"),
         F.round(F.col("__st.l"), 9).alias("level"),

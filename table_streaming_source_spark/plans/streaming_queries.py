@@ -718,20 +718,34 @@ def q_streaming_dual_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         idempotent_sink,
     )
 
+    # idempotent_sink's contract is atomic-per-batch PER SINK, so each
+    # destination gets its OWN ledger: a crash between the two writes
+    # replays the batch with the rows marker already present — the rows
+    # write is skipped, only the missing aggregate write reruns, and
+    # neither destination can double-count
+    write_rows = idempotent_sink(
+        lambda b, _id: b.write.mode("append").parquet(out_rows),
+        f"{base}/ledger_rows",
+    )
+    write_agg = idempotent_sink(
+        lambda b, _id: (
+            b.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("pn"),
+                F.sum(F.col("value").cast("decimal(18,6)")).alias("psv"),
+            )
+            .withColumn("batch_id", F.lit(_id))
+            .write.mode("append")
+            .parquet(out_agg)
+        ),
+        f"{base}/ledger_agg",
+    )
+
     def fanout(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.persist()
         try:
-            b.write.mode("append").parquet(out_rows)
-            (
-                b.groupBy("event_type")
-                .agg(
-                    F.count(F.lit(1)).alias("pn"),
-                    F.sum(F.col("value").cast("decimal(18,6)")).alias("psv"),
-                )
-                .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("append")
-                .parquet(out_agg)
-            )
+            write_rows(b, batch_id)
+            write_agg(b, batch_id)
         finally:
             b.unpersist()
 
@@ -742,9 +756,7 @@ def q_streaming_dual_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with _stream_shuffle(spark):
         query = (
-            stream.writeStream.foreachBatch(
-                idempotent_sink(fanout, f"{base}/ledger")
-            )
+            stream.writeStream.foreachBatch(fanout)
             .option("checkpointLocation", f"{base}/ckpt")
             .trigger(availableNow=True)
             .start()

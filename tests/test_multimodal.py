@@ -977,6 +977,9 @@ def test_mjpeg_avi_rejects_uncompressed_and_vice_versa():
         avi_mjpeg_frames(dib)
     with pytest.raises(ValueError, match="only uncompressed"):
         avi_frames(mjpeg)
+    # step sampling decodes only the kept frames, tagged by index
+    assert [f for f, _ in avi_mjpeg_frames(
+        synth_avi_mjpeg(16, 16, 5, 1), step=2)] == [0, 2, 4]
 
 
 def test_mjpeg_frame_geometry_and_sampling(spark):
