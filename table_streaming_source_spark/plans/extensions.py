@@ -1397,6 +1397,35 @@ FROM best
 ORACLES["text_langid"] = _langid_sql()
 
 
+def q_text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation in-engine: the marker-heuristic language ID
+    scored against the gold ``lang`` label as a confusion matrix — the
+    quality gate every language-filter pass needs before it decides
+    what data to keep (the eval twin of `text_langid`, like
+    `sim_recall_eval` is for LSH).  One join on the doc key, one hash
+    aggregate over |langs|² cells."""
+    docs = t(spark, sf_dir, "documents")
+    pred = X.language_id(docs, "text", "doc_id")
+    return (
+        pred.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(
+            F.col("lang").alias("gold_lang"),
+            F.col("pred_lang"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+ORACLES["text_langid_eval"] = (
+    "WITH pred AS (" + _langid_sql() + """)
+SELECT d.lang AS gold_lang, pred.pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM pred JOIN documents d USING (doc_id)
+GROUP BY d.lang, pred.pred_lang
+"""
+)
+
+
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 tf-idf terms per document (corpus-wide df), restricted to
     doc_id < 200 for output size."""
@@ -4568,6 +4597,7 @@ QUERIES_DEFERRED = {
     "text_mixture_sample": q_text_mixture_sample,
     "text_source_overlap": q_text_source_overlap,
     "text_doc_keywords": q_text_doc_keywords,
+    "text_langid_eval": q_text_langid_eval,
     "text_vocab_coverage": q_text_vocab_coverage,
     "text_bigram_lm": q_text_bigram_lm,
     "text_lm_heldout_eval": q_text_lm_heldout_eval,
