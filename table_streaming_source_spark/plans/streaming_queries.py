@@ -800,6 +800,68 @@ FROM events GROUP BY event_type
 """
 
 
+def q_streaming_fanin_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source fan-in: TWO independent file streams (events split
+    by parity into separate landing zones, as if from two regions or
+    brokers) union into ONE streaming aggregate, drained in complete
+    mode — the many-sources-one-pipeline topology.  The union of
+    streams is itself a streaming DataFrame; Spark tracks each source's
+    offsets independently in the same checkpoint, and the drained
+    aggregate must equal the batch aggregate over both landing zones —
+    which is what the oracle states."""
+    events = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    src_a = _stream_fixture(
+        spark, sf_dir, "fanin_a",
+        lambda d: events.filter(F.col("event_id") % 2 == 0)
+        .repartition(4).write.mode("overwrite").parquet(d),
+    )
+    src_b = _stream_fixture(
+        spark, sf_dir, "fanin_b",
+        lambda d: events.filter(F.col("event_id") % 2 == 1)
+        .repartition(4).write.mode("overwrite").parquet(d),
+    )
+    schema = events.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src_a)
+        .unionByName(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src_b)
+        )
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        dsum("value", 6).alias("sum_value"),
+    )
+    name = f"__stream_fanin_{abs(hash(src_a)) % 10**8}"
+    with _stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return result
+
+
+ORACLES["streaming_fanin_union"] = f"""
+SELECT event_type, COUNT(*) AS n_events,
+       {sql_dsum('value', 6)} AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "streaming_enrichment": q_streaming_enrichment,
     "streaming_window_agg": q_streaming_window_agg,
@@ -809,6 +871,7 @@ QUERIES = {
     "streaming_state_inspect": q_streaming_state_inspect,
     "streaming_topk": q_streaming_topk,
     "streaming_dual_sink": q_streaming_dual_sink,
+    "streaming_fanin_union": q_streaming_fanin_union,
 }
 
 def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
