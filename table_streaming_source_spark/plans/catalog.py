@@ -40,7 +40,8 @@ progressive-JPEG entry), ``text_lm_heldout_eval``, ``agg_correlation``,
 ``agg_entropy``, ``pipeline_behavior``, ``multimodal_jpeg_420``,
 ``sim_centroid_classify``, ``ts_autocorr``, ``multimodal_tiff_meta``,
 ``text_source_overlap``, ``agg_gini``, ``text_doc_keywords``,
-``ts_holt_linear``, ``ts_rolling_corr``, ``text_langid_eval``.
+``ts_holt_linear``, ``ts_rolling_corr``, ``text_langid_eval``,
+``streaming_fanin_union``.
 """
 
 from __future__ import annotations
