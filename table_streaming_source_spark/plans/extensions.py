@@ -2,12 +2,13 @@
 (exact / fingerprint / MinHash-LSH / SimHash / n-gram Jaccard), vector
 similarity search, text analysis, multimodal columns.
 
-Every operator that is SQL-expressible gets a full DuckDB oracle — the
-MinHash pipeline (md5-seeded ``(a·x+b) mod P`` hashing), SimHash
-(bit-exact integer votes), LSH ANN (literal plane matrix), and the
-connected-components fixpoint (recursive CTE) included.  Only the
-HyperLogLog approx variant is a rows-only check (sketch internals are
-engine-specific).
+Every operator gets a full DuckDB oracle — the MinHash pipeline
+(md5-seeded ``(a·x+b) mod P`` hashing), SimHash (bit-exact integer
+votes), LSH ANN (literal plane matrix), the connected-components
+fixpoint (recursive CTE), and every codec entry (formula-stated or
+closed-form fixtures) included; the catalog carries ZERO rows-only
+checks (even the HLL entry pins its exact count plus a deterministic
+within-tolerance boolean).
 """
 
 from __future__ import annotations
