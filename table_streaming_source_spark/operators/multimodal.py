@@ -479,22 +479,33 @@ def attach_tone_payload(df: DataFrame, key: str) -> DataFrame:
     return df.select(key).mapInPandas(batches, schema=schema)
 
 
-def wav_pcm(payload: bytes) -> "object":
-    """Decode a mono 16-bit PCM WAV's samples to an int64 numpy array —
-    the real sample-decode path (PCM needs no codec library; compressed
-    formats would plug in behind the same contract)."""
-    import numpy as np
-
+def _riff_chunks(payload: bytes):
+    """Yield ``(chunk_id, body)`` for each chunk of a RIFF/WAVE file —
+    the ONE chunk walk every WAV-family decoder shares (clamped body
+    slices; malformed sizes surface as short bodies the consumers
+    length-check, never as struct.error — the ``_avi_video_chunks``
+    discipline)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE container")
     off = 12
     while off + 8 <= len(payload):
         cid = payload[off : off + 4]
         size = struct.unpack("<I", payload[off + 4 : off + 8])[0]
-        if cid == b"data":
-            raw = payload[off + 8 : off + 8 + size]
-            return np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        yield cid, payload[off + 8 : off + 8 + size]
         off += 8 + size + (size & 1)
+
+
+def wav_pcm(payload: bytes) -> "object":
+    """Decode a mono 16-bit PCM WAV's samples to an int64 numpy array —
+    the real sample-decode path (PCM needs no codec library; compressed
+    formats would plug in behind the same contract)."""
+    import numpy as np
+
+    for cid, body in _riff_chunks(payload):
+        if cid == b"data":
+            return np.frombuffer(
+                body[: len(body) & ~1], dtype="<i2"
+            ).astype(np.int64)
     raise ValueError("WAV without data chunk")
 
 
@@ -701,27 +712,22 @@ def adpcm_pcm(payload: bytes) -> "object":
     extension)."""
     import numpy as np
 
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE container")
-    off = 12
     block_align = None
     spb = None
     data = None
-    while off + 8 <= len(payload):
-        cid = payload[off : off + 4]
-        size = struct.unpack("<I", payload[off + 4 : off + 8])[0]
-        body = payload[off + 8 : off + 8 + size]
+    for cid, body in _riff_chunks(payload):
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             tag, ch, _, _, block_align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
             if tag != 0x11 or ch != 1 or bits != 4:
                 raise ValueError("not mono 4-bit IMA ADPCM")
-            if size >= 20:
+            if len(body) >= 20:
                 spb = struct.unpack("<H", body[18:20])[0]
         elif cid == b"data":
             data = body
-        off += 8 + size + (size & 1)
     if data is None or block_align is None:
         raise ValueError("WAV without fmt/data chunks")
     out = []
@@ -3013,7 +3019,8 @@ def synth_flac(key: int) -> bytes:
 def flac_pcm(payload: bytes) -> "object":
     """Decode a mono FLAC file's samples to int64 — a real decoder to
     the public FLAC format: STREAMINFO walk, frame sync + CRC-8-verified
-    headers, CONSTANT/VERBATIM/FIXED subframes (orders 0–4), Rice
+    headers + CRC-16-verified frame bodies, CONSTANT/VERBATIM/FIXED
+    subframes (orders 0–4), Rice
     residual decoding (4-bit params, any partition order, escape
     codes), integer predictor reconstruction, CRC-16 frame trailers.
     LPC subframes raise (quarantine path) — the fixture synthesizer
@@ -3143,7 +3150,10 @@ def flac_pcm(payload: bytes) -> "object":
         else:
             raise ValueError("LPC subframes not supported (quarantine)")
         r.align()
-        r.read(16)  # frame CRC-16 (validated structurally by alignment)
+        crc_pos = r.pos
+        expect16 = r.read(16)
+        if _crc16(payload[pos:crc_pos]) != expect16:
+            raise ValueError("FLAC frame CRC-16 mismatch")
         out.extend(blk)
         pos = r.pos
     return np.asarray(out, dtype=np.int64)
@@ -3291,21 +3301,16 @@ def _sniff_decode_audio_inner(payload: bytes):
     if payload[:4] == b"fLaC":
         return "flac", flac_pcm(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        # read the fmt tag to pick the decoder
-        off = 12
-        while off + 8 <= len(payload):
-            cid = payload[off : off + 4]
-            size = struct.unpack("<I", payload[off + 4 : off + 8])[0]
+        for cid, body in _riff_chunks(payload):
             if cid == b"fmt ":
-                tag = struct.unpack(
-                    "<H", payload[off + 8 : off + 10]
-                )[0]
+                if len(body) < 2:
+                    raise ValueError("truncated fmt chunk")
+                tag = struct.unpack("<H", body[:2])[0]
                 if tag == 1:
                     return "pcm", wav_pcm(payload)
                 if tag == 0x11:
                     return "adpcm", adpcm_pcm(payload)
                 raise ValueError(f"unsupported WAVE format tag {tag}")
-            off += 8 + size + (size & 1)
     raise ValueError("unrecognized audio container")
 
 

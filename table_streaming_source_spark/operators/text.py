@@ -1015,11 +1015,14 @@ def url_canonical_dedup(
     Returns one row per canonical URL: ``(canonical_url, keep_<key> =
     min key, n_copies)``.
     """
-    host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+    # try_parse_url, not parse_url: under ANSI mode (the Spark 4
+    # default) parse_url THROWS on malformed URLs — one bad row would
+    # kill the job instead of reaching the sentinel branch below
+    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
     path = F.regexp_replace(
-        F.parse_url(F.col(url_col), F.lit("PATH")), "/$", ""
+        F.try_parse_url(F.col(url_col), F.lit("PATH")), "/$", ""
     )
-    # parse_url yields NULL for malformed URLs; a NULL canonical would
+    # try_parse_url yields NULL for malformed URLs; a NULL canonical would
     # merge every unparseable row into ONE group (unrelated documents
     # "deduplicated" together).  Unparseable rows stay singletons under
     # a per-key sentinel — route them to a quarantine/repair pass

@@ -2490,8 +2490,10 @@ def q_multimodal_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the embedded 89-entry step table — any slip in table, order,
     sign, or clamping shifts the chain and is value-visible.  This
     moves 'compressed audio' from the stub column to the decoded one;
-    perceptual codecs (MP3) stay library-gated."""
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    perceptual codecs (MP3) stay library-gated.  The key filter (% 4,
+    coprime with the magnitude formula's % 3) keeps all three nibble
+    magnitudes in the oracle-checked set."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 2)
     clips = M.attach_adpcm_payload(docs, "doc_id")
     return M.adpcm_stats(clips)
 
@@ -2505,7 +2507,7 @@ WITH au AS (
          doc_id % 40 AS k0,
          64 + (doc_id % 64) * 2 AS n_nib,
          1 + doc_id % 3 AS m
-  FROM documents WHERE doc_id % 3 = 2
+  FROM documents WHERE doc_id % 4 = 2
 ),
 nib AS (
   SELECT key, p0, n_nib, u.j AS j,
@@ -2735,8 +2737,10 @@ def q_multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
     generalized T.81 A.2 MCU walk).  DC-exact block synthesis keeps the
     lossy codec integer-exact; the oracle restates each plane's
     geometry and sums, plus a block-position-weighted luma sum that
-    catches any slip in the 2×2 interleave order."""
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
+    catches any slip in the 2×2 interleave order.  The key filter (% 3,
+    coprime with the % 2 height formula) keeps both the one- and
+    two-MCU-row geometries in the oracle-checked set."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
     imgs = M.attach_jpeg_420_payload(docs, "doc_id")
     return M.jpeg_420_stats(imgs)
 
@@ -2749,7 +2753,7 @@ WITH geo AS (
          1 + doc_id % 3 AS cbw,
          1 + doc_id % 2 AS cbh,
          doc_id % 256 AS seed
-  FROM documents WHERE doc_id % 4 = 1
+  FROM documents WHERE doc_id % 3 = 1
 ),
 yb AS (
   SELECT key, ybw, ybh, cbw, cbh, seed,
@@ -2792,8 +2796,10 @@ def q_multimodal_tiff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely be followed, and the EXIF sub-IFD (tag 34665) holding
     DateTimeOriginal — the orientation/size/capture-time layer an image
     pipeline reads before any pixel decode.  Every field is
-    formula-stated, so the oracle restates the extraction exactly."""
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    formula-stated, so the oracle restates the extraction exactly.
+    The key filter (% 3) keeps BOTH parities — and so both byte
+    orders — inside the oracle-checked set."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
     imgs = M.attach_tiff_payload(docs, "doc_id")
     return M.tiff_meta_stats(imgs)
 
@@ -2807,7 +2813,7 @@ SELECT doc_id AS key,
          || ' ' || LPAD(CAST(doc_id % 24 AS VARCHAR), 2, '0')
          || ':' || LPAD(CAST(doc_id % 60 AS VARCHAR), 2, '0')
          || ':00' AS datetime_original
-FROM documents WHERE doc_id % 2 = 0
+FROM documents WHERE doc_id % 3 = 0
 """
 
 

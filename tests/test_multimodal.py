@@ -1075,3 +1075,37 @@ def test_tiff_exif_out_of_line_offset_is_followed():
     struct.pack_into("<I", raw, voff_pos, len(raw) + 100)
     with pytest.raises(ValueError, match="out-of-line"):
         tiff_exif_meta(bytes(raw))
+
+
+def test_flac_frame_crc16_mismatch_raises():
+    """A bit flip inside the frame body must fail the CRC-16 trailer,
+    not decode to silently wrong samples."""
+    from table_streaming_source_spark.operators.multimodal import (
+        flac_pcm,
+        synth_flac,
+    )
+
+    good = bytearray(synth_flac(3))
+    idx = good.find(b"\xff\xf8", 4)
+    assert idx > 0
+    # corrupt a residual byte well past the CRC-8-protected header
+    good[idx + 12] ^= 0x40
+    with pytest.raises(ValueError, match="CRC"):
+        flac_pcm(bytes(good))
+
+
+def test_mixed_audio_truncated_blob_quarantines():
+    """A chunk header whose body is missing must surface as ValueError
+    (quarantine), never struct.error."""
+    import struct
+
+    from table_streaming_source_spark.operators.multimodal import (
+        _sniff_decode_audio,
+    )
+
+    trunc = (
+        b"RIFF" + struct.pack("<I", 12) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)  # body promised, absent
+    )
+    with pytest.raises(ValueError):
+        _sniff_decode_audio(trunc)
