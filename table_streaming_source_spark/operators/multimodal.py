@@ -2223,21 +2223,25 @@ def jpeg_planes(payload: bytes) -> "list":
             if progressive and prog_coef is not None:
                 bw = (width + 7) // 8
                 bh = (height + 7) // 8
-                q = qtables[comps[0]["tq"]]
-                plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-                for m, zz in enumerate(prog_coef):
-                    by, bx = divmod(m, bw)
-                    coeffs = [0.0] * 64
-                    for k in range(64):
-                        nat = _JPEG_ZIGZAG[k]
-                        coeffs[nat] = zz[k] * q[nat]
-                    plane[
-                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                    ] = _idct_block(coeffs)
-                return [
-                    np.clip(np.round(plane[:height, :width] + 128.0), 0, 255)
-                    .astype(np.uint8)
-                ]
+                planes_out = []
+                for ci, comp in enumerate(comps):
+                    q = qtables[comp["tq"]]
+                    plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+                    for m, zz in enumerate(prog_coef[ci]):
+                        by, bx = divmod(m, bw)
+                        coeffs = [0.0] * 64
+                        for k in range(64):
+                            nat = _JPEG_ZIGZAG[k]
+                            coeffs[nat] = zz[k] * q[nat]
+                        plane[
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = _idct_block(coeffs)
+                    planes_out.append(
+                        np.clip(
+                            np.round(plane[:height, :width] + 128.0), 0, 255
+                        ).astype(np.uint8)
+                    )
+                return planes_out
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             pos += 2  # standalone markers carry no length field
@@ -2284,19 +2288,20 @@ def jpeg_planes(payload: bytes) -> "list":
                 )
         elif marker == 0xC2:  # SOF2: progressive DCT
             _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if ncomp != 1:
-                raise ValueError(
-                    "progressive color not supported (grayscale only) — "
-                    "quarantine"
-                )
-            cid, samp, tq = body[6:9]
-            if samp != 0x11:
-                raise ValueError("chroma subsampling not supported")
-            comps = [{"id": cid, "tq": tq}]
+            if ncomp not in (1, 3):
+                raise ValueError("unsupported progressive component count")
+            comps = []
+            for c in range(ncomp):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError(
+                        "subsampled progressive not supported — quarantine"
+                    )
+                comps.append({"id": cid, "tq": tq, "h": 1, "v": 1})
             progressive = True
+            nb = ((width + 7) // 8) * ((height + 7) // 8)
             prog_coef = [
-                [0] * 64
-                for _ in range(((width + 7) // 8) * ((height + 7) // 8))
+                [[0] * 64 for _ in range(nb)] for _ in range(ncomp)
             ]
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
@@ -2314,23 +2319,34 @@ def jpeg_planes(payload: bytes) -> "list":
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA and progressive:
             # one progressive scan (T.81 Annex G): DC first / DC refine /
-            # AC band first pass; coefficient state persists across scans
+            # AC band first pass; coefficient state persists across
+            # scans.  DC scans may interleave all components (per MCU:
+            # one block each under 1×1 sampling); AC scans are
+            # single-component by spec.
             ns = body[0]
-            if ns != 1:
-                raise ValueError("interleaved progressive scan — quarantine")
-            tabs = body[2]
-            ss, se, a = body[3], body[4], body[5]
+            scan_cis = []
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                scan_cis.append(
+                    next(
+                        i for i, x in enumerate(comps) if x["id"] == cid
+                    )
+                )
+            ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
             ah, al = a >> 4, a & 0xF
             r = _JpegBitReader(payload, pos)
-            nblocks = len(prog_coef)
+            nblocks = len(prog_coef[0])
             if ss == 0:
                 if se != 0:
                     raise ValueError(
                         "progressive scan mixes DC and AC bands"
                     )
                 if ah == 0:  # DC first pass (point transform << Al)
-                    dct = htables[(0, tabs >> 4)]
-                    pred = 0
+                    dcts = [
+                        htables[(0, body[2 + 2 * c] >> 4)]
+                        for c in range(ns)
+                    ]
+                    pred = [0] * ns
                     for m in range(nblocks):
                         if (
                             restart_interval
@@ -2344,10 +2360,11 @@ def jpeg_planes(payload: bytes) -> "list":
                             ):
                                 raise ValueError("expected restart marker")
                             r.pos += 2
-                            pred = 0
-                        t = r.huff(dct)
-                        pred += _receive_extend(r, t)
-                        prog_coef[m][0] = pred << al
+                            pred = [0] * ns
+                        for si, ci in enumerate(scan_cis):
+                            t = r.huff(dcts[si])
+                            pred[si] += _receive_extend(r, t)
+                            prog_coef[ci][m][0] = pred[si] << al
                 else:  # DC refinement: one raw correction bit per block
                     for m in range(nblocks):
                         if (
@@ -2362,14 +2379,22 @@ def jpeg_planes(payload: bytes) -> "list":
                             ):
                                 raise ValueError("expected restart marker")
                             r.pos += 2
-                        prog_coef[m][0] |= r.bit() << al
+                        for ci in scan_cis:
+                            prog_coef[ci][m][0] |= r.bit() << al
             else:
+                if ns != 1:
+                    raise ValueError(
+                        "interleaved progressive AC scan is not legal "
+                        "T.81 — quarantine"
+                    )
                 if ah != 0:
                     raise ValueError(
                         "AC successive-approximation refinement not "
                         "supported — quarantine"
                     )
+                tabs = body[2]
                 act = htables[(1, tabs & 0xF)]
+                ac_ci = scan_cis[0]
                 eobrun = 0
                 for m in range(nblocks):
                     if (
@@ -2404,7 +2429,7 @@ def jpeg_planes(payload: bytes) -> "list":
                         k += run
                         if k > se:
                             raise ValueError("AC band index overflow")
-                        prog_coef[m][k] = _receive_extend(r, s) << al
+                        prog_coef[ac_ci][m][k] = _receive_extend(r, s) << al
                         k += 1
             prog_scans += 1
             pos = _next_marker(payload, r.pos)
@@ -3903,3 +3928,234 @@ def tiff_meta_stats(
             )
 
     return df.mapInPandas(batches, schema=TIFF_META_SCHEMA)
+
+
+def encode_jpeg_color_progressive(
+    qblocks_per_comp, width: int, height: int, qtable
+) -> bytes:
+    """Entropy-encode pre-quantized coefficient blocks into a complete
+    PROGRESSIVE (SOF2) 4:4:4 color JPEG: an interleaved DC first pass
+    (Al=1) over all three components, an interleaved DC refinement
+    (Ah=1), then one AC band scan per component (AC scans are
+    single-component by T.81 spec) with EOBn run coalescing.
+    Coefficient-domain input keeps the encoder lossless, like its
+    grayscale twin."""
+    dc_enc = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc = _huff_encode_table(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    qzz = bytes(qtable[_JPEG_ZIGZAG[i]] for i in range(64))
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + qzz)
+    out += seg(
+        0xC2,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes((1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0)),
+    )
+    out += seg(0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(
+        0xC4,
+        b"\x11" + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS),
+    )
+
+    zz = [
+        [
+            [int(blk[_JPEG_ZIGZAG[k]]) for k in range(64)]
+            for blk in comp_blocks
+        ]
+        for comp_blocks in qblocks_per_comp
+    ]
+    nblocks = len(zz[0])
+
+    # scan 1: interleaved DC first pass (Al=1)
+    out += seg(0xDA, bytes((3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x01)))
+    w = _JpegBitWriter()
+    prev = [0, 0, 0]
+    for m in range(nblocks):
+        for ci in range(3):
+            v = zz[ci][m][0] >> 1
+            t, mag = _mag_bits(v - prev[ci])
+            prev[ci] = v
+            code, length = dc_enc[t]
+            w.write(code, length)
+            w.write(mag, t)
+    w.flush()
+    out += w.out
+
+    # scan 2: interleaved DC refinement
+    out += seg(0xDA, bytes((3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10)))
+    w = _JpegBitWriter()
+    for m in range(nblocks):
+        for ci in range(3):
+            w.write(zz[ci][m][0] & 1, 1)
+    w.flush()
+    out += w.out
+
+    # scans 3-5: one full AC band per component (first pass)
+    for ci, cid in enumerate((1, 2, 3)):
+        out += seg(0xDA, bytes((1, cid, 0x01, 1, 63, 0x00)))
+        w = _JpegBitWriter()
+        eobrun = 0
+
+        def flush_eob(w=w):
+            nonlocal eobrun
+            while eobrun:
+                n = min(eobrun, 32767)
+                r = n.bit_length() - 1
+                code, length = ac_enc[r << 4]
+                w.write(code, length)
+                if r:
+                    w.write(n - (1 << r), r)
+                eobrun -= n
+
+        for m in range(nblocks):
+            band = zz[ci][m][1:64]
+            if not any(band):
+                eobrun += 1
+                continue
+            flush_eob()
+            run = 0
+            last_nz = max(i for i, v in enumerate(band) if v)
+            for i, v in enumerate(band[: last_nz + 1]):
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_enc[0xF0]
+                    w.write(code, length)
+                    run -= 16
+                t, mag = _mag_bits(v)
+                code, length = ac_enc[(run << 4) | t]
+                w.write(code, length)
+                w.write(mag, t)
+                run = 0
+            if last_nz < 62:
+                eobrun += 1
+        flush_eob()
+        w.flush()
+        out += w.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def synth_jpeg_progressive_color(width: int, height: int, seed: int) -> bytes:
+    """A spec-valid PROGRESSIVE 4:4:4 color JPEG with DC-exact flat
+    blocks per component — Y ``(7bx+13by+seed)%256``, Cb
+    ``(5bx+11by+seed)%256``, Cr ``(3bx+17by+2·seed)%256`` — so the
+    multi-scan coefficient accumulation (interleaved DC passes + three
+    all-EOBn AC scans) decodes bit-exactly to the stated formulas.
+    Dimensions must be multiples of 8."""
+    if width % 8 or height % 8:
+        raise ValueError("synth dimensions must be multiples of 8")
+    bw, bh = width // 8, height // 8
+
+    def flat(v):
+        blk = [0] * 64
+        blk[0] = v - 128
+        return blk
+
+    y = [
+        flat((7 * bx + 13 * by + seed) % 256)
+        for by in range(bh)
+        for bx in range(bw)
+    ]
+    cb = [
+        flat((5 * bx + 11 * by + seed) % 256)
+        for by in range(bh)
+        for bx in range(bw)
+    ]
+    cr = [
+        flat((3 * bx + 17 * by + 2 * seed) % 256)
+        for by in range(bh)
+        for bx in range(bw)
+    ]
+    return encode_jpeg_color_progressive(
+        [y, cb, cr], width, height, _JPEG_SYNTH_QTABLE
+    )
+
+
+def attach_jpeg_progressive_color_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one :func:`synth_jpeg_progressive_color` per key
+    — ``w = 8·(1 + k%4)``, ``h = 8·(1 + k%3)``."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_jpeg_progressive_color(
+                            8 * (1 + int(k) % 4),
+                            8 * (1 + int(k) % 3),
+                            int(k) % 256,
+                        )
+                        for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def jpeg_color_plane_stats(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Per-component plane sums of a decoded color JPEG (baseline or
+    progressive) — the integer-exact contract shared by the 4:4:4
+    entries.  Arrow-batched ``mapInPandas``."""
+    import numpy as np
+
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("w", IntegerType(), False),
+            StructField("h", IntegerType(), False),
+            StructField("sum_y", LongType(), False),
+            StructField("sum_cb", LongType(), False),
+            StructField("sum_cr", LongType(), False),
+            StructField("wsum_y", LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "key", "w", "h", "sum_y", "sum_cb", "sum_cr", "wsum_y",
+            )}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                y, cb, cr = jpeg_planes(bytes(payload))
+                yy = y.astype(np.int64)
+                h, w = yy.shape
+                wgt = (
+                    np.arange(w, dtype=np.int64)[None, :] // 8
+                    + 2 * (np.arange(h, dtype=np.int64)[:, None] // 8)
+                )
+                rows["key"].append(int(k))
+                rows["w"].append(w)
+                rows["h"].append(h)
+                rows["sum_y"].append(int(yy.sum()))
+                rows["sum_cb"].append(int(cb.astype(np.int64).sum()))
+                rows["sum_cr"].append(int(cr.astype(np.int64).sum()))
+                rows["wsum_y"].append(int((yy * wgt).sum()))
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "w": pd.Series(rows["w"], dtype="int32"),
+                    "h": pd.Series(rows["h"], dtype="int32"),
+                    "sum_y": pd.Series(rows["sum_y"], dtype="int64"),
+                    "sum_cb": pd.Series(rows["sum_cb"], dtype="int64"),
+                    "sum_cr": pd.Series(rows["sum_cr"], dtype="int64"),
+                    "wsum_y": pd.Series(rows["wsum_y"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=schema)

@@ -2817,6 +2817,52 @@ FROM documents WHERE doc_id % 3 = 0
 """
 
 
+def q_multimodal_jpeg_progressive_color(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL progressive COLOR decode — closing the last JPEG mode gap:
+    SOF2 4:4:4 with interleaved DC first/refinement passes over all
+    three components (per-component predictor chains through one bit
+    stream) and one all-band EOBn AC scan per component, per T.81 Annex
+    G's rule that AC scans are single-component.  DC-exact block
+    synthesis keeps every decoded sample formula-stated; the oracle
+    restates the three plane sums and a position-weighted luma sum.
+    Only AC successive-approximation refinement remains quarantined.
+    The key filter (% 5, coprime with the % 4 and % 3 dimension
+    formulas) keeps every geometry in the oracle-checked set."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 2)
+    imgs = M.attach_jpeg_progressive_color_payload(docs, "doc_id")
+    return M.jpeg_color_plane_stats(imgs)
+
+
+ORACLES["multimodal_jpeg_progressive_color"] = """
+WITH geo AS (
+  SELECT doc_id AS key,
+         1 + doc_id % 4 AS bw,
+         1 + doc_id % 3 AS bh,
+         doc_id % 256 AS seed
+  FROM documents WHERE doc_id % 5 = 2
+),
+blk AS (
+  SELECT key, bw, bh, seed, bx.i AS bx, by.i AS by,
+         (7 * bx.i + 13 * by.i + seed) % 256 AS y,
+         (5 * bx.i + 11 * by.i + seed) % 256 AS cb,
+         (3 * bx.i + 17 * by.i + 2 * seed) % 256 AS cr
+  FROM geo,
+       UNNEST(RANGE(0, bw)) AS bx(i),
+       UNNEST(RANGE(0, bh)) AS by(i)
+)
+SELECT key,
+       CAST(8 * MAX(bw) AS INT) AS w,
+       CAST(8 * MAX(bh) AS INT) AS h,
+       CAST(64 * SUM(y) AS BIGINT) AS sum_y,
+       CAST(64 * SUM(cb) AS BIGINT) AS sum_cb,
+       CAST(64 * SUM(cr) AS BIGINT) AS sum_cr,
+       CAST(64 * SUM(y * (bx + 2 * by)) AS BIGINT) AS wsum_y
+FROM blk GROUP BY key
+"""
+
+
 def _ivf_cells_sql(flt: str = "") -> str:
     """Coarse-quantizer cell per vector as a subquery (literal twin of
     operators.similarity.ivf_assign, cells only)."""
@@ -4630,6 +4676,7 @@ QUERIES_DEFERRED = {
     "multimodal_mjpeg_frames": q_multimodal_mjpeg_frames,
     "multimodal_jpeg_420": q_multimodal_jpeg_420,
     "multimodal_tiff_meta": q_multimodal_tiff_meta,
+    "multimodal_jpeg_progressive_color": q_multimodal_jpeg_progressive_color,
     "multimodal_pixel_stats": q_multimodal_pixel_stats,
     "multimodal_gif_stats": q_multimodal_gif_stats,
     "multimodal_gif_frames": q_multimodal_gif_frames,

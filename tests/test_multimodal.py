@@ -1109,3 +1109,64 @@ def test_mixed_audio_truncated_blob_quarantines():
     )
     with pytest.raises(ValueError):
         _sniff_decode_audio(trunc)
+
+
+def test_progressive_color_interleaved_ac_scan_rejected():
+    """T.81 forbids interleaved progressive AC scans; a hand-corrupted
+    scan header declaring 3 components with Ss>0 must quarantine."""
+    from table_streaming_source_spark.operators.multimodal import (
+        jpeg_planes,
+        synth_jpeg_progressive_color,
+    )
+
+    raw = bytearray(synth_jpeg_progressive_color(16, 16, 5))
+    # find the first AC scan header (SOS with ns=1, Ss=1): FF DA len ns
+    i = 0
+    while True:
+        i = raw.find(b"\xff\xda", i + 1)
+        assert i > 0
+        ns = raw[i + 4]
+        if ns == 1:
+            break
+    # rewrite it to claim 3 components (shifting would break offsets, so
+    # instead corrupt a copy of the DC scan: declare Ss=1 on the
+    # interleaved header)
+    j = raw.find(b"\xff\xda", 2)   # first (interleaved DC) scan
+    ss_pos = j + 4 + 1 + 2 * raw[j + 4]
+    raw[ss_pos] = 1  # Ss=1 on a 3-component scan header
+    with pytest.raises(ValueError, match="interleaved progressive AC"):
+        jpeg_planes(bytes(raw))
+
+
+def test_progressive_color_matches_baseline_color_planes():
+    """The progressive color pipeline must yield the same planes as the
+    baseline 4:4:4 encoder for identical coefficient input."""
+    from table_streaming_source_spark.operators.multimodal import (
+        _JPEG_SYNTH_QTABLE,
+        encode_jpeg_color_coeffs,
+        jpeg_planes,
+        synth_jpeg_progressive_color,
+    )
+
+    w, h, seed = 24, 16, 77
+    prog = jpeg_planes(synth_jpeg_progressive_color(w, h, seed))
+
+    def flat(v):
+        blk = [0] * 64
+        blk[0] = v - 128
+        return blk
+
+    bw, bh = w // 8, h // 8
+    comps = [
+        [flat((7 * bx + 13 * by + seed) % 256)
+         for by in range(bh) for bx in range(bw)],
+        [flat((5 * bx + 11 * by + seed) % 256)
+         for by in range(bh) for bx in range(bw)],
+        [flat((3 * bx + 17 * by + 2 * seed) % 256)
+         for by in range(bh) for bx in range(bw)],
+    ]
+    base = jpeg_planes(
+        encode_jpeg_color_coeffs(comps, w, h, _JPEG_SYNTH_QTABLE)
+    )
+    for p, b in zip(prog, base):
+        assert (p == b).all()
