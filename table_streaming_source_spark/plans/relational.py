@@ -5008,6 +5008,83 @@ GROUP BY l_returnflag
 """
 
 
+def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (sinks.py ``compact``): the orders table
+    lands partitioned by priority but fragmented (8 appends' worth of
+    small files per partition — the steady state of any incremental
+    sink), then compacts to ONE file per partition via the
+    stage-and-swap rewrite.  The returned frame value-checks BOTH
+    contracts: every partition's row count and decimal sum survive the
+    rewrite bit-for-bit, and ``n_files`` is exactly 1 (with
+    ``target_files_per_partition=1`` the layout is deterministic, so
+    the oracle can state it as a literal).
+
+    At 100 TB this is THE table-maintenance job: without it a
+    streaming sink's file count grows linearly with trigger count and
+    scan planning collapses; table formats wrap the same rewrite in a
+    metadata pointer flip."""
+    import shutil as _shutil
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark.sinks import compact
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch.scratch_dir("sink_compact", sf_dir, fresh=True)
+    (
+        orders.repartition(8)
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(path)
+    )
+    compact(
+        spark, path,
+        partition_by=["o_orderpriority"],
+        target_files_per_partition=1,
+    )
+    import os as _os
+
+    counts = [
+        (
+            d.split("=", 1)[1],
+            sum(
+                1
+                for f in _os.listdir(_os.path.join(path, d))
+                if f.endswith(".parquet")
+            ),
+        )
+        for d in _os.listdir(path)
+        if d.startswith("o_orderpriority=")
+    ]
+    files = spark.createDataFrame(
+        counts, "o_orderpriority string, n_files int"
+    ).withColumn(
+        "o_orderpriority",
+        # partition dir names percent-encode spaces
+        F.regexp_replace("o_orderpriority", "%20", " "),
+    )
+    result = (
+        spark.read.parquet(path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .join(files, "o_orderpriority")
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["sink_compaction"] = f"""
+SELECT o_orderpriority, COUNT(*) AS n_rows,
+       {sql_dsum('o_totalprice')} AS sum_price,
+       CAST(1 AS INT) AS n_files
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of order value per market segment — the
     concentration/inequality metric (is revenue dominated by a few
@@ -5612,6 +5689,7 @@ QUERIES = {
     "source_avro": q_source_avro,
     "scan_partition_pruned": q_scan_partition_pruned,
     "sink_partition_overwrite": q_sink_partition_overwrite,
+    "sink_compaction": q_sink_compaction,
     "ts_gapfill": q_ts_gapfill,
     "window_ewma": q_window_ewma,
     "window_attribution": q_window_attribution,
