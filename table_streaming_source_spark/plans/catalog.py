@@ -41,7 +41,8 @@ progressive-JPEG entry), ``text_lm_heldout_eval``, ``agg_correlation``,
 ``sim_centroid_classify``, ``ts_autocorr``, ``multimodal_tiff_meta``,
 ``text_source_overlap``, ``agg_gini``, ``text_doc_keywords``,
 ``ts_holt_linear``, ``ts_rolling_corr``, ``text_langid_eval``,
-``streaming_fanin_union``, ``multimodal_jpeg_progressive_color``.
+``streaming_fanin_union``, ``multimodal_jpeg_progressive_color``,
+``sink_compaction``.
 """
 
 from __future__ import annotations
