@@ -24,7 +24,9 @@ coverage).  Every entry, in or out of the window, stays covered by
 ``scripts/check_oracle.py`` locally.
 
 Round-5 rotation backlog (round-4 additions past the filled window,
-local replay green at sf0.01): ``multimodal_audio_resample``,
+local replay green at sf0.01 — 44 entries; with the 3 cross-round
+sentinels that fills 47 of round 5's 50 slots, leaving 3 for round-5
+additions): ``multimodal_audio_resample``,
 ``sim_range_search``, ``window_pattern_negation``,
 ``dedup_containment``, ``streaming_state_inspect``,
 ``window_streaks``, ``scalar_bitwise`` (swapped out for the
