@@ -302,6 +302,10 @@ _SHUFFLE_BUDGET = {
     "text_url_dedup": 1,
     # pure mapInPandas decode chain — compressed audio never shuffles
     "multimodal_adpcm": 0,
+    # metadata walk and progressive-color decode chains are likewise
+    # shuffle-free end to end
+    "multimodal_tiff_meta": 0,
+    "multimodal_jpeg_progressive_color": 0,
     # round-4 additions (fourth batch)
     # decode chains stay shuffle-free end to end
     "multimodal_flac": 0,
