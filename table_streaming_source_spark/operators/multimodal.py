@@ -4159,3 +4159,156 @@ def jpeg_color_plane_stats(
             )
 
     return df.mapInPandas(batches, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# image: standalone BMP (BITMAPFILEHEADER + DIB) — the uncompressed
+# image container, decoded with the AVI frames' DIB semantics
+# ---------------------------------------------------------------------------
+
+def synth_bmp(width: int, height: int, seed: int) -> bytes:
+    """A spec-valid 24-bit BI_RGB BMP: BITMAPFILEHEADER ('BM', file
+    size, pixel-array offset) + BITMAPINFOHEADER + bottom-up BGR rows
+    padded to 4-byte stride.  Display-orientation RGB is the AVI video
+    formula at frame 0: ``r=(7x+13y+seed)%256``, ``g=(11x+5y+seed)%256``,
+    ``b=(3x+23y+seed)%256``."""
+    import numpy as np
+
+    stride = (3 * width + 3) & ~3
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    r = ((7 * x + 13 * y + seed) % 256).astype(np.uint8)
+    g = ((11 * x + 5 * y + seed) % 256).astype(np.uint8)
+    b = ((3 * x + 23 * y + seed) % 256).astype(np.uint8)
+    dib = np.flipud(np.stack([b, g, r], axis=-1))
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, : 3 * width] = dib.reshape(height, 3 * width)
+    pixels = rows.tobytes()
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+        len(pixels), 0, 0, 0, 0,
+    )
+    header = b"BM" + struct.pack(
+        "<IHHI", 14 + len(info) + len(pixels), 0, 0, 14 + len(info)
+    )
+    return header + info + pixels
+
+
+def bmp_pixels(payload: bytes) -> "object":
+    """Decode a 24-bit BI_RGB BMP to a display-orientation ``(H, W, 3)``
+    uint8 RGB array — file header offset honored, bottom-up/top-down
+    sign of the height handled, 4-byte row stride and BGR order per the
+    public BMP spec (the same DIB semantics the AVI path decodes).
+    Compressed or paletted BMPs raise (quarantine)."""
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    offset = struct.unpack("<I", payload[10:14])[0]
+    (_, width, height, _, bitcount, compression) = struct.unpack(
+        "<IiiHHI", payload[14:34]
+    )
+    if bitcount != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP format ({bitcount}bpp, compression="
+            f"{compression}) — only uncompressed 24-bit BI_RGB"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (3 * width + 3) & ~3
+    need = offset + stride * height
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(
+        payload[offset : offset + stride * height], dtype=np.uint8
+    ).reshape(height, stride)
+    bgr = rows[:, : 3 * width].reshape(height, width, 3)
+    if bottom_up:
+        bgr = np.flipud(bgr)
+    return bgr[:, :, ::-1].copy()
+
+
+def attach_bmp_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one :func:`synth_bmp` per key —
+    ``w = 4 + k%13``, ``h = 3 + k%7`` (deliberately not multiples of 4,
+    so the row stride genuinely matters)."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_bmp(
+                            4 + int(k) % 13, 3 + int(k) % 7, int(k) % 256
+                        )
+                        for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+BMP_STATS_SCHEMA = StructType(
+    [
+        StructField("key", LongType(), False),
+        StructField("w", IntegerType(), False),
+        StructField("h", IntegerType(), False),
+        StructField("sum_r", LongType(), False),
+        StructField("sum_g", LongType(), False),
+        StructField("sum_b", LongType(), False),
+        StructField("wsum_r", LongType(), False),
+    ]
+)
+
+
+def bmp_stats(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Integer-exact per-channel sums of REAL BMP decode, plus the
+    position-weighted ``Σ r·(x + 2y)`` that makes a forgotten flip,
+    BGR swap, or stride slip value-visible.  Arrow-batched
+    ``mapInPandas``."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "key", "w", "h", "sum_r", "sum_g", "sum_b", "wsum_r",
+            )}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                px = bmp_pixels(bytes(payload)).astype(np.int64)
+                h, w, _ = px.shape
+                wgt = (
+                    np.arange(w, dtype=np.int64)[None, :]
+                    + 2 * np.arange(h, dtype=np.int64)[:, None]
+                )
+                rows["key"].append(int(k))
+                rows["w"].append(w)
+                rows["h"].append(h)
+                rows["sum_r"].append(int(px[:, :, 0].sum()))
+                rows["sum_g"].append(int(px[:, :, 1].sum()))
+                rows["sum_b"].append(int(px[:, :, 2].sum()))
+                rows["wsum_r"].append(int((px[:, :, 0] * wgt).sum()))
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "w": pd.Series(rows["w"], dtype="int32"),
+                    "h": pd.Series(rows["h"], dtype="int32"),
+                    "sum_r": pd.Series(rows["sum_r"], dtype="int64"),
+                    "sum_g": pd.Series(rows["sum_g"], dtype="int64"),
+                    "sum_b": pd.Series(rows["sum_b"], dtype="int64"),
+                    "wsum_r": pd.Series(rows["wsum_r"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=BMP_STATS_SCHEMA)

@@ -2863,6 +2863,43 @@ FROM blk GROUP BY key
 """
 
 
+def q_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL standalone-BMP decode: BITMAPFILEHEADER offset honored,
+    bottom-up BGR rows un-flipped and un-swapped, 4-byte stride peeled
+    (dimensions deliberately avoid stride-free multiples) — the same
+    DIB semantics the AVI video path decodes, now as the file format.
+    The oracle restates the per-channel sums plus a position-weighted
+    red sum that catches a forgotten flip, swap, or stride slip."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 4)
+    imgs = M.attach_bmp_payload(docs, "doc_id")
+    return M.bmp_stats(imgs)
+
+
+ORACLES["multimodal_bmp"] = """
+WITH geo AS (
+  SELECT doc_id AS key, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+         doc_id % 256 AS seed
+  FROM documents WHERE doc_id % 5 = 4
+),
+px AS (
+  SELECT key, w, h,
+         (7 * x.i + 13 * y.i + seed) % 256 AS r,
+         (11 * x.i + 5 * y.i + seed) % 256 AS g,
+         (3 * x.i + 23 * y.i + seed) % 256 AS b,
+         x.i + 2 * y.i AS wt
+  FROM geo,
+       UNNEST(RANGE(0, w)) AS x(i),
+       UNNEST(RANGE(0, h)) AS y(i)
+)
+SELECT key, CAST(MAX(w) AS INT) AS w, CAST(MAX(h) AS INT) AS h,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(r * wt) AS BIGINT) AS wsum_r
+FROM px GROUP BY key
+"""
+
+
 def _ivf_cells_sql(flt: str = "") -> str:
     """Coarse-quantizer cell per vector as a subquery (literal twin of
     operators.similarity.ivf_assign, cells only)."""
@@ -4677,6 +4714,7 @@ QUERIES_DEFERRED = {
     "multimodal_jpeg_420": q_multimodal_jpeg_420,
     "multimodal_tiff_meta": q_multimodal_tiff_meta,
     "multimodal_jpeg_progressive_color": q_multimodal_jpeg_progressive_color,
+    "multimodal_bmp": q_multimodal_bmp,
     "multimodal_pixel_stats": q_multimodal_pixel_stats,
     "multimodal_gif_stats": q_multimodal_gif_stats,
     "multimodal_gif_frames": q_multimodal_gif_frames,

@@ -5252,6 +5252,70 @@ FROM mom
 """
 
 
+def q_ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event type: each hour slot's
+    mean volume over the observation span and its multiplicative index
+    against the type's overall hourly mean — the seasonal component a
+    decomposition or capacity plan reads first.  Two decimal-exact
+    aggregates (slot-level from raw events, type-level re-aggregated
+    FROM the slot level — the ``ts_rollup_reagg`` discipline), one
+    broadcast-scalar join, deterministic ratio rounding."""
+    e = t(spark, sf_dir, "events")
+    slot = e.groupBy(
+        "event_type",
+        F.hour("ts").alias("hour_of_day"),
+        F.date_trunc("hour", "ts").alias("__h"),
+    ).agg(F.sum(F.col("value").cast("decimal(28,6)")).alias("__sv"))
+    per_slot = slot.groupBy("event_type", "hour_of_day").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("__sv").alias("__s"),
+    )
+    per_type = per_slot.groupBy("event_type").agg(
+        (F.sum("__s").cast("double") / F.sum("n_hours")).alias("__mean")
+    )
+    return (
+        per_slot.join(F.broadcast(per_type), "event_type")
+        .select(
+            "event_type",
+            F.col("hour_of_day").cast("int").alias("hour_of_day"),
+            F.col("n_hours").cast("bigint").alias("n_hours"),
+            F.round(
+                F.col("__s").cast("double") / F.col("n_hours"), 9
+            ).alias("mean_volume"),
+            F.round(
+                (F.col("__s").cast("double") / F.col("n_hours"))
+                / F.col("__mean"),
+                9,
+            ).alias("seasonal_index"),
+        )
+    )
+
+
+ORACLES["ts_seasonal_profile"] = """
+WITH slot AS (
+  SELECT event_type, EXTRACT(HOUR FROM ts) AS hour_of_day,
+         DATE_TRUNC('hour', ts) AS h,
+         SUM(CAST(value AS DECIMAL(28,6))) AS sv
+  FROM events GROUP BY 1, 2, 3
+),
+per_slot AS (
+  SELECT event_type, hour_of_day, COUNT(*) AS n_hours, SUM(sv) AS s
+  FROM slot GROUP BY event_type, hour_of_day
+),
+per_type AS (
+  SELECT event_type,
+         CAST(SUM(s) AS DOUBLE) / SUM(n_hours) AS mean_all
+  FROM per_slot GROUP BY event_type
+)
+SELECT p.event_type, CAST(p.hour_of_day AS INT) AS hour_of_day,
+       CAST(p.n_hours AS BIGINT) AS n_hours,
+       ROUND(CAST(p.s AS DOUBLE) / p.n_hours, 9) AS mean_volume,
+       ROUND((CAST(p.s AS DOUBLE) / p.n_hours) / t.mean_all, 9)
+         AS seasonal_index
+FROM per_slot p JOIN per_type t USING (event_type)
+"""
+
+
 def q_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling correlation between every pair of event-type hourly
     series (24-observation trailing window) — the co-movement monitor
@@ -5760,6 +5824,7 @@ QUERIES = {
     "ts_autocorr": q_ts_autocorr,
     "ts_holt_linear": q_ts_holt_linear,
     "ts_rolling_corr": q_ts_rolling_corr,
+    "ts_seasonal_profile": q_ts_seasonal_profile,
     "window_rolling_median": q_window_rolling_median,
     "window_zscore": q_window_zscore,
     "market_share": q_market_share,
