@@ -24,9 +24,8 @@ coverage).  Every entry, in or out of the window, stays covered by
 ``scripts/check_oracle.py`` locally.
 
 Round-5 rotation backlog (round-4 additions past the filled window,
-local replay green at sf0.01 — 44 entries; with the 3 cross-round
-sentinels that fills 47 of round 5's 50 slots, leaving 3 for round-5
-additions): ``multimodal_audio_resample``,
+local replay green at sf0.01 — 46 entries; with the 3 cross-round
+sentinels that fills 49 of round 5's 50 slots): ``multimodal_audio_resample``,
 ``sim_range_search``, ``window_pattern_negation``,
 ``dedup_containment``, ``streaming_state_inspect``,
 ``window_streaks``, ``scalar_bitwise`` (swapped out for the
@@ -44,7 +43,7 @@ progressive-JPEG entry), ``text_lm_heldout_eval``, ``agg_correlation``,
 ``text_source_overlap``, ``agg_gini``, ``text_doc_keywords``,
 ``ts_holt_linear``, ``ts_rolling_corr``, ``text_langid_eval``,
 ``streaming_fanin_union``, ``multimodal_jpeg_progressive_color``,
-``sink_compaction``.
+``sink_compaction``, ``ts_seasonal_profile``, ``multimodal_bmp``.
 """
 
 from __future__ import annotations
