@@ -401,3 +401,76 @@ def test_weighted_median_crossing_reference(spark, rows):
             exp = v
             break
     assert got == exp
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=30, deadline=None)
+def test_bmp_roundtrip_property(w, h, seed):
+    """BMP synth→decode is pixel-exact for arbitrary geometry —
+    including widths where the 4-byte stride padding is nonzero."""
+    import numpy as np
+
+    from table_streaming_source_spark.operators.multimodal import (
+        bmp_pixels,
+        synth_bmp,
+    )
+
+    px = bmp_pixels(synth_bmp(w, h, seed))
+    assert px.shape == (h, w, 3)
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    assert (px[:, :, 0] == (7 * x + 13 * y + seed) % 256).all()
+    assert (px[:, :, 1] == (11 * x + 5 * y + seed) % 256).all()
+    assert (px[:, :, 2] == (3 * x + 23 * y + seed) % 256).all()
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=40, deadline=None)
+def test_tiff_exif_roundtrip_property(key):
+    """TIFF/EXIF synth→parse is field-exact for arbitrary keys — both
+    byte orders, all orientation values, every out-of-line date."""
+    from table_streaming_source_spark.operators.multimodal import (
+        synth_tiff_exif,
+        tiff_exif_meta,
+    )
+
+    m = tiff_exif_meta(synth_tiff_exif(key))
+    assert m["width"] == 16 * (1 + key % 8)
+    assert m["height"] == 16 * (1 + key % 5)
+    assert m["orientation"] == 1 + key % 8
+    assert m["datetime_original"] == (
+        f"2024:01:{1 + key % 28:02d} {key % 24:02d}:{key % 60:02d}:00"
+    )
+
+
+@given(
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=20, deadline=None)
+def test_jpeg_progressive_color_roundtrip_property(bw, bh, seed):
+    """Progressive color decode is block-exact for arbitrary geometry
+    and seed (interleaved DC chains + per-component EOBn AC scans)."""
+    from table_streaming_source_spark.operators.multimodal import (
+        jpeg_planes,
+        synth_jpeg_progressive_color,
+    )
+
+    w, h = 8 * bw, 8 * bh
+    y, cb, cr = jpeg_planes(synth_jpeg_progressive_color(w, h, seed))
+    for plane, (a, b, c) in (
+        (y, (7, 13, seed)),
+        (cb, (5, 11, seed)),
+        (cr, (3, 17, 2 * seed)),
+    ):
+        for by in range(bh):
+            for bx in range(bw):
+                v = (a * bx + b * by + c) % 256
+                assert (
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == v
+                ).all()
