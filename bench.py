@@ -107,21 +107,39 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                # first-run numbers (planning + codegen + JVM warmup) so a
-                # cold-path regression is visible even when steady state
-                # holds; informational — `value` stays the steady-state sum
-                "queries_cold": cold,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The driver records only the LAST 2000 characters of stdout and
+    # parses the final JSON line inside that window — round 4's single
+    # line (41 queries × 2 dicts) outgrew it and came back
+    # `parsed: null`.  So: the full record (including the informational
+    # cold/first-run dict) goes on an EARLIER line for the human log,
+    # and the FINAL line is a compact record hard-capped under the
+    # window so metric/value/queries always survive capture.
+    full = {
+        "queries": timings,
+        "queries_cold": cold,
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": sf_val,
+    }
+    print(json.dumps(full))
+    compact = {
+        "queries": timings,
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": sf_val,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # still too big: keep the slowest queries only
+        worst = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:30]
         )
-    )
+        compact["queries"] = worst
+        compact["queries_elided"] = len(timings) - len(worst)
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

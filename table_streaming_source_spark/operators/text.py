@@ -591,11 +591,17 @@ def vocab_coverage(
 
     Scale shape: one hash aggregate on the token (map-side partial
     combine does the heavy lifting; the post-aggregate vocabulary is
-    ≪ corpus size), then a single-partition rank window over vocab-sized
-    data.  At true web scale, pre-prune with a per-partition top-``k``
-    (any token in the global top-k is in some partition's top-k) before
-    the global window so the exchange carries ``partitions × k`` rows,
-    not the full vocabulary.
+    ≪ corpus size), then a NARROW per-partition top-``k`` pre-prune
+    over the aggregate's own output partitions (Arrow ``mapInPandas``,
+    zero additional exchange) before the global rank window, so the
+    single ordered partition carries at most ``partitions × k``
+    candidate rows — never the full vocabulary, which at web scale is
+    10⁸–10⁹ tokens (Heaps' law).  Exactness: under the strict total
+    order ``(cnt DESC, token ASC)`` any row of global rank ≤ k has
+    fewer than k predecessors globally, hence fewer than k in its own
+    partition, so it survives the per-partition prune; counts and the
+    corpus total are computed BEFORE pruning, so rank/cum_cnt/coverage
+    over ranks ≤ k are bit-identical to the unpruned plan.
 
     Returns ``(token, cnt, rank, cum_cnt, coverage)``.
     """
@@ -604,8 +610,27 @@ def vocab_coverage(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
     tot = counts.agg(F.sum("cnt").cast("bigint").alias("__t"))
+
+    def _part_topk(batches):  # pragma: no cover - executor-side
+        import pandas as pd  # noqa: PLC0415
+
+        keep: pd.DataFrame | None = None
+        for pdf in batches:
+            keep = pdf if keep is None else pd.concat(
+                [keep, pdf], ignore_index=True
+            )
+            if len(keep) > 4 * top_k:  # stream: bound partition memory
+                keep = keep.sort_values(
+                    ["cnt", "token"], ascending=[False, True]
+                ).head(top_k)
+        if keep is not None:
+            yield keep.sort_values(
+                ["cnt", "token"], ascending=[False, True]
+            ).head(top_k)
+
+    candidates = counts.mapInPandas(_part_topk, schema=counts.schema)
     w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
-    ranked = counts.select(
+    ranked = candidates.select(
         "token",
         "cnt",
         F.row_number().over(w).cast("int").alias("rank"),

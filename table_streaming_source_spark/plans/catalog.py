@@ -23,9 +23,12 @@ entry has an official driver row in some round (166/166 lifetime
 coverage).  Every entry, in or out of the window, stays covered by
 ``scripts/check_oracle.py`` locally.
 
-Round-5 rotation backlog (round-4 additions past the filled window,
-local replay green at sf0.01 — 46 entries; with the 3 cross-round
-sentinels that fills 49 of round 5's 50 slots): ``multimodal_audio_resample``,
+Round-5 rotation (LANDED — this is the current window): the 3
+cross-round sentinels + ``scalar_variant`` (re-windowed after the
+round-4 oracle typing fix) + the full 46-entry round-4 backlog below
+= exactly 50.  Once this window lands, all 236 pre-round-5 catalog
+entries have an official driver row in some round.  Backlog consumed
+this round: ``multimodal_audio_resample``,
 ``sim_range_search``, ``window_pattern_negation``,
 ``dedup_containment``, ``streaming_state_inspect``,
 ``window_streaks``, ``scalar_bitwise`` (swapped out for the
@@ -77,56 +80,58 @@ _PRIORITY: tuple[str, ...] = (
     "flagship_enrichment",
     "streaming_enrichment",
     "dedup_minhash_lsh",
-    # --- round-3 deferrals (siblings green; now getting official rows) ---
-    "scalar_string",
-    "scalar_date",
-    "scalar_math",
-    "scalar_array",
-    "scalar_map",
-    "window_sessionize",
-    "snapshot_roundtrip",
-    "stream_dedup_batch",
-    # --- round-3 additions that landed past the checked window ---
-    "join_bucketed",
-    "join_interval_binned",
-    "agg_cms_heavy_hitters",
-    "source_csv",
-    "source_json",
-    "scan_partition_pruned",
-    "sink_partition_overwrite",
-    "sim_topk_filtered",
-    "scalar_url",
-    "streaming_timeout_sessions",
-    "streaming_fidelity_snapshot",
-    "multimodal_dedup_phash",
-    "multimodal_phash_near",
-    "multimodal_gif_frames",
-    "pipeline_image_prep",
-    # --- new this round ---
-    "multimodal_jpeg_stats",
-    "source_orc",
-    "source_avro",
-    "udf_grouped_arrow",
-    "streaming_avro_ingest",
-    "join_scd2",
-    "window_attribution",
-    "multimodal_jpeg_color",
-    "multimodal_jpeg_progressive",
-    "merge_upsert",
-    "ts_resample_ohlc",
-    "streaming_changelog_upsert",
-    "multimodal_video_frames",
-    "text_bpe_train",
-    "text_bpe_encode",
-    "pipeline_video_prep",
-    "source_parquet_evolved",
-    "text_quality_train",
-    "text_feature_hash",
-    "ts_interpolate",
-    "graph_triangles",
-    "sql_lateral",
+    # re-windowed after the round-4 oracle typing fix (HUGEINT vs the
+    # type-aware hash — engine values were verified identical)
     "scalar_variant",
-    "merge_upsert_sequenced",
+    # --- round-4 additions past the filled window: the full 46-entry
+    # backlog enumerated in the round-4 rotation note, giving 236/236
+    # lifetime official coverage once this window lands ---
+    "multimodal_audio_resample",
+    "sim_range_search",
+    "window_pattern_negation",
+    "dedup_containment",
+    "streaming_state_inspect",
+    "window_streaks",
+    "scalar_bitwise",
+    "text_lm_heldout_eval",
+    "agg_correlation",
+    "text_bm25_rank",
+    "window_zscore",
+    "agg_linear_fit",
+    "agg_mode",
+    "ts_rollup_reagg",
+    "window_rolling_median",
+    "graph_bfs",
+    "text_url_dedup",
+    "multimodal_adpcm",
+    "streaming_topk",
+    "text_ndcg_eval",
+    "sim_prefix_rerank",
+    "dq_expectations",
+    "sql_recursive_cte",
+    "streaming_dual_sink",
+    "multimodal_flac",
+    "agg_higher_moments",
+    "agg_weighted_median",
+    "pipeline_audio_prep",
+    "multimodal_mjpeg_frames",
+    "agg_entropy",
+    "pipeline_behavior",
+    "multimodal_jpeg_420",
+    "sim_centroid_classify",
+    "ts_autocorr",
+    "multimodal_tiff_meta",
+    "text_source_overlap",
+    "agg_gini",
+    "text_doc_keywords",
+    "ts_holt_linear",
+    "ts_rolling_corr",
+    "text_langid_eval",
+    "streaming_fanin_union",
+    "multimodal_jpeg_progressive_color",
+    "sink_compaction",
+    "ts_seasonal_profile",
+    "multimodal_bmp",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"

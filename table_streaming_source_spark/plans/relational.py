@@ -1875,7 +1875,7 @@ def q_scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["scalar_variant"] = """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
        MAX(CAST(props->>'$.k' AS INT)) AS max_k,
        COUNT(CAST(props->>'$.missing' AS INT)) AS n_missing_extracts
 FROM events

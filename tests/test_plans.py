@@ -389,3 +389,23 @@ def test_binned_band_join_avoids_cartesian(stats_planner, sf_dir):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_vocab_coverage_prunes_before_global_window(stats_planner, sf_dir):
+    """text_vocab_coverage's global rank window is single-partition by
+    nature; the fix that makes it survive a web-scale vocabulary is the
+    narrow per-partition top-k pre-prune (MapInPandas, zero extra
+    exchange) BETWEEN the token aggregate and the window, so the single
+    ordered partition carries at most partitions × k candidate rows.
+    This gate fails if the window ever consumes the raw vocabulary
+    aggregate again (round-4 weak mark)."""
+    plan = _final_plan(
+        catalog.QUERIES["text_vocab_coverage"](stats_planner, sf_dir)
+    )
+    # top-down tree print: Window above its child chain.  The ordered
+    # single-partition exchange must sit ABOVE MapInPandas, which must
+    # sit ABOVE the token-count HashAggregate.
+    i_win = plan.index("Window")
+    i_map = plan.index("MapInPandas")
+    i_agg = plan.index("HashAggregate", i_map)
+    assert i_win < i_map < i_agg, plan
