@@ -89,6 +89,16 @@ def main() -> None:
     spark = get_spark(app_name="tsss-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Prelude (untimed): the first mapInPandas job in a session pays the
+    # Arrow Python worker pool spinup (32 × fork + pandas import) — in
+    # round 4 that landed inside multimodal_decode's "cold" sample
+    # (8.96 s) because it happens to be the first Python-backed plan in
+    # HEADLINE order.  Cold numbers should measure planning + codegen of
+    # the query, not one-time session infrastructure, so pay it here.
+    spark.range(64).repartition(int(spark.sparkContext.defaultParallelism)) \
+        .mapInPandas(lambda it: it, "id long") \
+        .write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:

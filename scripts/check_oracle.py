@@ -129,11 +129,17 @@ def main():
     if args.only:
         names = [n for n in args.only.split(",") if n]
 
-    passed, failed = [], []
+    from table_streaming_source_spark.config import EnvironmentGatedError
+
+    passed, failed, skipped = [], [], []
     for name in names:
         t0 = time.time()
         try:
             spark_pdf = QUERIES[name](spark, args.sf).toPandas()
+        except EnvironmentGatedError as exc:
+            skipped.append(name)
+            print(f"SKIP {name}: {exc.reason}")
+            continue
         except Exception as exc:
             failed.append(name)
             print(f"FAIL {name}: spark error: {type(exc).__name__}: {exc}")
@@ -163,6 +169,7 @@ def main():
 
     print(
         f"\n{len(passed)}/{len(names)} passed"
+        + (f"; env-gated skips: {skipped}" if skipped else "")
         + (f"; rows-only: {ROWS_ONLY}" if not args.only else "")
     )
     if failed:

