@@ -1064,3 +1064,214 @@ def url_canonical_dedup(
             F.count(F.lit(1)).cast("bigint").alias("n_copies"),
         )
     )
+
+
+#: the Gopher rule-set stopword list (Rae et al. 2021, "Scaling Language
+#: Models: Methods, Analysis & Insights from Training Gopher", §A1.1 —
+#: public paper): a document must contain at least 2 of these.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str,
+    key: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_fraction: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The Gopher / MassiveText quality rule set (Rae et al. 2021,
+    §A1.1) as explicit per-document flags — the standard pre-training
+    corpus filter battery: word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio (``#`` and ``...``), fraction of words with at
+    least one alphabetic character, and the ≥2-stopwords rule.
+
+    Everything is a row-local JVM array expression over the whitespace
+    tokens: zero shuffles, zero UDFs — at 100 TB this is a pure map
+    stage fused into the scan.  Unlike :func:`quality_score` (a
+    composite heuristic), this emits each published rule as its own
+    boolean so downstream mixes can ablate rules independently.
+
+    Returns ``(key, n_words, mean_word_len, symbol_ratio,
+    alpha_fraction, stopword_hits, pass_words, pass_word_len,
+    pass_symbols, pass_alpha, pass_stopwords, pass_all)``.
+    """
+    toks = _tokens(text_col)
+    n_words = F.size(toks)
+    mean_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    ).cast("double") / n_words
+    n_symbols = F.size(
+        F.filter(
+            toks,
+            lambda t: t.contains("#") | t.contains("..."),
+        )
+    )
+    symbol_ratio = n_symbols.cast("double") / n_words
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    alpha_fraction = n_alpha.cast("double") / n_words
+    sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    # occurrences across the published 8-word set (a stopword appearing
+    # twice counts twice — the rule is "contains at least 2", satisfied
+    # by repetition in the original formulation)
+    stopword_hits = F.size(
+        F.filter(toks, lambda t: F.array_contains(sw, t))
+    )
+    pass_words = (n_words >= min_words) & (n_words <= max_words)
+    pass_word_len = (mean_len >= min_mean_word_len) & (
+        mean_len <= max_mean_word_len
+    )
+    pass_symbols = symbol_ratio <= max_symbol_ratio
+    pass_alpha = alpha_fraction >= min_alpha_fraction
+    pass_stopwords = stopword_hits >= min_stopword_hits
+    return df.select(
+        F.col(key),
+        n_words.cast("int").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_fraction, 6).alias("alpha_fraction"),
+        stopword_hits.cast("int").alias("stopword_hits"),
+        pass_words.alias("pass_words"),
+        pass_word_len.alias("pass_word_len"),
+        pass_symbols.alias("pass_symbols"),
+        pass_alpha.alias("pass_alpha"),
+        pass_stopwords.alias("pass_stopwords"),
+        (
+            pass_words
+            & pass_word_len
+            & pass_symbols
+            & pass_alpha
+            & pass_stopwords
+        ).alias("pass_all"),
+    )
+
+
+#: C4 cleaning rule constants (Raffel et al. 2019, "Exploring the Limits
+#: of Transfer Learning with a Unified Text-to-Text Transformer", §2.2 —
+#: public paper): line-level keep rules + page-level minimum.
+C4_BANNED_SUBSTRINGS: tuple[str, ...] = ("javascript", "lorem ipsum", "{")
+C4_TERMINAL_PUNCT: tuple[str, ...] = (".", "!", "?", '"')
+
+
+def c4_line_filter(
+    df: DataFrame,
+    lines_col: str,
+    key: str,
+    *,
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """The C4 line-level cleaning battery (Raffel et al. 2019 §2.2) over
+    an ``array<string>`` of lines: keep a line iff it ends in terminal
+    punctuation AND has ≥ ``min_words_per_line`` words AND contains none
+    of the banned substrings (``javascript`` / ``lorem ipsum`` / curly
+    brace); keep the page iff ≥ ``min_kept_lines`` lines survive.
+
+    Entirely row-local array expressions (filter / size / array_join) —
+    no explode, no shuffle; a 100 TB cleaning pass is one map stage.
+
+    Returns ``(key, n_lines, n_kept, n_words_kept, keep_doc,
+    clean_text)`` — ``clean_text`` is the surviving lines re-joined
+    with ``\\n`` in original order.
+    """
+    term = F.array(*[F.lit(p) for p in C4_TERMINAL_PUNCT])
+
+    def line_ok(line: Column) -> Column:
+        ends = F.exists(
+            term, lambda p: line.endswith(p)
+        )
+        words = F.size(
+            F.filter(
+                F.split(line, r"\s+"), lambda w: F.length(w) > F.lit(0)
+            )
+        )
+        banned = F.lit(False)
+        for b in C4_BANNED_SUBSTRINGS:
+            banned = banned | F.lower(line).contains(b)
+        return ends & (words >= min_words_per_line) & ~banned
+
+    kept = F.filter(F.col(lines_col), line_ok)
+    n_words_kept = F.aggregate(
+        kept,
+        F.lit(0),
+        lambda acc, line: acc
+        + F.size(
+            F.filter(
+                F.split(line, r"\s+"), lambda w: F.length(w) > F.lit(0)
+            )
+        ),
+    )
+    return df.select(
+        F.col(key),
+        F.size(F.col(lines_col)).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept"),
+        n_words_kept.cast("int").alias("n_words_kept"),
+        (F.size(kept) >= min_kept_lines).alias("keep_doc"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
+def line_dedup(df: DataFrame, lines_col: str, key: str) -> DataFrame:
+    """Corpus-WIDE exact line deduplication (the C4 global rule: any
+    line occurring more than once in the corpus is kept only at its
+    first occurrence): explode to ``(key, pos, line)``, elect one owner
+    per distinct line — the minimum ``(key, pos)`` pair, an associative
+    struct-min — and rebuild each document from the lines it owns.
+
+    Scale shape: lines hash-partition on their content for the owner
+    election (one aggregate), and the ownership join is co-partitioned
+    with it (same key, no extra exchange under AQE); document payloads
+    beyond the line text never move.  Docs whose every line is owned
+    elsewhere survive with ``n_kept = 0`` and empty text — dropping
+    them is the caller's mixture decision, not the dedup's.
+
+    Returns ``(key, n_lines, n_kept, clean_text)``.
+    """
+    ex = df.select(
+        F.col(key), F.posexplode(F.col(lines_col)).alias("pos", "line")
+    )
+    owner = ex.groupBy("line").agg(
+        F.min(
+            F.struct(F.col(key).alias("k"), F.col("pos").alias("p"))
+        ).alias("o")
+    )
+    kept = (
+        ex.join(owner, "line")
+        .filter(
+            (F.col(key) == F.col("o.k")) & (F.col("pos") == F.col("o.p"))
+        )
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("pos"), F.col("line"))
+                        )
+                    ),
+                    lambda s: s.getField("line"),
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+    )
+    base = df.select(
+        F.col(key), F.size(F.col(lines_col)).cast("int").alias("n_lines")
+    )
+    return (
+        base.join(kept, key, "left")
+        .select(
+            F.col(key),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

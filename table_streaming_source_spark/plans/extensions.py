@@ -4780,3 +4780,205 @@ QUERIES_DEFERRED = {
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "text_pack_stats": q_text_pack_stats,
 }
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: published corpus-cleaning rule sets (Gopher §A1.1,
+# C4 §2.2) and corpus-wide line dedup
+# ---------------------------------------------------------------------------
+
+def _reflow_lines(words_per_line: int):
+    """Deterministic line structure for the single-line fixture docs:
+    chunk the whitespace tokens into ``words_per_line``-word lines (the
+    corpus has no newlines; both engines restate the same reflow, so
+    the rules under test see identical 'lines')."""
+    toks = X._tokens("text")
+    n_chunks = F.ceil(
+        F.size(toks) / F.lit(float(words_per_line))
+    ).cast("int")
+    return F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * words_per_line + 1, words_per_line), " "
+            ),
+        )
+    )
+
+
+def _reflow_sql(wpl: int) -> str:
+    """DuckDB twin of :func:`_reflow_lines`: (doc_id, pos, line) rows."""
+    return f"""
+tk AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ',
+                     'g'), ' '), x -> LEN(x) > 0) AS tk
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos,
+         ARRAY_TO_STRING(tk[u.i * {wpl} + 1 : u.i * {wpl} + {wpl}], ' ')
+           AS line
+  FROM tk, UNNEST(RANGE(0, CAST(CEIL(LEN(tk) / {wpl}.0) AS INT))) AS u(i)
+)
+"""
+
+
+def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveText quality rule battery (Rae et al. 2021
+    §A1.1) as explicit per-document flags — word-count bounds,
+    mean-word-length bounds, symbol ratio, alphabetic-word fraction,
+    ≥2-stopwords; pure row-local map, zero shuffles."""
+    return X.gopher_quality(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+ORACLES["text_gopher_quality"] = """
+WITH tk AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ',
+                     'g'), ' '), x -> LEN(x) > 0) AS tk
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         LEN(tk) AS n_words,
+         CAST(LIST_SUM(LIST_TRANSFORM(tk, x -> LEN(x))) AS DOUBLE)
+           / LEN(tk) AS mean_len,
+         CAST(LEN(LIST_FILTER(tk, x -> CONTAINS(x, '#')
+                                     OR CONTAINS(x, '...'))) AS DOUBLE)
+           / LEN(tk) AS symbol_ratio,
+         CAST(LEN(LIST_FILTER(tk, x -> REGEXP_MATCHES(x, '[a-zA-Z]')))
+           AS DOUBLE) / LEN(tk) AS alpha_fraction,
+         LEN(LIST_FILTER(tk, x -> LIST_CONTAINS(
+           ['the','be','to','of','and','that','have','with'], x)))
+           AS stopword_hits
+  FROM tk
+)
+SELECT doc_id,
+       CAST(n_words AS INT) AS n_words,
+       ROUND(mean_len, 6) AS mean_word_len,
+       ROUND(symbol_ratio, 6) AS symbol_ratio,
+       ROUND(alpha_fraction, 6) AS alpha_fraction,
+       CAST(stopword_hits AS INT) AS stopword_hits,
+       (n_words >= 50 AND n_words <= 100000) AS pass_words,
+       (mean_len >= 3.0 AND mean_len <= 10.0) AS pass_word_len,
+       (symbol_ratio <= 0.1) AS pass_symbols,
+       (alpha_fraction >= 0.8) AS pass_alpha,
+       (stopword_hits >= 2) AS pass_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mean_len >= 3.0 AND mean_len <= 10.0)
+        AND (symbol_ratio <= 0.1)
+        AND (alpha_fraction >= 0.8)
+        AND (stopword_hits >= 2)) AS pass_all
+FROM m
+"""
+
+
+def q_text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 line-level cleaning battery (Raffel et al. 2019 §2.2):
+    terminal-punctuation rule, ≥5-words rule, banned-substring rules
+    (javascript / lorem ipsum / curly brace), ≥3-kept-lines page rule.
+    The fixture corpus is single-line, so both engines deterministically
+    reflow to 8-word lines and decorate them from (doc_id, line-index)
+    formulas — punctuation, a 'javascript' prefix, and a '{' suffix land
+    on formula-chosen lines so every rule has live positive and negative
+    cases.  The filter itself is row-local array expressions: a 100 TB
+    cleaning pass is one map stage."""
+    d = F.col("doc_id")
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", _reflow_lines(8).alias("__raw")
+    )
+    deco = F.transform(
+        F.col("__raw"),
+        lambda s, i: F.concat(
+            F.when((d * 7 + i) % 13 == 0, F.lit("javascript ")).otherwise(
+                F.lit("")
+            ),
+            s,
+            F.when((d + 2 * i) % 17 == 0, F.lit(" {")).otherwise(F.lit("")),
+            F.when((d + i) % 3 > 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    return X.c4_line_filter(
+        docs.select("doc_id", deco.alias("lines")), "lines", "doc_id"
+    )
+
+
+ORACLES["text_c4_filters"] = f"""
+WITH {_reflow_sql(8)},
+deco AS (
+  SELECT doc_id, pos,
+         (CASE WHEN (doc_id * 7 + pos) % 13 = 0
+               THEN 'javascript ' ELSE '' END)
+         || line
+         || (CASE WHEN (doc_id + 2 * pos) % 17 = 0 THEN ' {{' ELSE '' END)
+         || (CASE WHEN (doc_id + pos) % 3 > 0 THEN '.' ELSE '' END) AS line
+  FROM lines
+),
+judged AS (
+  SELECT doc_id, pos, line,
+         (RIGHT(line, 1) IN ('.', '!', '?', '"')
+          AND LEN(LIST_FILTER(STRING_SPLIT(line, ' '), x -> LEN(x) > 0)) >= 5
+          AND NOT (CONTAINS(LOWER(line), 'javascript')
+                   OR CONTAINS(LOWER(line), 'lorem ipsum')
+                   OR CONTAINS(line, '{{'))) AS keep,
+         LEN(LIST_FILTER(STRING_SPLIT(line, ' '), x -> LEN(x) > 0)) AS words
+  FROM deco
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_lines,
+       CAST(COUNT(*) FILTER (WHERE keep) AS INT) AS n_kept,
+       CAST(COALESCE(SUM(words) FILTER (WHERE keep), 0) AS INT)
+         AS n_words_kept,
+       COUNT(*) FILTER (WHERE keep) >= 3 AS keep_doc,
+       COALESCE(STRING_AGG(line, CHR(10) ORDER BY pos)
+                FILTER (WHERE keep), '') AS clean_text
+FROM judged GROUP BY doc_id
+"""
+
+
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-WIDE exact line deduplication (the C4 global three-
+    sentence-span rule, at line granularity): every duplicated line
+    survives only at its first (doc_id, pos) occurrence.  Two-word
+    reflowed lines make cross-document duplicates dense enough to
+    exercise the owner election at fixture scale; at 100 TB the same
+    plan hash-partitions lines by content for one associative
+    struct-min and a co-partitioned ownership join — document payloads
+    never move."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", _reflow_lines(2).alias("lines")
+    )
+    return X.line_dedup(docs, "lines", "doc_id")
+
+
+ORACLES["text_line_dedup"] = f"""
+WITH {_reflow_sql(2)},
+ranked AS (
+  SELECT doc_id, pos, line,
+         ROW_NUMBER() OVER (PARTITION BY line
+                            ORDER BY doc_id, pos) AS rn
+  FROM lines
+),
+kept AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
+         STRING_AGG(line, CHR(10) ORDER BY pos) AS clean_text
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, CAST(CEIL(LEN(tk) / 2.0) AS INT) AS n_lines FROM tk
+)
+SELECT base.doc_id, base.n_lines,
+       COALESCE(kept.n_kept, 0) AS n_kept,
+       COALESCE(kept.clean_text, '') AS clean_text
+FROM base LEFT JOIN kept USING (doc_id)
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "text_gopher_quality": q_text_gopher_quality,
+        "text_c4_filters": q_text_c4_filters,
+        "text_line_dedup": q_text_line_dedup,
+    }
+)

@@ -483,6 +483,10 @@ def _source_fixture(
         events.repartition(4).write.mode("overwrite").json(path)
     elif fmt == "orc":
         events.repartition(4).write.mode("overwrite").orc(path)
+    elif fmt == "xml":
+        events.repartition(4).write.mode("overwrite").option(
+            "rowTag", "event"
+        ).format("xml").save(path)
     elif fmt == "partitioned":
         events.write.mode("overwrite").partitionBy("event_type").parquet(
             path
@@ -5873,3 +5877,209 @@ QUERIES = {
     "window_sessionize": q_window_sessionize,
     "stream_dedup_batch": q_stream_dedup_batch,
 }
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: CUSUM changepoint monitor, blocked fuzzy record linkage
+# ---------------------------------------------------------------------------
+
+def q_anomaly_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per user (Page 1954): flag the
+    points where the cumulative positive deviation of ``value`` from the
+    user's own mean exceeds $200 — the sequential changepoint monitor
+    that catches slow drifts a per-point z-score misses.
+
+    The recursion ``S_i = max(0, S_{i-1} + (x_i − μ))`` is not a window
+    function, but its closed form IS: ``S_i = cum_i − min(0,
+    min_{j≤i} cum_j)`` over the running sum — two stacked windows on
+    the SAME (user, ts) ordering, one sort, one exchange.  Exactness:
+    cents are exact integers and the drift series is scaled by the
+    user's event count n (``d_i = n·cents_i − Σcents``) so every
+    window sum, prefix min, and the threshold compare (``S > 200·100·n``)
+    is associative BIGINT arithmetic — bit-stable under any
+    partitioning; the emitted dollar CUSUM is one final division.
+
+    Scale shape: hash-partition by user, per-user sort (the same sort
+    every sessionization pays), zero joins, zero broadcasts.
+    """
+    e = t(spark, sf_dir, "events")
+    cents = (
+        F.col("value").cast("decimal(18,2)") * 100
+    ).cast("long")
+    per_user = Window.partitionBy("user_id")
+    base = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        cents.alias("__c"),
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        (
+            F.count(F.lit(1)).over(per_user) * F.col("__c")
+            - F.sum("__c").over(per_user)
+        ).alias("__d"),
+        F.count(F.lit(1)).over(per_user).alias("__n"),
+    )
+    ordered = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = base.withColumn(
+        "__cum",
+        F.sum("__d").over(
+            ordered.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    s = cum.withColumn(
+        "__s",
+        F.col("__cum")
+        - F.least(
+            F.lit(0).cast("long"),
+            F.min("__cum").over(
+                ordered.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ),
+    )
+    return s.filter(F.col("__s") > 200 * 100 * F.col("__n")).select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round(F.col("__s") / (F.col("__n") * 100.0), 6).alias("cusum"),
+    )
+
+
+ORACLES["anomaly_cusum"] = """
+WITH base AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM events
+),
+scaled AS (
+  SELECT user_id, event_id, ts, value,
+         COUNT(*) OVER (PARTITION BY user_id) * c
+           - SUM(c) OVER (PARTITION BY user_id) AS d,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM base
+),
+cum AS (
+  SELECT user_id, event_id, ts, value, n,
+         SUM(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM scaled
+),
+s AS (
+  SELECT user_id, event_id, value, n,
+         cum - LEAST(0, MIN(cum) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+  FROM cum
+)
+SELECT user_id, event_id, value, ROUND(CAST(s AS DOUBLE) / (n * 100.0), 6)
+  AS cusum
+FROM s WHERE s > 200 * 100 * n
+"""
+
+
+def q_join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage — the canonical near-duplicate
+    entity-matching join: block part names on (first word, brand) so
+    only plausible pairs ever meet, then score survivors with a
+    row-local Levenshtein distance and keep pairs within edit distance
+    3.  Prefix blocking is the standard record-linkage move: the
+    quadratic pair space collapses to per-block quadratics (blocks are
+    ~1/|first words × brands| of the table), and the expensive string
+    distance runs only AFTER the equi-join — never as a join predicate,
+    which would plan as a cartesian product.
+
+    At 100 TB the block key is the shuffle key (both sides hash-
+    partition on it, one exchange each); a skewed block (one dominant
+    first word) gets the same salting/AQE treatment as any skewed
+    equi-join.  Spark and DuckDB ``levenshtein`` share the unit-cost
+    edit-distance definition, so the distances agree exactly.
+    """
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.split(F.col("p_name"), " ")[0].alias("__w1"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("a_partkey"),
+        F.col("p_name").alias("a_name"),
+        F.col("p_brand").alias("__brand"),
+        F.col("__w1"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("b_partkey"),
+        F.col("p_name").alias("b_name"),
+        F.col("p_brand").alias("__brand"),
+        F.col("__w1"),
+    )
+    lev = F.levenshtein(F.col("a_name"), F.col("b_name"))
+    return (
+        a.join(b, ["__w1", "__brand"])
+        .filter(F.col("a_partkey") < F.col("b_partkey"))
+        .select(
+            "a_partkey",
+            "b_partkey",
+            "a_name",
+            "b_name",
+            lev.alias("lev"),
+        )
+        .filter(F.col("lev") <= 3)
+    )
+
+
+ORACLES["join_fuzzy_levenshtein"] = """
+WITH p AS (
+  SELECT p_partkey, p_name, p_brand,
+         STRING_SPLIT(p_name, ' ')[1] AS w1
+  FROM part
+)
+SELECT a.p_partkey AS a_partkey, b.p_partkey AS b_partkey,
+       a.p_name AS a_name, b.p_name AS b_name,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev
+FROM p a JOIN p b ON a.w1 = b.w1 AND a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source scan — Spark 4 ships the (formerly spark-xml) reader
+    natively; ``rowTag`` selects the repeating element and the declared
+    schema skips the double-read of inference, the same discipline as
+    the CSV/JSON entries.  XML is the classic enterprise landing format
+    (feeds, SOAP exports); downstream plan identical to the other
+    source entries, shared oracle."""
+    path = _source_fixture(spark, sf_dir, "xml")
+    df = (
+        spark.read.schema(
+            "event_id long, user_id long, event_type string, value double"
+        )
+        .option("rowTag", "event")
+        .format("xml")
+        .load(path)
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", 6).alias("sum_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+ORACLES["source_xml"] = ORACLES["source_csv"]
+
+
+QUERIES.update(
+    {
+        "anomaly_cusum": q_anomaly_cusum,
+        "join_fuzzy_levenshtein": q_join_fuzzy_levenshtein,
+        "source_xml": q_source_xml,
+    }
+)
