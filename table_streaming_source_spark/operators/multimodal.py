@@ -4312,3 +4312,271 @@ def bmp_stats(
             )
 
     return df.mapInPandas(batches, schema=BMP_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law audio (ITU-T G.711, public spec) — companded 8-bit WAV
+# ---------------------------------------------------------------------------
+
+def synth_wav_ulaw(n_samples: int, seed: int) -> bytes:
+    """A mono 8-bit G.711 mu-law WAV (format tag 7) whose code bytes
+    follow the deterministic pattern ``c[i] = (i·(5 + seed%11) + seed)
+    % 256`` — spec-valid container, formula-stated content: a SQL
+    oracle recomputes codes (and their mu-law expansion) from the
+    formula while the Spark side must genuinely parse the container and
+    expand the companded bytes it reads."""
+    import numpy as np
+
+    i = np.arange(n_samples, dtype=np.int64)
+    codes = ((i * (5 + seed % 11) + seed) % 256).astype(np.uint8)
+    data = codes.tobytes()
+    # fmt tag 7 (mu-law), mono, 8000 Hz, 1 byte/sample
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def ulaw_expand(codes: "object") -> "object":
+    """G.711 mu-law expansion (ITU-T G.711 / CCITT table, the 0x84-bias
+    formulation): complement the code, split sign / 3-bit exponent /
+    4-bit mantissa, reconstruct ``(((m<<3) + 0x84) << e) − 0x84`` with
+    the sign applied — vectorized, exact integers (max magnitude
+    32124)."""
+    import numpy as np
+
+    u = (~codes.astype(np.int64)) & 0xFF
+    sign = u & 0x80
+    e = (u >> 4) & 0x07
+    m = u & 0x0F
+    mag = (((m << 3) + 0x84) << e) - 0x84
+    return np.where(sign > 0, -mag, mag)
+
+
+def attach_ulaw_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one :func:`synth_wav_ulaw` per key
+    (``n_samples = 80 + key % 300``, ``seed = key``), Arrow-batched."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_wav_ulaw(80 + int(k) % 300, int(k))
+                        for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def ulaw_features(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    key: str = "key",
+    window: int = 256,
+) -> DataFrame:
+    """Windowed features over REAL mu-law decode: parse the WAV
+    container, require format tag 7, expand the companded codes via
+    :func:`ulaw_expand`, then per ``window``-sample frame emit sample
+    count, exact int64 energy, and zero-crossing count — the
+    :func:`audio_features` contract extended to the G.711 telephony
+    codec.  Arrow-batched ``mapInPandas``, partition-preserving, zero
+    shuffles."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            keys, ws, ns, sqs, crs = [], [], [], [], []
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                fmt_tag = None
+                codes = None
+                for cid, body in _riff_chunks(bytes(payload)):
+                    if cid == b"fmt ":
+                        fmt_tag = struct.unpack("<H", body[:2])[0]
+                    elif cid == b"data":
+                        codes = np.frombuffer(body, dtype=np.uint8)
+                if fmt_tag != 7 or codes is None:
+                    raise ValueError("not a mu-law WAV")
+                s = ulaw_expand(codes)
+                for w in range(-(-len(s) // window)):
+                    seg = s[w * window : (w + 1) * window]
+                    keys.append(int(k))
+                    ws.append(w)
+                    ns.append(len(seg))
+                    sqs.append(int((seg * seg).sum()))
+                    crs.append(int(((seg[:-1] * seg[1:]) < 0).sum()))
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(keys, dtype="int64"),
+                    "w": pd.Series(ws, dtype="int32"),
+                    "n": pd.Series(ns, dtype="int64"),
+                    "sum_sq": pd.Series(sqs, dtype="int64"),
+                    "crossings": pd.Series(crs, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MPEG-1 Layer III frame-header walk (ISO/IEC 11172-3, public spec) —
+# metadata-level MP3 support; full audio decode stays library-gated
+# ---------------------------------------------------------------------------
+
+#: MPEG-1 Layer III bitrate table, kbps by 4-bit index (ISO 11172-3
+#: Table B.2; index 0 = free, 15 = forbidden)
+MPEG1_L3_BITRATES: tuple[int, ...] = (
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0,
+)
+#: MPEG-1 sampling rates by 2-bit index (ISO 11172-3; index 3 reserved)
+MPEG1_SAMPLERATES: tuple[int, ...] = (44100, 48000, 32000, 0)
+
+
+def synth_mp3_frames(seed: int) -> bytes:
+    """A deterministic MPEG-1 Layer III frame sequence: ``3 + seed%6``
+    frames, frame ``j`` with bitrate index ``1 + (seed·7 + j) % 14``,
+    samplerate index ``seed % 3``, padding ``(seed+j) % 2`` — real
+    sync/version/layer header bit-packing, body filled to the spec
+    frame length ``⌊144·bitrate/samplerate⌋ + padding`` so a real
+    header walk is required to find each next frame."""
+    out = bytearray()
+    n_frames = 3 + seed % 6
+    sr_idx = seed % 3
+    sr = MPEG1_SAMPLERATES[sr_idx]
+    for j in range(n_frames):
+        br_idx = 1 + (seed * 7 + j) % 14
+        pad = (seed + j) % 2
+        br = MPEG1_L3_BITRATES[br_idx]
+        # 0xFF 0xFB = sync(11) + MPEG1(11) + Layer III(01) + no-CRC(1)
+        b2 = (br_idx << 4) | (sr_idx << 2) | (pad << 1)
+        b3 = 0xC0  # mono, no mode extension/copyright/original/emphasis
+        frame_len = 144 * br * 1000 // sr + pad
+        frame = bytearray([0xFF, 0xFB, b2, b3])
+        frame.extend(
+            ((seed + j + i) % 256) for i in range(frame_len - 4)
+        )
+        out.extend(frame)
+    return bytes(out)
+
+
+def attach_mp3_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one :func:`synth_mp3_frames` per key."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_mp3_frames(int(k)) for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+MPEG_META_SCHEMA = StructType(
+    [
+        StructField("key", LongType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("samplerate", IntegerType(), False),
+        StructField("total_bytes", LongType(), False),
+        StructField("sum_bitrate_kbps", LongType(), False),
+    ]
+)
+
+
+def mpeg_audio_meta(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """MPEG-1 Layer III frame-header walk (ISO 11172-3): validate each
+    frame's sync word, version, and layer bits, read the bitrate and
+    samplerate indices against the public tables, step by the computed
+    frame length (``⌊144·bitrate/samplerate⌋ + padding``) and emit
+    per-stream frame count, samplerate, byte total, and summed frame
+    bitrates — enough for duration/VBR accounting and corpus audits
+    without touching the audio decode (which stays library-gated, see
+    the perceptual-codec note at ``require_codec``).
+
+    Arrow-batched ``mapInPandas``, partition-preserving, zero shuffles;
+    a malformed header raises rather than silently resyncing — the
+    quarantine entry is the place malformed media routes to."""
+
+    def walk(payload: bytes) -> tuple[int, int, int, int]:
+        off, n, sr_out, br_sum = 0, 0, 0, 0
+        while off + 4 <= len(payload):
+            b0, b1, b2 = payload[off], payload[off + 1], payload[off + 2]
+            if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+                raise ValueError("lost MPEG sync")
+            if (b1 >> 3) & 0x3 != 0x3 or (b1 >> 1) & 0x3 != 0x1:
+                raise ValueError("not MPEG-1 Layer III")
+            br_idx = (b2 >> 4) & 0xF
+            sr_idx = (b2 >> 2) & 0x3
+            pad = (b2 >> 1) & 0x1
+            br = MPEG1_L3_BITRATES[br_idx]
+            sr = MPEG1_SAMPLERATES[sr_idx]
+            if br == 0 or sr == 0:
+                raise ValueError("free/forbidden bitrate or samplerate")
+            n += 1
+            sr_out = sr
+            br_sum += br
+            off += 144 * br * 1000 // sr + pad
+        if off != len(payload):
+            raise ValueError("trailing garbage after last frame")
+        return n, sr_out, len(payload), br_sum
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "key", "n_frames", "samplerate", "total_bytes",
+                "sum_bitrate_kbps",
+            )}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                n, sr, total, brs = walk(bytes(payload))
+                rows["key"].append(int(k))
+                rows["n_frames"].append(n)
+                rows["samplerate"].append(sr)
+                rows["total_bytes"].append(total)
+                rows["sum_bitrate_kbps"].append(brs)
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "n_frames": pd.Series(rows["n_frames"], dtype="int32"),
+                    "samplerate": pd.Series(
+                        rows["samplerate"], dtype="int32"
+                    ),
+                    "total_bytes": pd.Series(
+                        rows["total_bytes"], dtype="int64"
+                    ),
+                    "sum_bitrate_kbps": pd.Series(
+                        rows["sum_bitrate_kbps"], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=MPEG_META_SCHEMA)

@@ -4982,3 +4982,94 @@ QUERIES_DEFERRED.update(
         "text_line_dedup": q_text_line_dedup,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: G.711 mu-law decode, MPEG audio frame-header walk
+# ---------------------------------------------------------------------------
+
+def q_multimodal_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 mu-law decode + windowed audio features: every audio
+    key gets a spec-valid format-tag-7 WAV with formula-stated code
+    bytes; the Spark side parses the container, expands the companded
+    codes per the ITU-T G.711 0x84-bias formula, and emits per-256-
+    sample exact-integer energy and zero-crossing counts.  The oracle
+    recomputes codes AND their expansion from pure arithmetic — the
+    match is bit-exact.  Extends the PCM/ADPCM/FLAC decode family to
+    the telephony codec."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    return M.ulaw_features(
+        M.attach_ulaw_payload(docs, "doc_id"), window=256
+    )
+
+
+ORACLES["multimodal_ulaw"] = """
+WITH au AS (SELECT doc_id AS key FROM documents WHERE doc_id % 3 = 1),
+c AS (
+  SELECT key, CAST(u.i AS BIGINT) AS i,
+         (u.i * (5 + key % 11) + key) % 256 AS code
+  FROM au, UNNEST(RANGE(0, 80 + key % 300)) AS u(i)
+),
+d AS (
+  SELECT key, i,
+         CASE WHEN (XOR(code, 255) & 128) > 0
+              THEN -((((XOR(code, 255) & 15) * 8 + 132)
+                      * (1 << ((XOR(code, 255) >> 4) & 7))) - 132)
+              ELSE ((((XOR(code, 255) & 15) * 8 + 132)
+                     * (1 << ((XOR(code, 255) >> 4) & 7))) - 132)
+         END AS s
+  FROM c
+),
+lagged AS (
+  SELECT key, i, s,
+         LAG(s) OVER (PARTITION BY key ORDER BY i) AS sp
+  FROM d
+)
+SELECT key, CAST(i // 256 AS INT) AS w,
+       COUNT(*) AS n,
+       CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+       CAST(COALESCE(SUM(CASE WHEN i % 256 <> 0 AND sp * s < 0
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS crossings
+FROM lagged GROUP BY key, i // 256
+"""
+
+
+def q_multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-1 Layer III frame-header walk (ISO 11172-3): spec-valid
+    frame sequences with real sync/version/layer bit-packing; the Spark
+    side must parse each header, resolve the public bitrate/samplerate
+    tables, and step by the computed frame length to find the next
+    frame — per-stream frame counts, byte totals, and summed bitrates
+    for duration/VBR corpus audits.  Narrows the perceptual-codec gap
+    to the audio decode itself (which stays library-gated)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    return M.mpeg_audio_meta(M.attach_mp3_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_mp3_meta"] = """
+WITH au AS (SELECT doc_id AS key FROM documents WHERE doc_id % 3 = 1),
+fr AS (
+  SELECT key, u.j,
+         ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+           [1 + (key * 7 + u.j) % 14] AS br,
+         (CASE key % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                       ELSE 32000 END) AS sr,
+         (key + u.j) % 2 AS pad
+  FROM au, UNNEST(RANGE(0, 3 + key % 6)) AS u(j)
+)
+SELECT key,
+       CAST(COUNT(*) AS INT) AS n_frames,
+       CAST(MIN(sr) AS INT) AS samplerate,
+       CAST(SUM(144 * br * 1000 // sr + pad) AS BIGINT) AS total_bytes,
+       CAST(SUM(br) AS BIGINT) AS sum_bitrate_kbps
+FROM fr GROUP BY key
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "multimodal_ulaw": q_multimodal_ulaw,
+        "multimodal_mp3_meta": q_multimodal_mp3_meta,
+    }
+)

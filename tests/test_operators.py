@@ -1032,3 +1032,203 @@ def test_prefix_rerank_shortlist_is_prefix_scored(spark):
     ).collect()
     kept = {r.neighbor_id for r in out}
     assert kept == {1, 2}  # 3 pruned by the prefix phase despite tail
+
+
+def test_gopher_quality_each_rule_fires(spark):
+    from table_streaming_source_spark.operators.text import gopher_quality
+
+    long_good = " ".join(["the", "have", "with"] + ["word"] * 60)
+    too_short = "the have word word"
+    symbols = " ".join(
+        ["the", "have"] + ["#tag"] * 20 + ["word"] * 50
+    )
+    no_stop = " ".join(["word"] * 60)
+    df = spark.createDataFrame(
+        [(1, long_good), (2, too_short), (3, symbols), (4, no_stop)],
+        "doc_id int, text string",
+    )
+    pdf = (
+        gopher_quality(df, "text", "doc_id")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert bool(pdf.loc[1, "pass_all"])
+    assert not bool(pdf.loc[2, "pass_words"])
+    assert not bool(pdf.loc[3, "pass_symbols"])
+    assert not bool(pdf.loc[4, "pass_stopwords"])
+    assert pdf.loc[4, "stopword_hits"] == 0
+    assert pdf.loc[1, "stopword_hits"] == 3
+
+
+def test_c4_line_filter_rules(spark):
+    from table_streaming_source_spark.operators.text import c4_line_filter
+
+    lines = [
+        "one two three four five six.",   # kept
+        "one two three four.",            # <5 words
+        "one two three four five six",    # no terminal punct
+        "the javascript one two three four five.",  # banned
+        "brace one { two three four five.",         # banned
+        "seven eight nine ten eleven!",   # kept
+        'quoted line with five words here"',  # kept (quote terminal)
+    ]
+    df = spark.createDataFrame([(1, lines)], "doc_id int, lines array<string>")
+    row = c4_line_filter(df, "lines", "doc_id").collect()[0]
+    assert row["n_lines"] == 7
+    assert row["n_kept"] == 3
+    assert row["keep_doc"] is True
+    assert row["clean_text"].split("\n") == [lines[0], lines[5], lines[6]]
+    # page rule: below min_kept_lines drops the doc flag
+    row2 = c4_line_filter(
+        df, "lines", "doc_id", min_kept_lines=4
+    ).collect()[0]
+    assert row2["keep_doc"] is False
+
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    from table_streaming_source_spark.operators.text import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, ["shared line", "only in one"]),
+            (2, ["shared line", "unique two", "shared line"]),
+            (3, ["shared line"]),
+        ],
+        "doc_id int, lines array<string>",
+    )
+    pdf = line_dedup(df, "lines", "doc_id").toPandas().set_index("doc_id")
+    assert pdf.loc[1, "n_kept"] == 2
+    assert pdf.loc[2, "n_kept"] == 1
+    assert pdf.loc[2, "clean_text"] == "unique two"
+    assert pdf.loc[3, "n_kept"] == 0
+    assert pdf.loc[3, "clean_text"] == ""
+
+
+def test_ulaw_expand_reference_points():
+    import numpy as np
+
+    from table_streaming_source_spark.operators.multimodal import (
+        ulaw_expand,
+    )
+
+    codes = np.array([0x80, 0x00, 0xFF, 0x7F], dtype=np.uint8)
+    out = ulaw_expand(codes)
+    # ITU-T G.711 extremes: 0x80 -> +32124, 0x00 -> -32124, and both
+    # all-ones codes decode to zero magnitude
+    assert list(out) == [32124, -32124, 0, 0]
+
+
+def test_ulaw_wav_roundtrip():
+    import numpy as np
+
+    from table_streaming_source_spark.operators.multimodal import (
+        _riff_chunks,
+        synth_wav_ulaw,
+        ulaw_expand,
+    )
+
+    payload = synth_wav_ulaw(300, 7)
+    fmt_tag, codes = None, None
+    for cid, body in _riff_chunks(payload):
+        if cid == b"fmt ":
+            import struct as st
+
+            fmt_tag = st.unpack("<H", body[:2])[0]
+        elif cid == b"data":
+            codes = np.frombuffer(body, dtype=np.uint8)
+    assert fmt_tag == 7
+    i = np.arange(300, dtype=np.int64)
+    expect = ((i * (5 + 7 % 11) + 7) % 256).astype(np.uint8)
+    assert (codes == expect).all()
+    s = ulaw_expand(codes)
+    assert s.min() >= -32124 and s.max() <= 32124
+
+
+def test_mpeg_walk_matches_synthesis_formula():
+    from table_streaming_source_spark.operators.multimodal import (
+        MPEG1_L3_BITRATES,
+        MPEG1_SAMPLERATES,
+        synth_mp3_frames,
+    )
+
+    for seed in (0, 1, 5, 11, 17):
+        payload = synth_mp3_frames(seed)
+        n_frames = 3 + seed % 6
+        sr = MPEG1_SAMPLERATES[seed % 3]
+        total = sum(
+            144 * MPEG1_L3_BITRATES[1 + (seed * 7 + j) % 14] * 1000 // sr
+            + (seed + j) % 2
+            for j in range(n_frames)
+        )
+        assert len(payload) == total
+        # the walker itself must recover the same numbers from bytes
+        off, n = 0, 0
+        while off < len(payload):
+            assert payload[off] == 0xFF and (payload[off + 1] & 0xE0) == 0xE0
+            b2 = payload[off + 2]
+            br = MPEG1_L3_BITRATES[(b2 >> 4) & 0xF]
+            srx = MPEG1_SAMPLERATES[(b2 >> 2) & 0x3]
+            assert srx == sr
+            off += 144 * br * 1000 // srx + ((b2 >> 1) & 1)
+            n += 1
+        assert n == n_frames
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    from table_streaming_source_spark.plans.catalog import QUERIES
+
+    # direct check of the identity S_i = cum_i - min(0, prefix-min):
+    # brute-force the recursion in Python on a small series
+    series = [10.0, 300.0, 5.0, 400.0, 2.0, 350.0]
+    import math
+
+    n = len(series)
+    cents = [round(v * 100) for v in series]
+    tot = sum(cents)
+    s, flags = 0, []
+    expect = []
+    for c in cents:
+        d = n * c - tot
+        s = max(0, s + d)
+        expect.append(s / (n * 100.0))
+    df = spark.createDataFrame(
+        [(1, i, f"2024-01-01 00:0{i}:00", v)
+         for i, v in enumerate(series)],
+        "user_id long, event_id long, ts string, value double",
+    ).withColumn("ts", __import__("pyspark").sql.functions.col("ts").cast("timestamp"))
+    df.createOrReplaceTempView("__cusum_probe")
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    cents_col = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    per_user = Window.partitionBy("user_id")
+    ordered = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = df.select(
+        "user_id", "event_id", "ts", "value", cents_col.alias("__c")
+    ).select(
+        "user_id", "event_id", "ts", "value",
+        (F.count(F.lit(1)).over(per_user) * F.col("__c")
+         - F.sum("__c").over(per_user)).alias("__d"),
+        F.count(F.lit(1)).over(per_user).alias("__n"),
+    )
+    cum = base.withColumn(
+        "__cum",
+        F.sum("__d").over(ordered.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    out = cum.withColumn(
+        "__s",
+        F.col("__cum") - F.least(
+            F.lit(0).cast("long"),
+            F.min("__cum").over(
+                ordered.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ),
+    ).orderBy("event_id").select(
+        (F.col("__s") / (F.col("__n") * 100.0)).alias("cusum")
+    )
+    got = [r["cusum"] for r in out.collect()]
+    assert got == [round(e, 10) if False else e for e in expect] or all(
+        math.isclose(g, e, rel_tol=0, abs_tol=1e-9)
+        for g, e in zip(got, expect)
+    )

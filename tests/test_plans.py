@@ -325,6 +325,22 @@ _SHUFFLE_BUDGET = {
     "pipeline_behavior": 3,
     # mixed-codec decode is mapInPandas; metadata join + rollup
     "pipeline_audio_prep": 3,
+    # round-5 additions
+    # published rule batteries are pure row-local maps — zero shuffles
+    "text_gopher_quality": 0,
+    "text_c4_filters": 0,
+    # owner election on the line + ownership join + per-doc rebuild
+    "text_line_dedup": 3,
+    # two stacked windows on ONE (user, ts) sort — a single exchange
+    "anomaly_cusum": 1,
+    # blocked linkage: the block-key equi-join (broadcast at fixture
+    # scale; two hash exchanges at 100 TB) + nothing else
+    "join_fuzzy_levenshtein": 2,
+    # scan + two-phase distinct aggregate, same as the other sources
+    "source_xml": 2,
+    # container decode chains never shuffle
+    "multimodal_ulaw": 0,
+    "multimodal_mp3_meta": 0,
 }
 
 
