@@ -4580,3 +4580,184 @@ def mpeg_audio_meta(
             )
 
     return df.mapInPandas(batches, schema=MPEG_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Adam7 interlaced PNG (PNG spec §8.2, public) — progressive-display
+# pixel layout; decode requires the 7-pass deinterlace
+# ---------------------------------------------------------------------------
+
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass, PNG spec §8.2
+ADAM7_PASSES: tuple[tuple[int, int, int, int], ...] = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def synth_png_interlaced(width: int, height: int, seed: int) -> bytes:
+    """A spec-valid Adam7-interlaced 8-bit grayscale PNG with the same
+    formula pixels as :func:`synth_png_pixels` (``p = (7x + 13y + seed)
+    % 256``) — the IDAT stream carries the 7 reduced images in pass
+    order (each pass its own filter-0 scanline sequence), so a decoder
+    must genuinely deinterlace to reconstruct the image."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    px = ((7 * x + 13 * y + seed) % 256).astype(np.uint8)
+    raw = b""
+    for x0, y0, dx, dy in ADAM7_PASSES:
+        sub = px[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        raw += b"".join(
+            b"\x00" + sub[r].tobytes() for r in range(sub.shape[0])
+        )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_pixels_adam7(payload: bytes) -> "object":
+    """Decode an Adam7-interlaced 8-bit grayscale filter-0 PNG to an
+    ``(h, w)`` uint8 array: inflate once, then walk the 7 reduced
+    images in spec order, unfilter each pass's scanlines, and scatter
+    every pass pixel to its ``(y0 + r·dy, x0 + c·dx)`` home — the
+    deinterlace step progressive web rendering relies on."""
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    off, width, height, depth, ctype, interlace = 8, None, None, None, None, None
+    idat = b""
+    while off + 8 <= len(payload):
+        size = struct.unpack(">I", payload[off : off + 4])[0]
+        cid = payload[off + 4 : off + 8]
+        data = payload[off + 8 : off + 8 + size]
+        if cid == b"IHDR":
+            width, height, depth, ctype = struct.unpack(">IIBB", data[:10])
+            interlace = data[12]
+        elif cid == b"IDAT":
+            idat += data
+        elif cid == b"IEND":
+            break
+        off += 12 + size
+    if width is None:
+        raise ValueError("PNG without IHDR")
+    if (depth, ctype) != (8, 0):
+        raise ValueError("only 8-bit grayscale supported by this decoder")
+    if interlace != 1:
+        raise ValueError("not Adam7-interlaced")
+    raw = zlib.decompress(idat)
+    out = np.zeros((height, width), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in ADAM7_PASSES:
+        pw = len(range(x0, width, dx))
+        ph = len(range(y0, height, dy))
+        if pw == 0 or ph == 0:
+            continue
+        for r in range(ph):
+            if raw[pos] != 0:
+                raise ValueError(
+                    "only filter type 0 supported by this decoder"
+                )
+            row = np.frombuffer(raw[pos + 1 : pos + 1 + pw], dtype=np.uint8)
+            out[y0 + r * dy, x0::dx] = row
+            pos += 1 + pw
+    if pos != len(raw):
+        raise ValueError("IDAT size mismatch after deinterlace")
+    return out
+
+
+INTERLACED_STATS_SCHEMA = StructType(
+    [
+        StructField("key", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("sum_px", LongType(), False),
+        StructField("min_px", IntegerType(), False),
+        StructField("max_px", IntegerType(), False),
+        StructField("wsum_px", LongType(), False),
+    ]
+)
+
+
+def attach_interlaced_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one :func:`synth_png_interlaced` per key
+    (``w = 8 + (7k) % 17``, ``h = 8 + (13k) % 19``, ``seed = k``) —
+    small enough that every Adam7 pass is non-empty and the SQL oracle
+    can enumerate pixels cheaply."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_png_interlaced(
+                            8 + (7 * int(k)) % 17,
+                            8 + (13 * int(k)) % 19,
+                            int(k),
+                        )
+                        for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def interlaced_pixel_stats(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Stats over REAL Adam7 deinterlaced pixels: geometry, exact sums,
+    min/max, and a position-weighted sum ``Σ p·(x + 2y)`` — the weight
+    makes any pass-placement mistake (swapped strides, wrong origin)
+    change the answer, so the deinterlace scatter is value-checked, not
+    just the pixel multiset.  mapInPandas, partition-preserving, zero
+    shuffles."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "key", "width", "height", "sum_px", "min_px", "max_px",
+                "wsum_px",
+            )}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                px = png_pixels_adam7(bytes(payload)).astype(np.int64)
+                h, w = px.shape
+                wgt = (
+                    np.arange(w, dtype=np.int64)[None, :]
+                    + 2 * np.arange(h, dtype=np.int64)[:, None]
+                )
+                rows["key"].append(int(k))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_px"].append(int(px.sum()))
+                rows["min_px"].append(int(px.min()))
+                rows["max_px"].append(int(px.max()))
+                rows["wsum_px"].append(int((px * wgt).sum()))
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "sum_px": pd.Series(rows["sum_px"], dtype="int64"),
+                    "min_px": pd.Series(rows["min_px"], dtype="int32"),
+                    "max_px": pd.Series(rows["max_px"], dtype="int32"),
+                    "wsum_px": pd.Series(rows["wsum_px"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=INTERLACED_STATS_SCHEMA)

@@ -5073,3 +5073,47 @@ QUERIES_DEFERRED.update(
         "multimodal_mp3_meta": q_multimodal_mp3_meta,
     }
 )
+
+
+def q_multimodal_png_interlaced(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL Adam7 deinterlace (PNG spec §8.2): every image key gets a
+    spec-valid interlace-1 grayscale PNG whose IDAT carries the 7
+    reduced images; the Spark side must inflate, walk the passes, and
+    scatter each pass pixel to its (y0+r·dy, x0+c·dx) home.  The
+    position-weighted checksum makes placement mistakes visible; the
+    oracle restates the pixels from the synthesis formula."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return M.interlaced_pixel_stats(
+        M.attach_interlaced_payload(docs, "doc_id")
+    )
+
+
+ORACLES["multimodal_png_interlaced"] = """
+WITH im AS (
+  SELECT doc_id AS key,
+         8 + (7 * doc_id) % 17 AS w,
+         8 + (13 * doc_id) % 19 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT key, w, h, ux.x AS x, uy.y AS y,
+         (7 * ux.x + 13 * uy.y + key) % 256 AS p
+  FROM im, UNNEST(RANGE(0, w)) AS ux(x), UNNEST(RANGE(0, h)) AS uy(y)
+)
+SELECT key,
+       CAST(ANY_VALUE(w) AS INT) AS width,
+       CAST(ANY_VALUE(h) AS INT) AS height,
+       CAST(SUM(p) AS BIGINT) AS sum_px,
+       CAST(MIN(p) AS INT) AS min_px,
+       CAST(MAX(p) AS INT) AS max_px,
+       CAST(SUM(p * (x + 2 * y)) AS BIGINT) AS wsum_px
+FROM px
+GROUP BY key
+"""
+
+
+QUERIES_DEFERRED.update(
+    {"multimodal_png_interlaced": q_multimodal_png_interlaced}
+)

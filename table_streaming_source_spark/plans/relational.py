@@ -6083,3 +6083,52 @@ QUERIES.update(
         "source_xml": q_source_xml,
     }
 )
+
+
+def q_scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation-aware grouping: half the event types are
+    deterministically upper-cased, then grouped under the UTF8_LCASE
+    collation — case variants collapse into one group WITHOUT a
+    lowercase projection, the engine-native answer to case-insensitive
+    analytics (ORDER BY/JOIN under a collation plan the same way).  The
+    oracle restates the semantics with LOWER() grouping; the output key
+    is lowercased on both sides so the group representative is
+    deterministic."""
+    e = t(spark, sf_dir, "events")
+    mixed = F.when(
+        F.col("event_id") % 2 == 0, F.upper("event_type")
+    ).otherwise(F.col("event_type"))
+    ci = F.collate(mixed, "UTF8_LCASE")
+    return (
+        e.select(ci.alias("__ci"), "user_id", "value")
+        .groupBy("__ci")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+            dsum("value", 6).alias("sum_value"),
+        )
+        .select(
+            F.lower(F.col("__ci").cast("string")).alias("event_type_ci"),
+            "n",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
+ORACLES["scalar_collation"] = f"""
+WITH m AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN UPPER(event_type)
+              ELSE event_type END AS mx,
+         user_id, value
+  FROM events
+)
+SELECT LOWER(mx) AS event_type_ci,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sql_dsum('value', 6)} AS sum_value
+FROM m GROUP BY LOWER(mx)
+"""
+
+
+QUERIES.update({"scalar_collation": q_scalar_collation})

@@ -1232,3 +1232,51 @@ def test_cusum_closed_form_matches_recursion(spark):
         math.isclose(g, e, rel_tol=0, abs_tol=1e-9)
         for g, e in zip(got, expect)
     )
+
+
+def test_adam7_roundtrip_various_geometries():
+    import numpy as np
+
+    from table_streaming_source_spark.operators.multimodal import (
+        png_pixels_adam7,
+        synth_png_interlaced,
+    )
+
+    # geometries that exercise empty-tail passes, odd strides, and the
+    # 1-pixel edge cases of the Adam7 grid
+    for w, h, seed in [(1, 1, 0), (2, 3, 5), (8, 8, 1), (17, 11, 3),
+                       (24, 9, 99), (9, 26, 7), (5, 4, 42)]:
+        px = png_pixels_adam7(synth_png_interlaced(w, h, seed))
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        expect = ((7 * x + 13 * y + seed) % 256).astype(np.uint8)
+        assert (px == expect).all(), (w, h, seed)
+
+
+def test_adam7_rejects_non_interlaced():
+    import pytest as _pytest
+
+    from table_streaming_source_spark.operators.multimodal import (
+        png_pixels_adam7,
+        synth_png_pixels,
+    )
+
+    with _pytest.raises(ValueError, match="interlaced"):
+        png_pixels_adam7(synth_png_pixels(8, 8, 0))
+
+
+def test_collation_groups_case_variants(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("View",), ("VIEW",), ("view",), ("click",)], "t string"
+    )
+    out = (
+        df.groupBy(F.collate(F.col("t"), "UTF8_LCASE").alias("g"))
+        .count()
+        .select(F.lower(F.col("g").cast("string")).alias("g"), "count")
+        .toPandas()
+        .set_index("g")
+    )
+    assert out.loc["view", "count"] == 3
+    assert out.loc["click", "count"] == 1

@@ -341,6 +341,9 @@ _SHUFFLE_BUDGET = {
     # container decode chains never shuffle
     "multimodal_ulaw": 0,
     "multimodal_mp3_meta": 0,
+    "multimodal_png_interlaced": 0,
+    # collated grouping is the same two-phase distinct aggregate
+    "scalar_collation": 2,
 }
 
 
