@@ -78,6 +78,13 @@ HEADLINE = [
     "multimodal_flac",
     "graph_bfs",
     "dq_expectations",
+    # round 5 additions: corpus-wide line dedup (the new shuffle-bearing
+    # text op), the Gopher rule battery (map-only cleaning baseline),
+    # blocked fuzzy record linkage, and the Adam7 deinterlace path
+    "text_line_dedup",
+    "text_gopher_quality",
+    "join_fuzzy_levenshtein",
+    "multimodal_png_interlaced",
 ]
 
 

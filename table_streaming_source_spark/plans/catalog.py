@@ -47,6 +47,17 @@ progressive-JPEG entry), ``text_lm_heldout_eval``, ``agg_correlation``,
 ``ts_holt_linear``, ``ts_rolling_corr``, ``text_langid_eval``,
 ``streaming_fanin_union``, ``multimodal_jpeg_progressive_color``,
 ``sink_compaction``, ``ts_seasonal_profile``, ``multimodal_bmp``.
+
+Round-6 rotation backlog (round-5 additions past the filled window,
+local replay green at sf0.01 — 11 entries; with the 3 cross-round
+sentinels that fills 14 of round 6's 50 slots, leaving 36 for round-6
+additions or re-verification): ``text_gopher_quality``,
+``text_c4_filters``, ``text_line_dedup``, ``anomaly_cusum``,
+``join_fuzzy_levenshtein``, ``source_xml``, ``multimodal_ulaw``,
+``multimodal_mp3_meta``, ``multimodal_png_interlaced``,
+``scalar_collation``, and the env-gated
+``streaming_timeout_sessions_tws`` (skips with documented reason where
+google.protobuf is absent).
 """
 
 from __future__ import annotations
