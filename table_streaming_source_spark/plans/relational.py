@@ -6132,3 +6132,136 @@ FROM m GROUP BY LOWER(mx)
 
 
 QUERIES.update({"scalar_collation": q_scalar_collation})
+
+
+def q_ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization-oriented downsampling (Jugel et al., VLDB 2014):
+    per (series, time-bucket) emit min, max, first, and last — the four
+    points that make a width-bounded line chart pixel-exact, and the
+    standard big-series downsampling operator (LTTB's sequential
+    selection can't parallelize within a series; M4 is one hash
+    aggregate, embarrassingly parallel, which is why the lake tooling
+    standardized on it).
+
+    Exactness: first/last are associative struct-min/max over
+    ``(ts, event_id, value)`` (total order, no min_by tie ambiguity);
+    min/max of the 2-decimal values are exact.  One map-combinable
+    aggregate — at 100 TB the combine happens scan-side and only
+    |series|×|buckets| rows shuffle."""
+    e = t(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_timestamp("ts") / F.lit(6 * 3600)).cast("long")
+    first_s = F.min(F.struct("ts", "event_id", "value"))
+    last_s = F.max(F.struct("ts", "event_id", "value"))
+    return (
+        e.select("event_type", bucket.alias("bucket"), "ts", "event_id",
+                 "value")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            first_s.getField("value").alias("first_v"),
+            last_s.getField("value").alias("last_v"),
+        )
+    )
+
+
+ORACLES["ts_downsample_m4"] = """
+WITH b AS (
+  SELECT event_type,
+         CAST(FLOOR(EPOCH(ts) / 21600) AS BIGINT) AS bucket,
+         ts, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type,
+                            CAST(FLOOR(EPOCH(ts) / 21600) AS BIGINT)
+                            ORDER BY ts, event_id) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY event_type,
+                            CAST(FLOOR(EPOCH(ts) / 21600) AS BIGINT)
+                            ORDER BY ts DESC, event_id DESC) AS rl
+  FROM events
+)
+SELECT event_type, bucket,
+       COUNT(*) AS n,
+       MIN(value) AS min_v,
+       MAX(value) AS max_v,
+       MAX(CASE WHEN rf = 1 THEN value END) AS first_v,
+       MAX(CASE WHEN rl = 1 THEN value END) AS last_v
+FROM b GROUP BY event_type, bucket
+"""
+
+
+def q_join_nearest_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor spatial join: every customer (formula-derived
+    milli-degree coordinates) is assigned its closest station (nation
+    table, same derivation) by exact integer squared distance, ties to
+    the lowest station key — the geo-enrichment join of every
+    location-bearing pipeline.
+
+    The station side is bounded BY DESIGN (|nations| = 25 at every SF —
+    a real deployment's station/store/cell list is similarly fixed), so
+    the plan is a broadcast nested-loop cross with a row-local distance
+    and one associative struct-min per customer: customers never
+    shuffle.  An unbounded right side would switch to grid-cell
+    blocking (the fuzzy-linkage pattern with a ±1-ring cell key) — same
+    argmin, different block key.  All distance math is exact BIGINT:
+    milli-degree deltas squared and summed, no trig in the hot path."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37) % 180000 - 90000).alias("c_lat"),
+        ((F.col("c_custkey") * 73) % 360000 - 180000).alias("c_lon"),
+    )
+    s = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("station_id"),
+        ((F.col("n_nationkey") * 7919) % 180000 - 90000).alias("s_lat"),
+        ((F.col("n_nationkey") * 104729) % 360000 - 180000).alias("s_lon"),
+    )
+    d2 = (
+        (F.col("c_lat") - F.col("s_lat")) * (F.col("c_lat") - F.col("s_lat"))
+        + (F.col("c_lon") - F.col("s_lon"))
+        * (F.col("c_lon") - F.col("s_lon"))
+    ).cast("long")
+    best = F.min(F.struct(d2.alias("d2"), F.col("station_id").alias("sid")))
+    return (
+        c.crossJoin(F.broadcast(s))
+        .groupBy("c_custkey", "c_lat", "c_lon")
+        .agg(
+            best.getField("sid").alias("station_id"),
+            best.getField("d2").alias("dist2"),
+        )
+    )
+
+
+ORACLES["join_nearest_spatial"] = """
+WITH c AS (
+  SELECT c_custkey,
+         (c_custkey * 37) % 180000 - 90000 AS c_lat,
+         (c_custkey * 73) % 360000 - 180000 AS c_lon
+  FROM customer
+),
+s AS (
+  SELECT n_nationkey AS station_id,
+         (n_nationkey * 7919) % 180000 - 90000 AS s_lat,
+         (n_nationkey * 104729) % 360000 - 180000 AS s_lon
+  FROM nation
+),
+scored AS (
+  SELECT c.c_custkey, c.c_lat, c.c_lon, s.station_id,
+         CAST((c.c_lat - s.s_lat) * (c.c_lat - s.s_lat)
+              + (c.c_lon - s.s_lon) * (c.c_lon - s.s_lon) AS BIGINT)
+           AS d2,
+         ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+                            ORDER BY (c.c_lat - s.s_lat) * (c.c_lat - s.s_lat)
+                                   + (c.c_lon - s.s_lon) * (c.c_lon - s.s_lon),
+                                     s.station_id) AS rn
+  FROM c CROSS JOIN s
+)
+SELECT c_custkey, c_lat, c_lon, station_id, d2 AS dist2
+FROM scored WHERE rn = 1
+"""
+
+
+QUERIES.update(
+    {
+        "ts_downsample_m4": q_ts_downsample_m4,
+        "join_nearest_spatial": q_join_nearest_spatial,
+    }
+)

@@ -342,6 +342,9 @@ _SHUFFLE_BUDGET = {
     "multimodal_ulaw": 0,
     "multimodal_mp3_meta": 0,
     "multimodal_png_interlaced": 0,
+    # one map-combinable aggregate (M4) / broadcast-NL + argmin agg
+    "ts_downsample_m4": 1,
+    "join_nearest_spatial": 1,
     # collated grouping is the same two-phase distinct aggregate
     "scalar_collation": 2,
 }
