@@ -5117,3 +5117,99 @@ GROUP BY key
 QUERIES_DEFERRED.update(
     {"multimodal_png_interlaced": q_multimodal_png_interlaced}
 )
+
+
+def q_pipeline_web_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed web-corpus cleaning recipe — C4 line rules →
+    page-keep rule → corpus-WIDE dedup of the surviving lines → per-
+    source accounting — as ONE declarative plan: the exact chain a
+    Common-Crawl-style preparation runs, built from the same operators
+    the standalone entries check (``c4_line_filter``, ``line_dedup``).
+
+    Scale shape: the line rules are row-local; only surviving lines
+    reach the dedup's content-keyed exchange; the final rollup is one
+    hash aggregate on the source.  Output per source: documents kept by
+    the page rule, lines kept by the line rules, and how many of those
+    survive corpus-wide dedup (the boilerplate measure)."""
+    d = F.col("doc_id")
+    docs = t(spark, sf_dir, "documents")
+    lined = docs.select("doc_id", "source", _reflow_lines(8).alias("__raw"))
+    deco = F.transform(
+        F.col("__raw"),
+        lambda s, i: F.concat(
+            F.when((d * 7 + i) % 13 == 0, F.lit("javascript ")).otherwise(
+                F.lit("")
+            ),
+            s,
+            F.when((d + 2 * i) % 17 == 0, F.lit(" {")).otherwise(F.lit("")),
+            F.when((d + i) % 3 > 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    cleaned = X.c4_line_filter(
+        lined.select("doc_id", "source", deco.alias("lines")),
+        "lines",
+        "doc_id",
+    ).filter(F.col("keep_doc"))
+    kept_lines = cleaned.select(
+        "doc_id",
+        F.when(F.col("clean_text") == "", F.array().cast("array<string>"))
+        .otherwise(F.split("clean_text", "\n"))
+        .alias("lines"),
+    )
+    deduped = X.line_dedup(kept_lines, "lines", "doc_id")
+    return (
+        deduped.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
+            F.sum("n_lines").cast("bigint").alias("n_lines_kept"),
+            F.sum("n_kept").cast("bigint").alias("n_lines_unique"),
+        )
+    )
+
+
+ORACLES["pipeline_web_clean"] = f"""
+WITH {_reflow_sql(8)},
+deco AS (
+  SELECT l.doc_id, d.source, l.pos,
+         (CASE WHEN (l.doc_id * 7 + l.pos) % 13 = 0
+               THEN 'javascript ' ELSE '' END)
+         || l.line
+         || (CASE WHEN (l.doc_id + 2 * l.pos) % 17 = 0
+                  THEN ' {{' ELSE '' END)
+         || (CASE WHEN (l.doc_id + l.pos) % 3 > 0 THEN '.' ELSE '' END)
+           AS line
+  FROM lines l JOIN documents d USING (doc_id)
+),
+judged AS (
+  SELECT doc_id, source, pos, line,
+         (RIGHT(line, 1) IN ('.', '!', '?', '"')
+          AND LEN(LIST_FILTER(STRING_SPLIT(line, ' '), x -> LEN(x) > 0)) >= 5
+          AND NOT (CONTAINS(LOWER(line), 'javascript')
+                   OR CONTAINS(LOWER(line), 'lorem ipsum')
+                   OR CONTAINS(line, '{{'))) AS keep
+  FROM deco
+),
+pages AS (
+  SELECT doc_id FROM judged GROUP BY doc_id
+  HAVING COUNT(*) FILTER (WHERE keep) >= 3
+),
+kept AS (
+  SELECT j.doc_id, j.source, j.pos, j.line
+  FROM judged j JOIN pages USING (doc_id)
+  WHERE j.keep
+),
+ranked AS (
+  SELECT doc_id, source, line,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM kept
+)
+SELECT source,
+       COUNT(DISTINCT doc_id) AS n_docs_kept,
+       COUNT(*) AS n_lines_kept,
+       CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_lines_unique
+FROM ranked GROUP BY source
+"""
+
+
+QUERIES_DEFERRED.update({"pipeline_web_clean": q_pipeline_web_clean})

@@ -344,6 +344,9 @@ _SHUFFLE_BUDGET = {
     "multimodal_png_interlaced": 0,
     # one map-combinable aggregate (M4) / broadcast-NL + argmin agg
     "ts_downsample_m4": 1,
+    # line rules are row-local; dedup election + ownership join +
+    # source rollup bound the exchanges
+    "pipeline_web_clean": 4,
     "join_nearest_spatial": 1,
     # collated grouping is the same two-phase distinct aggregate
     "scalar_collation": 2,
