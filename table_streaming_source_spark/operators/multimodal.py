@@ -4761,3 +4761,206 @@ def interlaced_pixel_stats(
             )
 
     return df.mapInPandas(batches, schema=INTERLACED_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PNG scanline filters 0-4 (PNG spec §9, public): Sub/Up/Average/Paeth —
+# the full filter set real-world encoders emit
+# ---------------------------------------------------------------------------
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PaethPredictor (PNG spec §9.4): nearest of left/up/upper-left to
+    the linear estimate a + b − c, ties resolved left → up → upper-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def synth_png_filtered(width: int, height: int, seed: int) -> bytes:
+    """A spec-valid 8-bit grayscale PNG whose row ``y`` is encoded with
+    filter type ``(y + seed) % 5`` — all five PNG filters (None, Sub,
+    Up, Average, Paeth) live in every file taller than 4 rows, so a
+    decoder must implement the complete unfilter set.  Pixels follow
+    the shared formula ``p = (7x + 13y + seed) % 256``."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    px = ((7 * x + 13 * y + seed) % 256).astype(np.int64)
+    out = bytearray()
+    prior = np.zeros(width, dtype=np.int64)
+    for r in range(height):
+        raw = px[r]
+        f = (r + seed) % 5
+        left = np.concatenate(([0], raw[:-1]))
+        upleft = np.concatenate(([0], prior[:-1]))
+        if f == 0:
+            enc = raw
+        elif f == 1:
+            enc = (raw - left) % 256
+        elif f == 2:
+            enc = (raw - prior) % 256
+        elif f == 3:
+            enc = (raw - (left + prior) // 2) % 256
+        else:
+            pa = np.array(
+                [
+                    _paeth(int(left[i]), int(prior[i]), int(upleft[i]))
+                    for i in range(width)
+                ],
+                dtype=np.int64,
+            )
+            enc = (raw - pa) % 256
+        out.append(f)
+        out.extend(enc.astype(np.uint8).tobytes())
+        prior = raw
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_pixels_filtered(payload: bytes) -> "object":
+    """Decode an 8-bit grayscale non-interlaced PNG honoring ALL five
+    scanline filter types (PNG spec §9): None, Sub (left), Up (prior
+    row), Average (floor mean of left+up), Paeth (§9.4 predictor).
+    Returns an ``(h, w)`` uint8 array.  The left-dependent filters make
+    unfiltering inherently sequential per row — the arithmetic is
+    byte-exact modulo 256."""
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    off, width, height, depth, ctype, interlace = 8, None, None, None, None, None
+    idat = b""
+    while off + 8 <= len(payload):
+        size = struct.unpack(">I", payload[off : off + 4])[0]
+        cid = payload[off + 4 : off + 8]
+        data = payload[off + 8 : off + 8 + size]
+        if cid == b"IHDR":
+            width, height, depth, ctype = struct.unpack(">IIBB", data[:10])
+            interlace = data[12]
+        elif cid == b"IDAT":
+            idat += data
+        elif cid == b"IEND":
+            break
+        off += 12 + size
+    if width is None:
+        raise ValueError("PNG without IHDR")
+    if (depth, ctype) != (8, 0):
+        raise ValueError("only 8-bit grayscale supported by this decoder")
+    if interlace != 0:
+        raise ValueError("interlaced PNG: use png_pixels_adam7")
+    raw = zlib.decompress(idat)
+    stride = width + 1
+    if len(raw) != stride * height:
+        raise ValueError("IDAT size mismatch")
+    out = np.zeros((height, width), dtype=np.int64)
+    prior = np.zeros(width, dtype=np.int64)
+    for r in range(height):
+        f = raw[r * stride]
+        enc = np.frombuffer(
+            raw[r * stride + 1 : (r + 1) * stride], dtype=np.uint8
+        ).astype(np.int64)
+        if f == 0:
+            dec = enc.copy()
+        elif f == 2:
+            dec = (enc + prior) % 256
+        elif f in (1, 3, 4):
+            dec = np.zeros(width, dtype=np.int64)
+            for i in range(width):
+                left = dec[i - 1] if i else 0
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + prior[i]) // 2
+                else:
+                    upleft = prior[i - 1] if i else 0
+                    pred = _paeth(int(left), int(prior[i]), int(upleft))
+                dec[i] = (enc[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[r] = dec
+        prior = dec
+    return out.astype(np.uint8)
+
+
+def attach_filtered_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one :func:`synth_png_filtered` per key
+    (``w = 9 + (7k) % 20``, ``h = 9 + (13k) % 22`` — ≥5 rows, so every
+    filter type occurs in every payload)."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_png_filtered(
+                            9 + (7 * int(k)) % 20,
+                            9 + (13 * int(k)) % 22,
+                            int(k),
+                        )
+                        for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def filtered_pixel_stats(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Stats over REAL all-filter PNG decode — same contract and schema
+    as :func:`interlaced_pixel_stats` (position-weighted checksum makes
+    any unfilter mistake change the answer); mapInPandas, zero
+    shuffles."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "key", "width", "height", "sum_px", "min_px", "max_px",
+                "wsum_px",
+            )}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                px = png_pixels_filtered(bytes(payload)).astype(np.int64)
+                h, w = px.shape
+                wgt = (
+                    np.arange(w, dtype=np.int64)[None, :]
+                    + 2 * np.arange(h, dtype=np.int64)[:, None]
+                )
+                rows["key"].append(int(k))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_px"].append(int(px.sum()))
+                rows["min_px"].append(int(px.min()))
+                rows["max_px"].append(int(px.max()))
+                rows["wsum_px"].append(int((px * wgt).sum()))
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "sum_px": pd.Series(rows["sum_px"], dtype="int64"),
+                    "min_px": pd.Series(rows["min_px"], dtype="int32"),
+                    "max_px": pd.Series(rows["max_px"], dtype="int32"),
+                    "wsum_px": pd.Series(rows["wsum_px"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=INTERLACED_STATS_SCHEMA)

@@ -5213,3 +5213,46 @@ FROM ranked GROUP BY source
 
 
 QUERIES_DEFERRED.update({"pipeline_web_clean": q_pipeline_web_clean})
+
+
+def q_multimodal_png_filtered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL all-filter PNG decode (PNG spec §9): every image key gets a
+    spec-valid grayscale PNG whose row y uses filter (y+seed)%5 — all
+    five filters (None/Sub/Up/Average/Paeth) occur in every payload, so
+    the Spark side must implement the complete unfilter set including
+    the sequential left-dependence and the §9.4 Paeth predictor.  The
+    position-weighted checksum catches any unfilter mistake; the oracle
+    restates the pixels from the synthesis formula."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return M.filtered_pixel_stats(M.attach_filtered_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_png_filtered"] = """
+WITH im AS (
+  SELECT doc_id AS key,
+         9 + (7 * doc_id) % 20 AS w,
+         9 + (13 * doc_id) % 22 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT key, w, h, ux.x AS x, uy.y AS y,
+         (7 * ux.x + 13 * uy.y + key) % 256 AS p
+  FROM im, UNNEST(RANGE(0, w)) AS ux(x), UNNEST(RANGE(0, h)) AS uy(y)
+)
+SELECT key,
+       CAST(ANY_VALUE(w) AS INT) AS width,
+       CAST(ANY_VALUE(h) AS INT) AS height,
+       CAST(SUM(p) AS BIGINT) AS sum_px,
+       CAST(MIN(p) AS INT) AS min_px,
+       CAST(MAX(p) AS INT) AS max_px,
+       CAST(SUM(p * (x + 2 * y)) AS BIGINT) AS wsum_px
+FROM px
+GROUP BY key
+"""
+
+
+QUERIES_DEFERRED.update(
+    {"multimodal_png_filtered": q_multimodal_png_filtered}
+)

@@ -560,3 +560,26 @@ def test_cusum_closed_form_identity(ys):
         cum += y
         mn = min(mn, cum)
         assert s == cum - min(0, mn)
+
+
+@given(
+    st.integers(min_value=1, max_value=32),
+    st.integers(min_value=5, max_value=32),
+    st.integers(min_value=0, max_value=10**9),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_all_filters_roundtrip_property(w, h, seed):
+    """Every ≥5-row geometry exercises all five PNG filter types and
+    decodes back to the exact synthesis formula (Paeth/Average/Sub
+    left-dependence included)."""
+    import numpy as np
+
+    from table_streaming_source_spark.operators.multimodal import (
+        png_pixels_filtered,
+        synth_png_filtered,
+    )
+
+    px = png_pixels_filtered(synth_png_filtered(w, h, seed))
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    assert (px == ((7 * x + 13 * y + seed) % 256)).all()
