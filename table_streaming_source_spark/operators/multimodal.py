@@ -4828,12 +4828,15 @@ def synth_png_filtered(width: int, height: int, seed: int) -> bytes:
 
 
 def png_pixels_filtered(payload: bytes) -> "object":
-    """Decode an 8-bit grayscale non-interlaced PNG honoring ALL five
-    scanline filter types (PNG spec §9): None, Sub (left), Up (prior
-    row), Average (floor mean of left+up), Paeth (§9.4 predictor).
-    Returns an ``(h, w)`` uint8 array.  The left-dependent filters make
-    unfiltering inherently sequential per row — the arithmetic is
-    byte-exact modulo 256."""
+    """Decode an 8-bit non-interlaced PNG honoring ALL five scanline
+    filter types (PNG spec §9): None, Sub (left), Up (prior row),
+    Average (floor mean of left+up), Paeth (§9.4 predictor) — for both
+    grayscale (color type 0, bpp 1) and truecolor (color type 2,
+    bpp 3).  The filter neighborhood is defined in BYTES ``bpp`` back
+    (§9.2), which is where multi-channel decoders go wrong.  Returns an
+    ``(h, w)`` uint8 array for grayscale or ``(h, w, 3)`` for
+    truecolor.  The left-dependent filters make unfiltering inherently
+    sequential per row — the arithmetic is byte-exact modulo 256."""
     import numpy as np
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
@@ -4854,16 +4857,20 @@ def png_pixels_filtered(payload: bytes) -> "object":
         off += 12 + size
     if width is None:
         raise ValueError("PNG without IHDR")
-    if (depth, ctype) != (8, 0):
-        raise ValueError("only 8-bit grayscale supported by this decoder")
+    if depth != 8 or ctype not in (0, 2):
+        raise ValueError(
+            "only 8-bit grayscale/truecolor supported by this decoder"
+        )
     if interlace != 0:
         raise ValueError("interlaced PNG: use png_pixels_adam7")
+    bpp = 1 if ctype == 0 else 3
+    rowbytes = width * bpp
     raw = zlib.decompress(idat)
-    stride = width + 1
+    stride = rowbytes + 1
     if len(raw) != stride * height:
         raise ValueError("IDAT size mismatch")
-    out = np.zeros((height, width), dtype=np.int64)
-    prior = np.zeros(width, dtype=np.int64)
+    out = np.zeros((height, rowbytes), dtype=np.int64)
+    prior = np.zeros(rowbytes, dtype=np.int64)
     for r in range(height):
         f = raw[r * stride]
         enc = np.frombuffer(
@@ -4874,22 +4881,25 @@ def png_pixels_filtered(payload: bytes) -> "object":
         elif f == 2:
             dec = (enc + prior) % 256
         elif f in (1, 3, 4):
-            dec = np.zeros(width, dtype=np.int64)
-            for i in range(width):
-                left = dec[i - 1] if i else 0
+            dec = np.zeros(rowbytes, dtype=np.int64)
+            for i in range(rowbytes):
+                left = dec[i - bpp] if i >= bpp else 0
                 if f == 1:
                     pred = left
                 elif f == 3:
                     pred = (left + prior[i]) // 2
                 else:
-                    upleft = prior[i - 1] if i else 0
+                    upleft = prior[i - bpp] if i >= bpp else 0
                     pred = _paeth(int(left), int(prior[i]), int(upleft))
                 dec[i] = (enc[i] + pred) % 256
         else:
             raise ValueError(f"unknown PNG filter type {f}")
         out[r] = dec
         prior = dec
-    return out.astype(np.uint8)
+    out8 = out.astype(np.uint8)
+    if ctype == 0:
+        return out8
+    return out8.reshape(height, width, 3)
 
 
 def attach_filtered_payload(df: DataFrame, key: str) -> DataFrame:
@@ -4964,3 +4974,147 @@ def filtered_pixel_stats(
             )
 
     return df.mapInPandas(batches, schema=INTERLACED_STATS_SCHEMA)
+
+
+def synth_png_rgb_filtered(width: int, height: int, seed: int) -> bytes:
+    """A spec-valid 8-bit TRUECOLOR PNG (color type 2, bpp 3) with row
+    ``y`` encoded under filter ``(y + seed) % 5`` — the byte-domain
+    filters reference the neighbor ``bpp`` bytes back (PNG spec §9.2),
+    so a decoder that treats truecolor like grayscale corrupts every
+    Sub/Average/Paeth row.  Channels: ``r = (7x+13y+seed) % 256``,
+    ``g = (11x+3y+2·seed) % 256``, ``b = (5x+17y+3·seed) % 256``."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    px = np.stack(
+        [
+            (7 * x + 13 * y + seed) % 256,
+            (11 * x + 3 * y + 2 * seed) % 256,
+            (5 * x + 17 * y + 3 * seed) % 256,
+        ],
+        axis=-1,
+    ).astype(np.int64)
+    bpp = 3
+    out = bytearray()
+    prior = np.zeros(width * bpp, dtype=np.int64)
+    for r in range(height):
+        raw = px[r].reshape(-1)
+        f = (r + seed) % 5
+        left = np.concatenate((np.zeros(bpp, dtype=np.int64), raw[:-bpp]))
+        upleft = np.concatenate(
+            (np.zeros(bpp, dtype=np.int64), prior[:-bpp])
+        )
+        if f == 0:
+            enc = raw
+        elif f == 1:
+            enc = (raw - left) % 256
+        elif f == 2:
+            enc = (raw - prior) % 256
+        elif f == 3:
+            enc = (raw - (left + prior) // 2) % 256
+        else:
+            pa = np.array(
+                [
+                    _paeth(int(left[i]), int(prior[i]), int(upleft[i]))
+                    for i in range(width * bpp)
+                ],
+                dtype=np.int64,
+            )
+            enc = (raw - pa) % 256
+        out.append(f)
+        out.extend(enc.astype(np.uint8).tobytes())
+        prior = raw
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+RGB_STATS_SCHEMA = StructType(
+    [
+        StructField("key", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("sum_r", LongType(), False),
+        StructField("sum_g", LongType(), False),
+        StructField("sum_b", LongType(), False),
+        StructField("wsum_r", LongType(), False),
+    ]
+)
+
+
+def attach_rgb_filtered_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one :func:`synth_png_rgb_filtered` per key
+    (``w = 9 + (7k) % 18``, ``h = 9 + (13k) % 20`` — ≥5 rows so every
+    filter type occurs)."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_png_rgb_filtered(
+                            9 + (7 * int(k)) % 18,
+                            9 + (13 * int(k)) % 20,
+                            int(k),
+                        )
+                        for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def rgb_filtered_stats(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Per-channel stats over REAL truecolor all-filter PNG decode —
+    the position-weighted red sum catches both unfilter and channel-
+    interleave mistakes.  mapInPandas, zero shuffles."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "key", "width", "height", "sum_r", "sum_g", "sum_b",
+                "wsum_r",
+            )}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                px = png_pixels_filtered(bytes(payload)).astype(np.int64)
+                h, w, _ = px.shape
+                wgt = (
+                    np.arange(w, dtype=np.int64)[None, :]
+                    + 2 * np.arange(h, dtype=np.int64)[:, None]
+                )
+                rows["key"].append(int(k))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(int(px[:, :, 0].sum()))
+                rows["sum_g"].append(int(px[:, :, 1].sum()))
+                rows["sum_b"].append(int(px[:, :, 2].sum()))
+                rows["wsum_r"].append(int((px[:, :, 0] * wgt).sum()))
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "sum_r": pd.Series(rows["sum_r"], dtype="int64"),
+                    "sum_g": pd.Series(rows["sum_g"], dtype="int64"),
+                    "sum_b": pd.Series(rows["sum_b"], dtype="int64"),
+                    "wsum_r": pd.Series(rows["wsum_r"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RGB_STATS_SCHEMA)

@@ -5256,3 +5256,46 @@ GROUP BY key
 QUERIES_DEFERRED.update(
     {"multimodal_png_filtered": q_multimodal_png_filtered}
 )
+
+
+def q_multimodal_png_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL truecolor all-filter PNG decode: color type 2 with every
+    filter type live per payload — the §9.2 byte-domain filters
+    reference the neighbor bpp=3 bytes back, so a decoder that treats
+    truecolor like grayscale corrupts every Sub/Average/Paeth row.
+    Per-channel sums plus a position-weighted red checksum catch both
+    unfilter and channel-interleave mistakes; oracle restates the
+    three channel formulas."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return M.rgb_filtered_stats(
+        M.attach_rgb_filtered_payload(docs, "doc_id")
+    )
+
+
+ORACLES["multimodal_png_rgb"] = """
+WITH im AS (
+  SELECT doc_id AS key,
+         9 + (7 * doc_id) % 18 AS w,
+         9 + (13 * doc_id) % 20 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT key, w, h, ux.x AS x, uy.y AS y,
+         (7 * ux.x + 13 * uy.y + key) % 256 AS r,
+         (11 * ux.x + 3 * uy.y + 2 * key) % 256 AS g,
+         (5 * ux.x + 17 * uy.y + 3 * key) % 256 AS b
+  FROM im, UNNEST(RANGE(0, w)) AS ux(x), UNNEST(RANGE(0, h)) AS uy(y)
+)
+SELECT key,
+       CAST(ANY_VALUE(w) AS INT) AS width,
+       CAST(ANY_VALUE(h) AS INT) AS height,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(r * (x + 2 * y)) AS BIGINT) AS wsum_r
+FROM px
+GROUP BY key
+"""
+
+
+QUERIES_DEFERRED.update({"multimodal_png_rgb": q_multimodal_png_rgb})

@@ -583,3 +583,29 @@ def test_png_all_filters_roundtrip_property(w, h, seed):
     x = np.arange(w)[None, :]
     y = np.arange(h)[:, None]
     assert (px == ((7 * x + 13 * y + seed) % 256)).all()
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=5, max_value=24),
+    st.integers(min_value=0, max_value=10**9),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_rgb_all_filters_roundtrip_property(w, h, seed):
+    """Truecolor: the byte-domain filters reference bpp=3 bytes back;
+    every geometry decodes back to the three channel formulas."""
+    import numpy as np
+
+    from table_streaming_source_spark.operators.multimodal import (
+        png_pixels_filtered,
+        synth_png_rgb_filtered,
+    )
+
+    px = png_pixels_filtered(synth_png_rgb_filtered(w, h, seed)).astype(
+        np.int64
+    )
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    assert (px[:, :, 0] == (7 * x + 13 * y + seed) % 256).all()
+    assert (px[:, :, 1] == (11 * x + 3 * y + 2 * seed) % 256).all()
+    assert (px[:, :, 2] == (5 * x + 17 * y + 3 * seed) % 256).all()
