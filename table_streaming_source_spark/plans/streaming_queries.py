@@ -1466,3 +1466,97 @@ QUERIES_DEFERRED = {
 ORACLES["streaming_timeout_sessions_tws"] = ORACLES[
     "streaming_timeout_sessions"
 ]
+
+
+def q_streaming_interval_join_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream–stream **full-outer** interval join: every click with its
+    within-6h purchase or nulls, AND every purchase no click preceded
+    within 6h — the complete reconciliation view (which side is missing
+    data?).  Same watermark-driven eviction and sentinel-flush drain as
+    the left-outer twin; the kept key is the COALESCE of both sides so
+    right-only rows survive the sentinel filter.  Oracle: the batch
+    FULL JOIN of the two filtered sides under the same interval
+    condition."""
+    from table_streaming_source_spark.streaming.joins import interval_join
+
+    events = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+
+    def _write(d: str) -> None:
+        events.repartition(8).write.mode("overwrite").parquet(d)
+        before = set(os.listdir(d))
+        _bump_mtimes(d, before, 1_700_000_000)
+        max_ts = events.agg(F.max("ts").alias("m")).head().m
+        sentinel = spark.createDataFrame(
+            [(-1, -1, "click", max_ts), (-2, -2, "purchase", max_ts)],
+            "event_id long, user_id long, event_type string, ts timestamp",
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 200 DAYS"))
+        sentinel.coalesce(1).write.mode("append").parquet(d)
+        _bump_mtimes(d, set(os.listdir(d)) - before, 1_700_000_010)
+
+    src = _stream_fixture(spark, sf_dir, "ivjf", _write)
+    schema = spark.read.parquet(src).schema
+
+    def side(event_type: str, prefix: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "4")
+            .parquet(src)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                "user_id",
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+
+    joined = interval_join(
+        side("click", "click"),
+        side("purchase", "purchase"),
+        key="user_id",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        upper_bound="6 HOURS",
+        watermark="90 days",
+        how="full_outer",
+    ).select("user_id", "click_id", "purchase_id")
+
+    name = f"__stream_ivjf_{abs(hash(src)) % 10**8}"
+    with _stream_shuffle(spark):
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
+
+    result = (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(name)
+    return result
+
+
+ORACLES["streaming_interval_join_full"] = """
+SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+       a.event_id AS click_id, b.event_id AS purchase_id
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id
+  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+"""
+
+
+QUERIES_DEFERRED["streaming_interval_join_full"] = (
+    q_streaming_interval_join_full
+)

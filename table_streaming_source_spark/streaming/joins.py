@@ -35,11 +35,14 @@ def interval_join(
     """Join two streaming DataFrames on ``key`` where
     ``left_ts <= right_ts <= left_ts + upper_bound``.
 
-    ``how`` is ``inner`` or ``left_outer``.  Left-outer emission is
-    watermark-driven: an unmatched left row is emitted (with nulls) only
-    once the watermark passes ``left_ts + upper_bound`` — in a bounded
-    replay, advance the watermark past the data (e.g. a sentinel row) or
-    the unmatched rows stay buffered forever.  Beware predicate pushdown
+    ``how`` is ``inner``, ``left_outer``, or ``full_outer``.  Outer
+    emission is watermark-driven: an unmatched row is emitted (with
+    nulls) only once the watermark passes its eviction bound — in a
+    bounded replay, advance the watermark past the data (e.g. a
+    sentinel row) or the unmatched rows stay buffered forever.  Under
+    ``full_outer`` the kept ``key`` column is the COALESCE of both
+    sides (right-only rows would otherwise carry a null left key).
+    Beware predicate pushdown
     when draining: a post-join filter that references pre-join columns
     is pushed into the source scan and will eat such sentinels (filter
     the *sink output* instead).
@@ -55,7 +58,7 @@ def interval_join(
     Column collision rule: ``key`` is kept once (from the left); all other
     columns must already be disambiguated by the caller.
     """
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "full_outer"):
         raise ValueError(f"unsupported interval join type: {how!r}")
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
@@ -64,4 +67,11 @@ def interval_join(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {upper_bound}"))
     )
-    return lw.join(rw, cond, how).drop(rw[key])
+    joined = lw.join(rw, cond, how)
+    if how == "full_outer":
+        return joined.select(
+            F.coalesce(lw[key], rw[key]).alias(key),
+            *[lw[c] for c in left.columns if c != key],
+            *[rw[c] for c in right.columns if c != key],
+        )
+    return joined.drop(rw[key])
