@@ -585,3 +585,36 @@ def test_sessionize_straggler_chain_cascades_into_open_session(spark):
     assert closed == []
     assert st.get == (t0 - gap_us - gap_us // 2, t0, 3, 175)
     assert st.timeout_ts == horizon  # horizon never shrinks
+
+
+def test_full_outer_interval_join_emits_right_only_rows(spark, sf_dir):
+    """The full-outer drain must contain BOTH null-padded sides: clicks
+    with no within-6h purchase (left-only) AND purchases with no
+    preceding click (right-only) — the latter is what distinguishes it
+    from the left-outer twin, and requires the COALESCE'd key (a
+    left-keyed drop would null right-only keys and the sentinel filter
+    would eat them)."""
+    from table_streaming_source_spark.plans.streaming_queries import (
+        q_streaming_interval_join_full,
+        q_streaming_interval_join_outer,
+    )
+
+    full = q_streaming_interval_join_full(spark, sf_dir).toPandas()
+    left_only = full[full["purchase_id"].isna()]
+    right_only = full[full["click_id"].isna()]
+    assert len(right_only) > 0, "right-only rows missing"
+    assert len(left_only) > 0, "left-only rows missing"
+    assert right_only["user_id"].notna().all()
+    # the full result restricted to click-bearing rows equals the
+    # left-outer twin's result exactly
+    outer = q_streaming_interval_join_outer(spark, sf_dir).toPandas()
+    lhs = (
+        full[full["click_id"].notna()]
+        .astype({"click_id": "int64"})  # NaN-bearing frame floats the col
+        .sort_values(["user_id", "click_id", "purchase_id"])
+        .reset_index(drop=True)
+    )
+    rhs = outer.sort_values(
+        ["user_id", "click_id", "purchase_id"]
+    ).reset_index(drop=True)
+    assert lhs.equals(rhs)
