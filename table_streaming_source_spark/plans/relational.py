@@ -6265,3 +6265,67 @@ QUERIES.update(
         "join_nearest_spatial": q_join_nearest_spatial,
     }
 )
+
+
+def q_sink_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered (range-partitioned + sorted-within-file) parquet write —
+    the data-skipping layout every large fact table should land in:
+    ``repartitionByRange(l_shipdate)`` gives globally disjoint file
+    ranges, ``sortWithinPartitions`` makes every row group's min/max
+    stats tight, so a later date-predicate scan prunes whole files AND
+    row groups from the parquet footers alone.
+
+    The value contract is read-back fidelity: the monthly rollup of the
+    rewritten table must equal the source bit-for-bit (the layout moves
+    rows, never changes them) — stated directly by the oracle.  The
+    LAYOUT contract (file ranges actually disjoint, footer stats tight)
+    is pinned by ``tests/test_sinks.py`` reading the parquet footers.
+    At 100 TB the same two lines are the nightly re-cluster job; table
+    formats call it OPTIMIZE ... ZORDER/SORT BY."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        # DATE, not the fixture's timestamp: Spark's default parquet
+        # timestamp encoding is INT96, which carries NO min/max footer
+        # stats — a clustered layout that can't prune is pointless.
+        # DATE encodes as stats-bearing INT32 (same for TIMESTAMP with
+        # outputTimestampType=TIMESTAMP_MICROS on a real deployment).
+        F.to_date("l_shipdate").alias("l_shipdate"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    path = _scratch.scratch_dir("sink_clustered", sf_dir, fresh=True)
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate", "l_orderkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    result = (
+        back.groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["sink_clustered"] = """
+SELECT DATE_TRUNC('month', l_shipdate) AS month,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM lineitem GROUP BY DATE_TRUNC('month', l_shipdate)
+"""
+
+
+QUERIES.update({"sink_clustered": q_sink_clustered})

@@ -267,3 +267,60 @@ def test_upsert_sink_random_batch_sequence_vs_model(spark, tmp_path):
                 del model[k]
     got = {r.k: (r.s, r.v) for r in current().collect()}
     assert got == model
+
+
+def test_clustered_write_produces_disjoint_sorted_files(spark, sf_dir):
+    """The data-skipping contract of q_sink_clustered's layout:
+    repartitionByRange gives files whose [min,max] l_shipdate ranges
+    are pairwise disjoint, and sortWithinPartitions makes row-group
+    stats tight (each file's row groups are internally ordered) — both
+    read straight from the parquet footers, which is exactly what a
+    pruning scan consults."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark.plans.common import t
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("l_shipdate")
+    )  # DATE: INT96 timestamps carry no footer stats
+    path = _scratch.scratch_dir("sink_clustered_test", sf_dir, fresh=True)
+    (
+        li.repartitionByRange(4, "l_shipdate")
+        .sortWithinPartitions("l_shipdate", "l_orderkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    ranges = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        col = None
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for j in range(rg.num_columns):
+                c = rg.column(j)
+                if c.path_in_schema == "l_shipdate":
+                    stats = c.statistics
+                    assert stats is not None and stats.has_min_max
+                    lo, hi = stats.min, stats.max
+                    # row groups within a file are ordered (sorted write)
+                    if col is not None:
+                        assert lo >= col
+                    col = hi
+                    ranges.append((f, lo, hi))
+    assert len(ranges) >= 2, "expected multiple files/row groups"
+    # per-file ranges pairwise disjoint (range partitioning)
+    by_file = {}
+    for f, lo, hi in ranges:
+        cur = by_file.get(f)
+        by_file[f] = (
+            (min(lo, cur[0]), max(hi, cur[1])) if cur else (lo, hi)
+        )
+    spans = sorted(by_file.values())
+    for (_lo_prev, hi_prev), (lo_next, _hi_next) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next, spans
