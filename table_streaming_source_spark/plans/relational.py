@@ -6329,3 +6329,105 @@ FROM lineitem GROUP BY DATE_TRUNC('month', l_shipdate)
 
 
 QUERIES.update({"sink_clustered": q_sink_clustered})
+
+
+def q_sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the versioned upsert sink: two CDC batches build
+    state versions v1 and v2 under the pointer protocol
+    (``sinks.py::upsert_sink``), then BOTH versions are read back —
+    v2 via the live pointer, v1 by version path — and rolled up side by
+    side.  This is the table-format time-travel contract reduced to its
+    parquet essence: every committed version is a complete, immutable
+    snapshot, so 'AS OF' is just reading an older directory; the oracle
+    restates each version's expected state from the CDC formulas.
+
+    Batches (formula-deterministic over orders keys < 2000):
+    v1 ← inserts of every key ≡ 0 (mod 4);
+    v2 ← updates doubling the price of key ≡ 0 (mod 8), deletes of
+    key ≡ 4 (mod 8) with key ≡ 0 (mod 3)."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark.sinks import upsert_sink
+
+    base = _scratch.scratch_dir("sink_time_travel", sf_dir, fresh=True)
+    state = f"{base}/state"
+    import os as _os
+
+    _os.makedirs(state, exist_ok=True)
+    on_batch, current = upsert_sink(spark, state, key="o_orderkey")
+
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    b0 = orders.filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey",
+        F.lit("I").alias("op"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    b1_updates = orders.filter(F.col("o_orderkey") % 8 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        "o_orderpriority",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    b1_deletes = orders.filter(
+        (F.col("o_orderkey") % 8 == 4) & (F.col("o_orderkey") % 3 == 0)
+    ).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    on_batch(b0, 0)
+    on_batch(b1_updates.unionByName(b1_deletes), 1)
+
+    def rollup(df: DataFrame, version: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        ).select(F.lit(version).alias("version"), "*")
+
+    v1 = spark.read.parquet(f"{state}/v1")  # time travel: by version path
+    v2 = current()  # live pointer
+    result = (
+        rollup(v1, "v1").unionByName(rollup(v2, "v2"))
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+ORACLES["sink_time_travel"] = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderkey < 2000 AND o_orderkey % 4 = 0
+),
+v1 AS (SELECT * FROM base),
+v2 AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice
+  FROM base
+  WHERE NOT (o_orderkey % 8 = 4 AND o_orderkey % 3 = 0)
+)
+SELECT 'v1' AS version, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM v1 GROUP BY o_orderpriority
+UNION ALL
+SELECT 'v2' AS version, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(CASE WHEN o_orderkey % 8 = 0
+                          THEN o_totalprice * 2
+                          ELSE o_totalprice END AS DECIMAL(18,2)))
+            AS DOUBLE) AS sum_price
+FROM base
+WHERE NOT (o_orderkey % 8 = 4 AND o_orderkey % 3 = 0)
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES.update({"sink_time_travel": q_sink_time_travel})
