@@ -1560,3 +1560,131 @@ FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
 QUERIES_DEFERRED["streaming_interval_join_full"] = (
     q_streaming_interval_join_full
 )
+
+
+def q_streaming_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Type-2 dimension maintenance: three CDC batches of
+    segment changes drained file-per-trigger through ``foreachBatch``,
+    each applied by ``sinks.py::scd2_apply`` under the versioned
+    pointer protocol (``scd2_sink``) — the job that BUILDS the
+    validity-window dimension ``join_scd2`` queries.  Open rows close
+    at their key's first incoming change; chained changes become
+    consecutive intervals; keys first seen mid-stream start their
+    history at their change timestamp.
+
+    Batches: (1) initial load of every customer with key % 7 != 0 at
+    t0; (2) at t1, every key % 5 == 0 (of those) re-segments; (3) at
+    t2, every key % 10 == 0 re-segments again AND the key % 7 == 0
+    customers appear for the first time.  The final dimension equals
+    the interval algebra the oracle states case by case."""
+    from table_streaming_source_spark.sinks import scd2_sink
+
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    k = F.col("c_custkey")
+    t0, t1, t2 = "1990-01-01", "2024-01-01", "2024-06-01"
+
+    def _batches(src: DataFrame) -> list[DataFrame]:
+        b1 = src.filter(k % 7 != 0).select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.lit(t0).cast("timestamp").alias("change_ts"),
+        )
+        b2 = src.filter((k % 7 != 0) & (k % 5 == 0)).select(
+            "c_custkey",
+            F.concat(F.lit("SEG"), (k % 3).cast("string")).alias(
+                "segment"
+            ),
+            F.lit(t1).cast("timestamp").alias("change_ts"),
+        )
+        b3 = (
+            src.filter((k % 7 != 0) & (k % 10 == 0))
+            .select(
+                "c_custkey",
+                F.concat(
+                    F.lit("SEG"), ((k + 1) % 3).cast("string")
+                ).alias("segment"),
+                F.lit(t2).cast("timestamp").alias("change_ts"),
+            )
+            .unionByName(
+                src.filter(k % 7 == 0).select(
+                    "c_custkey",
+                    F.concat(
+                        F.lit("SEG"), ((k + 1) % 3).cast("string")
+                    ).alias("segment"),
+                    F.lit(t2).cast("timestamp").alias("change_ts"),
+                )
+            )
+        )
+        return [b1, b2, b3]
+
+    def _write(d: str) -> None:
+        stamp = 1_700_000_000
+        for i, batch in enumerate(_batches(c)):
+            seen = set(os.listdir(d))
+            batch.coalesce(1).write.mode("append").parquet(d)
+            _bump_mtimes(d, set(os.listdir(d)) - seen, stamp + i)
+
+    src = _stream_fixture(spark, sf_dir, "scd2_build", _write)
+    base = _scratch.scratch_dir("streaming_scd2_build", sf_dir, fresh=True)
+    schema = _batches(c)[0].schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    on_batch, current = scd2_sink(
+        spark,
+        f"{base}/state",
+        key="c_custkey",
+        attr_cols=["segment"],
+        ts_col="change_ts",
+    )
+    import os as _os
+
+    _os.makedirs(f"{base}/state", exist_ok=True)
+    with _stream_shuffle(spark):
+        query = (
+            stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
+
+    result = current().localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+ORACLES["streaming_scd2_build"] = """
+WITH c AS (SELECT c_custkey, c_mktsegment FROM customer),
+seg1 AS (SELECT c_custkey, 'SEG' || CAST(c_custkey % 3 AS VARCHAR) AS s
+         FROM c),
+seg2 AS (SELECT c_custkey,
+                'SEG' || CAST((c_custkey + 1) % 3 AS VARCHAR) AS s
+         FROM c)
+SELECT c.c_custkey, c.c_mktsegment AS segment,
+       TIMESTAMP '1990-01-01' AS valid_from,
+       CASE WHEN c_custkey % 5 = 0 THEN TIMESTAMP '2024-01-01' END
+         AS valid_to
+FROM c WHERE c_custkey % 7 <> 0
+UNION ALL
+SELECT c.c_custkey, seg1.s, TIMESTAMP '2024-01-01',
+       CASE WHEN c_custkey % 10 = 0 THEN TIMESTAMP '2024-06-01' END
+FROM c JOIN seg1 USING (c_custkey)
+WHERE c_custkey % 7 <> 0 AND c_custkey % 5 = 0
+UNION ALL
+SELECT c.c_custkey, seg2.s, TIMESTAMP '2024-06-01', NULL
+FROM c JOIN seg2 USING (c_custkey)
+WHERE c_custkey % 7 <> 0 AND c_custkey % 10 = 0
+UNION ALL
+SELECT c.c_custkey, seg2.s, TIMESTAMP '2024-06-01', NULL
+FROM c JOIN seg2 USING (c_custkey)
+WHERE c_custkey % 7 = 0
+"""
+
+
+QUERIES_DEFERRED["streaming_scd2_build"] = q_streaming_scd2_build

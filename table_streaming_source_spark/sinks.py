@@ -251,3 +251,133 @@ def upsert_sink(
             shutil.rmtree(_vdir(old), ignore_errors=True)
 
     return on_batch, current
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    *,
+    key: str,
+    attr_cols: list[str],
+    ts_col: str = "change_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Apply a batch of attribute changes to a Type-2 slowly-changing
+    dimension: each tracked key's open row (``valid_to IS NULL``)
+    closes at its first incoming change, and the changes chain into new
+    validity intervals (``lead`` over the per-key change order), the
+    last one open.  Keys without changes, and all historical rows, pass
+    through untouched; a change for an unseen key starts its history.
+
+    Several changes for one key in one batch are handled exactly — the
+    per-key ``lead`` window chains them in ``ts_col`` order, which is
+    what distinguishes this from a latest-wins upsert (SCD2 keeps every
+    interval).  All arithmetic is timestamp comparison: no floats, so
+    the output is bit-stable under any partitioning.
+
+    Plan shape: one window over the (small) change batch, one hash join
+    of the dimension's OPEN rows against the per-key first-change
+    timestamps, one anti-join for pass-through — the dimension's
+    history never shuffles more than once, and at 100 TB the join keys
+    are dimension keys, not fact keys.
+    """
+    w = F.lead(F.col(ts_col)).over(
+        __import__("pyspark").sql.Window.partitionBy(key).orderBy(ts_col)
+    )
+    new_rows = changes.select(
+        F.col(key),
+        *[F.col(c) for c in attr_cols],
+        F.col(ts_col).alias(valid_from),
+        w.alias(valid_to),
+    )
+    first_change = changes.groupBy(key).agg(
+        F.min(ts_col).alias("__first_change")
+    )
+    open_rows = dim.filter(F.col(valid_to).isNull())
+    historical = dim.filter(F.col(valid_to).isNotNull())
+    closed = (
+        open_rows.join(first_change, key)
+        .select(
+            F.col(key),
+            *[F.col(c) for c in attr_cols],
+            F.col(valid_from),
+            F.col("__first_change").alias(valid_to),
+        )
+    )
+    untouched_open = open_rows.join(first_change, key, "left_anti")
+    return (
+        historical.unionByName(untouched_open)
+        .unionByName(closed)
+        .unionByName(new_rows)
+    )
+
+
+def scd2_sink(
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    key: str,
+    attr_cols: list[str],
+    ts_col: str = "change_ts",
+):
+    """``foreachBatch`` sink maintaining a Type-2 dimension under the
+    same versioned pointer protocol as :func:`upsert_sink` (state
+    version per batch, atomic pointer flip, replay-idempotent reads by
+    batch id): each CDC micro-batch of attribute changes is applied via
+    :func:`scd2_apply` and committed as the next immutable version.
+    This is the streaming dimension-maintenance job that feeds the
+    ``join_scd2`` validity-window join.
+
+    Returns ``(on_batch, current)`` like :func:`upsert_sink`.
+    """
+    import os
+
+    pointer = os.path.join(state_dir, "_CURRENT")
+
+    def _vdir(n: int) -> str:
+        return os.path.join(state_dir, f"v{n}")
+
+    def current() -> DataFrame:
+        with open(pointer) as fh:
+            return spark.read.parquet(_vdir(int(fh.read().strip())))
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        version = batch_id + 1
+        if batch_id == 0:
+            if os.path.exists(pointer):
+                raise RuntimeError(
+                    "fresh stream over existing scd2 state; "
+                    "remove the state dir or resume the old checkpoint"
+                )
+            prev = batch_df.sparkSession.createDataFrame(
+                [],
+                batch_df.select(
+                    key, *attr_cols
+                ).withColumns(
+                    {
+                        "valid_from": F.lit(None).cast("timestamp"),
+                        "valid_to": F.lit(None).cast("timestamp"),
+                    }
+                ).schema,
+            )
+        else:
+            prev = spark.read.parquet(_vdir(batch_id))
+        changes = batch_df.select(key, *attr_cols, ts_col)
+        nxt = scd2_apply(
+            prev, changes, key=key, attr_cols=attr_cols, ts_col=ts_col
+        )
+        nxt.write.mode("overwrite").parquet(_vdir(version))
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, pointer)
+        versions = sorted(
+            int(n[1:]) for n in os.listdir(state_dir) if n.startswith("v")
+        )
+        import shutil
+
+        for old in versions[:-2]:
+            shutil.rmtree(_vdir(old), ignore_errors=True)
+
+    return on_batch, current

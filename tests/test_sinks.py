@@ -324,3 +324,39 @@ def test_clustered_write_produces_disjoint_sorted_files(spark, sf_dir):
     spans = sorted(by_file.values())
     for (_lo_prev, hi_prev), (lo_next, _hi_next) in zip(spans, spans[1:]):
         assert hi_prev <= lo_next, spans
+
+
+def test_scd2_apply_chains_multiple_changes_within_one_batch(spark):
+    """Two changes for one key inside a single batch must chain into
+    consecutive intervals (first closes the open row, second closes the
+    first) — the behavior that distinguishes SCD2 from a latest-wins
+    upsert, which would keep only the second."""
+    from table_streaming_source_spark.sinks import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "a", "2020-01-01", None), (2, "z", "2020-01-01", None)],
+        "k int, seg string, valid_from string, valid_to string",
+    ).selectExpr(
+        "k", "seg",
+        "CAST(valid_from AS TIMESTAMP) AS valid_from",
+        "CAST(valid_to AS TIMESTAMP) AS valid_to",
+    )
+    changes = spark.createDataFrame(
+        [(1, "b", "2021-01-01"), (1, "c", "2022-01-01"),
+         (3, "n", "2021-06-01")],
+        "k int, seg string, change_ts string",
+    ).selectExpr("k", "seg", "CAST(change_ts AS TIMESTAMP) AS change_ts")
+    out = scd2_apply(
+        dim, changes, key="k", attr_cols=["seg"], ts_col="change_ts"
+    )
+    rows = sorted(
+        (r.k, r.seg, str(r.valid_from), str(r.valid_to))
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, "a", "2020-01-01 00:00:00", "2021-01-01 00:00:00"),
+        (1, "b", "2021-01-01 00:00:00", "2022-01-01 00:00:00"),
+        (1, "c", "2022-01-01 00:00:00", "None"),
+        (2, "z", "2020-01-01 00:00:00", "None"),   # untouched key
+        (3, "n", "2021-06-01 00:00:00", "None"),   # history starts
+    ]
