@@ -5299,3 +5299,90 @@ GROUP BY key
 
 
 QUERIES_DEFERRED.update({"multimodal_png_rgb": q_multimodal_png_rgb})
+
+
+def q_text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate removal — the step before every web-text
+    pipeline: both engines wrap the fixture text in a deterministic
+    HTML shell (title from the doc id, ``doc_id % 4`` anchor links
+    appended), and the operator under test extracts the title, counts
+    anchors, strips every tag, and normalizes whitespace — pure
+    row-local regex/string expressions, zero shuffles, no UDFs.  The
+    cleaned text is md5'd on both sides so the whole strip pipeline is
+    value-checked byte-for-byte."""
+    d = t(spark, sf_dir, "documents")
+    # sequence(1, 0) would yield the DESCENDING [1, 0] (default step -1)
+    # — guard the zero-link case with an empty array
+    n = (F.col("doc_id") % 4).cast("int")
+    idxs = F.when(n <= 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), n)
+    )
+    links = F.concat_ws(
+        "",
+        F.transform(
+            idxs,
+            lambda i: F.concat(
+                F.lit('<a href="http://x/'),
+                F.col("doc_id").cast("string"),
+                F.lit("/"),
+                i.cast("string"),
+                F.lit('">L</a>'),
+            ),
+        ),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        links,
+        F.lit("</body></html>"),
+    )
+    with_html = d.select("doc_id", html.alias("html"))
+    title = F.regexp_extract("html", "<title>([^<]*)</title>", 1)
+    n_links = F.regexp_count(F.col("html"), F.lit("<a "))
+    stripped = F.trim(
+        F.regexp_replace(
+            F.regexp_replace("html", "<[^>]*>", " "), r"\s+", " "
+        )
+    )
+    return with_html.select(
+        "doc_id",
+        title.alias("title"),
+        n_links.cast("int").alias("n_links"),
+        F.length(stripped).alias("clean_len"),
+        F.md5(stripped).alias("clean_md5"),
+    )
+
+
+ORACLES["text_html_strip"] = """
+WITH h AS (
+  SELECT doc_id,
+         '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+         || '</title></head><body><p>' || text || '</p>'
+         || COALESCE((
+              SELECT STRING_AGG('<a href="http://x/'
+                     || CAST(doc_id AS VARCHAR) || '/'
+                     || CAST(u.i AS VARCHAR) || '">L</a>', '' ORDER BY u.i)
+              FROM UNNEST(RANGE(1, CAST(doc_id % 4 AS INT) + 1)) AS u(i)
+            ), '')
+         || '</body></html>' AS html
+  FROM documents
+),
+s AS (
+  SELECT doc_id, html,
+         TRIM(REGEXP_REPLACE(REGEXP_REPLACE(html, '<[^>]*>', ' ', 'g'),
+                             '\\s+', ' ', 'g')) AS stripped
+  FROM h
+)
+SELECT doc_id,
+       REGEXP_EXTRACT(html, '<title>([^<]*)</title>', 1) AS title,
+       CAST(LEN(REGEXP_EXTRACT_ALL(html, '<a ')) AS INT) AS n_links,
+       CAST(LEN(stripped) AS INT) AS clean_len,
+       MD5(stripped) AS clean_md5
+FROM s
+"""
+
+
+QUERIES_DEFERRED.update({"text_html_strip": q_text_html_strip})

@@ -329,6 +329,7 @@ _SHUFFLE_BUDGET = {
     # published rule batteries are pure row-local maps — zero shuffles
     "text_gopher_quality": 0,
     "text_c4_filters": 0,
+    "text_html_strip": 0,
     # owner election on the line + ownership join + per-doc rebuild
     "text_line_dedup": 3,
     # two stacked windows on ONE (user, ts) sort — a single exchange
