@@ -6431,3 +6431,73 @@ GROUP BY o_orderpriority
 
 
 QUERIES.update({"sink_time_travel": q_sink_time_travel})
+
+
+#: Benford first-digit expectations log10(1 + 1/d), d = 1..9 — computed
+#: ONCE in Python and embedded as identical literals in both engines
+#: (libm log10 may differ in the last ulp across implementations; a
+#: shared literal table cannot — the NDCG discount-table discipline)
+_BENFORD_P: tuple[float, ...] = tuple(
+    round(__import__("math").log10(1.0 + 1.0 / d), 12)
+    for d in range(1, 10)
+)
+
+
+def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the classic
+    fraud/data-quality screen: observed leading-digit counts against
+    the Benford expectation ``log10(1 + 1/d)``, with per-digit
+    chi-square contributions.  Digit extraction is exact string-of-
+    decimal arithmetic (no float formatting ambiguity), expectations
+    come from a shared literal table, and every derived ratio rounds
+    to 6 decimals — one hash aggregate on a 9-value key, trivially
+    map-combinable at any scale."""
+    o = t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    total = o.agg(F.count(F.lit(1)).cast("bigint").alias("__t"))
+    p = F.element_at(
+        F.array(*[F.lit(v) for v in _BENFORD_P]), F.col("digit")
+    )
+    expected = F.col("__t") * p
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(expected, 6).alias("expected_n"),
+            F.round(
+                (F.col("n") - expected) * (F.col("n") - expected)
+                / expected,
+                6,
+            ).alias("chi2_term"),
+        )
+    )
+
+
+_BENFORD_SQL = "[" + ", ".join(repr(v) for v in _BENFORD_P) + "]"
+
+ORACLES["agg_benford"] = f"""
+WITH c AS (
+  SELECT CAST(SUBSTR(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+              1, 1) AS INT) AS digit,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1
+),
+t AS (SELECT COUNT(*) AS t FROM orders)
+SELECT digit, n,
+       ROUND(t.t * ({_BENFORD_SQL})[digit], 6) AS expected_n,
+       ROUND((n - t.t * ({_BENFORD_SQL})[digit])
+             * (n - t.t * ({_BENFORD_SQL})[digit])
+             / (t.t * ({_BENFORD_SQL})[digit]), 6) AS chi2_term
+FROM c, t
+"""
+
+
+QUERIES.update({"agg_benford": q_agg_benford})
