@@ -6501,3 +6501,115 @@ FROM c, t
 
 
 QUERIES.update({"agg_benford": q_agg_benford})
+
+
+def q_format_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-structured table format, snapshot read (``table_format.py``):
+    three commits append disjoint order slices (each with a
+    commit-specific reprice), and the read resolves the COMMIT LOG —
+    never a directory listing — so the snapshot is exactly the union of
+    committed files; the oracle states that union from the slice
+    formulas.  Uncommitted-file invisibility, commit conflicts, and
+    time travel are pinned by ``tests/test_table_format.py``."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_snapshot", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    for i in range(3):
+        TF.commit_append(
+            spark,
+            path,
+            o.filter(F.col("o_orderkey") % 3 == i).withColumn(
+                "o_totalprice", F.col("o_totalprice") + 10.0 * i
+            ),
+            stat_cols=["o_orderkey"],
+        )
+    result = (
+        TF.read_table(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_snapshot_read"] = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice + 10.0 * (o_orderkey % 3)
+                     AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_format_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest file-skipping (``table_format.py``): four commits land
+    disjoint ``bucket = o_orderkey % 16`` ranges (commit i owns buckets
+    [4i, 4i+4)), each commit's manifest carrying per-file min/max read
+    back from the parquet footers; the range read ``bucket ∈ [5, 9]``
+    prunes every file whose manifest range is disjoint BEFORE any file
+    I/O, then applies the exact predicate on the survivors — the
+    standard superset-prune-then-filter contract.  That fewer than half
+    the files are read is asserted from the manifest in
+    ``tests/test_table_format.py``; the oracle states the filtered
+    rollup directly."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_pruning", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 16).cast("int").alias("bucket"),
+        "o_totalprice",
+    )
+    for i in range(4):
+        TF.commit_append(
+            spark,
+            path,
+            o.filter(
+                (F.col("bucket") >= 4 * i) & (F.col("bucket") < 4 * i + 4)
+            ),
+            stat_cols=["bucket"],
+        )
+    result = (
+        TF.read_table(spark, path, prune=("bucket", 5, 9))
+        .filter((F.col("bucket") >= 5) & (F.col("bucket") <= 9))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_stats_pruning"] = """
+SELECT CAST(o_orderkey % 16 AS INT) AS bucket, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM orders
+WHERE o_orderkey % 16 BETWEEN 5 AND 9
+GROUP BY o_orderkey % 16
+"""
+
+
+QUERIES.update(
+    {
+        "format_snapshot_read": q_format_snapshot_read,
+        "format_stats_pruning": q_format_stats_pruning,
+    }
+)

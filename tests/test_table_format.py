@@ -1,0 +1,130 @@
+"""Contract tests for the minimal log-structured table format
+(`table_format.py`): snapshot isolation (uncommitted files invisible),
+optimistic-concurrency conflicts, time travel, and lossless manifest
+pruning."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from table_streaming_source_spark import table_format as TF
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    TF.create_table(path)
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).cast("int").alias("bucket"),
+        (F.col("id") * 2).alias("v"),
+    )
+    TF.commit_append(
+        spark, path, df.filter("bucket < 5"), stat_cols=["bucket"]
+    )
+    TF.commit_append(
+        spark, path, df.filter("bucket >= 5"), stat_cols=["bucket"]
+    )
+    return path, df
+
+
+def test_snapshot_is_exactly_the_committed_union(spark, table):
+    path, df = table
+    got = TF.read_table(spark, path).count()
+    assert got == df.count()
+
+
+def test_uncommitted_files_are_invisible(spark, table):
+    """A data file written WITHOUT a commit (a crashed writer's orphan)
+    must not appear in any snapshot — readers resolve the log, never
+    the directory."""
+    path, df = table
+    stray = os.path.join(path, "data", "orphan")
+    df.limit(7).write.parquet(stray)  # crashed writer: no commit
+    assert TF.read_table(spark, path).count() == df.count()
+
+
+def test_commit_conflict_raises_and_table_is_untouched(spark, table):
+    path, df = table
+    head = TF.latest_version(path)
+    # two writers both read `head` and race the same next version
+    TF.commit_append(
+        spark, path, df.limit(3), stat_cols=["bucket"],
+        expected_version=head,
+    )
+    with pytest.raises(TF.CommitConflict):
+        TF.commit_append(
+            spark, path, df.limit(5), stat_cols=["bucket"],
+            expected_version=head,
+        )
+    # winner's commit landed; loser changed nothing
+    assert TF.latest_version(path) == head + 1
+    assert TF.read_table(spark, path).count() == df.count() + 3
+
+
+def test_time_travel_reads_exact_old_snapshots(spark, table):
+    path, df = table
+    assert TF.read_table(spark, path, version=1).count() == df.filter(
+        "bucket < 5"
+    ).count()
+    v2 = TF.read_table(spark, path, version=2)
+    assert v2.count() == df.count()
+    # a later commit does not change the old snapshot
+    TF.commit_append(spark, path, df.limit(9), stat_cols=["bucket"])
+    assert TF.read_table(spark, path, version=2).count() == df.count()
+
+
+def test_manifest_pruning_skips_files_and_loses_nothing(spark, table):
+    path, df = table
+    files, kept, total = TF.snapshot_files(path, prune=("bucket", 7, 8))
+    assert kept < total, "pruning never skipped a file"
+    pruned = (
+        TF.read_table(spark, path, prune=("bucket", 7, 8))
+        .filter("bucket BETWEEN 7 AND 8")
+    )
+    direct = df.filter("bucket BETWEEN 7 AND 8")
+    assert sorted(r.k for r in pruned.collect()) == sorted(
+        r.k for r in direct.collect()
+    )
+
+
+def test_pruning_keeps_files_without_stats(spark, tmp_path):
+    """A column missing from the recorded stats must never prune — the
+    safe direction when a writer didn't (or couldn't) record footer
+    stats for it."""
+    path = str(tmp_path / "nostats")
+    TF.create_table(path)
+    df = spark.range(10).select(F.col("id").alias("k"))
+    TF.commit_append(spark, path, df, stat_cols=["k"])
+    _, kept, total = TF.snapshot_files(
+        path, prune=("not_a_stat_col", 0, 1)
+    )
+    assert kept == total
+
+
+def test_format_entry_prunes_more_than_half_the_files(spark, sf_dir):
+    """The catalog entry's pruning claim, asserted from the manifest:
+    the bucket ∈ [5, 9] read touches commits 1 and 2 only — at most
+    half of the four commits' files."""
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark.plans.common import t
+
+    path = _scratch.scratch_dir("format_pruning_test", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 16).cast("int").alias("bucket"),
+        "o_totalprice",
+    )
+    for i in range(4):
+        TF.commit_append(
+            spark, path,
+            o.filter(
+                (F.col("bucket") >= 4 * i) & (F.col("bucket") < 4 * i + 4)
+            ),
+            stat_cols=["bucket"],
+        )
+    _, kept, total = TF.snapshot_files(path, prune=("bucket", 5, 9))
+    assert total >= 4
+    assert kept <= total / 2, (kept, total)
