@@ -203,3 +203,72 @@ def read_table(
     if not files:
         raise ValueError("empty snapshot (no files after pruning)")
     return spark.read.parquet(*files)
+
+
+def vacuum(path: str, *, retain_versions: int = 2) -> tuple[int, int]:
+    """Remove data files not referenced by any of the ``retain_versions``
+    newest snapshots — the orphan sweep that cleans up lost-race
+    commits and compacted-away files.  Files referenced by a RETAINED
+    snapshot (including older files still visible through time travel
+    within the retention window) are kept; everything else under
+    ``data/`` goes.  Returns (removed, kept)."""
+    head = latest_version(path)
+    keep_versions = range(max(0, head - retain_versions + 1), head + 1)
+    referenced: set[str] = set()
+    for v in keep_versions:
+        files, _, _ = snapshot_files(path, version=v)
+        referenced.update(os.path.abspath(f) for f in files)
+    removed = kept = 0
+    for root, _dirs, names in os.walk(_data_dir(path)):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            fp = os.path.abspath(os.path.join(root, name))
+            if fp in referenced:
+                kept += 1
+            else:
+                os.remove(fp)
+                removed += 1
+    return removed, kept
+
+
+def commit_compact(
+    spark: SparkSession,
+    path: str,
+    *,
+    stat_cols: list[str],
+    expected_version: int | None = None,
+) -> int:
+    """OPTIMIZE: rewrite the current snapshot's files into fewer, larger
+    ones and publish the rewrite as the next commit with ``parent:
+    None`` (a full snapshot — it REPLACES the file list rather than
+    appending).  Logical content is unchanged by construction; old
+    files stay on disk for time travel until :func:`vacuum` retires
+    them.  Same optimistic-concurrency rule as :func:`commit_append`."""
+    base = expected_version if expected_version is not None else (
+        latest_version(path)
+    )
+    current = read_table(spark, path, version=base)
+    staging = os.path.join(
+        _data_dir(path), f"compact-{base + 1}-{uuid.uuid4().hex[:8]}"
+    )
+    current.coalesce(1).write.mode("overwrite").parquet(staging)
+    files = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        fp = os.path.join(staging, name)
+        st = _file_stats(fp, stat_cols)
+        files.append(
+            {
+                "path": os.path.relpath(fp, path),
+                "rows": st["rows"],
+                "stats": st["cols"],
+            }
+        )
+    _write_commit(
+        path,
+        base + 1,
+        {"version": base + 1, "files": files, "parent": None},
+    )
+    return base + 1

@@ -128,3 +128,39 @@ def test_format_entry_prunes_more_than_half_the_files(spark, sf_dir):
     _, kept, total = TF.snapshot_files(path, prune=("bucket", 5, 9))
     assert total >= 4
     assert kept <= total / 2, (kept, total)
+
+
+def test_compact_preserves_content_and_time_travel(spark, table):
+    path, df = table
+    before_files, _, total_before = TF.snapshot_files(path)
+    v = TF.commit_compact(spark, path, stat_cols=["bucket"])
+    files, kept, total = TF.snapshot_files(path)
+    assert total < total_before  # fewer, larger files
+    got = TF.read_table(spark, path)
+    assert sorted(r.k for r in got.collect()) == sorted(
+        r.k for r in df.collect()
+    )
+    # time travel still resolves the pre-compaction snapshot
+    assert TF.read_table(spark, path, version=v - 1).count() == df.count()
+
+
+def test_vacuum_sweeps_orphans_keeps_retained_snapshots(spark, table):
+    path, df = table
+    # lost-race orphan: data files written, commit never landed
+    import os as _os
+
+    stray = _os.path.join(path, "data", "lost-race")
+    df.limit(5).write.parquet(stray)
+    TF.commit_compact(spark, path, stat_cols=["bucket"])
+    removed, kept = TF.vacuum(path, retain_versions=2)
+    assert removed > 0  # the orphan (at least) went
+    # both retained snapshots still read clean
+    head = TF.latest_version(path)
+    assert TF.read_table(spark, path, version=head).count() == df.count()
+    assert TF.read_table(spark, path, version=head - 1).count() == (
+        df.count()
+    )
+    # vacuum with retention 1 retires the pre-compaction files
+    removed2, _ = TF.vacuum(path, retain_versions=1)
+    assert removed2 > 0
+    assert TF.read_table(spark, path).count() == df.count()
