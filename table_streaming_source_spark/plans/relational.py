@@ -6613,3 +6613,68 @@ QUERIES.update(
         "format_stats_pruning": q_format_stats_pruning,
     }
 )
+
+
+def q_format_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Additive schema evolution through the commit log
+    (``table_format.py``): commit 1 lands orders WITHOUT the priority
+    column, commit 2 adds it — the snapshot read unions both schemas
+    and NULL-backfills the pre-evolution files (the format-level twin
+    of ``source_parquet_evolved``, which proves the same contract at
+    the bare-reader level).  The rollup buckets pre-evolution rows
+    under a sentinel label; the oracle states the split from the slice
+    formulas."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_evolve", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders")
+    TF.commit_append(
+        spark,
+        path,
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    TF.commit_append(
+        spark,
+        path,
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    result = (
+        TF.read_table(spark, path)
+        .groupBy(
+            F.coalesce(
+                F.col("o_orderpriority"), F.lit("<pre-evolution>")
+            ).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_schema_evolution"] = """
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>'
+            ELSE o_orderpriority END AS priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM orders GROUP BY 1
+"""
+
+
+QUERIES.update({"format_schema_evolution": q_format_schema_evolution})

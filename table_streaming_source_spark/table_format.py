@@ -202,7 +202,12 @@ def read_table(
     files, _, _ = snapshot_files(path, version=version, prune=prune)
     if not files:
         raise ValueError("empty snapshot (no files after pruning)")
-    return spark.read.parquet(*files)
+    # mergeSchema: commits may evolve the schema (add columns); the
+    # snapshot read unions all committed schemas with NULL backfill for
+    # pre-evolution files — the additive-evolution contract.  A fuller
+    # implementation stores the schema in the log and skips the footer
+    # merge; the read semantics are identical.
+    return spark.read.option("mergeSchema", "true").parquet(*files)
 
 
 def vacuum(path: str, *, retain_versions: int = 2) -> tuple[int, int]:
