@@ -6678,3 +6678,93 @@ FROM orders GROUP BY 1
 
 
 QUERIES.update({"format_schema_evolution": q_format_schema_evolution})
+
+
+def q_format_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE through the commit log
+    (``table_format.py::commit_merge``): the table lands key-clustered
+    (range-partitioned files ⇒ disjoint per-file key ranges in the
+    manifest), so a CDC batch touching only keys ≤ 600 rewrites the ONE
+    file that can contain them — every other file is carried into the
+    new commit untouched.  That minimality is asserted from the commit
+    return in ``tests/test_table_format.py``; here the value contract
+    is checked: the post-merge snapshot equals the batch MERGE the
+    oracle states (updates +5 on key % 4 = 0, deletes on key % 10 = 0,
+    inserts of re-keyed copies on key % 7 = 0, all within key ≤ 600)."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_merge", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    TF.commit_append(
+        spark,
+        path,
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    k = F.col("o_orderkey")
+    low = o.filter(k <= 600)
+    changes = (
+        low.filter((k % 4 == 0) & (k % 10 != 0)).select(
+            "o_orderkey", F.lit("U").alias("op"),
+            "o_orderpriority",
+            (F.col("o_totalprice") + 5.0).alias("o_totalprice"),
+        )
+        .unionByName(
+            low.filter(k % 10 == 0).select(
+                "o_orderkey", F.lit("D").alias("op"),
+                F.lit(None).cast("string").alias("o_orderpriority"),
+                F.lit(None).cast("double").alias("o_totalprice"),
+            )
+        )
+        .unionByName(
+            low.filter(k % 7 == 0).select(
+                (-k).alias("o_orderkey"), F.lit("I").alias("op"),
+                "o_orderpriority", "o_totalprice",
+            )
+        )
+    )
+    TF.commit_merge(
+        spark, path, changes, key="o_orderkey",
+        stat_cols=["o_orderkey"],
+    )
+    result = (
+        TF.read_table(spark, path)
+        .groupBy((F.abs(k) % 3).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_merge_upsert"] = """
+WITH merged AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey <= 600 AND o_orderkey % 4 = 0
+                   AND o_orderkey % 10 <> 0
+              THEN o_totalprice + 5.0 ELSE o_totalprice END AS p
+  FROM orders
+  WHERE NOT (o_orderkey <= 600 AND o_orderkey % 10 = 0)
+  UNION ALL
+  SELECT -o_orderkey, o_totalprice FROM orders
+  WHERE o_orderkey <= 600 AND o_orderkey % 7 = 0
+)
+SELECT CAST(ABS(o_orderkey) % 3 AS INT) AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM merged GROUP BY 1
+"""
+
+
+QUERIES.update({"format_merge_upsert": q_format_merge_upsert})

@@ -277,3 +277,89 @@ def commit_compact(
         {"version": base + 1, "files": files, "parent": None},
     )
     return base + 1
+
+
+def _snapshot_file_dicts(path: str, version: int) -> list[dict]:
+    """The snapshot's manifest entries (path/rows/stats dicts)."""
+    v: int | None = version
+    out: list[dict] = []
+    while v is not None:
+        commit = _read_commit(path, v)
+        out.extend(commit["files"])
+        v = commit["parent"]
+    return out
+
+
+def commit_merge(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    *,
+    key: str,
+    stat_cols: list[str],
+    op_col: str = "op",
+    expected_version: int | None = None,
+) -> tuple[int, int, int]:
+    """Stats-targeted copy-on-write MERGE — the table-format crown
+    jewel: resolve from the manifest which data files can possibly
+    contain a changed key (per-file [min, max] on ``key`` vs the CDC
+    batch's keys), rewrite ONLY those files through
+    ``snapshot.py::merge_into``, and publish (untouched files + new
+    files) as a full-snapshot commit.  Old files stay for time travel;
+    vacuum retires them.
+
+    The change-key set is collected to the driver for the overlap test
+    — a CDC micro-batch is bounded by design (this is exactly how
+    production formats evaluate file skipping: stats live in driver-side
+    metadata).  Inserts whose key lands outside every file's range join
+    the rewrite's output files.  Returns
+    ``(new_version, files_rewritten, files_total)``."""
+    from pyspark.sql import functions as F
+
+    from table_streaming_source_spark.snapshot import merge_into
+
+    base = expected_version if expected_version is not None else (
+        latest_version(path)
+    )
+    file_dicts = _snapshot_file_dicts(path, base)
+    change_keys = [
+        r[0] for r in changes.select(key).distinct().collect()
+    ]
+    affected, untouched = [], []
+    for f in file_dicts:
+        rng = f["stats"].get(key)
+        hit = rng is not None and any(
+            rng[0] <= k <= rng[1] for k in change_keys
+        )
+        # no stats for the key → cannot prove absence → must rewrite
+        (affected if hit or rng is None else untouched).append(f)
+    if affected:
+        current = spark.read.parquet(
+            *[os.path.join(path, f["path"]) for f in affected]
+        )
+    else:
+        current = changes.drop(op_col).limit(0)
+    merged = merge_into(current, changes, key=key, op_col=op_col)
+    staging = os.path.join(
+        _data_dir(path), f"merge-{base + 1}-{uuid.uuid4().hex[:8]}"
+    )
+    merged.write.mode("overwrite").parquet(staging)
+    files = list(untouched)
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        fp = os.path.join(staging, name)
+        st = _file_stats(fp, stat_cols)
+        files.append(
+            {
+                "path": os.path.relpath(fp, path),
+                "rows": st["rows"],
+                "stats": st["cols"],
+            }
+        )
+    _write_commit(
+        path,
+        base + 1,
+        {"version": base + 1, "files": files, "parent": None},
+    )
+    return base + 1, len(affected), len(file_dicts)

@@ -164,3 +164,40 @@ def test_vacuum_sweeps_orphans_keeps_retained_snapshots(spark, table):
     removed2, _ = TF.vacuum(path, retain_versions=1)
     assert removed2 > 0
     assert TF.read_table(spark, path).count() == df.count()
+
+
+def test_merge_rewrites_only_stat_overlapping_files(spark, sf_dir):
+    """Copy-on-write minimality: a CDC batch touching only keys <= 600
+    over a key-clustered table must rewrite far fewer files than the
+    snapshot holds — the manifest's per-file key ranges prove the other
+    files cannot contain a changed key."""
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark.plans.common import t
+
+    path = _scratch.scratch_dir("format_merge_test", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    TF.commit_append(
+        spark, path,
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    changes = o.filter("o_orderkey <= 600 AND o_orderkey % 4 = 0").select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+    )
+    _v, rewritten, total = TF.commit_merge(
+        spark, path, changes, key="o_orderkey", stat_cols=["o_orderkey"]
+    )
+    assert total >= 4
+    assert rewritten <= total / 2, (rewritten, total)
+    # value check: only the touched keys changed
+    got = TF.read_table(spark, path)
+    assert got.count() == o.count()
+    changed = got.join(o.withColumnRenamed("o_totalprice", "orig"),
+                       "o_orderkey")
+    n_diff = changed.filter("o_totalprice <> orig").count()
+    assert n_diff == changes.count()
