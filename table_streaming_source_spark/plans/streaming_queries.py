@@ -1688,3 +1688,68 @@ WHERE c_custkey % 7 = 0
 
 
 QUERIES_DEFERRED["streaming_scd2_build"] = q_streaming_scd2_build
+
+
+def q_streaming_format_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental streaming over the table-format commit log
+    (``streaming/format_tail.py``, a Spark 4 Python streaming
+    DataSource): three append commits land order slices, the tail
+    emits each commit's NEW files exactly once with the commit version
+    as the offset (deterministic replay — commits are immutable, unlike
+    a directory tail racing in-flight writers), and the drained union
+    equals the snapshot — which is what the oracle states."""
+    from table_streaming_source_spark import table_format as TF
+    from table_streaming_source_spark.streaming.format_tail import (
+        register_format_tail,
+    )
+
+    path = _scratch.scratch_dir("format_tail", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    for i in range(3):
+        TF.commit_append(
+            spark,
+            path,
+            o.filter(F.col("o_orderkey") % 3 == i).withColumn(
+                "o_totalprice", F.col("o_totalprice") + 10.0 * i
+            ),
+            stat_cols=["o_orderkey"],
+        )
+    register_format_tail(spark)
+    stream = spark.readStream.format("format_tail").option(
+        "path", path
+    ).load()
+    agg = stream.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+    name = f"__stream_ftail_{abs(hash(path)) % 10**8}"
+    with _stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["streaming_format_tail"] = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice + 10.0 * (o_orderkey % 3)
+                     AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+QUERIES_DEFERRED["streaming_format_tail"] = q_streaming_format_tail

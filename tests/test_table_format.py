@@ -201,3 +201,55 @@ def test_merge_rewrites_only_stat_overlapping_files(spark, sf_dir):
                        "o_orderkey")
     n_diff = changed.filter("o_totalprice <> orig").count()
     assert n_diff == changes.count()
+
+
+def test_format_tail_is_incremental_across_restarts(spark, sf_dir, tmp_path):
+    """The commit-version offset must survive the checkpoint: after a
+    first drain of 3 commits, a 4th commit and a RESTARTED query (same
+    checkpoint) emit only the 4th commit's rows — no re-emission, no
+    loss."""
+    from pyspark.sql import functions as F
+
+    from table_streaming_source_spark.plans.common import t
+    from table_streaming_source_spark.streaming.format_tail import (
+        register_format_tail,
+    )
+
+    path = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    for i in range(3):
+        TF.commit_append(
+            spark, path, o.filter(F.col("o_orderkey") % 4 == i),
+            stat_cols=["o_orderkey"],
+        )
+    register_format_tail(spark)
+
+    def drain():
+        stream = spark.readStream.format("format_tail").option(
+            "path", path
+        ).load()
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+
+    drain()
+    first = spark.read.parquet(out).count()
+    assert first == o.filter("o_orderkey % 4 < 3").count()
+    TF.commit_append(
+        spark, path, o.filter("o_orderkey % 4 = 3"),
+        stat_cols=["o_orderkey"],
+    )
+    drain()  # restart from the same checkpoint
+    total = spark.read.parquet(out).count()
+    assert total == o.count()  # exactly the 4th slice added, no dupes
