@@ -49,8 +49,8 @@ progressive-JPEG entry), ``text_lm_heldout_eval``, ``agg_correlation``,
 ``sink_compaction``, ``ts_seasonal_profile``, ``multimodal_bmp``.
 
 Round-6 rotation backlog (round-5 additions past the filled window,
-local replay green at sf0.01 — 27 entries; with the 3 cross-round
-sentinels that fills 30 of round 6's 50 slots, leaving 20 for round-6
+local replay green at sf0.01 — 28 entries; with the 3 cross-round
+sentinels that fills 31 of round 6's 50 slots, leaving 19 for round-6
 additions or re-verification): ``text_gopher_quality``,
 ``text_c4_filters``, ``text_line_dedup``, ``anomaly_cusum``,
 ``join_fuzzy_levenshtein``, ``join_nearest_spatial``, ``source_xml``,
@@ -62,7 +62,7 @@ additions or re-verification): ``text_gopher_quality``,
 ``sink_time_travel``, ``streaming_scd2_build``, ``text_html_strip``,
 ``agg_benford``, ``format_snapshot_read``, ``format_stats_pruning``,
 ``format_schema_evolution``, ``format_merge_upsert``,
-``streaming_format_tail``, and the env-gated
+``streaming_format_tail``, ``scan_dpp_join``, and the env-gated
 ``streaming_timeout_sessions_tws`` (skips with documented reason where
 google.protobuf is absent).
 """

@@ -6768,3 +6768,58 @@ FROM merged GROUP BY 1
 
 
 QUERIES.update({"format_merge_upsert": q_format_merge_upsert})
+
+
+def q_scan_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is event_type-partitioned
+    parquet, the dim side is a tiny attribute table whose FILTER decides
+    which event types survive — at plan time the surviving set is
+    unknown, so Catalyst injects the dim's build-side keys as a runtime
+    ``dynamicpruning`` partition filter on the fact scan and whole
+    partition directories are skipped at execution.  The static twin
+    (``scan_partition_pruned``) proves literal pruning; this entry
+    proves the runtime form every star-join at 100 TB depends on — the
+    plan gate in ``tests/test_plans.py`` asserts the dynamicpruning
+    expression reaches the scan."""
+    path = _source_fixture(spark, sf_dir, "partitioned")
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [
+            ("view", "browse", 1),
+            ("click", "intent", 2),
+            ("signup", "intent", 3),
+            ("purchase", "intent", 4),
+            ("error", "ops", 5),
+        ],
+        "event_type string, stage string, rank int",
+    )
+    return (
+        fact.join(
+            F.broadcast(dim.filter(F.col("stage") == "intent")),
+            "event_type",
+        )
+        .groupBy("event_type", "stage")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", 6).alias("sum_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+ORACLES["scan_dpp_join"] = """
+WITH dim AS (
+  SELECT * FROM (VALUES ('view','browse'), ('click','intent'),
+                        ('signup','intent'), ('purchase','intent'),
+                        ('error','ops')) AS v(event_type, stage)
+)
+SELECT e.event_type, d.stage, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events e JOIN dim d USING (event_type)
+WHERE d.stage = 'intent'
+GROUP BY e.event_type, d.stage
+"""
+
+
+QUERIES.update({"scan_dpp_join": q_scan_dpp_join})

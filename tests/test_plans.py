@@ -437,3 +437,18 @@ def test_vocab_coverage_prunes_before_global_window(stats_planner, sf_dir):
     i_map = plan.index("MapInPandas")
     i_agg = plan.index("HashAggregate", i_map)
     assert i_win < i_map < i_agg, plan
+
+
+def test_dpp_reaches_the_partitioned_scan(stats_planner, sf_dir):
+    """scan_dpp_join must plan RUNTIME partition pruning: the fact
+    scan's PartitionFilters carry a dynamicpruning expression fed by
+    the dim's build-side keys (unknowable at plan time — the static
+    twin scan_partition_pruned proves the literal form)."""
+    df = catalog.QUERIES["scan_dpp_join"](stats_planner, sf_dir)
+    scan = next(
+        n.toString()
+        for n in _walk(df._jdf.queryExecution().sparkPlan())
+        if "Scan" in n.nodeName() and "parquet" in n.toString().lower()
+    )
+    pf = scan.split("PartitionFilters:")[1].split("]")[0]
+    assert "dynamicpruning" in pf.lower(), scan
