@@ -6824,59 +6824,3 @@ GROUP BY e.event_type, d.stage
 
 QUERIES.update({"scan_dpp_join": q_scan_dpp_join})
 
-
-def q_window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ANSI distribution rank functions — NTILE / PERCENT_RANK /
-    CUME_DIST per market segment over order totals — rolled up per
-    decile: the quantile-bucketing window battery (price-band
-    segmentation, percentile badges).  The window order is made a
-    TOTAL order (price desc, key) so every bucket boundary is
-    deterministic; percent_rank/cume_dist are exact rational values
-    under a total order, rounded to 9 on both engines."""
-    o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    j = o.join(c, o.o_custkey == c.c_custkey).select(
-        "o_orderkey", "c_mktsegment", "o_totalprice"
-    )
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    per_row = j.select(
-        "c_mktsegment",
-        "o_totalprice",
-        F.ntile(10).over(w).alias("decile"),
-        F.round(F.percent_rank().over(w), 9).alias("pr"),
-        F.round(F.cume_dist().over(w), 9).alias("cd"),
-    )
-    return per_row.groupBy("c_mktsegment", "decile").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.min("pr"), 9).alias("min_pr"),
-        F.round(F.max("cd"), 9).alias("max_cd"),
-        dsum("o_totalprice").alias("sum_price"),
-    )
-
-
-ORACLES["window_ntile_dist"] = """
-WITH j AS (
-  SELECT o.o_orderkey, c.c_mktsegment, o.o_totalprice
-  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-),
-r AS (
-  SELECT c_mktsegment, o_totalprice,
-         NTILE(10) OVER w AS decile,
-         ROUND(PERCENT_RANK() OVER w, 9) AS pr,
-         ROUND(CUME_DIST() OVER w, 9) AS cd
-  FROM j
-  WINDOW w AS (PARTITION BY c_mktsegment
-               ORDER BY o_totalprice DESC, o_orderkey)
-)
-SELECT c_mktsegment, CAST(decile AS INT) AS decile, COUNT(*) AS n,
-       ROUND(MIN(pr), 9) AS min_pr,
-       ROUND(MAX(cd), 9) AS max_cd,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-         AS sum_price
-FROM r GROUP BY c_mktsegment, decile
-"""
-
-
-QUERIES.update({"window_ntile_dist": q_window_ntile_dist})
