@@ -6824,3 +6824,60 @@ GROUP BY e.event_type, d.stage
 
 QUERIES.update({"scan_dpp_join": q_scan_dpp_join})
 
+
+
+def q_format_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering × manifest file-skipping: orders land in the
+    table format range-partitioned on the MORTON interleave of two
+    independent dimensions (``o_orderkey % 64``, ``o_custkey % 64``),
+    so every file's manifest range is tight in BOTH dimensions at once
+    — a range read on EITHER dimension prunes files, which is the whole
+    point of z-order over single-key clustering (that prunes only its
+    own key).  Both-dimension effectiveness is asserted from the
+    manifest in ``tests/test_table_format.py``; the value contract here
+    is the d2-range read equalling the oracle's filtered rollup."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.operators.hof import morton_key
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_zorder", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 64).cast("int").alias("d1"),
+        (F.col("o_custkey") % 64).cast("int").alias("d2"),
+        "o_totalprice",
+    ).withColumn("zkey", morton_key(F.col("d1"), F.col("d2"), bits=6))
+    TF.commit_append(
+        spark,
+        path,
+        o.repartitionByRange(16, "zkey").sortWithinPartitions("zkey"),
+        stat_cols=["d1", "d2"],
+    )
+    result = (
+        TF.read_table(spark, path, prune=("d2", 8, 15))
+        .filter((F.col("d2") >= 8) & (F.col("d2") <= 15))
+        .groupBy("d2")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_zorder_pruning"] = """
+SELECT CAST(o_custkey % 64 AS INT) AS d2, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM orders
+WHERE o_custkey % 64 BETWEEN 8 AND 15
+GROUP BY o_custkey % 64
+"""
+
+
+QUERIES.update({"format_zorder_pruning": q_format_zorder_pruning})

@@ -253,3 +253,46 @@ def test_format_tail_is_incremental_across_restarts(spark, sf_dir, tmp_path):
     drain()  # restart from the same checkpoint
     total = spark.read.parquet(out).count()
     assert total == o.count()  # exactly the 4th slice added, no dupes
+
+
+def test_zorder_prunes_on_both_dimensions(spark, sf_dir):
+    """Z-order's promise, measured from the manifest: files clustered
+    on the morton interleave have tight ranges in BOTH dimensions, so
+    a range read on EITHER prunes files; single-key clustering (sorted
+    by d1 alone) prunes d1 but NOT d2."""
+    from pyspark.sql import functions as F
+
+    from table_streaming_source_spark.operators.hof import morton_key
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark.plans.common import t
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 64).cast("int").alias("d1"),
+        (F.col("o_custkey") % 64).cast("int").alias("d2"),
+    ).withColumn("zkey", morton_key(F.col("d1"), F.col("d2"), bits=6))
+
+    def build(df, order_col):
+        path = _scratch.scratch_dir(
+            f"format_z_{order_col}", sf_dir, fresh=True
+        )
+        TF.create_table(path)
+        TF.commit_append(
+            spark, path,
+            df.repartitionByRange(16, order_col).sortWithinPartitions(
+                order_col
+            ),
+            stat_cols=["d1", "d2"],
+        )
+        return path
+
+    zpath = build(o, "zkey")
+    dpath = build(o, "d1")
+    for col in ("d1", "d2"):
+        _, kept, total = TF.snapshot_files(zpath, prune=(col, 8, 15))
+        assert kept < total, f"z-order failed to prune on {col}"
+    # the single-key layout prunes its own key but not the other
+    _, kept_d1, total_d1 = TF.snapshot_files(dpath, prune=("d1", 8, 15))
+    assert kept_d1 < total_d1
+    _, kept_d2, total_d2 = TF.snapshot_files(dpath, prune=("d2", 8, 15))
+    assert kept_d2 == total_d2, "d1-sorted layout should NOT prune d2"
