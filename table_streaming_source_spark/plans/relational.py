@@ -6881,3 +6881,91 @@ GROUP BY o_custkey % 64
 
 
 QUERIES.update({"format_zorder_pruning": q_format_zorder_pruning})
+
+
+def q_agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic per event type —
+    the distribution-shift monitor an ML feature pipeline runs between
+    serving windows: split each type's values into two deterministic
+    halves (even/odd event id), and D = max |ECDF₁ − ECDF₂| over the
+    pooled support.  Exactness: ECDF differences are evaluated as the
+    INTEGER cross-product |r₁·n₂ − r₂·n₁| (no division until the final
+    report), counts aggregate per distinct value first (ties handled by
+    construction), and the running sums ride one ordered window per
+    type — so the statistic is bit-stable under any partitioning.
+    Scale: |distinct values| rows per type in the window, one shuffle."""
+    e = t(spark, sf_dir, "events")
+    labeled = e.select(
+        "event_type",
+        "value",
+        F.when(F.col("event_id") % 2 == 0, 1).otherwise(0).alias("__a"),
+    )
+    per_value = labeled.groupBy("event_type", "value").agg(
+        F.sum("__a").cast("long").alias("c1"),
+        F.sum(1 - F.col("__a")).cast("long").alias("c2"),
+    )
+    totals = Window.partitionBy("event_type")
+    ordered = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = per_value.select(
+        "event_type",
+        F.sum("c1").over(totals).alias("n1"),
+        F.sum("c2").over(totals).alias("n2"),
+        F.sum("c1").over(ordered).alias("r1"),
+        F.sum("c2").over(ordered).alias("r2"),
+    ).select(
+        "event_type",
+        "n1",
+        "n2",
+        F.abs(
+            F.col("r1") * F.col("n2") - F.col("r2") * F.col("n1")
+        ).alias("__d_scaled"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max("__d_scaled").alias("d_scaled"),
+        F.round(
+            F.max("__d_scaled") / (F.max("n1") * F.max("n2")), 9
+        ).alias("ks_d"),
+    )
+
+
+ORACLES["agg_ks_drift"] = """
+WITH labeled AS (
+  SELECT event_type, value,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS a
+  FROM events
+),
+per_value AS (
+  SELECT event_type, value,
+         CAST(SUM(a) AS BIGINT) AS c1,
+         CAST(SUM(1 - a) AS BIGINT) AS c2
+  FROM labeled GROUP BY event_type, value
+),
+scored AS (
+  SELECT event_type,
+         SUM(c1) OVER (PARTITION BY event_type) AS n1,
+         SUM(c2) OVER (PARTITION BY event_type) AS n2,
+         SUM(c1) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS r1,
+         SUM(c2) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS r2
+  FROM per_value
+)
+SELECT event_type,
+       CAST(MAX(n1) AS BIGINT) AS n1,
+       CAST(MAX(n2) AS BIGINT) AS n2,
+       CAST(MAX(ABS(r1 * n2 - r2 * n1)) AS BIGINT) AS d_scaled,
+       ROUND(CAST(MAX(ABS(r1 * n2 - r2 * n1)) AS DOUBLE)
+             / (MAX(n1) * MAX(n2)), 9) AS ks_d
+FROM scored GROUP BY event_type
+"""
+
+
+QUERIES.update({"agg_ks_drift": q_agg_ks_drift})
