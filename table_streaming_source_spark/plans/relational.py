@@ -6969,3 +6969,73 @@ FROM scored GROUP BY event_type
 
 
 QUERIES.update({"agg_ks_drift": q_agg_ks_drift})
+
+
+def q_agg_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index per event type — the banking/ML
+    industry's binned drift companion to the KS statistic: 10 fixed
+    value bins (``min(floor(value/50), 9)``), per-half bin shares, and
+    PSI contribution ``(p₁ − p₂)·ln(p₁/p₂)`` per bin.  Rational shares
+    come from exact integer counts; the single ``ln`` rounds to 9
+    decimals before the product (the BM25-idf discipline) so both
+    engines agree bit-for-bit; Laplace-smoothed counts (+1) keep empty
+    bins finite, stated identically in the oracle.  One hash aggregate
+    on (type, bin) + one tiny per-type rollup."""
+    e = t(spark, sf_dir, "events")
+    bin_col = F.least(
+        F.floor(F.col("value") / 50).cast("int"), F.lit(9)
+    )
+    labeled = e.select(
+        "event_type",
+        bin_col.alias("bin"),
+        F.when(F.col("event_id") % 2 == 0, 1).otherwise(0).alias("__a"),
+    )
+    per_bin = labeled.groupBy("event_type", "bin").agg(
+        (F.sum("__a") + 1).cast("long").alias("c1"),
+        (F.sum(1 - F.col("__a")) + 1).cast("long").alias("c2"),
+    )
+    totals = Window.partitionBy("event_type")
+    shares = per_bin.select(
+        "event_type",
+        "bin",
+        (F.col("c1") / F.sum("c1").over(totals)).alias("p1"),
+        (F.col("c2") / F.sum("c2").over(totals)).alias("p2"),
+    )
+    contrib = (F.col("p1") - F.col("p2")) * F.round(
+        F.log(F.col("p1") / F.col("p2")), 9
+    )
+    return shares.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bins"),
+        F.round(F.sum(contrib), 9).alias("psi"),
+    )
+
+
+ORACLES["agg_psi"] = """
+WITH labeled AS (
+  SELECT event_type,
+         LEAST(CAST(FLOOR(value / 50) AS INT), 9) AS bin,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS a
+  FROM events
+),
+per_bin AS (
+  SELECT event_type, bin,
+         CAST(SUM(a) + 1 AS BIGINT) AS c1,
+         CAST(SUM(1 - a) + 1 AS BIGINT) AS c2
+  FROM labeled GROUP BY event_type, bin
+),
+shares AS (
+  SELECT event_type, bin,
+         CAST(c1 AS DOUBLE) / SUM(c1) OVER (PARTITION BY event_type)
+           AS p1,
+         CAST(c2 AS DOUBLE) / SUM(c2) OVER (PARTITION BY event_type)
+           AS p2
+  FROM per_bin
+)
+SELECT event_type,
+       CAST(COUNT(*) AS INT) AS n_bins,
+       ROUND(SUM((p1 - p2) * ROUND(LN(p1 / p2), 9)), 9) AS psi
+FROM shares GROUP BY event_type
+"""
+
+
+QUERIES.update({"agg_psi": q_agg_psi})
