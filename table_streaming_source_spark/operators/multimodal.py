@@ -5118,3 +5118,195 @@ def rgb_filtered_stats(
             )
 
     return df.mapInPandas(batches, schema=RGB_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# TGA (Truevision TARGA, public spec) — RLE-compressed truecolor;
+# adds run-length decoding to the codec family (GIF covers LZW,
+# FLAC covers Rice, JPEG covers Huffman)
+# ---------------------------------------------------------------------------
+
+def synth_tga_rle(width: int, height: int, seed: int) -> bytes:
+    """A spec-valid RLE-compressed 24-bit TGA (image type 10): the
+    formula pixels (same channel formulas as the PNG truecolor entry)
+    are encoded with real run-length packets — maximal literal/run
+    packets chosen greedily, runs ≤ 128 per the spec — so decoding
+    requires a genuine RLE walk, not a memcpy.  Bottom-up row order
+    (descriptor bit 5 clear) and BGR byte order per the TGA spec, so a
+    correct decoder must flip and swap exactly like the BMP/DIB path."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    px = np.stack(
+        [
+            (7 * x + 13 * y + seed) % 256,      # R
+            (11 * x + 3 * y + 2 * seed) % 256,  # G
+            (5 * x + 17 * y + 3 * seed) % 256,  # B
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    # every 4th row is FLAT (x-independent) so the encoder emits real
+    # run packets; gradient rows exercise the literal path — both RLE
+    # packet types live in every payload taller than 4 rows
+    flat_rows = (np.arange(height) % 4 == 0)
+    for c, mul in enumerate((13, 3, 17)):
+        px[flat_rows, :, c] = (
+            (mul * np.arange(height)[flat_rows] + (c + 1) * seed) % 256
+        )[:, None]
+    header = struct.pack(
+        "<BBBHHBHHHHBB",
+        0,      # id length
+        0,      # no color map
+        10,     # image type: RLE truecolor
+        0, 0, 0,  # color map spec
+        0, 0,   # origin
+        width, height,
+        24,     # bpp
+        0,      # descriptor: bottom-up, no alpha
+    )
+    out = bytearray(header)
+    # bottom-up storage: first stored row is the BOTTOM image row
+    for r in range(height - 1, -1, -1):
+        row = px[r]
+        i = 0
+        while i < width:
+            # measure the run of identical pixels at i
+            j = i + 1
+            while (
+                j < width
+                and j - i < 128
+                and (row[j] == row[i]).all()
+            ):
+                j += 1
+            if j - i >= 2:  # run packet
+                out.append(0x80 | (j - i - 1))
+                out.extend([row[i][2], row[i][1], row[i][0]])  # BGR
+                i = j
+            else:  # literal packet: until the next run of >= 2 starts
+                k = i + 1
+                while (
+                    k < width
+                    and k - i < 128
+                    and not (
+                        k + 1 < width and (row[k + 1] == row[k]).all()
+                    )
+                ):
+                    k += 1
+                out.append((k - i - 1) & 0x7F)
+                for c in range(i, k):
+                    out.extend([row[c][2], row[c][1], row[c][0]])
+                i = k
+    return bytes(out)
+
+
+def tga_pixels(payload: bytes) -> "object":
+    """Decode an RLE truecolor TGA to ``(h, w, 3)`` RGB uint8: header
+    walk, RLE packet stream (runs and literals, spec max 128), BGR →
+    RGB swap, bottom-up flip.  Trailing garbage or a short stream
+    raises — malformed media routes to quarantine upstream."""
+    import numpy as np
+
+    (id_len, cmap_type, img_type) = struct.unpack("<BBB", payload[:3])
+    if img_type != 10 or cmap_type != 0:
+        raise ValueError("not an RLE truecolor TGA")
+    width, height = struct.unpack("<HH", payload[12:16])
+    bpp, _desc = struct.unpack("<BB", payload[16:18])
+    if bpp != 24:
+        raise ValueError("only 24-bit TGA supported")
+    pos = 18 + id_len
+    flat = np.zeros((height * width, 3), dtype=np.uint8)
+    n = 0
+    while n < height * width:
+        if pos >= len(payload):
+            raise ValueError("truncated TGA stream")
+        ctrl = payload[pos]
+        pos += 1
+        count = (ctrl & 0x7F) + 1
+        if ctrl & 0x80:  # run packet
+            b, g, r = payload[pos : pos + 3]
+            pos += 3
+            flat[n : n + count] = (r, g, b)
+        else:  # literal packet
+            raw = np.frombuffer(
+                payload[pos : pos + 3 * count], dtype=np.uint8
+            ).reshape(count, 3)
+            pos += 3 * count
+            flat[n : n + count] = raw[:, ::-1]  # BGR -> RGB
+        n += count
+    if n != height * width or pos != len(payload):
+        raise ValueError("TGA pixel count / trailing bytes mismatch")
+    img = flat.reshape(height, width, 3)
+    return img[::-1]  # bottom-up -> top-down
+
+
+def attach_tga_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one :func:`synth_tga_rle` per key
+    (``w = 9 + (7k) % 18``, ``h = 9 + (13k) % 20``)."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_tga_rle(
+                            9 + (7 * int(k)) % 18,
+                            9 + (13 * int(k)) % 20,
+                            int(k),
+                        )
+                        for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def tga_stats(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Per-channel stats over REAL TGA RLE decode — same contract as
+    :func:`rgb_filtered_stats` (position-weighted red checksum catches
+    RLE, flip, and channel-swap mistakes)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "key", "width", "height", "sum_r", "sum_g", "sum_b",
+                "wsum_r",
+            )}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                px = tga_pixels(bytes(payload)).astype(np.int64)
+                h, w, _ = px.shape
+                wgt = (
+                    np.arange(w, dtype=np.int64)[None, :]
+                    + 2 * np.arange(h, dtype=np.int64)[:, None]
+                )
+                rows["key"].append(int(k))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(int(px[:, :, 0].sum()))
+                rows["sum_g"].append(int(px[:, :, 1].sum()))
+                rows["sum_b"].append(int(px[:, :, 2].sum()))
+                rows["wsum_r"].append(int((px[:, :, 0] * wgt).sum()))
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "sum_r": pd.Series(rows["sum_r"], dtype="int64"),
+                    "sum_g": pd.Series(rows["sum_g"], dtype="int64"),
+                    "sum_b": pd.Series(rows["sum_b"], dtype="int64"),
+                    "wsum_r": pd.Series(rows["wsum_r"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RGB_STATS_SCHEMA)

@@ -5386,3 +5386,48 @@ FROM s
 
 
 QUERIES_DEFERRED.update({"text_html_strip": q_text_html_strip})
+
+
+def q_multimodal_tga(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TGA RLE decode (Truevision spec): spec-valid type-10
+    truecolor files whose every payload carries BOTH packet kinds —
+    flat rows encode as run packets, gradient rows as literals — plus
+    the bottom-up/BGR semantics shared with the DIB path.  Adds
+    run-length decoding to the codec family (GIF=LZW, FLAC=Rice,
+    JPEG=Huffman); per-channel sums and the position-weighted red
+    checksum catch RLE, flip, and channel-swap mistakes; oracle
+    restates the channel formulas with the flat-row override."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return M.tga_stats(M.attach_tga_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_tga"] = """
+WITH im AS (
+  SELECT doc_id AS key,
+         9 + (7 * doc_id) % 18 AS w,
+         9 + (13 * doc_id) % 20 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT key, w, h, ux.x AS x, uy.y AS y,
+         CASE WHEN uy.y % 4 = 0 THEN (13 * uy.y + key) % 256
+              ELSE (7 * ux.x + 13 * uy.y + key) % 256 END AS r,
+         CASE WHEN uy.y % 4 = 0 THEN (3 * uy.y + 2 * key) % 256
+              ELSE (11 * ux.x + 3 * uy.y + 2 * key) % 256 END AS g,
+         CASE WHEN uy.y % 4 = 0 THEN (17 * uy.y + 3 * key) % 256
+              ELSE (5 * ux.x + 17 * uy.y + 3 * key) % 256 END AS b
+  FROM im, UNNEST(RANGE(0, w)) AS ux(x), UNNEST(RANGE(0, h)) AS uy(y)
+)
+SELECT key,
+       CAST(ANY_VALUE(w) AS INT) AS width,
+       CAST(ANY_VALUE(h) AS INT) AS height,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(r * (x + 2 * y)) AS BIGINT) AS wsum_r
+FROM px
+GROUP BY key
+"""
+
+
+QUERIES_DEFERRED.update({"multimodal_tga": q_multimodal_tga})

@@ -345,6 +345,7 @@ _SHUFFLE_BUDGET = {
     "multimodal_png_interlaced": 0,
     "multimodal_png_filtered": 0,
     "multimodal_png_rgb": 0,
+    "multimodal_tga": 0,
     # one map-combinable aggregate (M4) / broadcast-NL + argmin agg
     "ts_downsample_m4": 1,
     # line rules are row-local; dedup election + ownership join +

@@ -609,3 +609,39 @@ def test_png_rgb_all_filters_roundtrip_property(w, h, seed):
     assert (px[:, :, 0] == (7 * x + 13 * y + seed) % 256).all()
     assert (px[:, :, 1] == (11 * x + 3 * y + 2 * seed) % 256).all()
     assert (px[:, :, 2] == (5 * x + 17 * y + 3 * seed) % 256).all()
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=10**9),
+)
+@settings(max_examples=40, deadline=None)
+def test_tga_rle_roundtrip_property(w, h, seed):
+    """Both RLE packet kinds (flat rows → runs, gradients → literals)
+    decode back to the synthesis formulas through the bottom-up/BGR
+    walk, for every geometry including 1-pixel rows."""
+    import numpy as np
+
+    from table_streaming_source_spark.operators.multimodal import (
+        synth_tga_rle,
+        tga_pixels,
+    )
+
+    px = tga_pixels(synth_tga_rle(w, h, seed)).astype(np.int64)
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    exp = np.stack(
+        [
+            (7 * x + 13 * y + seed) % 256,
+            (11 * x + 3 * y + 2 * seed) % 256,
+            (5 * x + 17 * y + 3 * seed) % 256,
+        ],
+        axis=-1,
+    )
+    flat = np.arange(h) % 4 == 0
+    for c, mul in enumerate((13, 3, 17)):
+        exp[flat, :, c] = (
+            (mul * np.arange(h)[flat] + (c + 1) * seed) % 256
+        )[:, None]
+    assert (px == exp).all()
