@@ -5941,11 +5941,18 @@ def q_anomaly_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
+    # report in dollars at 4 decimals with HALF-UP rounding done in
+    # exact integer arithmetic: ROUND(s/(n·100), k) on the double
+    # quotient lands on representable half-boundaries where Spark
+    # rounds half-up and DuckDB half-even (11 last-digit diffs at
+    # sf0.1) — (2·s·100 + n) DIV (2·n) is the same half-up value with
+    # no float until one final exact-range division
+    e4 = F.expr("(2 * __s * 100 + __n) DIV (2 * __n)")
     return s.filter(F.col("__s") > 200 * 100 * F.col("__n")).select(
         "user_id",
         "event_id",
         "value",
-        F.round(F.col("__s") / (F.col("__n") * 100.0), 6).alias("cusum"),
+        (e4 / F.lit(10000.0)).alias("cusum"),
     )
 
 
@@ -5976,8 +5983,8 @@ s AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
   FROM cum
 )
-SELECT user_id, event_id, value, ROUND(CAST(s AS DOUBLE) / (n * 100.0), 6)
-  AS cusum
+SELECT user_id, event_id, value,
+       CAST((2 * s * 100 + n) // (2 * n) AS DOUBLE) / 10000.0 AS cusum
 FROM s WHERE s > 200 * 100 * n
 """
 
