@@ -4762,13 +4762,27 @@ def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir, "orders").createOrReplaceTempView("__sql_orders")
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("__sql_lineitem")
     t(spark, sf_dir, "customer").createOrReplaceTempView("__sql_customer")
-    return spark.sql(
-        _RECURSIVE_CTE_SQL.format(
-            lineitem="__sql_lineitem",
-            orders="__sql_orders",
-            customer="__sql_customer",
-        )
-    )
+    # the recursion's INTERMEDIATE row count grows with SF and trips
+    # Spark's 1M-row recursion guard (RECURSION_ROW_LIMIT_EXCEEDED) at
+    # sf0.1 — raise the documented knob for exactly this query's
+    # materialization, then restore (eager checkpoint pins the result
+    # so the restored conf cannot affect a later lazy execution)
+    key = "spark.sql.cteRecursionRowLimit"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, str(200_000_000))
+    try:
+        return spark.sql(
+            _RECURSIVE_CTE_SQL.format(
+                lineitem="__sql_lineitem",
+                orders="__sql_orders",
+                customer="__sql_customer",
+            )
+        ).localCheckpoint(eager=True)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 ORACLES["sql_recursive_cte"] = _RECURSIVE_CTE_SQL.format(
