@@ -49,20 +49,22 @@ progressive-JPEG entry), ``text_lm_heldout_eval``, ``agg_correlation``,
 ``sink_compaction``, ``ts_seasonal_profile``, ``multimodal_bmp``.
 
 Round-6 rotation backlog (round-5 additions past the filled window,
-local replay green at sf0.01 — 28 entries; with the 3 cross-round
-sentinels that fills 31 of round 6's 50 slots, leaving 19 for round-6
-additions or re-verification): ``text_gopher_quality``,
-``text_c4_filters``, ``text_line_dedup``, ``anomaly_cusum``,
-``join_fuzzy_levenshtein``, ``join_nearest_spatial``, ``source_xml``,
-``ts_downsample_m4``, ``multimodal_ulaw``,
-``multimodal_mp3_meta``, ``multimodal_png_interlaced``,
-``scalar_collation``, ``pipeline_web_clean``,
-``multimodal_png_filtered``, ``multimodal_png_rgb``,
-``streaming_interval_join_full``, ``sink_clustered``,
-``sink_time_travel``, ``streaming_scd2_build``, ``text_html_strip``,
-``agg_benford``, ``format_snapshot_read``, ``format_stats_pruning``,
-``format_schema_evolution``, ``format_merge_upsert``,
-``streaming_format_tail``, ``scan_dpp_join``, and the env-gated
+local replay green at sf0.01 AND sf0.1, strict-dtype checked — 31
+entries + 1 env-gated; with the 3 cross-round sentinels that fills 35
+of round 6's 50 slots, leaving 15 for round-6 additions or
+re-verification): ``text_gopher_quality``, ``text_c4_filters``,
+``text_line_dedup``, ``anomaly_cusum``, ``join_fuzzy_levenshtein``,
+``join_nearest_spatial``, ``source_xml``, ``ts_downsample_m4``,
+``multimodal_ulaw``, ``multimodal_mp3_meta``,
+``multimodal_png_interlaced``, ``multimodal_png_filtered``,
+``multimodal_png_rgb``, ``multimodal_tga``, ``scalar_collation``,
+``pipeline_web_clean``, ``text_html_strip``, ``agg_benford``,
+``agg_ks_drift``, ``agg_psi``, ``sink_clustered``,
+``sink_time_travel``, ``format_snapshot_read``,
+``format_stats_pruning``, ``format_schema_evolution``,
+``format_merge_upsert``, ``format_zorder_pruning``, ``scan_dpp_join``,
+``streaming_scd2_build``, ``streaming_format_tail``,
+``streaming_interval_join_full``, and the env-gated
 ``streaming_timeout_sessions_tws`` (skips with documented reason where
 google.protobuf is absent).
 """
