@@ -7060,3 +7060,311 @@ FROM shares GROUP BY event_type
 
 
 QUERIES.update({"agg_psi": q_agg_psi})
+
+
+# ---------------------------------------------------------------------------
+# round 6: modern aggregate / window / scalar surface
+# ---------------------------------------------------------------------------
+
+def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): per customer,
+    the comma-joined numerically-ordered order-key list plus the sorted
+    distinct status set — the denormalized-list shape feature stores and
+    export feeds need.  ``collect_list``/``collect_set`` are bounded BY
+    THE GROUP (orders per customer, ~10 at every SF; the group key is
+    the shuffle key), never by the table — the safe direction at 100 TB.
+    Numeric sort happens on the long array BEFORE stringification, so
+    both engines agree on '9' < '10'."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("order_keys"),
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderstatus")), "|"
+            ).alias("status_set"),
+        )
+    )
+
+
+ORACLES["agg_string_agg"] = """
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       STRING_AGG(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+         AS order_keys,
+       STRING_AGG(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus)
+         AS status_set
+FROM orders GROUP BY o_custkey
+"""
+
+
+QUERIES.update({"agg_string_agg": q_agg_string_agg})
+
+
+def q_agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test over the (priority x status)
+    contingency table — the categorical-association screen (drift
+    between a label and a segment).  One hash aggregate builds the
+    cells; the margins come from windows over the CELL table, whose
+    cardinality is |priority| x |status| (15 rows), not the fact table —
+    map-side combine does the heavy lifting, the windows touch a
+    constant-size frame at any SF.  Expected counts and chi2 terms are
+    integer-ratio arithmetic rounded at 6."""
+    o = t(spark, sf_dir, "orders")
+    cells = (
+        o.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w_row = Window.partitionBy("o_orderpriority")
+    w_col = Window.partitionBy("o_orderstatus")
+    w_all = Window.partitionBy()
+    expected = (
+        F.sum("n").over(w_row)
+        * F.sum("n").over(w_col)
+        / F.sum("n").over(w_all)
+    )
+    return cells.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "n",
+        F.round(expected, 6).alias("expected_n"),
+        F.round((F.col("n") - expected) * (F.col("n") - expected) / expected, 6).alias(
+            "chi2_term"
+        ),
+    )
+
+
+ORACLES["agg_chi_square"] = """
+WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+m AS (
+  SELECT o_orderpriority, o_orderstatus, n,
+         SUM(n) OVER (PARTITION BY o_orderpriority)
+           * SUM(n) OVER (PARTITION BY o_orderstatus)
+           / SUM(n) OVER () AS e
+  FROM cells
+)
+SELECT o_orderpriority, o_orderstatus, n,
+       ROUND(e, 6) AS expected_n,
+       ROUND((n - e) * (n - e) / e, 6) AS chi2_term
+FROM m
+"""
+
+
+QUERIES.update({"agg_chi_square": q_agg_chi_square})
+
+
+def q_agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between returned ('R') and
+    delivered ('N') line prices — the two-sample comparison an
+    experimentation or drift pipeline runs (the KS/PSI entries' moment
+    sibling).  Sums and sums-of-squares go through DECIMAL (exact,
+    associative — the repo's money-sum rule), so the ONE output row is
+    bit-stable; t and the Welch-Satterthwaite df are then plain IEEE
+    arithmetic on those exact moments.  Single pass, conditional
+    aggregates, fully map-combinable."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    is_r = F.col("l_returnflag") == "R"
+    agg = li.agg(
+        F.sum(F.when(is_r, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(~is_r, 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(is_r, p)).cast("decimal(38,4)").alias("s1"),
+        F.sum(F.when(~is_r, p)).cast("decimal(38,4)").alias("s2"),
+        F.sum(F.when(is_r, p * p)).cast("decimal(38,4)").alias("q1"),
+        F.sum(F.when(~is_r, p * p)).cast("decimal(38,4)").alias("q2"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    v1 = (F.col("q1").cast("double") - F.col("s1").cast("double") * m1) / (
+        F.col("n1") - 1
+    )
+    v2 = (F.col("q2").cast("double") - F.col("s2").cast("double") * m2) / (
+        F.col("n2") - 1
+    )
+    se1 = v1 / F.col("n1")
+    se2 = v2 / F.col("n2")
+    tstat = (m1 - m2) / F.sqrt(se1 + se2)
+    df = (se1 + se2) * (se1 + se2) / (
+        se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1)
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.round(m1, 6).alias("mean_r"),
+        F.round(m2, 6).alias("mean_n"),
+        F.round(tstat, 6).alias("t_stat"),
+        F.round(df, 3).alias("welch_df"),
+    )
+
+
+ORACLES["agg_welch_ttest"] = """
+WITH a AS (
+  SELECT
+    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n1,
+    SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS n2,
+    CAST(SUM(CASE WHEN l_returnflag = 'R'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+         AS DECIMAL(38,4)) AS s1,
+    CAST(SUM(CASE WHEN l_returnflag = 'N'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+         AS DECIMAL(38,4)) AS s2,
+    CAST(SUM(CASE WHEN l_returnflag = 'R'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2)) END)
+         AS DECIMAL(38,4)) AS q1,
+    CAST(SUM(CASE WHEN l_returnflag = 'N'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2)) END)
+         AS DECIMAL(38,4)) AS q2
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+),
+b AS (
+  SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         CAST(s1 AS DOUBLE) / n1 AS m1,
+         CAST(s2 AS DOUBLE) / n2 AS m2,
+         (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n1))
+           / (n1 - 1) AS v1,
+         (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * (CAST(s2 AS DOUBLE) / n2))
+           / (n2 - 1) AS v2
+  FROM a
+)
+SELECT n1, n2,
+       ROUND(m1, 6) AS mean_r,
+       ROUND(m2, 6) AS mean_n,
+       ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 6) AS t_stat,
+       ROUND((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+             / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                + (v2 / n2) * (v2 / n2) / (n2 - 1)), 3) AS welch_df
+FROM b
+"""
+
+
+QUERIES.update({"agg_welch_ttest": q_agg_welch_ttest})
+
+
+def q_window_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — a surface Spark's window
+    functions refuse outright (`DISTINCT is not supported in window`):
+    expressed as ``size(collect_set() OVER rows-frame)``, which keeps
+    the exact same semantics.  The window partition is the ORDER (≤7
+    lines), so state per frame is bounded by the group, not the table —
+    the same discipline as `agg_string_agg`; a run over an unbounded
+    partition would be the `text_vocab_coverage` antipattern this repo
+    gates against."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
+    # the synthetic lineitem duplicates linenumbers within an order, so
+    # the frame order tie-breaks on the counted column itself: rows equal
+    # on (linenumber, suppkey) are interchangeable for this output
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.size(F.collect_set("l_suppkey").over(w))
+        .cast("int")
+        .alias("distinct_supps"),
+    )
+
+
+ORACLES["window_distinct_running"] = """
+SELECT l_orderkey, l_linenumber,
+       CAST(COUNT(DISTINCT l_suppkey) OVER (
+         PARTITION BY l_orderkey ORDER BY l_linenumber, l_suppkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+         AS distinct_supps
+FROM lineitem WHERE l_orderkey % 5 = 0
+"""
+
+
+QUERIES.update({"window_distinct_running": q_window_distinct_running})
+
+
+def q_scalar_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 scalar pack: format a uint32 address as dotted-quad, parse
+    dotted-quad back to the integer, classify RFC-1918 private ranges
+    (CIDR containment as integer range tests), and roll up per /16
+    network.  The address derives deterministically from ``user_id``
+    (Knuth multiplicative hash mod 2^32), so both engines see identical
+    inputs; all operations are integer div/mod — no engine-specific
+    inet types.  Group count is bounded by distinct users."""
+    ev = t(spark, sf_dir, "events")
+    ip = (F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296)
+    o1 = (ip / 16777216).cast("bigint")
+    o2 = (ip / 65536).cast("bigint") % 256
+    o3 = (ip / 256).cast("bigint") % 256
+    o4 = ip % 256
+    dotted = F.format_string("%d.%d.%d.%d", o1, o2, o3, o4)
+    with_ip = ev.select("event_id", dotted.alias("ip"))
+    # parse back (proves the inverse path on the string column)
+    parts = F.split(F.col("ip"), "\\.")
+    parsed = (
+        F.element_at(parts, 1).cast("bigint") * 16777216
+        + F.element_at(parts, 2).cast("bigint") * 65536
+        + F.element_at(parts, 3).cast("bigint") * 256
+        + F.element_at(parts, 4).cast("bigint")
+    )
+    oct1 = (F.col("ip_num") / 16777216).cast("bigint")
+    oct2 = (F.col("ip_num") / 65536).cast("bigint") % 256
+    is_private = (
+        (oct1 == 10)
+        | ((oct1 == 172) & (oct2 >= 16) & (oct2 <= 31))
+        | ((oct1 == 192) & (oct2 == 168))
+    )
+    return (
+        with_ip.withColumn("ip_num", parsed)
+        .select(
+            F.format_string("%d.%d.0.0/16", oct1, oct2).alias("net16"),
+            F.col("ip_num"),
+            is_private.cast("int").alias("priv"),
+        )
+        .groupBy("net16")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("priv").cast("bigint").alias("n_private"),
+            F.min("ip_num").alias("min_ip"),
+            F.max("ip_num").alias("max_ip"),
+        )
+    )
+
+
+ORACLES["scalar_ip"] = """
+WITH ips AS (
+  SELECT event_id,
+         (user_id * 2654435761) % 4294967296 AS ip_num
+  FROM events
+),
+cls AS (
+  SELECT ip_num,
+         ip_num // 16777216 AS o1,
+         (ip_num // 65536) % 256 AS o2
+  FROM ips
+)
+SELECT CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.0.0/16'
+         AS net16,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN o1 = 10
+                      OR (o1 = 172 AND o2 BETWEEN 16 AND 31)
+                      OR (o1 = 192 AND o2 = 168)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_private,
+       MIN(ip_num) AS min_ip,
+       MAX(ip_num) AS max_ip
+FROM cls GROUP BY 1
+"""
+
+
+QUERIES.update({"scalar_ip": q_scalar_ip})
