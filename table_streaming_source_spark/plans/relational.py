@@ -7368,3 +7368,179 @@ FROM cls GROUP BY 1
 
 
 QUERIES.update({"scalar_ip": q_scalar_ip})
+
+
+def q_format_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (CDC-append) table-format read
+    (``table_format.py::read_incremental``): three commits land the
+    ``o_orderkey % 3`` slices; the consumer that already processed
+    version 1 reads the range (1, 3] and receives ONLY commits 2 and 3 —
+    resolved from the manifests alone, so file I/O is proportional to
+    the change, not the table (the incremental-consumption contract a
+    100 TB table demands; Iceberg's incremental append scan).  Rows
+    carry the commit version that introduced them; the rollup per
+    (version, priority) pins both attribution and content.  Empty-range
+    and carryover semantics are pinned by ``tests/test_table_format.py``."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_incremental", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    for i in range(3):
+        TF.commit_append(
+            spark,
+            path,
+            o.filter(F.col("o_orderkey") % 3 == i),
+            stat_cols=["o_orderkey"],
+        )
+    result = (
+        TF.read_incremental(spark, path, from_version=1, to_version=3)
+        .groupBy("commit_version", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_incremental_read"] = """
+SELECT CAST(o_orderkey % 3 + 1 AS INT) AS commit_version,
+       o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM orders
+WHERE o_orderkey % 3 IN (1, 2)
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"format_incremental_read": q_format_incremental_read})
+
+
+def q_format_cluster_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering/partition-spec evolution through the commit log: era-1
+    files land range-clustered by ``o_orderkey`` (manifest stats on the
+    key only), era-2 files land range-clustered by ``bucket`` after the
+    layout evolved.  A ``bucket ∈ [3, 5]`` read prunes era-2 files from
+    their manifest ranges but must KEEP every era-1 file (no bucket
+    stats → pruning cannot prove absence — the safe direction), then the
+    exact predicate applies to the survivors: old layout correct but
+    unprunable, new layout pruned, ONE logical table — how real formats
+    evolve partitioning without rewriting history.  File-level
+    minimality is asserted in ``tests/test_table_format.py``; the oracle
+    states the filtered rollup."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_cluster_evo", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 16).cast("int").alias("bucket"),
+        "o_totalprice",
+    )
+    TF.commit_append(
+        spark,
+        path,
+        o.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(
+            4, "o_orderkey"
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    TF.commit_append(
+        spark,
+        path,
+        o.filter(F.col("o_orderkey") % 2 == 1).repartitionByRange(
+            4, "bucket"
+        ),
+        stat_cols=["bucket"],
+    )
+    result = (
+        TF.read_table(spark, path, prune=("bucket", 3, 5))
+        .filter((F.col("bucket") >= 3) & (F.col("bucket") <= 5))
+        .groupBy((F.col("o_orderkey") % 2).cast("int").alias("era"), F.col("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_cluster_evolution"] = """
+SELECT CAST(o_orderkey % 2 AS INT) AS era,
+       CAST(o_orderkey % 16 AS INT) AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM orders
+WHERE o_orderkey % 16 BETWEEN 3 AND 5
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"format_cluster_evolution": q_format_cluster_evolution})
+
+
+def q_scan_metadata_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregation — COUNT(*)/MIN/MAX answered from
+    parquet FOOTER statistics with zero data pages read
+    (``spark.sql.parquet.aggregatePushdown`` on the DSv2 scan; the
+    BatchScan's output schema becomes the aggregate list itself, gated
+    in ``tests/test_plans.py``).  At 100 TB this is the difference
+    between a catalog lookup and a full-table scan for the row-count /
+    freshness probes every orchestrator runs.  Confs are scoped and
+    restored around an eager checkpoint (the `sql_recursive_cte`
+    discipline); timestamps stay off the aggregate list — parquet
+    footer min/max doesn't push for them (verified), doubles and longs
+    do."""
+    pushdown_key = "spark.sql.parquet.aggregatePushdown"
+    v1_key = "spark.sql.sources.useV1SourceList"
+    old_push = spark.conf.get(pushdown_key, None)
+    old_v1 = spark.conf.get(v1_key, None)
+    spark.conf.set(pushdown_key, "true")
+    spark.conf.set(v1_key, "")
+    try:
+        return (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min("l_orderkey").alias("min_key"),
+                F.max("l_orderkey").alias("max_key"),
+                F.min("l_extendedprice").alias("min_price"),
+                F.max("l_extendedprice").alias("max_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for key, old in ((pushdown_key, old_push), (v1_key, old_v1)):
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+
+
+ORACLES["scan_metadata_only"] = """
+SELECT COUNT(*) AS n_rows,
+       MIN(l_orderkey) AS min_key,
+       MAX(l_orderkey) AS max_key,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem
+"""
+
+
+QUERIES.update({"scan_metadata_only": q_scan_metadata_only})

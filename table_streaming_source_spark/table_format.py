@@ -363,3 +363,67 @@ def commit_merge(
         {"version": base + 1, "files": files, "parent": None},
     )
     return base + 1, len(affected), len(file_dicts)
+
+
+def incremental_files(
+    path: str, *, from_version: int, to_version: int
+) -> list[tuple[int, str]]:
+    """Manifest-only incremental resolution: the data files present in
+    the ``to_version`` snapshot but NOT in the ``from_version`` snapshot,
+    each attributed to the first commit (walking down from
+    ``to_version``) that lists it.  For append commits this is exactly
+    "the files each commit added"; a full-snapshot commit in range
+    (compact/merge) re-emits the files it rewrote — the standard
+    changelog-scan carryover caveat, stated rather than hidden.
+    Returns ``[(commit_version, relative_path), ...]``."""
+    base = {f["path"] for f in _snapshot_file_dicts(path, from_version)}
+    out: list[tuple[int, str]] = []
+    seen: set[str] = set()
+    v: int | None = to_version
+    while v is not None:
+        commit = _read_commit(path, v)
+        for f in commit["files"]:
+            if f["path"] in seen:
+                continue
+            seen.add(f["path"])
+            if f["path"] not in base:
+                out.append((v, f["path"]))
+        v = commit["parent"]
+    return out
+
+
+def read_incremental(
+    spark: SparkSession,
+    path: str,
+    *,
+    from_version: int,
+    to_version: int | None = None,
+    version_col: str = "commit_version",
+) -> DataFrame:
+    """Incremental (CDC-append) read between two snapshots: only the
+    files the range introduced are opened — file I/O is proportional to
+    the CHANGE, not the table, which is the whole point of consuming a
+    100 TB table incrementally.  Each row carries the commit version
+    that introduced its file in ``version_col``."""
+    from pyspark.sql import functions as F
+
+    to_v = latest_version(path) if to_version is None else to_version
+    groups: dict[int, list[str]] = {}
+    for v, rel in incremental_files(
+        path, from_version=from_version, to_version=to_v
+    ):
+        groups.setdefault(v, []).append(os.path.join(path, rel))
+    if not groups:
+        raise ValueError(
+            f"empty incremental range ({from_version}, {to_v}]"
+        )
+    parts = [
+        spark.read.option("mergeSchema", "true")
+        .parquet(*files)
+        .withColumn(version_col, F.lit(v).cast("int"))
+        for v, files in sorted(groups.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out

@@ -453,3 +453,47 @@ def test_dpp_reaches_the_partitioned_scan(stats_planner, sf_dir):
     )
     pf = scan.split("PartitionFilters:")[1].split("]")[0]
     assert "dynamicpruning" in pf.lower(), scan
+
+
+def test_metadata_only_scan_pushes_the_aggregates(stats_planner, sf_dir):
+    """scan_metadata_only must answer from parquet footers: with
+    aggregate pushdown on the DSv2 scan, the BatchScan's OUTPUT SCHEMA
+    becomes the aggregate list itself (count/min/max columns, no data
+    columns) — zero data pages read.  The entry eagerly checkpoints, so
+    the gate rebuilds the plan under the same scoped confs."""
+    pushdown_key = "spark.sql.parquet.aggregatePushdown"
+    v1_key = "spark.sql.sources.useV1SourceList"
+    old_push = stats_planner.conf.get(pushdown_key, None)
+    old_v1 = stats_planner.conf.get(v1_key, None)
+    stats_planner.conf.set(pushdown_key, "true")
+    stats_planner.conf.set(v1_key, "")
+    try:
+        from pyspark.sql import functions as F
+
+        df = (
+            stats_planner.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min("l_orderkey").alias("min_key"),
+                F.max("l_orderkey").alias("max_key"),
+                F.min("l_extendedprice").alias("min_price"),
+                F.max("l_extendedprice").alias("max_price"),
+            )
+        )
+        plan = _final_plan(df)
+        scan_line = next(
+            l for l in plan.splitlines() if "BatchScan" in l
+        )
+        assert "count(*)" in scan_line and "min(l_orderkey)" in scan_line, (
+            scan_line
+        )
+        # no raw data column in the scan output
+        assert "l_extendedprice#" not in scan_line.split("ParquetScan")[0], (
+            scan_line
+        )
+    finally:
+        for key, old in ((pushdown_key, old_push), (v1_key, old_v1)):
+            if old is None:
+                stats_planner.conf.unset(key)
+            else:
+                stats_planner.conf.set(key, old)

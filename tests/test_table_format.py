@@ -296,3 +296,83 @@ def test_zorder_prunes_on_both_dimensions(spark, sf_dir):
     assert kept_d1 < total_d1
     _, kept_d2, total_d2 = TF.snapshot_files(dpath, prune=("d2", 8, 15))
     assert kept_d2 == total_d2, "d1-sorted layout should NOT prune d2"
+
+
+def test_incremental_read_returns_only_the_range(spark, table):
+    """(from, to] semantics: files from commits ≤ from_version are
+    excluded, each emitted row is attributed to the commit that
+    introduced its file."""
+    path, df = table  # v1: bucket<5, v2: bucket>=5
+    inc = TF.read_incremental(spark, path, from_version=1, to_version=2)
+    rows = inc.collect()
+    assert all(r["commit_version"] == 2 for r in rows)
+    assert sorted(r["k"] for r in rows) == sorted(
+        r["k"] for r in df.filter("bucket >= 5").collect()
+    )
+
+
+def test_incremental_read_empty_range_raises(spark, table):
+    path, _ = table
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty incremental range"):
+        TF.read_incremental(spark, path, from_version=2, to_version=2)
+
+
+def test_incremental_read_reemits_rewrites_carryover(spark, table):
+    """A full-snapshot commit (compact) inside the range re-emits the
+    rows it rewrote — the documented changelog-scan carryover caveat:
+    stated, not hidden."""
+    path, df = table
+    TF.commit_compact(spark, path, stat_cols=["bucket"])  # v3 rewrites all
+    inc = TF.read_incremental(spark, path, from_version=2, to_version=3)
+    rows = inc.collect()
+    assert all(r["commit_version"] == 3 for r in rows)
+    assert len(rows) == df.count()
+
+
+def test_incremental_io_is_proportional_to_the_change(spark, table):
+    """Manifest-only resolution: the (1, 2] range opens only commit 2's
+    files — never the whole table's."""
+    path, _ = table
+    pairs = TF.incremental_files(path, from_version=1, to_version=2)
+    all_files = TF._snapshot_file_dicts(path, 2)
+    assert 0 < len(pairs) < len(all_files)
+    assert {v for v, _ in pairs} == {2}
+
+
+def test_cluster_evolution_prunes_new_layout_keeps_old(spark, sf_dir):
+    """The format_cluster_evolution claim, asserted from the manifest:
+    a bucket-range read keeps EVERY era-1 file (no bucket stats —
+    pruning cannot prove absence) and prunes era-2 files outside the
+    range."""
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark.plans.common import t
+
+    path = _scratch.scratch_dir("format_cluster_evo_test", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 16).cast("int").alias("bucket"),
+        "o_totalprice",
+    )
+    TF.commit_append(
+        spark, path,
+        o.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(4, "o_orderkey"),
+        stat_cols=["o_orderkey"],
+    )
+    era1 = {f["path"] for f in TF._snapshot_file_dicts(path, 1)}
+    TF.commit_append(
+        spark, path,
+        o.filter(F.col("o_orderkey") % 2 == 1).repartitionByRange(4, "bucket"),
+        stat_cols=["bucket"],
+    )
+    kept_paths, kept, total = TF.snapshot_files(path, prune=("bucket", 3, 5))
+    import os as _os
+
+    kept_rel = {_os.path.relpath(p, path) for p in kept_paths}
+    # every era-1 file survives (no stats for the prune column)
+    assert era1 <= kept_rel
+    # at least one era-2 file is pruned (4 range files cover 16 buckets;
+    # a 3-bucket range cannot touch them all)
+    assert kept < total, (kept, total)
