@@ -843,3 +843,33 @@ def jaccard_prefix_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def keep_best_dedup(
+    df: DataFrame, text_col: str, key: str
+) -> DataFrame:
+    """Canonicalization dedup: one SURVIVOR per normalized-fingerprint
+    group, chosen by quality rather than by smallest key — real corpus
+    dedup keeps the best copy (here: the longest raw text; normalization
+    collapses case/whitespace, so group members genuinely differ), with
+    the key as the deterministic tie-break.  One hash aggregate on the
+    digest; ``max_by`` over a (quality, -key) struct gives the argmax
+    without a second pass or a window — map-side combinable, payload
+    never shuffles beyond the digest group."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    qual = F.length(F.col(text_col)).cast("bigint")
+    return (
+        df.select(
+            F.md5(norm).alias("fingerprint"),
+            F.col(key),
+            qual.alias("__q"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.max_by(
+                F.col(key), F.struct(F.col("__q"), (-F.col(key)).alias("__nk"))
+            ).alias(f"keep_{key}"),
+            F.max("__q").alias("best_len"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

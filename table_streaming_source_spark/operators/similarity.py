@@ -1103,3 +1103,51 @@ def prefix_rerank_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def knn_join_blocked(
+    df: DataFrame,
+    *,
+    k: int = 3,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    block_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Full k-nearest-neighbor JOIN (every vector → its k nearest),
+    blocked by a coarse cell — the all-pairs sibling of
+    :func:`cosine_topk` (which serves a query set) and the ranked
+    sibling of :func:`cosine_pairs_blocked` (which thresholds).  The
+    self-join runs only within the block (cells are the only shuffle
+    key; payload vectors ride along once), and the per-vector top-k is
+    one window over the vector's OWN candidate list — bounded by the
+    block size, never the corpus.  Ranking happens on the ROUNDED
+    cosine with the neighbor key as tie-break, so the order is
+    bit-stable across engines."""
+    from pyspark.sql import Window
+
+    from table_streaming_source_spark.operators.hof import spread
+
+    df = spread(df)
+    a = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(key).alias(key),
+        F.col(vec_col).alias("__va"),
+    )
+    b = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(key).alias("neighbor_id"),
+        F.col(vec_col).alias("__vb"),
+    )
+    sim = F.round(cosine(F.col("__va"), F.col("__vb")), round_digits)
+    w = Window.partitionBy(key).orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col(key) != F.col("neighbor_id"))
+        .withColumn("cos_sim", sim)
+        .withColumn("knn_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("knn_rank") <= k)
+        .select(key, "neighbor_id", "knn_rank", "cos_sim")
+    )

@@ -5431,3 +5431,435 @@ GROUP BY key
 
 
 QUERIES_DEFERRED.update({"multimodal_tga": q_multimodal_tga})
+
+
+# ---------------------------------------------------------------------------
+# round 6: canonicalization dedup, weighted sampling, basket analysis,
+# kNN join, importance weighting, dataset card, robust trend
+# ---------------------------------------------------------------------------
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization dedup: per normalized-fingerprint group keep the
+    BEST copy (longest raw text, key tie-break) instead of the smallest
+    key — the survivor-selection step a real corpus pipeline runs after
+    candidate grouping (`dedup_exact` keeps min-key; this keeps argmax
+    quality via one `max_by`, still a single digest-keyed hash
+    aggregate)."""
+    return D.keep_best_dedup(
+        t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+ORACLES["dedup_keep_best"] = """
+WITH fp AS (
+  SELECT doc_id, LEN(text) AS l,
+         MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'))
+           AS fingerprint
+  FROM documents
+),
+r AS (
+  SELECT fingerprint, doc_id, l,
+         ROW_NUMBER() OVER (PARTITION BY fingerprint
+                            ORDER BY l DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY fingerprint) AS n_copies,
+         MAX(l) OVER (PARTITION BY fingerprint) AS best_len
+  FROM fp
+)
+SELECT fingerprint, doc_id AS keep_doc_id,
+       CAST(best_len AS BIGINT) AS best_len,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM r WHERE rn = 1
+"""
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis priority sampling): each document draws u from its
+    md5-hash (pure function of the key — reproducible across engines,
+    partitionings, and reruns, the `text_sample_split` discipline) and
+    competes with priority ln(u)/weight; the top-50 priorities ARE a
+    weighted sample without replacement.  ln is rounded to 9 before the
+    division (libm last-ulp rule) and the rank tie-breaks on the key,
+    so selection is bit-stable.  One TakeOrderedAndProject — no global
+    sort."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = (h + 1) / F.lit(float(1 << 60))
+    r = F.round(F.log(u), 9) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").alias("weight"),
+            F.round(r, 12).alias("priority"),
+        )
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(50)
+    )
+
+
+ORACLES["sample_weighted"] = """
+WITH p AS (
+  SELECT doc_id, lang, n_chars AS weight,
+         ROUND(ROUND(LN((CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) + 1) / 1152921504606846976.0), 9)
+               / n_chars, 12) AS priority
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, lang, weight, priority
+FROM p ORDER BY priority DESC, doc_id LIMIT 50
+"""
+
+
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-pair basket analysis (co-occurrence support + lift) over
+    order baskets — the association-rule screen, built A-PRIORI style:
+    the per-item support filter (≥20 baskets) runs BEFORE the pair
+    self-join, so the quadratic step only sees frequent items, and the
+    join key is the basket id (baskets are bounded: ≤17 distinct parts
+    per order at every SF, so the per-basket pair fan-out is bounded by
+    design — the blocking discipline).  Pair counts ≥3 and integer-ratio
+    lift keep the output exact."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    cnt = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    fi = li.join(cnt.filter(F.col("n_item") >= 20), "l_partkey")
+    a = fi.select(
+        "l_orderkey",
+        F.col("l_partkey").alias("part_a"),
+        F.col("n_item").alias("n_a"),
+    )
+    b = fi.select(
+        "l_orderkey",
+        F.col("l_partkey").alias("part_b"),
+        F.col("n_item").alias("n_b"),
+    )
+    totals = li.agg(
+        F.countDistinct("l_orderkey").alias("n_baskets")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ab"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
+        .filter(F.col("n_ab") >= 3)
+    )
+    return pairs.crossJoin(F.broadcast(totals)).select(
+        "part_a",
+        "part_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("n_ab").cast("double")
+            * F.col("n_baskets")
+            / (F.col("n_a") * F.col("n_b")),
+            6,
+        ).alias("lift"),
+    )
+
+
+ORACLES["market_basket"] = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+cnt AS (
+  SELECT l_partkey, COUNT(*) AS n_item FROM items GROUP BY l_partkey
+),
+fi AS (
+  SELECT i.l_orderkey, i.l_partkey, c.n_item
+  FROM items i JOIN cnt c USING (l_partkey)
+  WHERE c.n_item >= 20
+),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM items),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS n_ab, MAX(a.n_item) AS n_a, MAX(b.n_item) AS n_b
+  FROM fi a JOIN fi b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_ab, n_a, n_b,
+       ROUND(CAST(n_ab AS DOUBLE) * t.n_baskets / (n_a * n_b), 6) AS lift
+FROM pairs, tot t
+WHERE n_ab >= 3
+"""
+
+
+def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full kNN JOIN: every vector → its 3 nearest within its coarse
+    cell (`operators/similarity.py::knn_join_blocked`) — the all-pairs
+    sibling of `sim_topk` (query-set serving) and the ranked sibling of
+    `sim_pairs_blocked` (thresholded).  Cells are the only shuffle key;
+    the per-vector top-k window is bounded by the cell, never the
+    corpus."""
+    return S.knn_join_blocked(
+        t(spark, sf_dir, "embeddings"), k=3, round_digits=6
+    )
+
+
+ORACLES["sim_knn_join"] = """
+WITH p AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         ROUND(
+           LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cos_sim
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT vec_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM p
+)
+SELECT vec_id, neighbor_id, CAST(rn AS INT) AS knn_rank, cos_sim
+FROM r WHERE rn <= 3
+"""
+
+
+def q_text_importance_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting: score every document by the
+    mean unigram log-ratio between a TARGET distribution (the English
+    slice) and the general corpus, add-1 smoothed over the shared
+    vocabulary — the data-selection signal for matching a pretraining
+    mix to a target domain (Xie et al., DSIR).  Two token-keyed hash
+    aggregates + token-keyed joins (vocabulary grows with the corpus —
+    Heaps' law — so NO vocab broadcast, the round-3 lesson), scalar
+    totals ride a 1-row broadcast, and log-ratios are rounded at 9 and
+    summed on the decimal path (`text_unigram_logprob` discipline)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.trim("text"), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("token"),
+    )
+    uni_g = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("cg")
+    )
+    uni_t = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+        F.countDistinct("token").alias("v"),
+    )
+    lr = F.round(
+        F.log(
+            ((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("nt") + F.col("v")))
+            / ((F.col("cg") + 1.0) / (F.col("ng") + F.col("v")))
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    return (
+        toks.join(uni_g, "token")
+        .join(uni_t, "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(lr).cast("double") / F.count(F.lit(1)), 6
+            ).alias("importance"),
+        )
+    )
+
+
+ORACLES["text_importance_weight"] = """
+WITH toks AS (
+  SELECT doc_id, lang, UNNEST(LIST_FILTER(
+           STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' '),
+           x -> LEN(x) > 0)) AS token
+  FROM documents
+),
+g AS (SELECT token, COUNT(*) AS cg FROM toks GROUP BY token),
+tt AS (SELECT token, COUNT(*) AS ct FROM toks WHERE lang = 'en'
+       GROUP BY token),
+tot AS (
+  SELECT COUNT(*) AS ng,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt,
+         COUNT(DISTINCT token) AS v
+  FROM toks
+)
+SELECT t.doc_id, t.lang, COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(CAST(ROUND(LN(
+           ((COALESCE(tt.ct, 0) + 1.0) / (tot.nt + tot.v))
+           / ((g.cg + 1.0) / (tot.ng + tot.v))), 9)
+         AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS importance
+FROM toks t
+JOIN g ON t.token = g.token
+LEFT JOIN tt ON t.token = tt.token
+CROSS JOIN tot
+GROUP BY t.doc_id, t.lang
+"""
+
+
+def q_pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card generation: the per-(language, source) summary table
+    a corpus release ships — document counts, size totals, duplicate
+    rate (distinct content digests vs rows), and long-document share —
+    as ONE hash aggregate over the corpus (the digest distinct-count is
+    the only second shuffle).  This is the audit artifact every 100 TB
+    ingest run should emit; everything is counts and exact ratios."""
+    docs = t(spark, sf_dir, "documents")
+    digest = F.md5("text")
+    n = F.count(F.lit(1))
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            n.cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(F.sum("n_chars").cast("double") / n, 6).alias(
+                "avg_chars"
+            ),
+            F.countDistinct(digest).cast("bigint").alias("n_unique"),
+            F.round(
+                (n - F.countDistinct(digest)).cast("double") / n, 6
+            ).alias("dup_rate"),
+            F.round(
+                F.sum(
+                    F.when(F.col("n_chars") > 500, 1).otherwise(0)
+                ).cast("double")
+                / n,
+                6,
+            ).alias("pct_long"),
+        )
+    )
+
+
+ORACLES["pipeline_dataset_card"] = """
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+       COUNT(DISTINCT MD5(text)) AS n_unique,
+       ROUND(CAST(COUNT(*) - COUNT(DISTINCT MD5(text)) AS DOUBLE)
+             / COUNT(*), 6) AS dup_rate,
+       ROUND(CAST(SUM(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS pct_long
+FROM documents
+GROUP BY lang, source
+"""
+
+
+def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the MEDIAN of all pairwise
+    slopes of the daily-volume series — outlier-resistant where OLS
+    (`agg_linear_fit`) is not.  Daily values come off the decimal-exact
+    rollup; the pairwise self-join is bounded by the SERIES length (30
+    daily points → ≤435 pairs per type — the per-group window is small
+    by construction, the fact table never self-joins); the median is
+    taken positionally (avg of the two middle row_numbers — no engine
+    median function, whose interpolation rules differ)."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(28,6)")).alias("v"))
+    a = daily.select(
+        "event_type",
+        F.col("d").alias("d1"),
+        F.col("v").alias("v1"),
+    )
+    b = daily.select(
+        "event_type",
+        F.col("d").alias("d2"),
+        F.col("v").alias("v2"),
+    )
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "event_type",
+            (
+                (F.col("v2").cast("double") - F.col("v1").cast("double"))
+                / F.datediff(F.col("d2"), F.col("d1"))
+            ).alias("slope"),
+            "d1",
+            "d2",
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("cnt"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+        | (F.col("rn") == F.ceil((F.col("cnt") + 1) / 2))
+    )
+    return mid.groupBy("event_type").agg(
+        F.max("cnt").cast("bigint").alias("n_pairs"),
+        F.round(F.sum("slope") / F.count(F.lit(1)), 9).alias(
+            "theil_slope"
+        ),
+    )
+
+
+ORACLES["ts_theil_sen"] = """
+WITH daily AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS d,
+         SUM(CAST(value AS DECIMAL(28,6))) AS v
+  FROM events GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.event_type,
+         (CAST(b.v AS DOUBLE) - CAST(a.v AS DOUBLE))
+           / DATE_DIFF('day', a.d, b.d) AS slope,
+         a.d AS d1, b.d AS d2
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+),
+ranked AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY slope, d1, d2) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM slopes
+)
+SELECT event_type,
+       CAST(MAX(cnt) AS BIGINT) AS n_pairs,
+       ROUND(SUM(slope) / COUNT(*), 9) AS theil_slope
+FROM ranked
+WHERE rn = CAST(FLOOR((cnt + 1) / 2.0) AS BIGINT)
+   OR rn = CAST(CEIL((cnt + 1) / 2.0) AS BIGINT)
+GROUP BY event_type
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "dedup_keep_best": q_dedup_keep_best,
+        "sample_weighted": q_sample_weighted,
+        "market_basket": q_market_basket,
+        "sim_knn_join": q_sim_knn_join,
+        "text_importance_weight": q_text_importance_weight,
+        "pipeline_dataset_card": q_pipeline_dataset_card,
+        "ts_theil_sen": q_ts_theil_sen,
+    }
+)
