@@ -48,25 +48,31 @@ progressive-JPEG entry), ``text_lm_heldout_eval``, ``agg_correlation``,
 ``streaming_fanin_union``, ``multimodal_jpeg_progressive_color``,
 ``sink_compaction``, ``ts_seasonal_profile``, ``multimodal_bmp``.
 
-Round-6 rotation backlog (round-5 additions past the filled window,
-local replay green at sf0.01 AND sf0.1, strict-dtype checked — 31
-entries + 1 env-gated; with the 3 cross-round sentinels that fills 35
-of round 6's 50 slots, leaving 15 for round-6 additions or
-re-verification): ``text_gopher_quality``, ``text_c4_filters``,
-``text_line_dedup``, ``anomaly_cusum``, ``join_fuzzy_levenshtein``,
-``join_nearest_spatial``, ``source_xml``, ``ts_downsample_m4``,
-``multimodal_ulaw``, ``multimodal_mp3_meta``,
-``multimodal_png_interlaced``, ``multimodal_png_filtered``,
-``multimodal_png_rgb``, ``multimodal_tga``, ``scalar_collation``,
-``pipeline_web_clean``, ``text_html_strip``, ``agg_benford``,
-``agg_ks_drift``, ``agg_psi``, ``sink_clustered``,
-``sink_time_travel``, ``format_snapshot_read``,
+Round-6 rotation (LANDED — this is the current window): the 3
+cross-round sentinels + the full 32-entry round-5 backlog
+(``text_gopher_quality``, ``text_c4_filters``, ``text_line_dedup``,
+``anomaly_cusum``, ``join_fuzzy_levenshtein``, ``join_nearest_spatial``,
+``source_xml``, ``ts_downsample_m4``, ``multimodal_ulaw``,
+``multimodal_mp3_meta``, ``multimodal_png_interlaced``,
+``multimodal_png_filtered``, ``multimodal_png_rgb``,
+``multimodal_tga``, ``scalar_collation``, ``pipeline_web_clean``,
+``text_html_strip``, ``agg_benford``, ``agg_ks_drift``, ``agg_psi``,
+``sink_clustered``, ``sink_time_travel``, ``format_snapshot_read``,
 ``format_stats_pruning``, ``format_schema_evolution``,
 ``format_merge_upsert``, ``format_zorder_pruning``, ``scan_dpp_join``,
 ``streaming_scd2_build``, ``streaming_format_tail``,
 ``streaming_interval_join_full``, and the env-gated
-``streaming_timeout_sessions_tws`` (skips with documented reason where
-google.protobuf is absent).
+``streaming_timeout_sessions_tws``, which records a documented skip
+where google.protobuf is absent) + the 15 round-6 additions
+(``agg_string_agg``, ``agg_chi_square``, ``agg_welch_ttest``,
+``window_distinct_running``, ``scalar_ip``,
+``format_incremental_read``, ``format_cluster_evolution``,
+``scan_metadata_only``, ``dedup_keep_best``, ``sample_weighted``,
+``market_basket``, ``sim_knn_join``, ``text_importance_weight``,
+``pipeline_dataset_card``, ``ts_theil_sen`` — each verified against
+its DuckDB oracle at sf0.01 AND sf0.1 before windowing) = exactly 50.
+Once this window lands, ALL 283 catalog entries have an official
+driver row in some round — zero rotation backlog for round 7.
 """
 
 from __future__ import annotations
@@ -90,68 +96,68 @@ _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 #: names pinned into the driver's 50-entry correctness window, in order.
-#: Round-4 rotation: the 23 entries that have never had an official driver
-#: row (8 round-3 deferrals + 15 round-3 additions past the window), the
-#: usual 3 cross-round sentinels, plus this round's new entries.  After
-#: this round every catalog entry has an official row in some round —
-#: 166/166 lifetime coverage for the pre-round-4 surface.
+#: Round-6 rotation: the 3 cross-round sentinels + the full 32-entry
+#: round-5 backlog + this round's 15 new entries = exactly 50.  After
+#: this window lands, every pre-round-6 catalog entry has an official
+#: driver row in some round (268/268 lifetime coverage) and the 15
+#: round-6 additions get theirs in the same window.
 _PRIORITY: tuple[str, ...] = (
     # cross-round regression sentinels (driver-green every prior round)
     "flagship_enrichment",
     "streaming_enrichment",
     "dedup_minhash_lsh",
-    # re-windowed after the round-4 oracle typing fix (HUGEINT vs the
-    # type-aware hash — engine values were verified identical)
-    "scalar_variant",
-    # --- round-4 additions past the filled window: the full 46-entry
-    # backlog enumerated in the round-4 rotation note, giving 236/236
-    # lifetime official coverage once this window lands ---
-    "multimodal_audio_resample",
-    "sim_range_search",
-    "window_pattern_negation",
-    "dedup_containment",
-    "streaming_state_inspect",
-    "window_streaks",
-    "scalar_bitwise",
-    "text_lm_heldout_eval",
-    "agg_correlation",
-    "text_bm25_rank",
-    "window_zscore",
-    "agg_linear_fit",
-    "agg_mode",
-    "ts_rollup_reagg",
-    "window_rolling_median",
-    "graph_bfs",
-    "text_url_dedup",
-    "multimodal_adpcm",
-    "streaming_topk",
-    "text_ndcg_eval",
-    "sim_prefix_rerank",
-    "dq_expectations",
-    "sql_recursive_cte",
-    "streaming_dual_sink",
-    "multimodal_flac",
-    "agg_higher_moments",
-    "agg_weighted_median",
-    "pipeline_audio_prep",
-    "multimodal_mjpeg_frames",
-    "agg_entropy",
-    "pipeline_behavior",
-    "multimodal_jpeg_420",
-    "sim_centroid_classify",
-    "ts_autocorr",
-    "multimodal_tiff_meta",
-    "text_source_overlap",
-    "agg_gini",
-    "text_doc_keywords",
-    "ts_holt_linear",
-    "ts_rolling_corr",
-    "text_langid_eval",
-    "streaming_fanin_union",
-    "multimodal_jpeg_progressive_color",
-    "sink_compaction",
-    "ts_seasonal_profile",
-    "multimodal_bmp",
+    # --- round-5 additions past the filled window: the 32-entry backlog
+    # enumerated in the round-6 rotation note (31 + the env-gated TWS
+    # twin, which records a documented skip where protobuf is absent) ---
+    "text_gopher_quality",
+    "text_c4_filters",
+    "text_line_dedup",
+    "anomaly_cusum",
+    "join_fuzzy_levenshtein",
+    "join_nearest_spatial",
+    "source_xml",
+    "ts_downsample_m4",
+    "multimodal_ulaw",
+    "multimodal_mp3_meta",
+    "multimodal_png_interlaced",
+    "multimodal_png_filtered",
+    "multimodal_png_rgb",
+    "multimodal_tga",
+    "scalar_collation",
+    "pipeline_web_clean",
+    "text_html_strip",
+    "agg_benford",
+    "agg_ks_drift",
+    "agg_psi",
+    "sink_clustered",
+    "sink_time_travel",
+    "format_snapshot_read",
+    "format_stats_pruning",
+    "format_schema_evolution",
+    "format_merge_upsert",
+    "format_zorder_pruning",
+    "scan_dpp_join",
+    "streaming_scd2_build",
+    "streaming_format_tail",
+    "streaming_interval_join_full",
+    "streaming_timeout_sessions_tws",
+    # --- round-6 additions (all 15 verified against their oracles at
+    # sf0.01 AND sf0.1 before windowing) ---
+    "agg_string_agg",
+    "agg_chi_square",
+    "agg_welch_ttest",
+    "window_distinct_running",
+    "scalar_ip",
+    "format_incremental_read",
+    "format_cluster_evolution",
+    "scan_metadata_only",
+    "dedup_keep_best",
+    "sample_weighted",
+    "market_basket",
+    "sim_knn_join",
+    "text_importance_weight",
+    "pipeline_dataset_card",
+    "ts_theil_sen",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"

@@ -1280,3 +1280,93 @@ def test_collation_groups_case_variants(spark):
     )
     assert out.loc["view", "count"] == 3
     assert out.loc["click", "count"] == 1
+
+
+# ---------------------------------------------------------------------------
+# round-6 operators: keep-best dedup, blocked kNN join
+# ---------------------------------------------------------------------------
+
+def test_keep_best_dedup_keeps_argmax_quality(spark):
+    """Survivor = longest raw text in the fingerprint group; key
+    tie-break; n_copies counts the whole group."""
+    from table_streaming_source_spark.operators.dedup import keep_best_dedup
+
+    rows = [
+        (1, "Hello  World"),   # normalizes like 2/3, len 12
+        (2, "hello world"),    # len 11
+        (3, "HELLO WORLD"),    # len 11 — tie with 2, lower id wins if best
+        (4, "unique text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["fingerprint"]: r
+        for r in keep_best_dedup(df, "text", "doc_id").collect()
+    }
+    groups = {r["n_copies"]: r for r in out.values()}
+    big = groups[3]
+    assert big["keep_doc_id"] == 1  # len 12 beats the two len-11 copies
+    assert big["best_len"] == 12
+    assert groups[1]["keep_doc_id"] == 4
+
+
+def test_keep_best_dedup_tie_breaks_on_smallest_key(spark):
+    from table_streaming_source_spark.operators.dedup import keep_best_dedup
+
+    df = spark.createDataFrame(
+        [(7, "same text"), (3, "same text"), (9, "same text")],
+        ["doc_id", "text"],
+    )
+    [r] = keep_best_dedup(df, "text", "doc_id").collect()
+    assert r["keep_doc_id"] == 3 and r["n_copies"] == 3
+
+
+def test_knn_join_blocked_matches_brute_force_within_block(emb):
+    """Within each block the ranked neighbors must equal the exhaustive
+    cosine ranking (same rounded score, same tie-break)."""
+    from table_streaming_source_spark.operators.similarity import (
+        knn_join_blocked,
+    )
+
+    sample = emb.filter(F.col("vec_id") < 60)
+    got = knn_join_blocked(sample, k=2).collect()
+    by_vec = {}
+    for r in got:
+        by_vec.setdefault(r["vec_id"], []).append(r)
+    rows = sample.collect()
+    import math
+
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(x) ** 2 for x in b))
+        return round(d / (na * nb), 6)
+
+    for r in rows:
+        peers = [
+            (cos(r["embedding"], o["embedding"]), o["vec_id"])
+            for o in rows
+            if o["label"] == r["label"] and o["vec_id"] != r["vec_id"]
+        ]
+        expect = sorted(peers, key=lambda t: (-t[0], t[1]))[:2]
+        mine = sorted(
+            [(g["cos_sim"], g["neighbor_id"]) for g in by_vec.get(r["vec_id"], [])],
+            key=lambda t: (-t[0], t[1]),
+        )
+        assert mine == [(pytest.approx(c, abs=1e-9), v) for c, v in expect] or [
+            (round(c, 6), v) for c, v in expect
+        ] == mine, (r["vec_id"], mine, expect)
+
+
+def test_knn_join_rank_is_dense_from_one(emb):
+    from table_streaming_source_spark.operators.similarity import (
+        knn_join_blocked,
+    )
+
+    out = knn_join_blocked(emb.filter(F.col("vec_id") < 40), k=3)
+    per = (
+        out.groupBy("vec_id")
+        .agg(F.sort_array(F.collect_list("knn_rank")).alias("ranks"))
+        .collect()
+    )
+    for r in per:
+        assert r["ranks"] == list(range(1, len(r["ranks"]) + 1))
