@@ -354,6 +354,36 @@ _SHUFFLE_BUDGET = {
     "join_nearest_spatial": 1,
     # collated grouping is the same two-phase distinct aggregate
     "scalar_collation": 2,
+    # round-6 additions.  Group-bounded collect_list/set: one hash agg
+    "agg_string_agg": 1,
+    # fact agg + the 15-row cell-table windows (bounded by |priority|×|status|)
+    "agg_chi_square": 2,
+    # single-pass conditional moments → one global agg
+    "agg_welch_ttest": 1,
+    # per-order window partition — one exchange, bounded frames
+    "window_distinct_running": 1,
+    # derive + parse + /16 rollup: one hash agg
+    "scalar_ip": 1,
+    # digest-keyed keep-best: one hash agg (max_by folds in)
+    "dedup_keep_best": 1,
+    # priority sampling is TakeOrderedAndProject — NO exchange, no sort
+    "sample_weighted": 0,
+    # a-priori basket pairs, all-shuffle at minimal stats: distinct +
+    # item counts + support join + basket self-join + pair agg (AQE
+    # broadcast-converts the small sides at larger SF: 2 at sf0.01)
+    "market_basket": 9,
+    # block-keyed self-join (broadcast at fixture scale) + per-vector window
+    "sim_knn_join": 2,
+    # two token aggs + vocab distinct + token joins + doc rollup;
+    # vocabulary tables are NEVER hint-broadcast (Heaps' law)
+    "text_importance_weight": 5,
+    # card rollup: group agg + digest distinct-count expansion
+    "pipeline_dataset_card": 2,
+    # daily rollup + series self-join + per-type median window
+    "ts_theil_sen": 3,
+    # metadata-only: the aggregate IS the scan output — zero exchanges
+    # beyond the 1-row fold (none at all in the adaptive plan)
+    "scan_metadata_only": 0,
 }
 
 
@@ -367,7 +397,9 @@ def test_shuffle_budget(stats_planner, sf_dir, name):
     )
 
 
-@pytest.mark.parametrize("name", ["shipping_priority", "order_limit_topk"])
+@pytest.mark.parametrize(
+    "name", ["shipping_priority", "order_limit_topk", "sample_weighted"]
+)
 def test_topk_never_global_sorts(stats_planner, sf_dir, name):
     plan = _final_plan(catalog.QUERIES[name](stats_planner, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
