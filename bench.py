@@ -85,6 +85,14 @@ HEADLINE = [
     "text_gopher_quality",
     "join_fuzzy_levenshtein",
     "multimodal_png_interlaced",
+    # round 6 additions: the a-priori basket self-join (the new
+    # shuffle-bearing fact×fact op), blocked full-kNN join, the DSIR
+    # token-join importance pipeline, and the footer-only aggregate
+    # (should stay near-zero — it reads NO data pages)
+    "market_basket",
+    "sim_knn_join",
+    "text_importance_weight",
+    "scan_metadata_only",
 ]
 
 

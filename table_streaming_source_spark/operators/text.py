@@ -1275,3 +1275,85 @@ def line_dedup(df: DataFrame, lines_col: str, key: str) -> DataFrame:
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def repeated_substring_spans(
+    df: DataFrame,
+    text_col: str,
+    key: str,
+    *,
+    k: int = 40,
+    min_count: int = 2,
+) -> DataFrame:
+    """Character-level repeated-substring detection (the exact-substring
+    dedup signal of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" — suffix-array motivation, streaming-shaped
+    here): every ``k``-char window is fingerprinted row-locally, windows
+    whose fingerprint occurs ≥ ``min_count`` times anywhere in the corpus
+    are marked, and per document the marked windows merge into MAXIMAL
+    duplicated spans (gaps-and-islands over window starts).
+
+    Scale shape: the gram table carries (key, offset, 16-byte digest) —
+    never the text — so the only shuffles are digest-keyed (count +
+    mark join) and the island window is partitioned per DOCUMENT
+    (bounded by its length).  Returns per-document
+    ``(n_spans, dup_chars, dup_frac)`` with zero-span documents kept."""
+    n = F.length(F.col(text_col))
+    grams = df.filter(n >= k).select(
+        F.col(key),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - {k} + 1),"
+                f" i -> struct(i AS i,"
+                f" md5(substring({text_col}, i, {k})) AS g))"
+            )
+        ).alias("__w"),
+    ).select(key, F.col("__w.i").alias("i"), F.col("__w.g").alias("g"))
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    marked = (
+        grams.join(counts.filter(F.col("cnt") >= min_count), "g")
+        .select(key, "i")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy("i")
+    prev_end = F.max(F.col("i") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = marked.withColumn(
+        "__new",
+        F.when(
+            prev_end.isNull() | (F.col("i") > prev_end), 1
+        ).otherwise(0),
+    ).withColumn(
+        "__isl",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = flagged.groupBy(key, "__isl").agg(
+        (F.max("i") + k - F.min("i")).alias("__len")
+    )
+    per_doc = spans.groupBy(key).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("__len").cast("bigint").alias("dup_chars"),
+    )
+    base = df.select(F.col(key), F.length(F.col(text_col)).alias("__n"))
+    return (
+        base.join(per_doc, key, "left")
+        .select(
+            key,
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("dup_chars", F.lit(0)).cast("bigint").alias(
+                "dup_chars"
+            ),
+            # integer-boundary rounding (scale-then-round) — the
+            # text_edit_distance discipline for int/int quotients
+            (
+                F.round(
+                    F.coalesce("dup_chars", F.lit(0)) * 1_000_000 / F.col("__n")
+                ).cast("long")
+                / 1_000_000
+            ).alias("dup_frac"),
+        )
+    )

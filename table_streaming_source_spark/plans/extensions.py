@@ -5863,3 +5863,158 @@ QUERIES_DEFERRED.update(
         "ts_theil_sen": q_ts_theil_sen,
     }
 )
+
+
+def q_text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication audit (Lee et al. 2022's signal,
+    `operators/text.py::repeated_substring_spans`): per document, the
+    maximal character spans whose 40-char windows repeat anywhere in
+    the corpus — the char-level sibling of `text_winnow` (which samples
+    fingerprints) and `text_line_dedup` (which needs line structure).
+    Gram rows carry only (key, offset, digest); the island merge is a
+    per-document window."""
+    return X.repeated_substring_spans(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=40, min_count=2
+    )
+
+
+ORACLES["text_substring_dedup"] = """
+WITH g AS (
+  SELECT doc_id, i, MD5(SUBSTR(text, i, 40)) AS g
+  FROM documents, UNNEST(RANGE(1, LEN(text) - 40 + 2)) AS u(i)
+  WHERE LEN(text) >= 40
+),
+c AS (SELECT g, COUNT(*) AS cnt FROM g GROUP BY g),
+m AS (SELECT doc_id, i FROM g JOIN c USING (g) WHERE c.cnt >= 2),
+isl AS (
+  SELECT doc_id, i,
+         CASE WHEN MAX(i + 40) OVER (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR i > MAX(i + 40) OVER (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM m
+),
+isl2 AS (
+  SELECT doc_id, i,
+         SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, MAX(i) + 40 - MIN(i) AS span_len
+  FROM isl2 GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_spans, SUM(span_len) AS dup_chars
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(p.dup_chars, 0) AS BIGINT) AS dup_chars,
+       CAST(ROUND(COALESCE(p.dup_chars, 0) * 1000000.0 / LEN(d.text))
+            AS BIGINT) / 1000000 AS dup_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def q_agg_delta_method_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-metric confidence interval via the DELTA METHOD over user
+    clusters — the experimentation-platform staple (revenue per event,
+    CTR) where the unit of randomization is the USER, so naive row-level
+    variance is wrong: per-user (x, y) totals first, then the ratio
+    R = Σy/Σx with Var(R) ≈ (s_y² − 2R·s_xy + R²·s_x²)/(n·μ_x²) from the
+    user-level sample moments.  All moments accumulate on the decimal
+    path (exact, associative); R/se/CI are then one deterministic IEEE
+    expression; the z critical value is a shared literal (the Benford
+    discipline).  Two hash aggregates, fully map-combinable."""
+    e = t(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(28,6)")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", v)),
+            F.lit(0).cast("decimal(28,6)"),
+        ).alias("y"),
+    )
+    yd = F.col("y")
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(yd).cast("decimal(38,6)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(yd * yd).cast("decimal(38,12)").alias("syy"),
+        F.sum(yd * F.col("x")).cast("decimal(38,6)").alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    mx = sx / n
+    my = sy / n
+    r = sy / sx
+    vx = (F.col("sxx") - n * mx * mx) / (n - 1)
+    vy = (F.col("syy").cast("double") - n * my * my) / (n - 1)
+    cxy = (F.col("sxy").cast("double") - n * mx * my) / (n - 1)
+    var_r = (vy - 2 * r * cxy + r * r * vx) / (n * mx * mx)
+    se = F.sqrt(var_r)
+    z = F.lit(1.959963984540054)
+    return mom.select(
+        n.alias("n_users"),
+        F.round(r, 9).alias("ratio"),
+        F.round(se, 9).alias("se"),
+        F.round(r - z * se, 9).alias("ci_lo"),
+        F.round(r + z * se, 9).alias("ci_hi"),
+    )
+
+
+ORACLES["agg_delta_method_ci"] = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS x,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(28,6)) END),
+                  CAST(0 AS DECIMAL(28,6))) AS y
+  FROM events GROUP BY user_id
+),
+mom AS (
+  SELECT COUNT(*) AS n,
+         SUM(x) AS sx,
+         CAST(SUM(y) AS DECIMAL(38,6)) AS sy,
+         SUM(x * x) AS sxx,
+         CAST(SUM(y * y) AS DECIMAL(38,12)) AS syy,
+         CAST(SUM(y * x) AS DECIMAL(38,6)) AS sxy
+  FROM per_user
+),
+d AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+         CAST(sxy AS DOUBLE) AS sxy
+  FROM mom
+),
+f AS (
+  SELECT n, sy / sx AS r, sx / n AS mx, sy / n AS my,
+         (sxx - n * (sx / n) * (sx / n)) / (n - 1) AS vx,
+         (syy - n * (sy / n) * (sy / n)) / (n - 1) AS vy,
+         (sxy - n * (sx / n) * (sy / n)) / (n - 1) AS cxy
+  FROM d
+)
+SELECT n AS n_users,
+       ROUND(r, 9) AS ratio,
+       ROUND(SQRT((vy - 2 * r * cxy + r * r * vx) / (n * mx * mx)), 9)
+         AS se,
+       ROUND(r - 1.959963984540054
+             * SQRT((vy - 2 * r * cxy + r * r * vx) / (n * mx * mx)), 9)
+         AS ci_lo,
+       ROUND(r + 1.959963984540054
+             * SQRT((vy - 2 * r * cxy + r * r * vx) / (n * mx * mx)), 9)
+         AS ci_hi
+FROM f
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "text_substring_dedup": q_text_substring_dedup,
+        "agg_delta_method_ci": q_agg_delta_method_ci,
+    }
+)

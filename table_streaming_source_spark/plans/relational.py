@@ -7544,3 +7544,176 @@ FROM lineitem
 
 
 QUERIES.update({"scan_metadata_only": q_scan_metadata_only})
+
+
+_GROUPBY_ALL_SQL = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM {orders}
+GROUP BY ALL
+"""
+
+
+def q_sql_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` through the SQL front door (Spark ≥ 4 / modern
+    ANSI dialects): the grouping key set is inferred from the
+    non-aggregate select list — the SAME query text runs on both engines
+    (the `sql_recursive_cte` parity discipline).  Physically identical
+    to the explicit two-key hash aggregate; purely a front-door surface
+    a migrating user expects to keep."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("__gba_orders")
+    return spark.sql(_GROUPBY_ALL_SQL.format(orders="__gba_orders"))
+
+
+ORACLES["sql_groupby_all"] = _GROUPBY_ALL_SQL.format(orders="orders")
+
+
+QUERIES.update({"sql_groupby_all": q_sql_groupby_all})
+
+
+def q_scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden ``_metadata`` file-source column (Spark's row→file lineage:
+    ``_metadata.file_path`` / ``file_name`` on every file scan) — the
+    audit/debugging primitive that answers "which FILE did this row come
+    from" at 100 TB without any layout convention.  The entry writes a
+    bucket-partitioned layout (one file per partition directory by
+    construction: ``repartition(bucket)`` before ``partitionBy``),
+    re-derives the partition value FROM the file path, and proves
+    row-to-file attribution: per-bucket counts match the data and every
+    bucket maps to exactly one file.  The metadata struct is generated
+    by the scan — zero extra I/O."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+
+    path = _scratch.scratch_dir("scan_file_meta", sf_dir, fresh=True)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 8).cast("int").alias("bucket"),
+        "o_totalprice",
+    )
+    o.repartition("bucket").write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(path)
+    result = (
+        spark.read.parquet(path)
+        .groupBy(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"bucket=(\d+)", 1
+            )
+            .cast("int")
+            .alias("bucket_from_path")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+            F.countDistinct(F.col("_metadata.file_name"))
+            .cast("bigint")
+            .alias("n_files"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["scan_file_metadata"] = """
+SELECT CAST(o_orderkey % 8 AS INT) AS bucket_from_path,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price,
+       CAST(1 AS BIGINT) AS n_files
+FROM orders
+GROUP BY 1
+"""
+
+
+QUERIES.update({"scan_file_metadata": q_scan_file_metadata})
+
+
+def q_join_interval_overlap_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap AGGREGATION (total co-occurrence duration per
+    left interval) — the interval-algebra step beyond containment/as-of:
+    7-day order windows (even keys) against 5-day windows (odd keys),
+    total overlapping days per left order.  The pair generation is
+    BINNED exactly like `join_interval_binned` (intervals explode into
+    their ≤2 covering week bins; the join is an EQUI join on the bin +
+    row-local overlap predicate — never a cartesian), bin-duplicate
+    pairs collapse via DISTINCT before the rollup.  Overlap length is
+    pure integer date arithmetic."""
+    o = t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    epoch_day = F.datediff(d, F.lit("1970-01-01"))
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("ka"),
+        d.alias("sa"),
+        F.date_add(d, 7).alias("ea"),
+        epoch_day.alias("__eda"),
+    )
+    b = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderkey").alias("kb"),
+        d.alias("sb"),
+        F.date_add(d, 5).alias("eb"),
+        epoch_day.alias("__edb"),
+    )
+    # a-interval [ed, ed+7) covers week bins floor(ed/7)..floor((ed+6)/7)
+    ab = a.select(
+        "ka", "sa", "ea",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__eda") / 7),
+                F.floor((F.col("__eda") + 6) / 7),
+            )
+        ).alias("bin"),
+    )
+    bb = b.select(
+        "kb", "sb", "eb",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__edb") / 7),
+                F.floor((F.col("__edb") + 4) / 7),
+            )
+        ).alias("bin"),
+    )
+    pairs = (
+        ab.join(bb, "bin")
+        .filter((F.col("sa") < F.col("eb")) & (F.col("sb") < F.col("ea")))
+        .select(
+            "ka",
+            "kb",
+            F.datediff(
+                F.least("ea", "eb"), F.greatest("sa", "sb")
+            ).alias("ov"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy(F.col("ka").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlaps"),
+        F.sum("ov").cast("bigint").alias("overlap_days"),
+    )
+
+
+ORACLES["join_interval_overlap_agg"] = """
+WITH a AS (
+  SELECT o_orderkey AS ka, CAST(o_orderdate AS DATE) AS sa,
+         CAST(o_orderdate AS DATE) + 7 AS ea
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+b AS (
+  SELECT o_orderkey AS kb, CAST(o_orderdate AS DATE) AS sb,
+         CAST(o_orderdate AS DATE) + 5 AS eb
+  FROM orders WHERE o_orderkey % 2 = 1
+),
+p AS (
+  SELECT ka, kb,
+         DATE_DIFF('day', GREATEST(sa, sb), LEAST(ea, eb)) AS ov
+  FROM a JOIN b ON sa < eb AND sb < ea
+)
+SELECT ka AS o_orderkey, COUNT(*) AS n_overlaps,
+       CAST(SUM(ov) AS BIGINT) AS overlap_days
+FROM p GROUP BY ka
+"""
+
+
+QUERIES.update({"join_interval_overlap_agg": q_join_interval_overlap_agg})
