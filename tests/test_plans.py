@@ -368,10 +368,11 @@ _SHUFFLE_BUDGET = {
     "dedup_keep_best": 1,
     # priority sampling is TakeOrderedAndProject — NO exchange, no sort
     "sample_weighted": 0,
-    # a-priori basket pairs, all-shuffle at minimal stats: distinct +
-    # item counts + support join + basket self-join + pair agg (AQE
-    # broadcast-converts the small sides at larger SF: 2 at sf0.01)
-    "market_basket": 9,
+    # a-priori basket pairs: distinct + item counts + support join +
+    # basket collect + pair agg — pair expansion is ROW-LOCAL from the
+    # basket array (≤136 pairs/basket), no fact×fact self-join; AQE
+    # broadcast-converts the small sides at larger SF
+    "market_basket": 7,
     # block-keyed self-join (broadcast at fixture scale) + per-vector window
     "sim_knn_join": 2,
     # two token aggs + vocab distinct + token joins + doc rollup;
