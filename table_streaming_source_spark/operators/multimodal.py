@@ -5310,3 +5310,184 @@ def tga_stats(
             )
 
     return df.mapInPandas(batches, schema=RGB_STATS_SCHEMA)
+
+
+def synth_ico(images: "list[tuple[int, int, int, int]]") -> bytes:
+    """A spec-valid multi-resolution ICO container: ICONDIR (reserved=0,
+    type=1, count) + one 16-byte ICONDIRENTRY per image (width/height
+    bytes, planes=1, bitcount=24, bytesInRes, imageOffset) + per image a
+    BITMAPINFOHEADER whose ``biHeight`` is DOUBLED (the XOR+AND mask
+    quirk unique to ICO), the 24-bit bottom-up BGR XOR image (4-byte
+    stride), then the 1-bpp AND transparency mask (rows padded to
+    32-bit stride, MSB-first).  ``images`` is
+    ``[(width, height, seed, key), ...]``; pixels follow the shared AVI/
+    BMP formula, mask bit set (transparent) when ``(x+y+key) % 5 == 0``."""
+    import numpy as np
+
+    blobs = []
+    for width, height, seed, key in images:
+        x = np.arange(width, dtype=np.int64)[None, :]
+        y = np.arange(height, dtype=np.int64)[:, None]
+        r = ((7 * x + 13 * y + seed) % 256).astype(np.uint8)
+        g = ((11 * x + 5 * y + seed) % 256).astype(np.uint8)
+        b = ((3 * x + 23 * y + seed) % 256).astype(np.uint8)
+        stride = (3 * width + 3) & ~3
+        dib = np.flipud(np.stack([b, g, r], axis=-1))
+        rows = np.zeros((height, stride), dtype=np.uint8)
+        rows[:, : 3 * width] = dib.reshape(height, 3 * width)
+        mask_bits = ((x + y + key) % 5 == 0)  # broadcast (h, w) bools
+        mask_bits = np.broadcast_to(mask_bits, (height, width))
+        mask_stride = ((width + 31) // 32) * 4
+        mrows = np.zeros((height, mask_stride * 8), dtype=np.uint8)
+        mrows[:, :width] = np.flipud(mask_bits).astype(np.uint8)
+        mask = np.packbits(mrows, axis=1).tobytes()
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, width, height * 2, 1, 24, 0,
+            rows.nbytes + len(mask), 0, 0, 0, 0,
+        )
+        blobs.append(info + rows.tobytes() + mask)
+    count = len(images)
+    out = bytearray(struct.pack("<HHH", 0, 1, count))
+    offset = 6 + 16 * count
+    for (width, height, _seed, _key), blob in zip(images, blobs):
+        out += struct.pack(
+            "<BBBBHHII",
+            width % 256, height % 256, 0, 0, 1, 24, len(blob), offset,
+        )
+        offset += len(blob)
+    for blob in blobs:
+        out += blob
+    return bytes(out)
+
+
+def ico_frames(payload: bytes) -> "list[tuple[object, object]]":
+    """Decode an ICO container to ``[(rgb (H,W,3) uint8, mask (H,W)
+    bool), ...]`` — directory walked by OFFSET (entries need not be
+    contiguous), ``biHeight`` halved back (the XOR/AND doubling), XOR
+    image as bottom-up 24-bit BGR with 4-byte stride, AND mask as 1-bpp
+    MSB-first rows on 32-bit stride.  Non-icon type or non-24bpp
+    entries raise (quarantine path)."""
+    import numpy as np
+
+    if len(payload) < 6:
+        raise ValueError("truncated ICO header")
+    reserved, kind, count = struct.unpack("<HHH", payload[:6])
+    if reserved != 0 or kind != 1:
+        raise ValueError("not an ICO stream")
+    out = []
+    for i in range(count):
+        entry = payload[6 + 16 * i : 6 + 16 * (i + 1)]
+        if len(entry) < 16:
+            raise ValueError("truncated ICONDIRENTRY")
+        _w8, _h8, _, _, _planes, _bpp, size, offset = struct.unpack(
+            "<BBBBHHII", entry
+        )
+        blob = payload[offset : offset + size]
+        if len(blob) < 40:
+            raise ValueError("truncated DIB header")
+        (_, width, height2, _, bitcount, compression) = struct.unpack(
+            "<IiiHHI", blob[:20]
+        )
+        if bitcount != 24 or compression != 0:
+            raise ValueError(
+                f"unsupported ICO image ({bitcount}bpp) — only 24-bit"
+            )
+        height = height2 // 2
+        stride = (3 * width + 3) & ~3
+        xor_end = 40 + stride * height
+        rows = np.frombuffer(blob[40:xor_end], dtype=np.uint8).reshape(
+            height, stride
+        )
+        bgr = np.flipud(rows[:, : 3 * width].reshape(height, width, 3))
+        mask_stride = ((width + 31) // 32) * 4
+        mraw = np.frombuffer(
+            blob[xor_end : xor_end + mask_stride * height], dtype=np.uint8
+        ).reshape(height, mask_stride)
+        mbits = np.unpackbits(mraw, axis=1)[:, :width].astype(bool)
+        out.append((bgr[:, :, ::-1].copy(), np.flipud(mbits).copy()))
+    return out
+
+
+def attach_ico_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one two-resolution :func:`synth_ico` per key —
+    image 0 ``(5 + k%12) × (4 + k%9)``, image 1 ``(3 + k%5) × (3 +
+    k%4)``, seeds ``(k + 17·j) % 256``."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for k in pdf[key]:
+                k = int(k)
+                payloads.append(
+                    synth_ico(
+                        [
+                            (5 + k % 12, 4 + k % 9, k % 256, k),
+                            (3 + k % 5, 3 + k % 4, (k + 17) % 256, k),
+                        ]
+                    )
+                )
+            yield pd.DataFrame(
+                {"key": pdf[key].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+ICO_STATS_SCHEMA = StructType(
+    [
+        StructField("key", LongType(), False),
+        StructField("n_images", IntegerType(), False),
+        StructField("width0", IntegerType(), False),
+        StructField("height0", IntegerType(), False),
+        StructField("sum_r", LongType(), False),
+        StructField("sum_g", LongType(), False),
+        StructField("sum_b", LongType(), False),
+        StructField("n_transparent", LongType(), False),
+    ]
+)
+
+
+def ico_stats(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Integer-exact channel sums over the OPAQUE pixels of every image
+    in the container (the AND mask genuinely gates the sums — a decoder
+    that ignores it is value-visible) plus the transparent-pixel count.
+    Arrow-batched ``mapInPandas``, zero shuffles."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "key", "n_images", "width0", "height0",
+                "sum_r", "sum_g", "sum_b", "n_transparent",
+            )}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                frames = ico_frames(bytes(payload))
+                sr = sg = sb = nt = 0
+                for rgb, mask in frames:
+                    px = rgb.astype(np.int64)
+                    opaque = ~mask
+                    sr += int(px[:, :, 0][opaque].sum())
+                    sg += int(px[:, :, 1][opaque].sum())
+                    sb += int(px[:, :, 2][opaque].sum())
+                    nt += int(mask.sum())
+                rows["key"].append(int(k))
+                rows["n_images"].append(len(frames))
+                rows["width0"].append(frames[0][0].shape[1])
+                rows["height0"].append(frames[0][0].shape[0])
+                rows["sum_r"].append(sr)
+                rows["sum_g"].append(sg)
+                rows["sum_b"].append(sb)
+                rows["n_transparent"].append(nt)
+            yield pd.DataFrame(rows)
+
+    from table_streaming_source_spark.operators.hof import spread
+
+    return spread(df).mapInPandas(batches, schema=ICO_STATS_SCHEMA)

@@ -6031,3 +6031,49 @@ QUERIES_DEFERRED.update(
         "agg_delta_method_ci": q_agg_delta_method_ci,
     }
 )
+
+
+def q_multimodal_ico(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICO container decode (`operators/multimodal.py::ico_frames`):
+    multi-resolution icon directory walked by OFFSET, the doubled-
+    ``biHeight`` XOR/AND quirk, 24-bit bottom-up BGR XOR image, and the
+    1-bpp MSB-first AND mask on 32-bit stride — channel sums run over
+    OPAQUE pixels only, so a decoder that skips the mask (or botches
+    bit order / the height halving) is value-visible.  Adds the
+    container-of-DIBs shape to the codec family (AVI=stream-of-DIBs,
+    ICO=directory-of-DIBs).  Zero-shuffle Arrow map; oracle restates
+    the pixel and mask formulas."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    return M.ico_stats(M.attach_ico_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_ico"] = """
+WITH im AS (
+  SELECT doc_id AS key, j,
+         CASE WHEN j = 0 THEN 5 + doc_id % 12 ELSE 3 + doc_id % 5 END AS w,
+         CASE WHEN j = 0 THEN 4 + doc_id % 9 ELSE 3 + doc_id % 4 END AS h,
+         (doc_id + 17 * j) % 256 AS s
+  FROM documents, UNNEST([0, 1]) AS u(j)
+  WHERE doc_id % 3 = 1
+),
+px AS (
+  SELECT key, j, w, h, ux.x AS x, uy.y AS y,
+         (7 * ux.x + 13 * uy.y + s) % 256 AS r,
+         (11 * ux.x + 5 * uy.y + s) % 256 AS g,
+         (3 * ux.x + 23 * uy.y + s) % 256 AS b,
+         CASE WHEN (ux.x + uy.y + key) % 5 = 0 THEN 1 ELSE 0 END AS t
+  FROM im, UNNEST(RANGE(0, w)) AS ux(x), UNNEST(RANGE(0, h)) AS uy(y)
+)
+SELECT key,
+       CAST(2 AS INT) AS n_images,
+       CAST(MAX(CASE WHEN j = 0 THEN w END) AS INT) AS width0,
+       CAST(MAX(CASE WHEN j = 0 THEN h END) AS INT) AS height0,
+       CAST(SUM(CASE WHEN t = 0 THEN r ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN t = 0 THEN g ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN t = 0 THEN b ELSE 0 END) AS BIGINT) AS sum_b,
+       CAST(SUM(t) AS BIGINT) AS n_transparent
+FROM px GROUP BY key
+"""
+
+
+QUERIES_DEFERRED.update({"multimodal_ico": q_multimodal_ico})

@@ -1170,3 +1170,76 @@ def test_progressive_color_matches_baseline_color_planes():
     )
     for p, b in zip(prog, base):
         assert (p == b).all()
+
+
+# ---------------------------------------------------------------------------
+# ICO container (round 6)
+# ---------------------------------------------------------------------------
+
+def test_ico_roundtrip_pixels_and_mask():
+    """synth → decode recovers exact pixels per the shared formula and
+    the AND mask per (x+y+key)%5 — both resolutions."""
+    import numpy as np
+
+    from table_streaming_source_spark.operators.multimodal import (
+        ico_frames,
+        synth_ico,
+    )
+
+    key = 7
+    spec = [(9, 6, 42, key), (4, 3, 59, key)]
+    frames = ico_frames(synth_ico(spec))
+    assert len(frames) == 2
+    for (w, h, s, k), (rgb, mask) in zip(spec, frames):
+        assert rgb.shape == (h, w, 3) and mask.shape == (h, w)
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        assert (rgb[:, :, 0] == (7 * x + 13 * y + s) % 256).all()
+        assert (rgb[:, :, 1] == (11 * x + 5 * y + s) % 256).all()
+        assert (rgb[:, :, 2] == (3 * x + 23 * y + s) % 256).all()
+        assert (mask == ((x + y + k) % 5 == 0)).all()
+
+
+def test_ico_directory_offsets_are_honored():
+    """Entries are located by their directory OFFSET, not assumed
+    contiguous: injecting slack bytes between images must not change
+    the decode."""
+    import struct as _struct
+
+    from table_streaming_source_spark.operators.multimodal import (
+        ico_frames,
+        synth_ico,
+    )
+
+    raw = bytearray(synth_ico([(5, 4, 1, 3), (3, 3, 18, 3)]))
+    # shift the SECOND image 8 bytes later and patch its offset
+    off2 = _struct.unpack("<I", raw[6 + 16 + 12 : 6 + 16 + 16])[0]
+    moved = raw[:off2] + b"\x00" * 8 + raw[off2:]
+    moved[6 + 16 + 12 : 6 + 16 + 16] = _struct.pack("<I", off2 + 8)
+    a = ico_frames(bytes(raw))
+    b = ico_frames(bytes(moved))
+    for (ra, ma), (rb, mb) in zip(a, b):
+        assert (ra == rb).all() and (ma == mb).all()
+
+
+def test_ico_rejects_non_icon_and_wrong_depth():
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from table_streaming_source_spark.operators.multimodal import (
+        ico_frames,
+        synth_ico,
+    )
+
+    raw = bytearray(synth_ico([(4, 4, 0, 1)]))
+    cur = bytearray(raw)
+    cur[2:4] = _struct.pack("<H", 2)  # type=2 is CUR, not ICO
+    with _pytest.raises(ValueError, match="not an ICO"):
+        ico_frames(bytes(cur))
+    bad = bytearray(raw)
+    # bitcount lives 14 bytes into the DIB header (offset 22 of the blob)
+    off = _struct.unpack("<I", raw[6 + 12 : 6 + 16])[0]
+    bad[off + 14 : off + 16] = _struct.pack("<H", 8)
+    with _pytest.raises(ValueError, match="only 24-bit"):
+        ico_frames(bytes(bad))
