@@ -7717,3 +7717,128 @@ FROM p GROUP BY ka
 
 
 QUERIES.update({"join_interval_overlap_agg": q_join_interval_overlap_agg})
+
+
+def q_window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per daily series (running peak minus current,
+    maximized over time) — the risk/SLO window metric every monitoring
+    and finance stack computes.  The daily rollup is decimal-exact, the
+    running max and the drawdown SUBTRACTION stay in decimals
+    (associative, partitioning-independent), and the worst day resolves
+    by equality join on the exact decimal maximum with a min-day
+    tie-break — no float comparison anywhere until the final display
+    cast.  One bounded window per type (≤30 daily points)."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(28,6)")).alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = daily.withColumn("__dd", F.max("v").over(w) - F.col("v"))
+    mx = dd.groupBy("event_type").agg(F.max("__dd").alias("__mdd"))
+    return (
+        dd.join(F.broadcast(mx), "event_type")
+        .filter(F.col("__dd") == F.col("__mdd"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("__mdd").cast("double"), 6).alias(
+                "max_drawdown"
+            ),
+            F.min("d").alias("worst_day"),
+        )
+    )
+
+
+ORACLES["window_drawdown"] = """
+WITH daily AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS d,
+         SUM(CAST(value AS DECIMAL(28,6))) AS v
+  FROM events GROUP BY 1, 2
+),
+dd AS (
+  SELECT event_type, d,
+         MAX(v) OVER (PARTITION BY event_type ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - v AS x
+  FROM daily
+),
+mx AS (SELECT event_type, MAX(x) AS mdd FROM dd GROUP BY event_type)
+SELECT dd.event_type,
+       ROUND(CAST(MAX(mx.mdd) AS DOUBLE), 6) AS max_drawdown,
+       MIN(dd.d) AS worst_day
+FROM dd JOIN mx ON dd.event_type = mx.event_type AND dd.x = mx.mdd
+GROUP BY dd.event_type
+"""
+
+
+QUERIES.update({"window_drawdown": q_window_drawdown})
+
+
+def q_format_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-audit through the commit log: committed-file count and
+    live rows from the MANIFEST vs orphan data files on disk (written
+    but never committed — the residue of lost commit races and
+    abandoned writers that `vacuum` sweeps).  The entry stages one
+    orphan deliberately (a write whose commit never lands) and proves
+    the read path never sees it while the audit counts it — the
+    snapshot-isolation contract made queryable.  Everything but the
+    directory listing is manifest arithmetic on the driver; the rows
+    come from one committed-snapshot aggregate."""
+    import os as _os
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_orphan", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    for i in range(2):
+        TF.commit_append(
+            spark,
+            path,
+            o.filter(F.col("o_orderkey") % 2 == i).coalesce(1),
+            stat_cols=["o_orderkey"],
+        )
+    # an abandoned writer: data staged, commit never published
+    o.limit(100).coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(path, "data", "orphan-staging")
+    )
+    committed = {
+        _os.path.abspath(p) for p in TF.snapshot_files(path)[0]
+    }
+    on_disk = []
+    for root, _dirs, names in _os.walk(_os.path.join(path, "data")):
+        on_disk.extend(
+            _os.path.abspath(_os.path.join(root, n))
+            for n in names
+            if n.endswith(".parquet")
+        )
+    n_orphans = sum(1 for p in on_disk if p not in committed)
+    live = TF.read_table(spark, path).agg(
+        F.count(F.lit(1)).cast("bigint").alias("live_rows"),
+        dsum("o_totalprice").alias("live_price"),
+    )
+    result = live.select(
+        F.lit(len(committed)).cast("int").alias("n_committed_files"),
+        F.lit(n_orphans).cast("int").alias("n_orphans"),
+        "live_rows",
+        "live_price",
+    ).localCheckpoint(eager=True)
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_orphan_audit"] = """
+SELECT CAST(2 AS INT) AS n_committed_files,
+       CAST(1 AS INT) AS n_orphans,
+       COUNT(*) AS live_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS live_price
+FROM orders
+"""
+
+
+QUERIES.update({"format_orphan_audit": q_format_orphan_audit})
