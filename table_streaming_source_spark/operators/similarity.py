@@ -1151,3 +1151,128 @@ def knn_join_blocked(
         .filter(F.col("knn_rank") <= k)
         .select(key, "neighbor_id", "knn_rank", "cos_sim")
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    k_candidates: int = 12,
+    k_select: int = 4,
+    lam: float = 0.7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998):
+    from each query's top-``k_candidates`` relevance list, greedily pick
+    ``k_select`` results maximizing ``λ·rel − (1−λ)·max_sim_to_selected``
+    — the diversity-aware serving step after ANN retrieval.
+
+    Scale shape: the expensive part is candidate GENERATION, which is
+    whatever retrieval op feeds this (here :func:`cosine_topk`); the MMR
+    iterations themselves touch only the candidate lists (``k²`` pair
+    sims per query, all bounded by ``k_candidates``) — the greedy loop
+    is ``k_select`` dataframe steps whose joins never see the corpus.
+    Determinism: relevance and pair sims are ROUNDED before ranking and
+    every argmax tie-breaks on the candidate id."""
+    # loop-invariant inputs materialize ONCE (the kmeans/graph loop
+    # discipline): cand and ps are bounded by queries × k_candidates,
+    # and without the checkpoint every greedy step would re-derive the
+    # corpus-wide candidate generation through its growing lineage
+    cand = (
+        cosine_topk(
+            corpus,
+            queries,
+            vec_col=vec_col,
+            key=key,
+            k=k_candidates,
+            round_digits=round_digits,
+        )
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("cand_id"),
+            F.col("cos_sim").alias("rel"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    vecs = corpus.select(
+        F.col(key).alias("cand_id"), F.col(vec_col).alias("__v")
+    )
+    cv = cand.join(vecs, "cand_id")
+    a = cv.select(
+        "query_id",
+        F.col("cand_id").alias("ca"),
+        F.col("__v").alias("__va"),
+    )
+    b = cv.select(
+        "query_id",
+        F.col("cand_id").alias("cb"),
+        F.col("__v").alias("__vb"),
+    )
+    ps = (
+        a.join(b, "query_id")
+        .filter(F.col("ca") != F.col("cb"))
+        .select(
+            "query_id",
+            "ca",
+            "cb",
+            F.round(
+                cosine(F.col("__va"), F.col("__vb")), round_digits
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.col("cand_id")
+    )
+    selected = (
+        cand.withColumn("__rn", F.row_number().over(w_rel))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "query_id", "cand_id", "rel", F.lit(1).alias("mmr_rank")
+        )
+    )
+    for step in range(2, k_select + 1):
+        sel_ids = selected.select("query_id", "cand_id")
+        remaining = cand.join(
+            sel_ids, ["query_id", "cand_id"], "left_anti"
+        )
+        pen = (
+            ps.join(
+                sel_ids.select(
+                    "query_id", F.col("cand_id").alias("cb")
+                ),
+                ["query_id", "cb"],
+            )
+            .groupBy("query_id", F.col("ca").alias("cand_id"))
+            .agg(F.max("sim").alias("__pen"))
+        )
+        score = F.round(
+            F.lit(lam) * F.col("rel")
+            - F.lit(1.0 - lam) * F.col("__pen"),
+            9,
+        )
+        w_sc = Window.partitionBy("query_id").orderBy(
+            score.desc(), F.col("cand_id")
+        )
+        pick = (
+            remaining.join(pen, ["query_id", "cand_id"])
+            .withColumn("__rn", F.row_number().over(w_sc))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "query_id",
+                "cand_id",
+                "rel",
+                F.lit(step).alias("mmr_rank"),
+            )
+        )
+        # selected is referenced by BOTH the anti-join and the penalty
+        # join next step — pin it so lineage doesn't double per pick
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected.select(
+        "query_id",
+        "cand_id",
+        F.col("mmr_rank").cast("int").alias("mmr_rank"),
+        "rel",
+    )

@@ -6077,3 +6077,205 @@ FROM px GROUP BY key
 
 
 QUERIES_DEFERRED.update({"multimodal_ico": q_multimodal_ico})
+
+
+def _mmr_cos_sql(a: str, b: str) -> str:
+    return (
+        f"ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP({a}.embedding, {b}.embedding),"
+        f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        f" / (SQRT(LIST_SUM(LIST_TRANSFORM({a}.embedding,"
+        f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        f" * SQRT(LIST_SUM(LIST_TRANSFORM({b}.embedding,"
+        f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+    )
+
+
+def _mmr_sql(k_candidates: int = 12, k_select: int = 4) -> str:
+    parts = [
+        "q AS (SELECT vec_id AS query_id, embedding FROM embeddings"
+        " WHERE vec_id < 5)",
+        f"""c0 AS (
+  SELECT q.query_id, e.vec_id AS cand_id, {_mmr_cos_sql('q', 'e')} AS rel
+  FROM q JOIN embeddings e ON e.vec_id != q.query_id
+)""",
+        f"""cand AS (
+  SELECT query_id, cand_id, rel FROM (
+    SELECT query_id, cand_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, cand_id) AS rn
+    FROM c0
+  ) WHERE rn <= {k_candidates}
+)""",
+        f"""ps AS (
+  SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+         {_mmr_cos_sql('ea', 'eb')} AS sim
+  FROM cand a
+  JOIN embeddings ea ON ea.vec_id = a.cand_id
+  JOIN cand b ON b.query_id = a.query_id AND b.cand_id != a.cand_id
+  JOIN embeddings eb ON eb.vec_id = b.cand_id
+)""",
+        """s1 AS (
+  SELECT query_id, cand_id, rel, 1 AS mmr_rank FROM (
+    SELECT query_id, cand_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, cand_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)""",
+        "sel1 AS (SELECT * FROM s1)",
+    ]
+    for i in range(2, k_select + 1):
+        parts.append(f"""p{i} AS (
+  SELECT ps.query_id, ps.ca AS cand_id, MAX(ps.sim) AS pen
+  FROM ps JOIN sel{i - 1} s
+    ON s.query_id = ps.query_id AND s.cand_id = ps.cb
+  GROUP BY 1, 2
+)""")
+        parts.append(f"""r{i} AS (
+  SELECT c.query_id, c.cand_id, c.rel, p.pen
+  FROM cand c JOIN p{i} p USING (query_id, cand_id)
+  WHERE NOT EXISTS (SELECT 1 FROM sel{i - 1} s
+                    WHERE s.query_id = c.query_id
+                      AND s.cand_id = c.cand_id)
+)""")
+        parts.append(f"""s{i} AS (
+  SELECT query_id, cand_id, rel, {i} AS mmr_rank FROM (
+    SELECT query_id, cand_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY ROUND(0.7 * rel - 0.3 * pen, 9) DESC, cand_id)
+             AS rn
+    FROM r{i}
+  ) WHERE rn = 1
+)""")
+        parts.append(
+            f"sel{i} AS (SELECT * FROM sel{i - 1}"
+            f" UNION ALL SELECT * FROM s{i})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, cand_id, CAST(mmr_rank AS INT) AS mmr_rank, rel
+FROM sel{k_select}
+"""
+    )
+
+
+def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversity rerank
+    (`operators/similarity.py::mmr_rerank`, Carbonell & Goldstein
+    1998): greedy λ·rel − (1−λ)·max-sim-to-selected over each query's
+    top-12 candidates, 4 picks — the diversity pass retrieval serving
+    runs AFTER ANN.  The greedy iterations only ever touch the bounded
+    candidate lists (k² pair sims per query); the oracle unrolls the
+    same 4 greedy steps as CTEs (the `sim_kmeans_refine` discipline for
+    iterative algorithms)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.mmr_rerank(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k_candidates=12,
+        k_select=4,
+        lam=0.7,
+    )
+
+
+ORACLES["sim_mmr_rerank"] = _mmr_sql(12, 4)
+
+
+def q_ts_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly detection: hourly volumes are scored
+    against their hour-of-day slot mean (the `ts_seasonal_profile`
+    expectation), and the RESIDUALS are flagged by the robust
+    median/MAD rule (the `anomaly_mad` discipline, which pins the
+    Spark-`percentile` ≡ DuckDB-`quantile_cont` interpolation parity) —
+    a raw-value monitor calls every rush hour an outlier; the seasonal
+    residual only fires on deviation FROM PATTERN.  Two decimal-exact
+    rollups + two bounded percentile aggregates per type; flagging is a
+    row-local filter."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.sum(F.col("value").cast("decimal(28,6)")).alias("v"))
+    slot = hourly.groupBy("event_type", "hod").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("expected")
+    )
+    resid = hourly.join(F.broadcast(slot), ["event_type", "hod"]).select(
+        "event_type",
+        "h",
+        F.col("v").cast("double").alias("v"),
+        "expected",
+        (F.col("v").cast("double") - F.col("expected")).alias("__r"),
+    )
+    med = resid.groupBy("event_type").agg(
+        F.percentile("__r", F.lit(0.5)).alias("__med")
+    )
+    dev = resid.join(F.broadcast(med), "event_type").withColumn(
+        "__ad", F.abs(F.col("__r") - F.col("__med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("__ad", F.lit(0.5)).alias("__mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("__ad") > 3.0 * F.col("__mad"))
+        .select(
+            "event_type",
+            "h",
+            F.round("v", 6).alias("hourly_v"),
+            F.round("expected", 6).alias("expected"),
+            F.round("__r", 6).alias("residual"),
+            F.round(F.col("__ad") / F.col("__mad"), 6).alias(
+                "mad_ratio"
+            ),
+        )
+    )
+
+
+ORACLES["ts_anomaly_seasonal"] = """
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+         EXTRACT(HOUR FROM ts) AS hod,
+         SUM(CAST(value AS DECIMAL(28,6))) AS v
+  FROM events GROUP BY 1, 2, 3
+),
+slot AS (
+  SELECT event_type, hod,
+         CAST(SUM(v) AS DOUBLE) / COUNT(*) AS expected
+  FROM hourly GROUP BY 1, 2
+),
+resid AS (
+  SELECT h.event_type, h.h, CAST(h.v AS DOUBLE) AS v, s.expected,
+         CAST(h.v AS DOUBLE) - s.expected AS r
+  FROM hourly h JOIN slot s USING (event_type, hod)
+),
+med AS (
+  SELECT event_type, quantile_cont(r, 0.5) AS med_r
+  FROM resid GROUP BY event_type
+),
+dev AS (
+  SELECT r.*, ABS(r.r - m.med_r) AS ad
+  FROM resid r JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, d.h,
+       ROUND(d.v, 6) AS hourly_v,
+       ROUND(d.expected, 6) AS expected,
+       ROUND(d.r, 6) AS residual,
+       ROUND(d.ad / m.mad, 6) AS mad_ratio
+FROM dev d JOIN mad m USING (event_type)
+WHERE d.ad > 3.0 * m.mad
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "sim_mmr_rerank": q_sim_mmr_rerank,
+        "ts_anomaly_seasonal": q_ts_anomaly_seasonal,
+    }
+)
