@@ -71,8 +71,15 @@ where google.protobuf is absent) + the 15 round-6 additions
 ``market_basket``, ``sim_knn_join``, ``text_importance_weight``,
 ``pipeline_dataset_card``, ``ts_theil_sen`` — each verified against
 its DuckDB oracle at sf0.01 AND sf0.1 before windowing) = exactly 50.
-Once this window lands, ALL 283 catalog entries have an official
-driver row in some round — zero rotation backlog for round 7.
+Once this window lands, ALL 283 pre-round-6 catalog entries have an
+official driver row in some round.
+
+Round-7 rotation backlog (round-6 additions past the filled window,
+each verified against its DuckDB oracle at sf0.01 AND sf0.1):
+``sql_groupby_all``, ``scan_file_metadata``, ``text_substring_dedup``,
+``agg_delta_method_ci``, ``join_interval_overlap_agg``,
+``multimodal_ico``, ``window_drawdown``, ``format_orphan_audit``,
+``sim_mmr_rerank``, ``ts_anomaly_seasonal``.
 """
 
 from __future__ import annotations

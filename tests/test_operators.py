@@ -1370,3 +1370,106 @@ def test_knn_join_rank_is_dense_from_one(emb):
     )
     for r in per:
         assert r["ranks"] == list(range(1, len(r["ranks"]) + 1))
+
+
+# ---------------------------------------------------------------------------
+# round-6 operators: substring spans, MMR rerank
+# ---------------------------------------------------------------------------
+
+def test_repeated_substring_spans_brute_force_tiny(spark):
+    """Planted duplication: two docs share one 60-char run; the spans
+    must cover exactly that run in both docs (merged maximally), and a
+    unique doc reports zero."""
+    from table_streaming_source_spark.operators.text import (
+        repeated_substring_spans,
+    )
+
+    shared = "x" * 0  # build a distinctive 60-char shared run
+    shared = "the quick brown fox jumps over the lazy dog 0123456789abcdef"[:60]
+    import string
+
+    uniq1 = "".join(string.ascii_lowercase[i % 26] for i in range(80))
+    rows = [
+        (1, "AAA" + shared + "BBB" + "q" * 30),
+        (2, "CCCCC" + shared + "DDDD"),
+        (3, "totally unique text with no forty-char repetition at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in repeated_substring_spans(
+            df, "text", "doc_id", k=40, min_count=2
+        ).collect()
+    }
+    # spans cover the shared run: every 40-window inside the 60-char
+    # run repeats, so the merged span is exactly 60 chars in each doc
+    assert out[1]["n_spans"] == 1 and out[1]["dup_chars"] == 60
+    assert out[2]["n_spans"] == 1 and out[2]["dup_chars"] == 60
+    assert out[3]["n_spans"] == 0 and out[3]["dup_chars"] == 0
+    assert uniq1  # silence linter
+
+
+def test_repeated_substring_spans_within_doc_repetition(spark):
+    """Self-repetition counts: one doc containing the same 40+ char run
+    twice is flagged even though no other doc shares it."""
+    from table_streaming_source_spark.operators.text import (
+        repeated_substring_spans,
+    )
+
+    run = "abcdefghij" * 5  # 50 chars
+    df = spark.createDataFrame(
+        [(1, run + "MIDDLEPADDINGDISTINCT" + run)], ["doc_id", "text"]
+    )
+    [r] = repeated_substring_spans(
+        df, "text", "doc_id", k=40, min_count=2
+    ).collect()
+    assert r["n_spans"] >= 1 and r["dup_chars"] >= 50
+
+
+def test_mmr_first_pick_is_top_relevance_and_no_repeats(emb):
+    from table_streaming_source_spark.operators.similarity import (
+        cosine_topk,
+        mmr_rerank,
+    )
+
+    corpus = emb
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = mmr_rerank(corpus, queries, k_candidates=8, k_select=3).collect()
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in cosine_topk(corpus, queries, k=1).collect()
+    }
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        ranks = sorted(r["mmr_rank"] for r in rows)
+        assert ranks == [1, 2, 3]
+        picked = [r["cand_id"] for r in rows]
+        assert len(set(picked)) == 3  # no repeats
+        first = next(r for r in rows if r["mmr_rank"] == 1)
+        assert first["cand_id"] == top1[qid]
+
+
+def test_mmr_diversity_penalty_changes_greedy_order(spark):
+    """A candidate nearly identical to the first pick must NOT be the
+    second pick even if its relevance ranks second."""
+    from table_streaming_source_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),   # query
+        (1, [0.99, 0.14, 0.0], 0),  # most relevant
+        (2, [0.985, 0.17, 0.0], 0),  # near-clone of 1, 2nd most relevant
+        (3, [0.7, -0.7, 0.1], 0),   # diverse, less relevant
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = mmr_rerank(
+        df,
+        df.filter(F.col("vec_id") == 0),
+        k_candidates=3,
+        k_select=2,
+        lam=0.5,
+    ).collect()
+    picks = {r["mmr_rank"]: r["cand_id"] for r in out}
+    assert picks[1] == 1
+    assert picks[2] == 3  # the clone (2) is penalized away
