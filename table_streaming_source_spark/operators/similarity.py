@@ -1276,3 +1276,106 @@ def mmr_rerank(
         F.col("mmr_rank").cast("int").alias("mmr_rank"),
         "rel",
     )
+
+
+def pca_power_iteration(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    dim: int = 64,
+    iterations: int = 4,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Dominant principal direction of the (uncentered) second-moment
+    matrix via POWER ITERATION — the learned-projection primitive
+    (whitening, dimensionality reduction, OPQ-style rotations) done as
+    pure DataFrame algebra: the Gram matrix ``C = Σ x xᵀ / n`` builds
+    from ROW-LOCAL outer products (each vector expands to its d²
+    products in place — the only shuffle is the (i, j) aggregate, d²
+    cells regardless of corpus size), and each iteration is one
+    broadcast matrix-vector product over the d²-row C table.
+
+    Determinism discipline: every float product rounds at
+    ``round_digits`` and sums on the DECIMAL path (associative), each
+    iterate renormalizes with the norm rounded the same way, so the
+    final loadings are bit-stable across engines and partitionings.
+    The sign convention fixes ``v[1] ≥ 0`` (power iteration is
+    sign-ambiguous).  Returns ``(i, loading)`` for i in 1..dim."""
+    prods = df.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform({vec_col}, (xi, i) ->"
+                f" transform({vec_col}, (xj, j) ->"
+                f" struct(i + 1 AS i, j + 1 AS j,"
+                f" round(cast(xi AS DOUBLE) * cast(xj AS DOUBLE),"
+                f" {round_digits}) AS p))))"
+            )
+        ).alias("__c")
+    ).select("__c.i", "__c.j", F.col("__c.p").cast("decimal(28,9)").alias("p"))
+    n = df.count()
+    cmat = (
+        prods.groupBy("i", "j")
+        .agg(
+            F.round(F.sum("p").cast("double") / F.lit(n), round_digits)
+            .alias("c")
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark = df.sparkSession
+    import math
+
+    v0 = round(1.0 / math.sqrt(dim), round_digits)
+    v = spark.createDataFrame(
+        [(j, v0) for j in range(1, dim + 1)], ["j", "v"]
+    )
+    for _ in range(iterations):
+        # c and v are 9-digit decimals, so c·v is EXACTLY an 18-digit
+        # decimal — cast straight to DECIMAL(38,18), never round the
+        # double product: c·0.125 lands systematically ON 9-digit half
+        # boundaries where engine double-rounding implementations
+        # disagree (found by the first-iteration parity sweep)
+        w = (
+            cmat.join(F.broadcast(v), "j")
+            .select(
+                "i",
+                (F.col("c") * F.col("v"))
+                .cast("decimal(38,18)")
+                .alias("__t"),
+            )
+            .groupBy("i")
+            .agg(F.sum("__t").cast("double").alias("w"))
+        )
+        norm = w.select(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        F.round(F.col("w") * F.col("w"), round_digits)
+                        .cast("decimal(28,9)")
+                    ).cast("double")
+                ),
+                round_digits,
+            ).alias("__n")
+        )
+        v = (
+            w.crossJoin(F.broadcast(norm))
+            .select(
+                F.col("i").alias("j"),
+                F.round(F.col("w") / F.col("__n"), round_digits).alias(
+                    "v"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sign = v.filter(F.col("j") == 1).select(
+        F.when(F.col("v") < 0, -1.0).otherwise(1.0).alias("__s")
+    )
+    return (
+        v.crossJoin(F.broadcast(sign))
+        .select(
+            F.col("j").cast("int").alias("i"),
+            F.round(F.col("v") * F.col("__s"), round_digits).alias(
+                "loading"
+            ),
+        )
+    )

@@ -6279,3 +6279,77 @@ QUERIES_DEFERRED.update(
         "ts_anomaly_seasonal": q_ts_anomaly_seasonal,
     }
 )
+
+
+def _pca_sql(dim: int = 64, iterations: int = 4) -> str:
+    parts = [
+        f"""px AS (
+  SELECT e.vec_id, g.i AS i, CAST(e.embedding[g.i] AS DOUBLE) AS xi
+  FROM embeddings e, UNNEST(RANGE(1, {dim + 1})) AS g(i)
+)""",
+        """cmat AS (
+  SELECT a.i, b.i AS j,
+         ROUND(CAST(SUM(CAST(ROUND(a.xi * b.xi, 9) AS DECIMAL(28,9)))
+                    AS DOUBLE) / (SELECT COUNT(*) FROM embeddings), 9)
+           AS c
+  FROM px a JOIN px b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i
+)""",
+        # CAST the seed to DOUBLE: a bare 0.125 binds as DECIMAL in
+        # DuckDB and drags the whole iterate into decimal rounding
+        f"v0 AS (SELECT i AS j, CAST(0.125 AS DOUBLE) AS v"
+        f" FROM RANGE(1, {dim + 1}) t(i))",
+    ]
+    for t_ in range(1, iterations + 1):
+        # c·v is exactly an 18-digit decimal (9dp × 9dp) — cast, don't
+        # round: see the operator's half-boundary note
+        parts.append(f"""w{t_} AS (
+  SELECT c.i,
+         CAST(SUM(CAST(c.c * v.v AS DECIMAL(38,18)))
+              AS DOUBLE) AS w
+  FROM cmat c JOIN v{t_ - 1} v ON v.j = c.j
+  GROUP BY c.i
+)""")
+        parts.append(f"""n{t_} AS (
+  SELECT ROUND(SQRT(CAST(SUM(CAST(ROUND(w * w, 9) AS DECIMAL(28,9)))
+                         AS DOUBLE)), 9) AS nrm
+  FROM w{t_}
+)""")
+        parts.append(
+            f"v{t_} AS (SELECT w.i AS j, ROUND(w.w / n.nrm, 9) AS v"
+            f" FROM w{t_} w, n{t_} n)"
+        )
+    last = f"v{iterations}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(j AS INT) AS i,
+       ROUND(v * (SELECT CASE WHEN v < 0 THEN CAST(-1.0 AS DOUBLE)
+                              ELSE CAST(1.0 AS DOUBLE) END
+                  FROM {last} WHERE j = 1), 9) AS loading
+FROM {last}
+"""
+    )
+
+
+def q_sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction by power iteration
+    (`operators/similarity.py::pca_power_iteration`) — the learned
+    linear projection (whitening / dim-reduction / OPQ-style rotation)
+    as pure DataFrame algebra: row-local outer products build the d²
+    Gram matrix (the ONLY shuffle is the (i,j) cell aggregate —
+    constant-size output at any corpus scale), then 4 checkpointed
+    matrix-vector iterations over the broadcast d-vector.  Every
+    product rounds at 9 and sums on the decimal path; the sign fixes
+    ``v[1] ≥ 0`` — the iterate is bit-stable, so the oracle unrolls the
+    SAME 4 iterations as CTEs (the `sim_kmeans_refine` discipline)."""
+    return S.pca_power_iteration(
+        t(spark, sf_dir, "embeddings"), dim=64, iterations=4
+    )
+
+
+ORACLES["sim_pca_power"] = _pca_sql(64, 4)
+
+
+QUERIES_DEFERRED.update({"sim_pca_power": q_sim_pca_power})

@@ -1473,3 +1473,34 @@ def test_mmr_diversity_penalty_changes_greedy_order(spark):
     picks = {r["mmr_rank"]: r["cand_id"] for r in out}
     assert picks[1] == 1
     assert picks[2] == 3  # the clone (2) is penalized away
+
+
+def test_pca_power_direction_is_dominant(emb):
+    """The returned loading vector must beat random directions on the
+    Rayleigh quotient vᵀCv (it approximates the dominant eigenvector),
+    be unit-norm, and respect the v[1] ≥ 0 sign convention."""
+    import numpy as np
+
+    from table_streaming_source_spark.operators.similarity import (
+        pca_power_iteration,
+    )
+
+    rows = emb.collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    C = X.T @ X / len(X)
+    out = pca_power_iteration(emb, dim=64, iterations=4).collect()
+    v = np.zeros(64)
+    for r in out:
+        v[r["i"] - 1] = r["loading"]
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-6
+    assert v[0] >= 0
+    rq = float(v @ C @ v)
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        u = rng.standard_normal(64)
+        u /= np.linalg.norm(u)
+        assert rq >= float(u @ C @ u) * 0.999
+    # and it should be close to numpy's dominant eigenvector
+    w_, V_ = np.linalg.eigh(C)
+    top = V_[:, -1] * (1 if V_[0, -1] >= 0 else -1)
+    assert abs(float(abs(top @ v))) > 0.98
