@@ -1476,9 +1476,12 @@ def test_mmr_diversity_penalty_changes_greedy_order(spark):
 
 
 def test_pca_power_direction_is_dominant(emb):
-    """The returned loading vector must beat random directions on the
-    Rayleigh quotient vᵀCv (it approximates the dominant eigenvector),
-    be unit-norm, and respect the v[1] ≥ 0 sign convention."""
+    """On the fixture corpus the returned direction must be unit-norm
+    (to the designed 9-digit rounding), sign-fixed, and beat random
+    directions on the Rayleigh quotient v'Cv.  (Exact top-eigenvector
+    agreement is NOT asserted here: random embeddings have a flat
+    spectrum, where 4 power steps legitimately haven't separated the
+    top eigenpair — the planted-direction test below covers recovery.)"""
     import numpy as np
 
     from table_streaming_source_spark.operators.similarity import (
@@ -1492,8 +1495,6 @@ def test_pca_power_direction_is_dominant(emb):
     v = np.zeros(64)
     for r in out:
         v[r["i"] - 1] = r["loading"]
-    # the iterate rounds every product/norm at 9 digits by design, so
-    # unit norm holds to ~1e-5, not machine precision
     assert abs(np.linalg.norm(v) - 1.0) < 1e-4
     assert v[0] >= 0
     rq = float(v @ C @ v)
@@ -1502,7 +1503,29 @@ def test_pca_power_direction_is_dominant(emb):
         u = rng.standard_normal(64)
         u /= np.linalg.norm(u)
         assert rq >= float(u @ C @ u) * 0.999
-    # and it should be close to numpy's dominant eigenvector
-    w_, V_ = np.linalg.eigh(C)
-    top = V_[:, -1] * (1 if V_[0, -1] >= 0 else -1)
-    assert abs(float(abs(top @ v))) > 0.98
+
+
+def test_pca_power_recovers_planted_direction(spark):
+    """With a dominant planted direction (big spectral gap), 4 power
+    steps must recover it to high cosine."""
+    import numpy as np
+
+    from table_streaming_source_spark.operators.similarity import (
+        pca_power_iteration,
+    )
+
+    rng = np.random.default_rng(7)
+    d = rng.standard_normal(64)
+    d /= np.linalg.norm(d)
+    coefs = rng.standard_normal(200) * 5.0
+    noise = rng.standard_normal((200, 64)) * 0.1
+    X = np.outer(coefs, d) + noise
+    rows = [
+        (int(i), [float(x) for x in X[i]]) for i in range(len(X))
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = pca_power_iteration(df, dim=64, iterations=4).collect()
+    v = np.zeros(64)
+    for r in out:
+        v[r["i"] - 1] = r["loading"]
+    assert abs(abs(float(d @ v))) > 0.995
