@@ -6194,26 +6194,40 @@ def q_ts_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollups + two bounded percentile aggregates per type; flagging is a
     row-local filter."""
     e = t(spark, sf_dir, "events")
-    hourly = e.groupBy(
-        "event_type",
-        F.date_trunc("hour", "ts").alias("h"),
-        F.hour("ts").alias("hod"),
-    ).agg(F.sum(F.col("value").cast("decimal(28,6)")).alias("v"))
+    # the hourly rollup is BOUNDED (types × hours in the span, not data
+    # size) and referenced by three downstream branches — checkpoint it
+    # once so the fact-table aggregate never replans per branch (15
+    # exchanges → 2 without this)
+    hourly = (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("h"),
+            F.hour("ts").alias("hod"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(28,6)")).alias("v"))
+        .localCheckpoint(eager=True)
+    )
     slot = hourly.groupBy("event_type", "hod").agg(
         (F.sum("v").cast("double") / F.count(F.lit(1))).alias("expected")
     )
-    resid = hourly.join(F.broadcast(slot), ["event_type", "hod"]).select(
-        "event_type",
-        "h",
-        F.col("v").cast("double").alias("v"),
-        "expected",
-        (F.col("v").cast("double") - F.col("expected")).alias("__r"),
+    resid = (
+        hourly.join(F.broadcast(slot), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "h",
+            F.col("v").cast("double").alias("v"),
+            "expected",
+            (F.col("v").cast("double") - F.col("expected")).alias("__r"),
+        )
+        .localCheckpoint(eager=True)
     )
     med = resid.groupBy("event_type").agg(
         F.percentile("__r", F.lit(0.5)).alias("__med")
     )
-    dev = resid.join(F.broadcast(med), "event_type").withColumn(
-        "__ad", F.abs(F.col("__r") - F.col("__med"))
+    dev = (
+        resid.join(F.broadcast(med), "event_type")
+        .withColumn("__ad", F.abs(F.col("__r") - F.col("__med")))
+        .localCheckpoint(eager=True)
     )
     mad = dev.groupBy("event_type").agg(
         F.percentile("__ad", F.lit(0.5)).alias("__mad")

@@ -385,6 +385,29 @@ _SHUFFLE_BUDGET = {
     # metadata-only: the aggregate IS the scan output — zero exchanges
     # beyond the 1-row fold (none at all in the adaptive plan)
     "scan_metadata_only": 0,
+    # round-6 second wave (round-7 rotation backlog)
+    # GROUP BY ALL is physically the plain two-key hash aggregate
+    "sql_groupby_all": 1,
+    # _metadata lineage scan checkpoints eagerly — plan is the pinned read
+    "scan_file_metadata": 0,
+    # digest count + mark join (+ per-doc island window under AQE reuse)
+    "text_substring_dedup": 2,
+    # user rollup + 1-row moment fold
+    "agg_delta_method_ci": 2,
+    # bin-keyed equi join + DISTINCT/rollup pair
+    "join_interval_overlap_agg": 2,
+    # pure Arrow map decode chain — zero shuffles, like every codec entry
+    "multimodal_ico": 0,
+    # daily rollup + per-type window + max join + final rollup
+    "window_drawdown": 4,
+    # manifest arithmetic + checkpointed snapshot aggregate
+    "format_orphan_audit": 0,
+    # greedy loop is checkpointed; the returned frame is the pinned picks
+    "sim_mmr_rerank": 0,
+    # bounded hourly rollup checkpointed once; flagging is row-local
+    "ts_anomaly_seasonal": 1,
+    # Gram cells + iterations all checkpointed (d² constant-size tables)
+    "sim_pca_power": 0,
 }
 
 
