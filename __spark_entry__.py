@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship enrichment query (the reference's
 documented snapshot-enrichment pattern, `docs/Table-streamingsource.md:10-14`)
 at sf0.001.  ``queries()`` / ``oracle_sql()`` expose the full catalog
-(283 entries) from ``table_streaming_source_spark.plans.catalog`` — one
+(294 entries) from ``table_streaming_source_spark.plans.catalog`` — one
 entry per implemented operator of SURVEY.md §2 (map in §2C), EVERY entry
 with a DuckDB oracle twin (zero rows-only checks; one entry,
 ``streaming_timeout_sessions_tws``, is environment-gated on
@@ -11,8 +11,9 @@ google.protobuf and raises a documented ``EnvironmentGatedError`` where
 absent).  The catalog's dict order front-loads the driver's 50-entry
 correctness window with the round-6 rotation (3 sentinels + the full
 32-entry round-5 backlog + the 15 round-6 additions — see
-``plans/catalog.py::_PRIORITY``; after this window lands, all 283
-entries have an official driver row in some round).
+``plans/catalog.py::_PRIORITY``; after this window lands, every
+pre-round-6 entry has an official driver row in some round, and the
+round-6 second wave is queued as the round-7 backlog).
 """
 
 from __future__ import annotations

@@ -7842,3 +7842,101 @@ FROM orders
 
 
 QUERIES.update({"format_orphan_audit": q_format_orphan_audit})
+
+
+_GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_sql(lat_bits: str, lon_bits: str, chars: int = 6) -> str:
+    """Portable SQL (Spark AND DuckDB) for a ``chars``-character geohash
+    from 15-bit integer lat/lon cells: explicit bit interleave (lon bit
+    i → output bit 2i+1, lat bit i → 2i — lon leads, per the public
+    geohash spec) and base32 lookup.  All arithmetic is FLOOR/%/* on
+    integers ≤ 2^30 — exact in both engines, no bit operators needed."""
+    terms = []
+    for i in range(15):
+        terms.append(
+            f"CAST(FLOOR(({lon_bits}) / {1 << i}) AS BIGINT) % 2"
+            f" * {1 << (2 * i + 1)}"
+        )
+        terms.append(
+            f"CAST(FLOOR(({lat_bits}) / {1 << i}) AS BIGINT) % 2"
+            f" * {1 << (2 * i)}"
+        )
+    gh = "(" + " + ".join(terms) + ")"
+    parts = []
+    for j in range(chars):
+        shift = 1 << (5 * (chars - 1) - 5 * j)
+        parts.append(
+            f"SUBSTR('{_GEOHASH_ALPHABET}',"
+            f" CAST(CAST(FLOOR({gh} / {shift}) AS BIGINT) % 32 + 1"
+            f" AS INT), 1)"
+        )
+    return "CONCAT(" + ", ".join(parts) + ")"
+
+
+_GEO_LAT_K = "(event_id * 7919) % 180000"
+_GEO_LON_K = "(event_id * 104729) % 360000"
+_GEO_LAT = f"(-90.0 + ({_GEO_LAT_K}) / 1000.0)"
+_GEO_LON = f"(-180.0 + ({_GEO_LON_K}) / 1000.0)"
+_GEO_LAT_BITS = f"CAST(FLOOR((({_GEO_LAT_K}) * 32768) / 180000.0) AS BIGINT)"
+_GEO_LON_BITS = f"CAST(FLOOR((({_GEO_LON_K}) * 32768) / 360000.0) AS BIGINT)"
+#: great-circle distance to (0°, 0°), km — classic haversine; trig is
+#: libm so the FINAL value rounds at 6 (ulp noise is ~1e-12 relative,
+#: far below the rounding grid)
+_GEO_DIST = (
+    f"ROUND(2 * 6371.0088 * ASIN(SQRT("
+    f"SIN(RADIANS({_GEO_LAT}) / 2) * SIN(RADIANS({_GEO_LAT}) / 2)"
+    f" + COS(RADIANS({_GEO_LAT})) * COS(RADIANS(0.0))"
+    f" * SIN(RADIANS({_GEO_LON}) / 2) * SIN(RADIANS({_GEO_LON}) / 2)"
+    f")), 6)"
+)
+
+
+def q_scalar_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial scalar pack: geohash encoding (explicit 15+15-bit
+    interleave + base32 — the spatial bucketing key for proximity joins
+    and map rollups) and haversine distance, over deterministic
+    coordinates derived from the event id — the SAME portable SQL
+    expression text runs on both engines (integer FLOOR/% bit math
+    needs no engine bit operators).  Rollup per 4-char geohash cell
+    (~39 km): the cell is the shuffle key, exactly how a spatial join
+    would block."""
+    ev = t(spark, sf_dir, "events")
+    gh = _geohash_sql(_GEO_LAT_BITS, _GEO_LON_BITS, 6)
+    return (
+        ev.selectExpr(
+            f"{gh} AS geohash6",
+            f"{_GEO_DIST} AS dist_km",
+        )
+        .selectExpr(
+            "SUBSTR(geohash6, 1, 4) AS cell",
+            "geohash6",
+            "dist_km",
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("geohash6").cast("bigint").alias("n_gh6"),
+            F.min("dist_km").alias("min_dist_km"),
+            F.max("dist_km").alias("max_dist_km"),
+        )
+    )
+
+
+ORACLES["scalar_geohash"] = f"""
+WITH g AS (
+  SELECT {_geohash_sql(_GEO_LAT_BITS, _GEO_LON_BITS, 6)} AS geohash6,
+         {_GEO_DIST} AS dist_km
+  FROM events
+)
+SELECT SUBSTR(geohash6, 1, 4) AS cell,
+       COUNT(*) AS n,
+       COUNT(DISTINCT geohash6) AS n_gh6,
+       MIN(dist_km) AS min_dist_km,
+       MAX(dist_km) AS max_dist_km
+FROM g GROUP BY 1
+"""
+
+
+QUERIES.update({"scalar_geohash": q_scalar_geohash})
