@@ -79,7 +79,8 @@ each verified against its DuckDB oracle at sf0.01 AND sf0.1):
 ``sql_groupby_all``, ``scan_file_metadata``, ``text_substring_dedup``,
 ``agg_delta_method_ci``, ``join_interval_overlap_agg``,
 ``multimodal_ico``, ``window_drawdown``, ``format_orphan_audit``,
-``sim_mmr_rerank``, ``ts_anomaly_seasonal``, ``sim_pca_power``.
+``sim_mmr_rerank``, ``ts_anomaly_seasonal``, ``sim_pca_power``,
+``scalar_geohash``.
 """
 
 from __future__ import annotations

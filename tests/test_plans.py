@@ -408,6 +408,8 @@ _SHUFFLE_BUDGET = {
     "ts_anomaly_seasonal": 1,
     # Gram cells + iterations all checkpointed (d² constant-size tables)
     "sim_pca_power": 0,
+    # cell rollup + the distinct-count expansion
+    "scalar_geohash": 2,
 }
 
 
