@@ -7940,3 +7940,45 @@ FROM g GROUP BY 1
 
 
 QUERIES.update({"scalar_geohash": q_scalar_geohash})
+
+
+def q_scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline observability (`df.observe` + `Observation`): audit
+    metrics computed ON THE SAME PASS as the consuming action — zero
+    extra scans, the way a production pipeline meters row counts and
+    control totals without doubling its I/O (the batch twin of
+    streaming query-progress metrics).  The observed aggregates ride
+    the noop write; the returned row re-states them for the value
+    check.  At 100 TB the alternative — a second count/sum scan — is
+    exactly the cost this primitive exists to avoid."""
+    from pyspark.sql import Observation
+
+    obs = Observation("audit")
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.max("l_orderkey").alias("max_key"),
+        )
+    )
+    df.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), float(m["sum_qty"]), int(m["max_key"]))],
+        "n_rows bigint, sum_qty double, max_key bigint",
+    )
+
+
+ORACLES["scan_observe_metrics"] = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       MAX(l_orderkey) AS max_key
+FROM lineitem
+"""
+
+
+QUERIES.update({"scan_observe_metrics": q_scan_observe_metrics})

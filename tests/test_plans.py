@@ -410,6 +410,8 @@ _SHUFFLE_BUDGET = {
     "sim_pca_power": 0,
     # cell rollup + the distinct-count expansion
     "scalar_geohash": 2,
+    # observe metrics ride the scan; the returned row is driver-built
+    "scan_observe_metrics": 0,
 }
 
 
