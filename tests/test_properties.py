@@ -645,3 +645,157 @@ def test_tga_rle_roundtrip_property(w, h, seed):
             (mul * np.arange(h)[flat] + (c + 1) * seed) % 256
         )[:, None]
     assert (px == exp).all()
+
+
+# ---------------------------------------------------------------------------
+# round-6 operator properties
+# ---------------------------------------------------------------------------
+
+@given(
+    w=st.integers(min_value=1, max_value=30),
+    h=st.integers(min_value=1, max_value=30),
+    seed=st.integers(min_value=0, max_value=255),
+    key=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=25, deadline=None)
+def test_ico_roundtrip_property(w, h, seed, key):
+    """synth_ico → ico_frames is lossless for arbitrary geometry: pixels
+    match the generator formula, mask matches (x+y+key)%5."""
+    import numpy as np
+
+    from table_streaming_source_spark.operators.multimodal import (
+        ico_frames,
+        synth_ico,
+    )
+
+    [(rgb, mask)] = ico_frames(synth_ico([(w, h, seed, key)]))
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    assert rgb.shape == (h, w, 3)
+    assert (rgb[:, :, 0] == (7 * x + 13 * y + seed) % 256).all()
+    assert (rgb[:, :, 1] == (11 * x + 5 * y + seed) % 256).all()
+    assert (rgb[:, :, 2] == (3 * x + 23 * y + seed) % 256).all()
+    assert (mask == ((x + y + key) % 5 == 0)).all()
+
+
+@given(
+    lat=st.floats(min_value=-89.999, max_value=89.999),
+    lon=st.floats(min_value=-179.999, max_value=179.999),
+)
+@settings(max_examples=100, deadline=None)
+def test_geohash_integer_interleave_matches_canonical(lat, lon):
+    """The integer FLOOR/% interleave in plans/relational.py must agree
+    with the canonical subdivision geohash for arbitrary coordinates
+    snapped to the entry's milli-degree grid."""
+    ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"
+    k_lat = int((lat + 90) * 1000)  # snap to the entry's grid
+    k_lon = int((lon + 180) * 1000)
+    lat = -90 + k_lat / 1000
+    lon = -180 + k_lon / 1000
+    lat_bits = (k_lat * 32768) // 180000
+    lon_bits = (k_lon * 32768) // 360000
+    gh = 0
+    for i in range(15):
+        gh += ((lon_bits >> i) & 1) << (2 * i + 1)
+        gh += ((lat_bits >> i) & 1) << (2 * i)
+    mine = "".join(
+        ALPHA[(gh >> (25 - 5 * j)) & 31] for j in range(6)
+    )
+    lat_int = [-90.0, 90.0]
+    lon_int = [-180.0, 180.0]
+    bits = []
+    even = True
+    while len(bits) < 30:
+        iv = lon_int if even else lat_int
+        v = lon if even else lat
+        mid = (iv[0] + iv[1]) / 2
+        if v > mid or (v == mid):
+            # canonical uses >= mid → bit 1 (mid belongs to the upper
+            # half, matching floor() on the integer grid)
+            bits.append(1)
+            iv[0] = mid
+        else:
+            bits.append(0)
+            iv[1] = mid
+        even = not even
+    canon = ""
+    for j in range(6):
+        v = 0
+        for b in bits[5 * j : 5 * j + 5]:
+            v = v * 2 + b
+        canon += ALPHA[v]
+    assert mine == canon, (lat, lon, mine, canon)
+
+
+@given(
+    spans=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2000),  # a start day
+            st.integers(min_value=0, max_value=2000),  # b start day
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_interval_overlap_formula_matches_direct_simulation(spans):
+    """The binned-join overlap length formula (datediff of least-end /
+    greatest-start) equals a direct day-by-day intersection count for
+    the entry's 7-day × 5-day windows."""
+    for sa, sb in spans:
+        ea, eb = sa + 7, sb + 5
+        formula = (
+            max(0, min(ea, eb) - max(sa, sb))
+            if sa < eb and sb < ea
+            else 0
+        )
+        direct = len(
+            set(range(sa, ea)) & set(range(sb, eb))
+        )
+        assert formula == direct
+
+
+@given(
+    xs=st.lists(
+        st.integers(min_value=-10**6, max_value=10**6),
+        min_size=3,
+        max_size=60,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_drawdown_positional_identity(xs):
+    """max-drawdown == max over t of (running-max − x_t); the worst day
+    is the first index attaining it — the exact semantics the decimal
+    window + equality-join implements."""
+    run = []
+    mx = None
+    for x in xs:
+        mx = x if mx is None else max(mx, x)
+        run.append(mx - x)
+    want = max(run)
+    first = run.index(want)
+    # simulate the entry: join rows where dd == max, take min day
+    got = min(i for i, d in enumerate(run) if d == want)
+    assert got == first and want >= 0
+
+
+@given(
+    weights=st.lists(
+        st.integers(min_value=1, max_value=10**6),
+        min_size=2,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_priority_sample_monotone_in_weight(weights):
+    """Efraimidis–Spirakis invariant as implemented: with the SAME hash
+    draw u, a larger weight strictly improves priority ln(u)/w (u<1 →
+    ln(u)<0 → dividing by a larger w moves toward 0)."""
+    import math
+
+    u = 0.37  # any fixed draw in (0, 1)
+    pri = [round(math.log(u), 9) / w for w in weights]
+    order = sorted(range(len(weights)), key=lambda i: -pri[i])
+    byw = sorted(range(len(weights)), key=lambda i: -weights[i])
+    assert order == byw
