@@ -7982,3 +7982,58 @@ FROM lineitem
 
 
 QUERIES.update({"scan_observe_metrics": q_scan_observe_metrics})
+
+
+def q_source_python_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom BATCH format through the Spark 4 Python ``DataSource`` API
+    (`sources/fixed_width.py` — the batch sibling of the fidelity
+    mode's ``SimpleDataSourceStreamReader``): a fixed-width binary file
+    (spec in the module) read with PLANNED SPLITS — ``partitions()``
+    returns byte-range partitions, each executor seeks straight to its
+    range, no driver I/O — which is the property that lets a custom
+    format scale instead of funneling through one task.  Split fan-out
+    is pinned in ``tests/test_fixed_width.py``; here the value
+    contract: the rollup over the round-tripped file equals the source
+    rows the oracle states."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark.sources import fixed_width as FW
+
+    base = _scratch.scratch_dir("tsr_source", sf_dir, fresh=True)
+    path = f"{base}/orders.tsr"
+    rows = [
+        (r["o_orderkey"], r["o_orderkey"] % 10, r["o_totalprice"])
+        for r in t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    ]
+    FW.write_tsr(path, rows)
+    FW.register(spark)
+    result = (
+        spark.read.format("tsr")
+        .option("path", path)
+        .option("recordsPerSplit", 2048)
+        .load()
+        .groupBy(F.col("grp").cast("int").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("sum_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+ORACLES["source_python_batch"] = """
+SELECT CAST(o_orderkey % 10 AS INT) AS grp,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_value
+FROM orders
+GROUP BY 1
+"""
+
+
+QUERIES.update({"source_python_batch": q_source_python_batch})
