@@ -873,3 +873,70 @@ def keep_best_dedup(
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str,
+    key: str,
+    *,
+    window: int = 4,
+    block_chars: int = 2,
+    prefix_chars: int = 80,
+    max_distance: int = 5,
+) -> DataFrame:
+    """Sorted-Neighborhood Method (Hernández & Stolfo 1995): sort by a
+    normalized key within coarse blocks and compare each record only to
+    its next ``window`` neighbors — the classic record-linkage blocking
+    that needs NO pair join at all: candidates come from ``lead()``
+    columns on ONE sorted window pass, so the candidate count is
+    ``window × n`` by construction (contrast MinHash-LSH's
+    data-dependent buckets).  Distance is Levenshtein on the first
+    ``prefix_chars`` of the normalized text (the SNM sort key makes
+    diverging prefixes sort apart anyway).  Blocks are the sort
+    prefix's first ``block_chars`` chars — the window partition is
+    bounded per block, the 100 TB sort is the only wide operation,
+    exactly like any global-sort ETL step."""
+    from pyspark.sql import Window
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = df.select(
+        F.col(key),
+        norm.alias("__norm"),
+        F.substring(norm, 1, block_chars).alias("__blk"),
+        F.substring(norm, 1, prefix_chars).alias("__pfx"),
+    )
+    w = Window.partitionBy("__blk").orderBy("__norm", key)
+    # materialize the lead() columns BEFORE the generator: Spark refuses
+    # window expressions inside explode()
+    led = base
+    for off in range(1, window + 1):
+        led = led.withColumn(
+            f"__k{off}", F.lead(key, off).over(w)
+        ).withColumn(f"__p{off}", F.lead("__pfx", off).over(w))
+    cols = [
+        F.struct(
+            F.col(f"__k{off}").alias("kb"),
+            F.col(f"__p{off}").alias("pb"),
+        )
+        for off in range(1, window + 1)
+    ]
+    pairs = (
+        led.select(
+            F.col(key).alias("key_a"),
+            F.col("__pfx").alias("__pa"),
+            F.explode(F.array(*cols)).alias("__nb"),
+        )
+        .filter(F.col("__nb.kb").isNotNull())
+        .select(
+            "key_a",
+            F.col("__nb.kb").alias("key_b"),
+            F.levenshtein(F.col("__pa"), F.col("__nb.pb")).alias(
+                "edit_distance"
+            ),
+        )
+        .filter(F.col("edit_distance") <= max_distance)
+    )
+    return pairs.select(
+        "key_a", "key_b", F.col("edit_distance").cast("int").alias("edit_distance")
+    )

@@ -6367,3 +6367,53 @@ ORACLES["sim_pca_power"] = _pca_sql(64, 4)
 
 
 QUERIES_DEFERRED.update({"sim_pca_power": q_sim_pca_power})
+
+
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-Neighborhood record linkage
+    (`operators/dedup.py::sorted_neighborhood_pairs`, Hernández &
+    Stolfo 1995): normalized-sort + compare-to-next-4 — candidate
+    generation with NO pair join (lead() columns on one sorted window
+    pass; candidates = 4n by construction, not data-dependent like
+    LSH buckets).  The third blocking family in the dedup suite
+    alongside hash buckets (MinHash/SimHash) and coarse cells
+    (embedding labels)."""
+    return D.sorted_neighborhood_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        window=4, block_chars=2, prefix_chars=80, max_distance=5,
+    )
+
+
+ORACLES["dedup_sorted_neighborhood"] = """
+WITH n AS (
+  SELECT doc_id,
+         REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+),
+r AS (
+  SELECT doc_id, SUBSTR(norm, 1, 80) AS pfx,
+         LEAD(doc_id, 1) OVER w AS k1, LEAD(SUBSTR(norm, 1, 80), 1) OVER w AS p1,
+         LEAD(doc_id, 2) OVER w AS k2, LEAD(SUBSTR(norm, 1, 80), 2) OVER w AS p2,
+         LEAD(doc_id, 3) OVER w AS k3, LEAD(SUBSTR(norm, 1, 80), 3) OVER w AS p3,
+         LEAD(doc_id, 4) OVER w AS k4, LEAD(SUBSTR(norm, 1, 80), 4) OVER w AS p4
+  FROM n
+  WINDOW w AS (PARTITION BY SUBSTR(norm, 1, 2) ORDER BY norm, doc_id)
+),
+p AS (
+  SELECT doc_id AS key_a, k1 AS key_b, LEVENSHTEIN(pfx, p1) AS d
+  FROM r WHERE k1 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, k2, LEVENSHTEIN(pfx, p2) FROM r WHERE k2 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, k3, LEVENSHTEIN(pfx, p3) FROM r WHERE k3 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, k4, LEVENSHTEIN(pfx, p4) FROM r WHERE k4 IS NOT NULL
+)
+SELECT key_a, key_b, CAST(d AS INT) AS edit_distance
+FROM p WHERE d <= 5
+"""
+
+
+QUERIES_DEFERRED.update(
+    {"dedup_sorted_neighborhood": q_dedup_sorted_neighborhood}
+)

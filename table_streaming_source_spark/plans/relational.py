@@ -8037,3 +8037,55 @@ GROUP BY 1
 
 
 QUERIES.update({"source_python_batch": q_source_python_batch})
+
+
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via two-level bitmap rollup — the
+    technique warehouses use when COUNT(DISTINCT) must stay exact at
+    scale: level 1 ORs each key's bit into its 64-key bucket's bitmap
+    (map-side combinable — the raw keys never reach the final
+    aggregation, only ``|keys|/63`` bitmap words do), level 2 sums the
+    popcounts.  Buckets hold 63 keys, not 64: bit 63 is the BIGINT sign
+    bit, where engine shift semantics diverge (DuckDB raises on the
+    overflow Spark wraps silently).  Values are pinned against the plain COUNT(DISTINCT) the
+    oracle ALSO computes — the technique must be value-identical to the
+    naive form, not approximately so (contrast `agg_approx_distinct`)."""
+    o = t(spark, sf_dir, "orders")
+    b1 = o.groupBy(
+        "o_orderpriority",
+        (F.col("o_custkey") / 63).cast("bigint").alias("__bucket"),
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT),"
+            " CAST(o_custkey % 63 AS INT)))"
+        ).alias("__bm")
+    )
+    return b1.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.bit_count("__bm")).cast("bigint").alias("n_distinct"),
+    )
+
+
+ORACLES["agg_bitmap_distinct"] = """
+WITH b1 AS (
+  SELECT o_orderpriority, o_custkey // 63 AS bucket,
+         BIT_OR(CAST(1 AS BIGINT) << CAST(o_custkey % 63 AS INT)) AS bm
+  FROM orders GROUP BY 1, 2
+),
+via_bitmap AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n_buckets,
+         CAST(SUM(BIT_COUNT(bm)) AS BIGINT) AS n_distinct
+  FROM b1 GROUP BY o_orderpriority
+),
+plain AS (
+  SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS nd
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT v.o_orderpriority, v.n_buckets, v.n_distinct
+FROM via_bitmap v JOIN plain p
+  ON v.o_orderpriority = p.o_orderpriority AND v.n_distinct = p.nd
+"""
+
+
+QUERIES.update({"agg_bitmap_distinct": q_agg_bitmap_distinct})

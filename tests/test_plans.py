@@ -412,6 +412,11 @@ _SHUFFLE_BUDGET = {
     "scalar_geohash": 2,
     # observe metrics ride the scan; the returned row is driver-built
     "scan_observe_metrics": 0,
+    # two-level bitmap rollup: bucket OR + priority popcount-sum
+    "agg_bitmap_distinct": 2,
+    # SNM: ONE sorted-window pass (the block partition), lead() columns,
+    # row-local distance — no pair join anywhere
+    "dedup_sorted_neighborhood": 1,
 }
 
 
