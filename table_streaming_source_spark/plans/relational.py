@@ -8089,3 +8089,73 @@ FROM via_bitmap v JOIN plain p
 
 
 QUERIES.update({"agg_bitmap_distinct": q_agg_bitmap_distinct})
+
+
+def q_format_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-time CHECK constraints
+    (``table_format.py::commit_append_checked`` — the lakehouse
+    ``ADD CONSTRAINT CHECK`` contract): a clean batch commits, a batch
+    violating ``o_totalprice > 0`` is REJECTED before publication
+    (atomically — the table still reads as if the bad batch never
+    existed), and a second clean batch lands on the original head.  The
+    check costs one aggregate over the BATCH (change-proportional, zero
+    write I/O on rejection).  The rollup proves exactly the two clean
+    slices are visible; rejection/atomicity corner cases are pinned in
+    ``tests/test_table_format.py``."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_constraint", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    cons = [("positive_price", "o_totalprice > 0")]
+    TF.commit_append_checked(
+        spark, path, o.filter(F.col("o_orderkey") % 3 == 0),
+        stat_cols=["o_orderkey"], constraints=cons,
+    )
+    try:
+        TF.commit_append_checked(
+            spark, path,
+            o.filter(F.col("o_orderkey") % 3 == 1).withColumn(
+                "o_totalprice",
+                F.when(
+                    F.col("o_orderkey") % 30 == 1, -F.col("o_totalprice")
+                ).otherwise(F.col("o_totalprice")),
+            ),
+            stat_cols=["o_orderkey"], constraints=cons,
+        )
+        raise AssertionError("violating commit must be rejected")
+    except TF.ConstraintViolation:
+        pass
+    TF.commit_append_checked(
+        spark, path, o.filter(F.col("o_orderkey") % 3 == 2),
+        stat_cols=["o_orderkey"], constraints=cons,
+    )
+    result = (
+        TF.read_table(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_constraint_check"] = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM orders
+WHERE o_orderkey % 3 IN (0, 2)
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES.update({"format_constraint_check": q_format_constraint_check})

@@ -427,3 +427,43 @@ def read_incremental(
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+class ConstraintViolation(RuntimeError):
+    """A staged commit violates a declared CHECK constraint — the commit
+    is rejected BEFORE publication; the table is untouched (the staged
+    files become vacuum-able orphans, never corruption)."""
+
+
+def commit_append_checked(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    *,
+    stat_cols: list[str],
+    constraints: list[tuple[str, str]],
+    expected_version: int | None = None,
+) -> int:
+    """:func:`commit_append` with commit-time CHECK constraints (the
+    Delta/lakehouse ``ALTER TABLE ADD CONSTRAINT CHECK`` contract): each
+    ``(name, sql_predicate)`` must hold on EVERY staged row or the
+    commit raises :class:`ConstraintViolation` and nothing is published.
+    The check is one aggregate over the batch being written — cost
+    proportional to the CHANGE, not the table — and runs BEFORE the
+    data files are staged, so a rejected commit does zero write I/O."""
+    from pyspark.sql import functions as F
+
+    agg = [
+        F.sum(F.when(F.expr(pred), 0).otherwise(1)).alias(name)
+        for name, pred in constraints
+    ]
+    row = df.agg(*agg).collect()[0]
+    bad = {name: row[name] for name, _ in constraints if row[name]}
+    if bad:
+        raise ConstraintViolation(
+            f"commit rejected, constraint violations: {bad}"
+        )
+    return commit_append(
+        spark, path, df,
+        stat_cols=stat_cols, expected_version=expected_version,
+    )

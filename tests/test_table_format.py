@@ -376,3 +376,43 @@ def test_cluster_evolution_prunes_new_layout_keeps_old(spark, sf_dir):
     # at least one era-2 file is pruned (4 range files cover 16 buckets;
     # a 3-bucket range cannot touch them all)
     assert kept < total, (kept, total)
+
+
+def test_checked_commit_rejects_before_any_write(spark, tmp_path):
+    """A violating batch is rejected with ZERO files staged (the check
+    runs before the write), and the table head is untouched."""
+    import os as _os
+
+    path = str(tmp_path / "ck")
+    TF.create_table(path)
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") - 5).alias("v")
+    )
+    with pytest.raises(TF.ConstraintViolation, match="positive_v"):
+        TF.commit_append_checked(
+            spark, path, df,
+            stat_cols=["k"], constraints=[("positive_v", "v > 0")],
+        )
+    assert TF.latest_version(path) == 0
+    files = [
+        n
+        for _r, _d, ns in _os.walk(_os.path.join(path, "data"))
+        for n in ns
+        if n.endswith(".parquet")
+    ]
+    assert files == []  # rejection cost zero write I/O
+
+
+def test_checked_commit_publishes_clean_batches(spark, tmp_path):
+    path = str(tmp_path / "ck2")
+    TF.create_table(path)
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") + 1).alias("v")
+    )
+    v = TF.commit_append_checked(
+        spark, path, df,
+        stat_cols=["k"],
+        constraints=[("positive_v", "v > 0"), ("k_bound", "k < 100")],
+    )
+    assert v == 1
+    assert TF.read_table(spark, path).count() == 10
