@@ -198,3 +198,49 @@ def bfs_distances(
         settled = settled.union(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return settled.select(F.col("__v").alias(key), "dist")
+
+
+def kcore_peel(
+    edges: DataFrame,
+    *,
+    k: int,
+    rounds: int,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Bounded k-core peeling: ``rounds`` synchronous rounds of "drop
+    every vertex with degree < k, with its edges" over an undirected
+    simple graph — the density-decomposition primitive (community
+    cores, spam/bot subgraph mining).  The full k-core is this step
+    iterated to fixpoint; the BOUNDED form keeps the whole computation
+    engine-checkable (the `graph_bfs` / `sql_recursive_cte` bounded-
+    iteration discipline) and each extra round is the same two
+    semi-joins.
+
+    Scale shape: per round one degree aggregate (map-combinable union
+    of both endpoints) + two semi-joins on the vertex key; the edge set
+    only ever SHRINKS, and each round's survivor set is checkpointed so
+    lineage stays flat.  Returns ``(node, degree)`` of the surviving
+    subgraph after the last round."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )

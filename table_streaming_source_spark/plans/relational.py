@@ -8159,3 +8159,69 @@ GROUP BY o_orderpriority
 
 
 QUERIES.update({"format_constraint_check": q_format_constraint_check})
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    parts = ["""e0 AS (
+  SELECT DISTINCT c.c_custkey AS u, -(l.l_suppkey + 1) AS v
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""d{r} AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM e{r - 1}
+    UNION ALL SELECT v AS node FROM e{r - 1}
+  ) GROUP BY node
+)""")
+        parts.append(
+            f"k{r} AS (SELECT node FROM d{r} WHERE deg >= {k})"
+        )
+        parts.append(f"""e{r} AS (
+  SELECT e.u, e.v FROM e{r - 1} e
+  JOIN k{r} a ON a.node = e.u
+  JOIN k{r} b ON b.node = e.v
+)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT node, COUNT(*) AS degree FROM (
+  SELECT u AS node FROM e{rounds}
+  UNION ALL SELECT v AS node FROM e{rounds}
+) GROUP BY node
+"""
+    )
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (`operators/graph.py::kcore_peel`, k=10,
+    3 rounds) over the bipartite customer↔supplier purchase graph —
+    the density-decomposition primitive alongside pagerank/BFS/
+    triangles/components.  Each round drops degree-<10 vertices with
+    their edges; the oracle unrolls the SAME 3 rounds as CTEs (the
+    bounded-iteration discipline — aggregates can't live inside a
+    recursive CTE, so the fixpoint form is not SQL-expressible
+    anyway)."""
+    from table_streaming_source_spark.operators.graph import kcore_peel
+
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    edges = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("c_custkey").alias("u"),
+            (-(F.col("l_suppkey") + 1)).alias("v"),
+        )
+        .distinct()
+    )
+    return kcore_peel(edges, k=10, rounds=3)
+
+
+ORACLES["graph_kcore"] = _kcore_sql(10, 3)
+
+
+QUERIES.update({"graph_kcore": q_graph_kcore})

@@ -417,6 +417,10 @@ _SHUFFLE_BUDGET = {
     # SNM: ONE sorted-window pass (the block partition), lead() columns,
     # row-local distance — no pair join anywhere
     "dedup_sorted_neighborhood": 1,
+    # checked commits: the plan is the checkpointed snapshot rollup
+    "format_constraint_check": 0,
+    # peeled edge set checkpointed per round; final degree aggregate
+    "graph_kcore": 2,
 }
 
 
