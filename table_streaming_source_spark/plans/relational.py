@@ -8225,3 +8225,73 @@ ORACLES["graph_kcore"] = _kcore_sql(10, 3)
 
 
 QUERIES.update({"graph_kcore": q_graph_kcore})
+
+
+def q_window_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows (`F.session_window` with a per-event
+    gap expression — Spark 3.2+): error events close sessions after 10
+    minutes of inactivity, everything else after 45 — the
+    heterogeneous-timeout sessionization real products need (short
+    fuses for failure flows, long for browsing).  Semantics are
+    interval-union merging of ``[ts, ts + gap(event))``; the oracle
+    states exactly that via the running-max-end gaps-and-islands form
+    (the `text_substring_dedup` island discipline with a variable
+    reach).  One session-window aggregate per user — state bounded by
+    the gap, the same at any scale."""
+    e = t(spark, sf_dir, "events")
+    # the dynamic form takes a STRING gap column (parsed per row);
+    # ANSI INTERVAL literals type as DayTimeIntervalType, which
+    # session_window rejects
+    gap = F.when(
+        F.col("event_type") == "error", F.lit("10 minutes")
+    ).otherwise(F.lit("45 minutes"))
+    return (
+        e.groupBy(
+            F.session_window("ts", gap).alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLES["window_session_dynamic"] = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN event_type = 'error' THEN INTERVAL 10 MINUTE
+              ELSE INTERVAL 45 MINUTE END AS gap
+  FROM events
+),
+m AS (
+  SELECT user_id, ts, value,
+         MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_end
+  FROM g
+),
+f AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_end IS NULL OR ts > prev_end THEN 1 ELSE 0 END
+           AS nf
+  FROM m
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(nf) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM f
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+QUERIES.update({"window_session_dynamic": q_window_session_dynamic})

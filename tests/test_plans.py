@@ -421,6 +421,8 @@ _SHUFFLE_BUDGET = {
     "format_constraint_check": 0,
     # peeled edge set checkpointed per round; final degree aggregate
     "graph_kcore": 2,
+    # one session-window aggregate per user (dynamic gap is row-local)
+    "window_session_dynamic": 1,
 }
 
 
