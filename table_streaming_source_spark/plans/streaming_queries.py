@@ -1753,3 +1753,106 @@ FROM orders GROUP BY o_orderpriority
 
 
 QUERIES_DEFERRED["streaming_format_tail"] = q_streaming_format_tail
+
+
+def q_streaming_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True-streaming DYNAMIC-gap sessions (the stateful twin of
+    ``window_session_dynamic``): per-event gap — error events 10
+    minutes, everything else 45 — evaluated inside the state store's
+    session merge, drained with availableNow across 2 micro-batches so
+    cross-batch merging with HETEROGENEOUS reaches is exercised (a
+    short-fuse error can be bridged by a long-fuse view landing in a
+    later batch).  Same watermark/complete-mode discipline as
+    ``streaming_session_agg``; the oracle is the batch interval-union
+    islands formulation."""
+    events = t(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_type", "value"
+    )
+    src = _stream_fixture(
+        spark, sf_dir, "sess_dyn",
+        lambda d: events.repartition(8).write.mode("overwrite").parquet(d),
+    )
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    gap = F.when(
+        F.col("event_type") == "error", F.lit("10 minutes")
+    ).otherwise(F.lit("45 minutes"))
+    agg = (
+        stream.withWatermark("ts", "90 days")
+        .groupBy(
+            F.session_window("ts", gap).alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+    name = f"__stream_sess_dyn_{abs(hash(src)) % 10**8}"
+    with _stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
+
+    result = (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(name)
+    return result
+
+
+# identical contract to the batch twin window_session_dynamic
+ORACLES["streaming_session_dynamic"] = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN event_type = 'error' THEN INTERVAL 10 MINUTE
+              ELSE INTERVAL 45 MINUTE END AS gap
+  FROM events
+),
+m AS (
+  SELECT user_id, ts, value,
+         MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_end
+  FROM g
+),
+f AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_end IS NULL OR ts > prev_end THEN 1 ELSE 0 END
+           AS nf
+  FROM m
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(nf) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM f
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+QUERIES_DEFERRED.update(
+    {"streaming_session_dynamic": q_streaming_session_dynamic}
+)
