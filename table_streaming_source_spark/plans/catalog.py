@@ -83,7 +83,8 @@ each verified against its DuckDB oracle at sf0.01 AND sf0.1):
 ``scalar_geohash``, ``scan_observe_metrics``, ``source_python_batch``,
 ``agg_bitmap_distinct``, ``dedup_sorted_neighborhood``,
 ``format_constraint_check``, ``graph_kcore``,
-``window_session_dynamic``, ``streaming_session_dynamic``.
+``window_session_dynamic``, ``streaming_session_dynamic``,
+``api_pandas_on_spark``.
 """
 
 from __future__ import annotations

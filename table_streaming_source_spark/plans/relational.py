@@ -8295,3 +8295,57 @@ FROM s GROUP BY user_id, sid
 
 
 QUERIES.update({"window_session_dynamic": q_window_session_dynamic})
+
+
+def q_api_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRD query front door: pandas API on Spark
+    (``pyspark.pandas``) — the migration surface for pandas codebases,
+    compiling ``read_parquet → filter → assign → groupby.agg`` to the
+    same Catalyst plans as the DataFrame/SQL doors (Spark's answer to
+    "my pipeline is pandas").  Money goes through integer CENTS
+    (``round(price*100)`` is exact — prices carry 2 decimals, so the
+    scaled value is integer-valued and no rounding-mode boundary
+    exists), keeping the sum associative without decimal dtypes the
+    pandas API lacks.  Returns via ``to_spark()``."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import pyspark.pandas as ps
+
+        psdf = ps.read_parquet(f"{sf_dir}/orders.parquet")
+        psdf = psdf[psdf["o_totalprice"] > 1000.0]
+        psdf = psdf.assign(
+            cents=(psdf["o_totalprice"] * 100).round().astype("int64")
+        )
+        out = (
+            psdf.groupby("o_orderpriority")
+            .agg(
+                n=("o_orderkey", "count"),
+                sum_cents=("cents", "sum"),
+                max_price=("o_totalprice", "max"),
+            )
+            .reset_index()
+        )
+        sdf = out.to_spark()
+    return sdf.select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("sum_cents") / 100.0).alias("sum_price"),
+        "max_price",
+    )
+
+
+ORACLES["api_pandas_on_spark"] = """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS sum_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+WHERE o_totalprice > 1000.0
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES.update({"api_pandas_on_spark": q_api_pandas_on_spark})
