@@ -84,7 +84,7 @@ each verified against its DuckDB oracle at sf0.01 AND sf0.1):
 ``agg_bitmap_distinct``, ``dedup_sorted_neighborhood``,
 ``format_constraint_check``, ``graph_kcore``,
 ``window_session_dynamic``, ``streaming_session_dynamic``,
-``api_pandas_on_spark``.
+``api_pandas_on_spark``, ``format_wap_publish``.
 """
 
 from __future__ import annotations

@@ -8349,3 +8349,81 @@ GROUP BY o_orderpriority
 
 
 QUERIES.update({"api_pandas_on_spark": q_api_pandas_on_spark})
+
+
+def q_format_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish (``table_format.py::commit_stage/
+    read_staged/commit_publish/commit_abandon`` — the Iceberg WAP
+    governance pattern): a poisoned batch is STAGED, audited via the
+    staged view (negative prices found), and ABANDONED — main-table
+    readers never saw it; a clean batch stages, audits clean, and
+    publishes atomically.  Unlike commit-time CHECK constraints
+    (synchronous predicates), the audit between write and visibility is
+    an ARBITRARY query.  The rollup proves exactly base + published are
+    visible; staged-invisibility and conflict corners are pinned in
+    ``tests/test_table_format.py``."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_wap", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    TF.commit_append(
+        spark, path, o.filter(F.col("o_orderkey") % 3 == 0).coalesce(1),
+        stat_cols=["o_orderkey"],
+    )
+    TF.commit_stage(
+        spark, path,
+        o.filter(F.col("o_orderkey") % 3 == 1).withColumn(
+            "o_totalprice", -F.col("o_totalprice")
+        ),
+        stat_cols=["o_orderkey"], audit_id="poisoned",
+    )
+    n_bad = (
+        TF.read_staged(spark, path, audit_id="poisoned")
+        .filter(F.col("o_totalprice") < 0)
+        .count()
+    )
+    if n_bad == 0:
+        raise AssertionError("audit must catch the poisoned batch")
+    TF.commit_abandon(path, audit_id="poisoned")
+    TF.commit_stage(
+        spark, path, o.filter(F.col("o_orderkey") % 3 == 2),
+        stat_cols=["o_orderkey"], audit_id="clean",
+    )
+    n_bad = (
+        TF.read_staged(spark, path, audit_id="clean")
+        .filter(F.col("o_totalprice") < 0)
+        .count()
+    )
+    if n_bad:
+        raise AssertionError("clean batch must audit clean")
+    TF.commit_publish(path, audit_id="clean")
+    result = (
+        TF.read_table(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_wap_publish"] = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM orders
+WHERE o_orderkey % 3 IN (0, 2)
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES.update({"format_wap_publish": q_format_wap_publish})

@@ -467,3 +467,100 @@ def commit_append_checked(
         spark, path, df,
         stat_cols=stat_cols, expected_version=expected_version,
     )
+
+
+def commit_stage(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    *,
+    stat_cols: list[str],
+    audit_id: str,
+) -> int:
+    """Write-Audit-Publish, step 1 (the Iceberg WAP pattern): write the
+    data files and a STAGED commit (``{v}.json.staged-{audit_id}``) that
+    readers of the main table NEVER see — auditors read it explicitly
+    via :func:`read_staged`, run whatever checks they like (row counts,
+    DQ suites, reconciliation), then :func:`commit_publish` promotes it
+    atomically or :func:`commit_abandon` drops it (files become
+    vacuum-able orphans).  Unlike commit-time CHECK constraints
+    (synchronous, per-batch predicates), WAP supports ARBITRARY
+    audit queries between write and visibility.  Returns the staged
+    version number."""
+    base = latest_version(path)
+    staging = os.path.join(
+        _data_dir(path), f"wap-{base + 1}-{uuid.uuid4().hex[:8]}"
+    )
+    df.write.mode("overwrite").parquet(staging)
+    files = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        fp = os.path.join(staging, name)
+        st = _file_stats(fp, stat_cols)
+        files.append(
+            {
+                "path": os.path.relpath(fp, path),
+                "rows": st["rows"],
+                "stats": st["cols"],
+            }
+        )
+    staged = os.path.join(
+        _log_dir(path), f"{base + 1}.json.staged-{audit_id}"
+    )
+    with open(staged, "w") as fh:
+        json.dump(
+            {"version": base + 1, "files": files, "parent": base}, fh
+        )
+    return base + 1
+
+
+def _staged_path(path: str, audit_id: str) -> str:
+    cands = [
+        n
+        for n in os.listdir(_log_dir(path))
+        if n.endswith(f".staged-{audit_id}")
+    ]
+    if len(cands) != 1:
+        raise FileNotFoundError(
+            f"expected exactly one staged commit for {audit_id!r}, "
+            f"found {cands}"
+        )
+    return os.path.join(_log_dir(path), cands[0])
+
+
+def read_staged(
+    spark: SparkSession, path: str, *, audit_id: str
+) -> DataFrame:
+    """Audit view: the staged snapshot (committed table + staged files)
+    — what the table WOULD become if published."""
+    with open(_staged_path(path, audit_id)) as fh:
+        staged = json.load(fh)
+    files = [
+        os.path.join(path, f["path"]) for f in staged["files"]
+    ] + [
+        os.path.join(path, f["path"])
+        for f in _snapshot_file_dicts(path, staged["parent"])
+    ]
+    return spark.read.option("mergeSchema", "true").parquet(*files)
+
+
+def commit_publish(path: str, *, audit_id: str) -> int:
+    """WAP step 3: atomically promote the audited staged commit.  Loses
+    the rename (another writer landed the version first) →
+    :class:`CommitConflict`; the stage survives for retry-on-new-head
+    logic to re-parent."""
+    staged = _staged_path(path, audit_id)
+    with open(staged) as fh:
+        version = json.load(fh)["version"]
+    final = os.path.join(_log_dir(path), f"{version}.json")
+    if os.path.exists(final):
+        raise CommitConflict(f"version {version} already committed")
+    os.replace(staged, final)
+    return version
+
+
+def commit_abandon(path: str, *, audit_id: str) -> None:
+    """WAP abort: drop the staged commit; its data files are orphans
+    for :func:`vacuum`."""
+    os.remove(_staged_path(path, audit_id))

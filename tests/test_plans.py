@@ -423,6 +423,8 @@ _SHUFFLE_BUDGET = {
     "graph_kcore": 2,
     # one session-window aggregate per user (dynamic gap is row-local)
     "window_session_dynamic": 1,
+    # WAP: the returned frame is the checkpointed snapshot rollup
+    "format_wap_publish": 0,
 }
 
 

@@ -416,3 +416,52 @@ def test_checked_commit_publishes_clean_batches(spark, tmp_path):
     )
     assert v == 1
     assert TF.read_table(spark, path).count() == 10
+
+
+def test_staged_commit_is_invisible_until_published(spark, table):
+    path, df = table
+    TF.commit_stage(
+        spark, path, df.limit(5).select("k", "bucket", "v"),
+        stat_cols=["bucket"], audit_id="aud1",
+    )
+    assert TF.latest_version(path) == 2  # unchanged by staging
+    assert TF.read_table(spark, path).count() == df.count()
+    # the audit view sees table + staged
+    assert (
+        TF.read_staged(spark, path, audit_id="aud1").count()
+        == df.count() + 5
+    )
+    TF.commit_publish(path, audit_id="aud1")
+    assert TF.latest_version(path) == 3
+    assert TF.read_table(spark, path).count() == df.count() + 5
+
+
+def test_abandoned_stage_leaves_orphans_for_vacuum(spark, table):
+    import os as _os
+
+    path, df = table
+    TF.commit_stage(
+        spark, path, df.limit(3).select("k", "bucket", "v"),
+        stat_cols=["bucket"], audit_id="aud2",
+    )
+    TF.commit_abandon(path, audit_id="aud2")
+    with pytest.raises(FileNotFoundError):
+        TF.read_staged(spark, path, audit_id="aud2")
+    removed, kept = TF.vacuum(path, retain_versions=10)
+    assert removed >= 1  # the abandoned files swept
+    assert TF.read_table(spark, path).count() == df.count()
+
+
+def test_publish_loses_race_like_any_commit(spark, table):
+    path, df = table
+    TF.commit_stage(
+        spark, path, df.limit(2).select("k", "bucket", "v"),
+        stat_cols=["bucket"], audit_id="aud3",
+    )
+    # another writer lands version 3 first
+    TF.commit_append(
+        spark, path, df.limit(1).select("k", "bucket", "v"),
+        stat_cols=["bucket"],
+    )
+    with pytest.raises(TF.CommitConflict):
+        TF.commit_publish(path, audit_id="aud3")
