@@ -425,6 +425,10 @@ _SHUFFLE_BUDGET = {
     "window_session_dynamic": 1,
     # WAP: the returned frame is the checkpointed snapshot rollup
     "format_wap_publish": 0,
+    # custom-format read checkpoints eagerly after the rollup
+    "source_python_batch": 0,
+    # the pandas front door compiles to the same single hash aggregate
+    "api_pandas_on_spark": 1,
 }
 
 
