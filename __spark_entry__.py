@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship enrichment query (the reference's
 documented snapshot-enrichment pattern, `docs/Table-streamingsource.md:10-14`)
 at sf0.001.  ``queries()`` / ``oracle_sql()`` expose the full catalog
-(305 entries) from ``table_streaming_source_spark.plans.catalog`` — one
+(309 entries) from ``table_streaming_source_spark.plans.catalog`` — one
 entry per implemented operator of SURVEY.md §2 (map in §2C), EVERY entry
 with a DuckDB oracle twin (zero rows-only checks; one entry,
 ``streaming_timeout_sessions_tws``, is environment-gated on

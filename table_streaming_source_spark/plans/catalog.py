@@ -84,7 +84,9 @@ each verified against its DuckDB oracle at sf0.01 AND sf0.1):
 ``agg_bitmap_distinct``, ``dedup_sorted_neighborhood``,
 ``format_constraint_check``, ``graph_kcore``,
 ``window_session_dynamic``, ``streaming_session_dynamic``,
-``api_pandas_on_spark``, ``format_wap_publish``.
+``api_pandas_on_spark``, ``format_wap_publish``,
+``scalar_timezone``, ``text_script_profile``, ``text_novelty_rate``,
+``ts_decompose``.
 """
 
 from __future__ import annotations

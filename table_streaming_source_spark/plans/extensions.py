@@ -6417,3 +6417,225 @@ FROM p WHERE d <= 5
 QUERIES_DEFERRED.update(
     {"dedup_sorted_neighborhood": q_dedup_sorted_neighborhood}
 )
+
+
+def q_text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-SCRIPT profiling (Han vs Latin char counts + dominant
+    script per document, rolled up per declared language) — the
+    pre-filter multilingual corpus routing runs BEFORE n-gram language
+    ID (`text_langid`): script detection is character-class counting,
+    orders of magnitude cheaper, and catches mislabeled CJK instantly.
+    Engines use their own regex idiom for the same Unicode script
+    property (Java ``\\p{IsHan}`` / RE2 ``\\p{Han}``); counts are exact
+    integers, the ratio is one exact division."""
+    docs = t(spark, sf_dir, "documents")
+    n_han = F.length(
+        F.regexp_replace("text", r"[^\p{IsHan}]", "")
+    ).cast("bigint")
+    n_latin = F.length(
+        F.regexp_replace("text", r"[^\p{IsLatin}]", "")
+    ).cast("bigint")
+    per_doc = docs.select(
+        "lang",
+        n_han.alias("han"),
+        n_latin.alias("latin"),
+        F.length("text").cast("bigint").alias("chars"),
+        F.when(n_han > n_latin, "han").otherwise("latin").alias(
+            "dominant_script"
+        ),
+    )
+    return per_doc.groupBy("lang", "dominant_script").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("han").cast("bigint").alias("han_chars"),
+        F.sum("latin").cast("bigint").alias("latin_chars"),
+        F.round(
+            F.sum("han").cast("double") / F.sum("chars"), 6
+        ).alias("han_ratio"),
+    )
+
+
+ORACLES["text_script_profile"] = """
+WITH per_doc AS (
+  SELECT lang,
+         LEN(REGEXP_REPLACE(text, '[^\\p{Han}]', '', 'g')) AS han,
+         LEN(REGEXP_REPLACE(text, '[^\\p{Latin}]', '', 'g')) AS latin,
+         LEN(text) AS chars
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN han > latin THEN 'han' ELSE 'latin' END
+         AS dominant_script,
+       COUNT(*) AS n_docs,
+       CAST(SUM(han) AS BIGINT) AS han_chars,
+       CAST(SUM(latin) AS BIGINT) AS latin_chars,
+       ROUND(CAST(SUM(han) AS DOUBLE) / SUM(chars), 6) AS han_ratio
+FROM per_doc
+GROUP BY 1, 2
+"""
+
+
+def q_text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram NOVELTY per document: the fraction of a doc's distinct
+    3-gram shingles whose FIRST corpus occurrence is this doc — the
+    diversity/staleness signal data curation uses to order or prune
+    ingestion (a doc that introduces nothing new is a dedup candidate
+    even when no single pair-wise match fires).  One shingle-keyed
+    min-aggregate + one join; the int-ratio rounds on the
+    `text_edit_distance` scale-then-round path."""
+    docs = t(spark, sf_dir, "documents")
+    from table_streaming_source_spark.operators.dedup import shingle_table
+
+    sh = shingle_table(docs, "text", "doc_id", n=3)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        (
+            F.round(F.col("n_novel") * 1_000_000 / F.col("n_shingles"))
+            .cast("long")
+            / 1_000_000
+        ).alias("novelty_rate"),
+    )
+
+
+ORACLES["text_novelty_rate"] = f"""
+WITH {_SQL_SHINGLES3},
+first AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+),
+per_doc AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_shingles,
+         SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+           AS n_novel
+  FROM sh s JOIN first f USING (shingle)
+  GROUP BY s.doc_id
+)
+SELECT doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       CAST(ROUND(n_novel * 1000000.0 / n_shingles) AS BIGINT)
+         / 1000000 AS novelty_rate
+FROM per_doc
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "text_script_profile": q_text_script_profile,
+        "text_novelty_rate": q_text_novelty_rate,
+    }
+)
+
+
+def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily series per event
+    type — trend (centered 7-day moving average), seasonal (day-of-week
+    mean of the detrended series), residual — the STL-style triptych a
+    capacity/anomaly pipeline reads (`ts_seasonal_profile` gives the
+    seasonal component alone; this separates all three).  Every mean
+    divides a decimal-exact sum by its own frame count (edge frames are
+    partial by definition); detrended values round at 9 before the
+    seasonal re-aggregation so the second mean is order-independent
+    too.  All windows are bounded by the SERIES (≤30 points/type)."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(28,6)")).alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    trended = daily.select(
+        "event_type",
+        "d",
+        F.col("v").cast("double").alias("v"),
+        (
+            F.sum("v").over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("trend"),
+    ).withColumn(
+        "__det",
+        F.round(F.col("v") - F.col("trend"), 9),
+    )
+    seasonal = (
+        trended.groupBy(
+            F.col("event_type").alias("__et"),
+            F.dayofweek("d").alias("__dow"),
+        )
+        .agg(
+            (
+                F.sum(F.col("__det").cast("decimal(28,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("seasonal")
+        )
+    )
+    return (
+        trended.join(
+            F.broadcast(seasonal),
+            (trended["event_type"] == seasonal["__et"])
+            & (F.dayofweek(trended["d"]) == seasonal["__dow"]),
+        )
+        .select(
+            "event_type",
+            "d",
+            F.round("v", 6).alias("daily_v"),
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(
+                F.col("__det") - F.col("seasonal"), 6
+            ).alias("residual"),
+        )
+    )
+
+
+ORACLES["ts_decompose"] = """
+WITH daily AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS d,
+         SUM(CAST(value AS DECIMAL(28,6))) AS v
+  FROM events GROUP BY 1, 2
+),
+trended AS (
+  SELECT event_type, d, CAST(v AS DOUBLE) AS v,
+         CAST(SUM(v) OVER w AS DOUBLE) / COUNT(*) OVER w AS trend
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT event_type, d, v, trend,
+         ROUND(v - trend, 9) AS detr
+  FROM trended
+),
+seasonal AS (
+  SELECT event_type, DAYOFWEEK(d) AS dow,
+         CAST(SUM(CAST(detr AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)
+           AS seasonal
+  FROM det GROUP BY 1, 2
+)
+SELECT t.event_type, t.d,
+       ROUND(t.v, 6) AS daily_v,
+       ROUND(t.trend, 6) AS trend,
+       ROUND(s.seasonal, 6) AS seasonal,
+       ROUND(t.detr - s.seasonal, 6) AS residual
+FROM det t
+JOIN seasonal s
+  ON s.event_type = t.event_type AND s.dow = DAYOFWEEK(t.d)
+"""
+
+
+QUERIES_DEFERRED.update({"ts_decompose": q_ts_decompose})

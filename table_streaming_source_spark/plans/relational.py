@@ -8427,3 +8427,50 @@ GROUP BY o_orderpriority
 
 
 QUERIES.update({"format_wap_publish": q_format_wap_publish})
+
+
+def q_scalar_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone scalar pack: UTC event times localized into three IANA
+    zones (``from_utc_timestamp`` ≡ DuckDB's double ``AT TIME ZONE``)
+    with per-(zone, local-hour) volume — the localization step every
+    geographic rollup runs.  Both engines resolve the SAME IANA tzdata
+    for the fixture's window, so local timestamps are value-identical;
+    the hour histogram shape shifts per zone exactly as the offsets
+    dictate."""
+    ev = t(spark, sf_dir, "events")
+    zones = F.array(
+        F.lit("America/New_York"),
+        F.lit("Asia/Tokyo"),
+        F.lit("Europe/Berlin"),
+    )
+    local = ev.select(
+        F.explode(zones).alias("zone"), F.col("ts")
+    ).select(
+        "zone",
+        F.hour(F.expr("from_utc_timestamp(ts, zone)"))
+        .cast("int")
+        .alias("local_hour"),
+    )
+    return local.groupBy("zone", "local_hour").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+ORACLES["scalar_timezone"] = """
+WITH z AS (
+  SELECT UNNEST(['America/New_York', 'Asia/Tokyo', 'Europe/Berlin'])
+    AS zone
+),
+l AS (
+  SELECT z.zone,
+         CAST(EXTRACT(HOUR FROM (e.ts AT TIME ZONE 'UTC'
+                                 AT TIME ZONE z.zone)) AS INT)
+           AS local_hour
+  FROM events e, z
+)
+SELECT zone, local_hour, COUNT(*) AS n
+FROM l GROUP BY zone, local_hour
+"""
+
+
+QUERIES.update({"scalar_timezone": q_scalar_timezone})

@@ -429,6 +429,14 @@ _SHUFFLE_BUDGET = {
     "source_python_batch": 0,
     # the pandas front door compiles to the same single hash aggregate
     "api_pandas_on_spark": 1,
+    # zone-exploded localization + one (zone, hour) rollup
+    "scalar_timezone": 1,
+    # char-class counting is row-local; one (lang, script) rollup
+    "text_script_profile": 1,
+    # shingle min-agg + first-occurrence join + doc rollup
+    "text_novelty_rate": 2,
+    # daily rollup + bounded trend window + seasonal agg + final join
+    "ts_decompose": 4,
 }
 
 
