@@ -118,6 +118,27 @@ def _file_stats(file_path: str, stat_cols: list[str]) -> dict:
     return {"rows": n_rows, "cols": out}
 
 
+def _manifest_entries(
+    path: str, staging: str, stat_cols: list[str]
+) -> list[dict]:
+    """Manifest entries (path/rows/stats) for every parquet file a write
+    just staged — shared by append/compact/merge/stage commits."""
+    files = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        fp = os.path.join(staging, name)
+        st = _file_stats(fp, stat_cols)
+        files.append(
+            {
+                "path": os.path.relpath(fp, path),
+                "rows": st["rows"],
+                "stats": st["cols"],
+            }
+        )
+    return files
+
+
 def commit_append(
     spark: SparkSession,
     path: str,
@@ -138,19 +159,7 @@ def commit_append(
         _data_dir(path), f"commit-{base + 1}-{uuid.uuid4().hex[:8]}"
     )
     df.write.mode("overwrite").parquet(staging)
-    files = []
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
-        fp = os.path.join(staging, name)
-        st = _file_stats(fp, stat_cols)
-        files.append(
-            {
-                "path": os.path.relpath(fp, path),
-                "rows": st["rows"],
-                "stats": st["cols"],
-            }
-        )
+    files = _manifest_entries(path, staging, stat_cols)
     _write_commit(
         path,
         base + 1,
@@ -258,19 +267,7 @@ def commit_compact(
         _data_dir(path), f"compact-{base + 1}-{uuid.uuid4().hex[:8]}"
     )
     current.coalesce(1).write.mode("overwrite").parquet(staging)
-    files = []
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
-        fp = os.path.join(staging, name)
-        st = _file_stats(fp, stat_cols)
-        files.append(
-            {
-                "path": os.path.relpath(fp, path),
-                "rows": st["rows"],
-                "stats": st["cols"],
-            }
-        )
+    files = _manifest_entries(path, staging, stat_cols)
     _write_commit(
         path,
         base + 1,
@@ -344,19 +341,7 @@ def commit_merge(
         _data_dir(path), f"merge-{base + 1}-{uuid.uuid4().hex[:8]}"
     )
     merged.write.mode("overwrite").parquet(staging)
-    files = list(untouched)
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
-        fp = os.path.join(staging, name)
-        st = _file_stats(fp, stat_cols)
-        files.append(
-            {
-                "path": os.path.relpath(fp, path),
-                "rows": st["rows"],
-                "stats": st["cols"],
-            }
-        )
+    files = list(untouched) + _manifest_entries(path, staging, stat_cols)
     _write_commit(
         path,
         base + 1,
@@ -492,19 +477,7 @@ def commit_stage(
         _data_dir(path), f"wap-{base + 1}-{uuid.uuid4().hex[:8]}"
     )
     df.write.mode("overwrite").parquet(staging)
-    files = []
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
-        fp = os.path.join(staging, name)
-        st = _file_stats(fp, stat_cols)
-        files.append(
-            {
-                "path": os.path.relpath(fp, path),
-                "rows": st["rows"],
-                "stats": st["cols"],
-            }
-        )
+    files = _manifest_entries(path, staging, stat_cols)
     staged = os.path.join(
         _log_dir(path), f"{base + 1}.json.staged-{audit_id}"
     )
