@@ -127,3 +127,101 @@ def test_chi_square_matches_numpy(spark, sf_dir):
         assert r["n"] == n
         assert abs(r["expected_n"] - e) < 1e-5
         assert abs(r["chi2_term"] - (n - e) ** 2 / e) < 1e-5
+
+
+def test_substring_dedup_matches_brute_force(spark, sf_dir):
+    """Corpus-wide brute force in plain Python: every 40-char window
+    hashed into a dict, repeated windows marked, per-doc islands merged
+    — must equal the engine's spans exactly."""
+    from collections import Counter
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    K = 40
+    counts = Counter()
+    wins = {}
+    for did, text in zip(docs.doc_id, docs.text):
+        ws = [text[i : i + K] for i in range(len(text) - K + 1)]
+        wins[did] = ws
+        counts.update(ws)
+    expect = {}
+    for did, text in zip(docs.doc_id, docs.text):
+        marked = [
+            i for i, w in enumerate(wins.get(did, [])) if counts[w] >= 2
+        ]
+        spans = []
+        for i in marked:
+            if spans and i <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], i + K)
+            else:
+                spans.append([i, i + K])
+        dup = sum(e - s for s, e in spans)
+        expect[did] = (len(spans), dup)
+    got = {
+        r["doc_id"]: (r["n_spans"], r["dup_chars"])
+        for r in QUERIES["text_substring_dedup"](spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_bitmap_distinct_equals_nunique(spark, sf_dir):
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    expect = orders.groupby("o_orderpriority").o_custkey.nunique()
+    for r in QUERIES["agg_bitmap_distinct"](spark, sf_dir).collect():
+        assert r["n_distinct"] == expect[r["o_orderpriority"]]
+
+
+def test_kcore_matches_direct_peeling(spark, sf_dir):
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    e = orders.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    edges = {
+        (int(c), -(int(s) + 1))
+        for c, s in zip(e.o_custkey, e.l_suppkey)
+    }
+    for _ in range(3):
+        from collections import Counter
+
+        deg = Counter()
+        for u, v in edges:
+            deg[u] += 1
+            deg[v] += 1
+        keep = {n for n, d in deg.items() if d >= 10}
+        edges = {(u, v) for u, v in edges if u in keep and v in keep}
+    from collections import Counter
+
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    got = {
+        r["node"]: r["degree"]
+        for r in QUERIES["graph_kcore"](spark, sf_dir).collect()
+    }
+    assert got == dict(deg)
+
+
+def test_interval_overlap_matches_direct(spark, sf_dir):
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    d = orders.o_orderdate.dt.floor("D")
+    a = orders[orders.o_orderkey % 2 == 0].assign(s=d, e=d + pd.Timedelta(days=7))
+    b = orders[orders.o_orderkey % 2 == 1].assign(s=d, e=d + pd.Timedelta(days=5))
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    bs = sorted(zip(b.s, b.e))
+    import bisect
+
+    starts = [x[0] for x in bs]
+    for k, sa, ea in zip(a.o_orderkey, a.s, a.e):
+        # only b-intervals with s < ea can overlap; scan that prefix
+        hi = bisect.bisect_left(starts, ea)
+        for sb, eb in bs[:hi]:
+            if sb < ea and sa < eb:
+                ov = (min(ea, eb) - max(sa, sb)).days
+                agg[int(k)][0] += 1
+                agg[int(k)][1] += ov
+    got = {
+        r["o_orderkey"]: (r["n_overlaps"], r["overlap_days"])
+        for r in QUERIES["join_interval_overlap_agg"](spark, sf_dir).collect()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
