@@ -225,3 +225,63 @@ def test_interval_overlap_matches_direct(spark, sf_dir):
         for r in QUERIES["join_interval_overlap_agg"](spark, sf_dir).collect()
     }
     assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_sample_weighted_matches_direct_priority_ranking(spark, sf_dir):
+    import hashlib
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = docs[docs.n_chars > 0]
+    pri = []
+    for did, w in zip(docs.doc_id, docs.n_chars):
+        h = int(hashlib.md5(str(did).encode()).hexdigest()[:15], 16)
+        u = (h + 1) / float(1 << 60)
+        pri.append((round(round(math.log(u), 9) / w, 12), int(did)))
+    expect = sorted(pri, key=lambda t: (-t[0], t[1]))[:50]
+    got = [
+        (r["priority"], r["doc_id"])
+        for r in QUERIES["sample_weighted"](spark, sf_dir).collect()
+    ]
+    got = sorted(got, key=lambda t: (-t[0], t[1]))
+    assert [(d, p) for p, d in got] == [(d, p) for p, d in expect]
+
+
+def test_dataset_card_matches_pandas(spark, sf_dir):
+    import hashlib
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    docs["digest"] = docs.text.map(
+        lambda t: hashlib.md5(t.encode()).hexdigest()
+    )
+    for r in QUERIES["pipeline_dataset_card"](spark, sf_dir).collect():
+        g = docs[(docs.lang == r["lang"]) & (docs.source == r["source"])]
+        assert r["n_docs"] == len(g)
+        assert r["total_chars"] == g.n_chars.sum()
+        assert r["n_unique"] == g.digest.nunique()
+        assert abs(
+            r["dup_rate"] - (len(g) - g.digest.nunique()) / len(g)
+        ) < 1e-5
+
+
+def test_scalar_ip_roundtrip_matches_python(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, None, None])
+    for uid in ev.user_id:
+        ip = (int(uid) * 2654435761) % 4294967296
+        o1, o2 = ip >> 24, (ip >> 16) & 255
+        net = f"{o1}.{o2}.0.0/16"
+        priv = o1 == 10 or (o1 == 172 and 16 <= o2 <= 31) or (
+            o1 == 192 and o2 == 168
+        )
+        a = agg[net]
+        a[0] += 1
+        a[1] += int(priv)
+        a[2] = ip if a[2] is None else min(a[2], ip)
+        a[3] = ip if a[3] is None else max(a[3], ip)
+    got = {
+        r["net16"]: (r["n"], r["n_private"], r["min_ip"], r["max_ip"])
+        for r in QUERIES["scalar_ip"](spark, sf_dir).collect()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
