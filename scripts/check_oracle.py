@@ -109,9 +109,13 @@ def main():
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument(
         "--strict-dtypes",
-        action="store_true",
-        help="also flag dtype-kind mismatches (int vs float) that the "
-        "driver's value-hash would reject even when values agree",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="flag dtype-kind mismatches (int vs float) that the "
+        "driver's value-hash would reject even when values agree.  "
+        "DEFAULT ON — this class caused the only official reds in two "
+        "of six rounds (scalar_variant r4, pipeline_dataset_card r6); "
+        "use --no-strict-dtypes only for exploration",
     )
     args = ap.parse_args()
 

@@ -853,9 +853,11 @@ def keep_best_dedup(
     dedup keeps the best copy (here: the longest raw text; normalization
     collapses case/whitespace, so group members genuinely differ), with
     the key as the deterministic tie-break.  One hash aggregate on the
-    digest; ``max_by`` over a (quality, -key) struct gives the argmax
+    digest; ``min_by`` over a (-quality, key) struct gives the argmax
     without a second pass or a window — map-side combinable, payload
-    never shuffles beyond the digest group."""
+    never shuffles beyond the digest group.  Only QUALITY is negated
+    (it is numeric by construction — a length), so the tie-break works
+    for ANY orderable key type, string doc-ids included."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     qual = F.length(F.col(text_col)).cast("bigint")
     return (
@@ -866,8 +868,9 @@ def keep_best_dedup(
         )
         .groupBy("fingerprint")
         .agg(
-            F.max_by(
-                F.col(key), F.struct(F.col("__q"), (-F.col(key)).alias("__nk"))
+            F.min_by(
+                F.col(key),
+                F.struct((-F.col("__q")).alias("__nq"), F.col(key)),
             ).alias(f"keep_{key}"),
             F.max("__q").alias("best_len"),
             F.count(F.lit(1)).alias("n_copies"),

@@ -5374,6 +5374,11 @@ def ico_frames(payload: bytes) -> "list[tuple[object, object]]":
     reserved, kind, count = struct.unpack("<HHH", payload[:6])
     if reserved != 0 or kind != 1:
         raise ValueError("not an ICO stream")
+    if count == 0:
+        # spec-valid but useless: keep the documented ValueError
+        # quarantine contract instead of letting downstream frame
+        # indexing surface a bare IndexError
+        raise ValueError("empty ICO directory")
     out = []
     for i in range(count):
         entry = payload[6 + 16 * i : 6 + 16 * (i + 1)]

@@ -1113,6 +1113,7 @@ def knn_join_blocked(
     key: str = "vec_id",
     block_col: str = "label",
     round_digits: int = 6,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Full k-nearest-neighbor JOIN (every vector → its k nearest),
     blocked by a coarse cell — the all-pairs sibling of
@@ -1123,7 +1124,19 @@ def knn_join_blocked(
     one window over the vector's OWN candidate list — bounded by the
     block size, never the corpus.  Ranking happens on the ROUNDED
     cosine with the neighbor key as tie-break, so the order is
-    bit-stable across engines."""
+    bit-stable across engines.
+
+    ``max_block`` guards the mega-cell explosion (the same
+    boilerplate-bucket problem :func:`cosine_pairs_blocked` caps): a
+    cell of ``m`` vectors yields ``m(m-1)`` candidate pairs.  Unlike
+    the pairs op, every LEFT vector must keep its k neighbors, so the
+    cap prunes the NEIGHBOR side: for cells over the cap only the
+    ``max_block`` lowest-keyed members remain candidates — candidate
+    volume becomes ``m × max_block`` (linear in the cell) and the
+    within-mega-cell top-k turns approximate-over-a-deterministic-
+    subset, which is the standard IVF answer (probe a bounded candidate
+    list).  The prune is a per-cell ``row_number`` on the already-
+    shuffled block key — no extra exchange."""
     from pyspark.sql import Window
 
     from table_streaming_source_spark.operators.hof import spread
@@ -1139,6 +1152,13 @@ def knn_join_blocked(
         F.col(key).alias("neighbor_id"),
         F.col(vec_col).alias("__vb"),
     )
+    if max_block is not None:
+        cand_w = Window.partitionBy("__blk").orderBy("neighbor_id")
+        b = (
+            b.withColumn("__cand_rank", F.row_number().over(cand_w))
+            .filter(F.col("__cand_rank") <= max_block)
+            .drop("__cand_rank")
+        )
     sim = F.round(cosine(F.col("__va"), F.col("__vb")), round_digits)
     w = Window.partitionBy(key).orderBy(
         F.desc("cos_sim"), F.col("neighbor_id")

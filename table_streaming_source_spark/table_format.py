@@ -232,6 +232,21 @@ def vacuum(path: str, *, retain_versions: int = 2) -> tuple[int, int]:
     for v in keep_versions:
         files, _, _ = snapshot_files(path, version=v)
         referenced.update(os.path.abspath(f) for f in files)
+    # Staged-but-unpublished WAP commits are NOT orphans: their manifest
+    # exists (``{v}.json.staged-{audit_id}``) and commit_publish may still
+    # promote it.  Sweeping those files would let a later publish point a
+    # committed snapshot at deleted data — the Iceberg rule is that an
+    # open audit pins its files (only commit_abandon turns them into
+    # sweepable orphans).
+    for name in os.listdir(_log_dir(path)):
+        if ".json.staged-" not in name:
+            continue
+        with open(os.path.join(_log_dir(path), name)) as fh:
+            staged = json.load(fh)
+        referenced.update(
+            os.path.abspath(os.path.join(path, f["path"]))
+            for f in staged["files"]
+        )
     removed = kept = 0
     for root, _dirs, names in os.walk(_data_dir(path)):
         for name in names:
@@ -305,11 +320,14 @@ def commit_merge(
     files) as a full-snapshot commit.  Old files stay for time travel;
     vacuum retires them.
 
-    The change-key set is collected to the driver for the overlap test
-    — a CDC micro-batch is bounded by design (this is exactly how
-    production formats evaluate file skipping: stats live in driver-side
-    metadata).  Inserts whose key lands outside every file's range join
-    the rewrite's output files.  Returns
+    The overlap test runs IN SPARK: the manifest's per-file [min, max]
+    ranges become a small broadcast DataFrame, the CDC batch's distinct
+    keys range-join against it, and only the AFFECTED FILE IDS are
+    collected — driver traffic is O(files hit), never O(change keys),
+    so a 10⁶-key CDC batch against a 10⁵-file table costs one
+    distributed broadcast join instead of a driver-side keys×files
+    scan.  Inserts whose key lands outside every file's range join the
+    rewrite's output files.  Returns
     ``(new_version, files_rewritten, files_total)``."""
     from pyspark.sql import functions as F
 
@@ -319,17 +337,36 @@ def commit_merge(
         latest_version(path)
     )
     file_dicts = _snapshot_file_dicts(path, base)
-    change_keys = [
-        r[0] for r in changes.select(key).distinct().collect()
+    # no stats for the key → cannot prove absence → must rewrite
+    hit_idx = {
+        i for i, f in enumerate(file_dicts)
+        if f["stats"].get(key) is None
+    }
+    ranges = [
+        (i, f["stats"][key][0], f["stats"][key][1])
+        for i, f in enumerate(file_dicts)
+        if i not in hit_idx
     ]
-    affected, untouched = [], []
-    for f in file_dicts:
-        rng = f["stats"].get(key)
-        hit = rng is not None and any(
-            rng[0] <= k <= rng[1] for k in change_keys
+    if ranges:
+        manifest = spark.createDataFrame(
+            ranges, schema=["__file_idx", "__lo", "__hi"]
         )
-        # no stats for the key → cannot prove absence → must rewrite
-        (affected if hit or rng is None else untouched).append(f)
+        key_c = changes.schema[key].dataType
+        hits = (
+            changes.select(F.col(key).alias("__k"))
+            .distinct()
+            .join(
+                F.broadcast(manifest),
+                (F.col("__k") >= F.col("__lo").cast(key_c))
+                & (F.col("__k") <= F.col("__hi").cast(key_c)),
+            )
+            .select("__file_idx")
+            .distinct()
+            .collect()
+        )
+        hit_idx.update(r[0] for r in hits)
+    affected = [f for i, f in enumerate(file_dicts) if i in hit_idx]
+    untouched = [f for i, f in enumerate(file_dicts) if i not in hit_idx]
     if affected:
         current = spark.read.parquet(
             *[os.path.join(path, f["path"]) for f in affected]
@@ -435,9 +472,16 @@ def commit_append_checked(
     commit raises :class:`ConstraintViolation` and nothing is published.
     The check is one aggregate over the batch being written — cost
     proportional to the CHANGE, not the table — and runs BEFORE the
-    data files are staged, so a rejected commit does zero write I/O."""
+    data files are staged, so a rejected commit does zero write I/O.
+
+    The batch is pinned (``localCheckpoint``) before the constraint
+    aggregate so the check and the subsequent write see the SAME rows —
+    a non-deterministic input plan (sampling, rand(), a re-read of a
+    mutating source) must not be able to pass the CHECK and then stage
+    different, violating rows."""
     from pyspark.sql import functions as F
 
+    df = df.localCheckpoint(eager=True)
     agg = [
         F.sum(F.when(F.expr(pred), 0).otherwise(1)).alias(name)
         for name, pred in constraints
