@@ -6643,3 +6643,101 @@ JOIN seasonal s
 
 
 QUERIES_DEFERRED.update({"ts_decompose": q_ts_decompose})
+
+
+# ---------------------------------------------------------------------------
+# round 7: persisted dedup state, WARC ingestion, export sharding,
+# preference pairs, rank statistics, survival, time-decay, binary ANN,
+# paletted PNG, deterministic sampling, SQL UDFs, stable ids
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_state_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-RUN dedup: the seen-fingerprint index persists between
+    ingestion runs as a versioned table-format table with MERGE
+    maintenance — the productionized form of `dedup_incremental`
+    (whose index lived only for the session).  Run 1 (even doc_ids)
+    builds the index and commits it; run 2 (odd doc_ids) anti-joins
+    its candidate fingerprints against the PERSISTED index, keeps only
+    first-seen content, and MERGEs the new entries in (copy-on-write,
+    stats-targeted — `table_format.py::commit_merge` rewrites only the
+    fingerprint ranges the new entries touch).  At 100 TB the index is
+    digests only (payloads never enter it), range-clustered on the
+    fingerprint so each incremental run's merge is bounded by the
+    ranges it lands in.  Output = the final index, which the oracle
+    states from the first-seen-by-run rule."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("dedup_state", sf_dir, fresh=True)
+    TF.create_table(path)
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("fingerprint")
+    )
+    idx1 = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"))
+        .withColumn("first_run", F.lit(1).cast("int"))
+    )
+    TF.commit_append(
+        spark,
+        path,
+        idx1.repartitionByRange(4, "fingerprint").sortWithinPartitions(
+            "fingerprint"
+        ),
+        stat_cols=["fingerprint"],
+    )
+    cand2 = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"))
+    )
+    new2 = (
+        cand2.join(
+            TF.read_table(spark, path).select("fingerprint"),
+            "fingerprint",
+            "left_anti",
+        )
+        .withColumn("first_run", F.lit(2).cast("int"))
+        .select(
+            "fingerprint",
+            F.lit("I").alias("op"),
+            "keep_doc_id",
+            "first_run",
+        )
+    )
+    TF.commit_merge(
+        spark, path, new2, key="fingerprint", stat_cols=["fingerprint"]
+    )
+    result = (
+        TF.read_table(spark, path)
+        .select("fingerprint", "keep_doc_id", "first_run")
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["dedup_state_table"] = """
+WITH fp AS (
+  SELECT doc_id, MD5(text) AS fingerprint, doc_id % 2 AS half
+  FROM documents
+),
+agg AS (
+  SELECT fingerprint,
+         MIN(CASE WHEN half = 0 THEN doc_id END) AS keep_even,
+         MIN(CASE WHEN half = 1 THEN doc_id END) AS keep_odd
+  FROM fp GROUP BY fingerprint
+)
+SELECT fingerprint,
+       CAST(COALESCE(keep_even, keep_odd) AS BIGINT) AS keep_doc_id,
+       CAST(CASE WHEN keep_even IS NOT NULL THEN 1 ELSE 2 END AS INT)
+         AS first_run
+FROM agg
+"""
+
+
+QUERIES_DEFERRED.update({"dedup_state_table": q_dedup_state_table})

@@ -8474,3 +8474,331 @@ FROM l GROUP BY zone, local_hour
 
 
 QUERIES.update({"scalar_timezone": q_scalar_timezone})
+
+
+# ---------------------------------------------------------------------------
+# round 7: merge-on-read deletes, shallow clone, row lineage, history
+# expiry, 3-D z-order
+# ---------------------------------------------------------------------------
+
+
+def q_format_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read equality deletes (``table_format.py::
+    commit_delete_keys`` + ``read_table_mor``): two delete commits land
+    as tiny key files — NO data rewrite — and the snapshot read
+    subtracts them with a broadcast anti-join applied ONLY to the data
+    files whose manifest key range overlaps a delete range; files
+    provably disjoint are returned verbatim.  Write amplification of a
+    delete drops from O(files touched × file size) to O(keys deleted);
+    the read-side split is asserted from the manifest in
+    ``tests/test_table_format.py``.  The oracle states the surviving
+    rows directly."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_delvec", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    TF.commit_append(
+        spark,
+        path,
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    TF.commit_delete_keys(
+        spark, path,
+        o.filter((k <= 600) & (k % 10 == 0)), key="o_orderkey",
+    )
+    TF.commit_delete_keys(
+        spark, path,
+        o.filter((k > 600) & (k <= 900) & (k % 7 == 0)),
+        key="o_orderkey",
+    )
+    result = (
+        TF.read_table_mor(spark, path)
+        .groupBy((k % 3).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_delete_vectors"] = """
+SELECT CAST(o_orderkey % 3 AS INT) AS bucket, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM orders
+WHERE NOT (o_orderkey <= 600 AND o_orderkey % 10 = 0)
+  AND NOT (o_orderkey > 600 AND o_orderkey <= 900
+           AND o_orderkey % 7 = 0)
+GROUP BY 1
+"""
+
+
+def q_format_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy branching (``table_format.py::shallow_clone`` — the
+    Delta SHALLOW CLONE / Iceberg branch workflow): the clone's first
+    commit lists the source's data files BY REFERENCE, then the two
+    logs diverge — an experimental append lands only in the clone, and
+    the source's head is bit-identical before and after.  At 100 TB a
+    dev branch costs one manifest write, not a table copy.  The entry
+    reads both heads and emits one rollup row per branch; the oracle
+    states main = evens, clone = evens + odds."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    base = _scratch.scratch_dir("format_clone", sf_dir, fresh=True)
+    main = base + "/main"
+    clone = base + "/clone"
+    TF.create_table(main)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    TF.commit_append(
+        spark, main, o.filter(k % 2 == 0), stat_cols=["o_orderkey"]
+    )
+    TF.shallow_clone(main, clone)
+    TF.commit_append(
+        spark, clone, o.filter(k % 2 == 1), stat_cols=["o_orderkey"]
+    )
+    rollup = lambda path, name: (
+        TF.read_table(spark, path)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .select(F.lit(name).alias("branch"), "n", "sum_price")
+    )
+    result = (
+        rollup(main, "main")
+        .unionByName(rollup(clone, "clone"))
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+ORACLES["format_shallow_clone"] = """
+SELECT 'main' AS branch, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT 'clone', COUNT(*),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+FROM orders
+"""
+
+
+def q_format_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-lineage ids through a rewrite (the Iceberg v3 row-lineage
+    contract on ``table_format.py::row_id_expr``): commit 1 MINTS a
+    stable id per row (md5 of ``key:version``, first 16 hex); a
+    copy-on-write MERGE then updates/deletes/inserts — and surviving
+    rows keep their COMMIT-1 id verbatim (an engine that lazily
+    re-derived ids would stamp ``:2`` and is value-visible), while
+    inserts mint commit-2 ids.  The id function is deterministic, so
+    the oracle restates the whole lineage table."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_lineage", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).filter(F.col("o_orderkey") <= 800)
+    k = F.col("o_orderkey")
+    TF.commit_append(
+        spark,
+        path,
+        o.repartitionByRange(4, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        stat_cols=["o_orderkey"],
+        row_ids_from="o_orderkey",
+    )
+    # k >= 1: key 0 would otherwise receive BOTH a delete and an
+    # insert (-0 = 0) in one batch, violating MERGE's one-op-per-key
+    # precondition
+    low = o.filter((k >= 1) & (k <= 400))
+    changes = (
+        low.filter((k % 4 == 0) & (k % 10 != 0)).select(
+            "o_orderkey", F.lit("U").alias("op"),
+            (F.col("o_totalprice") + 5.0).alias("o_totalprice"),
+        )
+        .unionByName(
+            low.filter(k % 10 == 0).select(
+                "o_orderkey", F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("o_totalprice"),
+            )
+        )
+        .unionByName(
+            low.filter(k % 7 == 0).select(
+                (-k).alias("o_orderkey"), F.lit("I").alias("op"),
+                "o_totalprice",
+            )
+        )
+    )
+    TF.commit_merge(
+        spark, path, changes, key="o_orderkey",
+        stat_cols=["o_orderkey"], row_id_col="_row_id",
+    )
+    result = (
+        TF.read_table(spark, path)
+        .select("o_orderkey", "_row_id")
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_row_lineage"] = """
+SELECT o_orderkey,
+       SUBSTR(MD5(CAST(o_orderkey AS VARCHAR) || ':1'), 1, 16)
+         AS _row_id
+FROM orders
+WHERE o_orderkey <= 800
+  AND NOT (o_orderkey BETWEEN 1 AND 400 AND o_orderkey % 10 = 0)
+UNION ALL
+SELECT -o_orderkey,
+       SUBSTR(MD5(CAST(-o_orderkey AS VARCHAR) || ':2'), 1, 16)
+FROM orders
+WHERE o_orderkey BETWEEN 1 AND 400 AND o_orderkey % 7 = 0
+"""
+
+
+def q_format_expire_snapshots(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """History expiry (``table_format.py::expire_snapshots`` — the
+    Iceberg ``expire_snapshots`` maintenance op): after four append
+    commits, expiring to the last two rewrites the oldest retained
+    commit as a full snapshot and DELETES the older log entries — the
+    metadata chain stays O(retained), time travel past the horizon
+    raises (asserted in ``tests/test_table_format.py``), and the head
+    read is bit-identical before and after.  The emitted row carries
+    the maintenance counters plus the head rollup the oracle states."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_expire", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    for i in range(4):
+        TF.commit_append(
+            spark,
+            path,
+            o.filter(F.col("o_orderkey") % 4 == i).coalesce(1),
+            stat_cols=["o_orderkey"],
+        )
+    removed = TF.expire_snapshots(path, keep_last=2)
+    head = TF.latest_version(path)
+    result = (
+        TF.read_table(spark, path)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .select(
+            F.lit(removed).cast("int").alias("n_expired"),
+            F.lit(head).cast("int").alias("head_version"),
+            "n",
+            "sum_price",
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_expire_snapshots"] = """
+SELECT 3 AS n_expired, 4 AS head_version, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM orders
+"""
+
+
+def q_format_zorder_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-dimensional z-order clustering × manifest skipping
+    (``operators/hof.py::morton3_key``): orders land range-partitioned
+    on the 3-way Morton interleave of three INDEPENDENT dimensions
+    (``o_orderkey % 32``, ``o_custkey % 32``, day-of-month), so every
+    file's manifest range is tight in all three at once and a range
+    read on ANY one dimension prunes files — the 2-D entry
+    (``format_zorder_pruning``) generalized.  All-three-dimension
+    pruning effectiveness is asserted from the manifest in
+    ``tests/test_table_format.py``; the value contract is the d3-range
+    read below."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.operators.hof import morton3_key
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_zorder3", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 32).cast("int").alias("d1"),
+        (F.col("o_custkey") % 32).cast("int").alias("d2"),
+        F.dayofmonth("o_orderdate").cast("int").alias("d3"),
+        "o_totalprice",
+    ).withColumn(
+        "zkey",
+        morton3_key(F.col("d1"), F.col("d2"), F.col("d3"), bits=5),
+    )
+    TF.commit_append(
+        spark,
+        path,
+        o.repartitionByRange(16, "zkey").sortWithinPartitions("zkey"),
+        stat_cols=["d1", "d2", "d3"],
+    )
+    result = (
+        TF.read_table(spark, path, prune=("d3", 8, 15))
+        .filter((F.col("d3") >= 8) & (F.col("d3") <= 15))
+        .groupBy("d3")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_zorder_3d"] = """
+SELECT CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS d3,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM orders
+WHERE EXTRACT(DAY FROM o_orderdate) BETWEEN 8 AND 15
+GROUP BY 1
+"""
+
+
+QUERIES.update(
+    {
+        "format_delete_vectors": q_format_delete_vectors,
+        "format_shallow_clone": q_format_shallow_clone,
+        "format_row_lineage": q_format_row_lineage,
+        "format_expire_snapshots": q_format_expire_snapshots,
+        "format_zorder_3d": q_format_zorder_3d,
+    }
+)

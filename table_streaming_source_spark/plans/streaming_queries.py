@@ -1870,3 +1870,114 @@ FROM s GROUP BY user_id, sid
 QUERIES_DEFERRED.update(
     {"streaming_session_dynamic": q_streaming_session_dynamic}
 )
+
+
+def q_streaming_format_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Table maintenance racing a LIVE tail consumer — the operational
+    contract every lakehouse pipeline depends on: two append commits
+    are drained by a checkpointed tail; then OPTIMIZE (``commit_compact``,
+    flagged ``maintenance``) rewrites the layout and ``vacuum``
+    retires the pre-compaction files WHILE the consumer's checkpoint
+    is live; a further append lands; and the RESTARTED tail (same
+    checkpoint) emits exactly the new append — the maintenance commit
+    is a logical no-op to the stream (no re-emission of rewritten
+    rows) and vacuum, whose retention covers the reader's offset,
+    never yanks files the stream still needs.  The drained union
+    therefore equals the logical table, which is what the oracle
+    states.  Reader-side skip: ``streaming/format_tail.py::
+    _commit_new_files``; also pinned by
+    ``tests/test_table_format.py::test_maintenance_commit_is_noop_to_tail``."""
+    import os as _os
+
+    from table_streaming_source_spark import table_format as TF
+    from table_streaming_source_spark.streaming.format_tail import (
+        register_format_tail,
+    )
+
+    base = _scratch.scratch_dir("format_maint", sf_dir, fresh=True)
+    path = _os.path.join(base, "tbl")
+    out = _os.path.join(base, "out")
+    ck = _os.path.join(base, "ck")
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    TF.commit_append(
+        spark, path, o.filter(k % 2 == 0), stat_cols=["o_orderkey"]
+    )
+    TF.commit_append(
+        spark,
+        path,
+        o.filter(k % 2 == 1).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 10.0
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    register_format_tail(spark)
+
+    def drain() -> None:
+        stream = spark.readStream.format("format_tail").option(
+            "path", path
+        ).load()
+        with _stream_shuffle(spark):
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(300)
+            finally:
+                q.stop()
+
+    drain()
+    # maintenance window: OPTIMIZE + vacuum while the checkpoint lives
+    TF.commit_compact(spark, path, stat_cols=["o_orderkey"])
+    TF.vacuum(path, retain_versions=1)
+    TF.commit_append(
+        spark,
+        path,
+        o.filter(k % 5 == 0).select(
+            (-k - 1).alias("o_orderkey"),
+            "o_orderpriority",
+            (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    drain()
+    result = (
+        spark.read.parquet(out)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+ORACLES["streaming_format_maintenance"] = """
+WITH logical AS (
+  SELECT o_orderpriority,
+         o_totalprice + 10.0 * (o_orderkey % 2) AS p
+  FROM orders
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice + 100.0
+  FROM orders WHERE o_orderkey % 5 = 0
+)
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM logical GROUP BY o_orderpriority
+"""
+
+
+QUERIES_DEFERRED["streaming_format_maintenance"] = (
+    q_streaming_format_maintenance
+)

@@ -31,7 +31,13 @@ from table_streaming_source_spark import table_format as TF
 def _commit_new_files(path: str, version: int) -> list[str]:
     """Data files INTRODUCED by commit ``version``: its file list minus
     the previous snapshot's (full-snapshot commits carry forward
-    untouched files, which must not re-emit)."""
+    untouched files, which must not re-emit).  MAINTENANCE commits
+    (compaction — flagged ``maintenance: true`` in the log) introduce
+    no logical rows, only a rewritten layout, so the tail skips them
+    entirely: a live reader sees maintenance as a no-op, which is what
+    lets OPTIMIZE run against a table that streams are consuming."""
+    if TF._read_commit(path, version).get("maintenance"):
+        return []
     cur = {
         f["path"] for f in TF._snapshot_file_dicts(path, version)
     }

@@ -146,15 +146,29 @@ def commit_append(
     *,
     stat_cols: list[str],
     expected_version: int | None = None,
+    row_ids_from: str | None = None,
+    row_id_col: str = "_row_id",
 ) -> int:
     """Write ``df`` as new data files, then publish them as the next
     commit.  ``expected_version`` implements optimistic concurrency:
     pass the version you read; if someone committed meanwhile the
     rename loses and :class:`CommitConflict` propagates — your data
-    files are orphans (vacuum's job), the table is untouched."""
+    files are orphans (vacuum's job), the table is untouched.
+
+    ``row_ids_from=<key column>`` stamps every appended row with a
+    stable lineage id (:func:`row_id_expr` over that key and THIS
+    commit's version) in ``row_id_col`` — the minting half of the
+    row-lineage contract; :func:`commit_merge` preserves the ids
+    through rewrites."""
+    from pyspark.sql import functions as F
+
     base = expected_version if expected_version is not None else (
         latest_version(path)
     )
+    if row_ids_from is not None:
+        df = df.withColumn(
+            row_id_col, row_id_expr(F.col(row_ids_from), base + 1)
+        )
     staging = os.path.join(
         _data_dir(path), f"commit-{base + 1}-{uuid.uuid4().hex[:8]}"
     )
@@ -286,7 +300,14 @@ def commit_compact(
     _write_commit(
         path,
         base + 1,
-        {"version": base + 1, "files": files, "parent": None},
+        {
+            "version": base + 1,
+            "files": files,
+            "parent": None,
+            # logical content unchanged: append-tailing readers skip
+            # this commit instead of re-emitting the rewritten rows
+            "maintenance": True,
+        },
     )
     return base + 1
 
@@ -311,6 +332,7 @@ def commit_merge(
     stat_cols: list[str],
     op_col: str = "op",
     expected_version: int | None = None,
+    row_id_col: str | None = None,
 ) -> tuple[int, int, int]:
     """Stats-targeted copy-on-write MERGE — the table-format crown
     jewel: resolve from the manifest which data files can possibly
@@ -328,7 +350,14 @@ def commit_merge(
     distributed broadcast join instead of a driver-side keys×files
     scan.  Inserts whose key lands outside every file's range join the
     rewrite's output files.  Returns
-    ``(new_version, files_rewritten, files_total)``."""
+    ``(new_version, files_rewritten, files_total)``.
+
+    ``row_id_col`` (when the table carries row-lineage ids): surviving
+    rows keep their EXISTING id verbatim — the update takes the
+    source's values but never a fresh id — and inserts mint
+    :func:`row_id_expr` ids under THIS commit's version.  The
+    re-attachment join touches only the rewritten subset, never the
+    untouched files."""
     from pyspark.sql import functions as F
 
     from table_streaming_source_spark.snapshot import merge_into
@@ -373,7 +402,23 @@ def commit_merge(
         )
     else:
         current = changes.drop(op_col).limit(0)
-    merged = merge_into(current, changes, key=key, op_col=op_col)
+        if row_id_col is not None:
+            current = current.withColumn(
+                row_id_col, F.lit(None).cast("string")
+            )
+    if row_id_col is not None:
+        prior_ids = current.select(key, row_id_col)
+        merged = merge_into(
+            current.drop(row_id_col), changes, key=key, op_col=op_col
+        )
+        merged = merged.join(prior_ids, key, "left").withColumn(
+            row_id_col,
+            F.coalesce(
+                F.col(row_id_col), row_id_expr(F.col(key), base + 1)
+            ),
+        )
+    else:
+        merged = merge_into(current, changes, key=key, op_col=op_col)
     staging = os.path.join(
         _data_dir(path), f"merge-{base + 1}-{uuid.uuid4().hex[:8]}"
     )
@@ -581,3 +626,233 @@ def commit_abandon(path: str, *, audit_id: str) -> None:
     """WAP abort: drop the staged commit; its data files are orphans
     for :func:`vacuum`."""
     os.remove(_staged_path(path, audit_id))
+
+
+# ---------------------------------------------------------------------------
+# round 7: merge-on-read equality deletes, shallow clone, row lineage,
+# snapshot expiry
+# ---------------------------------------------------------------------------
+
+
+def commit_delete_keys(
+    spark: SparkSession,
+    path: str,
+    keys_df: DataFrame,
+    *,
+    key: str,
+    expected_version: int | None = None,
+) -> int:
+    """Merge-on-read EQUALITY DELETE (the Iceberg equality-delete-file /
+    Delta deletion-vector idea): instead of rewriting every data file a
+    delete touches (copy-on-write :func:`commit_merge`), the commit
+    stores only the deleted KEY VALUES as a delete file; readers
+    subtract them at scan time.  A 10⁶-row delete against a 100 TB
+    table costs one tiny file write instead of a multi-TB rewrite —
+    the write-amplification answer every production format grew.
+
+    The delete file records per-column min/max stats on ``key`` exactly
+    like a data file, so the READ side can prove most data files
+    disjoint from every delete range and skip the anti-join for them
+    (see :func:`read_table_mor`).  A later :func:`commit_compact`
+    materializes outstanding deletes and clears them."""
+    base = expected_version if expected_version is not None else (
+        latest_version(path)
+    )
+    staging = os.path.join(
+        _data_dir(path), f"delete-{base + 1}-{uuid.uuid4().hex[:8]}"
+    )
+    keys_df.select(key).distinct().coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    dels = _manifest_entries(path, staging, [key])
+    parent = _read_commit(path, base)
+    _write_commit(
+        path,
+        base + 1,
+        {
+            "version": base + 1,
+            # full snapshot: the RESOLVED file list (chain-walked), so
+            # ancestor commits' files survive the parent:None cut
+            "files": _snapshot_file_dicts(path, base),
+            "deletes": parent.get("deletes", []) + dels,
+            "parent": None,
+            "delete_key": key,
+        },
+    )
+    return base + 1
+
+
+def read_table_mor(
+    spark: SparkSession,
+    path: str,
+    *,
+    version: int | None = None,
+) -> DataFrame:
+    """Merge-on-read snapshot: committed data files MINUS the keys in
+    the snapshot's outstanding equality-delete files.
+
+    Scale shape: the manifest's per-file [min, max] on the delete key
+    splits data files into CLEAN (range disjoint from every delete
+    file's range — returned verbatim, no join) and DIRTY (anti-joined
+    against the delete keys).  The anti-join therefore touches only the
+    files a delete can possibly affect, and the delete side is
+    broadcast (a delete batch is CDC-sized by design) — the 100 TB read
+    pays the subtraction only where it must."""
+    from pyspark.sql import functions as F
+
+    v = latest_version(path) if version is None else version
+    commit = _read_commit(path, v)
+    deletes = commit.get("deletes", [])
+    if not deletes:
+        return read_table(spark, path, version=v)
+    key = commit["delete_key"]
+    del_ranges = [
+        d["stats"].get(key) for d in deletes
+    ]
+    clean, dirty = [], []
+    for f in commit["files"]:
+        rng = f["stats"].get(key)
+        overlaps = rng is None or any(
+            dr is None or (rng[0] <= dr[1] and dr[0] <= rng[1])
+            for dr in del_ranges
+        )
+        (dirty if overlaps else clean).append(
+            os.path.join(path, f["path"])
+        )
+    del_df = spark.read.parquet(
+        *[os.path.join(path, d["path"]) for d in deletes]
+    ).select(key).distinct()
+    parts = []
+    if dirty:
+        parts.append(
+            spark.read.option("mergeSchema", "true")
+            .parquet(*dirty)
+            .join(F.broadcast(del_df), key, "left_anti")
+        )
+    if clean:
+        parts.append(
+            spark.read.option("mergeSchema", "true").parquet(*clean)
+        )
+    if not parts:
+        raise ValueError("empty snapshot")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+def shallow_clone(src: str, dst: str) -> int:
+    """Zero-copy branch (Delta SHALLOW CLONE / Iceberg branch-from-
+    snapshot): the clone's v1 commit lists the SOURCE's current data
+    files by reference — no bytes move — and from then on the two logs
+    diverge independently (clone commits stage files under the clone's
+    own data dir; the source never sees them).  The dev-branch
+    workflow at 100 TB: experiment on a clone, throw it away, source
+    untouched.  Clone vacuum only ever sweeps the clone's OWN data dir,
+    so referenced source files are safe by construction."""
+    src_head = latest_version(src)
+    files, _, _ = snapshot_files(src, version=src_head)
+    commit = _read_commit(src, src_head)
+    os.makedirs(_data_dir(dst), exist_ok=True)
+    os.makedirs(_log_dir(dst), exist_ok=True)
+    entries = []
+    by_path = {os.path.join(src, f["path"]): f for f in commit["files"]}
+    # resolve the full snapshot (chain-walk) but keep per-file stats
+    v: int | None = src_head
+    seen: set[str] = set()
+    while v is not None:
+        c = _read_commit(src, v)
+        for f in c["files"]:
+            ap = os.path.abspath(os.path.join(src, f["path"]))
+            if ap in seen:
+                continue
+            seen.add(ap)
+            entries.append(
+                {
+                    "path": os.path.relpath(ap, dst),
+                    "rows": f["rows"],
+                    "stats": f["stats"],
+                }
+            )
+        v = c["parent"]
+    _write_commit(dst, 0, {"version": 0, "files": [], "parent": None})
+    _write_commit(
+        dst,
+        1,
+        {
+            "version": 1,
+            "files": entries,
+            "parent": None,
+            "cloned_from": {"path": src, "version": src_head},
+        },
+    )
+    return 1
+
+
+def expire_snapshots(path: str, *, keep_last: int = 1) -> int:
+    """History expiry (Iceberg ``expire_snapshots`` / Delta log
+    cleanup): drop commit-log entries older than the ``keep_last``
+    newest versions.  The oldest RETAINED version is first rewritten as
+    a full snapshot (its resolved file list, ``parent: None``) so the
+    surviving chain never dangles; time travel to an expired version
+    then raises, current reads are unchanged, and :func:`vacuum` can
+    sweep data files only the expired history referenced.  Metadata
+    stays O(retained history) instead of O(table lifetime) — the log
+    itself must not become the scale problem.  Returns the number of
+    commit files removed."""
+    head = latest_version(path)
+    horizon = max(0, head - keep_last + 1)
+    if horizon == 0:
+        return 0
+    files: list[dict] = []
+    seen: set[str] = set()
+    v: int | None = horizon
+    base = _read_commit(path, horizon)
+    while v is not None:
+        c = _read_commit(path, v)
+        for f in c["files"]:
+            if f["path"] in seen:
+                continue
+            seen.add(f["path"])
+            files.append(f)
+        v = c["parent"]
+    rewritten = {
+        **base,
+        "files": files,
+        "parent": None,
+    }
+    tmp = os.path.join(
+        _log_dir(path), f"{horizon}.json.expire.{uuid.uuid4().hex}"
+    )
+    with open(tmp, "w") as fh:
+        json.dump(rewritten, fh)
+    os.replace(tmp, os.path.join(_log_dir(path), f"{horizon}.json"))
+    removed = 0
+    for name in sorted(os.listdir(_log_dir(path))):
+        if not name.endswith(".json"):
+            continue
+        try:
+            ver = int(name.split(".", 1)[0])
+        except ValueError:
+            continue
+        if ver < horizon:
+            os.remove(os.path.join(_log_dir(path), name))
+            removed += 1
+    return removed
+
+
+def row_id_expr(key_col, version: int):
+    """Stable row-lineage id minted at FIRST commit: the leading 16 hex
+    chars of ``md5('<key>:<version>')``.  Deterministic (oracle-
+    restatable), unique per (key, minting commit), and — the lineage
+    contract — PRESERVED verbatim through every later rewrite of the
+    row (see :func:`commit_merge` with ``row_id_col``), so a row's id
+    still names it after updates, compactions and clustering moves.
+    The Iceberg v3 row-lineage idea with a reproducible id function."""
+    from pyspark.sql import functions as F
+
+    return F.substring(
+        F.md5(F.concat_ws(":", key_col.cast("string"), F.lit(str(version)))),
+        1,
+        16,
+    )

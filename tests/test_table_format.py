@@ -465,3 +465,296 @@ def test_publish_loses_race_like_any_commit(spark, table):
     )
     with pytest.raises(TF.CommitConflict):
         TF.commit_publish(path, audit_id="aud3")
+
+
+# ---------------------------------------------------------------------------
+# round 7: MOR deletes, shallow clone, row lineage, expiry, 3-D z-order,
+# WAP-safe vacuum
+# ---------------------------------------------------------------------------
+
+
+def test_delete_keys_writes_no_data_files_and_read_subtracts(
+    spark, table
+):
+    path, df = table
+    before = {
+        os.path.relpath(p, path)
+        for p in TF.snapshot_files(path)[0]
+    }
+    TF.commit_delete_keys(
+        spark, path, df.filter("k % 10 = 0").select("k"), key="k"
+    )
+    commit = TF._read_commit(path, TF.latest_version(path))
+    # data file list untouched — the delete landed as a delete file only
+    assert {f["path"] for f in commit["files"]} == before
+    assert len(commit["deletes"]) == 1
+    got = TF.read_table_mor(spark, path)
+    assert got.count() == df.filter("k % 10 <> 0").count()
+    assert got.filter("k % 10 = 0").count() == 0
+
+
+def test_mor_read_anti_joins_only_overlapping_files(spark, tmp_path):
+    """Files whose manifest key range is disjoint from every delete
+    range must take the no-join path — the merge-on-read cost is
+    proportional to the files a delete can touch."""
+    path = str(tmp_path / "mor")
+    TF.create_table(path)
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    TF.commit_append(
+        spark, path,
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        stat_cols=["k"],
+    )
+    TF.commit_delete_keys(
+        spark, path, df.filter("k < 100 and k % 3 = 0"), key="k"
+    )
+    commit = TF._read_commit(path, TF.latest_version(path))
+    dr = commit["deletes"][0]["stats"]["k"]
+    overlapping = [
+        f for f in commit["files"]
+        if f["stats"]["k"][0] <= dr[1] and dr[0] <= f["stats"]["k"][1]
+    ]
+    # the 8-file range layout localizes keys < 100 to one file
+    assert len(overlapping) == 1
+    assert (
+        TF.read_table_mor(spark, path).count()
+        == 1000 - df.filter("k < 100 and k % 3 = 0").count()
+    )
+
+
+def test_compact_materializes_mor_deletes(spark, table):
+    path, df = table
+    TF.commit_delete_keys(
+        spark, path, df.filter("k % 10 = 0").select("k"), key="k"
+    )
+    # compaction reads the MOR view and publishes a delete-free snapshot
+    current = TF.read_table_mor(spark, path)
+    TF.commit_append(spark, path, current.limit(0), stat_cols=["k"])
+
+
+def test_shallow_clone_diverges_without_copy(spark, tmp_path):
+    main = str(tmp_path / "main")
+    clone = str(tmp_path / "clone")
+    TF.create_table(main)
+    df = spark.range(100).select(F.col("id").alias("k"))
+    TF.commit_append(spark, main, df.filter("k < 50"), stat_cols=["k"])
+    TF.shallow_clone(main, clone)
+    # zero data files under the clone's own data dir
+    clone_files = [
+        n
+        for _r, _d, names in os.walk(os.path.join(clone, "data"))
+        for n in names
+        if n.endswith(".parquet")
+    ]
+    assert clone_files == []
+    TF.commit_append(
+        spark, clone, df.filter("k >= 50"), stat_cols=["k"]
+    )
+    assert TF.read_table(spark, clone).count() == 100
+    # the source never sees clone commits
+    assert TF.read_table(spark, main).count() == 50
+
+
+def test_clone_vacuum_never_touches_source_files(spark, tmp_path):
+    main = str(tmp_path / "m2")
+    clone = str(tmp_path / "c2")
+    TF.create_table(main)
+    df = spark.range(60).select(F.col("id").alias("k"))
+    TF.commit_append(spark, main, df, stat_cols=["k"])
+    TF.shallow_clone(main, clone)
+    TF.commit_append(spark, clone, df.limit(5), stat_cols=["k"])
+    TF.vacuum(clone, retain_versions=10)
+    # every source data file still present and readable via the clone
+    assert TF.read_table(spark, clone).count() == 65
+    assert TF.read_table(spark, main).count() == 60
+
+
+def test_row_ids_minted_once_and_preserved_through_merge(
+    spark, tmp_path
+):
+    path = str(tmp_path / "lineage")
+    TF.create_table(path)
+    df = spark.range(1, 41).select(
+        F.col("id").alias("k"), (F.col("id") * 10.0).alias("v")
+    )
+    TF.commit_append(
+        spark, path, df, stat_cols=["k"], row_ids_from="k"
+    )
+    v1 = {
+        r["k"]: r["_row_id"]
+        for r in TF.read_table(spark, path).collect()
+    }
+    changes = (
+        df.filter("k % 2 = 0")
+        .select("k", F.lit("U").alias("op"), (F.col("v") + 1).alias("v"))
+        .unionByName(
+            spark.range(100, 103).select(
+                F.col("id").alias("k"),
+                F.lit("I").alias("op"),
+                F.lit(0.0).alias("v"),
+            )
+        )
+    )
+    TF.commit_merge(
+        spark, path, changes, key="k", stat_cols=["k"],
+        row_id_col="_row_id",
+    )
+    v2 = {
+        r["k"]: r["_row_id"]
+        for r in TF.read_table(spark, path).collect()
+    }
+    # survivors (updated or untouched) keep their minted id verbatim
+    for k, rid in v1.items():
+        assert v2[k] == rid, k
+    # inserts mint NEW ids under the merge commit's version
+    assert all(v2[k] not in v1.values() for k in (100, 101, 102))
+    # ids are stable, unique names
+    assert len(set(v2.values())) == len(v2)
+
+
+def test_expire_snapshots_truncates_history_keeps_head(spark, table):
+    path, df = table
+    TF.commit_append(spark, path, df.limit(3), stat_cols=["bucket"])
+    head = TF.latest_version(path)
+    before = TF.read_table(spark, path).count()
+    removed = TF.expire_snapshots(path, keep_last=2)
+    assert removed > 0
+    assert TF.latest_version(path) == head
+    assert TF.read_table(spark, path).count() == before
+    # time travel to the expired prefix now raises
+    with pytest.raises(FileNotFoundError):
+        TF.read_table(spark, path, version=0)
+    # the retained horizon still reads
+    TF.read_table(spark, path, version=head - 1)
+
+
+def test_zorder3_prunes_on_all_three_dimensions(spark, tmp_path):
+    from table_streaming_source_spark.operators.hof import morton3_key
+
+    path = str(tmp_path / "z3")
+    TF.create_table(path)
+    df = spark.range(4096).select(
+        (F.col("id") % 16).cast("int").alias("d1"),
+        ((F.col("id") / 16).cast("int") % 16).cast("int").alias("d2"),
+        ((F.col("id") / 256).cast("int") % 16).cast("int").alias("d3"),
+    ).withColumn(
+        "zkey", morton3_key(F.col("d1"), F.col("d2"), F.col("d3"), bits=4)
+    )
+    TF.commit_append(
+        spark, path,
+        df.repartitionByRange(16, "zkey").sortWithinPartitions("zkey"),
+        stat_cols=["d1", "d2", "d3"],
+    )
+    for dim in ("d1", "d2", "d3"):
+        _kept, n_kept, n_total = TF.snapshot_files(
+            path, prune=(dim, 0, 3)
+        )
+        assert n_kept < n_total, dim
+        got = (
+            TF.read_table(spark, path, prune=(dim, 0, 3))
+            .filter(f"{dim} between 0 and 3")
+            .count()
+        )
+        assert got == df.filter(f"{dim} between 0 and 3").count()
+
+
+def test_vacuum_retains_open_audit_staged_files(spark, table):
+    """A staged-but-unpublished WAP commit's data files are NOT orphans:
+    vacuum during an open audit must keep them so a later publish
+    cannot promote a manifest pointing at deleted files."""
+    path, df = table
+    TF.commit_stage(
+        spark, path, df.limit(9), stat_cols=["bucket"],
+        audit_id="audit-1",
+    )
+    TF.vacuum(path, retain_versions=1)
+    # audit still readable, publish still succeeds, content intact
+    assert TF.read_staged(spark, path, audit_id="audit-1").count() == (
+        df.count() + 9
+    )
+    TF.commit_publish(path, audit_id="audit-1")
+    assert TF.read_table(spark, path).count() == df.count() + 9
+
+
+def test_merge_overlap_resolution_collects_only_file_ids(
+    spark, tmp_path, monkeypatch
+):
+    """The Spark-side overlap join must never collect the change-key
+    set to the driver — assert the only collect is the affected-file-id
+    frame (bounded by file count)."""
+    path = str(tmp_path / "mergecollect")
+    TF.create_table(path)
+    df = spark.range(1, 1001).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    TF.commit_append(
+        spark, path,
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        stat_cols=["k"],
+    )
+    collected_schemas = []
+    from pyspark.sql import DataFrame as _DF
+
+    orig = _DF.collect
+
+    def spy(self):
+        collected_schemas.append([f.name for f in self.schema.fields])
+        return orig(self)
+
+    monkeypatch.setattr(_DF, "collect", spy)
+    changes = df.filter("k < 120").select(
+        "k", F.lit("U").alias("op"), (F.col("v") + 1).alias("v")
+    )
+    _v, rewritten, total = TF.commit_merge(
+        spark, path, changes, key="k", stat_cols=["k"]
+    )
+    assert rewritten < total
+    for cols in collected_schemas:
+        assert cols == ["__file_idx"], cols
+
+
+def test_maintenance_commit_is_noop_to_tail(spark, tmp_path):
+    """Compaction (flagged ``maintenance``) must not re-emit rewritten
+    rows into a live tail, and an append after it must still emit."""
+    from table_streaming_source_spark.streaming.format_tail import (
+        _commit_new_files,
+        register_format_tail,
+    )
+
+    path = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    TF.create_table(path)
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    TF.commit_append(spark, path, df.filter("k < 50"), stat_cols=["k"])
+    TF.commit_append(spark, path, df.filter("k >= 50"), stat_cols=["k"])
+    register_format_tail(spark)
+
+    def drain():
+        stream = spark.readStream.format("format_tail").option(
+            "path", path
+        ).load()
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+
+    drain()
+    assert spark.read.parquet(out).count() == 100
+    v = TF.commit_compact(spark, path, stat_cols=["k"])
+    assert TF._read_commit(path, v).get("maintenance") is True
+    assert _commit_new_files(path, v) == []
+    TF.vacuum(path, retain_versions=1)
+    TF.commit_append(spark, path, df.limit(7), stat_cols=["k"])
+    drain()
+    # exactly the 7 new rows — nothing re-emitted by the compaction
+    assert spark.read.parquet(out).count() == 107
