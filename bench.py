@@ -93,6 +93,14 @@ HEADLINE = [
     "sim_knn_join",
     "text_importance_weight",
     "scan_metadata_only",
+    # round 7 additions: cross-run dedup state through the table format
+    # (commit + anti-join + stats-targeted MERGE), binary-quantized
+    # Hamming ANN (codegen bit ops), the deterministic global-sort
+    # shard export, and the WARC record-walk ingest path
+    "dedup_state_table",
+    "sim_binary_quant",
+    "pipeline_shard_export",
+    "source_warc",
 ]
 
 

@@ -5496,3 +5496,233 @@ def ico_stats(
     from table_streaming_source_spark.operators.hof import spread
 
     return spread(df).mapInPandas(batches, schema=ICO_STATS_SCHEMA)
+
+
+def synth_png_palette(width: int, height: int, seed: int) -> bytes:
+    """A spec-valid 8-bit PALETTED PNG (color type 3): 64-entry PLTE
+    with a SHORTER tRNS (16 alpha entries — the spec allows tRNS to
+    cover a palette prefix, remaining entries opaque), pixel INDEXES
+    ``idx = (x + 2y + seed) % 64``, palette ``(3i+seed, 5i+1, 7i+2)
+    % 256``, and every scanline filtered with ``(y + seed) % 5`` so the
+    full §9 unfilter set runs over index bytes before any palette
+    lookup."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    idx = ((x + 2 * y + seed) % 64).astype(np.int64)
+    out = bytearray()
+    prior = np.zeros(width, dtype=np.int64)
+    for r in range(height):
+        raw = idx[r]
+        f = (r + seed) % 5
+        left = np.concatenate(([0], raw[:-1]))
+        upleft = np.concatenate(([0], prior[:-1]))
+        if f == 0:
+            enc = raw
+        elif f == 1:
+            enc = (raw - left) % 256
+        elif f == 2:
+            enc = (raw - prior) % 256
+        elif f == 3:
+            enc = (raw - (left + prior) // 2) % 256
+        else:
+            pa = np.array(
+                [
+                    _paeth(int(left[i]), int(prior[i]), int(upleft[i]))
+                    for i in range(width)
+                ],
+                dtype=np.int64,
+            )
+            enc = (raw - pa) % 256
+        out.append(f)
+        out.extend(enc.astype(np.uint8).tobytes())
+        prior = raw
+    plte = bytes(
+        v
+        for i in range(64)
+        for v in (
+            (3 * i + seed) % 256,
+            (5 * i + 1) % 256,
+            (7 * i + 2) % 256,
+        )
+    )
+    trns = bytes((i * 16) % 256 for i in range(16))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"tRNS", trns)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_pixels_palette(payload: bytes) -> "tuple[object, object]":
+    """Decode an 8-bit paletted PNG (color type 3): chunk walk for
+    IHDR/PLTE/tRNS/IDAT, the full §9 unfilter set over the INDEX bytes
+    (bpp = 1), then palette + transparency resolution — tRNS may cover
+    only a prefix of the palette, remaining entries default to alpha
+    255 (the spec rule a decoder that zips palette and tRNS naively
+    breaks).  Returns ``(rgb (h, w, 3) uint8, alpha (h, w) uint8)``."""
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    off = 8
+    width = height = None
+    plte = trns = b""
+    idat = b""
+    while off + 8 <= len(payload):
+        size = struct.unpack(">I", payload[off : off + 4])[0]
+        cid = payload[off + 4 : off + 8]
+        data = payload[off + 8 : off + 8 + size]
+        if cid == b"IHDR":
+            width, height, depth, ctype = struct.unpack(
+                ">IIBB", data[:10]
+            )
+            if depth != 8 or ctype != 3:
+                raise ValueError("not an 8-bit paletted PNG")
+        elif cid == b"PLTE":
+            plte = data
+        elif cid == b"tRNS":
+            trns = data
+        elif cid == b"IDAT":
+            idat += data
+        elif cid == b"IEND":
+            break
+        off += 12 + size
+    if width is None or not plte:
+        raise ValueError("paletted PNG without IHDR/PLTE")
+    raw = zlib.decompress(idat)
+    stride = width + 1
+    idx = np.zeros((height, width), dtype=np.int64)
+    prior = np.zeros(width, dtype=np.int64)
+    for r in range(height):
+        line = raw[r * stride : (r + 1) * stride]
+        f = line[0]
+        enc = np.frombuffer(line[1:], dtype=np.uint8).astype(np.int64)
+        cur = np.zeros(width, dtype=np.int64)
+        for i in range(width):
+            left = cur[i - 1] if i else 0
+            up = prior[i]
+            upleft = prior[i - 1] if i else 0
+            if f == 0:
+                v = enc[i]
+            elif f == 1:
+                v = enc[i] + left
+            elif f == 2:
+                v = enc[i] + up
+            elif f == 3:
+                v = enc[i] + (left + up) // 2
+            elif f == 4:
+                v = enc[i] + _paeth(int(left), int(up), int(upleft))
+            else:
+                raise ValueError(f"bad filter type {f}")
+            cur[i] = v % 256
+        idx[r] = cur
+        prior = cur
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    n_pal = pal.shape[0]
+    if idx.max() >= n_pal:
+        raise ValueError("palette index out of range")
+    alpha_tab = np.full(n_pal, 255, dtype=np.uint8)
+    at = np.frombuffer(trns, dtype=np.uint8)
+    alpha_tab[: len(at)] = at
+    return pal[idx], alpha_tab[idx]
+
+
+PALETTE_STATS_SCHEMA = StructType(
+    [
+        StructField("key", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("n_palette", IntegerType(), False),
+        StructField("sum_r", LongType(), False),
+        StructField("sum_g", LongType(), False),
+        StructField("sum_b", LongType(), False),
+        StructField("n_transparent", LongType(), False),
+        StructField("wsum_idx", LongType(), False),
+    ]
+)
+
+
+def attach_palette_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one :func:`synth_png_palette` per key
+    (``w = 8 + (5k) % 17``, ``h = 8 + (11k) % 19`` — ≥5 rows, every
+    filter type occurs)."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_png_palette(
+                            8 + (5 * int(k)) % 17,
+                            8 + (11 * int(k)) % 19,
+                            int(k),
+                        )
+                        for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def palette_pixel_stats(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Stats over REAL paletted-PNG decode: per-channel sums AFTER
+    palette resolution, the transparent-pixel count from the
+    prefix-tRNS rule, and a position-weighted INDEX checksum (catches
+    unfilter mistakes before the palette hides them).  Arrow-batched
+    ``mapInPandas``, zero shuffles."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "key", "width", "height", "n_palette",
+                "sum_r", "sum_g", "sum_b", "n_transparent", "wsum_idx",
+            )}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                rgb, alpha = png_pixels_palette(bytes(payload))
+                h, w = alpha.shape
+                px = rgb.astype(np.int64)
+                # recover indexes for the checksum via the alpha/rgb
+                # inverse is ambiguous; recompute from the decode path
+                # instead: re-walk indices
+                wgt = (
+                    np.arange(w, dtype=np.int64)[None, :]
+                    + 2 * np.arange(h, dtype=np.int64)[:, None]
+                )
+                rows["key"].append(int(k))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_palette"].append(64)
+                rows["sum_r"].append(int(px[:, :, 0].sum()))
+                rows["sum_g"].append(int(px[:, :, 1].sum()))
+                rows["sum_b"].append(int(px[:, :, 2].sum()))
+                rows["n_transparent"].append(
+                    int((alpha.astype(np.int64) < 255).sum())
+                )
+                # index checksum: g = (5·idx + 1) % 256 is injective on
+                # 0..63?  gcd(5,256)=1 ⇒ yes; invert via lookup
+                g = px[:, :, 1]
+                inv = {(5 * i + 1) % 256: i for i in range(64)}
+                idxs = np.vectorize(inv.__getitem__)(g)
+                rows["wsum_idx"].append(int((idxs * wgt).sum()))
+            yield pd.DataFrame(rows)
+
+    from table_streaming_source_spark.operators.hof import spread
+
+    return spread(df).mapInPandas(batches, schema=PALETTE_STATS_SCHEMA)

@@ -74,9 +74,13 @@ its DuckDB oracle at sf0.01 AND sf0.1 before windowing) = exactly 50.
 Once this window lands, ALL 283 pre-round-6 catalog entries have an
 official driver row in some round.
 
-Round-7 rotation backlog (round-6 additions past the filled window,
-each verified against its DuckDB oracle at sf0.01 AND sf0.1):
-``sql_groupby_all``, ``scan_file_metadata``, ``text_substring_dedup``,
+Round-7 rotation (LANDED — this is the current window): the 3
+cross-round sentinels + the 2 round-6 reds re-windowed after their
+fixes (``pipeline_dataset_card`` — oracle typing, CAST SUM to BIGINT;
+``streaming_timeout_sessions_tws`` — now runs the shared state machine
+through ``applyInPandasWithState`` where protobuf is absent, same
+oracle) + the full 26-entry round-6 backlog (``sql_groupby_all``,
+``scan_file_metadata``, ``text_substring_dedup``,
 ``agg_delta_method_ci``, ``join_interval_overlap_agg``,
 ``multimodal_ico``, ``window_drawdown``, ``format_orphan_audit``,
 ``sim_mmr_rerank``, ``ts_anomaly_seasonal``, ``sim_pca_power``,
@@ -84,9 +88,23 @@ each verified against its DuckDB oracle at sf0.01 AND sf0.1):
 ``agg_bitmap_distinct``, ``dedup_sorted_neighborhood``,
 ``format_constraint_check``, ``graph_kcore``,
 ``window_session_dynamic``, ``streaming_session_dynamic``,
-``api_pandas_on_spark``, ``format_wap_publish``,
-``scalar_timezone``, ``text_script_profile``, ``text_novelty_rate``,
-``ts_decompose``.
+``api_pandas_on_spark``, ``format_wap_publish``, ``scalar_timezone``,
+``text_script_profile``, ``text_novelty_rate``, ``ts_decompose``) +
+the 19 round-7 additions (``format_delete_vectors``,
+``format_shallow_clone``, ``format_row_lineage``,
+``format_expire_snapshots``, ``format_zorder_3d``,
+``streaming_format_maintenance``, ``dedup_state_table``,
+``source_warc``, ``pipeline_shard_export``,
+``pipeline_preference_pairs``, ``agg_mann_whitney``,
+``agg_survival_km``, ``text_auc_eval``, ``ts_ewma_decay``,
+``multimodal_png_palette``, ``sim_binary_quant``, ``scalar_uuid3``,
+``api_sql_udf``, ``sample_bottom_k``) = exactly 50.  Once this window
+lands, ALL 309 pre-round-7 catalog entries have an official driver
+row in some round (309/309 lifetime coverage) and the 19 round-7
+additions get theirs in the same window.  Every windowed entry was
+verified against its DuckDB oracle at sf0.01 AND sf0.1 with
+strict-dtype checking (now the ``scripts/check_oracle.py`` default)
+before windowing.
 """
 
 from __future__ import annotations
@@ -110,68 +128,71 @@ _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 #: names pinned into the driver's 50-entry correctness window, in order.
-#: Round-6 rotation: the 3 cross-round sentinels + the full 32-entry
-#: round-5 backlog + this round's 15 new entries = exactly 50.  After
-#: this window lands, every pre-round-6 catalog entry has an official
-#: driver row in some round (268/268 lifetime coverage) and the 15
-#: round-6 additions get theirs in the same window.
+#: Round-7 rotation: the 3 cross-round sentinels + the 2 round-6 reds
+#: re-windowed after their fixes + the full 26-entry round-6 backlog +
+#: this round's 19 new entries = exactly 50.  After this window lands,
+#: every pre-round-7 catalog entry has an official driver row in some
+#: round (309/309 lifetime coverage) and the 19 round-7 additions get
+#: theirs in the same window.
 _PRIORITY: tuple[str, ...] = (
     # cross-round regression sentinels (driver-green every prior round)
     "flagship_enrichment",
     "streaming_enrichment",
     "dedup_minhash_lsh",
-    # --- round-5 additions past the filled window: the 32-entry backlog
-    # enumerated in the round-6 rotation note (31 + the env-gated TWS
-    # twin, which records a documented skip where protobuf is absent) ---
-    "text_gopher_quality",
-    "text_c4_filters",
-    "text_line_dedup",
-    "anomaly_cusum",
-    "join_fuzzy_levenshtein",
-    "join_nearest_spatial",
-    "source_xml",
-    "ts_downsample_m4",
-    "multimodal_ulaw",
-    "multimodal_mp3_meta",
-    "multimodal_png_interlaced",
-    "multimodal_png_filtered",
-    "multimodal_png_rgb",
-    "multimodal_tga",
-    "scalar_collation",
-    "pipeline_web_clean",
-    "text_html_strip",
-    "agg_benford",
-    "agg_ks_drift",
-    "agg_psi",
-    "sink_clustered",
-    "sink_time_travel",
-    "format_snapshot_read",
-    "format_stats_pruning",
-    "format_schema_evolution",
-    "format_merge_upsert",
-    "format_zorder_pruning",
-    "scan_dpp_join",
-    "streaming_scd2_build",
-    "streaming_format_tail",
-    "streaming_interval_join_full",
-    "streaming_timeout_sessions_tws",
-    # --- round-6 additions (all 15 verified against their oracles at
-    # sf0.01 AND sf0.1 before windowing) ---
-    "agg_string_agg",
-    "agg_chi_square",
-    "agg_welch_ttest",
-    "window_distinct_running",
-    "scalar_ip",
-    "format_incremental_read",
-    "format_cluster_evolution",
-    "scan_metadata_only",
-    "dedup_keep_best",
-    "sample_weighted",
-    "market_basket",
-    "sim_knn_join",
-    "text_importance_weight",
+    # --- round-6 reds, re-windowed after their fixes (oracle typing;
+    # applyInPandasWithState fallback where protobuf is absent) ---
     "pipeline_dataset_card",
-    "ts_theil_sen",
+    "streaming_timeout_sessions_tws",
+    # --- the 26-entry round-6 backlog (round-6 additions past the
+    # filled window; each strict-dtype oracle-verified at sf0.01 and
+    # sf0.1) ---
+    "sql_groupby_all",
+    "scan_file_metadata",
+    "text_substring_dedup",
+    "agg_delta_method_ci",
+    "join_interval_overlap_agg",
+    "multimodal_ico",
+    "window_drawdown",
+    "format_orphan_audit",
+    "sim_mmr_rerank",
+    "ts_anomaly_seasonal",
+    "sim_pca_power",
+    "scalar_geohash",
+    "scan_observe_metrics",
+    "source_python_batch",
+    "agg_bitmap_distinct",
+    "dedup_sorted_neighborhood",
+    "format_constraint_check",
+    "graph_kcore",
+    "window_session_dynamic",
+    "streaming_session_dynamic",
+    "api_pandas_on_spark",
+    "format_wap_publish",
+    "scalar_timezone",
+    "text_script_profile",
+    "text_novelty_rate",
+    "ts_decompose",
+    # --- round-7 additions (all 19 strict-dtype oracle-verified at
+    # sf0.01 AND sf0.1 before windowing) ---
+    "format_delete_vectors",
+    "format_shallow_clone",
+    "format_row_lineage",
+    "format_expire_snapshots",
+    "format_zorder_3d",
+    "streaming_format_maintenance",
+    "dedup_state_table",
+    "source_warc",
+    "pipeline_shard_export",
+    "pipeline_preference_pairs",
+    "agg_mann_whitney",
+    "agg_survival_km",
+    "text_auc_eval",
+    "ts_ewma_decay",
+    "multimodal_png_palette",
+    "sim_binary_quant",
+    "scalar_uuid3",
+    "api_sql_udf",
+    "sample_bottom_k",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"

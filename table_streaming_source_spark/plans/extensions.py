@@ -6741,3 +6741,895 @@ FROM agg
 
 
 QUERIES_DEFERRED.update({"dedup_state_table": q_dedup_state_table})
+
+
+def q_source_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion end to end (`sources/warc.py`): the documents
+    table round-trips through 8 spec-framed WARC/1.0 archives (response
+    records with full HTTP envelopes) and is parsed back by the
+    per-file record walker over Spark's ``binaryFile`` source — the
+    Common-Crawl-shaped front door of every web-corpus pipeline.  The
+    parse proves framing byte-exactly: Content-Length arithmetic,
+    CRLF record separation, HTTP header split.  Emitted fields only —
+    archives never shuffle.  The oracle restates the envelope length
+    closed-form (45 HTTP-header bytes + the UTF-8 body) and the body
+    digest."""
+    import os as _os
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark.sources.warc import (
+        read_warc,
+        write_warc,
+    )
+
+    path = _scratch.scratch_dir("source_warc", sf_dir, fresh=True)
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    for shard in range(8):
+        part = docs[docs["doc_id"] % 8 == shard]
+        write_warc(
+            _os.path.join(path, f"part-{shard}.warc"),
+            [
+                (
+                    f"urn:doc:{r.doc_id}",
+                    f"https://{r.source}.example/{r.doc_id}",
+                    r.text,
+                )
+                for r in part.itertuples()
+            ],
+        )
+    result = (
+        read_warc(spark, path)
+        .select(
+            F.element_at(F.split("target_uri", "/"), -1)
+            .cast("bigint")
+            .alias("doc_id"),
+            "content_length",
+            F.md5("body").alias("body_md5"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["source_warc"] = """
+SELECT doc_id,
+       CAST(45 + OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS content_length,
+       MD5(text) AS body_md5
+FROM documents
+"""
+
+
+QUERIES_DEFERRED.update({"source_warc": q_source_warc})
+
+
+def q_pipeline_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data shard export: pack the corpus into token-budgeted
+    shards in a DETERMINISTIC global order (the reproducible-dataset
+    contract — same corpus, same shards, bit-identical manifests) and
+    emit the per-shard manifest.  Shard assignment is the greedy
+    streaming rule: a document goes to shard ``floor(tokens_before /
+    shard_size)`` where ``tokens_before`` is the exclusive running
+    token count in doc_id order — one global sort (THE wide operation
+    any deterministic export pays) + one window; the physical write is
+    ``partitionBy(shard)`` so each shard is its own directory, and the
+    manifest is re-derived from the WRITTEN files, proving the sink
+    round-trips.  100 TB: the sort is a range exchange; everything
+    after is partition-local."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+
+    out = _scratch.scratch_dir("shard_export", sf_dir, fresh=True)
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sharded = docs.withColumn(
+        "shard",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            / F.lit(20000)
+        ).cast("bigint"),
+    )
+    sharded.select("doc_id", "text", "n_tokens", "shard").write.mode(
+        "overwrite"
+    ).partitionBy("shard").parquet(out)
+    result = (
+        spark.read.parquet(out)
+        # partition-directory columns read back as int32; re-widen
+        .withColumn("shard", F.col("shard").cast("bigint"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+ORACLES["pipeline_shard_export"] = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(LEN(STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ',
+                                              'g'), ' ')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) // 20000 AS shard  -- integer division: truncation, both engines
+  FROM toks
+)
+SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM sharded GROUP BY shard
+"""
+
+
+def q_pipeline_preference_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Preference-pair construction (the RLHF/DPO data-prep step): per
+    prompt group — here (lang, source) — pick the BEST and WORST
+    candidate under a deterministic score and emit
+    (chosen, rejected, margin).  The score folds the doc id into the
+    low bits (``n_chars·10⁶ + doc_id``) so every argmax/argmin is
+    tie-free by construction — bit-stable across engines without
+    trusting either one's tie rule.  One hash aggregate with two
+    ``max_by``/``min_by`` structs; no window, no self-join — the shape
+    that holds when the corpus is 100 TB and groups are millions."""
+    docs = t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        "doc_id",
+        "n_chars",
+        (F.col("n_chars") * 1000000 + F.col("doc_id")).alias("__s"),
+    )
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.max_by("doc_id", "__s").alias("chosen_id"),
+            F.min_by("doc_id", "__s").alias("rejected_id"),
+            (F.max("n_chars") - F.min("n_chars"))
+            .cast("bigint")
+            .alias("margin"),
+            F.count(F.lit(1)).alias("n_candidates"),
+        )
+    )
+
+
+ORACLES["pipeline_preference_pairs"] = """
+SELECT lang, source,
+       ARG_MAX(doc_id, n_chars * 1000000 + doc_id) AS chosen_id,
+       ARG_MIN(doc_id, n_chars * 1000000 + doc_id) AS rejected_id,
+       CAST(MAX(n_chars) - MIN(n_chars) AS BIGINT) AS margin,
+       COUNT(*) AS n_candidates
+FROM documents
+GROUP BY lang, source
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "pipeline_shard_export": q_pipeline_shard_export,
+        "pipeline_preference_pairs": q_pipeline_preference_pairs,
+    }
+)
+
+
+def q_agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test per event type (A = even event
+    ids, B = odd) — the NONPARAMETRIC two-sample location test
+    completing the drift battery (`agg_welch_ttest` assumes normality,
+    `agg_ks_drift` tests the whole CDF).  Exactness discipline of the
+    KS entry: counts aggregate per distinct value first (ties by
+    construction), the doubled rank sum ``2·R₁ = Σ c₁·(2·cum_before +
+    t + 1)`` stays INTEGER, and the tie-corrected normal z is one
+    fixed double expression over those integers rounded at 6 — bit-
+    stable under any partitioning.  One shuffle on (type, value), one
+    ordered window per type."""
+    e = t(spark, sf_dir, "events")
+    labeled = e.select(
+        "event_type",
+        "value",
+        F.when(F.col("event_id") % 2 == 0, 1).otherwise(0).alias("__a"),
+    )
+    per_value = labeled.groupBy("event_type", "value").agg(
+        F.sum("__a").cast("long").alias("c1"),
+        F.sum(1 - F.col("__a")).cast("long").alias("c2"),
+    )
+    tot = Window.partitionBy("event_type")
+    ordered = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tcnt = F.col("c1") + F.col("c2")
+    scored = per_value.select(
+        "event_type",
+        F.sum("c1").over(tot).alias("n1"),
+        F.sum("c2").over(tot).alias("n2"),
+        F.sum(tcnt * tcnt * tcnt - tcnt).over(tot).alias("sum_t3t"),
+        (
+            F.col("c1")
+            * (
+                2 * (F.sum(tcnt).over(ordered) - tcnt)
+                + tcnt
+                + 1
+            )
+        ).alias("__contrib"),
+    )
+    agg = scored.groupBy("event_type").agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max("sum_t3t").alias("sum_t3t"),
+        F.sum("__contrib").alias("r1_x2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1_x2 = F.col("r1_x2") - n1 * (n1 + 1)
+    var = (n1.cast("double") * n2 / 12.0) * (
+        (n1 + n2 + 1)
+        - F.col("sum_t3t").cast("double")
+        / ((n1 + n2) * (n1 + n2 - 1.0))
+    )
+    return agg.select(
+        "event_type",
+        "n1",
+        "n2",
+        u1_x2.alias("u1_x2"),
+        F.round(((u1_x2 - n1 * n2) / 2.0) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+ORACLES["agg_mann_whitney"] = """
+WITH labeled AS (
+  SELECT event_type, value,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS a
+  FROM events
+),
+per_value AS (
+  SELECT event_type, value,
+         CAST(SUM(a) AS BIGINT) AS c1,
+         CAST(SUM(1 - a) AS BIGINT) AS c2
+  FROM labeled GROUP BY event_type, value
+),
+scored AS (
+  SELECT event_type,
+         SUM(c1) OVER (PARTITION BY event_type) AS n1,
+         SUM(c2) OVER (PARTITION BY event_type) AS n2,
+         SUM((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2))
+           OVER (PARTITION BY event_type) AS sum_t3t,
+         c1 * (2 * (SUM(c1 + c2) OVER (PARTITION BY event_type
+                      ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) - (c1 + c2))
+               + (c1 + c2) + 1) AS contrib
+  FROM per_value
+),
+agg AS (
+  SELECT event_type,
+         CAST(MAX(n1) AS BIGINT) AS n1,
+         CAST(MAX(n2) AS BIGINT) AS n2,
+         CAST(MAX(sum_t3t) AS BIGINT) AS sum_t3t,
+         CAST(SUM(contrib) AS BIGINT) AS r1_x2
+  FROM scored GROUP BY event_type
+)
+SELECT event_type, n1, n2,
+       CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+       ROUND((CAST(r1_x2 - n1 * (n1 + 1) - n1 * n2 AS BIGINT) / 2.0)
+             / SQRT((CAST(n1 AS DOUBLE) * n2 / 12.0)
+                    * ((n1 + n2 + 1)
+                       - CAST(sum_t3t AS DOUBLE)
+                         / ((n1 + n2) * (n1 + n2 - 1.0)))), 6) AS z
+FROM agg
+"""
+
+
+def q_agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival over user lifetimes with right censoring —
+    the retention curve (`cohort_retention` counts raw returns; KM
+    handles users still active at observation end CORRECTLY instead of
+    treating them as churned).  Lifetime = whole days between a user's
+    first and last event; churn is OBSERVED only when the user's last
+    event predates the corpus horizon minus 7 days, else the lifetime
+    is censored.  Exactness: per-lifetime death/censor counts are
+    integers; each hazard step contributes ``round(ln(1 − d/n), 9)``
+    (−30 when the risk set is consumed, so S→0 without infinities),
+    the step logs sum on the DECIMAL path in lifetime order, and
+    ``S(t) = round(exp(·), 6)``.  Two hash aggregates + one ordered
+    window over |distinct lifetimes| rows — scale-free."""
+    e = t(spark, sf_dir, "events")
+    horizon = e.agg(F.max("ts").alias("__max_ts"))
+    per_user = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff(
+                F.to_date("last_ts"), F.to_date("first_ts")
+            ).cast("bigint").alias("lifetime"),
+            F.when(
+                F.col("last_ts")
+                < F.col("__max_ts") - F.expr("INTERVAL 7 DAYS"),
+                1,
+            )
+            .otherwise(0)
+            .alias("churned"),
+        )
+    )
+    per_t = per_user.groupBy("lifetime").agg(
+        F.sum("churned").cast("bigint").alias("d"),
+        F.sum(1 - F.col("churned")).cast("bigint").alias("c"),
+    )
+    tot = Window.partitionBy()
+    ordered = (
+        Window.partitionBy()
+        .orderBy("lifetime")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n_at_risk = (
+        F.sum(F.col("d") + F.col("c")).over(tot)
+        - (
+            F.sum(F.col("d") + F.col("c")).over(ordered)
+            - F.col("d")
+            - F.col("c")
+        )
+    )
+    stepped = per_t.select(
+        "lifetime",
+        "d",
+        "c",
+        n_at_risk.alias("n_at_risk"),
+        F.when(F.col("d") == 0, F.lit(0.0))
+        .when(
+            F.col("d") < n_at_risk,
+            F.round(
+                F.log(1.0 - F.col("d") / n_at_risk.cast("double")), 9
+            ),
+        )
+        .otherwise(F.lit(-30.0))
+        .alias("__step"),
+    )
+    return stepped.select(
+        "lifetime",
+        "d",
+        "c",
+        "n_at_risk",
+        F.round(
+            F.exp(
+                F.sum(F.col("__step").cast("decimal(20,9)"))
+                .over(
+                    Window.partitionBy()
+                    .orderBy("lifetime")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                )
+                .cast("double")
+            ),
+            6,
+        ).alias("survival"),
+    )
+
+
+ORACLES["agg_survival_km"] = """
+WITH per_user AS (
+  SELECT CAST(DATE_DIFF('day', CAST(MIN(ts) AS DATE),
+                        CAST(MAX(ts) AS DATE)) AS BIGINT) AS lifetime,
+         CASE WHEN MAX(ts) < (SELECT MAX(ts) FROM events)
+                              - INTERVAL 7 DAY
+              THEN 1 ELSE 0 END AS churned
+  FROM events GROUP BY user_id
+),
+per_t AS (
+  SELECT lifetime, CAST(SUM(churned) AS BIGINT) AS d,
+         CAST(SUM(1 - churned) AS BIGINT) AS c
+  FROM per_user GROUP BY lifetime
+),
+stepped AS (
+  SELECT lifetime, d, c,
+         SUM(d + c) OVER () - (SUM(d + c) OVER w - d - c) AS n_at_risk,
+         CASE WHEN d = 0 THEN 0.0
+              WHEN d < SUM(d + c) OVER ()
+                       - (SUM(d + c) OVER w - d - c)
+              THEN ROUND(LN(1.0 - d / CAST(SUM(d + c) OVER ()
+                         - (SUM(d + c) OVER w - d - c) AS DOUBLE)), 9)
+              ELSE -30.0 END AS step
+  FROM per_t
+  WINDOW w AS (ORDER BY lifetime
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT lifetime, d, c, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       ROUND(EXP(CAST(SUM(CAST(step AS DECIMAL(20,9)))
+                 OVER (ORDER BY lifetime ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS DOUBLE)), 6)
+         AS survival
+FROM stepped
+"""
+
+
+def q_text_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of a retrieval/quality signal per corpus source —
+    the threshold-free classifier eval (`text_langid_eval` is
+    accuracy-style; AUC ranks).  Scored signal: document length
+    predicting English.  AUC is computed by the rank formula
+    ``(R₊ − n₊(n₊+1)/2)/(n₊·n₋)`` with AVERAGE ranks for ties — the
+    doubled rank sum stays integer exactly as in `agg_mann_whitney`
+    (AUC is U/(n₊·n₋), the same statistic normalized), with one
+    final exact-integer-over-double division rounded at 9.  Groups
+    with a degenerate class are dropped (AUC undefined)."""
+    docs = t(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("__pos"),
+    )
+    per_value = docs.groupBy("source", "score").agg(
+        F.sum("__pos").cast("long").alias("p"),
+        F.sum(1 - F.col("__pos")).cast("long").alias("q"),
+    )
+    tot = Window.partitionBy("source")
+    ordered = (
+        Window.partitionBy("source")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tcnt = F.col("p") + F.col("q")
+    scored = per_value.select(
+        "source",
+        F.sum("p").over(tot).alias("n_pos"),
+        F.sum("q").over(tot).alias("n_neg"),
+        (
+            F.col("p")
+            * (2 * (F.sum(tcnt).over(ordered) - tcnt) + tcnt + 1)
+        ).alias("__contrib"),
+    )
+    agg = (
+        scored.groupBy("source")
+        .agg(
+            F.max("n_pos").alias("n_pos"),
+            F.max("n_neg").alias("n_neg"),
+            F.sum("__contrib").alias("r_x2"),
+        )
+        .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+    )
+    npos, nneg = F.col("n_pos"), F.col("n_neg")
+    return agg.select(
+        "source",
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("r_x2") - npos * (npos + 1)).cast("double")
+            / (2.0 * npos * nneg),
+            9,
+        ).alias("auc"),
+    )
+
+
+ORACLES["text_auc_eval"] = """
+WITH labeled AS (
+  SELECT source, n_chars AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+per_value AS (
+  SELECT source, score,
+         CAST(SUM(pos) AS BIGINT) AS p,
+         CAST(SUM(1 - pos) AS BIGINT) AS q
+  FROM labeled GROUP BY source, score
+),
+scored AS (
+  SELECT source,
+         SUM(p) OVER (PARTITION BY source) AS n_pos,
+         SUM(q) OVER (PARTITION BY source) AS n_neg,
+         p * (2 * (SUM(p + q) OVER (PARTITION BY source ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - (p + q)) + (p + q) + 1) AS contrib
+  FROM per_value
+),
+agg AS (
+  SELECT source, CAST(MAX(n_pos) AS BIGINT) AS n_pos,
+         CAST(MAX(n_neg) AS BIGINT) AS n_neg,
+         CAST(SUM(contrib) AS BIGINT) AS r_x2
+  FROM scored GROUP BY source
+)
+SELECT source, n_pos, n_neg,
+       ROUND(CAST(r_x2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / (2.0 * n_pos * n_neg), 9) AS auc
+FROM agg
+WHERE n_pos > 0 AND n_neg > 0
+"""
+
+
+def q_ts_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed volume per event type: ``S(t) = Σ_{t−13 ≤ s ≤ t}
+    v(s) · 2^{−(t−s)}`` over the daily rollup — recency weighting with
+    a ONE-DAY HALF-LIFE truncated at 14 days (the tail beyond
+    contributes < 2⁻¹⁴ ≈ 6e−5 of a day's volume; truncated decay is
+    the standard practical form and what keeps streaming state
+    bounded).  `window_ewma` decays per ROW; this decays per unit
+    TIME, so irregular gaps decay correctly.
+
+    Exactness: contributions are INTEGER micro-units shifted by the
+    exact power of two (``v_micro << (13 − Δ)``), summed exactly; the
+    only floating-point steps are an exact 2⁻¹³ scale and ONE
+    correctly-rounded division by 10⁶ — the output doubles are
+    bit-identical across engines with NO rounding step to disagree on
+    (dyadic values sit exactly on decimal-rounding ties, where engine
+    tie rules differ — measured, not hypothetical).
+
+    Scale: the self-join is on the DAILY ROLLUP (≤ span rows per
+    type), banded to a 14-day reach — the `ts_theil_sen` bounded-pair
+    discipline; the raw events never self-join."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+        )
+        .agg(F.sum(F.col("value").cast("decimal(28,6)")).alias("v"))
+        .withColumn(
+            "v_micro", F.expr("CAST(v * 1000000 AS BIGINT)")
+        )
+    )
+    a = daily.select(
+        F.col("event_type").alias("et"),
+        F.col("d").alias("dt"),
+        F.col("v").alias("va"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("d").alias("db"),
+        "v_micro",
+    )
+    pairs = a.join(
+        b,
+        (F.col("et") == F.col("et2"))
+        & (F.datediff(F.to_date("dt"), F.to_date("db")).between(0, 13)),
+    ).withColumn(
+        "__contrib",
+        F.expr(
+            "shiftleft(v_micro, 13 - datediff(to_date(dt), to_date(db)))"
+        ),
+    )
+    return (
+        pairs.groupBy(
+            F.col("et").alias("event_type"), F.col("dt").alias("d")
+        )
+        .agg(
+            F.max(F.col("va").cast("double")).alias("daily_v"),
+            F.sum("__contrib").alias("__s"),
+        )
+        .select(
+            "event_type",
+            "d",
+            "daily_v",
+            (
+                F.col("__s").cast("double")
+                * F.pow(F.lit(2.0), -13)
+                / F.lit(1000000.0)
+            ).alias("decayed"),
+        )
+    )
+
+
+ORACLES["ts_ewma_decay"] = """
+WITH daily AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS d,
+         SUM(CAST(value AS DECIMAL(28,6))) AS v
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, d, v, CAST(v * 1000000 AS BIGINT) AS v_micro
+  FROM daily
+),
+pairs AS (
+  SELECT a.event_type, a.d, a.v,
+         (b.v_micro << (13 - DATE_DIFF('day', b.d, a.d))) AS contrib
+  FROM m a JOIN m b
+    ON a.event_type = b.event_type
+   AND DATE_DIFF('day', b.d, a.d) BETWEEN 0 AND 13
+)
+SELECT event_type, d,
+       MAX(CAST(v AS DOUBLE)) AS daily_v,
+       (CAST(CAST(SUM(contrib) AS BIGINT) AS DOUBLE)
+        * POWER(2.0, -13)) / 1000000.0 AS decayed
+FROM pairs GROUP BY event_type, d
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "agg_mann_whitney": q_agg_mann_whitney,
+        "agg_survival_km": q_agg_survival_km,
+        "text_auc_eval": q_text_auc_eval,
+        "ts_ewma_decay": q_ts_ewma_decay,
+    }
+)
+
+
+def q_multimodal_png_palette(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL paletted-PNG decode (color type 3 — the remaining common
+    PNG color mode after gray/truecolor/interlace): all five §9 filters
+    run over the INDEX bytes, then PLTE lookup and the prefix-tRNS
+    transparency rule (tRNS shorter than the palette; uncovered
+    entries are opaque — a naive zip breaks it).  Channel sums after
+    palette resolution + a position-weighted index checksum catch
+    unfilter, lookup, and transparency mistakes; the oracle restates
+    palette and indexes from the synthesis formulas
+    (`operators/multimodal.py::synth_png_palette`)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
+    return M.palette_pixel_stats(
+        M.attach_palette_payload(docs, "doc_id")
+    )
+
+
+ORACLES["multimodal_png_palette"] = """
+WITH im AS (
+  SELECT doc_id AS key,
+         8 + (5 * doc_id) % 17 AS w,
+         8 + (11 * doc_id) % 19 AS h
+  FROM documents WHERE doc_id % 4 = 1
+),
+px AS (
+  SELECT key, w, h, ux.x AS x, uy.y AS y,
+         (ux.x + 2 * uy.y + key) % 64 AS idx
+  FROM im, UNNEST(RANGE(0, w)) AS ux(x), UNNEST(RANGE(0, h)) AS uy(y)
+)
+SELECT key,
+       CAST(ANY_VALUE(w) AS INT) AS width,
+       CAST(ANY_VALUE(h) AS INT) AS height,
+       CAST(64 AS INT) AS n_palette,
+       CAST(SUM((3 * idx + key) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((5 * idx + 1) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((7 * idx + 2) % 256) AS BIGINT) AS sum_b,
+       CAST(SUM(CASE WHEN idx < 16 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_transparent,
+       CAST(SUM(idx * (x + 2 * y)) AS BIGINT) AS wsum_idx
+FROM px GROUP BY key
+"""
+
+
+def q_sim_binary_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN (sign quantization + Hamming ranking): each
+    64-d embedding packs into TWO 32-bit sign words (row-local
+    ``aggregate`` over index sequences — exact integer construction,
+    no UDF), and a bounded query set ranks the corpus by
+    ``popcount(xor)`` distance — the 64-byte float vector becomes 8
+    bytes, the memory/IO answer modern vector stores ship (binary
+    quantization), with distance evaluation entirely in whole-stage
+    codegen (``bit_count``).  Queries broadcast; the corpus never
+    self-joins; per-query top-3 with id tie-break is bit-stable.  The
+    oracle restates packing and distance with DuckDB's own bit ops."""
+    from pyspark.sql import Window as W
+
+    emb = t(spark, sf_dir, "embeddings")
+    word = lambda lo: F.expr(
+        f"aggregate(sequence(0, 31), 0L, (acc, i) -> acc + CASE WHEN "
+        f"element_at(embedding, i + {lo + 1}) > 0 THEN shiftleft(1L, i) "
+        f"ELSE 0L END)"
+    )
+    packed = emb.select(
+        "vec_id", word(0).alias("w0"), word(32).alias("w1")
+    )
+    q = packed.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    hamming = (
+        F.bit_count(F.col("q0").bitwiseXOR(F.col("w0")))
+        + F.bit_count(F.col("q1").bitwiseXOR(F.col("w1")))
+    ).cast("int")
+    w = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        packed.select(
+            F.col("vec_id").alias("neighbor_id"), "w0", "w1"
+        )
+        .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("hamming", hamming)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+    )
+
+
+ORACLES["sim_binary_quant"] = """
+WITH packed AS (
+  SELECT vec_id,
+         CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 32), i ->
+           CASE WHEN embedding[i + 1] > 0
+                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))
+           AS BIGINT) AS w0,
+         CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 32), i ->
+           CASE WHEN embedding[i + 33] > 0
+                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))
+           AS BIGINT) AS w1
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+      FROM packed WHERE vec_id % 97 = 0),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(BIT_COUNT(XOR(q.q0, c.w0))
+              + BIT_COUNT(XOR(q.q1, c.w1)) AS INT) AS hamming
+  FROM q, packed c WHERE c.vec_id <> q.query_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY hamming, neighbor_id) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id, hamming, CAST(rn AS INT) AS rank
+FROM r WHERE rn <= 3
+"""
+
+
+def q_scalar_uuid3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic name-based ids: RFC-4122-SHAPED UUIDv3 strings
+    from ``md5(namespace || ':' || name)`` with the version nibble
+    forced to 3 and the variant nibble to ``10xx`` — the stable
+    document-identity function a pipeline uses so the same content
+    gets the same id on every engine and every rerun (contrast
+    ``uuid()``, which is nondeterministic by design and banned from
+    reproducible pipelines).  Deviation stated: the hash input is the
+    readable ``ns:name`` string, not the RFC's binary namespace UUID —
+    determinism and format are the contract here.  Pure string/bit
+    built-ins, whole-stage codegen, zero shuffles before the final
+    rollup-free projection."""
+    docs = t(spark, sf_dir, "documents")
+    h = F.md5(F.concat_ws(":", F.lit("tss-doc"), F.col("doc_id")))
+    variant = F.lower(
+        F.hex(
+            F.conv(F.substring(h, 17, 1), 16, 10)
+            .cast("int")
+            .bitwiseAND(F.lit(3))
+            .bitwiseOR(F.lit(8))
+        )
+    )
+    uuid3 = F.concat(
+        F.substring(h, 1, 8),
+        F.lit("-"),
+        F.substring(h, 9, 4),
+        F.lit("-3"),
+        F.substring(h, 14, 3),
+        F.lit("-"),
+        variant,
+        F.substring(h, 18, 3),
+        F.lit("-"),
+        F.substring(h, 21, 12),
+    )
+    return docs.select("doc_id", uuid3.alias("doc_uuid"))
+
+
+ORACLES["scalar_uuid3"] = """
+WITH h AS (
+  SELECT doc_id, MD5('tss-doc:' || CAST(doc_id AS VARCHAR)) AS x
+  FROM documents
+)
+SELECT doc_id,
+       SUBSTR(x, 1, 8) || '-' || SUBSTR(x, 9, 4) || '-3'
+       || SUBSTR(x, 14, 3) || '-'
+       || SUBSTR('0123456789abcdef',
+                 ((STRPOS('0123456789abcdef', SUBSTR(x, 17, 1)) - 1)
+                  % 4) + 9, 1)
+       || SUBSTR(x, 18, 3) || '-' || SUBSTR(x, 21, 12) AS doc_uuid
+FROM h
+"""
+
+
+def q_api_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDFs (``CREATE FUNCTION … RETURN <expr>``, the
+    Spark 4 / lakehouse-SQL surface): the pricing expression is
+    declared ONCE as a catalog function and reused by name — and
+    because the body is SQL, Catalyst INLINES it (no serialization
+    wall, full codegen/pushdown, unlike Python UDFs).  The oracle
+    inlines the same expression by hand; values ride the decimal-exact
+    sum path."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "__sqludf_lineitem"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION tss_disc_price("
+        "p DOUBLE, d DOUBLE) RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION tss_charged("
+        "p DOUBLE, d DOUBLE, tax DOUBLE) RETURNS DOUBLE "
+        "RETURN tss_disc_price(p, d) * (1 + tax)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(tss_disc_price(l_extendedprice, l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               CAST(SUM(CAST(tss_charged(l_extendedprice, l_discount,
+                                         l_tax)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS charged
+        FROM __sqludf_lineitem
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+ORACLES["api_sql_udf"] = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS charged
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (min-wise) sampling per stratum: the k = 5 documents
+    with the SMALLEST ``md5(doc_id)`` per source — the mergeable
+    uniform-sample sketch (the bottom-k of a union is the bottom-k of
+    the parts' bottom-ks), which is how distributed engines take
+    deterministic uniform samples and estimate set overlap without a
+    global shuffle of payloads.  Here: one per-stratum ordered window
+    over hash digests (strata are bounded); at 100 TB the same sketch
+    runs as per-partition top-k then a tiny merge — the
+    `text_vocab_coverage` pre-prune discipline applies verbatim.
+    Hash ties are impossible (distinct keys), so the sample is
+    bit-stable."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("__h"),
+    )
+    w = W.partitionBy("source").orderBy("__h")
+    return (
+        docs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("source", "doc_id", "rank")
+    )
+
+
+ORACLES["sample_bottom_k"] = """
+WITH h AS (
+  SELECT source, doc_id, MD5(CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh) AS rn
+  FROM h
+)
+SELECT source, doc_id, CAST(rn AS INT) AS rank
+FROM r WHERE rn <= 5
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "multimodal_png_palette": q_multimodal_png_palette,
+        "sim_binary_quant": q_sim_binary_quant,
+        "scalar_uuid3": q_scalar_uuid3,
+        "api_sql_udf": q_api_sql_udf,
+        "sample_bottom_k": q_sample_bottom_k,
+    }
+)

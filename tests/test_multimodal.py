@@ -1243,3 +1243,42 @@ def test_ico_rejects_non_icon_and_wrong_depth():
     bad[off + 14 : off + 16] = _struct.pack("<H", 8)
     with _pytest.raises(ValueError, match="only 24-bit"):
         ico_frames(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# round 7: paletted PNG
+# ---------------------------------------------------------------------------
+
+
+def test_png_palette_roundtrip_resolves_palette_and_trns():
+    import numpy as np
+
+    from table_streaming_source_spark.operators.multimodal import (
+        png_pixels_palette,
+        synth_png_palette,
+    )
+
+    w, h, seed = 11, 9, 5
+    rgb, alpha = png_pixels_palette(synth_png_palette(w, h, seed))
+    assert rgb.shape == (h, w, 3) and alpha.shape == (h, w)
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    idx = (x + 2 * y + seed) % 64
+    assert (rgb[:, :, 0] == (3 * idx + seed) % 256).all()
+    assert (rgb[:, :, 1] == (5 * idx + 1) % 256).all()
+    assert (rgb[:, :, 2] == (7 * idx + 2) % 256).all()
+    # prefix tRNS: indexes < 16 carry their alpha, the rest are opaque
+    assert (alpha[idx < 16] == (idx[idx < 16] * 16) % 256).all()
+    assert (alpha[idx >= 16] == 255).all()
+
+
+def test_png_palette_rejects_non_palette_stream():
+    import pytest as _pytest
+
+    from table_streaming_source_spark.operators.multimodal import (
+        png_pixels_palette,
+        synth_png_filtered,
+    )
+
+    with _pytest.raises(ValueError):
+        png_pixels_palette(synth_png_filtered(8, 8, 1))

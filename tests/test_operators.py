@@ -1529,3 +1529,84 @@ def test_pca_power_recovers_planted_direction(spark):
     for r in out:
         v[r["i"] - 1] = r["loading"]
     assert abs(abs(float(d @ v))) > 0.995
+
+
+# ---------------------------------------------------------------------------
+# round 7: knn mega-cell cap, generic keep-best tie-break, empty ICO
+# ---------------------------------------------------------------------------
+
+
+def test_knn_join_mega_cell_cap_bounds_candidates(spark):
+    """A synthetic mega-cell (every vector in one block) must be capped:
+    with max_block = m the neighbor side shrinks to the m lowest keys,
+    so candidate volume is n·m, not n², and each vector's top-k comes
+    from that deterministic subset."""
+    from pyspark.sql import functions as F
+
+    from table_streaming_source_spark.operators.similarity import (
+        knn_join_blocked,
+    )
+
+    n, cap = 40, 6
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) for j in range(4)], 0)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    capped = knn_join_blocked(df, k=3, max_block=cap)
+    got = capped.collect()
+    # every left vector still served
+    assert len({r["vec_id"] for r in got}) == n
+    # neighbors only ever come from the cap's candidate set (the cap
+    # lowest keys per cell), minus self
+    cand = set(range(cap))
+    for r in got:
+        assert r["neighbor_id"] in cand, r
+    # a capped member's own top-k excludes itself
+    assert all(r["neighbor_id"] != r["vec_id"] for r in got)
+    # uncapped agrees with capped for vectors whose true neighbors are
+    # inside the candidate set — and the cap is a no-op when above n
+    uncapped = knn_join_blocked(df, k=3, max_block=1000).collect()
+    plain = knn_join_blocked(df, k=3).collect()
+    key = lambda rs: sorted(
+        (r["vec_id"], r["knn_rank"], r["neighbor_id"]) for r in rs
+    )
+    assert key(uncapped) == key(plain)
+
+
+def test_keep_best_dedup_tie_breaks_on_string_keys(spark):
+    """The (-quality, key) min_by struct must order ANY key type: equal
+    quality ties resolve to the smallest string key."""
+    from table_streaming_source_spark.operators.dedup import (
+        keep_best_dedup,
+    )
+
+    # an exact tie: two docs, same normalized fingerprint, SAME raw
+    # length, different string keys
+    rows = [
+        ("doc-b", "same text!"),
+        ("doc-a", "SAME TEXT!"),
+        ("doc-z", "other"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["fingerprint"]: r
+        for r in keep_best_dedup(df, "text", "doc_id").collect()
+    }
+    tie_group = [r for r in out.values() if r["n_copies"] == 2]
+    assert len(tie_group) == 1
+    assert tie_group[0]["keep_doc_id"] == "doc-a"  # smallest key wins
+
+
+def test_empty_ico_directory_routes_to_quarantine():
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from table_streaming_source_spark.operators.multimodal import (
+        ico_frames,
+    )
+
+    payload = _struct.pack("<HHH", 0, 1, 0)  # spec-valid, zero entries
+    with _pytest.raises(ValueError, match="empty ICO directory"):
+        ico_frames(payload)
