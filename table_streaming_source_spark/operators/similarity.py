@@ -1130,13 +1130,18 @@ def knn_join_blocked(
     boilerplate-bucket problem :func:`cosine_pairs_blocked` caps): a
     cell of ``m`` vectors yields ``m(m-1)`` candidate pairs.  Unlike
     the pairs op, every LEFT vector must keep its k neighbors, so the
-    cap prunes the NEIGHBOR side: for cells over the cap only the
-    ``max_block`` lowest-keyed members remain candidates — candidate
-    volume becomes ``m × max_block`` (linear in the cell) and the
+    cap thins the NEIGHBOR side: cells over the cap keep a
+    DETERMINISTIC hash-selected subset (``xxhash64(id) % ceil(m/cap)
+    == 0``) with expected size ``max_block`` — candidate volume
+    becomes ``m × max_block`` (linear in the cell) and the
     within-mega-cell top-k turns approximate-over-a-deterministic-
-    subset, which is the standard IVF answer (probe a bounded candidate
-    list).  The prune is a per-cell ``row_number`` on the already-
-    shuffled block key — no extra exchange."""
+    subset, the standard IVF answer (probe a bounded candidate list).
+    The thinning is ROW-LOCAL given a tiny per-cell count broadcast
+    (exactly :func:`cosine_pairs_blocked`'s cap shape): no sort, no
+    extra exchange, and the join keeps its uncapped physical plan —
+    a windowed rank prune was measured 3.7× slower at sf0.1 because
+    its pre-join shuffle let AQE coalesce the pair expansion onto one
+    task."""
     from pyspark.sql import Window
 
     from table_streaming_source_spark.operators.hof import spread
@@ -1153,11 +1158,18 @@ def knn_join_blocked(
         F.col(vec_col).alias("__vb"),
     )
     if max_block is not None:
-        cand_w = Window.partitionBy("__blk").orderBy("neighbor_id")
+        stats = b.groupBy("__blk").agg(F.count(F.lit(1)).alias("__m"))
+        keep = (F.col("__m") <= max_block) | (
+            F.pmod(
+                F.xxhash64("neighbor_id"),
+                F.ceil(F.col("__m") / max_block).cast("long"),
+            )
+            == 0
+        )
         b = (
-            b.withColumn("__cand_rank", F.row_number().over(cand_w))
-            .filter(F.col("__cand_rank") <= max_block)
-            .drop("__cand_rank")
+            b.join(F.broadcast(stats), "__blk")
+            .filter(keep)
+            .drop("__m")
         )
     sim = F.round(cosine(F.col("__va"), F.col("__vb")), round_digits)
     w = Window.partitionBy(key).orderBy(

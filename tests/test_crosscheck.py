@@ -285,3 +285,199 @@ def test_scalar_ip_roundtrip_matches_python(spark, sf_dir):
         for r in QUERIES["scalar_ip"](spark, sf_dir).collect()
     }
     assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+# ---------------------------------------------------------------------------
+# round 7: rank statistics, survival, decay, quantization, export
+# ---------------------------------------------------------------------------
+
+
+def _avg_ranks(values):
+    """Average ranks (1-based, ties share the mean rank) — direct
+    O(n log n) numpy derivation, no engine involved."""
+    values = np.asarray(values)
+    order = np.argsort(values, kind="mergesort")
+    ranks = np.empty(len(values), dtype=float)
+    sorted_v = values[order]
+    i = 0
+    while i < len(values):
+        j = i
+        while j + 1 < len(values) and sorted_v[j + 1] == sorted_v[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j + 2) / 2.0  # mean of 1-based
+        i = j + 1
+    return ranks
+
+
+def test_mann_whitney_matches_direct_ranks(spark, sf_dir, events):
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["agg_mann_whitney"](spark, sf_dir).collect()
+    }
+    for et, g in events.groupby("event_type"):
+        a = g[g.event_id % 2 == 0].value.to_numpy()
+        b = g[g.event_id % 2 == 1].value.to_numpy()
+        pooled = np.concatenate([a, b])
+        ranks = _avg_ranks(pooled)
+        r1 = ranks[: len(a)].sum()
+        u1 = r1 - len(a) * (len(a) + 1) / 2.0
+        row = rows[et]
+        assert row["n1"] == len(a) and row["n2"] == len(b)
+        assert row["u1_x2"] == round(2 * u1)
+        # tie-corrected z
+        n = len(a) + len(b)
+        _, t_counts = np.unique(pooled, return_counts=True)
+        tie = (t_counts**3 - t_counts).sum() / (n * (n - 1.0))
+        var = len(a) * len(b) / 12.0 * ((n + 1) - tie)
+        z = (u1 - len(a) * len(b) / 2.0) / math.sqrt(var)
+        assert abs(row["z"] - z) < 1e-5, et
+
+
+def test_survival_km_matches_direct_product(spark, sf_dir, events):
+    per_user = events.groupby("user_id").ts.agg(["min", "max"])
+    horizon = events.ts.max()
+    lifetime = (
+        per_user["max"].dt.floor("D") - per_user["min"].dt.floor("D")
+    ).dt.days
+    churned = per_user["max"] < horizon - pd.Timedelta(days=7)
+    df = pd.DataFrame({"t": lifetime, "churn": churned.astype(int)})
+    rows = sorted(
+        QUERIES["agg_survival_km"](spark, sf_dir).collect(),
+        key=lambda r: r["lifetime"],
+    )
+    n_at_risk = len(df)
+    s = 1.0
+    for r in rows:
+        grp = df[df.t == r["lifetime"]]
+        d = int(grp.churn.sum())
+        c = int(len(grp) - d)
+        assert (r["d"], r["c"]) == (d, c), r["lifetime"]
+        assert r["n_at_risk"] == n_at_risk
+        s *= (n_at_risk - d) / n_at_risk if n_at_risk else 0.0
+        n_at_risk -= d + c
+        assert abs(r["survival"] - s) < 1e-5, r["lifetime"]
+
+
+def test_auc_matches_direct_rank_formula(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    rows = {
+        r["source"]: r
+        for r in QUERIES["text_auc_eval"](spark, sf_dir).collect()
+    }
+    for src, g in docs.groupby("source"):
+        pos = (g.lang == "en").to_numpy()
+        if pos.sum() == 0 or (~pos).sum() == 0:
+            assert src not in rows
+            continue
+        ranks = _avg_ranks(g.n_chars.to_numpy())
+        r_pos = ranks[pos].sum()
+        n1, n2 = int(pos.sum()), int((~pos).sum())
+        auc = (r_pos - n1 * (n1 + 1) / 2.0) / (n1 * n2)
+        row = rows[src]
+        assert (row["n_pos"], row["n_neg"]) == (n1, n2)
+        assert abs(row["auc"] - auc) < 1e-8, src
+
+
+def test_ewma_decay_matches_direct_loop(spark, sf_dir, events):
+    daily = (
+        events.groupby(["event_type", "d"])
+        .value.apply(lambda v: _dsum6(v))
+        .reset_index(name="v")
+    )
+    got = {
+        (r["event_type"], pd.Timestamp(r["d"])): r
+        for r in QUERIES["ts_ewma_decay"](spark, sf_dir).collect()
+    }
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("d").reset_index(drop=True)
+        for i, row in g.iterrows():
+            s = 0.0
+            for j in range(len(g)):
+                delta = (row.d - g.d[j]).days
+                if 0 <= delta <= 13:
+                    s += g.v[j] * 2.0 ** (-delta)
+            r = got[(et, row.d)]
+            assert abs(r["daily_v"] - row.v) < 1e-6
+            assert abs(r["decayed"] - s) < 1e-4, (et, row.d)
+
+
+def test_binary_quant_matches_numpy_hamming(spark, sf_dir):
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    bits = np.stack(
+        [(np.asarray(v) > 0) for v in emb.embedding]
+    )  # (n, 64) bool
+    ids = emb.vec_id.to_numpy()
+    got = QUERIES["sim_binary_quant"](spark, sf_dir).collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_query.items():
+        qi = int(np.flatnonzero(ids == qid)[0])
+        ham = (bits ^ bits[qi]).sum(axis=1)
+        order = sorted(
+            (int(h), int(i))
+            for h, i in zip(ham, ids)
+            if i != qid
+        )[:3]
+        rows = sorted(rows, key=lambda r: r["rank"])
+        assert [(r["hamming"], r["neighbor_id"]) for r in rows] == order
+
+
+def test_shard_export_matches_pandas_cumsum(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet").sort_values(
+        "doc_id"
+    )
+    toks = (
+        docs.text.str.strip()
+        .str.split(r"\s+", regex=True)
+        .map(len)
+        .to_numpy()
+    )
+    before = np.concatenate([[0], np.cumsum(toks)[:-1]])
+    shard = before // 20000
+    direct = (
+        pd.DataFrame(
+            {"shard": shard, "n": 1, "tok": toks, "doc": docs.doc_id}
+        )
+        .groupby("shard")
+        .agg(
+            n_docs=("n", "sum"),
+            total_tokens=("tok", "sum"),
+            min_doc=("doc", "min"),
+            max_doc=("doc", "max"),
+        )
+    )
+    got = {
+        r["shard"]: r
+        for r in QUERIES["pipeline_shard_export"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(direct.index)
+    for sh, row in direct.iterrows():
+        g = got[sh]
+        assert (
+            g["n_docs"],
+            g["total_tokens"],
+            g["min_doc"],
+            g["max_doc"],
+        ) == (
+            row.n_docs,
+            row.total_tokens,
+            row.min_doc,
+            row.max_doc,
+        )
+
+
+def test_uuid3_matches_hashlib(spark, sf_dir):
+    import hashlib
+
+    rows = QUERIES["scalar_uuid3"](spark, sf_dir).collect()
+    for r in rows[:50]:
+        h = hashlib.md5(f"tss-doc:{r['doc_id']}".encode()).hexdigest()
+        variant = format((int(h[16], 16) & 3) | 8, "x")
+        expect = (
+            f"{h[0:8]}-{h[8:12]}-3{h[13:16]}-{variant}{h[17:20]}"
+            f"-{h[20:32]}"
+        )
+        assert r["doc_uuid"] == expect
+        assert r["doc_uuid"][14] == "3"  # version nibble
+        assert r["doc_uuid"][19] in "89ab"  # RFC variant

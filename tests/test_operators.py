@@ -1547,6 +1547,8 @@ def test_knn_join_mega_cell_cap_bounds_candidates(spark):
         knn_join_blocked,
     )
 
+    from pyspark.sql import functions as F2
+
     n, cap = 40, 6
     rows = [
         (i, [float((i * 7 + j * 3) % 11) for j in range(4)], 0)
@@ -1557,9 +1559,16 @@ def test_knn_join_mega_cell_cap_bounds_candidates(spark):
     got = capped.collect()
     # every left vector still served
     assert len({r["vec_id"] for r in got}) == n
-    # neighbors only ever come from the cap's candidate set (the cap
-    # lowest keys per cell), minus self
-    cand = set(range(cap))
+    # neighbors only ever come from the deterministic hash-thinned
+    # candidate set (xxhash64(id) % ceil(n/cap) == 0)
+    rate = -(-n // cap)
+    cand = {
+        r["vec_id"]
+        for r in df.select("vec_id")
+        .filter(F2.pmod(F2.xxhash64("vec_id"), F2.lit(rate)) == 0)
+        .collect()
+    }
+    assert 0 < len(cand) < n / 2
     for r in got:
         assert r["neighbor_id"] in cand, r
     # a capped member's own top-k excludes itself

@@ -437,6 +437,35 @@ _SHUFFLE_BUDGET = {
     "text_novelty_rate": 2,
     # daily rollup + bounded trend window + seasonal agg + final join
     "ts_decompose": 4,
+    # --- round 7 ---
+    # the returned frame is the checkpointed final index read
+    "dedup_state_table": 0,
+    # per-file record walk is mapInPandas over binaryFile; frame is
+    # checkpointed after the projection
+    "source_warc": 0,
+    # checkpointed manifest rollup over the written shard directories
+    "pipeline_shard_export": 0,
+    # single hash aggregate with argmax/argmin structs — no window
+    "pipeline_preference_pairs": 1,
+    # per-distinct-value agg + per-type ordered window
+    "agg_mann_whitney": 2,
+    # per-user agg + per-lifetime agg + two global ordered windows over
+    # |distinct lifetimes| rows
+    "agg_survival_km": 4,
+    # per-(source, score) agg + per-source ordered window
+    "text_auc_eval": 2,
+    # daily rollup + the 14-day banded self-join on the rollup
+    "ts_ewma_decay": 2,
+    # row-local packing; broadcast query set; one top-k window
+    "sim_binary_quant": 1,
+    # zero-shuffle Arrow decode chain
+    "multimodal_png_palette": 0,
+    # pure projection — whole-stage codegen end to end
+    "scalar_uuid3": 0,
+    # SQL UDFs inline: the plan is one hash aggregate
+    "api_sql_udf": 1,
+    # one per-stratum ordered window over hash digests
+    "sample_bottom_k": 1,
 }
 
 
