@@ -105,6 +105,14 @@ additions get theirs in the same window.  Every windowed entry was
 verified against its DuckDB oracle at sf0.01 AND sf0.1 with
 strict-dtype checking (now the ``scripts/check_oracle.py`` default)
 before windowing.
+
+Round-8 rotation backlog (round-7 additions past the filled window,
+each strict-dtype oracle-verified at sf0.001, sf0.01 AND sf0.1):
+``source_webdataset`` (WebDataset tar-shard ingestion, zero-shuffle
+sample assembly), ``source_zip`` (central-directory + CRC-verified
+ZIP extraction), ``sink_python_batch`` (the Python DataSource WRITER
+API with the real task-commit protocol), ``text_bleu_eval`` (corpus
+BLEU-4 with clipping and brevity penalty).
 """
 
 from __future__ import annotations

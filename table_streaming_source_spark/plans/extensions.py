@@ -7633,3 +7633,350 @@ QUERIES_DEFERRED.update(
         "sample_bottom_k": q_sample_bottom_k,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# round 7 second wave (round-8 rotation backlog): archive ingestion,
+# custom-writer API, generation eval
+# ---------------------------------------------------------------------------
+
+
+def q_source_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset ingestion (`sources/archive.py::read_webdataset`) —
+    the tar-shard layout large-scale multimodal training loaders
+    consume: each sample's files (``.txt`` payload, ``.json`` metadata,
+    ``.cls`` label) share a basename stem and sit CONTIGUOUSLY in the
+    shard, so the reader assembles samples inside the per-file walk
+    with zero shuffle; shard count is the parallelism unit, exactly
+    the 100 TB layout.  The entry round-trips the documents table
+    through 8 shards and checks payload digests, JSON metadata
+    extraction, and the per-sample file count; the oracle restates all
+    of it from the source table."""
+    import os as _os
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark.sources.archive import (
+        read_webdataset,
+        write_tar,
+    )
+
+    path = _scratch.scratch_dir("source_wds", sf_dir, fresh=True)
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    for shard in range(8):
+        part = docs[docs["doc_id"] % 8 == shard]
+        entries = []
+        for r in part.itertuples():
+            stem = f"{r.doc_id:09d}"
+            meta = (
+                '{"lang": "%s", "source": "%s"}' % (r.lang, r.source)
+            )
+            entries.extend(
+                [
+                    (f"{stem}.txt", r.text.encode("utf-8")),
+                    (f"{stem}.json", meta.encode("utf-8")),
+                    (f"{stem}.cls", r.lang.encode("utf-8")),
+                ]
+            )
+        write_tar(_os.path.join(path, f"shard-{shard}.tar"), entries)
+    result = (
+        read_webdataset(spark, path)
+        .select(
+            F.col("sample_key").cast("bigint").alias("doc_id"),
+            "n_files",
+            F.md5("text").alias("text_md5"),
+            F.get_json_object("meta_json", "$.lang").alias("lang"),
+            F.get_json_object("meta_json", "$.source").alias("source"),
+            "cls",
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["source_webdataset"] = """
+SELECT doc_id, CAST(3 AS BIGINT) AS n_files, MD5(text) AS text_md5,
+       lang, source, lang AS cls
+FROM documents
+"""
+
+
+def q_source_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP-archive ingestion (`sources/archive.py::read_zip_text`):
+    documents round-trip through 6 deflate-compressed archives and are
+    extracted via the central directory with PER-ENTRY CRC-32
+    verification — the document-dump front door, with corruption
+    surfacing as the quarantine ValueError instead of silent garbage.
+    One archive = one task; the decompress chain is partition-local."""
+    import os as _os
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark.sources.archive import (
+        read_zip_text,
+        write_zip,
+    )
+
+    path = _scratch.scratch_dir("source_zip", sf_dir, fresh=True)
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    for shard in range(6):
+        part = docs[docs["doc_id"] % 6 == shard]
+        write_zip(
+            _os.path.join(path, f"part-{shard}.zip"),
+            [
+                (f"docs/{r.doc_id}.txt", r.text.encode("utf-8"))
+                for r in part.itertuples()
+            ],
+        )
+    result = (
+        read_zip_text(spark, path)
+        .select(
+            F.regexp_extract("entry_name", r"docs/(\d+)\.txt", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            "n_bytes",
+            F.md5("text").alias("text_md5"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["source_zip"] = """
+SELECT doc_id,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+       MD5(text) AS text_md5
+FROM documents
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "source_webdataset": q_source_webdataset,
+        "source_zip": q_source_zip,
+    }
+)
+
+
+def q_text_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BLEU-4 (Papineni et al. 2002) per language — the
+    generation-eval metric beside the retrieval (`text_ndcg_eval`) and
+    classification (`text_auc_eval`) evals.  Candidate = the reference
+    with every 7th token deleted (a deterministic degradation, so the
+    metric exercises clipping, all four n-gram orders, and a real
+    brevity penalty).  Corpus BLEU semantics exactly: CLIPPED n-gram
+    matches and totals sum over documents BEFORE any division, the
+    brevity penalty uses corpus lengths, and the geometric mean rides
+    the rounded-log decimal path (`text_unigram_logprob` discipline).
+
+    Shape: n-grams are built ROW-LOCALLY with ``transform`` over index
+    sequences (no explode-then-self-join), counts aggregate per
+    (doc, gram) then per language — two hash aggregates per order, all
+    map-combinable; nothing shuffles but (doc, gram) digests."""
+    docs = t(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.split(F.trim("text"), r"\s+").alias("ref_toks"),
+    ).withColumn(
+        "cand_toks",
+        F.expr(
+            "filter(ref_toks, (tok, i) -> (i + 1) % 7 != 0)"
+        ),
+    )
+    lengths = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("cand_toks")).cast("bigint").alias("c_len"),
+        F.sum(F.size("ref_toks")).cast("bigint").alias("r_len"),
+    )
+
+    def grams(col: str, n: int):
+        return F.expr(
+            f"transform(sequence(1, greatest(size({col}) - {n} + 1, 0)),"
+            f" i -> concat_ws(' ', slice({col}, i, {n})))"
+        )
+
+    per_order = []
+    for n in range(1, 5):
+        cand = (
+            docs.select(
+                "lang",
+                "doc_id",
+                F.explode(grams("cand_toks", n)).alias("g"),
+            )
+            .groupBy("lang", "doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c_cnt"))
+        )
+        ref = (
+            docs.select(
+                "lang",
+                "doc_id",
+                F.explode(grams("ref_toks", n)).alias("g"),
+            )
+            .groupBy("lang", "doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("r_cnt"))
+        )
+        matched = (
+            cand.join(ref, ["lang", "doc_id", "g"], "left")
+            .select(
+                "lang",
+                F.least(
+                    F.col("c_cnt"), F.coalesce(F.col("r_cnt"), F.lit(0))
+                ).alias("m"),
+                "c_cnt",
+            )
+            .groupBy("lang")
+            .agg(
+                F.sum("m").cast("bigint").alias("match_n"),
+                F.sum("c_cnt").cast("bigint").alias("total_n"),
+            )
+            .withColumn("n", F.lit(n))
+        )
+        per_order.append(matched)
+    orders = per_order[0]
+    for m in per_order[1:]:
+        orders = orders.unionByName(m)
+    scored = orders.withColumn(
+        "__lnp",
+        F.round(
+            F.log(
+                F.col("match_n").cast("double") / F.col("total_n")
+            ),
+            9,
+        ).cast("decimal(20,9)"),
+    )
+    gm = scored.groupBy("lang").agg(
+        (F.sum("__lnp") / 4).cast("double").alias("__mean_lnp"),
+        *[
+            F.round(
+                F.max(
+                    F.when(
+                        F.col("n") == n,
+                        F.col("match_n").cast("double")
+                        / F.col("total_n"),
+                    )
+                ),
+                9,
+            ).alias(f"p{n}")
+            for n in range(1, 5)
+        ],
+    )
+    bp = F.when(
+        F.col("c_len") >= F.col("r_len"), F.lit(0.0)
+    ).otherwise(
+        F.round(
+            1.0 - F.col("r_len").cast("double") / F.col("c_len"), 9
+        )
+    )
+    return (
+        lengths.join(gm, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "c_len",
+            "r_len",
+            "p1",
+            "p2",
+            "p3",
+            "p4",
+            F.round(
+                F.exp(bp.cast("decimal(20,9)") + F.col("__mean_lnp")),
+                6,
+            ).alias("bleu"),
+        )
+    )
+
+
+ORACLES["text_bleu_eval"] = """
+WITH toks AS (
+  SELECT lang, doc_id,
+         STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ')
+           AS ref_toks
+  FROM documents
+),
+pair AS (
+  SELECT lang, doc_id, ref_toks,
+         LIST_FILTER(LIST_TRANSFORM(RANGE(1, LEN(ref_toks) + 1),
+                                    i -> CASE WHEN i % 7 != 0
+                                              THEN ref_toks[i] END),
+                     x -> x IS NOT NULL) AS cand_toks
+  FROM toks
+),
+lengths AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(LEN(cand_toks)) AS BIGINT) AS c_len,
+         CAST(SUM(LEN(ref_toks)) AS BIGINT) AS r_len
+  FROM pair GROUP BY lang
+),
+orders AS (
+  SELECT n FROM (VALUES (1), (2), (3), (4)) v(n)
+),
+cand_grams AS (
+  SELECT b.lang, b.doc_id, o.n, u.g
+  FROM pair b, orders o,
+       UNNEST(LIST_TRANSFORM(
+         RANGE(1, GREATEST(LEN(b.cand_toks) - o.n + 1, 0) + 1),
+         i -> ARRAY_TO_STRING(b.cand_toks[i : i + o.n - 1], ' ')))
+         AS u(g)
+),
+ref_grams AS (
+  SELECT b.lang, b.doc_id, o.n, u.g
+  FROM pair b, orders o,
+       UNNEST(LIST_TRANSFORM(
+         RANGE(1, GREATEST(LEN(b.ref_toks) - o.n + 1, 0) + 1),
+         i -> ARRAY_TO_STRING(b.ref_toks[i : i + o.n - 1], ' ')))
+         AS u(g)
+),
+cc AS (
+  SELECT lang, doc_id, n, g, COUNT(*) AS c_cnt
+  FROM cand_grams GROUP BY 1, 2, 3, 4
+),
+rc AS (
+  SELECT lang, doc_id, n, g, COUNT(*) AS r_cnt
+  FROM ref_grams GROUP BY 1, 2, 3, 4
+),
+matched AS (
+  SELECT cc.lang, cc.n,
+         CAST(SUM(LEAST(cc.c_cnt, COALESCE(rc.r_cnt, 0))) AS BIGINT)
+           AS match_n,
+         CAST(SUM(cc.c_cnt) AS BIGINT) AS total_n
+  FROM cc LEFT JOIN rc
+    ON cc.lang = rc.lang AND cc.doc_id = rc.doc_id
+   AND cc.n = rc.n AND cc.g = rc.g
+  GROUP BY 1, 2
+),
+gm AS (
+  SELECT lang,
+         CAST(SUM(CAST(ROUND(LN(CAST(match_n AS DOUBLE) / total_n), 9)
+                       AS DECIMAL(20,9))) / 4 AS DOUBLE) AS mean_lnp,
+         ROUND(MAX(CASE WHEN n = 1
+                   THEN CAST(match_n AS DOUBLE) / total_n END), 9) AS p1,
+         ROUND(MAX(CASE WHEN n = 2
+                   THEN CAST(match_n AS DOUBLE) / total_n END), 9) AS p2,
+         ROUND(MAX(CASE WHEN n = 3
+                   THEN CAST(match_n AS DOUBLE) / total_n END), 9) AS p3,
+         ROUND(MAX(CASE WHEN n = 4
+                   THEN CAST(match_n AS DOUBLE) / total_n END), 9) AS p4
+  FROM matched GROUP BY lang
+)
+SELECT l.lang, l.n_docs, l.c_len, l.r_len,
+       g.p1, g.p2, g.p3, g.p4,
+       ROUND(EXP(CAST(CASE WHEN l.c_len >= l.r_len THEN 0.0
+                  ELSE ROUND(1.0 - CAST(l.r_len AS DOUBLE) / l.c_len, 9)
+                  END AS DECIMAL(20,9)) + g.mean_lnp), 6) AS bleu
+FROM lengths l JOIN gm g USING (lang)
+"""
+
+
+QUERIES_DEFERRED.update({"text_bleu_eval": q_text_bleu_eval})

@@ -8802,3 +8802,61 @@ QUERIES.update(
         "format_zorder_3d": q_format_zorder_3d,
     }
 )
+
+
+def q_sink_python_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-format WRITE through the Spark 4 Python ``DataSource``
+    writer API (`sources/fixed_width.py::FixedWidthWriter`) — the
+    other half of `source_python_batch`'s connector surface, with the
+    REAL task-commit protocol: every task stages ``part-*.tsr.tmp``
+    and returns a commit message; the driver-side ``commit`` renames
+    staged files visible, ``abort`` sweeps them, so a crashed job
+    leaves nothing a reader can see (the stage-then-publish discipline
+    the table format uses, here at the connector layer; crash-residue
+    invisibility is pinned in ``tests/test_fixed_width.py``).  The
+    value contract: orders written through the custom sink from 8
+    genuine task partitions and read back through the split-planned
+    reader equal the oracle rollup."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark.sources import fixed_width as FW
+
+    base = _scratch.scratch_dir("tsr_sink", sf_dir, fresh=True)
+    out = f"{base}/out"
+    FW.register(spark)
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_orderkey") % 10).alias("grp"),
+        F.col("o_totalprice").alias("value"),
+    )
+    o.repartition(8).write.format("tsr").mode("overwrite").option(
+        "path", out
+    ).save()
+    result = (
+        spark.read.format("tsr")
+        .option("path", out)
+        .option("recordsPerSplit", 2048)
+        .load()
+        .groupBy(F.col("grp").cast("int").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("sum_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+ORACLES["sink_python_batch"] = """
+SELECT CAST(o_orderkey % 10 AS INT) AS grp,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_value
+FROM orders
+GROUP BY 1
+"""
+
+
+QUERIES.update({"sink_python_batch": q_sink_python_batch})

@@ -1,9 +1,18 @@
 """A Spark 4 Python BATCH ``DataSource`` for a fixed-width binary record
 format ("TSR1") — the batch sibling of the streaming
 ``SimpleDataSourceStreamReader`` in ``streaming/fidelity_source.py``,
-completing the Python DataSource API surface (custom format + SPLIT
-PLANNING: ``partitions()`` returns byte-range splits, so a 100 TB file
-fans out across executors instead of funneling through the driver).
+completing the Python DataSource API surface in BOTH directions:
+
+- READ: custom format + SPLIT PLANNING (``partitions()`` returns
+  byte-range splits per file, so a 100 TB dataset fans out across
+  executors instead of funneling through the driver; a directory of
+  ``.tsr`` files adds file-level parallelism on top).
+- WRITE: a ``DataSourceWriter`` with the real task-commit protocol —
+  each task stages its partition to a ``.tmp`` file and returns a
+  commit message; the driver-side ``commit`` atomically renames the
+  staged files and ``abort`` removes them, so a failed job leaves no
+  torn output visible (the same stage-then-publish discipline as
+  ``table_format.py``).
 
 Format spec (defined here, fixed-width so ranges split exactly):
 
@@ -24,7 +33,9 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -46,36 +57,91 @@ def write_tsr(path: str, rows: Sequence[tuple[int, int, float]]) -> int:
 
 
 class _RangePartition(InputPartition):
-    def __init__(self, start: int, count: int):
+    def __init__(self, file: str, start: int, count: int):
+        self.file = file
         self.start = start
         self.count = count
 
 
+def _tsr_count(path: str) -> int:
+    with open(path, "rb") as fh:
+        if fh.read(4) != _MAGIC:
+            raise ValueError(f"not a TSR1 file: {path}")
+        (n,) = struct.unpack("<I", fh.read(4))
+    return n
+
+
 class FixedWidthReader(DataSourceReader):
     def __init__(self, options: dict):
-        self.path = options.get("path")
-        if not self.path:
+        path = options.get("path")
+        if not path:
             raise ValueError("tsr source requires option 'path'")
         self.records_per_split = int(
             options.get("recordsPerSplit", 4096)
         )
-        with open(self.path, "rb") as fh:
-            if fh.read(4) != _MAGIC:
-                raise ValueError(f"not a TSR1 file: {self.path}")
-            (self.n,) = struct.unpack("<I", fh.read(4))
+        if os.path.isdir(path):
+            self.files = sorted(
+                os.path.join(path, n)
+                for n in os.listdir(path)
+                if n.endswith(".tsr")
+            )
+        else:
+            self.files = [path]
+        self.counts = {f: _tsr_count(f) for f in self.files}
 
     def partitions(self):
         per = self.records_per_split
-        return [
-            _RangePartition(start, min(per, self.n - start))
-            for start in range(0, self.n, per)
-        ] or [_RangePartition(0, 0)]
+        parts = [
+            _RangePartition(f, start, min(per, n - start))
+            for f in self.files
+            for n in (self.counts[f],)
+            for start in range(0, n, per)
+        ]
+        return parts or [_RangePartition(self.files[0], 0, 0)]
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
-        with open(self.path, "rb") as fh:
+        with open(partition.file, "rb") as fh:
             fh.seek(8 + _REC.size * partition.start)
             for _ in range(partition.count):
                 yield _REC.unpack(fh.read(_REC.size))
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, staged: str, count: int):
+        self.staged = staged
+        self.count = count
+
+
+class FixedWidthWriter(DataSourceWriter):
+    """Task-commit protocol: every task stages ``part-*.tsr.tmp`` and
+    reports it; only the driver-side ``commit`` renames staged files
+    to their visible ``.tsr`` names — a crashed job's staging residue
+    is invisible to the directory reader (which lists ``.tsr`` only)
+    and ``abort`` sweeps it."""
+
+    def __init__(self, options: dict):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("tsr sink requires option 'path'")
+
+    def write(self, iterator) -> _FileCommit:
+        import uuid
+
+        rows = [(r[0], r[1], r[2]) for r in iterator]
+        staged = os.path.join(
+            self.dir, f"part-{uuid.uuid4().hex}.tsr.tmp"
+        )
+        write_tsr(staged, rows)
+        return _FileCommit(staged, len(rows))
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            os.replace(m.staged, m.staged[: -len(".tmp")])
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if os.path.exists(m.staged):
+                os.remove(m.staged)
 
 
 class FixedWidthDataSource(DataSource):
@@ -88,6 +154,16 @@ class FixedWidthDataSource(DataSource):
 
     def reader(self, schema: StructType) -> FixedWidthReader:
         return FixedWidthReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        path = self.options.get("path")
+        if overwrite and path and os.path.isdir(path):
+            for n in os.listdir(path):
+                if n.endswith((".tsr", ".tsr.tmp")):
+                    os.remove(os.path.join(path, n))
+        if path:
+            os.makedirs(path, exist_ok=True)
+        return FixedWidthWriter(self.options)
 
 
 def register(spark) -> None:

@@ -52,3 +52,38 @@ def test_empty_file_yields_one_empty_partition(tmp_path):
     parts = reader.partitions()
     assert len(parts) == 1 and parts[0].count == 0
     assert list(reader.read(parts[0])) == []
+
+
+def test_writer_commit_protocol_and_directory_read(spark, tmp_path):
+    """The custom writer stages per-task files and publishes them only
+    at commit; the directory reader sees exactly the committed files
+    and staging residue is invisible."""
+    import os
+
+    from table_streaming_source_spark.sources import fixed_width as FW
+
+    out = str(tmp_path / "out")
+    FW.register(spark)
+    df = spark.range(1000).selectExpr(
+        "id AS key", "id % 7 AS grp", "CAST(id AS DOUBLE) AS value"
+    ).repartition(4)
+    df.write.format("tsr").mode("overwrite").option("path", out).save()
+    files = [n for n in os.listdir(out) if n.endswith(".tsr")]
+    assert len(files) == 4  # one published file per task
+    assert not [n for n in os.listdir(out) if n.endswith(".tmp")]
+    # crash residue: a stray staged file must be invisible to the read
+    FW.write_tsr(os.path.join(out, "part-dead.tsr.tmp"), [(1, 1, 1.0)])
+    back = (
+        spark.read.format("tsr").option("path", out).load()
+    )
+    assert back.count() == 1000
+    assert back.agg({"key": "sum"}).collect()[0][0] == 999 * 1000 // 2
+    # overwrite clears previous output AND residue
+    df.limit(10).repartition(1).write.format("tsr").mode(
+        "overwrite"
+    ).option("path", out).save()
+    assert (
+        spark.read.format("tsr").option("path", out).load().count()
+        == 10
+    )
+    assert not [n for n in os.listdir(out) if n.endswith(".tmp")]
