@@ -1981,3 +1981,84 @@ FROM logical GROUP BY o_orderpriority
 QUERIES_DEFERRED["streaming_format_maintenance"] = (
     q_streaming_format_maintenance
 )
+
+
+def q_streaming_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming WARC ingest (`sources/warc.py::stream_warc`) — the
+    continuous form of crawl ingestion: a fetcher drops finished
+    archives into a directory, the file stream walks each batch of
+    newly arrived archives with the SAME stateless record parser as
+    the batch entry (`source_warc`), and a complete-mode aggregate
+    tracks per-site record counts and byte volume.  8 archives at 2
+    per trigger → 4 genuine micro-batches; the final table equals the
+    batch aggregate, which is exactly what the oracle states from the
+    documents table and the 45-byte HTTP envelope closed form."""
+    import os as _os
+
+    from table_streaming_source_spark.sources.warc import (
+        stream_warc,
+        write_warc,
+    )
+
+    docs_df = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+    def _write(d: str) -> None:
+        docs = docs_df.toPandas().sort_values("doc_id")
+        stamp = 1_700_000_000
+        for shard in range(8):
+            part = docs[docs["doc_id"] % 8 == shard]
+            name = f"part-{shard}.warc"
+            write_warc(
+                _os.path.join(d, name),
+                [
+                    (
+                        f"urn:doc:{r.doc_id}",
+                        f"https://{r.source}.example/{r.doc_id}",
+                        r.text,
+                    )
+                    for r in part.itertuples()
+                ],
+            )
+            _bump_mtimes(d, {name}, stamp + shard)
+
+    src = _stream_fixture(spark, sf_dir, "warcing", _write)
+    stream = stream_warc(spark, src, maxFilesPerTrigger=2)
+    agg = stream.groupBy(
+        F.regexp_extract("target_uri", r"https://([^.]+)\.example", 1)
+        .alias("source")
+    ).agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("content_length").cast("bigint").alias("total_bytes"),
+        F.max("content_length").cast("bigint").alias("max_bytes"),
+    )
+    name = f"__stream_warc_{abs(hash(src)) % 10**8}"
+    with _stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return result
+
+
+ORACLES["streaming_warc_ingest"] = """
+SELECT source, COUNT(*) AS n_records,
+       CAST(SUM(45 + OCTET_LENGTH(ENCODE(text))) AS BIGINT)
+         AS total_bytes,
+       CAST(MAX(45 + OCTET_LENGTH(ENCODE(text))) AS BIGINT)
+         AS max_bytes
+FROM documents GROUP BY source
+"""
+
+
+QUERIES_DEFERRED["streaming_warc_ingest"] = q_streaming_warc_ingest

@@ -28,10 +28,12 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 _CRLF = b"\r\n"
@@ -114,28 +116,61 @@ WARC_SCHEMA = StructType(
 )
 
 
+def _record_batches(
+    it: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batch adapter shared by the batch and streaming readers:
+    raw archive bytes in, parsed record fields out."""
+    for pdf in it:
+        rows: dict[str, list] = {
+            k: [] for k in (
+                "record_id", "warc_type", "target_uri",
+                "content_length", "body",
+            )
+        }
+        for content in pdf["content"]:
+            for rid, rtype, uri, clen, body in parse_warc_bytes(
+                bytes(content)
+            ):
+                rows["record_id"].append(rid)
+                rows["warc_type"].append(rtype)
+                rows["target_uri"].append(uri)
+                rows["content_length"].append(clen)
+                rows["body"].append(body)
+        yield pd.DataFrame(rows)
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """``binaryFile`` scan → per-file record walk.  One archive file =
     one parse task; fields only (never raw archives) flow downstream."""
     raw = spark.read.format("binaryFile").load(path)
+    return raw.select("content").mapInPandas(
+        _record_batches, schema=WARC_SCHEMA
+    )
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows: dict[str, list] = {
-                k: [] for k in (
-                    "record_id", "warc_type", "target_uri",
-                    "content_length", "body",
-                )
-            }
-            for content in pdf["content"]:
-                for rid, rtype, uri, clen, body in parse_warc_bytes(
-                    bytes(content)
-                ):
-                    rows["record_id"].append(rid)
-                    rows["warc_type"].append(rtype)
-                    rows["target_uri"].append(uri)
-                    rows["content_length"].append(clen)
-                    rows["body"].append(body)
-            yield pd.DataFrame(rows)
 
-    return raw.select("content").mapInPandas(batches, schema=WARC_SCHEMA)
+_BINARYFILE_SCHEMA = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("modificationTime", TimestampType(), False),
+        StructField("length", LongType(), False),
+        StructField("content", BinaryType(), True),
+    ]
+)
+
+
+def stream_warc(spark: SparkSession, path: str, **reader_options) -> DataFrame:
+    """STREAMING WARC ingest: archives land in a directory, each
+    micro-batch walks only the newly arrived files (same stateless
+    record parser as :func:`read_warc` — partition-preserving), and
+    downstream operators see typed records.  ``reader_options`` pass
+    through to the file stream source (``maxFilesPerTrigger`` controls
+    batch granularity) — the continuous form of crawl ingestion, where
+    a fetcher drops finished archives and the pipeline tails them."""
+    reader = spark.readStream.format("binaryFile")
+    for k, v in reader_options.items():
+        reader = reader.option(k, str(v))
+    raw = reader.schema(_BINARYFILE_SCHEMA).load(path)
+    return raw.select("content").mapInPandas(
+        _record_batches, schema=WARC_SCHEMA
+    )

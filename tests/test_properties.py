@@ -799,3 +799,90 @@ def test_priority_sample_monotone_in_weight(weights):
     order = sorted(range(len(weights)), key=lambda i: -pri[i])
     byw = sorted(range(len(weights)), key=lambda i: -weights[i])
     assert order == byw
+
+
+# ---------------------------------------------------------------------------
+# round 7: archive containers, paletted PNG
+# ---------------------------------------------------------------------------
+
+_NAME = st.text(
+    alphabet=st.sampled_from(
+        "abcdefghijklmnopqrstuvwxyz0123456789._-"
+    ),
+    min_size=1,
+    max_size=40,
+).filter(lambda s: not s.startswith((".", "-")))
+
+
+@given(
+    entries=st.lists(
+        st.tuples(_NAME, st.binary(max_size=2000)),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda e: e[0],
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_tar_roundtrip_property(tmp_path_factory, entries):
+    import os
+
+    from table_streaming_source_spark.sources.archive import (
+        _tar_entries,
+        write_tar,
+    )
+
+    d = tmp_path_factory.mktemp("tarprop")
+    p = os.path.join(str(d), "t.tar")
+    write_tar(p, entries)
+    with open(p, "rb") as fh:
+        assert _tar_entries(fh.read()) == entries
+
+
+@given(
+    entries=st.lists(
+        st.tuples(_NAME, st.binary(max_size=2000)),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda e: e[0],
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_zip_roundtrip_property(tmp_path_factory, entries):
+    import os
+
+    from table_streaming_source_spark.sources.archive import (
+        write_zip,
+        zip_entries,
+    )
+
+    d = tmp_path_factory.mktemp("zipprop")
+    p = os.path.join(str(d), "t.zip")
+    write_zip(p, entries)
+    with open(p, "rb") as fh:
+        assert zip_entries(fh.read()) == entries
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=25, deadline=None)
+def test_png_palette_roundtrip_property(w, h, seed):
+    import numpy as np
+
+    from table_streaming_source_spark.operators.multimodal import (
+        png_pixels_palette,
+        synth_png_palette,
+    )
+
+    rgb, alpha = png_pixels_palette(synth_png_palette(w, h, seed))
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    idx = (x + 2 * y + seed) % 64
+    assert (rgb[:, :, 0] == (3 * idx + seed) % 256).all()
+    assert (rgb[:, :, 1] == (5 * idx + 1) % 256).all()
+    assert (rgb[:, :, 2] == (7 * idx + 2) % 256).all()
+    assert (
+        alpha == np.where(idx < 16, (idx * 16) % 256, 255)
+    ).all()
