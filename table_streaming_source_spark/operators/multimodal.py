@@ -5726,3 +5726,616 @@ def palette_pixel_stats(
     from table_streaming_source_spark.operators.hof import spread
 
     return spread(df).mapInPandas(batches, schema=PALETTE_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WebP lossless (VP8L) — RFC 9649 bitstream, from scratch
+# ---------------------------------------------------------------------------
+#
+# Coverage implemented (the lossless-web-image format beside PNG):
+# RIFF/WEBP/VP8L container, LSB-first bit I/O, canonical prefix codes in
+# both the "simple" (1-2 symbol) and full code-length-coded forms
+# (including the 17/18 zero-run repeats), the 5-code group
+# (green+length+cache / red / blue / alpha / distance), LZ77 backward
+# references with the shared length/distance prefix scheme, and the
+# multiplicative-hash color cache.  Not implemented (quarantine
+# ValueError): transforms other than "none", meta-prefix images, and
+# the 120-entry close-neighbor distance map (the encoder profile here
+# always emits plain distances, code > 120) — each named in the error.
+
+_VP8L_CL_ORDER = (
+    17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+)
+
+
+class _BitReader:
+    """LSB-first bit reader (VP8L convention)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            byte = self.data[(self.pos + i) >> 3]
+            v |= ((byte >> ((self.pos + i) & 7)) & 1) << i
+        self.pos += n
+        return v
+
+
+class _BitWriter:
+    """LSB-first bit writer (VP8L convention)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.bit = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n):
+            if self.bit == 0:
+                self.out.append(0)
+            if (value >> i) & 1:
+                self.out[-1] |= 1 << self.bit
+            self.bit = (self.bit + 1) & 7
+
+    def write_code(self, code: int, length: int) -> None:
+        # prefix codes are transmitted MSB-first (deflate convention)
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+
+def _canonical_codes(lengths: "dict[int, int]") -> "dict[int, int]":
+    """Deflate-style canonical code assignment: symbols sorted by
+    (length, symbol); returns symbol → code."""
+    codes = {}
+    code = 0
+    prev_len = 0
+    for sym in sorted(lengths, key=lambda s: (lengths[s], s)):
+        code <<= lengths[sym] - prev_len
+        prev_len = lengths[sym]
+        codes[sym] = code
+        code += 1
+    return codes
+
+
+def _huffman_lengths(freqs: "dict[int, int]", max_len: int) -> "dict[int, int]":
+    """Depth-limited prefix-code lengths from frequencies (heap build +
+    Kraft repair).  One symbol → length 0 (spec: a single-symbol code
+    consumes no bits)."""
+    import heapq
+
+    syms = [s for s, f in freqs.items() if f > 0]
+    if not syms:
+        raise ValueError("empty alphabet")
+    if len(syms) == 1:
+        return {syms[0]: 0}
+    heap = [(freqs[s], (s,)) for s in syms]
+    heapq.heapify(heap)
+    depth = {s: 0 for s in syms}
+    while len(heap) > 1:
+        fa, ga = heapq.heappop(heap)
+        fb, gb = heapq.heappop(heap)
+        for s in ga + gb:
+            depth[s] += 1
+        heapq.heappush(heap, (fa + fb, ga + gb))
+    if max(depth.values()) > max_len:
+        # Kraft repair: clamp and rebalance
+        for s in depth:
+            depth[s] = min(depth[s], max_len)
+        over = sum(2 ** (max_len - d) for d in depth.values()) - (
+            1 << max_len
+        )
+        for s in sorted(depth, key=lambda s: -depth[s]):
+            while over > 0 and depth[s] < max_len:
+                over -= 2 ** (max_len - depth[s] - 1)
+                depth[s] += 1
+        if over > 0:
+            raise ValueError("cannot limit code lengths")
+    return depth
+
+
+class _PrefixDecoder:
+    """Bit-at-a-time canonical prefix decoder."""
+
+    def __init__(self, lengths: "dict[int, int]"):
+        nonzero = {s: l for s, l in lengths.items() if l > 0}
+        if not nonzero:
+            (self.single,) = [s for s in lengths]
+            self.table = None
+            return
+        self.single = None
+        codes = _canonical_codes(nonzero)
+        self.table = {
+            (nonzero[s], codes[s]): s for s in nonzero
+        }
+        self.max_len = max(nonzero.values())
+
+    def decode(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for length in range(1, self.max_len + 1):
+            code = (code << 1) | br.read(1)
+            sym = self.table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid VP8L prefix code")
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixDecoder:
+    if br.read(1):  # simple code
+        num_symbols = br.read(1) + 1
+        first_8bit = br.read(1)
+        s0 = br.read(8 if first_8bit else 1)
+        if num_symbols == 2:
+            s1 = br.read(8)
+            return _PrefixDecoder({s0: 1, s1: 1})
+        return _PrefixDecoder({s0: 0})
+    num_cl = 4 + br.read(4)
+    cl_lengths = {}
+    for i in range(num_cl):
+        cl_lengths[_VP8L_CL_ORDER[i]] = br.read(3)
+    cl_dec = _PrefixDecoder(
+        {s: l for s, l in cl_lengths.items() if l > 0}
+        or {0: 0}
+    )
+    if br.read(1):  # use max_symbol
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = {}
+    prev = 8
+    sym = 0
+    while sym < alphabet_size and max_symbol > 0:
+        max_symbol -= 1
+        cl = cl_dec.decode(br)
+        if cl < 16:
+            if cl:
+                lengths[sym] = cl
+                prev = cl
+            sym += 1
+        elif cl == 16:
+            rep = 3 + br.read(2)
+            for _ in range(rep):
+                if sym < alphabet_size:
+                    lengths[sym] = prev
+                    sym += 1
+        elif cl == 17:
+            sym += 3 + br.read(3)
+        else:  # 18
+            sym += 11 + br.read(7)
+    return _PrefixDecoder(lengths)
+
+
+def _prefix_value_decode(br: _BitReader, code: int) -> int:
+    """Shared LZ77 length/distance prefix scheme."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _prefix_value_encode(value: int) -> "tuple[int, int, int]":
+    """value → (prefix code, extra bits payload, n extra bits)."""
+    if value <= 4:
+        return value - 1, 0, 0
+    v = value - 1
+    extra = v.bit_length() - 2
+    offset = (2 + ((v >> extra) & 1)) << extra
+    code = 2 * extra + ((v >> extra) & 1) + 2
+    return code, value - offset - 1, extra
+
+
+def _cache_hash(argb: int, bits: int) -> int:
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - bits)
+
+
+def webp_lossless_decode(payload: bytes) -> "object":
+    """Decode a VP8L (WebP lossless) stream to an ``(h, w, 4)`` RGBA
+    uint8 array.  See the module-section note for the implemented
+    coverage; unsupported features raise ``ValueError`` with the
+    feature named (quarantine path)."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP RIFF container")
+    if payload[12:16] != b"VP8L":
+        raise ValueError("not a lossless (VP8L) WebP")
+    (chunk_size,) = struct.unpack("<I", payload[16:20])
+    data = payload[20 : 20 + chunk_size]
+    if data[0] != 0x2F:
+        raise ValueError("bad VP8L signature byte")
+    br = _BitReader(data[1:])
+    width = br.read(14) + 1
+    height = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+    if br.read(1):
+        raise ValueError("VP8L transforms not supported by this decoder")
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("bad color-cache size")
+    if br.read(1):
+        raise ValueError("VP8L meta-prefix images not supported")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green_dec = _read_prefix_code(br, 256 + 24 + cache_size)
+    red_dec = _read_prefix_code(br, 256)
+    blue_dec = _read_prefix_code(br, 256)
+    alpha_dec = _read_prefix_code(br, 256)
+    dist_dec = _read_prefix_code(br, 40)
+    n = width * height
+    argb = np.zeros(n, dtype=np.uint32)
+    cache = [0] * cache_size
+    pos = 0
+    while pos < n:
+        sym = green_dec.decode(br)
+        if sym < 256:
+            g = sym
+            r = red_dec.decode(br)
+            b = blue_dec.decode(br)
+            a = alpha_dec.decode(br)
+            px = (a << 24) | (r << 16) | (g << 8) | b
+            argb[pos] = px
+            if cache_size:
+                cache[_cache_hash(px, cache_bits)] = px
+            pos += 1
+        elif sym < 280:
+            length = _prefix_value_decode(br, sym - 256)
+            dcode = _prefix_value_decode(br, dist_dec.decode(br))
+            if dcode <= 120:
+                raise ValueError(
+                    "VP8L close-neighbor distance map not supported"
+                )
+            dist = dcode - 120
+            if dist > pos or pos + length > n:
+                raise ValueError("VP8L backward reference out of range")
+            for _ in range(length):
+                px = int(argb[pos - dist])
+                argb[pos] = px
+                if cache_size:
+                    cache[_cache_hash(px, cache_bits)] = px
+                pos += 1
+        else:
+            idx = sym - 280
+            if idx >= cache_size:
+                raise ValueError("VP8L cache index out of range")
+            px = cache[idx]
+            argb[pos] = px
+            if cache_size:
+                cache[_cache_hash(px, cache_bits)] = px
+            pos += 1
+    img = argb.reshape(height, width)
+    out = np.zeros((height, width, 4), dtype=np.uint8)
+    out[:, :, 0] = (img >> 16) & 0xFF  # R
+    out[:, :, 1] = (img >> 8) & 0xFF   # G
+    out[:, :, 2] = img & 0xFF          # B
+    out[:, :, 3] = (img >> 24) & 0xFF  # A
+    return out
+
+
+def _write_code_lengths(
+    bw: _BitWriter, lengths: "dict[int, int]", alphabet_size: int
+) -> None:
+    """Emit a full (non-simple) code: code-length-code with literal
+    lengths and 17/18 zero-run repeats (no 16), no max_symbol."""
+    # serialize lengths to CL symbol stream
+    stream: list[tuple[int, int, int]] = []  # (cl_sym, extra, n_extra)
+    sym = 0
+    while sym < alphabet_size:
+        l = lengths.get(sym, 0)
+        if l:
+            stream.append((l, 0, 0))
+            sym += 1
+            continue
+        run = 0
+        while sym + run < alphabet_size and lengths.get(sym + run, 0) == 0:
+            run += 1
+        left = run
+        while left >= 11:
+            chunk = min(left, 138)
+            stream.append((18, chunk - 11, 7))
+            left -= chunk
+        while left >= 3:
+            chunk = min(left, 10)
+            stream.append((17, chunk - 3, 3))
+            left -= chunk
+        for _ in range(left):
+            stream.append((0, 0, 0))
+        sym += run
+    cl_freq: dict[int, int] = {}
+    for cs, _e, _n in stream:
+        cl_freq[cs] = cl_freq.get(cs, 0) + 1
+    cl_lengths = _huffman_lengths(cl_freq, 7)
+    if len(cl_lengths) == 1:
+        # the CL decoder needs a real (≥1-bit) code; pad with a dummy
+        (only,) = cl_lengths
+        dummy = 0 if only != 0 else 1
+        cl_lengths = {only: 1, dummy: 1}
+    cl_codes = _canonical_codes(cl_lengths)
+    bw.write(0, 1)  # not simple
+    bw.write(19 - 4, 4)  # num_code_lengths = 19 (write all, in order)
+    for i in range(19):
+        bw.write(cl_lengths.get(_VP8L_CL_ORDER[i], 0), 3)
+    bw.write(0, 1)  # no max_symbol
+    for cs, extra, n_extra in stream:
+        bw.write_code(cl_codes[cs], cl_lengths[cs])
+        if n_extra:
+            bw.write(extra, n_extra)
+
+
+def _write_prefix_code(
+    bw: _BitWriter, lengths: "dict[int, int]", alphabet_size: int
+) -> None:
+    # simple codes transmit symbols in at most 8 bits — usable only
+    # when every symbol is < 256 (the green alphabet's length/cache
+    # symbols are not)
+    if len(lengths) <= 2 and all(s < 256 for s in lengths):
+        return _write_simple_code(bw, lengths)
+    _write_code_lengths(bw, lengths, alphabet_size)
+
+
+def _write_simple_code(bw: _BitWriter, lengths: "dict[int, int]") -> None:
+    if len(lengths) == 1:
+        s0 = next(iter(lengths))
+        bw.write(1, 1)  # simple
+        bw.write(0, 1)  # one symbol
+        if s0 < 2:
+            bw.write(0, 1)
+            bw.write(s0, 1)
+        else:
+            bw.write(1, 1)
+            bw.write(s0, 8)
+        return
+    s0, s1 = sorted(lengths)
+    bw.write(1, 1)  # simple
+    bw.write(1, 1)  # two symbols
+    if s0 < 2:
+        bw.write(0, 1)
+        bw.write(s0, 1)
+    else:
+        bw.write(1, 1)
+        bw.write(s0, 8)
+    bw.write(s1, 8)
+
+
+def webp_lossless_encode(rgba: "object", *, cache_bits: int = 4) -> bytes:
+    """Encode an ``(h, w, 4)`` RGBA uint8 array as a spec-valid VP8L
+    stream: canonical prefix codes built from the image's own symbol
+    frequencies (code-length-coded with 17/18 zero runs; constant
+    channels collapse to simple codes), greedy distance-1 LZ77 for
+    horizontal runs (plain distances, code > 120), and the
+    multiplicative-hash color cache.  The decoder twin consumes every
+    one of those features, so round-trip tests execute the full
+    bitstream grammar."""
+    import numpy as np
+
+    rgba = np.asarray(rgba, dtype=np.uint8)
+    h, w = rgba.shape[:2]
+    argb = (
+        (rgba[:, :, 3].astype(np.uint32) << 24)
+        | (rgba[:, :, 0].astype(np.uint32) << 16)
+        | (rgba[:, :, 1].astype(np.uint32) << 8)
+        | rgba[:, :, 2].astype(np.uint32)
+    ).reshape(-1)
+    n = len(argb)
+    cache_size = 1 << cache_bits
+    # pass 1: tokenize (greedy dist-1 runs, then cache, then literal)
+    tokens: list[tuple] = []
+    cache = [0] * cache_size
+    pos = 0
+    while pos < n:
+        if pos > 0 and argb[pos] == argb[pos - 1]:
+            run = 1
+            while (
+                pos + run < n
+                and run < 4096
+                and argb[pos + run] == argb[pos + run - 1]
+            ):
+                run += 1
+            if run >= 4:
+                for i in range(run):
+                    px = int(argb[pos + i])
+                    cache[_cache_hash(px, cache_bits)] = px
+                tokens.append(("copy", run, 1))
+                pos += run
+                continue
+        px = int(argb[pos])
+        slot = _cache_hash(px, cache_bits)
+        if cache[slot] == px and pos > 0:
+            tokens.append(("cache", slot))
+        else:
+            tokens.append(("lit", px))
+        cache[slot] = px
+        pos += 1
+    # pass 2: frequencies
+    gf: dict[int, int] = {}
+    rf: dict[int, int] = {}
+    bf: dict[int, int] = {}
+    af: dict[int, int] = {}
+    df: dict[int, int] = {}
+    for tk in tokens:
+        if tk[0] == "lit":
+            px = tk[1]
+            gf[(px >> 8) & 0xFF] = gf.get((px >> 8) & 0xFF, 0) + 1
+            rf[(px >> 16) & 0xFF] = rf.get((px >> 16) & 0xFF, 0) + 1
+            bf[px & 0xFF] = bf.get(px & 0xFF, 0) + 1
+            af[(px >> 24) & 0xFF] = af.get((px >> 24) & 0xFF, 0) + 1
+        elif tk[0] == "copy":
+            lcode, _, _ = _prefix_value_encode(tk[1])
+            gf[256 + lcode] = gf.get(256 + lcode, 0) + 1
+            dcode, _, _ = _prefix_value_encode(tk[2] + 120)
+            df[dcode] = df.get(dcode, 0) + 1
+        else:
+            gf[280 + tk[1]] = gf.get(280 + tk[1], 0) + 1
+    for freq in (rf, bf, af, df):
+        if not freq:
+            freq[0] = 1
+    gl = _huffman_lengths(gf, 15)
+    rl = _huffman_lengths(rf, 15)
+    bl = _huffman_lengths(bf, 15)
+    al = _huffman_lengths(af, 15)
+    dl = _huffman_lengths(df, 15)
+    gc, rc, bc, ac, dc = (
+        _canonical_codes({s: l for s, l in L.items() if l > 0})
+        for L in (gl, rl, bl, al, dl)
+    )
+    bw = _BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms
+    bw.write(1, 1)  # color cache present
+    bw.write(cache_bits, 4)
+    bw.write(0, 1)  # no meta-prefix image
+    _write_prefix_code(bw, gl, 256 + 24 + cache_size)
+    _write_prefix_code(bw, rl, 256)
+    _write_prefix_code(bw, bl, 256)
+    _write_prefix_code(bw, al, 256)
+    _write_prefix_code(bw, dl, 40)
+
+    def emit(codes, lengths, sym):
+        if lengths[sym] > 0:
+            bw.write_code(codes[sym], lengths[sym])
+
+    for tk in tokens:
+        if tk[0] == "lit":
+            px = tk[1]
+            emit(gc, gl, (px >> 8) & 0xFF)
+            emit(rc, rl, (px >> 16) & 0xFF)
+            emit(bc, bl, px & 0xFF)
+            emit(ac, al, (px >> 24) & 0xFF)
+        elif tk[0] == "copy":
+            lcode, lextra, lnb = _prefix_value_encode(tk[1])
+            emit(gc, gl, 256 + lcode)
+            if lnb:
+                bw.write(lextra, lnb)
+            dcode, dextra, dnb = _prefix_value_encode(tk[2] + 120)
+            emit(dc, dl, dcode)
+            if dnb:
+                bw.write(dextra, dnb)
+        else:
+            emit(gc, gl, 280 + tk[1])
+    vp8l = b"\x2f" + bytes(bw.out)
+    if len(vp8l) % 2:
+        padded = vp8l + b"\x00"
+    else:
+        padded = vp8l
+    riff = (
+        b"WEBP"
+        + b"VP8L"
+        + struct.pack("<I", len(vp8l))
+        + padded
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+WEBP_STATS_SCHEMA = StructType(
+    [
+        StructField("key", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("sum_r", LongType(), False),
+        StructField("sum_g", LongType(), False),
+        StructField("sum_b", LongType(), False),
+        StructField("wsum_g", LongType(), False),
+        StructField("n_opaque", LongType(), False),
+    ]
+)
+
+
+def synth_webp_image(width: int, height: int, seed: int) -> "object":
+    """Deterministic RGBA test image with 5-pixel horizontal blocks
+    (so the encoder's distance-1 LZ77 path fires), repeated colors
+    across rows (color-cache hits), and a constant alpha (a
+    simple-code channel): ``q = x // 5``, ``R = (7q + 13y + s) % 256``,
+    ``G = (5q + 3y + 2s) % 256``, ``B = (3q + 7y + s) % 256``."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    q = x // 5
+    img = np.zeros((height, width, 4), dtype=np.uint8)
+    img[:, :, 0] = (7 * q + 13 * y + seed) % 256
+    img[:, :, 1] = (5 * q + 3 * y + 2 * seed) % 256
+    img[:, :, 2] = (3 * q + 7 * y + seed) % 256
+    img[:, :, 3] = 255
+    return img
+
+
+def attach_webp_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one VP8L-encoded :func:`synth_webp_image` per
+    key (``w = 12 + (5k) % 21``, ``h = 9 + (7k) % 17``)."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        webp_lossless_encode(
+                            synth_webp_image(
+                                12 + (5 * int(k)) % 21,
+                                9 + (7 * int(k)) % 17,
+                                int(k),
+                            )
+                        )
+                        for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def webp_pixel_stats(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Stats over REAL VP8L decode: per-channel sums, a position-
+    weighted green checksum (any bitstream mistake — prefix tables,
+    LZ77 copies, cache state — shifts it), and the opaque count.
+    Arrow-batched ``mapInPandas``, zero shuffles."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "key", "width", "height", "sum_r", "sum_g", "sum_b",
+                "wsum_g", "n_opaque",
+            )}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                px = webp_lossless_decode(bytes(payload)).astype(
+                    np.int64
+                )
+                h, w = px.shape[:2]
+                wgt = (
+                    np.arange(w, dtype=np.int64)[None, :]
+                    + 2 * np.arange(h, dtype=np.int64)[:, None]
+                )
+                rows["key"].append(int(k))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(int(px[:, :, 0].sum()))
+                rows["sum_g"].append(int(px[:, :, 1].sum()))
+                rows["sum_b"].append(int(px[:, :, 2].sum()))
+                rows["wsum_g"].append(int((px[:, :, 1] * wgt).sum()))
+                rows["n_opaque"].append(
+                    int((px[:, :, 3] == 255).sum())
+                )
+            yield pd.DataFrame(rows)
+
+    from table_streaming_source_spark.operators.hof import spread
+
+    return spread(df).mapInPandas(batches, schema=WEBP_STATS_SCHEMA)

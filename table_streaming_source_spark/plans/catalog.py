@@ -112,7 +112,11 @@ each strict-dtype oracle-verified at sf0.001, sf0.01 AND sf0.1):
 sample assembly), ``source_zip`` (central-directory + CRC-verified
 ZIP extraction), ``sink_python_batch`` (the Python DataSource WRITER
 API with the real task-commit protocol), ``text_bleu_eval`` (corpus
-BLEU-4 with clipping and brevity penalty).
+BLEU-4 with clipping and brevity penalty), ``streaming_warc_ingest``
+(the continuous crawl-ingest form of the WARC source), and
+``multimodal_webp`` (from-scratch VP8L/WebP-lossless decode — prefix
+codes, LZ77, color cache — with an encoder twin and random-image
+round-trip property).
 """
 
 from __future__ import annotations

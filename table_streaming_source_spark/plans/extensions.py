@@ -7980,3 +7980,47 @@ FROM lengths l JOIN gm g USING (lang)
 
 
 QUERIES_DEFERRED.update({"text_bleu_eval": q_text_bleu_eval})
+
+
+def q_multimodal_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP-lossless decode — a from-scratch VP8L bitstream
+    decoder (RFC 9649: LSB-first bit reader, simple AND code-length-
+    coded canonical prefix codes with 17/18 zero runs, the 5-code
+    group, LZ77 backward references through the shared length/distance
+    prefix scheme, multiplicative-hash color cache), completing the
+    lossless web-image matrix beside PNG
+    (`operators/multimodal.py::webp_lossless_decode`; encoder twin +
+    random-image round-trip property pins the grammar).  Every payload
+    exercises LZ77 runs, cache hits, full and simple codes; the
+    position-weighted checksum makes any bitstream mistake
+    value-visible.  The oracle restates pixels from the synthesis
+    formulas."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 2)
+    return M.webp_pixel_stats(M.attach_webp_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_webp"] = """
+WITH im AS (
+  SELECT doc_id AS key,
+         12 + (5 * doc_id) % 21 AS w,
+         9 + (7 * doc_id) % 17 AS h
+  FROM documents WHERE doc_id % 5 = 2
+),
+px AS (
+  SELECT key, w, h, ux.x AS x, uy.y AS y, ux.x // 5 AS q
+  FROM im, UNNEST(RANGE(0, w)) AS ux(x), UNNEST(RANGE(0, h)) AS uy(y)
+)
+SELECT key,
+       CAST(ANY_VALUE(w) AS INT) AS width,
+       CAST(ANY_VALUE(h) AS INT) AS height,
+       CAST(SUM((7 * q + 13 * y + key) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((5 * q + 3 * y + 2 * key) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((3 * q + 7 * y + key) % 256) AS BIGINT) AS sum_b,
+       CAST(SUM(((5 * q + 3 * y + 2 * key) % 256) * (x + 2 * y))
+            AS BIGINT) AS wsum_g,
+       CAST(COUNT(*) AS BIGINT) AS n_opaque
+FROM px GROUP BY key
+"""
+
+
+QUERIES_DEFERRED.update({"multimodal_webp": q_multimodal_webp})

@@ -1282,3 +1282,62 @@ def test_png_palette_rejects_non_palette_stream():
 
     with _pytest.raises(ValueError):
         png_pixels_palette(synth_png_filtered(8, 8, 1))
+
+
+# ---------------------------------------------------------------------------
+# round 7: WebP lossless (VP8L)
+# ---------------------------------------------------------------------------
+
+
+def test_webp_roundtrip_exercises_full_grammar():
+    """The synthesized fixture must drive every implemented bitstream
+    feature: LZ77 copies, cache hits, simple AND full codes."""
+    import numpy as np
+
+    from table_streaming_source_spark.operators.multimodal import (
+        synth_webp_image,
+        webp_lossless_decode,
+        webp_lossless_encode,
+    )
+
+    img = synth_webp_image(30, 20, 7)
+    enc = webp_lossless_encode(img)
+    assert enc[:4] == b"RIFF" and enc[8:16] == b"WEBPVP8L"
+    dec = webp_lossless_decode(enc)
+    assert (dec == img).all()
+    # grammar coverage: re-tokenize the image the encoder's way
+    argb = (
+        (img[:, :, 3].astype(np.uint32) << 24)
+        | (img[:, :, 0].astype(np.uint32) << 16)
+        | (img[:, :, 1].astype(np.uint32) << 8)
+        | img[:, :, 2].astype(np.uint32)
+    ).reshape(-1)
+    runs = (argb[1:] == argb[:-1]).sum()
+    assert runs > 30  # LZ77 path fires
+    # alpha constant → simple (single-symbol) code path live
+    assert (img[:, :, 3] == 255).all()
+
+
+def test_webp_decoder_quarantines_unsupported_features():
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from table_streaming_source_spark.operators.multimodal import (
+        synth_webp_image,
+        webp_lossless_decode,
+        webp_lossless_encode,
+    )
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        webp_lossless_decode(b"not a webp at all....")
+    # a VP8 (lossy) container routes to quarantine, not garbage
+    lossy = b"RIFF" + _struct.pack("<I", 20) + b"WEBP" + b"VP8 " + b"\0" * 8
+    with _pytest.raises(ValueError, match="VP8L"):
+        webp_lossless_decode(lossy)
+    # flip the transform-present bit of a valid stream → named error
+    enc = bytearray(webp_lossless_encode(synth_webp_image(8, 8, 1)))
+    # header: 21 bytes in, bit offset 14+14+1+3 = 32 → byte 25, bit 0
+    enc[21 + 4] ^= 1
+    with _pytest.raises(ValueError, match="transform"):
+        webp_lossless_decode(bytes(enc))

@@ -886,3 +886,31 @@ def test_png_palette_roundtrip_property(w, h, seed):
     assert (
         alpha == np.where(idx < 16, (idx * 16) % 256, 255)
     ).all()
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=20),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+    block=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=25, deadline=None)
+def test_webp_vp8l_roundtrip_property(w, h, seed, block):
+    """VP8L encode→decode is the identity for arbitrary images — runs
+    (variable block widths), repeated colors, and high-entropy pixels
+    all round-trip bit-exactly."""
+    import numpy as np
+
+    from table_streaming_source_spark.operators.multimodal import (
+        webp_lossless_decode,
+        webp_lossless_encode,
+    )
+
+    rng = np.random.default_rng(seed)
+    base = rng.integers(
+        0, 256, size=(h, (w + block - 1) // block, 4), dtype=np.uint8
+    )
+    img = np.repeat(base, block, axis=1)[:, :w, :]
+    assert (
+        webp_lossless_decode(webp_lossless_encode(img)) == img
+    ).all()
