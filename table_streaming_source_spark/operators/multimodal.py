@@ -1153,9 +1153,11 @@ def gif_frames(payload: bytes) -> "list":
     """Decode EVERY frame of a GIF87a/89a to a list of ``(h, w)`` uint8
     numpy arrays of gray values — real stdlib-only LZW decompression +
     palette lookup per frame (animated GIFs carry one image descriptor
-    per frame).  Non-grayscale palettes and interlaced frames raise: a
-    real pipeline routes those rows to quarantine or plugs a full codec
-    in behind the same contract."""
+    per frame).  Interlaced frames (GIF89a appendix E: 4-pass row
+    order 8k / 8k+4 / 4k+2 / 2k+1) are deinterlaced by scattering the
+    sequentially decoded rows back to their display positions.
+    Non-grayscale palettes raise: a real pipeline routes those rows to
+    quarantine or plugs a full codec in behind the same contract."""
     import numpy as np
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -1185,8 +1187,7 @@ def gif_frames(payload: bytes) -> "list":
             "<HHHHB", payload[off + 1 : off + 10]
         )
         off += 10
-        if ipacked & 0x40:
-            raise ValueError("interlaced GIF not supported by this decoder")
+        interlaced = bool(ipacked & 0x40)
         pal = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)
@@ -1206,10 +1207,93 @@ def gif_frames(payload: bytes) -> "list":
             raise ValueError(
                 "only grayscale palettes supported by this decoder"
             )
-        frames.append(p[idx, 0].reshape(h, w))
+        img = p[idx, 0].reshape(h, w)
+        if interlaced:
+            img = img[_gif_deinterlace_perm(h)]
+        frames.append(img)
     if not frames:
         raise ValueError("GIF without an image descriptor")
     return frames
+
+
+def _gif_interlace_order(height: int) -> "list[int]":
+    """Display rows in STREAM order (GIF89a appendix E): pass 1 every
+    8th row from 0, pass 2 every 8th from 4, pass 3 every 4th from 2,
+    pass 4 every 2nd from 1."""
+    return (
+        list(range(0, height, 8))
+        + list(range(4, height, 8))
+        + list(range(2, height, 4))
+        + list(range(1, height, 2))
+    )
+
+
+def _gif_deinterlace_perm(height: int) -> "object":
+    """Permutation mapping display row → stream row (the inverse of
+    :func:`_gif_interlace_order`)."""
+    import numpy as np
+
+    perm = np.empty(height, dtype=np.int64)
+    for stream_pos, display_row in enumerate(
+        _gif_interlace_order(height)
+    ):
+        perm[display_row] = stream_pos
+    return perm
+
+
+def synth_gif_interlaced(width: int, height: int, seed: int) -> bytes:
+    """A spec-valid INTERLACED GIF89a (descriptor flag 0x40): the rows
+    of the :func:`synth_gif_pixels` formula image are written in the
+    appendix-E 4-pass stream order, so a decoder that ignores the flag
+    produces a row-scrambled image the checksum catches."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    px = ((7 * x + 13 * y + seed) % 256).astype(np.uint8)
+    stream = px[_gif_interlace_order(height)]
+    palette = bytes(c for i in range(256) for c in (i, i, i))
+    lsd = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    imgdesc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0x40)
+    lzw = _lzw_encode(stream.tobytes(), 8)
+    blocks = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return (
+        b"GIF89a" + lsd + palette + imgdesc + b"\x08" + blocks + b"\x00"
+        + b"\x3b"
+    )
+
+
+def attach_gif_interlaced_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one :func:`synth_gif_interlaced` per key
+    (``w = 10 + (7k) % 30``, ``h = 9 + (11k) % 26`` — heights cover all
+    four interlace passes)."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_gif_interlaced(
+                            10 + (7 * int(k)) % 30,
+                            9 + (11 * int(k)) % 26,
+                            int(k),
+                        )
+                        for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
 
 
 def gif_pixels(payload: bytes) -> "object":
@@ -6339,3 +6423,202 @@ def webp_pixel_stats(
     from table_streaming_source_spark.operators.hof import spread
 
     return spread(df).mapInPandas(batches, schema=WEBP_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# BMP RLE8 (BI_RLE8 compression) — the compressed BMP variant
+# ---------------------------------------------------------------------------
+
+
+def synth_bmp_rle8(width: int, height: int, seed: int) -> bytes:
+    """A spec-valid 8-bit paletted BMP with BI_RLE8 compression:
+    pixels ``p(x, y) = (7·(x//6) + 13y + seed) % 256`` (6-pixel runs →
+    encoded runs genuinely fire), grayscale palette, bottom-up rows.
+    Rows where ``y % 5 == 0`` lead with an ABSOLUTE-mode packet (the
+    escape form a run-only decoder misses); every row ends with the
+    0,0 end-of-line escape and the stream with 0,1 end-of-bitmap."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    px = ((7 * (x // 6) + 13 * y + seed) % 256).astype(np.uint8)
+    stream = bytearray()
+    for row in range(height - 1, -1, -1):  # bottom-up storage order
+        vals = px[row]
+        i = 0
+        if row % 5 == 0 and width >= 3:
+            # absolute-mode packet: 3..min(6,width) literal indexes
+            n_abs = min(6, width)
+            if n_abs >= 3:
+                stream += bytes([0, n_abs]) + bytes(
+                    int(v) for v in vals[:n_abs]
+                )
+                if n_abs % 2:
+                    stream.append(0)  # word alignment pad
+                i = n_abs
+        while i < width:
+            run = 1
+            while (
+                i + run < width
+                and run < 255
+                and vals[i + run] == vals[i]
+            ):
+                run += 1
+            stream += bytes([run, int(vals[i])])
+            i += run
+        stream += bytes([0, 0])  # end of line
+    stream += bytes([0, 1])  # end of bitmap
+    palette = bytes(
+        c for i in range(256) for c in (i, i, i, 0)
+    )  # BGRA quads
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 8, 1, len(stream), 0, 0, 256, 0,
+    )
+    data_off = 14 + 40 + len(palette)
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", data_off + len(stream), 0, 0, data_off
+    )
+    return file_header + info + palette + bytes(stream)
+
+
+def bmp_rle8_pixels(payload: bytes) -> "object":
+    """Decode an 8-bit BI_RLE8 BMP to an ``(h, w)`` uint8 array of
+    palette-resolved gray values: encoded runs, absolute-mode packets
+    (word-aligned), end-of-line / end-of-bitmap / delta escapes, and
+    the bottom-up row flip.  Undefined (skipped-over) pixels stay 0
+    per the de-facto contract.  Malformed streams raise ``ValueError``
+    (quarantine path)."""
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    (_, width, height, _, bitcount, compression) = struct.unpack(
+        "<IiiHHI", payload[14:34]
+    )
+    if bitcount != 8 or compression != 1:
+        raise ValueError(
+            f"not an 8-bit BI_RLE8 BMP ({bitcount}bpp, "
+            f"compression={compression})"
+        )
+    pal_off = 14 + 40
+    pal = np.frombuffer(
+        payload[pal_off : pal_off + 256 * 4], dtype=np.uint8
+    ).reshape(-1, 4)
+    if (pal[:, 0] != pal[:, 1]).any() or (pal[:, 1] != pal[:, 2]).any():
+        raise ValueError("only grayscale palettes supported")
+    img = np.zeros((height, width), dtype=np.uint8)
+    pos = data_off
+    x = 0
+    row = 0  # storage order: bottom-up
+    n = len(payload)
+    while pos + 1 < n:
+        cnt, val = payload[pos], payload[pos + 1]
+        pos += 2
+        if cnt > 0:  # encoded run
+            if x + cnt > width or row >= height:
+                raise ValueError("RLE8 run overflows the row")
+            img[height - 1 - row, x : x + cnt] = pal[val, 0]
+            x += cnt
+        elif val == 0:  # end of line
+            row += 1
+            x = 0
+        elif val == 1:  # end of bitmap
+            return img
+        elif val == 2:  # delta: skip (dx, dy)
+            if pos + 2 > n:
+                raise ValueError("truncated RLE8 delta")
+            x += payload[pos]
+            row += payload[pos + 1]
+            pos += 2
+        else:  # absolute mode: val literal indexes, word-aligned
+            if pos + val > n or x + val > width or row >= height:
+                raise ValueError("RLE8 absolute packet overflows")
+            idx = np.frombuffer(
+                payload[pos : pos + val], dtype=np.uint8
+            )
+            img[height - 1 - row, x : x + val] = pal[idx, 0]
+            x += val
+            pos += val + (val % 2)
+    raise ValueError("RLE8 stream without end-of-bitmap")
+
+
+def attach_bmp_rle_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one :func:`synth_bmp_rle8` per key
+    (``w = 8 + (5k) % 19``, ``h = 6 + (7k) % 15``)."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_bmp_rle8(
+                            8 + (5 * int(k)) % 19,
+                            6 + (7 * int(k)) % 15,
+                            int(k),
+                        )
+                        for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+GRAY_STATS_SCHEMA = StructType(
+    [
+        StructField("key", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("sum_px", LongType(), False),
+        StructField("min_px", IntegerType(), False),
+        StructField("max_px", IntegerType(), False),
+        StructField("wsum_px", LongType(), False),
+    ]
+)
+
+
+def _gray_stats(decode):
+    """Factory: a mapInPandas stats pass over a gray (h, w) decoder."""
+    import numpy as np
+
+    def op(df: DataFrame, *, payload_col="payload", key="key"):
+        def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                rows = {k: [] for k in (
+                    "key", "width", "height", "sum_px", "min_px",
+                    "max_px", "wsum_px",
+                )}
+                for k, payload in zip(pdf[key], pdf[payload_col]):
+                    px = decode(bytes(payload)).astype(np.int64)
+                    h, w = px.shape
+                    wgt = (
+                        np.arange(w, dtype=np.int64)[None, :]
+                        + 2 * np.arange(h, dtype=np.int64)[:, None]
+                    )
+                    rows["key"].append(int(k))
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["sum_px"].append(int(px.sum()))
+                    rows["min_px"].append(int(px.min()))
+                    rows["max_px"].append(int(px.max()))
+                    rows["wsum_px"].append(int((px * wgt).sum()))
+                yield pd.DataFrame(rows)
+
+        from table_streaming_source_spark.operators.hof import spread
+
+        return spread(df).mapInPandas(batches, schema=GRAY_STATS_SCHEMA)
+
+    return op
+
+
+bmp_rle_stats = _gray_stats(bmp_rle8_pixels)
+gif_interlaced_stats = _gray_stats(gif_pixels)

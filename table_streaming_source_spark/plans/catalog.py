@@ -116,7 +116,9 @@ BLEU-4 with clipping and brevity penalty), ``streaming_warc_ingest``
 (the continuous crawl-ingest form of the WARC source), and
 ``multimodal_webp`` (from-scratch VP8L/WebP-lossless decode — prefix
 codes, LZ77, color cache — with an encoder twin and random-image
-round-trip property).
+round-trip property), ``multimodal_gif_interlaced`` (appendix-E
+4-pass deinterlace), and ``multimodal_bmp_rle`` (BI_RLE8 runs,
+absolute-mode packets, delta/EOL/EOB escapes).
 """
 
 from __future__ import annotations

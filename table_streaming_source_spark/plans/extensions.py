@@ -8024,3 +8024,85 @@ FROM px GROUP BY key
 
 
 QUERIES_DEFERRED.update({"multimodal_webp": q_multimodal_webp})
+
+
+def q_multimodal_gif_interlaced(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL interlaced-GIF decode (GIF89a appendix E): rows arrive in
+    the 4-pass stream order (8k / 8k+4 / 4k+2 / 2k+1) and the decoder
+    scatters them back to display positions — the progressive-display
+    layout a decoder that ignores the descriptor flag row-scrambles,
+    which the position-weighted checksum catches.  Completes the GIF
+    surface beside the single-frame and animation entries; the oracle
+    restates the formula image."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 3)
+    return M.gif_interlaced_stats(
+        M.attach_gif_interlaced_payload(docs, "doc_id")
+    )
+
+
+ORACLES["multimodal_gif_interlaced"] = """
+WITH im AS (
+  SELECT doc_id AS key,
+         10 + (7 * doc_id) % 30 AS w,
+         9 + (11 * doc_id) % 26 AS h
+  FROM documents WHERE doc_id % 4 = 3
+),
+px AS (
+  SELECT key, w, h, ux.x AS x, uy.y AS y,
+         (7 * ux.x + 13 * uy.y + key) % 256 AS p
+  FROM im, UNNEST(RANGE(0, w)) AS ux(x), UNNEST(RANGE(0, h)) AS uy(y)
+)
+SELECT key,
+       CAST(ANY_VALUE(w) AS INT) AS width,
+       CAST(ANY_VALUE(h) AS INT) AS height,
+       CAST(SUM(p) AS BIGINT) AS sum_px,
+       CAST(MIN(p) AS INT) AS min_px,
+       CAST(MAX(p) AS INT) AS max_px,
+       CAST(SUM(p * (x + 2 * y)) AS BIGINT) AS wsum_px
+FROM px GROUP BY key
+"""
+
+
+def q_multimodal_bmp_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-BMP decode (BI_RLE8): encoded runs, ABSOLUTE-
+    mode packets with word alignment (rows ``y % 5 == 0`` lead with
+    one — a run-only decoder fails them), end-of-line/bitmap escapes,
+    bottom-up flip, palette resolution — run-length joins LZW/Rice/
+    Huffman/RLE-TGA in the from-scratch codec family; the delta escape
+    is pinned by a hand-built unit fixture.  Oracle restates the
+    6-pixel-block formula image."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    return M.bmp_rle_stats(M.attach_bmp_rle_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_bmp_rle"] = """
+WITH im AS (
+  SELECT doc_id AS key,
+         8 + (5 * doc_id) % 19 AS w,
+         6 + (7 * doc_id) % 15 AS h
+  FROM documents WHERE doc_id % 4 = 0
+),
+px AS (
+  SELECT key, w, h, ux.x AS x, uy.y AS y,
+         (7 * (ux.x // 6) + 13 * uy.y + key) % 256 AS p
+  FROM im, UNNEST(RANGE(0, w)) AS ux(x), UNNEST(RANGE(0, h)) AS uy(y)
+)
+SELECT key,
+       CAST(ANY_VALUE(w) AS INT) AS width,
+       CAST(ANY_VALUE(h) AS INT) AS height,
+       CAST(SUM(p) AS BIGINT) AS sum_px,
+       CAST(MIN(p) AS INT) AS min_px,
+       CAST(MAX(p) AS INT) AS max_px,
+       CAST(SUM(p * (x + 2 * y)) AS BIGINT) AS wsum_px
+FROM px GROUP BY key
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "multimodal_gif_interlaced": q_multimodal_gif_interlaced,
+        "multimodal_bmp_rle": q_multimodal_bmp_rle,
+    }
+)

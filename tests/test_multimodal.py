@@ -1341,3 +1341,79 @@ def test_webp_decoder_quarantines_unsupported_features():
     enc[21 + 4] ^= 1
     with _pytest.raises(ValueError, match="transform"):
         webp_lossless_decode(bytes(enc))
+
+
+# ---------------------------------------------------------------------------
+# round 7: interlaced GIF, RLE8 BMP
+# ---------------------------------------------------------------------------
+
+
+def test_gif_interlaced_decodes_to_display_order():
+    import numpy as np
+
+    from table_streaming_source_spark.operators.multimodal import (
+        gif_pixels,
+        synth_gif_interlaced,
+        synth_gif_pixels,
+    )
+
+    for w, h, seed in [(10, 9, 3), (17, 23, 7), (5, 1, 0), (8, 2, 1)]:
+        a = gif_pixels(synth_gif_interlaced(w, h, seed))
+        b = gif_pixels(synth_gif_pixels(w, h, seed))
+        assert (a == b).all(), (w, h, seed)
+    # the stream genuinely permutes rows: decoding WITHOUT deinterlace
+    # (simulated via the pass order) differs for h > 2
+    x = np.arange(10)[None, :]
+    y = np.arange(9)[:, None]
+    img = (7 * x + 13 * y + 3) % 256
+    from table_streaming_source_spark.operators.multimodal import (
+        _gif_interlace_order,
+    )
+    assert _gif_interlace_order(9) != list(range(9))
+
+
+def test_bmp_rle8_roundtrip_and_delta_escape():
+    import struct
+
+    import numpy as np
+
+    from table_streaming_source_spark.operators.multimodal import (
+        bmp_rle8_pixels,
+        synth_bmp_rle8,
+    )
+
+    for w, h, seed in [(8, 6, 0), (19, 15, 7), (3, 1, 2), (26, 20, 13)]:
+        got = bmp_rle8_pixels(synth_bmp_rle8(w, h, seed))
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        want = ((7 * (x // 6) + 13 * y + seed) % 256).astype(np.uint8)
+        assert (got == want).all(), (w, h, seed)
+    # hand-built stream with a DELTA escape: run, delta(+1,+1), run
+    pal = bytes(c for i in range(256) for c in (i, i, i, 0))
+    stream = bytes([2, 200, 0, 2, 1, 1, 1, 50, 0, 0, 0, 1])
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 4, 3, 1, 8, 1, len(stream), 0, 0, 256, 0
+    )
+    off = 14 + 40 + len(pal)
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(stream), 0, 0, off)
+    img = bmp_rle8_pixels(hdr + info + pal + stream)
+    assert img[2, 0] == 200 and img[2, 1] == 200  # bottom storage row
+    assert img[1, 3] == 50  # delta skipped to (x=3, next row up)
+    assert img[2, 2] == 0 and img[0].sum() == 0  # skipped pixels stay 0
+
+
+def test_bmp_rle8_rejects_uncompressed_and_overflow():
+    import pytest as _pytest
+
+    from table_streaming_source_spark.operators.multimodal import (
+        bmp_rle8_pixels,
+        synth_bmp,
+        synth_bmp_rle8,
+    )
+
+    with _pytest.raises(ValueError, match="BI_RLE8"):
+        bmp_rle8_pixels(synth_bmp(8, 6, 1))
+    # truncate the stream before end-of-bitmap
+    data = synth_bmp_rle8(8, 6, 1)
+    with _pytest.raises(ValueError):
+        bmp_rle8_pixels(data[:-2])
