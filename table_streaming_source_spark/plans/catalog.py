@@ -117,8 +117,11 @@ BLEU-4 with clipping and brevity penalty), ``streaming_warc_ingest``
 ``multimodal_webp`` (from-scratch VP8L/WebP-lossless decode — prefix
 codes, LZ77, color cache — with an encoder twin and random-image
 round-trip property), ``multimodal_gif_interlaced`` (appendix-E
-4-pass deinterlace), and ``multimodal_bmp_rle`` (BI_RLE8 runs,
-absolute-mode packets, delta/EOL/EOB escapes).
+4-pass deinterlace), ``multimodal_bmp_rle`` (BI_RLE8 runs,
+absolute-mode packets, delta/EOL/EOB escapes), and
+``source_csv_malformed`` (PERMISSIVE corrupt-record capture vs
+DROPMALFORMED; FAILFAST pinned by pytest — its contract is the
+exception).
 """
 
 from __future__ import annotations

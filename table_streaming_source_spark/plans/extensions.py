@@ -8106,3 +8106,97 @@ QUERIES_DEFERRED.update(
         "multimodal_bmp_rle": q_multimodal_bmp_rle,
     }
 )
+
+
+def q_source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV malformed-row HANDLING MODES — the reader-robustness surface
+    every text-format ingest needs (`source_csv` proves the happy
+    path): rows whose ``value`` field cannot parse as a double (every
+    97th event is written with a poisoned field) are captured under
+    PERMISSIVE mode in ``columnNameOfCorruptRecord`` with nulls for
+    the typed columns, and silently dropped under DROPMALFORMED; the
+    entry emits one summary row per mode and the oracle states both
+    from the clean source.  FAILFAST (the third mode) raising on the
+    same fixture is pinned in ``tests/test_operators.py`` — a mode
+    whose contract IS an exception has no result frame to check.
+    Values round-trip exactly: Python ``repr`` writes shortest-round-
+    trip doubles, Spark's parser is correctly rounded."""
+    import os as _os
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+
+    path = _scratch.scratch_dir("csv_malformed", sf_dir, fresh=True)
+    events = (
+        t(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .toPandas()
+        .sort_values("event_id")
+    )
+    lines = ["event_id,event_type,value"]
+    for r in events.itertuples():
+        if r.event_id % 97 == 0:
+            lines.append(f"{r.event_id},{r.event_type},<poisoned>")
+        else:
+            lines.append(f"{r.event_id},{r.event_type},{r.value!r}")
+    with open(_os.path.join(path, "events.csv"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    schema = (
+        "event_id bigint, event_type string, value double, "
+        "_corrupt string"
+    )
+
+    def read(mode: str):
+        return (
+            spark.read.schema(schema)
+            .option("header", "true")
+            .option("mode", mode)
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .csv(path)
+        )
+
+    def summarize(df, mode: str):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("value").cast("bigint").alias("n_parsed"),
+            F.count("_corrupt").cast("bigint").alias("n_corrupt"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        ).select(F.lit(mode).alias("mode"), "*")
+
+    result = (
+        summarize(read("PERMISSIVE"), "PERMISSIVE")
+        .unionByName(summarize(read("DROPMALFORMED"), "DROPMALFORMED"))
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["source_csv_malformed"] = """
+SELECT 'PERMISSIVE' AS mode,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN event_id % 97 <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_parsed,
+       CAST(SUM(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_corrupt,
+       CAST(SUM(CASE WHEN event_id % 97 <> 0
+                     THEN CAST(value AS DECIMAL(28,6)) END)
+            AS DOUBLE) AS sum_value
+FROM events
+UNION ALL
+SELECT 'DROPMALFORMED',
+       COUNT(*) FILTER (WHERE event_id % 97 <> 0),
+       COUNT(*) FILTER (WHERE event_id % 97 <> 0),
+       0,
+       CAST(SUM(CASE WHEN event_id % 97 <> 0
+                     THEN CAST(value AS DECIMAL(28,6)) END)
+            AS DOUBLE)
+FROM events
+"""
+
+
+QUERIES_DEFERRED.update(
+    {"source_csv_malformed": q_source_csv_malformed}
+)

@@ -1619,3 +1619,25 @@ def test_empty_ico_directory_routes_to_quarantine():
     payload = _struct.pack("<HHH", 0, 1, 0)  # spec-valid, zero entries
     with _pytest.raises(ValueError, match="empty ICO directory"):
         ico_frames(payload)
+
+
+def test_csv_failfast_mode_raises_on_poisoned_rows(spark, tmp_path):
+    """FAILFAST is the third malformed-row mode: the same poisoned
+    fixture the catalog entry reads must raise instead of dropping or
+    capturing (its contract IS the exception)."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    p = tmp_path / "bad.csv"
+    p.write_text(
+        "event_id,event_type,value\n1,view,2.5\n2,click,<poisoned>\n"
+    )
+    df = (
+        spark.read.schema("event_id bigint, event_type string, value double")
+        .option("header", "true")
+        .option("mode", "FAILFAST")
+        .csv(str(tmp_path))
+    )
+    with _pytest.raises(Exception) as exc:
+        df.collect()
+    assert "Malformed" in str(exc.value) or "FAILFAST" in str(exc.value)
