@@ -121,7 +121,10 @@ round-trip property), ``multimodal_gif_interlaced`` (appendix-E
 absolute-mode packets, delta/EOL/EOB escapes), and
 ``source_csv_malformed`` (PERMISSIVE corrupt-record capture vs
 DROPMALFORMED; FAILFAST pinned by pytest — its contract is the
-exception).
+exception), ``dq_k_anonymity`` (the privacy release audit:
+equivalence classes under a quasi-identifier tuple, sub-k classes
+flagged), and ``graph_link_prediction`` (common-neighbor/Jaccard
+scores through a supplier-keyed self-join on a sparsified edge set).
 """
 
 from __future__ import annotations

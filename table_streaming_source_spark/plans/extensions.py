@@ -7781,10 +7781,13 @@ def q_text_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     brevity penalty uses corpus lengths, and the geometric mean rides
     the rounded-log decimal path (`text_unigram_logprob` discipline).
 
-    Shape: n-grams are built ROW-LOCALLY with ``transform`` over index
-    sequences (no explode-then-self-join), counts aggregate per
-    (doc, gram) then per language — two hash aggregates per order, all
-    map-combinable; nothing shuffles but (doc, gram) digests."""
+    Shape: n-grams for ALL FOUR orders are built ROW-LOCALLY in one
+    nested ``transform`` (an array of (n, gram) structs per document —
+    no explode-then-self-join, no per-order pass), so each side pays
+    ONE hash aggregate keyed (lang, doc, n, gram); the clip join
+    reuses that partitioning and the per-language rollup is the only
+    further exchange — 6 exchanges total where the per-order
+    formulation costs 13.  Nothing shuffles but gram digests."""
     docs = t(spark, sf_dir, "documents").select(
         "lang",
         "doc_id",
@@ -7801,52 +7804,49 @@ def q_text_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size("ref_toks")).cast("bigint").alias("r_len"),
     )
 
-    def grams(col: str, n: int):
+    def grams_all(col: str):
+        # one row-local pass: flatten 4 per-order gram arrays into an
+        # array of (n, gram) structs
         return F.expr(
-            f"transform(sequence(1, greatest(size({col}) - {n} + 1, 0)),"
-            f" i -> concat_ws(' ', slice({col}, i, {n})))"
+            f"flatten(transform(sequence(1, 4), n -> "
+            f"transform(sequence(1, greatest(size({col}) - n + 1, 0)), "
+            f"i -> named_struct('n', n, "
+            f"'g', concat_ws(' ', slice({col}, i, n))))))"
         )
 
-    per_order = []
-    for n in range(1, 5):
-        cand = (
+    def gram_counts(col: str, out: str):
+        return (
             docs.select(
-                "lang",
-                "doc_id",
-                F.explode(grams("cand_toks", n)).alias("g"),
+                "lang", "doc_id", F.explode(grams_all(col)).alias("ng")
             )
-            .groupBy("lang", "doc_id", "g")
-            .agg(F.count(F.lit(1)).alias("c_cnt"))
-        )
-        ref = (
-            docs.select(
-                "lang",
-                "doc_id",
-                F.explode(grams("ref_toks", n)).alias("g"),
-            )
-            .groupBy("lang", "doc_id", "g")
-            .agg(F.count(F.lit(1)).alias("r_cnt"))
-        )
-        matched = (
-            cand.join(ref, ["lang", "doc_id", "g"], "left")
             .select(
                 "lang",
-                F.least(
-                    F.col("c_cnt"), F.coalesce(F.col("r_cnt"), F.lit(0))
-                ).alias("m"),
-                "c_cnt",
+                "doc_id",
+                F.col("ng.n").alias("n"),
+                F.col("ng.g").alias("g"),
             )
-            .groupBy("lang")
-            .agg(
-                F.sum("m").cast("bigint").alias("match_n"),
-                F.sum("c_cnt").cast("bigint").alias("total_n"),
-            )
-            .withColumn("n", F.lit(n))
+            .groupBy("lang", "doc_id", "n", "g")
+            .agg(F.count(F.lit(1)).alias(out))
         )
-        per_order.append(matched)
-    orders = per_order[0]
-    for m in per_order[1:]:
-        orders = orders.unionByName(m)
+
+    cand = gram_counts("cand_toks", "c_cnt")
+    ref = gram_counts("ref_toks", "r_cnt")
+    orders = (
+        cand.join(ref, ["lang", "doc_id", "n", "g"], "left")
+        .select(
+            "lang",
+            "n",
+            F.least(
+                F.col("c_cnt"), F.coalesce(F.col("r_cnt"), F.lit(0))
+            ).alias("m"),
+            "c_cnt",
+        )
+        .groupBy("lang", "n")
+        .agg(
+            F.sum("m").cast("bigint").alias("match_n"),
+            F.sum("c_cnt").cast("bigint").alias("total_n"),
+        )
+    )
     scored = orders.withColumn(
         "__lnp",
         F.round(
@@ -8199,4 +8199,155 @@ FROM events
 
 QUERIES_DEFERRED.update(
     {"source_csv_malformed": q_source_csv_malformed}
+)
+
+
+def q_dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k = 5) — the privacy gate a data RELEASE runs
+    before publishing: group the release by its quasi-identifier tuple
+    (nation, market segment, account-balance band) and flag every
+    equivalence class smaller than k, whose members a joiner could
+    re-identify.  One hash aggregate over the release (map-combinable;
+    the QI tuple is the only shuffle key) + a 1-row broadcast summary
+    so each class also carries the release-level risk rate — the
+    governance sibling of `dq_expectations` (row validity) and
+    `text_pii_scrub` (value redaction)."""
+    c = t(spark, sf_dir, "customer")
+    classes = (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias(
+                "bal_band"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .withColumn(
+            "at_risk", (F.col("class_size") < 5).cast("int")
+        )
+    )
+    summary = classes.agg(
+        F.sum(F.col("class_size") * F.col("at_risk"))
+        .cast("bigint")
+        .alias("__rows_at_risk"),
+        F.sum("class_size").cast("bigint").alias("__rows_total"),
+    )
+    return classes.crossJoin(F.broadcast(summary)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_band",
+        "class_size",
+        "at_risk",
+        F.round(
+            F.col("__rows_at_risk").cast("double")
+            / F.col("__rows_total"),
+            9,
+        ).alias("release_risk_rate"),
+    )
+
+
+ORACLES["dq_k_anonymity"] = """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         COUNT(*) AS class_size
+  FROM customer GROUP BY 1, 2, 3
+),
+flagged AS (
+  SELECT *, CASE WHEN class_size < 5 THEN 1 ELSE 0 END AS at_risk
+  FROM classes
+),
+s AS (
+  SELECT CAST(SUM(class_size * at_risk) AS BIGINT) AS rows_at_risk,
+         CAST(SUM(class_size) AS BIGINT) AS rows_total
+  FROM flagged
+)
+SELECT f.c_nationkey, f.c_mktsegment, f.bal_band, f.class_size,
+       CAST(f.at_risk AS INT) AS at_risk,
+       ROUND(CAST(s.rows_at_risk AS DOUBLE) / s.rows_total, 9)
+         AS release_risk_rate
+FROM flagged f, s
+"""
+
+
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the customer–supplier
+    co-purchase graph: for every customer pair sharing a supplier,
+    common-neighbor count and Jaccard score — the classic similarity-
+    based recommender/link-prediction signal.  Candidate pairs come
+    ONLY from the supplier-keyed self-join (never all-pairs), on a
+    SPARSIFIED edge set (high-quantity purchases — the degree-bounding
+    step every production link predictor takes; at 100 TB the same
+    shape adds a per-hub candidate cap exactly like
+    `minhash_lsh_pairs`' star policy).  Degrees join in from one tiny
+    aggregate; Jaccard = common / (da + db − common) is exact-integer
+    until the final rounded division."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    edges = (
+        l.filter(F.col("l_quantity") >= 48)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    a = edges.select(F.col("c").alias("ca"), "s")
+    b = edges.select(F.col("c").alias("cb"), "s")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("ca") < F.col("cb"))
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+        .filter(F.col("common") >= 2)
+    )
+    da = deg.select(F.col("c").alias("ca"), F.col("d").alias("da"))
+    db = deg.select(F.col("c").alias("cb"), F.col("d").alias("db"))
+    return (
+        pairs.join(da, "ca")
+        .join(db, "cb")
+        .select(
+            "ca",
+            "cb",
+            "common",
+            "da",
+            "db",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("common")),
+                9,
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLES["graph_link_prediction"] = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l_quantity >= 48
+),
+deg AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY c),
+pairs AS (
+  SELECT a.c AS ca, b.c AS cb, CAST(COUNT(*) AS BIGINT) AS common
+  FROM e a JOIN e b ON a.s = b.s AND a.c < b.c
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT p.ca, p.cb, p.common, da.d AS da, db.d AS db,
+       ROUND(CAST(p.common AS DOUBLE) / (da.d + db.d - p.common), 9)
+         AS jaccard
+FROM pairs p
+JOIN deg da ON da.c = p.ca
+JOIN deg db ON db.c = p.cb
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "dq_k_anonymity": q_dq_k_anonymity,
+        "graph_link_prediction": q_graph_link_prediction,
+    }
 )

@@ -466,6 +466,28 @@ _SHUFFLE_BUDGET = {
     "api_sql_udf": 1,
     # one per-stratum ordered window over hash digests
     "sample_bottom_k": 1,
+    # --- round 7 second wave ---
+    # archive walks are mapInPandas over binaryFile; frames checkpoint
+    # after the projection
+    "source_webdataset": 0,
+    "source_zip": 0,
+    # custom-writer round trip checkpoints the final rollup
+    "sink_python_batch": 0,
+    # one (lang,doc,n,gram) agg per side + clip join (reuses the agg
+    # partitioning) + per-(lang,n) rollup + lengths + final join
+    "text_bleu_eval": 6,
+    # zero-shuffle Arrow decode chains
+    "multimodal_webp": 0,
+    "multimodal_gif_interlaced": 0,
+    "multimodal_bmp_rle": 0,
+    # both mode reads aggregate to 1 row each; checkpointed union
+    "source_csv_malformed": 0,
+    # QI-class hash aggregate + 1-row summary broadcast
+    "dq_k_anonymity": 3,
+    # sparsified edge distinct + supplier-keyed self-join + pair agg +
+    # two degree joins (AQE broadcasts the tiny degree sides at
+    # runtime; the static bound counts the planned exchanges)
+    "graph_link_prediction": 11,
 }
 
 
