@@ -123,8 +123,11 @@ absolute-mode packets, delta/EOL/EOB escapes), and
 DROPMALFORMED; FAILFAST pinned by pytest — its contract is the
 exception), ``dq_k_anonymity`` (the privacy release audit:
 equivalence classes under a quasi-identifier tuple, sub-k classes
-flagged), and ``graph_link_prediction`` (common-neighbor/Jaccard
-scores through a supplier-keyed self-join on a sparsified edge set).
+flagged), ``graph_link_prediction`` (common-neighbor/Jaccard
+scores through a supplier-keyed self-join on a sparsified edge set),
+and ``sim_semantic_decontaminate`` (embedding-space benchmark
+decontamination — the paraphrase-catching sibling of
+``text_decontaminate``, benchmark side broadcast).
 """
 
 from __future__ import annotations

@@ -8351,3 +8351,79 @@ QUERIES_DEFERRED.update(
         "graph_link_prediction": q_graph_link_prediction,
     }
 )
+
+
+def q_sim_semantic_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space sibling of
+    `text_decontaminate` (which matches n-grams): corpus vectors whose
+    cosine to ANY benchmark vector reaches the threshold are
+    contaminated (paraphrases that no lexical overlap catches), and
+    the entry reports kept/dropped per label.  Scale shape: the
+    benchmark set is the QUERY side of `cosine_range` — bounded, so it
+    BROADCASTS and the corpus never shuffles for the scoring; the
+    contaminated-id set is a semi-join key, not a payload carrier.
+    Threshold 0.35 at these synthetic embeddings yields a real split
+    (neither empty nor total)."""
+    emb = t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 101 == 0)
+    corpus = emb.filter(F.col("vec_id") % 101 != 0)
+    hits = (
+        S.cosine_range(
+            corpus, bench, threshold=0.35, round_digits=6
+        )
+        .select(F.col("neighbor_id").alias("vec_id"))
+        .distinct()
+    )
+    flagged = corpus.join(
+        hits.withColumn("__hit", F.lit(1)), "vec_id", "left"
+    )
+    return flagged.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_corpus"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_contaminated"),
+        (
+            F.count(F.lit(1))
+            - F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+        )
+        .cast("bigint")
+        .alias("n_kept"),
+    )
+
+
+ORACLES["sim_semantic_decontaminate"] = """
+WITH bench AS (
+  SELECT * FROM embeddings WHERE vec_id % 101 = 0
+),
+corpus AS (
+  SELECT * FROM embeddings WHERE vec_id % 101 <> 0
+),
+hits AS (
+  SELECT DISTINCT c.vec_id
+  FROM corpus c JOIN bench q
+    ON q.vec_id <> c.vec_id
+   AND ROUND(
+         LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.embedding, c.embedding),
+                  z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         / (SQRT(LIST_SUM(LIST_TRANSFORM(q.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * SQRT(LIST_SUM(LIST_TRANSFORM(c.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         6) >= 0.35
+)
+SELECT label,
+       COUNT(*) AS n_corpus,
+       CAST(SUM(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       CAST(SUM(CASE WHEN h.vec_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM corpus c LEFT JOIN hits h ON h.vec_id = c.vec_id
+GROUP BY label
+"""
+
+
+QUERIES_DEFERRED.update(
+    {"sim_semantic_decontaminate": q_sim_semantic_decontaminate}
+)
