@@ -125,9 +125,11 @@ exception), ``dq_k_anonymity`` (the privacy release audit:
 equivalence classes under a quasi-identifier tuple, sub-k classes
 flagged), ``graph_link_prediction`` (common-neighbor/Jaccard
 scores through a supplier-keyed self-join on a sparsified edge set),
-and ``sim_semantic_decontaminate`` (embedding-space benchmark
+``sim_semantic_decontaminate`` (embedding-space benchmark
 decontamination — the paraphrase-catching sibling of
-``text_decontaminate``, benchmark side broadcast).
+``text_decontaminate``, benchmark side broadcast), and
+``ts_ljung_box`` (the portmanteau whiteness diagnostic over the
+lag-1..3 ACF — decimal-path term sums).
 """
 
 from __future__ import annotations

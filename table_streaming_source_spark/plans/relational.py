@@ -8860,3 +8860,87 @@ GROUP BY 1
 
 
 QUERIES.update({"sink_python_batch": q_sink_python_batch})
+
+
+def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau whiteness statistic per event type —
+    ``Q = n(n+2) Σ_{k≤3} r_k²/(n−k)`` over the lag-1..3 hourly-series
+    autocorrelations — the residual-diagnostics companion to
+    `ts_autocorr` (large Q ⇒ the series is NOT white noise, i.e. a
+    forecaster has signal left to model).  The r_k are exactly
+    `ts_autocorr`'s rounded-at-9 coefficients; each Q term is rounded
+    and summed on the DECIMAL path so the 3-term reduction is
+    order-free, and the final scale by n(n+2) is one double multiply —
+    bit-stable across engines.  df = 3 rides along for the caller's
+    chi-square lookup."""
+    acf = q_ts_autocorr(spark, sf_dir)
+    n = F.col("n_pairs") + F.col("lag")  # series length, per lag row
+    term = F.round(
+        (F.col("acf") * F.col("acf")) / (n - F.col("lag")), 15
+    ).cast("decimal(25,15)")
+    return (
+        acf.select("event_type", "lag", "n_pairs", "acf", n.alias("__n"),
+                   term.alias("__term"))
+        .groupBy("event_type")
+        .agg(
+            F.max("__n").cast("bigint").alias("n_obs"),
+            F.count(F.lit(1)).cast("int").alias("df"),
+            F.round(
+                F.max("__n")
+                * (F.max("__n") + 2)
+                * F.sum("__term").cast("double"),
+                6,
+            ).alias("q_stat"),
+        )
+    )
+
+
+ORACLES["ts_ljung_box"] = """
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS v
+  FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)
+),
+lagged AS (
+  SELECT event_type, v,
+         LAG(v, 1) OVER w AS l1,
+         LAG(v, 2) OVER w AS l2,
+         LAG(v, 3) OVER w AS l3
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+),
+pairs AS (
+  SELECT event_type, 1 AS lag, l1 AS x, v AS y FROM lagged WHERE l1 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 2, l2, v FROM lagged WHERE l2 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 3, l3, v FROM lagged WHERE l3 IS NOT NULL
+),
+mom AS (
+  SELECT event_type, lag, COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS syy
+  FROM pairs GROUP BY event_type, lag
+),
+acf AS (
+  SELECT event_type, lag, n + lag AS n_obs,
+         ROUND((n * sxy - sx * sy)
+               / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+           AS r
+  FROM mom
+)
+SELECT event_type,
+       CAST(MAX(n_obs) AS BIGINT) AS n_obs,
+       CAST(COUNT(*) AS INT) AS df,
+       ROUND(MAX(n_obs) * (MAX(n_obs) + 2)
+             * CAST(SUM(CAST(ROUND(r * r / (n_obs - lag), 15)
+                             AS DECIMAL(25,15))) AS DOUBLE), 6)
+         AS q_stat
+FROM acf GROUP BY event_type
+"""
+
+
+QUERIES.update({"ts_ljung_box": q_ts_ljung_box})
