@@ -127,9 +127,12 @@ flagged), ``graph_link_prediction`` (common-neighbor/Jaccard
 scores through a supplier-keyed self-join on a sparsified edge set),
 ``sim_semantic_decontaminate`` (embedding-space benchmark
 decontamination — the paraphrase-catching sibling of
-``text_decontaminate``, benchmark side broadcast), and
+``text_decontaminate``, benchmark side broadcast),
 ``ts_ljung_box`` (the portmanteau whiteness diagnostic over the
-lag-1..3 ACF — decimal-path term sums).
+lag-1..3 ACF — decimal-path term sums), ``ts_pacf`` (lag-1..3
+partial autocorrelation, closed-form Durbin–Levinson over the same
+rounded ACF), and ``dq_l_diversity`` (the homogeneity-attack audit
+after ``dq_k_anonymity`` — distinct-sensitive counts per QI class).
 """
 
 from __future__ import annotations

@@ -8427,3 +8427,83 @@ GROUP BY label
 QUERIES_DEFERRED.update(
     {"sim_semantic_decontaminate": q_sim_semantic_decontaminate}
 )
+
+
+def q_dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l = 3) — the second-generation privacy gate
+    run AFTER `dq_k_anonymity`: a class can be k-anonymous yet still
+    leak if every member shares the same SENSITIVE value (homogeneity
+    attack, Machanavajjhala et al. 2007).  Quasi-identifier = (nation,
+    account-balance band); sensitive attribute = market segment.  Every
+    equivalence class reports its size and distinct-sensitive count and
+    is flagged when diversity < l; the broadcast 1-row summary gives
+    each class the release-level share of rows sitting in low-diversity
+    classes.  One hash aggregate (COUNT + COUNT DISTINCT over the QI
+    key — partial-aggregable, the QI tuple is the only shuffle key);
+    the summary side is a 1-row broadcast, so the release is scanned
+    once — the same scale shape as `dq_k_anonymity`."""
+    c = t(spark, sf_dir, "customer")
+    classes = (
+        c.groupBy(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias(
+                "bal_band"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("class_size"),
+            F.countDistinct("c_mktsegment")
+            .cast("bigint")
+            .alias("distinct_sensitive"),
+        )
+        .withColumn(
+            "at_risk", (F.col("distinct_sensitive") < 3).cast("int")
+        )
+    )
+    summary = classes.agg(
+        F.sum(F.col("class_size") * F.col("at_risk"))
+        .cast("bigint")
+        .alias("__rows_at_risk"),
+        F.sum("class_size").cast("bigint").alias("__rows_total"),
+    )
+    return classes.crossJoin(F.broadcast(summary)).select(
+        "c_nationkey",
+        "bal_band",
+        "class_size",
+        "distinct_sensitive",
+        "at_risk",
+        F.round(
+            F.col("__rows_at_risk").cast("double")
+            / F.col("__rows_total"),
+            9,
+        ).alias("release_risk_rate"),
+    )
+
+
+ORACLES["dq_l_diversity"] = """
+WITH classes AS (
+  SELECT c_nationkey,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS class_size,
+         CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT)
+           AS distinct_sensitive
+  FROM customer GROUP BY 1, 2
+),
+flagged AS (
+  SELECT *, CASE WHEN distinct_sensitive < 3 THEN 1 ELSE 0 END AS at_risk
+  FROM classes
+),
+s AS (
+  SELECT CAST(SUM(class_size * at_risk) AS BIGINT) AS rows_at_risk,
+         CAST(SUM(class_size) AS BIGINT) AS rows_total
+  FROM flagged
+)
+SELECT f.c_nationkey, f.bal_band, f.class_size, f.distinct_sensitive,
+       CAST(f.at_risk AS INT) AS at_risk,
+       ROUND(CAST(s.rows_at_risk AS DOUBLE) / s.rows_total, 9)
+         AS release_risk_rate
+FROM flagged f, s
+"""
+
+
+QUERIES_DEFERRED.update({"dq_l_diversity": q_dq_l_diversity})

@@ -8944,3 +8944,102 @@ FROM acf GROUP BY event_type
 
 
 QUERIES.update({"ts_ljung_box": q_ts_ljung_box})
+
+
+def q_ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lags 1..3 per event type via the
+    closed-form Durbin–Levinson recursion over `ts_autocorr`'s rounded
+    lag-1..3 coefficients — the AR-order diagnostic read next to the ACF
+    (a PACF cutoff at lag p suggests an AR(p) forecaster).  φ11 = r1,
+    φ22 = (r2 − r1²)/(1 − r1²), and φ33 closes the level-3 recursion
+    with φ21 = r1 − φ22·r1.  Every expression is written in the SAME
+    association order on both engines over the same rounded-at-9 inputs,
+    so the double arithmetic is bit-identical; outputs round at 9.
+
+    Scale shape: identical to `ts_autocorr` — one hash aggregate over
+    raw events, then |types|×3 rows pivoted to one row per type.  The
+    recursion itself is row-local scalar math on a |types|-row frame."""
+    acf = q_ts_autocorr(spark, sf_dir)
+    piv = acf.groupBy("event_type").agg(
+        F.max(F.when(F.col("lag") == 1, F.col("acf"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("acf"))).alias("r2"),
+        F.max(F.when(F.col("lag") == 3, F.col("acf"))).alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    phi22 = (r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)
+    phi21 = r1 - phi22 * r1
+    phi33 = (r3 - phi21 * r2 - phi22 * r1) / (
+        F.lit(1.0) - phi21 * r1 - phi22 * r2
+    )
+    return piv.select(
+        "event_type",
+        F.round(r1, 9).alias("pacf1"),
+        F.round(phi22, 9).alias("pacf2"),
+        F.round(phi33, 9).alias("pacf3"),
+    )
+
+
+ORACLES["ts_pacf"] = """
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS v
+  FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)
+),
+lagged AS (
+  SELECT event_type, v,
+         LAG(v, 1) OVER w AS l1,
+         LAG(v, 2) OVER w AS l2,
+         LAG(v, 3) OVER w AS l3
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+),
+pairs AS (
+  SELECT event_type, 1 AS lag, l1 AS x, v AS y FROM lagged WHERE l1 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 2, l2, v FROM lagged WHERE l2 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 3, l3, v FROM lagged WHERE l3 IS NOT NULL
+),
+mom AS (
+  SELECT event_type, lag, COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS syy
+  FROM pairs GROUP BY event_type, lag
+),
+acf AS (
+  SELECT event_type, lag,
+         ROUND((n * sxy - sx * sy)
+               / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+           AS r
+  FROM mom
+),
+piv AS (
+  SELECT event_type,
+         MAX(CASE WHEN lag = 1 THEN r END) AS r1,
+         MAX(CASE WHEN lag = 2 THEN r END) AS r2,
+         MAX(CASE WHEN lag = 3 THEN r END) AS r3
+  FROM acf GROUP BY event_type
+),
+dl AS (
+  SELECT event_type, r1, r2, r3,
+         (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22
+  FROM piv
+),
+dl2 AS (
+  SELECT event_type, r1, r2, r3, phi22,
+         r1 - phi22 * r1 AS phi21
+  FROM dl
+)
+SELECT event_type,
+       ROUND(r1, 9) AS pacf1,
+       ROUND(phi22, 9) AS pacf2,
+       ROUND((r3 - phi21 * r2 - phi22 * r1)
+             / (1.0 - phi21 * r1 - phi22 * r2), 9) AS pacf3
+FROM dl2
+"""
+
+
+QUERIES.update({"ts_pacf": q_ts_pacf})
