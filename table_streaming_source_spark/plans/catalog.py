@@ -131,8 +131,11 @@ decontamination — the paraphrase-catching sibling of
 ``ts_ljung_box`` (the portmanteau whiteness diagnostic over the
 lag-1..3 ACF — decimal-path term sums), ``ts_pacf`` (lag-1..3
 partial autocorrelation, closed-form Durbin–Levinson over the same
-rounded ACF), and ``dq_l_diversity`` (the homogeneity-attack audit
-after ``dq_k_anonymity`` — distinct-sensitive counts per QI class).
+rounded ACF), ``dq_l_diversity`` (the homogeneity-attack audit
+after ``dq_k_anonymity`` — distinct-sensitive counts per QI class),
+``ts_changepoint`` (single-changepoint argmax of |n·S_k − k·S_n| in
+exact BIGINT cents), and ``agg_sprt`` (Wald's sequential probability
+ratio test — decimal-exact LLR trajectory, drift-proof stopping time).
 """
 
 from __future__ import annotations

@@ -9043,3 +9043,252 @@ FROM dl2
 
 
 QUERIES.update({"ts_pacf": q_ts_pacf})
+
+
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline single-changepoint detection per event type — the first
+    binary-segmentation split (Scott–Knott / CUSUM form): over the
+    daily revenue series, pick the split k maximizing
+    ``|n·S_k − k·S_n|`` (the unnormalized between-segment mean shift),
+    reporting the split day, the exact statistic and the two segment
+    means.  All series arithmetic is n-scaled BIGINT cents (the
+    `anomaly_cusum` discipline) so the argmax is exact — no float
+    comparison decides a winner; ties break to the earliest day via
+    struct ordering.
+
+    Scale shape: raw events collapse in one map-combinable hash
+    aggregate to |types|×|days| rows; the prefix sums and the argmax
+    run on that bounded frame (one sort per type, one struct-max
+    aggregate — no self-join over splits)."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("s_cents")
+    )
+    w_ord = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    scored = daily.select(
+        "event_type",
+        "day",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("bigint")
+        .alias("k"),
+        F.sum("s_cents").over(w_ord).alias("cum"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+        F.sum("s_cents").over(w_all).alias("total"),
+    ).filter(F.col("k") < F.col("n"))
+    stat = F.abs(
+        F.col("n") * F.col("cum") - F.col("k") * F.col("total")
+    )
+    best = (
+        scored.select(
+            "event_type",
+            F.struct(
+                stat.alias("stat"),
+                (-F.col("k")).alias("negk"),
+                F.col("day").alias("day"),
+                F.col("k").alias("k"),
+                F.col("n").alias("n"),
+                F.col("cum").alias("cum"),
+                F.col("total").alias("total"),
+            ).alias("__b"),
+        )
+        .groupBy("event_type")
+        .agg(F.max("__b").alias("b"))
+    )
+    return best.select(
+        "event_type",
+        F.date_format("b.day", "yyyy-MM-dd").alias("cp_day"),
+        F.col("b.k").alias("k"),
+        F.col("b.n").alias("n_days"),
+        F.col("b.stat").alias("stat_cents"),
+        F.round(
+            F.col("b.cum").cast("double") / (F.col("b.k") * 100), 6
+        ).alias("pre_mean"),
+        F.round(
+            (F.col("b.total") - F.col("b.cum")).cast("double")
+            / ((F.col("b.n") - F.col("b.k")) * 100),
+            6,
+        ).alias("post_mean"),
+    )
+
+
+ORACLES["ts_changepoint"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS s_cents
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, day,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
+         CAST(SUM(s_cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(SUM(s_cents) OVER (PARTITION BY event_type) AS BIGINT)
+           AS total
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+cand AS (
+  SELECT *, ABS(n * cum - k * total) AS stat,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ABS(n * cum - k * total) DESC,
+                                     k ASC) AS rn
+  FROM scored WHERE k < n
+)
+SELECT event_type, STRFTIME(day, '%Y-%m-%d') AS cp_day, k, n AS n_days,
+       CAST(stat AS BIGINT) AS stat_cents,
+       ROUND(CAST(cum AS DOUBLE) / (k * 100), 6) AS pre_mean,
+       ROUND(CAST(total - cum AS DOUBLE) / ((n - k) * 100), 6)
+         AS post_mean
+FROM cand WHERE rn = 1
+"""
+
+
+QUERIES.update({"ts_changepoint": q_ts_changepoint})
+
+
+def q_agg_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability ratio test per event type — the
+    always-valid A/B decision rule an experimentation platform runs as
+    data ARRIVES instead of at a fixed horizon.  Success = value > 100;
+    H0: p = 0.5 vs H1: p = 0.6, alpha = beta = 0.05.  The cumulative
+    log-likelihood ratio after k observations is ``s·C1 + (k−s)·C0``
+    with C1 = ln(p1/p0), C0 = ln((1−p1)/(1−p0)) pinned as rounded
+    DECIMAL(20,12) literals, so every trajectory point is exact decimal
+    arithmetic (the `agg_psi` one-rounded-ln discipline) and the FIRST
+    boundary crossing (±ln 19) is an exact comparison — no float drift
+    can move the stopping time.  Reports the decision, the stopping
+    point and the LLR there; streams that never cross report
+    ``continue`` at their final observation.
+
+    Scale shape: one ordered window per type builds the running
+    success count; the first-crossing and final rows reduce via
+    struct-min/max aggregates — no per-step iteration, no self-join.
+    The same plan applied to a billion-event stream is one sort +
+    two map-combinable aggregates per experiment key."""
+    e = t(spark, sf_dir, "events")
+    c1 = F.lit("0.182321556794").cast("decimal(20,12)")
+    c0 = F.lit("-0.223143551314").cast("decimal(20,12)")
+    bound = F.lit("2.944438979166").cast("decimal(20,12)")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = e.select(
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("ts", "event_id"))
+        .cast("bigint")
+        .alias("k"),
+        F.sum((F.col("value") > 100).cast("bigint"))
+        .over(w)
+        .alias("s"),
+    ).withColumn(
+        # counts cast to DECIMAL(10,0) so count×constant stays inside
+        # precision 38 with the full 12-digit scale (bigint×decimal
+        # would force Spark to drop scale to fit)
+        "llr",
+        (
+            F.col("s").cast("decimal(10,0)") * c1
+            + (F.col("k") - F.col("s")).cast("decimal(10,0)") * c0
+        ).cast("decimal(38,12)"),
+    )
+    crossed = cum.filter(
+        (F.col("llr") >= bound) | (F.col("llr") <= -bound)
+    )
+    first_cross = (
+        crossed.select(
+            "event_type",
+            F.struct(
+                F.col("k").alias("k"),
+                F.col("s").alias("s"),
+                F.col("llr").alias("llr"),
+            ).alias("__c"),
+        )
+        .groupBy("event_type")
+        .agg(F.min("__c").alias("c"))
+    )
+    final = (
+        cum.select(
+            "event_type",
+            F.struct(
+                F.col("k").alias("k"),
+                F.col("s").alias("s"),
+                F.col("llr").alias("llr"),
+            ).alias("__f"),
+        )
+        .groupBy("event_type")
+        .agg(F.max("__f").alias("f"))
+    )
+    j = final.join(first_cross, "event_type", "left")
+    pick = F.coalesce(F.col("c"), F.col("f"))
+    return j.select(
+        "event_type",
+        F.when(F.col("c").isNull(), F.lit("continue"))
+        .when(F.col("c.llr") >= bound, F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+        .alias("decision"),
+        pick["k"].alias("n_obs"),
+        pick["s"].alias("n_success"),
+        F.round(pick["llr"].cast("double"), 9).alias("llr"),
+    )
+
+
+ORACLES["agg_sprt"] = """
+WITH cum AS (
+  SELECT event_type,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
+         CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END)
+              OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS s
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+llrs AS (
+  SELECT event_type, k, s,
+         CAST(CAST(s AS DECIMAL(10,0))
+                * CAST('0.182321556794' AS DECIMAL(20,12))
+              + CAST(k - s AS DECIMAL(10,0))
+                * CAST('-0.223143551314' AS DECIMAL(20,12))
+              AS DECIMAL(38,12)) AS llr
+  FROM cum
+),
+crossed AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY k) AS rn
+  FROM llrs
+  WHERE llr >= CAST('2.944438979166' AS DECIMAL(20,12))
+     OR llr <= -CAST('2.944438979166' AS DECIMAL(20,12))
+),
+first_cross AS (SELECT * FROM crossed WHERE rn = 1),
+final AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY k DESC) AS rn
+    FROM llrs
+  ) WHERE rn = 1
+)
+SELECT f.event_type,
+       CASE WHEN c.k IS NULL THEN 'continue'
+            WHEN c.llr >= CAST('2.944438979166' AS DECIMAL(20,12))
+              THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision,
+       COALESCE(c.k, f.k) AS n_obs,
+       COALESCE(c.s, f.s) AS n_success,
+       ROUND(CAST(COALESCE(c.llr, f.llr) AS DOUBLE), 9) AS llr
+FROM final f LEFT JOIN first_cross c ON c.event_type = f.event_type
+"""
+
+
+QUERIES.update({"agg_sprt": q_agg_sprt})
