@@ -6622,3 +6622,239 @@ def _gray_stats(decode):
 
 bmp_rle_stats = _gray_stats(bmp_rle8_pixels)
 gif_interlaced_stats = _gray_stats(gif_pixels)
+
+
+# ---------------------------------------------------------------------------
+# QOI ("Quite OK Image", qoiformat.org spec) — byte-oriented lossless
+# codec; adds the hash-indexed color cache + delta-op family (INDEX /
+# DIFF / LUMA / RUN / RGB) to the codec coverage (GIF=LZW, TGA=RLE,
+# FLAC=Rice, JPEG=Huffman, WebP=prefix+LZ77)
+# ---------------------------------------------------------------------------
+
+def _qoi_hash(px: "tuple[int, int, int, int]") -> int:
+    r, g, b, a = px
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def _qoi_formula_pixels(width: int, height: int, seed: int) -> "object":
+    """The deterministic fixture image, designed so every payload
+    exercises the full QOI op set: flat rows (y%4==0) encode as RUN
+    chunks, slow rows (y%4==2, all channels stepping +1 together every
+    3 px) as DIFF chunks, gradient rows (channel steps 7/11/5) as LUMA
+    chunks with RGB fallbacks at the mod-256 wrap points, and a fixed
+    per-image marker color repeated at every 7th gradient-row pixel
+    replays the cached color through INDEX."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    r = (7 * x + 13 * y + seed) % 256
+    g = (11 * x + 3 * y + 2 * seed) % 256
+    b = (5 * x + 17 * y + 3 * seed) % 256
+    px = np.stack([r, g, b], axis=-1).astype(np.uint8)
+    ys = np.arange(height, dtype=np.int64)
+    flat = ys % 4 == 0
+    slow = ys % 4 == 2
+    grad = ~flat & ~slow
+    for c, mul, smul in ((0, 13, 1), (1, 3, 2), (2, 17, 3)):
+        px[flat, :, c] = ((mul * ys[flat] + smul * seed) % 256)[:, None]
+        px[slow, :, c] = (
+            (x // 3 + mul * ys[slow][:, None] + smul * seed) % 256
+        ).astype(np.uint8)
+        marker = (smul * seed + 101) % 256
+        rows = np.where(grad)[0][:, None]
+        cols = np.arange(0, width, 7)[None, :]
+        px[rows, cols, c] = marker
+    return px
+
+
+def qoi_encode(img: "object") -> bytes:
+    """Reference-faithful QOI encode of an ``(h, w, 3)`` uint8 array
+    (channels=3, linear colorspace): greedy RUN detection capped at 62,
+    64-slot hash cache for INDEX, signed-wraparound DIFF (2-bit) and
+    LUMA (6+4+4-bit) deltas, QOI_OP_RGB fallback, 7×0x00+0x01 end
+    marker."""
+    h, w, _ = img.shape
+    out = bytearray(b"qoif" + struct.pack(">IIBB", w, h, 3, 0))
+    index: list = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    flat = img.reshape(-1, 3)
+    for i in range(flat.shape[0]):
+        px = (int(flat[i, 0]), int(flat[i, 1]), int(flat[i, 2]), 255)
+        if px == prev:
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        hidx = _qoi_hash(px)
+        if index[hidx] == px:
+            out.append(hidx)
+        else:
+            index[hidx] = px
+            dr = ((px[0] - prev[0] + 128) % 256) - 128
+            dg = ((px[1] - prev[1] + 128) % 256) - 128
+            db = ((px[2] - prev[2] + 128) % 256) - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(
+                    0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2)
+                )
+            elif (
+                -32 <= dg <= 31
+                and -8 <= dr - dg <= 7
+                and -8 <= db - dg <= 7
+            ):
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out.extend((0xFE, px[0], px[1], px[2]))
+        prev = px
+    if run:
+        out.append(0xC0 | (run - 1))
+    out.extend(b"\x00" * 7 + b"\x01")
+    return bytes(out)
+
+
+def qoi_pixels(payload: bytes) -> "object":
+    """Decode a 3-channel QOI payload to ``(h, w, 3)`` RGB uint8 —
+    the full op walk (RGB / INDEX / DIFF / LUMA / RUN) with the
+    64-slot cache updated after every non-run chunk exactly as the
+    published decoder does.  Bad magic, 4-channel payloads, run
+    overflow, a wrong end marker, or trailing bytes raise ValueError —
+    malformed media routes to quarantine upstream."""
+    import numpy as np
+
+    if payload[:4] != b"qoif":
+        raise ValueError("not a QOI payload")
+    w, h, channels, _cs = struct.unpack(">IIBB", payload[4:14])
+    if channels != 3:
+        raise ValueError("only 3-channel QOI supported")
+    pos = 14
+    index: list = [(0, 0, 0, 0)] * 64
+    px = (0, 0, 0, 255)
+    flat = np.zeros((h * w, 3), dtype=np.uint8)
+    n = 0
+    while n < h * w:
+        if pos >= len(payload) - 8:
+            raise ValueError("truncated QOI stream")
+        b1 = payload[pos]
+        pos += 1
+        if b1 == 0xFE:  # QOI_OP_RGB
+            px = (payload[pos], payload[pos + 1], payload[pos + 2], 255)
+            pos += 3
+        elif b1 == 0xFF:  # QOI_OP_RGBA in a 3-channel stream
+            raise ValueError("RGBA op in 3-channel QOI")
+        elif b1 >> 6 == 0:  # QOI_OP_INDEX
+            px = index[b1]
+        elif b1 >> 6 == 1:  # QOI_OP_DIFF
+            px = (
+                (px[0] + ((b1 >> 4) & 3) - 2) % 256,
+                (px[1] + ((b1 >> 2) & 3) - 2) % 256,
+                (px[2] + (b1 & 3) - 2) % 256,
+                px[3],
+            )
+        elif b1 >> 6 == 2:  # QOI_OP_LUMA
+            dg = (b1 & 0x3F) - 32
+            b2 = payload[pos]
+            pos += 1
+            px = (
+                (px[0] + dg + ((b2 >> 4) & 0xF) - 8) % 256,
+                (px[1] + dg) % 256,
+                (px[2] + dg + (b2 & 0xF) - 8) % 256,
+                px[3],
+            )
+        else:  # QOI_OP_RUN
+            run = (b1 & 0x3F) + 1
+            if n + run > h * w:
+                raise ValueError("QOI run overflows pixel count")
+            flat[n : n + run] = px[:3]
+            n += run
+            continue
+        index[_qoi_hash(px)] = px
+        flat[n] = px[:3]
+        n += 1
+    if payload[pos:] != b"\x00" * 7 + b"\x01":
+        raise ValueError("bad QOI end marker / trailing bytes")
+    return flat.reshape(h, w, 3)
+
+
+def synth_qoi(width: int, height: int, seed: int) -> bytes:
+    """A spec-valid QOI payload of the formula image — real encode, so
+    decoding requires the genuine op walk."""
+    return qoi_encode(_qoi_formula_pixels(width, height, seed))
+
+
+def attach_qoi_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one :func:`synth_qoi` per key
+    (``w = 8 + (5k) % 21``, ``h = 8 + (11k) % 17``)."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_qoi(
+                            8 + (5 * int(k)) % 21,
+                            8 + (11 * int(k)) % 17,
+                            int(k),
+                        )
+                        for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def qoi_stats(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Per-channel stats over REAL QOI decode — same contract as
+    :func:`tga_stats` (the position-weighted red checksum catches op
+    mis-decodes, cache corruption, and run misalignment)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "key", "width", "height", "sum_r", "sum_g", "sum_b",
+                "wsum_r",
+            )}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                px = qoi_pixels(bytes(payload)).astype(np.int64)
+                h, w, _ = px.shape
+                wgt = (
+                    np.arange(w, dtype=np.int64)[None, :]
+                    + 2 * np.arange(h, dtype=np.int64)[:, None]
+                )
+                rows["key"].append(int(k))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(int(px[:, :, 0].sum()))
+                rows["sum_g"].append(int(px[:, :, 1].sum()))
+                rows["sum_b"].append(int(px[:, :, 2].sum()))
+                rows["wsum_r"].append(int((px[:, :, 0] * wgt).sum()))
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "sum_r": pd.Series(rows["sum_r"], dtype="int64"),
+                    "sum_g": pd.Series(rows["sum_g"], dtype="int64"),
+                    "sum_b": pd.Series(rows["sum_b"], dtype="int64"),
+                    "wsum_r": pd.Series(rows["wsum_r"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RGB_STATS_SCHEMA)

@@ -134,8 +134,11 @@ partial autocorrelation, closed-form Durbin–Levinson over the same
 rounded ACF), ``dq_l_diversity`` (the homogeneity-attack audit
 after ``dq_k_anonymity`` — distinct-sensitive counts per QI class),
 ``ts_changepoint`` (single-changepoint argmax of |n·S_k − k·S_n| in
-exact BIGINT cents), and ``agg_sprt`` (Wald's sequential probability
-ratio test — decimal-exact LLR trajectory, drift-proof stopping time).
+exact BIGINT cents), ``agg_sprt`` (Wald's sequential probability
+ratio test — decimal-exact LLR trajectory, drift-proof stopping time),
+``ts_sax`` (SAX symbolic series: z-norm → PAA → quartile alphabet),
+and ``multimodal_qoi`` (from-scratch QOI codec — color-cache +
+RUN/DIFF/LUMA/INDEX/RGB ops, all exercised per fixture seed).
 """
 
 from __future__ import annotations

@@ -8507,3 +8507,61 @@ FROM flagged f, s
 
 
 QUERIES_DEFERRED.update({"dq_l_diversity": q_dq_l_diversity})
+
+
+def q_multimodal_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL QOI decode (the "Quite OK Image" spec, qoiformat.org):
+    spec-valid payloads whose formula pixels exercise the codec's
+    ENTIRE op set — flat rows → RUN, slow rows → DIFF, gradient rows →
+    LUMA with RGB fallbacks at wrap points, and a repeated marker
+    color → INDEX cache hits (verified per-seed in tests).  Adds the
+    hash-indexed color-cache + delta-op family to the codec coverage
+    (GIF=LZW, TGA=RLE, FLAC=Rice, JPEG=Huffman, WebP=prefix+LZ77);
+    encoder twin + random-image round-trip pin the grammar.  The
+    position-weighted red checksum catches op mis-decodes, cache
+    corruption, and run misalignment; the oracle restates the channel
+    formulas directly.  Scale shape: mapInPandas batches over the key
+    subset — embarrassingly parallel, no shuffle."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    return M.qoi_stats(M.attach_qoi_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_qoi"] = """
+WITH im AS (
+  SELECT doc_id AS key,
+         8 + (5 * doc_id) % 21 AS w,
+         8 + (11 * doc_id) % 17 AS h
+  FROM documents WHERE doc_id % 3 = 1
+),
+px AS (
+  SELECT key, w, h, ux.x AS x, uy.y AS y,
+         CASE WHEN uy.y % 4 = 0 THEN (13 * uy.y + key) % 256
+              WHEN uy.y % 4 = 2
+                THEN (ux.x // 3 + 13 * uy.y + key) % 256
+              WHEN ux.x % 7 = 0 THEN (key + 101) % 256
+              ELSE (7 * ux.x + 13 * uy.y + key) % 256 END AS r,
+         CASE WHEN uy.y % 4 = 0 THEN (3 * uy.y + 2 * key) % 256
+              WHEN uy.y % 4 = 2
+                THEN (ux.x // 3 + 3 * uy.y + 2 * key) % 256
+              WHEN ux.x % 7 = 0 THEN (2 * key + 101) % 256
+              ELSE (11 * ux.x + 3 * uy.y + 2 * key) % 256 END AS g,
+         CASE WHEN uy.y % 4 = 0 THEN (17 * uy.y + 3 * key) % 256
+              WHEN uy.y % 4 = 2
+                THEN (ux.x // 3 + 17 * uy.y + 3 * key) % 256
+              WHEN ux.x % 7 = 0 THEN (3 * key + 101) % 256
+              ELSE (5 * ux.x + 17 * uy.y + 3 * key) % 256 END AS b
+  FROM im, UNNEST(RANGE(0, w)) AS ux(x), UNNEST(RANGE(0, h)) AS uy(y)
+)
+SELECT key,
+       CAST(ANY_VALUE(w) AS INT) AS width,
+       CAST(ANY_VALUE(h) AS INT) AS height,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(r * (x + 2 * y)) AS BIGINT) AS wsum_r
+FROM px
+GROUP BY key
+"""
+
+
+QUERIES_DEFERRED.update({"multimodal_qoi": q_multimodal_qoi})

@@ -9292,3 +9292,137 @@ FROM final f LEFT JOIN first_cross c ON c.event_type = f.event_type
 
 
 QUERIES.update({"agg_sprt": q_agg_sprt})
+
+
+def q_ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic representation of each event type's daily series
+    (Lin et al. 2003): z-normalize, Piecewise Aggregate Approximate
+    into 6 segments, then map each segment mean through the N(0,1)
+    quartile breakpoints (±0.6745, 0) to a 4-letter alphabet — the
+    discretization that powers motif discovery / HOT-SAX anomaly
+    mining over billions of series.  Moments come from the exact-
+    decimal sum discipline of `ts_autocorr`; mean/std/z/PAA are each
+    rounded once so both engines compare identical doubles at the
+    breakpoints; the word assembles from an array_sort over (segment,
+    symbol) structs — order-independent of partitioning.
+
+    Scale shape: one hash aggregate collapses events to |types|×|days|
+    rows; moments, z-scores and the 6-segment PAA all run windowed on
+    that bounded frame; the word is one struct-sort aggregate per
+    series.  No step touches raw events twice."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6
+        ).alias("v")
+    )
+    w_all = Window.partitionBy("event_type")
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    mom = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.row_number().over(w_ord).cast("bigint").alias("k"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+        F.sum(F.col("v").cast("decimal(28,6)"))
+        .over(w_all)
+        .cast("double")
+        .alias("sx"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(28,6)"))
+        .over(w_all)
+        .cast("double")
+        .alias("sxx"),
+    )
+    mu = F.round(F.col("sx") / F.col("n"), 9)
+    sigma = F.round(
+        F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / F.col("n")
+        ),
+        9,
+    )
+    z = mom.select(
+        "event_type",
+        "n",
+        F.floor((F.col("k") - 1) * 6 / F.col("n")).alias("seg"),
+        F.round((F.col("v") - mu) / sigma, 9).alias("z"),
+    )
+    paa = z.groupBy("event_type", "seg", "n").agg(
+        F.round(
+            F.sum(F.col("z").cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("paa")
+    )
+    sym = paa.withColumn(
+        "sym",
+        F.when(F.col("paa") < -0.6745, F.lit("a"))
+        .when(F.col("paa") < 0, F.lit("b"))
+        .when(F.col("paa") < 0.6745, F.lit("c"))
+        .otherwise(F.lit("d")),
+    )
+    return (
+        sym.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_days"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg", "sym"))
+                    ),
+                    lambda s: s["sym"],
+                ),
+                "",
+            ).alias("sax_word"),
+        )
+        .select("event_type", "sax_word", "n_days")
+    )
+
+
+ORACLES["ts_sax"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS v
+  FROM events GROUP BY 1, 2
+),
+mom AS (
+  SELECT event_type, day, v,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS k,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sx,
+         CAST(SUM(CAST(v * v AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sxx
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type)
+),
+z AS (
+  SELECT event_type, n,
+         CAST(FLOOR((k - 1) * 6 / n) AS BIGINT) AS seg,
+         ROUND((v - ROUND(sx / n, 9))
+               / ROUND(SQRT((sxx - sx * sx / n) / n), 9), 9) AS z
+  FROM mom
+),
+paa AS (
+  SELECT event_type, seg, n,
+         ROUND(CAST(SUM(CAST(z AS DECIMAL(28,9))) AS DOUBLE)
+               / COUNT(*), 9) AS paa
+  FROM z GROUP BY 1, 2, 3
+),
+sym AS (
+  SELECT event_type, seg, n,
+         CASE WHEN paa < -0.6745 THEN 'a'
+              WHEN paa < 0 THEN 'b'
+              WHEN paa < 0.6745 THEN 'c'
+              ELSE 'd' END AS sym
+  FROM paa
+)
+SELECT event_type,
+       STRING_AGG(sym, '' ORDER BY seg) AS sax_word,
+       CAST(MAX(n) AS BIGINT) AS n_days
+FROM sym GROUP BY event_type
+"""
+
+
+QUERIES.update({"ts_sax": q_ts_sax})

@@ -1417,3 +1417,92 @@ def test_bmp_rle8_rejects_uncompressed_and_overflow():
     data = synth_bmp_rle8(8, 6, 1)
     with _pytest.raises(ValueError):
         bmp_rle8_pixels(data[:-2])
+
+
+# ---------------------------------------------------------------------------
+# round 7 continuation: QOI
+# ---------------------------------------------------------------------------
+
+
+def test_qoi_roundtrip_exercises_every_op():
+    """Every fixture seed must drive all five QOI op kinds (RGB /
+    INDEX / DIFF / LUMA / RUN) and decode back bit-exact."""
+    from table_streaming_source_spark.operators.multimodal import (
+        _qoi_formula_pixels,
+        qoi_encode,
+        qoi_pixels,
+    )
+
+    for seed in range(8):
+        w, h = 8 + (5 * seed) % 21, 8 + (11 * seed) % 17
+        img = _qoi_formula_pixels(w, h, seed)
+        payload = qoi_encode(img)
+        assert payload[:4] == b"qoif" and payload[-8:] == b"\0" * 7 + b"\x01"
+        assert (qoi_pixels(payload) == img).all()
+        ops = {"rgb": 0, "index": 0, "diff": 0, "luma": 0, "run": 0}
+        pos, n = 14, 0
+        while n < w * h:
+            b1 = payload[pos]
+            pos += 1
+            if b1 == 0xFE:
+                ops["rgb"] += 1
+                pos += 3
+                n += 1
+            elif b1 >> 6 == 0:
+                ops["index"] += 1
+                n += 1
+            elif b1 >> 6 == 1:
+                ops["diff"] += 1
+                n += 1
+            elif b1 >> 6 == 2:
+                ops["luma"] += 1
+                pos += 1
+                n += 1
+            else:
+                ops["run"] += 1
+                n += (b1 & 0x3F) + 1
+        assert all(v > 0 for v in ops.values()), (seed, ops)
+
+
+def test_qoi_random_images_roundtrip():
+    import numpy as np
+
+    from table_streaming_source_spark.operators.multimodal import (
+        qoi_encode,
+        qoi_pixels,
+    )
+
+    rng = np.random.default_rng(0)
+    for _ in range(25):
+        h, w = (int(v) for v in rng.integers(1, 40, 2))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        if h > 2:
+            img[1] = img[0]  # guarantee a run boundary crossing rows
+        assert (qoi_pixels(qoi_encode(img)) == img).all()
+
+
+def test_qoi_decoder_quarantines_malformed_payloads():
+    import pytest as _pytest
+
+    from table_streaming_source_spark.operators.multimodal import (
+        _qoi_formula_pixels,
+        qoi_encode,
+        qoi_pixels,
+    )
+
+    with _pytest.raises(ValueError, match="QOI"):
+        qoi_pixels(b"nope" + b"\0" * 20)
+    good = bytearray(qoi_encode(_qoi_formula_pixels(12, 10, 2)))
+    # truncate mid-stream
+    with _pytest.raises(ValueError, match="truncated|marker|overflow"):
+        qoi_pixels(bytes(good[:20]) + b"\0" * 7 + b"\x01")
+    # corrupt the end marker
+    bad = bytearray(good)
+    bad[-1] = 0x02
+    with _pytest.raises(ValueError, match="end marker"):
+        qoi_pixels(bytes(bad))
+    # 4-channel header routes to the named unsupported path
+    bad4 = bytearray(good)
+    bad4[12] = 4
+    with _pytest.raises(ValueError, match="3-channel"):
+        qoi_pixels(bytes(bad4))
