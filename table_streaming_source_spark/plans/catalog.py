@@ -137,8 +137,10 @@ after ``dq_k_anonymity`` — distinct-sensitive counts per QI class),
 exact BIGINT cents), ``agg_sprt`` (Wald's sequential probability
 ratio test — decimal-exact LLR trajectory, drift-proof stopping time),
 ``ts_sax`` (SAX symbolic series: z-norm → PAA → quartile alphabet),
-and ``multimodal_qoi`` (from-scratch QOI codec — color-cache +
-RUN/DIFF/LUMA/INDEX/RGB ops, all exercised per fixture seed).
+``multimodal_qoi`` (from-scratch QOI codec — color-cache +
+RUN/DIFF/LUMA/INDEX/RGB ops, all exercised per fixture seed), and
+``source_xlsx`` (OOXML spreadsheet ingestion composed from the ZIP
+central-directory walker + stdlib XML, shared-string + sparse cells).
 """
 
 from __future__ import annotations

@@ -8565,3 +8565,64 @@ GROUP BY key
 
 
 QUERIES_DEFERRED.update({"multimodal_qoi": q_multimodal_qoi})
+
+
+def q_source_xlsx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLSX ingestion (`sources/xlsx.py::read_xlsx`): documents
+    round-trip through 4 spec-complete OOXML spreadsheet packages —
+    shared-string table, sparse ``A1``-ref cells, header-row contract —
+    and come back typed.  The package walk reuses the CRC-verified ZIP
+    central-directory reader and stdlib XML (both already-tested spec
+    surfaces), so this entry certifies their COMPOSITION: the
+    spreadsheet front door business data actually arrives through.
+    One .xlsx = one task; unzip + XML walk are partition-local and
+    only parsed records leave the executor."""
+    import os as _os
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark.sources.xlsx import (
+        read_xlsx,
+        write_xlsx,
+    )
+
+    path = _scratch.scratch_dir("source_xlsx", sf_dir, fresh=True)
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    for shard in range(4):
+        part = docs[docs["doc_id"] % 4 == shard]
+        write_xlsx(
+            _os.path.join(path, f"export-{shard}.xlsx"),
+            ["doc_id", "lang", "text"],
+            part.values.tolist(),
+            sheet_name=f"shard{shard}",
+        )
+    result = (
+        read_xlsx(spark, path)
+        .select(
+            F.col("record")["doc_id"].cast("bigint").alias("doc_id"),
+            F.col("record")["lang"].alias("lang"),
+            F.length(F.col("record")["text"]).cast("bigint").alias(
+                "n_chars"
+            ),
+            F.md5(F.col("record")["text"]).alias("text_md5"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["source_xlsx"] = """
+SELECT doc_id, lang,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       MD5(text) AS text_md5
+FROM documents
+"""
+
+
+QUERIES_DEFERRED.update({"source_xlsx": q_source_xlsx})

@@ -107,3 +107,82 @@ def test_zip_crc_mismatch_routes_to_quarantine(tmp_path):
 def test_zip_without_eocd_raises():
     with pytest.raises(ValueError, match="end-of-central-directory"):
         zip_entries(b"PK\x03\x04 not a complete zip")
+
+
+# ---------------------------------------------------------------------------
+# XLSX (built on the ZIP walker + stdlib XML)
+# ---------------------------------------------------------------------------
+
+
+def test_xlsx_roundtrip_types_sparse_and_escaping(tmp_path):
+    from table_streaming_source_spark.sources.xlsx import (
+        write_xlsx,
+        xlsx_records,
+    )
+
+    p = str(tmp_path / "t.xlsx")
+    write_xlsx(
+        p,
+        ["id", "lang", "text"],
+        [
+            [17, "en", 'a <b> & "c"  d'],
+            [18, "zh", "你好"],
+            [19, "de", ""],
+            [20, None, "sparse"],
+        ],
+        sheet_name="data",
+    )
+    recs = xlsx_records(open(p, "rb").read())
+    assert [r[0] for r in recs] == ["data"] * 4
+    assert recs[0][2] == {
+        "id": "17", "lang": "en", "text": 'a <b> & "c"  d'
+    }
+    assert recs[1][2]["text"] == "你好"
+    assert recs[2][2]["text"] == ""
+    assert "lang" not in recs[3][2]  # sparse cell absent, not ''
+
+
+def test_xlsx_is_standard_zip_package(tmp_path):
+    import zipfile
+
+    from table_streaming_source_spark.sources.xlsx import write_xlsx
+
+    p = str(tmp_path / "t.xlsx")
+    write_xlsx(p, ["a"], [[1]])
+    z = zipfile.ZipFile(p)
+    assert z.testzip() is None
+    assert "[Content_Types].xml" in z.namelist()
+    assert "xl/worksheets/sheet1.xml" in z.namelist()
+
+
+def test_xlsx_quarantines_malformed_packages(tmp_path):
+    import zipfile
+
+    from table_streaming_source_spark.sources.archive import write_zip
+    from table_streaming_source_spark.sources.xlsx import (
+        write_xlsx,
+        xlsx_records,
+    )
+
+    # a ZIP that is not a spreadsheet package
+    p = str(tmp_path / "notx.zip")
+    write_zip(p, [("readme.txt", b"hi")])
+    with pytest.raises(ValueError, match="workbook"):
+        xlsx_records(open(p, "rb").read())
+    # an unsupported cell type routes to the named error
+    p2 = str(tmp_path / "t.xlsx")
+    write_xlsx(p2, ["a"], [[1]])
+    parts = dict(
+        __import__(
+            "table_streaming_source_spark.sources.archive",
+            fromlist=["zip_entries"],
+        ).zip_entries(open(p2, "rb").read())
+    )
+    bad_sheet = parts["xl/worksheets/sheet1.xml"].replace(
+        b't="n"', b't="e"'
+    )
+    parts["xl/worksheets/sheet1.xml"] = bad_sheet
+    p3 = str(tmp_path / "bad.xlsx")
+    write_zip(p3, list(parts.items()))
+    with pytest.raises(ValueError, match="cell type"):
+        xlsx_records(open(p3, "rb").read())
