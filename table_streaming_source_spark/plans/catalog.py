@@ -140,7 +140,10 @@ ratio test — decimal-exact LLR trajectory, drift-proof stopping time),
 ``multimodal_qoi`` (from-scratch QOI codec — color-cache +
 RUN/DIFF/LUMA/INDEX/RGB ops, all exercised per fixture seed), and
 ``source_xlsx`` (OOXML spreadsheet ingestion composed from the ZIP
-central-directory walker + stdlib XML, shared-string + sparse cells).
+central-directory walker + stdlib XML, shared-string + sparse cells),
+and ``format_branch_tag`` (Iceberg-model named refs: immutable tags,
+isolated branch appends, ancestry-checked fast-forward, refs-aware
+vacuum).
 """
 
 from __future__ import annotations

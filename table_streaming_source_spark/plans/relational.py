@@ -9426,3 +9426,78 @@ FROM sym GROUP BY event_type
 
 
 QUERIES.update({"ts_sax": q_ts_sax})
+
+
+def q_format_branch_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named refs on ONE table (`table_format.py::create_branch/
+    create_tag/commit_append_branch/read_ref` — the Iceberg ref model,
+    vs `format_shallow_clone`'s two-log copy): a release TAG pins the
+    v1 snapshot forever, an ``audit`` BRANCH takes staged appends, and
+    ``main`` advances independently — three refs, three different
+    versions of one commit log, full isolation.  Branch commits share
+    the global version namespace (racing writers still collide on the
+    rename — optimistic concurrency is unchanged) and only move their
+    own pointer; `vacuum` pins every ref's snapshot.  The entry reads
+    all three refs and emits one rollup row per ref; the oracle states
+    tag = base slice, audit = base+auditslice, main = base+mainslice.
+
+    At 100 TB a branch or tag costs one JSON pointer write — no data
+    movement; the WAP pattern (`format_wap_publish`) gets multi-commit
+    staging for free by auditing a branch and fast-forwarding main."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_refs", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    TF.commit_append(
+        spark, path, o.filter(k % 4 == 0), stat_cols=["o_orderkey"]
+    )
+    TF.create_tag(path, "release-v1")
+    TF.create_branch(path, "audit")
+    TF.commit_append_branch(
+        spark, path, "audit", o.filter(k % 4 == 1),
+        stat_cols=["o_orderkey"],
+    )
+    TF.commit_append_branch(
+        spark, path, "main", o.filter(k % 4 == 2),
+        stat_cols=["o_orderkey"],
+    )
+    rollup = lambda ref: (
+        TF.read_ref(spark, path, ref)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .select(F.lit(ref).alias("ref"), "n", "sum_price")
+    )
+    result = (
+        rollup("release-v1")
+        .unionByName(rollup("audit"))
+        .unionByName(rollup("main"))
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_branch_tag"] = """
+SELECT 'release-v1' AS ref, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM orders WHERE o_orderkey % 4 = 0
+UNION ALL
+SELECT 'audit', COUNT(*),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+FROM orders WHERE o_orderkey % 4 IN (0, 1)
+UNION ALL
+SELECT 'main', COUNT(*),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+FROM orders WHERE o_orderkey % 4 IN (0, 2)
+"""
+
+
+QUERIES.update({"format_branch_tag": q_format_branch_tag})

@@ -77,7 +77,7 @@ def latest_version(path: str) -> int:
     versions = [
         int(n.split(".", 1)[0])
         for n in os.listdir(_log_dir(path))
-        if n.endswith(".json")
+        if n.endswith(".json") and n.split(".", 1)[0].isdigit()
     ]
     if not versions:
         raise FileNotFoundError(f"no commit log at {path}")
@@ -241,7 +241,15 @@ def vacuum(path: str, *, retain_versions: int = 2) -> tuple[int, int]:
     within the retention window) are kept; everything else under
     ``data/`` goes.  Returns (removed, kept)."""
     head = latest_version(path)
-    keep_versions = range(max(0, head - retain_versions + 1), head + 1)
+    keep_versions = set(
+        range(max(0, head - retain_versions + 1), head + 1)
+    )
+    # every named ref (branch head or tag) pins its snapshot — a
+    # branch/tag outside the head-retention window must survive the
+    # sweep or read_ref would resolve to deleted files
+    keep_versions.update(
+        r["version"] for r in list_refs(path).values()
+    )
     referenced: set[str] = set()
     for v in keep_versions:
         files, _, _ = snapshot_files(path, version=v)
@@ -856,3 +864,172 @@ def row_id_expr(key_col, version: int):
         1,
         16,
     )
+
+
+# ---------------------------------------------------------------------------
+# Named refs: branches and tags (the Iceberg ref model)
+# ---------------------------------------------------------------------------
+
+def _refs_path(path: str) -> str:
+    return os.path.join(_log_dir(path), "_refs.json")
+
+
+def list_refs(path: str) -> dict:
+    """``{name: {"type": "branch"|"tag", "version": int}}``.  Absent
+    file = no refs yet (pre-branching tables stay fully compatible:
+    every existing API keeps meaning "the linear head")."""
+    if not os.path.exists(_refs_path(path)):
+        return {}
+    with open(_refs_path(path)) as fh:
+        return json.load(fh)
+
+
+def _write_refs(path: str, refs: dict) -> None:
+    # atomic replace — stands in for the catalog's compare-and-swap on
+    # a real object store, exactly like the commit rename above
+    tmp = _refs_path(path) + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(refs, fh)
+    os.replace(tmp, _refs_path(path))
+
+
+def resolve_ref(path: str, ref=None) -> int:
+    """A ref is an int version (passed through), a branch/tag name, or
+    None/'main' (the main branch if pinned, else the linear head)."""
+    if isinstance(ref, int):
+        return ref
+    refs = list_refs(path)
+    if ref is None or ref == "main":
+        if "main" in refs:
+            return refs["main"]["version"]
+        return latest_version(path)
+    if ref not in refs:
+        raise ValueError(f"unknown ref {ref!r}")
+    return refs[ref]["version"]
+
+
+def _ensure_main_pinned(path: str, refs: dict) -> None:
+    # the moment any ref exists, "main" must be explicit — otherwise a
+    # branch commit would advance the linear head and main would
+    # silently follow it
+    if "main" not in refs:
+        refs["main"] = {
+            "type": "branch", "version": latest_version(path)
+        }
+
+
+def create_branch(path: str, name: str, at=None) -> int:
+    """Create branch ``name`` at ``at`` (default: main's head).  A
+    branch is a MOVABLE pointer: :func:`commit_append_branch` advances
+    it.  Creating over an existing ref raises."""
+    refs = list_refs(path)
+    if name in refs:
+        raise ValueError(f"ref {name!r} already exists")
+    v = resolve_ref(path, at)
+    _ensure_main_pinned(path, refs)
+    refs[name] = {"type": "branch", "version": v}
+    _write_refs(path, refs)
+    return v
+
+
+def create_tag(path: str, name: str, at=None) -> int:
+    """Create tag ``name`` — an IMMUTABLE snapshot pointer (audit /
+    release marker).  No API moves a tag; drop and recreate instead."""
+    refs = list_refs(path)
+    if name in refs:
+        raise ValueError(f"ref {name!r} already exists")
+    v = resolve_ref(path, at)
+    _ensure_main_pinned(path, refs)
+    refs[name] = {"type": "tag", "version": v}
+    _write_refs(path, refs)
+    return v
+
+
+def drop_ref(path: str, name: str) -> None:
+    refs = list_refs(path)
+    if name not in refs:
+        raise ValueError(f"unknown ref {name!r}")
+    if name == "main":
+        raise ValueError("cannot drop main")
+    del refs[name]
+    _write_refs(path, refs)
+
+
+def commit_append_branch(
+    spark: SparkSession,
+    path: str,
+    branch: str,
+    df: DataFrame,
+    *,
+    stat_cols: list[str],
+) -> int:
+    """Append ``df`` to ``branch``: the new commit's PARENT is the
+    branch head (history may diverge from other branches), its version
+    comes from the shared monotonically-increasing namespace (so two
+    racing branch writers still collide on the rename — the same
+    optimistic-concurrency rule as the linear path), and the branch
+    pointer advances only after the commit lands."""
+    refs = list_refs(path)
+    _ensure_main_pinned(path, refs)
+    if branch not in refs:
+        raise ValueError(f"unknown branch {branch!r}")
+    if refs[branch]["type"] != "branch":
+        raise ValueError(f"ref {branch!r} is a tag — tags are immutable")
+    base = refs[branch]["version"]
+    new_v = latest_version(path) + 1
+    staging = os.path.join(
+        _data_dir(path), f"commit-{new_v}-{uuid.uuid4().hex[:8]}"
+    )
+    df.write.mode("overwrite").parquet(staging)
+    files = _manifest_entries(path, staging, stat_cols)
+    _write_commit(
+        path,
+        new_v,
+        {"version": new_v, "files": files, "parent": base},
+    )
+    refs = list_refs(path)
+    _ensure_main_pinned(path, refs)
+    refs[branch]["version"] = new_v
+    _write_refs(path, refs)
+    return new_v
+
+
+def read_ref(
+    spark: SparkSession,
+    path: str,
+    ref=None,
+    *,
+    prune: tuple[str, object, object] | None = None,
+) -> DataFrame:
+    """Snapshot read at a branch/tag — ``read_table`` with the ref
+    resolved through the refs file."""
+    return read_table(
+        spark, path, version=resolve_ref(path, ref), prune=prune
+    )
+
+
+def fast_forward(path: str, branch: str, to) -> int:
+    """Move ``branch`` forward to ``to`` (a ref or version) — legal
+    only when the current branch head is an ANCESTOR of the target
+    (the audit-branch promotion step: stage on a branch, validate,
+    fast-forward main).  A diverged target raises; use a merge commit
+    instead."""
+    refs = list_refs(path)
+    _ensure_main_pinned(path, refs)
+    if branch not in refs or refs[branch]["type"] != "branch":
+        raise ValueError(f"unknown branch {branch!r}")
+    target = resolve_ref(path, to)
+    cur = refs[branch]["version"]
+    v: int | None = target
+    chain = set()
+    while v is not None:
+        chain.add(v)
+        v = _read_commit(path, v)["parent"]
+    if cur not in chain:
+        raise ValueError(
+            f"cannot fast-forward {branch!r}: {cur} is not an ancestor "
+            f"of {target}"
+        )
+    refs[branch]["version"] = target
+    _write_refs(path, refs)
+    return target

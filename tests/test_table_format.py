@@ -758,3 +758,75 @@ def test_maintenance_commit_is_noop_to_tail(spark, tmp_path):
     drain()
     # exactly the 7 new rows — nothing re-emitted by the compaction
     assert spark.read.parquet(out).count() == 107
+
+
+# ---------------------------------------------------------------------------
+# named refs: branches and tags
+# ---------------------------------------------------------------------------
+
+
+def test_branch_commits_are_isolated_per_ref(spark, table):
+    path, df = table
+    v_base = TF.latest_version(path)
+    TF.create_tag(path, "rel", at=v_base)
+    TF.create_branch(path, "audit")
+    TF.commit_append_branch(
+        spark, path, "audit",
+        df.select("k", "bucket", (F.col("v") + 1000).alias("v")),
+        stat_cols=["bucket"],
+    )
+    TF.commit_append_branch(
+        spark, path, "main", df.limit(10), stat_cols=["bucket"]
+    )
+    n = df.count()
+    assert TF.read_ref(spark, path, "rel").count() == n
+    assert TF.read_ref(spark, path, "audit").count() == 2 * n
+    assert TF.read_ref(spark, path, "main").count() == n + 10
+    # the linear head is the last commit regardless of branch — but
+    # main's POINTER is what read_ref follows
+    assert TF.resolve_ref(path, "main") == TF.latest_version(path)
+
+
+def test_tags_are_immutable_and_refs_unique(spark, table):
+    path, df = table
+    TF.create_tag(path, "rel")
+    with pytest.raises(ValueError, match="already exists"):
+        TF.create_branch(path, "rel")
+    with pytest.raises(ValueError, match="immutable"):
+        TF.commit_append_branch(
+            spark, path, "rel", df.limit(1), stat_cols=["bucket"]
+        )
+    with pytest.raises(ValueError, match="unknown"):
+        TF.read_ref(spark, path, "nope")
+
+
+def test_fast_forward_requires_ancestry(spark, table):
+    path, df = table
+    TF.create_branch(path, "audit")
+    v = TF.commit_append_branch(
+        spark, path, "audit", df.limit(5), stat_cols=["bucket"]
+    )
+    # main has not diverged -> fast-forward promotes the audit work
+    assert TF.fast_forward(path, "main", "audit") == v
+    assert TF.read_ref(spark, path, "main").count() == df.count() + 5
+    # now diverge: audit and main each take a commit
+    TF.commit_append_branch(
+        spark, path, "audit", df.limit(1), stat_cols=["bucket"]
+    )
+    TF.commit_append_branch(
+        spark, path, "main", df.limit(2), stat_cols=["bucket"]
+    )
+    with pytest.raises(ValueError, match="not an ancestor"):
+        TF.fast_forward(path, "main", "audit")
+
+
+def test_vacuum_pins_every_ref_snapshot(spark, table):
+    path, df = table
+    TF.create_tag(path, "rel")  # pins the 2-commit base snapshot
+    # push the head far past the retention window with compactions
+    for _ in range(3):
+        TF.commit_compact(spark, path, stat_cols=["bucket"])
+    removed, kept = TF.vacuum(path, retain_versions=1)
+    # the tag's files must survive even though its version is outside
+    # the retain window
+    assert TF.read_ref(spark, path, "rel").count() == df.count()
