@@ -141,9 +141,12 @@ ratio test — decimal-exact LLR trajectory, drift-proof stopping time),
 RUN/DIFF/LUMA/INDEX/RGB ops, all exercised per fixture seed), and
 ``source_xlsx`` (OOXML spreadsheet ingestion composed from the ZIP
 central-directory walker + stdlib XML, shared-string + sparse cells),
-and ``format_branch_tag`` (Iceberg-model named refs: immutable tags,
+``format_branch_tag`` (Iceberg-model named refs: immutable tags,
 isolated branch appends, ancestry-checked fast-forward, refs-aware
-vacuum).
+vacuum), ``ts_dtw`` (dynamic-time-warping series distance — nested
+JVM aggregate DP in exact BIGINT cents, recursive-CTE oracle), and
+``agg_bootstrap_ci`` (Bayesian-bootstrap CI — 20 deterministic
+md5-drawn weight sets, order-statistic interval).
 """
 
 from __future__ import annotations

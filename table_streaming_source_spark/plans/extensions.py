@@ -8626,3 +8626,111 @@ FROM documents
 
 
 QUERIES_DEFERRED.update({"source_xlsx": q_source_xlsx})
+
+
+def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian-bootstrap confidence interval for the mean value per
+    event type (Rubin 1981): B = 20 deterministic resamples, each row's
+    resample-b weight drawn as ``−ln(u)`` from its md5 hash (an
+    Exponential(1) draw — Dirichlet weights after normalization; the
+    `sample_weighted` md5-uniform discipline, pure function of
+    (event_id, b) so every engine, partitioning, and rerun draws the
+    SAME bootstrap).  ln is rounded at 9 (libm last-ulp rule) and the
+    weighted sums ride the exact-decimal path, so each resample mean is
+    bit-stable; the CI is the 2nd/19th order statistic of the 20 means.
+
+    Scale shape: the explode is a flat ×20 map (no data-dependent
+    blowup); one (type, b) hash aggregate — map-combinable, B bounded —
+    then a |types|×B reduction.  The same plan at 100 TB just carries
+    20× map-side rows into partial aggregation; no sort, no self-join,
+    and the point-estimate join is a 1-row-per-type broadcast."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    rep = e.withColumn("b", F.explode(F.sequence(F.lit(1), F.lit(20))))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("event_id"), F.col("b"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + 1) / F.lit(float(1 << 60))
+    w = F.round(-F.log(u), 9).cast("decimal(11,9)")
+    x = F.col("value").cast("decimal(10,2)")
+    means = (
+        rep.select("event_type", "b", w.alias("w"), x.alias("x"))
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("x")).alias("swx"),
+            F.sum("w").alias("sw"),
+        )
+        .select(
+            "event_type",
+            F.round(
+                F.col("swx").cast("double") / F.col("sw").cast("double"),
+                9,
+            ).alias("m"),
+        )
+    )
+    ci = (
+        means.groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+        .select(
+            "event_type",
+            F.element_at("ms", 2).alias("ci_lo"),
+            F.element_at("ms", 19).alias("ci_hi"),
+        )
+    )
+    point = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("point_mean"),
+    )
+    return point.join(F.broadcast(ci), "event_type").select(
+        "event_type", "n", "point_mean", "ci_lo", "ci_hi"
+    )
+
+
+ORACLES["agg_bootstrap_ci"] = """
+WITH rep AS (
+  SELECT event_type, event_id, value, r.b AS b
+  FROM events, UNNEST(RANGE(1, 21)) AS r(b)
+),
+wts AS (
+  SELECT event_type, b,
+         CAST(ROUND(-LN((CAST('0x' || SUBSTR(MD5(CAST(event_id AS
+                VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 15)
+                AS BIGINT) + 1) / 1152921504606846976.0), 9)
+              AS DECIMAL(11,9)) AS w,
+         CAST(value AS DECIMAL(10,2)) AS x
+  FROM rep
+),
+means AS (
+  SELECT event_type, b,
+         ROUND(CAST(SUM(CAST(w * x AS DECIMAL(22,11))) AS DOUBLE)
+               / CAST(SUM(w) AS DOUBLE), 9) AS m
+  FROM wts GROUP BY 1, 2
+),
+sorted_means AS (
+  SELECT event_type, LIST(m ORDER BY m) AS ms
+  FROM means GROUP BY 1
+),
+pt AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*), 9) AS point_mean
+  FROM events GROUP BY 1
+)
+SELECT p.event_type, p.n, p.point_mean,
+       s.ms[2] AS ci_lo, s.ms[19] AS ci_hi
+FROM pt p JOIN sorted_means s USING (event_type)
+"""
+
+
+QUERIES_DEFERRED.update({"agg_bootstrap_ci": q_agg_bootstrap_ci})

@@ -9501,3 +9501,126 @@ FROM orders WHERE o_orderkey % 4 IN (0, 2)
 
 
 QUERIES.update({"format_branch_tag": q_format_branch_tag})
+
+
+def q_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance between every pair of event-type
+    daily series — the elastic similarity measure (Sakoe–Chiba 1978)
+    that matches shapes shifted in phase, used to cluster/search
+    series where Euclidean alignment fails.  The full DP runs as ONE
+    nested JVM `aggregate` higher-order expression per pair (outer
+    fold = DP rows, inner fold = the left-to-right carry), entirely in
+    BIGINT cents — |Δ| costs and mins are exact integers, so any
+    correct DTW agrees bit-for-bit and the oracle restates the DP as a
+    recursive CTE with a `list_reduce` row carry.
+
+    Scale shape: raw events collapse once to |types|×|days| rows; the
+    |types|² pair frame is tiny and the O(m·n) fold is row-local —
+    at a million series the same plan blocks pairs first (the
+    `sim_pairs_blocked` discipline) and the DP cost per pair is
+    unchanged."""
+    INF = 1 << 60
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("c")
+    )
+    ser = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "c"))),
+            lambda s: s["c"],
+        ).alias("arr")
+    )
+    a_side = ser.select(
+        F.col("event_type").alias("type_a"), F.col("arr").alias("a")
+    )
+    b_side = ser.select(
+        F.col("event_type").alias("type_b"), F.col("arr").alias("b")
+    )
+    pairs = a_side.join(
+        F.broadcast(b_side), F.col("type_a") < F.col("type_b")
+    )
+    inf = F.lit(INF).cast("long")
+    init_row = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.transform(F.col("a"), lambda _: inf),
+    )
+    dp = F.aggregate(
+        F.col("b"),
+        init_row,
+        lambda prev, bj: F.aggregate(
+            F.sequence(F.lit(1), F.size(F.col("a"))),
+            F.array(inf),
+            lambda acc, i: F.concat(
+                acc,
+                F.array(
+                    F.abs(F.element_at(F.col("a"), i) - bj)
+                    + F.least(
+                        F.element_at(prev, i + 1),
+                        F.element_at(prev, i),
+                        F.element_at(acc, i),
+                    )
+                ),
+            ),
+        ),
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.size("a").alias("n_a"),
+        F.size("b").alias("n_b"),
+        F.element_at(dp, F.size(F.col("a")) + 1).alias("dtw_cents"),
+    ).withColumn(
+        "dtw_per_step",
+        F.round(
+            F.col("dtw_cents").cast("double")
+            / (F.col("n_a") + F.col("n_b")),
+            6,
+        ),
+    )
+
+
+ORACLES["ts_dtw"] = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+ser AS (
+  SELECT event_type, LIST(c ORDER BY day) AS arr
+  FROM daily GROUP BY 1
+),
+pairs AS (
+  SELECT x.event_type AS ta, y.event_type AS tb, x.arr AS a, y.arr AS b
+  FROM ser x JOIN ser y ON x.event_type < y.event_type
+),
+dp AS (
+  SELECT ta, tb, a, b, 0 AS i,
+         list_prepend(0::BIGINT,
+           list_transform(a, x -> (1::BIGINT << 60))) AS row
+  FROM pairs
+  UNION ALL
+  SELECT ta, tb, a, b, i + 1,
+         list_reduce(
+           list_prepend([(1::BIGINT << 60)],
+             list_transform(range(1, len(a) + 1), j -> [j])),
+           (acc, x) -> list_append(acc,
+               abs(a[x[1]] - b[i + 1]) +
+               least(row[x[1] + 1], row[x[1]], acc[x[1]]))
+         ) AS row
+  FROM dp WHERE i < len(b)
+)
+SELECT ta AS type_a, tb AS type_b,
+       CAST(len(a) AS INT) AS n_a,
+       CAST(len(b) AS INT) AS n_b,
+       row[len(a) + 1] AS dtw_cents,
+       ROUND(CAST(row[len(a) + 1] AS DOUBLE) / (len(a) + len(b)), 6)
+         AS dtw_per_step
+FROM dp WHERE i = len(b)
+"""
+
+
+QUERIES.update({"ts_dtw": q_ts_dtw})

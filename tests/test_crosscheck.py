@@ -481,3 +481,39 @@ def test_uuid3_matches_hashlib(spark, sf_dir):
         assert r["doc_uuid"] == expect
         assert r["doc_uuid"][14] == "3"  # version nibble
         assert r["doc_uuid"][19] in "89ab"  # RFC variant
+
+
+def test_dtw_matches_direct_dp(spark, sf_dir, events):
+    """ts_dtw vs a plain-python O(mn) DP over the same cents series —
+    the textbook recurrence, independently derived."""
+    cents = (
+        events.assign(
+            c=lambda d: (
+                d.value.map(lambda v: int(Decimal(f"{v:.2f}") * 100))
+            )
+        )
+        .groupby(["event_type", "d"])["c"]
+        .sum()
+    )
+    series = {
+        et: cents.loc[et].sort_index().to_list()
+        for et in cents.index.get_level_values(0).unique()
+    }
+
+    def dtw(a, b):
+        inf = float("inf")
+        D = [[inf] * (len(b) + 1) for _ in range(len(a) + 1)]
+        D[0][0] = 0
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                D[i][j] = abs(a[i - 1] - b[j - 1]) + min(
+                    D[i - 1][j], D[i][j - 1], D[i - 1][j - 1]
+                )
+        return D[len(a)][len(b)]
+
+    rows = QUERIES["ts_dtw"](spark, sf_dir).collect()
+    assert len(rows) == len(series) * (len(series) - 1) // 2
+    for r in rows:
+        expect = dtw(series[r["type_a"]], series[r["type_b"]])
+        assert r["dtw_cents"] == expect, (r["type_a"], r["type_b"])
+        assert r["n_a"] == len(series[r["type_a"]])
