@@ -144,9 +144,12 @@ central-directory walker + stdlib XML, shared-string + sparse cells),
 ``format_branch_tag`` (Iceberg-model named refs: immutable tags,
 isolated branch appends, ancestry-checked fast-forward, refs-aware
 vacuum), ``ts_dtw`` (dynamic-time-warping series distance — nested
-JVM aggregate DP in exact BIGINT cents, recursive-CTE oracle), and
+JVM aggregate DP in exact BIGINT cents, recursive-CTE oracle),
 ``agg_bootstrap_ci`` (Bayesian-bootstrap CI — 20 deterministic
-md5-drawn weight sets, order-statistic interval).
+md5-drawn weight sets, order-statistic interval), and
+``source_sqlite`` (from-scratch SQLite file-format reader —
+b-tree page walk, varints, serial-type records, overflow chains,
+rowid aliasing — cross-validated against stdlib-written databases).
 """
 
 from __future__ import annotations

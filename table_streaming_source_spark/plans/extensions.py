@@ -8734,3 +8734,80 @@ FROM pt p JOIN sorted_means s USING (event_type)
 
 
 QUERIES_DEFERRED.update({"agg_bootstrap_ci": q_agg_bootstrap_ci})
+
+
+def q_source_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite database-file ingestion
+    (`sources/sqlite_file.py::read_sqlite_documents`): the documents
+    table round-trips through 4 database shards written with a 512-byte
+    page size — small enough that every shard has multi-level interior
+    b-tree pages AND overflow chains on the long texts — and is read
+    back by the FROM-SCRATCH page walker (varints, serial-type records,
+    U/X/M/K overflow split, INTEGER-PRIMARY-KEY rowid aliasing,
+    ``sqlite_master`` root-page resolution).  One database file = one
+    task; nothing but decoded fields leaves the executor.  ``quality``
+    is written as doc_id + 0.25 so the IEEE-754 serial type (7) is
+    exercised with a dyadic-exact value."""
+    import os as _os
+    import shutil as _shutil
+    import sqlite3 as _sqlite3
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark.sources.sqlite_file import (
+        read_sqlite_documents,
+    )
+
+    path = _scratch.scratch_dir("source_sqlite", sf_dir, fresh=True)
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "text", "n_chars")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    for shard in range(4):
+        part = docs[docs["doc_id"] % 4 == shard]
+        con = _sqlite3.connect(_os.path.join(path, f"part-{shard}.db"))
+        con.execute("PRAGMA page_size=512")
+        con.execute("PRAGMA journal_mode=OFF")
+        con.execute(
+            "CREATE TABLE documents(doc_id INTEGER PRIMARY KEY,"
+            " lang TEXT, source TEXT, text TEXT, n_chars INTEGER,"
+            " quality REAL)"
+        )
+        con.executemany(
+            "INSERT INTO documents VALUES(?,?,?,?,?,?)",
+            [
+                (
+                    int(r.doc_id), r.lang, r.source, r.text,
+                    int(r.n_chars), int(r.doc_id) + 0.25,
+                )
+                for r in part.itertuples()
+            ],
+        )
+        con.commit()
+        con.close()
+    result = (
+        read_sqlite_documents(spark, path)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.md5("text").alias("text_md5"),
+            "n_chars",
+            "quality",
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["source_sqlite"] = """
+SELECT doc_id, lang, source, MD5(text) AS text_md5,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(doc_id AS DOUBLE) + 0.25 AS quality
+FROM documents
+"""
+
+
+QUERIES_DEFERRED.update({"source_sqlite": q_source_sqlite})
