@@ -149,7 +149,11 @@ JVM aggregate DP in exact BIGINT cents, recursive-CTE oracle),
 md5-drawn weight sets, order-statistic interval), and
 ``source_sqlite`` (from-scratch SQLite file-format reader —
 b-tree page walk, varints, serial-type records, overflow chains,
-rowid aliasing — cross-validated against stdlib-written databases).
+rowid aliasing — cross-validated against stdlib-written databases),
+and ``source_pdf`` (from-scratch ISO-32000 PDF text extraction —
+classic xref incl. /Prev chains, full literal-string escape set, hex
+strings, FlateDecode streams with indirect /Length, page-tree walk,
+Tj/TJ/'/\" text operators).
 """
 
 from __future__ import annotations

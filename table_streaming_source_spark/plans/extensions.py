@@ -8811,3 +8811,64 @@ FROM documents
 
 
 QUERIES_DEFERRED.update({"source_sqlite": q_source_sqlite})
+
+
+def q_source_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction (`sources/pdf.py`): documents round-trip
+    through 6 multi-page PDFs (one page per document, pages alternating
+    ``Tj``-literal and ``TJ``-array/hex-string forms, Flate-compressed
+    content streams, indirect ``/Length`` objects) and come back out
+    through the FROM-SCRATCH ISO-32000 reader — classic xref table,
+    object parser, page-tree walk, content-stream tokenizer.  Each
+    page's first text op carries the doc_id + a unit separator; the
+    split happens JVM-side.  ``page_no`` is recomputed by the oracle as
+    the document's rank within its shard, so the page-ordering contract
+    of the page tree is value-checked, not just row-counted."""
+    import os as _os
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark.sources.pdf import (
+        read_pdf_pages,
+        write_pdf,
+    )
+
+    path = _scratch.scratch_dir("source_pdf", sf_dir, fresh=True)
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    for shard in range(6):
+        part = docs[docs["doc_id"] % 6 == shard]
+        write_pdf(
+            _os.path.join(path, f"part-{shard}.pdf"),
+            [f"{r.doc_id}\x1f{r.text}" for r in part.itertuples()],
+        )
+    result = (
+        read_pdf_pages(spark, path)
+        .select(
+            F.split_part(F.col("text"), F.lit("\x1f"), F.lit(1))
+            .cast("bigint")
+            .alias("doc_id"),
+            "page_no",
+            F.md5(F.split_part(F.col("text"), F.lit("\x1f"), F.lit(2)))
+            .alias("text_md5"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["source_pdf"] = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 6 ORDER BY doc_id)
+            - 1 AS BIGINT) AS page_no,
+       MD5(text) AS text_md5
+FROM documents
+"""
+
+
+QUERIES_DEFERRED.update({"source_pdf": q_source_pdf})
