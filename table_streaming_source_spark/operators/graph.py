@@ -244,3 +244,64 @@ def kcore_peel(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     )
+
+
+def label_propagate(
+    edges: DataFrame,
+    *,
+    rounds: int,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Bounded synchronous label propagation (Raghavan et al. 2007) —
+    the near-linear community-detection primitive: every vertex starts
+    labeled with its own id; each round it adopts the MOST FREQUENT
+    label among its neighbors PLUS ONE VOTE for its own current label
+    (the self-vote damps the 2-coloring oscillation synchronous LPA is
+    known for), ties broken by MINIMUM label.  The min tie-break makes
+    the synchronous update fully deterministic (classic LPA randomizes
+    — that can never be value-checked), and the BOUNDED round count
+    keeps it engine-checkable per the `graph_bfs` / `kcore_peel`
+    discipline.
+
+    Scale shape per round: one join of the (undirected, deduped) edge
+    list against the |V|-row label frame on the neighbor key, one
+    (vertex, label) count aggregate (map-combinable), one per-vertex
+    top-1 window on the counted frame — rows entering the window are
+    at most the distinct (vertex, neighbor-label) pairs, already
+    aggregated.  Labels are checkpointed per round so lineage stays
+    flat.  Returns ``(vertex, label)`` after the last round."""
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("u").alias("vertex")).distinct().select(
+        "vertex", F.col("vertex").alias("label")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(rounds):
+        nbr = und.join(
+            labels, und["v"] == labels["vertex"], "inner"
+        ).select(und["u"].alias("vx"), "label").unionAll(
+            labels.select(F.col("vertex").alias("vx"), "label")
+        )
+        cnt = nbr.groupBy("vx", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = Window.partitionBy("vx").orderBy(
+            F.desc("cnt"), F.asc("label")
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("vx").alias("vertex"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        "vertex", F.col("label").cast("bigint").alias("label")
+    )

@@ -150,10 +150,19 @@ md5-drawn weight sets, order-statistic interval), and
 ``source_sqlite`` (from-scratch SQLite file-format reader —
 b-tree page walk, varints, serial-type records, overflow chains,
 rowid aliasing — cross-validated against stdlib-written databases),
-and ``source_pdf`` (from-scratch ISO-32000 PDF text extraction —
+``source_pdf`` (from-scratch ISO-32000 PDF text extraction —
 classic xref incl. /Prev chains, full literal-string escape set, hex
 strings, FlateDecode streams with indirect /Length, page-tree walk,
-Tj/TJ/'/\" text operators).
+Tj/TJ/'/\" text operators), ``agg_kmv_sketch`` (bottom-k distinct
+sketch, two-level salted partial top-64 merge, exact-integer
+estimate), ``agg_hll_sketch`` (from-scratch HyperLogLog, exact
+leading-zero ranks via bin(), dyadic-exact harmonic sum),
+``agg_anova`` (one-way F over decimal-exact moments),
+``dq_t_closeness`` (the EMD privacy gate completing the
+k-anonymity/l-diversity trilogy — exact-BIGINT variational distance),
+``graph_label_propagation`` (deterministic 2-round LPA with self-vote
+damping and min tie-break), and ``ts_motif`` (matrix-profile-style
+closest non-overlapping window pair in exact cents).
 """
 
 from __future__ import annotations

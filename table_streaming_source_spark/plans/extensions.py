@@ -8872,3 +8872,566 @@ FROM documents
 
 
 QUERIES_DEFERRED.update({"source_pdf": q_source_pdf})
+
+
+def q_agg_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, k=64 — the
+    mergeable bottom-k sketch behind theta sketches (Bar-Yossef et al.
+    2002), built the way a 1000-executor job must: hash → per-(group,
+    salt) partial bottom-64 (bounded state, map-side combinable) →
+    merge the ≤16·64 survivors per group.  No row-number over the full
+    group, no unbounded collect_set: per-group state is ≤1024 hashes by
+    construction at ANY scale.  The estimate (k−1)/h_k rides exact
+    BIGINT integer division on the 52-bit hash, so sketch AND estimate
+    are bit-reproducible; the exact distinct count sits beside it as
+    the accuracy witness."""
+    o = t(spark, sf_dir, "orders")
+    hv = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 13),
+        16,
+        10,
+    ).cast("long")
+    h = (
+        o.select(F.col("o_orderpriority").alias("priority"), hv.alias("hv"))
+        .distinct()
+        .withColumn("salt", F.pmod("hv", F.lit(16)))
+    )
+    partial = h.groupBy("priority", "salt").agg(
+        F.slice(F.sort_array(F.collect_set("hv")), 1, 64).alias("hs")
+    )
+    merged = (
+        partial.select("priority", F.explode("hs").alias("hv"))
+        .groupBy("priority")
+        .agg(F.slice(F.sort_array(F.collect_list("hv")), 1, 64).alias("hs"))
+        .select(
+            "priority", F.element_at("hs", 64).alias("kth_hash")
+        )
+    )
+    exact = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_exact")
+    )
+    return exact.join(F.broadcast(merged), "priority").select(
+        "priority",
+        "n_exact",
+        "kth_hash",
+        F.expr("CAST(63 * 4503599627370496 DIV kth_hash AS BIGINT)").alias(
+            "kmv_estimate"
+        ),
+    )
+
+
+ORACLES["agg_kmv_sketch"] = """
+WITH h AS (
+  SELECT DISTINCT o_orderpriority AS priority,
+         CAST('0x' || SUBSTR(MD5(CAST(o_custkey AS VARCHAR)), 1, 13)
+              AS BIGINT) AS hv
+  FROM orders
+),
+r AS (
+  SELECT priority, hv,
+         ROW_NUMBER() OVER (PARTITION BY priority ORDER BY hv) AS rn
+  FROM h
+),
+kth AS (SELECT priority, hv AS kth_hash FROM r WHERE rn = 64),
+ex AS (
+  SELECT o_orderpriority AS priority,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+  FROM orders GROUP BY 1
+)
+SELECT e.priority, e.n_exact, k.kth_hash,
+       CAST(63 * 4503599627370496 // k.kth_hash AS BIGINT)
+         AS kmv_estimate
+FROM ex e JOIN kth k USING (priority)
+"""
+
+
+def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog (Flajolet et al. 2007), m=64 registers:
+    52-bit md5 hash → low 6 bits pick the register, the leading-zero
+    rank of the remaining 46 bits (computed EXACTLY via
+    ``length(bin(rem))``, no float log) feeds a per-(group, register)
+    MAX — bounded state, map-side combinable, the textbook mergeable
+    sketch shape.  The harmonic sum Σ2^−M is a sum of dyadic rationals
+    (exact in binary floating point), so the raw estimate
+    α·m²/Σ matches the oracle bit-for-bit before the final
+    display rounding.  Exact distinct count beside it as the accuracy
+    witness; duplicate inputs cannot move any register, which the
+    oracle checks by hashing the raw (non-distinct) rows."""
+    o = t(spark, sf_dir, "orders")
+    hv = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 13),
+        16,
+        10,
+    ).cast("long")
+    base = o.select(
+        F.col("o_orderpriority").alias("priority"), hv.alias("hv")
+    ).select(
+        "priority",
+        F.pmod("hv", F.lit(64)).alias("bucket"),
+        (F.col("hv") / F.lit(64)).cast("long").alias("rem"),
+    )
+    regs = (
+        base.select(
+            "priority",
+            "bucket",
+            F.when(F.col("rem") == 0, F.lit(47))
+            .otherwise(F.lit(47) - F.length(F.expr("bin(rem)")))
+            .alias("rho"),
+        )
+        .groupBy("priority", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    sums = regs.groupBy("priority").agg(
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("m_j")))
+            + (F.lit(64) - F.count(F.lit(1))).cast("double")
+        ).alias("s"),
+        (F.lit(64) - F.count(F.lit(1))).cast("bigint").alias("n_zero_regs"),
+    )
+    exact = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_exact")
+    )
+    return exact.join(F.broadcast(sums), "priority").select(
+        "priority",
+        "n_exact",
+        "n_zero_regs",
+        F.round(
+            F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(64.0))
+            * F.lit(4096.0)
+            / F.col("s"),
+            3,
+        ).alias("hll_estimate"),
+    )
+
+
+ORACLES["agg_hll_sketch"] = """
+WITH h AS (
+  SELECT o_orderpriority AS priority,
+         CAST('0x' || SUBSTR(MD5(CAST(o_custkey AS VARCHAR)), 1, 13)
+              AS BIGINT) AS hv
+  FROM orders
+),
+b AS (
+  SELECT priority, hv % 64 AS bucket, hv // 64 AS rem FROM h
+),
+regs AS (
+  SELECT priority, bucket,
+         MAX(CASE WHEN rem = 0 THEN 47
+                  ELSE 47 - LENGTH(BIN(rem)) END) AS m_j
+  FROM b GROUP BY 1, 2
+),
+sums AS (
+  SELECT priority,
+         SUM(POWER(2.0, -m_j)) + CAST(64 - COUNT(*) AS DOUBLE) AS s,
+         CAST(64 - COUNT(*) AS BIGINT) AS n_zero_regs
+  FROM regs GROUP BY 1
+),
+ex AS (
+  SELECT o_orderpriority AS priority,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+  FROM orders GROUP BY 1
+)
+SELECT e.priority, e.n_exact, s.n_zero_regs,
+       ROUND(0.7213 / (1.0 + 1.079 / 64.0) * 4096.0 / s.s, 3)
+         AS hll_estimate
+FROM ex e JOIN sums s USING (priority)
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "agg_kmv_sketch": q_agg_kmv_sketch,
+        "agg_hll_sketch": q_agg_hll_sketch,
+    }
+)
+
+
+def q_agg_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic across the three return-flag
+    populations of lineitem quantity — the k-group generalisation of
+    `agg_welch_ttest` (same discipline: group sums and sums-of-squares
+    ride DECIMAL, exact and associative, so the one output row is
+    bit-stable; SSB/SSW/F are then plain IEEE arithmetic on those
+    exact moments with the expression tree written IDENTICALLY on both
+    engines).  The three groups pivot into one row via conditional
+    aggregates — one pass, fully map-combinable, no float ever enters
+    a distributed sum."""
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    agg = li.agg(
+        *[
+            a
+            for g, tag in (("A", "a"), ("N", "n"), ("R", "r"))
+            for a in (
+                F.sum(F.when(F.col("l_returnflag") == g, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n_{tag}"),
+                F.sum(F.when(F.col("l_returnflag") == g, x))
+                .cast("decimal(38,4)")
+                .alias(f"s_{tag}"),
+                F.sum(F.when(F.col("l_returnflag") == g, x * x))
+                .cast("decimal(38,4)")
+                .alias(f"q_{tag}"),
+            )
+        ]
+    )
+    def d(c):  # noqa: E306
+        return F.col(c).cast("double")
+
+    t1 = (
+        d("s_a") * d("s_a") / F.col("n_a")
+        + d("s_n") * d("s_n") / F.col("n_n")
+        + d("s_r") * d("s_r") / F.col("n_r")
+    )
+    s_all = (F.col("s_a") + F.col("s_n") + F.col("s_r")).cast("double")
+    q_all = (F.col("q_a") + F.col("q_n") + F.col("q_r")).cast("double")
+    n_all = F.col("n_a") + F.col("n_n") + F.col("n_r")
+    ssb = t1 - s_all * s_all / n_all
+    ssw = q_all - t1
+    fstat = (ssb / F.lit(2.0)) / (ssw / (n_all - F.lit(3)))
+    return agg.select(
+        "n_a",
+        "n_n",
+        "n_r",
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.round(fstat, 6).alias("f_stat"),
+    )
+
+
+ORACLES["agg_anova"] = """
+WITH a AS (
+  SELECT
+    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_n,
+    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+    CAST(SUM(CASE WHEN l_returnflag = 'A'
+             THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,4)) AS s_a,
+    CAST(SUM(CASE WHEN l_returnflag = 'N'
+             THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,4)) AS s_n,
+    CAST(SUM(CASE WHEN l_returnflag = 'R'
+             THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,4)) AS s_r,
+    CAST(SUM(CASE WHEN l_returnflag = 'A'
+             THEN CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2)) END)
+         AS DECIMAL(38,4)) AS q_a,
+    CAST(SUM(CASE WHEN l_returnflag = 'N'
+             THEN CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2)) END)
+         AS DECIMAL(38,4)) AS q_n,
+    CAST(SUM(CASE WHEN l_returnflag = 'R'
+             THEN CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2)) END)
+         AS DECIMAL(38,4)) AS q_r
+  FROM lineitem
+),
+b AS (
+  SELECT n_a, n_n, n_r,
+         CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a
+           + CAST(s_n AS DOUBLE) * CAST(s_n AS DOUBLE) / n_n
+           + CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE) / n_r AS t1,
+         CAST(s_a + s_n + s_r AS DOUBLE) AS s_all,
+         CAST(q_a + q_n + q_r AS DOUBLE) AS q_all,
+         n_a + n_n + n_r AS n_all
+  FROM a
+)
+SELECT n_a, n_n, n_r,
+       ROUND(t1 - s_all * s_all / n_all, 4) AS ss_between,
+       ROUND(q_all - t1, 4) AS ss_within,
+       ROUND(((t1 - s_all * s_all / n_all) / 2.0)
+             / ((q_all - t1) / (n_all - 3)), 6) AS f_stat
+FROM b
+"""
+
+
+def q_dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (t = 0.2, Li et al. 2007) — the third privacy
+    gate after `dq_k_anonymity` and `dq_l_diversity`: a class can be
+    diverse yet still leak if its SENSITIVE-value DISTRIBUTION differs
+    sharply from the release's (skewness attack).  Categorical
+    sensitive attribute ⇒ Earth-Mover's = variational distance
+    ½·Σ|p_i − q_i|, computed EXACTLY: the numerator
+    Σ_s |cnt_cs·N − cnt_s·size| is pure BIGINT (absent segments
+    contribute via the complement term — no row generation), the flag
+    compares 5·num > 2·size·N in integers, and the only float is the
+    final display division.  One (QI, segment) aggregate + a broadcast
+    5-row segment-total frame + a broadcast 1-row N — the release
+    scans once, the QI tuple is the only shuffle key."""
+    c = t(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias(
+        "bal_band"
+    )
+    cs = c.groupBy("c_nationkey", band, "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_cs")
+    )
+    seg_tot = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_s")
+    )
+    n_tot = c.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wcs = (
+        cs.join(F.broadcast(seg_tot), "c_mktsegment")
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            "class_size",
+            F.sum("cnt_cs").over(
+                Window.partitionBy("c_nationkey", "bal_band")
+            ),
+        )
+    )
+    per_class = wcs.groupBy("c_nationkey", "bal_band").agg(
+        F.max("class_size").cast("bigint").alias("class_size"),
+        F.sum(
+            F.abs(
+                F.col("cnt_cs") * F.col("n")
+                - F.col("cnt_s") * F.col("class_size")
+            )
+        )
+        .cast("bigint")
+        .alias("num_present"),
+        F.sum("cnt_s").cast("bigint").alias("present_tot"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    num = F.col("num_present") + (
+        F.col("n") - F.col("present_tot")
+    ) * F.col("class_size")
+    return per_class.select(
+        "c_nationkey",
+        "bal_band",
+        "class_size",
+        F.round(
+            num.cast("double")
+            / (F.lit(2) * F.col("class_size") * F.col("n")),
+            9,
+        ).alias("t_distance"),
+        (F.lit(5) * num > F.lit(2) * F.col("class_size") * F.col("n"))
+        .cast("int")
+        .alias("at_risk"),
+    )
+
+
+ORACLES["dq_t_closeness"] = """
+WITH cs AS (
+  SELECT c_nationkey,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS cnt_cs
+  FROM customer GROUP BY 1, 2, 3
+),
+seg AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt_s
+  FROM customer GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+wcs AS (
+  SELECT cs.*, seg.cnt_s, tot.n,
+         SUM(cnt_cs) OVER (PARTITION BY c_nationkey, bal_band)
+           AS class_size
+  FROM cs JOIN seg USING (c_mktsegment) CROSS JOIN tot
+),
+per_class AS (
+  SELECT c_nationkey, bal_band,
+         CAST(MAX(class_size) AS BIGINT) AS class_size,
+         CAST(SUM(ABS(cnt_cs * n - cnt_s * class_size)) AS BIGINT)
+           AS num_present,
+         CAST(SUM(cnt_s) AS BIGINT) AS present_tot,
+         CAST(MAX(n) AS BIGINT) AS n
+  FROM wcs GROUP BY 1, 2
+)
+SELECT c_nationkey, bal_band, class_size,
+       ROUND(CAST(num_present + (n - present_tot) * class_size
+                  AS DOUBLE) / (2 * class_size * n), 9) AS t_distance,
+       CAST(CASE WHEN 5 * (num_present + (n - present_tot) * class_size)
+                      > 2 * class_size * n
+                 THEN 1 ELSE 0 END AS INT) AS at_risk
+FROM per_class
+"""
+
+
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label propagation
+    (`operators/graph.py::label_propagate`, 2 rounds) over the
+    sparsified customer co-purchase graph (the `graph_link_prediction`
+    edge set) — near-linear community detection: most-frequent
+    neighbor label plus a self-vote (damps the sync-LPA 2-coloring
+    oscillation), ties to the MINIMUM (classic LPA randomizes; the
+    min tie-break is what makes a synchronous update value-checkable).
+    The oracle unrolls the SAME 2 rounds as CTEs per the bounded-
+    iteration discipline (`graph_bfs`, `graph_kcore`)."""
+    from table_streaming_source_spark.operators.graph import (
+        label_propagate,
+    )
+
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    e0 = (
+        l.filter(F.col("l_quantity") >= 48)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+    )
+    a = e0.select(F.col("c").alias("u"), "s")
+    b = e0.select(F.col("c").alias("v"), "s")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    return label_propagate(pairs, rounds=2)
+
+
+ORACLES["graph_label_propagation"] = """
+WITH e0 AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l_quantity >= 48
+),
+pairs AS (
+  SELECT a.c AS u, b.c AS v
+  FROM e0 a JOIN e0 b ON a.s = b.s AND a.c < b.c
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+und AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+l0 AS (SELECT DISTINCT u AS vertex, u AS label FROM und),
+n1 AS (
+  SELECT und.u AS vx, l0.label FROM und JOIN l0 ON und.v = l0.vertex
+  UNION ALL SELECT vertex AS vx, label FROM l0
+),
+c1 AS (SELECT vx, label, COUNT(*) AS cnt FROM n1 GROUP BY 1, 2),
+l1 AS (
+  SELECT vx AS vertex, label FROM (
+    SELECT vx, label,
+           ROW_NUMBER() OVER (PARTITION BY vx ORDER BY cnt DESC, label)
+             AS rn
+    FROM c1
+  ) WHERE rn = 1
+),
+n2 AS (
+  SELECT und.u AS vx, l1.label FROM und JOIN l1 ON und.v = l1.vertex
+  UNION ALL SELECT vertex AS vx, label FROM l1
+),
+c2 AS (SELECT vx, label, COUNT(*) AS cnt FROM n2 GROUP BY 1, 2),
+l2 AS (
+  SELECT vx AS vertex, label FROM (
+    SELECT vx, label,
+           ROW_NUMBER() OVER (PARTITION BY vx ORDER BY cnt DESC, label)
+             AS rn
+    FROM c2
+  ) WHERE rn = 1
+)
+SELECT vertex, CAST(label AS BIGINT) AS label FROM l2
+"""
+
+
+def q_ts_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motif discovery (matrix-profile style, Yeh et al. 2016): the
+    closest NON-OVERLAPPING pair of length-4 windows in each
+    event-type daily series, under SAD distance in exact BIGINT cents
+    — repeated-pattern mining for monitoring/forecast pipelines.
+    Windows materialize via LEAD (no self-join to build them); the
+    candidate cross is per-series and quadratic in the WINDOW count
+    (30-day series → ≤27² pairs — trivial), and the argmin rides ONE
+    lexicographic struct-min, ties to the earliest (i, j).  At 100 TB
+    (millions of long series) the same plan swaps the quadratic cross
+    for MASS/early-abandon per series — the distance algebra and the
+    exact-cents discipline are unchanged; series stay partition-local
+    either way."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    win = (
+        daily.select(
+            "event_type",
+            F.row_number().over(w).alias("idx"),
+            F.col("c").alias("c0"),
+            F.lead("c", 1).over(w).alias("c1"),
+            F.lead("c", 2).over(w).alias("c2"),
+            F.lead("c", 3).over(w).alias("c3"),
+        )
+        .filter(F.col("c3").isNotNull())
+    )
+    a = win.select(
+        "event_type",
+        F.col("idx").alias("i"),
+        *[F.col(f"c{k}").alias(f"a{k}") for k in range(4)],
+    )
+    b = win.select(
+        "event_type",
+        F.col("idx").alias("j"),
+        *[F.col(f"c{k}").alias(f"b{k}") for k in range(4)],
+    )
+    dist = sum(
+        F.abs(F.col(f"a{k}") - F.col(f"b{k}")) for k in range(4)
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("j") >= F.col("i") + 4)
+        .select("event_type", "i", "j", dist.alias("dist"))
+    )
+    best = pairs.groupBy("event_type").agg(
+        F.min(F.struct("dist", "i", "j")).alias("m")
+    )
+    return best.select(
+        "event_type",
+        F.col("m.i").cast("bigint").alias("motif_i"),
+        F.col("m.j").cast("bigint").alias("motif_j"),
+        F.col("m.dist").alias("dist_cents"),
+    )
+
+
+ORACLES["ts_motif"] = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+i AS (
+  SELECT event_type, c,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS idx
+  FROM d
+),
+w AS (
+  SELECT event_type, idx, c AS c0,
+         LEAD(c, 1) OVER (PARTITION BY event_type ORDER BY idx) AS c1,
+         LEAD(c, 2) OVER (PARTITION BY event_type ORDER BY idx) AS c2,
+         LEAD(c, 3) OVER (PARTITION BY event_type ORDER BY idx) AS c3
+  FROM i
+),
+ww AS (SELECT * FROM w WHERE c3 IS NOT NULL),
+p AS (
+  SELECT a.event_type, a.idx AS i, b.idx AS j,
+         ABS(a.c0 - b.c0) + ABS(a.c1 - b.c1) + ABS(a.c2 - b.c2)
+           + ABS(a.c3 - b.c3) AS dist
+  FROM ww a JOIN ww b
+    ON a.event_type = b.event_type AND b.idx >= a.idx + 4
+),
+r AS (
+  SELECT event_type, i, j, dist,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY dist, i, j) AS rn
+  FROM p
+)
+SELECT event_type, CAST(i AS BIGINT) AS motif_i,
+       CAST(j AS BIGINT) AS motif_j, dist AS dist_cents
+FROM r WHERE rn = 1
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "agg_anova": q_agg_anova,
+        "dq_t_closeness": q_dq_t_closeness,
+        "graph_label_propagation": q_graph_label_propagation,
+        "ts_motif": q_ts_motif,
+    }
+)

@@ -1641,3 +1641,45 @@ def test_csv_failfast_mode_raises_on_poisoned_rows(spark, tmp_path):
     with _pytest.raises(Exception) as exc:
         df.collect()
     assert "Malformed" in str(exc.value) or "FAILFAST" in str(exc.value)
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 3-cliques joined by one bridge edge: after 2 rounds every
+    clique member carries its clique's minimum id; the deterministic
+    min tie-break resolves the bridge."""
+    from table_streaming_source_spark.operators.graph import (
+        label_propagate,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "u int, v int",
+    )
+    got = {
+        r.vertex: r.label
+        for r in label_propagate(edges, rounds=2).collect()
+    }
+    # clique {1,2,3} converges to 1; clique {10,11,12} to 10 (vertex 3
+    # and 10 see one foreign neighbor vs two clique neighbors)
+    assert got[1] == 1 and got[2] == 1 and got[3] == 1
+    assert got[11] == 10 and got[12] == 10
+    # deterministic: re-running yields the identical assignment
+    again = {
+        r.vertex: r.label
+        for r in label_propagate(edges, rounds=2).collect()
+    }
+    assert got == again
+
+
+def test_label_propagation_tie_breaks_to_min(spark):
+    from table_streaming_source_spark.operators.graph import (
+        label_propagate,
+    )
+
+    # vertex 5 sees neighbors {1, 9} once each after round 1 → min wins
+    edges = spark.createDataFrame([(1, 5), (9, 5)], "u int, v int")
+    got = {
+        r.vertex: r.label
+        for r in label_propagate(edges, rounds=1).collect()
+    }
+    assert got[5] == 1
