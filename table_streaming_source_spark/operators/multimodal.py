@@ -6858,3 +6858,167 @@ def qoi_stats(
             )
 
     return df.mapInPandas(batches, schema=RGB_STATS_SCHEMA)
+
+
+def synth_pnm(width: int, height: int, seed: int, kind: int) -> bytes:
+    """A spec-valid Netpbm image with the shared pixel formulas
+    (`synth_ico` channels): ``kind`` 0 → P6 binary RGB, 1 → P3 ASCII
+    RGB, 2 → P5 binary grayscale (the red-channel formula).  Headers
+    carry a comment line (the parser must skip ``#`` to end-of-line
+    anywhere in the header whitespace) and maxval 255."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    r = ((7 * x + 13 * y + seed) % 256).astype(np.uint8)
+    g = ((11 * x + 5 * y + seed) % 256).astype(np.uint8)
+    b = ((3 * x + 23 * y + seed) % 256).astype(np.uint8)
+    header = f"# seed {seed}\n{width} {height}\n255\n"
+    if kind == 0:
+        raster = np.stack([r, g, b], axis=-1).tobytes()
+        return b"P6\n" + header.encode() + raster
+    if kind == 1:
+        vals = np.stack([r, g, b], axis=-1).reshape(-1)
+        body = "\n".join(
+            " ".join(str(int(v)) for v in vals[i : i + 12])
+            for i in range(0, len(vals), 12)
+        )
+        return b"P3\n" + header.encode() + body.encode() + b"\n"
+    if kind == 2:
+        return b"P5\n" + header.encode() + r.tobytes()
+    raise ValueError(f"unknown PNM kind {kind}")
+
+
+def pnm_pixels(payload: bytes) -> "object":
+    """Decode P2/P3/P5/P6 Netpbm to ``(h, w, c)`` uint8 (c = 1 for
+    graymaps, 3 for pixmaps): token scanner with ``#`` comment skip,
+    maxval ≤ 255 enforced, binary raster begins after EXACTLY ONE
+    whitespace byte following maxval (the spec's classic trap).
+    Short rasters, bad magic, or out-of-range ASCII samples raise
+    ``ValueError`` — the quarantine path."""
+    import numpy as np
+
+    magic = payload[:2]
+    if magic not in (b"P2", b"P3", b"P5", b"P6"):
+        raise ValueError("not a supported Netpbm image (bad magic)")
+    ascii_form = magic in (b"P2", b"P3")
+    channels = 3 if magic in (b"P3", b"P6") else 1
+    pos = 2
+    fields: list[int] = []
+    n = len(payload)
+    while len(fields) < 3:
+        while pos < n and payload[pos] in b" \t\r\n":
+            pos += 1
+        if pos < n and payload[pos] == 0x23:  # '#'
+            while pos < n and payload[pos] not in b"\r\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < n and payload[pos] in b"0123456789":
+            pos += 1
+        if pos == start:
+            raise ValueError("bad Netpbm header token")
+        fields.append(int(payload[start:pos]))
+    width, height, maxval = fields
+    if not 0 < maxval <= 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    count = width * height * channels
+    if ascii_form:
+        toks = payload[pos:].split()
+        if len(toks) != count:
+            raise ValueError("ASCII raster sample count mismatch")
+        vals = np.array([int(t) for t in toks], dtype=np.int64)
+        if (vals < 0).any() or (vals > maxval).any():
+            raise ValueError("ASCII sample out of range")
+        flat = vals.astype(np.uint8)
+    else:
+        pos += 1  # exactly one whitespace byte after maxval
+        raster = payload[pos : pos + count]
+        if len(raster) != count or pos + count != n:
+            raise ValueError("binary raster size mismatch")
+        flat = np.frombuffer(raster, dtype=np.uint8)
+    return flat.reshape(height, width, channels)
+
+
+PNM_STATS_SCHEMA = StructType(
+    [
+        StructField("key", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("channels", IntegerType(), False),
+        StructField("sum_all", LongType(), False),
+        StructField("wsum0", LongType(), False),
+    ]
+)
+
+
+def attach_pnm_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one :func:`synth_pnm` per key (``w = 9 +
+    (7k) % 18``, ``h = 9 + (13k) % 20``, kind = k % 3 — every batch
+    mixes binary RGB, ASCII RGB, and binary grayscale)."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_pnm(
+                            9 + (7 * int(k)) % 18,
+                            9 + (13 * int(k)) % 20,
+                            int(k),
+                            int(k) % 3,
+                        )
+                        for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def pnm_stats(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Per-image stats over REAL Netpbm decode: dimensions, channel
+    count, total sample sum, and the position-weighted channel-0
+    checksum (catches raster-order, comment-skip, and ASCII-token
+    mistakes)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "key", "width", "height", "channels", "sum_all", "wsum0",
+            )}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                px = pnm_pixels(bytes(payload)).astype(np.int64)
+                h, w, c = px.shape
+                wgt = (
+                    np.arange(w, dtype=np.int64)[None, :]
+                    + 2 * np.arange(h, dtype=np.int64)[:, None]
+                )
+                rows["key"].append(int(k))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(c)
+                rows["sum_all"].append(int(px.sum()))
+                rows["wsum0"].append(int((px[:, :, 0] * wgt).sum()))
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "channels": pd.Series(rows["channels"], dtype="int32"),
+                    "sum_all": pd.Series(rows["sum_all"], dtype="int64"),
+                    "wsum0": pd.Series(rows["wsum0"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=PNM_STATS_SCHEMA)

@@ -161,8 +161,14 @@ leading-zero ranks via bin(), dyadic-exact harmonic sum),
 ``dq_t_closeness`` (the EMD privacy gate completing the
 k-anonymity/l-diversity trilogy — exact-BIGINT variational distance),
 ``graph_label_propagation`` (deterministic 2-round LPA with self-vote
-damping and min tie-break), and ``ts_motif`` (matrix-profile-style
-closest non-overlapping window pair in exact cents).
+damping and min tie-break), ``ts_motif`` (matrix-profile-style
+closest non-overlapping window pair in exact cents),
+``multimodal_netpbm`` (P6/P3/P5 Netpbm decode — binary + ASCII
+rasters, comment skip, the one-whitespace-byte raster boundary),
+``source_eml`` (from-scratch mboxrd/RFC-5322/MIME/RFC-2047 mail
+parsing, stdlib-email cross-validated), and ``source_protobuf``
+(library-free protobuf wire-format codec — varints, ZigZag, packed
+repeated, nested messages, unknown-field skip, delimited framing).
 """
 
 from __future__ import annotations

@@ -9435,3 +9435,210 @@ QUERIES_DEFERRED.update(
         "ts_motif": q_ts_motif,
     }
 )
+
+
+def q_multimodal_netpbm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Netpbm decode (`operators/multimodal.py::pnm_pixels`):
+    every batch mixes P6 binary RGB, P3 ASCII RGB, and P5 binary
+    grayscale (kind = key % 3), with header comments and the
+    one-whitespace-byte binary-raster boundary exercised on every
+    payload — the no-compression baseline of the codec family (and
+    the interchange format imaging tools actually emit).  Per-image
+    dimension/channel stats + the position-weighted channel-0 checksum;
+    the oracle recomputes the shared pixel formulas per kind."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    return M.pnm_stats(M.attach_pnm_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_netpbm"] = """
+WITH im AS (
+  SELECT doc_id AS key,
+         9 + (7 * doc_id) % 18 AS w,
+         9 + (13 * doc_id) % 20 AS h,
+         doc_id % 3 AS kind
+  FROM documents WHERE doc_id % 2 = 1
+),
+px AS (
+  SELECT key, w, h, kind, ux.x AS x, uy.y AS y,
+         (7 * ux.x + 13 * uy.y + key) % 256 AS r,
+         (11 * ux.x + 5 * uy.y + key) % 256 AS g,
+         (3 * ux.x + 23 * uy.y + key) % 256 AS b
+  FROM im, UNNEST(RANGE(0, w)) AS ux(x), UNNEST(RANGE(0, h)) AS uy(y)
+)
+SELECT key,
+       CAST(ANY_VALUE(w) AS INT) AS width,
+       CAST(ANY_VALUE(h) AS INT) AS height,
+       CAST(CASE WHEN ANY_VALUE(kind) = 2 THEN 1 ELSE 3 END AS INT)
+         AS channels,
+       CAST(SUM(CASE WHEN kind = 2 THEN r ELSE r + g + b END) AS BIGINT)
+         AS sum_all,
+       CAST(SUM(r * (x + 2 * y)) AS BIGINT) AS wsum0
+FROM px
+GROUP BY key
+"""
+
+
+QUERIES_DEFERRED.update({"multimodal_netpbm": q_multimodal_netpbm})
+
+
+def q_source_eml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mail-archive ingestion (`sources/mime.py::read_mbox`): documents
+    round-trip through 4 mboxrd shards as multipart/alternative
+    messages — B-encoded Subjects (RFC 2047), base64 text/plain parts,
+    quoted-printable text/html parts, ``>From `` body-line escaping —
+    and come back through the FROM-SCRATCH RFC 4155/5322/2045/2047
+    parser (cross-validated against the stdlib ``email`` package in
+    `tests/test_mime_source.py`).  One mbox shard = one task; only
+    parsed fields leave the executor."""
+    import os as _os
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark.sources.mime import (
+        build_message,
+        read_mbox,
+        write_mbox,
+    )
+
+    path = _scratch.scratch_dir("source_eml", sf_dir, fresh=True)
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    for shard in range(4):
+        part = docs[docs["doc_id"] % 4 == shard]
+        write_mbox(
+            _os.path.join(path, f"part-{shard}.mbox"),
+            [
+                build_message(
+                    from_addr=f"doc{r.doc_id}@example.com",
+                    subject=f"Doc {r.doc_id} {r.lang}",
+                    text=r.text,
+                    html=f"<p>{r.text[:40]}</p>",
+                )
+                for r in part.itertuples()
+            ],
+        )
+    result = (
+        read_mbox(spark, path)
+        .select(
+            F.regexp_extract("from_addr", r"doc(\d+)@", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            "subject",
+            "n_parts",
+            F.md5("text").alias("text_md5"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["source_eml"] = """
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || lang AS subject,
+       CAST(2 AS BIGINT) AS n_parts,
+       MD5(text) AS text_md5
+FROM documents
+"""
+
+
+def q_source_protobuf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf wire-format ingestion
+    (`sources/protobuf_wire.py::read_orders_protobuf`): orders
+    round-trip through 4 length-delimited dump files — varints, ZigZag
+    sint64 cents, nested messages, PACKED repeated ints, plus an
+    unknown fixed64 field on EVERY record that the reader must skip
+    (the forward-compat contract) — decoded by the library-free wire
+    parser.  No ``google.protobuf`` anywhere.  Cents are derived
+    through the DECIMAL cast on the Spark side so the oracle's
+    ``CAST(CAST(p AS DECIMAL) * 100 AS BIGINT)`` matches exactly."""
+    import os as _os
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark.sources.protobuf_wire import (
+        encode_message,
+        read_orders_protobuf,
+        write_delimited,
+    )
+
+    path = _scratch.scratch_dir("source_protobuf", sf_dir, fresh=True)
+    rows = (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            "o_orderstatus",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+            "o_orderpriority",
+        )
+        .toPandas()
+        .sort_values("o_orderkey")
+    )
+    for shard in range(4):
+        part = rows[rows["o_orderkey"] % 4 == shard]
+        msgs = [
+            encode_message(
+                {
+                    1: ("varint", int(r.o_orderkey)),
+                    2: ("varint", int(r.o_custkey)),
+                    3: ("sint", int(r.cents)),
+                    4: ("string", r.o_orderstatus),
+                    5: ("string", r.d),
+                    6: ("string", r.o_orderpriority),
+                    7: (
+                        "message",
+                        {
+                            1: ("varint", int(r.o_custkey) % 32),
+                            2: ("string", f"b{int(r.o_custkey) % 32}"),
+                        },
+                    ),
+                    8: (
+                        "packed_varint",
+                        [
+                            int(r.o_custkey) % 7,
+                            int(r.o_custkey) % 11,
+                            int(r.o_custkey) % 13,
+                        ],
+                    ),
+                    9: ("fixed64", 0xDEADBEEF),  # unknown → skipped
+                }
+            )
+            for r in part.itertuples()
+        ]
+        write_delimited(_os.path.join(path, f"part-{shard}.pb"), msgs)
+    result = read_orders_protobuf(spark, path).localCheckpoint(
+        eager=True
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["source_protobuf"] = """
+SELECT o_orderkey, o_custkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         AS price_cents,
+       o_orderstatus,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       CAST(o_custkey % 32 AS BIGINT) AS bucket,
+       'b' || CAST(o_custkey % 32 AS VARCHAR) AS tag,
+       CAST(o_custkey % 7 + o_custkey % 11 + o_custkey % 13 AS BIGINT)
+         AS packed_sum
+FROM orders
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "source_eml": q_source_eml,
+        "source_protobuf": q_source_protobuf,
+    }
+)

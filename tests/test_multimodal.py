@@ -1506,3 +1506,30 @@ def test_qoi_decoder_quarantines_malformed_payloads():
     bad4[12] = 4
     with _pytest.raises(ValueError, match="3-channel"):
         qoi_pixels(bytes(bad4))
+
+
+def test_pnm_forms_agree_and_quarantine():
+    import numpy as np
+    import pytest
+
+    from table_streaming_source_spark.operators.multimodal import (
+        pnm_pixels,
+        synth_pnm,
+    )
+
+    a = pnm_pixels(synth_pnm(11, 9, 42, 0))  # P6 binary RGB
+    b = pnm_pixels(synth_pnm(11, 9, 42, 1))  # P3 ASCII RGB
+    assert a.shape == (9, 11, 3) and (a == b).all()
+    g = pnm_pixels(synth_pnm(11, 9, 42, 2))  # P5 gray = red channel
+    assert g.shape == (9, 11, 1)
+    assert (g[:, :, 0] == a[:, :, 0]).all()
+    # comment skipping: inject an extra comment between dims and maxval
+    p6 = synth_pnm(5, 4, 7, 0)
+    patched = p6.replace(b"\n255\n", b"\n# extra comment\n255\n", 1)
+    assert (pnm_pixels(patched) == pnm_pixels(p6)).all()
+    with pytest.raises(ValueError, match="magic"):
+        pnm_pixels(b"P7 nope")
+    with pytest.raises(ValueError, match="size"):
+        pnm_pixels(synth_pnm(5, 4, 7, 0)[:-1])
+    with pytest.raises(ValueError, match="count"):
+        pnm_pixels(synth_pnm(5, 4, 7, 1) + b" 9")
