@@ -168,7 +168,11 @@ rasters, comment skip, the one-whitespace-byte raster boundary),
 ``source_eml`` (from-scratch mboxrd/RFC-5322/MIME/RFC-2047 mail
 parsing, stdlib-email cross-validated), and ``source_protobuf``
 (library-free protobuf wire-format codec — varints, ZigZag, packed
-repeated, nested messages, unknown-field skip, delimited framing).
+repeated, nested messages, unknown-field skip, delimited framing),
+and ``format_partition_evolution`` (Iceberg-model partition-spec
+evolution: hidden bucket/month/truncate transforms as commit
+metadata, per-file spec resolution at plan time, stats fallback for
+non-applicable specs).
 """
 
 from __future__ import annotations

@@ -9642,3 +9642,74 @@ QUERIES_DEFERRED.update(
         "source_protobuf": q_source_protobuf,
     }
 )
+
+
+def q_format_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec EVOLUTION (`table_format.py::commit_append_spec`,
+    the Iceberg model): commit 1 lands half of orders under
+    ``month(o_orderdate)``, commit 2 evolves the spec to
+    ``bucket(8, o_custkey)`` — old files keep their old layout, no
+    rewrite.  The point read ``o_custkey = min(custkey)`` resolves
+    EACH FILE against the spec it was written under: bucket-spec files
+    prune to the one matching bucket, month-spec files (spec not
+    applicable to the predicate column) fall back to manifest min/max
+    stats.  Partitioning stays HIDDEN — the reader re-applies the
+    exact predicate and never sees a partition column.  The pruning
+    ratio is asserted from the manifest in
+    `tests/test_table_format.py`; the oracle states the filtered
+    rollup."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark import table_format as TF
+    from table_streaming_source_spark.plans import _scratch
+
+    path = _scratch.scratch_dir("format_part_evo", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders")
+    k = o.agg(F.min("o_custkey")).collect()[0][0]
+    TF.commit_append_spec(
+        spark,
+        path,
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        spec={"col": "o_orderdate", "transform": "month"},
+        stat_cols=["o_custkey"],
+    )
+    TF.commit_append_spec(
+        spark,
+        path,
+        o.filter(F.col("o_orderkey") % 2 == 1),
+        spec={"col": "o_custkey", "transform": "bucket", "param": 8},
+        stat_cols=["o_custkey"],
+    )
+    result = (
+        TF.read_table_point(spark, path, "o_custkey", k)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_partition_evolution"] = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                     AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES_DEFERRED.update(
+    {"format_partition_evolution": q_format_partition_evolution}
+)

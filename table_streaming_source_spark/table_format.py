@@ -1033,3 +1033,185 @@ def fast_forward(path: str, branch: str, to) -> int:
     refs[branch]["version"] = target
     _write_refs(path, refs)
     return target
+
+
+# ---------------------------------------------------------------------------
+# partition-spec evolution (Iceberg model: the spec is COMMIT metadata;
+# old files keep their old layout, planning merges specs per file)
+# ---------------------------------------------------------------------------
+
+#: supported hidden-partitioning transforms (Iceberg's core set minus
+#: year/day variants, which are `month` with a different format string)
+_TRANSFORMS = ("identity", "bucket", "truncate", "month")
+
+
+def _bucket_of(value, n: int) -> int:
+    """Deterministic bucket shared by the WRITE path (column expr) and
+    the PLANNING path (point value) — md5-based, never the engine's
+    internal hash (which a different engine could not reproduce)."""
+    import hashlib
+
+    return (
+        int(hashlib.md5(str(value).encode()).hexdigest()[:13], 16) % n
+    )
+
+
+def _transform_expr(spec: dict):
+    """The transform as a Spark Column over the source column."""
+    from pyspark.sql import functions as F
+
+    col = F.col(spec["col"])
+    kind, param = spec["transform"], spec.get("param")
+    if kind == "identity":
+        return col.cast("string")
+    if kind == "bucket":
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(col.cast("string")), 1, 13), 16, 10
+            ).cast("long"),
+            F.lit(param),
+        ).cast("string")
+    if kind == "truncate":
+        return ((col.cast("long") / param).cast("long") * param).cast(
+            "string"
+        )
+    if kind == "month":
+        return F.date_format(col, "yyyy-MM")
+    raise ValueError(f"unknown transform {kind!r}")
+
+
+def _transform_point(spec: dict, value) -> str:
+    """The transform applied to a POINT predicate value, Python-side —
+    used at plan time to keep only matching partition values."""
+    kind, param = spec["transform"], spec.get("param")
+    if kind == "identity":
+        return str(value)
+    if kind == "bucket":
+        return str(_bucket_of(value, param))
+    if kind == "truncate":
+        return str(int(value) // param * param)
+    if kind == "month":
+        return str(value)[:7]
+    raise ValueError(f"unknown transform {kind!r}")
+
+
+def commit_append_spec(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    *,
+    spec: dict,
+    stat_cols: list[str],
+    expected_version: int | None = None,
+) -> int:
+    """Append under a partition SPEC (``{"col", "transform",
+    "param"?}``): data files land in one directory per transform value
+    and every manifest entry records its partition value + the commit
+    records the spec.  Different commits may use DIFFERENT specs —
+    that IS partition evolution; readers resolve each file against the
+    spec it was written under (:func:`snapshot_files_point`)."""
+    if spec["transform"] not in _TRANSFORMS:
+        raise ValueError(f"unknown transform {spec['transform']!r}")
+    base = expected_version if expected_version is not None else (
+        latest_version(path)
+    )
+    staging = os.path.join(
+        _data_dir(path), f"commit-{base + 1}-{uuid.uuid4().hex[:8]}"
+    )
+    (
+        df.withColumn("_pval", _transform_expr(spec))
+        .repartition("_pval")
+        .write.mode("overwrite")
+        .partitionBy("_pval")
+        .parquet(staging)
+    )
+    files = []
+    for root, _dirs, names in sorted(os.walk(staging)):
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, name)
+            st = _file_stats(fp, stat_cols)
+            pval = None
+            for part in root.split(os.sep):
+                if part.startswith("_pval="):
+                    pval = part[len("_pval="):]
+            files.append(
+                {
+                    "path": os.path.relpath(fp, path),
+                    "rows": st["rows"],
+                    "stats": st["cols"],
+                    "partition": pval,
+                }
+            )
+    _write_commit(
+        path,
+        base + 1,
+        {
+            "version": base + 1,
+            "files": files,
+            "parent": base,
+            "spec": {k: spec[k] for k in spec},
+        },
+    )
+    return base + 1
+
+
+def snapshot_files_point(
+    path: str,
+    col: str,
+    value,
+    *,
+    version: int | None = None,
+) -> tuple[list[str], int, int]:
+    """Plan a point read ``col = value`` across EVERY spec in the
+    snapshot: a file written under a spec on ``col`` is kept iff its
+    recorded partition value equals the transform of the point; files
+    under other specs (or none) fall back to manifest min/max stats;
+    files with neither are kept — pruning is never lossy.  Returns
+    (kept paths, kept count, total count)."""
+    v = latest_version(path) if version is None else version
+    kept: list[str] = []
+    total = 0
+    while v is not None:
+        commit = _read_commit(path, v)
+        spec = commit.get("spec")
+        applicable = spec is not None and spec["col"] == col
+        want = _transform_point(spec, value) if applicable else None
+        for f in commit["files"]:
+            total += 1
+            if applicable and f.get("partition") is not None:
+                if f["partition"] != want:
+                    continue
+            else:
+                rng = f["stats"].get(col)
+                if rng is not None and not (rng[0] <= value <= rng[1]):
+                    continue
+            kept.append(os.path.join(path, f["path"]))
+        v = commit["parent"]
+    return kept, len(kept), total
+
+
+def read_table_point(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    value,
+    *,
+    version: int | None = None,
+) -> DataFrame:
+    """Point read through :func:`snapshot_files_point` — the partition
+    columns are HIDDEN (Iceberg semantics): the exact predicate is
+    re-applied on the surviving superset, callers never see ``_pval``."""
+    from pyspark.sql import functions as F
+
+    files, _, _ = snapshot_files_point(path, col, value, version=version)
+    if not files:
+        return None
+    # leaf-file paths skip partition discovery entirely, so ``_pval``
+    # never surfaces — the partition layout stays hidden
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*files)
+        .filter(F.col(col) == value)
+    )

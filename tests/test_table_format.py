@@ -830,3 +830,82 @@ def test_vacuum_pins_every_ref_snapshot(spark, table):
     # the tag's files must survive even though its version is outside
     # the retain window
     assert TF.read_ref(spark, path, "rel").count() == df.count()
+
+
+def test_partition_evolution_prunes_per_spec(spark, tmp_path):
+    """Two specs in one table: bucket-spec files prune to exactly one
+    bucket for a point read; month-spec files fall back to stats."""
+    from pyspark.sql import functions as F
+
+    from table_streaming_source_spark import table_format as TF
+
+    path = str(tmp_path / "tbl")
+    TF.create_table(path)
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 50).alias("v"),
+        F.to_date(F.lit("2024-03-01")).alias("d"),
+    )
+    TF.commit_append_spec(
+        spark, path, df.filter("id < 200"),
+        spec={"col": "d", "transform": "month"}, stat_cols=["v"],
+    )
+    TF.commit_append_spec(
+        spark, path, df.filter("id >= 200"),
+        spec={"col": "v", "transform": "bucket", "param": 8},
+        stat_cols=["v"],
+    )
+    kept, n_kept, n_total = TF.snapshot_files_point(path, "v", 7)
+    assert n_kept < n_total  # bucket pruning really dropped files
+    # every surviving commit-2 file carries the matching bucket value
+    want = str(TF._bucket_of(7, 8))
+    c2 = TF._read_commit(path, 2)
+    kept_set = set(kept)
+    import os
+    for f in c2["files"]:
+        full = os.path.join(path, f["path"])
+        if full in kept_set:
+            assert f["partition"] == want
+        else:
+            assert f["partition"] != want
+    got = TF.read_table_point(spark, path, "v", 7)
+    rows = got.collect()
+    # v = 7 occurs for id in {7, 57, ..., 357}: 8 rows, both commits
+    assert len(rows) == 8
+    assert all(r.v == 7 for r in rows)
+    assert "_pval" not in got.columns
+
+
+def test_partition_transforms_identity_truncate_month(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from table_streaming_source_spark import table_format as TF
+
+    path = str(tmp_path / "tbl")
+    TF.create_table(path)
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("m")
+    )
+    TF.commit_append_spec(
+        spark, path, df,
+        spec={"col": "m", "transform": "truncate", "param": 100},
+        stat_cols=[],
+    )
+    # truncate(100) of m = 150 → partition "100"
+    assert TF._transform_point(
+        {"col": "m", "transform": "truncate", "param": 100}, 150
+    ) == "100"
+    kept, n_kept, n_total = TF.snapshot_files_point(path, "m", 150)
+    assert n_kept <= n_total
+    rows = TF.read_table_point(spark, path, "m", 150).collect()
+    assert [r.k for r in rows] == [15]
+    # month transform point form
+    assert TF._transform_point(
+        {"col": "d", "transform": "month"}, "2024-03-17"
+    ) == "2024-03"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="transform"):
+        TF.commit_append_spec(
+            spark, path, df, spec={"col": "m", "transform": "nope"},
+            stat_cols=[],
+        )
