@@ -1411,3 +1411,83 @@ def pca_power_iteration(
             ),
         )
     )
+
+
+def nn_descent_round(
+    df: DataFrame,
+    *,
+    k: int = 3,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    blockings: "tuple[str, ...]" = ("label",),
+    round_digits: int = 6,
+    max_block: int | None = None,
+) -> DataFrame:
+    """One NN-descent refinement round (Dong et al. 2011) over a
+    multi-blocking-seeded kNN graph — the graph-based ANN family's
+    answer to "my LSH/IVF cells miss cross-cell neighbors": seed a
+    directed kNN graph from SEVERAL independent coarse blockings
+    (:func:`knn_join_blocked` per blocking), then let every vector
+    consider its neighbors' neighbors — two hops cross blockings, so
+    the refined graph reaches candidates no single cell contains.
+
+    Determinism: candidate generation is pure set algebra over the
+    seeded edges; scoring reuses the ROUNDED cosine + key tie-break
+    ordering, so the result is bit-stable and oracle-checkable.
+
+    Scale shape: each seed graph is cell-bounded (the
+    :func:`knn_join_blocked` guarantees, including ``max_block``);
+    out-degree after seeding is ≤ |blockings|·k, so the
+    neighbor-of-neighbor expansion is ≤ (|blockings|·k)² candidates
+    PER VECTOR — linear in the corpus, independent of cell sizes.
+    The only shuffles are the seed cells, the two bounded hop joins,
+    and the vector lookups on the candidate keys."""
+    from pyspark.sql import Window
+
+    base = None
+    for blk in blockings:
+        g = knn_join_blocked(
+            df,
+            k=k,
+            vec_col=vec_col,
+            key=key,
+            block_col=blk,
+            round_digits=round_digits,
+            max_block=max_block,
+        ).select(key, "neighbor_id", "cos_sim")
+        base = g if base is None else base.unionAll(g)
+    base = base.distinct()
+    edges = base.select(F.col(key).alias("u"), F.col("neighbor_id").alias("v"))
+    cand = (
+        edges.alias("e1")
+        .join(
+            edges.alias("e2"), F.col("e1.v") == F.col("e2.u")
+        )
+        .select(F.col("e1.u").alias("u"), F.col("e2.v").alias("w"))
+        .filter(F.col("u") != F.col("w"))
+        .distinct()
+    )
+    vecs = df.select(F.col(key).alias("__k"), F.col(vec_col).alias("__v"))
+    scored = (
+        cand.join(vecs, cand["u"] == vecs["__k"])
+        .select("u", "w", F.col("__v").alias("__va"))
+        .join(vecs, F.col("w") == vecs["__k"])
+        .select(
+            F.col("u").alias(key),
+            F.col("w").alias("neighbor_id"),
+            F.round(
+                cosine(F.col("__va"), F.col("__v")), round_digits
+            ).alias("cos_sim"),
+        )
+    )
+    allp = base.unionAll(scored).distinct()
+    w = Window.partitionBy(key).orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        allp.withColumn(
+            "knn_rank", F.row_number().over(w).cast("int")
+        )
+        .filter(F.col("knn_rank") <= k)
+        .select(key, "neighbor_id", "knn_rank", "cos_sim")
+    )

@@ -169,10 +169,15 @@ rasters, comment skip, the one-whitespace-byte raster boundary),
 parsing, stdlib-email cross-validated), and ``source_protobuf``
 (library-free protobuf wire-format codec — varints, ZigZag, packed
 repeated, nested messages, unknown-field skip, delimited framing),
-and ``format_partition_evolution`` (Iceberg-model partition-spec
+``format_partition_evolution`` (Iceberg-model partition-spec
 evolution: hidden bucket/month/truncate transforms as commit
 metadata, per-file spec resolution at plan time, stats fallback for
-non-applicable specs).
+non-applicable specs), ``sim_nn_descent`` (one NN-descent round over
+a two-blocking-seeded kNN graph — bounded out-degree expansion that
+crosses cells), ``text_readability`` (Flesch Reading-Ease + FK grade
+from exact regexp_count integers, zero shuffles), and
+``streaming_protobuf_ingest`` (the continuous event-bus-archiver form
+of the wire-format source).
 """
 
 from __future__ import annotations

@@ -9713,3 +9713,163 @@ GROUP BY o_orderpriority
 QUERIES_DEFERRED.update(
     {"format_partition_evolution": q_format_partition_evolution}
 )
+
+
+def q_sim_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-descent refinement round
+    (`operators/similarity.py::nn_descent_round`) over a kNN graph
+    seeded from TWO independent blockings (label cells + a vec_id
+    hash-bucket blocking): neighbors-of-neighbors cross blockings, so
+    the refined top-3 reaches candidates neither cell contains — the
+    graph-ANN construction step (NN-descent, Dong et al. 2011) beside
+    the LSH/IVF/PQ family.  Out-degree is bounded by |blockings|·k, so
+    the expansion is ≤36 candidates per vector AT ANY SCALE; ranking
+    rides the rounded-cosine + key tie-break discipline."""
+    e = t(spark, sf_dir, "embeddings").withColumn(
+        "b8", F.pmod("vec_id", F.lit(8))
+    )
+    return S.nn_descent_round(
+        e, k=3, blockings=("label", "b8"), round_digits=6
+    )
+
+
+ORACLES["sim_nn_descent"] = """
+WITH v AS (
+  SELECT vec_id, embedding, label, vec_id % 8 AS b8 FROM embeddings
+),
+pl AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         ROUND(
+           LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cos_sim
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+kl AS (
+  SELECT vec_id, neighbor_id, cos_sim FROM (
+    SELECT vec_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM pl
+  ) WHERE rn <= 3
+),
+pb AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         ROUND(
+           LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cos_sim
+  FROM v a JOIN v b ON a.b8 = b.b8 AND a.vec_id <> b.vec_id
+),
+kb AS (
+  SELECT vec_id, neighbor_id, cos_sim FROM (
+    SELECT vec_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM pb
+  ) WHERE rn <= 3
+),
+base AS (SELECT * FROM kl UNION SELECT * FROM kb),
+edges AS (SELECT vec_id AS u, neighbor_id AS nv FROM base),
+cand AS (
+  SELECT DISTINCT e1.u, e2.nv AS w
+  FROM edges e1 JOIN edges e2 ON e1.nv = e2.u
+  WHERE e1.u <> e2.nv
+),
+scored AS (
+  SELECT c.u AS vec_id, c.w AS neighbor_id,
+         ROUND(
+           LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cos_sim
+  FROM cand c JOIN v a ON c.u = a.vec_id JOIN v b ON c.w = b.vec_id
+),
+allp AS (SELECT * FROM base UNION SELECT * FROM scored)
+SELECT vec_id, neighbor_id, CAST(rn AS INT) AS knn_rank, cos_sim
+FROM (
+  SELECT vec_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM allp
+) WHERE rn <= 3
+"""
+
+
+QUERIES_DEFERRED.update({"sim_nn_descent": q_sim_nn_descent})
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch readability scoring (Flesch 1948; Kincaid et al. 1975) —
+    the classic quality/complexity signal beside the Gopher/C4 rule
+    batteries: per document, word count (maximal non-space runs),
+    sentence count (maximal ``[.!?]`` runs, floored at 1), and
+    syllable count approximated as VOWEL-GROUP count (maximal
+    ``[aeiouy]+`` runs over the lowercased text — the standard
+    heuristic; zero-vowel tokens contribute 0 by definition).  All
+    three are exact integers computed JVM-side by ``regexp_count`` —
+    no tokenizer UDF — so Reading-Ease and FK-Grade are single IEEE
+    expressions over exact counts, identical on both engines.
+    Embarrassingly parallel: one scan, zero shuffles."""
+    d = t(spark, sf_dir, "documents")
+    words = F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint")
+    sents = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")).cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )
+    syls = F.regexp_count(
+        F.lower(F.col("text")), F.lit("[aeiouy]+")
+    ).cast("bigint")
+    base = d.select(
+        "doc_id",
+        "lang",
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syls.alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return base.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4
+        ).alias("reading_ease"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4
+        ).alias("fk_grade"),
+    )
+
+
+ORACLES["text_readability"] = """
+WITH c AS (
+  SELECT doc_id, lang,
+         CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\S+')) AS BIGINT)
+           AS n_words,
+         CAST(GREATEST(LEN(REGEXP_EXTRACT_ALL(text, '[.!?]+')), 1)
+              AS BIGINT) AS n_sentences,
+         CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[aeiouy]+'))
+              AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+       ROUND(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+         AS reading_ease,
+       ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+             + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+             - 15.59, 4) AS fk_grade
+FROM c WHERE n_words > 0
+"""
+
+
+QUERIES_DEFERRED.update({"text_readability": q_text_readability})

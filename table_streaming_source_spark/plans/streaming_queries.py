@@ -2062,3 +2062,109 @@ FROM documents GROUP BY source
 
 
 QUERIES_DEFERRED["streaming_warc_ingest"] = q_streaming_warc_ingest
+
+
+def q_streaming_protobuf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming protobuf ingest
+    (`sources/protobuf_wire.py::stream_orders_protobuf`) — the
+    event-bus archiver pattern: length-delimited dump files land in a
+    directory, the file stream decodes each batch of newly arrived
+    files with the library-free wire parser (varints, ZigZag cents,
+    nested messages, packed repeats, unknown-field skip), and a
+    complete-mode aggregate rolls up per priority.  8 dumps at 2 per
+    trigger → 4 genuine micro-batches; the final table equals the
+    batch semantics the oracle states from orders."""
+    import os as _os
+
+    from table_streaming_source_spark.sources.protobuf_wire import (
+        encode_message,
+        stream_orders_protobuf,
+        write_delimited,
+    )
+
+    rows_df = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        "o_orderpriority",
+    )
+
+    def _write(d: str) -> None:
+        rows = rows_df.toPandas().sort_values("o_orderkey")
+        stamp = 1_700_000_000
+        for shard in range(8):
+            part = rows[rows["o_orderkey"] % 8 == shard]
+            msgs = [
+                encode_message(
+                    {
+                        1: ("varint", int(r.o_orderkey)),
+                        2: ("varint", int(r.o_custkey)),
+                        3: ("sint", int(r.cents)),
+                        4: ("string", r.o_orderstatus),
+                        5: ("string", r.d),
+                        6: ("string", r.o_orderpriority),
+                        7: (
+                            "message",
+                            {
+                                1: ("varint", int(r.o_custkey) % 32),
+                                2: ("string", f"b{int(r.o_custkey) % 32}"),
+                            },
+                        ),
+                        8: (
+                            "packed_varint",
+                            [
+                                int(r.o_custkey) % 7,
+                                int(r.o_custkey) % 11,
+                                int(r.o_custkey) % 13,
+                            ],
+                        ),
+                        9: ("fixed64", 0xDEADBEEF),
+                    }
+                )
+                for r in part.itertuples()
+            ]
+            name = f"part-{shard}.pb"
+            write_delimited(_os.path.join(d, name), msgs)
+            _bump_mtimes(d, {name}, stamp + shard)
+
+    src = _stream_fixture(spark, sf_dir, "pbing", _write)
+    stream = stream_orders_protobuf(spark, src, maxFilesPerTrigger=2)
+    agg = stream.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("price_cents").cast("bigint").alias("total_cents"),
+        F.sum("packed_sum").cast("bigint").alias("packed_total"),
+    )
+    name = f"__stream_pb_{abs(hash(src)) % 10**8}"
+    with _stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return result
+
+
+ORACLES["streaming_protobuf_ingest"] = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                     AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(SUM(o_custkey % 7 + o_custkey % 11 + o_custkey % 13)
+            AS BIGINT) AS packed_total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+QUERIES_DEFERRED["streaming_protobuf_ingest"] = q_streaming_protobuf_ingest
