@@ -9873,3 +9873,95 @@ FROM c WHERE n_words > 0
 
 
 QUERIES_DEFERRED.update({"text_readability": q_text_readability})
+
+
+def q_window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-rank window trio — ``ntile(4)``,
+    ``percent_rank``, ``cume_dist`` — over customer balances per
+    nation, ordered by the COMPOSITE (acctbal, custkey) key so the
+    total order (and therefore every one of the three, ntile included)
+    is deterministic under ties — the `window_ranks` discipline.  One
+    window partition per nation; the divisions are single IEEE ops on
+    exact rank/count integers."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        "c_acctbal", "c_custkey"
+    )
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
+
+
+ORACLES["window_rank_distribution"] = """
+SELECT c_nationkey, c_custkey,
+       CAST(NTILE(4) OVER w AS INT) AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 9) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations — ``EXCEPT ALL`` / ``INTERSECT ALL``
+    (the bag semantics `set_ops`' DISTINCT forms do not cover):
+    part keys shipped as 'N' vs returned as 'R', with MULTIPLICITY.
+    Spark's ``exceptAll``/``intersectAll`` produce the bags; the
+    per-key counts then satisfy the closed forms GREATEST(cA−cB, 0)
+    and LEAST(cA, cB), which is exactly what the oracle states — the
+    operator result is checked through its defining identity."""
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "N").select("l_partkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    exc = (
+        a.exceptAll(b)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("except_all_n"))
+    )
+    inter = (
+        a.intersectAll(b)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("intersect_all_n"))
+    )
+    return (
+        exc.join(inter, "l_partkey", "full_outer")
+        .select(
+            "l_partkey",
+            F.coalesce("except_all_n", F.lit(0).cast("bigint")).alias(
+                "except_all_n"
+            ),
+            F.coalesce(
+                "intersect_all_n", F.lit(0).cast("bigint")
+            ).alias("intersect_all_n"),
+        )
+    )
+
+
+ORACLES["set_ops_all"] = """
+WITH ca AS (
+  SELECT l_partkey, COUNT(*) AS na FROM lineitem
+  WHERE l_returnflag = 'N' GROUP BY 1
+),
+cb AS (
+  SELECT l_partkey, COUNT(*) AS nb FROM lineitem
+  WHERE l_returnflag = 'R' GROUP BY 1
+)
+SELECT ca.l_partkey,
+       CAST(GREATEST(ca.na - COALESCE(cb.nb, 0), 0) AS BIGINT)
+         AS except_all_n,
+       CAST(LEAST(ca.na, COALESCE(cb.nb, 0)) AS BIGINT)
+         AS intersect_all_n
+FROM ca LEFT JOIN cb USING (l_partkey)
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "window_rank_distribution": q_window_rank_distribution,
+        "set_ops_all": q_set_ops_all,
+    }
+)
