@@ -9965,3 +9965,493 @@ QUERIES_DEFERRED.update(
         "set_ops_all": q_set_ops_all,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 session-2: rank statistics (Kruskal–Wallis, Spearman, BH-FDR,
+# McNemar, Hodges–Lehmann) — the nonparametric-inference battery that
+# complements agg_mann_whitney / agg_welch_ttest / agg_anova.
+# ---------------------------------------------------------------------------
+
+
+def q_agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis rank test (the k-sample Mann–Whitney) of
+    ``l_quantity`` across the three return flags, with the standard
+    tie correction.  Average ranks are carried as EXACT integers
+    (``2·rank`` — ties make ranks half-integral, so doubling keeps
+    the whole pipeline in BIGINT); the distinct-value table (≤50
+    rows) broadcasts, so the only shuffles are the two hash
+    aggregates.  The H statistic itself is a fixed scalar IEEE
+    expression over those exact integers — bit-identical across
+    engines.  At 100 TB the value-histogram stays tiny (bounded
+    domain) and the per-(flag,value) aggregate is the map-side
+    combine path."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("bigint").alias("v"),
+    )
+    vals = li.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = vals.select(
+        "v",
+        "cnt",
+        (F.lit(2) * F.sum("cnt").over(w) - F.col("cnt") + F.lit(1)).alias(
+            "ar2"
+        ),
+    )
+    gv = li.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    per_g = (
+        gv.join(F.broadcast(ranked), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.col("ar2")).alias("r2"),
+        )
+    )
+    tie = vals.agg(
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie")
+    )
+    piv = per_g.groupBy().agg(
+        F.max(F.when(F.col("g") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("g") == "A", F.col("r2"))).alias("r2a"),
+        F.max(F.when(F.col("g") == "N", F.col("n"))).alias("nn"),
+        F.max(F.when(F.col("g") == "N", F.col("r2"))).alias("r2n"),
+        F.max(F.when(F.col("g") == "R", F.col("n"))).alias("nr"),
+        F.max(F.when(F.col("g") == "R", F.col("r2"))).alias("r2r"),
+    )
+    joined = piv.crossJoin(F.broadcast(tie))
+    nd = (F.col("na") + F.col("nn") + F.col("nr")).cast("double")
+
+    def term(r2: str, n: str) -> "F.Column":
+        half = F.col(r2).cast("double") / F.lit(2.0)
+        return (half * half) / F.col(n).cast("double")
+
+    h = (F.lit(12.0) / (nd * (nd + F.lit(1.0)))) * (
+        term("r2a", "na") + term("r2n", "nn") + term("r2r", "nr")
+    ) - F.lit(3.0) * (nd + F.lit(1.0))
+    c = F.lit(1.0) - F.col("tie").cast("double") / (nd * nd * nd - nd)
+    return joined.select(
+        (F.col("na") + F.col("nn") + F.col("nr"))
+        .cast("bigint")
+        .alias("n_total"),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nn").cast("bigint").alias("n_n"),
+        F.col("nr").cast("bigint").alias("n_r"),
+        F.col("r2a").cast("bigint").alias("ranksum2_a"),
+        F.col("r2n").cast("bigint").alias("ranksum2_n"),
+        F.col("r2r").cast("bigint").alias("ranksum2_r"),
+        F.round(h, 9).alias("h_stat"),
+        F.round(h / c, 9).alias("h_tie_corrected"),
+    )
+
+
+ORACLES["agg_kruskal_wallis"] = """
+WITH li AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v FROM lineitem
+),
+vals AS (SELECT v, COUNT(*) AS cnt FROM li GROUP BY v),
+ranked AS (
+  SELECT v, cnt,
+         2 * SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+           - cnt + 1 AS ar2
+  FROM vals
+),
+gv AS (SELECT g, v, COUNT(*) AS c FROM li GROUP BY g, v),
+per_g AS (
+  SELECT g, SUM(c) AS n, SUM(c * ar2) AS r2
+  FROM gv JOIN ranked USING (v) GROUP BY g
+),
+tie AS (SELECT SUM(cnt*cnt*cnt - cnt) AS tie FROM vals),
+piv AS (
+  SELECT MAX(CASE WHEN g='A' THEN n END) AS na,
+         MAX(CASE WHEN g='A' THEN r2 END) AS r2a,
+         MAX(CASE WHEN g='N' THEN n END) AS nn,
+         MAX(CASE WHEN g='N' THEN r2 END) AS r2n,
+         MAX(CASE WHEN g='R' THEN n END) AS nr,
+         MAX(CASE WHEN g='R' THEN r2 END) AS r2r
+  FROM per_g
+)
+SELECT CAST(na + nn + nr AS BIGINT) AS n_total,
+       CAST(na AS BIGINT) AS n_a,
+       CAST(nn AS BIGINT) AS n_n,
+       CAST(nr AS BIGINT) AS n_r,
+       CAST(r2a AS BIGINT) AS ranksum2_a,
+       CAST(r2n AS BIGINT) AS ranksum2_n,
+       CAST(r2r AS BIGINT) AS ranksum2_r,
+       ROUND(
+         (12.0 / (nd * (nd + 1.0))) *
+           ( (CAST(r2a AS DOUBLE)/2.0)*(CAST(r2a AS DOUBLE)/2.0)/CAST(na AS DOUBLE)
+           + (CAST(r2n AS DOUBLE)/2.0)*(CAST(r2n AS DOUBLE)/2.0)/CAST(nn AS DOUBLE)
+           + (CAST(r2r AS DOUBLE)/2.0)*(CAST(r2r AS DOUBLE)/2.0)/CAST(nr AS DOUBLE) )
+         - 3.0 * (nd + 1.0), 9) AS h_stat,
+       ROUND(
+         ( (12.0 / (nd * (nd + 1.0))) *
+           ( (CAST(r2a AS DOUBLE)/2.0)*(CAST(r2a AS DOUBLE)/2.0)/CAST(na AS DOUBLE)
+           + (CAST(r2n AS DOUBLE)/2.0)*(CAST(r2n AS DOUBLE)/2.0)/CAST(nn AS DOUBLE)
+           + (CAST(r2r AS DOUBLE)/2.0)*(CAST(r2r AS DOUBLE)/2.0)/CAST(nr AS DOUBLE) )
+         - 3.0 * (nd + 1.0) )
+         / (1.0 - CAST(tie AS DOUBLE) / (nd*nd*nd - nd)), 9)
+         AS h_tie_corrected
+FROM piv, tie, (SELECT CAST(na + nn + nr AS DOUBLE) AS nd FROM piv)
+"""
+
+
+def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (tie-aware: Pearson over average
+    ranks) between quantity and extended price, per return flag.
+    Average ranks are exact integers (the ``2·rank`` doubling trick:
+    ``2·RANK() + COUNT() OVER (value peers) − 1``); the moment sums
+    are exact DECIMAL(38,0); only the final rho is IEEE — a fixed
+    expression over exact sums, so both engines emit the identical
+    double.  Two window sorts per group (one per variable) and one
+    hash aggregate — rank computation is inherently a per-group sort
+    and this is the minimal plan for it."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    wx = Window.partitionBy("g").orderBy("x")
+    wxp = Window.partitionBy("g", "x")
+    wy = Window.partitionBy("g").orderBy("y")
+    wyp = Window.partitionBy("g", "y")
+    ranked = li.select(
+        "g",
+        (
+            F.lit(2) * F.rank().over(wx)
+            + F.count(F.lit(1)).over(wxp)
+            - F.lit(1)
+        )
+        .cast("decimal(19,0)")
+        .alias("rx"),
+        (
+            F.lit(2) * F.rank().over(wy)
+            + F.count(F.lit(1)).over(wyp)
+            - F.lit(1)
+        )
+        .cast("decimal(19,0)")
+        .alias("ry"),
+    )
+    sums = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rx").cast("decimal(38,0)").alias("sx"),
+        F.sum("ry").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("decimal(38,0)").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sx * sy
+    den = F.sqrt(
+        (nd * F.col("sxx").cast("double") - sx * sx)
+        * (nd * F.col("syy").cast("double") - sy * sy)
+    )
+    return sums.select(
+        F.col("g").alias("l_returnflag"),
+        "n",
+        F.round(num / den, 9).alias("spearman_rho"),
+    )
+
+
+ORACLES["agg_spearman"] = """
+WITH li AS (
+  SELECT l_returnflag AS g,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+ranked AS (
+  SELECT g,
+         CAST(2 * RANK() OVER (PARTITION BY g ORDER BY x)
+              + COUNT(*) OVER (PARTITION BY g, x) - 1 AS HUGEINT) AS rx,
+         CAST(2 * RANK() OVER (PARTITION BY g ORDER BY y)
+              + COUNT(*) OVER (PARTITION BY g, y) - 1 AS HUGEINT) AS ry
+  FROM li
+),
+sums AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(rx) AS sx, SUM(ry) AS sy,
+         SUM(rx*rx) AS sxx, SUM(ry*ry) AS syy, SUM(rx*ry) AS sxy
+  FROM ranked GROUP BY g
+)
+SELECT g AS l_returnflag, n,
+       ROUND(
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / SQRT(
+             (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+           ), 9) AS spearman_rho
+FROM sums
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "agg_kruskal_wallis": q_agg_kruskal_wallis,
+        "agg_spearman": q_agg_spearman,
+    }
+)
+
+
+def q_agg_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR correction over one p-value per
+    document (deterministic Knuth-hash pseudo p-values so both engines
+    derive the identical inputs from ``doc_id`` alone).  The adjusted
+    p is the reverse running minimum of ``p·m/rank`` — a single window
+    sort plus a reverse-cumulative MIN (min over IEEE doubles is
+    exact, so the only float ops are the per-row ``(p·m)/i``, a fixed
+    expression).  At 100 TB the p-value table is one row per test —
+    tiny next to the corpus — and a single range-partitioned sort is
+    the canonical plan for any step-up/step-down procedure."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    p = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000003)
+    ).cast("double") / F.lit(1000003.0)
+    base = docs.select("doc_id", p.alias("p"))
+    m = base.count()
+    wi = Window.orderBy("p", "doc_id")
+    wrev = Window.orderBy(F.desc("p"), F.desc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = base.select(
+        "doc_id",
+        "p",
+        F.row_number().over(wi).alias("i"),
+    ).select(
+        "doc_id",
+        "p",
+        (
+            (F.col("p") * F.lit(float(m))) / F.col("i").cast("double")
+        ).alias("raw"),
+    )
+    return ranked.select(
+        "doc_id",
+        F.round("p", 9).alias("p_value"),
+        F.round(F.least(F.lit(1.0), F.min("raw").over(wrev)), 9).alias(
+            "p_adjusted"
+        ),
+    ).select(
+        "doc_id",
+        "p_value",
+        "p_adjusted",
+        (F.col("p_adjusted") <= F.lit(0.05)).alias("significant"),
+    )
+
+
+ORACLES["agg_bh_fdr"] = """
+WITH base AS (
+  SELECT doc_id,
+         CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 AS p
+  FROM documents
+),
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM base),
+ranked AS (
+  SELECT doc_id, p,
+         (p * m) / CAST(ROW_NUMBER() OVER (ORDER BY p, doc_id) AS DOUBLE)
+           AS raw
+  FROM base, m
+),
+adj AS (
+  SELECT doc_id, p,
+         LEAST(1.0, MIN(raw) OVER (ORDER BY p DESC, doc_id DESC
+                    ROWS UNBOUNDED PRECEDING)) AS p_adj
+  FROM ranked
+)
+SELECT doc_id, ROUND(p, 9) AS p_value, ROUND(p_adj, 9) AS p_adjusted,
+       ROUND(p_adj, 9) <= 0.05 AS significant
+FROM adj
+"""
+
+
+def q_agg_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired-proportion test with continuity correction:
+    did per-user 'error' incidence change between the first and second
+    half of the month?  Pairs are users; the discordant cells b
+    (early-only) and c (late-only) drive ``(|b−c|−1)²/(b+c)``.  One
+    hash aggregate per user then a single-row reduce — the contingency
+    shrinks to four BIGINTs before any float op, so the statistic is a
+    fixed IEEE expression over exact integers.  Scale: per-user flags
+    are a map-side-combinable aggregate; the final 2×2 is constant
+    size regardless of corpus."""
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "error")
+                & (F.dayofmonth("ts") <= 15),
+                1,
+            ).otherwise(0)
+        ).alias("early"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "error")
+                & (F.dayofmonth("ts") > 15),
+                1,
+            ).otherwise(0)
+        ).alias("late"),
+    )
+    cells = per_user.agg(
+        F.sum(
+            F.when((F.col("early") == 1) & (F.col("late") == 1), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("both_halves"),
+        F.sum(
+            F.when((F.col("early") == 1) & (F.col("late") == 0), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("early_only"),
+        F.sum(
+            F.when((F.col("early") == 0) & (F.col("late") == 1), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("late_only"),
+        F.sum(
+            F.when((F.col("early") == 0) & (F.col("late") == 0), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("neither"),
+    )
+    b = F.col("early_only").cast("double")
+    c = F.col("late_only").cast("double")
+    stat = ((F.abs(b - c) - F.lit(1.0)) * (F.abs(b - c) - F.lit(1.0))) / (
+        b + c
+    )
+    return cells.select(
+        "both_halves",
+        "early_only",
+        "late_only",
+        "neither",
+        F.round(
+            F.when(
+                F.col("early_only") + F.col("late_only") > 0, stat
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("mcnemar_stat"),
+    )
+
+
+ORACLES["agg_mcnemar"] = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'error'
+                   AND EXTRACT(DAY FROM ts) <= 15 THEN 1 ELSE 0 END)
+           AS early,
+         MAX(CASE WHEN event_type = 'error'
+                   AND EXTRACT(DAY FROM ts) > 15 THEN 1 ELSE 0 END)
+           AS late
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN early=1 AND late=1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS both_halves,
+    CAST(SUM(CASE WHEN early=1 AND late=0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS early_only,
+    CAST(SUM(CASE WHEN early=0 AND late=1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS late_only,
+    CAST(SUM(CASE WHEN early=0 AND late=0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS neither
+  FROM per_user
+)
+SELECT both_halves, early_only, late_only, neither,
+       ROUND(CASE WHEN early_only + late_only > 0 THEN
+         ((ABS(CAST(early_only AS DOUBLE) - CAST(late_only AS DOUBLE)) - 1.0)
+          * (ABS(CAST(early_only AS DOUBLE) - CAST(late_only AS DOUBLE)) - 1.0))
+         / (CAST(early_only AS DOUBLE) + CAST(late_only AS DOUBLE))
+       ELSE 0.0 END, 9) AS mcnemar_stat
+FROM cells
+"""
+
+
+def q_agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges–Lehmann location estimate per nation: the median of all
+    pairwise Walsh averages ``(a_i + a_j)/2, i ≤ j`` of customer
+    balances.  Balances become exact cents; the pairwise SUM (not the
+    half, so everything stays BIGINT) is generated by an equi-key
+    self-join within the nation and the lower median is the
+    ``⌈M/2⌉``-th order statistic — engine-proof (an order statistic of
+    a multiset needs no tie policy).  Pairing is quadratic BY DESIGN
+    within a bounded group (≤ thousands of customers per nation here);
+    the 100 TB recipe in docs/SCALE.md is per-group reservoir capping
+    before pairing — the estimator is root-n stable under uniform
+    subsampling, and the plan gates pin the join to the group key so
+    no cross-nation pair is ever materialized."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("ck"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.nk") == F.col("b.nk")) & (F.col("a.ck") <= F.col("b.ck")),
+    ).select(
+        F.col("a.nk").alias("nk"),
+        (F.col("a.cents") + F.col("b.cents")).alias("s"),
+    )
+    wn = Window.partitionBy("nk").orderBy("s")
+    ranked = pairs.select(
+        "nk", "s", F.row_number().over(wn).alias("rn")
+    )
+    m = pairs.groupBy("nk").agg(F.count(F.lit(1)).alias("m_pairs"))
+    return (
+        ranked.join(F.broadcast(m), "nk")
+        .filter(F.col("rn") == F.floor((F.col("m_pairs") + 1) / 2))
+        .select(
+            F.col("nk").alias("c_nationkey"),
+            F.col("m_pairs").cast("bigint").alias("m_pairs"),
+            F.col("s").cast("bigint").alias("hl_x2_cents"),
+        )
+    )
+
+
+ORACLES["agg_hodges_lehmann"] = """
+WITH c AS (
+  SELECT c_nationkey AS nk, c_custkey AS ck,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+pairs AS (
+  SELECT a.nk, a.cents + b.cents AS s
+  FROM c a JOIN c b ON a.nk = b.nk AND a.ck <= b.ck
+),
+ranked AS (
+  SELECT nk, s,
+         ROW_NUMBER() OVER (PARTITION BY nk ORDER BY s) AS rn,
+         COUNT(*) OVER (PARTITION BY nk) AS m_pairs
+  FROM pairs
+)
+SELECT nk AS c_nationkey,
+       CAST(m_pairs AS BIGINT) AS m_pairs,
+       CAST(s AS BIGINT) AS hl_x2_cents
+FROM ranked
+WHERE rn = CAST(FLOOR((m_pairs + 1) / 2) AS BIGINT)
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "agg_bh_fdr": q_agg_bh_fdr,
+        "agg_mcnemar": q_agg_mcnemar,
+        "agg_hodges_lehmann": q_agg_hodges_lehmann,
+    }
+)
