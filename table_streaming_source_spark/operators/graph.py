@@ -305,3 +305,108 @@ def label_propagate(
     return labels.select(
         "vertex", F.col("label").cast("bigint").alias("label")
     )
+
+
+def clustering_coefficients(
+    edges: DataFrame, *, src: str = "a", dst: str = "b"
+) -> DataFrame:
+    """Local clustering coefficient per vertex: ``2·T(v) / (d(v)·(d(v)−1))``.
+
+    Input: canonical undirected edges (``src < dst``, deduped).  Both
+    ingredients stay EXACT integers — triangles via
+    :func:`triangle_counts`, wedges ``d(d−1)/2`` from a degree count —
+    so the only float op is the final one-per-vertex division.
+    Isolated/degree-1 vertices get coefficient 0 by convention.
+
+    Scale shape: the triangle join dominates (see
+    :func:`triangle_counts` for the degree-orientation mitigation);
+    the degree aggregate is map-side combinable and the final join is
+    vertex-keyed — nothing here adds a shuffle beyond the triangle
+    enumeration itself.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    tri = triangle_counts(e)
+    joined = deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0))
+        .cast("bigint")
+        .alias("n_triangles"),
+    )
+    wedges = (F.col("degree") * (F.col("degree") - 1) / 2).cast("bigint")
+    return joined.select(
+        "node",
+        "degree",
+        "n_triangles",
+        wedges.alias("wedges"),
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                F.col("n_triangles").cast("double")
+                / (
+                    (F.col("degree") * (F.col("degree") - 1) / 2).cast(
+                        "double"
+                    )
+                ),
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("clustering_coeff"),
+    )
+
+
+def hits_scores(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Two-round UNNORMALIZED HITS over a directed edge list.
+
+    With ``h⁰ ≡ 1``, the k-th unnormalized scores are exact path
+    counts: ``a¹ = indegree``, ``h¹(u) = Σ_{u→v} a¹(v)``, ``a²(v) =
+    Σ_{u→v} h¹(u)``, ``h²(u) = Σ_{u→v} a²(v)`` — every value an exact
+    BIGINT, which sidesteps the float-normalization order dependence
+    entirely (callers normalize AFTER, if they need the unit vector;
+    the ranking is scale-invariant).
+
+    Returns one row per participating vertex and role:
+    ``(role ∈ {hub, auth}, id, score_1, score_2)``.
+
+    Scale shape: each half-round is one vertex-keyed equi-join of the
+    edge list with the current score vector plus one hash aggregate —
+    the same join-per-iteration shape as :func:`pagerank`; the edge
+    list is reused four times, so callers at scale should cache it.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    a1 = e.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("a1"))
+    h1 = (
+        e.join(a1, "v")
+        .groupBy("u")
+        .agg(F.sum("a1").cast("bigint").alias("h1"))
+    )
+    a2 = (
+        e.join(h1, "u")
+        .groupBy("v")
+        .agg(F.sum("h1").cast("bigint").alias("a2"))
+    )
+    h2 = (
+        e.join(a2, "v")
+        .groupBy("u")
+        .agg(F.sum("a2").cast("bigint").alias("h2"))
+    )
+    hubs = h1.join(h2, "u").select(
+        F.lit("hub").alias("role"),
+        F.col("u").cast("bigint").alias("id"),
+        F.col("h1").alias("score_1"),
+        F.col("h2").alias("score_2"),
+    )
+    auths = a1.join(a2, "v").select(
+        F.lit("auth").alias("role"),
+        F.col("v").cast("bigint").alias("id"),
+        F.col("a1").alias("score_1"),
+        F.col("a2").alias("score_2"),
+    )
+    return hubs.unionAll(auths)

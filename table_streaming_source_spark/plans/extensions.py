@@ -10455,3 +10455,110 @@ QUERIES_DEFERRED.update(
         "agg_hodges_lehmann": q_agg_hodges_lehmann,
     }
 )
+
+
+def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (`operators/graph.py::
+    clustering_coefficients`) over the order-residue graph used by
+    `graph_triangles`: triangles AND wedges stay exact BIGINTs, the
+    coefficient is the single per-vertex IEEE division — the
+    transitivity signal for link-graph quality (spam farms cluster;
+    organic neighborhoods don't)."""
+    from table_streaming_source_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    u = (F.col("o_custkey") % 40).cast("long")
+    v = (F.col("o_orderkey") % 40).cast("long")
+    edges = (
+        o.select(F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return clustering_coefficients(edges).orderBy("node")
+
+
+ORACLES["graph_clustering"] = """
+WITH edges AS (
+  SELECT DISTINCT LEAST(o_custkey % 40, o_orderkey % 40) AS a,
+         GREATEST(o_custkey % 40, o_orderkey % 40) AS b
+  FROM orders
+  WHERE o_custkey % 40 <> o_orderkey % 40
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+  ) GROUP BY node
+),
+tri AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT e1.a AS a, e1.b AS m, e2.b AS c
+    FROM edges e1
+    JOIN edges e2 ON e1.b = e2.a
+    WHERE EXISTS (SELECT 1 FROM edges e3
+                  WHERE e3.a = e1.a AND e3.b = e2.b)
+  ) t, LATERAL (VALUES (t.a), (t.m), (t.c)) AS nd(node)
+  GROUP BY node
+)
+SELECT deg.node, deg.degree,
+       CAST(COALESCE(tri.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(deg.degree * (deg.degree - 1) / 2 AS BIGINT) AS wedges,
+       ROUND(CASE WHEN deg.degree >= 2 THEN
+         CAST(COALESCE(tri.n_triangles, 0) AS DOUBLE)
+           / CAST(deg.degree * (deg.degree - 1) / 2 AS DOUBLE)
+       ELSE 0.0 END, 9) AS clustering_coeff
+FROM deg LEFT JOIN tri USING (node)
+ORDER BY node
+"""
+
+
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-round HITS (`operators/graph.py::hits_scores`) over the
+    directed part→supplier supply graph (distinct lineitem pairs):
+    hubs are parts that draw on authoritative suppliers, authorities
+    are suppliers feeding strong hubs.  Unnormalized scores are exact
+    path COUNTS (BIGINT end-to-end) — normalization is deferred to the
+    consumer, so no float accumulation order can leak into the check."""
+    from table_streaming_source_spark.operators.graph import hits_scores
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+    ).distinct()
+    return hits_scores(edges)
+
+
+ORACLES["graph_hits"] = """
+WITH e AS (
+  SELECT DISTINCT l_partkey AS u, l_suppkey AS v FROM lineitem
+),
+a1 AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS a1 FROM e GROUP BY v),
+h1 AS (
+  SELECT u, CAST(SUM(a1) AS BIGINT) AS h1
+  FROM e JOIN a1 USING (v) GROUP BY u
+),
+a2 AS (
+  SELECT v, CAST(SUM(h1) AS BIGINT) AS a2
+  FROM e JOIN h1 USING (u) GROUP BY v
+),
+h2 AS (
+  SELECT u, CAST(SUM(a2) AS BIGINT) AS h2
+  FROM e JOIN a2 USING (v) GROUP BY u
+)
+SELECT 'hub' AS role, CAST(u AS BIGINT) AS id,
+       h1 AS score_1, h2 AS score_2
+FROM h1 JOIN h2 USING (u)
+UNION ALL
+SELECT 'auth' AS role, CAST(v AS BIGINT) AS id,
+       a1 AS score_1, a2 AS score_2
+FROM a1 JOIN a2 USING (v)
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "graph_clustering": q_graph_clustering,
+        "graph_hits": q_graph_hits,
+    }
+)
