@@ -10562,3 +10562,473 @@ QUERIES_DEFERRED.update(
         "graph_hits": q_graph_hits,
     }
 )
+
+
+def q_text_rouge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ROUGE-1/ROUGE-2 (Lin 2004) per language — the
+    summarization-eval sibling of `text_bleu_eval`.  Candidate = the
+    reference with every 5th token deleted (deterministic degradation;
+    recall < 1 and clipping both exercised).  True corpus ROUGE:
+    clipped n-gram matches, candidate totals and reference totals are
+    summed over documents BEFORE the P/R/F divisions, which are fixed
+    scalar IEEE expressions over exact BIGINTs (round 9).
+
+    Shape: both orders' grams are built row-locally in one nested
+    ``transform`` (the `text_bleu_eval` (n, gram)-struct trick), so
+    each side pays one hash aggregate keyed (lang, doc, n, gram), the
+    clip join reuses that partitioning, and the per-language rollup is
+    the only further exchange.  Gram digests shuffle; documents
+    don't."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            "doc_id",
+            F.split(F.trim("text"), r"\s+").alias("ref_toks"),
+        )
+        .withColumn(
+            "cand_toks",
+            F.expr("filter(ref_toks, (tok, i) -> (i + 1) % 5 != 0)"),
+        )
+    )
+
+    def grams_all(col: str):
+        return F.expr(
+            f"flatten(transform(sequence(1, 2), n -> "
+            f"transform(sequence(1, greatest(size({col}) - n + 1, 0)), "
+            f"i -> named_struct('n', n, "
+            f"'g', concat_ws(' ', slice({col}, i, n))))))"
+        )
+
+    def gram_counts(col: str, out: str):
+        return (
+            docs.select(
+                "lang", "doc_id", F.explode(grams_all(col)).alias("ng")
+            )
+            .select("lang", "doc_id", "ng.n", "ng.g")
+            .groupBy("lang", "doc_id", "n", "g")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    cand = gram_counts("cand_toks", "c_cnt")
+    ref = gram_counts("ref_toks", "r_cnt")
+    orders = (
+        ref.join(cand, ["lang", "doc_id", "n", "g"], "full_outer")
+        .select(
+            "lang",
+            "n",
+            F.least(
+                F.coalesce(F.col("c_cnt"), F.lit(0)),
+                F.coalesce(F.col("r_cnt"), F.lit(0)),
+            ).alias("m"),
+            F.coalesce(F.col("r_cnt"), F.lit(0)).alias("r_cnt"),
+            F.coalesce(F.col("c_cnt"), F.lit(0)).alias("c_cnt"),
+        )
+        .groupBy("lang", "n")
+        .agg(
+            F.sum("m").cast("bigint").alias("match_n"),
+            F.sum("r_cnt").cast("bigint").alias("ref_total"),
+            F.sum("c_cnt").cast("bigint").alias("cand_total"),
+        )
+    )
+    p = F.col("match_n").cast("double") / F.col("cand_total").cast("double")
+    r = F.col("match_n").cast("double") / F.col("ref_total").cast("double")
+    f1 = F.lit(2.0) * p * r / (p + r)
+    return orders.select(
+        "lang",
+        F.col("n").cast("int").alias("n"),
+        "match_n",
+        "cand_total",
+        "ref_total",
+        F.round(p, 9).alias("rouge_p"),
+        F.round(r, 9).alias("rouge_r"),
+        F.round(
+            F.when(F.col("match_n") > 0, f1).otherwise(F.lit(0.0)), 9
+        ).alias("rouge_f1"),
+    )
+
+
+ORACLES["text_rouge_eval"] = """
+WITH toks AS (
+  SELECT lang, doc_id,
+         STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ')
+           AS ref_toks
+  FROM documents
+),
+pair AS (
+  SELECT lang, doc_id, ref_toks,
+         LIST_FILTER(LIST_TRANSFORM(RANGE(1, LEN(ref_toks) + 1),
+                                    i -> CASE WHEN i % 5 != 0
+                                              THEN ref_toks[i] END),
+                     x -> x IS NOT NULL) AS cand_toks
+  FROM toks
+),
+ns AS (SELECT UNNEST([1, 2]) AS n),
+cand_grams AS (
+  SELECT b.lang, b.doc_id, o.n, u.g
+  FROM pair b, ns o,
+       UNNEST(LIST_TRANSFORM(
+         RANGE(1, GREATEST(LEN(b.cand_toks) - o.n + 1, 0) + 1),
+         i -> ARRAY_TO_STRING(b.cand_toks[i : i + o.n - 1], ' ')))
+         AS u(g)
+),
+ref_grams AS (
+  SELECT b.lang, b.doc_id, o.n, u.g
+  FROM pair b, ns o,
+       UNNEST(LIST_TRANSFORM(
+         RANGE(1, GREATEST(LEN(b.ref_toks) - o.n + 1, 0) + 1),
+         i -> ARRAY_TO_STRING(b.ref_toks[i : i + o.n - 1], ' ')))
+         AS u(g)
+),
+cc AS (
+  SELECT lang, doc_id, n, g, COUNT(*) AS c_cnt
+  FROM cand_grams GROUP BY 1, 2, 3, 4
+),
+rc AS (
+  SELECT lang, doc_id, n, g, COUNT(*) AS r_cnt
+  FROM ref_grams GROUP BY 1, 2, 3, 4
+),
+orders AS (
+  SELECT COALESCE(rc.lang, cc.lang) AS lang, COALESCE(rc.n, cc.n) AS n,
+         CAST(SUM(LEAST(COALESCE(cc.c_cnt, 0), COALESCE(rc.r_cnt, 0)))
+              AS BIGINT) AS match_n,
+         CAST(SUM(COALESCE(rc.r_cnt, 0)) AS BIGINT) AS ref_total,
+         CAST(SUM(COALESCE(cc.c_cnt, 0)) AS BIGINT) AS cand_total
+  FROM rc FULL OUTER JOIN cc
+    ON rc.lang = cc.lang AND rc.doc_id = cc.doc_id
+   AND rc.n = cc.n AND rc.g = cc.g
+  GROUP BY 1, 2
+)
+SELECT lang, CAST(n AS INT) AS n, match_n, cand_total, ref_total,
+       ROUND(CAST(match_n AS DOUBLE) / CAST(cand_total AS DOUBLE), 9)
+         AS rouge_p,
+       ROUND(CAST(match_n AS DOUBLE) / CAST(ref_total AS DOUBLE), 9)
+         AS rouge_r,
+       ROUND(CASE WHEN match_n > 0 THEN
+         2.0 * (CAST(match_n AS DOUBLE) / CAST(cand_total AS DOUBLE))
+             * (CAST(match_n AS DOUBLE) / CAST(ref_total AS DOUBLE))
+           / (CAST(match_n AS DOUBLE) / CAST(cand_total AS DOUBLE)
+              + CAST(match_n AS DOUBLE) / CAST(ref_total AS DOUBLE))
+       ELSE 0.0 END, 9) AS rouge_f1
+FROM orders
+"""
+
+
+QUERIES_DEFERRED.update({"text_rouge_eval": q_text_rouge_eval})
+
+
+def q_text_chrf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus chrF2 (Popović 2015): character n-gram F-score with
+    β = 2, orders n = 1..3, whitespace removed — the tokenizer-free
+    generation eval beside `text_bleu_eval`/`text_rouge_eval` (same
+    deterministic every-5th-token deletion for the candidate).  Per
+    order: clipped char-gram matches and totals sum corpus-wide as
+    exact BIGINTs; chrP/chrR are the arithmetic means of the three
+    per-order precisions/recalls and chrF2 = 5PR/(4P+R) — all fixed
+    scalar IEEE expressions (round 9).  Same single-hash-aggregate
+    gram-digest shape as BLEU/ROUGE: only (lang, doc, n, gram) digests
+    shuffle."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            "doc_id",
+            F.split(F.trim("text"), r"\s+").alias("ref_toks"),
+        )
+        .select(
+            "lang",
+            "doc_id",
+            F.concat_ws("", F.col("ref_toks")).alias("ref_str"),
+            F.concat_ws(
+                "",
+                F.expr("filter(ref_toks, (tok, i) -> (i + 1) % 5 != 0)"),
+            ).alias("cand_str"),
+        )
+    )
+
+    def grams_all(col: str):
+        return F.expr(
+            f"flatten(transform(sequence(1, 3), n -> "
+            f"transform(sequence(1, greatest(length({col}) - n + 1, 0)), "
+            f"i -> named_struct('n', n, 'g', substring({col}, i, n)))))"
+        )
+
+    def gram_counts(col: str, out: str):
+        return (
+            docs.select(
+                "lang", "doc_id", F.explode(grams_all(col)).alias("ng")
+            )
+            .select("lang", "doc_id", "ng.n", "ng.g")
+            .groupBy("lang", "doc_id", "n", "g")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    cand = gram_counts("cand_str", "c_cnt")
+    ref = gram_counts("ref_str", "r_cnt")
+    orders = (
+        ref.join(cand, ["lang", "doc_id", "n", "g"], "full_outer")
+        .select(
+            "lang",
+            "n",
+            F.least(
+                F.coalesce(F.col("c_cnt"), F.lit(0)),
+                F.coalesce(F.col("r_cnt"), F.lit(0)),
+            ).alias("m"),
+            F.coalesce(F.col("r_cnt"), F.lit(0)).alias("r_cnt"),
+            F.coalesce(F.col("c_cnt"), F.lit(0)).alias("c_cnt"),
+        )
+        .groupBy("lang", "n")
+        .agg(
+            F.sum("m").cast("bigint").alias("match_n"),
+            F.sum("r_cnt").cast("bigint").alias("ref_total"),
+            F.sum("c_cnt").cast("bigint").alias("cand_total"),
+        )
+    )
+
+    def piv(src: str, n: int):
+        return F.max(F.when(F.col("n") == n, F.col(src)))
+
+    wide = orders.groupBy("lang").agg(
+        *[piv("match_n", n).alias(f"m{n}") for n in (1, 2, 3)],
+        *[piv("cand_total", n).alias(f"c{n}") for n in (1, 2, 3)],
+        *[piv("ref_total", n).alias(f"r{n}") for n in (1, 2, 3)],
+    )
+
+    def ratio(a: str, b: str):
+        return F.col(a).cast("double") / F.col(b).cast("double")
+
+    p = (
+        ratio("m1", "c1") + ratio("m2", "c2") + ratio("m3", "c3")
+    ) / F.lit(3.0)
+    r = (
+        ratio("m1", "r1") + ratio("m2", "r2") + ratio("m3", "r3")
+    ) / F.lit(3.0)
+    chrf = F.lit(5.0) * p * r / (F.lit(4.0) * p + r)
+    return wide.select(
+        "lang",
+        *[F.col(c) for c in ("m1", "m2", "m3", "c1", "c2", "c3", "r1", "r2", "r3")],
+        F.round(p, 9).alias("chr_p"),
+        F.round(r, 9).alias("chr_r"),
+        F.round(chrf, 9).alias("chrf2"),
+    )
+
+
+ORACLES["text_chrf_eval"] = """
+WITH toks AS (
+  SELECT lang, doc_id,
+         STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ')
+           AS ref_toks
+  FROM documents
+),
+pair AS (
+  SELECT lang, doc_id,
+         ARRAY_TO_STRING(ref_toks, '') AS ref_str,
+         ARRAY_TO_STRING(
+           LIST_FILTER(LIST_TRANSFORM(RANGE(1, LEN(ref_toks) + 1),
+                                      i -> CASE WHEN i % 5 != 0
+                                                THEN ref_toks[i] END),
+                       x -> x IS NOT NULL), '') AS cand_str
+  FROM toks
+),
+ns AS (SELECT UNNEST([1, 2, 3]) AS n),
+cand_grams AS (
+  SELECT b.lang, b.doc_id, o.n, u.g
+  FROM pair b, ns o,
+       UNNEST(LIST_TRANSFORM(
+         RANGE(1, GREATEST(LEN(b.cand_str) - o.n + 1, 0) + 1),
+         i -> SUBSTRING(b.cand_str, i, o.n))) AS u(g)
+),
+ref_grams AS (
+  SELECT b.lang, b.doc_id, o.n, u.g
+  FROM pair b, ns o,
+       UNNEST(LIST_TRANSFORM(
+         RANGE(1, GREATEST(LEN(b.ref_str) - o.n + 1, 0) + 1),
+         i -> SUBSTRING(b.ref_str, i, o.n))) AS u(g)
+),
+cc AS (
+  SELECT lang, doc_id, n, g, COUNT(*) AS c_cnt
+  FROM cand_grams GROUP BY 1, 2, 3, 4
+),
+rc AS (
+  SELECT lang, doc_id, n, g, COUNT(*) AS r_cnt
+  FROM ref_grams GROUP BY 1, 2, 3, 4
+),
+orders AS (
+  SELECT COALESCE(rc.lang, cc.lang) AS lang, COALESCE(rc.n, cc.n) AS n,
+         CAST(SUM(LEAST(COALESCE(cc.c_cnt, 0), COALESCE(rc.r_cnt, 0)))
+              AS BIGINT) AS match_n,
+         CAST(SUM(COALESCE(rc.r_cnt, 0)) AS BIGINT) AS ref_total,
+         CAST(SUM(COALESCE(cc.c_cnt, 0)) AS BIGINT) AS cand_total
+  FROM rc FULL OUTER JOIN cc
+    ON rc.lang = cc.lang AND rc.doc_id = cc.doc_id
+   AND rc.n = cc.n AND rc.g = cc.g
+  GROUP BY 1, 2
+),
+wide AS (
+  SELECT lang,
+         MAX(CASE WHEN n=1 THEN match_n END) AS m1,
+         MAX(CASE WHEN n=2 THEN match_n END) AS m2,
+         MAX(CASE WHEN n=3 THEN match_n END) AS m3,
+         MAX(CASE WHEN n=1 THEN cand_total END) AS c1,
+         MAX(CASE WHEN n=2 THEN cand_total END) AS c2,
+         MAX(CASE WHEN n=3 THEN cand_total END) AS c3,
+         MAX(CASE WHEN n=1 THEN ref_total END) AS r1,
+         MAX(CASE WHEN n=2 THEN ref_total END) AS r2,
+         MAX(CASE WHEN n=3 THEN ref_total END) AS r3
+  FROM orders GROUP BY lang
+)
+SELECT lang, m1, m2, m3, c1, c2, c3, r1, r2, r3,
+       ROUND(pv, 9) AS chr_p, ROUND(rv, 9) AS chr_r,
+       ROUND(5.0 * pv * rv / (4.0 * pv + rv), 9) AS chrf2
+FROM (
+  SELECT *,
+         (CAST(m1 AS DOUBLE)/CAST(c1 AS DOUBLE)
+          + CAST(m2 AS DOUBLE)/CAST(c2 AS DOUBLE)
+          + CAST(m3 AS DOUBLE)/CAST(c3 AS DOUBLE)) / 3.0 AS pv,
+         (CAST(m1 AS DOUBLE)/CAST(r1 AS DOUBLE)
+          + CAST(m2 AS DOUBLE)/CAST(r2 AS DOUBLE)
+          + CAST(m3 AS DOUBLE)/CAST(r3 AS DOUBLE)) / 3.0 AS rv
+  FROM wide
+)
+"""
+
+
+QUERIES_DEFERRED.update({"text_chrf_eval": q_text_chrf_eval})
+
+
+def q_sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
+    rankings — the standard hybrid-search combiner (lexical ∪ vector):
+    ranking A orders documents by 'data' term frequency, ranking B by
+    'query' term frequency (desc, doc_id tiebreak — total orders, so
+    both engines rank identically).  Fused score = Σ 1/(60 + rankᵢ), a
+    fixed two-term IEEE expression over exact integer ranks; top-20 by
+    (score desc, doc_id).  Scale: each ranking is one count + one sort
+    (range-partitioned at scale), the fusion join is doc-keyed, and
+    the final top-k is TakeOrderedAndProject — no full collect
+    anywhere."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\bdata\b")).alias("tf_a_raw"),
+        F.size(F.split(F.col("text"), r"\bquery\b")).alias("tf_b_raw"),
+    ).select(
+        "doc_id",
+        (F.col("tf_a_raw") - 1).alias("tf_a"),
+        (F.col("tf_b_raw") - 1).alias("tf_b"),
+    )
+    wa = Window.orderBy(F.desc("tf_a"), "doc_id")
+    wb = Window.orderBy(F.desc("tf_b"), "doc_id")
+    ranked = docs.select(
+        "doc_id",
+        "tf_a",
+        "tf_b",
+        F.row_number().over(wa).alias("rank_a"),
+        F.row_number().over(wb).alias("rank_b"),
+    )
+    score = F.lit(1.0) / (F.lit(60.0) + F.col("rank_a").cast("double")) + F.lit(
+        1.0
+    ) / (F.lit(60.0) + F.col("rank_b").cast("double"))
+    return (
+        ranked.select(
+            "doc_id",
+            F.col("tf_a").cast("bigint").alias("tf_a"),
+            F.col("tf_b").cast("bigint").alias("tf_b"),
+            F.col("rank_a").cast("bigint").alias("rank_a"),
+            F.col("rank_b").cast("bigint").alias("rank_b"),
+            F.round(score, 9).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(20)
+    )
+
+
+ORACLES["sim_rrf_fusion"] = """
+WITH tf AS (
+  SELECT doc_id,
+         CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\\bdata\\b')) - 1 AS BIGINT)
+           AS tf_a,
+         CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\\bquery\\b')) - 1 AS BIGINT)
+           AS tf_b
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, tf_a, tf_b,
+         CAST(ROW_NUMBER() OVER (ORDER BY tf_a DESC, doc_id) AS BIGINT)
+           AS rank_a,
+         CAST(ROW_NUMBER() OVER (ORDER BY tf_b DESC, doc_id) AS BIGINT)
+           AS rank_b
+  FROM tf
+)
+SELECT doc_id, tf_a, tf_b, rank_a, rank_b,
+       ROUND(1.0 / (60.0 + CAST(rank_a AS DOUBLE))
+             + 1.0 / (60.0 + CAST(rank_b AS DOUBLE)), 9) AS rrf_score
+FROM ranked
+ORDER BY rrf_score DESC, doc_id
+LIMIT 20
+"""
+
+
+def q_pipeline_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunking: 64-token windows at stride 48
+    (16-token overlap) — the retrieval-index preprocessing step between
+    cleaning and embedding.  Chunk starts are generated ROW-LOCALLY
+    (``sequence`` over the token count — no join, no shuffle at all
+    until the optional downstream index write), each chunk carries its
+    provenance (doc, ordinal, token offset, length) and an md5 content
+    digest for downstream chunk-level dedup.  At 100 TB this is the
+    canonical zero-exchange map: documents never leave their input
+    partition."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.posexplode(
+            F.expr(
+                "transform("
+                "  sequence(0, int(floor((greatest(size(toks), 1) - 1) / 48))),"
+                "  k -> named_struct("
+                "    'start', k * 48 + 1,"
+                "    'piece', slice(toks, k * 48 + 1, 64)))"
+            )
+        ).alias("chunk_idx", "c"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("c.start").cast("bigint").alias("start_tok"),
+        F.size("c.piece").cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("c.piece"))).alias("chunk_md5"),
+    )
+
+
+ORACLES["pipeline_chunk_overlap"] = """
+WITH toks AS (
+  SELECT doc_id,
+         STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ')
+           AS toks
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(k.k AS INT) AS chunk_idx,
+         CAST(k.k * 48 + 1 AS BIGINT) AS start_tok,
+         toks[k.k * 48 + 1 : k.k * 48 + 64] AS piece
+  FROM toks,
+       UNNEST(RANGE(0, CAST(FLOOR((GREATEST(LEN(toks), 1) - 1) / 48)
+                            AS BIGINT) + 1)) AS k(k)
+)
+SELECT doc_id, chunk_idx, start_tok,
+       CAST(LEN(piece) AS BIGINT) AS n_tokens,
+       MD5(ARRAY_TO_STRING(piece, ' ')) AS chunk_md5
+FROM chunks
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "sim_rrf_fusion": q_sim_rrf_fusion,
+        "pipeline_chunk_overlap": q_pipeline_chunk_overlap,
+    }
+)
