@@ -11032,3 +11032,89 @@ QUERIES_DEFERRED.update(
         "pipeline_chunk_overlap": q_pipeline_chunk_overlap,
     }
 )
+
+
+def q_scan_parquet_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch parquet FOOTER scan (`sources/parquet_footer.py`):
+    the Thrift-Compact-Protocol ``FileMetaData`` walk every planner
+    performs before touching row data — version, row count, row-group
+    row sums, leaf-column count — implemented with zero parquet
+    libraries and verified against the engines' own full scans
+    (``num_rows`` must equal the oracle's COUNT(*) per table).  I/O is
+    footer-only by construction (seek EOF−8, read the length word,
+    read exactly that many bytes) — the planning pass a 100 TB table
+    needs touches KBs per file.  The tiny path list parallelizes as
+    one task per file via ``mapInPandas``."""
+    import os
+
+    import pandas as pd
+
+    from table_streaming_source_spark.sources.parquet_footer import (
+        read_footer,
+    )
+
+    names = sorted(
+        (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split()
+    )
+    paths = spark.createDataFrame(
+        [(n, os.path.join(sf_dir, f"{n}.parquet")) for n in names],
+        "table_name string, path string",
+    ).repartition(len(names))
+
+    def scan(it):
+        for pdf in it:
+            rows = []
+            for name, path in zip(pdf["table_name"], pdf["path"]):
+                fi = read_footer(path)
+                rows.append(
+                    (
+                        name,
+                        fi.version,
+                        fi.num_rows,
+                        fi.n_row_groups,
+                        fi.n_leaf_columns,
+                        fi.rowgroup_rows_sum == fi.num_rows,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "table_name",
+                    "version",
+                    "num_rows",
+                    "n_row_groups",
+                    "n_leaf_columns",
+                    "rowgroup_rows_ok",
+                ],
+            )
+
+    return paths.mapInPandas(
+        scan,
+        schema=(
+            "table_name string, version int, num_rows bigint, "
+            "n_row_groups int, n_leaf_columns int, rowgroup_rows_ok boolean"
+        ),
+    )
+
+
+ORACLES["scan_parquet_footer"] = """
+SELECT 'customer' AS table_name, CAST(2 AS INT) AS version,
+       CAST(COUNT(*) AS BIGINT) AS num_rows, CAST(1 AS INT) AS n_row_groups,
+       CAST(5 AS INT) AS n_leaf_columns, TRUE AS rowgroup_rows_ok
+FROM customer
+UNION ALL SELECT 'documents', 2, CAST(COUNT(*) AS BIGINT), 1, 5, TRUE FROM documents
+UNION ALL SELECT 'embeddings', 2, CAST(COUNT(*) AS BIGINT), 1, 3, TRUE FROM embeddings
+UNION ALL SELECT 'events', 2, CAST(COUNT(*) AS BIGINT), 1, 6, TRUE FROM events
+UNION ALL SELECT 'lineitem', 2, CAST(COUNT(*) AS BIGINT), 1, 11, TRUE FROM lineitem
+UNION ALL SELECT 'nation', 2, CAST(COUNT(*) AS BIGINT), 1, 3, TRUE FROM nation
+UNION ALL SELECT 'orders', 2, CAST(COUNT(*) AS BIGINT), 1, 6, TRUE FROM orders
+UNION ALL SELECT 'part', 2, CAST(COUNT(*) AS BIGINT), 1, 6, TRUE FROM part
+UNION ALL SELECT 'region', 2, CAST(COUNT(*) AS BIGINT), 1, 2, TRUE FROM region
+UNION ALL SELECT 'supplier', 2, CAST(COUNT(*) AS BIGINT), 1, 4, TRUE FROM supplier
+"""
+
+
+QUERIES_DEFERRED.update({"scan_parquet_footer": q_scan_parquet_footer})
