@@ -7022,3 +7022,450 @@ def pnm_stats(
             )
 
     return df.mapInPandas(batches, schema=PNM_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Sun/NeXT .au audio (public "Au file format" header, big-endian) — reuses
+# the G.711 mu-law expander
+# ---------------------------------------------------------------------------
+
+def synth_au(key: int) -> bytes:
+    """A spec-valid big-endian .au container (magic ``.snd``, 28-byte
+    header incl. a 4-byte annotation, encoding 1 = 8-bit G.711 mu-law)
+    whose code bytes follow ``c[i] = (i·(3 + key%13) + 2·key) % 256``
+    over ``n = 64 + key%200`` samples — container real, content
+    formula-stated so a SQL oracle can recompute the expansion."""
+    n = 64 + key % 200
+    sr = (8000, 11025, 16000)[key % 3]
+    codes = bytes(((i * (3 + key % 13) + 2 * key) % 256) for i in range(n))
+    header = struct.pack(
+        ">4sIIIII", b".snd", 28, n, 1, sr, 1
+    ) + b"eng\x00"
+    return header + codes
+
+
+def attach_au_payload(df: DataFrame, key: str) -> DataFrame:
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [synth_au(int(k)) for k in pdf[key]],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def au_stats(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Parse the .au header (magic, data offset — honored, not assumed —
+    data size, encoding, rate, channels), expand the mu-law payload via
+    :func:`ulaw_expand`, and emit exact-integer per-stream stats.  A
+    bad magic, unsupported encoding, or size mismatch raises — the
+    quarantine path, as for every other container here.  Arrow-batched,
+    zero shuffles."""
+    import numpy as np
+
+    def one(payload: bytes) -> tuple[int, int, int, int, int]:
+        if len(payload) < 24 or payload[:4] != b".snd":
+            raise ValueError("not an .au file (bad magic)")
+        off, dsize, enc, sr, ch = struct.unpack_from(">IIIII", payload, 4)
+        if enc != 1:
+            raise ValueError(f"unsupported .au encoding {enc}")
+        if ch != 1:
+            raise ValueError("only mono .au supported")
+        data = payload[off : off + dsize]
+        if len(data) != dsize:
+            raise ValueError("truncated .au data")
+        codes = np.frombuffer(data, dtype=np.uint8)
+        s = ulaw_expand(codes.astype(np.int64))
+        return (
+            sr,
+            int(codes.size),
+            int(s.sum()),
+            int(np.abs(s).sum()),
+            int(np.abs(s).max()) if s.size else 0,
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                sr, n, ssum, sabs, smax = one(bytes(payload))
+                rows.append((int(k), sr, n, ssum, sabs, smax))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "key",
+                    "samplerate",
+                    "n_samples",
+                    "sum_s",
+                    "sum_abs",
+                    "max_abs",
+                ],
+            ).astype(
+                {
+                    "key": "int64",
+                    "samplerate": "int32",
+                    "n_samples": "int64",
+                    "sum_s": "int64",
+                    "sum_abs": "int64",
+                    "max_abs": "int64",
+                }
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema=(
+            "key long, samplerate int, n_samples long, sum_s long, "
+            "sum_abs long, max_abs long"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ISO-BMFF / MP4 box walk (ISO/IEC 14496-12, public) — metadata only;
+# codec payloads stay library-gated like MP3 audio / H.264
+# ---------------------------------------------------------------------------
+
+def _box(btype: bytes, payload: bytes, *, force_large: bool = False) -> bytes:
+    if force_large:
+        return struct.pack(">I4sQ", 1, btype, 16 + len(payload)) + payload
+    return struct.pack(">I4s", 8 + len(payload), btype) + payload
+
+
+def synth_mp4(key: int) -> bytes:
+    """A spec-valid ISO-BMFF skeleton: ``ftyp`` (isom/mp42), ``moov``
+    with a version-0 ``mvhd`` (timescale ``1000·(1+key%5)``, duration
+    ``(key·37) % 100000``) and ``1 + key%3`` minimal ``trak``/``tkhd``
+    children (track ids 1..n), a ``free`` box, and an ``mdat`` of
+    ``key%50`` bytes — written with the 64-bit largesize form when
+    ``key%7 == 0`` so the walker's size==1 path is exercised."""
+    timescale = 1000 * (1 + key % 5)
+    duration = (key * 37) % 100000
+    n_trak = 1 + key % 3
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + b"\x00" * 80,  # rate..pre_defined..next_track_ID region
+    )
+    traks = b""
+    for tid in range(1, n_trak + 1):
+        tkhd = _box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"
+            + struct.pack(">IIII", 0, 0, tid, 0)
+            + b"\x00" * 60,
+        )
+        traks += _box(b"trak", tkhd)
+    moov = _box(b"moov", mvhd + traks)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp42")
+    mdat = _box(
+        b"mdat",
+        bytes((key + j) % 256 for j in range(key % 50)),
+        force_large=(key % 7 == 0),
+    )
+    return ftyp + moov + _box(b"free", b"") + mdat
+
+
+def attach_mp4_payload(df: DataFrame, key: str) -> DataFrame:
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [synth_mp4(int(k)) for k in pdf[key]],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def _walk_boxes(buf: bytes, start: int, end: int):
+    """Yield ``(type, payload_start, payload_end)`` for each box in
+    ``buf[start:end]`` — honoring 64-bit largesize (size == 1) and
+    to-end-of-file (size == 0) forms."""
+    off = start
+    while off < end:
+        if off + 8 > end:
+            raise ValueError("truncated box header")
+        (size,) = struct.unpack_from(">I", buf, off)
+        btype = buf[off + 4 : off + 8]
+        body = off + 8
+        if size == 1:
+            (size,) = struct.unpack_from(">Q", buf, off + 8)
+            body = off + 16
+        elif size == 0:
+            size = end - off
+        if off + size > end or size < body - off:
+            raise ValueError(f"box {btype!r} overruns container")
+        yield btype, body, off + size
+        off += size
+    if off != end:
+        raise ValueError("trailing bytes after last box")
+
+
+def mp4_meta(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """ISO-BMFF metadata walk: top-level box census, ``ftyp`` major
+    brand, ``moov/mvhd`` timescale+duration (version 0 and 1 forms),
+    ``trak`` count and track-id sum from each ``tkhd``, and the
+    ``mdat`` payload byte count.  The box walker is the real thing
+    (largesize, nesting, overrun checks); only codec payload decode is
+    out of scope.  Arrow-batched, zero shuffles — at 100 TB each
+    container is one row-local walk over its leading/trailing KBs."""
+
+    def one(payload: bytes):
+        brand = ""
+        n_top = 0
+        timescale = duration = 0
+        n_tracks = 0
+        tid_sum = 0
+        mdat_bytes = 0
+        for btype, b0, b1 in _walk_boxes(payload, 0, len(payload)):
+            n_top += 1
+            if btype == b"ftyp":
+                brand = payload[b0 : b0 + 4].decode("ascii")
+            elif btype == b"mdat":
+                mdat_bytes = b1 - b0
+            elif btype == b"moov":
+                for ctype, c0, c1 in _walk_boxes(payload, b0, b1):
+                    if ctype == b"mvhd":
+                        ver = payload[c0]
+                        if ver == 1:
+                            timescale, duration = struct.unpack_from(
+                                ">IQ", payload, c0 + 4 + 16
+                            )
+                        else:
+                            _, _, timescale, duration = struct.unpack_from(
+                                ">IIII", payload, c0 + 4
+                            )
+                    elif ctype == b"trak":
+                        n_tracks += 1
+                        for ttype, t0, _t1 in _walk_boxes(
+                            payload, c0, c1
+                        ):
+                            if ttype == b"tkhd":
+                                tid = struct.unpack_from(
+                                    ">I", payload, t0 + 4 + 8
+                                )[0]
+                                tid_sum += tid
+        return brand, n_top, timescale, duration, n_tracks, tid_sum, mdat_bytes
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                rows.append((int(k),) + one(bytes(payload)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "key",
+                    "major_brand",
+                    "n_top_boxes",
+                    "timescale",
+                    "duration",
+                    "n_tracks",
+                    "track_id_sum",
+                    "mdat_bytes",
+                ],
+            ).astype(
+                {
+                    "key": "int64",
+                    "n_top_boxes": "int32",
+                    "timescale": "int64",
+                    "duration": "int64",
+                    "n_tracks": "int32",
+                    "track_id_sum": "int64",
+                    "mdat_bytes": "int64",
+                }
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema=(
+            "key long, major_brand string, n_top_boxes int, "
+            "timescale long, duration long, n_tracks int, "
+            "track_id_sum long, mdat_bytes long"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Standard MIDI File metadata (SMF spec, public) — delta-time varints,
+# meta events, multi-track ticks
+# ---------------------------------------------------------------------------
+
+def synth_midi(key: int) -> bytes:
+    """A spec-valid format-1 SMF: ``1 + key%4`` tracks at division 480;
+    track 0 opens with a tempo meta (``500000 − (key%100)·1000`` µs per
+    quarter); track ``t`` carries ``3 + (key+t)%5`` NoteOn events at
+    delta times ``(key·11 + t·7 + j·13) % 200`` (VARINT-coded — values
+    ≥128 exercise the continuation bit), each closed by End-of-Track."""
+    ntrks = 1 + key % 4
+    out = struct.pack(">4sIHHH", b"MThd", 6, 1, ntrks, 480)
+    for trk in range(ntrks):
+        ev = b""
+        if trk == 0:
+            tempo = 500000 - (key % 100) * 1000
+            ev += b"\x00\xff\x51\x03" + tempo.to_bytes(3, "big")
+        m = 3 + (key + trk) % 5
+        for j in range(m):
+            delta = (key * 11 + trk * 7 + j * 13) % 200
+            ev += _midi_varint(delta)
+            ev += bytes((0x90, 60 + (key + j) % 24, 64))
+        ev += b"\x00\xff\x2f\x00"
+        out += struct.pack(">4sI", b"MTrk", len(ev)) + ev
+    return out
+
+
+def _midi_varint(v: int) -> bytes:
+    """SMF variable-length quantity: big-endian 7-bit groups, high bit
+    set on all but the last byte."""
+    groups = [v & 0x7F]
+    v >>= 7
+    while v:
+        groups.append(0x80 | (v & 0x7F))
+        v >>= 7
+    return bytes(reversed(groups))
+
+
+def attach_midi_payload(df: DataFrame, key: str) -> DataFrame:
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [synth_midi(int(k)) for k in pdf[key]],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def midi_meta(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """SMF walk: MThd (format/ntrks/division), then each MTrk event
+    stream — variable-length delta times, channel messages (with their
+    data-byte arity), meta events (type + varint length) — summing
+    per-track ticks and counting NoteOns.  Running status is accepted
+    (status byte omitted when repeated).  A length mismatch between
+    the declared MTrk size and the walked events raises — quarantine
+    path.  Arrow-batched, zero shuffles."""
+
+    def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+        v = 0
+        while True:
+            b = buf[pos]
+            pos += 1
+            v = (v << 7) | (b & 0x7F)
+            if not b & 0x80:
+                return v, pos
+
+    def one(payload: bytes):
+        if payload[:4] != b"MThd":
+            raise ValueError("not an SMF file")
+        hlen, fmt, ntrks, division = struct.unpack_from(">IHHH", payload, 4)
+        pos = 8 + hlen
+        tempo = 0
+        note_on = 0
+        max_ticks = 0
+        for _ in range(ntrks):
+            if payload[pos : pos + 4] != b"MTrk":
+                raise ValueError("expected MTrk chunk")
+            (tlen,) = struct.unpack_from(">I", payload, pos + 4)
+            p, end = pos + 8, pos + 8 + tlen
+            ticks = 0
+            status = 0
+            while p < end:
+                delta, p = read_varint(payload, p)
+                ticks += delta
+                b = payload[p]
+                if b & 0x80:
+                    status = b
+                    p += 1
+                if status == 0xFF:
+                    mtype = payload[p]
+                    mlen, p2 = read_varint(payload, p + 1)
+                    if mtype == 0x51:
+                        tempo = int.from_bytes(
+                            payload[p2 : p2 + 3], "big"
+                        )
+                    p = p2 + mlen
+                    if mtype == 0x2F:
+                        break
+                elif status in (0xF0, 0xF7):  # sysex: varint length
+                    slen, p = read_varint(payload, p)
+                    p += slen
+                else:
+                    kind = status & 0xF0
+                    if kind == 0x90:
+                        note_on += 1
+                    p += 1 if kind in (0xC0, 0xD0) else 2
+            if p != end:
+                raise ValueError("MTrk length mismatch")
+            max_ticks = max(max_ticks, ticks)
+            pos = end
+        return fmt, ntrks, division, tempo, note_on, max_ticks
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                rows.append((int(k),) + one(bytes(payload)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "key",
+                    "format",
+                    "n_tracks",
+                    "division",
+                    "tempo_us",
+                    "n_note_on",
+                    "max_track_ticks",
+                ],
+            ).astype(
+                {
+                    "key": "int64",
+                    "format": "int32",
+                    "n_tracks": "int32",
+                    "division": "int32",
+                    "tempo_us": "int64",
+                    "n_note_on": "int64",
+                    "max_track_ticks": "int64",
+                }
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema=(
+            "key long, format int, n_tracks int, division int, "
+            "tempo_us long, n_note_on long, max_track_ticks long"
+        ),
+    )

@@ -11118,3 +11118,110 @@ UNION ALL SELECT 'supplier', 2, CAST(COUNT(*) AS BIGINT), 1, 4, TRUE FROM suppli
 
 
 QUERIES_DEFERRED.update({"scan_parquet_footer": q_scan_parquet_footer})
+
+
+def q_multimodal_au(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sun/NeXT .au audio decode (`operators/multimodal.py::au_stats`):
+    spec-valid big-endian headers (magic, honored data offset,
+    encoding 1) over formula-stated G.711 mu-law codes — the Spark side
+    must parse the container and expand the companded bytes; the
+    oracle recomputes both from arithmetic.  Completes the legacy-audio
+    family next to WAV-mu-law/ADPCM/FLAC/AU."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 2)
+    return M.au_stats(M.attach_au_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_au"] = """
+WITH au AS (SELECT doc_id AS key FROM documents WHERE doc_id % 4 = 2),
+c AS (
+  SELECT key, u.i AS i,
+         (u.i * (3 + key % 13) + 2 * key) % 256 AS code
+  FROM au, UNNEST(RANGE(0, 64 + key % 200)) AS u(i)
+),
+d AS (
+  SELECT key, i,
+         CASE WHEN (XOR(code, 255) & 128) > 0
+              THEN -((((XOR(code, 255) & 15) * 8 + 132)
+                      * (1 << ((XOR(code, 255) >> 4) & 7))) - 132)
+              ELSE ((((XOR(code, 255) & 15) * 8 + 132)
+                     * (1 << ((XOR(code, 255) >> 4) & 7))) - 132)
+         END AS s
+  FROM c
+)
+SELECT key,
+       CAST(CASE key % 3 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+                         ELSE 16000 END AS INT) AS samplerate,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(s) AS BIGINT) AS sum_s,
+       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+       CAST(MAX(ABS(s)) AS BIGINT) AS max_abs
+FROM d GROUP BY key
+"""
+
+
+def q_multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF/MP4 box walk (`operators/multimodal.py::mp4_meta`):
+    real nested box traversal — ftyp brand, version-0 mvhd
+    timescale/duration, per-trak tkhd track ids, mdat byte count,
+    64-bit largesize path exercised on every 7th key.  The container
+    structure is genuinely parsed; contents are formula-stated so the
+    oracle recomputes them — the same contract as every codec entry."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 3)
+    return M.mp4_meta(M.attach_mp4_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_mp4_meta"] = """
+SELECT doc_id AS key,
+       'isom' AS major_brand,
+       CAST(4 AS INT) AS n_top_boxes,
+       CAST(1000 * (1 + doc_id % 5) AS BIGINT) AS timescale,
+       CAST((doc_id * 37) % 100000 AS BIGINT) AS duration,
+       CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+       CAST((1 + doc_id % 3) * (2 + doc_id % 3) / 2 AS BIGINT)
+         AS track_id_sum,
+       CAST(doc_id % 50 AS BIGINT) AS mdat_bytes
+FROM documents WHERE doc_id % 4 = 3
+"""
+
+
+def q_multimodal_midi_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard-MIDI-File walk (`operators/multimodal.py::midi_meta`):
+    MThd/MTrk chunking, variable-length delta-time varints (the SMF
+    big-endian 7-bit form — continuation bits exercised by deltas
+    ≥128), tempo meta extraction, per-track tick sums, NoteOn census,
+    and a declared-vs-walked MTrk length check that routes malformed
+    files to quarantine."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
+    return M.midi_meta(M.attach_midi_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_midi_meta"] = """
+WITH keys AS (SELECT doc_id AS key FROM documents WHERE doc_id % 4 = 1),
+tr AS (
+  SELECT key, t.t AS t,
+         CAST(SUM((key * 11 + t.t * 7 + j.j * 13) % 200) AS BIGINT)
+           AS ticks,
+         CAST(COUNT(*) AS BIGINT) AS notes
+  FROM keys,
+       UNNEST(RANGE(0, 1 + key % 4)) AS t(t),
+       UNNEST(RANGE(0, 3 + (key + t.t) % 5)) AS j(j)
+  GROUP BY key, t.t
+)
+SELECT key,
+       CAST(1 AS INT) AS format,
+       CAST(1 + key % 4 AS INT) AS n_tracks,
+       CAST(480 AS INT) AS division,
+       CAST(500000 - (key % 100) * 1000 AS BIGINT) AS tempo_us,
+       CAST(SUM(notes) AS BIGINT) AS n_note_on,
+       CAST(MAX(ticks) AS BIGINT) AS max_track_ticks
+FROM tr GROUP BY key
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "multimodal_au": q_multimodal_au,
+        "multimodal_mp4_meta": q_multimodal_mp4_meta,
+        "multimodal_midi_meta": q_multimodal_midi_meta,
+    }
+)

@@ -1,0 +1,61 @@
+"""Container-walk edge cases for the AU / ISO-BMFF / SMF metadata
+parsers — the malformed-input quarantine contract and the size-form
+variants the fixture formulas don't hit uniformly."""
+
+import pandas as pd
+import pytest
+
+from table_streaming_source_spark.operators import multimodal as M
+from table_streaming_source_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark(shuffle_partitions=2)
+
+
+def _run(fn, payloads):
+    spark = get_spark(shuffle_partitions=2)
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "key long, payload binary",
+    )
+    return fn(df).collect()
+
+
+def test_au_roundtrip_and_quarantine(spark):
+    rows = _run(M.au_stats, [M.synth_au(5), M.synth_au(131)])
+    assert {r.key for r in rows} == {0, 1}
+    assert all(r.n_samples == 64 + k % 200 for r, k in zip(sorted(rows, key=lambda r: r.key), (5, 131)))
+    with pytest.raises(Exception, match="magic"):
+        _run(M.au_stats, [b"RIFF" + b"\x00" * 40])
+    bad_enc = bytearray(M.synth_au(5))
+    bad_enc[15] = 3  # encoding -> 3 (PCM16), unsupported here
+    with pytest.raises(Exception, match="encoding"):
+        _run(M.au_stats, [bytes(bad_enc)])
+
+
+def test_mp4_largesize_and_overrun(spark):
+    # key 7 -> largesize mdat; key 3 -> normal
+    rows = _run(M.mp4_meta, [M.synth_mp4(7), M.synth_mp4(3)])
+    by_mdat = sorted(rows, key=lambda r: r.key)
+    assert by_mdat[0].mdat_bytes == 7 % 50 and by_mdat[1].mdat_bytes == 3
+    assert all(r.major_brand == "isom" for r in rows)
+    truncated = M.synth_mp4(3)[:-4]
+    with pytest.raises(Exception, match="overrun|truncated"):
+        _run(M.mp4_meta, [truncated])
+
+
+def test_midi_varint_and_length_check(spark):
+    # deltas >= 128 exercise the continuation bit
+    assert M._midi_varint(0) == b"\x00"
+    assert M._midi_varint(127) == b"\x7f"
+    assert M._midi_varint(128) == b"\x81\x00"
+    assert M._midi_varint(0x0FFFFFFF) == b"\xff\xff\xff\x7f"
+    rows = _run(M.midi_meta, [M.synth_midi(12)])
+    assert rows[0].n_tracks == 1 + 12 % 4 and rows[0].division == 480
+    corrupt = bytearray(M.synth_midi(12))
+    # inflate the first MTrk declared length -> walked end mismatches
+    corrupt[14 + 7] += 1
+    with pytest.raises(Exception, match="MTrk|length"):
+        _run(M.midi_meta, [bytes(corrupt)])
