@@ -11225,3 +11225,164 @@ QUERIES_DEFERRED.update(
         "multimodal_midi_meta": q_multimodal_midi_meta,
     }
 )
+
+
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style COLUMN PROFILE of orders — the per-column summary
+    (null count, distinct cardinality, min/max) an ingest service
+    publishes beside every dataset version, complementing the
+    assertion-style `dq_expectations`.  ALL columns' metrics ride ONE
+    aggregate pass (multi-distinct rides Spark's expand; every other
+    metric is map-side combinable) and unpivot into one row per column.
+    min/max are value SELECTIONS (never arithmetic), so numeric ones
+    are bit-exact doubles and date/string ones canonical strings — no
+    cross-engine float-format risk anywhere."""
+    o = t(spark, sf_dir, "orders")
+    num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in num_cols + str_cols + ["o_orderdate"]:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}"),
+            F.countDistinct(c).alias(f"dist_{c}"),
+        ]
+    for c in num_cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"min_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"max_{c}"),
+        ]
+    for c in str_cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    aggs += [
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+            "min_o_orderdate"
+        ),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+            "max_o_orderdate"
+        ),
+    ]
+    one = o.agg(*aggs)
+    structs = []
+    for c in num_cols:
+        structs.append(
+            f"named_struct('column_name', '{c}', "
+            f"'n_null', null_{c}, 'n_distinct', dist_{c}, "
+            f"'min_num', min_{c}, 'max_num', max_{c}, "
+            f"'min_str', CAST(NULL AS STRING), "
+            f"'max_str', CAST(NULL AS STRING))"
+        )
+    for c in str_cols + ["o_orderdate"]:
+        structs.append(
+            f"named_struct('column_name', '{c}', "
+            f"'n_null', null_{c}, 'n_distinct', dist_{c}, "
+            f"'min_num', CAST(NULL AS DOUBLE), "
+            f"'max_num', CAST(NULL AS DOUBLE), "
+            f"'min_str', min_{c}, 'max_str', max_{c})"
+        )
+    return one.select(
+        "n_rows", F.explode(F.expr(f"array({', '.join(structs)})")).alias("p")
+    ).select(
+        F.col("p.column_name").alias("column_name"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("p.n_null").cast("bigint").alias("n_null"),
+        F.col("p.n_distinct").cast("bigint").alias("n_distinct"),
+        F.col("p.min_num").alias("min_num"),
+        F.col("p.max_num").alias("max_num"),
+        F.col("p.min_str").alias("min_str"),
+        F.col("p.max_str").alias("max_str"),
+    )
+
+
+ORACLES["dq_profile"] = """
+SELECT 'o_orderkey' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+       CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+       CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+       NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+       MIN(o_totalprice), MAX(o_totalprice), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+       NULL, NULL, MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       NULL, NULL, MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+       NULL, NULL,
+       STRFTIME(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+       STRFTIME(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+FROM orders
+"""
+
+
+def q_sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY-style window filtering (the Snowflake/DuckDB/BigQuery
+    idiom): each customer's two largest orders, filtered ON the window
+    rank without a named subquery in the USER's mental model.  Spark
+    has no QUALIFY keyword, so the entry pins the canonical rewrite —
+    window then filter — which Catalyst plans identically (rank
+    computed in the sort, filter applied before any further exchange);
+    the oracle states the same query WITH the QUALIFY keyword, proving
+    the rewrite is semantics-preserving."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 2)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+ORACLES["sql_qualify"] = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey)
+            AS INT) AS rk
+FROM orders
+QUALIFY rk <= 2
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "dq_profile": q_dq_profile,
+        "sql_qualify": q_sql_qualify,
+    }
+)
