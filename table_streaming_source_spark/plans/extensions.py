@@ -11386,3 +11386,102 @@ QUERIES_DEFERRED.update(
         "sql_qualify": q_sql_qualify,
     }
 )
+
+
+def q_source_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-member GZIP ingestion (`sources/archive.py::
+    read_gzip_text`): documents round-trip through 6 ``.gz`` files
+    whose members rotate the full RFC-1952 header-flag surface (FNAME
+    always, FEXTRA/FCOMMENT/FHCRC on schedules) and are re-extracted
+    with BOTH trailers verified (CRC-32 and ISIZE) — the log-file and
+    web-dump front door.  One archive per task, decompress chain
+    partition-local."""
+    import os as _os
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark.sources.archive import (
+        read_gzip_text,
+        write_gzip_members,
+    )
+
+    path = _scratch.scratch_dir("source_gzip", sf_dir, fresh=True)
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    for shard in range(6):
+        part = docs[docs["doc_id"] % 6 == shard]
+        write_gzip_members(
+            _os.path.join(path, f"part-{shard}.gz"),
+            [
+                (f"{r.doc_id}.txt", r.text.encode("utf-8"))
+                for r in part.itertuples()
+            ],
+        )
+    result = (
+        read_gzip_text(spark, path)
+        .select(
+            F.regexp_extract("entry_name", r"(\d+)\.txt", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            "n_bytes",
+            F.md5("text").alias("text_md5"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["source_gzip"] = """
+SELECT doc_id,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+       MD5(text) AS text_md5
+FROM documents
+"""
+
+
+def q_multimodal_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGG container walk (`operators/multimodal.py::ogg_meta`):
+    spec-valid multi-page streams with REAL RFC-3533 checksums (the
+    unreflected 0x04c11db7 CRC, implemented from scratch — zlib's
+    reflected CRC cannot verify these), BOS/EOS discipline, lacing
+    tables, and page-sequence continuity all enforced on read.  The
+    page payloads are formula-stated so the oracle recomputes counts
+    and granules; the CRC pass/fail is the Spark side's own proof of a
+    real byte-accurate walk."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    return M.ogg_meta(M.attach_ogg_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_ogg_meta"] = """
+WITH keys AS (SELECT doc_id AS key FROM documents WHERE doc_id % 4 = 0),
+segs AS (
+  SELECT key, i.i AS i,
+         CAST(SUM((key + i.i * 7 + j.j * 3) % 120 + 1) AS BIGINT)
+           AS page_bytes
+  FROM keys,
+       UNNEST(RANGE(0, 2 + key % 3)) AS i(i),
+       UNNEST(RANGE(0, 1 + (key + i.i) % 3)) AS j(j)
+  GROUP BY key, i.i
+)
+SELECT key,
+       CAST(2 + key % 3 AS INT) AS n_pages,
+       CAST(SUM(page_bytes) AS BIGINT) AS payload_bytes,
+       CAST((key * 13 + (1 + key % 3) * 997) % 100000 AS BIGINT)
+         AS last_granule,
+       CAST(key % 65536 AS BIGINT) AS serial,
+       TRUE AS crc_ok
+FROM segs GROUP BY key
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "source_gzip": q_source_gzip,
+        "multimodal_ogg_meta": q_multimodal_ogg_meta,
+    }
+)

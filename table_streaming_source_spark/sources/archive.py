@@ -272,3 +272,137 @@ def read_zip_text(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return raw.select("content").mapInPandas(batches, schema=ZIP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GZIP members (RFC 1952) — multi-member files, full header-flag surface
+# ---------------------------------------------------------------------------
+
+
+def write_gzip_members(path: str, entries: list[tuple[str, bytes]]) -> None:
+    """One RFC-1952 member per entry, concatenated (multi-member gzip is
+    spec-valid §2.2 — ``zcat`` semantics).  Header flags rotate per
+    member so readers must honor the full skip chain: FNAME always;
+    FEXTRA every 3rd member; FCOMMENT every 4th; FHCRC every 5th."""
+    import os
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    out = bytearray()
+    for i, (name, content) in enumerate(entries):
+        flg = 0x08  # FNAME
+        extra = b""
+        comment = b""
+        if i % 3 == 0:
+            flg |= 0x04  # FEXTRA
+            extra = struct.pack("<2sH", b"XX", 4) + b"abcd"
+        if i % 4 == 0:
+            flg |= 0x10  # FCOMMENT
+            comment = f"member {i}".encode() + b"\x00"
+        if i % 5 == 0:
+            flg |= 0x02  # FHCRC
+        header = bytearray(
+            struct.pack("<2sBBIBB", b"\x1f\x8b", 8, flg, i * 1000, 0, 255)
+        )
+        if flg & 0x04:
+            header += struct.pack("<H", len(extra)) + extra
+        header += name.encode("utf-8") + b"\x00"
+        if flg & 0x10:
+            header += comment
+        if flg & 0x02:
+            header += struct.pack("<H", zlib.crc32(bytes(header)) & 0xFFFF)
+        co = zlib.compressobj(9, zlib.DEFLATED, -15)
+        deflated = co.compress(content) + co.flush()
+        out += (
+            bytes(header)
+            + deflated
+            + struct.pack(
+                "<II", zlib.crc32(content), len(content) & 0xFFFFFFFF
+            )
+        )
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+
+
+def gzip_members(payload: bytes) -> list[tuple[str, bytes]]:
+    """Walk every member of a (possibly multi-member) gzip stream:
+    parse the RFC-1952 header — magic, CM=8, the FTEXT/FHCRC/FEXTRA/
+    FNAME/FCOMMENT flag chain in spec order — inflate the raw deflate
+    stream, and verify BOTH trailers (CRC-32 and ISIZE mod 2³²).  Any
+    mismatch raises ``ValueError`` (quarantine path)."""
+    out = []
+    pos = 0
+    while pos < len(payload):
+        if payload[pos : pos + 2] != b"\x1f\x8b":
+            raise ValueError("bad gzip magic")
+        cm, flg = payload[pos + 2], payload[pos + 3]
+        if cm != 8:
+            raise ValueError(f"unsupported compression method {cm}")
+        if flg & 0xE0:
+            raise ValueError("reserved gzip FLG bits set")
+        p = pos + 10
+        if flg & 0x04:  # FEXTRA
+            (xlen,) = struct.unpack_from("<H", payload, p)
+            p += 2 + xlen
+        name = ""
+        if flg & 0x08:  # FNAME
+            end = payload.index(b"\x00", p)
+            name = payload[p:end].decode("utf-8", "replace")
+            p = end + 1
+        if flg & 0x10:  # FCOMMENT
+            p = payload.index(b"\x00", p) + 1
+        if flg & 0x02:  # FHCRC
+            (hcrc,) = struct.unpack_from("<H", payload, p)
+            if hcrc != (zlib.crc32(payload[pos:p]) & 0xFFFF):
+                raise ValueError("gzip header CRC mismatch")
+            p += 2
+        d = zlib.decompressobj(-15)
+        content = d.decompress(payload[p:])
+        content += d.flush()
+        if not d.eof:
+            raise ValueError("truncated deflate stream")
+        consumed = len(payload) - pos - (p - pos) - len(d.unused_data)
+        p += consumed
+        crc, isize = struct.unpack_from("<II", payload, p)
+        if crc != zlib.crc32(content):
+            raise ValueError(f"gzip CRC mismatch in member {name!r}")
+        if isize != (len(content) & 0xFFFFFFFF):
+            raise ValueError(f"gzip ISIZE mismatch in member {name!r}")
+        out.append((name, content))
+        pos = p + 8
+    return out
+
+
+def read_gzip_text(spark: SparkSession, path: str) -> DataFrame:
+    """All members of every ``*.gz`` under ``path`` as
+    ``(archive, entry_name, n_bytes, text)`` — one archive per task."""
+    schema = StructType(
+        [
+            StructField("archive", StringType(), False),
+            StructField("entry_name", StringType(), False),
+            StructField("n_bytes", LongType(), False),
+            StructField("text", StringType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for apath, blob in zip(pdf["path"], pdf["content"]):
+                for name, content in gzip_members(bytes(blob)):
+                    rows.append(
+                        (
+                            apath.rsplit("/", 1)[-1],
+                            name,
+                            len(content),
+                            content.decode("utf-8", "replace"),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=schema.fieldNames())
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.gz")
+        .load(path)
+        .select("path", "content")
+        .mapInPandas(batches, schema=schema)
+    )

@@ -59,3 +59,30 @@ def test_midi_varint_and_length_check(spark):
     corrupt[14 + 7] += 1
     with pytest.raises(Exception, match="MTrk|length"):
         _run(M.midi_meta, [bytes(corrupt)])
+
+
+def test_ogg_crc_and_sequence_enforced(spark):
+    rows = _run(M.ogg_meta, [M.synth_ogg(5), M.synth_ogg(8)])
+    assert all(r.crc_ok for r in rows)
+    corrupted = bytearray(M.synth_ogg(5))
+    corrupted[40] ^= 0xFF  # flip a lacing/payload byte -> CRC mismatch
+    with pytest.raises(Exception, match="CRC"):
+        _run(M.ogg_meta, [bytes(corrupted)])
+
+
+def test_gzip_trailer_verification():
+    from table_streaming_source_spark.sources.archive import (
+        gzip_members,
+        write_gzip_members,
+    )
+
+    write_gzip_members("/tmp/gzq/x.gz", [("a.txt", b"payload bytes")])
+    blob = bytearray(open("/tmp/gzq/x.gz", "rb").read())
+    assert gzip_members(bytes(blob)) == [("a.txt", b"payload bytes")]
+    blob[-8] ^= 0xFF  # CRC trailer
+    with pytest.raises(ValueError, match="CRC"):
+        gzip_members(bytes(blob))
+    blob[-8] ^= 0xFF
+    blob[-1] ^= 0xFF  # ISIZE trailer
+    with pytest.raises(ValueError, match="ISIZE"):
+        gzip_members(bytes(blob))
