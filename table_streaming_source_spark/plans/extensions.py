@@ -11485,3 +11485,109 @@ QUERIES_DEFERRED.update(
         "multimodal_ogg_meta": q_multimodal_ogg_meta,
     }
 )
+
+
+def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location pair per nation: the 10%-TRIMMED mean (drop k =
+    ⌊n/10⌋ from each tail) and the 10%-WINSORIZED mean (clamp those
+    tails to the surviving order statistics) of customer balances —
+    the outlier-resistant aggregates a metrics layer offers beside
+    AVG.  Everything is exact-integer cents until the final division:
+    positional ranks via one per-nation sort, boundary order
+    statistics by rank lookup, and tie-stability by construction
+    (tied boundary values are equal, so WHICH duplicate is trimmed
+    cannot change any sum).  One window sort + one hash aggregate."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("ck"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("nk").orderBy("cents", "ck")
+    ranked = c.select(
+        "nk",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("nk")).alias("n"),
+    ).withColumn("k", F.floor(F.col("n") / 10).cast("bigint"))
+    agg = ranked.groupBy("nk", "n", "k").agg(
+        F.sum(
+            F.when(
+                (F.col("rn") > F.col("k"))
+                & (F.col("rn") <= F.col("n") - F.col("k")),
+                F.col("cents"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("mid_sum"),
+        F.max(F.when(F.col("rn") == F.col("k") + 1, F.col("cents"))).alias(
+            "lo_val"
+        ),
+        F.max(
+            F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("cents"))
+        ).alias("hi_val"),
+    )
+    # exact integer micro-cents: offset by 10^6 cents/element so the
+    # numerator is non-negative (balances go negative), making
+    # truncating `div` == floor division on BOTH engines; no float is
+    # ever rounded, so the dyadic ROUND-tie trap cannot arise
+    return agg.select(
+        F.col("nk").alias("c_nationkey"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k_trimmed_each_side"),
+        F.col("mid_sum").alias("mid_sum_cents"),
+        (
+            F.expr(
+                "(mid_sum + (n - 2*k) * 1000000) * 1000000 div (n - 2*k)"
+            )
+            - F.lit(1_000_000_000_000)
+        )
+        .cast("bigint")
+        .alias("trimmed_mean_microcents"),
+        (
+            F.expr(
+                "(mid_sum + k * lo_val + k * hi_val + n * 1000000) "
+                "* 1000000 div n"
+            )
+            - F.lit(1_000_000_000_000)
+        )
+        .cast("bigint")
+        .alias("winsorized_mean_microcents"),
+    )
+
+
+ORACLES["agg_trimmed_mean"] = """
+WITH c AS (
+  SELECT c_nationkey AS nk, c_custkey AS ck,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+ranked AS (
+  SELECT nk, cents,
+         ROW_NUMBER() OVER (PARTITION BY nk ORDER BY cents, ck) AS rn,
+         COUNT(*) OVER (PARTITION BY nk) AS n
+  FROM c
+),
+withk AS (
+  SELECT *, CAST(FLOOR(n / 10) AS BIGINT) AS k FROM ranked
+),
+agg AS (
+  SELECT nk, n, k,
+         CAST(SUM(CASE WHEN rn > k AND rn <= n - k
+                       THEN cents ELSE 0 END) AS BIGINT) AS mid_sum,
+         MAX(CASE WHEN rn = k + 1 THEN cents END) AS lo_val,
+         MAX(CASE WHEN rn = n - k THEN cents END) AS hi_val
+  FROM withk GROUP BY nk, n, k
+)
+SELECT nk AS c_nationkey,
+       CAST(n AS BIGINT) AS n,
+       CAST(k AS BIGINT) AS k_trimmed_each_side,
+       mid_sum AS mid_sum_cents,
+       CAST((mid_sum + (n - 2*k) * 1000000) * 1000000 // (n - 2*k)
+            - 1000000000000 AS BIGINT) AS trimmed_mean_microcents,
+       CAST((mid_sum + k * lo_val + k * hi_val + n * 1000000) * 1000000 // n
+            - 1000000000000 AS BIGINT) AS winsorized_mean_microcents
+FROM agg
+"""
+
+
+QUERIES_DEFERRED.update({"agg_trimmed_mean": q_agg_trimmed_mean})
