@@ -177,7 +177,33 @@ a two-blocking-seeded kNN graph — bounded out-degree expansion that
 crosses cells), ``text_readability`` (Flesch Reading-Ease + FK grade
 from exact regexp_count integers, zero shuffles), and
 ``streaming_protobuf_ingest`` (the continuous event-bus-archiver form
-of the wire-format source).
+of the wire-format source), and the round-7 session-2 additions (each
+strict-dtype oracle-verified at sf0.001, sf0.01 AND sf0.1):
+``agg_kruskal_wallis`` (tie-corrected k-sample rank test, exact
+2·rank integers), ``agg_spearman`` (tie-aware rank correlation,
+HUGEINT/decimal moment sums), ``agg_bh_fdr`` (Benjamini–Hochberg
+step-up over deterministic pseudo p-values — reverse running MIN),
+``agg_mcnemar`` (paired-proportion test with continuity correction),
+``agg_hodges_lehmann`` (median-of-Walsh-averages per bounded group,
+exact order statistic), ``agg_trimmed_mean`` (10% trimmed +
+winsorized means in exact offset-floor-div microcents),
+``graph_clustering`` (local clustering coefficients — exact
+triangle/wedge integers), ``graph_hits`` (two-round unnormalized
+HITS = exact path counts), ``text_rouge_eval`` (corpus ROUGE-1/2
+with full-outer clip join), ``text_chrf_eval`` (chrF2, char 1-3
+grams, β=2), ``sim_rrf_fusion`` (reciprocal-rank fusion of two
+rankings), ``pipeline_chunk_overlap`` (64-token/stride-48 RAG
+chunking, zero-shuffle), ``scan_parquet_footer`` (from-scratch
+Thrift-Compact-Protocol FileMetaData walk, footer-only I/O, checked
+against COUNT(*)), ``multimodal_au`` (Sun .au header + G.711
+expansion), ``multimodal_mp4_meta`` (ISO-BMFF box walk incl.
+largesize), ``multimodal_midi_meta`` (SMF delta-time varints, tempo
+meta, per-track ticks), ``multimodal_ogg_meta`` (OGG page walk with
+the from-scratch unreflected RFC-3533 CRC), ``source_gzip``
+(multi-member RFC-1952 with the full FLG chain and both trailers
+verified), ``dq_profile`` (Deequ-style one-pass column profile) and
+``sql_qualify`` (the QUALIFY window-filter idiom pinned against
+DuckDB's native keyword).
 """
 
 from __future__ import annotations
