@@ -11591,3 +11591,93 @@ FROM agg
 
 
 QUERIES_DEFERRED.update({"agg_trimmed_mean": q_agg_trimmed_mean})
+
+
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (`operators/graph.py::
+    personalized_pagerank`, 3 rounds, d=0.85) over the
+    customer→supplier purchase graph, teleporting only to the seed
+    customers (custkey % 50 == 0) — seed-set relevance expansion where
+    global `graph_pagerank` is topic-blind.  Same fixed-point-scaled
+    contribution discipline, so the unrolled SQL oracle agrees
+    bit-for-bit."""
+    from table_streaming_source_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    verts = c.select((F.col("c_custkey") * 2).alias("v")).union(
+        s.select((F.col("s_suppkey") * 2 + 1).alias("v"))
+    )
+    seeds = c.filter(F.col("c_custkey") % 50 == 0).select(
+        (F.col("c_custkey") * 2).alias("v")
+    )
+    return personalized_pagerank(
+        seeds, verts, edges, key="v", damping=0.85, n_iter=3
+    )
+
+
+def _ppr_sql(n_iter: int = 3) -> str:
+    d = "CAST(0.85 AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    scale = "1000000000000"
+    iters = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        iters.append(f"""
+c{i} AS (
+  SELECT e.v, SUM(CAST(ROUND(r.rank / od.outdeg * {scale}) AS BIGINT)) AS s
+  FROM e JOIN od USING (u) JOIN {prev} r ON r.v = e.u
+  GROUP BY e.v
+),
+r{i} AS (
+  SELECT base.v,
+         CASE WHEN base.is_seed = 1
+              THEN ({one} - {d}) / (SELECT ns FROM ns)
+              ELSE CAST(0.0 AS DOUBLE) END
+         + {d} * (COALESCE(c{i}.s, 0) / {scale}) AS rank
+  FROM base LEFT JOIN c{i} USING (v)
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH verts AS (
+  SELECT c_custkey * 2 AS v FROM customer
+  UNION ALL
+  SELECT s_suppkey * 2 + 1 FROM supplier
+),
+seeds AS (SELECT c_custkey * 2 AS v FROM customer WHERE c_custkey % 50 = 0),
+base AS (
+  SELECT verts.v,
+         CASE WHEN seeds.v IS NULL THEN 0 ELSE 1 END AS is_seed
+  FROM verts LEFT JOIN seeds ON verts.v = seeds.v
+),
+e AS (
+  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM seeds),
+od AS (SELECT u, COUNT(*) AS outdeg FROM e GROUP BY u),
+r0 AS (
+  SELECT v, CASE WHEN is_seed = 1 THEN {one} / (SELECT ns FROM ns)
+                 ELSE CAST(0.0 AS DOUBLE) END AS rank
+  FROM base
+),{",".join(iters)}
+SELECT v, ROUND(rank, 6) AS ppr FROM {prev}
+"""
+
+
+ORACLES["graph_ppr"] = _ppr_sql()
+
+
+QUERIES_DEFERRED.update({"graph_ppr": q_graph_ppr})
