@@ -101,6 +101,14 @@ HEADLINE = [
     "sim_binary_quant",
     "pipeline_shard_export",
     "source_warc",
+    # round 7 second-session additions: the two-order gram-digest clip
+    # join (ROUGE), the triangle+degree join (clustering coefficients),
+    # the histogram-broadcast rank statistic (should stay tiny), and the
+    # Thrift-compact footer-only scan (reads NO data pages — near-zero)
+    "text_rouge_eval",
+    "graph_clustering",
+    "agg_kruskal_wallis",
+    "scan_parquet_footer",
 ]
 
 

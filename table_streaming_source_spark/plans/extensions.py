@@ -11681,3 +11681,63 @@ ORACLES["graph_ppr"] = _ppr_sql()
 
 
 QUERIES_DEFERRED.update({"graph_ppr": q_graph_ppr})
+
+
+def q_text_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML TABLE extraction (`operators/text.py::extract_html_tables`)
+    — the structured-payload step beyond `text_html_strip`: a real tag
+    tokenizer (attributes, inline markup inside cells, the HTML
+    implied-end rules for td/th/tr, entity decode — pinned by pytest
+    on malformed markup) walks deterministic attribute-bearing pages
+    and emits one row per table (data-row count, width, header, integer
+    cell sum).  Zero shuffles — the pure map a 100 TB web corpus
+    needs."""
+    import pandas as pd
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 30).alias("snippet")
+    )
+
+    def attach(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "html": [
+                        X.synth_html_table(int(k), str(s))
+                        for k, s in zip(pdf["doc_id"], pdf["snippet"])
+                    ],
+                }
+            )
+
+    pages = docs.mapInPandas(attach, schema="doc_id long, html string")
+    return X.extract_html_tables(pages, "html", "doc_id")
+
+
+ORACLES["text_html_tables"] = """
+WITH dims AS (
+  SELECT doc_id AS key,
+         2 + doc_id % 4 AS r,
+         2 + doc_id % 3 AS c
+  FROM documents
+),
+cells AS (
+  SELECT key, r, c,
+         CAST(SUM((key * 7 + i.i * 5 + j.j * 3) % 1000) AS BIGINT) AS s
+  FROM dims,
+       UNNEST(RANGE(0, r)) AS i(i),
+       UNNEST(RANGE(0, c)) AS j(j)
+  GROUP BY key, r, c
+)
+SELECT key,
+       CAST(0 AS INT) AS table_idx,
+       CAST(r AS INT) AS n_data_rows,
+       CAST(c AS INT) AS n_cols,
+       ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(0, c), j -> 'h' || j), '|')
+         AS header,
+       s AS cell_sum
+FROM cells
+"""
+
+
+QUERIES_DEFERRED.update({"text_html_tables": q_text_html_tables})

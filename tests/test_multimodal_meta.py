@@ -6,16 +6,14 @@ import pandas as pd
 import pytest
 
 from table_streaming_source_spark.operators import multimodal as M
-from table_streaming_source_spark.session import get_spark
+
+# NB: use the shared conftest session — creating one here with a
+# different shuffle_partitions would MUTATE the session-wide SQL conf
+# (builder configs apply to an existing session) and poison
+# order-dependent assertions elsewhere (seen: the AQE skew-split gate)
 
 
-@pytest.fixture(scope="module")
-def spark():
-    return get_spark(shuffle_partitions=2)
-
-
-def _run(fn, payloads):
-    spark = get_spark(shuffle_partitions=2)
+def _run(spark, fn, payloads):
     df = spark.createDataFrame(
         [(i, bytearray(p)) for i, p in enumerate(payloads)],
         "key long, payload binary",
@@ -24,26 +22,26 @@ def _run(fn, payloads):
 
 
 def test_au_roundtrip_and_quarantine(spark):
-    rows = _run(M.au_stats, [M.synth_au(5), M.synth_au(131)])
+    rows = _run(spark, M.au_stats, [M.synth_au(5), M.synth_au(131)])
     assert {r.key for r in rows} == {0, 1}
     assert all(r.n_samples == 64 + k % 200 for r, k in zip(sorted(rows, key=lambda r: r.key), (5, 131)))
     with pytest.raises(Exception, match="magic"):
-        _run(M.au_stats, [b"RIFF" + b"\x00" * 40])
+        _run(spark, M.au_stats, [b"RIFF" + b"\x00" * 40])
     bad_enc = bytearray(M.synth_au(5))
     bad_enc[15] = 3  # encoding -> 3 (PCM16), unsupported here
     with pytest.raises(Exception, match="encoding"):
-        _run(M.au_stats, [bytes(bad_enc)])
+        _run(spark, M.au_stats, [bytes(bad_enc)])
 
 
 def test_mp4_largesize_and_overrun(spark):
     # key 7 -> largesize mdat; key 3 -> normal
-    rows = _run(M.mp4_meta, [M.synth_mp4(7), M.synth_mp4(3)])
+    rows = _run(spark, M.mp4_meta, [M.synth_mp4(7), M.synth_mp4(3)])
     by_mdat = sorted(rows, key=lambda r: r.key)
     assert by_mdat[0].mdat_bytes == 7 % 50 and by_mdat[1].mdat_bytes == 3
     assert all(r.major_brand == "isom" for r in rows)
     truncated = M.synth_mp4(3)[:-4]
     with pytest.raises(Exception, match="overrun|truncated"):
-        _run(M.mp4_meta, [truncated])
+        _run(spark, M.mp4_meta, [truncated])
 
 
 def test_midi_varint_and_length_check(spark):
@@ -52,22 +50,22 @@ def test_midi_varint_and_length_check(spark):
     assert M._midi_varint(127) == b"\x7f"
     assert M._midi_varint(128) == b"\x81\x00"
     assert M._midi_varint(0x0FFFFFFF) == b"\xff\xff\xff\x7f"
-    rows = _run(M.midi_meta, [M.synth_midi(12)])
+    rows = _run(spark, M.midi_meta, [M.synth_midi(12)])
     assert rows[0].n_tracks == 1 + 12 % 4 and rows[0].division == 480
     corrupt = bytearray(M.synth_midi(12))
     # inflate the first MTrk declared length -> walked end mismatches
     corrupt[14 + 7] += 1
     with pytest.raises(Exception, match="MTrk|length"):
-        _run(M.midi_meta, [bytes(corrupt)])
+        _run(spark, M.midi_meta, [bytes(corrupt)])
 
 
 def test_ogg_crc_and_sequence_enforced(spark):
-    rows = _run(M.ogg_meta, [M.synth_ogg(5), M.synth_ogg(8)])
+    rows = _run(spark, M.ogg_meta, [M.synth_ogg(5), M.synth_ogg(8)])
     assert all(r.crc_ok for r in rows)
     corrupted = bytearray(M.synth_ogg(5))
     corrupted[40] ^= 0xFF  # flip a lacing/payload byte -> CRC mismatch
     with pytest.raises(Exception, match="CRC"):
-        _run(M.ogg_meta, [bytes(corrupted)])
+        _run(spark, M.ogg_meta, [bytes(corrupted)])
 
 
 def test_gzip_trailer_verification():
@@ -86,3 +84,22 @@ def test_gzip_trailer_verification():
     blob[-1] ^= 0xFF  # ISIZE trailer
     with pytest.raises(ValueError, match="ISIZE"):
         gzip_members(bytes(blob))
+
+
+def test_html_table_parser_edge_cases():
+    from table_streaming_source_spark.operators.text import (
+        _parse_html_tables,
+        synth_html_table,
+    )
+
+    # implied end tags (valid HTML: <td>/<tr> close on the next opener)
+    messy = "<table><tr><td>1<td>2<tr><td>3<td>4</table>"
+    assert _parse_html_tables(messy) == [[["1", "2"], ["3", "4"]]]
+    # entities + inline markup + attributes
+    page = '<table id="x"><tr><td class="a">a &amp; <b>b</b></td></tr></table>'
+    assert _parse_html_tables(page) == [[["a & b"]]]
+    # two tables on one page; text outside tables ignored
+    two = "<p>noise</p>" + synth_html_table(3, "s") + synth_html_table(8, "s")
+    assert len(_parse_html_tables(two)) == 2
+    # no tables -> empty
+    assert _parse_html_tables("<html><p>plain</p></html>") == []
