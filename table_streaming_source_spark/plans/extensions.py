@@ -11741,3 +11741,155 @@ FROM cells
 
 
 QUERIES_DEFERRED.update({"text_html_tables": q_text_html_tables})
+
+
+def q_pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed ENTITY-RESOLUTION recipe (dirty-twin injection →
+    multi-pass blocking → fuzzy match → transitive closure → canonical
+    summary) — the record-linkage pipeline that `join_fuzzy_levenshtein`
+    / `dedup_sorted_neighborhood` / `dedup_components` provide the
+    pieces for, here composed end-to-end.  Every 3rd customer gains a
+    deterministic dirty twin (one name char deleted at a key-derived
+    position, balance off by one cent).  Blocking is honest — derived
+    from the DATA, not the ground truth: two passes keyed on the first
+    4 and last 4 name digits (a single deletion cannot corrupt both),
+    unioned then deduped, so candidate pairs stay bounded per block
+    while recall survives the typo anywhere in the string.  Matching =
+    levenshtein ≤ 1 AND |Δcents| ≤ 1 (the numeric guard is what keeps
+    consecutive catalog names — all at edit distance 1 — apart).
+    Components run the same min-label propagation as
+    `dedup_components`; the canonical summary is one hash aggregate.
+    At 100 TB: pairs exist only within (nation, 4-digit) blocks,
+    payloads never join — ids, names and cents only."""
+    from table_streaming_source_spark.operators.dedup import (
+        connected_components,
+    )
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    base = c.select(
+        (F.col("c_custkey") * 2).alias("rid"),
+        F.col("c_name").alias("name"),
+        "c_nationkey",
+        "cents",
+    )
+    p = (F.col("c_custkey") % 18) + 1
+    twins = c.filter(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") * 2 + 1).alias("rid"),
+        F.concat(
+            F.expr("substring(c_name, 1, cast((c_custkey % 18) as int))"),
+            F.expr("substring(c_name, cast((c_custkey % 18) as int) + 2)"),
+        ).alias("name"),
+        "c_nationkey",
+        (F.col("cents") + 1).alias("cents"),
+    )
+    recs = base.unionAll(twins).withColumn(
+        "digits", F.regexp_replace("name", "[^0-9]", "")
+    )
+    recs = recs.select(
+        "rid",
+        "name",
+        "c_nationkey",
+        "cents",
+        F.substring("digits", 1, 4).alias("b1"),
+        F.expr("right(digits, 4)").alias("b2"),
+    ).localCheckpoint(eager=False)
+
+    def block_pairs(bcol: str):
+        a = recs.alias("a")
+        b = recs.alias("b")
+        return a.join(
+            b,
+            (F.col(f"a.{bcol}") == F.col(f"b.{bcol}"))
+            & (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.rid") < F.col("b.rid")),
+        ).select(
+            F.col("a.rid").alias("rid_a"),
+            F.col("b.rid").alias("rid_b"),
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.col("a.cents").alias("cents_a"),
+            F.col("b.cents").alias("cents_b"),
+        )
+
+    cand = block_pairs("b1").unionAll(block_pairs("b2")).distinct()
+    edges = cand.filter(
+        (F.levenshtein("name_a", "name_b") <= 1)
+        & (F.abs(F.col("cents_a") - F.col("cents_b")) <= 1)
+    ).select("rid_a", "rid_b")
+    comp = connected_components(
+        recs.select("rid"), edges, key="rid", src="rid_a", dst="rid_b"
+    )
+    return (
+        comp.join(recs.select("rid", "cents"), "rid")
+        .groupBy(F.col("component").alias("entity_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.max("cents").cast("bigint").alias("max_cents"),
+        )
+    )
+
+
+ORACLES["pipeline_entity_resolution"] = """
+WITH RECURSIVE c AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+recs0 AS (
+  SELECT c_custkey * 2 AS rid, c_name AS name, c_nationkey, cents FROM c
+  UNION ALL
+  SELECT c_custkey * 2 + 1,
+         SUBSTRING(c_name, 1, CAST(c_custkey % 18 AS INT))
+           || SUBSTRING(c_name, CAST(c_custkey % 18 AS INT) + 2),
+         c_nationkey, cents + 1
+  FROM c WHERE c_custkey % 3 = 0
+),
+recs AS (
+  SELECT rid, name, c_nationkey, cents,
+         SUBSTRING(REGEXP_REPLACE(name, '[^0-9]', '', 'g'), 1, 4) AS b1,
+         RIGHT(REGEXP_REPLACE(name, '[^0-9]', '', 'g'), 4) AS b2
+  FROM recs0
+),
+cand AS (
+  SELECT a.rid AS rid_a, b.rid AS rid_b,
+         a.name AS name_a, b.name AS name_b,
+         a.cents AS cents_a, b.cents AS cents_b
+  FROM recs a JOIN recs b
+    ON a.b1 = b.b1 AND a.c_nationkey = b.c_nationkey AND a.rid < b.rid
+  UNION
+  SELECT a.rid, b.rid, a.name, b.name, a.cents, b.cents
+  FROM recs a JOIN recs b
+    ON a.b2 = b.b2 AND a.c_nationkey = b.c_nationkey AND a.rid < b.rid
+),
+p AS (
+  SELECT rid_a, rid_b FROM cand
+  WHERE LEVENSHTEIN(name_a, name_b) <= 1
+    AND ABS(cents_a - cents_b) <= 1
+),
+e AS (
+  SELECT rid_a AS u, rid_b AS v FROM p
+  UNION ALL
+  SELECT rid_b, rid_a FROM p
+),
+reach(u, lbl) AS (
+  SELECT rid, rid FROM recs
+  UNION
+  SELECT e.u, r.lbl FROM e JOIN reach r ON r.u = e.v
+),
+comp AS (SELECT u AS rid, MIN(lbl) AS component FROM reach GROUP BY u)
+SELECT component AS entity_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MAX(cents) AS BIGINT) AS max_cents
+FROM comp JOIN recs USING (rid)
+GROUP BY component
+"""
+
+
+QUERIES_DEFERRED.update(
+    {"pipeline_entity_resolution": q_pipeline_entity_resolution}
+)
