@@ -201,9 +201,15 @@ largesize), ``multimodal_midi_meta`` (SMF delta-time varints, tempo
 meta, per-track ticks), ``multimodal_ogg_meta`` (OGG page walk with
 the from-scratch unreflected RFC-3533 CRC), ``source_gzip``
 (multi-member RFC-1952 with the full FLG chain and both trailers
-verified), ``dq_profile`` (Deequ-style one-pass column profile) and
-``sql_qualify`` (the QUALIFY window-filter idiom pinned against
-DuckDB's native keyword).
+verified), ``dq_profile`` (Deequ-style one-pass column profile), ``sql_qualify``
+(the QUALIFY window-filter idiom pinned against DuckDB's native
+keyword), ``graph_ppr`` (personalized PageRank, seed-restricted
+teleport, same fixed-point discipline as ``graph_pagerank``),
+``text_html_tables`` (HTML TABLE extraction via a real tag tokenizer
+— implied end tags, attributes, inline markup, entities), and
+``pipeline_entity_resolution`` (the composed record-linkage recipe:
+dirty-twin injection → dual data-derived blocking → levenshtein+cents
+match → min-label closure → canonical summary).
 """
 
 from __future__ import annotations
