@@ -7634,3 +7634,155 @@ def ogg_meta(
             "last_granule long, serial long, crc_ok boolean"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# AIFF audio (the Apple/EA IFF-85 derivative, public spec) — notable for
+# the sample rate stored as an 80-bit IEEE 754 EXTENDED float in COMM
+# ---------------------------------------------------------------------------
+
+def _f80_encode(rate: int) -> bytes:
+    """Integer → 80-bit extended precision (big-endian: 1+15-bit
+    sign/exponent word, 64-bit mantissa with EXPLICIT integer bit):
+    normalize so mantissa bit 63 is set, exponent = 16382 + bit_length."""
+    if rate <= 0:
+        raise ValueError("rate must be positive")
+    b = rate.bit_length()
+    m = rate << (64 - b)
+    e = 16382 + b
+    return struct.pack(">HQ", e, m)
+
+
+def _f80_decode_int(buf: bytes) -> int:
+    """80-bit extended → exact integer (the AIFF sample-rate case —
+    integral rates round-trip exactly; the explicit integer bit means
+    no hidden-bit special-casing)."""
+    e, m = struct.unpack(">HQ", buf)
+    if e == 0 and m == 0:
+        return 0
+    if e & 0x8000:
+        raise ValueError("negative sample rate")
+    shift = e - 16383 - 63
+    if shift >= 0:
+        return m << shift
+    if (m & ((1 << (-shift)) - 1)) != 0:
+        raise ValueError("non-integral sample rate")
+    return m >> (-shift)
+
+
+def synth_aiff(key: int) -> bytes:
+    """A spec-valid FORM/AIFF container: COMM (mono, 16-bit,
+    ``50 + key%150`` frames, sample rate 8000/11025/44100 by key%3 as a
+    REAL 80-bit extended float) + SSND (offset 0, block 0) with PCM16
+    big-endian samples ``((key·5 + i·9) % 2001) − 1000``."""
+    n = 50 + key % 150
+    rate = (8000, 11025, 44100)[key % 3]
+    samples = b"".join(
+        struct.pack(">h", ((key * 5 + i * 9) % 2001) - 1000)
+        for i in range(n)
+    )
+    comm = struct.pack(">hLh", 1, n, 16) + _f80_encode(rate)
+    ssnd = struct.pack(">LL", 0, 0) + samples
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">L", len(comm)) + comm
+        + b"SSND" + struct.pack(">L", len(ssnd)) + ssnd
+    )
+    return b"FORM" + struct.pack(">L", len(body)) + body
+
+
+def attach_aiff_payload(df: DataFrame, key: str) -> DataFrame:
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [synth_aiff(int(k)) for k in pdf[key]],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def aiff_stats(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """FORM/AIFF chunk walk (even-padded IFF chunks), COMM decode
+    including the 80-bit extended sample rate (exact integer
+    arithmetic — no float round-trip), SSND offset honored, PCM16
+    big-endian expansion, exact-integer per-stream stats.  Truncated
+    chunks, frame-count mismatches, and non-integral rates raise —
+    quarantine path."""
+    import numpy as np
+
+    def one(payload: bytes):
+        if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+            raise ValueError("not an AIFF file")
+        (form_len,) = struct.unpack_from(">L", payload, 4)
+        if 8 + form_len != len(payload):
+            raise ValueError("FORM length mismatch")
+        pos = 12
+        channels = n_frames = bits = rate = None
+        data = None
+        while pos + 8 <= len(payload):
+            ctype = payload[pos : pos + 4]
+            (clen,) = struct.unpack_from(">L", payload, pos + 4)
+            body = payload[pos + 8 : pos + 8 + clen]
+            if len(body) != clen:
+                raise ValueError(f"truncated {ctype!r} chunk")
+            if ctype == b"COMM":
+                channels, n_frames, bits = struct.unpack_from(
+                    ">hLh", body, 0
+                )
+                rate = _f80_decode_int(body[8:18])
+            elif ctype == b"SSND":
+                off, _block = struct.unpack_from(">LL", body, 0)
+                data = body[8 + off :]
+            pos += 8 + clen + (clen & 1)  # IFF chunks pad to even
+        if channels != 1 or bits != 16:
+            raise ValueError("only mono PCM16 AIFF supported")
+        s = np.frombuffer(data, dtype=">i2").astype(np.int64)
+        if s.size != n_frames:
+            raise ValueError("SSND frame count mismatch")
+        return (
+            int(rate),
+            int(n_frames),
+            int(s.sum()),
+            int(np.abs(s).max()) if s.size else 0,
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                rate, n, ssum, smax = one(bytes(payload))
+                rows.append((int(k), rate, n, ssum, smax))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "key", "samplerate", "n_frames", "sum_s", "max_abs",
+                ],
+            ).astype(
+                {
+                    "key": "int64",
+                    "samplerate": "int32",
+                    "n_frames": "int64",
+                    "sum_s": "int64",
+                    "max_abs": "int64",
+                }
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema=(
+            "key long, samplerate int, n_frames long, sum_s long, "
+            "max_abs long"
+        ),
+    )

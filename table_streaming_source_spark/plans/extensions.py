@@ -11893,3 +11893,271 @@ GROUP BY component
 QUERIES_DEFERRED.update(
     {"pipeline_entity_resolution": q_pipeline_entity_resolution}
 )
+
+
+def q_agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of the daily-revenue
+    series: each day is classed above/below the LOWER-MEDIAN of daily
+    totals (an order statistic — engine-proof under ties), equal-to-
+    median days are dropped per the classical treatment, runs are
+    counted by a lag comparison, and the z statistic is a fixed IEEE
+    expression over the exact integers (R, n₊, n₋).  One aggregate to
+    days, one single-partition sort of DAYS (tiny forever — the series
+    length is bounded by the calendar, not the corpus), zero UDFs."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    n_days = daily.count()
+    med = (
+        daily.select("rev", F.row_number().over(Window.orderBy("rev")).alias("rn"))
+        .filter(F.col("rn") == (n_days + 1) // 2)
+        .select(F.col("rev").alias("med"))
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("rev") != F.col("med"))
+        .select(
+            "d", (F.col("rev") > F.col("med")).cast("int").alias("s")
+        )
+    )
+    w = Window.orderBy("d")
+    runs = signed.select(
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull()
+            | (F.lag("s").over(w) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("new_run").cast("bigint").alias("n_runs"),
+        F.sum("s").cast("bigint").alias("n_above"),
+        F.sum(F.lit(1) - F.col("s")).cast("bigint").alias("n_below"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    r = F.col("n_runs").cast("double")
+    mu = F.lit(2.0) * n1 * n2 / (n1 + n2) + F.lit(1.0)
+    var = (
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - F.lit(1.0)))
+    )
+    return agg.select(
+        "n_runs",
+        "n_above",
+        "n_below",
+        F.round(mu, 9).alias("expected_runs"),
+        F.round((r - mu) / F.sqrt(var), 9).alias("z_stat"),
+    )
+
+
+ORACLES["agg_runs_test"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n_days FROM daily),
+med AS (
+  SELECT rev AS med FROM (
+    SELECT rev, ROW_NUMBER() OVER (ORDER BY rev) AS rn FROM daily
+  ), n
+  WHERE rn = CAST(FLOOR((n_days + 1) / 2) AS BIGINT)
+),
+signed AS (
+  SELECT d, CAST(rev > med AS INT) AS s
+  FROM daily, med WHERE rev <> med
+),
+runs AS (
+  SELECT s,
+         CASE WHEN LAG(s) OVER (ORDER BY d) IS NULL
+                OR LAG(s) OVER (ORDER BY d) <> s
+              THEN 1 ELSE 0 END AS new_run
+  FROM signed
+),
+agg AS (
+  SELECT CAST(SUM(new_run) AS BIGINT) AS n_runs,
+         CAST(SUM(s) AS BIGINT) AS n_above,
+         CAST(SUM(1 - s) AS BIGINT) AS n_below
+  FROM runs
+)
+SELECT n_runs, n_above, n_below,
+       ROUND(2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+             / (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)) + 1.0, 9)
+         AS expected_runs,
+       ROUND((CAST(n_runs AS DOUBLE)
+              - (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                 / (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)) + 1.0))
+             / SQRT(2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                    * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                       - CAST(n_above AS DOUBLE) - CAST(n_below AS DOUBLE))
+                    / ((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+                       * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+                       * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)
+                          - 1.0))), 9) AS z_stat
+FROM agg
+"""
+
+
+QUERIES_DEFERRED.update({"agg_runs_test": q_agg_runs_test})
+
+
+def q_agg_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test (the repeated-measures rank ANOVA): do the five
+    order priorities keep their volume ranking across months?  Blocks
+    = calendar months, treatments = priorities, measure = order count
+    on the COMPLETE grid (missing cells coalesce to 0 so every block
+    ranks all k treatments).  Within-block average ranks ride the
+    ``2·rank`` integer trick; the χ²_F statistic is a fixed IEEE
+    expression over the five exact rank-sum integers.  Two tiny hash
+    aggregates + one k-wide window per block — the grid is
+    months × 5, bounded by the calendar regardless of corpus size."""
+    o = t(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("blk"),
+        F.col("o_orderpriority").alias("trt"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    blocks = cells.select("blk").distinct()
+    trts = cells.select("trt").distinct()
+    grid = (
+        blocks.crossJoin(F.broadcast(trts))
+        .join(cells, ["blk", "trt"], "left")
+        .select(
+            "blk", "trt", F.coalesce("cnt", F.lit(0)).alias("cnt")
+        )
+    )
+    wr = Window.partitionBy("blk").orderBy("cnt")
+    wp = Window.partitionBy("blk", "cnt")
+    ranked = grid.select(
+        "blk",
+        "trt",
+        (
+            F.lit(2) * F.rank().over(wr)
+            + F.count(F.lit(1)).over(wp)
+            - F.lit(1)
+        ).alias("r2"),
+    )
+    sums = ranked.groupBy("trt").agg(
+        F.sum("r2").cast("bigint").alias("r2sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+    )
+    piv = sums.groupBy().agg(
+        F.max("n_blocks").alias("n"),
+        *[
+            F.max(
+                F.when(
+                    F.col("trt").startswith(f"{j}-"), F.col("r2sum")
+                )
+            ).alias(f"r{j}")
+            for j in range(1, 6)
+        ],
+    )
+    nd = F.col("n").cast("double")
+    k = F.lit(5.0)
+    s = None
+    for j in range(1, 6):
+        term = (F.col(f"r{j}").cast("double") / F.lit(2.0)) * (
+            F.col(f"r{j}").cast("double") / F.lit(2.0)
+        )
+        s = term if s is None else s + term
+    chi = (F.lit(12.0) / (nd * k * (k + F.lit(1.0)))) * s - F.lit(
+        3.0
+    ) * nd * (k + F.lit(1.0))
+    return piv.select(
+        F.col("n").cast("bigint").alias("n_blocks"),
+        *[
+            F.col(f"r{j}").cast("bigint").alias(f"ranksum2_p{j}")
+            for j in range(1, 6)
+        ],
+        F.round(chi, 9).alias("friedman_chi2"),
+    )
+
+
+ORACLES["agg_friedman"] = """
+WITH cells AS (
+  SELECT STRFTIME(o_orderdate, '%Y-%m') AS blk,
+         o_orderpriority AS trt, COUNT(*) AS cnt
+  FROM orders GROUP BY 1, 2
+),
+grid AS (
+  SELECT b.blk, t.trt, COALESCE(c.cnt, 0) AS cnt
+  FROM (SELECT DISTINCT blk FROM cells) b
+  CROSS JOIN (SELECT DISTINCT trt FROM cells) t
+  LEFT JOIN cells c ON c.blk = b.blk AND c.trt = t.trt
+),
+ranked AS (
+  SELECT blk, trt,
+         2 * RANK() OVER (PARTITION BY blk ORDER BY cnt)
+           + COUNT(*) OVER (PARTITION BY blk, cnt) - 1 AS r2
+  FROM grid
+),
+sums AS (
+  SELECT trt, CAST(SUM(r2) AS BIGINT) AS r2sum,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks
+  FROM ranked GROUP BY trt
+),
+piv AS (
+  SELECT MAX(n_blocks) AS n,
+         MAX(CASE WHEN trt LIKE '1-%' THEN r2sum END) AS r1,
+         MAX(CASE WHEN trt LIKE '2-%' THEN r2sum END) AS r2,
+         MAX(CASE WHEN trt LIKE '3-%' THEN r2sum END) AS r3,
+         MAX(CASE WHEN trt LIKE '4-%' THEN r2sum END) AS r4,
+         MAX(CASE WHEN trt LIKE '5-%' THEN r2sum END) AS r5
+  FROM sums
+)
+SELECT CAST(n AS BIGINT) AS n_blocks,
+       CAST(r1 AS BIGINT) AS ranksum2_p1,
+       CAST(r2 AS BIGINT) AS ranksum2_p2,
+       CAST(r3 AS BIGINT) AS ranksum2_p3,
+       CAST(r4 AS BIGINT) AS ranksum2_p4,
+       CAST(r5 AS BIGINT) AS ranksum2_p5,
+       ROUND((12.0 / (CAST(n AS DOUBLE) * 5.0 * 6.0))
+             * ((CAST(r1 AS DOUBLE)/2.0)*(CAST(r1 AS DOUBLE)/2.0)
+                + (CAST(r2 AS DOUBLE)/2.0)*(CAST(r2 AS DOUBLE)/2.0)
+                + (CAST(r3 AS DOUBLE)/2.0)*(CAST(r3 AS DOUBLE)/2.0)
+                + (CAST(r4 AS DOUBLE)/2.0)*(CAST(r4 AS DOUBLE)/2.0)
+                + (CAST(r5 AS DOUBLE)/2.0)*(CAST(r5 AS DOUBLE)/2.0))
+             - 3.0 * CAST(n AS DOUBLE) * 6.0, 9) AS friedman_chi2
+FROM piv
+"""
+
+
+QUERIES_DEFERRED.update({"agg_friedman": q_agg_friedman})
+
+
+def q_multimodal_aiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIFF decode (`operators/multimodal.py::aiff_stats`): IFF chunk
+    walk with even-padding, SSND offset honored, and the COMM sample
+    rate decoded from its 80-BIT IEEE-754 EXTENDED float in exact
+    integer arithmetic (the 44100 → 0x400EAC44… spec vector is pinned
+    by pytest).  PCM16 big-endian samples are formula-stated so the
+    oracle recomputes the expansion — container real, content
+    checkable."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 3)
+    return M.aiff_stats(M.attach_aiff_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_aiff"] = """
+WITH keys AS (SELECT doc_id AS key FROM documents WHERE doc_id % 5 = 3),
+s AS (
+  SELECT key, u.i AS i,
+         (key * 5 + u.i * 9) % 2001 - 1000 AS v
+  FROM keys, UNNEST(RANGE(0, 50 + key % 150)) AS u(i)
+)
+SELECT key,
+       CAST(CASE key % 3 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+                         ELSE 44100 END AS INT) AS samplerate,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(v) AS BIGINT) AS sum_s,
+       CAST(MAX(ABS(v)) AS BIGINT) AS max_abs
+FROM s GROUP BY key
+"""
+
+
+QUERIES_DEFERRED.update({"multimodal_aiff": q_multimodal_aiff})

@@ -103,3 +103,20 @@ def test_html_table_parser_edge_cases():
     assert len(_parse_html_tables(two)) == 2
     # no tables -> empty
     assert _parse_html_tables("<html><p>plain</p></html>") == []
+
+
+def test_aiff_f80_and_quarantine(spark):
+    from table_streaming_source_spark.operators.multimodal import (
+        _f80_decode_int,
+        _f80_encode,
+    )
+
+    # the AIFF spec's canonical 44.1 kHz vector
+    assert _f80_encode(44100).hex() == "400eac44000000000000"
+    assert _f80_decode_int(bytes.fromhex("400eac44000000000000")) == 44100
+    rows = _run(spark, M.aiff_stats, [M.synth_aiff(3), M.synth_aiff(13)])
+    assert {r.samplerate for r in rows} == {8000, 11025}
+    bad = bytearray(M.synth_aiff(3))
+    bad[4] ^= 0x01  # FORM length corrupt
+    with pytest.raises(Exception, match="length"):
+        _run(spark, M.aiff_stats, [bytes(bad)])
