@@ -7786,3 +7786,189 @@ def aiff_stats(
             "max_abs long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# EBML / Matroska metadata (RFC 8794 EBML + public Matroska element ids)
+# — a third varint flavor: length encoded by LEADING-ZERO marker bits
+# ---------------------------------------------------------------------------
+
+def _ebml_vint_size(value: int) -> bytes:
+    """EBML data-size VINT: the count of leading zero bits (plus the
+    marker one) gives the width; the marker bit is NOT part of the
+    value.  Minimal-width encoding for sizes < 2^14 here."""
+    if value < 0x7F:  # 1 byte: 1xxxxxxx
+        return bytes((0x80 | value,))
+    if value < 0x3FFF:  # 2 bytes: 01xxxxxx xxxxxxxx
+        return bytes((0x40 | (value >> 8), value & 0xFF))
+    raise ValueError("size too large for this fixture writer")
+
+
+def _ebml_uint(value: int) -> bytes:
+    """Element payload for an unsigned integer: minimal big-endian."""
+    if value == 0:
+        return b"\x00"
+    return value.to_bytes((value.bit_length() + 7) // 8, "big")
+
+
+def _ebml_elem(eid: bytes, payload: bytes) -> bytes:
+    return eid + _ebml_vint_size(len(payload)) + payload
+
+
+def synth_mkv(key: int) -> bytes:
+    """A spec-valid EBML/Matroska skeleton: EBML header (DocType
+    'matroska'), Segment{Info{TimestampScale ``1000000·(1+key%3)``,
+    Title ``seg<key>``}, Tracks{``1+key%3`` TrackEntry(TrackNumber,
+    TrackType)}} — ids are the real Matroska registry values; all
+    integers exact so the walk is formula-checkable."""
+    n_tracks = 1 + key % 3
+    header = _ebml_elem(
+        b"\x1a\x45\xdf\xa3",
+        _ebml_elem(b"\x42\x82", b"matroska")
+        + _ebml_elem(b"\x42\x87", _ebml_uint(4)),  # DocTypeVersion
+    )
+    info = _ebml_elem(
+        b"\x15\x49\xa9\x66",
+        _ebml_elem(b"\x2a\xd7\xb1", _ebml_uint(1000000 * (1 + key % 3)))
+        + _ebml_elem(b"\x7b\xa9", f"seg{key}".encode()),
+    )
+    tracks = _ebml_elem(
+        b"\x16\x54\xae\x6b",
+        b"".join(
+            _ebml_elem(
+                b"\xae",
+                _ebml_elem(b"\xd7", _ebml_uint(t + 1))
+                + _ebml_elem(b"\x83", _ebml_uint(1 if t % 2 == 0 else 2)),
+            )
+            for t in range(n_tracks)
+        ),
+    )
+    segment = _ebml_elem(b"\x18\x53\x80\x67", info + tracks)
+    return header + segment
+
+
+def attach_mkv_payload(df: DataFrame, key: str) -> DataFrame:
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [synth_mkv(int(k)) for k in pdf[key]],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def _ebml_read_vint(buf: bytes, pos: int, *, keep_marker: bool):
+    """Read one EBML VINT at ``pos`` → (value, new_pos).  Ids keep the
+    marker bit (they are compared as raw bytes in the registry); data
+    sizes strip it."""
+    first = buf[pos]
+    if first == 0:
+        raise ValueError("invalid EBML VINT (no marker in first byte)")
+    width = 1
+    mask = 0x80
+    while not first & mask:
+        width += 1
+        mask >>= 1
+    v = first if keep_marker else first & (mask - 1)
+    for i in range(1, width):
+        v = (v << 8) | buf[pos + i]
+    return v, pos + width
+
+
+def mkv_meta(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """EBML walk with the real VINT rules (leading-zero width markers;
+    ids keep the marker, sizes strip it), recursing into the known
+    master elements (Segment/Info/Tracks/TrackEntry), reading uint and
+    string leaves, skipping unknown elements by their declared size —
+    the forward-compatibility contract EBML exists for.  Overruns
+    raise (quarantine).  Arrow-batched, zero shuffles."""
+    MASTERS = {0x18538067, 0x1549A966, 0x1654AE6B, 0xAE}
+
+    def walk(buf: bytes, pos: int, end: int, out: dict) -> None:
+        while pos < end:
+            eid, pos = _ebml_read_vint(buf, pos, keep_marker=True)
+            size, pos = _ebml_read_vint(buf, pos, keep_marker=False)
+            if pos + size > end:
+                raise ValueError(f"EBML element 0x{eid:x} overruns parent")
+            if eid in MASTERS:
+                if eid == 0xAE:
+                    out["n_tracks"] = out.get("n_tracks", 0) + 1
+                walk(buf, pos, pos + size, out)
+            elif eid == 0x4282:
+                out["doctype"] = buf[pos : pos + size].decode("ascii")
+            elif eid == 0x2AD7B1:
+                out["timestamp_scale"] = int.from_bytes(
+                    buf[pos : pos + size], "big"
+                )
+            elif eid == 0x7BA9:
+                out["title_len"] = size
+            elif eid == 0xD7:
+                out["track_number_sum"] = out.get(
+                    "track_number_sum", 0
+                ) + int.from_bytes(buf[pos : pos + size], "big")
+            pos += size
+
+    def one(payload: bytes):
+        out: dict = {}
+        pos = 0
+        # top level: EBML header then Segment
+        for _ in range(2):
+            eid, p = _ebml_read_vint(payload, pos, keep_marker=True)
+            size, p = _ebml_read_vint(payload, p, keep_marker=False)
+            if eid == 0x1A45DFA3:
+                walk(payload, p, p + size, out)
+            elif eid == 0x18538067:
+                walk(payload, p, p + size, out)
+            else:
+                raise ValueError(f"unexpected top-level element 0x{eid:x}")
+            pos = p + size
+        if pos != len(payload):
+            raise ValueError("trailing bytes after Segment")
+        return (
+            out.get("doctype", ""),
+            out.get("timestamp_scale", 0),
+            out.get("n_tracks", 0),
+            out.get("track_number_sum", 0),
+            out.get("title_len", 0),
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                rows.append((int(k),) + one(bytes(payload)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "key", "doctype", "timestamp_scale", "n_tracks",
+                    "track_number_sum", "title_len",
+                ],
+            ).astype(
+                {
+                    "key": "int64",
+                    "timestamp_scale": "int64",
+                    "n_tracks": "int32",
+                    "track_number_sum": "int64",
+                    "title_len": "int32",
+                }
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema=(
+            "key long, doctype string, timestamp_scale long, "
+            "n_tracks int, track_number_sum long, title_len int"
+        ),
+    )

@@ -12161,3 +12161,187 @@ FROM s GROUP BY key
 
 
 QUERIES_DEFERRED.update({"multimodal_aiff": q_multimodal_aiff})
+
+
+def q_agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic document raters (rater A:
+    length-based quality tier; rater B: digit-of-id tier — both
+    3-class), the inter-annotator-agreement statistic every labeling
+    pipeline reports.  The 3×3 confusion matrix collapses to exact
+    BIGINTs in one pass; observed and chance agreement and κ are fixed
+    IEEE expressions over those integers.  Map-combinable aggregate,
+    one row out."""
+    d = t(spark, sf_dir, "documents")
+    ra = (
+        F.when(F.col("n_chars") < 70, 0)
+        .when(F.col("n_chars") < 90, 1)
+        .otherwise(2)
+    )
+    rb = (F.col("doc_id") % 3).cast("int")
+    cells = d.select(ra.alias("a"), rb.alias("b")).groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("a") == F.col("b")).cast("long"))
+        .cast("bigint")
+        .alias("agree"),
+        *[
+            F.sum((F.col("a") == i).cast("long"))
+            .cast("bigint")
+            .alias(f"a{i}")
+            for i in range(3)
+        ],
+        *[
+            F.sum((F.col("b") == i).cast("long"))
+            .cast("bigint")
+            .alias(f"b{i}")
+            for i in range(3)
+        ],
+    )
+    nd = F.col("n").cast("double")
+    po = F.col("agree").cast("double") / nd
+    pe = (
+        F.col("a0").cast("double") * F.col("b0").cast("double")
+        + F.col("a1").cast("double") * F.col("b1").cast("double")
+        + F.col("a2").cast("double") * F.col("b2").cast("double")
+    ) / (nd * nd)
+    return cells.select(
+        "n",
+        "agree",
+        *[F.col(f"a{i}") for i in range(3)],
+        *[F.col(f"b{i}") for i in range(3)],
+        F.round(po, 9).alias("p_observed"),
+        F.round(pe, 9).alias("p_expected"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 9).alias("kappa"),
+    )
+
+
+ORACLES["agg_cohens_kappa"] = """
+WITH r AS (
+  SELECT CASE WHEN n_chars < 70 THEN 0
+              WHEN n_chars < 90 THEN 1 ELSE 2 END AS a,
+         CAST(doc_id % 3 AS INT) AS b
+  FROM documents
+),
+cells AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+         CAST(SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+         CAST(SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+         CAST(SUM(CASE WHEN a = 2 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+         CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+         CAST(SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+         CAST(SUM(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2
+  FROM r
+)
+SELECT n, agree, a0, a1, a2, b0, b1, b2,
+       ROUND(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 9) AS p_observed,
+       ROUND((CAST(a0 AS DOUBLE) * CAST(b0 AS DOUBLE)
+              + CAST(a1 AS DOUBLE) * CAST(b1 AS DOUBLE)
+              + CAST(a2 AS DOUBLE) * CAST(b2 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9) AS p_expected,
+       ROUND((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(a0 AS DOUBLE) * CAST(b0 AS DOUBLE)
+                 + CAST(a1 AS DOUBLE) * CAST(b1 AS DOUBLE)
+                 + CAST(a2 AS DOUBLE) * CAST(b2 AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             / (1.0 - (CAST(a0 AS DOUBLE) * CAST(b0 AS DOUBLE)
+                       + CAST(a1 AS DOUBLE) * CAST(b1 AS DOUBLE)
+                       + CAST(a2 AS DOUBLE) * CAST(b2 AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 9)
+         AS kappa
+FROM cells
+"""
+
+
+def q_agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval (the proportion CI that behaves at small n
+    and extreme rates — what a dashboard should use instead of the Wald
+    interval) for the deep-discount rate per return flag: exact
+    numerator/denominator BIGINTs, then the closed-form bounds as fixed
+    IEEE expressions at z = 1.96.  One map-combinable aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("l_discount") >= 0.05).cast("long"))
+        .cast("bigint")
+        .alias("late"),
+    )
+    nd = F.col("n").cast("double")
+    x = F.col("late").cast("double")
+    z = F.lit(1.96)
+    z2 = z * z
+    phat = x / nd
+    denom = F.lit(1.0) + z2 / nd
+    center = phat + z2 / (F.lit(2.0) * nd)
+    half = z * F.sqrt(
+        (phat * (F.lit(1.0) - phat) + z2 / (F.lit(4.0) * nd)) / nd
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        "late",
+        F.round(phat, 9).alias("p_hat"),
+        F.round((center - half) / denom, 9).alias("wilson_lo"),
+        F.round((center + half) / denom, 9).alias("wilson_hi"),
+    )
+
+
+ORACLES["agg_wilson_ci"] = """
+WITH agg AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_discount >= 0.05
+                       THEN 1 ELSE 0 END) AS BIGINT) AS late
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n, late,
+       ROUND(ph, 9) AS p_hat,
+       ROUND((ph + 1.96 * 1.96 / (2.0 * nd)
+              - 1.96 * SQRT((ph * (1.0 - ph)
+                             + 1.96 * 1.96 / (4.0 * nd)) / nd))
+             / (1.0 + 1.96 * 1.96 / nd), 9) AS wilson_lo,
+       ROUND((ph + 1.96 * 1.96 / (2.0 * nd)
+              + 1.96 * SQRT((ph * (1.0 - ph)
+                             + 1.96 * 1.96 / (4.0 * nd)) / nd))
+             / (1.0 + 1.96 * 1.96 / nd), 9) AS wilson_hi
+FROM (
+  SELECT l_returnflag, n, late,
+         CAST(late AS DOUBLE) / CAST(n AS DOUBLE) AS ph,
+         CAST(n AS DOUBLE) AS nd
+  FROM agg
+)
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "agg_cohens_kappa": q_agg_cohens_kappa,
+        "agg_wilson_ci": q_agg_wilson_ci,
+    }
+)
+
+
+def q_multimodal_mkv_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EBML/Matroska walk (`operators/multimodal.py::mkv_meta`): the
+    RFC-8794 VINT rules implemented for real (width from LEADING-ZERO
+    marker bits — ids keep the marker, sizes strip it; the third
+    varint dialect in the repo after protobuf's LEB128 and MIDI's
+    big-endian VLQ), recursion into the registry master elements,
+    size-declared skip of unknown elements.  DocType, TimestampScale,
+    track census and title length are formula-stated for the oracle."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 1)
+    return M.mkv_meta(M.attach_mkv_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_mkv_meta"] = """
+SELECT doc_id AS key,
+       'matroska' AS doctype,
+       CAST(1000000 * (1 + doc_id % 3) AS BIGINT) AS timestamp_scale,
+       CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+       CAST((1 + doc_id % 3) * (2 + doc_id % 3) / 2 AS BIGINT)
+         AS track_number_sum,
+       CAST(LENGTH('seg' || CAST(doc_id AS VARCHAR)) AS INT) AS title_len
+FROM documents WHERE doc_id % 5 = 1
+"""
+
+
+QUERIES_DEFERRED.update({"multimodal_mkv_meta": q_multimodal_mkv_meta})

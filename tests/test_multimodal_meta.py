@@ -120,3 +120,44 @@ def test_aiff_f80_and_quarantine(spark):
     bad[4] ^= 0x01  # FORM length corrupt
     with pytest.raises(Exception, match="length"):
         _run(spark, M.aiff_stats, [bytes(bad)])
+
+
+def test_ebml_vint_and_unknown_skip(spark):
+    from table_streaming_source_spark.operators.multimodal import (
+        _ebml_elem,
+        _ebml_read_vint,
+        synth_mkv,
+    )
+
+    # vint widths: 1-byte and 2-byte forms, marker stripped for sizes
+    assert _ebml_read_vint(b"\x81", 0, keep_marker=False) == (1, 1)
+    assert _ebml_read_vint(b"\x40\x2c", 0, keep_marker=False) == (44, 2)
+    rows = _run(spark, M.mkv_meta, [synth_mkv(6)])
+    assert rows[0].doctype == "matroska" and rows[0].n_tracks == 1
+    # an UNKNOWN element inside Segment must be skipped by size, not
+    # choke the walk: splice one in front of Info
+    base = synth_mkv(6)
+    seg_id = b"\x18\x53\x80\x67"
+    i = base.index(seg_id)
+    from table_streaming_source_spark.operators.multimodal import (
+        _ebml_vint_size,
+    )
+    # decode the original segment size vint
+    size, p = _ebml_read_vint(base, i + 4, keep_marker=False)
+    inner = base[p : p + size]
+    unknown = _ebml_elem(b"\xec", b"\x00\x01\x02")  # Void-like filler
+    new_inner = unknown + inner
+    rebuilt = (
+        base[:i]
+        + seg_id
+        + _ebml_vint_size(len(new_inner))
+        + new_inner
+    )
+    rows2 = _run(spark, M.mkv_meta, [rebuilt])
+    assert rows2[0].n_tracks == rows[0].n_tracks
+    assert rows2[0].timestamp_scale == rows[0].timestamp_scale
+    # overrun raises
+    bad = bytearray(synth_mkv(6))
+    bad[-1:] = b""  # truncate last byte
+    with pytest.raises(Exception, match="overrun|index|trailing"):
+        _run(spark, M.mkv_meta, [bytes(bad)])
