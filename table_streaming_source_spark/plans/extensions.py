@@ -12345,3 +12345,264 @@ FROM documents WHERE doc_id % 5 = 1
 
 
 QUERIES_DEFERRED.update({"multimodal_mkv_meta": q_multimodal_mkv_meta})
+
+
+def q_source_ics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iCalendar ingestion (`sources/mime.py::read_ics_events`): events
+    round-trip through 6 ``.ics`` calendars with REAL RFC-5545 line
+    FOLDING (descriptions exceed 75 octets by construction, so the
+    reader must unfold before parsing — the part naive splitters get
+    wrong), BEGIN/END component nesting, and property-parameter
+    stripping.  One calendar per task; all fields formula-stated."""
+    import os as _os
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark.sources.mime import (
+        read_ics_events,
+        write_ics,
+    )
+
+    path = _scratch.scratch_dir("source_ics", sf_dir, fresh=True)
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    cals = []
+    for shard in range(6):
+        ids = docs[docs["doc_id"] % 6 == shard]["doc_id"]
+        events = [
+            {
+                "uid": f"d{k}@tsss",
+                "dtstart": f"202401{1 + k % 28:02d}T{k % 24:02d}0000Z",
+                "minutes": 15 + k % 90,
+                "summary": "s" * (5 + k % 40),
+                "description": "d" * (60 + k % 120),
+            }
+            for k in ids
+        ]
+        cals.append((shard, events))
+    write_ics(path, cals)
+    result = (
+        read_ics_events(spark, path)
+        .select(
+            F.regexp_extract("uid", r"d(\d+)@tsss", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            "cal_key",
+            "dtstart",
+            "minutes",
+            "summary_len",
+            "description_len",
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["source_ics"] = """
+SELECT doc_id,
+       CAST(doc_id % 6 AS BIGINT) AS cal_key,
+       '202401' || LPAD(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+         || 'T' || LPAD(CAST(doc_id % 24 AS VARCHAR), 2, '0') || '0000Z'
+         AS dtstart,
+       CAST(15 + doc_id % 90 AS BIGINT) AS minutes,
+       CAST(5 + doc_id % 40 AS BIGINT) AS summary_len,
+       CAST(60 + doc_id % 120 AS BIGINT) AS description_len
+FROM documents
+"""
+
+
+def q_agg_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio + relative risk with log-scale 95% CIs — the 2×2
+    effect measures beside `agg_mcnemar`'s paired test: exposure =
+    deep discount (≥ 5%), outcome = returned flag, cells collapse to
+    four exact BIGINTs, the measures and their Woolf CIs are fixed
+    IEEE expressions (log/exp at the very end, round 9)."""
+    li = t(spark, sf_dir, "lineitem")
+    cells = li.agg(
+        *[
+            F.sum(
+                (
+                    (F.col("l_discount") >= 0.05) == exp_
+                )
+                .cast("long")
+                * (
+                    (F.col("l_returnflag") == "R") == out_
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias(nm)
+            for nm, exp_, out_ in [
+                ("a", True, True),
+                ("b", True, False),
+                ("c", False, True),
+                ("d", False, False),
+            ]
+        ]
+    )
+    a = F.col("a").cast("double")
+    b = F.col("b").cast("double")
+    c = F.col("c").cast("double")
+    d = F.col("d").cast("double")
+    or_ = (a * d) / (b * c)
+    rr = (a / (a + b)) / (c / (c + d))
+    se_or = F.sqrt(
+        F.lit(1.0) / a + F.lit(1.0) / b + F.lit(1.0) / c + F.lit(1.0) / d
+    )
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(or_, 9).alias("odds_ratio"),
+        F.round(rr, 9).alias("relative_risk"),
+        F.round(F.exp(F.log(or_) - F.lit(1.96) * se_or), 9).alias("or_lo"),
+        F.round(F.exp(F.log(or_) + F.lit(1.96) * se_or), 9).alias("or_hi"),
+    )
+
+
+ORACLES["agg_odds_ratio"] = """
+WITH cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN l_discount >= 0.05 AND l_returnflag = 'R'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN l_discount >= 0.05 AND l_returnflag <> 'R'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN l_discount < 0.05 AND l_returnflag = 'R'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN l_discount < 0.05 AND l_returnflag <> 'R'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM lineitem
+)
+SELECT a, b, c, d,
+       ROUND((CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+             / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)), 9) AS odds_ratio,
+       ROUND((CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)))
+             / (CAST(c AS DOUBLE) / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))),
+             9) AS relative_risk,
+       ROUND(EXP(LN((CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+                    / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                 - 1.96 * SQRT(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+                               + 1.0 / CAST(c AS DOUBLE)
+                               + 1.0 / CAST(d AS DOUBLE))), 9) AS or_lo,
+       ROUND(EXP(LN((CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+                    / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                 + 1.96 * SQRT(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+                               + 1.0 / CAST(c AS DOUBLE)
+                               + 1.0 / CAST(d AS DOUBLE))), 9) AS or_hi
+FROM cells
+"""
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over the edge list of the order-residue graph —
+    positive for social-style hubs-link-hubs graphs, negative for
+    web/biology-style hub-and-spoke.  Each undirected edge contributes
+    BOTH orientations (the standard symmetrized form); all moment sums
+    are exact BIGINTs (degrees are small integers) and r is one fixed
+    IEEE expression."""
+    o = t(spark, sf_dir, "orders")
+    # modulus 499 (prime): %40 saturates to the complete graph at
+    # sf>=0.01, where every degree is equal and assortativity is 0/0
+    u = (F.col("o_custkey") % 499).cast("long")
+    v = (F.col("o_orderkey") % 499).cast("long")
+    edges = (
+        o.select(F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    both = edges.unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    paired = (
+        both.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("deg", "dx")
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("dy")),
+            "b",
+        )
+    )
+    sums = paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m2"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+    )
+    n = F.col("m2").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = n * F.col("sxy").cast("double") - sx * sy
+    den = F.sqrt(
+        (n * F.col("sxx").cast("double") - sx * sx)
+        * (n * F.col("syy").cast("double") - sy * sy)
+    )
+    return sums.select(
+        "m2",
+        "sx",
+        "sxy",
+        F.round(num / den, 9).alias("assortativity"),
+    )
+
+
+ORACLES["graph_assortativity"] = """
+WITH edges AS (
+  SELECT DISTINCT LEAST(o_custkey % 499, o_orderkey % 499) AS a,
+         GREATEST(o_custkey % 499, o_orderkey % 499) AS b
+  FROM orders
+  WHERE o_custkey % 499 <> o_orderkey % 499
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+  ) GROUP BY node
+),
+ed2 AS (
+  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
+),
+paired AS (
+  SELECT da.deg AS dx, db.deg AS dy
+  FROM ed2
+  JOIN deg da ON da.node = ed2.a
+  JOIN deg db ON db.node = ed2.b
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+         CAST(SUM(dx) AS BIGINT) AS sx,
+         CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         CAST(SUM(dy * dy) AS BIGINT) AS syy,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy
+  FROM paired
+)
+SELECT m2, sx, sxy,
+       ROUND((CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT((CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+         AS assortativity
+FROM sums
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "source_ics": q_source_ics,
+        "agg_odds_ratio": q_agg_odds_ratio,
+        "graph_assortativity": q_graph_assortativity,
+    }
+)

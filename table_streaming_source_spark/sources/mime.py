@@ -333,3 +333,126 @@ def read_mbox(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return raw.select("content").mapInPandas(batches, schema=MBOX_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# iCalendar (RFC 5545) — the scheduling-data text format: 75-octet line
+# FOLDING, BEGIN/END component nesting, property parameters
+# ---------------------------------------------------------------------------
+
+
+def write_ics(path: str, calendars: list[tuple[int, list[dict]]]) -> None:
+    """One .ics file per (key, events) calendar.  Lines longer than 75
+    octets are FOLDED per RFC 5545 §3.1 (CRLF + single space), which is
+    the part naive line-splitters get wrong — descriptions here are
+    made long enough to force folding."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    for key, events in calendars:
+        lines = ["BEGIN:VCALENDAR", "VERSION:2.0", f"PRODID:-//tsss//{key}//EN"]
+        for ev in events:
+            lines += [
+                "BEGIN:VEVENT",
+                f"UID:{ev['uid']}",
+                f"DTSTART:{ev['dtstart']}",
+                f"DURATION:PT{ev['minutes']}M",
+                f"SUMMARY:{ev['summary']}",
+                f"DESCRIPTION:{ev['description']}",
+                "END:VEVENT",
+            ]
+        lines.append("END:VCALENDAR")
+        folded = []
+        for ln in lines:
+            raw = ln.encode("utf-8")
+            if len(raw) <= 75:
+                folded.append(ln)
+            else:
+                folded.append(raw[:75].decode("utf-8"))
+                rest = raw[75:]
+                while rest:
+                    folded.append(" " + rest[:74].decode("utf-8"))
+                    rest = rest[74:]
+        with open(os.path.join(path, f"cal-{key}.ics"), "wb") as fh:
+            fh.write("\r\n".join(folded).encode("utf-8") + b"\r\n")
+
+
+def parse_ics(payload: bytes) -> list[dict]:
+    """RFC 5545 walk: UNFOLD first (CRLF + space/tab joins), then
+    BEGIN/END component tracking and NAME[;PARAM...]:VALUE property
+    parse.  Returns one dict per VEVENT.  Unbalanced components
+    raise."""
+    text = payload.decode("utf-8")
+    raw_lines = text.split("\r\n")
+    lines: list[str] = []
+    for ln in raw_lines:
+        if ln[:1] in (" ", "\t") and lines:
+            lines[-1] += ln[1:]
+        elif ln:
+            lines.append(ln)
+    events = []
+    stack: list[str] = []
+    cur: dict | None = None
+    for ln in lines:
+        name, _, value = ln.partition(":")
+        name = name.split(";", 1)[0].upper()
+        if name == "BEGIN":
+            stack.append(value)
+            if value == "VEVENT":
+                cur = {}
+        elif name == "END":
+            if not stack or stack.pop() != value:
+                raise ValueError("unbalanced BEGIN/END in iCalendar")
+            if value == "VEVENT":
+                events.append(cur)
+                cur = None
+        elif cur is not None:
+            cur[name] = value
+    if stack:
+        raise ValueError("unterminated component in iCalendar")
+    return events
+
+
+def read_ics_events(spark: "SparkSession", path: str) -> "DataFrame":
+    """All VEVENTs under ``path`` as (cal_key, uid, dtstart, minutes,
+    summary_len, description_len) — one calendar file per task."""
+    import re
+
+    schema = StructType(
+        [
+            StructField("cal_key", LongType(), False),
+            StructField("uid", StringType(), False),
+            StructField("dtstart", StringType(), False),
+            StructField("minutes", LongType(), False),
+            StructField("summary_len", LongType(), False),
+            StructField("description_len", LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for apath, blob in zip(pdf["path"], pdf["content"]):
+                m = re.search(r"cal-(\d+)\.ics$", apath)
+                key = int(m.group(1))
+                for ev in parse_ics(bytes(blob)):
+                    dur = re.fullmatch(r"PT(\d+)M", ev["DURATION"])
+                    rows.append(
+                        (
+                            key,
+                            ev["UID"],
+                            ev["DTSTART"],
+                            int(dur.group(1)),
+                            len(ev["SUMMARY"]),
+                            len(ev["DESCRIPTION"]),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=schema.fieldNames())
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ics")
+        .load(path)
+        .select("path", "content")
+        .mapInPandas(batches, schema=schema)
+    )
