@@ -209,7 +209,19 @@ teleport, same fixed-point discipline as ``graph_pagerank``),
 — implied end tags, attributes, inline markup, entities), and
 ``pipeline_entity_resolution`` (the composed record-linkage recipe:
 dirty-twin injection → dual data-derived blocking → levenshtein+cents
-match → min-label closure → canonical summary).
+match → min-label closure → canonical summary), ``agg_runs_test``
+(Wald–Wolfowitz runs around the lower-median), ``agg_friedman``
+(repeated-measures rank ANOVA on the complete month×priority grid),
+``multimodal_aiff`` (IFF chunk walk with the 80-bit IEEE-extended
+sample-rate decode in exact integer arithmetic), ``agg_cohens_kappa``
+(3-class inter-rater agreement), ``agg_wilson_ci`` (Wilson score
+intervals), ``multimodal_mkv_meta`` (EBML/Matroska walk — RFC-8794
+leading-zero VINTs, registry master recursion, size-declared unknown
+skip), ``source_ics`` (iCalendar with real RFC-5545 line folding),
+``agg_odds_ratio`` (2×2 odds ratio / relative risk with Woolf CIs)
+and ``graph_assortativity`` (Newman degree assortativity over the
+symmetrized edge list; modulus 499 keeps the residue graph
+non-regular at every fixture SF).
 """
 
 from __future__ import annotations
