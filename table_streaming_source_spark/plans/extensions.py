@@ -12606,3 +12606,206 @@ QUERIES_DEFERRED.update(
         "graph_assortativity": q_graph_assortativity,
     }
 )
+
+
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus unigram distribution — the
+    rank-frequency diagnostic every corpus card reports: OLS of
+    ln(freq) on ln(rank) over the top-100 ranks (deterministic total
+    order: count desc, token asc).  Both logs ride the rounded-log
+    DECIMAL path (`text_unigram_logprob` discipline: libm's last-ulp
+    spread and float sum order both neutralized), the OLS moments are
+    exact decimal sums, and slope/intercept/R² are fixed IEEE
+    expressions over them.  One hash aggregate + one 100-row sort —
+    vocabulary scale never touches the fit."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim("text"), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("token")
+    )
+    uni = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy(F.desc("cnt"), "token")
+    top = uni.select(
+        "cnt", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= 100)
+    pts = top.select(
+        F.round(F.log(F.col("rank").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(28,9)").alias("sx"),
+        F.sum("y").cast("decimal(28,9)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,18)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,18)").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,18)").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    intercept = (sy - slope * sx) / nd
+    r = (nd * sxy - sx * sy) / F.sqrt(
+        (nd * sxx - sx * sx) * (nd * syy - sy * sy)
+    )
+    return sums.select(
+        "n",
+        F.round(slope, 9).alias("zipf_slope"),
+        F.round(intercept, 9).alias("zipf_intercept"),
+        F.round(r * r, 9).alias("r_squared"),
+    )
+
+
+ORACLES["text_zipf_fit"] = """
+WITH toks AS (
+  SELECT UNNEST(LIST_FILTER(
+           STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' '),
+           x -> LEN(x) > 0)) AS token
+  FROM documents
+),
+uni AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+top AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank
+  FROM uni QUALIFY rank <= 100
+),
+pts AS (
+  SELECT CAST(ROUND(LN(CAST(rank AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+         CAST(ROUND(LN(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+  FROM top
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(28,9)) AS sx,
+         CAST(SUM(y) AS DECIMAL(28,9)) AS sy,
+         CAST(SUM(x * y) AS DECIMAL(38,18)) AS sxy,
+         CAST(SUM(x * x) AS DECIMAL(38,18)) AS sxx,
+         CAST(SUM(y * y) AS DECIMAL(38,18)) AS syy
+  FROM pts
+)
+SELECT n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
+         AS zipf_slope,
+       ROUND((CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 9) AS zipf_intercept,
+       ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+             * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))), 9)
+         AS r_squared
+FROM sums
+"""
+
+
+def q_agg_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over a 3-item binary scale per order (high
+    value / urgent / finished — the internal-consistency statistic a
+    labeling or survey pipeline reports).  Item and total variances
+    derive from exact BIGINT sums of 0/1 items via n·Σx − (Σx)²
+    (population form, denominators cancel in the ratio), so α is one
+    fixed IEEE expression.  Single map-combinable aggregate."""
+    o = t(spark, sf_dir, "orders")
+    items = o.select(
+        (F.col("o_totalprice") > 100000).cast("long").alias("x1"),
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("long")
+        .alias("x2"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("x3"),
+    ).withColumn("tot", F.col("x1") + F.col("x2") + F.col("x3"))
+    sums = items.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum(c).cast("bigint").alias(f"s_{c}")
+            for c in ("x1", "x2", "x3", "tot")
+        ],
+        F.sum(F.col("tot") * F.col("tot")).cast("bigint").alias("s_tot2"),
+    )
+    nd = F.col("n").cast("double")
+
+    def var(s: str, s2) -> "F.Column":
+        return nd * s2 - F.col(s).cast("double") * F.col(s).cast("double")
+
+    # binary items: Σx² == Σx
+    vi = (
+        var("s_x1", F.col("s_x1").cast("double"))
+        + var("s_x2", F.col("s_x2").cast("double"))
+        + var("s_x3", F.col("s_x3").cast("double"))
+    )
+    vt = var("s_tot", F.col("s_tot2").cast("double"))
+    alpha = (F.lit(3.0) / F.lit(2.0)) * (F.lit(1.0) - vi / vt)
+    return sums.select(
+        "n",
+        F.col("s_x1"),
+        F.col("s_x2"),
+        F.col("s_x3"),
+        F.round(alpha, 9).alias("cronbach_alpha"),
+    )
+
+
+ORACLES["agg_cronbach_alpha"] = """
+WITH items AS (
+  SELECT CAST(o_totalprice > 100000 AS BIGINT) AS x1,
+         CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS BIGINT) AS x2,
+         CAST(o_orderstatus = 'F' AS BIGINT) AS x3
+  FROM orders
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s_x1,
+         CAST(SUM(x2) AS BIGINT) AS s_x2,
+         CAST(SUM(x3) AS BIGINT) AS s_x3,
+         CAST(SUM(x1 + x2 + x3) AS BIGINT) AS s_tot,
+         CAST(SUM((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT) AS s_tot2
+  FROM items
+)
+SELECT n, s_x1, s_x2, s_x3,
+       ROUND((3.0 / 2.0)
+             * (1.0 -
+                ((CAST(n AS DOUBLE) * CAST(s_x1 AS DOUBLE)
+                  - CAST(s_x1 AS DOUBLE) * CAST(s_x1 AS DOUBLE))
+                 + (CAST(n AS DOUBLE) * CAST(s_x2 AS DOUBLE)
+                    - CAST(s_x2 AS DOUBLE) * CAST(s_x2 AS DOUBLE))
+                 + (CAST(n AS DOUBLE) * CAST(s_x3 AS DOUBLE)
+                    - CAST(s_x3 AS DOUBLE) * CAST(s_x3 AS DOUBLE)))
+                / (CAST(n AS DOUBLE) * CAST(s_tot2 AS DOUBLE)
+                   - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE))), 9)
+         AS cronbach_alpha
+FROM sums
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "text_zipf_fit": q_text_zipf_fit,
+        "agg_cronbach_alpha": q_agg_cronbach_alpha,
+    }
+)
