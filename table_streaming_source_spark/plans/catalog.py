@@ -219,9 +219,12 @@ intervals), ``multimodal_mkv_meta`` (EBML/Matroska walk — RFC-8794
 leading-zero VINTs, registry master recursion, size-declared unknown
 skip), ``source_ics`` (iCalendar with real RFC-5545 line folding),
 ``agg_odds_ratio`` (2×2 odds ratio / relative risk with Woolf CIs)
-and ``graph_assortativity`` (Newman degree assortativity over the
+``graph_assortativity`` (Newman degree assortativity over the
 symmetrized edge list; modulus 499 keeps the residue graph
-non-regular at every fixture SF).
+non-regular at every fixture SF), ``text_zipf_fit`` (rank-frequency
+OLS over the top-100 unigrams on the rounded-log decimal path) and
+``agg_cronbach_alpha`` (3-item internal consistency from exact
+binary-item sums).
 """
 
 from __future__ import annotations
