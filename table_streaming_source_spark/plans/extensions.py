@@ -12809,3 +12809,155 @@ QUERIES_DEFERRED.update(
         "agg_cronbach_alpha": q_agg_cronbach_alpha,
     }
 )
+
+
+def q_dq_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit per nation: Q1/Q3 as EXACT order
+    statistics of balance cents (the ``⌈n/4⌉``/``⌈3n/4⌉``-th values —
+    no interpolation, so no float enters until the final rate), fences
+    at ±1.5·IQR in exact integer arithmetic (×2 scaling keeps the half
+    exact: ``2·fence = 2·q ∓ 3·iqr``), outlier counts per tail.  The
+    box-plot audit a DQ layer runs per segment: one window sort + one
+    broadcast join + one aggregate."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    ranked = c.select(
+        "nk",
+        "cents",
+        F.row_number().over(Window.partitionBy("nk").orderBy("cents")).alias(
+            "rn"
+        ),
+        F.count(F.lit(1)).over(Window.partitionBy("nk")).alias("n"),
+    )
+    q = (
+        ranked.filter(
+            (F.col("rn") == F.ceil(F.col("n") / 4))
+            | (F.col("rn") == F.ceil(F.lit(3) * F.col("n") / 4))
+        )
+        .groupBy("nk", "n")
+        .agg(
+            F.min("cents").alias("q1"),
+            F.max("cents").alias("q3"),
+        )
+    )
+    fenced = c.join(F.broadcast(q), "nk").select(
+        "nk",
+        "n",
+        "q1",
+        "q3",
+        (
+            (F.lit(2) * F.col("cents"))
+            < (F.lit(2) * F.col("q1") - F.lit(3) * (F.col("q3") - F.col("q1")))
+        )
+        .cast("long")
+        .alias("lo"),
+        (
+            (F.lit(2) * F.col("cents"))
+            > (F.lit(2) * F.col("q3") + F.lit(3) * (F.col("q3") - F.col("q1")))
+        )
+        .cast("long")
+        .alias("hi"),
+    )
+    return fenced.groupBy("nk", "n", "q1", "q3").agg(
+        F.sum("lo").cast("bigint").alias("n_low_outliers"),
+        F.sum("hi").cast("bigint").alias("n_high_outliers"),
+    ).select(
+        F.col("nk").alias("c_nationkey"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("q1").alias("q1_cents"),
+        F.col("q3").alias("q3_cents"),
+        "n_low_outliers",
+        "n_high_outliers",
+    )
+
+
+ORACLES["dq_outlier_fences"] = """
+WITH c AS (
+  SELECT c_nationkey AS nk,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+ranked AS (
+  SELECT nk, cents,
+         ROW_NUMBER() OVER (PARTITION BY nk ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY nk) AS n
+  FROM c
+),
+q AS (
+  SELECT nk, n, MIN(cents) AS q1, MAX(cents) AS q3
+  FROM ranked
+  WHERE rn = CAST(CEIL(n / 4.0) AS BIGINT)
+     OR rn = CAST(CEIL(3.0 * n / 4.0) AS BIGINT)
+  GROUP BY nk, n
+)
+SELECT c.nk AS c_nationkey,
+       CAST(q.n AS BIGINT) AS n,
+       q.q1 AS q1_cents,
+       q.q3 AS q3_cents,
+       CAST(SUM(CASE WHEN 2 * c.cents < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+       CAST(SUM(CASE WHEN 2 * c.cents > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+FROM c JOIN q ON c.nk = q.nk
+GROUP BY c.nk, q.n, q.q1, q.q3
+"""
+
+
+QUERIES_DEFERRED.update({"dq_outlier_fences": q_dq_outlier_fences})
+
+
+def q_source_bson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BSON dump ingestion (`sources/bson_file.py`): documents
+    round-trip through 6 mongodump-layout ``.bson`` files (concatenated
+    length-prefixed documents) written and re-read by the from-scratch
+    codec — nested documents, arrays, int32/int64 width selection,
+    UTF-8 strings, both the length prefix and trailing NUL enforced,
+    unknown type bytes quarantined.  One file per task."""
+    import os as _os
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark.sources.bson_file import (
+        read_bson_docs,
+        write_bson,
+    )
+
+    path = _scratch.scratch_dir("source_bson", sf_dir, fresh=True)
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang", "n_chars")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    for shard in range(6):
+        part = docs[docs["doc_id"] % 6 == shard]
+        write_bson(
+            _os.path.join(path, f"dump-{shard}.bson"),
+            [
+                {
+                    "doc_id": int(r.doc_id),
+                    "body": {"text": r.text, "n_chars": int(r.n_chars)},
+                    "meta": {"lang": r.lang},
+                    "tags": [f"t{j}" for j in range(int(r.doc_id) % 4)],
+                }
+                for r in part.itertuples()
+            ],
+        )
+    result = read_bson_docs(spark, path).localCheckpoint(eager=True)
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["source_bson"] = """
+SELECT doc_id,
+       MD5(text) AS text_md5,
+       n_chars,
+       lang,
+       CAST(doc_id % 4 AS BIGINT) AS n_tags
+FROM documents
+"""
+
+
+QUERIES_DEFERRED.update({"source_bson": q_source_bson})
