@@ -12961,3 +12961,79 @@ FROM documents
 
 
 QUERIES_DEFERRED.update({"source_bson": q_source_bson})
+
+
+def q_text_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness profile per language — hapax legomenon rate
+    and type-token ratio, the corpus-card companions of
+    `text_zipf_fit` (a high hapax share flags OCR noise / boilerplate
+    churn; a low TTR flags template spam).  Two hash aggregates
+    (token counts, then vocab rollup), every output either an exact
+    BIGINT or a single IEEE division (round 9)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.trim("text"), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("token"),
+    )
+    uni = toks.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    agg = uni.groupBy("lang").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum((F.col("cnt") == 1).cast("long"))
+        .cast("bigint")
+        .alias("hapax"),
+        F.sum((F.col("cnt") == 2).cast("long"))
+        .cast("bigint")
+        .alias("dis_legomena"),
+    )
+    return agg.select(
+        "lang",
+        "n_tokens",
+        "vocab",
+        "hapax",
+        "dis_legomena",
+        F.round(
+            F.col("hapax").cast("double") / F.col("vocab").cast("double"), 9
+        ).alias("hapax_rate"),
+        F.round(
+            F.col("vocab").cast("double") / F.col("n_tokens").cast("double"),
+            9,
+        ).alias("type_token_ratio"),
+    )
+
+
+ORACLES["text_hapax_rate"] = """
+WITH toks AS (
+  SELECT lang,
+         UNNEST(LIST_FILTER(
+           STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' '),
+           x -> LEN(x) > 0)) AS token
+  FROM documents
+),
+uni AS (SELECT lang, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+agg AS (
+  SELECT lang,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dis_legomena
+  FROM uni GROUP BY lang
+)
+SELECT lang, n_tokens, vocab, hapax, dis_legomena,
+       ROUND(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE), 9)
+         AS hapax_rate,
+       ROUND(CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9)
+         AS type_token_ratio
+FROM agg
+"""
+
+
+QUERIES_DEFERRED.update({"text_hapax_rate": q_text_hapax_rate})

@@ -2168,3 +2168,80 @@ FROM orders GROUP BY o_orderpriority
 
 
 QUERIES_DEFERRED["streaming_protobuf_ingest"] = q_streaming_protobuf_ingest
+
+
+def q_streaming_bson_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming BSON ingest (`sources/bson_file.py::stream_bson_docs`)
+    — the mongodump-restore archiver: 6 dump files at 2 per trigger →
+    3 genuine micro-batches decoded by the same stateless from-scratch
+    codec as `source_bson`, rolled up per language in complete mode;
+    the final table equals the batch semantics the oracle states."""
+    import os as _os
+
+    from table_streaming_source_spark.sources.bson_file import (
+        stream_bson_docs,
+        write_bson,
+    )
+
+    docs_df = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+
+    def _write(d: str) -> None:
+        docs = docs_df.toPandas().sort_values("doc_id")
+        stamp = 1_700_000_000
+        for shard in range(6):
+            part = docs[docs["doc_id"] % 6 == shard]
+            name = f"dump-{shard}.bson"
+            write_bson(
+                _os.path.join(d, name),
+                [
+                    {
+                        "doc_id": int(r.doc_id),
+                        "body": {
+                            "text": r.text,
+                            "n_chars": int(r.n_chars),
+                        },
+                        "meta": {"lang": r.lang},
+                        "tags": [f"t{j}" for j in range(int(r.doc_id) % 4)],
+                    }
+                    for r in part.itertuples()
+                ],
+            )
+            _bump_mtimes(d, {name}, stamp + shard)
+
+    src = _stream_fixture(spark, sf_dir, "bsoning", _write)
+    stream = stream_bson_docs(spark, src, maxFilesPerTrigger=2)
+    agg = stream.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_tags").cast("bigint").alias("total_tags"),
+    )
+    name = f"__stream_bson_{abs(hash(src)) % 10**8}"
+    with _stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return result
+
+
+ORACLES["streaming_bson_ingest"] = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id % 4) AS BIGINT) AS total_tags
+FROM documents GROUP BY lang
+"""
+
+
+QUERIES_DEFERRED["streaming_bson_ingest"] = q_streaming_bson_ingest

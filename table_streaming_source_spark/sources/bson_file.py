@@ -23,10 +23,12 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 
@@ -170,3 +172,63 @@ def read_bson_docs(spark: SparkSession, path: str) -> DataFrame:
         .select("content")
         .mapInPandas(batches, schema=schema)
     )
+
+
+_BINARYFILE_SCHEMA = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("modificationTime", TimestampType(), False),
+        StructField("length", LongType(), False),
+        StructField("content", BinaryType(), True),
+    ]
+)
+
+_DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("text_md5", StringType(), False),
+        StructField("n_chars", LongType(), False),
+        StructField("lang", StringType(), False),
+        StructField("n_tags", LongType(), False),
+    ]
+)
+
+
+def stream_bson_docs(
+    spark: SparkSession, path: str, **reader_options
+) -> DataFrame:
+    """STREAMING BSON ingest: ``.bson`` dump files land in a directory,
+    each micro-batch decodes only newly arrived files with the SAME
+    stateless codec as :func:`read_bson_docs` — the batch/stream twin
+    is free because the parser holds no cross-file state."""
+    import hashlib
+
+    reader = spark.readStream.format("binaryFile").option(
+        "pathGlobFilter", "*.bson"
+    )
+    for k, v in reader_options.items():
+        reader = reader.option(k, str(v))
+    raw = reader.schema(_BINARYFILE_SCHEMA).load(path)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for blob in pdf["content"]:
+                buf = bytes(blob)
+                pos = 0
+                while pos < len(buf):
+                    doc, pos = decode_document(buf, pos)
+                    rows.append(
+                        (
+                            doc["doc_id"],
+                            hashlib.md5(
+                                doc["body"]["text"].encode("utf-8")
+                            ).hexdigest(),
+                            doc["body"]["n_chars"],
+                            doc["meta"]["lang"],
+                            len(doc["tags"]),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=_DOC_SCHEMA.fieldNames())
+
+    return raw.select("content").mapInPandas(batches, schema=_DOC_SCHEMA)
