@@ -222,9 +222,15 @@ skip), ``source_ics`` (iCalendar with real RFC-5545 line folding),
 ``graph_assortativity`` (Newman degree assortativity over the
 symmetrized edge list; modulus 499 keeps the residue graph
 non-regular at every fixture SF), ``text_zipf_fit`` (rank-frequency
-OLS over the top-100 unigrams on the rounded-log decimal path) and
+OLS over the top-100 unigrams on the rounded-log decimal path),
 ``agg_cronbach_alpha`` (3-item internal consistency from exact
-binary-item sums).
+binary-item sums), ``source_bson`` (from-scratch BSON codec —
+mongodump layout, nested docs/arrays, int-width selection, length
+prefix + trailing NUL enforced), ``streaming_bson_ingest`` (its
+stream twin — same stateless codec, 3 genuine micro-batches),
+``dq_outlier_fences`` (Tukey IQR fences from exact order statistics,
+×2-scaled integer arithmetic) and ``text_hapax_rate``
+(hapax/dis-legomena rates and type-token ratio per language).
 """
 
 from __future__ import annotations
