@@ -13037,3 +13037,318 @@ FROM agg
 
 
 QUERIES_DEFERRED.update({"text_hapax_rate": q_text_hapax_rate})
+
+
+def q_sim_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering-quality eval of the IVF coarse quantizer
+    against the ground-truth labels — purity, Adjusted Rand Index and
+    NMI, the triple every clustering paper reports.  Purity and the
+    ENTIRE ARI reduce to exact pair-counting integers (``C(n,2)`` sums
+    over the 8×10 contingency and its margins); only NMI needs logs,
+    which ride the rounded-log decimal path per contingency CELL (≤80
+    lns — cardinality bounded by clusters×classes, never by corpus).
+    One assignment pass + one tiny contingency aggregate."""
+    emb = t(spark, sf_dir, "embeddings")
+    assign = S.ivf_assign(emb, num_cells=8, dim=64, round_digits=6).select(
+        "vec_id", "cell"
+    )
+    ct = (
+        assign.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cell", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nij"))
+    )
+    n_total = F.sum("nij")
+    pairs = lambda c: (c * (c - F.lit(1)) / F.lit(2)).cast("bigint")  # noqa: E731
+    rows_ = ct.groupBy("cell").agg(
+        F.sum("nij").cast("bigint").alias("ai"),
+        F.max("nij").cast("bigint").alias("max_in_cell"),
+    )
+    cols_ = ct.groupBy("label").agg(F.sum("nij").cast("bigint").alias("bj"))
+    scalars = (
+        ct.agg(
+            n_total.cast("bigint").alias("n"),
+            F.sum(pairs(F.col("nij"))).cast("bigint").alias("sum_nij2"),
+        )
+        .crossJoin(
+            rows_.agg(
+                F.sum(pairs(F.col("ai"))).cast("bigint").alias("sum_ai2"),
+                F.sum("max_in_cell").cast("bigint").alias("purity_num"),
+            )
+        )
+        .crossJoin(
+            cols_.agg(
+                F.sum(pairs(F.col("bj"))).cast("bigint").alias("sum_bj2")
+            )
+        )
+    )
+    # NMI terms on the rounded-log decimal path (fixed 9-digit logs,
+    # exact decimal sums — order-free)
+    mi_terms = (
+        ct.crossJoin(F.broadcast(scalars.select("n")))
+        .join(F.broadcast(rows_.select("cell", "ai")), "cell")
+        .join(F.broadcast(cols_), "label")
+        .select(
+            (
+                F.col("nij").cast("decimal(10,0)")
+                * F.round(
+                    F.log(
+                        F.col("n").cast("double")
+                        * F.col("nij").cast("double")
+                        / (
+                            F.col("ai").cast("double")
+                            * F.col("bj").cast("double")
+                        )
+                    ),
+                    9,
+                ).cast("decimal(20,9)")
+            ).alias("mi_t")
+        )
+        .agg(F.sum("mi_t").cast("decimal(38,9)").alias("mi_sum"))
+    )
+    h_c = rows_.crossJoin(F.broadcast(scalars.select("n"))).select(
+        (
+            F.col("ai").cast("decimal(10,0)")
+            * F.round(
+                F.log(F.col("ai").cast("double") / F.col("n").cast("double")),
+                9,
+            ).cast("decimal(20,9)")
+        ).alias("t")
+    ).agg(F.sum("t").cast("decimal(38,9)").alias("hc_sum"))
+    h_l = cols_.crossJoin(F.broadcast(scalars.select("n"))).select(
+        (
+            F.col("bj").cast("decimal(10,0)")
+            * F.round(
+                F.log(F.col("bj").cast("double") / F.col("n").cast("double")),
+                9,
+            ).cast("decimal(20,9)")
+        ).alias("t")
+    ).agg(F.sum("t").cast("decimal(38,9)").alias("hl_sum"))
+    j = (
+        scalars.crossJoin(F.broadcast(mi_terms))
+        .crossJoin(F.broadcast(h_c))
+        .crossJoin(F.broadcast(h_l))
+    )
+    nd = F.col("n").cast("double")
+    exp_ = (
+        F.col("sum_ai2").cast("double")
+        * F.col("sum_bj2").cast("double")
+        / (nd * (nd - F.lit(1.0)) / F.lit(2.0))
+    )
+    max_ = (
+        F.col("sum_ai2").cast("double") + F.col("sum_bj2").cast("double")
+    ) / F.lit(2.0)
+    mi = F.col("mi_sum").cast("double") / nd
+    hc = F.lit(0.0) - F.col("hc_sum").cast("double") / nd
+    hl = F.lit(0.0) - F.col("hl_sum").cast("double") / nd
+    return j.select(
+        "n",
+        "sum_nij2",
+        "sum_ai2",
+        "sum_bj2",
+        F.round(F.col("purity_num").cast("double") / nd, 9).alias("purity"),
+        F.round(
+            (F.col("sum_nij2").cast("double") - exp_) / (max_ - exp_), 9
+        ).alias("ari"),
+        F.round(mi / F.sqrt(hc * hl), 9).alias("nmi"),
+    )
+
+
+def _cluster_eval_sql(num_cells: int = 8, dim: int = 64) -> str:
+    cents = S.lsh_planes(num_cells, dim)
+    dots = ", ".join(
+        f"LIST_SUM(LIST_TRANSFORM(LIST_ZIP(embedding, {cents[p]}),"
+        f" z -> CAST(z[1] AS DOUBLE) * z[2]))"
+        for p in range(num_cells)
+    )
+    return f"""
+WITH d AS (
+  SELECT vec_id, label, [{dots}] AS dots FROM embeddings
+),
+assign AS (
+  SELECT vec_id, label,
+         CAST(LIST_POSITION(dots, LIST_AGGREGATE(dots, 'max')) - 1 AS INT)
+           AS cell
+  FROM d
+),
+ct AS (
+  SELECT cell, label, CAST(COUNT(*) AS BIGINT) AS nij
+  FROM assign GROUP BY cell, label
+),
+rows_ AS (
+  SELECT cell, CAST(SUM(nij) AS BIGINT) AS ai,
+         CAST(MAX(nij) AS BIGINT) AS max_in_cell
+  FROM ct GROUP BY cell
+),
+cols_ AS (
+  SELECT label, CAST(SUM(nij) AS BIGINT) AS bj FROM ct GROUP BY label
+),
+scalars AS (
+  SELECT (SELECT CAST(SUM(nij) AS BIGINT) FROM ct) AS n,
+         (SELECT CAST(SUM(CAST(nij * (nij - 1) / 2 AS BIGINT)) AS BIGINT)
+          FROM ct) AS sum_nij2,
+         (SELECT CAST(SUM(CAST(ai * (ai - 1) / 2 AS BIGINT)) AS BIGINT)
+          FROM rows_) AS sum_ai2,
+         (SELECT CAST(SUM(max_in_cell) AS BIGINT) FROM rows_)
+           AS purity_num,
+         (SELECT CAST(SUM(CAST(bj * (bj - 1) / 2 AS BIGINT)) AS BIGINT)
+          FROM cols_) AS sum_bj2
+),
+mi AS (
+  SELECT CAST(SUM(nij * CAST(ROUND(LN(CAST(s.n AS DOUBLE)
+                                      * CAST(nij AS DOUBLE)
+                                      / (CAST(ai AS DOUBLE)
+                                         * CAST(bj AS DOUBLE))), 9)
+                             AS DECIMAL(20,9))) AS DECIMAL(38,9)) AS mi_sum
+  FROM ct JOIN rows_ USING (cell) JOIN cols_ USING (label), scalars s
+),
+hc AS (
+  SELECT CAST(SUM(ai * CAST(ROUND(LN(CAST(ai AS DOUBLE)
+                                     / CAST(s.n AS DOUBLE)), 9)
+                            AS DECIMAL(20,9))) AS DECIMAL(38,9)) AS hc_sum
+  FROM rows_, scalars s
+),
+hl AS (
+  SELECT CAST(SUM(bj * CAST(ROUND(LN(CAST(bj AS DOUBLE)
+                                     / CAST(s.n AS DOUBLE)), 9)
+                            AS DECIMAL(20,9))) AS DECIMAL(38,9)) AS hl_sum
+  FROM cols_, scalars s
+)
+SELECT n, sum_nij2, sum_ai2, sum_bj2,
+       ROUND(CAST(purity_num AS DOUBLE) / CAST(n AS DOUBLE), 9) AS purity,
+       ROUND((CAST(sum_nij2 AS DOUBLE)
+              - CAST(sum_ai2 AS DOUBLE) * CAST(sum_bj2 AS DOUBLE)
+                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0))
+             / ((CAST(sum_ai2 AS DOUBLE) + CAST(sum_bj2 AS DOUBLE)) / 2.0
+                - CAST(sum_ai2 AS DOUBLE) * CAST(sum_bj2 AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0)),
+             9) AS ari,
+       ROUND((CAST(mi_sum AS DOUBLE) / CAST(n AS DOUBLE))
+             / SQRT((0.0 - CAST(hc_sum AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (0.0 - CAST(hl_sum AS DOUBLE) / CAST(n AS DOUBLE))),
+             9) AS nmi
+FROM scalars, mi, hc, hl
+"""
+
+
+ORACLES["sim_cluster_eval"] = _cluster_eval_sql()
+
+
+QUERIES_DEFERRED.update({"sim_cluster_eval": q_sim_cluster_eval})
+
+
+def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL Mann–Kendall trend test over the monthly order-count
+    series (Hirsch–Slack form: the S statistic sums sign(x_j − x_i)
+    over within-season year pairs, so the annual cycle can't
+    masquerade as trend), with the tie-corrected variance and the
+    continuity-corrected z.  S, every tie term, and the variance
+    numerator stay exact BIGINTs; z is one fixed IEEE expression.
+    Pairing is quadratic only in YEARS-per-season (calendar-bounded —
+    ≤ a few dozen rows per season forever), so the all-pairs self-join
+    is structurally safe at any corpus size."""
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("season"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    a = monthly.alias("a")
+    b = monthly.alias("b")
+    s_stat = (
+        a.join(
+            b,
+            (F.col("a.season") == F.col("b.season"))
+            & (F.col("a.yr") < F.col("b.yr")),
+        )
+        .select(
+            F.signum(
+                (F.col("b.x") - F.col("a.x")).cast("double")
+            )
+            .cast("long")
+            .alias("sgn")
+        )
+        .agg(F.sum("sgn").cast("bigint").alias("s"))
+    )
+    per_season = monthly.groupBy("season").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns")
+    )
+    ties = (
+        monthly.groupBy("season", "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t")
+                * (F.col("t") - 1)
+                * (F.lit(2) * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tie_num")
+        )
+    )
+    var_num = per_season.agg(
+        F.sum(
+            F.col("ns") * (F.col("ns") - 1) * (F.lit(2) * F.col("ns") + 5)
+        )
+        .cast("bigint")
+        .alias("var_num")
+    )
+    j = s_stat.crossJoin(F.broadcast(var_num)).crossJoin(
+        F.broadcast(ties)
+    )
+    var = (
+        F.col("var_num").cast("double") - F.col("tie_num").cast("double")
+    ) / F.lit(18.0)
+    s = F.col("s").cast("double")
+    z = (
+        F.when(F.col("s") > 0, (s - F.lit(1.0)) / F.sqrt(var))
+        .when(F.col("s") < 0, (s + F.lit(1.0)) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "s",
+        "var_num",
+        "tie_num",
+        F.round(var, 9).alias("variance"),
+        F.round(z, 9).alias("z_stat"),
+    )
+
+
+ORACLES["ts_mann_kendall"] = """
+WITH monthly AS (
+  SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+         EXTRACT(MONTH FROM o_orderdate) AS season,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1, 2
+),
+s_stat AS (
+  SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM monthly a JOIN monthly b
+    ON a.season = b.season AND a.yr < b.yr
+),
+var_num AS (
+  SELECT CAST(SUM(ns * (ns - 1) * (2 * ns + 5)) AS BIGINT) AS var_num
+  FROM (SELECT season, CAST(COUNT(*) AS BIGINT) AS ns
+        FROM monthly GROUP BY season)
+),
+ties AS (
+  SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_num
+  FROM (SELECT season, x, CAST(COUNT(*) AS BIGINT) AS t
+        FROM monthly GROUP BY season, x)
+)
+SELECT s, var_num, tie_num,
+       ROUND((CAST(var_num AS DOUBLE) - CAST(tie_num AS DOUBLE)) / 18.0, 9)
+         AS variance,
+       ROUND(CASE WHEN s > 0 THEN
+               (CAST(s AS DOUBLE) - 1.0)
+               / SQRT((CAST(var_num AS DOUBLE)
+                       - CAST(tie_num AS DOUBLE)) / 18.0)
+             WHEN s < 0 THEN
+               (CAST(s AS DOUBLE) + 1.0)
+               / SQRT((CAST(var_num AS DOUBLE)
+                       - CAST(tie_num AS DOUBLE)) / 18.0)
+             ELSE 0.0 END, 9) AS z_stat
+FROM s_stat, var_num, ties
+"""
+
+
+QUERIES_DEFERRED.update({"ts_mann_kendall": q_ts_mann_kendall})
