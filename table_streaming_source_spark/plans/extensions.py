@@ -13352,3 +13352,278 @@ FROM s_stat, var_num, ties
 
 
 QUERIES_DEFERRED.update({"ts_mann_kendall": q_ts_mann_kendall})
+
+
+def q_sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPLIFIED silhouette (the centroid form — Hruschka et al.: a =
+    distance to own centroid, b = distance to the nearest OTHER
+    centroid, s = (b−a)/max(a,b)) per IVF cell — the internal
+    clustering diagnostic beside `sim_cluster_eval`'s external one.
+    The ±1 equal-norm centroids make every distance derivable from the
+    per-row dot array (`d² = |x|² − 2·dot + dim`), so a and b come from
+    the TOP-2 dots — one row-local sorted array, no second pass.  All
+    float folds are sequential on BOTH engines (the proven
+    aggregate/LIST_SUM twin), per-row s is rounded then decimal-
+    averaged.  O(n·k) — the full-pairwise silhouette's O(n²) is
+    exactly what this form exists to avoid at scale."""
+    from table_streaming_source_spark.operators.similarity import (
+        _ivf_dots,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    rows = emb.select(
+        "vec_id",
+        _ivf_dots("embedding", 8, 64).alias("dots"),
+        F.expr(
+            "aggregate(embedding, 0.0D, "
+            "(acc, x) -> acc + double(x) * double(x))"
+        ).alias("norm2"),
+    ).select(
+        "vec_id",
+        "norm2",
+        F.expr(
+            "cast(array_position(dots, array_max(dots)) as int) - 1"
+        ).alias("cell"),
+        F.sort_array("dots", asc=False).alias("sorted_dots"),
+    )
+    a = F.sqrt(
+        F.col("norm2") - F.lit(2.0) * F.col("sorted_dots")[0] + F.lit(64.0)
+    )
+    b = F.sqrt(
+        F.col("norm2") - F.lit(2.0) * F.col("sorted_dots")[1] + F.lit(64.0)
+    )
+    s = F.round(
+        F.when(
+            F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)
+        ).otherwise(F.lit(0.0)),
+        9,
+    ).cast("decimal(18,9)")
+    return (
+        rows.select("cell", s.alias("s"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.sum("s").cast("double") / F.count(F.lit(1))).alias(
+                "__mean_raw"
+            ),
+        )
+        .select(
+            "cell",
+            "n",
+            F.round("__mean_raw", 9).alias("mean_silhouette"),
+        )
+    )
+
+
+def _silhouette_sql(num_cells: int = 8, dim: int = 64) -> str:
+    cents = S.lsh_planes(num_cells, dim)
+    dots = ", ".join(
+        f"LIST_SUM(LIST_TRANSFORM(LIST_ZIP(embedding, {cents[p]}),"
+        f" z -> CAST(z[1] AS DOUBLE) * z[2]))"
+        for p in range(num_cells)
+    )
+    return f"""
+WITH d AS (
+  SELECT vec_id, [{dots}] AS dots,
+         LIST_SUM(LIST_TRANSFORM(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm2
+  FROM embeddings
+),
+r AS (
+  SELECT vec_id, norm2,
+         CAST(LIST_POSITION(dots, LIST_AGGREGATE(dots, 'max')) - 1 AS INT)
+           AS cell,
+         LIST_SORT(dots) AS sd
+  FROM d
+),
+s AS (
+  SELECT cell,
+         CAST(ROUND(CASE WHEN GREATEST(
+                SQRT(norm2 - 2.0 * sd[{num_cells}] + 64.0),
+                SQRT(norm2 - 2.0 * sd[{num_cells - 1}] + 64.0)) > 0
+           THEN (SQRT(norm2 - 2.0 * sd[{num_cells - 1}] + 64.0)
+                 - SQRT(norm2 - 2.0 * sd[{num_cells}] + 64.0))
+                / GREATEST(
+                    SQRT(norm2 - 2.0 * sd[{num_cells}] + 64.0),
+                    SQRT(norm2 - 2.0 * sd[{num_cells - 1}] + 64.0))
+           ELSE 0.0 END, 9) AS DECIMAL(18,9)) AS s
+  FROM r
+)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 9) AS mean_silhouette
+FROM s GROUP BY cell
+"""
+
+
+ORACLES["sim_silhouette"] = _silhouette_sql()
+
+
+def q_agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of order values per region — the
+    decomposable inequality measure beside `agg_gini`: T = mean((x/μ)·
+    ln(x/μ)).  Totals stay exact decimal cents; each row's ln term
+    rides the rounded-log decimal path (the per-row ratio x/μ is one
+    IEEE division of exact quantities, identical both sides), so the
+    mean is order-free.  Two hash aggregates + one broadcast of the
+    5-row per-region totals."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n_ = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    ordc = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n_, c.c_nationkey == n_.n_nationkey)
+        .join(F.broadcast(r), n_.n_regionkey == r.r_regionkey)
+        .select(
+            "r_name",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    totals = ordc.groupBy("r_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+    terms = (
+        ordc.join(F.broadcast(totals), "r_name")
+        .select(
+            "r_name",
+            "n",
+            "total_cents",
+            F.round(
+                (
+                    F.col("cents").cast("double")
+                    * F.col("n").cast("double")
+                    / F.col("total_cents").cast("double")
+                )
+                * F.log(
+                    F.col("cents").cast("double")
+                    * F.col("n").cast("double")
+                    / F.col("total_cents").cast("double")
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("t"),
+        )
+    )
+    return terms.groupBy("r_name", "n", "total_cents").agg(
+        F.round(
+            F.sum("t").cast("double") / F.col("n").cast("double"), 9
+        ).alias("theil_t")
+    )
+
+
+ORACLES["agg_theil_index"] = """
+WITH ordc AS (
+  SELECT r_name, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+),
+totals AS (
+  SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM ordc GROUP BY r_name
+),
+terms AS (
+  SELECT o.r_name, t.n, t.total_cents,
+         CAST(ROUND(
+           (CAST(o.cents AS DOUBLE) * CAST(t.n AS DOUBLE)
+            / CAST(t.total_cents AS DOUBLE))
+           * LN(CAST(o.cents AS DOUBLE) * CAST(t.n AS DOUBLE)
+                / CAST(t.total_cents AS DOUBLE)), 9)
+           AS DECIMAL(18,9)) AS trm
+  FROM ordc o JOIN totals t USING (r_name)
+)
+SELECT r_name, n, total_cents,
+       ROUND(CAST(SUM(trm) AS DOUBLE) / CAST(n AS DOUBLE), 9) AS theil_t
+FROM terms GROUP BY r_name, n, total_cents
+"""
+
+
+def q_agg_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of supplier revenue
+    per nation — the market-concentration audit (`market_share`'s
+    aggregate companion): revenue cents stay exact BIGINTs, each
+    supplier's squared share is one fixed IEEE expression, and the HHI
+    (×10000 convention) is their sum on the decimal path."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    rev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    totals = rev.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+    shares = rev.join(F.broadcast(totals), "s_nationkey").select(
+        "s_nationkey",
+        "n_suppliers",
+        "total_cents",
+        F.round(
+            F.lit(10000.0)
+            * (
+                F.col("cents").cast("double")
+                / F.col("total_cents").cast("double")
+            )
+            * (
+                F.col("cents").cast("double")
+                / F.col("total_cents").cast("double")
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("sq"),
+    )
+    return shares.groupBy(
+        "s_nationkey", "n_suppliers", "total_cents"
+    ).agg(
+        F.round(F.sum("sq").cast("double"), 6).alias("hhi")
+    )
+
+
+ORACLES["agg_herfindahl"] = """
+WITH rev AS (
+  SELECT s_nationkey, s_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_nationkey, s_suppkey
+),
+totals AS (
+  SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM rev GROUP BY s_nationkey
+),
+shares AS (
+  SELECT r.s_nationkey, t.n_suppliers, t.total_cents,
+         CAST(ROUND(10000.0
+           * (CAST(r.cents AS DOUBLE) / CAST(t.total_cents AS DOUBLE))
+           * (CAST(r.cents AS DOUBLE) / CAST(t.total_cents AS DOUBLE)), 9)
+           AS DECIMAL(18,9)) AS sq
+  FROM rev r JOIN totals t USING (s_nationkey)
+)
+SELECT s_nationkey, n_suppliers, total_cents,
+       ROUND(CAST(SUM(sq) AS DOUBLE), 6) AS hhi
+FROM shares GROUP BY s_nationkey, n_suppliers, total_cents
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "sim_silhouette": q_sim_silhouette,
+        "agg_theil_index": q_agg_theil_index,
+        "agg_herfindahl": q_agg_herfindahl,
+    }
+)
