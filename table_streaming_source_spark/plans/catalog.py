@@ -229,8 +229,15 @@ mongodump layout, nested docs/arrays, int-width selection, length
 prefix + trailing NUL enforced), ``streaming_bson_ingest`` (its
 stream twin — same stateless codec, 3 genuine micro-batches),
 ``dq_outlier_fences`` (Tukey IQR fences from exact order statistics,
-×2-scaled integer arithmetic) and ``text_hapax_rate``
-(hapax/dis-legomena rates and type-token ratio per language).
+×2-scaled integer arithmetic), ``text_hapax_rate``
+(hapax/dis-legomena rates and type-token ratio per language),
+``sim_cluster_eval`` (purity/ARI from exact pair-counting integers +
+NMI on the rounded-log decimal path), ``ts_mann_kendall``
+(Hirsch–Slack seasonal trend test, tie-corrected, calendar-bounded
+pairing), ``sim_silhouette`` (simplified centroid silhouette from the
+top-2 coarse-quantizer dots — O(n·k)), ``agg_theil_index`` (the
+decomposable inequality measure) and ``agg_herfindahl`` (HHI market
+concentration).
 """
 
 from __future__ import annotations
