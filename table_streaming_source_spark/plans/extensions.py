@@ -13627,3 +13627,236 @@ QUERIES_DEFERRED.update(
         "agg_herfindahl": q_agg_herfindahl,
     }
 )
+
+
+def q_agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture–recapture population estimate (Chapman's corrected
+    Lincoln–Petersen) — the method a dedup pipeline uses to estimate
+    TOTAL duplicate/entity counts from two independent probes: capture
+    lists are two deterministic document samples (residue classes mod
+    3 and mod 5 of a key hash), the overlap is one aggregate, and
+    N̂ = (n1+1)(n2+1)/(m+1) − 1 with its variance are fixed IEEE
+    expressions over three exact BIGINTs."""
+    d = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") * 2654435761 % 1000003).alias("h")
+    )
+    agg = d.agg(
+        F.sum((F.col("h") % 3 == 0).cast("long")).cast("bigint").alias("n1"),
+        F.sum((F.col("h") % 5 == 0).cast("long")).cast("bigint").alias("n2"),
+        F.sum(
+            ((F.col("h") % 3 == 0) & (F.col("h") % 5 == 0)).cast("long")
+        )
+        .cast("bigint")
+        .alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("true_n"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    m = F.col("m").cast("double")
+    est = (n1 + F.lit(1.0)) * (n2 + F.lit(1.0)) / (m + F.lit(1.0)) - F.lit(
+        1.0
+    )
+    var = (
+        (n1 + F.lit(1.0))
+        * (n2 + F.lit(1.0))
+        * (n1 - m)
+        * (n2 - m)
+        / ((m + F.lit(1.0)) * (m + F.lit(1.0)) * (m + F.lit(2.0)))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "m",
+        "true_n",
+        F.round(est, 9).alias("chapman_estimate"),
+        F.round(var, 9).alias("chapman_variance"),
+    )
+
+
+ORACLES["agg_capture_recapture"] = """
+WITH d AS (
+  SELECT (doc_id * 2654435761) % 1000003 AS h FROM documents
+),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN h % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN h % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(SUM(CASE WHEN h % 3 = 0 AND h % 5 = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS m,
+    CAST(COUNT(*) AS BIGINT) AS true_n
+  FROM d
+)
+SELECT n1, n2, m, true_n,
+       ROUND((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+             / (CAST(m AS DOUBLE) + 1.0) - 1.0, 9) AS chapman_estimate,
+       ROUND((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+             * (CAST(n1 AS DOUBLE) - CAST(m AS DOUBLE))
+             * (CAST(n2 AS DOUBLE) - CAST(m AS DOUBLE))
+             / ((CAST(m AS DOUBLE) + 1.0) * (CAST(m AS DOUBLE) + 1.0)
+                * (CAST(m AS DOUBLE) + 2.0)), 9) AS chapman_variance
+FROM agg
+"""
+
+
+def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between the unigram distributions of
+    two source cohorts (suffix < 10 vs ≥ 10) — the symmetric, bounded
+    corpus-drift measure beside `agg_psi`/`agg_ks_drift` (JS is what
+    mixture-rebalancing papers actually report).  Token probabilities
+    come from exact counts; each token's two contribution terms ride
+    the rounded-log decimal path (p·ln(p/m), q·ln(q/m) with
+    m = (p+q)/2 — a one-sided token contributes p·ln 2 exactly); the
+    final JS is the decimal sum halved.  Full-outer token join of two
+    count tables — digests shuffle, documents don't."""
+    docs = t(spark, sf_dir, "documents").select(
+        (F.substring("source", 4, 10).cast("int") < 10).alias("is_a"),
+        F.explode(
+            F.filter(
+                F.split(F.trim("text"), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("token"),
+    )
+    cnt = docs.groupBy("token").agg(
+        F.sum(F.col("is_a").cast("long")).cast("bigint").alias("ca"),
+        F.sum((~F.col("is_a")).cast("long")).cast("bigint").alias("cb"),
+    )
+    tot = cnt.agg(
+        F.sum("ca").cast("bigint").alias("ta"),
+        F.sum("cb").cast("bigint").alias("tb"),
+    )
+    j = cnt.crossJoin(F.broadcast(tot))
+    p = F.col("ca").cast("double") / F.col("ta").cast("double")
+    q = F.col("cb").cast("double") / F.col("tb").cast("double")
+    mid = (p + q) / F.lit(2.0)
+    term = (
+        F.when(
+            F.col("ca") > 0,
+            F.round(p * F.log(p / mid), 9).cast("decimal(18,9)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(18,9)"))
+        + F.when(
+            F.col("cb") > 0,
+            F.round(q * F.log(q / mid), 9).cast("decimal(18,9)"),
+        ).otherwise(F.lit(0).cast("decimal(18,9)"))
+    )
+    return j.agg(
+        F.max("ta").alias("tokens_a"),
+        F.max("tb").alias("tokens_b"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_union"),
+        F.round(
+            (F.sum(term).cast("double")) / F.lit(2.0), 9
+        ).alias("js_divergence"),
+    )
+
+
+ORACLES["text_js_divergence"] = """
+WITH toks AS (
+  SELECT CAST(SUBSTRING(source, 4, 10) AS INT) < 10 AS is_a,
+         UNNEST(LIST_FILTER(
+           STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' '),
+           x -> LEN(x) > 0)) AS token
+  FROM documents
+),
+cnt AS (
+  SELECT token,
+         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM toks GROUP BY token
+),
+tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS ta, CAST(SUM(cb) AS BIGINT) AS tb
+  FROM cnt
+),
+terms AS (
+  SELECT ta, tb,
+         (CASE WHEN ca > 0 THEN
+            CAST(ROUND((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+              * LN((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+                   / ((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+                       + CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) / 2.0)),
+              9) AS DECIMAL(18,9))
+          ELSE CAST(0 AS DECIMAL(18,9)) END)
+         + (CASE WHEN cb > 0 THEN
+            CAST(ROUND((CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+              * LN((CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+                   / ((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+                       + CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) / 2.0)),
+              9) AS DECIMAL(18,9))
+          ELSE CAST(0 AS DECIMAL(18,9)) END) AS trm
+  FROM cnt, tot
+)
+SELECT MAX(ta) AS tokens_a, MAX(tb) AS tokens_b,
+       CAST(COUNT(*) AS BIGINT) AS vocab_union,
+       ROUND(CAST(SUM(trm) AS DOUBLE) / 2.0, 9) AS js_divergence
+FROM terms
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "agg_capture_recapture": q_agg_capture_recapture,
+        "text_js_divergence": q_text_js_divergence,
+    }
+)
+
+
+def q_source_dbf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dBASE/DBF ingestion (`sources/dbf_file.py`): documents
+    round-trip through 6 dBASE-III files — fixed-width typed fields
+    (N right-justified, C right-padded, L booleans), 32-byte field
+    descriptors, and the 0x2A SOFT-DELETE flag honored on read (the
+    first record of every shard is flagged deleted and must NOT
+    surface) — the shapefile-attribute / legacy-BI front door.  One
+    file per task."""
+    import os as _os
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark.sources.dbf_file import (
+        read_dbf_docs,
+        write_dbf,
+    )
+
+    path = _scratch.scratch_dir("source_dbf", sf_dir, fresh=True)
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    fields = [
+        ("ID", "N", 10, 0),
+        ("LANG", "C", 5, 0),
+        ("NCHARS", "N", 8, 0),
+        ("FLAG", "L", 1, 0),
+    ]
+    for shard in range(6):
+        part = docs[docs["doc_id"] % 6 == shard]
+        write_dbf(
+            _os.path.join(path, f"part-{shard}.dbf"),
+            fields,
+            [
+                (
+                    int(r.doc_id),
+                    r.lang,
+                    int(r.n_chars),
+                    int(r.doc_id) % 2 == 0,
+                )
+                for r in part.itertuples()
+            ],
+            deleted_rows={0},
+        )
+    result = read_dbf_docs(spark, path).localCheckpoint(eager=True)
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["source_dbf"] = """
+SELECT doc_id, lang, n_chars, doc_id % 2 = 0 AS flag
+FROM documents
+WHERE doc_id >= 6
+"""
+
+
+QUERIES_DEFERRED.update({"source_dbf": q_source_dbf})

@@ -38,3 +38,28 @@ def test_quarantine_paths():
     no_nul[-1] = 1
     with pytest.raises(ValueError, match="NUL"):
         decode_document(bytes(no_nul))
+
+
+def test_dbf_soft_delete_and_quarantine():
+    from table_streaming_source_spark.sources.dbf_file import (
+        dbf_records,
+        write_dbf,
+    )
+
+    write_dbf(
+        "/tmp/dbfq/x.dbf",
+        [("ID", "N", 10, 0), ("NAME", "C", 6, 0), ("OK", "L", 1, 0)],
+        [(1, "aa", True), (2, "bb", False), (3, "cc", True)],
+        deleted_rows={1},
+    )
+    blob = bytearray(open("/tmp/dbfq/x.dbf", "rb").read())
+    fields, rows = dbf_records(bytes(blob))
+    assert [r["ID"] for r in rows] == [1, 3]  # soft-deleted row skipped
+    assert rows[0]["NAME"] == "aa" and rows[1]["OK"] is True
+    blob[0] = 0x7F  # unsupported version byte
+    with pytest.raises(ValueError, match="version"):
+        dbf_records(bytes(blob))
+    blob[0] = 0x03
+    blob[10] -= 1  # record size vs descriptors mismatch
+    with pytest.raises(ValueError, match="record size"):
+        dbf_records(bytes(blob))
