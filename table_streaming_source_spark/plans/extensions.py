@@ -13860,3 +13860,182 @@ WHERE doc_id >= 6
 
 
 QUERIES_DEFERRED.update({"source_dbf": q_source_dbf})
+
+
+def q_agg_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pythagorean-mean triple per return flag — arithmetic
+    (exact decimal cents), geometric (rounded-log decimal path: Σln
+    then exp), harmonic (per-row reciprocals rounded then decimal-
+    summed, so no float accumulation order anywhere).  The AM ≥ GM ≥
+    HM invariant is emitted as a checked boolean — a free self-test
+    the oracle must agree on."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    ln_t = F.round(F.log(F.col("cents").cast("double")), 9).cast(
+        "decimal(20,9)"
+    )
+    inv_t = F.round(
+        F.lit(1.0) / F.col("cents").cast("double"), 15
+    ).cast("decimal(20,15)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.sum(ln_t).cast("decimal(38,9)").alias("ln_sum"),
+        F.sum(inv_t).cast("decimal(38,15)").alias("inv_sum"),
+    )
+    nd = F.col("n").cast("double")
+    am = F.col("sum_cents").cast("double") / nd / F.lit(100.0)
+    gm = (
+        F.exp(F.col("ln_sum").cast("double") / nd) / F.lit(100.0)
+    )
+    hm = nd / F.col("inv_sum").cast("double") / F.lit(100.0)
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(am, 6).alias("arith_mean"),
+        F.round(gm, 6).alias("geo_mean"),
+        F.round(hm, 6).alias("harm_mean"),
+        ((F.round(am, 6) >= F.round(gm, 6))
+         & (F.round(gm, 6) >= F.round(hm, 6))).alias("am_gm_hm_holds"),
+    )
+
+
+ORACLES["agg_pythagorean_means"] = """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+agg AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents,
+         CAST(SUM(CAST(ROUND(LN(CAST(cents AS DOUBLE)), 9)
+                       AS DECIMAL(20,9))) AS DECIMAL(38,9)) AS ln_sum,
+         CAST(SUM(CAST(ROUND(1.0 / CAST(cents AS DOUBLE), 15)
+                       AS DECIMAL(20,15))) AS DECIMAL(38,15)) AS inv_sum
+  FROM li GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND(CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6)
+         AS arith_mean,
+       ROUND(EXP(CAST(ln_sum AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 6)
+         AS geo_mean,
+       ROUND(CAST(n AS DOUBLE) / CAST(inv_sum AS DOUBLE) / 100.0, 6)
+         AS harm_mean,
+       ROUND(CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6)
+         >= ROUND(EXP(CAST(ln_sum AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 6)
+       AND ROUND(EXP(CAST(ln_sum AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 6)
+         >= ROUND(CAST(n AS DOUBLE) / CAST(inv_sum AS DOUBLE) / 100.0, 6)
+         AS am_gm_hm_holds
+FROM agg
+"""
+
+
+def q_join_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon spatial join — ray casting in EXACT INTEGER
+    arithmetic (the half-open crossing rule with the cross-product
+    side test, so no division and no epsilon anywhere; both engines
+    evaluate the identical integer predicate).  Customers become grid
+    points from key residues; four deterministic convex quads tile
+    part of the grid; the join explodes each polygon's edge list
+    row-locally and counts crossings per (point, polygon) — inside ⟺
+    odd.  At scale the polygon side is a broadcast (polygon sets are
+    small) and the crossing test is pure codegen — no UDF."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 100).cast("long").alias("px"),
+        ((F.col("c_custkey") * 7) % 100).cast("long").alias("py"),
+    )
+    polys = spark.createDataFrame(
+        [
+            (1, [(5, 5), (45, 5), (45, 45), (5, 45)]),
+            (2, [(50, 10), (90, 20), (80, 60), (55, 50)]),
+            (3, [(10, 55), (40, 60), (35, 95), (8, 90)]),
+            (4, [(60, 65), (95, 70), (90, 95), (65, 92)]),
+        ],
+        "poly_id int, verts array<struct<x: long, y: long>>",
+    )
+    edges = polys.select(
+        "poly_id",
+        F.expr(
+            "transform(sequence(0, size(verts) - 1), i -> named_struct("
+            "  'x1', verts[i].x, 'y1', verts[i].y,"
+            "  'x2', verts[(i + 1) % size(verts)].x,"
+            "  'y2', verts[(i + 1) % size(verts)].y))"
+        ).alias("edges"),
+    ).select("poly_id", F.explode("edges").alias("e"))
+    crossed = (
+        c.crossJoin(F.broadcast(edges))
+        .filter(
+            (
+                (F.col("e.y1") > F.col("py"))
+                != (F.col("e.y2") > F.col("py"))
+            )
+            & (
+                (
+                    (F.col("py") - F.col("e.y1"))
+                    * (F.col("e.x2") - F.col("e.x1"))
+                    - (F.col("px") - F.col("e.x1"))
+                    * (F.col("e.y2") - F.col("e.y1"))
+                )
+                * F.when(
+                    F.col("e.y2") > F.col("e.y1"), F.lit(1)
+                ).otherwise(F.lit(-1))
+                > 0
+            )
+        )
+        .groupBy("c_custkey", "px", "py", "poly_id")
+        .agg(F.count(F.lit(1)).alias("crossings"))
+        .filter(F.col("crossings") % 2 == 1)
+    )
+    return crossed.select(
+        "c_custkey",
+        "px",
+        "py",
+        F.col("poly_id").cast("int").alias("poly_id"),
+    )
+
+
+ORACLES["join_point_in_polygon"] = """
+WITH pts AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 100 AS BIGINT) AS px,
+         CAST((c_custkey * 7) % 100 AS BIGINT) AS py
+  FROM customer
+),
+verts(poly_id, i, x, y) AS (
+  VALUES (1,0,5,5),(1,1,45,5),(1,2,45,45),(1,3,5,45),
+         (2,0,50,10),(2,1,90,20),(2,2,80,60),(2,3,55,50),
+         (3,0,10,55),(3,1,40,60),(3,2,35,95),(3,3,8,90),
+         (4,0,60,65),(4,1,95,70),(4,2,90,95),(4,3,65,92)
+),
+edges AS (
+  SELECT a.poly_id, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+  FROM verts a JOIN verts b
+    ON a.poly_id = b.poly_id AND b.i = (a.i + 1) % 4
+),
+crossed AS (
+  SELECT p.c_custkey, p.px, p.py, e.poly_id, COUNT(*) AS crossings
+  FROM pts p CROSS JOIN edges e
+  WHERE ((e.y1 > p.py) <> (e.y2 > p.py))
+    AND ((p.py - e.y1) * (e.x2 - e.x1)
+         - (p.px - e.x1) * (e.y2 - e.y1))
+        * (CASE WHEN e.y2 > e.y1 THEN 1 ELSE -1 END) > 0
+  GROUP BY p.c_custkey, p.px, p.py, e.poly_id
+)
+SELECT c_custkey, px, py, CAST(poly_id AS INT) AS poly_id
+FROM crossed WHERE crossings % 2 = 1
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "agg_pythagorean_means": q_agg_pythagorean_means,
+        "join_point_in_polygon": q_join_point_in_polygon,
+    }
+)
