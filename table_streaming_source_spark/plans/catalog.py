@@ -236,8 +236,16 @@ NMI on the rounded-log decimal path), ``ts_mann_kendall``
 (Hirsch–Slack seasonal trend test, tie-corrected, calendar-bounded
 pairing), ``sim_silhouette`` (simplified centroid silhouette from the
 top-2 coarse-quantizer dots — O(n·k)), ``agg_theil_index`` (the
-decomposable inequality measure) and ``agg_herfindahl`` (HHI market
-concentration).
+decomposable inequality measure), ``agg_herfindahl`` (HHI market
+concentration), ``agg_capture_recapture`` (Chapman-corrected
+Lincoln–Petersen population estimate — the dedup-coverage probe),
+``text_js_divergence`` (Jensen–Shannon drift between source cohorts
+on the rounded-log path), ``source_dbf`` (from-scratch dBASE III —
+typed fixed-width fields, 0x2A soft-delete honored),
+``agg_pythagorean_means`` (AM/GM/HM with the ordering invariant
+emitted as a checked boolean) and ``join_point_in_polygon``
+(ray-casting PIP join in exact integer arithmetic — no division, no
+epsilon).
 """
 
 from __future__ import annotations
