@@ -14039,3 +14039,218 @@ QUERIES_DEFERRED.update(
         "join_point_in_polygon": q_join_point_in_polygon,
     }
 )
+
+
+def q_agg_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical Value-at-Risk and CVaR (expected shortfall) of order
+    values per region — the tail-risk pair every financial rollup
+    reports.  VaR(95) is an EXACT order statistic (the ``⌈0.95·n⌉``-th
+    value — no interpolation); CVaR is the exact-decimal mean of the
+    tail at and beyond it (ties included on both sides by value
+    comparison, so tie policy cannot differ).  One per-region window
+    sort + a broadcast of the 5-row VaR table + one aggregate."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n_ = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    vals = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n_, c.c_nationkey == n_.n_nationkey)
+        .join(F.broadcast(r), n_.n_regionkey == r.r_regionkey)
+        .select(
+            "r_name",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "cents"
+            ),
+        )
+    )
+    ranked = vals.select(
+        "r_name",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("r_name").orderBy("cents"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("r_name")).alias("n"),
+    )
+    var = (
+        ranked.filter(
+            F.col("rn") == F.ceil(F.lit(0.95) * F.col("n"))
+        )
+        .groupBy("r_name", "n")
+        .agg(F.min("cents").alias("var_cents"))
+    )
+    tail = vals.join(F.broadcast(var), "r_name").filter(
+        F.col("cents") >= F.col("var_cents")
+    )
+    return tail.groupBy("r_name", "n", "var_cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        F.round(
+            F.sum("cents").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(100.0),
+            6,
+        ).alias("cvar_95"),
+    ).select(
+        "r_name",
+        F.col("n").cast("bigint").alias("n"),
+        "var_cents",
+        "n_tail",
+        "cvar_95",
+    )
+
+
+ORACLES["agg_var_cvar"] = """
+WITH vals AS (
+  SELECT r_name, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+),
+ranked AS (
+  SELECT r_name, cents,
+         ROW_NUMBER() OVER (PARTITION BY r_name ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY r_name) AS n
+  FROM vals
+),
+var AS (
+  SELECT r_name, n, MIN(cents) AS var_cents
+  FROM ranked
+  WHERE rn = CAST(CEIL(0.95 * n) AS BIGINT)
+  GROUP BY r_name, n
+)
+SELECT v.r_name, CAST(var.n AS BIGINT) AS n, var.var_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_tail,
+       ROUND(CAST(SUM(v.cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / 100.0, 6) AS cvar_95
+FROM vals v JOIN var ON v.r_name = var.r_name
+WHERE v.cents >= var.var_cents
+GROUP BY v.r_name, var.n, var.var_cents
+"""
+
+
+def q_text_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information for co-occurring top tokens — the
+    collocation/phrase-mining primitive: the 12 most frequent tokens
+    (deterministic count-desc/token-asc order) broadcast as a tiny
+    table, per-document containment flags fold row-locally, pair
+    counts are one aggregate over the bounded 12×12 grid, and
+    PMI = ln(n_ab·N/(n_a·n_b)) is the rounded-log of exact integers.
+    Documents never shuffle — only the 66 pair counters do."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(
+                F.split(F.trim("text"), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("toks"),
+    )
+    uni = (
+        docs.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    wtop = Window.orderBy(F.desc("df"), "token")
+    top = uni.select(
+        "token", "df", F.row_number().over(wtop).alias("rk")
+    ).filter(F.col("rk") <= 12)
+    hits = (
+        docs.select("doc_id", F.explode("toks").alias("token"))
+        .join(F.broadcast(top.select("token")), "token")
+    )
+    pairs = (
+        hits.alias("a")
+        .join(
+            hits.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.token") < F.col("b.token")),
+        )
+        .groupBy(
+            F.col("a.token").alias("tok_a"),
+            F.col("b.token").alias("tok_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    n_docs = docs.count()
+    out = (
+        pairs.join(
+            F.broadcast(
+                top.select(F.col("token").alias("tok_a"), F.col("df").alias("df_a"))
+            ),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(
+                top.select(F.col("token").alias("tok_b"), F.col("df").alias("df_b"))
+            ),
+            "tok_b",
+        )
+    )
+    pmi = F.round(
+        F.log(
+            F.col("n_ab").cast("double")
+            * F.lit(float(n_docs))
+            / (F.col("df_a").cast("double") * F.col("df_b").cast("double"))
+        ),
+        9,
+    )
+    return out.select(
+        "tok_a",
+        "tok_b",
+        "n_ab",
+        F.col("df_a").cast("bigint").alias("df_a"),
+        F.col("df_b").cast("bigint").alias("df_b"),
+        pmi.alias("pmi"),
+    )
+
+
+ORACLES["text_pmi_cooccur"] = """
+WITH docs AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_FILTER(
+           STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' '),
+           x -> LEN(x) > 0)) AS toks
+  FROM documents
+),
+uni AS (
+  SELECT u.token, COUNT(*) AS df
+  FROM docs, UNNEST(toks) AS u(token)
+  GROUP BY u.token
+),
+top AS (
+  SELECT token, df,
+         ROW_NUMBER() OVER (ORDER BY df DESC, token) AS rk
+  FROM uni QUALIFY rk <= 12
+),
+hits AS (
+  SELECT d.doc_id, u.token
+  FROM docs d, UNNEST(toks) AS u(token)
+  JOIN top t ON t.token = u.token
+),
+pairs AS (
+  SELECT a.token AS tok_a, b.token AS tok_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM hits a JOIN hits b
+    ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY a.token, b.token
+),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM docs)
+SELECT p.tok_a, p.tok_b, p.n_ab,
+       CAST(ta.df AS BIGINT) AS df_a,
+       CAST(tb.df AS BIGINT) AS df_b,
+       ROUND(LN(CAST(p.n_ab AS DOUBLE) * nd.n_docs
+                / (CAST(ta.df AS DOUBLE) * CAST(tb.df AS DOUBLE))), 9)
+         AS pmi
+FROM pairs p
+JOIN top ta ON ta.token = p.tok_a
+JOIN top tb ON tb.token = p.tok_b, nd
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "agg_var_cvar": q_agg_var_cvar,
+        "text_pmi_cooccur": q_text_pmi_cooccur,
+    }
+)
