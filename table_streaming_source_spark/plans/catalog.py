@@ -245,7 +245,10 @@ typed fixed-width fields, 0x2A soft-delete honored),
 ``agg_pythagorean_means`` (AM/GM/HM with the ordering invariant
 emitted as a checked boolean) and ``join_point_in_polygon``
 (ray-casting PIP join in exact integer arithmetic — no division, no
-epsilon).
+epsilon), ``agg_var_cvar`` (historical VaR-95 as an exact order
+statistic + exact-decimal expected shortfall) and
+``text_pmi_cooccur`` (collocation PMI over the broadcast top-12
+token grid — bounded pair space, documents never shuffle).
 """
 
 from __future__ import annotations
