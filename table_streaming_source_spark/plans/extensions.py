@@ -14254,3 +14254,181 @@ QUERIES_DEFERRED.update(
         "text_pmi_cooccur": q_text_pmi_cooccur,
     }
 )
+
+
+def q_agg_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve decile points of order values — the distributional
+    companion `agg_gini` summarizes to one number: for each decile k,
+    the EXACT cumulative value share held by the bottom ⌈k·n/10⌉
+    orders.  Prefix sums ride one global sort of exact cents (range-
+    partitioned at scale); the 10 emitted points are exact-BIGINT
+    numerators over the exact total — one IEEE division each."""
+    o = t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    ranked = o.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents")).alias("rn"),
+        F.sum("cents")
+        .over(
+            Window.orderBy("cents").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("cum"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("cents").over(Window.partitionBy()).alias("total"),
+    )
+    deciles = ranked.select(
+        "rn",
+        "cum",
+        "n",
+        "total",
+        F.explode(F.expr("sequence(1, 10)")).alias("k"),
+    ).filter(F.col("rn") == F.ceil(F.col("k") * F.col("n") / 10))
+    return deciles.select(
+        F.col("k").cast("int").alias("decile"),
+        F.col("rn").cast("bigint").alias("n_orders_cum"),
+        F.col("cum").cast("bigint").alias("cum_cents"),
+        F.col("total").cast("bigint").alias("total_cents"),
+        F.round(
+            F.col("cum").cast("double") / F.col("total").cast("double"), 9
+        ).alias("value_share"),
+    )
+
+
+ORACLES["agg_lorenz_points"] = """
+WITH o AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+ranked AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+         SUM(cents) OVER (ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         COUNT(*) OVER () AS n,
+         SUM(cents) OVER () AS total
+  FROM o
+)
+SELECT CAST(k.k AS INT) AS decile,
+       CAST(rn AS BIGINT) AS n_orders_cum,
+       CAST(cum AS BIGINT) AS cum_cents,
+       CAST(total AS BIGINT) AS total_cents,
+       ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 9)
+         AS value_share
+FROM ranked, UNNEST(RANGE(1, 11)) AS k(k)
+WHERE rn = CAST(CEIL(k.k * n / 10.0) AS BIGINT)
+"""
+
+
+def q_source_logfmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logfmt ingestion (the key=value log line dialect of Heroku/Go
+    ecosystems): both engines render the fixture events as real logfmt
+    lines, and the operator under test PARSES them back with
+    ``str_to_map`` — order-insensitive key lookup, typed casts, and a
+    quoted-value field (the message) handled by an explicit extract.
+    Pure row-local JVM expressions — the 100 TB log-ingest map."""
+    ev = t(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("ts="),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit(" level="),
+        F.when(F.col("event_type") == "error", "error").otherwise("info"),
+        F.lit(" user="),
+        F.col("user_id").cast("string"),
+        F.lit(" event="),
+        F.col("event_type"),
+        F.lit(" value="),
+        F.round(F.col("value") * 100).cast("bigint").cast("string"),
+        F.lit(' msg="evt '),
+        F.col("event_id").cast("string"),
+        F.lit('"'),
+    )
+    lines = ev.select("event_id", line.alias("line"))
+    # parse back: strip the quoted msg first (its value may hold spaces),
+    # then str_to_map the remaining k=v pairs
+    kv = F.expr(
+        "str_to_map(trim(regexp_replace(line, 'msg=\"[^\"]*\"', '')), "
+        "' ', '=')"
+    )
+    return lines.select(
+        "event_id",
+        kv["ts"].alias("ts_str"),
+        kv["level"].alias("level"),
+        kv["user"].cast("bigint").alias("user_id"),
+        kv["event"].alias("event_type"),
+        kv["value"].cast("bigint").alias("value_cents"),
+        F.regexp_extract("line", 'msg="([^"]*)"', 1).alias("msg"),
+    )
+
+
+ORACLES["source_logfmt"] = """
+SELECT event_id,
+       STRFTIME(ts, '%Y-%m-%dT%H:%M:%S') AS ts_str,
+       CASE WHEN event_type = 'error' THEN 'error' ELSE 'info' END
+         AS level,
+       user_id,
+       event_type,
+       CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+       'evt ' || CAST(event_id AS VARCHAR) AS msg
+FROM events
+"""
+
+
+def q_scalar_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn checksum (ISO/IEC 7812 mod-10) — the card/IMEI/ID validator
+    as a pure row-local expression battery: compute the check digit
+    for each customer's 9-digit account stem and validate the resulting
+    10-digit number, all via digit array transforms (double every
+    second digit from the right, subtract 9 above 9, mod 10) — no UDF,
+    identical integer arithmetic on both engines."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 9, "0").alias("stem"),
+    )
+    summed = F.expr(
+        "aggregate(transform(split(reverse(stem), ''), (d, i) -> "
+        "  CASE WHEN i % 2 = 0 THEN"
+        "    CASE WHEN cast(d as int) * 2 > 9 THEN cast(d as int) * 2 - 9"
+        "         ELSE cast(d as int) * 2 END"
+        "  ELSE cast(d as int) END), 0, (acc, x) -> acc + x)"
+    )
+    check = (F.lit(10) - (summed % 10)) % 10
+    return c.select(
+        "c_custkey",
+        "stem",
+        check.cast("int").alias("check_digit"),
+        F.concat(F.col("stem"), check.cast("string")).alias("card_number"),
+    )
+
+
+ORACLES["scalar_luhn"] = """
+WITH c AS (
+  SELECT c_custkey, LPAD(CAST(c_custkey AS VARCHAR), 9, '0') AS stem
+  FROM customer
+),
+s AS (
+  SELECT c_custkey, stem,
+         (SELECT SUM(CASE WHEN (i.i - 1) % 2 = 0 THEN
+                   CASE WHEN CAST(SUBSTRING(REVERSE(stem), i.i, 1) AS INT) * 2 > 9
+                        THEN CAST(SUBSTRING(REVERSE(stem), i.i, 1) AS INT) * 2 - 9
+                        ELSE CAST(SUBSTRING(REVERSE(stem), i.i, 1) AS INT) * 2 END
+                 ELSE CAST(SUBSTRING(REVERSE(stem), i.i, 1) AS INT) END)
+          FROM UNNEST(RANGE(1, 10)) AS i(i)) AS digit_sum
+  FROM c
+)
+SELECT c_custkey, stem,
+       CAST((10 - (digit_sum % 10)) % 10 AS INT) AS check_digit,
+       stem || CAST((10 - (digit_sum % 10)) % 10 AS VARCHAR)
+         AS card_number
+FROM s
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "agg_lorenz_points": q_agg_lorenz_points,
+        "source_logfmt": q_source_logfmt,
+        "scalar_luhn": q_scalar_luhn,
+    }
+)
