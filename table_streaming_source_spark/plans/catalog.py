@@ -248,7 +248,12 @@ emitted as a checked boolean) and ``join_point_in_polygon``
 epsilon), ``agg_var_cvar`` (historical VaR-95 as an exact order
 statistic + exact-decimal expected shortfall) and
 ``text_pmi_cooccur`` (collocation PMI over the broadcast top-12
-token grid — bounded pair space, documents never shuffle).
+token grid — bounded pair space, documents never shuffle),
+``agg_lorenz_points`` (exact decile value shares — the curve behind
+`agg_gini`), ``source_logfmt`` (key=value log-line parsing via
+``str_to_map`` with a quoted-message extract) and ``scalar_luhn``
+(ISO-7812 mod-10 check-digit computation, pure digit-array
+transforms).
 """
 
 from __future__ import annotations
