@@ -14432,3 +14432,155 @@ QUERIES_DEFERRED.update(
         "scalar_luhn": q_scalar_luhn,
     }
 )
+
+
+def q_text_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 and the macro averages for the
+    language-ID classifier — the metric layer on top of
+    `text_langid_eval`'s raw confusion matrix (macro = unweighted
+    class mean, the fairness-to-rare-classes convention).  TP/FP/FN
+    are exact BIGINTs from one confusion aggregate; each P/R/F1 is a
+    fixed IEEE expression with explicit zero guards; the macro row
+    (lang = '__macro__') averages the per-class F1s on the decimal
+    path."""
+    docs = t(spark, sf_dir, "documents")
+    pred = X.language_id(docs, "text", "doc_id")
+    cm = (
+        pred.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(
+            F.col("lang").alias("gold"), F.col("pred_lang").alias("pred")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    classes = cm.select(F.col("gold").alias("cls")).union(
+        cm.select(F.col("pred").alias("cls"))
+    ).distinct()
+    per = (
+        classes.join(
+            cm.filter(F.col("gold") == F.col("pred")).select(
+                F.col("gold").alias("cls"), F.col("n").alias("tp")
+            ),
+            "cls",
+            "left",
+        )
+        .join(
+            cm.groupBy(F.col("pred").alias("cls")).agg(
+                F.sum("n").cast("bigint").alias("pred_n")
+            ),
+            "cls",
+            "left",
+        )
+        .join(
+            cm.groupBy(F.col("gold").alias("cls")).agg(
+                F.sum("n").cast("bigint").alias("gold_n")
+            ),
+            "cls",
+            "left",
+        )
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+            (F.coalesce("pred_n", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("bigint")
+            .alias("fp"),
+            (F.coalesce("gold_n", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    tp = F.col("tp").cast("double")
+    p = F.when(F.col("tp") + F.col("fp") > 0, tp / (tp + F.col("fp").cast("double"))).otherwise(F.lit(0.0))
+    r = F.when(F.col("tp") + F.col("fn") > 0, tp / (tp + F.col("fn").cast("double"))).otherwise(F.lit(0.0))
+    f1 = F.when(
+        (F.col("tp") + F.col("fp") > 0) & (F.col("tp") + F.col("fn") > 0)
+        & (F.col("tp") > 0),
+        F.lit(2.0) * (p * r) / (p + r),
+    ).otherwise(F.lit(0.0))
+    scored = per.select(
+        F.col("cls").alias("lang"),
+        "tp",
+        "fp",
+        "fn",
+        F.round(p, 9).alias("precision"),
+        F.round(r, 9).alias("recall"),
+        F.round(f1, 9).alias("f1"),
+    )
+    macro = scored.agg(
+        F.sum("tp").cast("bigint").alias("tp"),
+        F.sum("fp").cast("bigint").alias("fp"),
+        F.sum("fn").cast("bigint").alias("fn"),
+        F.round(
+            F.sum(F.col("precision").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("precision"),
+        F.round(
+            F.sum(F.col("recall").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("recall"),
+        F.round(
+            F.sum(F.col("f1").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("f1"),
+    ).select(F.lit("__macro__").alias("lang"), "tp", "fp", "fn", "precision", "recall", "f1")
+    return scored.unionAll(macro)
+
+
+ORACLES["text_macro_f1"] = (
+    "WITH pred AS (" + _langid_sql() + """),
+cm AS (
+  SELECT d.lang AS gold, pred.pred_lang AS pred,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred JOIN documents d USING (doc_id)
+  GROUP BY 1, 2
+),
+classes AS (
+  SELECT gold AS cls FROM cm UNION SELECT pred FROM cm
+),
+per AS (
+  SELECT c.cls,
+         CAST(COALESCE(tp.n, 0) AS BIGINT) AS tp,
+         CAST(COALESCE(pn.pred_n, 0) - COALESCE(tp.n, 0) AS BIGINT) AS fp,
+         CAST(COALESCE(gn.gold_n, 0) - COALESCE(tp.n, 0) AS BIGINT) AS fn
+  FROM classes c
+  LEFT JOIN (SELECT gold, n FROM cm WHERE gold = pred) tp
+    ON tp.gold = c.cls
+  LEFT JOIN (SELECT pred, SUM(n) AS pred_n FROM cm GROUP BY pred) pn
+    ON pn.pred = c.cls
+  LEFT JOIN (SELECT gold, SUM(n) AS gold_n FROM cm GROUP BY gold) gn
+    ON gn.gold = c.cls
+),
+scored AS (
+  SELECT cls AS lang, tp, fp, fn,
+         ROUND(CASE WHEN tp + fp > 0
+               THEN CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+               ELSE 0.0 END, 9) AS precision,
+         ROUND(CASE WHEN tp + fn > 0
+               THEN CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+               ELSE 0.0 END, 9) AS recall,
+         ROUND(CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tp > 0
+               THEN 2.0 * ((CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)))
+                           * (CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))))
+                    / ((CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)))
+                       + (CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))))
+               ELSE 0.0 END, 9) AS f1
+  FROM per
+)
+SELECT lang, tp, fp, fn, precision, recall, f1 FROM scored
+UNION ALL
+SELECT '__macro__',
+       CAST(SUM(tp) AS BIGINT), CAST(SUM(fp) AS BIGINT),
+       CAST(SUM(fn) AS BIGINT),
+       ROUND(CAST(SUM(CAST(precision AS DECIMAL(18,9))) AS DOUBLE)
+             / COUNT(*), 9),
+       ROUND(CAST(SUM(CAST(recall AS DECIMAL(18,9))) AS DOUBLE)
+             / COUNT(*), 9),
+       ROUND(CAST(SUM(CAST(f1 AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 9)
+FROM scored
+"""
+)
+
+
+QUERIES_DEFERRED.update({"text_macro_f1": q_text_macro_f1})
