@@ -253,7 +253,8 @@ token grid — bounded pair space, documents never shuffle),
 `agg_gini`), ``source_logfmt`` (key=value log-line parsing via
 ``str_to_map`` with a quoted-message extract) and ``scalar_luhn``
 (ISO-7812 mod-10 check-digit computation, pure digit-array
-transforms).
+transforms) and ``text_macro_f1`` (per-class + macro P/R/F1 derived
+from the language-ID confusion matrix, decimal-path macro means).
 """
 
 from __future__ import annotations
