@@ -3,18 +3,17 @@
 ``entry(spark)`` runs the flagship enrichment query (the reference's
 documented snapshot-enrichment pattern, `docs/Table-streamingsource.md:10-14`)
 at sf0.001.  ``queries()`` / ``oracle_sql()`` expose the full catalog
-(351 entries) from ``table_streaming_source_spark.plans.catalog`` — one
-entry per implemented operator of SURVEY.md §2 (map in §2C), EVERY entry
-with a DuckDB oracle twin (zero rows-only checks;
+(``len(QUERIES)`` entries — 422 as of round 8) from
+``table_streaming_source_spark.plans.catalog`` — one entry per
+implemented operator of SURVEY.md §2 (map in §2C), EVERY entry with a
+DuckDB oracle twin (zero rows-only checks;
 ``streaming_timeout_sessions_tws`` runs the shared session state
 machine through ``applyInPandasWithState`` where google.protobuf is
 absent, so it passes in every environment).  The catalog's dict order
-front-loads the driver's 50-entry correctness window with the round-7
-rotation (3 sentinels + the 2 re-windowed round-6 fixes + the full
-26-entry round-6 backlog + the 19 round-7 additions — see
-``plans/catalog.py::_PRIORITY``; after this window lands, all 351 catalog
-entries either have an official driver row in some round or are the
-enumerated round-8 rotation backlog).
+front-loads the driver's 50-entry correctness window with the round-8
+rotation (3 cross-round sentinels + 47 backlog entries re-certified
+strict-dtype at sf0.01 and sf0.1 — see
+``plans/catalog.py::_PRIORITY``).
 """
 
 from __future__ import annotations

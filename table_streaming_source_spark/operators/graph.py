@@ -495,3 +495,64 @@ def personalized_pagerank(
     return ranks.select(
         F.col("__v").alias(key), rank_col.alias("ppr")
     )
+
+
+def common_neighbor_pairs(
+    edges: DataFrame,
+    *,
+    node_col: str = "c",
+    via_col: str = "s",
+    min_common: int = 2,
+    max_hub: int | None = None,
+) -> DataFrame:
+    """Candidate ``(ca, cb, common)`` pairs for link prediction: nodes
+    sharing a via-node (the bipartite projection), with the shared-via
+    count.  Pairs come ONLY from the via-keyed self-join — never
+    all-pairs — so the via key is the single shuffle key.
+
+    ``max_hub`` caps the hub explosion (the star policy of
+    ``dedup.minhash_lsh_pairs`` / the ``max_block`` cap of
+    ``similarity.knn_join_blocked``): a via-node of degree ``m`` yields
+    ``m(m-1)/2`` pairs, quadratic in the hub.  Over the cap, the
+    NEIGHBOR (right) side keeps a DETERMINISTIC hash-selected subset —
+    ``pmod(xxhash64(node), ceil(m / max_hub)) = 0``, expected size
+    ``max_hub`` — so candidate volume is ``m × max_hub``, linear in
+    the hub degree.  Common counts inside a mega-hub become lower
+    bounds over a deterministic subset (the standard candidate-
+    generation answer; exact recall needs no cap only when the
+    sparsifier already bounds degrees).  The thinning is ROW-LOCAL
+    given a tiny per-via count broadcast: no sort, no extra exchange,
+    and the self-join keeps its uncapped physical plan."""
+    a = edges.select(
+        F.col(via_col).alias("__via"), F.col(node_col).alias("ca")
+    )
+    b = edges.select(
+        F.col(via_col).alias("__via"), F.col(node_col).alias("cb")
+    )
+    if max_hub is not None:
+        stats = b.groupBy("__via").agg(
+            F.count(F.lit(1)).alias("__m")
+        )
+        b = (
+            b.join(F.broadcast(stats), "__via")
+            .filter(
+                (F.col("__m") <= max_hub)
+                | (
+                    F.pmod(
+                        F.xxhash64(F.col("cb")),
+                        F.ceil(
+                            F.col("__m") / F.lit(max_hub)
+                        ).cast("bigint"),
+                    )
+                    == 0
+                )
+            )
+            .select("__via", "cb")
+        )
+    return (
+        a.join(b, "__via")
+        .filter(F.col("ca") < F.col("cb"))
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )

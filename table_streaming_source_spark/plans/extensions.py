@@ -8277,11 +8277,18 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     based recommender/link-prediction signal.  Candidate pairs come
     ONLY from the supplier-keyed self-join (never all-pairs), on a
     SPARSIFIED edge set (high-quantity purchases — the degree-bounding
-    step every production link predictor takes; at 100 TB the same
-    shape adds a per-hub candidate cap exactly like
-    `minhash_lsh_pairs`' star policy).  Degrees join in from one tiny
-    aggregate; Jaccard = common / (da + db − common) is exact-integer
-    until the final rounded division."""
+    step every production link predictor takes), THROUGH the live
+    per-hub candidate cap (`graph.common_neighbor_pairs(max_hub=256)`
+    — the star-policy hash thinning; 256 exceeds every fixture-SF
+    supplier degree, max 55 at sf0.1, so the fixture result stays
+    exact while a 100 TB mega-hub is bounded to linear candidates).
+    Degrees join in from one tiny aggregate; Jaccard = common /
+    (da + db − common) is exact-integer until the final rounded
+    division."""
+    from table_streaming_source_spark.operators.graph import (
+        common_neighbor_pairs,
+    )
+
     l = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     edges = (
@@ -8295,14 +8302,8 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("c").agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )
-    a = edges.select(F.col("c").alias("ca"), "s")
-    b = edges.select(F.col("c").alias("cb"), "s")
-    pairs = (
-        a.join(b, "s")
-        .filter(F.col("ca") < F.col("cb"))
-        .groupBy("ca", "cb")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
-        .filter(F.col("common") >= 2)
+    pairs = common_neighbor_pairs(
+        edges, node_col="c", via_col="s", min_common=2, max_hub=256
     )
     da = deg.select(F.col("c").alias("ca"), F.col("d").alias("da"))
     db = deg.select(F.col("c").alias("cb"), F.col("d").alias("db"))

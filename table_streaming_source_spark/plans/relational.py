@@ -7994,22 +7994,30 @@ def q_source_python_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     format scale instead of funneling through one task.  Split fan-out
     is pinned in ``tests/test_fixed_width.py``; here the value
     contract: the rollup over the round-tripped file equals the source
-    rows the oracle states."""
+    rows the oracle states.  The fixture itself is written through the
+    DISTRIBUTED ``FixedWidthWriter`` task-commit path (4 task files) —
+    no corpus-proportional driver collect anywhere in the entry."""
     import shutil as _shutil
 
     from table_streaming_source_spark.plans import _scratch
     from table_streaming_source_spark.sources import fixed_width as FW
 
     base = _scratch.scratch_dir("tsr_source", sf_dir, fresh=True)
-    path = f"{base}/orders.tsr"
-    rows = [
-        (r["o_orderkey"], r["o_orderkey"] % 10, r["o_totalprice"])
-        for r in t(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .collect()
-    ]
-    FW.write_tsr(path, rows)
+    path = f"{base}/orders_tsr"
     FW.register(spark)
+    (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("key"),
+            (F.col("o_orderkey") % 10).alias("grp"),
+            F.col("o_totalprice").alias("value"),
+        )
+        .repartition(4)
+        .write.format("tsr")
+        .mode("overwrite")
+        .option("path", path)
+        .save()
+    )
     result = (
         spark.read.format("tsr")
         .option("path", path)

@@ -119,23 +119,31 @@ def _file_stats(file_path: str, stat_cols: list[str]) -> dict:
 
 
 def _manifest_entries(
-    path: str, staging: str, stat_cols: list[str]
+    path: str, staging: str, stat_cols: list[str], *, seq: int | None = None
 ) -> list[dict]:
     """Manifest entries (path/rows/stats) for every parquet file a write
-    just staged — shared by append/compact/merge/stage commits."""
+    just staged — shared by append/compact/merge/stage commits.
+
+    ``seq`` stamps each entry with its DATA SEQUENCE NUMBER (the
+    committing version — the Iceberg v2 idea): a merge-on-read equality
+    delete applies to a data file only when ``file.seq < delete.seq``,
+    so a row re-inserted AFTER a delete survives the subtraction.
+    Entries written before this field existed read back as ``seq 0``
+    (every delete applies — the pre-sequence behavior)."""
     files = []
     for name in sorted(os.listdir(staging)):
         if not name.endswith(".parquet"):
             continue
         fp = os.path.join(staging, name)
         st = _file_stats(fp, stat_cols)
-        files.append(
-            {
-                "path": os.path.relpath(fp, path),
-                "rows": st["rows"],
-                "stats": st["cols"],
-            }
-        )
+        entry = {
+            "path": os.path.relpath(fp, path),
+            "rows": st["rows"],
+            "stats": st["cols"],
+        }
+        if seq is not None:
+            entry["seq"] = seq
+        files.append(entry)
     return files
 
 
@@ -173,7 +181,7 @@ def commit_append(
         _data_dir(path), f"commit-{base + 1}-{uuid.uuid4().hex[:8]}"
     )
     df.write.mode("overwrite").parquet(staging)
-    files = _manifest_entries(path, staging, stat_cols)
+    files = _manifest_entries(path, staging, stat_cols, seq=base + 1)
     _write_commit(
         path,
         base + 1,
@@ -252,8 +260,19 @@ def vacuum(path: str, *, retain_versions: int = 2) -> tuple[int, int]:
     )
     referenced: set[str] = set()
     for v in keep_versions:
-        files, _, _ = snapshot_files(path, version=v)
+        try:
+            files, _, _ = snapshot_files(path, version=v)
+        except FileNotFoundError:
+            # version expired from the log (expire_snapshots) — nothing
+            # left to pin through it
+            continue
         referenced.update(os.path.abspath(f) for f in files)
+        # outstanding equality-delete files are part of the snapshot —
+        # sweeping them would resurrect deleted rows at MOR read time
+        _, dels = _snapshot_deletes(path, v)
+        referenced.update(
+            os.path.abspath(os.path.join(path, d["path"])) for d in dels
+        )
     # Staged-but-unpublished WAP commits are NOT orphans: their manifest
     # exists (``{v}.json.staged-{audit_id}``) and commit_publish may still
     # promote it.  Sweeping those files would let a later publish point a
@@ -293,18 +312,25 @@ def commit_compact(
     """OPTIMIZE: rewrite the current snapshot's files into fewer, larger
     ones and publish the rewrite as the next commit with ``parent:
     None`` (a full snapshot — it REPLACES the file list rather than
-    appending).  Logical content is unchanged by construction; old
-    files stay on disk for time travel until :func:`vacuum` retires
-    them.  Same optimistic-concurrency rule as :func:`commit_append`."""
+    appending).  Outstanding merge-on-read equality deletes are
+    MATERIALIZED (the rewrite reads the MOR view) and CLEARED — after
+    compaction ``read_table`` and ``read_table_mor`` agree.  Logical
+    content is otherwise unchanged by construction; old files stay on
+    disk for time travel until :func:`vacuum` retires them.  Same
+    optimistic-concurrency rule as :func:`commit_append`."""
     base = expected_version if expected_version is not None else (
         latest_version(path)
     )
-    current = read_table(spark, path, version=base)
+    _, outstanding = _snapshot_deletes(path, base)
+    if outstanding:
+        current = read_table_mor(spark, path, version=base)
+    else:
+        current = read_table(spark, path, version=base)
     staging = os.path.join(
         _data_dir(path), f"compact-{base + 1}-{uuid.uuid4().hex[:8]}"
     )
     current.coalesce(1).write.mode("overwrite").parquet(staging)
-    files = _manifest_entries(path, staging, stat_cols)
+    files = _manifest_entries(path, staging, stat_cols, seq=base + 1)
     _write_commit(
         path,
         base + 1,
@@ -312,6 +338,10 @@ def commit_compact(
             "version": base + 1,
             "files": files,
             "parent": None,
+            # the logical predecessor: full-snapshot commits cut the
+            # physical ``parent`` chain, ``prev`` keeps the ancestry
+            # walkable (fast_forward)
+            "prev": base,
             # logical content unchanged: append-tailing readers skip
             # this commit instead of re-emitting the rewritten rows
             "maintenance": True,
@@ -329,6 +359,35 @@ def _snapshot_file_dicts(path: str, version: int) -> list[dict]:
         out.extend(commit["files"])
         v = commit["parent"]
     return out
+
+
+def _snapshot_deletes(
+    path: str, version: int
+) -> tuple[str | None, list[dict]]:
+    """The equality-delete files OUTSTANDING at ``version``: walk the
+    physical parent chain accumulating every commit's ``deletes`` list
+    (deduped by path).  The invariant that makes this complete: every
+    full-snapshot commit (``parent: None``) carries the accumulated
+    delete state itself — :func:`commit_delete_keys` re-lists its
+    ancestors' deletes, :func:`commit_merge` carries them forward, and
+    :func:`commit_compact` materializes and clears them — while append
+    commits preserve the chain down to whichever full-snapshot commit
+    holds the state.  Returns ``(delete_key, entries)``."""
+    v: int | None = version
+    key: str | None = None
+    out: list[dict] = []
+    seen: set[str] = set()
+    while v is not None:
+        commit = _read_commit(path, v)
+        for d in commit.get("deletes", []):
+            if d["path"] in seen:
+                continue
+            seen.add(d["path"])
+            out.append(d)
+        if key is None:
+            key = commit.get("delete_key")
+        v = commit["parent"]
+    return key, out
 
 
 def commit_merge(
@@ -404,10 +463,22 @@ def commit_merge(
         hit_idx.update(r[0] for r in hits)
     affected = [f for i, f in enumerate(file_dicts) if i in hit_idx]
     untouched = [f for i, f in enumerate(file_dicts) if i not in hit_idx]
+    # outstanding MOR equality deletes: the rewrite reads affected
+    # files THROUGH the deletes (else a rewritten file would resurrect
+    # its deleted rows), and the commit carries the delete files
+    # forward so untouched files stay subtracted at read time.  New
+    # files get ``seq = base + 1`` > every outstanding delete's seq,
+    # so carried deletes never apply to the rewrite's own output.
+    del_key, outstanding = _snapshot_deletes(path, base)
     if affected:
-        current = spark.read.parquet(
-            *[os.path.join(path, f["path"]) for f in affected]
-        )
+        if outstanding:
+            current = _mor_resolve(
+                spark, path, affected, del_key, outstanding
+            )
+        else:
+            current = spark.read.parquet(
+                *[os.path.join(path, f["path"]) for f in affected]
+            )
     else:
         current = changes.drop(op_col).limit(0)
         if row_id_col is not None:
@@ -431,12 +502,17 @@ def commit_merge(
         _data_dir(path), f"merge-{base + 1}-{uuid.uuid4().hex[:8]}"
     )
     merged.write.mode("overwrite").parquet(staging)
-    files = list(untouched) + _manifest_entries(path, staging, stat_cols)
-    _write_commit(
-        path,
-        base + 1,
-        {"version": base + 1, "files": files, "parent": None},
+    files = list(untouched) + _manifest_entries(
+        path, staging, stat_cols, seq=base + 1
     )
+    payload: dict = {
+        "version": base + 1, "files": files, "parent": None,
+        "prev": base,
+    }
+    if outstanding:
+        payload["deletes"] = outstanding
+        payload["delete_key"] = del_key
+    _write_commit(path, base + 1, payload)
     return base + 1, len(affected), len(file_dicts)
 
 
@@ -574,7 +650,7 @@ def commit_stage(
         _data_dir(path), f"wap-{base + 1}-{uuid.uuid4().hex[:8]}"
     )
     df.write.mode("overwrite").parquet(staging)
-    files = _manifest_entries(path, staging, stat_cols)
+    files = _manifest_entries(path, staging, stat_cols, seq=base + 1)
     staged = os.path.join(
         _log_dir(path), f"{base + 1}.json.staged-{audit_id}"
     )
@@ -672,8 +748,16 @@ def commit_delete_keys(
     keys_df.select(key).distinct().coalesce(1).write.mode(
         "overwrite"
     ).parquet(staging)
-    dels = _manifest_entries(path, staging, [key])
-    parent = _read_commit(path, base)
+    dels = _manifest_entries(path, staging, [key], seq=base + 1)
+    # outstanding deletes resolved by CHAIN WALK, not just the
+    # immediate parent — an append between two delete commits must not
+    # drop the older delete
+    prior_key, outstanding = _snapshot_deletes(path, base)
+    if prior_key is not None and prior_key != key:
+        raise ValueError(
+            f"outstanding deletes use key {prior_key!r}; compact the "
+            f"table before deleting on {key!r}"
+        )
     _write_commit(
         path,
         base + 1,
@@ -682,8 +766,9 @@ def commit_delete_keys(
             # full snapshot: the RESOLVED file list (chain-walked), so
             # ancestor commits' files survive the parent:None cut
             "files": _snapshot_file_dicts(path, base),
-            "deletes": parent.get("deletes", []) + dels,
+            "deletes": outstanding + dels,
             "parent": None,
+            "prev": base,
             "delete_key": key,
         },
     )
@@ -706,35 +791,71 @@ def read_table_mor(
     files a delete can possibly affect, and the delete side is
     broadcast (a delete batch is CDC-sized by design) — the 100 TB read
     pays the subtraction only where it must."""
-    from pyspark.sql import functions as F
-
     v = latest_version(path) if version is None else version
-    commit = _read_commit(path, v)
-    deletes = commit.get("deletes", [])
+    key, deletes = _snapshot_deletes(path, v)
     if not deletes:
         return read_table(spark, path, version=v)
-    key = commit["delete_key"]
-    del_ranges = [
-        d["stats"].get(key) for d in deletes
-    ]
-    clean, dirty = [], []
-    for f in commit["files"]:
+    return _mor_resolve(
+        spark, path, _snapshot_file_dicts(path, v), key, deletes
+    )
+
+
+def _mor_resolve(
+    spark: SparkSession,
+    path: str,
+    file_dicts: list[dict],
+    key: str,
+    deletes: list[dict],
+) -> DataFrame:
+    """Data files MINUS applicable equality deletes.  A delete applies
+    to a file when (a) the sequence rule holds — ``file.seq <
+    delete.seq`` (a row written AFTER the delete supersedes it; missing
+    seqs default file→0 / delete→∞, the pre-sequence behavior) — and
+    (b) the manifest [min, max] ranges on ``key`` overlap (or either
+    side lacks stats).  Files with no applicable delete take the
+    no-join path; the rest are grouped by their applicable delete SET
+    and each group anti-joins one broadcast key frame — the 100 TB
+    read pays the subtraction only where it must."""
+    from pyspark.sql import functions as F
+
+    groups: dict[frozenset, list[str]] = {}
+    clean: list[str] = []
+    for f in file_dicts:
         rng = f["stats"].get(key)
-        overlaps = rng is None or any(
-            dr is None or (rng[0] <= dr[1] and dr[0] <= rng[1])
-            for dr in del_ranges
+        fseq = f.get("seq", 0)
+        applicable = frozenset(
+            d["path"]
+            for d in deletes
+            if fseq < d.get("seq", float("inf"))
+            and (
+                rng is None
+                or d["stats"].get(key) is None
+                or (
+                    rng[0] <= d["stats"][key][1]
+                    and d["stats"][key][0] <= rng[1]
+                )
+            )
         )
-        (dirty if overlaps else clean).append(
-            os.path.join(path, f["path"])
-        )
-    del_df = spark.read.parquet(
-        *[os.path.join(path, d["path"]) for d in deletes]
-    ).select(key).distinct()
+        if applicable:
+            groups.setdefault(applicable, []).append(
+                os.path.join(path, f["path"])
+            )
+        else:
+            clean.append(os.path.join(path, f["path"]))
     parts = []
-    if dirty:
+    for dset, data_files in sorted(
+        groups.items(), key=lambda kv: sorted(kv[0])
+    ):
+        del_df = (
+            spark.read.parquet(
+                *[os.path.join(path, p) for p in sorted(dset)]
+            )
+            .select(key)
+            .distinct()
+        )
         parts.append(
             spark.read.option("mergeSchema", "true")
-            .parquet(*dirty)
+            .parquet(*data_files)
             .join(F.broadcast(del_df), key, "left_anti")
         )
     if clean:
@@ -810,7 +931,16 @@ def expire_snapshots(path: str, *, keep_last: int = 1) -> int:
     commit files removed."""
     head = latest_version(path)
     horizon = max(0, head - keep_last + 1)
-    if horizon == 0:
+    # a named ref (branch head or tag) PINS its snapshot: expiring past
+    # it would leave read_ref resolving to a deleted commit file.  The
+    # horizon is clamped to the oldest pinned version — mirror of
+    # vacuum's ref-pinning rule.
+    refs = list_refs(path)
+    if refs:
+        horizon = min(
+            horizon, min(r["version"] for r in refs.values())
+        )
+    if horizon <= 0:
         return 0
     files: list[dict] = []
     seen: set[str] = set()
@@ -824,11 +954,18 @@ def expire_snapshots(path: str, *, keep_last: int = 1) -> int:
             seen.add(f["path"])
             files.append(f)
         v = c["parent"]
+    del_key, outstanding = _snapshot_deletes(path, horizon)
     rewritten = {
         **base,
         "files": files,
         "parent": None,
     }
+    # history below the horizon is gone — drop the logical-predecessor
+    # link rather than point at an expired commit
+    rewritten.pop("prev", None)
+    if outstanding:
+        rewritten["deletes"] = outstanding
+        rewritten["delete_key"] = del_key
     tmp = os.path.join(
         _log_dir(path), f"{horizon}.json.expire.{uuid.uuid4().hex}"
     )
@@ -981,7 +1118,7 @@ def commit_append_branch(
         _data_dir(path), f"commit-{new_v}-{uuid.uuid4().hex[:8]}"
     )
     df.write.mode("overwrite").parquet(staging)
-    files = _manifest_entries(path, staging, stat_cols)
+    files = _manifest_entries(path, staging, stat_cols, seq=new_v)
     _write_commit(
         path,
         new_v,
@@ -1022,9 +1159,17 @@ def fast_forward(path: str, branch: str, to) -> int:
     cur = refs[branch]["version"]
     v: int | None = target
     chain = set()
-    while v is not None:
+    # ancestry follows the physical ``parent`` chain, falling back to
+    # the logical-predecessor ``prev`` that full-snapshot commits
+    # (compact / merge / delete_keys) record — a compaction on linear
+    # history must not make its ancestors unreachable
+    while v is not None and v not in chain:
         chain.add(v)
-        v = _read_commit(path, v)["parent"]
+        try:
+            c = _read_commit(path, v)
+        except FileNotFoundError:
+            break  # expired history — nothing older to walk
+        v = c["parent"] if c["parent"] is not None else c.get("prev")
     if cur not in chain:
         raise ValueError(
             f"cannot fast-forward {branch!r}: {cur} is not an ancestor "
@@ -1142,6 +1287,7 @@ def commit_append_spec(
                     "rows": st["rows"],
                     "stats": st["cols"],
                     "partition": pval,
+                    "seq": base + 1,
                 }
             )
     _write_commit(

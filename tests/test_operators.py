@@ -1683,3 +1683,42 @@ def test_label_propagation_tie_breaks_to_min(spark):
         for r in label_propagate(edges, rounds=1).collect()
     }
     assert got[5] == 1
+
+
+def test_common_neighbor_pairs_caps_mega_hub(spark):
+    from table_streaming_source_spark.operators.graph import (
+        common_neighbor_pairs,
+    )
+
+    # one mega-hub via-node shared by 2000 customers: uncapped yields
+    # C(2000, 2) pairs; the cap must bound candidates to ~m × max_hub
+    edges = spark.range(2000).select(
+        F.col("id").alias("c"), F.lit(1).alias("s")
+    )
+    uncapped = common_neighbor_pairs(
+        edges, min_common=1, max_hub=None
+    ).count()
+    assert uncapped == 2000 * 1999 // 2
+    capped = common_neighbor_pairs(
+        edges, min_common=1, max_hub=50
+    ).count()
+    # expected survivors ≈ 50 on the neighbor side → ≤ ~m × max_hub
+    # candidates; 3× slack covers hash variance
+    assert 0 < capped <= 2000 * 50 * 3
+    assert capped < uncapped / 5
+    # deterministic: the thinning is a pure hash rule, not sampling
+    again = common_neighbor_pairs(
+        edges, min_common=1, max_hub=50
+    ).count()
+    assert capped == again
+    # under-cap hubs are untouched: exact pairs when every degree fits
+    small = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 7), (1, 8), (2, 8)], "c int, s int"
+    )
+    exact = {
+        (r.ca, r.cb, r.common)
+        for r in common_neighbor_pairs(
+            small, min_common=1, max_hub=256
+        ).collect()
+    }
+    assert exact == {(1, 2, 2), (1, 3, 1), (2, 3, 1)}

@@ -528,8 +528,89 @@ def test_compact_materializes_mor_deletes(spark, table):
         spark, path, df.filter("k % 10 = 0").select("k"), key="k"
     )
     # compaction reads the MOR view and publishes a delete-free snapshot
-    current = TF.read_table_mor(spark, path)
-    TF.commit_append(spark, path, current.limit(0), stat_cols=["k"])
+    v = TF.commit_compact(spark, path, stat_cols=["k"])
+    commit = TF._read_commit(path, v)
+    assert commit.get("deletes", []) == []
+    expected = df.filter("k % 10 <> 0").count()
+    # after compaction the plain and MOR reads agree: deletes are
+    # materialized in the rewritten files, not just cleared
+    for got in (
+        TF.read_table(spark, path),
+        TF.read_table_mor(spark, path),
+    ):
+        assert got.count() == expected
+        assert got.filter("k % 10 = 0").count() == 0
+
+
+def test_append_after_delete_does_not_resurrect(spark, table):
+    """The round-7 resurrection bug: a commit AFTER an equality delete
+    must keep the delete outstanding — and the new commit's own rows
+    (higher data sequence number) survive even on deleted keys."""
+    path, df = table
+    TF.commit_delete_keys(
+        spark, path, df.filter("k % 10 = 0").select("k"), key="k"
+    )
+    # re-insert two previously-deleted keys plus three fresh ones
+    extra = spark.range(5).select(
+        F.when(F.col("id") < 2, F.col("id") * 10)
+        .otherwise(F.col("id") + 1000)
+        .alias("k"),
+        F.lit(1).cast("int").alias("bucket"),
+        F.lit(-1).cast("bigint").alias("v"),
+    )
+    TF.commit_append(spark, path, extra, stat_cols=["k"])
+    got = TF.read_table_mor(spark, path)
+    assert got.count() == 95  # 100 - 10 deleted + 5 appended
+    # the re-inserted copies are the POST-delete rows, exactly once
+    hits = got.filter("k in (0, 10)").collect()
+    assert len(hits) == 2 and all(r["v"] == -1 for r in hits)
+
+
+def test_merge_preserves_deletes_on_untouched_files(spark, tmp_path):
+    """commit_merge must read affected files THROUGH outstanding
+    equality deletes and carry the delete files forward for the files
+    it does not rewrite."""
+    path = str(tmp_path / "mor_merge")
+    TF.create_table(path)
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    TF.commit_append(
+        spark, path,
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        stat_cols=["k"],
+    )
+    TF.commit_delete_keys(
+        spark, path, df.filter("k < 100 and k % 3 = 0").select("k"),
+        key="k",
+    )
+    # the merge touches only high keys; the deleted-low file is untouched
+    changes = df.filter("k >= 900 and k < 910").select(
+        "k", (F.col("v") + 1).alias("v"), F.lit("U").alias("op")
+    )
+    _v, rewritten, total = TF.commit_merge(
+        spark, path, changes, key="k", stat_cols=["k"]
+    )
+    assert rewritten < total
+    got = TF.read_table_mor(spark, path)
+    assert got.count() == 1000 - 34
+    assert got.filter("k < 100 and k % 3 = 0").count() == 0
+    assert (
+        got.filter("k >= 900 and k < 910 and v = k * 2 + 1").count()
+        == 10
+    )
+
+
+def test_vacuum_keeps_outstanding_delete_files(spark, table):
+    path, df = table
+    TF.commit_delete_keys(
+        spark, path, df.filter("k % 10 = 0").select("k"), key="k"
+    )
+    TF.commit_append(spark, path, df.limit(1), stat_cols=["bucket"])
+    TF.vacuum(path, retain_versions=2)
+    # the delete file is part of the retained snapshots — sweeping it
+    # would resurrect the deleted rows
+    assert TF.read_table_mor(spark, path).count() == 91
 
 
 def test_shallow_clone_diverges_without_copy(spark, tmp_path):
@@ -830,6 +911,39 @@ def test_vacuum_pins_every_ref_snapshot(spark, table):
     # the tag's files must survive even though its version is outside
     # the retain window
     assert TF.read_ref(spark, path, "rel").count() == df.count()
+
+
+def test_expire_clamps_to_pinned_refs(spark, table):
+    """A branch/tag below the expiry horizon pins its history: expiry
+    must stop at the oldest pinned version, never strand a ref."""
+    path, df = table
+    TF.create_tag(path, "rel1", at=1)
+    TF.commit_append(spark, path, df.limit(3), stat_cols=["bucket"])
+    # the tag pins v1 — only the empty v0 below it may expire
+    assert TF.expire_snapshots(path, keep_last=1) == 1
+    assert TF.read_ref(spark, path, "rel1").count() == 50
+    # vacuum over the pinned history keeps resolving too
+    TF.vacuum(path, retain_versions=1)
+    assert TF.read_ref(spark, path, "rel1").count() == 50
+    # dropping the tag unpins v1 (main stays pinned at v2)
+    TF.drop_ref(path, "rel1")
+    assert TF.expire_snapshots(path, keep_last=1) == 1
+    with pytest.raises(FileNotFoundError):
+        TF._read_commit(path, 1)
+    assert TF.read_table(spark, path).count() == 103
+    assert TF.read_ref(spark, path, "main").count() == 100
+
+
+def test_fast_forward_across_full_snapshot_commits(spark, table):
+    """Compaction (or merge / delete_keys) cuts the physical parent
+    chain; ancestry must follow the recorded logical predecessor so a
+    branch can still fast-forward across it on linear history."""
+    path, df = table
+    TF.create_branch(path, "dev")  # at v2; pins main at v2
+    TF.commit_compact(spark, path, stat_cols=["bucket"])  # v3, parent None
+    TF.commit_append(spark, path, df.limit(3), stat_cols=["bucket"])
+    assert TF.fast_forward(path, "dev", 4) == 4
+    assert TF.read_ref(spark, path, "dev").count() == 103
 
 
 def test_partition_evolution_prunes_per_spec(spark, tmp_path):
