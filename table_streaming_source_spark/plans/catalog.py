@@ -255,6 +255,40 @@ token grid — bounded pair space, documents never shuffle),
 (ISO-7812 mod-10 check-digit computation, pure digit-array
 transforms) and ``text_macro_f1`` (per-class + macro P/R/F1 derived
 from the language-ID confusion matrix, decimal-path macro means).
+
+Round-8 rotation (LANDED — this is the current window): the 3
+cross-round sentinels + 47 of the 94 round-7-backlog entries above,
+ranked by user impact per the round-7 verdict (see ``_PRIORITY`` for
+the grouped list: sources ×13, connector writer + format refs ×3,
+sketch/inference ×7, graph ×5 — including ``graph_link_prediction``
+with the round-8 LIVE hub cap — evals ×6, dq/privacy ×4, streaming
+ingest twins ×3, codecs/footer/decontaminate/readability/ER ×6) =
+exactly 50.  Every windowed entry re-verified strict-dtype at sf0.01
+AND sf0.1 at round-8 HEAD (47/47 both) before ``_PRIORITY`` was
+edited.  Once this window lands, 375/422 entries have an official
+driver row in some round.
+
+Round-9 rotation backlog — the 47 remaining entries, exactly one
+round-9 window (3 sentinels + all 47 = 50; round 8 added ZERO new
+catalog entries to keep the certification queue drainable, per the
+round-7 verdict's demand 2): ``agg_capture_recapture``,
+``agg_cohens_kappa``, ``agg_cronbach_alpha``, ``agg_friedman``,
+``agg_herfindahl``, ``agg_hodges_lehmann``, ``agg_lorenz_points``,
+``agg_mcnemar``, ``agg_odds_ratio``, ``agg_pythagorean_means``,
+``agg_runs_test``, ``agg_sprt``, ``agg_theil_index``,
+``agg_trimmed_mean``, ``agg_var_cvar``, ``agg_wilson_ci``,
+``dq_outlier_fences``, ``graph_assortativity``,
+``join_point_in_polygon``, ``multimodal_aiff``, ``multimodal_au``,
+``multimodal_bmp_rle``, ``multimodal_gif_interlaced``,
+``multimodal_midi_meta``, ``multimodal_mkv_meta``,
+``multimodal_mp4_meta``, ``multimodal_netpbm``,
+``multimodal_ogg_meta``, ``pipeline_chunk_overlap``,
+``scalar_luhn``, ``set_ops_all``, ``sim_nn_descent``,
+``sim_silhouette``, ``sql_qualify``, ``text_hapax_rate``,
+``text_html_tables``, ``text_js_divergence``, ``text_pmi_cooccur``,
+``text_zipf_fit``, ``ts_changepoint``, ``ts_dtw``, ``ts_ljung_box``,
+``ts_mann_kendall``, ``ts_motif``, ``ts_pacf``, ``ts_sax``,
+``window_rank_distribution``.
 """
 
 from __future__ import annotations
@@ -278,71 +312,78 @@ _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 #: names pinned into the driver's 50-entry correctness window, in order.
-#: Round-7 rotation: the 3 cross-round sentinels + the 2 round-6 reds
-#: re-windowed after their fixes + the full 26-entry round-6 backlog +
-#: this round's 19 new entries = exactly 50.  After this window lands,
-#: every pre-round-7 catalog entry has an official driver row in some
-#: round (309/309 lifetime coverage) and the 19 round-7 additions get
-#: theirs in the same window.
+#: Round-8 rotation: the 3 cross-round sentinels + 47 of the 94-entry
+#: round-7 backlog, ranked by user impact (VERDICT r7 demand 1: the
+#: sources family first, then connector writer/format refs, the
+#: sketch/inference battery, graph, evals, data-quality/privacy, the
+#: streaming ingest twins, and the from-scratch codecs) = exactly 50.
+#: EVERY windowed entry was strict-dtype oracle-verified at sf0.01 AND
+#: sf0.1 at this round's HEAD (47/47 + 47/47) BEFORE this tuple was
+#: edited.  After this window lands, 375/422 entries have an official
+#: driver row in some round; the remaining 47 (enumerated at the end
+#: of the module docstring) are exactly one round-9 window.
 _PRIORITY: tuple[str, ...] = (
     # cross-round regression sentinels (driver-green every prior round)
     "flagship_enrichment",
     "streaming_enrichment",
     "dedup_minhash_lsh",
-    # --- round-6 reds, re-windowed after their fixes (oracle typing;
-    # applyInPandasWithState fallback where protobuf is absent) ---
-    "pipeline_dataset_card",
-    "streaming_timeout_sessions_tws",
-    # --- the 26-entry round-6 backlog (round-6 additions past the
-    # filled window; each strict-dtype oracle-verified at sf0.01 and
-    # sf0.1) ---
-    "sql_groupby_all",
-    "scan_file_metadata",
-    "text_substring_dedup",
-    "agg_delta_method_ci",
-    "join_interval_overlap_agg",
-    "multimodal_ico",
-    "window_drawdown",
-    "format_orphan_audit",
-    "sim_mmr_rerank",
-    "ts_anomaly_seasonal",
-    "sim_pca_power",
-    "scalar_geohash",
-    "scan_observe_metrics",
-    "source_python_batch",
-    "agg_bitmap_distinct",
-    "dedup_sorted_neighborhood",
-    "format_constraint_check",
-    "graph_kcore",
-    "window_session_dynamic",
-    "streaming_session_dynamic",
-    "api_pandas_on_spark",
-    "format_wap_publish",
-    "scalar_timezone",
-    "text_script_profile",
-    "text_novelty_rate",
-    "ts_decompose",
-    # --- round-7 additions (all 19 strict-dtype oracle-verified at
-    # sf0.01 AND sf0.1 before windowing) ---
-    "format_delete_vectors",
-    "format_shallow_clone",
-    "format_row_lineage",
-    "format_expire_snapshots",
-    "format_zorder_3d",
-    "streaming_format_maintenance",
-    "dedup_state_table",
-    "source_warc",
-    "pipeline_shard_export",
-    "pipeline_preference_pairs",
-    "agg_mann_whitney",
-    "agg_survival_km",
-    "text_auc_eval",
-    "ts_ewma_decay",
-    "multimodal_png_palette",
-    "sim_binary_quant",
-    "scalar_uuid3",
-    "api_sql_udf",
-    "sample_bottom_k",
+    # --- sources family (13): every from-scratch container/format
+    # reader a pipeline user hits first ---
+    "source_zip",
+    "source_webdataset",
+    "source_xlsx",
+    "source_sqlite",
+    "source_bson",
+    "source_gzip",
+    "source_eml",
+    "source_protobuf",
+    "source_dbf",
+    "source_ics",
+    "source_pdf",
+    "source_logfmt",
+    "source_csv_malformed",
+    # --- connector writer + table-format refs/evolution (3) ---
+    "sink_python_batch",
+    "format_branch_tag",
+    "format_partition_evolution",
+    # --- sketch / statistical-inference battery (7) ---
+    "agg_kmv_sketch",
+    "agg_hll_sketch",
+    "agg_anova",
+    "agg_kruskal_wallis",
+    "agg_spearman",
+    "agg_bh_fdr",
+    "agg_bootstrap_ci",
+    # --- graph (5; link prediction carries the round-8 live hub cap) ---
+    "graph_label_propagation",
+    "graph_hits",
+    "graph_ppr",
+    "graph_clustering",
+    "graph_link_prediction",
+    # --- generation/retrieval evals (6) ---
+    "text_bleu_eval",
+    "text_rouge_eval",
+    "text_chrf_eval",
+    "text_macro_f1",
+    "sim_rrf_fusion",
+    "sim_cluster_eval",
+    # --- data quality + privacy-release trilogy (4) ---
+    "dq_profile",
+    "dq_k_anonymity",
+    "dq_l_diversity",
+    "dq_t_closeness",
+    # --- streaming ingest twins (3) ---
+    "streaming_warc_ingest",
+    "streaming_protobuf_ingest",
+    "streaming_bson_ingest",
+    # --- codecs, footer scan, semantic decontamination, readability,
+    # composed entity resolution (6) ---
+    "multimodal_webp",
+    "multimodal_qoi",
+    "scan_parquet_footer",
+    "sim_semantic_decontaminate",
+    "text_readability",
+    "pipeline_entity_resolution",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"
