@@ -486,8 +486,12 @@ _SHUFFLE_BUDGET = {
     "dq_k_anonymity": 3,
     # sparsified edge distinct + supplier-keyed self-join + pair agg +
     # two degree joins (AQE broadcasts the tiny degree sides at
-    # runtime; the static bound counts the planned exchanges)
-    "graph_link_prediction": 11,
+    # runtime; the static bound counts the planned exchanges) + the
+    # round-8 LIVE hub cap's per-via count aggregate feeding the
+    # broadcast thinning filter (common_neighbor_pairs max_hub) — a
+    # fixed +2 planned exchanges that buys O(deg²)→O(deg·cap)
+    # candidate volume on mega-hubs
+    "graph_link_prediction": 13,
 }
 
 
