@@ -268,10 +268,13 @@ AND sf0.1 at round-8 HEAD (47/47 both) before ``_PRIORITY`` was
 edited.  Once this window lands, 375/422 entries have an official
 driver row in some round.
 
-Round-9 rotation backlog — the 47 remaining entries, exactly one
-round-9 window (3 sentinels + all 47 = 50; round 8 added ZERO new
-catalog entries to keep the certification queue drainable, per the
-round-7 verdict's demand 2): ``agg_capture_recapture``,
+Round-9 rotation backlog — 48 entries, exactly one round-9 window
+(2 sentinels + all 48 = 50; round 8 added exactly ONE new catalog
+entry — ``sink_python_stream``, the round-7 verdict's demand-8a
+streaming Python-DataSource writer completing the custom connector
+matrix, strict-dtype verified at sf0.001/0.01/0.1 — so the queue
+still drains fully next round): ``sink_python_stream`` plus
+``agg_capture_recapture``,
 ``agg_cohens_kappa``, ``agg_cronbach_alpha``, ``agg_friedman``,
 ``agg_herfindahl``, ``agg_hodges_lehmann``, ``agg_lorenz_points``,
 ``agg_mcnemar``, ``agg_odds_ratio``, ``agg_pythagorean_means``,

@@ -33,6 +33,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -144,6 +145,62 @@ class FixedWidthWriter(DataSourceWriter):
                 os.remove(m.staged)
 
 
+class FixedWidthStreamWriter(DataSourceStreamWriter):
+    """STREAMING task-commit protocol — the streaming twin of
+    :class:`FixedWidthWriter`, completing the connector matrix (batch
+    read / batch write / stream read / stream write) for the custom
+    format.  Per micro-batch: every task stages ``part-*.tsr.tmp`` and
+    reports it; the driver-side ``commit(messages, batchId)`` renames
+    staged files to ``part-b{batchId:05d}-{i}.tsr``.  EXACTLY-ONCE
+    across engine retries: a ``_batch-{batchId}.committed`` marker
+    records publication, and a REPLAYED commit of the same batch
+    (checkpoint recovery re-runs the last micro-batch) discards its
+    freshly staged files instead of double-publishing — dedupe by
+    batch id, the idempotent-sink contract Structured Streaming
+    requires of any exactly-once sink.  Markers and ``.tmp`` residue
+    are invisible to the directory reader (it lists ``*.tsr`` only)."""
+
+    def __init__(self, options: dict):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("tsr stream sink requires option 'path'")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def write(self, iterator) -> _FileCommit:
+        import uuid
+
+        rows = [(r[0], r[1], r[2]) for r in iterator]
+        staged = os.path.join(
+            self.dir, f"part-{uuid.uuid4().hex}.tsr.tmp"
+        )
+        write_tsr(staged, rows)
+        return _FileCommit(staged, len(rows))
+
+    def commit(self, messages, batchId: int) -> None:
+        marker = os.path.join(self.dir, f"_batch-{batchId}.committed")
+        if os.path.exists(marker):
+            # replayed batch after checkpoint recovery: already
+            # published — drop the duplicate stage, publish nothing
+            for m in messages:
+                if m is not None and os.path.exists(m.staged):
+                    os.remove(m.staged)
+            return
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            os.replace(
+                m.staged,
+                os.path.join(self.dir, f"part-b{batchId:05d}-{i}.tsr"),
+            )
+        with open(marker, "w") as fh:
+            fh.write(str(batchId))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
 class FixedWidthDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -164,6 +221,9 @@ class FixedWidthDataSource(DataSource):
         if path:
             os.makedirs(path, exist_ok=True)
         return FixedWidthWriter(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return FixedWidthStreamWriter(self.options)
 
 
 def register(spark) -> None:

@@ -87,3 +87,92 @@ def test_writer_commit_protocol_and_directory_read(spark, tmp_path):
         == 10
     )
     assert not [n for n in os.listdir(out) if n.endswith(".tmp")]
+
+
+def test_stream_writer_commit_is_idempotent_per_batch(tmp_path):
+    """Checkpoint recovery replays the last micro-batch: a second
+    commit of the same batchId must discard its stage, not
+    double-publish."""
+    d = str(tmp_path / "sink")
+    w = FW.FixedWidthStreamWriter({"path": d})
+    msgs = [w.write(iter([(1, 0, 1.0), (2, 1, 2.0)]))]
+    w.commit(msgs, 0)
+    import os
+
+    visible = sorted(
+        n for n in os.listdir(d) if n.endswith(".tsr")
+    )
+    assert visible == ["part-b00000-0.tsr"]
+    # the replay: same batch id, freshly staged duplicate data
+    replay = [w.write(iter([(1, 0, 1.0), (2, 1, 2.0)]))]
+    w.commit(replay, 0)
+    after = sorted(n for n in os.listdir(d) if n.endswith(".tsr"))
+    assert after == visible  # no second publication
+    assert not any(n.endswith(".tmp") for n in os.listdir(d))
+    # a NEW batch publishes alongside
+    w.commit([w.write(iter([(3, 0, 3.0)]))], 1)
+    assert sorted(
+        n for n in os.listdir(d) if n.endswith(".tsr")
+    ) == ["part-b00000-0.tsr", "part-b00001-0.tsr"]
+
+
+def test_stream_writer_abort_sweeps_stage_invisible_to_reader(
+    spark, tmp_path
+):
+    d = str(tmp_path / "sink2")
+    w = FW.FixedWidthStreamWriter({"path": d})
+    msgs = [w.write(iter([(9, 9, 9.0)]))]
+    w.abort(msgs, 0)
+    import os
+
+    assert [n for n in os.listdir(d) if n.endswith(".tsr")] == []
+    # a committed batch plus crash residue: reader sees only the commit
+    w.commit([w.write(iter([(1, 0, 1.0)]))], 0)
+    w.write(iter([(8, 8, 8.0)]))  # orphaned stage, never committed
+    FW.register(spark)
+    got = (
+        spark.read.format("tsr").option("path", d).load().collect()
+    )
+    assert [(r.key, r.grp, r.value) for r in got] == [(1, 0, 1.0)]
+
+
+def test_stream_sink_end_to_end_micro_batches(spark, tmp_path):
+    """availableNow drain through writeStream.format('tsr'): 4 source
+    files at 2 per trigger → 2 micro-batches, batch-tagged files, all
+    rows exactly once."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    df = spark.range(40).select(
+        F.col("id").alias("key"),
+        (F.col("id") % 4).alias("grp"),
+        (F.col("id") * 1.5).alias("value"),
+    )
+    df.repartition(4).write.mode("overwrite").parquet(src)
+    FW.register(spark)
+    q = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+        .writeStream.format("tsr")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    import os
+
+    batches = {
+        n.split("-")[1]
+        for n in os.listdir(out)
+        if n.endswith(".tsr")
+    }
+    assert len(batches) == 2  # 4 files / 2 per trigger
+    back = spark.read.format("tsr").option("path", out).load()
+    assert back.count() == 40
+    assert back.select(F.sum("key")).collect()[0][0] == sum(range(40))
