@@ -618,3 +618,63 @@ def test_full_outer_interval_join_emits_right_only_rows(spark, sf_dir):
         ["user_id", "click_id", "purchase_id"]
     ).reset_index(drop=True)
     assert lhs.equals(rhs)
+
+
+def test_stateful_agg_under_rocksdb_state_store(spark, tmp_path):
+    """The RocksDB state-store provider (verdict demand 8c): the same
+    stateful streaming aggregation runs under
+    ``RocksDBStateStoreProvider`` — the provider production clusters
+    use for state larger than executor heap — and produces the exact
+    result of the default HDFS-backed provider.  The switch is a
+    per-query conf read at stream start; it is scoped with a
+    try/finally reset so the shared session is never left mutated."""
+    src = str(tmp_path / "src")
+    df = spark.range(60).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("v")
+    )
+    df.repartition(3).write.mode("overwrite").parquet(src)
+
+    def _drain(tag):
+        q = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            .writeStream.format("memory")
+            .queryName(f"rocks_{tag}")
+            .outputMode("complete")
+            .option(
+                "checkpointLocation", str(tmp_path / f"ckpt_{tag}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        rows = sorted(
+            (r.k, r.n, r.s)
+            for r in spark.table(f"rocks_{tag}").collect()
+        )
+        spark.catalog.dropTempView(f"rocks_{tag}")
+        return rows
+
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    default_rows = _drain("hdfs")
+    old = spark.conf.get(conf, None)
+    spark.conf.set(
+        conf,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        rocks_rows = _drain("rocksdb")
+    finally:
+        if old is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, old)
+    assert rocks_rows == default_rows
+    assert len(rocks_rows) == 5

@@ -1023,3 +1023,55 @@ def test_partition_transforms_identity_truncate_month(spark, tmp_path):
             spark, path, df, spec={"col": "m", "transform": "nope"},
             stat_cols=[],
         )
+
+
+def test_streaming_backfill_on_branch_isolates_main(spark, tmp_path):
+    """The WAP-on-a-branch production pattern (verdict demand 8b): a
+    STREAMING writer lands micro-batches on a 'backfill' branch while
+    main keeps serving its pinned snapshot; fast_forward publishes the
+    audited backfill atomically."""
+    path = str(tmp_path / "tbl")
+    src = str(tmp_path / "src")
+    TF.create_table(path)
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("bucket")
+    )
+    TF.commit_append(spark, path, base, stat_cols=["k"])
+    TF.create_branch(path, "backfill")
+    main_before = TF.read_ref(spark, path, "main").count()
+    # 3 micro-batches of late data through foreachBatch onto the branch
+    late = spark.range(1000, 1030).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("bucket")
+    )
+    late.repartition(3).write.mode("overwrite").parquet(src)
+    batches = []
+
+    def _sink(df, batch_id):
+        v = TF.commit_append_branch(
+            spark, path, "backfill", df, stat_cols=["k"]
+        )
+        # main's view is UNCHANGED while the backfill streams in
+        assert (
+            TF.read_ref(spark, path, "main").count() == main_before
+        )
+        batches.append((batch_id, v))
+
+    q = (
+        spark.readStream.schema(late.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    assert len(batches) == 3  # genuine micro-batches, one per file
+    assert TF.read_ref(spark, path, "backfill").count() == 130
+    assert TF.read_ref(spark, path, "main").count() == main_before
+    # audited: promote atomically
+    TF.fast_forward(path, "main", "backfill")
+    assert TF.read_ref(spark, path, "main").count() == 130
