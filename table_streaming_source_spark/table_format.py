@@ -228,8 +228,12 @@ def read_table(
 ) -> DataFrame:
     """Snapshot read via the commit log (NEVER a directory listing —
     uncommitted files are invisible), optionally time-traveled and
-    manifest-pruned.  An empty snapshot raises: the caller should read
-    the schema from the log in a fuller implementation."""
+    manifest-pruned.  CONTRACT: this is the data-file view — between a
+    :func:`commit_delete_keys` and the next :func:`commit_compact`,
+    merge-on-read equality deletes are visible only through
+    :func:`read_table_mor` (compaction reconciles the two views).  An
+    empty snapshot raises: the caller should read the schema from the
+    log in a fuller implementation."""
     files, _, _ = snapshot_files(path, version=version, prune=prune)
     if not files:
         raise ValueError("empty snapshot (no files after pruning)")
@@ -679,15 +683,23 @@ def read_staged(
     spark: SparkSession, path: str, *, audit_id: str
 ) -> DataFrame:
     """Audit view: the staged snapshot (committed table + staged files)
-    — what the table WOULD become if published."""
+    — what the table WOULD become if published.  Outstanding equality
+    deletes apply to the committed portion (the audit must see the
+    real table, not resurrected rows); the staged files themselves are
+    post-delete by the sequence rule."""
     with open(_staged_path(path, audit_id)) as fh:
         staged = json.load(fh)
+    key, deletes = _snapshot_deletes(path, staged["parent"])
+    parent_dicts = _snapshot_file_dicts(path, staged["parent"])
+    new_part = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f["path"]) for f in staged["files"]]
+    )
+    if deletes:
+        committed = _mor_resolve(spark, path, parent_dicts, key, deletes)
+        return committed.unionByName(new_part, allowMissingColumns=True)
     files = [
         os.path.join(path, f["path"]) for f in staged["files"]
-    ] + [
-        os.path.join(path, f["path"])
-        for f in _snapshot_file_dicts(path, staged["parent"])
-    ]
+    ] + [os.path.join(path, f["path"]) for f in parent_dicts]
     return spark.read.option("mergeSchema", "true").parquet(*files)
 
 

@@ -1075,3 +1075,21 @@ def test_streaming_backfill_on_branch_isolates_main(spark, tmp_path):
     # audited: promote atomically
     TF.fast_forward(path, "main", "backfill")
     assert TF.read_ref(spark, path, "main").count() == 130
+
+
+def test_staged_audit_view_applies_outstanding_deletes(spark, table):
+    """The WAP audit must see the REAL committed table — outstanding
+    equality deletes applied — plus the staged files, or an auditor
+    validates row counts against resurrected rows."""
+    path, df = table
+    TF.commit_delete_keys(
+        spark, path, df.filter("k % 10 = 0").select("k"), key="k"
+    )
+    TF.commit_stage(
+        spark, path, df.limit(0).select("k", "bucket", "v"),
+        stat_cols=["k"], audit_id="aud_mor",
+    )
+    got = TF.read_staged(spark, path, audit_id="aud_mor")
+    assert got.count() == 90
+    assert got.filter("k % 10 = 0").count() == 0
+    TF.commit_abandon(path, audit_id="aud_mor")
