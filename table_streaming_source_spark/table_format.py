@@ -559,7 +559,11 @@ def read_incremental(
     files the range introduced are opened — file I/O is proportional to
     the CHANGE, not the table, which is the whole point of consuming a
     100 TB table incrementally.  Each row carries the commit version
-    that introduced its file in ``version_col``."""
+    that introduced its file in ``version_col``.  Merge-on-read
+    equality deletes are NOT replayed as retractions (a
+    :func:`commit_delete_keys` in range introduces no data files) —
+    the standard append-changelog caveat; consumers needing delete
+    events read the delete files directly from the commit payloads."""
     from pyspark.sql import functions as F
 
     to_v = latest_version(path) if to_version is None else to_version

@@ -1093,3 +1093,29 @@ def test_staged_audit_view_applies_outstanding_deletes(spark, table):
     assert got.count() == 90
     assert got.filter("k % 10 = 0").count() == 0
     TF.commit_abandon(path, audit_id="aud_mor")
+
+
+def test_delete_key_consistency_guard_and_reset_by_compaction(
+    spark, table
+):
+    """Mixed-key equality deletes are rejected while any are
+    outstanding (the anti-join key must be single-valued); compaction
+    materializes and clears them, after which a different key is
+    legal."""
+    path, df = table
+    TF.commit_delete_keys(
+        spark, path, df.filter("k < 10").select("k"), key="k"
+    )
+    with pytest.raises(ValueError, match="outstanding deletes"):
+        TF.commit_delete_keys(
+            spark, path,
+            df.filter("v < 10").select("v"), key="v",
+        )
+    TF.commit_compact(spark, path, stat_cols=["k"])
+    # cleared: a v-keyed delete is now accepted and applied
+    TF.commit_delete_keys(
+        spark, path, df.filter("v >= 180").select("v"), key="v"
+    )
+    got = TF.read_table_mor(spark, path)
+    # 100 - 10 (k<10) - 10 (v>=180 i.e. k>=90) = 80
+    assert got.count() == 80
