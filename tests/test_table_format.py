@@ -1119,3 +1119,25 @@ def test_delete_key_consistency_guard_and_reset_by_compaction(
     got = TF.read_table_mor(spark, path)
     # 100 - 10 (k<10) - 10 (v>=180 i.e. k>=90) = 80
     assert got.count() == 80
+
+
+def test_mor_read_plans_broadcast_anti_join_only(spark, tmp_path):
+    """The scale claim of the MOR read, asserted from the physical
+    plan: the delete side is a BROADCAST anti-join (delete batches are
+    CDC-sized by design) — never a shuffled sort-merge join."""
+    path = str(tmp_path / "morplan")
+    TF.create_table(path)
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    TF.commit_append(
+        spark, path,
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        stat_cols=["k"],
+    )
+    TF.commit_delete_keys(
+        spark, path, df.filter("k % 5 = 0"), key="k"
+    )
+    got = TF.read_table_mor(spark, path)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert got.count() == 800
