@@ -894,14 +894,14 @@ def shallow_clone(src: str, dst: str) -> int:
     own data dir; the source never sees them).  The dev-branch
     workflow at 100 TB: experiment on a clone, throw it away, source
     untouched.  Clone vacuum only ever sweeps the clone's OWN data dir,
-    so referenced source files are safe by construction."""
+    so referenced source files are safe by construction.  Outstanding
+    equality deletes clone BY REFERENCE too (path-rewritten like the
+    data files, sequence numbers preserved) — the clone's MOR view
+    equals the source's, never a resurrected superset."""
     src_head = latest_version(src)
-    files, _, _ = snapshot_files(src, version=src_head)
-    commit = _read_commit(src, src_head)
     os.makedirs(_data_dir(dst), exist_ok=True)
     os.makedirs(_log_dir(dst), exist_ok=True)
     entries = []
-    by_path = {os.path.join(src, f["path"]): f for f in commit["files"]}
     # resolve the full snapshot (chain-walk) but keep per-file stats
     v: int | None = src_head
     seen: set[str] = set()
@@ -914,23 +914,31 @@ def shallow_clone(src: str, dst: str) -> int:
             seen.add(ap)
             entries.append(
                 {
+                    **f,
                     "path": os.path.relpath(ap, dst),
-                    "rows": f["rows"],
-                    "stats": f["stats"],
                 }
             )
         v = c["parent"]
+    del_key, outstanding = _snapshot_deletes(src, src_head)
+    payload: dict = {
+        "version": 1,
+        "files": entries,
+        "parent": None,
+        "cloned_from": {"path": src, "version": src_head},
+    }
+    if outstanding:
+        payload["deletes"] = [
+            {
+                **d,
+                "path": os.path.relpath(
+                    os.path.abspath(os.path.join(src, d["path"])), dst
+                ),
+            }
+            for d in outstanding
+        ]
+        payload["delete_key"] = del_key
     _write_commit(dst, 0, {"version": 0, "files": [], "parent": None})
-    _write_commit(
-        dst,
-        1,
-        {
-            "version": 1,
-            "files": entries,
-            "parent": None,
-            "cloned_from": {"path": src, "version": src_head},
-        },
-    )
+    _write_commit(dst, 1, payload)
     return 1
 
 
@@ -1364,7 +1372,9 @@ def read_table_point(
 ) -> DataFrame:
     """Point read through :func:`snapshot_files_point` — the partition
     columns are HIDDEN (Iceberg semantics): the exact predicate is
-    re-applied on the surviving superset, callers never see ``_pval``."""
+    re-applied on the surviving superset, callers never see ``_pval``.
+    Data-file view, like :func:`read_table`: outstanding equality
+    deletes are visible only through :func:`read_table_mor`."""
     from pyspark.sql import functions as F
 
     files, _, _ = snapshot_files_point(path, col, value, version=version)

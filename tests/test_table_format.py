@@ -1141,3 +1141,27 @@ def test_mor_read_plans_broadcast_anti_join_only(spark, tmp_path):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
     assert got.count() == 800
+
+
+def test_shallow_clone_carries_outstanding_deletes(spark, tmp_path):
+    """A clone of a table with pending equality deletes must show the
+    source's MOR view — deletes clone by reference with their
+    sequence numbers, not silently drop."""
+    main = str(tmp_path / "m3")
+    clone = str(tmp_path / "c3")
+    TF.create_table(main)
+    df = spark.range(100).select(F.col("id").alias("k"))
+    TF.commit_append(spark, main, df, stat_cols=["k"])
+    TF.commit_delete_keys(
+        spark, main, df.filter("k % 4 = 0"), key="k"
+    )
+    TF.shallow_clone(main, clone)
+    got = TF.read_table_mor(spark, clone)
+    assert got.count() == 75
+    assert got.filter("k % 4 = 0").count() == 0
+    # the sequence rule survives the clone: an append to the CLONE on
+    # a deleted key is the post-delete copy and must not be subtracted
+    TF.commit_append(spark, clone, df.filter("k = 0"), stat_cols=["k"])
+    assert TF.read_table_mor(spark, clone).count() == 76
+    # source untouched
+    assert TF.read_table_mor(spark, main).count() == 75
