@@ -945,14 +945,19 @@ def shallow_clone(src: str, dst: str) -> int:
 def expire_snapshots(path: str, *, keep_last: int = 1) -> int:
     """History expiry (Iceberg ``expire_snapshots`` / Delta log
     cleanup): drop commit-log entries older than the ``keep_last``
-    newest versions.  The oldest RETAINED version is first rewritten as
-    a full snapshot (its resolved file list, ``parent: None``) so the
-    surviving chain never dangles; time travel to an expired version
-    then raises, current reads are unchanged, and :func:`vacuum` can
-    sweep data files only the expired history referenced.  Metadata
-    stays O(retained history) instead of O(table lifetime) — the log
-    itself must not become the scale problem.  Returns the number of
-    commit files removed."""
+    newest versions.  Every retained lineage whose parent chain
+    CROSSES the horizon is first cut: the crossing commit is rewritten
+    as a full snapshot (its resolved file list + outstanding deletes,
+    ``parent: None``) so no surviving chain dangles.  Branched
+    histories interleave version numbers across lineages, so there may
+    be SEVERAL cut points, not just the horizon version itself — one
+    per retained head (the keep-window versions plus every named ref)
+    whose ancestry dips below the horizon.  Time travel to an expired
+    version then raises, current reads are unchanged, and
+    :func:`vacuum` can sweep data files only the expired history
+    referenced.  Metadata stays O(retained history) instead of
+    O(table lifetime) — the log itself must not become the scale
+    problem.  Returns the number of commit files removed."""
     head = latest_version(path)
     horizon = max(0, head - keep_last + 1)
     # a named ref (branch head or tag) PINS its snapshot: expiring past
@@ -966,36 +971,61 @@ def expire_snapshots(path: str, *, keep_last: int = 1) -> int:
         )
     if horizon <= 0:
         return 0
-    files: list[dict] = []
-    seen: set[str] = set()
-    v: int | None = horizon
-    base = _read_commit(path, horizon)
-    while v is not None:
-        c = _read_commit(path, v)
-        for f in c["files"]:
-            if f["path"] in seen:
-                continue
-            seen.add(f["path"])
-            files.append(f)
-        v = c["parent"]
-    del_key, outstanding = _snapshot_deletes(path, horizon)
-    rewritten = {
-        **base,
-        "files": files,
-        "parent": None,
-    }
-    # history below the horizon is gone — drop the logical-predecessor
-    # link rather than point at an expired commit
-    rewritten.pop("prev", None)
-    if outstanding:
-        rewritten["deletes"] = outstanding
-        rewritten["delete_key"] = del_key
-    tmp = os.path.join(
-        _log_dir(path), f"{horizon}.json.expire.{uuid.uuid4().hex}"
-    )
-    with open(tmp, "w") as fh:
-        json.dump(rewritten, fh)
-    os.replace(tmp, os.path.join(_log_dir(path), f"{horizon}.json"))
+    heads = set(range(horizon, head + 1))
+    heads.update(r["version"] for r in refs.values())
+    # cut points: retained versions whose PARENT falls below the
+    # horizon — each lineage is cut exactly where it would dangle
+    cuts: set[int] = set()
+    visited: set[int] = set()
+    for h in heads:
+        v: int | None = h
+        while v is not None and v not in visited:
+            visited.add(v)
+            parent = _read_commit(path, v)["parent"]
+            if parent is not None and parent < horizon:
+                cuts.add(v)
+                break
+            v = parent
+    for cv in sorted(cuts):
+        base = _read_commit(path, cv)
+        files: list[dict] = []
+        seen: set[str] = set()
+        v = cv
+        while v is not None:
+            c = _read_commit(path, v)
+            for f in c["files"]:
+                if f["path"] in seen:
+                    continue
+                seen.add(f["path"])
+                if v == cv:
+                    files.append(f)
+                else:
+                    # folded-in files may have been written under a
+                    # DIFFERENT partition spec than the cut commit's —
+                    # drop the partition tag so point reads fall back
+                    # to min/max stats (never-lossy direction)
+                    files.append(
+                        {k: x for k, x in f.items() if k != "partition"}
+                    )
+            v = c["parent"]
+        del_key, outstanding = _snapshot_deletes(path, cv)
+        rewritten = {
+            **base,
+            "files": files,
+            "parent": None,
+        }
+        # history below the horizon is gone — drop the logical-
+        # predecessor link rather than point at an expired commit
+        rewritten.pop("prev", None)
+        if outstanding:
+            rewritten["deletes"] = outstanding
+            rewritten["delete_key"] = del_key
+        tmp = os.path.join(
+            _log_dir(path), f"{cv}.json.expire.{uuid.uuid4().hex}"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(rewritten, fh)
+        os.replace(tmp, os.path.join(_log_dir(path), f"{cv}.json"))
     removed = 0
     for name in sorted(os.listdir(_log_dir(path))):
         if not name.endswith(".json"):

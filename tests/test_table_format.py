@@ -1165,3 +1165,27 @@ def test_shallow_clone_carries_outstanding_deletes(spark, tmp_path):
     assert TF.read_table_mor(spark, clone).count() == 76
     # source untouched
     assert TF.read_table_mor(spark, main).count() == 75
+
+
+def test_expire_cuts_every_retained_lineage(spark, table):
+    """Branched histories interleave version numbers: a retained
+    branch whose chain crosses the horizon through an EXPIRED version
+    must be cut (rewritten full) too, or read_ref dangles — the
+    multi-lineage expiry case."""
+    path, df = table  # linear v1, v2
+    TF.create_branch(path, "dev")           # pins main@2, dev@2
+    TF.commit_append_branch(                # v3, parent 2 (dev lineage)
+        spark, path, "dev", df.limit(5), stat_cols=["bucket"]
+    )
+    TF.commit_append_branch(                # v4, parent 2 (main lineage)
+        spark, path, "main", df.limit(3), stat_cols=["bucket"]
+    )
+    # horizon = min(head-0, dev@3, main@4) = 3: v0-v2 expire; BOTH the
+    # dev head (3, parent 2) and the main head (4, parent 2) cross the
+    # horizon and must be rewritten as full snapshots
+    removed = TF.expire_snapshots(path, keep_last=1)
+    assert removed == 3  # v0, v1, v2
+    assert TF.read_ref(spark, path, "dev").count() == 105
+    assert TF.read_ref(spark, path, "main").count() == 103
+    with pytest.raises(FileNotFoundError):
+        TF._read_commit(path, 2)
