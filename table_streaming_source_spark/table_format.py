@@ -974,14 +974,19 @@ def expire_snapshots(path: str, *, keep_last: int = 1) -> int:
     heads = set(range(horizon, head + 1))
     heads.update(r["version"] for r in refs.values())
     # cut points: retained versions whose PARENT falls below the
-    # horizon — each lineage is cut exactly where it would dangle
+    # horizon — each lineage is cut exactly where it would dangle.
+    # A version in the keep window may ALREADY be expired (a prior
+    # expiry with a smaller keep_last removed it) — skip those.
     cuts: set[int] = set()
     visited: set[int] = set()
     for h in heads:
         v: int | None = h
         while v is not None and v not in visited:
             visited.add(v)
-            parent = _read_commit(path, v)["parent"]
+            try:
+                parent = _read_commit(path, v)["parent"]
+            except FileNotFoundError:
+                break
             if parent is not None and parent < horizon:
                 cuts.add(v)
                 break

@@ -1189,3 +1189,84 @@ def test_expire_cuts_every_retained_lineage(spark, table):
     assert TF.read_ref(spark, path, "main").count() == 103
     with pytest.raises(FileNotFoundError):
         TF._read_commit(path, 2)
+
+
+def test_table_format_model_random_walk(spark, tmp_path):
+    """Model-based interaction test: a seeded random walk over
+    append / delete_keys / merge / compact / expire / vacuum, checked
+    after EVERY step against a plain-dict model of the table — the
+    mechanical sweep for cross-feature holes of the resurrection
+    class (append-after-delete, merge-over-deletes, expiry of delete
+    state, vacuum of delete files...)."""
+    import random
+
+    for seed in (11, 23, 47):
+        rnd = random.Random(seed)
+        path = str(tmp_path / f"walk{seed}")
+        TF.create_table(path)
+        model: dict[int, int] = {}
+        retired: list[int] = []  # deleted keys available to resurrect
+        next_key = 0
+
+        def _df(pairs):
+            return spark.createDataFrame(
+                [(int(k), int(v)) for k, v in pairs], "k long, v long"
+            )
+
+        for step in range(12):
+            op = rnd.choice(
+                ["append", "append", "delete", "merge",
+                 "compact", "expire", "vacuum"]
+            )
+            if op == "append" or not model:
+                fresh = [next_key + i for i in range(rnd.randint(1, 6))]
+                next_key += len(fresh)
+                back = [
+                    retired.pop(rnd.randrange(len(retired)))
+                    for _ in range(min(len(retired), rnd.randint(0, 2)))
+                ]
+                rows = [(k, k * 10 + step) for k in fresh + back]
+                TF.commit_append(spark, path, _df(rows), stat_cols=["k"])
+                model.update(dict(rows))
+            elif op == "delete":
+                dels = rnd.sample(
+                    sorted(model), k=rnd.randint(1, min(4, len(model)))
+                )
+                TF.commit_delete_keys(
+                    spark, path, _df((k, 0) for k in dels).select("k"),
+                    key="k",
+                )
+                for k in dels:
+                    del model[k]
+                    retired.append(k)
+            elif op == "merge":
+                ups = rnd.sample(
+                    sorted(model), k=rnd.randint(1, min(3, len(model)))
+                )
+                ins = [next_key]
+                next_key += 1
+                changes = spark.createDataFrame(
+                    [(int(k), int(k * 100 + step), "U") for k in ups]
+                    + [(int(k), int(k * 100 + step), "I") for k in ins],
+                    "k long, v long, op string",
+                )
+                TF.commit_merge(
+                    spark, path, changes, key="k", stat_cols=["k"]
+                )
+                for k in ups + ins:
+                    model[k] = k * 100 + step
+            elif op == "compact":
+                TF.commit_compact(spark, path, stat_cols=["k"])
+            elif op == "expire":
+                TF.expire_snapshots(
+                    path, keep_last=rnd.choice([1, 2, 3])
+                )
+            elif op == "vacuum":
+                TF.vacuum(path, retain_versions=rnd.choice([1, 2]))
+            got = sorted(
+                (r.k, r.v)
+                for r in TF.read_table_mor(spark, path).collect()
+            )
+            assert got == sorted(model.items()), (
+                f"seed {seed} step {step} op {op}"
+            )
