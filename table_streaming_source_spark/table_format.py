@@ -147,6 +147,55 @@ def _manifest_entries(
     return files
 
 
+def _resolve_write_target(
+    path: str, branch: str | None, expected_version: int | None
+) -> tuple[int, int]:
+    """``(base snapshot, new commit version)`` for a write.
+
+    Linear (``branch=None``): base is the log head (or
+    ``expected_version`` — the optimistic-concurrency token), the new
+    version is ``base + 1``; a racing writer loses the commit rename.
+
+    Branch: base is the BRANCH head, but the new version still comes
+    from the shared monotonically-increasing namespace
+    (``latest_version + 1``) so racing writers on ANY lineage collide
+    on the same rename — one namespace, one conflict rule.  Here
+    ``expected_version`` is the expected branch head: a stale token
+    raises :class:`CommitConflict` before any data is written."""
+    if branch is None:
+        base = expected_version if expected_version is not None else (
+            latest_version(path)
+        )
+        return base, base + 1
+    refs = list_refs(path)
+    _ensure_main_pinned(path, refs)
+    if branch not in refs:
+        raise ValueError(f"unknown branch {branch!r}")
+    if refs[branch]["type"] != "branch":
+        raise ValueError(f"ref {branch!r} is a tag — tags are immutable")
+    base = refs[branch]["version"]
+    if expected_version is not None and expected_version != base:
+        raise CommitConflict(
+            f"branch {branch!r} moved: head {base}, "
+            f"expected {expected_version}"
+        )
+    if "main" not in list_refs(path):
+        _write_refs(path, refs)  # persist the main pin
+    return base, latest_version(path) + 1
+
+
+def _advance_branch(path: str, branch: str | None, new_v: int) -> None:
+    """Move the branch pointer to the commit that just landed (no-op
+    for linear writes).  Re-reads the refs file: pointer advancement
+    must not clobber refs created while the data files were written."""
+    if branch is None:
+        return
+    refs = list_refs(path)
+    _ensure_main_pinned(path, refs)
+    refs[branch]["version"] = new_v
+    _write_refs(path, refs)
+
+
 def commit_append(
     spark: SparkSession,
     path: str,
@@ -156,6 +205,7 @@ def commit_append(
     expected_version: int | None = None,
     row_ids_from: str | None = None,
     row_id_col: str = "_row_id",
+    branch: str | None = None,
 ) -> int:
     """Write ``df`` as new data files, then publish them as the next
     commit.  ``expected_version`` implements optimistic concurrency:
@@ -167,27 +217,33 @@ def commit_append(
     stable lineage id (:func:`row_id_expr` over that key and THIS
     commit's version) in ``row_id_col`` — the minting half of the
     row-lineage contract; :func:`commit_merge` preserves the ids
-    through rewrites."""
+    through rewrites.
+
+    ``branch=<name>`` targets a named branch instead of the linear
+    head: the new commit's PARENT is the branch head, its version
+    comes from the shared monotonically-increasing namespace, and the
+    branch pointer advances after the commit lands (the Iceberg
+    branch-write model — see :func:`_branch_base`).  With a branch,
+    ``expected_version`` means the expected BRANCH head."""
     from pyspark.sql import functions as F
 
-    base = expected_version if expected_version is not None else (
-        latest_version(path)
-    )
+    base, new_v = _resolve_write_target(path, branch, expected_version)
     if row_ids_from is not None:
         df = df.withColumn(
-            row_id_col, row_id_expr(F.col(row_ids_from), base + 1)
+            row_id_col, row_id_expr(F.col(row_ids_from), new_v)
         )
     staging = os.path.join(
-        _data_dir(path), f"commit-{base + 1}-{uuid.uuid4().hex[:8]}"
+        _data_dir(path), f"commit-{new_v}-{uuid.uuid4().hex[:8]}"
     )
     df.write.mode("overwrite").parquet(staging)
-    files = _manifest_entries(path, staging, stat_cols, seq=base + 1)
+    files = _manifest_entries(path, staging, stat_cols, seq=new_v)
     _write_commit(
         path,
-        base + 1,
-        {"version": base + 1, "files": files, "parent": base},
+        new_v,
+        {"version": new_v, "files": files, "parent": base},
     )
-    return base + 1
+    _advance_branch(path, branch, new_v)
+    return new_v
 
 
 def snapshot_files(
@@ -312,6 +368,7 @@ def commit_compact(
     *,
     stat_cols: list[str],
     expected_version: int | None = None,
+    branch: str | None = None,
 ) -> int:
     """OPTIMIZE: rewrite the current snapshot's files into fewer, larger
     ones and publish the rewrite as the next commit with ``parent:
@@ -321,25 +378,24 @@ def commit_compact(
     compaction ``read_table`` and ``read_table_mor`` agree.  Logical
     content is otherwise unchanged by construction; old files stay on
     disk for time travel until :func:`vacuum` retires them.  Same
-    optimistic-concurrency rule as :func:`commit_append`."""
-    base = expected_version if expected_version is not None else (
-        latest_version(path)
-    )
+    optimistic-concurrency rule as :func:`commit_append`; ``branch=``
+    compacts a named branch's snapshot and advances its pointer."""
+    base, new_v = _resolve_write_target(path, branch, expected_version)
     _, outstanding = _snapshot_deletes(path, base)
     if outstanding:
         current = read_table_mor(spark, path, version=base)
     else:
         current = read_table(spark, path, version=base)
     staging = os.path.join(
-        _data_dir(path), f"compact-{base + 1}-{uuid.uuid4().hex[:8]}"
+        _data_dir(path), f"compact-{new_v}-{uuid.uuid4().hex[:8]}"
     )
     current.coalesce(1).write.mode("overwrite").parquet(staging)
-    files = _manifest_entries(path, staging, stat_cols, seq=base + 1)
+    files = _manifest_entries(path, staging, stat_cols, seq=new_v)
     _write_commit(
         path,
-        base + 1,
+        new_v,
         {
-            "version": base + 1,
+            "version": new_v,
             "files": files,
             "parent": None,
             # the logical predecessor: full-snapshot commits cut the
@@ -351,7 +407,8 @@ def commit_compact(
             "maintenance": True,
         },
     )
-    return base + 1
+    _advance_branch(path, branch, new_v)
+    return new_v
 
 
 def _snapshot_file_dicts(path: str, version: int) -> list[dict]:
@@ -404,6 +461,7 @@ def commit_merge(
     op_col: str = "op",
     expected_version: int | None = None,
     row_id_col: str | None = None,
+    branch: str | None = None,
 ) -> tuple[int, int, int]:
     """Stats-targeted copy-on-write MERGE — the table-format crown
     jewel: resolve from the manifest which data files can possibly
@@ -433,9 +491,7 @@ def commit_merge(
 
     from table_streaming_source_spark.snapshot import merge_into
 
-    base = expected_version if expected_version is not None else (
-        latest_version(path)
-    )
+    base, new_v = _resolve_write_target(path, branch, expected_version)
     file_dicts = _snapshot_file_dicts(path, base)
     # no stats for the key → cannot prove absence → must rewrite
     hit_idx = {
@@ -471,7 +527,7 @@ def commit_merge(
     # files THROUGH the deletes (else a rewritten file would resurrect
     # its deleted rows), and the commit carries the delete files
     # forward so untouched files stay subtracted at read time.  New
-    # files get ``seq = base + 1`` > every outstanding delete's seq,
+    # files get ``seq = new_v`` > every outstanding delete's seq,
     # so carried deletes never apply to the rewrite's own output.
     del_key, outstanding = _snapshot_deletes(path, base)
     if affected:
@@ -497,27 +553,28 @@ def commit_merge(
         merged = merged.join(prior_ids, key, "left").withColumn(
             row_id_col,
             F.coalesce(
-                F.col(row_id_col), row_id_expr(F.col(key), base + 1)
+                F.col(row_id_col), row_id_expr(F.col(key), new_v)
             ),
         )
     else:
         merged = merge_into(current, changes, key=key, op_col=op_col)
     staging = os.path.join(
-        _data_dir(path), f"merge-{base + 1}-{uuid.uuid4().hex[:8]}"
+        _data_dir(path), f"merge-{new_v}-{uuid.uuid4().hex[:8]}"
     )
     merged.write.mode("overwrite").parquet(staging)
     files = list(untouched) + _manifest_entries(
-        path, staging, stat_cols, seq=base + 1
+        path, staging, stat_cols, seq=new_v
     )
     payload: dict = {
-        "version": base + 1, "files": files, "parent": None,
+        "version": new_v, "files": files, "parent": None,
         "prev": base,
     }
     if outstanding:
         payload["deletes"] = outstanding
         payload["delete_key"] = del_key
-    _write_commit(path, base + 1, payload)
-    return base + 1, len(affected), len(file_dicts)
+    _write_commit(path, new_v, payload)
+    _advance_branch(path, branch, new_v)
+    return new_v, len(affected), len(file_dicts)
 
 
 def incremental_files(
@@ -741,6 +798,7 @@ def commit_delete_keys(
     *,
     key: str,
     expected_version: int | None = None,
+    branch: str | None = None,
 ) -> int:
     """Merge-on-read EQUALITY DELETE (the Iceberg equality-delete-file /
     Delta deletion-vector idea): instead of rewriting every data file a
@@ -754,17 +812,17 @@ def commit_delete_keys(
     like a data file, so the READ side can prove most data files
     disjoint from every delete range and skip the anti-join for them
     (see :func:`read_table_mor`).  A later :func:`commit_compact`
-    materializes outstanding deletes and clears them."""
-    base = expected_version if expected_version is not None else (
-        latest_version(path)
-    )
+    materializes outstanding deletes and clears them.  ``branch=``
+    deletes against a named branch's snapshot and advances its
+    pointer — rows visible only on other lineages are untouched."""
+    base, new_v = _resolve_write_target(path, branch, expected_version)
     staging = os.path.join(
-        _data_dir(path), f"delete-{base + 1}-{uuid.uuid4().hex[:8]}"
+        _data_dir(path), f"delete-{new_v}-{uuid.uuid4().hex[:8]}"
     )
     keys_df.select(key).distinct().coalesce(1).write.mode(
         "overwrite"
     ).parquet(staging)
-    dels = _manifest_entries(path, staging, [key], seq=base + 1)
+    dels = _manifest_entries(path, staging, [key], seq=new_v)
     # outstanding deletes resolved by CHAIN WALK, not just the
     # immediate parent — an append between two delete commits must not
     # drop the older delete
@@ -776,9 +834,9 @@ def commit_delete_keys(
         )
     _write_commit(
         path,
-        base + 1,
+        new_v,
         {
-            "version": base + 1,
+            "version": new_v,
             # full snapshot: the RESOLVED file list (chain-walked), so
             # ancestor commits' files survive the parent:None cut
             "files": _snapshot_file_dicts(path, base),
@@ -788,7 +846,8 @@ def commit_delete_keys(
             "delete_key": key,
         },
     )
-    return base + 1
+    _advance_branch(path, branch, new_v)
+    return new_v
 
 
 def read_table_mor(
@@ -886,7 +945,7 @@ def _mor_resolve(
     return out
 
 
-def shallow_clone(src: str, dst: str) -> int:
+def shallow_clone(src: str, dst: str, at=None) -> int:
     """Zero-copy branch (Delta SHALLOW CLONE / Iceberg branch-from-
     snapshot): the clone's v1 commit lists the SOURCE's current data
     files by reference — no bytes move — and from then on the two logs
@@ -897,8 +956,13 @@ def shallow_clone(src: str, dst: str) -> int:
     so referenced source files are safe by construction.  Outstanding
     equality deletes clone BY REFERENCE too (path-rewritten like the
     data files, sequence numbers preserved) — the clone's MOR view
-    equals the source's, never a resurrected superset."""
-    src_head = latest_version(src)
+    equals the source's, never a resurrected superset.
+
+    ``at`` names the snapshot to clone (a branch/tag/version through
+    :func:`resolve_ref`); default is the source's main head.  On a
+    branched source the linear head belongs to whichever lineage
+    committed last — naming the ref is the only unambiguous ask."""
+    src_head = resolve_ref(src, at)
     os.makedirs(_data_dir(dst), exist_ok=True)
     os.makedirs(_log_dir(dst), exist_ok=True)
     entries = []
@@ -1164,30 +1228,12 @@ def commit_append_branch(
     comes from the shared monotonically-increasing namespace (so two
     racing branch writers still collide on the rename — the same
     optimistic-concurrency rule as the linear path), and the branch
-    pointer advances only after the commit lands."""
-    refs = list_refs(path)
-    _ensure_main_pinned(path, refs)
-    if branch not in refs:
-        raise ValueError(f"unknown branch {branch!r}")
-    if refs[branch]["type"] != "branch":
-        raise ValueError(f"ref {branch!r} is a tag — tags are immutable")
-    base = refs[branch]["version"]
-    new_v = latest_version(path) + 1
-    staging = os.path.join(
-        _data_dir(path), f"commit-{new_v}-{uuid.uuid4().hex[:8]}"
+    pointer advances only after the commit lands.  Thin alias for
+    :func:`commit_append` with ``branch=`` — kept as the discoverable
+    branch-workflow entry point."""
+    return commit_append(
+        spark, path, df, stat_cols=stat_cols, branch=branch
     )
-    df.write.mode("overwrite").parquet(staging)
-    files = _manifest_entries(path, staging, stat_cols, seq=new_v)
-    _write_commit(
-        path,
-        new_v,
-        {"version": new_v, "files": files, "parent": base},
-    )
-    refs = list_refs(path)
-    _ensure_main_pinned(path, refs)
-    refs[branch]["version"] = new_v
-    _write_refs(path, refs)
-    return new_v
 
 
 def read_ref(
@@ -1197,11 +1243,27 @@ def read_ref(
     *,
     prune: tuple[str, object, object] | None = None,
 ) -> DataFrame:
-    """Snapshot read at a branch/tag — ``read_table`` with the ref
-    resolved through the refs file."""
-    return read_table(
-        spark, path, version=resolve_ref(path, ref), prune=prune
-    )
+    """Snapshot read at a branch/tag — the LOGICAL view: outstanding
+    merge-on-read equality deletes at the ref's snapshot are applied
+    (a user asking for "the branch" means its contents, not the
+    data-file layout; the raw view stays reachable via
+    :func:`read_table` with ``version=resolve_ref(...)``).  Manifest
+    pruning composes: files are range-pruned first, survivors take
+    the clean/dirty anti-join split of :func:`_mor_resolve`."""
+    v = resolve_ref(path, ref)
+    key, deletes = _snapshot_deletes(path, v)
+    if not deletes:
+        return read_table(spark, path, version=v, prune=prune)
+    file_dicts = _snapshot_file_dicts(path, v)
+    if prune is not None:
+        col, lo, hi = prune
+        file_dicts = [
+            f
+            for f in file_dicts
+            if f["stats"].get(col) is None
+            or not (f["stats"][col][1] < lo or f["stats"][col][0] > hi)
+        ]
+    return _mor_resolve(spark, path, file_dicts, key, deletes)
 
 
 def fast_forward(path: str, branch: str, to) -> int:

@@ -1270,3 +1270,154 @@ def test_table_format_model_random_walk(spark, tmp_path):
             assert got == sorted(model.items()), (
                 f"seed {seed} step {step} op {op}"
             )
+
+
+def test_table_format_branch_model_random_walk(spark, tmp_path):
+    """Model-based walk over the REF surface: per-branch append /
+    delete_keys / merge / compact (the ``branch=`` write targets),
+    tag create/drop, ref-targeted shallow clones, expiry and vacuum —
+    after every step each live branch's read_ref must equal its model
+    dict and each live tag must equal the snapshot frozen at tagging
+    time.  The cross-lineage holes this sweeps for: a branch write
+    leaking onto another lineage, a ref read resurrecting MOR-deleted
+    rows, expiry/vacuum breaking a pinned ref's snapshot."""
+    import random
+
+    for seed in (7, 31):
+        rnd = random.Random(seed)
+        path = str(tmp_path / f"bwalk{seed}")
+        TF.create_table(path)
+
+        def _df(pairs):
+            return spark.createDataFrame(
+                [(int(k), int(v)) for k, v in pairs], "k long, v long"
+            )
+
+        TF.commit_append(
+            spark, path, _df((k, k) for k in range(5)), stat_cols=["k"]
+        )
+        TF.create_branch(path, "dev")
+        models = {
+            "main": {k: k for k in range(5)},
+            "dev": {k: k for k in range(5)},
+        }
+        tags: dict[str, dict[int, int]] = {}
+        next_key = 5
+        next_tag = 0
+
+        for step in range(12):
+            b = rnd.choice(["main", "dev"])
+            op = rnd.choice(
+                ["append", "append", "delete", "merge", "compact",
+                 "tag", "clone", "expire", "vacuum"]
+            )
+            model = models[b]
+            if op == "append" or not model:
+                fresh = [next_key + i for i in range(rnd.randint(1, 5))]
+                next_key += len(fresh)
+                rows = [(k, k * 10 + step) for k in fresh]
+                TF.commit_append(
+                    spark, path, _df(rows), stat_cols=["k"], branch=b
+                )
+                model.update(dict(rows))
+            elif op == "delete":
+                dels = rnd.sample(
+                    sorted(model), k=rnd.randint(1, min(3, len(model)))
+                )
+                TF.commit_delete_keys(
+                    spark, path, _df((k, 0) for k in dels).select("k"),
+                    key="k", branch=b,
+                )
+                for k in dels:
+                    del model[k]
+            elif op == "merge":
+                ups = rnd.sample(
+                    sorted(model), k=rnd.randint(1, min(2, len(model)))
+                )
+                ins = [next_key]
+                next_key += 1
+                changes = spark.createDataFrame(
+                    [(int(k), int(k * 100 + step), "U") for k in ups]
+                    + [(int(k), int(k * 100 + step), "I") for k in ins],
+                    "k long, v long, op string",
+                )
+                TF.commit_merge(
+                    spark, path, changes, key="k", stat_cols=["k"],
+                    branch=b,
+                )
+                for k in ups + ins:
+                    model[k] = k * 100 + step
+            elif op == "compact":
+                TF.commit_compact(spark, path, stat_cols=["k"], branch=b)
+            elif op == "tag":
+                if len(tags) >= 2:
+                    victim = rnd.choice(sorted(tags))
+                    TF.drop_ref(path, victim)
+                    del tags[victim]
+                name = f"t{next_tag}"
+                next_tag += 1
+                TF.create_tag(path, name, at=b)
+                tags[name] = dict(model)
+            elif op == "clone":
+                dst = str(tmp_path / f"clone{seed}-{step}")
+                TF.shallow_clone(path, dst, at=b)
+                got = sorted(
+                    (r.k, r.v)
+                    for r in TF.read_table_mor(spark, dst).collect()
+                )
+                assert got == sorted(model.items()), (
+                    f"seed {seed} step {step} clone of {b}"
+                )
+            elif op == "expire":
+                TF.expire_snapshots(path, keep_last=rnd.choice([1, 2]))
+            elif op == "vacuum":
+                TF.vacuum(path, retain_versions=rnd.choice([1, 2]))
+            for name, frozen in [*models.items(), *tags.items()]:
+                got = sorted(
+                    (r.k, r.v)
+                    for r in TF.read_ref(spark, path, name).collect()
+                )
+                assert got == sorted(frozen.items()), (
+                    f"seed {seed} step {step} op {op} on {b}, ref {name}"
+                )
+
+
+def test_read_ref_applies_outstanding_deletes(spark, table):
+    """A ref read is the LOGICAL view: branch/tag reads subtract
+    outstanding equality deletes (same class as the WAP-audit and
+    shallow-clone resurrection holes), while read_table at the
+    resolved version stays the documented data-file view."""
+    path, df = table
+    n = df.count()
+    TF.commit_delete_keys(
+        spark, path, df.select("k").limit(7), key="k"
+    )
+    TF.create_branch(path, "dev")            # pins main + dev at head
+    TF.create_tag(path, "rel", at="dev")
+    for ref in ("main", "dev", "rel"):
+        assert TF.read_ref(spark, path, ref).count() == n - 7, ref
+    v = TF.resolve_ref(path, "dev")
+    assert TF.read_table(spark, path, version=v).count() == n
+
+
+def test_branch_write_conflict_on_stale_head(spark, table):
+    """With ``branch=``, expected_version is the expected BRANCH head:
+    a stale token conflicts BEFORE any data is staged, and the branch
+    pointer is untouched."""
+    path, df = table
+    TF.create_branch(path, "dev")
+    head = TF.resolve_ref(path, "dev")
+    TF.commit_append(
+        spark, path, df.limit(3), stat_cols=["k"],
+        branch="dev", expected_version=head,
+    )
+    with pytest.raises(TF.CommitConflict):
+        TF.commit_append(
+            spark, path, df.limit(3), stat_cols=["k"],
+            branch="dev", expected_version=head,
+        )
+    with pytest.raises(ValueError, match="unknown branch"):
+        TF.commit_delete_keys(
+            spark, path, df.select("k").limit(1), key="k",
+            branch="nope",
+        )
