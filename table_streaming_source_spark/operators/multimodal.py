@@ -40,6 +40,66 @@ from pyspark.sql.types import (
     StructType,
 )
 
+#: low-level exceptions a decoder can hit on MALFORMED bytes (truncated
+#: structs, out-of-range indices/codes, corrupt deflate streams, an
+#: exhausted marker scan) — never on valid input, where the round-trip
+#: property tests pin exact output.
+_MALFORMED_EXC = (
+    struct.error,
+    IndexError,
+    KeyError,
+    StopIteration,
+    OverflowError,
+    EOFError,
+    UnicodeDecodeError,
+    zlib.error,
+)
+
+
+def quarantinable(fmt: str):
+    """Decorator for public ``payload -> decoded`` entry points: any
+    low-level parse failure on malformed bytes surfaces as
+    ``ValueError`` — the ONE exception type quarantine routing
+    (:func:`quarantine_decode` and every attach/stats pipeline)
+    catches, so a single poisoned blob in a 100 TB scan routes to the
+    quarantine sink instead of killing the job with a leaked
+    ``struct.error``/``IndexError``/``zlib.error``.  Found and pinned
+    by the truncation/bit-flip fuzz sweep (`tests/test_decoder_fuzz.py`)."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            try:
+                return fn(*args, **kwargs)
+            except _MALFORMED_EXC as exc:
+                raise ValueError(
+                    f"malformed {fmt}: {type(exc).__name__}: {exc}"
+                ) from exc
+        return wrapper
+    return deco
+
+
+#: decompression-bomb guard (the PIL ``MAX_IMAGE_PIXELS`` idea): a tiny
+#: malformed-or-malicious payload can DECLARE a multi-gigapixel raster;
+#: reject before the canvas allocation instead of asking the executor
+#: for hundreds of GiB.  64 MPix is far above any fixture and most
+#: real-world stills; a pipeline that needs more raises it consciously.
+MAX_DECODE_PIXELS = 1 << 26
+
+
+def _check_dims(width: int, height: int, fmt: str) -> None:
+    """Reject impossible or bomb-sized raster dimensions BEFORE any
+    dims-driven allocation (found by the decoder fuzz sweep: a flipped
+    IHDR/SOF byte asked for a 464 PiB canvas)."""
+    if width <= 0 or height <= 0:
+        raise ValueError(f"{fmt} with non-positive dimensions")
+    if width * height > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"{fmt} dimensions {width}x{height} exceed the "
+            f"decompression-bomb guard ({MAX_DECODE_PIXELS} px)"
+        )
+
 
 def attach_payload(df: DataFrame, text_col: str, key: str) -> DataFrame:
     """Fixture adapter: materialize an opaque binary payload column (the
@@ -129,6 +189,7 @@ def synth_avi(width: int, height: int, n_frames: int) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(hdrl)) + b"AVI " + hdrl
 
 
+@quarantinable("container")
 def parse_container(payload: bytes) -> tuple[str, int, int, int]:
     """Sniff + parse a media container header with :mod:`struct` only — the
     real (non-stub) metadata-decode path.
@@ -495,6 +556,7 @@ def _riff_chunks(payload: bytes):
         off += 8 + size + (size & 1)
 
 
+@quarantinable("WAV")
 def wav_pcm(payload: bytes) -> "object":
     """Decode a mono 16-bit PCM WAV's samples to an int64 numpy array —
     the real sample-decode path (PCM needs no codec library; compressed
@@ -701,6 +763,7 @@ def synth_wav_adpcm(key: int) -> bytes:
     )
 
 
+@quarantinable("ADPCM WAV")
 def adpcm_pcm(payload: bytes) -> "object":
     """Decode a mono IMA-ADPCM WAV (format tag 0x11) to int64 samples —
     a GENERAL decoder to the public IMA/DVI spec: per-block predictor /
@@ -861,6 +924,7 @@ def synth_png_pixels(width: int, height: int, seed: int) -> bytes:
     )
 
 
+@quarantinable("PNG")
 def png_pixels(payload: bytes) -> "object":
     """Decode an 8-bit grayscale, filter-0 PNG to an ``(h, w)`` uint8
     numpy array — the real pixel-decode path, stdlib-only (zlib inflate
@@ -1048,11 +1112,16 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
     return bytes(buf)
 
 
-def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+def _lzw_decode(
+    data: bytes, min_code_size: int, max_len: int | None = None
+) -> bytes:
     """GIF variable-width LZW decompress (the standard decoder: entry
     added per code read, width grows when the table reaches the current
     code range, KwKwK case handled, CLEAR resets).  Tolerates a missing
-    end-of-information code — common in minimal GIFs in the wild."""
+    end-of-information code — common in minimal GIFs in the wild.
+    ``max_len`` caps the output at the caller's declared pixel count:
+    a corrupt stream must fail fast, not inflate unbounded (the
+    decompression-bomb guard — LZW expands up to 4096x)."""
     clear = 1 << min_code_size
     eoi = clear + 1
     table: dict[int, bytes] = {}
@@ -1097,6 +1166,8 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
         else:
             raise ValueError("corrupt LZW stream")
         out += entry
+        if max_len is not None and len(out) > max_len:
+            raise ValueError("LZW output exceeds declared image size")
         if prev is not None and next_code < 4096:
             table[next_code] = prev + entry[:1]
             next_code += 1
@@ -1149,6 +1220,7 @@ def _gif_subblocks(payload: bytes, off: int) -> tuple[bytes, int]:
         off += size
 
 
+@quarantinable("GIF")
 def gif_frames(payload: bytes) -> "list":
     """Decode EVERY frame of a GIF87a/89a to a list of ``(h, w)`` uint8
     numpy arrays of gray values — real stdlib-only LZW decompression +
@@ -1198,7 +1270,7 @@ def gif_frames(payload: bytes) -> "list":
         min_code_size = payload[off]
         data, off = _gif_subblocks(payload, off + 1)
         idx = np.frombuffer(
-            _lzw_decode(data, min_code_size), dtype=np.uint8
+            _lzw_decode(data, min_code_size, max_len=w * h), dtype=np.uint8
         )
         if idx.size != w * h:
             raise ValueError("GIF pixel count mismatch")
@@ -1296,11 +1368,13 @@ def attach_gif_interlaced_payload(df: DataFrame, key: str) -> DataFrame:
     return df.select(key).mapInPandas(batches, schema=schema)
 
 
+@quarantinable("GIF")
 def gif_pixels(payload: bytes) -> "object":
     """First frame of :func:`gif_frames` — the single-image decode."""
     return gif_frames(payload)[0]
 
 
+@quarantinable("image")
 def decode_pixels(payload: bytes) -> "object":
     """Sniff-and-dispatch pixel decode: PNG (zlib inflate + unfilter),
     GIF (LZW + palette), or baseline JPEG (huffman + dequant + IDCT).
@@ -1561,6 +1635,7 @@ def _avi_video_chunks(payload: bytes):
     return strf, movi
 
 
+@quarantinable("AVI")
 def avi_frames(payload: bytes) -> list:
     """REAL uncompressed-AVI video decode (stdlib + numpy): walk the RIFF
     tree to the ``strf`` BITMAPINFOHEADER, verify 24-bit BI_RGB, then
@@ -2263,6 +2338,7 @@ def _next_marker(payload: bytes, pos: int) -> int:
     raise ValueError("ran off JPEG stream looking for a marker")
 
 
+@quarantinable("JPEG")
 def jpeg_planes(payload: bytes) -> "list":
     """Decode a baseline sequential JPEG (SOF0/SOF1, huffman) to its
     per-component uint8 planes (Y, or Y/Cb/Cr for 4:4:4 color), AFTER
@@ -2352,6 +2428,7 @@ def jpeg_planes(payload: bytes) -> "list":
                 qtables[tq] = nat
         elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
             _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            _check_dims(width, height, "JPEG")
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
@@ -2383,7 +2460,15 @@ def jpeg_planes(payload: bytes) -> "list":
                     )
                 comps.append({"id": cid, "tq": tq, "h": 1, "v": 1})
             progressive = True
+            _check_dims(width, height, "JPEG")
             nb = ((width + 7) // 8) * ((height + 7) // 8)
+            if nb * ncomp * 64 > (1 << 27):
+                # the per-block coefficient store is Python lists —
+                # bound the cells, not just the pixels (a sparse huge
+                # progressive image is LEGAL but beyond this decoder)
+                raise ValueError(
+                    "progressive image too large for this decoder"
+                )
             prog_coef = [
                 [[0] * 64 for _ in range(nb)] for _ in range(ncomp)
             ]
@@ -2598,6 +2683,7 @@ def jpeg_planes(payload: bytes) -> "list":
     raise ValueError("JPEG without SOS")
 
 
+@quarantinable("JPEG")
 def jpeg_pixels(payload: bytes) -> "object":
     """:func:`jpeg_planes` + color conversion: ``(h, w)`` uint8 for
     grayscale, ``(h, w, 3)`` uint8 RGB (JFIF YCbCr→RGB, float matrix +
@@ -3125,6 +3211,7 @@ def synth_flac(key: int) -> bytes:
     return b"fLaC" + meta + frames
 
 
+@quarantinable("FLAC")
 def flac_pcm(payload: bytes) -> "object":
     """Decode a mono FLAC file's samples to int64 — a real decoder to
     the public FLAC format: STREAMINFO walk, frame sync + CRC-8-verified
@@ -3513,6 +3600,7 @@ def synth_avi_mjpeg(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@quarantinable("MJPEG AVI")
 def avi_mjpeg_frames(payload: bytes, *, step: int = 1) -> list:
     """REAL compressed-video decode: walk the AVI container, require
     ``MJPG`` biCompression, and run the full baseline-JPEG pipeline
@@ -3879,6 +3967,7 @@ def synth_tiff_exif(key: int) -> bytes:
     return header + ifd0 + exif + dt_bytes
 
 
+@quarantinable("TIFF")
 def tiff_exif_meta(payload: bytes) -> dict:
     """Parse a TIFF's IFD chain and EXIF sub-IFD to the metadata image
     pipelines key on: width, height, orientation, DateTimeOriginal.
@@ -4278,6 +4367,7 @@ def synth_bmp(width: int, height: int, seed: int) -> bytes:
     return header + info + pixels
 
 
+@quarantinable("BMP")
 def bmp_pixels(payload: bytes) -> "object":
     """Decode a 24-bit BI_RGB BMP to a display-orientation ``(H, W, 3)``
     uint8 RGB array — file header offset honored, bottom-up/top-down
@@ -4706,6 +4796,7 @@ def synth_png_interlaced(width: int, height: int, seed: int) -> bytes:
     )
 
 
+@quarantinable("PNG")
 def png_pixels_adam7(payload: bytes) -> "object":
     """Decode an Adam7-interlaced 8-bit grayscale filter-0 PNG to an
     ``(h, w)`` uint8 array: inflate once, then walk the 7 reduced
@@ -4736,7 +4827,17 @@ def png_pixels_adam7(payload: bytes) -> "object":
         raise ValueError("only 8-bit grayscale supported by this decoder")
     if interlace != 1:
         raise ValueError("not Adam7-interlaced")
+    _check_dims(width, height, "PNG")
     raw = zlib.decompress(idat)
+    want = sum(
+        ph * (1 + pw)
+        for x0, y0, dx, dy in ADAM7_PASSES
+        for pw in (len(range(x0, width, dx)),)
+        for ph in (len(range(y0, height, dy)),)
+        if pw and ph
+    )
+    if len(raw) != want:
+        raise ValueError("IDAT size mismatch")
     out = np.zeros((height, width), dtype=np.uint8)
     pos = 0
     for x0, y0, dx, dy in ADAM7_PASSES:
@@ -4911,6 +5012,7 @@ def synth_png_filtered(width: int, height: int, seed: int) -> bytes:
     )
 
 
+@quarantinable("PNG")
 def png_pixels_filtered(payload: bytes) -> "object":
     """Decode an 8-bit non-interlaced PNG honoring ALL five scanline
     filter types (PNG spec §9): None, Sub (left), Up (prior row),
@@ -5284,6 +5386,7 @@ def synth_tga_rle(width: int, height: int, seed: int) -> bytes:
     return bytes(out)
 
 
+@quarantinable("TGA")
 def tga_pixels(payload: bytes) -> "object":
     """Decode an RLE truecolor TGA to ``(h, w, 3)`` RGB uint8: header
     walk, RLE packet stream (runs and literals, spec max 128), BGR →
@@ -5444,6 +5547,7 @@ def synth_ico(images: "list[tuple[int, int, int, int]]") -> bytes:
     return bytes(out)
 
 
+@quarantinable("ICO")
 def ico_frames(payload: bytes) -> "list[tuple[object, object]]":
     """Decode an ICO container to ``[(rgb (H,W,3) uint8, mask (H,W)
     bool), ...]`` — directory walked by OFFSET (entries need not be
@@ -5643,6 +5747,7 @@ def synth_png_palette(width: int, height: int, seed: int) -> bytes:
     )
 
 
+@quarantinable("PNG")
 def png_pixels_palette(payload: bytes) -> "tuple[object, object]":
     """Decode an 8-bit paletted PNG (color type 3): chunk walk for
     IHDR/PLTE/tRNS/IDAT, the full §9 unfilter set over the INDEX bytes
@@ -5679,8 +5784,11 @@ def png_pixels_palette(payload: bytes) -> "tuple[object, object]":
         off += 12 + size
     if width is None or not plte:
         raise ValueError("paletted PNG without IHDR/PLTE")
+    _check_dims(width, height, "PNG")
     raw = zlib.decompress(idat)
     stride = width + 1
+    if len(raw) != height * stride:
+        raise ValueError("IDAT size mismatch")
     idx = np.zeros((height, width), dtype=np.int64)
     prior = np.zeros(width, dtype=np.int64)
     for r in range(height):
@@ -6017,6 +6125,7 @@ def _cache_hash(argb: int, bits: int) -> int:
     return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - bits)
 
 
+@quarantinable("WebP")
 def webp_lossless_decode(payload: bytes) -> "object":
     """Decode a VP8L (WebP lossless) stream to an ``(h, w, 4)`` RGBA
     uint8 array.  See the module-section note for the implemented
@@ -6482,6 +6591,7 @@ def synth_bmp_rle8(width: int, height: int, seed: int) -> bytes:
     return file_header + info + palette + bytes(stream)
 
 
+@quarantinable("BMP RLE8")
 def bmp_rle8_pixels(payload: bytes) -> "object":
     """Decode an 8-bit BI_RLE8 BMP to an ``(h, w)`` uint8 array of
     palette-resolved gray values: encoded runs, absolute-mode packets
@@ -6719,6 +6829,7 @@ def qoi_encode(img: "object") -> bytes:
     return bytes(out)
 
 
+@quarantinable("QOI")
 def qoi_pixels(payload: bytes) -> "object":
     """Decode a 3-channel QOI payload to ``(h, w, 3)`` RGB uint8 —
     the full op walk (RGB / INDEX / DIFF / LUMA / RUN) with the
@@ -6734,6 +6845,12 @@ def qoi_pixels(payload: bytes) -> "object":
     if channels != 3:
         raise ValueError("only 3-channel QOI supported")
     pos = 14
+    if h * w > 62 * max(0, len(payload) - 22):
+        # QOI_OP_RUN emits at most 62 px/byte; a header whose w*h the
+        # stream could not possibly encode is corrupt — reject BEFORE
+        # the pixel allocation (a flipped dimension byte must not ask
+        # the executor for 200 GiB)
+        raise ValueError("QOI dimensions exceed stream capacity")
     index: list = [(0, 0, 0, 0)] * 64
     px = (0, 0, 0, 255)
     flat = np.zeros((h * w, 3), dtype=np.uint8)
@@ -6889,6 +7006,7 @@ def synth_pnm(width: int, height: int, seed: int, kind: int) -> bytes:
     raise ValueError(f"unknown PNM kind {kind}")
 
 
+@quarantinable("PNM")
 def pnm_pixels(payload: bytes) -> "object":
     """Decode P2/P3/P5/P6 Netpbm to ``(h, w, c)`` uint8 (c = 1 for
     graymaps, 3 for pixmaps): token scanner with ``#`` comment skip,

@@ -1,0 +1,143 @@
+"""Malformed-bytes fuzz over every public payload decoder.
+
+The quarantine contract (`multimodal.py::quarantinable`): on corrupt
+input a decoder either returns or raises ``ValueError`` /
+``NotImplementedError`` — never a leaked ``struct.error`` /
+``IndexError`` / ``zlib.error`` (which would escape quarantine routing
+and kill a 100 TB scan on one poisoned blob), and never an
+unbounded allocation or loop from dims a flipped header byte declared
+(the ``_check_dims`` / LZW ``max_len`` / QOI capacity guards).
+
+The sweep that drove the fixes ran ~580 cases per target; this pinned
+version runs a reduced, seeded regime (truncations + bit flips +
+4-byte splices) per decoder.  Pure Python — no Spark session needed.
+"""
+
+import random
+import signal
+import zlib
+
+import pytest
+
+from table_streaming_source_spark.operators import multimodal as M
+
+
+def _targets():
+    yield "parse_container/png", M.parse_container, M.synth_png(32, 16)
+    yield "parse_container/wav", M.parse_container, M.synth_wav(100)
+    yield "parse_container/avi", M.parse_container, M.synth_avi(8, 8, 3)
+    yield "wav_pcm", M.wav_pcm, M.synth_wav_tone(400, 3)
+    yield "adpcm_pcm", M.adpcm_pcm, M.synth_wav_adpcm(5)
+    yield "png_pixels", M.png_pixels, M.synth_png_pixels(24, 16, 1)
+    yield "gif_frames", M.gif_frames, M.synth_gif_pixels(16, 12, 2)
+    yield "gif_pixels", M.gif_pixels, M.synth_gif_pixels(16, 12, 2)
+    yield (
+        "gif_pixels/interlaced",
+        M.gif_pixels,
+        M.synth_gif_interlaced(16, 12, 3),
+    )
+    yield (
+        "gif_frames/anim",
+        M.gif_frames,
+        M.synth_gif_animation(16, 12, 3, 1),
+    )
+    yield "avi_frames", M.avi_frames, M.synth_avi_video(16, 12, 2, 3)
+    yield "jpeg_pixels/gray", M.jpeg_pixels, M.synth_jpeg_blocks(24, 16, 3)
+    yield "jpeg_pixels/color", M.jpeg_pixels, M.synth_jpeg_color(24, 16, 4)
+    yield "jpeg_pixels/420", M.jpeg_pixels, M.synth_jpeg_420(32, 16, 5)
+    yield (
+        "jpeg_pixels/prog",
+        M.jpeg_pixels,
+        M.synth_jpeg_progressive(24, 16, 6),
+    )
+    yield "flac_pcm", M.flac_pcm, M.synth_flac(7)
+    yield "sniff_audio/wav", M._sniff_decode_audio, M.synth_wav_tone(300, 2)
+    yield (
+        "avi_mjpeg_frames",
+        M.avi_mjpeg_frames,
+        M.synth_avi_mjpeg(16, 16, 2, 3),
+    )
+    yield "tiff_exif_meta", M.tiff_exif_meta, M.synth_tiff_exif(5)
+    yield "bmp_pixels", M.bmp_pixels, M.synth_bmp(20, 14, 3)
+    yield "bmp_rle8_pixels", M.bmp_rle8_pixels, M.synth_bmp_rle8(20, 14, 3)
+    yield (
+        "png_pixels_adam7",
+        M.png_pixels_adam7,
+        M.synth_png_interlaced(20, 14, 3),
+    )
+    yield (
+        "png_pixels_filtered",
+        M.png_pixels_filtered,
+        M.synth_png_filtered(20, 14, 3),
+    )
+    yield (
+        "png_pixels_filtered/rgb",
+        M.png_pixels_filtered,
+        M.synth_png_rgb_filtered(20, 14, 3),
+    )
+    yield "tga_pixels", M.tga_pixels, M.synth_tga_rle(20, 14, 3)
+    yield (
+        "ico_frames",
+        M.ico_frames,
+        M.synth_ico([(16, 12, 3, 0), (8, 8, 1, 4)]),
+    )
+    yield (
+        "png_pixels_palette",
+        M.png_pixels_palette,
+        M.synth_png_palette(20, 14, 3),
+    )
+    yield (
+        "webp_lossless_decode",
+        M.webp_lossless_decode,
+        M.webp_lossless_encode(M.synth_webp_image(20, 14, 3)),
+    )
+    yield "qoi_pixels", M.qoi_pixels, M.synth_qoi(20, 14, 3)
+    yield "pnm_pixels/p5", M.pnm_pixels, M.synth_pnm(12, 10, 3, 2)
+    yield "pnm_pixels/p6", M.pnm_pixels, M.synth_pnm(12, 10, 3, 0)
+
+
+class _DecodeHang(Exception):
+    pass
+
+
+def _cases(valid: bytes, rnd: random.Random):
+    n = len(valid)
+    cuts = range(n) if n <= 120 else sorted(rnd.sample(range(n), 120))
+    for i in cuts:
+        yield valid[:i]
+    for _ in range(120):
+        i = rnd.randrange(n)
+        x = rnd.choice((0xFF, 0x80, 0x01, 0x7F))
+        yield valid[:i] + bytes([valid[i] ^ x]) + valid[i + 1:]
+    for _ in range(20):
+        i = rnd.randrange(n)
+        yield valid[:i] + bytes(
+            rnd.randrange(256) for _ in range(4)
+        ) + valid[i + 4:]
+
+
+@pytest.mark.parametrize(
+    "name,fn,valid", list(_targets()), ids=lambda v: v if isinstance(v, str) else ""
+)
+def test_decoder_quarantines_malformed_bytes(name, fn, valid):
+    valid = bytes(valid)
+    fn(valid)  # the intact payload must decode
+    # seed from the target NAME, not hash() (which is salted per process
+    # and silently de-reproducifies the sweep)
+    rnd = random.Random(zlib.crc32(name.encode()))
+
+    def _on_alarm(sig, frame):
+        raise _DecodeHang(name)
+
+    old = signal.signal(signal.SIGALRM, _on_alarm)
+    try:
+        for case in _cases(valid, rnd):
+            signal.alarm(10)
+            try:
+                fn(bytes(case))
+            except (ValueError, NotImplementedError):
+                pass  # the quarantine contract
+            finally:
+                signal.alarm(0)
+    finally:
+        signal.signal(signal.SIGALRM, old)
