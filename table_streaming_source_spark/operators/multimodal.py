@@ -4685,6 +4685,31 @@ MPEG_META_SCHEMA = StructType(
 )
 
 
+@quarantinable("MPEG audio")
+def _mpeg_one(payload: bytes) -> tuple[int, int, int, int]:
+    off, n, sr_out, br_sum = 0, 0, 0, 0
+    while off + 4 <= len(payload):
+        b0, b1, b2 = payload[off], payload[off + 1], payload[off + 2]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError("lost MPEG sync")
+        if (b1 >> 3) & 0x3 != 0x3 or (b1 >> 1) & 0x3 != 0x1:
+            raise ValueError("not MPEG-1 Layer III")
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        pad = (b2 >> 1) & 0x1
+        br = MPEG1_L3_BITRATES[br_idx]
+        sr = MPEG1_SAMPLERATES[sr_idx]
+        if br == 0 or sr == 0:
+            raise ValueError("free/forbidden bitrate or samplerate")
+        n += 1
+        sr_out = sr
+        br_sum += br
+        off += 144 * br * 1000 // sr + pad
+    if off != len(payload):
+        raise ValueError("trailing garbage after last frame")
+    return n, sr_out, len(payload), br_sum
+
+
 def mpeg_audio_meta(
     df: DataFrame, *, payload_col: str = "payload", key: str = "key"
 ) -> DataFrame:
@@ -4701,29 +4726,6 @@ def mpeg_audio_meta(
     a malformed header raises rather than silently resyncing — the
     quarantine entry is the place malformed media routes to."""
 
-    def walk(payload: bytes) -> tuple[int, int, int, int]:
-        off, n, sr_out, br_sum = 0, 0, 0, 0
-        while off + 4 <= len(payload):
-            b0, b1, b2 = payload[off], payload[off + 1], payload[off + 2]
-            if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
-                raise ValueError("lost MPEG sync")
-            if (b1 >> 3) & 0x3 != 0x3 or (b1 >> 1) & 0x3 != 0x1:
-                raise ValueError("not MPEG-1 Layer III")
-            br_idx = (b2 >> 4) & 0xF
-            sr_idx = (b2 >> 2) & 0x3
-            pad = (b2 >> 1) & 0x1
-            br = MPEG1_L3_BITRATES[br_idx]
-            sr = MPEG1_SAMPLERATES[sr_idx]
-            if br == 0 or sr == 0:
-                raise ValueError("free/forbidden bitrate or samplerate")
-            n += 1
-            sr_out = sr
-            br_sum += br
-            off += 144 * br * 1000 // sr + pad
-        if off != len(payload):
-            raise ValueError("trailing garbage after last frame")
-        return n, sr_out, len(payload), br_sum
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = {k: [] for k in (
@@ -4731,7 +4733,7 @@ def mpeg_audio_meta(
                 "sum_bitrate_kbps",
             )}
             for k, payload in zip(pdf[key], pdf[payload_col]):
-                n, sr, total, brs = walk(bytes(payload))
+                n, sr, total, brs = _mpeg_one(bytes(payload))
                 rows["key"].append(int(k))
                 rows["n_frames"].append(n)
                 rows["samplerate"].append(sr)
@@ -7182,6 +7184,31 @@ def attach_au_payload(df: DataFrame, key: str) -> DataFrame:
     return df.select(key).mapInPandas(batches, schema=schema)
 
 
+@quarantinable("AU")
+def _au_one(payload: bytes) -> tuple[int, int, int, int, int]:
+    import numpy as np
+
+    if len(payload) < 24 or payload[:4] != b".snd":
+        raise ValueError("not an .au file (bad magic)")
+    off, dsize, enc, sr, ch = struct.unpack_from(">IIIII", payload, 4)
+    if enc != 1:
+        raise ValueError(f"unsupported .au encoding {enc}")
+    if ch != 1:
+        raise ValueError("only mono .au supported")
+    data = payload[off : off + dsize]
+    if len(data) != dsize:
+        raise ValueError("truncated .au data")
+    codes = np.frombuffer(data, dtype=np.uint8)
+    s = ulaw_expand(codes.astype(np.int64))
+    return (
+        sr,
+        int(codes.size),
+        int(s.sum()),
+        int(np.abs(s).sum()),
+        int(np.abs(s).max()) if s.size else 0,
+    )
+
+
 def au_stats(
     df: DataFrame, *, payload_col: str = "payload", key: str = "key"
 ) -> DataFrame:
@@ -7193,32 +7220,11 @@ def au_stats(
     zero shuffles."""
     import numpy as np
 
-    def one(payload: bytes) -> tuple[int, int, int, int, int]:
-        if len(payload) < 24 or payload[:4] != b".snd":
-            raise ValueError("not an .au file (bad magic)")
-        off, dsize, enc, sr, ch = struct.unpack_from(">IIIII", payload, 4)
-        if enc != 1:
-            raise ValueError(f"unsupported .au encoding {enc}")
-        if ch != 1:
-            raise ValueError("only mono .au supported")
-        data = payload[off : off + dsize]
-        if len(data) != dsize:
-            raise ValueError("truncated .au data")
-        codes = np.frombuffer(data, dtype=np.uint8)
-        s = ulaw_expand(codes.astype(np.int64))
-        return (
-            sr,
-            int(codes.size),
-            int(s.sum()),
-            int(np.abs(s).sum()),
-            int(np.abs(s).max()) if s.size else 0,
-        )
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for k, payload in zip(pdf[key], pdf[payload_col]):
-                sr, n, ssum, sabs, smax = one(bytes(payload))
+                sr, n, ssum, sabs, smax = _au_one(bytes(payload))
                 rows.append((int(k), sr, n, ssum, sabs, smax))
             yield pd.DataFrame(
                 rows,
@@ -7340,6 +7346,45 @@ def _walk_boxes(buf: bytes, start: int, end: int):
         raise ValueError("trailing bytes after last box")
 
 
+@quarantinable("MP4")
+def _mp4_one(payload: bytes):
+    brand = ""
+    n_top = 0
+    timescale = duration = 0
+    n_tracks = 0
+    tid_sum = 0
+    mdat_bytes = 0
+    for btype, b0, b1 in _walk_boxes(payload, 0, len(payload)):
+        n_top += 1
+        if btype == b"ftyp":
+            brand = payload[b0 : b0 + 4].decode("ascii")
+        elif btype == b"mdat":
+            mdat_bytes = b1 - b0
+        elif btype == b"moov":
+            for ctype, c0, c1 in _walk_boxes(payload, b0, b1):
+                if ctype == b"mvhd":
+                    ver = payload[c0]
+                    if ver == 1:
+                        timescale, duration = struct.unpack_from(
+                            ">IQ", payload, c0 + 4 + 16
+                        )
+                    else:
+                        _, _, timescale, duration = struct.unpack_from(
+                            ">IIII", payload, c0 + 4
+                        )
+                elif ctype == b"trak":
+                    n_tracks += 1
+                    for ttype, t0, _t1 in _walk_boxes(
+                        payload, c0, c1
+                    ):
+                        if ttype == b"tkhd":
+                            tid = struct.unpack_from(
+                                ">I", payload, t0 + 4 + 8
+                            )[0]
+                            tid_sum += tid
+    return brand, n_top, timescale, duration, n_tracks, tid_sum, mdat_bytes
+
+
 def mp4_meta(
     df: DataFrame, *, payload_col: str = "payload", key: str = "key"
 ) -> DataFrame:
@@ -7351,48 +7396,11 @@ def mp4_meta(
     out of scope.  Arrow-batched, zero shuffles — at 100 TB each
     container is one row-local walk over its leading/trailing KBs."""
 
-    def one(payload: bytes):
-        brand = ""
-        n_top = 0
-        timescale = duration = 0
-        n_tracks = 0
-        tid_sum = 0
-        mdat_bytes = 0
-        for btype, b0, b1 in _walk_boxes(payload, 0, len(payload)):
-            n_top += 1
-            if btype == b"ftyp":
-                brand = payload[b0 : b0 + 4].decode("ascii")
-            elif btype == b"mdat":
-                mdat_bytes = b1 - b0
-            elif btype == b"moov":
-                for ctype, c0, c1 in _walk_boxes(payload, b0, b1):
-                    if ctype == b"mvhd":
-                        ver = payload[c0]
-                        if ver == 1:
-                            timescale, duration = struct.unpack_from(
-                                ">IQ", payload, c0 + 4 + 16
-                            )
-                        else:
-                            _, _, timescale, duration = struct.unpack_from(
-                                ">IIII", payload, c0 + 4
-                            )
-                    elif ctype == b"trak":
-                        n_tracks += 1
-                        for ttype, t0, _t1 in _walk_boxes(
-                            payload, c0, c1
-                        ):
-                            if ttype == b"tkhd":
-                                tid = struct.unpack_from(
-                                    ">I", payload, t0 + 4 + 8
-                                )[0]
-                                tid_sum += tid
-        return brand, n_top, timescale, duration, n_tracks, tid_sum, mdat_bytes
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for k, payload in zip(pdf[key], pdf[payload_col]):
-                rows.append((int(k),) + one(bytes(payload)))
+                rows.append((int(k),) + _mp4_one(bytes(payload)))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -7486,6 +7494,64 @@ def attach_midi_payload(df: DataFrame, key: str) -> DataFrame:
     return df.select(key).mapInPandas(batches, schema=schema)
 
 
+def _smf_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    v = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        v = (v << 7) | (b & 0x7F)
+        if not b & 0x80:
+            return v, pos
+
+
+@quarantinable("MIDI")
+def _midi_one(payload: bytes):
+    if payload[:4] != b"MThd":
+        raise ValueError("not an SMF file")
+    hlen, fmt, ntrks, division = struct.unpack_from(">IHHH", payload, 4)
+    pos = 8 + hlen
+    tempo = 0
+    note_on = 0
+    max_ticks = 0
+    for _ in range(ntrks):
+        if payload[pos : pos + 4] != b"MTrk":
+            raise ValueError("expected MTrk chunk")
+        (tlen,) = struct.unpack_from(">I", payload, pos + 4)
+        p, end = pos + 8, pos + 8 + tlen
+        ticks = 0
+        status = 0
+        while p < end:
+            delta, p = _smf_varint(payload, p)
+            ticks += delta
+            b = payload[p]
+            if b & 0x80:
+                status = b
+                p += 1
+            if status == 0xFF:
+                mtype = payload[p]
+                mlen, p2 = _smf_varint(payload, p + 1)
+                if mtype == 0x51:
+                    tempo = int.from_bytes(
+                        payload[p2 : p2 + 3], "big"
+                    )
+                p = p2 + mlen
+                if mtype == 0x2F:
+                    break
+            elif status in (0xF0, 0xF7):  # sysex: varint length
+                slen, p = _smf_varint(payload, p)
+                p += slen
+            else:
+                kind = status & 0xF0
+                if kind == 0x90:
+                    note_on += 1
+                p += 1 if kind in (0xC0, 0xD0) else 2
+        if p != end:
+            raise ValueError("MTrk length mismatch")
+        max_ticks = max(max_ticks, ticks)
+        pos = end
+    return fmt, ntrks, division, tempo, note_on, max_ticks
+
+
 def midi_meta(
     df: DataFrame, *, payload_col: str = "payload", key: str = "key"
 ) -> DataFrame:
@@ -7497,66 +7563,11 @@ def midi_meta(
     the declared MTrk size and the walked events raises — quarantine
     path.  Arrow-batched, zero shuffles."""
 
-    def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
-        v = 0
-        while True:
-            b = buf[pos]
-            pos += 1
-            v = (v << 7) | (b & 0x7F)
-            if not b & 0x80:
-                return v, pos
-
-    def one(payload: bytes):
-        if payload[:4] != b"MThd":
-            raise ValueError("not an SMF file")
-        hlen, fmt, ntrks, division = struct.unpack_from(">IHHH", payload, 4)
-        pos = 8 + hlen
-        tempo = 0
-        note_on = 0
-        max_ticks = 0
-        for _ in range(ntrks):
-            if payload[pos : pos + 4] != b"MTrk":
-                raise ValueError("expected MTrk chunk")
-            (tlen,) = struct.unpack_from(">I", payload, pos + 4)
-            p, end = pos + 8, pos + 8 + tlen
-            ticks = 0
-            status = 0
-            while p < end:
-                delta, p = read_varint(payload, p)
-                ticks += delta
-                b = payload[p]
-                if b & 0x80:
-                    status = b
-                    p += 1
-                if status == 0xFF:
-                    mtype = payload[p]
-                    mlen, p2 = read_varint(payload, p + 1)
-                    if mtype == 0x51:
-                        tempo = int.from_bytes(
-                            payload[p2 : p2 + 3], "big"
-                        )
-                    p = p2 + mlen
-                    if mtype == 0x2F:
-                        break
-                elif status in (0xF0, 0xF7):  # sysex: varint length
-                    slen, p = read_varint(payload, p)
-                    p += slen
-                else:
-                    kind = status & 0xF0
-                    if kind == 0x90:
-                        note_on += 1
-                    p += 1 if kind in (0xC0, 0xD0) else 2
-            if p != end:
-                raise ValueError("MTrk length mismatch")
-            max_ticks = max(max_ticks, ticks)
-            pos = end
-        return fmt, ntrks, division, tempo, note_on, max_ticks
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for k, payload in zip(pdf[key], pdf[payload_col]):
-                rows.append((int(k),) + one(bytes(payload)))
+                rows.append((int(k),) + _midi_one(bytes(payload)))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -7676,6 +7687,41 @@ def attach_ogg_payload(df: DataFrame, key: str) -> DataFrame:
     return df.select(key).mapInPandas(batches, schema=schema)
 
 
+@quarantinable("OGG")
+def _ogg_one(payload: bytes):
+    pos = 0
+    n_pages = 0
+    total_payload = 0
+    last_granule = 0
+    serial = 0
+    while pos < len(payload):
+        if payload[pos : pos + 4] != b"OggS":
+            raise ValueError("lost OGG capture pattern")
+        if payload[pos + 4] != 0:
+            raise ValueError("unsupported OGG version")
+        htype = payload[pos + 5]
+        granule, ser, seq, crc, nseg = struct.unpack_from(
+            "<qIIIB", payload, pos + 6
+        )
+        segs = payload[pos + 27 : pos + 27 + nseg]
+        body_len = sum(segs)
+        page_end = pos + 27 + nseg + body_len
+        page = bytearray(payload[pos:page_end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != crc:
+            raise ValueError(f"OGG CRC mismatch on page {seq}")
+        if seq != n_pages:
+            raise ValueError("page sequence discontinuity")
+        if (htype & 0x02) and n_pages != 0:
+            raise ValueError("BOS on non-first page")
+        n_pages += 1
+        total_payload += body_len
+        last_granule = granule
+        serial = ser
+        pos = page_end
+    return n_pages, total_payload, last_granule, serial
+
+
 def ogg_meta(
     df: DataFrame, *, payload_col: str = "payload", key: str = "key"
 ) -> DataFrame:
@@ -7686,44 +7732,11 @@ def ogg_meta(
     Any violation raises — quarantine path.  Arrow-batched, zero
     shuffles."""
 
-    def one(payload: bytes):
-        pos = 0
-        n_pages = 0
-        total_payload = 0
-        last_granule = 0
-        serial = 0
-        while pos < len(payload):
-            if payload[pos : pos + 4] != b"OggS":
-                raise ValueError("lost OGG capture pattern")
-            if payload[pos + 4] != 0:
-                raise ValueError("unsupported OGG version")
-            htype = payload[pos + 5]
-            granule, ser, seq, crc, nseg = struct.unpack_from(
-                "<qIIIB", payload, pos + 6
-            )
-            segs = payload[pos + 27 : pos + 27 + nseg]
-            body_len = sum(segs)
-            page_end = pos + 27 + nseg + body_len
-            page = bytearray(payload[pos:page_end])
-            page[22:26] = b"\x00\x00\x00\x00"
-            if _ogg_crc(bytes(page)) != crc:
-                raise ValueError(f"OGG CRC mismatch on page {seq}")
-            if seq != n_pages:
-                raise ValueError("page sequence discontinuity")
-            if (htype & 0x02) and n_pages != 0:
-                raise ValueError("BOS on non-first page")
-            n_pages += 1
-            total_payload += body_len
-            last_granule = granule
-            serial = ser
-            pos = page_end
-        return n_pages, total_payload, last_granule, serial
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for k, payload in zip(pdf[key], pdf[payload_col]):
-                n, tot, gr, ser = one(bytes(payload))
+                n, tot, gr, ser = _ogg_one(bytes(payload))
                 rows.append((int(k), n, tot, gr, ser, True))
             yield pd.DataFrame(
                 rows,
@@ -7829,6 +7842,46 @@ def attach_aiff_payload(df: DataFrame, key: str) -> DataFrame:
     return df.select(key).mapInPandas(batches, schema=schema)
 
 
+@quarantinable("AIFF")
+def _aiff_one(payload: bytes):
+    import numpy as np
+
+    if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        raise ValueError("not an AIFF file")
+    (form_len,) = struct.unpack_from(">L", payload, 4)
+    if 8 + form_len != len(payload):
+        raise ValueError("FORM length mismatch")
+    pos = 12
+    channels = n_frames = bits = rate = None
+    data = None
+    while pos + 8 <= len(payload):
+        ctype = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from(">L", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError(f"truncated {ctype!r} chunk")
+        if ctype == b"COMM":
+            channels, n_frames, bits = struct.unpack_from(
+                ">hLh", body, 0
+            )
+            rate = _f80_decode_int(body[8:18])
+        elif ctype == b"SSND":
+            off, _block = struct.unpack_from(">LL", body, 0)
+            data = body[8 + off :]
+        pos += 8 + clen + (clen & 1)  # IFF chunks pad to even
+    if channels != 1 or bits != 16:
+        raise ValueError("only mono PCM16 AIFF supported")
+    s = np.frombuffer(data, dtype=">i2").astype(np.int64)
+    if s.size != n_frames:
+        raise ValueError("SSND frame count mismatch")
+    return (
+        int(rate),
+        int(n_frames),
+        int(s.sum()),
+        int(np.abs(s).max()) if s.size else 0,
+    )
+
+
 def aiff_stats(
     df: DataFrame, *, payload_col: str = "payload", key: str = "key"
 ) -> DataFrame:
@@ -7840,47 +7893,11 @@ def aiff_stats(
     quarantine path."""
     import numpy as np
 
-    def one(payload: bytes):
-        if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
-            raise ValueError("not an AIFF file")
-        (form_len,) = struct.unpack_from(">L", payload, 4)
-        if 8 + form_len != len(payload):
-            raise ValueError("FORM length mismatch")
-        pos = 12
-        channels = n_frames = bits = rate = None
-        data = None
-        while pos + 8 <= len(payload):
-            ctype = payload[pos : pos + 4]
-            (clen,) = struct.unpack_from(">L", payload, pos + 4)
-            body = payload[pos + 8 : pos + 8 + clen]
-            if len(body) != clen:
-                raise ValueError(f"truncated {ctype!r} chunk")
-            if ctype == b"COMM":
-                channels, n_frames, bits = struct.unpack_from(
-                    ">hLh", body, 0
-                )
-                rate = _f80_decode_int(body[8:18])
-            elif ctype == b"SSND":
-                off, _block = struct.unpack_from(">LL", body, 0)
-                data = body[8 + off :]
-            pos += 8 + clen + (clen & 1)  # IFF chunks pad to even
-        if channels != 1 or bits != 16:
-            raise ValueError("only mono PCM16 AIFF supported")
-        s = np.frombuffer(data, dtype=">i2").astype(np.int64)
-        if s.size != n_frames:
-            raise ValueError("SSND frame count mismatch")
-        return (
-            int(rate),
-            int(n_frames),
-            int(s.sum()),
-            int(np.abs(s).max()) if s.size else 0,
-        )
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for k, payload in zip(pdf[key], pdf[payload_col]):
-                rate, n, ssum, smax = one(bytes(payload))
+                rate, n, ssum, smax = _aiff_one(bytes(payload))
                 rows.append((int(k), rate, n, ssum, smax))
             yield pd.DataFrame(
                 rows,
@@ -8003,6 +8020,62 @@ def _ebml_read_vint(buf: bytes, pos: int, *, keep_marker: bool):
     return v, pos + width
 
 
+#: EBML master elements the walk recurses into: Segment, Info,
+#: Tracks, TrackEntry (public Matroska ids)
+_MKV_MASTERS = {0x18538067, 0x1549A966, 0x1654AE6B, 0xAE}
+
+
+def _mkv_walk(buf: bytes, pos: int, end: int, out: dict) -> None:
+    while pos < end:
+        eid, pos = _ebml_read_vint(buf, pos, keep_marker=True)
+        size, pos = _ebml_read_vint(buf, pos, keep_marker=False)
+        if pos + size > end:
+            raise ValueError(f"EBML element 0x{eid:x} overruns parent")
+        if eid in _MKV_MASTERS:
+            if eid == 0xAE:
+                out["n_tracks"] = out.get("n_tracks", 0) + 1
+            _mkv_walk(buf, pos, pos + size, out)
+        elif eid == 0x4282:
+            out["doctype"] = buf[pos : pos + size].decode("ascii")
+        elif eid == 0x2AD7B1:
+            out["timestamp_scale"] = int.from_bytes(
+                buf[pos : pos + size], "big"
+            )
+        elif eid == 0x7BA9:
+            out["title_len"] = size
+        elif eid == 0xD7:
+            out["track_number_sum"] = out.get(
+                "track_number_sum", 0
+            ) + int.from_bytes(buf[pos : pos + size], "big")
+        pos += size
+
+
+@quarantinable("MKV")
+def _mkv_one(payload: bytes):
+    out: dict = {}
+    pos = 0
+    # top level: EBML header then Segment
+    for _ in range(2):
+        eid, p = _ebml_read_vint(payload, pos, keep_marker=True)
+        size, p = _ebml_read_vint(payload, p, keep_marker=False)
+        if eid == 0x1A45DFA3:
+            _mkv_walk(payload, p, p + size, out)
+        elif eid == 0x18538067:
+            _mkv_walk(payload, p, p + size, out)
+        else:
+            raise ValueError(f"unexpected top-level element 0x{eid:x}")
+        pos = p + size
+    if pos != len(payload):
+        raise ValueError("trailing bytes after Segment")
+    return (
+        out.get("doctype", ""),
+        out.get("timestamp_scale", 0),
+        out.get("n_tracks", 0),
+        out.get("track_number_sum", 0),
+        out.get("title_len", 0),
+    )
+
+
 def mkv_meta(
     df: DataFrame, *, payload_col: str = "payload", key: str = "key"
 ) -> DataFrame:
@@ -8012,61 +8085,11 @@ def mkv_meta(
     string leaves, skipping unknown elements by their declared size —
     the forward-compatibility contract EBML exists for.  Overruns
     raise (quarantine).  Arrow-batched, zero shuffles."""
-    MASTERS = {0x18538067, 0x1549A966, 0x1654AE6B, 0xAE}
-
-    def walk(buf: bytes, pos: int, end: int, out: dict) -> None:
-        while pos < end:
-            eid, pos = _ebml_read_vint(buf, pos, keep_marker=True)
-            size, pos = _ebml_read_vint(buf, pos, keep_marker=False)
-            if pos + size > end:
-                raise ValueError(f"EBML element 0x{eid:x} overruns parent")
-            if eid in MASTERS:
-                if eid == 0xAE:
-                    out["n_tracks"] = out.get("n_tracks", 0) + 1
-                walk(buf, pos, pos + size, out)
-            elif eid == 0x4282:
-                out["doctype"] = buf[pos : pos + size].decode("ascii")
-            elif eid == 0x2AD7B1:
-                out["timestamp_scale"] = int.from_bytes(
-                    buf[pos : pos + size], "big"
-                )
-            elif eid == 0x7BA9:
-                out["title_len"] = size
-            elif eid == 0xD7:
-                out["track_number_sum"] = out.get(
-                    "track_number_sum", 0
-                ) + int.from_bytes(buf[pos : pos + size], "big")
-            pos += size
-
-    def one(payload: bytes):
-        out: dict = {}
-        pos = 0
-        # top level: EBML header then Segment
-        for _ in range(2):
-            eid, p = _ebml_read_vint(payload, pos, keep_marker=True)
-            size, p = _ebml_read_vint(payload, p, keep_marker=False)
-            if eid == 0x1A45DFA3:
-                walk(payload, p, p + size, out)
-            elif eid == 0x18538067:
-                walk(payload, p, p + size, out)
-            else:
-                raise ValueError(f"unexpected top-level element 0x{eid:x}")
-            pos = p + size
-        if pos != len(payload):
-            raise ValueError("trailing bytes after Segment")
-        return (
-            out.get("doctype", ""),
-            out.get("timestamp_scale", 0),
-            out.get("n_tracks", 0),
-            out.get("track_number_sum", 0),
-            out.get("title_len", 0),
-        )
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for k, payload in zip(pdf[key], pdf[payload_col]):
-                rows.append((int(k),) + one(bytes(payload)))
+                rows.append((int(k),) + _mkv_one(bytes(payload)))
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -94,6 +94,14 @@ def _targets():
     yield "qoi_pixels", M.qoi_pixels, M.synth_qoi(20, 14, 3)
     yield "pnm_pixels/p5", M.pnm_pixels, M.synth_pnm(12, 10, 3, 2)
     yield "pnm_pixels/p6", M.pnm_pixels, M.synth_pnm(12, 10, 3, 0)
+    # the container-walk parsers behind the mapInPandas meta entries
+    yield "au_one", M._au_one, M.synth_au(5)
+    yield "mp4_one", M._mp4_one, M.synth_mp4(5)
+    yield "midi_one", M._midi_one, M.synth_midi(5)
+    yield "ogg_one", M._ogg_one, M.synth_ogg(5)
+    yield "aiff_one", M._aiff_one, M.synth_aiff(5)
+    yield "mkv_one", M._mkv_one, M.synth_mkv(5)
+    yield "mpeg_one", M._mpeg_one, M.synth_mp3_frames(5)
 
 
 class _DecodeHang(Exception):
