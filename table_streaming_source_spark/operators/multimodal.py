@@ -40,65 +40,15 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: low-level exceptions a decoder can hit on MALFORMED bytes (truncated
-#: structs, out-of-range indices/codes, corrupt deflate streams, an
-#: exhausted marker scan) — never on valid input, where the round-trip
-#: property tests pin exact output.
-_MALFORMED_EXC = (
-    struct.error,
-    IndexError,
-    KeyError,
-    StopIteration,
-    OverflowError,
-    EOFError,
-    UnicodeDecodeError,
-    zlib.error,
+# malformed-input discipline: shared with the file-format sources —
+# see ``table_streaming_source_spark/malformed.py`` for the contract
+# and `tests/test_decoder_fuzz.py` for the sweep that derived it.
+from table_streaming_source_spark.malformed import (  # noqa: F401
+    MALFORMED_EXC as _MALFORMED_EXC,
+    MAX_DECODE_PIXELS,
+    check_dims as _check_dims,
+    quarantinable,
 )
-
-
-def quarantinable(fmt: str):
-    """Decorator for public ``payload -> decoded`` entry points: any
-    low-level parse failure on malformed bytes surfaces as
-    ``ValueError`` — the ONE exception type quarantine routing
-    (:func:`quarantine_decode` and every attach/stats pipeline)
-    catches, so a single poisoned blob in a 100 TB scan routes to the
-    quarantine sink instead of killing the job with a leaked
-    ``struct.error``/``IndexError``/``zlib.error``.  Found and pinned
-    by the truncation/bit-flip fuzz sweep (`tests/test_decoder_fuzz.py`)."""
-    import functools
-
-    def deco(fn):
-        @functools.wraps(fn)
-        def wrapper(*args, **kwargs):
-            try:
-                return fn(*args, **kwargs)
-            except _MALFORMED_EXC as exc:
-                raise ValueError(
-                    f"malformed {fmt}: {type(exc).__name__}: {exc}"
-                ) from exc
-        return wrapper
-    return deco
-
-
-#: decompression-bomb guard (the PIL ``MAX_IMAGE_PIXELS`` idea): a tiny
-#: malformed-or-malicious payload can DECLARE a multi-gigapixel raster;
-#: reject before the canvas allocation instead of asking the executor
-#: for hundreds of GiB.  64 MPix is far above any fixture and most
-#: real-world stills; a pipeline that needs more raises it consciously.
-MAX_DECODE_PIXELS = 1 << 26
-
-
-def _check_dims(width: int, height: int, fmt: str) -> None:
-    """Reject impossible or bomb-sized raster dimensions BEFORE any
-    dims-driven allocation (found by the decoder fuzz sweep: a flipped
-    IHDR/SOF byte asked for a 464 PiB canvas)."""
-    if width <= 0 or height <= 0:
-        raise ValueError(f"{fmt} with non-positive dimensions")
-    if width * height > MAX_DECODE_PIXELS:
-        raise ValueError(
-            f"{fmt} dimensions {width}x{height} exceed the "
-            f"decompression-bomb guard ({MAX_DECODE_PIXELS} px)"
-        )
 
 
 def attach_payload(df: DataFrame, text_col: str, key: str) -> DataFrame:

@@ -24,6 +24,8 @@ CRC or unsupported method raises ``ValueError`` (quarantine path).
 
 from __future__ import annotations
 
+from table_streaming_source_spark.malformed import quarantinable
+
 import struct
 import zlib
 from typing import Iterator
@@ -44,6 +46,7 @@ from pyspark.sql.types import (
 # ---------------------------------------------------------------------------
 
 
+@quarantinable("TAR")
 def _tar_entries(payload: bytes) -> list[tuple[str, bytes]]:
     """Walk ustar 512-byte blocks → ``[(name, content), ...]`` for
     regular files.  Stops at the double zero-block terminator."""
@@ -203,6 +206,7 @@ def write_zip(path: str, entries: list[tuple[str, bytes]]) -> None:
         fh.write(b"".join(locals_) + cdir + eocd)
 
 
+@quarantinable("ZIP")
 def zip_entries(payload: bytes) -> list[tuple[str, bytes]]:
     """Resolve entries via EOCD → central directory (the authoritative
     index), decompress (stored/deflate), VERIFY CRC-32.  Malformed

@@ -28,6 +28,8 @@ land many medium files).
 
 from __future__ import annotations
 
+from table_streaming_source_spark.malformed import quarantinable
+
 import io
 import json
 import struct
@@ -230,6 +232,7 @@ def write_ocf(
     return bytes(out)
 
 
+@quarantinable("Avro OCF")
 def decode_ocf(blob: bytes) -> tuple[dict, list]:
     """Decode one OCF into ``(schema_dict, rows)`` (tuples in field
     order, timestamps normalized to µs since epoch)."""
@@ -244,11 +247,20 @@ def decode_ocf(blob: bytes) -> tuple[dict, list]:
         if n < 0:  # spec: negative count → abs count + byte size follows
             n = -n
             _, pos = read_long(blob, pos)
+        # a corrupt varint can declare billions of entries; each real
+        # entry needs >= 2 bytes, so bound the loop by what remains
+        # (the fuzz sweep's infinite-spin case)
+        if n > len(blob) - pos:
+            raise ValueError("OCF metadata count exceeds buffer")
         for _ in range(n):
             klen, pos = read_long(blob, pos)
+            if klen < 0 or pos + klen > len(blob):
+                raise ValueError("OCF metadata key overruns buffer")
             k = blob[pos : pos + klen].decode()
             pos += klen
             vlen, pos = read_long(blob, pos)
+            if vlen < 0 or pos + vlen > len(blob):
+                raise ValueError("OCF metadata value overruns buffer")
             meta[k] = blob[pos : pos + vlen]
             pos += vlen
     schema = json.loads(meta["avro.schema"])
@@ -261,12 +273,18 @@ def decode_ocf(blob: bytes) -> tuple[dict, list]:
     while pos < len(blob):
         n_rec, pos = read_long(blob, pos)
         n_bytes, pos = read_long(blob, pos)
+        if n_bytes < 0 or pos + n_bytes > len(blob):
+            raise ValueError("OCF block overruns buffer")
         payload = blob[pos : pos + n_bytes]
         pos += n_bytes
         if codec == "deflate":
             payload = zlib.decompress(payload, wbits=-15)
         elif codec != "null":
             raise ValueError(f"unsupported codec {codec!r}")
+        # every record costs >= 1 byte per field — a corrupt count must
+        # not drive a billion-iteration decode loop
+        if n_rec < 0 or n_rec > len(payload) + 1:
+            raise ValueError("OCF record count exceeds block size")
         p = 0
         for _ in range(n_rec):
             row = []

@@ -16,6 +16,8 @@ emits in a ``.bson`` file.
 
 from __future__ import annotations
 
+from table_streaming_source_spark.malformed import quarantinable
+
 import struct
 from typing import Iterator
 
@@ -76,6 +78,7 @@ def _read_cstring(buf: bytes, pos: int) -> tuple[str, int]:
     return buf[pos:end].decode("utf-8"), end + 1
 
 
+@quarantinable("BSON")
 def decode_document(buf: bytes, pos: int = 0) -> tuple[dict, int]:
     """One document at ``pos`` → (dict, end_pos); length prefix and
     trailing NUL both enforced."""

@@ -13,6 +13,8 @@ L fields map T/t/Y/y → true.
 
 from __future__ import annotations
 
+from table_streaming_source_spark.malformed import quarantinable
+
 import struct
 from typing import Iterator
 
@@ -71,6 +73,7 @@ def write_dbf(
         fh.write(bytes(out))
 
 
+@quarantinable("DBF")
 def dbf_records(payload: bytes) -> tuple[list[tuple[str, str]], list[dict]]:
     """Parse header + descriptors + ACTIVE records → (fields, rows)."""
     if payload[0] not in (0x02, 0x03):

@@ -36,6 +36,8 @@ printable HTML part, B-encoded Subject).
 
 from __future__ import annotations
 
+from table_streaming_source_spark.malformed import quarantinable
+
 import base64
 import binascii
 import re
@@ -73,6 +75,7 @@ def qp_encode(data: bytes, *, line_len: int = 72) -> bytes:
     return bytes(out)
 
 
+@quarantinable("quoted-printable")
 def qp_decode(data: bytes) -> bytes:
     out = bytearray()
     i, n = 0, len(data)
@@ -223,6 +226,7 @@ def _walk_parts(
     return [(mime_type, _decode_body(body, cte, charset))]
 
 
+@quarantinable("MIME message")
 def parse_message(raw: bytes) -> dict:
     """One RFC-5322/MIME message → ``{from_addr, subject, parts:
     [(content_type, text), ...]}``."""
@@ -240,6 +244,7 @@ def parse_message(raw: bytes) -> dict:
 # ---------------------------------------------------------------------------
 
 
+@quarantinable("mbox")
 def mbox_messages(payload: bytes) -> list[bytes]:
     """Split an mboxrd file into raw messages (separator line dropped,
     ``>From `` un-escaping applied)."""
@@ -377,6 +382,7 @@ def write_ics(path: str, calendars: list[tuple[int, list[dict]]]) -> None:
             fh.write("\r\n".join(folded).encode("utf-8") + b"\r\n")
 
 
+@quarantinable("iCalendar")
 def parse_ics(payload: bytes) -> list[dict]:
     """RFC 5545 walk: UNFOLD first (CRLF + space/tab joins), then
     BEGIN/END component tracking and NAME[;PARAM...]:VALUE property

@@ -24,6 +24,8 @@ No third-party parquet library is involved anywhere in this module.
 
 from __future__ import annotations
 
+from table_streaming_source_spark.malformed import quarantinable
+
 import struct
 from dataclasses import dataclass
 
@@ -145,6 +147,7 @@ class FooterInfo:
     footer_len: int
 
 
+@quarantinable("parquet footer")
 def parse_footer(footer: bytes) -> FooterInfo:
     """Parse a raw ``FileMetaData`` thrift blob (magic/length stripped)."""
     meta, _ = _parse_struct(footer, 0)

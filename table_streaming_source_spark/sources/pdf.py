@@ -39,6 +39,8 @@ Malformed input (bad header, broken xref, bad stream) raises
 
 from __future__ import annotations
 
+from table_streaming_source_spark.malformed import quarantinable
+
 import re
 import zlib
 from typing import Iterator
@@ -463,6 +465,7 @@ def _extract_text(content: bytes) -> bytes:
     return bytes(out)
 
 
+@quarantinable("PDF")
 def pdf_page_texts(payload: bytes) -> list[str]:
     """Extract per-page text from a PDF file image (UTF-8 byte
     decoding — see module docstring)."""

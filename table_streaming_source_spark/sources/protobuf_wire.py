@@ -28,6 +28,8 @@ input (truncated varint, short payload, unknown wire type) raises
 
 from __future__ import annotations
 
+from table_streaming_source_spark.malformed import quarantinable
+
 from typing import Iterator
 
 import pandas as pd
@@ -121,6 +123,7 @@ def encode_message(fields: dict[int, tuple[str, object]]) -> bytes:
     return bytes(out)
 
 
+@quarantinable("protobuf")
 def decode_fields(buf: bytes) -> list[tuple[int, int, object]]:
     """Raw field walk → ``[(field_number, wire_type, raw_value), ...]``
     (varint values as int, length-delimited as bytes, fixed as int)."""

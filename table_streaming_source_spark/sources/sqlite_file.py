@@ -39,6 +39,8 @@ the §2B "sources" surface that the Spark rebuild must provide itself.
 
 from __future__ import annotations
 
+from table_streaming_source_spark.malformed import quarantinable
+
 import struct
 from typing import Iterator
 
@@ -195,6 +197,7 @@ def _walk_table(db: _Db, root: int) -> Iterator[tuple[int, list]]:
         raise ValueError(f"unexpected b-tree page type {ptype}")
 
 
+@quarantinable("SQLite")
 def sqlite_rows(
     payload: bytes, table: str, *, rowid_alias_col: int | None = None
 ) -> list[list]:

@@ -22,6 +22,8 @@ source-to-table contract.
 
 from __future__ import annotations
 
+from table_streaming_source_spark.malformed import quarantinable
+
 from typing import Iterator
 
 import pandas as pd
@@ -63,6 +65,7 @@ def write_warc(path: str, records: list[tuple[str, str, str]]) -> None:
             fh.write(header + http + _CRLF + _CRLF)
 
 
+@quarantinable("WARC")
 def parse_warc_bytes(
     payload: bytes,
 ) -> list[tuple[str, str, str, int, str]]:

@@ -26,6 +26,8 @@ corpus path.
 
 from __future__ import annotations
 
+from table_streaming_source_spark.malformed import quarantinable
+
 import re
 from typing import Iterator
 from xml.etree import ElementTree as ET
@@ -174,6 +176,7 @@ def write_xlsx(
     )
 
 
+@quarantinable("XLSX")
 def xlsx_records(payload: bytes) -> list[tuple[str, int, dict]]:
     """Parse one .xlsx payload → ``[(sheet_name, row_num, {header:
     value_str})]`` with the first sheet row as header.  Sparse rows

@@ -1,0 +1,187 @@
+"""Malformed-bytes fuzz over the file-format source parsers.
+
+Same contract as `tests/test_decoder_fuzz.py` (see
+`table_streaming_source_spark/malformed.py`): on corrupt input a
+parser returns or raises ``ValueError`` — never a leaked low-level
+exception, never an unbounded count-driven loop (the Avro OCF
+metadata spin the sweep found).  Pure Python — each target builds its
+valid payload with the module's own writer, then runs a seeded
+truncation/flip/splice regime against the parser.
+"""
+
+import os
+import random
+import signal
+import sqlite3
+import zlib
+
+import pytest
+
+from table_streaming_source_spark.sources import (
+    archive,
+    avro_ocf,
+    bson_file,
+    dbf_file,
+    mime,
+    parquet_footer,
+    pdf,
+    protobuf_wire,
+    sqlite_file,
+    warc,
+    xlsx,
+)
+
+
+def _fread(p):
+    with open(p, "rb") as fh:
+        return fh.read()
+
+
+def _targets(tmp):
+    p = os.path.join(tmp, "t.tar")
+    archive.write_tar(p, [("a.txt", b"hello"), ("b/c.bin", bytes(range(64)))])
+    yield "tar_entries", archive._tar_entries, _fread(p)
+
+    p = os.path.join(tmp, "t.zip")
+    archive.write_zip(p, [("a.txt", b"hello world"), ("d/e.txt", b"x" * 100)])
+    yield "zip_entries", archive.zip_entries, _fread(p)
+
+    doc = {"a": 1, "b": "text", "c": 2.5, "d": True}
+    yield "bson_decode", bson_file.decode_document, bson_file.encode_document(doc)
+
+    p = os.path.join(tmp, "t.dbf")
+    dbf_file.write_dbf(
+        p,
+        [("NAME", "C", 10, 0), ("QTY", "N", 8, 0)],
+        [("ab", 3), ("cd", 4), ("ef", 5)],
+    )
+    yield "dbf_records", dbf_file.dbf_records, _fread(p)
+
+    yield "qp_decode", mime.qp_decode, mime.qp_encode(
+        "héllo=world ".encode() * 10
+    )
+
+    msg = mime.build_message(
+        from_addr="a@b.c", subject="Tést", text="hello", html="<b>h</b>"
+    )
+    yield "parse_message", mime.parse_message, msg
+
+    p = os.path.join(tmp, "t.mbox")
+    mime.write_mbox(p, [msg, msg])
+    yield "mbox_messages", mime.mbox_messages, _fread(p)
+
+    p = os.path.join(tmp, "ics")
+    mime.write_ics(
+        p,
+        [(1, [{
+            "uid": "u1", "dtstart": "20260101T000000Z", "minutes": 30,
+            "summary": "s" * 40, "description": "x" * 90,
+        }])],
+    )
+    yield "parse_ics", mime.parse_ics, _fread(os.path.join(p, "cal-1.ics"))
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pqp = os.path.join(tmp, "t.parquet")
+    pq.write_table(pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]}), pqp)
+    raw = _fread(pqp)
+    flen = int.from_bytes(raw[-8:-4], "little")
+    yield "parse_footer", parquet_footer.parse_footer, raw[-8 - flen:]
+
+    p = os.path.join(tmp, "t.pdf")
+    pdf.write_pdf(p, ["page one text", "page two text"])
+    yield "pdf_page_texts", pdf.pdf_page_texts, _fread(p)
+
+    yield "pb_decode_fields", protobuf_wire.decode_fields, (
+        protobuf_wire.encode_message({
+            1: ("varint", 42), 2: ("bytes", b"hi"), 3: ("fixed32", 7),
+            4: ("string", "yo"), 5: ("packed_varint", [1, 2, 300]),
+        })
+    )
+
+    sp = os.path.join(tmp, "t.sqlite")
+    con = sqlite3.connect(sp)
+    con.execute("CREATE TABLE docs (id INTEGER PRIMARY KEY, body TEXT)")
+    con.executemany(
+        "INSERT INTO docs VALUES (?, ?)", [(i, f"doc {i}") for i in range(20)]
+    )
+    con.commit()
+    con.close()
+    yield "sqlite_rows", (
+        lambda b: sqlite_file.sqlite_rows(b, "docs", rowid_alias_col=0)
+    ), _fread(sp)
+
+    p = os.path.join(tmp, "t.warc")
+    warc.write_warc(
+        p, [("id1", "http://x/1", "hello body"), ("id2", "http://x/2", "b" * 80)]
+    )
+    yield "parse_warc", warc.parse_warc_bytes, _fread(p)
+
+    p = os.path.join(tmp, "t.xlsx")
+    xlsx.write_xlsx(p, ["k", "v"], [[1, "a"], [2, "b"], [3, "c"]])
+    yield "xlsx_records", xlsx.xlsx_records, _fread(p)
+
+    schema = (
+        '{"type":"record","name":"r","fields":'
+        '[{"name":"a","type":"long"},{"name":"b","type":"string"}]}'
+    )
+    yield "decode_ocf", avro_ocf.decode_ocf, avro_ocf.write_ocf(
+        schema, [(1, "x"), (2, "y")]
+    )
+
+
+class _ParseHang(Exception):
+    pass
+
+
+@pytest.fixture(scope="module")
+def source_targets(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("srcfuzz"))
+    return {name: (fn, bytes(valid)) for name, fn, valid in _targets(tmp)}
+
+
+_NAMES = [
+    "tar_entries", "zip_entries", "bson_decode", "dbf_records",
+    "qp_decode", "parse_message", "mbox_messages", "parse_ics",
+    "parse_footer", "pdf_page_texts", "pb_decode_fields", "sqlite_rows",
+    "parse_warc", "xlsx_records", "decode_ocf",
+]
+
+
+@pytest.mark.parametrize("name", _NAMES)
+def test_source_parser_quarantines_malformed_bytes(name, source_targets):
+    fn, valid = source_targets[name]
+    fn(valid)  # the intact payload must parse
+    rnd = random.Random(zlib.crc32(name.encode()))
+    n = len(valid)
+    cases = []
+    cuts = range(n) if n <= 120 else sorted(rnd.sample(range(n), 120))
+    for i in cuts:
+        cases.append(valid[:i])
+    for _ in range(120):
+        i = rnd.randrange(n)
+        x = rnd.choice((0xFF, 0x80, 0x01, 0x7F))
+        cases.append(valid[:i] + bytes([valid[i] ^ x]) + valid[i + 1:])
+    for _ in range(20):
+        i = rnd.randrange(n)
+        cases.append(
+            valid[:i] + bytes(rnd.randrange(256) for _ in range(4))
+            + valid[i + 4:]
+        )
+
+    def _on_alarm(sig, frame):
+        raise _ParseHang(name)
+
+    old = signal.signal(signal.SIGALRM, _on_alarm)
+    try:
+        for case in cases:
+            signal.alarm(10)
+            try:
+                fn(bytes(case))
+            except (ValueError, NotImplementedError):
+                pass  # the quarantine contract
+            finally:
+                signal.alarm(0)
+    finally:
+        signal.signal(signal.SIGALRM, old)
