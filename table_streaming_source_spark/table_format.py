@@ -186,14 +186,16 @@ def _resolve_write_target(
 
 def _advance_branch(path: str, branch: str | None, new_v: int) -> None:
     """Move the branch pointer to the commit that just landed (no-op
-    for linear writes).  Re-reads the refs file: pointer advancement
-    must not clobber refs created while the data files were written."""
+    for linear writes).  Re-reads the refs file under the refs mutex:
+    pointer advancement must not clobber refs created — or other
+    branches advanced — while the data files were written."""
     if branch is None:
         return
-    refs = list_refs(path)
-    _ensure_main_pinned(path, refs)
-    refs[branch]["version"] = new_v
-    _write_refs(path, refs)
+    with _refs_mutex(path):
+        refs = list_refs(path)
+        _ensure_main_pinned(path, refs)
+        refs[branch]["version"] = new_v
+        _write_refs(path, refs)
 
 
 def commit_append(
@@ -620,10 +622,15 @@ def read_incremental(
     equality deletes are NOT replayed as retractions (a
     :func:`commit_delete_keys` in range introduces no data files) —
     the standard append-changelog caveat; consumers needing delete
-    events read the delete files directly from the commit payloads."""
+    events read the delete files directly from the commit payloads.
+
+    ``to_version=None`` resolves to MAIN's head when refs exist (the
+    linear head otherwise): on a branched table "the latest version"
+    belongs to whichever lineage committed last, and an incremental
+    consumer of main must not be handed another branch's files."""
     from pyspark.sql import functions as F
 
-    to_v = latest_version(path) if to_version is None else to_version
+    to_v = resolve_ref(path, None) if to_version is None else to_version
     groups: dict[int, list[str]] = {}
     for v, rel in incremental_files(
         path, from_version=from_version, to_version=to_v
@@ -1153,6 +1160,44 @@ def _write_refs(path: str, refs: dict) -> None:
     os.replace(tmp, _refs_path(path))
 
 
+class _refs_mutex:
+    """Serialize refs read-modify-write sections (pointer advancement,
+    branch/tag create/drop).  The atomic replace in
+    :func:`_write_refs` makes each WRITE safe, but two concurrent
+    writers that both read-then-write would still lose one update —
+    the catalog CAS a real format gets from its metastore, emulated
+    locally with an ``O_CREAT|O_EXCL`` lock file (the same
+    put-if-absent primitive the commit rename uses)."""
+
+    def __init__(self, path: str) -> None:
+        self._lock = os.path.join(_log_dir(path), "_refs.lock")
+
+    def __enter__(self) -> None:
+        import time
+
+        deadline = time.monotonic() + 30.0
+        while True:
+            try:
+                fd = os.open(
+                    self._lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                os.close(fd)
+                return
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"refs lock {self._lock} held too long — "
+                        "a crashed writer may have leaked it"
+                    )
+                time.sleep(0.005)
+
+    def __exit__(self, *exc) -> None:
+        try:
+            os.remove(self._lock)
+        except FileNotFoundError:
+            pass
+
+
 def resolve_ref(path: str, ref=None) -> int:
     """A ref is an int version (passed through), a branch/tag name, or
     None/'main' (the main branch if pinned, else the linear head)."""
@@ -1182,37 +1227,40 @@ def create_branch(path: str, name: str, at=None) -> int:
     """Create branch ``name`` at ``at`` (default: main's head).  A
     branch is a MOVABLE pointer: :func:`commit_append_branch` advances
     it.  Creating over an existing ref raises."""
-    refs = list_refs(path)
-    if name in refs:
-        raise ValueError(f"ref {name!r} already exists")
-    v = resolve_ref(path, at)
-    _ensure_main_pinned(path, refs)
-    refs[name] = {"type": "branch", "version": v}
-    _write_refs(path, refs)
+    with _refs_mutex(path):
+        refs = list_refs(path)
+        if name in refs:
+            raise ValueError(f"ref {name!r} already exists")
+        v = resolve_ref(path, at)
+        _ensure_main_pinned(path, refs)
+        refs[name] = {"type": "branch", "version": v}
+        _write_refs(path, refs)
     return v
 
 
 def create_tag(path: str, name: str, at=None) -> int:
     """Create tag ``name`` — an IMMUTABLE snapshot pointer (audit /
     release marker).  No API moves a tag; drop and recreate instead."""
-    refs = list_refs(path)
-    if name in refs:
-        raise ValueError(f"ref {name!r} already exists")
-    v = resolve_ref(path, at)
-    _ensure_main_pinned(path, refs)
-    refs[name] = {"type": "tag", "version": v}
-    _write_refs(path, refs)
+    with _refs_mutex(path):
+        refs = list_refs(path)
+        if name in refs:
+            raise ValueError(f"ref {name!r} already exists")
+        v = resolve_ref(path, at)
+        _ensure_main_pinned(path, refs)
+        refs[name] = {"type": "tag", "version": v}
+        _write_refs(path, refs)
     return v
 
 
 def drop_ref(path: str, name: str) -> None:
-    refs = list_refs(path)
-    if name not in refs:
-        raise ValueError(f"unknown ref {name!r}")
-    if name == "main":
-        raise ValueError("cannot drop main")
-    del refs[name]
-    _write_refs(path, refs)
+    with _refs_mutex(path):
+        refs = list_refs(path)
+        if name not in refs:
+            raise ValueError(f"unknown ref {name!r}")
+        if name == "main":
+            raise ValueError("cannot drop main")
+        del refs[name]
+        _write_refs(path, refs)
 
 
 def commit_append_branch(
@@ -1296,8 +1344,14 @@ def fast_forward(path: str, branch: str, to) -> int:
             f"cannot fast-forward {branch!r}: {cur} is not an ancestor "
             f"of {target}"
         )
-    refs[branch]["version"] = target
-    _write_refs(path, refs)
+    with _refs_mutex(path):
+        refs = list_refs(path)
+        if refs.get(branch, {}).get("version") != cur:
+            raise CommitConflict(
+                f"branch {branch!r} moved during fast-forward"
+            )
+        refs[branch]["version"] = target
+        _write_refs(path, refs)
     return target
 
 

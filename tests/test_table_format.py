@@ -1566,3 +1566,67 @@ def test_format_tail_follows_one_lineage(spark, tmp_path):
     # rows never reach it
     assert dev_got.count() == 50 + 10
     assert dev_got.filter("k >= 200").count() == 0
+
+
+def test_concurrent_branch_writers_do_not_clobber_pointers(
+    spark, tmp_path
+):
+    """Two threads race appends onto TWO branches.  Commit versions
+    come from the shared namespace (losers retry on CommitConflict);
+    pointer advancement is a refs read-modify-write serialized by the
+    refs mutex — without it, one branch's advancement is silently
+    lost when both writers re-write the refs file from a stale read."""
+    import threading
+
+    path = str(tmp_path / "tbl")
+    TF.create_table(path)
+    base = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    TF.commit_append(spark, path, base, stat_cols=["k"])
+    TF.create_branch(path, "dev")
+    TF.create_branch(path, "exp")
+    n_commits, rows_each = 4, 10
+    errs: list[Exception] = []
+
+    def worker(branch: str, lo: int) -> None:
+        try:
+            for i in range(n_commits):
+                df = spark.range(rows_each).selectExpr(
+                    f"id + {lo + i * 100} as k", "id as v"
+                )
+                while True:
+                    try:
+                        TF.commit_append(
+                            spark, path, df, stat_cols=["k"],
+                            branch=branch,
+                        )
+                        break
+                    except TF.CommitConflict:
+                        continue
+        except Exception as exc:
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=worker, args=("dev", 1000)),
+        threading.Thread(target=worker, args=("exp", 5000)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    expect = 50 + n_commits * rows_each
+    for b in ("dev", "exp"):
+        assert TF.read_ref(spark, path, b).count() == expect, b
+    assert TF.read_ref(spark, path, "main").count() == 50
+    # each lineage walks cleanly from its head to the shared base
+    refs = TF.list_refs(path)
+    for b in ("dev", "exp"):
+        v = refs[b]["version"]
+        seen = 0
+        while v is not None:
+            c = TF._read_commit(path, v)
+            seen += 1
+            v = c["parent"]
+        assert seen == n_commits + 2  # base append + create + n appends
