@@ -84,3 +84,47 @@ def check_dims(width: int, height: int, fmt: str) -> None:
             f"{fmt} dimensions {width}x{height} exceed the "
             f"decompression-bomb guard ({MAX_DECODE_PIXELS} px)"
         )
+
+
+#: single-stream inflate ceiling when the format declares no expected
+#: size (gzip ISIZE is a trailer, Avro OCF blocks declare only their
+#: COMPRESSED length).  DEFLATE expands at most ~1032x, so a bomb needs
+#: a proportionally large input to pass this — 256 MiB is far above any
+#: fixture or sane block and bounds one task's memory.
+MAX_INFLATE_BYTES = 1 << 28
+
+
+def bounded_inflate(
+    data: bytes,
+    *,
+    declared: int | None = None,
+    fmt: str = "deflate stream",
+    wbits: int = -15,
+) -> bytes:
+    """Inflate with the decompression-bomb guard applied WHILE
+    inflating, never after: with ``declared`` the output must be
+    exactly that many bytes (``max_length = declared + 1`` detects
+    over-production without materializing it); without it the output
+    is capped at :data:`MAX_INFLATE_BYTES`.  Raises ``ValueError`` on
+    any mismatch — the quarantine contract."""
+    if declared is not None and declared < 0:
+        raise ValueError(f"{fmt}: negative declared size")
+    d = zlib.decompressobj(wbits)
+    cap = (declared + 1) if declared is not None else (
+        MAX_INFLATE_BYTES + 1
+    )
+    try:
+        out = d.decompress(data, cap)
+    except zlib.error as exc:
+        raise ValueError(f"{fmt}: {exc}") from exc
+    if declared is not None:
+        if len(out) != declared:
+            raise ValueError(
+                f"{fmt}: inflated {len(out)} bytes, declared {declared}"
+            )
+    elif len(out) > MAX_INFLATE_BYTES:
+        raise ValueError(
+            f"{fmt}: inflate exceeds the bomb guard "
+            f"({MAX_INFLATE_BYTES} bytes)"
+        )
+    return out

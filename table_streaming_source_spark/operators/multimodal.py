@@ -46,6 +46,7 @@ from pyspark.sql.types import (
 from table_streaming_source_spark.malformed import (  # noqa: F401
     MALFORMED_EXC as _MALFORMED_EXC,
     MAX_DECODE_PIXELS,
+    bounded_inflate as _bounded_inflate,
     check_dims as _check_dims,
     quarantinable,
 )
@@ -902,10 +903,11 @@ def png_pixels(payload: bytes) -> "object":
         raise ValueError("PNG without IHDR")
     if (depth, ctype) != (8, 0):
         raise ValueError("only 8-bit grayscale supported by this decoder")
-    raw = zlib.decompress(idat)
+    _check_dims(width, height, "PNG")
     stride = width + 1
-    if len(raw) != stride * height:
-        raise ValueError("IDAT size mismatch")
+    raw = _bounded_inflate(
+        idat, declared=stride * height, fmt="PNG IDAT", wbits=15
+    )
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
     if (arr[:, 0] != 0).any():
         raise ValueError("only filter type 0 supported by this decoder")
@@ -4780,7 +4782,6 @@ def png_pixels_adam7(payload: bytes) -> "object":
     if interlace != 1:
         raise ValueError("not Adam7-interlaced")
     _check_dims(width, height, "PNG")
-    raw = zlib.decompress(idat)
     want = sum(
         ph * (1 + pw)
         for x0, y0, dx, dy in ADAM7_PASSES
@@ -4788,8 +4789,7 @@ def png_pixels_adam7(payload: bytes) -> "object":
         for ph in (len(range(y0, height, dy)),)
         if pw and ph
     )
-    if len(raw) != want:
-        raise ValueError("IDAT size mismatch")
+    raw = _bounded_inflate(idat, declared=want, fmt="PNG IDAT", wbits=15)
     out = np.zeros((height, width), dtype=np.uint8)
     pos = 0
     for x0, y0, dx, dy in ADAM7_PASSES:
@@ -5002,8 +5002,11 @@ def png_pixels_filtered(payload: bytes) -> "object":
     if interlace != 0:
         raise ValueError("interlaced PNG: use png_pixels_adam7")
     bpp = 1 if ctype == 0 else 3
+    _check_dims(width, height, "PNG")
     rowbytes = width * bpp
-    raw = zlib.decompress(idat)
+    raw = _bounded_inflate(
+        idat, declared=(rowbytes + 1) * height, fmt="PNG IDAT", wbits=15
+    )
     stride = rowbytes + 1
     if len(raw) != stride * height:
         raise ValueError("IDAT size mismatch")
@@ -5737,10 +5740,10 @@ def png_pixels_palette(payload: bytes) -> "tuple[object, object]":
     if width is None or not plte:
         raise ValueError("paletted PNG without IHDR/PLTE")
     _check_dims(width, height, "PNG")
-    raw = zlib.decompress(idat)
     stride = width + 1
-    if len(raw) != height * stride:
-        raise ValueError("IDAT size mismatch")
+    raw = _bounded_inflate(
+        idat, declared=height * stride, fmt="PNG IDAT", wbits=15
+    )
     idx = np.zeros((height, width), dtype=np.int64)
     prior = np.zeros(width, dtype=np.int64)
     for r in range(height):

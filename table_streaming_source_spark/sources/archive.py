@@ -24,7 +24,11 @@ CRC or unsupported method raises ``ValueError`` (quarantine path).
 
 from __future__ import annotations
 
-from table_streaming_source_spark.malformed import quarantinable
+from table_streaming_source_spark.malformed import (
+    MAX_INFLATE_BYTES,
+    bounded_inflate,
+    quarantinable,
+)
 
 import struct
 import zlib
@@ -238,7 +242,11 @@ def zip_entries(payload: bytes) -> list[tuple[str, bytes]]:
         if method == 0:
             data = comp
         elif method == 8:
-            data = zlib.decompress(comp, wbits=-15)
+            # inflate against the DECLARED size — a crafted member
+            # must not balloon before the post-hoc length check
+            data = bounded_inflate(
+                comp, declared=usize, fmt=f"ZIP member {name!r}"
+            )
         else:
             raise ValueError(f"unsupported ZIP method {method}")
         if len(data) != usize:
@@ -360,7 +368,13 @@ def gzip_members(payload: bytes) -> list[tuple[str, bytes]]:
                 raise ValueError("gzip header CRC mismatch")
             p += 2
         d = zlib.decompressobj(-15)
-        content = d.decompress(payload[p:])
+        # ISIZE is a trailer (unknown until after the inflate) — cap
+        # at the shared bomb guard instead
+        content = d.decompress(payload[p:], MAX_INFLATE_BYTES + 1)
+        if len(content) > MAX_INFLATE_BYTES:
+            raise ValueError(
+                f"gzip member {name!r} exceeds the inflate bomb guard"
+            )
         content += d.flush()
         if not d.eof:
             raise ValueError("truncated deflate stream")

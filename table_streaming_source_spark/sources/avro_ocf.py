@@ -28,7 +28,10 @@ land many medium files).
 
 from __future__ import annotations
 
-from table_streaming_source_spark.malformed import quarantinable
+from table_streaming_source_spark.malformed import (
+    bounded_inflate,
+    quarantinable,
+)
 
 import io
 import json
@@ -278,7 +281,7 @@ def decode_ocf(blob: bytes) -> tuple[dict, list]:
         payload = blob[pos : pos + n_bytes]
         pos += n_bytes
         if codec == "deflate":
-            payload = zlib.decompress(payload, wbits=-15)
+            payload = bounded_inflate(payload, fmt="Avro OCF block")
         elif codec != "null":
             raise ValueError(f"unsupported codec {codec!r}")
         # every record costs >= 1 byte per field — a corrupt count must

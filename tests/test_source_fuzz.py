@@ -185,3 +185,58 @@ def test_source_parser_quarantines_malformed_bytes(name, source_targets):
                 signal.alarm(0)
     finally:
         signal.signal(signal.SIGALRM, old)
+
+
+def test_zip_bomb_rejected_before_inflating():
+    """A member whose stream inflates past its DECLARED size must be
+    rejected while inflating (max_length = declared + 1), not after
+    materializing the bomb — `malformed.bounded_inflate`."""
+    import struct
+
+    bomb_raw = b"\x00" * (8 * 1024 * 1024)
+    comp = zlib.compress(bomb_raw, 9)[2:-4]  # raw deflate
+    crc = zlib.crc32(bomb_raw)
+
+    def make_zip(usize):
+        name = b"a.bin"
+        lh = (
+            b"PK\x03\x04"
+            + struct.pack(
+                "<HHHHHIIIHH", 20, 0, 8, 0, 0, crc, len(comp), usize,
+                len(name), 0,
+            )
+            + name + comp
+        )
+        cd = (
+            b"PK\x01\x02"
+            + struct.pack(
+                "<HHHHHHIIIHHHHHII", 20, 20, 0, 8, 0, 0, crc,
+                len(comp), usize, len(name), 0, 0, 0, 0, 0, 0,
+            )
+            + name
+        )
+        eocd = b"PK\x05\x06" + struct.pack(
+            "<HHHHIIH", 0, 0, 1, 1, len(cd), len(lh), 0
+        )
+        return lh + cd + eocd
+
+    with pytest.raises(ValueError, match="declared"):
+        archive.zip_entries(make_zip(100))  # lies small → fail fast
+    (name, data), = archive.zip_entries(make_zip(len(bomb_raw)))
+    assert data == bomb_raw  # honest declaration still inflates
+
+
+def test_bounded_inflate_contract():
+    from table_streaming_source_spark.malformed import (
+        MAX_INFLATE_BYTES, bounded_inflate,
+    )
+
+    raw = b"payload" * 1000
+    comp = zlib.compress(raw)[2:-4]
+    assert bounded_inflate(comp, declared=len(raw)) == raw
+    with pytest.raises(ValueError, match="declared"):
+        bounded_inflate(comp, declared=len(raw) - 1)
+    with pytest.raises(ValueError, match="declared"):
+        bounded_inflate(comp, declared=len(raw) + 1)
+    assert bounded_inflate(comp) == raw  # capped mode
+    assert MAX_INFLATE_BYTES >= 1 << 28
