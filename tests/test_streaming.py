@@ -678,3 +678,95 @@ def test_stateful_agg_under_rocksdb_state_store(spark, tmp_path):
             spark.conf.set(conf, old)
     assert rocks_rows == default_rows
     assert len(rocks_rows) == 5
+
+
+@pytest.mark.streaming
+def test_timeout_sessions_recover_across_checkpoint_restart(
+    spark, sf_dir, tmp_path
+):
+    """Crash-recovery for the custom sessionizer: drain the first half
+    of the event stream, STOP, then restart from the same checkpoint
+    over the second half — the recovered state (open sessions + the
+    persisted watermark) must continue exactly where the first run
+    left off, and the union of both runs' emissions must equal a
+    fresh one-shot drain of the whole stream.  This is the property
+    checkpointing exists for; the availableNow drains elsewhere never
+    exercise recovery."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from table_streaming_source_spark.io import load_table
+    from table_streaming_source_spark.streaming.stateful import (
+        timeout_sessions_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "value"
+    )
+    mm = events.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).head()
+    cuts = [mm.lo + (mm.hi - mm.lo) * k / 4 for k in (1, 2, 3)]
+
+    def write_chunk(d, start, end, stamp):
+        chunk = events
+        if start is not None:
+            chunk = chunk.filter(F.col("ts") >= F.lit(start))
+        if end is not None:
+            chunk = chunk.filter(F.col("ts") < F.lit(end))
+        seen = set(_os.listdir(d)) if _os.path.exists(d) else set()
+        chunk.coalesce(1).write.mode("append").parquet(d)
+        # strictly-increasing mtimes: FileStreamSource lists by
+        # (mtime, path), and the restart must see phase-2 files as new
+        for name in sorted(set(_os.listdir(d)) - seen):
+            _os.utime(_os.path.join(d, name), (stamp, stamp))
+
+    def drain(src, out, ck):
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        sessions = timeout_sessions_stream(
+            stream.withWatermark("ts", "7 days")
+        )
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+
+    # restarted path: two drains over one checkpoint
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    write_chunk(src, None, cuts[0], 1_700_000_000)
+    write_chunk(src, cuts[0], cuts[1], 1_700_000_060)
+    drain(src, out, ck)
+    mid = spark.read.parquet(out).count()
+    write_chunk(src, cuts[1], cuts[2], 1_700_000_120)
+    write_chunk(src, cuts[2], None, 1_700_000_180)
+    drain(src, out, ck)  # RESTART from the same checkpoint
+
+    # reference path: one fresh drain over the identical file sequence
+    src2 = str(tmp_path / "src2")
+    _os.makedirs(src2)
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    write_chunk(src2, None, cuts[0], 1_700_000_000)
+    write_chunk(src2, cuts[0], cuts[1], 1_700_000_060)
+    write_chunk(src2, cuts[1], cuts[2], 1_700_000_120)
+    write_chunk(src2, cuts[2], None, 1_700_000_180)
+    drain(src2, out2, ck2)
+
+    got = spark.read.parquet(out)
+    want = spark.read.parquet(out2)
+    assert got.count() > mid > 0  # both runs emitted something
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
