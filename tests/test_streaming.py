@@ -681,8 +681,9 @@ def test_stateful_agg_under_rocksdb_state_store(spark, tmp_path):
 
 
 @pytest.mark.streaming
+@pytest.mark.parametrize("op_name", ["legacy", "tws"])
 def test_timeout_sessions_recover_across_checkpoint_restart(
-    spark, sf_dir, tmp_path
+    spark, sf_dir, tmp_path, op_name
 ):
     """Crash-recovery for the custom sessionizer: drain the first half
     of the event stream, STOP, then restart from the same checkpoint
@@ -700,8 +701,18 @@ def test_timeout_sessions_recover_across_checkpoint_restart(
     from table_streaming_source_spark.io import load_table
     from table_streaming_source_spark.streaming.stateful import (
         timeout_sessions_stream,
+        timeout_sessions_stream_tws,
     )
 
+    if op_name == "tws":
+        # transformWithStateInPandas needs the named-state wire
+        # protocol; the sandbox lacks protobuf (same gate as the
+        # e2e-equivalence test) — a standard cluster executes this leg
+        pytest.importorskip("google.protobuf")
+    session_op = (
+        timeout_sessions_stream if op_name == "legacy"
+        else timeout_sessions_stream_tws
+    )
     events = load_table(spark, sf_dir, "events").select(
         "ts", "user_id", "value"
     )
@@ -727,9 +738,7 @@ def test_timeout_sessions_recover_across_checkpoint_restart(
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
         )
-        sessions = timeout_sessions_stream(
-            stream.withWatermark("ts", "7 days")
-        )
+        sessions = session_op(stream.withWatermark("ts", "7 days"))
         q = (
             sessions.writeStream.format("parquet")
             .option("path", out)
