@@ -1630,3 +1630,33 @@ def test_concurrent_branch_writers_do_not_clobber_pointers(
             seen += 1
             v = c["parent"]
         assert seen == n_commits + 2  # base append + create + n appends
+
+
+def test_ref_read_plans_broadcast_anti_join_and_prunes(spark, tmp_path):
+    """read_ref's MOR path keeps both scale properties: manifest
+    pruning composes (pruned files never enter the plan) and the
+    delete subtraction is a BROADCAST anti-join, never a shuffled
+    sort-merge join."""
+    path = str(tmp_path / "refplan")
+    TF.create_table(path)
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    TF.commit_append(
+        spark, path,
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        stat_cols=["k"],
+    )
+    TF.commit_delete_keys(spark, path, df.filter("k % 5 = 0"), key="k")
+    TF.create_tag(path, "rel")
+    got = TF.read_ref(spark, path, "rel", prune=("k", 0, 499))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    # pruning: of the 8 range-clustered files only ~half survive —
+    # read the data-side scan's file-index size from the plan
+    import re
+
+    n_files = sum(
+        int(m) for m in re.findall(r"InMemoryFileIndex\((\d+) paths?\)", plan)
+    )
+    assert 0 < n_files <= 5, plan[:500]
+    assert got.filter("k < 500").count() == 400  # deletes applied
