@@ -169,6 +169,24 @@ def test_source_parser_quarantines_malformed_bytes(name, source_targets):
             valid[:i] + bytes(rnd.randrange(256) for _ in range(4))
             + valid[i + 4:]
         )
+    # structural corruption — different hole class than byte flips
+    for _ in range(30):
+        mode = rnd.randrange(3)
+        a = rnd.randrange(n)
+        b = rnd.randrange(n)
+        a, b = min(a, b), max(a, b)
+        ln = rnd.choice((4, 8, 16, 32, 64))
+        if mode == 0:  # duplicate an aligned slice (two IHDRs, ...)
+            cases.append(valid[:b] + valid[a:a + ln] + valid[b:])
+        elif mode == 1:  # delete a slice (a vanished chunk)
+            cases.append(valid[:a] + valid[a + ln:])
+        elif a + ln <= b:  # swap two slices (reordered records)
+            s1, s2 = valid[a:a + ln], valid[b:b + ln]
+            cases.append(
+                valid[:a] + s2 + valid[a + ln:b] + s1 + valid[b + ln:]
+            )
+    cases.append(valid + valid)  # self-concatenation
+    cases.append(valid[::-1])
 
     def _on_alarm(sig, frame):
         raise _ParseHang(name)
