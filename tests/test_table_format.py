@@ -1309,7 +1309,7 @@ def test_table_format_branch_model_random_walk(spark, tmp_path):
             b = rnd.choice(["main", "dev"])
             op = rnd.choice(
                 ["append", "append", "delete", "merge", "compact",
-                 "tag", "clone", "expire", "vacuum"]
+                 "tag", "clone", "expire", "vacuum", "promote"]
             )
             model = models[b]
             if op == "append" or not model:
@@ -1368,6 +1368,33 @@ def test_table_format_branch_model_random_walk(spark, tmp_path):
                 assert got == sorted(model.items()), (
                     f"seed {seed} step {step} clone of {b}"
                 )
+            elif op == "promote":
+                # the WAP pattern: stage row-level work on a temp
+                # branch off b, audit (modeled), fast-forward b onto
+                # it, drop the temp ref
+                TF.create_branch(path, "stage", at=b)
+                staged = dict(model)
+                fresh = [next_key + i for i in range(2)]
+                next_key += 2
+                rows = [(k, k * 10 + step) for k in fresh]
+                TF.commit_append(
+                    spark, path, _df(rows), stat_cols=["k"],
+                    branch="stage",
+                )
+                staged.update(dict(rows))
+                if len(staged) > 3:
+                    dels = rnd.sample(sorted(staged), k=2)
+                    TF.commit_delete_keys(
+                        spark, path,
+                        _df((k, 0) for k in dels).select("k"),
+                        key="k", branch="stage",
+                    )
+                    for k in dels:
+                        del staged[k]
+                TF.fast_forward(path, b, "stage")
+                TF.drop_ref(path, "stage")
+                models[b] = staged
+                model = staged
             elif op == "expire":
                 TF.expire_snapshots(path, keep_last=rnd.choice([1, 2]))
             elif op == "vacuum":
