@@ -1687,3 +1687,45 @@ def test_ref_read_plans_broadcast_anti_join_and_prunes(spark, tmp_path):
     )
     assert 0 < n_files <= 5, plan[:500]
     assert got.filter("k < 500").count() == 400  # deletes applied
+
+
+def test_snapshot_manager_composes_with_format_ref(spark, tmp_path):
+    """The reference's A2 TTL cache over a FORMAT ref: within the TTL
+    window every caller gets the SAME snapshot even as commits land
+    (snapshot isolation at the cache layer), the epoch-aligned refresh
+    picks up the new commits, and the logical view holds — a delete
+    committed between refreshes subtracts its rows after the next one."""
+    from table_streaming_source_spark.snapshot import SnapshotManager
+
+    path = str(tmp_path / "tbl")
+    TF.create_table(path)
+    df = spark.range(100).select(F.col("id").alias("k"))
+    TF.commit_append(spark, path, df, stat_cols=["k"])
+    TF.create_branch(path, "dev")  # pin main; dev churn must not leak
+
+    now = [1_020_000]  # an exact epoch boundary for the 60 s interval
+    mgr = SnapshotManager(
+        spark,
+        lambda: TF.read_ref(spark, path, "main"),
+        refresh_interval_ms=60_000,
+        clock_ms=lambda: now[0],
+    )
+    assert mgr.current().count() == 100
+    # commits land on main mid-window: the cache must NOT see them yet
+    TF.commit_append(
+        spark, path, spark.range(100, 120).select(F.col("id").alias("k")),
+        stat_cols=["k"], branch="main",
+    )
+    TF.commit_delete_keys(
+        spark, path, spark.range(10).select(F.col("id").alias("k")),
+        key="k", branch="main",
+    )
+    TF.commit_append(  # dev noise, never visible to a main loader
+        spark, path, spark.range(900, 950).select(F.col("id").alias("k")),
+        stat_cols=["k"], branch="dev",
+    )
+    now[0] += 30_000
+    assert mgr.current().count() == 100  # same TTL window, same snapshot
+    now[0] += 40_000  # crosses the epoch boundary
+    assert mgr.current().count() == 110  # +20 appended, -10 MOR-deleted
+    assert mgr.refresh_count == 2
