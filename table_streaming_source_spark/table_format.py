@@ -1172,6 +1172,10 @@ class _refs_mutex:
     def __init__(self, path: str) -> None:
         self._lock = os.path.join(_log_dir(path), "_refs.lock")
 
+    #: a healthy refs update holds the lock for milliseconds; a lock
+    #: this old was leaked by a crashed writer and may be stolen
+    STALE_S = 60.0
+
     def __enter__(self) -> None:
         import time
 
@@ -1184,6 +1188,19 @@ class _refs_mutex:
                 os.close(fd)
                 return
             except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(self._lock)
+                except FileNotFoundError:
+                    continue  # holder just released; retry immediately
+                if age > self.STALE_S:
+                    # break the leaked lock (best-effort: two stealers
+                    # racing the remove both fall through to the
+                    # O_EXCL create, where exactly one wins)
+                    try:
+                        os.remove(self._lock)
+                    except FileNotFoundError:
+                        pass
+                    continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(
                         f"refs lock {self._lock} held too long — "

@@ -1729,3 +1729,25 @@ def test_snapshot_manager_composes_with_format_ref(spark, tmp_path):
     now[0] += 40_000  # crosses the epoch boundary
     assert mgr.current().count() == 110  # +20 appended, -10 MOR-deleted
     assert mgr.refresh_count == 2
+
+
+def test_stale_refs_lock_is_stolen(spark, tmp_path):
+    """A lock file leaked by a crashed writer (old mtime) must not
+    wedge the table: the next refs update steals it; a FRESH lock
+    still blocks (and times out) rather than being stolen."""
+    import os as _os
+
+    path = str(tmp_path / "tbl")
+    TF.create_table(path)
+    TF.commit_append(
+        spark, path,
+        spark.range(10).select(F.col("id").alias("k")),
+        stat_cols=["k"],
+    )
+    lock = _os.path.join(TF._log_dir(path), "_refs.lock")
+    with open(lock, "w"):
+        pass
+    _os.utime(lock, (1, 1))  # ancient: a crashed writer's leak
+    TF.create_branch(path, "dev")  # steals the stale lock
+    assert TF.resolve_ref(path, "dev") == 1
+    assert not _os.path.exists(lock)
