@@ -42,6 +42,10 @@ MALFORMED_EXC = (
     UnicodeDecodeError,
     TypeError,
     AttributeError,
+    # xml.etree's ParseError subclasses SyntaxError: reachable through
+    # a CRC-valid container wrapping malformed XML (xlsx), including
+    # expat's own entity-amplification (billion-laughs) rejection
+    SyntaxError,
     zlib.error,
 )
 

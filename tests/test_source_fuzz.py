@@ -258,3 +258,42 @@ def test_bounded_inflate_contract():
         bounded_inflate(comp, declared=len(raw) + 1)
     assert bounded_inflate(comp) == raw  # capped mode
     assert MAX_INFLATE_BYTES >= 1 << 28
+
+
+def test_xlsx_bad_xml_and_entity_bomb_quarantine(tmp_path):
+    """XML failures inside a CRC-VALID zip must still read as
+    ValueError: byte-flip fuzz can't reach the XML layer (the member
+    CRC fails first), so pin it directly — malformed XML, and a
+    billion-laughs entity bomb (rejected by expat's amplification
+    guard; the rejection must wear the quarantine type)."""
+    import struct as _struct  # noqa: F401  (parity with module style)
+
+    p = str(tmp_path / "t.xlsx")
+    xlsx.write_xlsx(p, ["k"], [[1]])
+    entries = dict(archive.zip_entries(_fread(p)))
+
+    def rezip(name, content):
+        d = dict(entries)
+        d[name] = content
+        p2 = str(tmp_path / "x.xlsx")
+        archive.write_zip(p2, sorted(d.items()))
+        return _fread(p2)
+
+    with pytest.raises(ValueError):
+        xlsx.xlsx_records(rezip("xl/workbook.xml", b"<open><unclosed>"))
+    bomb = (
+        b'<?xml version="1.0"?><!DOCTYPE l [<!ENTITY a "aaaaaaaaaa">'
+        + b"".join(
+            b'<!ENTITY %s "%s">'
+            % (
+                b"e%d" % i,
+                (b"&e%d;" % (i - 1) if i else b"&a;") * 10,
+            )
+            for i in range(8)
+        )
+        + b"]><workbook xmlns=\"http://schemas.openxmlformats.org/"
+        + b"spreadsheetml/2006/main\"><sheets><sheet name=\"&e7;\"/>"
+        + b"</sheets></workbook>"
+    )
+    with pytest.raises(ValueError):
+        xlsx.xlsx_records(rezip("xl/workbook.xml", bomb))
