@@ -8801,6 +8801,194 @@ GROUP BY 1
 """
 
 
+def q_format_positional_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Merge-on-read POSITIONAL deletes (``table_format.py::
+    commit_delete_positions`` + ``positions_where`` — the Iceberg v2
+    position-delete-file surface beside ``format_delete_vectors``'s
+    equality deletes): two delete commits store ``(file_path,
+    row-ordinal)`` tuples — no key column, no data rewrite — and the
+    snapshot read subtracts them by ``_metadata.row_index`` with a
+    broadcast anti-join applied ONLY to the data files the delete
+    entries NAME; unnamed files take the no-join path.  Positions
+    expire with their file on rewrite (merge/compact), so a re-insert
+    of the same logical key can never be swallowed by a stale ordinal.
+    Mixed equality+positional reads and the carry-through-merge/clear-
+    on-compact lifecycle are pinned in ``tests/test_table_format.py``;
+    the oracle states the surviving rows directly."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_posdel", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    TF.commit_append(
+        spark,
+        path,
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    TF.commit_delete_positions(
+        spark, path,
+        TF.positions_where(
+            spark, path, "o_orderkey <= 600 AND o_orderkey % 6 = 0"
+        ),
+    )
+    TF.commit_delete_positions(
+        spark, path,
+        TF.positions_where(
+            spark, path,
+            "o_orderkey > 600 AND o_orderkey <= 900 "
+            "AND o_orderkey % 11 = 0",
+        ),
+    )
+    result = (
+        TF.read_table_mor(spark, path)
+        .groupBy((k % 3).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_positional_deletes"] = """
+SELECT CAST(o_orderkey % 3 AS INT) AS bucket, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM orders
+WHERE NOT (o_orderkey <= 600 AND o_orderkey % 6 = 0)
+  AND NOT (o_orderkey > 600 AND o_orderkey <= 900
+           AND o_orderkey % 11 = 0)
+GROUP BY 1
+"""
+
+
+def q_format_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED read (``table_format.py::read_cdf`` — the Delta
+    CDF / Iceberg changelog-scan surface): row-level ``insert`` /
+    ``update_preimage`` / ``update_postimage`` / ``delete`` images
+    derived from the commit payloads across an append (v1), a
+    copy-on-write MERGE (v2 — diffed on the recorded merge key over
+    ONLY the rewritten files), a positional delete (v3 — pre-images by
+    row ordinal), an equality delete (v4 — pre-images exclude rows the
+    v3 positions already removed), and a compaction (v5 — MAINTENANCE,
+    emits NO CDF rows; its absence from the output is the assertion).
+    Cost is change-proportional: appends read their own files, the
+    merge diff touches only rewritten files, delete pre-images prune to
+    overlapping/named files with the delete side broadcast.  The oracle
+    restates every image class from the base table."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_cdf", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    TF.commit_append(
+        spark,
+        path,
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    low = o.filter(k <= 600)
+    changes = (
+        low.filter((k % 4 == 0) & (k % 10 != 0)).select(
+            "o_orderkey", F.lit("U").alias("op"),
+            (F.col("o_totalprice") + 5.0).alias("o_totalprice"),
+        )
+        .unionByName(
+            low.filter(k % 10 == 0).select(
+                "o_orderkey", F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("o_totalprice"),
+            )
+        )
+        .unionByName(
+            # k > 0: key 0 would collide with its own re-keyed copy
+            # (-0 == 0) — a delete+insert of identical values is a NET
+            # NO-OP the CDF diff correctly emits nothing for
+            low.filter((k % 7 == 0) & (k > 0)).select(
+                (-k).alias("o_orderkey"), F.lit("I").alias("op"),
+                "o_totalprice",
+            )
+        )
+    )
+    TF.commit_merge(
+        spark, path, changes, key="o_orderkey", stat_cols=["o_orderkey"]
+    )
+    TF.commit_delete_positions(
+        spark, path,
+        TF.positions_where(
+            spark, path, "o_orderkey > 600 AND o_orderkey % 9 = 0"
+        ),
+    )
+    TF.commit_delete_keys(
+        spark, path,
+        o.filter((k > 600) & (k % 11 == 0)), key="o_orderkey",
+    )
+    TF.commit_compact(spark, path, stat_cols=["o_orderkey"])
+    result = (
+        TF.read_cdf(spark, path, from_version=0)
+        .groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_cdf_read"] = """
+WITH images AS (
+  SELECT 'insert' AS change_type, 1 AS commit_version,
+         o_totalprice AS p
+  FROM orders
+  UNION ALL
+  SELECT 'update_preimage', 2, o_totalprice FROM orders
+  WHERE o_orderkey <= 600 AND o_orderkey % 4 = 0
+    AND o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT 'update_postimage', 2, o_totalprice + 5.0 FROM orders
+  WHERE o_orderkey <= 600 AND o_orderkey % 4 = 0
+    AND o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT 'delete', 2, o_totalprice FROM orders
+  WHERE o_orderkey <= 600 AND o_orderkey % 10 = 0
+  UNION ALL
+  SELECT 'insert', 2, o_totalprice FROM orders
+  WHERE o_orderkey <= 600 AND o_orderkey % 7 = 0 AND o_orderkey > 0
+  UNION ALL
+  SELECT 'delete', 3, o_totalprice FROM orders
+  WHERE o_orderkey > 600 AND o_orderkey % 9 = 0
+  UNION ALL
+  SELECT 'delete', 4, o_totalprice FROM orders
+  WHERE o_orderkey > 600 AND o_orderkey % 11 = 0
+    AND o_orderkey % 9 <> 0
+)
+SELECT change_type, commit_version, COUNT(*) AS n,
+       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM images GROUP BY 1, 2
+"""
+
+
 QUERIES.update(
     {
         "format_delete_vectors": q_format_delete_vectors,
@@ -8808,6 +8996,8 @@ QUERIES.update(
         "format_row_lineage": q_format_row_lineage,
         "format_expire_snapshots": q_format_expire_snapshots,
         "format_zorder_3d": q_format_zorder_3d,
+        "format_positional_deletes": q_format_positional_deletes,
+        "format_cdf_read": q_format_cdf_read,
     }
 )
 

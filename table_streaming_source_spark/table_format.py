@@ -329,11 +329,16 @@ def vacuum(path: str, *, retain_versions: int = 2) -> tuple[int, int]:
             # left to pin through it
             continue
         referenced.update(os.path.abspath(f) for f in files)
-        # outstanding equality-delete files are part of the snapshot —
-        # sweeping them would resurrect deleted rows at MOR read time
+        # outstanding delete files (both kinds) are part of the
+        # snapshot — sweeping them would resurrect deleted rows at MOR
+        # read time
         _, dels = _snapshot_deletes(path, v)
         referenced.update(
             os.path.abspath(os.path.join(path, d["path"])) for d in dels
+        )
+        referenced.update(
+            os.path.abspath(os.path.join(path, d["path"]))
+            for d in _snapshot_pos_deletes(path, v)
         )
     # Staged-but-unpublished WAP commits are NOT orphans: their manifest
     # exists (``{v}.json.staged-{audit_id}``) and commit_publish may still
@@ -384,7 +389,7 @@ def commit_compact(
     compacts a named branch's snapshot and advances its pointer."""
     base, new_v = _resolve_write_target(path, branch, expected_version)
     _, outstanding = _snapshot_deletes(path, base)
-    if outstanding:
+    if outstanding or _snapshot_pos_deletes(path, base):
         current = read_table_mor(spark, path, version=base)
     else:
         current = read_table(spark, path, version=base)
@@ -420,6 +425,31 @@ def _snapshot_file_dicts(path: str, version: int) -> list[dict]:
     while v is not None:
         commit = _read_commit(path, v)
         out.extend(commit["files"])
+        v = commit["parent"]
+    return out
+
+
+def _snapshot_pos_deletes(path: str, version: int) -> list[dict]:
+    """The POSITIONAL delete files outstanding at ``version`` — the
+    chain walk of :func:`_snapshot_deletes` over the ``pos_deletes``
+    payload lists (same full-snapshot carry invariant:
+    :func:`commit_delete_positions` re-lists its ancestors' entries,
+    :func:`commit_merge` carries the entries that still name a
+    surviving file, and :func:`commit_compact` materializes and
+    clears).  Each entry records the DATA files it references in
+    ``paths`` (absolute, the Iceberg v2 position-delete convention of
+    storing full file paths), so the read side knows which files are
+    dirty without opening the delete file."""
+    v: int | None = version
+    out: list[dict] = []
+    seen: set[str] = set()
+    while v is not None:
+        commit = _read_commit(path, v)
+        for d in commit.get("pos_deletes", []):
+            if d["path"] in seen:
+                continue
+            seen.add(d["path"])
+            out.append(d)
         v = commit["parent"]
     return out
 
@@ -532,10 +562,12 @@ def commit_merge(
     # files get ``seq = new_v`` > every outstanding delete's seq,
     # so carried deletes never apply to the rewrite's own output.
     del_key, outstanding = _snapshot_deletes(path, base)
+    pos_outstanding = _snapshot_pos_deletes(path, base)
     if affected:
-        if outstanding:
+        if outstanding or pos_outstanding:
             current = _mor_resolve(
-                spark, path, affected, del_key, outstanding
+                spark, path, affected, del_key, outstanding,
+                pos_outstanding,
             )
         else:
             current = spark.read.parquet(
@@ -570,10 +602,29 @@ def commit_merge(
     payload: dict = {
         "version": new_v, "files": files, "parent": None,
         "prev": base,
+        # the CDF read (read_cdf) classifies this commit and diffs
+        # pre/post images on this key
+        "merge_key": key,
     }
     if outstanding:
         payload["deletes"] = outstanding
         payload["delete_key"] = del_key
+    if pos_outstanding:
+        # positional deletes on REWRITTEN files were materialized by
+        # the MOR read above; carry only entries still naming a
+        # surviving (untouched) file — stale paths in a kept entry are
+        # harmless no-ops at resolve time
+        surviving = {
+            os.path.abspath(os.path.join(path, f["path"]))
+            for f in untouched
+        }
+        kept_pos = [
+            d
+            for d in pos_outstanding
+            if any(p in surviving for p in d.get("paths", []))
+        ]
+        if kept_pos:
+            payload["pos_deletes"] = kept_pos
     _write_commit(path, new_v, payload)
     _advance_branch(path, branch, new_v)
     return new_v, len(affected), len(file_dicts)
@@ -758,12 +809,15 @@ def read_staged(
     with open(_staged_path(path, audit_id)) as fh:
         staged = json.load(fh)
     key, deletes = _snapshot_deletes(path, staged["parent"])
+    pos_deletes = _snapshot_pos_deletes(path, staged["parent"])
     parent_dicts = _snapshot_file_dicts(path, staged["parent"])
     new_part = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(path, f["path"]) for f in staged["files"]]
     )
-    if deletes:
-        committed = _mor_resolve(spark, path, parent_dicts, key, deletes)
+    if deletes or pos_deletes:
+        committed = _mor_resolve(
+            spark, path, parent_dicts, key, deletes, pos_deletes
+        )
         return committed.unionByName(new_part, allowMissingColumns=True)
     files = [
         os.path.join(path, f["path"]) for f in staged["files"]
@@ -839,20 +893,136 @@ def commit_delete_keys(
             f"outstanding deletes use key {prior_key!r}; compact the "
             f"table before deleting on {key!r}"
         )
-    _write_commit(
-        path,
-        new_v,
-        {
-            "version": new_v,
-            # full snapshot: the RESOLVED file list (chain-walked), so
-            # ancestor commits' files survive the parent:None cut
-            "files": _snapshot_file_dicts(path, base),
-            "deletes": outstanding + dels,
-            "parent": None,
-            "prev": base,
-            "delete_key": key,
-        },
+    payload: dict = {
+        "version": new_v,
+        # full snapshot: the RESOLVED file list (chain-walked), so
+        # ancestor commits' files survive the parent:None cut
+        "files": _snapshot_file_dicts(path, base),
+        "deletes": outstanding + dels,
+        "parent": None,
+        "prev": base,
+        "delete_key": key,
+    }
+    # the chain cut must not drop the OTHER delete kind's state
+    pos_outstanding = _snapshot_pos_deletes(path, base)
+    if pos_outstanding:
+        payload["pos_deletes"] = pos_outstanding
+    _write_commit(path, new_v, payload)
+    _advance_branch(path, branch, new_v)
+    return new_v
+
+
+def _norm_file_path_col():
+    """``_metadata.file_path`` normalized to a plain absolute posix
+    path (``file:///x`` → ``/x``) — the join key positional deletes
+    match on."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(
+        F.col("_metadata.file_path"), "^file:/*", "/"
     )
+
+
+def positions_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    *,
+    version: int | None = None,
+) -> DataFrame:
+    """Resolve a predicate to ``(file_path, pos)`` tuples — the
+    find-the-rows half of a positional delete: scan the snapshot's data
+    files with the parquet metadata columns and return the ABSOLUTE
+    file path + within-file row ordinal (``_metadata.row_index``) of
+    every matching row.  Runs on the data-file view at ``version``
+    (rows already subtracted by outstanding deletes simply re-delete as
+    no-ops — positions are per-file facts, not logical rows).
+    ``predicate`` is a Column or a SQL string.  Cost: one predicate
+    scan, no shuffle — the file-pruning stats apply as usual."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    files, _, _ = snapshot_files(path, version=version)
+    if not files:
+        raise ValueError("empty snapshot")
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    cond = predicate if isinstance(predicate, Column) else F.expr(predicate)
+    return df.filter(cond).select(
+        _norm_file_path_col().alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+
+
+def commit_delete_positions(
+    spark: SparkSession,
+    path: str,
+    positions: DataFrame,
+    *,
+    expected_version: int | None = None,
+    branch: str | None = None,
+) -> int:
+    """Merge-on-read POSITIONAL DELETE (the Iceberg v2 position-delete
+    file / Delta deletion-vector-by-ordinal idea, beside the existing
+    equality deletes): the commit stores ``(file_path, pos)`` tuples —
+    absolute data-file path + within-file row ordinal — as a tiny
+    delete file; readers subtract them by ``_metadata.row_index`` at
+    scan time (see :func:`_mor_resolve`).  Unlike an equality delete,
+    a positional delete names PHYSICAL rows, so it needs no key column,
+    never collides with a later re-insert (new rows land in new files),
+    and composes freely with outstanding equality deletes — mixed reads
+    apply both subtractions.
+
+    Applicability is BY PATH: a rewrite (merge/compact) gives surviving
+    rows new files, so stale positions expire naturally — exactly the
+    Iceberg rule that a rewritten data file drops its position deletes.
+    Storing absolute paths (Iceberg stores full URIs) makes the table
+    non-relocatable while positional deletes are outstanding; compact
+    to clear them before moving a table.
+
+    ``positions`` must have columns ``file_path`` (absolute path as
+    produced by :func:`positions_where`) and ``pos`` (long).  Positions
+    naming files outside the target snapshot raise — a typo'd path must
+    not silently no-op.  Returns the new version."""
+    from pyspark.sql import functions as F
+
+    base, new_v = _resolve_write_target(path, branch, expected_version)
+    pos = (
+        positions.select(
+            F.col("file_path").cast("string"), F.col("pos").cast("long")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # pin: named-paths read + file write
+    )
+    # one row per distinct file a CDC-sized delete touches — bounded
+    named = sorted(r[0] for r in pos.select("file_path").distinct().collect())
+    snapshot = _snapshot_file_dicts(path, base)
+    known = {os.path.abspath(os.path.join(path, f["path"])) for f in snapshot}
+    unknown = [p for p in named if p not in known]
+    if unknown:
+        raise ValueError(
+            f"positions name files outside snapshot {base}: {unknown[:3]}"
+        )
+    staging = os.path.join(
+        _data_dir(path), f"posdelete-{new_v}-{uuid.uuid4().hex[:8]}"
+    )
+    pos.coalesce(1).write.mode("overwrite").parquet(staging)
+    entries = _manifest_entries(path, staging, ["pos"], seq=new_v)
+    for e in entries:
+        e["paths"] = named
+    eq_key, eq_outstanding = _snapshot_deletes(path, base)
+    payload: dict = {
+        "version": new_v,
+        # full snapshot (chain cut): resolved file list + BOTH delete
+        # states carried, same invariant as commit_delete_keys
+        "files": snapshot,
+        "pos_deletes": _snapshot_pos_deletes(path, base) + entries,
+        "parent": None,
+        "prev": base,
+    }
+    if eq_outstanding:
+        payload["deletes"] = eq_outstanding
+        payload["delete_key"] = eq_key
+    _write_commit(path, new_v, payload)
     _advance_branch(path, branch, new_v)
     return new_v
 
@@ -875,10 +1045,12 @@ def read_table_mor(
     pays the subtraction only where it must."""
     v = latest_version(path) if version is None else version
     key, deletes = _snapshot_deletes(path, v)
-    if not deletes:
+    pos_deletes = _snapshot_pos_deletes(path, v)
+    if not deletes and not pos_deletes:
         return read_table(spark, path, version=v)
     return _mor_resolve(
-        spark, path, _snapshot_file_dicts(path, v), key, deletes
+        spark, path, _snapshot_file_dicts(path, v), key, deletes,
+        pos_deletes,
     )
 
 
@@ -886,64 +1058,111 @@ def _mor_resolve(
     spark: SparkSession,
     path: str,
     file_dicts: list[dict],
-    key: str,
+    key: str | None,
     deletes: list[dict],
+    pos_deletes: list[dict] | None = None,
+    with_positions: bool = False,
 ) -> DataFrame:
-    """Data files MINUS applicable equality deletes.  A delete applies
-    to a file when (a) the sequence rule holds — ``file.seq <
-    delete.seq`` (a row written AFTER the delete supersedes it; missing
-    seqs default file→0 / delete→∞, the pre-sequence behavior) — and
-    (b) the manifest [min, max] ranges on ``key`` overlap (or either
-    side lacks stats).  Files with no applicable delete take the
-    no-join path; the rest are grouped by their applicable delete SET
-    and each group anti-joins one broadcast key frame — the 100 TB
-    read pays the subtraction only where it must."""
+    """Data files MINUS applicable deletes, both kinds.
+
+    An EQUALITY delete applies to a file when (a) the sequence rule
+    holds — ``file.seq < delete.seq`` (a row written AFTER the delete
+    supersedes it; missing seqs default file→0 / delete→∞, the
+    pre-sequence behavior) — and (b) the manifest [min, max] ranges on
+    ``key`` overlap (or either side lacks stats).  A POSITIONAL delete
+    applies to exactly the data files its manifest entry NAMES (rewrites
+    produce new paths, so stale positions expire with the file).
+
+    Files with no applicable delete take the no-join path; the rest are
+    grouped by their applicable delete SETS and each group anti-joins
+    its broadcast delete frames — equality by ``key``, positional by
+    ``(normalized _metadata.file_path, _metadata.row_index)`` — so the
+    100 TB read pays each subtraction only where it must.
+
+    ``with_positions=True`` keeps ``__del_file``/``__del_pos`` (the
+    normalized file path + row ordinal, derived AT SCAN TIME — Spark's
+    ``_metadata`` column does not survive joins/unions) on the output —
+    the CDF read uses this to semi-join new positional deletes against
+    an already-resolved parent snapshot."""
     from pyspark.sql import functions as F
 
-    groups: dict[frozenset, list[str]] = {}
+    pos_deletes = pos_deletes or []
+    # data abs path -> positional delete files naming it
+    pos_by_file: dict[str, set[str]] = {}
+    for d in pos_deletes:
+        for ap in d.get("paths", []):
+            pos_by_file.setdefault(ap, set()).add(d["path"])
+    groups: dict[tuple[frozenset, frozenset], list[str]] = {}
     clean: list[str] = []
     for f in file_dicts:
-        rng = f["stats"].get(key)
         fseq = f.get("seq", 0)
-        applicable = frozenset(
-            d["path"]
-            for d in deletes
-            if fseq < d.get("seq", float("inf"))
-            and (
-                rng is None
-                or d["stats"].get(key) is None
-                or (
-                    rng[0] <= d["stats"][key][1]
-                    and d["stats"][key][0] <= rng[1]
+        if deletes:
+            rng = f["stats"].get(key)
+            eq_set = frozenset(
+                d["path"]
+                for d in deletes
+                if fseq < d.get("seq", float("inf"))
+                and (
+                    rng is None
+                    or d["stats"].get(key) is None
+                    or (
+                        rng[0] <= d["stats"][key][1]
+                        and d["stats"][key][0] <= rng[1]
+                    )
                 )
             )
-        )
-        if applicable:
-            groups.setdefault(applicable, []).append(
-                os.path.join(path, f["path"])
-            )
         else:
-            clean.append(os.path.join(path, f["path"]))
+            eq_set = frozenset()
+        ap = os.path.abspath(os.path.join(path, f["path"]))
+        pos_set = frozenset(pos_by_file.get(ap, ()))
+        if eq_set or pos_set:
+            groups.setdefault((eq_set, pos_set), []).append(ap)
+        else:
+            clean.append(ap)
     parts = []
-    for dset, data_files in sorted(
-        groups.items(), key=lambda kv: sorted(kv[0])
+    for (eq_set, pos_set), data_files in sorted(
+        groups.items(), key=lambda kv: (sorted(kv[0][0]), sorted(kv[0][1]))
     ):
-        del_df = (
-            spark.read.parquet(
-                *[os.path.join(path, p) for p in sorted(dset)]
+        part = spark.read.option("mergeSchema", "true").parquet(*data_files)
+        if pos_set or with_positions:
+            part = part.withColumn(
+                "__del_file", _norm_file_path_col()
+            ).withColumn("__del_pos", F.col("_metadata.row_index"))
+        if pos_set:
+            pos_df = (
+                spark.read.parquet(
+                    *[os.path.join(path, p) for p in sorted(pos_set)]
+                )
+                .select(
+                    F.col("file_path").alias("__del_file"),
+                    F.col("pos").alias("__del_pos"),
+                )
+                .distinct()
             )
-            .select(key)
-            .distinct()
-        )
-        parts.append(
-            spark.read.option("mergeSchema", "true")
-            .parquet(*data_files)
-            .join(F.broadcast(del_df), key, "left_anti")
-        )
+            part = part.join(
+                F.broadcast(pos_df),
+                ["__del_file", "__del_pos"],
+                "left_anti",
+            )
+            if not with_positions:
+                part = part.drop("__del_file", "__del_pos")
+        if eq_set:
+            del_df = (
+                spark.read.parquet(
+                    *[os.path.join(path, p) for p in sorted(eq_set)]
+                )
+                .select(key)
+                .distinct()
+            )
+            part = part.join(F.broadcast(del_df), key, "left_anti")
+        parts.append(part)
     if clean:
-        parts.append(
-            spark.read.option("mergeSchema", "true").parquet(*clean)
-        )
+        part = spark.read.option("mergeSchema", "true").parquet(*clean)
+        if with_positions:
+            part = part.withColumn(
+                "__del_file", _norm_file_path_col()
+            ).withColumn("__del_pos", F.col("_metadata.row_index"))
+        parts.append(part)
     if not parts:
         raise ValueError("empty snapshot")
     out = parts[0]
@@ -1008,6 +1227,21 @@ def shallow_clone(src: str, dst: str, at=None) -> int:
             for d in outstanding
         ]
         payload["delete_key"] = del_key
+    pos_outstanding = _snapshot_pos_deletes(src, src_head)
+    if pos_outstanding:
+        # the delete FILE is referenced relative to the clone like any
+        # data file; the entries' ``paths`` are already absolute (the
+        # position-delete convention) so they keep naming the source's
+        # data files verbatim
+        payload["pos_deletes"] = [
+            {
+                **d,
+                "path": os.path.relpath(
+                    os.path.abspath(os.path.join(src, d["path"])), dst
+                ),
+            }
+            for d in pos_outstanding
+        ]
     _write_commit(dst, 0, {"version": 0, "files": [], "parent": None})
     _write_commit(dst, 1, payload)
     return 1
@@ -1096,6 +1330,9 @@ def expire_snapshots(path: str, *, keep_last: int = 1) -> int:
         if outstanding:
             rewritten["deletes"] = outstanding
             rewritten["delete_key"] = del_key
+        pos_outstanding = _snapshot_pos_deletes(path, cv)
+        if pos_outstanding:
+            rewritten["pos_deletes"] = pos_outstanding
         tmp = os.path.join(
             _log_dir(path), f"{cv}.json.expire.{uuid.uuid4().hex}"
         )
@@ -1131,6 +1368,250 @@ def row_id_expr(key_col, version: int):
         1,
         16,
     )
+
+
+def _lineage_versions(
+    path: str, *, from_version: int, to_version: int
+) -> list[int]:
+    """The commit versions on ``to_version``'s lineage with
+    ``from_version < v <= to_version``, ascending.  Walks ``parent``,
+    falling back to the logical-predecessor ``prev`` that full-snapshot
+    commits record — the same ancestry rule as :func:`fast_forward`."""
+    out: list[int] = []
+    v: int | None = to_version
+    seen: set[int] = set()
+    while v is not None and v > from_version and v not in seen:
+        seen.add(v)
+        out.append(v)
+        c = _read_commit(path, v)
+        v = c["parent"] if c["parent"] is not None else c.get("prev")
+    return sorted(out)
+
+
+def read_cdf(
+    spark: SparkSession,
+    path: str,
+    *,
+    from_version: int,
+    to_version: int | None = None,
+    change_col: str = "_change_type",
+    version_col: str = "_commit_version",
+) -> DataFrame:
+    """CHANGE DATA FEED read (Delta CDF / Iceberg changelog scan):
+    row-level ``insert`` / ``update_preimage`` / ``update_postimage`` /
+    ``delete`` images for every commit in ``(from_version,
+    to_version]`` on the target lineage, derived from the commit
+    payloads — no change journal is stored, the log IS the journal:
+
+    * **append** (``commit_append``/WAP publish): its new files, each
+      row an ``insert``.
+    * **merge** (``commit_merge`` — classified by the recorded
+      ``merge_key``): the rewritten files' pre-snapshot rows (resolved
+      through the deletes outstanding at the parent, so resurrected
+      rows can't fake images) are diffed against the merge's own output
+      files on the key — key only in post → ``insert``, key only in
+      pre → ``delete``, both sides with any non-key column changed →
+      ``update_preimage``/``update_postimage``.
+    * **equality delete** (``commit_delete_keys``): the parent
+      snapshot's rows matching the NEW delete keys (files pruned to
+      those overlapping the delete range, then a broadcast semi-join) →
+      ``delete`` pre-images.
+    * **positional delete** (``commit_delete_positions``): the named
+      files' rows at the deleted ordinals (the same metadata-column
+      semi-join the MOR read uses, applied after the deletes already
+      outstanding at the parent) → ``delete`` pre-images.
+    * **compaction / clustering** (``maintenance: true``): emits NO
+      CDF rows — logical content is unchanged by construction.
+
+    Cost is proportional to the CHANGE, not the table: appends read
+    only their own files, merge diffs touch only rewritten files, and
+    delete pre-images prune to the overlapping/named files with the
+    delete side broadcast.  Merges committed before ``merge_key`` was
+    recorded are not classifiable and raise.  ``to_version=None``
+    resolves main's head (the :func:`read_incremental` rule)."""
+    from pyspark.sql import functions as F
+
+    to_v = resolve_ref(path, None) if to_version is None else to_version
+    legs: list[DataFrame] = []
+
+    def _tag(df: DataFrame, ctype: str, v: int) -> DataFrame:
+        return df.select(
+            "*",
+            F.lit(ctype).alias(change_col),
+            F.lit(v).cast("int").alias(version_col),
+        )
+
+    for v in _lineage_versions(
+        path, from_version=from_version, to_version=to_v
+    ):
+        c = _read_commit(path, v)
+        if c.get("maintenance"):
+            continue
+        base = c["parent"] if c["parent"] is not None else c.get("prev")
+        new_eq = [d for d in c.get("deletes", []) if d.get("seq") == v]
+        new_pos = [
+            d for d in c.get("pos_deletes", []) if d.get("seq") == v
+        ]
+        if new_eq or new_pos:
+            key = c.get("delete_key")
+            prev_dicts = _snapshot_file_dicts(path, base)
+            prev_key, prev_eq = _snapshot_deletes(path, base)
+            prev_pos = _snapshot_pos_deletes(path, base)
+            if new_eq:
+                # files provably disjoint from every new delete range
+                # can't contribute pre-images — prune before resolving
+                cand = [
+                    f
+                    for f in prev_dicts
+                    if f["stats"].get(key) is None
+                    or any(
+                        d["stats"].get(key) is None
+                        or (
+                            f["stats"][key][0] <= d["stats"][key][1]
+                            and d["stats"][key][0] <= f["stats"][key][1]
+                        )
+                        for d in new_eq
+                    )
+                ]
+                if cand:
+                    keys_df = (
+                        spark.read.parquet(
+                            *[os.path.join(path, d["path"]) for d in new_eq]
+                        )
+                        .select(key)
+                        .distinct()
+                    )
+                    pre = _mor_resolve(
+                        spark, path, cand, prev_key, prev_eq, prev_pos
+                    ).join(F.broadcast(keys_df), key, "left_semi")
+                    legs.append(_tag(pre, "delete", v))
+            if new_pos:
+                named = {p for d in new_pos for p in d.get("paths", [])}
+                cand = [
+                    f
+                    for f in prev_dicts
+                    if os.path.abspath(os.path.join(path, f["path"]))
+                    in named
+                ]
+                if cand:
+                    pos_df = (
+                        spark.read.parquet(
+                            *[
+                                os.path.join(path, d["path"])
+                                for d in new_pos
+                            ]
+                        )
+                        .select(
+                            F.col("file_path").alias("__del_file"),
+                            F.col("pos").alias("__del_pos"),
+                        )
+                        .distinct()
+                    )
+                    # resolve through the PRIOR deletes first (a row
+                    # already gone at the parent yields no pre-image),
+                    # then semi-join the new ordinals
+                    pre = (
+                        _mor_resolve(
+                            spark, path, cand, prev_key, prev_eq,
+                            prev_pos, with_positions=True,
+                        )
+                        .join(
+                            F.broadcast(pos_df),
+                            ["__del_file", "__del_pos"],
+                            "left_semi",
+                        )
+                        .drop("__del_file", "__del_pos")
+                    )
+                    legs.append(_tag(pre, "delete", v))
+            continue
+        if c["parent"] is not None:
+            # plain append: every row in its files is an insert
+            ins = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(path, f["path"]) for f in c["files"]]
+            )
+            legs.append(_tag(ins, "insert", v))
+            continue
+        if "merge_key" not in c:
+            raise ValueError(
+                f"commit {v} is a full-snapshot rewrite without a "
+                "recorded merge_key — not CDF-classifiable (clone base "
+                "or pre-merge_key merge); start the CDF range after it"
+            )
+        key = c["merge_key"]
+        post_files = [f for f in c["files"] if f.get("seq") == v]
+        carried = {f["path"] for f in c["files"]}
+        prev_dicts = _snapshot_file_dicts(path, base)
+        rewritten = [f for f in prev_dicts if f["path"] not in carried]
+        prev_key, prev_eq = _snapshot_deletes(path, base)
+        prev_pos = _snapshot_pos_deletes(path, base)
+        if rewritten:
+            pre = _mor_resolve(
+                spark, path, rewritten, prev_key, prev_eq, prev_pos
+            )
+        else:
+            pre = None
+        post = (
+            spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(path, f["path"]) for f in post_files]
+            )
+            if post_files
+            else None
+        )
+        if pre is None and post is None:
+            continue
+        if pre is None:
+            legs.append(_tag(post, "insert", v))
+            continue
+        if post is None:
+            legs.append(_tag(pre, "delete", v))
+            continue
+        others = [col for col in post.columns if col != key]
+        legs.append(
+            _tag(
+                post.join(
+                    pre.select(key).distinct(), key, "left_anti"
+                ),
+                "insert",
+                v,
+            )
+        )
+        legs.append(
+            _tag(
+                pre.join(
+                    post.select(key).distinct(), key, "left_anti"
+                ),
+                "delete",
+                v,
+            )
+        )
+        pre_renamed = pre.select(
+            key, *[F.col(col).alias(f"__pre_{col}") for col in others]
+        )
+        changed = post.join(pre_renamed, key).filter(
+            F.struct(*[F.col(col) for col in others])
+            != F.struct(*[F.col(f"__pre_{col}") for col in others])
+        )
+        legs.append(
+            _tag(
+                changed.select(
+                    key,
+                    *[F.col(f"__pre_{col}").alias(col) for col in others],
+                ),
+                "update_preimage",
+                v,
+            )
+        )
+        legs.append(
+            _tag(changed.select(key, *others), "update_postimage", v)
+        )
+    if not legs:
+        raise ValueError(
+            f"no change commits in ({from_version}, {to_v}]"
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg, allowMissingColumns=True)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1317,7 +1798,8 @@ def read_ref(
     the clean/dirty anti-join split of :func:`_mor_resolve`."""
     v = resolve_ref(path, ref)
     key, deletes = _snapshot_deletes(path, v)
-    if not deletes:
+    pos_deletes = _snapshot_pos_deletes(path, v)
+    if not deletes and not pos_deletes:
         return read_table(spark, path, version=v, prune=prune)
     file_dicts = _snapshot_file_dicts(path, v)
     if prune is not None:
@@ -1328,7 +1810,7 @@ def read_ref(
             if f["stats"].get(col) is None
             or not (f["stats"][col][1] < lo or f["stats"][col][0] > hi)
         ]
-    return _mor_resolve(spark, path, file_dicts, key, deletes)
+    return _mor_resolve(spark, path, file_dicts, key, deletes, pos_deletes)
 
 
 def fast_forward(path: str, branch: str, to) -> int:

@@ -1751,3 +1751,237 @@ def test_stale_refs_lock_is_stolen(spark, tmp_path):
     TF.create_branch(path, "dev")  # steals the stale lock
     assert TF.resolve_ref(path, "dev") == 1
     assert not _os.path.exists(lock)
+
+
+# ---------------------------------------------------------------------------
+# round 9: positional delete files + change-data-feed read
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def ranged_table(spark, tmp_path):
+    """1000 keys range-clustered into 8 files — per-file disjoint key
+    ranges, the layout positional/equality delete tests need."""
+    path = str(tmp_path / "ptbl")
+    TF.create_table(path)
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).cast("double").alias("v")
+    )
+    TF.commit_append(
+        spark, path,
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        stat_cols=["k"],
+    )
+    return path, df
+
+
+def test_positional_delete_subtracts_by_ordinal(spark, ranged_table):
+    """commit_delete_positions stores (file, row-ordinal) tuples; the
+    MOR read subtracts exactly those rows while the data-file view
+    stays physical — same split contract as equality deletes."""
+    path, df = ranged_table
+    TF.commit_delete_positions(
+        spark, path, TF.positions_where(spark, path, "k % 10 = 0")
+    )
+    assert TF.read_table(spark, path).count() == 1000  # physical view
+    got = TF.read_table_mor(spark, path)
+    assert got.count() == 900
+    assert got.filter("k % 10 = 0").count() == 0
+
+
+def test_positional_delete_no_join_for_unnamed_files(spark, ranged_table):
+    """Only the data files a positional delete NAMES are anti-joined;
+    the other files take the verbatim no-join path (the manifest entry
+    records the named paths, so the split needs no delete-file I/O)."""
+    path, _ = ranged_table
+    TF.commit_delete_positions(
+        spark, path, TF.positions_where(spark, path, "k < 100")
+    )
+    commit = TF._read_commit(path, TF.latest_version(path))
+    # the 8-file range layout localizes keys < 100 to one file
+    assert len(commit["pos_deletes"][0]["paths"]) == 1
+    plan = TF.read_table_mor(spark, path)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert TF.read_table_mor(spark, path).count() == 900
+
+
+def test_mixed_equality_and_positional_deletes(spark, ranged_table):
+    """Both delete kinds outstanding at once: the read applies BOTH
+    subtractions, each carrier (delete_keys / delete_positions) keeps
+    the other kind's state across its chain cut, and compaction
+    materializes and clears both."""
+    path, df = ranged_table
+    TF.commit_delete_positions(
+        spark, path, TF.positions_where(spark, path, "k % 10 = 0")
+    )
+    TF.commit_delete_keys(spark, path, df.filter("k % 7 = 0"), key="k")
+    # a second positional delete AFTER the equality delete: its chain
+    # cut must carry the equality state too
+    TF.commit_delete_positions(
+        spark, path, TF.positions_where(spark, path, "k = 13")
+    )
+    expected = df.filter(
+        "k % 10 <> 0 and k % 7 <> 0 and k <> 13"
+    ).count()
+    got = TF.read_table_mor(spark, path)
+    assert got.count() == expected
+    v = TF.commit_compact(spark, path, stat_cols=["k"])
+    commit = TF._read_commit(path, v)
+    assert commit.get("deletes", []) == []
+    assert commit.get("pos_deletes", []) == []
+    assert TF.read_table(spark, path).count() == expected
+    assert TF.read_table_mor(spark, path).count() == expected
+
+
+def test_positional_deletes_expire_with_rewritten_files(spark, ranged_table):
+    """The Iceberg rewrite rule: a merge gives surviving rows NEW
+    files, so positions on rewritten files are materialized and
+    dropped — a later re-insert of the same logical key can never be
+    swallowed by a stale ordinal.  Positions on untouched files stay
+    subtracted."""
+    path, df = ranged_table
+    TF.commit_delete_positions(
+        spark, path, TF.positions_where(spark, path, "k % 10 = 0")
+    )
+    # rewrite the low-key file (k < 125 under the 8-file layout) and
+    # RE-INSERT k=10 (deleted above) with a new value
+    changes = spark.createDataFrame(
+        [(10, 777.0, "I"), (20, 888.0, "U")], "k long, v double, op string"
+    )
+    TF.commit_merge(spark, path, changes, key="k", stat_cols=["k"])
+    got = {r["k"]: r["v"] for r in TF.read_table_mor(spark, path).filter(
+        "k in (10, 20, 30, 130, 500)"
+    ).collect()}
+    assert got.get(10) == 777.0   # re-insert survives (new file)
+    # 'U' matches nothing (row 20 was deleted; the merge reads THROUGH
+    # the positions) — WHEN MATCHED semantics, so it stays gone
+    assert 20 not in got
+    assert 30 not in got          # deleted pre-merge, file rewritten -> materialized
+    assert 130 not in got         # untouched file: position still applies
+    assert got.get(500) is None or 500 not in got
+    # the merge carried only entries still naming a surviving file
+    commit = TF._read_commit(path, TF.latest_version(path))
+    surviving = {
+        os.path.abspath(os.path.join(path, f["path"]))
+        for f in commit["files"]
+    }
+    for d in commit.get("pos_deletes", []):
+        assert any(p in surviving for p in d["paths"])
+
+
+def test_positional_delete_unknown_file_raises(spark, ranged_table):
+    path, _ = ranged_table
+    bogus = spark.createDataFrame(
+        [("/nope/missing.parquet", 0)], "file_path string, pos long"
+    )
+    with pytest.raises(ValueError, match="outside snapshot"):
+        TF.commit_delete_positions(spark, path, bogus)
+
+
+def test_vacuum_keeps_positional_delete_files(spark, ranged_table):
+    path, _ = ranged_table
+    TF.commit_delete_positions(
+        spark, path, TF.positions_where(spark, path, "k % 10 = 0")
+    )
+    removed, _kept = TF.vacuum(path, retain_versions=1)
+    assert TF.read_table_mor(spark, path).count() == 900
+
+
+def test_cdf_spans_merge_delete_compaction(spark, ranged_table):
+    """The demanded CDF algebra: insert images from appends, pre/post
+    images from the merge diff (unchanged rows in rewritten files emit
+    NOTHING), delete pre-images from both delete kinds, and a
+    compaction in range emits NO CDF rows."""
+    path, df = ranged_table
+    changes = (
+        df.filter("k >= 100 and k < 110")
+        .select("k", (F.col("v") + 1).alias("v"), F.lit("U").alias("op"))
+        .unionByName(
+            df.filter("k >= 110 and k < 115").select(
+                "k", F.lit(None).cast("double").alias("v"),
+                F.lit("D").alias("op"),
+            )
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(5000, 1.0, "I")], "k long, v double, op string"
+            )
+        )
+    )
+    TF.commit_merge(spark, path, changes, key="k", stat_cols=["k"])      # v2
+    TF.commit_delete_positions(                                          # v3
+        spark, path, TF.positions_where(spark, path, "k >= 200 and k < 203")
+    )
+    TF.commit_delete_keys(spark, path, df.filter("k = 300"), key="k")    # v4
+    TF.commit_compact(spark, path, stat_cols=["k"])                      # v5
+    cdf = TF.read_cdf(spark, path, from_version=0)
+    agg = {
+        (r["_change_type"], r["_commit_version"]): r["n"]
+        for r in cdf.groupBy("_change_type", "_commit_version")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert agg == {
+        ("insert", 1): 1000,
+        ("update_preimage", 2): 10,
+        ("update_postimage", 2): 10,
+        ("delete", 2): 5,
+        ("insert", 2): 1,
+        ("delete", 3): 3,
+        ("delete", 4): 1,
+    }  # nothing at v5: compaction is maintenance
+    # post-images carry the NEW values, pre-images the old
+    post = {r["k"]: r["v"] for r in cdf.filter(
+        "_change_type = 'update_postimage'"
+    ).collect()}
+    assert post[100] == 201.0
+    # a from_version past the merge sees only the later deletes
+    late = TF.read_cdf(spark, path, from_version=2)
+    assert late.count() == 4
+
+
+def test_cdf_preimages_skip_already_deleted_rows(spark, ranged_table):
+    """A row removed at v2 must not produce a SECOND pre-image when a
+    later delete names it again — pre-images resolve through the
+    deletes outstanding at the parent snapshot."""
+    path, df = ranged_table
+    TF.commit_delete_positions(                                          # v2
+        spark, path, TF.positions_where(spark, path, "k >= 100 and k < 105")
+    )
+    # v3 equality-deletes an overlapping range (k 100..109): only the
+    # five rows still alive at v2 yield pre-images
+    TF.commit_delete_keys(
+        spark, path, df.filter("k >= 100 and k < 110"), key="k"
+    )
+    # v4 re-deletes positions already gone (same ordinals): no images
+    cdf = TF.read_cdf(spark, path, from_version=1)
+    agg = {
+        (r["_change_type"], r["_commit_version"]): r["n"]
+        for r in cdf.groupBy("_change_type", "_commit_version")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert agg == {("delete", 2): 5, ("delete", 3): 5}
+
+
+def test_cdf_maintenance_only_range_raises(spark, ranged_table):
+    path, _ = ranged_table
+    TF.commit_compact(spark, path, stat_cols=["k"])
+    with pytest.raises(ValueError, match="no change commits"):
+        TF.read_cdf(spark, path, from_version=1)
+
+
+def test_clone_carries_positional_deletes(spark, tmp_path):
+    """A shallow clone of a table with outstanding positional deletes
+    must see the SOURCE's logical view: the delete-file reference is
+    path-rewritten, the entries' absolute data-file names stay valid."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    TF.create_table(src)
+    df = spark.range(100).select(F.col("id").alias("k"))
+    TF.commit_append(spark, src, df, stat_cols=["k"])
+    TF.commit_delete_positions(
+        spark, src, TF.positions_where(spark, src, "k % 10 = 0")
+    )
+    TF.shallow_clone(src, dst)
+    assert TF.read_table_mor(spark, dst).count() == 90
