@@ -504,6 +504,7 @@ def common_neighbor_pairs(
     via_col: str = "s",
     min_common: int = 2,
     max_hub: int | None = None,
+    broadcast_counts: bool = True,
 ) -> DataFrame:
     """Candidate ``(ca, cb, common)`` pairs for link prediction: nodes
     sharing a via-node (the bipartite projection), with the shared-via
@@ -521,8 +522,17 @@ def common_neighbor_pairs(
     bounds over a deterministic subset (the standard candidate-
     generation answer; exact recall needs no cap only when the
     sparsifier already bounds degrees).  The thinning is ROW-LOCAL
-    given a tiny per-via count broadcast: no sort, no extra exchange,
-    and the self-join keeps its uncapped physical plan."""
+    given a per-via count frame: no sort, and the self-join keeps its
+    uncapped physical plan.
+
+    ``broadcast_counts`` picks how the per-via counts reach the rows:
+    the default broadcast is one row per DISTINCT via — right for the
+    usual bounded via domain (suppliers, LSH bands, blocking keys) —
+    but an unbounded via domain (e.g. via = customer over a 100 TB
+    fact table) would make that broadcast itself the limit; pass
+    ``False`` there and the counts attach by a plain ``__via`` join
+    instead, which shuffles on the SAME key the pair self-join already
+    shuffles on, so it adds no new exchange family."""
     a = edges.select(
         F.col(via_col).alias("__via"), F.col(node_col).alias("ca")
     )
@@ -533,8 +543,10 @@ def common_neighbor_pairs(
         stats = b.groupBy("__via").agg(
             F.count(F.lit(1)).alias("__m")
         )
+        if broadcast_counts:
+            stats = F.broadcast(stats)
         b = (
-            b.join(F.broadcast(stats), "__via")
+            b.join(stats, "__via")
             .filter(
                 (F.col("__m") <= max_hub)
                 | (

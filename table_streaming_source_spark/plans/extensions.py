@@ -6751,27 +6751,22 @@ def q_source_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Common-Crawl-shaped front door of every web-corpus pipeline.  The
     parse proves framing byte-exactly: Content-Length arithmetic,
     CRLF record separation, HTTP header split.  Emitted fields only —
-    archives never shuffle.  The oracle restates the envelope length
-    closed-form (45 HTTP-header bytes + the UTF-8 body) and the body
-    digest."""
+    archives never shuffle, and the fixture write is DISTRIBUTED
+    (``_fixtures.write_sharded``: tasks write their residue shards,
+    the driver sees O(shards) summary rows, never the corpus)."""
     import os as _os
     import shutil as _shutil
 
     from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark.plans._fixtures import write_sharded
     from table_streaming_source_spark.sources.warc import (
         read_warc,
         write_warc,
     )
 
     path = _scratch.scratch_dir("source_warc", sf_dir, fresh=True)
-    docs = (
-        t(spark, sf_dir, "documents")
-        .select("doc_id", "source", "text")
-        .toPandas()
-        .sort_values("doc_id")
-    )
-    for shard in range(8):
-        part = docs[docs["doc_id"] % 8 == shard]
+
+    def _shard(shard, rows):
         write_warc(
             _os.path.join(path, f"part-{shard}.warc"),
             [
@@ -6780,9 +6775,14 @@ def q_source_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"https://{r.source}.example/{r.doc_id}",
                     r.text,
                 )
-                for r in part.itertuples()
+                for r in rows.itertuples()
             ],
         )
+
+    write_sharded(
+        t(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        key="doc_id", n_shards=8, write_shard=_shard,
+    )
     result = (
         read_warc(spark, path)
         .select(
@@ -7662,16 +7662,10 @@ def q_source_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = _scratch.scratch_dir("source_wds", sf_dir, fresh=True)
-    docs = (
-        t(spark, sf_dir, "documents")
-        .select("doc_id", "lang", "source", "text")
-        .toPandas()
-        .sort_values("doc_id")
-    )
-    for shard in range(8):
-        part = docs[docs["doc_id"] % 8 == shard]
+
+    def _shard(shard, rows):
         entries = []
-        for r in part.itertuples():
+        for r in rows.itertuples():
             stem = f"{r.doc_id:09d}"
             meta = (
                 '{"lang": "%s", "source": "%s"}' % (r.lang, r.source)
@@ -7684,6 +7678,15 @@ def q_source_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         write_tar(_os.path.join(path, f"shard-{shard}.tar"), entries)
+
+    from table_streaming_source_spark.plans._fixtures import write_sharded
+
+    write_sharded(
+        t(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "text"
+        ),
+        key="doc_id", n_shards=8, write_shard=_shard,
+    )
     result = (
         read_webdataset(spark, path)
         .select(
@@ -7724,21 +7727,22 @@ def q_source_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = _scratch.scratch_dir("source_zip", sf_dir, fresh=True)
-    docs = (
-        t(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .toPandas()
-        .sort_values("doc_id")
-    )
-    for shard in range(6):
-        part = docs[docs["doc_id"] % 6 == shard]
+
+    def _shard(shard, rows):
         write_zip(
             _os.path.join(path, f"part-{shard}.zip"),
             [
                 (f"docs/{r.doc_id}.txt", r.text.encode("utf-8"))
-                for r in part.itertuples()
+                for r in rows.itertuples()
             ],
         )
+
+    from table_streaming_source_spark.plans._fixtures import write_sharded
+
+    write_sharded(
+        t(spark, sf_dir, "documents").select("doc_id", "text"),
+        key="doc_id", n_shards=6, write_shard=_shard,
+    )
     result = (
         read_zip_text(spark, path)
         .select(
@@ -8127,20 +8131,27 @@ def q_source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_streaming_source_spark.plans import _scratch
 
     path = _scratch.scratch_dir("csv_malformed", sf_dir, fresh=True)
-    events = (
-        t(spark, sf_dir, "events")
-        .select("event_id", "event_type", "value")
-        .toPandas()
-        .sort_values("event_id")
+
+    def _shard(shard, rows):
+        lines = ["event_id,event_type,value"]
+        for r in rows.itertuples():
+            if r.event_id % 97 == 0:
+                lines.append(f"{r.event_id},{r.event_type},<poisoned>")
+            else:
+                lines.append(f"{r.event_id},{r.event_type},{r.value!r}")
+        with open(
+            _os.path.join(path, f"events-{shard}.csv"), "w"
+        ) as fh:
+            fh.write("\n".join(lines) + "\n")
+
+    from table_streaming_source_spark.plans._fixtures import write_sharded
+
+    write_sharded(
+        t(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        ),
+        key="event_id", n_shards=4, write_shard=_shard,
     )
-    lines = ["event_id,event_type,value"]
-    for r in events.itertuples():
-        if r.event_id % 97 == 0:
-            lines.append(f"{r.event_id},{r.event_type},<poisoned>")
-        else:
-            lines.append(f"{r.event_id},{r.event_type},{r.value!r}")
-    with open(_os.path.join(path, "events.csv"), "w") as fh:
-        fh.write("\n".join(lines) + "\n")
     schema = (
         "event_id bigint, event_type string, value double, "
         "_corrupt string"
@@ -8588,20 +8599,21 @@ def q_source_xlsx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = _scratch.scratch_dir("source_xlsx", sf_dir, fresh=True)
-    docs = (
-        t(spark, sf_dir, "documents")
-        .select("doc_id", "lang", "text")
-        .toPandas()
-        .sort_values("doc_id")
-    )
-    for shard in range(4):
-        part = docs[docs["doc_id"] % 4 == shard]
+
+    def _shard(shard, rows):
         write_xlsx(
             _os.path.join(path, f"export-{shard}.xlsx"),
             ["doc_id", "lang", "text"],
-            part.values.tolist(),
+            rows.values.tolist(),
             sheet_name=f"shard{shard}",
         )
+
+    from table_streaming_source_spark.plans._fixtures import write_sharded
+
+    write_sharded(
+        t(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        key="doc_id", n_shards=4, write_shard=_shard,
+    )
     result = (
         read_xlsx(spark, path)
         .select(
@@ -8759,15 +8771,11 @@ def q_source_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = _scratch.scratch_dir("source_sqlite", sf_dir, fresh=True)
-    docs = (
-        t(spark, sf_dir, "documents")
-        .select("doc_id", "lang", "source", "text", "n_chars")
-        .toPandas()
-        .sort_values("doc_id")
-    )
-    for shard in range(4):
-        part = docs[docs["doc_id"] % 4 == shard]
-        con = _sqlite3.connect(_os.path.join(path, f"part-{shard}.db"))
+
+    def _shard(shard, rows):
+        import sqlite3 as _sq
+
+        con = _sq.connect(_os.path.join(path, f"part-{shard}.db"))
         con.execute("PRAGMA page_size=512")
         con.execute("PRAGMA journal_mode=OFF")
         con.execute(
@@ -8782,11 +8790,20 @@ def q_source_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
                     int(r.doc_id), r.lang, r.source, r.text,
                     int(r.n_chars), int(r.doc_id) + 0.25,
                 )
-                for r in part.itertuples()
+                for r in rows.itertuples()
             ],
         )
         con.commit()
         con.close()
+
+    from table_streaming_source_spark.plans._fixtures import write_sharded
+
+    write_sharded(
+        t(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "text", "n_chars"
+        ),
+        key="doc_id", n_shards=4, write_shard=_shard,
+    )
     result = (
         read_sqlite_documents(spark, path)
         .select(
@@ -8835,18 +8852,18 @@ def q_source_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = _scratch.scratch_dir("source_pdf", sf_dir, fresh=True)
-    docs = (
-        t(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .toPandas()
-        .sort_values("doc_id")
-    )
-    for shard in range(6):
-        part = docs[docs["doc_id"] % 6 == shard]
+    def _shard(shard, rows):
         write_pdf(
             _os.path.join(path, f"part-{shard}.pdf"),
-            [f"{r.doc_id}\x1f{r.text}" for r in part.itertuples()],
+            [f"{r.doc_id}\x1f{r.text}" for r in rows.itertuples()],
         )
+
+    from table_streaming_source_spark.plans._fixtures import write_sharded
+
+    write_sharded(
+        t(spark, sf_dir, "documents").select("doc_id", "text"),
+        key="doc_id", n_shards=6, write_shard=_shard,
+    )
     result = (
         read_pdf_pages(spark, path)
         .select(
@@ -9502,14 +9519,8 @@ def q_source_eml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = _scratch.scratch_dir("source_eml", sf_dir, fresh=True)
-    docs = (
-        t(spark, sf_dir, "documents")
-        .select("doc_id", "lang", "text")
-        .toPandas()
-        .sort_values("doc_id")
-    )
-    for shard in range(4):
-        part = docs[docs["doc_id"] % 4 == shard]
+
+    def _shard(shard, rows):
         write_mbox(
             _os.path.join(path, f"part-{shard}.mbox"),
             [
@@ -9519,9 +9530,16 @@ def q_source_eml(spark: SparkSession, sf_dir: str) -> DataFrame:
                     text=r.text,
                     html=f"<p>{r.text[:40]}</p>",
                 )
-                for r in part.itertuples()
+                for r in rows.itertuples()
             ],
         )
+
+    from table_streaming_source_spark.plans._fixtures import write_sharded
+
+    write_sharded(
+        t(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        key="doc_id", n_shards=4, write_shard=_shard,
+    )
     result = (
         read_mbox(spark, path)
         .select(
@@ -9568,23 +9586,8 @@ def q_source_protobuf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = _scratch.scratch_dir("source_protobuf", sf_dir, fresh=True)
-    rows = (
-        t(spark, sf_dir, "orders")
-        .select(
-            "o_orderkey",
-            "o_custkey",
-            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-            .cast("bigint")
-            .alias("cents"),
-            "o_orderstatus",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
-            "o_orderpriority",
-        )
-        .toPandas()
-        .sort_values("o_orderkey")
-    )
-    for shard in range(4):
-        part = rows[rows["o_orderkey"] % 4 == shard]
+
+    def _shard(shard, rows):
         msgs = [
             encode_message(
                 {
@@ -9612,9 +9615,25 @@ def q_source_protobuf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     9: ("fixed64", 0xDEADBEEF),  # unknown → skipped
                 }
             )
-            for r in part.itertuples()
+            for r in rows.itertuples()
         ]
         write_delimited(_os.path.join(path, f"part-{shard}.pb"), msgs)
+
+    from table_streaming_source_spark.plans._fixtures import write_sharded
+
+    write_sharded(
+        t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            "o_orderstatus",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+            "o_orderpriority",
+        ),
+        key="o_orderkey", n_shards=4, write_shard=_shard,
+    )
     result = read_orders_protobuf(spark, path).localCheckpoint(
         eager=True
     )
@@ -11407,21 +11426,22 @@ def q_source_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = _scratch.scratch_dir("source_gzip", sf_dir, fresh=True)
-    docs = (
-        t(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .toPandas()
-        .sort_values("doc_id")
-    )
-    for shard in range(6):
-        part = docs[docs["doc_id"] % 6 == shard]
+
+    def _shard(shard, rows):
         write_gzip_members(
             _os.path.join(path, f"part-{shard}.gz"),
             [
                 (f"{r.doc_id}.txt", r.text.encode("utf-8"))
-                for r in part.itertuples()
+                for r in rows.itertuples()
             ],
         )
+
+    from table_streaming_source_spark.plans._fixtures import write_sharded
+
+    write_sharded(
+        t(spark, sf_dir, "documents").select("doc_id", "text"),
+        key="doc_id", n_shards=6, write_shard=_shard,
+    )
     result = (
         read_gzip_text(spark, path)
         .select(
@@ -12365,15 +12385,8 @@ def q_source_ics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = _scratch.scratch_dir("source_ics", sf_dir, fresh=True)
-    docs = (
-        t(spark, sf_dir, "documents")
-        .select("doc_id")
-        .toPandas()
-        .sort_values("doc_id")
-    )
-    cals = []
-    for shard in range(6):
-        ids = docs[docs["doc_id"] % 6 == shard]["doc_id"]
+
+    def _shard(shard, rows):
         events = [
             {
                 "uid": f"d{k}@tsss",
@@ -12382,10 +12395,16 @@ def q_source_ics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "summary": "s" * (5 + k % 40),
                 "description": "d" * (60 + k % 120),
             }
-            for k in ids
+            for k in rows["doc_id"]
         ]
-        cals.append((shard, events))
-    write_ics(path, cals)
+        write_ics(path, [(shard, events)])
+
+    from table_streaming_source_spark.plans._fixtures import write_sharded
+
+    write_sharded(
+        t(spark, sf_dir, "documents").select("doc_id"),
+        key="doc_id", n_shards=6, write_shard=_shard,
+    )
     result = (
         read_ics_events(spark, path)
         .select(
@@ -12926,14 +12945,8 @@ def q_source_bson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = _scratch.scratch_dir("source_bson", sf_dir, fresh=True)
-    docs = (
-        t(spark, sf_dir, "documents")
-        .select("doc_id", "text", "lang", "n_chars")
-        .toPandas()
-        .sort_values("doc_id")
-    )
-    for shard in range(6):
-        part = docs[docs["doc_id"] % 6 == shard]
+
+    def _shard(shard, rows):
         write_bson(
             _os.path.join(path, f"dump-{shard}.bson"),
             [
@@ -12943,9 +12956,18 @@ def q_source_bson(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "meta": {"lang": r.lang},
                     "tags": [f"t{j}" for j in range(int(r.doc_id) % 4)],
                 }
-                for r in part.itertuples()
+                for r in rows.itertuples()
             ],
         )
+
+    from table_streaming_source_spark.plans._fixtures import write_sharded
+
+    write_sharded(
+        t(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "n_chars"
+        ),
+        key="doc_id", n_shards=6, write_shard=_shard,
+    )
     result = read_bson_docs(spark, path).localCheckpoint(eager=True)
     _shutil.rmtree(path, ignore_errors=True)
     return result
@@ -13820,20 +13842,14 @@ def q_source_dbf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = _scratch.scratch_dir("source_dbf", sf_dir, fresh=True)
-    docs = (
-        t(spark, sf_dir, "documents")
-        .select("doc_id", "lang", "n_chars")
-        .toPandas()
-        .sort_values("doc_id")
-    )
     fields = [
         ("ID", "N", 10, 0),
         ("LANG", "C", 5, 0),
         ("NCHARS", "N", 8, 0),
         ("FLAG", "L", 1, 0),
     ]
-    for shard in range(6):
-        part = docs[docs["doc_id"] % 6 == shard]
+
+    def _shard(shard, rows):
         write_dbf(
             _os.path.join(path, f"part-{shard}.dbf"),
             fields,
@@ -13844,10 +13860,17 @@ def q_source_dbf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     int(r.n_chars),
                     int(r.doc_id) % 2 == 0,
                 )
-                for r in part.itertuples()
+                for r in rows.itertuples()
             ],
             deleted_rows={0},
         )
+
+    from table_streaming_source_spark.plans._fixtures import write_sharded
+
+    write_sharded(
+        t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars"),
+        key="doc_id", n_shards=6, write_shard=_shard,
+    )
     result = read_dbf_docs(spark, path).localCheckpoint(eager=True)
     _shutil.rmtree(path, ignore_errors=True)
     return result

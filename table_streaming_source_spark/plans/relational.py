@@ -651,23 +651,42 @@ def q_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation includes ``max(ts)`` so the timestamp-micros logical
     type must decode exactly; doubles round-trip bit-exact (raw IEEE
     bits on the wire)."""
+    import os as _os
+
     from table_streaming_source_spark.sources.avro_ocf import (
         read_avro,
-        write_avro_chunks,
+        write_ocf,
     )
 
     key = (id(spark._jsparkSession), sf_dir, "avro")
     path = _SOURCE_FIXTURES.get(key)
     if path is None:
         from table_streaming_source_spark.plans import _scratch
+        from table_streaming_source_spark.plans._fixtures import (
+            write_sharded,
+        )
 
         path = _scratch.scratch_dir("source_avro", sf_dir, fresh=True)
-        pdf = (
-            t(spark, sf_dir, "events")
-            .select("event_id", "user_id", "event_type", "value", "ts")
-            .toPandas()
+
+        def _shard(shard, rows):
+            pdf = rows.copy()
+            pdf["ts"] = pdf["ts"].astype("int64") // 1000  # ns → µs
+            with open(
+                _os.path.join(path, f"part-{shard}.avro"), "wb"
+            ) as fh:
+                fh.write(
+                    write_ocf(
+                        _EVENTS_AVRO_SCHEMA,
+                        list(pdf.itertuples(index=False, name=None)),
+                    )
+                )
+
+        write_sharded(
+            t(spark, sf_dir, "events").select(
+                "event_id", "user_id", "event_type", "value", "ts"
+            ),
+            key="event_id", n_shards=4, write_shard=_shard,
         )
-        write_avro_chunks(pdf, _EVENTS_AVRO_SCHEMA, path, 4)
         _SOURCE_FIXTURES[key] = path
 
     df = read_avro(spark, path, _EVENTS_AVRO_SCHEMA)

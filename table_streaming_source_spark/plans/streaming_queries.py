@@ -1351,7 +1351,7 @@ def q_streaming_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from table_streaming_source_spark.sources.avro_ocf import (
         stream_avro,
-        write_avro_chunks,
+        write_ocf,
     )
 
     events = t(spark, sf_dir, "events").select(
@@ -1359,11 +1359,29 @@ def q_streaming_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _write(d: str) -> None:
+        import os as _os
+
+        from table_streaming_source_spark.plans._fixtures import (
+            write_sharded,
+        )
+
+        def _shard(shard, rows):
+            pdf = rows.copy()
+            pdf["ts"] = pdf["ts"].astype("int64") // 1000  # ns → µs
+            with open(
+                _os.path.join(d, f"part-{shard}.avro"), "wb"
+            ) as fh:
+                fh.write(
+                    write_ocf(
+                        _EVENTS_AVRO_SCHEMA,
+                        list(pdf.itertuples(index=False, name=None)),
+                    )
+                )
+
+        write_sharded(events, key="event_id", n_shards=8, write_shard=_shard)
         stamp = 1_700_000_000
-        for i, name in enumerate(
-            write_avro_chunks(events.toPandas(), _EVENTS_AVRO_SCHEMA, d, 8)
-        ):
-            _bump_mtimes(d, {name}, stamp + i)
+        for shard in range(8):
+            _bump_mtimes(d, {f"part-{shard}.avro"}, stamp + shard)
 
     src = _stream_fixture(spark, sf_dir, "avroing", _write)
     stream = stream_avro(
@@ -2005,23 +2023,27 @@ def q_streaming_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _write(d: str) -> None:
-        docs = docs_df.toPandas().sort_values("doc_id")
-        stamp = 1_700_000_000
-        for shard in range(8):
-            part = docs[docs["doc_id"] % 8 == shard]
-            name = f"part-{shard}.warc"
+        from table_streaming_source_spark.plans._fixtures import (
+            write_sharded,
+        )
+
+        def _shard(shard, rows):
             write_warc(
-                _os.path.join(d, name),
+                _os.path.join(d, f"part-{shard}.warc"),
                 [
                     (
                         f"urn:doc:{r.doc_id}",
                         f"https://{r.source}.example/{r.doc_id}",
                         r.text,
                     )
-                    for r in part.itertuples()
+                    for r in rows.itertuples()
                 ],
             )
-            _bump_mtimes(d, {name}, stamp + shard)
+
+        write_sharded(docs_df, key="doc_id", n_shards=8, write_shard=_shard)
+        stamp = 1_700_000_000
+        for shard in range(8):
+            _bump_mtimes(d, {f"part-{shard}.warc"}, stamp + shard)
 
     src = _stream_fixture(spark, sf_dir, "warcing", _write)
     stream = stream_warc(spark, src, maxFilesPerTrigger=2)
@@ -2094,10 +2116,11 @@ def q_streaming_protobuf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _write(d: str) -> None:
-        rows = rows_df.toPandas().sort_values("o_orderkey")
-        stamp = 1_700_000_000
-        for shard in range(8):
-            part = rows[rows["o_orderkey"] % 8 == shard]
+        from table_streaming_source_spark.plans._fixtures import (
+            write_sharded,
+        )
+
+        def _shard(shard, rows):
             msgs = [
                 encode_message(
                     {
@@ -2125,11 +2148,16 @@ def q_streaming_protobuf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                         9: ("fixed64", 0xDEADBEEF),
                     }
                 )
-                for r in part.itertuples()
+                for r in rows.itertuples()
             ]
-            name = f"part-{shard}.pb"
-            write_delimited(_os.path.join(d, name), msgs)
-            _bump_mtimes(d, {name}, stamp + shard)
+            write_delimited(_os.path.join(d, f"part-{shard}.pb"), msgs)
+
+        write_sharded(
+            rows_df, key="o_orderkey", n_shards=8, write_shard=_shard
+        )
+        stamp = 1_700_000_000
+        for shard in range(8):
+            _bump_mtimes(d, {f"part-{shard}.pb"}, stamp + shard)
 
     src = _stream_fixture(spark, sf_dir, "pbing", _write)
     stream = stream_orders_protobuf(spark, src, maxFilesPerTrigger=2)
@@ -2188,13 +2216,13 @@ def q_streaming_bson_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _write(d: str) -> None:
-        docs = docs_df.toPandas().sort_values("doc_id")
-        stamp = 1_700_000_000
-        for shard in range(6):
-            part = docs[docs["doc_id"] % 6 == shard]
-            name = f"dump-{shard}.bson"
+        from table_streaming_source_spark.plans._fixtures import (
+            write_sharded,
+        )
+
+        def _shard(shard, rows):
             write_bson(
-                _os.path.join(d, name),
+                _os.path.join(d, f"dump-{shard}.bson"),
                 [
                     {
                         "doc_id": int(r.doc_id),
@@ -2205,10 +2233,14 @@ def q_streaming_bson_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "meta": {"lang": r.lang},
                         "tags": [f"t{j}" for j in range(int(r.doc_id) % 4)],
                     }
-                    for r in part.itertuples()
+                    for r in rows.itertuples()
                 ],
             )
-            _bump_mtimes(d, {name}, stamp + shard)
+
+        write_sharded(docs_df, key="doc_id", n_shards=6, write_shard=_shard)
+        stamp = 1_700_000_000
+        for shard in range(6):
+            _bump_mtimes(d, {f"dump-{shard}.bson"}, stamp + shard)
 
     src = _stream_fixture(spark, sf_dir, "bsoning", _write)
     stream = stream_bson_docs(spark, src, maxFilesPerTrigger=2)

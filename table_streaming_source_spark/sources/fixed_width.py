@@ -152,13 +152,21 @@ class FixedWidthStreamWriter(DataSourceStreamWriter):
     format.  Per micro-batch: every task stages ``part-*.tsr.tmp`` and
     reports it; the driver-side ``commit(messages, batchId)`` renames
     staged files to ``part-b{batchId:05d}-{i}.tsr``.  EXACTLY-ONCE
-    across engine retries: a ``_batch-{batchId}.committed`` marker
-    records publication, and a REPLAYED commit of the same batch
-    (checkpoint recovery re-runs the last micro-batch) discards its
-    freshly staged files instead of double-publishing — dedupe by
+    across engine retries, atomic AS A UNIT: commit first writes the
+    staged-file MANIFEST into the ``_batch-{batchId}.committed``
+    marker via temp+rename — that rename is the commit point — and
+    only then publishes, FROM THE MANIFEST.  A crash anywhere leaves a
+    recoverable state: before the marker, the batch never committed
+    (``.tmp`` residue is invisible and the replay re-publishes its own
+    stage); after the marker, the replayed commit FINISHES the
+    interrupted publish from the recorded manifest (staged→final
+    renames are individually atomic, so each name is either published
+    or still staged) and discards its own duplicate stage — dedupe by
     batch id, the idempotent-sink contract Structured Streaming
-    requires of any exactly-once sink.  Markers and ``.tmp`` residue
-    are invisible to the directory reader (it lists ``*.tsr`` only)."""
+    requires of any exactly-once sink.  No window exists in which
+    published names could be re-published under a different task
+    count or order.  Markers and ``.tmp`` residue are invisible to
+    the directory reader (it lists ``*.tsr`` only)."""
 
     def __init__(self, options: dict):
         self.dir = options.get("path")
@@ -177,23 +185,48 @@ class FixedWidthStreamWriter(DataSourceStreamWriter):
         return _FileCommit(staged, len(rows))
 
     def commit(self, messages, batchId: int) -> None:
+        import json
+        import uuid
+
         marker = os.path.join(self.dir, f"_batch-{batchId}.committed")
         if os.path.exists(marker):
-            # replayed batch after checkpoint recovery: already
-            # published — drop the duplicate stage, publish nothing
+            # replayed batch after checkpoint recovery: the batch IS
+            # committed (the marker rename was the commit point) —
+            # finish any publish the crash interrupted, straight from
+            # the recorded manifest, then drop the duplicate stage
+            with open(marker) as fh:
+                manifest = json.load(fh)
+            recorded = set()
+            for staged_name, final_name in manifest["files"]:
+                recorded.add(staged_name)
+                staged = os.path.join(self.dir, staged_name)
+                final = os.path.join(self.dir, final_name)
+                if os.path.exists(staged) and not os.path.exists(final):
+                    os.replace(staged, final)
             for m in messages:
-                if m is not None and os.path.exists(m.staged):
+                if (
+                    m is not None
+                    and os.path.exists(m.staged)
+                    and os.path.basename(m.staged) not in recorded
+                ):
                     os.remove(m.staged)
             return
-        for i, m in enumerate(messages):
-            if m is None:
-                continue
+        files = [
+            [os.path.basename(m.staged), f"part-b{batchId:05d}-{i}.tsr"]
+            for i, m in enumerate(messages)
+            if m is not None
+        ]
+        # manifest FIRST, temp+rename: after this rename the batch is
+        # committed and any crash recovers by replaying the manifest
+        tmp = marker + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump({"batchId": batchId, "files": files}, fh)
+        os.replace(tmp, marker)
+        for staged_name, final_name in files:
             os.replace(
-                m.staged,
-                os.path.join(self.dir, f"part-b{batchId:05d}-{i}.tsr"),
+                os.path.join(self.dir, staged_name),
+                os.path.join(self.dir, final_name),
             )
-        with open(marker, "w") as fh:
-            fh.write(str(batchId))
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:

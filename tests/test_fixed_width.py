@@ -176,3 +176,57 @@ def test_stream_sink_end_to_end_micro_batches(spark, tmp_path):
     back = spark.read.format("tsr").option("path", out).load()
     assert back.count() == 40
     assert back.select(F.sum("key")).collect()[0][0] == sum(range(40))
+
+
+def test_stream_writer_crash_between_marker_and_publish(tmp_path):
+    """The marker IS the manifest (temp+rename first, publish second):
+    a crash after the marker lands but with the publish incomplete must
+    recover on replay — the replayed commit finishes the publish FROM
+    THE MANIFEST and discards its own differing stage.  No duplicates,
+    no visible orphans, regardless of the replay's task count/order."""
+    import os
+
+    d = str(tmp_path / "sink3")
+    w = FW.FixedWidthStreamWriter({"path": d})
+    msgs = [
+        w.write(iter([(1, 0, 1.0)])),
+        w.write(iter([(2, 1, 2.0)])),
+    ]
+    # crash injection: let the marker rename through, fail the SECOND
+    # staged->final publish rename
+    real_replace = os.replace
+    published = []
+
+    def failing_replace(src, dst):
+        if dst.endswith(".tsr"):
+            if published:
+                raise OSError("simulated crash mid-publish")
+            published.append(dst)
+        real_replace(src, dst)
+
+    os.replace = failing_replace
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(OSError, match="simulated crash"):
+            w.commit(msgs, 0)
+    finally:
+        os.replace = real_replace
+    # crashed state: marker committed, one file published, one staged
+    assert os.path.exists(os.path.join(d, "_batch-0.committed"))
+    assert sorted(n for n in os.listdir(d) if n.endswith(".tsr")) == [
+        "part-b00000-0.tsr"
+    ]
+    assert any(n.endswith(".tsr.tmp") for n in os.listdir(d))
+    # the replay: DIFFERENT message list (engine re-ran the batch with
+    # another task layout — 1 task instead of 2)
+    replay = [w.write(iter([(1, 0, 1.0), (2, 1, 2.0)]))]
+    w.commit(replay, 0)
+    visible = sorted(n for n in os.listdir(d) if n.endswith(".tsr"))
+    assert visible == ["part-b00000-0.tsr", "part-b00000-1.tsr"]
+    # the manifest's second file was published at replay; the replay's
+    # own stage was discarded — no orphaned .tsr.tmp remains
+    assert not any(n.endswith(".tsr.tmp") for n in os.listdir(d))
+    # and a THIRD commit of the same batch is a clean no-op
+    w.commit([w.write(iter([(9, 9, 9.0)]))], 0)
+    assert sorted(n for n in os.listdir(d) if n.endswith(".tsr")) == visible

@@ -1722,3 +1722,48 @@ def test_common_neighbor_pairs_caps_mega_hub(spark):
         ).collect()
     }
     assert exact == {(1, 2, 2), (1, 3, 1), (2, 3, 1)}
+
+
+def test_common_neighbor_pairs_shuffle_count_join(spark):
+    """The elective count join for UNBOUNDED via domains: with
+    ``broadcast_counts=False`` the per-via degree counts attach by a
+    plain ``__via`` join (no broadcast of one-row-per-distinct-via),
+    and the capped result is IDENTICAL to the broadcast path — the
+    thinning rule is the same pure hash either way."""
+    from table_streaming_source_spark.operators.graph import (
+        common_neighbor_pairs,
+    )
+
+    # wide via domain: 3000 distinct vias (each a small group) plus
+    # one mega-hub — the shape where broadcasting per-via counts
+    # would scale with the via domain, not the hubs
+    wide = spark.range(3000).selectExpr(
+        "id % 1500 as c", "id as s"
+    )
+    hub = spark.range(400).select(
+        F.col("id").alias("c"), F.lit(999_999).alias("s")
+    )
+    edges = wide.unionByName(hub)
+    kw = dict(min_common=1, max_hub=50)
+    bc = {
+        (r.ca, r.cb, r.common)
+        for r in common_neighbor_pairs(
+            edges, broadcast_counts=True, **kw
+        ).collect()
+    }
+    sj = {
+        (r.ca, r.cb, r.common)
+        for r in common_neighbor_pairs(
+            edges, broadcast_counts=False, **kw
+        ).collect()
+    }
+    assert bc == sj and len(bc) > 0
+    # the logical plan carries the broadcast HINT only when asked
+    plan_bc = common_neighbor_pairs(
+        edges, broadcast_counts=True, **kw
+    )._jdf.queryExecution().optimizedPlan().toString()
+    plan_sj = common_neighbor_pairs(
+        edges, broadcast_counts=False, **kw
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" in plan_bc.lower()
+    assert "resolvedhint" not in plan_sj.lower()
