@@ -292,6 +292,27 @@ still drains fully next round): ``sink_python_stream`` plus
 ``text_zipf_fit``, ``ts_changepoint``, ``ts_dtw``, ``ts_ljung_box``,
 ``ts_mann_kendall``, ``ts_motif``, ``ts_pacf``, ``ts_sax``,
 ``window_rank_distribution``.
+
+Round-9 rotation (LANDED — this is the current window): 2 cross-round
+sentinels (``flagship_enrichment``, ``dedup_minhash_lsh``) + the FULL
+48-entry round-8 backlog above = exactly 50.  Every windowed entry was
+re-verified strict-dtype at sf0.01 AND sf0.1 at round-9 HEAD (48/48 +
+48/48, AFTER this round's code changes — the positional-delete /
+CDF table-format work, the distributed fixture writers, the stream-
+sink manifest commit, and the elective hub-cap count join) before
+``_PRIORITY`` was edited.  Once this window lands, ALL 423
+pre-round-9 catalog entries have an official driver row in some
+round — the certification queue is DRAINED for the first time.
+
+Round-10 rotation backlog — exactly 2 entries, the round-9 additions
+(each strict-dtype oracle-verified at sf0.001, sf0.01 AND sf0.1):
+``format_positional_deletes`` (Iceberg-v2 position-delete files
+beside the equality deletes — (file, row-ordinal) tuples subtracted
+by ``_metadata.row_index``, named-files-only anti-join, positions
+expire with rewritten files) and ``format_cdf_read`` (the
+change-data-feed read — row-level insert/update_pre/update_post/
+delete images derived from commit payloads; merge diffs only
+rewritten files, compaction emits NO rows).
 """
 
 from __future__ import annotations
@@ -315,78 +336,76 @@ _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 #: names pinned into the driver's 50-entry correctness window, in order.
-#: Round-8 rotation: the 3 cross-round sentinels + 47 of the 94-entry
-#: round-7 backlog, ranked by user impact (VERDICT r7 demand 1: the
-#: sources family first, then connector writer/format refs, the
-#: sketch/inference battery, graph, evals, data-quality/privacy, the
-#: streaming ingest twins, and the from-scratch codecs) = exactly 50.
-#: EVERY windowed entry was strict-dtype oracle-verified at sf0.01 AND
-#: sf0.1 at this round's HEAD (47/47 + 47/47) BEFORE this tuple was
-#: edited.  After this window lands, 375/422 entries have an official
-#: driver row in some round; the remaining 47 (enumerated at the end
-#: of the module docstring) are exactly one round-9 window.
+#: Round-9 rotation: 2 cross-round sentinels + the FULL 48-entry
+#: round-8 backlog (VERDICT r8 demand 1: finish the certification
+#: drain) = exactly 50.  EVERY windowed entry was strict-dtype
+#: oracle-verified at sf0.01 AND sf0.1 at this round's HEAD
+#: (48/48 + 48/48, after this round's code landed) BEFORE this tuple
+#: was edited.  Once this window lands, ALL 423 pre-round-9 entries
+#: have an official driver row in some round — the certification
+#: queue is fully drained for the first time; the round-10 backlog is
+#: just this round's 2 additions (``format_positional_deletes``,
+#: ``format_cdf_read``).
 _PRIORITY: tuple[str, ...] = (
     # cross-round regression sentinels (driver-green every prior round)
     "flagship_enrichment",
-    "streaming_enrichment",
     "dedup_minhash_lsh",
-    # --- sources family (13): every from-scratch container/format
-    # reader a pipeline user hits first ---
-    "source_zip",
-    "source_webdataset",
-    "source_xlsx",
-    "source_sqlite",
-    "source_bson",
-    "source_gzip",
-    "source_eml",
-    "source_protobuf",
-    "source_dbf",
-    "source_ics",
-    "source_pdf",
-    "source_logfmt",
-    "source_csv_malformed",
-    # --- connector writer + table-format refs/evolution (3) ---
-    "sink_python_batch",
-    "format_branch_tag",
-    "format_partition_evolution",
-    # --- sketch / statistical-inference battery (7) ---
-    "agg_kmv_sketch",
-    "agg_hll_sketch",
-    "agg_anova",
-    "agg_kruskal_wallis",
-    "agg_spearman",
-    "agg_bh_fdr",
-    "agg_bootstrap_ci",
-    # --- graph (5; link prediction carries the round-8 live hub cap) ---
-    "graph_label_propagation",
-    "graph_hits",
-    "graph_ppr",
-    "graph_clustering",
-    "graph_link_prediction",
-    # --- generation/retrieval evals (6) ---
-    "text_bleu_eval",
-    "text_rouge_eval",
-    "text_chrf_eval",
-    "text_macro_f1",
-    "sim_rrf_fusion",
-    "sim_cluster_eval",
-    # --- data quality + privacy-release trilogy (4) ---
-    "dq_profile",
-    "dq_k_anonymity",
-    "dq_l_diversity",
-    "dq_t_closeness",
-    # --- streaming ingest twins (3) ---
-    "streaming_warc_ingest",
-    "streaming_protobuf_ingest",
-    "streaming_bson_ingest",
-    # --- codecs, footer scan, semantic decontamination, readability,
-    # composed entity resolution (6) ---
-    "multimodal_webp",
-    "multimodal_qoi",
-    "scan_parquet_footer",
-    "sim_semantic_decontaminate",
-    "text_readability",
-    "pipeline_entity_resolution",
+    # --- the streaming connector writer (the one round-8 addition) ---
+    "sink_python_stream",
+    # --- nonparametric / robust statistical-inference battery (16) ---
+    "agg_capture_recapture",
+    "agg_cohens_kappa",
+    "agg_cronbach_alpha",
+    "agg_friedman",
+    "agg_herfindahl",
+    "agg_hodges_lehmann",
+    "agg_lorenz_points",
+    "agg_mcnemar",
+    "agg_odds_ratio",
+    "agg_pythagorean_means",
+    "agg_runs_test",
+    "agg_sprt",
+    "agg_theil_index",
+    "agg_trimmed_mean",
+    "agg_var_cvar",
+    "agg_wilson_ci",
+    # --- data quality + graph + spatial join (3) ---
+    "dq_outlier_fences",
+    "graph_assortativity",
+    "join_point_in_polygon",
+    # --- container metadata walks + raster codecs (9) ---
+    "multimodal_aiff",
+    "multimodal_au",
+    "multimodal_bmp_rle",
+    "multimodal_gif_interlaced",
+    "multimodal_midi_meta",
+    "multimodal_mkv_meta",
+    "multimodal_mp4_meta",
+    "multimodal_netpbm",
+    "multimodal_ogg_meta",
+    # --- pipeline / scalar / SQL-surface (5) ---
+    "pipeline_chunk_overlap",
+    "scalar_luhn",
+    "set_ops_all",
+    "sql_qualify",
+    "window_rank_distribution",
+    # --- similarity (2) ---
+    "sim_nn_descent",
+    "sim_silhouette",
+    # --- text analysis (5) ---
+    "text_hapax_rate",
+    "text_html_tables",
+    "text_js_divergence",
+    "text_pmi_cooccur",
+    "text_zipf_fit",
+    # --- time series (7) ---
+    "ts_changepoint",
+    "ts_dtw",
+    "ts_ljung_box",
+    "ts_mann_kendall",
+    "ts_motif",
+    "ts_pacf",
+    "ts_sax",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"
