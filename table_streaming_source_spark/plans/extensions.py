@@ -6753,36 +6753,46 @@ def q_source_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     CRLF record separation, HTTP header split.  Emitted fields only —
     archives never shuffle, and the fixture write is DISTRIBUTED
     (``_fixtures.write_sharded``: tasks write their residue shards,
-    the driver sees O(shards) summary rows, never the corpus)."""
+    the driver sees O(shards) summary rows, never the corpus) and
+    cached per (session, sf) like ``source_avro``'s — repeated bench
+    runs measure the PARSE, not fixture prep."""
     import os as _os
-    import shutil as _shutil
 
     from table_streaming_source_spark.plans import _scratch
     from table_streaming_source_spark.plans._fixtures import write_sharded
+    from table_streaming_source_spark.plans.relational import (
+        _SOURCE_FIXTURES,
+    )
     from table_streaming_source_spark.sources.warc import (
         read_warc,
         write_warc,
     )
 
-    path = _scratch.scratch_dir("source_warc", sf_dir, fresh=True)
+    key = (id(spark._jsparkSession), sf_dir, "warc")
+    path = _SOURCE_FIXTURES.get(key)
+    if path is None:
+        path = _scratch.scratch_dir("source_warc", sf_dir, fresh=True)
 
-    def _shard(shard, rows):
-        write_warc(
-            _os.path.join(path, f"part-{shard}.warc"),
-            [
-                (
-                    f"urn:doc:{r.doc_id}",
-                    f"https://{r.source}.example/{r.doc_id}",
-                    r.text,
-                )
-                for r in rows.itertuples()
-            ],
+        def _shard(shard, rows):
+            write_warc(
+                _os.path.join(path, f"part-{shard}.warc"),
+                [
+                    (
+                        f"urn:doc:{r.doc_id}",
+                        f"https://{r.source}.example/{r.doc_id}",
+                        r.text,
+                    )
+                    for r in rows.itertuples()
+                ],
+            )
+
+        write_sharded(
+            t(spark, sf_dir, "documents").select(
+                "doc_id", "source", "text"
+            ),
+            key="doc_id", n_shards=8, write_shard=_shard,
         )
-
-    write_sharded(
-        t(spark, sf_dir, "documents").select("doc_id", "source", "text"),
-        key="doc_id", n_shards=8, write_shard=_shard,
-    )
+        _SOURCE_FIXTURES[key] = path
     result = (
         read_warc(spark, path)
         .select(
@@ -6794,7 +6804,7 @@ def q_source_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    _shutil.rmtree(path, ignore_errors=True)
+    # cached fixture persists for the session (scratch sweeps at exit)
     return result
 
 

@@ -852,12 +852,18 @@ def commit_abandon(path: str, *, audit_id: str) -> None:
 # ---------------------------------------------------------------------------
 
 
+def _key_cols(key) -> list[str]:
+    """Normalize an equality-delete key (a column name or a list of
+    them — Iceberg equality deletes are multi-column) to a list."""
+    return [key] if isinstance(key, str) else list(key)
+
+
 def commit_delete_keys(
     spark: SparkSession,
     path: str,
     keys_df: DataFrame,
     *,
-    key: str,
+    key,
     expected_version: int | None = None,
     branch: str | None = None,
 ) -> int:
@@ -869,26 +875,33 @@ def commit_delete_keys(
     table costs one tiny file write instead of a multi-TB rewrite —
     the write-amplification answer every production format grew.
 
-    The delete file records per-column min/max stats on ``key`` exactly
-    like a data file, so the READ side can prove most data files
-    disjoint from every delete range and skip the anti-join for them
-    (see :func:`read_table_mor`).  A later :func:`commit_compact`
-    materializes outstanding deletes and clears them.  ``branch=``
-    deletes against a named branch's snapshot and advances its
-    pointer — rows visible only on other lineages are untouched."""
+    ``key`` is a column name or a LIST of them (the Iceberg
+    equality-field-ids surface is multi-column — e.g. delete by
+    ``["event_date", "user_id"]``); a row is deleted when ALL key
+    columns match a delete tuple.
+
+    The delete file records per-column min/max stats on every key
+    column exactly like a data file, so the READ side can prove most
+    data files disjoint from some delete range and skip the anti-join
+    for them (see :func:`read_table_mor`).  A later
+    :func:`commit_compact` materializes outstanding deletes and clears
+    them.  ``branch=`` deletes against a named branch's snapshot and
+    advances its pointer — rows visible only on other lineages are
+    untouched."""
+    keys = _key_cols(key)
     base, new_v = _resolve_write_target(path, branch, expected_version)
     staging = os.path.join(
         _data_dir(path), f"delete-{new_v}-{uuid.uuid4().hex[:8]}"
     )
-    keys_df.select(key).distinct().coalesce(1).write.mode(
+    keys_df.select(*keys).distinct().coalesce(1).write.mode(
         "overwrite"
     ).parquet(staging)
-    dels = _manifest_entries(path, staging, [key], seq=new_v)
+    dels = _manifest_entries(path, staging, keys, seq=new_v)
     # outstanding deletes resolved by CHAIN WALK, not just the
     # immediate parent — an append between two delete commits must not
     # drop the older delete
     prior_key, outstanding = _snapshot_deletes(path, base)
-    if prior_key is not None and prior_key != key:
+    if prior_key is not None and _key_cols(prior_key) != keys:
         raise ValueError(
             f"outstanding deletes use key {prior_key!r}; compact the "
             f"table before deleting on {key!r}"
@@ -1087,6 +1100,20 @@ def _mor_resolve(
     from pyspark.sql import functions as F
 
     pos_deletes = pos_deletes or []
+    keys = _key_cols(key) if key is not None else []
+
+    def _eq_overlaps(f: dict, d: dict) -> bool:
+        # a delete tuple can only match a file when EVERY key column's
+        # ranges overlap; a missing range on either side can't prove
+        # absence (never-lossy direction)
+        for kc in keys:
+            rf, rd = f["stats"].get(kc), d["stats"].get(kc)
+            if rf is None or rd is None:
+                continue
+            if rf[1] < rd[0] or rd[1] < rf[0]:
+                return False
+        return True
+
     # data abs path -> positional delete files naming it
     pos_by_file: dict[str, set[str]] = {}
     for d in pos_deletes:
@@ -1097,19 +1124,11 @@ def _mor_resolve(
     for f in file_dicts:
         fseq = f.get("seq", 0)
         if deletes:
-            rng = f["stats"].get(key)
             eq_set = frozenset(
                 d["path"]
                 for d in deletes
                 if fseq < d.get("seq", float("inf"))
-                and (
-                    rng is None
-                    or d["stats"].get(key) is None
-                    or (
-                        rng[0] <= d["stats"][key][1]
-                        and d["stats"][key][0] <= rng[1]
-                    )
-                )
+                and _eq_overlaps(f, d)
             )
         else:
             eq_set = frozenset()
@@ -1151,10 +1170,10 @@ def _mor_resolve(
                 spark.read.parquet(
                     *[os.path.join(path, p) for p in sorted(eq_set)]
                 )
-                .select(key)
+                .select(*keys)
                 .distinct()
             )
-            part = part.join(F.broadcast(del_df), key, "left_anti")
+            part = part.join(F.broadcast(del_df), keys, "left_anti")
         parts.append(part)
     if clean:
         part = spark.read.option("mergeSchema", "true").parquet(*clean)
@@ -1393,7 +1412,7 @@ def read_cdf(
     path: str,
     *,
     from_version: int,
-    to_version: int | None = None,
+    to_version=None,
     change_col: str = "_change_type",
     version_col: str = "_commit_version",
 ) -> DataFrame:
@@ -1427,11 +1446,17 @@ def read_cdf(
     only their own files, merge diffs touch only rewritten files, and
     delete pre-images prune to the overlapping/named files with the
     delete side broadcast.  Merges committed before ``merge_key`` was
-    recorded are not classifiable and raise.  ``to_version=None``
-    resolves main's head (the :func:`read_incremental` rule)."""
+    recorded are not classifiable and raise.  ``to_version`` is a
+    version number OR a ref name (branch/tag — the CDF of a branch
+    lineage); ``None`` resolves main's head (the
+    :func:`read_incremental` rule)."""
     from pyspark.sql import functions as F
 
-    to_v = resolve_ref(path, None) if to_version is None else to_version
+    to_v = (
+        to_version
+        if isinstance(to_version, int)
+        else resolve_ref(path, to_version)
+    )
     legs: list[DataFrame] = []
 
     def _tag(df: DataFrame, ctype: str, v: int) -> DataFrame:
@@ -1454,36 +1479,38 @@ def read_cdf(
         ]
         if new_eq or new_pos:
             key = c.get("delete_key")
+            keys = _key_cols(key) if key is not None else []
             prev_dicts = _snapshot_file_dicts(path, base)
             prev_key, prev_eq = _snapshot_deletes(path, base)
             prev_pos = _snapshot_pos_deletes(path, base)
             if new_eq:
-                # files provably disjoint from every new delete range
-                # can't contribute pre-images — prune before resolving
+                # files provably disjoint from some new-delete key
+                # range can't contribute pre-images — prune first
+                def _cols_overlap(f: dict, d: dict) -> bool:
+                    for kc in keys:
+                        rf, rd = f["stats"].get(kc), d["stats"].get(kc)
+                        if rf is None or rd is None:
+                            continue
+                        if rf[1] < rd[0] or rd[1] < rf[0]:
+                            return False
+                    return True
+
                 cand = [
                     f
                     for f in prev_dicts
-                    if f["stats"].get(key) is None
-                    or any(
-                        d["stats"].get(key) is None
-                        or (
-                            f["stats"][key][0] <= d["stats"][key][1]
-                            and d["stats"][key][0] <= f["stats"][key][1]
-                        )
-                        for d in new_eq
-                    )
+                    if any(_cols_overlap(f, d) for d in new_eq)
                 ]
                 if cand:
                     keys_df = (
                         spark.read.parquet(
                             *[os.path.join(path, d["path"]) for d in new_eq]
                         )
-                        .select(key)
+                        .select(*keys)
                         .distinct()
                     )
                     pre = _mor_resolve(
                         spark, path, cand, prev_key, prev_eq, prev_pos
-                    ).join(F.broadcast(keys_df), key, "left_semi")
+                    ).join(F.broadcast(keys_df), keys, "left_semi")
                     legs.append(_tag(pre, "delete", v))
             if new_pos:
                 named = {p for d in new_pos for p in d.get("paths", [])}

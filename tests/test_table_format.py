@@ -1985,3 +1985,71 @@ def test_clone_carries_positional_deletes(spark, tmp_path):
     )
     TF.shallow_clone(src, dst)
     assert TF.read_table_mor(spark, dst).count() == 90
+
+
+def test_multi_column_equality_deletes(spark, tmp_path):
+    """Iceberg equality deletes are MULTI-column: a row is deleted only
+    when ALL key columns match a delete tuple — a one-column match must
+    not subtract.  Stats pruning composes per column (any provably
+    disjoint key column exempts the file)."""
+    path = str(tmp_path / "mk")
+    TF.create_table(path)
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("grp"),
+        (F.col("id") * 2).cast("double").alias("v"),
+    )
+    TF.commit_append(
+        spark, path,
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stat_cols=["k", "grp"],
+    )
+    # delete tuples (k, grp) for k % 10 == 0 — the (k, grp+1) twins
+    # must survive even though their k matches
+    TF.commit_delete_keys(
+        spark, path, df.filter("k % 10 = 0"), key=["k", "grp"]
+    )
+    got = TF.read_table_mor(spark, path)
+    assert got.count() == 200 - 20
+    assert got.filter("k % 10 = 0").count() == 0
+    # a second delete with the SAME composite key accumulates
+    TF.commit_delete_keys(
+        spark, path, df.filter("k = 7"), key=["k", "grp"]
+    )
+    assert TF.read_table_mor(spark, path).count() == 179
+    # a MISMATCHED key raises until compaction clears the state
+    with pytest.raises(ValueError, match="compact the table"):
+        TF.commit_delete_keys(spark, path, df.filter("k = 9"), key="k")
+    TF.commit_compact(spark, path, stat_cols=["k", "grp"])
+    TF.commit_delete_keys(spark, path, df.filter("k = 9"), key="k")
+    assert TF.read_table_mor(spark, path).count() == 178
+    # CDF pre-images work for the composite key too
+    cdf = TF.read_cdf(spark, path, from_version=1, to_version=2)
+    assert cdf.filter("_change_type = 'delete'").count() == 20
+
+
+def test_cdf_follows_a_branch_lineage(spark, tmp_path):
+    """read_cdf(to_version='branch') walks THE BRANCH's lineage: the
+    dev branch's append appears, main-only commits after the fork do
+    not (and vice versa)."""
+    path = str(tmp_path / "cdfbr")
+    TF.create_table(path)
+    df = spark.range(50).select(F.col("id").alias("k"))
+    TF.commit_append(spark, path, df, stat_cols=["k"])          # v1
+    TF.create_branch(path, "dev")
+    TF.commit_append_branch(
+        spark, path, "dev", spark.range(50, 60).select(F.col("id").alias("k")),
+        stat_cols=["k"],
+    )                                                           # v2 on dev
+    TF.commit_append_branch(
+        spark, path, "main",
+        spark.range(100, 105).select(F.col("id").alias("k")),
+        stat_cols=["k"],
+    )                                                           # v3 on main
+    dev = TF.read_cdf(spark, path, from_version=0, to_version="dev")
+    ks = {r["k"] for r in dev.select("k").collect()}
+    assert set(range(50)) <= ks and set(range(50, 60)) <= ks
+    assert not ks & set(range(100, 105))
+    main = TF.read_cdf(spark, path, from_version=0, to_version="main")
+    km = {r["k"] for r in main.select("k").collect()}
+    assert set(range(100, 105)) <= km and not km & set(range(50, 60))
