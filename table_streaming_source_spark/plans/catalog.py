@@ -304,15 +304,20 @@ sink manifest commit, and the elective hub-cap count join) before
 pre-round-9 catalog entries have an official driver row in some
 round — the certification queue is DRAINED for the first time.
 
-Round-10 rotation backlog — exactly 2 entries, the round-9 additions
-(each strict-dtype oracle-verified at sf0.001, sf0.01 AND sf0.1):
-``format_positional_deletes`` (Iceberg-v2 position-delete files
-beside the equality deletes — (file, row-ordinal) tuples subtracted
-by ``_metadata.row_index``, named-files-only anti-join, positions
-expire with rewritten files) and ``format_cdf_read`` (the
-change-data-feed read — row-level insert/update_pre/update_post/
-delete images derived from commit payloads; merge diffs only
-rewritten files, compaction emits NO rows).
+Round-10 rotation backlog — exactly 4 entries, the round-9 additions
+(each strict-dtype oracle-verified at sf0.001, sf0.01 AND sf0.1 at
+round-9 HEAD): ``format_positional_deletes`` (Iceberg-v2
+position-delete files beside the equality deletes — (file,
+row-ordinal) tuples subtracted by ``_metadata.row_index``,
+named-files-only anti-join, positions expire with rewritten files),
+``format_cdf_read`` (the change-data-feed read — row-level
+insert/update_pre/update_post/delete images derived from commit
+payloads; merge diffs only rewritten files, compaction emits NO
+rows), ``format_multi_key_deletes`` (COMPOSITE-key equality deletes —
+the Iceberg equality-field-ids surface; per-column stats pruning
+composes), and ``agg_count_min`` (count-min sketch heavy hitters —
+depth-3 × width-64 md5-hashed counter grid, one-sided-error invariant
+emitted as a checked boolean).
 """
 
 from __future__ import annotations

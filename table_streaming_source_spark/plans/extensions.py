@@ -14618,3 +14618,96 @@ FROM scored
 
 
 QUERIES_DEFERRED.update({"text_macro_f1": q_text_macro_f1})
+
+
+def q_agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    a depth-3 × width-64 counter grid over the events stream's user
+    keys — each row increments ``d`` hashed cells (one pass, map-side
+    combinable, the grid is 192 integers TOTAL regardless of input
+    size), and a key's frequency estimate is the MIN over its ``d``
+    cells, which can only OVER-estimate (collisions add, never
+    subtract).  The entry probes the true top-10 keys: per probe it
+    emits the exact count, the sketch estimate, and the one-sided-error
+    invariant as a checked boolean.  Hashes are the cross-engine
+    ``md5``-prefix integers (the ``text_sample_split`` idiom), so the
+    oracle rebuilds the IDENTICAL grid in SQL.  100 TB shape: the
+    sketch agg shuffles 192 cells, the probe side is 10 rows — this is
+    THE bounded-memory answer to per-key counts over unbounded key
+    domains (beside ``agg_kmv_sketch``/``agg_hll_sketch`` for distinct
+    counts)."""
+    _W, _D = 64, 3
+
+    ev = t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+
+    def bucket(j):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}:"), F.col("k"))), 1, 15
+                ),
+                16, 10,
+            ).cast("long")
+            % _W
+        )
+
+    counters = (
+        ev.select(
+            F.posexplode(F.array(*[bucket(j) for j in range(_D)]))
+            .alias("j", "b")
+        )
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    truth = ev.groupBy("k").agg(F.count(F.lit(1)).alias("true_n"))
+    probes = truth.orderBy(F.desc("true_n"), "k").limit(10)
+    pb = probes.select(
+        "k", "true_n",
+        F.posexplode(F.array(*[bucket(j) for j in range(_D)]))
+        .alias("j", "b"),
+    )
+    return (
+        pb.join(F.broadcast(counters), ["j", "b"])
+        .groupBy("k", "true_n")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            F.col("k").alias("user_key"),
+            "true_n",
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.col("true_n")).alias(
+                "never_underestimates"
+            ),
+        )
+    )
+
+
+ORACLES["agg_count_min"] = """
+WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+depths AS (SELECT UNNEST([0, 1, 2]) AS j),
+buckets AS (
+  SELECT k, j,
+         CAST('0x' || SUBSTR(MD5(CAST(j AS VARCHAR) || ':' || k), 1, 15)
+              AS BIGINT) % 64 AS b
+  FROM ev, depths
+),
+counters AS (SELECT j, b, COUNT(*) AS c FROM buckets GROUP BY 1, 2),
+truth AS (SELECT k, COUNT(*) AS true_n FROM ev GROUP BY 1),
+probes AS (SELECT k, true_n FROM truth ORDER BY true_n DESC, k LIMIT 10),
+pb AS (
+  SELECT p.k, p.true_n, d.j,
+         CAST('0x' || SUBSTR(MD5(CAST(d.j AS VARCHAR) || ':' || p.k), 1, 15)
+              AS BIGINT) % 64 AS b
+  FROM probes p, depths d
+)
+SELECT pb.k AS user_key,
+       pb.true_n,
+       CAST(MIN(c.c) AS BIGINT) AS cms_estimate,
+       CAST(MIN(c.c) AS BIGINT) >= pb.true_n AS never_underestimates
+FROM pb JOIN counters c ON pb.j = c.j AND pb.b = c.b
+GROUP BY 1, 2
+"""
+
+
+QUERIES_DEFERRED.update({"agg_count_min": q_agg_count_min})

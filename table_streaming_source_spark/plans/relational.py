@@ -9008,6 +9008,77 @@ FROM images GROUP BY 1, 2
 """
 
 
+def q_format_multi_key_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-COLUMN equality deletes (``table_format.py::
+    commit_delete_keys(key=[...])`` — the Iceberg equality-field-ids
+    surface): two delete commits store COMPOSITE key tuples
+    (priority, bucket); a row subtracts only when EVERY key column
+    matches, so one-column twins survive (the property a single-key
+    delete can't express), and the manifest stats prune composes per
+    column — any provably disjoint key column exempts a data file from
+    the broadcast anti-join.  The oracle states the surviving rows as
+    the negated tuple predicates."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_mkdel", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice",
+        (F.col("o_orderkey") % 7).cast("int").alias("bucket"),
+    )
+    TF.commit_append(
+        spark,
+        path,
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        stat_cols=["o_orderkey", "bucket"],
+    )
+    TF.commit_delete_keys(
+        spark, path,
+        o.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & F.col("bucket").isin(0, 3)
+        ),
+        key=["o_orderpriority", "bucket"],
+    )
+    TF.commit_delete_keys(
+        spark, path,
+        o.filter(
+            (F.col("o_orderpriority") == "3-MEDIUM")
+            & (F.col("bucket") == 5)
+        ),
+        key=["o_orderpriority", "bucket"],
+    )
+    result = (
+        TF.read_table_mor(spark, path)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_multi_key_deletes"] = """
+SELECT o_orderpriority AS priority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM orders
+WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 7 IN (0, 3))
+  AND NOT (o_orderpriority = '3-MEDIUM' AND o_orderkey % 7 = 5)
+GROUP BY 1
+"""
+
+
 QUERIES.update(
     {
         "format_delete_vectors": q_format_delete_vectors,
@@ -9017,6 +9088,7 @@ QUERIES.update(
         "format_zorder_3d": q_format_zorder_3d,
         "format_positional_deletes": q_format_positional_deletes,
         "format_cdf_read": q_format_cdf_read,
+        "format_multi_key_deletes": q_format_multi_key_deletes,
     }
 )
 
