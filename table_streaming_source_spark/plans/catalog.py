@@ -315,9 +315,13 @@ insert/update_pre/update_post/delete images derived from commit
 payloads; merge diffs only rewritten files, compaction emits NO
 rows), ``format_multi_key_deletes`` (COMPOSITE-key equality deletes —
 the Iceberg equality-field-ids surface; per-column stats pruning
-composes), and ``agg_count_min`` (count-min sketch heavy hitters —
+composes), ``agg_count_min`` (count-min sketch heavy hitters —
 depth-3 × width-64 md5-hashed counter grid, one-sided-error invariant
-emitted as a checked boolean).
+emitted as a checked boolean), and ``streaming_format_cdf`` (the
+STREAMING change-data-feed source — ``streaming/format_cdf.py``, the
+``readChangeFeed``-stream twin of ``format_cdf_read``; offset = commit
+version, maintenance commits emit nothing, row-for-row parity with
+the batch ``read_cdf`` pinned by test).
 """
 
 from __future__ import annotations

@@ -2353,3 +2353,131 @@ GROUP BY 1
 
 
 QUERIES_DEFERRED["sink_python_stream"] = q_sink_python_stream
+
+
+def q_streaming_format_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CHANGE DATA FEED over the table format
+    (``streaming/format_cdf.py`` — the streaming twin of
+    ``format_cdf_read``, Delta's ``readChangeFeed`` stream): an append,
+    a copy-on-write merge, a positional delete, an equality delete and
+    a compaction land in the log; the stream emits each commit's
+    row-level images exactly once with the commit version as the
+    offset — and the MAINTENANCE compaction emits NOTHING, so OPTIMIZE
+    runs under the live consumer.  Row-for-row parity with the batch
+    ``read_cdf`` is pinned in ``tests/test_table_format.py``; the
+    oracle restates every image class from the base table (versions
+    1–4 appear, the compacting v5 does not)."""
+    from table_streaming_source_spark import table_format as TF
+    from table_streaming_source_spark.streaming.format_cdf import (
+        register_format_cdf,
+    )
+
+    path = _scratch.scratch_dir("stream_cdf", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    TF.commit_append(
+        spark,
+        path,
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    low = o.filter(k <= 600)
+    changes = (
+        low.filter((k % 4 == 0) & (k % 10 != 0)).select(
+            "o_orderkey", F.lit("U").alias("op"),
+            (F.col("o_totalprice") + 5.0).alias("o_totalprice"),
+        )
+        .unionByName(
+            low.filter(k % 10 == 0).select(
+                "o_orderkey", F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("o_totalprice"),
+            )
+        )
+        .unionByName(
+            low.filter((k % 7 == 0) & (k > 0)).select(
+                (-k).alias("o_orderkey"), F.lit("I").alias("op"),
+                "o_totalprice",
+            )
+        )
+    )
+    TF.commit_merge(
+        spark, path, changes, key="o_orderkey", stat_cols=["o_orderkey"]
+    )
+    TF.commit_delete_positions(
+        spark, path,
+        TF.positions_where(
+            spark, path, "o_orderkey > 600 AND o_orderkey % 9 = 0"
+        ),
+    )
+    TF.commit_delete_keys(
+        spark, path,
+        o.filter((k > 600) & (k % 11 == 0)), key="o_orderkey",
+    )
+    TF.commit_compact(spark, path, stat_cols=["o_orderkey"])
+    register_format_cdf(spark)
+    stream = (
+        spark.readStream.format("format_cdf").option("path", path).load()
+    )
+    agg = stream.groupBy(
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+    name = f"__stream_cdf_{abs(hash(path)) % 10**8}"
+    with _stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["streaming_format_cdf"] = """
+WITH images AS (
+  SELECT 'insert' AS change_type, 1 AS commit_version,
+         o_totalprice AS p
+  FROM orders
+  UNION ALL
+  SELECT 'update_preimage', 2, o_totalprice FROM orders
+  WHERE o_orderkey <= 600 AND o_orderkey % 4 = 0
+    AND o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT 'update_postimage', 2, o_totalprice + 5.0 FROM orders
+  WHERE o_orderkey <= 600 AND o_orderkey % 4 = 0
+    AND o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT 'delete', 2, o_totalprice FROM orders
+  WHERE o_orderkey <= 600 AND o_orderkey % 10 = 0
+  UNION ALL
+  SELECT 'insert', 2, o_totalprice FROM orders
+  WHERE o_orderkey <= 600 AND o_orderkey % 7 = 0 AND o_orderkey > 0
+  UNION ALL
+  SELECT 'delete', 3, o_totalprice FROM orders
+  WHERE o_orderkey > 600 AND o_orderkey % 9 = 0
+  UNION ALL
+  SELECT 'delete', 4, o_totalprice FROM orders
+  WHERE o_orderkey > 600 AND o_orderkey % 11 = 0
+    AND o_orderkey % 9 <> 0
+)
+SELECT change_type, commit_version, COUNT(*) AS n,
+       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM images GROUP BY 1, 2
+"""
+
+
+QUERIES_DEFERRED["streaming_format_cdf"] = q_streaming_format_cdf

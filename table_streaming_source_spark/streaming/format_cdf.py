@@ -1,0 +1,298 @@
+"""Streaming CHANGE DATA FEED over the table-format commit log — the
+streaming twin of ``table_format.read_cdf`` (Delta's
+``readChangeFeed`` stream): each micro-batch emits the row-level
+``insert`` / ``update_preimage`` / ``update_postimage`` / ``delete``
+images of exactly the commits since the last processed version.  The
+offset IS the commit version (immutable → deterministic replay), the
+``ref`` option pins one lineage, and MAINTENANCE commits (compaction,
+clustering) emit nothing — OPTIMIZE can run under a live CDC consumer.
+
+Image computation runs driver-side in pandas/pyarrow: the
+``SimpleDataSourceStreamReader`` API is driver-side by design, and a
+CDF batch is CHANGE-sized (appends read their own files, merges diff
+only rewritten files, delete pre-images touch only overlapping/named
+files) — the same change-proportional algebra as the batch
+``read_cdf``, whose Spark-side implementation this module is
+parity-tested against (``tests/test_table_format.py``).  The
+partition-distributed variant is the batch ``read_cdf`` over an
+incremental version window; this source is the push-button stream.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Tuple
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.types import IntegerType, StringType, StructType
+
+from table_streaming_source_spark import table_format as TF
+from table_streaming_source_spark.streaming.format_tail import (
+    _lineage_commits,
+)
+
+
+def _file_frame(ap: str, cols: list[str]):
+    """One data file as pandas, stamped with the absolute path and the
+    within-file row ordinal — the same identity
+    ``(_metadata.file_path, _metadata.row_index)`` gives the Spark
+    read (parquet rows are emitted in file order by both readers)."""
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(ap, columns=cols).to_pandas()
+    pdf["__file"] = os.path.abspath(ap)
+    pdf["__pos"] = range(len(pdf))
+    return pdf
+
+
+def _concat(frames, cols: list[str]):
+    import pandas as pd
+
+    if not frames:
+        return pd.DataFrame(columns=cols + ["__file", "__pos"])
+    return pd.concat(frames, ignore_index=True)
+
+
+def _resolve_pandas(
+    path: str, version: int, cols: list[str], subset=None
+):
+    """The MOR view of a snapshot (or a file subset of it) in pandas:
+    data files minus applicable equality deletes (sequence rule) and
+    positional deletes (named file + ordinal) — the driver-side twin
+    of ``table_format._mor_resolve``, change-sized because callers
+    pass change-sized file subsets."""
+    import pandas as pd
+
+    key, eq = TF._snapshot_deletes(path, version)
+    pos = TF._snapshot_pos_deletes(path, version)
+    file_dicts = (
+        subset if subset is not None
+        else TF._snapshot_file_dicts(path, version)
+    )
+    keys = TF._key_cols(key) if key is not None else []
+    eq_frames: dict[str, object] = {}
+    for d in eq:
+        import pyarrow.parquet as pq
+
+        eq_frames[d["path"]] = (
+            pq.read_table(os.path.join(path, d["path"]), columns=keys)
+            .to_pandas()
+            .drop_duplicates()
+        )
+    pos_by_file: dict[str, set[int]] = {}
+    for d in pos:
+        import pyarrow.parquet as pq
+
+        pdf = pq.read_table(os.path.join(path, d["path"])).to_pandas()
+        for fp, p in zip(pdf["file_path"], pdf["pos"]):
+            pos_by_file.setdefault(fp, set()).add(int(p))
+    frames = []
+    for f in file_dicts:
+        ap = os.path.abspath(os.path.join(path, f["path"]))
+        pdf = _file_frame(ap, cols)
+        dead = pos_by_file.get(ap)
+        if dead:
+            pdf = pdf[~pdf["__pos"].isin(sorted(dead))]
+        fseq = f.get("seq", 0)
+        applicable = [
+            d for d in eq if fseq < d.get("seq", float("inf"))
+        ]
+        if applicable and keys:
+            kdf = pd.concat(
+                [eq_frames[d["path"]] for d in applicable],
+                ignore_index=True,
+            ).drop_duplicates()
+            merged = pdf.merge(kdf, on=keys, how="left", indicator=True)
+            pdf = merged[merged["_merge"] == "left_only"].drop(
+                columns="_merge"
+            )
+        frames.append(pdf)
+    return _concat(frames, cols)
+
+
+def _neq(a, b):
+    """Element-wise 'differs', treating NaN/None as equal to NaN/None
+    (the null-safe comparison the Spark struct diff performs)."""
+    both_na = a.isna() & b.isna()
+    return ~((a == b) | both_na)
+
+
+def _cdf_rows(path: str, v: int, cols: list[str]) -> list[tuple]:
+    """The CDF image tuples of commit ``v`` — the per-commit algebra of
+    ``table_format.read_cdf`` in pandas.  Tuple layout: ``cols...,
+    _change_type, _commit_version``."""
+    import pandas as pd
+
+    c = TF._read_commit(path, v)
+    if c.get("maintenance"):
+        return []
+    base = c["parent"] if c["parent"] is not None else c.get("prev")
+
+    def tag(pdf, ctype: str) -> list[tuple]:
+        if len(pdf) == 0:
+            return []
+        vals = pdf[cols]
+        return [
+            (*row, ctype, v)
+            for row in vals.itertuples(index=False, name=None)
+        ]
+
+    new_eq = [d for d in c.get("deletes", []) if d.get("seq") == v]
+    new_pos = [d for d in c.get("pos_deletes", []) if d.get("seq") == v]
+    if new_eq or new_pos:
+        import pyarrow.parquet as pq
+
+        out: list[tuple] = []
+        resolved = _resolve_pandas(path, base, cols)
+        if new_eq:
+            keys = TF._key_cols(c["delete_key"])
+            kdf = pd.concat(
+                [
+                    pq.read_table(
+                        os.path.join(path, d["path"]), columns=keys
+                    ).to_pandas()
+                    for d in new_eq
+                ],
+                ignore_index=True,
+            ).drop_duplicates()
+            out += tag(resolved.merge(kdf, on=keys), "delete")
+        if new_pos:
+            ppdf = pd.concat(
+                [
+                    pq.read_table(
+                        os.path.join(path, d["path"])
+                    ).to_pandas()
+                    for d in new_pos
+                ],
+                ignore_index=True,
+            ).drop_duplicates()
+            pre = resolved.merge(
+                ppdf,
+                left_on=["__file", "__pos"],
+                right_on=["file_path", "pos"],
+            )
+            out += tag(pre, "delete")
+        return out
+    if c["parent"] is not None:
+        pdf = _concat(
+            [
+                _file_frame(os.path.join(path, f["path"]), cols)
+                for f in c["files"]
+            ],
+            cols,
+        )
+        return tag(pdf, "insert")
+    if "merge_key" not in c:
+        raise ValueError(
+            f"commit {v} is a full-snapshot rewrite without a recorded "
+            "merge_key — not CDF-classifiable; start the stream after it"
+        )
+    key = c["merge_key"]
+    post_files = [f for f in c["files"] if f.get("seq") == v]
+    carried = {f["path"] for f in c["files"]}
+    rewritten = [
+        f
+        for f in TF._snapshot_file_dicts(path, base)
+        if f["path"] not in carried
+    ]
+    pre = _resolve_pandas(path, base, cols, subset=rewritten)
+    post = _concat(
+        [
+            _file_frame(os.path.join(path, f["path"]), cols)
+            for f in post_files
+        ],
+        cols,
+    )
+    out = []
+    out += tag(post[~post[key].isin(set(pre[key]))], "insert")
+    out += tag(pre[~pre[key].isin(set(post[key]))], "delete")
+    others = [col for col in cols if col != key]
+    both = post.merge(
+        pre[cols], on=key, suffixes=("", "__pre")
+    )
+    if len(both):
+        mask = None
+        for col in others:
+            d = _neq(both[col], both[f"{col}__pre"])
+            mask = d if mask is None else (mask | d)
+        changed = both[mask] if mask is not None else both.iloc[0:0]
+        out += tag(changed, "update_postimage")
+        pre_img = changed[
+            [key] + [f"{col}__pre" for col in others]
+        ].rename(columns={f"{col}__pre": col for col in others})[cols]
+        out += tag(pre_img, "update_preimage")
+    return out
+
+
+class CdfStreamReader(SimpleDataSourceStreamReader):
+    """Offset = last processed commit version on the tailed lineage; a
+    batch is the CDF images of every commit in ``(start, head]``."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        # the last two fields are the change metadata this source adds
+        self._cols = list(schema.fieldNames())[:-2]
+        self._path = options["path"]
+        self._ref = options.get("ref")
+
+    def initialOffset(self) -> dict:
+        return {"version": 0}
+
+    def read(self, start: dict) -> Tuple[Iterator[tuple], dict]:
+        head = TF.resolve_ref(self._path, self._ref)
+        rows: list[tuple] = []
+        for v in _lineage_commits(self._path, start["version"], head):
+            rows.extend(_cdf_rows(self._path, v, self._cols))
+        return iter(rows), {"version": head}
+
+    def readBetweenOffsets(
+        self, start: dict, end: dict
+    ) -> Iterator[tuple]:
+        rows: list[tuple] = []
+        for v in _lineage_commits(
+            self._path, start["version"], end["version"]
+        ):
+            rows.extend(_cdf_rows(self._path, v, self._cols))
+        return iter(rows)
+
+
+class CdfDataSource(DataSource):
+    """``spark.readStream.format("format_cdf")`` — options:
+
+    - ``path``: table-format root (required)
+    - ``ref``: branch/tag whose lineage to tail (default: main when
+      refs exist, else the linear head)
+
+    Schema: the table's columns + ``_change_type`` (string) +
+    ``_commit_version`` (int)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "format_cdf"
+
+    def schema(self):
+        import pyarrow.dataset as ds
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        path = self.options.get("path")
+        files, _, _ = TF.snapshot_files(path)
+        if not files:
+            raise ValueError(
+                "format_cdf: empty table; pass an explicit schema"
+            )
+        base = from_arrow_schema(
+            ds.dataset(files, format="parquet").schema
+        )
+        return StructType(
+            base.fields
+            + StructType()
+            .add("_change_type", StringType())
+            .add("_commit_version", IntegerType())
+            .fields
+        )
+
+    def simpleStreamReader(self, schema: StructType) -> CdfStreamReader:
+        return CdfStreamReader(schema, dict(self.options))
+
+
+def register_format_cdf(spark) -> None:
+    spark.dataSource.register(CdfDataSource)

@@ -2053,3 +2053,64 @@ def test_cdf_follows_a_branch_lineage(spark, tmp_path):
     main = TF.read_cdf(spark, path, from_version=0, to_version="main")
     km = {r["k"] for r in main.select("k").collect()}
     assert set(range(100, 105)) <= km and not km & set(range(50, 60))
+
+
+def test_streaming_cdf_matches_batch_read_cdf(spark, ranged_table):
+    """The streaming CDF source's driver-side pandas algebra must be
+    row-for-row IDENTICAL to the Spark-side batch read_cdf over the
+    same commits — appends, a merge (update/insert/delete legs), a
+    positional delete, an equality delete, and a compaction (which
+    must emit nothing in both)."""
+    from table_streaming_source_spark.streaming.format_cdf import (
+        register_format_cdf,
+    )
+
+    path, df = ranged_table
+    changes = (
+        df.filter("k >= 100 and k < 110")
+        .select("k", (F.col("v") + 1).alias("v"), F.lit("U").alias("op"))
+        .unionByName(
+            df.filter("k >= 110 and k < 115").select(
+                "k", F.lit(None).cast("double").alias("v"),
+                F.lit("D").alias("op"),
+            )
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(5000, 1.0, "I")], "k long, v double, op string"
+            )
+        )
+    )
+    TF.commit_merge(spark, path, changes, key="k", stat_cols=["k"])      # v2
+    TF.commit_delete_positions(                                          # v3
+        spark, path, TF.positions_where(spark, path, "k >= 200 and k < 203")
+    )
+    TF.commit_delete_keys(spark, path, df.filter("k = 300"), key="k")    # v4
+    TF.commit_compact(spark, path, stat_cols=["k"])                      # v5
+    batch = sorted(
+        (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in TF.read_cdf(spark, path, from_version=0).collect()
+    )
+    register_format_cdf(spark)
+    stream = (
+        spark.readStream.format("format_cdf").option("path", path).load()
+    )
+    name = "__cdf_parity"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    streamed = sorted(
+        (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in spark.table(name).collect()
+    )
+    spark.catalog.dropTempView(name)
+    assert streamed == batch
+    assert len(batch) == 1000 + 10 + 10 + 5 + 1 + 3 + 1  # v5 silent
