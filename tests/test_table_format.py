@@ -2114,3 +2114,263 @@ def test_streaming_cdf_matches_batch_read_cdf(spark, ranged_table):
     spark.catalog.dropTempView(name)
     assert streamed == batch
     assert len(batch) == 1000 + 10 + 10 + 5 + 1 + 3 + 1  # v5 silent
+
+
+def test_table_format_posdelete_model_random_walk(spark, tmp_path):
+    """The round-9 surface folded into the model walk: positional
+    deletes mixed with append / equality-delete / merge / compact /
+    expire / vacuum, the MOR view checked against a plain-dict model
+    after EVERY step — the mechanical sweep for cross-feature holes
+    (positions vs rewrites, positions vs equality state, positions vs
+    expiry and vacuum)."""
+    import random
+
+    for seed in (7, 31):
+        rnd = random.Random(seed)
+        path = str(tmp_path / f"pwalk{seed}")
+        TF.create_table(path)
+        model: dict[int, int] = {}
+        retired: list[int] = []
+        next_key = 0
+
+        def _df(pairs):
+            return spark.createDataFrame(
+                [(int(k), int(v)) for k, v in pairs], "k long, v long"
+            )
+
+        for step in range(12):
+            op = rnd.choice(
+                ["append", "append", "delete", "pos_delete",
+                 "pos_delete", "merge", "compact", "expire", "vacuum"]
+            )
+            if op == "append" or not model:
+                fresh = [next_key + i for i in range(rnd.randint(1, 6))]
+                next_key += len(fresh)
+                back = [
+                    retired.pop(rnd.randrange(len(retired)))
+                    for _ in range(min(len(retired), rnd.randint(0, 2)))
+                ]
+                rows = [(k, k * 10 + step) for k in fresh + back]
+                TF.commit_append(spark, path, _df(rows), stat_cols=["k"])
+                model.update(dict(rows))
+            elif op == "delete":
+                dels = rnd.sample(
+                    sorted(model), k=rnd.randint(1, min(4, len(model)))
+                )
+                TF.commit_delete_keys(
+                    spark, path, _df((k, 0) for k in dels).select("k"),
+                    key="k",
+                )
+                for k in dels:
+                    del model[k]
+                    retired.append(k)
+            elif op == "pos_delete":
+                dels = rnd.sample(
+                    sorted(model), k=rnd.randint(1, min(4, len(model)))
+                )
+                pred = "k in (" + ",".join(str(k) for k in dels) + ")"
+                TF.commit_delete_positions(
+                    spark, path, TF.positions_where(spark, path, pred)
+                )
+                for k in dels:
+                    del model[k]
+                    retired.append(k)
+            elif op == "merge":
+                ups = rnd.sample(
+                    sorted(model), k=rnd.randint(1, min(3, len(model)))
+                )
+                ins = [next_key]
+                next_key += 1
+                changes = spark.createDataFrame(
+                    [(int(k), int(k * 100 + step), "U") for k in ups]
+                    + [(int(k), int(k * 100 + step), "I") for k in ins],
+                    "k long, v long, op string",
+                )
+                TF.commit_merge(
+                    spark, path, changes, key="k", stat_cols=["k"]
+                )
+                for k in ups + ins:
+                    model[k] = k * 100 + step
+            elif op == "compact":
+                TF.commit_compact(spark, path, stat_cols=["k"])
+            elif op == "expire":
+                TF.expire_snapshots(
+                    path, keep_last=rnd.choice([1, 2, 3])
+                )
+            elif op == "vacuum":
+                TF.vacuum(path, retain_versions=rnd.choice([1, 2]))
+            got = sorted(
+                (r.k, r.v)
+                for r in TF.read_table_mor(spark, path).collect()
+            )
+            assert got == sorted(model.items()), (
+                f"seed {seed} step {step} op {op}"
+            )
+
+
+def test_cdf_replay_reconstructs_final_state(spark, tmp_path):
+    """THE change-data-feed invariant: applying the image stream from
+    v0 in commit order (insert→put, update_postimage→put, delete→del)
+    reconstructs exactly the final MOR snapshot — over a seeded random
+    walk of appends, both delete kinds, merges and compactions (no
+    expiry: the CDF range must stay readable)."""
+    import random
+
+    for seed in (13, 59):
+        rnd = random.Random(seed)
+        path = str(tmp_path / f"cwalk{seed}")
+        TF.create_table(path)
+        model: dict[int, int] = {}
+        retired: list[int] = []
+        next_key = 0
+
+        def _df(pairs):
+            return spark.createDataFrame(
+                [(int(k), int(v)) for k, v in pairs], "k long, v long"
+            )
+
+        for step in range(10):
+            op = rnd.choice(
+                ["append", "append", "delete", "pos_delete", "merge",
+                 "compact"]
+            )
+            if op == "append" or not model:
+                fresh = [next_key + i for i in range(rnd.randint(1, 5))]
+                next_key += len(fresh)
+                back = [
+                    retired.pop(rnd.randrange(len(retired)))
+                    for _ in range(min(len(retired), rnd.randint(0, 2)))
+                ]
+                rows = [(k, k * 10 + step) for k in fresh + back]
+                TF.commit_append(spark, path, _df(rows), stat_cols=["k"])
+                model.update(dict(rows))
+            elif op == "delete":
+                dels = rnd.sample(
+                    sorted(model), k=rnd.randint(1, min(3, len(model)))
+                )
+                TF.commit_delete_keys(
+                    spark, path, _df((k, 0) for k in dels).select("k"),
+                    key="k",
+                )
+                for k in dels:
+                    del model[k]
+                    retired.append(k)
+            elif op == "pos_delete":
+                dels = rnd.sample(
+                    sorted(model), k=rnd.randint(1, min(3, len(model)))
+                )
+                pred = "k in (" + ",".join(str(k) for k in dels) + ")"
+                TF.commit_delete_positions(
+                    spark, path, TF.positions_where(spark, path, pred)
+                )
+                for k in dels:
+                    del model[k]
+                    retired.append(k)
+            elif op == "merge":
+                ups = rnd.sample(
+                    sorted(model), k=rnd.randint(1, min(3, len(model)))
+                )
+                ins = [next_key]
+                next_key += 1
+                changes = spark.createDataFrame(
+                    [(int(k), int(k * 100 + step), "U") for k in ups]
+                    + [(int(k), int(k * 100 + step), "I") for k in ins],
+                    "k long, v long, op string",
+                )
+                TF.commit_merge(
+                    spark, path, changes, key="k", stat_cols=["k"]
+                )
+                for k in ups + ins:
+                    model[k] = k * 100 + step
+            elif op == "compact":
+                TF.commit_compact(spark, path, stat_cols=["k"])
+        images = sorted(
+            (
+                (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+                for r in TF.read_cdf(spark, path, from_version=0).collect()
+            ),
+        )
+        state: dict[int, int] = {}
+        for _v, ctype, k, val in images:
+            if ctype in ("insert", "update_postimage"):
+                state[k] = val
+            elif ctype == "delete":
+                state.pop(k, None)
+        assert sorted(state.items()) == sorted(model.items()), (
+            f"seed {seed}: CDF replay diverged from the model"
+        )
+        got = sorted(
+            (r.k, r.v)
+            for r in TF.read_table_mor(spark, path).collect()
+        )
+        assert got == sorted(model.items())
+
+
+def test_format_cdf_stream_is_incremental_across_restarts(
+    spark, tmp_path
+):
+    """The CDF stream's commit-version offset must survive the
+    checkpoint: a first drain emits the append's inserts; a merge and
+    a delete committed AFTER it, drained from the SAME checkpoint,
+    emit only their own images — no re-emission, no loss, and the
+    in-between compaction emits nothing."""
+    from table_streaming_source_spark.streaming.format_cdf import (
+        register_format_cdf,
+    )
+
+    path = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    TF.create_table(path)
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).cast("double").alias("v")
+    )
+    TF.commit_append(spark, path, df, stat_cols=["k"])
+    register_format_cdf(spark)
+
+    def drain():
+        stream = spark.readStream.format("format_cdf").option(
+            "path", path
+        ).load()
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 100
+    assert got.select("_change_type").distinct().collect()[0][0] == "insert"
+    # post-drain commits: a merge, a compaction (silent), a delete
+    changes = spark.createDataFrame(
+        [(5, 999.0, "U"), (200, 1.0, "I"), (7, None, "D")],
+        "k long, v double, op string",
+    )
+    TF.commit_merge(spark, path, changes, key="k", stat_cols=["k"])
+    TF.commit_compact(spark, path, stat_cols=["k"])
+    TF.commit_delete_positions(
+        spark, path, TF.positions_where(spark, path, "k = 9")
+    )
+    drain()  # restart from the same checkpoint
+    after = spark.read.parquet(out)
+    agg = {
+        (r["_change_type"], r["_commit_version"]): r["n"]
+        for r in after.groupBy("_change_type", "_commit_version")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert agg == {
+        ("insert", 1): 100,
+        ("update_preimage", 2): 1,
+        ("update_postimage", 2): 1,
+        ("insert", 2): 1,
+        ("delete", 2): 1,
+        ("delete", 4): 1,  # the pos delete; v3 compaction is silent
+    }
