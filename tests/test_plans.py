@@ -492,6 +492,16 @@ _SHUFFLE_BUDGET = {
     # fixed +2 planned exchanges that buys O(deg²)→O(deg·cap)
     # candidate volume on mega-hubs
     "graph_link_prediction": 13,
+    # --- round 9 ---
+    # table-format entries return the checkpointed rollup read; the
+    # streaming CDF entry returns the drained memory table
+    "format_positional_deletes": 0,
+    "format_cdf_read": 0,
+    "format_multi_key_deletes": 0,
+    "streaming_format_cdf": 0,
+    # counter-grid agg (192 cells) + truth agg; the probe top-k is a
+    # TakeOrdered, the counters attach by broadcast
+    "agg_count_min": 2,
 }
 
 
