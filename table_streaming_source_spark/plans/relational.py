@@ -655,7 +655,7 @@ def q_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from table_streaming_source_spark.sources.avro_ocf import (
         read_avro,
-        write_ocf,
+        write_ocf_pandas,
     )
 
     key = (id(spark._jsparkSession), sf_dir, "avro")
@@ -669,17 +669,10 @@ def q_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = _scratch.scratch_dir("source_avro", sf_dir, fresh=True)
 
         def _shard(shard, rows):
-            pdf = rows.copy()
-            pdf["ts"] = pdf["ts"].astype("int64") // 1000  # ns → µs
-            with open(
-                _os.path.join(path, f"part-{shard}.avro"), "wb"
-            ) as fh:
-                fh.write(
-                    write_ocf(
-                        _EVENTS_AVRO_SCHEMA,
-                        list(pdf.itertuples(index=False, name=None)),
-                    )
-                )
+            write_ocf_pandas(
+                rows, _EVENTS_AVRO_SCHEMA,
+                _os.path.join(path, f"part-{shard}.avro"),
+            )
 
         write_sharded(
             t(spark, sf_dir, "events").select(

@@ -1351,7 +1351,7 @@ def q_streaming_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from table_streaming_source_spark.sources.avro_ocf import (
         stream_avro,
-        write_ocf,
+        write_ocf_pandas,
     )
 
     events = t(spark, sf_dir, "events").select(
@@ -1366,22 +1366,17 @@ def q_streaming_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def _shard(shard, rows):
-            pdf = rows.copy()
-            pdf["ts"] = pdf["ts"].astype("int64") // 1000  # ns → µs
-            with open(
-                _os.path.join(d, f"part-{shard}.avro"), "wb"
-            ) as fh:
-                fh.write(
-                    write_ocf(
-                        _EVENTS_AVRO_SCHEMA,
-                        list(pdf.itertuples(index=False, name=None)),
-                    )
-                )
+            write_ocf_pandas(
+                rows, _EVENTS_AVRO_SCHEMA,
+                _os.path.join(d, f"part-{shard}.avro"),
+            )
 
         write_sharded(events, key="event_id", n_shards=8, write_shard=_shard)
         stamp = 1_700_000_000
         for shard in range(8):
-            _bump_mtimes(d, {f"part-{shard}.avro"}, stamp + shard)
+            # an empty residue class writes no shard file — skip it
+            if _os.path.exists(_os.path.join(d, f"part-{shard}.avro")):
+                _bump_mtimes(d, {f"part-{shard}.avro"}, stamp + shard)
 
     src = _stream_fixture(spark, sf_dir, "avroing", _write)
     stream = stream_avro(
@@ -2043,7 +2038,9 @@ def q_streaming_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_sharded(docs_df, key="doc_id", n_shards=8, write_shard=_shard)
         stamp = 1_700_000_000
         for shard in range(8):
-            _bump_mtimes(d, {f"part-{shard}.warc"}, stamp + shard)
+            # an empty residue class writes no shard file — skip it
+            if _os.path.exists(_os.path.join(d, f"part-{shard}.warc")):
+                _bump_mtimes(d, {f"part-{shard}.warc"}, stamp + shard)
 
     src = _stream_fixture(spark, sf_dir, "warcing", _write)
     stream = stream_warc(spark, src, maxFilesPerTrigger=2)
@@ -2157,7 +2154,9 @@ def q_streaming_protobuf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         stamp = 1_700_000_000
         for shard in range(8):
-            _bump_mtimes(d, {f"part-{shard}.pb"}, stamp + shard)
+            # an empty residue class writes no shard file — skip it
+            if _os.path.exists(_os.path.join(d, f"part-{shard}.pb")):
+                _bump_mtimes(d, {f"part-{shard}.pb"}, stamp + shard)
 
     src = _stream_fixture(spark, sf_dir, "pbing", _write)
     stream = stream_orders_protobuf(spark, src, maxFilesPerTrigger=2)
@@ -2240,7 +2239,9 @@ def q_streaming_bson_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_sharded(docs_df, key="doc_id", n_shards=6, write_shard=_shard)
         stamp = 1_700_000_000
         for shard in range(6):
-            _bump_mtimes(d, {f"dump-{shard}.bson"}, stamp + shard)
+            # an empty residue class writes no shard file — skip it
+            if _os.path.exists(_os.path.join(d, f"dump-{shard}.bson")):
+                _bump_mtimes(d, {f"dump-{shard}.bson"}, stamp + shard)
 
     src = _stream_fixture(spark, sf_dir, "bsoning", _write)
     stream = stream_bson_docs(spark, src, maxFilesPerTrigger=2)

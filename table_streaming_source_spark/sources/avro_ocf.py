@@ -389,23 +389,18 @@ def stream_avro(spark, path: str, schema_json: str, **reader_options):
     )
 
 
-def write_avro_chunks(
-    events_pdf, schema_json: str, directory: str, n_files: int
-) -> list:
-    """Fixture helper shared by the batch and streaming Avro entries:
-    split a pandas frame (with a ``ts`` datetime column) into
-    ``n_files`` containers under ``directory``.  Returns the written
-    file names in order, for callers that pin replay mtimes."""
-    import os
-
+def write_ocf_pandas(events_pdf, schema_json: str, dest: str) -> None:
+    """Write one pandas frame (with a ``ts`` datetime column) as one
+    Avro object container at ``dest`` — the per-shard fixture writer
+    the batch and streaming Avro entries hand to
+    ``plans/_fixtures.write_sharded`` (each executor task writes its
+    residue shard through this)."""
     events_pdf = events_pdf.copy()
     events_pdf["ts"] = events_pdf["ts"].astype("int64") // 1000  # ns → µs
-    rows = list(events_pdf.itertuples(index=False, name=None))
-    per = (len(rows) + n_files - 1) // n_files
-    names = []
-    for i in range(n_files):
-        name = f"part-{i}.avro"
-        with open(os.path.join(directory, name), "wb") as fh:
-            fh.write(write_ocf(schema_json, rows[i * per : (i + 1) * per]))
-        names.append(name)
-    return names
+    with open(dest, "wb") as fh:
+        fh.write(
+            write_ocf(
+                schema_json,
+                list(events_pdf.itertuples(index=False, name=None)),
+            )
+        )

@@ -229,8 +229,24 @@ class FixedWidthStreamWriter(DataSourceStreamWriter):
             )
 
     def abort(self, messages, batchId: int) -> None:
+        import json
+
+        # if the marker already landed, the batch IS committed and the
+        # manifest's staged files are publication-pending — abort (the
+        # engine calls it when commit() throws mid-publish) must NOT
+        # sweep them, or the recovery replay would find neither staged
+        # nor final and silently lose the rows
+        marker = os.path.join(self.dir, f"_batch-{batchId}.committed")
+        recorded: set[str] = set()
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                recorded = {s for s, _f in json.load(fh)["files"]}
         for m in messages:
-            if m is not None and os.path.exists(m.staged):
+            if (
+                m is not None
+                and os.path.exists(m.staged)
+                and os.path.basename(m.staged) not in recorded
+            ):
                 os.remove(m.staged)
 
 

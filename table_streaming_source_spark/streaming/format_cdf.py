@@ -143,35 +143,52 @@ def _cdf_rows(path: str, v: int, cols: list[str]) -> list[tuple]:
         import pyarrow.parquet as pq
 
         out: list[tuple] = []
-        resolved = _resolve_pandas(path, base, cols)
+        prev_dicts = TF._snapshot_file_dicts(path, base)
         if new_eq:
             keys = TF._key_cols(c["delete_key"])
-            kdf = pd.concat(
-                [
-                    pq.read_table(
-                        os.path.join(path, d["path"]), columns=keys
-                    ).to_pandas()
-                    for d in new_eq
-                ],
-                ignore_index=True,
-            ).drop_duplicates()
-            out += tag(resolved.merge(kdf, on=keys), "delete")
+            # CHANGE-proportional: resolve only the files some new
+            # delete range can touch (the batch read_cdf's prune)
+            cand = [
+                f
+                for f in prev_dicts
+                if any(TF._stats_overlap(keys, f, d) for d in new_eq)
+            ]
+            if cand:
+                resolved = _resolve_pandas(path, base, cols, subset=cand)
+                kdf = pd.concat(
+                    [
+                        pq.read_table(
+                            os.path.join(path, d["path"]), columns=keys
+                        ).to_pandas()
+                        for d in new_eq
+                    ],
+                    ignore_index=True,
+                ).drop_duplicates()
+                out += tag(resolved.merge(kdf, on=keys), "delete")
         if new_pos:
-            ppdf = pd.concat(
-                [
-                    pq.read_table(
-                        os.path.join(path, d["path"])
-                    ).to_pandas()
-                    for d in new_pos
-                ],
-                ignore_index=True,
-            ).drop_duplicates()
-            pre = resolved.merge(
-                ppdf,
-                left_on=["__file", "__pos"],
-                right_on=["file_path", "pos"],
-            )
-            out += tag(pre, "delete")
+            named = {p for d in new_pos for p in d.get("paths", [])}
+            cand = [
+                f
+                for f in prev_dicts
+                if os.path.abspath(os.path.join(path, f["path"])) in named
+            ]
+            if cand:
+                resolved = _resolve_pandas(path, base, cols, subset=cand)
+                ppdf = pd.concat(
+                    [
+                        pq.read_table(
+                            os.path.join(path, d["path"])
+                        ).to_pandas()
+                        for d in new_pos
+                    ],
+                    ignore_index=True,
+                ).drop_duplicates()
+                pre = resolved.merge(
+                    ppdf,
+                    left_on=["__file", "__pos"],
+                    right_on=["file_path", "pos"],
+                )
+                out += tag(pre, "delete")
         return out
     if c["parent"] is not None:
         pdf = _concat(

@@ -858,6 +858,21 @@ def _key_cols(key) -> list[str]:
     return [key] if isinstance(key, str) else list(key)
 
 
+def _stats_overlap(keys: list[str], f: dict, d: dict) -> bool:
+    """Can delete-file ``d``'s key tuples possibly match data file
+    ``f``?  True unless SOME key column's [min, max] ranges are
+    provably disjoint; a missing range on either side can't prove
+    absence (the never-lossy direction).  Shared by the MOR read and
+    the CDF pre-image pruning so the two can never diverge."""
+    for kc in keys:
+        rf, rd = f["stats"].get(kc), d["stats"].get(kc)
+        if rf is None or rd is None:
+            continue
+        if rf[1] < rd[0] or rd[1] < rf[0]:
+            return False
+    return True
+
+
 def commit_delete_keys(
     spark: SparkSession,
     path: str,
@@ -942,6 +957,7 @@ def positions_where(
     predicate,
     *,
     version: int | None = None,
+    prune: tuple[str, object, object] | None = None,
 ) -> DataFrame:
     """Resolve a predicate to ``(file_path, pos)`` tuples — the
     find-the-rows half of a positional delete: scan the snapshot's data
@@ -951,11 +967,15 @@ def positions_where(
     (rows already subtracted by outstanding deletes simply re-delete as
     no-ops — positions are per-file facts, not logical rows).
     ``predicate`` is a Column or a SQL string.  Cost: one predicate
-    scan, no shuffle — the file-pruning stats apply as usual."""
+    scan, no shuffle; ``prune=(col, lo, hi)`` additionally skips whole
+    files from the MANIFEST stats before any I/O — at 100 TB a delete
+    targeting one key range opens only the files that range can touch
+    (rows a pruned file would have matched are by construction outside
+    the range, so pruning is lossless for range-shaped predicates)."""
     from pyspark.sql import Column
     from pyspark.sql import functions as F
 
-    files, _, _ = snapshot_files(path, version=version)
+    files, _, _ = snapshot_files(path, version=version, prune=prune)
     if not files:
         raise ValueError("empty snapshot")
     df = spark.read.option("mergeSchema", "true").parquet(*files)
@@ -1101,19 +1121,6 @@ def _mor_resolve(
 
     pos_deletes = pos_deletes or []
     keys = _key_cols(key) if key is not None else []
-
-    def _eq_overlaps(f: dict, d: dict) -> bool:
-        # a delete tuple can only match a file when EVERY key column's
-        # ranges overlap; a missing range on either side can't prove
-        # absence (never-lossy direction)
-        for kc in keys:
-            rf, rd = f["stats"].get(kc), d["stats"].get(kc)
-            if rf is None or rd is None:
-                continue
-            if rf[1] < rd[0] or rd[1] < rf[0]:
-                return False
-        return True
-
     # data abs path -> positional delete files naming it
     pos_by_file: dict[str, set[str]] = {}
     for d in pos_deletes:
@@ -1128,7 +1135,7 @@ def _mor_resolve(
                 d["path"]
                 for d in deletes
                 if fseq < d.get("seq", float("inf"))
-                and _eq_overlaps(f, d)
+                and _stats_overlap(keys, f, d)
             )
         else:
             eq_set = frozenset()
@@ -1486,19 +1493,10 @@ def read_cdf(
             if new_eq:
                 # files provably disjoint from some new-delete key
                 # range can't contribute pre-images — prune first
-                def _cols_overlap(f: dict, d: dict) -> bool:
-                    for kc in keys:
-                        rf, rd = f["stats"].get(kc), d["stats"].get(kc)
-                        if rf is None or rd is None:
-                            continue
-                        if rf[1] < rd[0] or rd[1] < rf[0]:
-                            return False
-                    return True
-
                 cand = [
                     f
                     for f in prev_dicts
-                    if any(_cols_overlap(f, d) for d in new_eq)
+                    if any(_stats_overlap(keys, f, d) for d in new_eq)
                 ]
                 if cand:
                     keys_df = (

@@ -218,6 +218,11 @@ def test_stream_writer_crash_between_marker_and_publish(tmp_path):
         "part-b00000-0.tsr"
     ]
     assert any(n.endswith(".tsr.tmp") for n in os.listdir(d))
+    # the engine calls abort() when commit() throws: it must NOT sweep
+    # the manifest's publication-pending staged file (the batch IS
+    # committed — removing it would lose the rows forever)
+    w.abort(msgs, 0)
+    assert any(n.endswith(".tsr.tmp") for n in os.listdir(d))
     # the replay: DIFFERENT message list (engine re-ran the batch with
     # another task layout — 1 task instead of 2)
     replay = [w.write(iter([(1, 0, 1.0), (2, 1, 2.0)]))]

@@ -2374,3 +2374,26 @@ def test_format_cdf_stream_is_incremental_across_restarts(
         ("delete", 2): 1,
         ("delete", 4): 1,  # the pos delete; v3 compaction is silent
     }
+
+
+def test_positions_where_prunes_files_from_manifest(spark, ranged_table):
+    """``positions_where(prune=(col, lo, hi))`` must skip disjoint
+    files BEFORE any I/O (manifest stats), and the pruned resolution
+    equals the unpruned one for a range-shaped predicate."""
+    path, _ = ranged_table
+    full = set(
+        (r["file_path"], r["pos"])
+        for r in TF.positions_where(
+            spark, path, "k >= 10 and k < 30 and k % 2 = 0"
+        ).collect()
+    )
+    pruned_df = TF.positions_where(
+        spark, path, "k >= 10 and k < 30 and k % 2 = 0",
+        prune=("k", 10, 29),
+    )
+    pruned = set((r["file_path"], r["pos"]) for r in pruned_df.collect())
+    assert pruned == full and len(full) == 10
+    # the pruned scan opens only the one file covering k in [10, 30)
+    files = {r["file_path"] for r in pruned_df.collect()}
+    kept, _n, total = TF.snapshot_files(path, prune=("k", 10, 29))
+    assert len(kept) == 1 and total == 8
