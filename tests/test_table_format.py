@@ -2397,3 +2397,33 @@ def test_positions_where_prunes_files_from_manifest(spark, ranged_table):
     files = {r["file_path"] for r in pruned_df.collect()}
     kept, _n, total = TF.snapshot_files(path, prune=("k", 10, 29))
     assert len(kept) == 1 and total == 8
+
+
+def test_cdf_spans_schema_evolution(spark, tmp_path):
+    """A CDF range crossing an additive schema evolution: the
+    pre-evolution insert images NULL-backfill the new column
+    (allowMissingColumns union), post-evolution images carry it, and a
+    delete whose pre-images span BOTH schema generations resolves
+    through the mergeSchema read."""
+    path = str(tmp_path / "cdfse")
+    TF.create_table(path)
+    old = spark.range(10).select(F.col("id").alias("k"))
+    TF.commit_append(spark, path, old, stat_cols=["k"])          # v1
+    new = spark.range(10, 20).select(
+        F.col("id").alias("k"), F.lit("x").alias("tag")
+    )
+    TF.commit_append(spark, path, new, stat_cols=["k"])          # v2
+    TF.commit_delete_keys(                                       # v3
+        spark, path,
+        spark.createDataFrame([(5,), (15,)], "k long"), key="k",
+    )
+    cdf = TF.read_cdf(spark, path, from_version=0)
+    assert set(cdf.columns) == {"k", "tag", "_change_type",
+                                "_commit_version"}
+    rows = {(r["k"], r["_change_type"], r["_commit_version"]): r["tag"]
+            for r in cdf.collect()}
+    assert rows[(3, "insert", 1)] is None       # pre-evolution backfill
+    assert rows[(15, "insert", 2)] == "x"
+    assert rows[(5, "delete", 3)] is None       # old-generation pre-image
+    assert rows[(15, "delete", 3)] == "x"       # new-generation pre-image
+    assert len(rows) == 22
