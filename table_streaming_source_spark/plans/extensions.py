@@ -14711,3 +14711,70 @@ GROUP BY 1, 2
 
 
 QUERIES_DEFERRED.update({"agg_count_min": q_agg_count_min})
+
+
+def q_dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the foreign-key twin of
+    ``dq_expectations`` (Deequ's ``isContainedIn``/Delta FK checks):
+    each FK edge anti-joins the fact's key against the dimension's
+    primary key and reports total rows, orphan rows, and distinct
+    orphan keys.  Violations are INJECTED deterministically (a residue
+    class of each fact's FK negated) so the audit provably detects
+    them; the untouched classes prove zero false positives.  100 TB
+    shape: the dimension key set broadcasts (dims are small by
+    definition — else the anti-join shuffles on the FK, the same key a
+    downstream join needs anyway); the fact never moves for the
+    broadcast case.  The oracle restates both edges closed-form."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+
+    def audit(fact, fk, dim, pk, edge):
+        corrupted = fact.withColumn(
+            "__fk",
+            F.when(
+                (F.col(fk) % 13 == 0) & (F.col(fk) > 0), -F.col(fk)
+            ).otherwise(F.col(fk)),
+        )
+        orphans = corrupted.join(
+            F.broadcast(dim), corrupted["__fk"] == dim[pk], "left_anti"
+        )
+        return corrupted.agg(
+            F.lit(edge).alias("edge"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ).crossJoin(
+            orphans.agg(
+                F.count(F.lit(1)).alias("n_orphans"),
+                F.count_distinct("__fk").alias("n_orphan_keys"),
+            )
+        )
+
+    return audit(o, "o_custkey", c, "c_custkey", "orders->customer").unionByName(
+        audit(li, "l_suppkey", s, "s_suppkey", "lineitem->supplier")
+    )
+
+
+ORACLES["dq_referential_integrity"] = """
+SELECT 'orders->customer' AS edge,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o_custkey % 13 = 0 AND o_custkey > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+       CAST(COUNT(DISTINCT CASE WHEN o_custkey % 13 = 0 AND o_custkey > 0
+                                THEN o_custkey END) AS BIGINT)
+         AS n_orphan_keys
+FROM orders
+UNION ALL
+SELECT 'lineitem->supplier',
+       COUNT(*),
+       CAST(SUM(CASE WHEN l_suppkey % 13 = 0 AND l_suppkey > 0
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT CASE WHEN l_suppkey % 13 = 0 AND l_suppkey > 0
+                                THEN l_suppkey END) AS BIGINT)
+FROM lineitem
+"""
+
+
+QUERIES_DEFERRED.update(
+    {"dq_referential_integrity": q_dq_referential_integrity}
+)

@@ -502,6 +502,10 @@ _SHUFFLE_BUDGET = {
     # counter-grid agg (192 cells) + truth agg; the probe top-k is a
     # TakeOrdered, the counters attach by broadcast
     "agg_count_min": 2,
+    # per-edge: one 1-row fact count + one 1-row orphan aggregate
+    # (SinglePartition each), ×2 edges + the final union alignment;
+    # both anti-joins broadcast the dimension key set
+    "dq_referential_integrity": 6,
 }
 
 
