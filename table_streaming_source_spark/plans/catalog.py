@@ -304,7 +304,7 @@ sink manifest commit, and the elective hub-cap count join) before
 pre-round-9 catalog entries have an official driver row in some
 round — the certification queue is DRAINED for the first time.
 
-Round-10 rotation backlog — exactly 6 entries, the round-9 additions
+Round-10 rotation backlog — exactly 7 entries, the round-9 additions
 (each strict-dtype oracle-verified at sf0.001, sf0.01 AND sf0.1 at
 round-9 HEAD): ``format_positional_deletes`` (Iceberg-v2
 position-delete files beside the equality deletes — (file,
@@ -324,7 +324,11 @@ version, maintenance commits emit nothing, row-for-row parity with
 the batch ``read_cdf`` pinned by test), and
 ``dq_referential_integrity`` (the foreign-key audit — per-edge
 orphan counts via broadcast anti-join, deterministically injected
-violations prove detection).
+violations prove detection), and ``streaming_format_upsert``
+(end-to-end streaming CDC upserts into the format —
+``format_upsert_sink``'s foreachBatch + Delta-txn watermark,
+exactly-once under checkpoint replay, each batch a stats-targeted
+MERGE).
 """
 
 from __future__ import annotations
@@ -356,7 +360,7 @@ _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #: was edited.  Once this window lands, ALL 423 pre-round-9 entries
 #: have an official driver row in some round — the certification
 #: queue is fully drained for the first time; the round-10 backlog is
-#: just this round's 6 additions (enumerated at the end of the module
+#: just this round's 7 additions (enumerated at the end of the module
 #: docstring).
 _PRIORITY: tuple[str, ...] = (
     # cross-round regression sentinels (driver-green every prior round)

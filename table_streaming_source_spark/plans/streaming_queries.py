@@ -2482,3 +2482,134 @@ FROM images GROUP BY 1, 2
 
 
 QUERIES_DEFERRED["streaming_format_cdf"] = q_streaming_format_cdf
+
+
+def q_streaming_format_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end STREAMING UPSERTS into the table format
+    (``table_format.format_upsert_sink`` — the foreachBatch + Delta
+    ``txn``/appId pattern): four CDC micro-batches (updates, deletes,
+    re-keyed inserts over disjoint residue classes) drain through
+    ``foreachBatch``, each applied as a stats-targeted copy-on-write
+    MERGE carrying a transaction watermark, so a checkpoint-replayed
+    batch is recognized and SKIPPED — exactly-once without an
+    idempotent sink table (pinned by
+    ``test_format_upsert_sink_streams_cdc_exactly_once``).  The final
+    merge-on-read snapshot equals the batch MERGE the oracle states.
+    100 TB shape: each micro-batch rewrites only the files its keys
+    can touch (the manifest range probe), and the watermark walk is
+    O(retained log)."""
+    import glob as _glob
+
+    from table_streaming_source_spark import table_format as TF
+    from table_streaming_source_spark.plans._fixtures import write_sharded
+
+    src = _scratch.scratch_dir("stream_upsert_src", sf_dir, fresh=True)
+    path = _scratch.scratch_dir("stream_upsert_tbl", sf_dir, fresh=True)
+    ckpt = _scratch.scratch_dir("stream_upsert_ck", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    TF.commit_append(
+        spark, path,
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    k = F.col("o_orderkey")
+    low = o.filter(k <= 800)
+    cdc = (
+        low.filter(k % 3 != 0).select(
+            "o_orderkey",
+            (F.col("o_totalprice") + (k % 4) + 1).alias("o_totalprice"),
+            F.lit("U").alias("op"),
+            F.pmod(k, F.lit(4)).cast("int").alias("__batch"),
+        )
+        .unionByName(
+            low.filter(k % 3 == 0).select(
+                "o_orderkey",
+                F.lit(None).cast("double").alias("o_totalprice"),
+                F.lit("D").alias("op"),
+                F.pmod(k, F.lit(4)).cast("int").alias("__batch"),
+            )
+        )
+        .unionByName(
+            low.filter((k % 5 == 0) & (k > 0)).select(
+                (-k).alias("o_orderkey"),
+                "o_totalprice",
+                F.lit("I").alias("op"),
+                F.pmod(k, F.lit(4)).cast("int").alias("__batch"),
+            )
+        )
+    )
+
+    def _shard(b, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.Table.from_pandas(
+                rows.drop(columns=["__batch"]), preserve_index=False
+            ),
+            os.path.join(src, f"batch-{b}.parquet"),
+        )
+
+    write_sharded(cdc, key="__batch", n_shards=4, write_shard=_shard)
+    sink = TF.format_upsert_sink(
+        path, key="o_orderkey", stat_cols=["o_orderkey"],
+        app_id="entry-cdc",
+    )
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey long, o_totalprice double, op string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _stream_shuffle(spark):
+        query = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
+    result = (
+        TF.read_table_mor(spark, path)
+        .groupBy((F.abs(k) % 3).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result
+
+
+ORACLES["streaming_format_upsert"] = """
+WITH merged AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey <= 800 AND o_orderkey % 3 <> 0
+              THEN o_totalprice + (o_orderkey % 4) + 1
+              ELSE o_totalprice END AS p
+  FROM orders
+  WHERE NOT (o_orderkey <= 800 AND o_orderkey % 3 = 0)
+  UNION ALL
+  SELECT -o_orderkey, o_totalprice FROM orders
+  WHERE o_orderkey <= 800 AND o_orderkey % 5 = 0 AND o_orderkey > 0
+)
+SELECT CAST(ABS(k) % 3 AS INT) AS bucket, COUNT(*) AS n,
+       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM merged GROUP BY 1
+"""
+
+
+QUERIES_DEFERRED["streaming_format_upsert"] = q_streaming_format_upsert

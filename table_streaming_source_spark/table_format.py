@@ -494,6 +494,7 @@ def commit_merge(
     expected_version: int | None = None,
     row_id_col: str | None = None,
     branch: str | None = None,
+    txn: dict | None = None,
 ) -> tuple[int, int, int]:
     """Stats-targeted copy-on-write MERGE — the table-format crown
     jewel: resolve from the manifest which data files can possibly
@@ -606,6 +607,11 @@ def commit_merge(
         # pre/post images on this key
         "merge_key": key,
     }
+    if txn is not None:
+        # transaction watermark (the Delta txn/appId idea): an
+        # idempotent writer records {"app": ..., "batch": n} so a
+        # replayed micro-batch can be recognized and skipped
+        payload["txn"] = txn
     if outstanding:
         payload["deletes"] = outstanding
         payload["delete_key"] = del_key
@@ -628,6 +634,88 @@ def commit_merge(
     _write_commit(path, new_v, payload)
     _advance_branch(path, branch, new_v)
     return new_v, len(affected), len(file_dicts)
+
+
+def last_committed_txn(
+    path: str, app_id: str, *, ref=None
+) -> int | None:
+    """The highest ``batch`` this ``app_id`` has committed on the
+    ref's lineage (walking parent/prev), or ``None`` — the read half
+    of the Delta txn/appId idempotence contract.  O(retained history)
+    driver-side, one tiny JSON per commit; expiry keeps the log (and
+    therefore this walk) bounded."""
+    v: int | None = resolve_ref(path, ref)
+    best: int | None = None
+    while v is not None:
+        try:
+            c = _read_commit(path, v)
+        except FileNotFoundError:
+            break  # expired history
+        t = c.get("txn")
+        if t and t.get("app") == app_id:
+            if best is None or t["batch"] > best:
+                best = t["batch"]
+        v = c["parent"] if c["parent"] is not None else c.get("prev")
+    return best
+
+
+def commit_merge_idempotent(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    *,
+    key: str,
+    stat_cols: list[str],
+    app_id: str,
+    batch_id: int,
+    op_col: str = "op",
+    branch: str | None = None,
+) -> tuple[int, int, int] | None:
+    """Exactly-once MERGE for streaming writers (the
+    ``foreachBatch`` + Delta-``txn`` pattern): the commit records
+    ``{"app": app_id, "batch": batch_id}``, and a REPLAYED micro-batch
+    (checkpoint recovery re-delivers the last batch with the same id)
+    is recognized from the lineage's transaction watermark and
+    SKIPPED — returns ``None`` instead of double-applying.  Batch ids
+    must be monotonically increasing per app (Structured Streaming's
+    ``batchId`` is).  Retries on :class:`CommitConflict` re-read the
+    head, re-check the watermark, and re-apply — lose-the-rename
+    safety is unchanged."""
+    last = last_committed_txn(path, app_id, ref=branch)
+    if last is not None and batch_id <= last:
+        return None
+    return commit_merge(
+        spark, path, changes,
+        key=key, stat_cols=stat_cols, op_col=op_col, branch=branch,
+        txn={"app": app_id, "batch": batch_id},
+    )
+
+
+def format_upsert_sink(
+    path: str,
+    *,
+    key: str,
+    stat_cols: list[str],
+    app_id: str,
+    op_col: str = "op",
+    branch: str | None = None,
+):
+    """A ``foreachBatch`` function applying each CDC micro-batch to
+    the table format as an idempotent MERGE — the end-to-end streaming
+    upsert story: ``df.writeStream.foreachBatch(format_upsert_sink(
+    path, key=..., stat_cols=[...], app_id=...))``.  Exactly-once
+    under checkpoint replay by the txn watermark; per batch the merge
+    rewrites only stats-overlapping files (commit_merge's contract),
+    so steady-state write amplification is change-proportional."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        commit_merge_idempotent(
+            batch_df.sparkSession, path, batch_df,
+            key=key, stat_cols=stat_cols, app_id=app_id,
+            batch_id=batch_id, op_col=op_col, branch=branch,
+        )
+
+    return _apply
 
 
 def incremental_files(

@@ -506,6 +506,8 @@ _SHUFFLE_BUDGET = {
     # (SinglePartition each), ×2 edges + the final union alignment;
     # both anti-joins broadcast the dimension key set
     "dq_referential_integrity": 6,
+    # the returned frame is the checkpointed post-drain rollup read
+    "streaming_format_upsert": 0,
 }
 
 

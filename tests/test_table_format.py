@@ -2427,3 +2427,113 @@ def test_cdf_spans_schema_evolution(spark, tmp_path):
     assert rows[(5, "delete", 3)] is None       # old-generation pre-image
     assert rows[(15, "delete", 3)] == "x"       # new-generation pre-image
     assert len(rows) == 22
+
+
+def test_commit_merge_idempotent_skips_replay(spark, ranged_table):
+    """The txn watermark (Delta txn/appId): a replayed batch id is
+    recognized on the lineage and skipped; a NEW batch id applies; a
+    SECOND app's ids are independent."""
+    path, df = ranged_table
+    ch = spark.createDataFrame(
+        [(5, 111.0, "U")], "k long, v double, op string"
+    )
+    r1 = TF.commit_merge_idempotent(
+        spark, path, ch, key="k", stat_cols=["k"],
+        app_id="job-a", batch_id=0,
+    )
+    assert r1 is not None
+    v_after = TF.latest_version(path)
+    # the replay: same app, same batch — must be a no-op
+    ch2 = spark.createDataFrame(
+        [(5, 999.0, "U")], "k long, v double, op string"
+    )
+    assert TF.commit_merge_idempotent(
+        spark, path, ch2, key="k", stat_cols=["k"],
+        app_id="job-a", batch_id=0,
+    ) is None
+    assert TF.latest_version(path) == v_after
+    got = {r["k"]: r["v"] for r in TF.read_table_mor(spark, path)
+           .filter("k = 5").collect()}
+    assert got[5] == 111.0  # the replay's differing payload never landed
+    # a compaction between batches must not break the watermark walk
+    TF.commit_compact(spark, path, stat_cols=["k"])
+    assert TF.last_committed_txn(path, "job-a") == 0
+    assert TF.commit_merge_idempotent(
+        spark, path, ch2, key="k", stat_cols=["k"],
+        app_id="job-a", batch_id=1,
+    ) is not None
+    # another app's watermark is independent
+    assert TF.last_committed_txn(path, "job-b") is None
+
+
+def test_format_upsert_sink_streams_cdc_exactly_once(spark, tmp_path):
+    """End-to-end streaming upserts into the format: CDC micro-batches
+    drain through foreachBatch(format_upsert_sink(...)), each batch a
+    stats-targeted MERGE with a txn watermark; a manual re-delivery of
+    the final batch (checkpoint-replay shape) changes nothing."""
+    src = str(tmp_path / "cdc")
+    path = str(tmp_path / "tbl")
+    os.makedirs(src)
+    TF.create_table(path)
+    df = spark.range(400).select(
+        F.col("k"), (F.col("k") * 2).cast("double").alias("v"), F.lit("I").alias("op")
+    ) if False else spark.range(400).selectExpr(
+        "id as k", "cast(id * 2 as double) as v", "'I' as op"
+    )
+    TF.commit_append(
+        spark, path, df.select("k", "v"),
+        stat_cols=["k"],
+    )
+    # 3 CDC batches over disjoint key ranges: updates, deletes, inserts
+    batches = [
+        spark.createDataFrame(
+            [(k, 1000.0 + k, "U") for k in range(0, 50, 2)]
+            + [(k, None, "D") for k in range(1, 50, 2)],
+            "k long, v double, op string",
+        ),
+        spark.createDataFrame(
+            [(k, None, "D") for k in range(100, 110)],
+            "k long, v double, op string",
+        ),
+        spark.createDataFrame(
+            [(10_000 + i, float(i), "I") for i in range(5)],
+            "k long, v double, op string",
+        ),
+    ]
+    import glob as _glob
+    import shutil as _shutil
+
+    for i, b in enumerate(batches):
+        staging = str(tmp_path / f"stage{i}")
+        b.coalesce(1).write.parquet(staging)
+        part = _glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        # the file stream source lists FLAT files — land each batch as
+        # one file, not a directory
+        _shutil.move(part, os.path.join(src, f"b{i}.parquet"))
+    sink = TF.format_upsert_sink(
+        path, key="k", stat_cols=["k"], app_id="cdc-job"
+    )
+    stream = spark.readStream.schema(
+        "k long, v double, op string"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    got = {r["k"]: r["v"] for r in TF.read_table_mor(spark, path).collect()}
+    assert got[0] == 1000.0 and got[48] == 1048.0   # updates landed
+    assert 1 not in got and 105 not in got          # both delete batches
+    assert got[10_002] == 2.0                       # inserts landed
+    assert len(got) == 400 - 25 - 10 + 5
+    assert TF.last_committed_txn(path, "cdc-job") == 2
+    # checkpoint-replay shape: re-deliver the LAST batch manually
+    v_before = TF.latest_version(path)
+    sink(batches[2].withColumn("v", F.col("v") + 99), 2)
+    assert TF.latest_version(path) == v_before
+    assert TF.read_table_mor(spark, path).filter("k = 10002").collect()[0]["v"] == 2.0
