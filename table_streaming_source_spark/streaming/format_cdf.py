@@ -7,23 +7,29 @@ offset IS the commit version (immutable → deterministic replay), the
 ``ref`` option pins one lineage, and MAINTENANCE commits (compaction,
 clustering) emit nothing — OPTIMIZE can run under a live CDC consumer.
 
-Image computation runs driver-side in pandas/pyarrow: the
-``SimpleDataSourceStreamReader`` API is driver-side by design, and a
-CDF batch is CHANGE-sized (appends read their own files, merges diff
-only rewritten files, delete pre-images touch only overlapping/named
-files) — the same change-proportional algebra as the batch
-``read_cdf``, whose Spark-side implementation this module is
-parity-tested against (``tests/test_table_format.py``).  The
-partition-distributed variant is the batch ``read_cdf`` over an
-incremental version window; this source is the push-button stream.
+Image computation is PARTITION-PLANNED (the full
+``DataSourceStreamReader`` API, not the driver-side Simple variant):
+``partitions()`` emits one input partition per commit in the offset
+range and each EXECUTOR computes its commit's images in pandas/pyarrow
+— a micro-batch spanning N commits fans out N-wide, so one huge merge
+commit no longer serializes through the driver.  Per-commit cost is
+CHANGE-sized (appends read their own files, merges diff only rewritten
+files, delete pre-images touch only overlapping/named files) — the
+same change-proportional algebra as the batch ``read_cdf``, whose
+Spark-side implementation this module is parity-tested against
+(``tests/test_table_format.py``).
 """
 
 from __future__ import annotations
 
 import os
-from typing import Iterator, Tuple
+from typing import Iterator, Sequence, Tuple
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import IntegerType, StringType, StructType
 
 from table_streaming_source_spark import table_format as TF
@@ -36,10 +42,22 @@ def _file_frame(ap: str, cols: list[str]):
     """One data file as pandas, stamped with the absolute path and the
     within-file row ordinal — the same identity
     ``(_metadata.file_path, _metadata.row_index)`` gives the Spark
-    read (parquet rows are emitted in file order by both readers)."""
+    read (parquet rows are emitted in file order by both readers).
+
+    Columns the file PREDATES (additive schema evolution) are
+    null-backfilled rather than requested from pyarrow — the pandas
+    twin of the ``mergeSchema``/``allowMissingColumns`` contract the
+    batch ``read_cdf`` gets for free, so a stream over an evolved
+    table cannot crash where the batch read works."""
     import pyarrow.parquet as pq
 
-    pdf = pq.read_table(ap, columns=cols).to_pandas()
+    present = set(pq.read_schema(ap).names)
+    have = [c for c in cols if c in present]
+    pdf = pq.read_table(ap, columns=have).to_pandas()
+    for c in cols:
+        if c not in present:
+            pdf[c] = None
+    pdf = pdf[cols]
     pdf["__file"] = os.path.abspath(ap)
     pdf["__pos"] = range(len(pdf))
     return pdf
@@ -80,12 +98,8 @@ def _resolve_pandas(
             .drop_duplicates()
         )
     pos_by_file: dict[str, set[int]] = {}
-    for d in pos:
-        import pyarrow.parquet as pq
-
-        pdf = pq.read_table(os.path.join(path, d["path"])).to_pandas()
-        for fp, p in zip(pdf["file_path"], pdf["pos"]):
-            pos_by_file.setdefault(fp, set()).add(int(p))
+    for fp, p in TF._pos_delete_pairs_local(path, pos):
+        pos_by_file.setdefault(fp, set()).add(int(p))
     frames = []
     for f in file_dicts:
         ap = os.path.abspath(os.path.join(path, f["path"]))
@@ -174,14 +188,9 @@ def _cdf_rows(path: str, v: int, cols: list[str]) -> list[tuple]:
             ]
             if cand:
                 resolved = _resolve_pandas(path, base, cols, subset=cand)
-                ppdf = pd.concat(
-                    [
-                        pq.read_table(
-                            os.path.join(path, d["path"])
-                        ).to_pandas()
-                        for d in new_pos
-                    ],
-                    ignore_index=True,
+                ppdf = pd.DataFrame(
+                    TF._pos_delete_pairs_local(path, new_pos),
+                    columns=["file_path", "pos"],
                 ).drop_duplicates()
                 pre = resolved.merge(
                     ppdf,
@@ -241,9 +250,10 @@ def _cdf_rows(path: str, v: int, cols: list[str]) -> list[tuple]:
     return out
 
 
-class CdfStreamReader(SimpleDataSourceStreamReader):
+class CdfStreamReader(DataSourceStreamReader):
     """Offset = last processed commit version on the tailed lineage; a
-    batch is the CDF images of every commit in ``(start, head]``."""
+    batch is the CDF images of every commit in ``(start, head]``, one
+    INPUT PARTITION per commit (executor-side image computation)."""
 
     def __init__(self, schema: StructType, options: dict) -> None:
         # the last two fields are the change metadata this source adds
@@ -254,22 +264,31 @@ class CdfStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"version": 0}
 
-    def read(self, start: dict) -> Tuple[Iterator[tuple], dict]:
-        head = TF.resolve_ref(self._path, self._ref)
-        rows: list[tuple] = []
-        for v in _lineage_commits(self._path, start["version"], head):
-            rows.extend(_cdf_rows(self._path, v, self._cols))
-        return iter(rows), {"version": head}
+    def latestOffset(self) -> dict:
+        return {"version": TF.resolve_ref(self._path, self._ref)}
 
-    def readBetweenOffsets(
+    def partitions(
         self, start: dict, end: dict
-    ) -> Iterator[tuple]:
-        rows: list[tuple] = []
-        for v in _lineage_commits(
-            self._path, start["version"], end["version"]
-        ):
-            rows.extend(_cdf_rows(self._path, v, self._cols))
-        return iter(rows)
+    ) -> Sequence[InputPartition]:
+        parts = [
+            InputPartition((self._path, v, tuple(self._cols)))
+            for v in _lineage_commits(
+                self._path, start["version"], end["version"]
+            )
+        ]
+        # Spark requires ≥1 partition per planned batch — a range that
+        # holds no lineage commits (e.g. another branch advanced the
+        # shared version namespace) yields one empty partition
+        return parts or [InputPartition((self._path, None, ()))]
+
+    def read(self, partition: InputPartition) -> Iterator[Tuple]:
+        path, v, cols = partition.value
+        if v is None:
+            return iter(())
+        return iter(_cdf_rows(path, v, list(cols)))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the checkpoint; nothing to ack
 
 
 class CdfDataSource(DataSource):
@@ -287,27 +306,47 @@ class CdfDataSource(DataSource):
         return "format_cdf"
 
     def schema(self):
-        import pyarrow.dataset as ds
+        import pyarrow as pa
+        import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
         path = self.options.get("path")
-        files, _, _ = TF.snapshot_files(path)
-        if not files:
+        # the latest MERGED schema across additive evolution: files
+        # within one commit share a writer schema, so unifying ONE
+        # footer per lineage commit (O(retained history), a one-time
+        # planning cost) sees every generation — a stream started
+        # after an ALTER ADD COLUMN must emit the new column even for
+        # pre-evolution commits (null-backfilled by _file_frame)
+        head = TF.resolve_ref(path, self.options.get("ref"))
+        schemas = []
+        v = head
+        while v is not None:
+            c = TF._read_commit(path, v)
+            if c["files"]:
+                schemas.append(
+                    pq.read_schema(
+                        os.path.join(path, c["files"][0]["path"])
+                    )
+                )
+            v = c["parent"] if c["parent"] is not None else c.get("prev")
+        if not schemas:
             raise ValueError(
                 "format_cdf: empty table; pass an explicit schema"
             )
-        base = from_arrow_schema(
-            ds.dataset(files, format="parquet").schema
-        )
+        base = from_arrow_schema(pa.unify_schemas(schemas))
         return StructType(
-            base.fields
+            # every data column is nullable: pre-evolution commits
+            # null-backfill later columns, delete legs may carry NULLs
+            # — a required parquet field (e.g. written from a literal)
+            # must not make the feed's schema reject them
+            [f.__class__(f.name, f.dataType, True) for f in base.fields]
             + StructType()
             .add("_change_type", StringType())
             .add("_commit_version", IntegerType())
             .fields
         )
 
-    def simpleStreamReader(self, schema: StructType) -> CdfStreamReader:
+    def streamReader(self, schema: StructType) -> CdfStreamReader:
         return CdfStreamReader(schema, dict(self.options))
 
 

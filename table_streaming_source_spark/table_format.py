@@ -184,16 +184,32 @@ def _resolve_write_target(
     return base, latest_version(path) + 1
 
 
-def _advance_branch(path: str, branch: str | None, new_v: int) -> None:
+def _advance_branch(
+    path: str, branch: str | None, new_v: int, *, base: int | None = None
+) -> None:
     """Move the branch pointer to the commit that just landed (no-op
     for linear writes).  Re-reads the refs file under the refs mutex:
     pointer advancement must not clobber refs created — or other
-    branches advanced — while the data files were written."""
+    branches advanced — while the data files were written.
+
+    ``base`` makes the advancement a CAS (serializable branch writes):
+    on a branch, two writers that pinned the SAME head both survive
+    the commit rename (their versions come from the shared namespace,
+    so the renames don't collide like linear writes do) — without the
+    CAS the second pointer move would silently orphan the first
+    writer's commit AFTER its caller saw success.  With it, the loser
+    raises :class:`CommitConflict` (its commit file is an expired-CAS
+    orphan, exactly like a lost rename) and retries on the new head."""
     if branch is None:
         return
     with _refs_mutex(path):
         refs = list_refs(path)
         _ensure_main_pinned(path, refs)
+        if base is not None and refs[branch]["version"] != base:
+            raise CommitConflict(
+                f"branch {branch!r} moved during write: head "
+                f"{refs[branch]['version']}, pinned {base}"
+            )
         refs[branch]["version"] = new_v
         _write_refs(path, refs)
 
@@ -244,7 +260,7 @@ def commit_append(
         new_v,
         {"version": new_v, "files": files, "parent": base},
     )
-    _advance_branch(path, branch, new_v)
+    _advance_branch(path, branch, new_v, base=base)
     return new_v
 
 
@@ -414,7 +430,7 @@ def commit_compact(
             "maintenance": True,
         },
     )
-    _advance_branch(path, branch, new_v)
+    _advance_branch(path, branch, new_v, base=base)
     return new_v
 
 
@@ -525,6 +541,23 @@ def commit_merge(
     from table_streaming_source_spark.snapshot import merge_into
 
     base, new_v = _resolve_write_target(path, branch, expected_version)
+    if txn is not None:
+        # re-validate the idempotence watermark AFTER the base is
+        # pinned (the Delta txn-conflict-checker rule): a zombie driver
+        # replaying (app, batch) can pass the caller's pre-check before
+        # the primary's commit lands, then resolve the NEW head here —
+        # without this check it would re-apply the batch on top of
+        # itself.  With it, the only surviving race is two writers
+        # pinning the SAME base, where the commit rename lets exactly
+        # one win (linear lineage: both target base+1).
+        prior = last_committed_txn(
+            path, txn["app"], ref=branch if branch is not None else base
+        )
+        if prior is not None and txn["batch"] <= prior:
+            raise CommitConflict(
+                f"txn {txn['app']}/{txn['batch']} already committed "
+                f"(watermark {prior}) — replayed batch"
+            )
     file_dicts = _snapshot_file_dicts(path, base)
     # no stats for the key → cannot prove absence → must rewrite
     hit_idx = {
@@ -632,7 +665,7 @@ def commit_merge(
         if kept_pos:
             payload["pos_deletes"] = kept_pos
     _write_commit(path, new_v, payload)
-    _advance_branch(path, branch, new_v)
+    _advance_branch(path, branch, new_v, base=base)
     return new_v, len(affected), len(file_dicts)
 
 
@@ -655,6 +688,11 @@ def last_committed_txn(
         if t and t.get("app") == app_id:
             if best is None or t["batch"] > best:
                 best = t["batch"]
+        # per-app watermarks hoisted into a cut commit by
+        # expire_snapshots — exactly-once survives history expiry
+        hoisted = c.get("txns", {}).get(app_id)
+        if hoisted is not None and (best is None or hoisted > best):
+            best = hoisted
         v = c["parent"] if c["parent"] is not None else c.get("prev")
     return best
 
@@ -684,11 +722,22 @@ def commit_merge_idempotent(
     last = last_committed_txn(path, app_id, ref=branch)
     if last is not None and batch_id <= last:
         return None
-    return commit_merge(
-        spark, path, changes,
-        key=key, stat_cols=stat_cols, op_col=op_col, branch=branch,
-        txn={"app": app_id, "batch": batch_id},
-    )
+    try:
+        return commit_merge(
+            spark, path, changes,
+            key=key, stat_cols=stat_cols, op_col=op_col, branch=branch,
+            txn={"app": app_id, "batch": batch_id},
+        )
+    except CommitConflict:
+        # a zombie replay losing to the primary (commit_merge's pinned
+        # watermark re-check, or the rename itself) is SUCCESS-by-
+        # someone-else: if the batch is now on the lineage, skip; a
+        # conflict from an unrelated racing writer re-raises for the
+        # caller's retry loop.
+        now = last_committed_txn(path, app_id, ref=branch)
+        if now is not None and batch_id <= now:
+            return None
+        raise
 
 
 def format_upsert_sink(
@@ -1024,8 +1073,145 @@ def commit_delete_keys(
     if pos_outstanding:
         payload["pos_deletes"] = pos_outstanding
     _write_commit(path, new_v, payload)
-    _advance_branch(path, branch, new_v)
+    _advance_branch(path, branch, new_v, base=base)
     return new_v
+
+
+def _dv_encode(positions) -> bytes:
+    """DELETION VECTOR encoding of a set of row ordinals: sorted,
+    run-length-compressed, varint-coded ``(gap, run_len)`` pairs —
+    ``gap`` is the distance from the previous run's end (first run:
+    from -1), ``run_len`` the count of consecutive ordinals.  The
+    Iceberg-v3 / Delta deletion-vector idea (they use roaring bitmaps;
+    varint runs give the same asymptotics for the common shapes — a
+    contiguous range of N dead rows costs ~2 bytes, N scattered rows
+    ~2N bytes vs 8N+path for tuple rows) with a from-scratch codec so
+    the format stays engine-portable."""
+    out = bytearray()
+
+    def put(n: int) -> None:
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return
+
+    prev_end = -1
+    run_start = run_len = None
+    for p in sorted(set(int(x) for x in positions)):
+        if run_start is None:
+            run_start, run_len = p, 1
+        elif p == run_start + run_len:
+            run_len += 1
+        else:
+            put(run_start - prev_end)
+            put(run_len)
+            prev_end = run_start + run_len - 1
+            run_start, run_len = p, 1
+    if run_start is not None:
+        put(run_start - prev_end)
+        put(run_len)
+    return bytes(out)
+
+
+def _dv_decode(blob: bytes) -> list[int]:
+    """Inverse of :func:`_dv_encode` — the sorted dead ordinals."""
+    out: list[int] = []
+    i = 0
+    prev_end = -1
+
+    def take() -> int:
+        nonlocal i
+        n = shift = 0
+        while True:
+            b = blob[i]
+            i += 1
+            n |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                return n
+            shift += 7
+
+    while i < len(blob):
+        gap = take()
+        run = take()
+        start = prev_end + gap
+        out.extend(range(start, start + run))
+        prev_end = start + run - 1
+    return out
+
+
+def _pos_delete_pairs_df(
+    spark: SparkSession, path: str, entries: list[dict]
+) -> DataFrame:
+    """The ``(file_path, pos)`` pairs named by positional-delete
+    manifest entries, whatever their ENCODING: legacy tuple files
+    (columns ``file_path``/``pos``) pass through; deletion-vector
+    files (``encoding: "dv"`` — one ``(file_path, dv: binary)`` row
+    per data file) are expanded EXECUTOR-SIDE via ``mapInPandas``
+    (decode fans out per data file; the driver never materializes the
+    ordinals).  Mixed old/new delete files compose by union.  All MOR
+    / CDF readers go through this one helper so the two encodings can
+    never diverge."""
+    from pyspark.sql import functions as F
+
+    tuple_files = [
+        os.path.join(path, d["path"])
+        for d in entries
+        if d.get("encoding") != "dv"
+    ]
+    dv_files = [
+        os.path.join(path, d["path"])
+        for d in entries
+        if d.get("encoding") == "dv"
+    ]
+    parts = []
+    if tuple_files:
+        parts.append(
+            spark.read.parquet(*tuple_files).select(
+                F.col("file_path").cast("string"),
+                F.col("pos").cast("long"),
+            )
+        )
+    if dv_files:
+        def expand(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                for fp, blob in zip(pdf["file_path"], pdf["dv"]):
+                    dead = _dv_decode(bytes(blob))
+                    yield pd.DataFrame(
+                        {"file_path": fp, "pos": dead}
+                    )
+
+        parts.append(
+            spark.read.parquet(*dv_files).mapInPandas(
+                expand, "file_path string, pos long"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def _pos_delete_pairs_local(path: str, entries: list[dict]):
+    """Driver-side twin of :func:`_pos_delete_pairs_df` for the
+    pandas-based streaming CDF source: yields ``(abs file_path, pos)``
+    tuples from tuple-encoded AND dv-encoded delete files."""
+    import pyarrow.parquet as pq
+
+    for d in entries:
+        pdf = pq.read_table(os.path.join(path, d["path"])).to_pandas()
+        if d.get("encoding") == "dv":
+            for fp, blob in zip(pdf["file_path"], pdf["dv"]):
+                for p in _dv_decode(bytes(blob)):
+                    yield fp, p
+        else:
+            for fp, p in zip(pdf["file_path"], pdf["pos"]):
+                yield fp, int(p)
 
 
 def _norm_file_path_col():
@@ -1081,6 +1267,7 @@ def commit_delete_positions(
     *,
     expected_version: int | None = None,
     branch: str | None = None,
+    encoding: str = "dv",
 ) -> int:
     """Merge-on-read POSITIONAL DELETE (the Iceberg v2 position-delete
     file / Delta deletion-vector-by-ordinal idea, beside the existing
@@ -1103,7 +1290,21 @@ def commit_delete_positions(
     ``positions`` must have columns ``file_path`` (absolute path as
     produced by :func:`positions_where`) and ``pos`` (long).  Positions
     naming files outside the target snapshot raise — a typo'd path must
-    not silently no-op.  Returns the new version."""
+    not silently no-op.  Returns the new version.
+
+    ``encoding`` — how the delete file stores the ordinals:
+
+    * ``"dv"`` (default): one DELETION-VECTOR row per named data file,
+      ``(file_path, dv: binary, n: long)`` with the ordinals
+      varint-run-compressed (:func:`_dv_encode`) — the Iceberg-v3 /
+      Delta DV model; a contiguous dead range costs bytes, not rows.
+    * ``"tuples"``: the Iceberg-v2 position-delete-file layout, one
+      ``(file_path, pos)`` row per dead ordinal.
+
+    Readers (:func:`_mor_resolve`, :func:`read_cdf`, the streaming CDF
+    source) resolve BOTH encodings through one helper
+    (:func:`_pos_delete_pairs_df`), so mixed old/new delete files on
+    one table compose freely."""
     from pyspark.sql import functions as F
 
     base, new_v = _resolve_write_target(path, branch, expected_version)
@@ -1126,8 +1327,33 @@ def commit_delete_positions(
     staging = os.path.join(
         _data_dir(path), f"posdelete-{new_v}-{uuid.uuid4().hex[:8]}"
     )
-    pos.coalesce(1).write.mode("overwrite").parquet(staging)
-    entries = _manifest_entries(path, staging, ["pos"], seq=new_v)
+    if encoding == "dv":
+        def to_dv(pdf):
+            import pandas as pd
+
+            return pd.DataFrame(
+                {
+                    "file_path": [pdf["file_path"].iloc[0]],
+                    "dv": [_dv_encode(pdf["pos"])],
+                    "n": [int(pdf["pos"].nunique())],
+                }
+            )
+
+        (
+            pos.groupBy("file_path")
+            .applyInPandas(to_dv, "file_path string, dv binary, n long")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        entries = _manifest_entries(path, staging, [], seq=new_v)
+        for e in entries:
+            e["encoding"] = "dv"
+    elif encoding == "tuples":
+        pos.coalesce(1).write.mode("overwrite").parquet(staging)
+        entries = _manifest_entries(path, staging, ["pos"], seq=new_v)
+    else:
+        raise ValueError(f"unknown positional-delete encoding {encoding!r}")
     for e in entries:
         e["paths"] = named
     eq_key, eq_outstanding = _snapshot_deletes(path, base)
@@ -1144,7 +1370,149 @@ def commit_delete_positions(
         payload["deletes"] = eq_outstanding
         payload["delete_key"] = eq_key
     _write_commit(path, new_v, payload)
-    _advance_branch(path, branch, new_v)
+    _advance_branch(path, branch, new_v, base=base)
+    return new_v
+
+
+def compact_deletes(
+    spark: SparkSession,
+    path: str,
+    *,
+    expected_version: int | None = None,
+    branch: str | None = None,
+) -> int:
+    """Delete-file MINOR COMPACTION (Iceberg's rewrite_position_delete_
+    files + the v3 equality→DV conversion): coalesce ALL outstanding
+    delete state — N positional-delete files plus every applicable
+    equality delete — into ONE deletion-vector file, published as a
+    MAINTENANCE commit (data files untouched, logical content unchanged
+    by construction, CDF/tail consumers skip it).
+
+    Equality deletes are converted to POSITIONS: each dirty data file
+    (sequence rule + stats overlap, exactly :func:`_mor_resolve`'s
+    applicability) is semi-joined against its broadcast delete keys and
+    the matching rows' ``(file_path, _metadata.row_index)`` recorded.
+    The conversion is safe because an equality delete can never apply
+    to a FUTURE file (``file.seq < delete.seq`` fails for every later
+    write), so applying it to the present snapshot once and pinning the
+    result by ordinal is equivalent — and positions expire naturally
+    when a rewrite replaces the file.  Existing positional deletes
+    coalesce as a set union, dropping entries whose named files have
+    already been rewritten away.
+
+    This is what bounds :func:`_mor_resolve`'s plan under a
+    long-running :func:`format_upsert_sink` stream: group count is
+    O(outstanding delete commits) between compactions and returns to
+    ≤1 after each one.  Cost: one pruned scan of the dirty files +
+    a delete-sized shuffle — never a data rewrite (that escalation is
+    :func:`commit_compact`).  Clears ``delete_key``, so a later
+    :func:`commit_delete_keys` may use a different key.  Returns the
+    new version (or ``base`` unchanged when there is nothing to
+    coalesce)."""
+    from pyspark.sql import functions as F
+
+    base, new_v = _resolve_write_target(path, branch, expected_version)
+    key, eq = _snapshot_deletes(path, base)
+    pos = _snapshot_pos_deletes(path, base)
+    if not eq and len(pos) <= 1:
+        return base
+    file_dicts = _snapshot_file_dicts(path, base)
+    keys = _key_cols(key) if key is not None else []
+    parts: list[DataFrame] = []
+    if eq:
+        groups: dict[frozenset, list[str]] = {}
+        for f in file_dicts:
+            fseq = f.get("seq", 0)
+            eq_set = frozenset(
+                d["path"]
+                for d in eq
+                if fseq < d.get("seq", float("inf"))
+                and _stats_overlap(keys, f, d)
+            )
+            if eq_set:
+                groups.setdefault(eq_set, []).append(
+                    os.path.abspath(os.path.join(path, f["path"]))
+                )
+        for eq_set, data_files in sorted(
+            groups.items(), key=lambda kv: sorted(kv[0])
+        ):
+            scan = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*data_files)
+                .withColumn("__del_file", _norm_file_path_col())
+                .withColumn("__del_pos", F.col("_metadata.row_index"))
+            )
+            del_df = (
+                spark.read.parquet(
+                    *[os.path.join(path, p) for p in sorted(eq_set)]
+                )
+                .select(*keys)
+                .distinct()
+            )
+            parts.append(
+                scan.join(F.broadcast(del_df), keys, "left_semi").select(
+                    F.col("__del_file").alias("file_path"),
+                    F.col("__del_pos").alias("pos"),
+                )
+            )
+    if pos:
+        known = spark.createDataFrame(
+            [
+                (os.path.abspath(os.path.join(path, f["path"])),)
+                for f in file_dicts
+            ],
+            schema=["file_path"],
+        )
+        parts.append(
+            _pos_delete_pairs_df(spark, path, pos).join(
+                F.broadcast(known), "file_path", "left_semi"
+            )
+        )
+    payload: dict = {
+        "version": new_v,
+        "files": file_dicts,
+        "parent": None,
+        "prev": base,
+        "maintenance": True,
+    }
+    if parts:
+        dead = parts[0]
+        for p in parts[1:]:
+            dead = dead.unionByName(p)
+        dead = dead.distinct().localCheckpoint(eager=True)
+    if parts and dead.limit(1).count():
+        named = sorted(
+            r[0] for r in dead.select("file_path").distinct().collect()
+        )
+        staging = os.path.join(
+            _data_dir(path), f"posdelete-{new_v}-{uuid.uuid4().hex[:8]}"
+        )
+
+        def to_dv(pdf):
+            import pandas as pd
+
+            return pd.DataFrame(
+                {
+                    "file_path": [pdf["file_path"].iloc[0]],
+                    "dv": [_dv_encode(pdf["pos"])],
+                    "n": [int(pdf["pos"].nunique())],
+                }
+            )
+
+        (
+            dead.groupBy("file_path")
+            .applyInPandas(to_dv, "file_path string, dv binary, n long")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        entries = _manifest_entries(path, staging, [], seq=new_v)
+        for e in entries:
+            e["encoding"] = "dv"
+            e["paths"] = named
+        payload["pos_deletes"] = entries
+    _write_commit(path, new_v, payload)
+    _advance_branch(path, branch, new_v, base=base)
     return new_v
 
 
@@ -1243,15 +1611,12 @@ def _mor_resolve(
                 "__del_file", _norm_file_path_col()
             ).withColumn("__del_pos", F.col("_metadata.row_index"))
         if pos_set:
-            pos_df = (
-                spark.read.parquet(
-                    *[os.path.join(path, p) for p in sorted(pos_set)]
-                )
-                .select(
-                    F.col("file_path").alias("__del_file"),
-                    F.col("pos").alias("__del_pos"),
-                )
-                .distinct()
+            by_path = {d["path"]: d for d in pos_deletes}
+            pos_df = _pos_delete_pairs_df(
+                spark, path, [by_path[p] for p in sorted(pos_set)]
+            ).select(
+                F.col("file_path").alias("__del_file"),
+                F.col("pos").alias("__del_pos"),
             )
             part = part.join(
                 F.broadcast(pos_df),
@@ -1414,6 +1779,30 @@ def expire_snapshots(path: str, *, keep_last: int = 1) -> int:
         base = _read_commit(path, cv)
         files: list[dict] = []
         seen: set[str] = set()
+        # transaction watermarks recorded by folded-in ancestors must
+        # survive the fold (Delta preserves SetTransaction actions
+        # through checkpoints for the same reason): without the hoist,
+        # last_committed_txn would return None/stale for an app whose
+        # newest commit fell below the horizon and an exactly-once
+        # writer would re-apply a replayed batch.  Walk the FULL
+        # ancestry (parent then prev — the lineage last_committed_txn
+        # itself walks) and keep the max batch per app.
+        txns: dict[str, int] = {}
+        v = cv
+        while v is not None:
+            try:
+                c = _read_commit(path, v)
+            except FileNotFoundError:
+                break  # already-expired history below a prior horizon
+            t = c.get("txn")
+            if t and (
+                t["app"] not in txns or t["batch"] > txns[t["app"]]
+            ):
+                txns[t["app"]] = t["batch"]
+            for app, b in c.get("txns", {}).items():
+                if app not in txns or b > txns[app]:
+                    txns[app] = b
+            v = c["parent"] if c["parent"] is not None else c.get("prev")
         v = cv
         while v is not None:
             c = _read_commit(path, v)
@@ -1441,6 +1830,8 @@ def expire_snapshots(path: str, *, keep_last: int = 1) -> int:
         # history below the horizon is gone — drop the logical-
         # predecessor link rather than point at an expired commit
         rewritten.pop("prev", None)
+        if txns:
+            rewritten["txns"] = txns
         if outstanding:
             rewritten["deletes"] = outstanding
             rewritten["delete_key"] = del_key
@@ -1510,6 +1901,7 @@ def read_cdf(
     to_version=None,
     change_col: str = "_change_type",
     version_col: str = "_commit_version",
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """CHANGE DATA FEED read (Delta CDF / Iceberg changelog scan):
     row-level ``insert`` / ``update_preimage`` / ``update_postimage`` /
@@ -1544,7 +1936,17 @@ def read_cdf(
     recorded are not classifiable and raise.  ``to_version`` is a
     version number OR a ref name (branch/tag — the CDF of a branch
     lineage); ``None`` resolves main's head (the
-    :func:`read_incremental` rule)."""
+    :func:`read_incremental` rule).
+
+    ``columns=`` projects the feed — semantically the CDF **of the
+    projected table**: only the named columns (plus the change
+    metadata) are returned, the projection reaches the parquet scans
+    (Catalyst prunes ``ReadSchema`` to merge-key + requested columns —
+    asserted in ``tests/test_table_format.py``), and a merge diff
+    classifies updates on the PROJECTED columns, so a row whose change
+    lies entirely outside the projection emits no update pair (exactly
+    what ``read_cdf(...).select(columns)`` over the projected table
+    would say)."""
     from pyspark.sql import functions as F
 
     to_v = (
@@ -1555,6 +1957,13 @@ def read_cdf(
     legs: list[DataFrame] = []
 
     def _tag(df: DataFrame, ctype: str, v: int) -> DataFrame:
+        if columns is not None:
+            for col in columns:
+                if col not in df.columns:
+                    # a leg predating additive evolution — null-backfill
+                    # (the allowMissingColumns union would have)
+                    df = df.withColumn(col, F.lit(None))
+            df = df.select(*columns)
         return df.select(
             "*",
             F.lit(ctype).alias(change_col),
@@ -1607,18 +2016,11 @@ def read_cdf(
                     in named
                 ]
                 if cand:
-                    pos_df = (
-                        spark.read.parquet(
-                            *[
-                                os.path.join(path, d["path"])
-                                for d in new_pos
-                            ]
-                        )
-                        .select(
-                            F.col("file_path").alias("__del_file"),
-                            F.col("pos").alias("__del_pos"),
-                        )
-                        .distinct()
+                    pos_df = _pos_delete_pairs_df(
+                        spark, path, new_pos
+                    ).select(
+                        F.col("file_path").alias("__del_file"),
+                        F.col("pos").alias("__del_pos"),
                     )
                     # resolve through the PRIOR deletes first (a row
                     # already gone at the parent yields no pre-image),
@@ -1678,7 +2080,22 @@ def read_cdf(
         if post is None:
             legs.append(_tag(pre, "delete", v))
             continue
+        # additive schema evolution: a merge landing right after an
+        # ALTER ADD COLUMN may rewrite only pre-evolution files, so the
+        # pre side lacks the new column — null-backfill it (the same
+        # allowMissingColumns contract the append/union legs get) so
+        # the diff can compare it (NULL vs non-NULL = changed)
+        for col in post.columns:
+            if col not in pre.columns:
+                pre = pre.withColumn(
+                    col, F.lit(None).cast(post.schema[col].dataType)
+                )
         others = [col for col in post.columns if col != key]
+        if columns is not None:
+            # update classification over the PROJECTED columns only —
+            # this is what lets Catalyst prune the pre/post scans to
+            # merge-key + requested columns
+            others = [col for col in others if col in columns]
         legs.append(
             _tag(
                 post.join(
@@ -1697,6 +2114,8 @@ def read_cdf(
                 v,
             )
         )
+        if not others:
+            continue  # projection holds only the key — no update pairs
         pre_renamed = pre.select(
             key, *[F.col(col).alias(f"__pre_{col}") for col in others]
         )

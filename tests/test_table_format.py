@@ -2537,3 +2537,406 @@ def test_format_upsert_sink_streams_cdc_exactly_once(spark, tmp_path):
     sink(batches[2].withColumn("v", F.col("v") + 99), 2)
     assert TF.latest_version(path) == v_before
     assert TF.read_table_mor(spark, path).filter("k = 10002").collect()[0]["v"] == 2.0
+
+
+# ---------------------------------------------------------------------------
+# round 10: deletion vectors, delete-file compaction, txn-through-expiry,
+# zombie-replay + branch-CAS serializability, CDF column pruning,
+# partition-planned streaming CDF
+# ---------------------------------------------------------------------------
+
+
+def test_dv_codec_roundtrip():
+    """The deletion-vector varint-run codec is lossless over the shapes
+    that matter: contiguous runs, scattered singletons, duplicates,
+    the empty set, and a 0-anchored range — and a contiguous run is
+    byte-cheap (2 varints), the reason DVs beat tuple rows."""
+    cases = [
+        [],
+        [0],
+        [5],
+        list(range(100)),
+        [0, 1, 2, 10, 11, 999, 10_000_000],
+        [7, 7, 7, 3, 3],            # duplicates collapse
+        list(range(0, 1000, 2)),    # worst case: all singleton runs
+    ]
+    for positions in cases:
+        blob = TF._dv_encode(positions)
+        assert TF._dv_decode(blob) == sorted(set(positions))
+    assert len(TF._dv_encode(range(100_000))) <= 5  # one run, two varints
+
+
+def test_dv_and_tuple_encodings_compose(spark, ranged_table):
+    """A legacy tuple-encoded positional delete and a new dv-encoded one
+    on the SAME table subtract jointly — readers resolve both through
+    one helper, so mixed old/new delete files can never diverge."""
+    path, df = ranged_table
+    TF.commit_delete_positions(
+        spark, path,
+        TF.positions_where(spark, path, "k >= 10 and k < 20"),
+        encoding="tuples",
+    )
+    TF.commit_delete_positions(
+        spark, path,
+        TF.positions_where(spark, path, "k >= 500 and k < 505"),
+        encoding="dv",
+    )
+    entries = TF._snapshot_pos_deletes(path, TF.latest_version(path))
+    assert {e.get("encoding") for e in entries} == {None, "dv"} or {
+        e.get("encoding") for e in entries
+    } == {"dv", None}
+    got = {r["k"] for r in TF.read_table_mor(spark, path).collect()}
+    assert got == set(range(1000)) - set(range(10, 20)) - set(range(500, 505))
+
+
+def test_compact_deletes_coalesces_to_one_dv_file(spark, ranged_table):
+    """Delete-file minor compaction: three positional-delete commits +
+    two equality-delete commits coalesce into ONE deletion-vector file
+    in a MAINTENANCE commit — the MOR read is bit-identical before and
+    after, equality state is cleared (converted to positions), the CDF
+    skips the compaction, and _mor_resolve's group count returns to 1
+    (the growth bound under a long-running upsert stream)."""
+    path, df = ranged_table
+    TF.commit_delete_positions(                                     # v2
+        spark, path, TF.positions_where(spark, path, "k < 5")
+    )
+    TF.commit_delete_positions(                                     # v3
+        spark, path, TF.positions_where(spark, path, "k >= 700 and k < 705")
+    )
+    TF.commit_delete_positions(                                     # v4
+        spark, path,
+        TF.positions_where(spark, path, "k >= 300 and k < 302"),
+        encoding="tuples",
+    )
+    TF.commit_delete_keys(spark, path, df.filter("k = 900"), key="k")  # v5
+    TF.commit_delete_keys(spark, path, df.filter("k = 901"), key="k")  # v6
+    before = sorted(
+        (r["k"], r["v"]) for r in TF.read_table_mor(spark, path).collect()
+    )
+    assert len(TF._snapshot_pos_deletes(path, 6)) == 3
+    v = TF.compact_deletes(spark, path)                              # v7
+    assert v == 7
+    c = TF._read_commit(path, 7)
+    assert c["maintenance"] is True
+    assert "deletes" not in c and "delete_key" not in c
+    assert len(c["pos_deletes"]) == 1
+    assert c["pos_deletes"][0]["encoding"] == "dv"
+    after = sorted(
+        (r["k"], r["v"]) for r in TF.read_table_mor(spark, path).collect()
+    )
+    assert after == before
+    dead = set(range(5)) | set(range(700, 705)) | {300, 301, 900, 901}
+    assert {k for k, _ in after} == set(range(1000)) - dead
+    # CDF: the compaction emits nothing; a fresh consumer still sees
+    # every logical change before it
+    cdf = TF.read_cdf(spark, path, from_version=0)
+    assert cdf.filter("_commit_version = 7").count() == 0
+    assert cdf.filter("_change_type = 'delete'").count() == len(dead)
+    # idempotent: one DV file and no equality state → no new commit
+    head = TF.latest_version(path)
+    TF.compact_deletes(spark, path)
+    assert TF.latest_version(path) == head
+    # equality deletes may now target a DIFFERENT key (state cleared)
+    TF.commit_delete_keys(spark, path, df.filter("v = 20.0"), key="v")
+    assert TF.read_table_mor(spark, path).filter("k = 10").count() == 0
+
+
+def test_compact_deletes_bounds_mor_groups(spark, ranged_table):
+    """The scale contract: N outstanding delete commits produce O(N)
+    anti-join groups in the MOR plan; compact_deletes returns the
+    grouping to a single dirty set (one broadcast anti-join)."""
+    path, df = ranged_table
+    for lo in (0, 130, 260, 390):
+        TF.commit_delete_positions(
+            spark, path,
+            TF.positions_where(spark, path, f"k >= {lo} and k < {lo + 3}"),
+        )
+    def n_groups():
+        pos = TF._snapshot_pos_deletes(path, TF.latest_version(path))
+        files = TF._snapshot_file_dicts(path, TF.latest_version(path))
+        sets = set()
+        for f in files:
+            ap = os.path.abspath(os.path.join(path, f["path"]))
+            s = frozenset(
+                d["path"] for d in pos if ap in d.get("paths", [])
+            )
+            if s:
+                sets.add(s)
+        return len(sets)
+    assert n_groups() >= 2            # distinct per-commit delete sets
+    TF.compact_deletes(spark, path)
+    assert n_groups() == 1            # one DV file names every dirty file
+    got = {r["k"] for r in TF.read_table_mor(spark, path).collect()}
+    assert got == set(range(1000)) - {
+        k for lo in (0, 130, 260, 390) for k in range(lo, lo + 3)
+    }
+
+
+def test_expire_snapshots_preserves_txn_watermarks(spark, tmp_path):
+    """History expiry must hoist per-app transaction watermarks from
+    folded-in ancestors (Delta preserves SetTransaction through
+    checkpoints for the same reason): after expiring past an app's
+    newest commit, last_committed_txn still answers and a replayed
+    micro-batch is still skipped — exactly-once survives expiry."""
+    path = str(tmp_path / "texp")
+    TF.create_table(path)
+    df = spark.range(100).selectExpr("id as k", "cast(id as double) as v")
+    TF.commit_append(spark, path, df, stat_cols=["k"])               # v1
+    assert TF.commit_merge_idempotent(
+        spark, path,
+        spark.createDataFrame([(5, 99.0, "U")], "k long, v double, op string"),
+        key="k", stat_cols=["k"], app_id="app-a", batch_id=7,
+    ) is not None                                                    # v2
+    TF.commit_append(spark, path, df.limit(1), stat_cols=["k"])      # v3
+    TF.commit_append(spark, path, df.limit(1), stat_cols=["k"])      # v4
+    removed = TF.expire_snapshots(path, keep_last=2)
+    assert removed >= 2
+    assert TF.last_committed_txn(path, "app-a") == 7
+    # the replayed batch is recognized and skipped post-expiry
+    head = TF.latest_version(path)
+    assert TF.commit_merge_idempotent(
+        spark, path,
+        spark.createDataFrame([(5, -1.0, "U")], "k long, v double, op string"),
+        key="k", stat_cols=["k"], app_id="app-a", batch_id=7,
+    ) is None
+    assert TF.latest_version(path) == head
+    # a second expiry round re-hoists the hoisted map
+    TF.commit_append(spark, path, df.limit(1), stat_cols=["k"])
+    TF.expire_snapshots(path, keep_last=1)
+    assert TF.last_committed_txn(path, "app-a") == 7
+
+
+def test_zombie_merge_replay_cannot_double_apply(spark, tmp_path):
+    """The Delta txn-conflict rule: a zombie driver that passed the
+    caller's watermark pre-check BEFORE the primary's commit landed
+    must still lose — commit_merge re-validates the watermark after
+    pinning its base, and commit_merge_idempotent maps that conflict
+    to the skip (None), never a second apply."""
+    path = str(tmp_path / "zomb")
+    TF.create_table(path)
+    df = spark.range(50).selectExpr("id as k", "cast(id as double) as v")
+    TF.commit_append(spark, path, df, stat_cols=["k"])
+    batch = spark.createDataFrame(
+        [(3, 100.0, "U")], "k long, v double, op string"
+    )
+    # primary applies batch 1
+    assert TF.commit_merge_idempotent(
+        spark, path, batch, key="k", stat_cols=["k"],
+        app_id="job", batch_id=1,
+    ) is not None
+    # zombie replay of batch 1 arrives AFTER the primary committed but
+    # believes it already passed the pre-check: calling commit_merge
+    # directly (the post-pre-check path) raises, not double-applies
+    with pytest.raises(TF.CommitConflict, match="already committed"):
+        TF.commit_merge(
+            spark, path,
+            batch.withColumn("v", F.col("v") + 1),
+            key="k", stat_cols=["k"], txn={"app": "job", "batch": 1},
+        )
+    # and through the idempotent wrapper the replay is a clean skip
+    assert TF.commit_merge_idempotent(
+        spark, path, batch.withColumn("v", F.col("v") + 1),
+        key="k", stat_cols=["k"], app_id="job", batch_id=1,
+    ) is None
+    got = TF.read_table_mor(spark, path).filter("k = 3").collect()
+    assert [r["v"] for r in got] == [100.0]
+
+
+def test_branch_pointer_advance_is_cas(spark, tmp_path):
+    """Two branch writers that pinned the SAME head both survive the
+    commit rename (branch versions come from the shared namespace) —
+    the pointer CAS is what makes the second writer lose instead of
+    silently orphaning the first's commit after success was returned."""
+    path = str(tmp_path / "bcas")
+    TF.create_table(path)
+    df = spark.range(10).selectExpr("id as k")
+    TF.commit_append(spark, path, df, stat_cols=["k"])
+    TF.create_branch(path, "dev")
+    base = TF.resolve_ref(path, "dev")
+    TF.commit_append(spark, path, df.limit(1), stat_cols=["k"], branch="dev")
+    # a writer still holding the OLD head loses the CAS
+    with pytest.raises(TF.CommitConflict, match="moved during write"):
+        TF._advance_branch(path, "dev", 99, base=base)
+    # and an end-to-end stale write loses BEFORE data lands
+    with pytest.raises(TF.CommitConflict):
+        TF.commit_append(
+            spark, path, df.limit(1), stat_cols=["k"], branch="dev",
+            expected_version=base,
+        )
+
+
+def test_two_writer_merge_torture_is_serializable(spark, tmp_path):
+    """Two concurrent MERGE writers (distinct apps, overlapping keys)
+    with the standard retry-on-conflict loop: every batch applies
+    exactly once and the final table equals the sequential result —
+    the serializability contract the CAS + pinned-watermark re-check
+    provide.  (Full recompute-on-retry makes interleavings commute
+    here: each app updates its own column band.)"""
+    import threading
+
+    path = str(tmp_path / "tort")
+    TF.create_table(path)
+    df = spark.range(100).selectExpr(
+        "id as k", "cast(0 as double) as v"
+    )
+    TF.commit_append(spark, path, df, stat_cols=["k"])
+    errs: list = []
+
+    def writer(app: str, delta: float) -> None:
+        try:
+            for b in range(4):
+                batch = spark.createDataFrame(
+                    [(k, delta * (b + 1), "U") for k in range(0, 100, 3)],
+                    "k long, v double, op string",
+                )
+                while True:
+                    try:
+                        TF.commit_merge_idempotent(
+                            spark, path, batch, key="k",
+                            stat_cols=["k"], app_id=app, batch_id=b,
+                        )
+                        break
+                    except TF.CommitConflict:
+                        continue
+        except Exception as exc:  # surfaced to the main thread
+            errs.append(exc)
+
+    t1 = threading.Thread(target=writer, args=("app-1", 1000.0))
+    t2 = threading.Thread(target=writer, args=("app-2", 7.0))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    assert TF.last_committed_txn(path, "app-1") == 3
+    assert TF.last_committed_txn(path, "app-2") == 3
+    got = {r["k"]: r["v"] for r in TF.read_table_mor(spark, path).collect()}
+    assert len(got) == 100
+    # last writer per key band wins; both final values are legal serial
+    # outcomes — what is ILLEGAL is a lost batch (watermark < 3) or a
+    # doubled row, both asserted above
+    assert got[0] in (4000.0, 28.0)
+    assert got[1] == 0.0
+
+
+def test_read_cdf_column_projection_prunes_scans(spark, tmp_path):
+    """read_cdf(columns=...) is the CDF of the PROJECTED table: only
+    requested columns come back, a merge whose change lies entirely
+    outside the projection emits no update pair, and the projection
+    reaches the parquet scans (no ReadSchema names the dropped
+    column)."""
+    path = str(tmp_path / "cdfproj")
+    TF.create_table(path)
+    df = spark.range(100).selectExpr(
+        "id as k", "cast(id as double) as v", "repeat('x', 20) as wide_col"
+    )
+    TF.commit_append(spark, path, df, stat_cols=["k"])               # v1
+    changes = spark.createDataFrame(
+        [(5, 99.0, "a", "U"), (6, 6.0, "b", "U")],
+        "k long, v double, wide_col string, op string",
+    )
+    TF.commit_merge(spark, path, changes, key="k", stat_cols=["k"])  # v2
+    cdf = TF.read_cdf(spark, path, from_version=0, columns=["k", "v"])
+    assert cdf.columns == ["k", "v", "_change_type", "_commit_version"]
+    rows = {
+        (r["k"], r["_change_type"]): r["v"]
+        for r in cdf.filter("_commit_version = 2").collect()
+    }
+    # k=5: v changed 5.0→99.0 → update pair; k=6: only wide_col changed
+    # (v stays 12.0) → OUTSIDE the projection, no update pair
+    assert rows[(5, "update_postimage")] == 99.0
+    assert rows[(5, "update_preimage")] == 5.0
+    assert (6, "update_postimage") not in rows
+    plan = cdf._jdf.queryExecution().executedPlan().toString()
+    assert "wide_col" not in plan
+
+
+def test_streaming_cdf_partitions_fan_out_per_commit(spark, tmp_path):
+    """The streaming CDF source is partition-planned: a micro-batch
+    spanning N commits plans N input partitions (one per commit —
+    image computation runs executor-side), and per-partition reads
+    reproduce exactly that commit's images."""
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StringType, StructType,
+    )
+
+    from table_streaming_source_spark.streaming.format_cdf import (
+        CdfStreamReader,
+    )
+
+    path = str(tmp_path / "fanout")
+    TF.create_table(path)
+    df = spark.range(60).selectExpr("id as k", "cast(id as double) as v")
+    TF.commit_append(spark, path, df, stat_cols=["k"])               # v1
+    TF.commit_append(                                                # v2
+        spark, path,
+        spark.range(60, 70).selectExpr("id as k", "cast(id as double) as v"),
+        stat_cols=["k"],
+    )
+    TF.commit_delete_keys(spark, path, df.filter("k < 3"), key="k")  # v3
+    schema = (
+        StructType()
+        .add("k", LongType())
+        .add("v", DoubleType())
+        .add("_change_type", StringType())
+        .add("_commit_version", IntegerType())
+    )
+    reader = CdfStreamReader(schema, {"path": path})
+    assert reader.latestOffset() == {"version": 3}
+    parts = reader.partitions({"version": 0}, {"version": 3})
+    assert len(parts) == 3                       # one per commit
+    per_commit = {}
+    for p in parts:
+        for row in reader.read(p):
+            per_commit.setdefault(row[-1], []).append(row)
+    assert len(per_commit[1]) == 60
+    assert len(per_commit[2]) == 10
+    assert sorted(r[0] for r in per_commit[3]) == [0, 1, 2]
+    assert {r[-2] for r in per_commit[3]} == {"delete"}
+
+
+def test_streaming_cdf_parity_across_schema_evolution(spark, tmp_path):
+    """The ADVICE gap: a stream over a table with ADDITIVE schema
+    evolution must match the batch read_cdf row-for-row — pre-evolution
+    files lack the new column, and the pandas reader must null-backfill
+    it instead of crashing on pyarrow's missing-FieldRef."""
+    from table_streaming_source_spark.streaming.format_cdf import (
+        register_format_cdf,
+    )
+
+    path = str(tmp_path / "sevo")
+    TF.create_table(path)
+    old = spark.range(20).selectExpr("id as k")
+    TF.commit_append(spark, path, old, stat_cols=["k"])              # v1
+    new = spark.range(20, 30).selectExpr("id as k", "'x' as tag")
+    TF.commit_append(spark, path, new, stat_cols=["k"])              # v2
+    TF.commit_delete_keys(                                           # v3
+        spark, path,
+        spark.createDataFrame([(5,), (25,)], "k long"), key="k",
+    )
+    batch = sorted(
+        (r["k"], r["tag"], r["_change_type"], r["_commit_version"])
+        for r in TF.read_cdf(spark, path, from_version=0).collect()
+    )
+    register_format_cdf(spark)
+    stream = (
+        spark.readStream.format("format_cdf").option("path", path).load()
+    )
+    assert set(stream.columns) == {"k", "tag", "_change_type",
+                                   "_commit_version"}
+    name = "__cdf_evo_parity"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    streamed = sorted(
+        (r["k"], r["tag"], r["_change_type"], r["_commit_version"])
+        for r in spark.table(name).collect()
+    )
+    spark.catalog.dropTempView(name)
+    assert streamed == batch
+    assert len(batch) == 20 + 10 + 2
