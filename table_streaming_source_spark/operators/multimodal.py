@@ -8066,3 +8066,173 @@ def mkv_meta(
             "n_tracks int, track_number_sum long, title_len int"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# SubRip (SRT) subtitle cues — timed-text sidecar parsing
+# ---------------------------------------------------------------------------
+
+#: deterministic synthesis parameters shared with the oracle formulas
+_SRT_BASE_MS = 700
+_SRT_SPAN_MS = 1500
+_SRT_GAP_MS = 3000
+
+
+def _srt_ts(ms: int) -> str:
+    """``HH:MM:SS,mmm`` — the SubRip timestamp layout (comma decimal
+    separator, zero-padded fields; the de-facto spec every player
+    implements)."""
+    h, rem = divmod(ms, 3_600_000)
+    m, rem = divmod(rem, 60_000)
+    s, frac = divmod(rem, 1000)
+    return f"{h:02d}:{m:02d}:{s:02d},{frac:03d}"
+
+
+def synth_srt(key: int) -> bytes:
+    """A complete SubRip file with ``2 + key % 4`` cues: 1-based index
+    line, ``start --> end`` timing line, one text line, blank
+    separator.  All times derive from ``key`` so the oracle can
+    restate every duration closed-form."""
+    n = 2 + key % 4
+    blocks = []
+    for i in range(n):
+        start = i * _SRT_GAP_MS + (key % 7) * 250
+        dur = _SRT_BASE_MS + (key * 31 + i) % _SRT_SPAN_MS
+        blocks.append(
+            f"{i + 1}\n{_srt_ts(start)} --> {_srt_ts(start + dur)}\n"
+            f"cue {i} of doc {key}\n"
+        )
+    return "\n".join(blocks).encode("utf-8")
+
+
+_SRT_TS_RE = None
+
+
+def _srt_one(payload: bytes) -> dict:
+    """Parse one SubRip file: per-cue (index, start_ms, end_ms, text).
+    Raises :class:`ValueError` on anything structurally off —
+    non-UTF-8, bad timestamp layout, non-numeric index, end before
+    start, or indices out of order (the malformed-bytes quarantine
+    contract, ``malformed.py``)."""
+    import re
+
+    global _SRT_TS_RE
+    if _SRT_TS_RE is None:
+        _SRT_TS_RE = re.compile(
+            r"^(\d{2,}):([0-5]\d):([0-5]\d),(\d{3})"
+            r" --> "
+            r"(\d{2,}):([0-5]\d):([0-5]\d),(\d{3})$"
+        )
+    try:
+        text = payload.decode("utf-8")
+    except UnicodeDecodeError as exc:
+        raise ValueError(f"srt: not utf-8: {exc}") from None
+    cues = []
+    prev_idx = 0
+    for block in text.split("\n\n"):
+        lines = [ln for ln in block.split("\n") if ln != ""]
+        if not lines:
+            continue
+        if len(lines) < 2:
+            raise ValueError("srt: cue block needs index + timing")
+        if not lines[0].isdigit():
+            raise ValueError(f"srt: bad cue index {lines[0]!r}")
+        idx = int(lines[0])
+        if idx != prev_idx + 1:
+            raise ValueError(f"srt: cue index {idx} out of order")
+        prev_idx = idx
+        m = _SRT_TS_RE.match(lines[1])
+        if m is None:
+            raise ValueError(f"srt: bad timing line {lines[1]!r}")
+        g = [int(x) for x in m.groups()]
+        start = ((g[0] * 60 + g[1]) * 60 + g[2]) * 1000 + g[3]
+        end = ((g[4] * 60 + g[5]) * 60 + g[6]) * 1000 + g[7]
+        if end <= start:
+            raise ValueError("srt: cue ends before it starts")
+        cues.append(
+            {
+                "index": idx,
+                "start_ms": start,
+                "end_ms": end,
+                "text": " ".join(lines[2:]),
+            }
+        )
+    if not cues:
+        raise ValueError("srt: no cues")
+    return {
+        "n_cues": len(cues),
+        "total_ms": sum(c["end_ms"] - c["start_ms"] for c in cues),
+        "span_ms": cues[-1]["end_ms"] - cues[0]["start_ms"],
+        "n_words": sum(
+            len([w for w in c["text"].split(" ") if w]) for c in cues
+        ),
+    }
+
+
+SRT_CUES_SCHEMA = StructType(
+    [
+        StructField("key", LongType(), False),
+        StructField("n_cues", IntegerType(), False),
+        StructField("total_ms", LongType(), False),
+        StructField("span_ms", LongType(), False),
+        StructField("n_words", LongType(), False),
+    ]
+)
+
+
+def attach_srt_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one :func:`synth_srt` per key."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [synth_srt(int(k)) for k in pdf[key]],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def srt_cue_stats(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Per-file SubRip cue statistics (cue count, speaking time, span,
+    word volume) — the timed-text layer an A/V training pipeline
+    aligns against audio before any sample decode.  Arrow-batched
+    ``mapInPandas``, zero shuffles: subtitle bytes never leave the
+    executor that scanned them."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                k: []
+                for k in ("key", "n_cues", "total_ms", "span_ms",
+                          "n_words")
+            }
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                m = _srt_one(bytes(payload))
+                rows["key"].append(int(k))
+                rows["n_cues"].append(m["n_cues"])
+                rows["total_ms"].append(m["total_ms"])
+                rows["span_ms"].append(m["span_ms"])
+                rows["n_words"].append(m["n_words"])
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "n_cues": pd.Series(rows["n_cues"], dtype="int32"),
+                    "total_ms": pd.Series(
+                        rows["total_ms"], dtype="int64"
+                    ),
+                    "span_ms": pd.Series(rows["span_ms"], dtype="int64"),
+                    "n_words": pd.Series(rows["n_words"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=SRT_CUES_SCHEMA)

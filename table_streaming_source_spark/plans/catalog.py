@@ -329,6 +329,35 @@ violations prove detection), and ``streaming_format_upsert``
 ``format_upsert_sink``'s foreachBatch + Delta-txn watermark,
 exactly-once under checkpoint replay, each batch a stats-targeted
 MERGE).
+
+Round-10 rotation (LANDED — this is the current window): the 2
+cross-round sentinels + the FULL 7-entry round-9 backlog above + the
+25 round-10 additions = exactly 34.  Every windowed entry was verified
+strict-dtype at sf0.01 AND sf0.1 at round-10 HEAD (34/34 + 34/34,
+AFTER this round's code landed — deletion-vector encoding, delete-file
+compaction, the partition-planned streaming CDF, the txn-through-
+expiry hoist, the branch-pointer CAS, projected CDF) before
+``_PRIORITY`` was edited.  The 25 additions: the row-level-maintenance
+family (``format_delete_compaction`` — N delete files → 1 DV in a
+maintenance commit; ``format_dv_encoding`` — varint-run deletion
+vectors composing with legacy tuple files; ``format_cdf_projected`` —
+``read_cdf(columns=)`` scan pruning; ``format_txn_expiry`` —
+exactly-once surviving history expiry; ``streaming_cdf_compaction`` —
+the CDF stream silent across ``compact_deletes``), a statistics
+battery (``agg_cramers_v``, ``agg_brier_decomposition``,
+``agg_cohens_d``, ``agg_levene``, ``agg_stump_split``,
+``agg_mutual_information``, ``agg_winsorized_mean`` — one fact
+aggregate each, libm terms rounded-then-decimal-summed), time series
+(``ts_peaks``, ``ts_intervals_merge``, ``ts_cohort_retention``,
+``ts_bollinger``), corpus/text (``text_log_odds`` — Monroe
+log-odds-ratio with Dirichlet prior; ``text_anchor_extract``), graph
+shape (``graph_reciprocity``, ``graph_bipartite_projection``), DQ
+audits (``dq_freshness``, ``dq_uniqueness``), mixture sampling
+(``pipeline_rejection_sample`` — hash-gated, exact integer acceptance
+test), SQL-surface parity (``sql_distinct_on``) and timed text
+(``multimodal_srt_cues`` — SubRip cue parsing under the
+malformed-bytes contract).  Once this window lands the certification
+queue stays drained: the round-11 backlog is EMPTY.
 """
 
 from __future__ import annotations
@@ -352,76 +381,56 @@ _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 #: names pinned into the driver's 50-entry correctness window, in order.
-#: Round-9 rotation: 2 cross-round sentinels + the FULL 48-entry
-#: round-8 backlog (VERDICT r8 demand 1: finish the certification
-#: drain) = exactly 50.  EVERY windowed entry was strict-dtype
-#: oracle-verified at sf0.01 AND sf0.1 at this round's HEAD
-#: (48/48 + 48/48, after this round's code landed) BEFORE this tuple
-#: was edited.  Once this window lands, ALL 423 pre-round-9 entries
-#: have an official driver row in some round — the certification
-#: queue is fully drained for the first time; the round-10 backlog is
-#: just this round's 7 additions (enumerated at the end of the module
-#: docstring).
+#: Round-10 rotation: 2 cross-round sentinels + the FULL 7-entry
+#: round-9 backlog (the only never-certified entries after the round-9
+#: drain) + the 25 round-10 additions = exactly 34.  EVERY windowed
+#: entry was strict-dtype oracle-verified at sf0.01 AND sf0.1 at this
+#: round's HEAD (34/34 + 34/34) BEFORE this tuple was edited.  Once
+#: this window lands, ALL 430 pre-round-10 entries have an official
+#: driver row in some round AND the 25 round-10 additions get theirs
+#: in the same window — the certification queue stays drained; the
+#: round-11 backlog is empty.
 _PRIORITY: tuple[str, ...] = (
     # cross-round regression sentinels (driver-green every prior round)
     "flagship_enrichment",
     "dedup_minhash_lsh",
-    # --- the streaming connector writer (the one round-8 addition) ---
-    "sink_python_stream",
-    # --- nonparametric / robust statistical-inference battery (16) ---
-    "agg_capture_recapture",
-    "agg_cohens_kappa",
-    "agg_cronbach_alpha",
-    "agg_friedman",
-    "agg_herfindahl",
-    "agg_hodges_lehmann",
-    "agg_lorenz_points",
-    "agg_mcnemar",
-    "agg_odds_ratio",
-    "agg_pythagorean_means",
-    "agg_runs_test",
-    "agg_sprt",
-    "agg_theil_index",
-    "agg_trimmed_mean",
-    "agg_var_cvar",
-    "agg_wilson_ci",
-    # --- data quality + graph + spatial join (3) ---
-    "dq_outlier_fences",
-    "graph_assortativity",
-    "join_point_in_polygon",
-    # --- container metadata walks + raster codecs (9) ---
-    "multimodal_aiff",
-    "multimodal_au",
-    "multimodal_bmp_rle",
-    "multimodal_gif_interlaced",
-    "multimodal_midi_meta",
-    "multimodal_mkv_meta",
-    "multimodal_mp4_meta",
-    "multimodal_netpbm",
-    "multimodal_ogg_meta",
-    # --- pipeline / scalar / SQL-surface (5) ---
-    "pipeline_chunk_overlap",
-    "scalar_luhn",
-    "set_ops_all",
-    "sql_qualify",
-    "window_rank_distribution",
-    # --- similarity (2) ---
-    "sim_nn_descent",
-    "sim_silhouette",
-    # --- text analysis (5) ---
-    "text_hapax_rate",
-    "text_html_tables",
-    "text_js_divergence",
-    "text_pmi_cooccur",
-    "text_zipf_fit",
-    # --- time series (7) ---
-    "ts_changepoint",
-    "ts_dtw",
-    "ts_ljung_box",
-    "ts_mann_kendall",
-    "ts_motif",
-    "ts_pacf",
-    "ts_sax",
+    # --- the 7-entry round-9 backlog ---
+    "format_positional_deletes",
+    "format_cdf_read",
+    "format_multi_key_deletes",
+    "agg_count_min",
+    "streaming_format_cdf",
+    "dq_referential_integrity",
+    "streaming_format_upsert",
+    # --- round-10: row-level maintenance + projected CDF (5) ---
+    "format_delete_compaction",
+    "format_dv_encoding",
+    "format_cdf_projected",
+    "format_txn_expiry",
+    "streaming_cdf_compaction",
+    # --- round-10: statistics battery (7) ---
+    "agg_brier_decomposition",
+    "agg_cohens_d",
+    "agg_cramers_v",
+    "agg_levene",
+    "agg_mutual_information",
+    "agg_stump_split",
+    "agg_winsorized_mean",
+    # --- round-10: time series (4) ---
+    "ts_bollinger",
+    "ts_cohort_retention",
+    "ts_intervals_merge",
+    "ts_peaks",
+    # --- round-10: text / graph / dq / pipeline / sql / mm (9) ---
+    "text_anchor_extract",
+    "text_log_odds",
+    "graph_bipartite_projection",
+    "graph_reciprocity",
+    "dq_freshness",
+    "dq_uniqueness",
+    "pipeline_rejection_sample",
+    "sql_distinct_on",
+    "multimodal_srt_cues",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"

@@ -20,7 +20,7 @@ from table_streaming_source_spark.operators import dedup as D
 from table_streaming_source_spark.operators import multimodal as M
 from table_streaming_source_spark.operators import similarity as S
 from table_streaming_source_spark.operators import text as X
-from table_streaming_source_spark.plans.common import t
+from table_streaming_source_spark.plans.common import dsum, t
 
 ORACLES: dict[str, str] = {}
 
@@ -14778,3 +14778,1440 @@ FROM lineitem
 QUERIES_DEFERRED.update(
     {"dq_referential_integrity": q_dq_referential_integrity}
 )
+
+
+# ---------------------------------------------------------------------------
+# round 10: statistical-association / calibration / effect-size battery
+# ---------------------------------------------------------------------------
+
+
+def q_agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between two categoricals (market segment ×
+    nation residue class) from the χ² contingency statistic — the
+    feature-pair screening step of an auto-profiler.  Per-cell χ²
+    addends use the exact-integer form ``(o·n − rm·cm)²/(n·rm·cm)``
+    (every product stays under 2⁵³ at sf0.1, so the doubles are
+    bit-identical across engines), round to 9 decimals and sum on the
+    decimal path (the ``agg_entropy`` libm discipline).  One hash
+    aggregate over the table, then arithmetic over ≤ |seg|×|res|
+    cells."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("x"),
+        (F.col("c_nationkey") % 5).cast("int").alias("y"),
+    )
+    cells = c.groupBy("x", "y").agg(F.count(F.lit(1)).alias("o"))
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    wall = Window.partitionBy()
+    cells = cells.select(
+        "x", "y", "o",
+        F.sum("o").over(wx).alias("rm"),
+        F.sum("o").over(wy).alias("cm"),
+        F.sum("o").over(wall).alias("n"),
+        F.size(F.collect_set("x").over(wall)).alias("r"),
+        F.size(F.collect_set("y").over(wall)).alias("k"),
+    )
+    d = (
+        F.col("o") * 1.0 * F.col("n") - F.col("rm") * 1.0 * F.col("cm")
+    )
+    addend = F.round(
+        d * d / (1.0 * F.col("n") * F.col("rm") * F.col("cm")), 9
+    ).cast("decimal(28,9)")
+    return cells.groupBy().agg(
+        F.first("n").cast("bigint").alias("n"),
+        ((F.first("r") - 1) * (F.first("k") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        F.sum(addend).cast("double").alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.sum(addend).cast("double")
+                / (
+                    F.first("n")
+                    * (F.least(F.first("r"), F.first("k")) - 1)
+                )
+            ),
+            9,
+        ).alias("cramers_v"),
+    )
+
+
+ORACLES["agg_cramers_v"] = """
+WITH cells AS (
+  SELECT c_mktsegment AS x, CAST(c_nationkey % 5 AS INT) AS y,
+         COUNT(*) AS o
+  FROM customer GROUP BY 1, 2
+),
+m AS (
+  SELECT x, y, o,
+         SUM(o) OVER (PARTITION BY x) AS rm,
+         SUM(o) OVER (PARTITION BY y) AS cm,
+         SUM(o) OVER () AS n,
+         COUNT(DISTINCT x) OVER () AS r,
+         COUNT(DISTINCT y) OVER () AS k
+  FROM cells
+),
+a AS (
+  SELECT n, r, k,
+         CAST(ROUND(
+           (o * 1.0 * n - rm * 1.0 * cm) * (o * 1.0 * n - rm * 1.0 * cm)
+           / (1.0 * n * rm * cm), 9) AS DECIMAL(28,9)) AS addend
+  FROM m
+)
+SELECT CAST(MIN(n) AS BIGINT) AS n,
+       CAST((MIN(r) - 1) * (MIN(k) - 1) AS BIGINT) AS dof,
+       CAST(SUM(addend) AS DOUBLE) AS chi2,
+       ROUND(SQRT(CAST(SUM(addend) AS DOUBLE)
+                  / (MIN(n) * (LEAST(MIN(r), MIN(k)) - 1))), 9)
+         AS cramers_v
+FROM a
+"""
+
+
+def q_agg_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score (reliability −
+    resolution + uncertainty) for a deterministic pseudo-forecaster
+    over binary outcomes — the calibration audit an eval pipeline runs
+    on model scores.  Forecasts are md5-hash residues quantized to bin
+    CENTERS (so the within-bin forecast is constant and the identity
+    is exact); every component reduces to integer bin counts, per-bin
+    double terms rounded to 9 decimals, decimal sums — bit-stable
+    across engines.  One hash aggregate to 10 bins."""
+    e = t(spark, sf_dir, "events").select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 3),
+                16, 10,
+            ).cast("long")
+            % 10
+        ).alias("b"),
+        (F.col("event_id") % 3 == 0).cast("int").alias("y"),
+    )
+    bins = e.groupBy("b").agg(
+        F.count(F.lit(1)).alias("nb"), F.sum("y").alias("yb")
+    )
+    wall = Window.partitionBy()
+    bins = bins.select(
+        "b", "nb", "yb",
+        F.sum("nb").over(wall).alias("n"),
+        F.sum("yb").over(wall).alias("ypos"),
+    )
+    p = (F.col("b") + 0.5) / 10.0
+    ybar_b = F.col("yb") * 1.0 / F.col("nb")
+    ybar = F.col("ypos") * 1.0 / F.col("n")
+    rel_t = F.round(F.col("nb") * (p - ybar_b) * (p - ybar_b), 9).cast(
+        "decimal(28,9)"
+    )
+    res_t = F.round(
+        F.col("nb") * (ybar_b - ybar) * (ybar_b - ybar), 9
+    ).cast("decimal(28,9)")
+    # Σ(p−y)² per bin = nb·p² − 2p·yb + yb (y is 0/1)
+    bri_t = F.round(
+        F.col("nb") * p * p - 2.0 * p * F.col("yb") + F.col("yb"), 9
+    ).cast("decimal(28,9)")
+    out = bins.groupBy().agg(
+        F.first("n").cast("bigint").alias("n"),
+        F.round(F.sum(bri_t).cast("double") / F.first("n"), 9).alias(
+            "brier"
+        ),
+        F.round(F.sum(rel_t).cast("double") / F.first("n"), 9).alias(
+            "reliability"
+        ),
+        F.round(F.sum(res_t).cast("double") / F.first("n"), 9).alias(
+            "resolution"
+        ),
+        F.round(
+            (F.first("ypos") * 1.0 / F.first("n"))
+            * (1.0 - F.first("ypos") * 1.0 / F.first("n")),
+            9,
+        ).alias("uncertainty"),
+    )
+    return out.select(
+        "*",
+        (
+            F.abs(
+                F.col("brier")
+                - (
+                    F.col("reliability")
+                    - F.col("resolution")
+                    + F.col("uncertainty")
+                )
+            )
+            < 1e-6
+        ).alias("identity_ok"),
+    )
+
+
+ORACLES["agg_brier_decomposition"] = """
+WITH rows_ AS (
+  SELECT CAST('0x' || SUBSTR(MD5(CAST(event_id AS VARCHAR)), 1, 3)
+              AS BIGINT) % 10 AS b,
+         CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS y
+  FROM events
+),
+bins AS (
+  SELECT b, COUNT(*) AS nb, SUM(y) AS yb FROM rows_ GROUP BY b
+),
+m AS (
+  SELECT b, nb, yb,
+         SUM(nb) OVER () AS n, SUM(yb) OVER () AS ypos
+  FROM bins
+),
+terms AS (
+  SELECT n, ypos,
+         CAST(ROUND(nb * ((b + 0.5)/10.0 - yb*1.0/nb)
+                       * ((b + 0.5)/10.0 - yb*1.0/nb), 9)
+              AS DECIMAL(28,9)) AS rel_t,
+         CAST(ROUND(nb * (yb*1.0/nb - ypos*1.0/n)
+                       * (yb*1.0/nb - ypos*1.0/n), 9)
+              AS DECIMAL(28,9)) AS res_t,
+         CAST(ROUND(nb * ((b + 0.5)/10.0) * ((b + 0.5)/10.0)
+                    - 2.0 * ((b + 0.5)/10.0) * yb + yb, 9)
+              AS DECIMAL(28,9)) AS bri_t
+  FROM m
+),
+agg AS (
+  SELECT CAST(MIN(n) AS BIGINT) AS n,
+         ROUND(CAST(SUM(bri_t) AS DOUBLE) / MIN(n), 9) AS brier,
+         ROUND(CAST(SUM(rel_t) AS DOUBLE) / MIN(n), 9) AS reliability,
+         ROUND(CAST(SUM(res_t) AS DOUBLE) / MIN(n), 9) AS resolution,
+         ROUND((MIN(ypos)*1.0/MIN(n)) * (1.0 - MIN(ypos)*1.0/MIN(n)), 9)
+           AS uncertainty
+  FROM terms
+)
+SELECT *,
+       ABS(brier - (reliability - resolution + uncertainty)) < 1e-6
+         AS identity_ok
+FROM agg
+"""
+
+
+def q_agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d and Hedges' g effect sizes between two line-status
+    populations — the experiment-analysis step after a significance
+    test says "different" (the ``agg_welch_ttest`` companion: HOW
+    different).  Means and sums of squares ride the exact decimal path
+    (prices are 2-dp decimals; squares are exact DECIMAL(38,4)), so the
+    pooled-SD arithmetic starts from bit-identical doubles."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("s"),
+        # (28,2)×(9,2) → DECIMAL(38,4): forces the int128 path on both
+        # engines, exact for price² sums at every SF we run
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(28,2)")
+            * F.col("l_extendedprice").cast("decimal(9,2)")
+        )
+        .cast("double")
+        .alias("ss"),
+    )
+    a = g.filter(F.col("l_returnflag") == "A").select(
+        F.col("n").alias("n1"), F.col("s").alias("s1"),
+        F.col("ss").alias("ss1"),
+    )
+    r = g.filter(F.col("l_returnflag") == "R").select(
+        F.col("n").alias("n2"), F.col("s").alias("s2"),
+        F.col("ss").alias("ss2"),
+    )
+    j = a.crossJoin(r)
+    m1, m2 = F.col("s1") / F.col("n1"), F.col("s2") / F.col("n2")
+    v1 = (F.col("ss1") - F.col("n1") * m1 * m1) / (F.col("n1") - 1)
+    v2 = (F.col("ss2") - F.col("n2") * m2 * m2) / (F.col("n2") - 1)
+    sp = F.sqrt(
+        ((F.col("n1") - 1) * v1 + (F.col("n2") - 1) * v2)
+        / (F.col("n1") + F.col("n2") - 2)
+    )
+    d = (m1 - m2) / sp
+    corr = 1.0 - 3.0 / (4.0 * (F.col("n1") + F.col("n2")) - 9.0)
+    return j.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(d, 9).alias("cohens_d"),
+        F.round(d * corr, 9).alias("hedges_g"),
+    )
+
+
+ORACLES["agg_cohens_d"] = """
+WITH g AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))
+                  * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE)
+           AS ss
+  FROM lineitem WHERE l_returnflag IN ('A', 'R')
+  GROUP BY 1
+),
+j AS (
+  SELECT a.n AS n1, a.s AS s1, a.ss AS ss1,
+         r.n AS n2, r.s AS s2, r.ss AS ss2
+  FROM (SELECT * FROM g WHERE l_returnflag = 'A') a,
+       (SELECT * FROM g WHERE l_returnflag = 'R') r
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       ROUND((s1/n1 - s2/n2)
+             / SQRT(((n1-1)*((ss1 - n1*(s1/n1)*(s1/n1))/(n1-1))
+                     + (n2-1)*((ss2 - n2*(s2/n2)*(s2/n2))/(n2-1)))
+                    / (n1+n2-2)), 9) AS cohens_d,
+       ROUND(((s1/n1 - s2/n2)
+             / SQRT(((n1-1)*((ss1 - n1*(s1/n1)*(s1/n1))/(n1-1))
+                     + (n2-1)*((ss2 - n2*(s2/n2)*(s2/n2))/(n2-1)))
+                    / (n1+n2-2)))
+             * (1.0 - 3.0/(4.0*(n1+n2) - 9.0)), 9) AS hedges_g
+FROM j
+"""
+
+
+def q_agg_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's homogeneity-of-variance test statistic W (mean-centered
+    form) across order-priority groups — the precondition check before
+    a pooled-variance ANOVA.  Group means ride the decimal path;
+    per-row absolute deviations are deterministic doubles rounded to 6
+    decimals before their own decimal summation, so both numerator and
+    denominator of W start exact.  Two hash aggregates over the table
+    plus arithmetic over ≤ |groups| rows."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_totalprice").alias("x"),
+    )
+    wg = Window.partitionBy("g")
+    z = o.select(
+        "g",
+        F.round(
+            F.abs(
+                F.col("x")
+                - F.sum(F.col("x").cast("decimal(18,2)"))
+                .over(wg)
+                .cast("double")
+                / F.count(F.lit(1)).over(wg)
+            ),
+            6,
+        ).alias("z"),
+    )
+    grp = z.groupBy("g").agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.sum(F.col("z").cast("decimal(18,6)")).alias("sz"),
+        F.sum(
+            F.round(F.col("z") * F.col("z"), 6).cast("decimal(28,6)")
+        ).alias("szz"),
+    )
+    wall = Window.partitionBy()
+    grp = grp.select(
+        "g", "ni", "sz", "szz",
+        F.sum("ni").over(wall).alias("n"),
+        F.sum("sz").over(wall).alias("sza"),
+        F.count(F.lit(1)).over(wall).alias("k"),
+    )
+    zbar_i = F.col("sz").cast("double") / F.col("ni")
+    zbar = F.col("sza").cast("double") / F.col("n")
+    num_t = F.round(
+        F.col("ni") * (zbar_i - zbar) * (zbar_i - zbar), 9
+    ).cast("decimal(28,9)")
+    den_t = F.round(
+        F.col("szz").cast("double") - F.col("ni") * zbar_i * zbar_i, 9
+    ).cast("decimal(28,9)")
+    return grp.groupBy().agg(
+        F.first("n").cast("bigint").alias("n"),
+        F.first("k").cast("bigint").alias("k_groups"),
+        F.round(
+            (
+                (F.first("n") - F.first("k"))
+                * F.sum(num_t).cast("double")
+            )
+            / (
+                (F.first("k") - 1) * F.sum(den_t).cast("double")
+            ),
+            9,
+        ).alias("levene_w"),
+    )
+
+
+ORACLES["agg_levene"] = """
+WITH z AS (
+  SELECT o_orderpriority AS g,
+         ROUND(ABS(o_totalprice
+           - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY o_orderpriority)), 6) AS z
+  FROM orders
+),
+grp AS (
+  SELECT g, COUNT(*) AS ni,
+         SUM(CAST(z AS DECIMAL(18,6))) AS sz,
+         SUM(CAST(ROUND(z * z, 6) AS DECIMAL(28,6))) AS szz
+  FROM z GROUP BY g
+),
+m AS (
+  SELECT g, ni, sz, szz,
+         SUM(ni) OVER () AS n, SUM(sz) OVER () AS sza,
+         COUNT(*) OVER () AS k
+  FROM grp
+),
+terms AS (
+  SELECT n, k,
+         CAST(ROUND(ni * (CAST(sz AS DOUBLE)/ni - CAST(sza AS DOUBLE)/n)
+                       * (CAST(sz AS DOUBLE)/ni - CAST(sza AS DOUBLE)/n),
+                    9) AS DECIMAL(28,9)) AS num_t,
+         CAST(ROUND(CAST(szz AS DOUBLE)
+                    - ni * (CAST(sz AS DOUBLE)/ni)
+                         * (CAST(sz AS DOUBLE)/ni), 9)
+              AS DECIMAL(28,9)) AS den_t
+  FROM m
+)
+SELECT CAST(MIN(n) AS BIGINT) AS n,
+       CAST(MIN(k) AS BIGINT) AS k_groups,
+       ROUND(((MIN(n) - MIN(k)) * CAST(SUM(num_t) AS DOUBLE))
+             / ((MIN(k) - 1) * CAST(SUM(den_t) AS DOUBLE)), 9)
+         AS levene_w
+FROM terms
+"""
+
+
+def q_agg_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-STUMP learning: the best binary split of a priced
+    feature by weighted Gini impurity — one distributed pass builds
+    the per-threshold class histogram, a prefix-sum window turns it
+    into every candidate split's left/right counts, and the argmin is
+    a deterministic (rounded-impurity, threshold) ORDER BY ... LIMIT 1.
+    The pattern is the inner loop of distributed tree learners
+    (XGBoost/LightGBM histogram splits).  Counts are exact; impurities
+    are per-threshold doubles rounded to 9 decimals, so the argmin is
+    engine-stable."""
+    o = t(spark, sf_dir, "orders").select(
+        (F.floor(F.col("o_totalprice") / 20000) * 20000)
+        .cast("long")
+        .alias("th"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+    )
+    h = o.groupBy("th").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").alias("pos")
+    )
+    w = Window.orderBy("th").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = h.select(
+        "th",
+        F.sum("c").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("posl"),
+        F.sum("c").over(wall).alias("n"),
+        F.sum("pos").over(wall).alias("pos"),
+    ).filter(F.col("nl") < F.col("n"))
+    pl = F.col("posl") * 1.0 / F.col("nl")
+    nr = F.col("n") - F.col("nl")
+    pr = (F.col("pos") - F.col("posl")) * 1.0 / nr
+    gini = F.round(
+        (
+            F.col("nl") * (1.0 - pl * pl - (1.0 - pl) * (1.0 - pl))
+            + nr * (1.0 - pr * pr - (1.0 - pr) * (1.0 - pr))
+        )
+        / F.col("n"),
+        9,
+    )
+    return (
+        cum.select(
+            F.col("th").alias("threshold"),
+            gini.alias("gini"),
+            F.col("nl").cast("bigint").alias("n_left"),
+            nr.cast("bigint").alias("n_right"),
+        )
+        .orderBy("gini", "threshold")
+        .limit(1)
+    )
+
+
+ORACLES["agg_stump_split"] = """
+WITH h AS (
+  SELECT CAST(FLOOR(o_totalprice / 20000) * 20000 AS BIGINT) AS th,
+         COUNT(*) AS c,
+         SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+           AS pos
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT th,
+         SUM(c) OVER (ORDER BY th) AS nl,
+         SUM(pos) OVER (ORDER BY th) AS posl,
+         SUM(c) OVER () AS n,
+         SUM(pos) OVER () AS pos
+  FROM h
+)
+SELECT th AS threshold,
+       ROUND((nl * (1.0 - (posl*1.0/nl)*(posl*1.0/nl)
+                    - (1.0 - posl*1.0/nl)*(1.0 - posl*1.0/nl))
+              + (n-nl) * (1.0 - ((pos-posl)*1.0/(n-nl))
+                              * ((pos-posl)*1.0/(n-nl))
+                          - (1.0 - (pos-posl)*1.0/(n-nl))
+                              * (1.0 - (pos-posl)*1.0/(n-nl))))
+             / n, 9) AS gini,
+       CAST(nl AS BIGINT) AS n_left,
+       CAST(n - nl AS BIGINT) AS n_right
+FROM cum
+WHERE nl < n
+ORDER BY gini, threshold
+LIMIT 1
+"""
+
+
+def q_agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between order priority and a price
+    band, with both marginal entropies — the dependence screen feature
+    stores run over column pairs (``text_pmi_cooccur``'s table-column
+    twin).  All probabilities are exact integer ratios; each
+    ``p·ln(...)`` term rounds to 9 decimals and sums on the decimal
+    path.  One hash aggregate to the cell histogram, windows for the
+    margins."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("x"),
+        F.floor(F.col("o_totalprice") / 50000).cast("int").alias("y"),
+    )
+    # ONE scan of the fact table: the margins and both marginal
+    # entropies all derive from the tiny cell histogram (≤ |X|·|Y|
+    # rows) — never a second pass over 100 TB
+    cells = o.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    wx, wy = Window.partitionBy("x"), Window.partitionBy("y")
+    wall = Window.partitionBy()
+    m = cells.select(
+        "x", "y", "c",
+        F.sum("c").over(wx).alias("cx"),
+        F.sum("c").over(wy).alias("cy"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    mi_t = F.round(
+        (F.col("c") * 1.0 / F.col("n"))
+        * F.log(
+            F.col("n") * 1.0 * F.col("c")
+            / (F.col("cx") * 1.0 * F.col("cy"))
+        ),
+        9,
+    ).cast("decimal(28,9)")
+    ent = lambda cnt: F.round(  # noqa: E731 — shared entropy term
+        -(cnt * 1.0 / F.col("n")) * F.log(cnt * 1.0 / F.col("n")), 9
+    ).cast("decimal(28,9)")
+    hx = (
+        m.select("x", "cx", "n")
+        .distinct()
+        .agg(F.sum(ent(F.col("cx"))).cast("double").alias("h_x"))
+    )
+    hy = (
+        m.select("y", "cy", "n")
+        .distinct()
+        .agg(F.sum(ent(F.col("cy"))).cast("double").alias("h_y"))
+    )
+    mi = m.agg(
+        F.first("n").cast("bigint").alias("n"),
+        F.sum(mi_t).cast("double").alias("mi_nats"),
+    )
+    return mi.crossJoin(hx).crossJoin(hy)
+
+
+ORACLES["agg_mutual_information"] = """
+WITH cells AS (
+  SELECT o_orderpriority AS x,
+         CAST(FLOOR(o_totalprice / 50000) AS INT) AS y, COUNT(*) AS c
+  FROM orders GROUP BY 1, 2
+),
+m AS (
+  SELECT c,
+         SUM(c) OVER (PARTITION BY x) AS cx,
+         SUM(c) OVER (PARTITION BY y) AS cy,
+         SUM(c) OVER () AS n
+  FROM cells
+),
+mi AS (
+  SELECT CAST(MIN(n) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND((c*1.0/n)
+                 * LN(n*1.0*c/(cx*1.0*cy)), 9) AS DECIMAL(28,9)))
+              AS DOUBLE) AS mi_nats
+  FROM m
+),
+hx AS (
+  SELECT CAST(SUM(CAST(ROUND(-(cx*1.0/n) * LN(cx*1.0/n), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS h_x
+  FROM (SELECT COUNT(*) AS cx, SUM(COUNT(*)) OVER () AS n
+        FROM orders GROUP BY o_orderpriority)
+),
+hy AS (
+  SELECT CAST(SUM(CAST(ROUND(-(cy*1.0/n) * LN(cy*1.0/n), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS h_y
+  FROM (SELECT COUNT(*) AS cy, SUM(COUNT(*)) OVER () AS n
+        FROM orders GROUP BY FLOOR(o_totalprice / 50000))
+)
+SELECT * FROM mi, hx, hy
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "agg_cramers_v": q_agg_cramers_v,
+        "agg_brier_decomposition": q_agg_brier_decomposition,
+        "agg_cohens_d": q_agg_cohens_d,
+        "agg_levene": q_agg_levene,
+        "agg_stump_split": q_agg_stump_split,
+        "agg_mutual_information": q_agg_mutual_information,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# round 10: time-series battery II (peaks, interval union, cohorts, bands)
+# ---------------------------------------------------------------------------
+
+
+def q_ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum (peak) detection per event-type series — the
+    change-surfacing primitive monitoring pipelines run before
+    alerting: a point is a peak when it strictly exceeds both ordered
+    neighbors.  One (type, ts, id) sort; lag/lead are frame-free window
+    functions over it; comparisons only, no float arithmetic, so the
+    flags are trivially engine-stable.  The total order ties on the
+    unique event id."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    flagged = e.select(
+        "event_type", "value",
+        (
+            (F.col("value") > F.lag("value").over(w))
+            & (F.col("value") > F.lead("value").over(w))
+        ).cast("int").alias("is_peak"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("is_peak").cast("bigint").alias("n_peaks"),
+        F.max(F.when(F.col("is_peak") == 1, F.col("value"))).alias(
+            "max_peak"
+        ),
+        F.round(
+            F.sum("is_peak") * 1.0 / F.count(F.lit(1)), 6
+        ).alias("peak_share"),
+    )
+
+
+ORACLES["ts_peaks"] = """
+WITH flagged AS (
+  SELECT event_type, value,
+         CASE WHEN value > LAG(value) OVER w
+               AND value > LEAD(value) OVER w THEN 1 ELSE 0 END
+           AS is_peak
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT event_type,
+       COUNT(*) AS n_points,
+       CAST(SUM(is_peak) AS BIGINT) AS n_peaks,
+       MAX(CASE WHEN is_peak = 1 THEN value END) AS max_peak,
+       ROUND(SUM(is_peak) * 1.0 / COUNT(*), 6) AS peak_share
+FROM flagged GROUP BY event_type
+"""
+
+
+def q_ts_intervals_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval UNION (gaps-and-islands over [start, end] spans): each
+    event opens a deterministic-length interval; overlapping or
+    touching intervals per user merge into islands (new island ⇔ start
+    exceeds the running max of all previous ends), and the covered
+    time is the sum of island extents — the occupancy/uptime question
+    sessionization-by-gap cannot answer (spans OVERLAP here).  All
+    arithmetic is integer epoch seconds; one (user, start) sort."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (
+            F.unix_timestamp("ts") + 60 + (F.col("event_id") % 540)
+        ).alias("e"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
+    marked = e.select(
+        "user_id", "s", "e", "event_id",
+        F.when(
+            F.col("s")
+            > F.max("e").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = marked.select(
+        "user_id", "s", "e",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("island"),
+    ).groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("n_iv"),
+        (F.max("e") - F.min("s")).alias("covered"),
+    )
+    return islands.groupBy(
+        (F.col("user_id") % 7).cast("int").alias("bucket")
+    ).agg(
+        F.sum("n_iv").cast("bigint").alias("n_intervals"),
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum("covered").cast("bigint").alias("covered_seconds"),
+    )
+
+
+ORACLES["ts_intervals_merge"] = """
+WITH iv AS (
+  -- FLOOR before the cast: EPOCH is fractional and ::BIGINT rounds,
+  -- while Spark's unix_timestamp truncates to whole seconds
+  SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) + 60 + (event_id % 540) AS e,
+         event_id
+  FROM events
+),
+marked AS (
+  SELECT user_id, s, e, event_id,
+         CASE WHEN s > MAX(e) OVER (PARTITION BY user_id
+                ORDER BY s, e, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+isl AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id
+           ORDER BY s, e, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+),
+g AS (
+  SELECT user_id, island, COUNT(*) AS n_iv,
+         MAX(e) - MIN(s) AS covered
+  FROM isl GROUP BY user_id, island
+)
+SELECT CAST(user_id % 7 AS INT) AS bucket,
+       CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(covered) AS BIGINT) AS covered_seconds
+FROM g GROUP BY 1
+"""
+
+
+def q_ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (the product-analytics triangle): users
+    cohort by the epoch-week of their FIRST event; retention at offset
+    w is the distinct users of that cohort active in cohort-week + w.
+    Epoch-week indexes are exact integers (no calendar/timezone
+    semantics to disagree on), distinct counts are exact, and the
+    per-user first-event is one window min — the whole triangle is two
+    hash aggregates."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / (86400 * 7)).alias("week"),
+    )
+    first = Window.partitionBy("user_id")
+    marked = e.select(
+        "user_id", "week",
+        F.min("week").over(first).alias("cohort"),
+    ).select(
+        "user_id", "cohort",
+        (F.col("week") - F.col("cohort")).alias("offset"),
+    )
+    return (
+        marked.filter(F.col("offset") <= 3)
+        .groupBy("cohort", "offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .select(
+            F.col("cohort").cast("bigint").alias("cohort_week"),
+            F.col("offset").cast("int").alias("week_offset"),
+            F.col("active_users").cast("bigint").alias("active_users"),
+        )
+    )
+
+
+ORACLES["ts_cohort_retention"] = """
+WITH e AS (
+  SELECT user_id, FLOOR(EPOCH(ts) / (86400 * 7))::BIGINT AS week
+  FROM events
+),
+m AS (
+  SELECT user_id, week,
+         MIN(week) OVER (PARTITION BY user_id) AS cohort
+  FROM e
+)
+SELECT CAST(cohort AS BIGINT) AS cohort_week,
+       CAST(week - cohort AS INT) AS week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+FROM m WHERE week - cohort <= 3
+GROUP BY 1, 2
+"""
+
+
+def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over each event type's DAILY series: 7-day
+    trailing mean ± 2σ, breakout = |x − mean| > 2σ.  The daily sums
+    ride the decimal path and convert to exact integer cents, so the
+    windowed Σx and Σx² are exact (the σ is computed from sums, never
+    an engine's streaming stddev — those differ in the last ulp);
+    per-day flags compare deterministic doubles.  One daily hash
+    aggregate + one (type, day) sort."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).alias("day"),
+    ).agg(
+        F.round(dsum("value") * 100).cast("long").alias("cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    wn = Window.partitionBy("event_type").orderBy("day")
+    stats = daily.select(
+        "event_type", "day", "cents",
+        F.count(F.lit(1)).over(w).alias("m"),
+        F.sum("cents").over(w).alias("sx"),
+        F.sum(
+            F.col("cents").cast("decimal(28,0)")
+            * F.col("cents").cast("decimal(9,0)")
+        ).over(w).alias("sxx"),
+        F.row_number().over(wn).alias("rn"),
+    ).filter(F.col("rn") >= 7)
+    mean = F.col("sx") * 1.0 / F.col("m")
+    var = (
+        F.col("sxx").cast("double") - F.col("m") * mean * mean
+    ) / (F.col("m") - 1)
+    band = 2.0 * F.sqrt(var)
+    out = stats.select(
+        "event_type",
+        (F.abs(F.col("cents") - mean) > band).cast("int").alias(
+            "breakout"
+        ),
+        F.round(band / 100.0, 6).alias("bw"),
+    )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("breakout").cast("bigint").alias("n_breakouts"),
+        F.sum(F.round(F.col("bw"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_bandwidth"),
+    )
+
+
+ORACLES["ts_bollinger"] = """
+WITH daily AS (
+  SELECT event_type, FLOOR(EPOCH(ts) / 86400)::BIGINT AS day,
+         CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                    * 100) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, day, cents,
+         COUNT(*) OVER w7 AS m,
+         SUM(cents) OVER w7 AS sx,
+         SUM(CAST(cents AS DECIMAL(28,0))
+             * CAST(cents AS DECIMAL(9,0))) OVER w7 AS sxx,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+),
+f AS (
+  SELECT event_type,
+         CASE WHEN ABS(cents - sx * 1.0 / m)
+              > 2.0 * SQRT((CAST(sxx AS DOUBLE) - m * (sx*1.0/m)
+                            * (sx*1.0/m)) / (m - 1))
+              THEN 1 ELSE 0 END AS breakout,
+         ROUND(2.0 * SQRT((CAST(sxx AS DOUBLE) - m * (sx*1.0/m)
+                           * (sx*1.0/m)) / (m - 1)) / 100.0, 6) AS bw
+  FROM stats WHERE rn >= 7
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(breakout) AS BIGINT) AS n_breakouts,
+       CAST(SUM(CAST(ROUND(bw, 6) AS DECIMAL(28,6))) AS DOUBLE)
+         AS sum_bandwidth
+FROM f GROUP BY event_type
+"""
+
+
+def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean via EXACT order statistics (never interpolated
+    percentiles — engines interpolate differently): the clamp bounds
+    are the values at ranks ⌈0.05·n⌉ and ⌈0.95·n⌉ of a deterministic
+    (price, key) total order, every value clamps into [lo, hi], and
+    the clamped sum rides the decimal path.  The robust-mean step of a
+    metrics pipeline, immune to the heavy tail that breaks plain
+    means.  One sort + one broadcast of two scalar bounds."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_totalprice",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    bounds = ranked.filter(
+        (F.col("rk") == F.ceil(F.col("n") * 0.05))
+        | (F.col("rk") == F.ceil(F.col("n") * 0.95))
+    ).groupBy().agg(
+        F.min("o_totalprice").alias("xlo"),
+        F.max("o_totalprice").alias("xhi"),
+    )
+    clamped = o.crossJoin(F.broadcast(bounds)).select(
+        "xlo", "xhi",
+        F.least(
+            F.greatest(F.col("o_totalprice"), F.col("xlo")),
+            F.col("xhi"),
+        ).alias("xw"),
+    )
+    return clamped.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.first("xlo").alias("xlo"),
+        F.first("xhi").alias("xhi"),
+        F.round(dsum("xw") / F.count(F.lit(1)), 9).alias(
+            "winsorized_mean"
+        ),
+    )
+
+
+ORACLES["agg_winsorized_mean"] = """
+WITH ranked AS (
+  SELECT o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rk,
+         COUNT(*) OVER () AS n
+  FROM orders
+),
+bounds AS (
+  SELECT MIN(o_totalprice) AS xlo, MAX(o_totalprice) AS xhi
+  FROM ranked
+  WHERE rk = CEIL(n * 0.05) OR rk = CEIL(n * 0.95)
+),
+clamped AS (
+  SELECT xlo, xhi,
+         LEAST(GREATEST(o_totalprice, xlo), xhi) AS xw
+  FROM orders, bounds
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(xlo) AS xlo, MIN(xhi) AS xhi,
+       ROUND(CAST(SUM(CAST(xw AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 9) AS winsorized_mean
+FROM clamped
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "ts_peaks": q_ts_peaks,
+        "ts_intervals_merge": q_ts_intervals_merge,
+        "ts_cohort_retention": q_ts_cohort_retention,
+        "ts_bollinger": q_ts_bollinger,
+        "agg_winsorized_mean": q_agg_winsorized_mean,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# round 10: corpus comparison, link extraction, graph shape, DQ audits,
+# mixture sampling, SQL-surface parity
+# ---------------------------------------------------------------------------
+
+
+def q_text_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monroe-style log-odds-ratio with an informative Dirichlet prior
+    (the "Fightin' Words" statistic) between two corpus halves — the
+    principled keyword-contrast step (raw frequency ratios overweight
+    rare words; the prior and z-scaling fix exactly that).  Counts are
+    exact; each word's δ/σ uses per-word double ``ln`` rounded to 6
+    decimals; the top-10 ranking orders by the ROUNDED |z| with a word
+    tiebreak, so the cut is engine-stable.  One token explode + one
+    hash aggregate; the vocabulary is min-count-filtered before any
+    per-word math."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        (F.col("doc_id") % 2 == 0).cast("int").alias("grp"),
+        F.explode(
+            F.split(F.regexp_replace(F.trim("text"), r"\s+", " "), " ")
+        ).alias("w"),
+    ).filter(F.length("w") >= 3)
+    counts = words.groupBy("w").agg(
+        F.sum(F.col("grp")).alias("a"),
+        F.sum(1 - F.col("grp")).alias("b"),
+    ).filter(F.col("a") + F.col("b") >= 5)
+    wall = Window.partitionBy()
+    m = counts.select(
+        "w", "a", "b",
+        F.sum("a").over(wall).alias("ta"),
+        F.sum("b").over(wall).alias("tb"),
+        F.count(F.lit(1)).over(wall).alias("v"),
+    )
+    delta = F.log(
+        (F.col("a") + 1.0)
+        / (F.col("ta") + F.col("v") - F.col("a") - 1.0)
+    ) - F.log(
+        (F.col("b") + 1.0)
+        / (F.col("tb") + F.col("v") - F.col("b") - 1.0)
+    )
+    z = F.round(
+        delta
+        / F.sqrt(1.0 / (F.col("a") + 1.0) + 1.0 / (F.col("b") + 1.0)),
+        6,
+    )
+    return (
+        m.select(
+            F.col("w").alias("word"),
+            F.col("a").cast("bigint").alias("n_even"),
+            F.col("b").cast("bigint").alias("n_odd"),
+            z.alias("log_odds_z"),
+        )
+        .orderBy(F.abs(F.col("log_odds_z")).desc(), "word")
+        .limit(10)
+    )
+
+
+ORACLES["text_log_odds"] = """
+WITH words AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS grp, w
+  FROM documents,
+       UNNEST(STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'),
+                           ' ')) AS u(w)
+  WHERE LEN(w) >= 3
+),
+counts AS (
+  SELECT w, SUM(grp) AS a, SUM(1 - grp) AS b
+  FROM words GROUP BY w HAVING SUM(grp) + SUM(1 - grp) >= 5
+),
+m AS (
+  SELECT w, a, b,
+         SUM(a) OVER () AS ta, SUM(b) OVER () AS tb,
+         COUNT(*) OVER () AS v
+  FROM counts
+)
+SELECT w AS word,
+       CAST(a AS BIGINT) AS n_even,
+       CAST(b AS BIGINT) AS n_odd,
+       ROUND((LN((a + 1.0) / (ta + v - a - 1.0))
+              - LN((b + 1.0) / (tb + v - b - 1.0)))
+             / SQRT(1.0/(a + 1.0) + 1.0/(b + 1.0)), 6) AS log_odds_z
+FROM m
+ORDER BY ABS(ROUND((LN((a + 1.0) / (ta + v - a - 1.0))
+              - LN((b + 1.0) / (tb + v - b - 1.0)))
+             / SQRT(1.0/(a + 1.0) + 1.0/(b + 1.0)), 6)) DESC, w
+LIMIT 10
+"""
+
+
+def q_text_anchor_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink (anchor) extraction from HTML — the link-graph feed of
+    a crawl pipeline (`text_html_strip`'s structured sibling): markup
+    is synthesized deterministically around each document, every
+    ``<a href>`` is pulled with ``regexp_extract_all``, and the rollup
+    counts links and linking documents per target host.  Pure
+    row-local regex (whole-stage codegen, zero UDFs) + one hash
+    aggregate."""
+    d = t(spark, sf_dir, "documents")
+    html = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('<a href="https://site'),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('.example/p/'),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit('">'),
+            F.substring("text", 1, 20),
+            F.lit("</a> "),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit('<a href="https://cdn.example/x'),
+                    (F.col("doc_id") % 11).cast("string"),
+                    F.lit('">img</a> '),
+                ),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("html"),
+    )
+    links = html.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("html"), F.lit('<a href="([^"]+)"'), 1
+            )
+        ).alias("url"),
+    ).select(
+        "doc_id",
+        F.regexp_extract(F.col("url"), "^https://([^/]+)", 1).alias(
+            "host"
+        ),
+    )
+    return links.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_links"),
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+
+
+ORACLES["text_anchor_extract"] = """
+WITH html AS (
+  SELECT doc_id,
+         '<a href="https://site' || CAST(doc_id % 7 AS VARCHAR)
+         || '.example/p/' || CAST(doc_id % 50 AS VARCHAR) || '">'
+         || SUBSTR(text, 1, 20) || '</a> '
+         || CASE WHEN doc_id % 3 = 0
+                 THEN '<a href="https://cdn.example/x'
+                      || CAST(doc_id % 11 AS VARCHAR) || '">img</a> '
+                 ELSE '' END
+         || text AS html
+  FROM documents
+),
+links AS (
+  SELECT doc_id,
+         REGEXP_EXTRACT(url, '^https://([^/]+)', 1) AS host
+  FROM html,
+       UNNEST(REGEXP_EXTRACT_ALL(html, '<a href="([^"]+)"', 1))
+         AS u(url)
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM links GROUP BY host
+"""
+
+
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-graph RECIPROCITY (the fraction of edges whose reverse
+    edge also exists — the mutuality signal distinguishing follow
+    graphs from citation DAGs): distinct directed edges self-join on
+    the swapped key pair.  The edge domain is residue-bounded
+    (≤ 211² pairs) so the self-join is broadcast-sized by
+    construction; counts exact, one rounded ratio."""
+    o = t(spark, sf_dir, "orders")
+    edges = (
+        o.select(
+            (F.col("o_custkey") % 211).alias("u"),
+            ((F.col("o_custkey") * 7 + F.col("o_orderkey")) % 211).alias(
+                "v"
+            ),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    rev = edges.select(
+        F.col("v").alias("u"), F.col("u").alias("v")
+    )
+    mutual = edges.join(rev, ["u", "v"], "left_semi")
+    return edges.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    ).crossJoin(
+        mutual.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_mutual_edges")
+        )
+    ).select(
+        "n_edges",
+        "n_mutual_edges",
+        (F.col("n_mutual_edges") / 2).cast("bigint").alias(
+            "n_mutual_pairs"
+        ),
+        F.round(
+            F.col("n_mutual_edges") * 1.0 / F.col("n_edges"), 9
+        ).alias("reciprocity"),
+    )
+
+
+ORACLES["graph_reciprocity"] = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey % 211 AS u,
+         (o_custkey * 7 + o_orderkey) % 211 AS v
+  FROM orders
+  WHERE o_custkey % 211 <> (o_custkey * 7 + o_orderkey) % 211
+),
+m AS (
+  SELECT e.u, e.v FROM edges e
+  WHERE EXISTS (SELECT 1 FROM edges r WHERE r.u = e.v AND r.v = e.u)
+)
+SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+       (SELECT COUNT(*) FROM m) AS n_mutual_edges,
+       CAST((SELECT COUNT(*) FROM m) / 2 AS BIGINT) AS n_mutual_pairs,
+       ROUND((SELECT COUNT(*) FROM m) * 1.0
+             / (SELECT COUNT(*) FROM edges), 9) AS reciprocity
+"""
+
+
+def q_graph_bipartite_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bipartite → unipartite PROJECTION (supplier×part-class edges
+    projected onto part classes, weighted by shared suppliers) — the
+    co-occurrence graph construction behind item-item recommenders and
+    co-citation analysis.  Distinct bipartite edges first (the dedup
+    that keeps the self-join honest), then an equi-join on the
+    supplier key with ``i < j`` — never a cartesian; the per-supplier
+    item fan-out is residue-bounded (≤ 50), so pair volume is
+    O(edges·fanout), the scale shape item-item co-occurrence needs.
+    Top-20 by (weight, pair) is a deterministic TakeOrdered."""
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("s"),
+        (F.col("l_partkey") % 50).cast("int").alias("item"),
+    ).distinct()
+    a = edges.select("s", F.col("item").alias("i"))
+    b = edges.select("s", F.col("item").alias("j"))
+    pairs = a.join(b, "s").filter(F.col("i") < F.col("j"))
+    return (
+        pairs.groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
+        .orderBy(F.col("weight").desc(), "i", "j")
+        .limit(20)
+    )
+
+
+ORACLES["graph_bipartite_projection"] = """
+WITH edges AS (
+  SELECT DISTINCT l_suppkey AS s, CAST(l_partkey % 50 AS INT) AS item
+  FROM lineitem
+)
+SELECT a.item AS i, b.item AS j, CAST(COUNT(*) AS BIGINT) AS weight
+FROM edges a JOIN edges b ON a.s = b.s AND a.item < b.item
+GROUP BY 1, 2
+ORDER BY weight DESC, i, j
+LIMIT 20
+"""
+
+
+def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-FRESHNESS audit (the SLA check every ingestion pipeline
+    pages on): per source stream, the newest event time, its lag
+    behind the corpus watermark in whole minutes, and an SLA bucket.
+    All integer epoch arithmetic — engine-stable by construction; one
+    hash aggregate + a broadcast of the 1-row watermark."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 60).alias("minute"),
+    )
+    per = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("minute").alias("max_minute"),
+    )
+    wm = per.agg(F.max("max_minute").alias("watermark"))
+    out = per.crossJoin(F.broadcast(wm)).select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        (F.col("watermark") - F.col("max_minute"))
+        .cast("bigint")
+        .alias("lag_minutes"),
+    )
+    return out.select(
+        "*",
+        F.when(F.col("lag_minutes") <= 60, "fresh")
+        .when(F.col("lag_minutes") <= 24 * 60, "stale")
+        .otherwise("dead")
+        .alias("sla_bucket"),
+    )
+
+
+ORACLES["dq_freshness"] = """
+WITH per AS (
+  SELECT event_type, COUNT(*) AS n_events,
+         MAX(CAST(FLOOR(EPOCH(ts) / 60) AS BIGINT)) AS max_minute
+  FROM events GROUP BY event_type
+),
+wm AS (SELECT MAX(max_minute) AS watermark FROM per)
+SELECT event_type,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(watermark - max_minute AS BIGINT) AS lag_minutes,
+       CASE WHEN watermark - max_minute <= 60 THEN 'fresh'
+            WHEN watermark - max_minute <= 1440 THEN 'stale'
+            ELSE 'dead' END AS sla_bucket
+FROM per, wm
+"""
+
+
+def q_dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-UNIQUENESS audit with provable detection: duplicates are
+    INJECTED deterministically (one residue class of events re-landed,
+    the double-delivery shape at-least-once pipelines produce), then
+    the audit reports, per stream, the duplicated-key count, the
+    excess-row count, and the worst multiplicity — and the untouched
+    classes prove zero false positives.  One hash aggregate on the
+    key, one rollup."""
+    e = t(spark, sf_dir, "events").select("event_id", "event_type")
+    landed = e.unionAll(e.filter(F.col("event_id") % 37 == 0))
+    g = landed.groupBy("event_type", "event_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum((F.col("c") > 1).cast("int"))
+        .cast("bigint")
+        .alias("n_dup_keys"),
+        F.sum(F.col("c") - 1).cast("bigint").alias("n_excess_rows"),
+        F.max("c").cast("bigint").alias("max_multiplicity"),
+    )
+
+
+ORACLES["dq_uniqueness"] = """
+WITH landed AS (
+  SELECT event_id, event_type FROM events
+  UNION ALL
+  SELECT event_id, event_type FROM events WHERE event_id % 37 = 0
+),
+g AS (
+  SELECT event_type, event_id, COUNT(*) AS c
+  FROM landed GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_keys,
+       CAST(SUM(c - 1) AS BIGINT) AS n_excess_rows,
+       CAST(MAX(c) AS BIGINT) AS max_multiplicity
+FROM g GROUP BY event_type
+"""
+
+
+def q_pipeline_rejection_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic REJECTION SAMPLING to a balanced source mixture —
+    the down-sampling step of pretraining-mix construction, done
+    hash-gated so any engine reproduces the exact same kept set (no
+    RNG, no seed drift): a document survives iff its md5 residue (ppm)
+    falls under its source's acceptance rate ``min_count/count``.  The
+    acceptance test is the EXACT integer cross-multiplication
+    ``r_ppm · c_src < min_c · 10⁶`` — no float threshold, no boundary
+    ambiguity.  Two hash aggregates + a broadcast of per-source
+    rates."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("long")
+            % 1000000
+        ).alias("r_ppm"),
+    )
+    per = d.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    wall = Window.partitionBy()
+    rates = per.select(
+        "source", "c", F.min("c").over(wall).alias("min_c")
+    )
+    joined = d.join(F.broadcast(rates), "source")
+    kept = joined.filter(
+        F.col("r_ppm") * F.col("c") < F.col("min_c") * F.lit(1000000)
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .join(F.broadcast(rates), "source")
+        .select(
+            "source",
+            F.col("c").cast("bigint").alias("n_total"),
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            F.round(F.col("min_c") * 1.0 / F.col("c"), 6).alias(
+                "target_rate"
+            ),
+        )
+    )
+
+
+ORACLES["pipeline_rejection_sample"] = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 1000000 AS r_ppm
+  FROM documents
+),
+per AS (SELECT source, COUNT(*) AS c FROM d GROUP BY source),
+rates AS (SELECT source, c, MIN(c) OVER () AS min_c FROM per),
+kept AS (
+  SELECT d.source FROM d JOIN rates USING (source)
+  WHERE d.r_ppm * rates.c < rates.min_c * 1000000
+)
+SELECT r.source,
+       CAST(r.c AS BIGINT) AS n_total,
+       CAST(k.n_kept AS BIGINT) AS n_kept,
+       ROUND(r.min_c * 1.0 / r.c, 6) AS target_rate
+FROM rates r
+JOIN (SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source) k
+  USING (source)
+"""
+
+
+def q_sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON parity — the newest order per customer (Postgres/
+    DuckDB ``DISTINCT ON`` vs the Spark idiom ``row_number() = 1`` over
+    the same total order): both engines must pick the IDENTICAL
+    representative row, which requires the order to be total (date
+    desc, key desc breaks date ties).  The rollup of the picked rows is
+    the value contract.  One partitioned sort, no joins."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    picked = o.select(
+        "*", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") == 1)
+    return picked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        dsum("o_totalprice").alias("sum_latest_price"),
+    )
+
+
+ORACLES["sql_distinct_on"] = """
+WITH picked AS (
+  SELECT DISTINCT ON (o_custkey) *
+  FROM orders
+  ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_latest_price
+FROM picked GROUP BY o_orderpriority
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "text_log_odds": q_text_log_odds,
+        "text_anchor_extract": q_text_anchor_extract,
+        "graph_reciprocity": q_graph_reciprocity,
+        "graph_bipartite_projection": q_graph_bipartite_projection,
+        "dq_freshness": q_dq_freshness,
+        "dq_uniqueness": q_dq_uniqueness,
+        "pipeline_rejection_sample": q_pipeline_rejection_sample,
+        "sql_distinct_on": q_sql_distinct_on,
+    }
+)
+
+
+def q_multimodal_srt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SubRip (SRT) timed-text parsing (`operators/multimodal.py::
+    _srt_one`): real cue blocks — 1-based indices, ``HH:MM:SS,mmm -->``
+    timing lines, text payload, blank-line separators — decoded to
+    per-file cue count, speaking time, span and word volume, the
+    subtitle layer an A/V pipeline aligns against audio.  Malformed
+    bytes quarantine with :class:`ValueError` (fuzz-swept in
+    ``tests/test_decoder_fuzz.py``); every duration is formula-stated
+    so the oracle restates the parse closed-form.  Zero-shuffle decode
+    chain: payload bytes never leave their executor."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
+    subs = M.attach_srt_payload(docs, "doc_id")
+    return M.srt_cue_stats(subs)
+
+
+ORACLES["multimodal_srt_cues"] = """
+WITH base AS (
+  SELECT doc_id, 2 + doc_id % 4 AS n FROM documents
+  WHERE doc_id % 4 = 1
+),
+cues AS (
+  SELECT doc_id, n, 700 + (doc_id * 31 + i) % 1500 AS dur
+  FROM base, UNNEST(range(0, base.n)) AS g(i)
+)
+SELECT doc_id AS key,
+       CAST(n AS INT) AS n_cues,
+       CAST(SUM(dur) AS BIGINT) AS total_ms,
+       CAST((n - 1) * 3000 + 700 + (doc_id * 31 + n - 1) % 1500
+            AS BIGINT) AS span_ms,
+       CAST(5 * n AS BIGINT) AS n_words
+FROM cues GROUP BY doc_id, n
+"""
+
+
+QUERIES_DEFERRED.update({"multimodal_srt_cues": q_multimodal_srt_cues})

@@ -9906,3 +9906,370 @@ FROM dp WHERE i = len(b)
 
 
 QUERIES.update({"ts_dtw": q_ts_dtw})
+
+
+# ---------------------------------------------------------------------------
+# round 10: delete-file compaction, deletion-vector encoding, projected CDF,
+# txn watermarks through history expiry
+# ---------------------------------------------------------------------------
+
+
+def q_format_delete_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-file MINOR COMPACTION (``table_format.py::compact_deletes``
+    — Iceberg's rewrite_position_delete_files + the v3 equality→DV
+    conversion): two positional-delete commits and two equality-delete
+    commits coalesce into ONE deletion-vector file in a MAINTENANCE
+    commit — no data rewrite, logical content unchanged, and
+    ``_mor_resolve``'s anti-join group count returns to 1 (the growth
+    bound under a long-running ``format_upsert_sink`` stream).  The
+    entry asserts the coalesced shape from the commit payload (single
+    dv-encoded entry, equality state cleared) and returns the MOR
+    rollup AFTER compaction; the oracle states the surviving rows.
+    N-commits→1-file and CDF silence are pinned in
+    ``tests/test_table_format.py``."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_delcomp", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    TF.commit_append(
+        spark, path,
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    TF.commit_delete_positions(
+        spark, path,
+        TF.positions_where(
+            spark, path, "o_orderkey <= 400 AND o_orderkey % 6 = 0"
+        ),
+    )
+    TF.commit_delete_positions(
+        spark, path,
+        TF.positions_where(
+            spark, path,
+            "o_orderkey > 400 AND o_orderkey <= 800 "
+            "AND o_orderkey % 11 = 0",
+        ),
+    )
+    TF.commit_delete_keys(
+        spark, path, o.filter(k % 97 == 0), key="o_orderkey"
+    )
+    TF.commit_delete_keys(
+        spark, path, o.filter(k % 89 == 0), key="o_orderkey"
+    )
+    v = TF.compact_deletes(spark, path)
+    c = TF._read_commit(path, v)
+    assert c.get("maintenance") and "deletes" not in c
+    assert len(c["pos_deletes"]) == 1
+    assert c["pos_deletes"][0]["encoding"] == "dv"
+    result = (
+        TF.read_table_mor(spark, path)
+        .groupBy((k % 4).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_delete_compaction"] = """
+SELECT CAST(o_orderkey % 4 AS INT) AS bucket, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM orders
+WHERE NOT (o_orderkey <= 400 AND o_orderkey % 6 = 0)
+  AND NOT (o_orderkey > 400 AND o_orderkey <= 800
+           AND o_orderkey % 11 = 0)
+  AND NOT (o_orderkey % 97 = 0)
+  AND NOT (o_orderkey % 89 = 0)
+GROUP BY 1
+"""
+
+
+def q_format_dv_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION-VECTOR encoding beside the legacy tuple layout
+    (``table_format.py::_dv_encode`` — varint-run ordinal bitmaps, the
+    Iceberg-v3/Delta DV model): one positional delete lands
+    tuple-encoded (Iceberg v2 rows) and one dv-encoded on the SAME
+    table; both resolve through one pair-expansion helper
+    (``_pos_delete_pairs_df`` — DV decode fans out executor-side via
+    ``mapInPandas``), so mixed old/new delete files compose.  The
+    entry asserts both encodings are present in the snapshot, then
+    returns the jointly-subtracted MOR rollup.  Codec losslessness is
+    property-tested in ``tests/test_table_format.py``; a contiguous
+    dead range costs ~2 varints, the storage win over 8-byte ordinal
+    rows."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_dvenc", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    TF.commit_append(
+        spark, path,
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    TF.commit_delete_positions(
+        spark, path,
+        TF.positions_where(
+            spark, path, "o_orderkey <= 500 AND o_orderkey % 5 = 0"
+        ),
+        encoding="tuples",
+    )
+    TF.commit_delete_positions(
+        spark, path,
+        TF.positions_where(
+            spark, path, "o_orderkey > 500 AND o_orderkey % 7 = 0"
+        ),
+        encoding="dv",
+    )
+    entries = TF._snapshot_pos_deletes(path, TF.latest_version(path))
+    assert sorted(e.get("encoding") or "tuples" for e in entries) == [
+        "dv", "tuples",
+    ]
+    result = (
+        TF.read_table_mor(spark, path)
+        .groupBy((k % 3).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_dv_encoding"] = """
+SELECT CAST(o_orderkey % 3 AS INT) AS bucket, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM orders
+WHERE NOT (o_orderkey <= 500 AND o_orderkey % 5 = 0)
+  AND NOT (o_orderkey > 500 AND o_orderkey % 7 = 0)
+GROUP BY 1
+"""
+
+
+def q_format_cdf_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-PROJECTED change data feed (``read_cdf(columns=...)`` —
+    Delta CDF under a select, with the projection PUSHED to the scans):
+    the feed is semantically the CDF of the projected table, so a merge
+    row whose change lies entirely OUTSIDE the projection (here: only
+    ``o_orderpriority`` changed) emits no update pair, and Catalyst
+    prunes every parquet ``ReadSchema`` to merge-key + requested
+    columns (asserted in ``tests/test_table_format.py``).  The oracle
+    restates the projected image classes: inserts for every base row,
+    update pairs ONLY for the price-changed keys."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_cdfproj", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    TF.commit_append(
+        spark, path,
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    low = o.filter(k <= 600)
+    changes = (
+        # price changed → inside the projection → update pair
+        low.filter(k % 4 == 0).select(
+            "o_orderkey", F.lit("U").alias("op"),
+            (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+            "o_orderpriority",
+        )
+        .unionByName(
+            # ONLY the priority changed → outside the projection →
+            # no update pair in the projected feed
+            low.filter(k % 4 == 1).select(
+                "o_orderkey", F.lit("U").alias("op"),
+                "o_totalprice",
+                F.lit("9-SHUFFLED").alias("o_orderpriority"),
+            )
+        )
+        .unionByName(
+            low.filter((k % 9 == 0) & (k > 0)).select(
+                (-k).alias("o_orderkey"), F.lit("I").alias("op"),
+                "o_totalprice", "o_orderpriority",
+            )
+        )
+    )
+    TF.commit_merge(
+        spark, path, changes, key="o_orderkey", stat_cols=["o_orderkey"]
+    )
+    result = (
+        TF.read_cdf(
+            spark, path, from_version=0,
+            columns=["o_orderkey", "o_totalprice"],
+        )
+        .groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_cdf_projected"] = """
+WITH images AS (
+  SELECT 'insert' AS change_type, 1 AS commit_version,
+         o_totalprice AS p
+  FROM orders
+  UNION ALL
+  SELECT 'update_preimage', 2, o_totalprice FROM orders
+  WHERE o_orderkey <= 600 AND o_orderkey % 4 = 0
+  UNION ALL
+  SELECT 'update_postimage', 2, o_totalprice + 10.0 FROM orders
+  WHERE o_orderkey <= 600 AND o_orderkey % 4 = 0
+  UNION ALL
+  SELECT 'insert', 2, o_totalprice FROM orders
+  WHERE o_orderkey <= 600 AND o_orderkey % 9 = 0 AND o_orderkey > 0
+)
+SELECT change_type, commit_version, COUNT(*) AS n,
+       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM images GROUP BY 1, 2
+"""
+
+
+def q_format_txn_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ACROSS HISTORY EXPIRY (the Delta rule that
+    SetTransaction actions survive checkpointing): three idempotent
+    CDC merges land with txn watermarks, history is expired PAST the
+    newest of them, and a replayed batch — same app/batch id,
+    different payload — is still recognized and skipped because
+    ``expire_snapshots`` hoists per-app watermarks from folded-in
+    ancestors into the cut commit.  The entry asserts the replay was a
+    no-op post-expiry and returns the final MOR state; the oracle
+    restates it closed-form (updates applied once, deletes gone,
+    re-keyed inserts present, replay payload absent)."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_txnexp", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    TF.commit_append(
+        spark, path,
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    batches = [
+        o.filter(k % 10 == 0).select(
+            "o_orderkey", F.lit("U").alias("op"),
+            (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+        ),
+        o.filter(k % 10 == 1).select(
+            "o_orderkey", F.lit("D").alias("op"),
+            F.lit(None).cast("double").alias("o_totalprice"),
+        ),
+        o.filter((k % 10 == 2) & (k > 0)).select(
+            (-k).alias("o_orderkey"), F.lit("I").alias("op"),
+            "o_totalprice",
+        ),
+    ]
+    for b_id, b in enumerate(batches):
+        assert TF.commit_merge_idempotent(
+            spark, path, b, key="o_orderkey", stat_cols=["o_orderkey"],
+            app_id="cdc-etl", batch_id=b_id,
+        ) is not None
+    # push the horizon past every merge, then expire
+    extra = spark.createDataFrame(
+        [(9_000_001, 1.0), (9_000_002, 2.0)],
+        "o_orderkey long, o_totalprice double",
+    )
+    TF.commit_append(spark, path, extra, stat_cols=["o_orderkey"])
+    TF.commit_append(
+        spark, path,
+        spark.createDataFrame(
+            [(9_000_003, 3.0)], "o_orderkey long, o_totalprice double"
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    TF.expire_snapshots(path, keep_last=2)
+    # the replay (same id, poisoned payload) must be skipped
+    head = TF.latest_version(path)
+    assert TF.commit_merge_idempotent(
+        spark, path,
+        batches[2].withColumn(
+            "o_totalprice", F.col("o_totalprice") + 9_999.0
+        ),
+        key="o_orderkey", stat_cols=["o_orderkey"],
+        app_id="cdc-etl", batch_id=2,
+    ) is None
+    assert TF.latest_version(path) == head
+    result = (
+        TF.read_table_mor(spark, path)
+        .groupBy((F.col("o_orderkey") % 5).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_txn_expiry"] = """
+WITH final AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100.0
+              ELSE o_totalprice END AS p
+  FROM orders
+  WHERE o_orderkey % 10 <> 1
+  UNION ALL
+  SELECT -o_orderkey, o_totalprice FROM orders
+  WHERE o_orderkey % 10 = 2 AND o_orderkey > 0
+  UNION ALL
+  SELECT * FROM (VALUES (9000001, 1.0), (9000002, 2.0),
+                        (9000003, 3.0)) v(k, p)
+)
+SELECT CAST(k % 5 AS INT) AS bucket, COUNT(*) AS n,
+       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM final GROUP BY 1
+"""
+
+
+QUERIES.update(
+    {
+        "format_delete_compaction": q_format_delete_compaction,
+        "format_dv_encoding": q_format_dv_encoding,
+        "format_cdf_projected": q_format_cdf_projected,
+        "format_txn_expiry": q_format_txn_expiry,
+    }
+)

@@ -2613,3 +2613,112 @@ FROM merged GROUP BY 1
 
 
 QUERIES_DEFERRED["streaming_format_upsert"] = q_streaming_format_upsert
+
+
+def q_streaming_cdf_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE under a LIVE CDC consumer, round-10 form: the commit
+    log holds an append, two positional deletes, an equality delete, a
+    ``compact_deletes`` (delete-file minor compaction — all outstanding
+    delete files coalesced into one deletion vector) and a post-
+    maintenance append; the streaming CDF source emits every logical
+    change exactly once and BOTH maintenance forms stay silent — the
+    delete compaction changes no logical rows, so a consumer sees no
+    phantom images while the table's MOR plan collapses to one
+    anti-join group underneath it.  The oracle restates the image
+    classes; the compaction version's absence IS the assertion."""
+    from table_streaming_source_spark import table_format as TF
+    from table_streaming_source_spark.streaming.format_cdf import (
+        register_format_cdf,
+    )
+
+    path = _scratch.scratch_dir("stream_cdfcomp", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    TF.commit_append(                                                # v1
+        spark, path,
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    TF.commit_delete_positions(                                      # v2
+        spark, path,
+        TF.positions_where(
+            spark, path, "o_orderkey <= 400 AND o_orderkey % 6 = 0"
+        ),
+    )
+    TF.commit_delete_positions(                                      # v3
+        spark, path,
+        TF.positions_where(
+            spark, path, "o_orderkey <= 400 AND o_orderkey % 6 = 3"
+        ),
+    )
+    TF.commit_delete_keys(                                           # v4
+        spark, path, o.filter((k > 400) & (k % 13 == 0)),
+        key="o_orderkey",
+    )
+    v = TF.compact_deletes(spark, path)                              # v5
+    assert v == 5 and TF._read_commit(path, 5).get("maintenance")
+    TF.commit_append(                                                # v6
+        spark, path,
+        o.filter((k % 250 == 0) & (k > 0)).select(
+            (k + 5_000_000).alias("o_orderkey"), "o_totalprice"
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    register_format_cdf(spark)
+    stream = (
+        spark.readStream.format("format_cdf").option("path", path).load()
+    )
+    agg = stream.groupBy(
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+    name = f"__stream_cdfcomp_{abs(hash(path)) % 10**8}"
+    with _stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["streaming_cdf_compaction"] = """
+WITH images AS (
+  SELECT 'insert' AS change_type, 1 AS commit_version,
+         o_totalprice AS p
+  FROM orders
+  UNION ALL
+  SELECT 'delete', 2, o_totalprice FROM orders
+  WHERE o_orderkey <= 400 AND o_orderkey % 6 = 0
+  UNION ALL
+  SELECT 'delete', 3, o_totalprice FROM orders
+  WHERE o_orderkey <= 400 AND o_orderkey % 6 = 3
+  UNION ALL
+  SELECT 'delete', 4, o_totalprice FROM orders
+  WHERE o_orderkey > 400 AND o_orderkey % 13 = 0
+  UNION ALL
+  SELECT 'insert', 6, o_totalprice FROM orders
+  WHERE o_orderkey % 250 = 0 AND o_orderkey > 0
+)
+SELECT change_type, commit_version, COUNT(*) AS n,
+       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM images GROUP BY 1, 2
+"""
+
+
+QUERIES_DEFERRED["streaming_cdf_compaction"] = q_streaming_cdf_compaction

@@ -102,6 +102,7 @@ def _targets():
     yield "aiff_one", M._aiff_one, M.synth_aiff(5)
     yield "mkv_one", M._mkv_one, M.synth_mkv(5)
     yield "mpeg_one", M._mpeg_one, M.synth_mp3_frames(5)
+    yield "srt_one", M._srt_one, M.synth_srt(5)
 
 
 class _DecodeHang(Exception):

@@ -508,6 +508,42 @@ _SHUFFLE_BUDGET = {
     "dq_referential_integrity": 6,
     # the returned frame is the checkpointed post-drain rollup read
     "streaming_format_upsert": 0,
+    # --- round 10 ---
+    # table-format entries return the checkpointed rollup read; the
+    # streaming CDF-compaction entry returns the drained memory table
+    "format_delete_compaction": 0,
+    "format_dv_encoding": 0,
+    "format_cdf_projected": 0,
+    "format_txn_expiry": 0,
+    "streaming_cdf_compaction": 0,
+    "multimodal_srt_cues": 0,
+    # one fact aggregate + arithmetic over the tiny cell/bin table
+    # (the second exchange is the 1-row final agg / empty-frame window)
+    "agg_cramers_v": 2,
+    "agg_brier_decomposition": 2,
+    "agg_cohens_d": 2,
+    "agg_levene": 2,
+    "agg_stump_split": 2,
+    # cell histogram + margin windows + three 1-row aggs — all
+    # post-aggregation exchanges over ≤ |X|·|Y| rows; ONE fact scan
+    "agg_mutual_information": 6,
+    "ts_peaks": 1,                  # one (type, ts) sort, agg fused
+    "ts_intervals_merge": 2,        # (user) sort + bucket rollup
+    "ts_cohort_retention": 2,       # user window + cohort agg
+    "ts_bollinger": 2,              # daily agg + (type, day) sort
+    "agg_winsorized_mean": 2,       # global rank sort + 1-row agg
+    "text_log_odds": 2,             # token agg + vocab-sized window
+    "text_anchor_extract": 2,       # host agg (+ distinct-doc pair)
+    # residue-bounded edge distinct + swapped-pair semi-join + 1-row
+    # aggs — every exchange is over the ≤211² edge domain
+    "graph_reciprocity": 5,
+    "graph_bipartite_projection": 3,  # edge distinct + join + pair agg
+    "dq_freshness": 3,              # per-type agg + 1-row watermark
+    "dq_uniqueness": 2,             # key agg + per-type rollup
+    # two-pass by contract (rates need global counts): count agg +
+    # rate window + kept agg + rate re-join alignment
+    "pipeline_rejection_sample": 5,
+    "sql_distinct_on": 2,           # per-customer sort + rollup
 }
 
 
