@@ -168,6 +168,7 @@ def _cdf_rows(path: str, v: int, cols: list[str]) -> list[tuple]:
                 if any(TF._stats_overlap(keys, f, d) for d in new_eq)
             ]
             if cand:
+                TF._require_files(path, cand + new_eq, v)
                 resolved = _resolve_pandas(path, base, cols, subset=cand)
                 kdf = pd.concat(
                     [
@@ -187,6 +188,7 @@ def _cdf_rows(path: str, v: int, cols: list[str]) -> list[tuple]:
                 if os.path.abspath(os.path.join(path, f["path"])) in named
             ]
             if cand:
+                TF._require_files(path, cand + new_pos, v)
                 resolved = _resolve_pandas(path, base, cols, subset=cand)
                 ppdf = pd.DataFrame(
                     TF._pos_delete_pairs_local(path, new_pos),
@@ -200,6 +202,7 @@ def _cdf_rows(path: str, v: int, cols: list[str]) -> list[tuple]:
                 out += tag(pre, "delete")
         return out
     if c["parent"] is not None:
+        TF._require_files(path, c["files"], v)
         pdf = _concat(
             [
                 _file_frame(os.path.join(path, f["path"]), cols)
@@ -221,6 +224,7 @@ def _cdf_rows(path: str, v: int, cols: list[str]) -> list[tuple]:
         for f in TF._snapshot_file_dicts(path, base)
         if f["path"] not in carried
     ]
+    TF._require_files(path, rewritten + post_files, v)
     pre = _resolve_pandas(path, base, cols, subset=rewritten)
     post = _concat(
         [

@@ -1875,6 +1875,23 @@ def row_id_expr(key_col, version: int):
     )
 
 
+def _require_files(path: str, file_dicts: list[dict], v: int) -> None:
+    """Raise a CLEAR retention error when a CDF leg would open data
+    files that :func:`vacuum` already swept (an old commit's files can
+    be unreferenced by every retained snapshot once rewrites superseded
+    them, while the commit log still lists them — the Delta
+    "file not found / version out of retention" condition).  One
+    existence check per change file — change-proportional, never a
+    directory listing."""
+    for f in file_dicts:
+        if not os.path.exists(os.path.join(path, f["path"])):
+            raise ValueError(
+                f"commit {v}'s data file {f['path']!r} was vacuumed "
+                "(version outside the retention window) — start the "
+                "CDF range at a retained version"
+            )
+
+
 def _lineage_versions(
     path: str, *, from_version: int, to_version: int
 ) -> list[int]:
@@ -1996,6 +2013,7 @@ def read_cdf(
                     if any(_stats_overlap(keys, f, d) for d in new_eq)
                 ]
                 if cand:
+                    _require_files(path, cand + new_eq, v)
                     keys_df = (
                         spark.read.parquet(
                             *[os.path.join(path, d["path"]) for d in new_eq]
@@ -2016,6 +2034,7 @@ def read_cdf(
                     in named
                 ]
                 if cand:
+                    _require_files(path, cand + new_pos, v)
                     pos_df = _pos_delete_pairs_df(
                         spark, path, new_pos
                     ).select(
@@ -2041,6 +2060,7 @@ def read_cdf(
             continue
         if c["parent"] is not None:
             # plain append: every row in its files is an insert
+            _require_files(path, c["files"], v)
             ins = spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(path, f["path"]) for f in c["files"]]
             )
@@ -2059,6 +2079,7 @@ def read_cdf(
         rewritten = [f for f in prev_dicts if f["path"] not in carried]
         prev_key, prev_eq = _snapshot_deletes(path, base)
         prev_pos = _snapshot_pos_deletes(path, base)
+        _require_files(path, rewritten + post_files, v)
         if rewritten:
             pre = _mor_resolve(
                 spark, path, rewritten, prev_key, prev_eq, prev_pos

@@ -1257,6 +1257,10 @@ def test_table_format_model_random_walk(spark, tmp_path):
                     model[k] = k * 100 + step
             elif op == "compact":
                 TF.commit_compact(spark, path, stat_cols=["k"])
+            elif op == "compact_deletes":
+                # round-10: delete-file minor compaction is logically
+                # invisible — the model does NOT change
+                TF.compact_deletes(spark, path)
             elif op == "expire":
                 TF.expire_snapshots(
                     path, keep_last=rnd.choice([1, 2, 3])
@@ -2141,7 +2145,8 @@ def test_table_format_posdelete_model_random_walk(spark, tmp_path):
         for step in range(12):
             op = rnd.choice(
                 ["append", "append", "delete", "pos_delete",
-                 "pos_delete", "merge", "compact", "expire", "vacuum"]
+                 "pos_delete", "merge", "compact", "compact_deletes",
+                 "expire", "vacuum"]
             )
             if op == "append" or not model:
                 fresh = [next_key + i for i in range(rnd.randint(1, 6))]
@@ -2170,7 +2175,10 @@ def test_table_format_posdelete_model_random_walk(spark, tmp_path):
                 )
                 pred = "k in (" + ",".join(str(k) for k in dels) + ")"
                 TF.commit_delete_positions(
-                    spark, path, TF.positions_where(spark, path, pred)
+                    spark, path, TF.positions_where(spark, path, pred),
+                    # round-10: both encodings walk through every
+                    # cross-feature interaction
+                    encoding=rnd.choice(["dv", "tuples"]),
                 )
                 for k in dels:
                     del model[k]
@@ -2193,6 +2201,10 @@ def test_table_format_posdelete_model_random_walk(spark, tmp_path):
                     model[k] = k * 100 + step
             elif op == "compact":
                 TF.commit_compact(spark, path, stat_cols=["k"])
+            elif op == "compact_deletes":
+                # round-10: delete-file minor compaction is logically
+                # invisible — the model does NOT change
+                TF.compact_deletes(spark, path)
             elif op == "expire":
                 TF.expire_snapshots(
                     path, keep_last=rnd.choice([1, 2, 3])
@@ -2940,3 +2952,42 @@ def test_streaming_cdf_parity_across_schema_evolution(spark, tmp_path):
     spark.catalog.dropTempView(name)
     assert streamed == batch
     assert len(batch) == 20 + 10 + 2
+
+
+def test_cdf_over_vacuumed_history_raises_cleanly(spark, tmp_path):
+    """The soak-found hole: a CDF range reaching a commit whose data
+    files were VACUUMED (rewritten by later merges, then swept) must
+    raise the clear retention ValueError — never a raw Spark
+    PATH_NOT_FOUND — and a range starting at a retained version still
+    works.  Both the batch read and the streaming twin."""
+    from table_streaming_source_spark.streaming.format_cdf import (
+        _cdf_rows,
+    )
+
+    path = str(tmp_path / "cdfvac")
+    TF.create_table(path)
+    df = spark.range(50).selectExpr("id as k", "cast(id as double) as v")
+    TF.commit_append(spark, path, df, stat_cols=["k"])               # v1
+    TF.commit_merge(                                                 # v2
+        spark, path,
+        spark.createDataFrame(
+            [(int(k), 0.0, "U") for k in range(50)],
+            "k long, v double, op string",
+        ),
+        key="k", stat_cols=["k"],
+    )
+    TF.commit_append(                                                # v3
+        spark, path,
+        spark.range(50, 60).selectExpr("id as k", "cast(0 as double) as v"),
+        stat_cols=["k"],
+    )
+    removed, _ = TF.vacuum(path, retain_versions=1)
+    assert removed >= 1                    # v1's files are gone
+    with pytest.raises(ValueError, match="vacuumed"):
+        TF.read_cdf(spark, path, from_version=0).count()
+    with pytest.raises(ValueError, match="vacuumed"):
+        _cdf_rows(path, 1, ["k", "v"])
+    # a range over retained history still reads
+    assert (
+        TF.read_cdf(spark, path, from_version=2).count() == 10
+    )
