@@ -8236,3 +8236,65 @@ def srt_cue_stats(
             )
 
     return df.mapInPandas(batches, schema=SRT_CUES_SCHEMA)
+
+
+def srt_cue_rows(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Per-CUE SubRip rows ``(key, cue_idx, start_ms, end_ms)`` — the
+    exploded form :func:`srt_cue_stats` aggregates; downstream
+    alignment joins (cue ↔ keyframe) start here.  Arrow-batched
+    ``mapInPandas``; malformed payloads raise the quarantine
+    ValueError like every decoder."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("cue_idx", IntegerType(), False),
+            StructField("start_ms", LongType(), False),
+            StructField("end_ms", LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        ts_re = re.compile(
+            r"^(\d{2,}):([0-5]\d):([0-5]\d),(\d{3})"
+            r" --> "
+            r"(\d{2,}):([0-5]\d):([0-5]\d),(\d{3})$"
+        )
+        for pdf in it:
+            rows = {k: [] for k in ("key", "cue_idx", "start_ms",
+                                    "end_ms")}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                # reuse the strict parser for validation, then re-walk
+                # the blocks for the per-cue spans
+                _srt_one(bytes(payload))
+                for block in bytes(payload).decode("utf-8").split(
+                    "\n\n"
+                ):
+                    lines = [ln for ln in block.split("\n") if ln]
+                    if not lines:
+                        continue
+                    m = ts_re.match(lines[1])
+                    g = [int(x) for x in m.groups()]
+                    rows["key"].append(int(k))
+                    rows["cue_idx"].append(int(lines[0]) - 1)
+                    rows["start_ms"].append(
+                        ((g[0] * 60 + g[1]) * 60 + g[2]) * 1000 + g[3]
+                    )
+                    rows["end_ms"].append(
+                        ((g[4] * 60 + g[5]) * 60 + g[6]) * 1000 + g[7]
+                    )
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "cue_idx": pd.Series(rows["cue_idx"], dtype="int32"),
+                    "start_ms": pd.Series(
+                        rows["start_ms"], dtype="int64"
+                    ),
+                    "end_ms": pd.Series(rows["end_ms"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=schema)

@@ -383,11 +383,11 @@ _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #: names pinned into the driver's 50-entry correctness window, in order.
 #: Round-10 rotation: 2 cross-round sentinels + the FULL 7-entry
 #: round-9 backlog (the only never-certified entries after the round-9
-#: drain) + the 25 round-10 additions = exactly 34.  EVERY windowed
+#: drain) + the 35 round-10 additions = exactly 44.  EVERY windowed
 #: entry was strict-dtype oracle-verified at sf0.01 AND sf0.1 at this
-#: round's HEAD (34/34 + 34/34) BEFORE this tuple was edited.  Once
+#: round's HEAD (44/44 + 44/44) BEFORE this tuple was edited.  Once
 #: this window lands, ALL 430 pre-round-10 entries have an official
-#: driver row in some round AND the 25 round-10 additions get theirs
+#: driver row in some round AND the 35 round-10 additions get theirs
 #: in the same window — the certification queue stays drained; the
 #: round-11 backlog is empty.
 _PRIORITY: tuple[str, ...] = (
@@ -431,6 +431,18 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_rejection_sample",
     "sql_distinct_on",
     "multimodal_srt_cues",
+    # --- round-10 wave 2: null pruning, retention, agreement,
+    # collocations, funnels, RFM, INI, drift, alignment (10) ---
+    "format_null_pruning",
+    "format_vacuum_retention",
+    "agg_cochran_q",
+    "agg_fleiss_kappa",
+    "agg_rfm_segments",
+    "text_collocation_llr",
+    "window_funnel",
+    "source_ini",
+    "dq_schema_drift",
+    "multimodal_subtitle_align",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"

@@ -16215,3 +16215,752 @@ FROM cues GROUP BY doc_id, n
 
 
 QUERIES_DEFERRED.update({"multimodal_srt_cues": q_multimodal_srt_cues})
+
+
+# ---------------------------------------------------------------------------
+# round 10, wave 2: retention-gated CDF, rater agreement, collocations,
+# funnels, RFM
+# ---------------------------------------------------------------------------
+
+
+def q_format_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF × VACUUM retention (the soak-found hole, now contractual): a
+    merge rewrites every v1 file, vacuum sweeps the superseded files,
+    and a CDF range reaching the vacuumed commit raises the CLEAR
+    retention ValueError (asserted in-entry — never a raw
+    PATH_NOT_FOUND) while a range over retained history still reads.
+    The oracle states the retained-range images.  The Delta
+    "version out of retention" condition, made explicit."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_vacret", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    TF.commit_append(                                                # v1
+        spark, path,
+        o.repartitionByRange(6, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    TF.commit_merge(                                                 # v2
+        spark, path,
+        o.select(
+            "o_orderkey", F.lit("U").alias("op"),
+            (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+        ),
+        key="o_orderkey", stat_cols=["o_orderkey"],
+    )
+    TF.commit_append(                                                # v3
+        spark, path,
+        o.filter((k % 100 == 0) & (k > 0)).select(
+            (k + 7_000_000).alias("o_orderkey"), "o_totalprice"
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    removed, _ = TF.vacuum(path, retain_versions=1)
+    assert removed >= 1
+    try:
+        TF.read_cdf(spark, path, from_version=0)
+        raise AssertionError("expected the retention ValueError")
+    except ValueError as exc:
+        assert "vacuumed" in str(exc)
+    result = (
+        TF.read_cdf(spark, path, from_version=2)
+        .groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_vacuum_retention"] = """
+SELECT 'insert' AS change_type, 3 AS commit_version,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM orders
+WHERE o_orderkey % 100 = 0 AND o_orderkey > 0
+"""
+
+
+def q_agg_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q — the k-treatment generalization of McNemar (are
+    three correlated binary outcomes per subject equally likely?):
+    each customer is a subject, the three "treatments" are derived
+    binary flags over their orders, and
+    ``Q = k(k−1)·Σ(G_j − Ḡ)² / (k·ΣL_i − ΣL_i²)`` reduces entirely to
+    integer column totals and row sums — one subject-level aggregate,
+    then arithmetic on exact counts.  Companion to ``agg_mcnemar`` /
+    ``agg_friedman``."""
+    o = t(spark, sf_dir, "orders")
+    subj = o.groupBy("o_custkey").agg(
+        F.max(
+            (F.col("o_orderpriority") == "1-URGENT").cast("int")
+        ).alias("b1"),
+        F.max(
+            (F.col("o_totalprice") > 150000).cast("int")
+        ).alias("b2"),
+        F.max(
+            (F.col("o_orderstatus") == "F").cast("int")
+        ).alias("b3"),
+    )
+    g = subj.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("b1").alias("g1"),
+        F.sum("b2").alias("g2"),
+        F.sum("b3").alias("g3"),
+        F.sum(
+            F.col("b1") + F.col("b2") + F.col("b3")
+        ).alias("sl"),
+        F.sum(
+            (F.col("b1") + F.col("b2") + F.col("b3"))
+            * (F.col("b1") + F.col("b2") + F.col("b3"))
+        ).alias("sl2"),
+    )
+    k = F.lit(3.0)
+    gbar = (F.col("g1") + F.col("g2") + F.col("g3")) / 3.0
+    num = (
+        (F.col("g1") - gbar) * (F.col("g1") - gbar)
+        + (F.col("g2") - gbar) * (F.col("g2") - gbar)
+        + (F.col("g3") - gbar) * (F.col("g3") - gbar)
+    )
+    q = k * (k - 1.0) * num / (k * F.col("sl") - F.col("sl2"))
+    return g.select(
+        F.col("n").cast("bigint").alias("n_subjects"),
+        F.col("g1").cast("bigint").alias("g1"),
+        F.col("g2").cast("bigint").alias("g2"),
+        F.col("g3").cast("bigint").alias("g3"),
+        F.round(q, 9).alias("cochran_q"),
+    )
+
+
+ORACLES["agg_cochran_q"] = """
+WITH subj AS (
+  SELECT o_custkey,
+         MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+           AS b1,
+         MAX(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS b2,
+         MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS b3
+  FROM orders GROUP BY o_custkey
+),
+g AS (
+  SELECT COUNT(*) AS n, SUM(b1) AS g1, SUM(b2) AS g2, SUM(b3) AS g3,
+         SUM(b1 + b2 + b3) AS sl,
+         SUM((b1 + b2 + b3) * (b1 + b2 + b3)) AS sl2
+  FROM subj
+)
+SELECT CAST(n AS BIGINT) AS n_subjects,
+       CAST(g1 AS BIGINT) AS g1, CAST(g2 AS BIGINT) AS g2,
+       CAST(g3 AS BIGINT) AS g3,
+       ROUND(3.0 * 2.0 * ((g1 - (g1+g2+g3)/3.0)*(g1 - (g1+g2+g3)/3.0)
+                        + (g2 - (g1+g2+g3)/3.0)*(g2 - (g1+g2+g3)/3.0)
+                        + (g3 - (g1+g2+g3)/3.0)*(g3 - (g1+g2+g3)/3.0))
+             / (3.0 * sl - sl2), 9) AS cochran_q
+FROM g
+"""
+
+
+def q_agg_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' κ — inter-rater agreement for MANY raters (the
+    annotation-QA statistic; ``agg_cohens_kappa`` handles exactly two):
+    three deterministic annotators assign each customer one of four
+    categories, per-item agreement ``P_i`` and category prevalences
+    ``p_j`` reduce to integer counts, and κ = (P̄ − P̄e)/(1 − P̄e).
+    One unpivot + two hash aggregates; all inputs to the final
+    division are exact ratios of integers."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_nationkey") % 4).cast("int").alias("a1"),
+        ((F.col("c_custkey") * 3) % 4).cast("int").alias("a2"),
+        (
+            (F.floor(F.col("c_acctbal") / 3000) + 4) % 4
+        ).cast("int").alias("a3"),
+    )
+    long = c.select(
+        "c_custkey",
+        F.explode(F.array("a1", "a2", "a3")).alias("cat"),
+    )
+    cell = long.groupBy("c_custkey", "cat").agg(
+        F.count(F.lit(1)).alias("nij")
+    )
+    # per-item agreement numerator Σ nij(nij−1); n raters = 3
+    per_item = cell.groupBy("c_custkey").agg(
+        F.sum(F.col("nij") * (F.col("nij") - 1)).alias("agree")
+    )
+    wall = Window.partitionBy()
+    pj = long.groupBy("cat").agg(F.count(F.lit(1)).alias("cj"))
+    pe = pj.select(
+        F.round(
+            (F.col("cj") * 1.0 / F.sum("cj").over(wall))
+            * (F.col("cj") * 1.0 / F.sum("cj").over(wall)),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("t")
+    ).agg(F.sum("t").cast("double").alias("pe"))
+    pbar = per_item.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (
+            F.sum("agree") * 1.0
+            / (F.count(F.lit(1)) * 3 * 2)
+        ).alias("pbar"),
+    )
+    return pbar.crossJoin(pe).select(
+        F.col("n_items").cast("bigint").alias("n_items"),
+        F.round(F.col("pbar"), 9).alias("p_observed"),
+        F.round(F.col("pe"), 9).alias("p_expected"),
+        F.round(
+            (F.col("pbar") - F.col("pe")) / (1.0 - F.col("pe")), 9
+        ).alias("fleiss_kappa"),
+    )
+
+
+ORACLES["agg_fleiss_kappa"] = """
+WITH c AS (
+  SELECT c_custkey,
+         CAST(c_nationkey % 4 AS INT) AS a1,
+         CAST((c_custkey * 3) % 4 AS INT) AS a2,
+         CAST((FLOOR(c_acctbal / 3000) + 4) % 4 AS INT) AS a3
+  FROM customer
+),
+long AS (
+  SELECT c_custkey, cat FROM c,
+         UNNEST([a1, a2, a3]) AS u(cat)
+),
+cell AS (
+  SELECT c_custkey, cat, COUNT(*) AS nij FROM long GROUP BY 1, 2
+),
+per_item AS (
+  SELECT c_custkey, SUM(nij * (nij - 1)) AS agree
+  FROM cell GROUP BY c_custkey
+),
+pj AS (
+  SELECT cat, COUNT(*) AS cj, SUM(COUNT(*)) OVER () AS tot
+  FROM long GROUP BY cat
+),
+pe AS (
+  SELECT CAST(SUM(CAST(ROUND((cj * 1.0 / tot) * (cj * 1.0 / tot), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS pe
+  FROM pj
+),
+pb AS (
+  SELECT COUNT(*) AS n_items,
+         SUM(agree) * 1.0 / (COUNT(*) * 3 * 2) AS pbar
+  FROM per_item
+)
+SELECT CAST(n_items AS BIGINT) AS n_items,
+       ROUND(pbar, 9) AS p_observed,
+       ROUND(pe, 9) AS p_expected,
+       ROUND((pbar - pe) / (1.0 - pe), 9) AS fleiss_kappa
+FROM pb, pe
+"""
+
+
+def q_text_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocations by Dunning's log-likelihood ratio (G² over
+    the 2×2 contingency of "first word" × "second word" — the
+    significance-aware cousin of ``text_pmi_cooccur``; PMI overweights
+    rare pairs, G² does not).  Counts are exact; the four k·ln(k/E)
+    terms are per-bigram doubles rounded to 6 decimals before the
+    ranking, which ties on the bigram text — engine-stable top-15.
+    One token-pair explode + one hash aggregate + margin windows."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split(
+            F.regexp_replace(F.trim("text"), r"\s+", " "), " "
+        ).alias("ws"),
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, size(ws) - 1), "
+                "(w, i) -> struct(w as w1, ws[i + 1] as w2))"
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    ).filter((F.length("w1") >= 3) & (F.length("w2") >= 3))
+    cells = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("k11")
+    ).filter(F.col("k11") >= 5)
+    w1w = Window.partitionBy("w1")
+    w2w = Window.partitionBy("w2")
+    wall = Window.partitionBy()
+    # margins over the FILTERED pair table (bigrams with support ≥5):
+    # the independence model is fit on the same table it scores
+    m = cells.select(
+        "w1", "w2", "k11",
+        F.sum("k11").over(w1w).alias("r1"),
+        F.sum("k11").over(w2w).alias("c1"),
+        F.sum("k11").over(wall).alias("n"),
+    )
+    k12 = F.col("r1") - F.col("k11")
+    k21 = F.col("c1") - F.col("k11")
+    k22 = F.col("n") - F.col("r1") - F.col("c1") + F.col("k11")
+
+    def term(k, row, colm):
+        e = row * 1.0 * colm / F.col("n")
+        return F.when(k > 0, k * F.log(k * 1.0 / e)).otherwise(0.0)
+
+    g2 = F.round(
+        2.0
+        * (
+            term(F.col("k11"), F.col("r1"), F.col("c1"))
+            + term(k12, F.col("r1"), F.col("n") - F.col("c1"))
+            + term(k21, F.col("n") - F.col("r1"), F.col("c1"))
+            + term(
+                k22,
+                F.col("n") - F.col("r1"),
+                F.col("n") - F.col("c1"),
+            )
+        ),
+        6,
+    )
+    return (
+        m.select(
+            "w1", "w2",
+            F.col("k11").cast("bigint").alias("n_pair"),
+            g2.alias("llr_g2"),
+        )
+        .orderBy(F.col("llr_g2").desc(), "w1", "w2")
+        .limit(15)
+    )
+
+
+ORACLES["text_collocation_llr"] = """
+WITH toks AS (
+  SELECT doc_id,
+         STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ')
+           AS ws
+  FROM documents
+),
+pairs AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(ws))) AS u(i)
+  WHERE LEN(ws[i]) >= 3 AND LEN(ws[i + 1]) >= 3
+),
+cells AS (
+  SELECT w1, w2, COUNT(*) AS k11 FROM pairs GROUP BY 1, 2
+  HAVING COUNT(*) >= 5
+),
+m AS (
+  SELECT w1, w2, k11,
+         SUM(k11) OVER (PARTITION BY w1) AS r1,
+         SUM(k11) OVER (PARTITION BY w2) AS c1,
+         SUM(k11) OVER () AS n
+  FROM cells
+)
+SELECT w1, w2, CAST(k11 AS BIGINT) AS n_pair,
+       ROUND(2.0 * (
+         CASE WHEN k11 > 0
+              THEN k11 * LN(k11 * 1.0 / (r1 * 1.0 * c1 / n))
+              ELSE 0.0 END
+       + CASE WHEN r1 - k11 > 0
+              THEN (r1 - k11)
+                   * LN((r1 - k11) * 1.0 / (r1 * 1.0 * (n - c1) / n))
+              ELSE 0.0 END
+       + CASE WHEN c1 - k11 > 0
+              THEN (c1 - k11)
+                   * LN((c1 - k11) * 1.0 / ((n - r1) * 1.0 * c1 / n))
+              ELSE 0.0 END
+       + CASE WHEN n - r1 - c1 + k11 > 0
+              THEN (n - r1 - c1 + k11)
+                   * LN((n - r1 - c1 + k11) * 1.0
+                        / ((n - r1) * 1.0 * (n - c1) / n))
+              ELSE 0.0 END), 6) AS llr_g2
+FROM m
+ORDER BY llr_g2 DESC, w1, w2
+LIMIT 15
+"""
+
+
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion FUNNEL (view → click → purchase, each step
+    strictly after the previous one per user) — the product-analytics
+    query sessionization doesn't answer: how many users PROGRESS, in
+    order.  Three conditional-min aggregates per user (one shuffle on
+    the user key; each step's min is over events later than the prior
+    step's min), then one small rollup — no self-joins, no pattern
+    UDFs.  Raw timestamp comparisons only."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("step1_view"),
+            F.count("t2").cast("bigint").alias("step2_click"),
+            F.count("t3").cast("bigint").alias("step3_purchase"),
+            F.round(
+                F.count("t3") * 1.0 / F.count(F.lit(1)), 6
+            ).alias("conversion"),
+        )
+    )
+
+
+ORACLES["window_funnel"] = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t1
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+  GROUP BY e.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS step1_view,
+       CAST(COUNT(t2.t2) AS BIGINT) AS step2_click,
+       CAST(COUNT(t3.t3) AS BIGINT) AS step3_purchase,
+       ROUND(COUNT(t3.t3) * 1.0 / COUNT(*), 6) AS conversion
+FROM t1
+LEFT JOIN t2 ON t1.user_id = t2.user_id
+LEFT JOIN t3 ON t1.user_id = t3.user_id
+"""
+
+
+def q_agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation via
+    exact-rank QUINTILES — NTILE over a deterministic total order per
+    metric (never interpolated percentiles), the classic marketing
+    segmentation.  Per-customer metrics are one aggregate (counts,
+    decimal-path sums, epoch-day recency); each NTILE is a window over
+    the customer table; the output is the segment histogram."""
+    o = t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.max(
+            F.floor(F.unix_timestamp("o_orderdate") / 86400)
+        ).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    r = Window.orderBy(F.col("last_day").desc(), "o_custkey")
+    f_ = Window.orderBy(F.col("freq").desc(), "o_custkey")
+    m = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    scored = per.select(
+        F.ntile(5).over(r).alias("r_score"),
+        F.ntile(5).over(f_).alias("f_score"),
+        F.ntile(5).over(m).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+
+
+ORACLES["agg_rfm_segments"] = """
+WITH per AS (
+  SELECT o_custkey,
+         MAX(CAST(FLOOR(EPOCH(o_orderdate) / 86400) AS BIGINT))
+           AS last_day,
+         COUNT(*) AS freq,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT NTILE(5) OVER (ORDER BY last_day DESC, o_custkey) AS r_score,
+         NTILE(5) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+  FROM per
+)
+SELECT r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "format_vacuum_retention": q_format_vacuum_retention,
+        "agg_cochran_q": q_agg_cochran_q,
+        "agg_fleiss_kappa": q_agg_fleiss_kappa,
+        "text_collocation_llr": q_text_collocation_llr,
+        "window_funnel": q_window_funnel,
+        "agg_rfm_segments": q_agg_rfm_segments,
+    }
+)
+
+
+def q_multimodal_subtitle_align(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Subtitle ↔ keyframe ALIGNMENT: each parsed SRT cue's midpoint
+    as-of-joins (backward) to the latest synthetic keyframe at or
+    before it — the A/V alignment step a multimodal training pipeline
+    runs before clipping (`operators/joins.py::asof_join` composing
+    with `operators/multimodal.py::srt_cue_rows`).  Keyframes tick
+    every 2500 ms from zero, so the oracle restates the join
+    closed-form (frame = mid ÷ 2500, gap = mid mod 2500) — the join
+    must reproduce exact integer arithmetic.  Per-title rollup."""
+    from table_streaming_source_spark.operators.joins import asof_join
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 2
+    )
+    cues = M.srt_cue_rows(M.attach_srt_payload(docs, "doc_id"))
+    cues = cues.select(
+        "key", "cue_idx",
+        ((F.col("start_ms") + F.col("end_ms")) / 2)
+        .cast("long")
+        .alias("mid_ms"),
+    )
+    frames = cues.groupBy("key").agg(
+        F.max("mid_ms").alias("max_mid")
+    ).select(
+        "key",
+        F.explode(
+            F.sequence(
+                F.lit(0), (F.col("max_mid") / 2500).cast("long")
+            )
+        ).alias("frame_idx"),
+    ).select(
+        "key", "frame_idx",
+        (F.col("frame_idx") * 2500).alias("frame_ms"),
+    )
+    aligned = asof_join(
+        cues, frames, ["key"], "mid_ms", "frame_ms",
+        direction="backward",
+    )
+    return aligned.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cues"),
+        F.sum("frame_idx").cast("bigint").alias("sum_frame_idx"),
+        F.sum(F.col("mid_ms") - F.col("frame_ms"))
+        .cast("bigint")
+        .alias("sum_gap_ms"),
+        F.max(F.col("mid_ms") - F.col("frame_ms"))
+        .cast("bigint")
+        .alias("max_gap_ms"),
+    )
+
+
+ORACLES["multimodal_subtitle_align"] = """
+WITH cues AS (
+  SELECT doc_id,
+         (2 * (i * 3000 + (doc_id % 7) * 250)
+          + 700 + (doc_id * 31 + i) % 1500) // 2 AS mid_ms
+  FROM documents, UNNEST(range(0, 2 + doc_id % 4)) AS u(i)
+  WHERE doc_id % 5 = 2
+)
+SELECT doc_id AS key,
+       CAST(COUNT(*) AS BIGINT) AS n_cues,
+       CAST(SUM(mid_ms // 2500) AS BIGINT) AS sum_frame_idx,
+       CAST(SUM(mid_ms % 2500) AS BIGINT) AS sum_gap_ms,
+       CAST(MAX(mid_ms % 2500) AS BIGINT) AS max_gap_ms
+FROM cues GROUP BY doc_id
+"""
+
+
+QUERIES_DEFERRED.update(
+    {"multimodal_subtitle_align": q_multimodal_subtitle_align}
+)
+
+
+def q_source_ini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INI/config ingestion (`sources/ini_config.py` — stdlib
+    ``configparser`` over Arrow batches, the reference parser for the
+    format): each document renders a deterministic config blob —
+    a variable-arity value section, comments, and a boolean [meta]
+    section — which the source parses back to typed rows; the rollup
+    recovers every closed-form quantity.  Row-local parse, one hash
+    aggregate; malformed blobs raise the shared quarantine
+    ValueError."""
+    from table_streaming_source_spark.sources.ini_config import ini_rows
+
+    d = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("key"),
+        F.expr(
+            "concat('; generated config\n[s', "
+            "cast(doc_id % 3 as string), ']\n', "
+            "concat_ws('\n', transform(sequence(0, "
+            "cast(doc_id % 3 as int)), "
+            "j -> concat('k', j, ' = ', "
+            "cast((doc_id * 7 + j * 13) % 100 as int)))), "
+            "'\n\n[meta]\nenabled = ', "
+            "if(doc_id % 2 = 0, 'true', 'false'), '\n')"
+        ).alias("ini"),
+    )
+    rows = ini_rows(d)
+    return rows.groupBy("section").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_props"),
+        F.count_distinct("key").cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("value_int"), F.lit(0))
+        .cast("bigint")
+        .alias("sum_val"),
+        F.sum((F.col("value") == "true").cast("int"))
+        .cast("bigint")
+        .alias("n_true"),
+    )
+
+
+ORACLES["source_ini"] = """
+WITH s AS (
+  SELECT doc_id, 's' || CAST(doc_id % 3 AS VARCHAR) AS section,
+         (doc_id * 7 + j * 13) % 100 AS v
+  FROM documents, UNNEST(range(0, doc_id % 3 + 1)) AS u(j)
+),
+vals AS (
+  SELECT section, COUNT(*) AS n_props,
+         COUNT(DISTINCT doc_id) AS n_docs,
+         SUM(v) AS sum_val, 0 AS n_true
+  FROM s GROUP BY section
+),
+meta AS (
+  SELECT 'meta' AS section, COUNT(*) AS n_props,
+         COUNT(DISTINCT doc_id) AS n_docs, 0 AS sum_val,
+         SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_true
+  FROM documents
+)
+SELECT section, CAST(n_props AS BIGINT) AS n_props,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(sum_val AS BIGINT) AS sum_val,
+       CAST(n_true AS BIGINT) AS n_true
+FROM (SELECT * FROM vals UNION ALL SELECT * FROM meta)
+"""
+
+
+QUERIES_DEFERRED.update({"source_ini": q_source_ini})
+
+
+def q_dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA-DRIFT audit between two table-format snapshots — the
+    profile diff a data-contract monitor runs after every batch: an
+    additive evolution lands a new column, and the audit reports, per
+    column, its status (added vs shared), row/null-count movement, and
+    max drift — the new column's null rate exposing exactly the
+    pre-evolution backfill.  Profiles run on time-traveled reads of
+    the SAME table (``read_table(version=)``), so the audit needs no
+    side channel; the oracle restates both profiles closed-form."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("dq_drift", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    TF.commit_append(                                                # v1
+        spark, path, o.filter(k <= 600), stat_cols=["o_orderkey"]
+    )
+    TF.commit_append(                                                # v2
+        spark, path,
+        o.filter((k > 600) & (k <= 1200)).select(
+            "o_orderkey", "o_totalprice",
+            ((k % 5) * 1.0).alias("disc"),
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    cols = ["o_orderkey", "o_totalprice", "disc"]
+
+    def profile(version: int, tag: str) -> DataFrame:
+        df = TF.read_table(spark, path, version=version)
+        parts = []
+        for c in cols:
+            if c in df.columns:
+                parts.append(
+                    df.agg(
+                        F.lit(c).alias("column"),
+                        F.count(F.lit(1)).cast("bigint").alias(
+                            f"n_{tag}"
+                        ),
+                        F.sum(F.col(c).isNull().cast("int"))
+                        .cast("bigint")
+                        .alias(f"nulls_{tag}"),
+                        F.max(F.col(c).cast("double")).alias(
+                            f"max_{tag}"
+                        ),
+                    )
+                )
+            else:
+                parts.append(
+                    spark.range(1).select(
+                        F.lit(c).alias("column"),
+                        F.lit(None).cast("bigint").alias(f"n_{tag}"),
+                        F.lit(None).cast("bigint").alias(
+                            f"nulls_{tag}"
+                        ),
+                        F.lit(None).cast("double").alias(f"max_{tag}"),
+                    )
+                )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    p1, p2 = profile(1, "v1"), profile(2, "v2")
+    return p1.join(p2, "column").select(
+        "column",
+        F.when(F.col("n_v1").isNull(), "added")
+        .otherwise("shared")
+        .alias("status"),
+        "n_v1", "n_v2", "nulls_v1", "nulls_v2",
+        "max_v1", "max_v2",
+    )
+
+
+ORACLES["dq_schema_drift"] = """
+WITH v1 AS (SELECT * FROM orders WHERE o_orderkey <= 600),
+v2new AS (SELECT * FROM orders
+          WHERE o_orderkey > 600 AND o_orderkey <= 1200)
+SELECT 'o_orderkey' AS column, 'shared' AS status,
+       (SELECT COUNT(*) FROM v1) AS n_v1,
+       (SELECT COUNT(*) FROM v1) + (SELECT COUNT(*) FROM v2new) AS n_v2,
+       0 AS nulls_v1, 0 AS nulls_v2,
+       (SELECT CAST(MAX(o_orderkey) AS DOUBLE) FROM v1) AS max_v1,
+       (SELECT CAST(MAX(o_orderkey) AS DOUBLE)
+        FROM (SELECT o_orderkey FROM v1
+              UNION ALL SELECT o_orderkey FROM v2new)) AS max_v2
+UNION ALL
+SELECT 'o_totalprice', 'shared',
+       (SELECT COUNT(*) FROM v1),
+       (SELECT COUNT(*) FROM v1) + (SELECT COUNT(*) FROM v2new),
+       0, 0,
+       (SELECT MAX(o_totalprice) FROM v1),
+       (SELECT MAX(o_totalprice)
+        FROM (SELECT o_totalprice FROM v1
+              UNION ALL SELECT o_totalprice FROM v2new))
+UNION ALL
+SELECT 'disc', 'added',
+       NULL, (SELECT COUNT(*) FROM v1) + (SELECT COUNT(*) FROM v2new),
+       NULL, (SELECT COUNT(*) FROM v1),
+       NULL,
+       (SELECT MAX((o_orderkey % 5) * 1.0) FROM v2new)
+"""
+
+
+QUERIES_DEFERRED.update({"dq_schema_drift": q_dq_schema_drift})

@@ -10273,3 +10273,86 @@ QUERIES.update(
         "format_txn_expiry": q_format_txn_expiry,
     }
 )
+
+
+def q_format_null_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-COUNT manifest pruning (the Iceberg ``null_value_counts``
+    field — ``table_format.py::snapshot_files(null_prune=)``): the
+    manifest records per-column null counts from the parquet footers,
+    so an ``IS NULL`` scan skips files with zero nulls and an
+    ``IS NOT NULL`` scan skips all-null files — the sparse-column shape
+    where a rarely-populated column reads only the files that ever
+    populated it.  The entry asserts BOTH prunes drop files from the
+    manifest alone, then returns the union of the two pruned reads
+    (re-filtered exactly, so pruning is provably lossless — the
+    oracle restates both predicates)."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_nullp", sf_dir, fresh=True)
+    TF.create_table(path)
+    base = t(spark, sf_dir, "orders")
+    # SF-independent sparse band: the bottom quarter of the key domain
+    # is all-null, so the 8 range-partitioned files always split into
+    # all-null / mixed / no-null classes (one 1-row scalar collect)
+    thr = base.agg(
+        F.floor(F.max("o_orderkey") / 4).alias("t")
+    ).collect()[0]["t"]
+    o = base.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") <= thr, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("v"),
+    )
+    TF.commit_append(
+        spark, path,
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        stat_cols=["o_orderkey", "v"],
+    )
+    _, kept_null, total = TF.snapshot_files(
+        path, null_prune=("v", "isnull")
+    )
+    _, kept_nn, _ = TF.snapshot_files(path, null_prune=("v", "notnull"))
+    assert kept_null < total and kept_nn < total, (
+        kept_null, kept_nn, total,
+    )
+    k = F.col("o_orderkey")
+    nulls = (
+        TF.read_table(spark, path, null_prune=("v", "isnull"))
+        .filter(F.col("v").isNull())
+        .groupBy((k % 4).cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("isnull").alias("scan"), "bucket", "n")
+    )
+    vals = (
+        TF.read_table(spark, path, null_prune=("v", "notnull"))
+        .filter(F.col("v").isNotNull())
+        .groupBy((k % 4).cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("notnull").alias("scan"), "bucket", "n")
+    )
+    result = nulls.unionByName(vals).localCheckpoint(eager=True)
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_null_pruning"] = """
+WITH thr AS (
+  SELECT FLOOR(MAX(o_orderkey) / 4) AS t FROM orders
+)
+SELECT 'isnull' AS scan, CAST(o_orderkey % 4 AS INT) AS bucket,
+       COUNT(*) AS n
+FROM orders, thr WHERE o_orderkey <= t
+GROUP BY 2
+UNION ALL
+SELECT 'notnull', CAST(o_orderkey % 4 AS INT), COUNT(*)
+FROM orders, thr WHERE o_orderkey > t
+GROUP BY 2
+"""
+
+
+QUERIES.update({"format_null_pruning": q_format_null_pruning})

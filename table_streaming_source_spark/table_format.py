@@ -97,6 +97,8 @@ def _file_stats(file_path: str, stat_cols: list[str]) -> dict:
 
     md = pq.ParquetFile(file_path).metadata
     out: dict[str, list] = {}
+    nulls: dict[str, int] = {}
+    null_unknown: set[str] = set()
     n_rows = md.num_rows
     for i in range(md.num_row_groups):
         rg = md.row_group(i)
@@ -106,6 +108,14 @@ def _file_stats(file_path: str, stat_cols: list[str]) -> dict:
             if name not in stat_cols:
                 continue
             s = c.statistics
+            # per-column NULL counts (the Iceberg null_value_counts
+            # manifest field): summed across row groups; any group
+            # without the statistic marks the column unknown — the
+            # reader then keeps the file (never-lossy direction)
+            if s is not None and s.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + s.null_count
+            else:
+                null_unknown.add(name)
             if s is None or not s.has_min_max:
                 # a column without footer stats cannot prune — record
                 # nothing, the reader keeps the file (safe direction)
@@ -115,7 +125,9 @@ def _file_stats(file_path: str, stat_cols: list[str]) -> dict:
                 out[name] = [min(out[name][0], lo), max(out[name][1], hi)]
             else:
                 out[name] = [lo, hi]
-    return {"rows": n_rows, "cols": out}
+    for name in null_unknown:
+        nulls.pop(name, None)
+    return {"rows": n_rows, "cols": out, "nulls": nulls}
 
 
 def _manifest_entries(
@@ -141,6 +153,8 @@ def _manifest_entries(
             "rows": st["rows"],
             "stats": st["cols"],
         }
+        if st["nulls"]:
+            entry["nulls"] = st["nulls"]
         if seq is not None:
             entry["seq"] = seq
         files.append(entry)
@@ -269,13 +283,23 @@ def snapshot_files(
     *,
     version: int | None = None,
     prune: tuple[str, object, object] | None = None,
+    null_prune: tuple[str, str] | None = None,
 ) -> tuple[list[str], int, int]:
     """Resolve a snapshot from the log: walk parents from ``version``
     (default: head), union the committed file lists, and — when
     ``prune = (col, lo, hi)`` is given — drop every file whose manifest
     [min, max] for ``col`` is disjoint from [lo, hi].  Files without
     recorded stats for the column are always kept (pruning must never
-    be lossy).  Returns (kept paths, kept count, total count)."""
+    be lossy).  Returns (kept paths, kept count, total count).
+
+    ``null_prune = (col, "isnull"|"notnull")`` prunes on the per-column
+    NULL COUNTS the manifest records from the parquet footers (the
+    Iceberg null_value_counts idea): an ``IS NULL`` scan skips files
+    with zero recorded nulls in ``col``; an ``IS NOT NULL`` scan skips
+    files that are entirely null there (the sparse-column shape — at
+    100 TB a rarely-populated column reads only the files that ever
+    populated it).  Files without a recorded null count are kept —
+    never lossy.  Composes with ``prune``."""
     v = latest_version(path) if version is None else version
     all_files: list[dict] = []
     while v is not None:
@@ -289,6 +313,16 @@ def snapshot_files(
             rng = f["stats"].get(col)
             if rng is not None and (rng[1] < lo or rng[0] > hi):
                 continue
+        if null_prune is not None:
+            col, kind = null_prune
+            if kind not in ("isnull", "notnull"):
+                raise ValueError(f"unknown null_prune kind {kind!r}")
+            nc = f.get("nulls", {}).get(col)
+            if nc is not None:
+                if kind == "isnull" and nc == 0:
+                    continue
+                if kind == "notnull" and nc == f["rows"]:
+                    continue
         kept.append(os.path.join(path, f["path"]))
     return kept, len(kept), len(all_files)
 
@@ -299,16 +333,20 @@ def read_table(
     *,
     version: int | None = None,
     prune: tuple[str, object, object] | None = None,
+    null_prune: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Snapshot read via the commit log (NEVER a directory listing —
     uncommitted files are invisible), optionally time-traveled and
-    manifest-pruned.  CONTRACT: this is the data-file view — between a
-    :func:`commit_delete_keys` and the next :func:`commit_compact`,
-    merge-on-read equality deletes are visible only through
-    :func:`read_table_mor` (compaction reconciles the two views).  An
-    empty snapshot raises: the caller should read the schema from the
-    log in a fuller implementation."""
-    files, _, _ = snapshot_files(path, version=version, prune=prune)
+    manifest-pruned (range stats via ``prune``, null counts via
+    ``null_prune`` — see :func:`snapshot_files`).  CONTRACT: this is
+    the data-file view — between a :func:`commit_delete_keys` and the
+    next :func:`commit_compact`, merge-on-read equality deletes are
+    visible only through :func:`read_table_mor` (compaction reconciles
+    the two views).  An empty snapshot raises: the caller should read
+    the schema from the log in a fuller implementation."""
+    files, _, _ = snapshot_files(
+        path, version=version, prune=prune, null_prune=null_prune
+    )
     if not files:
         raise ValueError("empty snapshot (no files after pruning)")
     # mergeSchema: commits may evolve the schema (add columns); the

@@ -544,6 +544,21 @@ _SHUFFLE_BUDGET = {
     # rate window + kept agg + rate re-join alignment
     "pipeline_rejection_sample": 5,
     "sql_distinct_on": 2,           # per-customer sort + rollup
+    # --- round 10, wave 2 ---
+    "format_vacuum_retention": 0,   # checkpointed rollup read
+    "format_null_pruning": 0,       # two pruned scans, rollups fused
+    "agg_cochran_q": 2,             # subject agg + 1-row totals
+    # unpivot agg + per-item agg + prevalence agg + two 1-row sums —
+    # all post-aggregation exchanges over ≤ |items|·|cats| rows
+    "agg_fleiss_kappa": 5,
+    "text_collocation_llr": 2,      # bigram agg + margin windows
+    # per-step conditional-min aggs on the user key (3 joins re-use
+    # the same hash partitioning; AQE broadcasts the shrinking sides)
+    "window_funnel": 6,
+    "agg_rfm_segments": 2,          # per-customer agg + ntile sort
+    "source_ini": 2,                # parse rows agg + section rollup
+    "dq_schema_drift": 5,           # six 1-row column profiles + join
+    "multimodal_subtitle_align": 3,  # cue/frame sort + asof + rollup
 }
 
 

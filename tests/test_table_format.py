@@ -2991,3 +2991,40 @@ def test_cdf_over_vacuumed_history_raises_cleanly(spark, tmp_path):
     assert (
         TF.read_cdf(spark, path, from_version=2).count() == 10
     )
+
+
+def test_null_count_pruning_is_lossless(spark, tmp_path):
+    """Manifest null-count pruning (Iceberg null_value_counts): an
+    IS NULL scan skips zero-null files, an IS NOT NULL scan skips
+    all-null files, both reads equal the unpruned filtered read
+    (lossless), columns without recorded counts never prune, and an
+    unknown kind raises."""
+    path = str(tmp_path / "nullp")
+    TF.create_table(path)
+    df = spark.range(400).selectExpr(
+        "id as k",
+        "case when id < 100 then null else cast(id as double) end as v",
+    )
+    TF.commit_append(
+        spark, path,
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stat_cols=["k", "v"],
+    )
+    _, kept_null, total = TF.snapshot_files(path, null_prune=("v", "isnull"))
+    _, kept_nn, _ = TF.snapshot_files(path, null_prune=("v", "notnull"))
+    assert kept_null < total          # zero-null files pruned
+    assert kept_nn < total            # the all-null file pruned
+    nulls = TF.read_table(spark, path, null_prune=("v", "isnull")).filter(
+        "v is null"
+    )
+    assert nulls.count() == 100
+    vals = TF.read_table(spark, path, null_prune=("v", "notnull")).filter(
+        "v is not null"
+    )
+    assert vals.count() == 300
+    # a column without recorded null counts (not in stat_cols at write
+    # time for this file) keeps every file — never lossy
+    kept, n, tot = TF.snapshot_files(path, null_prune=("k2", "isnull"))
+    assert n == tot
+    with pytest.raises(ValueError, match="null_prune"):
+        TF.snapshot_files(path, null_prune=("v", "nope"))
