@@ -8298,3 +8298,147 @@ def srt_cue_rows(
             )
 
     return df.mapInPandas(batches, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# WebVTT subtitle cues — the W3C timed-text sibling of SubRip
+# ---------------------------------------------------------------------------
+
+
+def _vtt_ts(ms: int) -> str:
+    """``HH:MM:SS.mmm`` — WebVTT uses a DOT millisecond separator
+    (W3C WebVTT spec §timestamps), unlike SubRip's comma."""
+    h, rem = divmod(ms, 3_600_000)
+    m, rem = divmod(rem, 60_000)
+    s, frac = divmod(rem, 1000)
+    return f"{h:02d}:{m:02d}:{s:02d}.{frac:03d}"
+
+
+def synth_webvtt(key: int) -> bytes:
+    """A complete WebVTT file: the mandatory ``WEBVTT`` header line,
+    then ``1 + key % 5`` cues (optional identifier line, timing line
+    with ``-->``, one text line).  All times derive from ``key``."""
+    n = 1 + key % 5
+    blocks = ["WEBVTT\n"]
+    for i in range(n):
+        start = i * 2000 + (key % 5) * 100
+        dur = 500 + (key * 17 + i) % 900
+        blocks.append(
+            f"c{i + 1}\n{_vtt_ts(start)} --> {_vtt_ts(start + dur)}\n"
+            f"vtt cue {i} doc {key}\n"
+        )
+    return "\n".join(blocks).encode("utf-8")
+
+
+_VTT_TS_RE = None
+
+
+def _webvtt_one(payload: bytes) -> dict:
+    """Parse one WebVTT file (header + cue blocks).  ValueError on a
+    missing/mangled WEBVTT header, bad timing lines, or end-before-
+    start — the shared quarantine contract."""
+    import re
+
+    global _VTT_TS_RE
+    if _VTT_TS_RE is None:
+        _VTT_TS_RE = re.compile(
+            r"^(\d{2,}):([0-5]\d):([0-5]\d)\.(\d{3})"
+            r" --> "
+            r"(\d{2,}):([0-5]\d):([0-5]\d)\.(\d{3})$"
+        )
+    try:
+        text = payload.decode("utf-8")
+    except UnicodeDecodeError as exc:
+        raise ValueError(f"webvtt: not utf-8: {exc}") from None
+    blocks = text.split("\n\n")
+    header = blocks[0].split("\n")[0]
+    if header.rstrip() != "WEBVTT":
+        raise ValueError(f"webvtt: bad header {header!r}")
+    cues = []
+    for block in blocks[1:]:
+        lines = [ln for ln in block.split("\n") if ln != ""]
+        if not lines:
+            continue
+        # the identifier line is optional: the timing line is the
+        # first one containing the arrow
+        ti = 0 if "-->" in lines[0] else 1
+        if ti >= len(lines):
+            raise ValueError("webvtt: cue block without timing line")
+        m = _VTT_TS_RE.match(lines[ti])
+        if m is None:
+            raise ValueError(f"webvtt: bad timing line {lines[ti]!r}")
+        g = [int(x) for x in m.groups()]
+        start = ((g[0] * 60 + g[1]) * 60 + g[2]) * 1000 + g[3]
+        end = ((g[4] * 60 + g[5]) * 60 + g[6]) * 1000 + g[7]
+        if end <= start:
+            raise ValueError("webvtt: cue ends before it starts")
+        cues.append((start, end, " ".join(lines[ti + 1:])))
+    if not cues:
+        raise ValueError("webvtt: no cues")
+    return {
+        "n_cues": len(cues),
+        "total_ms": sum(e - s for s, e, _ in cues),
+        "span_ms": cues[-1][1] - cues[0][0],
+        "n_words": sum(
+            len([w for w in txt.split(" ") if w]) for _, _, txt in cues
+        ),
+    }
+
+
+def attach_webvtt_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: one :func:`synth_webvtt` per key."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_webvtt(int(k)) for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def webvtt_cue_stats(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Per-file WebVTT cue statistics — same shape as
+    :func:`srt_cue_stats` so the two timed-text dialects feed one
+    downstream pipeline.  Arrow-batched ``mapInPandas``, zero
+    shuffles."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                k: []
+                for k in ("key", "n_cues", "total_ms", "span_ms",
+                          "n_words")
+            }
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                m = _webvtt_one(bytes(payload))
+                rows["key"].append(int(k))
+                rows["n_cues"].append(m["n_cues"])
+                rows["total_ms"].append(m["total_ms"])
+                rows["span_ms"].append(m["span_ms"])
+                rows["n_words"].append(m["n_words"])
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "n_cues": pd.Series(rows["n_cues"], dtype="int32"),
+                    "total_ms": pd.Series(
+                        rows["total_ms"], dtype="int64"
+                    ),
+                    "span_ms": pd.Series(rows["span_ms"], dtype="int64"),
+                    "n_words": pd.Series(rows["n_words"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=SRT_CUES_SCHEMA)

@@ -383,11 +383,11 @@ _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #: names pinned into the driver's 50-entry correctness window, in order.
 #: Round-10 rotation: 2 cross-round sentinels + the FULL 7-entry
 #: round-9 backlog (the only never-certified entries after the round-9
-#: drain) + the 35 round-10 additions = exactly 44.  EVERY windowed
+#: drain) + all 41 round-10 additions = exactly 50.  EVERY windowed
 #: entry was strict-dtype oracle-verified at sf0.01 AND sf0.1 at this
-#: round's HEAD (44/44 + 44/44) BEFORE this tuple was edited.  Once
+#: round's HEAD (50/50 + 50/50) BEFORE this tuple was edited.  Once
 #: this window lands, ALL 430 pre-round-10 entries have an official
-#: driver row in some round AND the 35 round-10 additions get theirs
+#: driver row in some round AND the 41 round-10 additions get theirs
 #: in the same window — the certification queue stays drained; the
 #: round-11 backlog is empty.
 _PRIORITY: tuple[str, ...] = (
@@ -443,6 +443,14 @@ _PRIORITY: tuple[str, ...] = (
     "source_ini",
     "dq_schema_drift",
     "multimodal_subtitle_align",
+    # --- round-10 wave 3: dispersion, splits, popcounts, grouping ids,
+    # manifest metrics, WebVTT (6) ---
+    "agg_poisson_dispersion",
+    "pipeline_dataset_split",
+    "scalar_popcount",
+    "sql_grouping_id",
+    "format_manifest_metrics",
+    "multimodal_webvtt_cues",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"

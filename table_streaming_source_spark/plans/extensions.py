@@ -16964,3 +16964,315 @@ SELECT 'disc', 'added',
 
 
 QUERIES_DEFERRED.update({"dq_schema_drift": q_dq_schema_drift})
+
+
+# ---------------------------------------------------------------------------
+# round 10, wave 3: dispersion, splits, popcounts, grouping ids,
+# manifest metrics, WebVTT
+# ---------------------------------------------------------------------------
+
+
+def q_agg_poisson_dispersion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Index-of-dispersion (variance/mean) overdispersion test for
+    per-user event counts — the "is this Poisson?" screen run before
+    fitting rate models (D ≫ 1 ⇒ bursty/clumped traffic).  Counts and
+    their squares are exact integers; the χ² form ``(n−1)·s²/x̄`` and D
+    are deterministic doubles rounded at the end.  Two hash
+    aggregates."""
+    e = t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    g = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    mean = F.col("s") * 1.0 / F.col("n")
+    var = (F.col("ss") - F.col("n") * mean * mean) / (F.col("n") - 1)
+    return g.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("s").cast("bigint").alias("n_events"),
+        F.round(var / mean, 9).alias("dispersion"),
+        F.round((F.col("n") - 1) * var / mean, 6).alias("chi2"),
+    )
+
+
+ORACLES["agg_poisson_dispersion"] = """
+WITH per AS (
+  SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+),
+g AS (
+  SELECT COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS ss FROM per
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(s AS BIGINT) AS n_events,
+       ROUND(((ss - n * (s*1.0/n) * (s*1.0/n)) / (n - 1))
+             / (s*1.0/n), 9) AS dispersion,
+       ROUND((n - 1) * ((ss - n * (s*1.0/n) * (s*1.0/n)) / (n - 1))
+             / (s*1.0/n), 6) AS chi2
+FROM g
+"""
+
+
+def q_pipeline_dataset_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic train/val/test SPLIT (80/10/10 by md5 residue —
+    the split every dataset release needs to be reproducible across
+    engines and reruns; never RNG): the residue is an exact integer in
+    ppm, thresholds are exact integer comparisons, and the per-split
+    counts plus source coverage prove the split partitions the corpus.
+    Pure row-local hash + one rollup."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("long")
+            % 1000000
+        ).alias("r"),
+    )
+    split = (
+        F.when(F.col("r") < 800000, "train")
+        .when(F.col("r") < 900000, "val")
+        .otherwise("test")
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+    )
+
+
+ORACLES["pipeline_dataset_split"] = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 1000000 AS r
+  FROM documents
+)
+SELECT CASE WHEN r < 800000 THEN 'train'
+            WHEN r < 900000 THEN 'val' ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM d GROUP BY 1
+"""
+
+
+def q_scalar_popcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-count / Hamming-weight battery (``bit_count`` over
+    xor/and/or combinations — the kernel of SimHash distances, bitmap
+    cardinalities and bloom-filter diagnostics) on two derived 64-bit
+    hashes per row.  Two's-complement semantics agree across engines
+    (bit_count(-1) = 64 on both); everything is exact integer
+    arithmetic.  Row-local + one rollup."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") * 2654435761).alias("h1"),
+        (F.col("o_orderkey") * 1099511628211 + 11).alias("h2"),
+    )
+    hamming = F.bit_count(
+        F.col("h1").bitwiseXOR(F.col("h2"))
+    )
+    return o.groupBy(
+        (F.col("o_orderkey") % 4).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.bit_count("h1")).cast("bigint").alias("sum_pop_h1"),
+        F.sum(hamming).cast("bigint").alias("sum_hamming"),
+        F.sum(
+            F.bit_count(F.col("h1").bitwiseAND(F.col("h2")))
+        ).cast("bigint").alias("sum_pop_and"),
+        F.sum(
+            (F.bit_count("h2") % 2).cast("int")
+        ).cast("bigint").alias("n_odd_parity"),
+    )
+
+
+ORACLES["scalar_popcount"] = """
+WITH h AS (
+  SELECT o_orderkey,
+         o_orderkey * 2654435761 AS h1,
+         o_orderkey * 1099511628211 + 11 AS h2
+  FROM orders
+)
+SELECT CAST(o_orderkey % 4 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(bit_count(h1)) AS BIGINT) AS sum_pop_h1,
+       CAST(SUM(bit_count(xor(h1, h2))) AS BIGINT) AS sum_hamming,
+       CAST(SUM(bit_count(h1 & h2)) AS BIGINT) AS sum_pop_and,
+       CAST(SUM(bit_count(h2) % 2) AS BIGINT) AS n_odd_parity
+FROM h GROUP BY 1
+"""
+
+
+def q_sql_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with ``GROUPING()`` disambiguation — the
+    SQL-surface detail that makes multi-level rollups machine-readable
+    (a NULL group key is ambiguous: real NULL vs "aggregated over";
+    ``GROUPING()`` settles it).  Exact parity on the grouping-id
+    bitmask across engines, counts and decimal sums per set."""
+    o = t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__gid_orders")
+    return spark.sql(
+        """
+        SELECT grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_prio,
+               o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_price
+        FROM __gid_orders
+        GROUP BY GROUPING SETS (
+          (o_orderstatus, o_orderpriority), (o_orderstatus), ()
+        )
+        """
+    )
+
+
+ORACLES["sql_grouping_id"] = """
+SELECT CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_prio,
+       o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM orders
+GROUP BY GROUPING SETS (
+  (o_orderstatus, o_orderpriority), (o_orderstatus), ()
+)
+"""
+
+
+def q_format_manifest_metrics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DESCRIBE-DETAIL from the MANIFEST ALONE (Delta's detail /
+    Iceberg's snapshot summary): per retained version — data-file
+    count, physical row count, outstanding equality/positional delete
+    files — all answered without opening one data file, the
+    table-ops dashboard question at 100 TB.  Physical rows are the
+    data-file view (MOR subtraction is a read-time concern; the
+    manifest records what is stored)."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_detail", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    TF.commit_append(                                                # v1
+        spark, path,
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    TF.commit_append(                                                # v2
+        spark, path,
+        o.filter((k % 100 == 0) & (k > 0)).select(
+            (k + 3_000_000).alias("o_orderkey"), "o_totalprice"
+        ).coalesce(1),
+        stat_cols=["o_orderkey"],
+    )
+    TF.commit_delete_keys(                                           # v3
+        spark, path, o.filter(k % 500 == 0), key="o_orderkey"
+    )
+    TF.commit_delete_positions(                                      # v4
+        spark, path,
+        TF.positions_where(spark, path, "o_orderkey = 7"),
+    )
+    rows = []
+    for v in range(1, TF.latest_version(path) + 1):
+        dicts = TF._snapshot_file_dicts(path, v)
+        _, eq = TF._snapshot_deletes(path, v)
+        pos = TF._snapshot_pos_deletes(path, v)
+        rows.append(
+            (
+                v,
+                len(dicts),
+                sum(f["rows"] for f in dicts),
+                len(eq),
+                len(pos),
+            )
+        )
+    result = spark.createDataFrame(
+        rows,
+        "version int, n_files bigint, physical_rows bigint, "
+        "n_eq_delete_files bigint, n_pos_delete_files bigint",
+    ).localCheckpoint(eager=True)
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_manifest_metrics"] = """
+WITH base AS (SELECT COUNT(*) AS n FROM orders),
+slice AS (SELECT COUNT(*) AS s FROM orders
+          WHERE o_orderkey % 100 = 0 AND o_orderkey > 0)
+SELECT 1 AS version, CAST(8 AS BIGINT) AS n_files,
+       CAST(n AS BIGINT) AS physical_rows,
+       CAST(0 AS BIGINT) AS n_eq_delete_files,
+       CAST(0 AS BIGINT) AS n_pos_delete_files
+FROM base
+UNION ALL
+SELECT 2, 9, n + s, 0, 0 FROM base, slice
+UNION ALL
+SELECT 3, 9, n + s, 1, 0 FROM base, slice
+UNION ALL
+SELECT 4, 9, n + s, 1, 1 FROM base, slice
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "agg_poisson_dispersion": q_agg_poisson_dispersion,
+        "pipeline_dataset_split": q_pipeline_dataset_split,
+        "scalar_popcount": q_scalar_popcount,
+        "sql_grouping_id": q_sql_grouping_id,
+        "format_manifest_metrics": q_format_manifest_metrics,
+    }
+)
+
+
+def q_multimodal_webvtt_cues(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WebVTT timed-text parsing (`operators/multimodal.py::
+    _webvtt_one` — the W3C dialect beside SubRip: mandatory WEBVTT
+    header, dot-millisecond timestamps, optional cue identifiers):
+    per-file cue count, speaking time, span and word volume, shape-
+    compatible with `multimodal_srt_cues` so both dialects feed one
+    pipeline.  Malformed bytes quarantine (fuzz-swept); durations are
+    formula-stated for the closed-form oracle."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 3)
+    subs = M.attach_webvtt_payload(docs, "doc_id")
+    return M.webvtt_cue_stats(subs)
+
+
+ORACLES["multimodal_webvtt_cues"] = """
+WITH base AS (
+  SELECT doc_id, 1 + doc_id % 5 AS n FROM documents
+  WHERE doc_id % 4 = 3
+),
+cues AS (
+  SELECT doc_id, n, 500 + (doc_id * 17 + i) % 900 AS dur
+  FROM base, UNNEST(range(0, base.n)) AS g(i)
+)
+SELECT doc_id AS key,
+       CAST(n AS INT) AS n_cues,
+       CAST(SUM(dur) AS BIGINT) AS total_ms,
+       CAST((n - 1) * 2000 + 500 + (doc_id * 17 + n - 1) % 900
+            AS BIGINT) AS span_ms,
+       CAST(5 * n AS BIGINT) AS n_words
+FROM cues GROUP BY doc_id, n
+"""
+
+
+QUERIES_DEFERRED.update(
+    {"multimodal_webvtt_cues": q_multimodal_webvtt_cues}
+)

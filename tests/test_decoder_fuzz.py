@@ -103,6 +103,7 @@ def _targets():
     yield "mkv_one", M._mkv_one, M.synth_mkv(5)
     yield "mpeg_one", M._mpeg_one, M.synth_mp3_frames(5)
     yield "srt_one", M._srt_one, M.synth_srt(5)
+    yield "webvtt_one", M._webvtt_one, M.synth_webvtt(5)
 
 
 class _DecodeHang(Exception):

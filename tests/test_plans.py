@@ -559,6 +559,13 @@ _SHUFFLE_BUDGET = {
     "source_ini": 2,                # parse rows agg + section rollup
     "dq_schema_drift": 5,           # six 1-row column profiles + join
     "multimodal_subtitle_align": 3,  # cue/frame sort + asof + rollup
+    # --- round 10, wave 3 ---
+    "agg_poisson_dispersion": 2,    # per-user agg + 1-row totals
+    "pipeline_dataset_split": 2,    # split rollup (+ distinct pair)
+    "scalar_popcount": 1,           # row-local bit ops, one rollup
+    "sql_grouping_id": 1,           # one expand + grouping aggregate
+    "format_manifest_metrics": 0,   # manifest-only, driver metadata
+    "multimodal_webvtt_cues": 0,    # zero-shuffle decode chain
 }
 
 
