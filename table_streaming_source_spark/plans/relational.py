@@ -9946,7 +9946,10 @@ def q_format_delete_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     TF.commit_delete_positions(
         spark, path,
         TF.positions_where(
-            spark, path, "o_orderkey <= 400 AND o_orderkey % 6 = 0"
+            spark, path, "o_orderkey <= 400 AND o_orderkey % 6 = 0",
+            # range-shaped predicate → manifest pruning is lossless:
+            # only the files the range can touch are scanned
+            prune=("o_orderkey", 0, 400),
         ),
     )
     TF.commit_delete_positions(
@@ -9955,6 +9958,7 @@ def q_format_delete_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, path,
             "o_orderkey > 400 AND o_orderkey <= 800 "
             "AND o_orderkey % 11 = 0",
+            prune=("o_orderkey", 401, 800),
         ),
     )
     TF.commit_delete_keys(

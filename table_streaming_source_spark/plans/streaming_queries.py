@@ -2645,13 +2645,15 @@ def q_streaming_cdf_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     TF.commit_delete_positions(                                      # v2
         spark, path,
         TF.positions_where(
-            spark, path, "o_orderkey <= 400 AND o_orderkey % 6 = 0"
+            spark, path, "o_orderkey <= 400 AND o_orderkey % 6 = 0",
+            prune=("o_orderkey", 0, 400),
         ),
     )
     TF.commit_delete_positions(                                      # v3
         spark, path,
         TF.positions_where(
-            spark, path, "o_orderkey <= 400 AND o_orderkey % 6 = 3"
+            spark, path, "o_orderkey <= 400 AND o_orderkey % 6 = 3",
+            prune=("o_orderkey", 0, 400),
         ),
     )
     TF.commit_delete_keys(                                           # v4

@@ -1252,6 +1252,32 @@ def _pos_delete_pairs_local(path: str, entries: list[dict]):
                 yield fp, int(p)
 
 
+def _write_dv_file(pos: "DataFrame", staging: str) -> None:
+    """Write ``(file_path, pos)`` pairs as a deletion-vector parquet:
+    one ``(file_path, dv: binary, n: long)`` row per data file,
+    ordinals varint-run-compressed executor-side (``applyInPandas``
+    groups by file, so a million-ordinal vector never rides through
+    the driver)."""
+    def to_dv(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "file_path": [pdf["file_path"].iloc[0]],
+                "dv": [_dv_encode(pdf["pos"])],
+                "n": [int(pdf["pos"].nunique())],
+            }
+        )
+
+    (
+        pos.groupBy("file_path")
+        .applyInPandas(to_dv, "file_path string, dv binary, n long")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+
+
 def _norm_file_path_col():
     """``_metadata.file_path`` normalized to a plain absolute posix
     path (``file:///x`` → ``/x``) — the join key positional deletes
@@ -1366,24 +1392,7 @@ def commit_delete_positions(
         _data_dir(path), f"posdelete-{new_v}-{uuid.uuid4().hex[:8]}"
     )
     if encoding == "dv":
-        def to_dv(pdf):
-            import pandas as pd
-
-            return pd.DataFrame(
-                {
-                    "file_path": [pdf["file_path"].iloc[0]],
-                    "dv": [_dv_encode(pdf["pos"])],
-                    "n": [int(pdf["pos"].nunique())],
-                }
-            )
-
-        (
-            pos.groupBy("file_path")
-            .applyInPandas(to_dv, "file_path string, dv binary, n long")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(staging)
-        )
+        _write_dv_file(pos, staging)
         entries = _manifest_entries(path, staging, [], seq=new_v)
         for e in entries:
             e["encoding"] = "dv"
@@ -1526,24 +1535,7 @@ def compact_deletes(
             _data_dir(path), f"posdelete-{new_v}-{uuid.uuid4().hex[:8]}"
         )
 
-        def to_dv(pdf):
-            import pandas as pd
-
-            return pd.DataFrame(
-                {
-                    "file_path": [pdf["file_path"].iloc[0]],
-                    "dv": [_dv_encode(pdf["pos"])],
-                    "n": [int(pdf["pos"].nunique())],
-                }
-            )
-
-        (
-            dead.groupBy("file_path")
-            .applyInPandas(to_dv, "file_path string, dv binary, n long")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(staging)
-        )
+        _write_dv_file(dead, staging)
         entries = _manifest_entries(path, staging, [], seq=new_v)
         for e in entries:
             e["encoding"] = "dv"

@@ -3028,3 +3028,34 @@ def test_null_count_pruning_is_lossless(spark, tmp_path):
     assert n == tot
     with pytest.raises(ValueError, match="null_prune"):
         TF.snapshot_files(path, null_prune=("v", "nope"))
+
+
+def test_compact_deletes_on_a_branch(spark, tmp_path):
+    """Delete-file compaction targets ONE lineage: positional and
+    equality deletes on a dev branch coalesce into one DV via a
+    maintenance commit on THAT branch — dev's MOR view is unchanged,
+    main never sees the deletes or the compaction."""
+    path = str(tmp_path / "bcomp")
+    TF.create_table(path)
+    df = spark.range(100).selectExpr("id as k", "cast(id*2 as double) as v")
+    TF.commit_append(spark, path, df, stat_cols=["k"])
+    TF.create_branch(path, "dev")
+    TF.commit_delete_positions(
+        spark, path,
+        TF.positions_where(
+            spark, path, "k < 5", version=TF.resolve_ref(path, "dev")
+        ),
+        branch="dev",
+    )
+    TF.commit_delete_keys(
+        spark, path, df.filter("k >= 90"), key="k", branch="dev"
+    )
+    v = TF.compact_deletes(spark, path, branch="dev")
+    c = TF._read_commit(path, v)
+    assert c["maintenance"] and "deletes" not in c
+    assert len(c["pos_deletes"]) == 1
+    assert TF.resolve_ref(path, "dev") == v
+    dev = sorted(r.k for r in TF.read_ref(spark, path, "dev").collect())
+    assert dev == list(range(5, 90))
+    main = sorted(r.k for r in TF.read_ref(spark, path, "main").collect())
+    assert main == list(range(100))
