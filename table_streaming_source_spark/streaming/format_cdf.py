@@ -217,6 +217,9 @@ def _cdf_rows(path: str, v: int, cols: list[str]) -> list[tuple]:
             "merge_key — not CDF-classifiable; start the stream after it"
         )
     key = c["merge_key"]
+    # a projection may exclude the merge key: classification still
+    # joins on it, so read it alongside and let tag() project it away
+    read_cols = cols if key in cols else cols + [key]
     post_files = [f for f in c["files"] if f.get("seq") == v]
     carried = {f["path"] for f in c["files"]}
     rewritten = [
@@ -225,20 +228,22 @@ def _cdf_rows(path: str, v: int, cols: list[str]) -> list[tuple]:
         if f["path"] not in carried
     ]
     TF._require_files(path, rewritten + post_files, v)
-    pre = _resolve_pandas(path, base, cols, subset=rewritten)
+    pre = _resolve_pandas(path, base, read_cols, subset=rewritten)
     post = _concat(
         [
-            _file_frame(os.path.join(path, f["path"]), cols)
+            _file_frame(os.path.join(path, f["path"]), read_cols)
             for f in post_files
         ],
-        cols,
+        read_cols,
     )
     out = []
     out += tag(post[~post[key].isin(set(pre[key]))], "insert")
     out += tag(pre[~pre[key].isin(set(post[key]))], "delete")
     others = [col for col in cols if col != key]
+    if not others:
+        return out  # projection holds only the key — no update pairs
     both = post.merge(
-        pre[cols], on=key, suffixes=("", "__pre")
+        pre[read_cols], on=key, suffixes=("", "__pre")
     )
     if len(both):
         mask = None
@@ -249,7 +254,7 @@ def _cdf_rows(path: str, v: int, cols: list[str]) -> list[tuple]:
         out += tag(changed, "update_postimage")
         pre_img = changed[
             [key] + [f"{col}__pre" for col in others]
-        ].rename(columns={f"{col}__pre": col for col in others})[cols]
+        ].rename(columns={f"{col}__pre": col for col in others})
         out += tag(pre_img, "update_preimage")
     return out
 
@@ -301,6 +306,10 @@ class CdfDataSource(DataSource):
     - ``path``: table-format root (required)
     - ``ref``: branch/tag whose lineage to tail (default: main when
       refs exist, else the linear head)
+    - ``columns``: comma-separated projection — the stream of the
+      PROJECTED table, same semantics as the batch
+      ``read_cdf(columns=)``: a merge row whose change lies entirely
+      outside the projection emits no update pair
 
     Schema: the table's columns + ``_change_type`` (string) +
     ``_commit_version`` (int)."""
@@ -338,6 +347,22 @@ class CdfDataSource(DataSource):
                 "format_cdf: empty table; pass an explicit schema"
             )
         base = from_arrow_schema(pa.unify_schemas(schemas))
+        want = self.options.get("columns")
+        if want:
+            keep = [c.strip() for c in want.split(",")]
+            known = {f.name for f in base.fields}
+            missing = [c for c in keep if c not in known]
+            if missing:
+                raise ValueError(
+                    f"format_cdf: unknown columns {missing}"
+                )
+            order = {c: i for i, c in enumerate(keep)}
+            base = StructType(
+                sorted(
+                    (f for f in base.fields if f.name in order),
+                    key=lambda f: order[f.name],
+                )
+            )
         return StructType(
             # every data column is nullable: pre-evolution commits
             # null-backfill later columns, delete legs may carry NULLs

@@ -3059,3 +3059,96 @@ def test_compact_deletes_on_a_branch(spark, tmp_path):
     assert dev == list(range(5, 90))
     main = sorted(r.k for r in TF.read_ref(spark, path, "main").collect())
     assert main == list(range(100))
+
+
+def test_streaming_cdf_columns_projection_parity(spark, tmp_path):
+    """The streaming CDF source's ``columns`` option matches the batch
+    ``read_cdf(columns=)`` row-for-row — including the projected-table
+    semantics that a merge row whose change lies entirely OUTSIDE the
+    projection emits no update pair, and a projection that excludes
+    the merge key still classifies on it."""
+    from table_streaming_source_spark.streaming.format_cdf import (
+        register_format_cdf,
+    )
+
+    path = str(tmp_path / "cdfcols")
+    TF.create_table(path)
+    df = spark.range(40).selectExpr(
+        "id as k", "cast(id as double) as v", "repeat('y', 8) as w"
+    )
+    TF.commit_append(spark, path, df, stat_cols=["k"])               # v1
+    changes = spark.createDataFrame(
+        [(3, 99.0, "yyyyyyyy", "U"),   # v changed → in projection
+         (4, 4.0, "CHANGED", "U"),     # only w changed → outside
+         (-1, 1.0, "new", "I")],
+        "k long, v double, w string, op string",
+    )
+    TF.commit_merge(spark, path, changes, key="k", stat_cols=["k"])  # v2
+    batch = sorted(
+        (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in TF.read_cdf(
+            spark, path, from_version=0, columns=["k", "v"]
+        ).collect()
+    )
+    register_format_cdf(spark)
+    stream = (
+        spark.readStream.format("format_cdf")
+        .option("path", path)
+        .option("columns", "k,v")
+        .load()
+    )
+    assert stream.columns == ["k", "v", "_change_type",
+                              "_commit_version"]
+    name = "__cdf_cols_parity"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    streamed = sorted(
+        (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in spark.table(name).collect()
+    )
+    spark.catalog.dropTempView(name)
+    assert streamed == batch
+    kinds = {(k, c) for k, _, c, _ in streamed}
+    assert (3, "update_postimage") in kinds
+    assert (4, "update_postimage") not in kinds  # outside projection
+    assert (-1, "insert") in kinds
+    # projection EXCLUDING the merge key still classifies on it
+    vonly = (
+        spark.readStream.format("format_cdf")
+        .option("path", path)
+        .option("columns", "v")
+        .load()
+    )
+    assert vonly.columns == ["v", "_change_type", "_commit_version"]
+    q = (
+        vonly.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    got = sorted(
+        (r["v"], r["_change_type"], r["_commit_version"])
+        for r in spark.table(name).collect()
+    )
+    spark.catalog.dropTempView(name)
+    want = sorted(
+        (r["v"], r["_change_type"], r["_commit_version"])
+        for r in TF.read_cdf(
+            spark, path, from_version=0, columns=["v"]
+        ).collect()
+    )
+    assert got == want
