@@ -52,6 +52,21 @@ def parse_ini(text: str) -> list[tuple[str, str, str]]:
     return out
 
 
+def _try_int32(value: str) -> int | None:
+    """TRY_CAST(value AS INTEGER): the int32 value, or None when the
+    text is not a plain in-range integer.  ``int()`` is the arbiter —
+    a digit-shape pre-filter accepts ``--5`` (lstrip strips BOTH signs)
+    and anything past int32 range would later fail the Int32 Series
+    build as a task error instead of a NULL cell."""
+    if "_" in value:  # Python's int() accepts 5_0; SQL casts do not
+        return None
+    try:
+        n = int(value)
+    except ValueError:
+        return None
+    return n if -(2**31) <= n < 2**31 else None
+
+
 def ini_rows(
     df: DataFrame, *, text_col: str = "ini", key: str = "key"
 ) -> DataFrame:
@@ -69,11 +84,7 @@ def ini_rows(
                     rows["section"].append(section)
                     rows["prop"].append(prop)
                     rows["value"].append(value)
-                    rows["value_int"].append(
-                        int(value)
-                        if value.lstrip("-").isdigit()
-                        else None
-                    )
+                    rows["value_int"].append(_try_int32(value))
             yield pd.DataFrame(
                 {
                     "key": pd.Series(rows["key"], dtype="int64"),

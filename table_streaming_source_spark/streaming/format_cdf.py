@@ -88,6 +88,11 @@ def _resolve_pandas(
         else TF._snapshot_file_dicts(path, version)
     )
     keys = TF._key_cols(key) if key is not None else []
+    # a projection may exclude the delete-key columns: the anti-join
+    # below still needs them, so read them alongside and project back
+    # at the end — the streaming twin of batch read_cdf(columns=)'s
+    # scan-full-then-project handling of outstanding equality deletes
+    read_cols = cols + [k for k in keys if k not in cols]
     eq_frames: dict[str, object] = {}
     for d in eq:
         import pyarrow.parquet as pq
@@ -103,7 +108,7 @@ def _resolve_pandas(
     frames = []
     for f in file_dicts:
         ap = os.path.abspath(os.path.join(path, f["path"]))
-        pdf = _file_frame(ap, cols)
+        pdf = _file_frame(ap, read_cols)
         dead = pos_by_file.get(ap)
         if dead:
             pdf = pdf[~pdf["__pos"].isin(sorted(dead))]
@@ -121,7 +126,8 @@ def _resolve_pandas(
                 columns="_merge"
             )
         frames.append(pdf)
-    return _concat(frames, cols)
+    out = _concat(frames, read_cols)
+    return out[cols + ["__file", "__pos"]]
 
 
 def _neq(a, b):
@@ -169,7 +175,10 @@ def _cdf_rows(path: str, v: int, cols: list[str]) -> list[tuple]:
             ]
             if cand:
                 TF._require_files(path, cand + new_eq, v)
-                resolved = _resolve_pandas(path, base, cols, subset=cand)
+                # widen past a projection that excludes the delete key:
+                # classification joins on it; tag() projects it away
+                dcols = cols + [k for k in keys if k not in cols]
+                resolved = _resolve_pandas(path, base, dcols, subset=cand)
                 kdf = pd.concat(
                     [
                         pq.read_table(
@@ -336,10 +345,14 @@ class CdfDataSource(DataSource):
         while v is not None:
             c = TF._read_commit(path, v)
             if c["files"]:
+                # prefer a file of the commit's OWN generation: a merge
+                # commit lists carried survivors first, so files[0] can
+                # be a pre-evolution file and a column only ever
+                # introduced through merges would be silently dropped
+                own = [f for f in c["files"] if f.get("seq") == v]
+                pick = (own or c["files"])[0]
                 schemas.append(
-                    pq.read_schema(
-                        os.path.join(path, c["files"][0]["path"])
-                    )
+                    pq.read_schema(os.path.join(path, pick["path"]))
                 )
             v = c["parent"] if c["parent"] is not None else c.get("prev")
         if not schemas:

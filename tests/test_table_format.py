@@ -3152,3 +3152,129 @@ def test_streaming_cdf_columns_projection_parity(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_streaming_cdf_projection_excluding_eq_delete_key(spark, tmp_path):
+    """Round-11 ADVICE fix: a ``columns`` projection that EXCLUDES the
+    equality-delete key must not crash the stream — the delete leg
+    joins on the key, so the pandas reads widen to include it and
+    project back, matching the batch ``read_cdf(columns=)`` which
+    scans full schema and projects in ``_tag``.  Covers both the
+    delete commit itself (``_cdf_rows``'s eq leg) and a later commit
+    whose pre-image resolve applies the OUTSTANDING delete
+    (``_resolve_pandas``)."""
+    from table_streaming_source_spark.streaming.format_cdf import (
+        register_format_cdf,
+    )
+
+    path = str(tmp_path / "cdfdelproj")
+    TF.create_table(path)
+    df = spark.range(30).selectExpr("id as k", "cast(id*10 as double) as v")
+    TF.commit_append(spark, path, df, stat_cols=["k"])               # v1
+    TF.commit_delete_keys(spark, path, df.filter("k < 3"), key="k")  # v2
+    # v3: a merge rewriting files that still carry v2's outstanding
+    # equality delete — its pre-image resolve must subtract k<3 even
+    # though the projection excludes k
+    TF.commit_merge(                                                 # v3
+        spark, path,
+        spark.createDataFrame([(7, 777.0, "U")],
+                              "k long, v double, op string"),
+        key="k", stat_cols=["k"],
+    )
+    want = sorted(
+        (r["v"], r["_change_type"], r["_commit_version"])
+        for r in TF.read_cdf(
+            spark, path, from_version=0, columns=["v"]
+        ).collect()
+    )
+    register_format_cdf(spark)
+    stream = (
+        spark.readStream.format("format_cdf")
+        .option("path", path)
+        .option("columns", "v")
+        .load()
+    )
+    assert stream.columns == ["v", "_change_type", "_commit_version"]
+    name = "__cdf_delkey_proj"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    got = sorted(
+        (r["v"], r["_change_type"], r["_commit_version"])
+        for r in spark.table(name).collect()
+    )
+    spark.catalog.dropTempView(name)
+    assert got == want
+    assert (0.0, "delete", 2) in got and (20.0, "delete", 2) in got
+    assert (70.0, "update_preimage", 3) in got
+    assert (777.0, "update_postimage", 3) in got
+    # the outstanding delete stayed subtracted in v3's pre-image
+    assert (0.0, "update_preimage", 3) not in got
+
+
+def test_cdf_stream_schema_sees_merge_introduced_column(spark, tmp_path):
+    """Round-11 ADVICE fix: ``CdfDataSource.schema()`` unifies one
+    footer per commit, preferring a file of the commit's OWN
+    generation — a merge commit lists carried survivors first, so
+    ``files[0]`` can be a pre-evolution file and a column introduced
+    ONLY by merges (never a pure append) would silently vanish from
+    the stream while the batch read_cdf emits it."""
+    from table_streaming_source_spark.streaming.format_cdf import (
+        CdfDataSource,
+        register_format_cdf,
+    )
+
+    path = str(tmp_path / "cdfmergecol")
+    TF.create_table(path)
+    old = spark.range(10, 30).selectExpr(
+        "id as k", "cast(id as double) as v"
+    )
+    TF.commit_append(spark, path, old, stat_cols=["k"])              # v1
+    # v2: insert-only merge whose keys fall OUTSIDE every file range —
+    # no file is rewritten (all survivors carried, listed first) and
+    # the new data file introduces column ``tag``
+    ins = spark.createDataFrame(
+        [(1, 100.0, "t1", "I"), (2, 200.0, "t2", "I")],
+        "k long, v double, tag string, op string",
+    )
+    TF.commit_merge(spark, path, ins, key="k", stat_cols=["k"])      # v2
+    c = TF._read_commit(path, 2)
+    own = [f for f in c["files"] if f.get("seq") == 2]
+    assert own and c["files"][0].get("seq") != 2  # survivors lead
+    ds = CdfDataSource(options={"path": path})
+    names = [f.name for f in ds.schema().fields]
+    assert names == ["k", "v", "tag", "_change_type", "_commit_version"]
+    # and the stream emits the column, matching batch
+    want = sorted(
+        (r["k"], r["tag"], r["_change_type"], r["_commit_version"])
+        for r in TF.read_cdf(spark, path, from_version=0).collect()
+    )
+    register_format_cdf(spark)
+    name = "__cdf_merge_col"
+    q = (
+        spark.readStream.format("format_cdf").option("path", path).load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    got = sorted(
+        (r["k"], r["tag"], r["_change_type"], r["_commit_version"])
+        for r in spark.table(name).collect()
+    )
+    spark.catalog.dropTempView(name)
+    assert got == want
+    assert (1, "t1", "insert", 2) in got
