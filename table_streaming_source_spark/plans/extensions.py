@@ -17276,3 +17276,80 @@ FROM cues GROUP BY doc_id, n
 QUERIES_DEFERRED.update(
     {"multimodal_webvtt_cues": q_multimodal_webvtt_cues}
 )
+
+
+def q_format_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch SQL front door for the table format
+    (`sources/format_batch.py` — the Spark 4 Python ``DataSource``
+    over the commit log): the snapshot becomes a plain SQL relation
+    via ``CREATE TEMPORARY VIEW ... USING table_format``, time travel
+    is an OPTION, the read is MERGE-ON-READ by default (the SQL user
+    never sees deleted rows), and a pushed range predicate prunes
+    manifest files BEFORE planning (`pushFilters` → per-file [min,
+    max], one input partition per surviving file).  This is the
+    engine-side answer to the reference's SQL-explorable-tables
+    contract (`TableStreamingSource.java:66-69`)."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+    from table_streaming_source_spark.sources.format_batch import (
+        register_table_format,
+    )
+
+    path = _scratch.scratch_dir("format_sql", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    TF.commit_append(                                                # v1
+        spark, path,
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    TF.commit_delete_keys(                                           # v2
+        spark, path,
+        o.filter((F.col("o_orderkey") % 50 == 0)
+                 & (F.col("o_orderkey") > 0)),
+        key="o_orderkey",
+    )
+    register_table_format(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    view = f"fmt_sql_{_scratch.deterministic_tag(sf_dir)}"
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW {view} "
+        f"USING table_format OPTIONS (path '{path}')"
+    )
+    result = spark.sql(
+        f"""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+        FROM {view}
+        WHERE o_orderkey % 7 = 3
+        GROUP BY o_orderstatus
+        """
+    ).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(view)
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_sql_read"] = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+FROM orders
+WHERE o_orderkey % 7 = 3
+  AND NOT (o_orderkey % 50 = 0 AND o_orderkey > 0)
+GROUP BY o_orderstatus
+"""
+
+
+QUERIES_DEFERRED.update({"format_sql_read": q_format_sql_read})

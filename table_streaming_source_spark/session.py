@@ -49,6 +49,11 @@ def get_spark(
         )
         # Arrow for any pandas-UDF / toPandas path (vectorized transfer).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource filter pushdown: the table-format batch
+        # source (sources/format_batch.py) prunes manifest files from
+        # pushed predicates; without this conf a reader overriding
+        # pushFilters errors at plan time.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Deterministic timestamp semantics for oracle comparison.  The
         # fixture parquet stores tz-naive timestamps (isAdjustedToUTC=false);
         # reading them as TIMESTAMP_NTZ would break watermarks (Spark

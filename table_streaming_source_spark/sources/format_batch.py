@@ -1,0 +1,340 @@
+"""Batch ``DataSource`` front door for the table format — the
+``spark.read.format("table_format")`` / SQL surface over
+``table_format.py``, so a user can query, time-travel, and write the
+format WITHOUT importing this library (the reference's own contract is
+SQL-explorable tables, `TableStreamingSource.java:66-69`; its Delta /
+Iceberg analogues are ``spark.read.format("delta")`` and
+``CREATE TEMPORARY VIEW ... USING``).
+
+READ — options:
+
+- ``path``: table root (required)
+- ``version``: time travel to an exact commit version
+- ``ref``: branch/tag name (Iceberg ``VERSION AS OF 'branch'``);
+  mutually exclusive with ``version``
+- ``mor``: ``true`` (default) reads the MERGE-ON-READ view —
+  outstanding equality/positional deletes subtracted, matching
+  ``read_table_mor`` — because the SQL user must never see deleted
+  rows; ``false`` is the raw data-file view (``read_table``)
+
+Scale shape: ``partitions()`` plans ONE INPUT PARTITION PER DATA FILE
+from the manifest (a 10⁵-file snapshot fans out 10⁵ tasks wide, no
+driver materialization), and ``pushFilters`` prunes files against the
+manifest's per-file [min, max] ranges and null counts BEFORE planning —
+the same lossless stats pruning ``snapshot_files(prune=)`` does, now
+reachable from plain SQL predicates.  Every filter is returned to
+Spark for re-evaluation, so pruning can only skip I/O, never rows.
+Executors stream their file through pyarrow and yield ARROW batches
+(vectorized transfer, no per-row Python).
+
+WRITE — ``df.write.format("table_format").mode("append"|"overwrite")``:
+each task stages one parquet file under the table's data dir
+(uncommitted files are invisible by the commit-log contract) and the
+driver-side ``commit`` publishes ONE commit — append chains the head,
+overwrite publishes a full-snapshot replace.  ``statCols`` (comma
+list; default: every top-level column) selects manifest stat columns.
+
+SQL: after ``register_table_format(spark)``,
+
+    CREATE TEMPORARY VIEW orders_t
+    USING table_format OPTIONS (path '/data/orders', version '7')
+
+makes the snapshot a plain SQL relation.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualNullSafe,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from table_streaming_source_spark import table_format as TF
+
+
+def _resolve_version(options: dict) -> int:
+    path = options["path"]
+    version = options.get("version")
+    ref = options.get("ref")
+    if version is not None and ref is not None:
+        raise ValueError(
+            "table_format: pass 'version' OR 'ref', not both"
+        )
+    if version is not None:
+        return int(version)
+    return TF.resolve_ref(path, ref)
+
+
+def _unified_arrow_schema(path: str, head: int):
+    """The latest MERGED schema across additive evolution: one footer
+    per lineage commit, preferring a file of the commit's OWN
+    generation (merge commits list carried survivors first — same rule
+    as the CDF stream's schema)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schemas = []
+    v: int | None = head
+    while v is not None:
+        c = TF._read_commit(path, v)
+        if c["files"]:
+            own = [f for f in c["files"] if f.get("seq") == v]
+            pick = (own or c["files"])[0]
+            schemas.append(
+                pq.read_schema(os.path.join(path, pick["path"]))
+            )
+        v = c["parent"] if c["parent"] is not None else c.get("prev")
+    if not schemas:
+        raise ValueError(
+            "table_format: empty table; pass an explicit schema"
+        )
+    return pa.unify_schemas(schemas)
+
+
+def _range_prunes(f: dict, col: str, lo, hi) -> bool:
+    """True when file ``f`` provably holds no row with col in
+    [lo, hi] (inclusive; pass None for an open end)."""
+    rng = f["stats"].get(col)
+    if rng is None:
+        return False  # no stats → cannot prove absence → keep
+    if lo is not None and rng[1] < lo:
+        return True
+    if hi is not None and rng[0] > hi:
+        return True
+    return False
+
+
+class TableFormatReader(DataSourceReader):
+    """One input partition per manifest data file; executor-side MOR
+    resolution through the same pandas algebra as the streaming CDF
+    source (``format_cdf._resolve_pandas``)."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self._path = options["path"]
+        self._version = _resolve_version(options)
+        self._mor = str(options.get("mor", "true")).lower() != "false"
+        self._cols = list(schema.fieldNames())
+        self._schema = schema
+        # (col, lo, hi) closed ranges + null-kind prunes collected from
+        # pushFilters; partitions() applies them to the manifest
+        self._ranges: list[tuple[str, object, object]] = []
+        self._null_prunes: list[tuple[str, str]] = []
+
+    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        stat_cols = {
+            c
+            for f in TF._snapshot_file_dicts(self._path, self._version)
+            for c in f["stats"]
+        }
+        out = []
+        for flt in filters:
+            attr = getattr(flt, "attribute", None)
+            col = attr[0] if attr and len(attr) == 1 else None
+            if col in stat_cols:
+                if isinstance(flt, (EqualTo, EqualNullSafe)):
+                    self._ranges.append((col, flt.value, flt.value))
+                elif isinstance(flt, GreaterThan):
+                    self._ranges.append((col, flt.value, None))
+                elif isinstance(flt, GreaterThanOrEqual):
+                    self._ranges.append((col, flt.value, None))
+                elif isinstance(flt, LessThan):
+                    self._ranges.append((col, None, flt.value))
+                elif isinstance(flt, LessThanOrEqual):
+                    self._ranges.append((col, None, flt.value))
+                elif isinstance(flt, IsNull):
+                    self._null_prunes.append((col, "isnull"))
+                elif isinstance(flt, IsNotNull):
+                    self._null_prunes.append((col, "notnull"))
+            # every filter goes back to Spark: manifest stats prune
+            # FILES (strict > / < bounds are safely widened to ≥ / ≤),
+            # Spark still evaluates rows — pruning is lossless
+            out.append(flt)
+        return out
+
+    def _kept_files(self) -> list[dict]:
+        kept = []
+        for f in TF._snapshot_file_dicts(self._path, self._version):
+            if any(
+                _range_prunes(f, col, lo, hi)
+                for col, lo, hi in self._ranges
+            ):
+                continue
+            skip = False
+            for col, kind in self._null_prunes:
+                nc = f.get("nulls", {}).get(col)
+                if nc is None:
+                    continue
+                if kind == "isnull" and nc == 0:
+                    skip = True
+                if kind == "notnull" and nc == f["rows"]:
+                    skip = True
+            if not skip:
+                kept.append(f)
+        return kept
+
+    def partitions(self) -> Sequence[InputPartition]:
+        parts = [
+            InputPartition(
+                (self._path, self._version, self._mor,
+                 tuple(self._cols), f)
+            )
+            for f in self._kept_files()
+        ]
+        return parts or [
+            InputPartition(
+                (self._path, self._version, self._mor,
+                 tuple(self._cols), None)
+            )
+        ]
+
+    def read(self, partition: InputPartition) -> Iterator:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from table_streaming_source_spark.streaming.format_cdf import (
+            _file_frame,
+            _resolve_pandas,
+        )
+
+        path, version, mor, cols, f = partition.value
+        if f is None:
+            return
+        cols = list(cols)
+        if mor:
+            pdf = _resolve_pandas(path, version, cols, subset=[f])
+        else:
+            pdf = _file_frame(os.path.join(path, f["path"]), cols)
+        target = to_arrow_schema(self._schema)
+        table = pa.Table.from_pandas(
+            pdf[cols], schema=target, preserve_index=False, safe=False
+        )
+        yield from table.to_batches()
+
+
+class _StagedFile(WriterCommitMessage):
+    def __init__(self, staged: str, rows: int):
+        self.staged = staged
+        self.rows = rows
+
+
+class TableFormatWriter(DataSourceArrowWriter):
+    """Stage-then-publish: tasks write parquet under the table's data
+    dir (invisible until committed — readers resolve the LOG, never a
+    listing), the driver-side ``commit`` publishes exactly one commit.
+    ``overwrite`` publishes a full-snapshot replace (``parent: None``,
+    ``prev``: the pinned base — content changes, so NOT maintenance);
+    append chains the head.  A lost commit race or abort leaves only
+    vacuum-sweepable orphans."""
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self._path = options["path"]
+        self._overwrite = overwrite
+        self._stat_cols = [
+            c.strip()
+            for c in options.get("statCols", "").split(",")
+            if c.strip()
+        ]
+        self._stage = f"dsw-{uuid.uuid4().hex[:12]}"
+
+    def write(self, iterator) -> _StagedFile:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = list(iterator)
+        if not batches:  # empty task partition: nothing to stage
+            return _StagedFile("", 0)
+        table = pa.Table.from_batches(batches)
+        d = os.path.join(TF._data_dir(self._path), self._stage)
+        os.makedirs(d, exist_ok=True)
+        staged = os.path.join(d, f"part-{uuid.uuid4().hex}.parquet")
+        pq.write_table(table, staged)
+        return _StagedFile(staged, table.num_rows)
+
+    def commit(self, messages) -> None:
+        base, new_v = TF._resolve_write_target(self._path, None, None)
+        stat_cols = self._stat_cols or None
+        entries = []
+        for m in messages:
+            if m is None or not m.staged:
+                continue
+            if stat_cols is None:
+                import pyarrow.parquet as pq
+
+                stat_cols = pq.read_schema(m.staged).names
+            st = TF._file_stats(m.staged, stat_cols)
+            entry = {
+                "path": os.path.relpath(m.staged, self._path),
+                "rows": st["rows"],
+                "stats": st["cols"],
+                "seq": new_v,
+            }
+            if st["nulls"]:
+                entry["nulls"] = st["nulls"]
+            entries.append(entry)
+        if self._overwrite:
+            payload = {
+                "version": new_v,
+                "files": entries,
+                "parent": None,
+                "prev": base,
+            }
+        else:
+            payload = {
+                "version": new_v,
+                "files": entries,
+                "parent": base,
+            }
+        TF._write_commit(self._path, new_v, payload)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.staged and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
+class TableFormatDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "table_format"
+
+    def schema(self):
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("table_format requires option 'path'")
+        head = _resolve_version(dict(self.options))
+        base = from_arrow_schema(_unified_arrow_schema(path, head))
+        # every column nullable: pre-evolution files null-backfill
+        return StructType(
+            [f.__class__(f.name, f.dataType, True) for f in base.fields]
+        )
+
+    def reader(self, schema: StructType) -> TableFormatReader:
+        return TableFormatReader(schema, dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("table_format requires option 'path'")
+        return TableFormatWriter(dict(self.options), overwrite)
+
+
+def register_table_format(spark) -> None:
+    spark.dataSource.register(TableFormatDataSource)

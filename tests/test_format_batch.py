@@ -1,0 +1,164 @@
+"""Batch DataSource / SQL front door for the table format
+(``sources/format_batch.py``): ``spark.read.format("table_format")``
+must equal the library reads (`read_table`/`read_table_mor`), prune
+from pushed predicates, time-travel via option and from SQL, and the
+writer must publish real commits with the stage-then-publish
+protocol."""
+
+import pytest
+
+from table_streaming_source_spark import table_format as TF
+from table_streaming_source_spark.sources.format_batch import (
+    register_table_format,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "fmt")
+    TF.create_table(path)
+    df = spark.range(100).selectExpr("id as k", "cast(id*2 as double) as v")
+    TF.commit_append(                                                # v1
+        spark, path,
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stat_cols=["k"],
+    )
+    TF.commit_delete_keys(spark, path, df.filter("k < 5"), key="k")  # v2
+    register_table_format(spark)
+    return path
+
+
+def test_batch_read_equals_library_reads(spark, table):
+    got = spark.read.format("table_format").option("path", table).load()
+    want = TF.read_table_mor(spark, table)
+    assert sorted((r.k, r.v) for r in got.collect()) == sorted(
+        (r.k, r.v) for r in want.collect()
+    )
+    raw = (
+        spark.read.format("table_format")
+        .option("path", table).option("mor", "false").load()
+    )
+    want_raw = TF.read_table(spark, table)
+    assert sorted(r.k for r in raw.collect()) == sorted(
+        r.k for r in want_raw.collect()
+    )
+
+
+def test_batch_read_time_travel_version_option(spark, table):
+    v1 = (
+        spark.read.format("table_format")
+        .option("path", table).option("version", "1").load()
+    )
+    assert v1.count() == 100
+    want = TF.read_table(spark, table, version=1)
+    assert sorted(r.k for r in v1.collect()) == sorted(
+        r.k for r in want.collect()
+    )
+    with pytest.raises(Exception, match="not both"):
+        (
+            spark.read.format("table_format")
+            .option("path", table)
+            .option("version", "1")
+            .option("ref", "main")
+            .load()
+            .count()
+        )
+
+
+def test_batch_read_prunes_files_from_pushed_filters(spark, table):
+    """The manifest's per-file [min, max] ranges prune input partitions
+    from a plain ``.filter(...)`` — 4 range-partitioned files, a
+    predicate inside ONE file's range plans one partition — and the
+    pruned read equals the unpruned filtered read (lossless)."""
+    r = spark.read.format("table_format").option("path", table).load()
+    full = r.rdd.getNumPartitions()
+    assert full == 4
+    flt = r.filter("k >= 80")
+    assert flt.rdd.getNumPartitions() == 1
+    assert sorted(x.k for x in flt.collect()) == list(range(80, 100))
+    eq = r.filter("k = 50")
+    assert eq.rdd.getNumPartitions() == 1
+    assert [x.k for x in eq.collect()] == [50]
+
+
+def test_batch_read_ref_and_sql_views(spark, table):
+    TF.create_branch(table, "dev")
+    TF.commit_append(
+        spark, table,
+        spark.range(1000, 1010).selectExpr(
+            "id as k", "cast(0 as double) as v"
+        ),
+        stat_cols=["k"], branch="dev",
+    )
+    dev = (
+        spark.read.format("table_format")
+        .option("path", table).option("ref", "dev").load()
+    )
+    assert dev.filter("k >= 1000").count() == 10
+    main = (
+        spark.read.format("table_format")
+        .option("path", table).option("ref", "main").load()
+    )
+    assert main.filter("k >= 1000").count() == 0
+    # plain SQL: CREATE TEMPORARY VIEW ... USING table_format
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW fmt_sql "
+        f"USING table_format OPTIONS (path '{table}')"
+    )
+    n = spark.sql("SELECT count(*) AS n FROM fmt_sql").collect()[0].n
+    assert n == 95
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW fmt_sql_v1 "
+        f"USING table_format OPTIONS (path '{table}', version '1')"
+    )
+    assert (
+        spark.sql("SELECT count(*) AS n FROM fmt_sql_v1").collect()[0].n
+        == 100
+    )
+    spark.catalog.dropTempView("fmt_sql")
+    spark.catalog.dropTempView("fmt_sql_v1")
+
+
+def test_batch_write_append_and_overwrite(spark, table):
+    spark.range(100, 110).selectExpr(
+        "id as k", "cast(id*2 as double) as v"
+    ).write.format("table_format").mode("append").save(table)
+    v = TF.latest_version(table)
+    c = TF._read_commit(table, v)
+    assert c["parent"] == v - 1            # append chains the head
+    assert all(f["seq"] == v for f in c["files"])
+    assert all("stats" in f and "k" in f["stats"] for f in c["files"])
+    got = TF.read_table_mor(spark, table)
+    assert got.count() == 105              # MOR deletes still apply
+    spark.range(7).selectExpr(
+        "id as k", "cast(0 as double) as v"
+    ).write.format("table_format").mode("overwrite").save(table)
+    head = TF.latest_version(table)
+    c2 = TF._read_commit(table, head)
+    assert c2["parent"] is None and c2["prev"] == v   # full replace
+    assert TF.read_table(spark, table).count() == 7
+    # time travel through the overwrite still resolves
+    old = (
+        spark.read.format("table_format")
+        .option("path", table).option("version", str(v)).load()
+    )
+    assert old.count() == 105
+
+
+def test_batch_read_schema_evolution(spark, tmp_path):
+    path = str(tmp_path / "fmtevo")
+    TF.create_table(path)
+    TF.commit_append(
+        spark, path, spark.range(10).selectExpr("id as k"),
+        stat_cols=["k"],
+    )
+    TF.commit_append(
+        spark, path,
+        spark.range(10, 15).selectExpr("id as k", "'x' as tag"),
+        stat_cols=["k"],
+    )
+    register_table_format(spark)
+    r = spark.read.format("table_format").option("path", path).load()
+    assert [f.name for f in r.schema.fields] == ["k", "tag"]
+    rows = {x.k: x.tag for x in r.collect()}
+    assert rows[3] is None and rows[12] == "x"
