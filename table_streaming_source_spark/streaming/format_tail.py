@@ -11,18 +11,25 @@ rewrites data, and a change-tailing consumer there needs CDC semantics
 (per-row change files) — this source, like Delta's default, is for the
 append pipeline and documents that boundary.
 
-Rows flow through the driver (``SimpleDataSourceStreamReader``) via a
-pyarrow scan — matching the Spark 4 simple-reader API; a
-partition-distributed variant implements ``DataSourceStreamReader`` with
-per-file partitions, same offset algebra.
-"""
+Scale shape: PARTITION-PLANNED (the full ``DataSourceStreamReader``
+API — the same round-10 treatment the CDF stream got in
+``format_cdf.py``): ``partitions()`` emits one input partition per
+NEW DATA FILE in the offset range, so a micro-batch spanning a large
+append fans out file-wide across executors instead of serializing
+every row through the driver.  Executors read their file via pyarrow
+with null-backfill across additive schema evolution (shared
+``_file_frame``)."""
 
 from __future__ import annotations
 
 import os
-from typing import Iterator, Tuple
+from typing import Iterator, Sequence, Tuple
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 from table_streaming_source_spark import table_format as TF
@@ -74,24 +81,17 @@ def _lineage_commits(path: str, start_v: int, end_v: int) -> list[int]:
     return sorted(out)
 
 
-def _scan_rows(files: list[str], schema: StructType) -> list[tuple]:
-    import pyarrow.dataset as ds
-
-    if not files:
-        return []
-    table = ds.dataset(files, format="parquet").to_table(
-        columns=list(schema.fieldNames())
-    )
-    cols = [table.column(n).to_pylist() for n in schema.fieldNames()]
-    return list(zip(*cols)) if cols else []
-
-
-class CommitLogStreamReader(SimpleDataSourceStreamReader):
-    """Offset = last processed commit version; a batch is the rows of
-    every commit in ``(start, head]``."""
+class CommitLogStreamReader(DataSourceStreamReader):
+    """Offset = last processed commit version on the tailed lineage; a
+    batch is the rows of every commit in ``(start, head]``, one INPUT
+    PARTITION PER NEW DATA FILE (executor-side reads — a big append
+    commit fans out as wide as it has files, never through the
+    driver).  Deterministic replay: commits are immutable and the end
+    offset pins the lineage, so the same window always plans the same
+    partitions."""
 
     def __init__(self, schema: StructType, options: dict) -> None:
-        self._schema = schema
+        self._cols = list(schema.fieldNames())
         self._path = options["path"]
         # the ref whose lineage this tail follows (Iceberg semantics:
         # you tail a BRANCH).  Default None = main when refs exist,
@@ -101,33 +101,38 @@ class CommitLogStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"version": 0}  # v0 is the empty create-table commit
 
-    def read(self, start: dict) -> Tuple[Iterator[tuple], dict]:
-        head = TF.resolve_ref(self._path, self._ref)
-        rows: list[tuple] = []
-        for v in _lineage_commits(self._path, start["version"], head):
-            rows.extend(
-                _scan_rows(
-                    _commit_new_files(self._path, v), self._schema
-                )
-            )
-        return iter(rows), {"version": head}
+    def latestOffset(self) -> dict:
+        return {"version": TF.resolve_ref(self._path, self._ref)}
 
-    def readBetweenOffsets(
+    def partitions(
         self, start: dict, end: dict
-    ) -> Iterator[tuple]:
-        # deterministic replay: commits are immutable and the end
-        # offset pins the lineage, so the same window always yields
-        # the same rows
-        rows: list[tuple] = []
-        for v in _lineage_commits(
-            self._path, start["version"], end["version"]
-        ):
-            rows.extend(
-                _scan_rows(
-                    _commit_new_files(self._path, v), self._schema
-                )
+    ) -> Sequence[InputPartition]:
+        parts = [
+            InputPartition((fp, tuple(self._cols)))
+            for v in _lineage_commits(
+                self._path, start["version"], end["version"]
             )
-        return iter(rows)
+            for fp in _commit_new_files(self._path, v)
+        ]
+        # Spark requires ≥1 partition per planned batch — a window of
+        # maintenance-only commits (or another branch advancing the
+        # shared version namespace) yields one empty partition
+        return parts or [InputPartition((None, ()))]
+
+    def read(self, partition: InputPartition) -> Iterator[Tuple]:
+        from table_streaming_source_spark.streaming.format_cdf import (
+            _file_frame,
+        )
+
+        fp, cols = partition.value
+        if fp is None:
+            return iter(())
+        cols = list(cols)
+        pdf = _file_frame(fp, cols)
+        return iter(pdf[cols].itertuples(index=False, name=None))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the checkpoint; nothing to ack
 
 
 class CommitLogDataSource(DataSource):
@@ -156,9 +161,7 @@ class CommitLogDataSource(DataSource):
             ds.dataset(files, format="parquet").schema
         )
 
-    def simpleStreamReader(
-        self, schema: StructType
-    ) -> CommitLogStreamReader:
+    def streamReader(self, schema: StructType) -> CommitLogStreamReader:
         return CommitLogStreamReader(schema, dict(self.options))
 
 

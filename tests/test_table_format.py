@@ -3278,3 +3278,44 @@ def test_cdf_stream_schema_sees_merge_introduced_column(spark, tmp_path):
     spark.catalog.dropTempView(name)
     assert got == want
     assert (1, "t1", "insert", 2) in got
+
+
+def test_format_tail_partitions_fan_out_per_file(spark, tmp_path):
+    """Round-11: the plain commit-log tail is partition-planned like
+    the CDF stream — a window spanning N new data files plans N input
+    partitions (executor-side reads, a big append never serializes
+    through the driver), maintenance commits plan nothing, and
+    per-partition reads reproduce exactly that file's rows."""
+    from pyspark.sql.types import DoubleType, LongType, StructType
+
+    from table_streaming_source_spark.streaming.format_tail import (
+        CommitLogStreamReader,
+    )
+
+    path = str(tmp_path / "tailfan")
+    TF.create_table(path)
+    df = spark.range(60).selectExpr("id as k", "cast(id as double) as v")
+    TF.commit_append(                                                # v1
+        spark, path,
+        df.repartitionByRange(3, "k").sortWithinPartitions("k"),
+        stat_cols=["k"],
+    )
+    TF.commit_append(                                                # v2
+        spark, path,
+        spark.range(60, 70).selectExpr(
+            "id as k", "cast(id as double) as v"
+        ).coalesce(1),
+        stat_cols=["k"],
+    )
+    TF.commit_compact(spark, path, stat_cols=["k"])                  # v3
+    schema = StructType().add("k", LongType()).add("v", DoubleType())
+    reader = CommitLogStreamReader(schema, {"path": path})
+    parts = reader.partitions({"version": 0}, {"version": 2})
+    assert len(parts) == 4                       # 3 files + 1 file
+    rows = [row for p in parts for row in reader.read(p)]
+    assert sorted(r[0] for r in rows) == list(range(70))
+    # the maintenance compaction introduces no partitions (one empty
+    # placeholder keeps Spark's >=1-partition rule)
+    maint = reader.partitions({"version": 2}, {"version": 3})
+    assert len(maint) == 1
+    assert list(reader.read(maint[0])) == []
