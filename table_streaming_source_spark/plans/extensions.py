@@ -17353,3 +17353,102 @@ GROUP BY o_orderstatus
 
 
 QUERIES_DEFERRED.update({"format_sql_read": q_format_sql_read})
+
+
+def q_format_binpack_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bin-packed PARTIAL OPTIMIZE (`table_format.compact_binpack` —
+    Iceberg rewrite_data_files / Delta OPTIMIZE): a big base file plus
+    a small-file tail from incremental appends; compaction rewrites
+    ONLY the tail (one parallel bin here), the big file survives BY
+    PATH, outstanding equality deletes are materialized for packed
+    files and carried for the survivor, and the merge-on-read view is
+    unchanged — all asserted in-row so the oracle can state them
+    closed-form.  The commit is maintenance: CDF/tail consumers skip
+    it."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_binpack", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    total = o.count()
+    TF.commit_append(spark, path, o.coalesce(1),                     # v1
+                     stat_cols=["o_orderkey"])
+    for r in (1, 2, 3):                                              # v2-4
+        TF.commit_append(
+            spark, path,
+            o.filter(k % 10 == r).select(
+                (k + r * 10_000_000).alias("o_orderkey"),
+                "o_totalprice",
+            ).coalesce(1),
+            stat_cols=["o_orderkey"],
+        )
+    dead = o.filter((k % 100 == 7)).select("o_orderkey").unionByName(
+        o.filter((k % 10 == 1) & (k % 3 == 0)).select(
+            (k + 10_000_000).alias("o_orderkey")
+        )
+    )
+    TF.commit_delete_keys(spark, path, dead, key="o_orderkey")       # v5
+    pre = TF._snapshot_file_dicts(path, 5)
+    big_paths = {f["path"] for f in pre if f["rows"] >= total}
+    v = TF.compact_binpack(
+        spark, path, stat_cols=["o_orderkey"], target_rows=total
+    )
+    post = TF._snapshot_file_dicts(path, v)
+    c = TF._read_commit(path, v)
+    mor = TF.read_table_mor(spark, path)
+    agg = mor.agg(
+        F.count(F.lit(1)).cast("bigint").alias("mor_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    ).collect()[0]
+    result = spark.createDataFrame(
+        [
+            (
+                len(pre),
+                len(post),
+                bool(big_paths <= {f["path"] for f in post}),
+                sum(1 for f in post if f.get("seq") == v),
+                bool(c.get("maintenance", False)),
+                agg["mor_rows"],
+                agg["sum_cents"],
+            )
+        ],
+        "files_before int, files_after int, big_survived boolean, "
+        "packed_files int, maintenance boolean, mor_rows bigint, "
+        "sum_cents bigint",
+    ).localCheckpoint(eager=True)
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_binpack_compaction"] = """
+WITH base AS (SELECT o_orderkey AS k, o_totalprice FROM orders),
+live AS (
+  SELECT k, o_totalprice FROM base WHERE k % 100 <> 7
+  UNION ALL
+  SELECT k + r * 10000000, o_totalprice
+  FROM base, (VALUES (1), (2), (3)) t(r)
+  WHERE k % 10 = r AND NOT (r = 1 AND k % 3 = 0)
+)
+SELECT CAST(4 AS INT) AS files_before,
+       CAST(2 AS INT) AS files_after,
+       TRUE AS big_survived,
+       CAST(1 AS INT) AS packed_files,
+       TRUE AS maintenance,
+       CAST(COUNT(*) AS BIGINT) AS mor_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM live
+"""
+
+
+QUERIES_DEFERRED.update(
+    {"format_binpack_compaction": q_format_binpack_compaction}
+)

@@ -472,6 +472,97 @@ def commit_compact(
     return new_v
 
 
+def compact_binpack(
+    spark: SparkSession,
+    path: str,
+    *,
+    stat_cols: list[str],
+    target_rows: int = 1_000_000,
+    expected_version: int | None = None,
+    branch: str | None = None,
+) -> int:
+    """Bin-packed PARTIAL OPTIMIZE (Iceberg ``rewrite_data_files`` /
+    Delta OPTIMIZE): rewrite ONLY the data files below ``target_rows``
+    into ~target-sized ones, leave every large file untouched BY
+    REFERENCE, and publish the result as an incremental maintenance
+    commit — the change-proportional form of :func:`commit_compact`
+    (which rewrites the full snapshot in one task and stays the
+    escalation for total re-clustering).
+
+    At 100 TB this is the ONLY affordable OPTIMIZE shape: a streaming
+    ingest leaves a long tail of small files; packing just that tail
+    costs O(small bytes) in parallel tasks while the petabytes of
+    already-right-sized files never move.
+
+    Semantics:
+
+    - Outstanding MOR deletes applicable to the REWRITTEN files are
+      materialized (the rewrite reads through :func:`_mor_resolve`);
+      deletes are carried forward for the untouched files, and the new
+      files' ``seq = new_v`` keeps carried equality deletes from
+      applying to them.  Positional deletes naming a rewritten file
+      expire with it (rewrites produce new paths).
+    - The commit is flagged ``maintenance`` — logical content is
+      unchanged by construction, so CDF/tail consumers skip it.
+    - Fewer than 2 small files → nothing to pack; returns ``base``
+      with no commit.
+
+    Returns the new version (or ``base`` when no-op)."""
+    base, new_v = _resolve_write_target(path, branch, expected_version)
+    file_dicts = _snapshot_file_dicts(path, base)
+    small = [f for f in file_dicts if f["rows"] < target_rows]
+    large = [f for f in file_dicts if f["rows"] >= target_rows]
+    if len(small) < 2:
+        return base
+    del_key, outstanding = _snapshot_deletes(path, base)
+    pos_outstanding = _snapshot_pos_deletes(path, base)
+    if outstanding or pos_outstanding:
+        current = _mor_resolve(
+            spark, path, small, del_key, outstanding, pos_outstanding
+        )
+    else:
+        current = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, f["path"]) for f in small]
+        )
+    total = sum(f["rows"] for f in small)
+    n_out = max(1, -(-total // max(1, target_rows)))  # ceil
+    staging = os.path.join(
+        _data_dir(path), f"binpack-{new_v}-{uuid.uuid4().hex[:8]}"
+    )
+    # parallel write: n_out tasks, each ~target_rows — never one task
+    current.repartition(n_out).write.mode("overwrite").parquet(staging)
+    files = list(large) + _manifest_entries(
+        path, staging, stat_cols, seq=new_v
+    )
+    payload: dict = {
+        "version": new_v,
+        "files": files,
+        "parent": None,
+        "prev": base,
+        "maintenance": True,
+    }
+    if outstanding and large:
+        # equality deletes still apply to the carried large files
+        # (sequence rule untouched); the packed files sit at seq=new_v
+        # above every outstanding delete, so nothing re-applies
+        payload["deletes"] = outstanding
+        payload["delete_key"] = del_key
+    if pos_outstanding:
+        surviving = {
+            os.path.abspath(os.path.join(path, f["path"])) for f in large
+        }
+        kept_pos = [
+            d
+            for d in pos_outstanding
+            if any(p in surviving for p in d.get("paths", []))
+        ]
+        if kept_pos:
+            payload["pos_deletes"] = kept_pos
+    _write_commit(path, new_v, payload)
+    _advance_branch(path, branch, new_v, base=base)
+    return new_v
+
+
 def _snapshot_file_dicts(path: str, version: int) -> list[dict]:
     """The snapshot's manifest entries (path/rows/stats dicts)."""
     v: int | None = version

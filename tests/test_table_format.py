@@ -3319,3 +3319,111 @@ def test_format_tail_partitions_fan_out_per_file(spark, tmp_path):
     maint = reader.partitions({"version": 2}, {"version": 3})
     assert len(maint) == 1
     assert list(reader.read(maint[0])) == []
+
+
+def test_compact_binpack_rewrites_only_small_files(spark, tmp_path):
+    """Bin-packed partial OPTIMIZE: only files below target_rows are
+    rewritten (in parallel, ~target-sized outputs); large files'
+    PATHS survive the compaction unchanged; the commit is an
+    incremental maintenance commit (untouched files carried by
+    reference, prev chains the base); and the MOR view is identical
+    across it — outstanding deletes materialized for packed files,
+    carried for survivors."""
+    path = str(tmp_path / "binpack")
+    TF.create_table(path)
+    big = spark.range(500).selectExpr("id as k", "cast(id as double) as v")
+    TF.commit_append(spark, path, big.coalesce(1), stat_cols=["k"])  # v1
+    for lo in range(500, 560, 20):                                   # v2-4
+        TF.commit_append(
+            spark, path,
+            spark.range(lo, lo + 20).selectExpr(
+                "id as k", "cast(id as double) as v"
+            ).coalesce(1),
+            stat_cols=["k"],
+        )
+    TF.commit_delete_keys(                                           # v5
+        spark, path,
+        spark.createDataFrame([(1,), (510,)], "k long"), key="k",
+    )
+    TF.commit_delete_positions(                                      # v6
+        spark, path, TF.positions_where(spark, path, "k = 530"),
+    )
+    before = sorted(
+        (r.k, r.v) for r in TF.read_table_mor(spark, path).collect()
+    )
+    pre_dicts = TF._snapshot_file_dicts(path, 6)
+    big_paths = {f["path"] for f in pre_dicts if f["rows"] >= 100}
+    assert len(big_paths) == 1 and len(pre_dicts) == 4
+    v = TF.compact_binpack(spark, path, stat_cols=["k"], target_rows=100)
+    assert v == 7
+    c = TF._read_commit(path, v)
+    assert c["maintenance"] and c["prev"] == 6 and c["parent"] is None
+    post_dicts = TF._snapshot_file_dicts(path, v)
+    # the big file survives by reference, path unchanged
+    assert big_paths <= {f["path"] for f in post_dicts}
+    packed = [f for f in post_dicts if f["path"] not in big_paths]
+    assert all(f.get("seq") == v for f in packed)
+    assert len(packed) == 1                      # 58 live rows -> 1 bin
+    # deletes on the packed files were MATERIALIZED; the carried
+    # equality delete still subtracts k=1 from the big file
+    after = sorted(
+        (r.k, r.v) for r in TF.read_table_mor(spark, path).collect()
+    )
+    assert after == before
+    assert {k for k, _ in after}.isdisjoint({1, 510, 530})
+    # positional deletes named only rewritten files -> expired
+    assert not TF._snapshot_pos_deletes(path, v)
+    # equality delete carried for the survivor
+    key, eq = TF._snapshot_deletes(path, v)
+    assert key == "k" and len(eq) == 1
+    # time travel through the compaction still works
+    assert TF.read_table(spark, path, version=4).count() == 560
+
+
+def test_compact_binpack_noop_and_stream_silence(spark, tmp_path):
+    """<2 small files is a no-op (no commit); CDF and tail consumers
+    see NOTHING across a bin-pack (maintenance semantics)."""
+    from table_streaming_source_spark.streaming.format_cdf import (
+        _cdf_rows,
+    )
+    from table_streaming_source_spark.streaming.format_tail import (
+        CommitLogStreamReader,
+        _commit_new_files,
+    )
+    from pyspark.sql.types import DoubleType, LongType, StructType
+
+    path = str(tmp_path / "binpack2")
+    TF.create_table(path)
+    TF.commit_append(                                                # v1
+        spark, path,
+        spark.range(300).selectExpr(
+            "id as k", "cast(id as double) as v"
+        ).coalesce(1),
+        stat_cols=["k"],
+    )
+    assert TF.compact_binpack(
+        spark, path, stat_cols=["k"], target_rows=100
+    ) == 1                                        # no-op: 0 small files
+    TF.commit_append(                                                # v2
+        spark, path,
+        spark.range(300, 320).selectExpr(
+            "id as k", "cast(id as double) as v"
+        ).coalesce(1),
+        stat_cols=["k"],
+    )
+    TF.commit_append(                                                # v3
+        spark, path,
+        spark.range(320, 340).selectExpr(
+            "id as k", "cast(id as double) as v"
+        ).coalesce(1),
+        stat_cols=["k"],
+    )
+    v = TF.compact_binpack(spark, path, stat_cols=["k"], target_rows=100)
+    assert v == 4
+    assert _cdf_rows(path, v, ["k", "v"]) == []   # CDF silent
+    assert _commit_new_files(path, v) == []       # tail silent
+    schema = StructType().add("k", LongType()).add("v", DoubleType())
+    reader = CommitLogStreamReader(schema, {"path": path})
+    parts = reader.partitions({"version": 3}, {"version": 4})
+    assert [row for p in parts for row in reader.read(p)] == []
+    assert TF.read_table(spark, path).count() == 340
