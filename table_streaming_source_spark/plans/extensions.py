@@ -17452,3 +17452,177 @@ FROM live
 QUERIES_DEFERRED.update(
     {"format_binpack_compaction": q_format_binpack_compaction}
 )
+
+
+def q_format_bloom_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-file Bloom fingerprints in the manifest
+    (`table_format._attach_blooms` — Spark builds them with one
+    (file, word) hash aggregate at write time; `snapshot_files(point=)`
+    probes them driver-side through the from-scratch XXH64 twin,
+    `functions/xxh64.py`): four appends with INTERLEAVED key ranges
+    make min/max useless for a point predicate, yet the lookup scans
+    fewer files than the snapshot holds and returns exactly the
+    probed row — the non-clustered point-lookup path that also
+    tightens stats-targeted MERGE."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_bloom", sf_dir, fresh=True)
+    TF.create_table(path)
+    k = F.col("o_orderkey")
+    sub = (
+        t(spark, sf_dir, "orders")
+        .filter((k % 100 == 0) & (k > 0))
+        .select("o_orderkey", "o_totalprice")
+    )
+    for r in range(4):
+        TF.commit_append(
+            spark, path,
+            sub.filter(F.expr(f"(o_orderkey div 100) % 4 = {r}"))
+            .coalesce(1),
+            stat_cols=["o_orderkey"], bloom_cols=["o_orderkey"],
+        )
+    probe = (
+        sub.filter(F.expr("(o_orderkey div 100) % 4 = 1"))
+        .agg(F.min("o_orderkey"))
+        .collect()[0][0]
+    )
+    _, kept, total = TF.snapshot_files(
+        path, point=("o_orderkey", int(probe))
+    )
+    hit = (
+        TF.read_table(spark, path, point=("o_orderkey", int(probe)))
+        .filter(k == int(probe))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("probe_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("probe_cents"),
+        )
+        .collect()[0]
+    )
+    result = spark.createDataFrame(
+        [
+            (
+                total,
+                bool(kept < total),
+                bool(kept >= 1),
+                int(probe),
+                hit["probe_rows"],
+                hit["probe_cents"],
+            )
+        ],
+        "files_total int, bloom_pruned boolean, lossless boolean, "
+        "probe_key bigint, probe_rows bigint, probe_cents bigint",
+    ).localCheckpoint(eager=True)
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_bloom_pruning"] = """
+WITH sub AS (
+  SELECT o_orderkey AS k, o_totalprice FROM orders
+  WHERE o_orderkey % 100 = 0 AND o_orderkey > 0
+),
+p AS (SELECT MIN(k) AS probe FROM sub WHERE (k // 100) % 4 = 1)
+SELECT CAST(4 AS INT) AS files_total,
+       TRUE AS bloom_pruned,
+       TRUE AS lossless,
+       CAST(p.probe AS BIGINT) AS probe_key,
+       CAST(COUNT(*) AS BIGINT) AS probe_rows,
+       CAST(SUM(CAST(ROUND(sub.o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS probe_cents
+FROM sub, p WHERE sub.k = p.probe
+GROUP BY p.probe
+"""
+
+
+QUERIES_DEFERRED.update(
+    {"format_bloom_pruning": q_format_bloom_pruning}
+)
+
+
+def q_format_replace_where(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition-overwrite commit (`table_format.commit_replace_where`
+    — Delta replaceWhere / Iceberg overwrite-by-filter): four
+    value-banded files; replacing a predicate range drops the fully-
+    covered band with NO I/O, rewrites the one straddler to its
+    surviving rows, carries the outside bands BY REFERENCE, and the
+    incoming batch is constraint-checked against the predicate.  The
+    file-level three-way split counts and the final table aggregate are
+    both closed-form for the oracle."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_replw", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    mx = o.agg(F.max("o_orderkey")).collect()[0][0]
+    q1, q2, q3 = mx // 4, mx // 2, (3 * mx) // 4
+    for lo_b, hi_b in ((0, q1), (q1 + 1, q2), (q2 + 1, q3),
+                       (q3 + 1, mx)):
+        TF.commit_append(
+            spark, path,
+            o.filter((k >= lo_b) & (k <= hi_b)).coalesce(1),
+            stat_cols=["o_orderkey"],
+        )
+    lo, hi = q1 + 1, q2 + (q3 - q2) // 2
+    new = o.filter((k >= lo) & (k <= hi)).select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+    )
+    v, n_drop, n_rw, n_keep = TF.commit_replace_where(
+        spark, path, new, col="o_orderkey", lo=lo, hi=hi,
+        stat_cols=["o_orderkey"],
+    )
+    agg = TF.read_table_mor(spark, path).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    ).collect()[0]
+    result = spark.createDataFrame(
+        [(n_drop, n_rw, n_keep, agg["n_rows"], agg["sum_cents"])],
+        "files_dropped int, files_rewritten int, files_untouched int, "
+        "n_rows bigint, sum_cents bigint",
+    ).localCheckpoint(eager=True)
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_replace_where"] = """
+WITH b AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+q AS (
+  SELECT mx // 4 AS q1, mx // 2 AS q2, (3 * mx) // 4 AS q3 FROM b
+),
+pred AS (
+  SELECT q1 + 1 AS lo, q2 + (q3 - q2) // 2 AS hi FROM q
+),
+live AS (
+  SELECT o_orderkey, o_totalprice FROM orders, pred
+  WHERE o_orderkey < lo OR o_orderkey > hi
+  UNION ALL
+  SELECT o_orderkey, o_totalprice * 2 FROM orders, pred
+  WHERE o_orderkey >= lo AND o_orderkey <= hi
+)
+SELECT CAST(1 AS INT) AS files_dropped,
+       CAST(1 AS INT) AS files_rewritten,
+       CAST(2 AS INT) AS files_untouched,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM live
+"""
+
+
+QUERIES_DEFERRED.update(
+    {"format_replace_where": q_format_replace_where}
+)

@@ -161,6 +161,120 @@ def _manifest_entries(
     return files
 
 
+_BLOOM_M = 1 << 13  # 8192 bits = 128 words ≈ 1 KB JSON per file/col
+_BLOOM_K = 3
+
+
+def _bloom_hash_exprs(col, m_bits: int, k: int):
+    """The k Spark-side bloom positions of ``col`` — integral columns
+    cast to LONG first so the Python probe (8-byte little-endian
+    XXH64, `functions/xxh64.py`) computes identical positions; the
+    chained seed literal is LONG for the same reason."""
+    from pyspark.sql import functions as F
+
+    return [
+        F.pmod(
+            F.xxhash64(col, F.lit(j).cast("long")), F.lit(m_bits)
+        )
+        for j in range(k)
+    ]
+
+
+def _bloom_col_expr(df: DataFrame, name: str):
+    """The column as hashed for blooms: integrals widen to LONG."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ByteType, IntegerType, ShortType
+
+    dt = df.schema[name].dataType
+    c = F.col(name)
+    if isinstance(dt, (ByteType, ShortType, IntegerType)):
+        return c.cast("long")
+    return c
+
+
+def _attach_blooms(
+    spark: SparkSession,
+    path: str,
+    staging: str,
+    entries: list[dict],
+    bloom_cols: list[str],
+    *,
+    m_bits: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+) -> None:
+    """Per-file Bloom fingerprints for the manifest (the Iceberg v3
+    per-file bloom idea, same bit layout as
+    ``operators/joins.py::bloom_prefilter_join``): ONE Spark job over
+    the staged files computes every file's bit words map
+    (explode positions → distinct → bit_or per 64-bit word), collected
+    driver-side at manifest size (files × ≤m/64 words).  A point
+    lookup (`snapshot_files(point=)`) or a stats-targeted MERGE then
+    prunes files whose fingerprint provably excludes the key even
+    when min/max ranges overlap — the non-clustered-key case where
+    range stats stop helping."""
+    from pyspark.sql import functions as F
+
+    if not bloom_cols:
+        return
+    base = spark.read.parquet(staging).select(
+        F.col("_metadata.file_path").alias("__f"), *bloom_cols
+    )
+    # one (file, word) hash aggregate per column — staged-data-sized
+    maps: dict[str, dict] = {}
+    for c in bloom_cols:
+        hs = _bloom_hash_exprs(_bloom_col_expr(base, c), m_bits, k)
+        words = (
+            base.filter(F.col(c).isNotNull())
+            .select("__f", F.explode(F.array(*hs)).alias("__p"))
+            .groupBy("__f", F.shiftright(F.col("__p"), 6).alias("__w"))
+            .agg(
+                F.expr(
+                    "bit_or(shiftleft(1L, cast(__p % 64 as int)))"
+                ).alias("__bits")
+            )
+            .collect()
+        )
+        for r in words:
+            maps.setdefault(_norm_path(r["__f"]), {}).setdefault(
+                c, {}
+            )[str(r["__w"])] = r["__bits"]
+    for e in entries:
+        ap = os.path.abspath(os.path.join(path, e["path"]))
+        cols = maps.get(ap)
+        if cols:
+            e["bloom"] = {
+                c: {"m": m_bits, "k": k, "words": w}
+                for c, w in cols.items()
+            }
+
+
+def _norm_path(file_uri: str) -> str:
+    """``_metadata.file_path`` is a file: URI; manifests store plain
+    absolute paths."""
+    from urllib.parse import unquote, urlparse
+
+    if file_uri.startswith("file:"):
+        return unquote(urlparse(file_uri).path)
+    return os.path.abspath(file_uri)
+
+
+def _bloom_may_contain(bloom: dict, value) -> bool:
+    """Driver-side probe: False = the file PROVABLY lacks ``value``.
+    Python twin of the Spark build (`functions/xxh64.py` cross-checked
+    against the live xxhash64 expression)."""
+    from table_streaming_source_spark.functions.xxh64 import (
+        spark_xxhash64,
+    )
+
+    m, k, words = bloom["m"], bloom["k"], bloom["words"]
+    for j in range(k):
+        p = spark_xxhash64(value, j) % m  # Python % is non-negative
+        bits = words.get(str(p >> 6))
+        if bits is None or not (bits >> (p & 63)) & 1:
+            return False
+    return True
+
+
 def _resolve_write_target(
     path: str, branch: str | None, expected_version: int | None
 ) -> tuple[int, int]:
@@ -238,6 +352,7 @@ def commit_append(
     row_ids_from: str | None = None,
     row_id_col: str = "_row_id",
     branch: str | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as new data files, then publish them as the next
     commit.  ``expected_version`` implements optimistic concurrency:
@@ -269,6 +384,8 @@ def commit_append(
     )
     df.write.mode("overwrite").parquet(staging)
     files = _manifest_entries(path, staging, stat_cols, seq=new_v)
+    if bloom_cols:
+        _attach_blooms(spark, path, staging, files, bloom_cols)
     _write_commit(
         path,
         new_v,
@@ -284,6 +401,7 @@ def snapshot_files(
     version: int | None = None,
     prune: tuple[str, object, object] | None = None,
     null_prune: tuple[str, str] | None = None,
+    point: tuple[str, object] | None = None,
 ) -> tuple[list[str], int, int]:
     """Resolve a snapshot from the log: walk parents from ``version``
     (default: head), union the committed file lists, and — when
@@ -291,6 +409,13 @@ def snapshot_files(
     [min, max] for ``col`` is disjoint from [lo, hi].  Files without
     recorded stats for the column are always kept (pruning must never
     be lossy).  Returns (kept paths, kept count, total count).
+
+    ``point = (col, value)`` additionally consults the per-file BLOOM
+    fingerprints (``commit_append(bloom_cols=)``): on a NON-CLUSTERED
+    key, every file's [min, max] overlaps a point predicate and range
+    stats prune nothing — the fingerprint still proves absence for
+    files that never saw the key.  Files without a bloom for the
+    column are kept (never lossy); false positives only cost I/O.
 
     ``null_prune = (col, "isnull"|"notnull")`` prunes on the per-column
     NULL COUNTS the manifest records from the parquet footers (the
@@ -323,6 +448,11 @@ def snapshot_files(
                     continue
                 if kind == "notnull" and nc == f["rows"]:
                     continue
+        if point is not None:
+            col, value = point
+            bloom = f.get("bloom", {}).get(col)
+            if bloom is not None and not _bloom_may_contain(bloom, value):
+                continue
         kept.append(os.path.join(path, f["path"]))
     return kept, len(kept), len(all_files)
 
@@ -334,18 +464,21 @@ def read_table(
     version: int | None = None,
     prune: tuple[str, object, object] | None = None,
     null_prune: tuple[str, str] | None = None,
+    point: tuple[str, object] | None = None,
 ) -> DataFrame:
     """Snapshot read via the commit log (NEVER a directory listing —
     uncommitted files are invisible), optionally time-traveled and
     manifest-pruned (range stats via ``prune``, null counts via
-    ``null_prune`` — see :func:`snapshot_files`).  CONTRACT: this is
+    ``null_prune``, per-file Bloom fingerprints via ``point`` —
+    see :func:`snapshot_files`).  CONTRACT: this is
     the data-file view — between a :func:`commit_delete_keys` and the
     next :func:`commit_compact`, merge-on-read equality deletes are
     visible only through :func:`read_table_mor` (compaction reconciles
     the two views).  An empty snapshot raises: the caller should read
     the schema from the log in a fuller implementation."""
     files, _, _ = snapshot_files(
-        path, version=version, prune=prune, null_prune=null_prune
+        path, version=version, prune=prune, null_prune=null_prune,
+        point=point,
     )
     if not files:
         raise ValueError("empty snapshot (no files after pruning)")
@@ -470,6 +603,122 @@ def commit_compact(
     )
     _advance_branch(path, branch, new_v, base=base)
     return new_v
+
+
+def commit_replace_where(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    *,
+    col: str,
+    lo,
+    hi,
+    stat_cols: list[str],
+    expected_version: int | None = None,
+    branch: str | None = None,
+) -> tuple[int, int, int, int]:
+    """Partition-overwrite commit (Delta ``replaceWhere`` / Iceberg
+    overwrite-by-filter): atomically replace exactly the rows with
+    ``col`` in ``[lo, hi]`` by ``df``, touching only the files the
+    predicate reaches.
+
+    Manifest-driven three-way split on the per-file [min, max]:
+
+    - files fully INSIDE the range are dropped (no I/O at all);
+    - files STRADDLING the boundary are rewritten to their surviving
+      out-of-range rows (read through MOR so outstanding deletes are
+      not resurrected);
+    - files fully OUTSIDE the range are carried BY REFERENCE —
+      untouched paths, untouched stats.
+
+    ``df`` must satisfy the predicate: any row outside ``[lo, hi]``
+    raises before anything is staged (Delta's replaceWhere
+    constraint).  Outstanding equality deletes are carried for the
+    untouched files (the replaced region's are materialized by the
+    rewrite); positional deletes naming a dropped/rewritten file
+    expire with it.  Optimistic concurrency as everywhere: a
+    concurrent append wins or loses the commit rename, never
+    interleaves.  The commit is NOT maintenance (content changes);
+    CDF over it follows the full-snapshot-rewrite rule.
+
+    Returns ``(new_version, files_dropped, files_rewritten,
+    files_untouched)``."""
+    from pyspark.sql import functions as F
+
+    bad = df.filter(
+        (F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi))
+        | F.col(col).isNull()
+    ).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"replaceWhere violation: incoming rows fall outside "
+            f"{col} in [{lo}, {hi}]"
+        )
+    base, new_v = _resolve_write_target(path, branch, expected_version)
+    file_dicts = _snapshot_file_dicts(path, base)
+    dropped, straddle, untouched = [], [], []
+    for f in file_dicts:
+        rng = f["stats"].get(col)
+        if rng is None:
+            straddle.append(f)  # no stats → cannot prove → rewrite
+        elif rng[0] >= lo and rng[1] <= hi:
+            dropped.append(f)
+        elif rng[1] < lo or rng[0] > hi:
+            untouched.append(f)
+        else:
+            straddle.append(f)
+    del_key, outstanding = _snapshot_deletes(path, base)
+    pos_outstanding = _snapshot_pos_deletes(path, base)
+    entries: list[dict] = []
+    if straddle:
+        if outstanding or pos_outstanding:
+            cur = _mor_resolve(
+                spark, path, straddle, del_key, outstanding,
+                pos_outstanding,
+            )
+        else:
+            cur = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(path, f["path"]) for f in straddle]
+            )
+        survivors = cur.filter(
+            (F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi))
+        )
+        stag = os.path.join(
+            _data_dir(path), f"replw-{new_v}-{uuid.uuid4().hex[:8]}"
+        )
+        survivors.write.mode("overwrite").parquet(stag)
+        entries += _manifest_entries(path, stag, stat_cols, seq=new_v)
+    staging = os.path.join(
+        _data_dir(path), f"replw-{new_v}-{uuid.uuid4().hex[:8]}"
+    )
+    df.write.mode("overwrite").parquet(staging)
+    entries += _manifest_entries(path, staging, stat_cols, seq=new_v)
+    files = list(untouched) + entries
+    payload: dict = {
+        "version": new_v,
+        "files": files,
+        "parent": None,
+        "prev": base,
+        "replace_where": {"col": col, "lo": lo, "hi": hi},
+    }
+    if outstanding and untouched:
+        payload["deletes"] = outstanding
+        payload["delete_key"] = del_key
+    if pos_outstanding:
+        surviving = {
+            os.path.abspath(os.path.join(path, f["path"]))
+            for f in untouched
+        }
+        kept_pos = [
+            d
+            for d in pos_outstanding
+            if any(p in surviving for p in d.get("paths", []))
+        ]
+        if kept_pos:
+            payload["pos_deletes"] = kept_pos
+    _write_commit(path, new_v, payload)
+    _advance_branch(path, branch, new_v, base=base)
+    return new_v, len(dropped), len(straddle), len(untouched)
 
 
 def compact_binpack(
@@ -640,6 +889,7 @@ def commit_merge(
     row_id_col: str | None = None,
     branch: str | None = None,
     txn: dict | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> tuple[int, int, int]:
     """Stats-targeted copy-on-write MERGE — the table-format crown
     jewel: resolve from the manifest which data files can possibly
@@ -716,6 +966,60 @@ def commit_merge(
             .collect()
         )
         hit_idx.update(r[0] for r in hits)
+    # bloom tightening: a range-hit file carrying a Bloom fingerprint
+    # for the merge key is CLEARED when no change key probes into it —
+    # the non-clustered-key case where every range overlaps and the
+    # range join alone would rewrite the whole table.  One broadcast
+    # join of change-key positions against the manifest's word rows;
+    # files without a bloom keep their range verdict (never lossy).
+    by_mk: dict[tuple[int, int], list[int]] = {}
+    for i in sorted(hit_idx):
+        b = file_dicts[i].get("bloom", {}).get(key)
+        if b is not None:
+            by_mk.setdefault((b["m"], b["k"]), []).append(i)
+    for (m_bits, kh), idxs in sorted(by_mk.items()):
+        word_rows = [
+            (i, int(w), bits)
+            for i in idxs
+            for w, bits in file_dicts[i]["bloom"][key]["words"].items()
+        ]
+        bdf = spark.createDataFrame(
+            word_rows, schema=["__file_idx", "__w", "__bits"]
+        )
+        probe = (
+            changes.select(
+                _bloom_col_expr(changes, key).alias("__k")
+            )
+            .distinct()
+            .select(
+                "__k",
+                F.posexplode(
+                    F.array(
+                        *_bloom_hash_exprs(F.col("__k"), m_bits, kh)
+                    )
+                ).alias("__j", "__p"),
+            )
+        )
+        passed = {
+            r[0]
+            for r in probe.join(
+                F.broadcast(bdf),
+                (F.col("__w") == F.shiftright(F.col("__p"), 6))
+                & (
+                    F.expr(
+                        "(shiftright(__bits, cast(__p % 64 as int))"
+                        " & 1) = 1"
+                    )
+                ),
+            )
+            .groupBy("__k", "__file_idx")
+            .agg(F.count_distinct("__j").alias("__n"))
+            .filter(F.col("__n") == kh)
+            .select("__file_idx")
+            .distinct()
+            .collect()
+        }
+        hit_idx.difference_update(set(idxs) - passed)
     affected = [f for i, f in enumerate(file_dicts) if i in hit_idx]
     untouched = [f for i, f in enumerate(file_dicts) if i not in hit_idx]
     # outstanding MOR equality deletes: the rewrite reads affected
@@ -759,9 +1063,12 @@ def commit_merge(
         _data_dir(path), f"merge-{new_v}-{uuid.uuid4().hex[:8]}"
     )
     merged.write.mode("overwrite").parquet(staging)
-    files = list(untouched) + _manifest_entries(
-        path, staging, stat_cols, seq=new_v
-    )
+    new_entries = _manifest_entries(path, staging, stat_cols, seq=new_v)
+    if bloom_cols:
+        # rewritten files get fresh fingerprints so the NEXT merge's
+        # targeting stays tight; untouched files keep theirs verbatim
+        _attach_blooms(spark, path, staging, new_entries, bloom_cols)
+    files = list(untouched) + new_entries
     payload: dict = {
         "version": new_v, "files": files, "parent": None,
         "prev": base,

@@ -3427,3 +3427,235 @@ def test_compact_binpack_noop_and_stream_silence(spark, tmp_path):
     parts = reader.partitions({"version": 3}, {"version": 4})
     assert [row for p in parts for row in reader.read(p)] == []
     assert TF.read_table(spark, path).count() == 340
+
+
+def test_python_xxh64_matches_spark_expression(spark):
+    """`functions/xxh64.py` (from-scratch public-spec XXH64 + Spark's
+    chained-seed composition) must agree with the LIVE xxhash64
+    expression for longs and strings — the contract that lets a
+    driver-side Python probe consult a Spark-built bloom."""
+    from pyspark.sql import functions as F
+
+    from table_streaming_source_spark.functions.xxh64 import (
+        spark_xxhash64,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            (0, "a"),
+            (1, ""),
+            (-5, "hello world"),
+            (2**62, "x" * 41),
+            (-(2**63), "UTF-8 ☃ snowman"),
+            (123456789, "0123456789abcdef0123456789abcdef"),
+        ],
+        "k long, s string",
+    ).select(
+        "k",
+        "s",
+        F.xxhash64("k").alias("hk"),
+        F.xxhash64("s").alias("hs"),
+        F.xxhash64("k", F.lit(2).cast("long")).alias("hk2"),
+        F.xxhash64("s", F.lit(7).cast("long")).alias("hs7"),
+    ).collect()
+    for r in rows:
+        assert spark_xxhash64(r.k) == r.hk
+        assert spark_xxhash64(r.s) == r.hs
+        assert spark_xxhash64(r.k, 2) == r.hk2
+        assert spark_xxhash64(r.s, 7) == r.hs7
+
+
+def test_bloom_point_lookup_prunes_files(spark, tmp_path):
+    """Per-file Bloom fingerprints (commit_append(bloom_cols=)): on a
+    NON-CLUSTERED key every file's [min, max] overlaps a point
+    predicate — range stats prune nothing — but the fingerprint still
+    skips files that never saw the key, and the pruned read equals
+    the unpruned filtered read (lossless)."""
+    path = str(tmp_path / "bloomp")
+    TF.create_table(path)
+    # interleaved keys: k % 4 decides the file, so every file spans
+    # ~[0, 400) — ranges are useless, blooms are not
+    df = spark.range(400).selectExpr("id as k", "cast(id as double) as v")
+    for r in range(4):
+        TF.commit_append(
+            spark, path, df.filter(f"k % 4 = {r}").coalesce(1),
+            stat_cols=["k"], bloom_cols=["k"],
+        )
+    dicts = TF._snapshot_file_dicts(path, 4)
+    assert len(dicts) == 4
+    assert all("bloom" in f and "k" in f["bloom"] for f in dicts)
+    # range stats keep everything
+    _, kept_range, total = TF.snapshot_files(path, prune=("k", 37, 37))
+    assert kept_range == total == 4
+    # the bloom proves absence for (at least) the 3 files that never
+    # saw k=37 — false positives can keep a file, never lose one
+    _, kept_bloom, _ = TF.snapshot_files(path, point=("k", 37))
+    assert 1 <= kept_bloom <= 2
+    got = TF.read_table(spark, path, point=("k", 37)).filter("k = 37")
+    assert [(r.k, r.v) for r in got.collect()] == [(37, 37.0)]
+    # a key the table never held: typically 0 files — empty snapshot
+    # raises, the read_table contract
+    _, kept_miss, _ = TF.snapshot_files(path, point=("k", 999_999))
+    assert kept_miss <= 1
+    # files without blooms never prune
+    path2 = str(tmp_path / "nobloom")
+    TF.create_table(path2)
+    TF.commit_append(spark, path2, df.drop("b"), stat_cols=["k"])
+    _, kept2, tot2 = TF.snapshot_files(path2, point=("k", 999_999))
+    assert kept2 == tot2
+
+
+def test_bloom_tightens_merge_targeting(spark, tmp_path):
+    """Stats-targeted MERGE minimality: with interleaved (non-
+    clustered) keys the range join hits EVERY file; per-file blooms on
+    the merge key clear the files the changed keys provably miss, so
+    the merge rewrites fewer files — and the result is unchanged."""
+    path = str(tmp_path / "bloomm")
+    TF.create_table(path)
+    df = spark.range(400).selectExpr("id as k", "cast(id as double) as v")
+    for r in range(4):
+        TF.commit_append(
+            spark, path, df.filter(f"k % 4 = {r}").coalesce(1),
+            stat_cols=["k"], bloom_cols=["k"],
+        )
+    changes = spark.createDataFrame(
+        [(37, 999.0, "U"), (41, 888.0, "U")],
+        "k long, v double, op string",
+    )
+    v, rewritten, total = TF.commit_merge(
+        spark, path, changes, key="k", stat_cols=["k"],
+        bloom_cols=["k"],
+    )
+    assert total == 4
+    # k=37 and k=41 live in two distinct files (37%4=1, 41%4=1 — same
+    # file actually); bloom clears the provably-missed files.  With
+    # 8192-bit blooms over 100 keys, false positives are ~0: expect
+    # exactly the 1 file holding both keys, allow 2 for fp slack.
+    assert rewritten <= 2
+    got = {r.k: r.v for r in TF.read_table(spark, path).collect()}
+    assert got[37] == 999.0 and got[41] == 888.0 and len(got) == 400
+    assert got[36] == 36.0
+    # the merge's own output files carry fresh blooms
+    head = TF._snapshot_file_dicts(path, v)
+    assert any(
+        f.get("seq") == v and "k" in f.get("bloom", {}) for f in head
+    )
+
+
+def test_bloom_survives_json_roundtrip_and_merge_without_blooms(
+    spark, tmp_path
+):
+    """A table with blooms merged WITHOUT bloom_cols= still works
+    (new files simply lack fingerprints, point= keeps them), and the
+    bloom entries survive the manifest JSON round-trip byte-exactly."""
+    path = str(tmp_path / "bloomj")
+    TF.create_table(path)
+    df = spark.range(100).selectExpr("id as k", "cast(id as double) as v")
+    TF.commit_append(
+        spark, path, df, stat_cols=["k"], bloom_cols=["k"]
+    )
+    f0 = TF._snapshot_file_dicts(path, 1)[0]
+    b = f0["bloom"]["k"]
+    assert b["m"] == 8192 and b["k"] == 3
+    assert all(isinstance(v, int) for v in b["words"].values())
+    TF.commit_merge(
+        spark, path,
+        spark.createDataFrame([(5, 0.0, "U")], "k long, v double, op string"),
+        key="k", stat_cols=["k"],
+    )
+    _, kept, tot = TF.snapshot_files(path, point=("k", 999_999))
+    # the 3 untouched bloomed files prune; the merge's new output file
+    # (written without bloom_cols=) has no fingerprint and is KEPT —
+    # absent blooms never prune
+    assert tot == 4 and kept == 1
+    assert TF.read_table(spark, path).count() == 100
+
+
+def test_replace_where_touches_only_predicate_files(spark, tmp_path):
+    """commit_replace_where: files fully outside the predicate survive
+    BY PATH; fully-inside files drop without I/O; straddlers rewrite
+    to their out-of-range rows through MOR; incoming rows outside the
+    predicate raise; and the final table equals the SQL-semantics
+    result."""
+    path = str(tmp_path / "replw")
+    TF.create_table(path)
+    df = spark.range(400).selectExpr("id as k", "cast(id as double) as v")
+    TF.commit_append(                                                # v1
+        spark, path,
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stat_cols=["k"],
+    )
+    TF.commit_delete_keys(                                           # v2
+        spark, path,
+        spark.createDataFrame([(10,), (150,)], "k long"), key="k",
+    )
+    pre = TF._snapshot_file_dicts(path, 2)
+    outside = {
+        f["path"] for f in pre if f["stats"]["k"][1] < 120
+        or f["stats"]["k"][0] > 320
+    }
+    new = spark.createDataFrame(
+        [(200, -1.0), (250, -2.0)], "k long, v double"
+    )
+    v, n_drop, n_rw, n_keep = TF.commit_replace_where(
+        spark, path, new, col="k", lo=120, hi=320, stat_cols=["k"]
+    )
+    # 4 range files of 100: [0,99][100,199][200,299][300,399] →
+    # [200,299] drops, two straddle, [0,99] untouched
+    assert (n_drop, n_rw, n_keep) == (1, 2, 1)
+    post = TF._snapshot_file_dicts(path, v)
+    assert outside <= {f["path"] for f in post}  # untouched by path
+    got = {r.k: r.v for r in TF.read_table_mor(spark, path).collect()}
+    # SQL semantics: delete k in [120,320], insert the two new rows;
+    # the k=10 equality delete still applies (carried), k=150 was
+    # inside the replaced range (gone with it)
+    want = {
+        k: float(k) for k in range(400)
+        if (k < 120 or k > 320) and k != 10
+    }
+    want.update({200: -1.0, 250: -2.0})
+    assert got == want
+    # incoming rows outside the predicate refuse
+    with pytest.raises(ValueError, match="replaceWhere violation"):
+        TF.commit_replace_where(
+            spark, path,
+            spark.createDataFrame([(5, 0.0)], "k long, v double"),
+            col="k", lo=120, hi=320, stat_cols=["k"],
+        )
+    # time travel to before the replace still reads
+    assert TF.read_table(spark, path, version=1).count() == 400
+
+
+def test_replace_where_conflicts_with_concurrent_append(spark, tmp_path):
+    """Optimistic concurrency: a replace pinned to a stale head loses
+    to the append that landed meanwhile (CommitConflict), and the
+    winning append is intact."""
+    path = str(tmp_path / "replwcc")
+    TF.create_table(path)
+    df = spark.range(100).selectExpr("id as k", "cast(id as double) as v")
+    TF.commit_append(spark, path, df, stat_cols=["k"])               # v1
+    head = TF.latest_version(path)
+    TF.commit_append(                                                # v2
+        spark, path,
+        spark.range(100, 110).selectExpr(
+            "id as k", "cast(id as double) as v"
+        ),
+        stat_cols=["k"],
+    )
+    with pytest.raises(TF.CommitConflict):
+        TF.commit_replace_where(
+            spark, path,
+            spark.createDataFrame([(50, 0.0)], "k long, v double"),
+            col="k", lo=40, hi=60, stat_cols=["k"],
+            expected_version=head,
+        )
+    assert TF.read_table(spark, path).count() == 110
+    # retry on the new head wins
+    v, *_ = TF.commit_replace_where(
+        spark, path,
+        spark.createDataFrame([(50, 0.0)], "k long, v double"),
+        col="k", lo=40, hi=60, stat_cols=["k"],
+        expected_version=TF.latest_version(path),
+    )
+    got = {r.k: r.v for r in TF.read_table(spark, path).collect()}
+    assert got[50] == 0.0 and 41 not in got and got[39] == 39.0
