@@ -17626,3 +17626,1166 @@ FROM live
 QUERIES_DEFERRED.update(
     {"format_replace_where": q_format_replace_where}
 )
+
+
+# --------------------------------------------------------------------------
+# round 11 wave 1: experiment-analysis + inference statistics battery
+# --------------------------------------------------------------------------
+
+
+def q_agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality test per return flag over l_quantity —
+    the residual-diagnostics step after a regression fit.  Quantities
+    are small integers, so ALL four power sums ride the exact decimal
+    path (q² as DECIMAL(38,4), q³ (38,6), q⁴ (38,8)); skewness,
+    kurtosis and JB = n/6·(S² + (K−3)²/4) are computed from
+    bit-identical doubles and rounded once."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(9,2)")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum((q * q).cast("decimal(38,4)")).cast("double").alias("s2"),
+        F.sum((q * q * q).cast("decimal(38,6)")).cast("double")
+        .alias("s3"),
+        F.sum((q * q * q * q).cast("decimal(38,8)")).cast("double")
+        .alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m = F.col("s1") / n
+    m2 = F.col("s2") / n - m * m
+    m3 = F.col("s3") / n - 3 * m * F.col("s2") / n + 2 * m * m * m
+    m4 = (
+        F.col("s4") / n
+        - 4 * m * F.col("s3") / n
+        + 6 * m * m * F.col("s2") / n
+        - 3 * m * m * m * m
+    )
+    skew = m3 / F.pow(m2, F.lit(1.5))
+    kurt = m4 / (m2 * m2)
+    jb = n / 6 * (skew * skew + (kurt - 3) * (kurt - 3) / 4)
+    return g.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(skew, 9).alias("skewness"),
+        F.round(kurt, 9).alias("kurtosis"),
+        F.round(jb, 6).alias("jb_stat"),
+    )
+
+
+ORACLES["agg_jarque_bera"] = """
+WITH g AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS s1,
+    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(9,2))
+                  * CAST(l_quantity AS DECIMAL(9,2))
+                  AS DECIMAL(38,4))) AS DOUBLE) AS s2,
+    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(9,2))
+                  * CAST(l_quantity AS DECIMAL(9,2))
+                  * CAST(l_quantity AS DECIMAL(9,2))
+                  AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(9,2))
+                  * CAST(l_quantity AS DECIMAL(9,2))
+                  * CAST(l_quantity AS DECIMAL(9,2))
+                  * CAST(l_quantity AS DECIMAL(9,2))
+                  AS DECIMAL(38,8))) AS DOUBLE) AS s4
+  FROM lineitem GROUP BY l_returnflag
+),
+mom AS (
+  SELECT l_returnflag, n,
+         s1 / n AS m,
+         s2 / n - (s1/n) * (s1/n) AS m2,
+         s3 / n - 3 * (s1/n) * s2 / n + 2 * (s1/n)*(s1/n)*(s1/n) AS m3,
+         s4 / n - 4 * (s1/n) * s3 / n
+           + 6 * (s1/n)*(s1/n) * s2 / n
+           - 3 * (s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4
+  FROM g
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       ROUND(m3 / POW(m2, 1.5), 9) AS skewness,
+       ROUND(m4 / (m2 * m2), 9) AS kurtosis,
+       ROUND(CAST(n AS DOUBLE) / 6 *
+             ((m3/POW(m2,1.5))*(m3/POW(m2,1.5))
+              + (m4/(m2*m2) - 3)*(m4/(m2*m2) - 3)/4), 6) AS jb_stat
+FROM mom
+"""
+
+
+def q_agg_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson lag-1 autocorrelation diagnostic per event type
+    over the event-ordered value series (the post-regression residual
+    check; DW≈2 means white residuals).  Per-row values round to a
+    stable 4-dp double first; the squared terms then ride exact
+    decimals.  One window per bounded per-type series — the standard
+    per-key ACF shape at 100 TB (series partition by key)."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value"), 4).alias("v"),
+    )
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    d = e.select(
+        "event_type", "v", (F.col("v") - F.lag("v", 1).over(w)).alias("d")
+    )
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            (F.col("v") * F.col("v")).cast("decimal(38,8)")
+        ).cast("double").alias("ss"),
+        F.sum(
+            (F.col("d") * F.col("d")).cast("decimal(38,8)")
+        ).cast("double").alias("sd"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(F.col("sd") / F.col("ss"), 9).alias("dw"),
+    )
+
+
+ORACLES["agg_durbin_watson"] = """
+WITH v AS (
+  SELECT event_type, event_id, ROUND(value, 4) AS v FROM events
+),
+d AS (
+  SELECT event_type, v,
+         v - LAG(v, 1) OVER (PARTITION BY event_type ORDER BY event_id)
+           AS d
+  FROM v
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(d * d AS DECIMAL(38,8))) AS DOUBLE)
+             / CAST(SUM(CAST(v * v AS DECIMAL(38,8))) AS DOUBLE), 9)
+         AS dw
+FROM d GROUP BY event_type
+"""
+
+
+def q_agg_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' outlier statistic per market segment over customer
+    balances: G = max|x − mean| / sd, plus the offending customer key
+    (min key on ties).  Mean and sd come from exact decimal moments;
+    the argmax is a struct-max over exact 2-dp cents so ties are
+    impossible to mis-order."""
+    c = t(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    g = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double").alias("s"),
+        F.sum(
+            F.col("c_acctbal").cast("decimal(28,2)")
+            * F.col("c_acctbal").cast("decimal(9,2)")
+        ).cast("double").alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s") / n
+    sd = F.sqrt((F.col("ss") - n * mean * mean) / (n - 1))
+    # exact argmax: |cents - round(mean*100)| integer distance
+    mc = c.groupBy("c_mktsegment").agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double").alias("s2_"),
+        F.count(F.lit(1)).alias("n2_"),
+    ).select(
+        "c_mktsegment",
+        F.round(F.col("s2_") / F.col("n2_") * 100).cast("bigint")
+        .alias("mean_cents"),
+    )
+    ext = (
+        c.join(mc, "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max(
+                F.struct(
+                    F.abs(cents - F.col("mean_cents")).alias("dist"),
+                    (-F.col("c_custkey")).alias("negkey"),
+                )
+            ).alias("__m")
+        )
+        .select(
+            "c_mktsegment",
+            (-F.col("__m.negkey")).cast("bigint").alias("outlier_key"),
+            F.col("__m.dist").cast("bigint").alias("dist_cents"),
+        )
+    )
+    return g.join(ext, "c_mktsegment").select(
+        "c_mktsegment",
+        F.col("n").cast("bigint").alias("n"),
+        F.round((F.col("dist_cents") / 100.0) / sd, 9).alias("grubbs_g"),
+        "outlier_key",
+    )
+
+
+ORACLES["agg_grubbs"] = """
+WITH g AS (
+  SELECT c_mktsegment, COUNT(*) AS n,
+    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s,
+    CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))
+             * CAST(c_acctbal AS DECIMAL(9,2))) AS DOUBLE) AS ss
+  FROM customer GROUP BY c_mktsegment
+),
+mc AS (
+  SELECT c_mktsegment,
+         CAST(ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                         AS DOUBLE) / COUNT(*) * 100) AS BIGINT)
+           AS mean_cents
+  FROM customer GROUP BY c_mktsegment
+),
+ranked AS (
+  SELECT c.c_mktsegment, c.c_custkey,
+         ABS(CAST(ROUND(c.c_acctbal * 100) AS BIGINT) - mc.mean_cents)
+           AS dist_cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.c_mktsegment
+           ORDER BY ABS(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
+                        - mc.mean_cents) DESC, c.c_custkey ASC
+         ) AS rn
+  FROM customer c JOIN mc USING (c_mktsegment)
+),
+ext AS (
+  SELECT c_mktsegment, c_custkey AS outlier_key, dist_cents
+  FROM ranked WHERE rn = 1
+)
+SELECT g.c_mktsegment, CAST(g.n AS BIGINT) AS n,
+       ROUND((ext.dist_cents / 100.0)
+             / SQRT((g.ss - g.n * (g.s/g.n) * (g.s/g.n)) / (g.n - 1)),
+             9) AS grubbs_g,
+       CAST(ext.outlier_key AS BIGINT) AS outlier_key
+FROM g JOIN ext USING (c_mktsegment)
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "agg_jarque_bera": q_agg_jarque_bera,
+        "agg_durbin_watson": q_agg_durbin_watson,
+        "agg_grubbs": q_agg_grubbs,
+    }
+)
+
+
+def q_agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13 — the industry-
+    standard A/B-test sensitivity boost): per user, a pre-period
+    covariate X and an experiment metric Y (deterministic even/odd
+    event split); θ = cov(X,Y)/var(X), and the adjusted metric
+    Ycv = Y − θ·(X − mean X) shrinks variance by exactly
+    corr(X,Y)².  Per-user sums ride exact decimals; the moment
+    arithmetic is bit-identical double."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value"), 4).alias("v"),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_id") % 2 == 0, F.col("v"))
+            .otherwise(F.lit(0.0)).cast("decimal(28,4)")
+        ).cast("double").alias("x"),
+        F.sum(
+            F.when(F.col("event_id") % 2 == 1, F.col("v"))
+            .otherwise(F.lit(0.0)).cast("decimal(28,4)")
+        ).cast("double").alias("y"),
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(28,4)")).cast("double")
+        .alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,4)")).cast("double")
+        .alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,8)"))
+        .cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,8)"))
+        .cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,8)"))
+        .cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)
+    vx = F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n)
+    vy = F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n)
+    theta = cov / vx
+    var_cuped = vy - cov * cov / vx
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(theta, 9).alias("theta"),
+        F.round(vy, 6).alias("var_y"),
+        F.round(var_cuped, 6).alias("var_y_cuped"),
+        F.round(F.lit(1.0) - var_cuped / vy, 9).alias("var_reduction"),
+    )
+
+
+ORACLES["agg_cuped"] = """
+WITH per_user AS (
+  SELECT user_id,
+    CAST(SUM(CAST(CASE WHEN event_id % 2 = 0 THEN ROUND(value, 4)
+                       ELSE 0.0 END AS DECIMAL(28,4))) AS DOUBLE) AS x,
+    CAST(SUM(CAST(CASE WHEN event_id % 2 = 1 THEN ROUND(value, 4)
+                       ELSE 0.0 END AS DECIMAL(28,4))) AS DOUBLE) AS y
+  FROM events GROUP BY user_id
+),
+mom AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(CAST(x AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(y AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS syy
+  FROM per_user
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+  ROUND((sxy/n - (sx/n)*(sy/n)) / (sxx/n - (sx/n)*(sx/n)), 9) AS theta,
+  ROUND(syy/n - (sy/n)*(sy/n), 6) AS var_y,
+  ROUND((syy/n - (sy/n)*(sy/n))
+        - (sxy/n - (sx/n)*(sy/n))*(sxy/n - (sx/n)*(sy/n))
+          / (sxx/n - (sx/n)*(sx/n)), 6) AS var_y_cuped,
+  ROUND(1.0 - ((syy/n - (sy/n)*(sy/n))
+               - (sxy/n - (sx/n)*(sy/n))*(sxy/n - (sx/n)*(sy/n))
+                 / (sxx/n - (sx/n)*(sx/n)))
+              / (syy/n - (sy/n)*(sy/n)), 9) AS var_reduction
+FROM mom
+"""
+
+
+def q_agg_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (the first thing every
+    experimentation platform checks): users hash-assigned 50/50 by
+    ``user_id % 2``; the chi-square-1df statistic over observed arm
+    counts is exact integer arithmetic until one final division, and
+    the mismatch verdict applies the 3.841 critical value.  By
+    construction of the fixture this must come out healthy — the
+    boolean is part of the checked row."""
+    e = t(spark, sf_dir, "events").select("user_id").distinct()
+    g = e.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    agg = g.agg(
+        F.sum("n").alias("total"),
+        F.sum(F.when(F.col("arm") == 0, F.col("n")).otherwise(0))
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n")).otherwise(0))
+        .alias("n1"),
+    )
+    tot = F.col("total").cast("double")
+    exp_ = tot / 2
+    chi = (
+        (F.col("n0") - exp_) * (F.col("n0") - exp_) / exp_
+        + (F.col("n1") - exp_) * (F.col("n1") - exp_) / exp_
+    )
+    return agg.select(
+        F.col("n0").cast("bigint").alias("arm0"),
+        F.col("n1").cast("bigint").alias("arm1"),
+        F.round(chi, 9).alias("chi2"),
+        (chi > 3.841).alias("srm_detected"),
+    )
+
+
+ORACLES["agg_srm"] = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+g AS (
+  SELECT SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+         SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n1,
+         COUNT(*) AS total
+  FROM u
+)
+SELECT CAST(n0 AS BIGINT) AS arm0, CAST(n1 AS BIGINT) AS arm1,
+  ROUND((n0 - total/2.0)*(n0 - total/2.0)/(total/2.0)
+        + (n1 - total/2.0)*(n1 - total/2.0)/(total/2.0), 9) AS chi2,
+  ((n0 - total/2.0)*(n0 - total/2.0)/(total/2.0)
+   + (n1 - total/2.0)*(n1 - total/2.0)/(total/2.0)) > 3.841
+    AS srm_detected
+FROM g
+"""
+
+
+def q_agg_power_two_proportions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Experiment sizing: the classic closed-form per-arm sample size
+    for detecting a +2pp lift over the observed base conversion at
+    α=0.05 (two-sided), power=0.80 — n = (z_{α/2}+z_β)²·(p₁q₁+p₂q₂)
+    / (p₂−p₁)².  The base rate is an exact integer ratio (users with
+    a 'click' event over all users); z constants are fixed literals;
+    one double formula, rounded then ceiled identically."""
+    e = t(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    clickers = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id").distinct()
+    )
+    agg = users.agg(F.count(F.lit(1)).alias("n_users")).crossJoin(
+        clickers.agg(F.count(F.lit(1)).alias("n_clickers"))
+    )
+    p1 = F.col("n_clickers").cast("double") / F.col("n_users")
+    p2 = p1 + 0.02
+    z = F.lit(1.959963985 + 0.841621234)
+    n_arm = (
+        z * z * (p1 * (1 - p1) + p2 * (1 - p2)) / ((p2 - p1) * (p2 - p1))
+    )
+    return agg.select(
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("n_clickers").cast("bigint").alias("n_clickers"),
+        F.round(p1, 9).alias("base_rate"),
+        F.ceil(F.round(n_arm, 6)).cast("bigint").alias("n_per_arm"),
+    )
+
+
+ORACLES["agg_power_two_proportions"] = """
+WITH u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+c AS (SELECT COUNT(DISTINCT user_id) AS n_clickers FROM events
+      WHERE event_type = 'click'),
+p AS (
+  SELECT n_users, n_clickers,
+         CAST(n_clickers AS DOUBLE) / n_users AS p1,
+         CAST(n_clickers AS DOUBLE) / n_users + 0.02 AS p2
+  FROM u, c
+)
+SELECT CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_clickers AS BIGINT) AS n_clickers,
+       ROUND(p1, 9) AS base_rate,
+       CAST(CEIL(ROUND(
+         (1.959963985 + 0.841621234) * (1.959963985 + 0.841621234)
+         * (p1*(1-p1) + p2*(1-p2)) / ((p2-p1)*(p2-p1)), 6))
+         AS BIGINT) AS n_per_arm
+FROM p
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "agg_cuped": q_agg_cuped,
+        "agg_srm": q_agg_srm,
+        "agg_power_two_proportions": q_agg_power_two_proportions,
+    }
+)
+
+
+def q_agg_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry preference-strength fitting (the model behind
+    RLHF reward baselines and chat-arena leaderboards) via two
+    minorization–maximization iterations from a uniform start:
+    p_i ← W_i / Σ_j n_ij/(p_i + p_j).  Pairwise results derive
+    deterministically from order keys (5 "models", winner by key
+    residue); W and n are exact integers, the two MM steps are
+    bit-identical double arithmetic over a 5×5 broadcast grid."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+    m = o.select(
+        (k % 5).alias("a"),
+        ((k / F.lit(5)).cast("bigint") % 5).alias("b"),
+        (k % 3 == 0).alias("a_wins"),
+    ).filter(F.col("a") != F.col("b"))
+    pairs = m.select(
+        F.least("a", "b").alias("i"),
+        F.greatest("a", "b").alias("j"),
+        F.when(
+            (F.col("a") < F.col("b")) == F.col("a_wins"), F.lit(1)
+        ).otherwise(F.lit(0)).alias("w_i"),
+    )
+    grid = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n_ij"),
+        F.sum("w_i").alias("w_i"),
+    )
+    # symmetric edge list: one row per (model, opponent)
+    edges = grid.select(
+        F.col("i").alias("m"), F.col("j").alias("o"),
+        F.col("n_ij"), F.col("w_i").alias("w"),
+    ).unionByName(
+        grid.select(
+            F.col("j").alias("m"), F.col("i").alias("o"),
+            F.col("n_ij"),
+            (F.col("n_ij") - F.col("w_i")).alias("w"),
+        )
+    )
+    wins = edges.groupBy("m").agg(
+        F.sum("w").cast("double").alias("wtot"),
+        F.sum("n_ij").cast("bigint").alias("n_games"),
+    )
+    # iteration 1 from p=1: p1_m = W_m / (Σ_o n_mo / 2)
+    it1 = edges.groupBy("m").agg(
+        (F.sum("n_ij") / F.lit(2.0)).alias("den1")
+    ).join(wins, "m").select(
+        "m", "n_games", "wtot",
+        (F.col("wtot") / F.col("den1")).alias("p1"),
+    )
+    # iteration 2: den2_m = Σ_o n_mo / (p1_m + p1_o)
+    p1o = it1.select(F.col("m").alias("o"), F.col("p1").alias("p1_o"))
+    it2 = (
+        edges.drop("w")
+        .join(it1.select("m", "p1", "wtot", "n_games"), "m")
+        .join(p1o, "o")
+        .groupBy("m", "wtot", "n_games")
+        .agg(
+            F.sum(
+                F.col("n_ij") / (F.col("p1") + F.col("p1_o"))
+            ).alias("den2")
+        )
+        .select(
+            "m", "n_games", (F.col("wtot") / F.col("den2")).alias("p2")
+        )
+    )
+    total = it2.agg(F.sum("p2").alias("tot")).collect()[0]["tot"]
+    return it2.select(
+        F.col("m").cast("int").alias("model"),
+        "n_games",
+        F.round(F.col("p2") / F.lit(float(total)), 9).alias("bt_score"),
+    )
+
+
+ORACLES["agg_bradley_terry"] = """
+WITH m AS (
+  SELECT o_orderkey % 5 AS a, (o_orderkey // 5) % 5 AS b,
+         o_orderkey % 3 = 0 AS a_wins
+  FROM orders WHERE o_orderkey % 5 <> (o_orderkey // 5) % 5
+),
+pairs AS (
+  SELECT LEAST(a, b) AS i, GREATEST(a, b) AS j,
+         CASE WHEN (a < b) = a_wins THEN 1 ELSE 0 END AS w_i
+  FROM m
+),
+grid AS (
+  SELECT i, j, COUNT(*) AS n_ij, SUM(w_i) AS w_i
+  FROM pairs GROUP BY i, j
+),
+edges AS (
+  SELECT i AS mm, j AS oo, n_ij, w_i AS w FROM grid
+  UNION ALL
+  SELECT j, i, n_ij, n_ij - w_i FROM grid
+),
+wins AS (
+  SELECT mm, CAST(SUM(w) AS DOUBLE) AS W, SUM(n_ij) AS n_games
+  FROM edges GROUP BY mm
+),
+it1 AS (
+  SELECT e.mm, w.n_games, w.W,
+         w.W / (SUM(e.n_ij) / 2.0) AS p1
+  FROM edges e JOIN wins w USING (mm)
+  GROUP BY e.mm, w.n_games, w.W
+),
+it2 AS (
+  SELECT e.mm, a.n_games, a.W / SUM(e.n_ij / (a.p1 + b.p1)) AS p2
+  FROM edges e
+  JOIN it1 a ON a.mm = e.mm
+  JOIN it1 b ON b.mm = e.oo
+  GROUP BY e.mm, a.n_games, a.W
+),
+tot AS (SELECT SUM(p2) AS t FROM it2)
+SELECT CAST(mm AS INT) AS model,
+       CAST(n_games AS BIGINT) AS n_games,
+       ROUND(p2 / t, 9) AS bt_score
+FROM it2, tot
+"""
+
+
+def q_agg_gamma_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-of-moments Gamma fit per return flag over l_quantity
+    (latency/size distributions are the classic gamma-shaped data):
+    shape k̂ = mean²/var, scale θ̂ = var/mean, both from the exact
+    decimal moment sums — one hash aggregate, zero extra passes."""
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double").alias("s"),
+        F.sum(
+            F.col("l_quantity").cast("decimal(28,2)")
+            * F.col("l_quantity").cast("decimal(9,2)")
+        ).cast("double").alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s") / n
+    var = (F.col("ss") - n * mean * mean) / (n - 1)
+    return g.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(mean * mean / var, 9).alias("gamma_shape"),
+        F.round(var / mean, 9).alias("gamma_scale"),
+    )
+
+
+ORACLES["agg_gamma_moments"] = """
+WITH g AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))
+             * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS ss
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+  ROUND((s/n)*(s/n) / ((ss - n*(s/n)*(s/n)) / (n-1)), 9)
+    AS gamma_shape,
+  ROUND(((ss - n*(s/n)*(s/n)) / (n-1)) / (s/n), 9) AS gamma_scale
+FROM g
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "agg_bradley_terry": q_agg_bradley_terry,
+        "agg_gamma_moments": q_agg_gamma_moments,
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# round 11 wave 2: time series, ANSI-safe SQL surface, DQ rules
+# --------------------------------------------------------------------------
+
+
+def q_ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cumulative VWAP per return flag (the running
+    volume-weighted average price every trading system maintains):
+    one decimal-exact daily aggregate (Σp·q, Σq), then a cumulative
+    window over the BOUNDED per-flag day series — raw rows are
+    touched once, the window never sees them."""
+    li = t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag", F.to_date("l_shipdate").alias("day")
+    ).agg(
+        F.sum(
+            (
+                F.col("l_extendedprice").cast("decimal(28,2)")
+                * F.col("l_quantity").cast("decimal(9,2)")
+            ).cast("decimal(38,4)")
+        ).alias("pq"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"),
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = daily.select(
+        "l_returnflag",
+        "day",
+        (
+            F.sum("pq").over(w).cast("double")
+            / F.sum("q").over(w).cast("double")
+        ).alias("vwap"),
+    )
+    # keep the result bounded and closed-form: the LAST day per flag
+    wlast = Window.partitionBy("l_returnflag").orderBy(F.desc("day"))
+    return (
+        out.withColumn("rn", F.row_number().over(wlast))
+        .filter("rn <= 3")
+        .select(
+            "l_returnflag",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("vwap", 9).alias("vwap"),
+        )
+    )
+
+
+ORACLES["ts_vwap"] = """
+WITH daily AS (
+  SELECT l_returnflag, CAST(l_shipdate AS DATE) AS day,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,2))
+                  * CAST(l_quantity AS DECIMAL(9,2))
+                  AS DECIMAL(38,4))) AS pq,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, day,
+         CAST(SUM(pq) OVER w AS DOUBLE)
+           / CAST(SUM(q) OVER w AS DOUBLE) AS vwap,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY day DESC) AS rn
+  FROM daily
+  WINDOW w AS (PARTITION BY l_returnflag ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT l_returnflag, STRFTIME(day, '%Y-%m-%d') AS day,
+       ROUND(vwap, 9) AS vwap
+FROM cum WHERE rn <= 3
+"""
+
+
+def q_ts_rsi_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's RSI (the SMA variant of the relative-strength index —
+    non-recursive, so it distributes AND oracles cleanly; Wilder's
+    EWMA form is `ts_ewma_decay`'s recursion): daily decimal-exact
+    closes per event type, 5-day simple averages of gains and losses
+    over an ordered window, RSI = 100 − 100/(1+RS) on the final
+    bounded series.  Last 3 days per type keep the row set
+    closed-form."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"),
+            6,
+        ).alias("close")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = daily.select(
+        "event_type",
+        "day",
+        (F.col("close") - F.lag("close", 1).over(w)).alias("chg"),
+    )
+    w5 = w.rowsBetween(-4, 0)
+    g = d.select(
+        "event_type",
+        "day",
+        F.avg(
+            F.when(F.col("chg") > 0, F.col("chg")).otherwise(0.0)
+        ).over(w5).alias("avg_gain"),
+        F.avg(
+            F.when(F.col("chg") < 0, -F.col("chg")).otherwise(0.0)
+        ).over(w5).alias("avg_loss"),
+        F.count("chg").over(w5).alias("n_chg"),
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.desc("day"))
+        ).alias("rn"),
+    )
+    return g.filter("rn <= 3 AND n_chg >= 5").select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(
+            100.0
+            - 100.0 / (1.0 + F.col("avg_gain") / F.col("avg_loss")),
+            9,
+        ).alias("rsi"),
+    )
+
+
+ORACLES["ts_rsi_cutler"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+           AS close
+  FROM events GROUP BY 1, 2
+),
+d AS (
+  SELECT event_type, day,
+         close - LAG(close, 1) OVER (PARTITION BY event_type
+                                     ORDER BY day) AS chg
+  FROM daily
+),
+g AS (
+  SELECT event_type, day,
+         AVG(CASE WHEN chg > 0 THEN chg ELSE 0.0 END) OVER w5
+           AS avg_gain,
+         AVG(CASE WHEN chg < 0 THEN -chg ELSE 0.0 END) OVER w5
+           AS avg_loss,
+         COUNT(chg) OVER w5 AS n_chg,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY day DESC) AS rn
+  FROM d
+  WINDOW w5 AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, STRFTIME(day, '%Y-%m-%d') AS day,
+       ROUND(100.0 - 100.0 / (1.0 + avg_gain / avg_loss), 9) AS rsi
+FROM g WHERE rn <= 3 AND n_chg >= 5
+"""
+
+
+def q_ts_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged CROSS-correlation between two event types' hourly
+    series (does 'view' volume lead 'click' volume?): the
+    `ts_autocorr` moment discipline, but x and y come from DIFFERENT
+    series aligned by hour, x shifted by lag 0..3.  Lead–lag
+    discovery is the feature-engineering probe before any causal or
+    forecasting claim."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"),
+            6,
+        ).alias("v")
+    )
+    x = hourly.filter(F.col("event_type") == "view").select(
+        "hour", F.col("v").alias("x")
+    )
+    y = hourly.filter(F.col("event_type") == "click").select(
+        "hour", F.col("v").alias("y")
+    )
+    lags = spark.range(4).select(F.col("id").cast("int").alias("lag"))
+    shifted = x.crossJoin(F.broadcast(lags)).select(
+        (F.col("hour") + F.expr("make_interval(0,0,0,0,lag)"))
+        .alias("hour"),
+        "lag",
+        "x",
+    )
+    pairs = shifted.join(y, "hour")
+
+    def m(c):
+        return F.sum(c.cast("decimal(28,6)")).cast("double")
+
+    xx, yy = F.col("x"), F.col("y")
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        m(xx).alias("sx"), m(yy).alias("sy"),
+        m(xx * yy).alias("sxy"),
+        m(xx * xx).alias("sxx"), m(yy * yy).alias("syy"),
+    )
+    n = F.col("n_pairs")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        F.col("lag").cast("int").alias("lag"),
+        n.cast("bigint").alias("n_pairs"),
+        F.round(num / den, 9).alias("xcorr"),
+    )
+
+
+ORACLES["ts_lag_correlation"] = """
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+           AS v
+  FROM events WHERE event_type IN ('view', 'click')
+  GROUP BY 1, 2
+),
+x AS (SELECT hour, v AS x FROM hourly WHERE event_type = 'view'),
+y AS (SELECT hour, v AS y FROM hourly WHERE event_type = 'click'),
+pairs AS (
+  SELECT l.lag, x.x, y.y
+  FROM x, (VALUES (0), (1), (2), (3)) l(lag)
+  JOIN y ON y.hour = x.hour + l.lag * INTERVAL 1 HOUR
+),
+mom AS (
+  SELECT lag, COUNT(*) AS n,
+    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       ROUND((n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+         AS xcorr
+FROM mom
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "ts_vwap": q_ts_vwap,
+        "ts_rsi_cutler": q_ts_rsi_cutler,
+        "ts_lag_correlation": q_ts_lag_correlation,
+    }
+)
+
+
+def q_sql_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface (``try_divide`` / ``try_add`` /
+    ``try_to_number``): under Spark 4's default ANSI mode a division
+    by zero or an overflow THROWS mid-job; the try_* family returns
+    NULL instead — the row-level quarantine discipline for derived
+    metrics.  Zero denominators and unparsable numerics are
+    deterministically present in the probe set; the aggregate counts
+    prove every NULL path fired."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_quantity",
+        "l_linenumber",
+        (F.col("l_linenumber") % 3).alias("den"),
+    )
+    d = li.select(
+        F.expr("try_divide(l_quantity, den)").alias("ratio"),
+        F.expr(
+            "try_add(cast(l_orderkey as int), "
+            "cast(2000000000 * (l_linenumber % 2) as int))"
+        ).alias("shifted"),
+        F.expr(
+            "try_to_number("
+            "if(l_linenumber % 4 = 0, 'x', cast(l_quantity as string)),"
+            " '99999999.99')"
+        ).alias("parsed"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count("ratio").cast("bigint").alias("ratio_ok"),
+        F.count("shifted").cast("bigint").alias("add_ok"),
+        F.count("parsed").cast("bigint").alias("parse_ok"),
+        F.round(
+            F.sum(F.col("ratio").cast("decimal(28,6)")).cast("double"),
+            6,
+        ).alias("ratio_sum"),
+    )
+
+
+ORACLES["sql_try_arithmetic"] = """
+WITH d AS (
+  SELECT
+    CASE WHEN l_linenumber % 3 = 0 THEN NULL
+         ELSE l_quantity / (l_linenumber % 3) END AS ratio,
+    CASE WHEN CAST(l_orderkey AS BIGINT)
+              + 2000000000 * (l_linenumber % 2) >= 2147483648
+         THEN NULL
+         ELSE l_orderkey + 2000000000 * (l_linenumber % 2) END
+      AS shifted,
+    CASE WHEN l_linenumber % 4 = 0 THEN NULL ELSE l_quantity END
+      AS parsed
+  FROM lineitem
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(ratio) AS BIGINT) AS ratio_ok,
+       CAST(COUNT(shifted) AS BIGINT) AS add_ok,
+       CAST(COUNT(parsed) AS BIGINT) AS parse_ok,
+       ROUND(CAST(SUM(CAST(ratio AS DECIMAL(28,6))) AS DOUBLE), 6)
+         AS ratio_sum
+FROM d
+"""
+
+
+def q_scalar_semver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-version ordering (package/dependency data): version
+    strings built from part attributes parse into (major, minor,
+    patch) integer triples; the max version PER BRAND is a struct-max
+    (numeric order, never lexicographic — '10.0.0' > '9.9.9'), plus
+    the count of versions that would LOSE a lexicographic sort —
+    the classic bug this operator exists to avoid."""
+    p = t(spark, sf_dir, "part").select(
+        "p_brand",
+        F.concat_ws(
+            ".",
+            (F.col("p_partkey") % 12).cast("string"),
+            (F.col("p_size") % 10).cast("string"),
+            (F.col("p_partkey") % 100).cast("string"),
+        ).alias("ver"),
+    )
+    parts_ = F.split(F.col("ver"), "\\.")
+    parsed = p.select(
+        "p_brand",
+        "ver",
+        parts_.getItem(0).cast("int").alias("maj"),
+        parts_.getItem(1).cast("int").alias("mnr"),
+        parts_.getItem(2).cast("int").alias("pat"),
+    )
+    agg = parsed.groupBy("p_brand").agg(
+        F.max(F.struct("maj", "mnr", "pat")).alias("__m"),
+        F.max("ver").alias("lex_max"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return agg.select(
+        "p_brand",
+        "n",
+        F.concat_ws(
+            ".",
+            F.col("__m.maj").cast("string"),
+            F.col("__m.mnr").cast("string"),
+            F.col("__m.pat").cast("string"),
+        ).alias("numeric_max"),
+        "lex_max",
+        (
+            F.concat_ws(
+                ".",
+                F.col("__m.maj").cast("string"),
+                F.col("__m.mnr").cast("string"),
+                F.col("__m.pat").cast("string"),
+            )
+            != F.col("lex_max")
+        ).alias("lex_disagrees"),
+    )
+
+
+ORACLES["scalar_semver"] = """
+WITH v AS (
+  SELECT p_brand,
+         (p_partkey % 12) || '.' || (p_size % 10) || '.'
+           || (p_partkey % 100) AS ver,
+         p_partkey % 12 AS maj, p_size % 10 AS mnr,
+         p_partkey % 100 AS pat
+  FROM part
+),
+agg AS (
+  SELECT p_brand, COUNT(*) AS n, MAX(ver) AS lex_max,
+         MAX_BY(ver, maj * 1000000 + mnr * 10000 + pat) AS numeric_max
+  FROM v GROUP BY p_brand
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n, numeric_max, lex_max,
+       numeric_max <> lex_max AS lex_disagrees
+FROM agg
+"""
+
+
+def q_scalar_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-aligned time bucketing (TimescaleDB ``time_bucket`` /
+    DuckDB ``time_bucket``): 45-minute buckets anchored at an
+    off-midnight origin — the irregular-width case ``date_trunc``
+    cannot express — via pure epoch integer arithmetic (floor-div,
+    no timezone traps under the UTC session).  Volume per bucket
+    keeps only the busiest 10 buckets (count desc, bucket asc) so
+    the result is bounded at every SF."""
+    e = t(spark, sf_dir, "events")
+    origin = F.lit(900)  # 1970-01-01 00:15:00 UTC
+    width = F.lit(2700)  # 45 min
+    bucket = (
+        F.floor(
+            (F.unix_timestamp("ts") - origin) / width
+        ) * width + origin
+    )
+    g = (
+        e.groupBy(bucket.alias("bucket_epoch"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("bucket_epoch"))
+        .limit(10)
+    )
+    return g.select(
+        F.date_format(
+            F.to_timestamp(F.col("bucket_epoch")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("bucket"),
+        "n_events",
+    )
+
+
+ORACLES["scalar_time_bucket"] = """
+WITH g AS (
+  SELECT CAST(FLOOR((EPOCH(ts) - 900) / 2700) * 2700 + 900 AS BIGINT)
+           AS bucket_epoch,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1
+  ORDER BY n_events DESC, bucket_epoch ASC LIMIT 10
+)
+SELECT STRFTIME(TO_TIMESTAMP(bucket_epoch), '%Y-%m-%d %H:%M:%S')
+         AS bucket,
+       CAST(n_events AS BIGINT) AS n_events
+FROM g
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "sql_try_arithmetic": q_sql_try_arithmetic,
+        "scalar_semver": q_scalar_semver,
+        "scalar_time_bucket": q_scalar_time_bucket,
+    }
+)
+
+
+def q_dq_cross_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field consistency rules (the Deequ/GE check family that
+    single-column profiles miss): a rule battery over lineitem rows —
+    discount band, tax band, positive price, integral quantity, and
+    the derived-value identity price·(1−disc)·(1+tax) ≥ 0 — evaluated
+    in ONE pass (one CASE column per rule, one hash aggregate).
+    Deterministically injected violations (a union of mutated rows)
+    prove every rule actually fires."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax",
+    )
+    bad = li.limit(50).select(
+        "l_orderkey",
+        (F.col("l_quantity") + 0.5).alias("l_quantity"),        # frac qty
+        (-F.col("l_extendedprice")).alias("l_extendedprice"),   # neg price
+        F.lit(0.99).alias("l_discount"),                        # disc band
+        F.lit(0.5).alias("l_tax"),                              # tax band
+    )
+    rows = li.unionByName(bad)
+    rules = rows.select(
+        (~F.col("l_discount").between(0.0, 0.10)).cast("int")
+        .alias("r_discount"),
+        (~F.col("l_tax").between(0.0, 0.08)).cast("int").alias("r_tax"),
+        (F.col("l_extendedprice") <= 0).cast("int").alias("r_price"),
+        (F.col("l_quantity") != F.floor("l_quantity")).cast("int")
+        .alias("r_quantity"),
+    )
+    return rules.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("r_discount").cast("bigint").alias("v_discount"),
+        F.sum("r_tax").cast("bigint").alias("v_tax"),
+        F.sum("r_price").cast("bigint").alias("v_price"),
+        F.sum("r_quantity").cast("bigint").alias("v_quantity"),
+    )
+
+
+ORACLES["dq_cross_field"] = """
+WITH base AS (SELECT COUNT(*) AS n FROM lineitem),
+clean AS (
+  SELECT
+    SUM(CASE WHEN l_discount < 0 OR l_discount > 0.10
+             THEN 1 ELSE 0 END) AS v_discount,
+    SUM(CASE WHEN l_tax < 0 OR l_tax > 0.08 THEN 1 ELSE 0 END) AS v_tax,
+    SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS v_price,
+    SUM(CASE WHEN l_quantity <> FLOOR(l_quantity) THEN 1 ELSE 0 END)
+      AS v_quantity
+  FROM lineitem
+)
+SELECT CAST(n + 50 AS BIGINT) AS n_rows,
+       CAST(v_discount + 50 AS BIGINT) AS v_discount,
+       CAST(v_tax + 50 AS BIGINT) AS v_tax,
+       CAST(v_price + 50 AS BIGINT) AS v_price,
+       CAST(v_quantity + 50 AS BIGINT) AS v_quantity
+FROM base, clean
+"""
+
+
+def q_dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume anomaly watch (the on-call dashboard's first
+    panel): daily event counts z-scored against the table's own
+    daily mean/sd (exact integer moments), days with |z| > 2 flagged;
+    the emitted rows are the 5 most anomalous days — |z| desc, day
+    asc — so the result is bounded and closed-form at every SF."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    j = daily.crossJoin(F.broadcast(mom))
+    d = F.col("d").cast("double")
+    mean = F.col("s") / d
+    sd = F.sqrt((F.col("ss") - d * mean * mean) / (d - 1))
+    z = (F.col("n") - mean) / sd
+    return (
+        j.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round(z, 9).alias("z"),
+            (F.abs(z) > 2.0).alias("anomalous"),
+        )
+        .orderBy(F.abs(F.col("z")).desc(), F.asc("day"))
+        .limit(5)
+    )
+
+
+ORACLES["dq_volume_anomaly"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+mom AS (
+  SELECT COUNT(*) AS d, SUM(n) AS s, SUM(n * n) AS ss FROM daily
+)
+SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+       CAST(n AS BIGINT) AS n_events,
+       ROUND((n - CAST(s AS DOUBLE)/d)
+             / SQRT((ss - d * (CAST(s AS DOUBLE)/d)
+                            * (CAST(s AS DOUBLE)/d)) / (d - 1)), 9)
+         AS z,
+       ABS((n - CAST(s AS DOUBLE)/d)
+           / SQRT((ss - d * (CAST(s AS DOUBLE)/d)
+                          * (CAST(s AS DOUBLE)/d)) / (d - 1))) > 2.0
+         AS anomalous
+FROM daily, mom
+ORDER BY ABS((n - CAST(s AS DOUBLE)/d)
+             / SQRT((ss - d * (CAST(s AS DOUBLE)/d)
+                            * (CAST(s AS DOUBLE)/d)) / (d - 1))) DESC,
+         day ASC
+LIMIT 5
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "dq_cross_field": q_dq_cross_field,
+        "dq_volume_anomaly": q_dq_volume_anomaly,
+    }
+)
