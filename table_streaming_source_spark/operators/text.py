@@ -1514,3 +1514,85 @@ def extract_html_tables(
             "header string, cell_sum long"
         ),
     )
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str,
+    key: str,
+    *,
+    stopwords: Sequence[str] = STOPWORDS,
+    max_phrase_len: int = 4,
+    top_n: int = 10,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents" — the public spec):
+    candidate phrases are maximal stopword-free token runs; each
+    word scores degree/frequency over the candidate set (degree =
+    Σ phrase lengths containing it), a phrase scores the sum of its
+    words' scores, and the corpus's distinct phrases rank by score.
+
+    Shape: one posexplode to (doc, pos, token), a running stopword
+    count assigns phrase ids WITHOUT a shuffle beyond the per-doc
+    window, phrases assemble via an order-pinned array_sort (never an
+    unordered collect_list), and word stats are two hash aggregates
+    over the phrase-word list.  Ties rank by phrase text — fully
+    deterministic."""
+    toks = df.select(
+        F.col(key).alias("__k"),
+        F.posexplode(_tokens(text_col)).alias("__pos", "__tok"),
+    )
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    marked = toks.select(
+        "__k",
+        "__pos",
+        "__tok",
+        F.array_contains(sw, F.col("__tok")).cast("int").alias("__stop"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    phrased = marked.withColumn(
+        "__pid", F.sum("__stop").over(w)
+    ).filter(F.col("__stop") == 0)
+    phrases = (
+        phrased.groupBy("__k", "__pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__tok"))
+                    ),
+                    lambda s: s["__tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("__len"),
+        )
+        .filter(F.col("__len") <= max_phrase_len)
+        .select("phrase", "__len")
+        .distinct()
+    )
+    words = phrases.select(
+        F.explode(F.split("phrase", " ")).alias("word"), "__len"
+    )
+    scores = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("__len").alias("degree"),
+    ).select(
+        "word",
+        (F.col("degree").cast("double") / F.col("freq")).alias("ws"),
+    )
+    ranked = (
+        phrases.select(
+            "phrase", F.explode(F.split("phrase", " ")).alias("word")
+        )
+        .join(scores, "word")
+        .groupBy("phrase")
+        .agg(F.round(F.sum("ws"), 9).alias("rake_score"))
+        .orderBy(F.desc("rake_score"), F.asc("phrase"))
+        .limit(top_n)
+    )
+    return ranked

@@ -18789,3 +18789,463 @@ QUERIES_DEFERRED.update(
         "dq_volume_anomaly": q_dq_volume_anomaly,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# round 11 wave 3: text analysis + LLM-eval operators
+# --------------------------------------------------------------------------
+
+
+def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (`operators/text.py::rake_keywords` —
+    Rose et al. 2010): stopword-delimited candidate phrases, word
+    score = degree/frequency over the candidate set, phrase score =
+    Σ word scores, corpus top-10 by score with text tie-break.  The
+    extractive-keywords step of a corpus exploration / tagging
+    pipeline, all hash aggregates + one per-doc window."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    return X.rake_keywords(
+        docs, "text", "doc_id", stopwords=("the", "a"),
+        max_phrase_len=3, top_n=10,
+    )
+
+
+ORACLES["text_rake_keywords"] = """
+WITH toks AS (
+  SELECT doc_id, u.i AS pos, tk[u.i] AS tok
+  FROM (
+    SELECT doc_id,
+           STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'),
+                        ' ') AS tk
+    FROM documents WHERE doc_id % 3 = 0
+  ), UNNEST(RANGE(1, LEN(tk) + 1)) AS u(i)
+),
+marked AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END AS stop
+  FROM toks
+),
+phrased AS (
+  SELECT doc_id, pos, tok,
+         SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+  FROM marked
+  QUALIFY stop = 0
+),
+phrases AS (
+  SELECT DISTINCT phrase, len FROM (
+    SELECT doc_id, pid,
+           STRING_AGG(tok, ' ' ORDER BY pos) AS phrase,
+           COUNT(*) AS len
+    FROM phrased GROUP BY doc_id, pid
+  ) WHERE len <= 3
+),
+words AS (
+  SELECT UNNEST(STRING_SPLIT(phrase, ' ')) AS word, len FROM phrases
+),
+scores AS (
+  SELECT word, CAST(SUM(len) AS DOUBLE) / COUNT(*) AS ws
+  FROM words GROUP BY word
+),
+ranked AS (
+  SELECT p.phrase, ROUND(SUM(s.ws), 9) AS rake_score
+  FROM (SELECT phrase, UNNEST(STRING_SPLIT(phrase, ' ')) AS word
+        FROM phrases) p
+  JOIN scores s USING (word)
+  GROUP BY p.phrase
+)
+SELECT phrase, rake_score FROM ranked
+ORDER BY rake_score DESC, phrase ASC LIMIT 10
+"""
+
+
+def q_text_calibration_ece(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Expected Calibration Error over a scored corpus (the standard
+    reliability audit for any classifier/quality-model the pipeline
+    trains): deterministic pseudo-confidences and outcomes derive
+    from doc ids, scores bucket into 10 equal-width bins, and
+    ECE = Σ (n_b/N)·|acc_b − conf_b| comes out of ONE hash aggregate
+    over exact integer counts."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") * 2654435761) % 1000 / 1000.0).alias("conf"),
+        (
+            ((F.col("doc_id") * 7919) % 1000)
+            < ((F.col("doc_id") * 2654435761) % 1000)
+        ).cast("int").alias("correct"),
+    )
+    bins = docs.groupBy(
+        F.least(F.floor(F.col("conf") * 10), F.lit(9)).cast("int")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("correct").alias("c"),
+        F.sum(F.col("conf").cast("decimal(18,3)")).cast("double")
+        .alias("sconf"),
+    )
+    total = bins.agg(F.sum("n").alias("n_total"))
+    j = bins.crossJoin(F.broadcast(total))
+    ece_term = (
+        F.col("n").cast("double") / F.col("n_total")
+    ) * F.abs(
+        F.col("c").cast("double") / F.col("n")
+        - F.col("sconf") / F.col("n")
+    )
+    per_bin = j.select(
+        "bin",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("c").cast("double") / F.col("n"), 9).alias("acc"),
+        F.round(F.col("sconf") / F.col("n"), 9).alias("mean_conf"),
+        F.round(ece_term, 9).alias("ece_term"),
+    )
+    return per_bin.orderBy("bin")
+
+
+ORACLES["text_calibration_ece"] = """
+WITH scored AS (
+  SELECT doc_id,
+         (doc_id * 2654435761) % 1000 / 1000.0 AS conf,
+         CASE WHEN (doc_id * 7919) % 1000
+                   < (doc_id * 2654435761) % 1000
+              THEN 1 ELSE 0 END AS correct
+  FROM documents
+),
+bins AS (
+  SELECT LEAST(CAST(FLOOR(conf * 10) AS INT), 9) AS bin,
+         COUNT(*) AS n, SUM(correct) AS c,
+         CAST(SUM(CAST(conf AS DECIMAL(18,3))) AS DOUBLE) AS sconf
+  FROM scored GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS n_total FROM bins)
+SELECT CAST(bin AS INT) AS bin, CAST(bins.n AS BIGINT) AS n,
+       ROUND(CAST(c AS DOUBLE) / bins.n, 9) AS acc,
+       ROUND(sconf / bins.n, 9) AS mean_conf,
+       ROUND((CAST(bins.n AS DOUBLE) / n_total)
+             * ABS(CAST(c AS DOUBLE)/bins.n - sconf/bins.n), 9)
+         AS ece_term
+FROM bins, tot
+ORDER BY bin
+"""
+
+
+def q_text_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k (Chen et al. 2021, the Codex paper's unbiased
+    estimator): documents group into tasks, each doc is one sampled
+    attempt with a deterministic success bit; per task
+    pass@k = 1 − C(n−c, k)/C(n, k), expanded as the exact product
+    Π_{i<k}(n−c−i)/(n−i) — no factorials, no overflow — and the
+    corpus macro-average is the eval's headline number."""
+    docs = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 50).alias("task"),
+        ((F.col("doc_id") * 31) % 7 == 0).cast("int").alias("ok"),
+    )
+    tasks = docs.groupBy("task").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ok").alias("c"),
+    )
+
+    def pass_at(k: int):
+        n, c = F.col("n").cast("double"), F.col("c").cast("double")
+        prod = F.lit(1.0)
+        for i in range(k):
+            prod = prod * (n - c - i) / (n - i)
+        return F.when(F.col("n") - F.col("c") < k, F.lit(1.0)).otherwise(
+            F.lit(1.0) - prod
+        )
+
+    per_task = tasks.select(
+        "task", "n", "c",
+        pass_at(1).alias("p1"), pass_at(5).alias("p5"),
+    )
+    return per_task.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tasks"),
+        F.sum("n").cast("bigint").alias("n_samples"),
+        F.round(F.avg("p1"), 9).alias("pass_at_1"),
+        F.round(F.avg("p5"), 9).alias("pass_at_5"),
+    )
+
+
+ORACLES["text_pass_at_k"] = """
+WITH tasks AS (
+  SELECT doc_id % 50 AS task, COUNT(*) AS n,
+         SUM(CASE WHEN (doc_id * 31) % 7 = 0 THEN 1 ELSE 0 END) AS c
+  FROM documents GROUP BY 1
+),
+per AS (
+  SELECT task, n, c,
+    CASE WHEN n - c < 1 THEN 1.0
+         ELSE 1.0 - (CAST(n - c AS DOUBLE)) / n END AS p1,
+    CASE WHEN n - c < 5 THEN 1.0
+         ELSE 1.0 - (CAST(n-c AS DOUBLE)/n) * (CAST(n-c-1 AS DOUBLE)/(n-1))
+              * (CAST(n-c-2 AS DOUBLE)/(n-2))
+              * (CAST(n-c-3 AS DOUBLE)/(n-3))
+              * (CAST(n-c-4 AS DOUBLE)/(n-4)) END AS p5
+  FROM tasks
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tasks,
+       CAST(SUM(n) AS BIGINT) AS n_samples,
+       ROUND(AVG(p1), 9) AS pass_at_1,
+       ROUND(AVG(p5), 9) AS pass_at_5
+FROM per
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "text_rake_keywords": q_text_rake_keywords,
+        "text_calibration_ece": q_text_calibration_ece,
+        "text_pass_at_k": q_text_pass_at_k,
+    }
+)
+
+
+def q_text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based sentence segmentation + per-doc stats (the
+    chunking/readability precursor): each document renders a
+    deterministic multi-sentence string (cycling ./!/? terminators),
+    the operator segments on terminator+whitespace with a REAL regex
+    split, and the rollup recovers every closed-form quantity —
+    sentence count, word volume, mean words per sentence, longest
+    sentence."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 1
+    )
+    d = docs.select(
+        "doc_id",
+        F.expr(
+            "concat_ws(' ', transform(sequence(0, "
+            "cast(doc_id % 4 as int)), i -> concat("
+            "concat_ws(' ', transform(sequence(1, "
+            "cast(3 + (doc_id * 7 + i) % 5 as int)), "
+            "j -> concat('w', j))), "
+            "element_at(array('.', '!', '?'), "
+            "cast(i % 3 as int) + 1))))"
+        ).alias("prose"),
+    )
+    sents = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.col("prose"), r"[.!?]\s*"),
+            lambda s: F.length(s) > 0,
+        ).alias("ss"),
+    )
+    per = sents.select(
+        "doc_id",
+        F.size("ss").alias("n_sentences"),
+        F.expr(
+            "transform(ss, s -> size(split(trim(s), ' ')))"
+        ).alias("wc"),
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_sentences").cast("int").alias("n_sentences"),
+        F.expr("aggregate(wc, 0, (a, x) -> a + x)").cast("bigint")
+        .alias("total_words"),
+        F.round(
+            F.expr("aggregate(wc, 0, (a, x) -> a + x)")
+            / F.col("n_sentences"),
+            9,
+        ).alias("mean_words"),
+        F.expr("array_max(wc)").cast("int").alias("max_words"),
+    )
+
+
+ORACLES["text_sentence_stats"] = """
+WITH base AS (
+  SELECT doc_id, 1 + doc_id % 4 AS n_sents FROM documents
+  WHERE doc_id % 4 = 1
+),
+sent AS (
+  SELECT doc_id, n_sents, 3 + (doc_id * 7 + i) % 5 AS wc
+  FROM base, UNNEST(RANGE(0, n_sents)) AS u(i)
+)
+SELECT doc_id, CAST(n_sents AS INT) AS n_sentences,
+       CAST(SUM(wc) AS BIGINT) AS total_words,
+       ROUND(CAST(SUM(wc) AS DOUBLE) / n_sents, 9) AS mean_words,
+       CAST(MAX(wc) AS INT) AS max_words
+FROM sent GROUP BY doc_id, n_sents
+"""
+
+
+def q_text_markdown_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown → plain-text cleaning (the web-corpus preprocessing
+    step beside `text_html_strip`): deterministic per-doc markdown —
+    an ATX header, a run of inline links, a fenced code block, bold
+    markers — is stripped by the published regex algebra (fences
+    drop WITH their content, links keep their label, header/bold
+    markers drop) and each structural count is recovered.  The oracle
+    rebuilds the same document and applies the same algebra in SQL —
+    both engines run the transform independently."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 2
+    )
+    md = docs.select(
+        "doc_id",
+        F.expr(
+            "concat('# Title ', doc_id, '\n', "
+            "concat_ws(' ', transform(sequence(1, "
+            "cast(1 + doc_id % 3 as int)), "
+            "j -> concat('[l', j, '](http://x/', j, ')'))), "
+            "'\n```\n', "
+            "concat_ws('\n', transform(sequence(1, "
+            "cast(1 + doc_id % 2 as int)), j -> concat('code', j))), "
+            "'\n```\n**bold', doc_id, '** tail')"
+        ).alias("md"),
+    )
+    stripped = md.select(
+        "doc_id",
+        F.regexp_count(F.col("md"), F.lit(r"(?m)^#{1,6} ")).cast("int")
+        .alias("n_headers"),
+        F.regexp_count(
+            F.col("md"), F.lit(r"\[[^\]]*\]\([^)]*\)")
+        ).cast("int").alias("n_links"),
+        (
+            F.regexp_count(F.col("md"), F.lit("```")) / 2
+        ).cast("int").alias("n_fences"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.col("md"), r"(?s)```.*?```", ""
+                    ),
+                    r"\[([^\]]*)\]\(([^)]*)\)",
+                    r"$1",
+                ),
+                r"(?m)^#{1,6} ",
+                "",
+            ),
+            r"\*\*",
+            "",
+        ).alias("plain"),
+    )
+    return stripped.select(
+        "doc_id",
+        "n_headers",
+        "n_links",
+        "n_fences",
+        F.length("plain").cast("int").alias("plain_len"),
+    )
+
+
+ORACLES["text_markdown_strip"] = """
+WITH md AS (
+  SELECT doc_id,
+    '# Title ' || doc_id || CHR(10)
+    || ARRAY_TO_STRING(
+         (SELECT LIST('[l' || j || '](http://x/' || j || ')'
+                      ORDER BY j)
+          FROM UNNEST(RANGE(1, 1 + doc_id % 3 + 1)) AS u(j)), ' ')
+    || CHR(10) || '```' || CHR(10)
+    || ARRAY_TO_STRING(
+         (SELECT LIST('code' || j ORDER BY j)
+          FROM UNNEST(RANGE(1, 1 + doc_id % 2 + 1)) AS v(j)),
+         CHR(10))
+    || CHR(10) || '```' || CHR(10) || '**bold' || doc_id || '** tail'
+      AS md
+  FROM documents WHERE doc_id % 4 = 2
+),
+stripped AS (
+  SELECT doc_id,
+    LEN(REGEXP_EXTRACT_ALL(md, '(?m)^#{1,6} ')) AS n_headers,
+    LEN(REGEXP_EXTRACT_ALL(md, '\\[[^\\]]*\\]\\([^)]*\\)')) AS n_links,
+    LEN(REGEXP_EXTRACT_ALL(md, '```')) // 2 AS n_fences,
+    REGEXP_REPLACE(
+      REGEXP_REPLACE(
+        REGEXP_REPLACE(
+          REGEXP_REPLACE(md, '(?s)```.*?```', '', 'g'),
+          '\\[([^\\]]*)\\]\\(([^)]*)\\)', '\\1', 'g'),
+        '(?m)^#{1,6} ', '', 'g'),
+      '\\*\\*', '', 'g') AS plain
+  FROM md
+)
+SELECT doc_id, CAST(n_headers AS INT) AS n_headers,
+       CAST(n_links AS INT) AS n_links,
+       CAST(n_fences AS INT) AS n_fences,
+       CAST(LEN(plain) AS INT) AS plain_len
+FROM stripped
+"""
+
+
+def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing (the training-mix split every corpus
+    pipeline needs before tokenizer/mixture decisions): every 5th doc
+    carries an appended code snippet; the detector scores symbol
+    density, language keywords, and indented lines with plain regex
+    counts and routes on a fixed threshold.  Per-source routing
+    counts prove detection fires exactly on the injected docs."""
+    docs = t(spark, sf_dir, "documents")
+    payload = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.expr(
+                    "concat('\ndef f', doc_id, '(x):\n"
+                    "    y = x + ', doc_id % 9, ';\n"
+                    "    return {y};\n')"
+                ),
+            ),
+        ).otherwise(F.col("text")).alias("body"),
+    )
+    feats = payload.select(
+        "doc_id",
+        "source",
+        F.regexp_count(F.col("body"), F.lit(r"[{}();=]")).cast("int")
+        .alias("symbols"),
+        F.regexp_count(
+            F.col("body"), F.lit(r"\b(def|return|import)\b")
+        ).cast("int").alias("keywords"),
+        F.regexp_count(F.col("body"), F.lit(r"(?m)^    ")).cast("int")
+        .alias("indented"),
+    )
+    scored = feats.select(
+        "source",
+        (
+            F.col("symbols") + 2 * F.col("keywords") + F.col("indented")
+        ).alias("score"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("score") >= 4).cast("int")).cast("bigint")
+        .alias("n_code"),
+        F.sum("score").cast("bigint").alias("score_sum"),
+    )
+
+
+ORACLES["text_code_detect"] = """
+WITH payload AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 5 = 0 THEN
+           text || CHR(10) || 'def f' || doc_id || '(x):' || CHR(10)
+                || '    y = x + ' || doc_id % 9 || ';' || CHR(10)
+                || '    return {y};' || CHR(10)
+         ELSE text END AS body
+  FROM documents
+),
+feats AS (
+  SELECT source,
+    LEN(REGEXP_EXTRACT_ALL(body, '[{}();=]'))
+      + 2 * LEN(REGEXP_EXTRACT_ALL(body, '\\b(def|return|import)\\b'))
+      + LEN(REGEXP_EXTRACT_ALL(body, '(?m)^    ')) AS score
+  FROM payload
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN score >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_code,
+       CAST(SUM(score) AS BIGINT) AS score_sum
+FROM feats GROUP BY source
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "text_sentence_stats": q_text_sentence_stats,
+        "text_markdown_strip": q_text_markdown_strip,
+        "text_code_detect": q_text_code_detect,
+    }
+)
