@@ -19249,3 +19249,240 @@ QUERIES_DEFERRED.update(
         "text_code_detect": q_text_code_detect,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# round 11 wave 4: config / feed sources
+# --------------------------------------------------------------------------
+
+
+def q_source_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Java ``.properties`` ingestion
+    (`sources/properties_file.py` — a from-scratch parser of the
+    ``java.util.Properties.load`` spec: backslash continuations,
+    ``\\uXXXX`` escapes, escaped separators, last-duplicate-wins):
+    each doc renders a deterministic config exercising every rule;
+    the rollup recovers the closed-form quantities."""
+    from table_streaming_source_spark.sources.properties_file import (
+        properties_rows,
+    )
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 2
+    ).select(
+        F.col("doc_id").alias("key"),
+        F.expr(
+            "concat('# generated\n', "
+            "concat_ws('\n', transform(sequence(0, "
+            "cast(doc_id % 3 as int)), "
+            "j -> concat('k', j, ' = ', (doc_id * 11 + j * 7) % 100))), "
+            "'\npath=a\\\\:b\\\\=c', "
+            "'\nlong = start,\\\\\n    end', "
+            "'\nuni = \\\\u0041x', "
+            "'\ndup = 1\ndup = ', cast(doc_id % 10 as int), '\n')"
+        ).alias("props"),
+    )
+    rows = properties_rows(d)
+    return rows.groupBy("prop").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("value_int"), F.lit(0)).cast("bigint")
+        .alias("sum_val"),
+        F.count_distinct("value").cast("bigint").alias("n_values"),
+    ).filter(~F.col("prop").startswith("k"))
+    # the k{j} family is variable-arity; the fixed props carry the
+    # spec-rule checks (escaped separators, continuation, unicode,
+    # duplicate override) and stay closed-form at every SF
+
+
+ORACLES["source_properties"] = """
+WITH base AS (
+  SELECT doc_id FROM documents WHERE doc_id % 5 = 2
+)
+SELECT prop, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(sum_val AS BIGINT) AS sum_val,
+       CAST(n_values AS BIGINT) AS n_values
+FROM (
+  SELECT 'path' AS prop, COUNT(*) AS n_docs, 0 AS sum_val,
+         1 AS n_values
+  FROM base
+  UNION ALL
+  SELECT 'long', COUNT(*), 0, 1 FROM base
+  UNION ALL
+  SELECT 'uni', COUNT(*), 0, 1 FROM base
+  UNION ALL
+  SELECT 'dup', COUNT(*), SUM(doc_id % 10),
+         COUNT(DISTINCT doc_id % 10)
+  FROM base
+)
+"""
+
+
+def q_source_toml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOML ingestion through the stdlib ``tomllib`` reference parser
+    (PEP 680) over Arrow batches — the modern config twin of
+    `source_ini`: typed values (ints, booleans, arrays) survive as
+    types, not strings; the rollup recovers every closed-form
+    quantity.  Malformed TOML raises the shared quarantine
+    ValueError."""
+    import tomllib
+    from typing import Iterator as _It
+
+    import pandas as _pd
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("key", LongType(), False),
+        StructField("section", StringType(), False),
+        StructField("n_ints", IntegerType(), False),
+        StructField("int_sum", LongType(), False),
+        StructField("n_true", IntegerType(), False),
+        StructField("arr_len", IntegerType(), False),
+    ])
+
+    def batches(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                f.name: [] for f in schema.fields
+            }
+            for k, text in zip(pdf["key"], pdf["toml"]):
+                try:
+                    doc = tomllib.loads(str(text))
+                except tomllib.TOMLDecodeError as exc:
+                    raise ValueError(f"toml: {exc}") from None
+                for section, body in doc.items():
+                    ints = [
+                        v for v in body.values()
+                        if isinstance(v, int) and not isinstance(v, bool)
+                    ]
+                    rows["key"].append(int(k))
+                    rows["section"].append(section)
+                    rows["n_ints"].append(len(ints))
+                    rows["int_sum"].append(sum(ints))
+                    rows["n_true"].append(
+                        sum(1 for v in body.values() if v is True)
+                    )
+                    arrs = [
+                        v for v in body.values() if isinstance(v, list)
+                    ]
+                    rows["arr_len"].append(
+                        len(arrs[0]) if arrs else 0
+                    )
+            yield _pd.DataFrame({
+                "key": _pd.Series(rows["key"], dtype="int64"),
+                "section": _pd.Series(rows["section"], dtype="object"),
+                "n_ints": _pd.Series(rows["n_ints"], dtype="int32"),
+                "int_sum": _pd.Series(rows["int_sum"], dtype="int64"),
+                "n_true": _pd.Series(rows["n_true"], dtype="int32"),
+                "arr_len": _pd.Series(rows["arr_len"], dtype="int32"),
+            })
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 3
+    ).select(
+        F.col("doc_id").alias("key"),
+        F.expr(
+            "concat('[server]\nport = ', 8000 + doc_id % 100, "
+            "'\nworkers = ', 1 + doc_id % 8, "
+            "'\ntls = ', if(doc_id % 2 = 0, 'true', 'false'), "
+            "'\ntags = [', concat_ws(', ', transform(sequence(1, "
+            "cast(1 + doc_id % 3 as int)), j -> cast(j as string))), "
+            "']\n\n[meta]\nversion = ', doc_id % 7, '\n')"
+        ).alias("toml"),
+    )
+    rows = d.mapInPandas(batches, schema=schema)
+    return rows.groupBy("section").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("int_sum").cast("bigint").alias("sum_ints"),
+        F.sum("n_true").cast("bigint").alias("n_true"),
+        F.sum("arr_len").cast("bigint").alias("sum_arr_len"),
+    )
+
+
+ORACLES["source_toml"] = """
+WITH base AS (
+  SELECT doc_id FROM documents WHERE doc_id % 5 = 3
+)
+SELECT section, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(sum_ints AS BIGINT) AS sum_ints,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(sum_arr_len AS BIGINT) AS sum_arr_len
+FROM (
+  SELECT 'server' AS section, COUNT(*) AS n_docs,
+         SUM(8000 + doc_id % 100 + 1 + doc_id % 8) AS sum_ints,
+         SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_true,
+         SUM(1 + doc_id % 3) AS sum_arr_len
+  FROM base
+  UNION ALL
+  SELECT 'meta', COUNT(*), SUM(doc_id % 7), 0, 0 FROM base
+)
+"""
+
+
+def q_source_rss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS 2.0 feed ingestion (`sources/rss_feed.py` — stdlib XML +
+    the RFC-822 pubDate grammar through ``email.utils``, the
+    reference parser): each doc renders a deterministic feed with a
+    variable item run; the rollup recovers item counts, category
+    volume and the exact epoch sum round-tripped through the RFC-822
+    rendering."""
+    from table_streaming_source_spark.sources.rss_feed import rss_items
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 4
+    ).select(
+        F.col("doc_id").alias("key"),
+        F.expr(
+            "concat('<rss version=\"2.0\"><channel>', "
+            "'<title>feed', doc_id % 10, '</title>', "
+            "concat_ws('', transform(sequence(0, "
+            "cast(doc_id % 4 as int)), i -> concat("
+            "'<item><title>item', i, '</title>', "
+            "'<link>http://x/', doc_id, '/', i, '</link>', "
+            "'<guid>g-', doc_id, '-', i, '</guid>', "
+            "'<pubDate>', date_format(to_timestamp("
+            "cast(1500000000 + (doc_id * 3600 + i * 60) as bigint)), "
+            "'EEE, dd MMM yyyy HH:mm:ss Z'), '</pubDate>', "
+            "concat_ws('', transform(sequence(1, "
+            "cast(1 + i % 2 as int)), "
+            "c -> concat('<category>c', c, '</category>'))), "
+            "'</item>'))), "
+            "'</channel></rss>')"
+        ).alias("rss"),
+    )
+    rows = rss_items(d)
+    return rows.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.count_distinct("key").cast("bigint").alias("n_feeds"),
+        F.sum("n_categories").cast("bigint").alias("n_categories"),
+        F.sum("pub_epoch").cast("bigint").alias("epoch_sum"),
+    )
+
+
+ORACLES["source_rss"] = """
+WITH base AS (
+  SELECT doc_id, 1 + doc_id % 4 AS n FROM documents
+  WHERE doc_id % 5 = 4
+),
+items AS (
+  SELECT doc_id, 'feed' || (doc_id % 10) AS channel,
+         1500000000 + doc_id * 3600 + i * 60 AS epoch,
+         1 + i % 2 AS n_cat
+  FROM base, UNNEST(RANGE(0, n)) AS u(i)
+)
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_feeds,
+       CAST(SUM(n_cat) AS BIGINT) AS n_categories,
+       CAST(SUM(epoch) AS BIGINT) AS epoch_sum
+FROM items GROUP BY channel
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "source_properties": q_source_properties,
+        "source_toml": q_source_toml,
+        "source_rss": q_source_rss,
+    }
+)
