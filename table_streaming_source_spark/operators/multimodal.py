@@ -8442,3 +8442,642 @@ def webvtt_cue_stats(
             )
 
     return df.mapInPandas(batches, schema=SRT_CUES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# round 11: PCX raster decode, magic-byte sniffing, ASS subtitles,
+# CUR cursor metadata, WAV cue markers
+# --------------------------------------------------------------------------
+
+
+def synth_pcx(key: int) -> bytes:
+    """Deterministic 8-bit single-plane PCX (ZSoft PCX spec, rev 5):
+    128-byte header, RLE-encoded scanlines, the 0x0C-marked VGA
+    palette trailer.  pixel(x, y) = (key·31 + x·7 + y·13) % 256."""
+    w = 4 + key % 5
+    h = 3 + key % 4
+    hdr = struct.pack(
+        "<BBBBHHHHHH48sBBHHHH54s",
+        10,            # manufacturer = ZSoft
+        5,             # version 5 (24-bit capable, VGA palette)
+        1,             # encoding = RLE
+        8,             # bits per pixel per plane
+        0, 0, w - 1, h - 1,   # window
+        72, 72,        # dpi
+        b"\x00" * 48,  # EGA palette (unused)
+        0,             # reserved
+        1,             # planes
+        w,             # bytes per line (even not enforced here)
+        1,             # palette info: color
+        0, 0,          # screen size
+        b"\x00" * 54,
+    )
+    body = bytearray()
+    for y in range(h):
+        row = bytes((key * 31 + x * 7 + y * 13) % 256 for x in range(w))
+        # RLE encode: runs of equal bytes, count ≤ 63; a single byte
+        # with top two bits set still needs a count prefix
+        i = 0
+        while i < len(row):
+            run = 1
+            while (
+                i + run < len(row)
+                and row[i + run] == row[i]
+                and run < 63
+            ):
+                run += 1
+            if run > 1 or row[i] >= 0xC0:
+                body.append(0xC0 | run)
+            body.append(row[i])
+            i += run
+    pal = bytes((j * 3 + c) % 256 for j in range(256) for c in range(3))
+    return hdr + bytes(body) + b"\x0c" + pal
+
+
+def _pcx_one(payload: bytes) -> dict:
+    """Decode one PCX: header sanity, full RLE expansion, palette
+    trailer check.  Malformed bytes raise ValueError (quarantine)."""
+    if len(payload) < 128:
+        raise ValueError("pcx: truncated header")
+    (mfr, ver, enc, bpp) = struct.unpack_from("<BBBB", payload, 0)
+    if mfr != 10:
+        raise ValueError(f"pcx: bad manufacturer {mfr}")
+    if enc != 1:
+        raise ValueError(f"pcx: unsupported encoding {enc}")
+    if bpp != 8:
+        raise ValueError(f"pcx: unsupported bpp {bpp}")
+    x0, y0, x1, y1 = struct.unpack_from("<HHHH", payload, 4)
+    planes = payload[65]
+    bpl = struct.unpack_from("<H", payload, 66)[0]
+    if planes != 1:
+        raise ValueError(f"pcx: unsupported planes {planes}")
+    w, h = x1 - x0 + 1, y1 - y0 + 1
+    if w <= 0 or h <= 0:
+        raise ValueError("pcx: empty window")
+    # palette trailer: 0x0C marker + 768 bytes at EOF (version 5)
+    if len(payload) < 128 + 769 or payload[-769] != 0x0C:
+        raise ValueError("pcx: missing VGA palette trailer")
+    data = payload[128:-769]
+    pix = bytearray()
+    i = 0
+    need = bpl * h
+    while len(pix) < need:
+        if i >= len(data):
+            raise ValueError("pcx: RLE underrun")
+        b = data[i]
+        if b >= 0xC0:
+            if i + 1 >= len(data):
+                raise ValueError("pcx: dangling RLE count")
+            pix.extend(data[i + 1:i + 2] * (b & 0x3F))
+            i += 2
+        else:
+            pix.append(b)
+            i += 1
+    if len(pix) != need or i != len(data):
+        raise ValueError("pcx: RLE overrun")
+    total = 0
+    for y in range(h):
+        total += sum(pix[y * bpl:y * bpl + w])
+    return {"width": w, "height": h, "pix_sum": total}
+
+
+def attach_pcx_payload(df: DataFrame, key: str) -> DataFrame:
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [synth_pcx(int(k)) for k in pdf[key]],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def pcx_stats(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Per-file PCX raster stats (dimensions + pixel checksum) — the
+    RLE raster sibling of `bmp_rle`/`tga`.  Arrow-batched, zero
+    shuffles; malformed bytes quarantine."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+            StructField("pix_sum", LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("key", "width", "height", "pix_sum")}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                m = _pcx_one(bytes(payload))
+                rows["key"].append(int(k))
+                rows["width"].append(m["width"])
+                rows["height"].append(m["height"])
+                rows["pix_sum"].append(m["pix_sum"])
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "pix_sum": pd.Series(rows["pix_sum"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=schema)
+
+
+#: magic-byte table for content sniffing (public file signatures)
+_MAGIC: tuple[tuple[bytes, str], ...] = (
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"GIF87a", "gif"),
+    (b"GIF89a", "gif"),
+    (b"RIFF", "riff"),
+    (b"%PDF-", "pdf"),
+    (b"PK\x03\x04", "zip"),
+)
+
+
+def sniff_type(payload: bytes) -> str:
+    """Content-type detection from magic bytes (the file(1) /
+    MIME-sniffing approach): longest-prefix match over the public
+    signature table, ``text`` when every byte is printable ASCII or
+    common whitespace, else ``binary``."""
+    for magic, name in _MAGIC:
+        if payload.startswith(magic):
+            if name == "riff":
+                return (
+                    "wav" if payload[8:12] == b"WAVE" else "riff"
+                )
+            return name
+    if payload and all(
+        32 <= b < 127 or b in (9, 10, 13) for b in payload
+    ):
+        return "text"
+    return "binary"
+
+
+def attach_sniff_payload(df: DataFrame, key: str) -> DataFrame:
+    """Fixture adapter: key % 6 selects PNG / JPEG / GIF / WAV /
+    text / high-bit binary payloads — every sniffing branch fires."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def synth(key: int) -> bytes:
+        r = key % 6
+        if r == 0:
+            return b"\x89PNG\r\n\x1a\n" + bytes([key % 256]) * 4
+        if r == 1:
+            return b"\xff\xd8\xff\xe0" + bytes([key % 256]) * 4
+        if r == 2:
+            return (b"GIF87a" if key % 2 == 0 else b"GIF89a") + b"\x01"
+        if r == 3:
+            return (
+                b"RIFF" + struct.pack("<I", 4 + key % 16) + b"WAVE"
+            )
+        if r == 4:
+            return f"plain text {key}\n".encode("ascii")
+        return b"\x00\xfe" + bytes([key % 256]) * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [synth(int(k)) for k in pdf[key]],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def sniff_types(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """``(key, detected)`` rows — the routing step a mixed-media lake
+    runs before choosing a decoder; downstream quarantine/decode
+    pipelines branch on ``detected``."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("detected", StringType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "detected": [
+                        sniff_type(bytes(p)) for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=schema)
+
+
+def synth_ass(key: int) -> bytes:
+    """Deterministic ASS/SSA subtitle file (the SubStation Alpha v4+
+    spec): [Script Info] + [Events] with a Format: line and
+    ``1 + key % 5`` Dialogue cues; cue i starts at i·2000 ms and
+    lasts ``500 + ((key·23 + i) % 80)·10`` ms (centisecond-aligned —
+    the format's resolution); text has ``4 + i % 3`` words."""
+    n = 1 + key % 5
+
+    def ts(ms: int) -> str:
+        cs = ms // 10
+        s, cs = divmod(cs, 100)
+        m, s = divmod(s, 60)
+        h, m = divmod(m, 60)
+        return f"{h}:{m:02d}:{s:02d}.{cs:02d}"
+
+    lines = [
+        "[Script Info]",
+        f"Title: clip{key % 10}",
+        "",
+        "[Events]",
+        "Format: Layer, Start, End, Style, Text",
+    ]
+    for i in range(n):
+        start = i * 2000
+        end = start + 500 + ((key * 23 + i) % 80) * 10
+        words = " ".join(f"w{j}" for j in range(4 + i % 3))
+        lines.append(
+            f"Dialogue: 0,{ts(start)},{ts(end)},Default,{words}"
+        )
+    return ("\n".join(lines) + "\n").encode("utf-8")
+
+
+def _ass_one(payload: bytes) -> dict:
+    """Parse one ASS file's [Events] section: the Format: line names
+    the field order, Dialogue: lines carry ``h:mm:ss.cc`` timestamps
+    (centiseconds — the format's quirk vs SRT's milliseconds).
+    Structural errors raise ValueError (quarantine)."""
+    import re
+
+    try:
+        text = payload.decode("utf-8")
+    except UnicodeDecodeError as exc:
+        raise ValueError(f"ass: not utf-8: {exc}") from None
+    ts_re = re.compile(r"^(\d+):([0-5]\d):([0-5]\d)\.(\d{2})$")
+    fields: list[str] | None = None
+    in_events = False
+    cues = []
+    for line in text.split("\n"):
+        line = line.strip()
+        if line.lower() == "[events]":
+            in_events = True
+            continue
+        if line.startswith("[") and line.endswith("]"):
+            in_events = False
+            continue
+        if not in_events or not line:
+            continue
+        if line.startswith("Format:"):
+            fields = [f.strip() for f in line[7:].split(",")]
+            continue
+        if not line.startswith("Dialogue:"):
+            continue
+        if fields is None:
+            raise ValueError("ass: Dialogue before Format")
+        if "Start" not in fields or "End" not in fields:
+            raise ValueError("ass: Format lacks Start/End fields")
+        parts = line[9:].strip().split(",", len(fields) - 1)
+        if len(parts) != len(fields):
+            raise ValueError(f"ass: field count {len(parts)}")
+        rec = dict(zip(fields, parts))
+        out = []
+        for name in ("Start", "End"):
+            m = ts_re.match(rec[name].strip())
+            if m is None:
+                raise ValueError(f"ass: bad timestamp {rec[name]!r}")
+            h, mi, s, cs = (int(x) for x in m.groups())
+            out.append((((h * 60 + mi) * 60 + s) * 100 + cs) * 10)
+        start, end = out
+        if end <= start:
+            raise ValueError("ass: cue ends before it starts")
+        cues.append((start, end, rec.get("Text", "")))
+    if not cues:
+        raise ValueError("ass: no Dialogue cues")
+    return {
+        "n_cues": len(cues),
+        "total_ms": sum(e - s for s, e, _t in cues),
+        "span_ms": cues[-1][1] - cues[0][0],
+        "n_words": sum(
+            len([w for w in t.split(" ") if w]) for _s, _e, t in cues
+        ),
+    }
+
+
+def attach_ass_payload(df: DataFrame, key: str) -> DataFrame:
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [synth_ass(int(k)) for k in pdf[key]],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def ass_cue_stats(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Per-file ASS/SSA cue statistics, shape-compatible with
+    `srt_cue_stats`/`webvtt_cue_stats` — the third timed-text dialect
+    feeding the same downstream pipeline."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                k: []
+                for k in ("key", "n_cues", "total_ms", "span_ms",
+                          "n_words")
+            }
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                m = _ass_one(bytes(payload))
+                rows["key"].append(int(k))
+                rows["n_cues"].append(m["n_cues"])
+                rows["total_ms"].append(m["total_ms"])
+                rows["span_ms"].append(m["span_ms"])
+                rows["n_words"].append(m["n_words"])
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "n_cues": pd.Series(rows["n_cues"], dtype="int32"),
+                    "total_ms": pd.Series(
+                        rows["total_ms"], dtype="int64"
+                    ),
+                    "span_ms": pd.Series(rows["span_ms"], dtype="int64"),
+                    "n_words": pd.Series(rows["n_words"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=SRT_CUES_SCHEMA)
+
+
+def synth_cur(key: int) -> bytes:
+    """Deterministic Windows .CUR file (the ICONDIR/ICONDIRENTRY
+    layout shared with .ICO, idType=2; the two ICO "planes/bpp"
+    fields carry the HOTSPOT for cursors): one 4×4 32-bpp DIB image,
+    hotspot = (key % 4, (key // 4) % 4)."""
+    w = h = 4
+    hx, hy = key % 4, (key // 4) % 4
+    # BITMAPINFOHEADER with doubled height (XOR + AND masks)
+    dib_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h * 2, 1, 32, 0, w * h * 4 + h * 4,
+        0, 0, 0, 0,
+    )
+    xor = bytes(
+        (key * 7 + px) % 256
+        for px in range(w * h * 4)
+    )
+    and_mask = b"\x00\x00\x00\x00" * h  # 4-byte-padded rows of zeros
+    img = dib_hdr + xor + and_mask
+    entry = struct.pack(
+        "<BBBBHHII", w, h, 0, 0, hx, hy, len(img), 6 + 16
+    )
+    return struct.pack("<HHH", 0, 2, 1) + entry + img
+
+
+def _cur_one(payload: bytes) -> tuple:
+    """Decode one CUR: header sanity, entry/DIB cross-check, hotspot,
+    XOR-plane checksum.  Malformed bytes raise ValueError."""
+    if len(payload) < 22:
+        raise ValueError("cur: truncated header")
+    rsv, typ, cnt = struct.unpack_from("<HHH", payload, 0)
+    if rsv != 0 or typ != 2:
+        raise ValueError(f"cur: bad header ({rsv}, {typ})")
+    if cnt != 1:
+        raise ValueError(f"cur: want 1 image, got {cnt}")
+    w, h, _pal, _rsv, hx, hy, size, off = struct.unpack_from(
+        "<BBBBHHII", payload, 6
+    )
+    if off + size > len(payload):
+        raise ValueError("cur: image out of bounds")
+    hdr = payload[off:off + 40]
+    if len(hdr) < 40 or struct.unpack_from("<I", hdr)[0] != 40:
+        raise ValueError("cur: bad BITMAPINFOHEADER")
+    bw, bh2 = struct.unpack_from("<ii", hdr, 4)
+    bpp = struct.unpack_from("<H", hdr, 14)[0]
+    if bw != w or bh2 != 2 * h or bpp != 32:
+        raise ValueError("cur: DIB/entry mismatch")
+    xor = payload[off + 40:off + 40 + w * h * 4]
+    return (w, h, hx, hy, sum(xor))
+
+
+def cur_meta(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Per-file CUR cursor metadata (dimensions, HOTSPOT, DIB size) —
+    the cursor sibling of `multimodal_ico`; hotspot lives where ICO
+    stores planes/bpp, the one field that distinguishes the two
+    container types.  Malformed bytes raise (quarantine)."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+            StructField("hotspot_x", IntegerType(), False),
+            StructField("hotspot_y", IntegerType(), False),
+            StructField("xor_sum", LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {f.name: [] for f in schema.fields}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                w, h, hx, hy, xs = _cur_one(bytes(payload))
+                rows["key"].append(int(k))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["hotspot_x"].append(hx)
+                rows["hotspot_y"].append(hy)
+                rows["xor_sum"].append(xs)
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "hotspot_x": pd.Series(
+                        rows["hotspot_x"], dtype="int32"
+                    ),
+                    "hotspot_y": pd.Series(
+                        rows["hotspot_y"], dtype="int32"
+                    ),
+                    "xor_sum": pd.Series(rows["xor_sum"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=schema)
+
+
+def attach_cur_payload(df: DataFrame, key: str) -> DataFrame:
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [synth_cur(int(k)) for k in pdf[key]],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def synth_wav_cues(key: int) -> bytes:
+    """Deterministic WAV with a ``cue `` chunk (the RIFF cue-points
+    spec): an 8-sample PCM data chunk and ``1 + key % 4`` cue points
+    at sample offsets ``(key·13 + i·5) % 64``."""
+    n = 1 + key % 4
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = struct.pack("<8h", *((key + j) % 256 for j in range(8)))
+    cues = b""
+    for i in range(n):
+        off = (key * 13 + i * 5) % 64
+        cues += struct.pack(
+            "<II4sIII", i + 1, off, b"data", 0, 0, off
+        )
+    cue_chunk = struct.pack("<I", n) + cues
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"cue " + struct.pack("<I", len(cue_chunk)) + cue_chunk
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _wav_cues_one(payload: bytes) -> tuple:
+    """Walk one WAV's RIFF chunks (word-aligned) and collect the
+    ``cue `` chunk's sample offsets.  Malformed chunks raise."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("wav: not RIFF/WAVE")
+    i = 12
+    markers: list[int] = []
+    seen_fmt = False
+    while i + 8 <= len(payload):
+        cid = payload[i:i + 4]
+        size = struct.unpack_from("<I", payload, i + 4)[0]
+        body = payload[i + 8:i + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"wav: truncated chunk {cid!r}")
+        if cid == b"fmt ":
+            seen_fmt = True
+        elif cid == b"cue ":
+            if len(body) < 4:
+                raise ValueError("wav: cue chunk too small")
+            cnt = struct.unpack_from("<I", body, 0)[0]
+            if len(body) != 4 + cnt * 24:
+                raise ValueError("wav: cue chunk size mismatch")
+            for j in range(cnt):
+                markers.append(
+                    struct.unpack_from("<I", body, 4 + j * 24 + 20)[0]
+                )
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if not seen_fmt:
+        raise ValueError("wav: missing fmt chunk")
+    if not markers:
+        raise ValueError("wav: no cue markers")
+    return (len(markers), markers[0], markers[-1], sum(markers))
+
+
+def wav_cue_markers(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Per-file WAV cue-marker stats (marker count, first/last sample
+    offset, offset sum) via a real RIFF chunk walk — the DAW/editing
+    metadata an audio pipeline aligns segment labels against.
+    Malformed chunks raise (quarantine)."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("n_markers", IntegerType(), False),
+            StructField("first_off", LongType(), False),
+            StructField("last_off", LongType(), False),
+            StructField("off_sum", LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {f.name: [] for f in schema.fields}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                n, fo, lo, osum = _wav_cues_one(bytes(payload))
+                rows["key"].append(int(k))
+                rows["n_markers"].append(n)
+                rows["first_off"].append(fo)
+                rows["last_off"].append(lo)
+                rows["off_sum"].append(osum)
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "n_markers": pd.Series(
+                        rows["n_markers"], dtype="int32"
+                    ),
+                    "first_off": pd.Series(
+                        rows["first_off"], dtype="int64"
+                    ),
+                    "last_off": pd.Series(
+                        rows["last_off"], dtype="int64"
+                    ),
+                    "off_sum": pd.Series(rows["off_sum"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=schema)
+
+
+def attach_wav_cue_payload(df: DataFrame, key: str) -> DataFrame:
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_wav_cues(int(k)) for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)

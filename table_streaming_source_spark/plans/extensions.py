@@ -19486,3 +19486,176 @@ QUERIES_DEFERRED.update(
         "source_rss": q_source_rss,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# round 11 wave 5: multimodal — PCX, sniffing, ASS subtitles, CUR,
+# WAV cue markers
+# --------------------------------------------------------------------------
+
+
+def q_multimodal_pcx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch PCX raster decode (`operators/multimodal.py::
+    _pcx_one` — the ZSoft rev-5 spec: 128-byte header, 0xC0-prefixed
+    RLE runs, the 0x0C VGA palette trailer): per-image dimensions and
+    pixel checksum recover the closed-form synth formula
+    pixel(x,y) = (key·31 + x·7 + y·13) % 256."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 6 == 0
+    )
+    return M.pcx_stats(M.attach_pcx_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_pcx"] = """
+WITH base AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents WHERE doc_id % 6 = 0
+),
+px AS (
+  SELECT doc_id, w, h,
+         (doc_id * 31 + x.i * 7 + y.j * 13) % 256 AS p
+  FROM base,
+       UNNEST(RANGE(0, w)) AS x(i),
+       UNNEST(RANGE(0, h)) AS y(j)
+)
+SELECT doc_id AS key, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(SUM(p) AS BIGINT) AS pix_sum
+FROM px GROUP BY doc_id, w, h
+"""
+
+
+def q_multimodal_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte content sniffing (`operators/multimodal.py::
+    sniff_type` — the file(1)/MIME-sniffing prefix table, RIFF
+    disambiguated by its form type, printable-ASCII text fallback):
+    the routing step a mixed-media lake runs before decoder
+    dispatch.  key % 6 rotates payload kinds so every branch fires;
+    the per-type counts are closed-form."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 6 == 1
+    )
+    typed = M.sniff_types(M.attach_sniff_payload(docs, "doc_id"))
+    return typed.groupBy("detected").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("key").cast("bigint").alias("min_key"),
+    )
+
+
+ORACLES["multimodal_sniff"] = """
+WITH base AS (
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+           WHEN 3 THEN 'wav' WHEN 4 THEN 'text' ELSE 'binary'
+         END AS detected
+  FROM documents WHERE doc_id % 6 = 1
+)
+SELECT detected, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(doc_id) AS BIGINT) AS min_key
+FROM base GROUP BY detected
+"""
+
+
+def q_multimodal_ass_subtitles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ASS/SSA timed-text parsing (`operators/multimodal.py::
+    _ass_one` — the SubStation Alpha v4+ spec: [Events] section,
+    Format:-declared field order, h:mm:ss.cc centisecond timestamps):
+    per-file cue stats shape-compatible with `multimodal_srt_cues` /
+    `multimodal_webvtt_cues`, completing the subtitle-dialect
+    matrix."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 6 == 2
+    )
+    return M.ass_cue_stats(M.attach_ass_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_ass_subtitles"] = """
+WITH base AS (
+  SELECT doc_id, 1 + doc_id % 5 AS n FROM documents
+  WHERE doc_id % 6 = 2
+),
+cues AS (
+  SELECT doc_id, n,
+         500 + ((doc_id * 23 + i) % 80) * 10 AS dur,
+         4 + i % 3 AS words
+  FROM base, UNNEST(RANGE(0, n)) AS g(i)
+)
+SELECT doc_id AS key, CAST(n AS INT) AS n_cues,
+       CAST(SUM(dur) AS BIGINT) AS total_ms,
+       CAST((n - 1) * 2000 + 500
+            + ((doc_id * 23 + n - 1) % 80) * 10 AS BIGINT) AS span_ms,
+       CAST(SUM(words) AS BIGINT) AS n_words
+FROM cues GROUP BY doc_id, n
+"""
+
+
+def q_multimodal_cur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windows .CUR cursor metadata (`operators/multimodal.py::
+    cur_meta` — the ICONDIR layout with idType=2, where the ICO
+    planes/bpp fields carry the HOTSPOT): entry/DIB cross-checks plus
+    the XOR-plane checksum, all closed-form."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 6 == 3
+    )
+    return M.cur_meta(M.attach_cur_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_cur"] = """
+WITH base AS (
+  SELECT doc_id FROM documents WHERE doc_id % 6 = 3
+),
+px AS (
+  SELECT doc_id, (doc_id * 7 + i) % 256 AS b
+  FROM base, UNNEST(RANGE(0, 64)) AS u(i)
+)
+SELECT doc_id AS key, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+       CAST(doc_id % 4 AS INT) AS hotspot_x,
+       CAST((doc_id // 4) % 4 AS INT) AS hotspot_y,
+       CAST(SUM(b) AS BIGINT) AS xor_sum
+FROM px GROUP BY doc_id
+"""
+
+
+def q_multimodal_wav_markers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WAV cue-point markers (`operators/multimodal.py::
+    wav_cue_markers` — a real RIFF chunk walk honoring word
+    alignment, the ``cue `` chunk's 24-byte point records): marker
+    counts and sample-offset sums recover the synth formula
+    offset(i) = (key·13 + i·5) % 64."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 6 == 4
+    )
+    return M.wav_cue_markers(M.attach_wav_cue_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_wav_markers"] = """
+WITH base AS (
+  SELECT doc_id, 1 + doc_id % 4 AS n FROM documents
+  WHERE doc_id % 6 = 4
+),
+pts AS (
+  SELECT doc_id, n, i, (doc_id * 13 + i * 5) % 64 AS off
+  FROM base, UNNEST(RANGE(0, n)) AS u(i)
+)
+SELECT doc_id AS key, CAST(n AS INT) AS n_markers,
+       CAST(MIN(CASE WHEN i = 0 THEN off END) AS BIGINT) AS first_off,
+       CAST(MIN(CASE WHEN i = n - 1 THEN off END) AS BIGINT)
+         AS last_off,
+       CAST(SUM(off) AS BIGINT) AS off_sum
+FROM pts GROUP BY doc_id, n
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "multimodal_pcx": q_multimodal_pcx,
+        "multimodal_sniff": q_multimodal_sniff,
+        "multimodal_ass_subtitles": q_multimodal_ass_subtitles,
+        "multimodal_cur": q_multimodal_cur,
+        "multimodal_wav_markers": q_multimodal_wav_markers,
+    }
+)

@@ -104,6 +104,11 @@ def _targets():
     yield "mpeg_one", M._mpeg_one, M.synth_mp3_frames(5)
     yield "srt_one", M._srt_one, M.synth_srt(5)
     yield "webvtt_one", M._webvtt_one, M.synth_webvtt(5)
+    yield "pcx_one", M._pcx_one, M.synth_pcx(5)
+    yield "ass_one", M._ass_one, M.synth_ass(5)
+    yield "cur_one", M._cur_one, M.synth_cur(5)
+    yield "wav_cues_one", M._wav_cues_one, M.synth_wav_cues(5)
+    yield "sniff_type", M.sniff_type, M.synth_pcx(3)
 
 
 class _DecodeHang(Exception):
