@@ -19659,3 +19659,253 @@ QUERIES_DEFERRED.update(
         "multimodal_wav_markers": q_multimodal_wav_markers,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# round 11 wave 6: graph motifs, degree tails, dataset lifecycle
+# --------------------------------------------------------------------------
+
+
+def q_graph_motif_ffl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-forward-loop motif census (the directed-triangle a→b,
+    b→c, a→c — THE overrepresented motif of regulatory/influence
+    networks, Milo et al. 2002): a bounded deterministic residue
+    graph, two equi-joins over the deduped edge list (never a
+    cartesian), self-loops excluded, plus edge and 2-path counts for
+    the motif's denominator."""
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    edges = (
+        o.select(
+            (k % 97).alias("src"), ((k * 7 + 1) % 97).alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    e1 = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    e2 = edges.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    e3 = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("c")
+    )
+    paths2 = e1.join(e2, "b").filter(F.col("a") != F.col("c"))
+    ffl = paths2.join(e3, ["a", "c"])
+    return (
+        edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        .crossJoin(
+            paths2.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_paths2")
+            )
+        )
+        .crossJoin(
+            ffl.agg(F.count(F.lit(1)).cast("bigint").alias("n_ffl"))
+        )
+    )
+
+
+ORACLES["graph_motif_ffl"] = """
+WITH edges AS (
+  SELECT DISTINCT o_orderkey % 97 AS src,
+         (o_orderkey * 7 + 1) % 97 AS dst
+  FROM orders WHERE o_orderkey % 97 <> (o_orderkey * 7 + 1) % 97
+),
+p2 AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+  WHERE e1.src <> e2.dst
+),
+ffl AS (
+  SELECT * FROM p2
+  WHERE EXISTS (SELECT 1 FROM edges e3
+                WHERE e3.src = p2.a AND e3.dst = p2.c)
+)
+SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM p2) AS BIGINT) AS n_paths2,
+       CAST((SELECT COUNT(*) FROM ffl) AS BIGINT) AS n_ffl
+"""
+
+
+def q_graph_degree_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of a heavy-tailed distribution's exponent (the
+    standard scale-free / Zipf diagnostic): word document-frequencies
+    (a guaranteed power-law-ish distribution at every SF), the top-20
+    tail (df desc, word asc — deterministic),
+    α̂ = 1 + k / Σ ln(dᵢ/d_min); log terms round to 6 dp then sum on
+    the exact decimal path (the repo's rounded-log discipline)."""
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("word"),
+    ).filter(F.length("word") > 0)
+    deg = words.groupBy("word").agg(F.count(F.lit(1)).alias("d"))
+    w = Window.orderBy(F.desc("d"), F.asc("word"))
+    tail = deg.withColumn("rn", F.row_number().over(w)).filter(
+        "rn <= 20"
+    )
+    dmin = tail.agg(F.min("d").alias("dmin"))
+    j = tail.crossJoin(F.broadcast(dmin))
+    terms = j.select(
+        F.round(
+            F.log(F.col("d").cast("double") / F.col("dmin")), 6
+        ).alias("t")
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.sum(F.col("t").cast("decimal(28,6)")).cast("double")
+        .alias("s"),
+    )
+    return agg.select(
+        F.col("n_tail").cast("bigint").alias("n_tail"),
+        F.round(
+            F.lit(1.0) + F.col("n_tail") / F.col("s"), 9
+        ).alias("hill_alpha"),
+    )
+
+
+ORACLES["graph_degree_tail"] = """
+WITH words AS (
+  SELECT DISTINCT doc_id, w.word
+  FROM (
+    SELECT doc_id,
+           STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'),
+                        ' ') AS tk
+    FROM documents
+  ), UNNEST(tk) AS w(word)
+  WHERE LEN(w.word) > 0
+),
+deg AS (SELECT word, COUNT(*) AS d FROM words GROUP BY word),
+tail AS (SELECT d FROM deg ORDER BY d DESC, word ASC LIMIT 20),
+dmin AS (SELECT MIN(d) AS dmin FROM tail),
+terms AS (
+  SELECT ROUND(LN(CAST(d AS DOUBLE) / dmin), 6) AS t
+  FROM tail, dmin
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+       ROUND(1.0 + COUNT(*)
+             / CAST(SUM(CAST(t AS DECIMAL(28,6))) AS DOUBLE), 9)
+         AS hill_alpha
+FROM terms
+"""
+
+def q_pipeline_dataset_diff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dataset-version diff (the release-note artifact between corpus
+    snapshots): v2 derives deterministically from v1 — docs with
+    id%17=0 removed, id%11=0 copied to new shifted ids, id%5=0 get a
+    content edit — and ONE full-outer join classifies every key into
+    added / removed / changed / unchanged with a null-safe content
+    compare.  The counts are the closed-form residue algebra."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    v1 = docs
+    v2 = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.col("n_chars") + 1
+            ).otherwise(F.col("n_chars")).alias("n_chars"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                "n_chars",
+            )
+        )
+    )
+    j = v1.select(
+        "doc_id", F.col("n_chars").alias("old")
+    ).join(
+        v2.select("doc_id", F.col("n_chars").alias("new")),
+        "doc_id",
+        "full_outer",
+    )
+    cls = j.select(
+        F.when(F.col("old").isNull(), "added")
+        .when(F.col("new").isNull(), "removed")
+        .when(~F.col("old").eqNullSafe(F.col("new")), "changed")
+        .otherwise("unchanged")
+        .alias("status")
+    )
+    return cls.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+ORACLES["pipeline_dataset_diff"] = """
+WITH d AS (SELECT doc_id FROM documents)
+SELECT status, CAST(n AS BIGINT) AS n FROM (
+  SELECT 'removed' AS status, COUNT(*) AS n FROM d
+  WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT 'added', COUNT(*) FROM d WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT 'changed', COUNT(*) FROM d
+  WHERE doc_id % 17 <> 0 AND doc_id % 5 = 0
+  UNION ALL
+  SELECT 'unchanged', COUNT(*) FROM d
+  WHERE doc_id % 17 <> 0 AND doc_id % 5 <> 0
+) WHERE n > 0
+"""
+
+
+def q_pipeline_quality_routing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-gate routing (the accept / review / reject triage every
+    corpus intake runs): composed row-local rules — length floor,
+    language allowlist, token-repetition ceiling — decide the route
+    in one CASE; per-source × route counts and the accepted share are
+    the intake dashboard's first table."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    uniq_ratio = (
+        F.size(F.array_distinct(toks)) / F.size(toks)
+    )
+    routed = docs.select(
+        "source",
+        F.when(F.col("n_chars") < 100, "reject")
+        .when(~F.col("lang").isin("en", "de", "es"), "review")
+        .when(uniq_ratio < 0.3, "review")
+        .otherwise("accept")
+        .alias("route"),
+    )
+    return routed.groupBy("source", "route").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+ORACLES["pipeline_quality_routing"] = """
+WITH toks AS (
+  SELECT source, n_chars, lang,
+         STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'),
+                      ' ') AS tk
+  FROM documents
+),
+routed AS (
+  SELECT source,
+    CASE WHEN n_chars < 100 THEN 'reject'
+         WHEN lang NOT IN ('en', 'de', 'es') THEN 'review'
+         WHEN CAST(LEN(LIST_DISTINCT(tk)) AS DOUBLE) / LEN(tk) < 0.3
+           THEN 'review'
+         ELSE 'accept' END AS route
+  FROM toks
+)
+SELECT source, route, CAST(COUNT(*) AS BIGINT) AS n
+FROM routed GROUP BY source, route
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "graph_motif_ffl": q_graph_motif_ffl,
+        "graph_degree_tail": q_graph_degree_tail,
+        "pipeline_dataset_diff": q_pipeline_dataset_diff,
+        "pipeline_quality_routing": q_pipeline_quality_routing,
+    }
+)

@@ -2724,3 +2724,166 @@ FROM images GROUP BY 1, 2
 
 
 QUERIES_DEFERRED["streaming_cdf_compaction"] = q_streaming_cdf_compaction
+
+
+def q_streaming_binpack_silence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bin-packed partial OPTIMIZE under a LIVE CDC consumer (the
+    round-11 `compact_binpack` twin of `streaming_cdf_compaction`):
+    a big append, a small-file tail, an equality delete, then a
+    bin-pack that rewrites ONLY the tail as a maintenance commit —
+    the streaming CDF emits every logical change exactly once and the
+    bin-pack version emits NOTHING (its absence from the grouped
+    output IS the assertion), while the packed files' deletes
+    materialize underneath the consumer."""
+    from table_streaming_source_spark import table_format as TF
+    from table_streaming_source_spark.streaming.format_cdf import (
+        register_format_cdf,
+    )
+
+    path = _scratch.scratch_dir("stream_binpack", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    total = o.count()
+    TF.commit_append(spark, path, o.coalesce(1),                     # v1
+                     stat_cols=["o_orderkey"])
+    for r in (1, 2):                                                 # v2-3
+        TF.commit_append(
+            spark, path,
+            o.filter(k % 10 == r).select(
+                (k + r * 10_000_000).alias("o_orderkey"),
+                "o_totalprice",
+            ).coalesce(1),
+            stat_cols=["o_orderkey"],
+        )
+    TF.commit_delete_keys(                                           # v4
+        spark, path,
+        o.filter((k % 10 == 1) & (k % 3 == 0)).select(
+            (k + 10_000_000).alias("o_orderkey")
+        ),
+        key="o_orderkey",
+    )
+    v = TF.compact_binpack(                                          # v5
+        spark, path, stat_cols=["o_orderkey"], target_rows=int(total)
+    )
+    assert TF._read_commit(path, v).get("maintenance")
+    register_format_cdf(spark)
+    stream = (
+        spark.readStream.format("format_cdf").option("path", path).load()
+    )
+    agg = stream.groupBy(
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+    name = f"__stream_binpack_{abs(hash(path)) % 10**8}"
+    with _stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["streaming_binpack_silence"] = """
+WITH images AS (
+  SELECT 'insert' AS change_type, 1 AS commit_version,
+         o_totalprice AS p
+  FROM orders
+  UNION ALL
+  SELECT 'insert', 2, o_totalprice FROM orders WHERE o_orderkey % 10 = 1
+  UNION ALL
+  SELECT 'insert', 3, o_totalprice FROM orders WHERE o_orderkey % 10 = 2
+  UNION ALL
+  SELECT 'delete', 4, o_totalprice FROM orders
+  WHERE o_orderkey % 10 = 1 AND o_orderkey % 3 = 0
+)
+SELECT change_type, commit_version, COUNT(*) AS n,
+       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM images GROUP BY 1, 2
+"""
+
+
+QUERIES_DEFERRED["streaming_binpack_silence"] = q_streaming_binpack_silence
+
+
+def q_streaming_tail_rate_limit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Admission-controlled commit-log tail
+    (``maxCommitsPerTrigger`` — Delta's maxFilesPerTrigger analogue,
+    `streaming/format_tail.py`): four append commits drain through a
+    cap of 1 commit per planned window; the capped stream's drained
+    union must equal the uncapped snapshot row-for-row — admission
+    control changes BATCH BOUNDARIES, never content (the window-size
+    bound itself is pinned at the offset protocol level in
+    ``tests/test_table_format.py``)."""
+    from table_streaming_source_spark import table_format as TF
+    from table_streaming_source_spark.streaming.format_tail import (
+        register_format_tail,
+    )
+
+    path = _scratch.scratch_dir("stream_tailrate", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    for i in range(4):
+        TF.commit_append(
+            spark, path,
+            o.filter(F.col("o_orderkey") % 4 == i),
+            stat_cols=["o_orderkey"],
+        )
+    register_format_tail(spark)
+    stream = (
+        spark.readStream.format("format_tail")
+        .option("path", path)
+        .option("maxCommitsPerTrigger", "1")
+        .load()
+    )
+    agg = stream.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+    name = f"__stream_tailrate_{abs(hash(path)) % 10**8}"
+    with _stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["streaming_tail_rate_limit"] = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+QUERIES_DEFERRED["streaming_tail_rate_limit"] = q_streaming_tail_rate_limit

@@ -97,16 +97,34 @@ class CommitLogStreamReader(DataSourceStreamReader):
         # you tail a BRANCH).  Default None = main when refs exist,
         # else the linear head — unbranched tables are unchanged.
         self._ref = options.get("ref")
+        # admission control (Delta's maxFilesPerTrigger analogue): cap
+        # how many COMMITS one micro-batch may span, so a tail that
+        # starts far behind the head catches up in bounded batches
+        # instead of one giant one.  The cursor tracks the last end
+        # offset this reader planned; the first batch after a restart
+        # has no cursor yet and admits everything (Delta's documented
+        # behavior for its first trigger too).
+        mct = options.get("maxCommitsPerTrigger")
+        self._max_commits = int(mct) if mct is not None else None
+        self._cursor: int | None = None
 
     def initialOffset(self) -> dict:
+        self._cursor = 0
         return {"version": 0}  # v0 is the empty create-table commit
 
     def latestOffset(self) -> dict:
-        return {"version": TF.resolve_ref(self._path, self._ref)}
+        head = TF.resolve_ref(self._path, self._ref)
+        if self._max_commits is not None and self._cursor is not None:
+            pending = _lineage_commits(self._path, self._cursor, head)
+            if len(pending) > self._max_commits:
+                head = pending[self._max_commits - 1]
+        self._cursor = head
+        return {"version": head}
 
     def partitions(
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
+        self._cursor = end["version"]  # restart recovery for the cap
         parts = [
             InputPartition((fp, tuple(self._cols)))
             for v in _lineage_commits(
@@ -141,6 +159,9 @@ class CommitLogDataSource(DataSource):
     - ``path``: table-format root (required; must have a ``_log``)
     - ``ref``: branch/tag whose lineage to tail (default: main when
       refs exist, else the linear head)
+    - ``maxCommitsPerTrigger``: admission cap — at most N commits per
+      micro-batch (Delta's maxFilesPerTrigger analogue); a tail that
+      starts behind the head catches up in bounded batches
     """
 
     @classmethod

@@ -3659,3 +3659,54 @@ def test_replace_where_conflicts_with_concurrent_append(spark, tmp_path):
     )
     got = {r.k: r.v for r in TF.read_table(spark, path).collect()}
     assert got[50] == 0.0 and 41 not in got and got[39] == 39.0
+
+
+def test_format_tail_rate_limit_caps_commits_per_batch(spark, tmp_path):
+    """maxCommitsPerTrigger admission control: a tail starting 6
+    commits behind drains them through the offset protocol in
+    ceil(6/2)=3 planned windows of <=2 commits each, and the union of
+    the windows' rows equals the uncapped read.  (Asserted at the
+    reader protocol level: availableNow pre-snapshots latestOffset,
+    so engine-visible batch counts aren't the cap's contract.)"""
+    from pyspark.sql.types import DoubleType, LongType, StructType
+
+    from table_streaming_source_spark.streaming.format_tail import (
+        CommitLogStreamReader,
+    )
+
+    path = str(tmp_path / "tailrate")
+    TF.create_table(path)
+    for b in range(6):
+        TF.commit_append(
+            spark, path,
+            spark.range(b * 10, b * 10 + 10).selectExpr(
+                "id as k", "cast(id as double) as v"
+            ).coalesce(1),
+            stat_cols=["k"],
+        )
+    schema = StructType().add("k", LongType()).add("v", DoubleType())
+    reader = CommitLogStreamReader(
+        schema, {"path": path, "maxCommitsPerTrigger": "2"}
+    )
+    start = reader.initialOffset()
+    rows: list = []
+    windows = 0
+    while True:
+        end = reader.latestOffset()
+        if end == start:
+            break
+        windows += 1
+        span = end["version"] - start["version"]
+        assert span <= 2
+        for p in reader.partitions(start, end):
+            rows.extend(reader.read(p))
+        start = end
+    assert windows == 3
+    assert sorted(r[0] for r in rows) == list(range(60))
+    # restart recovery: a FRESH reader that never saw initialOffset
+    # admits everything on its first window (the documented Delta
+    # behavior), then caps again
+    r2 = CommitLogStreamReader(
+        schema, {"path": path, "maxCommitsPerTrigger": "2"}
+    )
+    assert r2.latestOffset() == {"version": 6}
