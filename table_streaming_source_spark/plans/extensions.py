@@ -19909,3 +19909,657 @@ QUERIES_DEFERRED.update(
         "pipeline_quality_routing": q_pipeline_quality_routing,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# round 11 wave 7: post-hoc tests, forecast errors, rank correlation,
+# skylines, long-memory, slop, MIPS
+# --------------------------------------------------------------------------
+
+
+def q_agg_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD pairwise comparisons (the post-hoc step after
+    `agg_anova` says "some group differs"): all three return-flag
+    pairs over l_quantity, q = |mᵢ−mⱼ| / √(MSE/2·(1/nᵢ+1/nⱼ)) with
+    the pooled within-group MSE — every moment on the exact decimal
+    path, one hash aggregate plus a 3×3 broadcast grid."""
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double").alias("s"),
+        F.sum(
+            F.col("l_quantity").cast("decimal(28,2)")
+            * F.col("l_quantity").cast("decimal(9,2)")
+        ).cast("double").alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("N"),
+        F.count(F.lit(1)).alias("k_groups"),
+        F.sum(
+            (
+                F.col("ss")
+                - F.col("n") * (F.col("s") / F.col("n"))
+                * (F.col("s") / F.col("n"))
+            ).cast("decimal(38,6)")
+        ).cast("double").alias("ss_within"),
+    )
+    a = g.select(
+        F.col("l_returnflag").alias("g1"),
+        F.col("n").alias("n1"), F.col("s").alias("s1"),
+    )
+    b = g.select(
+        F.col("l_returnflag").alias("g2"),
+        F.col("n").alias("n2"), F.col("s").alias("s2"),
+    )
+    pairs = a.join(b, F.col("g1") < F.col("g2")).crossJoin(
+        F.broadcast(tot)
+    )
+    mse = F.col("ss_within") / (
+        F.col("N") - F.col("k_groups")
+    ).cast("double")
+    m1 = F.col("s1") / F.col("n1")
+    m2 = F.col("s2") / F.col("n2")
+    q_stat = F.abs(m1 - m2) / F.sqrt(
+        mse / 2.0 * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+    )
+    return pairs.select(
+        "g1", "g2",
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(F.abs(m1 - m2), 9).alias("mean_diff"),
+        F.round(q_stat, 6).alias("q_stat"),
+    )
+
+
+ORACLES["agg_tukey_hsd"] = """
+WITH g AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))
+             * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS ss
+  FROM lineitem GROUP BY l_returnflag
+),
+tot AS (
+  SELECT SUM(n) AS nn, COUNT(*) AS k_groups,
+    CAST(SUM(CAST(ss - n * (s/n) * (s/n) AS DECIMAL(38,6)))
+         AS DOUBLE) AS ss_within
+  FROM g
+)
+SELECT a.l_returnflag AS g1, b.l_returnflag AS g2,
+  CAST(a.n AS BIGINT) AS n1, CAST(b.n AS BIGINT) AS n2,
+  ROUND(ABS(a.s/a.n - b.s/b.n), 9) AS mean_diff,
+  ROUND(ABS(a.s/a.n - b.s/b.n)
+        / SQRT(ss_within / CAST(nn - k_groups AS DOUBLE) / 2.0
+               * (1.0/a.n + 1.0/b.n)), 6) AS q_stat
+FROM g a, g b, tot
+WHERE a.l_returnflag < b.l_returnflag
+"""
+
+
+def q_agg_smape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-error metrics against the NAIVE (previous-day)
+    baseline — the sanity floor every forecasting eval reports: MAPE
+    and sMAPE per event type over the decimal-exact daily series;
+    per-day error terms round once, then average on the decimal
+    path."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"),
+            6,
+        ).alias("a")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = daily.select(
+        "event_type", "a", F.lag("a", 1).over(w).alias("f")
+    ).filter(F.col("f").isNotNull())
+    terms = d.select(
+        "event_type",
+        F.round(F.abs(F.col("a") - F.col("f")) / F.abs("a"), 9)
+        .alias("ape"),
+        F.round(
+            2.0 * F.abs(F.col("a") - F.col("f"))
+            / (F.abs("a") + F.abs("f")),
+            9,
+        ).alias("sape"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        (
+            F.sum(F.col("ape").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mape"),
+        (
+            F.sum(F.col("sape").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("smape"),
+    )
+
+
+ORACLES["agg_smape"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+           AS a
+  FROM events GROUP BY 1, 2
+),
+d AS (
+  SELECT event_type, a,
+         LAG(a, 1) OVER (PARTITION BY event_type ORDER BY day) AS f
+  FROM daily
+),
+terms AS (
+  SELECT event_type,
+         ROUND(ABS(a - f) / ABS(a), 9) AS ape,
+         ROUND(2.0 * ABS(a - f) / (ABS(a) + ABS(f)), 9) AS sape
+  FROM d WHERE f IS NOT NULL
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CAST(ape AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+         AS mape,
+       CAST(SUM(CAST(sape AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+         AS smape
+FROM terms GROUP BY event_type
+"""
+
+
+def q_agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b rank correlation with tie correction between the
+    'view' and 'click' hourly volumes (the robust alternative to
+    `agg_spearman` when ties matter): concordant/discordant/tied
+    counts are EXACT INTEGERS over the bounded aligned-hour pair
+    grid — the one rank statistic whose arithmetic needs no float
+    until the final ratio."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    x = hourly.filter(F.col("event_type") == "view").select(
+        "hour", F.col("v").alias("x")
+    )
+    y = hourly.filter(F.col("event_type") == "click").select(
+        "hour", F.col("v").alias("y")
+    )
+    pts = x.join(y, "hour").select(
+        F.col("hour").alias("h"), "x", "y"
+    )
+    a = pts.select(
+        F.col("h").alias("h1"), F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+    )
+    b = pts.select(
+        F.col("h").alias("h2"), F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    pairs = a.join(b, F.col("h1") < F.col("h2"))
+    sgn = (
+        (F.col("x1") - F.col("x2"))
+        * (F.col("y1") - F.col("y2"))
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((sgn > 0).cast("int")).alias("c"),
+        F.sum((sgn < 0).cast("int")).alias("d"),
+        F.sum(
+            (
+                (F.col("x1") == F.col("x2"))
+                & (F.col("y1") != F.col("y2"))
+            ).cast("int")
+        ).alias("tx"),
+        F.sum(
+            (
+                (F.col("y1") == F.col("y2"))
+                & (F.col("x1") != F.col("x2"))
+            ).cast("int")
+        ).alias("ty"),
+    )
+    c, d_ = F.col("c").cast("double"), F.col("d").cast("double")
+    tau = (c - d_) / F.sqrt(
+        (c + d_ + F.col("tx")) * (c + d_ + F.col("ty"))
+    )
+    return agg.select(
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("c").cast("bigint").alias("concordant"),
+        F.col("d").cast("bigint").alias("discordant"),
+        F.round(tau, 9).alias("kendall_tau_b"),
+    )
+
+
+ORACLES["agg_kendall_tau"] = """
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hour, COUNT(*) AS v
+  FROM events WHERE event_type IN ('view', 'click')
+  GROUP BY 1, 2
+),
+pts AS (
+  SELECT x.hour AS h, x.v AS x, y.v AS y
+  FROM (SELECT hour, v FROM hourly WHERE event_type = 'view') x
+  JOIN (SELECT hour, v FROM hourly WHERE event_type = 'click') y
+    USING (hour)
+),
+pairs AS (
+  SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+  FROM pts a JOIN pts b ON a.h < b.h
+),
+agg AS (
+  SELECT COUNT(*) AS n_pairs,
+    SUM(CASE WHEN (x1-x2)*(y1-y2) > 0 THEN 1 ELSE 0 END) AS c,
+    SUM(CASE WHEN (x1-x2)*(y1-y2) < 0 THEN 1 ELSE 0 END) AS d,
+    SUM(CASE WHEN x1 = x2 AND y1 <> y2 THEN 1 ELSE 0 END) AS tx,
+    SUM(CASE WHEN y1 = y2 AND x1 <> x2 THEN 1 ELSE 0 END) AS ty
+  FROM pairs
+)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(c AS BIGINT) AS concordant,
+       CAST(d AS BIGINT) AS discordant,
+       ROUND((CAST(c AS DOUBLE) - d)
+             / SQRT((CAST(c AS DOUBLE) + d + tx)
+                    * (CAST(c AS DOUBLE) + d + ty)), 9)
+         AS kendall_tau_b
+FROM agg
+"""
+
+
+def q_window_pareto_front(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Skyline / Pareto-front query (Börzsönyi et al. 2001 — "give me
+    the parts no other part beats on BOTH price and size"): dedupe to
+    max size per price, then ONE ordered window pass — a point is on
+    the maximizing front iff its size exceeds the running max over
+    all strictly-pricier points.  Exact integer cents/sizes, no
+    floats anywhere."""
+    p = t(spark, sf_dir, "part")
+    pts = p.select(
+        F.round(F.col("p_retailprice") * 100).cast("bigint")
+        .alias("price_cents"),
+        F.col("p_size").cast("int").alias("size"),
+    ).groupBy("price_cents").agg(F.max("size").alias("size"))
+    w = (
+        Window.orderBy(F.desc("price_cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    front = pts.select(
+        "price_cents",
+        "size",
+        F.max("size").over(w).alias("best_above"),
+    ).filter(
+        F.col("best_above").isNull()
+        | (F.col("size") > F.col("best_above"))
+    )
+    return front.select("price_cents", "size").orderBy(
+        F.desc("price_cents")
+    )
+
+
+ORACLES["window_pareto_front"] = """
+WITH pts AS (
+  SELECT CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(MAX(p_size) AS INT) AS size
+  FROM part GROUP BY 1
+),
+scan AS (
+  SELECT price_cents, size,
+         MAX(size) OVER (ORDER BY price_cents DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS best_above
+  FROM pts
+)
+SELECT price_cents, size FROM scan
+WHERE best_above IS NULL OR size > best_above
+ORDER BY price_cents DESC
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "agg_tukey_hsd": q_agg_tukey_hsd,
+        "agg_smape": q_agg_smape,
+        "agg_kendall_tau": q_agg_kendall_tau,
+        "window_pareto_front": q_window_pareto_front,
+    }
+)
+
+
+def q_ts_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescaled-range (R/S) long-memory estimate per event type
+    (Hurst 1951; H≈0.5 = random walk, H>0.5 = persistent): the
+    decimal-exact daily series splits into complete 8-day chunks,
+    each chunk's R = range of cumulative mean-deviations and S = its
+    population σ; Ĥ = mean(ln(R/S)) / ln 8 over chunks on the
+    rounded-log decimal path."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"),
+            6,
+        ).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    chunked = daily.select(
+        "event_type",
+        "day",
+        "x",
+        ((F.row_number().over(w) - 1) / 8).cast("int").alias("chunk"),
+    )
+    sizes = chunked.groupBy("event_type", "chunk").agg(
+        F.count(F.lit(1)).alias("m"),
+        (
+            F.sum(F.col("x").cast("decimal(28,6)")).cast("double") / 8
+        ).alias("mean"),
+        F.sum(
+            (F.col("x") * F.col("x")).cast("decimal(38,8)")
+        ).cast("double").alias("ss"),
+    ).filter("m = 8")
+    wc = (
+        Window.partitionBy("event_type", "chunk")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dev = chunked.join(sizes, ["event_type", "chunk"]).select(
+        "event_type",
+        "chunk",
+        "day",
+        "mean",
+        "ss",
+        F.sum(
+            (F.col("x") - F.col("mean")).cast("decimal(28,6)")
+        ).over(wc).cast("double").alias("cum"),
+    )
+    rs = dev.groupBy("event_type", "chunk", "mean", "ss").agg(
+        (F.max("cum") - F.min("cum")).alias("r")
+    ).select(
+        "event_type",
+        "chunk",
+        "r",
+        F.sqrt(
+            F.col("ss") / 8 - F.col("mean") * F.col("mean")
+        ).alias("sd"),
+    ).filter((F.col("r") > 0) & (F.col("sd") > 0))
+    terms = rs.select(
+        "event_type",
+        F.round(F.log(F.col("r") / F.col("sd")), 6).alias("t"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.round(
+            F.sum(F.col("t").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+            / float(__import__("math").log(8.0)),
+            9,
+        ).alias("hurst"),
+    )
+
+
+ORACLES["ts_hurst"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+           AS x
+  FROM events GROUP BY 1, 2
+),
+chunked AS (
+  SELECT event_type, day, x,
+         CAST((ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY day) - 1) // 8 AS INT)
+           AS chunk
+  FROM daily
+),
+sizes AS (
+  SELECT event_type, chunk, COUNT(*) AS m,
+         CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / 8 AS mean,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS ss
+  FROM chunked GROUP BY 1, 2
+  HAVING COUNT(*) = 8
+),
+dev AS (
+  SELECT c.event_type, c.chunk, s.mean, s.ss,
+         CAST(SUM(CAST(c.x - s.mean AS DECIMAL(28,6)))
+              OVER (PARTITION BY c.event_type, c.chunk ORDER BY c.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) AS cum
+  FROM chunked c JOIN sizes s USING (event_type, chunk)
+),
+rs AS (
+  SELECT event_type, chunk,
+         MAX(cum) - MIN(cum) AS r,
+         SQRT(ANY_VALUE(ss) / 8 - ANY_VALUE(mean) * ANY_VALUE(mean))
+           AS sd
+  FROM dev GROUP BY event_type, chunk
+),
+terms AS (
+  SELECT event_type, ROUND(LN(r / sd), 6) AS t
+  FROM rs WHERE r > 0 AND sd > 0
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       ROUND(CAST(SUM(CAST(t AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(*) / LN(8.0), 9) AS hurst
+FROM terms GROUP BY event_type
+"""
+
+
+def q_text_slop_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition / templatedness score (the "slop" filter a training
+    mix applies beside Gopher rules): per doc, the share of its word
+    trigrams taken by the single most repeated one; docs bucket by
+    decile and anything >0.5 counts as boilerplate-suspect.  All
+    integer counts until one ratio; per-doc work is row-local."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    tri = (
+        docs.select("doc_id", toks.alias("__tk"))
+        .filter(F.size("__tk") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__tk) - 2),"
+                    " i -> concat_ws(' ', __tk[i-1], __tk[i], __tk[i+1]))"
+                )
+            ).alias("tri"),
+        )
+    )
+    counts = tri.groupBy("doc_id", "tri").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.max("c").alias("top"),
+        F.sum("c").alias("total"),
+    )
+    scored = per_doc.select(
+        F.least(
+            F.floor(
+                F.col("top") * 10 / F.col("total")
+            ).cast("int"),
+            F.lit(9),
+        ).alias("decile"),
+        (F.col("top") * 2 > F.col("total")).cast("int").alias("sloppy"),
+    )
+    return scored.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("sloppy").cast("bigint").alias("n_sloppy"),
+    )
+
+
+ORACLES["text_slop_score"] = """
+WITH toks AS (
+  SELECT doc_id,
+         STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'),
+                      ' ') AS tk
+  FROM documents
+),
+tri AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS tri
+  FROM toks, UNNEST(RANGE(1, GREATEST(LEN(tk) - 2, 0) + 1)) AS u(i)
+  WHERE LEN(tk) >= 3
+),
+counts AS (
+  SELECT doc_id, tri, COUNT(*) AS c FROM tri GROUP BY doc_id, tri
+),
+per_doc AS (
+  SELECT doc_id, MAX(c) AS top, SUM(c) AS total
+  FROM counts GROUP BY doc_id
+),
+scored AS (
+  SELECT LEAST(CAST(FLOOR(top * 10.0 / total) AS INT), 9) AS decile,
+         CASE WHEN top * 2 > total THEN 1 ELSE 0 END AS sloppy
+  FROM per_doc
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(sloppy) AS BIGINT) AS n_sloppy
+FROM scored GROUP BY decile
+"""
+
+
+def q_sim_mips_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search via the published augmentation
+    reduction (Bachrach et al. 2014, the Xbox transform): corpus
+    vectors gain a √(M²−‖x‖²) dimension so L2-NN on the transform
+    equals MIPS on the original.  Ranking here runs on the
+    TRANSFORMED distance d² = ‖q‖² + M² − 2·dot (affine in the
+    rounded dot, so ties agree), and the oracle ranks by the raw
+    inner product — equality of the two rankings IS the reduction's
+    correctness."""
+    emb = t(spark, sf_dir, "embeddings")
+    dot_expr = (
+        "round(aggregate(zip_with(qv, embedding, (a, b) -> "
+        "cast(a as double) * cast(b as double)), 0.0D, "
+        "(acc, v) -> acc + v), 6)"
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+    )
+    m2 = (
+        emb.select(
+            F.expr(
+                "aggregate(embedding, 0.0D, (acc, v) -> "
+                "acc + cast(v as double) * cast(v as double))"
+            ).alias("n2")
+        )
+        .agg(F.round(F.max("n2"), 6).alias("m2"))
+        .collect()[0]["m2"]
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(dot_expr).alias("dot"),
+        (
+            F.expr(
+                "round(aggregate(qv, 0.0D, (acc, v) -> "
+                "acc + cast(v as double) * cast(v as double)), 6)"
+            )
+            + F.lit(float(m2))
+            - 2 * F.expr(dot_expr)
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("d2"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 5")
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            F.col("dot").alias("inner_product"),
+        )
+    )
+
+
+ORACLES["sim_mips_transform"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < 10
+),
+s AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.qv, c.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6)
+           AS dot
+  FROM q, embeddings c
+  WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dot,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, neighbor_id ASC)
+           AS rank
+  FROM s
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+       dot AS inner_product
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_agg_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-normal fit per market segment over positive balances (the
+    distribution behind incomes/latencies/file sizes): μ̂ and σ̂ are
+    the mean and sd OF THE LOGS — each ln rounds to 6 dp
+    (rounded-log discipline), moments sum on the exact decimal path,
+    and the median estimate e^μ̂ rounds once."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    logs = c.select(
+        "c_mktsegment",
+        F.round(F.log(F.col("c_acctbal")), 6).alias("l"),
+    )
+    g = logs.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l").cast("decimal(28,6)")).cast("double")
+        .alias("s"),
+        F.sum(
+            (F.col("l") * F.col("l")).cast("decimal(38,8)")
+        ).cast("double").alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s") / n
+    sigma = F.sqrt((F.col("ss") - n * mu * mu) / (n - 1))
+    return g.select(
+        "c_mktsegment",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(mu, 9).alias("mu"),
+        F.round(sigma, 9).alias("sigma"),
+        F.round(F.exp(mu), 6).alias("median_est"),
+    )
+
+
+ORACLES["agg_lognormal_fit"] = """
+WITH logs AS (
+  SELECT c_mktsegment, ROUND(LN(c_acctbal), 6) AS l
+  FROM customer WHERE c_acctbal > 0
+),
+g AS (
+  SELECT c_mktsegment, COUNT(*) AS n,
+    CAST(SUM(CAST(l AS DECIMAL(28,6))) AS DOUBLE) AS s,
+    CAST(SUM(CAST(l * l AS DECIMAL(38,8))) AS DOUBLE) AS ss
+  FROM logs GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+       ROUND(s/n, 9) AS mu,
+       ROUND(SQRT((ss - n*(s/n)*(s/n)) / (n-1)), 9) AS sigma,
+       ROUND(EXP(s/n), 6) AS median_est
+FROM g
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "ts_hurst": q_ts_hurst,
+        "text_slop_score": q_text_slop_score,
+        "sim_mips_transform": q_sim_mips_transform,
+        "agg_lognormal_fit": q_agg_lognormal_fit,
+    }
+)
