@@ -3,17 +3,17 @@
 ``entry(spark)`` runs the flagship enrichment query (the reference's
 documented snapshot-enrichment pattern, `docs/Table-streamingsource.md:10-14`)
 at sf0.001.  ``queries()`` / ``oracle_sql()`` expose the full catalog
-(``len(QUERIES)`` entries — 430 as of round 9) from
+(``len(QUERIES)`` entries — 519 as of round 11) from
 ``table_streaming_source_spark.plans.catalog`` — one entry per
 implemented operator of SURVEY.md §2 (map in §2C), EVERY entry with a
 DuckDB oracle twin (zero rows-only checks;
 ``streaming_timeout_sessions_tws`` runs the shared session state
 machine through ``applyInPandasWithState`` where google.protobuf is
 absent, so it passes in every environment).  The catalog's dict order
-front-loads the driver's 50-entry correctness window with the round-8
-rotation (3 cross-round sentinels + 47 backlog entries re-certified
-strict-dtype at sf0.01 and sf0.1 — see
-``plans/catalog.py::_PRIORITY``).
+front-loads the driver's 50-entry correctness window with the
+round-11 rotation (2 cross-round sentinels + all 48 round-11
+additions, each re-certified strict-dtype at sf0.01 and sf0.1 at
+round-11 HEAD — see ``plans/catalog.py::_PRIORITY``).
 """
 
 from __future__ import annotations

@@ -330,7 +330,7 @@ violations prove detection), and ``streaming_format_upsert``
 exactly-once under checkpoint replay, each batch a stats-targeted
 MERGE).
 
-Round-10 rotation (LANDED — this is the current window): the 2
+Round-10 rotation (LANDED): the 2
 cross-round sentinels + the FULL 7-entry round-9 backlog above + the
 25 round-10 additions = exactly 34.  Every windowed entry was verified
 strict-dtype at sf0.01 AND sf0.1 at round-10 HEAD (34/34 + 34/34,
@@ -358,6 +358,40 @@ test), SQL-surface parity (``sql_distinct_on``) and timed text
 (``multimodal_srt_cues`` — SubRip cue parsing under the
 malformed-bytes contract).  Once this window lands the certification
 queue stays drained: the round-11 backlog is EMPTY.
+
+Round-11 rotation (LANDED — this is the current window): the 2
+cross-round sentinels + ALL 48 round-11 additions = exactly 50
+(pure new coverage — the round-10 drain emptied the backlog).
+Every windowed entry was verified strict-dtype at sf0.01 AND sf0.1
+at round-11 HEAD (50/50 + 50/50, AFTER this round's code landed —
+the batch table_format DataSource/SQL front door, bin-packed partial
+OPTIMIZE, manifest Bloom fingerprints + XXH64 twin, replaceWhere,
+the partition-planned tail with maxCommitsPerTrigger, and the three
+round-10 advice fixes) before ``_PRIORITY`` was edited.  The 48
+additions: table-format surface (``format_sql_read``,
+``format_binpack_compaction``, ``format_bloom_pruning``,
+``format_replace_where``, ``streaming_binpack_silence``,
+``streaming_tail_rate_limit``), an experimentation/inference battery
+(``agg_jarque_bera``, ``agg_durbin_watson``, ``agg_grubbs``,
+``agg_cuped``, ``agg_srm``, ``agg_power_two_proportions``,
+``agg_bradley_terry``, ``agg_gamma_moments``, ``agg_lognormal_fit``,
+``agg_tukey_hsd``, ``agg_smape``, ``agg_kendall_tau``), time series
+(``ts_vwap``, ``ts_rsi_cutler``, ``ts_lag_correlation``,
+``ts_hurst``, ``window_pareto_front``), SQL/scalar surface
+(``sql_try_arithmetic``, ``scalar_semver``, ``scalar_time_bucket``),
+DQ/pipeline (``dq_cross_field``, ``dq_volume_anomaly``,
+``pipeline_dataset_diff``, ``pipeline_quality_routing``), text/eval
+(``text_rake_keywords``, ``text_calibration_ece``,
+``text_pass_at_k``, ``text_sentence_stats``, ``text_markdown_strip``,
+``text_code_detect``, ``text_slop_score``), sources
+(``source_properties``, ``source_toml``, ``source_rss``), multimodal
+(``multimodal_pcx``, ``multimodal_sniff``,
+``multimodal_ass_subtitles``, ``multimodal_cur``,
+``multimodal_wav_markers``), and graph/similarity
+(``graph_motif_ffl``, ``graph_degree_tail``,
+``sim_mips_transform``).  After this window lands: 519 catalog
+entries, 519/519 with DuckDB oracles, zero rows-only, lifetime
+official coverage stays 100% and the round-12 backlog is empty.
 """
 
 from __future__ import annotations
@@ -381,76 +415,76 @@ _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 #: names pinned into the driver's 50-entry correctness window, in order.
-#: Round-10 rotation: 2 cross-round sentinels + the FULL 7-entry
-#: round-9 backlog (the only never-certified entries after the round-9
-#: drain) + all 41 round-10 additions = exactly 50.  EVERY windowed
-#: entry was strict-dtype oracle-verified at sf0.01 AND sf0.1 at this
-#: round's HEAD (50/50 + 50/50) BEFORE this tuple was edited.  Once
-#: this window lands, ALL 430 pre-round-10 entries have an official
-#: driver row in some round AND the 41 round-10 additions get theirs
-#: in the same window — the certification queue stays drained; the
-#: round-11 backlog is empty.
+#: Round-11 rotation: 2 cross-round sentinels + ALL 48 round-11
+#: additions = exactly 50 (the round-10 drain left the backlog EMPTY,
+#: so this window is pure new coverage).  EVERY windowed entry was
+#: strict-dtype oracle-verified at sf0.01 AND sf0.1 at this round's
+#: HEAD (50/50 + 50/50) BEFORE this tuple was edited.  Once this
+#: window lands, ALL 471 pre-round-11 entries keep their official
+#: rows AND the 48 round-11 additions get theirs in the same window —
+#: the certification queue stays drained; the round-12 backlog is
+#: empty.
 _PRIORITY: tuple[str, ...] = (
     # cross-round regression sentinels (driver-green every prior round)
     "flagship_enrichment",
     "dedup_minhash_lsh",
-    # --- the 7-entry round-9 backlog ---
-    "format_positional_deletes",
-    "format_cdf_read",
-    "format_multi_key_deletes",
-    "agg_count_min",
-    "streaming_format_cdf",
-    "dq_referential_integrity",
-    "streaming_format_upsert",
-    # --- round-10: row-level maintenance + projected CDF (5) ---
-    "format_delete_compaction",
-    "format_dv_encoding",
-    "format_cdf_projected",
-    "format_txn_expiry",
-    "streaming_cdf_compaction",
-    # --- round-10: statistics battery (7) ---
-    "agg_brier_decomposition",
-    "agg_cohens_d",
-    "agg_cramers_v",
-    "agg_levene",
-    "agg_mutual_information",
-    "agg_stump_split",
-    "agg_winsorized_mean",
-    # --- round-10: time series (4) ---
-    "ts_bollinger",
-    "ts_cohort_retention",
-    "ts_intervals_merge",
-    "ts_peaks",
-    # --- round-10: text / graph / dq / pipeline / sql / mm (9) ---
-    "text_anchor_extract",
-    "text_log_odds",
-    "graph_bipartite_projection",
-    "graph_reciprocity",
-    "dq_freshness",
-    "dq_uniqueness",
-    "pipeline_rejection_sample",
-    "sql_distinct_on",
-    "multimodal_srt_cues",
-    # --- round-10 wave 2: null pruning, retention, agreement,
-    # collocations, funnels, RFM, INI, drift, alignment (10) ---
-    "format_null_pruning",
-    "format_vacuum_retention",
-    "agg_cochran_q",
-    "agg_fleiss_kappa",
-    "agg_rfm_segments",
-    "text_collocation_llr",
-    "window_funnel",
-    "source_ini",
-    "dq_schema_drift",
-    "multimodal_subtitle_align",
-    # --- round-10 wave 3: dispersion, splits, popcounts, grouping ids,
-    # manifest metrics, WebVTT (6) ---
-    "agg_poisson_dispersion",
-    "pipeline_dataset_split",
-    "scalar_popcount",
-    "sql_grouping_id",
-    "format_manifest_metrics",
-    "multimodal_webvtt_cues",
+    # --- round-11: table-format front door + maintenance (6) ---
+    "format_sql_read",
+    "format_binpack_compaction",
+    "format_bloom_pruning",
+    "format_replace_where",
+    "streaming_binpack_silence",
+    "streaming_tail_rate_limit",
+    # --- round-11: experiment / inference statistics (12) ---
+    "agg_jarque_bera",
+    "agg_durbin_watson",
+    "agg_grubbs",
+    "agg_cuped",
+    "agg_srm",
+    "agg_power_two_proportions",
+    "agg_bradley_terry",
+    "agg_gamma_moments",
+    "agg_lognormal_fit",
+    "agg_tukey_hsd",
+    "agg_smape",
+    "agg_kendall_tau",
+    # --- round-11: time series / windows (5) ---
+    "ts_vwap",
+    "ts_rsi_cutler",
+    "ts_lag_correlation",
+    "ts_hurst",
+    "window_pareto_front",
+    # --- round-11: SQL surface / scalar (3) ---
+    "sql_try_arithmetic",
+    "scalar_semver",
+    "scalar_time_bucket",
+    # --- round-11: DQ / pipeline (4) ---
+    "dq_cross_field",
+    "dq_volume_anomaly",
+    "pipeline_dataset_diff",
+    "pipeline_quality_routing",
+    # --- round-11: text / LLM-eval (7) ---
+    "text_rake_keywords",
+    "text_calibration_ece",
+    "text_pass_at_k",
+    "text_sentence_stats",
+    "text_markdown_strip",
+    "text_code_detect",
+    "text_slop_score",
+    # --- round-11: sources (3) ---
+    "source_properties",
+    "source_toml",
+    "source_rss",
+    # --- round-11: multimodal (5) ---
+    "multimodal_pcx",
+    "multimodal_sniff",
+    "multimodal_ass_subtitles",
+    "multimodal_cur",
+    "multimodal_wav_markers",
+    # --- round-11: graph / similarity (3) ---
+    "graph_motif_ffl",
+    "graph_degree_tail",
+    "sim_mips_transform",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"

@@ -18082,10 +18082,14 @@ def q_agg_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a") < F.col("b")) == F.col("a_wins"), F.lit(1)
         ).otherwise(F.lit(0)).alias("w_i"),
     )
+    # the 5×5 preference grid is ≤10 rows after aggregation: checkpoint
+    # it so the three MM joins below run over the tiny grid instead of
+    # re-deriving the full pair scan per reference (the loop-invariant
+    # checkpoint discipline of graph_pagerank)
     grid = pairs.groupBy("i", "j").agg(
         F.count(F.lit(1)).alias("n_ij"),
         F.sum("w_i").alias("w_i"),
-    )
+    ).localCheckpoint(eager=True)
     # symmetric edge list: one row per (model, opponent)
     edges = grid.select(
         F.col("i").alias("m"), F.col("j").alias("o"),
@@ -19675,12 +19679,16 @@ def q_graph_motif_ffl(spark: SparkSession, sf_dir: str) -> DataFrame:
     the motif's denominator."""
     o = t(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
+    # the residue graph is ≤ 97·96 edges at EVERY SF: checkpoint the
+    # distinct edge list once so the three motif joins reuse it instead
+    # of re-scanning orders per reference
     edges = (
         o.select(
             (k % 97).alias("src"), ((k * 7 + 1) % 97).alias("dst")
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     e1 = edges.select(
         F.col("src").alias("a"), F.col("dst").alias("b")

@@ -566,6 +566,62 @@ _SHUFFLE_BUDGET = {
     "sql_grouping_id": 1,           # one expand + grouping aggregate
     "format_manifest_metrics": 0,   # manifest-only, driver metadata
     "multimodal_webvtt_cues": 0,    # zero-shuffle decode chain
+    # --- round 11: table-format front door + maintenance (all return
+    # checkpointed rollups — the scratch-table work happens inside) ---
+    "format_sql_read": 0,
+    "format_binpack_compaction": 0,
+    "format_bloom_pruning": 0,
+    "format_replace_where": 0,
+    # --- round 11: experiment/inference statistics ---
+    "agg_jarque_bera": 1,           # one moment hash aggregate
+    "agg_durbin_watson": 1,         # per-type series window + rollup
+    "agg_grubbs": 3,                # moments + mean-cents + argmax join
+    "agg_cuped": 2,                 # per-user agg + 1-row moments
+    "agg_srm": 3,                   # distinct users + arm agg + 1-row
+    "agg_power_two_proportions": 4,  # two distinct counts + 1-row
+    "agg_bradley_terry": 4,         # pair agg checkpointed; MM joins
+    "agg_gamma_moments": 1,         # one moment hash aggregate
+    "agg_tukey_hsd": 4,             # moments + 1-row MSE + pair grid
+    "agg_smape": 2,                 # daily agg + naive-lag window
+    "agg_kendall_tau": 5,           # hourly agg + bounded pair join
+    "agg_lognormal_fit": 1,         # one rounded-log moment aggregate
+    # --- round 11: time series / windows ---
+    "ts_vwap": 2,                   # daily agg + cumulative window
+    "ts_rsi_cutler": 2,             # daily agg + SMA window
+    "ts_lag_correlation": 3,        # hourly agg + shift join + moments
+    "ts_hurst": 4,                  # daily agg + chunk join + cum + rs
+    "window_pareto_front": 2,       # price dedupe + one ordered pass
+    # --- round 11: SQL surface / scalar ---
+    "sql_try_arithmetic": 1,        # row-local try_* + one rollup
+    "scalar_semver": 1,             # struct-max per brand
+    "scalar_time_bucket": 1,        # epoch bucket hash aggregate
+    # --- round 11: DQ / pipeline ---
+    "dq_cross_field": 2,            # rule battery + injected union
+    "dq_volume_anomaly": 3,         # daily agg + 1-row moments + sort
+    "pipeline_dataset_diff": 3,     # v2 derivation + full-outer + agg
+    "pipeline_quality_routing": 1,  # row-local rules + one rollup
+    # --- round 11: text / eval ---
+    "text_rake_keywords": 6,        # phrase window + word stats joins
+    "text_calibration_ece": 4,      # bin agg + 1-row total + order
+    "text_pass_at_k": 2,            # task agg + 1-row macro average
+    "text_sentence_stats": 0,       # row-local segmentation
+    "text_markdown_strip": 0,       # row-local regex algebra
+    "text_code_detect": 1,          # row-local features + one rollup
+    "text_slop_score": 3,           # trigram agg + per-doc + decile
+    # --- round 11: sources (row-local parse + rollups) ---
+    "source_properties": 2,
+    "source_toml": 1,
+    "source_rss": 2,
+    # --- round 11: multimodal (decode chains never shuffle) ---
+    "multimodal_pcx": 0,
+    "multimodal_sniff": 1,          # detected-type rollup
+    "multimodal_ass_subtitles": 0,
+    "multimodal_cur": 0,
+    "multimodal_wav_markers": 0,
+    # --- round 11: graph / similarity ---
+    "graph_motif_ffl": 3,           # edges checkpointed; motif joins
+    "graph_degree_tail": 2,         # df agg + top-20 window
+    "sim_mips_transform": 1,        # corpus never shuffles; top-k window
 }
 
 
