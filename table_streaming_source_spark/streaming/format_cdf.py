@@ -220,6 +220,48 @@ def _cdf_rows(path: str, v: int, cols: list[str]) -> list[tuple]:
             cols,
         )
         return tag(pdf, "insert")
+    if "replace_where" in c:
+        # partition overwrite (the batch read_cdf's algebra in
+        # pandas): survivors hold only out-of-range rows and the
+        # incoming batch only in-range rows, so the predicate splits
+        # the seq==v files exactly; a projection may exclude the
+        # predicate column — read it alongside, tag() projects it away
+        rw = c["replace_where"]
+        rcol, lo, hi = rw["col"], rw["lo"], rw["hi"]
+        rcols = cols + ([rcol] if rcol not in cols else [])
+
+        def _disjoint(f: dict) -> bool:
+            rng = f["stats"].get(rcol)
+            return rng is not None and (rng[1] < lo or rng[0] > hi)
+
+        own = [
+            f for f in c["files"]
+            if f.get("seq") == v and not _disjoint(f)
+        ]
+        prev_dicts = TF._snapshot_file_dicts(path, base)
+        carried = {f["path"] for f in c["files"]}
+        replaced = [
+            f
+            for f in prev_dicts
+            if f["path"] not in carried and not _disjoint(f)
+        ]
+        TF._require_files(path, replaced + own, v)
+        out = []
+        if replaced:
+            pre = _resolve_pandas(path, base, rcols, subset=replaced)
+            pre = pre[(pre[rcol] >= lo) & (pre[rcol] <= hi)]
+            out += tag(pre, "delete")
+        if own:
+            post = _concat(
+                [
+                    _file_frame(os.path.join(path, f["path"]), rcols)
+                    for f in own
+                ],
+                rcols,
+            )
+            post = post[(post[rcol] >= lo) & (post[rcol] <= hi)]
+            out += tag(post, "insert")
+        return out
     if "merge_key" not in c:
         raise ValueError(
             f"commit {v} is a full-snapshot rewrite without a recorded "

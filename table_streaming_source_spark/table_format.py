@@ -2494,6 +2494,59 @@ def read_cdf(
             )
             legs.append(_tag(ins, "insert", v))
             continue
+        if "replace_where" in c:
+            # partition overwrite: delete images = the replaced
+            # region's old rows, insert images = the incoming batch.
+            # Both new-data and survivor-rewrite files carry
+            # seq == v, but survivors hold ONLY out-of-range rows and
+            # the batch ONLY in-range rows (constraint-checked at
+            # commit), so the predicate splits them exactly; carried
+            # out-of-range rows emit nothing.
+            rw = c["replace_where"]
+            rcol, lo, hi = rw["col"], rw["lo"], rw["hi"]
+            in_range = (F.col(rcol) >= F.lit(lo)) & (
+                F.col(rcol) <= F.lit(hi)
+            )
+            own = [f for f in c["files"] if f.get("seq") == v]
+            prev_dicts = _snapshot_file_dicts(path, base)
+            carried = {f["path"] for f in c["files"]}
+            replaced = [
+                f
+                for f in prev_dicts
+                if f["path"] not in carried
+                and not (
+                    f["stats"].get(rcol) is not None
+                    and (
+                        f["stats"][rcol][1] < lo
+                        or f["stats"][rcol][0] > hi
+                    )
+                )
+            ]
+            own = [
+                f
+                for f in own
+                if not (
+                    f["stats"].get(rcol) is not None
+                    and (
+                        f["stats"][rcol][1] < lo
+                        or f["stats"][rcol][0] > hi
+                    )
+                )
+            ]
+            prev_key, prev_eq = _snapshot_deletes(path, base)
+            prev_pos = _snapshot_pos_deletes(path, base)
+            _require_files(path, replaced + own, v)
+            if replaced:
+                pre = _mor_resolve(
+                    spark, path, replaced, prev_key, prev_eq, prev_pos
+                ).filter(in_range)
+                legs.append(_tag(pre, "delete", v))
+            if own:
+                post = spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(path, f["path"]) for f in own]
+                ).filter(in_range)
+                legs.append(_tag(post, "insert", v))
+            continue
         if "merge_key" not in c:
             raise ValueError(
                 f"commit {v} is a full-snapshot rewrite without a "

@@ -3710,3 +3710,74 @@ def test_format_tail_rate_limit_caps_commits_per_batch(spark, tmp_path):
         schema, {"path": path, "maxCommitsPerTrigger": "2"}
     )
     assert r2.latestOffset() == {"version": 6}
+
+
+def test_read_cdf_classifies_replace_where(spark, tmp_path):
+    """CDF over a replaceWhere commit (round-11): delete images = the
+    replaced region's old rows (through outstanding MOR deletes),
+    insert images = the incoming batch; carried out-of-range rows —
+    including survivor-rewrite files' rows — emit NOTHING.  Batch and
+    streaming twins agree row-for-row, including under a projection
+    that excludes the predicate column."""
+    from table_streaming_source_spark.streaming.format_cdf import (
+        register_format_cdf,
+    )
+
+    path = str(tmp_path / "cdfreplw")
+    TF.create_table(path)
+    df = spark.range(100).selectExpr("id as k", "cast(id as double) as v")
+    TF.commit_append(                                                # v1
+        spark, path,
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stat_cols=["k"],
+    )
+    TF.commit_delete_keys(                                           # v2
+        spark, path, spark.createDataFrame([(40,)], "k long"), key="k",
+    )
+    new = spark.createDataFrame(
+        [(35, -1.0), (55, -2.0)], "k long, v double"
+    )
+    TF.commit_replace_where(                                         # v3
+        spark, path, new, col="k", lo=30, hi=60, stat_cols=["k"]
+    )
+    cdf = TF.read_cdf(spark, path, from_version=2)
+    rows = sorted(
+        (r.k, r.v, r["_change_type"])
+        for r in cdf.filter("_commit_version = 3").collect()
+    )
+    # deletes: old rows 30..60 minus the already-deleted k=40
+    want_del = sorted(
+        (k, float(k), "delete") for k in range(30, 61) if k != 40
+    )
+    want_ins = [(35, -1.0, "insert"), (55, -2.0, "insert")]
+    assert rows == sorted(want_del + want_ins)
+    # streaming parity (projection excludes the predicate column k)
+    batch = sorted(
+        (r.v, r["_change_type"], r["_commit_version"])
+        for r in TF.read_cdf(
+            spark, path, from_version=0, columns=["v"]
+        ).collect()
+    )
+    register_format_cdf(spark)
+    name = "__cdf_replw"
+    q = (
+        spark.readStream.format("format_cdf")
+        .option("path", path)
+        .option("columns", "v")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    streamed = sorted(
+        (r.v, r["_change_type"], r["_commit_version"])
+        for r in spark.table(name).collect()
+    )
+    spark.catalog.dropTempView(name)
+    assert streamed == batch
