@@ -20571,3 +20571,142 @@ QUERIES_DEFERRED.update(
         "agg_lognormal_fit": q_agg_lognormal_fit,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# round 11 wave 8 (round-12 backlog): row-level UPDATE + history
+# --------------------------------------------------------------------------
+
+
+def q_format_update_where(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SQL row-level UPDATE on the table format
+    (`table_format.commit_update_where` — Delta/Iceberg UPDATE): a
+    pruned rewrite touches only the files whose manifest range can
+    hold matching rows, applies the SET expressions per matching row
+    through a CASE, and carries every other file by reference; the
+    final MOR aggregate equals the plain SQL UPDATE semantics the
+    oracle states."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_updw", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    mx = o.agg(F.max("o_orderkey")).collect()[0][0]
+    q1, q2 = mx // 4, mx // 2
+    for lo_b, hi_b in ((0, q1), (q1 + 1, q2), (q2 + 1, mx)):
+        TF.commit_append(
+            spark, path,
+            o.filter((k >= lo_b) & (k <= hi_b)).coalesce(1),
+            stat_cols=["o_orderkey"],
+        )
+    v, rewritten, total = TF.commit_update_where(
+        spark, path,
+        set_exprs={"o_totalprice": "o_totalprice * 2"},
+        where=f"o_orderkey % 3 = 0 AND o_orderkey <= {q1}",
+        stat_cols=["o_orderkey"],
+        prune=("o_orderkey", 0, q1),
+    )
+    agg = TF.read_table_mor(spark, path).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    ).collect()[0]
+    result = spark.createDataFrame(
+        [(rewritten, total - rewritten, agg["n_rows"],
+          agg["sum_cents"])],
+        "files_rewritten int, files_untouched int, n_rows bigint, "
+        "sum_cents bigint",
+    ).localCheckpoint(eager=True)
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_update_where"] = """
+WITH b AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+q AS (SELECT mx // 4 AS q1 FROM b),
+live AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 AND o_orderkey <= q1
+              THEN o_totalprice * 2 ELSE o_totalprice END AS p
+  FROM orders, q
+)
+SELECT CAST(1 AS INT) AS files_rewritten,
+       CAST(2 AS INT) AS files_untouched,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(p * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM live
+"""
+
+
+def q_format_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY (`table_format.read_history` — Delta history /
+    Iceberg snapshots metadata table): one row per retained commit
+    with the operation kind inferred from the payload shape, file and
+    row deltas, and txn watermarks — all from the manifest alone,
+    zero data-file I/O.  The log below exercises every operation
+    class the classifier names."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_hist", sf_dir, fresh=True)
+    TF.create_table(path)                                            # v0
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    TF.commit_append(                                                # v1
+        spark, path, o.coalesce(1), stat_cols=["o_orderkey"]
+    )
+    TF.commit_delete_keys(                                           # v2
+        spark, path, o.filter((k % 100 == 0) & (k > 0)),
+        key="o_orderkey",
+    )
+    TF.commit_merge(                                                 # v3
+        spark, path,
+        o.filter(k % 997 == 1).select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            F.lit("U").alias("op"),
+        ),
+        key="o_orderkey", stat_cols=["o_orderkey"],
+    )
+    TF.commit_compact(spark, path, stat_cols=["o_orderkey"])         # v4
+    hist = TF.read_history(spark, path)
+    return hist.select(
+        "version", "operation", "n_files", "n_new_files",
+        "n_eq_delete_files",
+    ).localCheckpoint(eager=True)
+    # scratch cleanup happens via _scratch atexit; rmtree here would
+    # race the checkpoint's lazy partitions on some paths
+
+
+ORACLES["format_history"] = """
+WITH base AS (SELECT COUNT(*) AS n FROM orders)
+SELECT version, operation, CAST(n_files AS INT) AS n_files,
+       CAST(n_new_files AS INT) AS n_new_files,
+       CAST(n_eq AS INT) AS n_eq_delete_files
+FROM (
+  SELECT 0 AS version, 'CREATE TABLE' AS operation, 0 AS n_files,
+         0 AS n_new_files, 0 AS n_eq
+  UNION ALL SELECT 1, 'WRITE', 1, 1, 0
+  UNION ALL SELECT 2, 'DELETE', 1, 0, 1
+  UNION ALL SELECT 3, 'MERGE', 1, 1, 1
+  UNION ALL SELECT 4, 'OPTIMIZE', 1, 1, 0
+)
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "format_update_where": q_format_update_where,
+        "format_history": q_format_history,
+    }
+)

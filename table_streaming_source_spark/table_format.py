@@ -605,6 +605,162 @@ def commit_compact(
     return new_v
 
 
+def commit_update_where(
+    spark: SparkSession,
+    path: str,
+    *,
+    set_exprs: dict[str, str],
+    where: str,
+    stat_cols: list[str],
+    prune: tuple[str, object, object] | None = None,
+    expected_version: int | None = None,
+    branch: str | None = None,
+) -> tuple[int, int, int]:
+    """SQL ``UPDATE ... SET ... WHERE ...`` on the table format (the
+    Delta/Iceberg row-level UPDATE): rewrite ONLY the files the
+    predicate can touch — ``prune = (col, lo, hi)`` consults the
+    manifest's per-file ranges exactly like :func:`snapshot_files`;
+    without it every file is a candidate — applying ``set_exprs``
+    (column → SQL expression, evaluated per matching row) and
+    carrying every other file BY REFERENCE.
+
+    The rewrite reads candidates through MOR (outstanding deletes are
+    not resurrected), updates matching rows with one CASE per target
+    column, and publishes an incremental full-snapshot commit with a
+    recorded ``update_where`` marker.  Cost is O(candidate files), the
+    change-proportional UPDATE shape at 100 TB.  Returns
+    ``(new_version, files_rewritten, files_total)``."""
+    from pyspark.sql import functions as F
+
+    base, new_v = _resolve_write_target(path, branch, expected_version)
+    file_dicts = _snapshot_file_dicts(path, base)
+    cand, untouched = [], []
+    for f in file_dicts:
+        if prune is not None:
+            col, lo, hi = prune
+            rng = f["stats"].get(col)
+            if rng is not None and (rng[1] < lo or rng[0] > hi):
+                untouched.append(f)
+                continue
+        cand.append(f)
+    if not cand:
+        return base, 0, len(file_dicts)
+    del_key, outstanding = _snapshot_deletes(path, base)
+    pos_outstanding = _snapshot_pos_deletes(path, base)
+    if outstanding or pos_outstanding:
+        cur = _mor_resolve(
+            spark, path, cand, del_key, outstanding, pos_outstanding
+        )
+    else:
+        cur = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, f["path"]) for f in cand]
+        )
+    match = F.expr(where)
+    updated = cur.select(
+        *[
+            (
+                F.when(match, F.expr(set_exprs[c]))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in set_exprs
+                else F.col(c)
+            )
+            for c in cur.columns
+        ]
+    )
+    staging = os.path.join(
+        _data_dir(path), f"update-{new_v}-{uuid.uuid4().hex[:8]}"
+    )
+    updated.write.mode("overwrite").parquet(staging)
+    files = list(untouched) + _manifest_entries(
+        path, staging, stat_cols, seq=new_v
+    )
+    payload: dict = {
+        "version": new_v,
+        "files": files,
+        "parent": None,
+        "prev": base,
+        "update_where": {"where": where, "set": dict(set_exprs)},
+    }
+    if outstanding and untouched:
+        payload["deletes"] = outstanding
+        payload["delete_key"] = del_key
+    if pos_outstanding:
+        surviving = {
+            os.path.abspath(os.path.join(path, f["path"]))
+            for f in untouched
+        }
+        kept_pos = [
+            d
+            for d in pos_outstanding
+            if any(p in surviving for p in d.get("paths", []))
+        ]
+        if kept_pos:
+            payload["pos_deletes"] = kept_pos
+    _write_commit(path, new_v, payload)
+    _advance_branch(path, branch, new_v, base=base)
+    return new_v, len(cand), len(file_dicts)
+
+
+def read_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY (Delta's history() / Iceberg's snapshots
+    metadata table): one row per retained commit — version, operation
+    kind (inferred from the payload shape), file/row counts, parent
+    linkage, and the txn watermark when present.  Manifest-only:
+    answered without opening one data file."""
+    rows = []
+    for v in range(latest_version(path) + 1):
+        try:
+            c = _read_commit(path, v)
+        except FileNotFoundError:
+            continue  # expired from the log
+        if c.get("maintenance"):
+            op = "OPTIMIZE"
+        elif "replace_where" in c:
+            op = "REPLACE WHERE"
+        elif "update_where" in c:
+            op = "UPDATE"
+        elif "merge_key" in c:
+            op = "MERGE"
+        elif any(
+            d.get("seq") == v
+            for d in c.get("deletes", []) + c.get("pos_deletes", [])
+        ):
+            op = "DELETE"
+        elif c["parent"] is None and c.get("prev") is not None:
+            op = "OVERWRITE"
+        elif "cloned_from" in c:
+            op = "CLONE"
+        elif v == 0:
+            op = "CREATE TABLE"
+        else:
+            op = "WRITE"
+        own = [f for f in c["files"] if f.get("seq", 0) == v]
+        txn = c.get("txn") or {}
+        rows.append(
+            (
+                v,
+                op,
+                c["parent"],
+                c.get("prev"),
+                len(c["files"]),
+                len(own),
+                sum(f["rows"] for f in own),
+                len(c.get("deletes", [])),
+                len(c.get("pos_deletes", [])),
+                txn.get("app"),
+                txn.get("batch"),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, operation string, parent int, prev int, "
+        "n_files int, n_new_files int, new_rows bigint, "
+        "n_eq_delete_files int, n_pos_delete_files int, "
+        "txn_app string, txn_batch bigint",
+    )
+
+
 def commit_replace_where(
     spark: SparkSession,
     path: str,

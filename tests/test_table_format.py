@@ -3781,3 +3781,54 @@ def test_read_cdf_classifies_replace_where(spark, tmp_path):
     )
     spark.catalog.dropTempView(name)
     assert streamed == batch
+
+
+def test_update_where_rewrites_only_pruned_candidates(spark, tmp_path):
+    """commit_update_where: with a prune hint the UPDATE rewrites only
+    files whose range can hold matching rows; untouched files survive
+    by path; MOR deletes are honored; the result equals SQL UPDATE
+    semantics; and read_history classifies the whole log."""
+    path = str(tmp_path / "updw")
+    TF.create_table(path)
+    df = spark.range(400).selectExpr("id as k", "cast(id as double) as v")
+    TF.commit_append(                                                # v1
+        spark, path,
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stat_cols=["k"],
+    )
+    TF.commit_delete_keys(                                           # v2
+        spark, path, spark.createDataFrame([(150,)], "k long"), key="k",
+    )
+    v, rewritten, total = TF.commit_update_where(
+        spark, path,
+        set_exprs={"v": "v * 10"},
+        where="k % 2 = 0 AND k BETWEEN 100 AND 199",
+        stat_cols=["k"],
+        prune=("k", 100, 199),
+    )
+    assert total == 4 and rewritten == 1
+    pre = TF._snapshot_file_dicts(path, 2)
+    post = TF._snapshot_file_dicts(path, v)
+    outside = {
+        f["path"] for f in pre
+        if f["stats"]["k"][1] < 100 or f["stats"]["k"][0] > 199
+    }
+    assert outside <= {f["path"] for f in post}
+    got = {r.k: r.v for r in TF.read_table_mor(spark, path).collect()}
+    assert 150 not in got and len(got) == 399
+    assert got[100] == 1000.0 and got[101] == 101.0
+    assert got[98] == 98.0 and got[200] == 200.0
+    # empty-candidate no-op: prune range holding no files
+    v2, rw2, _ = TF.commit_update_where(
+        spark, path, set_exprs={"v": "0.0"}, where="k = -1",
+        stat_cols=["k"], prune=("k", -10, -1),
+    )
+    assert v2 == v and rw2 == 0
+    hist = {
+        r.version: r.operation
+        for r in TF.read_history(spark, path).collect()
+    }
+    assert hist[0] == "CREATE TABLE"
+    assert hist[1] == "WRITE"
+    assert hist[2] == "DELETE"
+    assert hist[v] == "UPDATE"
