@@ -20680,26 +20680,27 @@ def q_format_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     TF.commit_compact(spark, path, stat_cols=["o_orderkey"])         # v4
     hist = TF.read_history(spark, path)
+    # physical file counts at v3/v4 depend on the rewrite's partition
+    # count (SF-dependent); the oracle-stable columns are the
+    # operation classes, delete-file counts, and LOGICAL row deltas
     return hist.select(
-        "version", "operation", "n_files", "n_new_files",
-        "n_eq_delete_files",
+        "version", "operation", "new_rows", "n_eq_delete_files",
     ).localCheckpoint(eager=True)
-    # scratch cleanup happens via _scratch atexit; rmtree here would
-    # race the checkpoint's lazy partitions on some paths
 
 
 ORACLES["format_history"] = """
-WITH base AS (SELECT COUNT(*) AS n FROM orders)
-SELECT version, operation, CAST(n_files AS INT) AS n_files,
-       CAST(n_new_files AS INT) AS n_new_files,
+WITH base AS (SELECT COUNT(*) AS n FROM orders),
+del AS (SELECT COUNT(*) AS d FROM orders
+        WHERE o_orderkey % 100 = 0 AND o_orderkey > 0)
+SELECT version, operation, CAST(new_rows AS BIGINT) AS new_rows,
        CAST(n_eq AS INT) AS n_eq_delete_files
 FROM (
-  SELECT 0 AS version, 'CREATE TABLE' AS operation, 0 AS n_files,
-         0 AS n_new_files, 0 AS n_eq
-  UNION ALL SELECT 1, 'WRITE', 1, 1, 0
-  UNION ALL SELECT 2, 'DELETE', 1, 0, 1
-  UNION ALL SELECT 3, 'MERGE', 1, 1, 1
-  UNION ALL SELECT 4, 'OPTIMIZE', 1, 1, 0
+  SELECT 0 AS version, 'CREATE TABLE' AS operation,
+         0 AS new_rows, 0 AS n_eq FROM base
+  UNION ALL SELECT 1, 'WRITE', n, 0 FROM base
+  UNION ALL SELECT 2, 'DELETE', 0, 1 FROM base
+  UNION ALL SELECT 3, 'MERGE', n - d, 1 FROM base, del
+  UNION ALL SELECT 4, 'OPTIMIZE', n - d, 0 FROM base, del
 )
 """
 
