@@ -20711,3 +20711,583 @@ QUERIES_DEFERRED.update(
         "format_history": q_format_history,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# round 11 wave 9 (round-12 backlog): causality probes, dispersion,
+# vocabulary laws, rich clubs
+# --------------------------------------------------------------------------
+
+
+def q_ts_granger_1lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-lag Granger-causality F-test — does click volume at t−1
+    help predict view volume at t beyond view's own lag? (the
+    lead-lag CAUSALITY follow-up to `ts_lag_correlation`'s
+    correlation).  Restricted (y~x) and unrestricted (y~x+z) OLS both
+    have CLOSED FORMS in the centered moment sums, so the whole test
+    is two hash aggregates + deterministic double algebra:
+    F = (RSS_r − RSS_u)/(RSS_u/(n−3))."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"),
+            6,
+        ).alias("v")
+    )
+    vw = hourly.filter(F.col("event_type") == "view").select(
+        "hour", F.col("v").alias("y")
+    )
+    w = Window.orderBy("hour")
+    lagged = (
+        vw.join(
+            hourly.filter(F.col("event_type") == "click").select(
+                "hour", F.col("v").alias("c")
+            ),
+            "hour",
+        )
+        .select(
+            "hour",
+            "y",
+            F.lag("y", 1).over(w).alias("x"),
+            F.lag("c", 1).over(w).alias("z"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("z").isNotNull())
+    )
+
+    def m(c):
+        return F.sum(c.cast("decimal(38,8)")).cast("double")
+
+    y, x, z = F.col("y"), F.col("x"), F.col("z")
+    agg = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        m(y).alias("sy"), m(x).alias("sx"), m(z).alias("sz"),
+        m(y * y).alias("syy"), m(x * x).alias("sxx"),
+        m(z * z).alias("szz"), m(x * y).alias("sxy"),
+        m(x * z).alias("sxz"), m(z * y).alias("szy"),
+    )
+    n = F.col("n").cast("double")
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    czz = F.col("szz") - F.col("sz") * F.col("sz") / n
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    cxz = F.col("sxz") - F.col("sx") * F.col("sz") / n
+    czy = F.col("szy") - F.col("sz") * F.col("sy") / n
+    rss_r = cyy - cxy * cxy / cxx
+    det = cxx * czz - cxz * cxz
+    b = (czz * cxy - cxz * czy) / det
+    c_ = (cxx * czy - cxz * cxy) / det
+    rss_u = cyy - b * cxy - c_ * czy
+    f_stat = (rss_r - rss_u) / (rss_u / (n - 3))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(b, 9).alias("beta_own_lag"),
+        F.round(c_, 9).alias("beta_cross_lag"),
+        F.round(f_stat, 6).alias("granger_f"),
+    )
+
+
+ORACLES["ts_granger_1lag"] = """
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+           AS v
+  FROM events WHERE event_type IN ('view', 'click')
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT a.hour, a.v AS y, b.v AS c
+  FROM (SELECT hour, v FROM hourly WHERE event_type = 'view') a
+  JOIN (SELECT hour, v FROM hourly WHERE event_type = 'click') b
+    USING (hour)
+),
+lagged AS (
+  SELECT y, LAG(y, 1) OVER (ORDER BY hour) AS x,
+         LAG(c, 1) OVER (ORDER BY hour) AS z
+  FROM j
+),
+mom AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(x AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(z AS DECIMAL(38,8))) AS DOUBLE) AS sz,
+    CAST(SUM(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+    CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(z * z AS DECIMAL(38,8))) AS DOUBLE) AS szz,
+    CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(x * z AS DECIMAL(38,8))) AS DOUBLE) AS sxz,
+    CAST(SUM(CAST(z * y AS DECIMAL(38,8))) AS DOUBLE) AS szy
+  FROM lagged WHERE x IS NOT NULL AND z IS NOT NULL
+),
+alg AS (
+  SELECT n,
+    syy - sy*sy/n AS cyy, sxx - sx*sx/n AS cxx,
+    szz - sz*sz/n AS czz, sxy - sx*sy/n AS cxy,
+    sxz - sx*sz/n AS cxz, szy - sz*sy/n AS czy
+  FROM mom
+)
+SELECT CAST(n AS BIGINT) AS n,
+  ROUND((czz*cxy - cxz*czy) / (cxx*czz - cxz*cxz), 9)
+    AS beta_own_lag,
+  ROUND((cxx*czy - cxz*cxy) / (cxx*czz - cxz*cxz), 9)
+    AS beta_cross_lag,
+  ROUND(((cyy - cxy*cxy/cxx)
+         - (cyy - (czz*cxy - cxz*czy)/(cxx*czz - cxz*cxz)*cxy
+                - (cxx*czy - cxz*cxy)/(cxx*czz - cxz*cxz)*czy))
+        / ((cyy - (czz*cxy - cxz*czy)/(cxx*czz - cxz*cxz)*cxy
+                 - (cxx*czy - cxz*cxy)/(cxx*czz - cxz*cxz)*czy)
+           / (n - 3)), 6) AS granger_f
+FROM alg
+"""
+
+
+def q_ts_theil_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U2 forecast-skill statistic: the seasonal-naive
+    forecast (lag-7 days) against the naive baseline (lag-1) per
+    event type — U2 < 1 means the weekly pattern genuinely predicts.
+    Squared errors are per-day rounded terms summed on the decimal
+    path; one window pass over the bounded daily series."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"),
+            6,
+        ).alias("a")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = daily.select(
+        "event_type",
+        "a",
+        F.lag("a", 1).over(w).alias("f1"),
+        F.lag("a", 7).over(w).alias("f7"),
+    ).filter(F.col("f7").isNotNull())
+    terms = d.select(
+        "event_type",
+        F.round(
+            (F.col("a") - F.col("f7")) * (F.col("a") - F.col("f7")), 6
+        ).alias("e7"),
+        F.round(
+            (F.col("a") - F.col("f1")) * (F.col("a") - F.col("f1")), 6
+        ).alias("e1"),
+    )
+    g = terms.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.col("e7").cast("decimal(38,6)")).cast("double")
+        .alias("s7"),
+        F.sum(F.col("e1").cast("decimal(38,6)")).cast("double")
+        .alias("s1"),
+    )
+    return g.select(
+        "event_type",
+        "n_days",
+        F.round(F.sqrt(F.col("s7") / F.col("s1")), 9).alias("theil_u2"),
+    )
+
+
+ORACLES["ts_theil_u2"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+           AS a
+  FROM events GROUP BY 1, 2
+),
+d AS (
+  SELECT event_type, a,
+         LAG(a, 1) OVER w AS f1, LAG(a, 7) OVER w AS f7
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+terms AS (
+  SELECT event_type,
+         ROUND((a - f7) * (a - f7), 6) AS e7,
+         ROUND((a - f1) * (a - f1), 6) AS e1
+  FROM d WHERE f7 IS NOT NULL
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(SQRT(CAST(SUM(CAST(e7 AS DECIMAL(38,6))) AS DOUBLE)
+                  / CAST(SUM(CAST(e1 AS DECIMAL(38,6))) AS DOUBLE)),
+             9) AS theil_u2
+FROM terms GROUP BY event_type
+"""
+
+
+def q_agg_negative_binomial(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Negative-binomial method-of-moments fit over per-user event
+    counts (THE overdispersed-count model — Poisson fails whenever
+    var > mean, which per-user activity always is): r̂ = m²/(v−m),
+    p̂ = m/v from exact integer count moments, plus the
+    overdispersion verdict as a checked boolean."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    m = F.col("s") / n
+    v = (F.col("ss") - n * m * m) / (n - 1)
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(m, 9).alias("mean_count"),
+        F.round(v, 9).alias("var_count"),
+        (v > m).alias("overdispersed"),
+        F.round(m * m / (v - m), 9).alias("nb_r"),
+        F.round(m / v, 9).alias("nb_p"),
+    )
+
+
+ORACLES["agg_negative_binomial"] = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+),
+mom AS (
+  SELECT COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS ss FROM per_user
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+  ROUND(CAST(s AS DOUBLE)/n, 9) AS mean_count,
+  ROUND((ss - n*(CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n))/(n-1), 9)
+    AS var_count,
+  ((ss - n*(CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n))/(n-1))
+    > CAST(s AS DOUBLE)/n AS overdispersed,
+  ROUND((CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n)
+        / ((ss - n*(CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n))/(n-1)
+           - CAST(s AS DOUBLE)/n), 9) AS nb_r,
+  ROUND((CAST(s AS DOUBLE)/n)
+        / ((ss - n*(CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n))/(n-1)),
+        9) AS nb_p
+FROM mom
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "ts_granger_1lag": q_ts_granger_1lag,
+        "ts_theil_u2": q_ts_theil_u2,
+        "agg_negative_binomial": q_agg_negative_binomial,
+    }
+)
+
+
+def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth fit V(N) = K·N^β — the corpus-
+    planning curve ("how much new vocabulary will 10× more data
+    add?").  DISTRIBUTED shape: each word's FIRST document (min
+    doc_id) makes cumulative vocabulary a rank statistic — V at any
+    prefix is a count of first-occurrences, never a sequential scan —
+    and β comes from OLS over the rounded-log (token-count, vocab)
+    points at 5 deterministic prefix checkpoints."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+        F.array_distinct(
+            F.split(F.trim(F.col("text")), r"\s+")
+        ).alias("words"),
+    )
+    w = Window.orderBy("doc_id")
+    ranked = docs.select(
+        "doc_id", "n_tok", "words",
+        F.row_number().over(w).alias("rn"),
+        F.sum("n_tok").over(
+            Window.orderBy("doc_id").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ).alias("cum_tok"),
+    )
+    n_docs = ranked.agg(F.max("rn").alias("d")).collect()[0]["d"]
+    checkpoints = sorted({max(1, (n_docs * q) // 5) for q in range(1, 6)})
+    cps = spark.createDataFrame(
+        [(c,) for c in checkpoints], "cp long"
+    )
+    first_seen = (
+        ranked.select("rn", F.explode("words").alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.min("rn").alias("first_rn"))
+    )
+    vocab_at = (
+        first_seen.crossJoin(F.broadcast(cps))
+        .filter(F.col("first_rn") <= F.col("cp"))
+        .groupBy("cp")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    tok_at = ranked.join(
+        F.broadcast(cps), F.col("rn") == F.col("cp")
+    ).select("cp", F.col("cum_tok").alias("n_tokens"))
+    pts = vocab_at.join(tok_at, "cp").select(
+        "cp",
+        F.round(F.log(F.col("n_tokens").cast("double")), 6).alias("lx"),
+        F.round(F.log(F.col("v").cast("double")), 6).alias("ly"),
+        "n_tokens",
+        "v",
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("lx").cast("decimal(28,6)")).cast("double")
+        .alias("sx"),
+        F.sum(F.col("ly").cast("decimal(28,6)")).cast("double")
+        .alias("sy"),
+        F.sum((F.col("lx") * F.col("ly")).cast("decimal(38,10)"))
+        .cast("double").alias("sxy"),
+        F.sum((F.col("lx") * F.col("lx")).cast("decimal(38,10)"))
+        .cast("double").alias("sxx"),
+    )
+    k = F.col("k").cast("double")
+    beta = (k * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        k * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return mom.select(
+        F.col("k").cast("bigint").alias("n_checkpoints"),
+        F.round(beta, 9).alias("heaps_beta"),
+        F.round(
+            (F.col("sy") - beta * F.col("sx")) / k, 9
+        ).alias("heaps_log_k"),
+    )
+
+
+ORACLES["text_heaps_law"] = """
+WITH toks AS (
+  SELECT doc_id,
+         STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'),
+                      ' ') AS tk
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, LEN(tk) AS n_tok, tk,
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+         SUM(LEN(tk)) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_tok
+  FROM toks
+),
+nd AS (SELECT MAX(rn) AS d FROM ranked),
+cps AS (
+  SELECT DISTINCT GREATEST(1, (d * q) // 5) AS cp
+  FROM nd, (VALUES (1), (2), (3), (4), (5)) t(q)
+),
+first_seen AS (
+  SELECT w.word, MIN(rn) AS first_rn
+  FROM ranked, UNNEST(tk) AS w(word)
+  WHERE LEN(w.word) > 0
+  GROUP BY w.word
+),
+vocab_at AS (
+  SELECT cp, COUNT(*) AS v
+  FROM first_seen, cps WHERE first_rn <= cp GROUP BY cp
+),
+tok_at AS (
+  SELECT cp, cum_tok AS n_tokens FROM ranked JOIN cps ON rn = cp
+),
+pts AS (
+  SELECT ROUND(LN(CAST(n_tokens AS DOUBLE)), 6) AS lx,
+         ROUND(LN(CAST(v AS DOUBLE)), 6) AS ly
+  FROM vocab_at JOIN tok_at USING (cp)
+),
+mom AS (
+  SELECT COUNT(*) AS k,
+    CAST(SUM(CAST(lx AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(ly AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(lx * ly AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(lx * lx AS DECIMAL(38,10))) AS DOUBLE) AS sxx
+  FROM pts
+)
+SELECT CAST(k AS BIGINT) AS n_checkpoints,
+  ROUND((k*sxy - sx*sy) / (k*sxx - sx*sx), 9) AS heaps_beta,
+  ROUND((sy - (k*sxy - sx*sy)/(k*sxx - sx*sx)*sx) / k, 9)
+    AS heaps_log_k
+FROM mom
+"""
+
+
+def q_text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean segmental type-token ratio (MSTTR-25, the length-robust
+    lexical-diversity measure — raw TTR shrinks with length, segment
+    averaging removes that): tokens split into complete 25-token
+    segments per doc, TTR per segment, mean over segments, corpus
+    rollup per language.  Row-local until the final per-language
+    aggregate."""
+    docs = t(spark, sf_dir, "documents")
+    segs = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.posexplode(
+                F.split(F.trim(F.col("text")), r"\s+")
+            ).alias("pos", "tok"),
+        )
+        .filter(F.length("tok") > 0)
+        .select(
+            "doc_id", "lang", "tok",
+            (F.col("pos") / 25).cast("int").alias("seg"),
+        )
+    )
+    per_seg = segs.groupBy("doc_id", "lang", "seg").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.count_distinct("tok").alias("n_types"),
+    ).filter("n_tok = 25")
+    per_doc = per_seg.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        (
+            F.sum(
+                (F.col("n_types") / 25.0).cast("decimal(28,10)")
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("msttr"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_segs").cast("bigint").alias("n_segments"),
+        F.round(
+            F.sum(F.col("msttr").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mean_msttr"),
+    )
+
+
+ORACLES["text_mattr"] = """
+WITH toks AS (
+  SELECT doc_id, lang, u.i AS pos, tk[u.i] AS tok
+  FROM (
+    SELECT doc_id, lang,
+           STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'),
+                        ' ') AS tk
+    FROM documents
+  ), UNNEST(RANGE(1, LEN(tk) + 1)) AS u(i)
+  WHERE LEN(tk[u.i]) > 0
+),
+segs AS (
+  SELECT doc_id, lang, tok, (pos - 1) // 25 AS seg FROM toks
+),
+per_seg AS (
+  SELECT doc_id, lang, seg, COUNT(*) AS n_tok,
+         COUNT(DISTINCT tok) AS n_types
+  FROM segs GROUP BY doc_id, lang, seg
+  HAVING COUNT(*) = 25
+),
+per_doc AS (
+  SELECT doc_id, lang, COUNT(*) AS n_segs,
+         CAST(SUM(CAST(n_types / 25.0 AS DECIMAL(28,10)))
+              AS DOUBLE) / COUNT(*) AS msttr
+  FROM per_seg GROUP BY doc_id, lang
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_segs) AS BIGINT) AS n_segments,
+       ROUND(CAST(SUM(CAST(msttr AS DECIMAL(28,12))) AS DOUBLE)
+             / COUNT(*), 9) AS mean_msttr
+FROM per_doc GROUP BY lang
+"""
+
+
+def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient (Zhou & Mondragón 2004): do the
+    best-connected nodes preferentially link to EACH OTHER?
+    φ(k) = 2·E_rich / (N_rich·(N_rich−1)) over the symmetrized
+    residue graph, rich = degree ≥ the 75th-percentile degree
+    (deterministic exact order statistic).  All exact integers until
+    one final ratio."""
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    raw = o.select(
+        (k % 151).alias("a"), ((k * 11 + 2) % 151).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    und = raw.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("w")
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # exact p75: the degree at ceil(0.75·n)-th rank ascending
+    wn = Window.orderBy(F.asc("d"), F.asc("node"))
+    ranked = deg.withColumn("rn", F.row_number().over(wn))
+    n_nodes = deg.count()
+    import math as _math
+
+    p75_rank = _math.ceil(0.75 * n_nodes)
+    thr = (
+        ranked.filter(F.col("rn") == p75_rank)
+        .select("d")
+        .collect()[0]["d"]
+    )
+    rich = deg.filter(F.col("d") >= thr).select("node")
+    e_rich = (
+        und.join(rich.select(F.col("node").alias("u")), "u", "left_semi")
+        .join(rich.select(F.col("node").alias("w")), "w", "left_semi")
+        .count()
+    )
+    n_rich = rich.count()
+    phi = (
+        2.0 * e_rich / (n_rich * (n_rich - 1))
+        if n_rich > 1
+        else 0.0
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(n_nodes),
+                int(thr),
+                int(n_rich),
+                int(e_rich),
+                round(phi, 9),
+            )
+        ],
+        "n_nodes bigint, degree_threshold bigint, n_rich bigint, "
+        "e_rich bigint, rich_club_phi double",
+    )
+
+
+ORACLES["graph_rich_club"] = """
+WITH raw AS (
+  SELECT o_orderkey % 151 AS a, (o_orderkey * 11 + 2) % 151 AS b
+  FROM orders WHERE o_orderkey % 151 <> (o_orderkey * 11 + 2) % 151
+),
+und AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS w FROM raw
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM und UNION ALL SELECT w FROM und
+  ) GROUP BY node
+),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+thr AS (
+  SELECT d FROM (
+    SELECT d, ROW_NUMBER() OVER (ORDER BY d ASC, node ASC) AS rn
+    FROM deg
+  ), nn
+  WHERE rn = CAST(CEIL(0.75 * n) AS BIGINT)
+),
+rich AS (SELECT node FROM deg, thr WHERE deg.d >= thr.d),
+er AS (
+  SELECT COUNT(*) AS e FROM und
+  WHERE u IN (SELECT node FROM rich)
+    AND w IN (SELECT node FROM rich)
+),
+nr AS (SELECT COUNT(*) AS r FROM rich)
+SELECT CAST(nn.n AS BIGINT) AS n_nodes,
+       CAST(thr.d AS BIGINT) AS degree_threshold,
+       CAST(nr.r AS BIGINT) AS n_rich,
+       CAST(er.e AS BIGINT) AS e_rich,
+       ROUND(2.0 * er.e / (nr.r * (nr.r - 1)), 9) AS rich_club_phi
+FROM nn, thr, er, nr
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "text_heaps_law": q_text_heaps_law,
+        "text_mattr": q_text_mattr,
+        "graph_rich_club": q_graph_rich_club,
+    }
+)
