@@ -9081,3 +9081,108 @@ def attach_wav_cue_payload(df: DataFrame, key: str) -> DataFrame:
             )
 
     return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def synth_dds(key: int) -> bytes:
+    """Deterministic DirectDraw Surface header (the public DDS file
+    layout: magic ``DDS ``, a 124-byte DDS_HEADER with size/flags/
+    dims/mipmaps, a 32-byte DDS_PIXELFORMAT with a FourCC): DXT1 for
+    even keys, DXT5 for odd; dims 2^(2+key%4) × 2^(1+key%3);
+    mipmaps 1+key%5.  A 4-byte stub payload follows (metadata walks
+    never decode blocks)."""
+    w = 1 << (2 + key % 4)
+    h = 1 << (1 + key % 3)
+    mips = 1 + key % 5
+    fourcc = b"DXT1" if key % 2 == 0 else b"DXT5"
+    pf = struct.pack("<II4s5I", 32, 0x4, fourcc, 0, 0, 0, 0, 0)
+    header = struct.pack(
+        "<7I44s", 124, 0x0002100F, h, w, max(1, w * h // 2), 0, mips,
+        b"\x00" * 44,
+    ) + pf + struct.pack("<5I", 0x1000, 0, 0, 0, 0)
+    assert len(header) == 124
+    return b"DDS " + header + bytes([key % 256] * 4)
+
+
+def _dds_one(payload: bytes) -> dict:
+    """Walk one DDS header; malformed bytes raise ValueError."""
+    if payload[:4] != b"DDS ":
+        raise ValueError("dds: bad magic")
+    if len(payload) < 128:
+        raise ValueError("dds: truncated header")
+    hdr = payload[4:128]
+    size = struct.unpack_from("<I", hdr, 0)[0]
+    if size != 124:
+        raise ValueError(f"dds: header size {size} != 124")
+    height, width = struct.unpack_from("<II", hdr, 8)
+    mips = struct.unpack_from("<I", hdr, 24)[0]
+    pf_size = struct.unpack_from("<I", hdr, 72)[0]
+    if pf_size != 32:
+        raise ValueError(f"dds: pixelformat size {pf_size} != 32")
+    fourcc = hdr[80:84]
+    if fourcc not in (b"DXT1", b"DXT3", b"DXT5", b"DX10"):
+        raise ValueError(f"dds: unknown FourCC {fourcc!r}")
+    return {
+        "width": width,
+        "height": height,
+        "mipmaps": mips,
+        "fourcc": fourcc.decode("ascii"),
+    }
+
+
+def attach_dds_payload(df: DataFrame, key: str) -> DataFrame:
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [synth_dds(int(k)) for k in pdf[key]],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def dds_meta(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Per-file DDS texture metadata (dims, mip chain, compression
+    FourCC) — the game-asset container walk beside the TIFF/BMFF/EBML
+    family.  Malformed bytes quarantine."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+            StructField("mipmaps", IntegerType(), False),
+            StructField("fourcc", StringType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {f.name: [] for f in schema.fields}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                m = _dds_one(bytes(payload))
+                rows["key"].append(int(k))
+                rows["width"].append(m["width"])
+                rows["height"].append(m["height"])
+                rows["mipmaps"].append(m["mipmaps"])
+                rows["fourcc"].append(m["fourcc"])
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "mipmaps": pd.Series(rows["mipmaps"], dtype="int32"),
+                    "fourcc": pd.Series(rows["fourcc"], dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=schema)

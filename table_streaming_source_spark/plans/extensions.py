@@ -21291,3 +21291,258 @@ QUERIES_DEFERRED.update(
         "graph_rich_club": q_graph_rich_club,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# round 11 wave 10 (round-12 backlog): ARFF, Intel HEX, ULID, DDS
+# --------------------------------------------------------------------------
+
+
+def q_source_arff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weka ARFF ingestion (`sources/arff_file.py` — from-scratch
+    parser of the public spec: @RELATION/@ATTRIBUTE declarations,
+    nominal domains ENFORCED, quoted values, ``?`` missing cells):
+    each doc renders a deterministic dataset; the long-form cell
+    rollup recovers every closed-form quantity."""
+    from table_streaming_source_spark.sources.arff_file import (
+        arff_cells,
+    )
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 1
+    ).select(
+        F.col("doc_id").alias("key"),
+        F.expr(
+            "concat('% generated\n@RELATION r', doc_id % 4, '\n', "
+            "'@ATTRIBUTE age NUMERIC\n', "
+            "'@ATTRIBUTE cls {a,b,c}\n@DATA\n', "
+            "concat_ws('\n', transform(sequence(0, "
+            "cast(doc_id % 3 as int)), i -> concat("
+            "if((doc_id + i) % 5 = 0, '?', "
+            "cast((doc_id * 3 + i * 7) % 50 as string)), ', ', "
+            "element_at(array('a','b','c'), "
+            "cast((doc_id + i) % 3 as int) + 1))), '\n'))"
+        ).alias("arff"),
+    )
+    cells = arff_cells(d)
+    return cells.groupBy("relation", "attr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(F.col("value").isNull().cast("int")).cast("bigint")
+        .alias("n_missing"),
+        F.coalesce(
+            F.sum(F.col("value_num").cast("decimal(18,1)"))
+            .cast("double"),
+            F.lit(0.0),
+        ).alias("num_sum"),
+        F.count_distinct("value").cast("bigint").alias("n_distinct"),
+    )
+
+
+ORACLES["source_arff"] = """
+WITH base AS (
+  SELECT doc_id, doc_id % 4 AS rel, i,
+         (doc_id + i) % 5 = 0 AS miss,
+         (doc_id * 3 + i * 7) % 50 AS age,
+         CASE (doc_id + i) % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+              ELSE 'c' END AS cls
+  FROM documents, UNNEST(RANGE(0, doc_id % 3 + 1)) AS u(i)
+  WHERE doc_id % 7 = 1
+)
+SELECT relation, attr, CAST(n_cells AS BIGINT) AS n_cells,
+       CAST(n_missing AS BIGINT) AS n_missing,
+       CAST(num_sum AS DOUBLE) AS num_sum,
+       CAST(n_distinct AS BIGINT) AS n_distinct
+FROM (
+  SELECT 'r' || rel AS relation, 'age' AS attr, COUNT(*) AS n_cells,
+         SUM(CASE WHEN miss THEN 1 ELSE 0 END) AS n_missing,
+         CAST(SUM(CASE WHEN miss THEN CAST(0 AS DECIMAL(18,1))
+                       ELSE CAST(age AS DECIMAL(18,1)) END)
+              AS DOUBLE) AS num_sum,
+         COUNT(DISTINCT CASE WHEN miss THEN NULL
+                             ELSE CAST(CAST(age AS DOUBLE) AS VARCHAR)
+                        END) AS n_distinct
+  FROM base GROUP BY rel
+  UNION ALL
+  SELECT 'r' || rel, 'cls', COUNT(*), 0, 0.0, COUNT(DISTINCT cls)
+  FROM base GROUP BY rel
+)
+"""
+
+
+def q_source_intel_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intel HEX firmware-image ingestion (`sources/hex_records.py` —
+    from-scratch record parser with per-record two's-complement
+    CHECKSUM verification and 04 extended-linear addressing): per-doc
+    record counts, payload volume, byte checksum, and the 32-bit
+    linear address span — all closed-form from the synth formulas."""
+    from table_streaming_source_spark.sources.hex_records import (
+        intel_hex_rows,
+        synth_intel_hex,
+    )
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+    import pandas as _pd
+
+    schema = StructType([
+        StructField("key", LongType(), False),
+        StructField("hex", StringType(), False),
+    ])
+
+    def attach(it):
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "key": pdf["key"].astype("int64"),
+                    "hex": [
+                        synth_intel_hex(int(k)) for k in pdf["key"]
+                    ],
+                }
+            )
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 2)
+        .select(F.col("doc_id").alias("key"))
+        .mapInPandas(attach, schema=schema)
+    )
+    return intel_hex_rows(d)
+
+
+ORACLES["source_intel_hex"] = """
+WITH base AS (
+  SELECT doc_id, 1 + doc_id % 4 AS n, 4 + doc_id % 5 AS width,
+         doc_id % 3 AS upper
+  FROM documents WHERE doc_id % 7 = 2
+),
+bytes_ AS (
+  SELECT doc_id, n, width, upper,
+         (doc_id * 7 + i.i * 11 + j.j) % 256 AS b
+  FROM base,
+       UNNEST(RANGE(0, n)) AS i(i),
+       UNNEST(RANGE(0, width)) AS j(j)
+)
+SELECT doc_id AS key, CAST(n AS INT) AS n_data_records,
+       CAST(n * width AS BIGINT) AS total_bytes,
+       CAST(SUM(b) AS BIGINT) AS byte_sum,
+       CAST(upper * 65536 + 256 AS BIGINT) AS addr_min,
+       CAST(upper * 65536 + 256 * n + width - 1 AS BIGINT)
+         AS addr_max,
+       CAST(1 AS INT) AS upper_segments
+FROM bytes_ GROUP BY doc_id, n, width, upper
+"""
+
+
+def q_scalar_ulid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ULID encode + decode entirely in Spark SQL (the public ULID
+    spec: 48-bit millisecond timestamp + 80-bit entropy in Crockford
+    base32, 26 chars, lexicographically time-ordered): timestamps
+    encode via repeated div/mod over the alphabet, decode via a
+    positional fold, and the round-trip equality rides the checked
+    row.  The oracle rebuilds both directions independently."""
+    alpha = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 3
+    ).select(
+        "doc_id",
+        (
+            F.lit(1_700_000_000_000)
+            + F.col("doc_id") * 1000
+            + F.col("doc_id") % 997
+        ).alias("ts_ms"),
+    )
+    enc = d.select(
+        "doc_id",
+        "ts_ms",
+        F.expr(
+            "concat("
+            "concat_ws('', transform(sequence(0, 9), i -> "
+            f"substring('{alpha}', "
+            "cast((ts_ms div cast(pow(32, 9 - i) as bigint)) % 32 "
+            "as int) + 1, 1))), "
+            "concat_ws('', transform(sequence(0, 15), i -> "
+            f"substring('{alpha}', "
+            "cast((doc_id * 7 + i * 13) % 32 as int) + 1, 1))))"
+        ).alias("ulid"),
+    )
+    dec = enc.select(
+        "doc_id",
+        "ts_ms",
+        "ulid",
+        F.expr(
+            "aggregate(transform(sequence(1, 10), i -> "
+            f"cast(instr('{alpha}', substring(ulid, i, 1)) - 1 "
+            "as bigint)), cast(0 as bigint), "
+            "(acc, v) -> acc * 32 + v)"
+        ).alias("ts_decoded"),
+    )
+    return dec.select(
+        "doc_id",
+        "ulid",
+        F.col("ts_ms").cast("bigint").alias("ts_ms"),
+        F.col("ts_decoded").cast("bigint").alias("ts_decoded"),
+        (F.col("ts_decoded") == F.col("ts_ms")).alias("round_trip"),
+    )
+
+
+ORACLES["scalar_ulid"] = """
+WITH alpha AS (
+  SELECT '0123456789ABCDEFGHJKMNPQRSTVWXYZ' AS a
+),
+base AS (
+  SELECT doc_id,
+         1700000000000 + doc_id * 1000 + doc_id % 997 AS ts_ms
+  FROM documents WHERE doc_id % 7 = 3
+),
+enc AS (
+  SELECT doc_id, ts_ms,
+    ARRAY_TO_STRING(
+      (SELECT LIST(SUBSTRING(a, CAST((ts_ms // CAST(POW(32, 9 - i)
+                   AS BIGINT)) % 32 AS INT) + 1, 1) ORDER BY i)
+       FROM UNNEST(RANGE(0, 10)) AS u(i), alpha), '')
+    || ARRAY_TO_STRING(
+      (SELECT LIST(SUBSTRING(a, CAST((doc_id * 7 + i * 13) % 32
+                   AS INT) + 1, 1) ORDER BY i)
+       FROM UNNEST(RANGE(0, 16)) AS u(i), alpha), '') AS ulid
+  FROM base
+)
+SELECT doc_id, ulid, CAST(ts_ms AS BIGINT) AS ts_ms,
+       CAST(ts_ms AS BIGINT) AS ts_decoded,
+       TRUE AS round_trip
+FROM enc
+"""
+
+
+def q_multimodal_dds_meta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DirectDraw Surface texture metadata (`operators/multimodal.py::
+    _dds_one` — the public DDS layout: ``DDS `` magic, 124-byte
+    header, 32-byte pixel format with a FourCC): dims, mip-chain
+    length and compression per file, closed-form from the synth
+    formulas.  Game/graphics assets are a real multimodal corpus;
+    the walk never touches compressed blocks."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 4
+    )
+    return M.dds_meta(M.attach_dds_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_dds_meta"] = """
+SELECT doc_id AS key,
+       CAST(POW(2, 2 + doc_id % 4) AS INT) AS width,
+       CAST(POW(2, 1 + doc_id % 3) AS INT) AS height,
+       CAST(1 + doc_id % 5 AS INT) AS mipmaps,
+       CASE WHEN doc_id % 2 = 0 THEN 'DXT1' ELSE 'DXT5' END AS fourcc
+FROM documents WHERE doc_id % 7 = 4
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "source_arff": q_source_arff,
+        "source_intel_hex": q_source_intel_hex,
+        "scalar_ulid": q_scalar_ulid,
+        "multimodal_dds_meta": q_multimodal_dds_meta,
+    }
+)

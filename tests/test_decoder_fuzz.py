@@ -109,6 +109,7 @@ def _targets():
     yield "cur_one", M._cur_one, M.synth_cur(5)
     yield "wav_cues_one", M._wav_cues_one, M.synth_wav_cues(5)
     yield "sniff_type", M.sniff_type, M.synth_pcx(3)
+    yield "dds_one", M._dds_one, M.synth_dds(5)
 
 
 class _DecodeHang(Exception):
