@@ -389,9 +389,28 @@ DQ/pipeline (``dq_cross_field``, ``dq_volume_anomaly``,
 ``multimodal_ass_subtitles``, ``multimodal_cur``,
 ``multimodal_wav_markers``), and graph/similarity
 (``graph_motif_ffl``, ``graph_degree_tail``,
-``sim_mips_transform``).  After this window lands: 519 catalog
-entries, 519/519 with DuckDB oracles, zero rows-only, lifetime
-official coverage stays 100% and the round-12 backlog is empty.
+``sim_mips_transform``).  After this window lands: 531 catalog
+entries, 531/531 with DuckDB oracles, zero rows-only, lifetime
+official coverage stays 100%.
+
+Round-12 rotation backlog — exactly 12 entries, the round-11
+additions past the filled window (each strict-dtype oracle-verified
+at sf0.001, sf0.01 AND sf0.1 at round-11 HEAD): ``format_update_where``
+(SQL row-level UPDATE — pruned candidate rewrite through MOR with a
+CASE per SET column), ``format_history`` (DESCRIBE HISTORY — the
+manifest-only operation classifier), ``ts_granger_1lag`` (one-lag
+Granger F via closed-form two-regressor OLS), ``ts_theil_u2``
+(seasonal-naive forecast skill), ``agg_negative_binomial``
+(overdispersed-count MoM fit), ``text_heaps_law`` (vocabulary-growth
+OLS in a distributed first-occurrence shape), ``text_mattr``
+(MSTTR-25 segmental lexical diversity), ``graph_rich_club``
+(Zhou–Mondragón φ at the exact p75 degree), ``source_arff``
+(from-scratch Weka ARFF with enforced nominal domains),
+``source_intel_hex`` (checksum-verified firmware records with
+extended-linear addressing), ``scalar_ulid`` (Crockford-base32
+encode/decode round trip in pure Spark SQL), and
+``multimodal_dds_meta`` (DirectDraw Surface header walk, fuzz-
+targeted).
 """
 
 from __future__ import annotations
