@@ -389,11 +389,11 @@ DQ/pipeline (``dq_cross_field``, ``dq_volume_anomaly``,
 ``multimodal_ass_subtitles``, ``multimodal_cur``,
 ``multimodal_wav_markers``), and graph/similarity
 (``graph_motif_ffl``, ``graph_degree_tail``,
-``sim_mips_transform``).  After this window lands: 531 catalog
-entries, 531/531 with DuckDB oracles, zero rows-only, lifetime
+``sim_mips_transform``).  After this window lands: 532 catalog
+entries, 532/532 with DuckDB oracles, zero rows-only, lifetime
 official coverage stays 100%.
 
-Round-12 rotation backlog — exactly 12 entries, the round-11
+Round-12 rotation backlog — exactly 13 entries, the round-11
 additions past the filled window (each strict-dtype oracle-verified
 at sf0.001, sf0.01 AND sf0.1 at round-11 HEAD): ``format_update_where``
 (SQL row-level UPDATE — pruned candidate rewrite through MOR with a
@@ -410,7 +410,10 @@ OLS in a distributed first-occurrence shape), ``text_mattr``
 extended-linear addressing), ``scalar_ulid`` (Crockford-base32
 encode/decode round trip in pure Spark SQL), and
 ``multimodal_dds_meta`` (DirectDraw Surface header walk, fuzz-
-targeted).
+targeted), and ``format_changes_sql`` (the SQL-reachable batch
+change feed — Delta's ``table_changes`` analogue over the
+``format_changes`` Python DataSource, one input partition per
+commit) — 13 backlog entries, 532 catalog total.
 """
 
 from __future__ import annotations

@@ -21546,3 +21546,88 @@ QUERIES_DEFERRED.update(
         "multimodal_dds_meta": q_multimodal_dds_meta,
     }
 )
+
+
+def q_format_changes_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-reachable batch change feed
+    (`sources/format_batch.py::ChangesDataSource` — Delta's
+    ``table_changes`` TVF analogue): ``CREATE TEMPORARY VIEW ...
+    USING format_changes`` makes the commit-log CDF a plain SQL
+    relation with one input partition per commit; the grouped image
+    classes recover the closed-form change algebra (appends insert,
+    equality deletes emit pre-images, versions ride along)."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+    from table_streaming_source_spark.sources.format_batch import (
+        register_format_changes,
+    )
+
+    path = _scratch.scratch_dir("format_chgsql", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    TF.commit_append(                                                # v1
+        spark, path,
+        o.repartitionByRange(4, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    TF.commit_append(                                                # v2
+        spark, path,
+        o.filter((k % 200 == 0) & (k > 0)).select(
+            (k + 7_000_000).alias("o_orderkey"), "o_totalprice"
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    TF.commit_delete_keys(                                           # v3
+        spark, path, o.filter((k % 150 == 0) & (k > 0)),
+        key="o_orderkey",
+    )
+    register_format_changes(spark)
+    view = f"fmt_chg_{_scratch.deterministic_tag(sf_dir)}"
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW {view} "
+        f"USING format_changes OPTIONS (path '{path}')"
+    )
+    result = spark.sql(
+        f"""
+        SELECT _change_type AS change_type,
+               _commit_version AS commit_version,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM {view}
+        GROUP BY _change_type, _commit_version
+        """
+    ).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(view)
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_changes_sql"] = """
+WITH images AS (
+  SELECT 'insert' AS change_type, 1 AS commit_version,
+         o_totalprice AS p
+  FROM orders
+  UNION ALL
+  SELECT 'insert', 2, o_totalprice FROM orders
+  WHERE o_orderkey % 200 = 0 AND o_orderkey > 0
+  UNION ALL
+  SELECT 'delete', 3, o_totalprice FROM orders
+  WHERE o_orderkey % 150 = 0 AND o_orderkey > 0
+)
+SELECT change_type, CAST(commit_version AS INT) AS commit_version,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(p * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM images GROUP BY 1, 2
+"""
+
+
+QUERIES_DEFERRED.update(
+    {"format_changes_sql": q_format_changes_sql}
+)

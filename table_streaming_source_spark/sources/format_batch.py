@@ -338,3 +338,74 @@ class TableFormatDataSource(DataSource):
 
 def register_table_format(spark) -> None:
     spark.dataSource.register(TableFormatDataSource)
+
+
+class ChangesReader(DataSourceReader):
+    """Batch CHANGE-FEED reader: one input partition per commit in
+    ``(from_version, to_version]`` on the resolved lineage; executors
+    compute their commit's row images through the SAME pandas algebra
+    as the streaming CDF source (`streaming/format_cdf._cdf_rows`) —
+    appends, merges, equality/positional deletes, replaceWhere, with
+    maintenance commits silent."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self._cols = list(schema.fieldNames())[:-2]
+        self._path = options["path"]
+        self._from = int(options.get("from_version", 0))
+        to = options.get("to_version")
+        ref = options.get("ref")
+        if to is not None:
+            self._to = int(to)
+        else:
+            self._to = TF.resolve_ref(self._path, ref)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        from table_streaming_source_spark.streaming.format_tail import (
+            _lineage_commits,
+        )
+
+        parts = [
+            InputPartition((self._path, v, tuple(self._cols)))
+            for v in _lineage_commits(self._path, self._from, self._to)
+        ]
+        return parts or [InputPartition((self._path, None, ()))]
+
+    def read(self, partition: InputPartition) -> Iterator:
+        from table_streaming_source_spark.streaming.format_cdf import (
+            _cdf_rows,
+        )
+
+        path, v, cols = partition.value
+        if v is None:
+            return iter(())
+        return iter(_cdf_rows(path, v, list(cols)))
+
+
+class ChangesDataSource(DataSource):
+    """``spark.read.format("format_changes")`` — the SQL-reachable
+    batch change feed (Delta's ``table_changes`` TVF analogue):
+
+        CREATE TEMPORARY VIEW changes USING format_changes
+        OPTIONS (path '/data/orders', from_version '2')
+
+    Options: ``path`` (required), ``from_version`` (default 0,
+    exclusive), ``to_version`` / ``ref`` (default: lineage head).
+    Schema = table columns + ``_change_type`` + ``_commit_version``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "format_changes"
+
+    def schema(self):
+        from table_streaming_source_spark.streaming.format_cdf import (
+            CdfDataSource,
+        )
+
+        return CdfDataSource(options=dict(self.options)).schema()
+
+    def reader(self, schema: StructType) -> ChangesReader:
+        return ChangesReader(schema, dict(self.options))
+
+
+def register_format_changes(spark) -> None:
+    spark.dataSource.register(ChangesDataSource)

@@ -162,3 +162,58 @@ def test_batch_read_schema_evolution(spark, tmp_path):
     assert [f.name for f in r.schema.fields] == ["k", "tag"]
     rows = {x.k: x.tag for x in r.collect()}
     assert rows[3] is None and rows[12] == "x"
+
+
+def test_format_changes_batch_source_matches_read_cdf(spark, tmp_path):
+    """The batch change-feed DataSource (``format_changes`` — the SQL
+    table_changes analogue): equals the library read_cdf row-for-row,
+    supports from/to bounds and SQL views, and plans one partition
+    per commit."""
+    from table_streaming_source_spark.sources.format_batch import (
+        register_format_changes,
+    )
+
+    path = str(tmp_path / "chg")
+    TF.create_table(path)
+    df = spark.range(50).selectExpr("id as k", "cast(id as double) as v")
+    TF.commit_append(spark, path, df, stat_cols=["k"])               # v1
+    TF.commit_merge(                                                 # v2
+        spark, path,
+        spark.createDataFrame(
+            [(5, 99.0, "U"), (-1, 1.0, "I")], "k long, v double, op string"
+        ),
+        key="k", stat_cols=["k"],
+    )
+    TF.commit_delete_keys(                                           # v3
+        spark, path, spark.createDataFrame([(7,)], "k long"), key="k",
+    )
+    register_format_changes(spark)
+    got = (
+        spark.read.format("format_changes").option("path", path).load()
+    )
+    want = TF.read_cdf(spark, path, from_version=0)
+    key = lambda r: (  # noqa: E731
+        r["k"], r["v"], r["_change_type"], r["_commit_version"]
+    )
+    assert sorted(map(key, got.collect())) == sorted(
+        map(key, want.collect())
+    )
+    assert got.rdd.getNumPartitions() == 3      # one per commit
+    bounded = (
+        spark.read.format("format_changes")
+        .option("path", path)
+        .option("from_version", "2")
+        .load()
+    )
+    assert {r["_commit_version"] for r in bounded.collect()} == {3}
+    # plain SQL
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW chg_sql "
+        f"USING format_changes OPTIONS (path '{path}', from_version '1')"
+    )
+    n = spark.sql(
+        "SELECT count(*) AS n FROM chg_sql WHERE _change_type = 'delete'"
+    ).collect()[0].n
+    spark.catalog.dropTempView("chg_sql")
+    assert n == 1          # only v3's k=7 is a delete (v2 emits an
+    # update pair for k=5 and an insert for k=-1)
