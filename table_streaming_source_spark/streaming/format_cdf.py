@@ -220,6 +220,26 @@ def _cdf_rows(path: str, v: int, cols: list[str]) -> list[tuple]:
             cols,
         )
         return tag(pdf, "insert")
+    if "cdf_files" in c:
+        # CHANGE-DATA sidecar: the commit staged its own row images
+        TF._require_files(
+            path, [{"path": pp} for pp in c["cdf_files"]], v
+        )
+        frames = _concat(
+            [
+                _file_frame(
+                    os.path.join(path, pp), cols + ["_change_type"]
+                )
+                for pp in c["cdf_files"]
+            ],
+            cols + ["_change_type"],
+        )
+        out = []
+        for ct in (
+            "insert", "delete", "update_preimage", "update_postimage"
+        ):
+            out += tag(frames[frames["_change_type"] == ct], ct)
+        return out
     if "replace_where" in c:
         # partition overwrite (the batch read_cdf's algebra in
         # pandas): survivors hold only out-of-range rows and the

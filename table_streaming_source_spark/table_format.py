@@ -527,6 +527,16 @@ def vacuum(path: str, *, retain_versions: int = 2) -> tuple[int, int]:
             os.path.abspath(os.path.join(path, d["path"]))
             for d in _snapshot_pos_deletes(path, v)
         )
+        # change-data sidecar files belong to the VERSION: while the
+        # version is retained, its change feed must stay readable
+        try:
+            commit = _read_commit(path, v)
+        except FileNotFoundError:
+            commit = {}
+        referenced.update(
+            os.path.abspath(os.path.join(path, pp))
+            for pp in commit.get("cdf_files", [])
+        )
     # Staged-but-unpublished WAP commits are NOT orphans: their manifest
     # exists (``{v}.json.staged-{audit_id}``) and commit_publish may still
     # promote it.  Sweeping those files would let a later publish point a
@@ -672,6 +682,35 @@ def commit_update_where(
         _data_dir(path), f"update-{new_v}-{uuid.uuid4().hex[:8]}"
     )
     updated.write.mode("overwrite").parquet(staging)
+    # CHANGE-DATA sidecar (the Delta CDC-file technique): the matched
+    # rows' pre/post images are staged WITH the commit, so the change
+    # feed — batch or streaming — reads them verbatim instead of
+    # re-deriving SET semantics at read time.  Cost is O(matched
+    # rows); executors write it in the same pass discipline.
+    pre_img = cur.filter(match)
+    post_img = pre_img.select(
+        *[
+            (
+                F.expr(set_exprs[c]).alias(c)
+                if c in set_exprs
+                else F.col(c)
+            )
+            for c in cur.columns
+        ]
+    )
+    cdf_staging = os.path.join(
+        _data_dir(path), f"cdf-{new_v}-{uuid.uuid4().hex[:8]}"
+    )
+    pre_img.withColumn(
+        "_change_type", F.lit("update_preimage")
+    ).unionByName(
+        post_img.withColumn("_change_type", F.lit("update_postimage"))
+    ).write.mode("overwrite").parquet(cdf_staging)
+    cdf_files = [
+        os.path.relpath(os.path.join(cdf_staging, n), path)
+        for n in sorted(os.listdir(cdf_staging))
+        if n.endswith(".parquet")
+    ]
     files = list(untouched) + _manifest_entries(
         path, staging, stat_cols, seq=new_v
     )
@@ -681,6 +720,7 @@ def commit_update_where(
         "parent": None,
         "prev": base,
         "update_where": {"where": where, "set": dict(set_exprs)},
+        "cdf_files": cdf_files,
     }
     if outstanding and untouched:
         payload["deletes"] = outstanding
@@ -2649,6 +2689,24 @@ def read_cdf(
                 *[os.path.join(path, f["path"]) for f in c["files"]]
             )
             legs.append(_tag(ins, "insert", v))
+            continue
+        if "cdf_files" in c:
+            # CHANGE-DATA sidecar (Delta CDC files): the commit staged
+            # its own row images — read them verbatim, no re-derivation
+            cdf_dicts = [{"path": pp} for pp in c["cdf_files"]]
+            if cdf_dicts:
+                _require_files(path, cdf_dicts, v)
+                imgs = spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(path, pp) for pp in c["cdf_files"]]
+                )
+                for ct in (
+                    "insert", "delete", "update_preimage",
+                    "update_postimage",
+                ):
+                    sub = imgs.filter(
+                        F.col("_change_type") == ct
+                    ).drop("_change_type")
+                    legs.append(_tag(sub, ct, v))
             continue
         if "replace_where" in c:
             # partition overwrite: delete images = the replaced

@@ -3832,3 +3832,72 @@ def test_update_where_rewrites_only_pruned_candidates(spark, tmp_path):
     assert hist[1] == "WRITE"
     assert hist[2] == "DELETE"
     assert hist[v] == "UPDATE"
+
+
+def test_update_where_emits_cdf_update_pairs(spark, tmp_path):
+    """Round-11: an UPDATE commit stages a CHANGE-DATA sidecar (the
+    Delta CDC-file technique) — the change feed reads the matched
+    rows' pre/post images verbatim (batch and stream parity), carried
+    rows emit nothing, vacuum pins the sidecar while the version is
+    retained, and history classifies the commit."""
+    from table_streaming_source_spark.streaming.format_cdf import (
+        register_format_cdf,
+    )
+
+    path = str(tmp_path / "updcdf")
+    TF.create_table(path)
+    df = spark.range(60).selectExpr("id as k", "cast(id as double) as v")
+    TF.commit_append(spark, path, df, stat_cols=["k"])               # v1
+    TF.commit_update_where(                                          # v2
+        spark, path,
+        set_exprs={"v": "v + 1000"},
+        where="k % 10 = 3",
+        stat_cols=["k"],
+    )
+    cdf = TF.read_cdf(spark, path, from_version=1)
+    rows = sorted(
+        (r.k, r.v, r["_change_type"])
+        for r in cdf.collect()
+    )
+    want = sorted(
+        [(k, float(k), "update_preimage") for k in range(3, 60, 10)]
+        + [(k, k + 1000.0, "update_postimage") for k in range(3, 60, 10)]
+    )
+    assert rows == want
+    # streaming parity
+    register_format_cdf(spark)
+    name = "__upd_cdf"
+    q = (
+        spark.readStream.format("format_cdf").option("path", path).load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    streamed = sorted(
+        (r.k, r.v, r["_change_type"], r["_commit_version"])
+        for r in spark.table(name).collect()
+    )
+    spark.catalog.dropTempView(name)
+    batch_all = sorted(
+        (r.k, r.v, r["_change_type"], r["_commit_version"])
+        for r in TF.read_cdf(spark, path, from_version=0).collect()
+    )
+    assert streamed == batch_all
+    # vacuum with the version retained keeps the sidecar readable
+    TF.commit_append(                                                # v3
+        spark, path,
+        spark.range(60, 70).selectExpr(
+            "id as k", "cast(id as double) as v"
+        ),
+        stat_cols=["k"],
+    )
+    removed, _ = TF.vacuum(path, retain_versions=3)
+    assert TF.read_cdf(spark, path, from_version=1).filter(
+        "_commit_version = 2"
+    ).count() == 12
