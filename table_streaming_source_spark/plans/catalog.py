@@ -393,7 +393,7 @@ DQ/pipeline (``dq_cross_field``, ``dq_volume_anomaly``,
 entries, 532/532 with DuckDB oracles, zero rows-only, lifetime
 official coverage stays 100%.
 
-Round-12 rotation backlog — exactly 13 entries, the round-11
+Round-12 rotation backlog — exactly 17 entries, the round-11
 additions past the filled window (each strict-dtype oracle-verified
 at sf0.001, sf0.01 AND sf0.1 at round-11 HEAD): ``format_update_where``
 (SQL row-level UPDATE — pruned candidate rewrite through MOR with a
@@ -413,7 +413,12 @@ encode/decode round trip in pure Spark SQL), and
 targeted), and ``format_changes_sql`` (the SQL-reachable batch
 change feed — Delta's ``table_changes`` analogue over the
 ``format_changes`` Python DataSource, one input partition per
-commit) — 13 backlog entries, 532 catalog total.
+commit), ``streaming_update_cdf`` (the change-data-sidecar UPDATE
+images draining through the CDF stream), ``agg_mcc`` (Matthews
+correlation + accuracy/F1 from one exact confusion aggregate),
+``window_ratio_to_report`` (the share-of-total analytic at two
+grains), and ``ts_interarrival`` (queueing inter-arrival stats with
+the burstiness CV) — 17 backlog entries, 536 catalog total.
 """
 
 from __future__ import annotations

@@ -21631,3 +21631,215 @@ FROM images GROUP BY 1, 2
 QUERIES_DEFERRED.update(
     {"format_changes_sql": q_format_changes_sql}
 )
+
+
+def q_agg_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient over a binary classifier's
+    confusion matrix (the single-number eval that survives class
+    imbalance where accuracy lies): deterministic predictions/labels
+    from doc ids, TP/FP/FN/TN exact integers from one aggregate,
+    MCC = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)) — plus
+    accuracy and F1 beside it for the standard eval row."""
+    docs = t(spark, sf_dir, "documents").select(
+        ((F.col("doc_id") * 37) % 100 < 30).cast("int").alias("y"),
+        ((F.col("doc_id") * 61 + 7) % 100 < 35).cast("int")
+        .alias("yhat"),
+    )
+    cm = docs.agg(
+        F.sum(
+            ((F.col("y") == 1) & (F.col("yhat") == 1)).cast("int")
+        ).alias("tp"),
+        F.sum(
+            ((F.col("y") == 0) & (F.col("yhat") == 1)).cast("int")
+        ).alias("fp"),
+        F.sum(
+            ((F.col("y") == 1) & (F.col("yhat") == 0)).cast("int")
+        ).alias("fn"),
+        F.sum(
+            ((F.col("y") == 0) & (F.col("yhat") == 0)).cast("int")
+        ).alias("tn"),
+    )
+    tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
+    fn, tn = F.col("fn").cast("double"), F.col("tn").cast("double")
+    mcc = (tp * tn - fp * fn) / F.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    return cm.select(
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.col("tn").cast("bigint").alias("tn"),
+        F.round((tp + tn) / (tp + fp + fn + tn), 9).alias("accuracy"),
+        F.round(2 * tp / (2 * tp + fp + fn), 9).alias("f1"),
+        F.round(mcc, 9).alias("mcc"),
+    )
+
+
+ORACLES["agg_mcc"] = """
+WITH d AS (
+  SELECT CASE WHEN (doc_id * 37) % 100 < 30 THEN 1 ELSE 0 END AS y,
+         CASE WHEN (doc_id * 61 + 7) % 100 < 35 THEN 1 ELSE 0 END
+           AS yhat
+  FROM documents
+),
+cm AS (
+  SELECT SUM(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS fp,
+         SUM(CASE WHEN y = 1 AND yhat = 0 THEN 1 ELSE 0 END) AS fn,
+         SUM(CASE WHEN y = 0 AND yhat = 0 THEN 1 ELSE 0 END) AS tn
+  FROM d
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       ROUND((CAST(tp AS DOUBLE) + tn) / (tp + fp + fn + tn), 9)
+         AS accuracy,
+       ROUND(2.0 * tp / (2 * tp + fp + fn), 9) AS f1,
+       ROUND((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+             / SQRT((CAST(tp AS DOUBLE) + fp) * (CAST(tp AS DOUBLE) + fn)
+                    * (CAST(tn AS DOUBLE) + fp)
+                    * (CAST(tn AS DOUBLE) + fn)), 9) AS mcc
+FROM cm
+"""
+
+
+def q_window_ratio_to_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RATIO_TO_REPORT — the classic share-of-total analytic (Oracle
+    SQL's function, expressed as sum-over-window division): each
+    market segment's share of total balance and each customer tier's
+    share within its segment, exact decimal sums before the one
+    division.  Top 3 tiers per segment keep the row set bounded."""
+    c = t(spark, sf_dir, "customer")
+    tiered = c.select(
+        "c_mktsegment",
+        (F.col("c_custkey") % 5).alias("tier"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    g = tiered.groupBy("c_mktsegment", "tier").agg(
+        F.sum("bal").alias("tier_bal")
+    )
+    w_seg = Window.partitionBy("c_mktsegment")
+    w_all = Window.partitionBy()
+    out = g.select(
+        "c_mktsegment",
+        F.col("tier").cast("int").alias("tier"),
+        F.round(
+            F.col("tier_bal").cast("double")
+            / F.sum("tier_bal").over(w_seg).cast("double"),
+            9,
+        ).alias("share_of_segment"),
+        F.round(
+            F.sum("tier_bal").over(w_seg).cast("double")
+            / F.sum("tier_bal").over(w_all).cast("double"),
+            9,
+        ).alias("segment_share_of_total"),
+    )
+    w_rank = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("share_of_segment"), F.asc("tier")
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w_rank))
+        .filter("rn <= 3")
+        .drop("rn")
+    )
+
+
+ORACLES["window_ratio_to_report"] = """
+WITH g AS (
+  SELECT c_mktsegment, c_custkey % 5 AS tier,
+         SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS tier_bal
+  FROM customer GROUP BY 1, 2
+),
+shares AS (
+  SELECT c_mktsegment, CAST(tier AS INT) AS tier,
+    ROUND(CAST(tier_bal AS DOUBLE)
+          / CAST(SUM(tier_bal) OVER (PARTITION BY c_mktsegment)
+                 AS DOUBLE), 9) AS share_of_segment,
+    ROUND(CAST(SUM(tier_bal) OVER (PARTITION BY c_mktsegment)
+               AS DOUBLE)
+          / CAST(SUM(tier_bal) OVER () AS DOUBLE), 9)
+      AS segment_share_of_total
+  FROM g
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+            ORDER BY share_of_segment DESC, tier ASC) AS rn
+  FROM shares
+)
+SELECT c_mktsegment, tier, share_of_segment, segment_share_of_total
+FROM ranked WHERE rn <= 3
+"""
+
+
+def q_ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time statistics per event type (the queueing-
+    theory primitives under any capacity model): consecutive-event
+    gaps in seconds from one ordered window, mean / exact-median /
+    max per type, plus the coefficient of variation that
+    distinguishes bursty from Poisson-like arrivals (CV ≈ 1)."""
+    e2 = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_timestamp("ts").alias("s"),
+        F.col("event_id"),
+    )
+    w2 = Window.partitionBy("event_type").orderBy("s", "event_id")
+    gaps = e2.select(
+        "event_type",
+        (F.col("s") - F.lag("s", 1).over(w2)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    agg = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gap").alias("sg"),
+        F.sum(F.col("gap") * F.col("gap")).alias("sgg"),
+        F.expr("percentile(gap, 0.5)").alias("median_gap"),
+        F.max("gap").alias("max_gap"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("sg") / n
+    var = (F.col("sgg") - n * mean * mean) / (n - 1)
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        F.round(mean, 9).alias("mean_gap_s"),
+        F.round(F.col("median_gap"), 9).alias("median_gap_s"),
+        F.col("max_gap").cast("bigint").alias("max_gap_s"),
+        F.round(F.sqrt(var) / mean, 9).alias("cv"),
+    )
+
+
+ORACLES["ts_interarrival"] = """
+WITH es AS (
+  SELECT event_type, event_id,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s
+  FROM events
+),
+gaps AS (
+  SELECT event_type,
+         s - LAG(s, 1)
+           OVER (PARTITION BY event_type ORDER BY s, event_id) AS gap
+  FROM es
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n, SUM(gap) AS sg,
+         SUM(gap * gap) AS sgg,
+         MEDIAN(gap) AS median_gap, MAX(gap) AS max_gap
+  FROM gaps WHERE gap IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+  ROUND(CAST(sg AS DOUBLE)/n, 9) AS mean_gap_s,
+  ROUND(CAST(median_gap AS DOUBLE), 9) AS median_gap_s,
+  CAST(max_gap AS BIGINT) AS max_gap_s,
+  ROUND(SQRT((sgg - n*(CAST(sg AS DOUBLE)/n)*(CAST(sg AS DOUBLE)/n))
+             / (n-1)) / (CAST(sg AS DOUBLE)/n), 9) AS cv
+FROM agg
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "agg_mcc": q_agg_mcc,
+        "window_ratio_to_report": q_window_ratio_to_report,
+        "ts_interarrival": q_ts_interarrival,
+    }
+)

@@ -2887,3 +2887,94 @@ FROM orders GROUP BY o_orderpriority
 
 
 QUERIES_DEFERRED["streaming_tail_rate_limit"] = q_streaming_tail_rate_limit
+
+
+def q_streaming_update_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING change feed over an UPDATE commit (round-11
+    change-data sidecars — the Delta CDC-file technique): an append,
+    a row-level ``commit_update_where``, and a post-update append
+    drain through the CDF source; the UPDATE's pre/post images come
+    verbatim from the sidecar the commit staged, exactly once, with
+    both appends' inserts around them.  The oracle restates the image
+    algebra closed-form."""
+    from table_streaming_source_spark import table_format as TF
+    from table_streaming_source_spark.streaming.format_cdf import (
+        register_format_cdf,
+    )
+
+    path = _scratch.scratch_dir("stream_updcdf", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    TF.commit_append(                                                # v1
+        spark, path,
+        o.repartitionByRange(4, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    TF.commit_update_where(                                          # v2
+        spark, path,
+        set_exprs={"o_totalprice": "o_totalprice * 3"},
+        where="o_orderkey % 97 = 5",
+        stat_cols=["o_orderkey"],
+    )
+    TF.commit_append(                                                # v3
+        spark, path,
+        o.filter((k % 400 == 0) & (k > 0)).select(
+            (k + 9_000_000).alias("o_orderkey"), "o_totalprice"
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    register_format_cdf(spark)
+    stream = (
+        spark.readStream.format("format_cdf").option("path", path).load()
+    )
+    agg = stream.groupBy(
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+    name = f"__stream_updcdf_{abs(hash(path)) % 10**8}"
+    with _stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["streaming_update_cdf"] = """
+WITH images AS (
+  SELECT 'insert' AS change_type, 1 AS commit_version,
+         o_totalprice AS p
+  FROM orders
+  UNION ALL
+  SELECT 'update_preimage', 2, o_totalprice FROM orders
+  WHERE o_orderkey % 97 = 5
+  UNION ALL
+  SELECT 'update_postimage', 2, o_totalprice * 3 FROM orders
+  WHERE o_orderkey % 97 = 5
+  UNION ALL
+  SELECT 'insert', 3, o_totalprice FROM orders
+  WHERE o_orderkey % 400 = 0 AND o_orderkey > 0
+)
+SELECT change_type, commit_version, COUNT(*) AS n,
+       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM images GROUP BY 1, 2
+"""
+
+
+QUERIES_DEFERRED["streaming_update_cdf"] = q_streaming_update_cdf
