@@ -17461,7 +17461,7 @@ def q_format_bloom_pruning(
     (`table_format._attach_blooms` — Spark builds them with one
     (file, word) hash aggregate at write time; `snapshot_files(point=)`
     probes them driver-side through the from-scratch XXH64 twin,
-    `functions/xxh64.py`): four appends with INTERLEAVED key ranges
+    `xxh64.py`): four appends with INTERLEAVED key ranges
     make min/max useless for a point predicate, yet the lookup scans
     fewer files than the snapshot holds and returns exactly the
     probed row — the non-clustered point-lookup path that also

@@ -32,7 +32,10 @@ each task stages one parquet file under the table's data dir
 (uncommitted files are invisible by the commit-log contract) and the
 driver-side ``commit`` publishes ONE commit — append chains the head,
 overwrite publishes a full-snapshot replace.  ``statCols`` (comma
-list; default: every top-level column) selects manifest stat columns.
+list; default: every top-level column) selects manifest stat columns;
+``bloomCols`` additionally attaches per-file Bloom fingerprints
+(`table_format._attach_blooms`) for point-lookup pruning and MERGE
+targeting.
 
 SQL: after ``register_table_format(spark)``,
 
@@ -66,6 +69,15 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from table_streaming_source_spark import table_format as TF
+
+
+def _opt(options: dict, name: str, default=None):
+    """Case-insensitive option lookup: Spark's CaseInsensitiveStringMap
+    lower-cases keys, so ``dict(self.options)`` holds ``bloomcols``
+    where the user wrote ``bloomCols``."""
+    if name in options:
+        return options[name]
+    return options.get(name.lower(), default)
 
 
 def _resolve_version(options: dict) -> int:
@@ -228,9 +240,10 @@ class TableFormatReader(DataSourceReader):
 
 
 class _StagedFile(WriterCommitMessage):
-    def __init__(self, staged: str, rows: int):
+    def __init__(self, staged: str, rows: int, blooms: dict | None = None):
         self.staged = staged
         self.rows = rows
+        self.blooms = blooms or {}
 
 
 class TableFormatWriter(DataSourceArrowWriter):
@@ -247,7 +260,12 @@ class TableFormatWriter(DataSourceArrowWriter):
         self._overwrite = overwrite
         self._stat_cols = [
             c.strip()
-            for c in options.get("statCols", "").split(",")
+            for c in _opt(options, "statCols", "").split(",")
+            if c.strip()
+        ]
+        self._bloom_cols = [
+            c.strip()
+            for c in _opt(options, "bloomCols", "").split(",")
             if c.strip()
         ]
         self._stage = f"dsw-{uuid.uuid4().hex[:12]}"
@@ -264,7 +282,40 @@ class TableFormatWriter(DataSourceArrowWriter):
         os.makedirs(d, exist_ok=True)
         staged = os.path.join(d, f"part-{uuid.uuid4().hex}.parquet")
         pq.write_table(table, staged)
-        return _StagedFile(staged, table.num_rows)
+        blooms: dict = {}
+        if self._bloom_cols:
+            # EXECUTOR-side fingerprint build over the in-memory batch
+            # (the distributed sibling of table_format._attach_blooms'
+            # Spark aggregate): same bit layout, same XXH64 twin, so
+            # snapshot_files(point=) and the MERGE probe read both
+            from table_streaming_source_spark.xxh64 import (
+                spark_xxhash64,
+            )
+
+            m_bits, kh = TF._BLOOM_M, TF._BLOOM_K
+            for c in self._bloom_cols:
+                if c not in table.column_names:
+                    raise ValueError(
+                        f"table_format: bloomCols column {c!r} absent"
+                    )
+                words: dict[str, int] = {}
+                for v in table.column(c).to_pylist():
+                    if v is None:
+                        continue
+                    for j in range(kh):
+                        p = spark_xxhash64(v, j) % m_bits
+                        w = str(p >> 6)
+                        words[w] = words.get(w, 0) | (1 << (p & 63))
+                # match the Spark builder's SIGNED int64 word values
+                blooms[c] = {
+                    "m": m_bits,
+                    "k": kh,
+                    "words": {
+                        w: (b - (1 << 64) if b >= (1 << 63) else b)
+                        for w, b in words.items()
+                    },
+                }
+        return _StagedFile(staged, table.num_rows, blooms)
 
     def commit(self, messages) -> None:
         base, new_v = TF._resolve_write_target(self._path, None, None)
@@ -286,6 +337,8 @@ class TableFormatWriter(DataSourceArrowWriter):
             }
             if st["nulls"]:
                 entry["nulls"] = st["nulls"]
+            if getattr(m, "blooms", None):
+                entry["bloom"] = m.blooms
             entries.append(entry)
         if self._overwrite:
             payload = {
@@ -351,8 +404,8 @@ class ChangesReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict) -> None:
         self._cols = list(schema.fieldNames())[:-2]
         self._path = options["path"]
-        self._from = int(options.get("from_version", 0))
-        to = options.get("to_version")
+        self._from = int(_opt(options, "from_version", 0))
+        to = _opt(options, "to_version")
         ref = options.get("ref")
         if to is not None:
             self._to = int(to)

@@ -104,7 +104,10 @@ class CommitLogStreamReader(DataSourceStreamReader):
         # offset this reader planned; the first batch after a restart
         # has no cursor yet and admits everything (Delta's documented
         # behavior for its first trigger too).
-        mct = options.get("maxCommitsPerTrigger")
+        # Spark's CaseInsensitiveStringMap lower-cases option keys
+        mct = options.get(
+            "maxCommitsPerTrigger", options.get("maxcommitspertrigger")
+        )
         self._max_commits = int(mct) if mct is not None else None
         self._cursor: int | None = None
 

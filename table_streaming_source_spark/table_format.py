@@ -168,7 +168,7 @@ _BLOOM_K = 3
 def _bloom_hash_exprs(col, m_bits: int, k: int):
     """The k Spark-side bloom positions of ``col`` — integral columns
     cast to LONG first so the Python probe (8-byte little-endian
-    XXH64, `functions/xxh64.py`) computes identical positions; the
+    XXH64, `xxh64.py`) computes identical positions; the
     chained seed literal is LONG for the same reason."""
     from pyspark.sql import functions as F
 
@@ -260,9 +260,9 @@ def _norm_path(file_uri: str) -> str:
 
 def _bloom_may_contain(bloom: dict, value) -> bool:
     """Driver-side probe: False = the file PROVABLY lacks ``value``.
-    Python twin of the Spark build (`functions/xxh64.py` cross-checked
+    Python twin of the Spark build (`xxh64.py` cross-checked
     against the live xxhash64 expression)."""
-    from table_streaming_source_spark.functions.xxh64 import (
+    from table_streaming_source_spark.xxh64 import (
         spark_xxhash64,
     )
 

@@ -10,7 +10,9 @@ the next argument's SEED, starting at 42
 (``org.apache.spark.sql.catalyst.expressions.XxHash64`` — public
 Apache-2.0 source; a LONG hashes as its 8 little-endian bytes, a
 STRING as its UTF-8 bytes).  Cross-checked against the live Spark
-expression in ``tests/test_table_format.py``."""
+expression in ``tests/test_table_format.py``.  Lives at package top
+level (not under ``functions/``) so executor-side Python workers can
+import it without the session-requiring pandas-UDF package init."""
 
 from __future__ import annotations
 

@@ -217,3 +217,24 @@ def test_format_changes_batch_source_matches_read_cdf(spark, tmp_path):
     spark.catalog.dropTempView("chg_sql")
     assert n == 1          # only v3's k=7 is a delete (v2 emits an
     # update pair for k=5 and an insert for k=-1)
+
+
+def test_batch_writer_bloom_cols_option(spark, tmp_path):
+    """The DataSource writer's bloomCols option attaches per-file
+    Bloom fingerprints at commit, and a point lookup prunes against
+    them exactly like commit_append(bloom_cols=)."""
+    path = str(tmp_path / "fmtbloom")
+    TF.create_table(path)
+    register_table_format(spark)
+    for r in range(3):
+        spark.range(r, 300, 3).selectExpr(
+            "id as k", "cast(id as double) as v"
+        ).coalesce(1).write.format("table_format").mode("append").option(
+            "bloomCols", "k"
+        ).save(path)
+    dicts = TF._snapshot_file_dicts(path, TF.latest_version(path))
+    assert all("bloom" in f and "k" in f["bloom"] for f in dicts)
+    _, kept, total = TF.snapshot_files(path, point=("k", 7))
+    assert total == 3 and kept <= 2       # 7 % 3 = 1: one true file
+    got = TF.read_table(spark, path, point=("k", 7)).filter("k = 7")
+    assert [r.k for r in got.collect()] == [7]

@@ -3430,13 +3430,13 @@ def test_compact_binpack_noop_and_stream_silence(spark, tmp_path):
 
 
 def test_python_xxh64_matches_spark_expression(spark):
-    """`functions/xxh64.py` (from-scratch public-spec XXH64 + Spark's
+    """`xxh64.py` (from-scratch public-spec XXH64 + Spark's
     chained-seed composition) must agree with the LIVE xxhash64
     expression for longs and strings — the contract that lets a
     driver-side Python probe consult a Spark-built bloom."""
     from pyspark.sql import functions as F
 
-    from table_streaming_source_spark.functions.xxh64 import (
+    from table_streaming_source_spark.xxh64 import (
         spark_xxhash64,
     )
 
