@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship enrichment query (the reference's
 documented snapshot-enrichment pattern, `docs/Table-streamingsource.md:10-14`)
 at sf0.001.  ``queries()`` / ``oracle_sql()`` expose the full catalog
-(``len(QUERIES)`` entries — 536 as of round 11) from
+(``len(QUERIES)`` entries — 538 as of round 11) from
 ``table_streaming_source_spark.plans.catalog`` — one entry per
 implemented operator of SURVEY.md §2 (map in §2C), EVERY entry with a
 DuckDB oracle twin (zero rows-only checks;

@@ -393,7 +393,7 @@ DQ/pipeline (``dq_cross_field``, ``dq_volume_anomaly``,
 entries, 532/532 with DuckDB oracles, zero rows-only, lifetime
 official coverage stays 100%.
 
-Round-12 rotation backlog — exactly 17 entries, the round-11
+Round-12 rotation backlog — exactly 19 entries, the round-11
 additions past the filled window (each strict-dtype oracle-verified
 at sf0.001, sf0.01 AND sf0.1 at round-11 HEAD): ``format_update_where``
 (SQL row-level UPDATE — pruned candidate rewrite through MOR with a
@@ -418,7 +418,10 @@ images draining through the CDF stream), ``agg_mcc`` (Matthews
 correlation + accuracy/F1 from one exact confusion aggregate),
 ``window_ratio_to_report`` (the share-of-total analytic at two
 grains), and ``ts_interarrival`` (queueing inter-arrival stats with
-the burstiness CV) — 17 backlog entries, 536 catalog total.
+the burstiness CV), ``dq_sequence_gaps`` (the monotonic-ID
+ingestion-completeness audit — gap count/volume/widest from one
+ordered window), and ``ts_seasonality_strength`` (Hyndman's F_s
+against day-of-week means) — 19 backlog entries, 538 catalog total.
 """
 
 from __future__ import annotations

@@ -21843,3 +21843,163 @@ QUERIES_DEFERRED.update(
         "ts_interarrival": q_ts_interarrival,
     }
 )
+
+
+def q_dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonic-ID gap audit (the ingestion-completeness check for
+    any sequence-keyed feed — kafka offsets, CDC LSNs, invoice
+    numbers): a deterministically thinned event-id stream is scanned
+    with ONE ordered window; gap count, missing-row volume, and the
+    widest gap with its position are exact integers."""
+    e = t(spark, sf_dir, "events").select("event_id").filter(
+        # deterministic thinning: drop ids where id % 97 ∈ {13, 14}
+        ~((F.col("event_id") % 97).isin(13, 14))
+    )
+    w = Window.orderBy("event_id")
+    d = e.select(
+        "event_id",
+        (F.col("event_id") - F.lag("event_id", 1).over(w) - 1)
+        .alias("gap"),
+    ).filter(F.col("gap") > 0)
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap").alias("missing_rows"),
+        F.max(
+            F.struct(
+                F.col("gap"), (-F.col("event_id")).alias("negid")
+            )
+        ).alias("__m"),
+    )
+    return agg.select(
+        F.col("n_gaps").cast("bigint").alias("n_gaps"),
+        F.col("missing_rows").cast("bigint").alias("missing_rows"),
+        F.col("__m.gap").cast("bigint").alias("widest_gap"),
+        (-F.col("__m.negid")).cast("bigint").alias("gap_end_id"),
+    )
+
+
+ORACLES["dq_sequence_gaps"] = """
+WITH kept AS (
+  SELECT event_id FROM events
+  WHERE event_id % 97 NOT IN (13, 14)
+),
+d AS (
+  SELECT event_id,
+         event_id - LAG(event_id, 1) OVER (ORDER BY event_id) - 1
+           AS gap
+  FROM kept
+),
+gaps AS (SELECT * FROM d WHERE gap > 0),
+widest AS (
+  SELECT gap, event_id FROM gaps
+  ORDER BY gap DESC, event_id ASC LIMIT 1
+)
+SELECT CAST((SELECT COUNT(*) FROM gaps) AS BIGINT) AS n_gaps,
+       CAST((SELECT SUM(gap) FROM gaps) AS BIGINT) AS missing_rows,
+       CAST(widest.gap AS BIGINT) AS widest_gap,
+       CAST(widest.event_id AS BIGINT) AS gap_end_id
+FROM widest
+"""
+
+
+def q_ts_seasonality_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonality-strength diagnostic (Hyndman's F_s = max(0,
+    1 − Var(remainder)/Var(seasonal+remainder)) with a day-of-week
+    seasonal component): per event type, the decimal-exact daily
+    series decomposes against its weekday means; strength near 1
+    says the weekly pattern dominates — the go/no-go for seasonal
+    models, two hash aggregates + one broadcast join."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"),
+            6,
+        ).alias("x")
+    ).withColumn("dow", F.dayofweek("day"))
+    means = daily.groupBy("event_type", "dow").agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("seasonal")
+    )
+    overall = daily.groupBy("event_type").agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("grand")
+    )
+    j = daily.join(means, ["event_type", "dow"]).join(
+        overall, "event_type"
+    )
+    comp = j.select(
+        "event_type",
+        F.round(F.col("x") - F.col("seasonal"), 6).alias("rem"),
+        F.round(F.col("x") - F.col("grand"), 6).alias("detr"),
+    )
+    agg = comp.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("rem") * F.col("rem")).cast("decimal(38,8)"))
+        .cast("double").alias("ss_rem"),
+        F.sum((F.col("detr") * F.col("detr")).cast("decimal(38,8)"))
+        .cast("double").alias("ss_detr"),
+    )
+    strength = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0) - F.col("ss_rem") / F.col("ss_detr"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(strength, 9).alias("seasonal_strength"),
+    )
+
+
+ORACLES["ts_seasonality_strength"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+           AS x
+  FROM events GROUP BY 1, 2
+),
+dowed AS (
+  SELECT event_type, day, x, DAYOFWEEK(day) + 1 AS dow FROM daily
+),
+means AS (
+  SELECT event_type, dow,
+         CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+           AS seasonal
+  FROM dowed GROUP BY 1, 2
+),
+overall AS (
+  SELECT event_type,
+         CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+           AS grand
+  FROM dowed GROUP BY 1
+),
+comp AS (
+  SELECT d.event_type,
+         ROUND(d.x - m.seasonal, 6) AS rem,
+         ROUND(d.x - o.grand, 6) AS detr
+  FROM dowed d
+  JOIN means m USING (event_type, dow)
+  JOIN overall o USING (event_type)
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+  ROUND(GREATEST(0.0,
+    1.0 - CAST(SUM(CAST(rem * rem AS DECIMAL(38,8))) AS DOUBLE)
+          / CAST(SUM(CAST(detr * detr AS DECIMAL(38,8))) AS DOUBLE)),
+    9) AS seasonal_strength
+FROM comp GROUP BY event_type
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "dq_sequence_gaps": q_dq_sequence_gaps,
+        "ts_seasonality_strength": q_ts_seasonality_strength,
+    }
+)
