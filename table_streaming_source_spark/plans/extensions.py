@@ -19751,10 +19751,12 @@ def q_graph_degree_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("word"),
     ).filter(F.length("word") > 0)
     deg = words.groupBy("word").agg(F.count(F.lit(1)).alias("d"))
-    w = Window.orderBy(F.desc("d"), F.asc("word"))
-    tail = deg.withColumn("rn", F.row_number().over(w)).filter(
-        "rn <= 20"
-    )
+    # top-20 via orderBy().limit() → TakeOrderedAndProject: each
+    # partition computes a local top-20 and only those rows meet at the
+    # driver — NOT a global unpartitioned row_number() window, which
+    # would move the ENTIRE word-frequency table (data-proportional)
+    # to one partition.  Scale-safe at any SF.
+    tail = deg.orderBy(F.desc("d"), F.asc("word")).limit(20)
     dmin = tail.agg(F.min("d").alias("dmin"))
     j = tail.crossJoin(F.broadcast(dmin))
     terms = j.select(
@@ -20178,21 +20180,50 @@ def q_window_pareto_front(
 ) -> DataFrame:
     """Skyline / Pareto-front query (Börzsönyi et al. 2001 — "give me
     the parts no other part beats on BOTH price and size"): dedupe to
-    max size per price, then ONE ordered window pass — a point is on
-    the maximizing front iff its size exceeds the running max over
-    all strictly-pricier points.  Exact integer cents/sizes, no
-    floats anywhere."""
+    max size per price, then the standard TWO-PHASE distributed
+    skyline: phase 1 computes a partition-local front inside each
+    hash bucket (a PARTITIONED window — parallel, scale-safe; any
+    point dominated within its bucket is dominated globally, so the
+    pruning is lossless), phase 2 merges only the surviving
+    candidates with the global ordered pass.  The global window
+    therefore scans |union of local fronts| rows, not the
+    distinct-price domain — at 100 TB the data-proportional work
+    stays in phase 1's parallel buckets.  Exact integer cents/sizes,
+    no floats anywhere."""
     p = t(spark, sf_dir, "part")
     pts = p.select(
         F.round(F.col("p_retailprice") * 100).cast("bigint")
         .alias("price_cents"),
         F.col("p_size").cast("int").alias("size"),
     ).groupBy("price_cents").agg(F.max("size").alias("size"))
+    # phase 1: bucket-local skyline — the SAME domination rule (drop a
+    # point iff a strictly-pricier bucket-mate has size >= its size),
+    # evaluated inside a partitionBy("b") window so no single task
+    # ever holds the whole price domain
+    n_buckets = 32
+    bucketed = pts.withColumn(
+        "b", F.pmod(F.hash("price_cents"), F.lit(n_buckets))
+    )
+    wl = (
+        Window.partitionBy("b")
+        .orderBy(F.desc("price_cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cand = bucketed.select(
+        "price_cents",
+        "size",
+        F.max("size").over(wl).alias("local_best"),
+    ).filter(
+        F.col("local_best").isNull()
+        | (F.col("size") > F.col("local_best"))
+    )
+    # phase 2: merge of local fronts — the only global ordered pass,
+    # over the (typically tiny) candidate set
     w = (
         Window.orderBy(F.desc("price_cents"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    front = pts.select(
+    front = cand.select(
         "price_cents",
         "size",
         F.max("size").over(w).alias("best_above"),
@@ -22003,3 +22034,2032 @@ QUERIES_DEFERRED.update(
         "ts_seasonality_strength": q_ts_seasonality_strength,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# round 12: the SQL-text DML front door (sources/format_sql.py) — the
+# mutation half of the reference's SQL-explorable-tables contract
+# (`TableStreamingSource.java:66-69`): MERGE / UPDATE / DELETE / INSERT
+# routed from SQL text to the existing commit functions, with manifest
+# pruning extracted from the WHERE text.
+# --------------------------------------------------------------------------
+
+
+def q_format_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text MERGE through the router (`format_sql` → `commit_merge`
+    upsert mode): ``WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+    THEN INSERT *`` over a 3-file table — matched keys confined to the
+    first file's stats range, inserted keys outside every range, so
+    the stats-targeted rewrite touches EXACTLY ONE file (the receipt
+    pins files_rewritten=1/files_total=3) and the MOR aggregate equals
+    the ANSI MERGE semantics the oracle states."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+    from table_streaming_source_spark.sources.format_sql import format_sql
+
+    path = _scratch.scratch_dir("format_sqlm", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    mx = o.agg(F.max("o_orderkey")).collect()[0][0]
+    q1, q2 = mx // 4, mx // 2
+    for lo_b, hi_b in ((0, q1), (q1 + 1, q2), (q2 + 1, mx)):
+        TF.commit_append(
+            spark, path,
+            o.filter((k >= lo_b) & (k <= hi_b)).coalesce(1),
+            stat_cols=["o_orderkey"],
+        )
+    src = (
+        o.filter((k % 7 == 0) & (k <= q1))
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 3).alias("o_totalprice"),
+        )
+        .unionByName(
+            spark.range(1, 6).select(
+                (F.lit(mx) + F.col("id")).alias("o_orderkey"),
+                F.lit(111.11).alias("o_totalprice"),
+            )
+        )
+    )
+    src.createOrReplaceTempView("fsql_merge_src")
+    receipt = format_sql(
+        spark,
+        "MERGE INTO t USING fsql_merge_src AS s"
+        " ON t.o_orderkey = s.o_orderkey"
+        " WHEN MATCHED THEN UPDATE SET *"
+        " WHEN NOT MATCHED THEN INSERT *",
+        tables={"t": path},
+    ).collect()[0]
+    agg = TF.read_table_mor(spark, path).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint").alias("sum_cents"),
+    ).collect()[0]
+    result = spark.createDataFrame(
+        [(
+            receipt["operation"], receipt["version"],
+            receipt["files_rewritten"], receipt["files_total"],
+            agg["n_rows"], agg["sum_cents"],
+        )],
+        "operation string, version bigint, files_rewritten bigint, "
+        "files_total bigint, n_rows bigint, sum_cents bigint",
+    ).localCheckpoint(eager=True)
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_sql_merge"] = """
+WITH b AS (
+  SELECT MAX(o_orderkey) AS mx, MAX(o_orderkey) // 4 AS q1 FROM orders
+),
+upd AS (
+  SELECT CASE WHEN o_orderkey % 7 = 0 AND o_orderkey <= q1
+              THEN o_totalprice * 3 ELSE o_totalprice END AS p
+  FROM orders, b
+)
+SELECT 'MERGE' AS operation, CAST(4 AS BIGINT) AS version,
+       CAST(1 AS BIGINT) AS files_rewritten,
+       CAST(3 AS BIGINT) AS files_total,
+       CAST(COUNT(*) + 5 AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(p * 100) AS BIGINT)) + 5 * 11111 AS BIGINT)
+         AS sum_cents
+FROM upd
+"""
+
+
+def q_format_sql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text UPDATE through the router (`format_sql` →
+    `commit_update_where`): the WHERE text's range conjunct
+    (``o_orderkey <= q1``) is extracted into a manifest prune, so the
+    SQL user gets the O(files-the-range-touches) rewrite for free —
+    the receipt pins files_rewritten=1 of 3; the MOR aggregate equals
+    the plain SQL UPDATE the oracle states."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+    from table_streaming_source_spark.sources.format_sql import format_sql
+
+    path = _scratch.scratch_dir("format_sqlu", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    mx = o.agg(F.max("o_orderkey")).collect()[0][0]
+    q1, q2 = mx // 4, mx // 2
+    for lo_b, hi_b in ((0, q1), (q1 + 1, q2), (q2 + 1, mx)):
+        TF.commit_append(
+            spark, path,
+            o.filter((k >= lo_b) & (k <= hi_b)).coalesce(1),
+            stat_cols=["o_orderkey"],
+        )
+    receipt = format_sql(
+        spark,
+        "UPDATE t SET o_totalprice = o_totalprice * 2"
+        f" WHERE o_orderkey % 3 = 0 AND o_orderkey <= {q1}",
+        tables={"t": path},
+    ).collect()[0]
+    agg = TF.read_table_mor(spark, path).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint").alias("sum_cents"),
+    ).collect()[0]
+    result = spark.createDataFrame(
+        [(
+            receipt["operation"], receipt["version"],
+            receipt["files_rewritten"], receipt["files_total"],
+            agg["n_rows"], agg["sum_cents"],
+        )],
+        "operation string, version bigint, files_rewritten bigint, "
+        "files_total bigint, n_rows bigint, sum_cents bigint",
+    ).localCheckpoint(eager=True)
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_sql_update"] = """
+WITH b AS (SELECT MAX(o_orderkey) // 4 AS q1 FROM orders),
+upd AS (
+  SELECT CASE WHEN o_orderkey % 3 = 0 AND o_orderkey <= q1
+              THEN o_totalprice * 2 ELSE o_totalprice END AS p
+  FROM orders, b
+)
+SELECT 'UPDATE' AS operation, CAST(4 AS BIGINT) AS version,
+       CAST(1 AS BIGINT) AS files_rewritten,
+       CAST(3 AS BIGINT) AS files_total,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(p * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM upd
+"""
+
+
+def q_format_sql_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text DELETE through the router (`format_sql` →
+    `positions_where` + `commit_delete_positions`): the statement
+    publishes ONE deletion-vector commit — zero data files rewritten
+    (the receipt pins files_rewritten=0), readers subtract ordinals at
+    scan time, and the WHERE range conjunct prunes the position scan
+    to the one file it can touch.  The MOR aggregate equals the plain
+    SQL DELETE the oracle states."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+    from table_streaming_source_spark.sources.format_sql import format_sql
+
+    path = _scratch.scratch_dir("format_sqld", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    mx = o.agg(F.max("o_orderkey")).collect()[0][0]
+    q1, q2 = mx // 4, mx // 2
+    for lo_b, hi_b in ((0, q1), (q1 + 1, q2), (q2 + 1, mx)):
+        TF.commit_append(
+            spark, path,
+            o.filter((k >= lo_b) & (k <= hi_b)).coalesce(1),
+            stat_cols=["o_orderkey"],
+        )
+    receipt = format_sql(
+        spark,
+        f"DELETE FROM t WHERE o_orderkey % 10 = 7 AND o_orderkey <= {q1}",
+        tables={"t": path},
+    ).collect()[0]
+    agg = TF.read_table_mor(spark, path).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint").alias("sum_cents"),
+    ).collect()[0]
+    result = spark.createDataFrame(
+        [(
+            receipt["operation"], receipt["version"],
+            receipt["files_rewritten"], agg["n_rows"], agg["sum_cents"],
+        )],
+        "operation string, version bigint, files_rewritten bigint, "
+        "n_rows bigint, sum_cents bigint",
+    ).localCheckpoint(eager=True)
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_sql_delete"] = """
+WITH b AS (SELECT MAX(o_orderkey) // 4 AS q1 FROM orders),
+live AS (
+  SELECT o_totalprice AS p FROM orders, b
+  WHERE NOT (o_orderkey % 10 = 7 AND o_orderkey <= q1)
+)
+SELECT 'DELETE' AS operation, CAST(4 AS BIGINT) AS version,
+       CAST(0 AS BIGINT) AS files_rewritten,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(p * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM live
+"""
+
+
+def q_format_sql_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text INSERT INTO ... SELECT through the router (`format_sql`
+    → `commit_append`), then ``DESCRIBE HISTORY`` through the same
+    router: the appended rows land as one WRITE commit (version 2 —
+    the receipt pins it), history shows exactly 3 commits (create,
+    base write, insert), and the final count/sum equal base ∪ inserted
+    as the oracle states."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+    from table_streaming_source_spark.sources.format_sql import format_sql
+
+    path = _scratch.scratch_dir("format_sqli", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    TF.commit_append(
+        spark, path, o.coalesce(1), stat_cols=["o_orderkey"]
+    )
+    o.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+        "o_totalprice",
+    ).createOrReplaceTempView("fsql_ins_src")
+    receipt = format_sql(
+        spark,
+        "INSERT INTO t SELECT o_orderkey, o_totalprice"
+        " FROM fsql_ins_src",
+        tables={"t": path},
+    ).collect()[0]
+    n_commits = format_sql(
+        spark, "DESCRIBE HISTORY t", tables={"t": path}
+    ).count()
+    agg = TF.read_table_mor(spark, path).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint").alias("sum_cents"),
+    ).collect()[0]
+    result = spark.createDataFrame(
+        [(
+            receipt["operation"], receipt["version"], n_commits,
+            agg["n_rows"], agg["sum_cents"],
+        )],
+        "operation string, version bigint, n_commits bigint, "
+        "n_rows bigint, sum_cents bigint",
+    ).localCheckpoint(eager=True)
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_sql_insert"] = """
+WITH ins AS (
+  SELECT o_totalprice FROM orders WHERE o_orderkey % 13 = 0
+),
+allrows AS (
+  SELECT o_totalprice FROM orders
+  UNION ALL SELECT o_totalprice FROM ins
+)
+SELECT 'INSERT' AS operation, CAST(2 AS BIGINT) AS version,
+       CAST(3 AS BIGINT) AS n_commits,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM allrows
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "format_sql_merge": q_format_sql_merge,
+        "format_sql_update": q_format_sql_update,
+        "format_sql_delete": q_format_sql_delete,
+        "format_sql_insert": q_format_sql_insert,
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# round 12: agreement / reliability / multicollinearity statistics — the
+# paired-measurement battery (Lin CCC, ICC, partial correlation, VIF,
+# ANOVA effect sizes, ROC threshold selection), each ONE exact-moment
+# aggregate with the rounded-then-decimal-summed libm discipline.
+# --------------------------------------------------------------------------
+
+
+def q_agg_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lin's concordance correlation coefficient (Lin 1989 — agreement
+    between paired measurements, penalizing both scatter AND location/
+    scale shift, unlike Pearson): per return flag over
+    (l_quantity, l_extendedprice/1000) pairs,
+    CCC = 2·s_xy / (s_x² + s_y² + (x̄−ȳ)²) from ONE exact-decimal
+    moment aggregate (population moments)."""
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice") / 1000
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast("decimal(28,6)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(28,6)")).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(38,8)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,8)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(38,8)")).cast("double").alias("sxy"),
+    )
+    mx, my = F.col("sx") / F.col("n"), F.col("sy") / F.col("n")
+    vx = F.col("sxx") / F.col("n") - mx * mx
+    vy = F.col("syy") / F.col("n") - my * my
+    cov = F.col("sxy") / F.col("n") - mx * my
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            2 * cov / (vx + vy + (mx - my) * (mx - my)), 9
+        ).alias("ccc"),
+    )
+
+
+ORACLES["agg_ccc"] = """
+WITH m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_extendedprice/1000 AS DECIMAL(28,6))) AS DOUBLE)
+      AS sy,
+    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(38,8))) AS DOUBLE)
+      AS sxx,
+    CAST(SUM(CAST((l_extendedprice/1000)*(l_extendedprice/1000)
+      AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+    CAST(SUM(CAST(l_quantity*(l_extendedprice/1000)
+      AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+  ROUND(2*(sxy/n - (sx/n)*(sy/n))
+    / ((sxx/n - (sx/n)*(sx/n)) + (syy/n - (sy/n)*(sy/n))
+       + ((sx/n) - (sy/n))*((sx/n) - (sy/n))), 9) AS ccc
+FROM m
+"""
+
+
+def q_agg_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraclass correlation ICC(1,1) (Shrout & Fleiss 1979 case 1 —
+    one-way random effects: how much of the variance is BETWEEN
+    groups): events value grouped by event_type; unequal group sizes
+    use k₀ = (N − Σnᵢ²/N)/(G−1); between/within sum-of-squares terms
+    round to 6 dp per group then decimal-sum (the repo's libm-term
+    discipline), so both engines add identical addends."""
+    e = t(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+        .alias("si"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,8)"))
+        .cast("double").alias("ssi"),
+    )
+    tot = g.agg(
+        F.sum("ni").alias("n"),
+        F.count(F.lit(1)).alias("g"),
+        F.sum(F.col("si").cast("decimal(28,6)")).cast("double")
+        .alias("s"),
+        F.sum(F.col("ni") * F.col("ni")).alias("sn2"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    grand = F.col("s") / F.col("n")
+    mi = F.col("si") / F.col("ni")
+    terms = j.select(
+        "n", "g", "sn2",
+        F.round(F.col("ni") * (mi - grand) * (mi - grand), 6)
+        .cast("decimal(28,6)").alias("tb"),
+        F.round(F.col("ssi") - F.col("si") * mi, 6)
+        .cast("decimal(28,6)").alias("tw"),
+    )
+    agg = terms.groupBy("n", "g", "sn2").agg(
+        F.sum("tb").cast("double").alias("ssb"),
+        F.sum("tw").cast("double").alias("ssw"),
+    )
+    msb = F.col("ssb") / (F.col("g") - 1)
+    msw = F.col("ssw") / (F.col("n") - F.col("g"))
+    k0 = (F.col("n") - F.col("sn2") / F.col("n")) / (F.col("g") - 1)
+    return agg.select(
+        F.col("g").cast("bigint").alias("g_groups"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round((msb - msw) / (msb + (k0 - 1) * msw), 9).alias("icc1"),
+    )
+
+
+ORACLES["agg_icc"] = """
+WITH grp AS (
+  SELECT event_type, COUNT(*) AS ni,
+    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS si,
+    CAST(SUM(CAST(value*value AS DECIMAL(38,8))) AS DOUBLE) AS ssi
+  FROM events GROUP BY event_type
+),
+tot AS (
+  SELECT SUM(ni) AS n, COUNT(*) AS g,
+    CAST(SUM(CAST(si AS DECIMAL(28,6))) AS DOUBLE) AS s,
+    SUM(ni*ni) AS sn2
+  FROM grp
+),
+terms AS (
+  SELECT n, g, sn2,
+    CAST(ROUND(ni*((si/ni) - (s/n))*((si/ni) - (s/n)), 6)
+      AS DECIMAL(28,6)) AS tb,
+    CAST(ROUND(ssi - si*(si/ni), 6) AS DECIMAL(28,6)) AS tw
+  FROM grp, tot
+),
+agg AS (
+  SELECT n, g, sn2,
+    CAST(SUM(tb) AS DOUBLE) AS ssb, CAST(SUM(tw) AS DOUBLE) AS ssw
+  FROM terms GROUP BY n, g, sn2
+)
+SELECT CAST(g AS BIGINT) AS g_groups, CAST(n AS BIGINT) AS n_rows,
+  ROUND(((ssb/(g-1)) - (ssw/(n-g)))
+    / ((ssb/(g-1))
+       + (((n - CAST(sn2 AS DOUBLE)/n)/(g-1)) - 1) * (ssw/(n-g))),
+    9) AS icc1
+FROM agg
+"""
+
+
+def q_agg_partial_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order partial correlation (the classic confound control:
+    r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²))) over lineitem
+    x=quantity, y=extendedprice, z=discount — one exact-decimal moment
+    aggregate yields all three pairwise Pearson r's and the partial."""
+    li = t(spark, sf_dir, "lineitem")
+    x, y, z = (
+        F.col("l_quantity"),
+        F.col("l_extendedprice"),
+        F.col("l_discount"),
+    )
+
+    def _m(c, name, scale=6):
+        return F.sum(c.cast(f"decimal(38,{scale})")).cast("double") \
+            .alias(name)
+
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        _m(x, "sx"), _m(y, "sy"), _m(z, "sz"),
+        _m(x * x, "sxx", 8), _m(y * y, "syy", 8), _m(z * z, "szz", 8),
+        _m(x * y, "sxy", 8), _m(x * z, "sxz", 8), _m(y * z, "syz", 8),
+    )
+    n = F.col("n")
+
+    def _r(sab, sa, sb, saa, sbb):
+        cov = F.col(sab) / n - (F.col(sa) / n) * (F.col(sb) / n)
+        va = F.col(saa) / n - (F.col(sa) / n) * (F.col(sa) / n)
+        vb = F.col(sbb) / n - (F.col(sb) / n) * (F.col(sb) / n)
+        return cov / F.sqrt(va * vb)
+
+    rxy = _r("sxy", "sx", "sy", "sxx", "syy")
+    rxz = _r("sxz", "sx", "sz", "sxx", "szz")
+    ryz = _r("syz", "sy", "sz", "syy", "szz")
+    partial = (rxy - rxz * ryz) / F.sqrt(
+        (1 - rxz * rxz) * (1 - ryz * ryz)
+    )
+    return m.select(
+        n.cast("bigint").alias("n"),
+        F.round(rxy, 9).alias("r_xy"),
+        F.round(rxz, 9).alias("r_xz"),
+        F.round(ryz, 9).alias("r_yz"),
+        F.round(partial, 9).alias("r_xy_z"),
+    )
+
+
+ORACLES["agg_partial_correlation"] = """
+WITH m AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sz,
+    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(38,8))) AS DOUBLE)
+      AS sxx,
+    CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,8)))
+      AS DOUBLE) AS syy,
+    CAST(SUM(CAST(l_discount*l_discount AS DECIMAL(38,8))) AS DOUBLE)
+      AS szz,
+    CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(38,8)))
+      AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(l_quantity*l_discount AS DECIMAL(38,8))) AS DOUBLE)
+      AS sxz,
+    CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(38,8)))
+      AS DOUBLE) AS syz
+  FROM lineitem
+),
+r AS (
+  SELECT n,
+    (sxy/n - (sx/n)*(sy/n))
+      / SQRT((sxx/n - (sx/n)*(sx/n)) * (syy/n - (sy/n)*(sy/n)))
+      AS rxy,
+    (sxz/n - (sx/n)*(sz/n))
+      / SQRT((sxx/n - (sx/n)*(sx/n)) * (szz/n - (sz/n)*(sz/n)))
+      AS rxz,
+    (syz/n - (sy/n)*(sz/n))
+      / SQRT((syy/n - (sy/n)*(sy/n)) * (szz/n - (sz/n)*(sz/n)))
+      AS ryz
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n,
+  ROUND(rxy, 9) AS r_xy, ROUND(rxz, 9) AS r_xz,
+  ROUND(ryz, 9) AS r_yz,
+  ROUND((rxy - rxz*ryz) / SQRT((1 - rxz*rxz)*(1 - ryz*ryz)), 9)
+    AS r_xy_z
+FROM r
+"""
+
+
+def q_agg_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance inflation factors for a 3-regressor design
+    (multicollinearity diagnostic; VIFᵢ = 1/(1−Rᵢ²) with Rᵢ² from the
+    closed-form two-predictor regression of xᵢ on the others):
+    lineitem (quantity, discount, tax) — one moment aggregate, three
+    output rows via stack."""
+    li = t(spark, sf_dir, "lineitem")
+    a, b, c = (
+        F.col("l_quantity"),
+        F.col("l_discount"),
+        F.col("l_tax"),
+    )
+
+    def _m(col, name, scale=8):
+        return F.sum(col.cast(f"decimal(38,{scale})")).cast("double") \
+            .alias(name)
+
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        _m(a, "sa", 6), _m(b, "sb", 6), _m(c, "sc", 6),
+        _m(a * a, "saa"), _m(b * b, "sbb"), _m(c * c, "scc"),
+        _m(a * b, "sab"), _m(a * c, "sac"), _m(b * c, "sbc"),
+    )
+    n = F.col("n")
+
+    def _r(sab, sa, sb, saa, sbb):
+        cov = F.col(sab) / n - (F.col(sa) / n) * (F.col(sb) / n)
+        va = F.col(saa) / n - (F.col(sa) / n) * (F.col(sa) / n)
+        vb = F.col(sbb) / n - (F.col(sb) / n) * (F.col(sb) / n)
+        return cov / F.sqrt(va * vb)
+
+    r12 = _r("sab", "sa", "sb", "saa", "sbb")
+    r13 = _r("sac", "sa", "sc", "saa", "scc")
+    r23 = _r("sbc", "sb", "sc", "sbb", "scc")
+
+    def _vif(rij, rik, rjk):
+        r2 = (rij * rij + rik * rik - 2 * rij * rik * rjk) / (
+            1 - rjk * rjk
+        )
+        return F.round(1 / (1 - r2), 9)
+
+    wide = m.select(
+        _vif(r12, r13, r23).alias("v1"),
+        _vif(r12, r23, r13).alias("v2"),
+        _vif(r13, r23, r12).alias("v3"),
+    )
+    return wide.selectExpr(
+        "stack(3, 'l_quantity', v1, 'l_discount', v2, 'l_tax', v3) "
+        "as (regressor, vif)"
+    )
+
+
+ORACLES["agg_vif"] = """
+WITH m AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sa,
+    CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sb,
+    CAST(SUM(CAST(l_tax AS DECIMAL(38,6))) AS DOUBLE) AS sc,
+    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(38,8))) AS DOUBLE)
+      AS saa,
+    CAST(SUM(CAST(l_discount*l_discount AS DECIMAL(38,8))) AS DOUBLE)
+      AS sbb,
+    CAST(SUM(CAST(l_tax*l_tax AS DECIMAL(38,8))) AS DOUBLE) AS scc,
+    CAST(SUM(CAST(l_quantity*l_discount AS DECIMAL(38,8))) AS DOUBLE)
+      AS sab,
+    CAST(SUM(CAST(l_quantity*l_tax AS DECIMAL(38,8))) AS DOUBLE)
+      AS sac,
+    CAST(SUM(CAST(l_discount*l_tax AS DECIMAL(38,8))) AS DOUBLE)
+      AS sbc
+  FROM lineitem
+),
+r AS (
+  SELECT
+    (sab/n - (sa/n)*(sb/n))
+      / SQRT((saa/n - (sa/n)*(sa/n)) * (sbb/n - (sb/n)*(sb/n)))
+      AS r12,
+    (sac/n - (sa/n)*(sc/n))
+      / SQRT((saa/n - (sa/n)*(sa/n)) * (scc/n - (sc/n)*(sc/n)))
+      AS r13,
+    (sbc/n - (sb/n)*(sc/n))
+      / SQRT((sbb/n - (sb/n)*(sb/n)) * (scc/n - (sc/n)*(sc/n)))
+      AS r23
+  FROM m
+)
+SELECT 'l_quantity' AS regressor,
+  ROUND(1/(1 - (r12*r12 + r13*r13 - 2*r12*r13*r23)/(1 - r23*r23)), 9)
+    AS vif FROM r
+UNION ALL
+SELECT 'l_discount',
+  ROUND(1/(1 - (r12*r12 + r23*r23 - 2*r12*r23*r13)/(1 - r13*r13)), 9)
+  FROM r
+UNION ALL
+SELECT 'l_tax',
+  ROUND(1/(1 - (r13*r13 + r23*r23 - 2*r13*r23*r12)/(1 - r12*r12)), 9)
+  FROM r
+"""
+
+
+def q_agg_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA EFFECT SIZES (what agg_anova's F doesn't tell
+    you: η² the variance-explained proportion, and its bias-corrected
+    forms ω² and ε² — Olejnik & Algina 2003): events value by
+    event_type, group sum-of-squares terms rounded-then-decimal-summed
+    like agg_icc."""
+    e = t(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+        .alias("si"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,8)"))
+        .cast("double").alias("ssi"),
+    )
+    tot = g.agg(
+        F.sum("ni").alias("n"),
+        F.count(F.lit(1)).alias("g"),
+        F.sum(F.col("si").cast("decimal(28,6)")).cast("double")
+        .alias("s"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    grand = F.col("s") / F.col("n")
+    mi = F.col("si") / F.col("ni")
+    terms = j.select(
+        "n", "g",
+        F.round(F.col("ni") * (mi - grand) * (mi - grand), 6)
+        .cast("decimal(28,6)").alias("tb"),
+        F.round(F.col("ssi") - F.col("si") * mi, 6)
+        .cast("decimal(28,6)").alias("tw"),
+    )
+    agg = terms.groupBy("n", "g").agg(
+        F.sum("tb").cast("double").alias("ssb"),
+        F.sum("tw").cast("double").alias("ssw"),
+    )
+    sst = F.col("ssb") + F.col("ssw")
+    msw = F.col("ssw") / (F.col("n") - F.col("g"))
+    adj = F.col("ssb") - (F.col("g") - 1) * msw
+    return agg.select(
+        F.col("g").cast("bigint").alias("g_groups"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(F.col("ssb") / sst, 9).alias("eta2"),
+        F.round(adj / (sst + msw), 9).alias("omega2"),
+        F.round(adj / sst, 9).alias("epsilon2"),
+    )
+
+
+ORACLES["agg_effect_sizes"] = """
+WITH grp AS (
+  SELECT event_type, COUNT(*) AS ni,
+    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS si,
+    CAST(SUM(CAST(value*value AS DECIMAL(38,8))) AS DOUBLE) AS ssi
+  FROM events GROUP BY event_type
+),
+tot AS (
+  SELECT SUM(ni) AS n, COUNT(*) AS g,
+    CAST(SUM(CAST(si AS DECIMAL(28,6))) AS DOUBLE) AS s
+  FROM grp
+),
+terms AS (
+  SELECT n, g,
+    CAST(ROUND(ni*((si/ni) - (s/n))*((si/ni) - (s/n)), 6)
+      AS DECIMAL(28,6)) AS tb,
+    CAST(ROUND(ssi - si*(si/ni), 6) AS DECIMAL(28,6)) AS tw
+  FROM grp, tot
+),
+agg AS (
+  SELECT n, g,
+    CAST(SUM(tb) AS DOUBLE) AS ssb, CAST(SUM(tw) AS DOUBLE) AS ssw
+  FROM terms GROUP BY n, g
+)
+SELECT CAST(g AS BIGINT) AS g_groups, CAST(n AS BIGINT) AS n_rows,
+  ROUND(ssb/(ssb+ssw), 9) AS eta2,
+  ROUND((ssb - (g-1)*(ssw/(n-g))) / ((ssb+ssw) + ssw/(n-g)), 9)
+    AS omega2,
+  ROUND((ssb - (g-1)*(ssw/(n-g))) / (ssb+ssw), 9) AS epsilon2
+FROM agg
+"""
+
+
+def q_agg_youden_j(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC operating-point selection by Youden's J (J = TPR − FPR,
+    the standard optimal-threshold rule): label = order finished
+    (status 'F'), score bucketed to a VALUE-BOUNDED grain
+    (totalprice/5000 → ~100 buckets), cumulative TP/FP from one
+    descending scan over the bucket histogram — the window runs on
+    the bounded bucket domain, never on rows.  Ties break to the
+    smallest threshold."""
+    o = t(spark, sf_dir, "orders")
+    b = o.select(
+        F.floor(F.col("o_totalprice") / 5000).cast("int")
+        .alias("bucket"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        .alias("pos"),
+    )
+    h = b.groupBy("bucket").agg(
+        F.sum("pos").alias("np"),
+        F.sum(1 - F.col("pos")).alias("nn"),
+    )
+    w = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = h.agg(
+        F.sum("np").alias("tp_all"), F.sum("nn").alias("fp_all")
+    )
+    cum = h.select(
+        "bucket",
+        F.sum("np").over(w).alias("ctp"),
+        F.sum("nn").over(w).alias("cfp"),
+    ).crossJoin(F.broadcast(tot))
+    scored = cum.select(
+        "bucket",
+        (F.col("ctp").cast("double") / F.col("tp_all")).alias("tpr"),
+        (F.col("cfp").cast("double") / F.col("fp_all")).alias("fpr"),
+    ).select(
+        "bucket", "tpr", "fpr",
+        (F.col("tpr") - F.col("fpr")).alias("j"),
+    )
+    best = scored.orderBy(F.desc("j"), F.asc("bucket")).limit(1)
+    return best.select(
+        F.col("bucket").cast("bigint").alias("threshold_bucket"),
+        F.round("tpr", 9).alias("tpr"),
+        F.round("fpr", 9).alias("fpr"),
+        F.round("j", 9).alias("youden_j"),
+    )
+
+
+ORACLES["agg_youden_j"] = """
+WITH b AS (
+  SELECT CAST(FLOOR(o_totalprice/5000) AS INT) AS bucket,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+  FROM orders
+),
+h AS (
+  SELECT bucket, SUM(pos) AS np, SUM(1-pos) AS nn
+  FROM b GROUP BY bucket
+),
+tot AS (SELECT SUM(np) AS tp_all, SUM(nn) AS fp_all FROM h),
+cum AS (
+  SELECT bucket,
+    SUM(np) OVER (ORDER BY bucket DESC
+                  ROWS UNBOUNDED PRECEDING) AS ctp,
+    SUM(nn) OVER (ORDER BY bucket DESC
+                  ROWS UNBOUNDED PRECEDING) AS cfp
+  FROM h
+),
+scored AS (
+  SELECT bucket,
+    CAST(ctp AS DOUBLE)/tp_all AS tpr,
+    CAST(cfp AS DOUBLE)/fp_all AS fpr,
+    CAST(ctp AS DOUBLE)/tp_all - CAST(cfp AS DOUBLE)/fp_all AS j
+  FROM cum, tot
+)
+SELECT CAST(bucket AS BIGINT) AS threshold_bucket,
+  ROUND(tpr, 9) AS tpr, ROUND(fpr, 9) AS fpr, ROUND(j, 9) AS youden_j
+FROM scored
+ORDER BY j DESC, bucket ASC LIMIT 1
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "agg_ccc": q_agg_ccc,
+        "agg_icc": q_agg_icc,
+        "agg_partial_correlation": q_agg_partial_correlation,
+        "agg_vif": q_agg_vif,
+        "agg_effect_sizes": q_agg_effect_sizes,
+        "agg_youden_j": q_agg_youden_j,
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# round 12: forecast-skill / change-point / signal time series — MASE,
+# Pettitt's rank test, dual-EMA crossover counting (the `ts_holt_linear`
+# exact-fold machinery), and the cumulative-gains/lift table.
+# --------------------------------------------------------------------------
+
+
+def q_ts_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE — mean absolute SCALED error (Hyndman & Koehler 2006, the
+    scale-free forecast-accuracy standard): naive-1 forecast errors on
+    each event type's daily series, scaled by the in-sample WEEKLY
+    seasonal-naive MAE (m=7), so MASE < 1 beats the weekly-naive
+    yardstick.  Absolute-error terms go through the 6-dp decimal path;
+    the two means divide at the end."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"),
+            6,
+        ).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("l1"),
+        F.lag("x", 7).over(w).alias("l7"),
+    )
+    agg = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(
+            F.round(F.abs(F.col("x") - F.col("l1")), 6)
+            .cast("decimal(28,6)")
+        ).cast("double").alias("num"),
+        F.count("l1").alias("n1"),
+        F.sum(
+            F.round(F.abs(F.col("x") - F.col("l7")), 6)
+            .cast("decimal(28,6)")
+        ).cast("double").alias("den"),
+        F.count("l7").alias("n7"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.round(
+            (F.col("num") / F.col("n1")) / (F.col("den") / F.col("n7")),
+            9,
+        ).alias("mase"),
+    )
+
+
+ORACLES["ts_mase"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+           AS x
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, x,
+    LAG(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+    LAG(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7
+  FROM daily
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+  ROUND(
+    (CAST(SUM(CAST(ROUND(ABS(x - l1), 6) AS DECIMAL(28,6))) AS DOUBLE)
+       / COUNT(l1))
+    / (CAST(SUM(CAST(ROUND(ABS(x - l7), 6) AS DECIMAL(28,6))) AS DOUBLE)
+       / COUNT(l7)),
+    9) AS mase
+FROM lagged GROUP BY event_type
+"""
+
+
+def q_ts_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt's nonparametric change-point test (Pettitt 1979) on
+    each event type's daily series, in its RANK form: with rᵢ the
+    value's rank in the whole series, Uₜ = 2·Σᵢ≤ₜ rᵢ − t(n+1); the
+    change point maximizes |Uₜ| over t < n (ties → earliest day).
+    Everything is integer arithmetic — no floats anywhere.  Both
+    windows partition by event_type; the grain is calendar-bounded."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"),
+            6,
+        ).alias("x")
+    )
+    wv = Window.partitionBy("event_type").orderBy("x", "day")
+    wd = Window.partitionBy("event_type").orderBy("day")
+    ranked = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(wv).alias("r"),
+    )
+    scanned = ranked.select(
+        "event_type",
+        "day",
+        F.row_number().over(wd).alias("i"),
+        F.sum("r").over(
+            wd.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("s"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("event_type")
+        ).alias("n"),
+    )
+    u = scanned.filter(F.col("i") < F.col("n")).select(
+        "event_type",
+        "day",
+        "n",
+        F.abs(
+            2 * F.col("s") - F.col("i") * (F.col("n") + 1)
+        ).alias("au"),
+    )
+    mxd = u.withColumn(
+        "mx", F.max("au").over(Window.partitionBy("event_type"))
+    )
+    best = mxd.groupBy("event_type", "n").agg(
+        F.max("au").alias("k_stat"),
+        F.min(
+            F.when(F.col("au") == F.col("mx"), F.col("day"))
+        ).alias("t_star"),
+    )
+    return best.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("k_stat").cast("bigint").alias("k_stat"),
+        F.date_format("t_star", "yyyy-MM-dd").alias("t_star"),
+    )
+
+
+ORACLES["ts_pettitt"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+           AS x
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, day,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, day) AS r
+  FROM daily
+),
+scanned AS (
+  SELECT event_type, day,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+    SUM(r) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS s,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ranked
+),
+u AS (
+  SELECT event_type, day, n, ABS(2*s - i*(n+1)) AS au
+  FROM scanned WHERE i < n
+),
+mxd AS (
+  SELECT event_type, day, n, au,
+    MAX(au) OVER (PARTITION BY event_type) AS mx
+  FROM u
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+  CAST(MAX(au) AS BIGINT) AS k_stat,
+  STRFTIME(MIN(CASE WHEN au = mx THEN day END), '%Y-%m-%d') AS t_star
+FROM mxd GROUP BY event_type, n
+"""
+
+
+def q_ts_ema_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-EMA crossover signal counting (the moving-average
+    golden/death-cross rule): fast EMA (α=½) vs slow EMA (α=¼) folded
+    over each event type's daily series with the `ts_holt_linear`
+    exact-recursion machinery (both EMAs initialize at y₀; a crossing
+    is a sign CHANGE of fast−slow between consecutive days, zeros
+    carried).  The oracle replays the identical recursion as a
+    recursive CTE — every step is the same IEEE expression tree, so
+    no rounding is needed inside the loop."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"),
+            6,
+        ).alias("x")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: s["x"],
+        ).alias("ys")
+    )
+    acc0 = F.struct(
+        F.lit(0.0).alias("f"),
+        F.lit(0.0).alias("s"),
+        F.lit(0).cast("int").alias("sgn"),
+        F.lit(0).cast("int").alias("cross"),
+        F.lit(0).cast("int").alias("i"),
+    )
+
+    def step(acc, y):
+        first = acc["i"] == 0
+        f2 = F.when(first, y).otherwise(0.5 * y + 0.5 * acc["f"])
+        s2 = F.when(first, y).otherwise(0.25 * y + 0.75 * acc["s"])
+        sgn2 = (
+            F.when(f2 > s2, F.lit(1))
+            .when(f2 < s2, F.lit(-1))
+            .otherwise(acc["sgn"])
+        ).cast("int")
+        crossed = (
+            (acc["sgn"] != 0) & (sgn2 != 0) & (sgn2 != acc["sgn"])
+        )
+        return F.struct(
+            f2.alias("f"),
+            s2.alias("s"),
+            sgn2.alias("sgn"),
+            (acc["cross"] + F.when(crossed, 1).otherwise(0))
+            .cast("int").alias("cross"),
+            (acc["i"] + 1).cast("int").alias("i"),
+        )
+
+    folded = series.select(
+        "event_type",
+        F.size("ys").alias("n_days"),
+        F.aggregate("ys", acc0, step).alias("__st"),
+    )
+    return folded.select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("__st.cross").cast("bigint").alias("crossings"),
+        F.round(F.col("__st.f"), 9).alias("ema_fast"),
+        F.round(F.col("__st.s"), 9).alias("ema_slow"),
+    )
+
+
+ORACLES["ts_ema_crossover"] = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+           AS x
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, x,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+walk(event_type, i, n, f, s, sgn, xings) AS (
+  SELECT event_type, CAST(1 AS BIGINT), n, x, x,
+         CASE WHEN x > x THEN 1 WHEN x < x THEN -1 ELSE 0 END, 0
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT w.event_type, w.i + 1, w.n,
+    0.5e0 * v.x + 0.5e0 * w.f,
+    0.25e0 * v.x + 0.75e0 * w.s,
+    CASE WHEN 0.5e0 * v.x + 0.5e0 * w.f
+              > 0.25e0 * v.x + 0.75e0 * w.s THEN 1
+         WHEN 0.5e0 * v.x + 0.5e0 * w.f
+              < 0.25e0 * v.x + 0.75e0 * w.s THEN -1
+         ELSE w.sgn END,
+    w.xings + CASE WHEN w.sgn <> 0
+      AND (CASE WHEN 0.5e0 * v.x + 0.5e0 * w.f
+                     > 0.25e0 * v.x + 0.75e0 * w.s THEN 1
+                WHEN 0.5e0 * v.x + 0.5e0 * w.f
+                     < 0.25e0 * v.x + 0.75e0 * w.s THEN -1
+                ELSE w.sgn END) <> 0
+      AND (CASE WHEN 0.5e0 * v.x + 0.5e0 * w.f
+                     > 0.25e0 * v.x + 0.75e0 * w.s THEN 1
+                WHEN 0.5e0 * v.x + 0.5e0 * w.f
+                     < 0.25e0 * v.x + 0.75e0 * w.s THEN -1
+                ELSE w.sgn END) <> w.sgn
+      THEN 1 ELSE 0 END
+  FROM walk w JOIN idx v
+    ON v.event_type = w.event_type AND v.i = w.i + 1
+  WHERE w.i < w.n
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+  CAST(xings AS BIGINT) AS crossings,
+  ROUND(f, 9) AS ema_fast, ROUND(s, 9) AS ema_slow
+FROM walk WHERE i = n
+"""
+
+
+def q_agg_cumulative_gains(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cumulative gains / lift table (the campaign-targeting classic:
+    rank the population by score, report per-band response capture and
+    lift): orders scored by totalprice in 10 EQUAL-WIDTH cent bands
+    (a value-bounded grain — no data-proportional global ntile),
+    response = finished status; per band, response rate, lift vs the
+    overall rate, and the cumulative capture walking from the richest
+    band down."""
+    o = t(spark, sf_dir, "orders")
+    base = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        .alias("resp"),
+    )
+    mx = base.agg(F.max("cents").alias("mxc"))
+    banded = base.crossJoin(F.broadcast(mx)).select(
+        # exact INTEGER division (div) — never float division then
+        # cast, which truncates in Spark but rounds in DuckDB
+        F.least(
+            F.lit(9).cast("bigint"),
+            F.expr("div(cents * 10, mxc + 1)"),
+        ).alias("band"),
+        "resp",
+    )
+    h = banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("resp").alias("r"),
+    )
+    tot = h.agg(
+        F.sum("n").alias("n_all"), F.sum("r").alias("r_all")
+    )
+    w = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = h.select(
+        "band", "n", "r",
+        F.sum("r").over(w).alias("cr"),
+    ).crossJoin(F.broadcast(tot))
+    return cum.select(
+        F.col("band").cast("bigint").alias("band"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("r") / F.col("n").cast("double"), 9)
+        .alias("resp_rate"),
+        F.round(
+            (F.col("r") / F.col("n").cast("double"))
+            / (F.col("r_all") / F.col("n_all").cast("double")),
+            9,
+        ).alias("lift"),
+        F.round(
+            F.col("cr") / F.col("r_all").cast("double"), 9
+        ).alias("cum_capture"),
+    )
+
+
+ORACLES["agg_cumulative_gains"] = """
+WITH base AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS resp
+  FROM orders
+),
+mx AS (SELECT MAX(cents) AS mxc FROM base),
+banded AS (
+  SELECT LEAST(9, cents * 10 // (mxc + 1)) AS band, resp
+  FROM base, mx
+),
+h AS (
+  SELECT band, COUNT(*) AS n, SUM(resp) AS r FROM banded GROUP BY band
+),
+tot AS (SELECT SUM(n) AS n_all, SUM(r) AS r_all FROM h),
+cum AS (
+  SELECT band, n, r,
+    SUM(r) OVER (ORDER BY band DESC ROWS UNBOUNDED PRECEDING) AS cr
+  FROM h
+)
+SELECT CAST(band AS BIGINT) AS band, CAST(n AS BIGINT) AS n,
+  ROUND(r / CAST(n AS DOUBLE), 9) AS resp_rate,
+  ROUND((r / CAST(n AS DOUBLE))
+        / (r_all / CAST(n_all AS DOUBLE)), 9) AS lift,
+  ROUND(cr / CAST(r_all AS DOUBLE), 9) AS cum_capture
+FROM cum, tot
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "ts_mase": q_ts_mase,
+        "ts_pettitt": q_ts_pettitt,
+        "ts_ema_crossover": q_ts_ema_crossover,
+        "agg_cumulative_gains": q_agg_cumulative_gains,
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# round 12: retrieval-eval / corpus-comparison text operators, the 2-hop
+# graph reach, and the IVF balance diagnostic.
+# --------------------------------------------------------------------------
+
+
+def q_text_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank (the first-relevant-hit retrieval metric,
+    completing the eval battery beside NDCG/AUC/pass@k): each source is
+    a query whose candidates rank by (n_chars desc, doc_id asc);
+    relevance is the deterministic doc_id%5 pseudo-label; RR = 1/rank
+    of the first relevant hit (0 when none — the standard convention),
+    terms rounded-then-decimal-summed into one MRR."""
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = docs.select(
+        "source",
+        F.row_number().over(w).alias("rank"),
+        (F.col("doc_id") % 5 == 0).alias("rel"),
+    )
+    per_q = ranked.groupBy("source").agg(
+        F.min(F.when(F.col("rel"), F.col("rank"))).alias("first_rel")
+    )
+    rr = per_q.select(
+        F.round(
+            F.when(
+                F.col("first_rel").isNotNull(),
+                F.lit(1.0) / F.col("first_rel"),
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).cast("decimal(18,9)").alias("rr")
+    )
+    return rr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.round(
+            F.sum("rr").cast("double") / F.count(F.lit(1)), 9
+        ).alias("mrr"),
+    )
+
+
+ORACLES["text_mrr"] = """
+WITH ranked AS (
+  SELECT source,
+    ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id ASC) AS rank,
+    doc_id % 5 = 0 AS rel
+  FROM documents
+),
+per_q AS (
+  SELECT source, MIN(CASE WHEN rel THEN rank END) AS first_rel
+  FROM ranked GROUP BY source
+),
+rr AS (
+  SELECT CAST(ROUND(CASE WHEN first_rel IS NOT NULL
+                         THEN 1.0 / first_rel ELSE 0.0 END, 9)
+              AS DECIMAL(18,9)) AS rr
+  FROM per_q
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+  ROUND(CAST(SUM(rr) AS DOUBLE) / COUNT(*), 9) AS mrr
+FROM rr
+"""
+
+
+def q_text_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level word error rate (the ASR/translation eval): a
+    deterministic corruption (every 7th token dropped, every 5th
+    substituted) plays hypothesis against the document as reference;
+    tokens map to single characters through the doc-pair's SORTED
+    vocabulary so WER = levenshtein(ref_chars, hyp_chars)/|ref| runs
+    on the built-in edit distance — the standard trick that makes
+    token WER computable with a character-level primitive.  Row-local
+    except the final per-lang mean."""
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.split(F.trim(F.col("text")), r"\s+").alias("ref"),
+    )
+    toks = base.select(
+        "doc_id",
+        F.posexplode("ref").alias("i0", "tok"),
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).alias("i"),
+        "tok",
+    ).filter(F.col("i") % 7 != 0).select(
+        "doc_id",
+        "i",
+        F.when(F.col("i") % 5 == 0, F.lit("X"))
+        .otherwise(F.col("tok")).alias("tok2"),
+    )
+    hyp = toks.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "tok2"))),
+            lambda s: s["tok2"],
+        ).alias("hyp")
+    )
+    j = base.join(hyp, "doc_id")
+    vocab = F.array_sort(
+        F.array_distinct(F.concat(F.col("ref"), F.col("hyp")))
+    )
+    enc = j.select(
+        "lang",
+        F.size("ref").alias("n_ref"),
+        vocab.alias("vocab"),
+        "ref",
+        "hyp",
+    ).select(
+        "lang",
+        "n_ref",
+        F.array_join(
+            F.transform(
+                F.col("ref"),
+                lambda x: F.char(
+                    F.lit(65) + F.array_position(F.col("vocab"), x)
+                ),
+            ),
+            "",
+        ).alias("rs"),
+        F.array_join(
+            F.transform(
+                F.col("hyp"),
+                lambda x: F.char(
+                    F.lit(65) + F.array_position(F.col("vocab"), x)
+                ),
+            ),
+            "",
+        ).alias("hs"),
+    )
+    per_doc = enc.select(
+        "lang",
+        F.round(
+            F.levenshtein("rs", "hs") / F.col("n_ref").cast("double"),
+            9,
+        ).cast("decimal(18,9)").alias("wer"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum("wer").cast("double") / F.count(F.lit(1)), 9
+        ).alias("mean_wer"),
+    )
+
+
+ORACLES["text_wer"] = """
+WITH base AS (
+  SELECT doc_id, lang,
+    STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ')
+      AS ref
+  FROM documents
+),
+toks AS (
+  SELECT b.doc_id, g.i, b.ref[g.i] AS tok
+  FROM base b, UNNEST(GENERATE_SERIES(1, LEN(b.ref))) AS g(i)
+),
+hyps AS (
+  SELECT doc_id,
+    LIST(CASE WHEN i % 5 = 0 THEN 'X' ELSE tok END ORDER BY i) AS hyp
+  FROM toks WHERE i % 7 <> 0 GROUP BY doc_id
+),
+enc AS (
+  SELECT b.lang, LEN(b.ref) AS n_ref,
+    LIST_SORT(LIST_DISTINCT(b.ref || h.hyp)) AS vocab,
+    b.ref AS ref, h.hyp AS hyp
+  FROM base b JOIN hyps h USING (doc_id)
+),
+strs AS (
+  SELECT lang, n_ref,
+    ARRAY_TO_STRING(
+      LIST_TRANSFORM(ref, x -> CHR(65 + LIST_POSITION(vocab, x))), '')
+      AS rs,
+    ARRAY_TO_STRING(
+      LIST_TRANSFORM(hyp, x -> CHR(65 + LIST_POSITION(vocab, x))), '')
+      AS hs
+  FROM enc
+),
+per_doc AS (
+  SELECT lang,
+    CAST(ROUND(LEVENSHTEIN(rs, hs) / CAST(n_ref AS DOUBLE), 9)
+         AS DECIMAL(18,9)) AS wer
+  FROM strs
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  ROUND(CAST(SUM(wer) AS DOUBLE) / COUNT(*), 9) AS mean_wer
+FROM per_doc GROUP BY lang
+"""
+
+
+def q_text_lang_vocab_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus vocabulary-overlap matrix (the cross-lingual / cross-
+    source contamination screen): distinct-word sets per language,
+    pairwise Jaccard over every unordered language pair — the
+    vocabularies are domain-bounded, so the pair join is tiny and the
+    only data-proportional work is the first distinct."""
+    docs = t(spark, sf_dir, "documents")
+    vocab = docs.select(
+        "lang",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("word"),
+    ).filter(F.length("word") > 0).distinct()
+    sizes = vocab.groupBy("lang").agg(F.count(F.lit(1)).alias("nv"))
+    a = vocab.alias("a")
+    b = vocab.alias("b")
+    inter = (
+        a.join(b, F.col("a.word") == F.col("b.word"))
+        .filter(F.col("a.lang") < F.col("b.lang"))
+        .groupBy(
+            F.col("a.lang").alias("lang_a"),
+            F.col("b.lang").alias("lang_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("lang").alias("lang_a"), F.col("nv").alias("na")
+    )
+    sb = sizes.select(
+        F.col("lang").alias("lang_b"), F.col("nv").alias("nb")
+    )
+    j = inter.join(sa, "lang_a").join(sb, "lang_b")
+    return j.select(
+        "lang_a",
+        "lang_b",
+        F.col("n_inter").cast("bigint").alias("n_inter"),
+        (F.col("na") + F.col("nb") - F.col("n_inter"))
+        .cast("bigint").alias("n_union"),
+        F.round(
+            F.col("n_inter")
+            / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            .cast("double"),
+            9,
+        ).alias("jaccard"),
+    )
+
+
+ORACLES["text_lang_vocab_overlap"] = """
+WITH vocab AS (
+  SELECT DISTINCT lang, w.word
+  FROM (
+    SELECT lang,
+      STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ')
+        AS tk
+    FROM documents
+  ), UNNEST(tk) AS w(word)
+  WHERE LEN(w.word) > 0
+),
+sizes AS (SELECT lang, COUNT(*) AS nv FROM vocab GROUP BY lang),
+inter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_inter
+  FROM vocab a JOIN vocab b ON a.word = b.word AND a.lang < b.lang
+  GROUP BY 1, 2
+)
+SELECT lang_a, lang_b, CAST(n_inter AS BIGINT) AS n_inter,
+  CAST(sa.nv + sb.nv - n_inter AS BIGINT) AS n_union,
+  ROUND(n_inter / CAST(sa.nv + sb.nv - n_inter AS DOUBLE), 9)
+    AS jaccard
+FROM inter
+JOIN sizes sa ON sa.lang = lang_a
+JOIN sizes sb ON sb.lang = lang_b
+"""
+
+
+def q_text_rank_turbulence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rank-turbulence divergence (Dodds et al. 2023 — the allotaxonometry
+    corpus comparator) between the 'en' and 'de' sub-corpora at α=1:
+    word ranks per corpus (count desc, word asc), a missing word takes
+    rank N_corpus+1 (the documented simplification of the exclusive-
+    type handling); Σ|1/r_en − 1/r_de| with terms rounded-then-
+    decimal-summed.  The rank windows partition nothing data-
+    proportional — the vocabulary is domain-bounded."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "de")
+    )
+    counts = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    ).filter(F.length("word") > 0).groupBy("lang", "word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("c"), F.asc("word")
+    )
+    ranked = counts.select(
+        "lang", "word", F.row_number().over(w).alias("r")
+    )
+    sizes = ranked.groupBy("lang").agg(F.max("r").alias("n"))
+    en = ranked.filter("lang = 'en'").select(
+        "word", F.col("r").alias("r_en")
+    )
+    de = ranked.filter("lang = 'de'").select(
+        "word", F.col("r").alias("r_de")
+    )
+    n_en = sizes.filter("lang = 'en'").select(
+        F.col("n").alias("n_en")
+    )
+    n_de = sizes.filter("lang = 'de'").select(
+        F.col("n").alias("n_de")
+    )
+    full = en.join(de, "word", "full_outer").crossJoin(
+        F.broadcast(n_en)
+    ).crossJoin(F.broadcast(n_de))
+    terms = full.select(
+        F.round(
+            F.abs(
+                1 / F.coalesce(F.col("r_en"), F.col("n_en") + 1)
+                .cast("double")
+                - 1 / F.coalesce(F.col("r_de"), F.col("n_de") + 1)
+                .cast("double")
+            ),
+            9,
+        ).cast("decimal(18,9)").alias("term")
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_union_words"),
+        F.round(F.sum("term").cast("double"), 9).alias("rtd"),
+    )
+
+
+ORACLES["text_rank_turbulence"] = """
+WITH counts AS (
+  SELECT lang, w.word, COUNT(*) AS c
+  FROM (
+    SELECT lang,
+      STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ')
+        AS tk
+    FROM documents WHERE lang IN ('en', 'de')
+  ), UNNEST(tk) AS w(word)
+  WHERE LEN(w.word) > 0
+  GROUP BY lang, w.word
+),
+ranked AS (
+  SELECT lang, word,
+    ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY c DESC, word ASC) AS r
+  FROM counts
+),
+sizes AS (SELECT lang, MAX(r) AS n FROM ranked GROUP BY lang),
+en AS (SELECT word, r AS r_en FROM ranked WHERE lang = 'en'),
+de AS (SELECT word, r AS r_de FROM ranked WHERE lang = 'de'),
+terms AS (
+  SELECT CAST(ROUND(ABS(
+      1 / CAST(COALESCE(r_en,
+        (SELECT n FROM sizes WHERE lang = 'en') + 1) AS DOUBLE)
+      - 1 / CAST(COALESCE(r_de,
+        (SELECT n FROM sizes WHERE lang = 'de') + 1) AS DOUBLE)),
+    9) AS DECIMAL(18,9)) AS term
+  FROM en FULL OUTER JOIN de USING (word)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_union_words,
+  ROUND(CAST(SUM(term) AS DOUBLE), 9) AS rtd
+FROM terms
+"""
+
+
+def q_graph_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict 2-hop reach (friend-of-friend candidate counting — the
+    link-prediction candidate generator's cost model): on the
+    residue-bounded directed graph, distinct nodes exactly two hops
+    out (reachable via some intermediate, not a direct successor, not
+    self); top-10 by reach.  The graph domain is residue-bounded
+    (≤211 nodes) so every join is broadcast-sized; the top-10 is
+    orderBy().limit() — TakeOrderedAndProject, no global window."""
+    o = t(spark, sf_dir, "orders")
+    edges = (
+        o.select(
+            (F.col("o_custkey") % 211).alias("u"),
+            ((F.col("o_custkey") * 7 + F.col("o_orderkey")) % 211)
+            .alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e2 = edges.select(
+        F.col("u").alias("mid"), F.col("v").alias("w")
+    )
+    two = (
+        edges.join(e2, edges["v"] == e2["mid"])
+        .filter(F.col("u") != F.col("w"))
+        .select("u", "w")
+        .distinct()
+        .join(
+            edges.select("u", F.col("v").alias("w")),
+            ["u", "w"],
+            "left_anti",
+        )
+    )
+    reach = two.groupBy("u").agg(F.count(F.lit(1)).alias("reach2"))
+    return reach.orderBy(F.desc("reach2"), F.asc("u")).limit(10).select(
+        F.col("u").cast("bigint").alias("node"),
+        F.col("reach2").cast("bigint").alias("reach2"),
+    )
+
+
+ORACLES["graph_2hop_reach"] = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey % 211 AS u,
+         (o_custkey * 7 + o_orderkey) % 211 AS v
+  FROM orders
+  WHERE o_custkey % 211 <> (o_custkey * 7 + o_orderkey) % 211
+),
+two AS (
+  SELECT DISTINCT a.u, b.v AS w
+  FROM edges a JOIN edges b ON a.v = b.u
+  WHERE a.u <> b.v
+    AND NOT EXISTS (
+      SELECT 1 FROM edges d WHERE d.u = a.u AND d.v = b.v
+    )
+)
+SELECT CAST(u AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS reach2
+FROM two GROUP BY u
+ORDER BY reach2 DESC, u ASC LIMIT 10
+"""
+
+
+def q_sim_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF list-balance diagnostic (the imbalance factor
+    λ = C·Σnᵢ²/N² of Jégou et al.'s inverted lists — λ≈1 is uniform;
+    big λ means hot cells and long probe tails): coarse-assign every
+    vector (the sim_ivf_assign quantizer), then ONE tiny aggregate
+    over the C-bounded cell histogram."""
+    emb = t(spark, sf_dir, "embeddings")
+    cells = S.ivf_assign(emb, num_cells=8, dim=64, round_digits=6)
+    h = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    agg = h.agg(
+        F.count(F.lit(1)).alias("c_used"),
+        F.sum("n").alias("n_total"),
+        F.sum(F.col("n") * F.col("n")).alias("sn2"),
+        F.max("n").alias("n_max"),
+    )
+    return agg.select(
+        F.col("c_used").cast("bigint").alias("cells_used"),
+        F.col("n_total").cast("bigint").alias("n_vectors"),
+        F.round(
+            F.col("c_used") * F.col("sn2")
+            / (F.col("n_total") * F.col("n_total")).cast("double"),
+            9,
+        ).alias("imbalance"),
+        F.round(
+            F.col("n_max")
+            / (F.col("n_total") / F.col("c_used")).cast("double"),
+            9,
+        ).alias("max_over_mean"),
+    )
+
+
+def _ivf_balance_sql(num_cells: int = 8, dim: int = 64) -> str:
+    cents = S.lsh_planes(num_cells, dim)
+    dots = ", ".join(
+        f"LIST_SUM(LIST_TRANSFORM(LIST_ZIP(embedding, {cents[p]}),"
+        f" z -> CAST(z[1] AS DOUBLE) * z[2]))"
+        for p in range(num_cells)
+    )
+    return f"""
+WITH d AS (
+  SELECT vec_id, [{dots}] AS dots FROM embeddings
+),
+assign AS (
+  SELECT CAST(LIST_POSITION(dots, LIST_AGGREGATE(dots, 'max')) - 1
+              AS INT) AS cell
+  FROM d
+),
+h AS (SELECT cell, COUNT(*) AS n FROM assign GROUP BY cell)
+SELECT CAST(COUNT(*) AS BIGINT) AS cells_used,
+  CAST(SUM(n) AS BIGINT) AS n_vectors,
+  ROUND(COUNT(*) * SUM(n*n) / CAST(SUM(n)*SUM(n) AS DOUBLE), 9)
+    AS imbalance,
+  ROUND(MAX(n) / (CAST(SUM(n) AS DOUBLE) / COUNT(*)), 9)
+    AS max_over_mean
+FROM h
+"""
+
+
+ORACLES["sim_ivf_balance"] = _ivf_balance_sql()
+
+
+QUERIES_DEFERRED.update(
+    {
+        "text_mrr": q_text_mrr,
+        "text_wer": q_text_wer,
+        "text_lang_vocab_overlap": q_text_lang_vocab_overlap,
+        "text_rank_turbulence": q_text_rank_turbulence,
+        "graph_2hop_reach": q_graph_2hop_reach,
+        "sim_ivf_balance": q_sim_ivf_balance,
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# round 12: container-format sources — Motorola S-records (the Intel-HEX
+# sibling), FASTA sequence files, and mboxrd mailboxes.
+# --------------------------------------------------------------------------
+
+
+def q_source_srec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motorola S-record ingestion (`sources/srec_file.py` — from-
+    scratch parser with per-record ones'-complement CHECKSUM
+    verification, S5 record-count cross-check, and 16/24/32-bit
+    address forms): per-doc record counts, payload volume, byte sum
+    and address span — all closed-form from the synth formulas."""
+    from table_streaming_source_spark.sources.srec_file import (
+        srec_rows,
+        synth_srec,
+    )
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+    import pandas as _pd
+
+    schema = StructType([
+        StructField("key", LongType(), False),
+        StructField("srec", StringType(), False),
+    ])
+
+    def attach(it):
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "key": pdf["key"].astype("int64"),
+                    "srec": [synth_srec(int(k)) for k in pdf["key"]],
+                }
+            )
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 3)
+        .select(F.col("doc_id").alias("key"))
+        .mapInPandas(attach, schema=schema)
+    )
+    return srec_rows(d)
+
+
+ORACLES["source_srec"] = """
+WITH base AS (
+  SELECT doc_id, 1 + doc_id % 4 AS n, 3 + doc_id % 6 AS width,
+         doc_id % 7 AS off
+  FROM documents WHERE doc_id % 7 = 3
+),
+bytes_ AS (
+  SELECT doc_id, n, width, off,
+         (doc_id * 5 + i.i * 13 + j.j) % 256 AS b
+  FROM base,
+       UNNEST(RANGE(0, n)) AS i(i),
+       UNNEST(RANGE(0, width)) AS j(j)
+)
+SELECT doc_id AS key, CAST(n AS INT) AS n_data_records,
+       CAST(n * width AS BIGINT) AS total_bytes,
+       CAST(SUM(b) AS BIGINT) AS byte_sum,
+       CAST(4096 + off AS BIGINT) AS addr_min,
+       CAST(4096 * n + off AS BIGINT) AS addr_max,
+       CAST(3 AS INT) AS header_len
+FROM bytes_ GROUP BY doc_id, n, width, off
+"""
+
+
+def q_source_fasta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FASTA ingestion (`sources/fasta_file.py` — header/sequence
+    framing with line wrapping and IUPAC residue validation): per-doc
+    sequence counts, total/longest lengths and GC content — closed-
+    form from the synth's base formula ``ACGT[(key + i·5 + j) % 4]``
+    (G/C ⇔ residue index ∈ {1,2})."""
+    from table_streaming_source_spark.sources.fasta_file import (
+        fasta_rows,
+        synth_fasta,
+    )
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+    import pandas as _pd
+
+    schema = StructType([
+        StructField("key", LongType(), False),
+        StructField("fasta", StringType(), False),
+    ])
+
+    def attach(it):
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "key": pdf["key"].astype("int64"),
+                    "fasta": [synth_fasta(int(k)) for k in pdf["key"]],
+                }
+            )
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 4)
+        .select(F.col("doc_id").alias("key"))
+        .mapInPandas(attach, schema=schema)
+    )
+    return fasta_rows(d)
+
+
+ORACLES["source_fasta"] = """
+WITH base AS (
+  SELECT doc_id, 2 + doc_id % 3 AS ns FROM documents
+  WHERE doc_id % 7 = 4
+),
+seqs AS (
+  SELECT doc_id, ns, i.i, 30 + (doc_id * 3 + i.i * 7) % 40 AS len
+  FROM base, UNNEST(RANGE(0, ns)) AS i(i)
+),
+gc AS (
+  SELECT s.doc_id,
+         SUM(CASE WHEN (s.doc_id + s.i * 5 + j.j) % 4 IN (1, 2)
+                  THEN 1 ELSE 0 END) AS g
+  FROM seqs s, UNNEST(RANGE(0, s.len)) AS j(j)
+  GROUP BY s.doc_id
+)
+SELECT s.doc_id AS key, CAST(s.ns AS INT) AS n_seqs,
+       CAST(SUM(s.len) AS BIGINT) AS total_len,
+       CAST(MAX(g.g) AS BIGINT) AS gc_count,
+       CAST(MAX(s.len) AS INT) AS longest
+FROM seqs s JOIN gc g ON g.doc_id = s.doc_id
+GROUP BY s.doc_id, s.ns
+"""
+
+
+def q_source_mbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mbox mailbox ingestion (`sources/mbox_file.py` — envelope
+    separators, header/body framing, and the mboxrd ``>From``
+    unescape rule the reader must undo): per-mailbox message counts,
+    body volume AFTER unescaping, unescape count, and distinct
+    subjects — closed-form from the synth layout (24-char numbered
+    body lines, one 16-char escaped line per message)."""
+    from table_streaming_source_spark.sources.mbox_file import (
+        mbox_rows,
+        synth_mbox,
+    )
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+    import pandas as _pd
+
+    schema = StructType([
+        StructField("key", LongType(), False),
+        StructField("mbox", StringType(), False),
+    ])
+
+    def attach(it):
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "key": pdf["key"].astype("int64"),
+                    "mbox": [synth_mbox(int(k)) for k in pdf["key"]],
+                }
+            )
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 5)
+        .select(F.col("doc_id").alias("key"))
+        .mapInPandas(attach, schema=schema)
+    )
+    return mbox_rows(d)
+
+
+ORACLES["source_mbox"] = """
+WITH base AS (
+  SELECT doc_id, 1 + doc_id % 3 AS m FROM documents
+  WHERE doc_id % 7 = 5
+),
+msgs AS (
+  SELECT doc_id, m, i.i, 2 + (doc_id + i.i) % 3 AS nb,
+         (doc_id + i.i) % 4 AS subj
+  FROM base, UNNEST(RANGE(0, m)) AS i(i)
+)
+SELECT doc_id AS key, CAST(m AS INT) AS n_msgs,
+       CAST(SUM(nb) + m AS BIGINT) AS n_body_lines,
+       CAST(m AS BIGINT) AS n_unescaped,
+       CAST(COUNT(DISTINCT subj) AS INT) AS n_distinct_subjects,
+       CAST(SUM(nb) * 24 + m * 16 AS BIGINT) AS body_chars
+FROM msgs GROUP BY doc_id, m
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "source_srec": q_source_srec,
+        "source_fasta": q_source_fasta,
+        "source_mbox": q_source_mbox,
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# round 12: multimodal metadata walks — PNG textual chunks, sfnt/TrueType
+# table directory, ID3v2.3 tag frames.
+# --------------------------------------------------------------------------
+
+
+def q_multimodal_png_text(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PNG textual-metadata extraction (`operators/multimodal.py::
+    _png_text_one` — CRC-verified chunk walk decoding tEXt latin-1,
+    zTXt zlib-inflated, and iTXt utf-8 with language tags): per-image
+    chunk counts and keyword/text volume recover the closed-form
+    synth layout."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 6 == 2
+    )
+    return M.png_text_stats(M.attach_png_text_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_png_text"] = """
+SELECT doc_id AS key,
+       CAST(2 AS INT) AS n_text, CAST(1 AS INT) AS n_ztxt,
+       CAST(1 AS INT) AS n_itxt,
+       CAST(29 AS BIGINT) AS kw_chars,
+       CAST(13 + 2 * LENGTH(CAST(doc_id AS VARCHAR))
+            + doc_id % 7 + doc_id % 5 AS BIGINT) AS text_chars
+FROM documents WHERE doc_id % 6 = 2
+"""
+
+
+def q_multimodal_ttf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sfnt/TrueType directory walk (`operators/multimodal.py::
+    _ttf_one` — offset table, per-table spec CHECKSUM verification,
+    head magic 0x5F0F3CF5 + unitsPerEm, UTF-16BE name records):
+    per-font table counts and name volume recover the synth
+    formulas."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 6 == 3
+    )
+    return M.ttf_meta(M.attach_ttf_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_ttf"] = """
+SELECT doc_id AS key, CAST(3 AS INT) AS n_tables,
+       CAST(1000 + doc_id % 100 AS INT) AS units_per_em,
+       CAST(2 + doc_id % 3 AS INT) AS name_count,
+       CAST(4 * (2 + doc_id % 3) AS BIGINT) AS name_chars
+FROM documents WHERE doc_id % 6 = 3
+"""
+
+
+def q_multimodal_id3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2.3 tag walk (`operators/multimodal.py::_id3_one` —
+    syncsafe 28-bit tag size, 10-byte frame headers, latin-1 text
+    frames, COMM language+description framing, padding termination):
+    per-track frame counts and text volume recover the synth
+    formulas."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 6 == 4
+    )
+    return M.id3_meta(M.attach_id3_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_id3"] = """
+SELECT doc_id AS key, CAST(4 AS INT) AS n_frames,
+       CAST(6 + LENGTH(CAST(doc_id % 100 AS VARCHAR)) AS INT)
+         AS title_chars,
+       CAST(6 + LENGTH(CAST(doc_id % 100 AS VARCHAR)) + 17 AS BIGINT)
+         AS text_chars,
+       CAST(1 AS INT) AS has_comm
+FROM documents WHERE doc_id % 6 = 4
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "multimodal_png_text": q_multimodal_png_text,
+        "multimodal_ttf": q_multimodal_ttf,
+        "multimodal_id3": q_multimodal_id3,
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# round 12: base58 encode/decode in pure SQL expressions.
+# --------------------------------------------------------------------------
+
+_B58_ALPHABET = (
+    "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+)
+
+
+def q_scalar_base58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base58 encode/decode round trip in PURE SQL expressions (the
+    Bitcoin/IPFS alphabet — no 0/O/I/l; the ULID sibling of
+    scalar_ulid): 8 fixed digits cover the key domain, encoding by
+    unrolled div/mod digit extraction, decoding by positional
+    alphabet lookup — both stay whole-stage-codegen JVM expressions;
+    the oracle replays the identical digit algebra."""
+    o = t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") * 7919 + 13).alias("v")
+    )
+    a = _B58_ALPHABET
+    enc = "concat(" + ", ".join(
+        f"substring('{a}', cast((v div {58 ** i}) % 58 as int) + 1, 1)"
+        for i in range(7, -1, -1)
+    ) + ")"
+    encoded = o.select("v", F.expr(enc).alias("b58"))
+    dec = " + ".join(
+        f"(instr('{a}', substring(b58, {8 - i}, 1)) - 1) * "
+        f"cast({58 ** i} as bigint)"
+        for i in range(7, -1, -1)
+    )
+    checked = encoded.select(
+        "v", "b58", F.expr(dec).alias("decoded")
+    )
+    return checked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(
+            F.when(F.col("decoded") == F.col("v"), 1).otherwise(0)
+        ).cast("bigint").alias("n_roundtrip_ok"),
+        F.count_distinct("b58").cast("bigint").alias("n_distinct"),
+        F.min("b58").alias("min_b58"),
+        F.max("b58").alias("max_b58"),
+    )
+
+
+def _b58_oracle() -> str:
+    a = _B58_ALPHABET
+    enc = " || ".join(
+        f"SUBSTRING('{a}', CAST(v // {58 ** i} % 58 AS INT) + 1, 1)"
+        for i in range(7, -1, -1)
+    )
+    dec = " + ".join(
+        f"(STRPOS('{a}', SUBSTRING(b58, {8 - i}, 1)) - 1) * "
+        f"CAST({58 ** i} AS BIGINT)"
+        for i in range(7, -1, -1)
+    )
+    return f"""
+WITH base AS (SELECT o_orderkey * 7919 + 13 AS v FROM orders),
+enc AS (SELECT v, {enc} AS b58 FROM base),
+chk AS (SELECT v, b58, {dec} AS decoded FROM enc)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN decoded = v THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_roundtrip_ok,
+  CAST(COUNT(DISTINCT b58) AS BIGINT) AS n_distinct,
+  MIN(b58) AS min_b58, MAX(b58) AS max_b58
+FROM chk
+"""
+
+
+ORACLES["scalar_base58"] = _b58_oracle()
+
+
+QUERIES_DEFERRED.update({"scalar_base58": q_scalar_base58})

@@ -2978,3 +2978,167 @@ FROM images GROUP BY 1, 2
 
 
 QUERIES_DEFERRED["streaming_update_cdf"] = q_streaming_update_cdf
+
+
+def q_streaming_sql_insert_tail(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SQL front door feeding the streaming tail end to end: two
+    ``INSERT INTO ... SELECT`` statements through the SQL-text router
+    (`sources/format_sql.py`) land as append commits, and the
+    commit-log tail (`streaming/format_tail.py` — now yielding ARROW
+    batches per file, round-12) drains base ∪ both inserts exactly
+    once.  A SQL user's writes are immediately visible to streaming
+    consumers — the reference's refresh contract crossed with its
+    SQL-explorable-tables contract."""
+    from table_streaming_source_spark import table_format as TF
+    from table_streaming_source_spark.sources.format_sql import (
+        format_sql,
+    )
+    from table_streaming_source_spark.streaming.format_tail import (
+        register_format_tail,
+    )
+
+    path = _scratch.scratch_dir("stream_sqlins", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    TF.commit_append(
+        spark, path, o.filter(F.col("o_orderkey") % 3 == 0),
+        stat_cols=["o_orderkey"],
+    )
+    o.filter(F.col("o_orderkey") % 3 == 1).createOrReplaceTempView(
+        "stream_sqlins_src1"
+    )
+    o.filter(F.col("o_orderkey") % 3 == 2).createOrReplaceTempView(
+        "stream_sqlins_src2"
+    )
+    format_sql(
+        spark,
+        "INSERT INTO t SELECT o_orderkey, o_orderpriority,"
+        " o_totalprice FROM stream_sqlins_src1",
+        tables={"t": path},
+    ).collect()
+    format_sql(
+        spark,
+        "INSERT INTO t SELECT o_orderkey, o_orderpriority,"
+        " o_totalprice FROM stream_sqlins_src2",
+        tables={"t": path},
+    ).collect()
+    register_format_tail(spark)
+    stream = (
+        spark.readStream.format("format_tail")
+        .option("path", path)
+        .load()
+    )
+    agg = stream.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+    name = f"__stream_sqlins_{abs(hash(path)) % 10**8}"
+    with _stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["streaming_sql_insert_tail"] = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+QUERIES_DEFERRED["streaming_sql_insert_tail"] = (
+    q_streaming_sql_insert_tail
+)
+
+
+def q_streaming_tail_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The commit-log tail across ADDITIVE SCHEMA EVOLUTION: the
+    second append introduces a ``bonus`` column the first files
+    predate; the stream's schema (derived from the snapshot's unified
+    footers) includes it, and the Arrow-batch file reads null-backfill
+    the old files (`format_cdf._file_frame` through the round-12
+    Arrow yield) — so counts split exactly into backfilled-null vs
+    populated rows, which the oracle restates closed-form."""
+    from table_streaming_source_spark import table_format as TF
+    from table_streaming_source_spark.streaming.format_tail import (
+        register_format_tail,
+    )
+
+    path = _scratch.scratch_dir("stream_tailevo", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    TF.commit_append(
+        spark, path, o.filter(F.col("o_orderkey") % 2 == 0),
+        stat_cols=["o_orderkey"],
+    )
+    TF.commit_append(
+        spark, path,
+        o.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+            "bonus", (F.col("o_orderkey") % 100).cast("long")
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    register_format_tail(spark)
+    stream = (
+        spark.readStream.format("format_tail")
+        .option("path", path)
+        .load()
+    )
+    agg = stream.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("bonus").alias("n_with_bonus"),
+        F.coalesce(F.sum("bonus"), F.lit(0)).cast("bigint")
+        .alias("sum_bonus"),
+    )
+    name = f"__stream_tailevo_{abs(hash(path)) % 10**8}"
+    with _stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["streaming_tail_schema_evolution"] = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_with_bonus,
+       CAST(COALESCE(SUM(CASE WHEN o_orderkey % 2 = 1
+                              THEN o_orderkey % 100 END), 0)
+            AS BIGINT) AS sum_bonus
+FROM orders
+"""
+
+
+QUERIES_DEFERRED["streaming_tail_schema_evolution"] = (
+    q_streaming_tail_schema_evolution
+)

@@ -1,0 +1,358 @@
+"""SQL-text DML router for the table format — the mutation half of the
+SQL front door (reads and change feeds are already SQL-reachable via
+``CREATE TEMPORARY VIEW ... USING table_format`` /
+``format_changes``; see ``sources/format_batch.py``).  The reference's
+contract is SQL-explorable tables (`TableStreamingSource.java:66-69`);
+this router extends that surface to writes: a SQL user can now MERGE /
+UPDATE / DELETE / INSERT / OPTIMIZE / VACUUM / DESCRIBE HISTORY a
+format table from SQL text alone, without importing the Python API.
+
+It is deliberately a THIN ROUTER, not a SQL engine: statement SHAPE is
+recognized with anchored patterns, while every expression inside it —
+SET right-hand sides, WHERE predicates, the USING subquery — passes
+through VERBATIM to Spark SQL (``F.expr`` / ``spark.sql``), so the
+expression language is exactly Spark's.  Catalyst still does all the
+work; the router only picks which commit function publishes the result.
+
+Supported statements (the documented subset)::
+
+    MERGE INTO t [AS a] USING src|(subquery) [AS b] ON a.k = b.k
+        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+        | WHEN MATCHED THEN UPDATE SET *       (strict: unmatched no-op)
+        | WHEN NOT MATCHED THEN INSERT *       (strict: matched kept)
+        | WHEN MATCHED THEN DELETE             (strict: unmatched no-op)
+    UPDATE t SET col = expr [, ...] WHERE pred
+    DELETE FROM t WHERE pred
+    INSERT INTO t SELECT ...
+    DESCRIBE HISTORY t
+    OPTIMIZE t
+    VACUUM t [RETAIN n VERSIONS]
+
+Routing targets are the existing commit functions — ``commit_merge``
+(stats+bloom-targeted copy-on-write), ``commit_update_where`` (pruned
+candidate rewrite with CDC sidecars), ``positions_where`` +
+``commit_delete_positions`` (merge-on-read deletion vectors: a DELETE
+writes a tiny DV file, never rewrites data), ``commit_append``,
+``compact_binpack``, ``vacuum`` and ``read_history`` — so every scale
+property those functions guarantee (manifest pruning, O(change) I/O,
+conflict detection) holds identically when invoked from SQL.
+
+``MERGE ... UPDATE SET * / INSERT *`` uses ``commit_merge``'s upsert
+mode; the one shape the single-op-tag mapping cannot express —
+``WHEN MATCHED THEN DELETE`` combined with other WHEN clauses — raises
+with a message naming the Python API that can.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from table_streaming_source_spark import table_format as TF
+
+_OP_COL = "__sql_op"
+
+_MERGE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<t>[A-Za-z_]\w*)"
+    r"(?:\s+(?:AS\s+)?(?P<ta>[A-Za-z_]\w*))?"
+    r"\s+USING\s+(?P<src>\(.*\)|[A-Za-z_][\w.]*)"
+    r"(?:\s+(?:AS\s+)?(?P<sa>[A-Za-z_]\w*))?"
+    r"\s+ON\s+(?P<on>.+?)\s+(?P<when>WHEN\s+.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ON_EQ = re.compile(
+    r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", re.DOTALL
+)
+_W_UPD = re.compile(
+    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*", re.IGNORECASE
+)
+_W_DEL = re.compile(r"WHEN\s+MATCHED\s+THEN\s+DELETE", re.IGNORECASE)
+_W_INS = re.compile(
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", re.IGNORECASE
+)
+_UPDATE = re.compile(
+    r"^\s*UPDATE\s+(?P<t>[A-Za-z_]\w*)\s+SET\s+(?P<set>.+?)"
+    r"\s+WHERE\s+(?P<where>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<t>[A-Za-z_]\w*)\s+WHERE\s+"
+    r"(?P<where>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<t>[A-Za-z_]\w*)\s+(?P<sel>SELECT\s+.+?)"
+    r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_HISTORY = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+(?P<t>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_OPTIMIZE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<t>[A-Za-z_]\w*)\s*;?\s*$", re.IGNORECASE
+)
+_VACUUM = re.compile(
+    r"^\s*VACUUM\s+(?P<t>[A-Za-z_]\w*)"
+    r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _split_top_level(text: str) -> list[str]:
+    """Split on commas at paren/quote depth 0 — SET lists whose
+    right-hand sides contain function calls or string literals with
+    commas must not split inside them."""
+    out, buf, depth, quote = [], [], 0, None
+    for ch in text:
+        if quote is not None:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        out.append("".join(buf))
+    return [s.strip() for s in out if s.strip()]
+
+
+def _table_path(name: str, tables: dict[str, str]) -> str:
+    try:
+        return tables[name]
+    except KeyError:
+        raise ValueError(
+            f"format_sql: unknown table {name!r} — pass its root in "
+            f"tables= (known: {sorted(tables)})"
+        ) from None
+
+
+def _stat_cols(path: str) -> list[str]:
+    """Stat columns for the new manifest entries: keep whatever the
+    current snapshot already tracks (the SQL user never names them)."""
+    v = TF.latest_version(path)
+    files = TF._snapshot_file_dicts(path, v)
+    return sorted({c for f in files for c in f.get("stats", {})})
+
+
+_BOUND = re.compile(
+    r"^\s*(\w+)\s*(>=|<=|=|>|<)\s*(-?\d+(?:\.\d+)?)\s*$"
+)
+_BETWEEN = re.compile(
+    r"^\s*(\w+)\s+BETWEEN\s+(-?\d+(?:\.\d+)?)\s+AND\s+"
+    r"(-?\d+(?:\.\d+)?)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _extract_prune(
+    where: str, stat_cols: list[str]
+) -> tuple[str, float, float] | None:
+    """Best-effort range extraction from the WHERE text so SQL UPDATE /
+    DELETE get MANIFEST FILE PRUNING for free — the property that makes
+    a predicate-scoped mutation O(files the range can touch) at 100 TB
+    instead of O(table).  Only top-level AND conjuncts of the form
+    ``col <op> literal`` / ``col BETWEEN a AND b`` on a stat column
+    tighten the range; anything else is ignored (never lossy — pruning
+    only SKIPS files the bounds prove disjoint, and the full predicate
+    still evaluates per row on the files that remain)."""
+    bounds: dict[str, list[float]] = {}
+    for conj in re.split(r"\s+AND\s+", where, flags=re.IGNORECASE):
+        m = _BETWEEN.match(conj)
+        if m:
+            col, lo, hi = m[1], float(m[2]), float(m[3])
+            if col in stat_cols:
+                b = bounds.setdefault(col, [-math.inf, math.inf])
+                b[0], b[1] = max(b[0], lo), min(b[1], hi)
+            continue
+        m = _BOUND.match(conj)
+        if not m:
+            continue
+        col, op, lit = m[1], m[2], float(m[3])
+        if col not in stat_cols:
+            continue
+        b = bounds.setdefault(col, [-math.inf, math.inf])
+        if op in (">=", ">"):
+            b[0] = max(b[0], lit)
+        elif op in ("<=", "<"):
+            b[1] = min(b[1], lit)
+        else:  # =
+            b[0], b[1] = max(b[0], lit), min(b[1], lit)
+    for col, (lo, hi) in bounds.items():
+        if lo != -math.inf or hi != math.inf:
+            return col, lo, hi
+    return None
+
+
+def _result(
+    spark: SparkSession, operation: str, version: int,
+    files_rewritten: int | None, files_total: int | None,
+) -> DataFrame:
+    return spark.createDataFrame(
+        [(operation, version, files_rewritten, files_total)],
+        "operation string, version bigint, files_rewritten bigint, "
+        "files_total bigint",
+    )
+
+
+def format_sql(
+    spark: SparkSession,
+    text: str,
+    *,
+    tables: dict[str, str],
+    branch: str | None = None,
+    expected_version: int | None = None,
+) -> DataFrame:
+    """Execute one statement of the documented DML subset against the
+    table-format roots in ``tables`` (identifier → table path).  DML
+    returns a one-row receipt DataFrame ``(operation, version,
+    files_rewritten, files_total)``; ``DESCRIBE HISTORY`` returns the
+    history relation itself."""
+    m = _MERGE.match(text)
+    if m:
+        path = _table_path(m["t"], tables)
+        t_alias = m["ta"] or m["t"]
+        s_alias = m["sa"]
+        src = m["src"].strip()
+        if src.startswith("("):
+            source = spark.sql(src[1:-1])
+        else:
+            source = spark.table(src)
+            s_alias = s_alias or src.split(".")[-1]
+        if s_alias is None:
+            raise ValueError(
+                "format_sql: a parenthesized USING source needs an "
+                "alias (USING (...) AS s)"
+            )
+        on = _ON_EQ.match(m["on"])
+        if not on:
+            raise ValueError(
+                "format_sql: MERGE supports a single equality ON "
+                "clause — ON <target>.<key> = <source>.<key>"
+            )
+        q1, c1, q2, c2 = on.groups()
+        sides = {q1.lower(): c1, q2.lower(): c2}
+        if set(sides) != {t_alias.lower(), s_alias.lower()} or (
+            c1.lower() != c2.lower()
+        ):
+            raise ValueError(
+                "format_sql: ON must equate the SAME column on the "
+                f"target ({t_alias}) and source ({s_alias}) aliases"
+            )
+        key = sides[t_alias.lower()]
+        w = m["when"]
+        has_upd = bool(_W_UPD.search(w))
+        has_ins = bool(_W_INS.search(w))
+        has_del = bool(_W_DEL.search(w))
+        if has_del and (has_upd or has_ins):
+            raise ValueError(
+                "format_sql: WHEN MATCHED THEN DELETE cannot combine "
+                "with other WHEN clauses in the SQL subset — use "
+                "table_format.commit_merge with per-row op tags"
+            )
+        if not (has_upd or has_ins or has_del):
+            raise ValueError(
+                "format_sql: MERGE needs at least one of UPDATE SET */"
+                "INSERT */DELETE in its WHEN clauses"
+            )
+        upsert = has_upd and has_ins
+        op = "D" if has_del else ("U" if has_upd else "I")
+        changes = source.withColumn(_OP_COL, F.lit(op))
+        v, rewritten, total = TF.commit_merge(
+            spark, path, changes, key=key,
+            stat_cols=_stat_cols(path), op_col=_OP_COL,
+            upsert=upsert, branch=branch,
+            expected_version=expected_version,
+        )
+        return _result(spark, "MERGE", v, rewritten, total)
+
+    m = _UPDATE.match(text)
+    if m:
+        path = _table_path(m["t"], tables)
+        set_exprs: dict[str, str] = {}
+        for item in _split_top_level(m["set"]):
+            col, eq, rhs = item.partition("=")
+            if not eq or not col.strip().replace("_", "a").isalnum():
+                raise ValueError(
+                    f"format_sql: malformed SET item {item!r}"
+                )
+            set_exprs[col.strip()] = rhs.strip()
+        cols = _stat_cols(path)
+        v, rewritten, total = TF.commit_update_where(
+            spark, path, set_exprs=set_exprs, where=m["where"],
+            stat_cols=cols, prune=_extract_prune(m["where"], cols),
+            branch=branch, expected_version=expected_version,
+        )
+        return _result(spark, "UPDATE", v, rewritten, total)
+
+    m = _DELETE.match(text)
+    if m:
+        path = _table_path(m["t"], tables)
+        # merge-on-read: resolve matching (file, ordinal) pairs, then
+        # publish ONE deletion-vector commit — no data file rewrites
+        at = (
+            TF.resolve_ref(path, branch) if branch is not None else None
+        )
+        pos = TF.positions_where(
+            spark, path, m["where"], version=at,
+            prune=_extract_prune(m["where"], _stat_cols(path)),
+        ).localCheckpoint(eager=True)
+        v = TF.commit_delete_positions(
+            spark, path, pos, branch=branch,
+            expected_version=expected_version,
+        )
+        return _result(spark, "DELETE", v, 0, None)
+
+    m = _INSERT.match(text)
+    if m:
+        path = _table_path(m["t"], tables)
+        v = TF.commit_append(
+            spark, path, spark.sql(m["sel"]),
+            stat_cols=_stat_cols(path), branch=branch,
+            expected_version=expected_version,
+        )
+        return _result(spark, "INSERT", v, None, None)
+
+    m = _HISTORY.match(text)
+    if m:
+        return TF.read_history(spark, _table_path(m["t"], tables))
+
+    m = _OPTIMIZE.match(text)
+    if m:
+        path = _table_path(m["t"], tables)
+        v = TF.compact_binpack(
+            spark, path, stat_cols=_stat_cols(path), branch=branch,
+            expected_version=expected_version,
+        )
+        return _result(spark, "OPTIMIZE", v, None, None)
+
+    m = _VACUUM.match(text)
+    if m:
+        path = _table_path(m["t"], tables)
+        retain = int(m["n"]) if m["n"] else 2
+        removed, kept = TF.vacuum(path, retain_versions=retain)
+        return spark.createDataFrame(
+            [("VACUUM", removed, kept)],
+            "operation string, files_removed bigint, files_kept bigint",
+        )
+
+    raise ValueError(
+        "format_sql: unrecognized statement — supported: MERGE INTO, "
+        "UPDATE, DELETE FROM, INSERT INTO ... SELECT, DESCRIBE "
+        "HISTORY, OPTIMIZE, VACUUM"
+    )

@@ -23,7 +23,7 @@ with null-backfill across additive schema evolution (shared
 from __future__ import annotations
 
 import os
-from typing import Iterator, Sequence, Tuple
+from typing import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -91,6 +91,7 @@ class CommitLogStreamReader(DataSourceStreamReader):
     partitions."""
 
     def __init__(self, schema: StructType, options: dict) -> None:
+        self._schema = schema
         self._cols = list(schema.fieldNames())
         self._path = options["path"]
         # the ref whose lineage this tail follows (Iceberg semantics:
@@ -140,17 +141,29 @@ class CommitLogStreamReader(DataSourceStreamReader):
         # shared version namespace) yields one empty partition
         return parts or [InputPartition((None, ()))]
 
-    def read(self, partition: InputPartition) -> Iterator[Tuple]:
+    def read(self, partition: InputPartition) -> Iterator:
+        # Arrow-batch yield (the same vectorized boundary as the batch
+        # reader, sources/format_batch.py — one RecordBatch per file,
+        # never per-row Python tuples on the hot incremental path)
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         from table_streaming_source_spark.streaming.format_cdf import (
             _file_frame,
         )
 
         fp, cols = partition.value
         if fp is None:
-            return iter(())
+            return
         cols = list(cols)
         pdf = _file_frame(fp, cols)
-        return iter(pdf[cols].itertuples(index=False, name=None))
+        table = pa.Table.from_pandas(
+            pdf[cols],
+            schema=to_arrow_schema(self._schema),
+            preserve_index=False,
+            safe=False,
+        )
+        yield from table.to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable in the checkpoint; nothing to ack
@@ -172,7 +185,8 @@ class CommitLogDataSource(DataSource):
         return "format_tail"
 
     def schema(self):
-        import pyarrow.dataset as ds
+        import pyarrow as pa
+        import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
         path = self.options.get("path")
@@ -181,8 +195,13 @@ class CommitLogDataSource(DataSource):
             raise ValueError(
                 "format_tail: empty table; pass an explicit schema"
             )
+        # UNIFY the per-file footers (additive schema evolution): a
+        # dataset over a file list would take the first fragment's
+        # schema, silently dropping columns older files predate —
+        # the read side null-backfills them, so the stream schema
+        # must be the union (one footer read per file, no data I/O)
         return from_arrow_schema(
-            ds.dataset(files, format="parquet").schema
+            pa.unify_schemas([pq.read_schema(f) for f in files])
         )
 
     def streamReader(self, schema: StructType) -> CommitLogStreamReader:

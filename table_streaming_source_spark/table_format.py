@@ -1086,6 +1086,7 @@ def commit_merge(
     branch: str | None = None,
     txn: dict | None = None,
     bloom_cols: list[str] | None = None,
+    upsert: bool = False,
 ) -> tuple[int, int, int]:
     """Stats-targeted copy-on-write MERGE — the table-format crown
     jewel: resolve from the manifest which data files can possibly
@@ -1110,7 +1111,12 @@ def commit_merge(
     source's values but never a fresh id — and inserts mint
     :func:`row_id_expr` ids under THIS commit's version.  The
     re-attachment join touches only the rewritten subset, never the
-    untouched files."""
+    untouched files.
+
+    ``upsert=True`` passes through to ``merge_into``'s
+    insert-or-update mode (matched → source wins, unmatched → insert)
+    — the semantics of SQL ``MERGE ... WHEN MATCHED THEN UPDATE SET *
+    WHEN NOT MATCHED THEN INSERT *`` and of full-row-image CDC feeds."""
     from pyspark.sql import functions as F
 
     from table_streaming_source_spark.snapshot import merge_into
@@ -1245,7 +1251,8 @@ def commit_merge(
     if row_id_col is not None:
         prior_ids = current.select(key, row_id_col)
         merged = merge_into(
-            current.drop(row_id_col), changes, key=key, op_col=op_col
+            current.drop(row_id_col), changes, key=key, op_col=op_col,
+            upsert=upsert,
         )
         merged = merged.join(prior_ids, key, "left").withColumn(
             row_id_col,
@@ -1254,7 +1261,9 @@ def commit_merge(
             ),
         )
     else:
-        merged = merge_into(current, changes, key=key, op_col=op_col)
+        merged = merge_into(
+            current, changes, key=key, op_col=op_col, upsert=upsert
+        )
     staging = os.path.join(
         _data_dir(path), f"merge-{new_v}-{uuid.uuid4().hex[:8]}"
     )

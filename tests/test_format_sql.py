@@ -1,0 +1,191 @@
+"""SQL-text DML router (`sources/format_sql.py`): grammar routing,
+WHERE-range prune extraction, receipt contents, and conflict semantics
+reusing the table-format torture rules (expected_version mismatch →
+CommitConflict, exactly-one-winner races handled by the commit layer)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from table_streaming_source_spark import table_format as TF
+from table_streaming_source_spark.sources.format_sql import (
+    _extract_prune,
+    _split_top_level,
+    format_sql,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "fsql")
+    TF.create_table(path)
+    df = spark.range(1, 101).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).cast("double").alias("val"),
+    )
+    # three files with disjoint k ranges so stats pruning is observable
+    for lo, hi in ((1, 30), (31, 60), (61, 100)):
+        TF.commit_append(
+            spark, path,
+            df.filter((F.col("k") >= lo) & (F.col("k") <= hi))
+            .coalesce(1),
+            stat_cols=["k"],
+        )
+    return path
+
+
+def test_split_top_level_respects_parens_and_quotes():
+    assert _split_top_level("a = f(x, y), b = 'p,q', c = 1") == [
+        "a = f(x, y)", "b = 'p,q'", "c = 1"
+    ]
+
+
+def test_extract_prune_conjuncts():
+    assert _extract_prune("k >= 10 AND k <= 20 AND v = 'x'", ["k"]) == (
+        "k", 10.0, 20.0
+    )
+    assert _extract_prune("k BETWEEN 5 AND 9", ["k"]) == ("k", 5.0, 9.0)
+    got = _extract_prune("k <= 7 AND k % 3 = 0", ["k"])
+    assert got == ("k", -math.inf, 7.0)
+    # non-stat columns and OR-shaped text never prune
+    assert _extract_prune("z <= 7", ["k"]) is None
+    assert _extract_prune("k <= 7 OR k >= 90", ["k"]) is None
+
+
+def test_update_routes_and_prunes(spark, table):
+    r = format_sql(
+        spark,
+        "UPDATE t SET val = val + 1 WHERE k % 2 = 0 AND k <= 30",
+        tables={"t": table},
+    ).collect()[0]
+    assert r["operation"] == "UPDATE"
+    assert r["files_rewritten"] == 1 and r["files_total"] == 3
+    got = (
+        TF.read_table_mor(spark, table)
+        .agg(F.sum("val"))
+        .collect()[0][0]
+    )
+    base = sum(i * 10 for i in range(1, 101))
+    assert got == base + 15  # 15 even keys <= 30
+
+
+def test_delete_routes_to_deletion_vectors(spark, table):
+    v0 = TF.latest_version(table)
+    r = format_sql(
+        spark,
+        "DELETE FROM t WHERE k BETWEEN 10 AND 12",
+        tables={"t": table},
+    ).collect()[0]
+    assert r["operation"] == "DELETE"
+    assert r["files_rewritten"] == 0  # MOR: no data file rewrites
+    assert TF.latest_version(table) == v0 + 1
+    keys = {
+        row["k"]
+        for row in TF.read_table_mor(spark, table)
+        .select("k").collect()
+    }
+    assert keys == set(range(1, 101)) - {10, 11, 12}
+
+
+def test_merge_upsert_and_receipt(spark, table):
+    spark.range(1, 6).select(
+        F.col("id").alias("k"),
+        F.lit(0.5).alias("val"),
+    ).unionByName(
+        spark.range(200, 203).select(
+            F.col("id").alias("k"), F.lit(7.0).alias("val")
+        )
+    ).createOrReplaceTempView("fsql_test_src")
+    r = format_sql(
+        spark,
+        "MERGE INTO t USING fsql_test_src AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        tables={"t": table},
+    ).collect()[0]
+    assert r["operation"] == "MERGE"
+    # matched keys 1-5 live in file 1 only; inserts outside all ranges
+    assert r["files_rewritten"] == 1 and r["files_total"] == 3
+    out = {
+        row["k"]: row["val"]
+        for row in TF.read_table_mor(spark, table).collect()
+    }
+    assert all(out[k] == 0.5 for k in range(1, 6))
+    assert all(out[k] == 7.0 for k in range(200, 203))
+    assert len(out) == 103
+
+
+def test_merge_delete_only(spark, table):
+    spark.range(95, 99).select(
+        F.col("id").alias("k"),
+        F.lit(None).cast("double").alias("val"),
+    ).createOrReplaceTempView("fsql_del_src")
+    format_sql(
+        spark,
+        "MERGE INTO t USING fsql_del_src AS s ON t.k = s.k "
+        "WHEN MATCHED THEN DELETE",
+        tables={"t": table},
+    ).collect()
+    keys = {
+        row["k"]
+        for row in TF.read_table_mor(spark, table).select("k").collect()
+    }
+    assert keys == set(range(1, 101)) - {95, 96, 97, 98}
+
+
+def test_merge_rejects_mixed_delete(spark, table):
+    with pytest.raises(ValueError, match="cannot combine"):
+        format_sql(
+            spark,
+            "MERGE INTO t USING x AS s ON t.k = s.k "
+            "WHEN MATCHED THEN DELETE "
+            "WHEN NOT MATCHED THEN INSERT *",
+            tables={"t": table},
+        )
+
+
+def test_insert_history_optimize_vacuum(spark, table):
+    spark.range(500, 510).select(
+        F.col("id").alias("k"),
+        F.lit(1.0).alias("val"),
+    ).createOrReplaceTempView("fsql_ins_test")
+    r = format_sql(
+        spark,
+        "INSERT INTO t SELECT k, val FROM fsql_ins_test",
+        tables={"t": table},
+    ).collect()[0]
+    assert r["operation"] == "INSERT"
+    hist = format_sql(
+        spark, "DESCRIBE HISTORY t", tables={"t": table}
+    )
+    assert hist.count() == 5  # create + 3 appends + insert
+    ro = format_sql(spark, "OPTIMIZE t", tables={"t": table}).collect()[0]
+    assert ro["operation"] == "OPTIMIZE"
+    rows = TF.read_table_mor(spark, table).count()
+    assert rows == 110
+    rv = format_sql(
+        spark, "VACUUM t RETAIN 2 VERSIONS", tables={"t": table}
+    ).collect()[0]
+    assert rv["operation"] == "VACUUM"
+    assert TF.read_table_mor(spark, table).count() == 110
+
+
+def test_conflict_on_stale_expected_version(spark, table):
+    head = TF.latest_version(table)
+    with pytest.raises(TF.CommitConflict):
+        format_sql(
+            spark,
+            "UPDATE t SET val = 0 WHERE k <= 5",
+            tables={"t": table},
+            expected_version=head - 1,
+        )
+
+
+def test_unknown_table_and_statement_errors(spark, table):
+    with pytest.raises(ValueError, match="unknown table"):
+        format_sql(spark, "OPTIMIZE missing", tables={"t": table})
+    with pytest.raises(ValueError, match="unrecognized statement"):
+        format_sql(spark, "TRUNCATE TABLE t", tables={"t": table})
