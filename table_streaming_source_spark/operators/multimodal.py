@@ -9602,6 +9602,8 @@ def synth_id3(key: int) -> bytes:
 def _id3_one(payload: bytes) -> dict:
     """Walk the v2.3 frame stream inside the syncsafe-sized tag;
     stop at padding; malformed frames raise ValueError."""
+    if len(payload) < 10:
+        raise ValueError("id3: truncated header")
     if payload[:3] != b"ID3":
         raise ValueError("id3: bad magic")
     if payload[3] != 3:

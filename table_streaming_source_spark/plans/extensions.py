@@ -23505,9 +23505,12 @@ def q_text_rank_turbulence(
     w = Window.partitionBy("lang").orderBy(
         F.desc("c"), F.asc("word")
     )
+    # the rank table is vocabulary-bounded and consumed three times
+    # (en side, de side, sizes) — checkpoint once so the count+rank
+    # lineage doesn't re-execute per consumer
     ranked = counts.select(
         "lang", "word", F.row_number().over(w).alias("r")
-    )
+    ).localCheckpoint(eager=True)
     sizes = ranked.groupBy("lang").agg(F.max("r").alias("n"))
     en = ranked.filter("lang = 'en'").select(
         "word", F.col("r").alias("r_en")
@@ -23841,42 +23844,99 @@ GROUP BY s.doc_id, s.ns
 
 
 def q_source_mbox(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mbox mailbox ingestion (`sources/mbox_file.py` — envelope
-    separators, header/body framing, and the mboxrd ``>From``
-    unescape rule the reader must undo): per-mailbox message counts,
-    body volume AFTER unescaping, unescape count, and distinct
-    subjects — closed-form from the synth layout (24-char numbered
-    body lines, one 16-char escaped line per message)."""
-    from table_streaming_source_spark.sources.mbox_file import (
-        mbox_rows,
-        synth_mbox,
+    """mbox mailbox ingestion through the EXISTING mboxrd framing
+    (`sources/mime.py::mbox_bytes`/`mbox_messages` — envelope
+    separators and the ``>From`` escape/unescape round trip): each
+    mailbox's messages carry a body line the WRITER must escape and
+    the READER must unescape; per-mailbox message counts, body volume
+    after unescaping, unescape count, and distinct subjects —
+    closed-form from the synth layout (24-char numbered body lines,
+    one 16-char ``From``-colliding line per message)."""
+    from table_streaming_source_spark.sources.mime import (
+        mbox_bytes,
+        mbox_messages,
     )
     from pyspark.sql.types import (
-        LongType, StringType, StructField, StructType,
+        IntegerType, LongType, StructField, StructType,
     )
     import pandas as _pd
 
-    schema = StructType([
+    out_schema = StructType([
         StructField("key", LongType(), False),
-        StructField("mbox", StringType(), False),
+        StructField("n_msgs", IntegerType(), False),
+        StructField("n_body_lines", LongType(), False),
+        StructField("n_unescaped", LongType(), False),
+        StructField("n_distinct_subjects", IntegerType(), False),
+        StructField("body_chars", LongType(), False),
     ])
 
-    def attach(it):
+    def _synth(k: int) -> bytes:
+        msgs = []
+        for i in range(1 + k % 3):
+            body = "".join(
+                f"body line {ln} of message {i}\n"
+                for ln in range(2 + (k + i) % 3)
+            ) + "From the archive\n"
+            msgs.append(
+                (
+                    f"From: sender{i}@example.com\n"
+                    f"Subject: msg{(k + i) % 4}\n\n" + body
+                ).encode()
+            )
+        return mbox_bytes(msgs)
+
+    def rows(it):
         for pdf in it:
+            recs = {f.name: [] for f in out_schema.fields}
+            for k in pdf["key"]:
+                k = int(k)
+                msgs = mbox_messages(_synth(k))
+                n_body = n_unesc = chars = 0
+                subjects = set()
+                for raw in msgs:
+                    head, _, body = raw.partition(b"\n\n")
+                    for hline in head.split(b"\n"):
+                        name, sep, val = hline.partition(b":")
+                        if sep and name.strip().lower() == b"subject":
+                            subjects.add(val.strip())
+                    for bline in body.split(b"\n"):
+                        if not bline:
+                            continue
+                        n_body += 1
+                        chars += len(bline)
+                        if bline.startswith(b"From "):
+                            n_unesc += 1
+                recs["key"].append(k)
+                recs["n_msgs"].append(len(msgs))
+                recs["n_body_lines"].append(n_body)
+                recs["n_unescaped"].append(n_unesc)
+                recs["n_distinct_subjects"].append(len(subjects))
+                recs["body_chars"].append(chars)
             yield _pd.DataFrame(
                 {
-                    "key": pdf["key"].astype("int64"),
-                    "mbox": [synth_mbox(int(k)) for k in pdf["key"]],
+                    "key": _pd.Series(recs["key"], dtype="int64"),
+                    "n_msgs": _pd.Series(recs["n_msgs"], dtype="int32"),
+                    "n_body_lines": _pd.Series(
+                        recs["n_body_lines"], dtype="int64"
+                    ),
+                    "n_unescaped": _pd.Series(
+                        recs["n_unescaped"], dtype="int64"
+                    ),
+                    "n_distinct_subjects": _pd.Series(
+                        recs["n_distinct_subjects"], dtype="int32"
+                    ),
+                    "body_chars": _pd.Series(
+                        recs["body_chars"], dtype="int64"
+                    ),
                 }
             )
 
-    d = (
+    return (
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 7 == 5)
         .select(F.col("doc_id").alias("key"))
-        .mapInPandas(attach, schema=schema)
+        .mapInPandas(rows, schema=out_schema)
     )
-    return mbox_rows(d)
 
 
 ORACLES["source_mbox"] = """

@@ -50,9 +50,14 @@ def synth_fasta(key: int, wrap: int = 10) -> str:
     return "\n".join(lines) + "\n"
 
 
-def parse_fasta(text: str) -> dict:
+def parse_fasta(text: str | bytes) -> dict:
     """Per-file rollup; raises on data before a header, an empty
     record, or a non-IUPAC residue."""
+    if isinstance(text, (bytes, bytearray)):
+        try:
+            text = bytes(text).decode("ascii")
+        except UnicodeDecodeError:
+            raise ValueError("fasta: non-ASCII byte") from None
     seqs: list[int] = []
     gc = 0
     cur: int | None = None

@@ -80,8 +80,34 @@ def _opt(options: dict, name: str, default=None):
     return options.get(name.lower(), default)
 
 
+def _table_path(options: dict) -> str:
+    """The table root from options, normalized: the catalog hands
+    location-like options back as ``file:`` URIs, while a temp view /
+    reader passes the plain path through — both must resolve to the
+    same local root.
+
+    Missing path gets the DOCUMENTED catalog-limitation error: Spark
+    4.1 persists a ``CREATE TABLE ... USING table_format`` (metadata,
+    schema resolution, DESCRIBE all work — the table-properties
+    instance sees the stored path) but its SCANS construct the Python
+    DataSource from the relation's own options, which are EMPTY for a
+    catalog table — so SELECT cannot reach the stored path.  The
+    blessed front door is the session-scoped view (docs/SCALE.md
+    §33.4); pinned by ``tests/test_format_batch.py``."""
+    if "path" not in options:
+        raise ValueError(
+            "table_format: no 'path' option reached this scan.  Spark "
+            "4.1 catalog-table scans pass EMPTY options to Python "
+            "DataSources (metadata persists; scans don't see the "
+            "stored path).  Use the blessed session-scoped front "
+            "door instead: CREATE TEMPORARY VIEW t USING "
+            "table_format OPTIONS (path '<table root>')."
+        )
+    return TF._norm_path(options["path"])
+
+
 def _resolve_version(options: dict) -> int:
-    path = options["path"]
+    path = _table_path(options)
     version = options.get("version")
     ref = options.get("ref")
     if version is not None and ref is not None:
@@ -138,7 +164,7 @@ class TableFormatReader(DataSourceReader):
     source (``format_cdf._resolve_pandas``)."""
 
     def __init__(self, schema: StructType, options: dict) -> None:
-        self._path = options["path"]
+        self._path = _table_path(options)
         self._version = _resolve_version(options)
         self._mor = str(options.get("mor", "true")).lower() != "false"
         self._cols = list(schema.fieldNames())
@@ -256,7 +282,7 @@ class TableFormatWriter(DataSourceArrowWriter):
     vacuum-sweepable orphans."""
 
     def __init__(self, options: dict, overwrite: bool) -> None:
-        self._path = options["path"]
+        self._path = _table_path(options)
         self._overwrite = overwrite
         self._stat_cols = [
             c.strip()
@@ -369,9 +395,9 @@ class TableFormatDataSource(DataSource):
     def schema(self):
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        path = self.options.get("path")
-        if not path:
+        if not self.options.get("path"):
             raise ValueError("table_format requires option 'path'")
+        path = _table_path(dict(self.options))
         head = _resolve_version(dict(self.options))
         base = from_arrow_schema(_unified_arrow_schema(path, head))
         # every column nullable: pre-evolution files null-backfill
@@ -383,8 +409,7 @@ class TableFormatDataSource(DataSource):
         return TableFormatReader(schema, dict(self.options))
 
     def writer(self, schema: StructType, overwrite: bool):
-        path = self.options.get("path")
-        if not path:
+        if not self.options.get("path"):
             raise ValueError("table_format requires option 'path'")
         return TableFormatWriter(dict(self.options), overwrite)
 
@@ -403,7 +428,7 @@ class ChangesReader(DataSourceReader):
 
     def __init__(self, schema: StructType, options: dict) -> None:
         self._cols = list(schema.fieldNames())[:-2]
-        self._path = options["path"]
+        self._path = _table_path(options)
         self._from = int(_opt(options, "from_version", 0))
         to = _opt(options, "to_version")
         ref = options.get("ref")

@@ -154,8 +154,8 @@ _BOUND = re.compile(
     r"^\s*(\w+)\s*(>=|<=|=|>|<)\s*(-?\d+(?:\.\d+)?)\s*$"
 )
 _BETWEEN = re.compile(
-    r"^\s*(\w+)\s+BETWEEN\s+(-?\d+(?:\.\d+)?)\s+AND\s+"
-    r"(-?\d+(?:\.\d+)?)\s*$",
+    r"\b(\w+)\s+BETWEEN\s+(-?\d+(?:\.\d+)?)\s+AND\s+"
+    r"(-?\d+(?:\.\d+)?)",
     re.IGNORECASE,
 )
 
@@ -171,15 +171,21 @@ def _extract_prune(
     tighten the range; anything else is ignored (never lossy — pruning
     only SKIPS files the bounds prove disjoint, and the full predicate
     still evaluates per row on the files that remain)."""
+    # pruning from text is only sound for pure AND-conjunctions: any
+    # OR/NOT could widen the matching set beyond the extracted range
+    if re.search(r"\b(OR|NOT)\b", where, flags=re.IGNORECASE):
+        return None
     bounds: dict[str, list[float]] = {}
+    # consume BETWEEN spans FIRST — their internal AND must not split
+    def _take_between(m: re.Match) -> str:
+        col, lo, hi = m[1], float(m[2]), float(m[3])
+        if col in stat_cols:
+            b = bounds.setdefault(col, [-math.inf, math.inf])
+            b[0], b[1] = max(b[0], lo), min(b[1], hi)
+        return " 1=1 "
+
+    where = _BETWEEN.sub(_take_between, where)
     for conj in re.split(r"\s+AND\s+", where, flags=re.IGNORECASE):
-        m = _BETWEEN.match(conj)
-        if m:
-            col, lo, hi = m[1], float(m[2]), float(m[3])
-            if col in stat_cols:
-                b = bounds.setdefault(col, [-math.inf, math.inf])
-                b[0], b[1] = max(b[0], lo), min(b[1], hi)
-            continue
         m = _BOUND.match(conj)
         if not m:
             continue
@@ -229,10 +235,7 @@ def format_sql(
         t_alias = m["ta"] or m["t"]
         s_alias = m["sa"]
         src = m["src"].strip()
-        if src.startswith("("):
-            source = spark.sql(src[1:-1])
-        else:
-            source = spark.table(src)
+        if not src.startswith("("):
             s_alias = s_alias or src.split(".")[-1]
         if s_alias is None:
             raise ValueError(
@@ -272,6 +275,10 @@ def format_sql(
             )
         upsert = has_upd and has_ins
         op = "D" if has_del else ("U" if has_upd else "I")
+        source = (
+            spark.sql(src[1:-1]) if src.startswith("(")
+            else spark.table(src)
+        )
         changes = source.withColumn(_OP_COL, F.lit(op))
         v, rewritten, total = TF.commit_merge(
             spark, path, changes, key=key,

@@ -258,15 +258,22 @@ def mbox_messages(payload: bytes) -> list[bytes]:
     return msgs
 
 
+def mbox_bytes(messages: list[bytes]) -> bytes:
+    """mboxrd framing as bytes: ``From `` separator per message, body
+    lines matching ``^>*From `` get one more ``>``."""
+    out = bytearray()
+    for msg in messages:
+        out += b"From corpus@localhost Thu Jan  1 00:00:00 1970\n"
+        out += re.sub(rb"(?m)^(>*From )", rb">\1", msg)
+        if not msg.endswith(b"\n"):
+            out += b"\n"
+    return bytes(out)
+
+
 def write_mbox(path: str, messages: list[bytes]) -> None:
-    """mboxrd writer: ``From `` separator per message, body lines
-    matching ``^>*From `` get one more ``>``."""
+    """mboxrd writer (see :func:`mbox_bytes`)."""
     with open(path, "wb") as fh:
-        for msg in messages:
-            fh.write(b"From corpus@localhost Thu Jan  1 00:00:00 1970\n")
-            fh.write(re.sub(rb"(?m)^(>*From )", rb">\1", msg))
-            if not msg.endswith(b"\n"):
-                fh.write(b"\n")
+        fh.write(mbox_bytes(messages))
 
 
 def build_message(

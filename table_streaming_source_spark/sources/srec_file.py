@@ -64,9 +64,14 @@ def synth_srec(key: int) -> str:
     return "\n".join(lines) + "\n"
 
 
-def parse_srec(text: str) -> dict:
+def parse_srec(text: str | bytes) -> dict:
     """Aggregate stats of one image; checksum-verified per record,
     S5 count cross-checked against the data records seen."""
+    if isinstance(text, (bytes, bytearray)):
+        try:
+            text = bytes(text).decode("ascii")
+        except UnicodeDecodeError:
+            raise ValueError("srec: non-ASCII byte") from None
     n_data = 0
     total = 0
     byte_sum = 0

@@ -110,6 +110,9 @@ def _targets():
     yield "wav_cues_one", M._wav_cues_one, M.synth_wav_cues(5)
     yield "sniff_type", M.sniff_type, M.synth_pcx(3)
     yield "dds_one", M._dds_one, M.synth_dds(5)
+    yield "png_text_one", M._png_text_one, M.synth_png_text(5)
+    yield "ttf_one", M._ttf_one, M.synth_ttf(5)
+    yield "id3_one", M._id3_one, M.synth_id3(5)
 
 
 class _DecodeHang(Exception):

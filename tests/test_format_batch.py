@@ -238,3 +238,56 @@ def test_batch_writer_bloom_cols_option(spark, tmp_path):
     assert total == 3 and kept <= 2       # 7 % 3 = 1: one true file
     got = TF.read_table(spark, path, point=("k", 7)).filter("k = 7")
     assert [r.k for r in got.collect()] == [7]
+
+
+def test_persistent_catalog_contract(spark, tmp_path):
+    """Pin the metastore-persistence contract (round-12): CREATE TABLE
+    ... USING table_format PERSISTS — the catalog stores it, DESCRIBE
+    resolves the schema through the stored path (file:-URI normalized)
+    — but Spark 4.1 constructs SCAN-side Python DataSources from the
+    relation's own (empty) options, so SELECT raises the documented
+    error naming the blessed temp-view front door.  If a Spark upgrade
+    starts forwarding table properties to scans, this test fails and
+    the limitation note comes out."""
+    import pytest
+
+    from table_streaming_source_spark import table_format as TF
+    from table_streaming_source_spark.sources.format_batch import (
+        register_table_format,
+    )
+
+    path = str(tmp_path / "perst")
+    TF.create_table(path)
+    TF.commit_append(
+        spark, path,
+        spark.range(7).selectExpr("id as k", "cast(id*2 as double) as v"),
+        stat_cols=["k"],
+    )
+    register_table_format(spark)
+    spark.sql("DROP TABLE IF EXISTS perstest_pin")
+    try:
+        spark.sql(
+            "CREATE TABLE perstest_pin USING table_format "
+            f"OPTIONS (path '{path}')"
+        )
+        # metadata persisted: listed, schema resolved from the path
+        assert any(
+            t.name == "perstest_pin" for t in spark.catalog.listTables()
+        )
+        cols = {f.name for f in spark.table("perstest_pin").schema.fields}
+        assert cols == {"k", "v"}
+        # the documented scan limitation, with the blessed-path hint
+        with pytest.raises(Exception, match="TEMPORARY VIEW"):
+            spark.sql("SELECT COUNT(*) FROM perstest_pin").collect()
+        # the blessed front door over the same root
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY VIEW perstest_view "
+            f"USING table_format OPTIONS (path '{path}')"
+        )
+        n = spark.sql(
+            "SELECT COUNT(*) AS n FROM perstest_view"
+        ).collect()[0]["n"]
+        assert n == 7
+    finally:
+        spark.sql("DROP TABLE IF EXISTS perstest_pin")
+        spark.catalog.dropTempView("perstest_view")

@@ -590,7 +590,10 @@ _SHUFFLE_BUDGET = {
     "ts_rsi_cutler": 2,             # daily agg + SMA window
     "ts_lag_correlation": 3,        # hourly agg + shift join + moments
     "ts_hurst": 4,                  # daily agg + chunk join + cum + rs
-    "window_pareto_front": 2,       # price dedupe + one ordered pass
+    # price dedupe + bucket-local skyline + one candidate-merge pass
+    # (round-12 two-phase shape; the extra exchange buys the parallel
+    # phase-1 window)
+    "window_pareto_front": 3,
     # --- round 11: SQL surface / scalar ---
     "sql_try_arithmetic": 1,        # row-local try_* + one rollup
     "scalar_semver": 1,             # struct-max per brand
@@ -620,8 +623,42 @@ _SHUFFLE_BUDGET = {
     "multimodal_wav_markers": 0,
     # --- round 11: graph / similarity ---
     "graph_motif_ffl": 3,           # edges checkpointed; motif joins
-    "graph_degree_tail": 2,         # df agg + top-20 window
+    "graph_degree_tail": 2,         # df agg + parallel top-20 (no window)
     "sim_mips_transform": 1,        # corpus never shuffles; top-k window
+    # --- round 12: SQL DML router (receipts are 1-row checkpoints) ---
+    "format_sql_merge": 0,
+    "format_sql_update": 0,
+    "format_sql_delete": 0,
+    "format_sql_insert": 0,
+    # --- round 12: agreement / reliability statistics ---
+    "agg_ccc": 1,                   # one moment aggregate
+    "agg_icc": 4,                   # group agg + 1-row total + terms
+    "agg_partial_correlation": 1,   # one moment aggregate
+    "agg_vif": 1,                   # one moment aggregate
+    "agg_effect_sizes": 4,          # group agg + 1-row total + terms
+    "agg_youden_j": 4,              # bucket agg + bounded-domain scan
+    "agg_cumulative_gains": 6,      # cents max + band agg + cum window
+    # --- round 12: time series ---
+    "ts_mase": 2,                   # daily agg + per-type lag windows
+    "ts_pettitt": 2,                # daily agg + partitioned windows
+    "ts_ema_crossover": 2,          # daily agg + per-type array fold
+    # --- round 12: text / retrieval eval ---
+    "text_mrr": 2,                  # per-source window + 1-row mean
+    "text_wer": 2,                  # hyp re-assembly + per-lang mean
+    "text_lang_vocab_overlap": 7,   # vocab distinct + bounded pair joins
+    "text_rank_turbulence": 5,      # rank table checkpointed once
+    # --- round 12: graph / similarity ---
+    "graph_2hop_reach": 5,          # residue-bounded joins + topk
+    "sim_ivf_balance": 2,           # cell assign + bounded histogram
+    # --- round 12: sources / multimodal (row-local parse chains) ---
+    "source_srec": 0,
+    "source_fasta": 0,
+    "source_mbox": 0,
+    "multimodal_png_text": 0,
+    "multimodal_ttf": 0,
+    "multimodal_id3": 0,
+    # --- round 12: scalar ---
+    "scalar_base58": 2,             # one distinct + final aggregate
 }
 
 
@@ -641,6 +678,39 @@ def test_shuffle_budget(stats_planner, sf_dir, name):
 def test_topk_never_global_sorts(stats_planner, sf_dir, name):
     plan = _final_plan(catalog.QUERIES[name](stats_planner, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_degree_tail_has_no_global_window(stats_planner, sf_dir):
+    """Round-12 fix of the round-11 perf-weak mark: the top-20 tail
+    selection must be TakeOrderedAndProject (parallel partial top-k),
+    NEVER a row_number() over an unpartitioned window — which would
+    move the entire data-proportional word-frequency table to one
+    task."""
+    plan = _final_plan(
+        catalog.QUERIES["graph_degree_tail"](stats_planner, sf_dir)
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, (
+        f"graph_degree_tail regained a window:\n{plan}"
+    )
+
+
+def test_pareto_front_is_two_phase(stats_planner, sf_dir):
+    """Round-12 fix of the round-11 perf-weak mark: the skyline must
+    run the standard two-phase shape — a PARTITIONED (hash-bucketed)
+    window computing local fronts in parallel, and only the merged
+    candidate set crossing the one single-partition boundary.  An
+    unpartitioned window directly over the distinct-price domain
+    would show as a SinglePartition exchange feeding the FIRST window
+    with no hash-partitioned window anywhere."""
+    plan = _final_plan(
+        catalog.QUERIES["window_pareto_front"](stats_planner, sf_dir)
+    )
+    assert plan.count("Window") == 2, plan
+    # phase 1 runs under a hash partitioning on the bucket column
+    assert re.search(r"Exchange hashpartitioning\(b#", plan), plan
+    # exactly one global boundary — the merge of local fronts
+    assert plan.count("Exchange SinglePartition") == 1, plan
 
 
 def _t_events(spark, sf_dir):

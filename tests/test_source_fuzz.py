@@ -130,6 +130,15 @@ def _targets(tmp):
         schema, [(1, "x"), (2, "y")]
     )
 
+    from table_streaming_source_spark.sources import fasta_file, srec_file
+
+    yield "parse_srec", srec_file.parse_srec, srec_file.synth_srec(5).encode()
+    yield (
+        "parse_fasta",
+        fasta_file.parse_fasta,
+        fasta_file.synth_fasta(5).encode(),
+    )
+
 
 class _ParseHang(Exception):
     pass
@@ -146,6 +155,7 @@ _NAMES = [
     "qp_decode", "parse_message", "mbox_messages", "parse_ics",
     "parse_footer", "pdf_page_texts", "pb_decode_fields", "sqlite_rows",
     "parse_warc", "xlsx_records", "decode_ocf",
+    "parse_srec", "parse_fasta",
 ]
 
 

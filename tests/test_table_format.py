@@ -3312,8 +3312,15 @@ def test_format_tail_partitions_fan_out_per_file(spark, tmp_path):
     reader = CommitLogStreamReader(schema, {"path": path})
     parts = reader.partitions({"version": 0}, {"version": 2})
     assert len(parts) == 4                       # 3 files + 1 file
-    rows = [row for p in parts for row in reader.read(p)]
-    assert sorted(r[0] for r in rows) == list(range(70))
+    # read() yields ARROW RecordBatches (the round-12 vectorized
+    # boundary) — one per file
+    ks = [
+        k
+        for p in parts
+        for batch in reader.read(p)
+        for k in batch.column("k").to_pylist()
+    ]
+    assert sorted(ks) == list(range(70))
     # the maintenance compaction introduces no partitions (one empty
     # placeholder keeps Spark's >=1-partition rule)
     maint = reader.partitions({"version": 2}, {"version": 3})
@@ -3425,7 +3432,7 @@ def test_compact_binpack_noop_and_stream_silence(spark, tmp_path):
     schema = StructType().add("k", LongType()).add("v", DoubleType())
     reader = CommitLogStreamReader(schema, {"path": path})
     parts = reader.partitions({"version": 3}, {"version": 4})
-    assert [row for p in parts for row in reader.read(p)] == []
+    assert [b for p in parts for b in reader.read(p)] == []
     assert TF.read_table(spark, path).count() == 340
 
 
@@ -3699,10 +3706,11 @@ def test_format_tail_rate_limit_caps_commits_per_batch(spark, tmp_path):
         span = end["version"] - start["version"]
         assert span <= 2
         for p in reader.partitions(start, end):
-            rows.extend(reader.read(p))
+            for batch in reader.read(p):
+                rows.extend(batch.column("k").to_pylist())
         start = end
     assert windows == 3
-    assert sorted(r[0] for r in rows) == list(range(60))
+    assert sorted(rows) == list(range(60))
     # restart recovery: a FRESH reader that never saw initialOffset
     # admits everything on its first window (the documented Delta
     # behavior), then caps again
