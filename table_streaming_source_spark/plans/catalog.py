@@ -422,6 +422,38 @@ the burstiness CV), ``dq_sequence_gaps`` (the monotonic-ID
 ingestion-completeness audit — gap count/volume/widest from one
 ordered window), and ``ts_seasonality_strength`` (Hyndman's F_s
 against day-of-week means) — 19 backlog entries, 538 catalog total.
+
+Round-12 rotation (LANDED — this is the current window): the 2
+cross-round sentinels + ALL 19 round-12-backlog entries (restoring
+100% lifetime official coverage) + ALL 29 round-12 additions =
+exactly 50.  Every windowed entry was verified strict-dtype at
+sf0.01 AND sf0.1 at round-12 HEAD (50/50 + 50/50, AFTER this round's
+code landed) before ``_PRIORITY`` was edited.  The 29 additions: the
+SQL-text DML front door (``format_sql_merge``, ``format_sql_update``,
+``format_sql_delete``, ``format_sql_insert`` — `sources/format_sql.py`
+routing MERGE/UPDATE/DELETE/INSERT/OPTIMIZE/VACUUM/DESCRIBE-HISTORY
+text onto the existing commit functions, with WHERE-text range
+extraction feeding manifest pruning), an agreement/reliability
+battery (``agg_ccc`` Lin's concordance, ``agg_icc`` ICC(1,1),
+``agg_partial_correlation``, ``agg_vif``, ``agg_effect_sizes``
+η²/ω²/ε², ``agg_youden_j`` ROC operating point), time series
+(``ts_mase``, ``ts_pettitt`` in the exact-integer rank form,
+``ts_ema_crossover`` via the holt-fold machinery,
+``agg_cumulative_gains``), retrieval/corpus eval (``text_mrr``,
+``text_wer`` via sorted-vocab char mapping + levenshtein,
+``text_lang_vocab_overlap``, ``text_rank_turbulence`` Dodds RTD),
+graph/similarity (``graph_2hop_reach``, ``sim_ivf_balance`` the
+λ imbalance factor), sources (``source_srec`` checksum-verified
+Motorola S-records, ``source_fasta``, ``source_mbox`` over mime.py's
+mboxrd framing), multimodal (``multimodal_png_text`` CRC-verified
+tEXt/zTXt/iTXt, ``multimodal_ttf`` sfnt directory+checksums,
+``multimodal_id3`` syncsafe v2.3 frames), streaming
+(``streaming_sql_insert_tail`` — router INSERTs draining through the
+Arrow-batch tail, ``streaming_tail_schema_evolution`` — unified
+footers + null backfill), and ``scalar_base58`` (pure-SQL
+encode/decode round trip).  After this window lands: 567 catalog
+entries, 567/567 with DuckDB oracles, zero rows-only; the round-13
+backlog is EMPTY.
 """
 
 from __future__ import annotations
@@ -445,76 +477,79 @@ _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 #: names pinned into the driver's 50-entry correctness window, in order.
-#: Round-11 rotation: 2 cross-round sentinels + ALL 48 round-11
-#: additions = exactly 50 (the round-10 drain left the backlog EMPTY,
-#: so this window is pure new coverage).  EVERY windowed entry was
+#: Round-12 rotation: 2 cross-round sentinels + ALL 19 round-12-backlog
+#: entries (the round-11 additions past that round's filled window —
+#: certifying them restores 100% lifetime official coverage) + ALL 29
+#: round-12 additions = exactly 50.  EVERY windowed entry was
 #: strict-dtype oracle-verified at sf0.01 AND sf0.1 at this round's
-#: HEAD (50/50 + 50/50) BEFORE this tuple was edited.  Once this
-#: window lands, ALL 471 pre-round-11 entries keep their official
-#: rows AND the 48 round-11 additions get theirs in the same window —
-#: the certification queue stays drained; the round-12 backlog is
-#: empty.
+#: HEAD (50/50 + 50/50, AFTER the round-12 code landed — the SQL DML
+#: router, the Arrow-batch tail with unified footers, the two-phase
+#: skyline / TakeOrderedAndProject degree-tail fixes, and the
+#: persistent-catalog path normalization) BEFORE this tuple was
+#: edited.  Once this window lands the certification queue is drained
+#: again: the round-13 backlog is EMPTY.
 _PRIORITY: tuple[str, ...] = (
     # cross-round regression sentinels (driver-green every prior round)
     "flagship_enrichment",
     "dedup_minhash_lsh",
-    # --- round-11: table-format front door + maintenance (6) ---
-    "format_sql_read",
-    "format_binpack_compaction",
-    "format_bloom_pruning",
-    "format_replace_where",
-    "streaming_binpack_silence",
-    "streaming_tail_rate_limit",
-    # --- round-11: experiment / inference statistics (12) ---
-    "agg_jarque_bera",
-    "agg_durbin_watson",
-    "agg_grubbs",
-    "agg_cuped",
-    "agg_srm",
-    "agg_power_two_proportions",
-    "agg_bradley_terry",
-    "agg_gamma_moments",
-    "agg_lognormal_fit",
-    "agg_tukey_hsd",
-    "agg_smape",
-    "agg_kendall_tau",
-    # --- round-11: time series / windows (5) ---
-    "ts_vwap",
-    "ts_rsi_cutler",
-    "ts_lag_correlation",
-    "ts_hurst",
-    "window_pareto_front",
-    # --- round-11: SQL surface / scalar (3) ---
-    "sql_try_arithmetic",
-    "scalar_semver",
-    "scalar_time_bucket",
-    # --- round-11: DQ / pipeline (4) ---
-    "dq_cross_field",
-    "dq_volume_anomaly",
-    "pipeline_dataset_diff",
-    "pipeline_quality_routing",
-    # --- round-11: text / LLM-eval (7) ---
-    "text_rake_keywords",
-    "text_calibration_ece",
-    "text_pass_at_k",
-    "text_sentence_stats",
-    "text_markdown_strip",
-    "text_code_detect",
-    "text_slop_score",
-    # --- round-11: sources (3) ---
-    "source_properties",
-    "source_toml",
-    "source_rss",
-    # --- round-11: multimodal (5) ---
-    "multimodal_pcx",
-    "multimodal_sniff",
-    "multimodal_ass_subtitles",
-    "multimodal_cur",
-    "multimodal_wav_markers",
-    # --- round-11: graph / similarity (3) ---
-    "graph_motif_ffl",
-    "graph_degree_tail",
-    "sim_mips_transform",
+    # --- round-12 backlog: the 19 uncertified round-11 additions ---
+    "format_update_where",
+    "format_history",
+    "format_changes_sql",
+    "streaming_update_cdf",
+    "ts_granger_1lag",
+    "ts_theil_u2",
+    "ts_interarrival",
+    "ts_seasonality_strength",
+    "agg_mcc",
+    "agg_negative_binomial",
+    "dq_sequence_gaps",
+    "graph_rich_club",
+    "text_heaps_law",
+    "text_mattr",
+    "window_ratio_to_report",
+    "scalar_ulid",
+    "source_arff",
+    "source_intel_hex",
+    "multimodal_dds_meta",
+    # --- round-12: SQL-text DML front door (4) ---
+    "format_sql_merge",
+    "format_sql_update",
+    "format_sql_delete",
+    "format_sql_insert",
+    # --- round-12: agreement / reliability statistics (6) ---
+    "agg_ccc",
+    "agg_icc",
+    "agg_partial_correlation",
+    "agg_vif",
+    "agg_effect_sizes",
+    "agg_youden_j",
+    # --- round-12: time series / gains (4) ---
+    "ts_mase",
+    "ts_pettitt",
+    "ts_ema_crossover",
+    "agg_cumulative_gains",
+    # --- round-12: text / retrieval eval (4) ---
+    "text_mrr",
+    "text_wer",
+    "text_lang_vocab_overlap",
+    "text_rank_turbulence",
+    # --- round-12: graph / similarity (2) ---
+    "graph_2hop_reach",
+    "sim_ivf_balance",
+    # --- round-12: sources (3) ---
+    "source_srec",
+    "source_fasta",
+    "source_mbox",
+    # --- round-12: multimodal (3) ---
+    "multimodal_png_text",
+    "multimodal_ttf",
+    "multimodal_id3",
+    # --- round-12: streaming (2) ---
+    "streaming_sql_insert_tail",
+    "streaming_tail_schema_evolution",
+    # --- round-12: scalar (1) ---
+    "scalar_base58",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"
