@@ -9719,3 +9719,320 @@ def id3_meta(
             )
 
     return df.mapInPandas(batches, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# round-13 backlog: GIF comment-extension walk and ANI animated-cursor
+# (RIFF 'ACON') composition over the existing CUR decoder.
+# ---------------------------------------------------------------------------
+
+
+def synth_gif_comments(key: int) -> bytes:
+    """Minimal GIF89a carrying ``1 + key % 3`` COMMENT extensions
+    (0x21 0xFE) — the first one longer than 255 bytes so the
+    sub-block framing is exercised — around a 1×1 image block with
+    the canonical minimal LZW stream."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 1, 1, 0, 0, 0)  # LSD, no GCT
+    for j in range(1 + key % 3):
+        text = f"comment {j} key {key}".encode()
+        if j == 0:
+            text += b"x" * (250 + key % 20)
+        out += b"\x21\xfe"
+        for off in range(0, len(text), 255):
+            chunk = text[off : off + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    # image descriptor + canonical 1-pixel LZW stream
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0)
+    out += b"\x02\x02\x44\x01\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _gif_comments_one(payload: bytes) -> dict:
+    """Walk the GIF block structure (extensions, image blocks skipped
+    through their sub-block framing) collecting COMMENT extensions.
+    Malformed bytes raise ValueError (quarantine)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad signature")
+    if len(payload) < 13:
+        raise ValueError("gif: truncated screen descriptor")
+    flags = payload[10]
+    pos = 13
+    if flags & 0x80:  # global color table
+        pos += 3 * (2 << (flags & 0x07))
+    n_comments = 0
+    comment_chars = 0
+    n_images = 0
+    while True:
+        if pos >= len(payload):
+            raise ValueError("gif: missing trailer")
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            if pos >= len(payload):
+                raise ValueError("gif: truncated extension label")
+            label = payload[pos]
+            pos += 1
+            data = bytearray()
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("gif: truncated sub-block")
+                n = payload[pos]
+                pos += 1
+                if n == 0:
+                    break
+                chunk = payload[pos : pos + n]
+                if len(chunk) != n:
+                    raise ValueError("gif: short sub-block")
+                data += chunk
+                pos += n
+            if label == 0xFE:
+                n_comments += 1
+                comment_chars += len(data)
+        elif b == 0x2C:  # image descriptor
+            if pos + 9 > len(payload):
+                raise ValueError("gif: truncated image descriptor")
+            iflags = payload[pos + 8]
+            pos += 9
+            if iflags & 0x80:  # local color table
+                pos += 3 * (2 << (iflags & 0x07))
+            if pos >= len(payload):
+                raise ValueError("gif: truncated LZW code size")
+            pos += 1  # LZW min code size
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("gif: truncated image data")
+                n = payload[pos]
+                pos += 1
+                if n == 0:
+                    break
+                if pos + n > len(payload):
+                    raise ValueError("gif: short image sub-block")
+                pos += n
+            n_images += 1
+        else:
+            raise ValueError(f"gif: unknown block {b:#x}")
+    return {
+        "n_comments": n_comments,
+        "comment_chars": comment_chars,
+        "n_images": n_images,
+    }
+
+
+def attach_gif_comments_payload(df: DataFrame, key: str) -> DataFrame:
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_gif_comments(int(k)) for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def gif_comment_stats(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Per-image GIF comment-extension stats — the metadata walk
+    beside the pixel decoders (`gif_frames`/`gif_pixels`): comment
+    counts and volume through the sub-block framing.  Arrow-batched,
+    zero shuffles; malformed bytes quarantine."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("n_comments", IntegerType(), False),
+            StructField("comment_chars", LongType(), False),
+            StructField("n_images", IntegerType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {f.name: [] for f in schema.fields}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                m = _gif_comments_one(bytes(payload))
+                rows["key"].append(int(k))
+                for nm in ("n_comments", "comment_chars", "n_images"):
+                    rows[nm].append(m[nm])
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "n_comments": pd.Series(
+                        rows["n_comments"], dtype="int32"
+                    ),
+                    "comment_chars": pd.Series(
+                        rows["comment_chars"], dtype="int64"
+                    ),
+                    "n_images": pd.Series(
+                        rows["n_images"], dtype="int32"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=schema)
+
+
+def synth_ani(key: int) -> bytes:
+    """RIFF 'ACON' animated cursor (public Windows format): the
+    36-byte 'anih' header (nFrames = nSteps = ``1 + key % 3``,
+    iDispRate = ``5 + key % 10`` jiffies), then LIST 'fram' whose
+    'icon' chunks are complete CUR files (`synth_cur(key + i)`)."""
+    n = 1 + key % 3
+    anih = struct.pack(
+        "<IIIIIIIII", 36, n, n, 0, 0, 0, 0, 5 + key % 10, 1
+    )
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    icons = b"".join(
+        chunk(b"icon", synth_cur(key + i)) for i in range(n)
+    )
+    fram = b"LIST" + struct.pack("<I", 4 + len(icons)) + b"fram" + icons
+    body = b"ACON" + chunk(b"anih", anih) + fram
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _ani_one(payload: bytes) -> dict:
+    """Walk the RIFF 'ACON' structure: anih header fields, each
+    LIST-fram 'icon' chunk decoded through the CUR decoder
+    (`_cur_one`).  Malformed bytes raise ValueError (quarantine)."""
+    if payload[:4] != b"RIFF" or len(payload) < 12:
+        raise ValueError("ani: not a RIFF file")
+    (total,) = struct.unpack_from("<I", payload, 4)
+    if 8 + total > len(payload):
+        raise ValueError("ani: RIFF size out of bounds")
+    if payload[8:12] != b"ACON":
+        raise ValueError("ani: not an ACON form")
+    pos = 12
+    end = 8 + total
+    n_frames = n_steps = disp_rate = None
+    hotspot_sum = 0
+    xor_sum = 0
+    n_icons = 0
+    while pos + 8 <= end:
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        data = payload[pos + 8 : pos + 8 + size]
+        if len(data) != size:
+            raise ValueError(f"ani: truncated chunk {tag!r}")
+        if tag == b"anih":
+            if size != 36:
+                raise ValueError(f"ani: anih size {size} != 36")
+            cb, nf, ns = struct.unpack_from("<III", data, 0)
+            if cb != 36:
+                raise ValueError("ani: anih cbSize mismatch")
+            (rate,) = struct.unpack_from("<I", data, 28)
+            n_frames, n_steps, disp_rate = nf, ns, rate
+        elif tag == b"LIST" and data[:4] == b"fram":
+            ipos = 4
+            while ipos + 8 <= len(data):
+                itag = data[ipos : ipos + 4]
+                (isize,) = struct.unpack_from("<I", data, ipos + 4)
+                idata = data[ipos + 8 : ipos + 8 + isize]
+                if len(idata) != isize:
+                    raise ValueError("ani: truncated icon chunk")
+                if itag == b"icon":
+                    _w, _h, hx, hy, xsum = _cur_one(idata)
+                    hotspot_sum += hx + hy
+                    xor_sum += xsum
+                    n_icons += 1
+                ipos += 8 + isize + (isize % 2)
+        pos += 8 + size + (size % 2)
+    if n_frames is None:
+        raise ValueError("ani: missing anih header")
+    if n_icons != n_frames:
+        raise ValueError(
+            f"ani: anih declares {n_frames} frames, saw {n_icons} icons"
+        )
+    return {
+        "n_frames": n_frames,
+        "n_steps": n_steps,
+        "disp_rate": disp_rate,
+        "hotspot_sum": hotspot_sum,
+        "xor_sum": xor_sum,
+    }
+
+
+def attach_ani_payload(df: DataFrame, key: str) -> DataFrame:
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [synth_ani(int(k)) for k in pdf[key]],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def ani_meta(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Per-file ANI animated-cursor metadata — the RIFF composition
+    over the CUR decoder: frame/step counts, display rate, and the
+    per-frame hotspot/XOR rollups.  Arrow-batched, zero shuffles."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("n_frames", IntegerType(), False),
+            StructField("n_steps", IntegerType(), False),
+            StructField("disp_rate", IntegerType(), False),
+            StructField("hotspot_sum", LongType(), False),
+            StructField("xor_sum", LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {f.name: [] for f in schema.fields}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                m = _ani_one(bytes(payload))
+                rows["key"].append(int(k))
+                for nm in (
+                    "n_frames", "n_steps", "disp_rate", "hotspot_sum",
+                    "xor_sum",
+                ):
+                    rows[nm].append(m[nm])
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "n_frames": pd.Series(
+                        rows["n_frames"], dtype="int32"
+                    ),
+                    "n_steps": pd.Series(rows["n_steps"], dtype="int32"),
+                    "disp_rate": pd.Series(
+                        rows["disp_rate"], dtype="int32"
+                    ),
+                    "hotspot_sum": pd.Series(
+                        rows["hotspot_sum"], dtype="int64"
+                    ),
+                    "xor_sum": pd.Series(rows["xor_sum"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=schema)

@@ -1491,3 +1491,60 @@ def nn_descent_round(
         .filter(F.col("knn_rank") <= k)
         .select(key, "neighbor_id", "knn_rank", "cos_sim")
     )
+
+
+def pq_distortion(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Per-subspace PQ QUANTIZATION DISTORTION — the reconstruction
+    MSE of the chosen (nearest) codeword per subspace, the standard
+    diagnostic for whether a codebook fits the data (Jégou et al.
+    2011 report exactly this curve when choosing m/k): a subspace
+    whose MSE is an outlier needs more codewords or a rotation.
+
+    The per-vector error IS the encode step's min distance, so this
+    costs one broadcast codebook join + a (key, subspace) struct-min
+    + one m-bounded rollup — identical plan shape to
+    :func:`pq_encode`; distances integer-scaled (``_PQ_SCALE``) so
+    the rollup is exact across engines."""
+    subdim = dim // m
+    cb = _codebook_df(df, m, k, subdim)
+    subs = _subvectors(df, vec_col, key, key, m, subdim)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("__sub"),
+            F.col("cw"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    best = (
+        subs.join(F.broadcast(cb), "subspace")
+        .select(
+            F.col(key),
+            "subspace",
+            F.round(d2 * _PQ_SCALE).cast("long").alias("d"),
+        )
+        .groupBy(key, "subspace")
+        .agg(F.min("d").alias("d"))
+    )
+    return best.groupBy("subspace").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum("d").cast("bigint").alias("sum_scaled_d2"),
+    ).select(
+        "subspace",
+        "n_vectors",
+        "sum_scaled_d2",
+        F.round(
+            F.col("sum_scaled_d2")
+            / (F.col("n_vectors") * F.lit(float(_PQ_SCALE))),
+            9,
+        ).alias("mse"),
+    )

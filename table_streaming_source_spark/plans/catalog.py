@@ -453,7 +453,30 @@ Arrow-batch tail, ``streaming_tail_schema_evolution`` — unified
 footers + null backfill), and ``scalar_base58`` (pure-SQL
 encode/decode round trip).  After this window lands: 567 catalog
 entries, 567/567 with DuckDB oracles, zero rows-only; the round-13
-backlog is EMPTY.
+backlog is EMPTY at rotation time.
+
+Round-13 rotation backlog — 17 entries built AFTER the round-12
+window filled (each strict-dtype oracle-verified at sf0.001, sf0.01
+AND sf0.1 at round-12 HEAD): ``format_sql_ref_read`` (SQL reads of a
+BRANCH through the temp-view ``ref`` option, main advanced
+explicitly once refs exist), ``streaming_sql_update_cdf`` (the SQL
+router's UPDATE draining through the CDF stream),
+``agg_cmh`` (Cochran–Mantel–Haenszel pooled OR + χ²),
+``agg_tost_equivalence`` (Schuirmann's two one-sided Welch tests),
+``agg_hellinger`` (Bhattacharyya/Hellinger between weekday/weekend
+type distributions), ``ts_page_hinkley`` (drift detection as pure
+prefix sums), ``dq_monotonicity`` (per-user ingestion-order
+timestamp audit), ``graph_adamic_adar`` (1/ln-degree-weighted link
+prediction), ``text_keyword_burstiness`` (Fano factor of per-doc
+counts for the top-df words), ``sim_pq_distortion`` (per-subspace PQ
+reconstruction MSE — `operators/similarity.py::pq_distortion`),
+``dedup_minhash_cardinality`` (16-signature Jaccard estimate vs the
+exact index), ``multimodal_gif_comments`` (0x21/0xFE sub-block
+walk), ``multimodal_ani`` (RIFF ACON composition over the CUR
+decoder), and four sources — ``source_m3u``, ``source_wkt``
+(shoelace/segment geometry), ``source_vcf`` (Ts/Tv + INFO parse),
+``source_pcap`` (byte-order-detected capture walk) — 584 catalog
+total, 584/584 with oracles, zero rows-only.
 """
 
 from __future__ import annotations

@@ -24123,3 +24123,1085 @@ ORACLES["scalar_base58"] = _b58_oracle()
 
 
 QUERIES_DEFERRED.update({"scalar_base58": q_scalar_base58})
+
+
+# --------------------------------------------------------------------------
+# round-13 backlog: built and oracle-verified in round 12, awaiting their
+# official window row.  Engine surface: SQL branch reads; stratified /
+# equivalence / distributional statistics; drift detection; monotonicity
+# audits; weighted link prediction.
+# --------------------------------------------------------------------------
+
+
+def q_format_sql_ref_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL reads of a BRANCH through the temp-view front door
+    (`sources/format_batch.py` ``ref`` option — the Iceberg
+    branch-read surface reaching SQL): main and an ``audit`` branch
+    diverge after a shared base; two views over the same root read
+    each lineage independently, and the four aggregates pin that
+    neither sees the other's commits."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+    from table_streaming_source_spark.sources.format_batch import (
+        register_table_format,
+    )
+
+    path = _scratch.scratch_dir("format_sqlref", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    TF.commit_append(                                                # v1
+        spark, path, o.filter(k % 3 == 0).coalesce(1),
+        stat_cols=["o_orderkey"],
+    )
+    TF.create_branch(path, "audit", at=1)
+    # once refs exist, "main" is a pinned pointer — advance it
+    # EXPLICITLY (a bare append would advance only the linear head)
+    TF.commit_append(                                                # main
+        spark, path, o.filter(k % 3 == 1).coalesce(1),
+        stat_cols=["o_orderkey"], branch="main",
+    )
+    TF.commit_append(                                                # audit
+        spark, path, o.filter(k % 3 == 2).coalesce(1),
+        stat_cols=["o_orderkey"], branch="audit",
+    )
+    register_table_format(spark)
+    main_v = f"fsqlref_main_{_scratch.deterministic_tag(sf_dir)}"
+    audit_v = f"fsqlref_audit_{_scratch.deterministic_tag(sf_dir)}"
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW {main_v} "
+        f"USING table_format OPTIONS (path '{path}', ref 'main')"
+    )
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW {audit_v} "
+        f"USING table_format OPTIONS (path '{path}', ref 'audit')"
+    )
+    result = spark.sql(
+        f"""
+        SELECT
+          (SELECT COUNT(*) FROM {main_v}) AS main_rows,
+          (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) FROM {main_v}) AS main_cents,
+          (SELECT COUNT(*) FROM {audit_v}) AS audit_rows,
+          (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) FROM {audit_v}) AS audit_cents
+        """
+    ).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(main_v)
+    spark.catalog.dropTempView(audit_v)
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_sql_ref_read"] = """
+SELECT
+  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 IN (0, 1))
+    AS main_rows,
+  (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+          AS BIGINT) FROM orders WHERE o_orderkey % 3 IN (0, 1))
+    AS main_cents,
+  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 IN (0, 2))
+    AS audit_rows,
+  (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+          AS BIGINT) FROM orders WHERE o_orderkey % 3 IN (0, 2))
+    AS audit_cents
+"""
+
+
+def q_agg_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Mantel–Haenszel stratified association (the pooled
+    2×2 analysis controlling for a confounder — THE epidemiology /
+    experimentation standard beside the single-table odds ratio):
+    strata = order priority, exposure = even order key, outcome =
+    finished status; Mantel–Haenszel pooled OR and the CMH χ²
+    (continuity-uncorrected), per-stratum terms
+    rounded-then-decimal-summed."""
+    o = t(spark, sf_dir, "orders")
+    cells = o.groupBy("o_orderpriority").agg(
+        F.sum(
+            F.when(
+                (F.col("o_orderkey") % 2 == 0)
+                & (F.col("o_orderstatus") == "F"), 1
+            ).otherwise(0)
+        ).alias("a"),
+        F.sum(
+            F.when(
+                (F.col("o_orderkey") % 2 == 0)
+                & (F.col("o_orderstatus") != "F"), 1
+            ).otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when(
+                (F.col("o_orderkey") % 2 != 0)
+                & (F.col("o_orderstatus") == "F"), 1
+            ).otherwise(0)
+        ).alias("c"),
+        F.sum(
+            F.when(
+                (F.col("o_orderkey") % 2 != 0)
+                & (F.col("o_orderstatus") != "F"), 1
+            ).otherwise(0)
+        ).alias("d"),
+    )
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")) \
+        .cast("double")
+    terms = cells.select(
+        F.round(F.col("a") * F.col("d") / n, 9)
+        .cast("decimal(18,9)").alias("t_ad"),
+        F.round(F.col("b") * F.col("c") / n, 9)
+        .cast("decimal(18,9)").alias("t_bc"),
+        F.col("a").cast("long").alias("a"),
+        F.round(
+            (F.col("a") + F.col("b")) * (F.col("a") + F.col("c")) / n,
+            9,
+        ).cast("decimal(18,9)").alias("t_e"),
+        F.round(
+            (F.col("a") + F.col("b")) * (F.col("c") + F.col("d"))
+            * (F.col("a") + F.col("c")) * (F.col("b") + F.col("d"))
+            / (n * n * (n - 1)),
+            9,
+        ).cast("decimal(18,9)").alias("t_v"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("t_ad").cast("double").alias("s_ad"),
+        F.sum("t_bc").cast("double").alias("s_bc"),
+        F.sum("a").alias("s_a"),
+        F.sum("t_e").cast("double").alias("s_e"),
+        F.sum("t_v").cast("double").alias("s_v"),
+    )
+    dev = F.col("s_a") - F.col("s_e")
+    return agg.select(
+        F.col("k").cast("bigint").alias("k_strata"),
+        F.round(F.col("s_ad") / F.col("s_bc"), 9).alias("or_mh"),
+        F.round(dev * dev / F.col("s_v"), 9).alias("cmh_chi2"),
+    )
+
+
+ORACLES["agg_cmh"] = """
+WITH cells AS (
+  SELECT o_orderpriority,
+    SUM(CASE WHEN o_orderkey % 2 = 0 AND o_orderstatus = 'F'
+             THEN 1 ELSE 0 END) AS a,
+    SUM(CASE WHEN o_orderkey % 2 = 0 AND o_orderstatus <> 'F'
+             THEN 1 ELSE 0 END) AS b,
+    SUM(CASE WHEN o_orderkey % 2 <> 0 AND o_orderstatus = 'F'
+             THEN 1 ELSE 0 END) AS c,
+    SUM(CASE WHEN o_orderkey % 2 <> 0 AND o_orderstatus <> 'F'
+             THEN 1 ELSE 0 END) AS d
+  FROM orders GROUP BY o_orderpriority
+),
+terms AS (
+  SELECT
+    CAST(ROUND(a*d / CAST(a+b+c+d AS DOUBLE), 9) AS DECIMAL(18,9))
+      AS t_ad,
+    CAST(ROUND(b*c / CAST(a+b+c+d AS DOUBLE), 9) AS DECIMAL(18,9))
+      AS t_bc,
+    a,
+    CAST(ROUND((a+b)*(a+c) / CAST(a+b+c+d AS DOUBLE), 9)
+      AS DECIMAL(18,9)) AS t_e,
+    CAST(ROUND((a+b)*(c+d)*(a+c)*(b+d)
+      / (CAST(a+b+c+d AS DOUBLE) * CAST(a+b+c+d AS DOUBLE)
+         * (a+b+c+d-1)), 9) AS DECIMAL(18,9)) AS t_v
+  FROM cells
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS k_strata,
+  ROUND(CAST(SUM(t_ad) AS DOUBLE) / CAST(SUM(t_bc) AS DOUBLE), 9)
+    AS or_mh,
+  ROUND((SUM(a) - CAST(SUM(t_e) AS DOUBLE))
+        * (SUM(a) - CAST(SUM(t_e) AS DOUBLE))
+        / CAST(SUM(t_v) AS DOUBLE), 9) AS cmh_chi2
+FROM terms
+"""
+
+
+def q_agg_tost_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TOST equivalence testing (Schuirmann 1987 — two one-sided
+    Welch tests proving two groups are the SAME within ±δ, the thing
+    a plain t-test can never conclude): even vs odd order keys on
+    totalprice, δ = 5000; both t statistics and the z-critical
+    (1.645) verdict from one exact-moment aggregate."""
+    o = t(spark, sf_dir, "orders")
+    g = o.select(
+        (F.col("o_orderkey") % 2 == 0).alias("grp"),
+        F.col("o_totalprice").alias("x"),
+    )
+    m = g.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
+        .alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,6)"))
+        .cast("double").alias("ss"),
+    )
+    a = m.filter("grp").select(
+        F.col("n").alias("n1"), F.col("s").alias("s1"),
+        F.col("ss").alias("ss1"),
+    )
+    b = m.filter("NOT grp").select(
+        F.col("n").alias("n2"), F.col("s").alias("s2"),
+        F.col("ss").alias("ss2"),
+    )
+    j = a.crossJoin(b)
+    m1, m2 = F.col("s1") / F.col("n1"), F.col("s2") / F.col("n2")
+    v1 = (F.col("ss1") - F.col("s1") * m1) / (F.col("n1") - 1)
+    v2 = (F.col("ss2") - F.col("s2") * m2) / (F.col("n2") - 1)
+    se = F.sqrt(v1 / F.col("n1") + v2 / F.col("n2"))
+    diff = m1 - m2
+    delta = F.lit(5000.0)
+    t_lo = (diff + delta) / se
+    t_hi = (delta - diff) / se
+    return j.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(diff, 9).alias("diff"),
+        F.round(se, 9).alias("se"),
+        F.round(t_lo, 9).alias("t_lower"),
+        F.round(t_hi, 9).alias("t_upper"),
+        F.when((t_lo > 1.645) & (t_hi > 1.645), 1).otherwise(0)
+        .cast("int").alias("equivalent"),
+    )
+
+
+ORACLES["agg_tost_equivalence"] = """
+WITH m AS (
+  SELECT o_orderkey % 2 = 0 AS grp, COUNT(*) AS n,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS s,
+    CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6)))
+      AS DOUBLE) AS ss
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT a.n AS n1, a.s AS s1, a.ss AS ss1,
+         b.n AS n2, b.s AS s2, b.ss AS ss2
+  FROM m a, m b WHERE a.grp AND NOT b.grp
+),
+c AS (
+  SELECT n1, n2, (s1/n1 - s2/n2) AS diff,
+    SQRT(((ss1 - s1*(s1/n1)) / (n1-1)) / n1
+         + ((ss2 - s2*(s2/n2)) / (n2-1)) / n2) AS se
+  FROM j
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+  ROUND(diff, 9) AS diff, ROUND(se, 9) AS se,
+  ROUND((diff + 5000.0) / se, 9) AS t_lower,
+  ROUND((5000.0 - diff) / se, 9) AS t_upper,
+  CAST(CASE WHEN (diff + 5000.0) / se > 1.645
+             AND (5000.0 - diff) / se > 1.645
+            THEN 1 ELSE 0 END AS INT) AS equivalent
+FROM c
+"""
+
+
+def q_agg_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger distance / Bhattacharyya coefficient between the
+    weekday and weekend event-type distributions (the bounded-[0,1]
+    distribution-shift metric beside PSI/JS — preferred when bins can
+    be empty, since it needs no smoothing): BC = Σ√(pᵢqᵢ) with terms
+    rounded-then-decimal-summed, H = √(1−BC)."""
+    e = t(spark, sf_dir, "events")
+    tagged = e.select(
+        "event_type",
+        F.dayofweek("ts").isin(1, 7).alias("weekend"),
+    )
+    counts = tagged.groupBy("event_type").agg(
+        F.sum(F.when(~F.col("weekend"), 1).otherwise(0)).alias("wd"),
+        F.sum(F.when(F.col("weekend"), 1).otherwise(0)).alias("we"),
+    )
+    tot = counts.agg(
+        F.sum("wd").alias("n_wd"), F.sum("we").alias("n_we")
+    )
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            F.sqrt(
+                (F.col("wd") / F.col("n_wd"))
+                * (F.col("we") / F.col("n_we"))
+            ),
+            9,
+        ).cast("decimal(18,9)").alias("t")
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("t").cast("double").alias("bc"),
+    )
+    return agg.select(
+        F.col("k").cast("bigint").alias("n_types"),
+        F.round(F.col("bc"), 9).alias("bhattacharyya"),
+        F.round(F.sqrt(1 - F.col("bc")), 9).alias("hellinger"),
+    )
+
+
+ORACLES["agg_hellinger"] = """
+WITH counts AS (
+  SELECT event_type,
+    SUM(CASE WHEN DAYOFWEEK(ts) + 1 IN (1, 7) THEN 0 ELSE 1 END)
+      AS wd,
+    SUM(CASE WHEN DAYOFWEEK(ts) + 1 IN (1, 7) THEN 1 ELSE 0 END)
+      AS we
+  FROM events GROUP BY event_type
+),
+tot AS (SELECT SUM(wd) AS n_wd, SUM(we) AS n_we FROM counts),
+terms AS (
+  SELECT CAST(ROUND(SQRT((wd / CAST(n_wd AS DOUBLE))
+                         * (we / CAST(n_we AS DOUBLE))), 9)
+              AS DECIMAL(18,9)) AS t
+  FROM counts, tot
+),
+agg AS (
+  SELECT COUNT(*) AS k, CAST(SUM(t) AS DOUBLE) AS bc FROM terms
+)
+SELECT CAST(k AS BIGINT) AS n_types,
+  ROUND(bc, 9) AS bhattacharyya,
+  ROUND(SQRT(1 - bc), 9) AS hellinger
+FROM agg
+"""
+
+
+def q_ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley drift detection (Page 1954; the streaming
+    change-detector Gama et al. popularized for concept drift) on
+    each event type's daily series: cumulate x_t − x̄_t − δ against
+    the running mean (δ=1), PH = max−min of the cumulative path —
+    entirely prefix sums over the calendar-bounded daily grain, terms
+    rounded to 6 dp then decimal-cumulated so the path is exact."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"),
+            6,
+        ).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    run = daily.select(
+        "event_type",
+        "day",
+        "x",
+        (
+            F.sum(F.col("x").cast("decimal(28,6)")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("double")
+            / F.row_number().over(w)
+        ).alias("xbar"),
+    )
+    cum = run.select(
+        "event_type",
+        F.sum(
+            F.round(F.col("x") - F.col("xbar") - 1.0, 6)
+            .cast("decimal(28,6)")
+        ).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("double").alias("u"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.max("u") - F.min("u"), 6).alias("ph_range"),
+    )
+
+
+ORACLES["ts_page_hinkley"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+           AS x
+  FROM events GROUP BY 1, 2
+),
+run AS (
+  SELECT event_type, day, x,
+    CAST(SUM(CAST(x AS DECIMAL(28,6)))
+         OVER (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+      / ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+      AS xbar
+  FROM daily
+),
+cum AS (
+  SELECT event_type,
+    CAST(SUM(CAST(ROUND(x - xbar - 1.0, 6) AS DECIMAL(28,6)))
+         OVER (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS u
+  FROM run
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+  ROUND(MAX(u) - MIN(u), 6) AS ph_range
+FROM cum GROUP BY event_type
+"""
+
+
+def q_dq_monotonicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonicity audit (the ingestion-order invariant beside
+    dq_sequence_gaps: within each user, event timestamps must not
+    run backwards when replayed in event_id order — out-of-order
+    rows break watermark assumptions downstream): one partitioned
+    lag window counts adjacent regressions and their total
+    backwards drift in microseconds."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    lagged = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+    ).select(
+        "user_id",
+        "us",
+        F.lag("us").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    flagged = lagged.select(
+        "user_id",
+        F.when(F.col("us") < F.col("prev"), 1).otherwise(0)
+        .alias("viol"),
+        F.when(
+            F.col("us") < F.col("prev"), F.col("prev") - F.col("us")
+        ).otherwise(F.lit(0)).alias("drift"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("viol").cast("bigint").alias("n_violations"),
+        F.sum("drift").cast("bigint").alias("total_drift_us"),
+        F.count_distinct(
+            F.when(F.col("viol") == 1, F.col("user_id"))
+        ).cast("bigint").alias("n_users_violating"),
+    )
+
+
+ORACLES["dq_monotonicity"] = """
+WITH lagged AS (
+  SELECT user_id,
+    EPOCH_US(ts) AS us,
+    LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
+      AS prev
+  FROM events
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(CASE WHEN us < prev THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_violations,
+  CAST(COALESCE(SUM(CASE WHEN us < prev THEN prev - us END), 0)
+    AS BIGINT) AS total_drift_us,
+  CAST(COUNT(DISTINCT CASE WHEN us < prev THEN user_id END)
+    AS BIGINT) AS n_users_violating
+FROM lagged WHERE prev IS NOT NULL
+"""
+
+
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction (Adamic & Adar 2003 — common
+    neighbors weighted by 1/ln(degree), so RARE shared neighbors
+    count more; the third classic score beside the common-neighbor /
+    Jaccard pair in graph_link_prediction): residue-bounded bipartite
+    edges, per-item weights from one tiny degree aggregate,
+    top-10 pairs via TakeOrderedAndProject."""
+    o = t(spark, sf_dir, "orders")
+    edges = (
+        o.select(
+            (F.col("o_custkey") % 211).alias("u"),
+            (F.col("o_orderkey") % 101).alias("it"),
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("it").agg(F.count(F.lit(1)).alias("d"))
+    weighted = edges.join(
+        F.broadcast(deg.filter(F.col("d") >= 2)), "it"
+    ).select(
+        "u",
+        "it",
+        F.round(1 / F.log(F.col("d").cast("double")), 9)
+        .cast("decimal(18,9)").alias("w"),
+    )
+    b = weighted.select(
+        F.col("u").alias("v"), F.col("it").alias("it2"),
+        F.col("w").alias("w2"),
+    )
+    pairs = (
+        weighted.join(
+            b, (F.col("it") == F.col("it2")) & (F.col("u") < F.col("v"))
+        )
+        .groupBy("u", "v")
+        .agg(
+            F.sum("w").cast("double").alias("aa_raw"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+    )
+    return pairs.orderBy(
+        F.desc("aa_raw"), F.asc("u"), F.asc("v")
+    ).limit(10).select(
+        F.col("u").cast("bigint").alias("u"),
+        F.col("v").cast("bigint").alias("v"),
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.round("aa_raw", 9).alias("adamic_adar"),
+    )
+
+
+ORACLES["graph_adamic_adar"] = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey % 211 AS u, o_orderkey % 101 AS it
+  FROM orders
+),
+deg AS (
+  SELECT it, COUNT(*) AS d FROM edges GROUP BY it HAVING COUNT(*) >= 2
+),
+weighted AS (
+  SELECT e.u, e.it,
+         CAST(ROUND(1 / LN(CAST(d.d AS DOUBLE)), 9) AS DECIMAL(18,9))
+           AS w
+  FROM edges e JOIN deg d USING (it)
+),
+pairs AS (
+  SELECT a.u, b.u AS v,
+         CAST(SUM(a.w) AS DOUBLE) AS aa_raw, COUNT(*) AS n_common
+  FROM weighted a JOIN weighted b
+    ON a.it = b.it AND a.u < b.u
+  GROUP BY a.u, b.u
+)
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+  CAST(n_common AS BIGINT) AS n_common,
+  ROUND(aa_raw, 9) AS adamic_adar
+FROM pairs
+ORDER BY aa_raw DESC, u ASC, v ASC LIMIT 10
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "format_sql_ref_read": q_format_sql_ref_read,
+        "agg_cmh": q_agg_cmh,
+        "agg_tost_equivalence": q_agg_tost_equivalence,
+        "agg_hellinger": q_agg_hellinger,
+        "ts_page_hinkley": q_ts_page_hinkley,
+        "dq_monotonicity": q_dq_monotonicity,
+        "graph_adamic_adar": q_graph_adamic_adar,
+    }
+)
+
+
+def q_text_keyword_burstiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Keyword burstiness via the Fano factor (index of dispersion of
+    per-document counts — Church & Gale 1995's observation that
+    content words are BURSTY while function words are Poisson-like;
+    the signal keyword extractors use to separate the two): the 5
+    highest-df words, population var/mean of their per-doc counts
+    with zero-docs included through the corpus total."""
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    ).filter(F.length("word") > 0).groupBy("word", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    df_top = (
+        counts.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("word"))
+        .limit(5)
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    per_word = counts.join(F.broadcast(df_top), "word").groupBy(
+        "word", "df"
+    ).agg(
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+    ).crossJoin(F.broadcast(n_docs))
+    mean = F.col("sc") / F.col("nd")
+    var = F.col("sc2") / F.col("nd") - mean * mean
+    return per_word.select(
+        "word",
+        F.col("df").cast("bigint").alias("df"),
+        F.round(var / mean, 9).alias("fano"),
+    )
+
+
+ORACLES["text_keyword_burstiness"] = """
+WITH counts AS (
+  SELECT w.word, doc_id, COUNT(*) AS c
+  FROM (
+    SELECT doc_id,
+      STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ')
+        AS tk
+    FROM documents
+  ), UNNEST(tk) AS w(word)
+  WHERE LEN(w.word) > 0
+  GROUP BY w.word, doc_id
+),
+df_top AS (
+  SELECT word, COUNT(*) AS df FROM counts GROUP BY word
+  ORDER BY df DESC, word ASC LIMIT 5
+),
+nd AS (SELECT COUNT(*) AS nd FROM documents),
+per_word AS (
+  SELECT c.word, t.df, SUM(c.c) AS sc, SUM(c.c * c.c) AS sc2
+  FROM counts c JOIN df_top t USING (word)
+  GROUP BY c.word, t.df
+)
+SELECT word, CAST(df AS BIGINT) AS df,
+  ROUND((CAST(sc2 AS DOUBLE)/nd - (CAST(sc AS DOUBLE)/nd)
+         * (CAST(sc AS DOUBLE)/nd))
+        / (CAST(sc AS DOUBLE)/nd), 9) AS fano
+FROM per_word, nd
+"""
+
+
+def q_sim_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ quantization distortion
+    (`operators/similarity.py::pq_distortion` — the reconstruction-MSE
+    curve Jégou et al. 2011 use to size m/k): the chosen code's
+    squared error per subspace, integer-scaled so the rollup is
+    engine-exact; an outlier subspace means the codebook underfits
+    that slice of the embedding."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.pq_distortion(emb, m=8, k=16, dim=64)
+
+
+ORACLES["sim_pq_distortion"] = f"""
+WITH {_pq_cb_sql()},
+{_PQ_ENCODE_CORE.format(corpus_filter="")},
+best AS (
+  SELECT vec_id, subspace, MIN(d) AS d
+  FROM scored GROUP BY vec_id, subspace
+)
+SELECT subspace, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+  CAST(SUM(d) AS BIGINT) AS sum_scaled_d2,
+  ROUND(SUM(d) / (COUNT(*) * 1000000000.0), 9) AS mse
+FROM best GROUP BY subspace
+"""
+
+
+def q_dedup_minhash_cardinality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash JACCARD ESTIMATION ERROR (Broder 1997 — the matching
+    min-signature probability IS the Jaccard index): 16 md5-seeded
+    min-signatures over the en/de vocabularies, Ĵ = matches/16
+    against the exact |∩|/|∪| — the calibration check every
+    signature-width choice in the dedup family rests on."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "de")
+    )
+    # the distinct vocabulary is domain-bounded and consumed four
+    # times (hashing, both size lookups, the exact intersection) —
+    # checkpoint once so the explode+distinct doesn't re-execute
+    vocab = docs.select(
+        "lang",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("word"),
+    ).filter(F.length("word") > 0).distinct().localCheckpoint(
+        eager=True
+    )
+    k = 16
+    hashed = vocab.select(
+        "lang",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(k)])
+        ).alias("seed"),
+        "word",
+    ).select(
+        "lang",
+        "seed",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("seed").cast("string"),
+                        F.lit(":"),
+                        F.col("word"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long").alias("h"),
+    )
+    sigs = hashed.groupBy("lang", "seed").agg(F.min("h").alias("m"))
+    en = sigs.filter("lang = 'en'").select("seed", F.col("m").alias("me"))
+    de = sigs.filter("lang = 'de'").select("seed", F.col("m").alias("md"))
+    matches = en.join(de, "seed").agg(
+        F.sum(
+            F.when(F.col("me") == F.col("md"), 1).otherwise(0)
+        ).alias("eq")
+    )
+    sizes = vocab.groupBy("lang").agg(F.count(F.lit(1)).alias("nv"))
+    na = sizes.filter("lang = 'en'").select(F.col("nv").alias("na"))
+    nb = sizes.filter("lang = 'de'").select(F.col("nv").alias("nb"))
+    inter = (
+        vocab.filter("lang = 'en'").select("word")
+        .join(vocab.filter("lang = 'de'").select("word"), "word")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    j = matches.crossJoin(F.broadcast(na)).crossJoin(
+        F.broadcast(nb)
+    ).crossJoin(F.broadcast(inter))
+    exact = F.col("ni") / (
+        F.col("na") + F.col("nb") - F.col("ni")
+    ).cast("double")
+    est = F.col("eq") / F.lit(float(k))
+    return j.select(
+        F.col("na").cast("bigint").alias("n_en"),
+        F.col("nb").cast("bigint").alias("n_de"),
+        F.round(exact, 9).alias("j_exact"),
+        F.round(est, 9).alias("j_est"),
+        F.round(F.abs(est - exact), 9).alias("abs_err"),
+    )
+
+
+ORACLES["dedup_minhash_cardinality"] = """
+WITH vocab AS (
+  SELECT DISTINCT lang, w.word
+  FROM (
+    SELECT lang,
+      STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ')
+        AS tk
+    FROM documents WHERE lang IN ('en', 'de')
+  ), UNNEST(tk) AS w(word)
+  WHERE LEN(w.word) > 0
+),
+hashed AS (
+  SELECT lang, s.seed,
+    CAST('0x' || SUBSTR(MD5(s.seed || ':' || word), 1, 15) AS BIGINT)
+      AS h
+  FROM vocab, UNNEST(RANGE(0, 16)) AS s(seed)
+),
+sigs AS (SELECT lang, seed, MIN(h) AS m FROM hashed GROUP BY 1, 2),
+matches AS (
+  SELECT SUM(CASE WHEN e.m = d.m THEN 1 ELSE 0 END) AS eq
+  FROM sigs e JOIN sigs d USING (seed)
+  WHERE e.lang = 'en' AND d.lang = 'de'
+),
+sizes AS (SELECT lang, COUNT(*) AS nv FROM vocab GROUP BY lang),
+inter AS (
+  SELECT COUNT(*) AS ni
+  FROM (SELECT word FROM vocab WHERE lang = 'en') a
+  JOIN (SELECT word FROM vocab WHERE lang = 'de') b USING (word)
+)
+SELECT
+  CAST((SELECT nv FROM sizes WHERE lang = 'en') AS BIGINT) AS n_en,
+  CAST((SELECT nv FROM sizes WHERE lang = 'de') AS BIGINT) AS n_de,
+  ROUND(ni / CAST((SELECT nv FROM sizes WHERE lang = 'en')
+        + (SELECT nv FROM sizes WHERE lang = 'de') - ni AS DOUBLE), 9)
+    AS j_exact,
+  ROUND(eq / 16.0, 9) AS j_est,
+  ROUND(ABS(eq / 16.0
+    - ni / CAST((SELECT nv FROM sizes WHERE lang = 'en')
+          + (SELECT nv FROM sizes WHERE lang = 'de') - ni AS DOUBLE)),
+    9) AS abs_err
+FROM matches, inter
+"""
+
+
+def q_multimodal_gif_comments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GIF comment-extension walk (`operators/multimodal.py::
+    _gif_comments_one` — 0x21 0xFE blocks through the sub-block
+    framing, with one comment spanning multiple 255-byte sub-blocks;
+    image blocks skipped structurally): counts and volume recover
+    the closed-form synth layout."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 6 == 5
+    )
+    return M.gif_comment_stats(
+        M.attach_gif_comments_payload(docs, "doc_id")
+    )
+
+
+ORACLES["multimodal_gif_comments"] = """
+SELECT doc_id AS key,
+  CAST(1 + doc_id % 3 AS INT) AS n_comments,
+  CAST((1 + doc_id % 3)
+       * (14 + LENGTH(CAST(doc_id AS VARCHAR)))
+       + 250 + doc_id % 20 AS BIGINT) AS comment_chars,
+  CAST(1 AS INT) AS n_images
+FROM documents WHERE doc_id % 6 = 5
+"""
+
+
+def q_multimodal_ani(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANI animated-cursor walk (`operators/multimodal.py::_ani_one`
+    — RIFF 'ACON' with the 36-byte anih header and LIST-fram 'icon'
+    chunks, each a complete CUR decoded through `_cur_one`): frame
+    counts, display rate, and hotspot/XOR rollups recover the synth
+    formulas."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 9 == 2
+    )
+    return M.ani_meta(M.attach_ani_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_ani"] = """
+WITH base AS (
+  SELECT doc_id, 1 + doc_id % 3 AS n FROM documents
+  WHERE doc_id % 9 = 2
+),
+frames AS (
+  SELECT doc_id, n, i.i,
+         (doc_id + i.i) % 4 + ((doc_id + i.i) // 4) % 4 AS hs
+  FROM base, UNNEST(RANGE(0, n)) AS i(i)
+),
+xors AS (
+  SELECT f.doc_id,
+         SUM(((f.doc_id + f.i) * 7 + p.px) % 256) AS xsum
+  FROM frames f, UNNEST(RANGE(0, 64)) AS p(px)
+  GROUP BY f.doc_id
+)
+SELECT f.doc_id AS key, CAST(f.n AS INT) AS n_frames,
+  CAST(f.n AS INT) AS n_steps,
+  CAST(5 + f.doc_id % 10 AS INT) AS disp_rate,
+  CAST(SUM(f.hs) AS BIGINT) AS hotspot_sum,
+  CAST(MAX(x.xsum) AS BIGINT) AS xor_sum
+FROM frames f JOIN xors x USING (doc_id)
+GROUP BY f.doc_id, f.n
+"""
+
+
+def q_source_m3u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3U playlist ingestion (`sources/m3u_playlist.py` — #EXTM3U
+    framing, EXTINF→path binding, plain tracks and comments mixed
+    in): per-playlist track counts and durations — closed-form from
+    the synth formulas."""
+    from table_streaming_source_spark.sources.m3u_playlist import (
+        m3u_rows,
+        synth_m3u,
+    )
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+    import pandas as _pd
+
+    schema = StructType([
+        StructField("key", LongType(), False),
+        StructField("m3u", StringType(), False),
+    ])
+
+    def attach(it):
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "key": pdf["key"].astype("int64"),
+                    "m3u": [synth_m3u(int(k)) for k in pdf["key"]],
+                }
+            )
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 6)
+        .select(F.col("doc_id").alias("key"))
+        .mapInPandas(attach, schema=schema)
+    )
+    return m3u_rows(d)
+
+
+ORACLES["source_m3u"] = """
+WITH base AS (
+  SELECT doc_id, 2 + doc_id % 4 AS n FROM documents
+  WHERE doc_id % 7 = 6
+),
+tracks AS (
+  SELECT doc_id, n, 120 + (doc_id * 7 + i.i * 13) % 240 AS dur
+  FROM base, UNNEST(RANGE(0, n)) AS i(i)
+)
+SELECT doc_id AS key, CAST(n + 1 AS INT) AS n_tracks,
+  CAST(SUM(dur) AS BIGINT) AS total_duration,
+  CAST(MAX(dur) AS INT) AS max_duration,
+  CAST(n AS INT) AS n_ext
+FROM tracks GROUP BY doc_id, n
+"""
+
+
+def q_source_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT geometry ingestion (`sources/wkt_geom.py` — OGC Simple
+    Features text subset: SHOELACE polygon area, segment-sum
+    linestring length, point coordinates): the synth geometries are
+    axis-aligned integer shapes, so every output is exactly the
+    closed form."""
+    from table_streaming_source_spark.sources.wkt_geom import (
+        synth_wkt,
+        wkt_rows,
+    )
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+    import pandas as _pd
+
+    schema = StructType([
+        StructField("key", LongType(), False),
+        StructField("wkt", StringType(), False),
+    ])
+
+    def attach(it):
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "key": pdf["key"].astype("int64"),
+                    "wkt": [synth_wkt(int(k)) for k in pdf["key"]],
+                }
+            )
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select(F.col("doc_id").alias("key"))
+        .mapInPandas(attach, schema=schema)
+    )
+    return wkt_rows(d)
+
+
+ORACLES["source_wkt"] = """
+WITH base AS (
+  SELECT doc_id, 1 + doc_id % 3 AS nsteps FROM documents
+  WHERE doc_id % 7 = 0
+),
+steps AS (
+  SELECT doc_id, nsteps, 1 + (doc_id + i.i) % 4 AS step
+  FROM base, UNNEST(RANGE(0, nsteps)) AS i(i)
+)
+SELECT doc_id AS key,
+  CAST((1 + doc_id % 5) * (1 + doc_id % 3) AS DOUBLE) AS poly_area,
+  CAST(SUM(step) AS DOUBLE) AS line_len,
+  CAST(nsteps + 1 AS INT) AS n_line_points,
+  CAST(doc_id % 13 + doc_id % 11 AS DOUBLE) AS point_xy_sum
+FROM steps GROUP BY doc_id, nsteps
+"""
+
+
+def q_source_vcf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VCF variant ingestion (`sources/vcf_file.py` — meta lines,
+    #CHROM header, INFO key=value parsing, Ts/Tv classification):
+    per-file variant counts, transition/transversion split, DP and
+    QUAL rollups — closed-form from the synth's residue formulas
+    (ALT offset 2 ⇔ transition ⇔ (key+i) % 3 = 1)."""
+    from table_streaming_source_spark.sources.vcf_file import (
+        synth_vcf,
+        vcf_rows,
+    )
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+    import pandas as _pd
+
+    schema = StructType([
+        StructField("key", LongType(), False),
+        StructField("vcf", StringType(), False),
+    ])
+
+    def attach(it):
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "key": pdf["key"].astype("int64"),
+                    "vcf": [synth_vcf(int(k)) for k in pdf["key"]],
+                }
+            )
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 1)
+        .select(F.col("doc_id").alias("key"))
+        .mapInPandas(attach, schema=schema)
+    )
+    return vcf_rows(d)
+
+
+ORACLES["source_vcf"] = """
+WITH base AS (
+  SELECT doc_id, 3 + doc_id % 4 AS n FROM documents
+  WHERE doc_id % 7 = 1
+),
+vars_ AS (
+  SELECT doc_id, n, i.i,
+         CASE WHEN (doc_id + i.i) % 3 = 1 THEN 1 ELSE 0 END AS is_ts,
+         10 + (doc_id + i.i * 13) % 50 AS dp,
+         30 + (doc_id + i.i) % 40 AS q
+  FROM base, UNNEST(RANGE(0, n)) AS i(i)
+)
+SELECT doc_id AS key, CAST(n AS INT) AS n_variants,
+  CAST(SUM(is_ts) AS INT) AS n_transitions,
+  CAST(SUM(1 - is_ts) AS INT) AS n_transversions,
+  CAST(SUM(dp) AS BIGINT) AS sum_dp,
+  CAST(SUM(q) AS BIGINT) AS qual_sum
+FROM vars_ GROUP BY doc_id, n
+"""
+
+
+def q_source_pcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """libpcap capture ingestion (`sources/pcap_file.py` — byte-order
+    detection from the magic, version check, per-record framing with
+    snaplen/usec validation): per-capture packet counts, byte
+    volume/sum and the capture time span — closed-form from the
+    synth formulas."""
+    from table_streaming_source_spark.sources.pcap_file import (
+        pcap_rows,
+        synth_pcap,
+    )
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+    import pandas as _pd
+
+    schema = StructType([
+        StructField("key", LongType(), False),
+        StructField("pcap", BinaryType(), False),
+    ])
+
+    def attach(it):
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "key": pdf["key"].astype("int64"),
+                    "pcap": [synth_pcap(int(k)) for k in pdf["key"]],
+                }
+            )
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 9 == 4)
+        .select(F.col("doc_id").alias("key"))
+        .mapInPandas(attach, schema=schema)
+    )
+    return pcap_rows(d)
+
+
+ORACLES["source_pcap"] = """
+WITH base AS (
+  SELECT doc_id, 2 + doc_id % 4 AS n FROM documents
+  WHERE doc_id % 9 = 4
+),
+pkts AS (
+  SELECT doc_id, n, i.i, 20 + (doc_id + i.i * 3) % 30 AS len
+  FROM base, UNNEST(RANGE(0, n)) AS i(i)
+),
+bytes_ AS (
+  SELECT p.doc_id, SUM((p.doc_id + p.i * 7 + j.j) % 256) AS bsum
+  FROM pkts p, UNNEST(RANGE(0, p.len)) AS j(j)
+  GROUP BY p.doc_id
+)
+SELECT p.doc_id AS key, CAST(p.n AS INT) AS n_packets,
+  CAST(SUM(p.len) AS BIGINT) AS total_bytes,
+  CAST(MAX(b.bsum) AS BIGINT) AS byte_sum,
+  CAST(1700000000 AS BIGINT) AS first_ts_sec,
+  CAST((p.n - 1) * 1000000
+       + (p.doc_id * 1000 + (p.n - 1) * 17) % 1000000
+       - (p.doc_id * 1000) % 1000000 AS BIGINT) AS span_usec
+FROM pkts p JOIN bytes_ b USING (doc_id)
+GROUP BY p.doc_id, p.n
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "text_keyword_burstiness": q_text_keyword_burstiness,
+        "sim_pq_distortion": q_sim_pq_distortion,
+        "dedup_minhash_cardinality": q_dedup_minhash_cardinality,
+        "multimodal_gif_comments": q_multimodal_gif_comments,
+        "multimodal_ani": q_multimodal_ani,
+        "source_m3u": q_source_m3u,
+        "source_wkt": q_source_wkt,
+        "source_vcf": q_source_vcf,
+        "source_pcap": q_source_pcap,
+    }
+)

@@ -3142,3 +3142,90 @@ FROM orders
 QUERIES_DEFERRED["streaming_tail_schema_evolution"] = (
     q_streaming_tail_schema_evolution
 )
+
+
+def q_streaming_sql_update_cdf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SQL-text router's UPDATE draining through the STREAMING
+    change feed: ``format_sql("UPDATE t SET ... WHERE ...")`` stages
+    the pre/post images as change-data sidecars (the Delta CDC-file
+    technique in `commit_update_where`), and the CDF stream emits
+    them verbatim between the surrounding appends' inserts — the SQL
+    front door and the streaming consumers see ONE consistent change
+    history."""
+    from table_streaming_source_spark import table_format as TF
+    from table_streaming_source_spark.sources.format_sql import (
+        format_sql,
+    )
+    from table_streaming_source_spark.streaming.format_cdf import (
+        register_format_cdf,
+    )
+
+    path = _scratch.scratch_dir("stream_sqlupd", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    TF.commit_append(                                                # v1
+        spark, path,
+        o.repartitionByRange(4, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    format_sql(                                                      # v2
+        spark,
+        "UPDATE t SET o_totalprice = o_totalprice * 3"
+        " WHERE o_orderkey % 89 = 7",
+        tables={"t": path},
+    ).collect()
+    register_format_cdf(spark)
+    stream = (
+        spark.readStream.format("format_cdf").option("path", path).load()
+    )
+    agg = stream.groupBy(
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+    name = f"__stream_sqlupd_{abs(hash(path)) % 10**8}"
+    with _stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(300)
+        finally:
+            query.stop()
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["streaming_sql_update_cdf"] = """
+WITH images AS (
+  SELECT 'insert' AS change_type, 1 AS commit_version,
+         o_totalprice AS p
+  FROM orders
+  UNION ALL
+  SELECT 'update_preimage', 2, o_totalprice FROM orders
+  WHERE o_orderkey % 89 = 7
+  UNION ALL
+  SELECT 'update_postimage', 2, o_totalprice * 3 FROM orders
+  WHERE o_orderkey % 89 = 7
+)
+SELECT change_type, commit_version, COUNT(*) AS n,
+       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM images GROUP BY change_type, commit_version
+"""
+
+
+QUERIES_DEFERRED["streaming_sql_update_cdf"] = (
+    q_streaming_sql_update_cdf
+)

@@ -113,6 +113,8 @@ def _targets():
     yield "png_text_one", M._png_text_one, M.synth_png_text(5)
     yield "ttf_one", M._ttf_one, M.synth_ttf(5)
     yield "id3_one", M._id3_one, M.synth_id3(5)
+    yield "gif_comments_one", M._gif_comments_one, M.synth_gif_comments(5)
+    yield "ani_one", M._ani_one, M.synth_ani(5)
 
 
 class _DecodeHang(Exception):

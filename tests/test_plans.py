@@ -659,6 +659,23 @@ _SHUFFLE_BUDGET = {
     "multimodal_id3": 0,
     # --- round 12: scalar ---
     "scalar_base58": 2,             # one distinct + final aggregate
+    # --- round-13 backlog (built in round 12) ---
+    "format_sql_ref_read": 0,       # 1-row receipt checkpoint
+    "agg_cmh": 2,                   # strata cells + 1-row pooled terms
+    "agg_tost_equivalence": 2,      # two-group moments + cross
+    "agg_hellinger": 4,             # type counts + 1-row totals + terms
+    "ts_page_hinkley": 2,           # daily agg + partitioned prefix sums
+    "dq_monotonicity": 3,           # per-user lag window + one rollup
+    "graph_adamic_adar": 7,         # residue-bounded joins + topk
+    "text_keyword_burstiness": 5,   # counts + top-5 + bounded join
+    "sim_pq_distortion": 2,         # codebook broadcast + m-bounded agg
+    "dedup_minhash_cardinality": 6, # vocab checkpointed once
+    "multimodal_gif_comments": 0,
+    "multimodal_ani": 0,
+    "source_m3u": 0,
+    "source_wkt": 0,
+    "source_vcf": 0,
+    "source_pcap": 0,
 }
 
 

@@ -139,6 +139,18 @@ def _targets(tmp):
         fasta_file.synth_fasta(5).encode(),
     )
 
+    from table_streaming_source_spark.sources import (
+        m3u_playlist,
+        pcap_file,
+        vcf_file,
+        wkt_geom,
+    )
+
+    yield "parse_pcap", pcap_file.parse_pcap, pcap_file.synth_pcap(5)
+    yield "parse_vcf", vcf_file.parse_vcf, vcf_file.synth_vcf(5).encode()
+    yield "parse_wkt", wkt_geom.parse_wkt, wkt_geom.synth_wkt(5).encode()
+    yield "parse_m3u", m3u_playlist.parse_m3u, m3u_playlist.synth_m3u(5).encode()
+
 
 class _ParseHang(Exception):
     pass
@@ -156,6 +168,7 @@ _NAMES = [
     "parse_footer", "pdf_page_texts", "pb_decode_fields", "sqlite_rows",
     "parse_warc", "xlsx_records", "decode_ocf",
     "parse_srec", "parse_fasta",
+    "parse_pcap", "parse_vcf", "parse_wkt", "parse_m3u",
 ]
 
 
