@@ -10036,3 +10036,166 @@ def ani_meta(
             )
 
     return df.mapInPandas(batches, schema=schema)
+
+
+def synth_ico_png(key: int) -> bytes:
+    """Modern .ICO carrying ONE PNG-compressed entry beside one
+    classic DIB entry (Vista+ allows whole PNG files as ICO images —
+    the case a DIB-only reader mis-parses): PNG is
+    ``(8 + key % 8)``×``(8 + key % 8)`` grayscale, DIB is 4×4
+    32-bpp."""
+    side = 8 + key % 8
+    ihdr = _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", side, side, 8, 0, 0, 0, 0)
+    )
+    # one filter byte (0) + `side` gray bytes per row
+    raw = b"".join(
+        b"\x00" + bytes(
+            (key * 3 + y * 7 + x) % 256 for x in range(side)
+        )
+        for y in range(side)
+    )
+    png = (
+        b"\x89PNG\r\n\x1a\n" + ihdr
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    w = h = 4
+    dib_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h * 2, 1, 32, 0, w * h * 4 + h * 4,
+        0, 0, 0, 0,
+    )
+    xor = bytes((key * 5 + px) % 256 for px in range(w * h * 4))
+    dib = dib_hdr + xor + b"\x00\x00\x00\x00" * h
+    off1 = 6 + 16 * 2
+    e1 = struct.pack(
+        "<BBBBHHII", side % 256, side % 256, 0, 0, 1, 8, len(png), off1
+    )
+    e2 = struct.pack(
+        "<BBBBHHII", w, h, 0, 0, 1, 32, len(dib), off1 + len(png)
+    )
+    return struct.pack("<HHH", 0, 1, 2) + e1 + e2 + png + dib
+
+
+def _ico_png_one(payload: bytes) -> dict:
+    """Decode a mixed PNG/DIB icon container: per entry, sniff the
+    PNG signature — PNG entries get a CRC-verified IHDR read, DIB
+    entries the BITMAPINFOHEADER doubled-height check.  Malformed
+    bytes raise ValueError (quarantine)."""
+    if len(payload) < 6:
+        raise ValueError("ico: truncated header")
+    rsv, typ, cnt = struct.unpack_from("<HHH", payload, 0)
+    if rsv != 0 or typ != 1:
+        raise ValueError(f"ico: bad header ({rsv}, {typ})")
+    n_png = n_dib = 0
+    png_px = 0
+    dib_px = 0
+    for i in range(cnt):
+        base = 6 + 16 * i
+        if base + 16 > len(payload):
+            raise ValueError("ico: truncated directory")
+        _w, _h, _pal, _rsv, _p1, _p2, size, off = struct.unpack_from(
+            "<BBBBHHII", payload, base
+        )
+        img = payload[off : off + size]
+        if len(img) != size:
+            raise ValueError("ico: image out of bounds")
+        if img[:8] == b"\x89PNG\r\n\x1a\n":
+            if len(img) < 33 or img[12:16] != b"IHDR":
+                raise ValueError("ico: malformed embedded PNG")
+            (length,) = struct.unpack_from(">I", img, 8)
+            if 16 + length + 4 > len(img):
+                raise ValueError("ico: embedded PNG IHDR out of bounds")
+            data = img[16 : 16 + length]
+            (crc,) = struct.unpack_from(">I", img, 16 + length)
+            if zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF != crc:
+                raise ValueError("ico: embedded PNG IHDR CRC mismatch")
+            pw, ph = struct.unpack_from(">II", data, 0)
+            n_png += 1
+            png_px += pw * ph
+        else:
+            if len(img) < 40 or struct.unpack_from("<I", img)[0] != 40:
+                raise ValueError("ico: bad DIB header")
+            bw, bh2 = struct.unpack_from("<ii", img, 4)
+            if bh2 % 2 != 0:
+                raise ValueError("ico: DIB height not doubled")
+            n_dib += 1
+            dib_px += bw * (bh2 // 2)
+    return {
+        "n_entries": cnt,
+        "n_png": n_png,
+        "n_dib": n_dib,
+        "png_pixels": png_px,
+        "dib_pixels": dib_px,
+    }
+
+
+def attach_ico_png_payload(df: DataFrame, key: str) -> DataFrame:
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_ico_png(int(k)) for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def ico_png_meta(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Per-file mixed PNG/DIB icon metadata — the modern-ICO case
+    (PNG entries sniffed by signature, CRC-verified; DIB entries by
+    the classic doubled-height header).  Arrow-batched, zero
+    shuffles."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("n_entries", IntegerType(), False),
+            StructField("n_png", IntegerType(), False),
+            StructField("n_dib", IntegerType(), False),
+            StructField("png_pixels", LongType(), False),
+            StructField("dib_pixels", LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {f.name: [] for f in schema.fields}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                m = _ico_png_one(bytes(payload))
+                rows["key"].append(int(k))
+                for nm in (
+                    "n_entries", "n_png", "n_dib", "png_pixels",
+                    "dib_pixels",
+                ):
+                    rows[nm].append(m[nm])
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "n_entries": pd.Series(
+                        rows["n_entries"], dtype="int32"
+                    ),
+                    "n_png": pd.Series(rows["n_png"], dtype="int32"),
+                    "n_dib": pd.Series(rows["n_dib"], dtype="int32"),
+                    "png_pixels": pd.Series(
+                        rows["png_pixels"], dtype="int64"
+                    ),
+                    "dib_pixels": pd.Series(
+                        rows["dib_pixels"], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=schema)

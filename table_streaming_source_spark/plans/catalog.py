@@ -455,7 +455,7 @@ encode/decode round trip).  After this window lands: 567 catalog
 entries, 567/567 with DuckDB oracles, zero rows-only; the round-13
 backlog is EMPTY at rotation time.
 
-Round-13 rotation backlog — 17 entries built AFTER the round-12
+Round-13 rotation backlog — 22 entries built AFTER the round-12
 window filled (each strict-dtype oracle-verified at sf0.001, sf0.01
 AND sf0.1 at round-12 HEAD): ``format_sql_ref_read`` (SQL reads of a
 BRANCH through the temp-view ``ref`` option, main advanced
@@ -475,8 +475,16 @@ exact index), ``multimodal_gif_comments`` (0x21/0xFE sub-block
 walk), ``multimodal_ani`` (RIFF ACON composition over the CUR
 decoder), and four sources — ``source_m3u``, ``source_wkt``
 (shoelace/segment geometry), ``source_vcf`` (Ts/Tv + INFO parse),
-``source_pcap`` (byte-order-detected capture walk) — 584 catalog
-total, 584/584 with oracles, zero rows-only.
+``source_pcap`` (byte-order-detected capture walk); a second wave
+adds ``agg_weighted_kappa`` (ordinal inter-rater agreement with
+linear weights — the LLM-judge calibration statistic),
+``scalar_isbn`` (mod-11 + EAN mod-10 check digits in pure SQL),
+``pipeline_stratified_kfold`` (hash-fold CV assignment with the
+per-stratum imbalance audit), ``format_sql_optimize`` (OPTIMIZE +
+VACUUM receipts through the SQL router with the history
+classification), and ``multimodal_ico_png`` (the Vista+ mixed
+PNG/DIB icon container, entries sniffed by signature) — 589 catalog
+total, 589/589 with oracles, zero rows-only.
 """
 
 from __future__ import annotations

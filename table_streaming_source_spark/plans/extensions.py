@@ -25205,3 +25205,342 @@ QUERIES_DEFERRED.update(
         "source_pcap": q_source_pcap,
     }
 )
+
+
+def q_agg_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Cohen's kappa (Cohen 1968 — ordinal inter-rater
+    agreement where NEAR misses count less than far ones; the
+    LLM-judge calibration statistic for 1–5 rating scales):
+    rater 1 = the priority digit, rater 2 = a deterministic shifted
+    rating; linear disagreement weights |i−j|, observed weight exact
+    integer, expected weight from the marginals with
+    rounded-then-decimal-summed terms."""
+    o = t(spark, sf_dir, "orders")
+    # rater 2 is deterministic from the KEY (never from row ids)
+    pairs = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("r1"),
+        (
+            1 + F.pmod(
+                F.substring("o_orderpriority", 1, 1).cast("bigint")
+                + F.col("o_orderkey"),
+                F.lit(5),
+            )
+        ).cast("int").alias("r2"),
+    )
+    # the 5×5 confusion grid is consumed four times (total, both
+    # marginals, observed weight) — checkpoint it once
+    conf = pairs.groupBy("r1", "r2").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=True)
+    n_tot = conf.agg(F.sum("c").alias("n"))
+    row_m = conf.groupBy("r1").agg(F.sum("c").alias("ni"))
+    col_m = conf.groupBy("r2").agg(F.sum("c").alias("mj"))
+    obs = conf.agg(
+        F.sum(
+            F.col("c") * F.abs(F.col("r1") - F.col("r2"))
+        ).alias("obs_w")
+    )
+    grid = row_m.crossJoin(F.broadcast(col_m)).crossJoin(
+        F.broadcast(n_tot)
+    )
+    exp_terms = grid.select(
+        F.round(
+            F.col("ni") * F.col("mj")
+            * F.abs(F.col("r1") - F.col("r2"))
+            / F.col("n").cast("double"),
+            9,
+        ).cast("decimal(28,9)").alias("te")
+    )
+    exp = exp_terms.agg(F.sum("te").cast("double").alias("exp_w"))
+    j = obs.crossJoin(F.broadcast(exp)).crossJoin(F.broadcast(n_tot))
+    return j.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("obs_w").cast("bigint").alias("obs_weight"),
+        F.round(F.col("exp_w"), 9).alias("exp_weight"),
+        F.round(
+            1 - F.col("obs_w") / F.col("exp_w"), 9
+        ).alias("kappa_w"),
+    )
+
+
+ORACLES["agg_weighted_kappa"] = """
+WITH pairs AS (
+  SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS r1,
+         CAST(1 + (CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT)
+                   + o_orderkey) % 5 AS INT) AS r2
+  FROM orders
+),
+conf AS (SELECT r1, r2, COUNT(*) AS c FROM pairs GROUP BY r1, r2),
+n_tot AS (SELECT SUM(c) AS n FROM conf),
+row_m AS (SELECT r1, SUM(c) AS ni FROM conf GROUP BY r1),
+col_m AS (SELECT r2, SUM(c) AS mj FROM conf GROUP BY r2),
+obs AS (SELECT SUM(c * ABS(r1 - r2)) AS obs_w FROM conf),
+exp_terms AS (
+  SELECT CAST(ROUND(ni * mj * ABS(r1 - r2) / CAST(n AS DOUBLE), 9)
+              AS DECIMAL(28,9)) AS te
+  FROM row_m, col_m, n_tot
+),
+expw AS (SELECT CAST(SUM(te) AS DOUBLE) AS exp_w FROM exp_terms)
+SELECT CAST(n AS BIGINT) AS n,
+  CAST(obs_w AS BIGINT) AS obs_weight,
+  ROUND(exp_w, 9) AS exp_weight,
+  ROUND(1 - obs_w / exp_w, 9) AS kappa_w
+FROM obs, expw, n_tot
+"""
+
+
+def q_scalar_isbn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISBN-10 → ISBN-13 conversion with BOTH check-digit systems in
+    pure SQL (the mod-11 weighted sum with its X digit, and the EAN
+    mod-10 alternating 1/3 weights): 9-digit bases from the key
+    domain, the 13-digit form validated by its own checksum — all
+    whole-stage-codegen expressions, the luhn/ulid sibling."""
+    o = t(spark, sf_dir, "orders").select(
+        F.lpad(
+            (F.col("o_orderkey") % 1_000_000_000).cast("string"),
+            9,
+            "0",
+        ).alias("b9")
+    )
+    d = [
+        F.substring("b9", i, 1).cast("int").alias(f"d{i}")
+        for i in range(1, 10)
+    ]
+    base = o.select("b9", *d)
+    s10 = sum(
+        (11 - i) * F.col(f"d{i}") for i in range(1, 10)
+    )
+    c10 = F.pmod(F.lit(11) - F.pmod(s10, F.lit(11)), F.lit(11))
+    isbn13 = F.concat(F.lit("978"), F.col("b9"))
+    d13 = [
+        F.substring(isbn13, i, 1).cast("int") for i in range(1, 13)
+    ]
+    s13 = sum(
+        (1 if i % 2 == 0 else 3) * d13[i] for i in range(12)
+    )
+    c13 = F.pmod(F.lit(10) - F.pmod(s13, F.lit(10)), F.lit(10))
+    full13 = F.concat(isbn13, c13.cast("string"))
+    dfull = [
+        F.substring(full13, i, 1).cast("int") for i in range(1, 14)
+    ]
+    check = sum(
+        (1 if i % 2 == 0 else 3) * dfull[i] for i in range(13)
+    )
+    enc = base.select(
+        full13.alias("isbn13"),
+        c10.alias("c10"),
+        F.pmod(check, F.lit(10)).alias("residue"),
+    )
+    return enc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(
+            F.when(F.col("residue") == 0, 1).otherwise(0)
+        ).cast("bigint").alias("n_valid13"),
+        F.sum(
+            F.when(F.col("c10") == 10, 1).otherwise(0)
+        ).cast("bigint").alias("n_check_x"),
+        F.min("isbn13").alias("min_isbn13"),
+        F.max("isbn13").alias("max_isbn13"),
+    )
+
+
+ORACLES["scalar_isbn"] = """
+WITH base AS (
+  SELECT LPAD(CAST(o_orderkey % 1000000000 AS VARCHAR), 9, '0') AS b9
+  FROM orders
+),
+enc AS (
+  SELECT b9,
+    (11 - (10*CAST(SUBSTRING(b9,1,1) AS INT)
+         + 9*CAST(SUBSTRING(b9,2,1) AS INT)
+         + 8*CAST(SUBSTRING(b9,3,1) AS INT)
+         + 7*CAST(SUBSTRING(b9,4,1) AS INT)
+         + 6*CAST(SUBSTRING(b9,5,1) AS INT)
+         + 5*CAST(SUBSTRING(b9,6,1) AS INT)
+         + 4*CAST(SUBSTRING(b9,7,1) AS INT)
+         + 3*CAST(SUBSTRING(b9,8,1) AS INT)
+         + 2*CAST(SUBSTRING(b9,9,1) AS INT)) % 11) % 11 AS c10,
+    '978' || b9 AS p12
+  FROM base
+),
+thirteen AS (
+  SELECT c10,
+    p12 || CAST((10 - (
+        1*CAST(SUBSTRING(p12,1,1) AS INT)
+      + 3*CAST(SUBSTRING(p12,2,1) AS INT)
+      + 1*CAST(SUBSTRING(p12,3,1) AS INT)
+      + 3*CAST(SUBSTRING(p12,4,1) AS INT)
+      + 1*CAST(SUBSTRING(p12,5,1) AS INT)
+      + 3*CAST(SUBSTRING(p12,6,1) AS INT)
+      + 1*CAST(SUBSTRING(p12,7,1) AS INT)
+      + 3*CAST(SUBSTRING(p12,8,1) AS INT)
+      + 1*CAST(SUBSTRING(p12,9,1) AS INT)
+      + 3*CAST(SUBSTRING(p12,10,1) AS INT)
+      + 1*CAST(SUBSTRING(p12,11,1) AS INT)
+      + 3*CAST(SUBSTRING(p12,12,1) AS INT)) % 10) % 10 AS VARCHAR)
+      AS isbn13
+  FROM enc
+),
+checked AS (
+  SELECT c10, isbn13,
+    (  1*CAST(SUBSTRING(isbn13,1,1) AS INT)
+     + 3*CAST(SUBSTRING(isbn13,2,1) AS INT)
+     + 1*CAST(SUBSTRING(isbn13,3,1) AS INT)
+     + 3*CAST(SUBSTRING(isbn13,4,1) AS INT)
+     + 1*CAST(SUBSTRING(isbn13,5,1) AS INT)
+     + 3*CAST(SUBSTRING(isbn13,6,1) AS INT)
+     + 1*CAST(SUBSTRING(isbn13,7,1) AS INT)
+     + 3*CAST(SUBSTRING(isbn13,8,1) AS INT)
+     + 1*CAST(SUBSTRING(isbn13,9,1) AS INT)
+     + 3*CAST(SUBSTRING(isbn13,10,1) AS INT)
+     + 1*CAST(SUBSTRING(isbn13,11,1) AS INT)
+     + 3*CAST(SUBSTRING(isbn13,12,1) AS INT)
+     + 1*CAST(SUBSTRING(isbn13,13,1) AS INT)) % 10 AS residue
+  FROM thirteen
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN residue = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_valid13,
+  CAST(SUM(CASE WHEN c10 = 10 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_check_x,
+  MIN(isbn13) AS min_isbn13, MAX(isbn13) AS max_isbn13
+FROM checked
+"""
+
+
+def q_pipeline_stratified_kfold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stratified k-fold assignment audit (the cross-validation
+    counterpart of pipeline_dataset_split): folds are a pure md5
+    hash of the key (reproducible across engines/partitionings/
+    reruns), and the audit reports each stratum's fold-size
+    imbalance — the quantity that decides whether per-stratum
+    hashing is balanced enough for CV."""
+    docs = t(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long") % 5
+    )
+    per = docs.select("lang", fold.alias("fold")).groupBy(
+        "lang", "fold"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_folds"),
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.round(
+            F.max("n") / F.min("n").cast("double"), 9
+        ).alias("imbalance"),
+    )
+
+
+ORACLES["pipeline_stratified_kfold"] = """
+WITH per AS (
+  SELECT lang,
+    CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)
+         AS BIGINT) % 5 AS fold,
+    COUNT(*) AS n
+  FROM documents GROUP BY 1, 2
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_folds,
+  CAST(SUM(n) AS BIGINT) AS n_docs,
+  ROUND(MAX(n) / CAST(MIN(n) AS DOUBLE), 9) AS imbalance
+FROM per GROUP BY lang
+"""
+
+
+def q_format_sql_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE and VACUUM through the SQL-text router (the
+    maintenance half of the DML front door): four small-file appends
+    pack into one file via ``OPTIMIZE t`` (bin-packed, maintenance-
+    flagged — DESCRIBE HISTORY classifies it), ``VACUUM t RETAIN 1
+    VERSIONS`` sweeps exactly the four packed-away files, and the MOR
+    aggregate proves maintenance never changed the logical table."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+    from table_streaming_source_spark.sources.format_sql import format_sql
+
+    path = _scratch.scratch_dir("format_sqlo", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    for i in range(4):
+        TF.commit_append(
+            spark, path,
+            o.filter(F.col("o_orderkey") % 4 == i).coalesce(1),
+            stat_cols=["o_orderkey"],
+        )
+    ro = format_sql(spark, "OPTIMIZE t", tables={"t": path}).collect()[0]
+    hist = format_sql(
+        spark, "DESCRIBE HISTORY t", tables={"t": path}
+    )
+    op = hist.orderBy(F.desc("version")).limit(1).collect()[0][
+        "operation"
+    ]
+    rv = format_sql(
+        spark, "VACUUM t RETAIN 1 VERSIONS", tables={"t": path}
+    ).collect()[0]
+    agg = TF.read_table_mor(spark, path).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint").alias("sum_cents"),
+    ).collect()[0]
+    result = spark.createDataFrame(
+        [(
+            ro["operation"], ro["version"], op,
+            rv["files_removed"], rv["files_kept"],
+            agg["n_rows"], agg["sum_cents"],
+        )],
+        "operation string, version bigint, history_op string, "
+        "files_removed bigint, files_kept bigint, n_rows bigint, "
+        "sum_cents bigint",
+    ).localCheckpoint(eager=True)
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_sql_optimize"] = """
+SELECT 'OPTIMIZE' AS operation, CAST(5 AS BIGINT) AS version,
+  'OPTIMIZE' AS history_op,
+  CAST(4 AS BIGINT) AS files_removed, CAST(1 AS BIGINT) AS files_kept,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS sum_cents
+FROM orders
+"""
+
+
+def q_multimodal_ico_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed PNG/DIB icon decode (`operators/multimodal.py::
+    _ico_png_one` — the Vista+ ICO variant embedding whole PNG files,
+    sniffed per entry by signature with a CRC-verified IHDR read,
+    beside a classic doubled-height DIB): entry counts and pixel
+    rollups recover the synth formulas."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 9 == 6
+    )
+    return M.ico_png_meta(M.attach_ico_png_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_ico_png"] = """
+SELECT doc_id AS key, CAST(2 AS INT) AS n_entries,
+  CAST(1 AS INT) AS n_png, CAST(1 AS INT) AS n_dib,
+  CAST((8 + doc_id % 8) * (8 + doc_id % 8) AS BIGINT) AS png_pixels,
+  CAST(16 AS BIGINT) AS dib_pixels
+FROM documents WHERE doc_id % 9 = 6
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "agg_weighted_kappa": q_agg_weighted_kappa,
+        "scalar_isbn": q_scalar_isbn,
+        "pipeline_stratified_kfold": q_pipeline_stratified_kfold,
+        "format_sql_optimize": q_format_sql_optimize,
+        "multimodal_ico_png": q_multimodal_ico_png,
+    }
+)

@@ -115,6 +115,7 @@ def _targets():
     yield "id3_one", M._id3_one, M.synth_id3(5)
     yield "gif_comments_one", M._gif_comments_one, M.synth_gif_comments(5)
     yield "ani_one", M._ani_one, M.synth_ani(5)
+    yield "ico_png_one", M._ico_png_one, M.synth_ico_png(5)
 
 
 class _DecodeHang(Exception):

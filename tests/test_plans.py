@@ -676,6 +676,11 @@ _SHUFFLE_BUDGET = {
     "source_wkt": 0,
     "source_vcf": 0,
     "source_pcap": 0,
+    "agg_weighted_kappa": 6,        # 25-row grid checkpointed once
+    "scalar_isbn": 1,               # row-local digits + one aggregate
+    "pipeline_stratified_kfold": 2, # fold agg + per-lang rollup
+    "format_sql_optimize": 0,       # 1-row receipt checkpoint
+    "multimodal_ico_png": 0,
 }
 
 
