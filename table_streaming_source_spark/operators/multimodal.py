@@ -10199,3 +10199,146 @@ def ico_png_meta(
             )
 
     return df.mapInPandas(batches, schema=schema)
+
+
+def synth_wav_info(key: int) -> bytes:
+    """WAV with a LIST/INFO metadata chunk (the RIFF tagging scheme:
+    INAM title, IART artist, ICMT comment — NUL-terminated,
+    word-aligned), around a minimal fmt + data skeleton."""
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = bytes((key + j) % 256 for j in range(8))
+    def tagval(s: str) -> bytes:
+        return s.encode() + b"\x00"
+
+    info = (
+        b"INFO"
+        + chunk(b"INAM", tagval(f"track {key % 50}"))
+        + chunk(b"IART", tagval(f"artist {key % 9}"))
+        + chunk(b"ICMT", tagval("c" * (3 + key % 6)))
+    )
+    body = (
+        b"WAVE"
+        + chunk(b"fmt ", fmt)
+        + chunk(b"data", data)
+        + chunk(b"LIST", info)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _wav_info_one(payload: bytes) -> dict:
+    """Walk RIFF → LIST/INFO sub-chunks, decoding the NUL-terminated
+    tag strings.  Malformed bytes raise ValueError (quarantine)."""
+    if payload[:4] != b"RIFF" or len(payload) < 12:
+        raise ValueError("wav: not a RIFF file")
+    (total,) = struct.unpack_from("<I", payload, 4)
+    if 8 + total > len(payload):
+        raise ValueError("wav: RIFF size out of bounds")
+    if payload[8:12] != b"WAVE":
+        raise ValueError("wav: not a WAVE form")
+    pos = 12
+    end = 8 + total
+    n_tags = 0
+    name_chars = 0
+    tag_chars = 0
+    saw_fmt = False
+    while pos + 8 <= end:
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        data = payload[pos + 8 : pos + 8 + size]
+        if len(data) != size:
+            raise ValueError(f"wav: truncated chunk {tag!r}")
+        if tag == b"fmt ":
+            if size < 16:
+                raise ValueError("wav: fmt chunk too short")
+            saw_fmt = True
+        elif tag == b"LIST" and data[:4] == b"INFO":
+            ipos = 4
+            while ipos + 8 <= len(data):
+                itag = data[ipos : ipos + 4]
+                (isize,) = struct.unpack_from("<I", data, ipos + 4)
+                idata = data[ipos + 8 : ipos + 8 + isize]
+                if len(idata) != isize:
+                    raise ValueError("wav: truncated INFO tag")
+                if not idata.endswith(b"\x00"):
+                    raise ValueError(
+                        f"wav: INFO tag {itag!r} not NUL-terminated"
+                    )
+                text = idata[:-1].decode("latin-1")
+                n_tags += 1
+                tag_chars += len(text)
+                if itag == b"INAM":
+                    name_chars = len(text)
+                ipos += 8 + isize + (isize % 2)
+        pos += 8 + size + (size % 2)
+    if not saw_fmt:
+        raise ValueError("wav: missing fmt chunk")
+    return {
+        "n_tags": n_tags,
+        "name_chars": name_chars,
+        "tag_chars": tag_chars,
+    }
+
+
+def attach_wav_info_payload(df: DataFrame, key: str) -> DataFrame:
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_wav_info(int(k)) for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def wav_info_tags(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Per-file RIFF LIST/INFO tag metadata (the WAV tagging scheme
+    beside the cue/label markers of `wav_cue_markers`).  Arrow-
+    batched, zero shuffles; malformed bytes quarantine."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("n_tags", IntegerType(), False),
+            StructField("name_chars", IntegerType(), False),
+            StructField("tag_chars", LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {f.name: [] for f in schema.fields}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                m = _wav_info_one(bytes(payload))
+                rows["key"].append(int(k))
+                for nm in ("n_tags", "name_chars", "tag_chars"):
+                    rows[nm].append(m[nm])
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "n_tags": pd.Series(rows["n_tags"], dtype="int32"),
+                    "name_chars": pd.Series(
+                        rows["name_chars"], dtype="int32"
+                    ),
+                    "tag_chars": pd.Series(
+                        rows["tag_chars"], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=schema)

@@ -455,7 +455,7 @@ encode/decode round trip).  After this window lands: 567 catalog
 entries, 567/567 with DuckDB oracles, zero rows-only; the round-13
 backlog is EMPTY at rotation time.
 
-Round-13 rotation backlog — 22 entries built AFTER the round-12
+Round-13 rotation backlog — 27 entries built AFTER the round-12
 window filled (each strict-dtype oracle-verified at sf0.001, sf0.01
 AND sf0.1 at round-12 HEAD): ``format_sql_ref_read`` (SQL reads of a
 BRANCH through the temp-view ``ref`` option, main advanced
@@ -483,8 +483,15 @@ linear weights — the LLM-judge calibration statistic),
 per-stratum imbalance audit), ``format_sql_optimize`` (OPTIMIZE +
 VACUUM receipts through the SQL router with the history
 classification), and ``multimodal_ico_png`` (the Vista+ mixed
-PNG/DIB icon container, entries sniffed by signature) — 589 catalog
-total, 589/589 with oracles, zero rows-only.
+PNG/DIB icon container, entries sniffed by signature); a third wave
+adds ``format_sql_merge_cdc`` (the router's conditional
+``WHEN MATCHED AND cond THEN DELETE`` — the Debezium delete-flag CDC
+shape, per-row op tags through ONE stats-targeted merge),
+``agg_krippendorff_alpha`` (coincidence-matrix reliability),
+``agg_beta_binomial`` (conjugate Bayesian A/B posteriors),
+``ts_croston`` (intermittent-demand forecasting via the exact-fold
+machinery), and ``multimodal_wav_info`` (RIFF LIST/INFO tags) —
+594 catalog total, 594/594 with oracles, zero rows-only.
 """
 
 from __future__ import annotations

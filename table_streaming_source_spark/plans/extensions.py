@@ -25544,3 +25544,372 @@ QUERIES_DEFERRED.update(
         "multimodal_ico_png": q_multimodal_ico_png,
     }
 )
+
+
+def q_format_sql_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL MERGE in the DELETE-FLAG CDC shape (``WHEN MATCHED AND
+    cond THEN DELETE / WHEN MATCHED THEN UPDATE SET * / WHEN NOT
+    MATCHED THEN INSERT *`` — how every Debezium-style feed applies):
+    the router tags each source row 'D' or 'U' from the condition
+    and `commit_merge` applies the whole batch in ONE stats-targeted
+    pass; the MOR aggregate equals the closed-form post-CDC state."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+    from table_streaming_source_spark.sources.format_sql import format_sql
+
+    path = _scratch.scratch_dir("format_sqlcdc", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    TF.commit_append(
+        spark, path, o.coalesce(1), stat_cols=["o_orderkey"]
+    )
+    mx = o.agg(F.max("o_orderkey")).collect()[0][0]
+    src = (
+        o.filter(k % 11 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            (k % 22 == 0).cast("int").alias("is_delete"),
+        )
+        .unionByName(
+            spark.range(1, 4).select(
+                (F.lit(mx) + F.col("id")).alias("o_orderkey"),
+                F.lit(55.55).alias("o_totalprice"),
+                F.lit(0).alias("is_delete"),
+            )
+        )
+    )
+    src.createOrReplaceTempView("fsql_cdc_entry_src")
+    receipt = format_sql(
+        spark,
+        "MERGE INTO t USING fsql_cdc_entry_src AS s"
+        " ON t.o_orderkey = s.o_orderkey"
+        " WHEN MATCHED AND is_delete = 1 THEN DELETE"
+        " WHEN MATCHED THEN UPDATE SET *"
+        " WHEN NOT MATCHED THEN INSERT *",
+        tables={"t": path},
+    ).collect()[0]
+    agg = TF.read_table_mor(spark, path).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint").alias("sum_cents"),
+    ).collect()[0]
+    result = spark.createDataFrame(
+        [(
+            receipt["operation"], receipt["version"],
+            agg["n_rows"], agg["sum_cents"],
+        )],
+        "operation string, version bigint, n_rows bigint, "
+        "sum_cents bigint",
+    ).localCheckpoint(eager=True)
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_sql_merge_cdc"] = """
+WITH state AS (
+  SELECT CASE WHEN o_orderkey % 11 = 0 AND o_orderkey % 22 <> 0
+              THEN o_totalprice * 2 ELSE o_totalprice END AS p
+  FROM orders
+  WHERE NOT (o_orderkey % 22 = 0)
+)
+SELECT 'MERGE' AS operation, CAST(2 AS BIGINT) AS version,
+  CAST(COUNT(*) + 3 AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(ROUND(p * 100) AS BIGINT)) + 3 * 5555 AS BIGINT)
+    AS sum_cents
+FROM state
+"""
+
+
+QUERIES_DEFERRED.update(
+    {"format_sql_merge_cdc": q_format_sql_merge_cdc}
+)
+
+
+def q_agg_krippendorff_alpha(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Krippendorff's alpha, nominal metric, two raters per unit
+    (Krippendorff 2004 — the reliability coefficient that, unlike
+    kappa, generalizes across metrics and missing data; annotation
+    teams report it beside Fleiss/Cohen): α = 1 − D_o/D_e over the
+    coincidence matrix (each unit contributes both ordered pairs);
+    observed disagreement exact integers, expected terms
+    rounded-then-decimal-summed."""
+    o = t(spark, sf_dir, "orders")
+    pairs = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("r1"),
+        (
+            1 + F.pmod(
+                F.substring("o_orderpriority", 1, 1).cast("bigint")
+                + F.col("o_orderkey"),
+                F.lit(5),
+            )
+        ).cast("int").alias("r2"),
+    )
+    # coincidence matrix: both ordered pairs per unit
+    co = pairs.select(
+        F.col("r1").alias("c"), F.col("r2").alias("k")
+    ).unionAll(
+        pairs.select(F.col("r2").alias("c"), F.col("r1").alias("k"))
+    ).groupBy("c", "k").agg(F.count(F.lit(1)).alias("o")) \
+        .localCheckpoint(eager=True)
+    marg = co.groupBy("c").agg(F.sum("o").alias("nc"))
+    tot = marg.agg(F.sum("nc").alias("n"))
+    d_obs = co.filter("c <> k").agg(
+        F.coalesce(F.sum("o"), F.lit(0)).alias("o_diff")
+    )
+    grid = marg.crossJoin(
+        F.broadcast(marg.select(F.col("c").alias("k2"),
+                                F.col("nc").alias("nk")))
+    ).filter(F.col("c") != F.col("k2")).crossJoin(F.broadcast(tot))
+    d_exp = grid.select(
+        F.round(
+            F.col("nc") * F.col("nk")
+            / (F.col("n") * (F.col("n") - 1)).cast("double"),
+            9,
+        ).cast("decimal(18,9)").alias("te")
+    ).agg(F.sum("te").cast("double").alias("de"))
+    j = d_obs.crossJoin(F.broadcast(d_exp)).crossJoin(F.broadcast(tot))
+    return j.select(
+        (F.col("n") / 2).cast("bigint").alias("n_units"),
+        F.round(
+            1 - (F.col("o_diff") / F.col("n").cast("double"))
+            / F.col("de"),
+            9,
+        ).alias("alpha"),
+    )
+
+
+ORACLES["agg_krippendorff_alpha"] = """
+WITH pairs AS (
+  SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS r1,
+         CAST(1 + (CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT)
+                   + o_orderkey) % 5 AS INT) AS r2
+  FROM orders
+),
+co AS (
+  SELECT c, k, COUNT(*) AS o FROM (
+    SELECT r1 AS c, r2 AS k FROM pairs
+    UNION ALL SELECT r2, r1 FROM pairs
+  ) GROUP BY c, k
+),
+marg AS (SELECT c, SUM(o) AS nc FROM co GROUP BY c),
+tot AS (SELECT SUM(nc) AS n FROM marg),
+d_obs AS (
+  SELECT COALESCE(SUM(o), 0) AS o_diff FROM co WHERE c <> k
+),
+d_exp AS (
+  SELECT CAST(SUM(CAST(ROUND(a.nc * b.nc
+    / CAST(n * (n - 1) AS DOUBLE), 9) AS DECIMAL(18,9))) AS DOUBLE)
+    AS de
+  FROM marg a, marg b, tot WHERE a.c <> b.c
+)
+SELECT CAST(n / 2 AS BIGINT) AS n_units,
+  ROUND(1 - (o_diff / CAST(n AS DOUBLE)) / de, 9) AS alpha
+FROM d_obs, d_exp, tot
+"""
+
+
+def q_agg_beta_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B with Beta(1,1) priors (the conjugate
+    beta-binomial posterior every experimentation platform reports):
+    arms = even/odd order keys, success = finished status; posterior
+    means/variances in closed form and the normal-approximation
+    z-score of the difference — exact rational arithmetic into one
+    rounded row."""
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy((F.col("o_orderkey") % 2 == 0).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).alias("s"),
+    )
+    a = m.filter("grp").select(
+        F.col("n").alias("na"), F.col("s").alias("sa")
+    )
+    b = m.filter("NOT grp").select(
+        F.col("n").alias("nb"), F.col("s").alias("sb")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    am = (F.col("sa") + 1) / (F.col("na") + 2).cast("double")
+    bm = (F.col("sb") + 1) / (F.col("nb") + 2).cast("double")
+    av = am * (1 - am) / (F.col("na") + 3)
+    bv = bm * (1 - bm) / (F.col("nb") + 3)
+    return j.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(am, 9).alias("post_mean_a"),
+        F.round(bm, 9).alias("post_mean_b"),
+        F.round((bm - am) / F.sqrt(av + bv), 9).alias("z_diff"),
+    )
+
+
+ORACLES["agg_beta_binomial"] = """
+WITH m AS (
+  SELECT o_orderkey % 2 = 0 AS grp, COUNT(*) AS n,
+    SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS s
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT a.n AS na, a.s AS sa, b.n AS nb, b.s AS sb
+  FROM m a, m b WHERE a.grp AND NOT b.grp
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  ROUND((sa + 1) / CAST(na + 2 AS DOUBLE), 9) AS post_mean_a,
+  ROUND((sb + 1) / CAST(nb + 2 AS DOUBLE), 9) AS post_mean_b,
+  ROUND(((sb + 1) / CAST(nb + 2 AS DOUBLE)
+         - (sa + 1) / CAST(na + 2 AS DOUBLE))
+        / SQRT(((sa + 1) / CAST(na + 2 AS DOUBLE))
+               * (1 - (sa + 1) / CAST(na + 2 AS DOUBLE)) / (na + 3)
+             + ((sb + 1) / CAST(nb + 2 AS DOUBLE))
+               * (1 - (sb + 1) / CAST(nb + 2 AS DOUBLE)) / (nb + 3)),
+    9) AS z_diff
+FROM j
+"""
+
+
+def q_ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (Croston 1972 — the
+    spare-parts/long-tail forecasting standard: separate exponential
+    smoothing of nonzero demand sizes and of inter-demand intervals;
+    forecast = ẑ/p̂): the sparse daily series of rare events
+    (event_id % 997 = 0) over the full day spine, folded with the
+    `ts_holt_linear` exact-recursion machinery at α = ½; the oracle
+    replays the identical recursion."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_id") % 997 == 0, 1).otherwise(0)
+        ).cast("double").alias("x")
+    )
+    series = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: s["x"],
+        ).alias("ys")
+    )
+    acc0 = F.struct(
+        F.lit(0.0).alias("z"),
+        F.lit(0.0).alias("p"),
+        F.lit(0).cast("int").alias("q"),
+        F.lit(0).cast("int").alias("seen"),
+        F.lit(0).cast("int").alias("nd"),
+    )
+
+    def step(acc, y):
+        q2 = acc["q"] + 1
+        first = acc["seen"] == 0
+        return (
+            F.when(
+                y > 0,
+                F.struct(
+                    F.when(first, y)
+                    .otherwise(0.5 * y + 0.5 * acc["z"]).alias("z"),
+                    F.when(first, q2.cast("double"))
+                    .otherwise(0.5 * q2 + 0.5 * acc["p"]).alias("p"),
+                    F.lit(0).cast("int").alias("q"),
+                    F.lit(1).cast("int").alias("seen"),
+                    (acc["nd"] + 1).cast("int").alias("nd"),
+                ),
+            ).otherwise(
+                F.struct(
+                    acc["z"].alias("z"),
+                    acc["p"].alias("p"),
+                    q2.cast("int").alias("q"),
+                    acc["seen"].alias("seen"),
+                    acc["nd"].alias("nd"),
+                )
+            )
+        )
+
+    folded = series.select(
+        F.size("ys").alias("n_days"),
+        F.aggregate("ys", acc0, step).alias("__st"),
+    )
+    return folded.select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("__st.nd").cast("bigint").alias("n_demand_days"),
+        F.round(F.col("__st.z"), 9).alias("z_hat"),
+        F.round(F.col("__st.p"), 9).alias("p_hat"),
+        F.round(F.col("__st.z") / F.col("__st.p"), 9).alias("forecast"),
+    )
+
+
+ORACLES["ts_croston"] = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+    CAST(SUM(CASE WHEN event_id % 997 = 0 THEN 1 ELSE 0 END)
+         AS DOUBLE) AS x
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY day) AS i,
+         COUNT(*) OVER () AS n
+  FROM daily
+),
+walk(i, n, z, p, q, seen, nd) AS (
+  SELECT i, n,
+    CASE WHEN x > 0 THEN x ELSE 0.0e0 END,
+    CASE WHEN x > 0 THEN 1.0e0 ELSE 0.0e0 END,
+    CASE WHEN x > 0 THEN 0 ELSE 1 END,
+    CASE WHEN x > 0 THEN 1 ELSE 0 END,
+    CASE WHEN x > 0 THEN 1 ELSE 0 END
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT v.i, w.n,
+    CASE WHEN v.x > 0 THEN
+      CASE WHEN w.seen = 0 THEN v.x
+           ELSE 0.5e0 * v.x + 0.5e0 * w.z END
+    ELSE w.z END,
+    CASE WHEN v.x > 0 THEN
+      CASE WHEN w.seen = 0 THEN CAST(w.q + 1 AS DOUBLE)
+           ELSE 0.5e0 * (w.q + 1) + 0.5e0 * w.p END
+    ELSE w.p END,
+    CASE WHEN v.x > 0 THEN 0 ELSE w.q + 1 END,
+    CASE WHEN v.x > 0 THEN 1 ELSE w.seen END,
+    w.nd + CASE WHEN v.x > 0 THEN 1 ELSE 0 END
+  FROM walk w JOIN idx v ON v.i = w.i + 1
+  WHERE w.i < w.n
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+  CAST(nd AS BIGINT) AS n_demand_days,
+  ROUND(z, 9) AS z_hat, ROUND(p, 9) AS p_hat,
+  ROUND(z / p, 9) AS forecast
+FROM walk WHERE i = n
+"""
+
+
+def q_multimodal_wav_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIFF LIST/INFO tag walk (`operators/multimodal.py::
+    _wav_info_one` — the WAV tagging scheme: NUL-terminated,
+    word-aligned INAM/IART/ICMT strings beside the cue markers of
+    multimodal_wav_markers): tag counts and volume recover the synth
+    formulas."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 9 == 7
+    )
+    return M.wav_info_tags(M.attach_wav_info_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_wav_info"] = """
+SELECT doc_id AS key, CAST(3 AS INT) AS n_tags,
+  CAST(6 + LENGTH(CAST(doc_id % 50 AS VARCHAR)) AS INT) AS name_chars,
+  CAST(6 + LENGTH(CAST(doc_id % 50 AS VARCHAR))
+       + 7 + LENGTH(CAST(doc_id % 9 AS VARCHAR))
+       + 3 + doc_id % 6 AS BIGINT) AS tag_chars
+FROM documents WHERE doc_id % 9 = 7
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "agg_krippendorff_alpha": q_agg_krippendorff_alpha,
+        "agg_beta_binomial": q_agg_beta_binomial,
+        "ts_croston": q_ts_croston,
+        "multimodal_wav_info": q_multimodal_wav_info,
+    }
+)

@@ -21,6 +21,9 @@ Supported statements (the documented subset)::
         | WHEN MATCHED THEN UPDATE SET *       (strict: unmatched no-op)
         | WHEN NOT MATCHED THEN INSERT *       (strict: matched kept)
         | WHEN MATCHED THEN DELETE             (strict: unmatched no-op)
+        | WHEN MATCHED AND cond THEN DELETE    (the CDC delete-flag
+          WHEN MATCHED THEN UPDATE SET *        shape; cond evaluates
+          [WHEN NOT MATCHED THEN INSERT *]      on the SOURCE row)
     UPDATE t SET col = expr [, ...] WHERE pred
     DELETE FROM t WHERE pred
     INSERT INTO t SELECT ...
@@ -70,6 +73,10 @@ _W_UPD = re.compile(
     r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*", re.IGNORECASE
 )
 _W_DEL = re.compile(r"WHEN\s+MATCHED\s+THEN\s+DELETE", re.IGNORECASE)
+_W_DEL_COND = re.compile(
+    r"WHEN\s+MATCHED\s+AND\s+(?P<cond>.+?)\s+THEN\s+DELETE",
+    re.IGNORECASE | re.DOTALL,
+)
 _W_INS = re.compile(
     r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", re.IGNORECASE
 )
@@ -259,13 +266,23 @@ def format_sql(
             )
         key = sides[t_alias.lower()]
         w = m["when"]
+        del_cond = _W_DEL_COND.search(w)
+        if del_cond is not None:
+            w = w[: del_cond.start()] + w[del_cond.end():]
         has_upd = bool(_W_UPD.search(w))
         has_ins = bool(_W_INS.search(w))
         has_del = bool(_W_DEL.search(w))
+        if del_cond is not None and not has_upd:
+            raise ValueError(
+                "format_sql: conditional DELETE needs the fallback "
+                "WHEN MATCHED THEN UPDATE SET * clause (the CDC "
+                "delete-flag shape)"
+            )
         if has_del and (has_upd or has_ins):
             raise ValueError(
-                "format_sql: WHEN MATCHED THEN DELETE cannot combine "
-                "with other WHEN clauses in the SQL subset — use "
+                "format_sql: unconditional WHEN MATCHED THEN DELETE "
+                "cannot combine with other WHEN clauses — add AND "
+                "<cond> (the CDC delete-flag shape) or use "
                 "table_format.commit_merge with per-row op tags"
             )
         if not (has_upd or has_ins or has_del):
@@ -274,12 +291,23 @@ def format_sql(
                 "INSERT */DELETE in its WHEN clauses"
             )
         upsert = has_upd and has_ins
-        op = "D" if has_del else ("U" if has_upd else "I")
         source = (
             spark.sql(src[1:-1]) if src.startswith("(")
             else spark.table(src)
         )
-        changes = source.withColumn(_OP_COL, F.lit(op))
+        if del_cond is not None:
+            # the CDC delete-flag shape: the condition is evaluated on
+            # the SOURCE row (reference source columns by bare name);
+            # rows matching it carry op 'D', the rest 'U'
+            op_expr = (
+                F.when(F.expr(del_cond["cond"]), F.lit("D"))
+                .otherwise(F.lit("U"))
+            )
+        else:
+            op_expr = F.lit(
+                "D" if has_del else ("U" if has_upd else "I")
+            )
+        changes = source.withColumn(_OP_COL, op_expr)
         v, rewritten, total = TF.commit_merge(
             spark, path, changes, key=key,
             stat_cols=_stat_cols(path), op_col=_OP_COL,

@@ -116,6 +116,7 @@ def _targets():
     yield "gif_comments_one", M._gif_comments_one, M.synth_gif_comments(5)
     yield "ani_one", M._ani_one, M.synth_ani(5)
     yield "ico_png_one", M._ico_png_one, M.synth_ico_png(5)
+    yield "wav_info_one", M._wav_info_one, M.synth_wav_info(5)
 
 
 class _DecodeHang(Exception):

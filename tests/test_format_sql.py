@@ -189,3 +189,46 @@ def test_unknown_table_and_statement_errors(spark, table):
         format_sql(spark, "OPTIMIZE missing", tables={"t": table})
     with pytest.raises(ValueError, match="unrecognized statement"):
         format_sql(spark, "TRUNCATE TABLE t", tables={"t": table})
+
+
+def test_merge_conditional_delete_cdc_shape(spark, table):
+    """WHEN MATCHED AND cond THEN DELETE + UPDATE SET * + INSERT * —
+    the delete-flag CDC application: flagged rows delete, the rest
+    upsert, unmatched insert."""
+    spark.range(1, 9).select(
+        F.col("id").alias("k"),
+        F.lit(9.0).alias("val"),
+        (F.col("id") % 2 == 0).cast("int").alias("is_del"),
+    ).unionByName(
+        spark.range(300, 302).select(
+            F.col("id").alias("k"), F.lit(3.0).alias("val"),
+            F.lit(0).alias("is_del"),
+        )
+    ).createOrReplaceTempView("fsql_cdc_src")
+    format_sql(
+        spark,
+        "MERGE INTO t USING fsql_cdc_src AS s ON t.k = s.k "
+        "WHEN MATCHED AND is_del = 1 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        tables={"t": table},
+    ).collect()
+    out = {
+        r["k"]: r["val"]
+        for r in TF.read_table_mor(spark, table).collect()
+    }
+    # evens 2,4,6,8 deleted; odds 1,3,5,7 updated; 300,301 inserted
+    assert all(k not in out for k in (2, 4, 6, 8))
+    assert all(out[k] == 9.0 for k in (1, 3, 5, 7))
+    assert out[300] == 3.0 and out[301] == 3.0
+    assert len(out) == 100 - 4 + 2
+
+
+def test_merge_conditional_delete_requires_update_clause(spark, table):
+    with pytest.raises(ValueError, match="fallback"):
+        format_sql(
+            spark,
+            "MERGE INTO t USING x AS s ON t.k = s.k "
+            "WHEN MATCHED AND is_del = 1 THEN DELETE",
+            tables={"t": table},
+        )

@@ -681,6 +681,11 @@ _SHUFFLE_BUDGET = {
     "pipeline_stratified_kfold": 2, # fold agg + per-lang rollup
     "format_sql_optimize": 0,       # 1-row receipt checkpoint
     "multimodal_ico_png": 0,
+    "agg_krippendorff_alpha": 8,    # 5-row coincidence domain
+    "agg_beta_binomial": 2,         # two-arm counts + cross
+    "ts_croston": 2,                # day spine + one array fold
+    "multimodal_wav_info": 0,
+    "format_sql_merge_cdc": 0,      # 1-row receipt checkpoint
 }
 
 
