@@ -10342,3 +10342,162 @@ def wav_info_tags(
             )
 
     return df.mapInPandas(batches, schema=schema)
+
+
+def synth_apng(key: int) -> bytes:
+    """Animated PNG (the public APNG spec): acTL declaring
+    ``1 + key % 3`` frames / ``key % 4`` plays, per-frame fcTL with
+    delay ``(2+j)/100`` s, the first frame's image in IDAT and later
+    frames in fdAT — all sharing ONE monotone sequence counter, the
+    invariant the parser enforces."""
+    n = 1 + key % 3
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    )
+    out += _png_chunk(b"acTL", struct.pack(">II", n, key % 4))
+    seq = 0
+    pix = zlib.compress(b"\x00\x05")
+    for j in range(n):
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, 1, 1, 0, 0, 2 + j, 100, 0, 0
+        )
+        out += _png_chunk(b"fcTL", fctl)
+        seq += 1
+        if j == 0:
+            out += _png_chunk(b"IDAT", pix)
+        else:
+            out += _png_chunk(
+                b"fdAT", struct.pack(">I", seq) + pix
+            )
+            seq += 1
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def _apng_one(payload: bytes) -> dict:
+    """Walk the APNG control chunks (CRC-verified): acTL frame/play
+    counts, fcTL delays, and the fcTL/fdAT shared sequence-counter
+    invariant.  Malformed bytes raise ValueError (quarantine)."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("apng: bad signature")
+    pos = 8
+    n_frames = num_plays = None
+    n_fctl = 0
+    delay_sum = 0
+    expect_seq = 0
+    saw_end = False
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("apng: truncated chunk header")
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        if pos + 12 + length > len(payload):
+            raise ValueError("apng: truncated chunk body")
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"apng: CRC mismatch in {tag!r}")
+        if tag == b"acTL":
+            if length != 8:
+                raise ValueError("apng: acTL must be 8 bytes")
+            n_frames, num_plays = struct.unpack_from(">II", data, 0)
+        elif tag == b"fcTL":
+            if length != 26:
+                raise ValueError("apng: fcTL must be 26 bytes")
+            seq, _w, _h, _x, _y, dnum, _dden, _disp, _blend = (
+                struct.unpack_from(">IIIIIHHBB", data, 0)
+            )
+            if seq != expect_seq:
+                raise ValueError(
+                    f"apng: fcTL sequence {seq}, expected {expect_seq}"
+                )
+            expect_seq += 1
+            n_fctl += 1
+            delay_sum += dnum
+        elif tag == b"fdAT":
+            if length < 4:
+                raise ValueError("apng: fdAT too short")
+            (seq,) = struct.unpack_from(">I", data, 0)
+            if seq != expect_seq:
+                raise ValueError(
+                    f"apng: fdAT sequence {seq}, expected {expect_seq}"
+                )
+            expect_seq += 1
+        elif tag == b"IEND":
+            saw_end = True
+        pos += 12 + length
+    if not saw_end:
+        raise ValueError("apng: missing IEND")
+    if n_frames is None:
+        raise ValueError("apng: missing acTL")
+    if n_fctl != n_frames:
+        raise ValueError(
+            f"apng: acTL declares {n_frames} frames, saw {n_fctl} fcTL"
+        )
+    return {
+        "n_frames": n_frames,
+        "num_plays": num_plays,
+        "delay_num_sum": delay_sum,
+    }
+
+
+def attach_apng_payload(df: DataFrame, key: str) -> DataFrame:
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [synth_apng(int(k)) for k in pdf[key]],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def apng_meta(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Per-file APNG animation metadata (acTL counts, fcTL delays,
+    sequence-counter verification) — the animation-control walk
+    beside the PNG pixel decoders.  Arrow-batched, zero shuffles."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("n_frames", IntegerType(), False),
+            StructField("num_plays", IntegerType(), False),
+            StructField("delay_num_sum", LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {f.name: [] for f in schema.fields}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                m = _apng_one(bytes(payload))
+                rows["key"].append(int(k))
+                for nm in ("n_frames", "num_plays", "delay_num_sum"):
+                    rows[nm].append(m[nm])
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "n_frames": pd.Series(
+                        rows["n_frames"], dtype="int32"
+                    ),
+                    "num_plays": pd.Series(
+                        rows["num_plays"], dtype="int32"
+                    ),
+                    "delay_num_sum": pd.Series(
+                        rows["delay_num_sum"], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=schema)

@@ -455,7 +455,7 @@ encode/decode round trip).  After this window lands: 567 catalog
 entries, 567/567 with DuckDB oracles, zero rows-only; the round-13
 backlog is EMPTY at rotation time.
 
-Round-13 rotation backlog — 27 entries built AFTER the round-12
+Round-13 rotation backlog — 32 entries built AFTER the round-12
 window filled (each strict-dtype oracle-verified at sf0.001, sf0.01
 AND sf0.1 at round-12 HEAD): ``format_sql_ref_read`` (SQL reads of a
 BRANCH through the temp-view ``ref`` option, main advanced
@@ -490,8 +490,16 @@ shape, per-row op tags through ONE stats-targeted merge),
 ``agg_krippendorff_alpha`` (coincidence-matrix reliability),
 ``agg_beta_binomial`` (conjugate Bayesian A/B posteriors),
 ``ts_croston`` (intermittent-demand forecasting via the exact-fold
-machinery), and ``multimodal_wav_info`` (RIFF LIST/INFO tags) —
-594 catalog total, 594/594 with oracles, zero rows-only.
+machinery), and ``multimodal_wav_info`` (RIFF LIST/INFO tags); a
+fourth wave adds ``text_burrows_delta`` (the stylometric
+most-frequent-word z-score distance), ``ts_entropy_rate``
+(first-order Markov conditional entropy of the event process),
+``source_robots_txt`` (RFC 9309 — the crawl-permission gatekeeper of
+every web corpus), ``multimodal_apng`` (acTL/fcTL/fdAT animation
+control with the shared-sequence-counter invariant), and
+``join_asof_tolerance`` (the pandas merge_asof tolerance horizon —
+the first oracle entry exercising `asof_join(tolerance=)`) —
+599 catalog total, 599/599 with oracles, zero rows-only.
 """
 
 from __future__ import annotations

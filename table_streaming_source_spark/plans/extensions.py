@@ -25913,3 +25913,357 @@ QUERIES_DEFERRED.update(
         "multimodal_wav_info": q_multimodal_wav_info,
     }
 )
+
+
+def q_text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta (Burrows 2002 — THE stylometric authorship
+    distance: mean |Δz| of the most-frequent-word relative
+    frequencies, z-scored across the corpora): the 20 highest-count
+    words, per-language relative frequencies on the full 20×lang grid
+    (missing ⇒ 0), population z-scores per word, pairwise deltas with
+    rounded-then-decimal-summed terms.  Everything after the first
+    count aggregate is vocabulary/language-bounded."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    ).filter(F.length("word") > 0)
+    counts = toks.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=True)
+    top = (
+        counts.groupBy("word").agg(F.sum("c").alias("tc"))
+        .orderBy(F.desc("tc"), F.asc("word"))
+        .limit(20)
+        .select("word")
+    )
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("tl"))
+    langs = totals.select("lang")
+    # the 20-word × lang grid is consumed by the stats pass AND the
+    # z pass — checkpoint the (bounded) frequency grid once
+    grid = top.crossJoin(F.broadcast(langs)).join(
+        counts, ["lang", "word"], "left"
+    ).join(F.broadcast(totals), "lang").select(
+        "lang",
+        "word",
+        (F.coalesce(F.col("c"), F.lit(0)) / F.col("tl").cast("double"))
+        .alias("f"),
+    ).localCheckpoint(eager=True)
+    stats = grid.groupBy("word").agg(
+        F.count(F.lit(1)).alias("nl"),
+        F.sum(F.col("f").cast("decimal(28,12)")).cast("double")
+        .alias("sf"),
+        F.sum((F.col("f") * F.col("f")).cast("decimal(38,18)"))
+        .cast("double").alias("sff"),
+    )
+    mu = F.col("sf") / F.col("nl")
+    sigma = F.sqrt(F.col("sff") / F.col("nl") - mu * mu)
+    # the z table self-joins for pairs — checkpoint the ≤100 rows once
+    z = grid.join(F.broadcast(stats), "word").filter(
+        F.col("sff") / F.col("nl")
+        - (F.col("sf") / F.col("nl")) * (F.col("sf") / F.col("nl"))
+        > 0
+    ).select(
+        "lang",
+        "word",
+        ((F.col("f") - mu) / sigma).alias("z"),
+    ).localCheckpoint(eager=True)
+    zb = z.select(
+        F.col("lang").alias("lang_b"),
+        "word",
+        F.col("z").alias("z2"),
+    )
+    pairs = z.join(zb, "word").filter(
+        F.col("lang") < F.col("lang_b")
+    ).select(
+        F.col("lang").alias("lang_a"),
+        "lang_b",
+        F.round(F.abs(F.col("z") - F.col("z2")), 9)
+        .cast("decimal(18,9)").alias("t"),
+    )
+    return pairs.groupBy("lang_a", "lang_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.round(
+            F.sum("t").cast("double") / F.count(F.lit(1)), 9
+        ).alias("delta"),
+    )
+
+
+ORACLES["text_burrows_delta"] = """
+WITH toks AS (
+  SELECT lang, w.word
+  FROM (
+    SELECT lang,
+      STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ')
+        AS tk
+    FROM documents
+  ), UNNEST(tk) AS w(word)
+  WHERE LEN(w.word) > 0
+),
+counts AS (
+  SELECT lang, word, COUNT(*) AS c FROM toks GROUP BY lang, word
+),
+top AS (
+  SELECT word FROM (
+    SELECT word, SUM(c) AS tc FROM counts GROUP BY word
+    ORDER BY tc DESC, word ASC LIMIT 20
+  )
+),
+totals AS (SELECT lang, SUM(c) AS tl FROM counts GROUP BY lang),
+grid AS (
+  SELECT l.lang, t.word,
+    COALESCE(c.c, 0) / CAST(tot.tl AS DOUBLE) AS f
+  FROM top t
+  CROSS JOIN (SELECT lang FROM totals) l
+  LEFT JOIN counts c ON c.lang = l.lang AND c.word = t.word
+  JOIN totals tot ON tot.lang = l.lang
+),
+stats AS (
+  SELECT word, COUNT(*) AS nl,
+    CAST(SUM(CAST(f AS DECIMAL(28,12))) AS DOUBLE) AS sf,
+    CAST(SUM(CAST(f * f AS DECIMAL(38,18))) AS DOUBLE) AS sff
+  FROM grid GROUP BY word
+),
+z AS (
+  SELECT g.lang, g.word,
+    (g.f - s.sf / s.nl)
+      / SQRT(s.sff / s.nl - (s.sf / s.nl) * (s.sf / s.nl)) AS z
+  FROM grid g JOIN stats s USING (word)
+  WHERE s.sff / s.nl - (s.sf / s.nl) * (s.sf / s.nl) > 0
+),
+pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b,
+    CAST(ROUND(ABS(a.z - b.z), 9) AS DECIMAL(18,9)) AS t
+  FROM z a JOIN z b ON a.word = b.word AND a.lang < b.lang
+)
+SELECT lang_a, lang_b, CAST(COUNT(*) AS BIGINT) AS n_words,
+  ROUND(CAST(SUM(t) AS DOUBLE) / COUNT(*), 9) AS delta
+FROM pairs GROUP BY lang_a, lang_b
+"""
+
+
+def q_ts_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov ENTROPY RATE of the per-user event-type
+    process (the sequence-predictability scalar on top of
+    markov_transitions: Ĥ = −Σᵢⱼ p(i,j)·ln p(j|i), the conditional
+    entropy of the next state): transitions from one per-user lead
+    window, terms rounded-then-decimal-summed."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    trans = e.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("cur"),
+    ).select(
+        "cur",
+        F.lead("cur").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    nij = trans.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=True)
+    ni = nij.groupBy("cur").agg(F.sum("n").alias("nc"))
+    tot = nij.agg(F.sum("n").alias("nt"))
+    terms = nij.join(F.broadcast(ni), "cur").crossJoin(
+        F.broadcast(tot)
+    ).select(
+        F.round(
+            -(F.col("n") / F.col("nt").cast("double"))
+            * F.log(F.col("n") / F.col("nc").cast("double")),
+            9,
+        ).cast("decimal(18,9)").alias("t")
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.round(F.sum("t").cast("double"), 9).alias("entropy_rate"),
+    )
+
+
+ORACLES["ts_entropy_rate"] = """
+WITH trans AS (
+  SELECT event_type AS cur,
+    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+      AS nxt
+  FROM events
+),
+nij AS (
+  SELECT cur, nxt, COUNT(*) AS n FROM trans
+  WHERE nxt IS NOT NULL GROUP BY cur, nxt
+),
+ni AS (SELECT cur, SUM(n) AS nc FROM nij GROUP BY cur),
+tot AS (SELECT SUM(n) AS nt FROM nij),
+terms AS (
+  SELECT CAST(ROUND(-(n / CAST(nt AS DOUBLE))
+                    * LN(n / CAST(nc AS DOUBLE)), 9)
+              AS DECIMAL(18,9)) AS t
+  FROM nij JOIN ni USING (cur), tot
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+  ROUND(CAST(SUM(t) AS DOUBLE), 9) AS entropy_rate
+FROM terms
+"""
+
+
+def q_source_robots_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt ingestion (`sources/robots_txt.py` — RFC 9309
+    groups with consecutive-UA sharing, Allow/Disallow rules,
+    Crawl-delay, comment stripping): the crawl-permission gatekeeper
+    every web-corpus pipeline parses at scale; per-file rollups are
+    closed-form from the synth layout."""
+    from table_streaming_source_spark.sources.robots_txt import (
+        robots_rows,
+        synth_robots,
+    )
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+    import pandas as _pd
+
+    schema = StructType([
+        StructField("key", LongType(), False),
+        StructField("robots", StringType(), False),
+    ])
+
+    def attach(it):
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "key": pdf["key"].astype("int64"),
+                    "robots": [
+                        synth_robots(int(k)) for k in pdf["key"]
+                    ],
+                }
+            )
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 9 == 8)
+        .select(F.col("doc_id").alias("key"))
+        .mapInPandas(attach, schema=schema)
+    )
+    return robots_rows(d)
+
+
+ORACLES["source_robots_txt"] = """
+WITH base AS (
+  SELECT doc_id, 1 + doc_id % 3 AS n FROM documents
+  WHERE doc_id % 9 = 8
+),
+groups AS (
+  SELECT doc_id, n, 2 + (doc_id + g.g) % 3 AS nd
+  FROM base, UNNEST(RANGE(0, n)) AS g(g)
+)
+SELECT doc_id AS key, CAST(n AS INT) AS n_groups,
+  CAST(SUM(nd) AS INT) AS n_disallow,
+  CAST(n AS INT) AS n_allow,
+  CAST(5 + doc_id % 10 AS BIGINT) AS crawl_delay_sum
+FROM groups GROUP BY doc_id, n
+"""
+
+
+def q_multimodal_apng(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APNG animation-control walk (`operators/multimodal.py::
+    _apng_one` — acTL frame/play declaration, fcTL per-frame delays,
+    and the fcTL/fdAT SHARED sequence counter the spec mandates, all
+    CRC-verified): counts and delay sums recover the synth
+    formulas."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 9 == 0
+    )
+    return M.apng_meta(M.attach_apng_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_apng"] = """
+SELECT doc_id AS key, CAST(1 + doc_id % 3 AS INT) AS n_frames,
+  CAST(doc_id % 4 AS INT) AS num_plays,
+  CAST(2 * (1 + doc_id % 3)
+       + (1 + doc_id % 3) * (doc_id % 3) / 2 AS BIGINT)
+    AS delay_num_sum
+FROM documents WHERE doc_id % 9 = 0
+"""
+
+
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE horizon (`operators/joins.py::
+    asof_join(tolerance=)` — pandas merge_asof's bound: the most
+    recent click at most 2 hours BEFORE each purchase, per user;
+    stale matches beyond the horizon become nulls instead of wrong
+    attributions): left-outer semantics, event_id tiebreakers, one
+    rollup of match rate and attributed value."""
+    from table_streaming_source_spark.operators.joins import asof_join
+
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_time="p_ts",
+        right_time="c_ts",
+        tolerance="2 hours",
+        right_tiebreakers=("event_id",),
+        how="left",
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.count("c_value").cast("bigint").alias("n_matched"),
+        F.round(
+            F.coalesce(
+                F.sum(F.col("c_value").cast("decimal(28,6)"))
+                .cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("sum_attributed"),
+    )
+
+
+ORACLES["join_asof_tolerance"] = """
+WITH purchases AS (
+  SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
+  WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, event_id, ts AS c_ts, value AS c_value FROM events
+  WHERE event_type = 'click'
+),
+ranked AS (
+  SELECT p.p_id, c.c_value,
+    ROW_NUMBER() OVER (
+      PARTITION BY p.p_id
+      ORDER BY c.c_ts DESC, c.event_id DESC
+    ) AS rn
+  FROM purchases p
+  JOIN clicks c
+    ON c.user_id = p.user_id
+   AND c.c_ts <= p.p_ts
+   AND c.c_ts >= p.p_ts - INTERVAL 2 HOUR
+),
+best AS (SELECT p_id, c_value FROM ranked WHERE rn = 1)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM purchases) AS n_purchases,
+  CAST(COUNT(*) AS BIGINT) AS n_matched,
+  ROUND(COALESCE(CAST(SUM(CAST(c_value AS DECIMAL(28,6)))
+                 AS DOUBLE), 0.0), 6) AS sum_attributed
+FROM best
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "text_burrows_delta": q_text_burrows_delta,
+        "ts_entropy_rate": q_ts_entropy_rate,
+        "source_robots_txt": q_source_robots_txt,
+        "multimodal_apng": q_multimodal_apng,
+        "join_asof_tolerance": q_join_asof_tolerance,
+    }
+)

@@ -117,6 +117,7 @@ def _targets():
     yield "ani_one", M._ani_one, M.synth_ani(5)
     yield "ico_png_one", M._ico_png_one, M.synth_ico_png(5)
     yield "wav_info_one", M._wav_info_one, M.synth_wav_info(5)
+    yield "apng_one", M._apng_one, M.synth_apng(5)
 
 
 class _DecodeHang(Exception):

@@ -686,6 +686,11 @@ _SHUFFLE_BUDGET = {
     "ts_croston": 2,                # day spine + one array fold
     "multimodal_wav_info": 0,
     "format_sql_merge_cdc": 0,      # 1-row receipt checkpoint
+    "text_burrows_delta": 3,        # grid + z checkpointed (15→3)
+    "ts_entropy_rate": 3,           # lead window + bounded cells
+    "source_robots_txt": 0,
+    "multimodal_apng": 0,
+    "join_asof_tolerance": 2,       # per-user asof + one rollup
 }
 
 

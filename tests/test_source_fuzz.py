@@ -146,7 +146,14 @@ def _targets(tmp):
         wkt_geom,
     )
 
+    from table_streaming_source_spark.sources import robots_txt
+
     yield "parse_pcap", pcap_file.parse_pcap, pcap_file.synth_pcap(5)
+    yield (
+        "parse_robots",
+        robots_txt.parse_robots,
+        robots_txt.synth_robots(5).encode(),
+    )
     yield "parse_vcf", vcf_file.parse_vcf, vcf_file.synth_vcf(5).encode()
     yield "parse_wkt", wkt_geom.parse_wkt, wkt_geom.synth_wkt(5).encode()
     yield "parse_m3u", m3u_playlist.parse_m3u, m3u_playlist.synth_m3u(5).encode()
@@ -169,6 +176,7 @@ _NAMES = [
     "parse_warc", "xlsx_records", "decode_ocf",
     "parse_srec", "parse_fasta",
     "parse_pcap", "parse_vcf", "parse_wkt", "parse_m3u",
+    "parse_robots",
 ]
 
 
