@@ -10501,3 +10501,281 @@ def apng_meta(
             )
 
     return df.mapInPandas(batches, schema=schema)
+
+
+def synth_flac_tags(key: int) -> bytes:
+    """FLAC container with a VORBIS_COMMENT metadata block (the public
+    FLAC framing + Vorbis-comment spec — note the LITTLE-endian
+    lengths inside a big-endian container, the classic parser trap):
+    STREAMINFO, the comment block (vendor + TITLE/ARTIST/GENRE), and
+    a last-flagged PADDING block."""
+    streaminfo = bytes(34)
+
+    def block(btype: int, data: bytes, last: bool = False) -> bytes:
+        return bytes([btype | (0x80 if last else 0)]) + len(data).to_bytes(
+            3, "big"
+        ) + data
+
+    vendor = b"tsss"
+    comments = [
+        f"TITLE=track {key % 50}".encode(),
+        f"ARTIST=a{key % 9}".encode(),
+        f"GENRE=g{key % 5}".encode(),
+    ]
+    vc = len(vendor).to_bytes(4, "little") + vendor
+    vc += len(comments).to_bytes(4, "little")
+    for c in comments:
+        vc += len(c).to_bytes(4, "little") + c
+    pad = bytes(4 + key % 8)
+    return (
+        b"fLaC"
+        + block(0, streaminfo)
+        + block(4, vc)
+        + block(1, pad, last=True)
+    )
+
+
+def _flac_tags_one(payload: bytes) -> dict:
+    """Walk the FLAC metadata chain: STREAMINFO required first,
+    VORBIS_COMMENT little-endian framing, last-block termination.
+    Malformed bytes raise ValueError (quarantine)."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("flac: bad magic")
+    pos = 4
+    n_blocks = 0
+    n_comments = 0
+    comment_chars = 0
+    has_padding = 0
+    first = True
+    last_seen = False
+    while pos < len(payload):
+        if last_seen:
+            break
+        if pos + 4 > len(payload):
+            raise ValueError("flac: truncated block header")
+        hdr = payload[pos]
+        btype = hdr & 0x7F
+        last_seen = bool(hdr & 0x80)
+        size = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        data = payload[pos + 4 : pos + 4 + size]
+        if len(data) != size:
+            raise ValueError("flac: truncated block body")
+        if first and btype != 0:
+            raise ValueError("flac: first block must be STREAMINFO")
+        if btype == 0 and size != 34:
+            raise ValueError(f"flac: STREAMINFO size {size} != 34")
+        first = False
+        n_blocks += 1
+        if btype == 1:
+            has_padding = 1
+        elif btype == 4:
+            if size < 8:
+                raise ValueError("flac: comment block too short")
+            vlen = int.from_bytes(data[0:4], "little")
+            if 4 + vlen + 4 > size:
+                raise ValueError("flac: vendor length out of bounds")
+            off = 4 + vlen
+            cnt = int.from_bytes(data[off : off + 4], "little")
+            if cnt > size:
+                raise ValueError("flac: absurd comment count")
+            off += 4
+            for _ in range(cnt):
+                if off + 4 > size:
+                    raise ValueError("flac: truncated comment length")
+                clen = int.from_bytes(data[off : off + 4], "little")
+                off += 4
+                c = data[off : off + clen]
+                if len(c) != clen:
+                    raise ValueError("flac: truncated comment")
+                if b"=" not in c:
+                    raise ValueError("flac: comment missing '='")
+                n_comments += 1
+                comment_chars += len(c.decode("utf-8", "strict"))
+                off += clen
+        pos += 4 + size
+    if not last_seen:
+        raise ValueError("flac: no last-flagged metadata block")
+    return {
+        "n_blocks": n_blocks,
+        "n_comments": n_comments,
+        "comment_chars": comment_chars,
+        "has_padding": has_padding,
+    }
+
+
+def attach_flac_tags_payload(df: DataFrame, key: str) -> DataFrame:
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [
+                        synth_flac_tags(int(k)) for k in pdf[key]
+                    ],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def flac_tag_stats(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Per-file FLAC VORBIS_COMMENT metadata (block/comment counts and
+    volume) — the tag walk beside the rice-decode `flac_pcm`.
+    Arrow-batched, zero shuffles; malformed bytes quarantine."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("n_blocks", IntegerType(), False),
+            StructField("n_comments", IntegerType(), False),
+            StructField("comment_chars", LongType(), False),
+            StructField("has_padding", IntegerType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {f.name: [] for f in schema.fields}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                m = _flac_tags_one(bytes(payload))
+                rows["key"].append(int(k))
+                for nm in (
+                    "n_blocks", "n_comments", "comment_chars",
+                    "has_padding",
+                ):
+                    rows[nm].append(m[nm])
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "n_blocks": pd.Series(
+                        rows["n_blocks"], dtype="int32"
+                    ),
+                    "n_comments": pd.Series(
+                        rows["n_comments"], dtype="int32"
+                    ),
+                    "comment_chars": pd.Series(
+                        rows["comment_chars"], dtype="int64"
+                    ),
+                    "has_padding": pd.Series(
+                        rows["has_padding"], dtype="int32"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=schema)
+
+
+def synth_edid(key: int) -> bytes:
+    """128-byte EDID base block (the public VESA display-identification
+    structure): fixed 8-byte header, 5-bit-packed 3-letter
+    manufacturer ID, product/serial, week/year, version 1.4, and the
+    byte that makes the block sum to 0 mod 256."""
+    l1, l2, l3 = key % 26, (key * 3) % 26, (key * 7) % 26
+    mfr = ((l1 + 1) << 10) | ((l2 + 1) << 5) | (l3 + 1)
+    blk = bytearray(128)
+    blk[0:8] = b"\x00\xff\xff\xff\xff\xff\xff\x00"
+    struct.pack_into(">H", blk, 8, mfr)          # mfr id is BE
+    struct.pack_into("<H", blk, 10, key % 65536)  # product LE
+    struct.pack_into("<I", blk, 12, key % 100000)  # serial LE
+    blk[16] = 1 + key % 52                        # week
+    blk[17] = 10 + key % 24                       # year - 1990
+    blk[18], blk[19] = 1, 4                       # EDID 1.4
+    blk[127] = (-sum(blk[:127])) & 0xFF
+    return bytes(blk)
+
+
+def _edid_one(payload: bytes) -> dict:
+    """Decode one EDID base block: header + checksum verification,
+    manufacturer letters from the 5-bit packing, product/week/year.
+    Malformed bytes raise ValueError (quarantine)."""
+    if len(payload) != 128:
+        raise ValueError(f"edid: block must be 128 bytes, got {len(payload)}")
+    if payload[:8] != b"\x00\xff\xff\xff\xff\xff\xff\x00":
+        raise ValueError("edid: bad header")
+    if sum(payload) % 256 != 0:
+        raise ValueError("edid: checksum mismatch")
+    (mfr,) = struct.unpack_from(">H", payload, 8)
+    letters = [(mfr >> 10) & 0x1F, (mfr >> 5) & 0x1F, mfr & 0x1F]
+    if any(not 1 <= x <= 26 for x in letters):
+        raise ValueError("edid: manufacturer letters out of range")
+    name = "".join(chr(ord("A") + x - 1) for x in letters)
+    (product,) = struct.unpack_from("<H", payload, 10)
+    week = payload[16]
+    year = 1990 + payload[17]
+    if payload[18] != 1:
+        raise ValueError(f"edid: unsupported version {payload[18]}")
+    return {
+        "manufacturer": name,
+        "product": product,
+        "week": week,
+        "year": year,
+    }
+
+
+def attach_edid_payload(df: DataFrame, key: str) -> DataFrame:
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [synth_edid(int(k)) for k in pdf[key]],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def edid_meta(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Per-device EDID identification (manufacturer letters, product,
+    manufacture week/year) — checksum-verified fixed-block decode.
+    Arrow-batched, zero shuffles; malformed bytes quarantine."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("manufacturer", StringType(), False),
+            StructField("product", IntegerType(), False),
+            StructField("week", IntegerType(), False),
+            StructField("year", IntegerType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {f.name: [] for f in schema.fields}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                m = _edid_one(bytes(payload))
+                rows["key"].append(int(k))
+                rows["manufacturer"].append(m["manufacturer"])
+                rows["product"].append(m["product"])
+                rows["week"].append(m["week"])
+                rows["year"].append(m["year"])
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "manufacturer": pd.Series(
+                        rows["manufacturer"], dtype="object"
+                    ),
+                    "product": pd.Series(rows["product"], dtype="int32"),
+                    "week": pd.Series(rows["week"], dtype="int32"),
+                    "year": pd.Series(rows["year"], dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=schema)

@@ -455,7 +455,7 @@ encode/decode round trip).  After this window lands: 567 catalog
 entries, 567/567 with DuckDB oracles, zero rows-only; the round-13
 backlog is EMPTY at rotation time.
 
-Round-13 rotation backlog — 32 entries built AFTER the round-12
+Round-13 rotation backlog — 36 entries built AFTER the round-12
 window filled (each strict-dtype oracle-verified at sf0.001, sf0.01
 AND sf0.1 at round-12 HEAD): ``format_sql_ref_read`` (SQL reads of a
 BRANCH through the temp-view ``ref`` option, main advanced
@@ -498,8 +498,13 @@ most-frequent-word z-score distance), ``ts_entropy_rate``
 every web corpus), ``multimodal_apng`` (acTL/fcTL/fdAT animation
 control with the shared-sequence-counter invariant), and
 ``join_asof_tolerance`` (the pandas merge_asof tolerance horizon —
-the first oracle entry exercising `asof_join(tolerance=)`) —
-599 catalog total, 599/599 with oracles, zero rows-only.
+the first oracle entry exercising `asof_join(tolerance=)`); a fifth
+wave adds ``graph_modularity`` (Newman Q of a fixed partition),
+``agg_simpson_diversity`` (per-user behavioral diversity),
+``multimodal_flac_tags`` (VORBIS_COMMENT little-endian-in-big-endian
+framing), and ``multimodal_edid`` (VESA display blocks with the
+whole-block zero checksum) — 603 catalog total, 603/603 with
+oracles, zero rows-only.
 """
 
 from __future__ import annotations

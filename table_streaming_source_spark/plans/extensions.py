@@ -26267,3 +26267,199 @@ QUERIES_DEFERRED.update(
         "join_asof_tolerance": q_join_asof_tolerance,
     }
 )
+
+
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of a fixed partition (Newman & Girvan 2004 —
+    THE community-quality score: Q = Σ_c (e_c/m − (d_c/2m)²), fraction
+    of in-community edges minus the degree-preserving expectation):
+    the residue-bounded UNDIRECTED graph with communities = node % 4;
+    edge/degree counts exact integers, one rounded Q."""
+    o = t(spark, sf_dir, "orders")
+    edges = (
+        o.select(
+            (F.col("o_custkey") % 211).alias("a"),
+            ((F.col("o_custkey") * 7 + F.col("o_orderkey")) % 211)
+            .alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"),
+            F.greatest("a", "b").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    m_edges = edges.agg(F.count(F.lit(1)).alias("m"))
+    within = edges.filter(
+        F.col("u") % 4 == F.col("v") % 4
+    ).groupBy((F.col("u") % 4).alias("c")).agg(
+        F.count(F.lit(1)).alias("ec")
+    )
+    deg = edges.select(
+        F.col("u").alias("x")
+    ).unionAll(edges.select(F.col("v").alias("x"))).groupBy(
+        (F.col("x") % 4).alias("c")
+    ).agg(F.count(F.lit(1)).alias("dc"))
+    j = deg.join(within, "c", "left").crossJoin(
+        F.broadcast(m_edges)
+    ).select(
+        F.round(
+            F.coalesce(F.col("ec"), F.lit(0)) / F.col("m").cast("double")
+            - (F.col("dc") / (2 * F.col("m")).cast("double"))
+            * (F.col("dc") / (2 * F.col("m")).cast("double")),
+            9,
+        ).cast("decimal(18,9)").alias("t"),
+        "m",
+    )
+    return j.groupBy("m").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("t").cast("double").alias("q"),
+    ).select(
+        F.col("m").cast("bigint").alias("m_edges"),
+        F.col("k").cast("bigint").alias("n_communities"),
+        F.round(F.col("q"), 9).alias("modularity"),
+    )
+
+
+ORACLES["graph_modularity"] = """
+WITH edges AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM (
+    SELECT o_custkey % 211 AS a,
+           (o_custkey * 7 + o_orderkey) % 211 AS b
+    FROM orders
+  ) WHERE a <> b
+),
+m_edges AS (SELECT COUNT(*) AS m FROM edges),
+within AS (
+  SELECT u % 4 AS c, COUNT(*) AS ec FROM edges
+  WHERE u % 4 = v % 4 GROUP BY u % 4
+),
+deg AS (
+  SELECT x % 4 AS c, COUNT(*) AS dc FROM (
+    SELECT u AS x FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY x % 4
+),
+terms AS (
+  SELECT m,
+    CAST(ROUND(COALESCE(ec, 0) / CAST(m AS DOUBLE)
+         - (dc / CAST(2 * m AS DOUBLE))
+           * (dc / CAST(2 * m AS DOUBLE)), 9) AS DECIMAL(18,9)) AS t
+  FROM deg LEFT JOIN within USING (c), m_edges
+)
+SELECT CAST(m AS BIGINT) AS m_edges,
+  CAST(COUNT(*) AS BIGINT) AS n_communities,
+  ROUND(CAST(SUM(t) AS DOUBLE), 9) AS modularity
+FROM terms GROUP BY m
+"""
+
+
+def q_agg_simpson_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Simpson's diversity index per user (the unbiased form
+    D = 1 − Σnᵢ(nᵢ−1)/(N(N−1)) — ecology's concentration complement,
+    here measuring behavioral diversity of each user's event mix),
+    averaged over users with ≥2 events via the rounded-term decimal
+    path."""
+    e = t(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_user = cnt.groupBy("user_id").agg(
+        F.sum("n").alias("nt"),
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("pairs"),
+    ).filter(F.col("nt") >= 2)
+    d = per_user.select(
+        F.round(
+            1 - F.col("pairs")
+            / (F.col("nt") * (F.col("nt") - 1)).cast("double"),
+            9,
+        ).cast("decimal(18,9)").alias("d")
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(
+            F.sum("d").cast("double") / F.count(F.lit(1)), 9
+        ).alias("mean_simpson"),
+    )
+
+
+ORACLES["agg_simpson_diversity"] = """
+WITH cnt AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+),
+per_user AS (
+  SELECT user_id, SUM(n) AS nt, SUM(n * (n - 1)) AS pairs
+  FROM cnt GROUP BY user_id HAVING SUM(n) >= 2
+),
+d AS (
+  SELECT CAST(ROUND(1 - pairs / CAST(nt * (nt - 1) AS DOUBLE), 9)
+              AS DECIMAL(18,9)) AS d
+  FROM per_user
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+  ROUND(CAST(SUM(d) AS DOUBLE) / COUNT(*), 9) AS mean_simpson
+FROM d
+"""
+
+
+def q_multimodal_flac_tags(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FLAC VORBIS_COMMENT walk (`operators/multimodal.py::
+    _flac_tags_one` — big-endian block framing around LITTLE-endian
+    comment lengths, STREAMINFO-first and last-block-flag invariants):
+    the tag sibling of the rice-decode multimodal_flac; counts and
+    volume recover the synth formulas."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 9 == 1
+    )
+    return M.flac_tag_stats(M.attach_flac_tags_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_flac_tags"] = """
+SELECT doc_id AS key, CAST(3 AS INT) AS n_blocks,
+  CAST(3 AS INT) AS n_comments,
+  CAST(12 + LENGTH(CAST(doc_id % 50 AS VARCHAR))
+       + 8 + LENGTH(CAST(doc_id % 9 AS VARCHAR))
+       + 7 + LENGTH(CAST(doc_id % 5 AS VARCHAR)) AS BIGINT)
+    AS comment_chars,
+  CAST(1 AS INT) AS has_padding
+FROM documents WHERE doc_id % 9 = 1
+"""
+
+
+def q_multimodal_edid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDID display-block decode (`operators/multimodal.py::
+    _edid_one` — the VESA 128-byte identification block: fixed
+    header, 5-bit-packed manufacturer letters, mixed BE/LE fields,
+    whole-block zero checksum): identification fields recover the
+    synth formulas."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 9 == 3
+    )
+    return M.edid_meta(M.attach_edid_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_edid"] = """
+SELECT doc_id AS key,
+  CHR(65 + CAST(doc_id % 26 AS INT))
+    || CHR(65 + CAST((doc_id * 3) % 26 AS INT))
+    || CHR(65 + CAST((doc_id * 7) % 26 AS INT)) AS manufacturer,
+  CAST(doc_id % 65536 AS INT) AS product,
+  CAST(1 + doc_id % 52 AS INT) AS week,
+  CAST(2000 + doc_id % 24 AS INT) AS year
+FROM documents WHERE doc_id % 9 = 3
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "graph_modularity": q_graph_modularity,
+        "agg_simpson_diversity": q_agg_simpson_diversity,
+        "multimodal_flac_tags": q_multimodal_flac_tags,
+        "multimodal_edid": q_multimodal_edid,
+    }
+)

@@ -118,6 +118,8 @@ def _targets():
     yield "ico_png_one", M._ico_png_one, M.synth_ico_png(5)
     yield "wav_info_one", M._wav_info_one, M.synth_wav_info(5)
     yield "apng_one", M._apng_one, M.synth_apng(5)
+    yield "flac_tags_one", M._flac_tags_one, M.synth_flac_tags(5)
+    yield "edid_one", M._edid_one, M.synth_edid(5)
 
 
 class _DecodeHang(Exception):

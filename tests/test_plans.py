@@ -691,6 +691,10 @@ _SHUFFLE_BUDGET = {
     "source_robots_txt": 0,
     "multimodal_apng": 0,
     "join_asof_tolerance": 2,       # per-user asof + one rollup
+    "graph_modularity": 4,          # edges checkpointed; c-bounded
+    "agg_simpson_diversity": 3,     # per-user counts + 1-row mean
+    "multimodal_flac_tags": 0,
+    "multimodal_edid": 0,
 }
 
 
