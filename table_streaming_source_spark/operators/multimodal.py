@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -10775,6 +10776,122 @@ def edid_meta(
                     "product": pd.Series(rows["product"], dtype="int32"),
                     "week": pd.Series(rows["week"], dtype="int32"),
                     "year": pd.Series(rows["year"], dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=schema)
+
+
+def synth_stl(key: int) -> bytes:
+    """Binary STL (the 3D-printing/mesh interchange standard: 80-byte
+    header, uint32 triangle count, 50-byte records of float32
+    normal + 3 vertices + uint16 attribute): a closed tetrahedron
+    with integer vertices (exact in float32), per-triangle
+    attributes ``(key + i) % 100``."""
+    a, b, c = 1 + key % 5, 1 + key % 3, 1 + key % 7
+    v0, v1, v2, v3 = (
+        (0, 0, 0), (a, 0, 0), (0, b, 0), (0, 0, c)
+    )
+    faces = [(v0, v2, v1), (v0, v1, v3), (v0, v3, v2), (v1, v2, v3)]
+    out = bytearray(f"synth stl {key}".encode().ljust(80, b"\x00"))
+    out += struct.pack("<I", len(faces))
+    for i, (p, q, r) in enumerate(faces):
+        out += struct.pack("<fff", 0.0, 0.0, 0.0)  # normal (recomputed)
+        for v in (p, q, r):
+            out += struct.pack("<fff", *[float(x) for x in v])
+        out += struct.pack("<H", (key + i) % 100)
+    return bytes(out)
+
+
+def _stl_one(payload: bytes) -> dict:
+    """Decode one binary STL: record framing against the declared
+    count, enclosed volume by the divergence theorem
+    (|Σ v₀·(v₁×v₂)| / 6 over facets — exact for closed meshes),
+    attribute rollup.  Malformed bytes raise ValueError."""
+    if len(payload) < 84:
+        raise ValueError("stl: truncated header")
+    if payload[:5] == b"solid" and b"facet" in payload[:200]:
+        raise ValueError("stl: ASCII form not supported here")
+    (n,) = struct.unpack_from("<I", payload, 80)
+    need = 84 + 50 * n
+    if need != len(payload):
+        raise ValueError(
+            f"stl: {n} triangles need {need} bytes, got {len(payload)}"
+        )
+    vol6 = 0.0
+    attr_sum = 0
+    for i in range(n):
+        base = 84 + 50 * i
+        vals = struct.unpack_from("<12f", payload, base)
+        (attr,) = struct.unpack_from("<H", payload, base + 48)
+        p = vals[3:6]
+        q = vals[6:9]
+        r = vals[9:12]
+        cx = q[1] * r[2] - q[2] * r[1]
+        cy = q[2] * r[0] - q[0] * r[2]
+        cz = q[0] * r[1] - q[1] * r[0]
+        vol6 += p[0] * cx + p[1] * cy + p[2] * cz
+        attr_sum += attr
+    return {
+        "n_triangles": n,
+        "volume": abs(vol6) / 6.0,
+        "attr_sum": attr_sum,
+    }
+
+
+def attach_stl_payload(df: DataFrame, key: str) -> DataFrame:
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key].astype("int64"),
+                    "payload": [synth_stl(int(k)) for k in pdf[key]],
+                }
+            )
+
+    return df.select(key).mapInPandas(batches, schema=schema)
+
+
+def stl_meta(
+    df: DataFrame, *, payload_col: str = "payload", key: str = "key"
+) -> DataFrame:
+    """Per-mesh binary-STL stats (triangle count, enclosed volume via
+    the divergence theorem, attribute rollup) — the 3D-asset sibling
+    of the image/audio walks.  Arrow-batched, zero shuffles."""
+    schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("n_triangles", IntegerType(), False),
+            StructField("volume", DoubleType(), False),
+            StructField("attr_sum", LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {f.name: [] for f in schema.fields}
+            for k, payload in zip(pdf[key], pdf[payload_col]):
+                m = _stl_one(bytes(payload))
+                rows["key"].append(int(k))
+                for nm in ("n_triangles", "volume", "attr_sum"):
+                    rows[nm].append(m[nm])
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(rows["key"], dtype="int64"),
+                    "n_triangles": pd.Series(
+                        rows["n_triangles"], dtype="int32"
+                    ),
+                    "volume": pd.Series(rows["volume"], dtype="float64"),
+                    "attr_sum": pd.Series(
+                        rows["attr_sum"], dtype="int64"
+                    ),
                 }
             )
 

@@ -455,7 +455,7 @@ encode/decode round trip).  After this window lands: 567 catalog
 entries, 567/567 with DuckDB oracles, zero rows-only; the round-13
 backlog is EMPTY at rotation time.
 
-Round-13 rotation backlog — 36 entries built AFTER the round-12
+Round-13 rotation backlog — 42 entries built AFTER the round-12
 window filled (each strict-dtype oracle-verified at sf0.001, sf0.01
 AND sf0.1 at round-12 HEAD): ``format_sql_ref_read`` (SQL reads of a
 BRANCH through the temp-view ``ref`` option, main advanced
@@ -503,8 +503,14 @@ wave adds ``graph_modularity`` (Newman Q of a fixed partition),
 ``agg_simpson_diversity`` (per-user behavioral diversity),
 ``multimodal_flac_tags`` (VORBIS_COMMENT little-endian-in-big-endian
 framing), and ``multimodal_edid`` (VESA display blocks with the
-whole-block zero checksum) — 603 catalog total, 603/603 with
-oracles, zero rows-only.
+whole-block zero checksum); a sixth wave adds ``source_gff3``
+(completing the genomics trio), ``source_obj`` (Wavefront meshes
+with negative relative indices), ``multimodal_stl`` (binary STL with
+divergence-theorem volume), ``agg_circular_stats`` (directional mean
+/ resultant length over hour-of-day), ``dedup_lsh_tuning_curve``
+(the banded-minhash S-curve design table at b=8, r=4), and
+``scalar_roman`` (positional lookup-table numeral encoding) —
+609 catalog total, 609/609 with oracles, zero rows-only.
 """
 
 from __future__ import annotations

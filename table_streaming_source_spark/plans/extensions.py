@@ -13,6 +13,8 @@ within-tolerance boolean).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -26461,5 +26463,306 @@ QUERIES_DEFERRED.update(
         "agg_simpson_diversity": q_agg_simpson_diversity,
         "multimodal_flac_tags": q_multimodal_flac_tags,
         "multimodal_edid": q_multimodal_edid,
+    }
+)
+
+
+def q_source_gff3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GFF3 genome-annotation ingestion (`sources/gff3_file.py` —
+    version pragma, 9-column records, 1-based inclusive intervals,
+    ID/Parent attribute hierarchy): per-file feature/gene/child
+    counts, strand split and span volume — closed-form from the
+    synth formulas.  Completes the genomics trio with source_vcf and
+    source_fasta."""
+    from table_streaming_source_spark.sources.gff3_file import (
+        gff3_rows,
+        synth_gff3,
+    )
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+    import pandas as _pd
+
+    schema = StructType([
+        StructField("key", LongType(), False),
+        StructField("gff3", StringType(), False),
+    ])
+
+    def attach(it):
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "key": pdf["key"].astype("int64"),
+                    "gff3": [synth_gff3(int(k)) for k in pdf["key"]],
+                }
+            )
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 9 == 5)
+        .select(F.col("doc_id").alias("key"))
+        .mapInPandas(attach, schema=schema)
+    )
+    return gff3_rows(d)
+
+
+ORACLES["source_gff3"] = """
+WITH base AS (
+  SELECT doc_id, 1 + doc_id % 3 AS ng FROM documents
+  WHERE doc_id % 9 = 5
+),
+genes AS (
+  SELECT doc_id, ng, g.g,
+         201 + (doc_id + g.g) % 300 AS gspan,
+         1 + (doc_id + g.g) % 2 AS nc,
+         50 + (doc_id + g.g) % 40 AS cspan,
+         CASE WHEN (doc_id + g.g) % 2 = 0 THEN 1 ELSE 0 END AS plus
+  FROM base, UNNEST(RANGE(0, ng)) AS g(g)
+)
+SELECT doc_id AS key,
+  CAST(ng + SUM(nc) AS INT) AS n_features,
+  CAST(ng AS INT) AS n_genes,
+  CAST(SUM(nc) AS INT) AS n_children,
+  CAST(SUM(gspan) + SUM(nc * cspan) AS BIGINT) AS span_sum,
+  CAST(SUM(plus * (1 + nc)) AS INT) AS n_plus_strand
+FROM genes GROUP BY doc_id, ng
+"""
+
+
+def q_source_obj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wavefront OBJ mesh ingestion (`sources/obj_mesh.py` — vertex/
+    face records with 1-based AND negative relative indices,
+    triangle-fan triangulation, bounding box): 3D assets are a
+    first-class multimodal-corpus payload; the rollups are
+    closed-form from the synth box."""
+    from table_streaming_source_spark.sources.obj_mesh import (
+        obj_rows,
+        synth_obj,
+    )
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+    import pandas as _pd
+
+    schema = StructType([
+        StructField("key", LongType(), False),
+        StructField("obj", StringType(), False),
+    ])
+
+    def attach(it):
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "key": pdf["key"].astype("int64"),
+                    "obj": [synth_obj(int(k)) for k in pdf["key"]],
+                }
+            )
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 4)
+        .select(F.col("doc_id").alias("key"))
+        .mapInPandas(attach, schema=schema)
+    )
+    return obj_rows(d)
+
+
+ORACLES["source_obj"] = """
+SELECT doc_id AS key, CAST(8 AS INT) AS n_vertices,
+  CAST(6 + doc_id % 3 AS INT) AS n_faces,
+  CAST(6 * 2 + doc_id % 3 AS INT) AS n_triangles,
+  CAST((1 + doc_id % 5) * (1 + doc_id % 3) * (1 + doc_id % 7)
+       AS DOUBLE) AS bbox_volume
+FROM documents WHERE doc_id % 11 = 4
+"""
+
+
+def q_multimodal_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary STL decode (`operators/multimodal.py::_stl_one` —
+    80-byte header, 50-byte facet records, enclosed volume by the
+    divergence theorem over the closed tetrahedron): integer
+    vertices make the volume EXACT (abc/6); attributes roll up
+    closed-form."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 11 == 5
+    )
+    return M.stl_meta(M.attach_stl_payload(docs, "doc_id"))
+
+
+ORACLES["multimodal_stl"] = """
+SELECT doc_id AS key, CAST(4 AS INT) AS n_triangles,
+  (1 + doc_id % 5) * (1 + doc_id % 3) * (1 + doc_id % 7) / 6.0
+    AS volume,
+  CAST((doc_id % 100) + (doc_id + 1) % 100 + (doc_id + 2) % 100
+       + (doc_id + 3) % 100 AS BIGINT) AS attr_sum
+FROM documents WHERE doc_id % 11 = 5
+"""
+
+
+def q_agg_circular_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular (directional) statistics of event hour-of-day per
+    type (Fisher 1993 — the mean direction and resultant length R̄
+    that linear means get WRONG on wrap-around data like hours):
+    hour buckets → rounded sin/cos terms weighted by exact counts on
+    the decimal path; R̄ and the circular mean hour from one atan2."""
+    e = t(spark, sf_dir, "events")
+    byhour = e.groupBy(
+        "event_type", F.hour("ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    theta = F.col("h") * (math.pi / 12.0)
+    terms = byhour.select(
+        "event_type",
+        "n",
+        (F.col("n") * F.round(F.sin(theta), 9).cast("decimal(18,9)"))
+        .cast("decimal(28,9)").alias("ts_"),
+        (F.col("n") * F.round(F.cos(theta), 9).cast("decimal(18,9)"))
+        .cast("decimal(28,9)").alias("tc_"),
+    )
+    agg = terms.groupBy("event_type").agg(
+        F.sum("n").alias("nt"),
+        F.sum("ts_").cast("double").alias("s"),
+        F.sum("tc_").cast("double").alias("c"),
+    )
+    two_pi = 2 * math.pi
+    ang = F.atan2(F.col("s"), F.col("c"))
+    ang = F.when(ang < 0, ang + two_pi).otherwise(ang)
+    return agg.select(
+        "event_type",
+        F.col("nt").cast("bigint").alias("n"),
+        F.round(
+            F.sqrt(F.col("s") * F.col("s") + F.col("c") * F.col("c"))
+            / F.col("nt"),
+            9,
+        ).alias("r_bar"),
+        F.round(ang * (12.0 / math.pi), 6).alias("mean_hour"),
+    )
+
+
+ORACLES["agg_circular_stats"] = """
+WITH byhour AS (
+  SELECT event_type, EXTRACT(HOUR FROM ts) AS h, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+terms AS (
+  SELECT event_type, n,
+    CAST(n * CAST(ROUND(SIN(h * PI() / 12.0), 9) AS DECIMAL(18,9))
+         AS DECIMAL(28,9)) AS ts_,
+    CAST(n * CAST(ROUND(COS(h * PI() / 12.0), 9) AS DECIMAL(18,9))
+         AS DECIMAL(28,9)) AS tc_
+  FROM byhour
+),
+agg AS (
+  SELECT event_type, SUM(n) AS nt,
+    CAST(SUM(ts_) AS DOUBLE) AS s, CAST(SUM(tc_) AS DOUBLE) AS c
+  FROM terms GROUP BY event_type
+)
+SELECT event_type, CAST(nt AS BIGINT) AS n,
+  ROUND(SQRT(s * s + c * c) / nt, 9) AS r_bar,
+  ROUND((CASE WHEN ATAN2(s, c) < 0 THEN ATAN2(s, c) + 2 * PI()
+              ELSE ATAN2(s, c) END) * (12.0 / PI()), 6) AS mean_hour
+FROM agg
+"""
+
+
+def q_dedup_lsh_tuning_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The banded-minhash S-CURVE (Leskovec/Rajaraman/Ullman's
+    P(candidate|s) = 1 − (1 − sʳ)ᵇ — the design table behind every
+    (b, r) choice in the dedup family, dedup_minhash_lsh included):
+    evaluated at b=8, r=4 over the similarity grid s = 0.05…0.95,
+    alongside the curve's analytic threshold (1/b)^(1/r).  Pure
+    expression math — the catalog's one data-free DESIGN entry,
+    pinned so a (b, r) change shows as a diff."""
+    b, r = 8, 4
+    grid = spark.range(1, 20).select(
+        (F.col("id") * 0.05).alias("s")
+    )
+    p = 1 - F.pow(1 - F.pow(F.col("s"), r), b)
+    thr = (1.0 / b) ** (1.0 / r)
+    return grid.select(
+        F.round("s", 2).alias("s"),
+        F.round(p, 9).alias("p_candidate"),
+        F.round(F.lit(thr), 9).alias("threshold"),
+    )
+
+
+ORACLES["dedup_lsh_tuning_curve"] = """
+SELECT ROUND(g.i * 0.05, 2) AS s,
+  ROUND(1 - POWER(1 - POWER(g.i * 0.05, 4), 8), 9) AS p_candidate,
+  ROUND(POWER(1.0 / 8, 1.0 / 4), 9) AS threshold
+FROM UNNEST(RANGE(1, 20)) AS g(i)
+"""
+
+
+def q_scalar_roman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roman-numeral encoding in pure SQL (the positional lookup-table
+    form over thousands/hundreds/tens/units — subtractive notation
+    included): order keys folded to 1..3999, total numeral length and
+    frequency checks aggregate the whole domain's encoding."""
+    o = t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 3999 + 1).alias("v")
+    )
+    th = F.array(*[F.lit("M" * i) for i in range(4)])
+    hu = F.array(*[
+        F.lit(x) for x in (
+            "", "C", "CC", "CCC", "CD", "D", "DC", "DCC", "DCCC", "CM"
+        )
+    ])
+    te = F.array(*[
+        F.lit(x) for x in (
+            "", "X", "XX", "XXX", "XL", "L", "LX", "LXX", "LXXX", "XC"
+        )
+    ])
+    un = F.array(*[
+        F.lit(x) for x in (
+            "", "I", "II", "III", "IV", "V", "VI", "VII", "VIII", "IX"
+        )
+    ])
+    roman = F.concat(
+        F.element_at(th, (F.col("v") / 1000).cast("int") + 1),
+        F.element_at(hu, ((F.col("v") % 1000) / 100).cast("int") + 1),
+        F.element_at(te, ((F.col("v") % 100) / 10).cast("int") + 1),
+        F.element_at(un, (F.col("v") % 10).cast("int") + 1),
+    )
+    enc = o.select("v", roman.alias("r"))
+    return enc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_distinct("r").cast("bigint").alias("n_distinct"),
+        F.sum(F.length("r")).cast("bigint").alias("total_chars"),
+        F.min("r").alias("min_roman"),
+        F.max("r").alias("max_roman"),
+    )
+
+
+ORACLES["scalar_roman"] = """
+WITH base AS (SELECT o_orderkey % 3999 + 1 AS v FROM orders),
+enc AS (
+  SELECT v,
+    ['', 'M', 'MM', 'MMM'][CAST(v // 1000 AS INT) + 1]
+    || ['', 'C', 'CC', 'CCC', 'CD', 'D', 'DC', 'DCC', 'DCCC', 'CM']
+       [CAST(v % 1000 // 100 AS INT) + 1]
+    || ['', 'X', 'XX', 'XXX', 'XL', 'L', 'LX', 'LXX', 'LXXX', 'XC']
+       [CAST(v % 100 // 10 AS INT) + 1]
+    || ['', 'I', 'II', 'III', 'IV', 'V', 'VI', 'VII', 'VIII', 'IX']
+       [CAST(v % 10 AS INT) + 1] AS r
+  FROM base
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(DISTINCT r) AS BIGINT) AS n_distinct,
+  CAST(SUM(LENGTH(r)) AS BIGINT) AS total_chars,
+  MIN(r) AS min_roman, MAX(r) AS max_roman
+FROM enc
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "source_gff3": q_source_gff3,
+        "source_obj": q_source_obj,
+        "multimodal_stl": q_multimodal_stl,
+        "agg_circular_stats": q_agg_circular_stats,
+        "dedup_lsh_tuning_curve": q_dedup_lsh_tuning_curve,
+        "scalar_roman": q_scalar_roman,
     }
 )

@@ -120,6 +120,7 @@ def _targets():
     yield "apng_one", M._apng_one, M.synth_apng(5)
     yield "flac_tags_one", M._flac_tags_one, M.synth_flac_tags(5)
     yield "edid_one", M._edid_one, M.synth_edid(5)
+    yield "stl_one", M._stl_one, M.synth_stl(5)
 
 
 class _DecodeHang(Exception):

@@ -695,6 +695,12 @@ _SHUFFLE_BUDGET = {
     "agg_simpson_diversity": 3,     # per-user counts + 1-row mean
     "multimodal_flac_tags": 0,
     "multimodal_edid": 0,
+    "source_gff3": 0,
+    "source_obj": 0,
+    "multimodal_stl": 0,
+    "agg_circular_stats": 2,        # hour buckets + per-type rollup
+    "dedup_lsh_tuning_curve": 0,    # pure expression math
+    "scalar_roman": 2,              # one distinct + final aggregate
 }
 
 

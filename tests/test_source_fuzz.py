@@ -158,6 +158,11 @@ def _targets(tmp):
     yield "parse_wkt", wkt_geom.parse_wkt, wkt_geom.synth_wkt(5).encode()
     yield "parse_m3u", m3u_playlist.parse_m3u, m3u_playlist.synth_m3u(5).encode()
 
+    from table_streaming_source_spark.sources import gff3_file, obj_mesh
+
+    yield "parse_gff3", gff3_file.parse_gff3, gff3_file.synth_gff3(5).encode()
+    yield "parse_obj", obj_mesh.parse_obj, obj_mesh.synth_obj(5).encode()
+
 
 class _ParseHang(Exception):
     pass
@@ -176,7 +181,7 @@ _NAMES = [
     "parse_warc", "xlsx_records", "decode_ocf",
     "parse_srec", "parse_fasta",
     "parse_pcap", "parse_vcf", "parse_wkt", "parse_m3u",
-    "parse_robots",
+    "parse_robots", "parse_gff3", "parse_obj",
 ]
 
 
