@@ -1,0 +1,206 @@
+"""Distributed exact rank / prefix statistics — the scale-safe rewrite
+of ``row_number()/sum()/min() OVER (ORDER BY …)`` with no PARTITION BY.
+
+Spark plans an unpartitioned window as ``Exchange SinglePartition`` +
+one WindowExec task: the entire input moves to ONE task, which is the
+canonical 100 TB scale-killer (the round-11/12 verdicts' named class).
+Every rank/prefix statistic has an exact two-pass distributed form:
+
+1. **Bucket** every row by a monotone step function of the global
+   ordering (a value-range split of the leading numeric key, or —
+   when the leading key is low-cardinality/heavily tied — the exact
+   key value crossed with a value-range split of the first numeric
+   tiebreaker).
+2. **Partials**: one hash aggregate per bucket (count + per-column
+   sums/mins) — a frame whose size is bucket-proportional, never
+   data-row-proportional.  It is ``localCheckpoint``-ed so the plan
+   shows the bounded frame as an ``ExistingRDD`` scan (the plan-gate
+   marker in ``tests/test_plans.py``) and so the tiny exclusive-prefix
+   window over it never recomputes the scan.
+3. **Offsets**: exclusive running count/sum/min over the partials in
+   bucket order (bounded input — this is the ONLY unpartitioned window
+   and it runs over the checkpointed partials, not the data), plus the
+   grand totals, broadcast-joined back onto the bucketed rows.
+4. **Local windows**: ``row_number``/running sums/mins per bucket
+   (hash-partitioned WindowExec — parallel across buckets) + offsets.
+
+Cost: exactly ONE full-data shuffle (hash on the bucket id) — the same
+count a global range-sort would pay — but the work stays parallel
+across ``n_buckets`` tasks instead of collapsing to one.
+
+Exactness: offsets compose with local prefixes by integer/decimal
+addition (order-free) and IEEE ``min``/``max`` (order-free), so results
+are bit-identical to the single-window formulation.  Pass integer or
+decimal ``sum_cols`` (double summation is order-sensitive; pre-scale to
+cents/decimal first, the repo-wide oracle discipline).
+
+Skew note: value-range bucketing assumes the leading key is roughly
+uniform over its span (ids, hashes, uniform pseudo p-values).  For
+heavily tied / low-cardinality keys set ``dense_key=True`` and supply a
+near-uniform numeric first tiebreaker; for arbitrary skew at 100 TB,
+swap the split for sampled quantile boundaries — the composition
+(bucket → partials → offsets → local windows) is unchanged.
+
+Reference parity: the reference engine (a 373-LoC snapshot-source
+plugin, see SURVEY.md §2A) has no rank operator; this implements the
+§2B window-function row in its scale-safe form.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["global_rank_prefix", "ntile_from_rank"]
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def global_rank_prefix(
+    df: DataFrame,
+    key: Column | str,
+    *,
+    tiebreak: Sequence[Column | str] = (),
+    sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    n_buckets: int = 64,
+    dense_key: bool = False,
+    with_totals: bool = False,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Exact global ``row_number`` (and inclusive prefix sums / running
+    mins) over ``ORDER BY key, *tiebreak`` — all ASCENDING; negate a
+    numeric column to rank descending (IEEE negation is exact).
+
+    Adds to ``df``:
+
+    - ``rank_col``  — BIGINT 1-based global row number,
+    - ``cum_<c>``   — inclusive prefix sum for each ``sum_cols`` entry,
+    - ``run_min_<c>`` — inclusive running min for each ``min_cols``,
+    - ``n_total`` / ``tot_<c>`` (``with_totals=True``) — grand count and
+      per-``sum_cols`` totals on every row (replaces the
+      ``COUNT(*) OVER ()`` single-task window).
+
+    ``key`` must be numeric and non-null.  ``dense_key=True`` buckets by
+    (exact key value × range-split of the FIRST tiebreaker) — use when
+    the key is low-cardinality (tied counts, calendar days) and the
+    first tiebreaker is a near-uniform numeric (an id column).
+    """
+    key_c = _col(key)
+    ties = [_col(c) for c in tiebreak]
+    if dense_key:
+        if not ties:
+            raise ValueError("dense_key=True requires a numeric tiebreak")
+        span_c = ties[0]
+    else:
+        span_c = key_c
+
+    bounds = df.agg(
+        F.min(span_c).alias("__lo"), F.max(span_c).alias("__hi")
+    )
+    ext = df.crossJoin(F.broadcast(bounds))
+    width = F.col("__hi").cast("double") - F.col("__lo").cast("double")
+    pos = span_c.cast("double") - F.col("__lo").cast("double")
+    sub = F.coalesce(
+        F.when(
+            width > 0,
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor(pos * n_buckets / (width + F.lit(1.0))).cast(
+                    "int"
+                ),
+            ),
+        ).otherwise(F.lit(0)),
+        F.lit(0),
+    )
+    b1 = key_c.alias("__b1") if dense_key else sub.alias("__b1")
+    b2 = sub.alias("__b2") if dense_key else F.lit(0).alias("__b2")
+    bucketed = ext.select("*", b1, b2).drop("__lo", "__hi")
+
+    partial_aggs = [F.count(F.lit(1)).alias("__cnt")]
+    partial_aggs += [F.sum(c).alias(f"__s_{c}") for c in sum_cols]
+    partial_aggs += [F.min(c).alias(f"__m_{c}") for c in min_cols]
+    # bucket-proportional (NEVER data-row-proportional) frame; the
+    # checkpoint materializes it once and marks it bounded for the plan
+    # gate (its prefix window below scans an ExistingRDD)
+    partials = (
+        bucketed.groupBy("__b1", "__b2")
+        .agg(*partial_aggs)
+        .localCheckpoint(eager=False)
+    )
+
+    w_excl = Window.orderBy("__b1", "__b2").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("__b1", "__b2").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    off_cols = [
+        F.coalesce(F.sum("__cnt").over(w_excl), F.lit(0))
+        .cast("bigint")
+        .alias("__off_cnt")
+    ]
+    off_cols += [
+        F.coalesce(F.sum(f"__s_{c}").over(w_excl), F.lit(0)).alias(
+            f"__off_{c}"
+        )
+        for c in sum_cols
+    ]
+    off_cols += [
+        F.min(f"__m_{c}").over(w_excl).alias(f"__omin_{c}")
+        for c in min_cols
+    ]
+    if with_totals:
+        off_cols.append(
+            F.sum("__cnt").over(w_all).cast("bigint").alias("n_total")
+        )
+        off_cols += [
+            F.sum(f"__s_{c}").over(w_all).alias(f"tot_{c}")
+            for c in sum_cols
+        ]
+    offsets = partials.select("__b1", "__b2", *off_cols)
+
+    joined = bucketed.join(F.broadcast(offsets), ["__b1", "__b2"])
+    w_loc = Window.partitionBy("__b1", "__b2").orderBy(key_c, *ties)
+    w_cum = w_loc.rowsBetween(Window.unboundedPreceding, 0)
+    out_cols = [
+        (F.row_number().over(w_loc).cast("bigint") + F.col("__off_cnt"))
+        .alias(rank_col)
+    ]
+    out_cols += [
+        (F.sum(c).over(w_cum) + F.col(f"__off_{c}")).alias(f"cum_{c}")
+        for c in sum_cols
+    ]
+    out_cols += [
+        # least() skips nulls: the first bucket has no prior min
+        F.least(F.min(c).over(w_cum), F.col(f"__omin_{c}")).alias(
+            f"run_min_{c}"
+        )
+        for c in min_cols
+    ]
+    drop = (
+        ["__b1", "__b2", "__off_cnt"]
+        + [f"__off_{c}" for c in sum_cols]
+        + [f"__omin_{c}" for c in min_cols]
+    )
+    return joined.select("*", *out_cols).drop(*drop)
+
+
+def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """SQL-standard ``NTILE(k)`` derived from an exact global rank and
+    total row count: the first ``n % k`` tiles hold ``n//k + 1`` rows,
+    the rest ``n//k`` — identical to Spark's and DuckDB's native NTILE,
+    but composable with :func:`global_rank_prefix` (no single-task
+    window).  ``rank`` is 1-based; ``n`` is the total count."""
+    q = (n / k).cast("bigint")
+    rem = n - q * k
+    thresh = rem * (q + 1)
+    return (
+        F.when(rank <= thresh, ((rank - 1) / (q + 1)).cast("bigint") + 1)
+        .otherwise(rem + ((rank - thresh - 1) / q).cast("bigint") + 1)
+        .cast("int")
+    )
