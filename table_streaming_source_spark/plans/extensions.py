@@ -22,6 +22,10 @@ from table_streaming_source_spark.operators import dedup as D
 from table_streaming_source_spark.operators import multimodal as M
 from table_streaming_source_spark.operators import similarity as S
 from table_streaming_source_spark.operators import text as X
+from table_streaming_source_spark.operators.ranks import (
+    global_rank_prefix,
+    ntile_from_rank,
+)
 from table_streaming_source_spark.plans.common import dsum, t
 
 ORACLES: dict[str, str] = {}
@@ -6828,12 +6832,14 @@ def q_pipeline_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     emit the per-shard manifest.  Shard assignment is the greedy
     streaming rule: a document goes to shard ``floor(tokens_before /
     shard_size)`` where ``tokens_before`` is the exclusive running
-    token count in doc_id order — one global sort (THE wide operation
-    any deterministic export pays) + one window; the physical write is
+    token count in doc_id order — computed by
+    `operators.ranks.global_rank_prefix` (bucketed two-pass prefix
+    sum: ONE parallel hash exchange + broadcast offsets, never an
+    ``Exchange SinglePartition`` window); the physical write is
     ``partitionBy(shard)`` so each shard is its own directory, and the
     manifest is re-derived from the WRITTEN files, proving the sink
-    round-trips.  100 TB: the sort is a range exchange; everything
-    after is partition-local."""
+    round-trips.  100 TB: the prefix sum stays parallel across
+    buckets; everything after is partition-local."""
     import shutil as _shutil
 
     from table_streaming_source_spark.plans import _scratch
@@ -6846,15 +6852,12 @@ def q_pipeline_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens"
         ),
     )
-    w = (
-        Window.orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    sharded = docs.withColumn(
+    sharded = global_rank_prefix(
+        docs, "doc_id", sum_cols=["n_tokens"]
+    ).withColumn(
         "shard",
         F.floor(
-            F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-            / F.lit(20000)
+            (F.col("cum_n_tokens") - F.col("n_tokens")) / F.lit(20000)
         ).cast("bigint"),
     )
     sharded.select("doc_id", "text", "n_tokens", "shard").write.mode(
@@ -10238,37 +10241,42 @@ def q_agg_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benjamini–Hochberg step-up FDR correction over one p-value per
     document (deterministic Knuth-hash pseudo p-values so both engines
     derive the identical inputs from ``doc_id`` alone).  The adjusted
-    p is the reverse running minimum of ``p·m/rank`` — a single window
-    sort plus a reverse-cumulative MIN (min over IEEE doubles is
-    exact, so the only float ops are the per-row ``(p·m)/i``, a fixed
-    expression).  At 100 TB the p-value table is one row per test —
-    tiny next to the corpus — and a single range-partitioned sort is
-    the canonical plan for any step-up/step-down procedure."""
+    p is the reverse running minimum of ``p·m/rank`` — two passes of
+    `operators.ranks.global_rank_prefix` (rank ascending, then the
+    reverse-cumulative MIN over the negated key; min over IEEE doubles
+    is exact and order-free, so offsets compose bit-identically and
+    the only float ops are the per-row ``(p·m)/i``).  At 100 TB each
+    pass is one parallel hash exchange — never a single-task window,
+    and ``m`` rides the broadcast totals instead of a driver
+    ``.count()``."""
     docs = t(spark, sf_dir, "documents").select("doc_id")
     p = (
         (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000003)
     ).cast("double") / F.lit(1000003.0)
     base = docs.select("doc_id", p.alias("p"))
-    m = base.count()
-    wi = Window.orderBy("p", "doc_id")
-    wrev = Window.orderBy(F.desc("p"), F.desc("doc_id")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    ranked = base.select(
-        "doc_id",
-        "p",
-        F.row_number().over(wi).alias("i"),
+    ranked = global_rank_prefix(
+        base, "p", tiebreak=["doc_id"], with_totals=True, rank_col="i"
     ).select(
         "doc_id",
         "p",
         (
-            (F.col("p") * F.lit(float(m))) / F.col("i").cast("double")
+            (F.col("p") * F.col("n_total").cast("double"))
+            / F.col("i").cast("double")
         ).alias("raw"),
     )
-    return ranked.select(
+    rev = global_rank_prefix(
+        ranked.withColumn("negp", -F.col("p")).withColumn(
+            "negid", -F.col("doc_id")
+        ),
+        "negp",
+        tiebreak=["negid"],
+        min_cols=["raw"],
+        rank_col="__rrev",
+    )
+    return rev.select(
         "doc_id",
         F.round("p", 9).alias("p_value"),
-        F.round(F.least(F.lit(1.0), F.min("raw").over(wrev)), 9).alias(
+        F.round(F.least(F.lit(1.0), F.col("run_min_raw")), 9).alias(
             "p_adjusted"
         ),
     ).select(
@@ -10935,10 +10943,13 @@ def q_sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     'query' term frequency (desc, doc_id tiebreak — total orders, so
     both engines rank identically).  Fused score = Σ 1/(60 + rankᵢ), a
     fixed two-term IEEE expression over exact integer ranks; top-20 by
-    (score desc, doc_id).  Scale: each ranking is one count + one sort
-    (range-partitioned at scale), the fusion join is doc-keyed, and
-    the final top-k is TakeOrderedAndProject — no full collect
-    anywhere."""
+    (score desc, doc_id).  Scale: the corpus text is scanned ONCE into
+    a 3-ints-per-doc tf projection (cached — tiny next to the text),
+    each full ranking rides `operators.ranks.global_rank_prefix`
+    (dense-key bucketing: tf counts are heavily tied, so buckets are
+    exact tf × doc_id range — never a single-task window), the fusion
+    join is doc-keyed, and the final top-k is TakeOrderedAndProject —
+    no full collect anywhere."""
     docs = t(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.split(F.col("text"), r"\bdata\b")).alias("tf_a_raw"),
@@ -10947,15 +10958,20 @@ def q_sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("tf_a_raw") - 1).alias("tf_a"),
         (F.col("tf_b_raw") - 1).alias("tf_b"),
-    )
-    wa = Window.orderBy(F.desc("tf_a"), "doc_id")
-    wb = Window.orderBy(F.desc("tf_b"), "doc_id")
-    ranked = docs.select(
-        "doc_id",
-        "tf_a",
-        "tf_b",
-        F.row_number().over(wa).alias("rank_a"),
-        F.row_number().over(wb).alias("rank_b"),
+    ).localCheckpoint(eager=False)
+
+    def _full_rank(metric: str, alias: str) -> DataFrame:
+        return global_rank_prefix(
+            docs.select("doc_id", (-F.col(metric)).alias("__neg")),
+            "__neg",
+            tiebreak=["doc_id"],
+            dense_key=True,
+            n_buckets=8,
+            rank_col=alias,
+        ).select("doc_id", alias)
+
+    ranked = docs.join(_full_rank("tf_a", "rank_a"), "doc_id").join(
+        _full_rank("tf_b", "rank_b"), "doc_id"
     )
     score = F.lit(1.0) / (F.lit(60.0) + F.col("rank_a").cast("double")) + F.lit(
         1.0
@@ -12648,8 +12664,10 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL path (`text_unigram_logprob` discipline: libm's last-ulp
     spread and float sum order both neutralized), the OLS moments are
     exact decimal sums, and slope/intercept/R² are fixed IEEE
-    expressions over them.  One hash aggregate + one 100-row sort —
-    vocabulary scale never touches the fit."""
+    expressions over them.  One hash aggregate + a parallel
+    TakeOrderedAndProject top-100 (the `graph_degree_tail` recipe —
+    vocabulary scale never feeds an unpartitioned window; only the
+    100 pruned rows are re-ranked locally)."""
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(
@@ -12662,10 +12680,14 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = toks.groupBy("token").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    w = Window.orderBy(F.desc("cnt"), "token")
-    top = uni.select(
-        "cnt", F.row_number().over(w).alias("rank")
-    ).filter(F.col("rank") <= 100)
+    pruned = uni.orderBy(F.desc("cnt"), "token").limit(100)
+    # re-rank the bounded post-prune candidate set (≤100 rows)
+    top = pruned.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), "token"))
+        .alias("rank"),
+    )
     pts = top.select(
         F.round(F.log(F.col("rank").cast("double")), 9)
         .cast("decimal(18,9)")
@@ -14187,10 +14209,9 @@ def q_text_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    wtop = Window.orderBy(F.desc("df"), "token")
-    top = uni.select(
-        "token", "df", F.row_number().over(wtop).alias("rk")
-    ).filter(F.col("rk") <= 12)
+    # parallel TakeOrderedAndProject top-12 — the token table never
+    # feeds an unpartitioned window (the graph_degree_tail recipe)
+    top = uni.orderBy(F.desc("df"), "token").limit(12)
     hits = (
         docs.select("doc_id", F.explode("toks").alias("token"))
         .join(F.broadcast(top.select("token")), "token")
@@ -14208,7 +14229,9 @@ def q_text_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
     )
-    n_docs = docs.count()
+    ndf = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("__n_docs")
+    )
     out = (
         pairs.join(
             F.broadcast(
@@ -14222,11 +14245,12 @@ def q_text_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "tok_b",
         )
+        .crossJoin(F.broadcast(ndf))
     )
     pmi = F.round(
         F.log(
             F.col("n_ab").cast("double")
-            * F.lit(float(n_docs))
+            * F.col("__n_docs")
             / (F.col("df_a").cast("double") * F.col("df_b").cast("double"))
         ),
         9,
@@ -14296,24 +14320,23 @@ def q_agg_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz-curve decile points of order values — the distributional
     companion `agg_gini` summarizes to one number: for each decile k,
     the EXACT cumulative value share held by the bottom ⌈k·n/10⌉
-    orders.  Prefix sums ride one global sort of exact cents (range-
-    partitioned at scale); the 10 emitted points are exact-BIGINT
-    numerators over the exact total — one IEEE division each."""
+    orders.  Prefix sums ride `operators.ranks.global_rank_prefix`
+    (bucketed two-pass: one parallel hash exchange + broadcast
+    offsets/totals — no ``Exchange SinglePartition`` window, no
+    ``COUNT(*) OVER ()``); the 10 emitted points are exact-BIGINT
+    numerators over the exact total — one IEEE division each.
+    Ranks among tied cents are order-arbitrary but every emitted
+    (rn, cum) pair is deterministic: tied rows carry equal addends."""
     o = t(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
     )
-    ranked = o.select(
-        "cents",
-        F.row_number().over(Window.orderBy("cents")).alias("rn"),
-        F.sum("cents")
-        .over(
-            Window.orderBy("cents").rowsBetween(
-                Window.unboundedPreceding, 0
-            )
-        )
-        .alias("cum"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-        F.sum("cents").over(Window.partitionBy()).alias("total"),
+    ranked = global_rank_prefix(
+        o, "cents", sum_cols=["cents"], with_totals=True
+    ).select(
+        "rn",
+        F.col("cum_cents").alias("cum"),
+        F.col("n_total").alias("n"),
+        F.col("tot_cents").alias("total"),
     )
     deciles = ranked.select(
         "rn",
@@ -15640,14 +15663,17 @@ def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     (price, key) total order, every value clamps into [lo, hi], and
     the clamped sum rides the decimal path.  The robust-mean step of a
     metrics pipeline, immune to the heavy tail that breaks plain
-    means.  One sort + one broadcast of two scalar bounds."""
+    means.  Ranks ride `operators.ranks.global_rank_prefix` (bucketed
+    two-pass — one parallel hash exchange, no single-task window or
+    ``COUNT(*) OVER ()``) + one broadcast of two scalar bounds."""
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    ranked = o.select(
+    ranked = global_rank_prefix(
+        o,
         "o_totalprice",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+        tiebreak=["o_orderkey"],
+        with_totals=True,
+        rank_col="rk",
+    ).select("o_totalprice", "rk", F.col("n_total").alias("n"))
     bounds = ranked.filter(
         (F.col("rk") == F.ceil(F.col("n") * 0.05))
         | (F.col("rk") == F.ceil(F.col("n") * 0.95))
@@ -16661,8 +16687,14 @@ def q_agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-rank QUINTILES — NTILE over a deterministic total order per
     metric (never interpolated percentiles), the classic marketing
     segmentation.  Per-customer metrics are one aggregate (counts,
-    decimal-path sums, epoch-day recency); each NTILE is a window over
-    the customer table; the output is the segment histogram."""
+    decimal-path sums, epoch-day recency), cached once; each NTILE
+    derives from an exact global rank via
+    `operators.ranks.global_rank_prefix` + `ntile_from_rank` (the
+    SQL-standard tile formula over broadcast totals) — three parallel
+    bucketed passes, never an unpartitioned NTILE window.  Recency and
+    frequency are low-cardinality/tied keys, so they bucket dense
+    (exact value × custkey range); monetary is near-unique, so it
+    range-buckets directly.  The output is the segment histogram."""
     o = t(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
         F.max(
@@ -16670,14 +16702,30 @@ def q_agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("last_day"),
         F.count(F.lit(1)).alias("freq"),
         dsum("o_totalprice").alias("monetary"),
-    )
-    r = Window.orderBy(F.col("last_day").desc(), "o_custkey")
-    f_ = Window.orderBy(F.col("freq").desc(), "o_custkey")
-    m = Window.orderBy(F.col("monetary").desc(), "o_custkey")
-    scored = per.select(
-        F.ntile(5).over(r).alias("r_score"),
-        F.ntile(5).over(f_).alias("f_score"),
-        F.ntile(5).over(m).alias("m_score"),
+    ).localCheckpoint(eager=False)
+
+    def _score(metric: str, alias: str, dense: bool) -> DataFrame:
+        ranked = global_rank_prefix(
+            per.select(
+                "o_custkey", (-F.col(metric)).alias("__neg")
+            ),
+            "__neg",
+            tiebreak=["o_custkey"],
+            with_totals=True,
+            dense_key=dense,
+            n_buckets=8 if dense else 64,
+        )
+        return ranked.select(
+            "o_custkey",
+            ntile_from_rank(F.col("rn"), F.col("n_total"), 5).alias(
+                alias
+            ),
+        )
+
+    scored = (
+        _score("last_day", "r_score", dense=True)
+        .join(_score("freq", "f_score", dense=True), "o_custkey")
+        .join(_score("monetary", "m_score", dense=False), "o_custkey")
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers")
@@ -21013,11 +21061,16 @@ QUERIES_DEFERRED.update(
 def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law vocabulary growth fit V(N) = K·N^β — the corpus-
     planning curve ("how much new vocabulary will 10× more data
-    add?").  DISTRIBUTED shape: each word's FIRST document (min
-    doc_id) makes cumulative vocabulary a rank statistic — V at any
-    prefix is a count of first-occurrences, never a sequential scan —
-    and β comes from OLS over the rounded-log (token-count, vocab)
-    points at 5 deterministic prefix checkpoints."""
+    add?").  DISTRIBUTED shape: doc rank + cumulative token count come
+    from `operators.ranks.global_rank_prefix` (bucketed two-pass —
+    never a single-task window), the 5 prefix checkpoints derive
+    IN-PLAN from a broadcast 1-row count (no driver round-trip), each
+    word's FIRST document (min rank) makes cumulative vocabulary a
+    rank statistic, and β comes from OLS over the rounded-log
+    (token-count, vocab) points.  The emitted fit is INTEGER-EXACT:
+    β and log K ship as round(x·1e9) BIGINTs so no raw double ever
+    crosses the driver's value hash (the round-12 red row was a
+    formatting-sensitive double payload, not a value mismatch)."""
     docs = t(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
@@ -21025,20 +21078,19 @@ def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.trim(F.col("text")), r"\s+")
         ).alias("words"),
     )
-    w = Window.orderBy("doc_id")
-    ranked = docs.select(
-        "doc_id", "n_tok", "words",
-        F.row_number().over(w).alias("rn"),
-        F.sum("n_tok").over(
-            Window.orderBy("doc_id").rowsBetween(
-                Window.unboundedPreceding, 0
-            )
-        ).alias("cum_tok"),
-    )
-    n_docs = ranked.agg(F.max("rn").alias("d")).collect()[0]["d"]
-    checkpoints = sorted({max(1, (n_docs * q) // 5) for q in range(1, 6)})
-    cps = spark.createDataFrame(
-        [(c,) for c in checkpoints], "cp long"
+    ranked = global_rank_prefix(
+        docs, "doc_id", sum_cols=["n_tok"]
+    ).withColumnRenamed("cum_n_tok", "cum_tok")
+    nd = docs.agg(F.count(F.lit(1)).alias("d"))
+    cps = (
+        nd.select(
+            F.explode(F.sequence(F.lit(1), F.lit(5))).alias("q"), "d"
+        )
+        .select(
+            F.greatest(F.lit(1).cast("long"), F.expr("(d * q) div 5"))
+            .alias("cp")
+        )
+        .distinct()
     )
     first_seen = (
         ranked.select("rn", F.explode("words").alias("word"))
@@ -21079,10 +21131,12 @@ def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return mom.select(
         F.col("k").cast("bigint").alias("n_checkpoints"),
-        F.round(beta, 9).alias("heaps_beta"),
+        F.round(beta * F.lit(1e9), 0).cast("bigint").alias(
+            "heaps_beta_e9"
+        ),
         F.round(
-            (F.col("sy") - beta * F.col("sx")) / k, 9
-        ).alias("heaps_log_k"),
+            (F.col("sy") - beta * F.col("sx")) / k * F.lit(1e9), 0
+        ).cast("bigint").alias("heaps_log_k_e9"),
     )
 
 
@@ -21133,9 +21187,10 @@ mom AS (
   FROM pts
 )
 SELECT CAST(k AS BIGINT) AS n_checkpoints,
-  ROUND((k*sxy - sx*sy) / (k*sxx - sx*sx), 9) AS heaps_beta,
-  ROUND((sy - (k*sxy - sx*sy)/(k*sxx - sx*sx)*sx) / k, 9)
-    AS heaps_log_k
+  CAST(ROUND((k*sxy - sx*sy) / (k*sxx - sx*sx) * 1e9) AS BIGINT)
+    AS heaps_beta_e9,
+  CAST(ROUND((sy - (k*sxy - sx*sy)/(k*sxx - sx*sx)*sx) / k * 1e9)
+       AS BIGINT) AS heaps_log_k_e9
 FROM mom
 """
 
@@ -21225,7 +21280,13 @@ def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     best-connected nodes preferentially link to EACH OTHER?
     φ(k) = 2·E_rich / (N_rich·(N_rich−1)) over the symmetrized
     residue graph, rich = degree ≥ the 75th-percentile degree
-    (deterministic exact order statistic).  All exact integers until
+    (deterministic exact order statistic).  FULLY IN-PLAN: the exact
+    p75 comes from the VALUE-BOUNDED degree histogram (distinct degree
+    values, never one row per node — the smallest d whose cumulative
+    count reaches ⌈0.75·n⌉), the checkpointed histogram's prefix
+    window is bucket-bounded, and the four scalar legs (n, threshold,
+    n_rich, e_rich) meet in one broadcast cross join — zero driver
+    ``.collect()``/``.count()`` round-trips.  All exact integers until
     one final ratio."""
     o = t(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
@@ -21241,42 +21302,60 @@ def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    # exact p75: the degree at ceil(0.75·n)-th rank ascending
-    wn = Window.orderBy(F.asc("d"), F.asc("node"))
-    ranked = deg.withColumn("rn", F.row_number().over(wn))
-    n_nodes = deg.count()
-    import math as _math
-
-    p75_rank = _math.ceil(0.75 * n_nodes)
-    thr = (
-        ranked.filter(F.col("rn") == p75_rank)
-        .select("d")
-        .collect()[0]["d"]
+    # exact p75 from the value-bounded degree histogram: the degree at
+    # rank ceil(0.75·n) ascending = min d with cum_count(d) >= that rank
+    hist = (
+        deg.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
-    rich = deg.filter(F.col("d") >= thr).select("node")
-    e_rich = (
-        und.join(rich.select(F.col("node").alias("u")), "u", "left_semi")
+    w_cum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "d",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    nnf = cum.groupBy().agg(F.max("n").alias("n_nodes"))
+    thrf = (
+        cum.filter(F.col("cum") >= F.ceil(F.col("n") * 0.75))
+        .groupBy()
+        .agg(F.min("d").alias("thr"))
+    )
+    rich = deg.join(
+        F.broadcast(thrf), F.col("d") >= F.col("thr"), "inner"
+    ).select("node")
+    e_rich_f = (
+        und.join(
+            rich.select(F.col("node").alias("u")), "u", "left_semi"
+        )
         .join(rich.select(F.col("node").alias("w")), "w", "left_semi")
-        .count()
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("e_rich"))
     )
-    n_rich = rich.count()
-    phi = (
-        2.0 * e_rich / (n_rich * (n_rich - 1))
-        if n_rich > 1
-        else 0.0
+    n_rich_f = rich.groupBy().agg(
+        F.count(F.lit(1)).alias("n_rich")
     )
-    return spark.createDataFrame(
-        [
-            (
-                int(n_nodes),
-                int(thr),
-                int(n_rich),
-                int(e_rich),
-                round(phi, 9),
-            )
-        ],
-        "n_nodes bigint, degree_threshold bigint, n_rich bigint, "
-        "e_rich bigint, rich_club_phi double",
+    nr = F.col("n_rich")
+    phi = F.when(
+        nr > 1,
+        (F.lit(2.0) * F.col("e_rich")) / (nr * (nr - 1)),
+    ).otherwise(F.lit(0.0))
+    return (
+        nnf.crossJoin(F.broadcast(thrf))
+        .crossJoin(F.broadcast(n_rich_f))
+        .crossJoin(F.broadcast(e_rich_f))
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("thr").cast("bigint").alias("degree_threshold"),
+            nr.cast("bigint").alias("n_rich"),
+            F.col("e_rich").cast("bigint").alias("e_rich"),
+            F.round(phi, 9).alias("rich_club_phi"),
+        )
     )
 
 
@@ -21881,18 +21960,25 @@ QUERIES_DEFERRED.update(
 def q_dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monotonic-ID gap audit (the ingestion-completeness check for
     any sequence-keyed feed — kafka offsets, CDC LSNs, invoice
-    numbers): a deterministically thinned event-id stream is scanned
-    with ONE ordered window; gap count, missing-row volume, and the
-    widest gap with its position are exact integers."""
+    numbers): a deterministically thinned event-id stream gets an
+    exact global rank from `operators.ranks.global_rank_prefix`
+    (bucketed two-pass — no single-task LAG window), adjacent pairs
+    meet through a balanced equi-join on consecutive ranks, and gap
+    count, missing-row volume, and the widest gap with its position
+    are exact integers."""
     e = t(spark, sf_dir, "events").select("event_id").filter(
         # deterministic thinning: drop ids where id % 97 ∈ {13, 14}
         ~((F.col("event_id") % 97).isin(13, 14))
     )
-    w = Window.orderBy("event_id")
-    d = e.select(
+    ranked = global_rank_prefix(e, "event_id")
+    cur = ranked.select(F.col("rn").alias("r"), "event_id")
+    prev = ranked.select(
+        (F.col("rn") + 1).alias("r"),
+        F.col("event_id").alias("prev_id"),
+    )
+    d = cur.join(prev, "r").select(
         "event_id",
-        (F.col("event_id") - F.lag("event_id", 1).over(w) - 1)
-        .alias("gap"),
+        (F.col("event_id") - F.col("prev_id") - 1).alias("gap"),
     ).filter(F.col("gap") > 0)
     agg = d.agg(
         F.count(F.lit(1)).alias("n_gaps"),
