@@ -15749,7 +15749,10 @@ def q_text_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals; the top-10 ranking orders by the ROUNDED |z| with a word
     tiebreak, so the cut is engine-stable.  One token explode + one
     hash aggregate; the vocabulary is min-count-filtered before any
-    per-word math."""
+    per-word math, the corpus totals are ONE broadcast scalar
+    aggregate (never a ``SUM() OVER ()`` window moving the whole
+    vocabulary to one task), and the top-10 cut is
+    TakeOrderedAndProject."""
     d = t(spark, sf_dir, "documents")
     words = d.select(
         (F.col("doc_id") % 2 == 0).cast("int").alias("grp"),
@@ -15761,13 +15764,12 @@ def q_text_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("grp")).alias("a"),
         F.sum(1 - F.col("grp")).alias("b"),
     ).filter(F.col("a") + F.col("b") >= 5)
-    wall = Window.partitionBy()
-    m = counts.select(
-        "w", "a", "b",
-        F.sum("a").over(wall).alias("ta"),
-        F.sum("b").over(wall).alias("tb"),
-        F.count(F.lit(1)).over(wall).alias("v"),
+    totals = counts.agg(
+        F.sum("a").alias("ta"),
+        F.sum("b").alias("tb"),
+        F.count(F.lit(1)).alias("v"),
     )
+    m = counts.crossJoin(F.broadcast(totals))
     delta = F.log(
         (F.col("a") + 1.0)
         / (F.col("ta") + F.col("v") - F.col("a") - 1.0)
@@ -16526,15 +16528,17 @@ def q_text_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("k11") >= 5)
     w1w = Window.partitionBy("w1")
     w2w = Window.partitionBy("w2")
-    wall = Window.partitionBy()
     # margins over the FILTERED pair table (bigrams with support ≥5):
-    # the independence model is fit on the same table it scores
+    # the independence model is fit on the same table it scores; the
+    # two margin windows stay hash-partitioned by word, and the grand
+    # total is ONE broadcast scalar aggregate (never a SUM() OVER ()
+    # window moving the whole bigram table to a single task)
+    nf = cells.agg(F.sum("k11").alias("n"))
     m = cells.select(
         "w1", "w2", "k11",
         F.sum("k11").over(w1w).alias("r1"),
         F.sum("k11").over(w2w).alias("c1"),
-        F.sum("k11").over(wall).alias("n"),
-    )
+    ).crossJoin(F.broadcast(nf))
     k12 = F.col("r1") - F.col("k11")
     k21 = F.col("c1") - F.col("k11")
     k22 = F.col("n") - F.col("r1") - F.col("c1") + F.col("k11")

@@ -24,6 +24,11 @@ Supported statements (the documented subset)::
         | WHEN MATCHED AND cond THEN DELETE    (the CDC delete-flag
           WHEN MATCHED THEN UPDATE SET *        shape; cond evaluates
           [WHEN NOT MATCHED THEN INSERT *]      on the SOURCE row)
+        | ... WHEN NOT MATCHED BY SOURCE THEN DELETE
+        | ... WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c = e [, ...]
+          (the Delta full-sync shape: target rows whose key the source
+          lacks are deleted / updated — exprs evaluate on the TARGET
+          row; composes with the clauses above)
     UPDATE t SET col = expr [, ...] WHERE pred
     DELETE FROM t WHERE pred
     INSERT INTO t SELECT ...
@@ -58,14 +63,18 @@ from table_streaming_source_spark import table_format as TF
 
 _OP_COL = "__sql_op"
 
-_MERGE = re.compile(
+_MERGE_HEAD = re.compile(
     r"^\s*MERGE\s+INTO\s+(?P<t>[A-Za-z_]\w*)"
     r"(?:\s+(?:AS\s+)?(?P<ta>[A-Za-z_]\w*))?"
-    r"\s+USING\s+(?P<src>\(.*\)|[A-Za-z_][\w.]*)"
-    r"(?:\s+(?:AS\s+)?(?P<sa>[A-Za-z_]\w*))?"
+    r"\s+USING\s+",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_TAIL = re.compile(
+    r"^(?:\s+(?:AS\s+)?(?P<sa>[A-Za-z_]\w*))?"
     r"\s+ON\s+(?P<on>.+?)\s+(?P<when>WHEN\s+.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_SRC_IDENT = re.compile(r"\s*(?P<src>[A-Za-z_][\w.]*)")
 _ON_EQ = re.compile(
     r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", re.DOTALL
 )
@@ -79,6 +88,15 @@ _W_DEL_COND = re.compile(
 )
 _W_INS = re.compile(
     r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", re.IGNORECASE
+)
+_W_NMBS_DEL = re.compile(
+    r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE",
+    re.IGNORECASE,
+)
+_W_NMBS_UPD = re.compile(
+    r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+UPDATE\s+SET\s+"
+    r"(?P<set>.+?)(?=\s+WHEN\s+|\s*;?\s*$)",
+    re.IGNORECASE | re.DOTALL,
 )
 _UPDATE = re.compile(
     r"^\s*UPDATE\s+(?P<t>[A-Za-z_]\w*)\s+SET\s+(?P<set>.+?)"
@@ -139,6 +157,51 @@ def _split_top_level(text: str) -> list[str]:
     return [s.strip() for s in out if s.strip()]
 
 
+def _balanced_paren_end(text: str, start: int) -> int:
+    """Index one past the ``)`` matching ``text[start] == '('`` —
+    quote-aware depth count, never regex backtracking (a USING
+    subquery whose ON/WHEN text also contains ``)`` must not depend
+    on greedy-match luck)."""
+    depth, quote = 0, None
+    for i in range(start, len(text)):
+        ch = text[i]
+        if quote is not None:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    raise ValueError(
+        "format_sql: unbalanced parentheses in the USING source"
+    )
+
+
+def _mask_quoted(text: str) -> str:
+    """Replace every quoted literal (including its quotes) with ``?``
+    so later token scans can never read literal CONTENT as SQL — the
+    guard that keeps WHERE-text range extraction lossless when a
+    string literal contains ``AND``/``BETWEEN``/``OR`` text."""
+    out: list[str] = []
+    quote = None
+    for ch in text:
+        if quote is not None:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            out.append("?")
+            continue
+        out.append(ch)
+    return "".join(out)
+
+
 def _table_path(name: str, tables: dict[str, str]) -> str:
     try:
         return tables[name]
@@ -178,6 +241,11 @@ def _extract_prune(
     tighten the range; anything else is ignored (never lossy — pruning
     only SKIPS files the bounds prove disjoint, and the full predicate
     still evaluates per row on the files that remain)."""
+    # scan a QUOTE-MASKED copy only: literal content must never be
+    # read as conjuncts (a literal like 'x AND k <= 5' would otherwise
+    # fabricate a bound and make the prune lossy); the masked copy is
+    # used solely for extraction — execution gets the original text
+    where = _mask_quoted(where)
     # pruning from text is only sound for pure AND-conjunctions: any
     # OR/NOT could widen the matching set beyond the extracted range
     if re.search(r"\b(OR|NOT)\b", where, flags=re.IGNORECASE):
@@ -236,12 +304,36 @@ def format_sql(
     returns a one-row receipt DataFrame ``(operation, version,
     files_rewritten, files_total)``; ``DESCRIBE HISTORY`` returns the
     history relation itself."""
-    m = _MERGE.match(text)
-    if m:
-        path = _table_path(m["t"], tables)
-        t_alias = m["ta"] or m["t"]
+    mh = _MERGE_HEAD.match(text)
+    if mh:
+        # capture the USING source with a depth-counting scan (a
+        # parenthesized subquery whose ON/WHEN text contains ')' must
+        # parse deterministically, never by regex backtracking)
+        rest = text[mh.end():]
+        stripped = rest.lstrip()
+        if stripped.startswith("("):
+            start = len(rest) - len(stripped)
+            end = _balanced_paren_end(rest, start)
+            src = rest[start:end]
+            tail = rest[end:]
+        else:
+            mi = _SRC_IDENT.match(rest)
+            if not mi:
+                raise ValueError(
+                    "format_sql: MERGE needs a USING source — an "
+                    "identifier or a parenthesized subquery"
+                )
+            src = mi["src"]
+            tail = rest[mi.end():]
+        m = _MERGE_TAIL.match(tail)
+        if not m:
+            raise ValueError(
+                "format_sql: malformed MERGE tail after the USING "
+                "source — expected [AS alias] ON <cond> WHEN ..."
+            )
+        path = _table_path(mh["t"], tables)
+        t_alias = mh["ta"] or mh["t"]
         s_alias = m["sa"]
-        src = m["src"].strip()
         if not src.startswith("("):
             s_alias = s_alias or src.split(".")[-1]
         if s_alias is None:
@@ -266,6 +358,19 @@ def format_sql(
             )
         key = sides[t_alias.lower()]
         w = m["when"]
+        # full-sync clauses first: WHEN NOT MATCHED BY SOURCE THEN
+        # DELETE / UPDATE SET — target rows whose key the source lacks
+        nmbs_upd = _W_NMBS_UPD.search(w)
+        if nmbs_upd is not None:
+            w = w[: nmbs_upd.start()] + w[nmbs_upd.end():]
+        nmbs_del = _W_NMBS_DEL.search(w)
+        if nmbs_del is not None:
+            w = w[: nmbs_del.start()] + w[nmbs_del.end():]
+        if nmbs_upd is not None and nmbs_del is not None:
+            raise ValueError(
+                "format_sql: at most one WHEN NOT MATCHED BY SOURCE "
+                "clause per MERGE"
+            )
         del_cond = _W_DEL_COND.search(w)
         if del_cond is not None:
             w = w[: del_cond.start()] + w[del_cond.end():]
@@ -285,29 +390,80 @@ def format_sql(
                 "<cond> (the CDC delete-flag shape) or use "
                 "table_format.commit_merge with per-row op tags"
             )
-        if not (has_upd or has_ins or has_del):
+        if not (
+            has_upd or has_ins or has_del
+            or nmbs_upd is not None or nmbs_del is not None
+        ):
             raise ValueError(
                 "format_sql: MERGE needs at least one of UPDATE SET */"
-                "INSERT */DELETE in its WHEN clauses"
+                "INSERT */DELETE/NOT MATCHED BY SOURCE in its WHEN "
+                "clauses"
             )
         upsert = has_upd and has_ins
         source = (
             spark.sql(src[1:-1]) if src.startswith("(")
             else spark.table(src)
         )
-        if del_cond is not None:
-            # the CDC delete-flag shape: the condition is evaluated on
-            # the SOURCE row (reference source columns by bare name);
-            # rows matching it carry op 'D', the rest 'U'
-            op_expr = (
-                F.when(F.expr(del_cond["cond"]), F.lit("D"))
-                .otherwise(F.lit("U"))
+        parts: list[DataFrame] = []
+        if has_upd or has_ins or has_del or del_cond is not None:
+            if del_cond is not None:
+                # the CDC delete-flag shape: the condition is evaluated
+                # on the SOURCE row (reference source columns by bare
+                # name); rows matching it carry op 'D', the rest 'U'
+                op_expr = (
+                    F.when(F.expr(del_cond["cond"]), F.lit("D"))
+                    .otherwise(F.lit("U"))
+                )
+            else:
+                op_expr = F.lit(
+                    "D" if has_del else ("U" if has_upd else "I")
+                )
+            parts.append(source.withColumn(_OP_COL, op_expr))
+        if nmbs_del is not None or nmbs_upd is not None:
+            # full sync: target rows whose key is absent from the
+            # source — resolved on the MOR view (outstanding deletes
+            # must not resurrect), key-anti-joined against the source's
+            # distinct keys (broadcastable; target floats never move)
+            at = (
+                TF.resolve_ref(path, branch)
+                if branch is not None else None
             )
-        else:
-            op_expr = F.lit(
-                "D" if has_del else ("U" if has_upd else "I")
+            target = TF.read_table_mor(spark, path, version=at)
+            stale = target.join(
+                source.select(key).distinct(), key, "left_anti"
             )
-        changes = source.withColumn(_OP_COL, op_expr)
+            if nmbs_upd is not None:
+                set_map: dict[str, str] = {}
+                for item in _split_top_level(nmbs_upd["set"]):
+                    col, eq, rhs = item.partition("=")
+                    if not eq or not col.strip().replace(
+                        "_", "a"
+                    ).isalnum():
+                        raise ValueError(
+                            f"format_sql: malformed SET item {item!r}"
+                        )
+                    set_map[col.strip()] = rhs.strip()
+                unknown = set(set_map) - set(stale.columns)
+                if unknown:
+                    raise ValueError(
+                        "format_sql: NOT MATCHED BY SOURCE UPDATE "
+                        f"sets unknown columns {sorted(unknown)}"
+                    )
+                # exprs evaluate on the TARGET row
+                stale = stale.select(*[
+                    F.expr(set_map[c]).alias(c) if c in set_map
+                    else F.col(c)
+                    for c in stale.columns
+                ])
+            parts.append(
+                stale.withColumn(
+                    _OP_COL,
+                    F.lit("U" if nmbs_upd is not None else "D"),
+                )
+            )
+        changes = parts[0]
+        for extra in parts[1:]:
+            changes = changes.unionByName(extra)
         v, rewritten, total = TF.commit_merge(
             spark, path, changes, key=key,
             stat_cols=_stat_cols(path), op_col=_OP_COL,
@@ -343,9 +499,19 @@ def format_sql(
         at = (
             TF.resolve_ref(path, branch) if branch is not None else None
         )
+        prune = _extract_prune(m["where"], _stat_cols(path))
+        if prune is not None:
+            # a range that excludes EVERY data file is a valid 0-row
+            # DELETE (the stats prove no file can hold a match) — a
+            # no-op receipt at the current version, never an error
+            kept, _, total = TF.snapshot_files(
+                path, version=at, prune=prune
+            )
+            if not kept and total > 0:
+                v = at if at is not None else TF.latest_version(path)
+                return _result(spark, "DELETE", v, 0, None)
         pos = TF.positions_where(
-            spark, path, m["where"], version=at,
-            prune=_extract_prune(m["where"], _stat_cols(path)),
+            spark, path, m["where"], version=at, prune=prune,
         ).localCheckpoint(eager=True)
         v = TF.commit_delete_positions(
             spark, path, pos, branch=branch,
