@@ -23381,8 +23381,13 @@ def q_text_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens map to single characters through the doc-pair's SORTED
     vocabulary so WER = levenshtein(ref_chars, hyp_chars)/|ref| runs
     on the built-in edit distance — the standard trick that makes
-    token WER computable with a character-level primitive.  Row-local
-    except the final per-lang mean."""
+    token WER computable with a character-level primitive.  The
+    single-char alphabet holds 190 symbols (codepoints 66..255 —
+    Spark's ``char`` wraps mod 256 while DuckDB's ``CHR`` does not,
+    so larger vocabularies would alias distinct tokens and silently
+    undercount); a per-doc guard raises loudly if a document's
+    vocabulary ever exceeds it (fixture max: 31).  Row-local except
+    the final per-lang mean."""
     docs = t(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
@@ -23415,7 +23420,15 @@ def q_text_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = j.select(
         "lang",
         F.size("ref").alias("n_ref"),
-        vocab.alias("vocab"),
+        # mod-256 wrap guard: correct-or-loud, never silent aliasing
+        F.when(
+            F.size(vocab) <= 190, vocab
+        ).otherwise(
+            F.raise_error(F.lit(
+                "text_wer: per-doc vocabulary exceeds the 190-symbol "
+                "single-char alphabet — chunk the encoding"
+            ))
+        ).alias("vocab"),
         "ref",
         "hyp",
     ).select(
@@ -26854,5 +26867,239 @@ QUERIES_DEFERRED.update(
         "agg_circular_stats": q_agg_circular_stats,
         "dedup_lsh_tuning_curve": q_dedup_lsh_tuning_curve,
         "scalar_roman": q_scalar_roman,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# round 13: full-sync SQL MERGE + planted-truth dedup evaluation
+# ---------------------------------------------------------------------------
+
+
+def q_format_sql_merge_full_sync(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SQL-text MERGE full sync through the router (`format_sql` →
+    `commit_merge` with the ``WHEN NOT MATCHED BY SOURCE THEN DELETE``
+    clause — the Delta full-sync shape): after the statement the table
+    equals the source EXACTLY — matched keys take source values,
+    source-only keys insert, target-only keys delete (resolved on the
+    MOR view by a key anti-join; target payloads never broadcast).
+    All three files hold change keys, so the receipt pins
+    files_rewritten=3/3; the MOR aggregate equals the source aggregate
+    the oracle restates."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+    from table_streaming_source_spark.sources.format_sql import format_sql
+
+    path = _scratch.scratch_dir("format_sqlfs", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    mx = o.agg(F.max("o_orderkey")).collect()[0][0]
+    q1, q2 = mx // 4, mx // 2
+    for lo_b, hi_b in ((0, q1), (q1 + 1, q2), (q2 + 1, mx)):
+        TF.commit_append(
+            spark, path,
+            o.filter((k >= lo_b) & (k <= hi_b)).coalesce(1),
+            stat_cols=["o_orderkey"],
+        )
+    src = o.filter(k <= q2).select(
+        "o_orderkey",
+        F.when(k % 3 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    ).unionByName(
+        spark.range(1, 4).select(
+            (F.lit(mx) + F.col("id")).alias("o_orderkey"),
+            F.lit(55.55).alias("o_totalprice"),
+        )
+    )
+    src.createOrReplaceTempView("fsql_full_sync_src")
+    receipt = format_sql(
+        spark,
+        "MERGE INTO t USING fsql_full_sync_src AS s"
+        " ON t.o_orderkey = s.o_orderkey"
+        " WHEN MATCHED THEN UPDATE SET *"
+        " WHEN NOT MATCHED THEN INSERT *"
+        " WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        tables={"t": path},
+    ).collect()[0]
+    agg = TF.read_table_mor(spark, path).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint").alias("sum_cents"),
+    ).collect()[0]
+    result = spark.createDataFrame(
+        [(
+            receipt["operation"], receipt["version"],
+            receipt["files_rewritten"], receipt["files_total"],
+            agg["n_rows"], agg["sum_cents"],
+        )],
+        "operation string, version bigint, files_rewritten bigint, "
+        "files_total bigint, n_rows bigint, sum_cents bigint",
+    ).localCheckpoint(eager=True)
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_sql_merge_full_sync"] = """
+WITH b AS (
+  SELECT MAX(o_orderkey) // 2 AS q2 FROM orders
+),
+src AS (
+  SELECT CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS p
+  FROM orders, b WHERE o_orderkey <= q2
+)
+SELECT 'MERGE' AS operation, CAST(4 AS BIGINT) AS version,
+       CAST(3 AS BIGINT) AS files_rewritten,
+       CAST(3 AS BIGINT) AS files_total,
+       CAST(COUNT(*) + 3 AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(p * 100) AS BIGINT)) + 3 * 5555 AS BIGINT)
+         AS sum_cents
+FROM src
+"""
+
+
+def q_dedup_planted_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-truth dedup evaluation — the end-to-end calibration the
+    S-curve design table (`dedup_lsh_tuning_curve`) predicts and
+    `dedup_recall_eval` approximates with a natural-truth proxy: every
+    11th document is planted back with a deterministic mutation (every
+    9th token dropped, id offset +10⁷), the FULL MinHash-LSH pipeline
+    (16 hashes × 4 bands, 3-gram shingles, verify ≥ 0.2) runs over the
+    augmented corpus, and candidate precision/recall are measured
+    against the KNOWN planted pairs — exact BIGINT ratios.  Scale: the
+    planted copies ride the same band-bucket shuffle as the corpus;
+    the eval adds two scalar aggregates."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = docs.filter(F.col("doc_id") % 11 == 3).select(
+        (F.col("doc_id") + F.lit(10000000)).alias("doc_id"),
+        F.array_join(
+            F.filter(
+                F.split(F.trim("text"), r"\s+"),
+                lambda x, i: (i + 1) % 9 != 0,
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(mut).filter(
+        F.size(F.split(F.trim("text"), r"\s+")) >= 3
+    )
+    found = D.minhash_lsh_pairs(
+        corpus, "text", "doc_id",
+        n=3, num_hashes=16, bands=4, threshold=0.2,
+    )
+    truth = docs.filter(F.col("doc_id") % 11 == 3).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth")
+    )
+    fagg = found.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_found"),
+        F.sum(
+            (
+                (F.col("key_b") - F.col("key_a") == 10000000)
+                & (F.col("key_a") % 11 == 3)
+            ).cast("int")
+        ).cast("bigint").alias("n_hit"),
+    )
+    return truth.crossJoin(F.broadcast(fagg)).select(
+        "n_truth",
+        "n_found",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_found"), 9).alias(
+            "precision"
+        ),
+        F.round(F.col("n_hit") / F.col("n_truth"), 9).alias("recall"),
+    )
+
+
+ORACLES["dedup_planted_eval"] = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id,
+         ARRAY_TO_STRING(LIST_FILTER(
+           STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'),
+                        ' '),
+           (x, i) -> i % 9 != 0), ' ') AS text
+  FROM documents WHERE doc_id % 11 = 3
+),
+toks AS (
+  SELECT doc_id,
+         STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'),
+                      ' ') AS tk
+  FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+           AS shingle
+  FROM toks, UNNEST(RANGE(1, GREATEST(LEN(tk) - 2, 0) + 1)) AS u(i)
+  WHERE LEN(tk) >= 3
+),
+xs AS (
+  SELECT doc_id,
+         CAST('0x' || SUBSTR(MD5(shingle), 1, 15) AS BIGINT)
+           % 2147483647 AS x
+  FROM sh
+),
+mh AS (
+  SELECT doc_id, i AS h,
+         MIN(((2 * i + 1) * x + i) % 2147483647) AS minhash
+  FROM xs, UNNEST(RANGE(0, 16)) AS u(i)
+  GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, CAST(FLOOR(h / 4) AS INT) AS band,
+         CAST('0x' || SUBSTR(MD5(STRING_AGG(CAST(minhash AS VARCHAR),
+                                            ',' ORDER BY h)), 1, 15)
+              AS BIGINT) AS band_key
+  FROM mh GROUP BY doc_id, CAST(FLOOR(h / 4) AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.key_a, c.key_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.key_a
+  JOIN sh sb ON sb.doc_id = c.key_b AND sb.shingle = sa.shingle
+  GROUP BY c.key_a, c.key_b
+),
+found AS (
+  SELECT key_a, key_b
+  FROM inter
+  JOIN sz za ON za.doc_id = key_a
+  JOIN sz zb ON zb.doc_id = key_b
+  WHERE inter / (za.sz + zb.sz - inter) >= 0.2
+),
+tr AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_truth
+  FROM documents WHERE doc_id % 11 = 3
+),
+f AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_found,
+         CAST(SUM(CASE WHEN key_b - key_a = 10000000
+                        AND key_a % 11 = 3 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit
+  FROM found
+)
+SELECT n_truth, n_found, n_hit,
+       ROUND(CAST(n_hit AS DOUBLE) / n_found, 9) AS precision,
+       ROUND(CAST(n_hit AS DOUBLE) / n_truth, 9) AS recall
+FROM tr, f
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "format_sql_merge_full_sync": q_format_sql_merge_full_sync,
+        "dedup_planted_eval": q_dedup_planted_eval,
     }
 )

@@ -232,3 +232,100 @@ def test_merge_conditional_delete_requires_update_clause(spark, table):
             "WHEN MATCHED AND is_del = 1 THEN DELETE",
             tables={"t": table},
         )
+
+
+def test_extract_prune_never_reads_literal_content():
+    # a literal containing AND/BETWEEN text must not fabricate bounds
+    assert _extract_prune(
+        "note = 'x AND k <= 5 AND y'", ["k"]
+    ) is None
+    assert _extract_prune(
+        "note = 'k BETWEEN 1 AND 2' AND k >= 40", ["k"]
+    ) == ("k", 40.0, math.inf)
+    # literal containing OR text: bailing (None) would also be safe,
+    # but masked scanning keeps the genuine conjunct
+    assert _extract_prune(
+        "note = 'a OR b' AND k <= 7", ["k"]
+    ) == ("k", -math.inf, 7.0)
+
+
+def test_delete_fully_pruned_range_is_a_no_op(spark, table):
+    v0 = TF.latest_version(table)
+    r = format_sql(
+        spark,
+        "DELETE FROM t WHERE k >= 5000 AND k <= 6000",
+        tables={"t": table},
+    ).collect()[0]
+    assert r["operation"] == "DELETE"
+    assert r["files_rewritten"] == 0
+    assert TF.latest_version(table) == v0  # no commit published
+    assert TF.read_table_mor(spark, table).count() == 100
+
+
+def test_merge_using_subquery_with_parens_in_on_and_when(spark, table):
+    # ')' inside the ON/WHEN text must not confuse the USING capture
+    spark.range(1, 3).select(
+        (F.col("id") + 200).alias("k"),
+        F.lit(1.5).alias("val"),
+    ).createOrReplaceTempView("fsql_paren_src")
+    r = format_sql(
+        spark,
+        "MERGE INTO t USING (SELECT k, val FROM fsql_paren_src "
+        "WHERE (k > 0)) AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        tables={"t": table},
+    ).collect()[0]
+    assert r["operation"] == "MERGE"
+    assert TF.read_table_mor(spark, table).count() == 102
+
+
+def test_merge_not_matched_by_source_delete_full_sync(spark, table):
+    # source holds keys 1..50 → full sync deletes 51..100
+    spark.range(1, 51).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 100).cast("double").alias("val"),
+    ).createOrReplaceTempView("fsql_sync_src")
+    r = format_sql(
+        spark,
+        "MERGE INTO t USING fsql_sync_src AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        tables={"t": table},
+    ).collect()[0]
+    assert r["operation"] == "MERGE"
+    got = TF.read_table_mor(spark, table)
+    assert got.count() == 50
+    assert got.agg(F.max("k")).collect()[0][0] == 50
+    # matched rows took the source values
+    assert got.filter("k = 1").collect()[0]["val"] == 100.0
+
+
+def test_merge_not_matched_by_source_update(spark, table):
+    spark.range(1, 51).select(
+        F.col("id").alias("k"), F.lit(0.0).alias("val")
+    ).createOrReplaceTempView("fsql_stale_src")
+    r = format_sql(
+        spark,
+        "MERGE INTO t USING fsql_stale_src AS s ON t.k = s.k "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET val = -1.0",
+        tables={"t": table},
+    ).collect()[0]
+    assert r["operation"] == "MERGE"
+    got = TF.read_table_mor(spark, table)
+    assert got.count() == 100
+    # keys the source lacks (51..100) were flagged; matched keys kept
+    assert got.filter("val = -1.0").count() == 50
+    assert got.filter("k = 10").collect()[0]["val"] == 100.0
+
+
+def test_merge_rejects_two_nmbs_clauses(spark, table):
+    with pytest.raises(ValueError, match="at most one"):
+        format_sql(
+            spark,
+            "MERGE INTO t USING src ON t.k = src.k "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET val = 1 "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+            tables={"t": table},
+        )

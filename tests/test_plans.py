@@ -738,6 +738,10 @@ _SHUFFLE_BUDGET = {
     "streaming_sql_insert_tail": 0,  # checkpointed tail drain
     "streaming_tail_schema_evolution": 0,  # checkpointed tail drain
     "streaming_sql_update_cdf": 0,  # checkpointed CDF drain
+    # --- round 13: new entries ---
+    "format_sql_merge_full_sync": 0,  # checkpointed receipt read
+    # band-bucket explode + distinct + verify join + 2 scalar evals
+    "dedup_planted_eval": 6,
 }
 
 
