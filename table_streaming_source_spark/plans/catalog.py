@@ -511,6 +511,22 @@ divergence-theorem volume), ``agg_circular_stats`` (directional mean
 (the banded-minhash S-curve design table at b=8, r=4), and
 ``scalar_roman`` (positional lookup-table numeral encoding) —
 609 catalog total, 609/609 with oracles, zero rows-only.
+
+Round-13 rotation (LANDED — this is the current window): the 2
+cross-round sentinels + ALL 42 round-13-backlog entries (restoring
+100% lifetime official coverage) + ``text_heaps_law`` (round 12's one
+red row, re-entered with integer-exact scaled-BIGINT fit payloads) +
+the 2 round-13 additions — ``format_sql_merge_full_sync`` (the
+router's ``WHEN NOT MATCHED BY SOURCE`` Delta full-sync clauses) and
+``dedup_planted_eval`` (planted-truth LSH precision/recall — the
+calibration loop-closer beside the S-curve table) — + 3
+re-certifications of the entries most deeply rewritten onto the
+round-13 bucketed rank/prefix helper (``agg_rfm_segments``,
+``agg_bh_fdr``, ``sim_rrf_fusion``) = exactly 50.  Every windowed
+entry was strict-dtype verified at sf0.01 AND sf0.1 at round-13 HEAD
+(50/50 + 50/50) before ``_PRIORITY`` was edited.  611 catalog total,
+611/611 with oracles, zero rows-only; the round-14 backlog is EMPTY
+at rotation time.
 """
 
 from __future__ import annotations
@@ -534,79 +550,78 @@ _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 #: names pinned into the driver's 50-entry correctness window, in order.
-#: Round-12 rotation: 2 cross-round sentinels + ALL 19 round-12-backlog
-#: entries (the round-11 additions past that round's filled window —
-#: certifying them restores 100% lifetime official coverage) + ALL 29
-#: round-12 additions = exactly 50.  EVERY windowed entry was
-#: strict-dtype oracle-verified at sf0.01 AND sf0.1 at this round's
-#: HEAD (50/50 + 50/50, AFTER the round-12 code landed — the SQL DML
-#: router, the Arrow-batch tail with unified footers, the two-phase
-#: skyline / TakeOrderedAndProject degree-tail fixes, and the
-#: persistent-catalog path normalization) BEFORE this tuple was
-#: edited.  Once this window lands the certification queue is drained
-#: again: the round-13 backlog is EMPTY.
+#: Round-13 rotation: 2 cross-round sentinels + ALL 42 round-13-backlog
+#: entries (restoring 100% lifetime official coverage) + the
+#: ``text_heaps_law`` re-certification (round 12's one red row — the
+#: fit now ships INTEGER-EXACT scaled-BIGINT payloads so no raw double
+#: crosses the driver hash) + the 2 round-13 additions
+#: (``format_sql_merge_full_sync``, ``dedup_planted_eval``) + 3
+#: re-certifications of the entries most deeply rewritten onto
+#: `operators.ranks.global_rank_prefix` (``agg_rfm_segments`` — ntile
+#: formula parity, ``agg_bh_fdr`` — two-pass reverse running min,
+#: ``sim_rrf_fusion`` — dense-key bucketing) = exactly 50.  EVERY
+#: windowed entry was strict-dtype oracle-verified at sf0.01 AND sf0.1
+#: at this round's HEAD (50/50 + 50/50, AFTER the round-13 code landed
+#: — the bucketed rank/prefix helper rewrites, the generic
+#: SinglePartition-window plan gate, and the router's full-sync MERGE
+#: clauses) BEFORE this tuple was edited.  After this window lands the
+#: never-certified queue is EMPTY again.
 _PRIORITY: tuple[str, ...] = (
     # cross-round regression sentinels (driver-green every prior round)
     "flagship_enrichment",
     "dedup_minhash_lsh",
-    # --- round-12 backlog: the 19 uncertified round-11 additions ---
-    "format_update_where",
-    "format_history",
-    "format_changes_sql",
-    "streaming_update_cdf",
-    "ts_granger_1lag",
-    "ts_theil_u2",
-    "ts_interarrival",
-    "ts_seasonality_strength",
-    "agg_mcc",
-    "agg_negative_binomial",
-    "dq_sequence_gaps",
-    "graph_rich_club",
+    # --- round-13 backlog: the 42 uncertified round-12 additions ---
+    "format_sql_ref_read",
+    "streaming_sql_update_cdf",
+    "agg_cmh",
+    "agg_tost_equivalence",
+    "agg_hellinger",
+    "ts_page_hinkley",
+    "dq_monotonicity",
+    "graph_adamic_adar",
+    "text_keyword_burstiness",
+    "sim_pq_distortion",
+    "dedup_minhash_cardinality",
+    "multimodal_gif_comments",
+    "multimodal_ani",
+    "source_m3u",
+    "source_wkt",
+    "source_vcf",
+    "source_pcap",
+    "agg_weighted_kappa",
+    "scalar_isbn",
+    "pipeline_stratified_kfold",
+    "format_sql_optimize",
+    "multimodal_ico_png",
+    "format_sql_merge_cdc",
+    "agg_krippendorff_alpha",
+    "agg_beta_binomial",
+    "ts_croston",
+    "multimodal_wav_info",
+    "text_burrows_delta",
+    "ts_entropy_rate",
+    "source_robots_txt",
+    "multimodal_apng",
+    "join_asof_tolerance",
+    "graph_modularity",
+    "agg_simpson_diversity",
+    "multimodal_flac_tags",
+    "multimodal_edid",
+    "source_gff3",
+    "source_obj",
+    "multimodal_stl",
+    "agg_circular_stats",
+    "dedup_lsh_tuning_curve",
+    "scalar_roman",
+    # --- round-13: the round-12 red row, now integer-exact ---
     "text_heaps_law",
-    "text_mattr",
-    "window_ratio_to_report",
-    "scalar_ulid",
-    "source_arff",
-    "source_intel_hex",
-    "multimodal_dds_meta",
-    # --- round-12: SQL-text DML front door (4) ---
-    "format_sql_merge",
-    "format_sql_update",
-    "format_sql_delete",
-    "format_sql_insert",
-    # --- round-12: agreement / reliability statistics (6) ---
-    "agg_ccc",
-    "agg_icc",
-    "agg_partial_correlation",
-    "agg_vif",
-    "agg_effect_sizes",
-    "agg_youden_j",
-    # --- round-12: time series / gains (4) ---
-    "ts_mase",
-    "ts_pettitt",
-    "ts_ema_crossover",
-    "agg_cumulative_gains",
-    # --- round-12: text / retrieval eval (4) ---
-    "text_mrr",
-    "text_wer",
-    "text_lang_vocab_overlap",
-    "text_rank_turbulence",
-    # --- round-12: graph / similarity (2) ---
-    "graph_2hop_reach",
-    "sim_ivf_balance",
-    # --- round-12: sources (3) ---
-    "source_srec",
-    "source_fasta",
-    "source_mbox",
-    # --- round-12: multimodal (3) ---
-    "multimodal_png_text",
-    "multimodal_ttf",
-    "multimodal_id3",
-    # --- round-12: streaming (2) ---
-    "streaming_sql_insert_tail",
-    "streaming_tail_schema_evolution",
-    # --- round-12: scalar (1) ---
-    "scalar_base58",
+    # --- round-13: new entries ---
+    "format_sql_merge_full_sync",
+    "dedup_planted_eval",
+    # --- round-13: re-certs of the deepest rank-helper rewrites ---
+    "agg_rfm_segments",
+    "agg_bh_fdr",
+    "sim_rrf_fusion",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"
