@@ -27103,3 +27103,175 @@ QUERIES_DEFERRED.update(
         "dedup_planted_eval": q_dedup_planted_eval,
     }
 )
+
+
+def q_pipeline_curriculum_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curriculum data ordering (Bengio et al. 2009 — easy→hard
+    scheduling): every document gets an EXACT global curriculum rank
+    by a deterministic difficulty proxy (n_chars ascending, doc_id
+    tiebreak) from `operators.ranks.global_rank_prefix` (bucketed
+    two-pass — one parallel hash exchange, never a single-task
+    window), the 4 training phases are SQL-standard NTILE tiles
+    derived from rank + broadcast total (`ntile_from_rank`), and the
+    emitted per-phase manifest (doc count, rank span, char budget) is
+    what a trainer's loader consumes.  One rank pass + one 4-row
+    rollup."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = global_rank_prefix(
+        docs, "n_chars", tiebreak=["doc_id"], with_totals=True
+    )
+    phased = ranked.select(
+        "n_chars",
+        "rn",
+        ntile_from_rank(F.col("rn"), F.col("n_total"), 4).alias(
+            "phase"
+        ),
+    )
+    return phased.groupBy("phase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("rn").cast("bigint").alias("first_rank"),
+        F.max("rn").cast("bigint").alias("last_rank"),
+        F.sum("n_chars").cast("bigint").alias("phase_chars"),
+        F.min("n_chars").cast("bigint").alias("easiest_chars"),
+        F.max("n_chars").cast("bigint").alias("hardest_chars"),
+    )
+
+
+ORACLES["pipeline_curriculum_order"] = """
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+         NTILE(4) OVER (ORDER BY n_chars, doc_id) AS phase
+  FROM documents
+)
+SELECT CAST(phase AS INT) AS phase,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(rn) AS BIGINT) AS first_rank,
+       CAST(MAX(rn) AS BIGINT) AS last_rank,
+       CAST(SUM(n_chars) AS BIGINT) AS phase_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS easiest_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS hardest_chars
+FROM ranked GROUP BY phase
+"""
+
+
+def q_agg_james_stein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (James–Stein) shrinkage of per-source mean
+    document length toward the cross-source grand mean — the
+    small-group stabilizer every per-domain quality dashboard needs
+    (a 30-doc source's raw mean is noise; its posterior borrows
+    strength from the corpus).  Normal–normal method of moments:
+    pooled within-source variance s² from exact decimal moments,
+    between-source τ² = max(0, var(group means) − s²·mean(1/n_g)),
+    shrink factor B_g = (s²/n_g)/(s²/n_g + τ²), posterior =
+    M + (1−B_g)·(m_g − M).  Group means/SS round to fixed decimals
+    BEFORE the k-row second-stage sums (the cross-group double-sum
+    order trap), so every emitted float is a fixed IEEE expression
+    over exact decimal sums.  Two hash aggregates + one broadcast."""
+    docs = t(spark, sf_dir, "documents").select("source", "n_chars")
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_chars").cast("decimal(28,0)")).alias("sx"),
+        F.sum(
+            (F.col("n_chars") * F.col("n_chars")).cast("decimal(38,0)")
+        ).alias("sxx"),
+    ).select(
+        "source",
+        "n",
+        (F.col("sx").cast("double") / F.col("n")).alias("m"),
+        (
+            (
+                F.col("sxx").cast("double")
+                - F.col("sx").cast("double")
+                * F.col("sx").cast("double") / F.col("n")
+            )
+        ).alias("ss"),
+    ).select(
+        "source",
+        "n",
+        F.round("m", 6).alias("m"),
+        F.round("ss", 4).alias("ss"),
+        F.round(F.lit(1.0) / F.col("n"), 9).alias("inv_n"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("n")).alias("n_total"),
+        F.sum(F.col("m").cast("decimal(28,6)")).cast("double")
+        .alias("sm"),
+        F.sum((F.col("m") * F.col("m")).cast("decimal(38,10)"))
+        .cast("double").alias("smm"),
+        F.sum(F.col("ss").cast("decimal(38,4)")).cast("double")
+        .alias("sss"),
+        F.sum(F.col("inv_n").cast("decimal(28,9)")).cast("double")
+        .alias("sinv"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    kd = F.col("k").cast("double")
+    grand = F.col("sm") / kd
+    s2 = F.col("sss") / (F.col("n_total") - F.col("k")).cast("double")
+    var_means = (
+        (F.col("smm") - F.col("sm") * F.col("sm") / kd) / (kd - 1.0)
+    )
+    tau2 = F.greatest(
+        F.lit(0.0), var_means - s2 * (F.col("sinv") / kd)
+    )
+    b = (s2 / F.col("n").cast("double")) / (
+        s2 / F.col("n").cast("double") + tau2
+    )
+    return j.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("m").alias("raw_mean"),
+        F.round(b, 9).alias("shrink_b"),
+        F.round(
+            grand + (F.lit(1.0) - b) * (F.col("m") - grand), 6
+        ).alias("posterior_mean"),
+    )
+
+
+ORACLES["agg_james_stein"] = """
+WITH g AS (
+  SELECT source, COUNT(*) AS n,
+         SUM(CAST(n_chars AS DECIMAL(28,0))) AS sx,
+         SUM(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS sxx
+  FROM documents GROUP BY source
+),
+gm AS (
+  SELECT source, n,
+         ROUND(CAST(sx AS DOUBLE) / n, 6) AS m,
+         ROUND(CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n, 4) AS ss,
+         ROUND(1.0 / n, 9) AS inv_n
+  FROM g
+),
+tot AS (
+  SELECT COUNT(*) AS k, SUM(n) AS n_total,
+         CAST(SUM(CAST(m AS DECIMAL(28,6))) AS DOUBLE) AS sm,
+         CAST(SUM(CAST(m * m AS DECIMAL(38,10))) AS DOUBLE) AS smm,
+         CAST(SUM(CAST(ss AS DECIMAL(38,4))) AS DOUBLE) AS sss,
+         CAST(SUM(CAST(inv_n AS DECIMAL(28,9))) AS DOUBLE) AS sinv
+  FROM gm
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs, m AS raw_mean,
+  ROUND((sss / (n_total - k) / n)
+        / (sss / (n_total - k) / n
+           + GREATEST(0.0, (smm - sm * sm / k) / (k - 1.0)
+                           - sss / (n_total - k) * (sinv / k))), 9)
+    AS shrink_b,
+  ROUND(sm / k + (1.0 - (sss / (n_total - k) / n)
+        / (sss / (n_total - k) / n
+           + GREATEST(0.0, (smm - sm * sm / k) / (k - 1.0)
+                           - sss / (n_total - k) * (sinv / k))))
+        * (m - sm / k), 6) AS posterior_mean
+FROM gm, tot
+"""
+
+
+QUERIES_DEFERRED.update(
+    {
+        "pipeline_curriculum_order": q_pipeline_curriculum_order,
+        "agg_james_stein": q_agg_james_stein,
+    }
+)

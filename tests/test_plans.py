@@ -742,6 +742,10 @@ _SHUFFLE_BUDGET = {
     "format_sql_merge_full_sync": 0,  # checkpointed receipt read
     # band-bucket explode + distinct + verify join + 2 scalar evals
     "dedup_planted_eval": 6,
+    # rank pass (bounds + partials + bucket exchange) + 4-row rollup
+    "pipeline_curriculum_order": 4,
+    # per-source moments + k-row second stage + broadcast back
+    "agg_james_stein": 3,
 }
 
 
