@@ -27275,3 +27275,159 @@ QUERIES_DEFERRED.update(
         "agg_james_stein": q_agg_james_stein,
     }
 )
+
+
+def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt–Winters triple exponential smoothing (level +
+    trend + weekly seasonality, m=7) over each event type's daily
+    series, α=β=γ=½ — the `ts_holt_linear` discipline extended to the
+    seasonal state: every smoothing step multiplies by 0.5 (a pure
+    exponent decrement), so both engines fold the identical recursion
+    bit-for-bit with no rounding inside the loop.  Classic init after
+    one season: l₀ = mean(y₁..y₇) (decimal-exact sum, ONE division),
+    b₀ = (mean(y₈..y₁₄) − l₀)/7, s₀ᵢ = yᵢ − l₀; recursion consumes
+    t = 8..n with the rolling 7-slot seasonal window
+    (``s'ₜ = ½(yₜ − lₜ) + ½sₜ₋₇``).  The 7-day-ahead forecast is
+    l + 7b + s₇.  Scale: one hash aggregate to the calendar-bounded
+    daily grain, then a row-local JVM array fold per type (state =
+    2 doubles + a 7-array); the oracle replays the recursion as a
+    recursive CTE with the seasonal window as 7 columns."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"),
+            6,
+        ).alias("v")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "v"))),
+            lambda s: s["v"],
+        ).alias("ys")
+    ).filter(F.size("ys") >= 15)
+
+    def dsum(arr):
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("decimal(28,6)"),
+            # re-cast: decimal addition widens to (29,6), the lambda
+            # must return the accumulator type (values are 6-decimal
+            # daily sums, nowhere near the 22-digit headroom)
+            lambda a, x: (a + x.cast("decimal(28,6)")).cast(
+                "decimal(28,6)"
+            ),
+        ).cast("double")
+
+    l0 = dsum(F.slice("ys", 1, 7)) / 7
+    m2 = dsum(F.slice("ys", 8, 7)) / 7
+    b0 = (m2 - l0) / 7
+    init = series.select(
+        "event_type",
+        F.size("ys").alias("n_days"),
+        F.slice("ys", 8, F.size("ys") - 7).alias("rest"),
+        l0.alias("l0"),
+        b0.alias("b0"),
+        F.transform(F.slice("ys", 1, 7), lambda x: x - l0).alias("s0"),
+    )
+    acc0 = F.struct(
+        F.col("l0").alias("l"),
+        F.col("b0").alias("b"),
+        F.col("s0").alias("s"),
+    )
+
+    def step(acc, y):
+        s1 = F.element_at(acc["s"], 1)
+        l_new = 0.5 * (y - s1) + 0.5 * (acc["l"] + acc["b"])
+        b_new = 0.5 * (l_new - acc["l"]) + 0.5 * acc["b"]
+        s_new = 0.5 * (y - l_new) + 0.5 * s1
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            F.concat(
+                F.slice(acc["s"], 2, 6), F.array(s_new)
+            ).alias("s"),
+        )
+
+    folded = init.select(
+        "event_type",
+        "n_days",
+        F.aggregate("rest", acc0, step).alias("__st"),
+    )
+    return folded.select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.round(F.col("__st.l"), 9).alias("level"),
+        F.round(F.col("__st.b"), 9).alias("trend"),
+        F.round(F.element_at(F.col("__st.s"), 7), 9).alias(
+            "seasonal_last"
+        ),
+        F.round(
+            F.col("__st.l")
+            + 7 * F.col("__st.b")
+            + F.element_at(F.col("__st.s"), 7),
+            9,
+        ).alias("forecast_7"),
+    )
+
+
+ORACLES["ts_holt_winters"] = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+           AS v
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+idx AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+           AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+init AS (
+  SELECT event_type, MAX(n) AS n,
+    CAST(SUM(CASE WHEN i <= 7
+             THEN CAST(v AS DECIMAL(28,6)) END) AS DOUBLE) / 7 AS l0,
+    (CAST(SUM(CASE WHEN i BETWEEN 8 AND 14
+              THEN CAST(v AS DECIMAL(28,6)) END) AS DOUBLE) / 7
+     - CAST(SUM(CASE WHEN i <= 7
+                THEN CAST(v AS DECIMAL(28,6)) END) AS DOUBLE) / 7)
+      / 7 AS b0,
+    MAX(CASE WHEN i = 1 THEN v END) AS v1,
+    MAX(CASE WHEN i = 2 THEN v END) AS v2,
+    MAX(CASE WHEN i = 3 THEN v END) AS v3,
+    MAX(CASE WHEN i = 4 THEN v END) AS v4,
+    MAX(CASE WHEN i = 5 THEN v END) AS v5,
+    MAX(CASE WHEN i = 6 THEN v END) AS v6,
+    MAX(CASE WHEN i = 7 THEN v END) AS v7
+  FROM idx GROUP BY event_type HAVING MAX(n) >= 15
+),
+walk(event_type, i, n, l, b, s1, s2, s3, s4, s5, s6, s7) AS (
+  SELECT event_type, CAST(7 AS BIGINT), n, l0, b0,
+         v1 - l0, v2 - l0, v3 - l0, v4 - l0,
+         v5 - l0, v6 - l0, v7 - l0
+  FROM init
+  UNION ALL
+  SELECT w.event_type, w.i + 1, w.n,
+    0.5e0 * (s.v - w.s1) + 0.5e0 * (w.l + w.b),
+    0.5e0 * ((0.5e0 * (s.v - w.s1) + 0.5e0 * (w.l + w.b)) - w.l)
+      + 0.5e0 * w.b,
+    w.s2, w.s3, w.s4, w.s5, w.s6, w.s7,
+    0.5e0 * (s.v - (0.5e0 * (s.v - w.s1) + 0.5e0 * (w.l + w.b)))
+      + 0.5e0 * w.s1
+  FROM walk w JOIN idx s
+    ON s.event_type = w.event_type AND s.i = w.i + 1
+  WHERE w.i < w.n
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       ROUND(l, 9) AS level,
+       ROUND(b, 9) AS trend,
+       ROUND(s7, 9) AS seasonal_last,
+       ROUND(l + 7 * b + s7, 9) AS forecast_7
+FROM walk WHERE i = n
+"""
+
+
+QUERIES_DEFERRED.update({"ts_holt_winters": q_ts_holt_winters})

@@ -746,6 +746,7 @@ _SHUFFLE_BUDGET = {
     "pipeline_curriculum_order": 4,
     # per-source moments + k-row second stage + broadcast back
     "agg_james_stein": 3,
+    "ts_holt_winters": 2,           # daily agg + per-type series fold
 }
 
 
