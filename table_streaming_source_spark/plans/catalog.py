@@ -524,9 +524,14 @@ re-certifications of the entries most deeply rewritten onto the
 round-13 bucketed rank/prefix helper (``agg_rfm_segments``,
 ``agg_bh_fdr``, ``sim_rrf_fusion``) = exactly 50.  Every windowed
 entry was strict-dtype verified at sf0.01 AND sf0.1 at round-13 HEAD
-(50/50 + 50/50) before ``_PRIORITY`` was edited.  611 catalog total,
-611/611 with oracles, zero rows-only; the round-14 backlog is EMPTY
-at rotation time.
+(50/50 + 50/50) before ``_PRIORITY`` was edited.  611 catalog total
+at rotation; post-rotation round-13 additions (the round-14 backlog,
+each strict-verified at sf0.001 + sf0.01 + sf0.1 at round-13 HEAD):
+``pipeline_curriculum_order`` (curriculum phases via the exact-rank
+helper + NTILE formula), ``agg_james_stein`` (empirical-Bayes
+shrinkage of per-source means), ``ts_holt_winters`` (additive
+triple exponential smoothing, weekly season, exact-halving fold) —
+614 catalog total, 614/614 with oracles, zero rows-only.
 """
 
 from __future__ import annotations
