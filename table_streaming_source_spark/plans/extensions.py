@@ -27431,3 +27431,120 @@ FROM walk WHERE i = n
 
 
 QUERIES_DEFERRED.update({"ts_holt_winters": q_ts_holt_winters})
+
+
+def q_agg_conformal_interval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split-conformal prediction interval (Vovk et al.; the
+    distribution-free coverage guarantee every model-eval pipeline
+    wants): deterministic 60/20/20 hash split, a per-source mean
+    "model" fit on train (decimal-exact, rounded once), the
+    calibration quantile q̂ = the ⌈(n+1)(1−α)⌉-th smallest absolute
+    residual as an EXACT order statistic from
+    `operators.ranks.global_rank_prefix` (never an interpolated
+    percentile, never a single-task window), and the empirical
+    coverage of |y−ŷ| ≤ q̂ on the held-out test split — which the
+    conformal guarantee says lands ≥ 1−α = 0.9.  Two broadcast
+    scalars; the only data-proportional exchange is the rank pass."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    train = docs.filter(F.col("doc_id") % 5 < 3)
+    cal = docs.filter(F.col("doc_id") % 5 == 3)
+    tst = docs.filter(F.col("doc_id") % 5 == 4)
+    model = train.groupBy("source").agg(
+        F.round(
+            F.sum(F.col("n_chars").cast("decimal(28,0)"))
+            .cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("pred")
+    )
+    calr = cal.join(F.broadcast(model), "source").select(
+        "doc_id",
+        F.abs(F.col("n_chars").cast("double") - F.col("pred")).alias(
+            "r"
+        ),
+    )
+    ranked = global_rank_prefix(
+        calr, "r", tiebreak=["doc_id"], with_totals=True
+    )
+    qf = ranked.filter(
+        F.col("rn")
+        == F.least(
+            F.col("n_total"),
+            F.ceil((F.col("n_total") + 1) * F.lit(0.9)),
+        )
+    ).groupBy().agg(
+        F.min("r").alias("q_hat"),
+        F.min("n_total").alias("n_cal"),
+    )
+    scored = tst.join(F.broadcast(model), "source").crossJoin(
+        F.broadcast(qf)
+    )
+    return scored.groupBy().agg(
+        F.min("n_cal").cast("bigint").alias("n_cal"),
+        F.round(F.min("q_hat"), 6).alias("q_hat"),
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(
+            (
+                F.abs(F.col("n_chars").cast("double") - F.col("pred"))
+                <= F.col("q_hat")
+            ).cast("int")
+        ).cast("bigint").alias("n_covered"),
+        F.round(
+            F.sum(
+                (
+                    F.abs(
+                        F.col("n_chars").cast("double") - F.col("pred")
+                    )
+                    <= F.col("q_hat")
+                ).cast("int")
+            ) / F.count(F.lit(1)),
+            9,
+        ).alias("coverage"),
+    )
+
+
+ORACLES["agg_conformal_interval"] = """
+WITH model AS (
+  SELECT source,
+         ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(28,0))) AS DOUBLE)
+               / COUNT(*), 6) AS pred
+  FROM documents WHERE doc_id % 5 < 3 GROUP BY source
+),
+calr AS (
+  SELECT d.doc_id, ABS(CAST(d.n_chars AS DOUBLE) - m.pred) AS r
+  FROM documents d JOIN model m ON d.source = m.source
+  WHERE d.doc_id % 5 = 3
+),
+ranked AS (
+  SELECT r,
+         ROW_NUMBER() OVER (ORDER BY r, doc_id) AS rn,
+         COUNT(*) OVER () AS n_total
+  FROM calr
+),
+qf AS (
+  SELECT MIN(r) AS q_hat, MIN(n_total) AS n_cal
+  FROM ranked
+  WHERE rn = LEAST(n_total,
+                   CAST(CEIL((n_total + 1) * 0.9) AS BIGINT))
+)
+SELECT CAST(MIN(q.n_cal) AS BIGINT) AS n_cal,
+       ROUND(MIN(q.q_hat), 6) AS q_hat,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN ABS(CAST(d.n_chars AS DOUBLE) - m.pred)
+                          <= q.q_hat THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_covered,
+       ROUND(SUM(CASE WHEN ABS(CAST(d.n_chars AS DOUBLE) - m.pred)
+                           <= q.q_hat THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 9) AS coverage
+FROM documents d
+JOIN model m ON d.source = m.source, qf q
+WHERE d.doc_id % 5 = 4
+"""
+
+
+QUERIES_DEFERRED.update(
+    {"agg_conformal_interval": q_agg_conformal_interval}
+)

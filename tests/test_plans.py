@@ -747,6 +747,8 @@ _SHUFFLE_BUDGET = {
     # per-source moments + k-row second stage + broadcast back
     "agg_james_stein": 3,
     "ts_holt_winters": 2,           # daily agg + per-type series fold
+    # model agg + rank pass (bounds/partials) + 2 broadcast scalars
+    "agg_conformal_interval": 8,
 }
 
 
