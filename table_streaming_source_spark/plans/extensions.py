@@ -27548,3 +27548,70 @@ WHERE d.doc_id % 5 = 4
 QUERIES_DEFERRED.update(
     {"agg_conformal_interval": q_agg_conformal_interval}
 )
+
+
+def q_source_bencode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bencode (BitTorrent metainfo, BEP-3) ingestion
+    (`sources/bencode.py` — canonical ints, length-prefixed byte
+    strings, strictly-sorted dict keys, trailing-byte rejection): how
+    mirrored web-scale corpora are inventoried before a byte is
+    fetched.  Every metric is closed-form from the deterministic
+    synth layout, so the oracle restates the parse without parsing."""
+    from table_streaming_source_spark.sources.bencode import (
+        bencode_rows,
+        synth_bencode,
+    )
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+    import pandas as _pd
+
+    schema = StructType([
+        StructField("key", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ])
+
+    def attach(it):
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "key": pdf["key"].astype("int64"),
+                    "payload": [
+                        synth_bencode(int(k)) for k in pdf["key"]
+                    ],
+                }
+            )
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 6 == 1)
+        .select(F.col("doc_id").alias("key"))
+        .mapInPandas(attach, schema=schema)
+    )
+    return bencode_rows(d)
+
+
+ORACLES["source_bencode"] = """
+WITH base AS (
+  SELECT doc_id AS key, 1 + doc_id % 3 AS nf FROM documents
+  WHERE doc_id % 6 = 1
+),
+fs AS (
+  SELECT key, CAST(SUM((key + j.j) * 7 % 1000) AS BIGINT) AS fsum
+  FROM base, UNNEST(RANGE(0, nf)) AS j(j)
+  GROUP BY key
+)
+SELECT b.key,
+       CAST(3 AS INT) AS n_keys,
+       CAST(b.nf + 2 AS INT) AS n_ints,
+       CAST(f.fsum + b.key * 37 + 11 + b.key % 7 AS BIGINT)
+         AS sum_ints,
+       CAST(2 AS INT) AS n_strs,
+       CAST(25 + LENGTH(CAST(b.key AS VARCHAR)) AS BIGINT)
+         AS str_bytes,
+       CAST(3 AS INT) AS max_depth
+FROM base b JOIN fs f ON f.key = b.key
+"""
+
+
+QUERIES_DEFERRED.update({"source_bencode": q_source_bencode})

@@ -749,6 +749,7 @@ _SHUFFLE_BUDGET = {
     "ts_holt_winters": 2,           # daily agg + per-type series fold
     # model agg + rank pass (bounds/partials) + 2 broadcast scalars
     "agg_conformal_interval": 8,
+    "source_bencode": 0,            # row-local synth + parse chain
 }
 
 

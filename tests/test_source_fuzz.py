@@ -163,6 +163,10 @@ def _targets(tmp):
     yield "parse_gff3", gff3_file.parse_gff3, gff3_file.synth_gff3(5).encode()
     yield "parse_obj", obj_mesh.parse_obj, obj_mesh.synth_obj(5).encode()
 
+    from table_streaming_source_spark.sources import bencode
+
+    yield "parse_bencode", bencode.parse_bencode, bencode.synth_bencode(5)
+
 
 class _ParseHang(Exception):
     pass
@@ -181,7 +185,7 @@ _NAMES = [
     "parse_warc", "xlsx_records", "decode_ocf",
     "parse_srec", "parse_fasta",
     "parse_pcap", "parse_vcf", "parse_wkt", "parse_m3u",
-    "parse_robots", "parse_gff3", "parse_obj",
+    "parse_robots", "parse_gff3", "parse_obj", "parse_bencode",
 ]
 
 
