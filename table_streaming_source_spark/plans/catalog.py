@@ -530,8 +530,11 @@ each strict-verified at sf0.001 + sf0.01 + sf0.1 at round-13 HEAD):
 ``pipeline_curriculum_order`` (curriculum phases via the exact-rank
 helper + NTILE formula), ``agg_james_stein`` (empirical-Bayes
 shrinkage of per-source means), ``ts_holt_winters`` (additive
-triple exponential smoothing, weekly season, exact-halving fold) —
-614 catalog total, 614/614 with oracles, zero rows-only.
+triple exponential smoothing, weekly season, exact-halving fold),
+``agg_conformal_interval`` (split-conformal calibration quantile as
+an exact order statistic + held-out coverage), ``source_bencode``
+(BitTorrent metainfo, strict canonical parser, fuzz-swept) —
+616 catalog total, 616/616 with oracles, zero rows-only.
 """
 
 from __future__ import annotations
