@@ -41,6 +41,12 @@ near-uniform numeric first tiebreaker; for arbitrary skew at 100 TB,
 swap the split for sampled quantile boundaries — the composition
 (bucket → partials → offsets → local windows) is unchanged.
 
+Edge notes: a NULL key sorts first (Spark's ASC default) and lands
+in bucket 0, so ranks stay consistent — but a DuckDB oracle twin must
+then say NULLS FIRST explicitly (DuckDB defaults NULLS LAST); keep
+keys non-null.  ``ntile_from_rank`` divides in IEEE doubles — exact
+up to 2^53 rows (ample: 100 TB at 100-byte rows is ~10^12).
+
 Reference parity: the reference engine (a 373-LoC snapshot-source
 plugin, see SURVEY.md §2A) has no rank operator; this implements the
 §2B window-function row in its scale-safe form.

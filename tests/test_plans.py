@@ -800,9 +800,15 @@ _BOUNDED_MARKERS = (
 #: pass-through physical nodes between an exchange and the operator that
 #: required its distribution
 _PASS_THROUGH = (
-    "Sort",
-    "Project",
-    "Filter",
+    # trailing space/bracket: "Sort " must not swallow SortAggregate /
+    # SortMergeJoin consumers (those are NOT windows — skipping them
+    # would mislabel the next ancestor)
+    "Sort ",
+    "Sort[",
+    "Project ",
+    "Project[",
+    "Filter ",
+    "Filter(",
     "AQEShuffleRead",
     "ShuffleQueryStage",
     "InputAdapter",
