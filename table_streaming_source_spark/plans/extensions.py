@@ -27615,3 +27615,88 @@ FROM base b JOIN fs f ON f.key = b.key
 
 
 QUERIES_DEFERRED.update({"source_bencode": q_source_bencode})
+
+
+def q_format_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COLUMN RENAME (the Delta/Iceberg column-mapping
+    contract — `table_format.py::commit_rename_column`): renaming
+    ``o_totalprice`` → ``price_usd`` publishes one log entry and ZERO
+    data I/O; the era-aware snapshot read translates pre-rename files
+    at scan time, post-rename appends carry the new name physically,
+    manifest pruning on the key still skips by the translated stats,
+    and time travel to a pre-rename version shows the old name.  The
+    receipt pins all four behaviors; the aggregate equals the ANSI
+    restatement over both eras."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_rename", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    mx = o.agg(F.max("o_orderkey")).collect()[0][0]
+    half = mx // 2
+    TF.commit_append(
+        spark, path, o.filter(k <= half).coalesce(1),
+        stat_cols=["o_orderkey"],
+    )
+    TF.commit_append(
+        spark, path, o.filter(k > half).coalesce(1),
+        stat_cols=["o_orderkey"],
+    )
+    v_rename = TF.commit_rename_column(
+        path, {"o_totalprice": "price_usd"}
+    )
+    extra = spark.range(1, 4).select(
+        (F.lit(mx) + F.col("id")).alias("o_orderkey"),
+        F.lit(99.99).alias("price_usd"),
+    ).coalesce(1)
+    TF.commit_append(spark, path, extra, stat_cols=["o_orderkey"])
+    cur = TF.read_table(spark, path)
+    old = TF.read_table(spark, path, version=v_rename - 1)
+    _, n_kept, n_total = TF.snapshot_files(
+        path, prune=("o_orderkey", 0, int(half))
+    )
+    agg = cur.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("price_usd") * 100).cast("bigint"))
+        .cast("bigint").alias("sum_cents"),
+    ).collect()[0]
+    result = spark.createDataFrame(
+        [(
+            int(v_rename),
+            int("price_usd" in cur.columns)
+            * int("o_totalprice" not in cur.columns),
+            int("o_totalprice" in old.columns)
+            * int("price_usd" not in old.columns),
+            int(n_kept),
+            int(n_total),
+            agg["n_rows"],
+            agg["sum_cents"],
+        )],
+        "rename_version bigint, new_name_current bigint, "
+        "old_name_time_travel bigint, files_pruned_kept bigint, "
+        "files_total bigint, n_rows bigint, sum_cents bigint",
+    ).localCheckpoint(eager=True)
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_rename_column"] = """
+SELECT CAST(3 AS BIGINT) AS rename_version,
+       CAST(1 AS BIGINT) AS new_name_current,
+       CAST(1 AS BIGINT) AS old_name_time_travel,
+       CAST(1 AS BIGINT) AS files_pruned_kept,
+       CAST(3 AS BIGINT) AS files_total,
+       CAST(COUNT(*) + 3 AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+            + 3 * 9999 AS BIGINT) AS sum_cents
+FROM orders
+"""
+
+
+QUERIES_DEFERRED.update(
+    {"format_rename_column": q_format_rename_column}
+)

@@ -395,6 +395,140 @@ def commit_append(
     return new_v
 
 
+def commit_rename_column(
+    path: str,
+    renames: dict[str, str],
+    *,
+    expected_version: int | None = None,
+    branch: str | None = None,
+) -> int:
+    """Metadata-only COLUMN RENAME (the Delta/Iceberg column-mapping
+    idea): publish a commit that carries ``renames`` and NO files —
+    zero data I/O regardless of table size.  Readers translate on the
+    fly: files written before the rename keep their physical column
+    name and are renamed at scan time; files written after carry the
+    new name physically; manifest stat/null/bloom keys of older files
+    translate during the snapshot walk, so pruning on the CURRENT
+    name keeps skipping pre-rename files.  Time travel to a version
+    before the rename shows the old name — the rename is part of the
+    log, not of the files.
+
+    Restriction (the Iceberg-style rule): renaming a column with
+    outstanding merge-on-read delete state on it raises — run
+    ``commit_compact`` first so delete reconciliation never has to
+    translate key names."""
+    if not renames:
+        raise ValueError("rename: empty mapping")
+    for old, new in renames.items():
+        if old == new:
+            raise ValueError(f"rename: {old!r} -> itself")
+    if set(renames.values()) & set(renames.keys()):
+        raise ValueError(
+            "rename: chained old->new names within one commit — "
+            "split into two commits"
+        )
+    if len(set(renames.values())) != len(renames):
+        raise ValueError("rename: duplicate target names")
+    base, new_v = _resolve_write_target(path, branch, expected_version)
+    del_key, dels = _snapshot_deletes(path, base)
+    if dels and del_key in renames:
+        raise ValueError(
+            f"rename: column {del_key!r} has outstanding equality-"
+            "delete state — commit_compact first"
+        )
+    _write_commit(
+        path,
+        new_v,
+        {
+            "version": new_v,
+            "files": [],
+            "parent": base,
+            "renames": sorted(renames.items()),
+        },
+    )
+    _advance_branch(path, branch, new_v, base=base)
+    return new_v
+
+
+def _has_renames(path: str, version: int) -> bool:
+    """True when a rename commit is visible in the parent chain — the
+    incremental row-level rewriters are not era-aware (they carry
+    manifest entries verbatim and read file subsets by CURRENT names),
+    so they refuse loudly and name commit_compact as the materializer
+    (compaction reads era-aware and rewrites with current names,
+    clearing the chain)."""
+    v: int | None = version
+    while v is not None:
+        commit = _read_commit(path, v)
+        if commit.get("renames"):
+            return True
+        v = commit["parent"]
+    return False
+
+
+def _guard_no_renames(path: str, version: int, op: str) -> None:
+    if _has_renames(path, version):
+        raise NotImplementedError(
+            f"{op} on a table with a column rename in its visible "
+            "history: the incremental rewrite is not era-aware — run "
+            "commit_compact first to materialize current column names"
+        )
+
+
+def _rename_key(name: str, applied: tuple) -> str:
+    """Translate one column name through an application-ordered
+    (oldest-first) rename chain."""
+    for old, new in applied:
+        if name == old:
+            name = new
+    return name
+
+
+def _walk_files_renamed(
+    path: str, version: int
+) -> tuple[list[tuple[dict, tuple]], bool]:
+    """Walk the parent chain newest→oldest, collecting every manifest
+    entry together with the APPLICATION-ORDERED rename chain the
+    entry's physical columns must pass through (= the renames from
+    commits NEWER than the entry's commit).  Returns
+    ``(entries, any_renames)``; with no rename commits the entries
+    are exactly ``_snapshot_file_dicts`` order with empty chains."""
+    v: int | None = version
+    collected: list[tuple[str, str]] = []  # newest-first encounter
+    out: list[tuple[dict, tuple]] = []
+    any_renames = False
+    while v is not None:
+        commit = _read_commit(path, v)
+        applied = tuple(reversed(collected))
+        for f in commit["files"]:
+            out.append((f, applied))
+        rn = commit.get("renames")
+        if rn:
+            any_renames = True
+            # encounter order is newest-first; within one commit keep
+            # its pairs as one unit (applied oldest-first later)
+            collected.extend(
+                (old, new) for old, new in reversed([tuple(p) for p in rn])
+            )
+        v = commit["parent"]
+    return out, any_renames
+
+
+def _translate_entry_stats(f: dict, applied: tuple) -> dict:
+    """A manifest entry with stat/null/bloom keys translated to the
+    CURRENT logical names (no-op for an empty chain)."""
+    if not applied:
+        return f
+    g = dict(f)
+    for field in ("stats", "nulls", "bloom"):
+        d = f.get(field)
+        if d:
+            g[field] = {
+                _rename_key(k, applied): val for k, val in d.items()
+            }
+    return g
+
+
 def snapshot_files(
     path: str,
     *,
@@ -402,7 +536,8 @@ def snapshot_files(
     prune: tuple[str, object, object] | None = None,
     null_prune: tuple[str, str] | None = None,
     point: tuple[str, object] | None = None,
-) -> tuple[list[str], int, int]:
+    with_renames: bool = False,
+) -> tuple[list, int, int]:
     """Resolve a snapshot from the log: walk parents from ``version``
     (default: head), union the committed file lists, and — when
     ``prune = (col, lo, hi)`` is given — drop every file whose manifest
@@ -426,13 +561,17 @@ def snapshot_files(
     populated it).  Files without a recorded null count are kept —
     never lossy.  Composes with ``prune``."""
     v = latest_version(path) if version is None else version
-    all_files: list[dict] = []
-    while v is not None:
-        commit = _read_commit(path, v)
-        all_files.extend(commit["files"])
-        v = commit["parent"]
+    entries, any_renames = _walk_files_renamed(path, v)
+    # rename-aware: stat/null/bloom keys translate to CURRENT names so
+    # pruning on a renamed column keeps skipping pre-rename files; the
+    # no-rename path yields the identical dicts untouched
+    all_files = [
+        _translate_entry_stats(f, applied) if any_renames else f
+        for f, applied in entries
+    ]
     kept = []
-    for f in all_files:
+    kept_renames: list[tuple] = []
+    for f, (_, applied) in zip(all_files, entries):
         if prune is not None:
             col, lo, hi = prune
             rng = f["stats"].get(col)
@@ -454,6 +593,9 @@ def snapshot_files(
             if bloom is not None and not _bloom_may_contain(bloom, value):
                 continue
         kept.append(os.path.join(path, f["path"]))
+        kept_renames.append(applied)
+    if with_renames:
+        return list(zip(kept, kept_renames)), len(kept), len(all_files)
     return kept, len(kept), len(all_files)
 
 
@@ -476,18 +618,37 @@ def read_table(
     visible only through :func:`read_table_mor` (compaction reconciles
     the two views).  An empty snapshot raises: the caller should read
     the schema from the log in a fuller implementation."""
-    files, _, _ = snapshot_files(
+    pairs, _, _ = snapshot_files(
         path, version=version, prune=prune, null_prune=null_prune,
-        point=point,
+        point=point, with_renames=True,
     )
-    if not files:
+    if not pairs:
         raise ValueError("empty snapshot (no files after pruning)")
     # mergeSchema: commits may evolve the schema (add columns); the
     # snapshot read unions all committed schemas with NULL backfill for
     # pre-evolution files — the additive-evolution contract.  A fuller
     # implementation stores the schema in the log and skips the footer
     # merge; the read semantics are identical.
-    return spark.read.option("mergeSchema", "true").parquet(*files)
+    #
+    # Column renames (commit_rename_column) group the files by the
+    # rename chain their ERA must pass through: each group scans with
+    # its physical names, renames to the current logical names, and
+    # the eras union BY NAME — zero data rewritten, time travel keeps
+    # the old names.  With no rename commits there is exactly one
+    # group and this is the identical single parquet read.
+    groups: dict[tuple, list[str]] = {}
+    for fp, applied in pairs:
+        groups.setdefault(applied, []).append(fp)
+    dfs = []
+    for applied, fps in sorted(groups.items()):
+        d = spark.read.option("mergeSchema", "true").parquet(*fps)
+        for old, new in applied:
+            d = d.withColumnRenamed(old, new)
+        dfs.append(d)
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
 
 
 def vacuum(path: str, *, retain_versions: int = 2) -> tuple[int, int]:
@@ -643,6 +804,7 @@ def commit_update_where(
     from pyspark.sql import functions as F
 
     base, new_v = _resolve_write_target(path, branch, expected_version)
+    _guard_no_renames(path, base, "commit_update_where")
     file_dicts = _snapshot_file_dicts(path, base)
     cand, untouched = [], []
     for f in file_dicts:
@@ -851,6 +1013,7 @@ def commit_replace_where(
             f"{col} in [{lo}, {hi}]"
         )
     base, new_v = _resolve_write_target(path, branch, expected_version)
+    _guard_no_renames(path, base, "commit_replace_where")
     file_dicts = _snapshot_file_dicts(path, base)
     dropped, straddle, untouched = [], [], []
     for f in file_dicts:
@@ -954,6 +1117,7 @@ def compact_binpack(
 
     Returns the new version (or ``base`` when no-op)."""
     base, new_v = _resolve_write_target(path, branch, expected_version)
+    _guard_no_renames(path, base, "compact_binpack")
     file_dicts = _snapshot_file_dicts(path, base)
     small = [f for f in file_dicts if f["rows"] < target_rows]
     large = [f for f in file_dicts if f["rows"] >= target_rows]
@@ -1122,6 +1286,7 @@ def commit_merge(
     from table_streaming_source_spark.snapshot import merge_into
 
     base, new_v = _resolve_write_target(path, branch, expected_version)
+    _guard_no_renames(path, base, "commit_merge")
     if txn is not None:
         # re-validate the idempotence watermark AFTER the base is
         # pinned (the Delta txn-conflict-checker rule): a zombie driver
@@ -1683,6 +1848,7 @@ def commit_delete_keys(
     untouched."""
     keys = _key_cols(key)
     base, new_v = _resolve_write_target(path, branch, expected_version)
+    _guard_no_renames(path, base, "commit_delete_keys")
     staging = os.path.join(
         _data_dir(path), f"delete-{new_v}-{uuid.uuid4().hex[:8]}"
     )
@@ -1916,6 +2082,11 @@ def positions_where(
     from pyspark.sql import Column
     from pyspark.sql import functions as F
 
+    _guard_no_renames(
+        path,
+        latest_version(path) if version is None else version,
+        "positions_where",
+    )
     files, _, _ = snapshot_files(path, version=version, prune=prune)
     if not files:
         raise ValueError("empty snapshot")
@@ -1975,6 +2146,7 @@ def commit_delete_positions(
     from pyspark.sql import functions as F
 
     base, new_v = _resolve_write_target(path, branch, expected_version)
+    _guard_no_renames(path, base, "commit_delete_positions")
     pos = (
         positions.select(
             F.col("file_path").cast("string"), F.col("pos").cast("long")
@@ -2170,6 +2342,9 @@ def read_table_mor(
     pos_deletes = _snapshot_pos_deletes(path, v)
     if not deletes and not pos_deletes:
         return read_table(spark, path, version=v)
+    # delete reconciliation reads file subsets by physical name — not
+    # era-aware; compaction materializes and clears both
+    _guard_no_renames(path, v, "read_table_mor (with MOR deletes)")
     return _mor_resolve(
         spark, path, _snapshot_file_dicts(path, v), key, deletes,
         pos_deletes,

@@ -750,6 +750,7 @@ _SHUFFLE_BUDGET = {
     # model agg + rank pass (bounds/partials) + 2 broadcast scalars
     "agg_conformal_interval": 8,
     "source_bencode": 0,            # row-local synth + parse chain
+    "format_rename_column": 0,      # checkpointed receipt read
 }
 
 

@@ -3909,3 +3909,111 @@ def test_update_where_emits_cdf_update_pairs(spark, tmp_path):
     assert TF.read_cdf(spark, path, from_version=1).filter(
         "_commit_version = 2"
     ).count() == 12
+
+
+# ---------------------------------------------------------------------------
+# column rename (metadata-only column mapping)
+# ---------------------------------------------------------------------------
+
+
+def test_rename_is_metadata_only_and_reads_translate(spark, table):
+    path, df = table
+    data_dir = os.path.join(path, "data")
+    before = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(data_dir) for f in fs
+    }
+    v = TF.commit_rename_column(path, {"v": "value_x2"})
+    after = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(data_dir) for f in fs
+    }
+    assert before == after  # zero data I/O
+    got = TF.read_table(spark, path)
+    assert "value_x2" in got.columns and "v" not in got.columns
+    assert got.agg(F.sum("value_x2")).collect()[0][0] == sum(
+        i * 2 for i in range(100)
+    )
+    # time travel BEFORE the rename shows the old name
+    old = TF.read_table(spark, path, version=v - 1)
+    assert "v" in old.columns and "value_x2" not in old.columns
+
+
+def test_rename_pruning_translates_old_file_stats(spark, table):
+    path, _ = table
+    TF.commit_rename_column(path, {"bucket": "shard"})
+    kept, n_kept, n_total = TF.snapshot_files(
+        path, prune=("shard", 0, 4)
+    )
+    # the second append's files (bucket >= 5) all prune away on the
+    # NEW name even though their manifest stats were recorded under
+    # the old one
+    assert 0 < n_kept < n_total
+    got = spark.read.parquet(*kept)
+    assert got.count() == 50 and got.agg(F.max("bucket")).collect()[0][0] == 4
+
+
+def test_rename_then_append_unions_eras_by_name(spark, table):
+    path, _ = table
+    TF.commit_rename_column(path, {"v": "value_x2"})
+    extra = spark.range(100, 110).select(
+        F.col("id").alias("k"),
+        F.lit(3).cast("int").alias("bucket"),
+        (F.col("id") * 2).alias("value_x2"),
+    )
+    TF.commit_append(spark, path, extra, stat_cols=["bucket"])
+    got = TF.read_table(spark, path)
+    assert got.count() == 110
+    assert got.agg(F.sum("value_x2")).collect()[0][0] == sum(
+        i * 2 for i in range(110)
+    )
+
+
+def test_rename_guards_incremental_rewriters_until_compact(spark, table):
+    path, _ = table
+    TF.commit_rename_column(path, {"v": "value_x2"})
+    changes = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.lit(0).cast("int").alias("bucket"),
+        F.lit(0).alias("value_x2"),
+        F.lit("U").alias("op"),
+    )
+    with pytest.raises(NotImplementedError, match="commit_compact"):
+        TF.commit_merge(
+            spark, path, changes, key="k", stat_cols=["bucket"]
+        )
+    with pytest.raises(NotImplementedError, match="commit_compact"):
+        TF.positions_where(spark, path, "k = 1")
+    # compaction materializes current names and clears the chain
+    TF.commit_compact(spark, path, stat_cols=["bucket"])
+    v, rewritten, total = TF.commit_merge(
+        spark, path, changes, key="k", stat_cols=["bucket"]
+    )
+    got = TF.read_table_mor(spark, path)
+    assert got.filter("k < 3").agg(F.sum("value_x2")).collect()[0][0] == 0
+    assert got.count() == 100
+
+
+def test_rename_validation_errors(spark, table):
+    path, _ = table
+    with pytest.raises(ValueError, match="empty"):
+        TF.commit_rename_column(path, {})
+    with pytest.raises(ValueError, match="itself"):
+        TF.commit_rename_column(path, {"v": "v"})
+    with pytest.raises(ValueError, match="chained"):
+        TF.commit_rename_column(path, {"v": "w", "w": "x"})
+
+
+def test_rename_of_delete_key_requires_compaction(spark, table):
+    path, _ = table
+    TF.commit_delete_keys(
+        spark, path,
+        spark.range(1, 3).select(F.col("id").alias("k")),
+        key="k",
+    )
+    with pytest.raises(ValueError, match="outstanding"):
+        TF.commit_rename_column(path, {"k": "pk"})
+    TF.commit_compact(spark, path, stat_cols=["bucket"])
+    v = TF.commit_rename_column(path, {"k": "pk"})
+    got = TF.read_table(spark, path)
+    assert "pk" in got.columns and got.count() == 98
