@@ -32,6 +32,7 @@ Supported statements (the documented subset)::
     UPDATE t SET col = expr [, ...] WHERE pred
     DELETE FROM t WHERE pred
     INSERT INTO t SELECT ...
+    ALTER TABLE t RENAME COLUMN old TO new
     DESCRIBE HISTORY t
     OPTIMIZE t
     VACUUM t [RETAIN n VERSIONS]
@@ -112,6 +113,11 @@ _INSERT = re.compile(
     r"^\s*INSERT\s+INTO\s+(?P<t>[A-Za-z_]\w*)\s+(?P<sel>SELECT\s+.+?)"
     r"\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+_ALTER_RENAME = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<t>[A-Za-z_]\w*)\s+RENAME\s+COLUMN\s+"
+    r"(?P<old>[A-Za-z_]\w*)\s+TO\s+(?P<new>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
 )
 _HISTORY = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(?P<t>[A-Za-z_]\w*)\s*;?\s*$",
@@ -529,6 +535,15 @@ def format_sql(
         )
         return _result(spark, "INSERT", v, None, None)
 
+    m = _ALTER_RENAME.match(text)
+    if m:
+        path = _table_path(m["t"], tables)
+        v = TF.commit_rename_column(
+            path, {m["old"]: m["new"]}, branch=branch,
+            expected_version=expected_version,
+        )
+        return _result(spark, "ALTER", v, 0, None)
+
     m = _HISTORY.match(text)
     if m:
         return TF.read_history(spark, _table_path(m["t"], tables))
@@ -554,6 +569,6 @@ def format_sql(
 
     raise ValueError(
         "format_sql: unrecognized statement — supported: MERGE INTO, "
-        "UPDATE, DELETE FROM, INSERT INTO ... SELECT, DESCRIBE "
-        "HISTORY, OPTIMIZE, VACUUM"
+        "UPDATE, DELETE FROM, INSERT INTO ... SELECT, ALTER TABLE "
+        "... RENAME COLUMN, DESCRIBE HISTORY, OPTIMIZE, VACUUM"
     )

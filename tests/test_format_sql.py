@@ -329,3 +329,23 @@ def test_merge_rejects_two_nmbs_clauses(spark, table):
             "WHEN NOT MATCHED BY SOURCE THEN DELETE",
             tables={"t": table},
         )
+
+
+def test_alter_rename_column_routes(spark, table):
+    r = format_sql(
+        spark,
+        "ALTER TABLE t RENAME COLUMN val TO price",
+        tables={"t": table},
+    ).collect()[0]
+    assert r["operation"] == "ALTER"
+    got = TF.read_table(spark, table)
+    assert "price" in got.columns and "val" not in got.columns
+    assert got.count() == 100
+    # the router's UPDATE on a renamed table fails loudly (era-aware
+    # rewrite is compaction's job), naming the remedy
+    with pytest.raises(NotImplementedError, match="commit_compact"):
+        format_sql(
+            spark,
+            "UPDATE t SET price = price + 1 WHERE k <= 3",
+            tables={"t": table},
+        )
