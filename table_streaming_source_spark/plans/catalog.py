@@ -533,8 +533,12 @@ shrinkage of per-source means), ``ts_holt_winters`` (additive
 triple exponential smoothing, weekly season, exact-halving fold),
 ``agg_conformal_interval`` (split-conformal calibration quantile as
 an exact order statistic + held-out coverage), ``source_bencode``
-(BitTorrent metainfo, strict canonical parser, fuzz-swept) —
-616 catalog total, 616/616 with oracles, zero rows-only.
+(BitTorrent metainfo, strict canonical parser, fuzz-swept),
+``format_rename_column`` (metadata-only column mapping: era-aware
+snapshot reads, translated manifest pruning, time travel, compaction
+as the materializer, loud guards on non-era-aware rewriters) and
+``format_sql_rename`` (the ``ALTER TABLE ... RENAME COLUMN`` route)
+— 618 catalog total, 618/618 with oracles, zero rows-only.
 """
 
 from __future__ import annotations

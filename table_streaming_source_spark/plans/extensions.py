@@ -27700,3 +27700,58 @@ FROM orders
 QUERIES_DEFERRED.update(
     {"format_rename_column": q_format_rename_column}
 )
+
+
+def q_format_sql_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ALTER TABLE t RENAME COLUMN old TO new`` through the SQL
+    router (`format_sql` → `commit_rename_column`): the metadata-only
+    rename from SQL text alone, then an era-union read under the new
+    name — receipt + aggregate pinned closed-form."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+    from table_streaming_source_spark.sources.format_sql import format_sql
+
+    path = _scratch.scratch_dir("format_sqlrn", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    TF.commit_append(
+        spark, path, o.coalesce(1), stat_cols=["o_orderkey"]
+    )
+    receipt = format_sql(
+        spark,
+        "ALTER TABLE t RENAME COLUMN o_totalprice TO price_usd",
+        tables={"t": path},
+    ).collect()[0]
+    cur = TF.read_table(spark, path)
+    agg = cur.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("price_usd") * 100).cast("bigint"))
+        .cast("bigint").alias("sum_cents"),
+    ).collect()[0]
+    result = spark.createDataFrame(
+        [(
+            receipt["operation"], receipt["version"],
+            int("price_usd" in cur.columns
+                and "o_totalprice" not in cur.columns),
+            agg["n_rows"], agg["sum_cents"],
+        )],
+        "operation string, version bigint, renamed bigint, "
+        "n_rows bigint, sum_cents bigint",
+    ).localCheckpoint(eager=True)
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_sql_rename"] = """
+SELECT 'ALTER' AS operation, CAST(2 AS BIGINT) AS version,
+       CAST(1 AS BIGINT) AS renamed,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders
+"""
+
+
+QUERIES_DEFERRED.update({"format_sql_rename": q_format_sql_rename})

@@ -751,6 +751,7 @@ _SHUFFLE_BUDGET = {
     "agg_conformal_interval": 8,
     "source_bencode": 0,            # row-local synth + parse chain
     "format_rename_column": 0,      # checkpointed receipt read
+    "format_sql_rename": 0,         # checkpointed receipt read
 }
 
 
