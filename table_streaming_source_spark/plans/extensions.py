@@ -27755,3 +27755,84 @@ FROM orders
 
 
 QUERIES_DEFERRED.update({"format_sql_rename": q_format_sql_rename})
+
+
+def q_pipeline_tokenizer_fertility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer FERTILITY by language (subword tokens per whitespace
+    word under the corpus-trained BPE — the standard multilingual-
+    tokenizer equity metric: a fertility of 2 means a language pays
+    double the context budget per word).  Composes the trained
+    `text_bpe_train` vocabulary with `text_bpe_encode`'s per-doc
+    counts and rolls up per lang; the corpus-level fertility is an
+    exact BIGINT/BIGINT ratio, the per-doc mean rides the rounded-
+    decimal path.  Same scale shape as the parents: word-keyed
+    encode join + one lang rollup."""
+    docs = t(spark, sf_dir, "documents")
+    _, vocab = X.bpe_train(
+        X.bpe_word_counts(docs, "text", "doc_id"), rounds=_BPE_ROUNDS
+    )
+    enc = X.bpe_encode_counts(docs, vocab, "text", "doc_id")
+    j = enc.join(docs.select("doc_id", "lang"), "doc_id")
+    per = j.select(
+        "lang",
+        "n_words",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double")
+            / F.col("n_words").cast("double"),
+            9,
+        ).cast("decimal(18,9)").alias("doc_fert"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double")
+            / F.sum("n_words").cast("double"),
+            9,
+        ).alias("fertility"),
+        F.round(
+            F.sum("doc_fert").cast("double") / F.count(F.lit(1)), 9
+        ).alias("mean_doc_fertility"),
+    )
+
+
+ORACLES["pipeline_tokenizer_fertility"] = _bpe_sql_ctes(_BPE_ROUNDS) + f""",
+doc_words AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id,
+           UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS word
+    FROM documents
+  ) WHERE word <> ''
+),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_words,
+         CAST(SUM(len(s{_BPE_ROUNDS}.syms)) AS BIGINT) AS n_tokens
+  FROM doc_words JOIN s{_BPE_ROUNDS} USING (word)
+  GROUP BY doc_id
+),
+perl AS (
+  SELECT d.lang, p.n_words, p.n_tokens,
+         CAST(ROUND(CAST(p.n_tokens AS DOUBLE)
+                    / CAST(p.n_words AS DOUBLE), 9)
+              AS DECIMAL(18,9)) AS doc_fert
+  FROM per p JOIN documents d USING (doc_id)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE)
+             / CAST(SUM(n_words) AS DOUBLE), 9) AS fertility,
+       ROUND(CAST(SUM(doc_fert) AS DOUBLE) / COUNT(*), 9)
+         AS mean_doc_fertility
+FROM perl GROUP BY lang
+"""
+
+
+QUERIES_DEFERRED.update(
+    {"pipeline_tokenizer_fertility": q_pipeline_tokenizer_fertility}
+)

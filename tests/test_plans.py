@@ -752,6 +752,8 @@ _SHUFFLE_BUDGET = {
     "source_bencode": 0,            # row-local synth + parse chain
     "format_rename_column": 0,      # checkpointed receipt read
     "format_sql_rename": 0,         # checkpointed receipt read
+    # word-keyed BPE encode join + per-doc agg + lang rollup
+    "pipeline_tokenizer_fertility": 3,
 }
 
 
