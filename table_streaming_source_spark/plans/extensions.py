@@ -27836,3 +27836,84 @@ FROM perl GROUP BY lang
 QUERIES_DEFERRED.update(
     {"pipeline_tokenizer_fertility": q_pipeline_tokenizer_fertility}
 )
+
+
+def q_format_widen_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only SAFE TYPE WIDENING (Iceberg type promotion —
+    `table_format.py::commit_widen_column`): ``o_orderkey`` int →
+    bigint with zero data I/O; the era-aware read casts pre-widen
+    files at scan time, a post-widen append carries bigint
+    physically, time travel shows the old type, and manifest pruning
+    still skips by the old stats.  Receipt + aggregate pinned
+    closed-form."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+
+    path = _scratch.scratch_dir("format_widen", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        "o_totalprice",
+    )
+    k = F.col("o_orderkey")
+    mx = o.agg(F.max("o_orderkey")).collect()[0][0]
+    half = mx // 2
+    TF.commit_append(
+        spark, path, o.filter(k <= half).coalesce(1),
+        stat_cols=["o_orderkey"],
+    )
+    TF.commit_append(
+        spark, path, o.filter(k > half).coalesce(1),
+        stat_cols=["o_orderkey"],
+    )
+    v_widen = TF.commit_widen_column(path, {"o_orderkey": "bigint"})
+    extra = spark.range(1, 4).select(
+        (F.lit(int(mx)) + F.col("id") + F.lit(2147483647))
+        .cast("bigint").alias("o_orderkey"),
+        F.lit(11.11).alias("o_totalprice"),
+    ).coalesce(1)
+    TF.commit_append(spark, path, extra, stat_cols=["o_orderkey"])
+    cur = TF.read_table(spark, path)
+    old_v = TF.read_table(spark, path, version=v_widen - 1)
+    _, n_kept, n_total = TF.snapshot_files(
+        path, prune=("o_orderkey", 0, int(half))
+    )
+    agg = cur.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+    ).collect()[0]
+    result = spark.createDataFrame(
+        [(
+            int(v_widen),
+            int(dict(cur.dtypes)["o_orderkey"] == "bigint"),
+            int(dict(old_v.dtypes)["o_orderkey"] == "int"),
+            int(n_kept),
+            int(n_total),
+            agg["n_rows"],
+            agg["sum_keys"],
+        )],
+        "widen_version bigint, widened_current bigint, "
+        "old_type_time_travel bigint, files_pruned_kept bigint, "
+        "files_total bigint, n_rows bigint, sum_keys bigint",
+    ).localCheckpoint(eager=True)
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_widen_column"] = """
+WITH b AS (SELECT MAX(o_orderkey) AS mx FROM orders)
+SELECT CAST(3 AS BIGINT) AS widen_version,
+       CAST(1 AS BIGINT) AS widened_current,
+       CAST(1 AS BIGINT) AS old_type_time_travel,
+       CAST(1 AS BIGINT) AS files_pruned_kept,
+       CAST(3 AS BIGINT) AS files_total,
+       CAST(COUNT(*) + 3 AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey)
+            + 3 * (b.mx + 2147483647) + 6 AS BIGINT) AS sum_keys
+FROM orders, b GROUP BY b.mx
+"""
+
+
+QUERIES_DEFERRED.update({"format_widen_column": q_format_widen_column})

@@ -450,6 +450,46 @@ def commit_rename_column(
     return new_v
 
 
+def commit_widen_column(
+    path: str,
+    widens: dict[str, str],
+    *,
+    expected_version: int | None = None,
+    branch: str | None = None,
+) -> int:
+    """Metadata-only SAFE TYPE WIDENING (the Iceberg type-promotion
+    rule: int→bigint, float→double, …): publish a commit carrying
+    ``widens`` (column → new Spark type string) and NO files.  The
+    era-aware read casts pre-widen files to the new type at scan
+    time; post-widen appends carry it physically; time travel shows
+    the old type.  Same restrictions as :func:`commit_rename_column`:
+    the incremental row-level rewriters refuse until
+    :func:`commit_compact` materializes the schema.
+
+    The TARGET type is what the caller declares; this function does
+    not introspect the files' current physical types — stick to the
+    documented safe promotions (a narrowing cast would silently
+    truncate at read time)."""
+    if not widens:
+        raise ValueError("widen: empty mapping")
+    for col, t in widens.items():
+        if not t or not isinstance(t, str):
+            raise ValueError(f"widen: bad target type for {col!r}")
+    base, new_v = _resolve_write_target(path, branch, expected_version)
+    _write_commit(
+        path,
+        new_v,
+        {
+            "version": new_v,
+            "files": [],
+            "parent": base,
+            "widens": sorted(widens.items()),
+        },
+    )
+    _advance_branch(path, branch, new_v, base=base)
+    return new_v
+
+
 def _has_renames(path: str, version: int) -> bool:
     """True when a rename commit is visible in the parent chain — the
     incremental row-level rewriters are not era-aware (they carry
@@ -460,7 +500,7 @@ def _has_renames(path: str, version: int) -> bool:
     v: int | None = version
     while v is not None:
         commit = _read_commit(path, v)
-        if commit.get("renames"):
+        if commit.get("renames") or commit.get("widens"):
             return True
         v = commit["parent"]
     return False
@@ -469,18 +509,20 @@ def _has_renames(path: str, version: int) -> bool:
 def _guard_no_renames(path: str, version: int, op: str) -> None:
     if _has_renames(path, version):
         raise NotImplementedError(
-            f"{op} on a table with a column rename in its visible "
-            "history: the incremental rewrite is not era-aware — run "
-            "commit_compact first to materialize current column names"
+            f"{op} on a table with a column rename/widen in its "
+            "visible history: the incremental rewrite is not era-aware"
+            " — run commit_compact first to materialize the current "
+            "schema"
         )
 
 
 def _rename_key(name: str, applied: tuple) -> str:
     """Translate one column name through an application-ordered
-    (oldest-first) rename chain."""
-    for old, new in applied:
-        if name == old:
-            name = new
+    (oldest-first) schema-op chain (renames move the name; widens
+    leave it)."""
+    for kind, a, b in applied:
+        if kind == "r" and name == a:
+            name = b
     return name
 
 
@@ -494,24 +536,23 @@ def _walk_files_renamed(
     ``(entries, any_renames)``; with no rename commits the entries
     are exactly ``_snapshot_file_dicts`` order with empty chains."""
     v: int | None = version
-    collected: list[tuple[str, str]] = []  # newest-first encounter
+    collected: list[tuple[str, str, str]] = []  # newest-first encounter
     out: list[tuple[dict, tuple]] = []
-    any_renames = False
+    any_ops = False
     while v is not None:
         commit = _read_commit(path, v)
         applied = tuple(reversed(collected))
         for f in commit["files"]:
             out.append((f, applied))
-        rn = commit.get("renames")
-        if rn:
-            any_renames = True
+        ops = [("r", a, b) for a, b in commit.get("renames", [])]
+        ops += [("w", c, t) for c, t in commit.get("widens", [])]
+        if ops:
+            any_ops = True
             # encounter order is newest-first; within one commit keep
             # its pairs as one unit (applied oldest-first later)
-            collected.extend(
-                (old, new) for old, new in reversed([tuple(p) for p in rn])
-            )
+            collected.extend(reversed(ops))
         v = commit["parent"]
-    return out, any_renames
+    return out, any_ops
 
 
 def _translate_entry_stats(f: dict, applied: tuple) -> dict:
@@ -618,6 +659,8 @@ def read_table(
     visible only through :func:`read_table_mor` (compaction reconciles
     the two views).  An empty snapshot raises: the caller should read
     the schema from the log in a fuller implementation."""
+    from pyspark.sql import functions as F
+
     pairs, _, _ = snapshot_files(
         path, version=version, prune=prune, null_prune=null_prune,
         point=point, with_renames=True,
@@ -642,8 +685,11 @@ def read_table(
     dfs = []
     for applied, fps in sorted(groups.items()):
         d = spark.read.option("mergeSchema", "true").parquet(*fps)
-        for old, new in applied:
-            d = d.withColumnRenamed(old, new)
+        for kind, a, b in applied:
+            if kind == "r":
+                d = d.withColumnRenamed(a, b)
+            elif a in d.columns:  # widen: cast the era to the new type
+                d = d.withColumn(a, F.col(a).cast(b))
         dfs.append(d)
     out = dfs[0]
     for d in dfs[1:]:

@@ -754,6 +754,7 @@ _SHUFFLE_BUDGET = {
     "format_sql_rename": 0,         # checkpointed receipt read
     # word-keyed BPE encode join + per-doc agg + lang rollup
     "pipeline_tokenizer_fertility": 3,
+    "format_widen_column": 0,       # checkpointed receipt read
 }
 
 

@@ -4017,3 +4017,38 @@ def test_rename_of_delete_key_requires_compaction(spark, table):
     v = TF.commit_rename_column(path, {"k": "pk"})
     got = TF.read_table(spark, path)
     assert "pk" in got.columns and got.count() == 98
+
+
+def test_widen_is_metadata_only_and_casts_eras(spark, table):
+    path, _ = table
+    v = TF.commit_widen_column(path, {"bucket": "bigint"})
+    got = TF.read_table(spark, path)
+    assert dict(got.dtypes)["bucket"] == "bigint"
+    assert got.count() == 100
+    # post-widen append carries the new type physically; eras union
+    extra = spark.range(100, 105).select(
+        F.col("id").alias("k"),
+        F.lit(7).cast("bigint").alias("bucket"),
+        (F.col("id") * 2).alias("v"),
+    )
+    TF.commit_append(spark, path, extra, stat_cols=["bucket"])
+    got2 = TF.read_table(spark, path)
+    assert got2.count() == 105
+    assert dict(got2.dtypes)["bucket"] == "bigint"
+    # time travel before the widen shows the old type
+    old = TF.read_table(spark, path, version=v - 1)
+    assert dict(old.dtypes)["bucket"] == "int"
+    # pruning on the widened column still skips by the old stats
+    kept, n_kept, n_total = TF.snapshot_files(
+        path, prune=("bucket", 7, 7)
+    )
+    assert n_kept < n_total
+
+
+def test_widen_guards_rewriters_until_compact(spark, table):
+    path, _ = table
+    TF.commit_widen_column(path, {"v": "double"})
+    with pytest.raises(NotImplementedError, match="commit_compact"):
+        TF.positions_where(spark, path, "k = 1")
+    TF.commit_compact(spark, path, stat_cols=["bucket"])
+    assert TF.positions_where(spark, path, "k = 1").count() == 1
