@@ -27917,3 +27917,95 @@ FROM orders, b GROUP BY b.mx
 
 
 QUERIES_DEFERRED.update({"format_widen_column": q_format_widen_column})
+
+
+def q_agg_by_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Yekutieli step-up FDR under ARBITRARY dependence
+    (the conservative sibling of `agg_bh_fdr` — BH's guarantee needs
+    independence/PRDS; BY divides by the harmonic number c(m) and
+    holds always): pseudo p-values from a deterministic LCG hash,
+    ranks and the reverse running minimum from TWO passes of
+    `operators.ranks.global_rank_prefix` (no single-task window), and
+    c(m) = Σ 1/i computed over the SAME rank column (one scalar
+    aggregate of rounded-decimal reciprocals — never a driver loop).
+    Per-row adjusted p is ``min(1, min_{j≥i} p_j·m·c(m)/j)``."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    p = (
+        (F.col("doc_id") * F.lit(48271)) % F.lit(999983)
+    ).cast("double") / F.lit(999983.0)
+    base = docs.select("doc_id", p.alias("p"))
+    ranked = global_rank_prefix(
+        base, "p", tiebreak=["doc_id"], with_totals=True, rank_col="i"
+    )
+    cm = ranked.agg(
+        F.sum(
+            F.round(F.lit(1.0) / F.col("i").cast("double"), 12)
+            .cast("decimal(28,12)")
+        ).cast("double").alias("c_m")
+    )
+    raw = ranked.crossJoin(F.broadcast(cm)).select(
+        "doc_id",
+        "p",
+        (
+            (F.col("p") * F.col("n_total").cast("double"))
+            * F.col("c_m")
+            / F.col("i").cast("double")
+        ).alias("raw"),
+    )
+    rev = global_rank_prefix(
+        raw.withColumn("negp", -F.col("p")).withColumn(
+            "negid", -F.col("doc_id")
+        ),
+        "negp",
+        tiebreak=["negid"],
+        min_cols=["raw"],
+        rank_col="__rrev",
+    )
+    return rev.select(
+        "doc_id",
+        F.round("p", 9).alias("p_value"),
+        F.round(F.least(F.lit(1.0), F.col("run_min_raw")), 9).alias(
+            "p_adjusted"
+        ),
+        (
+            F.round(F.least(F.lit(1.0), F.col("run_min_raw")), 9)
+            <= F.lit(0.05)
+        ).alias("significant"),
+    )
+
+
+ORACLES["agg_by_fdr"] = """
+WITH base AS (
+  SELECT doc_id,
+         CAST((doc_id * 48271) % 999983 AS DOUBLE) / 999983.0 AS p
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, p,
+         ROW_NUMBER() OVER (ORDER BY p, doc_id) AS i,
+         COUNT(*) OVER () AS m
+  FROM base
+),
+cm AS (
+  SELECT CAST(SUM(CAST(ROUND(1.0 / i, 12) AS DECIMAL(28,12)))
+              AS DOUBLE) AS c_m
+  FROM ranked
+),
+raw AS (
+  SELECT doc_id, p,
+         (p * m) * c_m / CAST(i AS DOUBLE) AS raw
+  FROM ranked, cm
+),
+adj AS (
+  SELECT doc_id, p,
+         LEAST(1.0, MIN(raw) OVER (ORDER BY p DESC, doc_id DESC
+                    ROWS UNBOUNDED PRECEDING)) AS p_adj
+  FROM raw
+)
+SELECT doc_id, ROUND(p, 9) AS p_value, ROUND(p_adj, 9) AS p_adjusted,
+       ROUND(p_adj, 9) <= 0.05 AS significant
+FROM adj
+"""
+
+
+QUERIES_DEFERRED.update({"agg_by_fdr": q_agg_by_fdr})

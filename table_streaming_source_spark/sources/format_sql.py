@@ -33,6 +33,7 @@ Supported statements (the documented subset)::
     DELETE FROM t WHERE pred
     INSERT INTO t SELECT ...
     ALTER TABLE t RENAME COLUMN old TO new
+    ALTER TABLE t ALTER COLUMN c TYPE newtype   (safe widening)
     DESCRIBE HISTORY t
     OPTIMIZE t
     VACUUM t [RETAIN n VERSIONS]
@@ -117,6 +118,12 @@ _INSERT = re.compile(
 _ALTER_RENAME = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<t>[A-Za-z_]\w*)\s+RENAME\s+COLUMN\s+"
     r"(?P<old>[A-Za-z_]\w*)\s+TO\s+(?P<new>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_WIDEN = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<t>[A-Za-z_]\w*)\s+ALTER\s+COLUMN\s+"
+    r"(?P<col>[A-Za-z_]\w*)\s+TYPE\s+(?P<ty>[A-Za-z_]\w*(?:\(\s*\d+"
+    r"(?:\s*,\s*\d+)?\s*\))?)\s*;?\s*$",
     re.IGNORECASE,
 )
 _HISTORY = re.compile(
@@ -540,6 +547,15 @@ def format_sql(
         path = _table_path(m["t"], tables)
         v = TF.commit_rename_column(
             path, {m["old"]: m["new"]}, branch=branch,
+            expected_version=expected_version,
+        )
+        return _result(spark, "ALTER", v, 0, None)
+
+    m = _ALTER_WIDEN.match(text)
+    if m:
+        path = _table_path(m["t"], tables)
+        v = TF.commit_widen_column(
+            path, {m["col"]: m["ty"].lower()}, branch=branch,
             expected_version=expected_version,
         )
         return _result(spark, "ALTER", v, 0, None)

@@ -349,3 +349,15 @@ def test_alter_rename_column_routes(spark, table):
             "UPDATE t SET price = price + 1 WHERE k <= 3",
             tables={"t": table},
         )
+
+
+def test_alter_widen_column_routes(spark, table):
+    r = format_sql(
+        spark,
+        "ALTER TABLE t ALTER COLUMN k TYPE bigint",
+        tables={"t": table},
+    ).collect()[0]
+    assert r["operation"] == "ALTER"
+    got = TF.read_table(spark, table)
+    assert dict(got.dtypes)["k"] == "bigint"
+    assert got.count() == 100

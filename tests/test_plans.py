@@ -755,6 +755,8 @@ _SHUFFLE_BUDGET = {
     # word-keyed BPE encode join + per-doc agg + lang rollup
     "pipeline_tokenizer_fertility": 3,
     "format_widen_column": 0,       # checkpointed receipt read
+    # two rank passes + harmonic-number scalar + broadcast joins
+    "agg_by_fdr": 13,
 }
 
 
