@@ -28009,3 +28009,120 @@ FROM adj
 
 
 QUERIES_DEFERRED.update({"agg_by_fdr": q_agg_by_fdr})
+
+
+def q_agg_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance (Cook 1977) — the regression-influence
+    diagnostic: which documents most distort the corpus-wide
+    chars ~ tokens OLS fit?  For simple regression every ingredient
+    is CLOSED FORM from broadcast moments (slope/intercept from
+    decimal-exact sums, leverage hᵢ = 1/n + (xᵢ−x̄)²/Sxx, residual
+    variance from a second decimal-summed pass of rounded eᵢ²), so
+    Dᵢ = eᵢ²/(2s²)·hᵢ/(1−hᵢ)² is a pure row-local expression and the
+    top-10 influential rows are one TakeOrderedAndProject — no matrix
+    algebra, no driver loop, nothing data-proportional in one task."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("x"),
+        F.col("n_chars").alias("y"),
+    )
+    mom = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(28,0)")).cast("double")
+        .alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,0)")).cast("double")
+        .alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("double").alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double").alias("sxy"),
+    )
+    j = docs.crossJoin(F.broadcast(mom))
+    nd = F.col("n").cast("double")
+    b = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    a = (F.col("sy") - b * F.col("sx")) / nd
+    e = F.col("y").cast("double") - (a + b * F.col("x").cast("double"))
+    resid = j.select(
+        "doc_id", "x", "y", "n", "sx", "sxx",
+        F.round(e, 6).alias("e"),
+    )
+    sse = resid.agg(
+        F.sum(
+            (F.col("e") * F.col("e")).cast("decimal(38,12)")
+        ).cast("double").alias("sse")
+    )
+    k = resid.crossJoin(F.broadcast(sse))
+    nd2 = F.col("n").cast("double")
+    se2 = F.col("sse") / (nd2 - 2.0)
+    h = 1.0 / nd2 + (
+        (F.col("x").cast("double") - F.col("sx") / nd2)
+        * (F.col("x").cast("double") - F.col("sx") / nd2)
+    ) / (F.col("sxx") - F.col("sx") * F.col("sx") / nd2)
+    d = (
+        F.col("e") * F.col("e") / (2.0 * se2)
+    ) * (h / ((1.0 - h) * (1.0 - h)))
+    return (
+        k.select(
+            "doc_id",
+            F.col("x").cast("bigint").alias("n_tokens"),
+            F.col("y").cast("bigint").alias("n_chars"),
+            F.col("e").alias("residual"),
+            F.round(d, 9).alias("cooks_d"),
+        )
+        .orderBy(F.desc("cooks_d"), "doc_id")
+        .limit(10)
+    )
+
+
+ORACLES["agg_cooks_distance"] = """
+WITH docs AS (
+  SELECT doc_id,
+         CAST(LEN(STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ',
+                                              'g'), ' ')) AS BIGINT)
+           AS x,
+         n_chars AS y
+  FROM documents
+),
+mom AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(CAST(x AS DECIMAL(28,0))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(y AS DECIMAL(28,0))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+  FROM docs
+),
+resid AS (
+  SELECT doc_id, x, y, n, sx, sxx,
+    ROUND(CAST(y AS DOUBLE)
+          - ((sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n
+             + (n*sxy - sx*sy)/(n*sxx - sx*sx) * CAST(x AS DOUBLE)),
+          6) AS e
+  FROM docs, mom
+),
+sse AS (
+  SELECT CAST(SUM(CAST(e * e AS DECIMAL(38,12))) AS DOUBLE) AS sse
+  FROM resid
+)
+SELECT doc_id,
+       CAST(x AS BIGINT) AS n_tokens,
+       CAST(y AS BIGINT) AS n_chars,
+       e AS residual,
+       ROUND((e * e / (2.0 * (sse / (n - 2.0))))
+             * ((1.0/n + (CAST(x AS DOUBLE) - sx/n)
+                         * (CAST(x AS DOUBLE) - sx/n)
+                         / (sxx - sx*sx/n))
+                / ((1.0 - (1.0/n + (CAST(x AS DOUBLE) - sx/n)
+                                   * (CAST(x AS DOUBLE) - sx/n)
+                                   / (sxx - sx*sx/n)))
+                   * (1.0 - (1.0/n + (CAST(x AS DOUBLE) - sx/n)
+                                     * (CAST(x AS DOUBLE) - sx/n)
+                                     / (sxx - sx*sx/n))))), 9)
+         AS cooks_d
+FROM resid, sse
+ORDER BY cooks_d DESC, doc_id LIMIT 10
+"""
+
+
+QUERIES_DEFERRED.update({"agg_cooks_distance": q_agg_cooks_distance})

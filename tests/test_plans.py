@@ -757,6 +757,8 @@ _SHUFFLE_BUDGET = {
     "format_widen_column": 0,       # checkpointed receipt read
     # two rank passes + harmonic-number scalar + broadcast joins
     "agg_by_fdr": 13,
+    # moments agg + SSE agg + TakeOrderedAndProject top-10
+    "agg_cooks_distance": 3,
 }
 
 
