@@ -28126,3 +28126,67 @@ ORDER BY cooks_d DESC, doc_id LIMIT 10
 
 
 QUERIES_DEFERRED.update({"agg_cooks_distance": q_agg_cooks_distance})
+
+
+def q_format_sql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE SQL lifecycle through one front door
+    (`format_sql`): INSERT seeds the table, UPDATE mutates it with
+    WHERE-text manifest pruning, and SELECT reads it back — the
+    router registers the table as a temp view over the format root,
+    so reads and writes share one identifier namespace and zero
+    Python-API calls.  The aggregate equals the plain-SQL
+    restatement."""
+    import shutil as _shutil
+
+    from table_streaming_source_spark.plans import _scratch
+    from table_streaming_source_spark import table_format as TF
+    from table_streaming_source_spark.sources.format_sql import format_sql
+
+    path = _scratch.scratch_dir("format_sqlsel", sf_dir, fresh=True)
+    TF.create_table(path)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    TF.commit_append(
+        spark, path, o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1),
+        stat_cols=["o_orderkey"],
+    )
+    o.filter(F.col("o_orderkey") % 2 == 1).createOrReplaceTempView(
+        "fsqlsel_src"
+    )
+    format_sql(
+        spark,
+        "INSERT INTO t SELECT o_orderkey, o_totalprice FROM fsqlsel_src",
+        tables={"t": path},
+    ).collect()
+    format_sql(
+        spark,
+        "UPDATE t SET o_totalprice = o_totalprice * 2"
+        " WHERE o_orderkey % 10 = 3",
+        tables={"t": path},
+    ).collect()
+    result = format_sql(
+        spark,
+        "SELECT COUNT(*) AS n_rows,"
+        " CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))"
+        " AS BIGINT) AS sum_cents,"
+        " CAST(MAX(o_orderkey) AS BIGINT) AS max_key"
+        " FROM t",
+        tables={"t": path},
+    ).localCheckpoint(eager=True)
+    spark.catalog.dropTempView("t")
+    spark.catalog.dropTempView("fsqlsel_src")
+    _shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+ORACLES["format_sql_select"] = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(
+         CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2
+              ELSE o_totalprice END * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+"""
+
+
+QUERIES_DEFERRED.update({"format_sql_select": q_format_sql_select})

@@ -16,6 +16,10 @@ work; the router only picks which commit function publishes the result.
 
 Supported statements (the documented subset)::
 
+    SELECT ... / WITH ...        (reads: every tables= key is
+        registered as a temp view over its table root — branch= maps
+        to the ref option, expected_version= pins a version — and the
+        text runs verbatim through Spark SQL)
     MERGE INTO t [AS a] USING src|(subquery) [AS b] ON a.k = b.k
         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
         | WHEN MATCHED THEN UPDATE SET *       (strict: unmatched no-op)
@@ -64,6 +68,8 @@ from pyspark.sql import functions as F
 from table_streaming_source_spark import table_format as TF
 
 _OP_COL = "__sql_op"
+
+_SELECT = re.compile(r"^\s*(?:SELECT|WITH)\b", re.IGNORECASE)
 
 _MERGE_HEAD = re.compile(
     r"^\s*MERGE\s+INTO\s+(?P<t>[A-Za-z_]\w*)"
@@ -316,7 +322,26 @@ def format_sql(
     table-format roots in ``tables`` (identifier → table path).  DML
     returns a one-row receipt DataFrame ``(operation, version,
     files_rewritten, files_total)``; ``DESCRIBE HISTORY`` returns the
-    history relation itself."""
+    history relation itself; SELECT/WITH returns the query result
+    (views are session-scoped and re-registered per call)."""
+    if _SELECT.match(text):
+        from table_streaming_source_spark.sources.format_batch import (
+            register_table_format,
+        )
+
+        register_table_format(spark)
+        for name, root in tables.items():
+            opts = [f"path '{root.replace(chr(39), chr(39) * 2)}'"]
+            if branch is not None:
+                opts.append(f"ref '{branch}'")
+            if expected_version is not None:
+                opts.append(f"version '{expected_version}'")
+            spark.sql(
+                f"CREATE OR REPLACE TEMPORARY VIEW {name} "
+                f"USING table_format OPTIONS ({', '.join(opts)})"
+            )
+        return spark.sql(text)
+
     mh = _MERGE_HEAD.match(text)
     if mh:
         # capture the USING source with a depth-counting scan (a

@@ -361,3 +361,21 @@ def test_alter_widen_column_routes(spark, table):
     got = TF.read_table(spark, table)
     assert dict(got.dtypes)["k"] == "bigint"
     assert got.count() == 100
+
+
+def test_select_route_registers_views_and_reads(spark, table):
+    got = format_sql(
+        spark,
+        "SELECT COUNT(*) AS n, CAST(SUM(val) AS DOUBLE) AS s FROM t",
+        tables={"t": table},
+    ).collect()[0]
+    assert got["n"] == 100
+    assert got["s"] == float(sum(i * 10 for i in range(1, 101)))
+    # WITH-prefixed reads route the same way
+    got2 = format_sql(
+        spark,
+        "WITH big AS (SELECT * FROM t WHERE k > 90) "
+        "SELECT COUNT(*) AS n FROM big",
+        tables={"t": table},
+    ).collect()[0]
+    assert got2["n"] == 10

@@ -759,6 +759,7 @@ _SHUFFLE_BUDGET = {
     "agg_by_fdr": 13,
     # moments agg + SSE agg + TakeOrderedAndProject top-10
     "agg_cooks_distance": 3,
+    "format_sql_select": 0,         # checkpointed result read
 }
 
 
