@@ -28190,3 +28190,95 @@ FROM orders
 
 
 QUERIES_DEFERRED.update({"format_sql_select": q_format_sql_select})
+
+
+def q_scalar_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) curve encode/decode as pure integer bit
+    arithmetic — the scalar primitive behind the format layer's
+    Z-order clustering (`format_zorder_pruning`): interleave two
+    16-bit keys into one 32-bit code (disjoint bit positions, so the
+    fold's SUM is exactly the bitwise OR), extract both halves back,
+    and pin the round trip corpus-wide plus locality evidence (the
+    code of a +1 step in x differs only in x-lane bits).  Row-local
+    expressions on both engines — zero shuffles until the final
+    aggregate."""
+    c = t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 65536).alias("x"),
+        ((F.col("c_custkey") * 2621 + F.col("c_nationkey")) % 65536)
+        .alias("y"),
+    )
+
+    # unrolled 16-term bit folds (shift amounts must be literals in
+    # the Python API; whole-stage codegen fuses the chain)
+    def _enc(col, off):
+        out = F.lit(0).cast("long")
+        for i in range(16):
+            out = out + F.shiftleft(
+                F.shiftright(col, i).bitwiseAND(F.lit(1)).cast("long"),
+                i * 2 + off,
+            )
+        return out
+
+    def _dec(code, off):
+        out = F.lit(0).cast("long")
+        for i in range(16):
+            out = out + F.shiftleft(
+                F.shiftright(code, i * 2 + off)
+                .bitwiseAND(F.lit(1))
+                .cast("long"),
+                i,
+            )
+        return out
+
+    m = c.select(
+        "x", "y", (_enc(F.col("x"), 0) + _enc(F.col("y"), 1)).alias("z")
+    )
+    back = m.select(
+        "x", "y", "z",
+        _dec(F.col("z"), 0).alias("x2"),
+        _dec(F.col("z"), 1).alias("y2"),
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            ((F.col("x2") == F.col("x")) & (F.col("y2") == F.col("y")))
+            .cast("int")
+        ).cast("bigint").alias("n_roundtrip"),
+        F.sum("z").cast("bigint").alias("sum_z"),
+        F.max("z").cast("bigint").alias("max_z"),
+        F.countDistinct("z").cast("bigint").alias("n_distinct_z"),
+    )
+
+
+ORACLES["scalar_morton"] = """
+WITH c AS (
+  SELECT c_custkey % 65536 AS x,
+         (c_custkey * 2621 + c_nationkey) % 65536 AS y
+  FROM customer
+),
+m AS (
+  SELECT x, y,
+    (SELECT SUM(((x >> i) & 1) << (2*i))
+            + SUM(((y >> i) & 1) << (2*i + 1))
+     FROM UNNEST(RANGE(0, 16)) AS u(i)) AS z
+  FROM c
+),
+back AS (
+  SELECT x, y, z,
+    (SELECT SUM(((z >> (2*i)) & 1) << i)
+     FROM UNNEST(RANGE(0, 16)) AS u(i)) AS x2,
+    (SELECT SUM(((z >> (2*i + 1)) & 1) << i)
+     FROM UNNEST(RANGE(0, 16)) AS u(i)) AS y2
+  FROM m
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN x2 = x AND y2 = y THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_roundtrip,
+       CAST(SUM(z) AS BIGINT) AS sum_z,
+       CAST(MAX(z) AS BIGINT) AS max_z,
+       CAST(COUNT(DISTINCT z) AS BIGINT) AS n_distinct_z
+FROM back
+"""
+
+
+QUERIES_DEFERRED.update({"scalar_morton": q_scalar_morton})

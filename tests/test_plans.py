@@ -760,6 +760,7 @@ _SHUFFLE_BUDGET = {
     # moments agg + SSE agg + TakeOrderedAndProject top-10
     "agg_cooks_distance": 3,
     "format_sql_select": 0,         # checkpointed result read
+    "scalar_morton": 2,             # row-local bit folds + final agg
 }
 
 
