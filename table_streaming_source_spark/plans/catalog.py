@@ -529,16 +529,26 @@ at rotation; post-rotation round-13 additions (the round-14 backlog,
 each strict-verified at sf0.001 + sf0.01 + sf0.1 at round-13 HEAD):
 ``pipeline_curriculum_order`` (curriculum phases via the exact-rank
 helper + NTILE formula), ``agg_james_stein`` (empirical-Bayes
-shrinkage of per-source means), ``ts_holt_winters`` (additive
-triple exponential smoothing, weekly season, exact-halving fold),
+shrinkage of per-source means), ``ts_holt_winters`` (additive triple
+exponential smoothing, weekly season, exact-halving fold),
 ``agg_conformal_interval`` (split-conformal calibration quantile as
 an exact order statistic + held-out coverage), ``source_bencode``
 (BitTorrent metainfo, strict canonical parser, fuzz-swept),
-``format_rename_column`` (metadata-only column mapping: era-aware
-snapshot reads, translated manifest pruning, time travel, compaction
-as the materializer, loud guards on non-era-aware rewriters) and
-``format_sql_rename`` (the ``ALTER TABLE ... RENAME COLUMN`` route)
-— 618 catalog total, 618/618 with oracles, zero rows-only.
+``format_rename_column`` + ``format_sql_rename`` (metadata-only
+column mapping: era-aware snapshot reads, translated manifest
+pruning, time travel, compaction as the materializer, loud guards on
+non-era-aware rewriters, and the ``ALTER TABLE ... RENAME COLUMN``
+route), ``format_widen_column`` (safe type promotion through the
+same era machinery + the ``ALTER COLUMN ... TYPE`` route),
+``format_sql_select`` (the router's SELECT/WITH read route — the
+full SQL lifecycle through one front door),
+``pipeline_tokenizer_fertility`` (tokens-per-word by language under
+the trained BPE), ``agg_by_fdr`` (Benjamini–Yekutieli under
+dependence, two rank passes + in-plan harmonic number),
+``agg_cooks_distance`` (closed-form OLS influence diagnostics),
+``dedup_planted_eval``'s sibling calibrations above, and
+``scalar_morton`` (Z-curve encode/decode bit folds) —
+624 catalog total, 624/624 with oracles, zero rows-only.
 """
 
 from __future__ import annotations
