@@ -761,6 +761,8 @@ _SHUFFLE_BUDGET = {
     "agg_cooks_distance": 3,
     "format_sql_select": 0,         # checkpointed result read
     "scalar_morton": 2,             # row-local bit folds + final agg
+    # block-keyed equi-join (phonetic key × id bucket) + scalar evals
+    "join_soundex_blocking": 2,
 }
 
 
