@@ -546,9 +546,12 @@ full SQL lifecycle through one front door),
 the trained BPE), ``agg_by_fdr`` (Benjamini–Yekutieli under
 dependence, two rank passes + in-plan harmonic number),
 ``agg_cooks_distance`` (closed-form OLS influence diagnostics),
-``dedup_planted_eval``'s sibling calibrations above, and
-``scalar_morton`` (Z-curve encode/decode bit folds) —
-624 catalog total, 624/624 with oracles, zero rows-only.
+``dedup_planted_eval``'s sibling calibrations above,
+``scalar_morton`` (Z-curve encode/decode bit folds), and
+``join_soundex_blocking`` (phonetic-blocked fuzzy entity resolution
+with planted recall — the shared positional Soundex spec, no regex
+backrefs, identical on both engines) —
+625 catalog total, 625/625 with oracles, zero rows-only.
 """
 
 from __future__ import annotations
