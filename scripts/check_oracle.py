@@ -117,12 +117,34 @@ def main():
         "of six rounds (scalar_variant r4, pipeline_dataset_card r6); "
         "use --no-strict-dtypes only for exploration",
     )
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="run on a BARE SparkSession (master + memory only, none of "
+        "session.py's confs) — the driver's environment.  Flushes "
+        "conf-coupling bugs like round 13's format_sql_ref_read, which "
+        "passed every gate under session.py but died on the driver's "
+        "vanilla session",
+    )
     args = ap.parse_args()
 
     from table_streaming_source_spark.plans.catalog import ORACLES, QUERIES, ROWS_ONLY
-    from table_streaming_source_spark.session import get_spark
 
-    spark = get_spark(app_name="check-oracle", shuffle_partitions=8)
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+        spark = (
+            SparkSession.builder.appName("check-oracle-vanilla")
+            .master(f"local[{cpus}]")
+            .config("spark.driver.memory", "8g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from table_streaming_source_spark.session import get_spark
+
+        spark = get_spark(app_name="check-oracle", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

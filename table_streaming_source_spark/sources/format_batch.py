@@ -415,6 +415,14 @@ class TableFormatDataSource(DataSource):
 
 
 def register_table_format(spark) -> None:
+    """Register the DataSource AND enable Python-DataSource filter
+    pushdown: ``TableFormatReader.pushFilters`` exists, and PySpark 4.x
+    refuses to initialize a reader that implements it unless
+    ``spark.sql.python.filterPushdown.enabled=true`` — on a vanilla
+    SparkSession (the driver's) the first read would otherwise die with
+    ``[DATA_SOURCE_PUSHDOWN_DISABLED]``.  Setting it here makes every
+    consumer safe regardless of session factory."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TableFormatDataSource)
 
 
