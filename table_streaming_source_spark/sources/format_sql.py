@@ -330,17 +330,28 @@ def format_sql(
         )
 
         register_table_format(spark)
-        for name, root in tables.items():
-            opts = [f"path '{root.replace(chr(39), chr(39) * 2)}'"]
-            if branch is not None:
-                opts.append(f"ref '{branch}'")
-            if expected_version is not None:
-                opts.append(f"version '{expected_version}'")
-            spark.sql(
-                f"CREATE OR REPLACE TEMPORARY VIEW {name} "
-                f"USING table_format OPTIONS ({', '.join(opts)})"
-            )
-        return spark.sql(text)
+        created = []
+        try:
+            for name, root in tables.items():
+                opts = [f"path '{root.replace(chr(39), chr(39) * 2)}'"]
+                if branch is not None:
+                    opts.append(f"ref '{branch}'")
+                if expected_version is not None:
+                    opts.append(f"version '{expected_version}'")
+                spark.sql(
+                    f"CREATE OR REPLACE TEMPORARY VIEW {name} "
+                    f"USING table_format OPTIONS ({', '.join(opts)})"
+                )
+                created.append(name)
+            # analysis resolves the views into the returned plan, so
+            # dropping them immediately is safe for later execution
+            return spark.sql(text)
+        finally:
+            # never leak session-scoped views: a leaked view would
+            # later shadow same-named sources in MERGE USING or user
+            # spark.table() calls
+            for name in created:
+                spark.catalog.dropTempView(name)
 
     mh = _MERGE_HEAD.match(text)
     if mh:

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -413,10 +414,14 @@ def commit_rename_column(
     before the rename shows the old name — the rename is part of the
     log, not of the files.
 
-    Restriction (the Iceberg-style rule): renaming a column with
-    outstanding merge-on-read delete state on it raises — run
-    ``commit_compact`` first so delete reconciliation never has to
-    translate key names."""
+    Restriction (the Iceberg-style rule): renaming while ANY
+    merge-on-read delete state (equality on any column, or positional)
+    is outstanding raises — run ``commit_compact`` first.  The delete
+    reconcilers and ``read_table_mor`` are not era-aware, and a rename
+    committed over live delete state would leave the MOR view (and
+    compaction itself, which reads through it) permanently unreadable —
+    refusing up front keeps the materialize-with-compact remedy always
+    available."""
     if not renames:
         raise ValueError("rename: empty mapping")
     for old, new in renames.items():
@@ -430,12 +435,7 @@ def commit_rename_column(
     if len(set(renames.values())) != len(renames):
         raise ValueError("rename: duplicate target names")
     base, new_v = _resolve_write_target(path, branch, expected_version)
-    del_key, dels = _snapshot_deletes(path, base)
-    if dels and del_key in renames:
-        raise ValueError(
-            f"rename: column {del_key!r} has outstanding equality-"
-            "delete state — commit_compact first"
-        )
+    _guard_no_mor_deletes(path, base, "rename")
     _write_commit(
         path,
         new_v,
@@ -466,16 +466,28 @@ def commit_widen_column(
     the incremental row-level rewriters refuse until
     :func:`commit_compact` materializes the schema.
 
-    The TARGET type is what the caller declares; this function does
-    not introspect the files' current physical types — stick to the
-    documented safe promotions (a narrowing cast would silently
-    truncate at read time)."""
+    The target is VALIDATED against the promotion allowlist
+    (:func:`_is_safe_promotion` — integer widening, float→double,
+    int→double, decimal growth): a narrowing target like bigint→int
+    is refused at commit time, because pre-widen data would silently
+    truncate at read time through the era cast."""
     if not widens:
         raise ValueError("widen: empty mapping")
     for col, t in widens.items():
         if not t or not isinstance(t, str):
             raise ValueError(f"widen: bad target type for {col!r}")
     base, new_v = _resolve_write_target(path, branch, expected_version)
+    _guard_no_mor_deletes(path, base, "widen")
+    for col, t in widens.items():
+        cur = _current_logical_type(path, base, col)
+        if cur is not None and not _is_safe_promotion(cur, t):
+            raise ValueError(
+                f"widen: {col!r} {cur} -> {t} is not a safe promotion "
+                "(allowed: integer widening, float->double, "
+                "int-or-narrower->double, decimal precision/scale "
+                "growth) — a narrowing cast would silently truncate "
+                "pre-widen data at read time"
+            )
     _write_commit(
         path,
         new_v,
@@ -488,6 +500,86 @@ def commit_widen_column(
     )
     _advance_branch(path, branch, new_v, base=base)
     return new_v
+
+
+_INT_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "integer": 2,
+             "bigint": 3, "long": 3}
+_DECIMAL_RE = re.compile(r"^decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)$")
+
+
+def _is_safe_promotion(cur: str, tgt: str) -> bool:
+    """The Iceberg/Delta type-promotion allowlist: integer widening
+    (tinyint→smallint→int→bigint), float→double, int-or-narrower→
+    double (exact below 2^53), and decimal growth that keeps both the
+    integer digits and the scale (p−s and s each non-decreasing).
+    Everything else — including any NARROWING like bigint→int — is
+    unsafe: pre-widen data would silently truncate at read time."""
+    cur, tgt = cur.strip().lower(), tgt.strip().lower()
+    if cur == tgt:
+        return True
+    if cur in _INT_RANK and tgt in _INT_RANK:
+        return _INT_RANK[tgt] > _INT_RANK[cur]
+    if cur in _INT_RANK and tgt == "double":
+        return _INT_RANK[cur] <= 2
+    if cur == "float" and tgt == "double":
+        return True
+    mc, mt = _DECIMAL_RE.match(cur), _DECIMAL_RE.match(tgt)
+    if mc and mt:
+        pc, sc = int(mc.group(1)), int(mc.group(2))
+        pt, st = int(mt.group(1)), int(mt.group(2))
+        return st >= sc and (pt - st) >= (pc - sc)
+    return False
+
+
+def _arrow_type_str(t) -> str:
+    """A pyarrow type as the matching Spark SQL type string (the
+    subset the promotion allowlist reasons about)."""
+    import pyarrow as pa
+
+    if pa.types.is_int8(t):
+        return "tinyint"
+    if pa.types.is_int16(t):
+        return "smallint"
+    if pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_int64(t):
+        return "bigint"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    return str(t)
+
+
+def _current_logical_type(path: str, version: int, col: str) -> str | None:
+    """The CURRENT logical type of ``col`` at ``version``: the newest
+    widen target on the column if one exists in the visible chain,
+    else the physical parquet footer type of the newest file carrying
+    it (tracking the physical name back through renames).  ``None``
+    when no committed file holds the column (nothing to truncate)."""
+    import pyarrow.parquet as pq
+
+    phys = col
+    v: int | None = version
+    while v is not None:
+        c = _read_commit(path, v)
+        for cc, tt in c.get("widens", []):
+            if cc == phys:
+                return tt  # newest-first walk: first hit is current
+        for a, b in c.get("renames", []):
+            if phys == b:
+                phys = a  # keep tracking the pre-rename physical name
+        for f in c["files"]:
+            fp = os.path.join(path, f["path"])
+            if not os.path.exists(fp):
+                continue
+            sch = pq.read_schema(fp)
+            if phys in sch.names:
+                return _arrow_type_str(sch.field(phys).type)
+        v = c["parent"] if c["parent"] is not None else c.get("prev")
+    return None
 
 
 def _has_renames(path: str, version: int) -> bool:
@@ -504,6 +596,25 @@ def _has_renames(path: str, version: int) -> bool:
             return True
         v = commit["parent"]
     return False
+
+
+def _guard_no_mor_deletes(path: str, version: int, op: str) -> None:
+    """Refuse a schema-op commit (rename/widen) while ANY merge-on-read
+    delete state is outstanding.  ``read_table_mor`` and the delete
+    reconcilers are not era-aware (``_guard_no_renames``), so a schema
+    op landing OVER live delete state would make the MOR view — and
+    ``commit_compact``, which reads through it — unreadable with no
+    remedy.  Compact-first keeps every ordering legal: deletes refuse
+    after a schema op, schema ops refuse over live deletes, and
+    compaction (the materializer) is always runnable from a legal
+    state."""
+    _, eq = _snapshot_deletes(path, version)
+    if eq or _snapshot_pos_deletes(path, version):
+        raise ValueError(
+            f"{op}: outstanding merge-on-read delete state (equality "
+            "or positional) — run commit_compact first to materialize "
+            "deletes, then retry"
+        )
 
 
 def _guard_no_renames(path: str, version: int, op: str) -> None:
@@ -1667,24 +1778,53 @@ def read_incremental(
     ``to_version=None`` resolves to MAIN's head when refs exist (the
     linear head otherwise): on a branched table "the latest version"
     belongs to whichever lineage committed last, and an incremental
-    consumer of main must not be handed another branch's files."""
+    consumer of main must not be handed another branch's files.
+
+    Column renames/widens in the parent chain are ERA-AWARE, exactly
+    like :func:`read_table`: each version group's physical columns are
+    translated through the schema-op commits NEWER than it, so every
+    emitted row carries the ``to_version`` logical names/types — a
+    range spanning a rename never silently unions two schemas."""
     from pyspark.sql import functions as F
 
     to_v = resolve_ref(path, None) if to_version is None else to_version
+    # per-commit schema-op chain (application-ordered, oldest-first):
+    # the renames/widens from commits NEWER than that commit
+    chains: dict[int, tuple] = {}
+    v: int | None = to_v
+    collected: list[tuple[str, str, str]] = []  # newest-first
+    while v is not None:
+        commit = _read_commit(path, v)
+        chains[v] = tuple(reversed(collected))
+        ops = [("r", a, b) for a, b in commit.get("renames", [])]
+        ops += [("w", c, t) for c, t in commit.get("widens", [])]
+        if ops:
+            collected.extend(reversed(ops))
+        v = commit["parent"]
     groups: dict[int, list[str]] = {}
-    for v, rel in incremental_files(
+    for gv, rel in incremental_files(
         path, from_version=from_version, to_version=to_v
     ):
-        groups.setdefault(v, []).append(os.path.join(path, rel))
+        groups.setdefault(gv, []).append(os.path.join(path, rel))
     if not groups:
         raise ValueError(
             f"empty incremental range ({from_version}, {to_v}]"
         )
+
+    def _era(d, applied):
+        for kind, a, b in applied:
+            if kind == "r":
+                d = d.withColumnRenamed(a, b)
+            elif a in d.columns:  # widen: cast the era to the new type
+                d = d.withColumn(a, F.col(a).cast(b))
+        return d
+
     parts = [
-        spark.read.option("mergeSchema", "true")
-        .parquet(*files)
-        .withColumn(version_col, F.lit(v).cast("int"))
-        for v, files in sorted(groups.items())
+        _era(
+            spark.read.option("mergeSchema", "true").parquet(*files),
+            chains.get(gv, ()),
+        ).withColumn(version_col, F.lit(gv).cast("int"))
+        for gv, files in sorted(groups.items())
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -2826,8 +2966,32 @@ def read_cdf(
         else resolve_ref(path, to_version)
     )
     legs: list[DataFrame] = []
+    # Per-commit schema-op chain (application-ordered): the renames/
+    # widens from lineage commits NEWER than that commit, so every
+    # leg's row images are translated to the ``to_v``-era names/types
+    # before union — a range spanning a rename/widen emits ONE schema.
+    # (The schema-op commits themselves change no rows and are skipped
+    # below, like maintenance commits.)
+    chains: dict[int, tuple] = {}
+    _v: int | None = to_v
+    _collected: list[tuple[str, str, str]] = []  # newest-first
+    _seen: set[int] = set()
+    while _v is not None and _v not in _seen:
+        _seen.add(_v)
+        _c = _read_commit(path, _v)
+        chains[_v] = tuple(reversed(_collected))
+        _ops = [("r", a, b) for a, b in _c.get("renames", [])]
+        _ops += [("w", cc, tt) for cc, tt in _c.get("widens", [])]
+        if _ops:
+            _collected.extend(reversed(_ops))
+        _v = _c["parent"] if _c["parent"] is not None else _c.get("prev")
 
     def _tag(df: DataFrame, ctype: str, v: int) -> DataFrame:
+        for kind, a, b in chains.get(v, ()):
+            if kind == "r":
+                df = df.withColumnRenamed(a, b)
+            elif a in df.columns:  # widen: cast the era to the new type
+                df = df.withColumn(a, F.col(a).cast(b))
         if columns is not None:
             for col in columns:
                 if col not in df.columns:
@@ -2846,6 +3010,10 @@ def read_cdf(
     ):
         c = _read_commit(path, v)
         if c.get("maintenance"):
+            continue
+        if (c.get("renames") or c.get("widens")) and not c["files"]:
+            # metadata-only schema op: changes no rows (legs from other
+            # commits translate through it via ``chains`` above)
             continue
         base = c["parent"] if c["parent"] is not None else c.get("prev")
         new_eq = [d for d in c.get("deletes", []) if d.get("seq") == v]

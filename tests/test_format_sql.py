@@ -379,3 +379,31 @@ def test_select_route_registers_views_and_reads(spark, table):
         tables={"t": table},
     ).collect()[0]
     assert got2["n"] == 10
+
+
+def test_select_route_drops_its_temp_views(spark, table):
+    """The SELECT/WITH route used to leak a session-scoped temp view
+    per tables= key; a leaked view would later shadow same-named
+    sources resolved by spark.table() in MERGE USING or user code.
+    The views are dropped in a finally block — and because analysis
+    resolves them into the returned plan, the result stays
+    collectable after the drop."""
+    df = format_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM leakcheck_t",
+        tables={"leakcheck_t": table},
+    )
+    assert not any(
+        v.name == "leakcheck_t" for v in spark.catalog.listTables()
+    )
+    assert df.collect()[0]["n"] == 100  # still executable post-drop
+    # a failing statement must also clean up (finally path)
+    with pytest.raises(Exception):
+        format_sql(
+            spark,
+            "SELECT no_such_col FROM leakcheck_t",
+            tables={"leakcheck_t": table},
+        ).collect()
+    assert not any(
+        v.name == "leakcheck_t" for v in spark.catalog.listTables()
+    )

@@ -4047,8 +4047,93 @@ def test_widen_is_metadata_only_and_casts_eras(spark, table):
 
 def test_widen_guards_rewriters_until_compact(spark, table):
     path, _ = table
-    TF.commit_widen_column(path, {"v": "double"})
+    TF.commit_widen_column(path, {"bucket": "bigint"})
     with pytest.raises(NotImplementedError, match="commit_compact"):
         TF.positions_where(spark, path, "k = 1")
     TF.commit_compact(spark, path, stat_cols=["bucket"])
     assert TF.positions_where(spark, path, "k = 1").count() == 1
+
+
+def test_schema_ops_refuse_over_any_mor_delete_state(spark, table):
+    """Round-14 (advisor repro): a rename/widen landing over LIVE
+    merge-on-read delete state — positional deletes, or equality
+    deletes on ANY column, not just the renamed one — used to commit
+    fine and then leave read_table_mor AND commit_compact (the
+    prescribed remedy) permanently raising.  Both schema ops now
+    refuse up front; compact-first clears the state and the op
+    succeeds."""
+    path, _ = table
+    # positional delete on k — rename of a DIFFERENT column must refuse
+    TF.commit_delete_positions(
+        spark, path, TF.positions_where(spark, path, "k = 7")
+    )
+    with pytest.raises(ValueError, match="outstanding"):
+        TF.commit_rename_column(path, {"v": "value_x2"})
+    with pytest.raises(ValueError, match="outstanding"):
+        TF.commit_widen_column(path, {"bucket": "bigint"})
+    # the remedy is always runnable from the refused state
+    TF.commit_compact(spark, path, stat_cols=["bucket"])
+    TF.commit_rename_column(path, {"v": "value_x2"})
+    got = TF.read_table_mor(spark, path)
+    assert got.count() == 99 and "value_x2" in got.columns
+
+
+def test_widen_refuses_narrowing_target(spark, table):
+    """The ALTER COLUMN TYPE route is documented as SAFE widening —
+    a narrowing target (bigint -> int) would silently truncate
+    pre-widen data at read time through the era cast, so the commit
+    itself now validates against the promotion allowlist."""
+    path, _ = table
+    with pytest.raises(ValueError, match="not a safe promotion"):
+        TF.commit_widen_column(path, {"v": "int"})  # v is bigint
+    with pytest.raises(ValueError, match="not a safe promotion"):
+        TF.commit_widen_column(path, {"bucket": "string"})
+    # chained promotion validates against the NEWEST widen target
+    TF.commit_widen_column(path, {"bucket": "bigint"})
+    with pytest.raises(ValueError, match="not a safe promotion"):
+        TF.commit_widen_column(path, {"bucket": "int"})
+
+
+def test_read_incremental_is_era_aware_across_rename(spark, table):
+    """An incremental range spanning a rename used to silently union
+    pre-rename (old physical name) and post-rename files with NULL
+    backfill on both columns; each version group now translates
+    through the schema-op chain, so every row carries the to_version
+    names with no phantom NULLs."""
+    path, _ = table                                   # v1, v2 appends
+    TF.commit_rename_column(path, {"v": "value_x2"})  # v3
+    extra = spark.range(100, 110).select(
+        F.col("id").alias("k"),
+        F.lit(3).cast("int").alias("bucket"),
+        (F.col("id") * 2).alias("value_x2"),
+    )
+    TF.commit_append(spark, path, extra, stat_cols=["bucket"])  # v4
+    inc = TF.read_incremental(spark, path, from_version=1)
+    assert "value_x2" in inc.columns and "v" not in inc.columns
+    assert inc.count() == 60  # v2's 50 rows + v4's 10
+    assert inc.filter(F.col("value_x2").isNull()).count() == 0
+    assert inc.agg(F.sum("value_x2")).collect()[0][0] == sum(
+        i * 2 for i in range(100) if i % 10 >= 5
+    ) + sum(i * 2 for i in range(100, 110))
+
+
+def test_read_cdf_spans_rename_commit(spark, table):
+    """A CDF range containing a rename/widen commit used to crash with
+    UNABLE_TO_INFER_SCHEMA (parquet read over the commit's empty file
+    list).  The schema-op commit now emits no rows — it changes none —
+    and every OTHER leg translates through it, so the feed carries one
+    schema: the to_version names."""
+    path, _ = table                                   # v1, v2 appends
+    TF.commit_rename_column(path, {"v": "value_x2"})  # v3
+    extra = spark.range(100, 105).select(
+        F.col("id").alias("k"),
+        F.lit(3).cast("int").alias("bucket"),
+        (F.col("id") * 2).alias("value_x2"),
+    )
+    TF.commit_append(spark, path, extra, stat_cols=["bucket"])  # v4
+    feed = TF.read_cdf(spark, path, from_version=0)
+    assert "value_x2" in feed.columns and "v" not in feed.columns
+    rows = feed.groupBy("_commit_version").count().collect()
+    got = {r["_commit_version"]: r["count"] for r in rows}
+    assert got == {1: 50, 2: 50, 4: 5}  # v3 emits nothing
+    assert feed.filter(F.col("value_x2").isNull()).count() == 0
