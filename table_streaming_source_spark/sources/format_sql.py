@@ -36,6 +36,12 @@ Supported statements (the documented subset)::
     UPDATE t SET col = expr [, ...] WHERE pred
     DELETE FROM t WHERE pred
     INSERT INTO t SELECT ...
+    SELECT ... FROM t VERSION AS OF n   (Delta-style time travel —
+        rewritten onto a version-pinned view; mixes freely with
+        head reads of other roots in the same statement)
+    CREATE TABLE t AS SELECT ...        (CTAS: materializes the query
+        into a NEW root mapped by tables=; numeric/date columns get
+        manifest stats automatically)
     ALTER TABLE t RENAME COLUMN old TO new
     ALTER TABLE t ALTER COLUMN c TYPE newtype   (safe widening)
     DESCRIBE HISTORY t
@@ -60,6 +66,7 @@ with a message naming the Python API that can.
 from __future__ import annotations
 
 import math
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -70,6 +77,19 @@ from table_streaming_source_spark import table_format as TF
 _OP_COL = "__sql_op"
 
 _SELECT = re.compile(r"^\s*(?:SELECT|WITH)\b", re.IGNORECASE)
+
+#: Delta-style SQL time travel inside the SELECT route:
+#: ``FROM t VERSION AS OF 3`` — rewritten onto a version-pinned view.
+_VERSION_AS_OF = re.compile(
+    r"\b(?P<t>[A-Za-z_]\w*)\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)\b",
+    re.IGNORECASE,
+)
+
+_CTAS = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<t>[A-Za-z_]\w*)\s+AS\s+"
+    r"(?P<sel>(?:SELECT|WITH)\b.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 _MERGE_HEAD = re.compile(
     r"^\s*MERGE\s+INTO\s+(?P<t>[A-Za-z_]\w*)"
@@ -221,6 +241,29 @@ def _mask_quoted(text: str) -> str:
     return "".join(out)
 
 
+def _mask_quoted_keep_len(text: str) -> str:
+    """Like :func:`_mask_quoted` but LENGTH-PRESERVING (every literal
+    character becomes ``?``), so regex spans found on the mask can be
+    applied to the original text."""
+    out: list[str] = []
+    quote = None
+    for ch in text:
+        if quote is not None:
+            out.append("?")
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+            out.append("?")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _tf_log_dir(path: str) -> str:
+    return TF._log_dir(path)
+
+
 def _table_path(name: str, tables: dict[str, str]) -> str:
     try:
         return tables[name]
@@ -330,14 +373,38 @@ def format_sql(
         )
 
         register_table_format(spark)
+        # Delta-style time travel: rewrite every ``t VERSION AS OF n``
+        # (t a known root) onto a version-pinned view.  Matching runs
+        # over a LENGTH-PRESERVING quote mask so literal content can
+        # never be read as a travel clause; the rewrite edits the
+        # original text at the masked spans.
+        pinned: dict[str, tuple[str, int]] = {}  # view -> (root, ver)
+        masked = _mask_quoted_keep_len(text)
+        out_parts, last = [], 0
+        for m in _VERSION_AS_OF.finditer(masked):
+            name, ver = m["t"], int(m["v"])
+            if name not in tables:
+                continue
+            view = f"{name}__v{ver}"
+            pinned[view] = (tables[name], ver)
+            out_parts.append(text[last:m.start()])
+            out_parts.append(view)
+            last = m.end()
+        out_parts.append(text[last:])
+        text = "".join(out_parts)
         created = []
         try:
-            for name, root in tables.items():
+            regs = {
+                name: (root, None) for name, root in tables.items()
+            }
+            regs.update(pinned)
+            for name, (root, ver) in regs.items():
                 opts = [f"path '{root.replace(chr(39), chr(39) * 2)}'"]
                 if branch is not None:
                     opts.append(f"ref '{branch}'")
-                if expected_version is not None:
-                    opts.append(f"version '{expected_version}'")
+                pin = ver if ver is not None else expected_version
+                if pin is not None:
+                    opts.append(f"version '{pin}'")
                 spark.sql(
                     f"CREATE OR REPLACE TEMPORARY VIEW {name} "
                     f"USING table_format OPTIONS ({', '.join(opts)})"
@@ -352,6 +419,39 @@ def format_sql(
             # spark.table() calls
             for name in created:
                 spark.catalog.dropTempView(name)
+
+    m = _CTAS.match(text)
+    if m:
+        # CREATE TABLE <t> AS SELECT ...: materialize the query into a
+        # NEW table-format root (the caller maps the new name to its
+        # root in tables=, like every other identifier).  The SELECT
+        # half routes through the read path above, so it supports the
+        # full surface (WITH, VERSION AS OF, other roots).
+        path = _table_path(m["t"], tables)
+        log_exists = os.path.exists(_tf_log_dir(path))
+        if log_exists and TF.latest_version(path) > 0:
+            raise ValueError(
+                f"format_sql: table {m['t']!r} already exists — CTAS "
+                "creates new tables only (INSERT INTO appends)"
+            )
+        src_tables = {k: v for k, v in tables.items() if k != m["t"]}
+        df = format_sql(
+            spark, m["sel"], tables=src_tables, branch=branch,
+        )
+        if not log_exists:
+            TF.create_table(path)
+        num_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName()
+            in ("integer", "long", "short", "byte", "float", "double",
+                "date", "timestamp", "decimal")
+        ]
+        v = TF.commit_append(
+            spark, path, df, stat_cols=num_cols or [df.columns[0]],
+        )
+        total = len(TF._snapshot_file_dicts(path, v))
+        return _result(spark, "CREATE TABLE AS SELECT", v, None, total)
 
     mh = _MERGE_HEAD.match(text)
     if mh:

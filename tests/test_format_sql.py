@@ -407,3 +407,61 @@ def test_select_route_drops_its_temp_views(spark, table):
     assert not any(
         v.name == "leakcheck_t" for v in spark.catalog.listTables()
     )
+
+
+def test_select_version_as_of_time_travel(spark, table, tmp_path):
+    """Delta-style SQL time travel: ``t VERSION AS OF n`` reads the
+    pinned snapshot while bare ``t`` in the SAME statement reads the
+    head — the rewrite pins per-occurrence, not per-session."""
+    head = TF.latest_version(table)
+    format_sql(
+        spark,
+        "DELETE FROM t WHERE k <= 10",
+        tables={"t": table},
+    )
+    got = format_sql(
+        spark,
+        f"SELECT (SELECT COUNT(*) FROM t) AS now_n, "
+        f"(SELECT COUNT(*) FROM t VERSION AS OF {head}) AS then_n",
+        tables={"t": table},
+    ).collect()[0]
+    assert got["now_n"] == 90 and got["then_n"] == 100
+    # literal content must never be read as a travel clause
+    lit = format_sql(
+        spark,
+        f"SELECT 't VERSION AS OF {head}' AS s, COUNT(*) AS n FROM t "
+        f"GROUP BY s",
+        tables={"t": table},
+    ).collect()[0]
+    assert lit["n"] == 90 and str(head) in lit["s"]
+
+
+def test_ctas_creates_new_root(spark, table, tmp_path):
+    """CREATE TABLE ... AS SELECT materializes into a new root; the
+    new table is immediately readable/mutable through the router, and
+    a second CTAS on the same root refuses."""
+    new_root = str(tmp_path / "ctas_tbl")
+    r = format_sql(
+        spark,
+        "CREATE TABLE big AS SELECT k, val FROM t WHERE k > 50",
+        tables={"t": table, "big": new_root},
+    ).collect()[0]
+    assert r["operation"] == "CREATE TABLE AS SELECT"
+    got = format_sql(
+        spark,
+        "SELECT COUNT(*) AS n, CAST(SUM(val) AS BIGINT) AS s FROM big",
+        tables={"big": new_root},
+    ).collect()[0]
+    assert got["n"] == 50
+    assert got["s"] == sum(i * 10 for i in range(51, 101))
+    # stats recorded -> manifest pruning works on the new table
+    _, n_kept, n_total = TF.snapshot_files(
+        new_root, prune=("k", 200, 300)
+    )
+    assert n_kept == 0 and n_total > 0
+    with pytest.raises(ValueError, match="already exists"):
+        format_sql(
+            spark,
+            "CREATE TABLE big AS SELECT k FROM t",
+            tables={"t": table, "big": new_root},
+        )

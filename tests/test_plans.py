@@ -766,6 +766,324 @@ _SHUFFLE_BUDGET = {
 }
 
 
+#: Round-14 coverage completion: measured final-adaptive-plan exchange
+#: counts for every catalog entry NOT hand-budgeted above, generated by
+#: ``scripts/gen_shuffle_budgets.py`` at sf0.001 under the gate's
+#: planner state (AQE on, 10 MB broadcast threshold).  These are
+#: empirical upper bounds that (a) pin plan regressions and (b) put the
+#: WHOLE catalog under the generic SinglePartition-window gate below —
+#: previously it audited only the hand-budgeted 319/625.  Regenerate
+#: with the script after intentional plan changes.
+_SHUFFLE_BUDGET_AUTO = {
+    'agg_anova': 1,
+    'agg_approx_distinct': 2,
+    'agg_approx_quantile_bound': 3,
+    'agg_benford': 2,
+    'agg_bootstrap_ci': 3,
+    'agg_capture_recapture': 1,
+    'agg_cms_heavy_hitters': 2,
+    'agg_cohens_kappa': 1,
+    'agg_correlation': 1,
+    'agg_cronbach_alpha': 1,
+    'agg_cube': 1,
+    'agg_distinct': 2,
+    'agg_filtered': 1,
+    'agg_friedman': 5,
+    'agg_gini': 1,
+    'agg_grouping_sets': 1,
+    'agg_herfindahl': 4,
+    'agg_histogram': 1,
+    'agg_hll_sketch': 4,
+    'agg_hodges_lehmann': 2,
+    'agg_kmv_sketch': 4,
+    'agg_kruskal_wallis': 7,
+    'agg_ks_drift': 2,
+    'agg_mcnemar': 2,
+    'agg_odds_ratio': 1,
+    'agg_percentiles': 1,
+    'agg_pivot': 2,
+    'agg_psi': 2,
+    'agg_pythagorean_means': 1,
+    'agg_rollup': 1,
+    'agg_runs_test': 3,
+    'agg_salted': 2,
+    'agg_spearman': 1,
+    'agg_sprt': 2,
+    'agg_stats': 1,
+    'agg_theil_index': 2,
+    'agg_trimmed_mean': 1,
+    'agg_unpivot': 1,
+    'agg_var_cvar': 2,
+    'agg_wilson_ci': 1,
+    'anomaly_mad': 3,
+    'changelog_compact': 1,
+    'cohort_retention': 8,
+    'customer_distribution': 2,
+    'dedup_components': 0,
+    'dedup_containment': 2,
+    'dedup_embedding': 2,
+    'dedup_embedding_capped': 2,
+    'dedup_exact': 1,
+    'dedup_fingerprint': 1,
+    'dedup_incremental': 2,
+    'dedup_jaccard_prefix': 1,
+    'dedup_minhash_star': 2,
+    'dedup_ngram_jaccard': 3,
+    'dedup_recall_eval': 7,
+    'dedup_simhash': 0,
+    'dedup_simhash_pairs': 1,
+    'discounted_brand_revenue': 1,
+    'dq_expectations': 4,
+    'dq_l_diversity': 5,
+    'dq_outlier_fences': 2,
+    'dq_profile': 2,
+    'dq_t_closeness': 4,
+    'excess_suppliers': 3,
+    'filter_project': 0,
+    'forecast_revenue': 1,
+    'format_branch_tag': 0,
+    'format_cluster_evolution': 0,
+    'format_delete_vectors': 0,
+    'format_expire_snapshots': 0,
+    'format_incremental_read': 0,
+    'format_merge_upsert': 0,
+    'format_partition_evolution': 0,
+    'format_row_lineage': 0,
+    'format_schema_evolution': 0,
+    'format_shallow_clone': 0,
+    'format_snapshot_read': 0,
+    'format_stats_pruning': 0,
+    'format_zorder_3d': 0,
+    'format_zorder_pruning': 0,
+    'funnel_steps': 6,
+    'graph_assortativity': 9,
+    'graph_bfs': 0,
+    'graph_clustering': 8,
+    'graph_hits': 20,
+    'graph_label_propagation': 0,
+    'graph_pagerank': 0,
+    'graph_ppr': 0,
+    'graph_triangles': 5,
+    'idle_customers': 2,
+    'important_stock': 3,
+    'join_anti': 0,
+    'join_asof': 1,
+    'join_asof_nearest': 1,
+    'join_bloom_prefilter': 3,
+    'join_inner': 1,
+    'join_interval_binned': 2,
+    'join_null_safe': 2,
+    'join_outer': 1,
+    'join_point_in_polygon': 1,
+    'join_salted': 2,
+    'join_semi': 0,
+    'join_skew_aqe': 3,
+    'join_theta_range': 1,
+    'large_volume_orders': 1,
+    'local_supplier_volume': 1,
+    'market_share': 1,
+    'markov_transitions': 3,
+    'merge_upsert_sequenced': 2,
+    'min_cost_supplier': 1,
+    'multimodal_aiff': 0,
+    'multimodal_au': 0,
+    'multimodal_audio_features': 0,
+    'multimodal_audio_resample': 0,
+    'multimodal_bmp': 0,
+    'multimodal_decode': 0,
+    'multimodal_dedup_phash': 1,
+    'multimodal_frames': 0,
+    'multimodal_gif_frames': 0,
+    'multimodal_gif_stats': 0,
+    'multimodal_jpeg_420': 0,
+    'multimodal_jpeg_color': 0,
+    'multimodal_jpeg_progressive': 0,
+    'multimodal_jpeg_stats': 0,
+    'multimodal_meta': 2,
+    'multimodal_midi_meta': 0,
+    'multimodal_mkv_meta': 0,
+    'multimodal_mp4_meta': 0,
+    'multimodal_netpbm': 0,
+    'multimodal_ogg_meta': 0,
+    'multimodal_phash_near': 1,
+    'multimodal_pixel_stats': 0,
+    'multimodal_qoi': 0,
+    'multimodal_quarantine': 0,
+    'multimodal_resize': 0,
+    'nation_volume': 1,
+    'pipeline_chunk_overlap': 0,
+    'pipeline_corpus_prep': 2,
+    'pipeline_entity_resolution': 1,
+    'pipeline_pretrain_mix': 43,
+    'pipeline_video_prep': 2,
+    'priority_wait': 2,
+    'product_profit': 2,
+    'promo_revenue': 1,
+    'returned_items': 1,
+    'scalar_array': 0,
+    'scalar_bitwise': 0,
+    'scalar_conditional': 0,
+    'scalar_date': 0,
+    'scalar_json': 2,
+    'scalar_luhn': 0,
+    'scalar_map': 0,
+    'scalar_math': 0,
+    'scalar_string': 0,
+    'scalar_try': 0,
+    'scalar_url': 0,
+    'scalar_variant': 1,
+    'scan_dpp_join': 2,
+    'scan_parquet_footer': 0,
+    'scan_partition_pruned': 1,
+    'set_ops': 3,
+    'set_ops_all': 2,
+    'shipmode_priority': 2,
+    'sim_ann_lsh': 1,
+    'sim_ann_multiprobe': 1,
+    'sim_centroid_classify': 4,
+    'sim_cluster_eval': 32,
+    'sim_ivf_assign': 0,
+    'sim_ivf_search': 3,
+    'sim_kmeans_refine': 0,
+    'sim_nn_descent': 10,
+    'sim_pairs_blocked': 0,
+    'sim_pq_encode': 1,
+    'sim_pq_search': 3,
+    'sim_range_search': 0,
+    'sim_recall_eval': 5,
+    'sim_semantic_decontaminate': 3,
+    'sim_silhouette': 1,
+    'sim_sq_encode': 0,
+    'sim_sq_search': 1,
+    'sim_topk_filtered': 1,
+    'sink_clustered': 0,
+    'sink_compaction': 0,
+    'sink_partition_overwrite': 0,
+    'sink_python_stream': 0,
+    'sink_time_travel': 0,
+    'small_qty_revenue': 3,
+    'snapshot_diff': 2,
+    'snapshot_roundtrip': 0,
+    'snapshot_scan': 0,
+    'source_bson': 0,
+    'source_csv': 2,
+    'source_dbf': 0,
+    'source_eml': 0,
+    'source_gzip': 0,
+    'source_ics': 0,
+    'source_json': 2,
+    'source_logfmt': 0,
+    'source_orc': 2,
+    'source_parquet_evolved': 1,
+    'source_pdf': 0,
+    'source_protobuf': 0,
+    'source_sqlite': 0,
+    'source_xlsx': 0,
+    'sql_cte_window': 1,
+    'sql_lateral': 2,
+    'sql_qualify': 1,
+    'sql_recursive_cte': 0,
+    'stream_dedup_batch': 2,
+    'streaming_avro_ingest': 0,
+    'streaming_binpack_silence': 0,
+    'streaming_bson_ingest': 0,
+    'streaming_changelog_upsert': 0,
+    'streaming_dedup': 0,
+    'streaming_dual_sink': 0,
+    'streaming_enrichment': 0,
+    'streaming_fanin_union': 0,
+    'streaming_fidelity_snapshot': 0,
+    'streaming_format_maintenance': 0,
+    'streaming_format_tail': 0,
+    'streaming_interval_join': 0,
+    'streaming_interval_join_full': 0,
+    'streaming_interval_join_outer': 0,
+    'streaming_protobuf_ingest': 0,
+    'streaming_running_totals': 0,
+    'streaming_scd2_build': 0,
+    'streaming_session_agg': 0,
+    'streaming_session_agg_update': 0,
+    'streaming_session_dynamic': 0,
+    'streaming_state_inspect': 0,
+    'streaming_tail_rate_limit': 0,
+    'streaming_timeout_sessions': 0,
+    'streaming_timeout_sessions_tws': 0,
+    'streaming_topk': 0,
+    'streaming_warc_ingest': 0,
+    'streaming_window_agg': 0,
+    'subquery_correlated': 1,
+    'supplier_cnt': 4,
+    'text_bigram_lm': 3,
+    'text_bm25_rank': 5,
+    'text_bpe_train': 0,
+    'text_chrf_eval': 4,
+    'text_chunk_dedup': 2,
+    'text_doc_keywords': 5,
+    'text_edit_distance': 0,
+    'text_feature_hash': 1,
+    'text_fingerprint': 1,
+    'text_hapax_rate': 2,
+    'text_html_tables': 0,
+    'text_js_divergence': 4,
+    'text_langid': 0,
+    'text_langid_eval': 1,
+    'text_lm_heldout_eval': 3,
+    'text_macro_f1': 19,
+    'text_mixture_sample': 4,
+    'text_ndcg_eval': 16,
+    'text_pack_sequences': 1,
+    'text_pack_stats': 1,
+    'text_pii_scrub': 0,
+    'text_quality': 0,
+    'text_quality_train': 1,
+    'text_readability': 0,
+    'text_repetition': 0,
+    'text_rouge_eval': 3,
+    'text_sample_split': 1,
+    'text_source_overlap': 9,
+    'text_stratified_sample': 1,
+    'text_token_stats': 0,
+    'text_unigram_logprob': 2,
+    'text_vocab_coverage': 4,
+    'text_winnow': 0,
+    'top_supplier': 3,
+    'ts_autocorr': 2,
+    'ts_changepoint': 2,
+    'ts_dtw': 4,
+    'ts_gapfill': 3,
+    'ts_holt_linear': 2,
+    'ts_interpolate': 2,
+    'ts_ljung_box': 2,
+    'ts_mann_kendall': 9,
+    'ts_motif': 4,
+    'ts_pacf': 2,
+    'ts_rolling_corr': 3,
+    'ts_sax': 2,
+    'ts_seasonal_profile': 5,
+    'udaf_grouped': 1,
+    'udf_grouped_map': 1,
+    'udf_vectorized': 0,
+    'udtf_tokenize': 0,
+    'waiting_suppliers': 2,
+    'window_distribution': 1,
+    'window_ewma': 1,
+    'window_first_last': 1,
+    'window_lag_lead': 1,
+    'window_pattern_negation': 1,
+    'window_range_frame': 2,
+    'window_rank_distribution': 1,
+    'window_ranks': 1,
+    'window_running': 1,
+    'window_session': 1,
+    'window_sessionize': 1,
+    'window_sliding': 1,
+    'window_streaks': 2,
+    'window_tumbling': 1,
+    'window_zscore': 1,
+    'zorder_key': 1,
+}
+
+
 #: entries allowed to keep an ``Exchange SinglePartition`` feeding a
 #: WindowExec on input the textual bounded-markers can't prove bounded —
 #: each with the reason the input is NOT data-row-proportional.  This is
@@ -795,6 +1113,15 @@ _GLOBAL_WINDOW_OK: dict[str, str] = {
     "agg_survival_km": "per-lifetime rows, day-grain-bounded",
     "agg_youden_j": "ROC bucket table, bin-bounded",
     "pipeline_rejection_sample": "per-source rate rows, source-bounded",
+    # round-14 sweep of the previously-unbudgeted 306 entries: 3 hits,
+    # each with a bounded-input argument verified against the code
+    "agg_kruskal_wallis": "rank window over the per-value histogram "
+    "(value-bounded tie groups), not per-row",
+    "window_range_frame": "calendar-grain daily rollup — one row per "
+    "day, never one per event",
+    "text_vocab_coverage": "global rank window fed by the Arrow "
+    "mapInPandas per-partition top-k pre-prune (operators/text.py::"
+    "vocab_coverage) — at most partitions×4k candidate rows",
 }
 
 #: subtree markers that prove the exchange input is bounded: a
@@ -867,13 +1194,27 @@ def _global_window_violations(plan: str) -> list[str]:
     return viol
 
 
-@pytest.mark.parametrize("name", sorted(_SHUFFLE_BUDGET))
+#: hand-written + generated budgets — together they cover EVERY catalog
+#: entry, so the generic window gate below audits the whole catalog
+#: (asserted by test_budget_covers_whole_catalog).
+_ALL_BUDGETS = {**_SHUFFLE_BUDGET_AUTO, **_SHUFFLE_BUDGET}
+
+
+def test_budget_covers_whole_catalog():
+    missing = sorted(set(catalog.QUERIES) - set(_ALL_BUDGETS))
+    assert not missing, (
+        f"{len(missing)} catalog entries have no shuffle budget — run "
+        f"scripts/gen_shuffle_budgets.py and add them: {missing[:10]}…"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(_ALL_BUDGETS))
 def test_shuffle_budget(stats_planner, sf_dir, name):
     plan = _final_plan(catalog.QUERIES[name](stats_planner, sf_dir))
     n = len(re.findall(r"Exchange (?:hash|range|SinglePartition)", plan))
-    assert n <= _SHUFFLE_BUDGET[name], (
+    assert n <= _ALL_BUDGETS[name], (
         f"{name}: {n} shuffle exchanges > budget "
-        f"{_SHUFFLE_BUDGET[name]}\n{plan}"
+        f"{_ALL_BUDGETS[name]}\n{plan}"
     )
     # generic unpartitioned-window gate (round-13): no SinglePartition
     # exchange may feed a WindowExec on data-proportional input — the
