@@ -943,3 +943,103 @@ def sorted_neighborhood_pairs(
     return pairs.select(
         "key_a", "key_b", F.col("edit_distance").cast("int").alias("edit_distance")
     )
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    text_col: str,
+    key: str,
+    *,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (CDC) dedup statistics: token-level
+    hash-break chunking — a chunk boundary falls AFTER every token
+    whose md5-derived 60-bit hash is ``0 mod divisor`` — so expected
+    chunk length is ``divisor`` tokens and boundaries RE-SYNCHRONIZE
+    after insertions/deletions (the property fixed-size chunking
+    lacks: an edit near a document's head shifts every later
+    fixed-window chunk, but hash-break boundaries depend only on local
+    content).  This is the rsync/LBFS chunking idea applied to corpus
+    text: shared boilerplate regions dedup at chunk grain even when
+    the surrounding document differs.
+
+    Scale shape: tokenize + hash + break flag are row-local
+    (whole-stage codegen); the chunk-id prefix sum windows PER
+    DOCUMENT (bounded by document length, never corpus-global); chunk
+    reassembly is one hash shuffle on ``(doc, chunk_id)``; corpus
+    stats shuffle only 16-byte chunk digests.  Document bodies never
+    shuffle — digests and token counts do.
+
+    Returns ONE row: ``(n_docs, total_chunks, distinct_chunks,
+    dup_instances, max_reuse, total_tokens, tokens_saved)`` where
+    ``tokens_saved`` is the token count a chunk-store would not store
+    again (``sum((reuse-1) * chunk_tokens)``).
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"),
+        lambda tk: F.length(tk) > F.lit(0),
+    )
+    tok = df.select(
+        F.col(key).alias("__doc"),
+        F.posexplode(toks).alias("pos", "tok"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    tok = tok.withColumn(
+        "__brk", (h % F.lit(divisor) == 0).cast("int")
+    )
+    w = (
+        Window.partitionBy("__doc")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tok = tok.withColumn(
+        "__chunk",
+        (F.sum("__brk").over(w) - F.col("__brk")).cast("bigint"),
+    )
+    chunks = tok.groupBy("__doc", "__chunk").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("digest"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+    )
+    per = chunks.groupBy("digest").agg(
+        F.count(F.lit(1)).cast("bigint").alias("reuse"),
+        F.min("n_tok").alias("n_tok"),
+    )
+    return per.agg(
+        F.sum("reuse").cast("bigint").alias("total_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_chunks"),
+        (F.sum("reuse") - F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("dup_instances"),
+        F.max("reuse").cast("bigint").alias("max_reuse"),
+        F.sum(F.col("reuse") * F.col("n_tok"))
+        .cast("bigint")
+        .alias("total_tokens"),
+        F.sum((F.col("reuse") - 1) * F.col("n_tok"))
+        .cast("bigint")
+        .alias("tokens_saved"),
+    ).crossJoin(
+        # doc count comes from the SOURCE scan (docs with >=1 token),
+        # not from re-running the chunk pipeline a second time
+        df.agg(
+            F.sum((F.size(toks) > 0).cast("int"))
+            .cast("bigint")
+            .alias("n_docs")
+        )
+    ).select(
+        "n_docs", "total_chunks", "distinct_chunks", "dup_instances",
+        "max_reuse", "total_tokens", "tokens_saved",
+    )

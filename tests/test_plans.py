@@ -763,6 +763,14 @@ _SHUFFLE_BUDGET = {
     "scalar_morton": 2,             # row-local bit folds + final agg
     # block-keyed equi-join (phonetic key × id bucket) + scalar evals
     "join_soundex_blocking": 2,
+    # round-14 additions (measured at sf0.001, gate planner state):
+    # per-doc chunk window (doc-bounded) + chunk digest agg + corpus
+    # stats + the n_docs scalar leg
+    "dedup_cdc_chunking": 4,
+    "agg_bartlett": 1,              # one exact-moment pivot aggregate
+    "format_sql_time_travel": 0,    # checkpointed receipt read
+    "format_sql_ctas": 0,           # checkpointed re-read of the CTAS
+    "format_rename_incremental": 0,  # checkpointed summary row
 }
 
 
