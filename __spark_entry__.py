@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship enrichment query (the reference's
 documented snapshot-enrichment pattern, `docs/Table-streamingsource.md:10-14`)
 at sf0.001.  ``queries()`` / ``oracle_sql()`` expose the full catalog
-(``len(QUERIES)`` entries — 538 as of round 11) from
+(``len(QUERIES)`` entries — 630 as of round 14) from
 ``table_streaming_source_spark.plans.catalog`` — one entry per
 implemented operator of SURVEY.md §2 (map in §2C), EVERY entry with a
 DuckDB oracle twin (zero rows-only checks;
@@ -11,9 +11,12 @@ DuckDB oracle twin (zero rows-only checks;
 machine through ``applyInPandasWithState`` where google.protobuf is
 absent, so it passes in every environment).  The catalog's dict order
 front-loads the driver's 50-entry correctness window with the
-round-11 rotation (2 cross-round sentinels + all 48 round-11
-additions, each re-certified strict-dtype at sf0.01 and sf0.1 at
-round-11 HEAD — see ``plans/catalog.py::_PRIORITY``).
+round-14 rotation (2 cross-round sentinels + the round-13 red row's
+re-cert + the 14-entry backlog + 5 additions + 28 re-certs, each
+strict-dtype verified at sf0.01 and sf0.1 at round-14 HEAD — see
+``plans/catalog.py::_PRIORITY``).  Every entry runs green on a
+VANILLA SparkSession (the full ladder was replayed on a bare session
+this round — ``scripts/check_oracle.py --vanilla``).
 """
 
 from __future__ import annotations

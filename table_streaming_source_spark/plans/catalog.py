@@ -552,6 +552,30 @@ dependence, two rank passes + in-plan harmonic number),
 with planted recall — the shared positional Soundex spec, no regex
 backrefs, identical on both engines) —
 625 catalog total, 625/625 with oracles, zero rows-only.
+
+Round-14 rotation (LANDED — this is the current window): the 2
+cross-round sentinels + ``format_sql_ref_read`` (round 13's one red
+row — an environment-coupling bug, not a logic bug: the entry needed
+``spark.sql.python.filterPushdown.enabled``, which the builder's
+session factory set and the driver's vanilla session did not; fixed
+inside ``register_table_format()`` so every consumer is safe, and the
+whole 625-entry ladder re-ran green on a bare SparkSession) + ALL 14
+round-14-backlog entries (restoring 100% lifetime official coverage)
++ the 5 round-14 additions (``dedup_cdc_chunking`` token-level
+hash-break content-defined chunking, ``agg_bartlett``,
+``format_sql_time_travel`` ``VERSION AS OF`` through the router,
+``format_sql_ctas``, ``format_rename_incremental`` pinning the
+era-aware ``read_incremental``/``read_cdf`` across a rename) + 19
+re-certs of every entry whose code path the round-14 table-format
+hardening touched (schema-op MOR guards, era-aware change consumers,
+widen validation, router temp-view lifecycle) + 9 cross-family
+regression re-certs including both round-13 perf-weak marks
+(adjudicated with data in ``docs/SCALE.md`` §35.4–35.5) = exactly 50.
+Every windowed entry was strict-dtype verified at sf0.01 AND sf0.1 at
+round-14 HEAD (50/50 + 50/50, AFTER every round-14 change landed)
+before ``_PRIORITY`` was edited.  630 catalog total, 630/630 with
+DuckDB oracles, zero rows-only; the never-certified queue at rotation
+is exactly the 5 round-14 additions, all inside this window.
 """
 
 from __future__ import annotations
@@ -595,58 +619,63 @@ _PRIORITY: tuple[str, ...] = (
     # cross-round regression sentinels (driver-green every prior round)
     "flagship_enrichment",
     "dedup_minhash_lsh",
-    # --- round-13 backlog: the 42 uncertified round-12 additions ---
+    # --- round-14: the round-13 red row (conf-coupling, fixed inside
+    # register_table_format — value-correct all along) ---
     "format_sql_ref_read",
+    # --- round-14 backlog: the 14 uncertified round-13 additions ---
+    "pipeline_curriculum_order",
+    "agg_james_stein",
+    "ts_holt_winters",
+    "agg_conformal_interval",
+    "source_bencode",
+    "format_rename_column",
+    "format_sql_rename",
+    "format_widen_column",
+    "format_sql_select",
+    "pipeline_tokenizer_fertility",
+    "agg_by_fdr",
+    "agg_cooks_distance",
+    "scalar_morton",
+    "join_soundex_blocking",
+    # --- round-14: new entries ---
+    "dedup_cdc_chunking",
+    "agg_bartlett",
+    "format_sql_time_travel",
+    "format_sql_ctas",
+    "format_rename_incremental",
+    # --- round-14: re-certs of every entry whose code path the
+    # table-format hardening touched (schema-op guards, era-aware
+    # incremental/CDF, router temp-view lifecycle, widen validation) ---
+    "format_incremental_read",
+    "format_cdf_read",
+    "format_cdf_projected",
+    "format_changes_sql",
+    "streaming_update_cdf",
     "streaming_sql_update_cdf",
-    "agg_cmh",
-    "agg_tost_equivalence",
-    "agg_hellinger",
-    "ts_page_hinkley",
-    "dq_monotonicity",
-    "graph_adamic_adar",
-    "text_keyword_burstiness",
-    "sim_pq_distortion",
-    "dedup_minhash_cardinality",
-    "multimodal_gif_comments",
-    "multimodal_ani",
-    "source_m3u",
-    "source_wkt",
-    "source_vcf",
-    "source_pcap",
-    "agg_weighted_kappa",
-    "scalar_isbn",
-    "pipeline_stratified_kfold",
+    "format_sql_read",
+    "format_sql_merge",
+    "format_sql_update",
+    "format_sql_delete",
+    "format_sql_insert",
     "format_sql_optimize",
-    "multimodal_ico_png",
     "format_sql_merge_cdc",
-    "agg_krippendorff_alpha",
-    "agg_beta_binomial",
-    "ts_croston",
-    "multimodal_wav_info",
-    "text_burrows_delta",
-    "ts_entropy_rate",
-    "source_robots_txt",
-    "multimodal_apng",
-    "join_asof_tolerance",
-    "graph_modularity",
-    "agg_simpson_diversity",
-    "multimodal_flac_tags",
-    "multimodal_edid",
-    "source_gff3",
-    "source_obj",
-    "multimodal_stl",
-    "agg_circular_stats",
-    "dedup_lsh_tuning_curve",
-    "scalar_roman",
-    # --- round-13: the round-12 red row, now integer-exact ---
-    "text_heaps_law",
-    # --- round-13: new entries ---
     "format_sql_merge_full_sync",
-    "dedup_planted_eval",
-    # --- round-13: re-certs of the deepest rank-helper rewrites ---
-    "agg_rfm_segments",
-    "agg_bh_fdr",
-    "sim_rrf_fusion",
+    "format_delete_vectors",
+    "format_positional_deletes",
+    "streaming_format_cdf",
+    "streaming_cdf_compaction",
+    "format_history",
+    # --- round-14: cross-family regression re-certs (incl. the two
+    # round-13 perf-weak marks, adjudicated in SCALE.md §35.4-35.5) ---
+    "pipeline_shard_export",
+    "multimodal_png_interlaced",
+    "market_basket",
+    "dedup_state_table",
+    "sim_knn_join",
+    "snapshot_scan",
+    "join_inner",
+    "agg_percentiles",
+    "text_bpe_train",
 )
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority entry"
