@@ -48,6 +48,7 @@ makes the snapshot a plain SQL relation.
 from __future__ import annotations
 
 import os
+import re
 import uuid
 from collections.abc import Iterator, Sequence
 
@@ -119,24 +120,71 @@ def _resolve_version(options: dict) -> int:
     return TF.resolve_ref(path, ref)
 
 
+def _arrow_type_of(spark_type: str):
+    """A Spark SQL type string as the pyarrow type the widen-era cast
+    publishes (the subset `commit_widen_column`'s allowlist can emit)."""
+    import pyarrow as pa
+
+    m = {
+        "tinyint": pa.int8(), "smallint": pa.int16(),
+        "int": pa.int32(), "integer": pa.int32(),
+        "bigint": pa.int64(), "long": pa.int64(),
+        "float": pa.float32(), "double": pa.float64(),
+        "string": pa.string(), "boolean": pa.bool_(),
+        "date": pa.date32(), "binary": pa.binary(),
+    }
+    t = spark_type.strip().lower()
+    if t in m:
+        return m[t]
+    dm = re.match(r"^decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)$", t)
+    if dm:
+        return pa.decimal128(int(dm.group(1)), int(dm.group(2)))
+    raise ValueError(f"table_format: unmapped widen type {spark_type!r}")
+
+
 def _unified_arrow_schema(path: str, head: int):
     """The latest MERGED schema across additive evolution: one footer
     per lineage commit, preferring a file of the commit's OWN
     generation (merge commits list carried survivors first — same rule
-    as the CDF stream's schema)."""
+    as the CDF stream's schema).  ERA-AWARE: each commit's footer
+    schema is translated through the rename/widen commits NEWER than
+    it before unification, so a renamed column appears ONCE under its
+    current name (never both names) and a widened column unifies at
+    the widened type instead of raising on an int32/int64 conflict."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     schemas = []
     v: int | None = head
+    collected: list[tuple[str, str, str]] = []  # newest-first ops
     while v is not None:
         c = TF._read_commit(path, v)
+        applied = tuple(reversed(collected))
         if c["files"]:
             own = [f for f in c["files"] if f.get("seq") == v]
-            pick = (own or c["files"])[0]
-            schemas.append(
-                pq.read_schema(os.path.join(path, pick["path"]))
-            )
+            sch = None
+            for pick in (own or c["files"]):
+                fp = os.path.join(path, pick["path"])
+                if os.path.exists(fp):  # vacuumed history: footer gone
+                    sch = pq.read_schema(fp)
+                    break
+            for kind, a, b in applied if sch is not None else ():
+                idx = sch.get_field_index(a)
+                if idx < 0:
+                    continue
+                fld = sch.field(idx)
+                if kind == "r":
+                    sch = sch.set(idx, fld.with_name(b))
+                else:
+                    sch = sch.set(
+                        idx, pa.field(a, _arrow_type_of(b))
+                    )
+            if sch is not None:
+                schemas.append(sch)
+        ops = [("r", a, b) for a, b in c.get("renames", [])]
+        ops += [("w", cc, tt) for cc, tt in c.get("widens", [])]
+        if ops:
+            collected.extend(reversed(ops))
         v = c["parent"] if c["parent"] is not None else c.get("prev")
     if not schemas:
         raise ValueError(
@@ -161,7 +209,13 @@ def _range_prunes(f: dict, col: str, lo, hi) -> bool:
 class TableFormatReader(DataSourceReader):
     """One input partition per manifest data file; executor-side MOR
     resolution through the same pandas algebra as the streaming CDF
-    source (``format_cdf._resolve_pandas``)."""
+    source (``format_cdf._resolve_pandas``).  ERA-AWARE (round 14):
+    manifest entries carry the rename/widen chain their era must pass
+    through — pruning runs on TRANSLATED stats (a predicate on the
+    current name keeps skipping pre-rename files), and each partition
+    reads its file under the era's PHYSICAL names before renaming to
+    the published schema, so a renamed table reads one schema instead
+    of null-backfilling both names."""
 
     def __init__(self, schema: StructType, options: dict) -> None:
         self._path = _table_path(options)
@@ -174,11 +228,22 @@ class TableFormatReader(DataSourceReader):
         self._ranges: list[tuple[str, object, object]] = []
         self._null_prunes: list[tuple[str, str]] = []
 
+    def _entries(self) -> list[tuple[dict, tuple]]:
+        """(translated manifest entry, rename chain) pairs — stats
+        under CURRENT names, chain kept for the physical read."""
+        pairs, any_ops = TF._walk_files_renamed(
+            self._path, self._version
+        )
+        if not any_ops:
+            return [(f, ()) for f, _ in pairs]
+        return [
+            (TF._translate_entry_stats(f, applied), applied)
+            for f, applied in pairs
+        ]
+
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
         stat_cols = {
-            c
-            for f in TF._snapshot_file_dicts(self._path, self._version)
-            for c in f["stats"]
+            c for f, _ in self._entries() for c in f["stats"]
         }
         out = []
         for flt in filters:
@@ -205,9 +270,9 @@ class TableFormatReader(DataSourceReader):
             out.append(flt)
         return out
 
-    def _kept_files(self) -> list[dict]:
+    def _kept_files(self) -> list[tuple[dict, tuple]]:
         kept = []
-        for f in TF._snapshot_file_dicts(self._path, self._version):
+        for f, applied in self._entries():
             if any(
                 _range_prunes(f, col, lo, hi)
                 for col, lo, hi in self._ranges
@@ -223,21 +288,21 @@ class TableFormatReader(DataSourceReader):
                 if kind == "notnull" and nc == f["rows"]:
                     skip = True
             if not skip:
-                kept.append(f)
+                kept.append((f, applied))
         return kept
 
     def partitions(self) -> Sequence[InputPartition]:
         parts = [
             InputPartition(
                 (self._path, self._version, self._mor,
-                 tuple(self._cols), f)
+                 tuple(self._cols), f, applied)
             )
-            for f in self._kept_files()
+            for f, applied in self._kept_files()
         ]
         return parts or [
             InputPartition(
                 (self._path, self._version, self._mor,
-                 tuple(self._cols), None)
+                 tuple(self._cols), None, ())
             )
         ]
 
@@ -247,14 +312,25 @@ class TableFormatReader(DataSourceReader):
 
         from table_streaming_source_spark.streaming.format_cdf import (
             _file_frame,
+            _phys_name,
             _resolve_pandas,
         )
 
-        path, version, mor, cols, f = partition.value
+        path, version, mor, cols, f, applied = partition.value
         if f is None:
             return
         cols = list(cols)
-        if mor:
+        if applied:
+            # era translation: read the file under its PHYSICAL names,
+            # then rename to the published (current) schema.  MOR
+            # delete state cannot coexist with a schema op (the commit
+            # guards), so the plain file read is exact here.
+            phys = [_phys_name(c, applied) for c in cols]
+            pdf = _file_frame(os.path.join(path, f["path"]), phys)
+            pdf = pdf.rename(
+                columns={p: c for p, c in zip(phys, cols) if p != c}
+            )
+        elif mor:
             pdf = _resolve_pandas(path, version, cols, subset=[f])
         else:
             pdf = _file_frame(os.path.join(path, f["path"]), cols)

@@ -137,15 +137,81 @@ def _neq(a, b):
     return ~((a == b) | both_na)
 
 
-def _cdf_rows(path: str, v: int, cols: list[str]) -> list[tuple]:
+def _schema_ops_for(
+    path: str, v: int, ref
+) -> tuple[tuple, set]:
+    """Era bookkeeping for commit ``v`` on the tailed lineage:
+    ``(ops_after, renamed_away)`` where ``ops_after`` is the
+    application-ordered rename/widen chain from lineage commits NEWER
+    than ``v`` (translates era-``v`` physical names to current
+    logical names), and ``renamed_away`` is the set of OLD names
+    already renamed away at or before ``v`` (a stream whose pinned
+    schema still carries one of them predates the rename — the
+    Delta-parity schema-change stop)."""
+    head = TF.resolve_ref(path, ref)
+    collected: list[tuple[str, str, str]] = []  # newest-first
+    away: set[str] = set()
+    cur: int | None = head
+    seen: set[int] = set()
+    while cur is not None and cur not in seen:
+        seen.add(cur)
+        c = TF._read_commit(path, cur)
+        if cur > v:
+            ops = [("r", a, b) for a, b in c.get("renames", [])]
+            ops += [("w", cc, tt) for cc, tt in c.get("widens", [])]
+            if ops:
+                collected.extend(reversed(ops))
+        else:
+            for a, _b in c.get("renames", []):
+                away.add(a)
+        cur = c["parent"] if c["parent"] is not None else c.get("prev")
+    return tuple(reversed(collected)), away
+
+
+def _phys_name(name: str, ops: tuple) -> str:
+    """Reverse-translate a CURRENT logical name through ``ops`` to the
+    physical name it had at the era the ops postdate."""
+    for kind, a, b in reversed(ops):
+        if kind == "r" and name == b:
+            name = a
+    return name
+
+
+def _cdf_rows(
+    path: str, v: int, cols: list[str], ref=None
+) -> list[tuple]:
     """The CDF image tuples of commit ``v`` — the per-commit algebra of
     ``table_format.read_cdf`` in pandas.  Tuple layout: ``cols...,
-    _change_type, _commit_version``."""
+    _change_type, _commit_version``.
+
+    Era-aware (round 14): requested column names are translated to
+    their era-``v`` PHYSICAL names before any file is read — the whole
+    per-commit algebra (delete-key joins, merge diffs, replace
+    predicates) then runs era-consistently, and the positional tuple
+    layout emits the values under the stream's pinned schema.  A
+    stream whose pinned schema predates a rename that has landed by
+    era ``v`` raises the Delta-parity schema-change error instead of
+    silently null-backfilling."""
     import pandas as pd
 
     c = TF._read_commit(path, v)
     if c.get("maintenance"):
         return []
+    if (c.get("renames") or c.get("widens")) and not c["files"]:
+        return []  # metadata-only schema op: changes no rows
+    ops, away = _schema_ops_for(path, v, ref)
+    stale = [cc for cc in cols if cc in away]
+    if stale:
+        raise ValueError(
+            f"format_cdf: column(s) {stale} were renamed before commit "
+            f"{v} on this lineage — the stream's pinned schema predates "
+            "the rename; restart the stream to pick up the new schema "
+            "(Delta-parity schema-change stop), or replay the range "
+            "with the batch table_format.read_cdf, which translates "
+            "eras"
+        )
+    if ops:
+        cols = [_phys_name(cc, ops) for cc in cols]
     base = c["parent"] if c["parent"] is not None else c.get("prev")
 
     def tag(pdf, ctype: str) -> list[tuple]:
@@ -351,7 +417,7 @@ class CdfStreamReader(DataSourceStreamReader):
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
         parts = [
-            InputPartition((self._path, v, tuple(self._cols)))
+            InputPartition((self._path, v, tuple(self._cols), self._ref))
             for v in _lineage_commits(
                 self._path, start["version"], end["version"]
             )
@@ -359,13 +425,13 @@ class CdfStreamReader(DataSourceStreamReader):
         # Spark requires ≥1 partition per planned batch — a range that
         # holds no lineage commits (e.g. another branch advanced the
         # shared version namespace) yields one empty partition
-        return parts or [InputPartition((self._path, None, ()))]
+        return parts or [InputPartition((self._path, None, (), None))]
 
     def read(self, partition: InputPartition) -> Iterator[Tuple]:
-        path, v, cols = partition.value
+        path, v, cols, ref = partition.value
         if v is None:
             return iter(())
-        return iter(_cdf_rows(path, v, list(cols)))
+        return iter(_cdf_rows(path, v, list(cols), ref=ref))
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable in the checkpoint; nothing to ack
@@ -390,38 +456,20 @@ class CdfDataSource(DataSource):
         return "format_cdf"
 
     def schema(self):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
         path = self.options.get("path")
-        # the latest MERGED schema across additive evolution: files
-        # within one commit share a writer schema, so unifying ONE
-        # footer per lineage commit (O(retained history), a one-time
-        # planning cost) sees every generation — a stream started
-        # after an ALTER ADD COLUMN must emit the new column even for
-        # pre-evolution commits (null-backfilled by _file_frame)
+        # the latest MERGED schema across additive evolution AND
+        # schema ops: one footer per lineage commit, each translated
+        # through the rename/widen chain newer than it (shared with
+        # the batch DataSource — sources/format_batch.py), so a stream
+        # started after a rename pins ONLY the current names
+        from table_streaming_source_spark.sources.format_batch import (
+            _unified_arrow_schema,
+        )
+
         head = TF.resolve_ref(path, self.options.get("ref"))
-        schemas = []
-        v = head
-        while v is not None:
-            c = TF._read_commit(path, v)
-            if c["files"]:
-                # prefer a file of the commit's OWN generation: a merge
-                # commit lists carried survivors first, so files[0] can
-                # be a pre-evolution file and a column only ever
-                # introduced through merges would be silently dropped
-                own = [f for f in c["files"] if f.get("seq") == v]
-                pick = (own or c["files"])[0]
-                schemas.append(
-                    pq.read_schema(os.path.join(path, pick["path"]))
-                )
-            v = c["parent"] if c["parent"] is not None else c.get("prev")
-        if not schemas:
-            raise ValueError(
-                "format_cdf: empty table; pass an explicit schema"
-            )
-        base = from_arrow_schema(pa.unify_schemas(schemas))
+        base = from_arrow_schema(_unified_arrow_schema(path, head))
         want = self.options.get("columns")
         if want:
             keep = [c.strip() for c in want.split(",")]

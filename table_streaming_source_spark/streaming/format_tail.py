@@ -130,7 +130,9 @@ class CommitLogStreamReader(DataSourceStreamReader):
     ) -> Sequence[InputPartition]:
         self._cursor = end["version"]  # restart recovery for the cap
         parts = [
-            InputPartition((fp, tuple(self._cols)))
+            InputPartition(
+                (fp, tuple(self._cols), v, self._ref)
+            )
             for v in _lineage_commits(
                 self._path, start["version"], end["version"]
             )
@@ -139,7 +141,7 @@ class CommitLogStreamReader(DataSourceStreamReader):
         # Spark requires ≥1 partition per planned batch — a window of
         # maintenance-only commits (or another branch advancing the
         # shared version namespace) yields one empty partition
-        return parts or [InputPartition((None, ()))]
+        return parts or [InputPartition((None, (), None, None))]
 
     def read(self, partition: InputPartition) -> Iterator:
         # Arrow-batch yield (the same vectorized boundary as the batch
@@ -150,13 +152,33 @@ class CommitLogStreamReader(DataSourceStreamReader):
 
         from table_streaming_source_spark.streaming.format_cdf import (
             _file_frame,
+            _phys_name,
+            _schema_ops_for,
         )
 
-        fp, cols = partition.value
+        fp, cols, v, ref = partition.value
         if fp is None:
             return
         cols = list(cols)
-        pdf = _file_frame(fp, cols)
+        # era translation (round 14): read this commit's file under
+        # its PHYSICAL names and rename to the stream's pinned schema;
+        # a pinned schema that predates a landed rename raises the
+        # Delta-parity schema-change stop instead of null-backfilling
+        ops, away = _schema_ops_for(self._path, v, ref)
+        stale = [c for c in cols if c in away]
+        if stale:
+            raise ValueError(
+                f"format_tail: column(s) {stale} were renamed before "
+                f"commit {v} on this lineage — restart the stream to "
+                "pick up the new schema (Delta-parity schema-change "
+                "stop)"
+            )
+        phys = [_phys_name(c, ops) for c in cols]
+        pdf = _file_frame(fp, phys)
+        if phys != cols:
+            pdf = pdf.rename(
+                columns={p: c for p, c in zip(phys, cols) if p != c}
+            )
         table = pa.Table.from_pandas(
             pdf[cols],
             schema=to_arrow_schema(self._schema),
@@ -185,24 +207,20 @@ class CommitLogDataSource(DataSource):
         return "format_tail"
 
     def schema(self):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        path = self.options.get("path")
-        files, _, _ = TF.snapshot_files(path)
-        if not files:
-            raise ValueError(
-                "format_tail: empty table; pass an explicit schema"
-            )
-        # UNIFY the per-file footers (additive schema evolution): a
-        # dataset over a file list would take the first fragment's
-        # schema, silently dropping columns older files predate —
-        # the read side null-backfills them, so the stream schema
-        # must be the union (one footer read per file, no data I/O)
-        return from_arrow_schema(
-            pa.unify_schemas([pq.read_schema(f) for f in files])
+        # the era-aware unified schema shared with the batch
+        # DataSource and the CDF stream (one footer per lineage
+        # commit, translated through the rename/widen chain newer
+        # than it) — a tail over a renamed table pins ONLY the
+        # current names; the read side translates per commit
+        from table_streaming_source_spark.sources.format_batch import (
+            _unified_arrow_schema,
         )
+
+        path = self.options.get("path")
+        head = TF.resolve_ref(path, self.options.get("ref"))
+        return from_arrow_schema(_unified_arrow_schema(path, head))
 
     def streamReader(self, schema: StructType) -> CommitLogStreamReader:
         return CommitLogStreamReader(schema, dict(self.options))

@@ -291,3 +291,152 @@ def test_persistent_catalog_contract(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS perstest_pin")
         spark.catalog.dropTempView("perstest_view")
+
+
+def test_batch_read_era_aware_across_rename(spark, tmp_path):
+    """Round-14: the Python-DataSource read of a RENAMED table must
+    publish ONE schema (the current names — never both eras' names)
+    and read pre-rename files under their physical names instead of
+    null-backfilling; pruning on the current name must keep skipping
+    pre-rename files via translated manifest stats."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "fmt_ren")
+    TF.create_table(path)
+    df = spark.range(100).selectExpr(
+        "id as k", "cast(id*2 as double) as v"
+    )
+    TF.commit_append(                                                # v1
+        spark, path,
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stat_cols=["k"],
+    )
+    TF.commit_rename_column(path, {"v": "value_x2"})                 # v2
+    extra = spark.range(100, 110).selectExpr(
+        "id as k", "cast(id*2 as double) as value_x2"
+    )
+    TF.commit_append(spark, path, extra, stat_cols=["k"])            # v3
+    register_table_format(spark)
+    got = (
+        spark.read.format("table_format").option("path", path).load()
+    )
+    assert set(got.columns) == {"k", "value_x2"}  # never both names
+    assert got.count() == 110
+    assert got.filter(F.col("value_x2").isNull()).count() == 0
+    assert got.agg(F.sum("value_x2")).collect()[0][0] == float(
+        sum(i * 2 for i in range(110))
+    )
+    # pruning on the CURRENT name skips pre-rename files too
+    pruned = got.filter(F.col("k") >= 100)
+    assert pruned.count() == 10
+
+
+def test_batch_read_era_aware_across_widen(spark, tmp_path):
+    """A widened table's DataSource schema unifies at the WIDENED type
+    (previously pa.unify_schemas raised on the int32/int64 footer
+    conflict) and pre-widen files cast at read time."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "fmt_wid")
+    TF.create_table(path)
+    df = spark.range(50).selectExpr("cast(id as int) as k", "id as n")
+    TF.commit_append(spark, path, df.coalesce(1), stat_cols=["k"])   # v1
+    TF.commit_widen_column(path, {"k": "bigint"})                    # v2
+    extra = spark.range(50, 60).selectExpr(
+        "cast(id as bigint) as k", "id as n"
+    )
+    TF.commit_append(spark, path, extra.coalesce(1), stat_cols=["k"])
+    register_table_format(spark)
+    got = (
+        spark.read.format("table_format").option("path", path).load()
+    )
+    assert dict(got.dtypes)["k"] == "bigint"
+    assert got.count() == 60
+    assert got.agg(F.sum("k")).collect()[0][0] == sum(range(60))
+
+
+def test_tail_stream_era_aware_across_rename(spark, tmp_path):
+    """A format_tail stream STARTED AFTER a rename pins the current
+    names and translates pre-rename commits' files at read time; no
+    phantom NULLs."""
+    import os
+
+    from pyspark.sql import functions as F
+    from table_streaming_source_spark.streaming.format_tail import (
+        register_format_tail,
+    )
+
+    path = str(tmp_path / "tail_ren")
+    TF.create_table(path)
+    df = spark.range(40).selectExpr("id as k", "cast(id*3 as double) as v")
+    TF.commit_append(spark, path, df.coalesce(1), stat_cols=["k"])   # v1
+    TF.commit_rename_column(path, {"v": "trip"})                     # v2
+    extra = spark.range(40, 50).selectExpr(
+        "id as k", "cast(id*3 as double) as trip"
+    )
+    TF.commit_append(spark, path, extra.coalesce(1), stat_cols=["k"])
+    register_format_tail(spark)
+    out = str(tmp_path / "tail_out")
+    ckpt = str(tmp_path / "tail_ckpt")
+    q = (
+        spark.readStream.format("format_tail")
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"k", "trip"}
+    assert got.count() == 50
+    assert got.filter(F.col("trip").isNull()).count() == 0
+    assert got.agg(F.sum("trip")).collect()[0][0] == float(
+        sum(i * 3 for i in range(50))
+    )
+
+
+def test_cdf_stream_era_aware_across_rename(spark, tmp_path):
+    """A format_cdf stream started after a rename emits every commit's
+    images under the CURRENT names (the rename commit emits nothing),
+    matching the batch read_cdf."""
+    from pyspark.sql import functions as F
+    from table_streaming_source_spark.streaming.format_cdf import (
+        register_format_cdf,
+    )
+
+    path = str(tmp_path / "cdf_ren")
+    TF.create_table(path)
+    df = spark.range(30).selectExpr("id as k", "cast(id*5 as double) as v")
+    TF.commit_append(spark, path, df.coalesce(1), stat_cols=["k"])   # v1
+    TF.commit_rename_column(path, {"v": "amount"})                   # v2
+    extra = spark.range(30, 40).selectExpr(
+        "id as k", "cast(id*5 as double) as amount"
+    )
+    TF.commit_append(spark, path, extra.coalesce(1), stat_cols=["k"])
+    register_format_cdf(spark)
+    out = str(tmp_path / "cdf_out")
+    ckpt = str(tmp_path / "cdf_ckpt")
+    q = (
+        spark.readStream.format("format_cdf")
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert "amount" in got.columns and "v" not in got.columns
+    by_v = {
+        r["_commit_version"]: r["n"]
+        for r in got.groupBy("_commit_version")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by_v == {1: 30, 3: 10}  # the rename commit emits nothing
+    assert got.filter(F.col("amount").isNull()).count() == 0
