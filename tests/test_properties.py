@@ -914,3 +914,90 @@ def test_webp_vp8l_roundtrip_property(w, h, seed, block):
     assert (
         webp_lossless_decode(webp_lossless_encode(img)) == img
     ).all()
+
+
+# --- round-14: CDC chunking boundary re-synchronization -------------------
+
+def _cdc_chunks_py(tokens: list, divisor: int = 64) -> list:
+    """Pure-Python twin of operators/dedup.py::cdc_chunk_stats's
+    chunking rule: boundary AFTER every token whose md5-derived 60-bit
+    hash is 0 mod divisor."""
+    import hashlib
+
+    chunks, cur = [], []
+    for tok in tokens:
+        cur.append(tok)
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        if h % divisor == 0:
+            chunks.append(" ".join(cur))
+            cur = []
+    if cur:
+        chunks.append(" ".join(cur))
+    return chunks
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+        min_size=20,
+        max_size=200,
+    ),
+    st.lists(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+        min_size=1,
+        max_size=10,
+    ),
+)
+@settings(max_examples=100, deadline=None)
+def test_cdc_chunking_resynchronizes_after_head_edit(tokens, inserted):
+    """The property fixed-size chunking lacks and CDC chunking exists
+    for: inserting tokens at the HEAD of a document changes only the
+    chunks up to the first boundary after the edit — every later chunk
+    is byte-identical, so shared suffixes keep dedup'ing.  (With
+    divisor=8 on short docs the boundary density makes the property
+    observable at test scale.)"""
+    d = 8
+    orig = _cdc_chunks_py(tokens, d)
+    edited = _cdc_chunks_py(inserted + tokens, d)
+    if len(orig) >= 2:
+        # chunks from the first post-edit boundary onward re-sync:
+        # the original's suffix chunks (beyond chunk 0) must appear as
+        # a suffix of the edited chunking whenever the edit region
+        # closed (i.e. the inserted run reached a boundary before
+        # swallowing all original boundaries)
+        tail = orig[1:]
+        assert edited[-len(tail):] == tail or len(edited) <= len(tail)
+
+
+def test_safe_promotion_allowlist():
+    from table_streaming_source_spark.table_format import (
+        _is_safe_promotion,
+    )
+
+    ok = [
+        ("int", "bigint"), ("tinyint", "smallint"), ("smallint", "int"),
+        ("int", "int"), ("float", "double"), ("int", "double"),
+        ("smallint", "double"), ("decimal(10,2)", "decimal(12,2)"),
+        ("decimal(10,2)", "decimal(14,4)"),
+    ]
+    bad = [
+        ("bigint", "int"), ("double", "float"), ("bigint", "double"),
+        ("int", "string"), ("string", "int"), ("double", "bigint"),
+        ("decimal(12,2)", "decimal(10,2)"),
+        ("decimal(10,2)", "decimal(10,4)"),  # integer digits shrink
+    ]
+    for cur, tgt in ok:
+        assert _is_safe_promotion(cur, tgt), (cur, tgt)
+    for cur, tgt in bad:
+        assert not _is_safe_promotion(cur, tgt), (cur, tgt)
+
+
+def test_phys_name_round_trips_through_rename_chain():
+    from table_streaming_source_spark.streaming.format_cdf import (
+        _phys_name,
+    )
+
+    ops = (("r", "a", "b"), ("w", "b", "bigint"), ("r", "b", "c"))
+    assert _phys_name("c", ops) == "a"   # c <- b <- a
+    assert _phys_name("x", ops) == "x"   # untouched name passes through
+    assert _phys_name("b", ()) == "b"
