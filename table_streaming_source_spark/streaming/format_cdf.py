@@ -139,33 +139,71 @@ def _neq(a, b):
 
 def _schema_ops_for(
     path: str, v: int, ref
-) -> tuple[tuple, set]:
+) -> tuple[tuple, set, dict]:
     """Era bookkeeping for commit ``v`` on the tailed lineage:
-    ``(ops_after, renamed_away)`` where ``ops_after`` is the
-    application-ordered rename/widen chain from lineage commits NEWER
-    than ``v`` (translates era-``v`` physical names to current
-    logical names), and ``renamed_away`` is the set of OLD names
-    already renamed away at or before ``v`` (a stream whose pinned
-    schema still carries one of them predates the rename — the
-    Delta-parity schema-change stop)."""
+    ``(ops_after, renamed_away, widens_before)`` where ``ops_after``
+    is the application-ordered rename/widen chain from lineage commits
+    NEWER than ``v`` (translates era-``v`` physical names to current
+    logical names), ``renamed_away`` is the set of OLD names already
+    renamed away at or before ``v`` (a stream whose pinned schema
+    still carries one of them predates the rename — the Delta-parity
+    schema-change stop), and ``widens_before`` maps each column's
+    CURRENT logical name to the newest widen target already landed at
+    or before ``v`` (a stream pinned at a NARROWER type than that
+    target predates the widen and must stop — a silent cast would
+    truncate post-widen values)."""
     head = TF.resolve_ref(path, ref)
-    collected: list[tuple[str, str, str]] = []  # newest-first
+    collected: list[tuple[str, str, str]] = []  # newest-first, ALL
+    after_v: tuple | None = None
     away: set[str] = set()
+    widens_before: dict[str, str] = {}
     cur: int | None = head
     seen: set[int] = set()
     while cur is not None and cur not in seen:
         seen.add(cur)
         c = TF._read_commit(path, cur)
-        if cur > v:
-            ops = [("r", a, b) for a, b in c.get("renames", [])]
-            ops += [("w", cc, tt) for cc, tt in c.get("widens", [])]
-            if ops:
-                collected.extend(reversed(ops))
-        else:
+        if cur <= v and after_v is None:
+            # parents are strictly older: every commit newer than v
+            # has been walked by the first time cur drops to <= v
+            after_v = tuple(reversed(collected))
+        if cur <= v:
+            newer = tuple(reversed(collected))  # ops newer than cur
             for a, _b in c.get("renames", []):
                 away.add(a)
+            for col, t in c.get("widens", []):
+                name = col  # translate to the CURRENT logical name
+                for kind, x, y in newer:
+                    if kind == "r" and name == x:
+                        name = y
+                widens_before.setdefault(name, t)  # newest wins
+        ops = [("r", a, b) for a, b in c.get("renames", [])]
+        ops += [("w", cc, tt) for cc, tt in c.get("widens", [])]
+        if ops:
+            collected.extend(reversed(ops))
         cur = c["parent"] if c["parent"] is not None else c.get("prev")
-    return tuple(reversed(collected)), away
+    if after_v is None:
+        after_v = tuple(reversed(collected))
+    return after_v, away, widens_before
+
+
+def _check_pinned_types(
+    source: str, v: int, cols: list, types, widens_before: dict
+) -> None:
+    """Raise the schema-change stop when a pinned column's type is
+    narrower than a widen target already landed at era ``v``."""
+    if not types or not widens_before:
+        return
+    for col, pinned in zip(cols, types):
+        wt = widens_before.get(col)
+        if wt and wt.replace(" ", "").lower() != (
+            pinned.replace(" ", "").lower()
+        ):
+            raise ValueError(
+                f"{source}: column {col!r} was widened to {wt} at or "
+                f"before commit {v} but the stream's pinned schema "
+                f"carries {pinned} — restart the stream to pick up "
+                "the widened type (Delta-parity schema-change stop)"
+            )
 
 
 def _phys_name(name: str, ops: tuple) -> str:
@@ -178,7 +216,7 @@ def _phys_name(name: str, ops: tuple) -> str:
 
 
 def _cdf_rows(
-    path: str, v: int, cols: list[str], ref=None
+    path: str, v: int, cols: list[str], ref=None, types=None
 ) -> list[tuple]:
     """The CDF image tuples of commit ``v`` — the per-commit algebra of
     ``table_format.read_cdf`` in pandas.  Tuple layout: ``cols...,
@@ -199,7 +237,7 @@ def _cdf_rows(
         return []
     if (c.get("renames") or c.get("widens")) and not c["files"]:
         return []  # metadata-only schema op: changes no rows
-    ops, away = _schema_ops_for(path, v, ref)
+    ops, away, widens_before = _schema_ops_for(path, v, ref)
     stale = [cc for cc in cols if cc in away]
     if stale:
         raise ValueError(
@@ -210,6 +248,7 @@ def _cdf_rows(
             "with the batch table_format.read_cdf, which translates "
             "eras"
         )
+    _check_pinned_types("format_cdf", v, cols, types, widens_before)
     if ops:
         cols = [_phys_name(cc, ops) for cc in cols]
     base = c["parent"] if c["parent"] is not None else c.get("prev")
@@ -404,6 +443,9 @@ class CdfStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict) -> None:
         # the last two fields are the change metadata this source adds
         self._cols = list(schema.fieldNames())[:-2]
+        self._types = [
+            f.dataType.simpleString() for f in schema.fields[:-2]
+        ]
         self._path = options["path"]
         self._ref = options.get("ref")
 
@@ -417,7 +459,10 @@ class CdfStreamReader(DataSourceStreamReader):
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
         parts = [
-            InputPartition((self._path, v, tuple(self._cols), self._ref))
+            InputPartition((
+                self._path, v, tuple(self._cols), self._ref,
+                tuple(self._types),
+            ))
             for v in _lineage_commits(
                 self._path, start["version"], end["version"]
             )
@@ -425,13 +470,17 @@ class CdfStreamReader(DataSourceStreamReader):
         # Spark requires ≥1 partition per planned batch — a range that
         # holds no lineage commits (e.g. another branch advanced the
         # shared version namespace) yields one empty partition
-        return parts or [InputPartition((self._path, None, (), None))]
+        return parts or [
+            InputPartition((self._path, None, (), None, ()))
+        ]
 
     def read(self, partition: InputPartition) -> Iterator[Tuple]:
-        path, v, cols, ref = partition.value
+        path, v, cols, ref, types = partition.value
         if v is None:
             return iter(())
-        return iter(_cdf_rows(path, v, list(cols), ref=ref))
+        return iter(
+            _cdf_rows(path, v, list(cols), ref=ref, types=list(types))
+        )
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable in the checkpoint; nothing to ack

@@ -151,6 +151,7 @@ class CommitLogStreamReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         from table_streaming_source_spark.streaming.format_cdf import (
+            _check_pinned_types,
             _file_frame,
             _phys_name,
             _schema_ops_for,
@@ -162,9 +163,10 @@ class CommitLogStreamReader(DataSourceStreamReader):
         cols = list(cols)
         # era translation (round 14): read this commit's file under
         # its PHYSICAL names and rename to the stream's pinned schema;
-        # a pinned schema that predates a landed rename raises the
-        # Delta-parity schema-change stop instead of null-backfilling
-        ops, away = _schema_ops_for(self._path, v, ref)
+        # a pinned schema that predates a landed rename/widen raises
+        # the Delta-parity schema-change stop instead of silently
+        # null-backfilling (rename) or truncating (widen)
+        ops, away, widens_before = _schema_ops_for(self._path, v, ref)
         stale = [c for c in cols if c in away]
         if stale:
             raise ValueError(
@@ -173,6 +175,11 @@ class CommitLogStreamReader(DataSourceStreamReader):
                 "pick up the new schema (Delta-parity schema-change "
                 "stop)"
             )
+        _check_pinned_types(
+            "format_tail", v, cols,
+            [f.dataType.simpleString() for f in self._schema.fields],
+            widens_before,
+        )
         phys = [_phys_name(c, ops) for c in cols]
         pdf = _file_frame(fp, phys)
         if phys != cols:

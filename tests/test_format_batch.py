@@ -440,3 +440,51 @@ def test_cdf_stream_era_aware_across_rename(spark, tmp_path):
     }
     assert by_v == {1: 30, 3: 10}  # the rename commit emits nothing
     assert got.filter(F.col("amount").isNull()).count() == 0
+
+
+def test_stream_schema_change_stops_instead_of_silent_output(
+    spark, tmp_path
+):
+    """A stream whose pinned schema predates a landed rename (or holds
+    a narrower type than a landed widen) must STOP loudly — Delta
+    parity — never emit NULL-backfilled or truncated rows.  Exercised
+    at the `_cdf_rows` / `_schema_ops_for` layer (the streaming
+    harness pins the happy path in the sibling tests)."""
+    from table_streaming_source_spark.streaming.format_cdf import (
+        _cdf_rows,
+        _schema_ops_for,
+    )
+
+    path = str(tmp_path / "stop_ren")
+    TF.create_table(path)
+    df = spark.range(10).selectExpr("id as k", "cast(id as double) as v")
+    TF.commit_append(spark, path, df.coalesce(1), stat_cols=["k"])   # v1
+    TF.commit_rename_column(path, {"v": "amount"})                   # v2
+    extra = spark.range(10, 15).selectExpr(
+        "id as k", "cast(id as double) as amount"
+    )
+    TF.commit_append(spark, path, extra.coalesce(1), stat_cols=["k"])
+    # pinned OLD name reading a post-rename commit -> loud stop
+    with pytest.raises(ValueError, match="renamed before commit"):
+        _cdf_rows(path, 3, ["k", "v"])
+    # pinned CURRENT name replaying a pre-rename commit -> translated
+    rows = _cdf_rows(path, 1, ["k", "amount"])
+    assert len(rows) == 10 and all(r[1] is not None for r in rows)
+
+    path2 = str(tmp_path / "stop_wid")
+    TF.create_table(path2)
+    df2 = spark.range(10).selectExpr("cast(id as int) as k", "id as n")
+    TF.commit_append(spark, path2, df2.coalesce(1), stat_cols=["k"])
+    TF.commit_widen_column(path2, {"k": "bigint"})                   # v2
+    extra2 = spark.range(10, 15).selectExpr(
+        "cast(id as bigint) as k", "id as n"
+    )
+    TF.commit_append(spark, path2, extra2.coalesce(1), stat_cols=["k"])
+    # pinned int (pre-widen) reading a post-widen commit -> loud stop
+    with pytest.raises(ValueError, match="widened to bigint"):
+        _cdf_rows(path2, 3, ["k", "n"], types=["int", "bigint"])
+    # pinned at the widened type -> fine everywhere
+    assert len(_cdf_rows(path2, 3, ["k", "n"],
+                         types=["bigint", "bigint"])) == 5
+    ops, away, widens = _schema_ops_for(path2, 3, None)
+    assert widens == {"k": "bigint"} and not away
