@@ -43,14 +43,20 @@ def main() -> None:
             "doc_id", "text"
         )
         if mult > 1:
-            # distinct ids per replica; a salt keeps replicated texts
-            # from collapsing the near-dup candidate space to 1 group
+            # distinct ids per replica, and EVERY TOKEN salted with the
+            # replica id: replicas must be mutually DISSIMILAR, else
+            # every doc gains mult near-identical twins and the true
+            # near-dup pair OUTPUT (not the operator's work) grows
+            # quadratically in mult — the first sweep run showed
+            # exactly that artifact
             d = d.crossJoin(
                 spark.range(mult).select(F.col("id").alias("__rep"))
             ).select(
                 (F.col("doc_id") * mult + F.col("__rep")).alias("doc_id"),
-                F.concat_ws(
-                    " ", F.col("text"), F.col("__rep").cast("string")
+                F.regexp_replace(
+                    F.col("text"),
+                    F.lit(r"(\S+)"),
+                    F.concat(F.lit("$1"), F.col("__rep").cast("string")),
                 ).alias("text"),
             )
         return d
