@@ -324,7 +324,19 @@ class TableFormatReader(DataSourceReader):
             # era translation: read the file under its PHYSICAL names,
             # then rename to the published (current) schema.  MOR
             # delete state cannot coexist with a schema op (the commit
-            # guards), so the plain file read is exact here.
+            # guards), so the plain file read is exact here — but a
+            # LEGACY table written before the guard could hold both;
+            # refuse loudly rather than silently skip the subtraction.
+            if mor and (
+                TF._snapshot_deletes(path, version)[1]
+                or TF._snapshot_pos_deletes(path, version)
+            ):
+                raise ValueError(
+                    "table_format: snapshot holds BOTH merge-on-read "
+                    "delete state and a column rename/widen (a legacy "
+                    "pre-guard state) — run commit_compact to "
+                    "materialize, then re-read"
+                )
             phys = [_phys_name(c, applied) for c in cols]
             pdf = _file_frame(os.path.join(path, f["path"]), phys)
             pdf = pdf.rename(
