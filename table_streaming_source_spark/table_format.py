@@ -1944,14 +1944,19 @@ def read_staged(
         *[os.path.join(path, f["path"]) for f in staged["files"]]
     )
     if deletes or pos_deletes:
+        # delete state cannot coexist with a rename/widen (the commit
+        # guards), so the non-era-aware MOR resolve is exact here
         committed = _mor_resolve(
             spark, path, parent_dicts, key, deletes, pos_deletes
         )
-        return committed.unionByName(new_part, allowMissingColumns=True)
-    files = [
-        os.path.join(path, f["path"]) for f in staged["files"]
-    ] + [os.path.join(path, f["path"]) for f in parent_dicts]
-    return spark.read.option("mergeSchema", "true").parquet(*files)
+    elif not parent_dicts:
+        return new_part
+    else:
+        # era-aware committed side: a stage landing after an
+        # uncompacted rename must audit ONE schema (the raw
+        # mergeSchema union would carry both eras' names with NULLs)
+        committed = read_table(spark, path, version=staged["parent"])
+    return committed.unionByName(new_part, allowMissingColumns=True)
 
 
 def commit_publish(path: str, *, audit_id: str) -> int:

@@ -4137,3 +4137,26 @@ def test_read_cdf_spans_rename_commit(spark, table):
     got = {r["_commit_version"]: r["count"] for r in rows}
     assert got == {1: 50, 2: 50, 4: 5}  # v3 emits nothing
     assert feed.filter(F.col("value_x2").isNull()).count() == 0
+
+
+def test_read_staged_is_era_aware_across_rename(spark, table):
+    """WAP audit view over a renamed-uncompacted table: the committed
+    side reads era-aware, so the staged union carries ONE schema (the
+    current names) with no phantom NULLs."""
+    path, _ = table
+    TF.commit_rename_column(path, {"v": "value_x2"})
+    staged = spark.range(100, 105).select(
+        F.col("id").alias("k"),
+        F.lit(1).cast("int").alias("bucket"),
+        (F.col("id") * 2).alias("value_x2"),
+    )
+    TF.commit_stage(
+        spark, path, staged, stat_cols=["bucket"], audit_id="aud1"
+    )
+    got = TF.read_staged(spark, path, audit_id="aud1")
+    assert "value_x2" in got.columns and "v" not in got.columns
+    assert got.count() == 105
+    assert got.filter(F.col("value_x2").isNull()).count() == 0
+    assert got.agg(F.sum("value_x2")).collect()[0][0] == sum(
+        i * 2 for i in range(105)
+    )
