@@ -3642,6 +3642,11 @@ def snapshot_files_point(
     files with neither are kept — pruning is never lossy.  Returns
     (kept paths, kept count, total count)."""
     v = latest_version(path) if version is None else version
+    # the spec walk matches column names recorded at each file's era
+    # against the CALLER's current name — not era-aware (a rename
+    # would silently stop pruning AND the read would mix schemas), so
+    # refuse loudly with the compaction remedy like the rewriters do
+    _guard_no_renames(path, v, "snapshot_files_point/read_table_point")
     kept: list[str] = []
     total = 0
     while v is not None:
