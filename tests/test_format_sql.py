@@ -465,3 +465,48 @@ def test_ctas_creates_new_root(spark, table, tmp_path):
             "CREATE TABLE big AS SELECT k FROM t",
             tables={"t": table, "big": new_root},
         )
+
+
+def test_router_adversarial_statements(spark, table):
+    """Robustness sweep: statements crafted to confuse the shape
+    regexes either execute with the DOCUMENTED semantics or raise a
+    clean ValueError — never silently misroute.  Quote-masked spans
+    must keep SQL keywords inside string literals inert."""
+    # WHERE text inside a SET literal must not leak into prune
+    # extraction or split the SET list
+    r = format_sql(
+        spark,
+        "UPDATE t SET val = CASE WHEN 'WHERE k BETWEEN 1 AND 5, x' "
+        "IS NOT NULL THEN 999.0 ELSE val END WHERE k = 1",
+        tables={"t": table},
+    ).collect()[0]
+    assert r["operation"] == "UPDATE"
+    got = format_sql(
+        spark, "SELECT val FROM t WHERE k = 1", tables={"t": table}
+    ).collect()
+    assert got[0]["val"] == 999.0
+    # DELETE without WHERE: refuse (the full-table footgun), not a
+    # silent wipe
+    with pytest.raises(ValueError, match="unrecognized"):
+        format_sql(spark, "DELETE FROM t", tables={"t": table})
+    # INSERT ... VALUES is not the documented subset: clean refusal
+    with pytest.raises(ValueError, match="unrecognized"):
+        format_sql(
+            spark, "INSERT INTO t VALUES (1, 2)", tables={"t": table}
+        )
+    # garbage: clean refusal
+    with pytest.raises(ValueError, match="unrecognized"):
+        format_sql(spark, "FROBNICATE t", tables={"t": table})
+    # unknown table name: names the known keys
+    with pytest.raises(ValueError, match="unknown table"):
+        format_sql(
+            spark, "OPTIMIZE nosuch", tables={"t": table}
+        )
+    # VERSION AS OF on an UNKNOWN identifier inside SELECT is left
+    # verbatim for Spark to reject (never silently pinned)
+    with pytest.raises(Exception):
+        format_sql(
+            spark,
+            "SELECT COUNT(*) FROM ghost VERSION AS OF 1",
+            tables={"t": table},
+        ).collect()
