@@ -386,6 +386,15 @@ def format_sql(
             if name not in tables:
                 continue
             view = f"{name}__v{ver}"
+            if view in tables:
+                # a caller-mapped root literally named like our pinned
+                # view would be silently replaced by the time-travel
+                # view of another table — wrong data, so refuse
+                raise ValueError(
+                    f"format_sql: tables= key {view!r} collides with "
+                    f"the version-pinned view for '{name} VERSION AS "
+                    f"OF {ver}' — rename the table mapping"
+                )
             pinned[view] = (tables[name], ver)
             out_parts.append(text[last:m.start()])
             out_parts.append(view)
@@ -398,6 +407,21 @@ def format_sql(
                 name: (root, None) for name, root in tables.items()
             }
             regs.update(pinned)
+            # a pre-existing USER temp view with a router name would be
+            # destroyed by CREATE OR REPLACE + the finally drop — refuse
+            # up front instead of silently eating the user's view
+            held = {
+                t.name
+                for t in spark.catalog.listTables()
+                if t.isTemporary and t.name in regs
+            }
+            if held:
+                raise ValueError(
+                    f"format_sql: temp view(s) {sorted(held)} already "
+                    "exist in this session and collide with tables= "
+                    "names — drop or rename them (the router registers "
+                    "and drops session views under these names)"
+                )
             for name, (root, ver) in regs.items():
                 opts = [f"path '{root.replace(chr(39), chr(39) * 2)}'"]
                 if branch is not None:
@@ -429,11 +453,19 @@ def format_sql(
         # full surface (WITH, VERSION AS OF, other roots).
         path = _table_path(m["t"], tables)
         log_exists = os.path.exists(_tf_log_dir(path))
-        if log_exists and TF.latest_version(path) > 0:
-            raise ValueError(
-                f"format_sql: table {m['t']!r} already exists — CTAS "
-                "creates new tables only (INSERT INTO appends)"
-            )
+        if log_exists:
+            try:
+                populated = TF.latest_version(path) > 0
+            except FileNotFoundError:
+                # a log directory with no commit json — a partially
+                # created root (crashed create): treat as non-existent
+                # and fall through to create_table
+                log_exists, populated = False, False
+            if populated:
+                raise ValueError(
+                    f"format_sql: table {m['t']!r} already exists — "
+                    "CTAS creates new tables only (INSERT INTO appends)"
+                )
         src_tables = {k: v for k, v in tables.items() if k != m["t"]}
         df = format_sql(
             spark, m["sel"], tables=src_tables, branch=branch,

@@ -195,8 +195,12 @@ def _check_pinned_types(
         return
     for col, pinned in zip(cols, types):
         wt = widens_before.get(col)
-        if wt and wt.replace(" ", "").lower() != (
-            pinned.replace(" ", "").lower()
+        # canonical spellings on BOTH sides (logs written before
+        # commit_widen_column canonicalized may carry aliases like
+        # "long"): a restarted stream pins the published simpleString
+        # "bigint", which must match a landed widen to "long"
+        if wt and TF._canon_spark_type(wt) != TF._canon_spark_type(
+            pinned
         ):
             raise ValueError(
                 f"{source}: column {col!r} was widened to {wt} at or "

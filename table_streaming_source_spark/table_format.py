@@ -476,6 +476,11 @@ def commit_widen_column(
     for col, t in widens.items():
         if not t or not isinstance(t, str):
             raise ValueError(f"widen: bad target type for {col!r}")
+    # canonicalize the target spelling before it reaches the log: a
+    # target written as "long" would otherwise never equal the
+    # published simpleString "bigint" in the streams' pinned-type
+    # check, making the schema-change stop unrecoverable by restart
+    widens = {col: _canon_spark_type(t) for col, t in widens.items()}
     base, new_v = _resolve_write_target(path, branch, expected_version)
     _guard_no_mor_deletes(path, base, "widen")
     for col, t in widens.items():
@@ -505,6 +510,20 @@ def commit_widen_column(
 _INT_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "integer": 2,
              "bigint": 3, "long": 3}
 _DECIMAL_RE = re.compile(r"^decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)$")
+_TYPE_ALIASES = {"long": "bigint", "integer": "int", "short": "smallint",
+                 "byte": "tinyint"}
+
+
+def _canon_spark_type(t: str) -> str:
+    """Canonical Spark SQL type string: lower-cased, whitespace-free,
+    aliases folded (``long``→``bigint``, ``integer``→``int``, …) — the
+    spelling ``DataType.simpleString()`` publishes.  Widen targets are
+    canonicalized ONCE at commit time so every consumer (era casts,
+    the streams' pinned-type schema-change check) compares one
+    spelling; the check side still canonicalizes for logs written
+    before this rule."""
+    t = t.strip().lower().replace(" ", "")
+    return _TYPE_ALIASES.get(t, t)
 
 
 def _is_safe_promotion(cur: str, tgt: str) -> bool:

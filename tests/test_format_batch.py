@@ -488,3 +488,63 @@ def test_stream_schema_change_stops_instead_of_silent_output(
                          types=["bigint", "bigint"])) == 5
     ops, away, widens = _schema_ops_for(path2, 3, None)
     assert widens == {"k": "bigint"} and not away
+
+
+def test_widen_alias_spelling_canonicalized(spark, tmp_path):
+    """Advisor repro (round 14): ``commit_widen_column(path, {"k":
+    "long"})`` wrote the alias spelling verbatim; every stream then
+    compared it against the pinned simpleString "bigint" and raised
+    the schema-change stop UNRECOVERABLY (a restarted stream re-pins
+    "bigint" which still != "long").  The target is now canonicalized
+    at commit time, and the check canonicalizes both sides for logs
+    written before the rule."""
+    from table_streaming_source_spark.streaming.format_cdf import (
+        _cdf_rows,
+    )
+
+    path = str(tmp_path / "widen_alias")
+    TF.create_table(path)
+    df = spark.range(10).selectExpr("cast(id as int) as k", "id as n")
+    TF.commit_append(spark, path, df.coalesce(1), stat_cols=["k"])   # v1
+    TF.commit_widen_column(path, {"k": "long"})                      # v2
+    # the log carries the canonical spelling
+    assert dict(TF._read_commit(path, 2)["widens"])["k"] == "bigint"
+    extra = spark.range(10, 15).selectExpr(
+        "cast(id as bigint) as k", "id as n"
+    )
+    TF.commit_append(spark, path, extra.coalesce(1), stat_cols=["k"])
+    # a fresh stream pinning the published "bigint" reads post-widen
+    # commits instead of stopping forever
+    rows = _cdf_rows(path, 3, ["k", "n"], types=["bigint", "bigint"])
+    assert len(rows) == 5
+    # era cast still applies on the batch read
+    assert dict(TF.read_table(spark, path).dtypes)["k"] == "bigint"
+
+
+def test_widen_alias_in_pre_rule_log_still_recoverable(spark, tmp_path):
+    """A log written BEFORE canonicalization (widen target "long" on
+    disk) must not strand a restarted stream: the pinned-type check
+    canonicalizes both sides."""
+    from table_streaming_source_spark.streaming.format_cdf import (
+        _cdf_rows,
+    )
+
+    path = str(tmp_path / "widen_legacy")
+    TF.create_table(path)
+    df = spark.range(10).selectExpr("cast(id as int) as k", "id as n")
+    TF.commit_append(spark, path, df.coalesce(1), stat_cols=["k"])   # v1
+    # hand-write the pre-rule commit shape: alias spelling on disk
+    TF._write_commit(
+        path, 2,
+        {"version": 2, "files": [], "parent": 1,
+         "widens": [["k", "long"]]},
+    )
+    extra = spark.range(10, 15).selectExpr(
+        "cast(id as bigint) as k", "id as n"
+    )
+    TF.commit_append(spark, path, extra.coalesce(1), stat_cols=["k"])
+    rows = _cdf_rows(path, 3, ["k", "n"], types=["bigint", "bigint"])
+    assert len(rows) == 5
+    # and a genuinely narrower pin still stops loudly
+    with pytest.raises(ValueError, match="widened to"):
+        _cdf_rows(path, 3, ["k", "n"], types=["int", "bigint"])

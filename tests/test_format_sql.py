@@ -510,3 +510,59 @@ def test_router_adversarial_statements(spark, table):
             "SELECT COUNT(*) FROM ghost VERSION AS OF 1",
             tables={"t": table},
         ).collect()
+
+
+def test_select_route_refuses_to_clobber_user_temp_view(spark, table):
+    """Advisor repro (round 14): the SELECT route's CREATE OR REPLACE
+    + finally-drop would silently DESTROY a pre-existing user temp
+    view sharing a tables= name.  It now refuses up front with a
+    clear error and the user's view survives untouched."""
+    spark.range(3).createOrReplaceTempView("mine_t")
+    try:
+        with pytest.raises(ValueError, match="already exist"):
+            format_sql(
+                spark,
+                "SELECT COUNT(*) AS n FROM mine_t",
+                tables={"mine_t": table},
+            )
+        # the user's view is intact (neither replaced nor dropped)
+        assert spark.table("mine_t").count() == 3
+    finally:
+        spark.catalog.dropTempView("mine_t")
+
+
+def test_version_pin_view_name_collision_refuses(spark, table, tmp_path):
+    """A caller mapping a table literally named like a pinned view
+    (``t__v1``) used to have its root silently replaced by the
+    time-travel view of ``t`` — wrong data, no error.  Now raises."""
+    other = str(tmp_path / "other_root")
+    TF.create_table(other)
+    TF.commit_append(
+        spark, other,
+        spark.range(5).selectExpr("id as k", "cast(id as double) as val"),
+        stat_cols=["k"],
+    )
+    with pytest.raises(ValueError, match="collides"):
+        format_sql(
+            spark,
+            "SELECT COUNT(*) AS n FROM t VERSION AS OF 1, t__v1",
+            tables={"t": table, "t__v1": other},
+        )
+
+
+def test_ctas_over_partially_created_root(spark, table, tmp_path):
+    """A root whose _log directory exists but holds NO commit json (a
+    crashed create) used to surface FileNotFoundError('no commit log')
+    from the existence probe; CTAS now treats it as non-existent and
+    creates the table."""
+    import os
+
+    root = str(tmp_path / "partial_root")
+    os.makedirs(os.path.join(root, "_log"))  # dir, no 0.json
+    r = format_sql(
+        spark,
+        "CREATE TABLE fresh AS SELECT k, val FROM t WHERE k <= 5",
+        tables={"t": table, "fresh": root},
+    ).collect()[0]
+    assert r["operation"] == "CREATE TABLE AS SELECT"
+    assert TF.read_table(spark, root).count() == 5
