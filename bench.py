@@ -23,7 +23,46 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # similarity, text, multimodal, as-of), plus the composed/iterative heavy
 # hitters (corpus pipeline, pagerank, connected components, learned-IVF
 # search, streaming interval join, AQE skew join) so regressions in the
-# hardest plans are visible round over round
+# hardest plans are visible round over round.
+#
+# ROUND-15 ROTATION (VERDICT r14 item #2): the set had been frozen since
+# round 7 and predated the table-format/CDF/SQL-router families entirely
+# — perf regressions in the engine's newest load-bearing surface were
+# invisible.  40 of the 57 keep running for continuity (every
+# watch-list entry stays); 17 near-zero twins and over-represented
+# family siblings rotate out; 10 table-format/CDF/router/text/multimodal
+# hot paths rotate in (50 total).  The removed names and the same-HEAD
+# A/B continuity totals are recorded in docs/SCALE.md §37; the pre-r15
+# set stays runnable via SPARK_GRAFT_BENCH_SET=pre-r15.
+HEADLINE_REMOVED_R15 = [
+    "scan_parquet_footer", "agg_kruskal_wallis", "sim_ann_lsh",
+    "sim_pq_search", "window_ewma", "text_winnow", "text_rouge_eval",
+    "dedup_jaccard_prefix", "dedup_embedding", "multimodal_gif_stats",
+    "multimodal_flac", "dq_expectations", "text_decontaminate",
+    "source_warc", "graph_clustering", "streaming_session_agg",
+    "snapshot_diff",
+]
+HEADLINE_ADDED_R15 = [
+    # the table format's write/read hot paths: stats-targeted MERGE,
+    # batch CDF derivation, incremental (changelog) read, MOR delete
+    # vectors, manifest stats pruning, and the round-15 era-aware
+    # rename->MERGE path
+    "format_merge_upsert",
+    "format_cdf_read",
+    "format_incremental_read",
+    "format_delete_vectors",
+    "format_stats_pruning",
+    "format_rename_then_merge",
+    # the streaming commit-log tail (partition-planned executor reads)
+    "streaming_format_tail",
+    # the SQL router's MERGE route (parse + plan + commit through the
+    # text front door)
+    "format_sql_merge",
+    # corpus-wide substring dedup (the heaviest text shuffle shape)
+    "text_substring_dedup",
+    # chroma-subsampled JPEG decode (the common web-image hot path)
+    "multimodal_jpeg_420",
+]
 HEADLINE = [
     "flagship_enrichment",
     "pricing_summary",
@@ -110,6 +149,12 @@ HEADLINE = [
     "agg_kruskal_wallis",
     "scan_parquet_footer",
 ]
+
+HEADLINE_PRE_R15 = list(HEADLINE)
+if os.environ.get("SPARK_GRAFT_BENCH_SET") != "pre-r15":
+    HEADLINE = [
+        q for q in HEADLINE if q not in set(HEADLINE_REMOVED_R15)
+    ] + HEADLINE_ADDED_R15
 
 
 def main() -> None:

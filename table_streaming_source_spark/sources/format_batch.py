@@ -162,13 +162,16 @@ def _unified_arrow_schema(path: str, head: int):
         applied = tuple(reversed(collected))
         if c["files"]:
             own = [f for f in c["files"] if f.get("seq") == v]
-            sch = None
+            sch, chain = None, applied
             for pick in (own or c["files"]):
                 fp = os.path.join(path, pick["path"])
                 if os.path.exists(fp):  # vacuumed history: footer gone
                     sch = pq.read_schema(fp)
+                    # an era-carrying entry (rewriter carry / expiry
+                    # fold) translates through its baked chain first
+                    chain = TF._entry_eras(pick) + applied
                     break
-            for kind, a, b in applied if sch is not None else ():
+            for kind, a, b in chain if sch is not None else ():
                 idx = sch.get_field_index(a)
                 if idx < 0:
                     continue

@@ -276,10 +276,19 @@ def _table_path(name: str, tables: dict[str, str]) -> str:
 
 def _stat_cols(path: str) -> list[str]:
     """Stat columns for the new manifest entries: keep whatever the
-    current snapshot already tracks (the SQL user never names them)."""
+    current snapshot already tracks (the SQL user never names them),
+    under their CURRENT logical names — pre-rename files record stats
+    under physical names, and a rewrite's fresh files carry the
+    current spelling."""
     v = TF.latest_version(path)
-    files = TF._snapshot_file_dicts(path, v)
-    return sorted({c for f in files for c in f.get("stats", {})})
+    pairs, any_ops = TF._walk_files_renamed(path, v)
+    return sorted({
+        c
+        for f, ch in pairs
+        for c in (
+            TF._translate_entry_stats(f, ch) if any_ops else f
+        ).get("stats", {})
+    })
 
 
 _BOUND = re.compile(
@@ -579,6 +588,22 @@ def format_sql(
                 "format_sql: MERGE needs at least one of UPDATE SET */"
                 "INSERT */DELETE/NOT MATCHED BY SOURCE in its WHEN "
                 "clauses"
+            )
+        # never silently misroute: a WHEN clause the shape regexes did
+        # NOT consume (e.g. the unsupported per-column ``UPDATE SET
+        # col = expr`` — the documented subset is the full-row CDC
+        # shape ``UPDATE SET *``) must raise, not be dropped — dropped,
+        # a matched row would silently keep its target values
+        leftover = w
+        for rx in (_W_UPD, _W_INS, _W_DEL):
+            leftover = rx.sub(" ", leftover)
+        if re.search(r"\bWHEN\b", leftover, re.IGNORECASE):
+            raise ValueError(
+                "format_sql: unsupported MERGE WHEN clause near "
+                f"{leftover.strip()[:80]!r} — supported: WHEN MATCHED "
+                "[AND <cond>] THEN UPDATE SET * / DELETE, WHEN NOT "
+                "MATCHED THEN INSERT *, WHEN NOT MATCHED BY SOURCE "
+                "THEN DELETE / UPDATE SET <col>=<expr>"
             )
         upsert = has_upd and has_ins
         source = (

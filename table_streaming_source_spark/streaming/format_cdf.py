@@ -38,7 +38,7 @@ from table_streaming_source_spark.streaming.format_tail import (
 )
 
 
-def _file_frame(ap: str, cols: list[str]):
+def _file_frame(ap: str, cols: list[str], chain: tuple = ()):
     """One data file as pandas, stamped with the absolute path and the
     within-file row ordinal — the same identity
     ``(_metadata.file_path, _metadata.row_index)`` gives the Spark
@@ -48,14 +48,29 @@ def _file_frame(ap: str, cols: list[str]):
     null-backfilled rather than requested from pyarrow — the pandas
     twin of the ``mergeSchema``/``allowMissingColumns`` contract the
     batch ``read_cdf`` gets for free, so a stream over an evolved
-    table cannot crash where the batch read works."""
+    table cannot crash where the batch read works.
+
+    ``chain`` is the file's schema-op chain RELATIVE to the requested
+    names (round 15 — a manifest entry whose era predates renames that
+    landed before the commit being processed, or whose entry carries
+    baked ``eras``): each requested name is reverse-translated to the
+    file's physical spelling before the read and emitted under the
+    requested name — the pandas twin of ``_read_era_groups``."""
     import pyarrow.parquet as pq
 
+    phys = [_phys_name(c, chain) for c in cols] if chain else list(cols)
     present = set(pq.read_schema(ap).names)
-    have = [c for c in cols if c in present]
+    have = [p for p in phys if p in present]
     pdf = pq.read_table(ap, columns=have).to_pandas()
-    for c in cols:
-        if c not in present:
+    ren = {
+        p: c
+        for p, c in zip(phys, cols)
+        if p != c and p in pdf.columns
+    }
+    if ren:
+        pdf = pdf.rename(columns=ren)
+    for c, p in zip(cols, phys):
+        if p not in present:
             pdf[c] = None
     pdf = pdf[cols]
     pdf["__file"] = os.path.abspath(ap)
@@ -87,6 +102,17 @@ def _resolve_pandas(
         subset if subset is not None
         else TF._snapshot_file_dicts(path, version)
     )
+    # per-file era chains (round 15): files whose era predates a
+    # rename/widen read under their physical names and emit under the
+    # requested ones — the walk is manifest-only (no data I/O) and
+    # empty chains cost nothing.  Schema-op history never coexists
+    # with MOR delete state (the commit guards), so the delete
+    # algebra below sees untranslated names only when there are no
+    # chains to translate.
+    chain_by_path = {
+        f["path"]: ch
+        for f, ch in TF._walk_files_renamed(path, version)[0]
+    }
     keys = TF._key_cols(key) if key is not None else []
     # a projection may exclude the delete-key columns: the anti-join
     # below still needs them, so read them alongside and project back
@@ -108,7 +134,10 @@ def _resolve_pandas(
     frames = []
     for f in file_dicts:
         ap = os.path.abspath(os.path.join(path, f["path"]))
-        pdf = _file_frame(ap, read_cols)
+        pdf = _file_frame(
+            ap, read_cols,
+            chain_by_path.get(f["path"], TF._entry_eras(f)),
+        )
         dead = pos_by_file.get(ap)
         if dead:
             pdf = pdf[~pdf["__pos"].isin(sorted(dead))]
@@ -166,20 +195,28 @@ def _schema_ops_for(
             # parents are strictly older: every commit newer than v
             # has been walked by the first time cur drops to <= v
             after_v = tuple(reversed(collected))
+        # a commit's own ops, application-ordered: records hoisted by
+        # history expiry (``folded_ops`` — they all landed at or
+        # before the cut commit) then the live rename/widen records
+        own_ops = [tuple(o) for o in c.get("folded_ops", [])]
+        own_ops += [("r", a, b) for a, b in c.get("renames", [])]
+        own_ops += [("w", cc, tt) for cc, tt in c.get("widens", [])]
         if cur <= v:
             newer = tuple(reversed(collected))  # ops newer than cur
-            for a, _b in c.get("renames", []):
-                away.add(a)
-            for col, t in c.get("widens", []):
-                name = col  # translate to the CURRENT logical name
-                for kind, x, y in newer:
-                    if kind == "r" and name == x:
+            # newest-first within the commit too, so the newest widen
+            # on a column wins the setdefault
+            for i in range(len(own_ops) - 1, -1, -1):
+                kind, a, b = own_ops[i]
+                if kind == "r":
+                    away.add(a)
+                    continue
+                name = a  # translate to the CURRENT logical name
+                for k2, x, y in tuple(own_ops[i + 1:]) + newer:
+                    if k2 == "r" and name == x:
                         name = y
-                widens_before.setdefault(name, t)  # newest wins
-        ops = [("r", a, b) for a, b in c.get("renames", [])]
-        ops += [("w", cc, tt) for cc, tt in c.get("widens", [])]
-        if ops:
-            collected.extend(reversed(ops))
+                widens_before.setdefault(name, b)  # newest wins
+        if own_ops:
+            collected.extend(reversed(own_ops))
         cur = c["parent"] if c["parent"] is not None else c.get("prev")
     if after_v is None:
         after_v = tuple(reversed(collected))
@@ -367,12 +404,17 @@ def _cdf_rows(
             f for f in c["files"]
             if f.get("seq") == v and not _disjoint(f)
         ]
-        prev_dicts = TF._snapshot_file_dicts(path, base)
         carried = {f["path"] for f in c["files"]}
+        # pre-side pruning consults stats TRANSLATED to era-v names
+        # (entries may carry chains after a rename or an era-aware
+        # rewrite); untranslatable keys fall back to "keep" — lossless
         replaced = [
             f
-            for f in prev_dicts
-            if f["path"] not in carried and not _disjoint(f)
+            for f, ch in TF._walk_files_renamed(path, base)[0]
+            if f["path"] not in carried
+            and not _disjoint(
+                TF._translate_entry_stats(f, ch) if ch else f
+            )
         ]
         TF._require_files(path, replaced + own, v)
         out = []

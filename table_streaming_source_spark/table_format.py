@@ -85,9 +85,32 @@ def latest_version(path: str) -> int:
     return max(versions)
 
 
+#: stat-validated commit cache: commits are immutable once published
+#: (the ONE exception — expire_snapshots rewriting a cut commit via
+#: os.replace — changes mtime/size and invalidates the entry), so a
+#: chain walk over 10k commits parses each JSON once per process, not
+#: once per read.  Bounded by a full flush at the cap; refill is one
+#: walk.  CONTRACT: callers never mutate a returned payload (every
+#: writer copies — ``{**c}``/``dict(f)``), pinned by
+#: ``tests/test_table_format.py::test_commit_cache_*``.
+_COMMIT_CACHE: dict[tuple, tuple[tuple, dict]] = {}
+_COMMIT_CACHE_MAX = 4096
+
+
 def _read_commit(path: str, version: int) -> dict:
-    with open(os.path.join(_log_dir(path), f"{version}.json")) as fh:
-        return json.load(fh)
+    fp = os.path.join(_log_dir(path), f"{version}.json")
+    st = os.stat(fp)  # missing commit raises like open() did
+    stamp = (st.st_mtime_ns, st.st_size)
+    key = (os.path.abspath(path), version)
+    hit = _COMMIT_CACHE.get(key)
+    if hit is not None and hit[0] == stamp:
+        return hit[1]
+    with open(fp) as fh:
+        payload = json.load(fh)
+    if len(_COMMIT_CACHE) >= _COMMIT_CACHE_MAX:
+        _COMMIT_CACHE.clear()
+    _COMMIT_CACHE[key] = (stamp, payload)
+    return payload
 
 
 def _file_stats(file_path: str, stat_cols: list[str]) -> dict:
@@ -462,9 +485,12 @@ def commit_widen_column(
     ``widens`` (column → new Spark type string) and NO files.  The
     era-aware read casts pre-widen files to the new type at scan
     time; post-widen appends carry it physically; time travel shows
-    the old type.  Same restrictions as :func:`commit_rename_column`:
-    the incremental row-level rewriters refuse until
-    :func:`commit_compact` materializes the schema.
+    the old type.  Same restriction as :func:`commit_rename_column`:
+    refused while MOR delete state is outstanding.  The row-level
+    rewriters (MERGE/UPDATE/REPLACE/binpack) are era-aware (round 15)
+    and keep working across the widen; only the MOR delete ops and
+    the hidden-partition point read still require
+    :func:`commit_compact` first.
 
     The target is VALIDATED against the promotion allowlist
     (:func:`_is_safe_promotion` — integer widening, float→double,
@@ -590,28 +616,51 @@ def _current_logical_type(path: str, version: int, col: str) -> str | None:
         for a, b in c.get("renames", []):
             if phys == b:
                 phys = a  # keep tracking the pre-rename physical name
+        # schema-op records hoisted by history expiry (application-
+        # ordered) — walk them newest-first like the live records
+        for kind, a, b in reversed(c.get("folded_ops", [])):
+            if kind == "w" and a == phys:
+                return b
+            if kind == "r" and phys == b:
+                phys = a
         for f in c["files"]:
             fp = os.path.join(path, f["path"])
             if not os.path.exists(fp):
                 continue
+            # an era-carrying entry resolves through its baked chain:
+            # the newest baked widen on the column IS its current type;
+            # baked renames track the entry-physical spelling
+            name, hit = phys, None
+            for kind, a, b in reversed(_entry_eras(f)):
+                if kind == "w" and a == name:
+                    hit = b
+                    break
+                if kind == "r" and name == b:
+                    name = a
+            if hit is not None:
+                return hit
             sch = pq.read_schema(fp)
-            if phys in sch.names:
-                return _arrow_type_str(sch.field(phys).type)
+            if name in sch.names:
+                return _arrow_type_str(sch.field(name).type)
         v = c["parent"] if c["parent"] is not None else c.get("prev")
     return None
 
 
 def _has_renames(path: str, version: int) -> bool:
-    """True when a rename commit is visible in the parent chain — the
-    incremental row-level rewriters are not era-aware (they carry
-    manifest entries verbatim and read file subsets by CURRENT names),
-    so they refuse loudly and name commit_compact as the materializer
+    """True when schema-op history is visible in the snapshot — a
+    rename/widen COMMIT in the parent chain, or a manifest entry
+    carrying a baked-in ``eras`` chain (an era-aware rewriter carried
+    it through a full-snapshot commit).  The MOR delete reconcilers
+    and the hidden-partition point read are not era-aware, so they
+    refuse loudly and name commit_compact as the materializer
     (compaction reads era-aware and rewrites with current names,
-    clearing the chain)."""
+    clearing both forms of the chain)."""
     v: int | None = version
     while v is not None:
         commit = _read_commit(path, v)
         if commit.get("renames") or commit.get("widens"):
+            return True
+        if any(f.get("eras") for f in commit["files"]):
             return True
         v = commit["parent"]
     return False
@@ -656,15 +705,39 @@ def _rename_key(name: str, applied: tuple) -> str:
     return name
 
 
+def _entry_eras(f: dict) -> tuple:
+    """The schema-op chain BAKED INTO a manifest entry (application-
+    ordered, oldest-first) by an era-aware rewriter that carried the
+    entry through a full-snapshot commit — the per-file half of the
+    Iceberg field-id-mapping idea.  Empty for entries that never
+    crossed a schema op."""
+    return tuple(tuple(op) for op in f.get("eras") or ())
+
+
+def _with_eras(f: dict, chain: tuple) -> dict:
+    """Entry carried by reference with its FULL translation chain
+    baked in (``chain`` already includes any previously-baked eras —
+    callers pass the combined chain from :func:`_walk_files_renamed`),
+    so the entry stays readable after the carrying commit cuts the
+    parent chain the rename/widen commits lived on."""
+    if not chain:
+        return f
+    g = dict(f)
+    g["eras"] = [list(op) for op in chain]
+    return g
+
+
 def _walk_files_renamed(
     path: str, version: int
 ) -> tuple[list[tuple[dict, tuple]], bool]:
     """Walk the parent chain newest→oldest, collecting every manifest
     entry together with the APPLICATION-ORDERED rename chain the
-    entry's physical columns must pass through (= the renames from
-    commits NEWER than the entry's commit).  Returns
-    ``(entries, any_renames)``; with no rename commits the entries
-    are exactly ``_snapshot_file_dicts`` order with empty chains."""
+    entry's physical columns must pass through: the entry's own baked
+    ``eras`` (oldest — ops already folded into it by a rewriter or
+    history expiry), then the renames/widens from commits NEWER than
+    the entry's commit.  Returns ``(entries, any_renames)``; with no
+    schema ops anywhere the entries are exactly
+    ``_snapshot_file_dicts`` order with empty chains."""
     v: int | None = version
     collected: list[tuple[str, str, str]] = []  # newest-first encounter
     out: list[tuple[dict, tuple]] = []
@@ -673,7 +746,10 @@ def _walk_files_renamed(
         commit = _read_commit(path, v)
         applied = tuple(reversed(collected))
         for f in commit["files"]:
-            out.append((f, applied))
+            own = _entry_eras(f)
+            if own:
+                any_ops = True
+            out.append((f, own + applied))
         ops = [("r", a, b) for a, b in commit.get("renames", [])]
         ops += [("w", c, t) for c, t in commit.get("widens", [])]
         if ops:
@@ -683,6 +759,35 @@ def _walk_files_renamed(
             collected.extend(reversed(ops))
         v = commit["parent"]
     return out, any_ops
+
+
+def _read_era_groups(
+    spark: SparkSession, path: str, pairs: list[tuple[str, tuple]]
+) -> DataFrame:
+    """Union-read data files grouped by the schema-op chain their era
+    must pass through: each group scans with its physical names
+    (``mergeSchema`` for additive evolution), renames/casts to the
+    current logical schema, and the eras union BY NAME.  With no
+    chains there is exactly one group and this is the identical single
+    parquet read — the zero-op fast path costs nothing."""
+    from pyspark.sql import functions as F
+
+    groups: dict[tuple, list[str]] = {}
+    for fp, applied in pairs:
+        groups.setdefault(applied, []).append(fp)
+    dfs = []
+    for applied, fps in sorted(groups.items()):
+        d = spark.read.option("mergeSchema", "true").parquet(*fps)
+        for kind, a, b in applied:
+            if kind == "r":
+                d = d.withColumnRenamed(a, b)
+            elif a in d.columns:  # widen: cast the era to the new type
+                d = d.withColumn(a, F.col(a).cast(b))
+        dfs.append(d)
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
 
 
 def _translate_entry_stats(f: dict, applied: tuple) -> dict:
@@ -789,8 +894,6 @@ def read_table(
     visible only through :func:`read_table_mor` (compaction reconciles
     the two views).  An empty snapshot raises: the caller should read
     the schema from the log in a fuller implementation."""
-    from pyspark.sql import functions as F
-
     pairs, _, _ = snapshot_files(
         path, version=version, prune=prune, null_prune=null_prune,
         point=point, with_renames=True,
@@ -804,27 +907,11 @@ def read_table(
     # merge; the read semantics are identical.
     #
     # Column renames (commit_rename_column) group the files by the
-    # rename chain their ERA must pass through: each group scans with
-    # its physical names, renames to the current logical names, and
-    # the eras union BY NAME — zero data rewritten, time travel keeps
-    # the old names.  With no rename commits there is exactly one
-    # group and this is the identical single parquet read.
-    groups: dict[tuple, list[str]] = {}
-    for fp, applied in pairs:
-        groups.setdefault(applied, []).append(fp)
-    dfs = []
-    for applied, fps in sorted(groups.items()):
-        d = spark.read.option("mergeSchema", "true").parquet(*fps)
-        for kind, a, b in applied:
-            if kind == "r":
-                d = d.withColumnRenamed(a, b)
-            elif a in d.columns:  # widen: cast the era to the new type
-                d = d.withColumn(a, F.col(a).cast(b))
-        dfs.append(d)
-    out = dfs[0]
-    for d in dfs[1:]:
-        out = out.unionByName(d, allowMissingColumns=True)
-    return out
+    # rename chain their ERA must pass through (commit-level ops plus
+    # any chain a rewriter baked into the entry) — zero data
+    # rewritten, time travel keeps the old names.  With no schema ops
+    # there is exactly one group and one parquet read.
+    return _read_era_groups(spark, path, pairs)
 
 
 def vacuum(path: str, *, retain_versions: int = 2) -> tuple[int, int]:
@@ -976,33 +1063,50 @@ def commit_update_where(
     column, and publishes an incremental full-snapshot commit with a
     recorded ``update_where`` marker.  Cost is O(candidate files), the
     change-proportional UPDATE shape at 100 TB.  Returns
-    ``(new_version, files_rewritten, files_total)``."""
+    ``(new_version, files_rewritten, files_total)``.
+
+    ERA-AWARE (round 15): rename/widen history no longer refuses —
+    pruning consults stats TRANSLATED to current names, candidates
+    read through :func:`_read_era_groups`, and untouched files carry
+    their translation chain baked into the manifest entry
+    (:func:`_with_eras`), so the full-snapshot cut loses nothing."""
     from pyspark.sql import functions as F
 
     base, new_v = _resolve_write_target(path, branch, expected_version)
-    _guard_no_renames(path, base, "commit_update_where")
-    file_dicts = _snapshot_file_dicts(path, base)
+    pairs, any_ops = _walk_files_renamed(path, base)
+    file_dicts = [f for f, _ in pairs]
     cand, untouched = [], []
-    for f in file_dicts:
+    for f, chain in pairs:
         if prune is not None:
             col, lo, hi = prune
-            rng = f["stats"].get(col)
+            stats = (
+                _translate_entry_stats(f, chain) if chain else f
+            )["stats"]
+            rng = stats.get(col)
             if rng is not None and (rng[1] < lo or rng[0] > hi):
-                untouched.append(f)
+                untouched.append((f, chain))
                 continue
-        cand.append(f)
+        cand.append((f, chain))
     if not cand:
         return base, 0, len(file_dicts)
     del_key, outstanding = _snapshot_deletes(path, base)
     pos_outstanding = _snapshot_pos_deletes(path, base)
     if outstanding or pos_outstanding:
+        if any_ops:  # the commit guards make this state unreachable
+            raise NotImplementedError(
+                "internal invariant violated: MOR delete state cannot "
+                "coexist with schema-op history"
+            )
         cur = _mor_resolve(
-            spark, path, cand, del_key, outstanding, pos_outstanding
+            spark, path, [f for f, _ in cand], del_key, outstanding,
+            pos_outstanding,
         )
     else:
-        cur = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(path, f["path"]) for f in cand]
+        cur = _read_era_groups(
+            spark, path,
+            [(os.path.join(path, f["path"]), ch) for f, ch in cand],
         )
+    untouched = [_with_eras(f, ch) for f, ch in untouched]
     match = F.expr(where)
     updated = cur.select(
         *[
@@ -1189,31 +1293,43 @@ def commit_replace_where(
             f"{col} in [{lo}, {hi}]"
         )
     base, new_v = _resolve_write_target(path, branch, expected_version)
-    _guard_no_renames(path, base, "commit_replace_where")
-    file_dicts = _snapshot_file_dicts(path, base)
+    pairs, any_ops = _walk_files_renamed(path, base)
+    file_dicts = [f for f, _ in pairs]
     dropped, straddle, untouched = [], [], []
-    for f in file_dicts:
-        rng = f["stats"].get(col)
+    for f, chain in pairs:
+        stats = (
+            _translate_entry_stats(f, chain) if chain else f
+        )["stats"]
+        rng = stats.get(col)
         if rng is None:
-            straddle.append(f)  # no stats → cannot prove → rewrite
+            straddle.append((f, chain))  # no stats → cannot prove
         elif rng[0] >= lo and rng[1] <= hi:
             dropped.append(f)
         elif rng[1] < lo or rng[0] > hi:
-            untouched.append(f)
+            untouched.append((f, chain))
         else:
-            straddle.append(f)
+            straddle.append((f, chain))
     del_key, outstanding = _snapshot_deletes(path, base)
     pos_outstanding = _snapshot_pos_deletes(path, base)
     entries: list[dict] = []
     if straddle:
         if outstanding or pos_outstanding:
+            if any_ops:  # unreachable by the commit guards
+                raise NotImplementedError(
+                    "internal invariant violated: MOR delete state "
+                    "cannot coexist with schema-op history"
+                )
             cur = _mor_resolve(
-                spark, path, straddle, del_key, outstanding,
-                pos_outstanding,
+                spark, path, [f for f, _ in straddle], del_key,
+                outstanding, pos_outstanding,
             )
         else:
-            cur = spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(path, f["path"]) for f in straddle]
+            cur = _read_era_groups(
+                spark, path,
+                [
+                    (os.path.join(path, f["path"]), ch)
+                    for f, ch in straddle
+                ],
             )
         survivors = cur.filter(
             (F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi))
@@ -1228,6 +1344,7 @@ def commit_replace_where(
     )
     df.write.mode("overwrite").parquet(staging)
     entries += _manifest_entries(path, staging, stat_cols, seq=new_v)
+    untouched = [_with_eras(f, ch) for f, ch in untouched]
     files = list(untouched) + entries
     payload: dict = {
         "version": new_v,
@@ -1293,23 +1410,31 @@ def compact_binpack(
 
     Returns the new version (or ``base`` when no-op)."""
     base, new_v = _resolve_write_target(path, branch, expected_version)
-    _guard_no_renames(path, base, "compact_binpack")
-    file_dicts = _snapshot_file_dicts(path, base)
-    small = [f for f in file_dicts if f["rows"] < target_rows]
-    large = [f for f in file_dicts if f["rows"] >= target_rows]
+    pairs, any_ops = _walk_files_renamed(path, base)
+    small = [(f, ch) for f, ch in pairs if f["rows"] < target_rows]
+    large = [
+        _with_eras(f, ch) for f, ch in pairs if f["rows"] >= target_rows
+    ]
     if len(small) < 2:
         return base
     del_key, outstanding = _snapshot_deletes(path, base)
     pos_outstanding = _snapshot_pos_deletes(path, base)
     if outstanding or pos_outstanding:
+        if any_ops:  # unreachable by the commit guards
+            raise NotImplementedError(
+                "internal invariant violated: MOR delete state cannot "
+                "coexist with schema-op history"
+            )
         current = _mor_resolve(
-            spark, path, small, del_key, outstanding, pos_outstanding
+            spark, path, [f for f, _ in small], del_key, outstanding,
+            pos_outstanding,
         )
     else:
-        current = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(path, f["path"]) for f in small]
+        current = _read_era_groups(
+            spark, path,
+            [(os.path.join(path, f["path"]), ch) for f, ch in small],
         )
-    total = sum(f["rows"] for f in small)
+    total = sum(f["rows"] for f, _ in small)
     n_out = max(1, -(-total // max(1, target_rows)))  # ceil
     staging = os.path.join(
         _data_dir(path), f"binpack-{new_v}-{uuid.uuid4().hex[:8]}"
@@ -1462,7 +1587,6 @@ def commit_merge(
     from table_streaming_source_spark.snapshot import merge_into
 
     base, new_v = _resolve_write_target(path, branch, expected_version)
-    _guard_no_renames(path, base, "commit_merge")
     if txn is not None:
         # re-validate the idempotence watermark AFTER the base is
         # pinned (the Delta txn-conflict-checker rule): a zombie driver
@@ -1480,7 +1604,14 @@ def commit_merge(
                 f"txn {txn['app']}/{txn['batch']} already committed "
                 f"(watermark {prior}) — replayed batch"
             )
-    file_dicts = _snapshot_file_dicts(path, base)
+    pairs, any_ops = _walk_files_renamed(path, base)
+    # era-aware targeting (round 15): decisions run on stats/bloom
+    # keys TRANSLATED to current names, so a merge on a renamed key
+    # keeps its stats-targeted file pruning across the rename
+    file_dicts = [
+        _translate_entry_stats(f, ch) if ch else f for f, ch in pairs
+    ]
+    chains = [ch for _, ch in pairs]
     # no stats for the key → cannot prove absence → must rewrite
     hit_idx = {
         i for i, f in enumerate(file_dicts)
@@ -1563,8 +1694,15 @@ def commit_merge(
             .collect()
         }
         hit_idx.difference_update(set(idxs) - passed)
-    affected = [f for i, f in enumerate(file_dicts) if i in hit_idx]
-    untouched = [f for i, f in enumerate(file_dicts) if i not in hit_idx]
+    # carried entries keep their ORIGINAL (physical-name) stats plus
+    # the baked chain — a translated copy would double-translate at
+    # read time
+    affected = [f for i, (f, _) in enumerate(pairs) if i in hit_idx]
+    untouched = [
+        _with_eras(f, ch)
+        for i, (f, ch) in enumerate(pairs)
+        if i not in hit_idx
+    ]
     # outstanding MOR equality deletes: the rewrite reads affected
     # files THROUGH the deletes (else a rewritten file would resurrect
     # its deleted rows), and the commit carries the delete files
@@ -1575,13 +1713,23 @@ def commit_merge(
     pos_outstanding = _snapshot_pos_deletes(path, base)
     if affected:
         if outstanding or pos_outstanding:
+            if any_ops:  # unreachable by the commit guards
+                raise NotImplementedError(
+                    "internal invariant violated: MOR delete state "
+                    "cannot coexist with schema-op history"
+                )
             current = _mor_resolve(
                 spark, path, affected, del_key, outstanding,
                 pos_outstanding,
             )
         else:
-            current = spark.read.parquet(
-                *[os.path.join(path, f["path"]) for f in affected]
+            current = _read_era_groups(
+                spark, path,
+                [
+                    (os.path.join(path, f["path"]), chains[i])
+                    for i, (f, _) in enumerate(pairs)
+                    if i in hit_idx
+                ],
             )
     else:
         current = changes.drop(op_col).limit(0)
@@ -1820,11 +1968,27 @@ def read_incremental(
         if ops:
             collected.extend(reversed(ops))
         v = commit["parent"]
-    groups: dict[int, list[str]] = {}
-    for gv, rel in incremental_files(
-        path, from_version=from_version, to_version=to_v
-    ):
-        groups.setdefault(gv, []).append(os.path.join(path, rel))
+    # attribute each new file to its introducing commit, KEEPING the
+    # entry's baked era chain (a full-snapshot rewrite re-emits files
+    # it carried; those entries translate through their own chain
+    # BEFORE the commit-level chain of the introducing commit)
+    base_paths = {
+        f["path"] for f in _snapshot_file_dicts(path, from_version)
+    }
+    groups: dict[tuple[int, tuple], list[str]] = {}
+    seen_paths: set[str] = set()
+    gv: int | None = to_v
+    while gv is not None:
+        commit = _read_commit(path, gv)
+        for f in commit["files"]:
+            if f["path"] in seen_paths:
+                continue
+            seen_paths.add(f["path"])
+            if f["path"] not in base_paths:
+                groups.setdefault((gv, _entry_eras(f)), []).append(
+                    os.path.join(path, f["path"])
+                )
+        gv = commit["parent"]
     if not groups:
         raise ValueError(
             f"empty incremental range ({from_version}, {to_v}]"
@@ -1841,9 +2005,9 @@ def read_incremental(
     parts = [
         _era(
             spark.read.option("mergeSchema", "true").parquet(*files),
-            chains.get(gv, ()),
+            ech + chains.get(gv, ()),
         ).withColumn(version_col, F.lit(gv).cast("int"))
-        for gv, files in sorted(groups.items())
+        for (gv, ech), files in sorted(groups.items())
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -2689,23 +2853,19 @@ def shallow_clone(src: str, dst: str, at=None) -> int:
     os.makedirs(_data_dir(dst), exist_ok=True)
     os.makedirs(_log_dir(dst), exist_ok=True)
     entries = []
-    # resolve the full snapshot (chain-walk) but keep per-file stats
-    v: int | None = src_head
+    # resolve the full snapshot (chain-walk) but keep per-file stats;
+    # the source's rename/widen history is baked into each cloned
+    # entry (``eras``) — the clone's log starts fresh and would
+    # otherwise lose the translation the source's commits carried
     seen: set[str] = set()
-    while v is not None:
-        c = _read_commit(src, v)
-        for f in c["files"]:
-            ap = os.path.abspath(os.path.join(src, f["path"]))
-            if ap in seen:
-                continue
-            seen.add(ap)
-            entries.append(
-                {
-                    **f,
-                    "path": os.path.relpath(ap, dst),
-                }
-            )
-        v = c["parent"]
+    for f, chain in _walk_files_renamed(src, src_head)[0]:
+        ap = os.path.abspath(os.path.join(src, f["path"]))
+        if ap in seen:
+            continue
+        seen.add(ap)
+        entries.append(
+            _with_eras({**f, "path": os.path.relpath(ap, dst)}, chain)
+        )
     del_key, outstanding = _snapshot_deletes(src, src_head)
     payload: dict = {
         "version": 1,
@@ -2822,22 +2982,40 @@ def expire_snapshots(path: str, *, keep_last: int = 1) -> int:
                     txns[app] = b
             v = c["parent"] if c["parent"] is not None else c.get("prev")
         v = cv
+        collected: list[tuple[str, str, str]] = []  # newest-first ops
         while v is not None:
             c = _read_commit(path, v)
+            applied = tuple(reversed(collected))
             for f in c["files"]:
                 if f["path"] in seen:
                     continue
                 seen.add(f["path"])
+                chain = _entry_eras(f) + applied
                 if v == cv:
-                    files.append(f)
+                    files.append(_with_eras(f, chain))
                 else:
                     # folded-in files may have been written under a
                     # DIFFERENT partition spec than the cut commit's —
                     # drop the partition tag so point reads fall back
-                    # to min/max stats (never-lossy direction)
+                    # to min/max stats (never-lossy direction).  The
+                    # rename/widen chain the file must pass through is
+                    # baked into the entry: the fold erases the
+                    # schema-op commits it crossed.
                     files.append(
-                        {k: x for k, x in f.items() if k != "partition"}
+                        _with_eras(
+                            {
+                                k: x
+                                for k, x in f.items()
+                                if k != "partition"
+                            },
+                            chain,
+                        )
                     )
+            ops = [tuple(o) for o in c.get("folded_ops", [])]
+            ops += [("r", a, b) for a, b in c.get("renames", [])]
+            ops += [("w", cc, tt) for cc, tt in c.get("widens", [])]
+            if ops:
+                collected.extend(reversed(ops))
             v = c["parent"]
         del_key, outstanding = _snapshot_deletes(path, cv)
         rewritten = {
@@ -2848,6 +3026,17 @@ def expire_snapshots(path: str, *, keep_last: int = 1) -> int:
         # history below the horizon is gone — drop the logical-
         # predecessor link rather than point at an expired commit
         rewritten.pop("prev", None)
+        # entry-baked eras replace the commit-level records for FILE
+        # translation; the records themselves are hoisted (application-
+        # ordered) so the streams' schema-change bookkeeping
+        # (renamed-away names, landed widen targets) survives expiry
+        rewritten.pop("renames", None)
+        rewritten.pop("widens", None)
+        rewritten.pop("folded_ops", None)
+        if collected:
+            rewritten["folded_ops"] = [
+                list(o) for o in reversed(collected)
+            ]
         if txns:
             rewritten["txns"] = txns
         if outstanding:
@@ -3144,38 +3333,41 @@ def read_cdf(
                 F.col(rcol) <= F.lit(hi)
             )
             own = [f for f in c["files"] if f.get("seq") == v]
-            prev_dicts = _snapshot_file_dicts(path, base)
+            prev_pairs, prev_ops = _walk_files_renamed(path, base)
             carried = {f["path"] for f in c["files"]}
+
+            def _rw_disjoint(f: dict, chain: tuple = ()) -> bool:
+                stats = (
+                    _translate_entry_stats(f, chain) if chain else f
+                )["stats"]
+                rng = stats.get(rcol)
+                return rng is not None and (rng[1] < lo or rng[0] > hi)
+
             replaced = [
-                f
-                for f in prev_dicts
-                if f["path"] not in carried
-                and not (
-                    f["stats"].get(rcol) is not None
-                    and (
-                        f["stats"][rcol][1] < lo
-                        or f["stats"][rcol][0] > hi
-                    )
-                )
+                (f, ch)
+                for f, ch in prev_pairs
+                if f["path"] not in carried and not _rw_disjoint(f, ch)
             ]
-            own = [
-                f
-                for f in own
-                if not (
-                    f["stats"].get(rcol) is not None
-                    and (
-                        f["stats"][rcol][1] < lo
-                        or f["stats"][rcol][0] > hi
-                    )
-                )
-            ]
+            own = [f for f in own if not _rw_disjoint(f)]
             prev_key, prev_eq = _snapshot_deletes(path, base)
             prev_pos = _snapshot_pos_deletes(path, base)
-            _require_files(path, replaced + own, v)
+            _require_files(path, [f for f, _ in replaced] + own, v)
             if replaced:
-                pre = _mor_resolve(
-                    spark, path, replaced, prev_key, prev_eq, prev_pos
-                ).filter(in_range)
+                if prev_ops:
+                    # schema-op history never coexists with MOR state
+                    # (the commit guards), so the era read is exact
+                    pre = _read_era_groups(
+                        spark, path,
+                        [
+                            (os.path.join(path, f["path"]), ch)
+                            for f, ch in replaced
+                        ],
+                    ).filter(in_range)
+                else:
+                    pre = _mor_resolve(
+                        spark, path, [f for f, _ in replaced],
+                        prev_key, prev_eq, prev_pos,
+                    ).filter(in_range)
                 legs.append(_tag(pre, "delete", v))
             if own:
                 post = spark.read.option("mergeSchema", "true").parquet(
@@ -3192,15 +3384,31 @@ def read_cdf(
         key = c["merge_key"]
         post_files = [f for f in c["files"] if f.get("seq") == v]
         carried = {f["path"] for f in c["files"]}
-        prev_dicts = _snapshot_file_dicts(path, base)
-        rewritten = [f for f in prev_dicts if f["path"] not in carried]
+        prev_pairs, prev_ops = _walk_files_renamed(path, base)
+        rewritten = [
+            (f, ch) for f, ch in prev_pairs if f["path"] not in carried
+        ]
         prev_key, prev_eq = _snapshot_deletes(path, base)
         prev_pos = _snapshot_pos_deletes(path, base)
-        _require_files(path, rewritten + post_files, v)
+        _require_files(path, [f for f, _ in rewritten] + post_files, v)
         if rewritten:
-            pre = _mor_resolve(
-                spark, path, rewritten, prev_key, prev_eq, prev_pos
-            )
+            if prev_ops:
+                # a merge over uncompacted rename/widen history: the
+                # pre side spans eras — translate per file (schema-op
+                # history never coexists with MOR state, so the era
+                # read is exact)
+                pre = _read_era_groups(
+                    spark, path,
+                    [
+                        (os.path.join(path, f["path"]), ch)
+                        for f, ch in rewritten
+                    ],
+                )
+            else:
+                pre = _mor_resolve(
+                    spark, path, [f for f, _ in rewritten],
+                    prev_key, prev_eq, prev_pos,
+                )
         else:
             pre = None
         post = (

@@ -548,3 +548,101 @@ def test_widen_alias_in_pre_rule_log_still_recoverable(spark, tmp_path):
     # and a genuinely narrower pin still stops loudly
     with pytest.raises(ValueError, match="widened to"):
         _cdf_rows(path, 3, ["k", "n"], types=["int", "bigint"])
+
+
+def test_datasource_reads_era_carrying_rewrite(spark, tmp_path):
+    """Round 15: the batch DataSource (temp-view front door) over a
+    table whose manifest entries carry BAKED era chains (rename, then
+    era-aware MERGE that carried the untouched file) — published
+    schema shows only current names, pruning still skips by
+    translated stats, and no NULL backfill appears."""
+    from table_streaming_source_spark.sources.format_batch import (
+        register_table_format,
+    )
+
+    path = str(tmp_path / "era_ds")
+    TF.create_table(path)
+    lo = spark.range(0, 10).selectExpr("id as k", "id * 2 as v")
+    hi = spark.range(100, 110).selectExpr("id as k", "id * 2 as v")
+    TF.commit_append(spark, path, lo.coalesce(1), stat_cols=["k"])   # v1
+    TF.commit_append(spark, path, hi.coalesce(1), stat_cols=["k"])   # v2
+    TF.commit_rename_column(path, {"k": "pk", "v": "amount"})        # v3
+    TF.commit_merge(                                                 # v4
+        spark, path,
+        spark.range(5, 6).selectExpr(
+            "id as pk", "cast(0 as bigint) as amount", "'U' as op"
+        ),
+        key="pk", stat_cols=["pk"],
+    )
+    assert any(
+        f.get("eras") for f in TF._read_commit(path, 4)["files"]
+    )
+    register_table_format(spark)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW era_ds_v "
+        f"USING table_format OPTIONS (path '{path}')"
+    )
+    try:
+        got = spark.table("era_ds_v")
+        assert set(got.columns) == {"pk", "amount"}
+        assert got.count() == 20
+        assert got.filter("amount IS NULL").count() == 0
+        assert got.filter("pk = 5").collect()[0]["amount"] == 0
+        # pruning on the renamed key still skips the era file
+        assert (
+            spark.sql(
+                "SELECT SUM(amount) s FROM era_ds_v WHERE pk >= 100"
+            ).collect()[0]["s"]
+            == sum(i * 2 for i in range(100, 110))
+        )
+    finally:
+        spark.catalog.dropTempView("era_ds_v")
+
+
+def test_stream_cdf_rows_of_merge_after_rename(spark, tmp_path):
+    """Round 15 streaming twin: the per-commit CDF image computation
+    reads the merge's PRE side era-aware (per-file physical names
+    through the chain), so a stream crossing a merge that landed
+    right after a rename emits correct images, never NULL backfill."""
+    from table_streaming_source_spark.streaming.format_cdf import (
+        _cdf_rows,
+    )
+
+    path = str(tmp_path / "era_stream")
+    TF.create_table(path)
+    lo = spark.range(0, 10).selectExpr("id as k", "id * 2 as v")
+    hi = spark.range(100, 110).selectExpr("id as k", "id * 2 as v")
+    TF.commit_append(spark, path, lo.coalesce(1), stat_cols=["k"])   # v1
+    TF.commit_append(spark, path, hi.coalesce(1), stat_cols=["k"])   # v2
+    TF.commit_rename_column(path, {"v": "amount"})                   # v3
+    TF.commit_merge(                                                 # v4
+        spark, path,
+        spark.range(5, 6).selectExpr(
+            "id as k", "cast(0 as bigint) as amount", "'U' as op"
+        ),
+        key="k", stat_cols=["k"],
+    )
+    rows = _cdf_rows(path, 4, ["k", "amount"])
+    by_type: dict = {}
+    for k, amount, ctype, _v in rows:
+        by_type.setdefault(ctype, []).append((k, amount))
+    assert by_type["update_preimage"] == [(5, 10)]
+    assert by_type["update_postimage"] == [(5, 0)]
+    assert "insert" not in by_type and "delete" not in by_type
+    assert all(
+        a is not None for vals in by_type.values() for _, a in vals
+    )
+    # a SECOND commit's leg over the now era-carrying snapshot: merge
+    # into the carried file (its entry bakes the chain)
+    TF.commit_merge(                                                 # v5
+        spark, path,
+        spark.range(105, 106).selectExpr(
+            "id as k", "cast(1 as bigint) as amount", "'U' as op"
+        ),
+        key="k", stat_cols=["k"],
+    )
+    rows5 = _cdf_rows(path, 5, ["k", "amount"])
+    types5 = {r[2] for r in rows5}
+    assert types5 == {"update_preimage", "update_postimage"}
+    pre5 = [r for r in rows5 if r[2] == "update_preimage"]
+    assert pre5 == [(105, 210, "update_preimage", 5)]

@@ -341,14 +341,19 @@ def test_alter_rename_column_routes(spark, table):
     got = TF.read_table(spark, table)
     assert "price" in got.columns and "val" not in got.columns
     assert got.count() == 100
-    # the router's UPDATE on a renamed table fails loudly (era-aware
-    # rewrite is compaction's job), naming the remedy
-    with pytest.raises(NotImplementedError, match="commit_compact"):
-        format_sql(
-            spark,
-            "UPDATE t SET price = price + 1 WHERE k <= 3",
-            tables={"t": table},
-        )
+    # the router's UPDATE on a renamed table works WITHOUT compaction
+    # (round 15: the rewriters are era-aware)
+    r2 = format_sql(
+        spark,
+        "UPDATE t SET price = price + 1 WHERE k <= 3",
+        tables={"t": table},
+    ).collect()[0]
+    assert r2["operation"] == "UPDATE"
+    got2 = TF.read_table(spark, table)
+    assert got2.filter("k <= 3").agg(
+        F.sum("price")
+    ).collect()[0][0] == sum(i * 10 + 1 for i in (1, 2, 3))
+    assert got2.count() == 100
 
 
 def test_alter_widen_column_routes(spark, table):
@@ -566,3 +571,34 @@ def test_ctas_over_partially_created_root(spark, table, tmp_path):
     ).collect()[0]
     assert r["operation"] == "CREATE TABLE AS SELECT"
     assert TF.read_table(spark, root).count() == 5
+
+
+def test_merge_unconsumed_when_clause_raises(spark, table):
+    """Round 15 (found by end-to-end drive): a MERGE whose WHEN clause
+    the shape regexes do NOT support — per-column ``UPDATE SET col =
+    expr`` instead of the documented full-row ``UPDATE SET *`` — used
+    to be silently DROPPED: with an INSERT * clause also present the
+    statement committed as insert-only and matched rows silently kept
+    their target values.  Unconsumed WHEN text now raises."""
+    with pytest.raises(ValueError, match="unsupported MERGE WHEN"):
+        format_sql(
+            spark,
+            "MERGE INTO t USING (SELECT 5 AS k, CAST(1.5 AS DOUBLE) "
+            "AS val) s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET val = s.val "
+            "WHEN NOT MATCHED THEN INSERT *",
+            tables={"t": table},
+        )
+    # the documented full-row shape still routes
+    r = format_sql(
+        spark,
+        "MERGE INTO t USING (SELECT CAST(5 AS BIGINT) AS k, "
+        "CAST(1.5 AS DOUBLE) AS val) s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        tables={"t": table},
+    ).collect()[0]
+    assert r["operation"] == "MERGE"
+    assert TF.read_table(spark, table).filter("k = 5").collect()[0][
+        "val"
+    ] == 1.5

@@ -1001,3 +1001,91 @@ def test_phys_name_round_trips_through_rename_chain():
     assert _phys_name("c", ops) == "a"   # c <- b <- a
     assert _phys_name("x", ops) == "x"   # untouched name passes through
     assert _phys_name("b", ()) == "b"
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=3,
+        max_size=6,
+    ),
+)
+@settings(max_examples=8, deadline=None)
+def test_table_format_era_chain_with_interleaved_rewriters(
+    spark, tmp_path_factory, ops
+):
+    """Round 15: random interleavings of append / rename / merge /
+    update_where / binpack against the table format equal a plain
+    dict model — the era chain (commit-level ops plus entry-baked
+    chains carried through full-snapshot rewrites) never loses or
+    NULLs a row, and the value column always reads under its CURRENT
+    name."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from table_streaming_source_spark import table_format as TF
+
+    path = str(
+        tmp_path_factory.mktemp("era_prop") / _uuid.uuid4().hex[:8]
+    )
+    TF.create_table(path)
+    model: dict[int, int] = {}
+    col = "val0"
+    n_renames = 0
+    nxt = 0  # next fresh append key
+
+    def _append(lo: int) -> None:
+        nonlocal nxt
+        keys = list(range(nxt, nxt + 3))
+        nxt += 3
+        df = spark.createDataFrame(
+            [(k, k * 2) for k in keys], f"k long, {col} long"
+        )
+        TF.commit_append(spark, path, df.coalesce(1), stat_cols=["k"])
+        for k in keys:
+            model[k] = k * 2
+
+    _append(0)  # non-empty start
+    for code, p in ops:
+        if code == 0:
+            _append(p)
+        elif code == 1:
+            n_renames += 1
+            new = f"val{n_renames}"
+            TF.commit_rename_column(path, {col: new})
+            col = new
+        elif code == 2:  # upsert merge on a small key window
+            w = p % max(1, nxt)
+            keys = [w, w + 1]
+            df = spark.createDataFrame(
+                [(k, 1000 + k, "U") for k in keys],
+                f"k long, {col} long, op string",
+            )
+            TF.commit_merge(
+                spark, path, df, key="k", stat_cols=["k"], upsert=True
+            )
+            for k in keys:
+                model[k] = 1000 + k
+        elif code == 3:  # predicate update on even keys
+            TF.commit_update_where(
+                spark, path,
+                set_exprs={col: f"{col} + {p + 1}"},
+                where="k % 2 = 0",
+                stat_cols=["k"],
+            )
+            for k in model:
+                if k % 2 == 0:
+                    model[k] += p + 1
+        else:  # binpack: content no-op
+            TF.compact_binpack(
+                spark, path, stat_cols=["k"], target_rows=1_000
+            )
+    got = TF.read_table(spark, path)
+    assert set(got.columns) == {"k", col}
+    rows = {(r["k"], r[col]) for r in got.collect()}
+    assert rows == set(model.items())
+    assert got.filter(F.col(col).isNull()).count() == 0

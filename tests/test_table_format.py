@@ -3969,7 +3969,13 @@ def test_rename_then_append_unions_eras_by_name(spark, table):
     )
 
 
-def test_rename_guards_incremental_rewriters_until_compact(spark, table):
+def test_rename_then_merge_without_compaction(spark, table):
+    """Round 15: the row-level rewriters are ERA-AWARE — a MERGE right
+    after a rename (NO compaction in between) reads pre-rename files
+    under their physical names, rewrites with current names, and
+    carries untouched files with their translation chain baked in.
+    The MOR delete reconcilers still refuse (compact remains the
+    materializer for those)."""
     path, _ = table
     TF.commit_rename_column(path, {"v": "value_x2"})
     changes = spark.range(3).select(
@@ -3978,20 +3984,24 @@ def test_rename_guards_incremental_rewriters_until_compact(spark, table):
         F.lit(0).alias("value_x2"),
         F.lit("U").alias("op"),
     )
-    with pytest.raises(NotImplementedError, match="commit_compact"):
-        TF.commit_merge(
-            spark, path, changes, key="k", stat_cols=["bucket"]
-        )
-    with pytest.raises(NotImplementedError, match="commit_compact"):
-        TF.positions_where(spark, path, "k = 1")
-    # compaction materializes current names and clears the chain
-    TF.commit_compact(spark, path, stat_cols=["bucket"])
     v, rewritten, total = TF.commit_merge(
         spark, path, changes, key="k", stat_cols=["bucket"]
     )
-    got = TF.read_table_mor(spark, path)
+    got = TF.read_table(spark, path)
+    assert set(got.columns) == {"k", "bucket", "value_x2"}
     assert got.filter("k < 3").agg(F.sum("value_x2")).collect()[0][0] == 0
     assert got.count() == 100
+    assert got.agg(F.sum("value_x2")).collect()[0][0] == sum(
+        i * 2 for i in range(3, 100)
+    )
+    # this merge rewrote EVERY file (no stats on the merge key), which
+    # materializes the current schema — so the delete reconcilers are
+    # unguarded again (the carried-entry guard case is pinned in
+    # test_deletes_and_point_read_still_refuse_on_era_entries)
+    assert TF.positions_where(spark, path, "k = 1").count() == 1
+    # time travel to before the rename still shows the old name
+    old = TF.read_table(spark, path, version=2)
+    assert "v" in old.columns and "value_x2" not in old.columns
 
 
 def test_rename_validation_errors(spark, table):
@@ -4160,3 +4170,369 @@ def test_read_staged_is_era_aware_across_rename(spark, table):
     assert got.agg(F.sum("value_x2")).collect()[0][0] == sum(
         i * 2 for i in range(105)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 15: era-aware row-level rewriters (rename/widen history no longer
+# refuses MERGE/UPDATE/REPLACE/binpack; carried entries bake their chain)
+# ---------------------------------------------------------------------------
+
+
+def _two_file_table(spark, tmp_path, name="era_tbl"):
+    """Two files with DISJOINT k ranges and stats on k — targeting is
+    observable."""
+    path = str(tmp_path / name)
+    TF.create_table(path)
+    lo = spark.range(0, 10).selectExpr("id as k", "id * 2 as v")
+    hi = spark.range(100, 110).selectExpr("id as k", "id * 2 as v")
+    TF.commit_append(spark, path, lo.coalesce(1), stat_cols=["k"])   # v1
+    TF.commit_append(spark, path, hi.coalesce(1), stat_cols=["k"])   # v2
+    return path
+
+
+def test_merge_targeting_prunes_across_renamed_key(spark, tmp_path):
+    """Stats-targeted MERGE on a RENAMED key: the manifest ranges were
+    recorded under the old physical name, the CDC batch arrives under
+    the current name — translation keeps the file pruning (only the
+    overlapping file rewrites) and the untouched file is carried with
+    its chain baked in and stays readable."""
+    path = _two_file_table(spark, tmp_path)
+    TF.commit_rename_column(path, {"k": "pk"})                       # v3
+    changes = spark.range(5, 8).selectExpr(
+        "id as pk", "cast(0 as bigint) as v", "'U' as op"
+    )
+    v, rewritten, total = TF.commit_merge(
+        spark, path, changes, key="pk", stat_cols=["pk"]
+    )
+    assert (rewritten, total) == (1, 2)  # pruning survived the rename
+    got = TF.read_table(spark, path)
+    assert set(got.columns) == {"pk", "v"}
+    assert got.count() == 20
+    assert got.filter("pk BETWEEN 5 AND 7").agg(
+        F.sum("v")
+    ).collect()[0][0] == 0
+    # the carried file reads correctly through its baked chain
+    assert got.filter("pk >= 100").agg(F.sum("v")).collect()[0][0] == sum(
+        i * 2 for i in range(100, 110)
+    )
+    # a SECOND merge targets through the baked entry chain too
+    changes2 = spark.range(105, 107).selectExpr(
+        "id as pk", "cast(1 as bigint) as v", "'U' as op"
+    )
+    v2, rw2, tot2 = TF.commit_merge(
+        spark, path, changes2, key="pk", stat_cols=["pk"]
+    )
+    assert rw2 < tot2  # the 0-9 era file(s) stayed untouched
+    got2 = TF.read_table(spark, path)
+    assert got2.filter("pk IN (105, 106)").agg(
+        F.sum("v")
+    ).collect()[0][0] == 2
+    assert got2.count() == 20
+
+
+def test_update_and_replace_where_after_rename(spark, tmp_path):
+    path = _two_file_table(spark, tmp_path, "era_upd")
+    TF.commit_rename_column(path, {"v": "amount"})                   # v3
+    # UPDATE with prune on the UNrenamed stat column; SET on the
+    # renamed one — only the overlapping file rewrites
+    v, rewritten, total = TF.commit_update_where(
+        spark, path,
+        set_exprs={"amount": "amount + 1000"},
+        where="k <= 3",
+        stat_cols=["k"],
+        prune=("k", 0, 3),
+    )
+    assert (rewritten, total) == (1, 2)
+    got = TF.read_table(spark, path)
+    assert got.filter("k <= 3").agg(F.sum("amount")).collect()[0][0] == (
+        sum(i * 2 + 1000 for i in range(4))
+    )
+    assert got.filter("k >= 100").count() == 10
+    # REPLACE WHERE on the untouched (still era-carrying) region
+    batch = spark.range(100, 103).selectExpr(
+        "id as k", "cast(-1 as bigint) as amount"
+    )
+    v2, dropped, straddle, untouched_n = TF.commit_replace_where(
+        spark, path, batch, col="k", lo=100, hi=109,
+        stat_cols=["k"],
+    )
+    got2 = TF.read_table(spark, path)
+    assert got2.filter("k >= 100").count() == 3
+    assert got2.filter("k >= 100").agg(
+        F.sum("amount")
+    ).collect()[0][0] == -3
+    assert got2.filter("k <= 9").count() == 10  # carried era intact
+
+
+def test_binpack_after_rename_is_silent_maintenance(spark, tmp_path):
+    path = _two_file_table(spark, tmp_path, "era_pack")
+    TF.commit_rename_column(path, {"v": "val"})                      # v3
+    head = TF.latest_version(path)
+    v = TF.compact_binpack(
+        spark, path, stat_cols=["k"], target_rows=1_000
+    )
+    assert v == head + 1
+    got = TF.read_table(spark, path)
+    assert set(got.columns) == {"k", "val"}
+    assert got.count() == 20
+    assert got.agg(F.sum("val")).collect()[0][0] == sum(
+        i * 2 for i in list(range(10)) + list(range(100, 110))
+    )
+    # maintenance commit: the CDF feed over it emits nothing (the
+    # documented maintenance-only-range contract is a loud raise)
+    with pytest.raises(ValueError, match="no change commits"):
+        TF.read_cdf(spark, path, from_version=head, to_version=v)
+
+
+def test_widen_then_merge_without_compaction(spark, tmp_path):
+    path = str(tmp_path / "era_widen")
+    TF.create_table(path)
+    df = spark.range(10).selectExpr("cast(id as int) as k", "id as n")
+    TF.commit_append(spark, path, df.coalesce(1), stat_cols=["k"])   # v1
+    TF.commit_widen_column(path, {"k": "bigint"})                    # v2
+    changes = spark.range(3).selectExpr(
+        "cast(id as bigint) as k", "cast(0 as bigint) as n", "'U' as op"
+    )
+    TF.commit_merge(spark, path, changes, key="k", stat_cols=["k"])
+    got = TF.read_table(spark, path)
+    assert dict(got.dtypes)["k"] == "bigint"
+    assert got.count() == 10
+    assert got.filter("k < 3").agg(F.sum("n")).collect()[0][0] == 0
+
+
+def test_chained_eras_rename_merge_rename_merge(spark, tmp_path):
+    """Entry-baked chains COMPOSE with later commit-level ops: rename,
+    merge (bakes chain into carried file), rename again, merge again —
+    every era still translates to the newest names."""
+    path = _two_file_table(spark, tmp_path, "era_chain")
+    TF.commit_rename_column(path, {"k": "pk"})                       # v3
+    TF.commit_merge(
+        spark, path,
+        spark.range(5, 6).selectExpr(
+            "id as pk", "cast(0 as bigint) as v", "'U' as op"
+        ),
+        key="pk", stat_cols=["pk"],
+    )                                                                # v4
+    TF.commit_rename_column(path, {"v": "amount"})                   # v5
+    TF.commit_merge(
+        spark, path,
+        spark.range(105, 106).selectExpr(
+            "id as pk", "cast(0 as bigint) as amount", "'U' as op"
+        ),
+        key="pk", stat_cols=["pk"],
+    )                                                                # v6
+    got = TF.read_table(spark, path)
+    assert set(got.columns) == {"pk", "amount"}
+    assert got.count() == 20
+    assert got.filter("pk IN (5, 105)").agg(
+        F.sum("amount")
+    ).collect()[0][0] == 0
+    assert got.agg(F.sum("amount")).collect()[0][0] == sum(
+        i * 2 for i in list(range(10)) + list(range(100, 110))
+    ) - 10 - 210
+
+
+def test_deletes_and_point_read_still_refuse_on_era_entries(
+    spark, tmp_path
+):
+    """After an era-carrying rewrite the commit-level rename records
+    are cut away — the guard must detect the ENTRY-level chains so the
+    non-era-aware ops (MOR deletes, hidden-partition point read) keep
+    refusing with the compact remedy, and compaction still clears."""
+    path = _two_file_table(spark, tmp_path, "era_guard")
+    TF.commit_rename_column(path, {"k": "pk"})                       # v3
+    TF.commit_merge(
+        spark, path,
+        spark.range(5, 6).selectExpr(
+            "id as pk", "cast(0 as bigint) as v", "'U' as op"
+        ),
+        key="pk", stat_cols=["pk"],
+    )                                                                # v4
+    # the merge cut the parent chain; only entries carry eras now
+    c = TF._read_commit(path, 4)
+    assert c["parent"] is None
+    assert any(f.get("eras") for f in c["files"])
+    with pytest.raises(NotImplementedError, match="commit_compact"):
+        TF.commit_delete_keys(
+            spark, path,
+            spark.range(1, 2).selectExpr("id as pk"), key="pk",
+        )
+    with pytest.raises(NotImplementedError, match="commit_compact"):
+        TF.snapshot_files_point(path, "pk", 5)
+    TF.commit_compact(spark, path, stat_cols=["pk"])
+    TF.commit_delete_keys(
+        spark, path, spark.range(1, 2).selectExpr("id as pk"), key="pk",
+    )
+    assert TF.read_table_mor(spark, path).count() == 19
+
+
+def test_cdf_of_merge_right_after_rename(spark, tmp_path):
+    """The CDF merge leg reads the PRE side era-aware: a merge landing
+    directly on a renamed (uncompacted) table classifies its images
+    under the current names instead of null-backfilling."""
+    path = _two_file_table(spark, tmp_path, "era_cdf")
+    TF.commit_rename_column(path, {"v": "amount"})                   # v3
+    changes = (
+        spark.range(5, 6).selectExpr(
+            "id as k", "cast(0 as bigint) as amount", "'U' as op"
+        )
+        .unionByName(
+            spark.range(500, 501).selectExpr(
+                "id as k", "cast(7 as bigint) as amount", "'I' as op"
+            )
+        )
+        .unionByName(
+            spark.range(100, 101).selectExpr(
+                "id as k", "cast(null as bigint) as amount", "'D' as op"
+            )
+        )
+    )
+    TF.commit_merge(spark, path, changes, key="k", stat_cols=["k"])  # v4
+    feed = TF.read_cdf(spark, path, from_version=3, to_version=4)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by_type == {
+        "insert": 1, "delete": 1,
+        "update_preimage": 1, "update_postimage": 1,
+    }
+    pre = feed.filter("_change_type = 'update_preimage'").collect()[0]
+    post = feed.filter("_change_type = 'update_postimage'").collect()[0]
+    assert pre["amount"] == 10 and post["amount"] == 0
+    assert feed.filter("_change_type = 'delete'").collect()[0]["k"] == 100
+
+
+def test_clone_of_renamed_source_bakes_eras(spark, tmp_path):
+    src = _two_file_table(spark, tmp_path, "era_clone_src")
+    TF.commit_rename_column(src, {"v": "amount"})                    # v3
+    dst = str(tmp_path / "era_clone_dst")
+    TF.shallow_clone(src, dst)
+    got = TF.read_table(spark, dst)
+    assert set(got.columns) == {"k", "amount"}
+    assert got.count() == 20
+    # the clone is independently writable era-aware
+    TF.commit_merge(
+        spark, dst,
+        spark.range(5, 6).selectExpr(
+            "id as k", "cast(0 as bigint) as amount", "'U' as op"
+        ),
+        key="k", stat_cols=["k"],
+    )
+    assert TF.read_table(spark, dst).filter("k = 5").collect()[0][
+        "amount"
+    ] == 0
+    # source untouched
+    assert TF.read_table(spark, src).filter("k = 5").collect()[0][
+        "amount"
+    ] == 10
+
+
+def test_expire_preserves_era_translation_and_stream_stop(
+    spark, tmp_path
+):
+    """History expiry folds ancestor files into the cut commit: baked
+    entry chains keep the data readable under current names, and the
+    hoisted ``folded_ops`` keep the streams' schema-change bookkeeping
+    (renamed-away names, landed widens) intact after the rename
+    commits themselves are deleted."""
+    from table_streaming_source_spark.streaming.format_cdf import (
+        _schema_ops_for,
+    )
+
+    path = _two_file_table(spark, tmp_path, "era_expire")
+    TF.commit_rename_column(path, {"v": "amount"})                   # v3
+    TF.commit_widen_column(path, {"k": "bigint"})                    # v4 (no-op widen-compatible)
+    extra = spark.range(200, 205).selectExpr(
+        "id as k", "id * 2 as amount"
+    )
+    TF.commit_append(spark, path, extra.coalesce(1), stat_cols=["k"])  # v5
+    removed = TF.expire_snapshots(path, keep_last=1)
+    assert removed > 0
+    head = TF.latest_version(path)
+    c = TF._read_commit(path, head)
+    got = TF.read_table(spark, path)
+    assert set(got.columns) == {"k", "amount"}
+    assert got.count() == 25
+    assert got.agg(F.sum("amount")).collect()[0][0] == sum(
+        i * 2
+        for i in list(range(10)) + list(range(100, 110))
+        + list(range(200, 205))
+    )
+    # stream bookkeeping survives: the old name is still known
+    # renamed-away, the widen target still pinned
+    ops, away, widens = _schema_ops_for(path, head, None)
+    assert "v" in away
+    assert widens.get("k") == "bigint"
+    # and the rewriters keep working on the folded table
+    TF.commit_merge(
+        spark, path,
+        spark.range(200, 201).selectExpr(
+            "cast(id as bigint) as k", "cast(0 as bigint) as amount",
+            "'U' as op",
+        ),
+        key="k", stat_cols=["k"],
+    )
+    assert TF.read_table(spark, path).filter("k = 200").collect()[0][
+        "amount"
+    ] == 0
+
+
+def test_incremental_era_attribution_through_rewrite(spark, tmp_path):
+    """A file appended BETWEEN a rename and a later rewrite, consumed
+    incrementally from before the rename: the rewrite re-lists it with
+    a baked chain, and the incremental read translates it instead of
+    unioning two schemas."""
+    path = str(tmp_path / "era_incr")
+    TF.create_table(path)
+    a = spark.range(0, 5).selectExpr("id as k", "id * 2 as v")
+    TF.commit_append(spark, path, a.coalesce(1), stat_cols=["k"])    # v1
+    TF.commit_rename_column(path, {"v": "amount"})                   # v2
+    b = spark.range(10, 15).selectExpr("id as k", "id * 2 as amount")
+    TF.commit_append(spark, path, b.coalesce(1), stat_cols=["k"])    # v3
+    # a merge whose key range only touches the FIRST file: the second
+    # file (written post-rename, pre-rewrite) is carried by reference
+    TF.commit_merge(
+        spark, path,
+        spark.range(0, 1).selectExpr(
+            "id as k", "cast(0 as bigint) as amount", "'U' as op"
+        ),
+        key="k", stat_cols=["k"],
+    )                                                                # v4
+    inc = TF.read_incremental(spark, path, from_version=1)
+    assert set(inc.columns) == {"k", "amount", "commit_version"}
+    # file B attributed to its carrying commit, translated; no NULLs
+    assert inc.filter(F.col("amount").isNull()).count() == 0
+    assert inc.filter("k >= 10").count() == 5
+
+
+def test_commit_cache_invalidates_on_expire_rewrite(spark, tmp_path):
+    """The stat-validated commit cache must see expire_snapshots'
+    in-place cut-commit rewrite (os.replace changes mtime/size) — a
+    stale payload would resurrect expired parents."""
+    path = _two_file_table(spark, tmp_path, "cache_tbl")
+    extra = spark.range(200, 203).selectExpr("id as k", "id * 2 as v")
+    TF.commit_append(spark, path, extra.coalesce(1), stat_cols=["k"])
+    head = TF.latest_version(path)
+    before = TF._read_commit(path, head)
+    assert before["parent"] is not None
+    TF.expire_snapshots(path, keep_last=1)
+    after = TF._read_commit(path, head)  # must re-read, not cache-hit
+    assert after["parent"] is None
+    assert len(after["files"]) == 3
+    assert TF.read_table(spark, path).count() == 23
+
+
+def test_commit_cache_returns_stable_payloads(spark, tmp_path):
+    """Two reads of an immutable commit return the same content (the
+    cache contract) and mutating a COPY never poisons the cache —
+    writers copy before editing, pinned here."""
+    path = _two_file_table(spark, tmp_path, "cache_tbl2")
+    a = TF._read_commit(path, 1)
+    b = TF._read_commit(path, 1)
+    assert a is b  # cache hit on the immutable commit
+    c = {**a, "files": list(a["files"])}
+    c["files"].append({"path": "poison", "rows": 0, "stats": {}})
+    assert len(TF._read_commit(path, 1)["files"]) == len(a["files"])
