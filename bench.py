@@ -25,23 +25,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # search, streaming interval join, AQE skew join) so regressions in the
 # hardest plans are visible round over round.
 #
-# ROUND-15 ROTATION (VERDICT r14 item #2): the set had been frozen since
-# round 7 and predated the table-format/CDF/SQL-router families entirely
-# — perf regressions in the engine's newest load-bearing surface were
-# invisible.  40 of the 57 keep running for continuity (every
-# watch-list entry stays); 17 near-zero twins and over-represented
-# family siblings rotate out; 10 table-format/CDF/router/text/multimodal
-# hot paths rotate in (50 total).  The removed names and the same-HEAD
-# A/B continuity totals are recorded in docs/SCALE.md §37; the pre-r15
-# set stays runnable via SPARK_GRAFT_BENCH_SET=pre-r15.
-HEADLINE_REMOVED_R15 = [
-    "scan_parquet_footer", "agg_kruskal_wallis", "sim_ann_lsh",
-    "sim_pq_search", "window_ewma", "text_winnow", "text_rouge_eval",
-    "dedup_jaccard_prefix", "dedup_embedding", "multimodal_gif_stats",
-    "multimodal_flac", "dq_expectations", "text_decontaminate",
-    "source_warc", "graph_clustering", "streaming_session_agg",
-    "snapshot_diff",
-]
+# ROUND-15 EXPANSION (VERDICT r14 item #2, amended for the optimization
+# rounds' continuity contract): the set had been frozen since round 7
+# and predated the table-format/CDF/SQL-router families entirely — perf
+# regressions in the engine's newest load-bearing surface were
+# invisible.  The original rotation plan swapped 17 entries out for 10
+# new ones; the optimization-phase bench contract forbids REMOVING or
+# renaming any existing entry (round-over-round comparability), so the
+# final shape is the UNION: all 57 pre-r15 entries keep running and the
+# 10 table-format/CDF/router/text/multimodal hot paths are ADDED
+# (67 total).  The pre-r15 set stays runnable via
+# SPARK_GRAFT_BENCH_SET=pre-r15.
 HEADLINE_ADDED_R15 = [
     # the table format's write/read hot paths: stats-targeted MERGE,
     # batch CDF derivation, incremental (changelog) read, MOR delete
@@ -152,9 +146,7 @@ HEADLINE = [
 
 HEADLINE_PRE_R15 = list(HEADLINE)
 if os.environ.get("SPARK_GRAFT_BENCH_SET") != "pre-r15":
-    HEADLINE = [
-        q for q in HEADLINE if q not in set(HEADLINE_REMOVED_R15)
-    ] + HEADLINE_ADDED_R15
+    HEADLINE = HEADLINE + HEADLINE_ADDED_R15
 
 
 def main() -> None:
@@ -217,14 +209,15 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
     }
-    line = json.dumps(compact)
-    if len(line) > 1900:  # still too big: keep the slowest queries only
-        worst = dict(
-            sorted(timings.items(), key=lambda kv: -kv[1])[:30]
-        )
-        compact["queries"] = worst
-        compact["queries_elided"] = len(timings) - len(worst)
-        line = json.dumps(compact)
+    # The final line must stay under the driver's 2000-char stdout window
+    # AND keep EVERY query entry (the optimization-phase contract forbids
+    # dropping entries).  Tight separators first; if still too long, trim
+    # precision (ms granularity is below run-to-run noise anyway) — never
+    # elide entries.
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
     spark.stop()
 

@@ -856,6 +856,7 @@ _SHUFFLE_BUDGET_AUTO = {
     'format_incremental_read': 0,
     'format_merge_upsert': 0,
     'format_partition_evolution': 0,
+    'format_rename_then_merge': 0,
     'format_row_lineage': 0,
     'format_schema_evolution': 0,
     'format_shallow_clone': 0,

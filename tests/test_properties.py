@@ -1070,6 +1070,12 @@ def test_table_format_era_chain_with_interleaved_rewriters(
             )
             for k in keys:
                 model[k] = 1000 + k
+            # The upsert may INSERT key w+1 == nxt (appends are blind:
+            # a later append of the same key would legitimately create
+            # a second physical row, which the dict model cannot
+            # represent).  Keep fresh-append keys disjoint from
+            # merge-inserted ones.
+            nxt = max(nxt, keys[-1] + 1)
         elif code == 3:  # predicate update on even keys
             TF.commit_update_where(
                 spark, path,
