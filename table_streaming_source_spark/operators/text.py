@@ -840,6 +840,14 @@ def bpe_train(
                 ).otherwise(F.col("syms")),
             )
             .drop("a", "b", "cnt")
+            # per-round lazy checkpoint (the dedup_components pattern):
+            # without it round r's pair count re-executes the corpus
+            # word-count shuffle AND all r prior merge folds — the
+            # corpus aggregate ran once per round, O(rounds²) fold
+            # applications overall.  With it each round starts from the
+            # previous round's materialized vocabulary: the corpus
+            # aggregate runs ONCE and every fold applies ONCE.
+            .localCheckpoint(eager=False)
         )
     return reduce(DataFrame.unionByName, merges), vocab
 

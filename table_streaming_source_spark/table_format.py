@@ -154,6 +154,110 @@ def _file_stats(file_path: str, stat_cols: list[str]) -> dict:
     return {"rows": n_rows, "cols": out, "nulls": nulls}
 
 
+def _schema_json(df: DataFrame) -> str:
+    """The written DataFrame's schema as compact JSON with every field
+    (recursively) marked nullable — exactly the schema Spark's parquet
+    footer inference would produce for the staged files ("all columns
+    are automatically converted to be nullable" per the Parquet data
+    source contract), so an explicit-schema read of them is
+    byte-identical to the inferred one."""
+    def fix(node):
+        if isinstance(node, dict):
+            t = node.get("type")
+            if t == "struct":
+                for f in node.get("fields", []):
+                    f["nullable"] = True
+                    f["type"] = fix(f["type"])
+            elif t == "array":
+                node["containsNull"] = True
+                node["elementType"] = fix(node["elementType"])
+            elif t == "map":
+                node["valueContainsNull"] = True
+                node["keyType"] = fix(node["keyType"])
+                node["valueType"] = fix(node["valueType"])
+        return node
+
+    return json.dumps(fix(df.schema.jsonValue()), separators=(",", ":"))
+
+
+_STAGING_RE = re.compile(r"^[a-z]+-(\d+)-[0-9a-f]{8}$")
+
+# fixed positional-delete file schemas (see _write_dv_file /
+# commit_delete_positions — the writers cast to exactly these)
+_DV_SCHEMA_JSON = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "file_path", "type": "string", "nullable": True,
+             "metadata": {}},
+            {"name": "dv", "type": "binary", "nullable": True,
+             "metadata": {}},
+            {"name": "n", "type": "long", "nullable": True,
+             "metadata": {}},
+        ],
+    },
+    separators=(",", ":"),
+)
+_POS_SCHEMA_JSON = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "file_path", "type": "string", "nullable": True,
+             "metadata": {}},
+            {"name": "pos", "type": "long", "nullable": True,
+             "metadata": {}},
+        ],
+    },
+    separators=(",", ":"),
+)
+
+
+def _recorded_schema(path: str, fps) -> "object | None":
+    """The exact Spark schema for a set of data/delete files, recovered
+    from the commit log: every staging directory name encodes the
+    writing commit (``{op}-{version}-{uuid}``) and that commit records
+    ``file_schemas[staging_basename]`` at write time.  Manifest-only
+    planning — reads skip Spark's footer-inference job entirely (at
+    100 TB that job reads thousands of footers; the log read is O(1)).
+    Returns ``None`` (caller falls back to footer inference) unless
+    EVERY file's writing commit recorded a schema and all recorded
+    schemas are identical — additive schema evolution across commits
+    keeps the lossless ``mergeSchema`` union path."""
+    seen: str | None = None
+    for fp in fps:
+        stag = os.path.basename(os.path.dirname(os.path.abspath(fp)))
+        m = _STAGING_RE.match(stag)
+        if m is None:
+            return None
+        try:
+            c = _read_commit(path, int(m.group(1)))
+        except OSError:
+            return None
+        sj = (c.get("file_schemas") or {}).get(stag)
+        if sj is None or (seen is not None and sj != seen):
+            return None
+        seen = sj
+    if seen is None:
+        return None
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(seen))
+
+
+def _read_data(
+    spark: SparkSession, path: str, fps, *, merge: bool = True
+) -> DataFrame:
+    """Read table files by explicit log-recorded schema when available
+    (zero schema-inference jobs), else exactly the old footer path."""
+    fps = list(fps)
+    sch = _recorded_schema(path, fps)
+    if sch is not None:
+        return spark.read.schema(sch).parquet(*fps)
+    if merge:
+        return spark.read.option("mergeSchema", "true").parquet(*fps)
+    return spark.read.parquet(*fps)
+
+
 def _manifest_entries(
     path: str, staging: str, stat_cols: list[str], *, seq: int | None = None
 ) -> list[dict]:
@@ -225,6 +329,7 @@ def _attach_blooms(
     *,
     m_bits: int = _BLOOM_M,
     k: int = _BLOOM_K,
+    schema=None,
 ) -> None:
     """Per-file Bloom fingerprints for the manifest (the Iceberg v3
     per-file bloom idea, same bit layout as
@@ -240,7 +345,8 @@ def _attach_blooms(
 
     if not bloom_cols:
         return
-    base = spark.read.parquet(staging).select(
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    base = reader.parquet(staging).select(
         F.col("_metadata.file_path").alias("__f"), *bloom_cols
     )
     # one (file, word) hash aggregate per column — staged-data-sized
@@ -409,11 +515,19 @@ def commit_append(
     df.write.mode("overwrite").parquet(staging)
     files = _manifest_entries(path, staging, stat_cols, seq=new_v)
     if bloom_cols:
-        _attach_blooms(spark, path, staging, files, bloom_cols)
+        # the writer's own schema skips the footer-inference job
+        _attach_blooms(
+            spark, path, staging, files, bloom_cols, schema=df.schema
+        )
     _write_commit(
         path,
         new_v,
-        {"version": new_v, "files": files, "parent": base},
+        {
+            "version": new_v, "files": files, "parent": base,
+            "file_schemas": {
+                os.path.basename(staging): _schema_json(df)
+            },
+        },
     )
     _advance_branch(path, branch, new_v, base=base)
     return new_v
@@ -777,7 +891,7 @@ def _read_era_groups(
         groups.setdefault(applied, []).append(fp)
     dfs = []
     for applied, fps in sorted(groups.items()):
-        d = spark.read.option("mergeSchema", "true").parquet(*fps)
+        d = _read_data(spark, path, fps)
         for kind, a, b in applied:
             if kind == "r":
                 d = d.withColumnRenamed(a, b)
@@ -1025,6 +1139,9 @@ def commit_compact(
         {
             "version": new_v,
             "files": files,
+            "file_schemas": {
+                os.path.basename(staging): _schema_json(current)
+            },
             "parent": None,
             # the logical predecessor: full-snapshot commits cut the
             # physical ``parent`` chain, ``prev`` keeps the ancestry
@@ -1143,11 +1260,12 @@ def commit_update_where(
     cdf_staging = os.path.join(
         _data_dir(path), f"cdf-{new_v}-{uuid.uuid4().hex[:8]}"
     )
-    pre_img.withColumn(
+    cdf_df = pre_img.withColumn(
         "_change_type", F.lit("update_preimage")
     ).unionByName(
         post_img.withColumn("_change_type", F.lit("update_postimage"))
-    ).write.mode("overwrite").parquet(cdf_staging)
+    )
+    cdf_df.write.mode("overwrite").parquet(cdf_staging)
     cdf_files = [
         os.path.relpath(os.path.join(cdf_staging, n), path)
         for n in sorted(os.listdir(cdf_staging))
@@ -1159,6 +1277,10 @@ def commit_update_where(
     payload: dict = {
         "version": new_v,
         "files": files,
+        "file_schemas": {
+            os.path.basename(staging): _schema_json(updated),
+            os.path.basename(cdf_staging): _schema_json(cdf_df),
+        },
         "parent": None,
         "prev": base,
         "update_where": {"where": where, "set": dict(set_exprs)},
@@ -1312,6 +1434,7 @@ def commit_replace_where(
     del_key, outstanding = _snapshot_deletes(path, base)
     pos_outstanding = _snapshot_pos_deletes(path, base)
     entries: list[dict] = []
+    schemas: dict[str, str] = {}
     if straddle:
         if outstanding or pos_outstanding:
             if any_ops:  # unreachable by the commit guards
@@ -1339,16 +1462,19 @@ def commit_replace_where(
         )
         survivors.write.mode("overwrite").parquet(stag)
         entries += _manifest_entries(path, stag, stat_cols, seq=new_v)
+        schemas[os.path.basename(stag)] = _schema_json(survivors)
     staging = os.path.join(
         _data_dir(path), f"replw-{new_v}-{uuid.uuid4().hex[:8]}"
     )
     df.write.mode("overwrite").parquet(staging)
     entries += _manifest_entries(path, staging, stat_cols, seq=new_v)
+    schemas[os.path.basename(staging)] = _schema_json(df)
     untouched = [_with_eras(f, ch) for f, ch in untouched]
     files = list(untouched) + entries
     payload: dict = {
         "version": new_v,
         "files": files,
+        "file_schemas": schemas,
         "parent": None,
         "prev": base,
         "replace_where": {"col": col, "lo": lo, "hi": hi},
@@ -1447,6 +1573,9 @@ def compact_binpack(
     payload: dict = {
         "version": new_v,
         "files": files,
+        "file_schemas": {
+            os.path.basename(staging): _schema_json(current)
+        },
         "parent": None,
         "prev": base,
         "maintenance": True,
@@ -1761,10 +1890,16 @@ def commit_merge(
     if bloom_cols:
         # rewritten files get fresh fingerprints so the NEXT merge's
         # targeting stays tight; untouched files keep theirs verbatim
-        _attach_blooms(spark, path, staging, new_entries, bloom_cols)
+        _attach_blooms(
+            spark, path, staging, new_entries, bloom_cols,
+            schema=merged.schema,
+        )
     files = list(untouched) + new_entries
     payload: dict = {
         "version": new_v, "files": files, "parent": None,
+        "file_schemas": {
+            os.path.basename(staging): _schema_json(merged)
+        },
         "prev": base,
         # the CDF read (read_cdf) classifies this commit and diffs
         # pre/post images on this key
@@ -2004,7 +2139,7 @@ def read_incremental(
 
     parts = [
         _era(
-            spark.read.option("mergeSchema", "true").parquet(*files),
+            _read_data(spark, path, files),
             ech + chains.get(gv, ()),
         ).withColumn(version_col, F.lit(gv).cast("int"))
         for (gv, ech), files in sorted(groups.items())
@@ -2091,7 +2226,16 @@ def commit_stage(
     )
     with open(staged, "w") as fh:
         json.dump(
-            {"version": base + 1, "files": files, "parent": base}, fh
+            {
+                "version": base + 1, "files": files, "parent": base,
+                # publish renames this json into the log verbatim, so
+                # the recorded schema serves post-publish reads too
+                # (when no interleaving commit shifted the version)
+                "file_schemas": {
+                    os.path.basename(staging): _schema_json(df)
+                },
+            },
+            fh,
         )
     return base + 1
 
@@ -2123,9 +2267,18 @@ def read_staged(
     key, deletes = _snapshot_deletes(path, staged["parent"])
     pos_deletes = _snapshot_pos_deletes(path, staged["parent"])
     parent_dicts = _snapshot_file_dicts(path, staged["parent"])
-    new_part = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(path, f["path"]) for f in staged["files"]]
-    )
+    new_fps = [os.path.join(path, f["path"]) for f in staged["files"]]
+    new_sj = list((staged.get("file_schemas") or {}).values())
+    if len(new_sj) == 1:
+        from pyspark.sql.types import StructType
+
+        new_part = spark.read.schema(
+            StructType.fromJson(json.loads(new_sj[0]))
+        ).parquet(*new_fps)
+    else:
+        new_part = spark.read.option("mergeSchema", "true").parquet(
+            *new_fps
+        )
     if deletes or pos_deletes:
         # delete state cannot coexist with a rename/widen (the commit
         # guards), so the non-era-aware MOR resolve is exact here
@@ -2226,9 +2379,8 @@ def commit_delete_keys(
     staging = os.path.join(
         _data_dir(path), f"delete-{new_v}-{uuid.uuid4().hex[:8]}"
     )
-    keys_df.select(*keys).distinct().coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(staging)
+    kdf = keys_df.select(*keys).distinct()
+    kdf.coalesce(1).write.mode("overwrite").parquet(staging)
     dels = _manifest_entries(path, staging, keys, seq=new_v)
     # outstanding deletes resolved by CHAIN WALK, not just the
     # immediate parent — an append between two delete commits must not
@@ -2245,6 +2397,9 @@ def commit_delete_keys(
         # ancestor commits' files survive the parent:None cut
         "files": _snapshot_file_dicts(path, base),
         "deletes": outstanding + dels,
+        "file_schemas": {
+            os.path.basename(staging): _schema_json(kdf)
+        },
         "parent": None,
         "prev": base,
         "delete_key": key,
@@ -2351,7 +2506,7 @@ def _pos_delete_pairs_df(
     parts = []
     if tuple_files:
         parts.append(
-            spark.read.parquet(*tuple_files).select(
+            _read_data(spark, path, tuple_files, merge=False).select(
                 F.col("file_path").cast("string"),
                 F.col("pos").cast("long"),
             )
@@ -2368,7 +2523,7 @@ def _pos_delete_pairs_df(
                     )
 
         parts.append(
-            spark.read.parquet(*dv_files).mapInPandas(
+            _read_data(spark, path, dv_files, merge=False).mapInPandas(
                 expand, "file_path string, pos long"
             )
         )
@@ -2464,7 +2619,7 @@ def positions_where(
     files, _, _ = snapshot_files(path, version=version, prune=prune)
     if not files:
         raise ValueError("empty snapshot")
-    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    df = _read_data(spark, path, files)
     cond = predicate if isinstance(predicate, Column) else F.expr(predicate)
     return df.filter(cond).select(
         _norm_file_path_col().alias("file_path"),
@@ -2545,9 +2700,11 @@ def commit_delete_positions(
         entries = _manifest_entries(path, staging, [], seq=new_v)
         for e in entries:
             e["encoding"] = "dv"
+        del_schema = _DV_SCHEMA_JSON
     elif encoding == "tuples":
         pos.coalesce(1).write.mode("overwrite").parquet(staging)
         entries = _manifest_entries(path, staging, ["pos"], seq=new_v)
+        del_schema = _POS_SCHEMA_JSON
     else:
         raise ValueError(f"unknown positional-delete encoding {encoding!r}")
     for e in entries:
@@ -2559,6 +2716,7 @@ def commit_delete_positions(
         # states carried, same invariant as commit_delete_keys
         "files": snapshot,
         "pos_deletes": _snapshot_pos_deletes(path, base) + entries,
+        "file_schemas": {os.path.basename(staging): del_schema},
         "parent": None,
         "prev": base,
     }
@@ -2633,14 +2791,15 @@ def compact_deletes(
             groups.items(), key=lambda kv: sorted(kv[0])
         ):
             scan = (
-                spark.read.option("mergeSchema", "true")
-                .parquet(*data_files)
+                _read_data(spark, path, data_files)
                 .withColumn("__del_file", _norm_file_path_col())
                 .withColumn("__del_pos", F.col("_metadata.row_index"))
             )
             del_df = (
-                spark.read.parquet(
-                    *[os.path.join(path, p) for p in sorted(eq_set)]
+                _read_data(
+                    spark, path,
+                    [os.path.join(path, p) for p in sorted(eq_set)],
+                    merge=False,
                 )
                 .select(*keys)
                 .distinct()
@@ -2690,6 +2849,9 @@ def compact_deletes(
             e["encoding"] = "dv"
             e["paths"] = named
         payload["pos_deletes"] = entries
+        payload["file_schemas"] = {
+            os.path.basename(staging): _DV_SCHEMA_JSON
+        }
     _write_commit(path, new_v, payload)
     _advance_branch(path, branch, new_v, base=base)
     return new_v
@@ -2787,7 +2949,7 @@ def _mor_resolve(
     for (eq_set, pos_set), data_files in sorted(
         groups.items(), key=lambda kv: (sorted(kv[0][0]), sorted(kv[0][1]))
     ):
-        part = spark.read.option("mergeSchema", "true").parquet(*data_files)
+        part = _read_data(spark, path, data_files)
         if pos_set or with_positions:
             part = part.withColumn(
                 "__del_file", _norm_file_path_col()
@@ -2809,8 +2971,10 @@ def _mor_resolve(
                 part = part.drop("__del_file", "__del_pos")
         if eq_set:
             del_df = (
-                spark.read.parquet(
-                    *[os.path.join(path, p) for p in sorted(eq_set)]
+                _read_data(
+                    spark, path,
+                    [os.path.join(path, p) for p in sorted(eq_set)],
+                    merge=False,
                 )
                 .select(*keys)
                 .distinct()
@@ -2818,7 +2982,7 @@ def _mor_resolve(
             part = part.join(F.broadcast(del_df), keys, "left_anti")
         parts.append(part)
     if clean:
-        part = spark.read.option("mergeSchema", "true").parquet(*clean)
+        part = _read_data(spark, path, clean)
         if with_positions:
             part = part.withColumn(
                 "__del_file", _norm_file_path_col()
@@ -3250,8 +3414,10 @@ def read_cdf(
                 if cand:
                     _require_files(path, cand + new_eq, v)
                     keys_df = (
-                        spark.read.parquet(
-                            *[os.path.join(path, d["path"]) for d in new_eq]
+                        _read_data(
+                            spark, path,
+                            [os.path.join(path, d["path"]) for d in new_eq],
+                            merge=False,
                         )
                         .select(*keys)
                         .distinct()
@@ -3296,8 +3462,9 @@ def read_cdf(
         if c["parent"] is not None:
             # plain append: every row in its files is an insert
             _require_files(path, c["files"], v)
-            ins = spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(path, f["path"]) for f in c["files"]]
+            ins = _read_data(
+                spark, path,
+                [os.path.join(path, f["path"]) for f in c["files"]],
             )
             legs.append(_tag(ins, "insert", v))
             continue
@@ -3307,8 +3474,9 @@ def read_cdf(
             cdf_dicts = [{"path": pp} for pp in c["cdf_files"]]
             if cdf_dicts:
                 _require_files(path, cdf_dicts, v)
-                imgs = spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(path, pp) for pp in c["cdf_files"]]
+                imgs = _read_data(
+                    spark, path,
+                    [os.path.join(path, pp) for pp in c["cdf_files"]],
                 )
                 for ct in (
                     "insert", "delete", "update_preimage",
@@ -3370,8 +3538,9 @@ def read_cdf(
                     ).filter(in_range)
                 legs.append(_tag(pre, "delete", v))
             if own:
-                post = spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(path, f["path"]) for f in own]
+                post = _read_data(
+                    spark, path,
+                    [os.path.join(path, f["path"]) for f in own],
                 ).filter(in_range)
                 legs.append(_tag(post, "insert", v))
             continue
@@ -3412,8 +3581,9 @@ def read_cdf(
         else:
             pre = None
         post = (
-            spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(path, f["path"]) for f in post_files]
+            _read_data(
+                spark, path,
+                [os.path.join(path, f["path"]) for f in post_files],
             )
             if post_files
             else None
@@ -3915,8 +4085,4 @@ def read_table_point(
         return None
     # leaf-file paths skip partition discovery entirely, so ``_pval``
     # never surfaces — the partition layout stays hidden
-    return (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*files)
-        .filter(F.col(col) == value)
-    )
+    return _read_data(spark, path, files).filter(F.col(col) == value)
