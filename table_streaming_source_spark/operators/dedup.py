@@ -427,7 +427,9 @@ def connected_components(
         )
         # carry the previous label through the checkpoint so the
         # convergence count is a filter over materialized rows — no extra
-        # join (and no extra shuffle) per round
+        # join (and no extra shuffle) per round.  The checkpoint is LAZY:
+        # the convergence count below is the action that materializes it,
+        # so each round costs ONE job, not a materialize-then-count pair
         stepped = (
             labels.join(nbr, "u", "left")
             .select(
@@ -437,7 +439,7 @@ def connected_components(
                 ).alias("lbl"),
                 F.col("lbl").alias("__old"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = stepped.filter(F.col("lbl") != F.col("__old")).count()
         labels = stepped.select("u", "lbl")

@@ -104,7 +104,11 @@ def pagerank(
 
 
 def triangle_counts(
-    edges: DataFrame, *, src: str = "a", dst: str = "b"
+    edges: DataFrame,
+    *,
+    src: str = "a",
+    dst: str = "b",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Per-vertex triangle counts over an undirected simple graph.
 
@@ -123,6 +127,14 @@ def triangle_counts(
     rank before calling — the enumeration logic is unchanged.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if checkpoint:
+        # the edge list feeds three plan legs (two wedge sides + the
+        # closure probe); callers pass a derived expression (typically a
+        # fact-scale distinct), and without truncation every leg
+        # re-executes that derivation — 3 full shuffles where 1
+        # suffices.  Materialize once (same pattern as pagerank's
+        # loop-invariant e_deg).
+        e = e.localCheckpoint(eager=False)
     wedges = (
         e.select(F.col("a"), F.col("b").alias("m"))
         .join(
@@ -325,13 +337,18 @@ def clustering_coefficients(
     enumeration itself.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # five consumers below (degree union counts both sides, plus the
+    # three triangle legs): materialize the canonical edge list once so
+    # the caller's derivation (typically a fact-scale distinct) runs
+    # exactly one shuffle instead of five
+    e = e.localCheckpoint(eager=False)
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     )
-    tri = triangle_counts(e)
+    tri = triangle_counts(e, checkpoint=False)  # e is checkpointed above
     joined = deg.join(tri, "node", "left").select(
         "node",
         "degree",
@@ -378,9 +395,14 @@ def hits_scores(
     Scale shape: each half-round is one vertex-keyed equi-join of the
     edge list with the current score vector plus one hash aggregate —
     the same join-per-iteration shape as :func:`pagerank`; the edge
-    list is reused four times, so callers at scale should cache it.
+    list is reused four times, so it is materialized once below
+    (``localCheckpoint``) rather than re-derived per half-round.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # the edge list is consumed four times (one join per half-round);
+    # materialize it once instead of re-deriving the caller's edge
+    # expression (typically a fact-scale distinct) per half-round
+    e = e.localCheckpoint(eager=False)
     a1 = e.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("a1"))
     h1 = (
         e.join(a1, "v")

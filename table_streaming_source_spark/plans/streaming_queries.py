@@ -1741,7 +1741,11 @@ def q_streaming_format_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             path,
             o.filter(F.col("o_orderkey") % 3 == i).withColumn(
                 "o_totalprice", F.col("o_totalprice") + 10.0 * i
-            ),
+            # one sized file per commit (round 15): the unsized append
+            # staged one KB-file per task — 96 files for the tail to
+            # footer-stat, plan and open; the slice is a single commit's
+            # batch, so one file is its right layout at this scale
+            ).coalesce(1),
             stat_cols=["o_orderkey"],
         )
     register_format_tail(spark)

@@ -34,6 +34,24 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing mode, MEASURED round 15 (OPTIMIZATION_r15.md):
+        # size-based coalescing (parallelismFirst=false, the setting
+        # Spark's config reference recommends for byte-bound production
+        # stages) was A/B'd over the 14 heaviest bench queries and
+        # REGRESSED the local bench 39.0s → 50.9s (+30%) — at test SFs
+        # the hot stages are CPU-bound on KB-scale shuffles, and
+        # respecting the 64 MB advisory collapses them to one task.
+        # Default stays parallelism-first; a cluster deploy whose
+        # reducers are byte-bound flips the env knobs instead of
+        # editing code.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_AQE_ADVISORY_SIZE", "64m"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Broadcast threshold sized to executor memory, not the 10 MB
         # legacy default: on 100+ GiB executors a 64 MB dimension is cheap

@@ -258,6 +258,45 @@ def _read_data(
     return spark.read.parquet(*fps)
 
 
+#: target size for staged data files (Iceberg's
+#: ``write.target-file-size-bytes`` idea; guide §6 wants output files in
+#: the 128 MB–1 GB band).  The default uses the plan's in-memory size
+#: estimate, which overshoots parquet bytes ~2-4×, so 128 MB estimated
+#: lands near the band's low end on disk.
+_TARGET_FILE_BYTES = int(
+    os.environ.get("SPARK_GRAFT_TARGET_FILE_BYTES", str(128 << 20))
+)
+
+
+def _sized_for_write(df: DataFrame) -> DataFrame:
+    """Bound a rewrite's staging-file fan-out by the plan's estimated
+    bytes.  Without this every internal rewrite (MERGE / UPDATE /
+    REPLACE survivors, CDF sidecars) fans out one file per post-shuffle
+    task — at test scale that is 32 KB-sized files per commit, each
+    paying a manifest footer-stat and a per-file open on every read; at
+    cluster scale the same unsized write is the classic small-files
+    problem (guide §6).  ``coalesce`` is narrow (no added shuffle) and
+    never raises the partition count, so a large rewrite keeps its
+    parallelism — only estimated-small outputs collapse.  Estimation is
+    best-effort: on any failure the frame is returned unchanged.
+    ``SPARK_GRAFT_SIZED_WRITE=0`` disables (A/B and escape hatch)."""
+    if os.environ.get("SPARK_GRAFT_SIZED_WRITE", "1") == "0":
+        return df
+    try:
+        est = int(
+            str(
+                df._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+    except Exception:
+        return df
+    n_out = max(1, min(est // _TARGET_FILE_BYTES + 1, 1 << 20))
+    return df.coalesce(n_out)
+
+
 def _manifest_entries(
     path: str, staging: str, stat_cols: list[str], *, seq: int | None = None
 ) -> list[dict]:
@@ -1240,6 +1279,7 @@ def commit_update_where(
     staging = os.path.join(
         _data_dir(path), f"update-{new_v}-{uuid.uuid4().hex[:8]}"
     )
+    updated = _sized_for_write(updated)
     updated.write.mode("overwrite").parquet(staging)
     # CHANGE-DATA sidecar (the Delta CDC-file technique): the matched
     # rows' pre/post images are staged WITH the commit, so the change
@@ -1265,6 +1305,7 @@ def commit_update_where(
     ).unionByName(
         post_img.withColumn("_change_type", F.lit("update_postimage"))
     )
+    cdf_df = _sized_for_write(cdf_df)
     cdf_df.write.mode("overwrite").parquet(cdf_staging)
     cdf_files = [
         os.path.relpath(os.path.join(cdf_staging, n), path)
@@ -1460,12 +1501,14 @@ def commit_replace_where(
         stag = os.path.join(
             _data_dir(path), f"replw-{new_v}-{uuid.uuid4().hex[:8]}"
         )
+        survivors = _sized_for_write(survivors)
         survivors.write.mode("overwrite").parquet(stag)
         entries += _manifest_entries(path, stag, stat_cols, seq=new_v)
         schemas[os.path.basename(stag)] = _schema_json(survivors)
     staging = os.path.join(
         _data_dir(path), f"replw-{new_v}-{uuid.uuid4().hex[:8]}"
     )
+    df = _sized_for_write(df)
     df.write.mode("overwrite").parquet(staging)
     entries += _manifest_entries(path, staging, stat_cols, seq=new_v)
     schemas[os.path.basename(staging)] = _schema_json(df)
@@ -1757,8 +1800,12 @@ def commit_merge(
         )
         key_c = changes.schema[key].dataType
         hits = (
+            # no key-side distinct: the broadcast range probe is
+            # per-row and the hit set only needs distinct FILE ids —
+            # deduping the probe first costs a change-scale shuffle
+            # (guide §2.3) to save nothing (the file-id distinct after
+            # the join is map-side combinable and file-count-sized)
             changes.select(F.col(key).alias("__k"))
-            .distinct()
             .join(
                 F.broadcast(manifest),
                 (F.col("__k") >= F.col("__lo").cast(key_c))
@@ -1885,6 +1932,7 @@ def commit_merge(
     staging = os.path.join(
         _data_dir(path), f"merge-{new_v}-{uuid.uuid4().hex[:8]}"
     )
+    merged = _sized_for_write(merged)
     merged.write.mode("overwrite").parquet(staging)
     new_entries = _manifest_entries(path, staging, stat_cols, seq=new_v)
     if bloom_cols:

@@ -867,12 +867,12 @@ _SHUFFLE_BUDGET_AUTO = {
     'funnel_steps': 6,
     'graph_assortativity': 9,
     'graph_bfs': 0,
-    'graph_clustering': 8,
-    'graph_hits': 20,
+    'graph_clustering': 3,
+    'graph_hits': 10,
     'graph_label_propagation': 0,
     'graph_pagerank': 0,
     'graph_ppr': 0,
-    'graph_triangles': 5,
+    'graph_triangles': 2,
     'idle_customers': 2,
     'important_stock': 3,
     'join_anti': 0,
