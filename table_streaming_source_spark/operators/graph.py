@@ -56,7 +56,13 @@ def pagerank(
     """
     n = vertices.count()
     v0 = vertices.select(F.col(key).alias("__v"))
-    e = edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
+    # materialize the caller's edge expression (typically a fact-scale
+    # join + distinct) BEFORE deriving degrees: e feeds both the degree
+    # aggregate and the join probe side below, so without truncation the
+    # derivation executes twice just to build e_deg
+    e = edges.select(
+        F.col(src).alias("__u"), F.col(dst).alias("__v")
+    ).localCheckpoint(eager=False)
     outdeg = e.groupBy("__u").agg(F.count(F.lit(1)).alias("__outdeg"))
     # the degree-annotated edge list is loop-invariant: checkpoint it once
     # so no iteration re-derives the (possibly expensive) edge expression
@@ -466,7 +472,12 @@ def personalized_pagerank(
         "__v",
         F.coalesce(F.col("__is_seed"), F.lit(0)).alias("__is_seed"),
     )
-    e = edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
+    # same loop-invariant discipline as pagerank: materialize the edge
+    # expression before the degree derivation so e's (possibly
+    # fact-scale) lineage executes once, not once per e_deg input leg
+    e = edges.select(
+        F.col(src).alias("__u"), F.col(dst).alias("__v")
+    ).localCheckpoint(eager=False)
     outdeg = e.groupBy("__u").agg(F.count(F.lit(1)).alias("__outdeg"))
     e_deg = e.join(outdeg, "__u").localCheckpoint(eager=False)
     teleport = F.when(

@@ -173,6 +173,18 @@ def cosine_pairs_blocked(
     if mega_block not in ("star", "drop"):
         raise ValueError(f"mega_block must be 'star' or 'drop': {mega_block!r}")
     df = spread(df)
+    # the blocked corpus feeds up to three plan legs (a side, b side,
+    # and the per-block cap stats): when the caller passed a DERIVED
+    # frame (e.g. sim_ivf_search's corpus⋈learned-cells join), each leg
+    # re-executes that derivation — materialize it once.  A persisted
+    # input (the snapshot cache) skips the pin: re-scanning cache is
+    # cheaper than copying it into a second materialization.
+    try:
+        _cached = df.storageLevel.useMemory or df.storageLevel.useDisk
+    except Exception:
+        _cached = False
+    if not _cached:
+        df = df.localCheckpoint(eager=False)
     a = df.select(
         F.col(block_col).alias("__blk"),
         F.col(key).alias("key_a"),
@@ -381,7 +393,10 @@ def kmeans_refine(
         F.round(F.col("__raw").cast("double") * _KM_VSCALE)
         .cast("long")
         .alias("__vs"),
-    )
+    # the long-format explode is loop-invariant and consumed twice per
+    # iteration (centroid means + distance sums): materialize it once
+    # instead of re-exploding the corpus 2·n_iter times
+    ).localCheckpoint(eager=False)
     assign = ivf_assign(
         df, vec_col=vec_col, key=key, num_cells=num_cells, dim=dim
     ).select(F.col(key), "cell")

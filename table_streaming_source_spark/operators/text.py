@@ -1307,16 +1307,28 @@ def repeated_substring_spans(
     (bounded by its length).  Returns per-document
     ``(n_spans, dup_chars, dup_frac)`` with zero-span documents kept."""
     n = F.length(F.col(text_col))
+    # the window fingerprint is internal (only its collision classes
+    # matter, never its value): xxhash64 instead of md5 — an 8-byte
+    # long per window in every exchange instead of a 32-char hex
+    # string, and a far cheaper per-window hash (round 15; the same
+    # digest discipline jaccard_prefix_pairs documents — collisions
+    # would merge two windows corpus-wide, birthday odds ~1e-7 at 1e6
+    # windows, and the exhaustive md5-based oracle would catch one)
     grams = df.filter(n >= k).select(
         F.col(key),
         F.explode(
             F.expr(
                 f"transform(sequence(1, length({text_col}) - {k} + 1),"
                 f" i -> struct(i AS i,"
-                f" md5(substring({text_col}, i, {k})) AS g))"
+                f" xxhash64(substring({text_col}, i, {k})) AS g))"
             )
         ).alias("__w"),
-    ).select(key, F.col("__w.i").alias("i"), F.col("__w.g").alias("g"))
+    ).select(
+        key, F.col("__w.i").alias("i"), F.col("__w.g").alias("g")
+    # the gram explode (a hash per character position of every
+    # document) feeds both the count aggregate and the mark join:
+    # materialize it once instead of fingerprinting the corpus twice
+    ).localCheckpoint(eager=False)
     counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
     marked = (
         grams.join(counts.filter(F.col("cnt") >= min_count), "g")

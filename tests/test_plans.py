@@ -538,8 +538,8 @@ _SHUFFLE_BUDGET = {
     "text_anchor_extract": 2,       # host agg (+ distinct-doc pair)
     # residue-bounded edge distinct + swapped-pair semi-join + 1-row
     # aggs — every exchange is over the ≤211² edge domain
-    "graph_reciprocity": 5,
-    "graph_bipartite_projection": 3,  # edge distinct + join + pair agg
+    "graph_reciprocity": 2,
+    "graph_bipartite_projection": 1,  # pinned edge distinct + pair agg
     "dq_freshness": 3,              # per-type agg + 1-row watermark
     "dq_uniqueness": 2,             # key agg + per-type rollup
     # two-pass by contract (rates need global counts): count agg +
@@ -652,7 +652,7 @@ _SHUFFLE_BUDGET = {
     "text_lang_vocab_overlap": 7,   # vocab distinct + bounded pair joins
     "text_rank_turbulence": 5,      # rank table checkpointed once
     # --- round 12: graph / similarity ---
-    "graph_2hop_reach": 5,          # residue-bounded joins + topk
+    "graph_2hop_reach": 2,          # residue-bounded joins + topk
     "sim_ivf_balance": 2,           # cell assign + bounded histogram
     # --- round 12: sources / multimodal (row-local parse chains) ---
     "source_srec": 0,
@@ -670,7 +670,7 @@ _SHUFFLE_BUDGET = {
     "agg_hellinger": 4,             # type counts + 1-row totals + terms
     "ts_page_hinkley": 2,           # daily agg + partitioned prefix sums
     "dq_monotonicity": 3,           # per-user lag window + one rollup
-    "graph_adamic_adar": 7,         # residue-bounded joins + topk
+    "graph_adamic_adar": 3,         # residue-bounded joins + topk
     "text_keyword_burstiness": 5,   # counts + top-5 + bounded join
     "sim_pq_distortion": 2,         # codebook broadcast + m-bounded agg
     "dedup_minhash_cardinality": 6, # vocab checkpointed once
@@ -865,7 +865,7 @@ _SHUFFLE_BUDGET_AUTO = {
     'format_zorder_3d': 0,
     'format_zorder_pruning': 0,
     'funnel_steps': 6,
-    'graph_assortativity': 9,
+    'graph_assortativity': 3,
     'graph_bfs': 0,
     'graph_clustering': 3,
     'graph_hits': 10,
