@@ -49,6 +49,30 @@ def _commit_new_files(path: str, version: int) -> list[str]:
     commit = TF._read_commit(path, version)
     if commit.get("maintenance"):
         return []
+    # fast path (round 15, measured in the §36 manifest sweep): every
+    # writer stamps its staged entries with their DATA SEQUENCE NUMBER
+    # (``seq == version`` ⟺ the file was introduced by this commit;
+    # carried entries keep their origin's seq), so the new-file set is
+    # readable off the commit payload alone — O(commit) instead of the
+    # two FULL snapshot resolves below, which made every tail
+    # micro-batch pay O(retained history) per planned commit (53 ms at
+    # 1k commits, ~0.5 s at 10k).  Guards that keep the fast path
+    # byte-identical to the diff: a commit with NO logical predecessor
+    # (clone v1, an expiry-cut full snapshot — both carry files staged
+    # under OTHER versions that the diff counts as new) and pre-seq
+    # entries (read back without the field) take the lossless diff.
+    has_pred = commit["parent"] is not None or (
+        commit.get("prev") is not None
+    )
+    if has_pred and all("seq" in f for f in commit["files"]):
+        return [
+            os.path.join(path, p)
+            for p in sorted(
+                f["path"]
+                for f in commit["files"]
+                if f["seq"] == version
+            )
+        ]
     cur = {
         f["path"] for f in TF._snapshot_file_dicts(path, version)
     }

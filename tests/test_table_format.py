@@ -841,6 +841,68 @@ def test_maintenance_commit_is_noop_to_tail(spark, tmp_path):
     assert spark.read.parquet(out).count() == 107
 
 
+def _new_files_by_diff(path: str, version: int) -> list[str]:
+    """The pre-round-15 snapshot-diff derivation of a commit's new
+    files — the reference the seq fast path must byte-match."""
+    import os as _os
+
+    commit = TF._read_commit(path, version)
+    if commit.get("maintenance"):
+        return []
+    cur = {f["path"] for f in TF._snapshot_file_dicts(path, version)}
+    base = commit["parent"] if commit["parent"] is not None else (
+        commit.get("prev")
+    )
+    prev = (
+        {f["path"] for f in TF._snapshot_file_dicts(path, base)}
+        if base is not None
+        else set()
+    )
+    return [_os.path.join(path, p) for p in sorted(cur - prev)]
+
+
+def test_commit_new_files_seq_fast_path_matches_snapshot_diff(
+    spark, tmp_path
+):
+    """Round 15: `_commit_new_files` reads the new-file set off the
+    commit payload's data sequence numbers (O(commit)) instead of two
+    full snapshot resolves (O(history) per tail micro-batch).  Pin the
+    equivalence across every commit kind, and pin the guarded
+    fallbacks: a clone's v1 (entries carry the SOURCE's seq) must
+    still emit everything, a maintenance commit nothing."""
+    from table_streaming_source_spark.streaming.format_tail import (
+        _commit_new_files,
+    )
+
+    path = str(tmp_path / "tbl")
+    TF.create_table(path)
+    df = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    TF.commit_append(spark, path, df.filter("k < 30"), stat_cols=["k"])
+    TF.commit_append(spark, path, df.filter("k >= 30"), stat_cols=["k"])
+    changes = df.filter("k % 7 = 0").select(
+        "k", F.lit("U").alias("op"), (F.col("v") + 1).alias("v")
+    )
+    TF.commit_merge(spark, path, changes, key="k", stat_cols=["k"])
+    TF.commit_delete_keys(
+        spark, path, df.filter("k % 11 = 0").select("k"), key="k"
+    )
+    TF.commit_compact(spark, path, stat_cols=["k"])
+    TF.commit_append(spark, path, df.limit(5), stat_cols=["k"])
+    for v in range(TF.latest_version(path) + 1):
+        assert _commit_new_files(path, v) == _new_files_by_diff(path, v), v
+    # clone v1: no logical predecessor, entries keep the source's seq —
+    # the fast path must NOT fire (it would return []); the diff rule
+    # emits the whole referenced snapshot
+    clone = str(tmp_path / "clone")
+    TF.shallow_clone(path, clone)
+    got = _commit_new_files(clone, 1)
+    assert got == _new_files_by_diff(clone, 1)
+    assert len(got) == len(TF._snapshot_file_dicts(clone, 1))
+    assert got, "clone v1 must emit its referenced files"
+
+
 # ---------------------------------------------------------------------------
 # named refs: branches and tags
 # ---------------------------------------------------------------------------
