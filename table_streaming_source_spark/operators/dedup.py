@@ -192,9 +192,16 @@ def minhash_lsh_pairs(
     max_bucket: Optional[int] = None,
     mega_bucket: str = "drop",
     verify_broadcast_max_keys: int = 1_000_000,
+    pin_verify: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, verified with exact
     Jaccard.
+
+    ``pin_verify`` (default on) localCheckpoints the candidate-shingle
+    table so the verify prefilter's semi-join + candidate shingling run
+    once instead of once per join leg; tests that introspect the verify
+    plan (the broadcast gate's branches) pass ``False`` to keep the
+    semi-join visible in the final plan.
 
     ``verify_broadcast_max_keys`` gates the verify prefilter's broadcast:
     the candidate pairs are counted (a scalar job over the checkpointed
@@ -351,10 +358,16 @@ def minhash_lsh_pairs(
     )
     if small:
         cand_keys = F.broadcast(cand_keys)
-    cand_sh = (
-        df.join(cand_keys, key, "left_semi")
-        .select(F.col(key), _shingles(text_col, n).alias("__sh"))
+    cand_sh = df.join(cand_keys, key, "left_semi").select(
+        F.col(key), _shingles(text_col, n).alias("__sh")
     )
+    if pin_verify:
+        # consumed twice (key_a leg + key_b leg): without the pin the
+        # semi-join AND the candidate shingling execute once per leg —
+        # the table is candidate-scale (tiny at real dup rates), the
+        # recompute is corpus-scan + md5-per-shingle (round 15,
+        # guide §2.4); lazy so no job runs until the verify join does
+        cand_sh = cand_sh.localCheckpoint(eager=False)
     sh_a = cand_sh.select(
         F.col(key).alias("key_a"), F.col("__sh").alias("__sh_a")
     )

@@ -1244,7 +1244,11 @@ def line_dedup(df: DataFrame, lines_col: str, key: str) -> DataFrame:
     """
     ex = df.select(
         F.col(key), F.posexplode(F.col(lines_col)).alias("pos", "line")
-    )
+    # two consumers (owner election + ownership probe): without the pin
+    # the caller's line derivation (reflow/split of every document) and
+    # the explode execute once per leg (round 15, guide §2.4); lazy —
+    # materializes inside the first consuming job
+    ).localCheckpoint(eager=False)
     owner = ex.groupBy("line").agg(
         F.min(
             F.struct(F.col(key).alias("k"), F.col("pos").alias("p"))

@@ -6050,7 +6050,15 @@ def q_join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand").alias("__brand"),
         F.col("__w1"),
     )
-    lev = F.levenshtein(F.col("a_name"), F.col("b_name"))
+    # thresholded edit distance (round 15, guide §1.2 step 2 — per-task
+    # work): levenshtein(a, b, 3) runs the banded O(len·3) DP with a
+    # length-difference early exit and returns -1 past the band, so
+    # every non-matching pair (the vast majority) stops after a few
+    # cells instead of filling the full O(len²) matrix.  For kept pairs
+    # (distance ≤ 3) the returned value IS the exact distance — the
+    # output is bit-identical to the unthresholded form the oracle
+    # restates.
+    lev = F.levenshtein(F.col("a_name"), F.col("b_name"), 3)
     return (
         a.join(b, ["__w1", "__brand"])
         .filter(F.col("a_partkey") < F.col("b_partkey"))
@@ -6061,7 +6069,7 @@ def q_join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b_name",
             lev.alias("lev"),
         )
-        .filter(F.col("lev") <= 3)
+        .filter((F.col("lev") >= 0) & (F.col("lev") <= 3))
     )
 
 

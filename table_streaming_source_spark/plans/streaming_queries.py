@@ -1087,7 +1087,16 @@ def q_streaming_session_agg_update(
 
     stream = (
         spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", "1")
+        # 2 of the 4 ordered chunks per trigger → 2 micro-batches + the
+        # trailing no-data flush: still a genuinely incremental drain
+        # (watermark advances between batches, sessions are finalized
+        # and state evicted mid-drain) at half the per-batch state-store
+        # commit + sink-file overhead — the same per-batch fixed-cost
+        # discipline q_streaming_interval_join documents (round 15).
+        # Emission is unchanged: the final watermark is max(ts) − 7d
+        # either way, and chunks stay event-time-ordered within a batch,
+        # so no row ever arrives behind the watermark.
+        .option("maxFilesPerTrigger", "2")
         .parquet(src)
     )
     agg = (

@@ -14,6 +14,35 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_memory() -> str:
+    """Size the local-mode JVM to the machine instead of a constant.
+
+    In ``local[n]`` ONE JVM holds the driver, every executor thread's
+    execution memory, the block manager (snapshot caches + checkpoint
+    blocks), and all broadcasts.  The old fixed 8g default left a
+    full 67-query bench session memory-bound on a 128 GiB box: cached
+    and checkpointed blocks accumulate across queries faster than the
+    ContextCleaner's GC-driven release, and the measured effect was a
+    ~15 % whole-bench inflation with the heaviest shuffle/iteration
+    queries (pagerank, connected components, minhash verify) up to
+    1.8× their isolated times (OPTIMIZATION_r15.md, round 15).
+    Default: a quarter of physical RAM, clamped to [8g, 24g] — small
+    boxes keep the old behavior, big boxes stop thrashing; any cluster
+    deploy (or A/B) still pins ``SPARK_DRIVER_MEMORY`` explicitly."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_kb = int(line.split()[1])
+                    break
+            else:
+                return "8g"
+    except OSError:
+        return "8g"
+    quarter_gb = total_kb // (4 * 1024 * 1024)
+    return f"{min(24, max(8, quarter_gb))}g"
+
+
 def get_spark(
     app_name: str = "table_streaming_source_spark",
     master: str | None = None,
@@ -80,7 +109,10 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1776,6 +1776,49 @@ def commit_merge(
                 f"txn {txn['app']}/{txn['batch']} already committed "
                 f"(watermark {prior}) — replayed batch"
             )
+    # the CDC batch is consumed by up to three jobs (stats-overlap
+    # probe, bloom probe, rewrite join) — without a pin the caller's
+    # derivation (often an aggregate over a fact table, e.g. the
+    # dedup-state fingerprint agg) re-executes once per job.  A scoped
+    # persist (MEMORY_AND_DISK, released in ``finally``) materializes
+    # it once; unlike a localCheckpoint it keeps the logical plan, so
+    # ``_sized_for_write``'s estimate sees the cache's MEASURED bytes
+    # instead of a lineage-truncated unknown (round 15, guide §2.4/§5)
+    pin = os.environ.get("SPARK_GRAFT_MERGE_PIN", "1") != "0"
+    if pin:
+        changes = changes.persist()
+    try:
+        return _commit_merge_pinned(
+            spark, path, changes, key=key, stat_cols=stat_cols,
+            op_col=op_col, row_id_col=row_id_col, branch=branch,
+            txn=txn, bloom_cols=bloom_cols, upsert=upsert, base=base,
+            new_v=new_v,
+        )
+    finally:
+        if pin:
+            changes.unpersist()
+
+
+def _commit_merge_pinned(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    *,
+    key: str,
+    stat_cols: list[str],
+    op_col: str,
+    row_id_col: str | None,
+    branch: str | None,
+    txn: dict | None,
+    bloom_cols: list[str] | None,
+    upsert: bool,
+    base: int,
+    new_v: int,
+) -> tuple[int, int, int]:
+    from pyspark.sql import functions as F
+
+    from table_streaming_source_spark.snapshot import merge_into
+
     pairs, any_ops = _walk_files_renamed(path, base)
     # era-aware targeting (round 15): decisions run on stats/bloom
     # keys TRANSLATED to current names, so a merge on a renamed key

@@ -142,13 +142,13 @@ def test_hinted_broadcasts_are_bounded_dims_only(hints_only, sf_dir, name):
 _EXTENSION_HINTED_BROADCASTS = {
     "text_tfidf": set(),
     # the verify-prefilter broadcast is COUNT-GATED (operators/dedup.py::
-    # minhash_lsh_pairs, verify_broadcast_max_keys): the hint only exists
-    # because the materialized candidate count came back under the gate,
-    # so the fixture-scale plan legitimately shows the doc_id key set
-    # under a BroadcastExchange; a pathological corpus takes the
-    # shuffled-semi-join branch instead (the scan under the exchange is
-    # the candidate-pair checkpoint, first column key_a)
-    "dedup_minhash_lsh": {"key_a"},
+    # minhash_lsh_pairs, verify_broadcast_max_keys) and since round 15
+    # lives INSIDE the pinned candidate-shingle checkpoint
+    # (``pin_verify``), so the catalog entry's final plan shows no
+    # forced hint at all; the gate's two branches stay pinned by
+    # tests/test_scale_strategies.py::test_minhash_verify_gate_both_branches
+    # (which passes pin_verify=False to keep the semi-join visible)
+    "dedup_minhash_lsh": set(),
     "dedup_ngram_jaccard": set(),
     "pipeline_image_prep": set(),
     "text_decontaminate": {"doc_id"},
@@ -260,7 +260,7 @@ _SHUFFLE_BUDGET = {
     "join_bucketed": 1,
     # extension families — the scale shapes pinned alongside TPC-H's:
     # band-bucket explode + distinct + verify join; payloads never shuffle
-    "dedup_minhash_lsh": 2,
+    "dedup_minhash_lsh": 0,  # banding+verify live inside checkpoints (r15 pin_verify)
     # cell assign + within-cell ADC agg + top-k; codebooks broadcast
     "sim_ivfpq_search": 3,
     # corpus shingle agg + benchmark semi-join + doc-level rollup
@@ -331,12 +331,12 @@ _SHUFFLE_BUDGET = {
     "text_c4_filters": 0,
     "text_html_strip": 0,
     # owner election on the line + ownership join + per-doc rebuild
-    "text_line_dedup": 3,
+    "text_line_dedup": 2,  # r15: exploded line table pinned once
     # two stacked windows on ONE (user, ts) sort — a single exchange
     "anomaly_cusum": 1,
     # blocked linkage: the block-key equi-join (broadcast at fixture
     # scale; two hash exchanges at 100 TB) + nothing else
-    "join_fuzzy_levenshtein": 2,
+    "join_fuzzy_levenshtein": 0,  # blocked self-join broadcasts at gate scale
     # scan + two-phase distinct aggregate, same as the other sources
     "source_xml": 2,
     # container decode chains never shuffle
@@ -350,7 +350,7 @@ _SHUFFLE_BUDGET = {
     "ts_downsample_m4": 1,
     # line rules are row-local; dedup election + ownership join +
     # source rollup bound the exchanges
-    "pipeline_web_clean": 4,
+    "pipeline_web_clean": 3,  # r15: line_dedup pin
     "join_nearest_spatial": 1,
     # collated grouping is the same two-phase distinct aggregate
     "scalar_collation": 2,
@@ -377,7 +377,7 @@ _SHUFFLE_BUDGET = {
     "sim_knn_join": 2,
     # two token aggs + vocab distinct + token joins + doc rollup;
     # vocabulary tables are NEVER hint-broadcast (Heaps' law)
-    "text_importance_weight": 5,
+    "text_importance_weight": 2,  # r15: one token agg, totals from vocab table
     # card rollup: group agg + digest distinct-count expansion
     "pipeline_dataset_card": 2,
     # daily rollup + series self-join + per-type median window
@@ -741,7 +741,7 @@ _SHUFFLE_BUDGET = {
     # --- round 13: new entries ---
     "format_sql_merge_full_sync": 0,  # checkpointed receipt read
     # band-bucket explode + distinct + verify join + 2 scalar evals
-    "dedup_planted_eval": 6,
+    "dedup_planted_eval": 2,  # r15: minhash verify pin
     # rank pass (bounds + partials + bucket exchange) + 4-row rollup
     "pipeline_curriculum_order": 4,
     # per-source moments + k-row second stage + broadcast back
@@ -835,7 +835,7 @@ _SHUFFLE_BUDGET_AUTO = {
     'dedup_fingerprint': 1,
     'dedup_incremental': 2,
     'dedup_jaccard_prefix': 1,
-    'dedup_minhash_star': 2,
+    'dedup_minhash_star': 0,  # r15: pin_verify
     'dedup_ngram_jaccard': 3,
     'dedup_recall_eval': 7,
     'dedup_simhash': 0,
@@ -1047,7 +1047,7 @@ _SHUFFLE_BUDGET_AUTO = {
     'text_quality_train': 1,
     'text_readability': 0,
     'text_repetition': 0,
-    'text_rouge_eval': 3,
+    'text_rouge_eval': 2,  # r15: one gram agg, no clip join
     'text_sample_split': 1,
     'text_source_overlap': 9,
     'text_stratified_sample': 1,

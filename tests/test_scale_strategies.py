@@ -333,6 +333,9 @@ def test_minhash_verify_gate_both_branches(spark, sf_dir):
         _VERIFY_GATE_MEMO.clear()
         df = minhash_lsh_pairs(
             docs, "text", "doc_id", num_hashes=8, bands=4, threshold=0.5,
+            # keep the verify semi-join visible in the final plan (the
+            # round-15 pin_verify checkpoint otherwise hides it)
+            pin_verify=False,
             **kw,
         )
         return df, df._jdf.queryExecution().executedPlan().toString()
@@ -363,7 +366,7 @@ def test_minhash_verify_gate_both_branches(spark, sf_dir):
         _VERIFY_GATE_MEMO.clear()
         forced = minhash_lsh_pairs(
             docs, "text", "doc_id", num_hashes=8, bands=4, threshold=0.5,
-            verify_broadcast_max_keys=0,
+            verify_broadcast_max_keys=0, pin_verify=False,
         )
         assert not any("Broadcast" in ln for ln in semi_nodes(forced))
     finally:
@@ -374,3 +377,32 @@ def test_minhash_verify_gate_both_branches(spark, sf_dir):
     a = sorted(map(tuple, hinted_df.collect()))
     b = sorted(map(tuple, fallback_df.collect()))
     assert a == b and a  # same pairs from both branches
+
+
+def test_minhash_pin_verify_is_pure_materialization(spark, sf_dir):
+    """The round-15 ``pin_verify`` checkpoint (candidate-shingle table
+    consumed once instead of once per verify-join leg) changes only the
+    physical materialization: pair set and jaccard values are identical
+    with the pin on (catalog default) and off (the plan-introspection
+    mode the gate test uses)."""
+    from table_streaming_source_spark.operators.dedup import (
+        _VERIFY_GATE_MEMO,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(pin):
+        _VERIFY_GATE_MEMO.clear()
+        return sorted(
+            map(
+                tuple,
+                minhash_lsh_pairs(
+                    docs, "text", "doc_id", num_hashes=8, bands=4,
+                    threshold=0.5, pin_verify=pin,
+                ).collect(),
+            )
+        )
+
+    pinned, unpinned = run(True), run(False)
+    assert pinned == unpinned and pinned
