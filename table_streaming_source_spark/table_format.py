@@ -1786,7 +1786,16 @@ def commit_merge(
     # instead of a lineage-truncated unknown (round 15, guide §2.4/§5)
     pin = os.environ.get("SPARK_GRAFT_MERGE_PIN", "1") != "0"
     if pin:
-        changes = changes.persist()
+        # CDC batches are typically unions of several derivation legs
+        # whose partition fan-out (sum of the legs') every downstream
+        # stage would inherit through the cache — bound the cached
+        # batch at the session's parallelism (coalesce is narrow;
+        # counts BELOW the bound keep their layout)
+        # (coalesce never RAISES a partition count — a batch already
+        # at or below the bound keeps its layout untouched)
+        changes = changes.coalesce(
+            int(spark.sparkContext.defaultParallelism)
+        ).persist()
     try:
         return _commit_merge_pinned(
             spark, path, changes, key=key, stat_cols=stat_cols,
