@@ -234,14 +234,21 @@ def tfidf_top_terms(
     Returns ``(key, term, tf, df, tfidf, rank)``.
     """
     tok = tokenize(df, text_col, key)
-    tf = tok.groupBy(key, "token").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.count()  # scalar; computed once driver-side
-    dfreq = (
-        tok.select(key, "token")
-        .distinct()
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # consumed twice (df derivation + score join) — pin so the corpus
+    # tokenize+aggregate runs once (round 15, guide §2.4); lazy, no job
+    # until the operator's output is consumed
+    tf = (
+        tok.groupBy(key, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
+    n_docs = df.count()  # scalar; computed once driver-side
+    # document frequency FROM the tf table: tf already holds one row
+    # per (doc, token), so COUNT(*) per token ≡ the old
+    # tok.distinct().groupBy(token).count() — same value, one corpus
+    # explode instead of two and a tf-sized shuffle instead of a
+    # token-instance-sized one (round 15, guide §2.3/§2.4)
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # Shuffle-join on token — NO broadcast hint.  The vocabulary is a
     # corpus-derived table (10^8–10^9 distinct tokens at 100 TB); a forced
     # broadcast would bypass autoBroadcastJoinThreshold and OOM the

@@ -253,7 +253,7 @@ _SHUFFLE_BUDGET = {
     "flagship_enrichment": 3,  # fact⋈fact + distinct-agg pair
     "shipping_priority": 3,  # two fact sides + group agg (top-k no sort)
     "order_limit_topk": 1,  # TakeOrderedAndProject, no global sort
-    "text_tfidf": 4,  # tf agg + df agg + term join + final
+    "text_tfidf": 2,  # r15: df derived from the pinned tf table
     "sim_topk": 1,  # corpus never shuffles; per-query top-k window
     # bucketed co-located join: the join itself is exchange-free (bucket
     # pairs merge-join in place); only the final aggregation shuffles
