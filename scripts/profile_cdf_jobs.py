@@ -93,5 +93,6 @@ def ms(j):
 for j in sorted(jobs, key=lambda j: j["jobId"]):
     d = j.get("description", "")
     if d.startswith("timed:"):
-        print(f"job {j['jobId']:4d}  {ms(j):8.0f}ms  tasks={j['numTasks']:4d}  {d}")
+        print(f"job {j['jobId']:4d}  {ms(j):8.0f}ms  tasks={j['numTasks']:4d}  "
+              f"{d}  name={j.get('name', '')[:90]}")
 spark.stop()

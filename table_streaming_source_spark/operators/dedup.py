@@ -26,6 +26,7 @@ Design decisions for 100 TB:
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
@@ -192,16 +193,19 @@ def minhash_lsh_pairs(
     max_bucket: Optional[int] = None,
     mega_bucket: str = "drop",
     verify_broadcast_max_keys: int = 1_000_000,
-    pin_verify: bool = True,
+    pin_verify: Optional[bool] = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, verified with exact
     Jaccard.
 
-    ``pin_verify`` (default on) localCheckpoints the candidate-shingle
+    ``pin_verify`` (default on; ``SPARK_GRAFT_MINHASH_PIN=0`` flips the
+    default for A/B runs) localCheckpoints the candidate-shingle
     table so the verify prefilter's semi-join + candidate shingling run
     once instead of once per join leg; tests that introspect the verify
     plan (the broadcast gate's branches) pass ``False`` to keep the
-    semi-join visible in the final plan.
+    semi-join visible in the final plan.  A localCheckpoint is
+    non-reliable storage: on a multi-executor deployment where executor
+    loss mid-query matters more than the recompute, disable the pin.
 
     ``verify_broadcast_max_keys`` gates the verify prefilter's broadcast:
     the candidate pairs are counted (a scalar job over the checkpointed
@@ -241,6 +245,8 @@ def minhash_lsh_pairs(
     Jaccard — the shingle table is never exploded or shuffled.
     """
     rows_per_band = num_hashes // bands
+    if pin_verify is None:
+        pin_verify = os.environ.get("SPARK_GRAFT_MINHASH_PIN", "1") != "0"
 
     def band_keys_of(sig: "F.Column") -> "F.Column":
         # 60-bit integer band keys (round 4): the banding shuffle keys on

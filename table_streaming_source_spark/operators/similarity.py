@@ -20,6 +20,7 @@ Scale path (100 TB / billions of vectors):
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -179,10 +180,20 @@ def cosine_pairs_blocked(
     # re-executes that derivation — materialize it once.  A persisted
     # input (the snapshot cache) skips the pin: re-scanning cache is
     # cheaper than copying it into a second materialization.
-    try:
-        _cached = df.storageLevel.useMemory or df.storageLevel.useDisk
-    except Exception:
+    # SPARK_GRAFT_COSINE_PIN: "0" never pins, "1" always pins, unset →
+    # the auto branch above (A/B hatch; a localCheckpoint is
+    # non-reliable storage, so deployments that prefer recompute over
+    # lineage truncation can disable it)
+    _pin_env = os.environ.get("SPARK_GRAFT_COSINE_PIN")
+    if _pin_env == "0":
+        _cached = True  # treat as cached: skip the pin
+    elif _pin_env == "1":
         _cached = False
+    else:
+        try:
+            _cached = df.storageLevel.useMemory or df.storageLevel.useDisk
+        except Exception:
+            _cached = False
     if not _cached:
         df = df.localCheckpoint(eager=False)
     a = df.select(

@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1264,6 +1265,17 @@ def commit_update_where(
         )
     untouched = [_with_eras(f, ch) for f, ch in untouched]
     match = F.expr(where)
+    # the candidate read feeds THREE derivations (rewrite output, CDF
+    # pre-image, CDF post-image) executed across TWO write actions —
+    # without a pin the candidate files (and any MOR subtraction) are
+    # scanned once per action (round 16, guide §2.4).  Scoped persist,
+    # released after the sidecar write; SPARK_GRAFT_UPDATE_PIN=0 is the
+    # A/B hatch.  ``persist`` (not localCheckpoint) keeps the logical
+    # plan so ``_sized_for_write`` sees measured bytes (the
+    # commit_merge discipline).
+    _upd_pin = os.environ.get("SPARK_GRAFT_UPDATE_PIN", "1") != "0"
+    if _upd_pin:
+        cur = cur.persist()
     updated = cur.select(
         *[
             (
@@ -1279,8 +1291,6 @@ def commit_update_where(
     staging = os.path.join(
         _data_dir(path), f"update-{new_v}-{uuid.uuid4().hex[:8]}"
     )
-    updated = _sized_for_write(updated)
-    updated.write.mode("overwrite").parquet(staging)
     # CHANGE-DATA sidecar (the Delta CDC-file technique): the matched
     # rows' pre/post images are staged WITH the commit, so the change
     # feed — batch or streaming — reads them verbatim instead of
@@ -1305,8 +1315,14 @@ def commit_update_where(
     ).unionByName(
         post_img.withColumn("_change_type", F.lit("update_postimage"))
     )
-    cdf_df = _sized_for_write(cdf_df)
-    cdf_df.write.mode("overwrite").parquet(cdf_staging)
+    try:
+        updated = _sized_for_write(updated)
+        updated.write.mode("overwrite").parquet(staging)
+        cdf_df = _sized_for_write(cdf_df)
+        cdf_df.write.mode("overwrite").parquet(cdf_staging)
+    finally:
+        if _upd_pin:
+            cur.unpersist()
     cdf_files = [
         os.path.relpath(os.path.join(cdf_staging, n), path)
         for n in sorted(os.listdir(cdf_staging))
@@ -1444,17 +1460,28 @@ def commit_replace_where(
 
     Returns ``(new_version, files_dropped, files_rewritten,
     files_untouched)``."""
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    bad = df.filter(
-        (F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi))
-        | F.col(col).isNull()
-    ).limit(1).count()
-    if bad:
-        raise ValueError(
-            f"replaceWhere violation: incoming rows fall outside "
-            f"{col} in [{lo}, {hi}]"
-        )
+    # replaceWhere constraint checked DURING the staging write via an
+    # observation (round 16, guide §1.2/§2.3): round 15 paid a separate
+    # full pass over the incoming batch (limit(1).count() scans
+    # everything when the data is valid — the common case) before a
+    # second full pass wrote it.  The violation still raises before
+    # anything is COMMITTED (below, before ``_write_commit``); a
+    # staged-then-refused directory is unreferenced scratch.
+    _obs = Observation(f"replw-{uuid.uuid4().hex[:8]}")
+    df = df.observe(
+        _obs,
+        F.sum(
+            F.when(
+                (F.col(col) < F.lit(lo))
+                | (F.col(col) > F.lit(hi))
+                | F.col(col).isNull(),
+                1,
+            ).otherwise(0)
+        ).alias("bad"),
+    )
     base, new_v = _resolve_write_target(path, branch, expected_version)
     pairs, any_ops = _walk_files_renamed(path, base)
     file_dicts = [f for f, _ in pairs]
@@ -1510,6 +1537,13 @@ def commit_replace_where(
     )
     df = _sized_for_write(df)
     df.write.mode("overwrite").parquet(staging)
+    bad = _obs.get["bad"]
+    if bad is not None and bad > 0:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise ValueError(
+            f"replaceWhere violation: incoming rows fall outside "
+            f"{col} in [{lo}, {hi}]"
+        )
     entries += _manifest_entries(path, staging, stat_cols, seq=new_v)
     schemas[os.path.basename(staging)] = _schema_json(df)
     untouched = [_with_eras(f, ch) for f, ch in untouched]
@@ -1789,13 +1823,17 @@ def commit_merge(
         # CDC batches are typically unions of several derivation legs
         # whose partition fan-out (sum of the legs') every downstream
         # stage would inherit through the cache — bound the cached
-        # batch at the session's parallelism (coalesce is narrow;
-        # counts BELOW the bound keep their layout)
-        # (coalesce never RAISES a partition count — a batch already
-        # at or below the bound keeps its layout untouched)
-        changes = changes.coalesce(
-            int(spark.sparkContext.defaultParallelism)
-        ).persist()
+        # batch at the session's parallelism.  The coalesce is applied
+        # ONLY when the batch's plan actually exceeds the bound
+        # (ADVICE r15): coalesce propagates up through narrow stages,
+        # so an unconditional one would collapse a many-file narrow
+        # scan's parallelism even when no fan-out problem exists.
+        # ``persist()`` defaults to MEMORY_AND_DISK_DESER — spills
+        # rather than OOMs on an oversized batch.
+        bound = int(spark.sparkContext.defaultParallelism)
+        if changes.rdd.getNumPartitions() > bound:
+            changes = changes.coalesce(bound)
+        changes = changes.persist()
     try:
         return _commit_merge_pinned(
             spark, path, changes, key=key, stat_cols=stat_cols,
@@ -1855,19 +1893,22 @@ def _commit_merge_pinned(
             # no key-side distinct: the broadcast range probe is
             # per-row and the hit set only needs distinct FILE ids —
             # deduping the probe first costs a change-scale shuffle
-            # (guide §2.3) to save nothing (the file-id distinct after
-            # the join is map-side combinable and file-count-sized)
+            # (guide §2.3) to save nothing.  The hit set itself comes
+            # back as ONE collect_set aggregate (round 16): partial
+            # sets are file-count-bounded per task, the exchange is a
+            # SinglePartition of those tiny sets, and the whole probe
+            # is one stage fewer than distinct()+collect (which paid a
+            # hash-partitioned distinct before a second coalesce read)
             changes.select(F.col(key).alias("__k"))
             .join(
                 F.broadcast(manifest),
                 (F.col("__k") >= F.col("__lo").cast(key_c))
                 & (F.col("__k") <= F.col("__hi").cast(key_c)),
             )
-            .select("__file_idx")
-            .distinct()
-            .collect()
+            .agg(F.collect_set("__file_idx").alias("__hits"))
+            .collect()[0]["__hits"]
         )
-        hit_idx.update(r[0] for r in hits)
+        hit_idx.update(hits)
     # bloom tightening: a range-hit file carrying a Bloom fingerprint
     # for the merge key is CLEARED when no change key probes into it —
     # the non-clustered-key case where every range overlaps and the
@@ -1902,9 +1943,8 @@ def _commit_merge_pinned(
                 ).alias("__j", "__p"),
             )
         )
-        passed = {
-            r[0]
-            for r in probe.join(
+        passed = set(
+            probe.join(
                 F.broadcast(bdf),
                 (F.col("__w") == F.shiftright(F.col("__p"), 6))
                 & (
@@ -1917,10 +1957,11 @@ def _commit_merge_pinned(
             .groupBy("__k", "__file_idx")
             .agg(F.count_distinct("__j").alias("__n"))
             .filter(F.col("__n") == kh)
-            .select("__file_idx")
-            .distinct()
-            .collect()
-        }
+            # one collect_set aggregate instead of distinct()+collect —
+            # same single-stage saving as the range probe above
+            .agg(F.collect_set("__file_idx").alias("__hits"))
+            .collect()[0]["__hits"]
+        )
         hit_idx.difference_update(set(idxs) - passed)
     # carried entries keep their ORIGINAL (physical-name) stats plus
     # the baked chain — a translated copy would double-translate at
@@ -2630,7 +2671,12 @@ def _pos_delete_pairs_df(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.distinct()
+    # no trailing distinct (round 16): every consumer anti/semi-joins
+    # these pairs (duplicate-insensitive) or re-dedups itself
+    # (compact_deletes' dead.distinct()), and the tuple/dv writers
+    # already stage deduped files — the distinct() cost an exchange on
+    # every positional-delete read
+    return out
 
 
 def _pos_delete_pairs_local(path: str, entries: list[dict]):
@@ -2776,25 +2822,27 @@ def commit_delete_positions(
 
     base, new_v = _resolve_write_target(path, branch, expected_version)
     _guard_no_renames(path, base, "commit_delete_positions")
-    pos = (
-        positions.select(
-            F.col("file_path").cast("string"), F.col("pos").cast("long")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)  # pin: named-paths read + file write
+    pos = positions.select(
+        F.col("file_path").cast("string"), F.col("pos").cast("long")
     )
-    # one row per distinct file a CDC-sized delete touches — bounded
-    named = sorted(r[0] for r in pos.select("file_path").distinct().collect())
-    snapshot = _snapshot_file_dicts(path, base)
-    known = {os.path.abspath(os.path.join(path, f["path"])) for f in snapshot}
-    unknown = [p for p in named if p not in known]
-    if unknown:
-        raise ValueError(
-            f"positions name files outside snapshot {base}: {unknown[:3]}"
-        )
+    if encoding != "dv":
+        # tuple files stage one row per ordinal — dedup what lands on
+        # disk.  The DV path skips this exchange: ``_dv_encode`` already
+        # set-dedupes per file inside the groupBy, so a distinct before
+        # it would be a second shuffle for nothing (guide §2.4)
+        pos = pos.distinct()
     staging = os.path.join(
         _data_dir(path), f"posdelete-{new_v}-{uuid.uuid4().hex[:8]}"
     )
+    # ONE pass (round 16, guide §1): the staging write is the only Spark
+    # action — the named-file list is read back off the staged delete
+    # file's own ``file_path`` column (driver-side pyarrow, one row per
+    # touched file for DV / one per ordinal for tuples — CDC-bounded
+    # either way), where round 15 ran an eager localCheckpoint PLUS a
+    # distinct+collect job before the write (3 extra jobs per commit and
+    # a second pass over the positions).  Validation still happens
+    # before anything is COMMITTED: a staged-but-refused directory is
+    # unreferenced scratch, exactly like any aborted write.
     if encoding == "dv":
         _write_dv_file(pos, staging)
         entries = _manifest_entries(path, staging, [], seq=new_v)
@@ -2807,6 +2855,25 @@ def commit_delete_positions(
         del_schema = _POS_SCHEMA_JSON
     else:
         raise ValueError(f"unknown positional-delete encoding {encoding!r}")
+    import pyarrow.parquet as pq
+
+    named = sorted(
+        {
+            str(v)
+            for name in os.listdir(staging)
+            if name.endswith(".parquet")
+            for v in pq.read_table(
+                os.path.join(staging, name), columns=["file_path"]
+            )["file_path"].unique().to_pylist()
+        }
+    )
+    snapshot = _snapshot_file_dicts(path, base)
+    known = {os.path.abspath(os.path.join(path, f["path"])) for f in snapshot}
+    unknown = [p for p in named if p not in known]
+    if unknown:
+        raise ValueError(
+            f"positions name files outside snapshot {base}: {unknown[:3]}"
+        )
     for e in entries:
         e["paths"] = named
     eq_key, eq_outstanding = _snapshot_deletes(path, base)
@@ -2895,15 +2962,12 @@ def compact_deletes(
                 .withColumn("__del_file", _norm_file_path_col())
                 .withColumn("__del_pos", F.col("_metadata.row_index"))
             )
-            del_df = (
-                _read_data(
-                    spark, path,
-                    [os.path.join(path, p) for p in sorted(eq_set)],
-                    merge=False,
-                )
-                .select(*keys)
-                .distinct()
-            )
+            del_df = _read_data(
+                spark, path,
+                [os.path.join(path, p) for p in sorted(eq_set)],
+                merge=False,
+            ).select(*keys)  # files are writer-deduped; semi-join is
+            # duplicate-insensitive (see _mor_resolve)
             parts.append(
                 scan.join(F.broadcast(del_df), keys, "left_semi").select(
                     F.col("__del_file").alias("file_path"),
@@ -3070,15 +3134,16 @@ def _mor_resolve(
             if not with_positions:
                 part = part.drop("__del_file", "__del_pos")
         if eq_set:
-            del_df = (
-                _read_data(
-                    spark, path,
-                    [os.path.join(path, p) for p in sorted(eq_set)],
-                    merge=False,
-                )
-                .select(*keys)
-                .distinct()
-            )
+            # no re-distinct (round 16): commit_delete_keys writes each
+            # delete file pre-deduped, the anti-join is duplicate-
+            # insensitive, and the broadcast stays delete-state-sized —
+            # the distinct() here cost an exchange (+1 AQE stage job)
+            # on every MOR group for nothing
+            del_df = _read_data(
+                spark, path,
+                [os.path.join(path, p) for p in sorted(eq_set)],
+                merge=False,
+            ).select(*keys)
             part = part.join(F.broadcast(del_df), keys, "left_anti")
         parts.append(part)
     if clean:
@@ -3513,15 +3578,12 @@ def read_cdf(
                 ]
                 if cand:
                     _require_files(path, cand + new_eq, v)
-                    keys_df = (
-                        _read_data(
-                            spark, path,
-                            [os.path.join(path, d["path"]) for d in new_eq],
-                            merge=False,
-                        )
-                        .select(*keys)
-                        .distinct()
-                    )
+                    keys_df = _read_data(
+                        spark, path,
+                        [os.path.join(path, d["path"]) for d in new_eq],
+                        merge=False,
+                    ).select(*keys)  # writer-deduped; semi-join is
+                    # duplicate-insensitive (see _mor_resolve)
                     pre = _mor_resolve(
                         spark, path, cand, prev_key, prev_eq, prev_pos
                     ).join(F.broadcast(keys_df), keys, "left_semi")
@@ -3706,16 +3768,52 @@ def read_cdf(
                 pre = pre.withColumn(
                     col, F.lit(None).cast(post.schema[col].dataType)
                 )
+        if columns is not None and not chains.get(v):
+            # projected feed: narrow BOTH sides to merge-key + requested
+            # columns before the diff join, so the pinned diff below
+            # materializes only what the feed returns (the rename-era
+            # case keeps full width — ``columns`` are to_v-era names and
+            # the sides still carry era-v names, so an early select by
+            # the new names could not resolve)
+            keep = set(columns)
+            post = post.select(
+                key, *[c for c in post.columns if c != key and c in keep]
+            )
+            pre = pre.select(
+                key, *[c for c in pre.columns if c != key and c in keep]
+            )
         others = [col for col in post.columns if col != key]
         if columns is not None:
             # update classification over the PROJECTED columns only —
             # this is what lets Catalyst prune the pre/post scans to
             # merge-key + requested columns
             others = [col for col in others if col in columns]
+        # ONE full-outer diff join (round 16, guide §2.3/§2.4): round 15
+        # planned THREE joins over pre/post (insert anti, delete anti,
+        # update inner), each re-scanning the change-proportional
+        # pre/post subtrees and each building its own broadcast key set
+        # — pre was read 3×, post 3×, five jobs of it at local[32].  The
+        # fused form joins once on the key with side-presence markers
+        # (a USING full outer coalesces the key, and null keys never
+        # match — exactly the anti/inner semantics: a null-key post row
+        # is an insert, a null-key pre row a delete, never an update
+        # pair) and lazily pins the diff for its four consumer legs.
+        pre_cols = [c for c in pre.columns if c != key]
+        post_cols = [c for c in post.columns if c != key]
+        pre_m = pre.select(
+            key,
+            *[F.col(c).alias(f"__pre_{c}") for c in pre_cols],
+            F.lit(True).alias("__pre_present"),
+        )
+        diff = (
+            post.withColumn("__post_present", F.lit(True))
+            .join(pre_m, key, "full_outer")
+            .localCheckpoint(eager=False)
+        )
         legs.append(
             _tag(
-                post.join(
-                    pre.select(key).distinct(), key, "left_anti"
+                diff.filter(F.col("__pre_present").isNull()).select(
+                    *post.columns
                 ),
                 "insert",
                 v,
@@ -3723,8 +3821,12 @@ def read_cdf(
         )
         legs.append(
             _tag(
-                pre.join(
-                    post.select(key).distinct(), key, "left_anti"
+                diff.filter(F.col("__post_present").isNull()).select(
+                    *[
+                        F.col(c) if c == key
+                        else F.col(f"__pre_{c}").alias(c)
+                        for c in pre.columns
+                    ]
                 ),
                 "delete",
                 v,
@@ -3732,10 +3834,10 @@ def read_cdf(
         )
         if not others:
             continue  # projection holds only the key — no update pairs
-        pre_renamed = pre.select(
-            key, *[F.col(col).alias(f"__pre_{col}") for col in others]
-        )
-        changed = post.join(pre_renamed, key).filter(
+        changed = diff.filter(
+            F.col("__pre_present").isNotNull()
+            & F.col("__post_present").isNotNull()
+        ).filter(
             F.struct(*[F.col(col) for col in others])
             != F.struct(*[F.col(f"__pre_{col}") for col in others])
         )
