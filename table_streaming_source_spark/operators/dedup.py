@@ -481,9 +481,27 @@ def _shingle_intersections(
     Jaccard shape); ``ordered=False`` keeps both directions (the
     directed containment shape).  Returns ``(inter, sizes)`` where
     ``inter`` is ``(key_a, key_b, inter)`` and ``sizes`` is the per-key
-    distinct-shingle count."""
+    distinct-shingle count.
+
+    The shingle explode (split + n-gram transform + array_distinct per
+    document) is consumed FOUR times downstream — both self-join sides
+    plus the two size legs — so it is pinned once with a lazy
+    localCheckpoint (guide §2.4 multi-consumer materialization, the
+    round-15 pattern); the doc-scale ``sizes`` aggregate likewise feeds
+    two broadcast legs and is pinned so the fact-scale aggregation runs
+    once.  ``SPARK_GRAFT_SHINGLE_PIN=0`` restores the unpinned shape
+    (A/B hatch; also the multi-executor deployment escape — a lazy
+    localCheckpoint is non-reliable storage)."""
     shingled = shingle_table(_spread(df), text_col, key, n)
-    sizes = shingled.groupBy(key).agg(F.count(F.lit(1)).alias("sz"))
+    if os.environ.get("SPARK_GRAFT_SHINGLE_PIN", "1") != "0":
+        shingled = shingled.localCheckpoint(eager=False)
+        sizes = (
+            shingled.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .localCheckpoint(eager=False)
+        )
+    else:
+        sizes = shingled.groupBy(key).agg(F.count(F.lit(1)).alias("sz"))
     a = shingled.select(F.col(key).alias("key_a"), "shingle")
     b = shingled.select(F.col(key).alias("key_b"), "shingle")
     pair_pred = (

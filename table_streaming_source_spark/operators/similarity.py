@@ -1483,6 +1483,14 @@ def nn_descent_round(
         ).select(key, "neighbor_id", "cos_sim")
         base = g if base is None else base.unionAll(g)
     base = base.distinct()
+    # the seeded graph feeds FOUR fact-scale consumers (both sides of
+    # the hop self-join + the final union with the rescored candidates)
+    # and each re-derivation replays every blocking's cell self-join +
+    # cosine pass — pin once (guide §2.4, the round-15/16 multi-consumer
+    # pattern).  SPARK_GRAFT_NND_PIN=0 restores the unpinned shape (A/B
+    # hatch; lazy localCheckpoint is non-reliable storage off local).
+    if os.environ.get("SPARK_GRAFT_NND_PIN", "1") != "0":
+        base = base.localCheckpoint(eager=False)
     edges = base.select(F.col(key).alias("u"), F.col("neighbor_id").alias("v"))
     cand = (
         edges.alias("e1")

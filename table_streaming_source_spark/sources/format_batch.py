@@ -521,11 +521,12 @@ class ChangesReader(DataSourceReader):
     """Batch CHANGE-FEED reader: one input partition per commit in
     ``(from_version, to_version]`` on the resolved lineage; executors
     compute their commit's row images through the SAME pandas algebra
-    as the streaming CDF source (`streaming/format_cdf._cdf_rows`) —
+    as the streaming CDF source (`streaming/format_cdf._cdf_frames`) —
     appends, merges, equality/positional deletes, replaceWhere, with
     maintenance commits silent."""
 
     def __init__(self, schema: StructType, options: dict) -> None:
+        self._schema = schema
         self._cols = list(schema.fieldNames())[:-2]
         self._path = _table_path(options)
         self._from = int(_opt(options, "from_version", 0))
@@ -535,6 +536,11 @@ class ChangesReader(DataSourceReader):
             self._to = int(to)
         else:
             self._to = TF.resolve_ref(self._path, ref)
+        # A/B hatch, read on the DRIVER at plan time (executor env is
+        # frozen at worker spawn): 0 = legacy per-row tuple emission
+        self._arrow = os.environ.get(
+            "SPARK_GRAFT_CDF_ARROW", "1"
+        ) != "0"
 
     def partitions(self) -> Sequence[InputPartition]:
         from table_streaming_source_spark.streaming.format_tail import (
@@ -548,14 +554,25 @@ class ChangesReader(DataSourceReader):
         return parts or [InputPartition((self._path, None, ()))]
 
     def read(self, partition: InputPartition) -> Iterator:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         from table_streaming_source_spark.streaming.format_cdf import (
-            _cdf_rows,
+            _cdf_batches,
         )
 
         path, v, cols = partition.value
         if v is None:
             return iter(())
-        return iter(_cdf_rows(path, v, list(cols)))
+        if not self._arrow:
+            from table_streaming_source_spark.streaming.format_cdf import (
+                _cdf_rows,
+            )
+
+            return iter(_cdf_rows(path, v, list(cols)))
+        # Arrow batches, not per-row pickled tuples (guide §4)
+        return _cdf_batches(
+            path, v, list(cols), to_arrow_schema(self._schema)
+        )
 
 
 class ChangesDataSource(DataSource):

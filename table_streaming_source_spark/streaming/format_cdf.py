@@ -256,12 +256,15 @@ def _phys_name(name: str, ops: tuple) -> str:
     return name
 
 
-def _cdf_rows(
+def _cdf_frames(
     path: str, v: int, cols: list[str], ref=None, types=None
 ) -> list[tuple]:
-    """The CDF image tuples of commit ``v`` — the per-commit algebra of
-    ``table_format.read_cdf`` in pandas.  Tuple layout: ``cols...,
-    _change_type, _commit_version``.
+    """The CDF images of commit ``v`` as ``(frame, change_type)`` pairs
+    — the per-commit algebra of ``table_format.read_cdf`` in pandas.
+    Each frame holds exactly the REQUESTED column names in request
+    order (physical-era names are translated back before return);
+    empty legs are dropped.  ``_cdf_rows`` flattens the pairs to the
+    positional tuple layout, ``_cdf_batches`` to Arrow record batches.
 
     Era-aware (round 14): requested column names are translated to
     their era-``v`` PHYSICAL names before any file is read — the whole
@@ -290,6 +293,7 @@ def _cdf_rows(
             "eras"
         )
     _check_pinned_types("format_cdf", v, cols, types, widens_before)
+    logical = list(cols)
     if ops:
         cols = [_phys_name(cc, ops) for cc in cols]
     base = c["parent"] if c["parent"] is not None else c.get("prev")
@@ -297,11 +301,9 @@ def _cdf_rows(
     def tag(pdf, ctype: str) -> list[tuple]:
         if len(pdf) == 0:
             return []
-        vals = pdf[cols]
-        return [
-            (*row, ctype, v)
-            for row in vals.itertuples(index=False, name=None)
-        ]
+        vals = pdf[cols].copy()
+        vals.columns = logical
+        return [(vals, ctype)]
 
     new_eq = [d for d in c.get("deletes", []) if d.get("seq") == v]
     new_pos = [d for d in c.get("pos_deletes", []) if d.get("seq") == v]
@@ -481,6 +483,44 @@ def _cdf_rows(
     return out
 
 
+def _cdf_rows(
+    path: str, v: int, cols: list[str], ref=None, types=None
+) -> list[tuple]:
+    """The CDF image tuples of commit ``v``.  Tuple layout: ``cols...,
+    _change_type, _commit_version`` — the row-wise flattening of
+    ``_cdf_frames`` (kept for tests and driver-side callers; the data
+    source readers ship ``_cdf_batches`` instead, so row values never
+    cross the Python→JVM boundary one pickled tuple at a time)."""
+    out: list[tuple] = []
+    for pdf, ctype in _cdf_frames(path, v, cols, ref=ref, types=types):
+        out += [
+            (*row, ctype, v)
+            for row in pdf.itertuples(index=False, name=None)
+        ]
+    return out
+
+
+def _cdf_batches(path: str, v: int, cols: list[str], arrow_schema,
+                 ref=None, types=None):
+    """The CDF images of commit ``v`` as Arrow record batches under the
+    source's declared schema (``cols... , _change_type,
+    _commit_version``) — one batch per change-type leg, in the same leg
+    order as ``_cdf_rows``.  Yielding ``pyarrow.RecordBatch`` from a
+    Python data source's ``read()`` moves whole columns across the
+    worker boundary instead of per-row pickled tuples (the same
+    conversion the snapshot reader ``TableFormatReader.read`` uses:
+    ``safe=False`` matches its cast semantics)."""
+    import pyarrow as pa
+
+    for pdf, ctype in _cdf_frames(path, v, cols, ref=ref, types=types):
+        pdf["_change_type"] = ctype
+        pdf["_commit_version"] = v
+        tbl = pa.Table.from_pandas(
+            pdf, schema=arrow_schema, preserve_index=False, safe=False
+        )
+        yield from tbl.to_batches()
+
+
 class CdfStreamReader(DataSourceStreamReader):
     """Offset = last processed commit version on the tailed lineage; a
     batch is the CDF images of every commit in ``(start, head]``, one
@@ -488,12 +528,18 @@ class CdfStreamReader(DataSourceStreamReader):
 
     def __init__(self, schema: StructType, options: dict) -> None:
         # the last two fields are the change metadata this source adds
+        self._schema = schema
         self._cols = list(schema.fieldNames())[:-2]
         self._types = [
             f.dataType.simpleString() for f in schema.fields[:-2]
         ]
         self._path = options["path"]
         self._ref = options.get("ref")
+        # A/B hatch, read on the DRIVER at plan time (executor env is
+        # frozen at worker spawn): 0 = legacy per-row tuple emission
+        self._arrow = os.environ.get(
+            "SPARK_GRAFT_CDF_ARROW", "1"
+        ) != "0"
 
     def initialOffset(self) -> dict:
         return {"version": 0}
@@ -521,11 +567,21 @@ class CdfStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: InputPartition) -> Iterator[Tuple]:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         path, v, cols, ref, types = partition.value
         if v is None:
             return iter(())
-        return iter(
-            _cdf_rows(path, v, list(cols), ref=ref, types=list(types))
+        if not self._arrow:
+            return iter(
+                _cdf_rows(path, v, list(cols), ref=ref,
+                          types=list(types))
+            )
+        # Arrow batches, not per-row pickled tuples (guide §4): whole
+        # columns cross the Python-worker boundary once per leg
+        return _cdf_batches(
+            path, v, list(cols), to_arrow_schema(self._schema),
+            ref=ref, types=list(types),
         )
 
     def commit(self, end: dict) -> None:

@@ -2958,12 +2958,17 @@ def test_streaming_cdf_partitions_fan_out_per_commit(spark, tmp_path):
     assert len(parts) == 3                       # one per commit
     per_commit = {}
     for p in parts:
-        for row in reader.read(p):
-            per_commit.setdefault(row[-1], []).append(row)
+        # read() yields Arrow record batches (round 16: whole columns
+        # cross the Python-worker boundary, not per-row tuples)
+        for batch in reader.read(p):
+            for row in batch.to_pylist():
+                per_commit.setdefault(
+                    row["_commit_version"], []
+                ).append(row)
     assert len(per_commit[1]) == 60
     assert len(per_commit[2]) == 10
-    assert sorted(r[0] for r in per_commit[3]) == [0, 1, 2]
-    assert {r[-2] for r in per_commit[3]} == {"delete"}
+    assert sorted(r["k"] for r in per_commit[3]) == [0, 1, 2]
+    assert {r["_change_type"] for r in per_commit[3]} == {"delete"}
 
 
 def test_streaming_cdf_parity_across_schema_evolution(spark, tmp_path):
