@@ -33,7 +33,14 @@ def test_reader_ranges_partition_the_file_exactly(tmp_path):
     assert [(p.start, p.count) for p in parts] == [
         (0, 33), (33, 33), (66, 33), (99, 1),
     ]
-    keys = [r[0] for p in parts for r in reader.read(p)]
+    # read() yields Arrow record batches since round 16 (whole columns
+    # cross the Python-worker boundary, not per-row unpacked tuples)
+    keys = [
+        k
+        for p in parts
+        for b in reader.read(p)
+        for k in b.column(0).to_pylist()
+    ]
     assert keys == list(range(100))
 
 
