@@ -973,11 +973,15 @@ def sorted_neighborhood_pairs(
         .select(
             "key_a",
             F.col("__nb.kb").alias("key_b"),
-            F.levenshtein(F.col("__pa"), F.col("__nb.pb")).alias(
-                "edit_distance"
-            ),
+            # banded DP (guide §1.2, the r15 precedent): the
+            # thresholded form returns -1 past max_distance instead of
+            # finishing the full O(len²) table; kept rows carry the
+            # exact distance either way, so the output is bit-identical
+            F.levenshtein(
+                F.col("__pa"), F.col("__nb.pb"), max_distance
+            ).alias("edit_distance"),
         )
-        .filter(F.col("edit_distance") <= max_distance)
+        .filter(F.col("edit_distance") >= 0)
     )
     return pairs.select(
         "key_a", "key_b", F.col("edit_distance").cast("int").alias("edit_distance")

@@ -1011,16 +1011,33 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle emits a literal TRUE.  The raw estimate stays available
     via the error-bound unit test (tests/test_operators.py)."""
     o = t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
+    # the exact and approximate counts aggregate SEPARATELY (guide
+    # §2.3/§5): fused, Spark's distinct-agg rewrite carries the HLL++
+    # partial buffer (~12 KB dense at rsd 0.01) through the
+    # (status, custkey)-keyed stages — one sketch PER DISTINCT CUSTOMER
+    # instead of per status.  Split, the sketch stays status-keyed
+    # (|statuses| buffers) and the distinct pass shuffles bare keys;
+    # measured 3.48 → ~1.2 s at sf0.1, and at 100 TB the fused form's
+    # sketch-per-customer shuffle is the difference between KBs and TBs.
+    # Values are identical — same aggregates, joined on the group key.
+    exact = o.groupBy("o_orderstatus").agg(
         F.count_distinct("o_custkey").alias("exact_custs"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    apx = o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("__apx")
+    )
+    return exact.join(apx, "o_orderstatus").select(
+        "o_orderstatus",
+        "exact_custs",
         (
             F.abs(
-                F.approx_count_distinct("o_custkey", rsd=0.01).cast("double")
-                - F.count_distinct("o_custkey").cast("double")
+                F.col("__apx").cast("double")
+                - F.col("exact_custs").cast("double")
             )
-            <= 0.05 * F.count_distinct("o_custkey").cast("double")
+            <= 0.05 * F.col("exact_custs").cast("double")
         ).alias("approx_within_5pct"),
-        F.count(F.lit(1)).alias("n_orders"),
+        "n_orders",
     )
 
 

@@ -862,7 +862,10 @@ _SHUFFLE_BUDGET = {
 #: with the script after intentional plan changes.
 _SHUFFLE_BUDGET_AUTO = {
     'agg_anova': 1,
-    'agg_approx_distinct': 2,
+    # r16: +1 planned exchange (split exact/HLL aggregates + group-key
+    # join) buys sketch-per-status instead of sketch-per-customer in
+    # the distinct stages — the join side is 3 rows, AQE broadcasts it
+    'agg_approx_distinct': 3,
     'agg_approx_quantile_bound': 3,
     'agg_benford': 2,
     'agg_bootstrap_ci': 3,
@@ -1001,7 +1004,7 @@ _SHUFFLE_BUDGET_AUTO = {
     'pipeline_chunk_overlap': 0,
     'pipeline_corpus_prep': 2,
     'pipeline_entity_resolution': 9,
-    'pipeline_pretrain_mix': 43,
+    'pipeline_pretrain_mix': 11,  # r16: dd + picked pinned once (multi-consumer)
     'pipeline_video_prep': 2,
     'priority_wait': 2,
     'product_profit': 2,
